@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named bundle of driver-checkable queries.
+  *
+  * Each entry in [[queries]] is a `(SparkSession, sfDir) => DataFrame`; the
+  * driver runs it at sf0.01 and (when an entry exists in [[oracleSql]])
+  * hash-compares the result against DuckDB running that SQL over the same
+  * parquet files. Column names MUST match between the Spark result and the
+  * oracle SQL — the compare sorts columns by name before hashing.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracleSql: Map[String, String]
+}

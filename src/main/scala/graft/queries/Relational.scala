@@ -1,0 +1,384 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The ad-hoc SQL surface the reference provisions through Athena
+  * (SURVEY.md §2.2, §3.3): scans, projections/filters, joins (inner/semi/
+  * anti/broadcast), aggregation (group-by, rollup, conditional), windows
+  * (ranking + running frames), sort/limit, set ops, scalar date/string/JSON
+  * functions. The reference executes arbitrary SQL over its cataloged
+  * output (`emr_json_parquet_schema_drift_etl.py:142-152`); here each
+  * category is expressed Spark-first with the DataFrame API so Catalyst
+  * plans it (pushdown, broadcast selection, partial aggregation, AQE).
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins (`region`/`nation`/`supplier`/`part`) are explicitly
+  *    `broadcast()` — no shuffle of the fact table on those keys;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    Catalyst keeps the partial-aggregate below the exchange;
+  *  - all filters are plain `Column` predicates on scanned columns so they
+  *    reach the parquet reader as PushedFilters.
+  */
+object Relational extends QueryPack {
+
+  private val D = (s: String) => to_timestamp(lit(s))
+
+  /** TPC-H Q1-style pricing summary: scan-heavy partial aggregation. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= D("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Filter + projection; predicate and column pruning reach the scan. */
+  def revenueForecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= D("1996-01-01 00:00:00") &&
+        col("l_shipdate") < D("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** Fact-fact-dim join with top-k: customer ⋈ orders ⋈ lineitem. */
+  def topUnshippedOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < D("1998-01-01 00:00:00"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Left-semi join (EXISTS) + aggregation. */
+  def orderPriorityCount(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Five-way join through the dimension chain with broadcast dims. */
+  def nationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no recent order. */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= D("2000-01-01 00:00:00"))
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Ranking window: top-3 orders per customer by price. */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** Running-frame window: cumulative spend per customer in order-date order. */
+  def runningCustomerSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice")).over(w).as("cum_spend"))
+  }
+
+  /** DISTINCT projection (reference A1 made distributed, no collect). */
+  def distinctSegments(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+
+  /** INTERSECT: building-segment customers that placed a big order. */
+  def bigBuildingBuyers(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val big = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 50000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    seg.intersect(big)
+  }
+
+  /** ROLLUP aggregation over order status × priority. */
+  def orderRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+
+  /** Scalar date functions: order volume by calendar year/month. */
+  def ordersByMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def returnFlagRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)).as("returned_rev"),
+        sum(when(col("l_returnflag") =!= "R", col("l_extendedprice")).otherwise(0.0)).as("kept_rev"),
+        count(lit(1)).as("n"))
+
+  /** Scalar string functions over part. */
+  def partStrings(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"))
+
+  /** JSON extraction from the events.props payload column. */
+  def eventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_val"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k_val")).as("sum_k"),
+        avg(col("value")).as("avg_value"),
+        count(lit(1)).as("n"))
+
+  /** GROUP BY + HAVING: nations with many customers. */
+  def bigNations(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), avg(col("c_acctbal")).as("avg_bal"))
+      .filter(col("n_customers") > 20)
+  }
+
+  /** UNION ALL + re-aggregation across two fact tables. */
+  def keyTraffic(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey").as("okey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("okey"))
+    l.unionAll(o)
+      .groupBy(col("okey")).agg(count(lit(1)).as("n_refs"))
+      .groupBy(col("n_refs")).agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** Window-based correlated filter: orders above their customer average. */
+  def aboveAverageOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, dir)
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"))
+  }
+
+  /** Broadcast join fact→dim + grouped aggregate over part attributes. */
+  def partTypeRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Sort + limit over a stored column (deterministic tie-break). */
+  def priciestItems(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> pricingSummary _,
+    "q02_revenue_forecast" -> revenueForecast _,
+    "q03_top_orders" -> topUnshippedOrders _,
+    "q04_order_priority" -> orderPriorityCount _,
+    "q05_nation_revenue" -> nationRevenue _,
+    "q06_customers_without_orders" -> customersWithoutOrders _,
+    "q07_top_orders_per_customer" -> topOrdersPerCustomer _,
+    "q08_running_spend" -> runningCustomerSpend _,
+    "q09_distinct_segments" -> distinctSegments _,
+    "q10_intersect_buyers" -> bigBuildingBuyers _,
+    "q11_order_rollup" -> orderRollup _,
+    "q12_orders_by_month" -> ordersByMonth _,
+    "q13_conditional_agg" -> returnFlagRevenue _,
+    "q14_part_strings" -> partStrings _,
+    "q15_events_json" -> eventsJson _,
+    "q16_big_nations" -> bigNations _,
+    "q17_union_traffic" -> keyTraffic _,
+    "q18_above_avg_orders" -> aboveAverageOrders _,
+    "q19_part_type_revenue" -> partTypeRevenue _,
+    "q20_priciest_items" -> priciestItems _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_forecast" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_nation_revenue" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "q06_customers_without_orders" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin,
+    "q07_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "q08_running_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend
+        |FROM orders""".stripMargin,
+    "q09_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q10_intersect_buyers" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000.0""".stripMargin,
+    "q11_order_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders, sum(o_totalprice) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q12_orders_by_month" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+        |  count(*) AS n_orders, sum(o_totalprice) AS total
+        |FROM orders
+        |GROUP BY 1, 2""".stripMargin,
+    "q13_conditional_agg" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END) AS returned_rev,
+        |  sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0.0 END) AS kept_rev,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_linestatus""".stripMargin,
+    "q14_part_strings" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  length(p_name) AS name_len,
+        |  substr(p_name, 1, 8) AS name_pfx,
+        |  concat_ws('|', p_type, p_brand) AS type_brand
+        |FROM part""".stripMargin,
+    "q15_events_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  avg(value) AS avg_value,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
+    "q16_big_nations" ->
+      """SELECT n_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING count(*) > 20""".stripMargin,
+    "q17_union_traffic" ->
+      """SELECT n_refs, count(*) AS n_keys FROM (
+        |  SELECT okey, count(*) AS n_refs FROM (
+        |    SELECT l_orderkey AS okey FROM lineitem
+        |    UNION ALL
+        |    SELECT o_orderkey AS okey FROM orders) u
+        |  GROUP BY okey) g
+        |GROUP BY n_refs""".stripMargin,
+    "q18_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders) t
+        |WHERE o_totalprice > cust_avg * 1.5""".stripMargin,
+    "q19_part_type_revenue" ->
+      """SELECT p_type,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type""".stripMargin,
+    "q20_priciest_items" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 25""".stripMargin,
+  )
+}

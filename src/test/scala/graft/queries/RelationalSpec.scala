@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("every query has an oracle or a documented reason not to") {
+    val missing = Relational.queries.keySet -- Relational.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("oracle keys all refer to existing queries") {
+    val orphans = Relational.oracleSql.keySet -- Relational.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("q01 pricing summary: one row per (returnflag, linestatus)") {
+    val df = Relational.pricingSummary(spark, sf)
+    val n = df.count()
+    assert(n > 0 && n <= 6)
+    assert(df.columns.contains("sum_qty") && df.columns.contains("count_order"))
+  }
+
+  test("q02 revenue forecast returns a single non-null sum") {
+    val rows = Relational.revenueForecast(spark, sf).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(0) > 0.0)
+  }
+
+  test("q03 top orders: at most 10, descending revenue") {
+    val revs = Relational.topUnshippedOrders(spark, sf)
+      .select(col("revenue")).collect().map(_.getDouble(0))
+    assert(revs.length <= 10)
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q07 window rank never exceeds 3 per customer") {
+    val df = Relational.topOrdersPerCustomer(spark, sf)
+    assert(df.agg(max(col("rn"))).collect()(0).getInt(0) <= 3)
+    val perCust = df.groupBy(col("o_custkey")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(perCust <= 3)
+  }
+
+  test("q08 running spend is monotone within a customer") {
+    val bad = Relational.runningCustomerSpend(spark, sf)
+      .withColumn("prev", lag(col("cum_spend"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+      .filter(col("prev").isNotNull && col("cum_spend") < col("prev"))
+    // cum_spend grows along orderdate order; orderkey order is correlated
+    // in the generator, but the invariant we assert is per-frame: the
+    // running sum equals the group sum on the last row.
+    val totals = Relational.runningCustomerSpend(spark, sf)
+      .groupBy(col("o_custkey")).agg(max(col("cum_spend")).as("cum"))
+    val direct = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("tot"))
+    val joined = totals.join(direct, "o_custkey")
+      .filter(abs(col("cum") - col("tot")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("q10 intersect is a subset of both sides") {
+    val inter = Relational.bigBuildingBuyers(spark, sf)
+    val seg = graft.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    assert(inter.join(seg, Seq("c_custkey"), "left_anti").count() == 0)
+  }
+
+  test("q11 rollup includes the grand-total row") {
+    val df = Relational.orderRollup(spark, sf)
+    val total = df.filter(col("o_orderstatus").isNull &&
+      col("o_orderpriority").isNull).collect()
+    assert(total.length == 1)
+    assert(total(0).getAs[Long]("n_orders") ==
+      graft.Tables.orders(spark, sf).count())
+  }
+
+  test("q15 events json sums are positive for every event type") {
+    val rows = Relational.eventsJson(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("sum_k") > 0))
+  }
+
+  test("q17 union traffic accounts for every order key") {
+    val df = Relational.keyTraffic(spark, sf)
+    val keys = df.agg(sum(col("n_keys"))).collect()(0).getLong(0)
+    val distinctKeys = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey")).distinct().count()
+    assert(keys == distinctKeys)
+  }
+
+  test("q20 priciest items are sorted and limited") {
+    val rows = Relational.priciestItems(spark, sf).collect()
+    assert(rows.length == 25)
+    val prices = rows.map(_.getAs[Double]("l_extendedprice"))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+  }
+}

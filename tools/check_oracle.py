@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Dev-only harness mirroring the driver's DuckDB-oracle correctness gate.
+
+NOT part of the engine (the engine is the Scala library under src/).
+Usage:
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+
+For every query dumped by graft.Verify, runs the declared oracle SQL in
+DuckDB over the same parquet tables, canonicalizes both results (columns
+sorted by name, rows sorted by all columns), and reports row-count /
+schema / value match plus the worst float deviation (to judge whether a
+hash-style compare would pass).
+"""
+import json, math, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    return df.sort_values(by=cols, ignore_index=True, kind="mergesort")
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(oracle):
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            results[name] = "MISSING-SPARK-OUTPUT"
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR: {e}"
+            continue
+        if len(got) != len(exp):
+            results[name] = f"ROWS {len(got)} != {len(exp)}"
+            continue
+        if sorted(got.columns) != sorted(exp.columns):
+            results[name] = f"COLS {sorted(got.columns)} != {sorted(exp.columns)}"
+            continue
+        g, e = canon(got), canon(exp)
+        worst = 0.0
+        bad = None
+        for c in g.columns:
+            gv, ev = g[c].tolist(), e[c].tolist()
+            for i, (a, b) in enumerate(zip(gv, ev)):
+                if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+                    an = a is None or (isinstance(a, float) and math.isnan(a))
+                    bn = b is None or (isinstance(b, float) and math.isnan(b))
+                    if an != bn:
+                        bad = (c, i, a, b); break
+                    continue
+                if isinstance(a, float) or isinstance(b, float):
+                    d = abs(a - b) / max(abs(a), abs(b), 1.0)
+                    worst = max(worst, d)
+                    if d > 1e-9:
+                        bad = (c, i, a, b); break
+                elif a != b:
+                    bad = (c, i, a, b); break
+            if bad:
+                break
+        if bad:
+            results[name] = f"VALUE-MISMATCH col={bad[0]} row={bad[1]} got={bad[2]!r} exp={bad[3]!r}"
+        else:
+            results[name] = f"OK (worst_float_rel_dev={worst:.2e}, rows={len(g)})"
+    width = max(len(k) for k in results)
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in results.items():
+        print(f"{k:<{width}}  {v}")
+    print(f"\n{n_ok}/{len(results)} queries match the oracle")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
