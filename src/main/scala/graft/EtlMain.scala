@@ -1,0 +1,68 @@
+package graft
+
+import graft.etl.{IncrementalJsonPipeline, PipelineConfig}
+import org.apache.spark.sql.SparkSession
+
+/** The job entry point — what `spark-submit` runs on a schedule. Replaces
+  * the reference's Lambda→EMR→`spark-submit etl.py` chain
+  * (`aws-s3-emr-etl-schedule-function.py:14-20`): scheduling stays an
+  * external cron concern; the engine surface is `EtlMain <config.json>`.
+  *
+  * The config file is itself JSON read through Spark (reference S2,
+  * `emr_json_parquet_schema_drift_etl.py:296-311`), with the same
+  * role as `configs/config_emr.json`: source/sink/archive paths, table
+  * name, partition columns.
+  *
+  * Example config:
+  * {{{
+  * { "sourcePath": "/data/incoming", "sinkPath": "/data/lake/iot",
+  *   "archivePath": "/data/archive", "registryPath": "/data/lake/iot.schema.json",
+  *   "table": "iot_flat", "partitionCols": "year,month,day",
+  *   "rehydrate": false }
+  * }}}
+  */
+object EtlMain {
+
+  def session(): SparkSession = SparkSession.builder()
+    .appName("graft-etl")
+    // honor spark-submit's master; default to all local cores otherwise
+    .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: EtlMain <config.json>")
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    val row = etl.JsonSource.readConfigRow(spark, args(0))
+    def str(k: String): String = row.getAs[String](k)
+    def opt(k: String): Option[String] =
+      if (row.schema.fieldNames.contains(k)) Option(row.getAs[String](k)) else None
+    val cfg = PipelineConfig(
+      sourcePath = str("sourcePath"),
+      sinkPath = str("sinkPath"),
+      archivePath = str("archivePath"),
+      registryPath = str("registryPath"),
+      table = str("table"),
+      partitionCols = opt("partitionCols")
+        .map(_.split(',').map(_.trim).toSeq)
+        .getOrElse(etl.PartitionedSink.defaultPartitionCols))
+    val pipe = new IncrementalJsonPipeline(cfg)
+    val rehydrate = row.schema.fieldNames.contains("rehydrate") &&
+      row.getAs[Boolean]("rehydrate")
+    if (rehydrate) {
+      val moved = pipe.rehydrate(spark)
+      println(s"""{"action":"rehydrate","files":${moved.length}}""")
+    } else pipe.runBatch(spark) match {
+      case Some(r) => println(
+        s"""{"action":"batch","rows":${r.rowsWritten},"files":${r.inputFiles.length},""" +
+        s""""catalog":"${r.catalogAction}","nameDrift":${r.drift.nameDrift},""" +
+        s""""typeDrift":${r.drift.typeDrift},"newPartitions":${r.newPartitions.length}}""")
+      case None => println("""{"action":"batch","rows":0,"note":"no new files"}""")
+    }
+    spark.stop()
+  }
+}

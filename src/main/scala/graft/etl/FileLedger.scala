@@ -1,0 +1,65 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Archive-based incremental processing (reference F1,
+  * `emr_json_parquet_schema_drift_etl.py:23-51`): after a batch is
+  * processed, its source files move `source/ → archive/` so the next run
+  * sees only new files; `rehydrate` moves them back for replay.
+  *
+  * The reference copies then deletes object-by-object via boto3 — two S3
+  * round trips per file and a visible non-atomic window. Here each file is
+  * a single `FileSystem.rename` (atomic on HDFS and posix; one metadata op
+  * on object stores with a rename-capable committer). For transactional
+  * exactly-once-per-file semantics prefer the Structured Streaming path
+  * (`graft.streaming.FileStreamIngest`) whose checkpoint ledger commits
+  * file offsets atomically — this class is the batch-parity fallback.
+  */
+class FileLedger(spark: SparkSession, sourceRoot: String, archiveRoot: String) {
+
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def relocate(uri: String, fromRoot: String, toRoot: String): Path = {
+    val from = new Path(new java.net.URI(uri).getPath match {
+      case "" => uri
+      case p => p
+    })
+    val rel = from.toString.stripPrefix(
+      new Path(new java.net.URI(fromRoot).getPath match {
+        case "" => fromRoot
+        case p => p
+      }).toString).stripPrefix("/")
+    val to = new Path(toRoot, rel)
+    val f = fs(to)
+    f.mkdirs(to.getParent)
+    require(f.rename(from, to), s"rename failed: $from -> $to")
+    to
+  }
+
+  /** Move the given source files (absolute paths/URIs as produced by
+    * `input_file_name()`) into the archive, preserving relative layout.
+    */
+  def archive(files: Seq[String]): Seq[String] =
+    files.map(f => relocate(f, sourceRoot, archiveRoot).toString)
+
+  /** Reverse: move previously archived files back for reprocessing
+    * (reference `rehydrate=True`).
+    */
+  def rehydrate(files: Seq[String]): Seq[String] =
+    files.map(f => relocate(f, archiveRoot, sourceRoot).toString)
+
+  /** Every file currently in the archive (for full replay). */
+  def archivedFiles(): Seq[String] = {
+    val root = new Path(archiveRoot)
+    val f = fs(root)
+    if (!f.exists(root)) Nil
+    else {
+      val it = f.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) buf += it.next().getPath.toString
+      buf.toSeq
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Recursive JSON flattener (reference operators P2–P5,
+  * `emr_json_parquet_schema_drift_etl.py:56-95`), re-specified correctly:
+  *
+  *  - every top-level `ArrayType` column is replaced by one row per element
+  *    via `explode_outer` (null/empty arrays keep one row with a null);
+  *    multiple array columns explode sequentially ⇒ cross product — same
+  *    semantics the reference has at `etl.py:56-61`;
+  *  - every `StructType` column is unpacked into its leaves with the FULL
+  *    dotted path camelCased (`device.loc.lat` → `deviceLocLat`). The
+  *    reference drops the accumulated prefix for structs nested ≥2 deep
+  *    (`etl.py:69` passes `field.name` as the new prefix) — that bug is
+  *    fixed here, not replicated;
+  *  - the two steps repeat to a FIXPOINT: an array-of-struct exposes a
+  *    struct after exploding, a struct-of-array exposes an array after
+  *    unpacking, arrays-of-arrays peel one level per pass;
+  *  - `MapType` columns pass through untouched (matches the reference,
+  *    where a map is neither Array nor Struct at `etl.py:59,68`);
+  *  - camelCase collisions (`a.b` vs `aB`, which the reference silently
+  *    mangles) are resolved deterministically: first occurrence in schema
+  *    order keeps the name, later ones get a `_2`, `_3`, … suffix.
+  *
+  * Everything here is driver-side schema manipulation emitting a single
+  * declarative `select`/`explode_outer` chain — Catalyst sees plain
+  * projections + generators, so column pruning and whole-stage codegen
+  * apply as if the user had written the flat query by hand. No UDFs, no
+  * RDDs; at 100 TB the flatten costs one generator pass, not a shuffle.
+  */
+object Flattener {
+
+  /** `device.loc.lat` → `deviceLocLat` (reference P4, `etl.py:77-84`). */
+  def standardizeName(dotted: String): String = {
+    val parts = dotted.split('.')
+    (parts.head +: parts.tail.map(_.capitalize)).mkString
+  }
+
+  private def isArray(f: StructField): Boolean =
+    f.dataType.isInstanceOf[ArrayType]
+  private def isStruct(f: StructField): Boolean =
+    f.dataType.isInstanceOf[StructType]
+
+  /** One explode pass: every top-level array column becomes its elements. */
+  def explodeArrays(df: DataFrame): DataFrame =
+    df.schema.fields.filter(isArray).foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, explode_outer(col(f.name)))
+    }
+
+  /** One unpack pass: struct columns → their immediate children, named
+    * `parentChild`; non-struct columns pass through unchanged.
+    */
+  def unpackStructs(df: DataFrame): DataFrame = {
+    val cols: Seq[(String, Column)] = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case st: StructType =>
+          st.fields.map { c =>
+            val name = standardizeName(s"${f.name}.${c.name}")
+            name -> col(f.name).getField(c.name)
+          }.toSeq
+        case _ => Seq(f.name -> col(f.name))
+      }
+    }.toSeq
+    val named = dedupeNames(cols.map(_._1)).zip(cols.map(_._2))
+    df.select(named.map { case (n, c) => c.alias(n) }: _*)
+  }
+
+  /** First occurrence keeps its name; later duplicates get `_2`, `_3`… */
+  private[etl] def dedupeNames(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    names.map { n =>
+      val k = seen.getOrElse(n, 0)
+      seen(n) = k + 1
+      if (k == 0) n else s"${n}_${k + 1}"
+    }
+  }
+
+  private def needsWork(schema: StructType): Boolean =
+    schema.fields.exists(f => isArray(f) || isStruct(f))
+
+  /** Flatten to fixpoint: no top-level arrays or structs remain. */
+  def flatten(df: DataFrame): DataFrame = {
+    var cur = df
+    var guard = 0
+    while (needsWork(cur.schema) && guard < 32) {
+      if (cur.schema.fields.exists(isArray)) cur = explodeArrays(cur)
+      if (cur.schema.fields.exists(isStruct)) cur = unpackStructs(cur)
+      guard += 1
+    }
+    require(!needsWork(cur.schema),
+      s"flatten did not reach fixpoint in $guard passes: ${cur.schema.simpleString}")
+    cur
+  }
+}

@@ -1,0 +1,99 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** The reference's whole ETL job (`emr_json_parquet_schema_drift_etl.py:
+  * 279-361`) as one composable batch pipeline:
+  *
+  *   Ingest → Flatten → Derive → Write → DriftCheck → CatalogSync → Archive
+  *
+  * Differences from the reference, by design (SURVEY.md §4):
+  *  - schema inference is optional (explicit/registry schema = one scan);
+  *  - drift detection uses the O(1) [[SchemaRegistry]] instead of
+  *    re-reading every sink footer with `mergeSchema` (`etl.py:348-350`);
+  *  - drift covers types, not just names (`etl.py:121-124` misses type
+  *    flips);
+  *  - the source is read ONCE (the reference re-reads it inside archival,
+  *    `etl.py:36-39`).
+  */
+final case class PipelineConfig(
+    sourcePath: String,
+    sinkPath: String,
+    archivePath: String,
+    registryPath: String,
+    table: String,
+    partitionCols: Seq[String] = PartitionedSink.defaultPartitionCols,
+    ttsCol: String = "tts",
+    schema: Option[StructType] = None,
+    multiline: Boolean = false)
+
+final case class BatchResult(
+    rowsWritten: Long,
+    inputFiles: Seq[String],
+    drift: SchemaRegistry.DriftReport,
+    catalogAction: String,
+    newPartitions: Seq[Seq[(String, String)]])
+
+class IncrementalJsonPipeline(cfg: PipelineConfig) {
+
+  val provenanceCol = "input_file"
+
+  /** The pure transform (no effects): ingest-to-flat-partitioned rows.
+    * Exposed separately so the streaming path reuses it verbatim.
+    */
+  def transform(raw: DataFrame): DataFrame =
+    TimePartitions.derive(Flattener.flatten(raw), cfg.ttsCol)
+
+  /** Cheap metadata check: an empty (or absent) source folder is the
+    * steady state between arrivals — don't even start a Spark job, and
+    * don't let schema inference throw on zero files.
+    */
+  private def sourceHasFiles(spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(cfg.sourcePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listFiles(p, true).hasNext
+  }
+
+  def runBatch(spark: SparkSession): Option[BatchResult] = {
+    if (!sourceHasFiles(spark)) return None
+    val raw = JsonSource.read(spark, JsonSource.Config(
+      path = cfg.sourcePath, schema = cfg.schema,
+      multiline = cfg.multiline, provenanceCol = Some(provenanceCol)))
+    if (raw.isEmpty) return None
+
+    val flat = transform(raw)
+    // one distributed pass caches the flattened batch for the write +
+    // the (small) distinct-collects that follow
+    flat.persist()
+    try {
+      val files = flat.select(col(provenanceCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val toWrite = flat.drop(provenanceCol)
+      PartitionedSink.append(toWrite, cfg.sinkPath, cfg.partitionCols)
+      val rows = flat.count()
+
+      val registry = new SchemaRegistry(spark, cfg.registryPath)
+      val (merged, drift) = registry.update(toWrite.schema)
+
+      val catalog = new CatalogSync(spark)
+      val newParts = catalog.partitionSpecsOf(toWrite, cfg.partitionCols)
+      val action = catalog.sync(cfg.table, merged, cfg.partitionCols,
+        cfg.sinkPath, drift, newParts)
+
+      val ledger = new FileLedger(spark, cfg.sourcePath, cfg.archivePath)
+      ledger.archive(files)
+
+      Some(BatchResult(rows, files, drift, action, newParts))
+    } finally flat.unpersist()
+  }
+
+  /** Replay support (reference `rehydrate=True`, `etl.py:44-46`): move
+    * everything archived back into the source folder.
+    */
+  def rehydrate(spark: SparkSession): Seq[String] = {
+    val ledger = new FileLedger(spark, cfg.sourcePath, cfg.archivePath)
+    ledger.rehydrate(ledger.archivedFiles())
+  }
+}

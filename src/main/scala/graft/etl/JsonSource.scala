@@ -1,0 +1,50 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSON ingestion (reference S1/S2/P1,
+  * `emr_json_parquet_schema_drift_etl.py:296-321`).
+  *
+  * The reference infers the schema on every run (`inferSchema=True`,
+  * `etl.py:319`) — an extra full pass over the batch. Here inference is
+  * the fallback; callers at scale pass an explicit (or registry-provided)
+  * schema so the read is single-pass. Provenance (`input_file`) uses the
+  * same Catalyst `InputFileName` expression the reference imports.
+  */
+object JsonSource {
+
+  final case class Config(
+      path: String,
+      schema: Option[StructType] = None,
+      multiline: Boolean = false,
+      /** column name for source-file provenance; None disables */
+      provenanceCol: Option[String] = Some("input_file"),
+      /** capture unparseable lines here instead of dropping them */
+      corruptCol: Option[String] = Some("_corrupt_record"))
+
+  def read(spark: SparkSession, cfg: Config): DataFrame = {
+    var r = spark.read
+      .option("multiLine", cfg.multiline)
+    cfg.corruptCol.foreach { c =>
+      r = r.option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", c)
+    }
+    cfg.schema match {
+      case Some(s) =>
+        val withCorrupt = cfg.corruptCol match {
+          case Some(c) if !s.fieldNames.contains(c) =>
+            s.add(c, org.apache.spark.sql.types.StringType, nullable = true)
+          case _ => s
+        }
+        r = r.schema(withCorrupt)
+      case None => // schema inference: one extra scan, reference parity
+    }
+    val df = r.json(cfg.path)
+    cfg.provenanceCol.fold(df)(c => df.withColumn(c, input_file_name()))
+  }
+
+  /** Single multiline JSON config object → one Row (reference S2). */
+  def readConfigRow(spark: SparkSession, path: String): org.apache.spark.sql.Row =
+    spark.read.option("multiLine", true).json(path).head()
+}

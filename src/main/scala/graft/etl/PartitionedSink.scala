@@ -1,0 +1,30 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Partitioned lake writes (reference K1,
+  * `emr_json_parquet_schema_drift_etl.py:336-343`): Hive-layout
+  * append-only Parquet. The reference partitions on six columns including
+  * `customerid` — fine at its scale, catastrophic partition explosion at
+  * 100 TB (SURVEY.md §7.4) — so the column list is caller-configurable and
+  * the recommended default is the coarse time hierarchy only.
+  */
+object PartitionedSink {
+
+  /** Reference-parity column list (`etl.py:336`). */
+  val referencePartitionCols: Seq[String] =
+    Seq("customerid", "vehicle", "category", "year", "month", "day")
+
+  /** Scale-sane default: time hierarchy only; high-cardinality dimensions
+    * stay data columns where min/max footer stats still skip files.
+    */
+  val defaultPartitionCols: Seq[String] = Seq("year", "month", "day")
+
+  def append(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit = {
+    var w = df.write.mode("append").partitionBy(partitionCols: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    w.parquet(path)
+  }
+}

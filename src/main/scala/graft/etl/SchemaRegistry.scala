@@ -1,0 +1,126 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import java.nio.charset.StandardCharsets
+
+/** Drift detection + merged-schema tracking (reference S3/D2,
+  * `emr_json_parquet_schema_drift_etl.py:120-124,348-350`).
+  *
+  * The reference answers "what is the table's schema now?" by re-reading
+  * EVERY parquet footer in the sink with `mergeSchema=true` — O(#files)
+  * every run, which at 100 TB is millions of footer reads. This registry
+  * keeps the running union schema in one JSON file next to the sink and
+  * merges each batch's schema into it — O(1) per run, same answer.
+  *
+  * Drift semantics: the reference compares column NAME SETS only
+  * (`get_schema_match`, `etl.py:121-124`), so a `string→bigint` flip goes
+  * unnoticed. [[DriftReport]] tracks added/removed columns AND type
+  * changes.
+  */
+object SchemaRegistry {
+
+  final case class DriftReport(
+      added: Seq[StructField],
+      removed: Seq[StructField],
+      typeChanged: Seq[(String, DataType, DataType)]) {
+    /** Reference-equivalent drift signal (names only). */
+    def nameDrift: Boolean = added.nonEmpty || removed.nonEmpty
+    def typeDrift: Boolean = typeChanged.nonEmpty
+    def any: Boolean = nameDrift || typeDrift
+  }
+
+  def diff(previous: StructType, current: StructType): DriftReport = {
+    val prev = previous.fields.map(f => f.name -> f).toMap
+    val cur = current.fields.map(f => f.name -> f).toMap
+    DriftReport(
+      added = current.fields.filter(f => !prev.contains(f.name)).toSeq,
+      removed = previous.fields.filter(f => !cur.contains(f.name)).toSeq,
+      typeChanged = current.fields.collect {
+        case f if prev.contains(f.name) && prev(f.name).dataType != f.dataType =>
+          (f.name, prev(f.name).dataType, f.dataType)
+      }.toSeq)
+  }
+
+  /** Union-merge of two schemas, mirroring what `mergeSchema=true` does to
+    * parquet footers but with a total conflict rule instead of an error:
+    * equal types keep; struct/array/map merge recursively; numerics widen
+    * (byte<short<int<long<float<double, decimals → double); anything
+    * irreconcilable (e.g. `double` vs `string` after a producer change)
+    * resolves to `string` — readable either way — and surfaces through
+    * [[diff]] as type drift so the catalog re-registers.
+    */
+  def merge(a: StructType, b: StructType): StructType = mergeStruct(a, b)
+
+  private val numericRank: Seq[DataType] = Seq(
+    org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
+    org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
+
+  private[etl] def mergeType(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (x: StructType, y: StructType) => mergeStruct(x, y)
+    case (org.apache.spark.sql.types.ArrayType(xe, xn),
+          org.apache.spark.sql.types.ArrayType(ye, yn)) =>
+      org.apache.spark.sql.types.ArrayType(mergeType(xe, ye), xn || yn)
+    case (org.apache.spark.sql.types.MapType(xk, xv, xn),
+          org.apache.spark.sql.types.MapType(yk, yv, yn)) =>
+      org.apache.spark.sql.types.MapType(mergeType(xk, yk), mergeType(xv, yv), xn || yn)
+    case (org.apache.spark.sql.types.NullType, y) => y
+    case (x, org.apache.spark.sql.types.NullType) => x
+    case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
+      numericRank(math.max(numericRank.indexOf(x), numericRank.indexOf(y)))
+    case (_: org.apache.spark.sql.types.DecimalType, y)
+      if numericRank.contains(y) => org.apache.spark.sql.types.DoubleType
+    case (x, _: org.apache.spark.sql.types.DecimalType)
+      if numericRank.contains(x) => org.apache.spark.sql.types.DoubleType
+    case _ => org.apache.spark.sql.types.StringType
+  }
+
+  private def mergeStruct(a: StructType, b: StructType): StructType = {
+    val aNames = a.fieldNames.toSet
+    val merged = a.fields.map { f =>
+      b.find(_.name == f.name) match {
+        case Some(bf) => StructField(f.name, mergeType(f.dataType, bf.dataType),
+          f.nullable || bf.nullable)
+        case None => f
+      }
+    } ++ b.fields.filterNot(f => aNames.contains(f.name))
+    StructType(merged)
+  }
+}
+
+/** One JSON file holding the running union schema of everything written. */
+class SchemaRegistry(spark: SparkSession, registryPath: String) {
+  private val path = new Path(registryPath)
+  private def fs: FileSystem =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def load(): Option[StructType] =
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
+        in.readFully(bytes)
+        Some(DataType.fromJson(new String(bytes, StandardCharsets.UTF_8))
+          .asInstanceOf[StructType])
+      } finally in.close()
+    }
+
+  /** Merge `batch` into the stored schema; returns (mergedSchema, drift
+    * of the batch vs what was previously registered).
+    */
+  def update(batch: StructType): (StructType, SchemaRegistry.DriftReport) = {
+    val prev = load()
+    val merged = prev.fold(batch)(p => SchemaRegistry.merge(p, batch))
+    val drift = prev.fold(
+      SchemaRegistry.DriftReport(batch.fields.toSeq, Nil, Nil))(
+      p => SchemaRegistry.diff(p, merged))
+    val out = fs.create(path, true)
+    try out.write(merged.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    (merged, drift)
+  }
+}

@@ -1,0 +1,27 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Derived time/partition columns (reference P6,
+  * `emr_json_parquet_schema_drift_etl.py:326-331`): epoch-seconds →
+  * timestamp string → date → year / month / day.
+  *
+  * Semantic quirk preserved from the reference: `day` is the UNPADDED
+  * day-of-month as a string (`"7"`, not `"07"`) because the reference uses
+  * `date_format(date, "d")` (`etl.py:331`). `paddedDay = true` opts into
+  * the sane zero-padded form for lexicographically sortable partition
+  * paths — recommended at scale, off by default for parity.
+  */
+object TimePartitions {
+
+  def derive(df: DataFrame, ttsCol: String = "tts",
+      paddedDay: Boolean = false): DataFrame = {
+    val dayFmt = if (paddedDay) "dd" else "d"
+    df.withColumn("row_insert_tsp", from_unixtime(col(ttsCol)))
+      .withColumn("row_insert_date", to_date(col("row_insert_tsp")))
+      .withColumn("year", year(col("row_insert_date")))
+      .withColumn("month", month(col("row_insert_date")))
+      .withColumn("day", date_format(col("row_insert_date"), dayFmt))
+  }
+}

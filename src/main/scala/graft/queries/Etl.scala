@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.etl.{Flattener, JsonSource, TimePartitions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the ETL/flatten surface (reference
+  * operators P2–P6, S1 — SURVEY.md §2.1). The flatten/derive transforms
+  * are pure projections, so they can be oracled: build a nested shape
+  * from a flat table, flatten it, and express the expected result as
+  * plain SQL over the original flat columns.
+  */
+object Etl extends QueryPack {
+
+  /** Struct-of-struct + array flatten, oracled against DuckDB `unnest`:
+    * `payload.uid → payloadUid`, `payload.info.etype → payloadInfoEtype`
+    * (the ≥2-deep path the reference mishandles), array `vals` exploded
+    * to one row per element.
+    */
+  def flattenRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val nested = e.select(
+      col("event_id"),
+      struct(
+        col("user_id").as("uid"),
+        struct(col("event_type").as("etype"), col("value").as("v")).as("info")
+      ).as("payload"),
+      array(col("value"), col("value") * 2).as("vals"))
+    Flattener.flatten(nested)
+  }
+
+  /** Array-of-struct flatten (the fixture `readings` shape) built from
+    * lineitem columns; exploding one array of two structs doubles rows.
+    */
+  def flattenArrayOfStruct(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val nested = l.select(
+      col("l_orderkey"), col("l_linenumber"),
+      array(
+        struct(lit("price").as("kind"), col("l_extendedprice").as("amount")),
+        struct(lit("tax").as("kind"), (col("l_extendedprice") * col("l_tax")).as("amount"))
+      ).as("charges"))
+    Flattener.flatten(nested)
+  }
+
+  /** Reference P6 time-partition derivation oracled end-to-end:
+    * epoch seconds → tsp string → date → year/month/unpadded-day.
+    */
+  def timePartitionDerive(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("tts"))
+    TimePartitions.derive(e)
+  }
+
+  /** Rows-only (no SQL oracle): full ingestion transform over the nested
+    * IoT JSON fixtures — inferred schema, provenance column, fixpoint
+    * flatten, derived partitions. The end-to-end write/catalog/archive
+    * path is covered by `graft.etl.PipelineSpec`.
+    */
+  def ingestFixture(s: SparkSession, dir: String): DataFrame = {
+    val raw = JsonSource.read(s, JsonSource.Config(
+      path = "/root/repo/fixtures/iot/batch1.jsonl"))
+    TimePartitions.derive(Flattener.flatten(raw))
+      .drop("input_file") // absolute path differs per host; not comparable
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_flatten_struct" -> flattenRoundTrip _,
+    "q22_flatten_array_struct" -> flattenArrayOfStruct _,
+    "q23_time_partitions" -> timePartitionDerive _,
+    "q24_ingest_fixture" -> ingestFixture _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_flatten_struct" ->
+      """SELECT event_id,
+        |  user_id AS payloadUid,
+        |  event_type AS payloadInfoEtype,
+        |  value AS payloadInfoV,
+        |  unnest([value, value * 2]) AS vals
+        |FROM events""".stripMargin,
+    "q22_flatten_array_struct" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  unnest(['price', 'tax']) AS chargesKind,
+        |  unnest([l_extendedprice, l_extendedprice * l_tax]) AS chargesAmount
+        |FROM lineitem""".stripMargin,
+    "q23_time_partitions" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS tts,
+        |  strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))
+        |    AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS row_insert_tsp,
+        |  CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))
+        |    AT TIME ZONE 'UTC' AS DATE) AS row_insert_date,
+        |  CAST(year(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))
+        |    AT TIME ZONE 'UTC') AS INT) AS year,
+        |  CAST(month(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))
+        |    AT TIME ZONE 'UTC') AS INT) AS month,
+        |  CAST(day(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))
+        |    AT TIME ZONE 'UTC') AS VARCHAR) AS day
+        |FROM events""".stripMargin,
+  )
+}

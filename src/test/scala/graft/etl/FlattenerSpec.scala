@@ -1,0 +1,87 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FlattenerSpec extends SparkSpec {
+
+  private lazy val batch1 =
+    spark.read.json("fixtures/iot/batch1.jsonl")
+
+  test("standardizeName camelCases full dotted paths") {
+    assert(Flattener.standardizeName("device.loc.lat") == "deviceLocLat")
+    assert(Flattener.standardizeName("tts") == "tts")
+    assert(Flattener.standardizeName("a.b") == "aB")
+  }
+
+  test("flatten removes all structs and arrays (fixpoint)") {
+    val flat = Flattener.flatten(batch1)
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    assert(!flat.schema.fields.exists(f =>
+      f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[StructType]))
+  }
+
+  test("two-level struct nesting keeps the full prefix (reference bug fixed)") {
+    val flat = Flattener.flatten(batch1)
+    val cols = flat.columns.toSet
+    assert(cols.contains("deviceLocLat"), s"got $cols")
+    assert(cols.contains("deviceLocLon"))
+    assert(cols.contains("deviceId"))
+    assert(cols.contains("metaFw"))
+  }
+
+  test("multiple arrays yield a cross product; empty arrays keep one null row") {
+    val flat = Flattener.flatten(batch1)
+    // row1: 2 readings × 2 tags = 4; row2: 1 reading × 1 tag = 1;
+    // row3: empty readings × null tags = 1 (explode_outer keeps the row)
+    assert(flat.count() == 6)
+    val row3 = flat.filter(col("customerid") === "c002")
+    assert(row3.count() == 1)
+    assert(row3.filter(col("readingsSensor").isNull && col("tags").isNull).count() == 1)
+  }
+
+  test("array-of-struct elements flatten to element columns") {
+    val flat = Flattener.flatten(batch1)
+    val r = flat.filter(col("customerid") === "c001" &&
+      col("readingsSensor") === "rpm" && col("tags") === "beta").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("readingsVal") == 900.0)
+  }
+
+  test("camelCase collisions are deterministically suffixed") {
+    val df = spark.read.json("fixtures/iot/batch3_edge.jsonl")
+    val flat = Flattener.flatten(df)
+    // payload.a.b -> payloadAB collides with payload.aB -> payloadAB
+    val cols = flat.columns.filter(_.startsWith("payloadAB"))
+    assert(cols.toSet == Set("payloadAB", "payloadAB_2"), cols.mkString(","))
+    val row = flat.filter(col("customerid") === "c004").collect()(0)
+    assert(row.getAs[Long]("payloadAB") == 1L)   // schema order: a.b first
+    assert(row.getAs[Long]("payloadAB_2") == 2L)
+  }
+
+  test("map columns pass through untouched") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, Map("x" -> 2L)))), schema)
+    val flat = Flattener.flatten(df)
+    assert(flat.schema("m").dataType.isInstanceOf[MapType])
+    assert(flat.count() == 1)
+  }
+
+  test("array of arrays peels one level per pass to scalars") {
+    val df = spark.range(1).select(
+      array(array(lit(1), lit(2)), array(lit(3))).as("aa"))
+    val flat = Flattener.flatten(df)
+    assert(flat.schema("aa").dataType.simpleString == "int")
+    assert(flat.count() == 3)
+  }
+
+  test("flatten emits only narrow transformations (no shuffle)") {
+    val plan = Flattener.flatten(batch1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"flatten should not shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+class PipelineSpec extends SparkSpec {
+
+  private def tmp(): Path = Files.createTempDirectory("graft-pipe")
+
+  private def stage(dir: Path, fixture: String): Unit =
+    Files.copy(Paths.get(s"fixtures/iot/$fixture"),
+      dir.resolve(fixture), StandardCopyOption.REPLACE_EXISTING)
+
+  private def mkCfg(root: Path, table: String) = PipelineConfig(
+    sourcePath = root.resolve("source").toString,
+    sinkPath = root.resolve("sink").toString,
+    archivePath = root.resolve("archive").toString,
+    registryPath = root.resolve("registry.json").toString,
+    table = table)
+
+  test("end-to-end batch: write, catalog, archive, incremental rerun, drift") {
+    val root = tmp()
+    val src = root.resolve("source"); Files.createDirectories(src)
+    stage(src, "batch1.jsonl")
+    val cfg = mkCfg(root, "graft_test_iot")
+    val pipe = new IncrementalJsonPipeline(cfg)
+
+    // --- run 1: fresh table
+    val r1 = pipe.runBatch(spark).get
+    assert(r1.rowsWritten == 6)            // cross-product of fixture arrays
+    assert(r1.catalogAction == "create")
+    assert(r1.inputFiles.length == 1)
+
+    // source drained into archive
+    assert(!Files.list(src).iterator().hasNext)
+    assert(Files.exists(root.resolve("archive/batch1.jsonl")))
+
+    // sink partitioned by year/month/day (Hive layout)
+    assert(Files.exists(root.resolve("sink/year=2024")))
+
+    // cataloged and queryable via plain SQL
+    val cnt = spark.sql("SELECT count(*) AS n FROM graft_test_iot")
+      .collect()(0).getLong(0)
+    assert(cnt == 6)
+
+    // --- run 2: empty source → no-op
+    assert(pipe.runBatch(spark).isEmpty)
+
+    // --- run 3: drifted batch (new nested field + type flip on val)
+    stage(src, "batch2_drift.jsonl")
+    val r3 = pipe.runBatch(spark).get
+    assert(r3.rowsWritten == 2)
+    assert(r3.catalogAction == "recrawl")
+    assert(r3.drift.added.map(_.name).exists(_.startsWith("deviceBattery")))
+    // reference misses type drift; we detect val double->string widening
+    assert(r3.drift.typeChanged.map(_._1).contains("readingsVal"))
+
+    // merged table now exposes both old and new columns
+    val merged = spark.sql(
+      "SELECT customerid, deviceBatteryPct FROM graft_test_iot " +
+      "WHERE deviceBatteryPct IS NOT NULL")
+    assert(merged.count() == 2)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_test_iot")
+      .collect()(0).getLong(0) == 8)
+
+    // --- rehydrate: archived files return for replay
+    val back = pipe.rehydrate(spark)
+    assert(back.length == 2)
+    assert(Files.exists(src.resolve("batch1.jsonl")))
+    spark.sql("DROP TABLE IF EXISTS graft_test_iot")
+  }
+
+  test("second non-drifting batch takes the cheap add-partitions tier") {
+    val root = tmp()
+    val src = root.resolve("source"); Files.createDirectories(src)
+    stage(src, "batch1.jsonl")
+    val cfg = mkCfg(root, "graft_test_iot2")
+    val pipe = new IncrementalJsonPipeline(cfg)
+    assert(pipe.runBatch(spark).get.catalogAction == "create")
+
+    // same schema, different day → new partition, no drift
+    val b2 = src.resolve("batch1b.jsonl")
+    Files.writeString(b2, Files.readString(
+      Paths.get("fixtures/iot/batch1.jsonl"))
+      .replace("1718000000", "1718900000")
+      .replace("1718000060", "1718900060")
+      .replace("1718000120", "1718900120"))
+    val r2 = pipe.runBatch(spark).get
+    assert(!r2.drift.any, r2.drift.toString)
+    assert(r2.catalogAction == "add-partitions")
+    assert(r2.newPartitions.nonEmpty)
+    // the new partition's rows are visible without any recrawl
+    assert(spark.sql("SELECT count(*) FROM graft_test_iot2")
+      .collect()(0).getLong(0) == 12)
+    spark.sql("DROP TABLE IF EXISTS graft_test_iot2")
+  }
+
+  test("TimePartitions derives reference-parity columns (unpadded day)") {
+    val df = spark.createDataFrame(Seq((1718000000L, "x"))).toDF("tts", "v")
+    val d = TimePartitions.derive(df).collect()(0)
+    assert(d.getAs[String]("row_insert_tsp") == "2024-06-10 06:13:20")
+    assert(d.getAs[java.sql.Date]("row_insert_date").toString == "2024-06-10")
+    assert(d.getAs[Int]("year") == 2024)
+    assert(d.getAs[Int]("month") == 6)
+    assert(d.getAs[String]("day") == "10")
+    // unpadded: day 7 renders as "7"
+    val d7 = TimePartitions.derive(
+      spark.createDataFrame(Seq((1717741234L, "x"))).toDF("tts", "v"))
+      .collect()(0)
+    assert(d7.getAs[String]("day") == "7")
+  }
+}
