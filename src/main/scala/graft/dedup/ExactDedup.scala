@@ -1,0 +1,37 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication over a content column.
+  *
+  * Scale notes: both forms are a single hash-aggregate/shuffle on the
+  * content key. At 100 TB, shuffling full document text is wasteful —
+  * [[byHash]] shuffles a 32-byte digest instead of the text, which is the
+  * form to use when documents are large (hash collisions for sha256 are
+  * not a practical concern). Partial aggregation (map-side combine)
+  * applies in both cases.
+  */
+object ExactDedup {
+
+  /** Keep the lowest-id row per distinct content value: the canonical
+    * "drop exact duplicates, keep first" operator.
+    */
+  def keepFirst(docs: DataFrame, contentCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(contentCol)).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Duplicate-group summary keyed by content digest: one row per distinct
+    * content with the keeper id and the copy count. Shuffles digests, not
+    * documents.
+    */
+  def byHash(docs: DataFrame, contentCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(sha2(col(contentCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+}

@@ -1,0 +1,44 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard near-duplicate pairs.
+  *
+  * Plan shape: shingle (narrow) → explode → shuffle-join on the shingle
+  * string → pair aggregation. This is exact and quadratic only in
+  * documents that actually SHARE a shingle — not all-pairs — but a
+  * pathologically common shingle still fans out; at 100 TB use
+  * [[MinHashLSH]] (banded candidates, same verify step) or pre-drop
+  * shingles whose document frequency exceeds a cap (any shingle shared by
+  * thousands of docs contributes ~0 to a ≥0.6 jaccard decision but
+  * dominates the join).
+  */
+object NgramJaccard {
+
+  /** All pairs (doc_a < doc_b) with |shingles∩| / |shingles∪| ≥ threshold. */
+  def pairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.6,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = TextShingles.shingleDf(docs, k)
+    var ex = sh.select(col("doc_id"), col("n_shingles"),
+      explode(col("shingles")).as("s"))
+    maxShingleDf.foreach { cap =>
+      // scale guard: drop ubiquitous shingles before the pair join
+      val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap)
+      ex = ex.join(dfreq.select("s"), "s")
+    }
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_shingles").as("na"),
+      col("s"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb"),
+      col("s"))
+    a.join(b, a("s") === b("s") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

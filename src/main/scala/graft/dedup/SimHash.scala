@@ -1,0 +1,66 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 64-bit SimHash near-duplicate detection.
+  *
+  * Signature: hash every token occurrence to i64 (`xxhash64`, term
+  * frequency acts as the weight), sum ±1 per bit position across tokens,
+  * take the sign vector as a 64-bit fingerprint. All computed with
+  * `aggregate`/`transform` higher-order functions in one narrow pass.
+  *
+  * Pairing uses the pigeonhole trick: split the fingerprint into
+  * `bands` 16-bit chunks; any pair within hamming distance `maxHamming <
+  * bands` must agree on at least one chunk, so a self-join on
+  * (chunk index, chunk value) finds ALL such pairs exactly — no all-pairs
+  * scan, the join key is 10 bytes/doc/band. A final `bit_count(xor)`
+  * filter applies the exact distance test.
+  */
+object SimHash {
+
+  /** 64-bit simhash of a token array column. */
+  def simhash64(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => xxhash64(t))
+    // per-bit counters: +1 where the token hash has bit i, else -1
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + when(call_function("shiftright", h, i)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    // sign vector → bits of the fingerprint
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (s, x) => s.bitwiseOR(x))
+  }
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      simhash64(TextShingles.tokens(col("text"))).as("simhash"))
+
+  /** All pairs (doc_a < doc_b) with hamming(simhash) ≤ maxHamming.
+    * Exact for maxHamming < bands (pigeonhole); default 3 < 4.
+    */
+  def pairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands)")
+    val width = 64 / bands
+    val fp = fingerprints(docs)
+    val chunks = (0 until bands).map { b =>
+      shiftrightunsigned(col("simhash"), b * width)
+        .bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.chunk") === col("y.chunk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

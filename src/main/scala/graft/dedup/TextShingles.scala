@@ -1,0 +1,36 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared tokenization/shingling for the text-dedup family. Everything is
+  * built from codegen'd higher-order functions (`filter`/`transform`/
+  * `slice`/`sequence`) — no UDFs, so the whole prep stage stays inside
+  * whole-stage codegen and costs one narrow pass over the corpus.
+  */
+object TextShingles {
+
+  /** Lowercased alphanumeric word tokens (empties filtered). */
+  def tokens(text: Column): Column =
+    expr_filter(split(lower(text), "[^a-z0-9]+"))
+
+  private def expr_filter(arr: Column): Column =
+    filter(arr, t => t =!= "")
+
+  /** Distinct k-word shingles joined with single spaces. */
+  def shingles(tokensCol: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(tokensCol) - k),
+      i => concat_ws(" ", slice(tokensCol, i + 1, lit(k)))))
+
+  /** docs(doc_id, text) → (doc_id, shingles, n_shingles); documents with
+    * fewer than k tokens drop out (no shingle can be formed).
+    */
+  def shingleDf(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs.select(col(idCol), tokens(col(textCol)).as("tokens"))
+    t.filter(size(col("tokens")) >= k)
+      .select(col(idCol), shingles(col("tokens"), k).as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")))
+  }
+}

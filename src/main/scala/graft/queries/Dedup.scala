@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.dedup._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the dedup family (north-star extension).
+  * Exact, n-gram-jaccard, and MinHash+LSH are oracled against DuckDB SQL
+  * (MinHash verifies candidates exactly, so its output equals the exact
+  * pair set up to astronomically unlikely banding misses). SimHash and
+  * cosine-LSH have no SQL equivalent → rows-only + cross-checked in
+  * `DedupSpec` against their exact counterparts.
+  */
+object Dedup extends QueryPack {
+
+  def exactKeepFirst(s: SparkSession, dir: String): DataFrame =
+    ExactDedup.keepFirst(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  def exactByHash(s: SparkSession, dir: String): DataFrame =
+    ExactDedup.byHash(Tables.documents(s, dir))
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    NgramJaccard.pairs(Tables.documents(s, dir), k = 3, threshold = 0.6)
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.pairs(Tables.documents(s, dir), k = 3, threshold = 0.6)
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.pairs(Tables.documents(s, dir), maxHamming = 3)
+
+  def embeddingBrute(s: SparkSession, dir: String): DataFrame =
+    EmbeddingNearDup.pairsBrute(Tables.embeddings(s, dir), threshold = 0.4)
+
+  /** Rows-only: sign-LSH works in the high-cosine regime; the test data
+    * has no natural pairs there, so plant a scaled copy of each vector
+    * (cosine ≈ 1, deterministic) and recover the pairs through LSH.
+    */
+  def embeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val planted = embs.select(col("vec_id"), col("embedding"))
+      .unionAll(embs.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding")))
+    EmbeddingNearDup.pairsLSH(planted, threshold = 0.95, dim = 64)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact_keepfirst" -> exactKeepFirst _,
+    "q31_dedup_exact_hash" -> exactByHash _,
+    "q32_dedup_ngram_jaccard" -> ngramJaccard _,
+    "q33_dedup_minhash_lsh" -> minhashLsh _,
+    "q34_dedup_simhash" -> simhash _,
+    "q35_dedup_embedding_brute" -> embeddingBrute _,
+    "q36_dedup_embedding_lsh" -> embeddingLsh _,
+  )
+
+  private val jaccardSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tokens[i:i+2], ' ')
+      |                   for i in range(1, len(tokens) - 1)]) AS shingles
+      |  FROM toks WHERE len(tokens) >= 3),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+      |FROM pairs
+      |WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact_keepfirst" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1""".stripMargin,
+    "q31_dedup_exact_hash" ->
+      """SELECT sha256(text) AS content_sha, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    "q32_dedup_ngram_jaccard" -> jaccardSql,
+    "q33_dedup_minhash_lsh" -> jaccardSql,
+    "q35_dedup_embedding_brute" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+  )
+}

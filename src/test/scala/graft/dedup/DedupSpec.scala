@@ -1,0 +1,80 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col(df.columns(0)), col(df.columns(1))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact keepFirst keeps one row per distinct text") {
+    val planted = docs.select("doc_id", "text")
+      .unionAll(docs.select(($"doc_id" + 100000).as("doc_id"), $"text").limit(5))
+    val out = ExactDedup.keepFirst(planted)
+    assert(out.count() == docs.select("text").distinct().count())
+    // keeper is always the lowest id: none of the planted copies survive
+    assert(out.filter($"doc_id" >= 100000).count() == 0)
+  }
+
+  test("byHash counts copies per content") {
+    val planted = docs.select("doc_id", "text")
+      .unionAll(docs.select(($"doc_id" + 100000).as("doc_id"), $"text").limit(5))
+    val groups = ExactDedup.byHash(planted)
+    assert(groups.filter($"n_copies" === 2).count() == 5)
+    assert(groups.agg(sum($"n_copies")).as[Long].head() == planted.count())
+  }
+
+  test("minhash+LSH pairs equal the exact ngram-jaccard pairs") {
+    val exact = pairSet(NgramJaccard.pairs(docs, 3, 0.6))
+    val lsh = pairSet(MinHashLSH.pairs(docs, 3, 0.6))
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh == exact,
+      s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash finds the planted near-duplicates") {
+    val exact = pairSet(NgramJaccard.pairs(docs, 3, 0.6))
+    val sim = pairSet(SimHash.pairs(docs, maxHamming = 3))
+    // simhash is a different similarity notion; require substantial overlap
+    // with the jaccard-planted pairs rather than equality
+    val covered = exact.intersect(sim)
+    assert(covered.size >= exact.size / 2,
+      s"simhash covered ${covered.size}/${exact.size} planted pairs")
+  }
+
+  test("simhash hamming 0 for identical docs") {
+    val two = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val p = SimHash.pairs(two, maxHamming = 0).collect()
+    assert(p.length == 1 && p(0).getAs[Int]("hamming") == 0)
+  }
+
+  test("embedding LSH finds planted high-cosine near-dups") {
+    // sign-LSH works in the high-cosine regime: plant a scaled copy of
+    // every vector (cosine ≈ 1) and require it to be recovered
+    val embs = Tables.embeddings(spark, sf)
+    val planted = embs.select($"vec_id", $"embedding")
+      .unionAll(embs.select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", x => x * 1.01f).as("embedding")))
+    val brute = pairSet(EmbeddingNearDup.pairsBrute(planted, 0.95))
+    val lsh = pairSet(EmbeddingNearDup.pairsLSH(planted, 0.95, dim = 64))
+    assert(brute.size >= 500, s"expected >=500 planted pairs, got ${brute.size}")
+    assert(lsh.subsetOf(brute), s"LSH invented pairs: ${(lsh -- brute).take(5)}")
+    assert(lsh.size >= (brute.size * 0.9).toInt,
+      s"LSH recall ${lsh.size}/${brute.size}")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(2.0f, 4.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val p = EmbeddingNearDup.pairsBrute(one, 0.999).collect()
+    assert(p.length == 1 && math.abs(p(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+}
