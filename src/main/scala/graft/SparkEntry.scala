@@ -15,6 +15,7 @@ object SparkEntry {
     Relational,
     graft.queries.Etl,
     graft.queries.Dedup,
+    graft.queries.Similarity,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -23,7 +23,11 @@ object EmbeddingNearDup {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Single-sqrt form (`dot / sqrt(|a|²·|b|²)`): exactly 1.0 for
+    * self-pairs and bitwise-aligned with [[graft.functions.CosineSimilarity]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

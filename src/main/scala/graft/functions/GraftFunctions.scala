@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.functions.{call_function, expr}
+
+/** Column-level entry points for the custom Catalyst expressions, exposed
+  * through per-session SQL registration (the stable route to wrap a
+  * catalyst `Expression` in the public `Column` API across Spark 4.x).
+  * [[register]] is idempotent; call it once per session before using the
+  * helpers.
+  */
+object GraftFunctions {
+
+  val COSINE_FN = "graft_cosine_sim"
+  val TOPK_PREFIX = "graft_top_k_" // one registered name per k
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      COSINE_FN,
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  private def registerTopK(spark: SparkSession, k: Int): String = {
+    val name = TOPK_PREFIX + k
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => TopKAgg(exprs(0), exprs(1), k).toAggregateExpression(),
+      "built-in")
+    name
+  }
+
+  /** Fused single-pass cosine similarity (see [[CosineSimilarity]]).
+    * Inputs are cast to `array<double>` by the expression's input types.
+    */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(COSINE_FN, a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Bounded top-k aggregate → `array<struct<score,id>>` best-first
+    * (see [[TopKAgg]]): partial-aggregates to ≤ k per task pre-shuffle.
+    */
+  def topK(spark: SparkSession, score: Column, id: Column, k: Int): Column = {
+    val name = registerTopK(spark, k)
+    call_function(name, score, id.cast("bigint"))
+  }
+}

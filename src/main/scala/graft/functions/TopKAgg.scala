@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import java.nio.ByteBuffer
+
+/** Bounded top-k buffer: keeps the k best (score, id) pairs, ordered by
+  * score DESC then id ASC (deterministic ties). Backed by a binary
+  * min-heap keyed on that ordering so update is O(log k).
+  */
+final class TopKBuffer(val k: Int) {
+  // parallel arrays; heap[0] is the WORST kept element
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  /** true if (s1,i1) ranks better than (s2,i2) in output order. */
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  private def siftUp(pos0: Int): Unit = {
+    var pos = pos0
+    while (pos > 0) {
+      val parent = (pos - 1) >> 1
+      // min-heap on "better": parent must be worse-or-equal than children
+      if (better(scores(parent), ids(parent), scores(pos), ids(pos))) {
+        swap(parent, pos); pos = parent
+      } else return
+    }
+  }
+
+  private def siftDown(pos0: Int): Unit = {
+    var pos = pos0
+    while (true) {
+      val l = 2 * pos + 1; val r = l + 1
+      var worst = pos
+      if (l < size && better(scores(worst), ids(worst), scores(l), ids(l))) worst = l
+      if (r < size && better(scores(worst), ids(worst), scores(r), ids(r))) worst = r
+      if (worst == pos) return
+      swap(pos, worst); pos = worst
+    }
+  }
+
+  @inline private def swap(i: Int, j: Int): Unit = {
+    val s = scores(i); scores(i) = scores(j); scores(j) = s
+    val d = ids(i); ids(i) = ids(j); ids(j) = d
+  }
+
+  def insert(score: Double, id: Long): Unit =
+    if (size < k) {
+      scores(size) = score; ids(size) = id; size += 1
+      siftUp(size - 1)
+    } else if (better(score, id, scores(0), ids(0))) {
+      scores(0) = score; ids(0) = id
+      siftDown(0)
+    }
+
+  def mergeFrom(other: TopKBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** (score, id) pairs best-first. */
+  def sorted: Array[(Double, Long)] = {
+    val out = (0 until size).map(i => (scores(i), ids(i))).toArray
+    out.sortWith((a, b) => better(a._1, a._2, b._1, b._2))
+  }
+}
+
+/** `top_k(score, id)` aggregate: the k best (score, id) pairs per group as
+  * `array<struct<score double, id bigint>>`, best first.
+  *
+  * Being a [[TypedImperativeAggregate]], it participates in partial
+  * aggregation: every task reduces its partition to ≤ k pairs before the
+  * shuffle, so a top-k over N rows moves O(k × partitions) data instead
+  * of the O(N) a `row_number()` window would shuffle and sort. This is
+  * the operator that makes brute-force ANN over a large corpus viable.
+  */
+case class TopKAgg(
+    scoreChild: Expression,
+    idChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, s"top_k needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(scoreChild, idChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "top_k"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreChild.eval(input)
+    val id = idChild.eval(input)
+    if (s != null && id != null)
+      buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows: Array[Any] = buf.sorted.map { case (s, id) =>
+      InternalRow(s, id): Any
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKAgg =
+    copy(scoreChild = newChildren(0), idChild = newChildren(1))
+}

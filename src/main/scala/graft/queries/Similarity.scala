@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.functions.GraftFunctions
+import graft.similarity.{IvfIndex, TopKSearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries (north-star extension): brute-force cosine
+  * top-k (oracled against a DuckDB window query), the custom fused
+  * cosine expression checked value-for-value against DuckDB's
+  * `list_cosine_similarity`, and IVF approximate search (rows-only;
+  * recall is asserted against brute force in `SimilaritySpec`).
+  */
+object Similarity extends QueryPack {
+
+  private val K = 5
+  private val NQUERIES = 10
+
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    TopKSearch.bruteForce(s, embs, queries, K)
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val model = IvfIndex.train(s, embs, numCells = 16)
+    IvfIndex.searchTopK(s, model, embs, queries, K, nprobe = 4)
+  }
+
+  /** The custom codegen'd [[graft.functions.CosineSimilarity]] on the
+    * same pair set as q35 — validates the expression (not the HOF
+    * composition) directly against DuckDB.
+    */
+  def cosineExprPairs(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", GraftFunctions.cosineSim(s, col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ann_brute_topk" -> annBrute _,
+    "q41_ann_ivf_topk" -> annIvf _,
+    "q42_cosine_expr_pairs" -> cosineExprPairs _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_ann_brute_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $NQUERIES),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |s AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(qv, cv), 9) AS cosine
+         |  FROM q CROSS JOIN c),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K""".stripMargin,
+    "q42_cosine_expr_pairs" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+  )
+}

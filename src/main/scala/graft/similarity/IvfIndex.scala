@@ -1,0 +1,99 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: coarse-quantize the
+  * corpus into `numCells` centroid cells; a query probes only its
+  * `nprobe` closest cells, scanning `~nprobe/numCells` of the corpus.
+  *
+  * Training is mini-Lloyd over the DataFrame API: deterministic seeding
+  * (best-spread by `xxhash64(vec_id)` order), assignment via a
+  * centroid-literal argmax expression (narrow), centroid recomputation
+  * via `posexplode` + per-dimension mean (one shuffle of 64·N scalars per
+  * iteration). Centroids live on the driver (numCells × dim doubles) and
+  * are inlined into plans as literals — no side channel needed by
+  * executors.
+  *
+  * Search reuses the brute-force machinery ([[TopKSearch.explodeRanked]])
+  * restricted to probed cells: cell-partition join instead of cross join.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def numCells: Int = centroids.length
+  }
+
+  private def centroidsLit(m: Model): Column =
+    array(m.centroids.map(c => array(c.map(lit(_)): _*)): _*)
+
+  /** similarity of `v` to each centroid, as an array column. */
+  private def simsCol(spark: SparkSession, m: Model, v: Column): Column =
+    transform(centroidsLit(m), c => GraftFunctions.cosineSim(spark, v, c))
+
+  /** 1-based argmax cell id for a vector. */
+  def cellOf(spark: SparkSession, m: Model, v: Column): Column = {
+    val sims = simsCol(spark, m, v)
+    array_position(sims, array_max(sims))
+  }
+
+  /** The query's `nprobe` best cells (array of 1-based cell ids). */
+  def probeCells(spark: SparkSession, m: Model, v: Column, nprobe: Int): Column = {
+    val ranked = array_sort(
+      zip_with(simsCol(spark, m, v),
+        sequence(lit(1), lit(m.numCells)),
+        (s, i) => struct(s.as("sim"), i.as("cell"))),
+      (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .otherwise(0))
+    transform(slice(ranked, 1, nprobe), x => x.getField("cell"))
+  }
+
+  def train(spark: SparkSession, corpus: DataFrame, numCells: Int,
+      iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val v = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // deterministic well-spread seeds: first numCells rows in hash order
+    val seeds = v.orderBy(xxhash64(col("vec_id"))).limit(numCells)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var model = Model(seeds)
+    for (_ <- 1 to iterations) {
+      val assigned = v.withColumn("cell", cellOf(spark, model, col("v")))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cell"), transform(col("dims"), d => d.getField("m")).as("centroid"))
+        .collect()
+      val next = model.centroids.clone() // empty cells keep old centroid
+      means.foreach { r =>
+        next(r.getLong(0).toInt - 1) = r.getSeq[Double](1).toArray
+      }
+      model = Model(next)
+    }
+    model
+  }
+
+  /** ANN top-k: probe `nprobe` cells per query. Same output schema as
+    * [[TopKSearch.bruteForce]].
+    */
+  def searchTopK(spark: SparkSession, model: Model,
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).cast("array<double>").as("cv"))
+      .withColumn("cell", cellOf(spark, model, col("cv")))
+    val q = queries.select(col(queryId),
+        col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("cell",
+        explode(probeCells(spark, model, col("qv"), nprobe)))
+    val scored = c.join(broadcast(q), "cell")
+      .withColumn("cosine",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 9))
+    TopKSearch.explodeRanked(spark, scored, k)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact (brute-force) cosine top-k search: the ANN baseline.
+  *
+  * Plan shape for a query batch Q over corpus N:
+  *  - `broadcast(Q)` cross join — the corpus NEVER shuffles; each task
+  *    scores its local corpus slice against all queries;
+  *  - fused [[graft.functions.CosineSimilarity]] per (row, query) —
+  *    one codegen'd loop, no intermediate arrays;
+  *  - [[graft.functions.TopKAgg]] per query — partial aggregation keeps
+  *    ≤ k candidates per task, so the only shuffle is O(k × tasks ×
+  *    queries) struct pairs, not N rows (a `row_number()` window would
+  *    shuffle and sort the entire N × Q score table).
+  *
+  * At 100 TB this is embarrassingly parallel and bandwidth-bound on the
+  * corpus scan; use [[IvfIndex]] to cut the scanned fraction.
+  */
+object TopKSearch {
+
+  /** queries(query_id, embedding) × corpus(vec_id, embedding) → one row
+    * per (query_id, neighbor) with rank 1..k by cosine desc, id asc.
+    */
+  def bruteForce(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId),
+      col(queryVec).cast("array<double>").as("qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).cast("array<double>").as("cv"))
+    // round to 9 decimals BEFORE ranking: engines computing the same
+    // cosine can differ in the last ulp, and an integer ranking must not
+    // flip on that; ties after rounding break deterministically on id
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 9))
+    explodeRanked(spark, scored, k)
+  }
+
+  /** groupBy(query_id) top-k + explode to ranked rows. Shared with the
+    * IVF path (identical output schema).
+    */
+  private[similarity] def explodeRanked(spark: SparkSession, scored: DataFrame,
+      k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topK(spark, col("cosine"), col("neighbor_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("query_id"), col("n.id").as("neighbor_id"),
+        col("n.score").as("cosine"), (col("pos") + 1).as("rank"))
+}

@@ -1,0 +1,93 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import graft.functions.GraftFunctions
+import graft.dedup.EmbeddingNearDup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embs = Tables.embeddings(spark, sf)
+  private lazy val queries = embs.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  test("custom cosine expression equals the HOF composition") {
+    val v = embs.limit(50).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = v.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = v.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(
+        GraftFunctions.cosineSim(spark, col("va"), col("vb")).as("expr_cos"),
+        EmbeddingNearDup.cosine(col("va"), col("vb")).as("hof_cos"))
+    val mism = both.filter(abs(col("expr_cos") - col("hof_cos")) > 1e-12).count()
+    assert(mism == 0)
+  }
+
+  test("brute-force top-k equals window-based top-k") {
+    val got = TopKSearch.bruteForce(spark, embs, queries, 5)
+    // reference implementation: full window sort
+    val q = queries.select(col("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = embs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val exp = c.crossJoin(q)
+      .withColumn("cosine",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    assert(got.count() == 50)
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+  }
+
+  test("self is always rank 1 with cosine ~1") {
+    val r1 = TopKSearch.bruteForce(spark, embs, queries, 5)
+      .filter(col("rank") === 1).collect()
+    assert(r1.length == 10)
+    r1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
+
+  test("top_k partial aggregation never exceeds k and orders desc") {
+    val rows = TopKSearch.bruteForce(spark, embs.repartition(7), queries, 3)
+    val perQuery = rows.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 3))
+    val ordered = rows.orderBy("query_id", "rank")
+      .select("query_id", "cosine").collect()
+      .groupBy(_.getLong(0)).values
+    ordered.foreach { rs =>
+      val cs = rs.map(_.getDouble(1))
+      assert(cs.sameElements(cs.sortBy(-(_: Double))))
+    }
+  }
+
+  test("IVF search recall@5 against brute force") {
+    val brute = TopKSearch.bruteForce(spark, embs, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = IvfIndex.train(spark, embs, numCells = 16)
+    val ivf = IvfIndex.searchTopK(spark, model, embs, queries, 5, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+    // every query still returns k results (cells are never empty enough
+    // to starve a query at nprobe=4 of 16)
+    assert(ivf.size == brute.size)
+  }
+
+  test("corpus side of brute force does not shuffle (broadcast + partial agg)") {
+    val plan = TopKSearch.bruteForce(spark, embs, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    // exactly one shuffle: the final per-query aggregation
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected <=1 hash exchange, got $shuffles\n$plan")
+  }
+}
