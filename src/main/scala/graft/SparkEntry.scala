@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.Etl,
     graft.queries.Dedup,
     graft.queries.Similarity,
+    graft.queries.Text,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media as opaque `binary` columns + typed metadata, with
+  * decode/feature-extraction as a pluggable per-partition batch stage.
+  *
+  * The Spark-side plumbing is real: `binaryFile` source, explicit schema,
+  * size-aware repartitioning, `mapPartitions` batch execution with a
+  * Dataset encoder (the Scala analogue of `mapInPandas` — one decoder
+  * instance per partition, rows streamed through it in batches).
+  * The DECODE ITSELF IS STUBBED ([[StubDecoder]]): this container has no
+  * image/audio codecs, so the stub derives deterministic pseudo-features
+  * from the bytes; swap in a real codec-backed [[MediaDecoder]]
+  * implementation in production — nothing else changes.
+  */
+object Multimodal {
+
+  /** One media object: opaque payload + provenance + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      path: String,
+      kind: String,            // image | audio | video
+      content: Array[Byte],
+      length: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      content_sha: String,
+      width: Int,              // stub-derived; a real decoder fills these
+      height: Int,
+      duration_ms: Long,
+      feature: Array[Float])   // fixed-dim embedding-shaped vector
+
+  /** Decoder contract: batch-in, batch-out, instantiated once per
+    * partition (mirrors the Arrow-batch shape of a Pandas UDF).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic stand-in for codec decode: features are pure functions
+    * of the payload bytes, so tests and the driver gate are reproducible.
+    * A real implementation would decode pixels/samples here.
+    */
+  object StubDecoder extends MediaDecoder {
+    private def sha(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
+
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val h = java.util.Arrays.hashCode(r.content)
+        MediaFeatures(
+          media_id = r.media_id,
+          kind = r.kind,
+          n_bytes = r.length,
+          content_sha = sha(r.content),
+          width = 16 + math.abs(h % 1024),
+          height = 16 + math.abs((h / 1024) % 1024),
+          duration_ms = if (r.kind == "image") 0L else r.length * 8,
+          feature = Array.tabulate(8)(i =>
+            ((h >>> (i * 4)) & 0xff).toFloat / 255.0f))
+      }
+  }
+
+  /** Ingest a directory of media files through Spark's `binaryFile`
+    * source; kind is derived from the extension.
+    */
+  def readMediaDir(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("path"),
+        when(col("path").rlike("\\.(png|jpg|jpeg|gif)$"), "image")
+          .when(col("path").rlike("\\.(wav|mp3|flac)$"), "audio")
+          .otherwise("video").as("kind"),
+        col("content"),
+        col("length"))
+
+  /** Feature extraction as a per-partition batch stage. `batchSize`
+    * bounds decoder memory (bytes of `batchSize` records are resident at
+    * once); media DataFrames should be repartitioned so
+    * partitions stay in executor memory — see [[repartitionBySize]].
+    */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
+    }
+  }
+
+  /** Spread records so each partition carries ≈`targetBytes` of payload —
+    * the knob that keeps a 100 TB media table from concentrating giant
+    * videos in one task.
+    */
+  def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {
+    val total = media.agg(sum(col("length"))).collect()(0).getLong(0)
+    val parts = math.max(1, math.min(Int.MaxValue.toLong, total / targetBytes)).toInt
+    media.repartitionByRange(parts, col("length"), col("media_id"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and multimodal gate queries (north-star extension).
+  * Stats / quality / language-id / fingerprint / BPE-ish token counting
+  * are oracled (the heuristics are pure SQL-expressible column logic);
+  * media feature extraction is rows-only (binaryFile source + stubbed
+  * decoder, deterministic output — checked in `TextMultimodalSpec`).
+  */
+object Text extends QueryPack {
+
+  def stats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(Tables.documents(s, dir))
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, dir))
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(s, dir))
+      .select(col("doc_id"), col("hits_en"), col("hits_es"),
+        col("hits_de"), col("hits_fr"), col("lang_pred"))
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, dir))
+
+  def bpeishCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      size(TextAnalysis.bpeishTokens(col("text"))).as("bpeish_count"))
+
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.readMediaDir(s, "/root/repo/fixtures/media")
+    Multimodal.extractFeatures(media, Multimodal.StubDecoder).toDF()
+      .drop("feature") // float array order is stable but keep output flat
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_text_stats" -> stats _,
+    "q51_text_quality" -> quality _,
+    "q52_lang_id" -> langId _,
+    "q53_fingerprint" -> fingerprint _,
+    "q54_bpeish_count" -> bpeishCount _,
+    "q55_media_features" -> mediaFeatures _,
+  )
+
+  private def hitsSql(lang: String): String = {
+    val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len([t for t in tokens if list_contains([$words], t)])"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    [x for x in string_split_regex(lower(text), '\s+') if x <> ''] AS tokens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tokens) AS INT) AS token_count,
+        |  CAST(length(text) AS INT) AS char_count,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[.,!?;:''"()\-]', '', 'g')) AS INT) AS punct_count,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |    / nullif(length(text), 0) AS alpha_ratio,
+        |  CAST(list_sum([length(x) for x in tokens]) AS DOUBLE)
+        |    / nullif(len(tokens), 0) AS mean_token_len,
+        |  CAST(len([x for x in tokens if list_contains(
+        |    ['the','a','of','and','to','in','is','it','that','for'], x)]) AS DOUBLE)
+        |    / nullif(len(tokens), 0) AS stopword_ratio
+        |FROM t""".stripMargin,
+    "q51_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    [x for x in string_split_regex(lower(text), '\s+') if x <> ''] AS tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(tokens) AS token_count,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS alpha_ratio,
+        |    CAST(len([x for x in tokens if list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)]) AS DOUBLE)
+        |      / nullif(len(tokens), 0) AS stopword_ratio
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |        least(stopword_ratio * 5.0, 1.0) * 0.3 +
+        |        alpha_ratio * 0.3, 9) AS quality
+        |FROM s""".stripMargin,
+    "q52_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    [x for x in string_split_regex(lower(text), '\\s+') if x <> ''] AS tokens
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${hitsSql("en")} AS hits_en,
+         |    ${hitsSql("es")} AS hits_es,
+         |    ${hitsSql("de")} AS hits_de,
+         |    ${hitsSql("fr")} AS hits_fr
+         |  FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(hits_en AS INT) AS hits_en, CAST(hits_es AS INT) AS hits_es,
+         |  CAST(hits_de AS INT) AS hits_de, CAST(hits_fr AS INT) AS hits_fr,
+         |  CASE
+         |    WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |    WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+         |    WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+         |    WHEN hits_de >= hits_fr THEN 'de'
+         |    ELSE 'fr'
+         |  END AS lang_pred
+         |FROM h""".stripMargin,
+    "q53_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(
+        |    [x for x in string_split_regex(lower(text), '\s+') if x <> ''],
+        |    ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q54_bpeish_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_count
+        |FROM documents""".stripMargin,
+  )
+}

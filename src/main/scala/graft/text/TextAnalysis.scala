@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extension): token counting, quality scoring, language identification,
+  * and content fingerprinting — all as single-pass codegen'd column
+  * expressions (no UDFs, no shuffles; a 100 TB corpus scan stays
+  * embarrassingly parallel and bandwidth-bound).
+  */
+object TextAnalysis {
+
+  /** Whitespace word tokens (empties filtered). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword segmentation by regex: letter runs, single digits,
+    * or single non-alphanumeric marks — the shape GPT-style
+    * pre-tokenizers use, restricted to character classes that behave
+    * identically under Java regex and RE2.
+    */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  private val punctClass = "[.,!?;:'\"()\\-]"
+
+  /** Small multilingual stopword profiles for the language heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist", "ein", "mit", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"))
+
+  /** How many of `tokens` appear in `words` (multiset count). */
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(x => x: Any): _*)))
+
+  /** Per-document stats: token count, char count, punctuation count/ratio,
+    * alpha ratio, mean token length, English-stopword ratio. All ratios
+    * guard the empty document with nullif.
+    */
+  def stats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = docs.withColumn("tokens", wsTokens(lower(col(textCol))))
+    t.select(
+      col(idCol),
+      size(col("tokens")).as("token_count"),
+      length(col(textCol)).as("char_count"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), punctClass, ""))).as("punct_count"),
+      (length(regexp_replace(lower(col(textCol)), "[^a-z]", "")).cast("double") /
+        nullif(length(col(textCol)), lit(0)).cast("double")).as("alpha_ratio"),
+      (aggregate(col("tokens"), lit(0), (acc, x) => acc + length(x)).cast("double") /
+        nullif(size(col("tokens")), lit(0)).cast("double")).as("mean_token_len"),
+      (hitCount(col("tokens"), stopwords("en")).cast("double") /
+        nullif(size(col("tokens")), lit(0)).cast("double")).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with
+    * normal punctuation density and a healthy stopword rate — the usual
+    * cheap pre-filter before expensive model-based scoring.
+    */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val s = stats(docs, idCol, textCol)
+    s.select(col(idCol),
+      round(
+        least(col("token_count").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3 +
+        col("alpha_ratio") * 0.3, 9).as("quality"))
+  }
+
+  /** Stopword-profile language guess: the language whose stopword list
+    * hits the most tokens; `und` when nothing hits. Deterministic
+    * tie-break by profile order en > es > de > fr (strict `>` chain).
+    */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = docs.withColumn("tokens", wsTokens(lower(col(textCol))))
+    val scored = t.select(
+      col(idCol) +: stopwords.keys.toSeq.sorted.map(l =>
+        hitCount(col("tokens"), stopwords(l)).as(s"hits_$l")): _*)
+    scored.withColumn("lang_pred",
+      when(greatest(col("hits_en"), col("hits_es"), col("hits_de"),
+        col("hits_fr")) === 0, lit("und"))
+        .when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_de") &&
+          col("hits_en") >= col("hits_fr"), lit("en"))
+        .when(col("hits_es") >= col("hits_de") && col("hits_es") >= col("hits_fr"),
+          lit("es"))
+        .when(col("hits_de") >= col("hits_fr"), lit("de"))
+        .otherwise(lit("fr")))
+  }
+
+  /** Canonical content fingerprint: md5 of the normalized token stream
+    * (case-folded, whitespace-collapsed). Equal fingerprints = equal
+    * normalized content — the cheap cross-engine-stable dedup key.
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      md5(concat_ws(" ", wsTokens(lower(col(textCol))))).as("fingerprint"))
+
+  /** Rolling (polynomial) hash of the token stream — the incremental-
+    * update form used for windowed fingerprinting:
+    * `h ← (h·31 + (xxhash64(token) mod P)) mod P`, P = 1e9+7. Modular
+    * (not wrapping) arithmetic because ANSI mode — Spark 4's default —
+    * raises on i64 overflow. No cross-engine oracle (xxhash64 is
+    * Spark-specific); see `TextMultimodalSpec`.
+    */
+  private val ROLL_P = 1000000007L
+  def rollingHash(tokens: Column): Column =
+    aggregate(tokens, lit(0L),
+      (h, t) => pmod(h * 31L + pmod(xxhash64(t), lit(ROLL_P)), lit(ROLL_P)))
+}

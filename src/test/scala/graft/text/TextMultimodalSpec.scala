@@ -1,0 +1,97 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("stats: ratios bounded, counts consistent") {
+    val s = TextAnalysis.stats(docs)
+    assert(s.count() == docs.count())
+    val bad = s.filter(
+      col("alpha_ratio") < 0 || col("alpha_ratio") > 1 ||
+      col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+      col("punct_count") < 0 || col("token_count") < 0)
+    assert(bad.count() == 0)
+    // char_count matches the table's own n_chars column
+    val mism = s.join(docs, "doc_id")
+      .filter(col("char_count") =!= col("n_chars")).count()
+    assert(mism == 0)
+  }
+
+  test("quality score in [0,1]") {
+    val q = TextAnalysis.qualityScore(docs)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+  }
+
+  test("language id picks the profile with most hits, deterministic ties") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is that"),
+      (2L, "el perro y la casa en un lugar que es"),
+      (3L, "der hund und die katze ist ein tier mit"),
+      (4L, "xyzzy qwerty plugh"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(df)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+    assert(out(4L) == "und")
+    assert(out(5L) == "und")
+  }
+
+  test("fingerprint invariant to case and whitespace layout") {
+    val df = Seq(
+      (1L, "Hello  World\tfoo"),
+      (2L, "hello world foo"),
+      (3L, "hello world bar")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("rolling hash is order-sensitive") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a"))).toDF("id", "tokens")
+    val h = df.select(col("id"),
+      TextAnalysis.rollingHash(col("tokens")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) != h(2L))
+  }
+
+  test("media ingest + stub feature extraction is deterministic and typed") {
+    val media = Multimodal.readMediaDir(spark, "/root/repo/fixtures/media")
+    assert(media.count() == 4)
+    val kinds = media.select("kind").collect().map(_.getString(0)).sorted
+    assert(kinds.count(_ == "image") == 2)
+    assert(kinds.count(_ == "audio") == 1)
+    assert(kinds.count(_ == "video") == 1)
+
+    val f1 = Multimodal.extractFeatures(media, Multimodal.StubDecoder).collect()
+    val f2 = Multimodal.extractFeatures(media, Multimodal.StubDecoder).collect()
+    assert(f1.map(_.content_sha).sorted.sameElements(f2.map(_.content_sha).sorted))
+    f1.foreach { f =>
+      assert(f.feature.length == 8)
+      assert(f.width >= 16 && f.height >= 16)
+      assert(f.kind != "image" || f.duration_ms == 0L)
+    }
+  }
+
+  test("media batch boundaries do not change results") {
+    val media = Multimodal.readMediaDir(spark, "/root/repo/fixtures/media")
+    val a = Multimodal.extractFeatures(media, Multimodal.StubDecoder, batchSize = 1)
+      .collect().map(_.content_sha).sorted
+    val b = Multimodal.extractFeatures(media.repartition(3),
+      Multimodal.StubDecoder, batchSize = 64)
+      .collect().map(_.content_sha).sorted
+    assert(a.sameElements(b))
+  }
+}
