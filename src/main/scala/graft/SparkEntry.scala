@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.Dedup,
     graft.queries.Similarity,
     graft.queries.Text,
+    graft.queries.Streaming,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -33,11 +33,20 @@ object EmbeddingNearDup {
 
   def pairsBrute(embs: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = embs.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val a = v.select(col(idCol).as("vec_a"), col("v").as("va"))
+    val spark = embs.sparkSession
+    // normalize ONCE per vector; each pair is then a single fused dot
+    // product (graft.functions.DotProduct codegen loop). Repartition the
+    // streamed side: vector tables often arrive as one file → one task,
+    // and the O(n²) pair loop must spread across all cores.
+    val par = spark.sparkContext.defaultParallelism
+    val v = embs.select(col(idCol),
+      graft.functions.GraftFunctions.normalize(col(vecCol)).as("v"))
+    val a = v.repartition(par)
+      .select(col(idCol).as("vec_a"), col("v").as("va"))
     val b = v.select(col(idCol).as("vec_b"), col("v").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.dotProduct(spark, col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
@@ -57,20 +66,33 @@ object EmbeddingNearDup {
   def pairsLSH(embs: DataFrame, threshold: Double, dim: Int,
       numPlanes: Int = 10, numTables: Int = 8, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val rnd = new scala.util.Random(seed)
     // deterministic unit-free gaussian planes; literal arrays in the plan
     val tables: Seq[Seq[Array[Double]]] = Seq.fill(numTables)(
       Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian())))
-    val v = embs.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val masks: Seq[Column] = tables.zipWithIndex.map { case (planes, t) =>
-      val bits = planes.zipWithIndex.map { case (p, i) =>
-        val planeCol = array(p.map(lit(_)): _*)
-        when(dot(col("v"), planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      bits.reduce((a, b) => a.bitwiseOR(b))
+    // unit vectors: plane signs are scale-invariant and the verify step
+    // becomes a single fused dot product per candidate
+    val v = embs.select(col(idCol),
+        graft.functions.GraftFunctions.normalize(col(vecCol)).as("v"))
+      .repartition(par)
+    // ALL tables' plane dots in ONE transform over a constant-folded
+    // plane matrix — inlining numTables×numPlanes separate dot loops
+    // (the naive formulation) makes Janino spend ~10 s compiling the
+    // projection; this shape generates one loop + cheap sign tests
+    val planesLit = array(tables.flatten.map(p => array(p.map(lit(_)): _*)): _*)
+    val dots = transform(planesLit, p =>
+      graft.functions.GraftFunctions.dotProduct(spark, col("v"), p))
+    val masks: Seq[Column] = (0 until numTables).map { t =>
+      (0 until numPlanes).map { i =>
+        when(element_at(col("dots"), t * numPlanes + i + 1) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
     }
-    val banded = v.select(col(idCol), col("v"),
-      posexplode(array(masks: _*)).as(Seq("table", "mask")))
+    val banded = v.withColumn("dots", dots)
+      .select(col(idCol), col("v"),
+        posexplode(array(masks: _*)).as(Seq("table", "mask")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.table") === col("y.table") &&
         col("x.mask") === col("y.mask") &&
@@ -78,7 +100,8 @@ object EmbeddingNearDup {
       .select(col(s"x.$idCol").as("vec_a"), col(s"y.$idCol").as("vec_b"),
         col("x.v").as("va"), col("y.v").as("vb"))
       .dropDuplicates("vec_a", "vec_b")
-    cand.withColumn("cosine", cosine(col("va"), col("vb")))
+    cand.withColumn("cosine",
+        graft.functions.GraftFunctions.dotProduct(spark, col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }

@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
 object MinHashLSH {
 
   def signatures(docs: DataFrame, k: Int = 3, numHashes: Int = 96): DataFrame = {
-    val sh = TextShingles.shingleDf(docs, k)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = TextShingles.shingleDf(docs.repartition(par), k)
     val hashed = sh.withColumn("h", transform(col("shingles"), s => xxhash64(s)))
     val sigCols: Seq[Column] = (0 until numHashes).map { j =>
       array_min(transform(col("h"), x => xxhash64(x, lit(j)))).as(s"sig_$j")

@@ -19,7 +19,11 @@ object NgramJaccard {
   /** All pairs (doc_a < doc_b) with |shingles∩| / |shingles∪| ≥ threshold. */
   def pairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.6,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = TextShingles.shingleDf(docs, k)
+    // spread docs across cores before the explode: document tables often
+    // arrive as a single file → a single task otherwise carries the
+    // whole shingle fan-out
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = TextShingles.shingleDf(docs.repartition(par), k)
     var ex = sh.select(col("doc_id"), col("n_shingles"),
       explode(col("shingles")).as("s"))
     maxShingleDf.foreach { cap =>

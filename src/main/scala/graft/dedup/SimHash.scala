@@ -37,8 +37,9 @@ object SimHash {
   }
 
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      simhash64(TextShingles.tokens(col("text"))).as("simhash"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        simhash64(TextShingles.tokens(col("text"))).as("simhash"))
 
   /** All pairs (doc_a < doc_b) with hamming(simhash) ≤ maxHamming.
     * Exact for maxHamming < bands (pigeonhole); default 3 < 4.

@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions.{call_function, expr}
 object GraftFunctions {
 
   val COSINE_FN = "graft_cosine_sim"
+  val DOT_FN = "graft_dot_product"
   val TOPK_PREFIX = "graft_top_k_" // one registered name per k
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       COSINE_FN,
       exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DOT_FN,
+      exprs => DotProduct(exprs(0), exprs(1)),
       "built-in")
   }
 
@@ -37,6 +42,24 @@ object GraftFunctions {
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(COSINE_FN, a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Plain dot product (see [[DotProduct]]); with unit vectors this IS
+    * the cosine at a third of the per-pair work.
+    */
+  def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(DOT_FN, a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Normalize to a unit vector (per-row, once — pairs then use
+    * [[dotProduct]]). Null for zero vectors.
+    */
+  def normalize(a: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val v = a.cast("array<double>")
+    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x))
+    when(n > 0.0, transform(v, x => x / n))
   }
 
   /** Bounded top-k aggregate → `array<struct<score,id>>` best-first

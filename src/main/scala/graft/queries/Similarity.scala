@@ -37,7 +37,12 @@ object Similarity extends QueryPack {
     * composition) directly against DuckDB.
     */
   def cosineExprPairs(s: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // bounded corpus: this query exists to validate the raw expression
+    // (which recomputes norms per pair); the normalized-dot production
+    // path is q35. vec_id < 1000 covers every row at sf<=0.01.
+    val v = Tables.embeddings(s, dir).filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
     val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -73,7 +78,8 @@ object Similarity extends QueryPack {
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[])) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
   )
 }

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.streaming.EventSessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-time streaming semantics in batch-checkable form: the tumbling
+  * window aggregation and gap sessionization run identically under
+  * `readStream` (see `graft.streaming`), and their batch forms are
+  * DuckDB-oracled here. `StreamingSpec` proves batch/stream equivalence
+  * (the AvailableNow file pipeline and the stateful sessionizer against
+  * these same definitions).
+  */
+object Streaming extends QueryPack {
+
+  def eventWindows(s: SparkSession, dir: String): DataFrame =
+    EventSessions.tumblingCounts(Tables.events(s, dir))
+
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    EventSessions.sessionizeBatch(Tables.events(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_event_windows" -> eventWindows _,
+    "q26_sessionize" -> sessionize _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_event_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, count(*) AS n, sum(value) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q26_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM y)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM z
+        |GROUP BY 1, 2""".stripMargin,
+  )
+}

@@ -86,6 +86,7 @@ object IvfIndex {
       queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"),
         col(corpusVec).cast("array<double>").as("cv"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("cell", cellOf(spark, model, col("cv")))
     val q = queries.select(col(queryId),
         col(queryVec).cast("array<double>").as("qv"))

@@ -28,16 +28,21 @@ object TopKSearch {
       k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    // normalize once per row so the per-pair kernel is one fused dot
+    // product; repartition the corpus (often one file → one task) so the
+    // scan spreads across every core
+    val par = spark.sparkContext.defaultParallelism
     val q = queries.select(col(queryId),
-      col(queryVec).cast("array<double>").as("qv"))
+      GraftFunctions.normalize(col(queryVec)).as("qv"))
     val c = corpus.select(col(corpusId).as("neighbor_id"),
-      col(corpusVec).cast("array<double>").as("cv"))
+        GraftFunctions.normalize(col(corpusVec)).as("cv"))
+      .repartition(par)
     // round to 9 decimals BEFORE ranking: engines computing the same
     // cosine can differ in the last ulp, and an integer ranking must not
     // flip on that; ties after rounding break deterministically on id
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine",
-        round(GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 9))
+        round(GraftFunctions.dotProduct(spark, col("qv"), col("cv")), 9))
     explodeRanked(spark, scored, k)
   }
 

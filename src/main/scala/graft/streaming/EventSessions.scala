@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time operators over the `events` stream table: tumbling-window
+  * aggregation, gap-based sessionization (batch window form + streaming
+  * `flatMapGroupsWithState` form — same session definition, so the batch
+  * form is the oracle for the stateful one).
+  */
+object EventSessions {
+
+  /** Tumbling event-time window aggregation (batch form; the streaming
+    * form is identical after `readStream` + `withWatermark`).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization, batch form: a new session starts when the
+    * gap to the previous event of the same user exceeds `gapMinutes`.
+    * One shuffle on user_id; the running sum stays inside the same
+    * window partition.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            gapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_seq: Long,
+      n_events: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp)
+
+  /** Streaming sessionization with explicit state: emits a user's closed
+    * sessions as later events arrive. The batch form above is its oracle
+    * on a bounded input. Demonstrates `flatMapGroupsWithState` — the
+    * Spark-native form of custom per-key streaming state.
+    *
+    * `withTimeout = true` uses ProcessingTimeTimeout to flush idle open
+    * sessions (the production setting for a live stream). Leave it false
+    * for bounded replays: a pending processing-time timeout makes
+    * `processAllAvailable()` spin on empty timeout-evaluation batches.
+    */
+  /** `java.sql.Timestamp` keeps sub-ms precision in `nanos`, NOT in
+    * `getTime` — state therefore tracks microseconds explicitly (the
+    * table has µs-precision event times; losing them would diverge from
+    * the batch oracle).
+    */
+  private def toMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  def sessionizeStreaming(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, withTimeout: Boolean = false): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60 * 1000000L
+
+    def fn(userId: Long, evs: Iterator[Ev],
+        state: GroupState[(Long, List[SessionState])]): Iterator[SessionOut] = {
+      var (seq, open) = state.getOption.getOrElse((0L, Nil: List[SessionState]))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      val sorted = evs.toSeq.sortBy(e => toMicros(e.ts))
+      var cur = open.headOption
+      for (e <- sorted) {
+        val t = toMicros(e.ts)
+        cur match {
+          case Some(s) if t - s.last <= gapUs =>
+            cur = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            seq += 1
+            out += SessionOut(userId, seq, s.n,
+              fromMicros(s.start), fromMicros(s.last))
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach { s =>
+          seq += 1
+          out += SessionOut(userId, seq, s.n,
+            fromMicros(s.start), fromMicros(s.last))
+        }
+        state.remove()
+      } else {
+        state.update((seq, cur.toList))
+        if (withTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+      }
+      out.iterator
+    }
+
+    events.select(col("user_id"), col("ts")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+  }
+}

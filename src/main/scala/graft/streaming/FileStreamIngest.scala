@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.etl.{IncrementalJsonPipeline, PipelineConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming form of the incremental ingestion (reference F1,
+  * `emr_json_parquet_schema_drift_etl.py:23-51`): the file source's
+  * checkpoint ledger IS the exactly-once-per-file guarantee — file
+  * offsets commit atomically with each batch, which the reference's
+  * copy-then-delete boto3 loop only approximates.
+  *
+  * `Trigger.AvailableNow` + `cleanSource=archive` matches the reference's
+  * operational pattern exactly: each scheduled run drains whatever files
+  * arrived, archives consumed ones, and exits. The same
+  * [[IncrementalJsonPipeline.transform]] (flatten + derive) runs on the
+  * stream — the pipeline's pure core is trigger-agnostic.
+  *
+  * Unlike the batch path, a streaming source requires an explicit schema
+  * — at scale that's a feature (no inference scan per run); pair it with
+  * `graft.etl.SchemaRegistry` to evolve it across drift events.
+  */
+object FileStreamIngest {
+
+  /** Start an AvailableNow drain of the source; returns the query (call
+    * `awaitTermination()` — AvailableNow self-terminates when drained).
+    */
+  def runAvailableNow(spark: SparkSession, cfg: PipelineConfig,
+      schema: StructType, checkpoint: String,
+      archiveConsumed: Boolean = true): StreamingQuery = {
+    var r = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1000) // bound batch size at scale
+    if (archiveConsumed)
+      r = r.option("cleanSource", "archive")
+        .option("sourceArchiveDir", cfg.archivePath)
+    val raw = r.json(cfg.sourcePath)
+      .withColumn("input_file", input_file_name())
+    val flat = new IncrementalJsonPipeline(cfg).transform(raw)
+      .drop("input_file")
+    flat.writeStream
+      .format("parquet")
+      .option("path", cfg.sinkPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(cfg.partitionCols: _*)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

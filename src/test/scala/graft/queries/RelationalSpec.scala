@@ -91,6 +91,26 @@ class RelationalSpec extends SparkSpec {
     assert(keys == distinctKeys)
   }
 
+  test("q01 filter reaches the parquet scan (PushedFilters)") {
+    val plan = Relational.pricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+  }
+
+  test("q02 scan reads only the four needed lineitem columns") {
+    val plan = Relational.revenueForecast(spark, sf)
+      .queryExecution.executedPlan.toString
+    val schemaLine = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!schemaLine.contains("l_orderkey") && !schemaLine.contains("l_returnflag"),
+      s"column pruning failed: $schemaLine")
+  }
+
+  test("q19 dimension join broadcasts (no fact-side shuffle for the join)") {
+    val plan = Relational.partTypeRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q20 priciest items are sorted and limited") {
     val rows = Relational.priciestItems(spark, sf).collect()
     assert(rows.length == 25)
