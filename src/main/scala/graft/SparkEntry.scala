@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.Similarity,
     graft.queries.Text,
     graft.queries.Streaming,
+    graft.queries.Analytics,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

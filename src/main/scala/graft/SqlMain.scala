@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc SQL entry point — the engine-side replacement for the
+  * reference's Athena query path (`execute_athena_query`,
+  * `emr_json_parquet_schema_drift_etl.py:142-152`): one process, no
+  * polling, custom functions loaded via [[graft.functions.GraftExtensions]].
+  *
+  * Usage: `runMain graft.SqlMain "<sql>"` — tables of
+  * `SPARK_GRAFT_SF_DIR` (default sf0.001) are registered as temp views
+  * (`lineitem`, `orders`, …); results print as TSV with a header.
+  */
+object SqlMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: SqlMain \"<sql>\"")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sql")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.names.foreach { n =>
+      Tables.table(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+    val out = spark.sql(args(0))
+    println(out.columns.mkString("\t"))
+    out.collect().foreach(r =>
+      println((0 until r.length).map(i => String.valueOf(r.get(i))).mkString("\t")))
+    spark.stop()
+  }
+}

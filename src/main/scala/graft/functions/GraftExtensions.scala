@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration of the custom Catalyst expressions, so
+  * ANY session (including pure-SQL users and thrift/connect frontends)
+  * gets `graft_cosine_sim` / `graft_dot_product` / `graft_top_k`
+  * without touching Scala APIs:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * spark.sql("SELECT graft_cosine_sim(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>))")
+  * }}}
+  *
+  * `graft_top_k(score, id, k)` requires a foldable integer `k`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.COSINE_FN),
+      info(GraftFunctions.COSINE_FN,
+        "cosine similarity of two array<double> vectors"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.DOT_FN),
+      info(GraftFunctions.DOT_FN, "dot product of two array<double> vectors"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      info("graft_top_k",
+        "top-k (score,id) pairs per group: graft_top_k(score, id, k)"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_top_k: k must be a foldable integer, got $other")
+        }
+        TopKAgg(exprs(0), exprs(1), k).toAggregateExpression()
+      }))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (SURVEY.md §2.2 "salting for skew").
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default here) splits oversized SORT-MERGE partitions at runtime and is
+  * the first line of defense. Salting is the explicit fallback for the
+  * cases AQE can't fix — e.g. a shuffled hash aggregation on a hot key,
+  * or a hot key whose rows must still land in ONE reducer under AQE's
+  * split (a single key cannot be subdivided by AQE for aggregations).
+  *
+  * [[saltedJoin]] implements the classic explode-replicate pattern:
+  * the skewed (fact) side gets a random-but-deterministic salt in
+  * `[0, salts)`; the dimension side is replicated `salts` times; the join
+  * key becomes `(key, salt)`, spreading each hot key over `salts`
+  * reducers. Exact same join result, `salts`× the small side.
+  */
+object SkewTools {
+
+  /** Deterministic per-row salt (hash of the whole row's key + a stable
+    * disambiguator column if provided) — deterministic so re-runs and
+    * retried tasks salt identically.
+    */
+  def salt(cols: Seq[Column], salts: Int): Column =
+    pmod(xxhash64(cols: _*), lit(salts)).cast("int")
+
+  /** Inner equi-join `big ⋈ small` on `key`, with the hot side salted
+    * over `salts` buckets and the small side replicated per bucket.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int, saltBy: Seq[String] = Nil): DataFrame = {
+    val saltCols =
+      if (saltBy.nonEmpty) saltBy.map(big(_))
+      else big.columns.map(big(_)).toSeq // whole row → uniform spread
+    val bigS = big.withColumn("__salt", salt(saltCols, salts))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1)))) // int sequence → int salt
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase aggregation for a skewed group-by: pre-aggregate on
+    * `(key, salt)`, then combine per key. `merge` must be an associative
+    * re-aggregation of `agg`'s outputs (sum→sum, count→sum, min→min...).
+    */
+  def saltedAgg(df: DataFrame, key: String, salts: Int,
+      agg: Seq[Column], merge: Seq[Column]): DataFrame =
+    df.withColumn("__salt", salt(df.columns.map(df(_)).toSeq, salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(agg.head, agg.tail: _*)
+      .groupBy(col(key))
+      .agg(merge.head, merge.tail: _*)
+}

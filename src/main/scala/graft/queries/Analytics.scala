@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second-tier analytic operators rounding out the ad-hoc SQL surface
+  * (SURVEY.md §2.2): exact percentiles, GROUPING SETS, pivot, stats
+  * (stddev/corr), approximate distinct sketches, and a CSV source path.
+  */
+object Analytics extends QueryPack {
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both continuous-interpolation).
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        round(stddev_samp(col("o_totalprice")), 6).as("price_sd"))
+
+  /** GROUPING SETS: per-status, per-priority, and grand-total rows in one
+    * aggregation pass.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(1) AS n, sum(o_totalprice) AS total
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** Pivot order counts: one column per order status. */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+
+  /** Pearson correlation + covariance of price and quantity per return
+    * flag (rounded: both engines accumulate in different orders).
+    */
+  def priceQuantityStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("price_qty_corr"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("price_qty_cov"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"))
+
+  /** Approximate distinct (HLL++): rows-only — sketch estimates are
+    * engine-specific by construction; `AnalyticsSpec` bounds the error
+    * against the exact count instead.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
+  /** CSV round-trip source: write a CSV slice next to the driver's outDir
+    * (self-contained), read it back through the CSV reader with explicit
+    * schema, aggregate. Exercises the text-source path (type coercion,
+    * header handling) the reference's JSON source doesn't.
+    */
+  def csvSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.nation(s, dir).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .csv(tmp)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_percentiles" -> percentiles _,
+    "q28_grouping_sets" -> groupingSets _,
+    "q29_pivot_status" -> pivotStatus _,
+    "q43_stats_corr" -> priceQuantityStats _,
+    "q44_approx_distinct" -> approxDistinct _,
+    "q45_csv_source" -> csvSource _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q27_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  round(stddev_samp(o_totalprice), 6) AS price_sd
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q28_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(1) AS n, sum(o_totalprice) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q29_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q43_stats_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_cov,
+        |  round(avg(l_extendedprice), 6) AS avg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+    "q45_csv_source" ->
+      """SELECT n_regionkey, count(1) AS n_nations, min(n_name) AS first_nation
+        |FROM nation
+        |GROUP BY n_regionkey""".stripMargin,
+  )
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.queries.Analytics
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("approx distinct within 10% of exact") {
+    val approx = Analytics.approxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey"), countDistinct($"l_orderkey"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, o)) =>
+      assert(math.abs(approx(k)._1 - p).toDouble / p < 0.1)
+      assert(math.abs(approx(k)._2 - o).toDouble / o < 0.1)
+    }
+  }
+
+  test("grouping sets has per-status, per-priority and grand-total rows") {
+    val rows = Analytics.groupingSets(spark, sf).collect()
+    val statuses = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))
+    val priorities = rows.count(r => r.isNullAt(0) && !r.isNullAt(1))
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(statuses == 3 && priorities == 5 && grand.length == 1)
+    assert(grand(0).getAs[Long]("n") == Tables.orders(spark, sf).count())
+  }
+
+  test("pivot row sums equal the unpivoted counts") {
+    val p = Analytics.pivotStatus(spark, sf)
+    val total = p.select(
+      (coalesce($"F", lit(0L)) + coalesce($"O", lit(0L)) +
+        coalesce($"P", lit(0L))).as("t"))
+      .agg(sum($"t")).as[Long].head()
+    assert(total == Tables.orders(spark, sf).count())
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey".as("okey"), $"l_quantity")
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey".as("okey"), $"o_orderpriority")
+    val plain = li.join(o, "okey")
+    val salted = SkewTools.saltedJoin(li, o, "okey", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val li = Tables.lineitem(spark, sf)
+    val plain = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("q"), count(lit(1)).as("n"))
+    val salted = SkewTools.saltedAgg(li, "l_returnflag", salts = 8,
+      agg = Seq(sum($"l_quantity").as("q"), count(lit(1)).as("n")),
+      merge = Seq(sum($"q").as("q"), sum($"n").as("n")))
+    val joined = plain.as("p").join(salted.as("s"), "l_returnflag")
+      .filter(abs($"p.q" - $"s.q") > 1e-6 || $"p.n" =!= $"s.n")
+    assert(joined.count() == 0)
+  }
+
+  test("custom functions are SQL-callable (registry path of GraftExtensions)") {
+    // a fresh session with .withExtensions would need its own
+    // SparkContext (getOrCreate reuses the shared one and ignores
+    // extensions); exercise the same expression builders through the
+    // registry instead, plus the extension's apply() wiring itself
+    new graft.functions.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+    graft.functions.GraftFunctions.register(spark)
+    val cos = spark.sql(
+      """SELECT graft_cosine_sim(CAST(ARRAY(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                        CAST(ARRAY(2.0, 4.0) AS ARRAY<DOUBLE>)) AS c""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val dot = spark.sql(
+      """SELECT graft_dot_product(CAST(ARRAY(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                         CAST(ARRAY(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+  }
+}
