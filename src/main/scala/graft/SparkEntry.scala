@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.Text,
     graft.queries.Streaming,
     graft.queries.Analytics,
+    graft.queries.Advanced,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

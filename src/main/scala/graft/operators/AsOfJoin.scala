@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for every left row, attach the LATEST right row
+  * with `rightOn <= leftOn` for the same `by` key, optionally within a
+  * tolerance.
+  *
+  * Spark has no native as-of join, but the preference order (SURVEY.md
+  * §7.3 / spark guide) says compose built-ins before writing a custom
+  * `SparkPlan` — and the composition exists: tag both sides, UNION, and
+  * take `last(payload, ignoreNulls=true)` over a window ordered by
+  * `(time, side)` with the right side sorting first at equal timestamps.
+  * The payload "falls through" to each left row as the most recent right
+  * value at-or-before its timestamp.
+  *
+  * Cost shape: ONE shuffle of `|L|+|R|` rows on the `by` key and one sort
+  * within partitions — identical to what a dedicated sort-merge as-of
+  * `SparkPlan` would do, with Catalyst/AQE handling skew and spill. A
+  * running `last(...)` over an ever-growing frame is O(1) per row
+  * (UnboundedPreceding→CurrentRow frames keep running state; no
+  * re-scan).
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) side
+    * @param right      right (quote) side
+    * @param by         equi-key column present on both sides
+    * @param leftOn     left event-time column (TimestampType)
+    * @param rightOn    right event-time column (TimestampType)
+    * @param rightCols  right columns to attach (null when no match)
+    * @param tolerance  max `leftOn - rightOn` in microseconds; None = ∞
+    */
+  def backward(left: DataFrame, right: DataFrame, by: String,
+      leftOn: String, rightOn: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rStructCols = (rightOn +: rightCols).distinct
+    val lType = left.select(leftCols.map(col): _*).schema
+    val rType = right.select(rStructCols.map(col): _*).schema
+    val l = left.select(
+      col(by).as("__key"), col(leftOn).as("__t"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__lrow"),
+      lit(null).cast(rType).as("__rrow"))
+    val r = right.select(
+      col(by).as("__key"), col(rightOn).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__lrow"),
+      struct(rStructCols.map(col): _*).as("__rrow"))
+
+    // right rows (side 0) sort before left rows (side 1) at equal t, so a
+    // quote AT the probe's timestamp is visible (<= semantics)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = l.unionByName(r)
+      .withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val withTol = tolerance.fold(joined) { tol =>
+      joined.withColumn("__match",
+        when(col("__match").isNotNull &&
+          unix_micros(col("__t")) -
+            unix_micros(col("__match").getField(rightOn)) <= tol,
+          col("__match")))
+    }
+
+    val leftOut = leftCols.map(c => col("__lrow").getField(c).as(c))
+    val rightOut = rightCols.map(c => col("__match").getField(c).as(c))
+    val rightTime = col("__match").getField(rightOn).as(s"${rightOn}_matched")
+    withTol.select(leftOut ++ (rightTime +: rightOut): _*)
+  }
+}

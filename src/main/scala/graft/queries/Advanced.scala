@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Advanced join/subquery shapes: as-of join (oracled against DuckDB's
+  * native ASOF JOIN), scalar subqueries, and correlated EXISTS — the
+  * TPC-H Q11/Q17-style patterns the ad-hoc SQL surface must support.
+  */
+object Advanced extends QueryPack {
+
+  /** For every purchase event: the user's latest click at-or-before it. */
+  def asofPurchaseClicks(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    AsOfJoin.backward(purchases, clicks,
+      by = "user_id", leftOn = "ts", rightOn = "ts",
+      rightCols = Seq("click_value"))
+      .withColumnRenamed("ts_matched", "click_ts")
+  }
+
+  /** TPC-H Q17 shape: lineitems whose quantity is below 0.5× their
+    * part's average quantity (scalar subquery per part, decorrelated by
+    * Catalyst into an aggregate + join).
+    */
+  def belowAvgQuantity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgQ = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQ, li("l_partkey") === avgQ("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("l_extendedprice")).as("small_rev"))
+  }
+
+  /** TPC-H Q11 shape: part types whose revenue exceeds 1/50 of GLOBAL
+    * revenue (scalar subquery against the whole table).
+    */
+  def significantPartTypes(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val joined = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val byType = joined.groupBy(col("p_type"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    val total = joined.agg(
+      sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("t"))
+    byType.crossJoin(total)
+      .filter(col("revenue") > col("t") / 50.0)
+      .select(col("p_type"), col("revenue"))
+  }
+
+  /** Correlated EXISTS via spark.sql (exercises the SQL subquery planner,
+    * not a manual semi-join): customers holding an open order priced
+    * over 300k, counted per nation.
+    */
+  def bigOpenOrderCustomers(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_adv_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_adv_orders")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_adv_nation")
+    s.sql(
+      """SELECT n_name, count(1) AS n_customers
+        |FROM graft_adv_customer c JOIN graft_adv_nation n
+        |  ON c.c_nationkey = n.n_nationkey
+        |WHERE EXISTS (
+        |  SELECT 1 FROM graft_adv_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderstatus = 'O' AND o.o_totalprice > 300000.0)
+        |GROUP BY n_name""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_asof_join" -> asofPurchaseClicks _,
+    "q47_below_avg_qty" -> belowAvgQuantity _,
+    "q48_corr_exists" -> bigOpenOrderCustomers _,
+    "q49_revenue_share" -> significantPartTypes _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q46_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, value AS click_value FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.ts AS click_ts, c.click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q47_below_avg_qty" ->
+      """SELECT l_returnflag, count(1) AS n_small,
+        |  sum(l_extendedprice) AS small_rev
+        |FROM lineitem l
+        |WHERE l_quantity < 0.5 * (
+        |  SELECT avg(l_quantity) FROM lineitem
+        |  WHERE l_partkey = l.l_partkey)
+        |GROUP BY l_returnflag""".stripMargin,
+    "q48_corr_exists" ->
+      """SELECT n_name, count(1) AS n_customers
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderstatus = 'O' AND o.o_totalprice > 300000.0)
+        |GROUP BY n_name""".stripMargin,
+    "q49_revenue_share" ->
+      """SELECT p_type,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type
+        |HAVING sum(l_extendedprice * (1.0 - l_discount)) > (
+        |  SELECT sum(l_extendedprice * (1.0 - l_discount)) / 50.0
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
+  )
+}

@@ -1,0 +1,96 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the flattener (SURVEY.md §5.5): generated nested
+  * schemas flatten to flat schemas with unique deterministic names and a
+  * preserved leaf set. Uses raw ScalaCheck generators with fixed seeds
+  * (the scalatest-scalacheck bridge isn't in the offline cache).
+  */
+class FlattenerPropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // -- generators ----------------------------------------------------------
+  private val leafGen: Gen[DataType] =
+    Gen.oneOf(StringType, LongType, DoubleType, BooleanType)
+
+  private def structGen(depth: Int): Gen[StructType] =
+    for {
+      n <- Gen.choose(1, 3)
+      fields <- Gen.listOfN(n, fieldGen(depth))
+    } yield StructType(fields.zipWithIndex.map { case (f, i) =>
+      f.copy(name = s"${f.name}$i") // unique sibling names
+    })
+
+  private def fieldGen(depth: Int): Gen[StructField] =
+    for {
+      name <- Gen.oneOf("a", "b", "cD", "e_f")
+      dt <- if (depth <= 0) leafGen
+        else Gen.frequency(
+          4 -> leafGen,
+          2 -> structGen(depth - 1).map(identity[DataType]),
+          1 -> leafGen.map(ArrayType(_, containsNull = true)))
+    } yield StructField(name, dt, nullable = true)
+
+  private def valueFor(dt: DataType, seed: Int): Any = dt match {
+    case StringType => s"s$seed"
+    case LongType => seed.toLong
+    case DoubleType => seed + 0.5
+    case BooleanType => seed % 2 == 0
+    case ArrayType(et, _) => Seq(valueFor(et, seed), valueFor(et, seed + 1))
+    case st: StructType =>
+      Row(st.fields.zipWithIndex.map { case (f, i) =>
+        valueFor(f.dataType, seed + i) }: _*)
+  }
+
+  private def leafCount(dt: DataType): Int = dt match {
+    case st: StructType => st.fields.map(f => leafCount(f.dataType)).sum
+    case ArrayType(et, _) => leafCount(et)
+    case _ => 1
+  }
+
+  test("flatten always reaches a flat schema with unique column names") {
+    samples(structGen(3), 25).foreach { schema =>
+      val df = spark.createDataFrame(
+        java.util.List.of(valueFor(schema, 1).asInstanceOf[Row]), schema)
+      val flat = Flattener.flatten(df)
+      assert(!flat.schema.fields.exists(f =>
+        f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[ArrayType]),
+        s"nesting left for ${schema.simpleString}")
+      assert(flat.columns.distinct.length == flat.columns.length,
+        s"duplicate columns for ${schema.simpleString}: ${flat.columns.mkString(",")}")
+      assert(flat.columns.length == leafCount(schema),
+        s"leaf count mismatch for ${schema.simpleString}")
+      assert(flat.count() >= 1)
+    }
+  }
+
+  test("flatten row count is the product of top-level array lengths") {
+    import graft.SparkSpec.spark.implicits._
+    for (n1 <- 0 to 3; n2 <- 0 to 3) {
+      val df = Seq((1L, Seq.tabulate(n1)(_.toLong), Seq.tabulate(n2)(_.toString)))
+        .toDF("id", "xs", "ys")
+      val flat = Flattener.flatten(df)
+      // explode_outer: empty arrays contribute a single null row
+      val expected = math.max(n1, 1) * math.max(n2, 1)
+      assert(flat.count() == expected, s"n1=$n1 n2=$n2")
+    }
+  }
+
+  test("standardizeName is deterministic and strips every dot") {
+    samples(Gen.nonEmptyListOf(Gen.oneOf("ab", "cD", "x1", "z")), 50)
+      .foreach { parts =>
+        val dotted = parts.mkString(".")
+        val out = Flattener.standardizeName(dotted)
+        assert(out == Flattener.standardizeName(dotted))
+        assert(!out.contains("."))
+        assert(out.take(parts.head.length) == parts.head)
+      }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+    (2L, "A", ts("2024-01-01 10:00:20"), 101.0),
+    (3L, "B", ts("2024-01-01 10:00:10"), 50.0),
+    (4L, "C", ts("2024-01-01 10:00:10"), 7.0) // no quotes at all
+  ).toDF("trade_id", "sym", "ts", "px")
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 99.5),
+    ("A", ts("2024-01-01 10:00:05"), 99.7), // equal-ts: must match trade 1
+    ("A", ts("2024-01-01 10:00:15"), 100.2),
+    ("B", ts("2024-01-01 10:00:30"), 49.0)  // after B's trade: no match
+  ).toDF("sym", "ts", "bid")
+
+  test("backward as-of: latest quote at-or-before each trade") {
+    val out = AsOfJoin.backward(trades, quotes, "sym", "ts", "ts",
+      Seq("bid")).collect().map(r =>
+        r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("bid"))).toMap
+    assert(out(1L) == Some(99.7))   // <= semantics: same-timestamp quote
+    assert(out(2L) == Some(100.2))
+    assert(out(3L) == None)          // quote only exists after the trade
+    assert(out(4L) == None)          // key never quoted
+  }
+
+  test("tolerance drops stale matches") {
+    val out = AsOfJoin.backward(trades, quotes, "sym", "ts", "ts",
+      Seq("bid"), tolerance = Some(3L * 1000000L)) // 3 s
+      .collect().map(r =>
+        r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("bid"))).toMap
+    assert(out(1L) == Some(99.7))   // 0 s old
+    assert(out(2L) == None)          // best quote is 5 s old > 3 s
+  }
+
+  test("left row count is preserved (left-join semantics)") {
+    val out = AsOfJoin.backward(trades, quotes, "sym", "ts", "ts", Seq("bid"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq ==
+      Seq("trade_id", "sym", "ts", "px", "ts_matched", "bid"))
+  }
+
+  test("single shuffle on the by-key (no per-row join explosion)") {
+    val plan = AsOfJoin.backward(trades, quotes, "sym", "ts", "ts", Seq("bid"))
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 shuffle:\n$plan")
+  }
+}

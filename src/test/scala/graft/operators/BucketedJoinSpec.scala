@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Co-located joins via bucketing (SURVEY.md §2.2 / the 100 TB posture):
+  * two tables bucketed by the join key join WITHOUT a shuffle — the
+  * pre-shuffled on-disk layout replaces the exchange. This is the
+  * pattern that turns the repeated orders⋈lineitem fact-fact join from
+  * a per-query shuffle of the big table into a one-time write cost.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without an exchange") {
+    val db = "graft_bucket_db"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      Tables.orders(spark, sf).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.orders_b")
+      Tables.lineitem(spark, sf).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+
+      val o = spark.table(s"$db.orders_b")
+      val l = spark.table(s"$db.lineitem_b")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("qty"))
+
+      // disable broadcast so the join strategy is actually exercised
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          plan)
+        // the join itself needs NO exchange: both sides pre-bucketed.
+        // (the final groupBy aggregation still shuffles — that's expected)
+        val joinSection = plan.substring(0, plan.indexOf("Scan"))
+        val exchangesBeforeScan = "Exchange hashpartitioning".r
+          .findAllIn(plan).length
+        assert(exchangesBeforeScan <= 1,
+          s"expected at most the aggregation exchange, got $exchangesBeforeScan:\n$plan")
+
+        // and the result is correct vs the unbucketed join
+        val expect = Tables.lineitem(spark, sf)
+          .join(Tables.orders(spark, sf),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity")).as("qty"))
+        assert(joined.exceptAll(expect).count() == 0)
+        assert(expect.exceptAll(joined).count() == 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+}

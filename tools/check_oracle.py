@@ -53,13 +53,19 @@ def main(sf_dir, out_dir):
         g, e = canon(got), canon(exp)
         worst = 0.0
         bad = None
+        import pandas as pd
+
+        def isnull(x):
+            try:
+                return x is None or bool(pd.isna(x))
+            except (TypeError, ValueError):
+                return False  # arrays etc.
+
         for c in g.columns:
             gv, ev = g[c].tolist(), e[c].tolist()
             for i, (a, b) in enumerate(zip(gv, ev)):
-                if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
-                    an = a is None or (isinstance(a, float) and math.isnan(a))
-                    bn = b is None or (isinstance(b, float) and math.isnan(b))
-                    if an != bn:
+                if isnull(a) or isnull(b):
+                    if isnull(a) != isnull(b):
                         bad = (c, i, a, b); break
                     continue
                 if isinstance(a, float) or isinstance(b, float):
