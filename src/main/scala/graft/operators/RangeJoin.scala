@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join: `points(t) ⋈ intervals[start, end]`
+  * with an equi-key, WITHOUT the cross-product a naive
+  * `p.key = i.key AND t BETWEEN start AND end` theta-join degenerates to
+  * (Spark plans that as BroadcastNestedLoop per key when the range
+  * predicate defeats the equi-join path).
+  *
+  * Banding: time is cut into fixed buckets of `bucketWidthUs`; an
+  * interval replicates to every bucket it touches (`sequence` +
+  * `explode` — intervals spanning B buckets cost B rows), a point maps
+  * to exactly its own bucket, and the join becomes a plain shuffled
+  * equi-join on `(key, bucket)` + exact `BETWEEN` filter. Each matching
+  * (point, interval) pair meets in precisely one bucket (the point's),
+  * so no dedup is needed. Pick `bucketWidthUs` near the median interval
+  * length: too small replicates intervals, too large fans buckets out.
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
+      tCol: String, startCol: String, endCol: String,
+      bucketWidthUs: Long): DataFrame = {
+    val w = lit(bucketWidthUs)
+    val p = points.withColumn("__bucket",
+      (unix_micros(col(tCol)) / w).cast("long"))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(
+        (unix_micros(col(startCol)) / w).cast("long"),
+        (unix_micros(col(endCol)) / w).cast("long"))))
+    p.join(i, Seq(key, "__bucket"))
+      .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

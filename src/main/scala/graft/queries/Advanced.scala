@@ -74,11 +74,52 @@ object Advanced extends QueryPack {
         |GROUP BY n_name""".stripMargin)
   }
 
+  /** Banded range join: map every event back into the gap-session
+    * interval that contains it (intervals from the same sessionization
+    * the oracle recomputes with an inequality join).
+    */
+  def rangeJoinSessions(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val sessions = graft.streaming.EventSessions.sessionizeBatch(events)
+    graft.operators.RangeJoin.pointInInterval(
+      events.select(col("event_id"), col("user_id"), col("ts")),
+      sessions.select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end")),
+      key = "user_id", tCol = "ts",
+      startCol = "session_start", endCol = "session_end",
+      bucketWidthUs = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+  }
+
+  /** Winnowing fingerprints, rows-only (xxhash64 is engine-specific);
+    * overlap behavior is asserted in `TextMultimodalSpec`.
+    */
+  def winnow(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(
+          TextAnalysis.wsTokens(lower(col("text"))))).as("fp"))
+  }
+
+  /** Approximate quantile sketch, rows-only (sketch internals are
+    * engine-specific); error bound vs exact in `AnalyticsSpec`.
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95_approx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_asof_join" -> asofPurchaseClicks _,
     "q47_below_avg_qty" -> belowAvgQuantity _,
     "q48_corr_exists" -> bigOpenOrderCustomers _,
     "q49_revenue_share" -> significantPartTypes _,
+    "q56_range_join" -> rangeJoinSessions _,
+    "q57_winnow_fingerprints" -> winnow _,
+    "q58_approx_quantiles" -> approxQuantiles _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -117,5 +158,28 @@ object Advanced extends QueryPack {
         |HAVING sum(l_extendedprice * (1.0 - l_discount)) > (
         |  SELECT sum(l_extendedprice * (1.0 - l_discount)) / 50.0
         |  FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
+    "q56_range_join" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM y),
+        |sessions AS (
+        |  SELECT user_id, session_seq,
+        |    min(ts) AS session_start, max(ts) AS session_end
+        |  FROM z GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, s.session_seq
+        |FROM events e JOIN sessions s
+        |  ON e.user_id = s.user_id
+        |  AND e.ts >= s.session_start AND e.ts <= s.session_end""".stripMargin,
   )
 }

@@ -113,4 +113,20 @@ object TextAnalysis {
   def rollingHash(tokens: Column): Column =
     aggregate(tokens, lit(0L),
       (h, t) => pmod(h * 31L + pmod(xxhash64(t), lit(ROLL_P)), lit(ROLL_P)))
+
+  /** Winnowing fingerprint set (local-minimum selection): hash every
+    * k-token shingle, slide a window of `window` consecutive hashes,
+    * keep each window's minimum, dedupe. Two documents sharing long
+    * stretches of text share most selected fingerprints — the classic
+    * plagiarism/near-dup signature with guaranteed match on any shared
+    * run ≥ window+k−1 tokens. One narrow pass of HOFs per document.
+    */
+  def winnowFingerprints(tokensCol: Column, k: Int = 3,
+      window: Int = 4): Column = {
+    val hashes = transform(
+      graft.dedup.TextShingles.shingles(tokensCol, k), s => xxhash64(s))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(hashes) - window, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(window)))))
+  }
 }

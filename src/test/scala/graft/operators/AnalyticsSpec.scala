@@ -22,6 +22,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles within 2% of exact percentiles") {
+    val approx = graft.queries.Advanced.approxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)"),
+        expr("percentile(o_totalprice, 0.95)"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.02)
+      assert(math.abs(approx(k)._2 - p95) / p95 < 0.02)
+    }
+  }
+
+  test("range join maps every event to exactly one session") {
+    val out = graft.queries.Advanced.rangeJoinSessions(spark, sf)
+    val events = Tables.events(spark, sf)
+    assert(out.count() == events.count()) // total cover, no duplicates
+    assert(out.select("event_id").distinct().count() == events.count())
+  }
+
   test("grouping sets has per-status, per-priority and grand-total rows") {
     val rows = Analytics.groupingSets(spark, sf).collect()
     val statuses = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))

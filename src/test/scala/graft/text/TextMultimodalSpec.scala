@@ -67,6 +67,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(h(1L) != h(2L))
   }
 
+  test("winnowing: near-duplicate docs share most fingerprints") {
+    val pairs = graft.dedup.NgramJaccard.pairs(docs, 3, 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.winnowFingerprints(
+        TextAnalysis.wsTokens(lower(col("text")))).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // every planted near-dup pair overlaps in >= half its fingerprints
+    pairs.foreach { case (a, b) =>
+      val ov = fps(a).intersect(fps(b)).size.toDouble /
+        math.min(fps(a).size, fps(b).size)
+      assert(ov >= 0.5, s"pair ($a,$b) winnow overlap $ov")
+    }
+    // and two random unrelated docs share almost nothing
+    val (u, v) = (fps(0L), fps(3L))
+    assert(u.intersect(v).size.toDouble / math.min(u.size, v.size) < 0.2)
+  }
+
   test("media ingest + stub feature extraction is deterministic and typed") {
     val media = Multimodal.readMediaDir(spark, "/root/repo/fixtures/media")
     assert(media.count() == 4)
