@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit simhash of a token array column. */
-  def simhash64(tokensCol: Column): Column = {
+  /** 64-bit simhash of a token array column — pure-HOF reference form
+    * (per-bit ±1 votes via `zip_with`). Kept as the executable spec for
+    * [[graft.functions.SimHashFromHashes]], which computes the same
+    * value in one generated loop and is what [[fingerprints]] uses.
+    */
+  def simhash64Hof(tokensCol: Column): Column = {
     val hashes = transform(tokensCol, t => xxhash64(t))
     // per-bit counters: +1 where the token hash has bit i, else -1
     val counters = aggregate(
@@ -36,10 +40,14 @@ object SimHash {
       lit(0L), (s, x) => s.bitwiseOR(x))
   }
 
-  def fingerprints(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    docs.repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        simhash64(TextShingles.tokens(col("text"))).as("simhash"))
+        graft.functions.GraftFunctions.simhashFromHashes(spark,
+          transform(TextShingles.tokens(col("text")), t => xxhash64(t)))
+          .as("simhash"))
+  }
 
   /** All pairs (doc_a < doc_b) with hamming(simhash) ≤ maxHamming.
     * Exact for maxHamming < bands (pigeonhole); default 3 < 4.

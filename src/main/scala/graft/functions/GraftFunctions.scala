@@ -25,6 +25,18 @@ object GraftFunctions {
       DOT_FN,
       exprs => DotProduct(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SIMHASH_FN,
+      exprs => SimHashFromHashes(exprs(0)),
+      "built-in")
+  }
+
+  val SIMHASH_FN = "graft_simhash"
+
+  /** One-loop simhash over token hashes (see [[SimHashFromHashes]]). */
+  def simhashFromHashes(spark: SparkSession, hashes: Column): Column = {
+    register(spark)
+    call_function(SIMHASH_FN, hashes)
   }
 
   private def registerTopK(spark: SparkSession, k: Int): String = {

@@ -224,7 +224,44 @@ object Relational extends QueryPack {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(25)
 
+  /** FULL OUTER join: customer roster vs per-customer order rollup —
+    * left-only rows (customers who never ordered big) keep nulls on the
+    * right, and vice versa.
+    */
+  def customerOrderCoverage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_big_orders"))
+  }
+
+  /** Window-function spread: lead, first_value, ntile over a total
+    * per-customer order ordering.
+    */
+  def orderWindowFunctions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 500)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        first_value(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_price"),
+        ntile(4).over(w).as("quartile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_full_outer" -> customerOrderCoverage _,
+    "q60_window_funcs" -> orderWindowFunctions _,
     "q01_pricing_summary" -> pricingSummary _,
     "q02_revenue_forecast" -> revenueForecast _,
     "q03_top_orders" -> topUnshippedOrders _,
@@ -248,6 +285,23 @@ object Relational extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q59_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.c_name, o.n_big_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(1) AS n_big_orders FROM orders
+        |  WHERE o_totalprice > 400000.0 GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q60_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |  first_value(o_totalprice) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WHERE o_custkey < 500
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

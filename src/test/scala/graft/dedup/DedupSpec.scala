@@ -48,6 +48,14 @@ class DedupSpec extends SparkSpec {
       s"simhash covered ${covered.size}/${exact.size} planted pairs")
   }
 
+  test("SimHashFromHashes expression equals the HOF reference form") {
+    val withBoth = docs.limit(100).select(
+      graft.functions.GraftFunctions.simhashFromHashes(spark,
+        transform(TextShingles.tokens(col("text")), t => xxhash64(t))).as("fast"),
+      SimHash.simhash64Hof(TextShingles.tokens(col("text"))).as("ref"))
+    assert(withBoth.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("simhash hamming 0 for identical docs") {
     val two = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"))
