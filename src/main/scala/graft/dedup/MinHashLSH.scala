@@ -31,11 +31,17 @@ import org.apache.spark.sql.functions._
 object MinHashLSH {
 
   def signatures(docs: DataFrame, k: Int = 3, numHashes: Int = 96): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val sh = TextShingles.shingleDf(docs.repartition(par), k)
-    val hashed = sh.withColumn("h", transform(col("shingles"), s => xxhash64(s)))
+    // all numHashes mins in ONE generated loop over the shingle hashes
+    // (graft.functions.MinHashSignature) instead of numHashes separate
+    // array_min(transform(...)) materializations
+    val hashed = sh.withColumn("sig",
+      graft.functions.GraftFunctions.minhashSignature(spark,
+        transform(col("shingles"), s => xxhash64(s)), numHashes))
     val sigCols: Seq[Column] = (0 until numHashes).map { j =>
-      array_min(transform(col("h"), x => xxhash64(x, lit(j)))).as(s"sig_$j")
+      element_at(col("sig"), j + 1).as(s"sig_$j")
     }
     hashed.select(col("doc_id") +: col("shingles") +: col("n_shingles") +: sigCols: _*)
   }

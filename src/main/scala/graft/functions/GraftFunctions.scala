@@ -32,6 +32,33 @@ object GraftFunctions {
   }
 
   val SIMHASH_FN = "graft_simhash"
+  val MINHASH_PREFIX = "graft_minhash_" // one registered name per numHashes
+  val WINNOW_PREFIX = "graft_winnow_"   // one registered name per window
+
+  /** Winnowing window-min selection in one generated loop (see
+    * [[WinnowFingerprints]]). Registers on the active session.
+    */
+  def winnow(hashes: Column, window: Int): Column = {
+    val spark = SparkSession.active
+    val name = WINNOW_PREFIX + window
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => WinnowFingerprints(exprs(0), window),
+      "built-in")
+    call_function(name, hashes)
+  }
+
+  /** MinHash signature vector in one generated loop (see
+    * [[MinHashSignature]]).
+    */
+  def minhashSignature(spark: SparkSession, hashes: Column, numHashes: Int): Column = {
+    val name = MINHASH_PREFIX + numHashes
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => MinHashSignature(exprs(0), numHashes),
+      "built-in")
+    call_function(name, hashes)
+  }
 
   /** One-loop simhash over token hashes (see [[SimHashFromHashes]]). */
   def simhashFromHashes(spark: SparkSession, hashes: Column): Column = {

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** MinHash signature vector from an array of 64-bit shingle hashes.
+  *
+  * `sig_j = min over shingles x of h_j(x)` where `h_j` is a multiply-
+  * shift universal hash `a_j·x + b_j` (wrapping i64, constants derived
+  * deterministically from `numHashes` via SplittableRandom(seed=j)-style
+  * odd multipliers). One generated loop of `shingles × numHashes`
+  * multiply-adds, versus the HOF formulation's `numHashes` separate
+  * `array_min(transform(...))` array materializations.
+  *
+  * The signature FAMILY differs from the xxhash64-chained HOF version —
+  * that's fine by construction: signatures only gate LSH banding, and
+  * candidates are verified with exact jaccard afterwards, so any
+  * well-mixed hash family yields the same final pair set (asserted
+  * against the exact-pairs oracle in `DedupSpec`).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0 && numHashes <= 1024)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash expects array<bigint>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  @transient private lazy val consts = MinHashSignature.constants(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    val (as, bs) = consts
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val x = hs.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val v = as(j) * x + bs(j) // wrapping: raw JVM arithmetic
+          if (v < sigs(j)) sigs(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val constsRef = ctx.addReferenceObj("minhashConsts",
+      MinHashSignature.constants(numHashes), "scala.Tuple2")
+    nullSafeCodeGen(ctx, ev, a => {
+      val sigs = ctx.freshName("sigs")
+      val as = ctx.freshName("as")
+      val bs = ctx.freshName("bs")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $sigs = new long[$numHashes];
+         |java.util.Arrays.fill($sigs, Long.MAX_VALUE);
+         |long[] $as = (long[]) ((scala.Tuple2) $constsRef)._1();
+         |long[] $bs = (long[]) ((scala.Tuple2) $constsRef)._2();
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $x = $a.getLong($i);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $v = $as[$j] * $x + $bs[$j];
+         |      if ($v < $sigs[$j]) $sigs[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+  }
+}
+
+object MinHashSignature {
+  /** Deterministic odd multipliers + offsets (SplittableRandom-grade
+    * mixing via golden-ratio increments).
+    */
+  def constants(numHashes: Int): (Array[Long], Array[Long]) = {
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var j = 0
+    while (j < numHashes) {
+      as(j) = next() | 1L // odd multiplier
+      bs(j) = next()
+      j += 1
+    }
+    (as, bs)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Winnowing fingerprint selection from an array of shingle hashes:
+  * slide a window of `window` consecutive hashes, keep each window's
+  * minimum, return the DISTINCT minima in first-occurrence order —
+  * exactly the HOF formulation
+  * `array_distinct(transform(sequence(...), i -> array_min(slice(...))))`
+  * but as one generated pass (the HOF chain allocates a slice per
+  * window position, which dominated the corpus-scale profile).
+  */
+case class WinnowFingerprints(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow expects array<bigint>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = new java.util.LinkedHashSet[Any]()
+    val last = math.max(n - window, 0)
+    var i = 0
+    while (i <= last && n > 0) {
+      var min = Long.MaxValue
+      var sawNull = false
+      var anyVal = false
+      var j = i
+      val end = math.min(i + window, n)
+      while (j < end) {
+        if (hs.isNullAt(j)) sawNull = true
+        else { anyVal = true; val v = hs.getLong(j); if (v < min) min = v }
+        j += 1
+      }
+      // array_min semantics: nulls are skipped; all-null window -> null
+      if (anyVal) out.add(java.lang.Long.valueOf(min))
+      else if (sawNull) out.add(null)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val end = ctx.freshName("end")
+      val min = ctx.freshName("min")
+      val sawNull = ctx.freshName("sawNull")
+      val anyVal = ctx.freshName("anyVal")
+      val v = ctx.freshName("v")
+      val last = ctx.freshName("last")
+      s"""
+         |int $n = $a.numElements();
+         |java.util.LinkedHashSet $out = new java.util.LinkedHashSet();
+         |int $last = java.lang.Math.max($n - $window, 0);
+         |for (int $i = 0; $i <= $last && $n > 0; $i++) {
+         |  long $min = Long.MAX_VALUE;
+         |  boolean $sawNull = false; boolean $anyVal = false;
+         |  int $end = java.lang.Math.min($i + $window, $n);
+         |  for (int $j = $i; $j < $end; $j++) {
+         |    if ($a.isNullAt($j)) { $sawNull = true; }
+         |    else { $anyVal = true; long $v = $a.getLong($j); if ($v < $min) $min = $v; }
+         |  }
+         |  if ($anyVal) $out.add(java.lang.Long.valueOf($min));
+         |  else if ($sawNull) $out.add(null);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out.toArray());
+       """.stripMargin
+    })
+}

@@ -119,9 +119,23 @@ object TextAnalysis {
     * keep each window's minimum, dedupe. Two documents sharing long
     * stretches of text share most selected fingerprints — the classic
     * plagiarism/near-dup signature with guaranteed match on any shared
-    * run ≥ window+k−1 tokens. One narrow pass of HOFs per document.
+    * run ≥ window+k−1 tokens.
+    *
+    * The window-min selection runs in the generated
+    * [[graft.functions.WinnowFingerprints]] loop; [[winnowFingerprintsHof]]
+    * is the equivalent HOF formulation kept as its executable spec (the
+    * per-window `slice` allocations made it ~20× slower at corpus
+    * scale).
     */
   def winnowFingerprints(tokensCol: Column, k: Int = 3,
+      window: Int = 4): Column = {
+    val hashes = transform(
+      graft.dedup.TextShingles.shingles(tokensCol, k), s => xxhash64(s))
+    graft.functions.GraftFunctions.winnow(hashes, window)
+  }
+
+  /** Reference HOF form of [[winnowFingerprints]] (tested equal). */
+  def winnowFingerprintsHof(tokensCol: Column, k: Int = 3,
       window: Int = 4): Column = {
     val hashes = transform(
       graft.dedup.TextShingles.shingles(tokensCol, k), s => xxhash64(s))

@@ -83,6 +83,24 @@ class FlattenerPropertySpec extends SparkSpec {
     }
   }
 
+  test("time partition derivation is consistent with the epoch input") {
+    import graft.SparkSpec.spark.implicits._
+    val epochs = samples(Gen.choose(0L, 4102444800L), 60) // 1970..2100
+    val df = epochs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+      .toDF("id", "tts")
+    val out = TimePartitions.derive(df).collect()
+    out.foreach { r =>
+      val tts = r.getAs[Long]("tts")
+      val utc = java.time.Instant.ofEpochSecond(tts)
+        .atZone(java.time.ZoneOffset.UTC)
+      assert(r.getAs[Int]("year") == utc.getYear)
+      assert(r.getAs[Int]("month") == utc.getMonthValue)
+      assert(r.getAs[String]("day") == utc.getDayOfMonth.toString)
+      assert(r.getAs[java.sql.Date]("row_insert_date").toString ==
+        utc.toLocalDate.toString)
+    }
+  }
+
   test("standardizeName is deterministic and strips every dot") {
     samples(Gen.nonEmptyListOf(Gen.oneOf("ab", "cD", "x1", "z")), 50)
       .foreach { parts =>

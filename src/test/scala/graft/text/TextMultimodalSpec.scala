@@ -67,6 +67,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(h(1L) != h(2L))
   }
 
+  test("winnow expression equals the HOF reference form (as sets)") {
+    val both = docs.limit(100).select(
+      TextAnalysis.winnowFingerprints(
+        TextAnalysis.wsTokens(lower(col("text")))).as("fast"),
+      TextAnalysis.winnowFingerprintsHof(
+        TextAnalysis.wsTokens(lower(col("text")))).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet)
+    }
+  }
+
   test("winnowing: near-duplicate docs share most fingerprints") {
     val pairs = graft.dedup.NgramJaccard.pairs(docs, 3, 0.6)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
