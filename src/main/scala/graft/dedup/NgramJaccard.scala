@@ -21,11 +21,14 @@ object NgramJaccard {
       maxShingleDf: Option[Int] = None): DataFrame = {
     // spread docs across cores before the explode: document tables often
     // arrive as a single file → a single task otherwise carries the
-    // whole shingle fan-out
+    // whole shingle fan-out. Join on the shingle's 64-bit hash, not the
+    // string: same distinct-count semantics (collision odds ~|vocab|²/2⁶⁵)
+    // at a fraction of the shuffle bytes.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sh = TextShingles.shingleDf(docs.repartition(par), k)
     var ex = sh.select(col("doc_id"), col("n_shingles"),
-      explode(col("shingles")).as("s"))
+        explode(col("shingles")).as("s0")) // generators can't nest in exprs
+      .select(col("doc_id"), col("n_shingles"), xxhash64(col("s0")).as("s"))
     maxShingleDf.foreach { cap =>
       // scale guard: drop ubiquitous shingles before the pair join
       val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
