@@ -112,8 +112,29 @@ object Advanced extends QueryPack {
       .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
         percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95_approx"))
 
+  /** Same as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    * (`org.apache.spark.sql.graft.AsOfJoinExec`: LogicalPlan + Strategy +
+    * streaming sort-merge exec) — shares q46's oracle, so the driver
+    * hash-checks the custom plan against DuckDB's native ASOF JOIN.
+    */
+  def asofPhysical(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    org.apache.spark.sql.graft.AsOfJoinPhysical
+      .asof(purchases, clicks, by = "user_id",
+        leftOn = "ts", rightOn = "click_ts")
+      .toDF("event_id", "user_id", "ts", "value",
+        "r_user_id", "click_ts", "click_value")
+      .drop("r_user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_asof_join" -> asofPurchaseClicks _,
+    "q61_asof_physical" -> asofPhysical _,
     "q47_below_avg_qty" -> belowAvgQuantity _,
     "q48_corr_exists" -> bigOpenOrderCustomers _,
     "q49_revenue_share" -> significantPartTypes _,
@@ -124,6 +145,17 @@ object Advanced extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q46_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, value AS click_value FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.ts AS click_ts, c.click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q61_asof_physical" ->
       """WITH purchases AS (
         |  SELECT event_id, user_id, ts, value FROM events
         |  WHERE event_type = 'purchase'),

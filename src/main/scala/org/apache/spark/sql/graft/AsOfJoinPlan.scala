@@ -1,0 +1,173 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Backward as-of join as a FULL custom operator (SURVEY.md §7.3 path c:
+  * LogicalPlan + Strategy + SparkPlan), complementing the built-in
+  * composition in `graft.operators.AsOfJoin` (path a — union +
+  * last-ignoreNulls window).
+  *
+  * Why a physical operator here: the window composition materializes and
+  * sorts |L|+|R| rows and carries every right row's payload through the
+  * running-window state. This exec asks the planner for co-partitioned
+  * `(key)` / sorted `(key, time)` children — the same requirements
+  * machinery SortMergeJoin uses, so Exchange/Sort are planned (and
+  * reused/spilled/skew-handled) by Spark — and then streams both sides
+  * with one O(|L|+|R|) merge holding exactly ONE buffered right row.
+  *
+  * Lives under `org.apache.spark.sql` for `private[sql]` access
+  * (`Dataset.ofRows`) — the standard idiom for Spark extension projects.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftBy: Attribute, rightBy: Attribute,
+    leftOn: Attribute, rightOn: Attribute,
+    toleranceUs: Option[Long]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lb, rb, lo, ro, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftBy: Attribute, rightBy: Attribute,
+    leftOn: Attribute, rightOn: Attribute,
+    toleranceUs: Option[Long]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(leftBy)), ClusteredDistribution(Seq(rightBy)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending)),
+    Seq(SortOrder(rightBy, Ascending), SortOrder(rightOn, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftBy.dataType)
+    val tol = toleranceUs
+    val numOutputRows = longMetric("numOutputRows")
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyEval = BindReferences.bindReference(leftBy: Expression, left.output)
+      val lOnEval = BindReferences.bindReference(leftOn: Expression, left.output)
+      val rKeyEval = BindReferences.bindReference(rightBy: Expression, right.output)
+      val rOnEval = BindReferences.bindReference(rightOn: Expression, right.output)
+      val nullRight = new GenericInternalRow(right.output.length)
+      val joined = new JoinedRow
+      // bind against `output` (right side nullable), NOT the children's
+      // original attributes: a non-nullable BoundReference would read
+      // raw zeros out of the all-null unmatched row
+      val project = UnsafeProjection.create(output, output)
+
+      new Iterator[InternalRow] {
+        private var pendingRight: InternalRow = _   // read but not consumed
+        private var cand: InternalRow = _            // latest usable right row
+        private var candKey: Any = _
+        private var candTime: Long = 0L
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyEval.eval(l)
+          val lOn = lOnEval.eval(l)
+          if (lKey == null || lOn == null) {
+            numOutputRows += 1
+            return project(joined(l, nullRight))
+          }
+          val lTime = lOn.asInstanceOf[Long]
+          // consume right rows with key < lKey, or == lKey and time <= lTime
+          var done = false
+          while (!done && (pendingRight != null || rIter.hasNext)) {
+            if (pendingRight == null) pendingRight = rIter.next()
+            val rKey = rKeyEval.eval(pendingRight)
+            if (rKey == null) { pendingRight = null } // null keys never match
+            else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0) pendingRight = null
+              else if (cmp == 0) {
+                val rOn = rOnEval.eval(pendingRight)
+                if (rOn == null) pendingRight = null
+                else if (rOn.asInstanceOf[Long] <= lTime) {
+                  // rows are reused by the shuffle reader: copy to keep
+                  cand = pendingRight.copy()
+                  candKey = rKey
+                  candTime = rOn.asInstanceOf[Long]
+                  pendingRight = null
+                } else done = true
+              } else done = true
+            }
+          }
+          val matched = cand != null && keyOrd.compare(candKey, lKey) == 0 &&
+            tol.forall(t => lTime - candTime <= t)
+          numOutputRows += 1
+          project(joined(l, if (matched) cand else nullRight))
+        }
+      }
+    }
+  }
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public entry: build the custom plan from two DataFrames. Registers the
+  * strategy on the session (idempotent).
+  */
+object AsOfJoinPhysical {
+
+  def asof(leftDf: DataFrame, rightDf: DataFrame, by: String,
+      leftOn: String, rightOn: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = leftDf.queryExecution.analyzed
+    // self-join hazard: both inputs may derive from the same scan and
+    // share attribute exprIds; re-alias the right side with fresh ids
+    // (what the analyzer's self-join deduplication would do for a
+    // built-in Join)
+    val rAnalyzed = rightDf.queryExecution.analyzed
+    val rPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rAnalyzed.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+      rAnalyzed)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val node = AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, by), attr(rPlan, by),
+      attr(lPlan, leftOn), attr(rPlan, rightOn), toleranceUs)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
+  }
+}

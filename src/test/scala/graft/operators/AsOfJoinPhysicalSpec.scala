@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.AsOfJoinPhysical
+
+class AsOfJoinPhysicalSpec extends SparkSpec {
+
+  private def withAqe[A](on: Boolean)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", on.toString)
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def run(): (Set[(Long, Option[Long])], String) = {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val out = AsOfJoinPhysical.asof(purchases, clicks,
+      by = "user_id", leftOn = "ts", rightOn = "click_ts")
+      .toDF("event_id", "user_id", "ts", "value",
+        "r_user_id", "click_ts", "click_value")
+    val plan = out.queryExecution.executedPlan.toString
+    val got = out.select(col("event_id"), unix_micros(col("click_ts")))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toSet
+    (got, plan)
+  }
+
+  private lazy val expected: Set[(Long, Option[Long])] = {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts",
+      Seq("click_value"))
+      .select(col("event_id"), unix_micros(col("ts_matched")))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toSet
+  }
+
+  test("physical as-of exec equals the window composition (AQE off)") {
+    val (got, plan) = withAqe(false)(run())
+    assert(plan.contains("AsOfJoin"), plan) // TreeNode strips the Exec suffix
+    assert(!plan.contains("Window"), "physical path must not plan a window")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("physical as-of exec equals the window composition (AQE on)") {
+    val (got, _) = withAqe(true)(run())
+    assert(got == expected)
+  }
+
+  test("tolerance filters stale matches in the exec") {
+    import graft.SparkSpec.spark.implicits._
+    val trades = Seq((1L, "A", 100L), (2L, "A", 200L))
+      .toDF("id", "sym", "tus")
+      .select($"id", $"sym", timestamp_micros($"tus").as("ts"))
+    val quotes = Seq(("A", 95L, 1.0), ("A", 180L, 2.0))
+      .toDF("sym", "qus", "bid")
+      .select($"sym", timestamp_micros($"qus").as("qts"), $"bid")
+    val out = AsOfJoinPhysical.asof(trades, quotes, "sym", "ts", "qts",
+      toleranceUs = Some(10L))
+      .toDF("id", "sym", "ts", "r_sym", "qts", "bid")
+      .select($"id", $"bid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(1.0)) // 5 us old, within tolerance 10
+    assert(out(2L) == None)      // best quote is 20 us old > 10
+  }
+}
