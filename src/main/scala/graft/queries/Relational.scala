@@ -259,9 +259,29 @@ object Relational extends QueryPack {
         ntile(4).over(w).as("quartile"))
   }
 
+  /** EXCEPT (set difference): machinery-segment customers who never
+    * placed a high-value order.
+    */
+  def exceptBuyers(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    val big = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    seg.except(big)
+  }
+
+  /** CUBE: all grouping combinations of status × priority. */
+  def orderCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), avg(col("o_totalprice")).as("avg_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_full_outer" -> customerOrderCoverage _,
     "q60_window_funcs" -> orderWindowFunctions _,
+    "q62_except" -> exceptBuyers _,
+    "q63_cube" -> orderCube _,
     "q01_pricing_summary" -> pricingSummary _,
     "q02_revenue_forecast" -> revenueForecast _,
     "q03_top_orders" -> topUnshippedOrders _,
@@ -285,6 +305,16 @@ object Relational extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q62_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |WHERE o_totalprice > 200000.0""".stripMargin,
+    "q63_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(1) AS n_orders, avg(o_totalprice) AS avg_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q59_full_outer" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
         |  c.c_name, o.n_big_orders
