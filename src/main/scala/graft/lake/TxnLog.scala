@@ -1,0 +1,146 @@
+package graft.lake
+
+import graft.etl.SchemaRegistry
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.nio.charset.StandardCharsets
+
+/** Minimal transactional table log — the capability the reference gestures
+  * at by configuring Delta but never using it
+  * (`emr_json_parquet_schema_drift_etl.py:287-292`, SURVEY.md O3/K1), built
+  * from first principles on the Hadoop FS contract:
+  *
+  *  - layout: `<table>/data/<commitUuid>/part-*.parquet` +
+  *    `<table>/_graft_log/<version%08d>.json` manifests;
+  *  - an append writes its data files to a FRESH commit directory first,
+  *    then publishes a manifest with `create(..., overwrite = false)` —
+  *    readers either see the manifest (all files) or nothing (atomic
+  *    publish, no partial batches);
+  *  - optimistic concurrency: version = last + 1; losing a create race
+  *    re-reads the log and retries, so concurrent appends serialize;
+  *  - snapshot reads resolve a version's manifest chain — O(#commits)
+  *    metadata, never an O(#files) `mergeSchema` footer scan
+  *    (`etl.py:348-350`'s anti-pattern) — and pass the union schema
+  *    explicitly to the parquet reader;
+  *  - schema evolution: each manifest records the table schema after the
+  *    commit, merged with [[SchemaRegistry.merge]] widening rules;
+  *  - time travel: read any historical version by number.
+  *
+  * This is deliberately a compact teaching/scale skeleton, not Delta:
+  * no deletes/compaction/checkpointing — append-only, which is exactly
+  * the reference pipeline's write pattern.
+  */
+object TxnLog {
+
+  final case class Manifest(version: Long, commitDir: String,
+      files: Seq[String], schemaJson: String) {
+    def schema: StructType =
+      DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(table: String) = new Path(table, "_graft_log")
+
+  private def manifestPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%08d.json")
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = logDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted.toSeq
+  }
+
+  private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
+    val p = manifestPath(table, v)
+    val f = fs(spark, p)
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      // one-line custom format: version \n commitDir \n schemaJson \n files...
+      val lines = s.split('\n')
+      Manifest(lines(0).toLong, lines(1), lines.drop(3).toSeq, lines(2))
+    } finally in.close()
+  }
+
+  /** Append `df` as one atomic commit; returns the new version. */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      maxRetries: Int = 10): Long = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val commitDir = new Path(new Path(table, "data"), commitId)
+    df.write.parquet(commitDir.toString)
+    val f = fs(spark, commitDir)
+    val files = f.listStatus(commitDir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet")).map(_.toString).sorted
+
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val vs = versions(spark, table)
+      val next = vs.lastOption.getOrElse(0L) + 1
+      // manifest records THIS commit's schema; readers merge across
+      // manifests (reading old files with a later merged schema would
+      // ask parquet for coercions it refuses, e.g. double -> string)
+      val body = (Seq(next.toString, commitDir.toString, df.schema.json) ++
+        files).mkString("\n")
+      val p = manifestPath(table, next)
+      val lf = fs(spark, p)
+      lf.mkdirs(p.getParent)
+      try {
+        val out = lf.create(p, false) // fails if version already taken
+        try out.write(body.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        // HDFS create(overwrite=false) is atomic; the local FS is
+        // check-then-create, so two racers can both "succeed" on the
+        // same version with one silently overwritten. Read back and
+        // keep only the racer whose commitDir persisted.
+        if (readManifest(spark, table, next).commitDir == commitDir.toString)
+          return next
+        attempt += 1
+      } catch {
+        case _: java.io.IOException => attempt += 1 // lost the race; retry
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit to $table after $maxRetries attempts")
+  }
+
+  /** Snapshot read at a version (default: latest): each commit's files
+    * are read with THAT commit's schema, then cast-and-aligned to the
+    * union schema (missing columns null, widened/conflicted types cast)
+    * and unioned — schema evolution entirely from O(#commits) manifest
+    * metadata, no footer scans, no parquet-side coercion demands.
+    */
+  def snapshot(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val manifests = vs.filter(_ <= v).map(readManifest(spark, table, _))
+    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    manifests.map { m =>
+      val raw = spark.read.schema(m.schema).parquet(m.files: _*)
+      val present = m.schema.fieldNames.toSet
+      raw.select(merged.fields.toSeq.map { f =>
+        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Latest table schema (union over commits), metadata only. */
+  def schemaOf(spark: SparkSession, table: String): StructType = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    vs.map(readManifest(spark, table, _).schema).reduce(SchemaRegistry.merge)
+  }
+}

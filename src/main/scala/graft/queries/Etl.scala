@@ -65,7 +65,24 @@ object Etl extends QueryPack {
       .drop("input_file") // absolute path differs per host; not comparable
   }
 
+  /** Rows-only: transactional lake round trip — two atomic commits (the
+    * second with drifted schema), snapshot read of the merged table.
+    * Versioning/time-travel/concurrency are covered in `TxnLogSpec`.
+    */
+  def lakeSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val b1 = Flattener.flatten(s.read.json("/root/repo/fixtures/iot/batch1.jsonl"))
+    val b2 = Flattener.flatten(s.read.json("/root/repo/fixtures/iot/batch2_drift.jsonl"))
+    graft.lake.TxnLog.append(s, table, b1)
+    graft.lake.TxnLog.append(s, table, b2)
+    graft.lake.TxnLog.snapshot(s, table)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_lake_snapshot" -> lakeSnapshot _,
     "q21_flatten_struct" -> flattenRoundTrip _,
     "q22_flatten_array_struct" -> flattenArrayOfStruct _,
     "q23_time_partitions" -> timePartitionDerive _,

@@ -1,0 +1,66 @@
+package graft.lake
+
+import graft.SparkSpec
+import graft.etl.Flattener
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class TxnLogSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("append/snapshot round trip with schema evolution and time travel") {
+    val table = Files.createTempDirectory("graft-lake").toString
+    val b1 = Flattener.flatten(spark.read.json("fixtures/iot/batch1.jsonl"))
+    val v1 = TxnLog.append(spark, table, b1)
+    assert(v1 == 1L)
+    assert(TxnLog.snapshot(spark, table).count() == 6)
+
+    val b2 = Flattener.flatten(spark.read.json("fixtures/iot/batch2_drift.jsonl"))
+    val v2 = TxnLog.append(spark, table, b2)
+    assert(v2 == 2L)
+
+    // latest snapshot: union rows, merged (evolved) schema.
+    // FULLY materialize every column — count() alone satisfies itself
+    // from parquet metadata and masked a double-vs-string read failure
+    val latest = TxnLog.snapshot(spark, table)
+    assert(latest.collect().length == 8)
+    assert(latest.count() == 8)
+    assert(latest.columns.contains("deviceBatteryPct"))
+    assert(latest.filter(col("deviceBatteryPct").isNotNull).count() == 2)
+    // readingsVal drifted double->string; merged schema resolves to string
+    assert(latest.schema("readingsVal").dataType ==
+      org.apache.spark.sql.types.StringType)
+
+    // time travel: version 1 has neither the rows nor the columns of v2
+    val old = TxnLog.snapshot(spark, table, Some(1L))
+    assert(old.count() == 6)
+    assert(!old.columns.contains("deviceBatteryPct"))
+
+    // metadata-only schema access
+    assert(TxnLog.schemaOf(spark, table).fieldNames
+      .contains("deviceBatteryHealth"))
+    assert(TxnLog.versions(spark, table) == Seq(1L, 2L))
+  }
+
+  test("concurrent appends serialize to distinct versions, no lost commits") {
+    val table = Files.createTempDirectory("graft-lake-conc").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val versions = Await.result(
+      Future.traverse((1 to 4).toList)(_ => Future(TxnLog.append(spark, table, df))),
+      2.minutes).sorted
+    assert(versions == List(1L, 2L, 3L, 4L))
+    assert(TxnLog.snapshot(spark, table).count() == 8)
+  }
+
+  test("snapshot of unknown version is rejected") {
+    val table = Files.createTempDirectory("graft-lake-bad").toString
+    TxnLog.append(spark, table, Seq((1L, "x")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      TxnLog.snapshot(spark, table, Some(9L))
+    }
+  }
+}
