@@ -101,6 +101,21 @@ class FlattenerPropertySpec extends SparkSpec {
     }
   }
 
+  test("schema merge: idempotent, self-absorbing, union of names") {
+    samples(Gen.zip(structGen(2), structGen(2)), 25).foreach { case (a, b) =>
+      val ab = SchemaRegistry.merge(a, b)
+      // idempotence
+      assert(SchemaRegistry.merge(a, a) == a)
+      // absorbing: re-merging either input changes nothing
+      assert(SchemaRegistry.merge(ab, b) == ab)
+      assert(SchemaRegistry.merge(ab, a) == ab)
+      // name union
+      assert(ab.fieldNames.toSet == a.fieldNames.toSet ++ b.fieldNames.toSet)
+      // diff of a vs merged never reports removals
+      assert(SchemaRegistry.diff(a, ab).removed.isEmpty)
+    }
+  }
+
   test("standardizeName is deterministic and strips every dot") {
     samples(Gen.nonEmptyListOf(Gen.oneOf("ab", "cD", "x1", "z")), 50)
       .foreach { parts =>

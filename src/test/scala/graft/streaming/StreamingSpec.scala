@@ -77,6 +77,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("watermarked streaming windows equal batch windows once closed") {
+    implicit val sqlCtx2: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.events(spark, sf)
+    val evs = events.select($"ts", $"event_type", $"value")
+      .as[(java.sql.Timestamp, String, Double)].collect()
+
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = EventSessions.tumblingCounts(
+      in.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    in.addData(evs.toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel far past the data advances the watermark so every real
+    // window closes and emits
+    in.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_out")
+      .filter($"event_type" =!= "sentinel")
+    val batch = EventSessions.tumblingCounts(events)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("tumbling window totals reconcile with raw event counts") {
     val events = Tables.events(spark, sf)
     val w = EventSessions.tumblingCounts(events)
