@@ -71,15 +71,28 @@ object TxnLog {
     } finally in.close()
   }
 
-  /** Append `df` as one atomic commit; returns the new version. */
+  /** Append `df` as one atomic commit; returns the new version.
+    * `partitionCols` lays the commit out Hive-style inside its commit
+    * directory — snapshots then read with `basePath` so partition values
+    * resolve from directory names and partition-pruning filters apply.
+    */
   def append(spark: SparkSession, table: String, df: DataFrame,
-      maxRetries: Int = 10): Long = {
+      partitionCols: Seq[String] = Nil, maxRetries: Int = 10): Long = {
     val commitId = java.util.UUID.randomUUID().toString
     val commitDir = new Path(new Path(table, "data"), commitId)
-    df.write.parquet(commitDir.toString)
+    var w = df.write
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.parquet(commitDir.toString)
     val f = fs(spark, commitDir)
-    val files = f.listStatus(commitDir).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet")).map(_.toString).sorted
+    val files = {
+      val it = f.listFiles(commitDir, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) buf += p.toString
+      }
+      buf.sorted.toSeq
+    }
 
     var attempt = 0
     while (attempt < maxRetries) {
@@ -128,7 +141,10 @@ object TxnLog {
     val manifests = vs.filter(_ <= v).map(readManifest(spark, table, _))
     val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
     manifests.map { m =>
-      val raw = spark.read.schema(m.schema).parquet(m.files: _*)
+      // basePath lets Hive-layout commits resolve partition columns from
+      // directory names (and gives the scan PartitionFilters pruning)
+      val raw = spark.read.option("basePath", m.commitDir)
+        .schema(m.schema).parquet(m.files: _*)
       val present = m.schema.fieldNames.toSet
       raw.select(merged.fields.toSeq.map { f =>
         if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

@@ -132,9 +132,26 @@ object Advanced extends QueryPack {
       .drop("r_user_id")
   }
 
+  /** TPC-H Q21 shape: EXISTS and NOT EXISTS against the same table with
+    * different correlated predicates, composed as semi + anti joins.
+    */
+  def multiExists(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val o = Tables.orders(s, dir)
+    val hasF = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val hasBig = o.filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
+    c.join(hasF, c("c_custkey") === hasF("o_custkey"), "left_semi")
+      .join(hasBig, c("c_custkey") === hasBig("o_custkey"), "left_anti")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_asof_join" -> asofPurchaseClicks _,
     "q61_asof_physical" -> asofPhysical _,
+    "q65_multi_exists" -> multiExists _,
     "q47_below_avg_qty" -> belowAvgQuantity _,
     "q48_corr_exists" -> bigOpenOrderCustomers _,
     "q49_revenue_share" -> significantPartTypes _,
@@ -166,6 +183,14 @@ object Advanced extends QueryPack {
         |  c.ts AS click_ts, c.click_value
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q65_multi_exists" ->
+      """SELECT n_name, count(1) AS n_customers
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |AND NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |GROUP BY n_name""".stripMargin,
     "q47_below_avg_qty" ->
       """SELECT l_returnflag, count(1) AS n_small,
         |  sum(l_extendedprice) AS small_rev

@@ -56,6 +56,23 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, table).count() == 8)
   }
 
+  test("partitioned commits prune partitions at snapshot read") {
+    val table = Files.createTempDirectory("graft-lake-part").toString
+    val b1 = graft.etl.TimePartitions.derive(
+      Flattener.flatten(spark.read.json("fixtures/iot/batch1.jsonl")))
+    TxnLog.append(spark, table, b1, partitionCols = Seq("year", "month"))
+    // shifted copy lands in a different partition
+    val b2 = b1.withColumn("year", col("year") + 1)
+    TxnLog.append(spark, table, b2, partitionCols = Seq("year", "month"))
+
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.collect().length == 12)
+    val filtered = snap.filter(col("year") === 2024)
+    assert(filtered.count() == 6)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"), plan)
+  }
+
   test("snapshot of unknown version is rejected") {
     val table = Files.createTempDirectory("graft-lake-bad").toString
     TxnLog.append(spark, table, Seq((1L, "x")).toDF("id", "v"))
