@@ -49,7 +49,9 @@ object EtlMain {
       table = str("table"),
       partitionCols = opt("partitionCols")
         .map(_.split(',').map(_.trim).toSeq)
-        .getOrElse(etl.PartitionedSink.defaultPartitionCols))
+        .getOrElse(etl.PartitionedSink.defaultPartitionCols),
+      useLake = row.schema.fieldNames.contains("useLake") &&
+        row.getAs[Boolean]("useLake"))
     val pipe = new IncrementalJsonPipeline(cfg)
     val rehydrate = row.schema.fieldNames.contains("rehydrate") &&
       row.getAs[Boolean]("rehydrate")

@@ -27,7 +27,13 @@ final case class PipelineConfig(
     partitionCols: Seq[String] = PartitionedSink.defaultPartitionCols,
     ttsCol: String = "tts",
     schema: Option[StructType] = None,
-    multiline: Boolean = false)
+    multiline: Boolean = false,
+    /** true → write through `graft.lake.TxnLog` (atomic versioned
+      * commits, snapshot reads, time travel) instead of raw partitioned
+      * parquet + session-catalog sync. The lake's manifest log subsumes
+      * the registry/catalog roles; drift is still reported.
+      */
+    useLake: Boolean = false)
 
 final case class BatchResult(
     rowsWritten: Long,
@@ -71,16 +77,23 @@ class IncrementalJsonPipeline(cfg: PipelineConfig) {
       val files = flat.select(col(provenanceCol)).distinct()
         .collect().map(_.getString(0)).toSeq
       val toWrite = flat.drop(provenanceCol)
-      PartitionedSink.append(toWrite, cfg.sinkPath, cfg.partitionCols)
-      val rows = flat.count()
 
       val registry = new SchemaRegistry(spark, cfg.registryPath)
       val (merged, drift) = registry.update(toWrite.schema)
 
-      val catalog = new CatalogSync(spark)
-      val newParts = catalog.partitionSpecsOf(toWrite, cfg.partitionCols)
-      val action = catalog.sync(cfg.table, merged, cfg.partitionCols,
-        cfg.sinkPath, drift, newParts)
+      val (rows, action, newParts) =
+        if (cfg.useLake) {
+          val v = graft.lake.TxnLog.append(spark, cfg.sinkPath, toWrite,
+            cfg.partitionCols)
+          (flat.count(), s"lake-append-v$v", Nil)
+        } else {
+          PartitionedSink.append(toWrite, cfg.sinkPath, cfg.partitionCols)
+          val catalog = new CatalogSync(spark)
+          val parts = catalog.partitionSpecsOf(toWrite, cfg.partitionCols)
+          val act = catalog.sync(cfg.table, merged, cfg.partitionCols,
+            cfg.sinkPath, drift, parts)
+          (flat.count(), act, parts)
+        }
 
       val ledger = new FileLedger(spark, cfg.sourcePath, cfg.archivePath)
       ledger.archive(files)
