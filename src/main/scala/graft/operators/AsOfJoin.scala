@@ -72,4 +72,40 @@ object AsOfJoin {
     val rightTime = col("__match").getField(rightOn).as(s"${rightOn}_matched")
     withTol.select(leftOut ++ (rightTime +: rightOut): _*)
   }
+
+  /** Forward as-of: EARLIEST right row with `rightOn >= leftOn` — the
+    * backward join under time reflection (both sides' timestamps negated
+    * as micros, then restored). Same cost shape.
+    */
+  def forward(left: DataFrame, right: DataFrame, by: String,
+      leftOn: String, rightOn: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    def reflect(df: DataFrame, c: String): DataFrame =
+      df.withColumn(c, timestamp_micros(-unix_micros(col(c))))
+    val out = backward(reflect(left, leftOn), reflect(right, rightOn),
+      by, leftOn, rightOn, rightCols, tolerance)
+    reflect(reflect(out, leftOn), s"${rightOn}_matched")
+  }
+
+  /** Nearest as-of: whichever of the backward/forward matches is closer
+    * in time (ties → the earlier/backward match). One extra join pass.
+    */
+  def nearest(left: DataFrame, right: DataFrame, by: String,
+      leftOn: String, rightOn: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val matchedT = s"${rightOn}_matched"
+    val b = backward(left, right, by, leftOn, rightOn, rightCols, tolerance)
+    val f = forward(left, right, by, leftOn, rightOn, rightCols, tolerance)
+    val fRenamed = f.select(
+      left.columns.map(col).toSeq ++
+        (matchedT +: rightCols).map(c => col(c).as(s"__f_$c")): _*)
+    val joined = b.join(fRenamed, left.columns.toSeq)
+    val bDist = abs(unix_micros(col(leftOn)) - unix_micros(col(matchedT)))
+    val fDist = abs(unix_micros(col(leftOn)) - unix_micros(col(s"__f_$matchedT")))
+    val useB = col(matchedT).isNotNull &&
+      (col(s"__f_$matchedT").isNull || bDist <= fDist)
+    val picked = (matchedT +: rightCols).map(c =>
+      when(useB, col(c)).otherwise(col(s"__f_$c")).as(c))
+    joined.select(left.columns.map(col).toSeq ++ picked: _*)
+  }
 }

@@ -148,10 +148,24 @@ object Advanced extends QueryPack {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** Forward as-of: the user's EARLIEST click at-or-after each purchase. */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    AsOfJoin.forward(purchases, clicks,
+      by = "user_id", leftOn = "ts", rightOn = "ts",
+      rightCols = Seq("click_value"))
+      .withColumnRenamed("ts_matched", "click_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_asof_join" -> asofPurchaseClicks _,
     "q61_asof_physical" -> asofPhysical _,
     "q65_multi_exists" -> multiExists _,
+    "q66_asof_forward" -> asofForward _,
     "q47_below_avg_qty" -> belowAvgQuantity _,
     "q48_corr_exists" -> bigOpenOrderCustomers _,
     "q49_revenue_share" -> significantPartTypes _,
@@ -183,6 +197,17 @@ object Advanced extends QueryPack {
         |  c.ts AS click_ts, c.click_value
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q66_asof_forward" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, value AS click_value FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.ts AS click_ts, c.click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts""".stripMargin,
     "q65_multi_exists" ->
       """SELECT n_name, count(1) AS n_customers
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -43,6 +43,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L) == None)          // best quote is 5 s old > 3 s
   }
 
+  test("forward as-of: earliest quote at-or-after each trade") {
+    val out = AsOfJoin.forward(trades, quotes, "sym", "ts", "ts",
+      Seq("bid")).collect().map(r =>
+        r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("bid"))).toMap
+    assert(out(1L) == Some(99.7))   // same-ts quote (>= semantics)
+    assert(out(2L) == None)          // no quote after 10:00:20 for A
+    assert(out(3L) == Some(49.0))   // B's quote comes later
+    assert(out(4L) == None)
+  }
+
+  test("nearest as-of picks the closer side, backward on ties") {
+    val out = AsOfJoin.nearest(trades, quotes, "sym", "ts", "ts",
+      Seq("bid")).collect().map(r =>
+        r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("bid"))).toMap
+    assert(out(1L) == Some(99.7))   // exact hit
+    assert(out(2L) == Some(100.2))  // backward 5s vs no forward
+    assert(out(3L) == Some(49.0))   // only forward exists
+    assert(out(4L) == None)          // never quoted
+  }
+
   test("left row count is preserved (left-join semantics)") {
     val out = AsOfJoin.backward(trades, quotes, "sym", "ts", "ts", Seq("bid"))
     assert(out.count() == trades.count())
