@@ -9,16 +9,24 @@ import org.apache.spark.sql.functions._
   * string → pair aggregation. This is exact and quadratic only in
   * documents that actually SHARE a shingle — not all-pairs — but a
   * pathologically common shingle still fans out; at 100 TB use
-  * [[MinHashLSH]] (banded candidates, same verify step) or pre-drop
-  * shingles whose document frequency exceeds a cap (any shingle shared by
-  * thousands of docs contributes ~0 to a ≥0.6 jaccard decision but
-  * dominates the join).
+  * [[MinHashLSH]] (banded candidates, same verify step) or rely on the
+  * default document-frequency cap: a shingle shared by >1000 docs is
+  * boilerplate that contributes ~0 to a ≥0.6 jaccard decision (losing one
+  * common shingle moves jaccard by ~1/|union|) but dominates the join
+  * quadratically (>10⁶ pair rows from a single hot shingle).
   */
 object NgramJaccard {
 
-  /** All pairs (doc_a < doc_b) with |shingles∩| / |shingles∪| ≥ threshold. */
+  /** All pairs (doc_a < doc_b) with |shingles∩| / |shingles∪| ≥ threshold.
+    *
+    * `maxShingleDf` is ON by default — the df-capped result equals the
+    * uncapped one on any corpus without hot boilerplate shingles (asserted
+    * in DedupSpec), and at scale it is the difference between a bounded
+    * equi-join and a quadratic fan-out. Pass `None` for the exact-by-
+    * construction form on small corpora.
+    */
   def pairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.6,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
     // spread docs across cores before the explode: document tables often
     // arrive as a single file → a single task otherwise carries the
     // whole shingle fan-out. Join on the shingle's 64-bit hash, not the

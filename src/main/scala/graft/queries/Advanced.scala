@@ -252,8 +252,8 @@ object Advanced extends QueryPack {
         |  FROM x),
         |z AS (
         |  SELECT user_id, ts,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM y),
         |sessions AS (
         |  SELECT user_id, session_seq,

@@ -429,7 +429,7 @@ object Relational extends QueryPack {
         |FROM part""".stripMargin,
     "q15_events_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  avg(value) AS avg_value,
         |  count(*) AS n
         |FROM events

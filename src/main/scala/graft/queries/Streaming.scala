@@ -42,8 +42,8 @@ object Streaming extends QueryPack {
         |  FROM x),
         |z AS (
         |  SELECT user_id, ts,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM y)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end

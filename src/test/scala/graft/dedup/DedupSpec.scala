@@ -30,6 +30,30 @@ class DedupSpec extends SparkSpec {
     assert(groups.agg(sum($"n_copies")).as[Long].head() == planted.count())
   }
 
+  test("df-capped ngram-jaccard (the default) equals the uncapped exact form") {
+    val capped = pairSet(NgramJaccard.pairs(docs, 3, 0.6)) // default cap 1000
+    val uncapped = pairSet(NgramJaccard.pairs(docs, 3, 0.6, maxShingleDf = None))
+    assert(capped == uncapped,
+      s"missed=${uncapped -- capped} extra=${capped -- uncapped}")
+  }
+
+  test("df cap drops hot boilerplate shingles but keeps true near-dup pairs") {
+    // 30 filler docs share ONE boilerplate phrase and nothing else; docs
+    // 100/101 are identical apart from also carrying the boilerplate. With
+    // cap=5 the boilerplate shingles (df=32) leave the join, shrinking the
+    // fan-out, while the true pair keeps jaccard (n-3)/(n+3) >= 0.6.
+    val boiler = "subscribe to our newsletter today"
+    val dup = s"$boiler the quick brown fox jumps over the lazy dog " +
+      "while seventeen astronauts practice parallel parquet partition pruning"
+    val corpus = ((1 to 30).map(i =>
+        (i.toLong, s"$boiler unique document number $i speaks about topic $i only")) ++
+      Seq((100L, dup), (101L, dup))).toDF("doc_id", "text")
+    val capped = pairSet(NgramJaccard.pairs(corpus, 3, 0.6, maxShingleDf = Some(5)))
+    val uncapped = pairSet(NgramJaccard.pairs(corpus, 3, 0.6, maxShingleDf = None))
+    assert(uncapped == Set((100L, 101L)), s"uncapped=$uncapped")
+    assert(capped == Set((100L, 101L)), s"capped=$capped")
+  }
+
   test("minhash+LSH pairs equal the exact ngram-jaccard pairs") {
     val exact = pairSet(NgramJaccard.pairs(docs, 3, 0.6))
     val lsh = pairSet(MinHashLSH.pairs(docs, 3, 0.6))
