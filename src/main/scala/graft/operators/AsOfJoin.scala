@@ -1,11 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (backward) join: for every left row, attach the LATEST right row
-  * with `rightOn <= leftOn` for the same `by` key, optionally within a
+  * with `rightOn <= leftOn` for the same `by` key(s), optionally within a
   * tolerance.
   *
   * Spark has no native as-of join, but the preference order (SURVEY.md
@@ -16,36 +16,43 @@ import org.apache.spark.sql.functions._
   * The payload "falls through" to each left row as the most recent right
   * value at-or-before its timestamp.
   *
-  * Cost shape: ONE shuffle of `|L|+|R|` rows on the `by` key and one sort
-  * within partitions — identical to what a dedicated sort-merge as-of
-  * `SparkPlan` would do, with Catalyst/AQE handling skew and spill. A
-  * running `last(...)` over an ever-growing frame is O(1) per row
+  * Cost shape: ONE shuffle of `|L|+|R|` rows on the `by` key(s) and one
+  * sort within partitions — identical to what a dedicated sort-merge
+  * as-of `SparkPlan` would do, with Catalyst/AQE handling skew and spill.
+  * A running `last(...)` over an ever-growing frame is O(1) per row
   * (UnboundedPreceding→CurrentRow frames keep running state; no
   * re-scan).
+  *
+  * Real event joins key on composites like (tenant, user): every
+  * direction takes `by: Seq[String]`, with single-key overloads kept for
+  * the common case.
   */
 object AsOfJoin {
 
   /** @param left       left (probe) side
     * @param right      right (quote) side
-    * @param by         equi-key column present on both sides
+    * @param by         equi-key columns present on both sides
     * @param leftOn     left event-time column (TimestampType)
     * @param rightOn    right event-time column (TimestampType)
     * @param rightCols  right columns to attach (null when no match)
     * @param tolerance  max `leftOn - rightOn` in microseconds; None = ∞
     */
-  def backward(left: DataFrame, right: DataFrame, by: String,
+  def backward(left: DataFrame, right: DataFrame, by: Seq[String],
       leftOn: String, rightOn: String, rightCols: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
     val rStructCols = (rightOn +: rightCols).distinct
     val lType = left.select(leftCols.map(col): _*).schema
     val rType = right.select(rStructCols.map(col): _*).schema
+    // one struct key keeps the shuffle single no matter how many by-cols
     val l = left.select(
-      col(by).as("__key"), col(leftOn).as("__t"), lit(1).as("__side"),
+      struct(by.map(col): _*).as("__key"), col(leftOn).as("__t"),
+      lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__lrow"),
       lit(null).cast(rType).as("__rrow"))
     val r = right.select(
-      col(by).as("__key"), col(rightOn).as("__t"), lit(0).as("__side"),
+      struct(by.map(col): _*).as("__key"), col(rightOn).as("__t"),
+      lit(0).as("__side"),
       lit(null).cast(lType).as("__lrow"),
       struct(rStructCols.map(col): _*).as("__rrow"))
 
@@ -73,13 +80,18 @@ object AsOfJoin {
     withTol.select(leftOut ++ (rightTime +: rightOut): _*)
   }
 
+  def backward(left: DataFrame, right: DataFrame, by: String,
+      leftOn: String, rightOn: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    backward(left, right, Seq(by), leftOn, rightOn, rightCols, tolerance)
+
   /** Forward as-of: EARLIEST right row with `rightOn >= leftOn` — the
     * backward join under time reflection (both sides' timestamps negated
     * as micros, then restored). Same cost shape.
     */
-  def forward(left: DataFrame, right: DataFrame, by: String,
+  def forward(left: DataFrame, right: DataFrame, by: Seq[String],
       leftOn: String, rightOn: String, rightCols: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long]): DataFrame = {
     def reflect(df: DataFrame, c: String): DataFrame =
       df.withColumn(c, timestamp_micros(-unix_micros(col(c))))
     val out = backward(reflect(left, leftOn), reflect(right, rightOn),
@@ -87,19 +99,32 @@ object AsOfJoin {
     reflect(reflect(out, leftOn), s"${rightOn}_matched")
   }
 
+  def forward(left: DataFrame, right: DataFrame, by: String,
+      leftOn: String, rightOn: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    forward(left, right, Seq(by), leftOn, rightOn, rightCols, tolerance)
+
   /** Nearest as-of: whichever of the backward/forward matches is closer
     * in time (ties → the earlier/backward match). One extra join pass.
+    *
+    * The backward and forward outputs are re-aligned on a per-row id
+    * minted BEFORE the two passes — NOT on the left columns — so
+    * fully-duplicate left rows stay 1:1 (no fan-out) and rows with null
+    * columns are preserved (null never equi-joins to itself).
     */
-  def nearest(left: DataFrame, right: DataFrame, by: String,
+  def nearest(left: DataFrame, right: DataFrame, by: Seq[String],
       leftOn: String, rightOn: String, rightCols: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long]): DataFrame = {
     val matchedT = s"${rightOn}_matched"
-    val b = backward(left, right, by, leftOn, rightOn, rightCols, tolerance)
-    val f = forward(left, right, by, leftOn, rightOn, rightCols, tolerance)
+    val rid = "__asof_rowid"
+    // deterministic for a fixed input plan: both passes recompute the
+    // same scan with the same partition layout, so ids line up
+    val tagged = left.withColumn(rid, monotonically_increasing_id())
+    val b = backward(tagged, right, by, leftOn, rightOn, rightCols, tolerance)
+    val f = forward(tagged, right, by, leftOn, rightOn, rightCols, tolerance)
     val fRenamed = f.select(
-      left.columns.map(col).toSeq ++
-        (matchedT +: rightCols).map(c => col(c).as(s"__f_$c")): _*)
-    val joined = b.join(fRenamed, left.columns.toSeq)
+      col(rid) +: (matchedT +: rightCols).map(c => col(c).as(s"__f_$c")): _*)
+    val joined = b.join(fRenamed, Seq(rid))
     val bDist = abs(unix_micros(col(leftOn)) - unix_micros(col(matchedT)))
     val fDist = abs(unix_micros(col(leftOn)) - unix_micros(col(s"__f_$matchedT")))
     val useB = col(matchedT).isNotNull &&
@@ -108,4 +133,9 @@ object AsOfJoin {
       when(useB, col(c)).otherwise(col(s"__f_$c")).as(c))
     joined.select(left.columns.map(col).toSeq ++ picked: _*)
   }
+
+  def nearest(left: DataFrame, right: DataFrame, by: String,
+      leftOn: String, rightOn: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    nearest(left, right, Seq(by), leftOn, rightOn, rightCols, tolerance)
 }

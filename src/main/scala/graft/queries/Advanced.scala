@@ -161,11 +161,49 @@ object Advanced extends QueryPack {
       .withColumnRenamed("ts_matched", "click_ts")
   }
 
+  /** Nearest as-of: whichever click (before or after) is closest in time
+    * to each purchase, ties to the earlier one. Oracled as two DuckDB
+    * ASOF joins plus a closer-pick CASE.
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    AsOfJoin.nearest(purchases, clicks,
+      by = "user_id", leftOn = "ts", rightOn = "ts",
+      rightCols = Seq("click_value"))
+      .withColumnRenamed("ts_matched", "click_ts")
+  }
+
+  /** Composite-key as-of through the CUSTOM PHYSICAL OPERATOR: the user's
+    * last click ON THE SAME DAY at-or-before each purchase — keys
+    * (user_id, day), so cross-day clicks never match.
+    */
+  def asofMultiKey(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    org.apache.spark.sql.graft.AsOfJoinPhysical
+      .asof(purchases, clicks, by = Seq("user_id", "day"),
+        leftOn = "ts", rightOn = "click_ts", toleranceUs = None)
+      .toDF("event_id", "user_id", "day", "ts", "value",
+        "r_user_id", "r_day", "click_ts", "click_value")
+      .drop("r_user_id", "r_day", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_asof_join" -> asofPurchaseClicks _,
     "q61_asof_physical" -> asofPhysical _,
     "q65_multi_exists" -> multiExists _,
     "q66_asof_forward" -> asofForward _,
+    "q68_asof_nearest" -> asofNearest _,
+    "q69_asof_multikey" -> asofMultiKey _,
     "q47_below_avg_qty" -> belowAvgQuantity _,
     "q48_corr_exists" -> bigOpenOrderCustomers _,
     "q49_revenue_share" -> significantPartTypes _,
@@ -208,6 +246,43 @@ object Advanced extends QueryPack {
         |  c.ts AS click_ts, c.click_value
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts >= p.ts""".stripMargin,
+    "q68_asof_nearest" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, value AS click_value FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |    c.ts AS bts, c.click_value AS bval
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts),
+        |f AS (
+        |  SELECT p.event_id, c.ts AS fts, c.click_value AS fval
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts)
+        |SELECT b.event_id, b.user_id, b.ts, b.value,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+        |    epoch_us(b.ts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(b.ts))
+        |    THEN b.bts ELSE f.fts END AS click_ts,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+        |    epoch_us(b.ts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(b.ts))
+        |    THEN b.bval ELSE f.fval END AS click_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
+    "q69_asof_multikey" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS day, ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ts AS click_ts,
+        |    value AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.click_ts, c.click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.day = c.day
+        |  AND c.click_ts <= p.ts""".stripMargin,
     "q65_multi_exists" ->
       """SELECT n_name, count(1) AS n_customers
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -17,19 +17,26 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Why a physical operator here: the window composition materializes and
   * sorts |L|+|R| rows and carries every right row's payload through the
   * running-window state. This exec asks the planner for co-partitioned
-  * `(key)` / sorted `(key, time)` children — the same requirements
+  * `(keys)` / sorted `(keys, time)` children — the same requirements
   * machinery SortMergeJoin uses, so Exchange/Sort are planned (and
   * reused/spilled/skew-handled) by Spark — and then streams both sides
   * with one O(|L|+|R|) merge holding exactly ONE buffered right row.
+  *
+  * Keys are a Seq: real event joins key on composites like
+  * (tenant, user); the merge compares key tuples lexicographically in
+  * the children's required sort order.
   *
   * Lives under `org.apache.spark.sql` for `private[sql]` access
   * (`Dataset.ofRows`) — the standard idiom for Spark extension projects.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftBy: Attribute, rightBy: Attribute,
+    leftBy: Seq[Attribute], rightBy: Seq[Attribute],
     leftOn: Attribute, rightOn: Attribute,
     toleranceUs: Option[Long]) extends BinaryNode {
+
+  require(leftBy.nonEmpty && leftBy.length == rightBy.length,
+    "as-of join needs at least one by-key and the same count on both sides")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,7 +56,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
-    leftBy: Attribute, rightBy: Attribute,
+    leftBy: Seq[Attribute], rightBy: Seq[Attribute],
     leftOn: Attribute, rightOn: Attribute,
     toleranceUs: Option[Long]) extends BinaryExecNode {
 
@@ -57,23 +64,26 @@ case class AsOfJoinExec(
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] = Seq(
-    ClusteredDistribution(Seq(leftBy)), ClusteredDistribution(Seq(rightBy)))
+    ClusteredDistribution(leftBy), ClusteredDistribution(rightBy))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending)),
-    Seq(SortOrder(rightBy, Ascending), SortOrder(rightOn, Ascending)))
+    leftBy.map(SortOrder(_, Ascending)) :+ SortOrder(leftOn, Ascending),
+    rightBy.map(SortOrder(_, Ascending)) :+ SortOrder(rightOn, Ascending))
 
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending))
+    leftBy.map(SortOrder(_, Ascending)) :+ SortOrder(leftOn, Ascending)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftBy.dataType)
+    val keyOrds = leftBy.map(a => TypeUtils.getInterpretedOrdering(a.dataType))
+    val nKeys = leftBy.length
     val tol = toleranceUs
     val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyEval = BindReferences.bindReference(leftBy: Expression, left.output)
+      val lKeyEvals = leftBy.map(a =>
+        BindReferences.bindReference(a: Expression, left.output))
       val lOnEval = BindReferences.bindReference(leftOn: Expression, left.output)
-      val rKeyEval = BindReferences.bindReference(rightBy: Expression, right.output)
+      val rKeyEvals = rightBy.map(a =>
+        BindReferences.bindReference(a: Expression, right.output))
       val rOnEval = BindReferences.bindReference(rightOn: Expression, right.output)
       val nullRight = new GenericInternalRow(right.output.length)
       val joined = new JoinedRow
@@ -82,17 +92,43 @@ case class AsOfJoinExec(
       // raw zeros out of the all-null unmatched row
       val project = UnsafeProjection.create(output, output)
 
+      // evaluates all key columns; null in ANY component → null (equi-join
+      // semantics: a null key component never matches)
+      def evalKeys(evals: Seq[Expression], row: InternalRow): Array[Any] = {
+        val out = new Array[Any](nKeys)
+        var i = 0
+        while (i < nKeys) {
+          val v = evals(i).eval(row)
+          if (v == null) return null
+          out(i) = v
+          i += 1
+        }
+        out
+      }
+
+      // lexicographic compare, consistent with the children's sort order
+      // (both inputs are sorted on all key columns ascending)
+      def compareKeys(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          val c = keyOrds(i).compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+
       new Iterator[InternalRow] {
         private var pendingRight: InternalRow = _   // read but not consumed
         private var cand: InternalRow = _            // latest usable right row
-        private var candKey: Any = _
+        private var candKey: Array[Any] = _
         private var candTime: Long = 0L
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lKey = lKeyEval.eval(l)
+          val lKey = evalKeys(lKeyEvals, l)
           val lOn = lOnEval.eval(l)
           if (lKey == null || lOn == null) {
             numOutputRows += 1
@@ -103,10 +139,10 @@ case class AsOfJoinExec(
           var done = false
           while (!done && (pendingRight != null || rIter.hasNext)) {
             if (pendingRight == null) pendingRight = rIter.next()
-            val rKey = rKeyEval.eval(pendingRight)
+            val rKey = evalKeys(rKeyEvals, pendingRight)
             if (rKey == null) { pendingRight = null } // null keys never match
             else {
-              val cmp = keyOrd.compare(rKey, lKey)
+              val cmp = compareKeys(rKey, lKey)
               if (cmp < 0) pendingRight = null
               else if (cmp == 0) {
                 val rOn = rOnEval.eval(pendingRight)
@@ -121,7 +157,7 @@ case class AsOfJoinExec(
               } else done = true
             }
           }
-          val matched = cand != null && keyOrd.compare(candKey, lKey) == 0 &&
+          val matched = cand != null && compareKeys(candKey, lKey) == 0 &&
             tol.forall(t => lTime - candTime <= t)
           numOutputRows += 1
           project(joined(l, if (matched) cand else nullRight))
@@ -144,9 +180,9 @@ case class AsOfJoinExec(
   */
 object AsOfJoinPhysical {
 
-  def asof(leftDf: DataFrame, rightDf: DataFrame, by: String,
+  def asof(leftDf: DataFrame, rightDf: DataFrame, by: Seq[String],
       leftOn: String, rightOn: String,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long]): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -165,9 +201,14 @@ object AsOfJoinPhysical {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
     val node = AsOfJoinNode(lPlan, rPlan,
-      attr(lPlan, by), attr(rPlan, by),
+      by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
       attr(lPlan, leftOn), attr(rPlan, rightOn), toleranceUs)
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }
+
+  def asof(leftDf: DataFrame, rightDf: DataFrame, by: String,
+      leftOn: String, rightOn: String,
+      toleranceUs: Option[Long] = None): DataFrame =
+    asof(leftDf, rightDf, Seq(by), leftOn, rightOn, toleranceUs)
 }

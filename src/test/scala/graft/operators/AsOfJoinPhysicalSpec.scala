@@ -58,6 +58,34 @@ class AsOfJoinPhysicalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("multi-key physical exec equals the multi-key window composition") {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    val phys = AsOfJoinPhysical.asof(purchases, clicks,
+      by = Seq("user_id", "day"), leftOn = "ts", rightOn = "click_ts",
+      toleranceUs = None)
+      .toDF("event_id", "user_id", "day", "ts", "value",
+        "r_user_id", "r_day", "click_ts", "click_value")
+      .select(col("event_id"), unix_micros(col("click_ts")))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toSet
+    val composed = AsOfJoin.backward(purchases,
+      clicks.withColumnRenamed("click_ts", "ts"),
+      Seq("user_id", "day"), "ts", "ts", Seq("click_value"), None)
+      .select(col("event_id"), unix_micros(col("ts_matched")))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toSet
+    assert(phys == composed,
+      s"missing=${(composed -- phys).take(5)} extra=${(phys -- composed).take(5)}")
+  }
+
   test("tolerance filters stale matches in the exec") {
     import graft.SparkSpec.spark.implicits._
     val trades = Seq((1L, "A", 100L), (2L, "A", 200L))

@@ -63,6 +63,47 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == None)          // never quoted
   }
 
+  test("nearest preserves fully-duplicate left rows 1:1 (no fan-out)") {
+    // two byte-identical trades: the old all-column re-join multiplied
+    // them 2x2; the row-id tag must keep exactly two output rows
+    val dupTrades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+      (1L, "A", ts("2024-01-01 10:00:05"), 100.0)
+    ).toDF("trade_id", "sym", "ts", "px")
+    val out = AsOfJoin.nearest(dupTrades, quotes, "sym", "ts", "ts", Seq("bid"))
+    assert(out.count() == 2)
+    assert(out.collect().forall(_.getAs[Double]("bid") == 99.7))
+  }
+
+  test("nearest preserves left rows containing nulls") {
+    // a null px would vanish under a join on all left columns
+    // (null never equi-joins); the row-id tag must keep the row
+    val nullTrades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05"), Some(100.0)),
+      (2L, "A", ts("2024-01-01 10:00:20"), None)
+    ).toDF("trade_id", "sym", "ts", "px")
+    val out = AsOfJoin.nearest(nullTrades, quotes, "sym", "ts", "ts", Seq("bid"))
+      .collect().map(r =>
+        r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("bid"))).toMap
+    assert(out.size == 2)
+    assert(out(2L) == Some(100.2)) // null-px row survives with its match
+  }
+
+  test("multi-key backward as-of keys on the full composite") {
+    // same user, two tenants: tenant-2's quote must not leak into
+    // tenant-1's trade even though user and time would match
+    val t = Seq((1L, "t1", "u1", ts("2024-01-01 10:00:10"), 1.0),
+      (2L, "t2", "u1", ts("2024-01-01 10:00:10"), 2.0))
+      .toDF("trade_id", "tenant", "user", "ts", "px")
+    val q = Seq(("t2", "u1", ts("2024-01-01 10:00:00"), 42.0))
+      .toDF("tenant", "user", "ts", "bid")
+    val out = AsOfJoin.backward(t, q, Seq("tenant", "user"), "ts", "ts",
+      Seq("bid"), None).collect().map(r =>
+        r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("bid"))).toMap
+    assert(out(1L) == None)
+    assert(out(2L) == Some(42.0))
+  }
+
   test("left row count is preserved (left-join semantics)") {
     val out = AsOfJoin.backward(trades, quotes, "sym", "ts", "ts", Seq("bid"))
     assert(out.count() == trades.count())
