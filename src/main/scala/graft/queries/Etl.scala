@@ -53,10 +53,11 @@ object Etl extends QueryPack {
     TimePartitions.derive(e)
   }
 
-  /** Rows-only (no SQL oracle): full ingestion transform over the nested
-    * IoT JSON fixtures — inferred schema, provenance column, fixpoint
-    * flatten, derived partitions. The end-to-end write/catalog/archive
-    * path is covered by `graft.etl.PipelineSpec`.
+  /** Full ingestion transform over the nested IoT JSON fixtures —
+    * inferred schema, provenance column, fixpoint flatten, derived
+    * partitions — oracled against DuckDB `read_json_auto` + `unnest`
+    * over the SAME fixture (the reference's core path). The end-to-end
+    * write/catalog/archive path is covered by `graft.etl.PipelineSpec`.
     */
   def ingestFixture(s: SparkSession, dir: String): DataFrame = {
     val raw = JsonSource.read(s, JsonSource.Config(
@@ -65,8 +66,10 @@ object Etl extends QueryPack {
       .drop("input_file") // absolute path differs per host; not comparable
   }
 
-  /** Rows-only: transactional lake round trip — two atomic commits (the
-    * second with drifted schema), snapshot read of the merged table.
+  /** Transactional lake round trip — two atomic commits (the second with
+    * drifted schema), snapshot read of the merged table — oracled as the
+    * DuckDB flatten of both fixture batches cast-aligned to the merged
+    * schema and UNION ALLed (exactly what snapshot() must reconstruct).
     * Versioning/time-travel/concurrency are covered in `TxnLogSpec`.
     */
   def lakeSnapshot(s: SparkSession, dir: String): DataFrame = {
@@ -102,6 +105,80 @@ object Etl extends QueryPack {
         |  unnest(['price', 'tax']) AS chargesKind,
         |  unnest([l_extendedprice, l_extendedprice * l_tax]) AS chargesAmount
         |FROM lineitem""".stripMargin,
+    "q24_ingest_fixture" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_json_auto('/root/repo/fixtures/iot/batch1.jsonl')),
+        |r1 AS (
+        |  SELECT category, customerid,
+        |    device.id AS deviceId, device.loc.lat AS deviceLocLat,
+        |    device.loc.lon AS deviceLocLon, meta.fw AS metaFw,
+        |    unnest(CASE WHEN readings IS NULL OR len(readings) = 0
+        |      THEN [NULL] ELSE readings END) AS r,
+        |    tags, tts, vehicle
+        |  FROM raw),
+        |r2 AS (
+        |  SELECT category, customerid, deviceId, deviceLocLat, deviceLocLon,
+        |    metaFw, r.sensor AS readingsSensor, r.val AS readingsVal,
+        |    unnest(CASE WHEN tags IS NULL OR len(tags) = 0
+        |      THEN [CAST(NULL AS VARCHAR)] ELSE tags END) AS tags,
+        |    tts, vehicle
+        |  FROM r1)
+        |SELECT category, customerid, deviceId, deviceLocLat, deviceLocLon,
+        |  metaFw, readingsSensor, readingsVal, tags, tts, vehicle,
+        |  strftime(to_timestamp(tts) AT TIME ZONE 'UTC',
+        |    '%Y-%m-%d %H:%M:%S') AS row_insert_tsp,
+        |  CAST(to_timestamp(tts) AT TIME ZONE 'UTC' AS DATE) AS row_insert_date,
+        |  CAST(year(to_timestamp(tts) AT TIME ZONE 'UTC') AS INT) AS year,
+        |  CAST(month(to_timestamp(tts) AT TIME ZONE 'UTC') AS INT) AS month,
+        |  CAST(day(to_timestamp(tts) AT TIME ZONE 'UTC') AS VARCHAR) AS day
+        |FROM r2""".stripMargin,
+    "q64_lake_snapshot" ->
+      """WITH b1raw AS (
+        |  SELECT * FROM read_json_auto('/root/repo/fixtures/iot/batch1.jsonl')),
+        |b1r AS (
+        |  SELECT category, customerid,
+        |    device.id AS deviceId, device.loc.lat AS deviceLocLat,
+        |    device.loc.lon AS deviceLocLon, meta.fw AS metaFw,
+        |    unnest(CASE WHEN readings IS NULL OR len(readings) = 0
+        |      THEN [NULL] ELSE readings END) AS r,
+        |    tags, tts, vehicle
+        |  FROM b1raw),
+        |b1 AS (
+        |  SELECT category, customerid, deviceId, deviceLocLat, deviceLocLon,
+        |    metaFw, r.sensor AS readingsSensor,
+        |    CAST(r.val AS VARCHAR) AS readingsVal,
+        |    unnest(CASE WHEN tags IS NULL OR len(tags) = 0
+        |      THEN [CAST(NULL AS VARCHAR)] ELSE tags END) AS tags,
+        |    tts, vehicle,
+        |    CAST(NULL AS VARCHAR) AS alerts,
+        |    CAST(NULL AS VARCHAR) AS deviceBatteryHealth,
+        |    CAST(NULL AS BIGINT) AS deviceBatteryPct,
+        |    CAST(NULL AS VARCHAR) AS readingsUnit
+        |  FROM b1r),
+        |b2raw AS (
+        |  SELECT * FROM read_json_auto('/root/repo/fixtures/iot/batch2_drift.jsonl')),
+        |b2r AS (
+        |  SELECT category, customerid,
+        |    device.id AS deviceId, device.loc.lat AS deviceLocLat,
+        |    device.loc.lon AS deviceLocLon,
+        |    device.battery.health AS deviceBatteryHealth,
+        |    device.battery.pct AS deviceBatteryPct,
+        |    unnest(CASE WHEN readings IS NULL OR len(readings) = 0
+        |      THEN [NULL] ELSE readings END) AS r,
+        |    tags, tts, vehicle
+        |  FROM b2raw),
+        |b2 AS (
+        |  SELECT category, customerid, deviceId, deviceLocLat, deviceLocLon,
+        |    CAST(NULL AS VARCHAR) AS metaFw,
+        |    r.sensor AS readingsSensor, CAST(r.val AS VARCHAR) AS readingsVal,
+        |    unnest(CASE WHEN tags IS NULL OR len(tags) = 0
+        |      THEN [CAST(NULL AS VARCHAR)] ELSE tags END) AS tags,
+        |    tts, vehicle,
+        |    CAST(NULL AS VARCHAR) AS alerts,
+        |    deviceBatteryHealth, deviceBatteryPct,
+        |    r.unit AS readingsUnit
+        |  FROM b2r)
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2""".stripMargin,
     "q23_time_partitions" ->
       """SELECT event_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS tts,

@@ -28,8 +28,13 @@ object Similarity extends QueryPack {
     val embs = Tables.embeddings(s, dir)
     val queries = embs.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("embedding"))
+    // nprobe 10/16: the synthetic embeddings are near-uniform (no cluster
+    // structure), the adversarial regime for IVF — neighbors scatter
+    // across cells, so clearing the 0.8 recall gate (q67) needs a high
+    // probe fraction here. Clustered real-world corpora reach the same
+    // recall at nprobe 2-4; the scan is still bounded to nprobe/numCells.
     val model = IvfIndex.train(s, embs, numCells = 16)
-    IvfIndex.searchTopK(s, model, embs, queries, K, nprobe = 4)
+    IvfIndex.searchTopK(s, model, embs, queries, K, nprobe = 10)
   }
 
   /** The custom codegen'd [[graft.functions.CosineSimilarity]] on the
@@ -51,10 +56,29 @@ object Similarity extends QueryPack {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Driver-checkable IVF quality gate: recall@K of the IVF search
+    * against the exact brute-force top-K on the same queries, emitted as
+    * one row whose `recall_ok` flag the oracle pins to TRUE — an ANN
+    * quality regression (recall < 0.8) flips the flag and fails the
+    * hash compare loudly instead of hiding behind a rows-only check.
+    */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = annBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val ivf = annIvf(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(
+        lit(K).cast("int").as("k"),
+        (col("n_exact") / lit(K)).cast("bigint").as("n_queries"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> annBrute _,
     "q41_ann_ivf_topk" -> annIvf _,
     "q42_cosine_expr_pairs" -> cosineExprPairs _,
+    "q67_ivf_recall" -> ivfRecall _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -73,6 +97,11 @@ object Similarity extends QueryPack {
          |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
          |  FROM s)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K""".stripMargin,
+    "q67_ivf_recall" ->
+      s"""SELECT CAST($K AS INT) AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |   WHERE vec_id < $NQUERIES) AS n_queries,
+         |  TRUE AS recall_ok""".stripMargin,
     "q42_cosine_expr_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
