@@ -27,11 +27,22 @@ import java.nio.charset.StandardCharsets
   *    commit, merged with [[SchemaRegistry.merge]] widening rules;
   *  - time travel: read any historical version by number.
   *
+  *  - checkpointing: every [[TxnLog.CheckpointInterval]] commits the
+  *    writer consolidates the manifest chain into one
+  *    `<version%08d>.checkpoint` file, so snapshot planning reads
+  *    1 checkpoint + a short manifest tail instead of O(#commits) files
+  *    — a daily-scheduled pipeline (the reference's CloudWatch-cron
+  *    pattern) accumulates thousands of commits/year, and without this
+  *    the log chain itself becomes the metadata bottleneck.
+  *
   * This is deliberately a compact teaching/scale skeleton, not Delta:
-  * no deletes/compaction/checkpointing — append-only, which is exactly
-  * the reference pipeline's write pattern.
+  * no deletes/compaction — append-only, which is exactly the reference
+  * pipeline's write pattern.
   */
 object TxnLog {
+
+  /** Write a consolidated checkpoint whenever version % interval == 0. */
+  val CheckpointInterval: Int = 10
 
   final case class Manifest(version: Long, commitDir: String,
       files: Seq[String], schemaJson: String) {
@@ -47,6 +58,9 @@ object TxnLog {
   private def manifestPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%08d.json")
 
+  private def checkpointPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%08d.checkpoint")
+
   /** All committed versions, ascending. */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = logDir(table)
@@ -57,18 +71,97 @@ object TxnLog {
       .map(_.stripSuffix(".json").toLong).sorted.toSeq
   }
 
+  /** All checkpoint versions, ascending (one dir listing, no file reads). */
+  def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = logDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted.toSeq
+  }
+
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
     val p = manifestPath(table, v)
-    val f = fs(spark, p)
+    // line format: version \n commitDir \n schemaJson \n files...
+    val lines = readFully(fs(spark, p), p).split('\n')
+    Manifest(lines(0).toLong, lines(1), lines.drop(3).toSeq, lines(2))
+  }
+
+  private def readFully(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try {
       val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
-      val s = new String(bytes, StandardCharsets.UTF_8)
-      // one-line custom format: version \n commitDir \n schemaJson \n files...
-      val lines = s.split('\n')
-      Manifest(lines(0).toLong, lines(1), lines.drop(3).toSeq, lines(2))
+      new String(bytes, StandardCharsets.UTF_8)
     } finally in.close()
+  }
+
+  // checkpoint format: header, manifest count, then each manifest as a
+  // line-count-prefixed record (paths/schema JSON never contain newlines)
+  private def serializeCheckpoint(ms: Seq[Manifest]): String = {
+    val recs = ms.map { m =>
+      val lines = Seq(m.version.toString, m.commitDir, m.schemaJson) ++ m.files
+      (lines.length.toString +: lines).mkString("\n")
+    }
+    (s"GRAFT_CKPT_V1" +: ms.length.toString +: recs).mkString("\n")
+  }
+
+  private def parseCheckpoint(s: String): Seq[Manifest] = {
+    val lines = s.split('\n')
+    require(lines(0) == "GRAFT_CKPT_V1", s"bad checkpoint header: ${lines(0)}")
+    val n = lines(1).toInt
+    var at = 2
+    (1 to n).map { _ =>
+      val len = lines(at).toInt
+      val rec = lines.slice(at + 1, at + 1 + len)
+      at += 1 + len
+      Manifest(rec(0).toLong, rec(1), rec.drop(3).toSeq, rec(2))
+    }
+  }
+
+  private def readCheckpoint(spark: SparkSession, table: String,
+      v: Long): Seq[Manifest] = {
+    val p = checkpointPath(table, v)
+    parseCheckpoint(readFully(fs(spark, p), p))
+  }
+
+  /** The manifest chain for versions <= v, reading at most ONE checkpoint
+    * plus the manifests after it. Returns (manifests, logFilesOpened) —
+    * the second component exists so tests can assert the O(1)+tail bound.
+    */
+  private[lake] def manifestChain(spark: SparkSession, table: String,
+      v: Long): (Seq[Manifest], Int) = {
+    val ck = checkpointVersions(spark, table).filter(_ <= v).lastOption
+    ck match {
+      case Some(cv) =>
+        val base = readCheckpoint(spark, table, cv)
+        val tail = versions(spark, table).filter(x => x > cv && x <= v)
+          .map(readManifest(spark, table, _))
+        (base ++ tail, 1 + tail.length)
+      case None =>
+        val all = versions(spark, table).filter(_ <= v)
+          .map(readManifest(spark, table, _))
+        (all, all.length)
+    }
+  }
+
+  /** Consolidate the chain up to `v` into a checkpoint file. Best-effort
+    * and idempotent: checkpoints are derived data — a lost race or IO
+    * failure leaves the log fully readable from manifests.
+    */
+  private def writeCheckpoint(spark: SparkSession, table: String,
+      v: Long): Unit = {
+    val (ms, _) = manifestChain(spark, table, v)
+    val p = checkpointPath(table, v)
+    val f = fs(spark, p)
+    try {
+      val out = f.create(p, false)
+      try out.write(serializeCheckpoint(ms).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case _: java.io.IOException => () // another writer checkpointed; fine
+    }
   }
 
   /** Append `df` as one atomic commit; returns the new version.
@@ -114,8 +207,10 @@ object TxnLog {
         // check-then-create, so two racers can both "succeed" on the
         // same version with one silently overwritten. Read back and
         // keep only the racer whose commitDir persisted.
-        if (readManifest(spark, table, next).commitDir == commitDir.toString)
+        if (readManifest(spark, table, next).commitDir == commitDir.toString) {
+          if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
           return next
+        }
         attempt += 1
       } catch {
         case _: java.io.IOException => attempt += 1 // lost the race; retry
@@ -128,8 +223,9 @@ object TxnLog {
   /** Snapshot read at a version (default: latest): each commit's files
     * are read with THAT commit's schema, then cast-and-aligned to the
     * union schema (missing columns null, widened/conflicted types cast)
-    * and unioned — schema evolution entirely from O(#commits) manifest
-    * metadata, no footer scans, no parquet-side coercion demands.
+    * and unioned — schema evolution entirely from manifest metadata
+    * (1 checkpoint + short tail after checkpointing), no footer scans,
+    * no parquet-side coercion demands.
     */
   def snapshot(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
@@ -138,7 +234,7 @@ object TxnLog {
     require(vs.nonEmpty, s"$table has no commits")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val manifests = vs.filter(_ <= v).map(readManifest(spark, table, _))
+    val manifests = manifestChain(spark, table, v)._1
     val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
     manifests.map { m =>
       // basePath lets Hive-layout commits resolve partition columns from
@@ -157,6 +253,7 @@ object TxnLog {
   def schemaOf(spark: SparkSession, table: String): StructType = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
-    vs.map(readManifest(spark, table, _).schema).reduce(SchemaRegistry.merge)
+    manifestChain(spark, table, vs.last)._1
+      .map(_.schema).reduce(SchemaRegistry.merge)
   }
 }

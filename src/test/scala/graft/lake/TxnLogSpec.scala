@@ -56,6 +56,25 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, table).count() == 8)
   }
 
+  test("checkpointing bounds snapshot planning to 1 checkpoint + short tail") {
+    val table = Files.createTempDirectory("graft-lake-ckpt").toString
+    val df = Seq((1L, "x")).toDF("id", "v").coalesce(1)
+    (1 to 100).foreach(_ => TxnLog.append(spark, table, df))
+    assert(TxnLog.checkpointVersions(spark, table) == (10L to 100L by 10L))
+    // at a checkpoint version: the whole chain comes from ONE file
+    val (ms, opened) = TxnLog.manifestChain(spark, table, 100L)
+    assert(ms.map(_.version) == (1L to 100L))
+    assert(opened == 1)
+    // between checkpoints: one checkpoint + tail < interval
+    val (ms95, opened95) = TxnLog.manifestChain(spark, table, 95L)
+    assert(ms95.map(_.version) == (1L to 95L))
+    assert(opened95 == 6, s"expected ckpt@90 + 5 manifests, opened $opened95")
+    // correctness at, between, and before any checkpoint
+    assert(TxnLog.snapshot(spark, table).count() == 100)
+    assert(TxnLog.snapshot(spark, table, Some(95L)).count() == 95)
+    assert(TxnLog.snapshot(spark, table, Some(5L)).count() == 5)
+  }
+
   test("partitioned commits prune partitions at snapshot read") {
     val table = Files.createTempDirectory("graft-lake-part").toString
     val b1 = graft.etl.TimePartitions.derive(
