@@ -21,20 +21,30 @@ class FileLedger(spark: SparkSession, sourceRoot: String, archiveRoot: String) {
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Scheme/authority-preserving move: the file and both roots are fully
+    * qualified against THEIR OWN filesystem (so `s3a://bucket/...` keeps
+    * its bucket instead of collapsing onto the default FS), and the
+    * relative layout is derived by URI relativization against the
+    * qualified source root.
+    */
   private def relocate(uri: String, fromRoot: String, toRoot: String): Path = {
-    val from = new Path(new java.net.URI(uri).getPath match {
-      case "" => uri
-      case p => p
-    })
-    val rel = from.toString.stripPrefix(
-      new Path(new java.net.URI(fromRoot).getPath match {
-        case "" => fromRoot
-        case p => p
-      }).toString).stripPrefix("/")
-    val to = new Path(toRoot, rel)
-    val f = fs(to)
-    f.mkdirs(to.getParent)
-    require(f.rename(from, to), s"rename failed: $from -> $to")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new Path(uri)
+    val srcFs = from.getFileSystem(conf)
+    val qFrom = srcFs.makeQualified(from)
+    val qFromRoot = srcFs.makeQualified(new Path(fromRoot))
+    // base must be directory-form (trailing slash) for relativize to work
+    val rel = new java.net.URI(qFromRoot.toString + "/")
+      .relativize(qFrom.toUri)
+    require(!rel.isAbsolute && !rel.getPath.startsWith("/"),
+      s"$qFrom is not under source root $qFromRoot")
+    val toRootPath = new Path(toRoot)
+    val dstFs = toRootPath.getFileSystem(conf)
+    val to = dstFs.makeQualified(new Path(toRootPath, rel.getPath))
+    require(srcFs.getUri == dstFs.getUri,
+      s"archive rename must stay on one filesystem: $qFrom -> $to")
+    srcFs.mkdirs(to.getParent)
+    require(srcFs.rename(qFrom, to), s"rename failed: $qFrom -> $to")
     to
   }
 

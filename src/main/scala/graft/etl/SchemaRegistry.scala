@@ -46,7 +46,8 @@ object SchemaRegistry {
   /** Union-merge of two schemas, mirroring what `mergeSchema=true` does to
     * parquet footers but with a total conflict rule instead of an error:
     * equal types keep; struct/array/map merge recursively; numerics widen
-    * (byte<short<int<long<float<double, decimals → double); anything
+    * (byte<short<int<long<float<double; decimal-vs-decimal widens to the
+    * covering precision/scale, decimal-vs-float widens to double); anything
     * irreconcilable (e.g. `double` vs `string` after a producer change)
     * resolves to `string` — readable either way — and surfaces through
     * [[diff]] as type drift so the catalog re-registers.
@@ -71,6 +72,16 @@ object SchemaRegistry {
     case (x, org.apache.spark.sql.types.NullType) => x
     case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
       numericRank(math.max(numericRank.indexOf(x), numericRank.indexOf(y)))
+    case (x: org.apache.spark.sql.types.DecimalType,
+          y: org.apache.spark.sql.types.DecimalType) =>
+      // precision bump (decimal(10,2) → decimal(12,2)) is numeric drift,
+      // not a conflict: widen to cover both integral-digit and scale
+      // ranges instead of falling through to string
+      val scale = math.max(x.scale, y.scale)
+      val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+      val prec = math.min(intDigits + scale,
+        org.apache.spark.sql.types.DecimalType.MAX_PRECISION)
+      org.apache.spark.sql.types.DecimalType(prec, math.min(scale, prec))
     case (_: org.apache.spark.sql.types.DecimalType, y)
       if numericRank.contains(y) => org.apache.spark.sql.types.DoubleType
     case (x, _: org.apache.spark.sql.types.DecimalType)

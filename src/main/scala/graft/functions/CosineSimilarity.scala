@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   * Semantics: elements read as double, sequential accumulation,
   * `dot / sqrt(|a|² * |b|²)` — the single-sqrt form, which yields exactly
   * 1.0 for a vector with itself (sqrt of a perfect FP square is exact);
-  * null (or null-element / zero-norm) input → null.
+  * null (or null-element / zero-norm / MISMATCHED-LENGTH) input → null,
+  * matching the `zip_with`/`aggregate` HOF formulation — a dimension
+  * mismatch is a data bug that must surface, not a truncated score.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,7 +44,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null // dimension mismatch, like zip_with
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -66,10 +69,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |boolean ${ev.isNull}_loop = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean ${ev.isNull}_loop = ($n != $b.numElements());
+         |for (int $i = 0; !${ev.isNull}_loop && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull}_loop = true; break; }
          |  double $x = $a.getDouble($i);
          |  double $y = $b.getDouble($i);
@@ -116,7 +119,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null // dimension mismatch, like zip_with
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -133,10 +137,10 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0;
-         |boolean ${ev.isNull}_loop = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean ${ev.isNull}_loop = ($n != $b.numElements());
+         |for (int $i = 0; !${ev.isNull}_loop && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull}_loop = true; break; }
          |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}

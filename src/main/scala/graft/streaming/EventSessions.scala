@@ -73,13 +73,14 @@ object EventSessions {
     ts
   }
 
-  def sessionizeStreaming(spark: SparkSession, events: DataFrame,
-      gapMinutes: Int = 30, withTimeout: Boolean = false): Dataset[SessionOut] = {
-    import spark.implicits._
-    val gapUs = gapMinutes * 60 * 1000000L
-
-    def fn(userId: Long, evs: Iterator[Ev],
-        state: GroupState[(Long, List[SessionState])]): Iterator[SessionOut] = {
+  /** The per-key state transition, exposed for direct testing with
+    * `TestGroupState` (the timeout branch can't be driven deterministically
+    * through a bounded `processAllAvailable` replay — see the
+    * ProcessingTimeTimeout livelock note above).
+    */
+  private[streaming] def sessionFn(gapUs: Long, gapMinutes: Int,
+      withTimeout: Boolean)(userId: Long, evs: Iterator[Ev],
+      state: GroupState[(Long, List[SessionState])]): Iterator[SessionOut] = {
       var (seq, open) = state.getOption.getOrElse((0L, Nil: List[SessionState]))
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       val sorted = evs.toSeq.sortBy(e => toMicros(e.ts))
@@ -104,18 +105,27 @@ object EventSessions {
           out += SessionOut(userId, seq, s.n,
             fromMicros(s.start), fromMicros(s.last))
         }
-        state.remove()
+        // keep the per-user seq counter (NOT state.remove()): dropping it
+        // would restart session_seq at 0 and reuse already-emitted ids
+        // for this user's later sessions. Empty open-session list + no
+        // re-armed timeout = the state is just the counter.
+        state.update((seq, Nil))
       } else {
         state.update((seq, cur.toList))
         if (withTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
       }
       out.iterator
-    }
+  }
 
+  def sessionizeStreaming(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, withTimeout: Boolean = false): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60 * 1000000L
     events.select(col("user_id"), col("ts")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
-        else GroupStateTimeout.NoTimeout)(fn)
+        else GroupStateTimeout.NoTimeout)(
+        sessionFn(gapUs, gapMinutes, withTimeout))
   }
 }

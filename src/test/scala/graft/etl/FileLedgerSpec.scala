@@ -1,0 +1,46 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Focused archive/rehydrate coverage: scheme-qualified URIs (the
+  * `input_file_name()` form), nested relative layout, and containment
+  * checks — the cases PipelineSpec's end-to-end run doesn't isolate.
+  */
+class FileLedgerSpec extends SparkSpec {
+
+  test("archive preserves scheme-qualified URIs and nested layout") {
+    val root = Files.createTempDirectory("graft-ledger")
+    val src = root.resolve("source/sub"); Files.createDirectories(src)
+    val arc = root.resolve("archive")
+    Files.writeString(src.resolve("a.jsonl"), "{\"x\":1}\n")
+    val ledger = new FileLedger(spark,
+      root.resolve("source").toString, arc.toString)
+
+    // the URI form input_file_name() produces: file:///abs/path
+    val moved = ledger.archive(Seq(s"file://${src.resolve("a.jsonl")}"))
+    assert(moved.length == 1)
+    // nested layout preserved under the archive root
+    assert(Files.exists(arc.resolve("sub/a.jsonl")))
+    assert(!Files.exists(src.resolve("a.jsonl")))
+    // returned path is fully qualified on the source filesystem
+    assert(moved.head.startsWith("file:"))
+
+    val back = ledger.rehydrate(moved)
+    assert(Files.exists(src.resolve("a.jsonl")))
+    assert(back.head.startsWith("file:"))
+  }
+
+  test("archive rejects files outside the source root") {
+    val root = Files.createTempDirectory("graft-ledger-out")
+    Files.createDirectories(root.resolve("source"))
+    val stray = root.resolve("elsewhere.jsonl")
+    Files.writeString(stray, "{}\n")
+    val ledger = new FileLedger(spark,
+      root.resolve("source").toString, root.resolve("archive").toString)
+    intercept[IllegalArgumentException] {
+      ledger.archive(Seq(stray.toString))
+    }
+    assert(Files.exists(stray), "a rejected file must not move")
+  }
+}

@@ -116,6 +116,20 @@ class FlattenerPropertySpec extends SparkSpec {
     }
   }
 
+  test("decimal-vs-decimal merge widens precision/scale, never stringifies") {
+    import org.apache.spark.sql.types._
+    // precision bump
+    assert(SchemaRegistry.mergeType(DecimalType(10, 2), DecimalType(12, 2)) ==
+      DecimalType(12, 2))
+    // different scales: cover both integral-digit and fractional ranges
+    assert(SchemaRegistry.mergeType(DecimalType(10, 2), DecimalType(8, 4)) ==
+      DecimalType(12, 4))
+    assert(SchemaRegistry.mergeType(DecimalType(5, 0), DecimalType(3, 3)) ==
+      DecimalType(8, 3))
+    // decimal vs float family still widens to double
+    assert(SchemaRegistry.mergeType(DecimalType(10, 2), DoubleType) == DoubleType)
+  }
+
   test("standardizeName is deterministic and strips every dot") {
     samples(Gen.nonEmptyListOf(Gen.oneOf("ab", "cD", "x1", "z")), 50)
       .foreach { parts =>

@@ -25,6 +25,20 @@ class SimilaritySpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("cosine/dot of mismatched-length arrays is null, not a truncated score") {
+    import graft.SparkSpec.spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      GraftFunctions.cosineSim(spark, $"a", $"b").as("c"),
+      GraftFunctions.dotProduct(spark, $"a", $"b").as("d")).head()
+    assert(r.isNullAt(0), "cosine must be null on dimension mismatch")
+    assert(r.isNullAt(1), "dot must be null on dimension mismatch")
+    // same-length still scores
+    val ok = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .select(GraftFunctions.cosineSim(spark, $"a", $"b")).head()
+    assert(ok.getDouble(0) == 1.0)
+  }
+
   test("brute-force top-k equals window-based top-k") {
     val got = TopKSearch.bruteForce(spark, embs, queries, 5)
     // reference implementation: full window sort

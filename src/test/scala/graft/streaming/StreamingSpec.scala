@@ -77,6 +77,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("timeout flush keeps the session_seq counter (no id reuse)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val gapUs = 30L * 60 * 1000000L
+    def ev(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      EventSessions.Ev(7L, t)
+    }
+    // batch 1: one open session → state (0, [open])
+    val s1 = TestGroupState.create[(Long, List[EventSessions.SessionState])](
+      org.apache.spark.api.java.Optional.empty[(Long, List[EventSessions.SessionState])](), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out1 = EventSessions.sessionFn(gapUs, 30, withTimeout = true)(
+      7L, Iterator(ev(1000000L), ev(2000000L)), s1).toList
+    assert(out1.isEmpty && s1.exists)
+
+    // timeout fires: open session flushes as seq 1, counter SURVIVES
+    val s2 = TestGroupState.create[(Long, List[EventSessions.SessionState])](
+      org.apache.spark.api.java.Optional.of(s1.get), GroupStateTimeout.ProcessingTimeTimeout,
+      2000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out2 = EventSessions.sessionFn(gapUs, 30, withTimeout = true)(
+      7L, Iterator.empty, s2).toList
+    assert(out2.map(_.session_seq) == List(1L))
+    assert(s2.exists, "state must keep the counter after a timeout flush")
+    assert(s2.get._1 == 1L && s2.get._2.isEmpty)
+
+    // much later events: next closed session is seq 2, not a reused 1
+    val s3 = TestGroupState.create[(Long, List[EventSessions.SessionState])](
+      org.apache.spark.api.java.Optional.of(s2.get), GroupStateTimeout.ProcessingTimeTimeout,
+      3000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val far = 100L * gapUs
+    val out3 = EventSessions.sessionFn(gapUs, 30, withTimeout = true)(
+      7L, Iterator(ev(far), ev(far + 3 * gapUs)), s3).toList
+    assert(out3.map(_.session_seq) == List(2L))
+  }
+
   test("watermarked streaming windows equal batch windows once closed") {
     implicit val sqlCtx2: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = Tables.events(spark, sf)
