@@ -3,27 +3,88 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** Two-tier catalog synchronization (reference C1–C4/D3/Q3,
-  * `emr_json_parquet_schema_drift_etl.py:99-116,201-276`), against the
-  * Spark session catalog instead of Glue/Athena:
+/** Catalog seam (SURVEY §7.1): the five primitives a pipeline needs from
+  * ANY table catalog, plus the reference's three-way sync orchestration
+  * (`emr_json_parquet_schema_drift_etl.py:236-276`) implemented ONCE on
+  * top of them:
   *
-  *  - table absent          → `CREATE TABLE … USING PARQUET PARTITIONED BY
-  *                            … LOCATION …` + full partition recovery
-  *                            (`MSCK REPAIR` ≈ the reference's crawler);
+  *  - table absent          → create + full partition recovery
+  *                            (≈ the reference's Glue crawler run);
   *  - schema drift          → re-register schema (drop/create on the
   *                            external location — metadata only, no data
   *                            move) + recovery — the expensive tier;
-  *  - no drift              → `ALTER TABLE ADD IF NOT EXISTS PARTITION`
-  *                            for just the new partitions — the cheap tier
+  *  - no drift              → add just the new partitions — the cheap tier
   *                            (seconds vs the crawler's minutes, the whole
   *                            point of the reference's `etl.py:264-274`).
   *
-  * All DDL goes through `spark.sql`, so the same module works against the
-  * in-memory catalog in tests and a Hive metastore in production.
+  * [[SparkCatalogSync]] implements the primitives against the Spark
+  * session catalog (in-memory in tests, Hive metastore in production);
+  * an external catalog service (a Glue-like tier) plugs in by
+  * implementing the same five primitives — the tier policy is
+  * catalog-agnostic and must not be re-derived per backend.
   */
-class CatalogSync(spark: SparkSession) {
+trait CatalogSync {
 
-  def tableExists(table: String): Boolean = spark.catalog.tableExists(table)
+  def tableExists(table: String): Boolean
+
+  def createTable(table: String, schema: StructType,
+      partitionCols: Seq[String], location: String): Unit
+
+  def dropTable(table: String): Unit
+
+  /** ≈ the reference's Glue crawler run: scan the location, register every
+    * `k=v/` directory as a partition.
+    */
+  def recoverPartitions(table: String): Unit
+
+  /** Cheap tier: register only the given partition specs (reference D3,
+    * `etl.py:201-212` builds the same ALTER TABLE statement for Athena).
+    * Spec = ordered (col, value) pairs.
+    */
+  def addPartitions(table: String, specs: Seq[Seq[(String, String)]]): Unit
+
+  /** The reference's three-way orchestration (`etl.py:236-276`). Returns
+    * which tier ran: "create" | "recrawl" | "add-partitions".
+    */
+  def sync(table: String, schema: StructType, partitionCols: Seq[String],
+      location: String, drift: SchemaRegistry.DriftReport,
+      newPartitions: Seq[Seq[(String, String)]]): String = {
+    if (!tableExists(table)) {
+      createTable(table, schema, partitionCols, location); "create"
+    } else if (drift.any) {
+      dropTable(table)
+      createTable(table, schema, partitionCols, location); "recrawl"
+    } else {
+      addPartitions(table, newPartitions); "add-partitions"
+    }
+  }
+
+  /** Distinct partition tuples present in a batch, as DDL specs — the
+    * distributed replacement for the reference's
+    * `distinct().collect()`-then-stringify (`etl.py:185-197`); the
+    * distinct still runs on executors, only the (small) spec list lands
+    * on the driver.
+    */
+  def partitionSpecsOf(df: DataFrame, partitionCols: Seq[String]): Seq[Seq[(String, String)]] =
+    CatalogSync.partitionSpecsOf(df, partitionCols)
+}
+
+object CatalogSync {
+  def partitionSpecsOf(df: DataFrame, partitionCols: Seq[String]): Seq[Seq[(String, String)]] =
+    df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect().toSeq
+      .map(r => partitionCols.zipWithIndex.map { case (c, i) =>
+        c -> String.valueOf(r.get(i)) })
+}
+
+/** Session-catalog implementation: all DDL goes through `spark.sql`, so
+  * the same module works against the in-memory catalog in tests and a
+  * Hive metastore in production.
+  */
+class SparkCatalogSync(spark: SparkSession) extends CatalogSync {
+
+  override def tableExists(table: String): Boolean =
+    spark.catalog.tableExists(table)
 
   /** DDL column list for the data (non-partition) columns, in schema
     * order, partition columns excluded (they go in PARTITIONED BY).
@@ -39,7 +100,7 @@ class CatalogSync(spark: SparkSession) {
       s"`$c` $dt"
     }.mkString(", ")
 
-  def createTable(table: String, schema: StructType,
+  override def createTable(table: String, schema: StructType,
       partitionCols: Seq[String], location: String): Unit = {
     val parts = if (partitionCols.isEmpty) ""
       else s" PARTITIONED BY (${ddlPartCols(schema, partitionCols)})"
@@ -49,17 +110,13 @@ class CatalogSync(spark: SparkSession) {
     if (partitionCols.nonEmpty) recoverPartitions(table)
   }
 
-  /** ≈ the reference's Glue crawler run: scan the location, register every
-    * `k=v/` directory as a partition.
-    */
-  def recoverPartitions(table: String): Unit =
+  override def dropTable(table: String): Unit =
+    spark.sql(s"DROP TABLE $table")
+
+  override def recoverPartitions(table: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE $table")
 
-  /** Cheap tier: register only the given partition specs (reference D3,
-    * `etl.py:201-212` builds the same ALTER TABLE statement for Athena).
-    * Spec = ordered (col, value) pairs.
-    */
-  def addPartitions(table: String, specs: Seq[Seq[(String, String)]]): Unit =
+  override def addPartitions(table: String, specs: Seq[Seq[(String, String)]]): Unit =
     if (specs.nonEmpty) {
       val partClauses = specs.map(spec =>
         "PARTITION (" + spec.map { case (k, v) =>
@@ -67,32 +124,4 @@ class CatalogSync(spark: SparkSession) {
       spark.sql(
         s"ALTER TABLE $table ADD IF NOT EXISTS ${partClauses.mkString(" ")}")
     }
-
-  /** Distinct partition tuples present in a batch, as DDL specs — the
-    * distributed replacement for the reference's
-    * `distinct().collect()`-then-stringify (`etl.py:185-197`); the
-    * distinct still runs on executors, only the (small) spec list lands
-    * on the driver.
-    */
-  def partitionSpecsOf(df: DataFrame, partitionCols: Seq[String]): Seq[Seq[(String, String)]] =
-    df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      .distinct().collect().toSeq
-      .map(r => partitionCols.zipWithIndex.map { case (c, i) =>
-        c -> String.valueOf(r.get(i)) })
-
-  /** The reference's three-way orchestration (`etl.py:236-276`). Returns
-    * which tier ran: "create" | "recrawl" | "add-partitions".
-    */
-  def sync(table: String, schema: StructType, partitionCols: Seq[String],
-      location: String, drift: SchemaRegistry.DriftReport,
-      newPartitions: Seq[Seq[(String, String)]]): String = {
-    if (!tableExists(table)) {
-      createTable(table, schema, partitionCols, location); "create"
-    } else if (drift.any) {
-      spark.sql(s"DROP TABLE $table")
-      createTable(table, schema, partitionCols, location); "recrawl"
-    } else {
-      addPartitions(table, newPartitions); "add-partitions"
-    }
-  }
 }

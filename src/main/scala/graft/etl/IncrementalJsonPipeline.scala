@@ -62,7 +62,14 @@ class IncrementalJsonPipeline(cfg: PipelineConfig) {
     fs.exists(p) && fs.listFiles(p, true).hasNext
   }
 
-  def runBatch(spark: SparkSession): Option[BatchResult] = {
+  def runBatch(spark: SparkSession): Option[BatchResult] =
+    runBatch(spark, new SparkCatalogSync(spark))
+
+  /** The catalog tier is injectable (trait seam, SURVEY §7.1): pass an
+    * external-catalog implementation to register tables somewhere other
+    * than the Spark session catalog.
+    */
+  def runBatch(spark: SparkSession, catalog: CatalogSync): Option[BatchResult] = {
     if (!sourceHasFiles(spark)) return None
     val raw = JsonSource.read(spark, JsonSource.Config(
       path = cfg.sourcePath, schema = cfg.schema,
@@ -88,7 +95,6 @@ class IncrementalJsonPipeline(cfg: PipelineConfig) {
           (flat.count(), s"lake-append-v$v", Nil)
         } else {
           PartitionedSink.append(toWrite, cfg.sinkPath, cfg.partitionCols)
-          val catalog = new CatalogSync(spark)
           val parts = catalog.partitionSpecsOf(toWrite, cfg.partitionCols)
           val act = catalog.sync(cfg.table, merged, cfg.partitionCols,
             cfg.sinkPath, drift, parts)

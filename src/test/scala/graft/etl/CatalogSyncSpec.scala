@@ -1,0 +1,72 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** Proves the catalog seam: the three-way sync tier policy runs
+  * identically against a non-Spark catalog that only implements the five
+  * primitives (what a Glue-like external tier would provide).
+  */
+class CatalogSyncSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("a", LongType), StructField("p", StringType)))
+  private val noDrift = SchemaRegistry.DriftReport(Nil, Nil, Nil)
+  private val drift = SchemaRegistry.DriftReport(
+    Seq(StructField("b", StringType)), Nil, Nil)
+  private val specs = Seq(Seq("p" -> "x"), Seq("p" -> "y"))
+
+  private class RecordingCatalog(var exists: Boolean) extends CatalogSync {
+    val calls = scala.collection.mutable.Buffer.empty[String]
+    override def tableExists(table: String): Boolean = exists
+    override def createTable(table: String, schema: StructType,
+        partitionCols: Seq[String], location: String): Unit = {
+      calls += s"create:$table"; exists = true
+    }
+    override def dropTable(table: String): Unit = calls += s"drop:$table"
+    override def recoverPartitions(table: String): Unit =
+      calls += s"recover:$table"
+    override def addPartitions(table: String,
+        specs: Seq[Seq[(String, String)]]): Unit =
+      calls += s"add:${specs.length}"
+  }
+
+  test("absent table takes the create tier") {
+    val c = new RecordingCatalog(false)
+    assert(c.sync("t", schema, Seq("p"), "/loc", noDrift, specs) == "create")
+    assert(c.calls.toSeq == Seq("create:t"))
+  }
+
+  test("drift takes the re-register tier (drop + create)") {
+    val c = new RecordingCatalog(true)
+    assert(c.sync("t", schema, Seq("p"), "/loc", drift, specs) == "recrawl")
+    assert(c.calls.toSeq == Seq("drop:t", "create:t"))
+  }
+
+  test("no drift takes the cheap add-partitions tier") {
+    val c = new RecordingCatalog(true)
+    assert(c.sync("t", schema, Seq("p"), "/loc", noDrift, specs) ==
+      "add-partitions")
+    assert(c.calls.toSeq == Seq("add:2"))
+  }
+
+  test("pipeline runs end-to-end against an injected non-Spark catalog") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-cat-seam")
+    val src = root.resolve("source"); Files.createDirectories(src)
+    Files.copy(java.nio.file.Paths.get("fixtures/iot/batch1.jsonl"),
+      src.resolve("batch1.jsonl"))
+    val cfg = PipelineConfig(
+      sourcePath = src.toString,
+      sinkPath = root.resolve("sink").toString,
+      archivePath = root.resolve("archive").toString,
+      registryPath = root.resolve("registry.json").toString,
+      table = "graft_seam_t")
+    val fake = new RecordingCatalog(false)
+    val res = new IncrementalJsonPipeline(cfg).runBatch(spark, fake)
+    assert(res.exists(_.catalogAction == "create"))
+    assert(fake.calls.exists(_.startsWith("create:graft_seam_t")))
+    assert(!spark.catalog.tableExists("graft_seam_t"),
+      "injected catalog must fully replace the session catalog")
+  }
+}
