@@ -44,15 +44,23 @@ object Multimodal {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
   }
 
+  private def sha(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** Placeholder embedding: a pure function of the payload bytes (a real
+    * pipeline would run a vision/audio encoder here).
+    */
+  private def pseudoFeature(content: Array[Byte]): Array[Float] = {
+    val h = java.util.Arrays.hashCode(content)
+    Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xff).toFloat / 255.0f)
+  }
+
   /** Deterministic stand-in for codec decode: features are pure functions
     * of the payload bytes, so tests and the driver gate are reproducible.
     * A real implementation would decode pixels/samples here.
     */
   object StubDecoder extends MediaDecoder {
-    private def sha(bytes: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("SHA-256")
-        .digest(bytes).map("%02x".format(_)).mkString
-
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
         val h = java.util.Arrays.hashCode(r.content)
@@ -64,8 +72,77 @@ object Multimodal {
           width = 16 + math.abs(h % 1024),
           height = 16 + math.abs((h / 1024) % 1024),
           duration_ms = if (r.kind == "image") 0L else r.length * 8,
-          feature = Array.tabulate(8)(i =>
-            ((h >>> (i * 4)) & 0xff).toFloat / 255.0f))
+          feature = pseudoFeature(r.content))
+      }
+  }
+
+  /** Honest pure-JVM header parsing for formats whose dimensions live in
+    * a fixed-layout header — no codecs, no native deps:
+    *
+    *  - BMP: BITMAPINFOHEADER width/height (LE i32 at 18/22; negative
+    *    height = top-down rows, reported as magnitude);
+    *  - PNG: IHDR width/height (BE i32 at 16/20, after verifying the
+    *    8-byte signature AND that the first chunk really is IHDR);
+    *  - WAV: RIFF/WAVE chunk walk — `fmt `'s byte-rate + `data`'s size
+    *    give `duration_ms = dataBytes * 1000 / byteRate`.
+    *
+    * Anything unrecognized (or structurally truncated) reports 0
+    * dimensions/duration rather than a fabricated value — absent
+    * metadata must look absent downstream. Full pixel/sample decode
+    * still belongs to a codec-backed [[MediaDecoder]].
+    */
+  object HeaderDecoder extends MediaDecoder {
+    private def le16(b: Array[Byte], at: Int): Int =
+      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], at: Int): Int =
+      le16(b, at) | (le16(b, at + 2) << 16)
+    private def be32(b: Array[Byte], at: Int): Int =
+      ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
+        ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+    private def tag(b: Array[Byte], at: Int): String =
+      if (at + 4 > b.length) "" else new String(b, at, 4, "US-ASCII")
+
+    /** (width, height, durationMs) — zeros where the format has no such
+      * axis or the header does not parse.
+      */
+    private[multimodal] def parse(b: Array[Byte]): (Int, Int, Long) = {
+      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+        (math.abs(le32(b, 18)), math.abs(le32(b, 22)), 0L)
+      else if (b.length >= 24 &&
+          b.startsWith(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+            .map(_.toByte)) && tag(b, 12) == "IHDR")
+        (be32(b, 16), be32(b, 20), 0L)
+      else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
+        var at = 12
+        var byteRate = 0L
+        var dataBytes = -1L
+        while (at + 8 <= b.length && (byteRate == 0 || dataBytes < 0)) {
+          val id = tag(b, at)
+          val size = le32(b, at + 4).toLong & 0xffffffffL
+          if (id == "fmt " && at + 16 + 4 <= b.length)
+            byteRate = le32(b, at + 16).toLong & 0xffffffffL
+          if (id == "data") dataBytes = size
+          at += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+        }
+        if (byteRate > 0 && dataBytes >= 0)
+          (0, 0, dataBytes * 1000L / byteRate)
+        else (0, 0, 0L)
+      }
+      else (0, 0, 0L)
+    }
+
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val (w, h, d) = parse(r.content)
+        MediaFeatures(
+          media_id = r.media_id,
+          kind = r.kind,
+          n_bytes = r.length,
+          content_sha = sha(r.content),
+          width = w,
+          height = h,
+          duration_ms = d,
+          feature = pseudoFeature(r.content))
       }
   }
 
@@ -77,7 +154,7 @@ object Multimodal {
       .select(
         xxhash64(col("path")).as("media_id"),
         col("path"),
-        when(col("path").rlike("\\.(png|jpg|jpeg|gif)$"), "image")
+        when(col("path").rlike("\\.(png|jpg|jpeg|gif|bmp)$"), "image")
           .when(col("path").rlike("\\.(wav|mp3|flac)$"), "audio")
           .otherwise("video").as("kind"),
         col("content"),

@@ -34,7 +34,9 @@ object Text extends QueryPack {
 
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.readMediaDir(s, "/root/repo/fixtures/media")
-    Multimodal.extractFeatures(media, Multimodal.StubDecoder).toDF()
+    // HeaderDecoder: REAL parsed dimensions for BMP/PNG/WAV fixtures,
+    // honest zeros for payloads without a parseable header
+    Multimodal.extractFeatures(media, Multimodal.HeaderDecoder).toDF()
       .drop("feature") // float array order is stable but keep output flat
       .orderBy(col("media_id"))
   }

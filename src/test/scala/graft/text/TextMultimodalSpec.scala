@@ -100,10 +100,10 @@ class TextMultimodalSpec extends SparkSpec {
 
   test("media ingest + stub feature extraction is deterministic and typed") {
     val media = Multimodal.readMediaDir(spark, "/root/repo/fixtures/media")
-    assert(media.count() == 4)
+    assert(media.count() == 6)
     val kinds = media.select("kind").collect().map(_.getString(0)).sorted
-    assert(kinds.count(_ == "image") == 2)
-    assert(kinds.count(_ == "audio") == 1)
+    assert(kinds.count(_ == "image") == 3)
+    assert(kinds.count(_ == "audio") == 2)
     assert(kinds.count(_ == "video") == 1)
 
     val f1 = Multimodal.extractFeatures(media, Multimodal.StubDecoder).collect()
@@ -114,6 +114,28 @@ class TextMultimodalSpec extends SparkSpec {
       assert(f.width >= 16 && f.height >= 16)
       assert(f.kind != "image" || f.duration_ms == 0L)
     }
+  }
+
+  test("header decoder parses real BMP/WAV dimensions, zeros elsewhere") {
+    val media = Multimodal.readMediaDir(spark, "/root/repo/fixtures/media")
+    val byPath = Multimodal.extractFeatures(media, Multimodal.HeaderDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    val paths = media.select("path", "media_id").collect()
+      .map(r => new java.io.File(r.getString(0)).getName -> r.getLong(1)).toMap
+    // img_003.bmp is a checked-in 7x5 24bpp BMP
+    val bmp = byPath(paths("img_003.bmp"))
+    assert(bmp.width == 7 && bmp.height == 5 && bmp.duration_ms == 0L)
+    // clip_003.wav is 8 kHz mono 16-bit PCM with 2000 samples = 250 ms
+    val wav = byPath(paths("clip_003.wav"))
+    assert(wav.duration_ms == 250L && wav.width == 0 && wav.height == 0)
+    // clip_001.wav has RIFF/WAVE magic but no fmt/data chunks: honest zero
+    assert(byPath(paths("clip_001.wav")).duration_ms == 0L)
+    // img_001.png carries the PNG signature but no IHDR: no invented dims
+    val fakePng = byPath(paths("img_001.png"))
+    assert(fakePng.width == 0 && fakePng.height == 0)
+    // mp4 is out of scope for header parsing: all zeros, sha still real
+    val mp4 = byPath(paths("clip_002.mp4"))
+    assert(mp4.width == 0 && mp4.duration_ms == 0L && mp4.content_sha.length == 64)
   }
 
   test("media batch boundaries do not change results") {
