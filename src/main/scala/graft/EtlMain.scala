@@ -24,6 +24,7 @@ import org.apache.spark.sql.SparkSession
 object EtlMain {
 
   def session(): SparkSession = SparkSession.builder()
+    .withExtensions(new functions.GraftExtensions)
     .appName("graft-etl")
     // honor spark-submit's master; default to all local cores otherwise
     .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))

@@ -25,6 +25,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // ASOF [LEFT] JOIN SQL surface: parser rewrite → marker function →
+    // resolution rule → planner strategy (see o.a.s.sql.graft.AsOfSql)
+    ext.injectParser((_, delegate) =>
+      new org.apache.spark.sql.graft.GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => org.apache.spark.sql.graft.AsOfSqlRule)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    ext.injectFunction((
+      FunctionIdentifier("graft_asof_marker"),
+      info("graft_asof_marker",
+        "internal marker spliced into ASOF JOIN conditions by the parser"),
+      (_: Seq[Expression]) => org.apache.spark.sql.graft.AsOfMarker()))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.COSINE_FN),
       info(GraftFunctions.COSINE_FN,

@@ -112,24 +112,30 @@ object Advanced extends QueryPack {
       .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
         percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95_approx"))
 
-  /** Same as-of semantics through the CUSTOM PHYSICAL OPERATOR
-    * (`org.apache.spark.sql.graft.AsOfJoinExec`: LogicalPlan + Strategy +
-    * streaming sort-merge exec) — shares q46's oracle, so the driver
-    * hash-checks the custom plan against DuckDB's native ASOF JOIN.
+  /** Same as-of semantics through the SQL SURFACE (`spark.sql` with the
+    * `ASOF LEFT JOIN` syntax the GraftExtensions parser adds), which
+    * plans the CUSTOM PHYSICAL OPERATOR
+    * (`org.apache.spark.sql.graft.AsOfJoinExec`: parser rewrite →
+    * resolution rule → AsOfJoinNode → streaming sort-merge exec) — shares
+    * q46's oracle, so the driver hash-checks the whole SQL-to-exec path
+    * against DuckDB's native ASOF JOIN. The DataFrame entry
+    * (`AsOfJoinPhysical.asof`) plans the same exec and is oracled via
+    * q69.
     */
   def asofPhysical(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val purchases = e.filter(col("event_type") === "purchase")
+    e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    val clicks = e.filter(col("event_type") === "click")
+      .createOrReplaceTempView("graft_asof_purchases")
+    e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("value").as("click_value"))
-    org.apache.spark.sql.graft.AsOfJoinPhysical
-      .asof(purchases, clicks, by = "user_id",
-        leftOn = "ts", rightOn = "click_ts")
-      .toDF("event_id", "user_id", "ts", "value",
-        "r_user_id", "click_ts", "click_value")
-      .drop("r_user_id")
+      .createOrReplaceTempView("graft_asof_clicks")
+    s.sql(
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.click_ts, c.click_value
+        |FROM graft_asof_purchases p ASOF LEFT JOIN graft_asof_clicks c
+        |  ON p.user_id = c.user_id AND c.click_ts <= p.ts""".stripMargin)
   }
 
   /** TPC-H Q21 shape: EXISTS and NOT EXISTS against the same table with

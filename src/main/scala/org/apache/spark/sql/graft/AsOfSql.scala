@@ -1,0 +1,188 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
+
+/** SQL syntax for the as-of join — `spark.sql("... ASOF [LEFT] JOIN ...")`
+  * plans [[AsOfJoinNode]] (and so [[AsOfJoinExec]]), mirroring DuckDB's
+  * surface:
+  *
+  * {{{
+  * SELECT ... FROM trades t ASOF LEFT JOIN quotes q
+  *   ON t.sym = q.sym AND q.qts <= t.ts
+  * }}}
+  *
+  * Three cooperating pieces, all registered by
+  * `graft.functions.GraftExtensions`:
+  *
+  *  1. [[GraftSqlParser]] — a delegating `ParserInterface` that rewrites
+  *     `ASOF [LEFT] JOIN <rel> ON <cond>` to the plain join with
+  *     `graft_asof_marker() AND <cond>` (a paren-depth-aware scan finds
+  *     the `ON` that belongs to the rewritten join, so subqueries in
+  *     between are safe);
+  *  2. [[AsOfMarker]] — the zero-arg boolean marker expression the rule
+  *     looks for (registered as `graft_asof_marker`);
+  *  3. [[AsOfSqlRule]] — a resolution rule: once the marked join is fully
+  *     resolved (incl. the analyzer's self-join deduplication, which the
+  *     DataFrame entry `AsOfJoinPhysical.asof` must do by hand), its
+  *     condition is split into equi-keys + ONE `right <= left` time bound
+  *     and replaced with [[AsOfJoinNode]]. `ASOF JOIN` (inner) adds a
+  *     `Filter(IsNotNull(rightOn))` over the left-outer node.
+  *
+  * Scope (documented, checked loudly): backward as-of only
+  * (`right <= left`), attribute operands, equality keys. Anything else
+  * under a marker fails analysis with a pointed message instead of
+  * silently degrading to a many-row left join.
+  */
+case class AsOfMarker() extends LeafExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  // non-foldable so no one constant-folds the marker away before the
+  // resolution rule has seen it (deterministic, so legal in a join cond)
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    ExprCode.forNonNullValue(org.apache.spark.sql.catalyst.expressions.codegen
+      .JavaCode.literal("true", BooleanType))
+  override def prettyName: String = "graft_asof_marker"
+}
+
+object AsOfSqlRule extends Rule[LogicalPlan] {
+
+  private def isMarker(e: Expression): Boolean = e.isInstanceOf[AsOfMarker]
+
+  private def split(cond: Expression): Seq[Expression] = cond match {
+    case And(a, b) => split(a) ++ split(b)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case j @ Join(l, r, joinType, Some(cond), _)
+          if j.resolved && split(cond).exists(isMarker) =>
+        val conjuncts = split(cond).filterNot(isMarker)
+        def side(a: Attribute): Int =
+          if (l.outputSet.contains(a)) 0
+          else if (r.outputSet.contains(a)) 1
+          else sys.error(s"attribute $a belongs to neither join side")
+        var lBy = Vector.empty[Attribute]
+        var rBy = Vector.empty[Attribute]
+        var on: Option[(Attribute, Attribute)] = None // (leftOn, rightOn)
+        def bound(lt: Attribute, rt: Attribute): Unit = {
+          if (on.nonEmpty) fail("exactly one time bound is allowed")
+          on = Some((lt, rt))
+        }
+        conjuncts.foreach {
+          case EqualTo(a: Attribute, b: Attribute) if side(a) != side(b) =>
+            if (side(a) == 0) { lBy :+= a; rBy :+= b }
+            else { lBy :+= b; rBy :+= a }
+          case LessThanOrEqual(rt: Attribute, lt: Attribute)
+              if side(rt) == 1 && side(lt) == 0 => bound(lt, rt)
+          case GreaterThanOrEqual(lt: Attribute, rt: Attribute)
+              if side(lt) == 0 && side(rt) == 1 => bound(lt, rt)
+          case other => fail(s"unsupported ASOF JOIN conjunct: ${other.sql}")
+        }
+        if (lBy.isEmpty) fail("ASOF JOIN needs at least one equality key")
+        val (lOn, rOn) = on.getOrElse(
+          fail("ASOF JOIN needs a time bound (right <= left)"))
+        val node = AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, None)
+        joinType match {
+          case LeftOuter => node
+          // inner asof (DuckDB's default): drop unmatched left rows
+          case Inner =>
+            val rOnOut = node.output
+              .find(_.exprId == rOn.exprId)
+              .getOrElse(rOn.withNullability(true))
+            Filter(IsNotNull(rOnOut), node)
+          case other => fail(s"ASOF $other JOIN is not supported " +
+            "(use ASOF JOIN or ASOF LEFT JOIN)")
+        }
+    }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$msg. ASOF JOIN conditions must be `l.key = r.key [AND ...] AND " +
+        "r.time <= l.time` with plain column references (backward as-of).")
+}
+
+/** Delegating parser: rewrites the `ASOF` join syntax, hands everything
+  * else (and the rewritten text) to Spark's own parser.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val asofJoin =
+    "(?i)\\bASOF\\s+(LEFT\\s+(OUTER\\s+)?|INNER\\s+)?JOIN\\b".r
+
+  /** Rewrite each `ASOF x JOIN` to `x JOIN` and splice
+    * `graft_asof_marker() AND` into that join's `ON` clause — found by
+    * scanning forward at parenthesis depth 0, so `ON`s inside subquery
+    * parentheses are skipped.
+    */
+  private[graft] def rewrite(sql: String): String = {
+    val m = asofJoin.findFirstMatchIn(sql) match {
+      case None => return sql
+      case Some(mm) => mm
+    }
+    val joinKw = m.matched.replaceFirst("(?i)^ASOF\\s+", "")
+    val withoutAsof = sql.substring(0, m.start) + joinKw + sql.substring(m.end)
+    // find the ON keyword at parenthesis depth 0 after the join keyword
+    val onAt = {
+      var i = m.start + joinKw.length
+      var depth = 0
+      var found = -1
+      while (found < 0 && i < withoutAsof.length - 2) {
+        val c = withoutAsof.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'O' || c == 'o') &&
+            (withoutAsof.charAt(i + 1) == 'N' || withoutAsof.charAt(i + 1) == 'n') &&
+            !withoutAsof.charAt(i - 1).isLetterOrDigit &&
+            !withoutAsof.charAt(i + 2).isLetterOrDigit)
+          found = i
+        i += 1
+      }
+      if (found < 0) throw new IllegalArgumentException(
+        s"ASOF JOIN requires an ON clause: $sql")
+      found
+    }
+    // `marker AND <cond>` needs no parentheses: AND is left-associative,
+    // so the marker prepends cleanly to a conjunctive condition, and a
+    // top-level OR would make AsOfSqlRule fail loudly anyway (ORs are
+    // not a valid as-of shape). Recurse for any later ASOF joins.
+    withoutAsof.substring(0, onAt + 2) + " graft_asof_marker() AND" +
+      rewrite(withoutAsof.substring(onAt + 2))
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(rewrite(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(rewrite(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

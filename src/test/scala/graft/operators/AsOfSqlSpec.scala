@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** The SQL surface: `spark.sql("... ASOF [LEFT] JOIN ...")` must plan the
+  * custom physical operator and agree with the composed form.
+  */
+class AsOfSqlSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val views: Unit = {
+    Seq(
+      (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+      (2L, "A", ts("2024-01-01 10:00:20"), 101.0),
+      (3L, "B", ts("2024-01-01 10:00:10"), 50.0),
+      (4L, "C", ts("2024-01-01 10:00:10"), 7.0)
+    ).toDF("trade_id", "sym", "ts", "px").createOrReplaceTempView("sql_trades")
+    Seq(
+      ("A", ts("2024-01-01 10:00:00"), 99.5),
+      ("A", ts("2024-01-01 10:00:05"), 99.7),
+      ("A", ts("2024-01-01 10:00:15"), 100.2),
+      ("B", ts("2024-01-01 10:00:30"), 49.0)
+    ).toDF("sym", "qts", "bid").createOrReplaceTempView("sql_quotes")
+  }
+
+  test("ASOF LEFT JOIN in SQL plans AsOfJoinExec and matches the operator") {
+    views
+    val out = spark.sql(
+      """SELECT t.trade_id, q.bid FROM sql_trades t
+        |ASOF LEFT JOIN sql_quotes q
+        |  ON t.sym = q.sym AND q.qts <= t.ts""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window"), "SQL asof must not fall back to a window")
+    val got = out.collect().map(r =>
+      r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> Some(99.7), 2L -> Some(100.2), 3L -> None, 4L -> None))
+  }
+
+  test("ASOF JOIN (inner) drops unmatched left rows like DuckDB") {
+    views
+    val got = spark.sql(
+      """SELECT t.trade_id, q.bid FROM sql_trades t
+        |ASOF JOIN sql_quotes q ON t.sym = q.sym AND q.qts <= t.ts""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 99.7, 2L -> 100.2))
+  }
+
+  test("multi-key ASOF SQL keys on the full composite") {
+    Seq((1L, "t1", "u1", ts("2024-01-01 10:00:10")),
+      (2L, "t2", "u1", ts("2024-01-01 10:00:10")))
+      .toDF("id", "tenant", "user", "ts").createOrReplaceTempView("sql_mk_l")
+    Seq(("t2", "u1", ts("2024-01-01 10:00:00"), 42.0))
+      .toDF("tenant", "user", "ts", "v").createOrReplaceTempView("sql_mk_r")
+    val got = spark.sql(
+      """SELECT l.id, r.v FROM sql_mk_l l ASOF LEFT JOIN sql_mk_r r
+        |  ON l.tenant = r.tenant AND l.user = r.user AND r.ts <= l.ts""".stripMargin)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(42.0)))
+  }
+
+  test("self-join asof through SQL resolves without manual dedup") {
+    views
+    // both sides from the same view: the analyzer's own deduplication
+    // must kick in before the rewrite
+    val got = spark.sql(
+      """SELECT a.trade_id, b.px FROM sql_trades a
+        |ASOF LEFT JOIN sql_trades b
+        |  ON a.sym = b.sym AND b.ts <= a.ts""".stripMargin).collect()
+    assert(got.length == 4) // every trade matches itself (<=)
+  }
+
+  test("invalid asof shapes fail loudly, not silently as a left join") {
+    views
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM sql_trades t ASOF LEFT JOIN sql_quotes q
+          |  ON q.qts <= t.ts""".stripMargin).collect() // no equality key
+    }
+    assert(e1.getMessage.contains("equality key"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM sql_trades t ASOF LEFT JOIN sql_quotes q
+          |  ON t.sym = q.sym""".stripMargin).collect() // no time bound
+    }
+    assert(e2.getMessage.contains("time bound"), e2.getMessage)
+  }
+
+  test("parser leaves ordinary SQL untouched") {
+    views
+    // word 'asof' inside identifiers/strings must not trigger the rewrite
+    val n = spark.sql(
+      "SELECT count(*) AS n_asof FROM sql_trades WHERE sym <> 'ASOFX'")
+      .as[Long].head()
+    assert(n == 4)
+    // a plain left join stays a plain (possibly many-row) join
+    val plain = spark.sql(
+      """SELECT t.trade_id, q.bid FROM sql_trades t
+        |LEFT JOIN sql_quotes q ON t.sym = q.sym AND q.qts <= t.ts""".stripMargin)
+    assert(plain.count() == 7) // 2+3 quote matches + 2 unmatched trades
+    assert(!plain.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+}
