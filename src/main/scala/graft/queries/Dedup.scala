@@ -45,6 +45,47 @@ object Dedup extends QueryPack {
     EmbeddingNearDup.pairsLSH(planted, threshold = 0.95, dim = 64)
   }
 
+  /** Driver-checkable SimHash quality gate (companion to rows-only q34):
+    * one row pinning the exact near-dup pair count (DuckDB-recomputable)
+    * and a coverage flag — simhash must recover at least half of the
+    * jaccard-planted pairs, the same bound DedupSpec asserts.
+    */
+  def simhashGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exact = NgramJaccard.pairs(docs, k = 3, threshold = 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val sim = SimHash.pairs(docs, maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val covered = exact.join(sim, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(covered.agg(count(lit(1)).as("n_cov")))
+      .select(col("n_exact"),
+        (col("n_cov") * 2 >= col("n_exact")).as("coverage_ok"))
+  }
+
+  /** Driver-checkable sign-LSH quality gate (companion to rows-only q36):
+    * plant a scaled copy of every vector (pair ids (i, i+10000), cosine
+    * ~1); LSH must recover >=90% of them and — because candidates are
+    * exactly verified — must emit NO pair that is not a planted one (the
+    * corpus has no natural cosine >= 0.95).
+    */
+  def embeddingLshGate(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val planted = embs.select(col("vec_id"), col("embedding"))
+      .unionAll(embs.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding")))
+    val lsh = EmbeddingNearDup.pairsLSH(planted, threshold = 0.95, dim = 64)
+    val hits = lsh.filter(col("vec_b") === col("vec_a") + 10000)
+      .agg(count(lit(1)).as("n_planted_found"))
+    val strays = lsh.filter(col("vec_b") =!= col("vec_a") + 10000)
+      .agg(count(lit(1)).as("n_other"))
+    embs.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(hits).crossJoin(strays)
+      .select(col("n_vectors"),
+        (col("n_planted_found") >= col("n_vectors") * 0.9).as("recall_ok"),
+        (col("n_other") === 0).as("no_false_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact_keepfirst" -> exactKeepFirst _,
     "q31_dedup_exact_hash" -> exactByHash _,
@@ -53,6 +94,8 @@ object Dedup extends QueryPack {
     "q34_dedup_simhash" -> simhash _,
     "q35_dedup_embedding_brute" -> embeddingBrute _,
     "q36_dedup_embedding_lsh" -> embeddingLsh _,
+    "q70_simhash_gate" -> simhashGate _,
+    "q71_embedding_lsh_gate" -> embeddingLshGate _,
   )
 
   private val jaccardSql =
@@ -90,6 +133,15 @@ object Dedup extends QueryPack {
         |GROUP BY 1""".stripMargin,
     "q32_dedup_ngram_jaccard" -> jaccardSql,
     "q33_dedup_minhash_lsh" -> jaccardSql,
+    "q70_simhash_gate" ->
+      s"""SELECT CAST(n AS BIGINT) AS n_exact, TRUE AS coverage_ok
+         |FROM (SELECT count(*) AS n FROM (
+         |$jaccardSql
+         |))""".stripMargin,
+    "q71_embedding_lsh_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  TRUE AS recall_ok, TRUE AS no_false_pairs
+        |FROM embeddings""".stripMargin,
     "q35_dedup_embedding_brute" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -41,6 +41,31 @@ object Text extends QueryPack {
       .orderBy(col("media_id"))
   }
 
+  /** Driver-checkable winnowing property gate (companion to rows-only
+    * q57): winnow fingerprints must be invariant to case and whitespace
+    * layout for EVERY document — the defining robustness property of the
+    * scheme. `n_docs` is DuckDB-recomputable; a fingerprint regression
+    * flips `invariance_ok`.
+    */
+  def winnowGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val base = TextAnalysis.winnowFingerprints(
+      TextAnalysis.wsTokens(lower(col("text"))))
+    // triple every space: token STREAM is unchanged, byte layout is not
+    // (no upper/lower round trip here — Unicode case folding is not an
+    // involution, e.g. ß -> SS -> ss)
+    val messy = TextAnalysis.winnowFingerprints(
+      TextAnalysis.wsTokens(lower(regexp_replace(col("text"),
+        lit(" "), lit("   ")))))
+    docs.select(
+        (size(array_except(base, messy)) === 0 &&
+          size(array_except(messy, base)) === 0).as("inv"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(col("inv"), 1L).otherwise(0L)) === count(lit(1)))
+          .as("invariance_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats" -> stats _,
     "q51_text_quality" -> quality _,
@@ -48,6 +73,7 @@ object Text extends QueryPack {
     "q53_fingerprint" -> fingerprint _,
     "q54_bpeish_count" -> bpeishCount _,
     "q55_media_features" -> mediaFeatures _,
+    "q74_winnow_gate" -> winnowGate _,
   )
 
   private def hitsSql(lang: String): String = {
@@ -126,6 +152,34 @@ object Text extends QueryPack {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
         |    '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_count
+        |FROM documents""".stripMargin,
+    // the checked-in media fixtures are constants: payload hashes, header
+    // dimensions, and path-hash ids are all knowable ahead of time, so
+    // the oracle is the literal expected table
+    "q55_media_features" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(-8067551088037741290 AS BIGINT), 'image', CAST(516 AS BIGINT),
+        |   'edf0cbfe9ee5f5c9eed6b87ff7d9e71fb6a2dcb734992ba4f394cc8b52503aad',
+        |   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS BIGINT)),
+        |  (CAST(-6778144151964948119 AS BIGINT), 'image', CAST(1032 AS BIGINT),
+        |   'a9c8a46924afca4e56d7d0dc843f8d78c0e821bbdaa0e303b2607fa55aa7d799',
+        |   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS BIGINT)),
+        |  (CAST(-3860131809268543422 AS BIGINT), 'audio', CAST(1012 AS BIGINT),
+        |   'dfacd46f74e58a87baff15f7acbf7264b98c45d65844bac1ae2f106c974410a4',
+        |   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS BIGINT)),
+        |  (CAST(948924245079612465 AS BIGINT), 'image', CAST(174 AS BIGINT),
+        |   '38787cb5165607bba8708e0011fee490e886724d0e2d248a5344b7092b62a750',
+        |   CAST(7 AS INT), CAST(5 AS INT), CAST(0 AS BIGINT)),
+        |  (CAST(4427609765601554863 AS BIGINT), 'audio', CAST(4044 AS BIGINT),
+        |   'f9cb049e2c6f64284db73c45b84f359205f22110c784c33e99642faa86c7722b',
+        |   CAST(0 AS INT), CAST(0 AS INT), CAST(250 AS BIGINT)),
+        |  (CAST(4862154474783166622 AS BIGINT), 'video', CAST(2060 AS BIGINT),
+        |   'c65e699d8b59d3a09a9748b2dd9978777d16c34f38fd9d404ff6d4c34cc862ee',
+        |   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS BIGINT))
+        |) AS t(media_id, kind, n_bytes, content_sha, width, height,
+        |       duration_ms)""".stripMargin,
+    "q74_winnow_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS invariance_ok
         |FROM documents""".stripMargin,
   )
 }
