@@ -83,19 +83,30 @@ object Analytics extends QueryPack {
     * exact distinct counts hash-match DuckDB, and the sketch (rsd 1%)
     * must land within 5% of them — a sketch-quality regression flips the
     * flags and fails the compare loudly.
+    *
+    * Plan shape matters here: several multi-column `countDistinct`s in
+    * ONE aggregate make Catalyst plan an Expand that replicates every
+    * row per distinct clause (measured 100 s at sf0.1). Three separate
+    * single-purpose passes (each a partial-agg'd distinct or a sketch)
+    * joined on the 3-row group key run in ~1 s and scale linearly.
     */
-  def approxDistinctGate(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        (abs(approx_count_distinct(col("l_partkey"), 0.01) -
-            countDistinct(col("l_partkey"))).cast("double") /
-          countDistinct(col("l_partkey")) <= 0.05).as("parts_ok"),
-        (abs(approx_count_distinct(col("l_orderkey"), 0.01) -
-            countDistinct(col("l_orderkey"))).cast("double") /
-          countDistinct(col("l_orderkey")) <= 0.05).as("orders_ok"))
+  def approxDistinctGate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def exactDistinct(key: String, as: String): DataFrame =
+      li.select(col("l_returnflag"), col(key)).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    val approx = li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    exactDistinct("l_partkey", "exact_parts")
+      .join(exactDistinct("l_orderkey", "exact_orders"), "l_returnflag")
+      .join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("parts_ok"),
+        (abs(col("ao") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.05).as("orders_ok"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_percentiles" -> percentiles _,
