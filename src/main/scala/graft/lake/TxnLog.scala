@@ -170,10 +170,43 @@ object TxnLog {
     * resolve from directory names and partition-pruning filters apply.
     */
   def append(spark: SparkSession, table: String, df: DataFrame,
-      partitionCols: Seq[String] = Nil, maxRetries: Int = 10): Long = {
-    val commitId = java.util.UUID.randomUUID().toString
+      partitionCols: Seq[String] = Nil, maxRetries: Int = 10): Long =
+    appendTxn(spark, table, df, partitionCols, None, maxRetries)
+
+  /** The version that already committed transaction `txnId`, if any —
+    * resolved from the (checkpoint-bounded) manifest chain by commit-dir
+    * name, so idempotence needs no manifest-format change.
+    */
+  def committedTxn(spark: SparkSession, table: String,
+      txnId: String): Option[Long] = {
+    val vs = versions(spark, table)
+    if (vs.isEmpty) None
+    else manifestChain(spark, table, vs.last)._1
+      .find(m => new Path(m.commitDir).getName == s"txn-$txnId")
+      .map(_.version)
+  }
+
+  /** Transactional append with an idempotence key: committing the same
+    * `txnId` twice is a no-op returning the original version. This is
+    * the exactly-once contract a streaming `foreachBatch` sink needs —
+    * a micro-batch REPLAYED after a failure (at-least-once delivery)
+    * must not double its rows. Keyed by (stream, batchId) in
+    * [[graft.streaming.FileStreamIngest.runAvailableNowLake]].
+    */
+  def appendTxn(spark: SparkSession, table: String, df: DataFrame,
+      partitionCols: Seq[String], txnId: Option[String],
+      maxRetries: Int = 10): Long = {
+    txnId.flatMap(committedTxn(spark, table, _)) match {
+      case Some(v) => return v // replay of a committed batch: no-op
+      case None => ()
+    }
+    val commitId = txnId.map(id => s"txn-$id")
+      .getOrElse(java.util.UUID.randomUUID().toString)
     val commitDir = new Path(new Path(table, "data"), commitId)
-    var w = df.write
+    // a replay after a crash BETWEEN data write and manifest publish may
+    // find uncommitted leftovers in the txn dir: overwrite is safe there
+    // (committed txns returned above); random ids keep error-if-exists
+    var w = df.write.mode(if (txnId.isDefined) "overwrite" else "errorifexists")
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     w.parquet(commitDir.toString)
     val f = fs(spark, commitDir)
@@ -189,6 +222,12 @@ object TxnLog {
 
     var attempt = 0
     while (attempt < maxRetries) {
+      // a concurrent racer may have committed this same txn between
+      // attempts — idempotence must hold through the retry loop too
+      txnId.flatMap(committedTxn(spark, table, _)) match {
+        case Some(v) => return v
+        case None => ()
+      }
       val vs = versions(spark, table)
       val next = vs.lastOption.getOrElse(0L) + 1
       // manifest records THIS commit's schema; readers merge across

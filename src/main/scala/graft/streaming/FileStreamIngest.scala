@@ -24,12 +24,8 @@ import org.apache.spark.sql.types.StructType
   */
 object FileStreamIngest {
 
-  /** Start an AvailableNow drain of the source; returns the query (call
-    * `awaitTermination()` — AvailableNow self-terminates when drained).
-    */
-  def runAvailableNow(spark: SparkSession, cfg: PipelineConfig,
-      schema: StructType, checkpoint: String,
-      archiveConsumed: Boolean = true): StreamingQuery = {
+  private def flattenedSource(spark: SparkSession, cfg: PipelineConfig,
+      schema: StructType, archiveConsumed: Boolean) = {
     var r = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1000) // bound batch size at scale
@@ -38,13 +34,50 @@ object FileStreamIngest {
         .option("sourceArchiveDir", cfg.archivePath)
     val raw = r.json(cfg.sourcePath)
       .withColumn("input_file", input_file_name())
-    val flat = new IncrementalJsonPipeline(cfg).transform(raw)
+    new IncrementalJsonPipeline(cfg).transform(raw)
       .drop("input_file")
-    flat.writeStream
+  }
+
+  /** Start an AvailableNow drain of the source; returns the query (call
+    * `awaitTermination()` — AvailableNow self-terminates when drained).
+    */
+  def runAvailableNow(spark: SparkSession, cfg: PipelineConfig,
+      schema: StructType, checkpoint: String,
+      archiveConsumed: Boolean = true): StreamingQuery =
+    flattenedSource(spark, cfg, schema, archiveConsumed).writeStream
       .format("parquet")
       .option("path", cfg.sinkPath)
       .option("checkpointLocation", checkpoint)
       .partitionBy(cfg.partitionCols: _*)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Lake-mode drain: each micro-batch lands as ONE atomic transactional
+    * commit in `graft.lake.TxnLog` at `cfg.sinkPath`, keyed by
+    * (checkpoint, batchId) — so the at-least-once replay `foreachBatch`
+    * permits (a batch re-fires if the job dies between sink write and
+    * offset commit) is de-duplicated to exactly-once at the log, and
+    * readers NEVER see a partially written batch (manifest publish is
+    * atomic). Streaming ingestion + snapshot isolation + schema-per-
+    * commit evolution compose; this is the streaming equivalent of
+    * `PipelineConfig.useLake`.
+    */
+  def runAvailableNowLake(spark: SparkSession, cfg: PipelineConfig,
+      schema: StructType, checkpoint: String,
+      archiveConsumed: Boolean = true): StreamingQuery = {
+    // stable per-stream tag: replays of the same checkpointed stream map
+    // to the same txn ids, unrelated streams to different ones
+    val streamTag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint).toLong & 0xffffffffL)
+    flattenedSource(spark, cfg, schema, archiveConsumed).writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.lake.TxnLog.appendTxn(spark, cfg.sinkPath, batch.toDF(),
+            cfg.partitionCols, Some(s"$streamTag-$batchId"))
+          ()
+      }
+      .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
   }

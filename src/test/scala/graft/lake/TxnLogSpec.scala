@@ -56,6 +56,33 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, table).count() == 8)
   }
 
+  test("appendTxn is idempotent: replaying a committed batch is a no-op") {
+    val table = Files.createTempDirectory("graft-lake-txn").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v1 = TxnLog.appendTxn(spark, table, df, Nil, Some("s1-0"))
+    val v1Again = TxnLog.appendTxn(spark, table, df, Nil, Some("s1-0"))
+    assert(v1 == 1L && v1Again == 1L)
+    assert(TxnLog.snapshot(spark, table).count() == 2, "no doubled rows")
+    // a DIFFERENT txn commits normally
+    val v2 = TxnLog.appendTxn(spark, table, df, Nil, Some("s1-1"))
+    assert(v2 == 2L)
+    assert(TxnLog.snapshot(spark, table).count() == 4)
+    assert(TxnLog.committedTxn(spark, table, "s1-0") == Some(1L))
+    assert(TxnLog.committedTxn(spark, table, "nope") == None)
+  }
+
+  test("appendTxn replay after a crash between data write and publish") {
+    val table = Files.createTempDirectory("graft-lake-crash").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    // simulate the torn state: data files exist, no manifest published
+    df.write.parquet(s"$table/data/txn-s9-0")
+    assert(TxnLog.versions(spark, table).isEmpty)
+    // the replay must succeed (overwriting the orphaned files), not fail
+    val v = TxnLog.appendTxn(spark, table, df, Nil, Some("s9-0"))
+    assert(v == 1L)
+    assert(TxnLog.snapshot(spark, table).count() == 1)
+  }
+
   test("checkpointing bounds snapshot planning to 1 checkpoint + short tail") {
     val table = Files.createTempDirectory("graft-lake-ckpt").toString
     val df = Seq((1L, "x")).toDF("id", "v").coalesce(1)

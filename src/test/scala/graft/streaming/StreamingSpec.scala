@@ -47,6 +47,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(cfg.sinkPath).count() == 12)
   }
 
+  test("lake-mode streaming: each drain lands as one atomic txn commit") {
+    val root = Files.createTempDirectory("graft-stream-lake")
+    val src = root.resolve("source"); Files.createDirectories(src)
+    Files.copy(Paths.get("fixtures/iot/batch1.jsonl"), src.resolve("batch1.jsonl"))
+    val cfg = PipelineConfig(
+      sourcePath = src.toString,
+      sinkPath = root.resolve("lake").toString,
+      archivePath = root.resolve("archive").toString,
+      registryPath = root.resolve("registry.json").toString,
+      table = "unused_stream_lake")
+    val schema = spark.read.json(src.toString).schema
+
+    val q1 = FileStreamIngest.runAvailableNowLake(spark, cfg, schema,
+      root.resolve("ckpt").toString)
+    q1.awaitTermination()
+    import graft.lake.TxnLog
+    assert(TxnLog.versions(spark, cfg.sinkPath) == Seq(1L))
+    assert(TxnLog.snapshot(spark, cfg.sinkPath).count() == 6)
+
+    // drained source, same checkpoint → no new batch, no new commit
+    val q2 = FileStreamIngest.runAvailableNowLake(spark, cfg, schema,
+      root.resolve("ckpt").toString)
+    q2.awaitTermination()
+    assert(TxnLog.versions(spark, cfg.sinkPath) == Seq(1L))
+
+    // a new file → exactly one more commit, snapshot grows incrementally
+    Files.writeString(src.resolve("batch1b.jsonl"),
+      Files.readString(Paths.get("fixtures/iot/batch1.jsonl"))
+        .replace("1718000", "1718900"))
+    val q3 = FileStreamIngest.runAvailableNowLake(spark, cfg, schema,
+      root.resolve("ckpt").toString)
+    q3.awaitTermination()
+    assert(TxnLog.versions(spark, cfg.sinkPath) == Seq(1L, 2L))
+    assert(TxnLog.snapshot(spark, cfg.sinkPath).count() == 12)
+  }
+
   test("streaming sessionization closed sessions match the batch oracle") {
     val events = Tables.events(spark, sf)
     val batch = EventSessions.sessionizeBatch(events)
