@@ -267,6 +267,21 @@ object TxnLog {
     * no parquet-side coercion demands.
     */
   def snapshot(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame =
+    snapshotWhere(spark, table, Map.empty, version)
+
+  /** Snapshot restricted to Hive-layout partition values, pruned at the
+    * MANIFEST level: files whose path carries a `k=other/` segment for a
+    * requested `k -> v` never enter the scan's file list at all. At a
+    * daily-partitioned 100 TB table this is the difference between
+    * planning over every file ever committed and planning over one
+    * day's — the log is the index, exactly the trick Delta/Iceberg play.
+    * Files WITHOUT a `k=` segment (commits not partitioned by `k`) are
+    * kept, and an exact row-level filter is applied on top, so the
+    * result equals `snapshot(...).filter(...)` regardless of layout.
+    */
+  def snapshotWhere(spark: SparkSession, table: String,
+      partitionValues: Map[String, String],
       version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val vs = versions(spark, table)
@@ -275,17 +290,33 @@ object TxnLog {
     require(vs.contains(v), s"version $v not in $vs")
     val manifests = manifestChain(spark, table, v)._1
     val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
-    manifests.map { m =>
-      // basePath lets Hive-layout commits resolve partition columns from
-      // directory names (and gives the scan PartitionFilters pruning)
-      val raw = spark.read.option("basePath", m.commitDir)
-        .schema(m.schema).parquet(m.files: _*)
-      val present = m.schema.fieldNames.toSet
-      raw.select(merged.fields.toSeq.map { f =>
-        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
-    }.reduce(_ unionByName _)
+    def keepFile(f: String): Boolean = partitionValues.forall {
+      case (k, value) => !f.contains(s"/$k=") || f.contains(s"/$k=$value/")
+    }
+    def rowFilter(df: DataFrame): DataFrame =
+      partitionValues.foldLeft(df) { case (d, (k, value)) =>
+        if (d.columns.contains(k)) d.filter(col(k).cast("string") === value)
+        else d
+      }
+    val parts = manifests.flatMap { m =>
+      val files = m.files.filter(keepFile)
+      if (files.isEmpty) None // whole commit pruned from planning
+      else Some {
+        // basePath lets Hive-layout commits resolve partition columns
+        // from directory names (and gives the scan PartitionFilters)
+        val raw = spark.read.option("basePath", m.commitDir)
+          .schema(m.schema).parquet(files: _*)
+        val present = m.schema.fieldNames.toSet
+        raw.select(merged.fields.toSeq.map { f =>
+          if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(merged.fields))
+    else rowFilter(parts.reduce(_ unionByName _))
   }
 
   /** Latest table schema (union over commits), metadata only. */

@@ -117,6 +117,20 @@ class TxnLogSpec extends SparkSpec {
     assert(filtered.count() == 6)
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(year"), plan)
+
+    // manifest-level pruning: the 2025 commit's files never reach the
+    // scan's file list (the log is the index), result still exact
+    val pruned = TxnLog.snapshotWhere(spark, table, Map("year" -> "2024"))
+    assert(pruned.count() == 6)
+    assert(pruned.inputFiles.length < snap.inputFiles.length,
+      s"expected fewer planned files: ${pruned.inputFiles.length} vs ${snap.inputFiles.length}")
+    assert(pruned.inputFiles.forall(_.contains("/year=2024/")))
+    // multi-key prune + no-match prune
+    assert(TxnLog.snapshotWhere(spark, table,
+      Map("year" -> "2025")).count() == 6)
+    val none = TxnLog.snapshotWhere(spark, table, Map("year" -> "1999"))
+    assert(none.count() == 0)
+    assert(none.columns.contains("year"), "schema survives full pruning")
   }
 
   test("snapshot of unknown version is rejected") {
