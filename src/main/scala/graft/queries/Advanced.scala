@@ -220,9 +220,30 @@ object Advanced extends QueryPack {
       .drop("r_user_id", "r_day", "day")
   }
 
+  /** Forward as-of through the SQL surface + physical exec (the
+    * reflected-time merge): earliest click at-or-after each purchase,
+    * same oracle as the composed-form q66.
+    */
+  def asofForwardSql(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("graft_asof_purchases_f")
+    e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .createOrReplaceTempView("graft_asof_clicks_f")
+    s.sql(
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.click_ts, c.click_value
+        |FROM graft_asof_purchases_f p ASOF LEFT JOIN graft_asof_clicks_f c
+        |  ON p.user_id = c.user_id AND c.click_ts >= p.ts""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_asof_join" -> asofPurchaseClicks _,
     "q61_asof_physical" -> asofPhysical _,
+    "q75_asof_forward_sql" -> asofForwardSql _,
     "q65_multi_exists" -> multiExists _,
     "q66_asof_forward" -> asofForward _,
     "q68_asof_nearest" -> asofNearest _,
@@ -260,6 +281,17 @@ object Advanced extends QueryPack {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
     "q66_asof_forward" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, value AS click_value FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.ts AS click_ts, c.click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts""".stripMargin,
+    "q75_asof_forward_sql" ->
       """WITH purchases AS (
         |  SELECT event_id, user_id, ts, value FROM events
         |  WHERE event_type = 'purchase'),

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -33,7 +33,8 @@ case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftBy: Seq[Attribute], rightBy: Seq[Attribute],
     leftOn: Attribute, rightOn: Attribute,
-    toleranceUs: Option[Long]) extends BinaryNode {
+    toleranceUs: Option[Long],
+    forward: Boolean = false) extends BinaryNode {
 
   require(leftBy.nonEmpty && leftBy.length == rightBy.length,
     "as-of join needs at least one by-key and the same count on both sides")
@@ -48,8 +49,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lb, rb, lo, ro, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, tol) :: Nil
+    case AsOfJoinNode(l, r, lb, rb, lo, ro, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -58,7 +59,13 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftBy: Seq[Attribute], rightBy: Seq[Attribute],
     leftOn: Attribute, rightOn: Attribute,
-    toleranceUs: Option[Long]) extends BinaryExecNode {
+    toleranceUs: Option[Long],
+    forward: Boolean = false) extends BinaryExecNode {
+
+  // forward as-of (EARLIEST right at-or-after) is the same merge on
+  // time-reflected inputs: sort time DESCENDING and compare negated
+  // micros, and "latest <=" becomes "earliest >=".
+  private def timeDir = if (forward) Descending else Ascending
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -67,16 +74,17 @@ case class AsOfJoinExec(
     ClusteredDistribution(leftBy), ClusteredDistribution(rightBy))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftBy.map(SortOrder(_, Ascending)) :+ SortOrder(leftOn, Ascending),
-    rightBy.map(SortOrder(_, Ascending)) :+ SortOrder(rightOn, Ascending))
+    leftBy.map(SortOrder(_, Ascending)) :+ SortOrder(leftOn, timeDir),
+    rightBy.map(SortOrder(_, Ascending)) :+ SortOrder(rightOn, timeDir))
 
   override def outputOrdering: Seq[SortOrder] =
-    leftBy.map(SortOrder(_, Ascending)) :+ SortOrder(leftOn, Ascending)
+    leftBy.map(SortOrder(_, Ascending)) :+ SortOrder(leftOn, timeDir)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrds = leftBy.map(a => TypeUtils.getInterpretedOrdering(a.dataType))
     val nKeys = leftBy.length
     val tol = toleranceUs
+    val sign = if (forward) -1L else 1L // reflected-time merge (see above)
     val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyEvals = leftBy.map(a =>
@@ -134,7 +142,7 @@ case class AsOfJoinExec(
             numOutputRows += 1
             return project(joined(l, nullRight))
           }
-          val lTime = lOn.asInstanceOf[Long]
+          val lTime = sign * lOn.asInstanceOf[Long]
           // consume right rows with key < lKey, or == lKey and time <= lTime
           var done = false
           while (!done && (pendingRight != null || rIter.hasNext)) {
@@ -147,11 +155,11 @@ case class AsOfJoinExec(
               else if (cmp == 0) {
                 val rOn = rOnEval.eval(pendingRight)
                 if (rOn == null) pendingRight = null
-                else if (rOn.asInstanceOf[Long] <= lTime) {
+                else if (sign * rOn.asInstanceOf[Long] <= lTime) {
                   // rows are reused by the shuffle reader: copy to keep
                   cand = pendingRight.copy()
                   candKey = rKey
-                  candTime = rOn.asInstanceOf[Long]
+                  candTime = sign * rOn.asInstanceOf[Long]
                   pendingRight = null
                 } else done = true
               } else done = true
@@ -182,7 +190,7 @@ object AsOfJoinPhysical {
 
   def asof(leftDf: DataFrame, rightDf: DataFrame, by: Seq[String],
       leftOn: String, rightOn: String,
-      toleranceUs: Option[Long]): DataFrame = {
+      toleranceUs: Option[Long], forward: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -202,13 +210,17 @@ object AsOfJoinPhysical {
         throw new IllegalArgumentException(s"column $n not found"))
     val node = AsOfJoinNode(lPlan, rPlan,
       by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
-      attr(lPlan, leftOn), attr(rPlan, rightOn), toleranceUs)
+      attr(lPlan, leftOn), attr(rPlan, rightOn), toleranceUs, forward)
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }
 
   def asof(leftDf: DataFrame, rightDf: DataFrame, by: String,
       leftOn: String, rightOn: String,
-      toleranceUs: Option[Long] = None): DataFrame =
+      toleranceUs: Option[Long]): DataFrame =
     asof(leftDf, rightDf, Seq(by), leftOn, rightOn, toleranceUs)
+
+  def asof(leftDf: DataFrame, rightDf: DataFrame, by: String,
+      leftOn: String, rightOn: String): DataFrame =
+    asof(leftDf, rightDf, Seq(by), leftOn, rightOn, None)
 }

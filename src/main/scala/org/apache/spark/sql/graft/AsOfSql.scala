@@ -35,9 +35,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
   *     and replaced with [[AsOfJoinNode]]. `ASOF JOIN` (inner) adds a
   *     `Filter(IsNotNull(rightOn))` over the left-outer node.
   *
-  * Scope (documented, checked loudly): backward as-of only
-  * (`right <= left`), attribute operands, equality keys. Anything else
-  * under a marker fails analysis with a pointed message instead of
+  * Scope (documented, checked loudly): backward (`r.time <= l.time`,
+  * latest at-or-before) and forward (`r.time >= l.time`, earliest
+  * at-or-after) directions, attribute operands, equality keys. Anything
+  * else under a marker fails analysis with a pointed message instead of
   * silently degrading to a many-row left join.
   */
 case class AsOfMarker() extends LeafExpression {
@@ -73,25 +74,33 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
           else sys.error(s"attribute $a belongs to neither join side")
         var lBy = Vector.empty[Attribute]
         var rBy = Vector.empty[Attribute]
-        var on: Option[(Attribute, Attribute)] = None // (leftOn, rightOn)
-        def bound(lt: Attribute, rt: Attribute): Unit = {
+        // (leftOn, rightOn, forward): r.t <= l.t is the backward as-of
+        // (latest at-or-before), r.t >= l.t the forward one (earliest
+        // at-or-after) — DuckDB reads direction off the inequality the
+        // same way
+        var on: Option[(Attribute, Attribute, Boolean)] = None
+        def bound(lt: Attribute, rt: Attribute, fwd: Boolean): Unit = {
           if (on.nonEmpty) fail("exactly one time bound is allowed")
-          on = Some((lt, rt))
+          on = Some((lt, rt, fwd))
         }
         conjuncts.foreach {
           case EqualTo(a: Attribute, b: Attribute) if side(a) != side(b) =>
             if (side(a) == 0) { lBy :+= a; rBy :+= b }
             else { lBy :+= b; rBy :+= a }
           case LessThanOrEqual(rt: Attribute, lt: Attribute)
-              if side(rt) == 1 && side(lt) == 0 => bound(lt, rt)
+              if side(rt) == 1 && side(lt) == 0 => bound(lt, rt, fwd = false)
           case GreaterThanOrEqual(lt: Attribute, rt: Attribute)
-              if side(lt) == 0 && side(rt) == 1 => bound(lt, rt)
+              if side(lt) == 0 && side(rt) == 1 => bound(lt, rt, fwd = false)
+          case GreaterThanOrEqual(rt: Attribute, lt: Attribute)
+              if side(rt) == 1 && side(lt) == 0 => bound(lt, rt, fwd = true)
+          case LessThanOrEqual(lt: Attribute, rt: Attribute)
+              if side(lt) == 0 && side(rt) == 1 => bound(lt, rt, fwd = true)
           case other => fail(s"unsupported ASOF JOIN conjunct: ${other.sql}")
         }
         if (lBy.isEmpty) fail("ASOF JOIN needs at least one equality key")
-        val (lOn, rOn) = on.getOrElse(
-          fail("ASOF JOIN needs a time bound (right <= left)"))
-        val node = AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, None)
+        val (lOn, rOn, fwd) = on.getOrElse(
+          fail("ASOF JOIN needs a time bound (right <= left or right >= left)"))
+        val node = AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, None, fwd)
         joinType match {
           case LeftOuter => node
           // inner asof (DuckDB's default): drop unmatched left rows
@@ -108,7 +117,8 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(
       s"$msg. ASOF JOIN conditions must be `l.key = r.key [AND ...] AND " +
-        "r.time <= l.time` with plain column references (backward as-of).")
+        "r.time <= l.time` (backward) or `... AND r.time >= l.time` " +
+        "(forward) with plain column references.")
 }
 
 /** Delegating parser: rewrites the `ASOF` join syntax, hands everything

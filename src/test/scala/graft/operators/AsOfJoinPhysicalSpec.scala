@@ -86,6 +86,33 @@ class AsOfJoinPhysicalSpec extends SparkSpec {
       s"missing=${(composed -- phys).take(5)} extra=${(phys -- composed).take(5)}")
   }
 
+  test("forward physical exec equals the composed forward join") {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val phys = AsOfJoinPhysical.asof(purchases, clicks,
+      by = Seq("user_id"), leftOn = "ts", rightOn = "click_ts",
+      toleranceUs = None, forward = true)
+      .toDF("event_id", "user_id", "ts", "value",
+        "r_user_id", "click_ts", "click_value")
+      .select(col("event_id"), unix_micros(col("click_ts")))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toSet
+    val composed = AsOfJoin.forward(purchases,
+      clicks.withColumnRenamed("click_ts", "ts"),
+      "user_id", "ts", "ts", Seq("click_value"))
+      .select(col("event_id"), unix_micros(col("ts_matched")))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toSet
+    assert(phys == composed,
+      s"missing=${(composed -- phys).take(5)} extra=${(phys -- composed).take(5)}")
+  }
+
   test("tolerance filters stale matches in the exec") {
     import graft.SparkSpec.spark.implicits._
     val trades = Seq((1L, "A", 100L), (2L, "A", 200L))

@@ -51,6 +51,19 @@ class AsOfSqlSpec extends SparkSpec {
     assert(got == Map(1L -> 99.7, 2L -> 100.2))
   }
 
+  test("forward ASOF SQL picks the earliest quote at-or-after") {
+    views
+    val out = spark.sql(
+      """SELECT t.trade_id, q.bid FROM sql_trades t
+        |ASOF LEFT JOIN sql_quotes q
+        |  ON t.sym = q.sym AND q.qts >= t.ts""".stripMargin)
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val got = out.collect().map(r =>
+      r.getLong(0) -> Option(r.get(1))).toMap
+    // matches AsOfJoinSpec's composed-forward expectations
+    assert(got == Map(1L -> Some(99.7), 2L -> None, 3L -> Some(49.0), 4L -> None))
+  }
+
   test("multi-key ASOF SQL keys on the full composite") {
     Seq((1L, "t1", "u1", ts("2024-01-01 10:00:10")),
       (2L, "t2", "u1", ts("2024-01-01 10:00:10")))
