@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Product-quantization encoder: nearest per-segment codebook entry for
+  * a normalized `array<double>` vector, as `array<int>`.
+  *
+  * Why an expression and not the HOF composition
+  * (`graft.similarity.PqIndex.codesOfHof`, asserted equal in
+  * SimilaritySpec): higher-order functions are interpreted per element —
+  * the nested argmin (segments x codebook x sub-dims) allocates a boxed
+  * intermediate array per centroid comparison, which measured ~10 s per
+  * training pass at sf0.1. This eval is three primitive `while` loops
+  * over unboxed doubles, ~100x less work per row.
+  *
+  * The codebook rides along as a plain constructor value (not an
+  * Expression): it is driver-built, a few KB, and serializes with the
+  * expression into each task — the same pattern as TopKAgg's `k`.
+  */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_encode expects array<double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nSeg = codebooks.length
+    val subDim = codebooks(0)(0).length
+    if (arr.numElements() != nSeg * subDim) return null // dim mismatch
+    val v = arr.toDoubleArray()
+    val out = new Array[Int](nSeg)
+    var s = 0
+    while (s < nSeg) {
+      val cb = codebooks(s)
+      val base = s * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = v(base + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict <: first-min ties
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}

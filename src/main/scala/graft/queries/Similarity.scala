@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.functions.GraftFunctions
-import graft.similarity.{IvfIndex, TopKSearch}
+import graft.similarity.{IvfIndex, PqIndex, TopKSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -74,11 +74,34 @@ object Similarity extends QueryPack {
         (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
   }
 
+  /** Product-quantization two-stage search (codes-only ADC scan →
+    * exact re-rank of the shortlist), gated like q67: recall@K against
+    * the exact brute force must clear 0.9, pinned TRUE by the oracle.
+    */
+  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val brute = TopKSearch.bruteForce(s, embs, queries, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val model = PqIndex.train(s, embs, numSegments = 8, codebookSize = 64)
+    val pq = PqIndex.searchTopK(s, model, embs, queries, K, shortlist = 100)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(
+        lit(K).cast("int").as("k"),
+        (col("n_exact") / lit(K)).cast("bigint").as("n_queries"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.9).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> annBrute _,
     "q41_ann_ivf_topk" -> annIvf _,
     "q42_cosine_expr_pairs" -> cosineExprPairs _,
     "q67_ivf_recall" -> ivfRecall _,
+    "q76_pq_recall" -> pqRecall _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -98,6 +121,11 @@ object Similarity extends QueryPack {
          |  FROM s)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $K""".stripMargin,
     "q67_ivf_recall" ->
+      s"""SELECT CAST($K AS INT) AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |   WHERE vec_id < $NQUERIES) AS n_queries,
+         |  TRUE AS recall_ok""".stripMargin,
+    "q76_pq_recall" ->
       s"""SELECT CAST($K AS INT) AS k,
          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
          |   WHERE vec_id < $NQUERIES) AS n_queries,

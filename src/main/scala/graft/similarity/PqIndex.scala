@@ -1,0 +1,173 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN — the genuinely-100-TB similarity path:
+  *
+  *  - vectors are L2-normalized once (cosine ≡ dot thereafter), split
+  *    into `numSegments` sub-vectors, and each sub-vector is replaced by
+  *    the id of its nearest per-segment centroid → the whole corpus
+  *    compresses to `numSegments` small codes per row (8 bytes/vector at
+  *    the defaults vs 256 bytes of float32 — a 100 TB embedding table
+  *    becomes ~3 TB of codes that scan from parquet at memory speed);
+  *  - search is asymmetric-distance (ADC): per query, one
+  *    `numSegments × codebookSize` table of exact sub-dots against the
+  *    codebooks; a candidate's approximate cosine is `numSegments` table
+  *    lookups — no float vector is touched during the scan;
+  *  - the ADC top-`shortlist` is then re-ranked EXACTLY against the
+  *    original embeddings (a candidate-bounded semi join), which restores
+  *    exact top-k whenever the shortlist covers it — the standard
+  *    two-stage shape (scan codes, re-rank a sliver).
+  *
+  * Training is mini-Lloyd per segment, all segments in ONE distributed
+  * pass per iteration (codes assigned via centroid-literal argmin, means
+  * from a single posexplode keyed by (segment, code, sub-position)).
+  * Codebooks live on the driver (numSegments × codebookSize × subDim
+  * doubles) and inline into plans as literals, like [[IvfIndex]].
+  */
+object PqIndex {
+
+  /** codebooks(segment)(code) = centroid sub-vector (length dim/numSegments). */
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    def numSegments: Int = codebooks.length
+    def codebookSize: Int = codebooks(0).length
+    def subDim: Int = codebooks(0)(0).length
+  }
+
+  private def normalized(v: Column): Column = GraftFunctions.normalize(v)
+
+  /** The WHOLE codebook as one nested array literal: Catalyst constant-
+    * folds it to a single `Literal`, so generated code carries one
+    * constant reference instead of numSegments×codebookSize×subDim
+    * inlined doubles — per-segment unrolled expressions cost seconds of
+    * Janino compile at codebookSize 64 (the round-1 plane-matrix
+    * lesson), the folded loop form compiles in milliseconds.
+    */
+  private def cbLit(m: Model): Column =
+    array(m.codebooks.map(seg =>
+      array(seg.map(c => array(c.map(lit(_)): _*)): _*)): _*)
+
+  /** All segment codes for a (normalized) vector, as array<int> — the
+    * primitive-loop [[graft.functions.PqEncode]] expression (HOF
+    * interpretation of the nested argmin measured ~10 s per corpus pass
+    * at sf0.1; the expression is ~100x cheaper per row).
+    */
+  def codesOf(spark: SparkSession, m: Model, v: Column): Column = {
+    val name = s"graft_pq_encode_${m.numSegments}_${m.codebookSize}_" +
+      java.lang.Integer.toHexString(java.util.Arrays.deepHashCode(
+        m.codebooks.asInstanceOf[Array[AnyRef]]))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.PqEncode(exprs(0), m.codebooks),
+      "scala_udf")
+    call_function(name, v)
+  }
+
+  /** The HOF reference form of [[codesOf]] (one transform over segment
+    * indices, nearest centroid by squared L2) — kept as the equivalence
+    * oracle for the expression, per the house pattern.
+    */
+  private[similarity] def codesOfHof(m: Model, v: Column): Column = {
+    val cb = cbLit(m)
+    transform(sequence(lit(0), lit(m.numSegments - 1)), s => {
+      val sub = slice(v, s * m.subDim + 1, lit(m.subDim))
+      val d = transform(element_at(cb, s + 1), c =>
+        aggregate(zip_with(sub, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    })
+  }
+
+  def train(spark: SparkSession, corpus: DataFrame,
+      numSegments: Int = 8, codebookSize: Int = 16, iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val v = corpus.select(col(idCol).as("vec_id"),
+      normalized(col(vecCol).cast("array<double>")).as("v"))
+    val dim = v.select(size(col("v"))).first().getInt(0)
+    require(dim % numSegments == 0, s"dim $dim not divisible by $numSegments")
+    val subDim = dim / numSegments
+    // deterministic seeds: per segment, the sub-vectors of the first
+    // codebookSize rows in hash order
+    val seedRows = v.orderBy(xxhash64(col("vec_id"))).limit(codebookSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var model = Model(Array.tabulate(numSegments, codebookSize) { (s, c) =>
+      seedRows(c).slice(s * subDim, (s + 1) * subDim)
+    })
+    for (_ <- 1 to iterations) {
+      // ONE pass re-assigns every segment: codes array + full posexplode,
+      // means keyed by (segment, code-of-that-segment, sub-position)
+      val assigned = v.select(col("v"), codesOf(spark, model, col("v")).as("codes"))
+      val means = assigned
+        .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select((col("pos") / subDim).cast("int").as("seg"),
+          (col("pos") % subDim).as("sub"),
+          expr("codes[CAST(pos / " + subDim + " AS INT)]").as("code"),
+          col("x"))
+        .groupBy(col("seg"), col("code"), col("sub"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = model.codebooks.map(_.map(_.clone())) // keep empty cells
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      model = Model(next)
+    }
+    model
+  }
+
+  /** Encode the corpus: (id, codes, normalized vector kept for re-rank).
+    * In production the codes table is WRITTEN ONCE and re-read per query
+    * batch; vectors stay in their own table, touched only by the re-rank.
+    */
+  def encode(m: Model, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+        normalized(col(vecCol).cast("array<double>")).as("nv"))
+      .withColumn("codes", codesOf(corpus.sparkSession, m, col("nv")))
+
+  /** ADC lookup table for a (normalized) query: flat
+    * numSegments*codebookSize array, entry s*codebookSize+c = exact dot
+    * of query sub-vector s with centroid c.
+    */
+  def adcTable(m: Model, q: Column): Column = {
+    val cb = cbLit(m)
+    flatten(transform(sequence(lit(0), lit(m.numSegments - 1)), s => {
+      val sub = slice(q, s * m.subDim + 1, lit(m.subDim))
+      transform(element_at(cb, s + 1), c =>
+        aggregate(zip_with(sub, c, (a, b) => a * b), lit(0.0),
+          (acc, x) => acc + x))
+    }))
+  }
+
+  /** Two-stage PQ search: ADC shortlist (codes only) → exact re-rank.
+    * Output schema matches [[TopKSearch.bruteForce]].
+    */
+  def searchTopK(spark: SparkSession, m: Model, corpus: DataFrame,
+      queries: DataFrame, k: Int, shortlist: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    val cbSize = m.codebookSize
+    val coded = encode(m, corpus, corpusId, corpusVec)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val q = queries.select(col(queryId),
+        normalized(col(queryVec).cast("array<double>")).as("qv"))
+      .withColumn("tab", adcTable(m, col("qv")))
+    // stage 1: ADC scan over CODES (no vectors), bounded to `shortlist`
+    // per query by the same partial-aggregated top-k the brute path uses
+    val adcScored = coded.crossJoin(broadcast(q))
+      .withColumn("adc", aggregate(
+        sequence(lit(0), lit(m.numSegments - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("tab"),
+          s * cbSize + element_at(col("codes"), s + 1) + 1)))
+    val short = TopKSearch.explodeRankedBy(spark, adcScored, shortlist, "adc")
+      .select(col(queryId), col("neighbor_id"))
+    // stage 2: exact cosine on the shortlist only, then the real top-k
+    val rescored = short
+      .join(coded.select(col("neighbor_id"), col("nv")), "neighbor_id")
+      .join(broadcast(q.select(col(queryId), col("qv"))), Seq(queryId))
+      .withColumn("cosine",
+        round(GraftFunctions.dotProduct(spark, col("qv"), col("nv")), 9))
+    TopKSearch.explodeRanked(spark, rescored, k)
+  }
+}

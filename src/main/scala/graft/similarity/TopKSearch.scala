@@ -50,11 +50,17 @@ object TopKSearch {
     * IVF path (identical output schema).
     */
   private[similarity] def explodeRanked(spark: SparkSession, scored: DataFrame,
-      k: Int): DataFrame =
+      k: Int): DataFrame = explodeRankedBy(spark, scored, k, "cosine")
+
+  /** Same shape ranked by an arbitrary score column (the PQ path ranks
+    * its shortlist by the ADC approximation before exact re-rank).
+    */
+  private[similarity] def explodeRankedBy(spark: SparkSession,
+      scored: DataFrame, k: Int, scoreCol: String): DataFrame =
     scored
       .groupBy(col("query_id"))
-      .agg(GraftFunctions.topK(spark, col("cosine"), col("neighbor_id"), k).as("nn"))
+      .agg(GraftFunctions.topK(spark, col(scoreCol), col("neighbor_id"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "n")))
       .select(col("query_id"), col("n.id").as("neighbor_id"),
-        col("n.score").as("cosine"), (col("pos") + 1).as("rank"))
+        col("n.score").as(scoreCol), (col("pos") + 1).as("rank"))
 }

@@ -98,6 +98,43 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size == brute.size)
   }
 
+  test("PQ + exact re-rank recovers the exact top-k") {
+    val brute = TopKSearch.bruteForce(spark, embs, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = PqIndex.train(spark, embs, numSegments = 8, codebookSize = 64)
+    assert(model.numSegments == 8 && model.subDim == 8)
+    val pq = PqIndex.searchTopK(spark, model, embs, queries, 5, shortlist = 100)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"PQ recall@5 = $recall")
+    assert(pq.size == brute.size)
+  }
+
+  test("PqEncode expression equals the HOF reference form") {
+    val model = PqIndex.train(spark, embs, numSegments = 8, codebookSize = 16)
+    val v = embs.limit(200).select(
+      GraftFunctions.normalize(col("embedding")).as("nv"))
+    val mism = v.select(
+        PqIndex.codesOf(spark, model, col("nv")).as("fast"),
+        PqIndex.codesOfHof(model, col("nv")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mism == 0)
+  }
+
+  test("PQ codes are compact and well-formed") {
+    val model = PqIndex.train(spark, embs, numSegments = 8, codebookSize = 16)
+    val coded = PqIndex.encode(model, embs)
+    val bad = coded.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+    // codes actually spread across the codebook (training did something)
+    val distinctCodes = coded
+      .select(explode(col("codes")).as("c")).distinct().count()
+    assert(distinctCodes >= 8, s"only $distinctCodes distinct codes used")
+  }
+
   test("corpus side of brute force does not shuffle (broadcast + partial agg)") {
     val plan = TopKSearch.bruteForce(spark, embs, queries, 5)
       .queryExecution.executedPlan.toString
