@@ -196,17 +196,65 @@ object TxnLog {
   def appendTxn(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String], txnId: Option[String],
       maxRetries: Int = 10): Long = {
-    txnId.flatMap(committedTxn(spark, table, _)) match {
-      case Some(v) => return v // replay of a committed batch: no-op
-      case None => ()
-    }
     val commitId = txnId.map(id => s"txn-$id")
       .getOrElse(java.util.UUID.randomUUID().toString)
+    appendCommit(spark, table, df, partitionCols, commitId, txnId,
+      requireBase = None, maxRetries)
+      .getOrElse(throw new IllegalStateException(
+        s"could not commit to $table after $maxRetries attempts"))
+  }
+
+  /** Rewrite the whole current snapshot as ONE commit (a `compact-`
+    * commit directory): many-small-files history folds into a single
+    * scan-friendly commit, readers of the LATEST version plan from the
+    * compaction point forward only, and earlier versions stay readable
+    * for time travel (manifests are retained, so this is not a delete).
+    * Returns None if a concurrent append landed first — compaction must
+    * never fold away rows it did not read, so it aborts instead of
+    * racing (re-run it; appends always win).
+    */
+  def compact(spark: SparkSession, table: String,
+      partitionCols: Seq[String] = Nil, numFiles: Int = 0): Option[Long] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val base = vs.last
+    val snap = snapshot(spark, table, Some(base))
+    // the whole point is fewer, larger files: fold the many-small-file
+    // history down to `numFiles` (default: one per core) per partition
+    val n = if (numFiles > 0) numFiles
+      else math.max(1, spark.sparkContext.defaultParallelism)
+    val folded = if (partitionCols.nonEmpty)
+      snap.repartition(n, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    else snap.coalesce(n)
+    appendCommit(spark, table, folded, partitionCols,
+      s"compact-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base))
+  }
+
+  /** `compact-` manifests supersede everything before them: the data
+    * view of a chain starts at its LAST compaction (earlier manifests
+    * stay in the chain for time travel and txn-id lookups).
+    */
+  private def activeManifests(ms: Seq[Manifest]): Seq[Manifest] = {
+    val cut = ms.lastIndexWhere(m =>
+      new Path(m.commitDir).getName.startsWith("compact-"))
+    if (cut < 0) ms else ms.drop(cut)
+  }
+
+  private def appendCommit(spark: SparkSession, table: String, df: DataFrame,
+      partitionCols: Seq[String], commitId: String, txnId: Option[String],
+      requireBase: Option[Long], maxRetries: Int = 10): Option[Long] = {
+    txnId.flatMap(committedTxn(spark, table, _)) match {
+      case Some(v) => return Some(v) // replay of a committed batch: no-op
+      case None => ()
+    }
     val commitDir = new Path(new Path(table, "data"), commitId)
     // a replay after a crash BETWEEN data write and manifest publish may
     // find uncommitted leftovers in the txn dir: overwrite is safe there
     // (committed txns returned above); random ids keep error-if-exists
-    var w = df.write.mode(if (txnId.isDefined) "overwrite" else "errorifexists")
+    var w = df.write.mode(
+      if (txnId.isDefined || requireBase.isDefined) "overwrite"
+      else "errorifexists")
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     w.parquet(commitDir.toString)
     val f = fs(spark, commitDir)
@@ -225,11 +273,16 @@ object TxnLog {
       // a concurrent racer may have committed this same txn between
       // attempts — idempotence must hold through the retry loop too
       txnId.flatMap(committedTxn(spark, table, _)) match {
-        case Some(v) => return v
+        case Some(v) => return Some(v)
         case None => ()
       }
       val vs = versions(spark, table)
       val next = vs.lastOption.getOrElse(0L) + 1
+      // a compaction folded versions <= base; if anything landed after
+      // base it would be silently superseded — abort, never race
+      requireBase.foreach { b =>
+        if (next != b + 1) { f.delete(commitDir, true); return None }
+      }
       // manifest records THIS commit's schema; readers merge across
       // manifests (reading old files with a later merged schema would
       // ask parquet for coercions it refuses, e.g. double -> string)
@@ -248,15 +301,14 @@ object TxnLog {
         // keep only the racer whose commitDir persisted.
         if (readManifest(spark, table, next).commitDir == commitDir.toString) {
           if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
-          return next
+          return Some(next)
         }
         attempt += 1
       } catch {
         case _: java.io.IOException => attempt += 1 // lost the race; retry
       }
     }
-    throw new IllegalStateException(
-      s"could not commit to $table after $maxRetries attempts")
+    None
   }
 
   /** Snapshot read at a version (default: latest): each commit's files
@@ -288,7 +340,7 @@ object TxnLog {
     require(vs.nonEmpty, s"$table has no commits")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val manifests = manifestChain(spark, table, v)._1
+    val manifests = activeManifests(manifestChain(spark, table, v)._1)
     val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
     def keepFile(f: String): Boolean = partitionValues.forall {
       case (k, value) => !f.contains(s"/$k=") || f.contains(s"/$k=$value/")
@@ -323,7 +375,7 @@ object TxnLog {
   def schemaOf(spark: SparkSession, table: String): StructType = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
-    manifestChain(spark, table, vs.last)._1
+    activeManifests(manifestChain(spark, table, vs.last)._1)
       .map(_.schema).reduce(SchemaRegistry.merge)
   }
 }

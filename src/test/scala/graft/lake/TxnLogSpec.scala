@@ -102,6 +102,51 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, table, Some(5L)).count() == 5)
   }
 
+  test("compaction folds history into one commit, keeps time travel") {
+    val table = Files.createTempDirectory("graft-lake-compact").toString
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    (1 to 8).foreach(_ => TxnLog.append(spark, table, df))
+    val full = TxnLog.snapshot(spark, table)
+    assert(full.count() == 16)
+    val filesBefore = full.inputFiles.length
+
+    val cv = TxnLog.compact(spark, table)
+    assert(cv == Some(9L))
+    val compacted = TxnLog.snapshot(spark, table)
+    assert(compacted.count() == 16, "same rows after compaction")
+    assert(compacted.inputFiles.length < filesBefore,
+      s"${compacted.inputFiles.length} vs $filesBefore planned files")
+    assert(compacted.inputFiles.forall(_.contains("/compact-")),
+      "latest snapshot must plan ONLY the compacted commit")
+
+    // time travel to a pre-compaction version is untouched
+    assert(TxnLog.snapshot(spark, table, Some(3L)).count() == 6)
+
+    // appends after compaction stack on top of it
+    TxnLog.append(spark, table, df)
+    val after = TxnLog.snapshot(spark, table)
+    assert(after.count() == 18)
+    // planning: compaction + the one new commit, not the 8 old ones
+    assert(after.inputFiles.forall(f =>
+      f.contains("/compact-") || !f.contains("/txn-")))
+    assert(TxnLog.versions(spark, table).length == 10)
+  }
+
+  test("compaction schema is the folded union; drift still evolves after") {
+    val table = Files.createTempDirectory("graft-lake-compact2").toString
+    TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    TxnLog.append(spark, table, Seq((2L, 3.5)).toDF("id", "score"))
+    assert(TxnLog.compact(spark, table).isDefined)
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.columns.sorted.toSeq == Seq("id", "score", "v"))
+    assert(snap.count() == 2)
+    assert(TxnLog.schemaOf(spark, table).fieldNames.sorted.toSeq ==
+      Seq("id", "score", "v"))
+    // drift after compaction still merges
+    TxnLog.append(spark, table, Seq((3L, true)).toDF("id", "flag"))
+    assert(TxnLog.snapshot(spark, table).columns.contains("flag"))
+  }
+
   test("partitioned commits prune partitions at snapshot read") {
     val table = Files.createTempDirectory("graft-lake-part").toString
     val b1 = graft.etl.TimePartitions.derive(
