@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — the streaming face of
+  * `graft.dedup.ExactDedup` for continuous ingestion: keep the FIRST
+  * occurrence of each key, with state bounded by the event-time
+  * watermark instead of growing forever.
+  *
+  * `dropDuplicatesWithinWatermark` keeps a key in state only until the
+  * watermark passes its event time plus the delay: duplicates that
+  * arrive within the delay window are dropped exactly like the batch
+  * operator would; a duplicate arriving LATER than the delay may
+  * re-emit — the explicit bounded-state tradeoff every streaming dedup
+  * at 100 TB must make (unbounded `dropDuplicates` state on a document
+  * stream grows with the corpus; watermarked state grows with the
+  * window).
+  */
+object StreamingDedup {
+
+  /** Deduplicate a stream on explicit key columns. */
+  def byKeys(events: DataFrame, tsCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Content-hash dedup for document streams: the dedup key is the
+    * sha256 of the text (32 bytes of state per doc, never the text).
+    */
+  def byContent(docs: DataFrame, tsCol: String, delay: String,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("__content_sha", sha2(col(textCol), 256))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__content_sha")
+      .drop("__content_sha")
+}

@@ -177,6 +177,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming content dedup drops within-watermark duplicates") {
+    implicit val sqlCtx3: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = StreamingDedup.byContent(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: A twice + B; batch 2: A again (within the delay) + C
+    in.addData((ts(0), 1L, "doc A"), (ts(1), 2L, "doc A"), (ts(2), 3L, "doc B"))
+    q.processAllAvailable()
+    in.addData((ts(5), 4L, "doc A"), (ts(6), 5L, "doc C"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+      .select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("doc A", "doc B", "doc C"),
+      s"each content must surface exactly once, got $got")
+  }
+
   test("tumbling window totals reconcile with raw event counts") {
     val events = Tables.events(spark, sf)
     val w = EventSessions.tumblingCounts(events)
