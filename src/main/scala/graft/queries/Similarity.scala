@@ -84,7 +84,10 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("query_id"), col("embedding"))
     val brute = TopKSearch.bruteForce(s, embs, queries, K)
       .select(col("query_id"), col("neighbor_id"))
-    val model = PqIndex.train(s, embs, numSegments = 8, codebookSize = 64)
+    // codebooks train on a bounded slice — at scale PQ always trains on
+    // a sample; search still scans (and re-ranks against) the full corpus
+    val model = PqIndex.train(s, embs.limit(2000),
+      numSegments = 8, codebookSize = 64)
     val pq = PqIndex.searchTopK(s, model, embs, queries, K, shortlist = 100)
       .select(col("query_id"), col("neighbor_id"))
     val hits = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
