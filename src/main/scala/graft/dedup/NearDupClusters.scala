@@ -1,0 +1,83 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph — the step that
+  * turns pairwise similarity into an actionable dedup decision: every
+  * document gets a `cluster_id` (the smallest doc id reachable through
+  * near-dup edges) and the cluster minimum is the keeper.
+  *
+  * Algorithm: iterative min-label propagation over the EDGE-TOUCHED
+  * nodes only (singletons — the overwhelming majority of a deduped
+  * corpus — never enter the loop; they join back as their own cluster at
+  * the end). Each round every node takes `min(own label, neighbors'
+  * labels)` and then POINTER-JUMPS — follows its label's label — which
+  * squares the propagation distance per round (path halving), so
+  * convergence is O(log diameter) rounds rather than O(diameter):
+  * a 1000-hop chain resolves in ~10 rounds, and loose low-threshold
+  * similarity graphs (whose components sprawl) stay cheap. Each round
+  * is two shuffles (edge join + jump join).
+  *
+  * Per-round bookkeeping is one aggregate: labels only ever decrease, so
+  * an unchanged label SUM means an unchanged label vector (no per-row
+  * join-and-compare). Lineage is cut with `localCheckpoint` each round —
+  * iterative plans otherwise stack joins into a tree whose planning
+  * time dominates execution.
+  */
+object NearDupClusters {
+
+  /** @param docs  (doc_id) universe — singletons cluster as themselves
+    * @param pairs (doc_a, doc_b) undirected near-dup edges
+    * @return (doc_id, cluster_id, is_keeper)
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint(true) // pairs are often themselves expensive plans
+    var labels = edges.select(col("s").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    // decimal(38,0): an id sum over billions of 64-bit ids must not
+    // overflow (ANSI mode throws on bigint overflow)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val nbrMin = edges.join(labels, edges("d") === labels("doc_id"))
+        .groupBy(col("s")).agg(min(col("cluster_id")).as("nbr_min"))
+      val viaNbr = labels.join(nbrMin, labels("doc_id") === nbrMin("s"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // path halving: my new label is at worst my label's label — labels
+      // are node ids, so the lookup is a self-join on the label set
+      val parents = viaNbr.select(col("doc_id").as("lid"),
+        col("cluster_id").as("lparent"))
+      val next = viaNbr.join(parents, viaNbr("cluster_id") === parents("lid"),
+          "left")
+        .select(viaNbr("doc_id"),
+          least(viaNbr("cluster_id"),
+            coalesce(col("lparent"), viaNbr("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0 // labels only decrease
+      prevSum = nextSum
+      labels = next
+      iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round $iter sum=$nextSum")
+    }
+    require(converged,
+      s"label propagation did not converge in $maxIterations rounds")
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "n"),
+        col("doc_id") === col("n"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+}

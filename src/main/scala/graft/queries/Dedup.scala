@@ -86,6 +86,25 @@ object Dedup extends QueryPack {
         (col("n_other") === 0).as("no_false_pairs"))
   }
 
+  /** Pairs → clusters → keepers: connected components over the
+    * embedding near-dup graph (min-label propagation), oracled against a
+    * DuckDB recursive CTE computing min-reachable-id. This is the step
+    * that makes pair output actionable — drop every non-keeper.
+    */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    // vec_id < 2000 bounds the exact O(n^2) pair scan this gate feeds on
+    // (all rows at gate scale); production clustering consumes the LSH
+    // pair set instead — the component step itself is shuffle-per-round
+    val embs = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+    // 0.45: the near-dup regime — 0.4 admits so many incidental pairs on
+    // random vectors that components sprawl into long chains (11
+    // propagation rounds at sf0.1 vs ~4 here)
+    val pairs = EmbeddingNearDup.pairsBrute(embs, threshold = 0.45)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    NearDupClusters.clusters(
+      embs.select(col("vec_id").as("doc_id")), pairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact_keepfirst" -> exactKeepFirst _,
     "q31_dedup_exact_hash" -> exactByHash _,
@@ -96,6 +115,7 @@ object Dedup extends QueryPack {
     "q36_dedup_embedding_lsh" -> embeddingLsh _,
     "q70_simhash_gate" -> simhashGate _,
     "q71_embedding_lsh_gate" -> embeddingLshGate _,
+    "q77_neardup_clusters" -> nearDupClusters _,
   )
 
   private val jaccardSql =
@@ -142,6 +162,26 @@ object Dedup extends QueryPack {
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
         |  TRUE AS recall_ok, TRUE AS no_false_pairs
         |FROM embeddings""".stripMargin,
+    "q77_neardup_clusters" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+        |mins AS (SELECT n, min(m) AS mr FROM reach GROUP BY n)
+        |SELECT e.vec_id AS doc_id,
+        |  least(e.vec_id, coalesce(m.mr, e.vec_id)) AS cluster_id,
+        |  least(e.vec_id, coalesce(m.mr, e.vec_id)) = e.vec_id AS is_keeper
+        |FROM u e LEFT JOIN mins m ON m.n = e.vec_id""".stripMargin,
     "q35_dedup_embedding_brute" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

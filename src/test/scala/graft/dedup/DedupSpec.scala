@@ -103,6 +103,21 @@ class DedupSpec extends SparkSpec {
       s"LSH recall ${lsh.size}/${brute.size}")
   }
 
+  test("near-dup clustering: chains, cliques, and singletons") {
+    // component {1,2,3} is a CHAIN (1-2, 2-3: 1 and 3 never share an
+    // edge), {10,11} a pair, {99} a singleton
+    val universe = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = NearDupClusters.clusters(universe, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false))
+    assert(out(3L) == (1L, false), "min label must cross the chain hop")
+    assert(out(10L) == (10L, true))
+    assert(out(11L) == (10L, false))
+    assert(out(99L) == (99L, true), "singletons keep themselves")
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(2.0f, 4.0f, 6.0f)))
       .toDF("vec_id", "embedding")
