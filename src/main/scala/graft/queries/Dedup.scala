@@ -6,11 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-checkable queries for the dedup family (north-star extension).
-  * Exact, n-gram-jaccard, and MinHash+LSH are oracled against DuckDB SQL
-  * (MinHash verifies candidates exactly, so its output equals the exact
-  * pair set up to astronomically unlikely banding misses). SimHash and
-  * cosine-LSH have no SQL equivalent → rows-only + cross-checked in
-  * `DedupSpec` against their exact counterparts.
+  * Exact, n-gram-jaccard, MinHash+LSH, and clustering are oracled
+  * against DuckDB SQL (MinHash verifies candidates exactly, so its
+  * output equals the exact pair set up to astronomically unlikely
+  * banding misses; clustering against a recursive CTE). SimHash and
+  * cosine-LSH have no SQL equivalent → rows-only raw output PLUS
+  * oracle-pinned quality gates (q70/q71), cross-checked in `DedupSpec`.
   */
 object Dedup extends QueryPack {
 
