@@ -66,6 +66,15 @@ object Text extends QueryPack {
           .as("invariance_ok"))
   }
 
+  /** Repetition signals of the kind large-scale pretraining filters use
+    * (type-token ratio, most-frequent unigram/bigram mass): highly
+    * repetitive documents are low-quality training data even when their
+    * surface stats look fine. Exploded aggregations — two bounded
+    * shuffles keyed by (doc, term), no per-doc collect.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats" -> stats _,
     "q51_text_quality" -> quality _,
@@ -74,6 +83,7 @@ object Text extends QueryPack {
     "q54_bpeish_count" -> bpeishCount _,
     "q55_media_features" -> mediaFeatures _,
     "q74_winnow_gate" -> winnowGate _,
+    "q78_repetition" -> repetition _,
   )
 
   private def hitsSql(lang: String): String = {
@@ -181,5 +191,35 @@ object Text extends QueryPack {
     "q74_winnow_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS invariance_ok
         |FROM documents""".stripMargin,
+    "q78_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    [x for x in string_split_regex(lower(text), '\s+') if x <> ''] AS toks
+        |  FROM documents),
+        |uc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |  GROUP BY 1, 2),
+        |us AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_raw,
+        |    max(c) AS maxc, count(*) AS ndist
+        |  FROM uc GROUP BY 1),
+        |bc AS (
+        |  SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest([toks[i] || ' ' || toks[i+1]
+        |                  for i in range(1, len(toks))]) AS b
+        |        FROM t WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2),
+        |bs AS (
+        |  SELECT doc_id, max(c) AS maxb, CAST(sum(c) AS BIGINT) AS nb
+        |  FROM bc GROUP BY 1)
+        |SELECT u.doc_id,
+        |  u.n_raw AS n_tokens,
+        |  round(CAST(u.ndist AS DOUBLE) / u.n_raw, 9) AS ttr,
+        |  round(CAST(u.maxc AS DOUBLE) / u.n_raw, 9) AS top_unigram_frac,
+        |  round(coalesce(CAST(b.maxb AS DOUBLE) / b.nb, 0.0), 9)
+        |    AS top_bigram_frac
+        |FROM us u LEFT JOIN bs b USING (doc_id)""".stripMargin,
   )
 }

@@ -143,4 +143,37 @@ object TextAnalysis {
       sequence(lit(0), greatest(size(hashes) - window, lit(0))),
       i => array_min(slice(hashes, i + 1, lit(window)))))
   }
+
+  /** Repetition signals of the kind large-scale pretraining filters use
+    * (type-token ratio, most-frequent unigram/bigram mass): highly
+    * repetitive documents are low-quality training data even when their
+    * surface stats look fine. Exploded aggregations — two bounded
+    * shuffles keyed by (doc, term), no per-doc collect; fractions are
+    * rounded to 9 decimals for cross-engine rank stability.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      wsTokens(lower(col(textCol))).as("t"))
+    val uc = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val us = uc.groupBy(col("doc_id")).agg(sum(col("c")).as("n_raw"),
+      max(col("c")).as("maxc"), count(lit(1)).as("ndist"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)))).as("b"))
+    val bs = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("maxb"),
+        sum(col("c")).as("nb"))
+    us.join(bs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_raw").cast("bigint").as("n_tokens"),
+        round(col("ndist").cast("double") / col("n_raw"), 9).as("ttr"),
+        round(col("maxc").cast("double") / col("n_raw"), 9)
+          .as("top_unigram_frac"),
+        round(coalesce(col("maxb").cast("double") / col("nb"), lit(0.0)), 9)
+          .as("top_bigram_frac"))
+  }
 }

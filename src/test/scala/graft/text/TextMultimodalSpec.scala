@@ -98,6 +98,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(u.intersect(v).size.toDouble / math.min(u.size, v.size) < 0.2)
   }
 
+  test("repetition signals: hand-checked values and corpus bounds") {
+    import graft.SparkSpec.spark.implicits._
+    // "spam spam spam ham": 4 tokens, ttr 2/4, top unigram 3/4,
+    // bigrams {"spam spam" x2, "spam ham" x1} -> top bigram 2/3.
+    // Doc 2 has one token: no bigrams, fraction must be an honest 0.
+    val planted = Seq((1L, "spam spam spam ham"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_tokens") == 4)
+    assert(got(1L).getAs[Double]("ttr") == 0.5)
+    assert(got(1L).getAs[Double]("top_unigram_frac") == 0.75)
+    assert(got(1L).getAs[Double]("top_bigram_frac") == 0.666666667)
+    assert(got(2L).getAs[Long]("n_tokens") == 1)
+    assert(got(2L).getAs[Double]("top_bigram_frac") == 0.0)
+    // corpus-wide: every signal bounded
+    graft.queries.Text.repetition(spark, sf).collect().foreach { r =>
+      val (tt, uf, bf) = (r.getAs[Double]("ttr"),
+        r.getAs[Double]("top_unigram_frac"), r.getAs[Double]("top_bigram_frac"))
+      assert(tt > 0 && tt <= 1.0 && uf > 0 && uf <= 1.0 && bf >= 0 && bf <= 1.0)
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
   test("media ingest + stub feature extraction is deterministic and typed") {
     val media = Multimodal.readMediaDir(spark, "/root/repo/fixtures/media")
     assert(media.count() == 6)
