@@ -134,8 +134,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * scanning forward at parenthesis depth 0, so `ON`s inside subquery
     * parentheses are skipped.
     */
+  /** True if position `at` falls inside a single-quoted SQL string
+    * literal ('' is the escape, so an even quote count means outside).
+    */
+  private def inStringLiteral(sql: String, at: Int): Boolean = {
+    var quotes = 0
+    var i = 0
+    while (i < at) {
+      if (sql.charAt(i) == '\'') quotes += 1
+      i += 1
+    }
+    quotes % 2 == 1
+  }
+
   private[graft] def rewrite(sql: String): String = {
-    val m = asofJoin.findFirstMatchIn(sql) match {
+    val m = asofJoin.findAllMatchIn(sql)
+      .find(mm => !inStringLiteral(sql, mm.start)) match {
       case None => return sql
       case Some(mm) => mm
     }

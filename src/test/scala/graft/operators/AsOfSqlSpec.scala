@@ -111,6 +111,11 @@ class AsOfSqlSpec extends SparkSpec {
       "SELECT count(*) AS n_asof FROM sql_trades WHERE sym <> 'ASOFX'")
       .as[Long].head()
     assert(n == 4)
+    // even the full phrase inside a string literal stays data, not syntax
+    val lit = spark.sql(
+      "SELECT count(*) FROM sql_trades WHERE sym <> 'x ASOF JOIN y'")
+      .as[Long].head()
+    assert(lit == 4)
     // a plain left join stays a plain (possibly many-row) join
     val plain = spark.sql(
       """SELECT t.trade_id, q.bid FROM sql_trades t
