@@ -108,6 +108,31 @@ object Analytics extends QueryPack {
           col("exact_orders") <= 0.05).as("orders_ok"))
   }
 
+  /** Co-located fact-fact join through BUCKETED tables: both sides are
+    * written `bucketBy(join key)` once, then the join plans with NO
+    * exchange on either side (asserted in `BucketedJoinSpec`) — the
+    * pattern that turns a repeated 100 TB orders⋈lineitem shuffle into
+    * a one-time write cost. The gate hash-checks the result against the
+    * plain DuckDB join, proving the bucketed layout changes the plan,
+    * not the answer.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val db = s"graft_bucket_gate_$tag"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/$db'")
+    Tables.orders(s, dir).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(s"$db.orders_b")
+    Tables.lineitem(s, dir).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+    s.table(s"$db.lineitem_b")
+      .join(s.table(s"$db.orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_percentiles" -> percentiles _,
     "q28_grouping_sets" -> groupingSets _,
@@ -116,6 +141,7 @@ object Analytics extends QueryPack {
     "q44_approx_distinct" -> approxDistinct _,
     "q45_csv_source" -> csvSource _,
     "q72_approx_distinct_gate" -> approxDistinctGate _,
+    "q79_bucketed_join" -> bucketedJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -149,6 +175,11 @@ object Analytics extends QueryPack {
       """SELECT n_regionkey, count(1) AS n_nations, min(n_name) AS first_nation
         |FROM nation
         |GROUP BY n_regionkey""".stripMargin,
+    "q79_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  sum(l_quantity) AS qty, count(1) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q72_approx_distinct_gate" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,
