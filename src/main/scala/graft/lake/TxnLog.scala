@@ -231,6 +231,49 @@ object TxnLog {
       requireBase = Some(base))
   }
 
+  /** Upsert (MERGE semantics on an append-only log): rows of `updates`
+    * REPLACE current rows with the same `keyCols` tuple and new keys
+    * insert — implemented as (snapshot anti-join keys) ∪ updates written
+    * as a superseding `compact-` commit, so the log itself never needs
+    * row-level deletes and every pre-merge version stays readable via
+    * time travel. Same concurrency posture as [[compact]]: aborts with
+    * None if a concurrent append lands after the snapshot base (rows it
+    * did not read must never be folded away).
+    *
+    * Cost shape: one anti-join shuffle on the key + a full rewrite of
+    * the surviving snapshot — the honest cost of merge-on-read-less
+    * logs; at 100 TB, partition the table and merge per partition.
+    */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      keyCols: Seq[String], partitionCols: Seq[String] = Nil): Option[Long] = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val base = vs.last
+    val current = snapshot(spark, table, Some(base))
+    val aligned = {
+      // updates must cover the table schema; extra columns drift-merge in
+      val merged = SchemaRegistry.merge(
+        org.apache.spark.sql.types.StructType(current.schema.fields),
+        org.apache.spark.sql.types.StructType(updates.schema.fields))
+      def align(df: DataFrame): DataFrame = {
+        import org.apache.spark.sql.functions.{col, lit}
+        val present = df.columns.toSet
+        df.select(merged.fields.toSeq.map { f =>
+          if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+      align(current.join(updates.select(keyCols.map(
+          org.apache.spark.sql.functions.col): _*).distinct(),
+        keyCols, "left_anti"))
+        .unionByName(align(updates))
+    }
+    appendCommit(spark, table, aligned, partitionCols,
+      s"compact-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base))
+  }
+
   /** `compact-` manifests supersede everything before them: the data
     * view of a chain starts at its LAST compaction (earlier manifests
     * stay in the chain for time travel and txn-id lookups).

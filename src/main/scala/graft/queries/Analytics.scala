@@ -119,6 +119,12 @@ object Analytics extends QueryPack {
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val db = s"graft_bucket_gate_$tag"
+    // a FRESH session's catalog does not know tables a previous run left
+    // at the location, and saveAsTable refuses an occupied path — drop
+    // both the catalog entry and the directory for a deterministic rerun
+    s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val loc = new org.apache.hadoop.fs.Path(s"/tmp/$db")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/$db'")
     Tables.orders(s, dir).write
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")

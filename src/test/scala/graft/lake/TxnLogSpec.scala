@@ -132,6 +132,34 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.versions(spark, table).length == 10)
   }
 
+  test("merge upserts by key and keeps pre-merge versions readable") {
+    val table = Files.createTempDirectory("graft-lake-merge").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "v", "x"))
+    // update id=2, insert id=4
+    val mv = TxnLog.merge(spark, table,
+      Seq((2L, "B2", 99.0), (4L, "d", 40.0)).toDF("id", "v", "x"),
+      keyCols = Seq("id"))
+    assert(mv == Some(2L))
+    val snap = TxnLog.snapshot(spark, table)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(snap == Map(1L -> ("a", 10.0), 2L -> ("B2", 99.0),
+      3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+    // pre-merge time travel unchanged
+    val v1 = TxnLog.snapshot(spark, table, Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // a second merge with drifting schema evolves the table
+    val mv2 = TxnLog.merge(spark, table,
+      Seq((1L, "a", 10.0, true)).toDF("id", "v", "x", "flag"),
+      keyCols = Seq("id"))
+    assert(mv2 == Some(3L))
+    val snap2 = TxnLog.snapshot(spark, table)
+    assert(snap2.columns.contains("flag"))
+    assert(snap2.count() == 4)
+    assert(snap2.filter(col("flag") === true).count() == 1)
+  }
+
   test("compaction schema is the folded union; drift still evolves after") {
     val table = Files.createTempDirectory("graft-lake-compact2").toString
     TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
