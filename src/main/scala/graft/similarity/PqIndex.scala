@@ -147,25 +147,57 @@ object PqIndex {
       queries: DataFrame, k: Int, shortlist: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
-    val cbSize = m.codebookSize
     val coded = encode(m, corpus, corpusId, corpusVec)
       .repartition(spark.sparkContext.defaultParallelism)
     val q = queries.select(col(queryId),
         normalized(col(queryVec).cast("array<double>")).as("qv"))
       .withColumn("tab", adcTable(m, col("qv")))
-    // stage 1: ADC scan over CODES (no vectors), bounded to `shortlist`
-    // per query by the same partial-aggregated top-k the brute path uses
-    val adcScored = coded.crossJoin(broadcast(q))
-      .withColumn("adc", aggregate(
-        sequence(lit(0), lit(m.numSegments - 1)), lit(0.0),
-        (acc, s) => acc + element_at(col("tab"),
-          s * cbSize + element_at(col("codes"), s + 1) + 1)))
+    adcRerank(spark, m, coded, q, coded.crossJoin(broadcast(q)),
+      k, shortlist, queryId)
+  }
+
+  /** IVF+PQ composition — the production ANN shape: the corpus is
+    * coarse-quantized into IVF cells AND PQ-encoded; a query probes its
+    * `nprobe` cells and runs the ADC table scan over the CODES of those
+    * cells only, then re-ranks exactly. Scanned bytes per query:
+    * `(nprobe/numCells) × numSegments` bytes per corpus vector — at the
+    * defaults, ~1/4 of 1/8th of a float32 corpus, vs 100% for brute.
+    */
+  def searchTopKIvf(spark: SparkSession, m: Model, ivf: IvfIndex.Model,
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+      nprobe: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    val coded = encode(m, corpus, corpusId, corpusVec)
+      .withColumn("cell", IvfIndex.cellOf(spark, ivf, col("nv")))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val q = queries.select(col(queryId),
+        normalized(col(queryVec).cast("array<double>")).as("qv"))
+      .withColumn("tab", adcTable(m, col("qv")))
+      .withColumn("cell",
+        explode(IvfIndex.probeCells(spark, ivf, col("qv"), nprobe)))
+    // candidate set = codes in probed cells (an equi-join, not a cross)
+    adcRerank(spark, m, coded, q.select(col(queryId), col("qv"), col("tab")),
+      coded.join(broadcast(q), "cell"), k, shortlist, queryId)
+  }
+
+  /** Shared tail of both search shapes: ADC-score candidates from the
+    * per-query lookup table, shortlist via the partial-aggregated top-k,
+    * re-rank the shortlist exactly.
+    */
+  private def adcRerank(spark: SparkSession, m: Model, coded: DataFrame,
+      q: DataFrame, candidates: DataFrame, k: Int, shortlist: Int,
+      queryId: String): DataFrame = {
+    val cbSize = m.codebookSize
+    val adcScored = candidates.withColumn("adc", aggregate(
+      sequence(lit(0), lit(m.numSegments - 1)), lit(0.0),
+      (acc, s) => acc + element_at(col("tab"),
+        s * cbSize + element_at(col("codes"), s + 1) + 1)))
     val short = TopKSearch.explodeRankedBy(spark, adcScored, shortlist, "adc")
       .select(col(queryId), col("neighbor_id"))
-    // stage 2: exact cosine on the shortlist only, then the real top-k
     val rescored = short
       .join(coded.select(col("neighbor_id"), col("nv")), "neighbor_id")
-      .join(broadcast(q.select(col(queryId), col("qv"))), Seq(queryId))
+      .join(broadcast(q.select(col(queryId), col("qv")).distinct()), Seq(queryId))
       .withColumn("cosine",
         round(GraftFunctions.dotProduct(spark, col("qv"), col("nv")), 9))
     TopKSearch.explodeRanked(spark, rescored, k)

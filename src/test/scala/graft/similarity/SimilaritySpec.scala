@@ -112,6 +112,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.size == brute.size)
   }
 
+  test("IVF+PQ composed search keeps recall against brute force") {
+    val brute = TopKSearch.bruteForce(spark, embs, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = PqIndex.train(spark, embs, numSegments = 8, codebookSize = 64)
+    val ivf = IvfIndex.train(spark, embs, numCells = 16)
+    val got = PqIndex.searchTopKIvf(spark, pq, ivf, embs, queries, 5,
+      shortlist = 100, nprobe = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF+PQ recall@5 = $recall")
+    assert(got.size == brute.size)
+  }
+
   test("PqEncode expression equals the HOF reference form") {
     val model = PqIndex.train(spark, embs, numSegments = 8, codebookSize = 16)
     val v = embs.limit(200).select(
