@@ -56,9 +56,31 @@ object EtlMain {
     val pipe = new IncrementalJsonPipeline(cfg)
     val rehydrate = row.schema.fieldNames.contains("rehydrate") &&
       row.getAs[Boolean]("rehydrate")
+    // "streaming": true drains the source through Structured Streaming's
+    // checkpointed file ledger instead of the batch archive-move; with
+    // useLake every micro-batch lands as an idempotent atomic lake commit
+    val streamingMode = row.schema.fieldNames.contains("streaming") &&
+      row.getAs[Boolean]("streaming")
     if (rehydrate) {
       val moved = pipe.rehydrate(spark)
       println(s"""{"action":"rehydrate","files":${moved.length}}""")
+    } else if (streamingMode) {
+      // streaming needs an explicit schema: the registry's running union
+      // if one exists, else one inference pass over the pending files
+      val registry = new etl.SchemaRegistry(spark, cfg.registryPath)
+      val schema = registry.load()
+        .getOrElse(spark.read.json(cfg.sourcePath).schema)
+      val checkpoint = opt("checkpointPath")
+        .getOrElse(cfg.sinkPath.stripSuffix("/") + "_checkpoint")
+      val q = if (cfg.useLake)
+        streaming.FileStreamIngest.runAvailableNowLake(
+          spark, cfg, schema, checkpoint)
+      else
+        streaming.FileStreamIngest.runAvailableNow(
+          spark, cfg, schema, checkpoint)
+      q.awaitTermination()
+      registry.update(schema) // keep the registry current for next runs
+      println(s"""{"action":"streaming","lake":${cfg.useLake}}""")
     } else pipe.runBatch(spark) match {
       case Some(r) => println(
         s"""{"action":"batch","rows":${r.rowsWritten},"files":${r.inputFiles.length},""" +
