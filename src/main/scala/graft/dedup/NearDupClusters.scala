@@ -40,9 +40,12 @@ object NearDupClusters {
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
     // decimal(38,0): an id sum over billions of 64-bit ids must not
-    // overflow (ANSI mode throws on bigint overflow)
+    // overflow (ANSI mode throws on bigint overflow). Coalesce to zero:
+    // a clean corpus has NO edges, sum over the empty label set is null,
+    // and the convergence compare must not NPE on it.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
         .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false

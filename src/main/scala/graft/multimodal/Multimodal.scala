@@ -122,7 +122,12 @@ object Multimodal {
           if (id == "fmt " && at + 16 + 4 <= b.length)
             byteRate = le32(b, at + 16).toLong & 0xffffffffL
           if (id == "data") dataBytes = size
-          at += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+          // Chunks pad to even. A corrupt/crafted size (e.g. 0xFFFFFFF8)
+          // must not stall or reverse the walk — compute the next offset
+          // in Long and bail out of the walk when it does not strictly
+          // advance within the buffer ("structurally truncated" → zeros).
+          val next = at.toLong + 8L + size + (size & 1L)
+          at = if (next <= at || next > Int.MaxValue) b.length else next.toInt
         }
         if (byteRate > 0 && dataBytes >= 0)
           (0, 0, dataBytes * 1000L / byteRate)

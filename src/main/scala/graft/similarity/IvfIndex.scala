@@ -77,8 +77,9 @@ object IvfIndex {
     model
   }
 
-  /** ANN top-k: probe `nprobe` cells per query. Same output schema as
-    * [[TopKSearch.bruteForce]].
+  /** ANN top-k: probe `nprobe` cells per query. Same FIXED output schema
+    * as [[TopKSearch.bruteForce]] — `(query_id, neighbor_id, cosine,
+    * rank)` — whatever the input id columns are called.
     */
   def searchTopK(spark: SparkSession, model: Model,
       corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
@@ -88,7 +89,7 @@ object IvfIndex {
         col(corpusVec).cast("array<double>").as("cv"))
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("cell", cellOf(spark, model, col("cv")))
-    val q = queries.select(col(queryId),
+    val q = queries.select(col(queryId).as("query_id"),
         col(queryVec).cast("array<double>").as("qv"))
       .withColumn("cell",
         explode(probeCells(spark, model, col("qv"), nprobe)))

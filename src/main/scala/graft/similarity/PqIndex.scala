@@ -141,7 +141,10 @@ object PqIndex {
   }
 
   /** Two-stage PQ search: ADC shortlist (codes only) → exact re-rank.
-    * Output schema matches [[TopKSearch.bruteForce]].
+    * Output schema matches [[TopKSearch.bruteForce]] — FIXED at
+    * `(query_id, neighbor_id, cosine, rank)`; the id parameters name the
+    * INPUT columns only (aliased to the canonical names on entry, so any
+    * caller schema analyzes).
     */
   def searchTopK(spark: SparkSession, m: Model, corpus: DataFrame,
       queries: DataFrame, k: Int, shortlist: Int,
@@ -149,11 +152,11 @@ object PqIndex {
       queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
     val coded = encode(m, corpus, corpusId, corpusVec)
       .repartition(spark.sparkContext.defaultParallelism)
-    val q = queries.select(col(queryId),
+    val q = queries.select(col(queryId).as("query_id"),
         normalized(col(queryVec).cast("array<double>")).as("qv"))
       .withColumn("tab", adcTable(m, col("qv")))
     adcRerank(spark, m, coded, q, coded.crossJoin(broadcast(q)),
-      k, shortlist, queryId)
+      k, shortlist)
   }
 
   /** IVF+PQ composition — the production ANN shape: the corpus is
@@ -171,14 +174,15 @@ object PqIndex {
     val coded = encode(m, corpus, corpusId, corpusVec)
       .withColumn("cell", IvfIndex.cellOf(spark, ivf, col("nv")))
       .repartition(spark.sparkContext.defaultParallelism)
-    val q = queries.select(col(queryId),
+    val q = queries.select(col(queryId).as("query_id"),
         normalized(col(queryVec).cast("array<double>")).as("qv"))
       .withColumn("tab", adcTable(m, col("qv")))
       .withColumn("cell",
         explode(IvfIndex.probeCells(spark, ivf, col("qv"), nprobe)))
     // candidate set = codes in probed cells (an equi-join, not a cross)
-    adcRerank(spark, m, coded, q.select(col(queryId), col("qv"), col("tab")),
-      coded.join(broadcast(q), "cell"), k, shortlist, queryId)
+    adcRerank(spark, m, coded,
+      q.select(col("query_id"), col("qv"), col("tab")),
+      coded.join(broadcast(q), "cell"), k, shortlist)
   }
 
   /** Shared tail of both search shapes: ADC-score candidates from the
@@ -186,18 +190,18 @@ object PqIndex {
     * re-rank the shortlist exactly.
     */
   private def adcRerank(spark: SparkSession, m: Model, coded: DataFrame,
-      q: DataFrame, candidates: DataFrame, k: Int, shortlist: Int,
-      queryId: String): DataFrame = {
+      q: DataFrame, candidates: DataFrame, k: Int, shortlist: Int): DataFrame = {
     val cbSize = m.codebookSize
     val adcScored = candidates.withColumn("adc", aggregate(
       sequence(lit(0), lit(m.numSegments - 1)), lit(0.0),
       (acc, s) => acc + element_at(col("tab"),
         s * cbSize + element_at(col("codes"), s + 1) + 1)))
     val short = TopKSearch.explodeRankedBy(spark, adcScored, shortlist, "adc")
-      .select(col(queryId), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
     val rescored = short
       .join(coded.select(col("neighbor_id"), col("nv")), "neighbor_id")
-      .join(broadcast(q.select(col(queryId), col("qv")).distinct()), Seq(queryId))
+      .join(broadcast(q.select(col("query_id"), col("qv")).distinct()),
+        Seq("query_id"))
       .withColumn("cosine",
         round(GraftFunctions.dotProduct(spark, col("qv"), col("nv")), 9))
     TopKSearch.explodeRanked(spark, rescored, k)

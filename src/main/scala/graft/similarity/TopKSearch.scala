@@ -23,6 +23,10 @@ object TopKSearch {
 
   /** queries(query_id, embedding) × corpus(vec_id, embedding) → one row
     * per (query_id, neighbor) with rank 1..k by cosine desc, id asc.
+    *
+    * Input id/vector COLUMN NAMES are parameters; the OUTPUT schema is
+    * fixed at `(query_id, neighbor_id, cosine, rank)` regardless — the
+    * contract every downstream ranker in this package shares.
     */
   def bruteForce(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       k: Int,
@@ -32,7 +36,7 @@ object TopKSearch {
     // product; repartition the corpus (often one file → one task) so the
     // scan spreads across every core
     val par = spark.sparkContext.defaultParallelism
-    val q = queries.select(col(queryId),
+    val q = queries.select(col(queryId).as("query_id"),
       GraftFunctions.normalize(col(queryVec)).as("qv"))
     val c = corpus.select(col(corpusId).as("neighbor_id"),
         GraftFunctions.normalize(col(corpusVec)).as("cv"))

@@ -118,6 +118,14 @@ class DedupSpec extends SparkSpec {
     assert(out(99L) == (99L, true), "singletons keep themselves")
   }
 
+  test("clustering a clean corpus (zero edges) is all singletons, no NPE") {
+    val universe = Seq(5L, 6L, 7L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = NearDupClusters.clusters(universe, none).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(5L -> (5L, true), 6L -> (6L, true), 7L -> (7L, true)))
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(2.0f, 4.0f, 6.0f)))
       .toDF("vec_id", "embedding")

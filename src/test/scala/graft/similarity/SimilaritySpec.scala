@@ -150,6 +150,37 @@ class SimilaritySpec extends SparkSpec {
     assert(distinctCodes >= 8, s"only $distinctCodes distinct codes used")
   }
 
+  test("non-default id/vector column names analyze and match the defaults") {
+    val c2 = embs.select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
+    val q2 = queries.select(col("query_id").as("qid"), col("embedding").as("emb"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(TopKSearch.bruteForce(spark, embs, queries, 3))
+    assert(ids(TopKSearch.bruteForce(spark, c2, q2, 3,
+      corpusId = "doc_id", corpusVec = "emb",
+      queryId = "qid", queryVec = "emb")) == brute)
+    val ivfM = IvfIndex.train(spark, c2, numCells = 16,
+      idCol = "doc_id", vecCol = "emb")
+    assert(ids(IvfIndex.searchTopK(spark, ivfM, c2, q2, 3, nprobe = 16,
+      corpusId = "doc_id", corpusVec = "emb",
+      queryId = "qid", queryVec = "emb")) == brute)
+    val pqM = PqIndex.train(spark, c2, numSegments = 8, codebookSize = 64,
+      idCol = "doc_id", vecCol = "emb")
+    // renamed PQ search must ANALYZE, produce the canonical schema, and
+    // equal the same search driven through the default column names
+    val pq = PqIndex.searchTopKIvf(spark, pqM, ivfM, c2, q2, 3,
+      shortlist = 100, nprobe = 16,
+      corpusId = "doc_id", corpusVec = "emb",
+      queryId = "qid", queryVec = "emb")
+    assert(pq.columns.toSeq == Seq("query_id", "neighbor_id", "cosine", "rank"))
+    val pqDefault = PqIndex.searchTopKIvf(spark, pqM, ivfM,
+      c2.select(col("doc_id").as("vec_id"), col("emb").as("embedding")),
+      q2.select(col("qid").as("query_id"), col("emb").as("embedding")),
+      3, shortlist = 100, nprobe = 16)
+    assert(ids(pq) == ids(pqDefault))
+  }
+
   test("corpus side of brute force does not shuffle (broadcast + partial agg)") {
     val plan = TopKSearch.bruteForce(spark, embs, queries, 5)
       .queryExecution.executedPlan.toString

@@ -162,6 +162,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert(mp4.width == 0 && mp4.duration_ms == 0L && mp4.content_sha.length == 64)
   }
 
+  test("corrupt WAV chunk sizes terminate the walk with honest zeros") {
+    import graft.SparkSpec.spark.implicits._
+    def wav(chunks: Array[Byte]*): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+        chunks.flatten
+    def chunk(id: String, size: Long, body: Array[Byte] = Array.empty) =
+      id.getBytes ++ Array(
+        (size & 0xff).toByte, ((size >> 8) & 0xff).toByte,
+        ((size >> 16) & 0xff).toByte, ((size >> 24) & 0xff).toByte) ++ body
+    val cases = Seq(
+      // size 0xFFFFFFF8: size.toInt = -8, the old walk stalled forever
+      1L -> wav(chunk("JUNK", 0xFFFFFFF8L)),
+      // large size drives the old offset negative -> IndexOutOfBounds
+      2L -> wav(chunk("JUNK", 0x7FFFFFFAL)),
+      // zero-size chunk loop: next == at + 8 still advances, then EOF
+      3L -> wav(chunk("JUNK", 0L), chunk("JUNK", 0L)),
+      // data chunk with corrupt size but no fmt: still zeros, no throw
+      4L -> wav(chunk("data", 0xFFFFFFFFL)))
+    val df = cases.map { case (id, bytes) =>
+      Multimodal.MediaRecord(id, s"mem://$id.wav", "audio", bytes,
+        bytes.length.toLong)
+    }.toDF()
+    val out = Multimodal.extractFeatures(df, Multimodal.HeaderDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    cases.foreach { case (id, _) =>
+      val f = out(id)
+      assert(f.width == 0 && f.height == 0 && f.duration_ms == 0L,
+        s"case $id must report zeros")
+      assert(f.content_sha.length == 64)
+    }
+    // a VALID wav whose fmt sits after a zero-size junk chunk still parses
+    val good = wav(chunk("JUNK", 0L),
+      chunk("fmt ", 16L, Array.fill[Byte](8)(0) ++
+        Array[Byte](0x40, 0x1f, 0, 0) ++ Array.fill[Byte](4)(0)), // rate 8000
+      chunk("data", 4000L))
+    val g = Multimodal.HeaderDecoder.decodeBatch(Seq(
+      Multimodal.MediaRecord(9L, "mem://g.wav", "audio", good,
+        good.length.toLong))).head
+    assert(g.duration_ms == 500L)
+  }
+
   test("media batch boundaries do not change results") {
     val media = Multimodal.readMediaDir(spark, "/root/repo/fixtures/media")
     val a = Multimodal.extractFeatures(media, Multimodal.StubDecoder, batchSize = 1)
