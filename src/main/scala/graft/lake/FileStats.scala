@@ -1,0 +1,150 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+/** Per-file column min/max statistics for [[TxnLog]] manifests — the
+  * Delta/Iceberg-style data-skipping layer: a predicate on a NON-partition
+  * column (`tts BETWEEN ...`) can drop files from planning without opening
+  * them, because the log already knows each file's value ranges.
+  *
+  * Stats are harvested from the parquet FOOTERS of just-written files
+  * (metadata-only reads — parquet row groups already carry min/max, so
+  * commit-time collection costs one footer read per file, not a data
+  * pass). Covered: top-level primitive columns of integer ('l'), floating
+  * ('d'), and string ('s') shape; anything else (nested, decimal,
+  * timestamp — Spark's default INT96 encoding has no usable stats) is
+  * simply absent from the map, and absence always means "cannot prune",
+  * never "prune" — correctness does not depend on coverage.
+  *
+  * Encoding is newline-free and separator-safe (column names and string
+  * bounds are base64url), so entries embed directly in the manifest's
+  * line-oriented format.
+  */
+object FileStats {
+
+  /** min/max of one column in one file. tag: 'l' long, 'd' double,
+    * 's' string (dates are 'l' epoch-days).
+    */
+  final case class ColStats(tag: Char, min: String, max: String)
+
+  private val B64E = Base64.getUrlEncoder.withoutPadding
+  private val B64D = Base64.getUrlDecoder
+
+  private def b64(s: String): String =
+    B64E.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(B64D.decode(s), StandardCharsets.UTF_8)
+
+  /** Which tag a Spark type maps to; None = not covered by stats. */
+  private[lake] def tagFor(dt: DataType): Option[Char] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType => Some('l')
+    case FloatType | DoubleType => Some('d')
+    case StringType => Some('s')
+    case _ => None
+  }
+
+  /** Read one file's footer and aggregate row-group stats per column.
+    * A column is dropped (conservative "no pruning") when any row group
+    * carries no statistics at all; all-null row groups contribute nothing
+    * but do not invalidate the other groups' bounds.
+    */
+  def collect(conf: Configuration, file: String,
+      schema: StructType): Map[String, ColStats] = {
+    val tags = schema.fields.flatMap(f => tagFor(f.dataType).map(f.name -> _)).toMap
+    if (tags.isEmpty) return Map.empty
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
+      val invalid = scala.collection.mutable.Set.empty[String]
+      for (block <- reader.getFooter.getBlocks.asScala;
+           cc <- block.getColumns.asScala) {
+        val path = cc.getPath.toArray
+        if (path.length == 1 && tags.contains(path(0))) {
+          val name = path(0)
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty) invalid += name
+          else if (st.hasNonNullValue) {
+            val (lo, hi) = (st.genericGetMin, st.genericGetMax)
+            acc.get(name) match {
+              case None => acc(name) = (lo, hi)
+              case Some((plo, phi)) =>
+                acc(name) = (minOf(tags(name), plo, lo), maxOf(tags(name), phi, hi))
+            }
+          }
+        }
+      }
+      (acc -- invalid).map { case (name, (lo, hi)) =>
+        val t = tags(name)
+        name -> ColStats(t, render(t, lo), render(t, hi))
+      }.toMap
+    } finally reader.close()
+  }
+
+  private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue
+  private def asDouble(v: Any): Double = v.asInstanceOf[Number].doubleValue
+  private def asString(v: Any): String =
+    v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+
+  private def minOf(tag: Char, a: Any, b: Any): Any = tag match {
+    case 'l' => if (asLong(a) <= asLong(b)) a else b
+    case 'd' => if (asDouble(a) <= asDouble(b)) a else b
+    case 's' => if (asString(a) <= asString(b)) a else b
+  }
+  private def maxOf(tag: Char, a: Any, b: Any): Any = tag match {
+    case 'l' => if (asLong(a) >= asLong(b)) a else b
+    case 'd' => if (asDouble(a) >= asDouble(b)) a else b
+    case 's' => if (asString(a) >= asString(b)) a else b
+  }
+  private def render(tag: Char, v: Any): String = tag match {
+    case 'l' => asLong(v).toString
+    case 'd' => asDouble(v).toString
+    case 's' => asString(v)
+  }
+
+  /** `b64(col):tag:b64(min):b64(max)` joined by `,`. */
+  def encode(stats: Map[String, ColStats]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, s) =>
+      s"${b64(c)}:${s.tag}:${b64(s.min)}:${b64(s.max)}"
+    }.mkString(",")
+
+  def decode(s: String): Map[String, ColStats] =
+    if (s.isEmpty) Map.empty
+    else s.split(',').map { rec =>
+      val Array(c, t, lo, hi) = rec.split(':')
+      unb64(c) -> ColStats(t(0), unb64(lo), unb64(hi))
+    }.toMap
+
+  /** Normalize a requested bound to the stats' comparison domain. */
+  private def typed(tag: Char, v: Any): Any = (tag, v) match {
+    case ('l', d: java.time.LocalDate) => d.toEpochDay
+    case ('l', d: java.sql.Date) => d.toLocalDate.toEpochDay
+    case ('l', n: Number) => n.longValue
+    case ('d', n: Number) => n.doubleValue
+    case ('s', x) => x.toString
+    case (_, x) => x.toString.toDouble // last resort; throws loudly if absurd
+  }
+
+  /** Can a file with these bounds contain a value in [lower, upper]?
+    * Open bounds (None) and null bound values never exclude.
+    */
+  def overlaps(cs: ColStats, lower: Option[Any], upper: Option[Any]): Boolean = {
+    def cmp(statVal: String, v: Any): Int = cs.tag match {
+      case 'l' => java.lang.Long.compare(statVal.toLong,
+        typed('l', v).asInstanceOf[Long])
+      case 'd' => java.lang.Double.compare(statVal.toDouble,
+        typed('d', v).asInstanceOf[Double])
+      case 's' => statVal.compareTo(v.toString)
+    }
+    val aboveLo = lower.forall(v => v == null || cmp(cs.max, v) >= 0)
+    val belowHi = upper.forall(v => v == null || cmp(cs.min, v) <= 0)
+    aboveLo && belowHi
+  }
+}

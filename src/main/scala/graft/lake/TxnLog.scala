@@ -25,29 +25,46 @@ import java.nio.charset.StandardCharsets
   *    explicitly to the parquet reader;
   *  - schema evolution: each manifest records the table schema after the
   *    commit, merged with [[SchemaRegistry.merge]] widening rules;
-  *  - time travel: read any historical version by number.
-  *
+  *  - time travel: read any historical version by number;
   *  - checkpointing: every [[TxnLog.CheckpointInterval]] commits the
   *    writer consolidates the manifest chain into one
   *    `<version%08d>.checkpoint` file, so snapshot planning reads
-  *    1 checkpoint + a short manifest tail instead of O(#commits) files
-  *    — a daily-scheduled pipeline (the reference's CloudWatch-cron
-  *    pattern) accumulates thousands of commits/year, and without this
-  *    the log chain itself becomes the metadata bottleneck.
+  *    1 checkpoint + a short manifest tail instead of O(#commits) files;
+  *  - DATA SKIPPING: every manifest entry carries the file's per-column
+  *    min/max ([[FileStats]], harvested from parquet footers at commit
+  *    time), so [[snapshotWhere]] can drop files from planning on
+  *    NON-partition-column predicates — at a 100 TB table the difference
+  *    between reading one file and reading a day's worth;
+  *  - REMOVALS: a manifest may list files it supersedes (`-` lines), so
+  *    [[merge]] rewrites ONLY the files that can contain matched keys and
+  *    carries every other file forward by reference — a 1-row upsert no
+  *    longer costs a full-table rewrite.
   *
   * This is deliberately a compact teaching/scale skeleton, not Delta:
-  * no deletes/compaction — append-only, which is exactly the reference
-  * pipeline's write pattern.
+  * append / upsert / compact, which covers the reference pipeline's write
+  * pattern and the ad-hoc-SQL-over-lake reads layered on top of it.
   */
 object TxnLog {
 
   /** Write a consolidated checkpoint whenever version % interval == 0. */
   val CheckpointInterval: Int = 10
 
+  /** One data file plus its skipping stats (absent stats = never prune). */
+  final case class FileEntry(path: String,
+      stats: Map[String, FileStats.ColStats])
+
+  /** An inclusive column-range predicate for stats-pruned snapshot reads;
+    * `None` bounds are open. Values compare in the column's natural
+    * domain (integers, doubles, strings; dates as LocalDate/sql.Date).
+    */
+  final case class ColRange(column: String, lower: Option[Any] = None,
+      upper: Option[Any] = None)
+
   final case class Manifest(version: Long, commitDir: String,
-      files: Seq[String], schemaJson: String) {
+      entries: Seq[FileEntry], schemaJson: String, removed: Seq[String]) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    def files: Seq[String] = entries.map(_.path)
   }
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
@@ -81,11 +98,36 @@ object TxnLog {
       .map(_.stripSuffix(".checkpoint").toLong).sorted.toSeq
   }
 
+  // ---- manifest body lines (shared by manifests and checkpoints) ----
+  // After the 3 header lines (version, commitDir, schemaJson):
+  //   "-<path>"              a file superseded (removed) by this commit
+  //   "<path>"               a data file, no stats
+  //   "<path>\t<statsEnc>"   a data file with FileStats-encoded min/max
+  // Paths are absolute FS URIs — they never start with '-' and never
+  // contain '\t' or '\n', so the format needs no quoting.
+
+  private def bodyLines(entries: Seq[FileEntry], removed: Seq[String]): Seq[String] =
+    removed.map("-" + _) ++ entries.map { e =>
+      if (e.stats.isEmpty) e.path
+      else e.path + "\t" + FileStats.encode(e.stats)
+    }
+
+  private def parseBody(lines: Seq[String]): (Seq[FileEntry], Seq[String]) = {
+    val (rm, files) = lines.partition(_.startsWith("-"))
+    val entries = files.map { l =>
+      val i = l.indexOf('\t')
+      if (i < 0) FileEntry(l, Map.empty)
+      else FileEntry(l.take(i), FileStats.decode(l.drop(i + 1)))
+    }
+    (entries, rm.map(_.drop(1)))
+  }
+
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
     val p = manifestPath(table, v)
-    // line format: version \n commitDir \n schemaJson \n files...
+    // line format: version \n commitDir \n schemaJson \n body lines...
     val lines = readFully(fs(spark, p), p).split('\n')
-    Manifest(lines(0).toLong, lines(1), lines.drop(3).toSeq, lines(2))
+    val (entries, removed) = parseBody(lines.drop(3).toSeq)
+    Manifest(lines(0).toLong, lines(1), entries, lines(2), removed)
   }
 
   private def readFully(f: FileSystem, p: Path): String = {
@@ -101,7 +143,8 @@ object TxnLog {
   // line-count-prefixed record (paths/schema JSON never contain newlines)
   private def serializeCheckpoint(ms: Seq[Manifest]): String = {
     val recs = ms.map { m =>
-      val lines = Seq(m.version.toString, m.commitDir, m.schemaJson) ++ m.files
+      val lines = Seq(m.version.toString, m.commitDir, m.schemaJson) ++
+        bodyLines(m.entries, m.removed)
       (lines.length.toString +: lines).mkString("\n")
     }
     (s"GRAFT_CKPT_V1" +: ms.length.toString +: recs).mkString("\n")
@@ -116,7 +159,8 @@ object TxnLog {
       val len = lines(at).toInt
       val rec = lines.slice(at + 1, at + 1 + len)
       at += 1 + len
-      Manifest(rec(0).toLong, rec(1), rec.drop(3).toSeq, rec(2))
+      val (entries, removed) = parseBody(rec.drop(3).toSeq)
+      Manifest(rec(0).toLong, rec(1), entries, rec(2), removed)
     }
   }
 
@@ -173,6 +217,21 @@ object TxnLog {
       partitionCols: Seq[String] = Nil, maxRetries: Int = 10): Long =
     appendTxn(spark, table, df, partitionCols, None, maxRetries)
 
+  /** The txn id a commit directory name encodes, if any. New commits are
+    * `txn-<8 hex>-<id>` (unique dir per attempt, so concurrent replays of
+    * the same id can never overwrite each other's data files); `txn-<id>`
+    * is accepted for logs written before the unique-dir scheme.
+    */
+  private def txnIdOfDir(name: String): Option[String] =
+    if (!name.startsWith("txn-")) None
+    else {
+      val rest = name.stripPrefix("txn-")
+      if (rest.length > 9 && rest(8) == '-' &&
+          rest.take(8).forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+        Some(rest.drop(9))
+      else Some(rest)
+    }
+
   /** The version that already committed transaction `txnId`, if any —
     * resolved from the (checkpoint-bounded) manifest chain by commit-dir
     * name, so idempotence needs no manifest-format change.
@@ -182,7 +241,7 @@ object TxnLog {
     val vs = versions(spark, table)
     if (vs.isEmpty) None
     else manifestChain(spark, table, vs.last)._1
-      .find(m => new Path(m.commitDir).getName == s"txn-$txnId")
+      .find(m => txnIdOfDir(new Path(m.commitDir).getName).contains(txnId))
       .map(_.version)
   }
 
@@ -196,10 +255,14 @@ object TxnLog {
   def appendTxn(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String], txnId: Option[String],
       maxRetries: Int = 10): Long = {
-    val commitId = txnId.map(id => s"txn-$id")
-      .getOrElse(java.util.UUID.randomUUID().toString)
+    val uid = java.util.UUID.randomUUID().toString
+    // txn data goes to a UNIQUE dir per attempt: two racers replaying the
+    // same txnId each write their own files, the manifest race picks one
+    // winner, and the loser deletes its dir — the winner's committed
+    // files can never be clobbered by a replay's overwrite.
+    val commitId = txnId.map(id => s"txn-${uid.take(8)}-$id").getOrElse(uid)
     appendCommit(spark, table, df, partitionCols, commitId, txnId,
-      requireBase = None, maxRetries)
+      requireBase = None, removePaths = Nil, maxRetries)
       .getOrElse(throw new IllegalStateException(
         s"could not commit to $table after $maxRetries attempts"))
   }
@@ -228,50 +291,85 @@ object TxnLog {
     else snap.coalesce(n)
     appendCommit(spark, table, folded, partitionCols,
       s"compact-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = Some(base))
+      requireBase = Some(base), removePaths = Nil)
   }
 
   /** Upsert (MERGE semantics on an append-only log): rows of `updates`
     * REPLACE current rows with the same `keyCols` tuple and new keys
-    * insert — implemented as (snapshot anti-join keys) ∪ updates written
-    * as a superseding `compact-` commit, so the log itself never needs
-    * row-level deletes and every pre-merge version stays readable via
-    * time travel. Same concurrency posture as [[compact]]: aborts with
-    * None if a concurrent append lands after the snapshot base (rows it
-    * did not read must never be folded away).
+    * insert. FILE-PRUNED: only files whose per-column stats (or Hive
+    * partition-path values) admit a matched key are read and rewritten —
+    * every other live file is carried forward BY REFERENCE, untouched on
+    * disk; the new manifest lists the rewritten files as removed. A
+    * single-partition upsert on a 100 TB table therefore costs one
+    * partition's rewrite, not the table's. Every pre-merge version stays
+    * readable via time travel (removals only apply to later snapshots).
     *
-    * Cost shape: one anti-join shuffle on the key + a full rewrite of
-    * the surviving snapshot — the honest cost of merge-on-read-less
-    * logs; at 100 TB, partition the table and merge per partition.
+    * Same concurrency posture as [[compact]]: aborts with None if a
+    * concurrent append lands after the snapshot base (rows it did not
+    * read must never be superseded).
     */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       keyCols: Seq[String], partitionCols: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, min, max}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
     val base = vs.last
-    val current = snapshot(spark, table, Some(base))
-    val aligned = {
-      // updates must cover the table schema; extra columns drift-merge in
-      val merged = SchemaRegistry.merge(
-        org.apache.spark.sql.types.StructType(current.schema.fields),
-        org.apache.spark.sql.types.StructType(updates.schema.fields))
-      def align(df: DataFrame): DataFrame = {
-        import org.apache.spark.sql.functions.{col, lit}
-        val present = df.columns.toSet
-        df.select(merged.fields.toSeq.map { f =>
-          if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }: _*)
+    val manifests = activeManifests(manifestChain(spark, table, base)._1)
+    val tableSchema = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val merged = SchemaRegistry.merge(tableSchema,
+      StructType(updates.schema.fields))
+
+    // key bounds of the update set (one tiny agg; the update batch is the
+    // SMALL side of a merge by construction)
+    val boundAggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+    val bRow = updates.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val bounds: Map[String, (Any, Any)] = keyCols.map(k =>
+      k -> ((bRow.getAs[Any](s"min_$k"), bRow.getAs[Any](s"max_$k")))).toMap
+    // partition values present in the update set, for path-level pruning
+    val partVals: Map[String, Set[String]] =
+      partitionCols.filter(updates.columns.contains).map { p =>
+        p -> updates.select(col(p).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet
+      }.toMap
+
+    def canMatch(e: FileEntry): Boolean = {
+      val partOk = partVals.forall { case (k, set) =>
+        val ek = escapeDir(k)
+        !e.path.contains(s"/$ek=") ||
+          set.exists(v => e.path.contains(s"/$ek=${escapeDir(v)}/"))
       }
-      align(current.join(updates.select(keyCols.map(
-          org.apache.spark.sql.functions.col): _*).distinct(),
-        keyCols, "left_anti"))
-        .unionByName(align(updates))
+      partOk && keyCols.forall { k =>
+        e.stats.get(k) match {
+          case Some(cs) =>
+            FileStats.overlaps(cs, Some(bounds(k)._1), Some(bounds(k)._2))
+          case None => true // no stats -> must assume it can match
+        }
+      }
     }
-    appendCommit(spark, table, aligned, partitionCols,
-      s"compact-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = Some(base))
+
+    val live = liveEntries(manifests)
+    val touched = live.map { case (m, es) => (m, es.filter(canMatch)) }
+      .filter(_._2.nonEmpty)
+    val touchedPaths = touched.flatMap(_._2.map(_.path))
+
+    def align(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      df.select(merged.fields.toSeq.map { f =>
+        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val out = readAligned(spark, touched, merged) match {
+      case Some(df) => align(df.join(
+          updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
+        .unionByName(align(updates))
+      case None => align(updates) // nothing can match: pure insert
+    }
+    appendCommit(spark, table, out, partitionCols,
+      s"merge-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base), removePaths = touchedPaths)
   }
 
   /** `compact-` manifests supersede everything before them: the data
@@ -284,20 +382,31 @@ object TxnLog {
     if (cut < 0) ms else ms.drop(cut)
   }
 
+  /** Per-manifest file entries still live at the END of this chain: a
+    * file is dead once any LATER manifest lists it as removed.
+    */
+  private def liveEntries(ms: Seq[Manifest]): Seq[(Manifest, Seq[FileEntry])] = {
+    var removed = Set.empty[String]
+    ms.reverse.map { m =>
+      val kept = m.entries.filterNot(e => removed.contains(e.path))
+      removed ++= m.removed
+      (m, kept)
+    }.reverse
+  }
+
   private def appendCommit(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String], commitId: String, txnId: Option[String],
-      requireBase: Option[Long], maxRetries: Int = 10): Option[Long] = {
+      requireBase: Option[Long], removePaths: Seq[String],
+      maxRetries: Int = 10): Option[Long] = {
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
     }
     val commitDir = new Path(new Path(table, "data"), commitId)
-    // a replay after a crash BETWEEN data write and manifest publish may
-    // find uncommitted leftovers in the txn dir: overwrite is safe there
-    // (committed txns returned above); random ids keep error-if-exists
-    var w = df.write.mode(
-      if (txnId.isDefined || requireBase.isDefined) "overwrite"
-      else "errorifexists")
+    // every commit dir is unique per attempt (uuid-named), so the data
+    // write NEVER overwrites: a crash mid-write leaves an orphan dir no
+    // manifest references, and a replay simply writes a fresh dir
+    var w = df.write.mode("errorifexists")
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     w.parquet(commitDir.toString)
     val f = fs(spark, commitDir)
@@ -310,19 +419,30 @@ object TxnLog {
       }
       buf.sorted.toSeq
     }
+    // skipping stats from the just-written footers (metadata-only; at
+    // cluster scale distribute this loop — one footer read per file).
+    // Partition columns live in the path, not the file: exclude them.
+    val statsSchema = StructType(df.schema.fields
+      .filterNot(fd => partitionCols.contains(fd.name)))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val entries = files.map { p =>
+      FileEntry(p, try FileStats.collect(hconf, p, statsSchema)
+        catch { case _: Exception => Map.empty[String, FileStats.ColStats] })
+    }
 
     var attempt = 0
     while (attempt < maxRetries) {
       // a concurrent racer may have committed this same txn between
-      // attempts — idempotence must hold through the retry loop too
+      // attempts — idempotence must hold through the retry loop too;
+      // this attempt's data dir is then garbage: drop it
       txnId.flatMap(committedTxn(spark, table, _)) match {
-        case Some(v) => return Some(v)
+        case Some(v) => f.delete(commitDir, true); return Some(v)
         case None => ()
       }
       val vs = versions(spark, table)
       val next = vs.lastOption.getOrElse(0L) + 1
-      // a compaction folded versions <= base; if anything landed after
-      // base it would be silently superseded — abort, never race
+      // a compaction/merge folded versions <= base; if anything landed
+      // after base it would be silently superseded — abort, never race
       requireBase.foreach { b =>
         if (next != b + 1) { f.delete(commitDir, true); return None }
       }
@@ -330,7 +450,7 @@ object TxnLog {
       // manifests (reading old files with a later merged schema would
       // ask parquet for coercions it refuses, e.g. double -> string)
       val body = (Seq(next.toString, commitDir.toString, df.schema.json) ++
-        files).mkString("\n")
+        bodyLines(entries, removePaths)).mkString("\n")
       val p = manifestPath(table, next)
       val lf = fs(spark, p)
       lf.mkdirs(p.getParent)
@@ -351,13 +471,14 @@ object TxnLog {
         case _: java.io.IOException => attempt += 1 // lost the race; retry
       }
     }
+    f.delete(commitDir, true) // give up: leave no unreferenced data
     None
   }
 
-  /** Snapshot read at a version (default: latest): each commit's files
-    * are read with THAT commit's schema, then cast-and-aligned to the
-    * union schema (missing columns null, widened/conflicted types cast)
-    * and unioned — schema evolution entirely from manifest metadata
+  /** Snapshot read at a version (default: latest): each commit's live
+    * files are read with THAT commit's schema, then cast-and-aligned to
+    * the union schema (missing columns null, widened/conflicted types
+    * cast) and unioned — schema evolution entirely from manifest metadata
     * (1 checkpoint + short tail after checkpointing), no footer scans,
     * no parquet-side coercion demands.
     */
@@ -365,19 +486,33 @@ object TxnLog {
       version: Option[Long] = None): DataFrame =
     snapshotWhere(spark, table, Map.empty, version)
 
-  /** Snapshot restricted to Hive-layout partition values, pruned at the
-    * MANIFEST level: files whose path carries a `k=other/` segment for a
-    * requested `k -> v` never enter the scan's file list at all. At a
-    * daily-partitioned 100 TB table this is the difference between
-    * planning over every file ever committed and planning over one
-    * day's — the log is the index, exactly the trick Delta/Iceberg play.
-    * Files WITHOUT a `k=` segment (commits not partitioned by `k`) are
-    * kept, and an exact row-level filter is applied on top, so the
-    * result equals `snapshot(...).filter(...)` regardless of layout.
+  /** Hive-style partition-dir escaping, matching what Spark's writer does
+    * for special characters (space -> %20 etc.) — raw-value substring
+    * matching would silently PRUNE files whose dir name is escaped.
+    * Delegates to the same util the writer uses.
+    */
+  private def escapeDir(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
+  /** Snapshot restricted by partition values and/or column ranges, pruned
+    * at the MANIFEST level — the log is the index, exactly the trick
+    * Delta/Iceberg play:
+    *
+    *  - `partitionValues`: files whose path carries a `k=other/` segment
+    *    for a requested `k -> v` never enter the scan's file list (values
+    *    are Hive-escaped before matching, so `"a b"` prunes correctly);
+    *    files without a `k=` segment are kept;
+    *  - `ranges`: files whose recorded min/max exclude the requested
+    *    interval are dropped; files without stats for the column are kept.
+    *
+    * An exact row-level filter is applied on top of both, so the result
+    * equals `snapshot(...).filter(...)` regardless of layout or stats
+    * coverage.
     */
   def snapshotWhere(spark: SparkSession, table: String,
       partitionValues: Map[String, String],
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      ranges: Seq[ColRange] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
@@ -385,22 +520,56 @@ object TxnLog {
     require(vs.contains(v), s"version $v not in $vs")
     val manifests = activeManifests(manifestChain(spark, table, v)._1)
     val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
-    def keepFile(f: String): Boolean = partitionValues.forall {
-      case (k, value) => !f.contains(s"/$k=") || f.contains(s"/$k=$value/")
+    def keepEntry(e: FileEntry): Boolean = {
+      val partOk = partitionValues.forall { case (k, value) =>
+        val ek = escapeDir(k)
+        !e.path.contains(s"/$ek=") ||
+          e.path.contains(s"/$ek=${escapeDir(value)}/")
+      }
+      partOk && ranges.forall(r =>
+        e.stats.get(r.column).forall(cs =>
+          FileStats.overlaps(cs, r.lower, r.upper)))
     }
-    def rowFilter(df: DataFrame): DataFrame =
-      partitionValues.foldLeft(df) { case (d, (k, value)) =>
+    def rowFilter(df: DataFrame): DataFrame = {
+      val p1 = partitionValues.foldLeft(df) { case (d, (k, value)) =>
         if (d.columns.contains(k)) d.filter(col(k).cast("string") === value)
         else d
       }
-    val parts = manifests.flatMap { m =>
-      val files = m.files.filter(keepFile)
-      if (files.isEmpty) None // whole commit pruned from planning
+      ranges.foldLeft(p1) { case (d, r) =>
+        if (!d.columns.contains(r.column)) d
+        else {
+          val c = col(r.column)
+          val lo = r.lower.map(v => c >= lit(v))
+          val hi = r.upper.map(v => c <= lit(v))
+          (lo ++ hi).foldLeft(d)(_ filter _)
+        }
+      }
+    }
+    val groups = liveEntries(manifests)
+      .map { case (m, es) => (m, es.filter(keepEntry)) }
+    readAligned(spark, groups, merged) match {
+      case Some(df) => rowFilter(df)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(merged.fields))
+    }
+  }
+
+  /** Union the given (manifest, live-entry) groups aligned to `merged`;
+    * None when every group is empty. Each group reads with ITS commit's
+    * schema and basePath (Hive-layout partition columns resolve from
+    * directory names, and the scan keeps PartitionFilters).
+    */
+  private def readAligned(spark: SparkSession,
+      groups: Seq[(Manifest, Seq[FileEntry])],
+      merged: StructType): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val parts = groups.flatMap { case (m, es) =>
+      if (es.isEmpty) None // whole commit pruned from planning
       else Some {
-        // basePath lets Hive-layout commits resolve partition columns
-        // from directory names (and gives the scan PartitionFilters)
         val raw = spark.read.option("basePath", m.commitDir)
-          .schema(m.schema).parquet(files: _*)
+          .schema(m.schema).parquet(es.map(_.path): _*)
         val present = m.schema.fieldNames.toSet
         raw.select(merged.fields.toSeq.map { f =>
           if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -408,10 +577,7 @@ object TxnLog {
         }: _*)
       }
     }
-    if (parts.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(merged.fields))
-    else rowFilter(parts.reduce(_ unionByName _))
+    parts.reduceOption(_ unionByName _)
   }
 
   /** Latest table schema (union over commits), metadata only. */

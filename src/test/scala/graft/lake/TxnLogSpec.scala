@@ -206,6 +206,141 @@ class TxnLogSpec extends SparkSpec {
     assert(none.columns.contains("year"), "schema survives full pruning")
   }
 
+  test("column stats prune files from planning; result identical") {
+    val table = Files.createTempDirectory("graft-lake-stats").toString
+    // three commits with DISJOINT id ranges, two files each
+    Seq((0L, 99L), (100L, 199L), (200L, 299L)).foreach { case (lo, hi) =>
+      val df = spark.range(lo, hi + 1).toDF("id")
+        .withColumn("label", concat(lit("r"), col("id")))
+        .repartitionByRange(2, col("id"))
+      TxnLog.append(spark, table, df)
+    }
+    val full = TxnLog.snapshot(spark, table)
+    assert(full.inputFiles.length == 6)
+    // a range predicate inside the middle commit plans ONLY its files
+    val pruned = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("id", Some(120L), Some(180L))))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    assert(pruned.inputFiles.length <= 2)
+    // rows equal the unpruned filter exactly
+    val expect = full.filter(col("id").between(120, 180))
+    assert(pruned.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(pruned).count() == 0)
+    assert(pruned.count() == 61)
+    // string stats prune too
+    val sPruned = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("label", Some("r100"), Some("r100"))))
+    assert(sPruned.count() == 1)
+    assert(sPruned.inputFiles.length < full.inputFiles.length)
+    // open-ended bound
+    val ge = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("id", Some(250L), None)))
+    assert(ge.count() == 50)
+    assert(ge.inputFiles.length <= 2)
+  }
+
+  test("merge rewrites only files that can hold matched keys") {
+    val table = Files.createTempDirectory("graft-lake-merge-prune").toString
+    // two partitions, disjoint id ranges per region
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("region", when(col("id") < 50, "east").otherwise("west"))
+      .withColumn("v", col("id") * 10)
+      .repartition(2, col("region"))
+    TxnLog.append(spark, table, df, partitionCols = Seq("region"))
+    val beforeEntries = TxnLog.snapshot(spark, table).inputFiles.toSet
+    val eastBefore = beforeEntries.filter(_.contains("/region=east/"))
+    val westBefore = beforeEntries.filter(_.contains("/region=west/"))
+    assert(eastBefore.nonEmpty && westBefore.nonEmpty)
+    // upsert touches only east ids (and declares its partition)
+    val up = Seq((7L, "east", -1L), (8L, "east", -2L)).toDF("id", "region", "v")
+    val mv = TxnLog.merge(spark, table, up, keyCols = Seq("id"),
+      partitionCols = Seq("region"))
+    assert(mv == Some(2L))
+    val after = TxnLog.snapshot(spark, table)
+    // west files survive BY REFERENCE: identical paths, never rewritten
+    val afterFiles = after.inputFiles.toSet
+    assert(westBefore.subsetOf(afterFiles),
+      s"west files must be carried forward untouched:\n${westBefore -- afterFiles}")
+    assert((afterFiles -- westBefore).forall(!_.contains("/region=west/")),
+      "no west file may be rewritten by an east-only merge")
+    // east files were rewritten (old paths dropped from planning)
+    assert(eastBefore.intersect(afterFiles).isEmpty,
+      "stale east files must leave the live set")
+    // and the data is exactly the upserted table
+    val got = after.select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == -1L && got(8L) == -2L && got(9L) == 90L)
+    assert(got.size == 100)
+    // pre-merge version still reads the original rows
+    assert(TxnLog.snapshot(spark, table, Some(1L))
+      .filter(col("id") === 7 && col("v") === 70).count() == 1)
+  }
+
+  test("merge key-range pruning skips disjoint unpartitioned files") {
+    val table = Files.createTempDirectory("graft-lake-merge-stats").toString
+    // two commits, disjoint key ranges, no Hive partitioning at all
+    TxnLog.append(spark, table,
+      spark.range(0, 50).toDF("id").withColumn("v", lit("lo")).coalesce(1))
+    TxnLog.append(spark, table,
+      spark.range(1000, 1050).toDF("id").withColumn("v", lit("hi")).coalesce(1))
+    val before = TxnLog.snapshot(spark, table).inputFiles.toSet
+    assert(before.size == 2)
+    val mv = TxnLog.merge(spark, table,
+      Seq((1005L, "HI2")).toDF("id", "v"), keyCols = Seq("id"))
+    assert(mv.isDefined)
+    val after = TxnLog.snapshot(spark, table).inputFiles.toSet
+    // exactly one old file (the lo-range one) survives by reference
+    assert(after.intersect(before).size == 1, s"after=$after")
+    assert(TxnLog.snapshot(spark, table)
+      .filter(col("v") === "lo").count() == 50)
+    assert(TxnLog.snapshot(spark, table)
+      .filter(col("v") === "HI2").count() == 1)
+    assert(TxnLog.snapshot(spark, table).count() == 100)
+  }
+
+  test("partition values with special characters escape correctly") {
+    val table = Files.createTempDirectory("graft-lake-esc").toString
+    val df = Seq(("a b", 1L), ("c:d", 2L), ("plain", 3L))
+      .toDF("k", "v")
+    TxnLog.append(spark, table, df, partitionCols = Seq("k"))
+    // the writer escapes 'a b' in the dir name; pruning must too — the
+    // old raw-substring match silently dropped these rows
+    val got = TxnLog.snapshotWhere(spark, table, Map("k" -> "a b"))
+    assert(got.count() == 1)
+    assert(got.select("v").head().getLong(0) == 1L)
+    assert(TxnLog.snapshotWhere(spark, table, Map("k" -> "c:d")).count() == 1)
+    assert(TxnLog.snapshotWhere(spark, table, Map("k" -> "plain")).count() == 1)
+    // pruning still actually prunes (fewer planned files than the full scan)
+    val full = TxnLog.snapshot(spark, table)
+    assert(TxnLog.snapshotWhere(spark, table, Map("k" -> "a b"))
+      .inputFiles.length < full.inputFiles.length)
+  }
+
+  test("concurrent replays of one txnId cannot clobber committed files") {
+    val table = Files.createTempDirectory("graft-lake-txnrace").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // 4 simultaneous replays of the SAME txn: exactly one version wins,
+    // and every file the manifest references must exist afterwards (the
+    // old same-dir overwrite deleted the winner's files)
+    val vsn = Await.result(Future.traverse((1 to 4).toList)(_ =>
+      Future(TxnLog.appendTxn(spark, table, df, Nil, Some("race-0")))),
+      2.minutes)
+    assert(vsn.toSet.size == 1, s"all replays must converge: $vsn")
+    assert(TxnLog.versions(spark, table) == Seq(1L))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 2, "no doubled rows, no missing files")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    snap.inputFiles.foreach { fpath =>
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(fpath)),
+        s"manifest references a deleted file: $fpath")
+    }
+  }
+
   test("snapshot of unknown version is rejected") {
     val table = Files.createTempDirectory("graft-lake-bad").toString
     TxnLog.append(spark, table, Seq((1L, "x")).toDF("id", "v"))
