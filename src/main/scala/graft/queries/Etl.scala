@@ -84,8 +84,37 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** Data-skipping gate: the orders table committed to a lake as three
+    * DISJOINT `o_orderkey` ranges, then a range read through
+    * [[graft.lake.TxnLog.snapshotWhere]]. The query REQUIRES that the
+    * per-file min/max stats pruned planning (strictly fewer files than
+    * the full snapshot) and is hash-checked row-for-row against a plain
+    * DuckDB filter — a stats regression either un-prunes (loud require)
+    * or changes rows (hash mismatch).
+    */
+  def lakeStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_skip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 10000,
+        col("o_orderkey") >= 10000 && col("o_orderkey") < 30000,
+        col("o_orderkey") >= 30000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    val full = graft.lake.TxnLog.snapshot(s, table).inputFiles.length
+    val pruned = graft.lake.TxnLog.snapshotWhere(s, table, Map.empty,
+      ranges = Seq(graft.lake.TxnLog.ColRange(
+        "o_orderkey", Some(12000L), Some(20000L))))
+    require(pruned.inputFiles.length < full,
+      s"stats pruning regressed: ${pruned.inputFiles.length} of $full files planned")
+    pruned
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
+    "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q21_flatten_struct" -> flattenRoundTrip _,
     "q22_flatten_array_struct" -> flattenArrayOfStruct _,
     "q23_time_partitions" -> timePartitionDerive _,
@@ -93,6 +122,9 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q81_lake_stats_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey BETWEEN 12000 AND 20000""".stripMargin,
     "q21_flatten_struct" ->
       """SELECT event_id,
         |  user_id AS payloadUid,

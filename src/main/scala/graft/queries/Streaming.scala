@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.streaming.EventSessions
+import graft.streaming.{EventSessions, StreamingDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Event-time streaming semantics in batch-checkable form: the tumbling
   * window aggregation and gap sessionization run identically under
@@ -19,12 +20,49 @@ object Streaming extends QueryPack {
   def sessionize(s: SparkSession, dir: String): DataFrame =
     EventSessions.sessionizeBatch(Tables.events(s, dir))
 
+  /** Streaming-dedup gate (the driver-checkable companion to the
+    * spec-only [[StreamingDedup]]): the documents table replayed as a
+    * file stream (AvailableNow; event time synthesized deterministically
+    * from doc_id), deduplicated by content hash within the watermark,
+    * drained into a memory sink. The surviving CONTENT key set must
+    * equal DuckDB's batch keep-first dedup — survivor identity is
+    * whichever duplicate the stream delivered first (order is not
+    * deterministic across partitions), so the gate compares the content
+    * hash and length, which duplicates share by construction.
+    */
+  def streamingDedupGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.documents(s, dir).schema
+    // the source path must be a GLOB: for a literal file path the file
+    // stream source force-sets basePath to the file itself, which the
+    // partition-inference layer rejects ("must be a directory")
+    val src = s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/documents.parque[t]")
+      // offset past epoch 0: the initial watermark is 0, and a row whose
+      // event time EQUALS the watermark is dropped as late (doc_id=0)
+      .withColumn("ts", timestamp_millis(col("doc_id") + lit(86400000L)))
+    val deduped = StreamingDedup.byContent(src, "ts", "1 day")
+    val name = s"q82_streaming_dedup_${math.abs(dir.hashCode).toString}"
+    val q = deduped
+      .select(sha2(col("text"), 256).as("content_sha"), col("n_chars"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_event_windows" -> eventWindows _,
     "q26_sessionize" -> sessionize _,
+    "q82_streaming_dedup" -> streamingDedupGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q82_streaming_dedup" ->
+      """SELECT sha256(text) AS content_sha, min(n_chars) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "q25_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  event_type, count(*) AS n, sum(value) AS total_value
