@@ -52,7 +52,11 @@ object Dedup extends QueryPack {
     * jaccard-planted pairs, the same bound DedupSpec asserts.
     */
   def simhashGate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // doc_id < 1000 bounds the exact-jaccard REFERENCE pass this gate
+    // re-runs (full corpus at sf0.01; the q77 gate-bounding pattern) —
+    // the gate checks simhash quality, not jaccard throughput, and the
+    // unbounded reference tripled bench wall time at sf0.1
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
     val exact = NgramJaccard.pairs(docs, k = 3, threshold = 0.6)
       .select(col("doc_a"), col("doc_b"))
     val sim = SimHash.pairs(docs, maxHamming = 3)
@@ -119,11 +123,11 @@ object Dedup extends QueryPack {
     "q77_neardup_clusters" -> nearDupClusters _,
   )
 
-  private val jaccardSql =
-    """WITH toks AS (
+  private def jaccardSqlWhere(where: String) =
+    s"""WITH toks AS (
       |  SELECT doc_id,
       |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
-      |  FROM documents),
+      |  FROM documents $where),
       |sh AS (
       |  SELECT doc_id,
       |    list_distinct([array_to_string(tokens[i:i+2], ' ')
@@ -139,6 +143,8 @@ object Dedup extends QueryPack {
       |  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
       |FROM pairs
       |WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6""".stripMargin
+
+  private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact_keepfirst" ->
@@ -157,7 +163,7 @@ object Dedup extends QueryPack {
     "q70_simhash_gate" ->
       s"""SELECT CAST(n AS BIGINT) AS n_exact, TRUE AS coverage_ok
          |FROM (SELECT count(*) AS n FROM (
-         |$jaccardSql
+         |${jaccardSqlWhere("WHERE doc_id < 1000")}
          |))""".stripMargin,
     "q71_embedding_lsh_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
