@@ -240,10 +240,34 @@ object Advanced extends QueryPack {
         |  ON p.user_id = c.user_id AND c.click_ts >= p.ts""".stripMargin)
   }
 
+  /** Tolerance-bounded as-of through the SQL surface: the user's last
+    * click at-or-before each purchase, but only if within 30 minutes —
+    * the extra `p.ts - c.click_ts <= INTERVAL` conjunct maps to
+    * `AsOfJoinNode`'s tolerance slot, so an out-of-tolerance match
+    * nulls the right side exactly like the DataFrame API's toleranceUs.
+    */
+  def asofToleranceSql(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("graft_asof_purchases_t")
+    e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .createOrReplaceTempView("graft_asof_clicks_t")
+    s.sql(
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.click_ts, c.click_value
+        |FROM graft_asof_purchases_t p ASOF LEFT JOIN graft_asof_clicks_t c
+        |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+        |  AND p.ts - c.click_ts <= INTERVAL '30' MINUTE""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_asof_join" -> asofPurchaseClicks _,
     "q61_asof_physical" -> asofPhysical _,
     "q75_asof_forward_sql" -> asofForwardSql _,
+    "q83_asof_tolerance_sql" -> asofToleranceSql _,
     "q65_multi_exists" -> multiExists _,
     "q66_asof_forward" -> asofForward _,
     "q68_asof_nearest" -> asofNearest _,
@@ -302,6 +326,24 @@ object Advanced extends QueryPack {
         |  c.ts AS click_ts, c.click_value
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts >= p.ts""".stripMargin,
+    "q83_asof_tolerance_sql" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts AS click_ts, value AS click_value FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |    c.click_ts, c.click_value
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND c.click_ts <= p.ts)
+        |SELECT event_id, user_id, ts, value,
+        |  CASE WHEN ts - click_ts <= INTERVAL '30 minutes'
+        |    THEN click_ts END AS click_ts,
+        |  CASE WHEN ts - click_ts <= INTERVAL '30 minutes'
+        |    THEN click_value END AS click_value
+        |FROM j""".stripMargin,
     "q68_asof_nearest" ->
       """WITH purchases AS (
         |  SELECT event_id, user_id, ts, value FROM events

@@ -37,9 +37,15 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
   *
   * Scope (documented, checked loudly): backward (`r.time <= l.time`,
   * latest at-or-before) and forward (`r.time >= l.time`, earliest
-  * at-or-after) directions, attribute operands, equality keys. Anything
-  * else under a marker fails analysis with a pointed message instead of
-  * silently degrading to a many-row left join.
+  * at-or-after) directions, attribute operands, equality keys, plus an
+  * optional TOLERANCE conjunct bounding the match distance:
+  * `l.time - r.time <= INTERVAL '...'` (backward) or
+  * `r.time - l.time <= INTERVAL '...'` (forward) — mapped to
+  * [[AsOfJoinNode]]'s tolerance slot, so an out-of-tolerance match
+  * becomes an unmatched (null-right) row exactly like the DataFrame
+  * API's `toleranceUs`. Anything else under a marker fails analysis
+  * with a pointed message instead of silently degrading to a many-row
+  * left join.
   */
 case class AsOfMarker() extends LeafExpression {
   override def dataType: DataType = BooleanType
@@ -83,6 +89,39 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
           if (on.nonEmpty) fail("exactly one time bound is allowed")
           on = Some((lt, rt, fwd))
         }
+        // tolerance conjunct: (minuend, subtrahend, micros) of a
+        // `end - start <= INTERVAL ...` bound; validated against the
+        // time bound's attributes once both are known
+        var tolSeen: Option[(Attribute, Attribute, Long)] = None
+        def unwrapAttr(e: Expression): Option[Attribute] = e match {
+          case a: Attribute => Some(a)
+          case Cast(a: Attribute, _, _, _) => Some(a)
+          case _ => None
+        }
+        def intervalMicros(e: Expression): Option[Long] =
+          if (!e.foldable) None
+          else e.dataType match {
+            case _: org.apache.spark.sql.types.DayTimeIntervalType =>
+              Option(e.eval()).map(_.asInstanceOf[Long])
+            case org.apache.spark.sql.types.CalendarIntervalType =>
+              Option(e.eval()).map { v =>
+                val ci = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+                if (ci.months != 0)
+                  fail("ASOF tolerance cannot use month/year intervals " +
+                    "(not a fixed duration)")
+                ci.days * 86400000000L + ci.microseconds
+              }
+            case _ => None
+          }
+        def tolerance(st: SubtractTimestamps, rhs: Expression): Boolean =
+          (unwrapAttr(st.left), unwrapAttr(st.right), intervalMicros(rhs)) match {
+            case (Some(end), Some(start), Some(us)) =>
+              if (tolSeen.nonEmpty) fail("at most one tolerance bound is allowed")
+              if (us < 0) fail("ASOF tolerance must be non-negative")
+              tolSeen = Some((end, start, us))
+              true
+            case _ => false
+          }
         conjuncts.foreach {
           case EqualTo(a: Attribute, b: Attribute) if side(a) != side(b) =>
             if (side(a) == 0) { lBy :+= a; rBy :+= b }
@@ -95,12 +134,25 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
               if side(rt) == 1 && side(lt) == 0 => bound(lt, rt, fwd = true)
           case LessThanOrEqual(lt: Attribute, rt: Attribute)
               if side(lt) == 0 && side(rt) == 1 => bound(lt, rt, fwd = true)
+          case LessThanOrEqual(st: SubtractTimestamps, rhs)
+              if tolerance(st, rhs) => ()
+          case GreaterThanOrEqual(rhs, st: SubtractTimestamps)
+              if tolerance(st, rhs) => ()
           case other => fail(s"unsupported ASOF JOIN conjunct: ${other.sql}")
         }
         if (lBy.isEmpty) fail("ASOF JOIN needs at least one equality key")
         val (lOn, rOn, fwd) = on.getOrElse(
           fail("ASOF JOIN needs a time bound (right <= left or right >= left)"))
-        val node = AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, None, fwd)
+        // the tolerance must bound the distance in the join's direction:
+        // backward matches are r <= l away by l - r, forward by r - l
+        val tolUs = tolSeen.map { case (end, start, us) =>
+          val ok = if (fwd) end.exprId == rOn.exprId && start.exprId == lOn.exprId
+            else end.exprId == lOn.exprId && start.exprId == rOn.exprId
+          if (!ok) fail("ASOF tolerance must subtract the join's own time " +
+            s"columns (${if (fwd) "right.time - left.time" else "left.time - right.time"})")
+          us
+        }
+        val node = AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, tolUs, fwd)
         joinType match {
           case LeftOuter => node
           // inner asof (DuckDB's default): drop unmatched left rows

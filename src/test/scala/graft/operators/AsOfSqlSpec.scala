@@ -88,6 +88,44 @@ class AsOfSqlSpec extends SparkSpec {
     assert(got.length == 4) // every trade matches itself (<=)
   }
 
+  test("tolerance conjunct bounds the backward match distance") {
+    views
+    val out = spark.sql(
+      """SELECT t.trade_id, q.bid FROM sql_trades t
+        |ASOF LEFT JOIN sql_quotes q
+        |  ON t.sym = q.sym AND q.qts <= t.ts
+        |  AND t.ts - q.qts <= INTERVAL '3' SECOND""".stripMargin)
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val got = out.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // trade 1 matched 99.7 at distance 0s (kept); trade 2's best quote is
+    // 5s old (dropped to null); B/C unmatched as before
+    assert(got == Map(1L -> Some(99.7), 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  test("tolerance conjunct bounds the forward match distance") {
+    views
+    val got = spark.sql(
+      """SELECT t.trade_id, q.bid FROM sql_trades t
+        |ASOF LEFT JOIN sql_quotes q
+        |  ON t.sym = q.sym AND q.qts >= t.ts
+        |  AND q.qts - t.ts <= INTERVAL '15' SECOND""".stripMargin)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // forward matches: 1 -> 99.7 (0s), 3 -> 49.0 (20s, beyond 15s -> null)
+    assert(got == Map(1L -> Some(99.7), 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  test("tolerance in the wrong direction fails loudly") {
+    views
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT t.trade_id, q.bid FROM sql_trades t
+          |ASOF LEFT JOIN sql_quotes q
+          |  ON t.sym = q.sym AND q.qts <= t.ts
+          |  AND q.qts - t.ts <= INTERVAL '3' SECOND""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("tolerance"), e.getMessage)
+  }
+
   test("invalid asof shapes fail loudly, not silently as a left join") {
     views
     val e1 = intercept[Exception] {
