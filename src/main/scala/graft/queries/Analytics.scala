@@ -112,6 +112,28 @@ object Analytics extends QueryPack {
           col("exact_orders") <= 0.05).as("orders_ok"))
   }
 
+  /** Skew gate: a PLANTED hot key (80% of lineitem rows collapse onto
+    * part key 1) joined to the part dimension through
+    * [[graft.operators.SkewTools.saltedJoin]], which spreads the hot key
+    * over 8 salt buckets and replicates the dimension per bucket. The
+    * gate hash-checks the aggregated result against the plain DuckDB
+    * join — salting must change the SHUFFLE SHAPE (asserted in
+    * AnalyticsSpec), never the answer. This is the explicit fallback for
+    * the one skew case AQE cannot split: a single hot key's rows all
+    * hash to one reducer.
+    */
+  def saltedJoinGate(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir).select(
+      when(col("l_partkey") % 5 < 4, lit(1L)).otherwise(col("l_partkey"))
+        .as("k"),
+      col("l_quantity"))
+    val dim = Tables.part(s, dir)
+      .select(col("p_partkey").as("k"), col("p_brand"))
+    graft.operators.SkewTools.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("qty"))
+  }
+
   /** Co-located fact-fact join through BUCKETED tables: both sides are
     * written `bucketBy(join key)` once, then the join plans with NO
     * exchange on either side (asserted in `BucketedJoinSpec`) — the
@@ -152,6 +174,7 @@ object Analytics extends QueryPack {
     "q45_csv_source" -> csvSource _,
     "q72_approx_distinct_gate" -> approxDistinctGate _,
     "q79_bucketed_join" -> bucketedJoin _,
+    "q84_salted_join" -> saltedJoinGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -190,6 +213,14 @@ object Analytics extends QueryPack {
         |  sum(l_quantity) AS qty, count(1) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q84_salted_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_partkey % 5 < 4 THEN 1 ELSE l_partkey END AS k,
+        |    l_quantity
+        |  FROM lineitem)
+        |SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS qty
+        |FROM f JOIN part ON k = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     "q72_approx_distinct_gate" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

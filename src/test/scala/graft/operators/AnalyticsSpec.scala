@@ -73,6 +73,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("salting spreads a planted hot key; the join keys on the salt") {
+    // 80% of rows collapse onto key 1 — the single-hot-key case AQE's
+    // skew split cannot subdivide (all rows hash to one reducer)
+    val li = Tables.lineitem(spark, sf).select(
+      when($"l_partkey" % 5 < 4, lit(1L)).otherwise($"l_partkey").as("k"),
+      $"l_quantity")
+    val dim = Tables.part(spark, sf).select($"p_partkey".as("k"), $"p_brand")
+    val salted = SkewTools.saltedJoin(li, dim, "k", salts = 8)
+    // the physical join must key on the salt (that IS the mitigation)
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+    // the hot key's rows must spread: many buckets, no straggler bucket
+    val hot = li.filter($"k" === 1L)
+      .withColumn("__salt", SkewTools.salt(li.columns.map(li(_)).toSeq, 8))
+      .groupBy($"__salt").count().collect()
+    val total = hot.map(_.getLong(1)).sum.toDouble
+    assert(hot.length >= 4, s"hot key stuck in ${hot.length} buckets")
+    assert(hot.map(_.getLong(1)).max < total * 0.5,
+      "one salt bucket still holds most of the hot key")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = Tables.lineitem(spark, sf)
     val plain = li.groupBy($"l_returnflag")
