@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev microbench isolating the [[org.apache.spark.sql.graft.AsOfJoinExec]]
+  * MERGE loop from scan/shuffle noise: synthesize both sides in memory,
+  * run the as-of with a count sink, and report left-rows/second. Used to
+  * decide the whole-stage-codegen question with numbers instead of
+  * intuition (see the posture note on `AsOfJoinExec.doExecute`):
+  *
+  * `runMain graft.BenchAsOfMerge [rowsPerSide] [keys] [repeats]`
+  */
+object BenchAsOfMerge {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 10000000L
+    val keys = if (args.length > 1) args(1).toInt else 100
+    val repeats = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // pre-partitioned AND pre-sorted cache: the cached plan satisfies the
+    // exec's required distribution/ordering, so the timed runs contain
+    // the MERGE (and its output projection) only — no exchange, no sort
+    def side(tsName: String, valName: String) = spark.range(n)
+      .select((col("id") % keys).as("k"),
+        timestamp_micros(col("id") * 7 % 1000000000L).as(tsName),
+        (col("id") * 3).as(valName))
+      .repartition(cpus.toInt, col("k"))
+      .sortWithinPartitions(col("k"), col(tsName))
+      .persist()
+    val l = side("lts", "lv")
+    val r = side("rts", "rv")
+    println(s"[asof-merge] materializing ${l.count()} x ${r.count()} rows")
+
+    for (i <- 1 to repeats) {
+      val t0 = System.nanoTime()
+      val out = org.apache.spark.sql.graft.AsOfJoinPhysical
+        .asof(l, r, by = Seq("k"), leftOn = "lts", rightOn = "rts",
+          toleranceUs = None)
+      out.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[asof-merge] run$i: $sec%.2f s  (${n / sec / 1e6}%.1f M left rows/s total)")
+    }
+    spark.stop()
+  }
+}
