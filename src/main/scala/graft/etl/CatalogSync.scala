@@ -77,6 +77,124 @@ object CatalogSync {
         c -> String.valueOf(r.get(i)) })
 }
 
+/** File-backed EXTERNAL catalog — the second concrete backend of the
+  * [[CatalogSync]] seam, standing in for the reference's external
+  * (Glue) tier (`emr_json_parquet_schema_drift_etl.py:237-276`): table
+  * metadata lives OUTSIDE the Spark session, one line-oriented file per
+  * table under `root`, so a fresh session — or a different engine
+  * entirely — can list tables, schemas, and partitions with no
+  * metastore. Same Hadoop FS contract as the lake log (any scheme),
+  * same publish idiom (unique temp file + rename).
+  *
+  * File format: `location \n schemaJson \n partitionCols(csv) \n` then
+  * one line per partition spec (Hive-escaped `k=v` segments joined by
+  * `/` — exactly the directory layout, so specs round-trip through
+  * [[recoverPartitions]] byte-identically).
+  */
+class FileCatalogSync(spark: SparkSession, root: String) extends CatalogSync {
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.{escapePathName, unescapePathName}
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(table: String) = new Path(root, s"$table.catalog")
+
+  private def specLine(spec: Seq[(String, String)]): String =
+    spec.map { case (k, v) => s"${escapePathName(k)}=${escapePathName(v)}" }
+      .mkString("/")
+
+  private def parseSpec(line: String): Seq[(String, String)] =
+    line.split('/').toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      unescapePathName(seg.take(i)) -> unescapePathName(seg.drop(i + 1))
+    }
+
+  private def writeMeta(table: String, location: String, schema: StructType,
+      partitionCols: Seq[String], specs: Seq[Seq[(String, String)]]): Unit = {
+    val f = fs
+    f.mkdirs(new Path(root))
+    val body = (Seq(location, schema.json, partitionCols.mkString(",")) ++
+      specs.map(specLine).distinct.sorted).mkString("\n")
+    val tmp = new Path(root,
+      s"$table.catalog.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = metaPath(table)
+    f.delete(target, false) // catalog metadata: last writer wins
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"could not publish catalog entry $target")
+  }
+
+  private def readMeta(table: String):
+      (String, StructType, Seq[String], Seq[Seq[(String, String)]]) = {
+    val p = metaPath(table)
+    val f = fs
+    val in = f.open(p)
+    val bytes = try {
+      val b = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(b); b
+    } finally in.close()
+    // split with limit -1: an unpartitioned table's partCols line is
+    // EMPTY and plain split would drop it as a trailing empty string
+    val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n", -1)
+    val partCols = if (lines(2).isEmpty) Nil else lines(2).split(',').toSeq
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+      .asInstanceOf[StructType]
+    (lines(0), schema, partCols, lines.drop(3).toSeq.filter(_.nonEmpty).map(parseSpec))
+  }
+
+  // -- read accessors: what an external query layer mounts tables from --
+  def locationOf(table: String): String = readMeta(table)._1
+  def schemaOf(table: String): StructType = readMeta(table)._2
+  def partitionColsOf(table: String): Seq[String] = readMeta(table)._3
+  def partitionsOf(table: String): Seq[Seq[(String, String)]] = readMeta(table)._4
+
+  override def tableExists(table: String): Boolean = fs.exists(metaPath(table))
+
+  override def createTable(table: String, schema: StructType,
+      partitionCols: Seq[String], location: String): Unit = {
+    writeMeta(table, location, schema, partitionCols, Nil)
+    if (partitionCols.nonEmpty) recoverPartitions(table)
+  }
+
+  override def dropTable(table: String): Unit =
+    fs.delete(metaPath(table), false)
+
+  /** The "crawler": walk `location` one directory level per partition
+    * column, collecting `k=v` segments (k must match the declared
+    * column, matching Hive/MSCK semantics), and republish the spec list.
+    */
+  override def recoverPartitions(table: String): Unit = {
+    val (loc, schema, partCols, _) = readMeta(table)
+    if (partCols.isEmpty) return
+    val f = fs
+    var level: Seq[(Path, Seq[(String, String)])] =
+      if (f.exists(new Path(loc))) Seq(new Path(loc) -> Nil) else Nil
+    partCols.foreach { pc =>
+      level = level.flatMap { case (dir, spec) =>
+        f.listStatus(dir).filter(_.isDirectory).toSeq.flatMap { st =>
+          val name = st.getPath.getName
+          val i = name.indexOf('=')
+          if (i <= 0 || unescapePathName(name.take(i)) != pc) Nil
+          else Seq(st.getPath -> (spec :+
+            (pc -> unescapePathName(name.drop(i + 1)))))
+        }
+      }
+    }
+    writeMeta(table, loc, schema, partCols, level.map(_._2))
+  }
+
+  override def addPartitions(table: String,
+      specs: Seq[Seq[(String, String)]]): Unit =
+    if (specs.nonEmpty) {
+      val (loc, schema, partCols, existing) = readMeta(table)
+      writeMeta(table, loc, schema, partCols, existing ++ specs)
+    }
+}
+
 /** Session-catalog implementation: all DDL goes through `spark.sql`, so
   * the same module works against the in-memory catalog in tests and a
   * Hive metastore in production.

@@ -96,6 +96,67 @@ class PipelineSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_test_iot2")
   }
 
+  test("file-backed external catalog drives the full pipeline e2e") {
+    val root = tmp()
+    val src = root.resolve("source"); Files.createDirectories(src)
+    stage(src, "batch1.jsonl")
+    val cfg = mkCfg(root, "graft_test_iot_ext")
+    val pipe = new IncrementalJsonPipeline(cfg)
+    val cat = new FileCatalogSync(spark, root.resolve("ext_catalog").toString)
+
+    // --- run 1: create tier registers the table in the EXTERNAL catalog
+    val r1 = pipe.runBatch(spark, cat).get
+    assert(r1.catalogAction == "create")
+    assert(cat.tableExists("graft_test_iot_ext"))
+    assert(!spark.catalog.tableExists("graft_test_iot_ext"),
+      "external backend must not touch the session catalog")
+    val parts1 = cat.partitionsOf("graft_test_iot_ext")
+    assert(parts1.nonEmpty &&
+      parts1.forall(_.map(_._1) == Seq("year", "month", "day")))
+
+    // a DIFFERENT engine/session mounts the table from metadata alone
+    val mounted = spark.read
+      .schema(cat.schemaOf("graft_test_iot_ext"))
+      .option("basePath", cat.locationOf("graft_test_iot_ext"))
+      .parquet(cat.locationOf("graft_test_iot_ext"))
+    assert(mounted.count() == 6)
+
+    // --- run 2: same schema, new day → cheap add-partitions tier
+    val b2 = src.resolve("batch1b.jsonl")
+    Files.writeString(b2, Files.readString(
+      Paths.get("fixtures/iot/batch1.jsonl"))
+      .replace("1718000000", "1718900000")
+      .replace("1718000060", "1718900060")
+      .replace("1718000120", "1718900120"))
+    val r2 = pipe.runBatch(spark, cat).get
+    assert(r2.catalogAction == "add-partitions")
+    val parts2 = cat.partitionsOf("graft_test_iot_ext")
+    assert(parts2.size > parts1.size)
+    assert(r2.newPartitions.forall(p => parts2.contains(p)))
+
+    // --- run 3: drift → recrawl tier re-registers schema + partitions
+    stage(src, "batch2_drift.jsonl")
+    val r3 = pipe.runBatch(spark, cat).get
+    assert(r3.catalogAction == "recrawl")
+    val schema3 = cat.schemaOf("graft_test_iot_ext")
+    assert(schema3.fieldNames.exists(_.startsWith("deviceBattery")))
+    // recovery re-walked the location: all three days present
+    assert(cat.partitionsOf("graft_test_iot_ext").size >= parts2.size)
+  }
+
+  test("file catalog escapes partition values and survives drops") {
+    val cat = new FileCatalogSync(spark,
+      tmp().resolve("ext_catalog").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    cat.createTable("esc_t", schema, Nil, "/tmp/nowhere")
+    cat.addPartitions("esc_t", Seq(Seq("k" -> "a b", "d" -> "x:y")))
+    assert(cat.partitionsOf("esc_t") == Seq(Seq("k" -> "a b", "d" -> "x:y")))
+    cat.dropTable("esc_t")
+    assert(!cat.tableExists("esc_t"))
+  }
+
   test("lake-mode pipeline: versioned commits, drifted snapshot, time travel") {
     val root = tmp()
     val src = root.resolve("source"); Files.createDirectories(src)
