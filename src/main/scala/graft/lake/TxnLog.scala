@@ -14,9 +14,10 @@ import java.nio.charset.StandardCharsets
   *  - layout: `<table>/data/<commitUuid>/part-*.parquet` +
   *    `<table>/_graft_log/<version%08d>.json` manifests;
   *  - an append writes its data files to a FRESH commit directory first,
-  *    then publishes a manifest with `create(..., overwrite = false)` —
-  *    readers either see the manifest (all files) or nothing (atomic
-  *    publish, no partial batches);
+  *    then publishes a fully-written manifest under its final name with
+  *    an atomic claim (hard link locally, `FileContext.rename` on HDFS —
+  *    see [[publishAtomic]]) — readers either see the whole manifest
+  *    (all files) or nothing, never a torn or zero-length one;
   *  - optimistic concurrency: version = last + 1; losing a create race
   *    re-reads the log and retries, so concurrent appends serialize;
   *  - snapshot reads resolve a version's manifest chain — O(#commits)
@@ -190,6 +191,48 @@ object TxnLog {
     }
   }
 
+  /** Atomically publish `body` as `p`, failing if `p` already exists;
+    * returns whether THIS writer won. `create(overwrite = false)` is not
+    * enough for a log: it is check-then-create on the local FS (two
+    * racers can both "succeed"), and even where the create is atomic a
+    * concurrent reader sees the file at ZERO length until the writer
+    * closes it — a torn manifest read. So: write a temp file COMPLETELY,
+    * then claim the final name with an atomic primitive — a hard link on
+    * the local FS (EEXIST on a lost race), `FileContext.rename` with
+    * default `Rename.NONE` elsewhere (atomic on HDFS, refuses an
+    * existing destination). Readers only ever observe fully-written
+    * files under their final names.
+    */
+  private def publishAtomic(spark: SparkSession, p: Path, body: String): Boolean = {
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+            .rename(tmp, p) // default Rename.NONE: fails if p exists
+          true
+        } catch {
+          case _: java.io.IOException => false
+        }
+      }
+    } finally f.delete(tmp, false)
+  }
+
   /** Consolidate the chain up to `v` into a checkpoint file. Best-effort
     * and idempotent: checkpoints are derived data — a lost race or IO
     * failure leaves the log fully readable from manifests.
@@ -197,14 +240,9 @@ object TxnLog {
   private def writeCheckpoint(spark: SparkSession, table: String,
       v: Long): Unit = {
     val (ms, _) = manifestChain(spark, table, v)
-    val p = checkpointPath(table, v)
-    val f = fs(spark, p)
-    try {
-      val out = f.create(p, false)
-      try out.write(serializeCheckpoint(ms).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case _: java.io.IOException => () // another writer checkpointed; fine
+    try publishAtomic(spark, checkpointPath(table, v), serializeCheckpoint(ms))
+    catch {
+      case _: java.io.IOException => () // best-effort; manifests suffice
     }
   }
 
@@ -451,25 +489,11 @@ object TxnLog {
       // ask parquet for coercions it refuses, e.g. double -> string)
       val body = (Seq(next.toString, commitDir.toString, df.schema.json) ++
         bodyLines(entries, removePaths)).mkString("\n")
-      val p = manifestPath(table, next)
-      val lf = fs(spark, p)
-      lf.mkdirs(p.getParent)
-      try {
-        val out = lf.create(p, false) // fails if version already taken
-        try out.write(body.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        // HDFS create(overwrite=false) is atomic; the local FS is
-        // check-then-create, so two racers can both "succeed" on the
-        // same version with one silently overwritten. Read back and
-        // keep only the racer whose commitDir persisted.
-        if (readManifest(spark, table, next).commitDir == commitDir.toString) {
-          if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
-          return Some(next)
-        }
-        attempt += 1
-      } catch {
-        case _: java.io.IOException => attempt += 1 // lost the race; retry
+      if (publishAtomic(spark, manifestPath(table, next), body)) {
+        if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
+        return Some(next)
       }
+      attempt += 1 // lost the version race; re-read the log and retry
     }
     f.delete(commitDir, true) // give up: leave no unreferenced data
     None
