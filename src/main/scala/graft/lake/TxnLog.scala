@@ -604,6 +604,24 @@ object TxnLog {
     parts.reduceOption(_ unionByName _)
   }
 
+  /** Planning surface for external readers (the Catalyst
+    * [[org.apache.spark.sql.graft.LakeFileIndex]] path): the merged
+    * snapshot schema, each live commit's OWN schema, and its live file
+    * entries (with stats) at `version` (default latest).
+    */
+  def liveSnapshot(spark: SparkSession, table: String,
+      version: Option[Long] = None):
+      (StructType, Seq[(String, StructType, Seq[FileEntry])]) = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val manifests = activeManifests(manifestChain(spark, table, v)._1)
+    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    (merged, liveEntries(manifests).map { case (m, es) =>
+      (m.commitDir, m.schema, es) })
+  }
+
   /** Latest table schema (union over commits), metadata only. */
   def schemaOf(spark: SparkSession, table: String): StructType = {
     val vs = versions(spark, table)

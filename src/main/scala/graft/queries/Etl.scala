@@ -112,9 +112,37 @@ object Etl extends QueryPack {
     pruned
   }
 
+  /** Catalyst-native lake read gate (companion to q81, which uses the
+    * snapshot path): the same disjoint-commit orders lake read through
+    * [[org.apache.spark.sql.graft.LakeRead.relation]] — a STOCK
+    * vectorized parquet scan whose file list comes from the txn log, so
+    * the range filter prunes files at planning time. The query requires
+    * the pruned plan loudly and hash-checks rows against the plain
+    * DuckDB filter.
+    */
+  def lakeRelationPrune(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_rel_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 10000,
+        col("o_orderkey") >= 10000 && col("o_orderkey") < 30000,
+        col("o_orderkey") >= 30000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    val (planned, total) = org.apache.spark.sql.graft.LakeRead
+      .prunedFileCount(s, table, "o_orderkey", 12000L, 20000L)
+    require(planned < total,
+      s"relation-path stats pruning regressed: $planned of $total files planned")
+    org.apache.spark.sql.graft.LakeRead.relation(s, table)
+      .filter(col("o_orderkey").between(12000, 20000))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
+    "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q21_flatten_struct" -> flattenRoundTrip _,
     "q22_flatten_array_struct" -> flattenArrayOfStruct _,
     "q23_time_partitions" -> timePartitionDerive _,
@@ -123,6 +151,9 @@ object Etl extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q81_lake_stats_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey BETWEEN 12000 AND 20000""".stripMargin,
+    "q85_lake_relation_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey BETWEEN 12000 AND 20000""".stripMargin,
     "q21_flatten_struct" ->

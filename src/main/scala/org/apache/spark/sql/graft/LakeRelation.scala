@@ -1,0 +1,236 @@
+package org.apache.spark.sql.graft
+
+import graft.lake.{FileStats, TxnLog}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst-native read path for [[TxnLog]] tables — the Delta
+  * `TahoeLogFileIndex` pattern: a custom [[FileIndex]] whose file listing
+  * comes from the transaction log, plugged into a plain parquet
+  * [[HadoopFsRelation]]. Everything downstream is stock Spark — the
+  * VECTORIZED parquet reader, whole-stage codegen, column pruning,
+  * parquet row-group predicate pushdown — while `listFiles` prunes at
+  * PLANNING time from log metadata alone:
+  *
+  *  - `partitionFilters` evaluate against each file's Hive `k=v` path
+  *    values (partition pruning, no FS listing beyond the log's commits);
+  *  - `dataFilters` fold into per-column bounds checked against the
+  *    manifest's per-file min/max ([[FileStats]]) — data skipping inside
+  *    the optimizer, visible in `.explain` as a shrunken scan.
+  *
+  * Scope: commits whose DATA column types all equal the merged schema's
+  * (missing columns read as null — the reader coerces; CONFLICTING types
+  * would make the parquet reader throw, so the constructor rejects such
+  * tables and points at [[TxnLog.snapshot]], which aligns per commit).
+  */
+class LakeFileIndex(spark: SparkSession, table: String,
+    version: Option[Long] = None) extends FileIndex {
+
+  private val (mergedSchema, groups) = TxnLog.liveSnapshot(spark, table, version)
+
+  /** Partition column names, outermost first, parsed from the Hive
+    * `k=v/` segments between each commit dir and its files; Nil for
+    * unpartitioned layouts. All files must agree on the sequence.
+    */
+  private val partitionCols: Seq[String] = {
+    val seqs = groups.flatMap { case (commitDir, _, es) =>
+      es.map(e => partSegments(commitDir, e.path).map(_._1))
+    }.distinct
+    seqs match {
+      case Nil => Nil
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"inconsistent partition layouts in $table: $many")
+    }
+  }
+
+  private def partSegments(commitDir: String, file: String): Seq[(String, String)] = {
+    val rel = file.stripPrefix(commitDir).stripPrefix("/")
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(ExternalCatalogUtils.unescapePathName(seg.take(i)) ->
+        ExternalCatalogUtils.unescapePathName(seg.drop(i + 1)))
+    }
+  }
+
+  override val partitionSchema: StructType = StructType(partitionCols.map { c =>
+    mergedSchema.fields.find(_.name == c)
+      .getOrElse(StructField(c, StringType, nullable = true))
+      .copy(nullable = true)
+  })
+
+  /** Data (non-partition) columns of the merged snapshot schema — all
+    * nullable: under schema evolution ANY column may be absent from an
+    * older file, and the vectorized reader only fills nulls for columns
+    * the requested schema admits as optional.
+    */
+  val dataSchema: StructType = StructType(
+    mergedSchema.fields.filterNot(f => partitionCols.contains(f.name))
+      .map(_.copy(nullable = true)))
+
+  // reject type conflicts up front (see scaladoc): each commit's data
+  // columns must match the merged type exactly
+  for ((_, s, _) <- groups; f <- s.fields
+       if !partitionCols.contains(f.name);
+       m <- dataSchema.fields.find(_.name == f.name)
+       if m.dataType != f.dataType)
+    throw new IllegalArgumentException(
+      s"$table has type drift on '${f.name}' (${f.dataType.simpleString} vs " +
+      s"${m.dataType.simpleString}); read it with TxnLog.snapshot, which " +
+      "casts per commit")
+
+  /** One FS listing per commit dir resolves every live file's status
+    * (size for scan planning). At cluster scale the log would record
+    * sizes at commit time; one listing per commit is the same metadata
+    * cost the snapshot read already pays.
+    */
+  private val statusByPath: Map[String, FileStatus] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    groups.flatMap { case (commitDir, _, _) =>
+      val p = new Path(commitDir)
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, FileStatus)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          buf += st.getPath.toString -> st
+      }
+      buf
+    }.toMap
+  }
+
+  private case class LiveFile(entry: TxnLog.FileEntry, commitDir: String,
+      status: FileStatus, partValues: InternalRow)
+
+  private val liveFiles: Seq[LiveFile] = groups.flatMap { case (commitDir, _, es) =>
+    es.flatMap { e =>
+      statusByPath.get(e.path).map { st =>
+        val segs = partSegments(commitDir, e.path).toMap
+        val values = InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+          segs.get(f.name) match {
+            case None | Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
+            case Some(raw) =>
+              Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
+                Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+          }
+        })
+        LiveFile(e, commitDir, st, values)
+      }
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(table))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // bind partition predicates to the partition-value row layout (the
+    // same binding PartitioningAwareFileIndex does)
+    val partPred: Option[BasePredicate] =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) None
+      else Some(Predicate.createInterpreted(
+        partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.indexWhere(f =>
+              f.name.equalsIgnoreCase(a.name))
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        }))
+    // fold data predicates into per-column inclusive bounds; anything
+    // not of the shape attr <op> literal is simply not used for pruning
+    // (the scan still applies every filter exactly)
+    val bounds = scala.collection.mutable.Map.empty[String, (Option[Any], Option[Any])]
+    def tighten(col: String, lower: Option[Any], upper: Option[Any]): Unit = {
+      val (lo, hi) = bounds.getOrElse(col, (None, None))
+      // later conjuncts only ever narrow; keeping the first bound is
+      // conservative and correct (pruning may miss, never over-prunes)
+      bounds(col) = (lo.orElse(lower), hi.orElse(upper))
+    }
+    dataFilters.foreach {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        tighten(a.name, Some(v), Some(v))
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+        tighten(a.name, Some(v), Some(v))
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        tighten(a.name, Some(v), None)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        tighten(a.name, Some(v), None)
+      case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        tighten(a.name, None, Some(v))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        tighten(a.name, None, Some(v))
+      case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
+        tighten(a.name, None, Some(v))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        tighten(a.name, None, Some(v))
+      case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
+        tighten(a.name, Some(v), None)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        tighten(a.name, Some(v), None)
+      case _ => ()
+    }
+    def statsAdmit(e: TxnLog.FileEntry): Boolean = bounds.forall {
+      case (col, (lo, hi)) => e.stats.get(col).forall(cs =>
+        FileStats.overlaps(cs, lo, hi))
+    }
+    liveFiles.iterator
+      .filter(f => partPred.forall(_.eval(f.partValues)))
+      .filter(f => statsAdmit(f.entry))
+      .toSeq.groupBy(_.partValues)
+      .map { case (values, fs) =>
+        PartitionDirectory(values, fs.map(_.status).toArray)
+      }.toSeq
+  }
+
+  override def inputFiles: Array[String] =
+    liveFiles.map(_.entry.path).toArray
+
+  override def sizeInBytes: Long = liveFiles.map(_.status.getLen).sum
+
+  override def refresh(): Unit = ()
+}
+
+/** Entry points for the Catalyst-native lake read. */
+object LakeRead {
+
+  def index(spark: SparkSession, table: String,
+      version: Option[Long] = None): LakeFileIndex =
+    new LakeFileIndex(spark, table, version)
+
+  /** The lake snapshot as a plain parquet relation over the log-backed
+    * file index: scans are vectorized + codegen'd, filters prune files
+    * at planning time and still push into parquet row groups.
+    */
+  def relation(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val idx = index(spark, table, version)
+    val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
+      None, new ParquetFileFormat, Map.empty)(spark)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      LogicalRelation(rel))
+  }
+
+  /** (planned, total) live-file counts for an inclusive range predicate,
+    * straight off the index — the loud-assertion hook gate queries use.
+    */
+  def prunedFileCount(spark: SparkSession, table: String, column: String,
+      lower: Any, upper: Any): (Int, Int) = {
+    val idx = index(spark, table)
+    val dt = idx.dataSchema.fields.find(_.name == column)
+      .map(_.dataType).getOrElse(StringType)
+    val a = AttributeReference(column, dt)()
+    val planned = idx.listFiles(Nil, Seq(
+      GreaterThanOrEqual(a, Literal.create(lower, dt)),
+      LessThanOrEqual(a, Literal.create(upper, dt))))
+      .map(_.files.length).sum
+    (planned, idx.inputFiles.length)
+  }
+}

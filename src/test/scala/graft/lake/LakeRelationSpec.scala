@@ -1,0 +1,102 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.LakeRead
+import java.nio.file.Files
+
+/** The Catalyst-native lake read path: log-backed FileIndex + stock
+  * parquet relation must equal TxnLog.snapshot row-for-row, prune files
+  * at planning time from stats and partition values, and refuse the one
+  * shape it cannot read (type drift).
+  */
+class LakeRelationSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  /** Files actually scanned by the executed plan (metrics, not listing). */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan — not the relation path"))
+    scan.metrics("numFiles").value
+  }
+
+  test("relation read equals snapshot and scans vectorized parquet") {
+    val table = Files.createTempDirectory("graft-rel").toString
+    Seq((0L, 99L), (100L, 199L), (200L, 299L)).foreach { case (lo, hi) =>
+      TxnLog.append(spark, table, spark.range(lo, hi + 1).toDF("id")
+        .withColumn("label", concat(lit("r"), col("id"))).coalesce(1))
+    }
+    val rel = LakeRead.relation(spark, table)
+    val snap = TxnLog.snapshot(spark, table)
+    assert(rel.exceptAll(snap).count() == 0 && snap.exceptAll(rel).count() == 0)
+    // the whole point: this path is a stock parquet scan Catalyst controls
+    assert(rel.queryExecution.executedPlan.toString.contains("FileScan parquet"))
+  }
+
+  test("data filters prune files from planning via manifest stats") {
+    val table = Files.createTempDirectory("graft-rel-stats").toString
+    Seq((0L, 99L), (100L, 199L), (200L, 299L)).foreach { case (lo, hi) =>
+      TxnLog.append(spark, table, spark.range(lo, hi + 1).toDF("id")
+        .withColumn("v", col("id") * 2).coalesce(1))
+    }
+    val rel = LakeRead.relation(spark, table)
+    assert(scannedFiles(rel) == 3)
+    val filtered = rel.filter(col("id").between(120, 180))
+    assert(scannedFiles(filtered) == 1, "stats must prune to the middle commit")
+    assert(filtered.count() == 61)
+    // prunedFileCount (the gate hook) agrees with the planner
+    assert(LakeRead.prunedFileCount(spark, table, "id", 120L, 180L) == (1, 3))
+  }
+
+  test("partition filters prune Hive-layout commits; values are typed") {
+    val table = Files.createTempDirectory("graft-rel-part").toString
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("region", when(col("id") < 50, "east").otherwise("west"))
+    TxnLog.append(spark, table, df, partitionCols = Seq("region"))
+    val rel = LakeRead.relation(spark, table)
+    assert(rel.schema.fieldNames.contains("region"))
+    val east = rel.filter(col("region") === "east")
+    val total = scannedFiles(rel)
+    assert(scannedFiles(east) < total, "partition pruning must drop west files")
+    assert(east.count() == 50)
+    // escaped partition values round-trip through the index
+    val table2 = Files.createTempDirectory("graft-rel-esc").toString
+    TxnLog.append(spark, table2,
+      Seq(("a b", 1L), ("plain", 2L)).toDF("k", "v"), partitionCols = Seq("k"))
+    val got = LakeRead.relation(spark, table2).filter(col("k") === "a b")
+    assert(got.count() == 1 && got.select("v").head().getLong(0) == 1L)
+  }
+
+  test("schema evolution reads missing columns as null; type drift refuses") {
+    val table = Files.createTempDirectory("graft-rel-evo").toString
+    TxnLog.append(spark, table, Seq((1L, "x")).toDF("id", "a"))
+    TxnLog.append(spark, table, Seq((2L, 7.5)).toDF("id", "b"))
+    val rel = LakeRead.relation(spark, table)
+    assert(rel.columns.toSet == Set("id", "a", "b"))
+    val rows = rel.orderBy("id").collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 7.5)
+
+    val drift = Files.createTempDirectory("graft-rel-drift").toString
+    TxnLog.append(spark, drift, Seq((1L, 1.5)).toDF("id", "v"))
+    TxnLog.append(spark, drift, Seq((2L, "s")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      LakeRead.relation(spark, drift)
+    }
+    assert(e.getMessage.contains("TxnLog.snapshot"), e.getMessage)
+    // the aligned path still reads it
+    assert(TxnLog.snapshot(spark, drift).count() == 2)
+  }
+
+  test("time travel through the relation path") {
+    val table = Files.createTempDirectory("graft-rel-tt").toString
+    TxnLog.append(spark, table, Seq((1L, "v1")).toDF("id", "tag"))
+    TxnLog.append(spark, table, Seq((2L, "v2")).toDF("id", "tag"))
+    assert(LakeRead.relation(spark, table, Some(1L)).count() == 1)
+    assert(LakeRead.relation(spark, table).count() == 2)
+  }
+}
