@@ -315,7 +315,9 @@ object TxnLog {
     * racing (re-run it; appends always win).
     */
   def compact(spark: SparkSession, table: String,
-      partitionCols: Seq[String] = Nil, numFiles: Int = 0): Option[Long] = {
+      partitionCols: Seq[String] = Nil, numFiles: Int = 0,
+      clusterBy: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.col
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
     val base = vs.last
@@ -324,9 +326,19 @@ object TxnLog {
     // history down to `numFiles` (default: one per core) per partition
     val n = if (numFiles > 0) numFiles
       else math.max(1, spark.sparkContext.defaultParallelism)
-    val folded = if (partitionCols.nonEmpty)
-      snap.repartition(n, partitionCols.map(org.apache.spark.sql.functions.col): _*)
-    else snap.coalesce(n)
+    // CLUSTERING (the OPTIMIZE-ZORDER move for the 1-D case): range-
+    // partition by `clusterBy` so each rewritten file covers a narrow,
+    // nearly disjoint value interval — the per-file min/max stats then
+    // prune range predicates to a few files instead of all of them.
+    // Append-order files interleave values; clustering is what makes
+    // stats skipping BITE on a non-partition column at 100 TB.
+    val folded =
+      if (clusterBy.nonEmpty)
+        snap.repartitionByRange(n, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else if (partitionCols.nonEmpty)
+        snap.repartition(n, partitionCols.map(col): _*)
+      else snap.coalesce(n)
     appendCommit(spark, table, folded, partitionCols,
       s"compact-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base), removePaths = Nil)
@@ -408,6 +420,69 @@ object TxnLog {
     appendCommit(spark, table, out, partitionCols,
       s"merge-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base), removePaths = touchedPaths)
+  }
+
+  /** Garbage-collect files no kept snapshot can reference. Two sweeps:
+    *
+    *  - ORPHANS: `data/` commit dirs no manifest references at all —
+    *    leftovers of crashed or lost-race commit attempts. Only dirs
+    *    whose modification time is older than `olderThanMs` are swept,
+    *    so an IN-FLIGHT append (data written, manifest not yet
+    *    published) is never deleted from under its writer;
+    *  - HISTORY (`truncateHistory = true`, requires a compaction in the
+    *    chain): manifests strictly BEFORE the last `compact-` commit,
+    *    and every data file only they reference, are deleted. Later
+    *    snapshots plan from the compaction point, so those files served
+    *    time travel only — which stops working for pre-compaction
+    *    versions, the same retention contract Delta's VACUUM makes.
+    *
+    * Returns the number of files/dirs deleted.
+    */
+  def vacuum(spark: SparkSession, table: String, olderThanMs: Long = 0L,
+      truncateHistory: Boolean = true): Int = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val all = vs.map(readManifest(spark, table, _))
+    val cutIdx = if (truncateHistory)
+      all.lastIndexWhere(m => new Path(m.commitDir).getName.startsWith("compact-"))
+    else -1
+    val kept = if (cutIdx < 0) all else all.drop(cutIdx)
+    val referenced = kept.flatMap(_.entries.map(_.path)).toSet
+    val keptDirs = kept.map(m => new Path(m.commitDir).getName).toSet
+    val allDirs = all.map(m => new Path(m.commitDir).getName).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dataRoot = new Path(table, "data")
+    val f = fs(spark, dataRoot)
+    var deleted = 0
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
+      val name = st.getPath.getName
+      val isOrphan = !allDirs.contains(name)
+      val isHistory = !keptDirs.contains(name)
+      if ((isOrphan || isHistory) && st.getModificationTime < cutoff) {
+        // a historic dir may still hold files a kept manifest carries
+        // forward by reference (merge semantics) — keep exactly those
+        val carried = {
+          val it = f.listFiles(st.getPath, true)
+          var any = false
+          while (!any && it.hasNext)
+            any = referenced.contains(it.next().getPath.toString)
+          any
+        }
+        if (!carried && f.delete(st.getPath, true)) deleted += 1
+      }
+    }
+    if (cutIdx > 0) {
+      all.take(cutIdx).foreach { m =>
+        if (fs(spark, manifestPath(table, m.version))
+            .delete(manifestPath(table, m.version), false)) deleted += 1
+      }
+      checkpointVersions(spark, table).filter(_ < all(cutIdx).version)
+        .foreach { cv =>
+          if (fs(spark, checkpointPath(table, cv))
+              .delete(checkpointPath(table, cv), false)) deleted += 1
+        }
+    }
+    deleted
   }
 
   /** `compact-` manifests supersede everything before them: the data

@@ -341,6 +341,61 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("clustered compaction tightens stats so range reads prune") {
+    val table = Files.createTempDirectory("graft-lake-cluster").toString
+    // two appends with INTERLEAVED id ranges: every file spans almost the
+    // whole domain, so stats cannot prune anything
+    TxnLog.append(spark, table, spark.range(0, 300).toDF("id")
+      .filter(col("id") % 2 === 0).repartition(3))
+    TxnLog.append(spark, table, spark.range(0, 300).toDF("id")
+      .filter(col("id") % 2 === 1).repartition(3))
+    val before = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("id", Some(10L), Some(40L))))
+    assert(before.inputFiles.length == 6, "interleaved files cannot prune")
+    // cluster by id: each rewritten file covers a narrow disjoint range
+    assert(TxnLog.compact(spark, table, numFiles = 6,
+      clusterBy = Seq("id")).isDefined)
+    val after = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("id", Some(10L), Some(40L))))
+    assert(after.inputFiles.length <= 2,
+      s"clustered files must prune: planned ${after.inputFiles.length}")
+    assert(after.count() == 31)
+  }
+
+  test("vacuum sweeps orphans and truncates pre-compaction history") {
+    val table = Files.createTempDirectory("graft-lake-vacuum").toString
+    TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    TxnLog.append(spark, table, Seq((2L, "b")).toDF("id", "v"))
+    // plant a crashed-attempt orphan: a data dir no manifest references
+    val orphan = new org.apache.hadoop.fs.Path(s"$table/data/orphan-crashed")
+    val hfs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(orphan)
+    // without a compaction, only the orphan goes; history stays readable
+    val d1 = TxnLog.vacuum(spark, table)
+    assert(d1 == 1 && !hfs.exists(orphan))
+    assert(TxnLog.snapshot(spark, table, Some(1L)).count() == 1)
+
+    assert(TxnLog.compact(spark, table).isDefined) // version 3
+    TxnLog.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    val liveBefore = TxnLog.snapshot(spark, table).collect().toSet
+    val d2 = TxnLog.vacuum(spark, table)
+    assert(d2 >= 2, s"pre-compaction dirs + manifests must go, got $d2")
+    // latest snapshot intact, post-compaction time travel intact
+    assert(TxnLog.snapshot(spark, table).collect().toSet == liveBefore)
+    assert(TxnLog.snapshot(spark, table, Some(3L)).count() == 2)
+    // pre-compaction versions are gone, loudly
+    assert(TxnLog.versions(spark, table) == Seq(3L, 4L))
+    intercept[IllegalArgumentException] {
+      TxnLog.snapshot(spark, table, Some(1L))
+    }
+    // in-flight protection: a fresh unreferenced dir survives a
+    // retention-respecting vacuum
+    val inflight = new org.apache.hadoop.fs.Path(s"$table/data/txn-inflight")
+    hfs.mkdirs(inflight)
+    TxnLog.vacuum(spark, table, olderThanMs = 3600000L)
+    assert(hfs.exists(inflight), "retention must protect in-flight commits")
+  }
+
   test("snapshot of unknown version is rejected") {
     val table = Files.createTempDirectory("graft-lake-bad").toString
     TxnLog.append(spark, table, Seq((1L, "x")).toDF("id", "v"))
