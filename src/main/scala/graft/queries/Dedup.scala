@@ -110,7 +110,31 @@ object Dedup extends QueryPack {
       embs.select(col("vec_id").as("doc_id")), pairs)
   }
 
+  /** The END-TO-END corpus curation pipeline a pretraining-data run
+    * would execute, composed from the oracled operator family: exact
+    * dedup (keep-first by content) → quality filter (q51's score
+    * ≥ 0.5) → near-dup candidate generation via MinHash+LSH with exact
+    * verification → connected-component clustering → keep one doc per
+    * cluster. Every stage is shuffle-bounded (sha256 keys, banded LSH
+    * joins, log-round label propagation); nothing is O(n²). Oracled as
+    * the same pipeline in DuckDB SQL (keep-first window + quality CTE +
+    * exact jaccard pairs + recursive-CTE components).
+    */
+  def corpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val deduped = ExactDedup.keepFirst(docs)
+    val quality = graft.text.TextAnalysis.qualityScore(deduped)
+    val keep = deduped.join(quality.filter(col("quality") >= 0.5), "doc_id")
+    val pairs = MinHashLSH.pairs(keep, k = 3, threshold = 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = NearDupClusters.clusters(keep.select(col("doc_id")), pairs)
+    keep.join(clusters.filter(col("is_keeper")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_corpus_curation" -> corpusCuration _,
     "q30_dedup_exact_keepfirst" -> exactKeepFirst _,
     "q31_dedup_exact_hash" -> exactByHash _,
     "q32_dedup_ngram_jaccard" -> ngramJaccard _,
@@ -147,6 +171,64 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q86_corpus_curation" ->
+      """WITH RECURSIVE dedup AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM (
+        |    SELECT doc_id, text, lang, source, n_chars,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) t
+        |  WHERE rn = 1),
+        |tq AS (
+        |  SELECT doc_id, text,
+        |    [x for x in string_split_regex(lower(text), '\s+') if x <> ''] AS tokens
+        |  FROM dedup),
+        |sq AS (
+        |  SELECT doc_id,
+        |    len(tokens) AS token_count,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS alpha_ratio,
+        |    CAST(len([x for x in tokens if list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)]) AS DOUBLE)
+        |      / nullif(len(tokens), 0) AS stopword_ratio
+        |  FROM tq),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |          least(stopword_ratio * 5.0, 1.0) * 0.3 +
+        |          alpha_ratio * 0.3, 9) AS quality
+        |  FROM sq),
+        |keep AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, q.quality
+        |  FROM dedup d JOIN qual q USING (doc_id)
+        |  WHERE q.quality >= 0.5),
+        |ktoks AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
+        |  FROM keep),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |                   for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM ktoks WHERE len(tokens) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sgl, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb
+        |    FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6),
+        |edges AS (
+        |  SELECT doc_a AS s2, doc_b AS d2 FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT s2, d2 FROM edges
+        |  UNION
+        |  SELECT r.n, e.d2 FROM reach r JOIN edges e ON r.m = e.s2),
+        |mins AS (SELECT n, min(m) AS mr FROM reach GROUP BY n)
+        |SELECT k.doc_id, k.lang, k.source, k.n_chars, k.quality
+        |FROM keep k LEFT JOIN mins m ON m.n = k.doc_id
+        |WHERE least(k.doc_id, coalesce(m.mr, k.doc_id)) = k.doc_id""".stripMargin,
     "q30_dedup_exact_keepfirst" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
