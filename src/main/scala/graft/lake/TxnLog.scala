@@ -679,6 +679,41 @@ object TxnLog {
     parts.reduceOption(_ unionByName _)
   }
 
+  /** Incremental (CDC-style) read: the rows ADDED by commits in
+    * `(fromExclusive, toInclusive]` — what a streaming consumer that
+    * last saw `fromExclusive` should process next, Delta's
+    * `startingVersion` pattern. Each commit reads with ITS schema and
+    * aligns to the union schema of the selected commits.
+    *
+    * `includeRewrites = false` (default) skips `compact-`/`merge-`
+    * commits' data: a compaction re-adds every row it folded and a
+    * merge re-writes whole files for a few changed keys, so an
+    * append-only consumer would double-count. With rewrites skipped the
+    * stream is exactly-the-appends; consumers that need upsert
+    * semantics read with `includeRewrites = true` and reconcile by key.
+    */
+  def changes(spark: SparkSession, table: String, fromExclusive: Long,
+      toInclusive: Long = Long.MaxValue,
+      includeRewrites: Boolean = false): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val to = math.min(toInclusive, vs.last)
+    val picked = manifestChain(spark, table, to)._1
+      .filter(m => m.version > fromExclusive && m.version <= to)
+      .filter { m =>
+        val name = new Path(m.commitDir).getName
+        includeRewrites ||
+          (!name.startsWith("compact-") && !name.startsWith("merge-"))
+      }
+    if (picked.isEmpty || picked.forall(_.entries.isEmpty)) {
+      val schema = schemaOf(spark, table)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val merged = picked.map(_.schema).reduce(SchemaRegistry.merge)
+    readAligned(spark, picked.map(m => (m, m.entries)), merged).get
+  }
+
   /** Planning surface for external readers (the Catalyst
     * [[org.apache.spark.sql.graft.LakeFileIndex]] path): the merged
     * snapshot schema, each live commit's OWN schema, and its live file

@@ -139,10 +139,30 @@ object Etl extends QueryPack {
       .filter(col("o_orderkey").between(12000, 20000))
   }
 
+  /** Incremental-consumption gate: the same three-commit orders lake,
+    * read as CDC changes AFTER version 1 — exactly commits 2..3, the
+    * rows a streaming consumer that already processed version 1 sees
+    * next. Oracled as the equivalent key-range filter.
+    */
+  def lakeChanges(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_cdc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 10000,
+        col("o_orderkey") >= 10000 && col("o_orderkey") < 30000,
+        col("o_orderkey") >= 30000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    graft.lake.TxnLog.changes(s, table, fromExclusive = 1L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
+    "q87_lake_changes" -> lakeChanges _,
     "q21_flatten_struct" -> flattenRoundTrip _,
     "q22_flatten_array_struct" -> flattenArrayOfStruct _,
     "q23_time_partitions" -> timePartitionDerive _,
@@ -156,6 +176,9 @@ object Etl extends QueryPack {
     "q85_lake_relation_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey BETWEEN 12000 AND 20000""".stripMargin,
+    "q87_lake_changes" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey >= 10000""".stripMargin,
     "q21_flatten_struct" ->
       """SELECT event_id,
         |  user_id AS payloadUid,

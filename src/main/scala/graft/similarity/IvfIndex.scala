@@ -50,6 +50,23 @@ object IvfIndex {
     transform(slice(ranked, 1, nprobe), x => x.getField("cell"))
   }
 
+  /** Persist a trained model as parquet `(cell_id, centroid)` — at
+    * scale the index is infrastructure trained once and reused across
+    * query batches and sessions, not a per-query artifact.
+    */
+  def save(spark: SparkSession, m: Model, path: String): Unit = {
+    import spark.implicits._
+    m.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): Model =
+    Model(spark.read.parquet(path).orderBy("cell_id")
+      .select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray))
+
   def train(spark: SparkSession, corpus: DataFrame, numCells: Int,
       iterations: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Model = {

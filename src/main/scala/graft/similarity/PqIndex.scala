@@ -116,6 +116,28 @@ object PqIndex {
     model
   }
 
+  /** Persist a trained quantizer as parquet `(segment, code, centroid)`
+    * — like [[IvfIndex.save]], the codebooks (and the encoded codes
+    * table from [[encode]]) are train-once infrastructure.
+    */
+  def save(spark: SparkSession, m: Model, path: String): Unit = {
+    import spark.implicits._
+    (for ((cb, s) <- m.codebooks.zipWithIndex.toSeq;
+          (c, k) <- cb.zipWithIndex)
+      yield (s, k, c.toSeq))
+      .toDF("segment", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .orderBy("segment", "code").collect()
+    val bySeg = rows.groupBy(_.getInt(0))
+    Model((0 until bySeg.size).toArray.map { s =>
+      bySeg(s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    })
+  }
+
   /** Encode the corpus: (id, codes, normalized vector kept for re-rank).
     * In production the codes table is WRITTEN ONCE and re-read per query
     * batch; vectors stay in their own table, touched only by the re-rank.

@@ -396,6 +396,32 @@ class TxnLogSpec extends SparkSpec {
     assert(hfs.exists(inflight), "retention must protect in-flight commits")
   }
 
+  test("changes() reads exactly the requested commit range") {
+    val table = Files.createTempDirectory("graft-lake-cdc").toString
+    TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    TxnLog.append(spark, table, Seq((2L, "b")).toDF("id", "v"))
+    TxnLog.append(spark, table, Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    assert(TxnLog.changes(spark, table, 0L, 1L).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    assert(TxnLog.changes(spark, table, 1L).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    assert(TxnLog.changes(spark, table, 3L).count() == 0)
+    // a compaction re-adds everything; append-only consumers skip it
+    assert(TxnLog.compact(spark, table).isDefined) // version 4
+    assert(TxnLog.changes(spark, table, 3L).count() == 0)
+    assert(TxnLog.changes(spark, table, 3L, includeRewrites = true)
+      .count() == 4)
+    // appends after the compaction stream normally
+    TxnLog.append(spark, table, Seq((5L, "e")).toDF("id", "v"))
+    assert(TxnLog.changes(spark, table, 4L).collect()
+      .map(_.getLong(0)).toSet == Set(5L))
+    // drifted commits align to the union schema of the range
+    TxnLog.append(spark, table, Seq((6L, 9.5)).toDF("id", "score"))
+    val drifted = TxnLog.changes(spark, table, 4L)
+    assert(drifted.columns.toSet == Set("id", "v", "score"))
+    assert(drifted.count() == 2)
+  }
+
   test("snapshot of unknown version is rejected") {
     val table = Files.createTempDirectory("graft-lake-bad").toString
     TxnLog.append(spark, table, Seq((1L, "x")).toDF("id", "v"))

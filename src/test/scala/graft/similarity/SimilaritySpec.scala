@@ -127,6 +127,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == brute.size)
   }
 
+  test("saved indexes reload byte-identically and search identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val ivf = IvfIndex.train(spark, embs, numCells = 16)
+    IvfIndex.save(spark, ivf, s"$dir/ivf")
+    val ivf2 = IvfIndex.load(spark, s"$dir/ivf")
+    assert(ivf2.centroids.length == ivf.centroids.length)
+    assert(ivf.centroids.zip(ivf2.centroids).forall {
+      case (a, b) => a.sameElements(b) })
+
+    val pq = PqIndex.train(spark, embs, numSegments = 8, codebookSize = 64)
+    PqIndex.save(spark, pq, s"$dir/pq")
+    val pq2 = PqIndex.load(spark, s"$dir/pq")
+    assert(pq2.numSegments == pq.numSegments &&
+      pq2.codebookSize == pq.codebookSize && pq2.subDim == pq.subDim)
+    assert(pq.codebooks.indices.forall(s => pq.codebooks(s).indices.forall(
+      k => pq.codebooks(s)(k).sameElements(pq2.codebooks(s)(k)))))
+    // the reloaded models drive the same searches
+    val a = PqIndex.searchTopKIvf(spark, pq, ivf, embs, queries, 5,
+      nprobe = 10, shortlist = 100).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = PqIndex.searchTopKIvf(spark, pq2, ivf2, embs, queries, 5,
+      nprobe = 10, shortlist = 100).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("PqEncode expression equals the HOF reference form") {
     val model = PqIndex.train(spark, embs, numSegments = 8, codebookSize = 16)
     val v = embs.limit(200).select(
