@@ -7,13 +7,17 @@ import org.apache.spark.sql.SparkSession
   * `emr_json_parquet_schema_drift_etl.py:142-152`): one process, no
   * polling, custom functions loaded via [[graft.functions.GraftExtensions]].
   *
-  * Usage: `runMain graft.SqlMain "<sql>"` — tables of
-  * `SPARK_GRAFT_SF_DIR` (default sf0.001) are registered as temp views
-  * (`lineitem`, `orders`, …); results print as TSV with a header.
+  * Usage: `runMain graft.SqlMain "<sql>" [name=lakePath ...]` — tables
+  * of `SPARK_GRAFT_SF_DIR` (default sf0.001) are registered as temp
+  * views (`lineitem`, `orders`, …); each extra `name=path` argument
+  * mounts a [[graft.lake.TxnLog]] table as view `name` through the
+  * Catalyst-native relation path (vectorized scans, log-backed
+  * partition/stats pruning; tables with type drift fall back to the
+  * per-commit-aligned snapshot). Results print as TSV with a header.
   */
 object SqlMain {
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: SqlMain \"<sql>\"")
+    require(args.length >= 1, "usage: SqlMain \"<sql>\" [name=lakePath ...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -28,6 +32,17 @@ object SqlMain {
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach { n =>
       Tables.table(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+    args.drop(1).foreach { spec =>
+      val i = spec.indexOf('=')
+      require(i > 0, s"lake mount must be name=path: $spec")
+      val (name, path) = (spec.take(i), spec.drop(i + 1))
+      val df = try org.apache.spark.sql.graft.LakeRead.relation(spark, path)
+        catch { // type drift: the relation path refuses; snapshot aligns
+          case _: IllegalArgumentException =>
+            graft.lake.TxnLog.snapshot(spark, path)
+        }
+      df.createOrReplaceTempView(name)
     }
     val out = spark.sql(args(0))
     println(out.columns.mkString("\t"))
