@@ -42,9 +42,15 @@ object FileStats {
   private def unb64(s: String): String =
     new String(B64D.decode(s), StandardCharsets.UTF_8)
 
-  /** Which tag a Spark type maps to; None = not covered by stats. */
+  /** Which tag a Spark type maps to; None = not covered by stats.
+    * Timestamps are 'l' (epoch MICROS) — the lake writer forces
+    * TIMESTAMP_MICROS output (INT96, Spark's default physical type, has
+    * no usable footer stats), so `tts BETWEEN ...` predicates skip files
+    * exactly like integer ranges do.
+    */
   private[lake] def tagFor(dt: DataType): Option[Char] = dt match {
-    case ByteType | ShortType | IntegerType | LongType | DateType => Some('l')
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType => Some('l')
     case FloatType | DoubleType => Some('d')
     case StringType => Some('s')
     case _ => None
@@ -126,6 +132,10 @@ object FileStats {
   private def typed(tag: Char, v: Any): Any = (tag, v) match {
     case ('l', d: java.time.LocalDate) => d.toEpochDay
     case ('l', d: java.sql.Date) => d.toLocalDate.toEpochDay
+    case ('l', t: java.sql.Timestamp) => // epoch micros, like the stats
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    case ('l', t: java.time.Instant) =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
     case ('l', n: Number) => n.longValue
     case ('d', n: Number) => n.doubleValue
     case ('s', x) => x.toString

@@ -50,9 +50,12 @@ object TxnLog {
   /** Write a consolidated checkpoint whenever version % interval == 0. */
   val CheckpointInterval: Int = 10
 
-  /** One data file plus its skipping stats (absent stats = never prune). */
+  /** One data file plus its skipping stats (absent stats = never prune)
+    * and its size in bytes (-1 = unknown, pre-size-recording manifests —
+    * readers that need it fall back to one FS listing per commit).
+    */
   final case class FileEntry(path: String,
-      stats: Map[String, FileStats.ColStats])
+      stats: Map[String, FileStats.ColStats], size: Long = -1L)
 
   /** An inclusive column-range predicate for stats-pruned snapshot reads;
     * `None` bounds are open. Values compare in the column's natural
@@ -100,25 +103,32 @@ object TxnLog {
   }
 
   // ---- manifest body lines (shared by manifests and checkpoints) ----
-  // After the 3 header lines (version, commitDir, schemaJson):
-  //   "-<path>"              a file superseded (removed) by this commit
-  //   "<path>"               a data file, no stats
-  //   "<path>\t<statsEnc>"   a data file with FileStats-encoded min/max
+  // After the 3 header lines (version, commitDir, schemaJson), each line
+  // is "-<path>" (a file superseded by this commit) or a data file:
+  // tab-separated <path> [<sizeBytes>] [<statsEnc>]. The size field is
+  // all digits and a stats encoding always contains ':', so the two are
+  // distinguishable and both optional (older manifests parse fine).
   // Paths are absolute FS URIs — they never start with '-' and never
   // contain '\t' or '\n', so the format needs no quoting.
 
   private def bodyLines(entries: Seq[FileEntry], removed: Seq[String]): Seq[String] =
     removed.map("-" + _) ++ entries.map { e =>
-      if (e.stats.isEmpty) e.path
-      else e.path + "\t" + FileStats.encode(e.stats)
+      val sz = if (e.size >= 0) Seq(e.size.toString) else Nil
+      val st = if (e.stats.isEmpty) Nil else Seq(FileStats.encode(e.stats))
+      (e.path +: (sz ++ st)).mkString("\t")
     }
 
   private def parseBody(lines: Seq[String]): (Seq[FileEntry], Seq[String]) = {
     val (rm, files) = lines.partition(_.startsWith("-"))
     val entries = files.map { l =>
-      val i = l.indexOf('\t')
-      if (i < 0) FileEntry(l, Map.empty)
-      else FileEntry(l.take(i), FileStats.decode(l.drop(i + 1)))
+      val parts = l.split('\t')
+      var size = -1L
+      var stats = Map.empty[String, FileStats.ColStats]
+      parts.drop(1).filter(_.nonEmpty).foreach { f =>
+        if (f.forall(_.isDigit)) size = f.toLong
+        else stats = FileStats.decode(f)
+      }
+      FileEntry(parts(0), stats, size)
     }
     (entries, rm.map(_.drop(1)))
   }
@@ -518,19 +528,31 @@ object TxnLog {
     val commitDir = new Path(new Path(table, "data"), commitId)
     // every commit dir is unique per attempt (uuid-named), so the data
     // write NEVER overwrites: a crash mid-write leaves an orphan dir no
-    // manifest references, and a replay simply writes a fresh dir
-    var w = df.write.mode("errorifexists")
-    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
-    w.parquet(commitDir.toString)
+    // manifest references, and a replay simply writes a fresh dir.
+    // Timestamps are forced to TIMESTAMP_MICROS for this write: Spark's
+    // default INT96 physical type carries no usable footer stats, micros
+    // make time-range predicates skip files like integer ranges do.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      var w = df.write.mode("errorifexists")
+      if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+      w.parquet(commitDir.toString)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     val f = fs(spark, commitDir)
     val files = {
       val it = f.listFiles(commitDir, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       while (it.hasNext) {
-        val p = it.next().getPath
-        if (p.getName.endsWith(".parquet")) buf += p.toString
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          buf += st.getPath.toString -> st.getLen
       }
-      buf.sorted.toSeq
+      buf.sortBy(_._1).toSeq
     }
     // skipping stats from the just-written footers (metadata-only; at
     // cluster scale distribute this loop — one footer read per file).
@@ -538,9 +560,10 @@ object TxnLog {
     val statsSchema = StructType(df.schema.fields
       .filterNot(fd => partitionCols.contains(fd.name)))
     val hconf = spark.sparkContext.hadoopConfiguration
-    val entries = files.map { p =>
+    val entries = files.map { case (p, len) =>
       FileEntry(p, try FileStats.collect(hconf, p, statsSchema)
-        catch { case _: Exception => Map.empty[String, FileStats.ColStats] })
+        catch { case _: Exception => Map.empty[String, FileStats.ColStats] },
+        len)
     }
 
     var attempt = 0

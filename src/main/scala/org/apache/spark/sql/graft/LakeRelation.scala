@@ -87,14 +87,20 @@ class LakeFileIndex(spark: SparkSession, table: String,
       s"${m.dataType.simpleString}); read it with TxnLog.snapshot, which " +
       "casts per commit")
 
-  /** One FS listing per commit dir resolves every live file's status
-    * (size for scan planning). At cluster scale the log would record
-    * sizes at commit time; one listing per commit is the same metadata
-    * cost the snapshot read already pays.
+  /** File statuses for planning. Manifests record sizes at commit time,
+    * so normally NO filesystem call happens here at all — the log alone
+    * plans the scan. Only commits from pre-size-recording manifests
+    * (size = -1) fall back to one recursive listing of their dir.
     */
   private val statusByPath: Map[String, FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    groups.flatMap { case (commitDir, _, _) =>
+    val fromLog = groups.flatMap { case (_, _, es) =>
+      es.filter(_.size >= 0).map(e =>
+        e.path -> new FileStatus(e.size, false, 1, 134217728L, 0L,
+          new Path(e.path)))
+    }
+    val legacyDirs = groups.filter(_._3.exists(_.size < 0)).map(_._1)
+    val listed = legacyDirs.flatMap { commitDir =>
       val p = new Path(commitDir)
       val fs = p.getFileSystem(conf)
       val it = fs.listFiles(p, true)
@@ -105,7 +111,8 @@ class LakeFileIndex(spark: SparkSession, table: String,
           buf += st.getPath.toString -> st
       }
       buf
-    }.toMap
+    }
+    (listed ++ fromLog).toMap
   }
 
   private case class LiveFile(entry: TxnLog.FileEntry, commitDir: String,

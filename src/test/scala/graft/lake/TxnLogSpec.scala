@@ -396,6 +396,37 @@ class TxnLogSpec extends SparkSpec {
     assert(hfs.exists(inflight), "retention must protect in-flight commits")
   }
 
+  test("timestamp ranges skip files (micros-typed footer stats)") {
+    val table = Files.createTempDirectory("graft-lake-ts").toString
+    // three commits with disjoint hour ranges
+    Seq(0, 1, 2).foreach { h =>
+      val df = spark.range(0, 100).toDF("id")
+        .withColumn("tts", expr(
+          s"timestamp_micros(cast(($h * 3600 + id) as long) * 1000000)"))
+      TxnLog.append(spark, table, df.coalesce(1))
+    }
+    val full = TxnLog.snapshot(spark, table)
+    assert(full.inputFiles.length == 3)
+    val pruned = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("tts",
+        Some(java.sql.Timestamp.valueOf("1970-01-01 01:00:10")),
+        Some(java.sql.Timestamp.valueOf("1970-01-01 01:00:30")))))
+    assert(pruned.inputFiles.length == 1,
+      s"time range must plan one file, planned ${pruned.inputFiles.length}")
+    assert(pruned.count() == 21)
+    // the Catalyst relation path prunes the same way from the same stats
+    val rel = org.apache.spark.sql.graft.LakeRead.relation(spark, table)
+      .filter(col("tts").between(
+        lit("1970-01-01 01:00:10").cast("timestamp"),
+        lit("1970-01-01 01:00:30").cast("timestamp")))
+    rel.collect()
+    val scan = rel.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value == 1)
+    assert(rel.count() == 21)
+  }
+
   test("changes() reads exactly the requested commit range") {
     val table = Files.createTempDirectory("graft-lake-cdc").toString
     TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
