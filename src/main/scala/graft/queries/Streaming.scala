@@ -53,16 +53,49 @@ object Streaming extends QueryPack {
     s.table(name)
   }
 
+  /** Key-based streaming dedup gate (companion to q82's content-hash
+    * variant): the events table streamed AvailableNow, deduplicated on
+    * (user_id, event_type) within the watermark. Survivor identity is
+    * arrival-order-dependent, so the gate compares the surviving KEY
+    * set, which equals DuckDB's DISTINCT over the same columns.
+    */
+  def streamingDedupKeysGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructType}
+    // events.ts is parquet TIMESTAMP(NANOS): Tables.events sets the
+    // legacy nanos-as-long conf, so the STREAM schema must declare ts
+    // as the raw long and convert after (Tables.events quirk, TESTDATA)
+    val converted = Tables.events(s, dir)
+    val schema = StructType(converted.schema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    val src = s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]") // glob: see streamingDedupGate
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = StreamingDedup.byKeys(src, "ts", "30 days",
+      Seq("user_id", "event_type"))
+    val name = s"q88_streaming_dedup_keys_${math.abs(dir.hashCode).toString}"
+    val q = deduped.select(col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_event_windows" -> eventWindows _,
     "q26_sessionize" -> sessionize _,
     "q82_streaming_dedup" -> streamingDedupGate _,
+    "q88_streaming_dedup_keys" -> streamingDedupKeysGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q82_streaming_dedup" ->
       """SELECT sha256(text) AS content_sha, min(n_chars) AS n_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "q88_streaming_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q25_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  event_type, count(*) AS n, sum(value) AS total_value
