@@ -336,14 +336,19 @@ object TxnLog {
     // history down to `numFiles` (default: one per core) per partition
     val n = if (numFiles > 0) numFiles
       else math.max(1, spark.sparkContext.defaultParallelism)
-    // CLUSTERING (the OPTIMIZE-ZORDER move for the 1-D case): range-
-    // partition by `clusterBy` so each rewritten file covers a narrow,
-    // nearly disjoint value interval — the per-file min/max stats then
-    // prune range predicates to a few files instead of all of them.
-    // Append-order files interleave values; clustering is what makes
-    // stats skipping BITE on a non-partition column at 100 TB.
+    // CLUSTERING (the OPTIMIZE-ZORDER move): one column range-partitions
+    // directly — each rewritten file covers a narrow, nearly disjoint
+    // value interval; multiple columns cluster by the Morton-interleaved
+    // [[ZOrder.key]], giving every clustered column locality at once.
+    // Either way the per-file min/max stats then prune range predicates
+    // to a few files instead of all of them. Append-order files
+    // interleave values; clustering is what makes stats skipping BITE
+    // on a non-partition column at 100 TB.
     val folded =
-      if (clusterBy.nonEmpty)
+      if (clusterBy.size > 1) {
+        val zk = ZOrder.key(snap, clusterBy)
+        snap.repartitionByRange(n, zk).sortWithinPartitions(zk)
+      } else if (clusterBy.nonEmpty)
         snap.repartitionByRange(n, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else if (partitionCols.nonEmpty)

@@ -1,0 +1,60 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering key for multi-column data skipping —
+  * what Delta's OPTIMIZE ZORDER BY does: single-column range clustering
+  * gives perfect skipping on ONE column and none on the others; bit-
+  * interleaving the rank-normalized dimensions gives good (≈ n-th root)
+  * locality on EVERY clustered column at once, so a box predicate on
+  * any subset of them prunes files.
+  *
+  * Each dimension is min/max-normalized to `bits` (default 16) integer
+  * levels — one tiny aggregate per compaction, no global rank sort —
+  * then the level bits interleave round-robin into one long. The whole
+  * key is a closed-form column expression (shifts/masks over codegen'd
+  * builtins), evaluated once per row during the compaction rewrite.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of the given non-negative long
+    * columns, dimension d contributing bit i to position `i*n + d`.
+    * n * bits must fit a long (≤ 63).
+    */
+  private[lake] def interleave(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n * bits <= 63, s"$n dims x $bits bits exceeds a long")
+    cols.zipWithIndex.map { case (c, d) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The z-key expression for `df` over `clusterBy`, with per-column
+    * bounds computed by one aggregate over `df`. Nulls normalize to
+    * level 0 (they cluster together at the origin); constant columns
+    * contribute nothing.
+    */
+  def key(df: DataFrame, clusterBy: Seq[String], bits: Int = 16): Column = {
+    require(clusterBy.nonEmpty, "z-order needs at least one column")
+    val aggs = clusterBy.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"lo_$c"),
+      max(col(c).cast("double")).as(s"hi_$c")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    val levels = clusterBy.map { c =>
+      val lo = b.getAs[Any](s"lo_$c")
+      val hi = b.getAs[Any](s"hi_$c")
+      (lo, hi) match {
+        case (l: java.lang.Double, h: java.lang.Double) if h > l =>
+          val scale = ((1L << bits) - 1) / (h - l)
+          least(lit((1L << bits) - 1), greatest(lit(0L),
+            ((coalesce(col(c).cast("double"), lit(l)) - l) * scale)
+              .cast("long")))
+        case _ => lit(0L) // constant / all-null / empty: no signal
+      }
+    }
+    interleave(levels, bits)
+  }
+}

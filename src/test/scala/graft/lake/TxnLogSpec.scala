@@ -362,6 +362,33 @@ class TxnLogSpec extends SparkSpec {
     assert(after.count() == 31)
   }
 
+  test("z-order compaction prunes box predicates on BOTH columns") {
+    val table = Files.createTempDirectory("graft-lake-zorder").toString
+    // a 100x100 grid appended in x-shuffled order: every file spans the
+    // whole y domain and most of x, so nothing prunes
+    val grid = spark.range(0, 10000).toDF("i")
+      .select((col("i") % 100).as("x"), (col("i") / 100).cast("long").as("y"))
+    TxnLog.append(spark, table, grid.repartition(8, col("x")))
+    def planned(loX: Long, hiX: Long, loY: Long, hiY: Long) =
+      TxnLog.snapshotWhere(spark, table, Map.empty, ranges = Seq(
+        TxnLog.ColRange("x", Some(loX), Some(hiX)),
+        TxnLog.ColRange("y", Some(loY), Some(hiY)))).inputFiles.length
+    val before = planned(0, 24, 0, 24)
+    assert(before == 8, s"hash-partitioned grid must not prune, got $before")
+    assert(TxnLog.compact(spark, table, numFiles = 16,
+      clusterBy = Seq("x", "y")).isDefined)
+    // a quarter-domain box touches ~1/16 of the z-curve's span per axis
+    // pair; generously assert at least half the files drop
+    val after = planned(0, 24, 0, 24)
+    assert(after <= 8, s"z-order must prune the box, planned $after of 16")
+    // correctness unchanged, and BOTH single-column ranges prune too
+    assert(TxnLog.snapshotWhere(spark, table, Map.empty, ranges = Seq(
+      TxnLog.ColRange("x", Some(0L), Some(24L)),
+      TxnLog.ColRange("y", Some(0L), Some(24L)))).count() == 625)
+    assert(planned(0, 10, 0, 99) < 16, "x-only range must prune")
+    assert(planned(0, 99, 0, 10) < 16, "y-only range must prune")
+  }
+
   test("vacuum sweeps orphans and truncates pre-compaction history") {
     val table = Files.createTempDirectory("graft-lake-vacuum").toString
     TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
