@@ -1,0 +1,102 @@
+package org.apache.spark.sql.graft
+
+import graft.lake.TxnLog
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming SOURCE over the lake log — `readStream` parity
+  * with the Delta streaming source, on the same micro-batch contract
+  * Spark's own FileStreamSource uses (a V1 `Source`):
+  *
+  *  - OFFSETS ARE LOG VERSIONS: `getOffset` reports the latest committed
+  *    version, `getBatch(start, end)` returns exactly the rows ADDED by
+  *    commits in `(start, end]` via [[TxnLog.changes]] — each commit is
+  *    delivered atomically and exactly once, checkpointed by the engine;
+  *  - `compact-`/`merge-` rewrites are SKIPPED by default (an
+  *    append-only consumer must not re-receive folded history);
+  *    `option("includeRewrites", "true")` opts in;
+  *  - `option("startingVersion", v)` begins after version v (default 0 =
+  *    from the table's beginning);
+  *  - schema drift after stream start aligns to the FIXED stream schema
+  *    (columns added later are dropped, missing ones null) — a streaming
+  *    query's schema cannot change mid-run.
+  *
+  * Usage: `spark.readStream.format("graftlake").load(tablePath)`.
+  */
+class LakeStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName: String = "graftlake"
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graftlake stream needs .load(<table path>)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graftlake", schema.getOrElse(
+      TxnLog.schemaOf(ctx.sparkSession, tableOf(parameters))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val table = tableOf(parameters)
+    new LakeStreamSource(ctx.sparkSession, table,
+      schema.getOrElse(TxnLog.schemaOf(ctx.sparkSession, table)),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("includeRewrites").exists(_.toBoolean))
+  }
+}
+
+class LakeStreamSource(spark: SparkSession, table: String,
+    streamSchema: StructType, startingVersion: Long,
+    includeRewrites: Boolean) extends Source {
+
+  override def schema: StructType = streamSchema
+
+  override def getOffset: Option[Offset] = {
+    val vs = TxnLog.versions(spark, table)
+    if (vs.isEmpty || vs.last <= startingVersion) None
+    else Some(LongOffset(vs.last))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(asLong).getOrElse(startingVersion)
+    val out = TxnLog.changes(spark, table, from, asLong(end), includeRewrites)
+    // drift after stream start: align to the fixed stream schema
+    val present = out.columns.toSet
+    val aligned = out.select(streamSchema.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    // the engine requires getBatch's plan to be STREAMING; flip the leaf
+    // relations the way FileStreamSource builds its per-batch relation
+    val plan = aligned.queryExecution.analyzed.transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.copy(isStreaming = true)
+      // changes() returns an empty LogicalRDD when nothing is in range;
+      // an empty streaming LocalRelation is the same rows, streamable
+      case rdd: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          rdd.output, Nil, isStreaming = true)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  }
+
+  /** The engine replays checkpointed offsets as SerializedOffset(json);
+    * LongOffset's json is just the number.
+    */
+  private def asLong(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeStreamSource[$table]"
+}

@@ -1,0 +1,107 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The lake streaming source: offsets are log versions, each commit
+  * arrives exactly once (including across checkpointed restarts), and
+  * compaction rewrites never re-emit folded history.
+  */
+class LakeStreamSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("commits stream exactly once across checkpointed restarts") {
+    val root = Files.createTempDirectory("graft-lake-stream")
+    val table = root.resolve("table").toString
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+    TxnLog.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TxnLog.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlake").load(table)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(sink).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L))
+
+    // new commit after restart: ONLY its rows arrive (offset checkpoint)
+    TxnLog.append(spark, table, Seq((4L, "d")).toDF("id", "v"))
+    drain()
+    assert(spark.read.parquet(sink).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+
+    // a compaction advances the version but re-emits NOTHING
+    assert(TxnLog.compact(spark, table).isDefined)
+    drain()
+    assert(spark.read.parquet(sink).count() == 4)
+
+    // appends after the compaction stream normally
+    TxnLog.append(spark, table, Seq((5L, "e")).toDF("id", "v"))
+    drain()
+    assert(spark.read.parquet(sink).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("startingVersion skips history; drift aligns to the stream schema") {
+    val root = Files.createTempDirectory("graft-lake-stream2")
+    val table = root.resolve("table").toString
+    TxnLog.append(spark, table, Seq((1L, "old")).toDF("id", "v"))
+    TxnLog.append(spark, table, Seq((2L, "new")).toDF("id", "v"))
+    val name = "lake_stream_sv"
+    val q = spark.readStream.format("graftlake")
+      .option("startingVersion", "1").load(table)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(name).collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    // drifted commit: a stream pinned to the PRE-drift schema (what a
+    // long-running query started before the drift would hold) drops the
+    // new column and keeps flowing
+    TxnLog.append(spark, table, Seq((3L, "x", 9.5)).toDF("id", "v", "score"))
+    val preDrift = org.apache.spark.sql.types.StructType(
+      TxnLog.schemaOf(spark, table).fields.filter(_.name != "score"))
+    val q2 = spark.readStream.format("graftlake").schema(preDrift)
+      .option("startingVersion", "2").load(table)
+      .writeStream.format("memory").queryName(name + "b")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = spark.table(name + "b")
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // and a fresh unpinned stream sees the evolved schema
+    val q3 = spark.readStream.format("graftlake")
+      .option("startingVersion", "2").load(table)
+      .writeStream.format("memory").queryName(name + "c")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val evolved = spark.table(name + "c")
+    assert(evolved.columns.toSeq == Seq("id", "v", "score"))
+    assert(evolved.collect().head.getDouble(2) == 9.5)
+  }
+
+  test("streaming aggregation over the lake source composes") {
+    val root = Files.createTempDirectory("graft-lake-stream3")
+    val table = root.resolve("table").toString
+    TxnLog.append(spark, table,
+      Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("k", "n"))
+    val name = "lake_stream_agg"
+    val q = spark.readStream.format("graftlake").load(table)
+      .groupBy($"k").agg(sum($"n").as("total"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L))
+  }
+}
