@@ -158,11 +158,43 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.changes(s, table, fromExclusive = 1L)
   }
 
+  /** Z-order gate: lineitem appended in key-shuffled order (no file can
+    * prune anything), z-order-compacted on (l_orderkey, l_partkey), then
+    * a BOX predicate on both columns read through snapshotWhere. The
+    * query requires that clustering made the stats prune the plan and
+    * hash-checks rows against the plain DuckDB filter — clustering must
+    * change the layout, never the answer.
+    */
+  def lakeZOrder(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_z_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    // shuffle on an unrelated hash so every file spans both key domains
+    graft.lake.TxnLog.append(s, table, li.repartition(8, col("l_quantity")))
+    val ranges = Seq(
+      graft.lake.TxnLog.ColRange("l_orderkey", Some(0L), Some(3000L)),
+      graft.lake.TxnLog.ColRange("l_partkey", Some(0L), Some(400L)))
+    val before = graft.lake.TxnLog
+      .snapshotWhere(s, table, Map.empty, ranges = ranges).inputFiles.length
+    require(graft.lake.TxnLog.compact(s, table, numFiles = 16,
+      clusterBy = Seq("l_orderkey", "l_partkey")).isDefined,
+      "z-order compaction lost a commit race on a private table")
+    val pruned = graft.lake.TxnLog
+      .snapshotWhere(s, table, Map.empty, ranges = ranges)
+    require(pruned.inputFiles.length < before,
+      s"z-order stopped pruning: ${pruned.inputFiles.length} of $before")
+    pruned
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
+    "q89_lake_zorder" -> lakeZOrder _,
     "q21_flatten_struct" -> flattenRoundTrip _,
     "q22_flatten_array_struct" -> flattenArrayOfStruct _,
     "q23_time_partitions" -> timePartitionDerive _,
@@ -179,6 +211,10 @@ object Etl extends QueryPack {
     "q87_lake_changes" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey >= 10000""".stripMargin,
+    "q89_lake_zorder" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey BETWEEN 0 AND 3000
+        |  AND l_partkey BETWEEN 0 AND 400""".stripMargin,
     "q21_flatten_struct" ->
       """SELECT event_id,
         |  user_id AS payloadUid,

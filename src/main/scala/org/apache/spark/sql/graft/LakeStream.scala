@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming SOURCE over the lake log — `readStream` parity
@@ -27,13 +27,28 @@ import org.apache.spark.sql.types.StructType
   *
   * Usage: `spark.readStream.format("graftlake").load(tablePath)`.
   */
-class LakeStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class LakeStreamProvider extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
 
   override def shortName: String = "graftlake"
 
   private def tableOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graftlake stream needs .load(<table path>)"))
+      "graftlake needs .load(<table path>)"))
+
+  /** Batch read: `spark.read.format("graftlake").load(tablePath)` —
+    * the log-backed FileIndex relation ([[LakeRead.relation]]), with
+    * `option("versionAsOf", v)` for time travel.
+    */
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val df = LakeRead.relation(ctx.sparkSession, tableOf(parameters),
+      parameters.get("versionAsOf").map(_.toLong))
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+    }.get
+  }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,

@@ -98,5 +98,9 @@ class LakeRelationSpec extends SparkSpec {
     TxnLog.append(spark, table, Seq((2L, "v2")).toDF("id", "tag"))
     assert(LakeRead.relation(spark, table, Some(1L)).count() == 1)
     assert(LakeRead.relation(spark, table).count() == 2)
+    // the registered batch format reaches the same relation
+    assert(spark.read.format("graftlake").load(table).count() == 2)
+    assert(spark.read.format("graftlake").option("versionAsOf", "1")
+      .load(table).count() == 1)
   }
 }
