@@ -81,7 +81,13 @@ object EtlMain {
       q.awaitTermination()
       registry.update(schema) // keep the registry current for next runs
       println(s"""{"action":"streaming","lake":${cfg.useLake}}""")
-    } else pipe.runBatch(spark) match {
+    } else pipe.runBatch(spark, opt("externalCatalogRoot") match {
+      // "externalCatalogRoot" registers tables in the file-backed
+      // EXTERNAL catalog (the reference's Glue tier, config-selected
+      // exactly like its glue_db config key) instead of the session one
+      case Some(catRoot) => new etl.FileCatalogSync(spark, catRoot)
+      case None => new etl.SparkCatalogSync(spark)
+    }) match {
       case Some(r) => println(
         s"""{"action":"batch","rows":${r.rowsWritten},"files":${r.inputFiles.length},""" +
         s""""catalog":"${r.catalogAction}","nameDrift":${r.drift.nameDrift},""" +
