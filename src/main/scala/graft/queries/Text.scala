@@ -78,7 +78,21 @@ object Text extends QueryPack {
   def repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, dir))
 
+  /** PII scrub gate: the corpus has no natural PII, so every row gets
+    * the same planted suffix (an email, a URL, a phone-ish run) and the
+    * scrubbed output — sentinels in place of all three — hash-checks
+    * against DuckDB running the IDENTICAL regex chain (patterns are
+    * Java/RE2-compatible by construction).
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" reach me: bob.p+x@mail-host.example.org" +
+        " or https://t.example.io/a?b=1 or (415) 555-0199 ok")).as("text"))
+    TextAnalysis.scrubPii(planted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_pii_scrub" -> piiScrub _,
     "q50_text_stats" -> stats _,
     "q51_text_quality" -> quality _,
     "q52_lang_id" -> langId _,
@@ -95,6 +109,17 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q90_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        text || ' reach me: bob.p+x@mail-host.example.org' ||
+         |          ' or https://t.example.io/a?b=1 or (415) 555-0199 ok',
+         |        '${TextAnalysis.PiiUrl}', '<URL>', 'g'),
+         |      '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PiiNumber}', '<NUM>', 'g') AS scrubbed
+         |FROM documents""".stripMargin,
     "q50_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -176,4 +176,28 @@ object TextAnalysis {
         round(coalesce(col("maxb").cast("double") / col("nb"), lit(0.0)), 9)
           .as("top_bigram_frac"))
   }
+
+  /** Regex patterns for [[scrubPii]], kept to syntax with identical
+    * semantics in Java regex and RE2 (character classes, bounded
+    * repetition — no backreferences, no lookaround) so the DuckDB
+    * oracle runs the very same patterns.
+    */
+  val PiiUrl = "https?://[^\\s]+"
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiNumber = "[0-9][0-9 ()+.-]{6,}[0-9]"
+
+  /** PII scrubbing of the kind pretraining pipelines run before
+    * tokenization: URLs, then emails, then phone/ID-like digit runs are
+    * replaced with typed sentinels (URL first — URLs can embed the
+    * other two shapes). A codegen'd `regexp_replace` chain; at 100 TB
+    * this is a pure narrow map over the text column, no shuffle.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), PiiUrl, "<URL>"),
+          PiiEmail, "<EMAIL>"),
+        PiiNumber, "<NUM>").as("scrubbed"))
 }

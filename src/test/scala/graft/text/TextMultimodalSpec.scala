@@ -212,4 +212,17 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().map(_.content_sha).sorted
     assert(a.sameElements(b))
   }
+
+  test("PII scrubbing replaces urls, emails, and number runs in order") {
+    val df = Seq((1L,
+      "mail a.b@x.co or https://h.io/u?e=c@d.com call 555 123 4567 now"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.scrubPii(df).head().getString(1)
+    // the URL goes first (it embeds an @), then the email, then digits
+    assert(got == "mail <EMAIL> or <URL> call <NUM> now", got)
+    // no PII → identity
+    val clean = Seq((2L, "plain words only")).toDF("doc_id", "text")
+    assert(graft.text.TextAnalysis.scrubPii(clean).head().getString(1)
+      == "plain words only")
+  }
 }
