@@ -112,6 +112,24 @@ object Analytics extends QueryPack {
           col("exact_orders") <= 0.05).as("orders_ok"))
   }
 
+  /** ORC source/sink roundtrip (format breadth beyond parquet/CSV/JSON/
+    * binary): a lineitem slice written as ORC with predicate-pushdown-
+    * friendly stripes, read back through the ORC vectorized reader, and
+    * aggregated. The oracle computes the same aggregate from the parquet
+    * table — equality proves the ORC write/read path preserves the data.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .filter(col("l_orderkey") <= 5000)
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .filter(col("l_quantity") > 10) // pushed into ORC stripe filters
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+  }
+
   /** Skew gate: a PLANTED hot key (80% of lineitem rows collapse onto
     * part key 1) joined to the part dimension through
     * [[graft.operators.SkewTools.saltedJoin]], which spreads the hot key
@@ -175,6 +193,7 @@ object Analytics extends QueryPack {
     "q72_approx_distinct_gate" -> approxDistinctGate _,
     "q79_bucketed_join" -> bucketedJoin _,
     "q84_salted_join" -> saltedJoinGate _,
+    "q91_orc_roundtrip" -> orcRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -213,6 +232,11 @@ object Analytics extends QueryPack {
         |  sum(l_quantity) AS qty, count(1) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q91_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey <= 5000 AND l_quantity > 10
+        |GROUP BY l_returnflag""".stripMargin,
     "q84_salted_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN l_partkey % 5 < 4 THEN 1 ELSE l_partkey END AS k,
