@@ -500,6 +500,49 @@ object TxnLog {
     deleted
   }
 
+  /** Row-level DELETE: rows satisfying ALL `ranges` (inclusive
+    * intervals, open bounds allowed; null column values never match,
+    * per SQL DELETE-WHERE semantics) are removed as one superseding
+    * `delete-` commit. FILE-PRUNED like [[merge]]: only files whose
+    * stats admit a match in EVERY range are rewritten (minus their
+    * matching rows); every other live file carries forward by
+    * reference, untouched on disk. Returns None on a lost append race
+    * (re-run; appends always win) and Some(currentVersion) when no
+    * file can contain a match — a no-op needs no commit.
+    */
+  def delete(spark: SparkSession, table: String, ranges: Seq[ColRange],
+      partitionCols: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    require(ranges.nonEmpty, "delete needs at least one column range")
+    require(ranges.forall(r => r.lower.nonEmpty || r.upper.nonEmpty),
+      "each delete range needs at least one bound")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val base = vs.last
+    val manifests = activeManifests(manifestChain(spark, table, base)._1)
+    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+
+    def canMatch(e: FileEntry): Boolean = ranges.forall(r =>
+      e.stats.get(r.column).forall(cs =>
+        FileStats.overlaps(cs, r.lower, r.upper)))
+    val touched = liveEntries(manifests)
+      .map { case (m, es) => (m, es.filter(canMatch)) }
+      .filter(_._2.nonEmpty)
+    if (touched.isEmpty) return Some(base)
+
+    val deleteCond = ranges.map { r =>
+      val c = col(r.column)
+      ((r.lower.map(v => c >= lit(v)) ++ r.upper.map(v => c <= lit(v)))
+        : Iterable[org.apache.spark.sql.Column]).reduce(_ && _)
+    }.reduce(_ && _)
+    val survivors = readAligned(spark, touched, merged).get
+      // null-valued rows never satisfy the predicate: keep them
+      .filter(not(deleteCond <=> lit(true)))
+    appendCommit(spark, table, survivors, partitionCols,
+      s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base), removePaths = touched.flatMap(_._2.map(_.path)))
+  }
+
   /** `compact-` manifests supersede everything before them: the data
     * view of a chain starts at its LAST compaction (earlier manifests
     * stay in the chain for time travel and txn-id lookups).
@@ -713,12 +756,13 @@ object TxnLog {
     * `startingVersion` pattern. Each commit reads with ITS schema and
     * aligns to the union schema of the selected commits.
     *
-    * `includeRewrites = false` (default) skips `compact-`/`merge-`
-    * commits' data: a compaction re-adds every row it folded and a
-    * merge re-writes whole files for a few changed keys, so an
-    * append-only consumer would double-count. With rewrites skipped the
-    * stream is exactly-the-appends; consumers that need upsert
-    * semantics read with `includeRewrites = true` and reconcile by key.
+    * `includeRewrites = false` (default) skips `compact-`/`merge-`/
+    * `delete-` commits' data: a compaction re-adds every row it folded
+    * and a merge/delete re-writes whole files for a few changed rows,
+    * so an append-only consumer would double-count. With rewrites
+    * skipped the stream is exactly-the-appends; consumers that need
+    * upsert semantics read with `includeRewrites = true` and reconcile
+    * by key.
     */
   def changes(spark: SparkSession, table: String, fromExclusive: Long,
       toInclusive: Long = Long.MaxValue,
@@ -731,7 +775,8 @@ object TxnLog {
       .filter { m =>
         val name = new Path(m.commitDir).getName
         includeRewrites ||
-          (!name.startsWith("compact-") && !name.startsWith("merge-"))
+          (!name.startsWith("compact-") && !name.startsWith("merge-") &&
+            !name.startsWith("delete-"))
       }
     if (picked.isEmpty || picked.forall(_.entries.isEmpty)) {
       val schema = schemaOf(spark, table)

@@ -454,6 +454,40 @@ class TxnLogSpec extends SparkSpec {
     assert(rel.count() == 21)
   }
 
+  test("delete rewrites only files whose stats admit a match") {
+    val table = Files.createTempDirectory("graft-lake-del").toString
+    Seq((0L, 99L), (100L, 199L), (200L, 299L)).foreach { case (lo, hi) =>
+      TxnLog.append(spark, table, spark.range(lo, hi + 1).toDF("id")
+        .withColumn("v", col("id") * 2).coalesce(1))
+    }
+    val before = TxnLog.snapshot(spark, table).inputFiles.toSet
+    assert(before.size == 3)
+    val dv = TxnLog.delete(spark, table,
+      Seq(TxnLog.ColRange("id", Some(120L), Some(180L))))
+    assert(dv == Some(4L))
+    val after = TxnLog.snapshot(spark, table)
+    // only the middle file was rewritten; the others survive by reference
+    assert(after.inputFiles.toSet.intersect(before).size == 2)
+    assert(after.count() == 239)
+    assert(after.filter(col("id").between(120, 180)).count() == 0)
+    assert(after.filter(col("id") === 119 || col("id") === 181).count() == 2)
+    // pre-delete version still reads everything (time travel)
+    assert(TxnLog.snapshot(spark, table, Some(3L)).count() == 300)
+    // a disjoint delete is a NO-OP: no commit, no rewrite
+    assert(TxnLog.delete(spark, table,
+      Seq(TxnLog.ColRange("id", Some(5000L), None))) == Some(4L))
+    assert(TxnLog.versions(spark, table).last == 4L)
+    // append-only CDC never re-sees the delete's survivors
+    assert(TxnLog.changes(spark, table, 3L).count() == 0)
+    // null rows never match a delete predicate (SQL DELETE-WHERE)
+    TxnLog.append(spark, table, Seq((Some(400L), "x"), (None, "keep"))
+      .toDF("id", "v2"))
+    TxnLog.delete(spark, table, Seq(TxnLog.ColRange("id", Some(300L), None)))
+    val kept = TxnLog.snapshot(spark, table).filter(col("v2").isNotNull)
+    assert(kept.count() == 1)
+    assert(kept.select("v2").head().getString(0) == "keep")
+  }
+
   test("changes() reads exactly the requested commit range") {
     val table = Files.createTempDirectory("graft-lake-cdc").toString
     TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
