@@ -99,15 +99,33 @@ object FileStats {
   private def asString(v: Any): String =
     v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
 
+  /** Unsigned UTF-8 byte comparison — the comparator parquet's footer
+    * min/max were computed with (== code-point order). Java's
+    * `String.compareTo` orders by UTF-16 code UNITS, which disagrees for
+    * supplementary characters (emoji): using it against parquet bounds
+    * could wrongly prune a file that contains matches.
+    */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def minOf(tag: Char, a: Any, b: Any): Any = tag match {
     case 'l' => if (asLong(a) <= asLong(b)) a else b
     case 'd' => if (asDouble(a) <= asDouble(b)) a else b
-    case 's' => if (asString(a) <= asString(b)) a else b
+    case 's' => if (cmpUtf8(asString(a), asString(b)) <= 0) a else b
   }
   private def maxOf(tag: Char, a: Any, b: Any): Any = tag match {
     case 'l' => if (asLong(a) >= asLong(b)) a else b
     case 'd' => if (asDouble(a) >= asDouble(b)) a else b
-    case 's' => if (asString(a) >= asString(b)) a else b
+    case 's' => if (cmpUtf8(asString(a), asString(b)) >= 0) a else b
   }
   private def render(tag: Char, v: Any): String = tag match {
     case 'l' => asLong(v).toString
@@ -151,7 +169,10 @@ object FileStats {
         typed('l', v).asInstanceOf[Long])
       case 'd' => java.lang.Double.compare(statVal.toDouble,
         typed('d', v).asInstanceOf[Double])
-      case 's' => statVal.compareTo(v.toString)
+      // unsigned UTF-8 order: matches the footer bounds AND Spark's
+      // binary-collation string comparison, so the row filter and the
+      // pruning decision can never disagree
+      case 's' => cmpUtf8(statVal, v.toString)
     }
     val aboveLo = lower.forall(v => v == null || cmp(cs.max, v) >= 0)
     val belowHi = upper.forall(v => v == null || cmp(cs.min, v) <= 0)

@@ -423,6 +423,26 @@ class TxnLogSpec extends SparkSpec {
     assert(hfs.exists(inflight), "retention must protect in-flight commits")
   }
 
+  test("string stats compare in UTF-8 order (emoji-safe pruning)") {
+    val table = Files.createTempDirectory("graft-lake-utf8").toString
+    // U+FFFD sorts BELOW U+1F600 in code points (what parquet's footer
+    // bounds use) but ABOVE its surrogate pair in UTF-16 code units —
+    // a String.compareTo-based prune would drop this file for the
+    // U+FFFD probe even though the row is right there
+    val high = "�-replacement"
+    val emoji = new String(Character.toChars(0x1F600)) + "-grin"
+    TxnLog.append(spark, table,
+      Seq((1L, high), (2L, emoji)).toDF("id", "s").coalesce(1))
+    val got = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("s", Some(high), Some(high))))
+    assert(got.count() == 1, "UTF-16 ordering must not prune the file")
+    assert(got.select("id").head().getLong(0) == 1L)
+    // and the emoji probe still matches too
+    assert(TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("s", Some(emoji), Some(emoji))))
+      .count() == 1)
+  }
+
   test("timestamp ranges skip files (micros-typed footer stats)") {
     val table = Files.createTempDirectory("graft-lake-ts").toString
     // three commits with disjoint hour ranges
