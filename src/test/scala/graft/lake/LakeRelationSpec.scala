@@ -102,5 +102,11 @@ class LakeRelationSpec extends SparkSpec {
     assert(spark.read.format("graftlake").load(table).count() == 2)
     assert(spark.read.format("graftlake").option("versionAsOf", "1")
       .load(table).count() == 1)
+    // stock-relation fringe benefits: _metadata columns resolve and
+    // report the log-planned file per row
+    val meta = LakeRead.relation(spark, table)
+      .select(col("id"), col("_metadata.file_path")).collect()
+    assert(meta.length == 2)
+    assert(meta.forall(_.getString(1).contains("/data/")))
   }
 }
