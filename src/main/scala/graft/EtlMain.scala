@@ -61,6 +61,13 @@ object EtlMain {
     // useLake every micro-batch lands as an idempotent atomic lake commit
     val streamingMode = row.schema.fieldNames.contains("streaming") &&
       row.getAs[Boolean]("streaming")
+    // "externalCatalogRoot" registers tables in the file-backed EXTERNAL
+    // catalog (the reference's Glue tier, config-selected exactly like
+    // its glue_db config key) instead of the session one
+    def catalog: etl.CatalogSync = opt("externalCatalogRoot") match {
+      case Some(catRoot) => new etl.FileCatalogSync(spark, catRoot)
+      case None => new etl.SparkCatalogSync(spark)
+    }
     if (rehydrate) {
       val moved = pipe.rehydrate(spark)
       println(s"""{"action":"rehydrate","files":${moved.length}}""")
@@ -80,14 +87,24 @@ object EtlMain {
           spark, cfg, schema, checkpoint)
       q.awaitTermination()
       registry.update(schema) // keep the registry current for next runs
+      // register the drained sink like the batch path would. Streaming
+      // does not track which partitions each micro-batch touched, so
+      // this is the crawler tier: create-with-recovery on first sight,
+      // partition re-recovery afterwards. Lake mode needs neither (the
+      // manifest log IS the catalog).
+      if (!cfg.useLake) {
+        val sinkPath = new org.apache.hadoop.fs.Path(cfg.sinkPath)
+        val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(sinkPath)) {
+          val cat = catalog
+          if (!cat.tableExists(cfg.table))
+            cat.createTable(cfg.table, spark.read.parquet(cfg.sinkPath).schema,
+              cfg.partitionCols, cfg.sinkPath)
+          else cat.recoverPartitions(cfg.table)
+        }
+      }
       println(s"""{"action":"streaming","lake":${cfg.useLake}}""")
-    } else pipe.runBatch(spark, opt("externalCatalogRoot") match {
-      // "externalCatalogRoot" registers tables in the file-backed
-      // EXTERNAL catalog (the reference's Glue tier, config-selected
-      // exactly like its glue_db config key) instead of the session one
-      case Some(catRoot) => new etl.FileCatalogSync(spark, catRoot)
-      case None => new etl.SparkCatalogSync(spark)
-    }) match {
+    } else pipe.runBatch(spark, catalog) match {
       case Some(r) => println(
         s"""{"action":"batch","rows":${r.rowsWritten},"files":${r.inputFiles.length},""" +
         s""""catalog":"${r.catalogAction}","nameDrift":${r.drift.nameDrift},""" +

@@ -46,14 +46,26 @@ object FileStats {
     * Timestamps are 'l' (epoch MICROS) — the lake writer forces
     * TIMESTAMP_MICROS output (INT96, Spark's default physical type, has
     * no usable footer stats), so `tts BETWEEN ...` predicates skip files
-    * exactly like integer ranges do.
+    * exactly like integer ranges do. Decimals up to precision 18 are
+    * 'm' (plain decimal strings, compared as BigDecimal): Spark writes
+    * them as INT32/INT64 unscaled values whose footer stats are usable;
+    * wider decimals are binary-backed and excluded.
     */
   private[lake] def tagFor(dt: DataType): Option[Char] = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType => Some('l')
     case FloatType | DoubleType => Some('d')
     case StringType => Some('s')
+    case d: DecimalType if d.precision <= 18 => Some('m')
     case _ => None
+  }
+
+  /** Scale of a decimal column (needed to interpret the unscaled footer
+    * values); 0 for everything else.
+    */
+  private def scaleFor(dt: DataType): Int = dt match {
+    case d: DecimalType => d.scale
+    case _ => 0
   }
 
   /** Read one file's footer and aggregate row-group stats per column.
@@ -64,6 +76,7 @@ object FileStats {
   def collect(conf: Configuration, file: String,
       schema: StructType): Map[String, ColStats] = {
     val tags = schema.fields.flatMap(f => tagFor(f.dataType).map(f.name -> _)).toMap
+    val scales = schema.fields.map(f => f.name -> scaleFor(f.dataType)).toMap
     if (tags.isEmpty) return Map.empty
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
@@ -78,7 +91,14 @@ object FileStats {
           val st = cc.getStatistics
           if (st == null || st.isEmpty) invalid += name
           else if (st.hasNonNullValue) {
-            val (lo, hi) = (st.genericGetMin, st.genericGetMax)
+            // decimal footer values are UNSCALED ints; rescale on entry
+            // so min/max/render all see plain BigDecimals
+            def conv(v: Any): Any =
+              if (tags(name) == 'm')
+                java.math.BigDecimal.valueOf(
+                  v.asInstanceOf[Number].longValue, scales(name))
+              else v
+            val (lo, hi) = (conv(st.genericGetMin), conv(st.genericGetMax))
             acc.get(name) match {
               case None => acc(name) = (lo, hi)
               case Some((plo, phi)) =>
@@ -117,20 +137,26 @@ object FileStats {
     x.length - y.length
   }
 
+  private def asDec(v: Any): java.math.BigDecimal =
+    v.asInstanceOf[java.math.BigDecimal]
+
   private def minOf(tag: Char, a: Any, b: Any): Any = tag match {
     case 'l' => if (asLong(a) <= asLong(b)) a else b
     case 'd' => if (asDouble(a) <= asDouble(b)) a else b
     case 's' => if (cmpUtf8(asString(a), asString(b)) <= 0) a else b
+    case 'm' => if (asDec(a).compareTo(asDec(b)) <= 0) a else b
   }
   private def maxOf(tag: Char, a: Any, b: Any): Any = tag match {
     case 'l' => if (asLong(a) >= asLong(b)) a else b
     case 'd' => if (asDouble(a) >= asDouble(b)) a else b
     case 's' => if (cmpUtf8(asString(a), asString(b)) >= 0) a else b
+    case 'm' => if (asDec(a).compareTo(asDec(b)) >= 0) a else b
   }
   private def render(tag: Char, v: Any): String = tag match {
     case 'l' => asLong(v).toString
     case 'd' => asDouble(v).toString
     case 's' => asString(v)
+    case 'm' => asDec(v).toPlainString
   }
 
   /** `b64(col):tag:b64(min):b64(max)` joined by `,`. */
@@ -157,6 +183,10 @@ object FileStats {
     case ('l', n: Number) => n.longValue
     case ('d', n: Number) => n.doubleValue
     case ('s', x) => x.toString
+    case ('m', d: java.math.BigDecimal) => d
+    case ('m', d: BigDecimal) => d.bigDecimal
+    case ('m', d: org.apache.spark.sql.types.Decimal) => d.toJavaBigDecimal
+    case ('m', x) => new java.math.BigDecimal(x.toString)
     case (_, x) => x.toString.toDouble // last resort; throws loudly if absurd
   }
 
@@ -173,6 +203,8 @@ object FileStats {
       // binary-collation string comparison, so the row filter and the
       // pruning decision can never disagree
       case 's' => cmpUtf8(statVal, v.toString)
+      case 'm' => new java.math.BigDecimal(statVal)
+        .compareTo(typed('m', v).asInstanceOf[java.math.BigDecimal])
     }
     val aboveLo = lower.forall(v => v == null || cmp(cs.max, v) >= 0)
     val belowHi = upper.forall(v => v == null || cmp(cs.min, v) <= 0)

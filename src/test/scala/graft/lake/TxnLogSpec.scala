@@ -423,6 +423,35 @@ class TxnLogSpec extends SparkSpec {
     assert(hfs.exists(inflight), "retention must protect in-flight commits")
   }
 
+  test("decimal ranges skip files (unscaled int stats, BigDecimal bounds)") {
+    val table = Files.createTempDirectory("graft-lake-dec").toString
+    // three commits with disjoint decimal(10,2) amount ranges
+    Seq(0, 1, 2).foreach { k =>
+      val df = spark.range(0, 100).toDF("id")
+        .withColumn("amount",
+          ((col("id") + k * 10000) / 100.0).cast("decimal(10,2)"))
+      TxnLog.append(spark, table, df.coalesce(1))
+    }
+    val full = TxnLog.snapshot(spark, table)
+    assert(full.inputFiles.length == 3)
+    val pruned = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("amount",
+        Some(new java.math.BigDecimal("100.10")),
+        Some(new java.math.BigDecimal("100.50")))))
+    assert(pruned.inputFiles.length == 1,
+      s"decimal range must plan one file, planned ${pruned.inputFiles.length}")
+    assert(pruned.count() == 41)
+    // the Catalyst relation path prunes from the same stats
+    val rel = org.apache.spark.sql.graft.LakeRead.relation(spark, table)
+      .filter(col("amount").between(lit("100.10").cast("decimal(10,2)"),
+        lit("100.50").cast("decimal(10,2)")))
+    rel.collect()
+    val scan = rel.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value == 1)
+  }
+
   test("string stats compare in UTF-8 order (emoji-safe pruning)") {
     val table = Files.createTempDirectory("graft-lake-utf8").toString
     // U+FFFD sorts BELOW U+1F600 in code points (what parquet's footer
