@@ -160,11 +160,26 @@ class LakeFileIndex(spark: SparkSession, table: String,
       // conservative and correct (pruning may miss, never over-prunes)
       bounds(col) = (lo.orElse(lower), hi.orElse(upper))
     }
+    // IN-lists prune as disjunctions: a file survives when ANY listed
+    // value falls inside its bounds (collapsing to [min,max] of the
+    // list would need type-aware ordering; pointwise checks do not)
+    val inLists = scala.collection.mutable.Map.empty[String, Seq[Any]]
     dataFilters.foreach {
       case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
         tighten(a.name, Some(v), Some(v))
       case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
         tighten(a.name, Some(v), Some(v))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+        tighten(a.name, Some(v), Some(v))
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
+        tighten(a.name, Some(v), Some(v))
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.collect { case Literal(v, _) if v != null => v }
+        if (vs.nonEmpty && !inLists.contains(a.name)) inLists(a.name) = vs
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val vs = hset.toSeq.filter(_ != null)
+        if (vs.nonEmpty && !inLists.contains(a.name)) inLists(a.name) = vs
       case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
         tighten(a.name, Some(v), None)
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
@@ -186,6 +201,9 @@ class LakeFileIndex(spark: SparkSession, table: String,
     def statsAdmit(e: TxnLog.FileEntry): Boolean = bounds.forall {
       case (col, (lo, hi)) => e.stats.get(col).forall(cs =>
         FileStats.overlaps(cs, lo, hi))
+    } && inLists.forall { case (col, vs) =>
+      e.stats.get(col).forall(cs =>
+        vs.exists(v => FileStats.overlaps(cs, Some(v), Some(v))))
     }
     liveFiles.iterator
       .filter(f => partPred.forall(_.eval(f.partValues)))

@@ -50,6 +50,14 @@ class LakeRelationSpec extends SparkSpec {
     assert(filtered.count() == 61)
     // prunedFileCount (the gate hook) agrees with the planner
     assert(LakeRead.prunedFileCount(spark, table, "id", 120L, 180L) == (1, 3))
+    // IN-lists prune pointwise (values in one commit -> one file)
+    val inPruned = rel.filter(col("id").isin(150L, 160L))
+    assert(scannedFiles(inPruned) == 1, "IN-list must prune to one file")
+    assert(inPruned.count() == 2)
+    // a large IN-list (InSet after optimization) prunes the same way
+    val big = rel.filter(col("id").isin((140L to 190L): _*))
+    assert(scannedFiles(big) == 1)
+    assert(big.count() == 51)
   }
 
   test("partition filters prune Hive-layout commits; values are typed") {
