@@ -122,9 +122,14 @@ class FileCatalogSync(spark: SparkSession, root: String) extends CatalogSync {
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val target = metaPath(table)
-    f.delete(target, false) // catalog metadata: last writer wins
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"could not publish catalog entry $target")
+    // atomic replace (last writer wins): FileContext.rename(OVERWRITE) is
+    // a single atomic move on HDFS and ATOMIC_MOVE locally — a reader
+    // never observes the entry missing mid-publish, and two concurrent
+    // writers both succeed (unlike delete-then-rename, where the loser
+    // throws and a racing reader sees tableExists = false)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(target.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readMeta(table: String):

@@ -64,8 +64,13 @@ object TxnLog {
   final case class ColRange(column: String, lower: Option[Any] = None,
       upper: Option[Any] = None)
 
+  /** `timestampMs` is the wall-clock commit time the writer recorded
+    * (0 for manifests written before timestamps existed) — surfaced as
+    * `_metadata.file_modification_time` by the Catalyst read path.
+    */
   final case class Manifest(version: Long, commitDir: String,
-      entries: Seq[FileEntry], schemaJson: String, removed: Seq[String]) {
+      entries: Seq[FileEntry], schemaJson: String, removed: Seq[String],
+      timestampMs: Long = 0L) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def files: Seq[String] = entries.map(_.path)
@@ -133,12 +138,25 @@ object TxnLog {
     (entries, rm.map(_.drop(1)))
   }
 
+  /** The commitDir header line optionally carries the commit's wall-clock
+    * time after a tab (paths never contain '\t'); absent on manifests
+    * written before timestamps were recorded.
+    */
+  private def parseDirLine(line: String): (String, Long) = {
+    val i = line.indexOf('\t')
+    if (i < 0) (line, 0L) else (line.take(i), line.drop(i + 1).toLong)
+  }
+
+  private def dirLine(commitDir: String, timestampMs: Long): String =
+    if (timestampMs <= 0) commitDir else s"$commitDir\t$timestampMs"
+
   private def readManifest(spark: SparkSession, table: String, v: Long): Manifest = {
     val p = manifestPath(table, v)
-    // line format: version \n commitDir \n schemaJson \n body lines...
+    // line format: version \n commitDir[\tts] \n schemaJson \n body lines...
     val lines = readFully(fs(spark, p), p).split('\n')
     val (entries, removed) = parseBody(lines.drop(3).toSeq)
-    Manifest(lines(0).toLong, lines(1), entries, lines(2), removed)
+    val (dir, ts) = parseDirLine(lines(1))
+    Manifest(lines(0).toLong, dir, entries, lines(2), removed, ts)
   }
 
   private def readFully(f: FileSystem, p: Path): String = {
@@ -154,8 +172,8 @@ object TxnLog {
   // line-count-prefixed record (paths/schema JSON never contain newlines)
   private def serializeCheckpoint(ms: Seq[Manifest]): String = {
     val recs = ms.map { m =>
-      val lines = Seq(m.version.toString, m.commitDir, m.schemaJson) ++
-        bodyLines(m.entries, m.removed)
+      val lines = Seq(m.version.toString, dirLine(m.commitDir, m.timestampMs),
+        m.schemaJson) ++ bodyLines(m.entries, m.removed)
       (lines.length.toString +: lines).mkString("\n")
     }
     (s"GRAFT_CKPT_V1" +: ms.length.toString +: recs).mkString("\n")
@@ -171,7 +189,8 @@ object TxnLog {
       val rec = lines.slice(at + 1, at + 1 + len)
       at += 1 + len
       val (entries, removed) = parseBody(rec.drop(3).toSeq)
-      Manifest(rec(0).toLong, rec(1), entries, rec(2), removed)
+      val (dir, ts) = parseDirLine(rec(1))
+      Manifest(rec(0).toLong, dir, entries, rec(2), removed, ts)
     }
   }
 
@@ -437,13 +456,21 @@ object TxnLog {
       requireBase = Some(base), removePaths = touchedPaths)
   }
 
+  /** Default vacuum retention: 7 days, Delta's default — long enough
+    * that no plausible in-flight append (data written, manifest not yet
+    * published) is swept from under its writer.
+    */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   /** Garbage-collect files no kept snapshot can reference. Two sweeps:
     *
     *  - ORPHANS: `data/` commit dirs no manifest references at all —
     *    leftovers of crashed or lost-race commit attempts. Only dirs
-    *    whose modification time is older than `olderThanMs` are swept,
-    *    so an IN-FLIGHT append (data written, manifest not yet
-    *    published) is never deleted from under its writer;
+    *    whose modification time is older than `olderThanMs` are swept
+    *    (default 7 days), so an IN-FLIGHT append (data written, manifest
+    *    not yet published) is never deleted from under its writer —
+    *    passing 0 forfeits that protection and is only safe when no
+    *    writer can be concurrent (tests, single-writer maintenance);
     *  - HISTORY (`truncateHistory = true`, requires a compaction in the
     *    chain): manifests strictly BEFORE the last `compact-` commit,
     *    and every data file only they reference, are deleted. Later
@@ -453,7 +480,8 @@ object TxnLog {
     *
     * Returns the number of files/dirs deleted.
     */
-  def vacuum(spark: SparkSession, table: String, olderThanMs: Long = 0L,
+  def vacuum(spark: SparkSession, table: String,
+      olderThanMs: Long = DefaultVacuumRetentionMs,
       truncateHistory: Boolean = true): Int = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
@@ -633,7 +661,9 @@ object TxnLog {
       // manifest records THIS commit's schema; readers merge across
       // manifests (reading old files with a later merged schema would
       // ask parquet for coercions it refuses, e.g. double -> string)
-      val body = (Seq(next.toString, commitDir.toString, df.schema.json) ++
+      val body = (Seq(next.toString,
+        dirLine(commitDir.toString, System.currentTimeMillis()),
+        df.schema.json) ++
         bodyLines(entries, removePaths)).mkString("\n")
       if (publishAtomic(spark, manifestPath(table, next), body)) {
         if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
@@ -763,12 +793,23 @@ object TxnLog {
     * skipped the stream is exactly-the-appends; consumers that need
     * upsert semantics read with `includeRewrites = true` and reconcile
     * by key.
+    *
+    * Fails LOUDLY when `fromExclusive` predates history removed by
+    * `vacuum(truncateHistory = true)`: silently returning only the
+    * surviving commits would make a checkpointed consumer skip data it
+    * never saw (Delta errors on an out-of-range startingVersion the
+    * same way).
     */
   def changes(spark: SparkSession, table: String, fromExclusive: Long,
       toInclusive: Long = Long.MaxValue,
       includeRewrites: Boolean = false): DataFrame = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
+    require(fromExclusive >= vs.head - 1,
+      s"changes(fromExclusive = $fromExclusive) requests versions that " +
+        s"were vacuumed from $table: the earliest retained version is " +
+        s"${vs.head}. Restart the consumer from ${vs.head - 1} or later " +
+        "(its missed range is unrecoverable).")
     val to = math.min(toInclusive, vs.last)
     val picked = manifestChain(spark, table, to)._1
       .filter(m => m.version > fromExclusive && m.version <= to)
@@ -789,20 +830,20 @@ object TxnLog {
 
   /** Planning surface for external readers (the Catalyst
     * [[org.apache.spark.sql.graft.LakeFileIndex]] path): the merged
-    * snapshot schema, each live commit's OWN schema, and its live file
-    * entries (with stats) at `version` (default latest).
+    * snapshot schema and each live commit's manifest (own schema,
+    * commit dir, timestamp) with its live file entries (with stats) at
+    * `version` (default latest).
     */
   def liveSnapshot(spark: SparkSession, table: String,
       version: Option[Long] = None):
-      (StructType, Seq[(String, StructType, Seq[FileEntry])]) = {
+      (StructType, Seq[(Manifest, Seq[FileEntry])]) = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val manifests = activeManifests(manifestChain(spark, table, v)._1)
     val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
-    (merged, liveEntries(manifests).map { case (m, es) =>
-      (m.commitDir, m.schema, es) })
+    (merged, liveEntries(manifests))
   }
 
   /** Latest table schema (union over commits), metadata only. */

@@ -34,10 +34,27 @@ case class AsOfJoinNode(
     leftBy: Seq[Attribute], rightBy: Seq[Attribute],
     leftOn: Attribute, rightOn: Attribute,
     toleranceUs: Option[Long],
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryNode {
 
   require(leftBy.nonEmpty && leftBy.length == rightBy.length,
     "as-of join needs at least one by-key and the same count on both sides")
+  // the generated key ordering is typed from the LEFT attributes and the
+  // right key rows are read through it: mismatched types (int vs long)
+  // would compare garbage silently — fail at construction instead
+  for (((l, r), i) <- leftBy.zip(rightBy).zipWithIndex)
+    require(l.dataType == r.dataType,
+      s"as-of by-key #$i types differ: ${l.name}: ${l.dataType.simpleString}" +
+        s" vs ${r.name}: ${r.dataType.simpleString} (cast one side first)")
+  // times are read with primitive getLong (micros): only long-backed
+  // timestamp types are sound
+  for (a <- Seq(leftOn, rightOn))
+    require(a.dataType == org.apache.spark.sql.types.TimestampType ||
+        a.dataType == org.apache.spark.sql.types.TimestampNTZType,
+      s"as-of time column ${a.name} must be a timestamp, " +
+        s"got ${a.dataType.simpleString}")
+  require(!(nearest && forward),
+    "as-of direction is backward, forward, or nearest — not both")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +66,9 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lb, rb, lo, ro, tol, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, tol, fwd) :: Nil
+    case AsOfJoinNode(l, r, lb, rb, lo, ro, tol, fwd, near) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, tol, fwd,
+        near) :: Nil
     case _ => Nil
   }
 }
@@ -60,11 +78,15 @@ case class AsOfJoinExec(
     leftBy: Seq[Attribute], rightBy: Seq[Attribute],
     leftOn: Attribute, rightOn: Attribute,
     toleranceUs: Option[Long],
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   // forward as-of (EARLIEST right at-or-after) is the same merge on
   // time-reflected inputs: sort time DESCENDING and compare negated
-  // micros, and "latest <=" becomes "earliest >=".
+  // micros, and "latest <=" becomes "earliest >=". NEAREST keeps the
+  // ascending (backward) walk: the merge already holds both candidates
+  // per left row — the last right at-or-before (`cand`) and the first
+  // right after (`pendingRight`) — so picking the closer one is free.
   private def timeDir = if (forward) Descending else Ascending
 
   override def output: Seq[Attribute] =
@@ -162,10 +184,24 @@ case class AsOfJoinExec(
               } else done = true
             }
           }
-          val matched = cand != null && keyOrdering.compare(candKey, lKey) == 0 &&
+          val matchedB = cand != null && keyOrdering.compare(candKey, lKey) == 0 &&
             tol.forall(t => lTime - candTime <= t)
+          var out: InternalRow = if (matchedB) cand else null
+          // NEAREST: the un-consumed pending right row is exactly the
+          // first one strictly after lTime for this key (the consume
+          // loop stopped on it) — take it when it is closer
+          if (nearest && havePending) {
+            val fKey = rKeyProj(pendingRight)
+            if (!fKey.anyNull && keyOrdering.compare(fKey, lKey) == 0 &&
+                !pendingRight.isNullAt(rOnIdx)) {
+              val fTime = pendingRight.getLong(rOnIdx) // sign = 1: !forward
+              if (tol.forall(t => fTime - lTime <= t) &&
+                  (out == null || fTime - lTime < lTime - candTime))
+                out = pendingRight
+            }
+          }
           numOutputRows += 1
-          project(joined(l, if (matched) cand else nullRight))
+          project(joined(l, if (out != null) out else nullRight))
         }
       }
     }

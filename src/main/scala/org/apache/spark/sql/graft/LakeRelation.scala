@@ -40,8 +40,8 @@ class LakeFileIndex(spark: SparkSession, table: String,
     * unpartitioned layouts. All files must agree on the sequence.
     */
   private val partitionCols: Seq[String] = {
-    val seqs = groups.flatMap { case (commitDir, _, es) =>
-      es.map(e => partSegments(commitDir, e.path).map(_._1))
+    val seqs = groups.flatMap { case (m, es) =>
+      es.map(e => partSegments(m.commitDir, e.path).map(_._1))
     }.distinct
     seqs match {
       case Nil => Nil
@@ -78,7 +78,7 @@ class LakeFileIndex(spark: SparkSession, table: String,
 
   // reject type conflicts up front (see scaladoc): each commit's data
   // columns must match the merged type exactly
-  for ((_, s, _) <- groups; f <- s.fields
+  for ((m, _) <- groups; s = m.schema; f <- s.fields
        if !partitionCols.contains(f.name);
        m <- dataSchema.fields.find(_.name == f.name)
        if m.dataType != f.dataType)
@@ -89,17 +89,19 @@ class LakeFileIndex(spark: SparkSession, table: String,
 
   /** File statuses for planning. Manifests record sizes at commit time,
     * so normally NO filesystem call happens here at all — the log alone
-    * plans the scan. Only commits from pre-size-recording manifests
-    * (size = -1) fall back to one recursive listing of their dir.
+    * plans the scan; the modification time is the COMMIT's recorded
+    * wall-clock time (surfaced as `_metadata.file_modification_time`).
+    * Only commits from pre-size-recording manifests (size = -1) fall
+    * back to one recursive listing of their dir.
     */
   private val statusByPath: Map[String, FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fromLog = groups.flatMap { case (_, _, es) =>
+    val fromLog = groups.flatMap { case (m, es) =>
       es.filter(_.size >= 0).map(e =>
-        e.path -> new FileStatus(e.size, false, 1, 134217728L, 0L,
+        e.path -> new FileStatus(e.size, false, 1, 134217728L, m.timestampMs,
           new Path(e.path)))
     }
-    val legacyDirs = groups.filter(_._3.exists(_.size < 0)).map(_._1)
+    val legacyDirs = groups.filter(_._2.exists(_.size < 0)).map(_._1.commitDir)
     val listed = legacyDirs.flatMap { commitDir =>
       val p = new Path(commitDir)
       val fs = p.getFileSystem(conf)
@@ -118,10 +120,10 @@ class LakeFileIndex(spark: SparkSession, table: String,
   private case class LiveFile(entry: TxnLog.FileEntry, commitDir: String,
       status: FileStatus, partValues: InternalRow)
 
-  private val liveFiles: Seq[LiveFile] = groups.flatMap { case (commitDir, _, es) =>
+  private val liveFiles: Seq[LiveFile] = groups.flatMap { case (m, es) =>
     es.flatMap { e =>
       statusByPath.get(e.path).map { st =>
-        val segs = partSegments(commitDir, e.path).toMap
+        val segs = partSegments(m.commitDir, e.path).toMap
         val values = InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
           segs.get(f.name) match {
             case None | Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
@@ -130,7 +132,7 @@ class LakeFileIndex(spark: SparkSession, table: String,
                 Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
           }
         })
-        LiveFile(e, commitDir, st, values)
+        LiveFile(e, m.commitDir, st, values)
       }
     }
   }

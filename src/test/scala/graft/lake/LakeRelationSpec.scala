@@ -116,5 +116,12 @@ class LakeRelationSpec extends SparkSpec {
       .select(col("id"), col("_metadata.file_path")).collect()
     assert(meta.length == 2)
     assert(meta.forall(_.getString(1).contains("/data/")))
+    // modification time comes from the manifest's recorded commit time,
+    // not a hardcoded epoch-0 (1970) placeholder
+    val mts = LakeRead.relation(spark, table)
+      .select(col("_metadata.file_modification_time")).collect()
+      .map(_.getTimestamp(0).getTime)
+    assert(mts.forall(_ > 1700000000000L),
+      s"commit timestamps must surface as file_modification_time: ${mts.toSeq}")
   }
 }

@@ -397,15 +397,20 @@ class TxnLogSpec extends SparkSpec {
     val orphan = new org.apache.hadoop.fs.Path(s"$table/data/orphan-crashed")
     val hfs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
     hfs.mkdirs(orphan)
+    // the DEFAULT retention (7 days) protects even a planted orphan —
+    // an in-flight append's data dir can never be swept from under it
+    assert(TxnLog.vacuum(spark, table) == 0)
+    assert(hfs.exists(orphan), "default retention must protect fresh dirs")
     // without a compaction, only the orphan goes; history stays readable
-    val d1 = TxnLog.vacuum(spark, table)
+    // (olderThanMs = 0 forfeits in-flight protection: test-only)
+    val d1 = TxnLog.vacuum(spark, table, olderThanMs = 0L)
     assert(d1 == 1 && !hfs.exists(orphan))
     assert(TxnLog.snapshot(spark, table, Some(1L)).count() == 1)
 
     assert(TxnLog.compact(spark, table).isDefined) // version 3
     TxnLog.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
     val liveBefore = TxnLog.snapshot(spark, table).collect().toSet
-    val d2 = TxnLog.vacuum(spark, table)
+    val d2 = TxnLog.vacuum(spark, table, olderThanMs = 0L)
     assert(d2 >= 2, s"pre-compaction dirs + manifests must go, got $d2")
     // latest snapshot intact, post-compaction time travel intact
     assert(TxnLog.snapshot(spark, table).collect().toSet == liveBefore)
@@ -415,6 +420,13 @@ class TxnLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxnLog.snapshot(spark, table, Some(1L))
     }
+    // a CDC consumer whose checkpoint predates the truncation must fail
+    // loudly, never silently skip the vacuumed range
+    val cdcErr = intercept[IllegalArgumentException] {
+      TxnLog.changes(spark, table, fromExclusive = 0L)
+    }
+    assert(cdcErr.getMessage.contains("vacuumed"), cdcErr.getMessage)
+    assert(TxnLog.changes(spark, table, fromExclusive = 2L).count() >= 1)
     // in-flight protection: a fresh unreferenced dir survives a
     // retention-respecting vacuum
     val inflight = new org.apache.hadoop.fs.Path(s"$table/data/txn-inflight")
