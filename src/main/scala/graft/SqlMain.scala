@@ -36,13 +36,10 @@ object SqlMain {
     args.drop(1).foreach { spec =>
       val i = spec.indexOf('=')
       require(i > 0, s"lake mount must be name=path: $spec")
-      val (name, path) = (spec.take(i), spec.drop(i + 1))
-      val df = try org.apache.spark.sql.graft.LakeRead.relation(spark, path)
-        catch { // type drift: the relation path refuses; snapshot aligns
-          case _: IllegalArgumentException =>
-            graft.lake.TxnLog.snapshot(spark, path)
-        }
-      df.createOrReplaceTempView(name)
+      // mounted tables are DML targets too: DELETE FROM / MERGE INTO
+      // run the file-pruned lake rewrites (LakeDmlSql)
+      org.apache.spark.sql.graft.LakeMounts
+        .mount(spark, spec.take(i), spec.drop(i + 1))
     }
     val out = spark.sql(args(0))
     println(out.columns.mkString("\t"))

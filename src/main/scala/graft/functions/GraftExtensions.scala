@@ -27,8 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // ASOF [LEFT] JOIN SQL surface: parser rewrite → marker function →
     // resolution rule → planner strategy (see o.a.s.sql.graft.AsOfSql)
-    ext.injectParser((_, delegate) =>
-      new org.apache.spark.sql.graft.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new org.apache.spark.sql.graft.GraftSqlParser(session, delegate))
     ext.injectResolutionRule(_ => org.apache.spark.sql.graft.AsOfSqlRule)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
     ext.injectFunction((
@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_asof_marker",
         "internal marker spliced into ASOF JOIN conditions by the parser"),
       (_: Seq[Expression]) => org.apache.spark.sql.graft.AsOfMarker()))
+    ext.injectFunction((
+      FunctionIdentifier("asof_nearest"),
+      info("asof_nearest",
+        "ASOF JOIN direction marker: nearest-in-time match, either side " +
+          "— asof_nearest(l.time, r.time) as an ON conjunct"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.graft.AsOfNearestMarker(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.COSINE_FN),
       info(GraftFunctions.COSINE_FN,

@@ -1,0 +1,236 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, not, when}
+import org.apache.spark.sql.types.StructType
+
+import graft.etl.SchemaRegistry
+import graft.lake.TxnLog.{ColRange, FileEntry, Manifest}
+
+/** Row-level DML semantics over the [[TxnLog]] lake — the engine behind
+  * the SQL `DELETE FROM` / `MERGE INTO` surface (see
+  * `org.apache.spark.sql.graft.LakeDmlSql`), usable directly as a Scala
+  * API. Complements the narrower [[TxnLog.delete]] (range conjunctions
+  * only) and [[TxnLog.merge]] (whole-row upsert only) with arbitrary
+  * predicates, per-column `SET` assignments, conditional `WHEN` clauses
+  * and `WHEN NOT MATCHED BY SOURCE`.
+  *
+  * Both operations are FILE-PRUNED like their `TxnLog` counterparts:
+  * only files whose per-column footer stats admit a match are read and
+  * rewritten; every other live file carries forward BY REFERENCE in the
+  * new manifest, untouched on disk. Pruning soundness is what makes the
+  * single-pass plan below correct: a file the stats exclude provably
+  * holds no matching row, so "unmatched within the touched subset"
+  * equals "unmatched in the table".
+  *
+  * Replaces the reference's pattern of re-running whole CTAS queries to
+  * change rows (`emr_json_parquet_schema_drift_etl.py:142-152` has no
+  * DML at all — mutations mean a full re-ingest).
+  */
+object LakeDml {
+
+  /** One `WHEN` clause of a MERGE, in DataFrame terms: `cond` is the
+    * extra `AND <cond>` guard (None = unconditional), columns in `set` /
+    * `values` are expressions over BOTH sides of the join (qualify with
+    * the target/source aliases). First satisfied clause wins, like SQL.
+    */
+  sealed trait WhenClause { def cond: Option[Column] }
+  final case class UpdateRows(cond: Option[Column],
+      set: Map[String, Column]) extends WhenClause
+  final case class DeleteRows(cond: Option[Column]) extends WhenClause
+  final case class InsertRows(cond: Option[Column],
+      values: Map[String, Column]) extends WhenClause
+
+  /** DELETE FROM <table> WHERE <cond>: rows where `cond` is TRUE are
+    * removed in one superseding `delete-` commit (null/false keep the
+    * row, per SQL three-valued DELETE-WHERE). `pruneRanges` are
+    * conjunctive bounds extracted from the predicate (best-effort — an
+    * empty list means every file is a candidate); they only decide which
+    * files are REWRITTEN, the full predicate decides which rows go.
+    *
+    * Returns None on a lost append race (re-run on the new base),
+    * Some(version) otherwise; a delete no file can match is a no-op
+    * that commits nothing.
+    */
+  def deleteWhere(spark: SparkSession, table: String, cond: Column,
+      pruneRanges: Seq[ColRange] = Nil,
+      partitionCols: Seq[String] = Nil): Option[Long] = {
+    val vs = TxnLog.versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val base = vs.last
+    val manifests = TxnLog.activeManifests(
+      TxnLog.manifestChain(spark, table, base)._1)
+    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+
+    def canMatch(e: FileEntry): Boolean = pruneRanges.forall(r =>
+      e.stats.get(r.column).forall(cs =>
+        FileStats.overlaps(cs, r.lower, r.upper)))
+    val touched = TxnLog.liveEntries(manifests)
+      .map { case (m, es) => (m, es.filter(canMatch)) }
+      .filter(_._2.nonEmpty)
+    if (touched.isEmpty) return Some(base)
+
+    val survivors = TxnLog.readAligned(spark, touched, merged).get
+      // null-valued predicates never delete: keep unless provably TRUE
+      .filter(not(cond <=> lit(true)))
+    TxnLog.appendCommit(spark, table, survivors, partitionCols,
+      s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base),
+      removePaths = touched.flatMap(_._2.map(_.path)))
+  }
+
+  /** MERGE INTO <table> [AS targetAlias] USING <source> ON <onCond>,
+    * with the standard clause set:
+    *
+    *  - `matched`: WHEN MATCHED [AND cond] THEN UPDATE SET ... / DELETE
+    *  - `notMatched`: WHEN NOT MATCHED [AND cond] THEN INSERT ...
+    *  - `bySource`: WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    *    UPDATE SET ... / DELETE (forces a full-table rewrite set — every
+    *    target row must be classified)
+    *
+    * Single distributed pass: the touched files FULL OUTER JOIN the
+    * source on `onCond`; each joined row picks its first satisfied
+    * clause (a generated CASE chain — no driver loop, no second join),
+    * DELETE-selected and insert-less source rows drop, and every output
+    * column is a CASE over the chosen clause. Matched rows with no
+    * satisfied clause carry through unchanged, exactly SQL MERGE.
+    *
+    * File pruning is two-level: `keyPairs` (targetCol -> sourceCol
+    * equality pairs from `onCond`) cut candidates by footer stats
+    * against the source's key bounds, then an inner join on the full
+    * `onCond` keeps only files holding at least one ACTUALLY matched
+    * row (Delta's pattern — bounds alone collapse when one far-off
+    * insert key stretches [min, max] over the whole table). Pass Nil
+    * when the ON condition is not a pure equality conjunction — the
+    * join-level cut still applies. A `bySource` clause disables pruning
+    * entirely, since it touches rows no source key reaches.
+    *
+    * Multiple source rows matching one target row produce one output
+    * row PER MATCH (the join fans out) — same caveat Delta documents;
+    * deduplicate the source on its keys first.
+    *
+    * Returns None on a lost append race; Some(version) otherwise.
+    */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      targetAlias: String, sourceAlias: String, onCond: Column,
+      keyPairs: Seq[(String, String)],
+      matched: Seq[WhenClause], notMatched: Seq[InsertRows],
+      bySource: Seq[WhenClause],
+      partitionCols: Seq[String] = Nil): Option[Long] = {
+    require(matched.forall(!_.isInstanceOf[InsertRows]),
+      "WHEN MATCHED supports UPDATE and DELETE")
+    require(bySource.forall(!_.isInstanceOf[InsertRows]),
+      "WHEN NOT MATCHED BY SOURCE supports UPDATE and DELETE")
+    val vs = TxnLog.versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val base = vs.last
+    val manifests = TxnLog.activeManifests(
+      TxnLog.manifestChain(spark, table, base)._1)
+    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+
+    // one tiny agg over the source: row count (empty source with no
+    // bySource clause is a no-op) + min/max of each join key, the merge's
+    // pruning bounds (the source is the SMALL side by construction)
+    val prunable = keyPairs.nonEmpty && bySource.isEmpty &&
+      keyPairs.forall { case (_, s) => source.columns.contains(s) }
+    val aggs = count(lit(1)).as("__n") +: keyPairs.zipWithIndex.flatMap {
+      case ((_, s), i) => Seq(min(col(s)).as(s"__lo_$i"), max(col(s)).as(s"__hi_$i"))
+    }
+    val bRow = source.agg(aggs.head, aggs.tail: _*).head()
+    if (bRow.getLong(0) == 0L && bySource.isEmpty) return Some(base)
+    val bounds: Seq[(String, (Any, Any))] = keyPairs.zipWithIndex.map {
+      case ((t, _), i) =>
+        t -> ((bRow.getAs[Any](s"__lo_$i"), bRow.getAs[Any](s"__hi_$i")))
+    }
+
+    def canMatch(e: FileEntry): Boolean = !prunable || bounds.forall {
+      case (t, (lo, hi)) => e.stats.get(t).forall(cs =>
+        FileStats.overlaps(cs, Option(lo), Option(hi)))
+    }
+    val candidates = TxnLog.liveEntries(manifests)
+      .map { case (m, es) => (m, es.filter(canMatch)) }
+      .filter(_._2.nonEmpty)
+
+    // Exact touched-file discovery (the Delta MERGE pattern): stats
+    // bounds are a coarse first cut — one far-off insert key stretches
+    // [min, max] over the whole table — so the candidates are joined
+    // against the source ON the merge condition and only files holding
+    // at least one ACTUALLY matched row rewrite. Everything else is
+    // carried by reference; the collect is a bounded file-path list.
+    // A bySource clause must classify every target row, so it keeps the
+    // full candidate set.
+    val fileCol = "__graft_src_file"
+    val touched = if (bySource.nonEmpty || candidates.isEmpty) candidates else {
+      val withFile = TxnLog.readAligned(spark, candidates, merged).get
+        .withColumn(fileCol, org.apache.spark.sql.functions.input_file_name())
+      val matchedFiles = withFile.alias(targetAlias)
+        .join(source.alias(sourceAlias), onCond, "inner")
+        .select(col(fileCol)).distinct().collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toString)
+        .toSet
+      candidates.map { case (m, es) => (m, es.filter(e =>
+          matchedFiles.contains(new org.apache.hadoop.fs.Path(e.path).toString)))
+        }.filter(_._2.nonEmpty)
+    }
+    if (touched.isEmpty && notMatched.isEmpty) return Some(base)
+
+    val tMark = "__graft_t_present"
+    val sMark = "__graft_s_present"
+    val actCol = "__graft_act"
+    val target = TxnLog.readAligned(spark, touched, merged)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), merged))
+    val tt = target.withColumn(tMark, lit(true)).alias(targetAlias)
+    val ss = source.withColumn(sMark, lit(true)).alias(sourceAlias)
+    val j = tt.join(ss, onCond, "full_outer")
+
+    // first-satisfied-clause classification, one CASE chain per branch:
+    // matched -> 100+i (0 = carry the target row), target-only ->
+    // 300+i over bySource (0 = carry), source-only -> 200+i over the
+    // insert clauses (-1 = drop the row)
+    def chain(cs: Seq[WhenClause], codeBase: Int, fallback: Int): Column =
+      cs.zipWithIndex.foldRight(lit(fallback): Column) {
+        case ((c, i), acc) =>
+          // null guard conditions fall through (SQL: the clause is not
+          // taken), exactly like <=> TRUE — spelled with when/otherwise
+          // so an unconditional clause stays a plain literal
+          when(c.cond.map(g => g <=> lit(true)).getOrElse(lit(true)),
+            lit(codeBase + i)).otherwise(acc)
+      }
+    val act = when(col(tMark).isNotNull && col(sMark).isNotNull,
+        chain(matched, 100, 0))
+      .when(col(sMark).isNull, chain(bySource, 300, 0))
+      .otherwise(chain(notMatched, 200, -1))
+
+    val dropCodes: Seq[Any] = -1 +:
+      (matched.zipWithIndex.collect {
+        case (DeleteRows(_), i) => 100 + i } ++
+       bySource.zipWithIndex.collect {
+        case (DeleteRows(_), i) => 300 + i })
+    val kept = j.withColumn(actCol, act)
+      .filter(!col(actCol).isin(dropCodes: _*))
+
+    val out = kept.select(merged.fields.toSeq.map { f =>
+      var v: Column = col(s"$targetAlias.${f.name}")
+      def overlay(cs: Seq[WhenClause], codeBase: Int): Unit =
+        cs.zipWithIndex.foreach {
+          case (UpdateRows(_, set), i) if set.contains(f.name) =>
+            v = when(col(actCol) === lit(codeBase + i), set(f.name))
+              .otherwise(v)
+          case _ => ()
+        }
+      overlay(matched, 100)
+      overlay(bySource, 300)
+      notMatched.zipWithIndex.foreach { case (ins, i) =>
+        v = when(col(actCol) === lit(200 + i),
+          ins.values.getOrElse(f.name, lit(null))).otherwise(v)
+      }
+      v.cast(f.dataType).as(f.name)
+    }: _*)
+
+    TxnLog.appendCommit(spark, table, out, partitionCols,
+      s"merge-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base),
+      removePaths = touched.flatMap(_._2.map(_.path)))
+  }
+}

@@ -76,7 +76,7 @@ object TxnLog {
     def files: Seq[String] = entries.map(_.path)
   }
 
-  private def fs(spark: SparkSession, p: Path): FileSystem =
+  private[lake] def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def logDir(table: String) = new Path(table, "_graft_log")
@@ -575,7 +575,7 @@ object TxnLog {
     * view of a chain starts at its LAST compaction (earlier manifests
     * stay in the chain for time travel and txn-id lookups).
     */
-  private def activeManifests(ms: Seq[Manifest]): Seq[Manifest] = {
+  private[lake] def activeManifests(ms: Seq[Manifest]): Seq[Manifest] = {
     val cut = ms.lastIndexWhere(m =>
       new Path(m.commitDir).getName.startsWith("compact-"))
     if (cut < 0) ms else ms.drop(cut)
@@ -584,7 +584,7 @@ object TxnLog {
   /** Per-manifest file entries still live at the END of this chain: a
     * file is dead once any LATER manifest lists it as removed.
     */
-  private def liveEntries(ms: Seq[Manifest]): Seq[(Manifest, Seq[FileEntry])] = {
+  private[lake] def liveEntries(ms: Seq[Manifest]): Seq[(Manifest, Seq[FileEntry])] = {
     var removed = Set.empty[String]
     ms.reverse.map { m =>
       val kept = m.entries.filterNot(e => removed.contains(e.path))
@@ -593,7 +593,43 @@ object TxnLog {
     }.reverse
   }
 
-  private def appendCommit(spark: SparkSession, table: String, df: DataFrame,
+  /** Below this many files a commit harvests footer stats with a driver
+    * loop (a footer read is cheaper than a job launch); at or above it
+    * the reads fan out over the EXECUTORS — a 100k-file commit costs one
+    * short stage, not minutes of serial driver I/O.
+    */
+  private[lake] val DistributedStatsThreshold = 16
+
+  /** Per-file skipping stats for just-written files, driver-side or
+    * distributed by count (see [[DistributedStatsThreshold]]); a file
+    * whose footer cannot be read contributes EMPTY stats (absence =
+    * never prune — safe, just unindexed). Output order follows `files`.
+    */
+  private[lake] def harvestStats(spark: SparkSession,
+      files: Seq[(String, Long)], statsSchema: StructType,
+      threshold: Int = DistributedStatsThreshold): Seq[FileEntry] = {
+    def one(hc: org.apache.hadoop.conf.Configuration, p: String) =
+      try FileStats.collect(hc, p, statsSchema)
+      catch { case _: Exception => Map.empty[String, FileStats.ColStats] }
+    if (files.length < threshold)
+      files.map { case (p, len) =>
+        FileEntry(p, one(spark.sparkContext.hadoopConfiguration, p), len) }
+    else {
+      val sconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val schema = statsSchema // avoid capturing the method scope
+      spark.sparkContext
+        .parallelize(files, math.min(files.length, 256))
+        .map { case (p, len) =>
+          val stats = try FileStats.collect(sconf.value, p, schema)
+            catch { case _: Exception => Map.empty[String, FileStats.ColStats] }
+          FileEntry(p, stats, len)
+        }
+        .collect().toSeq // partition concat preserves input order
+    }
+  }
+
+  private[lake] def appendCommit(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String], commitId: String, txnId: Option[String],
       requireBase: Option[Long], removePaths: Seq[String],
       maxRetries: Int = 10): Option[Long] = {
@@ -630,17 +666,11 @@ object TxnLog {
       }
       buf.sortBy(_._1).toSeq
     }
-    // skipping stats from the just-written footers (metadata-only; at
-    // cluster scale distribute this loop — one footer read per file).
+    // skipping stats from the just-written footers (metadata-only).
     // Partition columns live in the path, not the file: exclude them.
     val statsSchema = StructType(df.schema.fields
       .filterNot(fd => partitionCols.contains(fd.name)))
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val entries = files.map { case (p, len) =>
-      FileEntry(p, try FileStats.collect(hconf, p, statsSchema)
-        catch { case _: Exception => Map.empty[String, FileStats.ColStats] },
-        len)
-    }
+    val entries = harvestStats(spark, files, statsSchema)
 
     var attempt = 0
     while (attempt < maxRetries) {
@@ -691,7 +721,7 @@ object TxnLog {
     * matching would silently PRUNE files whose dir name is escaped.
     * Delegates to the same util the writer uses.
     */
-  private def escapeDir(s: String): String =
+  private[lake] def escapeDir(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
 
   /** Snapshot restricted by partition values and/or column ranges, pruned
@@ -761,7 +791,7 @@ object TxnLog {
     * schema and basePath (Hive-layout partition columns resolve from
     * directory names, and the scan keeps PartitionFilters).
     */
-  private def readAligned(spark: SparkSession,
+  private[lake] def readAligned(spark: SparkSession,
       groups: Seq[(Manifest, Seq[FileEntry])],
       merged: StructType): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}

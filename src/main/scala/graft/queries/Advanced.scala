@@ -263,7 +263,30 @@ object Advanced extends QueryPack {
         |  AND p.ts - c.click_ts <= INTERVAL '30' MINUTE""".stripMargin)
   }
 
+  /** Nearest as-of through the SQL surface + physical exec: the
+    * `asof_nearest(l.ts, r.ts)` conjunct marks the time pair (SQL has
+    * no natural inequality for "closest either side"), the one merge
+    * pass holds both neighbors per left row and picks the closer, ties
+    * to the at-or-before match. Same oracle as the composed-form q68.
+    */
+  def asofNearestSql(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("graft_asof_purchases_n")
+    e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .createOrReplaceTempView("graft_asof_clicks_n")
+    s.sql(
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.click_ts, c.click_value
+        |FROM graft_asof_purchases_n p ASOF LEFT JOIN graft_asof_clicks_n c
+        |  ON p.user_id = c.user_id AND asof_nearest(p.ts, c.click_ts)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_asof_nearest_sql" -> asofNearestSql _,
     "q46_asof_join" -> asofPurchaseClicks _,
     "q61_asof_physical" -> asofPhysical _,
     "q75_asof_forward_sql" -> asofForwardSql _,
@@ -282,6 +305,30 @@ object Advanced extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q94_asof_nearest_sql" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, value AS click_value FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |    c.ts AS bts, c.click_value AS bval
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts),
+        |f AS (
+        |  SELECT p.event_id, c.ts AS fts, c.click_value AS fval
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts)
+        |SELECT b.event_id, b.user_id, b.ts, b.value,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+        |    epoch_us(b.ts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(b.ts))
+        |    THEN b.bts ELSE f.fts END AS click_ts,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+        |    epoch_us(b.ts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(b.ts))
+        |    THEN b.bval ELSE f.fval END AS click_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
     "q46_asof_join" ->
       """WITH purchases AS (
         |  SELECT event_id, user_id, ts, value FROM events

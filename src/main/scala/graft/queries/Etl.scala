@@ -189,8 +189,86 @@ object Etl extends QueryPack {
     pruned
   }
 
+  /** SQL `DELETE FROM` gate over a mounted lake table: orders committed
+    * as three disjoint `o_orderkey` chunks, a plain SQL DELETE with a
+    * compound predicate, then the final table. Requires the rewrite was
+    * FILE-PRUNED (every chunk the key range cannot reach survives with
+    * its original path — carried by reference) and hash-checks the rows
+    * against DuckDB evaluating the same three-valued WHERE.
+    */
+  def sqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_dml_del_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    // chunk bounds sit inside EVERY sf's dense key domain (0..1499 at
+    // sf0.001) — an empty chunk would write a stats-less file that can
+    // never be pruned, defeating the rewrite-set assertion
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q92_orders", table)
+    s.sql("""DELETE FROM q92_orders
+            |WHERE o_orderkey >= 200 AND o_orderkey < 450
+            |  AND o_orderstatus = 'F'""".stripMargin)
+    val after = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    require((before & after).size == before.size - 1,
+      s"SQL DELETE rewrote ${before.size - (before & after).size} of " +
+        s"${before.size} files; the key range reaches exactly one")
+    graft.lake.TxnLog.snapshot(s, table)
+  }
+
+  /** SQL `MERGE INTO` gate over a mounted lake table: customers in three
+    * disjoint `c_custkey` chunks, upserted from an aggregate of orders
+    * (matched rows re-baseline their balance) plus three synthetic new
+    * customers (insert branch). Requires the file-pruned rewrite set —
+    * the source keys reach only the first chunk, so every other file
+    * must carry forward by reference — and hash-checks the final table
+    * against DuckDB composing the same mutation as LEFT JOIN + anti
+    * UNION.
+    */
+  def sqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_dml_mrg_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val c = Tables.customer(s, dir)
+    // chunk bounds inside every sf's dense custkey domain (0..149 at
+    // sf0.001) so no chunk is an unprunable stats-less empty file
+    Seq(col("c_custkey") < 50,
+        col("c_custkey") >= 50 && col("c_custkey") < 100,
+        col("c_custkey") >= 100)
+      .foreach(p => graft.lake.TxnLog.append(s, table, c.filter(p).coalesce(1)))
+    val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q93_cust", table)
+    Tables.orders(s, dir).filter(col("o_custkey") < 50)
+      .groupBy(col("o_custkey")).agg(sum("o_totalprice").as("spend"))
+      .select(col("o_custkey").as("k"), col("spend"))
+      .unionByName(s.range(3).select((col("id") + 900000L).as("k"),
+        (lit(111.25) + col("id")).as("spend")))
+      .createOrReplaceTempView("q93_src")
+    s.sql("""MERGE INTO q93_cust t USING q93_src s ON t.c_custkey = s.k
+            |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.spend
+            |WHEN NOT MATCHED THEN INSERT
+            |  (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+            |  VALUES (s.k, concat('NEW#', s.k), -1, s.spend, 'NONE')
+            |""".stripMargin)
+    val after = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    require((before & after).size == before.size - 1,
+      s"SQL MERGE rewrote ${before.size - (before & after).size} of " +
+        s"${before.size} files; the source keys reach exactly one")
+    graft.lake.TxnLog.snapshot(s, table)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
+    "q92_sql_delete" -> sqlDelete _,
+    "q93_sql_merge" -> sqlMerge _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
@@ -202,6 +280,25 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q92_sql_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE (o_orderkey >= 200 AND o_orderkey < 450
+        |       AND o_orderstatus = 'F') IS NOT TRUE""".stripMargin,
+    "q93_sql_merge" ->
+      """WITH src AS (
+        |  SELECT o_custkey AS k, sum(o_totalprice) AS spend
+        |  FROM orders WHERE o_custkey < 50 GROUP BY 1
+        |  UNION ALL
+        |  SELECT 900000 + n, 111.25 + n FROM range(3) t(n))
+        |SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        |  CASE WHEN s.k IS NOT NULL THEN c.c_acctbal + s.spend
+        |       ELSE c.c_acctbal END AS c_acctbal,
+        |  c.c_mktsegment
+        |FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+        |UNION ALL
+        |SELECT s.k, 'NEW#' || s.k, CAST(-1 AS INTEGER), s.spend, 'NONE'
+        |FROM src s WHERE s.k NOT IN (SELECT c_custkey FROM customer)""".stripMargin,
     "q81_lake_stats_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey BETWEEN 12000 AND 20000""".stripMargin,

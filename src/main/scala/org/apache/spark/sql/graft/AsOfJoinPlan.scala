@@ -223,7 +223,8 @@ object AsOfJoinPhysical {
 
   def asof(leftDf: DataFrame, rightDf: DataFrame, by: Seq[String],
       leftOn: String, rightOn: String,
-      toleranceUs: Option[Long], forward: Boolean = false): DataFrame = {
+      toleranceUs: Option[Long], forward: Boolean = false,
+      nearest: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -243,7 +244,8 @@ object AsOfJoinPhysical {
         throw new IllegalArgumentException(s"column $n not found"))
     val node = AsOfJoinNode(lPlan, rPlan,
       by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
-      attr(lPlan, leftOn), attr(rPlan, rightOn), toleranceUs, forward)
+      attr(lPlan, leftOn), attr(rPlan, rightOn), toleranceUs, forward,
+      nearest)
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }

@@ -47,6 +47,38 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
   * with a pointed message instead of silently degrading to a many-row
   * left join.
   */
+/** NEAREST direction marker — SQL has no natural inequality for
+  * "closest in either direction", so the surface is a two-argument
+  * boolean conjunct naming the time pair (argument order free, the rule
+  * sides them):
+  *
+  * {{{
+  * SELECT ... FROM trades t ASOF LEFT JOIN quotes q
+  *   ON t.sym = q.sym AND asof_nearest(t.ts, q.qts)
+  * }}}
+  *
+  * Maps to [[AsOfJoinNode]] `nearest = true` (pandas
+  * `merge_asof(direction='nearest')` semantics, ties to the
+  * at-or-before match); an optional tolerance conjunct bounds the
+  * distance on BOTH sides. Anywhere outside an ASOF JOIN condition the
+  * marker fails loudly at evaluation instead of silently passing rows.
+  */
+case class AsOfNearestMarker(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    throw new UnsupportedOperationException(
+      "asof_nearest(l.time, r.time) is only valid as a conjunct of an " +
+        "ASOF JOIN condition")
+  override def prettyName: String = "asof_nearest"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AsOfNearestMarker =
+    copy(left = newLeft, right = newRight)
+}
+
 case class AsOfMarker() extends LeafExpression {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
@@ -85,6 +117,7 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
         // at-or-after) — DuckDB reads direction off the inequality the
         // same way
         var on: Option[(Attribute, Attribute, Boolean)] = None
+        var nearest = false
         def bound(lt: Attribute, rt: Attribute, fwd: Boolean): Unit = {
           if (on.nonEmpty) fail("exactly one time bound is allowed")
           on = Some((lt, rt, fwd))
@@ -123,6 +156,15 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
             case _ => false
           }
         conjuncts.foreach {
+          case m: AsOfNearestMarker =>
+            (unwrapAttr(m.left), unwrapAttr(m.right)) match {
+              case (Some(a), Some(b)) if side(a) != side(b) =>
+                val (lt, rt) = if (side(a) == 0) (a, b) else (b, a)
+                bound(lt, rt, fwd = false)
+                nearest = true
+              case _ => fail("asof_nearest needs one plain time column " +
+                "from each join side")
+            }
           case EqualTo(a: Attribute, b: Attribute) if side(a) != side(b) =>
             if (side(a) == 0) { lBy :+= a; rBy :+= b }
             else { lBy :+= b; rBy :+= a }
@@ -146,13 +188,17 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
         // the tolerance must bound the distance in the join's direction:
         // backward matches are r <= l away by l - r, forward by r - l
         val tolUs = tolSeen.map { case (end, start, us) =>
-          val ok = if (fwd) end.exprId == rOn.exprId && start.exprId == lOn.exprId
-            else end.exprId == lOn.exprId && start.exprId == rOn.exprId
+          // nearest bounds the |distance| on both sides, so either
+          // subtraction order names the same constraint
+          val ok = if (nearest)
+            Set(end.exprId, start.exprId) == Set(lOn.exprId, rOn.exprId)
+          else if (fwd) end.exprId == rOn.exprId && start.exprId == lOn.exprId
+          else end.exprId == lOn.exprId && start.exprId == rOn.exprId
           if (!ok) fail("ASOF tolerance must subtract the join's own time " +
             s"columns (${if (fwd) "right.time - left.time" else "left.time - right.time"})")
           us
         }
-        val node = AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, tolUs, fwd)
+        val node = AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, tolUs, fwd, nearest)
         joinType match {
           case LeftOuter => node
           // inner asof (DuckDB's default): drop unmatched left rows
@@ -173,10 +219,19 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
         "(forward) with plain column references.")
 }
 
-/** Delegating parser: rewrites the `ASOF` join syntax, hands everything
-  * else (and the rewritten text) to Spark's own parser.
+/** Delegating parser: rewrites the `ASOF` join syntax, intercepts
+  * DELETE/MERGE statements over mounted lake tables (see
+  * [[LakeDmlSql]]), hands everything else (and the rewritten text) to
+  * Spark's own parser. `session` may be null (plain rewrite tests) —
+  * the DML interception then stays off.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
+
+  def this(delegate: ParserInterface) = this(null, delegate)
+
+  private def dml(plan: LogicalPlan): LogicalPlan =
+    if (session == null) plan else LakeDmlSql.rewrite(session, plan)
 
   private val asofJoin =
     "(?i)\\bASOF\\s+(LEFT\\s+(OUTER\\s+)?|INNER\\s+)?JOIN\\b".r
@@ -236,7 +291,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(rewrite(sqlText))
+    dml(delegate.parsePlan(rewrite(sqlText)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(rewrite(sqlText))

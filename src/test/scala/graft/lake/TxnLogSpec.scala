@@ -43,6 +43,27 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.versions(spark, table) == Seq(1L, 2L))
   }
 
+  test("distributed stats harvest matches the driver-side loop exactly") {
+    val dir = Files.createTempDirectory("graft-stats-dist").toString
+    spark.range(0, 10000)
+      .select(col("id"), (col("id") % 97).cast("double").as("d"),
+        concat(lit("s"), col("id")).as("s"))
+      .repartition(20).write.mode("overwrite").parquet(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.toString -> st.getLen).sortBy(_._1)
+    assert(files.length == 20)
+    val schema = spark.read.parquet(dir).schema
+    val driver = TxnLog.harvestStats(spark, files, schema,
+      threshold = Int.MaxValue)
+    val dist = TxnLog.harvestStats(spark, files, schema, threshold = 1)
+    assert(driver == dist)
+    assert(driver.forall(_.stats.nonEmpty))
+    assert(driver.map(_.path) == files.map(_._1)) // order preserved
+  }
+
   test("concurrent appends serialize to distinct versions, no lost commits") {
     val table = Files.createTempDirectory("graft-lake-conc").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

@@ -142,6 +142,85 @@ class AsOfSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("time bound"), e2.getMessage)
   }
 
+  test("asof_nearest SQL picks the closer quote either side, ties backward") {
+    views
+    val out = spark.sql(
+      """SELECT t.trade_id, q.bid FROM sql_trades t
+        |ASOF LEFT JOIN sql_quotes q
+        |  ON t.sym = q.sym AND asof_nearest(t.ts, q.qts)""".stripMargin)
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val got = out.collect().map(r =>
+      r.getLong(0) -> Option(r.get(1))).toMap
+    // trade 1 @10:00:05: exact-tie quote 10:00:05 (backward) beats 10:00:15
+    // trade 2 @10:00:20: 10:00:15 (5s back) beats nothing after
+    // trade 3 @10:00:10: only quote is 20s AFTER -> forward match
+    // trade 4: symbol C has no quotes at all
+    assert(got == Map(1L -> Some(99.7), 2L -> Some(100.2),
+      3L -> Some(49.0), 4L -> None))
+  }
+
+  test("asof_nearest argument order is free (rule sides the pair)") {
+    views
+    val a = spark.sql(
+      """SELECT t.trade_id, q.bid FROM sql_trades t
+        |ASOF LEFT JOIN sql_quotes q
+        |  ON t.sym = q.sym AND asof_nearest(q.qts, t.ts)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a(3L).contains(49.0))
+  }
+
+  test("asof_nearest with a tolerance bounds BOTH directions") {
+    views
+    val out = spark.sql(
+      """SELECT t.trade_id, q.bid FROM sql_trades t
+        |ASOF LEFT JOIN sql_quotes q
+        |  ON t.sym = q.sym AND asof_nearest(t.ts, q.qts)
+        |  AND t.ts - q.qts <= INTERVAL '10' SECOND""".stripMargin)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // trade 3's only quote is 20s away -> out of tolerance -> null
+    assert(out == Map(1L -> Some(99.7), 2L -> Some(100.2),
+      3L -> None, 4L -> None))
+  }
+
+  test("SQL nearest agrees with the composed DataFrame nearest on events") {
+    val e = graft.Tables.events(spark, sf)
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("near_p")
+    e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        col("value").as("cval"))
+      .createOrReplaceTempView("near_c")
+    val viaSql = spark.sql(
+      """SELECT p.event_id, c.cts, c.cval FROM near_p p
+        |ASOF LEFT JOIN near_c c
+        |  ON p.user_id = c.user_id AND asof_nearest(p.ts, c.cts)""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("cval"))
+    val viaDf = graft.operators.AsOfJoin.nearest(purchases, clicks,
+        by = "user_id", leftOn = "ts", rightOn = "ts",
+        rightCols = Seq("cval"))
+      .select(col("event_id"), col("ts_matched"), col("cval"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(viaSql == viaDf)
+  }
+
+  test("asof_nearest outside an ASOF JOIN fails loudly at evaluation") {
+    views
+    val ex = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM sql_trades t JOIN sql_quotes q
+          |  ON t.sym = q.sym AND asof_nearest(t.ts, q.qts)""".stripMargin)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("only valid as a conjunct")))
+  }
+
   test("parser leaves ordinary SQL untouched") {
     views
     // word 'asof' inside identifiers/strings must not trigger the rewrite
