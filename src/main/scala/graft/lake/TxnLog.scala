@@ -810,6 +810,34 @@ object TxnLog {
     parts.reduceOption(_ unionByName _)
   }
 
+  /** Metadata half of [[changes]]: the manifests (with their file
+    * entries) a CDC consumer at `fromExclusive` should process next —
+    * the planning surface the DSv2 streaming source builds per-batch
+    * scans from. Same range validation and rewrite skipping as
+    * [[changes]].
+    */
+  def changeEntries(spark: SparkSession, table: String, fromExclusive: Long,
+      toInclusive: Long = Long.MaxValue,
+      includeRewrites: Boolean = false): Seq[(Manifest, Seq[FileEntry])] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    require(fromExclusive >= vs.head - 1,
+      s"changes(fromExclusive = $fromExclusive) requests versions that " +
+        s"were vacuumed from $table: the earliest retained version is " +
+        s"${vs.head}. Restart the consumer from ${vs.head - 1} or later " +
+        "(its missed range is unrecoverable).")
+    val to = math.min(toInclusive, vs.last)
+    manifestChain(spark, table, to)._1
+      .filter(m => m.version > fromExclusive && m.version <= to)
+      .filter { m =>
+        val name = new Path(m.commitDir).getName
+        includeRewrites ||
+          (!name.startsWith("compact-") && !name.startsWith("merge-") &&
+            !name.startsWith("delete-"))
+      }
+      .map(m => (m, m.entries))
+  }
+
   /** Incremental (CDC-style) read: the rows ADDED by commits in
     * `(fromExclusive, toInclusive]` — what a streaming consumer that
     * last saw `fromExclusive` should process next, Delta's
@@ -833,22 +861,8 @@ object TxnLog {
   def changes(spark: SparkSession, table: String, fromExclusive: Long,
       toInclusive: Long = Long.MaxValue,
       includeRewrites: Boolean = false): DataFrame = {
-    val vs = versions(spark, table)
-    require(vs.nonEmpty, s"$table has no commits")
-    require(fromExclusive >= vs.head - 1,
-      s"changes(fromExclusive = $fromExclusive) requests versions that " +
-        s"were vacuumed from $table: the earliest retained version is " +
-        s"${vs.head}. Restart the consumer from ${vs.head - 1} or later " +
-        "(its missed range is unrecoverable).")
-    val to = math.min(toInclusive, vs.last)
-    val picked = manifestChain(spark, table, to)._1
-      .filter(m => m.version > fromExclusive && m.version <= to)
-      .filter { m =>
-        val name = new Path(m.commitDir).getName
-        includeRewrites ||
-          (!name.startsWith("compact-") && !name.startsWith("merge-") &&
-            !name.startsWith("delete-"))
-      }
+    val picked = changeEntries(spark, table, fromExclusive, toInclusive,
+      includeRewrites).map(_._1)
     if (picked.isEmpty || picked.forall(_.entries.isEmpty)) {
       val schema = schemaOf(spark, table)
       return spark.createDataFrame(

@@ -31,9 +31,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * tables and points at [[TxnLog.snapshot]], which aligns per commit).
   */
 class LakeFileIndex(spark: SparkSession, table: String,
-    version: Option[Long] = None) extends FileIndex {
+    version: Option[Long] = None,
+    changesRange: Option[(Long, Long, Boolean)] = None) extends FileIndex {
 
-  private val (mergedSchema, groups) = TxnLog.liveSnapshot(spark, table, version)
+  /** Snapshot mode (default) plans the table's live files at `version`;
+    * `changesRange = Some((fromExclusive, toInclusive, includeRewrites))`
+    * plans exactly the files ADDED by that commit range instead — the
+    * per-micro-batch scan of the DSv2 streaming source.
+    */
+  private val (mergedSchema, groups) = changesRange match {
+    case None => TxnLog.liveSnapshot(spark, table, version)
+    case Some((from, to, incl)) =>
+      val picked = TxnLog.changeEntries(spark, table, from, to, incl)
+      val schema =
+        if (picked.isEmpty) TxnLog.schemaOf(spark, table)
+        else picked.map(_._1.schema).reduce(graft.etl.SchemaRegistry.merge)
+      (schema, picked)
+  }
 
   /** Partition column names, outermost first, parsed from the Hive
     * `k=v/` segments between each commit dir and its files; Nil for

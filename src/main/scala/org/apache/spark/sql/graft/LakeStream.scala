@@ -28,6 +28,8 @@ import org.apache.spark.sql.types.StructType
   * Usage: `spark.readStream.format("graftlake").load(tablePath)`.
   */
 class LakeStreamProvider extends StreamSourceProvider with RelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister {
 
   override def shortName: String = "graftlake"
@@ -35,6 +37,54 @@ class LakeStreamProvider extends StreamSourceProvider with RelationProvider
   private def tableOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graftlake needs .load(<table path>)"))
+
+  // ---- DSv2 (the preferred path: batch + micro-batch reads) ----
+  // Implementing TableProvider flips spark.read/readStream to the V2
+  // connector in LakeDsv2.scala; the V1 methods below remain the
+  // documented fallback (spark.sql.sources.useV1SourceList=graftlake).
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType =
+    new GraftLakeTable(SparkSession.active,
+      tableOf(Map("path" -> options.get("path")).filter(_._2 != null)),
+      None, options).schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]):
+      org.apache.spark.sql.connector.catalog.Table = {
+    val options =
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    new GraftLakeTable(SparkSession.active,
+      tableOf(Map("path" -> options.get("path")).filter(_._2 != null)),
+      Option(schema), options)
+  }
+
+  /** Streaming WRITE: `df.writeStream.format("graftlake")` appends each
+    * micro-batch as one atomic lake commit whose txn id is
+    * (checkpoint, batchId) — engine-level replays after a crash hit
+    * [[TxnLog.appendTxn]]'s committed-txn check and no-op, so the sink
+    * is exactly-once end to end. `option("partitionBy")` (comma list)
+    * lays out Hive partitions.
+    */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graftlake sink is append-only (got $outputMode): the lake log " +
+        "records immutable commits; use foreachBatch + TxnLog.merge for " +
+        "update semantics")
+    val parts =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionBy").toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    new LakeStreamSink(tableOf(parameters), parts,
+      parameters.getOrElse("checkpointLocation",
+        java.util.UUID.randomUUID().toString))
+  }
 
   /** Batch read: `spark.read.format("graftlake").load(tablePath)` —
     * the log-backed FileIndex relation ([[LakeRead.relation]]), with
@@ -65,6 +115,29 @@ class LakeStreamProvider extends StreamSourceProvider with RelationProvider
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       parameters.get("includeRewrites").exists(_.toBoolean))
   }
+}
+
+/** V1 streaming sink over the lake log (Delta shipped its sink on this
+  * API for years — the V2 write path adds machinery, not semantics).
+  * Exactly-once: the txn id `<appId>#<batchId>` makes a replayed batch
+  * a committed-txn no-op, and the commit itself is atomic.
+  */
+class LakeStreamSink(table: String, partitionCols: Seq[String],
+    appId: String) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark =
+      data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // the engine hands a micro-batch plan that must not be re-analyzed
+    // as a batch query; re-wrap its executed rows (FileStreamSink's own
+    // pattern) and commit them through the ordinary transactional write
+    val fresh = spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema)
+    TxnLog.appendTxn(spark, table, fresh, partitionCols,
+      Some(s"$appId#$batchId"))
+  }
+
+  override def toString: String = s"LakeStreamSink[$table]"
 }
 
 class LakeStreamSource(spark: SparkSession, table: String,

@@ -1,0 +1,134 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The DSv2 connector surface: `format("graftlake")` must resolve to
+  * the V2 table (BatchScan over the log-backed index, MicroBatchStream
+  * for readStream) — not silently fall back to the V1 providers — and
+  * the streaming SINK must append micro-batches as exactly-once lake
+  * commits.
+  */
+class LakeDsv2Spec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("batch read resolves to the V2 BatchScan and prunes by stats") {
+    val table = Files.createTempDirectory("graft-dsv2-batch").toString
+    Seq(0, 100, 200).foreach { lo =>
+      TxnLog.append(spark, table,
+        spark.range(lo, lo + 100).select(col("id"),
+          (col("id") * 2).as("v")).coalesce(1))
+    }
+    val df = spark.read.format("graftlake").load(table)
+    assert(df.count() == 300)
+    val filtered = df.filter(col("id").between(120, 150))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), plan) // V2, not HadoopFsRelation
+    // stats pruning reaches the V2 file listing: one of three files
+    // (Dataset.inputFiles does not traverse DSv2 relations — count the
+    // distinct files the planned scan partitions actually carry)
+    val scanned = filtered.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.flatMap {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.filePath.toString)
+          case _ => Nil
+        }
+    }.flatten.distinct
+    assert(scanned.length == 1, scanned)
+    assert(filtered.count() == 31)
+    // column pruning reaches the parquet reader
+    val pruned = df.select("v").queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<v:bigint>"), pruned)
+  }
+
+  test("versionAsOf time travel through the V2 table") {
+    val table = Files.createTempDirectory("graft-dsv2-tt").toString
+    TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    TxnLog.append(spark, table, Seq((2L, "b")).toDF("id", "v"))
+    val v1 = spark.read.format("graftlake")
+      .option("versionAsOf", "1").load(table)
+    assert(v1.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("micro-batch stream delivers commit ranges exactly once with pruned columns") {
+    val root = Files.createTempDirectory("graft-dsv2-stream")
+    val table = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    TxnLog.append(spark, table, Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "v", "score"))
+
+    // parquet file sink: supports checkpoint RECOVERY (memory does not),
+    // so the second drain proves restart-exactly-once on the V2 source
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlake").load(table)
+        .select("id", "score") // column-pruned stream
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (2L, 2.0)))
+
+    TxnLog.append(spark, table, Seq((3L, "c", 3.0)).toDF("id", "v", "score"))
+    drain() // restart from the checkpoint: only the new commit arrives
+    assert(spark.read.parquet(out).as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("graftlake streaming sink commits micro-batches exactly once") {
+    val root = Files.createTempDirectory("graft-dsv2-sink")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val ckpt = root.resolve("ckpt").toString
+    TxnLog.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    def pump(): Unit = {
+      val q = spark.readStream.format("graftlake").load(src)
+        .writeStream.format("graftlake")
+        .option("checkpointLocation", ckpt)
+        .option("path", dst)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pump()
+    assert(TxnLog.snapshot(spark, dst).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+
+    // idle re-run: no new offsets, no new commits
+    val vAfterFirst = TxnLog.versions(spark, dst).last
+    pump()
+    assert(TxnLog.versions(spark, dst).last == vAfterFirst)
+
+    // incremental: one more source commit -> exactly one more dst commit
+    TxnLog.append(spark, src, Seq((3L, "c")).toDF("id", "v"))
+    pump()
+    assert(TxnLog.snapshot(spark, dst).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("sink rejects non-append output modes loudly") {
+    val root = Files.createTempDirectory("graft-dsv2-mode")
+    val src = root.resolve("src").toString
+    TxnLog.append(spark, src, Seq((1L, "a")).toDF("id", "v"))
+    val ex = intercept[Exception] {
+      spark.readStream.format("graftlake").load(src)
+        .groupBy(col("v")).count()
+        .writeStream.format("graftlake")
+        .outputMode("complete")
+        .option("checkpointLocation", root.resolve("c").toString)
+        .option("path", root.resolve("d").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("append-only")))
+  }
+}
