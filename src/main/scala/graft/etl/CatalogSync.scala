@@ -157,6 +157,40 @@ class FileCatalogSync(spark: SparkSession, root: String) extends CatalogSync {
   def partitionColsOf(table: String): Seq[String] = readMeta(table)._3
   def partitionsOf(table: String): Seq[Seq[(String, String)]] = readMeta(table)._4
 
+  /** Partition specs with each value cast to the column's DECLARED type
+    * in the registered schema — the catalog, not string-typed directory
+    * names, is authoritative for pruning (Hive/Glue path segments are
+    * strings on disk; `month=9` must round-trip as the int 9 and
+    * `day=2024-05-01` as a date, or external-tier partition pruning
+    * compares text). `__HIVE_DEFAULT_PARTITION__` maps to null; a value
+    * the declared type cannot parse is a loud error, not a silent
+    * string.
+    */
+  def typedPartitionsOf(table: String): Seq[Seq[(String, Any)]] = {
+    val (_, schema, _, specs) = readMeta(table)
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.unsafe.types.UTF8String
+    specs.map(_.map { case (k, v) =>
+      val dt = schema.fields.find(_.name == k)
+        .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType)
+      val typed =
+        if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .DEFAULT_PARTITION_NAME) null
+        else {
+          val internal = Cast(
+            Literal(UTF8String.fromString(v),
+              org.apache.spark.sql.types.StringType), dt,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+          require(internal != null,
+            s"partition value '$v' of $table.$k does not parse as " +
+              s"${dt.simpleString}")
+          CatalystTypeConverters.createToScalaConverter(dt)(internal)
+        }
+      k -> typed
+    })
+  }
+
   override def tableExists(table: String): Boolean = fs.exists(metaPath(table))
 
   override def createTable(table: String, schema: StructType,

@@ -46,19 +46,34 @@ object FileStats {
     * Timestamps are 'l' (epoch MICROS) — the lake writer forces
     * TIMESTAMP_MICROS output (INT96, Spark's default physical type, has
     * no usable footer stats), so `tts BETWEEN ...` predicates skip files
-    * exactly like integer ranges do. Decimals up to precision 18 are
-    * 'm' (plain decimal strings, compared as BigDecimal): Spark writes
-    * them as INT32/INT64 unscaled values whose footer stats are usable;
-    * wider decimals are binary-backed and excluded.
+    * exactly like integer ranges do. Decimals are 'm' (plain decimal
+    * strings, compared as BigDecimal): precision <= 18 arrives as
+    * INT32/INT64 unscaled footer values, wider precision as big-endian
+    * two's-complement FIXED_LEN_BYTE_ARRAY — both rescale on entry.
     */
   private[lake] def tagFor(dt: DataType): Option[Char] = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType => Some('l')
     case FloatType | DoubleType => Some('d')
     case StringType => Some('s')
-    case d: DecimalType if d.precision <= 18 => Some('m')
+    case _: DecimalType => Some('m')
     case _ => None
   }
+
+  /** Flattened stats-coverable leaf columns: top-level primitives under
+    * their own name, STRUCT leaves under the dotted footer path
+    * (`a.b.c`) — the same key the parquet footer reports and the key
+    * pruning predicates on nested fields fold to. Arrays/maps have no
+    * scalar bounds and stay uncovered.
+    */
+  private[lake] def leafColumns(schema: StructType,
+      prefix: String = ""): Seq[(String, DataType)] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case s: StructType => leafColumns(s, prefix + f.name + ".")
+        case dt => tagFor(dt).map(_ => (prefix + f.name) -> dt)
+      }
+    }
 
   /** Scale of a decimal column (needed to interpret the unscaled footer
     * values); 0 for everything else.
@@ -75,8 +90,9 @@ object FileStats {
     */
   def collect(conf: Configuration, file: String,
       schema: StructType): Map[String, ColStats] = {
-    val tags = schema.fields.flatMap(f => tagFor(f.dataType).map(f.name -> _)).toMap
-    val scales = schema.fields.map(f => f.name -> scaleFor(f.dataType)).toMap
+    val leaves = leafColumns(schema)
+    val tags = leaves.flatMap { case (n, dt) => tagFor(dt).map(n -> _) }.toMap
+    val scales = leaves.map { case (n, dt) => n -> scaleFor(dt) }.toMap
     if (tags.isEmpty) return Map.empty
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
@@ -85,18 +101,22 @@ object FileStats {
       val invalid = scala.collection.mutable.Set.empty[String]
       for (block <- reader.getFooter.getBlocks.asScala;
            cc <- block.getColumns.asScala) {
-        val path = cc.getPath.toArray
-        if (path.length == 1 && tags.contains(path(0))) {
-          val name = path(0)
+        val name = cc.getPath.toArray.mkString(".")
+        if (tags.contains(name)) {
           val st = cc.getStatistics
           if (st == null || st.isEmpty) invalid += name
           else if (st.hasNonNullValue) {
-            // decimal footer values are UNSCALED ints; rescale on entry
-            // so min/max/render all see plain BigDecimals
+            // decimal footer values are UNSCALED — as ints (precision
+            // <= 18) or big-endian two's-complement binary (wider);
+            // rescale on entry so min/max/render see plain BigDecimals
             def conv(v: Any): Any =
-              if (tags(name) == 'm')
-                java.math.BigDecimal.valueOf(
-                  v.asInstanceOf[Number].longValue, scales(name))
+              if (tags(name) == 'm') v match {
+                case b: org.apache.parquet.io.api.Binary =>
+                  new java.math.BigDecimal(
+                    new java.math.BigInteger(b.getBytes), scales(name))
+                case n: Number =>
+                  java.math.BigDecimal.valueOf(n.longValue, scales(name))
+              }
               else v
             val (lo, hi) = (conv(st.genericGetMin), conv(st.genericGetMax))
             acc.get(name) match {

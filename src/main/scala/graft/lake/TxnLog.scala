@@ -791,6 +791,20 @@ object TxnLog {
     * schema and basePath (Hive-layout partition columns resolve from
     * directory names, and the scan keeps PartitionFilters).
     */
+  /** Deep-nullable form of a type (DataType.asNullable is
+    * private[spark]): every nested struct field, array element, and map
+    * value becomes optional.
+    */
+  private def nullableized(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullableized(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableized(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullableized(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private[lake] def readAligned(spark: SparkSession,
       groups: Seq[(Manifest, Seq[FileEntry])],
       merged: StructType): Option[DataFrame] = {
@@ -802,8 +816,13 @@ object TxnLog {
           .schema(m.schema).parquet(es.map(_.path): _*)
         val present = m.schema.fieldNames.toSet
         raw.select(merged.fields.toSeq.map { f =>
-          if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          // cast to the NULLABLE-ized type: parquet reads nested struct
+          // fields back as optional, and a cast to a NOT NULL nested
+          // type is refused — nullability is a property the rewrite
+          // cannot (and need not) restore
+          val dt = nullableized(f.dataType)
+          if (present.contains(f.name)) col(f.name).cast(dt).as(f.name)
+          else lit(null).cast(dt).as(f.name)
         }: _*)
       }
     }

@@ -30,6 +30,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * would make the parquet reader throw, so the constructor rejects such
   * tables and points at [[TxnLog.snapshot]], which aligns per commit).
   */
+/** Column reference that footer stats can index: a plain attribute
+  * (`a`) or a chain of struct-field extractions rooted at one
+  * (`a.b.c`) — rendered as the dotted parquet footer path
+  * [[graft.lake.FileStats.leafColumns]] keys stats by.
+  */
+private object ColRef {
+  def unapply(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case g: GetStructField => unapply(g.child).map { base =>
+      val f = g.child.dataType.asInstanceOf[StructType](g.ordinal).name
+      s"$base.$f"
+    }
+    case _ => None
+  }
+}
+
 class LakeFileIndex(spark: SparkSession, table: String,
     version: Option[Long] = None,
     changesRange: Option[(Long, Long, Boolean)] = None) extends FileIndex {
@@ -181,37 +197,37 @@ class LakeFileIndex(spark: SparkSession, table: String,
     // list would need type-aware ordering; pointwise checks do not)
     val inLists = scala.collection.mutable.Map.empty[String, Seq[Any]]
     dataFilters.foreach {
-      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
-        tighten(a.name, Some(v), Some(v))
-      case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
-        tighten(a.name, Some(v), Some(v))
-      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
-        tighten(a.name, Some(v), Some(v))
-      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
-        tighten(a.name, Some(v), Some(v))
-      case In(a: AttributeReference, list)
+      case EqualTo(ColRef(a), Literal(v, _)) if v != null =>
+        tighten(a, Some(v), Some(v))
+      case EqualTo(Literal(v, _), ColRef(a)) if v != null =>
+        tighten(a, Some(v), Some(v))
+      case EqualNullSafe(ColRef(a), Literal(v, _)) if v != null =>
+        tighten(a, Some(v), Some(v))
+      case EqualNullSafe(Literal(v, _), ColRef(a)) if v != null =>
+        tighten(a, Some(v), Some(v))
+      case In(ColRef(a), list)
           if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
         val vs = list.collect { case Literal(v, _) if v != null => v }
-        if (vs.nonEmpty && !inLists.contains(a.name)) inLists(a.name) = vs
-      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        if (vs.nonEmpty && !inLists.contains(a)) inLists(a) = vs
+      case InSet(ColRef(a), hset) if hset.nonEmpty =>
         val vs = hset.toSeq.filter(_ != null)
-        if (vs.nonEmpty && !inLists.contains(a.name)) inLists(a.name) = vs
-      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
-        tighten(a.name, Some(v), None)
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
-        tighten(a.name, Some(v), None)
-      case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
-        tighten(a.name, None, Some(v))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
-        tighten(a.name, None, Some(v))
-      case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
-        tighten(a.name, None, Some(v))
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
-        tighten(a.name, None, Some(v))
-      case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
-        tighten(a.name, Some(v), None)
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
-        tighten(a.name, Some(v), None)
+        if (vs.nonEmpty && !inLists.contains(a)) inLists(a) = vs
+      case GreaterThan(ColRef(a), Literal(v, _)) if v != null =>
+        tighten(a, Some(v), None)
+      case GreaterThanOrEqual(ColRef(a), Literal(v, _)) if v != null =>
+        tighten(a, Some(v), None)
+      case LessThan(ColRef(a), Literal(v, _)) if v != null =>
+        tighten(a, None, Some(v))
+      case LessThanOrEqual(ColRef(a), Literal(v, _)) if v != null =>
+        tighten(a, None, Some(v))
+      case GreaterThan(Literal(v, _), ColRef(a)) if v != null =>
+        tighten(a, None, Some(v))
+      case GreaterThanOrEqual(Literal(v, _), ColRef(a)) if v != null =>
+        tighten(a, None, Some(v))
+      case LessThan(Literal(v, _), ColRef(a)) if v != null =>
+        tighten(a, Some(v), None)
+      case LessThanOrEqual(Literal(v, _), ColRef(a)) if v != null =>
+        tighten(a, Some(v), None)
       case _ => ()
     }
     def statsAdmit(e: TxnLog.FileEntry): Boolean = bounds.forall {

@@ -31,6 +31,49 @@ class CatalogSyncSpec extends SparkSpec {
       calls += s"add:${specs.length}"
   }
 
+  test("typed partition values round-trip through the file catalog") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-typed")
+    val loc = root.resolve("tbl").toString
+    // Hive layout with an INT month and a DATE day partition
+    spark.range(0, 20)
+      .select(col("id"), (col("id") % 2 + 1).cast("int").as("month"),
+        date_add(lit(java.sql.Date.valueOf("2024-05-01")),
+          (col("id") % 3).cast("int")).as("day"))
+      .write.partitionBy("month", "day").parquet(loc)
+    val cat = new FileCatalogSync(spark, root.resolve("cat").toString)
+    val tSchema = StructType(Seq(
+      StructField("id", LongType), StructField("month", IntegerType),
+      StructField("day", DateType)))
+    cat.createTable("typed_t", tSchema, Seq("month", "day"), loc)
+
+    // the crawler registered string specs; the typed accessor casts them
+    // to the DECLARED column types
+    val typed = cat.typedPartitionsOf("typed_t")
+    assert(typed.length == 6)
+    val asMap = typed.map(_.toMap)
+    assert(asMap.forall(m => m("month").isInstanceOf[Int]))
+    assert(asMap.forall(m => m("day").isInstanceOf[java.sql.Date]))
+    assert(asMap.exists(m => m("month") == 1 &&
+      m("day") == java.sql.Date.valueOf("2024-05-02")))
+
+    // addPartitions-sourced specs type the same way
+    cat.addPartitions("typed_t", Seq(Seq("month" -> "7", "day" -> "2024-06-09")))
+    assert(cat.typedPartitionsOf("typed_t").map(_.toMap)
+      .exists(m => m("month") == 7 &&
+        m("day") == java.sql.Date.valueOf("2024-06-09")))
+
+    // a value the declared type cannot parse fails loudly (ANSI mode
+    // throws CAST_INVALID_INPUT from the cast itself; non-ANSI falls to
+    // the accessor's own require)
+    cat.addPartitions("typed_t", Seq(Seq("month" -> "nope", "day" -> "2024-06-09")))
+    val ex = intercept[Exception] {
+      cat.typedPartitionsOf("typed_t")
+    }
+    assert(ex.getMessage.contains("does not parse") ||
+      ex.getMessage.contains("CAST_INVALID_INPUT"))
+  }
+
   test("absent table takes the create tier") {
     val c = new RecordingCatalog(false)
     assert(c.sync("t", schema, Seq("p"), "/loc", noDrift, specs) == "create")

@@ -485,6 +485,55 @@ class TxnLogSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value == 1)
   }
 
+  test("wide decimal (precision > 18) ranges skip files via binary stats") {
+    val table = Files.createTempDirectory("graft-lake-dec20").toString
+    // three commits with disjoint decimal(25,4) ranges — parquet stores
+    // the unscaled values as FIXED_LEN_BYTE_ARRAY, not ints
+    Seq(0, 1, 2).foreach { k =>
+      val df = spark.range(0, 100).toDF("id")
+        .withColumn("big",
+          (col("id") + k * 1000000L).cast("decimal(25,4)") *
+            lit("1000000.0001").cast("decimal(17,4)"))
+      TxnLog.append(spark, table, df.coalesce(1))
+    }
+    assert(TxnLog.snapshot(spark, table).inputFiles.length == 3)
+    val lo = new java.math.BigDecimal("1000010000000.0")
+    val hi = new java.math.BigDecimal("1000090000000.0")
+    val pruned = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("big", Some(lo), Some(hi))))
+    assert(pruned.inputFiles.length == 1,
+      s"wide-decimal range must plan one file, planned ${pruned.inputFiles.length}")
+    assert(pruned.count() > 0)
+  }
+
+  test("struct-leaf ranges skip files (dotted footer paths)") {
+    val table = Files.createTempDirectory("graft-lake-struct").toString
+    // three commits, disjoint ranges INSIDE a nested struct leaf
+    Seq(0, 100, 200).foreach { lo =>
+      val df = spark.range(lo, lo + 100)
+        .select(col("id"), struct(
+          struct((col("id") * 2).as("score")).as("inner"),
+          concat(lit("n"), col("id")).as("name")).as("meta"))
+      TxnLog.append(spark, table, df.coalesce(1))
+    }
+    assert(TxnLog.snapshot(spark, table).inputFiles.length == 3)
+    // snapshotWhere prunes on the dotted leaf path
+    val pruned = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("meta.inner.score",
+        Some(250L), Some(290L))))
+    assert(pruned.inputFiles.length == 1,
+      s"struct-leaf range must plan one file, planned ${pruned.inputFiles.length}")
+    // the Catalyst relation path folds GetStructField chains to the
+    // same dotted key and prunes identically
+    val rel = org.apache.spark.sql.graft.LakeRead.relation(spark, table)
+      .filter(col("meta.inner.score").between(250L, 290L))
+    assert(rel.collect().length == 21) // execute THIS plan (metrics below)
+    val scan = rel.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value == 1)
+  }
+
   test("string stats compare in UTF-8 order (emoji-safe pruning)") {
     val table = Files.createTempDirectory("graft-lake-utf8").toString
     // U+FFFD sorts BELOW U+1F600 in code points (what parquet's footer
