@@ -79,6 +79,54 @@ object LakeDml {
       removePaths = touched.flatMap(_._2.map(_.path)))
   }
 
+  /** UPDATE <table> SET ... [WHERE <cond>]: rows where `cond` is TRUE
+    * (all rows when None) take the `set` assignments — expressions over
+    * the table's own columns, SQL UPDATE semantics — in one superseding
+    * `update-` commit. FILE-PRUNED like [[deleteWhere]]: only files
+    * whose stats admit a match rewrite; a no-file-matches update is a
+    * metadata no-op. Returns None on a lost append race.
+    */
+  def updateWhere(spark: SparkSession, table: String, cond: Option[Column],
+      set: Map[String, Column], pruneRanges: Seq[ColRange] = Nil,
+      partitionCols: Seq[String] = Nil,
+      tableAlias: Option[String] = None): Option[Long] = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val vs = TxnLog.versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val base = vs.last
+    val manifests = TxnLog.activeManifests(
+      TxnLog.manifestChain(spark, table, base)._1)
+    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    set.keys.foreach(k => require(merged.fieldNames.contains(k),
+      s"UPDATE assigns unknown column $k " +
+        s"(table has ${merged.fieldNames.mkString(", ")})"))
+
+    def canMatch(e: FileEntry): Boolean = pruneRanges.forall(r =>
+      e.stats.get(r.column).forall(cs =>
+        FileStats.overlaps(cs, r.lower, r.upper)))
+    val touched = TxnLog.liveEntries(manifests)
+      .map { case (m, es) => (m, es.filter(canMatch)) }
+      .filter(_._2.nonEmpty)
+    if (touched.isEmpty) return Some(base)
+
+    val hit = cond.map(_ <=> lit(true)).getOrElse(lit(true))
+    // alias so the statement's qualified references (t.col) resolve
+    val src0 = TxnLog.readAligned(spark, touched, merged).get
+    val src = tableAlias.map(src0.alias).getOrElse(src0)
+    val out = src
+      .select(merged.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) => when(hit, v).otherwise(col(f.name))
+            .cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    TxnLog.appendCommit(spark, table, out, partitionCols,
+      s"update-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base),
+      removePaths = touched.flatMap(_._2.map(_.path)))
+  }
+
   /** MERGE INTO <table> [AS targetAlias] USING <source> ON <onCond>,
     * with the standard clause set:
     *

@@ -852,7 +852,7 @@ object TxnLog {
         val name = new Path(m.commitDir).getName
         includeRewrites ||
           (!name.startsWith("compact-") && !name.startsWith("merge-") &&
-            !name.startsWith("delete-"))
+            !name.startsWith("delete-") && !name.startsWith("update-"))
       }
       .map(m => (m, m.entries))
   }

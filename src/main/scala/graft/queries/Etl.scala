@@ -265,10 +265,41 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** SQL `UPDATE` gate over a mounted lake table: same three-chunk
+    * orders lake as q92, a compound-predicate UPDATE with expression
+    * assignments, file-pruned rewrite set required loudly, final table
+    * hash-checked against DuckDB's CASE-WHEN projection of the same
+    * mutation.
+    */
+  def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_dml_upd_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q95_orders", table)
+    s.sql("""UPDATE q95_orders SET o_totalprice = o_totalprice + 1000
+            |WHERE o_orderkey >= 600 AND o_orderkey < 900
+            |  AND o_orderstatus = 'O'""".stripMargin)
+    val after = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    require((before & after).size == before.size - 1,
+      s"SQL UPDATE rewrote ${before.size - (before & after).size} of " +
+        s"${before.size} files; the key range reaches exactly one")
+    graft.lake.TxnLog.snapshot(s, table)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
     "q92_sql_delete" -> sqlDelete _,
     "q93_sql_merge" -> sqlMerge _,
+    "q95_sql_update" -> sqlUpdate _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
@@ -280,6 +311,14 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q95_sql_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |            AND o_orderstatus = 'O'
+        |       THEN o_totalprice + 1000 ELSE o_totalprice
+        |  END AS o_totalprice,
+        |  o_orderdate
+        |FROM orders""".stripMargin,
     "q92_sql_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders

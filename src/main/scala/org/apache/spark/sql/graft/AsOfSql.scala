@@ -290,8 +290,11 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
       rewrite(withoutAsof.substring(onAt + 2))
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan =
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    if (session != null)
+      LakeDmlSql.maintenance(session, sqlText).foreach(return _)
     dml(delegate.parsePlan(rewrite(sqlText)))
+  }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(rewrite(sqlText))

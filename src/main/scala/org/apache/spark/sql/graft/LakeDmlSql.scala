@@ -61,6 +61,33 @@ object LakeMounts {
 
 object LakeDmlSql {
 
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+
+  /** Maintenance statements Spark's grammar does not know (Delta's
+    * surface): `VACUUM t [RETAIN n HOURS]` and
+    * `OPTIMIZE t [ZORDER BY (c1, c2)]` over a MOUNTED lake table.
+    * Matched on the raw text BEFORE delegation — an unmounted name (or
+    * any other statement) falls through to Spark's parser and its
+    * normal error.
+    */
+  def maintenance(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case VacuumRe(name, hours) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeVacuumCommand(name, path,
+            Option(hours).map(_.toLong * 3600 * 1000L)
+              .getOrElse(graft.lake.TxnLog.DefaultVacuumRetentionMs)))
+      case OptimizeRe(name, zorder) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeOptimizeCommand(name, path,
+            Option(zorder).toSeq.flatMap(_.split(',').map(_.trim)
+              .filter(_.nonEmpty))))
+      case _ => None
+    }
+
   /** Swap a parsed DML statement over a mounted lake table for its
     * runnable command; anything else passes through.
     */
@@ -68,6 +95,11 @@ object LakeDmlSql {
     case DeleteFromTable(target, cond) =>
       mountedTarget(spark, target).map { case (name, path, _) =>
         LakeDeleteCommand(name, path, DeletePayload(cond)): LogicalPlan
+      }.getOrElse(plan)
+    case UpdateTable(target, assignments, cond) =>
+      mountedTarget(spark, target).map { case (name, path, alias) =>
+        LakeUpdateCommand(name, path, alias,
+          UpdatePayload(assignments, cond)): LogicalPlan
       }.getOrElse(plan)
     case m: MergeIntoTable =>
       mountedTarget(spark, m.targetTable).map { case (name, path, alias) =>
@@ -89,6 +121,8 @@ object LakeDmlSql {
     * A plain Product wrapper is invisible to that traversal.
     */
   final case class DeletePayload(cond: Expression)
+  final case class UpdatePayload(assignments: Seq[Assignment],
+      cond: Option[Expression])
   final case class MergePayload(source: LogicalPlan, sourceAlias: String,
       mergeCond: Expression, matched: Seq[MergeAction],
       notMatched: Seq[MergeAction], bySource: Seq[MergeAction])
@@ -244,6 +278,59 @@ object LakeDmlSql {
     }
     override def simpleString(maxFields: Int): String =
       s"LakeDeleteCommand $name (${payload.cond.sql})"
+  }
+
+  final case class LakeUpdateCommand(name: String, path: String,
+      targetAlias: String, payload: UpdatePayload)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val set = payload.assignments.map { a =>
+        val k = attrName(a.key).getOrElse(sys.error(
+          s"UPDATE assignment target must be a column: ${a.key.sql}"))
+        k -> column(a.value)
+      }.toMap
+      val v = retry(s"UPDATE $name") {
+        LakeDml.updateWhere(spark, path, payload.cond.map(column), set,
+          payload.cond.map(extractRanges).getOrElse(Nil),
+          tableAlias = Some(targetAlias))
+      }
+      refreshIfMounted(spark, name, path)
+      Seq(Row(v))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeUpdateCommand $name"
+  }
+
+  final case class LakeVacuumCommand(name: String, path: String,
+      retentionMs: Long) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(AttributeReference(
+      "deleted", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(TxnLog.vacuum(spark, path, olderThanMs = retentionMs).toLong))
+    override def simpleString(maxFields: Int): String =
+      s"LakeVacuumCommand $name retain ${retentionMs}ms"
+  }
+
+  final case class LakeOptimizeCommand(name: String, path: String,
+      zorderBy: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+    override def run(spark: SparkSession): Seq[Row] = {
+      // size-based file target (Delta's OPTIMIZE bins ~1 GB; 128 MB — one
+      // HDFS block / parquet row group — keeps scans parallel here):
+      // manifest sizes make this a metadata-only computation
+      val bytes = TxnLog.liveSnapshot(spark, path)._2
+        .flatMap(_._2).map(e => math.max(0L, e.size)).sum
+      val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+      val v = retry(s"OPTIMIZE $name") {
+        TxnLog.compact(spark, path, numFiles = target, clusterBy = zorderBy)
+      }
+      refreshIfMounted(spark, name, path)
+      Seq(Row(v))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeOptimizeCommand $name${
+        if (zorderBy.isEmpty) "" else zorderBy.mkString(" zorder(", ",", ")")}"
   }
 
   final case class LakeMergeCommand(name: String, path: String,

@@ -73,6 +73,59 @@ class LakeDmlSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, table).count() == 300)
   }
 
+  test("SQL UPDATE rewrites only stat-matched files and honors WHERE") {
+    val table = threeChunkTable("graft-dml-upd")
+    LakeMounts.mount(spark, "dml_upd", table)
+    val before = liveFiles(table)
+    val v = spark.sql(
+      """UPDATE dml_upd SET val = concat(val, '!'), grp = grp + 100
+        |WHERE id >= 120 AND id < 130""".stripMargin)
+      .collect().head.getLong(0)
+    assert(v == 4L)
+    val after = liveFiles(table)
+    assert((before & after).size == 2) // chunks 1 and 3 untouched
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 300)
+    assert(snap.filter(col("id") === 125L).select("val", "grp")
+      .as[(String, Long)].head() == (("v125!", (125 % 7) + 100)))
+    assert(snap.filter(col("id") === 150L).select("val")
+      .as[String].head() == "v150") // same file, outside WHERE: unchanged
+    assert(snap.filter(col("id") === 10L).select("val")
+      .as[String].head() == "v10") // untouched file
+  }
+
+  test("SQL UPDATE with a table alias resolves qualified references") {
+    val table = Files.createTempDirectory("graft-dml-updal").toString
+    TxnLog.append(spark, table,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt").coalesce(1))
+    LakeMounts.mount(spark, "dml_upda", table)
+    spark.sql("UPDATE dml_upda t SET amt = t.amt * 2 WHERE t.k = 2")
+    assert(TxnLog.snapshot(spark, table).as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, 10.0), (2L, 40.0)))
+  }
+
+  test("OPTIMIZE compacts a mounted table; ZORDER BY clusters it") {
+    val table = threeChunkTable("graft-dml-opt")
+    LakeMounts.mount(spark, "dml_opt", table)
+    assert(liveFiles(table).size == 3)
+    spark.sql("OPTIMIZE dml_opt")
+    assert(liveFiles(table).size < 3)
+    assert(TxnLog.snapshot(spark, table).count() == 300)
+    // z-order form drives the clustered compaction path
+    spark.sql("OPTIMIZE dml_opt ZORDER BY (id, grp)")
+    assert(TxnLog.snapshot(spark, table).count() == 300)
+  }
+
+  test("VACUUM RETAIN 0 HOURS sweeps pre-compaction history") {
+    val table = threeChunkTable("graft-dml-vac")
+    LakeMounts.mount(spark, "dml_vac", table)
+    spark.sql("OPTIMIZE dml_vac")
+    val deleted = spark.sql("VACUUM dml_vac RETAIN 0 HOURS")
+      .collect().head.getLong(0)
+    assert(deleted > 0)
+    assert(TxnLog.snapshot(spark, table).count() == 300)
+  }
+
   test("SQL MERGE upserts: UPDATE SET * / INSERT *, file-pruned") {
     val table = threeChunkTable("graft-dml-merge")
     LakeMounts.mount(spark, "dml_m", table)
