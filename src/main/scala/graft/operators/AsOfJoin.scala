@@ -105,33 +105,33 @@ object AsOfJoin {
     forward(left, right, Seq(by), leftOn, rightOn, rightCols, tolerance)
 
   /** Nearest as-of: whichever of the backward/forward matches is closer
-    * in time (ties → the earlier/backward match). One extra join pass.
+    * in time (ties → the earlier/backward match).
     *
-    * The backward and forward outputs are re-aligned on a per-row id
-    * minted BEFORE the two passes — NOT on the left columns — so
-    * fully-duplicate left rows stay 1:1 (no fan-out) and rows with null
-    * columns are preserved (null never equi-joins to itself).
+    * Delegates to the custom physical operator
+    * ([[org.apache.spark.sql.graft.AsOfJoinPhysical]], `nearest = true`):
+    * its single merge pass already holds both neighbor candidates per
+    * left row — the last right at-or-before and the first right after —
+    * so nearest costs exactly one backward-shaped join. (This replaced a
+    * two-pass backward+forward composition re-aligned on per-row ids,
+    * which was correct only for deterministic input plans; the exec
+    * processes each left row once, so duplicate and null-bearing left
+    * rows are trivially preserved and nondeterministic inputs cannot
+    * misalign.)
     */
   def nearest(left: DataFrame, right: DataFrame, by: Seq[String],
       leftOn: String, rightOn: String, rightCols: Seq[String],
       tolerance: Option[Long]): DataFrame = {
     val matchedT = s"${rightOn}_matched"
-    val rid = "__asof_rowid"
-    // deterministic for a fixed input plan: both passes recompute the
-    // same scan with the same partition layout, so ids line up
-    val tagged = left.withColumn(rid, monotonically_increasing_id())
-    val b = backward(tagged, right, by, leftOn, rightOn, rightCols, tolerance)
-    val f = forward(tagged, right, by, leftOn, rightOn, rightCols, tolerance)
-    val fRenamed = f.select(
-      col(rid) +: (matchedT +: rightCols).map(c => col(c).as(s"__f_$c")): _*)
-    val joined = b.join(fRenamed, Seq(rid))
-    val bDist = abs(unix_micros(col(leftOn)) - unix_micros(col(matchedT)))
-    val fDist = abs(unix_micros(col(leftOn)) - unix_micros(col(s"__f_$matchedT")))
-    val useB = col(matchedT).isNotNull &&
-      (col(s"__f_$matchedT").isNull || bDist <= fDist)
-    val picked = (matchedT +: rightCols).map(c =>
-      when(useB, col(c)).otherwise(col(s"__f_$c")).as(c))
-    joined.select(left.columns.map(col).toSeq ++ picked: _*)
+    // prefix the right keys so the joined output has unique names
+    val rPrepped = right.select(
+      (by.map(c => col(c).as(s"__rby_$c")) :+ col(rightOn).as(matchedT)) ++
+        rightCols.map(col): _*)
+    org.apache.spark.sql.graft.AsOfJoinPhysical.asofKeys(
+        left, rPrepped, leftBy = by, rightBy = by.map("__rby_" + _),
+        leftOn = leftOn, rightOn = matchedT, toleranceUs = tolerance,
+        nearest = true)
+      .select(left.columns.map(col).toSeq ++
+        (matchedT +: rightCols).map(col): _*)
   }
 
   def nearest(left: DataFrame, right: DataFrame, by: String,

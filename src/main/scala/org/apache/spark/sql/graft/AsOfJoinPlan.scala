@@ -224,6 +224,17 @@ object AsOfJoinPhysical {
   def asof(leftDf: DataFrame, rightDf: DataFrame, by: Seq[String],
       leftOn: String, rightOn: String,
       toleranceUs: Option[Long], forward: Boolean = false,
+      nearest: Boolean = false): DataFrame =
+    asofKeys(leftDf, rightDf, by, by, leftOn, rightOn, toleranceUs,
+      forward, nearest)
+
+  /** Separate left/right key names — the entry for pre-renamed right
+    * sides (e.g. `AsOfJoin.nearest` prefixes the right keys so the
+    * joined output has no duplicate column names).
+    */
+  def asofKeys(leftDf: DataFrame, rightDf: DataFrame, leftBy: Seq[String],
+      rightBy: Seq[String], leftOn: String, rightOn: String,
+      toleranceUs: Option[Long], forward: Boolean = false,
       nearest: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -243,7 +254,7 @@ object AsOfJoinPhysical {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
     val node = AsOfJoinNode(lPlan, rPlan,
-      by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
+      leftBy.map(attr(lPlan, _)), rightBy.map(attr(rPlan, _)),
       attr(lPlan, leftOn), attr(rPlan, rightOn), toleranceUs, forward,
       nearest)
     org.apache.spark.sql.classic.Dataset.ofRows(
