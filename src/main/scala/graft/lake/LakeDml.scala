@@ -164,7 +164,8 @@ object LakeDml {
       keyPairs: Seq[(String, String)],
       matched: Seq[WhenClause], notMatched: Seq[InsertRows],
       bySource: Seq[WhenClause],
-      partitionCols: Seq[String] = Nil): Option[Long] = {
+      partitionCols: Seq[String] = Nil,
+      newColumns: Seq[org.apache.spark.sql.types.StructField] = Nil): Option[Long] = {
     require(matched.forall(!_.isInstanceOf[InsertRows]),
       "WHEN MATCHED supports UPDATE and DELETE")
     require(bySource.forall(!_.isInstanceOf[InsertRows]),
@@ -174,7 +175,15 @@ object LakeDml {
     val base = vs.last
     val manifests = TxnLog.activeManifests(
       TxnLog.manifestChain(spark, table, base)._1)
-    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val targetSchema = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    // WITH SCHEMA EVOLUTION (Delta semantics): the output schema widens
+    // by exactly the columns the statement ASSIGNS that the target
+    // lacks — the caller computes them from the actions (`newColumns`);
+    // the commit records the widened schema and older files read the
+    // new columns as null, the lake's native evolution
+    val merged = StructType(targetSchema.fields ++
+      newColumns.filterNot(f => targetSchema.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true)))
 
     // one tiny agg over the source: row count (empty source with no
     // bySource clause is a no-op) + min/max of each join key, the merge's
@@ -209,7 +218,7 @@ object LakeDml {
     // full candidate set.
     val fileCol = "__graft_src_file"
     val touched = if (bySource.nonEmpty || candidates.isEmpty) candidates else {
-      val withFile = TxnLog.readAligned(spark, candidates, merged).get
+      val withFile = TxnLog.readAligned(spark, candidates, targetSchema).get
         .withColumn(fileCol, org.apache.spark.sql.functions.input_file_name())
       val matchedFiles = withFile.alias(targetAlias)
         .join(source.alias(sourceAlias), onCond, "inner")
@@ -225,9 +234,9 @@ object LakeDml {
     val tMark = "__graft_t_present"
     val sMark = "__graft_s_present"
     val actCol = "__graft_act"
-    val target = TxnLog.readAligned(spark, touched, merged)
+    val target = TxnLog.readAligned(spark, touched, targetSchema)
       .getOrElse(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), merged))
+        new java.util.ArrayList[org.apache.spark.sql.Row](), targetSchema))
     val tt = target.withColumn(tMark, lit(true)).alias(targetAlias)
     val ss = source.withColumn(sMark, lit(true)).alias(sourceAlias)
     val j = tt.join(ss, onCond, "full_outer")
@@ -259,7 +268,12 @@ object LakeDml {
       .filter(!col(actCol).isin(dropCodes: _*))
 
     val out = kept.select(merged.fields.toSeq.map { f =>
-      var v: Column = col(s"$targetAlias.${f.name}")
+      // a column added by schema evolution has no target side: its
+      // carried/base value is null everywhere
+      var v: Column =
+        if (targetSchema.fieldNames.contains(f.name))
+          col(s"$targetAlias.${f.name}")
+        else lit(null).cast(f.dataType)
       def overlay(cs: Seq[WhenClause], codeBase: Int): Unit =
         cs.zipWithIndex.foreach {
           case (UpdateRows(_, set), i) if set.contains(f.name) =>

@@ -103,12 +103,11 @@ object LakeDmlSql {
       }.getOrElse(plan)
     case m: MergeIntoTable =>
       mountedTarget(spark, m.targetTable).map { case (name, path, alias) =>
-        require(!m.schemaEvolutionEnabled,
-          "MERGE WITH SCHEMA EVOLUTION is not supported on lake tables")
         LakeMergeCommand(name, path, alias,
           MergePayload(m.sourceTable, sourceAliasOf(m.sourceTable),
             m.mergeCondition, m.matchedActions, m.notMatchedActions,
-            m.notMatchedBySourceActions)): LogicalPlan
+            m.notMatchedBySourceActions,
+            m.withSchemaEvolution)): LogicalPlan
       }.getOrElse(plan)
     case _ => plan
   }
@@ -125,7 +124,8 @@ object LakeDmlSql {
       cond: Option[Expression])
   final case class MergePayload(source: LogicalPlan, sourceAlias: String,
       mergeCond: Expression, matched: Seq[MergeAction],
-      notMatched: Seq[MergeAction], bySource: Seq[MergeAction])
+      notMatched: Seq[MergeAction], bySource: Seq[MergeAction],
+      schemaEvolution: Boolean = false)
 
   /** (mountName, lakePath, sqlAlias) when the DML target is a mounted
     * lake table. The alias is what the statement's qualified column
@@ -345,19 +345,50 @@ object LakeDmlSql {
       val srcDf = org.apache.spark.sql.classic.Dataset.ofRows(
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], source)
 
+      // WITH SCHEMA EVOLUTION adds exactly the ASSIGNED columns the
+      // target lacks (Delta semantics): star actions contribute every
+      // source column, explicit assignments their key — typed from the
+      // same-named source column (the only type source available)
+      val evolved: Seq[org.apache.spark.sql.types.StructField] =
+        if (!payload.schemaEvolution) Nil
+        else {
+          val targets = (matchedActions ++ notMatchedActions ++
+            bySourceActions).flatMap {
+            case UpdateStarAction(_) | InsertStarAction(_) =>
+              srcDf.schema.fieldNames.toSeq
+            case UpdateAction(_, assigns, _) => assigns.flatMap(a => attrName(a.key))
+            case InsertAction(_, assigns) => assigns.flatMap(a => attrName(a.key))
+            case _ => Nil
+          }.distinct
+          targets.filterNot(t =>
+              targetSchema.fieldNames.exists(_.equalsIgnoreCase(t)))
+            .map { t =>
+              val f = srcDf.schema.fields.find(_.name.equalsIgnoreCase(t))
+                .getOrElse(sys.error(s"MERGE WITH SCHEMA EVOLUTION cannot " +
+                  s"infer a type for new column $t (no same-named source " +
+                  "column)"))
+              f.copy(name = t)
+            }
+        }
+      val outSchema = org.apache.spark.sql.types.StructType(
+        targetSchema.fields ++ evolved)
+
       def assignMap(assigns: Seq[Assignment]): Map[String, Column] =
         assigns.map { a =>
           val k = attrName(a.key).getOrElse(sys.error(
             s"MERGE assignment target must be a column: ${a.key.sql}"))
-          val f = targetSchema.fieldNames.find(_.equalsIgnoreCase(k))
+          val f = outSchema.fieldNames.find(_.equalsIgnoreCase(k))
             .getOrElse(sys.error(s"MERGE assigns unknown column $k " +
-              s"(target has ${targetSchema.fieldNames.mkString(", ")})"))
+              s"(target has ${targetSchema.fieldNames.mkString(", ")}; " +
+              "add WITH SCHEMA EVOLUTION to create new columns)"))
           f -> column(a.value)
         }.toMap
-      // `UPDATE SET *` / `INSERT *`: every target column from the
-      // same-named source column — resolution fails loudly if one is
-      // missing, like Spark's own star expansion
-      def starMap: Map[String, Column] = targetSchema.fieldNames.map(f =>
+      // `UPDATE SET *` / `INSERT *`: every out-schema column from the
+      // same-named source column — resolution fails loudly if a TARGET
+      // column is missing from the source, like Spark's own star
+      // expansion; evolution-added columns are source-typed by
+      // construction
+      def starMap: Map[String, Column] = outSchema.fieldNames.map(f =>
         f -> org.apache.spark.sql.functions.col(s"$sourceAlias.$f")).toMap
       def clause(a: MergeAction): LakeDml.WhenClause = a match {
         case UpdateAction(c, assigns, _) =>
@@ -379,7 +410,8 @@ object LakeDmlSql {
           column(mergeCond),
           keyPairs(mergeCond, targetAlias, sourceAlias, targetSchema,
             srcDf.columns.toSet),
-          matchedActions.map(clause), inserts, bySourceActions.map(clause))
+          matchedActions.map(clause), inserts, bySourceActions.map(clause),
+          newColumns = evolved)
       }
       refreshIfMounted(spark, name, path)
       Seq(Row(v))

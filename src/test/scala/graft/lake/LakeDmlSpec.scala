@@ -204,6 +204,43 @@ class LakeDmlSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "live"), (2L, "orphan")))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds exactly the assigned new columns") {
+    val table = Files.createTempDirectory("graft-dml-evo").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    LakeMounts.mount(spark, "dml_evo", table)
+    Seq((2L, "B", 0.9), (3L, "c", 0.5))
+      .toDF("id", "v", "score").createOrReplaceTempView("dml_evo_src")
+
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dml_evo t
+        |USING dml_evo_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.columns.toSeq == Seq("id", "v", "score"))
+    val got = snap.as[(Long, String, Option[Double])]
+      .collect().sortBy(_._1)
+    // row 1 untouched: new column null; rows 2-3 carry the source score
+    assert(got.toSeq == Seq((1L, "a", None), (2L, "B", Some(0.9)),
+      (3L, "c", Some(0.5))))
+  }
+
+  test("MERGE without evolution rejects assignments to unknown columns") {
+    val table = Files.createTempDirectory("graft-dml-noevo").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    LakeMounts.mount(spark, "dml_noevo", table)
+    Seq((1L, 0.5)).toDF("id", "score").createOrReplaceTempView("dml_noevo_src")
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_noevo t USING dml_noevo_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET score = s.score""".stripMargin)
+    }
+    assert(ex.getMessage.contains("WITH SCHEMA EVOLUTION"))
+  }
+
   test("MERGE through the Scala API without SQL: LakeDml.mergeInto") {
     val table = Files.createTempDirectory("graft-dml-api").toString
     TxnLog.append(spark, table,
