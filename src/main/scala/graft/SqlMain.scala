@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   * Catalyst-native relation path (vectorized scans, log-backed
   * partition/stats pruning; tables with type drift fall back to the
   * per-commit-aligned snapshot). Results print as TSV with a header.
+  *
+  * Mounted tables are WRITABLE through plain SQL
+  * ([[org.apache.spark.sql.graft.LakeDmlSql]]): `DELETE FROM`,
+  * `UPDATE ... SET`, `MERGE [WITH SCHEMA EVOLUTION] INTO`, plus the
+  * maintenance statements `VACUUM name [RETAIN n HOURS]` and
+  * `OPTIMIZE name [ZORDER BY (...)]` — all file-pruned lake rewrites.
   */
 object SqlMain {
   def main(args: Array[String]): Unit = {

@@ -456,6 +456,35 @@ object TxnLog {
       requireBase = Some(base), removePaths = touchedPaths)
   }
 
+  /** Bin-pack ONLY the table's small files (size below
+    * `smallFileBytes`, or unknown) into `numFiles` larger ones,
+    * carrying every already-large file forward BY REFERENCE — the
+    * incremental OPTIMIZE a 100 TB table needs (a full [[compact]]
+    * rewrites everything it folds; routine maintenance must cost
+    * O(small files), not O(table)). No-op (Some(current)) when fewer
+    * than two files qualify. Returns None on a lost append race.
+    */
+  def compactSmall(spark: SparkSession, table: String,
+      smallFileBytes: Long = 128L << 20, numFiles: Int = 1,
+      partitionCols: Seq[String] = Nil): Option[Long] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val base = vs.last
+    val manifests = activeManifests(manifestChain(spark, table, base)._1)
+    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val touched = liveEntries(manifests)
+      .map { case (m, es) =>
+        (m, es.filter(e => e.size < 0 || e.size < smallFileBytes)) }
+      .filter(_._2.nonEmpty)
+    if (touched.map(_._2.size).sum < 2) return Some(base)
+    val folded = readAligned(spark, touched, merged).get
+      .coalesce(math.max(1, numFiles))
+    appendCommit(spark, table, folded, partitionCols,
+      s"optimize-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base),
+      removePaths = touched.flatMap(_._2.map(_.path)))
+  }
+
   /** Default vacuum retention: 7 days, Delta's default — long enough
     * that no plausible in-flight append (data written, manifest not yet
     * published) is swept from under its writer.
@@ -852,7 +881,8 @@ object TxnLog {
         val name = new Path(m.commitDir).getName
         includeRewrites ||
           (!name.startsWith("compact-") && !name.startsWith("merge-") &&
-            !name.startsWith("delete-") && !name.startsWith("update-"))
+            !name.startsWith("delete-") && !name.startsWith("update-") &&
+            !name.startsWith("optimize-"))
       }
       .map(m => (m, m.entries))
   }

@@ -295,8 +295,43 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** DataSource V2 gate: the same disjoint-chunk orders lake read
+    * through `spark.read.format("graftlake")` — the V2 `Table` whose
+    * scans delegate to Spark's ParquetScanBuilder over the log-backed
+    * index. Requires the plan went V2 (BatchScan) and that the range
+    * filter pruned the planned file set to one of three; rows
+    * hash-check against the plain DuckDB filter.
+    */
+  def lakeDsv2Batch(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_v2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    val out = s.read.format("graftlake").load(table)
+      .filter(col("o_orderkey").between(600, 900))
+    require(out.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "graftlake batch read stopped resolving to the DSv2 path")
+    val planned = out.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.filePath.toString).toSeq
+        }.flatten
+    }.flatten.distinct
+    require(planned.length == 1,
+      s"DSv2 stats pruning regressed: planned ${planned.length} of 3 files")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
+    "q96_lake_dsv2" -> lakeDsv2Batch _,
     "q92_sql_delete" -> sqlDelete _,
     "q93_sql_merge" -> sqlMerge _,
     "q95_sql_update" -> sqlUpdate _,
@@ -311,6 +346,9 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q96_lake_dsv2" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 600 AND 900""".stripMargin,
     "q95_sql_update" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey >= 600 AND o_orderkey < 900

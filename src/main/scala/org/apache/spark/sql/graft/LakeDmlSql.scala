@@ -323,7 +323,13 @@ object LakeDmlSql {
         .flatMap(_._2).map(e => math.max(0L, e.size)).sum
       val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
       val v = retry(s"OPTIMIZE $name") {
-        TxnLog.compact(spark, path, numFiles = target, clusterBy = zorderBy)
+        if (zorderBy.nonEmpty)
+          // clustering must lay out EVERY row along the z-curve: full fold
+          TxnLog.compact(spark, path, numFiles = target, clusterBy = zorderBy)
+        else
+          // routine maintenance: bin-pack only the small files, carry
+          // already-large ones by reference — O(small), not O(table)
+          TxnLog.compactSmall(spark, path, numFiles = target)
       }
       refreshIfMounted(spark, name, path)
       Seq(Row(v))

