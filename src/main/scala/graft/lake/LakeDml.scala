@@ -153,9 +153,10 @@ object LakeDml {
     * join-level cut still applies. A `bySource` clause disables pruning
     * entirely, since it touches rows no source key reaches.
     *
-    * Multiple source rows matching one target row produce one output
-    * row PER MATCH (the join fans out) — same caveat Delta documents;
-    * deduplicate the source on its keys first.
+    * Multiple source rows matching ONE target row would fan the join
+    * out and duplicate that row in the rewrite, so the merge FAILS
+    * LOUDLY first (Delta's semantics) — one bounded pre-check join per
+    * statement; deduplicate the source on its keys to proceed.
     *
     * Returns None on a lost append race; Some(version) otherwise.
     */
@@ -237,6 +238,25 @@ object LakeDml {
     val target = TxnLog.readAligned(spark, touched, targetSchema)
       .getOrElse(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), targetSchema))
+
+    // Delta's cardinality rule: a target row matched by MORE THAN ONE
+    // source row makes the update/carry nondeterministic AND duplicates
+    // the row through the join fan-out — fail before writing anything.
+    // The row id is minted and consumed within this single check pass,
+    // so its nondeterminism across jobs cannot misalign anything.
+    if (touched.nonEmpty) {
+      val tid = "__graft_tid"
+      val dup = target
+        .withColumn(tid, org.apache.spark.sql.functions.monotonically_increasing_id())
+        .alias(targetAlias)
+        .join(source.alias(sourceAlias), onCond, "inner")
+        .groupBy(col(tid)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+      require(dup.isEmpty,
+        "MERGE found target rows matched by more than one source row — " +
+          "the result would be nondeterministic. Deduplicate the source " +
+          "on the merge keys first (e.g. SELECT DISTINCT or a window).")
+    }
     val tt = target.withColumn(tMark, lit(true)).alias(targetAlias)
     val ss = source.withColumn(sMark, lit(true)).alias(sourceAlias)
     val j = tt.join(ss, onCond, "full_outer")

@@ -245,6 +245,25 @@ class LakeDmlSpec extends SparkSpec {
     assert(ex.getMessage.contains("WITH SCHEMA EVOLUTION"))
   }
 
+  test("MERGE fails loudly when several source rows match one target row") {
+    val table = Files.createTempDirectory("graft-dml-dup").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    LakeMounts.mount(spark, "dml_dup", table)
+    Seq((1L, "x"), (1L, "y"), (3L, "z"))
+      .toDF("id", "v").createOrReplaceTempView("dml_dup_src")
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_dup t USING dml_dup_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(ex.getMessage.contains("more than one source row"))
+    // nothing committed: the table is untouched
+    assert(TxnLog.snapshot(spark, table).count() == 2)
+    assert(TxnLog.versions(spark, table).last == 1L)
+  }
+
   test("MERGE through the Scala API without SQL: LakeDml.mergeInto") {
     val table = Files.createTempDirectory("graft-dml-api").toString
     TxnLog.append(spark, table,
