@@ -70,13 +70,17 @@ object LakeDml {
       .filter(_._2.nonEmpty)
     if (touched.isEmpty) return Some(base)
 
-    val survivors = TxnLog.readAligned(spark, touched, merged).get
-      // null-valued predicates never delete: keep unless provably TRUE
-      .filter(not(cond <=> lit(true)))
+    val touchedRows = TxnLog.readAligned(spark, touched, merged).get
+    // null-valued predicates never delete: keep unless provably TRUE
+    val survivors = touchedRows.filter(not(cond <=> lit(true)))
+    // change capture: exactly the rows the predicate removed
+    val changes = touchedRows.filter(cond <=> lit(true))
+      .withColumn("_change_type", lit("delete"))
     TxnLog.appendCommit(spark, table, survivors, partitionCols,
       s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base),
-      removePaths = touched.flatMap(_._2.map(_.path)))
+      removePaths = touched.flatMap(_._2.map(_.path)),
+      cdc = Some(changes))
   }
 
   /** UPDATE <table> SET ... [WHERE <cond>]: rows where `cond` is TRUE
@@ -113,6 +117,11 @@ object LakeDml {
     // alias so the statement's qualified references (t.col) resolve
     val src0 = TxnLog.readAligned(spark, touched, merged).get
     val src = tableAlias.map(src0.alias).getOrElse(src0)
+    val assigned: Seq[org.apache.spark.sql.Column] =
+      merged.fields.toSeq.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }
     val out = src
       .select(merged.fields.toSeq.map { f =>
         set.get(f.name) match {
@@ -121,10 +130,18 @@ object LakeDml {
           case None => col(f.name)
         }
       }: _*)
+    // change capture: pre- and post-image of exactly the hit rows
+    val hitRows = src.filter(hit)
+    val changes = hitRows
+      .select(merged.fieldNames.map(col).toSeq: _*)
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(hitRows.select(assigned: _*)
+        .withColumn("_change_type", lit("update_postimage")))
     TxnLog.appendCommit(spark, table, out, partitionCols,
       s"update-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base),
-      removePaths = touched.flatMap(_._2.map(_.path)))
+      removePaths = touched.flatMap(_._2.map(_.path)),
+      cdc = Some(changes))
   }
 
   /** MERGE INTO <table> [AS targetAlias] USING <source> ON <onCond>,
@@ -279,17 +296,21 @@ object LakeDml {
       .when(col(sMark).isNull, chain(bySource, 300, 0))
       .otherwise(chain(notMatched, 200, -1))
 
-    val dropCodes: Seq[Any] = -1 +:
-      (matched.zipWithIndex.collect {
-        case (DeleteRows(_), i) => 100 + i } ++
-       bySource.zipWithIndex.collect {
-        case (DeleteRows(_), i) => 300 + i })
-    val kept = j.withColumn(actCol, act)
-      .filter(!col(actCol).isin(dropCodes: _*))
+    val deleteCodes: Seq[Int] =
+      matched.zipWithIndex.collect { case (DeleteRows(_), i) => 100 + i } ++
+      bySource.zipWithIndex.collect { case (DeleteRows(_), i) => 300 + i }
+    val dropCodes: Seq[Any] = -1 +: deleteCodes
+    val tagged = j.withColumn(actCol, act)
+    val kept = tagged.filter(!col(actCol).isin(dropCodes: _*))
 
-    val out = kept.select(merged.fields.toSeq.map { f =>
-      // a column added by schema evolution has no target side: its
-      // carried/base value is null everywhere
+    // carried/base value of each output column (the target side; a
+    // column added by schema evolution has no target side: null)
+    def baseValue(f: org.apache.spark.sql.types.StructField): Column =
+      (if (targetSchema.fieldNames.contains(f.name))
+        col(s"$targetAlias.${f.name}")
+      else lit(null)).cast(f.dataType).as(f.name)
+    val baseCols = merged.fields.toSeq.map(baseValue)
+    val outCols: Seq[Column] = merged.fields.toSeq.map { f =>
       var v: Column =
         if (targetSchema.fieldNames.contains(f.name))
           col(s"$targetAlias.${f.name}")
@@ -308,11 +329,35 @@ object LakeDml {
           ins.values.getOrElse(f.name, lit(null))).otherwise(v)
       }
       v.cast(f.dataType).as(f.name)
-    }: _*)
+    }
+    val out = kept.select(outCols: _*)
+
+    // change capture per clause class, over the same tagged join
+    val insertCodes: Seq[Any] = notMatched.indices.map(200 + _)
+    val updateCodes: Seq[Any] =
+      matched.zipWithIndex.collect { case (UpdateRows(_, _), i) => 100 + i } ++
+      bySource.zipWithIndex.collect { case (UpdateRows(_, _), i) => 300 + i }
+    val ct = "_change_type"
+    val pieces = Seq(
+      if (insertCodes.isEmpty) None else Some(
+        tagged.filter(col(actCol).isin(insertCodes: _*))
+          .select(outCols: _*).withColumn(ct, lit("insert"))),
+      if (updateCodes.isEmpty) None else Some(
+        tagged.filter(col(actCol).isin(updateCodes: _*))
+          .select(baseCols: _*).withColumn(ct, lit("update_preimage"))),
+      if (updateCodes.isEmpty) None else Some(
+        tagged.filter(col(actCol).isin(updateCodes: _*))
+          .select(outCols: _*).withColumn(ct, lit("update_postimage"))),
+      if (deleteCodes.isEmpty) None else Some(
+        tagged.filter(col(actCol).isin(deleteCodes.map(c => c: Any): _*))
+          .select(baseCols: _*).withColumn(ct, lit("delete")))
+    ).flatten
+    val changes = pieces.reduceOption(_ unionByName _)
 
     TxnLog.appendCommit(spark, table, out, partitionCols,
       s"merge-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base),
-      removePaths = touched.flatMap(_._2.map(_.path)))
+      removePaths = touched.flatMap(_._2.map(_.path)),
+      cdc = changes)
   }
 }

@@ -70,7 +70,7 @@ object TxnLog {
     */
   final case class Manifest(version: Long, commitDir: String,
       entries: Seq[FileEntry], schemaJson: String, removed: Seq[String],
-      timestampMs: Long = 0L) {
+      timestampMs: Long = 0L, cdc: Seq[String] = Nil) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def files: Seq[String] = entries.map(_.path)
@@ -116,15 +116,18 @@ object TxnLog {
   // Paths are absolute FS URIs — they never start with '-' and never
   // contain '\t' or '\n', so the format needs no quoting.
 
-  private def bodyLines(entries: Seq[FileEntry], removed: Seq[String]): Seq[String] =
-    removed.map("-" + _) ++ entries.map { e =>
+  private def bodyLines(entries: Seq[FileEntry], removed: Seq[String],
+      cdc: Seq[String] = Nil): Seq[String] =
+    removed.map("-" + _) ++ cdc.map("~" + _) ++ entries.map { e =>
       val sz = if (e.size >= 0) Seq(e.size.toString) else Nil
       val st = if (e.stats.isEmpty) Nil else Seq(FileStats.encode(e.stats))
       (e.path +: (sz ++ st)).mkString("\t")
     }
 
-  private def parseBody(lines: Seq[String]): (Seq[FileEntry], Seq[String]) = {
-    val (rm, files) = lines.partition(_.startsWith("-"))
+  private def parseBody(lines: Seq[String])
+      : (Seq[FileEntry], Seq[String], Seq[String]) = {
+    val (rm, rest) = lines.partition(_.startsWith("-"))
+    val (cdc, files) = rest.partition(_.startsWith("~"))
     val entries = files.map { l =>
       val parts = l.split('\t')
       var size = -1L
@@ -135,7 +138,7 @@ object TxnLog {
       }
       FileEntry(parts(0), stats, size)
     }
-    (entries, rm.map(_.drop(1)))
+    (entries, rm.map(_.drop(1)), cdc.map(_.drop(1)))
   }
 
   /** The commitDir header line optionally carries the commit's wall-clock
@@ -154,9 +157,9 @@ object TxnLog {
     val p = manifestPath(table, v)
     // line format: version \n commitDir[\tts] \n schemaJson \n body lines...
     val lines = readFully(fs(spark, p), p).split('\n')
-    val (entries, removed) = parseBody(lines.drop(3).toSeq)
+    val (entries, removed, cdc) = parseBody(lines.drop(3).toSeq)
     val (dir, ts) = parseDirLine(lines(1))
-    Manifest(lines(0).toLong, dir, entries, lines(2), removed, ts)
+    Manifest(lines(0).toLong, dir, entries, lines(2), removed, ts, cdc)
   }
 
   private def readFully(f: FileSystem, p: Path): String = {
@@ -173,7 +176,7 @@ object TxnLog {
   private def serializeCheckpoint(ms: Seq[Manifest]): String = {
     val recs = ms.map { m =>
       val lines = Seq(m.version.toString, dirLine(m.commitDir, m.timestampMs),
-        m.schemaJson) ++ bodyLines(m.entries, m.removed)
+        m.schemaJson) ++ bodyLines(m.entries, m.removed, m.cdc)
       (lines.length.toString +: lines).mkString("\n")
     }
     (s"GRAFT_CKPT_V1" +: ms.length.toString +: recs).mkString("\n")
@@ -188,9 +191,9 @@ object TxnLog {
       val len = lines(at).toInt
       val rec = lines.slice(at + 1, at + 1 + len)
       at += 1 + len
-      val (entries, removed) = parseBody(rec.drop(3).toSeq)
+      val (entries, removed, cdc) = parseBody(rec.drop(3).toSeq)
       val (dir, ts) = parseDirLine(rec(1))
-      Manifest(rec(0).toLong, dir, entries, rec(2), removed, ts)
+      Manifest(rec(0).toLong, dir, entries, rec(2), removed, ts, cdc)
     }
   }
 
@@ -661,7 +664,7 @@ object TxnLog {
   private[lake] def appendCommit(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String], commitId: String, txnId: Option[String],
       requireBase: Option[Long], removePaths: Seq[String],
-      maxRetries: Int = 10): Option[Long] = {
+      maxRetries: Int = 10, cdc: Option[DataFrame] = None): Option[Long] = {
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
@@ -680,21 +683,32 @@ object TxnLog {
       var w = df.write.mode("errorifexists")
       if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
       w.parquet(commitDir.toString)
+      // row-level change capture (DML writers): the change rows land in
+      // a _cdc/ subdir of the SAME unique commit dir, so crash cleanup
+      // and vacuum treat data + changes as one unit
+      cdc.foreach(_.write.mode("errorifexists")
+        .parquet(new Path(commitDir, "_cdc").toString))
     } finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
     }
     val f = fs(spark, commitDir)
-    val files = {
-      val it = f.listFiles(commitDir, true)
+    def list(dir: Path, excludeCdc: Boolean): Seq[(String, Long)] = {
+      if (!f.exists(dir)) return Nil
+      val it = f.listFiles(dir, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       while (it.hasNext) {
         val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet"))
+        if (st.getPath.getName.endsWith(".parquet") &&
+            (!excludeCdc || !st.getPath.toString.contains("/_cdc/")))
           buf += st.getPath.toString -> st.getLen
       }
       buf.sortBy(_._1).toSeq
     }
+    val files = list(commitDir, excludeCdc = true)
+    val cdcFiles =
+      if (cdc.isEmpty) Nil
+      else list(new Path(commitDir, "_cdc"), excludeCdc = false).map(_._1)
     // skipping stats from the just-written footers (metadata-only).
     // Partition columns live in the path, not the file: exclude them.
     val statsSchema = StructType(df.schema.fields
@@ -723,7 +737,7 @@ object TxnLog {
       val body = (Seq(next.toString,
         dirLine(commitDir.toString, System.currentTimeMillis()),
         df.schema.json) ++
-        bodyLines(entries, removePaths)).mkString("\n")
+        bodyLines(entries, removePaths, cdcFiles)).mkString("\n")
       if (publishAtomic(spark, manifestPath(table, next), body)) {
         if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
         return Some(next)
@@ -919,6 +933,68 @@ object TxnLog {
     }
     val merged = picked.map(_.schema).reduce(SchemaRegistry.merge)
     readAligned(spark, picked.map(m => (m, m.entries)), merged).get
+  }
+
+  /** Row-level CHANGE DATA FEED for commits in `(fromExclusive,
+    * toInclusive]` — Delta CDF's shape: the table's columns plus
+    * `_change_type` (`insert` | `update_preimage` | `update_postimage`
+    * | `delete`) and `_commit_version`. Append commits synthesize
+    * `insert` rows from their data files; DML rewrite commits read the
+    * change rows their writer captured at commit time (a `_cdc/` subdir
+    * recorded in the manifest) — reading a rewrite's DATA files would
+    * re-emit every carried row, which is exactly what this feed avoids.
+    * `compact-`/`optimize-` commits change layout, not rows: skipped.
+    *
+    * Fails LOUDLY on a DML rewrite commit written before change capture
+    * existed (silently skipping its rows would corrupt a downstream
+    * consumer) and on a vacuumed `fromExclusive`, like [[changes]].
+    */
+  def changeFeed(spark: SparkSession, table: String, fromExclusive: Long,
+      toInclusive: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val picked = changeEntries(spark, table, fromExclusive, toInclusive,
+      includeRewrites = true)
+    val parts = picked.flatMap { case (m, es) =>
+      val name = new Path(m.commitDir).getName
+      val isRewrite = Seq("merge-", "delete-", "update-")
+        .exists(name.startsWith)
+      if (name.startsWith("compact-") || name.startsWith("optimize-")) None
+      else if (isRewrite) {
+        require(m.cdc.nonEmpty || es.isEmpty && m.removed.isEmpty,
+          s"version ${m.version} of $table is a DML rewrite written " +
+            "before change capture existed; its row-level changes are " +
+            "unrecoverable (start the feed after it)")
+        if (m.cdc.isEmpty) None
+        else Some(spark.read.parquet(m.cdc: _*)
+          .withColumn("_commit_version", lit(m.version)))
+      } else if (es.isEmpty) None
+      else Some(spark.read.option("basePath", m.commitDir)
+        .schema(m.schema).parquet(es.map(_.path): _*)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(m.version)))
+    }
+    if (parts.isEmpty) {
+      val schema = org.apache.spark.sql.types.StructType(
+        schemaOf(spark, table).fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    // align to the union schema (commits may differ under evolution)
+    val merged = parts.map(p => org.apache.spark.sql.types.StructType(
+        p.schema.fields.filterNot(f =>
+          f.name == "_change_type" || f.name == "_commit_version")))
+      .reduce(SchemaRegistry.merge)
+    parts.map { p =>
+      val present = p.columns.toSet
+      p.select((merged.fields.toSeq.map { f =>
+        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ col("_change_type") :+ col("_commit_version")): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Planning surface for external readers (the Catalyst

@@ -329,9 +329,34 @@ object Etl extends QueryPack {
     out
   }
 
+  /** Change-data-feed gate: three append commits then a SQL DELETE;
+    * the feed must emit every appended row as `insert` (versioned by
+    * chunk) and exactly the deleted rows as `delete` at the DML
+    * version — oracled as the DuckDB UNION of the same classification.
+    */
+  def lakeChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_cdf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q97_orders", table)
+    s.sql("""DELETE FROM q97_orders
+            |WHERE o_orderkey >= 200 AND o_orderkey < 450
+            |  AND o_orderstatus = 'F'""".stripMargin)
+    graft.lake.TxnLog.changeFeed(s, table, fromExclusive = 0L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
     "q96_lake_dsv2" -> lakeDsv2Batch _,
+    "q97_change_feed" -> lakeChangeFeed _,
     "q92_sql_delete" -> sqlDelete _,
     "q93_sql_merge" -> sqlMerge _,
     "q95_sql_update" -> sqlUpdate _,
@@ -349,6 +374,19 @@ object Etl extends QueryPack {
     "q96_lake_dsv2" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey BETWEEN 600 AND 900""".stripMargin,
+    "q97_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, 'insert' AS _change_type,
+        |  CAST(CASE WHEN o_orderkey < 500 THEN 1
+        |            WHEN o_orderkey < 1000 THEN 2 ELSE 3 END
+        |    AS BIGINT) AS _commit_version
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, 'delete', CAST(4 AS BIGINT)
+        |FROM orders
+        |WHERE o_orderkey >= 200 AND o_orderkey < 450
+        |  AND o_orderstatus = 'F'""".stripMargin,
     "q95_sql_update" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey >= 600 AND o_orderkey < 900

@@ -282,6 +282,52 @@ class LakeDmlSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
   }
 
+  test("change data feed: inserts, update pre/post images, deletes") {
+    val table = Files.createTempDirectory("graft-dml-cdf").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)) // v1
+    LakeMounts.mount(spark, "dml_cdf", table)
+    spark.sql("UPDATE dml_cdf SET v = 'B' WHERE id = 2")                // v2
+    spark.sql("DELETE FROM dml_cdf WHERE id = 3")                       // v3
+    Seq((1L, "A"), (9L, "i")).toDF("id", "v")
+      .createOrReplaceTempView("dml_cdf_src")
+    spark.sql(
+      """MERGE INTO dml_cdf t USING dml_cdf_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)                 // v4
+
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = 0L)
+      .as[(Long, String, String, Long)].collect()
+      .map { case (id, v, ct, ver) => (ver, ct, id, v) }.sorted.toList
+    assert(feed == List(
+      (1L, "insert", 1L, "a"), (1L, "insert", 2L, "b"), (1L, "insert", 3L, "c"),
+      (2L, "update_postimage", 2L, "B"), (2L, "update_preimage", 2L, "b"),
+      (3L, "delete", 3L, "c"),
+      (4L, "insert", 9L, "i"),
+      (4L, "update_postimage", 1L, "A"), (4L, "update_preimage", 1L, "a")))
+
+    // a bounded range reads exactly those commits' changes
+    val v2only = TxnLog.changeFeed(spark, table, 1L, 2L)
+      .select("_change_type").as[String].collect().sorted
+    assert(v2only.toSeq == Seq("update_postimage", "update_preimage"))
+
+    // replaying the final state from the feed reproduces the snapshot
+    val snap = TxnLog.snapshot(spark, table).as[(Long, String)]
+      .collect().toSet
+    assert(snap == Set((1L, "A"), (2L, "B"), (9L, "i")))
+  }
+
+  test("change feed skips OPTIMIZE layout commits, keeps DML changes") {
+    val table = threeChunkTable("graft-dml-cdf2")
+    LakeMounts.mount(spark, "dml_cdf2", table)
+    spark.sql("DELETE FROM dml_cdf2 WHERE id = 150")        // v4: 1 delete
+    spark.sql("OPTIMIZE dml_cdf2")                          // v5: layout only
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = 3L)
+    assert(feed.select("_change_type").as[String].collect().toSeq ==
+      Seq("delete"))
+    assert(feed.select("id").as[Long].head() == 150L)
+  }
+
   test("DELETE/MERGE over an unmounted table still fails analysis") {
     val ex = intercept[Exception] {
       spark.sql("DELETE FROM range(10) WHERE id = 1").collect()
