@@ -43,6 +43,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "— asof_nearest(l.time, r.time) as an ON conjunct"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.graft.AsOfNearestMarker(exprs(0), exprs(1))))
+    // Delta-parity TVF: SELECT * FROM table_changes('mount', from[, to])
+    // — the lake's row-level change feed as a table source
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "change data feed of a mounted lake table: " +
+          "table_changes(name, fromVersionExclusive[, toVersionInclusive])"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "table_changes(name, fromVersionExclusive[, toVersionInclusive])")
+        require(exprs.forall(_.foldable),
+          "table_changes arguments must be literals")
+        def num(e: Expression): Long = e.eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"table_changes versions must be integers, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val name = String.valueOf(exprs(0).eval())
+        val path = org.apache.spark.sql.graft.LakeMounts.pathOf(spark, name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_changes: '$name' is not a mounted lake table " +
+              "(LakeMounts.mount / SqlMain name=path)"))
+        graft.lake.TxnLog.changeFeed(spark, path, num(exprs(1)),
+            exprs.lift(2).map(num).getOrElse(Long.MaxValue))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.COSINE_FN),
       info(GraftFunctions.COSINE_FN,

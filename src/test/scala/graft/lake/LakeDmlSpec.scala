@@ -328,6 +328,29 @@ class LakeDmlSpec extends SparkSpec {
     assert(feed.select("id").as[Long].head() == 150L)
   }
 
+  test("table_changes TVF reads the feed through plain SQL") {
+    val table = Files.createTempDirectory("graft-dml-tvf").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    LakeMounts.mount(spark, "dml_tvf", table)
+    spark.sql("DELETE FROM dml_tvf WHERE id = 2")
+    val got = spark.sql(
+      "SELECT id, _change_type, _commit_version FROM table_changes('dml_tvf', 0)")
+      .as[(Long, String, Long)].collect().sorted.toList
+    assert(got == List((1L, "insert", 1L), (2L, "delete", 2L),
+      (2L, "insert", 1L)))
+    // bounded range
+    assert(spark.sql("SELECT count(*) FROM table_changes('dml_tvf', 1, 2)")
+      .as[Long].head() == 1L)
+    // unmounted name fails with a pointed message
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('nope_not_mounted', 0)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("not a mounted lake table")))
+  }
+
   test("DELETE/MERGE over an unmounted table still fails analysis") {
     val ex = intercept[Exception] {
       spark.sql("DELETE FROM range(10) WHERE id = 1").collect()
