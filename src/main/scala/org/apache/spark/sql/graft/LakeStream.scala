@@ -117,6 +117,83 @@ class LakeStreamProvider extends StreamSourceProvider with RelationProvider
   }
 }
 
+/** Streaming CHANGE DATA FEED source — `graftlake-cdf`: every
+  * micro-batch delivers the row-level changes ([[TxnLog.changeFeed]])
+  * of the commits in the offset range, so a consumer materializes
+  * inserts, update pre/post images, and deletes exactly once:
+  *
+  * {{{
+  * spark.readStream.format("graftlake-cdf").load(tablePath)
+  *   // table columns + _change_type + _commit_version
+  * }}}
+  *
+  * A deliberate SECOND format name (plain V1 `Source` — the feed mixes
+  * synthesized insert scans with captured change files, which the
+  * file-partition template of the DSv2 stream cannot express):
+  * `option("startingVersion", v)` as in `graftlake`. Offsets are log
+  * versions, checkpointed by the engine.
+  */
+class LakeChangeFeedProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName: String = "graftlake-cdf"
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graftlake-cdf needs .load(<table path>)"))
+
+  private def feedSchema(spark: SparkSession, table: String): StructType =
+    StructType(TxnLog.schemaOf(spark, table).fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graftlake-cdf", schema.getOrElse(
+      feedSchema(ctx.sparkSession, tableOf(parameters))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val table = tableOf(parameters)
+    new LakeChangeFeedSource(ctx.sparkSession, table,
+      schema.getOrElse(feedSchema(ctx.sparkSession, table)),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+  }
+}
+
+class LakeChangeFeedSource(spark: SparkSession, table: String,
+    streamSchema: StructType, startingVersion: Long) extends Source {
+
+  override def schema: StructType = streamSchema
+
+  override def getOffset: Option[Offset] = {
+    val vs = TxnLog.versions(spark, table)
+    if (vs.isEmpty || vs.last <= startingVersion) None
+    else Some(LongOffset(vs.last))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(LakeStreamSource.asLong)
+      .getOrElse(startingVersion)
+    val out = TxnLog.changeFeed(spark, table, from,
+      LakeStreamSource.asLong(end))
+    val present = out.columns.toSet
+    val aligned = out.select(streamSchema.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    LakeStreamSource.asStreaming(spark, aligned)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeChangeFeedSource[$table]"
+}
+
 /** V1 streaming sink over the lake log (Delta shipped its sink on this
   * API for years — the V2 write path adds machinery, not semantics).
   * Exactly-once: the txn id `<appId>#<batchId>` makes a replayed batch
@@ -161,13 +238,35 @@ class LakeStreamSource(spark: SparkSession, table: String,
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    // the engine requires getBatch's plan to be STREAMING; flip the leaf
-    // relations the way FileStreamSource builds its per-batch relation
-    val plan = aligned.queryExecution.analyzed.transform {
+    LakeStreamSource.asStreaming(spark, aligned)
+  }
+
+  private def asLong(o: Offset): Long = LakeStreamSource.asLong(o)
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeStreamSource[$table]"
+}
+
+object LakeStreamSource {
+
+  /** The engine replays checkpointed offsets as SerializedOffset(json);
+    * LongOffset's json is just the number.
+    */
+  private[graft] def asLong(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  /** The engine requires getBatch's plan to be STREAMING; flip the leaf
+    * relations the way FileStreamSource builds its per-batch relation
+    * (an empty LogicalRDD becomes an empty streaming LocalRelation).
+    */
+  private[graft] def asStreaming(spark: SparkSession,
+      df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed.transform {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.copy(isStreaming = true)
-      // changes() returns an empty LogicalRDD when nothing is in range;
-      // an empty streaming LocalRelation is the same rows, streamable
       case rdd: org.apache.spark.sql.execution.LogicalRDD =>
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
           rdd.output, Nil, isStreaming = true)
@@ -175,16 +274,4 @@ class LakeStreamSource(spark: SparkSession, table: String,
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   }
-
-  /** The engine replays checkpointed offsets as SerializedOffset(json);
-    * LongOffset's json is just the number.
-    */
-  private def asLong(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
-  }
-
-  override def stop(): Unit = ()
-
-  override def toString: String = s"LakeStreamSource[$table]"
 }

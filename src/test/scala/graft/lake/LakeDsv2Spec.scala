@@ -114,6 +114,43 @@ class LakeDsv2Spec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("graftlake-cdf streams row-level changes exactly once") {
+    val root = Files.createTempDirectory("graft-cdf-stream")
+    val table = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftlake-cdf").load(table)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "insert", 1L), (2L, "insert", 1L)))
+
+    // a DML commit streams as its captured change rows, exactly once
+    org.apache.spark.sql.graft.LakeMounts.mount(spark, "cdf_stream_t", table)
+    spark.sql("UPDATE cdf_stream_t SET v = 'B' WHERE id = 2")
+    drain()
+    val all = spark.read.parquet(out)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(all == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L)))
+
+    // idle drain: nothing new
+    drain()
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
   test("sink rejects non-append output modes loudly") {
     val root = Files.createTempDirectory("graft-dsv2-mode")
     val src = root.resolve("src").toString
