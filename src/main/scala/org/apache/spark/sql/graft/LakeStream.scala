@@ -200,11 +200,21 @@ class LakeChangeFeedSource(spark: SparkSession, table: String,
   * a committed-txn no-op, and the commit itself is atomic.
   */
 class LakeStreamSink(table: String, partitionCols: Seq[String],
-    appId: String) extends org.apache.spark.sql.execution.streaming.Sink {
+    fallbackAppId: String) extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark =
       data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // txn identity: the streaming QUERY id (stable across restarts —
+    // persisted in the checkpoint; the engine sets it as a local
+    // property during addBatch, Delta's idiom). A crash between this
+    // commit and the engine's offset commit replays the SAME
+    // (queryId, batchId) and no-ops; the checkpoint-path fallback
+    // covers non-engine callers.
+    val appId = Option(spark.sparkContext
+        .getLocalProperty(org.apache.spark.sql.execution.streaming
+          .runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse(fallbackAppId)
     // the engine hands a micro-batch plan that must not be re-analyzed
     // as a batch query; re-wrap its executed rows (FileStreamSink's own
     // pattern) and commit them through the ordinary transactional write
