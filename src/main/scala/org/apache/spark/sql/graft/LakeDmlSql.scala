@@ -57,10 +57,20 @@ object LakeMounts {
     df.createOrReplaceTempView(name)
     df
   }
+
+  /** Forget the mount and drop its view; a no-op for unknown names. */
+  def unmount(spark: SparkSession, name: String): Unit = {
+    spark.conf.unset(key(name))
+    spark.catalog.dropTempView(name)
+  }
 }
 
 object LakeDmlSql {
 
+  private val MountRe =
+    """(?is)^\s*MOUNT\s+'([^']+)'\s+AS\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val UnmountRe =
+    """(?is)^\s*UNMOUNT\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val OptimizeRe =
@@ -75,6 +85,10 @@ object LakeDmlSql {
     */
   def maintenance(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case MountRe(path, name) =>
+        Some(LakeMountCommand(name, path, unmount = false))
+      case UnmountRe(name) if LakeMounts.pathOf(spark, name).isDefined =>
+        Some(LakeMountCommand(name, "", unmount = true))
       case VacuumRe(name, hours) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeVacuumCommand(name, path,
@@ -300,6 +314,23 @@ object LakeDmlSql {
     }
     override def simpleString(maxFields: Int): String =
       s"LakeUpdateCommand $name"
+  }
+
+  /** `MOUNT '<lake path>' AS name` / `UNMOUNT name` — the SQL-only way
+    * to bring a lake table into (or out of) the session: view + DML
+    * target + `table_changes` source in one statement.
+    */
+  final case class LakeMountCommand(name: String, path: String,
+      unmount: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(AttributeReference(
+      "name", org.apache.spark.sql.types.StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (unmount) LakeMounts.unmount(spark, name)
+      else LakeMounts.mount(spark, name, path)
+      Seq(Row(name))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"${if (unmount) "Unmount" else "Mount"}Command $name"
   }
 
   final case class LakeVacuumCommand(name: String, path: String,

@@ -328,6 +328,24 @@ class LakeDmlSpec extends SparkSpec {
     assert(feed.select("id").as[Long].head() == 150L)
   }
 
+  test("MOUNT and UNMOUNT manage lake tables through plain SQL") {
+    val table = Files.createTempDirectory("graft-dml-mount").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    spark.sql(s"MOUNT '$table' AS dml_mnt")
+    assert(spark.sql("SELECT count(*) FROM dml_mnt").as[Long].head() == 2L)
+    // the mount is a full DML target immediately
+    spark.sql("DELETE FROM dml_mnt WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM dml_mnt").as[Long].head() == 1L)
+    spark.sql("UNMOUNT dml_mnt")
+    assert(org.apache.spark.sql.graft.LakeMounts
+      .pathOf(spark, "dml_mnt").isEmpty)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM dml_mnt").collect()
+    }
+    assert(ex != null) // the view is gone too
+  }
+
   test("table_changes TVF reads the feed through plain SQL") {
     val table = Files.createTempDirectory("graft-dml-tvf").toString
     TxnLog.append(spark, table,
