@@ -48,10 +48,21 @@ object Bench {
       while (i < runs && { t = exec(n); t >= 0 }) i += 1
       n -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // full-name detail line first (for humans reading the whole log) ...
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+    // ... then a compact line LAST, under ~1.4 KB (qNN keys, ms precision):
+    // the harness that collects this output keeps only the final ~2000
+    // characters, and the full-name line is ~3 KB — it has never fit, so
+    // no round's numbers machine-parsed. The short line always fits even
+    // with the build tool's trailing status line after it.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
