@@ -83,6 +83,21 @@ object FileStats {
     case _ => 0
   }
 
+  /** [[collect]] plus the file's exact ROW COUNT (the sum of its row
+    * groups' counts — same footer, no extra I/O). The row count feeds
+    * manifest-level `count(*)` shortcuts; it is exact by parquet's
+    * format contract, not a statistic that can be absent.
+    */
+  def collectWithRows(conf: Configuration, file: String,
+      schema: StructType): (Map[String, ColStats], Long) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      (collectFrom(reader, schema), rows)
+    } finally reader.close()
+  }
+
   /** Read one file's footer and aggregate row-group stats per column.
     * A column is dropped (conservative "no pruning") when any row group
     * carries no statistics at all; all-null row groups contribute nothing
@@ -90,13 +105,18 @@ object FileStats {
     */
   def collect(conf: Configuration, file: String,
       schema: StructType): Map[String, ColStats] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try collectFrom(reader, schema) finally reader.close()
+  }
+
+  private def collectFrom(reader: ParquetFileReader,
+      schema: StructType): Map[String, ColStats] = {
     val leaves = leafColumns(schema)
     val tags = leaves.flatMap { case (n, dt) => tagFor(dt).map(n -> _) }.toMap
     val scales = leaves.map { case (n, dt) => n -> scaleFor(dt) }.toMap
-    if (tags.isEmpty) return Map.empty
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), conf))
-    try {
+    if (tags.isEmpty) Map.empty
+    else {
       val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
       val invalid = scala.collection.mutable.Set.empty[String]
       for (block <- reader.getFooter.getBlocks.asScala;
@@ -131,7 +151,7 @@ object FileStats {
         val t = tags(name)
         name -> ColStats(t, render(t, lo), render(t, hi))
       }.toMap
-    } finally reader.close()
+    }
   }
 
   private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue
@@ -191,6 +211,28 @@ object FileStats {
       val Array(c, t, lo, hi) = rec.split(':')
       unb64(c) -> ColStats(t(0), unb64(lo), unb64(hi))
     }.toMap
+
+  private def cmpStat(tag: Char, a: String, b: String): Int = tag match {
+    case 'l' => java.lang.Long.compare(a.toLong, b.toLong)
+    case 'd' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case 's' => cmpUtf8(a, b)
+    case 'm' => new java.math.BigDecimal(a)
+      .compareTo(new java.math.BigDecimal(b))
+  }
+
+  /** Fold two files' bounds into the bounds of their union — the
+    * manifest-level MIN/MAX aggregation (`LakeMetadataAgg`). Footer
+    * bounds are actual data values for every tag we record (parquet-mr
+    * truncates column-index bounds, not footer statistics; values too
+    * large to keep drop the stats entirely, which reads as absence =
+    * no shortcut), so the fold is exact.
+    */
+  def union(a: ColStats, b: ColStats): ColStats = {
+    require(a.tag == b.tag, s"mismatched stats tags: ${a.tag} vs ${b.tag}")
+    ColStats(a.tag,
+      if (cmpStat(a.tag, a.min, b.min) <= 0) a.min else b.min,
+      if (cmpStat(a.tag, a.max, b.max) >= 0) a.max else b.max)
+  }
 
   /** Normalize a requested bound to the stats' comparison domain. */
   private def typed(tag: Char, v: Any): Any = (tag, v) match {

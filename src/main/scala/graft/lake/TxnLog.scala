@@ -54,8 +54,15 @@ object TxnLog {
     * and its size in bytes (-1 = unknown, pre-size-recording manifests —
     * readers that need it fall back to one FS listing per commit).
     */
+  /** `size`/`rows` are -1 when the manifest predates their recording
+    * (readers fall back: one dir listing for sizes, no count shortcut
+    * for rows). `rows` is the file's exact parquet row count, harvested
+    * from the same footer read as the stats — it makes `count(*)` a
+    * metadata-only query (see `LakeMetadataAgg`).
+    */
   final case class FileEntry(path: String,
-      stats: Map[String, FileStats.ColStats], size: Long = -1L)
+      stats: Map[String, FileStats.ColStats], size: Long = -1L,
+      rows: Long = -1L)
 
   /** An inclusive column-range predicate for stats-pruned snapshot reads;
     * `None` bounds are open. Values compare in the column's natural
@@ -97,6 +104,29 @@ object TxnLog {
       .map(_.stripSuffix(".json").toLong).sorted.toSeq
   }
 
+  /** The newest version whose recorded commit time is <= `tsMs` —
+    * `TIMESTAMP AS OF` resolution (Delta's timestamp time travel). Reads
+    * one manifest per probe DESCENDING from the latest version, so
+    * recent timestamps resolve after O(1) manifest reads. Manifests
+    * written before commit times were recorded carry 0 (epoch) and
+    * therefore satisfy any non-negative timestamp. Fails loudly when
+    * `tsMs` predates the earliest retained commit — silently returning
+    * the earliest version would hand back data that did not exist at
+    * the requested time.
+    */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+      tsMs: Long): Long = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    vs.reverseIterator
+      .find(v => readManifest(spark, table, v).timestampMs <= tsMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMs)} predates " +
+          s"the earliest retained commit of $table (version ${vs.head} at " +
+          s"${java.time.Instant.ofEpochMilli(
+            readManifest(spark, table, vs.head).timestampMs)})"))
+  }
+
   /** All checkpoint versions, ascending (one dir listing, no file reads). */
   def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = logDir(table)
@@ -110,18 +140,22 @@ object TxnLog {
   // ---- manifest body lines (shared by manifests and checkpoints) ----
   // After the 3 header lines (version, commitDir, schemaJson), each line
   // is "-<path>" (a file superseded by this commit) or a data file:
-  // tab-separated <path> [<sizeBytes>] [<statsEnc>]. The size field is
-  // all digits and a stats encoding always contains ':', so the two are
-  // distinguishable and both optional (older manifests parse fine).
-  // Paths are absolute FS URIs — they never start with '-' and never
-  // contain '\t' or '\n', so the format needs no quoting.
+  // tab-separated <path> [<sizeBytes>] [<rowCount>] [<statsEnc>]. The
+  // numeric fields are all digits and a stats encoding always contains
+  // ':', so the kinds are distinguishable and all optional; of the
+  // digit fields, the FIRST is the size and the SECOND the row count
+  // (a row count is only ever written alongside a size, so older
+  // single-digit-field manifests keep parsing as size-only). Paths are
+  // absolute FS URIs — they never start with '-' and never contain
+  // '\t' or '\n', so the format needs no quoting.
 
   private def bodyLines(entries: Seq[FileEntry], removed: Seq[String],
       cdc: Seq[String] = Nil): Seq[String] =
     removed.map("-" + _) ++ cdc.map("~" + _) ++ entries.map { e =>
       val sz = if (e.size >= 0) Seq(e.size.toString) else Nil
+      val rw = if (e.size >= 0 && e.rows >= 0) Seq(e.rows.toString) else Nil
       val st = if (e.stats.isEmpty) Nil else Seq(FileStats.encode(e.stats))
-      (e.path +: (sz ++ st)).mkString("\t")
+      (e.path +: (sz ++ rw ++ st)).mkString("\t")
     }
 
   private def parseBody(lines: Seq[String])
@@ -131,12 +165,13 @@ object TxnLog {
     val entries = files.map { l =>
       val parts = l.split('\t')
       var size = -1L
+      var rows = -1L
       var stats = Map.empty[String, FileStats.ColStats]
       parts.drop(1).filter(_.nonEmpty).foreach { f =>
-        if (f.forall(_.isDigit)) size = f.toLong
+        if (f.forall(_.isDigit)) { if (size < 0) size = f.toLong else rows = f.toLong }
         else stats = FileStats.decode(f)
       }
-      FileEntry(parts(0), stats, size)
+      FileEntry(parts(0), stats, size, rows)
     }
     (entries, rm.map(_.drop(1)), cdc.map(_.drop(1)))
   }
@@ -286,6 +321,32 @@ object TxnLog {
   def append(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String] = Nil, maxRetries: Int = 10): Long =
     appendTxn(spark, table, df, partitionCols, None, maxRetries)
+
+  /** Replace the table's entire contents with `df` in ONE atomic
+    * `overwrite-` commit (SQL `INSERT OVERWRITE`): every live file is
+    * superseded in the new manifest — a logical remove, the bytes stay
+    * for time travel until [[vacuum]] — and `df`'s rows land as the only
+    * live data. Readers see the old or the new table, never a mix.
+    * Returns None on a lost append race (re-run on the new base).
+    *
+    * [[changeFeed]] synthesizes this commit's row-level changes at READ
+    * time — pre-state rows as `delete`, the new files as `insert` — so
+    * overwrite pays no change-capture write amplification (Delta's
+    * add/remove-file synthesis, not its `_change_data` path).
+    */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Option[Long] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty,
+      s"$table has no commits; use append to create it")
+    val base = vs.last
+    val live = liveEntries(activeManifests(
+      manifestChain(spark, table, base)._1))
+    appendCommit(spark, table, df, partitionCols,
+      s"overwrite-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base),
+      removePaths = live.flatMap(_._2.map(_.path)))
+  }
 
   /** The txn id a commit directory name encodes, if any. New commits are
     * `txn-<8 hex>-<id>` (unique dir per attempt, so concurrent replays of
@@ -641,11 +702,13 @@ object TxnLog {
       files: Seq[(String, Long)], statsSchema: StructType,
       threshold: Int = DistributedStatsThreshold): Seq[FileEntry] = {
     def one(hc: org.apache.hadoop.conf.Configuration, p: String) =
-      try FileStats.collect(hc, p, statsSchema)
-      catch { case _: Exception => Map.empty[String, FileStats.ColStats] }
+      try FileStats.collectWithRows(hc, p, statsSchema)
+      catch { case _: Exception =>
+        (Map.empty[String, FileStats.ColStats], -1L) }
     if (files.length < threshold)
       files.map { case (p, len) =>
-        FileEntry(p, one(spark.sparkContext.hadoopConfiguration, p), len) }
+        val (stats, rows) = one(spark.sparkContext.hadoopConfiguration, p)
+        FileEntry(p, stats, len, rows) }
     else {
       val sconf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
@@ -653,9 +716,10 @@ object TxnLog {
       spark.sparkContext
         .parallelize(files, math.min(files.length, 256))
         .map { case (p, len) =>
-          val stats = try FileStats.collect(sconf.value, p, schema)
-            catch { case _: Exception => Map.empty[String, FileStats.ColStats] }
-          FileEntry(p, stats, len)
+          val (stats, rows) = try FileStats.collectWithRows(sconf.value, p, schema)
+            catch { case _: Exception =>
+              (Map.empty[String, FileStats.ColStats], -1L) }
+          FileEntry(p, stats, len, rows)
         }
         .collect().toSeq // partition concat preserves input order
     }
@@ -913,7 +977,10 @@ object TxnLog {
     * so an append-only consumer would double-count. With rewrites
     * skipped the stream is exactly-the-appends; consumers that need
     * upsert semantics read with `includeRewrites = true` and reconcile
-    * by key.
+    * by key. `overwrite-` commits are NOT skipped: nothing carries
+    * through an overwrite, so its data files are all genuinely new rows
+    * (an add-only consumer sees them as appends, with no retraction of
+    * the replaced rows — read [[changeFeed]] for the deletes).
     *
     * Fails LOUDLY when `fromExclusive` predates history removed by
     * `vacuum(truncateHistory = true)`: silently returning only the
@@ -954,11 +1021,38 @@ object TxnLog {
     import org.apache.spark.sql.functions.{col, lit}
     val picked = changeEntries(spark, table, fromExclusive, toInclusive,
       includeRewrites = true)
+    // pre-state planning for overwrite commits (metadata-only; one
+    // chain read shared by every overwrite in the range)
+    lazy val chainAll = {
+      val vs = versions(spark, table)
+      manifestChain(spark, table, math.min(toInclusive, vs.last))._1
+    }
+    def inserts(m: Manifest, es: Seq[FileEntry]): Option[DataFrame] =
+      if (es.isEmpty) None
+      else Some(spark.read.option("basePath", m.commitDir)
+        .schema(m.schema).parquet(es.map(_.path): _*)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(m.version)))
     val parts = picked.flatMap { case (m, es) =>
       val name = new Path(m.commitDir).getName
       val isRewrite = Seq("merge-", "delete-", "update-")
         .exists(name.startsWith)
       if (name.startsWith("compact-") || name.startsWith("optimize-")) None
+      else if (name.startsWith("overwrite-")) {
+        // INSERT OVERWRITE: changes are synthesized at read time — the
+        // files the commit superseded were the WHOLE pre-state, so its
+        // deletes are exactly the previous version's live rows, and its
+        // data files are exactly its inserts (no capture was written)
+        val prev = liveEntries(activeManifests(
+            chainAll.filter(_.version < m.version)))
+          .filter(_._2.nonEmpty)
+        val deletes = readAligned(spark, prev,
+            prev.map(_._1.schema).reduceOption(SchemaRegistry.merge)
+              .getOrElse(m.schema))
+          .map(_.withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(m.version)))
+        Seq(deletes, inserts(m, es)).flatten
+      }
       else if (isRewrite) {
         require(m.cdc.nonEmpty || es.isEmpty && m.removed.isEmpty,
           s"version ${m.version} of $table is a DML rewrite written " +
@@ -967,11 +1061,7 @@ object TxnLog {
         if (m.cdc.isEmpty) None
         else Some(spark.read.parquet(m.cdc: _*)
           .withColumn("_commit_version", lit(m.version)))
-      } else if (es.isEmpty) None
-      else Some(spark.read.option("basePath", m.commitDir)
-        .schema(m.schema).parquet(es.map(_.path): _*)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_version", lit(m.version)))
+      } else inserts(m, es)
     }
     if (parts.isEmpty) {
       val schema = org.apache.spark.sql.types.StructType(

@@ -174,18 +174,29 @@ object Etl extends QueryPack {
       col("l_orderkey"), col("l_partkey"), col("l_quantity"))
     // shuffle on an unrelated hash so every file spans both key domains
     graft.lake.TxnLog.append(s, table, li.repartition(8, col("l_quantity")))
+    // data-relative box: the lower fifth of each key domain, so the
+    // predicate is selective at EVERY sf (fixed literals covered the
+    // whole sf0.001 domain — nothing to prune); the oracle computes the
+    // same bounds with DuckDB subqueries
+    val Array(okMax, pkMax) = li
+      .agg(max("l_orderkey"), max("l_partkey")).head() match {
+        case r => Array(r.getLong(0) / 5, r.getLong(1) / 5)
+      }
     val ranges = Seq(
-      graft.lake.TxnLog.ColRange("l_orderkey", Some(0L), Some(3000L)),
-      graft.lake.TxnLog.ColRange("l_partkey", Some(0L), Some(400L)))
-    val before = graft.lake.TxnLog
-      .snapshotWhere(s, table, Map.empty, ranges = ranges).inputFiles.length
+      graft.lake.TxnLog.ColRange("l_orderkey", Some(0L), Some(okMax)),
+      graft.lake.TxnLog.ColRange("l_partkey", Some(0L), Some(pkMax)))
     require(graft.lake.TxnLog.compact(s, table, numFiles = 16,
       clusterBy = Seq("l_orderkey", "l_partkey")).isDefined,
       "z-order compaction lost a commit race on a private table")
+    // the claim: the box predicate prunes the CLUSTERED layout — planned
+    // files strictly under the post-compaction total (comparing against
+    // the pre-compaction count broke at sf0.001, where 8 shuffled input
+    // files compact into 16 clustered ones)
+    val total = graft.lake.TxnLog.snapshot(s, table).inputFiles.length
     val pruned = graft.lake.TxnLog
       .snapshotWhere(s, table, Map.empty, ranges = ranges)
-    require(pruned.inputFiles.length < before,
-      s"z-order stopped pruning: ${pruned.inputFiles.length} of $before")
+    require(pruned.inputFiles.length < total,
+      s"z-order stopped pruning: ${pruned.inputFiles.length} of $total")
     pruned
   }
 
@@ -353,8 +364,77 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.changeFeed(s, table, fromExclusive = 0L)
   }
 
+  /** SQL time-travel gate: the three-chunk orders lake, a SQL DELETE at
+    * version 4, then one result reading BOTH travel forms — `VERSION AS
+    * OF 3` must see the pre-delete table and `TIMESTAMP AS OF` a future
+    * constant must resolve to the post-delete head (newest commit
+    * at-or-before the time). Oracled as the DuckDB UNION of the same
+    * two states.
+    */
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_tt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q98_orders", table)
+    s.sql("""DELETE FROM q98_orders
+            |WHERE o_orderkey >= 200 AND o_orderkey < 450
+            |  AND o_orderstatus = 'F'""".stripMargin)
+    s.sql("""SELECT *, 'v3' AS _at FROM q98_orders VERSION AS OF 3
+            |UNION ALL
+            |SELECT *, 'head' AS _at
+            |FROM q98_orders TIMESTAMP AS OF TIMESTAMP '2099-01-01'
+            |""".stripMargin)
+  }
+
+  /** SQL INSERT gate: three synthetic rows `INSERT INTO` the mounted
+    * orders lake (positional VALUES, cast to the table schema), then an
+    * `INSERT OVERWRITE` that self-reads the table and keeps a filtered
+    * subset — one atomic superseding commit, asserted to replace EVERY
+    * live file. Oracled as the DuckDB filter + UNION of the same rows.
+    */
+  def sqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_ins_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q99_orders", table)
+    s.sql("""INSERT INTO q99_orders VALUES
+            |  (900001, 7, 'X', 111.25, TIMESTAMP '2031-01-01 00:00:00'),
+            |  (900002, 8, 'X', 222.50, TIMESTAMP '2031-01-02 00:00:00'),
+            |  (900003, 9, 'X', 333.75, TIMESTAMP '2031-01-03 00:00:00')
+            |""".stripMargin)
+    val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    s.sql("""INSERT OVERWRITE q99_orders
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |       o_orderdate
+            |FROM q99_orders
+            |WHERE o_orderkey < 1000 OR o_orderstatus = 'X'""".stripMargin)
+    val after = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    require((before & after).isEmpty,
+      s"INSERT OVERWRITE left ${(before & after).size} of ${before.size} " +
+        "files live; it must supersede every one")
+    graft.lake.TxnLog.snapshot(s, table)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
+    "q98_time_travel" -> sqlTimeTravel _,
+    "q99_sql_insert" -> sqlInsert _,
     "q96_lake_dsv2" -> lakeDsv2Batch _,
     "q97_change_feed" -> lakeChangeFeed _,
     "q92_sql_delete" -> sqlDelete _,
@@ -371,6 +451,24 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q98_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, 'v3' AS _at
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, 'head' AS _at
+        |FROM orders
+        |WHERE (o_orderkey >= 200 AND o_orderkey < 450
+        |       AND o_orderstatus = 'F') IS NOT TRUE""".stripMargin,
+    "q99_sql_insert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE o_orderkey < 1000
+        |UNION ALL
+        |SELECT 900001 + n, 7 + n,  'X', 111.25 + 111.25 * n,
+        |  TIMESTAMP '2031-01-01 00:00:00' + INTERVAL (n) DAY
+        |FROM range(3) t(n)""".stripMargin,
     "q96_lake_dsv2" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey BETWEEN 600 AND 900""".stripMargin,
@@ -425,8 +523,10 @@ object Etl extends QueryPack {
         |FROM orders WHERE o_orderkey >= 10000""".stripMargin,
     "q89_lake_zorder" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
-        |WHERE l_orderkey BETWEEN 0 AND 3000
-        |  AND l_partkey BETWEEN 0 AND 400""".stripMargin,
+        |WHERE l_orderkey BETWEEN 0
+        |  AND (SELECT max(l_orderkey) // 5 FROM lineitem)
+        |  AND l_partkey BETWEEN 0
+        |  AND (SELECT max(l_partkey) // 5 FROM lineitem)""".stripMargin,
     "q21_flatten_struct" ->
       """SELECT event_id,
         |  user_id AS payloadUid,

@@ -2,12 +2,12 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
 
 import graft.lake.{LakeDml, TxnLog}
 
@@ -103,9 +103,59 @@ object LakeDmlSql {
     }
 
   /** Swap a parsed DML statement over a mounted lake table for its
-    * runnable command; anything else passes through.
+    * runnable command, and resolve time travel over mounted tables
+    * anywhere in the FROM tree; anything else passes through.
     */
-  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
+  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    rewriteStatement(spark,
+      if (!plan.exists(_.isInstanceOf[RelationTimeTravel])) plan
+      else plan.transformUp {
+        case tt: RelationTimeTravel =>
+          timeTravel(spark, tt).getOrElse(tt)
+      })
+
+  /** `t VERSION AS OF n` / `t TIMESTAMP AS OF ts` where `t` is a
+    * mounted lake table: Spark's parser already produces
+    * [[RelationTimeTravel]] (it normally needs a DSv2 catalog table);
+    * resolve it here to the lake relation at that version, Delta's
+    * surface. A timestamp picks the newest commit at-or-before it
+    * ([[TxnLog.versionAtTimestamp]]). Unmounted names pass through to
+    * Spark's own resolution and its normal error.
+    */
+  private def timeTravel(spark: SparkSession,
+      tt: RelationTimeTravel): Option[LogicalPlan] = tt.relation match {
+    case u: UnresolvedRelation =>
+      val name = u.multipartIdentifier.last
+      LakeMounts.pathOf(spark, name).map { path =>
+        val v = tt.version match {
+          case Some(s) =>
+            try s.toLong catch { case _: NumberFormatException =>
+              sys.error(s"VERSION AS OF $s: lake versions are numeric") }
+          case None =>
+            val e = tt.timestamp.getOrElse(sys.error(
+              "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
+            require(e.foldable,
+              s"TIMESTAMP AS OF must be a constant expression: ${e.sql}")
+            val zone = spark.sessionState.conf.sessionLocalTimeZone
+            val micros = Cast(e, TimestampType, Some(zone)).eval() match {
+              case l: java.lang.Long => l.longValue()
+              case _ => sys.error(
+                s"TIMESTAMP AS OF evaluated to null: ${e.sql}")
+            }
+            TxnLog.versionAtTimestamp(spark, path,
+              Math.floorDiv(micros, 1000L))
+        }
+        val df = try LakeRead.relation(spark, path, Some(v))
+          catch { case _: IllegalArgumentException
+              if TxnLog.versions(spark, path).contains(v) =>
+            TxnLog.snapshot(spark, path, Some(v)) }
+        SubqueryAlias(name, df.queryExecution.logical): LogicalPlan
+      }
+    case _ => None
+  }
+
+  private def rewriteStatement(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = plan match {
     case DeleteFromTable(target, cond) =>
       mountedTarget(spark, target).map { case (name, path, _) =>
         LakeDeleteCommand(name, path, DeletePayload(cond)): LogicalPlan
@@ -122,6 +172,15 @@ object LakeDmlSql {
             m.mergeCondition, m.matchedActions, m.notMatchedActions,
             m.notMatchedBySourceActions,
             m.withSchemaEvolution)): LogicalPlan
+      }.getOrElse(plan)
+    case ins: InsertIntoStatement =>
+      mountedTarget(spark, ins.table).map { case (name, path, _) =>
+        require(ins.partitionSpec.isEmpty,
+          s"INSERT into lake table $name takes no PARTITION clause — " +
+            "select the partition columns as ordinary columns; the " +
+            "write keeps the table's existing partition layout")
+        LakeInsertCommand(name, path, InsertPayload(ins.query,
+          ins.userSpecifiedCols, ins.overwrite, ins.byName)): LogicalPlan
       }.getOrElse(plan)
     case _ => plan
   }
@@ -140,6 +199,8 @@ object LakeDmlSql {
       mergeCond: Expression, matched: Seq[MergeAction],
       notMatched: Seq[MergeAction], bySource: Seq[MergeAction],
       schemaEvolution: Boolean = false)
+  final case class InsertPayload(query: LogicalPlan,
+      userCols: Seq[String], overwrite: Boolean, byName: Boolean)
 
   /** (mountName, lakePath, sqlAlias) when the DML target is a mounted
     * lake table. The alias is what the statement's qualified column
@@ -456,5 +517,72 @@ object LakeDmlSql {
 
     override def simpleString(maxFields: Int): String =
       s"LakeMergeCommand $name (${payload.mergeCond.sql})"
+  }
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` a mounted lake table: the
+    * query's rows land as one atomic commit (overwrite supersedes every
+    * live file first — [[TxnLog.overwrite]] — so readers see the old or
+    * the new table, never a mix; `INSERT OVERWRITE t SELECT ... FROM t`
+    * self-reads safely because superseding is logical, the old bytes
+    * outlive the write). Column binding follows Spark's own INSERT
+    * rules: positional by default (count must match), `BY NAME` matches
+    * case-insensitively, an explicit column list assigns the listed
+    * columns positionally and nulls the rest; every value casts to the
+    * target column's declared type. The write keeps the table's
+    * partition layout (derived from the live files' directory
+    * structure).
+    */
+  final case class LakeInsertCommand(name: String, path: String,
+      payload: InsertPayload) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val qdf0 = org.apache.spark.sql.classic.Dataset.ofRows(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        payload.query)
+      val tgt = TxnLog.schemaOf(spark, path)
+      val out = if (payload.byName) {
+        val cols = tgt.fields.toSeq.map { f =>
+          val q = qdf0.schema.fieldNames.find(_.equalsIgnoreCase(f.name))
+            .getOrElse(sys.error(
+              s"INSERT BY NAME into $name: query has no column ${f.name}"))
+          col(q).cast(f.dataType).as(f.name)
+        }
+        qdf0.select(cols: _*)
+      } else {
+        // positional references survive duplicate query column names
+        val tmpNames = qdf0.columns.indices.map(i => s"__graft_c$i")
+        val qdf = qdf0.toDF(tmpNames: _*)
+        val names = if (payload.userCols.nonEmpty) payload.userCols
+          else tgt.fieldNames.toSeq
+        require(names.map(_.toLowerCase).distinct.length == names.length,
+          s"INSERT INTO $name lists a column twice: ${names.mkString(", ")}")
+        require(qdf.columns.length == names.length,
+          s"INSERT INTO $name: query produces ${qdf.columns.length} " +
+            s"columns, expected ${names.length} (${names.mkString(", ")})")
+        val bound = names.zip(tmpNames).map { case (n, tmp) =>
+          val f = tgt.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+            sys.error(s"INSERT INTO $name assigns unknown column $n " +
+              s"(table has ${tgt.fieldNames.mkString(", ")})"))
+          f.name -> col(tmp).cast(f.dataType)
+        }.toMap
+        qdf.select(tgt.fields.toSeq.map(f =>
+          bound.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)): _*)
+      }
+      val partCols = try LakeRead.index(spark, path).partitionSchema
+          .fieldNames.toSeq
+        catch { case _: IllegalArgumentException => Nil }
+      val v =
+        if (payload.overwrite) retry(s"INSERT OVERWRITE $name") {
+          TxnLog.overwrite(spark, path, out, partCols)
+        }
+        else TxnLog.append(spark, path, out, partCols)
+      refreshIfMounted(spark, name, path)
+      Seq(Row(v))
+    }
+
+    override def simpleString(maxFields: Int): String =
+      s"LakeInsertCommand $name${if (payload.overwrite) " overwrite" else ""}"
   }
 }

@@ -375,4 +375,99 @@ class LakeDmlSpec extends SparkSpec {
     }
     assert(ex != null)
   }
+
+  test("VERSION AS OF reads a mounted table's history through plain SQL") {
+    val table = threeChunkTable("graft-dml-tt")
+    LakeMounts.mount(spark, "dml_tt", table)
+    spark.sql("DELETE FROM dml_tt WHERE id >= 120 AND id < 150")
+
+    assert(spark.sql("SELECT count(*) AS n FROM dml_tt").as[Long].head() == 270L)
+    assert(spark.sql("SELECT count(*) AS n FROM dml_tt VERSION AS OF 3")
+      .as[Long].head() == 300L)
+    assert(spark.sql("SELECT count(*) AS n FROM dml_tt VERSION AS OF 1")
+      .as[Long].head() == 100L)
+    // qualified references resolve through the travel alias, and the
+    // traveled relation joins against the current one
+    val gone = spark.sql(
+      """SELECT count(*) AS n FROM dml_tt VERSION AS OF 3 AS o
+        |LEFT ANTI JOIN dml_tt c ON o.id = c.id""".stripMargin)
+      .as[Long].head()
+    assert(gone == 30L)
+    // invalid version fails loudly
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM dml_tt VERSION AS OF 99").collect()
+    }
+    assert(ex.getMessage.contains("99"))
+  }
+
+  test("TIMESTAMP AS OF picks the newest commit at-or-before the time") {
+    val table = threeChunkTable("graft-dml-ts")
+    LakeMounts.mount(spark, "dml_ts", table)
+    // all three commits are in the past relative to 2099: latest wins
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM dml_ts TIMESTAMP AS OF TIMESTAMP '2099-01-01'")
+      .as[Long].head() == 300L)
+    // a time before the first commit fails loudly, like Delta
+    val ex = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM dml_ts TIMESTAMP AS OF TIMESTAMP '1999-01-01'").collect()
+    }
+    assert(ex.getMessage.contains("predates"))
+    // versionAtTimestamp resolves each commit's own recorded time
+    val v2ts = TxnLog.liveSnapshot(spark, table)._2
+      .map(_._1).find(_.version == 2L).map(_.timestampMs).get
+    assert(TxnLog.versionAtTimestamp(spark, table, v2ts) == 2L)
+    assert(TxnLog.versionAtTimestamp(spark, table, Long.MaxValue) == 3L)
+  }
+
+  test("INSERT INTO a mounted table appends atomically, casting to the schema") {
+    val table = threeChunkTable("graft-dml-ins")
+    LakeMounts.mount(spark, "dml_ins", table)
+    // positional VALUES: int literals cast to the bigint/string schema
+    spark.sql("INSERT INTO dml_ins VALUES (900, 3, 'v900x'), (901, 4, 'v901x')")
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ins").as[Long].head() == 302L)
+    assert(spark.sql("SELECT val FROM dml_ins WHERE id = 900")
+      .as[String].head() == "v900x")
+    // explicit column list: unlisted columns become null
+    spark.sql("INSERT INTO dml_ins (val, id) VALUES ('nogrp', 902)")
+    val r = spark.sql("SELECT grp, val FROM dml_ins WHERE id = 902")
+      .as[(Option[Long], String)].head()
+    assert(r == (None, "nogrp"))
+    // BY NAME binds regardless of order
+    spark.sql(
+      "INSERT INTO dml_ins BY NAME SELECT 'byname' AS val, 5 AS grp, 903 AS id")
+    assert(spark.sql("SELECT grp FROM dml_ins WHERE id = 903")
+      .as[Long].head() == 5L)
+    // count mismatch and unknown columns fail loudly
+    assert(intercept[Exception](
+      spark.sql("INSERT INTO dml_ins VALUES (1, 2)")).getMessage != null)
+    assert(intercept[Exception](spark.sql(
+      "INSERT INTO dml_ins (id, nope, val) VALUES (1, 2, 'x')"))
+      .getMessage.contains("nope"))
+  }
+
+  test("INSERT OVERWRITE replaces the table in one commit; self-read is safe") {
+    val table = threeChunkTable("graft-dml-ovw")
+    LakeMounts.mount(spark, "dml_ovw", table)
+    val before = liveFiles(table)
+    // self-referential overwrite: superseding is logical, so the query
+    // reads the old files while the new commit writes fresh ones
+    spark.sql(
+      "INSERT OVERWRITE dml_ovw SELECT id, grp, val FROM dml_ovw WHERE id < 150")
+    val after = liveFiles(table)
+    assert((before & after).isEmpty, "overwrite must supersede every live file")
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ovw").as[Long].head() == 150L)
+    // history is intact: the pre-overwrite version still reads
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ovw VERSION AS OF 3")
+      .as[Long].head() == 300L)
+
+    // the change feed synthesizes the overwrite's deletes (the whole
+    // pre-state) and inserts (the new rows) with no captured _cdc
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = 3L)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 300L, "insert" -> 150L))
+    // an append-only `changes` consumer sees the overwrite's rows as adds
+    assert(TxnLog.changes(spark, table, fromExclusive = 3L).count() == 150L)
+  }
 }
