@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.graft.GraftSqlParser(session, delegate))
     ext.injectResolutionRule(_ => org.apache.spark.sql.graft.AsOfSqlRule)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    // metadata-only count(*)/min/max over lake tables (manifest row
+    // counts + per-file bounds fold to a LocalRelation — no scan)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.LakeMetadataAgg)
     ext.injectFunction((
       FunctionIdentifier("graft_asof_marker"),
       info("graft_asof_marker",

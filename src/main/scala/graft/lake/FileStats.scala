@@ -53,7 +53,7 @@ object FileStats {
     */
   private[lake] def tagFor(dt: DataType): Option[Char] = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
-         TimestampType => Some('l')
+         TimestampType | TimestampNTZType => Some('l')
     case FloatType | DoubleType => Some('d')
     case StringType => Some('s')
     case _: DecimalType => Some('m')
@@ -242,6 +242,9 @@ object FileStats {
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     case ('l', t: java.time.Instant) =>
       t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case ('l', t: java.time.LocalDateTime) => // TIMESTAMP_NTZ: micros
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L
     case ('l', n: Number) => n.longValue
     case ('d', n: Number) => n.doubleValue
     case ('s', x) => x.toString

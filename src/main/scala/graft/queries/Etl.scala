@@ -431,10 +431,45 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** Metadata-only aggregate gate: the three-chunk orders lake after a
+    * SQL DELETE (so the counts provably track DML rewrites), then one
+    * ungrouped count/min/max SELECT that must plan WITHOUT any file
+    * scan — answered from manifest row counts and per-file bounds —
+    * and hash-match DuckDB computing the same aggregates the hard way.
+    */
+  def metadataAgg(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_meta_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q100_orders", table)
+    s.sql("""DELETE FROM q100_orders
+            |WHERE o_orderkey >= 200 AND o_orderkey < 450
+            |  AND o_orderstatus = 'F'""".stripMargin)
+    val out = s.sql(
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key, min(o_orderdate) AS first_date,
+        |  max(o_orderdate) AS last_date, min(o_orderstatus) AS min_status,
+        |  max(o_totalprice) AS max_price
+        |FROM q100_orders""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.contains("FileScan") && !plan.contains("BatchScan"),
+      "metadata aggregate stopped short-circuiting: the plan scans files")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
     "q98_time_travel" -> sqlTimeTravel _,
     "q99_sql_insert" -> sqlInsert _,
+    "q100_metadata_agg" -> metadataAgg _,
     "q96_lake_dsv2" -> lakeDsv2Batch _,
     "q97_change_feed" -> lakeChangeFeed _,
     "q92_sql_delete" -> sqlDelete _,
@@ -451,6 +486,14 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q100_metadata_agg" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key, min(o_orderdate) AS first_date,
+        |  max(o_orderdate) AS last_date, min(o_orderstatus) AS min_status,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
+        |WHERE (o_orderkey >= 200 AND o_orderkey < 450
+        |       AND o_orderstatus = 'F') IS NOT TRUE""".stripMargin,
     "q98_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, 'v3' AS _at

@@ -1,0 +1,106 @@
+package org.apache.spark.sql.graft
+
+import graft.lake.FileStats
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Metadata-only aggregates over lake tables — Delta's
+  * OptimizeMetadataOnlyQuery move: an ungrouped, unfiltered
+  * `count(*)` / `min(col)` / `max(col)` over a [[LakeFileIndex]]-backed
+  * relation folds to a [[LocalRelation]] computed from the manifest's
+  * per-file row counts and column bounds, so `SELECT count(*) FROM t`
+  * on a 100 TB table answers from the log without scanning a byte.
+  *
+  * Fires ONLY when the answer is provably exact from metadata:
+  *
+  *  - no grouping, no WHERE between the aggregate and the relation
+  *    (only row-preserving Projects are looked through), no DISTINCT,
+  *    no FILTER clause;
+  *  - `count(<non-null literal>)` needs every live file's recorded row
+  *    count ([[LakeFileIndex.knownRowCount]]);
+  *  - `min`/`max` of a plain (or struct-leaf) column needs every live
+  *    file's stats for it ([[LakeFileIndex.knownStats]]) — footer
+  *    bounds are actual data values over non-null rows, which is
+  *    exactly SQL MIN/MAX's null handling;
+  *  - every aggregate in the SELECT must be answerable, else the whole
+  *    query falls through to a normal scan.
+  *
+  * The reference has no counterpart (counting means re-running a scan
+  * job); registered via [[graft.functions.GraftExtensions]].
+  */
+object LakeMetadataAgg extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(Nil, exprs, child, _) =>
+      indexOf(child).flatMap { idx =>
+        val values = exprs.map(e => valueOf(stripAlias(e), idx))
+        if (values.forall(_.isDefined))
+          Some(LocalRelation(agg.output.map(_.toAttribute),
+            Seq(InternalRow.fromSeq(values.map(_.get)))): LogicalPlan)
+        else None
+      }.getOrElse(agg)
+  }
+
+  /** The snapshot-mode lake index under row-preserving operators. Only
+    * ATTRIBUTE-ONLY Projects (what column pruning emits) are looked
+    * through: stats bind by column NAME via [[ColRef]], and an aliasing
+    * Project could rename one real column to another's name
+    * (`SELECT a AS b, b AS a`) and silently mis-bind — those plans fall
+    * through here until CollapseProject substitutes the aliases into
+    * the aggregate itself, after which the names are the relation's own.
+    */
+  private def indexOf(p: LogicalPlan): Option[LakeFileIndex] = p match {
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      indexOf(c)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case idx: LakeFileIndex => Some(idx)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case Alias(c, _) => stripAlias(c)
+    case other => other
+  }
+
+  /** The aggregate's constant value from log metadata; None = cannot
+    * answer (the whole rewrite is then abandoned).
+    */
+  private def valueOf(e: Expression, idx: LakeFileIndex): Option[Any] = e match {
+    case AggregateExpression(Count(args), Complete, false, None, _)
+        if args.forall(a => a.foldable && a.eval() != null) =>
+      idx.knownRowCount
+    case AggregateExpression(Min(ColRef(name)), Complete, false, None, _) =>
+      idx.knownStats(name).flatMap(cs => internalValue(e.dataType, cs.min))
+    case AggregateExpression(Max(ColRef(name)), Complete, false, None, _) =>
+      idx.knownStats(name).flatMap(cs => internalValue(e.dataType, cs.max))
+    case lit: Literal => Some(lit.value)
+    case _ => None
+  }
+
+  /** A stats bound string as the Catalyst-internal value of `dt`; None
+    * for types stats never index (the rule then falls through).
+    */
+  private def internalValue(dt: DataType, s: String): Option[Any] = dt match {
+    case ByteType => Some(s.toLong.toByte)
+    case ShortType => Some(s.toLong.toShort)
+    case IntegerType | DateType => Some(s.toLong.toInt)
+    case LongType | TimestampType | TimestampNTZType => Some(s.toLong)
+    case FloatType => Some(s.toDouble.toFloat)
+    case DoubleType => Some(s.toDouble)
+    case StringType => Some(UTF8String.fromString(s))
+    case d: DecimalType =>
+      Some(Decimal(new java.math.BigDecimal(s), d.precision, d.scale))
+    case _ => None
+  }
+}

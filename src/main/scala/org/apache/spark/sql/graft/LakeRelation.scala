@@ -252,6 +252,37 @@ class LakeFileIndex(spark: SparkSession, table: String,
   override def sizeInBytes: Long = liveFiles.map(_.status.getLen).sum
 
   override def refresh(): Unit = ()
+
+  /** Exact row count of the planned snapshot, when every live file's
+    * manifest entry recorded one (commits since row-count harvesting;
+    * -1 = legacy entry, disables the shortcut). Powers metadata-only
+    * `count(*)` ([[LakeMetadataAgg]]); None for a changes-range index —
+    * a streaming batch is not "the table".
+    */
+  def knownRowCount: Option[Long] =
+    if (changesRange.isDefined) None
+    else {
+      val es = groups.flatMap(_._2)
+      if (es.forall(_.rows >= 0)) Some(es.iterator.map(_.rows).sum) else None
+    }
+
+  /** The snapshot-wide bounds of `column` (dotted footer path), when
+    * EVERY live file carries stats for it — then min-of-mins /
+    * max-of-maxes equal the table's MIN/MAX exactly (footer bounds are
+    * actual data values over the non-null rows, matching SQL MIN/MAX's
+    * null handling). Files known to hold 0 rows contribute nothing and
+    * don't block the fold; any other file without the column's stats
+    * (stats dropped, all-null, pre-stats commit) returns None — absence
+    * never fabricates an answer.
+    */
+  def knownStats(column: String): Option[FileStats.ColStats] =
+    if (changesRange.isDefined) None
+    else {
+      val es = groups.flatMap(_._2).filter(_.rows != 0L)
+      val ss = es.map(_.stats.get(column))
+      if (es.isEmpty || ss.exists(_.isEmpty)) None
+      else Some(ss.flatten.reduce(FileStats.union))
+    }
 }
 
 /** Entry points for the Catalyst-native lake read. */

@@ -1,0 +1,119 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{LakeMounts, LakeRead}
+import java.nio.file.Files
+
+/** Metadata-only aggregates (`LakeMetadataAgg`): ungrouped, unfiltered
+  * count/min/max over a lake relation must answer from the manifest —
+  * no file scan in the plan — and every shape the manifest CANNOT
+  * answer exactly must fall through to a normal scan with the same
+  * result.
+  */
+class LakeMetadataAggSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def scansFiles(df: DataFrame): Boolean = {
+    val s = df.queryExecution.executedPlan.toString
+    s.contains("FileScan") || s.contains("BatchScan")
+  }
+
+  private def freshTable(prefix: String): String = {
+    val table = Files.createTempDirectory(prefix).toString
+    Seq((0L, 99L), (100L, 199L), (200L, 299L)).foreach { case (lo, hi) =>
+      TxnLog.append(spark, table, spark.range(lo, hi + 1).toDF("id")
+        .withColumn("label", concat(lit("r"), lpad(col("id"), 4, "0")))
+        .withColumn("price", col("id") * 1.5)
+        .coalesce(1))
+    }
+    table
+  }
+
+  test("count/min/max answer from the log with no scan, across types") {
+    val table = freshTable("graft-meta-agg")
+    LakeMounts.mount(spark, "meta_agg", table)
+    val q = spark.sql(
+      """SELECT count(*) AS n, min(id) AS lo, max(id) AS hi,
+        |  min(label) AS l0, max(label) AS l1, max(price) AS p
+        |FROM meta_agg""".stripMargin)
+    assert(!scansFiles(q), s"expected metadata-only plan:\n${q.queryExecution}")
+    assert(q.as[(Long, Long, Long, String, String, Double)].head() ==
+      ((300L, 0L, 299L, "r0000", "r0299", 448.5)))
+    // Dataset.count() takes the same shortcut
+    val c = LakeRead.relation(spark, table)
+    assert(c.count() == 300L)
+  }
+
+  test("DML keeps the shortcut exact: counts follow DELETE and OPTIMIZE") {
+    val table = freshTable("graft-meta-dml")
+    LakeMounts.mount(spark, "meta_dml", table)
+    spark.sql("DELETE FROM meta_dml WHERE id >= 120 AND id < 150")
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM meta_dml")
+    assert(!scansFiles(q))
+    assert(q.as[(Long, Long, Long)].head() == ((270L, 0L, 299L)))
+    // min INSIDE the deleted range: the rewritten file's fresh stats
+    spark.sql("DELETE FROM meta_dml WHERE id < 5")
+    val q2 = spark.sql("SELECT min(id) AS lo FROM meta_dml")
+    assert(!scansFiles(q2))
+    assert(q2.as[Long].head() == 5L)
+    spark.sql("OPTIMIZE meta_dml")
+    val q3 = spark.sql("SELECT count(*) AS n FROM meta_dml")
+    assert(!scansFiles(q3))
+    assert(q3.as[Long].head() == 265L)
+  }
+
+  test("shapes metadata cannot answer exactly fall through to a scan") {
+    val table = Files.createTempDirectory("graft-meta-fall").toString
+    TxnLog.append(spark, table, Seq(
+      (1L, Some("a")), (2L, None), (3L, Some("c"))).toDF("id", "v").coalesce(1))
+    LakeMounts.mount(spark, "meta_fall", table)
+
+    // WHERE between aggregate and relation
+    val f1 = spark.sql("SELECT count(*) AS n FROM meta_fall WHERE id > 1")
+    assert(scansFiles(f1) && f1.as[Long].head() == 2L)
+    // count(col) counts non-nulls — not a row count
+    val f2 = spark.sql("SELECT count(v) AS n FROM meta_fall")
+    assert(scansFiles(f2) && f2.as[Long].head() == 2L)
+    // grouping
+    val f3 = spark.sql("SELECT v, count(*) AS n FROM meta_fall GROUP BY v")
+    assert(scansFiles(f3) && f3.count() == 3L)
+    // DISTINCT
+    val f4 = spark.sql("SELECT count(DISTINCT id) AS n FROM meta_fall")
+    assert(scansFiles(f4) && f4.as[Long].head() == 3L)
+    // an aggregate stats cannot answer (sum) blocks the whole rewrite
+    val f5 = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM meta_fall")
+    assert(scansFiles(f5) && f5.as[(Long, Long)].head() == ((3L, 6L)))
+    // a column swap between aggregate and relation must not mis-bind
+    val f6 = spark.sql(
+      "SELECT min(v2) AS m FROM (SELECT id AS v2, v AS id FROM meta_fall)")
+    assert(f6.as[Long].head() == 1L)
+  }
+
+  test("zero-row files don't block min/max; all-null columns do") {
+    val table = Files.createTempDirectory("graft-meta-empty").toString
+    TxnLog.append(spark, table,
+      Seq((10L, "x")).toDF("id", "v").coalesce(1))
+    // an empty commit: its file has no stats but 0 recorded rows
+    TxnLog.append(spark, table,
+      Seq.empty[(Long, String)].toDF("id", "v").coalesce(1))
+    LakeMounts.mount(spark, "meta_empty", table)
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(id) AS lo FROM meta_empty")
+    assert(!scansFiles(q))
+    assert(q.as[(Long, Long)].head() == ((1L, 10L)))
+
+    // a file whose column is ALL null has no stats for it: min falls
+    // back to a scan and correctly returns null
+    val table2 = Files.createTempDirectory("graft-meta-null").toString
+    TxnLog.append(spark, table2,
+      Seq((1L, Option.empty[String])).toDF("id", "v").coalesce(1))
+    LakeMounts.mount(spark, "meta_null", table2)
+    val q2 = spark.sql("SELECT min(v) AS m FROM meta_null")
+    assert(scansFiles(q2))
+    assert(q2.as[Option[String]].head().isEmpty)
+  }
+}
