@@ -465,11 +465,50 @@ object Etl extends QueryPack {
     out
   }
 
+  /** CDF replication gate: a second lake table fed ONLY by the source's
+    * change feed (streamed via `graftlake-cdf` + per-batch key MERGE)
+    * must converge to the source after appends, a SQL UPDATE, a SQL
+    * DELETE, and a SQL INSERT — the replica snapshot hash-checks
+    * against DuckDB computing the same final state directly.
+    */
+  def cdfReplicate(s: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val source = s"/tmp/graft_lake_repl_src_$suffix"
+    val replica = s"/tmp/graft_lake_repl_dst_$suffix"
+    val ckpt = s"/tmp/graft_lake_repl_ck_$suffix"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(source, replica, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true) // fresh per run
+    }
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, source, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q101_src", source)
+    s.sql("""UPDATE q101_src SET o_totalprice = o_totalprice * 2
+            |WHERE o_orderkey < 100 AND o_orderstatus = 'O'""".stripMargin)
+    s.sql("""DELETE FROM q101_src
+            |WHERE o_orderkey >= 200 AND o_orderkey < 450
+            |  AND o_orderstatus = 'F'""".stripMargin)
+    s.sql("""INSERT INTO q101_src VALUES
+            |  (900001, 7, 'X', 111.25, TIMESTAMP '2031-01-01 00:00:00')
+            |""".stripMargin)
+    graft.streaming.LakeReplicate
+      .start(s, source, replica, Seq("o_orderkey"), ckpt)
+      .awaitTermination()
+    graft.lake.TxnLog.snapshot(s, replica)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
     "q98_time_travel" -> sqlTimeTravel _,
     "q99_sql_insert" -> sqlInsert _,
     "q100_metadata_agg" -> metadataAgg _,
+    "q101_cdf_replicate" -> cdfReplicate _,
     "q96_lake_dsv2" -> lakeDsv2Batch _,
     "q97_change_feed" -> lakeChangeFeed _,
     "q92_sql_delete" -> sqlDelete _,
@@ -486,6 +525,17 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q101_cdf_replicate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey < 100 AND o_orderstatus = 'O'
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate
+        |FROM orders
+        |WHERE (o_orderkey >= 200 AND o_orderkey < 450
+        |       AND o_orderstatus = 'F') IS NOT TRUE
+        |UNION ALL
+        |SELECT 900001, 7, 'X', 111.25, TIMESTAMP '2031-01-01 00:00:00'
+        |""".stripMargin,
     "q100_metadata_agg" ->
       """SELECT count(*) AS n, min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key, min(o_orderdate) AS first_date,

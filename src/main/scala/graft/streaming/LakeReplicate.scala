@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.lake.{LakeDml, TxnLog}
+
+/** Continuous lake-to-lake REPLICATION off the change data feed — the
+  * composition the CDF exists for (Delta's CDF + `foreachBatch` MERGE
+  * recipe): stream `graftlake-cdf` from a source table and apply each
+  * micro-batch's row-level changes to a replica keyed by `keys`.
+  *
+  * Within a batch the feed may span several commits, so changes first
+  * COLLAPSE to the last effective change per key (preimages drop — the
+  * postimage carries the row; latest `_commit_version` wins), then one
+  * file-pruned [[LakeDml.mergeInto]] applies them: matched deletes
+  * delete, matched non-deletes update every column, unmatched
+  * non-deletes insert. The merge's cardinality rule makes a source
+  * whose keys are not unique fail LOUDLY rather than replicate
+  * nondeterministically.
+  *
+  * Delivery is checkpointed at the stream level and the batch apply is
+  * IDEMPOTENT (re-merging the same collapsed changes against any
+  * replica state converges to the same table), so an at-least-once
+  * replay after a crash yields an exactly-once RESULT.
+  *
+  * At 100 TB this is the shape you want: each batch moves O(changed
+  * rows), the merge rewrites only files whose stats admit a changed
+  * key, and the replica stays queryable (snapshot isolation) while it
+  * catches up.
+  */
+object LakeReplicate {
+
+  /** Start replicating; `availableNow = true` (default) drains the
+    * feed's current backlog and stops — run it on a schedule for
+    * batch-style sync, or pass false for a continuous stream.
+    */
+  def start(spark: SparkSession, source: String, replica: String,
+      keys: Seq[String], checkpoint: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    require(keys.nonEmpty, "replication needs at least one key column")
+    val q = spark.readStream.format("graftlake-cdf").load(source)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        applyBatch(batch, replica, keys))
+    (if (availableNow) q.trigger(Trigger.AvailableNow()) else q).start()
+  }
+
+  /** Apply one change-feed batch to `replica` (also usable directly on
+    * a bounded [[TxnLog.changeFeed]] read for catch-up backfills).
+    */
+  def applyBatch(batch: DataFrame, replica: String,
+      keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val dataCols = batch.columns
+      .filterNot(c => c == "_change_type" || c == "_commit_version").toSeq
+    keys.foreach(k => require(dataCols.contains(k),
+      s"replication key $k is not a feed column (${dataCols.mkString(", ")})"))
+    // last effective change per key: preimages carry no final state;
+    // among the rest the newest commit wins
+    val effective = batch.filter(col("_change_type") =!= "update_preimage")
+    // keyed replication presumes unique keys: two effective changes for
+    // one key in ONE commit (e.g. an append with duplicate keys) would
+    // make the collapse drop a row silently — fail loudly instead, like
+    // the merge cardinality rule
+    val dup = effective
+      .groupBy((keys.map(col) :+ col("_commit_version")): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+    require(dup.isEmpty,
+      s"source commit carries more than one row per key (${keys.mkString(", ")}); " +
+        "keyed replication needs unique keys")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc)
+    val latest = effective
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn", "_commit_version")
+    if (latest.isEmpty) return
+
+    if (TxnLog.versions(spark, replica).isEmpty) {
+      // first batch creates the replica: surviving non-deletes are the
+      // initial state (a delete of a never-seen key is a no-op)
+      TxnLog.append(spark, replica,
+        latest.filter(col("_change_type") =!= "delete").drop("_change_type"))
+      return
+    }
+    val t = "__graft_repl_t"
+    val s = "__graft_repl_s"
+    val onCond = keys.map(k => col(s"$t.$k") === col(s"$s.$k"))
+      .reduce(_ && _)
+    val setAll = dataCols.map(c => c -> col(s"$s.$c")).toMap
+    val isDelete = col(s"$s._change_type") === "delete"
+    LakeDmlSqlRetry.retry(s"replicate into $replica") {
+      LakeDml.mergeInto(spark, replica, latest, t, s, onCond,
+        keyPairs = keys.map(k => k -> k),
+        matched = Seq(
+          LakeDml.DeleteRows(Some(isDelete)),
+          LakeDml.UpdateRows(None, setAll)),
+        notMatched = Seq(LakeDml.InsertRows(Some(!isDelete), setAll)),
+        bySource = Nil)
+    }
+  }
+}
+
+/** Re-run a lake mutation that lost an append race (None), bounded. */
+private[streaming] object LakeDmlSqlRetry {
+  def retry(what: String)(body: => Option[Long]): Long = {
+    var attempt = 0
+    while (attempt < 5) {
+      body match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    sys.error(s"$what lost the append race 5 times; re-run")
+  }
+}

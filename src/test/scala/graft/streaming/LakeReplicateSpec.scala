@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.TxnLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.LakeMounts
+import java.nio.file.Files
+
+/** CDF-driven replication: a replica fed only by the source's change
+  * feed must converge to the source snapshot after every kind of DML,
+  * across separate checkpointed runs.
+  */
+class LakeReplicateSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def snapshotSet(table: String): Set[(Long, Long, String)] =
+    TxnLog.snapshot(spark, table)
+      .select(col("id"), col("grp"), col("val"))
+      .as[(Long, Long, String)].collect().toSet
+
+  private def sync(source: String, replica: String, checkpoint: String): Unit =
+    LakeReplicate.start(spark, source, replica, Seq("id"), checkpoint)
+      .awaitTermination()
+
+  test("replica converges through appends, update, delete, merge") {
+    val source = Files.createTempDirectory("graft-repl-src").toString
+    val replica = Files.createTempDirectory("graft-repl-dst").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-repl-ck").toString
+
+    def df(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).select(col("id"), (col("id") % 7).as("grp"),
+        concat(lit("v"), col("id")).as("val"))
+    TxnLog.append(spark, source, df(0, 100).coalesce(1))
+    TxnLog.append(spark, source, df(100, 200).coalesce(1))
+    sync(source, replica, ckpt)
+    assert(snapshotSet(replica) == snapshotSet(source))
+
+    // DML on the source, then a second checkpointed run catches up
+    LakeMounts.mount(spark, "repl_src", source)
+    spark.sql("UPDATE repl_src SET val = concat('u', id) WHERE id < 10")
+    spark.sql("DELETE FROM repl_src WHERE id >= 150 AND id < 160")
+    spark.sql("INSERT INTO repl_src VALUES (900, 1, 'new900')")
+    sync(source, replica, ckpt)
+    assert(snapshotSet(replica) == snapshotSet(source))
+    assert(TxnLog.snapshot(spark, replica)
+      .filter(col("val") === "u5").count() == 1L)
+
+    // a MERGE (update + insert through one commit) also replicates
+    Seq((5L, "m5"), (901L, "m901")).toDF("k", "nv")
+      .createOrReplaceTempView("repl_fix")
+    spark.sql("""MERGE INTO repl_src t USING repl_fix s ON t.id = s.k
+                |WHEN MATCHED THEN UPDATE SET val = s.nv
+                |WHEN NOT MATCHED THEN INSERT (id, grp, val)
+                |  VALUES (s.k, 0, s.nv)""".stripMargin)
+    sync(source, replica, ckpt)
+    assert(snapshotSet(replica) == snapshotSet(source))
+  }
+
+  test("catch-up backfill via a bounded changeFeed read, idempotently") {
+    val source = Files.createTempDirectory("graft-repl2-src").toString
+    val replica = Files.createTempDirectory("graft-repl2-dst").toString + "/t"
+    TxnLog.append(spark, source,
+      Seq((1L, 0L, "a"), (2L, 0L, "b")).toDF("id", "grp", "val").coalesce(1))
+    graft.lake.LakeDml.deleteWhere(spark, source, col("id") === 2L,
+      Seq(TxnLog.ColRange("id", Some(2L), Some(2L))))
+
+    val feed = TxnLog.changeFeed(spark, source, fromExclusive = 0L)
+    LakeReplicate.applyBatch(feed, replica, Seq("id"))
+    assert(snapshotSet(replica) == snapshotSet(source))
+    // replaying the same batch (at-least-once delivery) changes nothing
+    LakeReplicate.applyBatch(feed, replica, Seq("id"))
+    assert(snapshotSet(replica) == snapshotSet(source))
+  }
+
+  test("duplicate keys in one source commit fail loudly") {
+    val source = Files.createTempDirectory("graft-repl3-src").toString
+    val replica = Files.createTempDirectory("graft-repl3-dst").toString + "/t"
+    TxnLog.append(spark, source,
+      Seq((1L, 0L, "a"), (1L, 0L, "dup")).toDF("id", "grp", "val").coalesce(1))
+    val ex = intercept[IllegalArgumentException] {
+      LakeReplicate.applyBatch(
+        TxnLog.changeFeed(spark, source, 0L), replica, Seq("id"))
+    }
+    assert(ex.getMessage.contains("unique keys"))
+  }
+}
