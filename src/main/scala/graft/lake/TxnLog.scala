@@ -322,6 +322,53 @@ object TxnLog {
       partitionCols: Seq[String] = Nil, maxRetries: Int = 10): Long =
     appendTxn(spark, table, df, partitionCols, None, maxRetries)
 
+  /** SHALLOW CLONE: create `dst` as a zero-copy snapshot of `src` at
+    * `version` (default latest) — Delta's CLONE. No data moves: `dst`
+    * gets one manifest per live source commit, each REFERENCING that
+    * commit's surviving files by absolute path (stats, sizes, and row
+    * counts carry over, so pruning and metadata-only aggregates work on
+    * the clone immediately). A 100 TB table clones in milliseconds.
+    *
+    * The clone is fully independent afterwards: DML on it rewrites into
+    * ITS OWN data directory and supersedes the borrowed paths only in
+    * its own log; the source never changes. `vacuum` on the CLONE can
+    * never delete source bytes (it sweeps only the clone's data dir).
+    * The one shared-fate caveat is Delta's too: `vacuum` on the SOURCE
+    * that truncates history may delete files a clone still references —
+    * clone from tables whose retention outlives your clones.
+    *
+    * An empty source clones as one empty schema-pinning commit. Returns
+    * the clone's latest version (= number of commits written).
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    require(versions(spark, dst).isEmpty,
+      s"clone destination $dst already has commits")
+    val vs = versions(spark, src)
+    require(vs.nonEmpty, s"$src has no commits")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val live = liveEntries(activeManifests(manifestChain(spark, src, v)._1))
+      .filter(_._2.nonEmpty)
+    val groups =
+      if (live.nonEmpty) live
+      else { // empty source: pin its schema with one file-less commit
+        val m = manifestChain(spark, src, v)._1.last
+        Seq((m, Seq.empty[FileEntry]))
+      }
+    var n = 0L
+    groups.foreach { case (m, es) =>
+      n += 1
+      val body = (Seq(n.toString,
+        dirLine(m.commitDir, System.currentTimeMillis()),
+        m.schemaJson) ++ bodyLines(es, Nil, Nil)).mkString("\n")
+      require(publishAtomic(spark, manifestPath(dst, n), body),
+        s"clone lost a commit race on $dst (is something else writing it?)")
+    }
+    if (n >= CheckpointInterval) writeCheckpoint(spark, dst, n)
+    n
+  }
+
   /** Replace the table's entire contents with `df` in ONE atomic
     * `overwrite-` commit (SQL `INSERT OVERWRITE`): every live file is
     * superseded in the new manifest — a logical remove, the bytes stay

@@ -2,12 +2,12 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
 import graft.lake.{LakeDml, TxnLog}
 
@@ -75,6 +75,10 @@ object LakeDmlSql {
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+SHALLOW\s+CLONE\s+""" +
+      """([A-Za-z_][\w]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
   /** Maintenance statements Spark's grammar does not know (Delta's
     * surface): `VACUUM t [RETAIN n HOURS]` and
@@ -99,6 +103,10 @@ object LakeDmlSql {
           LakeOptimizeCommand(name, path,
             Option(zorder).toSeq.flatMap(_.split(',').map(_.trim)
               .filter(_.nonEmpty))))
+      case CloneRe(name, srcName, ver, loc) =>
+        LakeMounts.pathOf(spark, srcName).map(srcPath =>
+          LakeCloneCommand(name, loc, srcPath,
+            Option(ver).map(_.toLong)))
       case _ => None
     }
 
@@ -182,7 +190,54 @@ object LakeDmlSql {
         LakeInsertCommand(name, path, InsertPayload(ins.query,
           ins.userSpecifiedCols, ins.overwrite, ins.byName)): LogicalPlan
       }.getOrElse(plan)
+    case ct: CreateTableAsSelect =>
+      lakeLocation(ct.tableSpec).flatMap(loc => identName(ct.name).map {
+        name => LakeCreateCommand(name, loc, CreatePayload(Some(ct.query),
+          Nil, identityCols(ct.partitioning), ct.ignoreIfExists)): LogicalPlan
+      }).getOrElse(plan)
+    case c: CreateTable =>
+      lakeLocation(c.tableSpec).flatMap(loc => identName(c.name).map {
+        name => LakeCreateCommand(name, loc, CreatePayload(None,
+          c.columns.map(cd => StructField(cd.name, cd.dataType, cd.nullable)),
+          identityCols(c.partitioning), c.ignoreIfExists)): LogicalPlan
+      }).getOrElse(plan)
+    case DropTable(child, ifExists, _) =>
+      (child match {
+        case u: UnresolvedIdentifier => Some(u.nameParts.last)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+          Some(u.multipartIdentifier.last)
+        case _ => None
+      }).filter(n => LakeMounts.pathOf(spark, n).isDefined)
+        .map(n => LakeMountCommand(n, "", unmount = true): LogicalPlan)
+        .getOrElse(plan)
     case _ => plan
+  }
+
+  /** The LOCATION of a `USING graftlake` table spec; None = not ours. */
+  private def lakeLocation(spec: TableSpecBase): Option[String] = {
+    val (provider, location) = spec match {
+      case u: UnresolvedTableSpec => (u.provider, u.location)
+      case t: TableSpec => (t.provider, t.location)
+      case _ => (None, None)
+    }
+    if (!provider.exists(_.equalsIgnoreCase("graftlake"))) None
+    else Some(location.getOrElse(sys.error(
+      "CREATE TABLE ... USING graftlake needs a LOCATION '<table path>' " +
+        "(lake tables live at paths; the mount is the catalog entry)")))
+  }
+
+  private def identName(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedIdentifier => Some(u.nameParts.last)
+    case _ => None
+  }
+
+  private def identityCols(
+      transforms: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[String] = transforms.map {
+    case id: org.apache.spark.sql.connector.expressions.IdentityTransform =>
+      id.ref.fieldNames.mkString(".")
+    case t => sys.error(
+      s"graftlake tables partition by plain columns (PARTITIONED BY (c)); got $t")
   }
 
   /** Opaque boxes around the statement's parsed-but-unresolved pieces:
@@ -201,6 +256,9 @@ object LakeDmlSql {
       schemaEvolution: Boolean = false)
   final case class InsertPayload(query: LogicalPlan,
       userCols: Seq[String], overwrite: Boolean, byName: Boolean)
+  final case class CreatePayload(query: Option[LogicalPlan],
+      columns: Seq[StructField], partitionCols: Seq[String],
+      ifNotExists: Boolean)
 
   /** (mountName, lakePath, sqlAlias) when the DML target is a mounted
     * lake table. The alias is what the statement's qualified column
@@ -335,6 +393,17 @@ object LakeDmlSql {
   private def versionAttr = AttributeReference("version", LongType,
     nullable = false)()
 
+  /** The table's partition columns as laid out on disk (from the live
+    * files' Hive path segments), so DML rewrites keep the layout — a
+    * DELETE on a date-partitioned table must not quietly write its
+    * surviving rows unpartitioned. Nil when the layout is unknowable
+    * (type-drift tables readable only via per-commit alignment).
+    */
+  private def layoutPartitionCols(spark: SparkSession,
+      path: String): Seq[String] =
+    try LakeRead.index(spark, path).partitionSchema.fieldNames.toSeq
+    catch { case _: IllegalArgumentException => Nil }
+
   private[graft] def refreshIfMounted(spark: SparkSession, name: String,
       path: String): Unit =
     if (LakeMounts.pathOf(spark, name).contains(path))
@@ -346,7 +415,8 @@ object LakeDmlSql {
     override def run(spark: SparkSession): Seq[Row] = {
       val cond = payload.cond
       val v = retry(s"DELETE FROM $name") {
-        LakeDml.deleteWhere(spark, path, column(cond), extractRanges(cond))
+        LakeDml.deleteWhere(spark, path, column(cond), extractRanges(cond),
+          partitionCols = layoutPartitionCols(spark, path))
       }
       refreshIfMounted(spark, name, path)
       Seq(Row(v))
@@ -368,6 +438,7 @@ object LakeDmlSql {
       val v = retry(s"UPDATE $name") {
         LakeDml.updateWhere(spark, path, payload.cond.map(column), set,
           payload.cond.map(extractRanges).getOrElse(Nil),
+          partitionCols = layoutPartitionCols(spark, path),
           tableAlias = Some(targetAlias))
       }
       refreshIfMounted(spark, name, path)
@@ -414,14 +485,17 @@ object LakeDmlSql {
       val bytes = TxnLog.liveSnapshot(spark, path)._2
         .flatMap(_._2).map(e => math.max(0L, e.size)).sum
       val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+      val parts = layoutPartitionCols(spark, path)
       val v = retry(s"OPTIMIZE $name") {
         if (zorderBy.nonEmpty)
           // clustering must lay out EVERY row along the z-curve: full fold
-          TxnLog.compact(spark, path, numFiles = target, clusterBy = zorderBy)
+          TxnLog.compact(spark, path, parts, numFiles = target,
+            clusterBy = zorderBy)
         else
           // routine maintenance: bin-pack only the small files, carry
           // already-large ones by reference — O(small), not O(table)
-          TxnLog.compactSmall(spark, path, numFiles = target)
+          TxnLog.compactSmall(spark, path, numFiles = target,
+            partitionCols = parts)
       }
       refreshIfMounted(spark, name, path)
       Seq(Row(v))
@@ -509,6 +583,7 @@ object LakeDmlSql {
           keyPairs(mergeCond, targetAlias, sourceAlias, targetSchema,
             srcDf.columns.toSet),
           matchedActions.map(clause), inserts, bySourceActions.map(clause),
+          partitionCols = layoutPartitionCols(spark, path),
           newColumns = evolved)
       }
       refreshIfMounted(spark, name, path)
@@ -584,5 +659,67 @@ object LakeDmlSql {
 
     override def simpleString(maxFields: Int): String =
       s"LakeInsertCommand $name${if (payload.overwrite) " overwrite" else ""}"
+  }
+
+  /** `CREATE TABLE name [(schema)] USING graftlake LOCATION '<path>'
+    * [PARTITIONED BY (cols)] [AS SELECT ...]` — the SQL-only way to
+    * BRING a lake table into existence: the first commit lands at the
+    * location (CTAS rows, or an empty commit pinning the declared
+    * schema) and the name mounts as view + DML target in the same
+    * statement. `IF NOT EXISTS` on an existing lake table just mounts
+    * it, Delta's external-table behavior; `DROP TABLE` unmounts —
+    * the data stays, this catalog is the session's mount map.
+    */
+  final case class LakeCreateCommand(name: String, path: String,
+      payload: CreatePayload) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val existing = TxnLog.versions(spark, path)
+      if (existing.nonEmpty) {
+        if (!payload.ifNotExists) sys.error(
+          s"lake table already exists at $path (CREATE TABLE IF NOT " +
+            "EXISTS mounts it instead)")
+        LakeMounts.mount(spark, name, path)
+        return Seq(Row(existing.last))
+      }
+      val df = payload.query match {
+        case Some(q) => org.apache.spark.sql.classic.Dataset.ofRows(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], q)
+        case None =>
+          require(payload.columns.nonEmpty,
+            s"CREATE TABLE $name needs a schema or AS SELECT")
+          spark.createDataFrame(
+            new java.util.ArrayList[Row](), StructType(payload.columns))
+      }
+      payload.partitionCols.foreach(c =>
+        require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"PARTITIONED BY column $c is not in the table schema " +
+            s"(${df.schema.fieldNames.mkString(", ")})"))
+      val v = TxnLog.append(spark, path, df, payload.partitionCols)
+      LakeMounts.mount(spark, name, path)
+      Seq(Row(v))
+    }
+
+    override def simpleString(maxFields: Int): String =
+      s"LakeCreateCommand $name at $path"
+  }
+
+  /** `CREATE TABLE name SHALLOW CLONE src [VERSION AS OF n]
+    * LOCATION '<path>'` — zero-copy snapshot of a mounted lake table
+    * ([[TxnLog.cloneTable]]), mounted under `name` in the same
+    * statement. `src` may itself be time-traveled, so a dev copy of
+    * yesterday's 100 TB table is one statement and no data movement.
+    */
+  final case class LakeCloneCommand(name: String, path: String,
+      srcPath: String, version: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = TxnLog.cloneTable(spark, srcPath, path, version)
+      LakeMounts.mount(spark, name, path)
+      Seq(Row(v))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeCloneCommand $name from $srcPath"
   }
 }

@@ -446,6 +446,75 @@ class LakeDmlSpec extends SparkSpec {
       .getMessage.contains("nope"))
   }
 
+  test("CREATE TABLE AS SELECT creates, mounts, and partitions a lake table") {
+    val loc = Files.createTempDirectory("graft-dml-ctas").toString + "/t"
+    spark.sql(
+      s"""CREATE TABLE dml_ctas USING graftlake LOCATION '$loc'
+         |PARTITIONED BY (grp)
+         |AS SELECT id, CAST(id % 3 AS STRING) AS grp FROM range(30)
+         |""".stripMargin)
+    // mounted: queryable and DML-able by name immediately
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ctas").as[Long].head() == 30L)
+    spark.sql("DELETE FROM dml_ctas WHERE grp = '2'")
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ctas").as[Long].head() == 20L)
+    // the layout really is Hive-partitioned by grp
+    assert(TxnLog.snapshot(spark, loc).inputFiles.forall(_.contains("/grp=")))
+    // a second CREATE at the same location fails; IF NOT EXISTS mounts
+    assert(intercept[Exception](spark.sql(
+      s"CREATE TABLE dml_ctas2 USING graftlake LOCATION '$loc' AS SELECT 1 AS x"))
+      .getMessage.contains("already exists"))
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS dml_ctas2 USING graftlake LOCATION '$loc' AS SELECT 1 AS x")
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ctas2").as[Long].head() == 20L)
+    // DROP TABLE unmounts; the data stays on disk
+    spark.sql("DROP TABLE dml_ctas")
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM dml_ctas").collect()) != null)
+    assert(TxnLog.versions(spark, loc).nonEmpty)
+  }
+
+  test("CREATE TABLE with a declared schema pins it via an empty commit") {
+    val loc = Files.createTempDirectory("graft-dml-ct").toString + "/t"
+    spark.sql(
+      s"""CREATE TABLE dml_ct (id BIGINT, v STRING)
+         |USING graftlake LOCATION '$loc'""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM dml_ct").as[Long].head() == 0L)
+    spark.sql("INSERT INTO dml_ct VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT sum(id) AS s FROM dml_ct").as[Long].head() == 3L)
+    assert(TxnLog.schemaOf(spark, loc).fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("SHALLOW CLONE is zero-copy, independent, and metadata-complete") {
+    val table = threeChunkTable("graft-dml-clsrc")
+    LakeMounts.mount(spark, "cl_src", table)
+    spark.sql("DELETE FROM cl_src WHERE id >= 250")
+    val cloneLoc = Files.createTempDirectory("graft-dml-cldst").toString + "/t"
+    spark.sql(
+      s"CREATE TABLE cl_dst SHALLOW CLONE cl_src LOCATION '$cloneLoc'")
+
+    // identical content, zero data files copied
+    assert(spark.sql("SELECT count(*) AS n FROM cl_dst").as[Long].head() == 250L)
+    val dataDir = new org.apache.hadoop.fs.Path(cloneLoc, "data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(dataDir), "clone must copy no data files")
+    // stats and row counts carried: metadata-only count, pruned reads
+    val q = spark.sql("SELECT count(*) AS n, max(id) AS m FROM cl_dst")
+    assert(!q.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(q.as[(Long, Long)].head() == ((250L, 249L)))
+
+    // DML on the clone rewrites into ITS data dir; the source is untouched
+    spark.sql("DELETE FROM cl_dst WHERE id < 50")
+    assert(spark.sql("SELECT count(*) AS n FROM cl_dst").as[Long].head() == 200L)
+    assert(spark.sql("SELECT count(*) AS n FROM cl_src").as[Long].head() == 250L)
+    assert(fs.exists(dataDir), "clone DML must write under the clone root")
+
+    // cloning an earlier source version captures that state
+    val clone2 = Files.createTempDirectory("graft-dml-cldst2").toString + "/t"
+    spark.sql(
+      s"CREATE TABLE cl_v2 SHALLOW CLONE cl_src VERSION AS OF 2 LOCATION '$clone2'")
+    assert(spark.sql("SELECT count(*) AS n FROM cl_v2").as[Long].head() == 200L)
+  }
+
   test("INSERT OVERWRITE replaces the table in one commit; self-read is safe") {
     val table = threeChunkTable("graft-dml-ovw")
     LakeMounts.mount(spark, "dml_ovw", table)
