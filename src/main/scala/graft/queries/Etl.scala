@@ -503,9 +503,50 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, replica)
   }
 
+  /** Shallow-clone gate: the three-chunk orders lake, a SQL DELETE,
+    * then a zero-copy `SHALLOW CLONE` and a FURTHER DELETE on the clone
+    * only. Requires the clone copied no data files (its data dir holds
+    * only its own rewrite commit) and that the source still counts the
+    * pre-clone rows; the clone's final table hash-checks against DuckDB
+    * applying both deletes.
+    */
+  def shallowClone(s: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val source = s"/tmp/graft_lake_clone_src_$suffix"
+    val clone = s"/tmp/graft_lake_clone_dst_$suffix"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(source, clone).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true) // fresh per run
+    }
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, source, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q102_src", source)
+    s.sql("""DELETE FROM q102_src
+            |WHERE o_orderkey >= 200 AND o_orderkey < 450
+            |  AND o_orderstatus = 'F'""".stripMargin)
+    val srcCount = graft.lake.TxnLog.snapshot(s, source).count()
+    s.sql(s"CREATE TABLE q102_clone SHALLOW CLONE q102_src LOCATION '$clone'")
+    val dataDir = new org.apache.hadoop.fs.Path(clone, "data")
+    require(!dataDir.getFileSystem(hconf).exists(dataDir),
+      "SHALLOW CLONE copied data files; it must only reference them")
+    s.sql("""DELETE FROM q102_clone
+            |WHERE o_orderkey >= 600 AND o_orderkey < 800
+            |  AND o_orderstatus = 'O'""".stripMargin)
+    require(graft.lake.TxnLog.snapshot(s, source).count() == srcCount,
+      "DML on a shallow clone leaked into its source")
+    graft.lake.TxnLog.snapshot(s, clone)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
     "q98_time_travel" -> sqlTimeTravel _,
+    "q102_shallow_clone" -> shallowClone _,
     "q99_sql_insert" -> sqlInsert _,
     "q100_metadata_agg" -> metadataAgg _,
     "q101_cdf_replicate" -> cdfReplicate _,
@@ -525,6 +566,14 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q102_shallow_clone" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders
+        |WHERE (o_orderkey >= 200 AND o_orderkey < 450
+        |       AND o_orderstatus = 'F') IS NOT TRUE
+        |  AND (o_orderkey >= 600 AND o_orderkey < 800
+        |       AND o_orderstatus = 'O') IS NOT TRUE""".stripMargin,
     "q101_cdf_replicate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey < 100 AND o_orderstatus = 'O'
