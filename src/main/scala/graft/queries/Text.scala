@@ -91,7 +91,56 @@ object Text extends QueryPack {
     TextAnalysis.scrubPii(planted)
   }
 
+  /** Contiguous sequence packing (q103): the documents stream ordered
+    * by doc_id, cut into 4096-char packs; per-pack doc counts / char
+    * sums / first doc hash-match DuckDB running the same window
+    * cumsum. The char count stands in for a token count — any count
+    * column packs the same way.
+    */
+  def seqPacking(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.SequencePacking
+    val packs = SequencePacking.contiguousPacks(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      "n_chars", "doc_id", budget = 4096L)
+    packs.groupBy(col("pack_id")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("pack_chars"),
+      min(col("doc_id")).as("first_doc"),
+      max(col("packs_spanned")).as("max_spanned"))
+  }
+
+  /** FFD bin-packing gate (q104): first-fit-decreasing packs must (a)
+    * never overfill a bin (oversized docs alone may exceed the
+    * budget), and (b) land within 25% + one-tail-bin-per-group of the
+    * `ceil(total/budget)` lower bound. Corpus totals pin exactly; the
+    * quality claims pin as oracle-checked booleans.
+    */
+  def ffdPackingGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.SequencePacking
+    val budget = 4096L
+    val groups = 32
+    val packed = SequencePacking.ffdPacks(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      "n_chars", "doc_id", budget, groups)
+    val perBin = packed.groupBy(col("pack_id")).agg(
+      sum(col("n_chars")).as("fill"), count(lit(1)).as("n"))
+    val overfilled = perBin
+      .filter(col("fill") > budget && col("n") > 1L).count()
+    val bins = perBin.count()
+    val row = packed.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars")).head()
+    val (nDocs, total) = (row.getLong(0), row.getLong(1))
+    val lowerBound = (total + budget - 1) / budget
+    s.range(1).select(
+      lit(nDocs).as("n_docs"),
+      lit(total).as("total_chars"),
+      lit(overfilled == 0L).as("no_overflow"),
+      lit(bins <= (lowerBound * 5) / 4 + groups).as("waste_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_seq_packing" -> seqPacking _,
+    "q104_ffd_packing_gate" -> ffdPackingGate _,
     "q90_pii_scrub" -> piiScrub _,
     "q50_text_stats" -> stats _,
     "q51_text_quality" -> quality _,
@@ -109,6 +158,21 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q103_seq_packing" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tok_start
+        |  FROM documents)
+        |SELECT tok_start // 4096 AS pack_id, count(*) AS n_docs,
+        |  sum(n_chars) AS pack_chars, min(doc_id) AS first_doc,
+        |  max((tok_start % 4096 + n_chars + 4095) // 4096) AS max_spanned
+        |FROM c GROUP BY 1""".stripMargin,
+    "q104_ffd_packing_gate" ->
+      """SELECT count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  TRUE AS no_overflow, TRUE AS waste_ok
+        |FROM documents""".stripMargin,
     "q90_pii_scrub" ->
       s"""SELECT doc_id,
          |  regexp_replace(

@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence PACKING — the step between a curated corpus and a training
+  * run: documents (with token counts) are arranged into fixed-budget
+  * packs so the trainer sees dense `budget`-token sequences instead of
+  * one padded sequence per document.
+  *
+  * Two strategies, matching what pretraining pipelines actually use:
+  *
+  *  - [[contiguousPacks]] — GPT-style: order the corpus
+  *    deterministically, concatenate it into one token stream, cut
+  *    every `budget` tokens. A document belongs to the pack its first
+  *    token falls in; long documents straddle (the trainer splits at
+  *    pack boundaries). Fully deterministic — an external SQL engine
+  *    reproduces it with one window cumsum — and shuffle-light at any
+  *    scale (see below).
+  *
+  *  - [[ffdPacks]] — bin semantics (no splitting): first-fit-decreasing
+  *    within hash-spread groups. Not globally optimal (bin packing is
+  *    NP-hard) but within a few percent of the `ceil(total/budget)`
+  *    lower bound on natural corpora; the q104 gate pins that bound.
+  *
+  * Scale note: a naive global cumsum is `Window.orderBy(...)` with no
+  * partitioning — Spark collapses the table to ONE partition. Here the
+  * corpus is range-partitioned on the order key, each partition
+  * cumsums independently, and a tiny per-partition-total table (one
+  * row per PARTITION, broadcast back) provides the prefix offsets —
+  * the 100 TB shape of a prefix sum, with no driver collect at all.
+  */
+object SequencePacking {
+
+  /** Per-doc pack assignment: input columns plus `tok_start` (global
+    * stream position of the doc's first token), `pack_id`
+    * (= tok_start / budget), and `packs_spanned`. `orderCol` must be
+    * unique (it defines the stream; ties would make the stream
+    * ambiguous and the result nondeterministic).
+    */
+  def contiguousPacks(docs: DataFrame, tokenCol: String, orderCol: String,
+      budget: Long, partitions: Int = 0): DataFrame = {
+    val nParts = if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val pid = "__graft_pid"
+    val parted = docs
+      .repartitionByRange(nParts, col(orderCol))
+      .withColumn(pid, spark_partition_id())
+    // within-partition exclusive cumsum: partitions are range-disjoint
+    // on orderCol, so no global ordering shuffle happens here
+    val w = Window.partitionBy(col(pid)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("__graft_local",
+      coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    // per-partition totals -> exclusive prefix offsets, all inside ONE
+    // query: the offsets table has one row per PARTITION (its window
+    // runs single-partition over `partitions` rows, not the corpus),
+    // and both branches hang off the same range exchange, so the
+    // partition ids provably agree
+    val offsets = local.groupBy(col(pid))
+      .agg(sum(col(tokenCol)).as("__graft_total"))
+      .withColumn("__graft_off", coalesce(
+        sum(col("__graft_total")).over(Window.orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pid), col("__graft_off"))
+    local.join(broadcast(offsets), pid)
+      .withColumn("tok_start", col("__graft_local") + col("__graft_off"))
+      .drop("__graft_off")
+      .withColumn("pack_id", (col("tok_start") / budget).cast("long"))
+      .withColumn("packs_spanned",
+        (((col("tok_start") % budget) + col(tokenCol) + budget - 1L) / budget)
+          .cast("long"))
+      .drop(pid, "__graft_local")
+  }
+
+  /** First-fit-decreasing bin packing without document splitting: docs
+    * hash-spread into `groups` independent streams, each packed FFD
+    * in-memory (state = one fill level per open bin, O(bins) not
+    * O(docs)). Output: input columns plus `pack_id` (globally unique:
+    * group * 2^40 + local bin). A doc longer than `budget` gets a bin
+    * of its own. Deterministic for a fixed `groups` (hash spread +
+    * in-group sort by (tokens desc, orderCol)).
+    */
+  def ffdPacks(docs: DataFrame, tokenCol: String, orderCol: String,
+      budget: Long, groups: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val g = "__graft_grp"
+    val grouped = docs
+      .withColumn(g, pmod(xxhash64(col(orderCol)), lit(groups)))
+      .repartition(groups, col(g))
+      .sortWithinPartitions(col(g), col(tokenCol).desc, col(orderCol))
+    val outSchema = StructType(grouped.schema.fields.filterNot(_.name == g) :+
+      StructField("pack_id", LongType, nullable = false))
+    val gIdx = grouped.schema.fieldIndex(g)
+    val tIdx = grouped.schema.fieldIndex(tokenCol)
+    val keep = grouped.schema.fields.indices.filterNot(_ == gIdx)
+    // genuinely sequential per group (each placement depends on all
+    // earlier fills), so this is one of the rare justified
+    // mapPartitions; state is one fill level per OPEN bin — O(bins),
+    // never O(docs)
+    val packed = grouped.rdd.mapPartitions { rows =>
+      var curGroup = -1L
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.map { r =>
+        val grp = r.getLong(gIdx)
+        if (grp != curGroup) { curGroup = grp; fills.clear() }
+        val toks = r.getLong(tIdx)
+        var bin = fills.indexWhere(_ + toks <= budget)
+        if (bin < 0) { fills += 0L; bin = fills.length - 1 }
+        fills(bin) += toks
+        Row.fromSeq(keep.map(i => r.get(i)) :+ (grp * (1L << 40) + bin))
+      }
+    }
+    spark.createDataFrame(packed, outSchema)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: the contiguous cut must equal the naive global
+  * cumsum regardless of partitioning, and FFD bins must respect the
+  * budget while staying near the lower bound.
+  */
+class SequencePackingSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def corpus(n: Int, seed: Int) = {
+    // deterministic pseudo-random lengths, heavy tail like real docs
+    spark.range(n).select(col("id").as("doc_id"),
+      (pmod(xxhash64(col("id") + seed), lit(900L)) + 50L).as("toks"))
+  }
+
+  test("contiguous packing equals the single-window cumsum at any partitioning") {
+    val docs = corpus(5000, 1)
+    val naive = docs.withColumn("tok_start",
+        coalesce(sum(col("toks")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", (col("tok_start") / 4096L).cast("long"))
+      .select(col("doc_id"), col("tok_start"), col("pack_id"))
+    for (parts <- Seq(3, 17)) {
+      val got = SequencePacking
+        .contiguousPacks(docs, "toks", "doc_id", 4096L, partitions = parts)
+        .select(col("doc_id"), col("tok_start"), col("pack_id"))
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"mismatch at partitions=$parts")
+    }
+  }
+
+  test("packs_spanned counts boundary-straddling correctly") {
+    val docs = Seq((1L, 100L), (2L, 4000L), (3L, 5000L))
+      .toDF("doc_id", "toks")
+    val got = SequencePacking.contiguousPacks(docs, "toks", "doc_id", 4096L)
+      .select(col("doc_id"), col("tok_start"), col("pack_id"),
+        col("packs_spanned"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // doc2 starts at 100, ends at 4100: straddles packs 0 and 1
+    // doc3 starts at 4100, ends at 9100: packs 1 and 2
+    assert(got == List((1L, 0L, 0L, 1L), (2L, 100L, 0L, 2L),
+      (3L, 4100L, 1L, 2L)))
+  }
+
+  test("FFD never overfills a bin and stays near the lower bound") {
+    val docs = corpus(5000, 2)
+    val packed = SequencePacking.ffdPacks(docs, "toks", "doc_id", 4096L,
+      groups = 8)
+    assert(packed.count() == 5000L)
+    val perBin = packed.groupBy(col("pack_id"))
+      .agg(sum(col("toks")).as("fill"), count(lit(1)).as("n"))
+    assert(perBin.filter(col("fill") > 4096L).isEmpty)
+    val bins = perBin.count()
+    val total = docs.agg(sum(col("toks"))).as[Long].head()
+    val lb = (total + 4095) / 4096
+    assert(bins <= (lb * 5) / 4 + 8, s"$bins bins vs lower bound $lb")
+  }
+
+  test("a document longer than the budget gets a bin of its own") {
+    val docs = Seq((1L, 10000L), (2L, 100L), (3L, 200L))
+      .toDF("doc_id", "toks")
+    val packed = SequencePacking.ffdPacks(docs, "toks", "doc_id", 4096L,
+      groups = 1)
+    val big = packed.filter(col("doc_id") === 1L)
+      .select(col("pack_id")).as[Long].head()
+    assert(packed.filter(col("pack_id") === big).count() == 1L)
+  }
+}
