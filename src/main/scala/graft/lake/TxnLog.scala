@@ -395,6 +395,114 @@ object TxnLog {
       removePaths = live.flatMap(_._2.map(_.path)))
   }
 
+  /** RESTORE the table to its state at `toVersion` (Delta's `RESTORE
+    * TABLE ... TO VERSION AS OF`) in ONE atomic `restore-` commit —
+    * readers see the pre-restore or the restored table, never a mix,
+    * and the restore itself becomes a new version, so it is undoable
+    * (time travel still reads every pre-restore state).
+    *
+    * Cost is proportional to WHAT CHANGED since `toVersion`, not to the
+    * table: files live at both versions carry forward BY REFERENCE (not
+    * listed in the restore manifest at all); only files removed since
+    * `toVersion` are re-materialized (their rows read aligned to the
+    * target snapshot schema and re-written), and files added since are
+    * superseded logically. A restore one bad DELETE back on a 100 TB
+    * table moves only the deleted files' worth of data. (Delta restores
+    * by re-adding old file entries; our manifest format ties each
+    * entry's schema and partition `basePath` to its own commit dir, so
+    * re-materializing is the price of per-commit schema alignment.)
+    *
+    * Row-level changes are CAPTURED like DML (a `_cdc/` subdir): rows of
+    * files this restore superseded as `delete`, re-materialized rows as
+    * `insert` — so [[changeFeed]] consumers and CDF replication see the
+    * rewind. Append-only [[changes]] consumers skip `restore-` commits
+    * like other rewrites (the re-added rows are old data, not appends).
+    *
+    * Returns None on a lost append race (re-run on the new base); a
+    * restore to the current state is a no-op returning the base.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+      partitionCols: Seq[String] = Nil): Option[Long] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    require(vs.contains(toVersion),
+      s"RESTORE to version $toVersion: not in $table's retained history " +
+        s"(${vs.head}..${vs.last}); vacuumed versions are unrecoverable")
+    val base = vs.last
+    if (base == toVersion) return Some(base)
+    val nowLive = liveEntries(activeManifests(
+      manifestChain(spark, table, base)._1)).filter(_._2.nonEmpty)
+    val thenLive = liveEntries(activeManifests(
+      manifestChain(spark, table, toVersion)._1)).filter(_._2.nonEmpty)
+    val nowPaths = nowLive.flatMap(_._2.map(_.path)).toSet
+    val thenPaths = thenLive.flatMap(_._2.map(_.path)).toSet
+    if (nowPaths == thenPaths) return Some(base) // layout-only drift: keep
+    // re-materialize exactly the files live at toVersion but dead now
+    val reAdd = nowPaths -- thenPaths // dropped: added since toVersion
+    val comeBack = thenLive.map { case (m, es) =>
+      (m, es.filter(e => !nowPaths.contains(e.path))) }.filter(_._2.nonEmpty)
+    val mergedThen = thenLive.map(_._1.schema)
+      .reduceOption(SchemaRegistry.merge)
+      .getOrElse(readManifest(spark, table, toVersion).schema)
+    val out = readAligned(spark, comeBack, mergedThen).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mergedThen))
+    // change capture: superseded files' rows retract, restored rows insert
+    val dropped = nowLive.map { case (m, es) =>
+      (m, es.filter(e => !thenPaths.contains(e.path))) }.filter(_._2.nonEmpty)
+    val mergedBoth = (thenLive ++ dropped).map(_._1.schema)
+      .reduceOption(SchemaRegistry.merge).getOrElse(mergedThen)
+    import org.apache.spark.sql.functions.lit
+    val deletes = readAligned(spark, dropped, mergedBoth)
+      .map(_.withColumn("_change_type", lit("delete")))
+    val inserts = readAligned(spark, comeBack, mergedBoth)
+      .map(_.withColumn("_change_type", lit("insert")))
+    val cdc = (deletes.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
+    appendCommit(spark, table, out, partitionCols,
+      s"restore-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base), removePaths = reAdd.toSeq.sorted, cdc = cdc)
+  }
+
+  /** The commit log as a table (Delta's `DESCRIBE HISTORY`): one row per
+    * retained version, NEWEST FIRST — version, commit wall-clock time
+    * (null for pre-timestamp manifests), the operation the commit-dir
+    * name encodes, and file/row/byte deltas from the manifest alone (no
+    * data reads; row/byte sums are null when any entry predates
+    * size/row-count recording). Shallow clones borrow their SOURCE's
+    * commit dirs, so a clone's history reports the source operations
+    * its snapshot was assembled from.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = versions(spark, table).reverse.map { v =>
+      val m = readManifest(spark, table, v)
+      val name = new Path(m.commitDir).getName
+      val op = Seq("delete", "update", "merge", "overwrite", "compact",
+          "optimize", "restore", "clone")
+        .find(p => name.startsWith(p + "-")).map(_.toUpperCase)
+        .getOrElse(if (name.startsWith("txn-")) "STREAMING APPEND"
+          else "APPEND")
+      Row(v,
+        if (m.timestampMs > 0) new java.sql.Timestamp(m.timestampMs) else null,
+        op, m.entries.size.toLong, m.removed.size.toLong,
+        if (m.entries.nonEmpty && m.entries.forall(_.rows >= 0))
+          m.entries.map(_.rows).sum else if (m.entries.isEmpty) 0L else null,
+        if (m.entries.nonEmpty && m.entries.forall(_.size >= 0))
+          m.entries.map(_.size).sum else if (m.entries.isEmpty) 0L else null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("timestamp", TimestampType),
+        StructField("operation", StringType, nullable = false),
+        StructField("num_added_files", LongType, nullable = false),
+        StructField("num_removed_files", LongType, nullable = false),
+        StructField("num_added_rows", LongType),
+        StructField("num_added_bytes", LongType))))
+  }
+
   /** The txn id a commit directory name encodes, if any. New commits are
     * `txn-<8 hex>-<id>` (unique dir per attempt, so concurrent replays of
     * the same id can never overwrite each other's data files); `txn-<id>`
@@ -824,7 +932,13 @@ object TxnLog {
     // Partition columns live in the path, not the file: exclude them.
     val statsSchema = StructType(df.schema.fields
       .filterNot(fd => partitionCols.contains(fd.name)))
-    val entries = harvestStats(spark, files, statsSchema)
+    val harvested = harvestStats(spark, files, statsSchema)
+    // an empty write still emits one schema-only parquet file (Spark
+    // records the schema that way); the manifest header already carries
+    // it, so PROVABLY empty files are dropped — a removal-only commit
+    // (e.g. a restore that only rewinds appends) stays metadata-only
+    val (entries, empties) = harvested.partition(_.rows != 0L)
+    empties.foreach(e => f.delete(new Path(e.path), false))
 
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1007,7 +1121,7 @@ object TxnLog {
         includeRewrites ||
           (!name.startsWith("compact-") && !name.startsWith("merge-") &&
             !name.startsWith("delete-") && !name.startsWith("update-") &&
-            !name.startsWith("optimize-"))
+            !name.startsWith("optimize-") && !name.startsWith("restore-"))
       }
       .map(m => (m, m.entries))
   }
@@ -1082,7 +1196,7 @@ object TxnLog {
         .withColumn("_commit_version", lit(m.version)))
     val parts = picked.flatMap { case (m, es) =>
       val name = new Path(m.commitDir).getName
-      val isRewrite = Seq("merge-", "delete-", "update-")
+      val isRewrite = Seq("merge-", "delete-", "update-", "restore-")
         .exists(name.startsWith)
       if (name.startsWith("compact-") || name.startsWith("optimize-")) None
       else if (name.startsWith("overwrite-")) {

@@ -543,8 +543,71 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, clone)
   }
 
+  /** SQL RESTORE gate: the three-chunk orders lake, a SQL DELETE on the
+    * middle chunk, then `RESTORE TABLE ... TO VERSION AS OF 3`. The
+    * result reads BOTH states off the restored table — the head (the
+    * delete undone) and `VERSION AS OF 4` (the restore left the deleted
+    * state time-travelable). Requires LOUDLY that the two untouched
+    * chunks carried by reference through delete AND restore (restore
+    * cost is what changed, never the table). Oracled as the DuckDB
+    * UNION of the full table and the post-delete filter.
+    */
+  def sqlRestore(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_rst_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q105_orders", table)
+    s.sql("DELETE FROM q105_orders WHERE o_orderkey >= 600 AND o_orderkey < 800")
+    val preRestore = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    s.sql("RESTORE TABLE q105_orders TO VERSION AS OF 3")
+    val after = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    require((preRestore & after).size == 2 && (after -- preRestore).size == 1,
+      "RESTORE must carry untouched files by reference and re-materialize " +
+        s"only the rewound chunk (kept ${(preRestore & after).size}, " +
+        s"new ${(after -- preRestore).size})")
+    s.sql("""SELECT *, 'head' AS _at FROM q105_orders
+            |UNION ALL
+            |SELECT *, 'v4' AS _at FROM q105_orders VERSION AS OF 4
+            |""".stripMargin)
+  }
+
+  /** DESCRIBE HISTORY gate: the same delete + restore flow, then the
+    * commit log as a result set (timestamps projected out — wall-clock;
+    * everything else deterministic). Oracled as DuckDB computing each
+    * commit's file/row deltas from the chunk predicates directly.
+    */
+  def describeHistory(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_hist_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q106_orders", table)
+    s.sql("DELETE FROM q106_orders WHERE o_orderkey >= 600 AND o_orderkey < 800")
+    s.sql("RESTORE TABLE q106_orders TO VERSION AS OF 3")
+    s.sql("DESCRIBE HISTORY q106_orders")
+      .select("version", "operation", "num_added_files",
+        "num_removed_files", "num_added_rows")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_lake_snapshot" -> lakeSnapshot _,
+    "q105_sql_restore" -> sqlRestore _,
+    "q106_describe_history" -> describeHistory _,
     "q98_time_travel" -> sqlTimeTravel _,
     "q102_shallow_clone" -> shallowClone _,
     "q99_sql_insert" -> sqlInsert _,
@@ -566,6 +629,38 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q105_sql_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, 'head' AS _at
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, 'v4' AS _at
+        |FROM orders
+        |WHERE NOT (o_orderkey >= 600 AND o_orderkey < 800)""".stripMargin,
+    "q106_describe_history" ->
+      """SELECT * FROM (
+        |  SELECT CAST(5 AS BIGINT) AS version, 'RESTORE' AS operation,
+        |    CAST(1 AS BIGINT) AS num_added_files,
+        |    CAST(1 AS BIGINT) AS num_removed_files,
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey >= 500 AND o_orderkey < 1000) AS num_added_rows
+        |  UNION ALL
+        |  SELECT 4, 'DELETE', 1, 1,
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey >= 500 AND o_orderkey < 1000
+        |       AND NOT (o_orderkey >= 600 AND o_orderkey < 800))
+        |  UNION ALL
+        |  SELECT 3, 'APPEND', 1, 0,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey >= 1000)
+        |  UNION ALL
+        |  SELECT 2, 'APPEND', 1, 0,
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey >= 500 AND o_orderkey < 1000)
+        |  UNION ALL
+        |  SELECT 1, 'APPEND', 1, 0,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey < 500)
+        |) ORDER BY version DESC""".stripMargin,
     "q102_shallow_clone" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate

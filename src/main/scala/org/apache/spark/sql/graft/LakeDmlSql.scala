@@ -79,6 +79,12 @@ object LakeDmlSql {
     ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+SHALLOW\s+CLONE\s+""" +
       """([A-Za-z_][\w]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w]*)\s+TO\s+""" +
+      """(?:VERSION\s+AS\s+OF\s+(\d+)""" +
+      """|TIMESTAMP\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)')\s*;?\s*$""").r
 
   /** Maintenance statements Spark's grammar does not know (Delta's
     * surface): `VACUUM t [RETAIN n HOURS]` and
@@ -107,6 +113,13 @@ object LakeDmlSql {
         LakeMounts.pathOf(spark, srcName).map(srcPath =>
           LakeCloneCommand(name, loc, srcPath,
             Option(ver).map(_.toLong)))
+      case HistoryRe(name) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeHistoryCommand(name, path))
+      case RestoreRe(name, ver, ts) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeRestoreCommand(name, path, Option(ver).map(_.toLong),
+            Option(ts)))
       case _ => None
     }
 
@@ -703,6 +716,60 @@ object LakeDmlSql {
 
     override def simpleString(maxFields: Int): String =
       s"LakeCreateCommand $name at $path"
+  }
+
+  /** `DESCRIBE HISTORY t` — the mounted lake table's commit log as a
+    * result set ([[TxnLog.history]]), newest first: version, commit
+    * time, operation, and per-commit file/row/byte deltas, all from the
+    * manifests alone (no data reads).
+    */
+  final case class LakeHistoryCommand(name: String, path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("timestamp", TimestampType)(),
+      AttributeReference("operation",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
+      AttributeReference("num_added_files", LongType, nullable = false)(),
+      AttributeReference("num_removed_files", LongType, nullable = false)(),
+      AttributeReference("num_added_rows", LongType)(),
+      AttributeReference("num_added_bytes", LongType)())
+    override def run(spark: SparkSession): Seq[Row] =
+      TxnLog.history(spark, path).collect().toSeq
+    override def simpleString(maxFields: Int): String =
+      s"LakeHistoryCommand $name"
+  }
+
+  /** `RESTORE [TABLE] t TO VERSION AS OF n` (or `TO TIMESTAMP AS OF
+    * '...'`) — rewind the mounted lake table to an earlier state in one
+    * atomic undoable commit ([[TxnLog.restore]]); cost proportional to
+    * what changed since, untouched files carried by reference. A
+    * timestamp resolves like read-side time travel (newest commit
+    * at-or-before it); date-only literals mean midnight UTC.
+    */
+  final case class LakeRestoreCommand(name: String, path: String,
+      version: Option[Long], timestamp: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = version.getOrElse {
+        val raw = timestamp.get.trim
+        val lit = if (raw.contains(" ") || raw.contains("T")) raw
+          else s"$raw 00:00:00"
+        // parse in UTC (sessions run UTC) — Timestamp.valueOf would
+        // shift by the JVM's default zone
+        TxnLog.versionAtTimestamp(spark, path,
+          java.time.LocalDateTime.parse(lit.replace(" ", "T"))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      }
+      val nv = retry(s"RESTORE $name") {
+        TxnLog.restore(spark, path, v, layoutPartitionCols(spark, path))
+      }
+      refreshIfMounted(spark, name, path)
+      Seq(Row(nv))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeRestoreCommand $name to ${version.orElse(timestamp).get}"
   }
 
   /** `CREATE TABLE name SHALLOW CLONE src [VERSION AS OF n]

@@ -1,0 +1,156 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** `RESTORE TABLE ... TO VERSION AS OF` and `DESCRIBE HISTORY` over the
+  * lake: a restore is ONE atomic undoable commit whose cost is bounded
+  * by what changed since the target version — files live at both
+  * versions must carry forward by reference (same paths, zero data
+  * movement), and the change feed must see the rewind as row-level
+  * deletes + inserts.
+  */
+class LakeRestoreSpec extends SparkSpec {
+
+  import org.apache.spark.sql.graft.LakeMounts
+
+  /** Three single-file commits with disjoint id ranges: [0,99],
+    * [100,199], [200,299] — stats make the touched-file set observable.
+    */
+  private def threeChunkTable(prefix: String): String = {
+    val table = Files.createTempDirectory(prefix).toString
+    Seq(0, 100, 200).foreach { lo =>
+      val df = spark.range(lo, lo + 100)
+        .select(col("id"), (col("id") % 7).as("grp"),
+          concat(lit("v"), col("id")).as("val"))
+      TxnLog.append(spark, table, df.coalesce(1))
+    }
+    table
+  }
+
+  private def liveFiles(table: String): Set[String] =
+    TxnLog.snapshot(spark, table).inputFiles.toSet
+
+  test("RESTORE undoes a DELETE; untouched files carry by reference") {
+    val table = threeChunkTable("graft-restore-del")
+    LakeMounts.mount(spark, "rst_t", table)
+    spark.sql("DELETE FROM rst_t WHERE id >= 120 AND id < 150")
+    assert(TxnLog.snapshot(spark, table).count() == 270)
+    val preRestore = liveFiles(table)
+
+    val v = spark.sql("RESTORE TABLE rst_t TO VERSION AS OF 3")
+      .collect().head.getLong(0)
+    assert(v == 5L)
+
+    val after = liveFiles(table)
+    // chunks 1 and 3 were never touched: same physical paths before
+    // and after (carried by reference through DELETE and RESTORE);
+    // only chunk 2's rows moved (the delete's rewrite file superseded,
+    // its 100 original rows re-materialized as one new write)
+    assert((preRestore & after).size == 2)
+    assert((after -- preRestore).size == 1)
+
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 300)
+    assert(snap.filter(col("id") >= 120 && col("id") < 150).count() == 30)
+    // the restore is itself a version: time travel still reads the
+    // deleted state it rewound
+    assert(TxnLog.snapshot(spark, table, Some(4L)).count() == 270)
+    // and the mounted view was refreshed
+    assert(spark.table("rst_t").count() == 300)
+  }
+
+  test("RESTORE that only drops later appends is a removal-only commit") {
+    val table = Files.createTempDirectory("graft-restore-app").toString
+    import graft.SparkSpec.spark.implicits._
+    TxnLog.append(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1))
+    TxnLog.append(spark, table, Seq((3L, "c")).toDF("id", "v").coalesce(1))
+    val before = liveFiles(table)
+    val v = TxnLog.restore(spark, table, 1L).get
+    assert(v == 3L)
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 2)
+    // nothing re-materialized: the one surviving file is an ORIGINAL
+    val after = liveFiles(table)
+    assert((after -- before).isEmpty && after.size == 1)
+  }
+
+  test("restore to the current version is a no-op") {
+    val table = threeChunkTable("graft-restore-noop")
+    assert(TxnLog.restore(spark, table, 3L) == Some(3L))
+    assert(TxnLog.versions(spark, table) == Seq(1L, 2L, 3L))
+  }
+
+  test("change feed sees the rewind; append-only changes() skips it") {
+    val table = threeChunkTable("graft-restore-cdf")
+    LakeMounts.mount(spark, "rst_cdf", table)
+    spark.sql("DELETE FROM rst_cdf WHERE id >= 120 AND id < 150")
+    spark.sql("RESTORE TABLE rst_cdf TO VERSION AS OF 3")
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = 4L)
+    // the delete's rewrite file held 70 surviving rows (retracted);
+    // chunk 2's original 100 rows come back as inserts — net +30
+    assert(feed.filter(col("_change_type") === "delete").count() == 70)
+    assert(feed.filter(col("_change_type") === "insert").count() == 100)
+    assert(feed.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+    // an append-only consumer must NOT re-receive restored old rows
+    assert(TxnLog.changes(spark, table, fromExclusive = 4L).count() == 0)
+  }
+
+  test("RESTORE preserves a partitioned layout") {
+    val table = Files.createTempDirectory("graft-restore-part").toString
+    val df = spark.range(0, 100)
+      .select(col("id"), (col("id") % 3).as("p"))
+    TxnLog.append(spark, table, df, partitionCols = Seq("p"))
+    LakeMounts.mount(spark, "rst_part", table)
+    spark.sql("DELETE FROM rst_part WHERE id < 50")
+    spark.sql("RESTORE TABLE rst_part TO VERSION AS OF 1")
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 100)
+    // the re-materialized rows landed Hive-partitioned, not flat
+    val restored = snap.inputFiles.filter(_.contains("restore-"))
+    assert(restored.nonEmpty && restored.forall(_.contains("/p=")))
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves like read-side time travel") {
+    val table = threeChunkTable("graft-restore-ts")
+    LakeMounts.mount(spark, "rst_ts", table)
+    spark.sql("DELETE FROM rst_ts WHERE id < 10")
+    // a far-future timestamp picks the head: restoring there is a no-op
+    val v = spark.sql(
+      "RESTORE TABLE rst_ts TO TIMESTAMP AS OF '2099-01-01'")
+      .collect().head.getLong(0)
+    assert(v == 4L)
+    assert(TxnLog.versions(spark, table).last == 4L)
+  }
+
+  test("restore to a vacuumed/unknown version fails loudly") {
+    val table = threeChunkTable("graft-restore-bad")
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.restore(spark, table, 99L)
+    }
+    assert(e.getMessage.contains("retained history"))
+  }
+
+  test("DESCRIBE HISTORY reports operations and deltas, newest first") {
+    val table = threeChunkTable("graft-restore-hist")
+    LakeMounts.mount(spark, "rst_hist", table)
+    spark.sql("DELETE FROM rst_hist WHERE id >= 120 AND id < 150")
+    spark.sql("RESTORE TABLE rst_hist TO VERSION AS OF 3")
+    val h = spark.sql("DESCRIBE HISTORY rst_hist").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(5L, 4L, 3L, 2L, 1L))
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("RESTORE", "DELETE", "APPEND", "APPEND", "APPEND"))
+    // the delete rewrote one file (70 rows) and superseded one; the
+    // restore re-added one file (100 rows) and superseded the rewrite
+    val byVer = h.map(r => r.getLong(0) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(byVer(4L) == ((1L, 1L, 70L)))
+    assert(byVer(5L) == ((1L, 1L, 100L)))
+    assert(byVer(1L) == ((1L, 0L, 100L)))
+    // commit timestamps are recorded
+    assert(h.forall(_.getTimestamp(1) != null))
+  }
+}
