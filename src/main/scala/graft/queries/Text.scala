@@ -138,7 +138,27 @@ object Text extends QueryPack {
       lit(bins <= (lowerBound * 5) / 4 + groups).as("waste_ok"))
   }
 
+  /** Decontamination gate (q107): the documents whose id divides by 13
+    * play the held-out benchmark; the rest are the training corpus.
+    * Every corpus doc sharing a distinct 4-gram with any benchmark doc
+    * is flagged with its shared-gram count ([[graft.text.Decontaminate]]
+    * — broadcast benchmark grams, one corpus scan). Synthetic near-dups
+    * guarantee real overlap: an empty result fails loudly rather than
+    * passing vacuously.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Decontaminate
+    val docs = Tables.documents(s, dir)
+    val flagged = Decontaminate.flag(
+      docs.filter(col("doc_id") % 13 =!= 0),
+      docs.filter(col("doc_id") % 13 === 0), n = 4)
+    require(flagged.limit(1).count() == 1,
+      "decontamination gate found no overlap; the check is vacuous")
+    flagged
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_decontaminate" -> decontaminate _,
     "q103_seq_packing" -> seqPacking _,
     "q104_ffd_packing_gate" -> ffdPackingGate _,
     "q90_pii_scrub" -> piiScrub _,
@@ -158,6 +178,28 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q107_decontaminate" ->
+      """WITH bt AS (
+        |  SELECT [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+        |          if t <> ''] AS tokens
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |bg AS (
+        |  SELECT DISTINCT unnest([array_to_string(tokens[i:i+3], ' ')
+        |                          for i in range(1, len(tokens) - 2)]) AS gram
+        |  FROM bt WHERE len(tokens) >= 4),
+        |ct AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+        |     if t <> ''] AS tokens
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |cg AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(tokens[i:i+3], ' ')
+        |                          for i in range(1, len(tokens) - 2)])) AS gram
+        |  FROM ct WHERE len(tokens) >= 4)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM cg JOIN bg USING (gram)
+        |GROUP BY doc_id""".stripMargin,
     "q103_seq_packing" ->
       """WITH c AS (
         |  SELECT doc_id, n_chars,

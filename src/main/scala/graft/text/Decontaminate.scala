@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.TextShingles
+
+/** Benchmark decontamination for pretraining corpora: drop (or flag)
+  * training documents that share word n-grams with an evaluation set,
+  * the GPT-3/PaLM leakage rule (13-gram overlap in the original; `n`
+  * is a parameter here because the right span length is
+  * tokenizer/benchmark-dependent).
+  *
+  * Shape at 100 TB: the BENCHMARK side is small (eval sets are at most
+  * millions of grams), so its distinct grams BROADCAST and the corpus
+  * is scanned ONCE — shingling is codegen'd higher-order functions
+  * ([[TextShingles]]), the explode streams (no corpus-side shuffle),
+  * and the join is a broadcast hash semi/inner join. Nothing in the
+  * plan scales with corpus size except the single scan. If a benchmark
+  * ever outgrows broadcast, the same plan works as a shuffle join on
+  * `xxhash64(gram)` — 8-byte keys, not strings.
+  *
+  * Reference basis: the ETL pipeline's quality-filter stage
+  * (`emr_json_parquet_schema_drift_etl.py` filters rows before
+  * publishing); decontamination is the pretraining-specific filter the
+  * north star needs.
+  */
+object Decontaminate {
+
+  /** Documents sharing at least `minShared` distinct `n`-grams with the
+    * benchmark: `(idCol, n_shared)` where `n_shared` counts the
+    * DISTINCT contaminated grams (a doc repeating one leaked gram ten
+    * times counts 1). Documents shorter than `n` tokens cannot overlap
+    * and never flag.
+    */
+  def flag(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      minShared: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text", benchTextCol: String = "text"): DataFrame = {
+    val benchGrams = TextShingles
+      .shingleDf(benchmark.select(lit(0L).as("doc_id"),
+        col(benchTextCol).as("text")), n, "doc_id", "text")
+      .select(explode(col("shingles")).as("gram"))
+      .distinct()
+    val corpusGrams = TextShingles.shingleDf(docs, n, idCol, textCol)
+      .select(col(idCol), explode(col("shingles")).as("gram"))
+    // shingles are already distinct per doc, so a plain count after the
+    // join IS the distinct shared-gram count
+    corpusGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The corpus with contaminated documents REMOVED (anti-join against
+    * [[flag]]'s ids — AQE broadcasts the flagged side when it is small,
+    * which it normally is) — the shape a curation pipeline composes
+    * right before packing.
+    */
+  def clean(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      minShared: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text", benchTextCol: String = "text"): DataFrame =
+    docs.join(
+      flag(docs, benchmark, n, minShared, idCol, textCol, benchTextCol)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+}

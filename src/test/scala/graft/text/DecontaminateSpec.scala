@@ -1,0 +1,61 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: planted leaks must flag with exact
+  * distinct-gram counts, everything else must survive, and the plan
+  * must stay one broadcast join over a single corpus scan.
+  */
+class DecontaminateSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private val bench = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "to be or not to be that is the question"
+  ).toDF("text")
+
+  private val corpus = Seq(
+    // leaks the first benchmark sentence verbatim inside other text
+    (1L, "breaking news the quick brown fox jumps over the lazy dog again"),
+    // leaks one 5-gram only, repeated twice (distinct count must be 1)
+    (2L, "he said to be or not to be said he to be or not to be"),
+    // shares words but no 5-gram
+    (3L, "the quick red fox sleeps under the lazy dog"),
+    // clean
+    (4L, "completely unrelated content about spark and parquet files"),
+    // too short to form a 5-gram
+    (5L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("flags exactly the leaked docs with distinct shared-gram counts") {
+    val flagged = Decontaminate.flag(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 embeds the 9-token benchmark sentence: 5 distinct 5-grams
+    // doc 2 repeats one leaked 5-gram ("to be or not to"): counts 1...
+    // plus "be or not to be" = 2 distinct grams
+    assert(flagged.keySet == Set(1L, 2L))
+    assert(flagged(1L) == 5L)
+    assert(flagged(2L) == 2L)
+  }
+
+  test("minShared raises the bar") {
+    val strict = Decontaminate.flag(corpus, bench, n = 5, minShared = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+  }
+
+  test("clean removes flagged docs and keeps the rest intact") {
+    val kept = Decontaminate.clean(corpus, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("the benchmark side broadcasts (no corpus-side shuffle join)") {
+    val plan = Decontaminate.flag(corpus, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join, got:\n$plan")
+  }
+}
