@@ -157,8 +157,35 @@ object Text extends QueryPack {
     flagged
   }
 
+  /** Corpus-mix gate (q108): four sources up/down-sampled at weights
+    * 2.5 / 1.0 / 0.5 / 0.25, the other sixteen dropped. Every copy
+    * decision is a deterministic md5 draw ([[graft.text.CorpusMix]]),
+    * so DuckDB recomputes the EXACT mix — same docs, same copy counts.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusMix
+    CorpusMix.mix(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25))
+  }
+
+  /** Per-source cap gate (q109): keep the 10 longest docs per source
+    * (ties to the smaller id) via the map-side bounded top-k aggregate
+    * — the shuffle carries ≤ k pairs per source per task, never the
+    * corpus. Oracled as DuckDB's row_number window.
+    */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusMix
+    CorpusMix.capPerSource(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars")),
+      k = 10, scoreCol = "n_chars")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_decontaminate" -> decontaminate _,
+    "q108_corpus_mix" -> corpusMix _,
+    "q109_source_cap" -> sourceCap _,
     "q103_seq_packing" -> seqPacking _,
     "q104_ffd_packing_gate" -> ffdPackingGate _,
     "q90_pii_scrub" -> piiScrub _,
@@ -178,6 +205,29 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q108_corpus_mix" ->
+      """WITH w AS (
+        |  SELECT * FROM (VALUES ('src0', 2.5), ('src1', 1.0),
+        |                        ('src2', 0.5), ('src3', 0.25)) w(source, wt)),
+        |d AS (
+        |  SELECT doc_id, d.source, wt,
+        |    CAST('0x' || substr(md5(doc_id || ':' || d.source), 1, 8)
+        |         AS UBIGINT) / 4294967296.0 AS u
+        |  FROM documents d JOIN w USING (source)),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(wt) AS BIGINT)
+        |      + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n
+        |  FROM d)
+        |SELECT doc_id, source, unnest(range(n)) AS copy
+        |FROM c WHERE n > 0""".stripMargin,
+    "q109_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
     "q107_decontaminate" ->
       """WITH bt AS (
         |  SELECT [t for t in string_split_regex(lower(text), '[^a-z0-9]+')

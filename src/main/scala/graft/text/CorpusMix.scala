@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset mixing for pretraining runs: weighted up/down-sampling per
+  * source and per-source caps — the knobs a data recipe turns when
+  * combining web/books/code corpora into one training mix.
+  *
+  * Sampling is DETERMINISTIC and engine-portable: the inclusion draw
+  * for a document is a uniform in [0,1) derived from the md5 of its
+  * id+source (+ optional salt), not from `rand()` — the same corpus
+  * and weights produce the same mix on every run, every executor
+  * count, and in other engines (the q108 oracle recomputes the exact
+  * mix in DuckDB). No RNG state, no seed-per-partition pitfalls.
+  *
+  * Scale shape: both operators are one narrow pass over the corpus —
+  * `mix` has NO shuffle at all (a map + generate), `capPerSource`
+  * shuffles only ≤ k (score,id) pairs per source per task (map-side
+  * bounded [[graft.functions.TopKAgg]]), never the documents
+  * themselves. A `row_number()` window would shuffle and sort the
+  * whole corpus by source and melt on a hot domain; this doesn't.
+  */
+object CorpusMix {
+
+  /** Deterministic uniform draw in [0,1): the first 8 hex chars of
+    * `md5(id ":" source [":" salt])` as an integer over 2^32. Exact in
+    * double (numerator < 2^53, power-of-two denominator), so
+    * cross-engine comparisons are bit-stable.
+    */
+  def drawU(id: Column, source: Column, salt: String = ""): Column = {
+    val key =
+      if (salt.isEmpty) concat(id.cast("string"), lit(":"), source)
+      else concat(id.cast("string"), lit(":"), source, lit(":" + salt))
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") / lit(4294967296.0)
+  }
+
+  /** Weighted mix: each document of source `s` appears
+    * `floor(weights(s))` times, plus once more when its draw falls
+    * under the fractional part — so a weight of 2.5 means "2.5 epochs
+    * of that source in expectation, exactly 2 or 3 copies per doc,
+    * chosen deterministically". Sources ABSENT from `weights` drop
+    * (weight 0). Output = the input columns plus `copy` (0-based).
+    */
+  def mix(docs: DataFrame, weights: Map[String, Double],
+      idCol: String = "doc_id", sourceCol: String = "source",
+      salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "mix needs at least one source weight")
+    require(weights.values.forall(_ >= 0.0),
+      s"negative weights make no sense: $weights")
+    val w = element_at(typedLit(weights), col(sourceCol))
+    val u = drawU(col(idCol), col(sourceCol), salt)
+    val copies = (floor(w) +
+      when(u < (w - floor(w)), 1.0).otherwise(0.0)).cast("long")
+    docs.withColumn("__graft_copies", coalesce(copies, lit(0L)))
+      .filter(col("__graft_copies") > 0L)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__graft_copies") - 1L)))
+      .drop("__graft_copies")
+  }
+
+  /** Per-source cap: keep at most `k` documents per source, the best by
+    * `scoreCol` (ties to the smaller id — fully deterministic). The
+    * aggregation is map-side bounded: each task contributes at most k
+    * pairs per source to the shuffle, so a 100 TB corpus with a
+    * billion-doc hot domain shuffles O(k × tasks), not the domain.
+    */
+  def capPerSource(docs: DataFrame, k: Int, scoreCol: String,
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    val kept = docs.groupBy(col(sourceCol))
+      .agg(graft.functions.GraftFunctions.topK(spark,
+        col(scoreCol).cast("double"), col(idCol), k).as("top"))
+      .select(explode(col("top").getField("id")).as(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus mixing: exact copy counts per weight, stability
+  * across runs and partitionings, rate convergence, and the bounded
+  * per-source cap.
+  */
+class CorpusMixSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def corpus(n: Long) = spark.range(n).select(
+    col("id").as("doc_id"),
+    concat(lit("s"), col("id") % 4).as("source"))
+
+  test("integer weights copy exactly; absent sources drop") {
+    val mixed = CorpusMix.mix(corpus(400),
+      Map("s0" -> 2.0, "s1" -> 1.0)) // s2/s3 unlisted
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("s0" -> 200L, "s1" -> 100L))
+    // copies are indexed 0..n-1
+    assert(mixed.filter(col("source") === "s0")
+      .groupBy("copy").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 100L, 1L -> 100L))
+  }
+
+  test("fractional weights converge to the rate and are deterministic") {
+    val docs = corpus(40000).filter(col("source") === "s0")
+    val once = CorpusMix.mix(docs, Map("s0" -> 0.5))
+    val rate = once.count().toDouble / 10000.0
+    assert(rate > 0.47 && rate < 0.53, s"rate $rate far from 0.5")
+    // identical under a different partitioning (no rand(), no
+    // partition-seeded RNG): same rows, same copies
+    val again = CorpusMix.mix(docs.repartition(13), Map("s0" -> 0.5))
+    assert(once.exceptAll(again).isEmpty && again.exceptAll(once).isEmpty)
+  }
+
+  test("weight 2.5 gives every doc 2 or 3 copies, ~2.5 on average") {
+    val docs = corpus(40000).filter(col("source") === "s1")
+    val counts = CorpusMix.mix(docs, Map("s1" -> 2.5))
+      .groupBy("doc_id").count()
+    assert(counts.filter(col("count") < 2 || col("count") > 3).count() == 0)
+    val mean = counts.agg(avg("count")).head().getDouble(0)
+    assert(mean > 2.45 && mean < 2.55, s"mean copies $mean far from 2.5")
+  }
+
+  test("salt changes the draw, not the rates") {
+    val docs = corpus(40000).filter(col("source") === "s2")
+    val a = CorpusMix.mix(docs, Map("s2" -> 0.5))
+    val b = CorpusMix.mix(docs, Map("s2" -> 0.5), salt = "run2")
+    // different subsets of comparable size
+    assert(a.exceptAll(b).count() > 1000)
+    assert(math.abs(a.count() - b.count()) < 1000)
+  }
+
+  test("mix plans with no shuffle (narrow map + generate only)") {
+    val plan = CorpusMix.mix(corpus(100), Map("s0" -> 1.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mix must not shuffle:\n$plan")
+  }
+
+  test("capPerSource keeps the top-k by score with id ties, nothing else") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 1L), (6L, "b", 2L)
+    ).toDF("doc_id", "source", "n_chars")
+    val kept = CorpusMix.capPerSource(docs, k = 2, scoreCol = "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a: 30-ties broken toward smaller id (2 then 3); b: both fit
+    assert(kept == Set(2L, 3L, 5L, 6L))
+  }
+}
