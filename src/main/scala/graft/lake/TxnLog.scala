@@ -895,11 +895,27 @@ object TxnLog {
     // Timestamps are forced to TIMESTAMP_MICROS for this write: Spark's
     // default INT96 physical type carries no usable footer stats, micros
     // make time-range predicates skip files like integer ranges do.
+    // OPTIMIZED WRITE (opt-in, Delta's optimizeWrite): rebalance the
+    // output before writing so each task lands ~advisory-sized files
+    // instead of one sliver per shuffle partition — with Hive
+    // partitioning, rebalancing BY the partition columns collapses the
+    // worst case (every task writing a sliver into every partition dir:
+    // tasks × partitions tiny files per commit) to ~one well-sized file
+    // per partition value, AQE splitting skewed values. This is the
+    // small-files problem solved at write time rather than by OPTIMIZE
+    // after the fact.
+    val optimizeWrite = spark.conf
+      .getOption("spark.graft.lake.optimizeWrite").exists(_.toBoolean)
+    val toWrite =
+      if (!optimizeWrite) df
+      else if (partitionCols.nonEmpty) df.hint("rebalance",
+        partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.hint("rebalance")
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     try {
-      var w = df.write.mode("errorifexists")
+      var w = toWrite.write.mode("errorifexists")
       if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
       w.parquet(commitDir.toString)
       // row-level change capture (DML writers): the change rows land in

@@ -1,0 +1,51 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Opt-in optimized writes (`spark.graft.lake.optimizeWrite`): a commit
+  * rebalances its output before writing, so a fragmented upstream plan
+  * cannot spray sliver files into the log — the small-files problem
+  * handled at write time instead of by OPTIMIZE after the fact.
+  */
+class OptimizedWriteSpec extends SparkSpec {
+
+  private def withOptimizeWrite[A](body: => A): A = {
+    spark.conf.set("spark.graft.lake.optimizeWrite", "true")
+    try body finally spark.conf.unset("spark.graft.lake.optimizeWrite")
+  }
+
+  test("a fragmented unpartitioned append collapses to few files") {
+    val df = spark.range(0, 10000).repartition(32)
+      .select(col("id"), (col("id") % 5).as("grp"))
+
+    val plain = Files.createTempDirectory("graft-ow-off").toString
+    TxnLog.append(spark, plain, df)
+    val plainFiles = TxnLog.snapshot(spark, plain).inputFiles.length
+    assert(plainFiles == 32, s"expected 32 sliver files, got $plainFiles")
+
+    val opt = Files.createTempDirectory("graft-ow-on").toString
+    withOptimizeWrite { TxnLog.append(spark, opt, df) }
+    val optFiles = TxnLog.snapshot(spark, opt).inputFiles.length
+    assert(optFiles <= 2, s"optimized write left $optFiles files")
+    // same rows either way
+    assert(TxnLog.snapshot(spark, opt).exceptAll(
+      TxnLog.snapshot(spark, plain)).isEmpty)
+  }
+
+  test("a partitioned append lands ~one file per partition value") {
+    val df = spark.range(0, 10000).repartition(32)
+      .select(col("id"), (col("id") % 5).as("p"))
+    val table = Files.createTempDirectory("graft-ow-part").toString
+    withOptimizeWrite {
+      TxnLog.append(spark, table, df, partitionCols = Seq("p"))
+    }
+    val files = TxnLog.snapshot(spark, table).inputFiles
+    // without rebalance: 32 tasks x 5 partition dirs = up to 160 files;
+    // rebalanced by p: one writer per value
+    assert(files.length == 5, s"expected 5 files, got ${files.length}")
+    (0L until 5L).foreach { v =>
+      assert(files.count(_.contains(s"/p=$v/")) == 1) }
+  }
+}
