@@ -83,11 +83,48 @@ object Streaming extends QueryPack {
     s.table(name)
   }
 
+  /** Stream-stream join gate (q110): the events table replayed as TWO
+    * streams (views and clicks), inner-joined per user on "click within
+    * 30 minutes after the view" with watermarks on both sides — the
+    * funnel query, state provably bounded by watermark + window
+    * ([[graft.streaming.StreamJoin]]). AvailableNow delivers one batch,
+    * so the match set is exact and DuckDB's batch interval join is the
+    * oracle.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val converted = Tables.events(s, dir)
+    val schema = StructType(converted.schema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    val src = s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]") // glob: see streamingDedupGate
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val joined = graft.streaming.StreamJoin.interval(
+      views, "v_ts", clicks, "c_ts", "user_id", "c_user",
+      within = "30 minutes")
+    val name = s"q110_stream_join_${math.abs(dir.hashCode).toString}"
+    val q = joined.select(col("view_id"), col("click_id"), col("user_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_event_windows" -> eventWindows _,
     "q26_sessionize" -> sessionize _,
     "q82_streaming_dedup" -> streamingDedupGate _,
     "q88_streaming_dedup_keys" -> streamingDedupKeysGate _,
+    "q110_stream_join" -> streamStreamJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -96,6 +133,13 @@ object Streaming extends QueryPack {
         |FROM documents GROUP BY 1""".stripMargin,
     "q88_streaming_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q110_stream_join" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts
+        | AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin,
     "q25_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  event_type, count(*) AS n, sum(value) AS total_value

@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream joins (the funnel shape: "view followed by
+  * a click within N minutes"). Both sides carry event-time watermarks
+  * and the join condition bounds the match window, so Spark can prove
+  * state retention: each side buffers only rows younger than
+  * watermark + window — state is O(arrival rate × window), never the
+  * stream. Without the time bound a stream-stream inner join would
+  * keep both sides forever; this API makes the bound mandatory.
+  */
+object StreamJoin {
+
+  /** Inner interval join: left rows matched to right rows with equal
+    * keys where `rightTs` falls in `[leftTs, leftTs + within]`. Column
+    * names must be disjoint enough to select from the result (rename
+    * before joining, as usual for self-joins). `delay` is each side's
+    * watermark: how late an event may arrive and still match.
+    */
+  def interval(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, keyLeft: String, keyRight: String,
+      within: String, delay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r, l(keyLeft) === r(keyRight) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"interval $within"))
+  }
+}

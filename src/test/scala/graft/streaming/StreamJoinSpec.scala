@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Stream-stream interval join: the streaming result must equal the
+  * batch interval join (AvailableNow replay, one batch, nothing late),
+  * and the physical plan must be the symmetric stateful join operator.
+  */
+class StreamJoinSpec extends SparkSpec {
+
+  test("streamed funnel join equals the batch interval join") {
+    val dir = sf
+    val converted = Tables.events(spark, dir)
+    val schema = StructType(converted.schema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    val src = spark.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val q = StreamJoin.interval(views, "v_ts", clicks, "c_ts",
+        "user_id", "c_user", within = "30 minutes")
+      .select(col("view_id"), col("click_id"))
+      .writeStream.format("memory").queryName("sj_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sj_gate")
+
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val batch = v.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
+      .select(col("view_id"), col("click_id"))
+
+    assert(streamed.count() > 0, "join produced nothing; vacuous test")
+    assert(streamed.exceptAll(batch).isEmpty)
+    assert(batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("the plan is the stateful symmetric hash join") {
+    val converted = Tables.events(spark, sf)
+    val schema = StructType(converted.schema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    val src = spark.readStream.schema(schema)
+      .option("basePath", sf)
+      .parquet(s"$sf/events.parque[t]")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val views = src.select(col("user_id"), col("ts").as("v_ts"))
+    val clicks = src.select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"))
+    val q = StreamJoin.interval(views, "v_ts", clicks, "c_ts",
+        "user_id", "c_user", within = "5 minutes")
+      .writeStream.format("memory").queryName("sj_plan")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val plan = q.lastProgress.sources.length // progress exists
+    assert(plan >= 1)
+    // the stateful operator actually ran (state rows were kept)
+    assert(q.lastProgress.stateOperators.nonEmpty)
+  }
+}
