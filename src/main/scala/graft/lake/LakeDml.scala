@@ -183,7 +183,16 @@ object LakeDml {
       matched: Seq[WhenClause], notMatched: Seq[InsertRows],
       bySource: Seq[WhenClause],
       partitionCols: Seq[String] = Nil,
-      newColumns: Seq[org.apache.spark.sql.types.StructField] = Nil): Option[Long] = {
+      newColumns: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      txnId: Option[String] = None): Option[Long] = {
+    // an idempotence key makes the merge replay-safe (exactly-once
+    // through at-least-once delivery): a txnId already in the log means
+    // this merge committed — additive appliers (incremental aggregate
+    // maintenance) NEED this, an idempotent apply does not
+    txnId.flatMap(TxnLog.committedTxn(spark, table, _)) match {
+      case Some(v) => return Some(v)
+      case None => ()
+    }
     require(matched.forall(!_.isInstanceOf[InsertRows]),
       "WHEN MATCHED supports UPDATE and DELETE")
     require(bySource.forall(!_.isInstanceOf[InsertRows]),
@@ -354,8 +363,11 @@ object LakeDml {
     ).flatten
     val changes = pieces.reduceOption(_ unionByName _)
 
+    val uid = java.util.UUID.randomUUID().toString
     TxnLog.appendCommit(spark, table, out, partitionCols,
-      s"merge-${java.util.UUID.randomUUID().toString}", txnId = None,
+      txnId.map(id => s"merge-${uid.take(8)}-txn-$id")
+        .getOrElse(s"merge-$uid"),
+      txnId = txnId,
       requireBase = Some(base),
       removePaths = touched.flatMap(_._2.map(_.path)),
       cdc = changes)

@@ -509,13 +509,17 @@ object TxnLog {
     * is accepted for logs written before the unique-dir scheme.
     */
   private def txnIdOfDir(name: String): Option[String] =
-    if (!name.startsWith("txn-")) None
-    else {
+    if (name.startsWith("txn-")) {
       val rest = name.stripPrefix("txn-")
       if (rest.length > 9 && rest(8) == '-' &&
           rest.take(8).forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
         Some(rest.drop(9))
       else Some(rest)
+    } else {
+      // DML commits keep their operation prefix (changeFeed and history
+      // classify by it) and embed the key as `<op>-<8 hex>-txn-<id>`
+      val i = name.indexOf("-txn-")
+      if (i >= 0) Some(name.substring(i + 5)) else None
     }
 
   /** The version that already committed transaction `txnId`, if any —

@@ -503,6 +503,47 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, replica)
   }
 
+  /** Incremental-MV gate (q111): a count/sum-by-status aggregate
+    * maintained PURELY off the change feed
+    * ([[graft.streaming.LakeAggMaintain]]) through appends, an UPDATE,
+    * a DELETE, and an INSERT — never recomputed from the source. The
+    * maintained table must hash-match DuckDB computing the aggregate of
+    * the final state directly.
+    */
+  def incrementalAggMv(s: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val source = s"/tmp/graft_lake_mv_src_$suffix"
+    val mv = s"/tmp/graft_lake_mv_dst_$suffix"
+    val ckpt = s"/tmp/graft_lake_mv_ck_$suffix"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(source, mv, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true) // fresh per run
+    }
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, source, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q111_src", source)
+    s.sql("""UPDATE q111_src SET o_totalprice = o_totalprice * 2
+            |WHERE o_orderkey < 100 AND o_orderstatus = 'O'""".stripMargin)
+    s.sql("""DELETE FROM q111_src
+            |WHERE o_orderkey >= 200 AND o_orderkey < 450
+            |  AND o_orderstatus = 'F'""".stripMargin)
+    s.sql("""INSERT INTO q111_src VALUES
+            |  (900001, 7, 'X', 111.25, TIMESTAMP '2031-01-01 00:00:00')
+            |""".stripMargin)
+    graft.streaming.LakeAggMaintain.init(s, source, mv,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    graft.streaming.LakeAggMaintain
+      .start(s, source, mv, Seq("o_orderstatus"), Seq("o_totalprice"), ckpt)
+      .awaitTermination()
+    graft.lake.TxnLog.snapshot(s, mv)
+  }
+
   /** Shallow-clone gate: the three-chunk orders lake, a SQL DELETE,
     * then a zero-copy `SHALLOW CLONE` and a FURTHER DELETE on the clone
     * only. Requires the clone copied no data files (its data dir holds
@@ -608,6 +649,7 @@ object Etl extends QueryPack {
     "q64_lake_snapshot" -> lakeSnapshot _,
     "q105_sql_restore" -> sqlRestore _,
     "q106_describe_history" -> describeHistory _,
+    "q111_incremental_agg_mv" -> incrementalAggMv _,
     "q98_time_travel" -> sqlTimeTravel _,
     "q102_shallow_clone" -> shallowClone _,
     "q99_sql_insert" -> sqlInsert _,
@@ -629,6 +671,19 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q111_incremental_agg_mv" ->
+      """WITH final AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey < 100 AND o_orderstatus = 'O'
+        |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE (o_orderkey >= 200 AND o_orderkey < 450
+        |         AND o_orderstatus = 'F') IS NOT TRUE
+        |  UNION ALL
+        |  SELECT 'X', 111.25)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  sum(o_totalprice) AS sum_o_totalprice
+        |FROM final GROUP BY 1""".stripMargin,
     "q105_sql_restore" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, 'head' AS _at

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.lake.{LakeDml, TxnLog}
+
+/** Incremental MATERIALIZED-VIEW maintenance off the change data feed:
+  * keep `mv` equal to
+  * `SELECT groupCols, count(*) AS n, sum(c) AS sum_c... FROM source
+  * GROUP BY groupCols` without ever recomputing it — each change-feed
+  * batch folds into per-key DELTAS (inserts/post-images count +1,
+  * deletes/pre-images -1; sums signed the same way) and ONE file-pruned
+  * MERGE applies them: matched keys add the delta (and drop the row
+  * when the count reaches zero), unseen keys insert.
+  *
+  * Work per batch is O(changed rows) + a merge touching only the MV
+  * files holding affected keys — on a 100 TB source a single-row
+  * UPDATE costs one delta row, not an aggregate scan. Count and sum
+  * are self-maintainable aggregates; min/max are NOT (a deleted
+  * minimum needs a rescan), which is why this API offers exactly
+  * count/sum (avg = sum/n at read time).
+  *
+  * Exactly-once: the feed's delivery is checkpointed, and the apply
+  * merge carries an idempotence key derived from the micro-batch id —
+  * a crash BETWEEN the MV commit and the checkpoint write replays the
+  * batch, the key is found committed, and the deltas are NOT added
+  * twice (additive state cannot rely on an idempotent apply the way
+  * keyed replication can).
+  */
+object LakeAggMaintain {
+
+  /** The MV's count column name. */
+  val CountCol = "n"
+
+  private def sumName(c: String) = s"sum_$c"
+
+  /** Create the (empty) MV table for `groupCols` + count + sums of
+    * `sumCols`, pinning the schema from the source table's columns.
+    */
+  def init(spark: SparkSession, source: String, mv: String,
+      groupCols: Seq[String], sumCols: Seq[String]): Long = {
+    require(TxnLog.versions(spark, mv).isEmpty,
+      s"$mv already has commits")
+    val src = TxnLog.schemaOf(spark, source)
+    def field(c: String): StructField = src.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .getOrElse(sys.error(s"$source has no column $c " +
+        s"(${src.fieldNames.mkString(", ")})"))
+    val schema = StructType(
+      groupCols.map(field) ++
+        (StructField(CountCol, LongType, nullable = false) +:
+          sumCols.map(c => StructField(sumName(c),
+            org.apache.spark.sql.types.DoubleType))))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    TxnLog.append(spark, mv, empty)
+  }
+
+  /** Stream the source's change feed into the MV. `availableNow`
+    * drains the backlog and stops (scheduled refresh); false keeps a
+    * continuous stream.
+    */
+  def start(spark: SparkSession, source: String, mv: String,
+      groupCols: Seq[String], sumCols: Seq[String], checkpoint: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    require(groupCols.nonEmpty, "aggregate maintenance needs group keys")
+    val q = spark.readStream.format("graftlake-cdf").load(source)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        applyBatch(batch, mv, groupCols, sumCols,
+          txnId = Some(s"aggmv-$id")))
+    (if (availableNow) q.trigger(Trigger.AvailableNow()) else q).start()
+  }
+
+  /** Fold one change-feed batch into per-key deltas and merge them into
+    * the MV (also usable directly on a bounded [[TxnLog.changeFeed]]
+    * read). `txnId` makes a replay of the same batch a no-op.
+    */
+  def applyBatch(batch: DataFrame, mv: String, groupCols: Seq[String],
+      sumCols: Seq[String], txnId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val sgn = when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    val deltas = batch
+      .withColumn("__sgn", sgn)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__sgn")).as("dn"),
+        sumCols.map(c => sum(col(c).cast("double") * col("__sgn"))
+          .as(s"d_$c")): _*)
+    val t = "t"; val s = "s"
+    // null group keys are real groups: join null-safely — and when any
+    // delta key IS null, skip stats-based file pruning (min/max bounds
+    // ignore nulls, so they could prune a file holding the null group)
+    val onCond = groupCols.map(c =>
+      col(s"$t.$c") <=> col(s"$s.$c")).reduce(_ && _)
+    val hasNullKey = deltas
+      .filter(groupCols.map(col(_).isNull).reduceOption(_ || _)
+        .getOrElse(lit(false)))
+      .limit(1).count() > 0
+    val keyPairs = if (hasNullKey) Nil else groupCols.map(c => (c, c))
+    val newCount = col(s"$t.$CountCol") + col(s"$s.dn")
+    val updates = (CountCol -> newCount) +: sumCols.map(c =>
+      sumName(c) -> (coalesce(col(s"$t.${sumName(c)}"), lit(0.0)) +
+        coalesce(col(s"$s.d_$c"), lit(0.0))))
+    val inserts = groupCols.map(c => c -> col(s"$s.$c")) ++
+      ((CountCol -> col(s"$s.dn")) +: sumCols.map(c =>
+        sumName(c) -> col(s"$s.d_$c")))
+    var attempt = 0
+    var done = false
+    while (!done && attempt < 5) {
+      done = LakeDml.mergeInto(spark, mv, deltas, t, s, onCond, keyPairs,
+        matched = Seq(
+          LakeDml.DeleteRows(Some(newCount === 0L)),
+          LakeDml.UpdateRows(None, updates.toMap)),
+        // a key absent from the MV whose batch nets to zero rows
+        // (insert then delete inside one batch) must NOT insert a
+        // zero-count row: with the condition unsatisfied it just drops
+        notMatched = Seq(LakeDml.InsertRows(
+          Some(col(s"$s.dn") =!= 0L), inserts.toMap)),
+        bySource = Nil,
+        txnId = txnId).isDefined
+      attempt += 1 // lost an append race: recompute on the new base
+    }
+    require(done, s"aggregate maintenance lost the append race $attempt times")
+  }
+}

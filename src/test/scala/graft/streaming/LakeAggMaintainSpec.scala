@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.TxnLog
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental aggregate-MV maintenance off the change feed: the MV
+  * must track count/sum-by-key through inserts, updates, and deletes
+  * without recomputation, drop zero-count groups, and never
+  * double-apply a replayed batch.
+  */
+class LakeAggMaintainSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def agg(table: String) =
+    TxnLog.snapshot(spark, table)
+      .groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double")).as("sum_v"))
+
+  private def mvRows(mv: String): Map[String, (Long, Double)] =
+    TxnLog.snapshot(spark, mv).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  private def fresh(prefix: String): (String, String, String) = (
+    Files.createTempDirectory(s"$prefix-src").toString,
+    Files.createTempDirectory(s"$prefix-mv").toString + "/t",
+    Files.createTempDirectory(s"$prefix-ck").toString + "/c")
+
+  test("MV converges through append, update, delete, insert") {
+    val (src, mv, ck) = fresh("graft-aggmv")
+    TxnLog.append(spark, src,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+        .toDF("id", "grp", "v").coalesce(1))
+    org.apache.spark.sql.graft.LakeMounts.mount(spark, "aggmv_src", src)
+    spark.sql("UPDATE aggmv_src SET v = v + 1 WHERE id = 1")
+    spark.sql("DELETE FROM aggmv_src WHERE id = 3")
+    spark.sql("INSERT INTO aggmv_src VALUES (4, 'c', 7.5)")
+
+    LakeAggMaintain.init(spark, src, mv, Seq("grp"), Seq("v"))
+    LakeAggMaintain.start(spark, src, mv, Seq("grp"), Seq("v"), ck)
+      .awaitTermination()
+    // group b dropped to zero rows: its MV row must be GONE
+    assert(mvRows(mv) == Map("a" -> ((2L, 31.0)), "c" -> ((1L, 7.5))))
+    // and the MV equals the direct aggregate
+    val direct = agg(src).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(mvRows(mv) == direct)
+  }
+
+  test("a later batch folds incrementally (one more commit, still exact)") {
+    val (src, mv, ck) = fresh("graft-aggmv-inc")
+    TxnLog.append(spark, src,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "grp", "v")
+        .coalesce(1))
+    LakeAggMaintain.init(spark, src, mv, Seq("grp"), Seq("v"))
+    LakeAggMaintain.start(spark, src, mv, Seq("grp"), Seq("v"), ck)
+      .awaitTermination()
+    assert(mvRows(mv) == Map("a" -> ((1L, 10.0)), "b" -> ((1L, 20.0))))
+
+    val mvVersionsBefore = TxnLog.versions(spark, mv).size
+    org.apache.spark.sql.graft.LakeMounts.mount(spark, "aggmv_inc", src)
+    spark.sql("UPDATE aggmv_inc SET v = v * 3 WHERE grp = 'a'")
+    LakeAggMaintain.start(spark, src, mv, Seq("grp"), Seq("v"), ck)
+      .awaitTermination()
+    assert(mvRows(mv) == Map("a" -> ((1L, 30.0)), "b" -> ((1L, 20.0))))
+    // the catch-up run applied the one changed batch as one merge
+    assert(TxnLog.versions(spark, mv).size == mvVersionsBefore + 1)
+  }
+
+  test("a replayed batch with the same txn id is a no-op") {
+    val (src, mv, _) = fresh("graft-aggmv-replay")
+    TxnLog.append(spark, src,
+      Seq((1L, "a", 10.0)).toDF("id", "grp", "v").coalesce(1))
+    LakeAggMaintain.init(spark, src, mv, Seq("grp"), Seq("v"))
+    val batch = TxnLog.changeFeed(spark, src, fromExclusive = 0L)
+    LakeAggMaintain.applyBatch(batch, mv, Seq("grp"), Seq("v"),
+      txnId = Some("replay-1"))
+    assert(mvRows(mv) == Map("a" -> ((1L, 10.0))))
+    // at-least-once delivery: the same batch arrives again
+    LakeAggMaintain.applyBatch(batch, mv, Seq("grp"), Seq("v"),
+      txnId = Some("replay-1"))
+    assert(mvRows(mv) == Map("a" -> ((1L, 10.0))),
+      "replayed batch was applied twice")
+  }
+
+  test("insert-then-delete of an unseen key inside one batch inserts nothing") {
+    val (src, mv, _) = fresh("graft-aggmv-zero")
+    TxnLog.append(spark, src,
+      Seq((1L, "a", 10.0)).toDF("id", "grp", "v").coalesce(1))
+    org.apache.spark.sql.graft.LakeMounts.mount(spark, "aggmv_zero", src)
+    spark.sql("INSERT INTO aggmv_zero VALUES (9, 'ghost', 1.0)")
+    spark.sql("DELETE FROM aggmv_zero WHERE grp = 'ghost'")
+    LakeAggMaintain.init(spark, src, mv, Seq("grp"), Seq("v"))
+    // all three commits in ONE applied batch: ghost nets to zero
+    LakeAggMaintain.applyBatch(
+      TxnLog.changeFeed(spark, src, fromExclusive = 0L),
+      mv, Seq("grp"), Seq("v"), txnId = Some("zero-1"))
+    assert(mvRows(mv) == Map("a" -> ((1L, 10.0))))
+  }
+}
