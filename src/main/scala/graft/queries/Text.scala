@@ -182,10 +182,23 @@ object Text extends QueryPack {
       k = 10, scoreCol = "n_chars")
   }
 
+  /** Split gate (q112): 90/5/5 train/val/test assignment from the same
+    * deterministic draw as q108 — stable under corpus growth (a doc
+    * never migrates splits), reproduced exactly by DuckDB including the
+    * cumulative-threshold float arithmetic.
+    */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusMix
+    CorpusMix.split(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_decontaminate" -> decontaminate _,
     "q108_corpus_mix" -> corpusMix _,
     "q109_source_cap" -> sourceCap _,
+    "q112_corpus_split" -> corpusSplit _,
     "q103_seq_packing" -> seqPacking _,
     "q104_ffd_packing_gate" -> ffdPackingGate _,
     "q90_pii_scrub" -> piiScrub _,
@@ -205,6 +218,16 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q112_corpus_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN u < CAST(0.9 AS DOUBLE) THEN 'train'
+        |       WHEN u < CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE)
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(doc_id || ':' || source), 1, 8)
+        |         AS UBIGINT) / 4294967296.0 AS u
+        |  FROM documents)""".stripMargin,
     "q108_corpus_mix" ->
       """WITH w AS (
         |  SELECT * FROM (VALUES ('src0', 2.5), ('src1', 1.0),

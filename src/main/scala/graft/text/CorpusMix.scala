@@ -59,6 +59,33 @@ object CorpusMix {
       .drop("__graft_copies")
   }
 
+  /** Deterministic train/val/test split: each document lands in the
+    * fraction bucket its md5 draw falls into (cumulative thresholds, in
+    * the order given — fractions must sum to 1 within 1e-9). The draw
+    * keys on id+source, so the split is stratified-in-expectation per
+    * source, stable across runs/engines, and a document NEVER migrates
+    * between splits when the corpus grows (no global sort, no count
+    * dependence — adding rows cannot leak yesterday's val docs into
+    * train). Zero shuffle, like [[mix]].
+    */
+  def split(docs: DataFrame, fractions: Seq[(String, Double)],
+      idCol: String = "doc_id", sourceCol: String = "source",
+      salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0),
+      s"bad split fractions: $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $fractions")
+    val u = drawU(col(idCol), col(sourceCol), salt)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    // the last bucket takes everything left (u < 1 always): float
+    // summing must not strand a row
+    val label = fractions.init.zip(cum.init)
+      .foldRight(lit(fractions.last._1)) { case (((name, _), hi), rest) =>
+        when(u < hi, name).otherwise(rest)
+      }
+    docs.withColumn("split", label)
+  }
+
   /** Per-source cap: keep at most `k` documents per source, the best by
     * `scoreCol` (ties to the smaller id — fully deterministic). The
     * aggregation is map-side bounded: each task contributes at most k

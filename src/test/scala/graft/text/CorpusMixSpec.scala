@@ -63,6 +63,28 @@ class CorpusMixSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"mix must not shuffle:\n$plan")
   }
 
+  test("split covers every doc once, near the fractions, stably") {
+    val docs = corpus(40000)
+    val sp = CorpusMix.split(docs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(sp.count() == 40000)
+    val byName = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > 31000 && byName("train") < 33000)
+    // growing the corpus never moves an existing doc between splits
+    val grown = CorpusMix.split(corpus(80000),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("doc_id") < 40000)
+    assert(sp.exceptAll(grown).isEmpty && grown.exceptAll(sp).isEmpty)
+  }
+
+  test("split rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      CorpusMix.split(corpus(10), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("capPerSource keeps the top-k by score with id ties, nothing else") {
     val docs = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
