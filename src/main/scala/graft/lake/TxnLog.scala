@@ -3,7 +3,7 @@ package graft.lake
 import graft.etl.SchemaRegistry
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import java.nio.charset.StandardCharsets
 
 /** Minimal transactional table log — the capability the reference gestures
@@ -463,6 +463,38 @@ object TxnLog {
       requireBase = Some(base), removePaths = reAdd.toSeq.sorted, cdc = cdc)
   }
 
+  /** Widen the table schema by `newFields` in one metadata-only
+    * `alter-` commit (SQL `ALTER TABLE ... ADD COLUMNS`): the commit
+    * carries no files, just the widened schema — existing files read
+    * the new columns as null through the lake's native per-commit
+    * schema alignment, exactly like columns added by MERGE WITH SCHEMA
+    * EVOLUTION. Added columns are forced nullable (there is no value
+    * to backfill). Fails on a name collision with any live column,
+    * case-insensitively (Spark's resolution default).
+    */
+  def addColumns(spark: SparkSession, table: String,
+      newFields: Seq[StructField]): Long = {
+    require(newFields.nonEmpty, "ADD COLUMNS needs at least one column")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val current = schemaOf(spark, table)
+    newFields.foreach(f => require(
+      !current.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+      s"column ${f.name} already exists in $table " +
+        s"(${current.fieldNames.mkString(", ")})"))
+    require(newFields.map(_.name.toLowerCase).distinct.size ==
+      newFields.size, s"duplicate column in ADD COLUMNS: $newFields")
+    val widened = StructType(current.fields ++
+      newFields.map(_.copy(nullable = true)))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), widened)
+    appendCommit(spark, table, empty, Nil,
+      s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = None, removePaths = Nil)
+      .getOrElse(throw new IllegalStateException(
+        s"could not commit ALTER to $table"))
+  }
+
   /** The commit log as a table (Delta's `DESCRIBE HISTORY`): one row per
     * retained version, NEWEST FIRST — version, commit wall-clock time
     * (null for pre-timestamp manifests), the operation the commit-dir
@@ -479,7 +511,7 @@ object TxnLog {
       val m = readManifest(spark, table, v)
       val name = new Path(m.commitDir).getName
       val op = Seq("delete", "update", "merge", "overwrite", "compact",
-          "optimize", "restore", "clone")
+          "optimize", "restore", "clone", "alter")
         .find(p => name.startsWith(p + "-")).map(_.toUpperCase)
         .getOrElse(if (name.startsWith("txn-")) "STREAMING APPEND"
           else "APPEND")
@@ -735,6 +767,20 @@ object TxnLog {
   def vacuum(spark: SparkSession, table: String,
       olderThanMs: Long = DefaultVacuumRetentionMs,
       truncateHistory: Boolean = true): Int = {
+    val doomed = vacuumPlan(spark, table, olderThanMs, truncateHistory)
+    val f = fs(spark, new Path(table))
+    doomed.count(p => f.delete(new Path(p), true))
+  }
+
+  /** What [[vacuum]] with the same arguments WOULD delete (`VACUUM ...
+    * DRY RUN`): orphaned/historic data dirs plus, when truncating,
+    * pre-compaction manifests and checkpoints. Pure planning — nothing
+    * is touched, every rule (age guard, carried-forward-by-reference
+    * protection, compaction cut) evaluated exactly as the sweep does.
+    */
+  def vacuumPlan(spark: SparkSession, table: String,
+      olderThanMs: Long = DefaultVacuumRetentionMs,
+      truncateHistory: Boolean = true): Seq[String] = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
     val all = vs.map(readManifest(spark, table, _))
@@ -748,7 +794,7 @@ object TxnLog {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val dataRoot = new Path(table, "data")
     val f = fs(spark, dataRoot)
-    var deleted = 0
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
       val name = st.getPath.getName
       val isOrphan = !allDirs.contains(name)
@@ -763,21 +809,16 @@ object TxnLog {
             any = referenced.contains(it.next().getPath.toString)
           any
         }
-        if (!carried && f.delete(st.getPath, true)) deleted += 1
+        if (!carried) doomed += st.getPath.toString
       }
     }
     if (cutIdx > 0) {
-      all.take(cutIdx).foreach { m =>
-        if (fs(spark, manifestPath(table, m.version))
-            .delete(manifestPath(table, m.version), false)) deleted += 1
-      }
+      all.take(cutIdx).foreach(m =>
+        doomed += manifestPath(table, m.version).toString)
       checkpointVersions(spark, table).filter(_ < all(cutIdx).version)
-        .foreach { cv =>
-          if (fs(spark, checkpointPath(table, cv))
-              .delete(checkpointPath(table, cv), false)) deleted += 1
-        }
+        .foreach(cv => doomed += checkpointPath(table, cv).toString)
     }
-    deleted
+    doomed.toSeq
   }
 
   /** Row-level DELETE: rows satisfying ALL `ranges` (inclusive

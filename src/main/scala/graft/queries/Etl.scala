@@ -544,6 +544,32 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, mv)
   }
 
+  /** ALTER TABLE gate (q113): widen the orders lake by two columns in a
+    * metadata-only commit, then INSERT a row that fills them — old rows
+    * must read the new columns as null, the insert must bind all seven.
+    * Requires LOUDLY that the widening moved no data. Oracled as DuckDB
+    * projecting nulls over the original table plus the inserted row.
+    */
+  def sqlAlter(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_alt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    graft.lake.TxnLog.append(s, table, o.coalesce(1))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q113_orders", table)
+    val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    s.sql("ALTER TABLE q113_orders ADD COLUMNS (note STRING, bonus DOUBLE)")
+    require(graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet == before,
+      "ALTER TABLE ADD COLUMNS must be metadata-only")
+    s.sql("""INSERT INTO q113_orders VALUES
+            |  (900001, 7, 'X', 111.25, TIMESTAMP '2031-01-01 00:00:00',
+            |   'gift', 9.5)""".stripMargin)
+    s.table("q113_orders")
+  }
+
   /** Shallow-clone gate: the three-chunk orders lake, a SQL DELETE,
     * then a zero-copy `SHALLOW CLONE` and a FURTHER DELETE on the clone
     * only. Requires the clone copied no data files (its data dir holds
@@ -650,6 +676,7 @@ object Etl extends QueryPack {
     "q105_sql_restore" -> sqlRestore _,
     "q106_describe_history" -> describeHistory _,
     "q111_incremental_agg_mv" -> incrementalAggMv _,
+    "q113_sql_alter" -> sqlAlter _,
     "q98_time_travel" -> sqlTimeTravel _,
     "q102_shallow_clone" -> shallowClone _,
     "q99_sql_insert" -> sqlInsert _,
@@ -671,6 +698,14 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q113_sql_alter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, CAST(NULL AS VARCHAR) AS note,
+        |  CAST(NULL AS DOUBLE) AS bonus
+        |FROM orders
+        |UNION ALL
+        |SELECT 900001, 7, 'X', 111.25, TIMESTAMP '2031-01-01 00:00:00',
+        |  'gift', 9.5""".stripMargin,
     "q111_incremental_agg_mv" ->
       """WITH final AS (
         |  SELECT o_orderstatus,

@@ -72,7 +72,8 @@ object LakeDmlSql {
   private val UnmountRe =
     """(?is)^\s*UNMOUNT\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val CloneRe =
@@ -81,6 +82,9 @@ object LakeDmlSql {
       """\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val AddColsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMNS?\s*""" +
+      """\(([^)]+)\)\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w]*)\s+TO\s+""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)""" +
@@ -99,11 +103,12 @@ object LakeDmlSql {
         Some(LakeMountCommand(name, path, unmount = false))
       case UnmountRe(name) if LakeMounts.pathOf(spark, name).isDefined =>
         Some(LakeMountCommand(name, "", unmount = true))
-      case VacuumRe(name, hours) =>
+      case VacuumRe(name, hours, dry) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeVacuumCommand(name, path,
             Option(hours).map(_.toLong * 3600 * 1000L)
-              .getOrElse(graft.lake.TxnLog.DefaultVacuumRetentionMs)))
+              .getOrElse(graft.lake.TxnLog.DefaultVacuumRetentionMs),
+            dryRun = dry != null))
       case OptimizeRe(name, zorder) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeOptimizeCommand(name, path,
@@ -116,6 +121,10 @@ object LakeDmlSql {
       case HistoryRe(name) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeHistoryCommand(name, path))
+      case AddColsRe(name, colsDdl) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeAddColumnsCommand(name, path,
+            StructType.fromDDL(colsDdl).fields.toSeq))
       case RestoreRe(name, ver, ts) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeRestoreCommand(name, path, Option(ver).map(_.toLong),
@@ -478,14 +487,26 @@ object LakeDmlSql {
       s"${if (unmount) "Unmount" else "Mount"}Command $name"
   }
 
+  /** `VACUUM t [RETAIN n HOURS] [DRY RUN]` — DRY RUN returns the paths
+    * the sweep WOULD delete (one row each, nothing touched); without it
+    * the sweep runs and the row count is returned, as before.
+    */
   final case class LakeVacuumCommand(name: String, path: String,
-      retentionMs: Long) extends LeafRunnableCommand {
-    override val output: Seq[Attribute] = Seq(AttributeReference(
-      "deleted", LongType, nullable = false)())
+      retentionMs: Long, dryRun: Boolean = false)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      if (dryRun) Seq(AttributeReference("path",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+      else Seq(AttributeReference("deleted", LongType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(TxnLog.vacuum(spark, path, olderThanMs = retentionMs).toLong))
+      if (dryRun)
+        TxnLog.vacuumPlan(spark, path, olderThanMs = retentionMs)
+          .map(Row(_))
+      else
+        Seq(Row(TxnLog.vacuum(spark, path, olderThanMs = retentionMs).toLong))
     override def simpleString(maxFields: Int): String =
-      s"LakeVacuumCommand $name retain ${retentionMs}ms"
+      s"LakeVacuumCommand $name retain ${retentionMs}ms" +
+        (if (dryRun) " dry run" else "")
   }
 
   final case class LakeOptimizeCommand(name: String, path: String,
@@ -738,6 +759,24 @@ object LakeDmlSql {
       TxnLog.history(spark, path).collect().toSeq
     override def simpleString(maxFields: Int): String =
       s"LakeHistoryCommand $name"
+  }
+
+  /** `ALTER TABLE t ADD COLUMNS (name type, ...)` — widen a mounted
+    * lake table's schema in one metadata-only commit
+    * ([[TxnLog.addColumns]]); existing rows read the new columns as
+    * null, new writes may fill them.
+    */
+  final case class LakeAddColumnsCommand(name: String, path: String,
+      columns: Seq[org.apache.spark.sql.types.StructField])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = TxnLog.addColumns(spark, path, columns)
+      refreshIfMounted(spark, name, path)
+      Seq(Row(v))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeAddColumnsCommand $name +${columns.map(_.name).mkString(",")}"
   }
 
   /** `RESTORE [TABLE] t TO VERSION AS OF n` (or `TO TIMESTAMP AS OF

@@ -1,0 +1,74 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** `ALTER TABLE ... ADD COLUMNS` (metadata-only schema widening) and
+  * `VACUUM ... DRY RUN` (sweep planning without deletion) over mounted
+  * lake tables.
+  */
+class LakeAlterSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+  import org.apache.spark.sql.graft.LakeMounts
+
+  test("ADD COLUMNS widens the schema; old rows read null; inserts fill") {
+    val table = Files.createTempDirectory("graft-alter").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    LakeMounts.mount(spark, "alt_t", table)
+    val dataBefore = TxnLog.snapshot(spark, table).inputFiles.toSet
+
+    val ver = spark.sql("ALTER TABLE alt_t ADD COLUMNS (note STRING, bonus DOUBLE)")
+      .collect().head.getLong(0)
+    assert(ver == 2L)
+    // metadata-only: no data moved, no files written
+    assert(TxnLog.snapshot(spark, table).inputFiles.toSet == dataBefore)
+
+    val snap = spark.table("alt_t")
+    assert(snap.columns.toSeq == Seq("id", "v", "note", "bonus"))
+    assert(snap.filter(col("note").isNull && col("bonus").isNull)
+      .count() == 2)
+
+    spark.sql("INSERT INTO alt_t VALUES (3, 'c', 'filled', 1.5)")
+    val row = spark.table("alt_t").filter(col("id") === 3).head()
+    assert(row.getString(2) == "filled" && row.getDouble(3) == 1.5)
+    // the history records the widening
+    val ops = spark.sql("DESCRIBE HISTORY alt_t").collect()
+      .map(_.getString(2)).toSeq
+    assert(ops == Seq("APPEND", "ALTER", "APPEND"))
+  }
+
+  test("ADD COLUMNS rejects an existing name, case-insensitively") {
+    val table = Files.createTempDirectory("graft-alter-dup").toString
+    TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.addColumns(spark, table, org.apache.spark.sql.types
+        .StructType.fromDDL("V INT").fields.toSeq)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("VACUUM DRY RUN lists doomed paths without touching them") {
+    val table = Files.createTempDirectory("graft-vac-dry").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+    TxnLog.append(spark, table, df)
+    // an orphan dir no manifest references (a crashed write)
+    val orphan = new org.apache.hadoop.fs.Path(table, "data/orphan-xyz")
+    val f = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(orphan)
+
+    LakeMounts.mount(spark, "vac_t", table)
+    val planned = spark.sql("VACUUM vac_t RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(planned.length == 1 && planned.head.endsWith("orphan-xyz"))
+    // nothing was deleted
+    assert(f.exists(orphan))
+    assert(TxnLog.snapshot(spark, table).count() == 2)
+    // the real sweep deletes exactly the planned set
+    val deleted = spark.sql("VACUUM vac_t RETAIN 0 HOURS")
+      .collect().head.getLong(0)
+    assert(deleted == 1 && !f.exists(orphan))
+  }
+}
