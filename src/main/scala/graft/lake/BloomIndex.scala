@@ -1,0 +1,151 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file BLOOM FILTER index for point lookups (Delta's bloom-filter
+  * index analog): min/max footer stats prune range predicates well but
+  * are USELESS for equality on high-cardinality unsorted keys — every
+  * file's [min, max] spans the whole domain, so `WHERE key = 'x'` scans
+  * the table. A per-file bloom answers "definitely not in this file"
+  * for exactly that shape.
+  *
+  * Layout: one sidecar per (data file, column) at
+  * `<file>.<column>.bloom`, keyed by the data file's PATH — DML carries
+  * untouched files forward by reference, so their sidecars stay valid;
+  * vacuum deletes a commit dir recursively, so sidecars die with their
+  * data. Absence is always safe (no sidecar = no pruning), which also
+  * grandfathers pre-bloom commits.
+  *
+  * Writing is opt-in (`spark.graft.lake.bloomColumns` = comma list) and
+  * costs ONE extra columnar read of the just-written files, distributed
+  * over executors (partial blooms per task, merged per file). Probing
+  * happens at PLANNING time for `=`/`IN` predicates on indexed columns,
+  * bounded by `spark.graft.lake.bloomProbeBudget` candidate files
+  * (default 1024) so a million-file table cannot turn the driver into
+  * a sidecar-reading loop — stats pruning runs first, blooms only see
+  * its survivors.
+  */
+object BloomIndex {
+
+  val ColumnsConf = "spark.graft.lake.bloomColumns"
+  val BudgetConf = "spark.graft.lake.bloomProbeBudget"
+  val DefaultBudget = 1024
+  val Fpp = 0.01
+
+  def sidecarPath(file: String, column: String): Path =
+    new Path(file + s".$column.bloom")
+
+  /** Is `column` bloom-indexed in this session? The conf gates BOTH the
+    * write and the probe: a reader without it skips sidecar existence
+    * checks entirely, so unindexed tables pay zero planning IO.
+    */
+  def indexed(spark: SparkSession, column: String): Boolean =
+    spark.conf.getOption(ColumnsConf).toSeq.flatMap(_.split(','))
+      .exists(_.trim.equalsIgnoreCase(column))
+
+  def probeBudget(spark: SparkSession): Int =
+    spark.conf.getOption(BudgetConf).map(_.toInt).getOrElse(DefaultBudget)
+
+  /** Bloom-indexable columns: integral and string types (the key shapes
+    * point lookups use). Doubles/decimals/timestamps rarely take `=`.
+    */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  private def put(bf: BloomFilter, v: Any): Unit = v match {
+    case null => ()
+    case s: String => bf.putString(s)
+    case n: Byte => bf.putLong(n.toLong)
+    case n: Short => bf.putLong(n.toLong)
+    case n: Int => bf.putLong(n.toLong)
+    case n: Long => bf.putLong(n)
+    case other => bf.putString(other.toString)
+  }
+
+  /** Probe-time containment. `v` arrives as a Catalyst internal value
+    * (UTF8String for strings); missing/unreadable sidecars answer true
+    * (absence never prunes).
+    */
+  def mightContain(hconf: Configuration, file: String, column: String,
+      v: Any): Boolean = {
+    val p = sidecarPath(file, column)
+    val bf = try {
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) return true
+      val in = fs.open(p)
+      try BloomFilter.readFrom(in) finally in.close()
+    } catch { case _: Exception => return true }
+    v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        bf.mightContainString(s.toString)
+      case s: String => bf.mightContainString(s)
+      case n: Byte => bf.mightContainLong(n.toLong)
+      case n: Short => bf.mightContainLong(n.toLong)
+      case n: Int => bf.mightContainLong(n.toLong)
+      case n: Long => bf.mightContainLong(n)
+      case other => bf.mightContainString(other.toString)
+    }
+  }
+
+  /** Build sidecars for `entries` (path + row count) over the schema's
+    * conf-listed columns. One distributed columnar read of the files;
+    * per-task partial blooms merge per (file, column) — bloom size is a
+    * pure function of the file's row count, so partials are compatible.
+    */
+  def build(spark: SparkSession, entries: Seq[(String, Long)],
+      schema: StructType): Unit = {
+    val wanted = spark.conf.getOption(ColumnsConf).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val cols = schema.fields.filter(f =>
+      wanted.exists(_.equalsIgnoreCase(f.name)) && supported(f.dataType))
+    if (cols.isEmpty || entries.isEmpty) return
+    val rowsByFile = entries.toMap
+    if (rowsByFile.valuesIterator.exists(_ < 0)) return // no counts: skip
+    val expected = spark.sparkContext.broadcast(
+      rowsByFile.map { case (f, r) => f -> math.max(r, 1L) })
+    val names = cols.map(_.name).toSeq
+    val df = spark.read.schema(StructType(cols))
+      .parquet(entries.map(_._1): _*)
+      .select(input_file_name().as("__f") +: names.map(col): _*)
+    val merged = df.rdd.mapPartitions { it =>
+      val partial = scala.collection.mutable
+        .Map.empty[(String, String), BloomFilter]
+      it.foreach { row =>
+        // normalize URI spelling: input_file_name says file:///x, the
+        // manifest (Path.toString) says file:/x — one canonical form
+        val f = new org.apache.hadoop.fs.Path(row.getString(0)).toString
+        expected.value.get(f).foreach { n =>
+          var i = 0
+          while (i < names.length) {
+            if (!row.isNullAt(i + 1)) {
+              val bf = partial.getOrElseUpdate((f, names(i)),
+                BloomFilter.create(n, Fpp))
+              put(bf, row.get(i + 1))
+            }
+            i += 1
+          }
+        }
+      }
+      partial.iterator
+    }.reduceByKey { (a, b) => a.mergeInPlace(b); a }
+      .mapValues { bf =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }.collect()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    merged.foreach { case ((file, column), bytes) =>
+      val p = sidecarPath(file, column)
+      val fs = p.getFileSystem(hconf)
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+}

@@ -1000,6 +1000,10 @@ object TxnLog {
     // (e.g. a restore that only rewinds appends) stays metadata-only
     val (entries, empties) = harvested.partition(_.rows != 0L)
     empties.foreach(e => f.delete(new Path(e.path), false))
+    // opt-in per-file bloom sidecars for point-lookup columns — built
+    // BEFORE the manifest publishes, so a reader never sees a file
+    // whose sidecar is still being written (absence is safe either way)
+    BloomIndex.build(spark, entries.map(e => (e.path, e.rows)), statsSchema)
 
     var attempt = 0
     while (attempt < maxRetries) {

@@ -570,6 +570,41 @@ object Etl extends QueryPack {
     s.table("q113_orders")
   }
 
+  /** Bloom-index gate (q114): orders INTERLEAVED into three files by
+    * `o_orderkey % 3` — every file's key range spans the whole domain,
+    * so footer min/max stats provably cannot prune a point lookup — and
+    * a string key bloom-indexed at write. The planned scan for one key
+    * must touch EXACTLY ONE file (required loudly), and the row
+    * hash-matches DuckDB's direct lookup.
+    */
+  def bloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_bloom_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      concat(lit("k"), col("o_orderkey")).as("key"),
+      col("o_custkey"), col("o_totalprice"))
+    s.conf.set(graft.lake.BloomIndex.ColumnsConf, "key")
+    try {
+      (0 until 3).foreach(r => graft.lake.TxnLog.append(s, table,
+        o.filter(col("o_custkey") % 3 === r).coalesce(1)))
+      val rel = org.apache.spark.sql.graft.LakeRead.relation(s, table)
+        .where("key = 'k617'")
+      val planned = rel.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+              .flatMap(_.files)
+        }).flatten
+      require(planned.length == 1,
+        s"bloom point lookup must scan 1 of 3 files, planned " +
+          s"${planned.length} (stats cannot prune interleaved keys — " +
+          "a regression here silently rescans the table)")
+      rel
+    } finally s.conf.unset(graft.lake.BloomIndex.ColumnsConf)
+  }
+
   /** Shallow-clone gate: the three-chunk orders lake, a SQL DELETE,
     * then a zero-copy `SHALLOW CLONE` and a FURTHER DELETE on the clone
     * only. Requires the clone copied no data files (its data dir holds
@@ -677,6 +712,7 @@ object Etl extends QueryPack {
     "q106_describe_history" -> describeHistory _,
     "q111_incremental_agg_mv" -> incrementalAggMv _,
     "q113_sql_alter" -> sqlAlter _,
+    "q114_bloom_lookup" -> bloomLookup _,
     "q98_time_travel" -> sqlTimeTravel _,
     "q102_shallow_clone" -> shallowClone _,
     "q99_sql_insert" -> sqlInsert _,
@@ -698,6 +734,9 @@ object Etl extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q114_bloom_lookup" ->
+      """SELECT 'k' || o_orderkey AS key, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey = 617""".stripMargin,
     "q113_sql_alter" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, CAST(NULL AS VARCHAR) AS note,

@@ -237,10 +237,32 @@ class LakeFileIndex(spark: SparkSession, table: String,
       e.stats.get(col).forall(cs =>
         vs.exists(v => FileStats.overlaps(cs, Some(v), Some(v))))
     }
-    liveFiles.iterator
+    val statsSurvivors = liveFiles.iterator
       .filter(f => partPred.forall(_.eval(f.partValues)))
       .filter(f => statsAdmit(f.entry))
-      .toSeq.groupBy(_.partValues)
+      .toSeq
+    // bloom probe for point lookups: equality bounds (lo == hi) and
+    // IN-lists on conf-indexed columns test each STATS SURVIVOR's
+    // sidecar — "definitely absent" drops the file. Bounded by the
+    // probe budget so planning IO stays O(budget); over budget (or no
+    // indexed point predicate) the stats survivors pass through.
+    val pointPreds: Seq[(String, Seq[Any])] =
+      (bounds.toSeq.collect {
+        case (c, (Some(lo), Some(hi))) if lo == hi => c -> Seq(lo)
+      } ++ inLists.toSeq).filter { case (c, _) =>
+        graft.lake.BloomIndex.indexed(spark, c) }
+    val survivors =
+      if (pointPreds.isEmpty ||
+          statsSurvivors.length > graft.lake.BloomIndex.probeBudget(spark))
+        statsSurvivors
+      else {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        statsSurvivors.filter(f => pointPreds.forall { case (c, vs) =>
+          vs.exists(v =>
+            graft.lake.BloomIndex.mightContain(hconf, f.entry.path, c, v))
+        })
+      }
+    survivors.groupBy(_.partValues)
       .map { case (values, fs) =>
         PartitionDirectory(values, fs.map(_.status).toArray)
       }.toSeq

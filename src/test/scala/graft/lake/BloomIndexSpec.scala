@@ -1,0 +1,124 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Per-file bloom sidecars: point lookups on high-cardinality unsorted
+  * keys must prune files min/max stats cannot, missing sidecars must
+  * never prune, and the budget must bound planning IO.
+  */
+class BloomIndexSpec extends SparkSpec {
+
+  import org.apache.spark.sql.graft.LakeRead
+
+  private def withBloom[A](cols: String)(body: => A): A = {
+    spark.conf.set(BloomIndex.ColumnsConf, cols)
+    try body finally spark.conf.unset(BloomIndex.ColumnsConf)
+  }
+
+  /** Three files of INTERLEAVED ids (i % 3) so every file's [min, max]
+    * spans the whole key domain — stats pruning is provably useless and
+    * any observed skipping is the blooms'.
+    */
+  private def interleavedTable(prefix: String): String = {
+    val table = Files.createTempDirectory(prefix).toString
+    withBloom("key") {
+      (0 until 3).foreach { r =>
+        val df = spark.range(0, 3000)
+          .filter(col("id") % 3 === r)
+          .select(concat(lit("k"), col("id")).as("key"),
+            (col("id") * 2).as("v"))
+        TxnLog.append(spark, table, df.coalesce(1))
+      }
+    }
+    table
+  }
+
+  private def plannedFiles(table: String, cond: String): Seq[String] = {
+    val df = LakeRead.relation(spark, table).where(cond)
+    df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .flatMap(_.files.map(_.getPath.toString))
+      }).flatten
+  }
+
+  test("a point lookup scans one file where stats cannot prune at all") {
+    val table = interleavedTable("graft-bloom")
+    withBloom("key") {
+      // k601: id 601 % 3 == 1 → lives only in file 2. Stats ranges all
+      // overlap (interleaved), so without blooms all 3 files survive.
+      val files = plannedFiles(table, "key = 'k601'")
+      assert(files.length == 1, s"bloom should leave 1 file, got $files")
+      val rows = LakeRead.relation(spark, table)
+        .where("key = 'k601'").collect()
+      assert(rows.length == 1 && rows.head.getLong(1) == 1202L)
+    }
+    // without the conf, no probe happens: all three files survive
+    val unprobed = plannedFiles(table, "key = 'k601'")
+    assert(unprobed.length == 3)
+  }
+
+  test("IN-lists keep every file holding ANY listed key") {
+    val table = interleavedTable("graft-bloom-in")
+    withBloom("key") {
+      // k600 (file 1) and k601 (file 2): exactly two files survive
+      val files = plannedFiles(table, "key IN ('k600', 'k601')")
+      assert(files.length == 2, s"expected 2 files, got $files")
+      assert(LakeRead.relation(spark, table)
+        .where("key IN ('k600', 'k601')").count() == 2)
+    }
+  }
+
+  test("a missing sidecar never prunes; results stay exact") {
+    val table = interleavedTable("graft-bloom-miss")
+    withBloom("key") {
+      val all = TxnLog.snapshot(spark, table).inputFiles
+      // tear one sidecar off (simulates a pre-bloom or partial commit)
+      val victim = BloomIndex.sidecarPath(
+        all.find(_.contains("/data/")).get, "key")
+      val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(victim, false))
+      val files = plannedFiles(table, "key = 'k601'")
+      // the sidecar-less file survives unconditionally: 1 or 2 files
+      assert(files.length <= 2)
+      assert(LakeRead.relation(spark, table)
+        .where("key = 'k601'").count() == 1)
+    }
+  }
+
+  test("over the probe budget, planning skips blooms (no driver IO storm)") {
+    val table = interleavedTable("graft-bloom-budget")
+    withBloom("key") {
+      spark.conf.set(BloomIndex.BudgetConf, "2") // 3 candidates > 2
+      try {
+        val files = plannedFiles(table, "key = 'k601'")
+        assert(files.length == 3, "over budget must not probe")
+        assert(LakeRead.relation(spark, table)
+          .where("key = 'k601'").count() == 1)
+      } finally spark.conf.unset(BloomIndex.BudgetConf)
+    }
+  }
+
+  test("longs index too; untouched files keep sidecars through DML") {
+    val table = Files.createTempDirectory("graft-bloom-long").toString
+    withBloom("v") {
+      (0 until 3).foreach { r =>
+        val df = spark.range(0, 3000).filter(col("id") % 3 === r)
+          .select(col("id").as("k"), (col("id") * 7).as("v"))
+        TxnLog.append(spark, table, df.coalesce(1))
+      }
+      // delete from ONE file by stats (k range is interleaved, use v):
+      // v = 7*601 = 4207 lives in file 2 only
+      org.apache.spark.sql.graft.LakeMounts.mount(spark, "bloom_dml", table)
+      spark.sql("DELETE FROM bloom_dml WHERE k = 1")
+      // carried-forward files still bloom-prune on v
+      val files = plannedFiles(table, "v = 4207")
+      assert(files.length == 1, s"expected 1 file, got $files")
+      assert(LakeRead.relation(spark, table).where("v = 4207")
+        .collect().map(_.getLong(0)).toSeq == Seq(601L))
+    }
+  }
+}
