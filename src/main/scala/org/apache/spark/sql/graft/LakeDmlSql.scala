@@ -51,6 +51,15 @@ object LakeMounts {
   def pathOf(spark: SparkSession, name: String): Option[String] =
     spark.conf.getOption(key(name))
 
+  /** All mounted lake tables of this session: (name, path), sorted. */
+  def all(spark: SparkSession): Seq[(String, String)] = {
+    val prefix = "spark.graft.lake.mount."
+    spark.conf.getAll.toSeq
+      .filter(_._1.startsWith(prefix))
+      .map { case (k, v) => k.stripPrefix(prefix) -> v }
+      .sortBy(_._1)
+  }
+
   def refreshView(spark: SparkSession, name: String, path: String): DataFrame = {
     val df = try LakeRead.relation(spark, path)
       catch { case _: IllegalArgumentException => TxnLog.snapshot(spark, path) }
@@ -85,6 +94,10 @@ object LakeDmlSql {
   private val AddColsRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMNS?\s*""" +
       """\(([^)]+)\)\s*;?\s*$""").r
+  private val ShowMountsRe =
+    """(?is)^\s*SHOW\s+(?:LAKE\s+)?MOUNTS\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w]*)\s+TO\s+""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)""" +
@@ -125,6 +138,10 @@ object LakeDmlSql {
         LakeMounts.pathOf(spark, name).map(path =>
           LakeAddColumnsCommand(name, path,
             StructType.fromDDL(colsDdl).fields.toSeq))
+      case ShowMountsRe() => Some(LakeShowMountsCommand())
+      case DetailRe(name) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeDetailCommand(name, path))
       case RestoreRe(name, ver, ts) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeRestoreCommand(name, path, Option(ver).map(_.toLong),
@@ -759,6 +776,48 @@ object LakeDmlSql {
       TxnLog.history(spark, path).collect().toSeq
     override def simpleString(maxFields: Int): String =
       s"LakeHistoryCommand $name"
+  }
+
+  /** `SHOW MOUNTS` — the session's mounted lake tables (name, path). */
+  final case class LakeShowMountsCommand() extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("name",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
+      AttributeReference("path",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      LakeMounts.all(spark).map { case (n, p) => Row(n, p) }
+    override def simpleString(maxFields: Int): String =
+      "LakeShowMountsCommand"
+  }
+
+  /** `DESCRIBE DETAIL t` — one metadata-only summary row (Delta's
+    * shape): location, version, file count, total bytes, row count
+    * (when every manifest entry recorded one), and the on-disk
+    * partition columns. Answered entirely from the log.
+    */
+  final case class LakeDetailCommand(name: String, path: String)
+      extends LeafRunnableCommand {
+    private def str = org.apache.spark.sql.types.StringType
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("name", str, nullable = false)(),
+      AttributeReference("location", str, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType)(),
+      AttributeReference("num_rows", LongType)(),
+      AttributeReference("partition_columns", str, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (_, groups) = TxnLog.liveSnapshot(spark, path)
+      val es = groups.flatMap(_._2)
+      val bytes = if (es.forall(_.size >= 0)) es.map(_.size).sum else null
+      val rows = if (es.forall(_.rows >= 0)) es.map(_.rows).sum else null
+      Seq(Row(name, path, TxnLog.versions(spark, path).last,
+        es.size.toLong, bytes, rows,
+        layoutPartitionCols(spark, path).mkString(",")))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeDetailCommand $name"
   }
 
   /** `ALTER TABLE t ADD COLUMNS (name type, ...)` — widen a mounted

@@ -50,6 +50,33 @@ class LakeAlterSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("SHOW MOUNTS lists the session's lake mounts") {
+    val table = Files.createTempDirectory("graft-showm").toString
+    TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    LakeMounts.mount(spark, "showm_t", table)
+    val rows = spark.sql("SHOW MOUNTS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.get("showm_t").contains(table))
+    LakeMounts.unmount(spark, "showm_t")
+    assert(!spark.sql("SHOW MOUNTS").collect()
+      .exists(_.getString(0) == "showm_t"))
+  }
+
+  test("DESCRIBE DETAIL summarizes from the log alone") {
+    val table = Files.createTempDirectory("graft-detail").toString
+    val df = spark.range(0, 100)
+      .select(col("id"), (col("id") % 2).as("p"))
+    TxnLog.append(spark, table, df, partitionCols = Seq("p"))
+    LakeMounts.mount(spark, "detail_t", table)
+    val r = spark.sql("DESCRIBE DETAIL detail_t").collect().head
+    assert(r.getString(0) == "detail_t" && r.getString(1) == table)
+    assert(r.getLong(2) == 1L) // version
+    assert(r.getLong(3) >= 1L) // files
+    assert(r.getLong(4) > 0L) // bytes from manifests
+    assert(r.getLong(5) == 100L) // rows from manifests
+    assert(r.getString(6) == "p")
+  }
+
   test("VACUUM DRY RUN lists doomed paths without touching them") {
     val table = Files.createTempDirectory("graft-vac-dry").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
