@@ -18,6 +18,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the status store retains plan descriptions for up to 1000
+      // executions by default; 114 queries x 2 runs of plans that
+      // include literal matrices (q36/q71's LSH planes) accumulate
+      // hundreds of MB and GC-thrash late queries — cap retention so
+      // one query's heap cannot tax another's number
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -46,6 +55,15 @@ object Bench {
       var t = -1.0
       var i = 0
       while (i < runs && { t = exec(n); t >= 0 }) i += 1
+      // hygiene BETWEEN queries (outside the timed region): drop
+      // caches, memory-sink tables, and garbage left by stateful gates
+      // so a heavy neighbor cannot inflate an unrelated query's number
+      // through heap pressure — 114 queries share one JVM here, where a
+      // real deployment gives each job its own executors
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).map(_.name)
+        .foreach(spark.catalog.dropTempView)
       n -> t
     }
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -152,6 +152,7 @@ object Text extends QueryPack {
     val flagged = Decontaminate.flag(
       docs.filter(col("doc_id") % 13 =!= 0),
       docs.filter(col("doc_id") % 13 === 0), n = 4)
+      .persist() // tiny output; the loud guard must not re-run the scan
     require(flagged.limit(1).count() == 1,
       "decontamination gate found no overlap; the check is vacuous")
     flagged
