@@ -868,6 +868,45 @@ object TxnLog {
     * view of a chain starts at its LAST compaction (earlier manifests
     * stay in the chain for time travel and txn-id lookups).
     */
+  /** Admission control for the streaming sources (Delta's
+    * `maxFilesPerTrigger` shape): the largest end version in
+    * `(fromExclusive, toInclusive]` reachable within the caps —
+    * `maxVersions` bounds how many commits a micro-batch spans,
+    * `maxFiles` bounds the cumulative data-file count the batch scans.
+    * Always admits at least ONE commit, so a single over-budget commit
+    * still makes progress instead of stalling the stream forever.
+    * Commits the rewrite filter skips deliver no rows and cost no file
+    * budget, but still count toward `maxVersions` (the offset must
+    * advance past them). At 100 TB this is what keeps a cold-start
+    * stream from planning the whole table into micro-batch 0.
+    */
+  def admitVersions(spark: SparkSession, table: String,
+      fromExclusive: Long, toInclusive: Long, includeRewrites: Boolean,
+      maxFiles: Option[Int], maxVersions: Option[Long]): Long = {
+    val pending = versions(spark, table)
+      .filter(v => v > fromExclusive && v <= toInclusive)
+    if (pending.isEmpty) return fromExclusive
+    var end = maxVersions.map(n => pending.take(math.max(1L, n).toInt).last)
+      .getOrElse(pending.last)
+    maxFiles.foreach { budget =>
+      val counts = changeEntries(spark, table, fromExclusive, end,
+        includeRewrites).map { case (m, es) => (m.version, es.size.toLong) }
+        .toMap
+      var acc = 0L
+      var last = fromExclusive
+      var stop = false
+      pending.takeWhile(_ <= end).foreach { v =>
+        if (!stop) {
+          val c = counts.getOrElse(v, 0L)
+          if (last == fromExclusive || acc + c <= budget) { acc += c; last = v }
+          else stop = true
+        }
+      }
+      end = last
+    }
+    end
+  }
+
   private[lake] def activeManifests(ms: Seq[Manifest]): Seq[Manifest] = {
     val cut = ms.lastIndexWhere(m =>
       new Path(m.commitDir).getName.startsWith("compact-"))

@@ -119,12 +119,50 @@ object Streaming extends QueryPack {
     s.table(name)
   }
 
+  /** Rate-limited lake stream gate (q115): orders appended to a lake
+    * table as three commits of two files each, streamed back under
+    * `Trigger.AvailableNow` with `maxFilesPerTrigger = 2` — DSv2
+    * admission control ([[graft.lake.TxnLog.admitVersions]], Delta's
+    * `maxFilesPerTrigger` shape) must split the backlog into one
+    * commit per micro-batch instead of planning everything into batch
+    * 0, and still deliver every row exactly once. The gate fails
+    * loudly if the drain collapsed into fewer batches; the row-level
+    * oracle is the plain batch aggregate over orders.
+    */
+  def streamRateLimit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val table = s"/tmp/graft_lake_rate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    Seq(col("o_orderkey") % 3 === 0, col("o_orderkey") % 3 === 1,
+        col("o_orderkey") % 3 === 2)
+      .foreach(p =>
+        graft.lake.TxnLog.append(s, table, o.filter(p).repartition(2)))
+    val name = s"q115_rate_${math.abs(dir.hashCode).toString}"
+    val q = s.readStream.format("graftlake")
+      .option("maxFilesPerTrigger", "2").load(table)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"admission control must split 3 commits into >=3 micro-batches " +
+        s"(got $dataBatches)")
+    s.table(name).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_event_windows" -> eventWindows _,
     "q26_sessionize" -> sessionize _,
     "q82_streaming_dedup" -> streamingDedupGate _,
     "q88_streaming_dedup_keys" -> streamingDedupKeysGate _,
     "q110_stream_join" -> streamStreamJoin _,
+    "q115_stream_rate_limit" -> streamRateLimit _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -133,6 +171,9 @@ object Streaming extends QueryPack {
         |FROM documents GROUP BY 1""".stripMargin,
     "q88_streaming_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q115_stream_rate_limit" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
     "q110_stream_join" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
         |FROM events v JOIN events c

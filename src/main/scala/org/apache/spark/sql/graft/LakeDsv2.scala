@@ -108,7 +108,9 @@ class GraftLakeScan(spark: SparkSession, tablePath: String,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeMicroBatchStream(spark, tablePath, inner,
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-      Option(options.get("includeRewrites")).exists(_.toBoolean))
+      Option(options.get("includeRewrites")).exists(_.toBoolean),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   override def description(): String = s"GraftLake ${inner.description()}"
 }
@@ -119,10 +121,22 @@ class GraftLakeScan(spark: SparkSession, tablePath: String,
   * builds a range-restricted [[LakeFileIndex]] and borrows the batch
   * [[ParquetScan]]'s planning with the STREAM's pruned schema and
   * pushed filters, so a `select(one column)` stream reads one column.
+  *
+  * ADMISSION CONTROL (Delta's `maxFilesPerTrigger` shape): without a
+  * cap, a stream started against a table with deep history plans the
+  * whole backlog into micro-batch 0 — at 100 TB that batch never
+  * finishes. `option("maxFilesPerTrigger", n)` bounds each batch to
+  * commits totalling ≤ n data files; `option("maxVersionsPerTrigger",
+  * n)` bounds it to n commits. Both always admit at least one commit
+  * (an over-budget commit must not stall the stream). Under
+  * `Trigger.AvailableNow` the engine keeps running capped batches
+  * until the offset pinned at start is reached, then terminates.
   */
 class LakeMicroBatchStream(spark: SparkSession, tablePath: String,
     template: ParquetScan, startingVersion: Long,
-    includeRewrites: Boolean) extends MicroBatchStream
+    includeRewrites: Boolean,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Long] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private case class LakeOffset(version: Long) extends Offset {
@@ -147,9 +161,27 @@ class LakeMicroBatchStream(spark: SparkSession, tablePath: String,
   override def latestOffset(): Offset =
     LakeOffset(availableNowEnd.getOrElse(currentVersion))
 
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  }
+
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[LakeOffset].version
+    val avail = availableNowEnd.getOrElse(currentVersion)
+    if (avail <= from) return LakeOffset(from)
+    val fileCap = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        Some(mf.maxFiles())
+      case _ => None
+    }
+    if (fileCap.isEmpty && maxVersionsPerTrigger.isEmpty) LakeOffset(avail)
+    else LakeOffset(TxnLog.admitVersions(spark, tablePath, from, avail,
+      includeRewrites, fileCap, maxVersionsPerTrigger))
+  }
 
   override def deserializeOffset(json: String): Offset =
     LakeOffset(json.trim.toLong)

@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.StructType
   *    `option("includeRewrites", "true")` opts in;
   *  - `option("startingVersion", v)` begins after version v (default 0 =
   *    from the table's beginning);
+  *  - `option("maxFilesPerTrigger", n)` / `option("maxVersionsPerTrigger",
+  *    n)` rate-limit each micro-batch ([[TxnLog.admitVersions]] — Delta's
+  *    admission-control shape; at least one commit always admitted). On
+  *    THIS V1 path the cap applies per processing-trigger; under
+  *    `Trigger.AvailableNow` Spark's V1 wrapper pins the end offset once
+  *    at start, so a capped first batch is all that run drains — the
+  *    DSv2 path (the default) drains the full backlog in capped batches;
   *  - schema drift after stream start aligns to the FIXED stream schema
   *    (columns added later are dropped, missing ones null) — a streaming
   *    query's schema cannot change mid-run.
@@ -113,7 +120,9 @@ class LakeStreamProvider extends StreamSourceProvider with RelationProvider
     new LakeStreamSource(ctx.sparkSession, table,
       schema.getOrElse(TxnLog.schemaOf(ctx.sparkSession, table)),
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-      parameters.get("includeRewrites").exists(_.toBoolean))
+      parameters.get("includeRewrites").exists(_.toBoolean),
+      parameters.get("maxFilesPerTrigger").map(_.toInt),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
 }
 
@@ -161,24 +170,37 @@ class LakeChangeFeedProvider extends StreamSourceProvider
     val table = tableOf(parameters)
     new LakeChangeFeedSource(ctx.sparkSession, table,
       schema.getOrElse(feedSchema(ctx.sparkSession, table)),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
 }
 
 class LakeChangeFeedSource(spark: SparkSession, table: String,
-    streamSchema: StructType, startingVersion: Long) extends Source {
+    streamSchema: StructType, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   override def schema: StructType = streamSchema
 
+  /** Admission base — see [[LakeStreamSource]]'s `admitted`. */
+  @volatile private var admitted: Long = startingVersion
+
   override def getOffset: Option[Offset] = {
     val vs = TxnLog.versions(spark, table)
-    if (vs.isEmpty || vs.last <= startingVersion) None
-    else Some(LongOffset(vs.last))
+    if (vs.isEmpty || vs.last <= math.max(startingVersion, admitted)) None
+    else maxVersionsPerTrigger match {
+      case None => Some(LongOffset(vs.last))
+      // version cap only: CDF batches deliver captured change FILES,
+      // which the data-file budget of admitVersions does not model
+      case Some(n) => Some(LongOffset(TxnLog.admitVersions(spark, table,
+        math.max(startingVersion, admitted), vs.last,
+        includeRewrites = true, maxFiles = None, maxVersions = Some(n))))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(LakeStreamSource.asLong)
       .getOrElse(startingVersion)
+    admitted = math.max(admitted, LakeStreamSource.asLong(end))
     val out = TxnLog.changeFeed(spark, table, from,
       LakeStreamSource.asLong(end))
     val present = out.columns.toSet
@@ -229,18 +251,34 @@ class LakeStreamSink(table: String, partitionCols: Seq[String],
 
 class LakeStreamSource(spark: SparkSession, table: String,
     streamSchema: StructType, startingVersion: Long,
-    includeRewrites: Boolean) extends Source {
+    includeRewrites: Boolean,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   override def schema: StructType = streamSchema
 
+  /** Admission base: the end of the last batch this source planned.
+    * On restart the engine replays `getBatch` for the recovered batch
+    * BEFORE asking for a new offset (the V1 contract FileStreamSource
+    * relies on), so the base resumes from the checkpoint. Only consulted
+    * when a rate-limit option caps `getOffset`; the uncapped path
+    * reports the latest version regardless.
+    */
+  @volatile private var admitted: Long = startingVersion
+
   override def getOffset: Option[Offset] = {
     val vs = TxnLog.versions(spark, table)
-    if (vs.isEmpty || vs.last <= startingVersion) None
-    else Some(LongOffset(vs.last))
+    if (vs.isEmpty || vs.last <= math.max(startingVersion, admitted)) None
+    else if (maxFilesPerTrigger.isEmpty && maxVersionsPerTrigger.isEmpty)
+      Some(LongOffset(vs.last))
+    else Some(LongOffset(TxnLog.admitVersions(spark, table,
+      math.max(startingVersion, admitted), vs.last, includeRewrites,
+      maxFilesPerTrigger, maxVersionsPerTrigger)))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(asLong).getOrElse(startingVersion)
+    admitted = math.max(admitted, asLong(end))
     val out = TxnLog.changes(spark, table, from, asLong(end), includeRewrites)
     // drift after stream start: align to the fixed stream schema
     val present = out.columns.toSet

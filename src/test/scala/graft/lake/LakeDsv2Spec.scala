@@ -151,6 +151,77 @@ class LakeDsv2Spec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("maxFilesPerTrigger splits the backlog into capped micro-batches") {
+    val root = Files.createTempDirectory("graft-dsv2-rate")
+    val table = root.resolve("table").toString
+    // 4 commits x 2 files = 8 files of backlog before the stream starts
+    (0 until 4).foreach { i =>
+      TxnLog.append(spark, table,
+        spark.range(i * 10L, i * 10L + 10L).toDF("id").repartition(2))
+    }
+    val q = spark.readStream.format("graftlake")
+      .option("maxFilesPerTrigger", "2")
+      .load(table)
+      .writeStream.format("memory").queryName("dsv2_rate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one commit (2 files) per batch: 4 data batches, nothing lost
+    val sized = q.recentProgress.filter(_.numInputRows > 0)
+    assert(sized.length == 4, sized.map(_.numInputRows).mkString(","))
+    assert(sized.forall(_.numInputRows == 10))
+    assert(spark.table("dsv2_rate").as[Long].collect().toSet ==
+      (0L until 40L).toSet)
+  }
+
+  test("maxVersionsPerTrigger admits n commits per batch; over-budget commit still advances") {
+    val root = Files.createTempDirectory("graft-dsv2-ratev")
+    val table = root.resolve("table").toString
+    (0 until 5).foreach { i =>
+      TxnLog.append(spark, table,
+        spark.range(i * 10L, i * 10L + 10L).toDF("id").coalesce(1))
+    }
+    val q = spark.readStream.format("graftlake")
+      .option("maxVersionsPerTrigger", "2")
+      // a 1-file budget smaller than any commit must still admit one
+      // commit per batch, not stall
+      .option("maxFilesPerTrigger", "1")
+      .load(table)
+      .writeStream.format("memory").queryName("dsv2_ratev")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sized = q.recentProgress.filter(_.numInputRows > 0)
+    assert(sized.length == 5, sized.map(_.numInputRows).mkString(","))
+    assert(spark.table("dsv2_ratev").count() == 50)
+  }
+
+  test("V1 fallback source honors rate limits per processing trigger") {
+    val root = Files.createTempDirectory("graft-v1-rate")
+    val table = root.resolve("table").toString
+    (0 until 3).foreach { i =>
+      TxnLog.append(spark, table,
+        spark.range(i * 10L, i * 10L + 10L).toDF("id").coalesce(1))
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "graftlake")
+    try {
+      val q = spark.readStream.format("graftlake")
+        .option("maxVersionsPerTrigger", "1")
+        .load(table)
+        .writeStream.format("memory").queryName("v1_rate")
+        .start() // default ProcessingTime trigger: getOffset per trigger
+      q.processAllAvailable()
+      q.stop()
+      val sized = q.recentProgress.filter(_.numInputRows > 0)
+      assert(sized.length == 3, sized.map(_.numInputRows).mkString(","))
+      assert(spark.table("v1_rate").count() == 30)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
+
   test("sink rejects non-append output modes loudly") {
     val root = Files.createTempDirectory("graft-dsv2-mode")
     val src = root.resolve("src").toString
