@@ -195,8 +195,35 @@ object Text extends QueryPack {
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
   }
 
+  /** Vocabulary gate (q116): top-200 corpus tokens by frequency with
+    * deterministic tie-breaks ([[graft.text.Vocabulary]] — map-side
+    * combined counts, TakeOrderedAndProject top-k, rank window over the
+    * k survivors only). Oracled as DuckDB's unnest + count + window.
+    */
+  def vocabBuild(s: SparkSession, dir: String): DataFrame =
+    graft.text.Vocabulary.build(Tables.documents(s, dir), k = 200)
+
+  /** Token-budget selection gate (q117): the highest-quality documents
+    * whose cumulative char count fits a 60k budget, greedily by
+    * (quality DESC, doc_id) — [[graft.text.TokenBudget.select]]'s
+    * bucketed form, which keeps whole priority cells without ordering
+    * and runs the exact prefix window on the boundary cell alone (the
+    * one-partition global window the naive form would pay is the whole
+    * job at 100 TB). Oracled as DuckDB's global window cumsum.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    graft.text.TokenBudget.select(scored, "quality", "n_chars", "doc_id",
+      budget = 60000L, cells = 64)
+      .select(col("doc_id"), col("quality"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_decontaminate" -> decontaminate _,
+    "q116_vocab" -> vocabBuild _,
+    "q117_token_budget" -> tokenBudget _,
     "q108_corpus_mix" -> corpusMix _,
     "q109_source_cap" -> sourceCap _,
     "q112_corpus_split" -> corpusSplit _,
@@ -219,6 +246,41 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q116_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest([x for x in string_split_regex(lower(text), '\s+')
+        |                 if x <> '']) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
+        |SELECT token, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |FROM c ORDER BY cnt DESC, token LIMIT 200""".stripMargin,
+    "q117_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, text,
+        |    [x for x in string_split_regex(lower(text), '\s+') if x <> ''] AS tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars,
+        |    len(tokens) AS token_count,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS alpha_ratio,
+        |    CAST(len([x for x in tokens if list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)]) AS DOUBLE)
+        |      / nullif(len(tokens), 0) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, n_chars,
+        |    round(least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |          least(stopword_ratio * 5.0, 1.0) * 0.3 +
+        |          alpha_ratio * 0.3, 9) AS quality
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id, quality, n_chars,
+        |    sum(n_chars) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM q)
+        |SELECT doc_id, quality, n_chars FROM c WHERE cum <= 60000""".stripMargin,
     "q112_corpus_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN u < CAST(0.9 AS DOUBLE) THEN 'train'

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget corpus selection: keep the highest-priority documents
+  * whose cumulative weight fits a global budget — "fill a 1 T-token
+  * training run with the best documents first". North-star extension
+  * (LLM-data pipeline), like `CorpusMix`.
+  *
+  * The naive form is a single window — `sum(weight) OVER (ORDER BY
+  * priority DESC, id)` then `cum <= budget` — which Spark executes on
+  * ONE partition (a global ORDER BY window has no partition key): the
+  * whole corpus funnels through one task. At 100 TB that is the job.
+  *
+  * [[select]] instead cuts the priority range into fixed-width cells:
+  * a per-cell weight total (one tiny aggregate) locates the BOUNDARY
+  * cell on the driver, every cell strictly above it is kept wholesale
+  * with no ordering at all, and only the boundary cell's rows run the
+  * exact ordered prefix — the single-partition window sees roughly
+  * corpus/cells rows, not the corpus. The result is row-for-row
+  * IDENTICAL to the naive global window: cells partition the priority
+  * space, so (priority DESC, id) order never interleaves cells, and
+  * equal priorities always share a cell.
+  */
+object TokenBudget {
+
+  /** Rows of `df` selected greedily by `priorityCol` descending (ties:
+    * `idCol` ascending) while the running `weightCol` sum stays within
+    * `budget`. Weights must be non-negative integers (token or char
+    * counts — the running sum stays exact). Output columns = `df`'s.
+    */
+  def select(df: DataFrame, priorityCol: String, weightCol: String,
+      idCol: String, budget: Long, cells: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0 (got $budget)")
+    require(cells > 0, s"cells must be > 0 (got $cells)")
+    val spark = df.sparkSession
+    val pr = col(priorityCol).cast("double")
+    val bounds = df.agg(min(pr).as("lo"), max(pr).as("hi")).head()
+    if (bounds.isNullAt(0)) return df.limit(0) // empty input
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / cells else 1.0
+    // cell 0 = highest priority; every priority value maps to exactly
+    // one cell, so cells never interleave under (priority DESC, id)
+    val cellOf = least(greatest(
+      floor((lit(hi) - pr) / lit(width)).cast("int"), lit(0)),
+      lit(cells - 1))
+    val binned = df.withColumn("_tb_cell", cellOf)
+    // tiny: <= `cells` rows to the driver
+    val totals = binned.groupBy(col("_tb_cell"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    var boundary = -1 // first cell whose full inclusion would overflow
+    totals.foreach { case (c, w) =>
+      if (boundary < 0) {
+        if (cum + w > budget) boundary = c else cum += w
+      }
+    }
+    if (boundary < 0) return binned.drop("_tb_cell") // everything fits
+    val keptWhole = binned.filter(col("_tb_cell") < boundary)
+      .drop("_tb_cell")
+    // exact ordered prefix over the boundary cell only
+    val remaining = budget - cum
+    val w = Window.orderBy(pr.desc, col(idCol))
+    val boundaryKept = binned.filter(col("_tb_cell") === boundary)
+      .withColumn("_tb_cum", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("_tb_cum") <= remaining)
+      .drop("_tb_cell", "_tb_cum")
+    keptWhole.unionByName(boundaryKept)
+  }
+
+  /** The naive one-window form — the semantics [[select]] must equal;
+    * kept as the spec's equivalence oracle (and fine for small inputs).
+    */
+  def selectNaive(df: DataFrame, priorityCol: String, weightCol: String,
+      idCol: String, budget: Long): DataFrame = {
+    val w = Window.orderBy(col(priorityCol).cast("double").desc, col(idCol))
+    df.withColumn("_tb_cum", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("_tb_cum") <= budget)
+      .drop("_tb_cum")
+  }
+}

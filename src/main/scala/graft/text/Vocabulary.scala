@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vocabulary construction — the corpus-level half of tokenizer
+  * training prep (count token frequencies, keep the top k, measure what
+  * the cut covers). Reference scope: the reference engine's ETL ends at
+  * relational queries (SURVEY §2); this is a north-star extension for
+  * LLM-data pipelines, like `TextAnalysis`.
+  */
+object Vocabulary {
+
+  /** Top-`k` tokens by corpus frequency, ranked 1..k with ties broken
+    * lexicographically (deterministic across runs and engines).
+    *
+    * Scale shape: `groupBy(token)` partial-aggregates map-side, so the
+    * shuffle carries each task's DISTINCT tokens (vocabulary-sized, not
+    * corpus-sized); `orderBy.limit(k)` plans as TakeOrderedAndProject —
+    * each task keeps a k-row heap, the driver merges heaps, no global
+    * sort ever materializes. The rank window orders only the k
+    * survivors on one partition: k rows, not the corpus.
+    */
+  def build(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val top = docs
+      .select(explode(TextAnalysis.wsTokens(lower(col(textCol))))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token")))
+        .cast("long"))
+  }
+
+  /** Occurrence coverage of a vocabulary: what fraction of all token
+    * OCCURRENCES in the corpus the vocab covers — the figure that
+    * decides whether k is big enough. One scan: tokens left-join the
+    * BROADCAST vocab (k rows by construction) and aggregate; no second
+    * corpus-wide shuffle.
+    */
+  def coverage(docs: DataFrame, vocab: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextAnalysis.wsTokens(lower(col(textCol))))
+        .as("token"))
+      .join(broadcast(vocab.select(col("token"), lit(1L).as("in_vocab"))),
+        Seq("token"), "left")
+      .agg(count(lit(1)).as("total_occurrences"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("covered_occurrences"))
+      .select(col("total_occurrences"), col("covered_occurrences"),
+        round(col("covered_occurrences").cast("double") /
+          col("total_occurrences"), 9).as("coverage"))
+}

@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TokenBudget's bucketed selection must be row-for-row identical to
+  * the naive global-window greedy (its semantics), across boundary
+  * shapes: ties at the cell edge, budgets landing inside a cell, empty
+  * input, everything-fits, and budget zero. Vocabulary: top-k ranking
+  * is deterministic under ties and coverage counts occurrences.
+  */
+class TokenBudgetSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def docs = spark.range(0, 500).select(
+    col("id").as("doc_id"),
+    // priorities with heavy ties: 50 distinct values over 500 rows
+    (col("id") % 50).cast("double").as("prio"),
+    (col("id") % 7 + 1).as("w"))
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  test("bucketed select equals the naive global window across budgets") {
+    for (budget <- Seq(0L, 1L, 37L, 500L, 1000L, 100000L)) {
+      val fast = TokenBudget.select(docs, "prio", "w", "doc_id", budget,
+        cells = 8)
+      val naive = TokenBudget.selectNaive(docs, "prio", "w", "doc_id", budget)
+      assert(keys(fast) == keys(naive), s"budget=$budget")
+    }
+  }
+
+  test("single distinct priority (width degenerate) still exact") {
+    val flat = spark.range(0, 100).select(col("id").as("doc_id"),
+      lit(1.0).as("prio"), lit(3L).as("w"))
+    val fast = TokenBudget.select(flat, "prio", "w", "doc_id", 30L, cells = 4)
+    val naive = TokenBudget.selectNaive(flat, "prio", "w", "doc_id", 30L)
+    assert(keys(fast) == keys(naive))
+    assert(fast.count() == 10) // 10 docs x 3 = 30
+  }
+
+  test("empty input selects nothing") {
+    assert(TokenBudget.select(docs.limit(0), "prio", "w", "doc_id", 10L)
+      .count() == 0)
+  }
+
+  test("vocabulary ranks by count then token; coverage counts occurrences") {
+    val d = Seq("b b b a a c", "a b", "z").toDF("text")
+    val v = Vocabulary.build(d, 2)
+    assert(v.select("token", "cnt", "rank").as[(String, Long, Long)]
+      .collect().toSet == Set(("a", 3L, 2L), ("b", 4L, 1L)))
+    val cov = Vocabulary.coverage(d, v)
+      .as[(Long, Long, Double)].head()
+    assert(cov == ((9L, 7L, math.rint(7.0 / 9.0 * 1e9) / 1e9)))
+  }
+}
