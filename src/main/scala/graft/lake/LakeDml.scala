@@ -83,6 +83,82 @@ object LakeDml {
       cdc = Some(changes))
   }
 
+  /** Predicate-scoped atomic overwrite (Delta's `replaceWhere`): rows
+    * where `cond` is TRUE are removed and `df`'s rows land in their
+    * place, in ONE superseding `replace-` commit — readers see the old
+    * or the new region, never a mix. The idempotent-backfill primitive:
+    * re-deriving one day/partition of a 100 TB table is
+    * `replaceWhere(day = X, recomputedDay)` at the cost of that day's
+    * files, where the reference re-runs the whole CTAS
+    * (`emr_json_parquet_schema_drift_etl.py:142-152`).
+    *
+    * Every row of `df` must satisfy `cond` (checked, like Delta): a
+    * violating row would silently land outside the replaced region and
+    * double-count against data the predicate kept. FILE-PRUNED like
+    * [[deleteWhere]] via `pruneRanges`: only files whose stats admit a
+    * match rewrite (minus their matching rows); everything else carries
+    * forward BY REFERENCE. Null predicate rows are kept, per DELETE's
+    * three-valued WHERE. Schema may widen through `df` (union schema,
+    * like MERGE WITH SCHEMA EVOLUTION).
+    *
+    * Change capture: removed rows as `delete`, `df`'s rows as `insert`
+    * — [[TxnLog.changeFeed]] consumers see the swap; append-only
+    * [[TxnLog.changes]] consumers skip `replace-` commits like other
+    * rewrites (the data files mix carried survivors with new rows).
+    *
+    * Returns None on a lost append race (re-run on the new base).
+    */
+  def replaceWhere(spark: SparkSession, table: String, cond: Column,
+      df: DataFrame, pruneRanges: Seq[ColRange] = Nil,
+      partitionCols: Seq[String] = Nil): Option[Long] = {
+    val vs = TxnLog.versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits; use append to create it")
+    val base = vs.last
+    val manifests = TxnLog.activeManifests(
+      TxnLog.manifestChain(spark, table, base)._1)
+    val tableSchema = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val merged = SchemaRegistry.merge(tableSchema,
+      StructType(df.schema.fields))
+
+    // constraint first, before any files are chosen: every replacement
+    // row must live inside the replaced region
+    val bad = df.filter(not(cond <=> lit(true))).limit(1).count()
+    require(bad == 0L,
+      s"replaceWhere: replacement rows violate the predicate $cond — " +
+        "they would land outside the replaced region")
+
+    def canMatch(e: FileEntry): Boolean = pruneRanges.forall(r =>
+      e.stats.get(r.column).forall(cs =>
+        FileStats.overlaps(cs, r.lower, r.upper)))
+    val touched = TxnLog.liveEntries(manifests)
+      .map { case (m, es) => (m, es.filter(canMatch)) }
+      .filter(_._2.nonEmpty)
+
+    def align(d: DataFrame): DataFrame = {
+      val present = d.columns.toSet
+      d.select(merged.fields.toSeq.map { f =>
+        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val touchedRows = TxnLog.readAligned(spark, touched, merged)
+    val survivors = touchedRows
+      .map(t => align(t.filter(not(cond <=> lit(true)))))
+    val out = survivors.map(_.unionByName(align(df))).getOrElse(align(df))
+    // change capture: exactly the swap — removed region out, df in
+    val removedRows = touchedRows
+      .map(t => align(t.filter(cond <=> lit(true)))
+        .withColumn("_change_type", lit("delete")))
+    val changes = removedRows
+      .map(_.unionByName(align(df).withColumn("_change_type", lit("insert"))))
+      .getOrElse(align(df).withColumn("_change_type", lit("insert")))
+    TxnLog.appendCommit(spark, table, out, partitionCols,
+      s"replace-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base),
+      removePaths = touched.flatMap(_._2.map(_.path)),
+      cdc = Some(changes))
+  }
+
   /** UPDATE <table> SET ... [WHERE <cond>]: rows where `cond` is TRUE
     * (all rows when None) take the `set` assignments — expressions over
     * the table's own columns, SQL UPDATE semantics — in one superseding

@@ -510,8 +510,8 @@ object TxnLog {
     val rows = versions(spark, table).reverse.map { v =>
       val m = readManifest(spark, table, v)
       val name = new Path(m.commitDir).getName
-      val op = Seq("delete", "update", "merge", "overwrite", "compact",
-          "optimize", "restore", "clone", "alter")
+      val op = Seq("delete", "update", "merge", "overwrite", "replace",
+          "compact", "optimize", "restore", "clone", "alter")
         .find(p => name.startsWith(p + "-")).map(_.toUpperCase)
         .getOrElse(if (name.startsWith("txn-")) "STREAMING APPEND"
           else "APPEND")
@@ -1225,7 +1225,8 @@ object TxnLog {
         includeRewrites ||
           (!name.startsWith("compact-") && !name.startsWith("merge-") &&
             !name.startsWith("delete-") && !name.startsWith("update-") &&
-            !name.startsWith("optimize-") && !name.startsWith("restore-"))
+            !name.startsWith("optimize-") && !name.startsWith("restore-") &&
+            !name.startsWith("replace-"))
       }
       .map(m => (m, m.entries))
   }
@@ -1300,8 +1301,8 @@ object TxnLog {
         .withColumn("_commit_version", lit(m.version)))
     val parts = picked.flatMap { case (m, es) =>
       val name = new Path(m.commitDir).getName
-      val isRewrite = Seq("merge-", "delete-", "update-", "restore-")
-        .exists(name.startsWith)
+      val isRewrite = Seq("merge-", "delete-", "update-", "restore-",
+          "replace-").exists(name.startsWith)
       if (name.startsWith("compact-") || name.startsWith("optimize-")) None
       else if (name.startsWith("overwrite-")) {
         // INSERT OVERWRITE: changes are synthesized at read time — the

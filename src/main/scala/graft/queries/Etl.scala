@@ -306,6 +306,40 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** `replaceWhere` gate: disjoint-chunk orders lake, then one atomic
+    * predicate-scoped overwrite — the [600, 900) region swaps for a
+    * DIFFERENT row set (even keys only, price doubled), so the result
+    * distinguishes replace from UPDATE (rows disappear) and from
+    * DELETE+append (one commit, one version). File-pruning required
+    * loudly: only the middle chunk's file may rewrite. Hash-checked
+    * against DuckDB computing keep-region ∪ replacement directly.
+    */
+  def replaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_replw_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    val cond = col("o_orderkey") >= 600 && col("o_orderkey") < 900
+    val replacement = o.filter(cond && col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    graft.lake.LakeDml.replaceWhere(s, table, cond, replacement,
+      pruneRanges = Seq(graft.lake.TxnLog.ColRange(
+        "o_orderkey", Some(600L), Some(899L))))
+    val after = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    require((before & after).size == before.size - 1,
+      s"replaceWhere rewrote ${before.size - (before & after).size} of " +
+        s"${before.size} files; the key range reaches exactly one")
+    graft.lake.TxnLog.snapshot(s, table)
+  }
+
   /** DataSource V2 gate: the same disjoint-chunk orders lake read
     * through `spark.read.format("graftlake")` — the V2 `Table` whose
     * scans delegate to Spark's ParquetScanBuilder over the log-backed
@@ -723,6 +757,7 @@ object Etl extends QueryPack {
     "q92_sql_delete" -> sqlDelete _,
     "q93_sql_merge" -> sqlMerge _,
     "q95_sql_update" -> sqlUpdate _,
+    "q118_replace_where" -> replaceWhere _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
@@ -851,6 +886,16 @@ object Etl extends QueryPack {
         |FROM orders
         |WHERE o_orderkey >= 200 AND o_orderkey < 450
         |  AND o_orderstatus = 'F'""".stripMargin,
+    "q118_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE NOT (o_orderkey >= 600 AND o_orderkey < 900)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice * 2 AS o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderkey >= 600 AND o_orderkey < 900
+        |  AND o_orderkey % 2 = 0""".stripMargin,
     "q95_sql_update" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey >= 600 AND o_orderkey < 900

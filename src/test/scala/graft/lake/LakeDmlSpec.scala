@@ -539,4 +539,64 @@ class LakeDmlSpec extends SparkSpec {
     // an append-only `changes` consumer sees the overwrite's rows as adds
     assert(TxnLog.changes(spark, table, fromExclusive = 3L).count() == 150L)
   }
+
+  test("replaceWhere swaps the predicate region atomically, file-pruned") {
+    val table = threeChunkTable("graft-dml-replw")
+    val before = liveFiles(table)
+    val vBefore = TxnLog.versions(spark, table).last
+    val cond = col("id") >= 120 && col("id") < 150
+    // a DIFFERENT row set, not an update: only every third id survives
+    val repl = spark.range(120, 150, 3)
+      .select(col("id"), lit(99L).as("grp"), lit("swapped").as("val"))
+    val v = LakeDml.replaceWhere(spark, table, cond, repl,
+      pruneRanges = Seq(TxnLog.ColRange("id", Some(120L), Some(149L))))
+    assert(v.contains(vBefore + 1), "one commit, one version")
+
+    val after = liveFiles(table)
+    // chunks 1 and 3 carry forward untouched; only the middle rewrote
+    assert((before & after).size == 2)
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 270 + 10)
+    assert(snap.filter(col("val") === "swapped").count() == 10)
+    assert(snap.filter(col("id") === 121).count() == 0, "old region gone")
+    assert(snap.filter(col("id") === 119).count() == 1, "survivor kept")
+
+    // CDF: exactly the swap — 30 deletes, 10 inserts at the new version
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = vBefore)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 30L, "insert" -> 10L))
+    // append-only consumers skip the rewrite (survivors would double)
+    assert(TxnLog.changes(spark, table, fromExclusive = vBefore).isEmpty)
+    // history reports the operation
+    val op = TxnLog.history(spark, table)
+      .filter(col("version") === (vBefore + 1))
+      .select("operation").as[String].head()
+    assert(op == "REPLACE")
+  }
+
+  test("replaceWhere rejects replacement rows outside the predicate") {
+    val table = threeChunkTable("graft-dml-replbad")
+    val cond = col("id") >= 120 && col("id") < 150
+    val stray = spark.range(140, 160) // 150..159 violate the region
+      .select(col("id"), lit(0L).as("grp"), lit("x").as("val"))
+    val e = intercept[IllegalArgumentException] {
+      LakeDml.replaceWhere(spark, table, cond, stray)
+    }
+    assert(e.getMessage.contains("violate the predicate"))
+    assert(TxnLog.snapshot(spark, table).count() == 300, "table untouched")
+  }
+
+  test("replaceWhere into a region no file holds is a pure insert") {
+    val table = threeChunkTable("graft-dml-replins")
+    val before = liveFiles(table)
+    val cond = col("id") >= 5000 && col("id") < 5010
+    val repl = spark.range(5000, 5010)
+      .select(col("id"), lit(1L).as("grp"), lit("new").as("val"))
+    LakeDml.replaceWhere(spark, table, cond, repl,
+      pruneRanges = Seq(TxnLog.ColRange("id", Some(5000L), Some(5009L))))
+    val after = liveFiles(table)
+    assert(before.subsetOf(after), "no live file may be rewritten")
+    assert(TxnLog.snapshot(spark, table).count() == 310)
+  }
 }
