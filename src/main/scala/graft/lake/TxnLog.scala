@@ -77,7 +77,8 @@ object TxnLog {
     */
   final case class Manifest(version: Long, commitDir: String,
       entries: Seq[FileEntry], schemaJson: String, removed: Seq[String],
-      timestampMs: Long = 0L, cdc: Seq[String] = Nil) {
+      timestampMs: Long = 0L, cdc: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def files: Seq[String] = entries.map(_.path)
@@ -150,8 +151,16 @@ object TxnLog {
   // '\t' or '\n', so the format needs no quoting.
 
   private def bodyLines(entries: Seq[FileEntry], removed: Seq[String],
-      cdc: Seq[String] = Nil): Seq[String] =
-    removed.map("-" + _) ++ cdc.map("~" + _) ++ entries.map { e =>
+      cdc: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Seq[String] =
+    removed.map("-" + _) ++ cdc.map("~" + _) ++
+      // table properties as "!<key>=<value>" — every manifest re-records
+      // the FULL effective set, so the head manifest alone answers
+      // "what are the table's properties" (no chain fold, and vacuum's
+      // history truncation can never lose them). Keys are identifiers
+      // (no '='); values may contain '=' but never '\n'.
+      props.toSeq.sorted.map { case (k, v) => s"!$k=$v" } ++
+      entries.map { e =>
       val sz = if (e.size >= 0) Seq(e.size.toString) else Nil
       val rw = if (e.size >= 0 && e.rows >= 0) Seq(e.rows.toString) else Nil
       val st = if (e.stats.isEmpty) Nil else Seq(FileStats.encode(e.stats))
@@ -159,9 +168,15 @@ object TxnLog {
     }
 
   private def parseBody(lines: Seq[String])
-      : (Seq[FileEntry], Seq[String], Seq[String]) = {
-    val (rm, rest) = lines.partition(_.startsWith("-"))
+      : (Seq[FileEntry], Seq[String], Seq[String], Map[String, String]) = {
+    val (rm, rest0) = lines.partition(_.startsWith("-"))
+    val (propLines, rest) = rest0.partition(_.startsWith("!"))
     val (cdc, files) = rest.partition(_.startsWith("~"))
+    val props = propLines.map { l =>
+      val i = l.indexOf('=')
+      require(i > 1, s"bad property line in manifest: $l")
+      (l.substring(1, i), l.substring(i + 1))
+    }.toMap
     val entries = files.map { l =>
       val parts = l.split('\t')
       var size = -1L
@@ -173,7 +188,7 @@ object TxnLog {
       }
       FileEntry(parts(0), stats, size, rows)
     }
-    (entries, rm.map(_.drop(1)), cdc.map(_.drop(1)))
+    (entries, rm.map(_.drop(1)), cdc.map(_.drop(1)), props)
   }
 
   /** The commitDir header line optionally carries the commit's wall-clock
@@ -192,9 +207,10 @@ object TxnLog {
     val p = manifestPath(table, v)
     // line format: version \n commitDir[\tts] \n schemaJson \n body lines...
     val lines = readFully(fs(spark, p), p).split('\n')
-    val (entries, removed, cdc) = parseBody(lines.drop(3).toSeq)
+    val (entries, removed, cdc, props) = parseBody(lines.drop(3).toSeq)
     val (dir, ts) = parseDirLine(lines(1))
-    Manifest(lines(0).toLong, dir, entries, lines(2), removed, ts, cdc)
+    Manifest(lines(0).toLong, dir, entries, lines(2), removed, ts, cdc,
+      props)
   }
 
   private def readFully(f: FileSystem, p: Path): String = {
@@ -211,7 +227,7 @@ object TxnLog {
   private def serializeCheckpoint(ms: Seq[Manifest]): String = {
     val recs = ms.map { m =>
       val lines = Seq(m.version.toString, dirLine(m.commitDir, m.timestampMs),
-        m.schemaJson) ++ bodyLines(m.entries, m.removed, m.cdc)
+        m.schemaJson) ++ bodyLines(m.entries, m.removed, m.cdc, m.props)
       (lines.length.toString +: lines).mkString("\n")
     }
     (s"GRAFT_CKPT_V1" +: ms.length.toString +: recs).mkString("\n")
@@ -226,9 +242,10 @@ object TxnLog {
       val len = lines(at).toInt
       val rec = lines.slice(at + 1, at + 1 + len)
       at += 1 + len
-      val (entries, removed, cdc) = parseBody(rec.drop(3).toSeq)
+      val (entries, removed, cdc, props) = parseBody(rec.drop(3).toSeq)
       val (dir, ts) = parseDirLine(rec(1))
-      Manifest(rec(0).toLong, dir, entries, rec(2), removed, ts, cdc)
+      Manifest(rec(0).toLong, dir, entries, rec(2), removed, ts, cdc,
+        props)
     }
   }
 
@@ -361,7 +378,7 @@ object TxnLog {
       n += 1
       val body = (Seq(n.toString,
         dirLine(m.commitDir, System.currentTimeMillis()),
-        m.schemaJson) ++ bodyLines(es, Nil, Nil)).mkString("\n")
+        m.schemaJson) ++ bodyLines(es, Nil, Nil, m.props)).mkString("\n")
       require(publishAtomic(spark, manifestPath(dst, n), body),
         s"clone lost a commit race on $dst (is something else writing it?)")
     }
@@ -493,6 +510,119 @@ object TxnLog {
       requireBase = None, removePaths = Nil)
       .getOrElse(throw new IllegalStateException(
         s"could not commit ALTER to $table"))
+  }
+
+  private val CheckPropPrefix = "check."
+
+  /** CHECK constraints currently in force on `table`: name -> SQL
+    * expression. Metadata-only (the head manifest records the full
+    * property set).
+    */
+  def constraints(spark: SparkSession, table: String): Map[String, String] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    readManifest(spark, table, vs.last).props.collect {
+      case (k, v) if k.startsWith(CheckPropPrefix) =>
+        (k.stripPrefix(CheckPropPrefix), v)
+    }
+  }
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` (Delta's table
+    * constraints): after this commits, EVERY writer — append, INSERT,
+    * streaming sink, DML rewrite — proves its rows satisfy `exprSql`
+    * before any data publishes, failing loudly on the first violator.
+    * Existing rows are validated first (one scan, like Delta), so a
+    * constraint in force is a table-wide invariant, not a
+    * from-now-on filter. The constraint itself is one metadata-only
+    * `alter-` commit; rows where the expression is NULL pass, per SQL
+    * CHECK three-valued semantics, and a commit whose schema lacks a
+    * referenced column passes too (the value is null by alignment).
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      exprSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier, got: $name")
+    val existing = constraints(spark, table)
+    require(!existing.contains(name),
+      s"constraint $name already exists on $table " +
+        s"(${existing(name)}); DROP it first")
+    import org.apache.spark.sql.functions.{expr, lit}
+    // the expression must analyze against the table, and current rows
+    // must satisfy it — a violating table cannot take the invariant.
+    // violated ⇔ provably FALSE (NULL passes, SQL CHECK semantics)
+    val bad = snapshot(spark, table)
+      .filter(expr(exprSql) <=> lit(false)).limit(1).count()
+    require(bad == 0L,
+      s"cannot ADD CONSTRAINT $name CHECK ($exprSql): existing rows of " +
+        s"$table violate it")
+    val head = versions(spark, table).last
+    val schema = schemaOf(spark, table)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    appendCommit(spark, table, empty, Nil,
+      s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = None, removePaths = Nil,
+      propsOverride = Some(readManifest(spark, table, head).props +
+        (CheckPropPrefix + name -> exprSql)))
+      .getOrElse(throw new IllegalStateException(
+        s"could not commit ADD CONSTRAINT to $table"))
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT name`: one metadata-only `alter-`
+    * commit; writes after it are no longer checked. Fails on an unknown
+    * name (nothing would change — surface the typo).
+    */
+  def dropConstraint(spark: SparkSession, table: String,
+      name: String): Long = {
+    val existing = constraints(spark, table)
+    require(existing.contains(name),
+      s"no constraint $name on $table " +
+        s"(has: ${existing.keys.toSeq.sorted.mkString(", ")})")
+    val head = versions(spark, table).last
+    val schema = schemaOf(spark, table)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    appendCommit(spark, table, empty, Nil,
+      s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = None, removePaths = Nil,
+      propsOverride = Some(readManifest(spark, table, head).props -
+        (CheckPropPrefix + name)))
+      .getOrElse(throw new IllegalStateException(
+        s"could not commit DROP CONSTRAINT to $table"))
+  }
+
+  /** Writer-side CHECK enforcement: one combined pass over the commit's
+    * rows (zero cost when no constraints are in force — the common
+    * case), then a per-constraint pass only on failure, to name the
+    * violated constraint. A constraint whose expression does not
+    * analyze against THIS commit's schema is skipped: the referenced
+    * column is absent, so its value is null and NULL passes CHECK.
+    */
+  private def enforceChecks(df: DataFrame,
+      props: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val checks = props.collect {
+      case (k, v) if k.startsWith(CheckPropPrefix) =>
+        (k.stripPrefix(CheckPropPrefix), v)
+    }.toSeq.sortBy(_._1)
+    if (checks.isEmpty) return
+    val applicable = checks.flatMap { case (n, sql) =>
+      // violated ⇔ provably FALSE: a NULL check value passes, per SQL
+      // CHECK three-valued semantics
+      val violated = expr(sql) <=> lit(false)
+      scala.util.Try(df.filter(violated).queryExecution.analyzed)
+        .toOption.map(_ => (n, sql, violated))
+    }
+    if (applicable.isEmpty) return
+    val anyBad = df.filter(applicable.map(_._3).reduce(_ || _))
+      .limit(1).count() > 0
+    if (anyBad) {
+      val hit = applicable
+        .find(c => df.filter(c._3).limit(1).count() > 0).get
+      throw new IllegalStateException(
+        s"CHECK constraint ${hit._1} (${hit._2}) violated by the write; " +
+          "no data was committed")
+    }
   }
 
   /** The commit log as a table (Delta's `DESCRIBE HISTORY`): one row per
@@ -967,11 +1097,19 @@ object TxnLog {
   private[lake] def appendCommit(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String], commitId: String, txnId: Option[String],
       requireBase: Option[Long], removePaths: Seq[String],
-      maxRetries: Int = 10, cdc: Option[DataFrame] = None): Option[Long] = {
+      maxRetries: Int = 10, cdc: Option[DataFrame] = None,
+      propsOverride: Option[Map[String, String]] = None): Option[Long] = {
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
     }
+    // table properties carry forward from the head manifest (every
+    // commit re-records the full set); a constraint DDL overrides
+    val props = propsOverride.getOrElse(
+      versions(spark, table).lastOption
+        .map(v => readManifest(spark, table, v).props)
+        .getOrElse(Map.empty))
+    enforceChecks(df, props)
     val commitDir = new Path(new Path(table, "data"), commitId)
     // every commit dir is unique per attempt (uuid-named), so the data
     // write NEVER overwrites: a crash mid-write leaves an orphan dir no
@@ -1066,7 +1204,7 @@ object TxnLog {
       val body = (Seq(next.toString,
         dirLine(commitDir.toString, System.currentTimeMillis()),
         df.schema.json) ++
-        bodyLines(entries, removePaths, cdcFiles)).mkString("\n")
+        bodyLines(entries, removePaths, cdcFiles, props)).mkString("\n")
       if (publishAtomic(spark, manifestPath(table, next), body)) {
         if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
         return Some(next)

@@ -340,6 +340,50 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** CHECK-constraint gate: orders lake + `ALTER TABLE ... ADD
+    * CONSTRAINT ... CHECK`, then a conforming INSERT (lands), a
+    * violating INSERT (MUST fail loudly, nothing committed), a DROP
+    * CONSTRAINT, and a now-legal negative INSERT — the final table
+    * proves enforce-then-release end to end and hash-checks against
+    * DuckDB composing the same surviving rows.
+    */
+  def checkConstraint(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_check_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    graft.lake.TxnLog.append(s, table, o.coalesce(1))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q119_orders", table)
+    s.sql("""ALTER TABLE q119_orders ADD CONSTRAINT price_pos
+            |CHECK (o_totalprice > 0)""".stripMargin)
+    s.sql("""INSERT INTO q119_orders VALUES
+            |(900001, 7, 'X', 111.25, TIMESTAMP '2031-01-01 00:00:00')"""
+      .stripMargin)
+    val vBefore = graft.lake.TxnLog.versions(s, table).last
+    val rejected =
+      try {
+        s.sql("""INSERT INTO q119_orders VALUES
+                |(900002, 8, 'X', -4.5, TIMESTAMP '2031-01-02 00:00:00')"""
+          .stripMargin)
+        false
+      } catch { case e: Exception =>
+        e.toString.contains("price_pos") ||
+          Option(e.getCause).exists(_.toString.contains("price_pos"))
+      }
+    require(rejected,
+      "a violating INSERT must fail naming the CHECK constraint")
+    require(graft.lake.TxnLog.versions(s, table).last == vBefore,
+      "the rejected INSERT must commit nothing")
+    s.sql("ALTER TABLE q119_orders DROP CONSTRAINT price_pos")
+    s.sql("""INSERT INTO q119_orders VALUES
+            |(900002, 8, 'X', -4.5, TIMESTAMP '2031-01-02 00:00:00')"""
+      .stripMargin)
+    graft.lake.TxnLog.snapshot(s, table)
+  }
+
   /** DataSource V2 gate: the same disjoint-chunk orders lake read
     * through `spark.read.format("graftlake")` — the V2 `Table` whose
     * scans delegate to Spark's ParquetScanBuilder over the log-backed
@@ -758,6 +802,7 @@ object Etl extends QueryPack {
     "q93_sql_merge" -> sqlMerge _,
     "q95_sql_update" -> sqlUpdate _,
     "q118_replace_where" -> replaceWhere _,
+    "q119_check_constraint" -> checkConstraint _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
@@ -896,6 +941,15 @@ object Etl extends QueryPack {
         |FROM orders
         |WHERE o_orderkey >= 600 AND o_orderkey < 900
         |  AND o_orderkey % 2 = 0""".stripMargin,
+    "q119_check_constraint" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders
+        |UNION ALL
+        |SELECT 900001, 7, 'X', 111.25, TIMESTAMP '2031-01-01 00:00:00'
+        |UNION ALL
+        |SELECT 900002, 8, 'X', -4.5, TIMESTAMP '2031-01-02 00:00:00'"""
+        .stripMargin,
     "q95_sql_update" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey >= 600 AND o_orderkey < 900

@@ -94,6 +94,12 @@ object LakeDmlSql {
   private val AddColsRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMNS?\s*""" +
       """\(([^)]+)\)\s*;?\s*$""").r
+  private val AddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+CONSTRAINT\s+""" +
+      """([A-Za-z_][\w]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+CONSTRAINT""" +
+      """\s+([A-Za-z_][\w]*)\s*;?\s*$""").r
   private val ShowMountsRe =
     """(?is)^\s*SHOW\s+(?:LAKE\s+)?MOUNTS\s*;?\s*$""".r
   private val DetailRe =
@@ -138,6 +144,12 @@ object LakeDmlSql {
         LakeMounts.pathOf(spark, name).map(path =>
           LakeAddColumnsCommand(name, path,
             StructType.fromDDL(colsDdl).fields.toSeq))
+      case AddConstraintRe(name, cname, expr) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeConstraintCommand(name, path, cname, Some(expr.trim)))
+      case DropConstraintRe(name, cname) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeConstraintCommand(name, path, cname, None))
       case ShowMountsRe() => Some(LakeShowMountsCommand())
       case DetailRe(name) =>
         LakeMounts.pathOf(spark, name).map(path =>
@@ -836,6 +848,29 @@ object LakeDmlSql {
     }
     override def simpleString(maxFields: Int): String =
       s"LakeAddColumnsCommand $name +${columns.map(_.name).mkString(",")}"
+  }
+
+  /** `ALTER TABLE t ADD CONSTRAINT n CHECK (expr)` (check = Some) /
+    * `ALTER TABLE t DROP CONSTRAINT n` (check = None) — Delta's table
+    * constraints over a mounted lake table ([[TxnLog.addConstraint]] /
+    * [[TxnLog.dropConstraint]]): after ADD, every writer proves its
+    * rows satisfy the expression before any data publishes.
+    */
+  final case class LakeConstraintCommand(name: String, path: String,
+      constraintName: String, check: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = check match {
+        case Some(expr) =>
+          TxnLog.addConstraint(spark, path, constraintName, expr)
+        case None => TxnLog.dropConstraint(spark, path, constraintName)
+      }
+      refreshIfMounted(spark, name, path)
+      Seq(Row(v))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeConstraintCommand $name $constraintName"
   }
 
   /** `RESTORE [TABLE] t TO VERSION AS OF n` (or `TO TIMESTAMP AS OF

@@ -98,4 +98,76 @@ class LakeAlterSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(deleted == 1 && !f.exists(orphan))
   }
+
+  test("CHECK constraint blocks violating writes on every path") {
+    val table = Files.createTempDirectory("graft-check").toString
+    TxnLog.append(spark, table,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price").coalesce(1))
+    LakeMounts.mount(spark, "chk_t", table)
+    spark.sql(
+      "ALTER TABLE chk_t ADD CONSTRAINT price_pos CHECK (price > 0)")
+    assert(TxnLog.constraints(spark, table) == Map("price_pos" -> "price > 0"))
+
+    // direct append: rejected, table unchanged
+    val vBefore = TxnLog.versions(spark, table).last
+    val e = intercept[IllegalStateException] {
+      TxnLog.append(spark, table, Seq((3L, -1.0)).toDF("id", "price"))
+    }
+    assert(e.getMessage.contains("price_pos"))
+    assert(TxnLog.versions(spark, table).last == vBefore, "nothing committed")
+
+    // SQL INSERT: same enforcement; valid rows pass
+    intercept[Exception] {
+      spark.sql("INSERT INTO chk_t VALUES (3, -5.0)")
+    }
+    spark.sql("INSERT INTO chk_t VALUES (3, 5.0)")
+    assert(spark.table("chk_t").count() == 3)
+
+    // UPDATE rewriting rows into violation: rejected before publish
+    intercept[Exception] {
+      spark.sql("UPDATE chk_t SET price = -price WHERE id = 1")
+    }
+    assert(TxnLog.snapshot(spark, table)
+      .filter(col("price") <= 0).count() == 0)
+
+    // NULL passes (SQL three-valued CHECK)
+    TxnLog.append(spark, table,
+      Seq((4L, Option.empty[Double])).toDF("id", "price"))
+    assert(TxnLog.snapshot(spark, table).count() == 4)
+
+    // DROP re-allows
+    spark.sql("ALTER TABLE chk_t DROP CONSTRAINT price_pos")
+    TxnLog.append(spark, table, Seq((5L, -9.0)).toDF("id", "price"))
+    assert(TxnLog.constraints(spark, table).isEmpty)
+    assert(TxnLog.snapshot(spark, table).count() == 5)
+  }
+
+  test("ADD CONSTRAINT validates existing rows first") {
+    val table = Files.createTempDirectory("graft-check-exist").toString
+    TxnLog.append(spark, table, Seq((1L, -3.0)).toDF("id", "price"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.addConstraint(spark, table, "price_pos", "price > 0")
+    }
+    assert(e.getMessage.contains("existing rows"))
+    assert(TxnLog.constraints(spark, table).isEmpty)
+  }
+
+  test("constraints survive checkpoints and schema-drift commits") {
+    val table = Files.createTempDirectory("graft-check-ckpt").toString
+    TxnLog.append(spark, table, Seq((1L, 1.0)).toDF("id", "price"))
+    TxnLog.addConstraint(spark, table, "price_pos", "price > 0")
+    // cross a checkpoint boundary (interval 10): props must round-trip
+    // through checkpoint serialization, not just loose manifests
+    (1 to TxnLog.CheckpointInterval).foreach(i =>
+      TxnLog.append(spark, table, Seq((i + 10L, i * 1.0)).toDF("id", "price")))
+    assert(TxnLog.constraints(spark, table) == Map("price_pos" -> "price > 0"))
+    intercept[IllegalStateException] {
+      TxnLog.append(spark, table, Seq((99L, -1.0)).toDF("id", "price"))
+    }
+    // a commit whose schema LACKS the checked column passes: the
+    // column's value is null by alignment, and NULL passes CHECK
+    TxnLog.append(spark, table, Seq(Tuple1(100L)).toDF("id"))
+    assert(TxnLog.snapshot(spark, table).filter(col("id") === 100)
+      .count() == 1)
+  }
 }
