@@ -340,6 +340,41 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** SQL replaceWhere gate: the q118 swap driven entirely through
+    * `INSERT INTO t REPLACE WHERE <cond> SELECT ...` (Delta's surface)
+    * on a mounted table — predicate parsed to prune ranges (one of
+    * three files rewritten, required loudly), replacement drawn from a
+    * registered source view, same DuckDB oracle as q118.
+    */
+  def replaceWhereSql(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_replsql_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q120_orders", table)
+    o.createOrReplaceTempView("q120_src")
+    s.sql("""INSERT INTO q120_orders
+            |REPLACE WHERE o_orderkey >= 600 AND o_orderkey < 900
+            |SELECT o_orderkey, o_custkey, o_orderstatus,
+            |  o_totalprice * 2, o_orderdate
+            |FROM q120_src
+            |WHERE o_orderkey >= 600 AND o_orderkey < 900
+            |  AND o_orderkey % 2 = 0""".stripMargin)
+    val after = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    require((before & after).size == before.size - 1,
+      s"SQL REPLACE WHERE rewrote ${before.size - (before & after).size} " +
+        s"of ${before.size} files; the key range reaches exactly one")
+    graft.lake.TxnLog.snapshot(s, table)
+  }
+
   /** CHECK-constraint gate: orders lake + `ALTER TABLE ... ADD
     * CONSTRAINT ... CHECK`, then a conforming INSERT (lands), a
     * violating INSERT (MUST fail loudly, nothing committed), a DROP
@@ -803,6 +838,7 @@ object Etl extends QueryPack {
     "q95_sql_update" -> sqlUpdate _,
     "q118_replace_where" -> replaceWhere _,
     "q119_check_constraint" -> checkConstraint _,
+    "q120_replace_where_sql" -> replaceWhereSql _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
@@ -932,6 +968,16 @@ object Etl extends QueryPack {
         |WHERE o_orderkey >= 200 AND o_orderkey < 450
         |  AND o_orderstatus = 'F'""".stripMargin,
     "q118_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE NOT (o_orderkey >= 600 AND o_orderkey < 900)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice * 2 AS o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderkey >= 600 AND o_orderkey < 900
+        |  AND o_orderkey % 2 = 0""".stripMargin,
+    "q120_replace_where_sql" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate
         |FROM orders WHERE NOT (o_orderkey >= 600 AND o_orderkey < 900)

@@ -100,6 +100,11 @@ object LakeDmlSql {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+CONSTRAINT""" +
       """\s+([A-Za-z_][\w]*)\s*;?\s*$""").r
+  // the predicate runs to the first SELECT/VALUES/WITH/TABLE keyword —
+  // a replace region is a simple bound predicate, not a subquery
+  private val ReplaceWhereRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][\w]*)\s+REPLACE\s+WHERE\s+""" +
+      """(.+?)\s+((?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$""").r
   private val ShowMountsRe =
     """(?is)^\s*SHOW\s+(?:LAKE\s+)?MOUNTS\s*;?\s*$""".r
   private val DetailRe =
@@ -150,6 +155,9 @@ object LakeDmlSql {
       case DropConstraintRe(name, cname) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeConstraintCommand(name, path, cname, None))
+      case ReplaceWhereRe(name, cond, query) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeReplaceWhereCommand(name, path, cond.trim, query.trim))
       case ShowMountsRe() => Some(LakeShowMountsCommand())
       case DetailRe(name) =>
         LakeMounts.pathOf(spark, name).map(path =>
@@ -871,6 +879,47 @@ object LakeDmlSql {
     }
     override def simpleString(maxFields: Int): String =
       s"LakeConstraintCommand $name $constraintName"
+  }
+
+  /** `INSERT INTO t REPLACE WHERE <cond> SELECT ...` (Delta's
+    * replaceWhere surface): one atomic commit swaps the rows matching
+    * `<cond>` for the query's rows ([[graft.lake.LakeDml.replaceWhere]]
+    * — file-pruned via ranges extracted from the predicate, query rows
+    * checked against it, change-captured). Column binding is
+    * positional against the full table schema, count-checked, every
+    * value cast — the plain-INSERT rules.
+    */
+  final case class LakeReplaceWhereCommand(name: String, path: String,
+      condSql: String, querySql: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{col, expr}
+      val qdf0 = spark.sql(querySql)
+      val tgt = TxnLog.schemaOf(spark, path)
+      require(qdf0.columns.length == tgt.fields.length,
+        s"REPLACE WHERE into $name: query produces " +
+          s"${qdf0.columns.length} columns, expected " +
+          s"${tgt.fields.length} (${tgt.fieldNames.mkString(", ")})")
+      val tmpNames = qdf0.columns.indices.map(i => s"__graft_c$i")
+      val out = qdf0.toDF(tmpNames: _*).select(
+        tgt.fields.toSeq.zip(tmpNames).map { case (f, tmp) =>
+          col(tmp).cast(f.dataType).as(f.name) }: _*)
+      val ranges = extractRanges(
+        spark.sessionState.sqlParser.parseExpression(condSql))
+      val partCols = try LakeRead.index(spark, path).partitionSchema
+          .fieldNames.toSeq
+        catch { case _: IllegalArgumentException => Nil }
+      val v = retry(s"REPLACE WHERE on $name") {
+        graft.lake.LakeDml.replaceWhere(spark, path, expr(condSql), out,
+          ranges, partCols)
+      }
+      refreshIfMounted(spark, name, path)
+      Seq(Row(v))
+    }
+
+    override def simpleString(maxFields: Int): String =
+      s"LakeReplaceWhereCommand $name WHERE $condSql"
   }
 
   /** `RESTORE [TABLE] t TO VERSION AS OF n` (or `TO TIMESTAMP AS OF

@@ -575,6 +575,31 @@ class LakeDmlSpec extends SparkSpec {
     assert(op == "REPLACE")
   }
 
+  test("SQL INSERT INTO ... REPLACE WHERE swaps the region, file-pruned") {
+    val table = threeChunkTable("graft-dml-replsql")
+    LakeMounts.mount(spark, "dml_replsql", table)
+    val before = liveFiles(table)
+    spark.range(120, 150, 3)
+      .select(col("id"), lit(99L).as("grp"), lit("swapped").as("val"))
+      .createOrReplaceTempView("replsql_src")
+    spark.sql("""INSERT INTO dml_replsql
+                |REPLACE WHERE id >= 120 AND id < 150
+                |SELECT id, grp, val FROM replsql_src""".stripMargin)
+    val after = liveFiles(table)
+    assert((before & after).size == 2, "only the middle chunk rewrites")
+    assert(spark.table("dml_replsql").count() == 280)
+    assert(spark.table("dml_replsql")
+      .filter(col("val") === "swapped").count() == 10)
+    // query rows violating the predicate are rejected, nothing commits
+    val vBefore = TxnLog.versions(spark, table).last
+    intercept[Exception] {
+      spark.sql("""INSERT INTO dml_replsql
+                  |REPLACE WHERE id >= 120 AND id < 150
+                  |SELECT id + 500, grp, val FROM replsql_src""".stripMargin)
+    }
+    assert(TxnLog.versions(spark, table).last == vBefore)
+  }
+
   test("replaceWhere rejects replacement rows outside the predicate") {
     val table = threeChunkTable("graft-dml-replbad")
     val cond = col("id") >= 120 && col("id") < 150
