@@ -654,7 +654,11 @@ object Etl extends QueryPack {
     graft.streaming.LakeAggMaintain
       .start(s, source, mv, Seq("o_orderstatus"), Seq("o_totalprice"), ckpt)
       .awaitTermination()
+    // prices are 2-decimal: round the maintained double sum so the
+    // aggregation-order last-bit drift can't break the bit-exact oracle hash
     graft.lake.TxnLog.snapshot(s, mv)
+      .select(col("o_orderstatus"), col("n"),
+        round(col("sum_o_totalprice"), 2).as("sum_o_totalprice"))
   }
 
   /** ALTER TABLE gate (q113): widen the orders lake by two columns in a
@@ -872,7 +876,7 @@ object Etl extends QueryPack {
         |  UNION ALL
         |  SELECT 'X', 111.25)
         |SELECT o_orderstatus, count(*) AS n,
-        |  sum(o_totalprice) AS sum_o_totalprice
+        |  round(sum(o_totalprice), 2) AS sum_o_totalprice
         |FROM final GROUP BY 1""".stripMargin,
     "q105_sql_restore" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

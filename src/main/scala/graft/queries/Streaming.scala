@@ -152,8 +152,11 @@ object Streaming extends QueryPack {
     require(dataBatches >= 3,
       s"admission control must split 3 commits into >=3 micro-batches " +
         s"(got $dataBatches)")
+    // prices are 2-decimal: round the double sum so the aggregation-order
+    // last-bit drift can't break the bit-exact oracle hash
     s.table(name).groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -172,7 +175,8 @@ object Streaming extends QueryPack {
     "q88_streaming_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q115_stream_rate_limit" ->
-      """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1""".stripMargin,
     "q110_stream_join" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id

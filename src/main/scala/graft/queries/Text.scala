@@ -343,12 +343,13 @@ object Text extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS tok_start
         |  FROM documents)
-        |SELECT tok_start // 4096 AS pack_id, count(*) AS n_docs,
-        |  sum(n_chars) AS pack_chars, min(doc_id) AS first_doc,
-        |  max((tok_start % 4096 + n_chars + 4095) // 4096) AS max_spanned
+        |SELECT CAST(tok_start // 4096 AS BIGINT) AS pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS pack_chars, min(doc_id) AS first_doc,
+        |  CAST(max((tok_start % 4096 + n_chars + 4095) // 4096) AS BIGINT)
+        |    AS max_spanned
         |FROM c GROUP BY 1""".stripMargin,
     "q104_ffd_packing_gate" ->
-      """SELECT count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  TRUE AS no_overflow, TRUE AS waste_ok
         |FROM documents""".stripMargin,
     "q90_pii_scrub" ->
