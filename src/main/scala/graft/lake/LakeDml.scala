@@ -60,7 +60,7 @@ object LakeDml {
     val base = vs.last
     val manifests = TxnLog.activeManifests(
       TxnLog.manifestChain(spark, table, base)._1)
-    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val merged = TxnLog.mergedSchema(manifests)
 
     def canMatch(e: FileEntry): Boolean = pruneRanges.forall(r =>
       e.stats.get(r.column).forall(cs =>
@@ -116,7 +116,7 @@ object LakeDml {
     val base = vs.last
     val manifests = TxnLog.activeManifests(
       TxnLog.manifestChain(spark, table, base)._1)
-    val tableSchema = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val tableSchema = TxnLog.mergedSchema(manifests)
     val merged = SchemaRegistry.merge(tableSchema,
       StructType(df.schema.fields))
 
@@ -176,7 +176,7 @@ object LakeDml {
     val base = vs.last
     val manifests = TxnLog.activeManifests(
       TxnLog.manifestChain(spark, table, base)._1)
-    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val merged = TxnLog.mergedSchema(manifests)
     set.keys.foreach(k => require(merged.fieldNames.contains(k),
       s"UPDATE assigns unknown column $k " +
         s"(table has ${merged.fieldNames.mkString(", ")})"))
@@ -278,7 +278,7 @@ object LakeDml {
     val base = vs.last
     val manifests = TxnLog.activeManifests(
       TxnLog.manifestChain(spark, table, base)._1)
-    val targetSchema = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val targetSchema = TxnLog.mergedSchema(manifests)
     // WITH SCHEMA EVOLUTION (Delta semantics): the output schema widens
     // by exactly the columns the statement ASSIGNS that the target
     // lacks — the caller computes them from the actions (`newColumns`);

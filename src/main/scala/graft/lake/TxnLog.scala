@@ -435,6 +435,13 @@ object TxnLog {
     * rewind. Append-only [[changes]] consumers skip `restore-` commits
     * like other rewrites (the re-added rows are old data, not appends).
     *
+    * TABLE METADATA REWINDS TOO (Delta's RESTORE semantics): the restore
+    * commit records the TARGET version's schema and acts as a schema
+    * reset ([[mergedSchema]]), so columns added after `toVersion` (ALTER
+    * ADD COLUMNS, merge schema evolution) disappear from the presented
+    * schema; and it re-records the target version's PROPERTIES, so CHECK
+    * constraints added since revert as well.
+    *
     * Returns None on a lost append race (re-run on the new base); a
     * restore to the current state is a no-op returning the base.
     */
@@ -453,22 +460,27 @@ object TxnLog {
       manifestChain(spark, table, toVersion)._1)).filter(_._2.nonEmpty)
     val nowPaths = nowLive.flatMap(_._2.map(_.path)).toSet
     val thenPaths = thenLive.flatMap(_._2.map(_.path)).toSet
-    if (nowPaths == thenPaths) return Some(base) // layout-only drift: keep
+    // the TARGET version's presented schema and properties — this commit
+    // re-records both, so the restore rewinds metadata, not just data
+    val mergedThen = mergedSchema(activeManifests(
+      manifestChain(spark, table, toVersion)._1))
+    val thenProps = readManifest(spark, table, toVersion).props
+    val headProps = readManifest(spark, table, base).props
+    if (nowPaths == thenPaths &&
+        schemaOf(spark, table) == mergedThen && headProps == thenProps)
+      return Some(base) // layout-and-metadata drift-free: keep
     // re-materialize exactly the files live at toVersion but dead now
     val reAdd = nowPaths -- thenPaths // dropped: added since toVersion
     val comeBack = thenLive.map { case (m, es) =>
       (m, es.filter(e => !nowPaths.contains(e.path))) }.filter(_._2.nonEmpty)
-    val mergedThen = thenLive.map(_._1.schema)
-      .reduceOption(SchemaRegistry.merge)
-      .getOrElse(readManifest(spark, table, toVersion).schema)
     val out = readAligned(spark, comeBack, mergedThen).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mergedThen))
     // change capture: superseded files' rows retract, restored rows insert
     val dropped = nowLive.map { case (m, es) =>
       (m, es.filter(e => !thenPaths.contains(e.path))) }.filter(_._2.nonEmpty)
-    val mergedBoth = (thenLive ++ dropped).map(_._1.schema)
-      .reduceOption(SchemaRegistry.merge).getOrElse(mergedThen)
+    val mergedBoth = (mergedThen +: dropped.map(_._1.schema))
+      .reduce(SchemaRegistry.merge)
     import org.apache.spark.sql.functions.lit
     val deletes = readAligned(spark, dropped, mergedBoth)
       .map(_.withColumn("_change_type", lit("delete")))
@@ -477,7 +489,8 @@ object TxnLog {
     val cdc = (deletes.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
     appendCommit(spark, table, out, partitionCols,
       s"restore-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = Some(base), removePaths = reAdd.toSeq.sorted, cdc = cdc)
+      requireBase = Some(base), removePaths = reAdd.toSeq.sorted, cdc = cdc,
+      propsOverride = Some(thenProps))
   }
 
   /** Widen the table schema by `newFields` in one metadata-only
@@ -542,30 +555,42 @@ object TxnLog {
       exprSql: String): Long = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"constraint name must be an identifier, got: $name")
-    val existing = constraints(spark, table)
-    require(!existing.contains(name),
-      s"constraint $name already exists on $table " +
-        s"(${existing(name)}); DROP it first")
     import org.apache.spark.sql.functions.{expr, lit}
-    // the expression must analyze against the table, and current rows
-    // must satisfy it — a violating table cannot take the invariant.
-    // violated ⇔ provably FALSE (NULL passes, SQL CHECK semantics)
-    val bad = snapshot(spark, table)
-      .filter(expr(exprSql) <=> lit(false)).limit(1).count()
-    require(bad == 0L,
-      s"cannot ADD CONSTRAINT $name CHECK ($exprSql): existing rows of " +
-        s"$table violate it")
-    val head = versions(spark, table).last
-    val schema = schemaOf(spark, table)
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    appendCommit(spark, table, empty, Nil,
-      s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = None, removePaths = Nil,
-      propsOverride = Some(readManifest(spark, table, head).props +
-        (CheckPropPrefix + name -> exprSql)))
-      .getOrElse(throw new IllegalStateException(
-        s"could not commit ADD CONSTRAINT to $table"))
+    // Optimistic metadata conflict detection (Delta's shape): the
+    // validation scan reads the snapshot AT the head version, and the
+    // DDL commit requires that head as its base — any write landing
+    // between scan and commit loses us the claim and forces a retry
+    // that RE-VALIDATES against the new head, so rows the scan never
+    // saw can't slip in under the new invariant.
+    var attempt = 0
+    while (attempt < 10) {
+      val existing = constraints(spark, table)
+      require(!existing.contains(name),
+        s"constraint $name already exists on $table " +
+          s"(${existing(name)}); DROP it first")
+      val head = versions(spark, table).last
+      // the expression must analyze against the table, and current rows
+      // must satisfy it — a violating table cannot take the invariant.
+      // violated ⇔ provably FALSE (NULL passes, SQL CHECK semantics)
+      val bad = snapshot(spark, table, Some(head))
+        .filter(expr(exprSql) <=> lit(false)).limit(1).count()
+      require(bad == 0L,
+        s"cannot ADD CONSTRAINT $name CHECK ($exprSql): existing rows of " +
+          s"$table violate it")
+      val schema = schemaOf(spark, table)
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      appendCommit(spark, table, empty, Nil,
+        s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+        requireBase = Some(head), removePaths = Nil,
+        propsOverride = Some(readManifest(spark, table, head).props +
+          (CheckPropPrefix + name -> exprSql))) match {
+        case Some(v) => return v
+        case None => attempt += 1 // a commit landed mid-DDL: re-validate
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit ADD CONSTRAINT to $table: kept losing commit races")
   }
 
   /** `ALTER TABLE ... DROP CONSTRAINT name`: one metadata-only `alter-`
@@ -574,21 +599,30 @@ object TxnLog {
     */
   def dropConstraint(spark: SparkSession, table: String,
       name: String): Long = {
-    val existing = constraints(spark, table)
-    require(existing.contains(name),
-      s"no constraint $name on $table " +
-        s"(has: ${existing.keys.toSeq.sorted.mkString(", ")})")
-    val head = versions(spark, table).last
-    val schema = schemaOf(spark, table)
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    appendCommit(spark, table, empty, Nil,
-      s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = None, removePaths = Nil,
-      propsOverride = Some(readManifest(spark, table, head).props -
-        (CheckPropPrefix + name)))
-      .getOrElse(throw new IllegalStateException(
-        s"could not commit DROP CONSTRAINT to $table"))
+    // same optimistic claim as addConstraint: the props we rewrite are
+    // the head's — a racer's concurrent property change must force a
+    // re-read, not be silently overwritten by a stale snapshot
+    var attempt = 0
+    while (attempt < 10) {
+      val existing = constraints(spark, table)
+      require(existing.contains(name),
+        s"no constraint $name on $table " +
+          s"(has: ${existing.keys.toSeq.sorted.mkString(", ")})")
+      val head = versions(spark, table).last
+      val schema = schemaOf(spark, table)
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      appendCommit(spark, table, empty, Nil,
+        s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+        requireBase = Some(head), removePaths = Nil,
+        propsOverride = Some(readManifest(spark, table, head).props -
+          (CheckPropPrefix + name))) match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit DROP CONSTRAINT to $table: kept losing commit races")
   }
 
   /** Writer-side CHECK enforcement: one combined pass over the commit's
@@ -785,7 +819,7 @@ object TxnLog {
     require(vs.nonEmpty, s"$table has no commits")
     val base = vs.last
     val manifests = activeManifests(manifestChain(spark, table, base)._1)
-    val tableSchema = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val tableSchema = mergedSchema(manifests)
     val merged = SchemaRegistry.merge(tableSchema,
       StructType(updates.schema.fields))
 
@@ -856,7 +890,7 @@ object TxnLog {
     require(vs.nonEmpty, s"$table has no commits")
     val base = vs.last
     val manifests = activeManifests(manifestChain(spark, table, base)._1)
-    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val merged = mergedSchema(manifests)
     val touched = liveEntries(manifests)
       .map { case (m, es) =>
         (m, es.filter(e => e.size < 0 || e.size < smallFileBytes)) }
@@ -971,7 +1005,7 @@ object TxnLog {
     require(vs.nonEmpty, s"$table has no commits")
     val base = vs.last
     val manifests = activeManifests(manifestChain(spark, table, base)._1)
-    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val merged = mergedSchema(manifests)
 
     def canMatch(e: FileEntry): Boolean = ranges.forall(r =>
       e.stats.get(r.column).forall(cs =>
@@ -1043,6 +1077,21 @@ object TxnLog {
     if (cut < 0) ms else ms.drop(cut)
   }
 
+  /** The table schema a chain of ACTIVE manifests presents: the widening
+    * merge from the last SCHEMA-RESETTING commit onward. A `restore-`
+    * commit records its target version's schema and, like Delta's
+    * RESTORE, resets table metadata — columns added after the restore
+    * target stop widening the presented schema. Files whose own commit
+    * schema still carries such columns read fine: alignment projects to
+    * the presented schema ([[readAligned]]).
+    */
+  def mergedSchema(manifests: Seq[Manifest]): StructType = {
+    val cut = manifests.lastIndexWhere(m =>
+      new Path(m.commitDir).getName.startsWith("restore-"))
+    (if (cut < 0) manifests else manifests.drop(cut))
+      .map(_.schema).reduce(SchemaRegistry.merge)
+  }
+
   /** Per-manifest file entries still live at the END of this chain: a
     * file is dead once any LATER manifest lists it as removed.
     */
@@ -1103,13 +1152,6 @@ object TxnLog {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
     }
-    // table properties carry forward from the head manifest (every
-    // commit re-records the full set); a constraint DDL overrides
-    val props = propsOverride.getOrElse(
-      versions(spark, table).lastOption
-        .map(v => readManifest(spark, table, v).props)
-        .getOrElse(Map.empty))
-    enforceChecks(df, props)
     val commitDir = new Path(new Path(table, "data"), commitId)
     // every commit dir is unique per attempt (uuid-named), so the data
     // write NEVER overwrites: a crash mid-write leaves an orphan dir no
@@ -1182,6 +1224,17 @@ object TxnLog {
     // whose sidecar is still being written (absence is safe either way)
     BloomIndex.build(spark, entries.map(e => (e.path, e.rows)), statsSchema)
 
+    // CHECK enforcement reads the JUST-WRITTEN files, not the input plan:
+    // a non-deterministic `df` (rand(), a re-read of a changing source)
+    // could pass a plan-side check yet materialize violating rows — the
+    // committed bytes are what the invariant must hold over
+    def writtenDf: DataFrame =
+      if (entries.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+      else spark.read.option("basePath", commitDir.toString)
+        .schema(df.schema).parquet(entries.map(_.path): _*)
+    var enforcedProps: Option[Map[String, String]] = None
+
     var attempt = 0
     while (attempt < maxRetries) {
       // a concurrent racer may have committed this same txn between
@@ -1197,6 +1250,19 @@ object TxnLog {
       // after base it would be silently superseded — abort, never race
       requireBase.foreach { b =>
         if (next != b + 1) { f.delete(commitDir, true); return None }
+      }
+      // table properties re-read from the head manifest EVERY attempt
+      // (each commit re-records the full set): a racer that published a
+      // constraint between attempts must not have its property dropped
+      // by a stale snapshot — and the new constraint set is re-enforced
+      // against this commit's rows before the manifest can publish
+      val props = propsOverride.getOrElse(
+        vs.lastOption.map(v => readManifest(spark, table, v).props)
+          .getOrElse(Map.empty))
+      if (!enforcedProps.contains(props)) {
+        try enforceChecks(writtenDf, props)
+        catch { case e: Throwable => f.delete(commitDir, true); throw e }
+        enforcedProps = Some(props)
       }
       // manifest records THIS commit's schema; readers merge across
       // manifests (reading old files with a later merged schema would
@@ -1259,7 +1325,7 @@ object TxnLog {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val manifests = activeManifests(manifestChain(spark, table, v)._1)
-    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
+    val merged = mergedSchema(manifests)
     def keepEntry(e: FileEntry): Boolean = {
       val partOk = partitionValues.forall { case (k, value) =>
         val ek = escapeDir(k)
@@ -1505,15 +1571,15 @@ object TxnLog {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val manifests = activeManifests(manifestChain(spark, table, v)._1)
-    val merged = manifests.map(_.schema).reduce(SchemaRegistry.merge)
-    (merged, liveEntries(manifests))
+    (mergedSchema(manifests), liveEntries(manifests))
   }
 
-  /** Latest table schema (union over commits), metadata only. */
+  /** Latest table schema (union over commits since the last schema
+    * reset), metadata only.
+    */
   def schemaOf(spark: SparkSession, table: String): StructType = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
-    activeManifests(manifestChain(spark, table, vs.last)._1)
-      .map(_.schema).reduce(SchemaRegistry.merge)
+    mergedSchema(activeManifests(manifestChain(spark, table, vs.last)._1))
   }
 }

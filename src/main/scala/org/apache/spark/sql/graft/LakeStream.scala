@@ -23,11 +23,12 @@ import org.apache.spark.sql.types.StructType
   *    from the table's beginning);
   *  - `option("maxFilesPerTrigger", n)` / `option("maxVersionsPerTrigger",
   *    n)` rate-limit each micro-batch ([[TxnLog.admitVersions]] — Delta's
-  *    admission-control shape; at least one commit always admitted). On
-  *    THIS V1 path the cap applies per processing-trigger; under
-  *    `Trigger.AvailableNow` Spark's V1 wrapper pins the end offset once
-  *    at start, so a capped first batch is all that run drains — the
-  *    DSv2 path (the default) drains the full backlog in capped batches;
+  *    admission-control shape; at least one commit always admitted). The
+  *    source implements `SupportsAdmissionControl` +
+  *    `SupportsTriggerAvailableNow` (FileStreamSource's pattern), so
+  *    under `Trigger.AvailableNow` the engine keeps running CAPPED
+  *    batches until the end offset pinned at start is reached — the
+  *    backlog drains fully on both the V1 and DSv2 paths;
   *  - schema drift after stream start aligns to the FIXED stream schema
   *    (columns added later are dropped, missing ones null) — a streaming
   *    query's schema cannot change mid-run.
@@ -177,25 +178,61 @@ class LakeChangeFeedProvider extends StreamSourceProvider
 
 class LakeChangeFeedSource(spark: SparkSession, table: String,
     streamSchema: StructType, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override def schema: StructType = streamSchema
 
   /** Admission base — see [[LakeStreamSource]]'s `admitted`. */
   @volatile private var admitted: Long = startingVersion
 
-  override def getOffset: Option[Offset] = {
+  /** See [[LakeStreamSource]]: proper AvailableNow (pin the end, drain
+    * to it in capped batches) instead of the engine's single-batch
+    * fallback for plain V1 sources.
+    */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  private def currentVersion: Long = {
     val vs = TxnLog.versions(spark, table)
-    if (vs.isEmpty || vs.last <= math.max(startingVersion, admitted)) None
-    else maxVersionsPerTrigger match {
-      case None => Some(LongOffset(vs.last))
+    if (vs.isEmpty) startingVersion else math.max(vs.last, startingVersion)
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(currentVersion)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def getOffset: Option[Offset] = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = math.max(
+      Option(startOffset).map(o => LakeStreamSource.asLong(
+        o.asInstanceOf[Offset])).getOrElse(startingVersion),
+      math.max(startingVersion, admitted))
+    val avail = availableNowEnd
+      .map(e => math.min(e, currentVersion)).getOrElse(currentVersion)
+    if (avail <= from) {
+      if (startOffset == null) null else startOffset
+    } else maxVersionsPerTrigger match {
+      case None => LongOffset(avail)
       // version cap only: CDF batches deliver captured change FILES,
       // which the data-file budget of admitVersions does not model
-      case Some(n) => Some(LongOffset(TxnLog.admitVersions(spark, table,
-        math.max(startingVersion, admitted), vs.last,
-        includeRewrites = true, maxFiles = None, maxVersions = Some(n))))
+      case Some(n) => LongOffset(TxnLog.admitVersions(spark, table,
+        from, avail, includeRewrites = true, maxFiles = None,
+        maxVersions = Some(n)))
     }
   }
+
+  override def reportLatestOffset
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(currentVersion)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(LakeStreamSource.asLong)
@@ -253,7 +290,9 @@ class LakeStreamSource(spark: SparkSession, table: String,
     streamSchema: StructType, startingVersion: Long,
     includeRewrites: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override def schema: StructType = streamSchema
 
@@ -261,20 +300,65 @@ class LakeStreamSource(spark: SparkSession, table: String,
     * On restart the engine replays `getBatch` for the recovered batch
     * BEFORE asking for a new offset (the V1 contract FileStreamSource
     * relies on), so the base resumes from the checkpoint. Only consulted
-    * when a rate-limit option caps `getOffset`; the uncapped path
+    * when a rate-limit option caps the offset; the uncapped path
     * reports the latest version regardless.
     */
   @volatile private var admitted: Long = startingVersion
 
-  override def getOffset: Option[Offset] = {
+  /** Trigger.AvailableNow: the engine announces the trigger here and
+    * then loops capped micro-batches until [[latestOffset()]]'s pinned
+    * end is reached — the fix for the V1 wrapper's pin-once behavior,
+    * which drained only ONE capped batch per run.
+    */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  private def currentVersion: Long = {
     val vs = TxnLog.versions(spark, table)
-    if (vs.isEmpty || vs.last <= math.max(startingVersion, admitted)) None
-    else if (maxFilesPerTrigger.isEmpty && maxVersionsPerTrigger.isEmpty)
-      Some(LongOffset(vs.last))
-    else Some(LongOffset(TxnLog.admitVersions(spark, table,
-      math.max(startingVersion, admitted), vs.last, includeRewrites,
-      maxFilesPerTrigger, maxVersionsPerTrigger)))
+    if (vs.isEmpty) startingVersion else math.max(vs.last, startingVersion)
   }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(currentVersion)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  }
+
+  // the engine talks to SupportsAdmissionControl sources through
+  // latestOffset(start, limit); the plain getOffset must not be reachable
+  override def getOffset: Option[Offset] = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = math.max(
+      Option(startOffset).map(o => LakeStreamSource.asLong(
+        o.asInstanceOf[Offset])).getOrElse(startingVersion),
+      math.max(startingVersion, admitted))
+    val avail = availableNowEnd
+      .map(e => math.min(e, currentVersion)).getOrElse(currentVersion)
+    if (avail <= from) {
+      if (startOffset == null) null else startOffset
+    } else {
+      val fileCap = limit match {
+        case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+          Some(mf.maxFiles())
+        case _ => None
+      }
+      if (fileCap.isEmpty && maxVersionsPerTrigger.isEmpty) LongOffset(avail)
+      else LongOffset(TxnLog.admitVersions(spark, table, from, avail,
+        includeRewrites, fileCap, maxVersionsPerTrigger))
+    }
+  }
+
+  override def reportLatestOffset
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(currentVersion)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(asLong).getOrElse(startingVersion)

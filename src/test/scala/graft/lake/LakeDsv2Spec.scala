@@ -222,6 +222,58 @@ class LakeDsv2Spec extends SparkSpec {
     }
   }
 
+  test("V1 source under Trigger.AvailableNow drains the FULL backlog in capped batches") {
+    val root = Files.createTempDirectory("graft-v1-avail")
+    val table = root.resolve("table").toString
+    (0 until 3).foreach { i =>
+      TxnLog.append(spark, table,
+        spark.range(i * 10L, i * 10L + 10L).toDF("id").coalesce(1))
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "graftlake")
+    try {
+      // the old plain-Source path pinned the end offset once, so a
+      // capped AvailableNow run drained ONE batch (10 of 30 rows);
+      // SupportsTriggerAvailableNow must deliver all 30 in 3 batches
+      val q = spark.readStream.format("graftlake")
+        .option("maxVersionsPerTrigger", "1")
+        .load(table)
+        .writeStream.format("memory").queryName("v1_avail")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sized = q.recentProgress.filter(_.numInputRows > 0)
+      assert(sized.length == 3, sized.map(_.numInputRows).mkString(","))
+      assert(spark.table("v1_avail").count() == 30)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
+
+  test("CDF source under Trigger.AvailableNow drains version-capped batches") {
+    val root = Files.createTempDirectory("graft-cdf-avail")
+    val table = root.resolve("table").toString
+    (0 until 3).foreach { i =>
+      TxnLog.append(spark, table,
+        spark.range(i * 10L, i * 10L + 10L).toDF("id").coalesce(1))
+    }
+    val q = spark.readStream.format("graftlake-cdf")
+      .option("maxVersionsPerTrigger", "1")
+      .load(table)
+      .writeStream.format("memory").queryName("cdf_avail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sized = q.recentProgress.filter(_.numInputRows > 0)
+    assert(sized.length == 3, sized.map(_.numInputRows).mkString(","))
+    assert(spark.table("cdf_avail").count() == 30)
+    assert(spark.table("cdf_avail")
+      .filter(col("_change_type") === "insert").count() == 30)
+  }
+
   test("sink rejects non-append output modes loudly") {
     val root = Files.createTempDirectory("graft-dsv2-mode")
     val src = root.resolve("src").toString

@@ -134,6 +134,45 @@ class LakeRestoreSpec extends SparkSpec {
     assert(e.getMessage.contains("retained history"))
   }
 
+  test("RESTORE rewinds table METADATA: schema and constraints revert") {
+    val table = threeChunkTable("graft-restore-meta")
+    LakeMounts.mount(spark, "rst_meta", table)
+    // widen the schema and add a constraint AFTER version 3
+    spark.sql("ALTER TABLE rst_meta ADD COLUMNS (note STRING)")
+    TxnLog.addConstraint(spark, table, "pos_id", "id >= 0")
+    assert(TxnLog.schemaOf(spark, table).fieldNames.contains("note"))
+    assert(TxnLog.constraints(spark, table).contains("pos_id"))
+
+    spark.sql("RESTORE TABLE rst_meta TO VERSION AS OF 3")
+    // Delta's RESTORE semantics: the added column and the constraint
+    // are gone from the presented table, not just the data rewound
+    assert(!TxnLog.schemaOf(spark, table).fieldNames.contains("note"))
+    assert(TxnLog.constraints(spark, table).isEmpty)
+    assert(!spark.table("rst_meta").columns.contains("note"))
+    // rows that would have violated the (now-reverted) constraint write
+    TxnLog.append(spark, table,
+      spark.range(1).select(lit(-5L).as("id"), lit(0L).as("grp"),
+        lit("x").as("val")).coalesce(1))
+    assert(TxnLog.snapshot(spark, table).filter(col("id") < 0).count() == 1)
+    // time travel BEFORE the restore still presents the wide schema
+    val atAlter = TxnLog.snapshot(spark, table, Some(4L))
+    assert(atAlter.columns.contains("note"))
+  }
+
+  test("metadata-only RESTORE commits even when no data files changed") {
+    val table = threeChunkTable("graft-restore-metaonly")
+    LakeMounts.mount(spark, "rst_mo", table)
+    spark.sql("ALTER TABLE rst_mo ADD COLUMNS (extra DOUBLE)")
+    val before = liveFiles(table)
+    spark.sql("RESTORE TABLE rst_mo TO VERSION AS OF 3")
+    // same live files (nothing re-materialized), but the schema reverted
+    assert(liveFiles(table) == before)
+    assert(!TxnLog.schemaOf(spark, table).fieldNames.contains("extra"))
+    // and a restore to the CURRENT state stays a true no-op
+    val head = TxnLog.versions(spark, table).last
+    assert(TxnLog.restore(spark, table, head).contains(head))
+  }
+
   test("DESCRIBE HISTORY reports operations and deltas, newest first") {
     val table = threeChunkTable("graft-restore-hist")
     LakeMounts.mount(spark, "rst_hist", table)
