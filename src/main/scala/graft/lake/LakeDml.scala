@@ -41,12 +41,34 @@ object LakeDml {
   final case class InsertRows(cond: Option[Column],
       values: Map[String, Column]) extends WhenClause
 
+  /** Session conf enabling DELETION VECTORS for [[deleteWhere]]: when
+    * true, matched rows are marked deleted in a parquet position
+    * sidecar instead of rewriting their files — a 1-row DELETE in a
+    * 1-GB file commits a few hundred bytes, not a gigabyte (the
+    * write-amplification fix Delta/Iceberg ship as deletion vectors /
+    * positional delete files). Vectors are honored by every lake read
+    * and purged back into clean files by OPTIMIZE/compaction.
+    */
+  val DeletionVectorsConf = "spark.graft.lake.deletionVectors"
+
+  /** A file whose CUMULATIVE deleted fraction would exceed this after
+    * the delete is rewritten instead of vector-bound (reading a mostly
+    * deleted file through its vector wastes IO forever; rewriting once
+    * stops the bleeding). Files with unknown row counts always take the
+    * vector path.
+    */
+  val DvMaxFractionConf = "spark.graft.lake.deletionVectors.maxFraction"
+
   /** DELETE FROM <table> WHERE <cond>: rows where `cond` is TRUE are
     * removed in one superseding `delete-` commit (null/false keep the
     * row, per SQL three-valued DELETE-WHERE). `pruneRanges` are
     * conjunctive bounds extracted from the predicate (best-effort — an
     * empty list means every file is a candidate); they only decide which
     * files are REWRITTEN, the full predicate decides which rows go.
+    *
+    * With [[DeletionVectorsConf]] set, matched rows are vector-deleted
+    * in place (see the conf scaladoc); files past [[DvMaxFractionConf]]
+    * still rewrite. Change capture is identical on both paths.
     *
     * Returns None on a lost append race (re-run on the new base),
     * Some(version) otherwise; a delete no file can match is a no-op
@@ -70,7 +92,12 @@ object LakeDml {
       .filter(_._2.nonEmpty)
     if (touched.isEmpty) return Some(base)
 
-    val touchedRows = TxnLog.readAligned(spark, touched, merged).get
+    if (spark.conf.getOption(DeletionVectorsConf).exists(_.toBoolean))
+      return deleteWhereDv(spark, table, base, manifests, touched, merged,
+        cond, partitionCols)
+
+    val touchedRows = TxnLog.readAligned(spark, touched, merged,
+      TxnLog.liveDvs(manifests)).get
     // null-valued predicates never delete: keep unless provably TRUE
     val survivors = touchedRows.filter(not(cond <=> lit(true)))
     // change capture: exactly the rows the predicate removed
@@ -81,6 +108,85 @@ object LakeDml {
       requireBase = Some(base),
       removePaths = touched.flatMap(_._2.map(_.path)),
       cdc = Some(changes))
+  }
+
+  /** Deletion-vector DELETE: one pass over the (vector-filtered)
+    * touched files with `_metadata` position columns; matched rows'
+    * positions land in the commit's `_dv/` parquet and each hit file
+    * re-binds to it (old positions carried forward — a binding
+    * REPLACES). No data file is written or superseded unless a file
+    * crosses the rewrite fraction, in which case exactly those files
+    * rewrite and the rest vector-bind — one atomic commit either way.
+    */
+  private def deleteWhereDv(spark: SparkSession, table: String, base: Long,
+      manifests: Seq[Manifest], touched: Seq[(Manifest, Seq[FileEntry])],
+      merged: StructType, cond: Column,
+      partitionCols: Seq[String]): Option[Long] = {
+    val dvsNow = TxnLog.liveDvs(manifests)
+    val pathCol = "__dv_path"
+    val posCol = "__dv_pos"
+    // aligned union read KEEPING the metadata position columns
+    val all = touched.map { case (m, es) =>
+      val raw = TxnLog.readWithDvApplied(spark, m.commitDir, m.schema,
+        es.map(_.path), dvsNow)
+      val present = m.schema.fieldNames.toSet
+      raw.select(merged.fields.toSeq.map { f =>
+        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(col(pathCol), col(posCol)): _*)
+    }.reduce(_ unionByName _)
+    val matched = all.filter(cond <=> lit(true)).cache()
+    try {
+      // bounded driver read: one row per touched file that had a match
+      val perFile = matched.groupBy(col(pathCol))
+        .agg(count(lit(1)).as("n")).collect()
+      if (perFile.isEmpty) return Some(base) // nothing matched: no-op
+      def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+      val entryByNorm = touched.flatMap(_._2).map(e => norm(e.path) -> e).toMap
+      // entry path -> (metadata-form path, newly deleted rows)
+      val hits: Map[String, (String, Long)] = perFile.map { r =>
+        val metaPath = r.getString(0)
+        val e = entryByNorm.getOrElse(norm(metaPath), sys.error(
+          s"deletion-vector scan returned unknown file $metaPath"))
+        e.path -> ((metaPath, r.getLong(1)))
+      }.toMap
+      val maxFrac = spark.conf.getOption(DvMaxFractionConf)
+        .map(_.toDouble).getOrElse(0.5)
+      val (rewriteHits, dvHits) = hits.partition { case (p, (_, n)) =>
+        val e = entryByNorm(norm(p))
+        val cumulative = dvsNow.get(p).map(_.rows).getOrElse(0L) + n
+        e.rows >= 0 && cumulative.toDouble / e.rows > maxFrac
+      }
+      // survivors of files past the fraction threshold rewrite normally
+      val rewriteMeta = rewriteHits.values.map(_._1).toSeq
+      val survivors =
+        if (rewriteMeta.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), merged)
+        else all.filter(col(pathCol).isInCollection(rewriteMeta) &&
+            not(cond <=> lit(true)))
+          .drop(pathCol, posCol)
+      // the new vector: this delete's positions plus every carried-over
+      // old position (bindings REPLACE; rows for superseded or unbound
+      // files are harmless — their path can never match a live binding)
+      val newPositions = matched
+        .filter(col(pathCol).isInCollection(dvHits.values.map(_._1).toSeq))
+        .select(col(pathCol).as("path"), col(posCol).as("pos"))
+      val oldDirs = dvHits.keys.flatMap(dvsNow.get).map(_.dir).toSeq.distinct
+      val dvDf = (if (oldDirs.isEmpty) Nil
+        else Seq(spark.read.schema(TxnLog.DvSchema).parquet(oldDirs: _*)))
+        .foldLeft(newPositions)(_ unionByName _)
+      val bindCounts = dvHits.map { case (p, (_, n)) =>
+        p -> (dvsNow.get(p).map(_.rows).getOrElse(0L) + n)
+      }
+      val changes = matched.drop(pathCol, posCol)
+        .withColumn("_change_type", lit("delete"))
+      TxnLog.appendCommit(spark, table, survivors, partitionCols,
+        s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
+        requireBase = Some(base),
+        removePaths = rewriteHits.keys.toSeq.sorted,
+        cdc = Some(changes),
+        dv = if (dvHits.isEmpty) None else Some((dvDf, bindCounts)))
+    } finally matched.unpersist()
   }
 
   /** Predicate-scoped atomic overwrite (Delta's `replaceWhere`): rows
@@ -141,7 +247,8 @@ object LakeDml {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val touchedRows = TxnLog.readAligned(spark, touched, merged)
+    val touchedRows = TxnLog.readAligned(spark, touched, merged,
+      TxnLog.liveDvs(manifests))
     val survivors = touchedRows
       .map(t => align(t.filter(not(cond <=> lit(true)))))
     val out = survivors.map(_.unionByName(align(df))).getOrElse(align(df))
@@ -191,7 +298,8 @@ object LakeDml {
 
     val hit = cond.map(_ <=> lit(true)).getOrElse(lit(true))
     // alias so the statement's qualified references (t.col) resolve
-    val src0 = TxnLog.readAligned(spark, touched, merged).get
+    val src0 = TxnLog.readAligned(spark, touched, merged,
+      TxnLog.liveDvs(manifests)).get
     val src = tableAlias.map(src0.alias).getOrElse(src0)
     val assigned: Seq[org.apache.spark.sql.Column] =
       merged.fields.toSeq.map { f =>
@@ -321,6 +429,12 @@ object LakeDml {
     // full candidate set.
     val fileCol = "__graft_src_file"
     val touched = if (bySource.nonEmpty || candidates.isEmpty) candidates else {
+      // file DISCOVERY deliberately reads WITHOUT deletion vectors:
+      // input_file_name() must stay pipelined with the scan (a DV
+      // anti-join could break that), and a DV'd row matching a key only
+      // ADDS its file to the touched set — a conservative superset (the
+      // rewrite read below is vector-filtered, so the row itself stays
+      // deleted)
       val withFile = TxnLog.readAligned(spark, candidates, targetSchema).get
         .withColumn(fileCol, org.apache.spark.sql.functions.input_file_name())
       val matchedFiles = withFile.alias(targetAlias)
@@ -337,7 +451,8 @@ object LakeDml {
     val tMark = "__graft_t_present"
     val sMark = "__graft_s_present"
     val actCol = "__graft_act"
-    val target = TxnLog.readAligned(spark, touched, targetSchema)
+    val target = TxnLog.readAligned(spark, touched, targetSchema,
+        TxnLog.liveDvs(manifests))
       .getOrElse(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), targetSchema))
 

@@ -71,14 +71,24 @@ object TxnLog {
   final case class ColRange(column: String, lower: Option[Any] = None,
       upper: Option[Any] = None)
 
+  /** A DELETION VECTOR binding: `dir` holds the parquet-encoded deleted
+    * row positions (`path: string, pos: long`) of a data file; `rows` is
+    * the file's deleted-row cardinality. Bindings are LATEST-WINS per
+    * data path across the manifest chain — a re-delete writes a merged
+    * vector, a rewrite drops the file (and its binding) entirely.
+    */
+  final case class DvRef(dir: String, rows: Long)
+
   /** `timestampMs` is the wall-clock commit time the writer recorded
     * (0 for manifests written before timestamps existed) — surfaced as
     * `_metadata.file_modification_time` by the Catalyst read path.
+    * `dvs` maps data paths to deletion-vector bindings this commit set.
     */
   final case class Manifest(version: Long, commitDir: String,
       entries: Seq[FileEntry], schemaJson: String, removed: Seq[String],
       timestampMs: Long = 0L, cdc: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      dvs: Map[String, DvRef] = Map.empty) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def files: Seq[String] = entries.map(_.path)
@@ -152,7 +162,8 @@ object TxnLog {
 
   private def bodyLines(entries: Seq[FileEntry], removed: Seq[String],
       cdc: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty): Seq[String] =
+      props: Map[String, String] = Map.empty,
+      dvs: Map[String, DvRef] = Map.empty): Seq[String] =
     removed.map("-" + _) ++ cdc.map("~" + _) ++
       // table properties as "!<key>=<value>" — every manifest re-records
       // the FULL effective set, so the head manifest alone answers
@@ -160,6 +171,10 @@ object TxnLog {
       // history truncation can never lose them). Keys are identifiers
       // (no '='); values may contain '=' but never '\n'.
       props.toSeq.sorted.map { case (k, v) => s"!$k=$v" } ++
+      // deletion-vector bindings as "=<dataPath>\t<dvDir>\t<rows>" —
+      // paths never contain '\t', so the format needs no quoting
+      dvs.toSeq.sortBy(_._1).map { case (p, d) =>
+        s"=$p\t${d.dir}\t${d.rows}" } ++
       entries.map { e =>
       val sz = if (e.size >= 0) Seq(e.size.toString) else Nil
       val rw = if (e.size >= 0 && e.rows >= 0) Seq(e.rows.toString) else Nil
@@ -168,14 +183,21 @@ object TxnLog {
     }
 
   private def parseBody(lines: Seq[String])
-      : (Seq[FileEntry], Seq[String], Seq[String], Map[String, String]) = {
+      : (Seq[FileEntry], Seq[String], Seq[String], Map[String, String],
+         Map[String, DvRef]) = {
     val (rm, rest0) = lines.partition(_.startsWith("-"))
-    val (propLines, rest) = rest0.partition(_.startsWith("!"))
+    val (propLines, rest1) = rest0.partition(_.startsWith("!"))
+    val (dvLines, rest) = rest1.partition(_.startsWith("="))
     val (cdc, files) = rest.partition(_.startsWith("~"))
     val props = propLines.map { l =>
       val i = l.indexOf('=')
       require(i > 1, s"bad property line in manifest: $l")
       (l.substring(1, i), l.substring(i + 1))
+    }.toMap
+    val dvs = dvLines.map { l =>
+      val parts = l.drop(1).split('\t')
+      require(parts.length == 3, s"bad deletion-vector line in manifest: $l")
+      parts(0) -> DvRef(parts(1), parts(2).toLong)
     }.toMap
     val entries = files.map { l =>
       val parts = l.split('\t')
@@ -188,7 +210,7 @@ object TxnLog {
       }
       FileEntry(parts(0), stats, size, rows)
     }
-    (entries, rm.map(_.drop(1)), cdc.map(_.drop(1)), props)
+    (entries, rm.map(_.drop(1)), cdc.map(_.drop(1)), props, dvs)
   }
 
   /** The commitDir header line optionally carries the commit's wall-clock
@@ -207,10 +229,10 @@ object TxnLog {
     val p = manifestPath(table, v)
     // line format: version \n commitDir[\tts] \n schemaJson \n body lines...
     val lines = readFully(fs(spark, p), p).split('\n')
-    val (entries, removed, cdc, props) = parseBody(lines.drop(3).toSeq)
+    val (entries, removed, cdc, props, dvs) = parseBody(lines.drop(3).toSeq)
     val (dir, ts) = parseDirLine(lines(1))
     Manifest(lines(0).toLong, dir, entries, lines(2), removed, ts, cdc,
-      props)
+      props, dvs)
   }
 
   private def readFully(f: FileSystem, p: Path): String = {
@@ -227,7 +249,8 @@ object TxnLog {
   private def serializeCheckpoint(ms: Seq[Manifest]): String = {
     val recs = ms.map { m =>
       val lines = Seq(m.version.toString, dirLine(m.commitDir, m.timestampMs),
-        m.schemaJson) ++ bodyLines(m.entries, m.removed, m.cdc, m.props)
+        m.schemaJson) ++ bodyLines(m.entries, m.removed, m.cdc, m.props,
+        m.dvs)
       (lines.length.toString +: lines).mkString("\n")
     }
     (s"GRAFT_CKPT_V1" +: ms.length.toString +: recs).mkString("\n")
@@ -242,10 +265,10 @@ object TxnLog {
       val len = lines(at).toInt
       val rec = lines.slice(at + 1, at + 1 + len)
       at += 1 + len
-      val (entries, removed, cdc, props) = parseBody(rec.drop(3).toSeq)
+      val (entries, removed, cdc, props, dvs) = parseBody(rec.drop(3).toSeq)
       val (dir, ts) = parseDirLine(rec(1))
       Manifest(rec(0).toLong, dir, entries, rec(2), removed, ts, cdc,
-        props)
+        props, dvs)
     }
   }
 
@@ -365,20 +388,28 @@ object TxnLog {
     require(vs.nonEmpty, s"$src has no commits")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val live = liveEntries(activeManifests(manifestChain(spark, src, v)._1))
-      .filter(_._2.nonEmpty)
+    val srcManifests = activeManifests(manifestChain(spark, src, v)._1)
+    val live = liveEntries(srcManifests).filter(_._2.nonEmpty)
     val groups =
       if (live.nonEmpty) live
       else { // empty source: pin its schema with one file-less commit
         val m = manifestChain(spark, src, v)._1.last
         Seq((m, Seq.empty[FileEntry]))
       }
+    // deletion-vector bindings of cloned files carry over (vector files
+    // are borrowed by reference like the data, same vacuum caveat) —
+    // recorded on the LAST clone manifest, where the fold finds them
+    val livePaths = groups.flatMap(_._2.map(_.path)).toSet
+    val srcDvs = liveDvs(srcManifests).filter(d => livePaths.contains(d._1))
     var n = 0L
     groups.foreach { case (m, es) =>
       n += 1
+      val dvsHere = if (n == groups.length) srcDvs
+        else Map.empty[String, DvRef]
       val body = (Seq(n.toString,
         dirLine(m.commitDir, System.currentTimeMillis()),
-        m.schemaJson) ++ bodyLines(es, Nil, Nil, m.props)).mkString("\n")
+        m.schemaJson) ++
+        bodyLines(es, Nil, Nil, m.props, dvsHere)).mkString("\n")
       require(publishAtomic(spark, manifestPath(dst, n), body),
         s"clone lost a commit race on $dst (is something else writing it?)")
     }
@@ -454,37 +485,47 @@ object TxnLog {
         s"(${vs.head}..${vs.last}); vacuumed versions are unrecoverable")
     val base = vs.last
     if (base == toVersion) return Some(base)
-    val nowLive = liveEntries(activeManifests(
-      manifestChain(spark, table, base)._1)).filter(_._2.nonEmpty)
-    val thenLive = liveEntries(activeManifests(
-      manifestChain(spark, table, toVersion)._1)).filter(_._2.nonEmpty)
+    val nowManifests = activeManifests(manifestChain(spark, table, base)._1)
+    val thenManifests = activeManifests(
+      manifestChain(spark, table, toVersion)._1)
+    val nowLive = liveEntries(nowManifests).filter(_._2.nonEmpty)
+    val thenLive = liveEntries(thenManifests).filter(_._2.nonEmpty)
     val nowPaths = nowLive.flatMap(_._2.map(_.path)).toSet
     val thenPaths = thenLive.flatMap(_._2.map(_.path)).toSet
+    val nowDvs = liveDvs(nowManifests)
+    val thenDvs = liveDvs(thenManifests)
+    // a file live at both versions whose deletion-vector binding
+    // differs HAS changed rows: re-materialize its target-version state
+    // (with the target's vector applied) and supersede the current file
+    val dvChanged = (nowPaths & thenPaths)
+      .filter(p => nowDvs.get(p) != thenDvs.get(p))
     // the TARGET version's presented schema and properties — this commit
     // re-records both, so the restore rewinds metadata, not just data
-    val mergedThen = mergedSchema(activeManifests(
-      manifestChain(spark, table, toVersion)._1))
+    val mergedThen = mergedSchema(thenManifests)
     val thenProps = readManifest(spark, table, toVersion).props
     val headProps = readManifest(spark, table, base).props
-    if (nowPaths == thenPaths &&
+    if (nowPaths == thenPaths && dvChanged.isEmpty &&
         schemaOf(spark, table) == mergedThen && headProps == thenProps)
       return Some(base) // layout-and-metadata drift-free: keep
-    // re-materialize exactly the files live at toVersion but dead now
-    val reAdd = nowPaths -- thenPaths // dropped: added since toVersion
+    // re-materialize exactly the files live at toVersion but dead (or
+    // vector-changed) now
+    val reAdd = (nowPaths -- thenPaths) ++ dvChanged
     val comeBack = thenLive.map { case (m, es) =>
-      (m, es.filter(e => !nowPaths.contains(e.path))) }.filter(_._2.nonEmpty)
-    val out = readAligned(spark, comeBack, mergedThen).getOrElse(
+      (m, es.filter(e => !nowPaths.contains(e.path) ||
+        dvChanged.contains(e.path))) }.filter(_._2.nonEmpty)
+    val out = readAligned(spark, comeBack, mergedThen, thenDvs).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mergedThen))
     // change capture: superseded files' rows retract, restored rows insert
     val dropped = nowLive.map { case (m, es) =>
-      (m, es.filter(e => !thenPaths.contains(e.path))) }.filter(_._2.nonEmpty)
+      (m, es.filter(e => !thenPaths.contains(e.path) ||
+        dvChanged.contains(e.path))) }.filter(_._2.nonEmpty)
     val mergedBoth = (mergedThen +: dropped.map(_._1.schema))
       .reduce(SchemaRegistry.merge)
     import org.apache.spark.sql.functions.lit
-    val deletes = readAligned(spark, dropped, mergedBoth)
+    val deletes = readAligned(spark, dropped, mergedBoth, nowDvs)
       .map(_.withColumn("_change_type", lit("delete")))
-    val inserts = readAligned(spark, comeBack, mergedBoth)
+    val inserts = readAligned(spark, comeBack, mergedBoth, thenDvs)
       .map(_.withColumn("_change_type", lit("insert")))
     val cdc = (deletes.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
     appendCommit(spark, table, out, partitionCols,
@@ -864,7 +905,8 @@ object TxnLog {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val out = readAligned(spark, touched, merged) match {
+    val out = readAligned(spark, touched, merged,
+        liveDvs(manifests)) match {
       case Some(df) => align(df.join(
           updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
         .unionByName(align(updates))
@@ -891,12 +933,17 @@ object TxnLog {
     val base = vs.last
     val manifests = activeManifests(manifestChain(spark, table, base)._1)
     val merged = mergedSchema(manifests)
+    val dvs = liveDvs(manifests)
+    // deletion-vector-bound files always qualify: OPTIMIZE is what
+    // purges vectors back into clean files, whatever their size
     val touched = liveEntries(manifests)
       .map { case (m, es) =>
-        (m, es.filter(e => e.size < 0 || e.size < smallFileBytes)) }
+        (m, es.filter(e => e.size < 0 || e.size < smallFileBytes ||
+          dvs.contains(e.path))) }
       .filter(_._2.nonEmpty)
-    if (touched.map(_._2.size).sum < 2) return Some(base)
-    val folded = readAligned(spark, touched, merged).get
+    val anyDv = touched.exists(_._2.exists(e => dvs.contains(e.path)))
+    if (touched.map(_._2.size).sum < 2 && !anyDv) return Some(base)
+    val folded = readAligned(spark, touched, merged, dvs).get
       .coalesce(math.max(1, numFiles))
     appendCommit(spark, table, folded, partitionCols,
       s"optimize-${java.util.UUID.randomUUID().toString}", txnId = None,
@@ -1020,7 +1067,8 @@ object TxnLog {
       ((r.lower.map(v => c >= lit(v)) ++ r.upper.map(v => c <= lit(v)))
         : Iterable[org.apache.spark.sql.Column]).reduce(_ && _)
     }.reduce(_ && _)
-    val survivors = readAligned(spark, touched, merged).get
+    val survivors = readAligned(spark, touched, merged,
+        liveDvs(manifests)).get
       // null-valued rows never satisfy the predicate: keep them
       .filter(not(deleteCond <=> lit(true)))
     appendCommit(spark, table, survivors, partitionCols,
@@ -1092,6 +1140,31 @@ object TxnLog {
       .map(_.schema).reduce(SchemaRegistry.merge)
   }
 
+  /** Effective deletion-vector bindings at the END of a chain:
+    * latest-wins per data path (a re-delete binds a merged vector). May
+    * carry keys for files no longer live — restrict at the use site.
+    */
+  private[lake] def liveDvs(ms: Seq[Manifest]): Map[String, DvRef] =
+    ms.foldLeft(Map.empty[String, DvRef])(_ ++ _.dvs)
+
+  /** The live snapshot's deletion-vector bindings at `version` (default
+    * latest): data path -> binding, restricted to files actually live.
+    * Empty for tables that never took a DV delete.
+    */
+  def liveDvsAt(spark: SparkSession, table: String,
+      version: Option[Long] = None): Map[String, DvRef] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val v = version.getOrElse(vs.last)
+    val manifests = activeManifests(manifestChain(spark, table, v)._1)
+    val dvs = liveDvs(manifests)
+    if (dvs.isEmpty) dvs
+    else {
+      val live = liveEntries(manifests).flatMap(_._2.map(_.path)).toSet
+      dvs.filter { case (p, _) => live.contains(p) }
+    }
+  }
+
   /** Per-manifest file entries still live at the END of this chain: a
     * file is dead once any LATER manifest lists it as removed.
     */
@@ -1143,11 +1216,18 @@ object TxnLog {
     }
   }
 
+  /** `dv`: deletion-vector positions to persist with this commit — the
+    * DataFrame (in [[DvSchema]] layout) lands in the commit dir's
+    * `_dv/` subdir, and each path in the count map binds to it in the
+    * manifest. Crash cleanup and vacuum treat data + changes + vectors
+    * as one unit (same unique dir).
+    */
   private[lake] def appendCommit(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String], commitId: String, txnId: Option[String],
       requireBase: Option[Long], removePaths: Seq[String],
       maxRetries: Int = 10, cdc: Option[DataFrame] = None,
-      propsOverride: Option[Map[String, String]] = None): Option[Long] = {
+      propsOverride: Option[Map[String, String]] = None,
+      dv: Option[(DataFrame, Map[String, Long])] = None): Option[Long] = {
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
@@ -1187,6 +1267,8 @@ object TxnLog {
       // and vacuum treat data + changes as one unit
       cdc.foreach(_.write.mode("errorifexists")
         .parquet(new Path(commitDir, "_cdc").toString))
+      dv.foreach(_._1.write.mode("errorifexists")
+        .parquet(new Path(commitDir, "_dv").toString))
     } finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
@@ -1199,7 +1281,8 @@ object TxnLog {
       while (it.hasNext) {
         val st = it.next()
         if (st.getPath.getName.endsWith(".parquet") &&
-            (!excludeCdc || !st.getPath.toString.contains("/_cdc/")))
+            (!excludeCdc || (!st.getPath.toString.contains("/_cdc/") &&
+              !st.getPath.toString.contains("/_dv/"))))
           buf += st.getPath.toString -> st.getLen
       }
       buf.sortBy(_._1).toSeq
@@ -1267,10 +1350,14 @@ object TxnLog {
       // manifest records THIS commit's schema; readers merge across
       // manifests (reading old files with a later merged schema would
       // ask parquet for coercions it refuses, e.g. double -> string)
+      val dvBindings = dv.map(_._2.map { case (p, n) =>
+        p -> DvRef(new Path(commitDir, "_dv").toString, n)
+      }).getOrElse(Map.empty[String, DvRef])
       val body = (Seq(next.toString,
         dirLine(commitDir.toString, System.currentTimeMillis()),
         df.schema.json) ++
-        bodyLines(entries, removePaths, cdcFiles, props)).mkString("\n")
+        bodyLines(entries, removePaths, cdcFiles, props,
+          dvBindings)).mkString("\n")
       if (publishAtomic(spark, manifestPath(table, next), body)) {
         if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
         return Some(next)
@@ -1353,7 +1440,7 @@ object TxnLog {
     }
     val groups = liveEntries(manifests)
       .map { case (m, es) => (m, es.filter(keepEntry)) }
-    readAligned(spark, groups, merged) match {
+    readAligned(spark, groups, merged, liveDvs(manifests)) match {
       case Some(df) => rowFilter(df)
       case None =>
         spark.createDataFrame(
@@ -1381,15 +1468,59 @@ object TxnLog {
     case other => other
   }
 
+  /** Deletion-vector parquet schema: each row marks one deleted row of
+    * one data file, `path` in the `_metadata.file_path` rendering (both
+    * the write and every read derive it from the same metadata column,
+    * so string equality is exact).
+    */
+  val DvSchema: StructType = StructType(Seq(
+    StructField("path", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("pos", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+
+  /** Read `paths` with `schema`, keeping `__dv_path`/`__dv_pos` metadata
+    * columns, minus the rows their deletion vectors mark. Shared by the
+    * aligned union read and the DML writers (which need positions).
+    */
+  private[lake] def readWithDvApplied(spark: SparkSession, commitDir: String,
+      schema: StructType, paths: Seq[String],
+      dvs: Map[String, DvRef]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val raw = spark.read.option("basePath", commitDir)
+      .schema(schema).parquet(paths: _*)
+      .withColumn("__dv_path", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val bound = paths.flatMap(p => dvs.get(p).map(p -> _))
+    if (bound.isEmpty) raw
+    else {
+      val dirs = bound.map(_._2.dir).distinct
+      // positions for OTHER files in a shared dv dir are harmless: the
+      // anti-join path equality can never match them
+      val pos = spark.read.schema(DvSchema).parquet(dirs: _*)
+      val total = bound.map(_._2.rows).sum
+      val posSide = if (total <= 4_000_000L) broadcast(pos) else pos
+      raw.join(posSide,
+        raw("__dv_path") === posSide("path") &&
+          raw("__dv_pos") === posSide("pos"),
+        "left_anti")
+    }
+  }
+
   private[lake] def readAligned(spark: SparkSession,
       groups: Seq[(Manifest, Seq[FileEntry])],
-      merged: StructType): Option[DataFrame] = {
+      merged: StructType,
+      dvs: Map[String, DvRef] = Map.empty): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
     val parts = groups.flatMap { case (m, es) =>
       if (es.isEmpty) None // whole commit pruned from planning
       else Some {
-        val raw = spark.read.option("basePath", m.commitDir)
-          .schema(m.schema).parquet(es.map(_.path): _*)
+        val paths = es.map(_.path)
+        val raw =
+          if (paths.exists(dvs.contains))
+            readWithDvApplied(spark, m.commitDir, m.schema, paths, dvs)
+          else spark.read.option("basePath", m.commitDir)
+            .schema(m.schema).parquet(paths: _*)
         val present = m.schema.fieldNames.toSet
         raw.select(merged.fields.toSeq.map { f =>
           // cast to the NULLABLE-ized type: parquet reads nested struct
@@ -1513,12 +1644,12 @@ object TxnLog {
         // files the commit superseded were the WHOLE pre-state, so its
         // deletes are exactly the previous version's live rows, and its
         // data files are exactly its inserts (no capture was written)
-        val prev = liveEntries(activeManifests(
-            chainAll.filter(_.version < m.version)))
-          .filter(_._2.nonEmpty)
+        val prevManifests = activeManifests(
+          chainAll.filter(_.version < m.version))
+        val prev = liveEntries(prevManifests).filter(_._2.nonEmpty)
         val deletes = readAligned(spark, prev,
             prev.map(_._1.schema).reduceOption(SchemaRegistry.merge)
-              .getOrElse(m.schema))
+              .getOrElse(m.schema), liveDvs(prevManifests))
           .map(_.withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(m.version)))
         Seq(deletes, inserts(m, es)).flatten

@@ -375,6 +375,82 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** Deletion-vector gate (q121): orders as three single-file commits;
+    * a 1-row SQL DELETE with deletion vectors on MUST commit without
+    * writing or superseding any data file (required loudly — the
+    * write-amplification fix), the vector must record exactly one
+    * position, the change feed exactly one delete row — and the mounted
+    * SQL read (Catalyst relation + position anti-join) hash-matches
+    * DuckDB minus the row.
+    */
+  def dvDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_dv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q121_orders", table)
+    def files: Set[String] = graft.lake.TxnLog.snapshot(s, table)
+      .inputFiles.filterNot(_.contains("/_dv/"))
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val before = files
+    s.conf.set(graft.lake.LakeDml.DeletionVectorsConf, "true")
+    try s.sql("DELETE FROM q121_orders WHERE o_orderkey = 617")
+    finally s.conf.unset(graft.lake.LakeDml.DeletionVectorsConf)
+    require(files == before,
+      "a 1-row deletion-vector DELETE must not rewrite, add, or drop " +
+        "any data file — that write amplification is what vectors remove")
+    val dvs = graft.lake.TxnLog.liveDvsAt(s, table)
+    require(dvs.values.map(_.rows).sum == 1L,
+      s"expected one vector-deleted position, got $dvs")
+    val feed = graft.lake.TxnLog.changeFeed(s, table, fromExclusive = 3L)
+    require(feed.count() == 1L,
+      "the change feed must deliver exactly the vector-deleted row")
+    s.table("q121_orders")
+  }
+
+  /** Vector-purge gate (q122): vector-delete a key range, `OPTIMIZE`
+    * the table — bindings MUST be gone (required loudly; compaction is
+    * what folds vectors back into clean files) — then read through the
+    * DSv2 connector, which must see the purged, vector-free state.
+    */
+  def dvOptimize(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_dvopt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 500,
+        col("o_orderkey") >= 500 && col("o_orderkey") < 1000,
+        col("o_orderkey") >= 1000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q122_orders", table)
+    s.conf.set(graft.lake.LakeDml.DeletionVectorsConf, "true")
+    try s.sql(
+      "DELETE FROM q122_orders WHERE o_orderkey >= 700 AND o_orderkey < 720")
+    finally s.conf.unset(graft.lake.LakeDml.DeletionVectorsConf)
+    require(graft.lake.TxnLog.liveDvsAt(s, table).nonEmpty,
+      "the ranged delete must take the vector path while the conf is on")
+    // the DSv2 scan honors vectors BEFORE the purge (generated
+    // row-index + per-file position filter)
+    val live = s.read.format("graftlake").load(table)
+      .filter(col("o_orderkey") >= 690 && col("o_orderkey") < 730).count()
+    require(live == 20L,
+      s"DSv2 scan must hide the 20 vector-deleted keys (saw $live of 40)")
+    s.sql("OPTIMIZE q122_orders")
+    require(graft.lake.TxnLog.liveDvsAt(s, table).isEmpty,
+      "OPTIMIZE must purge deletion vectors into clean files")
+    s.read.format("graftlake").load(table)
+  }
+
   /** CHECK-constraint gate: orders lake + `ALTER TABLE ... ADD
     * CONSTRAINT ... CHECK`, then a conforming INSERT (lands), a
     * violating INSERT (MUST fail loudly, nothing committed), a DROP
@@ -843,6 +919,8 @@ object Etl extends QueryPack {
     "q118_replace_where" -> replaceWhere _,
     "q119_check_constraint" -> checkConstraint _,
     "q120_replace_where_sql" -> replaceWhereSql _,
+    "q121_dv_delete" -> dvDelete _,
+    "q122_dv_optimize" -> dvOptimize _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
@@ -991,6 +1069,15 @@ object Etl extends QueryPack {
         |FROM orders
         |WHERE o_orderkey >= 600 AND o_orderkey < 900
         |  AND o_orderkey % 2 = 0""".stripMargin,
+    "q121_dv_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE o_orderkey <> 617""".stripMargin,
+    "q122_dv_optimize" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders
+        |WHERE o_orderkey < 700 OR o_orderkey >= 720""".stripMargin,
     "q119_check_constraint" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate

@@ -65,9 +65,29 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
     val partNames = index.partitionSchema.fieldNames.toSet
     val dataSchema = StructType(
       schema.fields.filterNot(f => partNames.contains(f.name)))
-    new GraftLakeScanBuilder(spark, tablePath,
-      ParquetScanBuilder(spark, new LakeV2Index(spark, index), schema,
-        dataSchema, opts), opts)
+    val plain = ParquetScanBuilder(spark, new LakeV2Index(spark, index),
+      schema, dataSchema, opts)
+    val dvs = index.liveDvs
+    if (dvs.isEmpty)
+      new GraftLakeScanBuilder(spark, tablePath, plain, opts)
+    else {
+      // DELETION VECTORS: a second builder whose data schema carries
+      // Spark's parquet row-index temp column — the stock reader then
+      // GENERATES each row's file position (split- and
+      // row-group-skip-safe), and the batch wrapper drops marked rows
+      // NULLABLE is load-bearing: the vectorized reader rejects a
+      // missing REQUIRED column before the row-index special-casing
+      // can claim it; optional-missing falls through to the generator
+      val rowIdx = org.apache.spark.sql.types.StructField(
+        org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      val dvInner = ParquetScanBuilder(spark, new LakeV2Index(spark, index),
+        StructType(schema.fields :+ rowIdx),
+        StructType(dataSchema.fields :+ rowIdx), opts)
+      new GraftLakeScanBuilder(spark, tablePath, plain, opts,
+        dvInner = Some((dvInner, rowIdx, dvs)))
+    }
   }
 }
 
@@ -77,33 +97,64 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
   * can ALSO answer `toMicroBatchStream`.
   */
 class GraftLakeScanBuilder(spark: SparkSession, tablePath: String,
-    inner: ParquetScanBuilder, options: CaseInsensitiveStringMap)
+    inner: ParquetScanBuilder, options: CaseInsensitiveStringMap,
+    dvInner: Option[(ParquetScanBuilder, org.apache.spark.sql.types.StructField,
+      Map[String, TxnLog.DvRef])] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     inner.pruneColumns(requiredSchema)
+    dvInner.foreach { case (b, rowIdx, _) =>
+      b.pruneColumns(StructType(requiredSchema.fields :+ rowIdx)) }
+  }
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    dvInner.foreach(_._1.pushFilters(filters))
     inner.pushFilters(filters)
+  }
 
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
 
   override def build(): Scan =
-    new GraftLakeScan(spark, tablePath, inner.build(), options)
+    new GraftLakeScan(spark, tablePath, inner.build(), options,
+      dvInner.map { case (b, rowIdx, dvs) => (b.build(), rowIdx.name, dvs) })
 }
 
 class GraftLakeScan(spark: SparkSession, tablePath: String,
-    inner: ParquetScan, options: CaseInsensitiveStringMap) extends Scan {
+    inner: ParquetScan, options: CaseInsensitiveStringMap,
+    dvMode: Option[(ParquetScan, String, Map[String, TxnLog.DvRef])] = None)
+    extends Scan {
 
   override def readSchema(): StructType = inner.readSchema()
 
-  override def toBatch: Batch = inner.toBatch
+  /** Batch read honoring deletion vectors: the DV twin scan reads with
+    * the generated row-index column; its partitions are re-read one
+    * FILE at a time so each row's source file is known, rows whose
+    * (file, position) the vector marks are skipped, and the temp
+    * column is projected away — the reported [[readSchema]] never sees
+    * it. Position sets load once on the driver (bounded by the
+    * vectors' cardinality) and ship with the task closures.
+    */
+  override def toBatch: Batch = dvMode match {
+    case None => inner.toBatch
+    case Some((dvScan, tempName, dvs)) =>
+      val dirs = dvs.values.map(_.dir).toSeq.distinct
+      val positions: Map[String, Array[Long]] =
+        spark.read.schema(TxnLog.DvSchema).parquet(dirs: _*)
+          .collect()
+          .groupBy(r => GraftLakeScan.normPath(r.getString(0)))
+          .map { case (p, rs) =>
+            p -> rs.map(_.getLong(1)).sorted.toArray }
+      val full = dvScan.readSchema()
+      new DvFilterBatch(dvScan.toBatch, full.fields.map(_.dataType).toSeq,
+        full.fieldIndex(tempName), positions)
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeMicroBatchStream(spark, tablePath, inner,
@@ -113,6 +164,97 @@ class GraftLakeScan(spark: SparkSession, tablePath: String,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   override def description(): String = s"GraftLake ${inner.description()}"
+}
+
+object GraftLakeScan {
+  /** Scheme-free normal form for matching a vector's recorded path
+    * against a task's [[org.apache.spark.sql.execution.datasources
+    * .PartitionedFile]] (`file:/x` and `file:///x` spell the same
+    * file).
+    */
+  private[graft] def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+}
+
+/** [[Batch]] wrapper applying deletion vectors row-by-row: plans the
+  * inner scan's partitions untouched (splits, packing, pushdown all
+  * stock) and wraps the readers.
+  */
+private[graft] class DvFilterBatch(inner: Batch,
+    fieldTypes: Seq[org.apache.spark.sql.types.DataType], tempIdx: Int,
+    positions: Map[String, Array[Long]]) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DvReaderFactory(inner.createReaderFactory(), fieldTypes, tempIdx,
+      positions)
+}
+
+/** Per-file reader chaining: a [[org.apache.spark.sql.execution
+  * .datasources.FilePartition]] may pack several files, and rows do not
+  * say which file they came from — so each file gets its own delegate
+  * reader (the generated row index is computed by the parquet reader
+  * itself, so row-group skipping and splits stay correct), its vector's
+  * sorted positions filter by binary search, and the temp row-index
+  * column is projected away.
+  */
+private[graft] class DvReaderFactory(inner: PartitionReaderFactory,
+    fieldTypes: Seq[org.apache.spark.sql.types.DataType], tempIdx: Int,
+    positions: Map[String, Array[Long]]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val fp = p.asInstanceOf[FilePartition]
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val files = fp.files.iterator
+      private var cur: org.apache.spark.sql.connector.read
+        .PartitionReader[InternalRow] = _
+      private var curDv: Array[Long] = _
+      private var row: InternalRow = _
+      private val proj = {
+        val refs = fieldTypes.zipWithIndex
+          .filterNot(_._2 == tempIdx)
+          .map { case (dt, i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(i, dt, nullable = true) }
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(refs)
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!files.hasNext) return false
+            val f = files.next()
+            curDv = positions.getOrElse(
+              GraftLakeScan.normPath(f.filePath.toPath.toString), null)
+            cur = inner.createReader(FilePartition(fp.index, Array(f)))
+          } else if (cur.next()) {
+            val r = cur.get()
+            if (curDv == null || java.util.Arrays.binarySearch(
+                curDv, r.getLong(tempIdx)) < 0) {
+              row = r
+              return true
+            }
+          } else {
+            cur.close(); cur = null
+          }
+        }
+        false // unreachable
+      }
+
+      override def get(): InternalRow = proj(row)
+
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
 }
 
 /** Streaming half of the DSv2 connector. Offsets are log versions

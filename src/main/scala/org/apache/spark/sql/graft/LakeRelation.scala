@@ -65,6 +65,17 @@ class LakeFileIndex(spark: SparkSession, table: String,
       (schema, picked)
   }
 
+  /** Live deletion-vector bindings of the planned snapshot (empty in
+    * changes-range mode: a streaming batch replays appends as they
+    * were; row-level deletes arrive via the change feed, not by
+    * rewriting history). Non-empty bindings mean a plain scan of the
+    * listed files OVERCOUNTS — [[LakeRead.relation]] adds the position
+    * anti-join, and metadata shortcuts below compensate or abstain.
+    */
+  val liveDvs: Map[String, TxnLog.DvRef] =
+    if (changesRange.isDefined) Map.empty
+    else TxnLog.liveDvsAt(spark, table, version)
+
   /** Partition column names, outermost first, parsed from the Hive
     * `k=v/` segments between each commit dir and its files; Nil for
     * unpartitioned layouts. All files must agree on the sequence.
@@ -285,7 +296,10 @@ class LakeFileIndex(spark: SparkSession, table: String,
     if (changesRange.isDefined) None
     else {
       val es = groups.flatMap(_._2)
-      if (es.forall(_.rows >= 0)) Some(es.iterator.map(_.rows).sum) else None
+      // vector-deleted rows subtract exactly (bindings record cardinality)
+      if (es.forall(_.rows >= 0))
+        Some(es.iterator.map(_.rows).sum - liveDvs.valuesIterator.map(_.rows).sum)
+      else None
     }
 
   /** The snapshot-wide bounds of `column` (dotted footer path), when
@@ -298,7 +312,9 @@ class LakeFileIndex(spark: SparkSession, table: String,
     * never fabricates an answer.
     */
   def knownStats(column: String): Option[FileStats.ColStats] =
-    if (changesRange.isDefined) None
+    // a deletion vector may have removed the very row holding a bound:
+    // footer min/max stop being exact the moment any live file is bound
+    if (changesRange.isDefined || liveDvs.nonEmpty) None
     else {
       val es = groups.flatMap(_._2).filter(_.rows != 0L)
       val ss = es.map(_.stats.get(column))
@@ -317,15 +333,40 @@ object LakeRead {
   /** The lake snapshot as a plain parquet relation over the log-backed
     * file index: scans are vectorized + codegen'd, filters prune files
     * at planning time and still push into parquet row groups.
+    *
+    * DELETION VECTORS: when the snapshot has bound files, the relation
+    * carries a `(file_path, row_index)` anti-join against the vectors'
+    * position parquet on top of the scan — user filters still push
+    * through the join into the scan, and the join side broadcasts for
+    * point-delete-sized vectors. Tables without vectors (or after
+    * OPTIMIZE purges them) pay nothing.
     */
   def relation(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val idx = index(spark, table, version)
     val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
       None, new ParquetFileFormat, Map.empty)(spark)
-    org.apache.spark.sql.classic.Dataset.ofRows(
+    val df = org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       LogicalRelation(rel))
+    val dvs = idx.liveDvs
+    if (dvs.isEmpty) df
+    else {
+      val cols = df.columns.toSeq
+      val dirs = dvs.values.map(_.dir).toSeq.distinct
+      val pos = spark.read.schema(TxnLog.DvSchema).parquet(dirs: _*)
+      val total = dvs.valuesIterator.map(_.rows).sum
+      val posSide = if (total <= 4_000_000L) broadcast(pos) else pos
+      val withKeys = df
+        .withColumn("__dv_path", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+      withKeys.join(posSide,
+          withKeys("__dv_path") === posSide("path") &&
+            withKeys("__dv_pos") === posSide("pos"),
+          "left_anti")
+        .select(cols.map(col): _*)
+    }
   }
 
   /** (planned, total) live-file counts for an inclusive range predicate,

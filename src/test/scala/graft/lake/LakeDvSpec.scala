@@ -1,0 +1,242 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Deletion vectors: a row-level DELETE that does NOT rewrite data
+  * files — matched positions land in a parquet sidecar, every read
+  * path (snapshot, Catalyst relation, DSv2, SQL over mounts) honors
+  * them, metadata shortcuts stay exact, and OPTIMIZE purges vectors
+  * back into clean files.
+  */
+class LakeDvSpec extends SparkSpec {
+
+  import org.apache.spark.sql.graft.LakeMounts
+
+  // scheme-free normal form: file:/x and file:///x spell the same file
+  private def norm(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  private def dataFiles(table: String): Set[String] =
+    TxnLog.snapshot(spark, table).inputFiles
+      .filterNot(_.contains("/_dv/")).map(norm).toSet
+
+  private def withDv[A](body: => A): A = {
+    spark.conf.set(LakeDml.DeletionVectorsConf, "true")
+    try body finally spark.conf.unset(LakeDml.DeletionVectorsConf)
+  }
+
+  /** Three single-file commits, ids [0,100), [100,200), [200,300). */
+  private def threeChunkTable(prefix: String): String = {
+    val table = Files.createTempDirectory(prefix).toString
+    Seq(0, 100, 200).foreach { lo =>
+      val df = spark.range(lo, lo + 100)
+        .select(col("id"), (col("id") % 7).as("grp"),
+          concat(lit("v"), col("id")).as("val"))
+      TxnLog.append(spark, table, df.coalesce(1))
+    }
+    table
+  }
+
+  test("a 1-row DV DELETE commits no data file and rewrites nothing") {
+    val table = threeChunkTable("graft-dv-one")
+    val before = dataFiles(table)
+    val v = withDv {
+      LakeDml.deleteWhere(spark, table, col("id") === 150,
+        Seq(TxnLog.ColRange("id", Some(150L), Some(150L))))
+    }
+    assert(v.contains(4L))
+    // the commit added NO data file and superseded none: same live set
+    assert(dataFiles(table) == before)
+    val m = TxnLog.liveDvsAt(spark, table)
+    assert(m.size == 1 && m.values.head.rows == 1L)
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 299)
+    assert(snap.filter(col("id") === 150).count() == 0)
+    // time travel BEFORE the delete still sees the row
+    assert(TxnLog.snapshot(spark, table, Some(3L))
+      .filter(col("id") === 150).count() == 1)
+  }
+
+  test("change feed emits exactly the vector-deleted rows") {
+    val table = threeChunkTable("graft-dv-cdc")
+    withDv {
+      LakeDml.deleteWhere(spark, table,
+        col("id") >= 10 && col("id") < 13)
+    }
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = 3L)
+    assert(feed.count() == 3)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    assert(feed.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 11L, 12L))
+  }
+
+  test("a second DV delete on the same file merges vectors") {
+    val table = threeChunkTable("graft-dv-merge")
+    val before = dataFiles(table)
+    withDv {
+      LakeDml.deleteWhere(spark, table, col("id") === 50)
+      LakeDml.deleteWhere(spark, table, col("id") === 51)
+      // re-deleting an already-deleted row is a visible no-op
+      assert(LakeDml.deleteWhere(spark, table, col("id") === 50)
+        .contains(5L))
+    }
+    assert(dataFiles(table) == before)
+    val m = TxnLog.liveDvsAt(spark, table)
+    assert(m.values.map(_.rows).sum == 2L)
+    assert(TxnLog.snapshot(spark, table).count() == 298)
+  }
+
+  test("DSv2 and Catalyst-relation reads honor vectors; SQL DML too") {
+    val table = threeChunkTable("graft-dv-reads")
+    LakeMounts.mount(spark, "dv_t", table)
+    withDv {
+      spark.sql("DELETE FROM dv_t WHERE id = 42 OR id = 242")
+    }
+    // mounted SQL view (Catalyst relation + anti-join)
+    assert(spark.table("dv_t").count() == 298)
+    assert(spark.sql("SELECT * FROM dv_t WHERE id = 42").count() == 0)
+    // filters still reach the scan under the anti-join
+    assert(spark.sql("SELECT val FROM dv_t WHERE id = 43").collect()
+      .map(_.getString(0)).toSeq == Seq("v43"))
+    // DSv2 batch read
+    val v2 = spark.read.format("graftlake").load(table)
+    assert(v2.count() == 298)
+    assert(v2.filter(col("id").isin(42, 242)).count() == 0)
+    assert(v2.filter(col("id") === 241).count() == 1)
+    // partition-column-free aggregate equality against snapshot
+    assert(v2.agg(sum("id")).head().getLong(0) ==
+      TxnLog.snapshot(spark, table).agg(sum("id")).head().getLong(0))
+  }
+
+  test("metadata-only count subtracts vectors; min/max abstains") {
+    val table = threeChunkTable("graft-dv-meta")
+    withDv {
+      LakeDml.deleteWhere(spark, table, col("id") === 0) // the min row
+    }
+    val idx = org.apache.spark.sql.graft.LakeRead.index(spark, table)
+    assert(idx.knownRowCount.contains(299L))
+    // stats CANNOT answer min anymore (row 0 is vector-deleted)
+    assert(idx.knownStats("id").isEmpty)
+    // and the real min through SQL is 1, not 0
+    LakeMounts.mount(spark, "dv_meta", table)
+    val r = spark.sql("SELECT count(*) AS n, min(id) AS mn FROM dv_meta")
+      .head()
+    assert(r.getLong(0) == 299L && r.getLong(1) == 1L)
+  }
+
+  test("crossing the rewrite fraction rewrites that file, vectors the rest") {
+    val table = threeChunkTable("graft-dv-frac")
+    val before = dataFiles(table)
+    withDv {
+      // >50% of chunk 2 but 1 row of chunk 1: mixed commit
+      LakeDml.deleteWhere(spark, table,
+        (col("id") >= 100 && col("id") < 180) || col("id") === 5)
+    }
+    val after = dataFiles(table)
+    assert(TxnLog.snapshot(spark, table).count() == 219)
+    // chunk 2 was rewritten (file replaced); chunks 1/3 carried
+    assert((before -- after).size == 1)
+    assert((after -- before).size == 1)
+    val m = TxnLog.liveDvsAt(spark, table)
+    assert(m.size == 1 && m.values.head.rows == 1L)
+    // the change feed saw all 81 rows go
+    assert(TxnLog.changeFeed(spark, table, 3L)
+      .filter(col("_change_type") === "delete").count() == 81)
+  }
+
+  test("OPTIMIZE purges vectors into clean files") {
+    val table = threeChunkTable("graft-dv-purge")
+    withDv {
+      LakeDml.deleteWhere(spark, table, col("id") === 77)
+    }
+    assert(TxnLog.liveDvsAt(spark, table).nonEmpty)
+    TxnLog.compactSmall(spark, table)
+    assert(TxnLog.liveDvsAt(spark, table).isEmpty)
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 299)
+    assert(snap.filter(col("id") === 77).count() == 0)
+    // DSv2 reads the purged table without the DV machinery
+    assert(spark.read.format("graftlake").load(table).count() == 299)
+  }
+
+  test("UPDATE and MERGE on a vector-bound table do not resurrect rows") {
+    val table = threeChunkTable("graft-dv-dml")
+    withDv {
+      LakeDml.deleteWhere(spark, table, col("id") === 120)
+    }
+    // update rewrites chunk 2: the vector-deleted row must stay gone
+    LakeDml.updateWhere(spark, table, Some(col("id") === 130),
+      Map("val" -> lit("updated")))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 299)
+    assert(snap.filter(col("id") === 120).count() == 0)
+    assert(snap.filter(col("val") === "updated").count() == 1)
+    // after the rewrite the binding is gone (file superseded)
+    assert(TxnLog.liveDvsAt(spark, table).isEmpty)
+  }
+
+  test("RESTORE across a DV delete resurrects the rows") {
+    val table = threeChunkTable("graft-dv-restore")
+    withDv {
+      LakeDml.deleteWhere(spark, table, col("id") === 7)
+    }
+    assert(TxnLog.snapshot(spark, table).count() == 299)
+    val v = TxnLog.restore(spark, table, 3L)
+    assert(v.contains(5L))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 300)
+    assert(snap.filter(col("id") === 7).count() == 1)
+    assert(TxnLog.liveDvsAt(spark, table).isEmpty)
+    // and the feed recorded the resurrection
+    assert(TxnLog.changeFeed(spark, table, 4L, 5L)
+      .filter(col("_change_type") === "insert")
+      .filter(col("id") === 7).count() == 1)
+  }
+
+  test("shallow clone carries vectors; checkpoints round-trip bindings") {
+    val table = threeChunkTable("graft-dv-clone")
+    withDv {
+      LakeDml.deleteWhere(spark, table, col("id") === 9)
+    }
+    val dst = Files.createTempDirectory("graft-dv-clone-dst").toString
+    TxnLog.cloneTable(spark, table, dst)
+    assert(TxnLog.snapshot(spark, dst).count() == 299)
+    assert(TxnLog.liveDvsAt(spark, dst).values.map(_.rows).sum == 1L)
+    // push the source past a checkpoint boundary: binding must survive
+    // the checkpointed chain read
+    (1 to 7).foreach { i =>
+      TxnLog.append(spark, table,
+        spark.range(1000L + i, 1001L + i)
+          .select(col("id"), lit(0L).as("grp"), lit("x").as("val"))
+          .coalesce(1))
+    }
+    assert(TxnLog.versions(spark, table).last >= 10L)
+    assert(TxnLog.checkpointVersions(spark, table).nonEmpty)
+    assert(TxnLog.liveDvsAt(spark, table).values.map(_.rows).sum == 1L)
+    assert(TxnLog.snapshot(spark, table)
+      .filter(col("id") === 9).count() == 0)
+  }
+
+  test("vectors work on Hive-partitioned layouts") {
+    val table = Files.createTempDirectory("graft-dv-part").toString
+    val df = spark.range(0, 90)
+      .select(col("id"), (col("id") % 3).as("p"),
+        concat(lit("v"), col("id")).as("val"))
+    TxnLog.append(spark, table, df, partitionCols = Seq("p"))
+    val before = dataFiles(table)
+    withDv {
+      LakeDml.deleteWhere(spark, table, col("id") === 30,
+        partitionCols = Seq("p"))
+    }
+    assert(dataFiles(table) == before)
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 89)
+    assert(snap.filter(col("p") === 0).count() == 29)
+    val v2 = spark.read.format("graftlake").load(table)
+    assert(v2.filter(col("p") === 0).count() == 29)
+    assert(v2.filter(col("id") === 30).count() == 0)
+  }
+}
