@@ -375,6 +375,61 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** DSv2 batch-write gate (q123): the table is built ONLY through
+    * `df.write.format("graftlake")` — two appends (the V2 WriteBuilder's
+    * atomic commits, versions required exact), an overwrite replacing
+    * the low keys, a CHECK constraint that a violating V2 write MUST
+    * trip (nothing committed, required loudly), and an optimized-write
+    * append whose 16-sliver input must land as ONE file — then read
+    * back through the same V2 connector and hash-matched vs DuckDB
+    * composing the equivalent state.
+    */
+  def dsv2Write(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_v2w_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    o.filter(col("o_orderkey") < 1000)
+      .write.format("graftlake").mode("append").save(table)
+    o.filter(col("o_orderkey") >= 1000)
+      .write.format("graftlake").mode("append").save(table)
+    require(graft.lake.TxnLog.versions(s, table) == Seq(1L, 2L),
+      "each V2 append must land as exactly one atomic lake commit")
+    // predicate-free overwrite: the whole table becomes the high keys
+    o.filter(col("o_orderkey") >= 500)
+      .write.format("graftlake").mode("overwrite").save(table)
+    require(s.read.format("graftlake").option("versionAsOf", "2")
+      .load(table).count() > s.read.format("graftlake").load(table).count(),
+      "overwrite must supersede, not append; pre-state stays travelable")
+    graft.lake.TxnLog.addConstraint(s, table, "price_pos", "o_totalprice > 0")
+    val violated =
+      try {
+        s.sql("SELECT 1L AS o_orderkey, 1L AS o_custkey, " +
+            "'X' AS o_orderstatus, CAST(-5 AS DOUBLE) AS o_totalprice, " +
+            "DATE '1995-01-01' AS o_orderdate")
+          .write.format("graftlake").mode("append").save(table)
+        false
+      } catch { case e: Exception => e.getMessage.contains("price_pos") }
+    require(violated,
+      "a CHECK-violating V2 write must fail naming the constraint")
+    val beforeOptW = s.read.format("graftlake").load(table).count()
+    val filesBefore = graft.lake.TxnLog.snapshot(s, table).inputFiles.length
+    val back = o.filter(col("o_orderkey") < 500).repartition(16)
+    s.conf.set("spark.graft.lake.optimizeWrite", "true")
+    try back.write.format("graftlake").mode("append").save(table)
+    finally s.conf.unset("spark.graft.lake.optimizeWrite")
+    val added = graft.lake.TxnLog.snapshot(s, table).inputFiles.length -
+      filesBefore
+    require(added == 1,
+      s"optimized V2 write must collapse 16 slivers to 1 file, got $added")
+    require(s.read.format("graftlake").load(table).count() ==
+      beforeOptW + back.count(), "the optimized append lost rows")
+    s.read.format("graftlake").load(table)
+  }
+
   /** Deletion-vector gate (q121): orders as three single-file commits;
     * a 1-row SQL DELETE with deletion vectors on MUST commit without
     * writing or superseding any data file (required loudly — the
@@ -921,6 +976,7 @@ object Etl extends QueryPack {
     "q120_replace_where_sql" -> replaceWhereSql _,
     "q121_dv_delete" -> dvDelete _,
     "q122_dv_optimize" -> dvOptimize _,
+    "q123_dsv2_write" -> dsv2Write _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
@@ -1078,6 +1134,10 @@ object Etl extends QueryPack {
         |  o_orderdate
         |FROM orders
         |WHERE o_orderkey < 700 OR o_orderkey >= 720""".stripMargin,
+    "q123_dsv2_write" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders""".stripMargin,
     "q119_check_constraint" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate

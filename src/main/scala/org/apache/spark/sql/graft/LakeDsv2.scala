@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftLakeTable(spark: SparkSession, tablePath: String,
     userSchema: Option[StructType],
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private val versionAsOf =
     Option(options.get("versionAsOf")).map(_.toLong)
@@ -50,7 +51,10 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
 
   /** The fixed table schema: data columns then partition columns (the
     * layout Spark's file sources expose), or the user-pinned schema —
-    * a stream started before a drift keeps its world view.
+    * a stream started before a drift keeps its world view. (On the
+    * WRITE path the provider's `supportsExternalMetadata` routes the
+    * incoming DataFrame's schema in as `userSchema`, so writing to a
+    * not-yet-existing table never triggers log-backed inference.)
     */
   override lazy val schema: StructType = userSchema.getOrElse(
     StructType(index.dataSchema.fields ++ index.partitionSchema.fields))
@@ -59,7 +63,29 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** BATCH WRITE: `df.write.format("graftlake").mode(...).save(path)`
+    * — the day-one Delta idiom. Built as a [[org.apache.spark.sql
+    * .connector.write.V1Write]] bridge whose InsertableRelation lands
+    * the whole DataFrame through [[TxnLog.append]]/[[TxnLog.overwrite]]
+    * — ONE atomic manifest commit carrying everything the Scala API
+    * gives (distributed stats harvest, bloom sidecars, CHECK-constraint
+    * enforcement before publish, opt-in optimized writes, idempotent
+    * retry on version races), rather than a parallel file-committer
+    * protocol that would need all of it reimplemented. `mode("append")`
+    * creates the table on first write; `mode("overwrite")` supersedes
+    * every live file in one commit (creates too). Partition layout:
+    * an existing table's Hive layout is derived from its live files and
+    * ENFORCED (an `option("partitionBy", ...)` that disagrees fails
+    * loudly); a new table takes `option("partitionBy", "a,b")`.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftLakeWriteBuilder(spark, tablePath, options)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val partNames = index.partitionSchema.fieldNames.toSet
@@ -253,6 +279,74 @@ private[graft] class DvReaderFactory(inner: PartitionReaderFactory,
       override def get(): InternalRow = proj(row)
 
       override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
+}
+
+/** V2 write builder for `graftlake` (see [[GraftLakeTable
+  * .newWriteBuilder]]). `truncate()` is how Spark spells
+  * `SaveMode.Overwrite` on a path-based V2 table (OverwriteByExpression
+  * with an always-true filter).
+  */
+class GraftLakeWriteBuilder(spark: SparkSession, tablePath: String,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              ignored: Boolean): Unit =
+            GraftLakeWriteBuilder.run(spark, tablePath, data, overwrite,
+              Option(options.get("partitionBy")).toSeq
+                .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+        }
+    }
+}
+
+object GraftLakeWriteBuilder {
+  /** One atomic lake commit for a V2 batch write. An existing table
+    * pins the partition layout (derived from its live files); a new
+    * one takes the option's. Overwrite retries lost append races — the
+    * supersede set is re-derived from the new head each attempt.
+    */
+  private[graft] def run(spark: SparkSession, tablePath: String,
+      data: org.apache.spark.sql.DataFrame, overwrite: Boolean,
+      optionParts: Seq[String]): Unit = {
+    val exists = TxnLog.versions(spark, tablePath).nonEmpty
+    val parts =
+      if (!exists) optionParts
+      else {
+        val layout = new LakeFileIndex(spark, tablePath)
+          .partitionSchema.fieldNames.toSeq
+        require(optionParts.isEmpty || optionParts == layout,
+          s"option(partitionBy=${optionParts.mkString(",")}) disagrees " +
+            s"with $tablePath's existing layout " +
+            s"(${layout.mkString(",")}); drop the option or recreate")
+        layout
+      }
+    if (!overwrite || !exists) {
+      TxnLog.append(spark, tablePath, data, parts)
+    } else {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        require(attempt <= 10,
+          s"overwrite of $tablePath lost ${attempt - 1} append races; " +
+            "giving up")
+        done = TxnLog.overwrite(spark, tablePath, data, parts).isDefined
+      }
     }
   }
 }

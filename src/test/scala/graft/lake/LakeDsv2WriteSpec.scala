@@ -1,0 +1,112 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The DSv2 batch WRITE path: `df.write.format("graftlake")` must land
+  * as one atomic lake commit through the V2 table's WriteBuilder —
+  * append creates, overwrite supersedes, partition layouts are pinned,
+  * and CHECK constraints / optimized writes apply exactly as on the
+  * Scala `TxnLog` API (it IS that API underneath).
+  */
+class LakeDsv2WriteSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("mode(append) creates the table and lands one commit per write") {
+    val table = Files.createTempDirectory("graft-v2w-append").toString + "/t"
+    spark.range(0, 100).select(col("id"), (col("id") * 2).as("v"))
+      .write.format("graftlake").mode("append").save(table)
+    assert(TxnLog.versions(spark, table) == Seq(1L))
+    spark.range(100, 150).select(col("id"), (col("id") * 2).as("v"))
+      .write.format("graftlake").mode("append").save(table)
+    assert(TxnLog.versions(spark, table) == Seq(1L, 2L))
+    val back = spark.read.format("graftlake").load(table)
+    assert(back.count() == 150)
+    assert(back.agg(sum("v")).as[Long].head() == (0L until 150L).map(_ * 2).sum)
+  }
+
+  test("mode(overwrite) supersedes every live file in one commit; time travel keeps the old state") {
+    val table = Files.createTempDirectory("graft-v2w-ow").toString + "/t"
+    spark.range(0, 100).toDF("id")
+      .write.format("graftlake").mode("append").save(table)
+    spark.range(1000, 1010).toDF("id")
+      .write.format("graftlake").mode("overwrite").save(table)
+    val back = spark.read.format("graftlake").load(table)
+    assert(back.count() == 10)
+    assert(back.agg(min("id")).as[Long].head() == 1000L)
+    // pre-overwrite state still travelable
+    assert(spark.read.format("graftlake").option("versionAsOf", "1")
+      .load(table).count() == 100)
+    // overwrite on a nonexistent table creates it
+    val fresh = Files.createTempDirectory("graft-v2w-ow2").toString + "/t"
+    spark.range(0, 5).toDF("id")
+      .write.format("graftlake").mode("overwrite").save(fresh)
+    assert(spark.read.format("graftlake").load(fresh).count() == 5)
+  }
+
+  test("default ErrorIfExists mode fails loudly (append/overwrite are the V2 modes)") {
+    val table = Files.createTempDirectory("graft-v2w-eie").toString + "/t"
+    spark.range(0, 5).toDF("id")
+      .write.format("graftlake").mode("append").save(table)
+    val e = intercept[Exception] {
+      spark.range(0, 5).toDF("id").write.format("graftlake").save(table)
+    }
+    assert(e.getMessage.toLowerCase.contains("errorifexists"), e.getMessage)
+  }
+
+  test("option(partitionBy) lays out Hive partitions; later appends inherit; a conflicting option fails") {
+    val table = Files.createTempDirectory("graft-v2w-part").toString + "/t"
+    spark.range(0, 40).select(col("id"), (col("id") % 4).as("p"))
+      .write.format("graftlake").option("partitionBy", "p")
+      .mode("append").save(table)
+    val layout = new org.apache.spark.sql.graft.LakeFileIndex(spark, table)
+      .partitionSchema.fieldNames.toSeq
+    assert(layout == Seq("p"))
+    // plain append (no option) must keep the layout
+    spark.range(40, 60).select(col("id"), (col("id") % 4).as("p"))
+      .write.format("graftlake").mode("append").save(table)
+    val layout2 = new org.apache.spark.sql.graft.LakeFileIndex(spark, table)
+      .partitionSchema.fieldNames.toSeq
+    assert(layout2 == Seq("p"))
+    assert(spark.read.format("graftlake").load(table).count() == 60)
+    // partition pruning still bites on the V2-written layout
+    val one = spark.read.format("graftlake").load(table)
+      .filter(col("p") === 2)
+    assert(one.count() == 15)
+    val e = intercept[Exception] {
+      spark.range(0, 5).select(col("id"), (col("id") % 4).as("p"))
+        .write.format("graftlake").option("partitionBy", "id")
+        .mode("append").save(table)
+    }
+    assert(e.getMessage.contains("disagrees"), e.getMessage)
+  }
+
+  test("CHECK constraints bind the V2 write path; a violating write commits nothing") {
+    val table = Files.createTempDirectory("graft-v2w-check").toString + "/t"
+    spark.range(0, 10).select(col("id"), (col("id") + 1).as("n"))
+      .write.format("graftlake").mode("append").save(table)
+    TxnLog.addConstraint(spark, table, "n_pos", "n > 0")
+    val e = intercept[Exception] {
+      Seq((99L, -5L)).toDF("id", "n")
+        .write.format("graftlake").mode("append").save(table)
+    }
+    assert(e.getMessage.contains("n_pos"), e.getMessage)
+    assert(TxnLog.snapshot(spark, table).count() == 10) // nothing landed
+    // conforming write still lands
+    Seq((99L, 5L)).toDF("id", "n")
+      .write.format("graftlake").mode("append").save(table)
+    assert(TxnLog.snapshot(spark, table).count() == 11)
+  }
+
+  test("optimized writes collapse a fragmented V2 append") {
+    val table = Files.createTempDirectory("graft-v2w-optw").toString + "/t"
+    spark.conf.set("spark.graft.lake.optimizeWrite", "true")
+    try spark.range(0, 1000).repartition(32).toDF("id")
+      .write.format("graftlake").mode("append").save(table)
+    finally spark.conf.unset("spark.graft.lake.optimizeWrite")
+    val files = TxnLog.snapshot(spark, table).inputFiles
+    assert(files.length == 1, s"expected 1 rebalanced file, got ${files.length}")
+  }
+}
