@@ -440,7 +440,7 @@ object TxnLog {
     appendCommit(spark, table, df, partitionCols,
       s"overwrite-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base),
-      removePaths = live.flatMap(_._2.map(_.path)))
+      removePaths = live.flatMap(_._2.map(_.path)), strictBase = true)
   }
 
   /** RESTORE the table to its state at `toVersion` (Delta's `RESTORE
@@ -623,7 +623,7 @@ object TxnLog {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       appendCommit(spark, table, empty, Nil,
         s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
-        requireBase = Some(head), removePaths = Nil,
+        requireBase = Some(head), removePaths = Nil, strictBase = true,
         propsOverride = Some(readManifest(spark, table, head).props +
           (CheckPropPrefix + name -> exprSql))) match {
         case Some(v) => return v
@@ -655,7 +655,7 @@ object TxnLog {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       appendCommit(spark, table, empty, Nil,
         s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
-        requireBase = Some(head), removePaths = Nil,
+        requireBase = Some(head), removePaths = Nil, strictBase = true,
         propsOverride = Some(readManifest(spark, table, head).props -
           (CheckPropPrefix + name))) match {
         case Some(v) => return v
@@ -835,7 +835,7 @@ object TxnLog {
       else snap.coalesce(n)
     appendCommit(spark, table, folded, partitionCols,
       s"compact-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = Some(base), removePaths = Nil)
+      requireBase = Some(base), removePaths = Nil, strictBase = true)
   }
 
   /** Upsert (MERGE semantics on an append-only log): rows of `updates`
@@ -1227,7 +1227,8 @@ object TxnLog {
       requireBase: Option[Long], removePaths: Seq[String],
       maxRetries: Int = 10, cdc: Option[DataFrame] = None,
       propsOverride: Option[Map[String, String]] = None,
-      dv: Option[(DataFrame, Map[String, Long])] = None): Option[Long] = {
+      dv: Option[(DataFrame, Map[String, Long])] = None,
+      strictBase: Boolean = false): Option[Long] = {
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
@@ -1329,10 +1330,40 @@ object TxnLog {
       }
       val vs = versions(spark, table)
       val next = vs.lastOption.getOrElse(0L) + 1
-      // a compaction/merge folded versions <= base; if anything landed
-      // after base it would be silently superseded — abort, never race
+      // LOGICAL CONFLICT DETECTION at the version claim (Delta's
+      // WriteSerializable shape). A rewrite computed at base b whose
+      // claim finds interleaved commits (b, next) may still commit —
+      // REBASE — unless one of them invalidated what this commit
+      // supersedes:
+      //  - an interleaved commit removed OR vector-bound a file this
+      //    commit removes or vector-binds (both rewrites read that
+      //    file's base state: letting both land silently loses one), or
+      //  - an interleaved `compact-` landed (it supersedes ALL prior
+      //    state implicitly — this commit's output would double rows
+      //    the fold already carries), or
+      //  - the caller demanded strict serialization (`strictBase`):
+      //    full-table overwrite (its supersede set means "everything
+      //    live NOW"), compaction (implicit supersede), and constraint
+      //    DDL (whose base claim is what forces interleaved writes to
+      //    re-validate).
+      // Pure appends and DML over DISJOINT files rebase: the result is
+      // the DML-then-append / disjoint-serial order. On conflict the
+      // commit aborts (None) and the caller re-runs on the new base —
+      // a lost update is impossible, a lost race is loud.
       requireBase.foreach { b =>
-        if (next != b + 1) { f.delete(commitDir, true); return None }
+        if (next != b + 1) {
+          val conflicted = strictBase || {
+            val ours: Set[String] = removePaths.toSet ++
+              dv.map(_._2.keySet).getOrElse(Set.empty[String])
+            vs.filter(_ > b).exists { v =>
+              val m = readManifest(spark, table, v)
+              new Path(m.commitDir).getName.startsWith("compact-") ||
+                m.removed.exists(ours.contains) ||
+                m.dvs.keys.exists(ours.contains)
+            }
+          }
+          if (conflicted) { f.delete(commitDir, true); return None }
+        }
       }
       // table properties re-read from the head manifest EVERY attempt
       // (each commit re-records the full set): a racer that published a

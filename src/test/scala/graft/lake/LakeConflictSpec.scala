@@ -1,0 +1,159 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Multi-writer DML conflict detection: two racing file-rewriting
+  * commits must never silently lose an update. The commit protocol
+  * does LOGICAL conflict detection at the version claim (Delta's
+  * WriteSerializable shape): a rewrite computed at a stale base
+  * REBASES over interleaved commits that touched disjoint files (and
+  * over pure appends), and ABORTS loudly (None — caller re-runs) when
+  * an interleaved commit removed or vector-bound a file it supersedes,
+  * or when a compaction (implicit full supersede) landed.
+  */
+class LakeConflictSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  /** Two single-file commits: f1 holds ids [0,100), f2 [100,200). */
+  private def twoFileTable(prefix: String): (String, String, String) = {
+    val table = Files.createTempDirectory(prefix).toString
+    TxnLog.append(spark, table, spark.range(0, 100)
+      .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1))
+    val f1 = liveFiles(table).head
+    TxnLog.append(spark, table, spark.range(100, 200)
+      .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1))
+    val f2 = liveFiles(table).filterNot(_ == f1).head
+    (table, f1, f2)
+  }
+
+  /** Live file paths in MANIFEST form (removePaths match by string). */
+  private def liveFiles(table: String): Seq[String] = {
+    val ms = TxnLog.activeManifests(TxnLog.manifestChain(
+      spark, table, TxnLog.versions(spark, table).last)._1)
+    TxnLog.liveEntries(ms).flatMap(_._2.map(_.path))
+  }
+
+  /** A stale single-file rewrite: survivors of `cond` over `file`,
+    * committed as a delete- rewrite CLAIMING `base` — exactly the
+    * state a DML writer that read the table at `base` would publish.
+    */
+  private def staleRewrite(table: String, base: Long, file: String,
+      keep: org.apache.spark.sql.Column): Option[Long] = {
+    val survivors = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(file).filter(keep)
+    TxnLog.appendCommit(spark, table, survivors, Nil,
+      s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(base), removePaths = Seq(file))
+  }
+
+  test("a stale rewrite of an UNTOUCHED file rebases over an interleaved DML") {
+    val (table, f1, f2) = twoFileTable("graft-cf-rebase")
+    // interleaved real DML supersedes f1
+    assert(LakeDml.deleteWhere(spark, table, col("id") === 50,
+      Seq(TxnLog.ColRange("id", Some(50L), Some(50L)))).contains(3L))
+    // stale rewrite of f2 (computed at base 2) commits on top: disjoint
+    assert(staleRewrite(table, 2L, f2, col("id") =!= 150).contains(4L))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 198) // both deletes present: nothing lost
+    assert(snap.filter(col("id").isin(50, 150)).count() == 0)
+  }
+
+  test("a stale rewrite of a SUPERSEDED file aborts loudly; no update lost") {
+    val (table, f1, _) = twoFileTable("graft-cf-conflict")
+    assert(LakeDml.deleteWhere(spark, table, col("id") === 50,
+      Seq(TxnLog.ColRange("id", Some(50L), Some(50L)))).contains(3L))
+    // writer B ALSO rewrote f1 (deleting id 60) from base-2 state: if
+    // this committed, the interleaved id-50 delete would resurrect
+    assert(staleRewrite(table, 2L, f1, col("id") =!= 60).isEmpty)
+    assert(TxnLog.versions(spark, table) == Seq(1L, 2L, 3L))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 199)
+    assert(snap.filter(col("id") === 50).count() == 0) // winner's delete
+    assert(snap.filter(col("id") === 60).count() == 1) // loser lost LOUDLY
+    // the aborted commit left no orphan data dir behind
+    val dataDir = new org.apache.hadoop.fs.Path(table, "data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(dataDir).length == 3) // 2 appends + 1 delete
+  }
+
+  test("a stale rewrite rebases over a pure interleaved append") {
+    val (table, f1, _) = twoFileTable("graft-cf-append")
+    TxnLog.append(spark, table, spark.range(200, 300)
+      .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1))
+    assert(staleRewrite(table, 2L, f1, col("id") =!= 60).contains(4L))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 299) // append's rows all present, delete applied
+    assert(snap.filter(col("id") === 60).count() == 0)
+  }
+
+  test("an interleaved compaction conflicts with any stale rewrite") {
+    val (table, f1, _) = twoFileTable("graft-cf-compact")
+    TxnLog.compact(spark, table)
+    assert(staleRewrite(table, 2L, f1, col("id") =!= 60).isEmpty)
+    assert(TxnLog.snapshot(spark, table).count() == 200)
+  }
+
+  test("rewrites and deletion-vector bindings of the same file conflict both ways") {
+    // (a) interleaved DV binding on f1 vs stale rewrite of f1
+    val (t1, f1a, _) = twoFileTable("graft-cf-dva")
+    spark.conf.set(LakeDml.DeletionVectorsConf, "true")
+    try assert(LakeDml.deleteWhere(spark, t1, col("id") === 10,
+      Seq(TxnLog.ColRange("id", Some(10L), Some(10L)))).contains(3L))
+    finally spark.conf.unset(LakeDml.DeletionVectorsConf)
+    assert(staleRewrite(t1, 2L, f1a, col("id") =!= 60).isEmpty)
+    assert(TxnLog.snapshot(spark, t1).count() == 199)
+    // (b) interleaved rewrite of f1 vs stale DV binding on f1
+    val (t2, f1b, _) = twoFileTable("graft-cf-dvb")
+    assert(LakeDml.deleteWhere(spark, t2, col("id") === 10,
+      Seq(TxnLog.ColRange("id", Some(10L), Some(10L)))).contains(3L))
+    val emptyDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val staleDv = TxnLog.appendCommit(spark, t2, emptyDf, Nil,
+      s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = Some(2L), removePaths = Nil,
+      dv = Some((Seq((f1b, 20L)).toDF("path", "pos"), Map(f1b -> 1L))))
+    assert(staleDv.isEmpty)
+    assert(TxnLog.snapshot(spark, t2).count() == 199)
+  }
+
+  test("concurrent merges on the same file: losers abort and replay; no update lost") {
+    val table = Files.createTempDirectory("graft-cf-merge").toString
+    TxnLog.append(spark, table, spark.range(0, 10)
+      .select(col("id"), lit("orig").as("v")).coalesce(1))
+    val threads = (0 until 6).map { k =>
+      new Thread(() => {
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          require(attempts <= 50, s"merge $k starved")
+          // each merge updates ONE key of the shared file — every pair
+          // of racers supersedes the same file, so interleavings MUST
+          // either serialize or abort-and-replay; silence would lose one
+          done = TxnLog.merge(spark, table,
+            Seq((k.toLong, s"u$k")).toDF("id", "v"), Seq("id")).isDefined
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val got = TxnLog.snapshot(spark, table).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = (0L until 6L).map(k => (k, s"u$k")) ++
+      (6L until 10L).map(k => (k, "orig"))
+    assert(got == want, s"lost an update: $got")
+  }
+}
