@@ -83,8 +83,13 @@ object LakeDml {
     val manifests = TxnLog.activeManifests(
       TxnLog.manifestChain(spark, table, base)._1)
     val merged = TxnLog.mergedSchema(manifests)
+    // column mapping: caller predicates/ranges name LOGICAL columns;
+    // stats and files are physical — translate in, present reads
+    // logically, and appendCommit maps the output back
+    val cm = TxnLog.columnMapping(manifests.last.props)
+    val ranges = pruneRanges.map(r => r.copy(column = cm.physicalName(r.column)))
 
-    def canMatch(e: FileEntry): Boolean = pruneRanges.forall(r =>
+    def canMatch(e: FileEntry): Boolean = ranges.forall(r =>
       e.stats.get(r.column).forall(cs =>
         FileStats.overlaps(cs, r.lower, r.upper)))
     val touched = TxnLog.liveEntries(manifests)
@@ -94,10 +99,10 @@ object LakeDml {
 
     if (spark.conf.getOption(DeletionVectorsConf).exists(_.toBoolean))
       return deleteWhereDv(spark, table, base, manifests, touched, merged,
-        cond, partitionCols)
+        cond, partitionCols, cm)
 
-    val touchedRows = TxnLog.readAligned(spark, touched, merged,
-      TxnLog.liveDvs(manifests)).get
+    val touchedRows = cm.toLogical(TxnLog.readAligned(spark, touched, merged,
+      TxnLog.liveDvs(manifests)).get)
     // null-valued predicates never delete: keep unless provably TRUE
     val survivors = touchedRows.filter(not(cond <=> lit(true)))
     // change capture: exactly the rows the predicate removed
@@ -107,7 +112,7 @@ object LakeDml {
       s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base),
       removePaths = touched.flatMap(_._2.map(_.path)),
-      cdc = Some(changes))
+      cdc0 = Some(changes))
   }
 
   /** Deletion-vector DELETE: one pass over the (vector-filtered)
@@ -121,18 +126,23 @@ object LakeDml {
   private def deleteWhereDv(spark: SparkSession, table: String, base: Long,
       manifests: Seq[Manifest], touched: Seq[(Manifest, Seq[FileEntry])],
       merged: StructType, cond: Column,
-      partitionCols: Seq[String]): Option[Long] = {
+      partitionCols: Seq[String],
+      cm: TxnLog.ColumnMapping): Option[Long] = {
     val dvsNow = TxnLog.liveDvs(manifests)
     val pathCol = "__dv_path"
     val posCol = "__dv_pos"
-    // aligned union read KEEPING the metadata position columns
+    // aligned union read KEEPING the metadata position columns; fields
+    // presented LOGICALLY (dropped columns hidden, renamed ones mapped)
+    // so the caller's predicate binds
+    val logicalFields = merged.fields.toSeq
+      .filterNot(f => cm.dropped.contains(f.name))
     val all = touched.map { case (m, es) =>
       val raw = TxnLog.readWithDvApplied(spark, m.commitDir, m.schema,
         es.map(_.path), dvsNow)
       val present = m.schema.fieldNames.toSet
-      raw.select(merged.fields.toSeq.map { f =>
-        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+      raw.select(logicalFields.map { f =>
+        (if (present.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(cm.logicalName(f.name))
       } ++ Seq(col(pathCol), col(posCol)): _*)
     }.reduce(_ unionByName _)
     val matched = all.filter(cond <=> lit(true)).cache()
@@ -161,7 +171,8 @@ object LakeDml {
       val rewriteMeta = rewriteHits.values.map(_._1).toSeq
       val survivors =
         if (rewriteMeta.isEmpty) spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), merged)
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          cm.logicalSchema(merged))
         else all.filter(col(pathCol).isInCollection(rewriteMeta) &&
             not(cond <=> lit(true)))
           .drop(pathCol, posCol)
@@ -184,7 +195,7 @@ object LakeDml {
         s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
         requireBase = Some(base),
         removePaths = rewriteHits.keys.toSeq.sorted,
-        cdc = Some(changes),
+        cdc0 = Some(changes),
         dv = if (dvHits.isEmpty) None else Some((dvDf, bindCounts)))
     } finally matched.unpersist()
   }
@@ -223,8 +234,12 @@ object LakeDml {
     val manifests = TxnLog.activeManifests(
       TxnLog.manifestChain(spark, table, base)._1)
     val tableSchema = TxnLog.mergedSchema(manifests)
-    val merged = SchemaRegistry.merge(tableSchema,
+    val cm = TxnLog.columnMapping(manifests.last.props)
+    // the working schema is LOGICAL (the caller's df and predicate live
+    // there); appendCommit maps the union back to physical names
+    val merged = SchemaRegistry.merge(cm.logicalSchema(tableSchema),
       StructType(df.schema.fields))
+    val ranges = pruneRanges.map(r => r.copy(column = cm.physicalName(r.column)))
 
     // constraint first, before any files are chosen: every replacement
     // row must live inside the replaced region
@@ -233,7 +248,7 @@ object LakeDml {
       s"replaceWhere: replacement rows violate the predicate $cond — " +
         "they would land outside the replaced region")
 
-    def canMatch(e: FileEntry): Boolean = pruneRanges.forall(r =>
+    def canMatch(e: FileEntry): Boolean = ranges.forall(r =>
       e.stats.get(r.column).forall(cs =>
         FileStats.overlaps(cs, r.lower, r.upper)))
     val touched = TxnLog.liveEntries(manifests)
@@ -247,8 +262,8 @@ object LakeDml {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val touchedRows = TxnLog.readAligned(spark, touched, merged,
-      TxnLog.liveDvs(manifests))
+    val touchedRows = TxnLog.readAligned(spark, touched, tableSchema,
+      TxnLog.liveDvs(manifests)).map(cm.toLogical)
     val survivors = touchedRows
       .map(t => align(t.filter(not(cond <=> lit(true)))))
     val out = survivors.map(_.unionByName(align(df))).getOrElse(align(df))
@@ -263,7 +278,7 @@ object LakeDml {
       s"replace-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base),
       removePaths = touched.flatMap(_._2.map(_.path)),
-      cdc = Some(changes))
+      cdc0 = Some(changes))
   }
 
   /** UPDATE <table> SET ... [WHERE <cond>]: rows where `cond` is TRUE
@@ -283,12 +298,15 @@ object LakeDml {
     val base = vs.last
     val manifests = TxnLog.activeManifests(
       TxnLog.manifestChain(spark, table, base)._1)
-    val merged = TxnLog.mergedSchema(manifests)
+    val physSchema = TxnLog.mergedSchema(manifests)
+    val cm = TxnLog.columnMapping(manifests.last.props)
+    val merged = cm.logicalSchema(physSchema) // assignments bind logically
     set.keys.foreach(k => require(merged.fieldNames.contains(k),
       s"UPDATE assigns unknown column $k " +
         s"(table has ${merged.fieldNames.mkString(", ")})"))
+    val ranges = pruneRanges.map(r => r.copy(column = cm.physicalName(r.column)))
 
-    def canMatch(e: FileEntry): Boolean = pruneRanges.forall(r =>
+    def canMatch(e: FileEntry): Boolean = ranges.forall(r =>
       e.stats.get(r.column).forall(cs =>
         FileStats.overlaps(cs, r.lower, r.upper)))
     val touched = TxnLog.liveEntries(manifests)
@@ -298,8 +316,8 @@ object LakeDml {
 
     val hit = cond.map(_ <=> lit(true)).getOrElse(lit(true))
     // alias so the statement's qualified references (t.col) resolve
-    val src0 = TxnLog.readAligned(spark, touched, merged,
-      TxnLog.liveDvs(manifests)).get
+    val src0 = cm.toLogical(TxnLog.readAligned(spark, touched, physSchema,
+      TxnLog.liveDvs(manifests)).get)
     val src = tableAlias.map(src0.alias).getOrElse(src0)
     val assigned: Seq[org.apache.spark.sql.Column] =
       merged.fields.toSeq.map { f =>
@@ -325,7 +343,7 @@ object LakeDml {
       s"update-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base),
       removePaths = touched.flatMap(_._2.map(_.path)),
-      cdc = Some(changes))
+      cdc0 = Some(changes))
   }
 
   /** MERGE INTO <table> [AS targetAlias] USING <source> ON <onCond>,
@@ -386,7 +404,9 @@ object LakeDml {
     val base = vs.last
     val manifests = TxnLog.activeManifests(
       TxnLog.manifestChain(spark, table, base)._1)
-    val targetSchema = TxnLog.mergedSchema(manifests)
+    val physSchema = TxnLog.mergedSchema(manifests)
+    val cm = TxnLog.columnMapping(manifests.last.props)
+    val targetSchema = cm.logicalSchema(physSchema) // the LOGICAL view
     // WITH SCHEMA EVOLUTION (Delta semantics): the output schema widens
     // by exactly the columns the statement ASSIGNS that the target
     // lacks — the caller computes them from the actions (`newColumns`);
@@ -412,7 +432,7 @@ object LakeDml {
     }
 
     def canMatch(e: FileEntry): Boolean = !prunable || bounds.forall {
-      case (t, (lo, hi)) => e.stats.get(t).forall(cs =>
+      case (t, (lo, hi)) => e.stats.get(cm.physicalName(t)).forall(cs =>
         FileStats.overlaps(cs, Option(lo), Option(hi)))
     }
     val candidates = TxnLog.liveEntries(manifests)
@@ -435,7 +455,8 @@ object LakeDml {
       // ADDS its file to the touched set — a conservative superset (the
       // rewrite read below is vector-filtered, so the row itself stays
       // deleted)
-      val withFile = TxnLog.readAligned(spark, candidates, targetSchema).get
+      val withFile = cm.toLogical(
+          TxnLog.readAligned(spark, candidates, physSchema).get)
         .withColumn(fileCol, org.apache.spark.sql.functions.input_file_name())
       val matchedFiles = withFile.alias(targetAlias)
         .join(source.alias(sourceAlias), onCond, "inner")
@@ -451,8 +472,8 @@ object LakeDml {
     val tMark = "__graft_t_present"
     val sMark = "__graft_s_present"
     val actCol = "__graft_act"
-    val target = TxnLog.readAligned(spark, touched, targetSchema,
-        TxnLog.liveDvs(manifests))
+    val target = TxnLog.readAligned(spark, touched, physSchema,
+        TxnLog.liveDvs(manifests)).map(cm.toLogical)
       .getOrElse(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), targetSchema))
 
@@ -561,6 +582,6 @@ object LakeDml {
       txnId = txnId,
       requireBase = Some(base),
       removePaths = touched.flatMap(_._2.map(_.path)),
-      cdc = changes)
+      cdc0 = changes)
   }
 }

@@ -530,7 +530,8 @@ object TxnLog {
     val cdc = (deletes.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
     appendCommit(spark, table, out, partitionCols,
       s"restore-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = Some(base), removePaths = reAdd.toSeq.sorted, cdc = cdc,
+      requireBase = Some(base), removePaths = reAdd.toSeq.sorted, cdc0 = cdc,
+      skipColumnMapping = true,
       propsOverride = Some(thenProps))
   }
 
@@ -548,20 +549,30 @@ object TxnLog {
     require(newFields.nonEmpty, "ADD COLUMNS needs at least one column")
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
-    val current = schemaOf(spark, table)
-    newFields.foreach(f => require(
-      !current.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-      s"column ${f.name} already exists in $table " +
-        s"(${current.fieldNames.mkString(", ")})"))
+    val currentPhys = schemaOf(spark, table)
+    val cmAdd = columnMappingAt(spark, table)
+    val current = cmAdd.logicalSchema(currentPhys)
+    newFields.foreach { f =>
+      require(!current.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"column ${f.name} already exists in $table " +
+          s"(${current.fieldNames.mkString(", ")})")
+      // physical names are immutable: a dropped or renamed-away
+      // physical name can never be re-issued (old bytes would silently
+      // become the new column's values)
+      require(!cmAdd.dropped.exists(_.equalsIgnoreCase(f.name)) &&
+          !currentPhys.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"column name ${f.name} is retired in $table (it is or was a " +
+          "physical column name); pick a fresh name")
+    }
     require(newFields.map(_.name.toLowerCase).distinct.size ==
       newFields.size, s"duplicate column in ADD COLUMNS: $newFields")
-    val widened = StructType(current.fields ++
+    val widened = StructType(currentPhys.fields ++
       newFields.map(_.copy(nullable = true)))
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), widened)
     appendCommit(spark, table, empty, Nil,
       s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = None, removePaths = Nil)
+      requireBase = None, removePaths = Nil, skipColumnMapping = true)
       .getOrElse(throw new IllegalStateException(
         s"could not commit ALTER to $table"))
   }
@@ -624,6 +635,7 @@ object TxnLog {
       appendCommit(spark, table, empty, Nil,
         s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
         requireBase = Some(head), removePaths = Nil, strictBase = true,
+        skipColumnMapping = true,
         propsOverride = Some(readManifest(spark, table, head).props +
           (CheckPropPrefix + name -> exprSql))) match {
         case Some(v) => return v
@@ -656,6 +668,7 @@ object TxnLog {
       appendCommit(spark, table, empty, Nil,
         s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
         requireBase = Some(head), removePaths = Nil, strictBase = true,
+        skipColumnMapping = true,
         propsOverride = Some(readManifest(spark, table, head).props -
           (CheckPropPrefix + name))) match {
         case Some(v) => return v
@@ -664,6 +677,213 @@ object TxnLog {
     }
     throw new IllegalStateException(
       s"could not commit DROP CONSTRAINT to $table: kept losing commit races")
+  }
+
+  private val ColMapPrefix = "colmap."   // colmap.<logical> = <physical>
+  private val ColDropPrefix = "coldrop." // coldrop.<physical> = 1
+
+  /** COLUMN MAPPING (Delta's name-mapping mode): a column's PHYSICAL
+    * name — what parquet files and manifest schemas record — is fixed
+    * at first appearance and never changes; `RENAME COLUMN` only remaps
+    * the LOGICAL name users see (`colmap.` props), `DROP COLUMN` hides
+    * the physical column (`coldrop.` props). Old and new files
+    * therefore always agree on physical names, so the entire storage
+    * and pruning machinery stays physical and only the table EDGES
+    * translate. Mapping props ride the manifests like constraints do,
+    * which is what makes time travel across a rename exact: reading at
+    * version v uses v's props, presenting v's names.
+    */
+  final case class ColumnMapping(renames: Map[String, String],
+      dropped: Set[String]) {
+    def isEmpty: Boolean = renames.isEmpty && dropped.isEmpty
+    def physicalName(logical: String): String =
+      renames.getOrElse(logical, logical)
+    lazy val physToLogical: Map[String, String] = renames.map(_.swap)
+    def logicalName(physical: String): String =
+      physToLogical.getOrElse(physical, physical)
+
+    /** Present a PHYSICAL frame logically: dropped columns vanish,
+      * renamed ones take their logical name. Identity when unmapped.
+      */
+    def toLogical(df: DataFrame): DataFrame =
+      if (isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.col
+        df.select(df.schema.fields.toSeq
+          .filterNot(f => dropped.contains(f.name))
+          .map(f => col(f.name).as(logicalName(f.name))): _*)
+      }
+
+    /** Map a LOGICAL frame back to physical names for writing. */
+    def toPhysical(df: DataFrame): DataFrame =
+      if (renames.isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.col
+        df.select(df.schema.fields.toSeq
+          .map(f => col(f.name).as(physicalName(f.name))): _*)
+      }
+
+    def logicalSchema(physical: StructType): StructType =
+      if (isEmpty) physical
+      else StructType(physical.fields.toSeq
+        .filterNot(f => dropped.contains(f.name))
+        .map(f => f.copy(name = logicalName(f.name))))
+  }
+
+  object ColumnMapping {
+    val empty: ColumnMapping = ColumnMapping(Map.empty, Set.empty)
+  }
+
+  private[lake] def columnMapping(props: Map[String, String]): ColumnMapping =
+    ColumnMapping(
+      props.collect { case (k, v) if k.startsWith(ColMapPrefix) =>
+        (k.stripPrefix(ColMapPrefix), v) },
+      props.collect { case (k, _) if k.startsWith(ColDropPrefix) =>
+        k.stripPrefix(ColDropPrefix)
+      }.toSet)
+
+  /** The mapping in force at `version` (default: latest); empty for
+    * tables that never renamed or dropped a column.
+    */
+  def columnMappingAt(spark: SparkSession, table: String,
+      version: Option[Long] = None): ColumnMapping = {
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return ColumnMapping.empty
+    val v = version.getOrElse(vs.last)
+    columnMapping(readManifest(spark, table, v).props)
+  }
+
+  /** The LOGICAL schema users see at `version` — [[schemaOf]] with the
+    * column mapping applied.
+    */
+  def logicalSchemaOf(spark: SparkSession, table: String,
+      version: Option[Long] = None): StructType =
+    columnMappingAt(spark, table, version)
+      .logicalSchema(schemaOf(spark, table, version))
+
+  /** Column names a CHECK constraint references (unresolved parse —
+    * mapping DDL must not break an expression in force).
+    */
+  private def constraintRefs(spark: SparkSession,
+      exprSql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.toSet
+
+  private def partitionColsOf(spark: SparkSession, table: String): Set[String] = {
+    val ms = activeManifests(manifestChain(spark, table,
+      versions(spark, table).last)._1)
+    liveEntries(ms).flatMap(_._2).flatMap { e =>
+      e.path.split('/').toSeq.dropRight(1)
+        .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    }.toSet
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN from TO to`: one metadata-only
+    * `alter-` commit rewriting the mapping props — no file moves, no
+    * data rewrite, whatever the table size. Fails loudly when `from`
+    * does not exist, `to` is taken (case-insensitively), `from` is a
+    * partition column (its name is baked into directory layouts), or a
+    * CHECK constraint references `from` (the stored expression would
+    * silently stop binding — drop/re-add the constraint around the
+    * rename).
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Long = {
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"new column name must be an identifier, got: $to")
+    var attempt = 0
+    while (attempt < 10) {
+      val head = versions(spark, table).last
+      val props = readManifest(spark, table, head).props
+      val cm = columnMapping(props)
+      val logical = cm.logicalSchema(schemaOf(spark, table))
+      require(logical.fieldNames.contains(from),
+        s"no column $from in $table (${logical.fieldNames.mkString(", ")})")
+      require(!logical.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column $to already exists in $table")
+      // physical names are immutable and never re-issued: renaming TO a
+      // (dropped or renamed-away) physical name would make the write
+      // translation ambiguous — except renaming a column BACK to its
+      // own physical name, which folds the mapping to identity
+      require(to.equalsIgnoreCase(cm.physicalName(from)) ||
+          (!cm.dropped.exists(_.equalsIgnoreCase(to)) &&
+            !schemaOf(spark, table).fieldNames.exists(_.equalsIgnoreCase(to))),
+        s"column name $to is retired in $table (it is or was a physical " +
+          "column name); pick a fresh name")
+      require(!partitionColsOf(spark, table).contains(from),
+        s"cannot rename partition column $from: its name is baked into " +
+          "the table's directory layout; rewrite the table to repartition")
+      constraints(spark, table).foreach { case (n, sql) =>
+        require(!constraintRefs(spark, sql).contains(from),
+          s"cannot rename $from: CHECK constraint $n ($sql) references " +
+            "it; DROP the constraint, rename, then re-ADD it")
+      }
+      val physical = cm.physicalName(from)
+      // renaming BACK to the physical name folds to identity (no entry)
+      val newProps = props - (ColMapPrefix + from) ++
+        (if (to == physical) Map.empty[String, String]
+         else Map(ColMapPrefix + to -> physical))
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schemaOf(spark, table))
+      appendCommit(spark, table, empty, Nil,
+        s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+        requireBase = Some(head), removePaths = Nil, strictBase = true,
+        propsOverride = Some(newProps),
+        skipColumnMapping = true) match {
+        case Some(v) => return v
+        case None => attempt += 1 // a commit landed mid-DDL: re-read
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit RENAME COLUMN to $table: kept losing commit races")
+  }
+
+  /** `ALTER TABLE t DROP COLUMN name`: one metadata-only `alter-`
+    * commit — the physical column (and its bytes) stays for time
+    * travel, the logical view simply stops presenting it. Fails loudly
+    * on the last column, a partition column, or a column a CHECK
+    * constraint references. Re-adding the same name later is refused
+    * (physical names are immutable; pick a fresh name).
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val head = versions(spark, table).last
+      val props = readManifest(spark, table, head).props
+      val cm = columnMapping(props)
+      val logical = cm.logicalSchema(schemaOf(spark, table))
+      require(logical.fieldNames.contains(name),
+        s"no column $name in $table (${logical.fieldNames.mkString(", ")})")
+      require(logical.fields.length > 1,
+        s"cannot drop the only column of $table")
+      require(!partitionColsOf(spark, table).contains(name),
+        s"cannot drop partition column $name; rewrite the table to " +
+          "repartition")
+      constraints(spark, table).foreach { case (n, sql) =>
+        require(!constraintRefs(spark, sql).contains(name),
+          s"cannot drop $name: CHECK constraint $n ($sql) references it; " +
+            "DROP the constraint first")
+      }
+      val physical = cm.physicalName(name)
+      val newProps = props - (ColMapPrefix + name) +
+        (ColDropPrefix + physical -> "1")
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schemaOf(spark, table))
+      appendCommit(spark, table, empty, Nil,
+        s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+        requireBase = Some(head), removePaths = Nil, strictBase = true,
+        propsOverride = Some(newProps),
+        skipColumnMapping = true) match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit DROP COLUMN to $table: kept losing commit races")
   }
 
   /** Writer-side CHECK enforcement: one combined pass over the commit's
@@ -861,20 +1081,28 @@ object TxnLog {
     val base = vs.last
     val manifests = activeManifests(manifestChain(spark, table, base)._1)
     val tableSchema = mergedSchema(manifests)
+    // column mapping: the caller's updates and keys are LOGICAL; this
+    // function computes in PHYSICAL space (the read stays raw), so
+    // translate both at entry and skip the commit-time re-translation
+    val cm = columnMapping(manifests.last.props)
+    updates.schema.fieldNames.foreach(n => require(!cm.dropped.contains(n),
+      s"column $n was dropped from $table; its physical name is retired"))
+    val updatesP = cm.toPhysical(updates)
+    val keyColsP = keyCols.map(cm.physicalName)
     val merged = SchemaRegistry.merge(tableSchema,
-      StructType(updates.schema.fields))
+      StructType(updatesP.schema.fields))
 
     // key bounds of the update set (one tiny agg; the update batch is the
     // SMALL side of a merge by construction)
-    val boundAggs = keyCols.flatMap(k =>
+    val boundAggs = keyColsP.flatMap(k =>
       Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
-    val bRow = updates.agg(boundAggs.head, boundAggs.tail: _*).head()
-    val bounds: Map[String, (Any, Any)] = keyCols.map(k =>
+    val bRow = updatesP.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val bounds: Map[String, (Any, Any)] = keyColsP.map(k =>
       k -> ((bRow.getAs[Any](s"min_$k"), bRow.getAs[Any](s"max_$k")))).toMap
     // partition values present in the update set, for path-level pruning
     val partVals: Map[String, Set[String]] =
-      partitionCols.filter(updates.columns.contains).map { p =>
-        p -> updates.select(col(p).cast("string")).distinct()
+      partitionCols.filter(updatesP.columns.contains).map { p =>
+        p -> updatesP.select(col(p).cast("string")).distinct()
           .collect().map(_.getString(0)).toSet
       }.toMap
 
@@ -884,7 +1112,7 @@ object TxnLog {
         !e.path.contains(s"/$ek=") ||
           set.exists(v => e.path.contains(s"/$ek=${escapeDir(v)}/"))
       }
-      partOk && keyCols.forall { k =>
+      partOk && keyColsP.forall { k =>
         e.stats.get(k) match {
           case Some(cs) =>
             FileStats.overlaps(cs, Some(bounds(k)._1), Some(bounds(k)._2))
@@ -908,13 +1136,15 @@ object TxnLog {
     val out = readAligned(spark, touched, merged,
         liveDvs(manifests)) match {
       case Some(df) => align(df.join(
-          updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
-        .unionByName(align(updates))
-      case None => align(updates) // nothing can match: pure insert
+          updatesP.select(keyColsP.map(col): _*).distinct(), keyColsP,
+          "left_anti"))
+        .unionByName(align(updatesP))
+      case None => align(updatesP) // nothing can match: pure insert
     }
     appendCommit(spark, table, out, partitionCols,
       s"merge-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = Some(base), removePaths = touchedPaths)
+      requireBase = Some(base), removePaths = touchedPaths,
+      skipColumnMapping = true)
   }
 
   /** Bin-pack ONLY the table's small files (size below
@@ -947,6 +1177,7 @@ object TxnLog {
       .coalesce(math.max(1, numFiles))
     appendCommit(spark, table, folded, partitionCols,
       s"optimize-${java.util.UUID.randomUUID().toString}", txnId = None,
+      skipColumnMapping = true,
       requireBase = Some(base),
       removePaths = touched.flatMap(_._2.map(_.path)))
   }
@@ -1053,8 +1284,11 @@ object TxnLog {
     val base = vs.last
     val manifests = activeManifests(manifestChain(spark, table, base)._1)
     val merged = mergedSchema(manifests)
+    // caller ranges name LOGICAL columns; stats/files are physical
+    val cm = columnMapping(manifests.last.props)
+    val rangesP = ranges.map(r => r.copy(column = cm.physicalName(r.column)))
 
-    def canMatch(e: FileEntry): Boolean = ranges.forall(r =>
+    def canMatch(e: FileEntry): Boolean = rangesP.forall(r =>
       e.stats.get(r.column).forall(cs =>
         FileStats.overlaps(cs, r.lower, r.upper)))
     val touched = liveEntries(manifests)
@@ -1062,7 +1296,7 @@ object TxnLog {
       .filter(_._2.nonEmpty)
     if (touched.isEmpty) return Some(base)
 
-    val deleteCond = ranges.map { r =>
+    val deleteCond = rangesP.map { r =>
       val c = col(r.column)
       ((r.lower.map(v => c >= lit(v)) ++ r.upper.map(v => c <= lit(v)))
         : Iterable[org.apache.spark.sql.Column]).reduce(_ && _)
@@ -1073,7 +1307,8 @@ object TxnLog {
       .filter(not(deleteCond <=> lit(true)))
     appendCommit(spark, table, survivors, partitionCols,
       s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
-      requireBase = Some(base), removePaths = touched.flatMap(_._2.map(_.path)))
+      requireBase = Some(base), removePaths = touched.flatMap(_._2.map(_.path)),
+      skipColumnMapping = true)
   }
 
   /** `compact-` manifests supersede everything before them: the data
@@ -1222,16 +1457,40 @@ object TxnLog {
     * manifest. Crash cleanup and vacuum treat data + changes + vectors
     * as one unit (same unique dir).
     */
-  private[lake] def appendCommit(spark: SparkSession, table: String, df: DataFrame,
+  private[lake] def appendCommit(spark: SparkSession, table: String, df0: DataFrame,
       partitionCols: Seq[String], commitId: String, txnId: Option[String],
       requireBase: Option[Long], removePaths: Seq[String],
-      maxRetries: Int = 10, cdc: Option[DataFrame] = None,
+      maxRetries: Int = 10, cdc0: Option[DataFrame] = None,
       propsOverride: Option[Map[String, String]] = None,
       dv: Option[(DataFrame, Map[String, Long])] = None,
-      strictBase: Boolean = false): Option[Long] = {
+      strictBase: Boolean = false,
+      skipColumnMapping: Boolean = false): Option[Long] = {
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
+    }
+    // COLUMN MAPPING write edge: callers live in the LOGICAL world;
+    // manifests and parquet footers record PHYSICAL names. Renames
+    // never change physical names, so translating with the entry-time
+    // mapping stays correct even if a rename interleaves. Internal
+    // physical rewrites (restore, compaction, mapping DDL itself) skip.
+    val entryCm =
+      if (skipColumnMapping) ColumnMapping.empty
+      else columnMappingAt(spark, table)
+    val (df, cdc) = {
+      if (entryCm.isEmpty) (df0, cdc0)
+      else {
+        // a NEW logical column must not collide with a dropped physical
+        // name (physical names are immutable — the hidden old bytes
+        // would silently become its values)
+        val logicalNow = entryCm.logicalSchema(schemaOf(spark, table))
+        df0.schema.fieldNames
+          .filterNot(logicalNow.fieldNames.contains)
+          .foreach(n => require(!entryCm.dropped.contains(n),
+            s"column name $n was dropped from $table and its physical " +
+              "name is retired; pick a fresh name"))
+        (entryCm.toPhysical(df0), cdc0.map(entryCm.toPhysical))
+      }
     }
     val commitDir = new Path(new Path(table, "data"), commitId)
     // every commit dir is unique per attempt (uuid-named), so the data
@@ -1374,7 +1633,9 @@ object TxnLog {
         vs.lastOption.map(v => readManifest(spark, table, v).props)
           .getOrElse(Map.empty))
       if (!enforcedProps.contains(props)) {
-        try enforceChecks(writtenDf, props)
+        // constraints are written in LOGICAL names: present the written
+        // physical rows logically before evaluating them
+        try enforceChecks(columnMapping(props).toLogical(writtenDf), props)
         catch { case e: Throwable => f.delete(commitDir, true); throw e }
         enforcedProps = Some(props)
       }
@@ -1444,22 +1705,30 @@ object TxnLog {
     require(vs.contains(v), s"version $v not in $vs")
     val manifests = activeManifests(manifestChain(spark, table, v)._1)
     val merged = mergedSchema(manifests)
+    // COLUMN MAPPING read edge: callers name LOGICAL columns; paths and
+    // footer stats record PHYSICAL ones — translate the predicates in,
+    // present the result out (per-VERSION mapping: time travel across a
+    // rename shows that version's names)
+    val cm = columnMapping(manifests.last.props)
+    val pv = partitionValues
+      .map { case (k, value) => cm.physicalName(k) -> value }
+    val rngs = ranges.map(r => r.copy(column = cm.physicalName(r.column)))
     def keepEntry(e: FileEntry): Boolean = {
-      val partOk = partitionValues.forall { case (k, value) =>
+      val partOk = pv.forall { case (k, value) =>
         val ek = escapeDir(k)
         !e.path.contains(s"/$ek=") ||
           e.path.contains(s"/$ek=${escapeDir(value)}/")
       }
-      partOk && ranges.forall(r =>
+      partOk && rngs.forall(r =>
         e.stats.get(r.column).forall(cs =>
           FileStats.overlaps(cs, r.lower, r.upper)))
     }
     def rowFilter(df: DataFrame): DataFrame = {
-      val p1 = partitionValues.foldLeft(df) { case (d, (k, value)) =>
+      val p1 = pv.foldLeft(df) { case (d, (k, value)) =>
         if (d.columns.contains(k)) d.filter(col(k).cast("string") === value)
         else d
       }
-      ranges.foldLeft(p1) { case (d, r) =>
+      rngs.foldLeft(p1) { case (d, r) =>
         if (!d.columns.contains(r.column)) d
         else {
           val c = col(r.column)
@@ -1471,13 +1740,13 @@ object TxnLog {
     }
     val groups = liveEntries(manifests)
       .map { case (m, es) => (m, es.filter(keepEntry)) }
-    readAligned(spark, groups, merged, liveDvs(manifests)) match {
+    cm.toLogical(readAligned(spark, groups, merged, liveDvs(manifests)) match {
       case Some(df) => rowFilter(df)
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(merged.fields))
-    }
+    })
   }
 
   /** Union the given (manifest, live-entry) groups aligned to `merged`;
@@ -1625,13 +1894,22 @@ object TxnLog {
       includeRewrites: Boolean = false): DataFrame = {
     val picked = changeEntries(spark, table, fromExclusive, toInclusive,
       includeRewrites).map(_._1)
+    // column mapping: incremental consumers see the mapping in force at
+    // the range END (names a consumer of that range would have seen)
+    val cmEnd = {
+      val vs = versions(spark, table)
+      val v = math.min(toInclusive, vs.last)
+      columnMapping(readManifest(spark, table, v).props)
+    }
     if (picked.isEmpty || picked.forall(_.entries.isEmpty)) {
       val schema = schemaOf(spark, table)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        cmEnd.logicalSchema(schema))
     }
     val merged = picked.map(_.schema).reduce(SchemaRegistry.merge)
-    readAligned(spark, picked.map(m => (m, m.entries)), merged).get
+    cmEnd.toLogical(
+      readAligned(spark, picked.map(m => (m, m.entries)), merged).get)
   }
 
   /** Row-level CHANGE DATA FEED for commits in `(fromExclusive,
@@ -1695,9 +1973,16 @@ object TxnLog {
           .withColumn("_commit_version", lit(m.version)))
       } else inserts(m, es)
     }
+    // column mapping: the feed presents the names in force at the
+    // range end (captured cdc and data files are physical, like data)
+    val cmEnd = {
+      val vs = versions(spark, table)
+      val v = math.min(toInclusive, vs.last)
+      columnMapping(readManifest(spark, table, v).props)
+    }
     if (parts.isEmpty) {
       val schema = org.apache.spark.sql.types.StructType(
-        schemaOf(spark, table).fields :+
+        cmEnd.logicalSchema(schemaOf(spark, table)).fields :+
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType) :+
           org.apache.spark.sql.types.StructField("_commit_version",
@@ -1712,9 +1997,10 @@ object TxnLog {
       .reduce(SchemaRegistry.merge)
     parts.map { p =>
       val present = p.columns.toSet
-      p.select((merged.fields.toSeq.map { f =>
-        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+      p.select((merged.fields.toSeq
+        .filterNot(f => cmEnd.dropped.contains(f.name)).map { f =>
+          (if (present.contains(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(cmEnd.logicalName(f.name))
       } :+ col("_change_type") :+ col("_commit_version")): _*)
     }.reduce(_ unionByName _)
   }
@@ -1739,9 +2025,11 @@ object TxnLog {
   /** Latest table schema (union over commits since the last schema
     * reset), metadata only.
     */
-  def schemaOf(spark: SparkSession, table: String): StructType = {
+  def schemaOf(spark: SparkSession, table: String,
+      version: Option[Long] = None): StructType = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
-    mergedSchema(activeManifests(manifestChain(spark, table, vs.last)._1))
+    val v = version.getOrElse(vs.last)
+    mergedSchema(activeManifests(manifestChain(spark, table, v)._1))
   }
 }

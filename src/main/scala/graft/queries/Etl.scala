@@ -375,6 +375,53 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** Column-mapping gate (q124): `ALTER TABLE ... RENAME COLUMN` and
+    * `DROP COLUMN` as METADATA-ONLY commits (required loudly: zero data
+    * files added/moved), DML through the new name, time travel across
+    * the rename presenting the OLD names (required), the DSv2 reader
+    * refusing the mapped table loudly rather than surfacing physical
+    * names — final logical state oracled vs DuckDB aliasing the
+    * original columns.
+    */
+  def renameColumnGate(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_cmap_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    graft.lake.TxnLog.append(s, table,
+      o.filter(col("o_orderkey") < 1000).coalesce(1))
+    graft.lake.TxnLog.append(s, table,
+      o.filter(col("o_orderkey") >= 1000).coalesce(1))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q124_orders", table)
+    def files: Set[String] = graft.lake.TxnLog.snapshot(s, table)
+      .inputFiles.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath)
+      .toSet
+    val before = files
+    s.sql("ALTER TABLE q124_orders RENAME COLUMN o_totalprice TO price")
+    s.sql("ALTER TABLE q124_orders DROP COLUMN o_orderstatus")
+    require(files == before,
+      "RENAME/DROP COLUMN must be metadata-only: no data file may be " +
+        "added, moved, or rewritten")
+    // DML binds the NEW name; the rewrite machinery stays file-pruned
+    s.sql("DELETE FROM q124_orders WHERE price < 5000.0")
+    // time travel ACROSS the rename presents that version's names
+    val old = s.sql("SELECT * FROM q124_orders VERSION AS OF 2")
+    require(old.columns.contains("o_totalprice") &&
+      old.columns.contains("o_orderstatus") &&
+      !old.columns.contains("price"),
+      s"time travel before the rename must show the old schema, " +
+        s"got ${old.columns.mkString(",")}")
+    // the DSv2 reader must refuse loudly, never surface physical names
+    val refused =
+      try { s.read.format("graftlake").load(table).collect(); false }
+      catch { case e: Exception => e.getMessage.contains("column mapping") }
+    require(refused, "DSv2 must refuse column-mapped tables loudly")
+    s.table("q124_orders")
+  }
+
   /** DSv2 batch-write gate (q123): the table is built ONLY through
     * `df.write.format("graftlake")` — two appends (the V2 WriteBuilder's
     * atomic commits, versions required exact), an overwrite replacing
@@ -977,6 +1024,7 @@ object Etl extends QueryPack {
     "q121_dv_delete" -> dvDelete _,
     "q122_dv_optimize" -> dvOptimize _,
     "q123_dsv2_write" -> dsv2Write _,
+    "q124_rename_column" -> renameColumnGate _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
@@ -1138,6 +1186,10 @@ object Etl extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate
         |FROM orders""".stripMargin,
+    "q124_rename_column" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price, o_orderdate
+        |FROM orders
+        |WHERE NOT (o_totalprice < 5000.0)""".stripMargin,
     "q119_check_constraint" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate

@@ -94,6 +94,12 @@ object LakeDmlSql {
   private val AddColsRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMNS?\s*""" +
       """\(([^)]+)\)\s*;?\s*$""").r
+  private val RenameColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+RENAME\s+COLUMN\s+""" +
+      """([A-Za-z_][\w]*)\s+TO\s+([A-Za-z_][\w]*)\s*;?\s*$""").r
+  private val DropColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+COLUMNS?\s+""" +
+      """(?!CONSTRAINT)([A-Za-z_][\w]*)\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+CONSTRAINT\s+""" +
       """([A-Za-z_][\w]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -155,6 +161,12 @@ object LakeDmlSql {
       case DropConstraintRe(name, cname) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeConstraintCommand(name, path, cname, None))
+      case RenameColRe(name, from, to) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeMapColumnCommand(name, path, from, Some(to)))
+      case DropColRe(name, colName) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeMapColumnCommand(name, path, colName, None))
       case ReplaceWhereRe(name, cond, query) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeReplaceWhereCommand(name, path, cond.trim, query.trim))
@@ -856,6 +868,28 @@ object LakeDmlSql {
     }
     override def simpleString(maxFields: Int): String =
       s"LakeAddColumnsCommand $name +${columns.map(_.name).mkString(",")}"
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` (to = Some) / `ALTER TABLE t
+    * DROP COLUMN c` (to = None) — Delta-style schema evolution over a
+    * mounted lake table via COLUMN MAPPING ([[TxnLog.renameColumn]] /
+    * [[TxnLog.dropColumn]]): one metadata-only commit, no file moves,
+    * time travel before the commit presents the old names.
+    */
+  final case class LakeMapColumnCommand(name: String, path: String,
+      column: String, to: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = to match {
+        case Some(t) => TxnLog.renameColumn(spark, path, column, t)
+        case None => TxnLog.dropColumn(spark, path, column)
+      }
+      refreshIfMounted(spark, name, path)
+      Seq(Row(v))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeMapColumnCommand $name $column -> ${to.getOrElse("(dropped)")}"
   }
 
   /** `ALTER TABLE t ADD CONSTRAINT n CHECK (expr)` (check = Some) /

@@ -88,6 +88,16 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
     new GraftLakeWriteBuilder(spark, tablePath, options)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // COLUMN MAPPING: the V2 scan hands Spark's parquet machinery the
+    // physical schema directly, which would surface PHYSICAL names (and
+    // resurrect dropped columns) on a mapped table — refuse loudly
+    // rather than read wrong; the Catalyst relation paths (mounted SQL,
+    // TxnLog.snapshot) fully support mapped tables.
+    val cmV2 = TxnLog.columnMappingAt(spark, tablePath, versionAsOf)
+    require(cmV2.isEmpty,
+      s"$tablePath has renamed or dropped columns (column mapping); " +
+        "the DSv2 reader does not translate physical names yet — read " +
+        "it via a mounted SQL table or TxnLog.snapshot instead")
     val partNames = index.partitionSchema.fieldNames.toSet
     val dataSchema = StructType(
       schema.fields.filterNot(f => partNames.contains(f.name)))

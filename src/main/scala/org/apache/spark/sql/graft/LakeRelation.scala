@@ -351,22 +351,29 @@ object LakeRead {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       LogicalRelation(rel))
     val dvs = idx.liveDvs
-    if (dvs.isEmpty) df
-    else {
-      val cols = df.columns.toSeq
-      val dirs = dvs.values.map(_.dir).toSeq.distinct
-      val pos = spark.read.schema(TxnLog.DvSchema).parquet(dirs: _*)
-      val total = dvs.valuesIterator.map(_.rows).sum
-      val posSide = if (total <= 4_000_000L) broadcast(pos) else pos
-      val withKeys = df
-        .withColumn("__dv_path", col("_metadata.file_path"))
-        .withColumn("__dv_pos", col("_metadata.row_index"))
-      withKeys.join(posSide,
-          withKeys("__dv_path") === posSide("path") &&
-            withKeys("__dv_pos") === posSide("pos"),
-          "left_anti")
-        .select(cols.map(col): _*)
-    }
+    val dvApplied =
+      if (dvs.isEmpty) df
+      else {
+        val cols = df.columns.toSeq
+        val dirs = dvs.values.map(_.dir).toSeq.distinct
+        val pos = spark.read.schema(TxnLog.DvSchema).parquet(dirs: _*)
+        val total = dvs.valuesIterator.map(_.rows).sum
+        val posSide = if (total <= 4_000_000L) broadcast(pos) else pos
+        val withKeys = df
+          .withColumn("__dv_path", col("_metadata.file_path"))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+        withKeys.join(posSide,
+            withKeys("__dv_path") === posSide("path") &&
+              withKeys("__dv_pos") === posSide("pos"),
+            "left_anti")
+          .select(cols.map(col): _*)
+      }
+    // COLUMN MAPPING: present the logical names of this version. The
+    // alias Project costs nothing — Catalyst pushes filters and column
+    // pruning straight through it back to the physical scan, so mapped
+    // tables keep file pruning and parquet pushdown intact.
+    val cm = TxnLog.columnMappingAt(spark, table, version)
+    cm.toLogical(dvApplied)
   }
 
   /** (planned, total) live-file counts for an inclusive range predicate,

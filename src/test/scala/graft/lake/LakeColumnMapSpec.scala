@@ -1,0 +1,178 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Column mapping (Delta's name-mapping mode): RENAME/DROP COLUMN as
+  * metadata-only commits. Physical names are immutable — the mapping
+  * props translate at the table's edges, so reads/DML/constraints/
+  * change feed all speak logical names while files and stats stay
+  * physical, and time travel across a rename presents that version's
+  * names.
+  */
+class LakeColumnMapSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+  import org.apache.spark.sql.graft.LakeMounts
+
+  private def freshTable(prefix: String): String = {
+    val table = Files.createTempDirectory(prefix).toString
+    TxnLog.append(spark, table, spark.range(0, 100)
+      .select(col("id"), (col("id") * 2).as("v"),
+        concat(lit("s"), col("id") % 3).as("tag")).coalesce(1))
+    table
+  }
+
+  private def dataFiles(table: String): Set[String] =
+    TxnLog.snapshot(spark, table).inputFiles.toSet
+
+  test("RENAME COLUMN is metadata-only; reads map; time travel keeps old names") {
+    val table = freshTable("graft-cm-rename")
+    val before = dataFiles(table)
+    val v = TxnLog.renameColumn(spark, table, "v", "doubled")
+    assert(v == 2L)
+    assert(dataFiles(table) == before) // no file moved or rewritten
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.columns.toSeq == Seq("id", "doubled", "tag"))
+    assert(snap.agg(sum("doubled")).as[Long].head() ==
+      (0L until 100L).map(_ * 2).sum)
+    // time travel BEFORE the rename presents the old name
+    assert(TxnLog.snapshot(spark, table, Some(1L)).columns.toSeq ==
+      Seq("id", "v", "tag"))
+    // appends in the NEW name land in the same physical column
+    TxnLog.append(spark, table, Seq((100L, 200L, "s1"))
+      .toDF("id", "doubled", "tag"))
+    assert(TxnLog.snapshot(spark, table)
+      .filter(col("id") === 100).select("doubled").as[Long].head() == 200L)
+  }
+
+  test("chained rename and rename-back fold correctly; retired names refused") {
+    val table = freshTable("graft-cm-chain")
+    TxnLog.renameColumn(spark, table, "v", "a1")
+    TxnLog.renameColumn(spark, table, "a1", "a2")
+    assert(TxnLog.snapshot(spark, table).columns.toSeq ==
+      Seq("id", "a2", "tag"))
+    // rename back to the original physical name folds to identity
+    TxnLog.renameColumn(spark, table, "a2", "v")
+    assert(TxnLog.columnMappingAt(spark, table).isEmpty)
+    // a LIVE physical name of another column is retired for rename
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.renameColumn(spark, table, "v", "id")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
+  test("DROP COLUMN hides everywhere; re-adding the name is refused; travel sees it") {
+    val table = freshTable("graft-cm-drop")
+    val before = dataFiles(table)
+    TxnLog.dropColumn(spark, table, "tag")
+    assert(dataFiles(table) == before)
+    assert(TxnLog.snapshot(spark, table).columns.toSeq == Seq("id", "v"))
+    assert(TxnLog.snapshot(spark, table, Some(1L)).columns.toSeq ==
+      Seq("id", "v", "tag"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.addColumns(spark, table,
+        Seq(org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType)))
+    }
+    assert(e.getMessage.contains("retired"), e.getMessage)
+    // appends that still carry the dropped logical name are refused
+    val e2 = intercept[Exception] {
+      TxnLog.append(spark, table,
+        Seq((200L, 1L, "x")).toDF("id", "v", "tag"))
+    }
+    assert(e2.getMessage.contains("retired") ||
+      e2.getMessage.contains("dropped"), e2.getMessage)
+  }
+
+  test("SQL surface: ALTER RENAME/DROP COLUMN, DML and reads in logical names") {
+    val table = freshTable("graft-cm-sql")
+    LakeMounts.mount(spark, "cm_t", table)
+    spark.sql("ALTER TABLE cm_t RENAME COLUMN v TO doubled")
+    spark.sql("ALTER TABLE cm_t DROP COLUMN tag")
+    assert(spark.table("cm_t").columns.toSeq == Seq("id", "doubled"))
+    // DML through the logical name, file-pruned machinery underneath
+    spark.sql("UPDATE cm_t SET doubled = doubled + 1 WHERE id = 10")
+    assert(spark.sql("SELECT doubled FROM cm_t WHERE id = 10")
+      .as[Long].head() == 21L)
+    spark.sql("DELETE FROM cm_t WHERE id = 50")
+    assert(spark.table("cm_t").count() == 99)
+    // time travel in SQL presents the OLD names
+    val old = spark.sql("SELECT * FROM cm_t VERSION AS OF 1")
+    assert(old.columns.toSeq == Seq("id", "v", "tag"))
+    // change feed speaks the current logical names
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = 3L)
+    assert(feed.columns.contains("doubled") && !feed.columns.contains("v"))
+    assert(!feed.columns.contains("tag"))
+  }
+
+  test("merge, ranged delete, snapshotWhere and constraints bind logical names") {
+    val table = freshTable("graft-cm-dml")
+    TxnLog.renameColumn(spark, table, "v", "doubled")
+    // upsert by logical key columns
+    TxnLog.merge(spark, table,
+      Seq((5L, 999L, "s0"), (200L, 400L, "s2")).toDF("id", "doubled", "tag"),
+      Seq("id"))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.filter(col("id") === 5).select("doubled").as[Long].head() == 999L)
+    assert(snap.count() == 101)
+    // ranged delete with a LOGICAL range column
+    TxnLog.delete(spark, table,
+      Seq(TxnLog.ColRange("doubled", Some(400L), Some(400L))))
+    assert(TxnLog.snapshot(spark, table).filter(col("id") === 200).count() == 0)
+    // snapshotWhere ranges in logical names (id 5 was upserted to 999,
+    // so 0,2,4,6,8,10 minus that row)
+    assert(TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("doubled", Some(0L), Some(10L))))
+      .count() == 5)
+    // constraints: written against logical names, enforced on writes
+    TxnLog.addConstraint(spark, table, "dbl_pos", "doubled >= 0")
+    val e = intercept[Exception] {
+      TxnLog.append(spark, table, Seq((300L, -1L, "s0"))
+        .toDF("id", "doubled", "tag"))
+    }
+    assert(e.getMessage.contains("dbl_pos"), e.getMessage)
+    // renaming a constrained column is refused loudly
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.renameColumn(spark, table, "doubled", "dd")
+    }
+    assert(e2.getMessage.contains("dbl_pos"), e2.getMessage)
+  }
+
+  test("compaction folds a mapped table and keeps the mapping") {
+    val table = freshTable("graft-cm-compact")
+    TxnLog.append(spark, table, spark.range(100, 200)
+      .select(col("id"), (col("id") * 2).as("v"),
+        concat(lit("s"), col("id") % 3).as("tag")).coalesce(1))
+    TxnLog.renameColumn(spark, table, "v", "doubled")
+    TxnLog.dropColumn(spark, table, "tag")
+    TxnLog.compact(spark, table)
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.columns.toSeq == Seq("id", "doubled"))
+    assert(snap.count() == 200)
+    assert(snap.agg(sum("doubled")).as[Long].head() ==
+      (0L until 200L).map(_ * 2).sum)
+    // dropped column's bytes are purged by the fold: the new head's
+    // physical schema no longer carries it
+    assert(!TxnLog.schemaOf(spark, table).fieldNames.contains("tag"))
+  }
+
+  test("partition columns cannot be renamed or dropped; DSv2 refuses mapped tables") {
+    val table = Files.createTempDirectory("graft-cm-part").toString
+    TxnLog.append(spark, table, spark.range(0, 40)
+      .select(col("id"), (col("id") % 4).as("p")), partitionCols = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.renameColumn(spark, table, "p", "bucket")
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    TxnLog.renameColumn(spark, table, "id", "rowid") // data col is fine
+    val e2 = intercept[Exception] {
+      spark.read.format("graftlake").load(table).collect()
+    }
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+    // the Catalyst relation path serves it instead
+    assert(org.apache.spark.sql.graft.LakeRead.relation(spark, table)
+      .columns.toSeq.sorted == Seq("p", "rowid"))
+  }
+}
