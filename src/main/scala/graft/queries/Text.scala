@@ -203,6 +203,34 @@ object Text extends QueryPack {
   def vocabBuild(s: SparkSession, dir: String): DataFrame =
     graft.text.Vocabulary.build(Tables.documents(s, dir), k = 200)
 
+  /** BPE-training gate (q125): the REAL merge loop
+    * ([[graft.text.Vocabulary.bpeTrain]]) — 30 rounds of weighted
+    * adjacent-pair argmax with deterministic ties over the corpus's
+    * distinct-word table, merges applied with the guarded-string
+    * `replace` trick. The learned tokenizer is exercised on the way out
+    * (a `bpeTokens` count over the corpus must be strictly below the
+    * character-symbol baseline — merges must actually compress).
+    * Oracled vs a DuckDB RECURSIVE CTE replaying the SAME deterministic
+    * merge sequence from scratch: final vocab (symbol, weighted count)
+    * must hash-match.
+    */
+  def bpeTrainGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Vocabulary
+    val docs = Tables.documents(s, dir)
+    val (merges, seg) = Vocabulary.bpeTrain(docs, numMerges = 30)
+    require(merges.length == 30,
+      s"corpus must support 30 BPE merges, got ${merges.length}")
+    // the learned tokenizer compresses: token count under the merges
+    // is strictly below the character baseline
+    val counts = docs.agg(
+      sum(Vocabulary.bpeTokens(col("text"), merges)).as("bpe"),
+      sum(Vocabulary.bpeTokens(col("text"), Nil)).as("chars")).head()
+    require(counts.getLong(0) < counts.getLong(1),
+      s"BPE tokens (${counts.getLong(0)}) must compress below the " +
+        s"char baseline (${counts.getLong(1)})")
+    Vocabulary.bpeVocab(seg)
+  }
+
   /** Token-budget selection gate (q117): the highest-quality documents
     * whose cumulative char count fits a 60k budget, greedily by
     * (quality DESC, doc_id) — [[graft.text.TokenBudget.select]]'s
@@ -238,6 +266,7 @@ object Text extends QueryPack {
     "q55_media_features" -> mediaFeatures _,
     "q74_winnow_gate" -> winnowGate _,
     "q78_repetition" -> repetition _,
+    "q125_bpe_train" -> bpeTrainGate _,
   )
 
   private def hitsSql(lang: String): String = {
@@ -246,6 +275,39 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q125_bpe_train" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT word, count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |          AS word FROM documents)
+        |  GROUP BY word),
+        |seg(iter, word, freq, s) AS (
+        |  SELECT 0, word, freq,
+        |    regexp_replace(word, '(.)', chr(31) || '\1' || chr(31), 'g')
+        |  FROM words
+        |  UNION ALL
+        |  SELECT iter + 1, word, freq,
+        |    replace(s,
+        |      chr(31) || best.a || chr(31) || chr(31) || best.b || chr(31),
+        |      chr(31) || best.a || best.b || chr(31))
+        |  FROM seg, (
+        |    SELECT a, b FROM (
+        |      SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS c
+        |      FROM (SELECT freq,
+        |              str_split(trim(s, chr(31)), chr(31) || chr(31)) AS syms
+        |            FROM seg),
+        |           UNNEST(range(1, len(syms))) AS u(i)
+        |      GROUP BY 1, 2
+        |      ORDER BY c DESC, a, b
+        |      LIMIT 1)
+        |  ) best
+        |  WHERE iter < 30)
+        |SELECT sym, sum(freq)::BIGINT AS cnt
+        |FROM (SELECT freq,
+        |        unnest(str_split(trim(s, chr(31)), chr(31) || chr(31))) AS sym
+        |      FROM seg WHERE iter = 30)
+        |GROUP BY sym ORDER BY cnt DESC, sym""".stripMargin,
     "q116_vocab" ->
       """WITH t AS (
         |  SELECT unnest([x for x in string_split_regex(lower(text), '\s+')

@@ -33,6 +33,96 @@ object Vocabulary {
         .cast("long"))
   }
 
+  /** Guard char wrapping every BPE symbol in the string encoding below
+    * — outside the `[a-z]+` pre-token alphabet, so a literal
+    * left-to-right `replace` of `⟂a⟂⟂b⟂` with `⟂ab⟂` is exactly BPE's
+    * leftmost non-overlapping pair merge, identically in Spark and in
+    * any engine with the same `replace` semantics (the DuckDB oracle
+    * replays the identical merge sequence this way).
+    */
+  private val Sep = "\u001f"
+
+  /** TRUE BPE TRAINING (the merge loop, not a frequency heuristic), as
+    * bounded Spark rounds. Pre-tokenize once (`[a-z]+` words of the
+    * lowercased corpus — the ONLY corpus-scale pass), count word
+    * frequencies, then run `numMerges` rounds over the DISTINCT-WORD
+    * table: weighted adjacent-pair counts, argmax with deterministic
+    * ties (count desc, then pair lexicographic), merge via the guarded
+    * string `replace`. Each round is one small job over a
+    * vocabulary-sized table (distinct words, not the corpus) with its
+    * lineage truncated per round — the industrial trainer shape, so
+    * 100 TB of text costs one tokenize+count shuffle plus `numMerges`
+    * aggregations over megabytes.
+    *
+    * Returns (merge sequence in order, final word segmentations
+    * `word, freq, s` in the guarded encoding).
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
+    val words = docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("s", regexp_replace(col("word"), "(.)", s"$Sep$$1$Sep"))
+    var seg = words.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      i += 1
+      val arr = split(trim(col("s"), Sep), Sep + Sep)
+      val pairs = seg.select(col("freq"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("freq"), col("p.a"), col("p.b"))
+      // ONE driver row per round: the argmax pair (bounded by design)
+      val best = pairs.groupBy(col("a"), col("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) done = true // every word is one symbol already
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        seg = seg.withColumn("s", call_function("replace", col("s"),
+            lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep$a$b$Sep")))
+          .localCheckpoint(true) // truncate lineage each round
+      }
+    }
+    (merges.toSeq, seg)
+  }
+
+  /** The trained vocabulary: distinct symbols of the final
+    * segmentations with corpus-weighted occurrence counts,
+    * deterministically ordered (count desc, symbol) — what a tokenizer
+    * build step persists.
+    */
+  def bpeVocab(seg: DataFrame): DataFrame =
+    seg.select(col("freq"),
+        explode(split(trim(col("s"), Sep), Sep + Sep)).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym"))
+
+  /** Token count of `text` under a trained merge sequence — the learned
+    * tokenizer as ONE codegen'd column expression (the `replace` chain
+    * applies the merges in training order, then the symbol count is the
+    * token count). OOV-safe: unmergeable text stays at character
+    * granularity, exactly like BPE inference.
+    */
+  def bpeTokens(text: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val wrapped = regexp_replace(lower(text), "[^a-z]+", " ")
+    val guarded = regexp_replace(trim(wrapped), "(.)",
+      s"$Sep$$1$Sep") // spaces stay as guard-wrapped separators
+    val folded = merges.foldLeft(guarded) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s"$Sep$a$Sep$Sep$b$Sep"),
+        lit(s"$Sep$a$b$Sep"))
+    }
+    // spaces are their own wrapped symbols: subtract them from the count
+    val syms = split(trim(folded, Sep), Sep + Sep)
+    size(filter(syms, sy => sy =!= lit(" ")))
+  }
+
   /** Occurrence coverage of a vocabulary: what fraction of all token
     * OCCURRENCES in the corpus the vocab covers — the figure that
     * decides whether k is big enough. One scan: tokens left-join the

@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** True BPE training: the merge loop must reproduce the hand-computed
+  * merge sequence (weighted pair argmax, deterministic lexicographic
+  * ties, leftmost non-overlapping application) and the learned
+  * tokenizer must count exactly.
+  */
+class VocabularyBpeSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private val corpus = Seq(
+    "the cat sat on the mat",
+    "the cat ate the rat",
+    "a cat and a rat sat").toDF("text")
+
+  test("merge sequence matches the hand computation, ties broken lexicographically") {
+    val (merges, _) = Vocabulary.bpeTrain(corpus, numMerges = 5)
+    // weighted pair counts: (a,t)=9 wins round 1; then (h,e) and (t,h)
+    // tie at 4 -> lexicographic picks (h,e); then (t,he)=4 -> "the";
+    // (c,at)=3 -> "cat"; (r,at) and (s,at) tie at 2 -> (r,at)
+    assert(merges == Seq(("a", "t"), ("h", "e"), ("t", "he"),
+      ("c", "at"), ("r", "at")))
+  }
+
+  test("final segmentations and vocab reflect leftmost non-overlapping merges") {
+    val (_, seg) = Vocabulary.bpeTrain(corpus, numMerges = 5)
+    val vocab = Vocabulary.bpeVocab(seg).as[(String, Long)].collect().toMap
+    assert(vocab("the") == 4L) // fully merged
+    assert(vocab("cat") == 3L)
+    assert(vocab("rat") == 2L)
+    assert(vocab("at") == 4L)  // sat x2, mat, ate keep a bare "at"
+    assert(!vocab.contains("sat")) // 6th merge never ran
+  }
+
+  test("bpeTokens counts exactly under the learned merges and compresses") {
+    val (merges, _) = Vocabulary.bpeTrain(corpus, numMerges = 5)
+    val counts = corpus.select(
+      Vocabulary.bpeTokens(col("text"), merges).as("n")).as[Int].collect()
+    // "the cat sat on the mat": the|cat|s|at|o|n|the|m|at = 9 symbols
+    assert(counts(0) == 9, counts.toSeq)
+    // char baseline strictly higher for every doc
+    val base = corpus.select(
+      Vocabulary.bpeTokens(col("text"), Nil).as("n")).as[Int].collect()
+    assert(counts.zip(base).forall { case (b, c) => b < c })
+  }
+
+  test("an exhausted corpus stops early instead of looping") {
+    val tiny = Seq("ab ab").toDF("text")
+    val (merges, _) = Vocabulary.bpeTrain(tiny, numMerges = 10)
+    assert(merges == Seq(("a", "b"))) // one pair, then nothing to merge
+  }
+}
