@@ -20,12 +20,17 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var last = -1.0
     for (i <- 1 to repeats) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[bench-one] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      last = (System.nanoTime() - t0) / 1e9
+      println(f"[bench-one] $name run$i: $last%.2f s")
     }
+    // machine-parseable steady-state line (last run) — graft.Bench forks
+    // this main per heavy query and reads it back
+    println(f"BENCHONE_STEADY $name $last%.3f")
     spark.stop()
   }
 }

@@ -762,7 +762,8 @@ object Etl extends QueryPack {
     * DELETE, and a SQL INSERT — the replica snapshot hash-checks
     * against DuckDB computing the same final state directly.
     */
-  def cdfReplicate(s: SparkSession, dir: String): DataFrame = {
+  def cdfReplicate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
     val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val source = s"/tmp/graft_lake_repl_src_$suffix"
     val replica = s"/tmp/graft_lake_repl_dst_$suffix"
@@ -801,7 +802,8 @@ object Etl extends QueryPack {
     * maintained table must hash-match DuckDB computing the aggregate of
     * the final state directly.
     */
-  def incrementalAggMv(s: SparkSession, dir: String): DataFrame = {
+  def incrementalAggMv(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
     val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val source = s"/tmp/graft_lake_mv_src_$suffix"
     val mv = s"/tmp/graft_lake_mv_dst_$suffix"

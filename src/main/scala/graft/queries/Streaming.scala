@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Streaming extends QueryPack {
 
+  /** Run `body` with a small shuffle-partition count. The streaming
+    * gates process toy volumes through stateful operators whose state
+    * stores are per-partition: at the session's 32 partitions every
+    * micro-batch writes 32 x operators state files, and that checkpoint
+    * churn — not data — dominates their wall time. 4 partitions cuts it
+    * 8x with bit-identical results (nothing here depends on partition
+    * count); a real deployment sizes this to its volume.
+    */
+  private[queries] def withSmallShuffle[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   def eventWindows(s: SparkSession, dir: String): DataFrame =
     EventSessions.tumblingCounts(Tables.events(s, dir))
 
@@ -30,7 +45,8 @@ object Streaming extends QueryPack {
     * deterministic across partitions), so the gate compares the content
     * hash and length, which duplicates share by construction.
     */
-  def streamingDedupGate(s: SparkSession, dir: String): DataFrame = {
+  def streamingDedupGate(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.documents(s, dir).schema
     // the source path must be a GLOB: for a literal file path the file
@@ -59,7 +75,8 @@ object Streaming extends QueryPack {
     * arrival-order-dependent, so the gate compares the surviving KEY
     * set, which equals DuckDB's DISTINCT over the same columns.
     */
-  def streamingDedupKeysGate(s: SparkSession, dir: String): DataFrame = {
+  def streamingDedupKeysGate(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{LongType, StructType}
     // events.ts is parquet TIMESTAMP(NANOS): Tables.events sets the
@@ -91,7 +108,8 @@ object Streaming extends QueryPack {
     * so the match set is exact and DuckDB's batch interval join is the
     * oracle.
     */
-  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{LongType, StructType}
     val converted = Tables.events(s, dir)
@@ -129,7 +147,8 @@ object Streaming extends QueryPack {
     * loudly if the drain collapsed into fewer batches; the row-level
     * oracle is the plain batch aggregate over orders.
     */
-  def streamRateLimit(s: SparkSession, dir: String): DataFrame = {
+  def streamRateLimit(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
     import org.apache.spark.sql.streaming.Trigger
     val table = s"/tmp/graft_lake_rate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val root = new org.apache.hadoop.fs.Path(table)

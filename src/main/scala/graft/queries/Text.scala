@@ -214,7 +214,8 @@ object Text extends QueryPack {
     * merge sequence from scratch: final vocab (symbol, weighted count)
     * must hash-match.
     */
-  def bpeTrainGate(s: SparkSession, dir: String): DataFrame = {
+  def bpeTrainGate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
     import graft.text.Vocabulary
     val docs = Tables.documents(s, dir)
     val (merges, seg) = Vocabulary.bpeTrain(docs, numMerges = 30)

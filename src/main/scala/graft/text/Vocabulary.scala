@@ -58,7 +58,8 @@ object Vocabulary {
     * `word, freq, s` in the guarded encoding).
     */
   def bpeTrain(docs: DataFrame, numMerges: Int,
-      textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
+      textCol: String = "text",
+      checkpointEvery: Int = 5): (Seq[(String, String)], DataFrame) = {
     val words = docs
       .select(explode(expr(
         s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
@@ -85,8 +86,12 @@ object Vocabulary {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
         seg = seg.withColumn("s", call_function("replace", col("s"),
-            lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep$a$b$Sep")))
-          .localCheckpoint(true) // truncate lineage each round
+          lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep$a$b$Sep")))
+        // truncate lineage every few rounds: an eager checkpoint is a
+        // whole extra job, and a <=checkpointEvery-deep replace chain
+        // costs nothing to analyze — per-round checkpointing was the
+        // dominant wall-time at toy scale (job count, not data)
+        if (i % checkpointEvery == 0) seg = seg.localCheckpoint(true)
       }
     }
     (merges.toSeq, seg)
