@@ -379,9 +379,9 @@ object Etl extends QueryPack {
     * `DROP COLUMN` as METADATA-ONLY commits (required loudly: zero data
     * files added/moved), DML through the new name, time travel across
     * the rename presenting the OLD names (required), the DSv2 reader
-    * refusing the mapped table loudly rather than surfacing physical
-    * names — final logical state oracled vs DuckDB aliasing the
-    * original columns.
+    * presenting the logical schema with translated filters (required)
+    * — final logical state oracled vs DuckDB aliasing the original
+    * columns.
     */
   def renameColumnGate(s: SparkSession, dir: String): DataFrame = {
     val table = s"/tmp/graft_lake_cmap_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -414,11 +414,13 @@ object Etl extends QueryPack {
       !old.columns.contains("price"),
       s"time travel before the rename must show the old schema, " +
         s"got ${old.columns.mkString(",")}")
-    // the DSv2 reader must refuse loudly, never surface physical names
-    val refused =
-      try { s.read.format("graftlake").load(table).collect(); false }
-      catch { case e: Exception => e.getMessage.contains("column mapping") }
-    require(refused, "DSv2 must refuse column-mapped tables loudly")
+    // the DSv2 reader translates at the boundary: logical names out,
+    // pruning/pushdown in physical — it must agree with the SQL mount
+    val v2 = s.read.format("graftlake").load(table)
+    require(v2.columns.toSeq == s.table("q124_orders").columns.toSeq,
+      s"DSv2 must present the logical schema, got ${v2.columns.mkString(",")}")
+    require(v2.filter(col("price") < 5000.0).count() == 0L,
+      "DSv2 must apply the rename to filters and see the post-DELETE state")
     s.table("q124_orders")
   }
 

@@ -56,8 +56,12 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
     * incoming DataFrame's schema in as `userSchema`, so writing to a
     * not-yet-existing table never triggers log-backed inference.)
     */
+  private[graft] lazy val colMap: TxnLog.ColumnMapping =
+    TxnLog.columnMappingAt(spark, tablePath, versionAsOf)
+
   override lazy val schema: StructType = userSchema.getOrElse(
-    StructType(index.dataSchema.fields ++ index.partitionSchema.fields))
+    colMap.logicalSchema(
+      StructType(index.dataSchema.fields ++ index.partitionSchema.fields)))
 
   override def name(): String = s"graftlake.`$tablePath`"
 
@@ -87,25 +91,39 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftLakeWriteBuilder(spark, tablePath, options)
 
+  /** COLUMN MAPPING on the V2 read path: the inner parquet machinery
+    * works entirely in PHYSICAL names (what the files record), and the
+    * builder/scan wrappers translate at the boundary — required columns
+    * logical→physical, pushed filter attributes logical→physical (so
+    * row-group skipping still bites on renamed columns), the reported
+    * read schema physical→logical. Rows are positional, so the data
+    * itself needs no conversion; dropped columns are absent from the
+    * logical schema and thus never requested. Schema pinning
+    * (user-specified schema) is refused on mapped tables — a pinned
+    * logical schema cannot be matched against drifting physical names.
+    */
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
-    // COLUMN MAPPING: the V2 scan hands Spark's parquet machinery the
-    // physical schema directly, which would surface PHYSICAL names (and
-    // resurrect dropped columns) on a mapped table — refuse loudly
-    // rather than read wrong; the Catalyst relation paths (mounted SQL,
-    // TxnLog.snapshot) fully support mapped tables.
-    val cmV2 = TxnLog.columnMappingAt(spark, tablePath, versionAsOf)
-    require(cmV2.isEmpty,
+    val physFull = StructType(
+      index.dataSchema.fields ++ index.partitionSchema.fields)
+    // `supportsExternalMetadata` means Spark routes the INFERRED schema
+    // back in as userSchema on plain reads — only a schema that
+    // DIFFERS from the current logical view is a genuine pin, which a
+    // mapped table cannot honor (pinned logical names cannot be matched
+    // against drifting physical ones)
+    require(colMap.isEmpty ||
+        userSchema.forall(_ == colMap.logicalSchema(physFull)),
       s"$tablePath has renamed or dropped columns (column mapping); " +
-        "the DSv2 reader does not translate physical names yet — read " +
-        "it via a mounted SQL table or TxnLog.snapshot instead")
+        "a user-pinned schema cannot be translated — drop .schema(...)")
     val partNames = index.partitionSchema.fieldNames.toSet
+    // the INNER builders always speak physical
+    val basis = if (colMap.isEmpty) schema else physFull
     val dataSchema = StructType(
-      schema.fields.filterNot(f => partNames.contains(f.name)))
+      basis.fields.filterNot(f => partNames.contains(f.name)))
     val plain = ParquetScanBuilder(spark, new LakeV2Index(spark, index),
-      schema, dataSchema, opts)
+      basis, dataSchema, opts)
     val dvs = index.liveDvs
     if (dvs.isEmpty)
-      new GraftLakeScanBuilder(spark, tablePath, plain, opts)
+      new GraftLakeScanBuilder(spark, tablePath, plain, opts, cm = colMap)
     else {
       // DELETION VECTORS: a second builder whose data schema carries
       // Spark's parquet row-index temp column — the stock reader then
@@ -119,10 +137,10 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
           .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
         org.apache.spark.sql.types.LongType, nullable = true)
       val dvInner = ParquetScanBuilder(spark, new LakeV2Index(spark, index),
-        StructType(schema.fields :+ rowIdx),
+        StructType(basis.fields :+ rowIdx),
         StructType(dataSchema.fields :+ rowIdx), opts)
       new GraftLakeScanBuilder(spark, tablePath, plain, opts,
-        dvInner = Some((dvInner, rowIdx, dvs)))
+        dvInner = Some((dvInner, rowIdx, dvs)), cm = colMap)
     }
   }
 }
@@ -135,23 +153,44 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
 class GraftLakeScanBuilder(spark: SparkSession, tablePath: String,
     inner: ParquetScanBuilder, options: CaseInsensitiveStringMap,
     dvInner: Option[(ParquetScanBuilder, org.apache.spark.sql.types.StructField,
-      Map[String, TxnLog.DvRef])] = None)
+      Map[String, TxnLog.DvRef])] = None,
+    cm: TxnLog.ColumnMapping = TxnLog.ColumnMapping.empty)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    inner.pruneColumns(requiredSchema)
+    // requested columns arrive LOGICAL; the inner scan speaks physical
+    // (top-level rename only — mapping DDL validates top-level names)
+    val phys =
+      if (cm.isEmpty) requiredSchema
+      else StructType(requiredSchema.fields.map(f =>
+        f.copy(name = cm.physicalName(f.name))))
+    inner.pruneColumns(phys)
     dvInner.foreach { case (b, rowIdx, _) =>
-      b.pruneColumns(StructType(requiredSchema.fields :+ rowIdx)) }
+      b.pruneColumns(StructType(phys.fields :+ rowIdx)) }
   }
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    dvInner.foreach(_._1.pushFilters(filters))
-    inner.pushFilters(filters)
-  }
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    if (cm.isEmpty) {
+      dvInner.foreach(_._1.pushFilters(filters))
+      inner.pushFilters(filters)
+    } else {
+      // push TRANSLATED filters (row-group skipping still bites on the
+      // physical column), but report every ORIGINAL filter as residual:
+      // Spark re-evaluates them post-scan against the logical schema,
+      // which is always correct
+      val translated = filters.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if cm.renames.contains(a.name) =>
+          a.withName(cm.physicalName(a.name))
+      })
+      dvInner.foreach(_._1.pushFilters(translated))
+      inner.pushFilters(translated)
+      filters
+    }
 
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -159,15 +198,24 @@ class GraftLakeScanBuilder(spark: SparkSession, tablePath: String,
 
   override def build(): Scan =
     new GraftLakeScan(spark, tablePath, inner.build(), options,
-      dvInner.map { case (b, rowIdx, dvs) => (b.build(), rowIdx.name, dvs) })
+      dvInner.map { case (b, rowIdx, dvs) => (b.build(), rowIdx.name, dvs) },
+      cm)
 }
 
 class GraftLakeScan(spark: SparkSession, tablePath: String,
     inner: ParquetScan, options: CaseInsensitiveStringMap,
-    dvMode: Option[(ParquetScan, String, Map[String, TxnLog.DvRef])] = None)
+    dvMode: Option[(ParquetScan, String, Map[String, TxnLog.DvRef])] = None,
+    cm: TxnLog.ColumnMapping = TxnLog.ColumnMapping.empty)
     extends Scan {
 
-  override def readSchema(): StructType = inner.readSchema()
+  /** The pruned schema in LOGICAL names (rows are positional: the
+    * physical batch needs no conversion, only the reported names do).
+    */
+  override def readSchema(): StructType = {
+    val s0 = inner.readSchema()
+    if (cm.isEmpty) s0
+    else StructType(s0.fields.map(f => f.copy(name = cm.logicalName(f.name))))
+  }
 
   /** Batch read honoring deletion vectors: the DV twin scan reads with
     * the generated row-index column; its partitions are re-read one

@@ -158,7 +158,7 @@ class LakeColumnMapSpec extends SparkSpec {
     assert(!TxnLog.schemaOf(spark, table).fieldNames.contains("tag"))
   }
 
-  test("partition columns cannot be renamed or dropped; DSv2 refuses mapped tables") {
+  test("partition columns cannot be renamed or dropped; DSv2 reads mapped tables logically") {
     val table = Files.createTempDirectory("graft-cm-part").toString
     TxnLog.append(spark, table, spark.range(0, 40)
       .select(col("id"), (col("id") % 4).as("p")), partitionCols = Seq("p"))
@@ -167,12 +167,40 @@ class LakeColumnMapSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("partition"), e.getMessage)
     TxnLog.renameColumn(spark, table, "id", "rowid") // data col is fine
+    // DSv2 read: logical names out, filters/pruning translated in
+    val v2 = spark.read.format("graftlake").load(table)
+    assert(v2.columns.toSeq.sorted == Seq("p", "rowid"))
+    assert(v2.filter(col("rowid") === 7).select("rowid").as[Long]
+      .collect().toSeq == Seq(7L))
+    assert(v2.filter(col("p") === 2).count() == 10)
+    // the pushed (translated) filter still reaches the parquet scan
+    val plan = v2.filter(col("rowid") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+    // a pinned schema that DIFFERS from the logical view (here: the old
+    // physical name) cannot be translated: refused loudly
     val e2 = intercept[Exception] {
-      spark.read.format("graftlake").load(table).collect()
+      spark.read.schema("id LONG, p LONG").format("graftlake")
+        .load(table).collect()
     }
-    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
-    // the Catalyst relation path serves it instead
+    assert(e2.getMessage.contains("pinned"), e2.getMessage)
+    // the Catalyst relation path agrees
     assert(org.apache.spark.sql.graft.LakeRead.relation(spark, table)
       .columns.toSeq.sorted == Seq("p", "rowid"))
+  }
+
+  test("DSv2 read of a mapped table honors deletion vectors too") {
+    val table = freshTable("graft-cm-dv")
+    TxnLog.renameColumn(spark, table, "v", "doubled")
+    spark.conf.set(LakeDml.DeletionVectorsConf, "true")
+    try LakeDml.deleteWhere(spark, table, col("id") === 10,
+      Seq(TxnLog.ColRange("id", Some(10L), Some(10L))))
+    finally spark.conf.unset(LakeDml.DeletionVectorsConf)
+    val v2 = spark.read.format("graftlake").load(table)
+    assert(v2.columns.toSeq == Seq("id", "doubled", "tag"))
+    assert(v2.count() == 99)
+    assert(v2.filter(col("id") === 10).count() == 0)
+    assert(v2.filter(col("doubled") === 20).count() == 0) // the deleted row
+    assert(v2.filter(col("doubled") === 40).count() == 1) // id 20 survives
   }
 }
