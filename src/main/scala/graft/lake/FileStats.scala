@@ -32,7 +32,15 @@ object FileStats {
   /** min/max of one column in one file. tag: 'l' long, 'd' double,
     * 's' string (dates are 'l' epoch-days).
     */
-  final case class ColStats(tag: Char, min: String, max: String)
+  /** `nulls`: the column's null count in the file, or -1 when unknown
+    * (stats harvested before null counts existed, or a row group that
+    * did not set num_nulls). Exact zero is what licenses WHOLE-FILE
+    * DELETE drops: a null predicate value keeps its row (SQL
+    * three-valued WHERE), so a file may only be dropped unread when
+    * provably no row evaluates to NULL.
+    */
+  final case class ColStats(tag: Char, min: String, max: String,
+      nulls: Long = -1L)
 
   private val B64E = Base64.getUrlEncoder.withoutPadding
   private val B64D = Base64.getUrlDecoder
@@ -119,13 +127,21 @@ object FileStats {
     else {
       val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
       val invalid = scala.collection.mutable.Set.empty[String]
+      // per-column null counts; a single row group without num_nulls
+      // poisons the column's count to unknown (-1)
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
       for (block <- reader.getFooter.getBlocks.asScala;
            cc <- block.getColumns.asScala) {
         val name = cc.getPath.toArray.mkString(".")
         if (tags.contains(name)) {
           val st = cc.getStatistics
-          if (st == null || st.isEmpty) invalid += name
-          else if (st.hasNonNullValue) {
+          if (st == null || st.isEmpty) { invalid += name; nulls(name) = -1L }
+          else {
+            if (!st.isNumNullsSet) nulls(name) = -1L
+            else if (nulls.getOrElse(name, 0L) >= 0L)
+              nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+          }
+          if (st != null && !st.isEmpty && st.hasNonNullValue) {
             // decimal footer values are UNSCALED — as ints (precision
             // <= 18) or big-endian two's-complement binary (wider);
             // rescale on entry so min/max/render see plain BigDecimals
@@ -149,7 +165,8 @@ object FileStats {
       }
       (acc -- invalid).map { case (name, (lo, hi)) =>
         val t = tags(name)
-        name -> ColStats(t, render(t, lo), render(t, hi))
+        name -> ColStats(t, render(t, lo), render(t, hi),
+          nulls.getOrElse(name, -1L))
       }.toMap
     }
   }
@@ -202,14 +219,23 @@ object FileStats {
   /** `b64(col):tag:b64(min):b64(max)` joined by `,`. */
   def encode(stats: Map[String, ColStats]): String =
     stats.toSeq.sortBy(_._1).map { case (c, s) =>
-      s"${b64(c)}:${s.tag}:${b64(s.min)}:${b64(s.max)}"
+      // the null count rides as an OPTIONAL 5th field: manifests
+      // written before it decode with nulls = -1 (unknown)
+      val tail = if (s.nulls >= 0) s":${s.nulls}" else ""
+      s"${b64(c)}:${s.tag}:${b64(s.min)}:${b64(s.max)}$tail"
     }.mkString(",")
 
   def decode(s: String): Map[String, ColStats] =
     if (s.isEmpty) Map.empty
     else s.split(',').map { rec =>
-      val Array(c, t, lo, hi) = rec.split(':')
-      unb64(c) -> ColStats(t(0), unb64(lo), unb64(hi))
+      rec.split(':') match {
+        case Array(c, t, lo, hi) =>
+          unb64(c) -> ColStats(t(0), unb64(lo), unb64(hi))
+        case Array(c, t, lo, hi, n) =>
+          unb64(c) -> ColStats(t(0), unb64(lo), unb64(hi), n.toLong)
+        case other => throw new IllegalArgumentException(
+          s"bad stats record: $rec")
+      }
     }.toMap
 
   private def cmpStat(tag: Char, a: String, b: String): Int = tag match {
@@ -231,7 +257,30 @@ object FileStats {
     require(a.tag == b.tag, s"mismatched stats tags: ${a.tag} vs ${b.tag}")
     ColStats(a.tag,
       if (cmpStat(a.tag, a.min, b.min) <= 0) a.min else b.min,
-      if (cmpStat(a.tag, a.max, b.max) >= 0) a.max else b.max)
+      if (cmpStat(a.tag, a.max, b.max) >= 0) a.max else b.max,
+      if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls)
+  }
+
+  /** TRUE iff provably EVERY row of the file satisfies the inclusive
+    * range — min >= lower, max <= upper, and ZERO nulls (a null
+    * predicate value keeps its row, so an unknown or nonzero null
+    * count forbids the conclusion). This is what licenses dropping a
+    * whole file from a range DELETE without reading it.
+    */
+  def fullyMatches(cs: ColStats, lower: Option[Any],
+      upper: Option[Any]): Boolean = {
+    def cmp(statVal: String, v: Any): Int = cs.tag match {
+      case 'l' => java.lang.Long.compare(statVal.toLong,
+        typed('l', v).asInstanceOf[Long])
+      case 'd' => java.lang.Double.compare(statVal.toDouble,
+        typed('d', v).asInstanceOf[Double])
+      case 's' => cmpUtf8(statVal, v.toString)
+      case 'm' => new java.math.BigDecimal(statVal)
+        .compareTo(typed('m', v).asInstanceOf[java.math.BigDecimal])
+    }
+    cs.nulls == 0L &&
+      lower.forall(v => v != null && cmp(cs.min, v) >= 0) &&
+      upper.forall(v => v != null && cmp(cs.max, v) <= 0)
   }
 
   /** Normalize a requested bound to the stats' comparison domain. */

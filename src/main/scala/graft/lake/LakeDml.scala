@@ -76,7 +76,8 @@ object LakeDml {
     */
   def deleteWhere(spark: SparkSession, table: String, cond: Column,
       pruneRanges: Seq[ColRange] = Nil,
-      partitionCols: Seq[String] = Nil): Option[Long] = {
+      partitionCols: Seq[String] = Nil,
+      rangesExact: Boolean = false): Option[Long] = {
     val vs = TxnLog.versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits")
     val base = vs.last
@@ -101,18 +102,42 @@ object LakeDml {
       return deleteWhereDv(spark, table, base, manifests, touched, merged,
         cond, partitionCols, cm)
 
-    val touchedRows = cm.toLogical(TxnLog.readAligned(spark, touched, merged,
-      TxnLog.liveDvs(manifests)).get)
+    // WHOLE-FILE DROP (retention-delete fast path): when the caller
+    // proves the predicate IS the conjunction of `pruneRanges`
+    // (`rangesExact` — the SQL layer sets it when the parse consumed
+    // every conjunct, inclusive bounds only), a file whose stats show
+    // EVERY row matches (bounds inside the ranges, zero nulls) and
+    // that has no deletion vector is removed from the manifest UNREAD:
+    // `DELETE WHERE ts <= cutoff` on a 100 TB table is metadata-only
+    // for the fully-covered files. The change feed synthesizes their
+    // rows at read time from the dropped files' own bytes.
+    val dvsLive = TxnLog.liveDvs(manifests)
+    def wholly(e: FileEntry): Boolean = rangesExact &&
+      ranges.nonEmpty && !dvsLive.contains(e.path) &&
+      ranges.forall(r => e.stats.get(r.column).exists(cs =>
+        FileStats.fullyMatches(cs, r.lower, r.upper)))
+    val droppedPaths = touched.flatMap(_._2.filter(wholly).map(_.path))
+    val rewriteGroups = touched
+      .map { case (m, es) => (m, es.filterNot(wholly)) }
+      .filter(_._2.nonEmpty)
+
+    val touchedRows = TxnLog.readAligned(spark, rewriteGroups, merged,
+        dvsLive).map(cm.toLogical)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        cm.logicalSchema(merged)))
     // null-valued predicates never delete: keep unless provably TRUE
     val survivors = touchedRows.filter(not(cond <=> lit(true)))
-    // change capture: exactly the rows the predicate removed
+    // change capture: the rows the predicate removed from REWRITTEN
+    // files (dropped files synthesize at feed-read time)
     val changes = touchedRows.filter(cond <=> lit(true))
       .withColumn("_change_type", lit("delete"))
     TxnLog.appendCommit(spark, table, survivors, partitionCols,
       s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base),
       removePaths = touched.flatMap(_._2.map(_.path)),
-      cdc0 = Some(changes))
+      cdc0 = Some(changes),
+      droppedData = droppedPaths)
   }
 
   /** Deletion-vector DELETE: one pass over the (vector-filtered)
@@ -227,7 +252,8 @@ object LakeDml {
     */
   def replaceWhere(spark: SparkSession, table: String, cond: Column,
       df: DataFrame, pruneRanges: Seq[ColRange] = Nil,
-      partitionCols: Seq[String] = Nil): Option[Long] = {
+      partitionCols: Seq[String] = Nil,
+      rangesExact: Boolean = false): Option[Long] = {
     val vs = TxnLog.versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits; use append to create it")
     val base = vs.last
@@ -262,12 +288,29 @@ object LakeDml {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val touchedRows = TxnLog.readAligned(spark, touched, tableSchema,
-      TxnLog.liveDvs(manifests)).map(cm.toLogical)
+    // WHOLE-FILE DROP, exactly [[deleteWhere]]'s retention fast path:
+    // a backfill replacing a region that provably covers entire files
+    // (exact inclusive ranges, bounds inside, zero nulls, no deletion
+    // vector) supersedes them UNREAD — re-deriving one day of a 100 TB
+    // table writes the new day and moves nothing else. The feed
+    // synthesizes the dropped rows as deletes at read time.
+    val dvsLive = TxnLog.liveDvs(manifests)
+    def wholly(e: FileEntry): Boolean = rangesExact &&
+      ranges.nonEmpty && !dvsLive.contains(e.path) &&
+      ranges.forall(r => e.stats.get(r.column).exists(cs =>
+        FileStats.fullyMatches(cs, r.lower, r.upper)))
+    val droppedPaths = touched.flatMap(_._2.filter(wholly).map(_.path))
+    val rewriteGroups = touched
+      .map { case (m, es) => (m, es.filterNot(wholly)) }
+      .filter(_._2.nonEmpty)
+
+    val touchedRows = TxnLog.readAligned(spark, rewriteGroups, tableSchema,
+      dvsLive).map(cm.toLogical)
     val survivors = touchedRows
       .map(t => align(t.filter(not(cond <=> lit(true)))))
     val out = survivors.map(_.unionByName(align(df))).getOrElse(align(df))
-    // change capture: exactly the swap — removed region out, df in
+    // change capture: the swap over REWRITTEN files (dropped files
+    // synthesize at feed-read time), plus df's rows as inserts
     val removedRows = touchedRows
       .map(t => align(t.filter(cond <=> lit(true)))
         .withColumn("_change_type", lit("delete")))
@@ -278,7 +321,8 @@ object LakeDml {
       s"replace-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base),
       removePaths = touched.flatMap(_._2.map(_.path)),
-      cdc0 = Some(changes))
+      cdc0 = Some(changes),
+      droppedData = droppedPaths)
   }
 
   /** UPDATE <table> SET ... [WHERE <cond>]: rows where `cond` is TRUE

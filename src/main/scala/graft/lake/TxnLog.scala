@@ -88,7 +88,8 @@ object TxnLog {
       entries: Seq[FileEntry], schemaJson: String, removed: Seq[String],
       timestampMs: Long = 0L, cdc: Seq[String] = Nil,
       props: Map[String, String] = Map.empty,
-      dvs: Map[String, DvRef] = Map.empty) {
+      dvs: Map[String, DvRef] = Map.empty,
+      droppedData: Seq[String] = Nil) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def files: Seq[String] = entries.map(_.path)
@@ -163,8 +164,14 @@ object TxnLog {
   private def bodyLines(entries: Seq[FileEntry], removed: Seq[String],
       cdc: Seq[String] = Nil,
       props: Map[String, String] = Map.empty,
-      dvs: Map[String, DvRef] = Map.empty): Seq[String] =
+      dvs: Map[String, DvRef] = Map.empty,
+      droppedData: Seq[String] = Nil): Seq[String] =
     removed.map("-" + _) ++ cdc.map("~" + _) ++
+      // "<path": this commit removed the file AND asserts every one of
+      // its (pre-commit-visible) rows is a row-level DELETE — the
+      // change feed synthesizes those rows at read time, which is what
+      // lets a range DELETE drop whole files without reading them
+      droppedData.map("<" + _) ++
       // table properties as "!<key>=<value>" — every manifest re-records
       // the FULL effective set, so the head manifest alone answers
       // "what are the table's properties" (no chain fold, and vacuum's
@@ -184,10 +191,11 @@ object TxnLog {
 
   private def parseBody(lines: Seq[String])
       : (Seq[FileEntry], Seq[String], Seq[String], Map[String, String],
-         Map[String, DvRef]) = {
+         Map[String, DvRef], Seq[String]) = {
     val (rm, rest0) = lines.partition(_.startsWith("-"))
     val (propLines, rest1) = rest0.partition(_.startsWith("!"))
-    val (dvLines, rest) = rest1.partition(_.startsWith("="))
+    val (dvLines, rest2) = rest1.partition(_.startsWith("="))
+    val (dropLines, rest) = rest2.partition(_.startsWith("<"))
     val (cdc, files) = rest.partition(_.startsWith("~"))
     val props = propLines.map { l =>
       val i = l.indexOf('=')
@@ -210,7 +218,8 @@ object TxnLog {
       }
       FileEntry(parts(0), stats, size, rows)
     }
-    (entries, rm.map(_.drop(1)), cdc.map(_.drop(1)), props, dvs)
+    (entries, rm.map(_.drop(1)), cdc.map(_.drop(1)), props, dvs,
+      dropLines.map(_.drop(1)))
   }
 
   /** The commitDir header line optionally carries the commit's wall-clock
@@ -229,10 +238,11 @@ object TxnLog {
     val p = manifestPath(table, v)
     // line format: version \n commitDir[\tts] \n schemaJson \n body lines...
     val lines = readFully(fs(spark, p), p).split('\n')
-    val (entries, removed, cdc, props, dvs) = parseBody(lines.drop(3).toSeq)
+    val (entries, removed, cdc, props, dvs, dropped) =
+      parseBody(lines.drop(3).toSeq)
     val (dir, ts) = parseDirLine(lines(1))
     Manifest(lines(0).toLong, dir, entries, lines(2), removed, ts, cdc,
-      props, dvs)
+      props, dvs, dropped)
   }
 
   private def readFully(f: FileSystem, p: Path): String = {
@@ -250,7 +260,7 @@ object TxnLog {
     val recs = ms.map { m =>
       val lines = Seq(m.version.toString, dirLine(m.commitDir, m.timestampMs),
         m.schemaJson) ++ bodyLines(m.entries, m.removed, m.cdc, m.props,
-        m.dvs)
+        m.dvs, m.droppedData)
       (lines.length.toString +: lines).mkString("\n")
     }
     (s"GRAFT_CKPT_V1" +: ms.length.toString +: recs).mkString("\n")
@@ -265,10 +275,11 @@ object TxnLog {
       val len = lines(at).toInt
       val rec = lines.slice(at + 1, at + 1 + len)
       at += 1 + len
-      val (entries, removed, cdc, props, dvs) = parseBody(rec.drop(3).toSeq)
+      val (entries, removed, cdc, props, dvs, dropped) =
+        parseBody(rec.drop(3).toSeq)
       val (dir, ts) = parseDirLine(rec(1))
       Manifest(rec(0).toLong, dir, entries, rec(2), removed, ts, cdc,
-        props, dvs)
+        props, dvs, dropped)
     }
   }
 
@@ -1291,24 +1302,40 @@ object TxnLog {
     def canMatch(e: FileEntry): Boolean = rangesP.forall(r =>
       e.stats.get(r.column).forall(cs =>
         FileStats.overlaps(cs, r.lower, r.upper)))
+    // WHOLE-FILE DROP (the retention-delete fast path): the predicate
+    // IS the range conjunction by this function's contract, so a file
+    // whose stats prove EVERY row matches (min/max inside the bounds,
+    // zero nulls) — and that carries no deletion vector — is removed
+    // from the manifest UNREAD: no rewrite, no bytes moved. The change
+    // feed synthesizes its rows as deletes at read time.
+    val dvsLive = liveDvs(manifests)
+    def wholly(e: FileEntry): Boolean =
+      !dvsLive.contains(e.path) && rangesP.forall(r =>
+        e.stats.get(r.column).exists(cs =>
+          FileStats.fullyMatches(cs, r.lower, r.upper)))
     val touched = liveEntries(manifests)
       .map { case (m, es) => (m, es.filter(canMatch)) }
       .filter(_._2.nonEmpty)
     if (touched.isEmpty) return Some(base)
+    val droppedPaths = touched.flatMap(_._2.filter(wholly).map(_.path))
+    val rewriteGroups = touched
+      .map { case (m, es) => (m, es.filterNot(wholly)) }
+      .filter(_._2.nonEmpty)
 
     val deleteCond = rangesP.map { r =>
       val c = col(r.column)
       ((r.lower.map(v => c >= lit(v)) ++ r.upper.map(v => c <= lit(v)))
         : Iterable[org.apache.spark.sql.Column]).reduce(_ && _)
     }.reduce(_ && _)
-    val survivors = readAligned(spark, touched, merged,
-        liveDvs(manifests)).get
+    val survivors = readAligned(spark, rewriteGroups, merged, dvsLive)
+      .map(_.filter(not(deleteCond <=> lit(true))))
       // null-valued rows never satisfy the predicate: keep them
-      .filter(not(deleteCond <=> lit(true)))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), merged))
     appendCommit(spark, table, survivors, partitionCols,
       s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base), removePaths = touched.flatMap(_._2.map(_.path)),
-      skipColumnMapping = true)
+      skipColumnMapping = true, droppedData = droppedPaths)
   }
 
   /** `compact-` manifests supersede everything before them: the data
@@ -1464,7 +1491,8 @@ object TxnLog {
       propsOverride: Option[Map[String, String]] = None,
       dv: Option[(DataFrame, Map[String, Long])] = None,
       strictBase: Boolean = false,
-      skipColumnMapping: Boolean = false): Option[Long] = {
+      skipColumnMapping: Boolean = false,
+      droppedData: Seq[String] = Nil): Option[Long] = {
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
@@ -1649,7 +1677,7 @@ object TxnLog {
         dirLine(commitDir.toString, System.currentTimeMillis()),
         df.schema.json) ++
         bodyLines(entries, removePaths, cdcFiles, props,
-          dvBindings)).mkString("\n")
+          dvBindings, droppedData)).mkString("\n")
       if (publishAtomic(spark, manifestPath(table, next), body)) {
         if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
         return Some(next)
@@ -1964,13 +1992,43 @@ object TxnLog {
         Seq(deletes, inserts(m, es)).flatten
       }
       else if (isRewrite) {
-        require(m.cdc.nonEmpty || es.isEmpty && m.removed.isEmpty,
+        // dropped files synthesize below; REWRITTEN files' row changes
+        // must have been captured — losing them silently would corrupt
+        // a downstream consumer
+        val rewrittenRemoved =
+          m.removed.filterNot(m.droppedData.toSet.contains)
+        require(m.cdc.nonEmpty ||
+            es.isEmpty && rewrittenRemoved.isEmpty,
           s"version ${m.version} of $table is a DML rewrite written " +
             "before change capture existed; its row-level changes are " +
             "unrecoverable (start the feed after it)")
-        if (m.cdc.isEmpty) None
-        else Some(spark.read.parquet(m.cdc: _*)
-          .withColumn("_commit_version", lit(m.version)))
+        val captured =
+          if (m.cdc.isEmpty) None
+          else Some(spark.read.parquet(m.cdc: _*)
+            .withColumn("_commit_version", lit(m.version)))
+        // whole files the DELETE dropped WITHOUT reading (stats proved
+        // every row matched): their deletes are synthesized here, at
+        // read time, from the dropped files' own bytes — the same
+        // add/remove synthesis the overwrite branch uses, so a
+        // metadata-only retention delete still feeds downstream exactly
+        val synthesized =
+          if (m.droppedData.isEmpty) None
+          else {
+            val byOwner = m.droppedData.map { p =>
+              val owner = chainAll.filter(_.version < m.version)
+                .find(_.entries.exists(_.path == p))
+                .getOrElse(sys.error(s"dropped file $p of version " +
+                  s"${m.version} has no owning manifest"))
+              (owner, p)
+            }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+            Some(byOwner.map { case (o, ps) =>
+              spark.read.option("basePath", o.commitDir)
+                .schema(o.schema).parquet(ps: _*)
+            }.reduce(_.unionByName(_, allowMissingColumns = true))
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(m.version)))
+          }
+        Seq(captured, synthesized).flatten
       } else inserts(m, es)
     }
     // column mapping: the feed presents the names in force at the

@@ -375,6 +375,42 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** Retention-delete gate (q126): a range DELETE whose inclusive
+    * bounds provably cover a whole file (footer min/max inside the
+    * range, ZERO nulls) must drop that file from the manifest UNREAD —
+    * the commit adds no data file (required loudly: at 100 TB,
+    * `DELETE WHERE ts <= cutoff` is metadata-only for covered files) —
+    * while the change feed still delivers every dropped row
+    * (synthesized at read time from the dropped file's own bytes,
+    * required), and the final state hash-matches DuckDB.
+    */
+  def retentionDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_ret_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    Seq(col("o_orderkey") < 5000,
+        col("o_orderkey") >= 5000 && col("o_orderkey") < 10000,
+        col("o_orderkey") >= 10000)
+      .foreach(p => graft.lake.TxnLog.append(s, table, o.filter(p).coalesce(1)))
+    org.apache.spark.sql.graft.LakeMounts.mount(s, "q126_orders", table)
+    val dropped = o.filter(col("o_orderkey") <= 4999).count()
+    s.sql("DELETE FROM q126_orders WHERE o_orderkey <= 4999")
+    val last = graft.lake.TxnLog.history(s, table)
+      .orderBy(col("version").desc).head()
+    require(last.getLong(3) == 0L && last.getLong(4) == 1L,
+      s"a fully-covered retention DELETE must drop the file unread " +
+        s"(added ${last.getLong(3)} files, removed ${last.getLong(4)}); " +
+        "writing anything is the write amplification this path removes")
+    val feed = graft.lake.TxnLog.changeFeed(s, table, fromExclusive = 3L)
+    require(feed.count() == dropped,
+      s"the feed must synthesize all $dropped dropped rows")
+    s.table("q126_orders")
+  }
+
   /** Column-mapping gate (q124): `ALTER TABLE ... RENAME COLUMN` and
     * `DROP COLUMN` as METADATA-ONLY commits (required loudly: zero data
     * files added/moved), DML through the new name, time travel across
@@ -1029,6 +1065,7 @@ object Etl extends QueryPack {
     "q122_dv_optimize" -> dvOptimize _,
     "q123_dsv2_write" -> dsv2Write _,
     "q124_rename_column" -> renameColumnGate _,
+    "q126_retention_delete" -> retentionDelete _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
     "q85_lake_relation_prune" -> lakeRelationPrune _,
     "q87_lake_changes" -> lakeChanges _,
@@ -1194,6 +1231,10 @@ object Etl extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_totalprice AS price, o_orderdate
         |FROM orders
         |WHERE NOT (o_totalprice < 5000.0)""".stripMargin,
+    "q126_retention_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE o_orderkey > 4999""".stripMargin,
     "q119_check_constraint" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate

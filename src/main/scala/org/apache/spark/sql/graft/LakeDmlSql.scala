@@ -407,6 +407,29 @@ object LakeDmlSql {
       case _ => None
     }
 
+  /** TRUE when [[extractRanges]] is an EXACT decomposition of `cond`:
+    * every conjunct converted, with INCLUSIVE bounds only (strict
+    * comparisons widen to inclusive ranges — fine for pruning, unsound
+    * for whole-file drops) and non-null literals. This is what
+    * licenses [[LakeDml.deleteWhere]]'s metadata-only file drops.
+    */
+  private[graft] def rangesExactOf(cond: Expression): Boolean =
+    conjuncts(cond).forall {
+      case EqualTo(a, l) if attrName(a).isDefined =>
+        litValue(l).exists(_ != null)
+      case EqualTo(l, a) if attrName(a).isDefined =>
+        litValue(l).exists(_ != null)
+      case GreaterThanOrEqual(a, l) if attrName(a).isDefined =>
+        litValue(l).exists(_ != null)
+      case LessThanOrEqual(a, l) if attrName(a).isDefined =>
+        litValue(l).exists(_ != null)
+      case GreaterThanOrEqual(l, a) if attrName(a).isDefined =>
+        litValue(l).exists(_ != null)
+      case LessThanOrEqual(l, a) if attrName(a).isDefined =>
+        litValue(l).exists(_ != null)
+      case _ => false
+    }
+
   /** Equality key pairs (targetCol, sourceCol) from a MERGE ON
     * condition, for stats pruning. A side is attributed by qualifier
     * first, then by which schema holds the name unambiguously; any
@@ -487,6 +510,7 @@ object LakeDmlSql {
       val cond = payload.cond
       val v = retry(s"DELETE FROM $name") {
         LakeDml.deleteWhere(spark, path, column(cond), extractRanges(cond),
+          rangesExact = rangesExactOf(cond),
           partitionCols = layoutPartitionCols(spark, path))
       }
       refreshIfMounted(spark, name, path)
@@ -930,7 +954,7 @@ object LakeDmlSql {
     override def run(spark: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.{col, expr}
       val qdf0 = spark.sql(querySql)
-      val tgt = TxnLog.schemaOf(spark, path)
+      val tgt = TxnLog.logicalSchemaOf(spark, path) // users bind logically
       require(qdf0.columns.length == tgt.fields.length,
         s"REPLACE WHERE into $name: query produces " +
           s"${qdf0.columns.length} columns, expected " +
@@ -939,14 +963,15 @@ object LakeDmlSql {
       val out = qdf0.toDF(tmpNames: _*).select(
         tgt.fields.toSeq.zip(tmpNames).map { case (f, tmp) =>
           col(tmp).cast(f.dataType).as(f.name) }: _*)
-      val ranges = extractRanges(
-        spark.sessionState.sqlParser.parseExpression(condSql))
+      val parsedCond =
+        spark.sessionState.sqlParser.parseExpression(condSql)
+      val ranges = extractRanges(parsedCond)
       val partCols = try LakeRead.index(spark, path).partitionSchema
           .fieldNames.toSeq
         catch { case _: IllegalArgumentException => Nil }
       val v = retry(s"REPLACE WHERE on $name") {
         graft.lake.LakeDml.replaceWhere(spark, path, expr(condSql), out,
-          ranges, partCols)
+          ranges, partCols, rangesExact = rangesExactOf(parsedCond))
       }
       refreshIfMounted(spark, name, path)
       Seq(Row(v))

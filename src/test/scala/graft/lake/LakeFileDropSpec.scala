@@ -1,0 +1,138 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Whole-file DELETE drops (the retention-delete fast path): a range
+  * delete whose bounds provably cover EVERY row of a file (footer
+  * min/max inside the range, zero nulls) removes it from the manifest
+  * without reading or rewriting it — `DELETE WHERE ts <= cutoff` on a
+  * 100 TB table is metadata-only for fully-covered files — while the
+  * change feed synthesizes the dropped rows at read time and partial
+  * files still rewrite exactly.
+  */
+class LakeFileDropSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+  import org.apache.spark.sql.graft.LakeMounts
+
+  /** Three single-file commits: ids [0,100), [100,200), [200,300). */
+  private def threeChunkTable(prefix: String): String = {
+    val table = Files.createTempDirectory(prefix).toString
+    Seq(0, 100, 200).foreach { lo =>
+      TxnLog.append(spark, table, spark.range(lo, lo + 100)
+        .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1))
+    }
+    table
+  }
+
+  /** (files added, files removed) of the table's LAST commit. */
+  private def lastCommitDelta(table: String): (Long, Long) = {
+    val r = TxnLog.history(spark, table).orderBy(col("version").desc).head()
+    (r.getLong(3), r.getLong(4))
+  }
+
+  test("a fully-covered file is dropped unread: zero files written") {
+    val table = threeChunkTable("graft-drop-whole")
+    assert(TxnLog.delete(spark, table,
+      Seq(TxnLog.ColRange("id", Some(0L), Some(99L)))).contains(4L))
+    // the commit added NO data file and removed exactly the covered one
+    assert(lastCommitDelta(table) == (0L, 1L))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 200)
+    assert(snap.agg(min("id")).as[Long].head() == 100L)
+    // time travel still sees the dropped rows (bytes never moved)
+    assert(TxnLog.snapshot(spark, table, Some(3L)).count() == 300)
+  }
+
+  test("partial coverage splits: covered file drops, boundary file rewrites") {
+    val table = threeChunkTable("graft-drop-split")
+    assert(LakeDml.deleteWhere(spark, table, col("id") <= 150,
+      Seq(TxnLog.ColRange("id", upper = Some(150L))),
+      rangesExact = true).contains(4L))
+    // one rewritten survivor file added; both touched files removed
+    assert(lastCommitDelta(table) == (1L, 2L))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 149)
+    assert(snap.agg(min("id")).as[Long].head() == 151L)
+    // the change feed delivers ALL 151 deletes: 100 synthesized from
+    // the dropped file + 51 captured from the rewrite
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = 3L)
+    assert(feed.count() == 151)
+    assert(feed.select("_change_type").distinct().as[String]
+      .collect().toSeq == Seq("delete"))
+    assert(feed.agg(min("id"), max("id")).as[(Long, Long)].head() ==
+      ((0L, 150L)))
+  }
+
+  test("without rangesExact (or with strict bounds) nothing drops") {
+    val table = threeChunkTable("graft-drop-inexact")
+    // same covering range, but the caller did not prove exactness
+    assert(LakeDml.deleteWhere(spark, table, col("id") < 100,
+      Seq(TxnLog.ColRange("id", upper = Some(99L)))).contains(4L))
+    assert(lastCommitDelta(table)._1 == 0L) // full file: empty survivors
+    assert(TxnLog.snapshot(spark, table).count() == 200)
+  }
+
+  test("a null in the range column blocks the drop; the null row survives") {
+    val table = Files.createTempDirectory("graft-drop-null").toString
+    val withNull = spark.range(0, 100)
+      .select(when(col("id") === 50, lit(null).cast("long"))
+        .otherwise(col("id")).as("k"),
+        concat(lit("v"), col("id")).as("v"))
+    TxnLog.append(spark, table, withNull.coalesce(1))
+    assert(TxnLog.delete(spark, table,
+      Seq(TxnLog.ColRange("k", Some(0L), Some(99L)))).contains(2L))
+    // the file was REWRITTEN (null row must survive), not dropped
+    assert(lastCommitDelta(table) == (1L, 1L))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 1)
+    assert(snap.select("k").head().isNullAt(0))
+  }
+
+  test("deletion-vector-bound files never drop whole") {
+    val table = threeChunkTable("graft-drop-dv")
+    spark.conf.set(LakeDml.DeletionVectorsConf, "true")
+    try LakeDml.deleteWhere(spark, table, col("id") === 10,
+      Seq(TxnLog.ColRange("id", Some(10L), Some(10L))))
+    finally spark.conf.unset(LakeDml.DeletionVectorsConf)
+    assert(LakeDml.deleteWhere(spark, table, col("id") <= 99,
+      Seq(TxnLog.ColRange("id", upper = Some(99L))),
+      rangesExact = true).contains(5L))
+    val m = TxnLog.snapshot(spark, table)
+    assert(m.count() == 200)
+    // the bound file went through the rewrite path: nothing resurrects
+    assert(m.filter(col("id") === 10).count() == 0)
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = 4L)
+    assert(feed.count() == 99) // 100 rows minus the already-deleted one
+  }
+
+  test("replaceWhere drops fully-covered files unread; backfill writes only the new region") {
+    val table = threeChunkTable("graft-drop-replace")
+    val fresh = spark.range(0, 50)
+      .select(col("id"), lit("new").as("v")).coalesce(1)
+    assert(LakeDml.replaceWhere(spark, table, col("id") <= 99, fresh,
+      Seq(TxnLog.ColRange("id", upper = Some(99L))),
+      rangesExact = true).contains(4L))
+    // one new file (the replacement region), the covered file dropped
+    assert(lastCommitDelta(table) == (1L, 1L))
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.count() == 250)
+    assert(snap.filter(col("v") === "new").count() == 50)
+    // feed: 100 synthesized deletes + 50 captured inserts
+    val feed = TxnLog.changeFeed(spark, table, fromExclusive = 3L)
+    assert(feed.groupBy("_change_type").count().as[(String, Long)]
+      .collect().toMap == Map("delete" -> 100L, "insert" -> 50L))
+  }
+
+  test("SQL DELETE with inclusive bounds drops; restore resurrects the file") {
+    val table = threeChunkTable("graft-drop-sql")
+    LakeMounts.mount(spark, "drop_t", table)
+    spark.sql("DELETE FROM drop_t WHERE id <= 99")
+    assert(lastCommitDelta(table) == (0L, 1L))
+    assert(spark.table("drop_t").count() == 200)
+    spark.sql("RESTORE TABLE drop_t TO VERSION AS OF 3")
+    assert(spark.table("drop_t").count() == 300)
+  }
+}
