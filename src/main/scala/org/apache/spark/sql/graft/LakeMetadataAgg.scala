@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (only row-preserving Projects are looked through), no DISTINCT,
   *    no FILTER clause;
   *  - `count(<non-null literal>)` needs every live file's recorded row
-  *    count ([[LakeFileIndex.knownRowCount]]);
+  *    count ([[LakeFileIndex.knownRowCount]]); `count(col)` additionally
+  *    needs every file's exact null count for the column
+  *    ([[LakeFileIndex.knownNullCount]] — rows minus nulls, SQL COUNT's
+  *    null handling);
   *  - `min`/`max` of a plain (or struct-leaf) column needs every live
   *    file's stats for it ([[LakeFileIndex.knownStats]]) — footer
   *    bounds are actual data values over non-null rows, which is
@@ -80,6 +83,14 @@ object LakeMetadataAgg extends Rule[LogicalPlan] {
     case AggregateExpression(Count(args), Complete, false, None, _)
         if args.forall(a => a.foldable && a.eval() != null) =>
       idx.knownRowCount
+    // count(col) = rows - nulls, exact when every live file records
+    // both (null counts ride the stats since round 6)
+    case AggregateExpression(Count(Seq(ColRef(name))), Complete, false,
+        None, _) =>
+      for {
+        total <- idx.knownRowCount
+        nulls <- idx.knownNullCount(name)
+      } yield total - nulls
     case AggregateExpression(Min(ColRef(name)), Complete, false, None, _) =>
       idx.knownStats(name).flatMap(cs => internalValue(e.dataType, cs.min))
     case AggregateExpression(Max(ColRef(name)), Complete, false, None, _) =>

@@ -302,6 +302,27 @@ class LakeFileIndex(spark: SparkSession, table: String,
       else None
     }
 
+  /** The column's exact snapshot-wide NULL COUNT, when every live file
+    * records one (stats harvested with null counts, column present with
+    * valid stats in every file — a file whose schema lacks the column
+    * reads it as null through alignment, which footers cannot see, so
+    * absence abstains). Powers metadata-only `count(col)` =
+    * rows - nulls. Deletion-vector bindings abstain: the vector could
+    * have removed null rows in unknowable proportion.
+    */
+  def knownNullCount(column: String): Option[Long] =
+    if (changesRange.isDefined || liveDvs.nonEmpty) None
+    else {
+      val es = groups.flatMap(_._2)
+      if (es.isEmpty) Some(0L)
+      else {
+        val ss = es.map(_.stats.get(column))
+        if (ss.forall(_.exists(_.nulls >= 0L)))
+          Some(ss.map(_.get.nulls).sum)
+        else None
+      }
+    }
+
   /** The snapshot-wide bounds of `column` (dotted footer path), when
     * EVERY live file carries stats for it — then min-of-mins /
     * max-of-maxes equal the table's MIN/MAX exactly (footer bounds are

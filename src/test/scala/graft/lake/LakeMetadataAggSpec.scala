@@ -32,6 +32,41 @@ class LakeMetadataAggSpec extends SparkSpec {
     table
   }
 
+  test("count(col) answers rows-minus-nulls from the log; unknowns fall through") {
+    val table = Files.createTempDirectory("graft-meta-countcol").toString
+    // 100 rows, 10 nulls in k; label never null
+    TxnLog.append(spark, table, spark.range(0, 100)
+      .select(when(col("id") % 10 === 0, lit(null).cast("long"))
+          .otherwise(col("id")).as("k"),
+        concat(lit("r"), col("id")).as("label")).coalesce(1))
+    LakeMounts.mount(spark, "meta_cc", table)
+    val q = spark.sql(
+      "SELECT count(k) AS ck, count(label) AS cl, count(*) AS n FROM meta_cc")
+    assert(!scansFiles(q), s"expected metadata-only plan: ${q.queryExecution}")
+    assert(q.as[(Long, Long, Long)].head() == ((90L, 100L, 100L)))
+    // a column added AFTER the first commit reads as null by alignment,
+    // which footers cannot see: count(added) must fall through and scan
+    TxnLog.addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+    TxnLog.append(spark, table, spark.range(0, 5)
+      .select(lit(1L).as("k"), lit("x").as("label"), col("id").as("extra"))
+      .coalesce(1))
+    LakeMounts.refreshView(spark, "meta_cc", table)
+    val q2 = spark.sql("SELECT count(extra) AS ce FROM meta_cc")
+    assert(scansFiles(q2), "alignment nulls are invisible to footers")
+    assert(q2.as[Long].head() == 5L)
+    // a deletion vector makes null apportionment unknowable: fall through
+    spark.conf.set(LakeDml.DeletionVectorsConf, "true")
+    try LakeDml.deleteWhere(spark, table, col("k") === 7,
+      Seq(TxnLog.ColRange("k", Some(7L), Some(7L))))
+    finally spark.conf.unset(LakeDml.DeletionVectorsConf)
+    LakeMounts.refreshView(spark, "meta_cc", table)
+    val q3 = spark.sql("SELECT count(k) AS ck FROM meta_cc")
+    assert(scansFiles(q3))
+    assert(q3.as[Long].head() == 94L) // 90 + 5 appended - the deleted k=7
+  }
+
   test("count/min/max answer from the log with no scan, across types") {
     val table = freshTable("graft-meta-agg")
     LakeMounts.mount(spark, "meta_agg", table)
@@ -75,9 +110,10 @@ class LakeMetadataAggSpec extends SparkSpec {
     // WHERE between aggregate and relation
     val f1 = spark.sql("SELECT count(*) AS n FROM meta_fall WHERE id > 1")
     assert(scansFiles(f1) && f1.as[Long].head() == 2L)
-    // count(col) counts non-nulls — not a row count
+    // count(col) counts non-nulls: since round 6 the manifest's null
+    // counts answer it exactly WITHOUT a scan
     val f2 = spark.sql("SELECT count(v) AS n FROM meta_fall")
-    assert(scansFiles(f2) && f2.as[Long].head() == 2L)
+    assert(!scansFiles(f2) && f2.as[Long].head() == 2L)
     // grouping
     val f3 = spark.sql("SELECT v, count(*) AS n FROM meta_fall GROUP BY v")
     assert(scansFiles(f3) && f3.count() == 3L)
