@@ -189,6 +189,24 @@ class LakeColumnMapSpec extends SparkSpec {
       .columns.toSeq.sorted == Seq("p", "rowid"))
   }
 
+  test("DSv2 streaming of a mapped table delivers logical names") {
+    val table = freshTable("graft-cm-stream")
+    TxnLog.renameColumn(spark, table, "v", "doubled")
+    TxnLog.dropColumn(spark, table, "tag")
+    val name = "cm_stream_sink"
+    val q = spark.readStream.format("graftlake").load(table)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name)
+    assert(got.columns.toSeq == Seq("id", "doubled"))
+    assert(got.count() == 100)
+    assert(got.agg(sum("doubled")).as[Long].head() ==
+      (0L until 100L).map(_ * 2).sum)
+  }
+
   test("DSv2 read of a mapped table honors deletion vectors too") {
     val table = freshTable("graft-cm-dv")
     TxnLog.renameColumn(spark, table, "v", "doubled")
