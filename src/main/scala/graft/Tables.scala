@@ -30,17 +30,47 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as a nanos long (legacy conf) and
-    * convert to a microsecond timestamp — the generator emits µs
-    * precision, so the narrowing is lossless (verified: no row has a
-    * sub-µs component). Integer `div` (not `/`): 2024-epoch nanos
-    * ≈ 1.7e18 exceeds the 2^53 exact-double range.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some data
+    * drops and `timestamp[us]` in others, so the loader adapts to what
+    * is on disk instead of assuming either:
+    *
+    *   - NANOS: Spark's vectorized reader rejects it outright, so the
+    *     legacy nanos-as-long conf is always set (it is a no-op for
+    *     non-NANOS files) and a `LongType` ts is converted to a µs
+    *     timestamp. The generator emits µs precision, so the narrowing
+    *     is lossless. Integer `div` (not `/`): 2024-epoch nanos
+    *     ≈ 1.7e18 exceeds the 2^53 exact-double range.
+    *   - `timestamp[us]` (isAdjustedToUTC=false): Spark infers
+    *     TIMESTAMP_NTZ; cast to session-TZ TimestampType (UTC in every
+    *     entrypoint) — identity on the stored micros, and the type the
+    *     rest of the engine (windows, watermarks, asof) was built on.
+    *   - Already TimestampType: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** The ts normalization applied by [[events]], exposed for streaming
+    * reads that must declare the raw on-disk schema ([[eventsRawSchema]])
+    * and convert after the source.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
+  /** Raw (pre-normalization) schema of events as stored on disk — what a
+    * `readStream.schema(...)` must declare before [[normalizeEventsTs]].
+    */
+  def eventsRawSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").schema
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -43,11 +43,14 @@ object NgramJaccard {
         .filter(col("df") <= cap)
       ex = ex.join(dfreq.select("s"), "s")
     }
+    // rename the join key apart on each side: a("s") === b("s") over two
+    // projections of ONE lineage is a trivially-true self-reference to
+    // the analyzer, which can silently degrade it to a cross join
     val a = ex.select(col("doc_id").as("doc_a"), col("n_shingles").as("na"),
-      col("s"))
+      col("s").as("s_a"))
     val b = ex.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb"),
-      col("s"))
-    a.join(b, a("s") === b("s") && col("doc_a") < col("doc_b"))
+      col("s").as("s_b"))
+    a.join(b, col("s_a") === col("s_b") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"), first(col("na")).as("na"),
         first(col("nb")).as("nb"))

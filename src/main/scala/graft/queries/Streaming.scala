@@ -78,17 +78,12 @@ object Streaming extends QueryPack {
   def streamingDedupKeysGate(s: SparkSession, dir: String): DataFrame =
       withSmallShuffle(s) {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.{LongType, StructType}
-    // events.ts is parquet TIMESTAMP(NANOS): Tables.events sets the
-    // legacy nanos-as-long conf, so the STREAM schema must declare ts
-    // as the raw long and convert after (Tables.events quirk, TESTDATA)
-    val converted = Tables.events(s, dir)
-    val schema = StructType(converted.schema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    val src = s.readStream.schema(schema)
+    // declare the raw on-disk ts type (nanos long or timestamp[us]) and
+    // normalize after the source — Tables.events quirk, TESTDATA
+    val schema = Tables.eventsRawSchema(s, dir)
+    val src = Tables.normalizeEventsTs(s.readStream.schema(schema)
       .option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]") // glob: see streamingDedupGate
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(s"$dir/events.parque[t]")) // glob: see streamingDedupGate
     val deduped = StreamingDedup.byKeys(src, "ts", "30 days",
       Seq("user_id", "event_type"))
     val name = s"q88_streaming_dedup_keys_${math.abs(dir.hashCode).toString}"
@@ -111,14 +106,10 @@ object Streaming extends QueryPack {
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame =
       withSmallShuffle(s) {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.{LongType, StructType}
-    val converted = Tables.events(s, dir)
-    val schema = StructType(converted.schema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    val src = s.readStream.schema(schema)
+    val schema = Tables.eventsRawSchema(s, dir)
+    val src = Tables.normalizeEventsTs(s.readStream.schema(schema)
       .option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]") // glob: see streamingDedupGate
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(s"$dir/events.parque[t]")) // glob: see streamingDedupGate
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))

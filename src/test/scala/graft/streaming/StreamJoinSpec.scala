@@ -3,7 +3,6 @@ package graft.streaming
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Stream-stream interval join: the streaming result must equal the
   * batch interval join (AvailableNow replay, one batch, nothing late),
@@ -13,13 +12,10 @@ class StreamJoinSpec extends SparkSpec {
 
   test("streamed funnel join equals the batch interval join") {
     val dir = sf
-    val converted = Tables.events(spark, dir)
-    val schema = StructType(converted.schema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    val src = spark.readStream.schema(schema)
+    val schema = Tables.eventsRawSchema(spark, dir)
+    val src = Tables.normalizeEventsTs(spark.readStream.schema(schema)
       .option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(s"$dir/events.parque[t]"))
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
@@ -52,13 +48,10 @@ class StreamJoinSpec extends SparkSpec {
   }
 
   test("the plan is the stateful symmetric hash join") {
-    val converted = Tables.events(spark, sf)
-    val schema = StructType(converted.schema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    val src = spark.readStream.schema(schema)
+    val schema = Tables.eventsRawSchema(spark, sf)
+    val src = Tables.normalizeEventsTs(spark.readStream.schema(schema)
       .option("basePath", sf)
-      .parquet(s"$sf/events.parque[t]")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(s"$sf/events.parque[t]"))
     val views = src.select(col("user_id"), col("ts").as("v_ts"))
     val clicks = src.select(col("user_id").as("c_user"),
       col("ts").as("c_ts"))
