@@ -1,0 +1,93 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-substring deduplication: excise token passages of length ≥ L
+  * that occur more than once across the corpus, keeping only the first
+  * occurrence (the pretraining-data "repeated 50-token passage" rule of
+  * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  * Better").
+  *
+  * Instead of a corpus-wide suffix array (which does not distribute
+  * well), the operator uses the window-cover formulation: a repeated
+  * passage of ≥ L tokens repeats every one of its L-token windows, so
+  * marking every non-canonical occurrence of a corpus-repeated L-window
+  * covers exactly the duplicated-passage tokens (minus nothing — every
+  * duplicated token lies in some duplicated window). Canonical keeper
+  * per window value = lexicographically smallest (doc_id, position),
+  * which keeps the first occurrence intact and excises the rest.
+  *
+  * Scale shape (the reason this form is used at 100 TB):
+  *  - one narrow pass tokenizes and hashes windows inside whole-stage
+  *    codegen (no UDFs — `transform`/`slice`/`xxhash64` column exprs);
+  *  - one shuffle groups 8-byte window hashes (not window text: 24 B
+  *    per token row instead of ~300 B) with map-side partial
+  *    aggregation, keeping only hashes seen more than once — on real
+  *    corpora a small fraction;
+  *  - one equi-join (AQE-sized, broadcast when the duplicate set is
+  *    small) rehydrates the non-keeper occurrences;
+  *  - excision itself is per-document, shuffle-free past the span
+  *    collect (`collect_set` of span starts per doc — bounded by the
+  *    doc's own token count).
+  *
+  * Windows are joined by `xxhash64` of the window text, the same
+  * collision-odds trade [[NgramJaccard]] documents (~|windows|²/2⁶⁵).
+  */
+object ExactSubstring {
+
+  /** Non-keeper occurrences of corpus-repeated L-token windows:
+    * (doc_id, p) with p the 0-based token index where a duplicated
+    * window starts. Every token in [p, p+l) is duplicated material.
+    */
+  def duplicateSpans(docs: DataFrame, l: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextShingles.tokens(col(textCol)).as("tokens"))
+    // all L-window hashes with start positions; docs shorter than L have
+    // no window and drop out (they cannot contain an L-token repeat)
+    val wins = toks.filter(size(col("tokens")) >= l)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tokens")) - l),
+        i => xxhash64(concat_ws(" ", slice(col("tokens"), i + 1, lit(l)))))))
+      .toDF("doc_id", "p", "h")
+    // per-hash keeper + occurrence count, partial-aggregated map-side;
+    // only hashes with >1 occurrence survive to the rehydration join
+    val dups = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("keeper"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    wins.join(dups, "h")
+      .filter(struct(col("doc_id"), col("p")) =!= col("keeper"))
+      .select(col("doc_id"), col("p"))
+  }
+
+  /** Remove every token covered by a duplicated non-keeper window.
+    * Returns one row per input document:
+    * (doc_id, n_tokens, n_removed, text_clean) — text_clean is the
+    * surviving tokens joined by single spaces (the token-stream form
+    * downstream tokenizers consume; original whitespace/punctuation is
+    * not reconstructed). A corpus with no ≥ L-token repeat passes
+    * through with n_removed = 0 everywhere.
+    */
+  def excise(docs: DataFrame, l: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, l, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("p"))).as("starts"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextShingles.tokens(col(textCol)).as("tokens"))
+    // per-token cover test against the doc's own span starts: O(tokens ×
+    // spans) per document, both bounded by doc length; stays inside
+    // codegen (higher-order functions, no UDF)
+    val kept = filter(col("tokens"), (_, i) =>
+      !exists(col("starts"), s => i >= s && i < s + l))
+    toks.join(spans, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        (size(col("tokens")) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", kept).as("text_clean"))
+  }
+}

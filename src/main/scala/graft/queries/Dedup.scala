@@ -110,6 +110,17 @@ object Dedup extends QueryPack {
       embs.select(col("vec_id").as("doc_id")), pairs)
   }
 
+  /** Exact-substring dedup gate: excise every ≥50-token passage that
+    * repeats across the corpus, keeping the first occurrence
+    * ([[ExactSubstring]], the Lee et al. 2021 rule). Output is one row
+    * per document with the surviving token stream — a no-repeat corpus
+    * passes through byte-identical (asserted in ExactSubstringSpec);
+    * here the generator's planted exact-duplicate documents surface as
+    * fully-excised copies.
+    */
+  def exactSubstring(s: SparkSession, dir: String): DataFrame =
+    ExactSubstring.excise(Tables.documents(s, dir), l = 50)
+
   /** The END-TO-END corpus curation pipeline a pretraining-data run
     * would execute, composed from the oracled operator family: exact
     * dedup (keep-first by content) → quality filter (q51's score
@@ -145,6 +156,7 @@ object Dedup extends QueryPack {
     "q70_simhash_gate" -> simhashGate _,
     "q71_embedding_lsh_gate" -> embeddingLshGate _,
     "q77_neardup_clusters" -> nearDupClusters _,
+    "q127_exact_substring" -> exactSubstring _,
   )
 
   private def jaccardSqlWhere(where: String) =
@@ -271,6 +283,40 @@ object Dedup extends QueryPack {
         |  least(e.vec_id, coalesce(m.mr, e.vec_id)) AS cluster_id,
         |  least(e.vec_id, coalesce(m.mr, e.vec_id)) = e.vec_id AS is_keeper
         |FROM u e LEFT JOIN mins m ON m.n = e.vec_id""".stripMargin,
+    "q127_exact_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(range(1, len(tokens) - 48)) AS p,
+        |    unnest([array_to_string(tokens[i:i+49], ' ')
+        |            for i in range(1, len(tokens) - 48)]) AS s
+        |  FROM toks WHERE len(tokens) >= 50),
+        |marked AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn,
+        |    count(*) OVER (PARTITION BY s) AS cnt
+        |  FROM wins),
+        |nonkeep AS (SELECT doc_id, p FROM marked WHERE cnt > 1 AND rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(p, p + 50)) AS tp FROM nonkeep),
+        |pos AS (
+        |  SELECT doc_id, unnest(tokens) AS tok,
+        |    unnest(range(1, len(tokens) + 1)) AS i
+        |  FROM toks),
+        |clean AS (
+        |  SELECT p.doc_id,
+        |    coalesce(string_agg(CASE WHEN c.tp IS NULL THEN p.tok END,
+        |                        ' ' ORDER BY p.i), '') AS text_clean,
+        |    count(c.tp) AS n_rm
+        |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.tp
+        |  GROUP BY p.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.n_rm, 0) AS BIGINT) AS n_removed,
+        |  coalesce(c.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN clean c USING (doc_id)""".stripMargin,
     "q35_dedup_embedding_brute" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

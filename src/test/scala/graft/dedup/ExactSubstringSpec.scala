@@ -1,0 +1,75 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact-substring (repeated-passage) excision semantics:
+  * first occurrence kept, later occurrences removed, non-repeated
+  * material untouched, no-repeat corpora byte-identical.
+  */
+class ExactSubstringSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  // deterministic "words" so no accidental cross-doc repeats arise
+  private def words(tag: String, n: Int): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  test("a no-repeat corpus passes through byte-identical") {
+    val corpus = (1 to 20).map(i => (i.toLong, words(s"u${i}w", 80)))
+      .toDF("doc_id", "text")
+    val out = ExactSubstring.excise(corpus, l = 50)
+    assert(out.filter($"n_removed" =!= 0).count() == 0)
+    // surviving token stream equals the (already token-shaped) input
+    val joined = out.join(corpus, "doc_id")
+      .filter($"text_clean" =!= $"text")
+    assert(joined.count() == 0)
+  }
+
+  test("a planted 60-token passage is excised from the copy, kept in the original") {
+    val passage = words("rep", 60)
+    val corpus = Seq(
+      (1L, words("a", 10) + " " + passage + " " + words("b", 10)),
+      (2L, words("c", 15) + " " + passage + " " + words("d", 5)),
+      (3L, words("e", 70))
+    ).toDF("doc_id", "text")
+    val out = ExactSubstring.excise(corpus, l = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 (first occurrence) intact
+    assert(out(1L)._2 == 0)
+    // doc 2 loses exactly the 60 passage tokens, keeps its own material
+    assert(out(2L)._2 == 60)
+    assert(out(2L)._3 == words("c", 15) + " " + words("d", 5))
+    // doc 3 untouched
+    assert(out(3L)._2 == 0)
+  }
+
+  test("a passage repeated twice within ONE document keeps only the first copy") {
+    val passage = words("dup", 55)
+    val corpus = Seq(
+      (1L, passage + " " + words("mid", 8) + " " + passage)
+    ).toDF("doc_id", "text")
+    val out = ExactSubstring.excise(corpus, l = 50).collect().head
+    assert(out.getLong(2) == 55)
+    assert(out.getString(3) == passage + " " + words("mid", 8))
+  }
+
+  test("documents shorter than L never participate") {
+    val passage = words("short", 30) // < L: cannot form a window
+    val corpus = Seq((1L, passage), (2L, passage)).toDF("doc_id", "text")
+    val out = ExactSubstring.excise(corpus, l = 50)
+    assert(out.filter($"n_removed" =!= 0).count() == 0)
+  }
+
+  test("duplicateSpans marks only non-keeper occurrences") {
+    val passage = words("p", 50) // exactly one window per occurrence
+    val corpus = Seq(
+      (5L, passage), (2L, passage), (9L, passage)
+    ).toDF("doc_id", "text")
+    val spans = ExactSubstring.duplicateSpans(corpus, l = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // keeper is the lexicographically smallest (doc_id, p) = doc 2
+    assert(spans == Set((5L, 0), (9L, 0)))
+  }
+}
