@@ -96,6 +96,8 @@ object Multimodal {
       (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], at: Int): Int =
       le16(b, at) | (le16(b, at + 2) << 16)
+    private def be16(b: Array[Byte], at: Int): Int =
+      ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
     private def be32(b: Array[Byte], at: Int): Int =
       ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
         ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
@@ -133,6 +135,49 @@ object Multimodal {
           (0, 0, dataBytes * 1000L / byteRate)
         else (0, 0, 0L)
       }
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        // JPEG: walk the marker segments from SOI to the first frame
+        // header (SOF0..SOF15 minus DHT/JPG/DAC), whose payload is
+        // [len][precision][height BE16][width BE16]. Any structural
+        // damage — desync from 0xFF, a segment length pointing past the
+        // buffer, SOS/EOI before a SOF — bails to honest zeros, like the
+        // WAV walk above.
+        var at = 2
+        var res = (0, 0, 0L)
+        var done = false
+        while (!done && at + 2 <= b.length) {
+          if ((b(at) & 0xff) != 0xff) done = true
+          else {
+            var m = at + 1
+            while (m < b.length && (b(m) & 0xff) == 0xff) m += 1 // fill bytes
+            if (m + 1 > b.length) done = true
+            else {
+              val marker = b(m) & 0xff
+              if (marker == 0xd9 || marker == 0xda) done = true // EOI / SOS
+              else if (marker >= 0xd0 && marker <= 0xd7 || marker == 0x01)
+                at = m + 1 // RST / TEM: no payload
+              else if (m + 3 > b.length) done = true
+              else {
+                val len = be16(b, m + 1)
+                if (len < 2 || m + 1 + len > b.length) done = true
+                else {
+                  val isSof = marker >= 0xc0 && marker <= 0xcf &&
+                    marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+                  if (isSof && len >= 7) {
+                    res = (be16(b, m + 6), be16(b, m + 4), 0L)
+                    done = true
+                  } else at = m + 1 + len
+                }
+              }
+            }
+          }
+        }
+        res
+      }
+      else if (b.length >= 13 && tag(b, 0) == "GIF8" &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        // GIF: logical screen descriptor right after the 6-byte header
+        (le16(b, 6), le16(b, 8), 0L)
       else (0, 0, 0L)
     }
 

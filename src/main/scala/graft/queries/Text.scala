@@ -519,7 +519,13 @@ object Text extends QueryPack {
         |   CAST(0 AS INT), CAST(0 AS INT), CAST(250 AS BIGINT)),
         |  (CAST(4862154474783166622 AS BIGINT), 'video', CAST(2060 AS BIGINT),
         |   'c65e699d8b59d3a09a9748b2dd9978777d16c34f38fd9d404ff6d4c34cc862ee',
-        |   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS BIGINT))
+        |   CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS BIGINT)),
+        |  (CAST(-5893083806595867835 AS BIGINT), 'image', CAST(117 AS BIGINT),
+        |   '5e98373a956bc041a6a160433f8f3dd169b838aa8fb6301ba939549b88fe0463',
+        |   CAST(31 AS INT), CAST(17 AS INT), CAST(0 AS BIGINT)),
+        |  (CAST(4400004640424688160 AS BIGINT), 'image', CAST(14 AS BIGINT),
+        |   'ba948982a3c2f3b30872e5236df19012a6cffd3f4777cbc11c8f645f6da0b8f2',
+        |   CAST(13 AS INT), CAST(11 AS INT), CAST(0 AS BIGINT))
         |) AS t(media_id, kind, n_bytes, content_sha, width, height,
         |       duration_ms)""".stripMargin,
     "q74_winnow_gate" ->

@@ -124,9 +124,9 @@ class TextMultimodalSpec extends SparkSpec {
 
   test("media ingest + stub feature extraction is deterministic and typed") {
     val media = Multimodal.readMediaDir(spark, "/root/repo/fixtures/media")
-    assert(media.count() == 6)
+    assert(media.count() == 8)
     val kinds = media.select("kind").collect().map(_.getString(0)).sorted
-    assert(kinds.count(_ == "image") == 3)
+    assert(kinds.count(_ == "image") == 5)
     assert(kinds.count(_ == "audio") == 2)
     assert(kinds.count(_ == "video") == 1)
 
@@ -160,6 +160,50 @@ class TextMultimodalSpec extends SparkSpec {
     // mp4 is out of scope for header parsing: all zeros, sha still real
     val mp4 = byPath(paths("clip_002.mp4"))
     assert(mp4.width == 0 && mp4.duration_ms == 0L && mp4.content_sha.length == 64)
+    // img_004.jpg is a checked-in minimal JPEG with a 31x17 SOF0 frame
+    val jpg = byPath(paths("img_004.jpg"))
+    assert(jpg.width == 31 && jpg.height == 17 && jpg.duration_ms == 0L)
+    // img_005.gif is a 13x11 GIF89a logical screen descriptor
+    val gif = byPath(paths("img_005.gif"))
+    assert(gif.width == 13 && gif.height == 11)
+    // img_002.jpg has SOI but a segment length past EOF: honest zeros
+    val badJpg = byPath(paths("img_002.jpg"))
+    assert(badJpg.width == 0 && badJpg.height == 0)
+  }
+
+  test("corrupt JPEG structures terminate the marker walk with honest zeros") {
+    def jpg(tail: Array[Byte]): Array[Byte] =
+      Array(0xff, 0xd8).map(_.toByte) ++ tail
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        (((body.length + 2) >> 8) & 0xff).toByte,
+        ((body.length + 2) & 0xff).toByte) ++ body
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      // SOS before any SOF: dimensions unknowable
+      "sos-first" -> jpg(seg(0xda, Array.fill[Byte](6)(0))),
+      // declared segment length runs past the buffer
+      "overrun" -> jpg(Array(0xff.toByte, 0xe0.toByte, 0x7f.toByte, 0xff.toByte)),
+      // desync: marker position does not hold 0xFF
+      "desync" -> jpg(Array[Byte](0x00, 0x01, 0x02, 0x03)),
+      // segment length < 2 is structurally impossible
+      "tiny-len" -> jpg(Array(0xff.toByte, 0xe0.toByte, 0x00.toByte, 0x01.toByte)),
+      // EOI straight away
+      "empty" -> jpg(Array(0xff.toByte, 0xd9.toByte)))
+    def decode(id: Long, bytes: Array[Byte]) =
+      Multimodal.HeaderDecoder.decodeBatch(Seq(
+        Multimodal.MediaRecord(id, s"mem://$id.jpg", "image", bytes,
+          bytes.length.toLong))).head
+    cases.zipWithIndex.foreach { case ((name, bytes), i) =>
+      val f = decode(i.toLong, bytes)
+      assert(f.width == 0 && f.height == 0 && f.duration_ms == 0L,
+        s"case $name must report zeros")
+    }
+    // a SOF reached across fill bytes and a skipped APP segment parses
+    val good = jpg(seg(0xe0, Array.fill[Byte](4)(0)) ++
+      Array(0xff.toByte) ++ // fill byte before the marker
+      seg(0xc2, Array[Byte](8, 0x01, 0x05, 0x02, 0x03, 1, 0x11, 0)))
+    val g = decode(99L, good)
+    assert(g.width == 0x203 && g.height == 0x105)
   }
 
   test("corrupt WAV chunk sizes terminate the walk with honest zeros") {
