@@ -50,6 +50,12 @@ object TxnLog {
   /** Write a consolidated checkpoint whenever version % interval == 0. */
   val CheckpointInterval: Int = 10
 
+  /** Manifest protocol version this library writes and the highest it
+    * will read; stamped into every manifest as the reserved `format`
+    * property (absence = 1). Bump when a body-line kind changes meaning.
+    */
+  val ManifestFormat: Int = 1
+
   /** One data file plus its skipping stats (absent stats = never prune)
     * and its size in bytes (-1 = unknown, pre-size-recording manifests —
     * readers that need it fall back to one FS listing per commit).
@@ -176,8 +182,13 @@ object TxnLog {
       // the FULL effective set, so the head manifest alone answers
       // "what are the table's properties" (no chain fold, and vacuum's
       // history truncation can never lose them). Keys are identifiers
-      // (no '='); values may contain '=' but never '\n'.
-      props.toSeq.sorted.map { case (k, v) => s"!$k=$v" } ++
+      // (no '='); values may contain '=' but never '\n'. The reserved
+      // "format" property is the manifest PROTOCOL version: re-stamped
+      // on every write, absence reads as 1, and a reader refuses a
+      // format above what it understands instead of silently
+      // mis-parsing a future layout (Delta's protocol-version rule).
+      (props + ("format" -> ManifestFormat.toString))
+        .toSeq.sorted.map { case (k, v) => s"!$k=$v" } ++
       // deletion-vector bindings as "=<dataPath>\t<dvDir>\t<rows>" —
       // paths never contain '\t', so the format needs no quoting
       dvs.toSeq.sortBy(_._1).map { case (p, d) =>
@@ -202,6 +213,14 @@ object TxnLog {
       require(i > 1, s"bad property line in manifest: $l")
       (l.substring(1, i), l.substring(i + 1))
     }.toMap
+    // protocol gate: a manifest stamped with a NEWER format than this
+    // reader understands must fail loudly here, before any body line is
+    // interpreted under stale assumptions; absence (pre-format
+    // manifests) reads as format 1
+    val fmt = props.get("format").map(_.toInt).getOrElse(1)
+    require(fmt <= ManifestFormat,
+      s"manifest format $fmt is newer than this reader supports " +
+        s"(max $ManifestFormat) — upgrade the library to read this table")
     val dvs = dvLines.map { l =>
       val parts = l.drop(1).split('\t')
       require(parts.length == 3, s"bad deletion-vector line in manifest: $l")

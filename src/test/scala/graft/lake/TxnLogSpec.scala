@@ -678,4 +678,27 @@ class TxnLogSpec extends SparkSpec {
       TxnLog.snapshot(spark, table, Some(9L))
     }
   }
+
+  test("manifest protocol: format=1 round-trips, a future format fails loudly") {
+    val table = Files.createTempDirectory("graft-lake-fmt").toString
+    TxnLog.append(spark, table, Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    // every written manifest carries the protocol stamp
+    val mPath = java.nio.file.Paths.get(table, "_graft_log", "00000001.json")
+    val body = new String(Files.readAllBytes(mPath), "UTF-8")
+    assert(body.contains("!format=1"), "manifest must record its format")
+    // stamped format survives reads, properties, and further commits
+    assert(TxnLog.snapshot(spark, table).count() == 2)
+    TxnLog.append(spark, table, Seq((3L, "z")).toDF("id", "v"))
+    assert(TxnLog.snapshot(spark, table).count() == 3)
+    // doctor the head manifest to claim a future protocol: every read
+    // must refuse it loudly instead of guessing at the layout
+    val head = java.nio.file.Paths.get(table, "_graft_log", "00000002.json")
+    val doctored = new String(Files.readAllBytes(head), "UTF-8")
+      .replace("!format=1", "!format=2")
+    Files.write(head, doctored.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.snapshot(spark, table).count()
+    }
+    assert(e.getMessage.contains("format 2"))
+  }
 }
