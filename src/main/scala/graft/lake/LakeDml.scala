@@ -253,7 +253,9 @@ object LakeDml {
   def replaceWhere(spark: SparkSession, table: String, cond: Column,
       df: DataFrame, pruneRanges: Seq[ColRange] = Nil,
       partitionCols: Seq[String] = Nil,
-      rangesExact: Boolean = false): Option[Long] = {
+      rangesExact: Boolean = false,
+      partitionValues: Map[String, String] = Map.empty,
+      partitionValuesExact: Boolean = false): Option[Long] = {
     val vs = TxnLog.versions(spark, table)
     require(vs.nonEmpty, s"$table has no commits; use append to create it")
     val base = vs.last
@@ -274,7 +276,17 @@ object LakeDml {
       s"replaceWhere: replacement rows violate the predicate $cond — " +
         "they would land outside the replaced region")
 
-    def canMatch(e: FileEntry): Boolean = ranges.forall(r =>
+    // `partitionValues` prunes by Hive path segment like snapshotWhere —
+    // the pruning channel that works for partition columns, which have
+    // no footer stats (they are not stored in the data files). A file
+    // in a DIFFERENT partition never enters the rewrite set.
+    def partOk(e: FileEntry): Boolean = partitionValues.forall {
+      case (k, value) =>
+        val ek = TxnLog.escapeDir(k)
+        !e.path.contains(s"/$ek=") ||
+          e.path.contains(s"/$ek=${TxnLog.escapeDir(value)}/")
+    }
+    def canMatch(e: FileEntry): Boolean = partOk(e) && ranges.forall(r =>
       e.stats.get(r.column).forall(cs =>
         FileStats.overlaps(cs, r.lower, r.upper)))
     val touched = TxnLog.liveEntries(manifests)
@@ -295,10 +307,20 @@ object LakeDml {
     // table writes the new day and moves nothing else. The feed
     // synthesizes the dropped rows as deletes at read time.
     val dvsLive = TxnLog.liveDvs(manifests)
-    def wholly(e: FileEntry): Boolean = rangesExact &&
-      ranges.nonEmpty && !dvsLive.contains(e.path) &&
-      ranges.forall(r => e.stats.get(r.column).exists(cs =>
-        FileStats.fullyMatches(cs, r.lower, r.upper)))
+    // a file whose path carries EVERY requested k=v segment holds only
+    // rows of that partition — when the caller proves the predicate IS
+    // the partition-equality conjunction (`partitionValuesExact`, the
+    // dynamic-partition-overwrite path), such files drop unread too
+    def partWholly(e: FileEntry): Boolean = partitionValuesExact &&
+      partitionValues.nonEmpty && partitionValues.forall { case (k, value) =>
+        e.path.contains(
+          s"/${TxnLog.escapeDir(k)}=${TxnLog.escapeDir(value)}/")
+      }
+    def wholly(e: FileEntry): Boolean = !dvsLive.contains(e.path) &&
+      (partWholly(e) || (rangesExact &&
+        ranges.nonEmpty &&
+        ranges.forall(r => e.stats.get(r.column).exists(cs =>
+          FileStats.fullyMatches(cs, r.lower, r.upper)))))
     val droppedPaths = touched.flatMap(_._2.filter(wholly).map(_.path))
     val rewriteGroups = touched
       .map { case (m, es) => (m, es.filterNot(wholly)) }

@@ -515,6 +515,51 @@ object Etl extends QueryPack {
     s.read.format("graftlake").load(table)
   }
 
+  /** Dynamic-partition-overwrite gate (q128): orders laid out by
+    * o_orderstatus through the V2 writer; a dynamic-mode overwrite
+    * carrying ONLY status-'F' rows (prices doubled) must replace
+    * exactly that partition — the other partitions' files carried BY
+    * IDENTITY and the replaced partition's old files dropped UNREAD
+    * (both required loudly) — and the final V2 read is oracled vs
+    * DuckDB composing keep ∪ replacement.
+    */
+  def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_dynow_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    o.write.format("graftlake").mode("append")
+      .option("partitionBy", "o_orderstatus").save(table)
+    val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    val untouched = before.filterNot(_.contains("/o_orderstatus=F/"))
+    require(untouched.nonEmpty && untouched.size < before.size,
+      "gate needs both an F partition and others")
+    val repl = o.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try repl.write.format("graftlake").mode("overwrite").save(table)
+    finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val after = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
+    require(untouched.subsetOf(after),
+      "dynamic overwrite must carry untouched partitions by identity")
+    require((after & before) == untouched,
+      "dynamic overwrite must replace exactly the incoming partition")
+    // the old F files must have dropped UNREAD (path-coverage proof):
+    // the replace commit records "<path" drop lines, no survivor rewrite
+    val logFiles = new java.io.File(s"$table/_graft_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    val lastBody = new String(
+      java.nio.file.Files.readAllBytes(logFiles.last.toPath), "UTF-8")
+    require(lastBody.linesIterator.exists(_.startsWith("<")),
+      "replaced partition's files must drop unread, not rewrite")
+    s.read.format("graftlake").load(table).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+  }
+
   /** Deletion-vector gate (q121): orders as three single-file commits;
     * a 1-row SQL DELETE with deletion vectors on MUST commit without
     * writing or superseding any data file (required loudly — the
@@ -1064,6 +1109,7 @@ object Etl extends QueryPack {
     "q121_dv_delete" -> dvDelete _,
     "q122_dv_optimize" -> dvOptimize _,
     "q123_dsv2_write" -> dsv2Write _,
+    "q128_dynamic_overwrite" -> dynamicOverwrite _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
@@ -1227,6 +1273,14 @@ object Etl extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate
         |FROM orders""".stripMargin,
+    "q128_dynamic_overwrite" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice * 2 AS o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "q124_rename_column" ->
       """SELECT o_orderkey, o_custkey, o_totalprice AS price, o_orderdate
         |FROM orders

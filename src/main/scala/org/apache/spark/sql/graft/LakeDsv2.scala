@@ -69,7 +69,8 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** BATCH WRITE: `df.write.format("graftlake").mode(...).save(path)`
     * — the day-one Delta idiom. Built as a [[org.apache.spark.sql
@@ -344,17 +345,44 @@ private[graft] class DvReaderFactory(inner: PartitionReaderFactory,
 /** V2 write builder for `graftlake` (see [[GraftLakeTable
   * .newWriteBuilder]]). `truncate()` is how Spark spells
   * `SaveMode.Overwrite` on a path-based V2 table (OverwriteByExpression
-  * with an always-true filter).
+  * with an always-true filter); `overwrite(filters)` is the
+  * predicate-scoped form, routed to [[graft.lake.LakeDml.replaceWhere]]
+  * (filters translate to the row predicate, prune ranges, and — when
+  * every filter converts with inclusive non-null bounds — the
+  * exactness that licenses whole-file drops); and
+  * `overwriteDynamicPartitions()` (`partitionOverwriteMode=dynamic`)
+  * replaces exactly the partitions present in the incoming data, one
+  * partition-pruned replaceWhere per value, Hive dynamic-overwrite
+  * semantics.
   */
 class GraftLakeWriteBuilder(spark: SparkSession, tablePath: String,
     options: CaseInsensitiveStringMap)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
-  private var overwrite = false
+  import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+
+  // None = append; Some(filters) = overwrite rows matching the
+  // conjunction (AlwaysTrue alone = full overwrite); dynamic = replace
+  // exactly the partitions present in the data
+  private var overwriteFilters: Option[Array[Filter]] = None
+  private var dynamic = false
 
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
-    overwrite = true
+    overwriteFilters = Some(Array(new AlwaysTrue))
+    this
+  }
+
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwriteFilters = Some(filters)
+    this
+  }
+
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    dynamic = true
     this
   }
 
@@ -364,46 +392,208 @@ class GraftLakeWriteBuilder(spark: SparkSession, tablePath: String,
           : org.apache.spark.sql.sources.InsertableRelation =
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame,
-              ignored: Boolean): Unit =
-            GraftLakeWriteBuilder.run(spark, tablePath, data, overwrite,
-              Option(options.get("partitionBy")).toSeq
-                .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+              ignored: Boolean): Unit = {
+            val parts = Option(options.get("partitionBy")).toSeq
+              .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+            // `DataFrameWriter.save` spells every overwrite as
+            // truncate() — it never emits OverwritePartitionsDynamic
+            // for a path table — so, like Delta, the writer itself
+            // honors the dynamic mode: the per-write option always,
+            // the session conf only when the table is partitioned (a
+            // global conf must not break unpartitioned full
+            // overwrites).
+            val overwriteAll =
+              overwriteFilters.exists(GraftLakeWriteBuilder.isAlwaysTrue)
+            val optDyn = Option(options.get("partitionOverwriteMode"))
+              .exists(_.equalsIgnoreCase("dynamic"))
+            lazy val confDyn = spark.conf.get(
+              "spark.sql.sources.partitionOverwriteMode", "static")
+              .equalsIgnoreCase("dynamic") && {
+                val exists = TxnLog.versions(spark, tablePath).nonEmpty
+                GraftLakeWriteBuilder
+                  .layoutOf(spark, tablePath, exists, parts).nonEmpty
+              }
+            if (dynamic || (overwriteAll && (optDyn || confDyn)))
+              GraftLakeWriteBuilder.runDynamic(spark, tablePath, data, parts)
+            else
+              GraftLakeWriteBuilder.run(spark, tablePath, data,
+                overwriteFilters, parts)
+          }
         }
     }
 }
 
 object GraftLakeWriteBuilder {
-  /** One atomic lake commit for a V2 batch write. An existing table
-    * pins the partition layout (derived from its live files); a new
-    * one takes the option's. Overwrite retries lost append races — the
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** Resolve the effective partition layout: an existing table pins it
+    * (derived from its live files); a new one takes the option's.
+    */
+  private def layoutOf(spark: SparkSession, tablePath: String,
+      exists: Boolean, optionParts: Seq[String]): Seq[String] =
+    if (!exists) optionParts
+    else {
+      val layout = new LakeFileIndex(spark, tablePath)
+        .partitionSchema.fieldNames.toSeq
+      require(optionParts.isEmpty || optionParts == layout,
+        s"option(partitionBy=${optionParts.mkString(",")}) disagrees " +
+          s"with $tablePath's existing layout " +
+          s"(${layout.mkString(",")}); drop the option or recreate")
+      layout
+    }
+
+  private def retry(tablePath: String, what: String)(body: => Boolean): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= 10,
+        s"$what of $tablePath lost ${attempt - 1} append races; giving up")
+      done = body
+    }
+  }
+
+  /** A V2 source Filter as a row-level Column predicate. Values are
+    * external Scala types (same convention the SQL layer's literals
+    * use), so `lit` round-trips them. Unsupported shapes fail loudly —
+    * silently widening an overwrite predicate would delete extra rows.
+    */
+  private[graft] def filterCol(f: Filter): Column = f match {
+    case _: AlwaysTrue            => lit(true)
+    case _: AlwaysFalse           => lit(false)
+    case EqualTo(a, v)            => col(a) === lit(v)
+    case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+    case GreaterThan(a, v)        => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v)           => col(a) < lit(v)
+    case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+    case In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a)                => col(a).isNull
+    case IsNotNull(a)             => col(a).isNotNull
+    case StringStartsWith(a, v)   => col(a).startsWith(v)
+    case StringEndsWith(a, v)     => col(a).endsWith(v)
+    case StringContains(a, v)     => col(a).contains(v)
+    case And(l, r)                => filterCol(l) && filterCol(r)
+    case Or(l, r)                 => filterCol(l) || filterCol(r)
+    case Not(c)                   => !filterCol(c)
+    case other => throw new IllegalArgumentException(
+      s"graftlake overwrite: unsupported filter $other")
+  }
+
+  /** Conjunctive stats bounds from a filter (the SQL layer's
+    * extractRanges shape): strict bounds used inclusively — fine for
+    * pruning, the row predicate stays exact.
+    */
+  private def filterRanges(f: Filter): Seq[TxnLog.ColRange] = f match {
+    case EqualTo(a, v) if v != null => Seq(TxnLog.ColRange(a, Some(v), Some(v)))
+    case GreaterThan(a, v) if v != null => Seq(TxnLog.ColRange(a, lower = Some(v)))
+    case GreaterThanOrEqual(a, v) if v != null =>
+      Seq(TxnLog.ColRange(a, lower = Some(v)))
+    case LessThan(a, v) if v != null => Seq(TxnLog.ColRange(a, upper = Some(v)))
+    case LessThanOrEqual(a, v) if v != null =>
+      Seq(TxnLog.ColRange(a, upper = Some(v)))
+    case And(l, r) => filterRanges(l) ++ filterRanges(r)
+    case _ => Nil
+  }
+
+  /** TRUE when the ranges ARE the filter (inclusive non-null bounds
+    * only) — what licenses whole-file drops, mirroring the SQL layer's
+    * rangesExactOf.
+    */
+  private def filterExact(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => v != null
+    case GreaterThanOrEqual(_, v) => v != null
+    case LessThanOrEqual(_, v)    => v != null
+    case And(l, r)                => filterExact(l) && filterExact(r)
+    case _                        => false
+  }
+
+  private def isAlwaysTrue(fs: Array[Filter]): Boolean =
+    fs.isEmpty || fs.forall(_.isInstanceOf[AlwaysTrue])
+
+  /** One atomic lake commit for a V2 batch append / overwrite. A
+    * filtered overwrite routes to [[graft.lake.LakeDml.replaceWhere]]:
+    * only files whose stats admit a match rewrite, the rest carry by
+    * reference, and fully-covered files drop unread when the filters
+    * convert exactly. Overwrites retry lost append races — the
     * supersede set is re-derived from the new head each attempt.
     */
-  private[graft] def run(spark: SparkSession, tablePath: String,
-      data: org.apache.spark.sql.DataFrame, overwrite: Boolean,
+  def run(spark: SparkSession, tablePath: String,
+      data: DataFrame, overwriteFilters: Option[Array[Filter]],
       optionParts: Seq[String]): Unit = {
     val exists = TxnLog.versions(spark, tablePath).nonEmpty
-    val parts =
-      if (!exists) optionParts
-      else {
-        val layout = new LakeFileIndex(spark, tablePath)
-          .partitionSchema.fieldNames.toSeq
-        require(optionParts.isEmpty || optionParts == layout,
-          s"option(partitionBy=${optionParts.mkString(",")}) disagrees " +
-            s"with $tablePath's existing layout " +
-            s"(${layout.mkString(",")}); drop the option or recreate")
-        layout
+    val parts = layoutOf(spark, tablePath, exists, optionParts)
+    overwriteFilters match {
+      case None =>
+        TxnLog.append(spark, tablePath, data, parts)
+      case Some(fs) if isAlwaysTrue(fs) || !exists =>
+        if (!exists) TxnLog.append(spark, tablePath, data, parts)
+        else retry(tablePath, "overwrite") {
+          TxnLog.overwrite(spark, tablePath, data, parts).isDefined
+        }
+      case Some(fs) =>
+        val cond = fs.map(filterCol).reduce(_ && _)
+        val ranges = fs.toSeq.flatMap(filterRanges)
+        val exact = fs.forall(filterExact)
+        retry(tablePath, "filtered overwrite") {
+          graft.lake.LakeDml.replaceWhere(spark, tablePath, cond, data,
+            pruneRanges = ranges, partitionCols = parts,
+            rangesExact = exact).isDefined
+        }
+    }
+  }
+
+  /** Dynamic partition overwrite: replace exactly the partitions the
+    * incoming data carries (Hive `partitionOverwriteMode=dynamic`
+    * semantics), each as one partition-pruned atomic replaceWhere
+    * commit — other partitions' files are never read, and a replaced
+    * partition's old files drop unread (path-segment coverage proof).
+    * Per-partition commits, like Hive: concurrent readers see
+    * partitions swap one at a time, each swap atomic.
+    */
+  def runDynamic(spark: SparkSession, tablePath: String,
+      data: DataFrame, optionParts: Seq[String]): Unit = {
+    val exists = TxnLog.versions(spark, tablePath).nonEmpty
+    val parts = layoutOf(spark, tablePath, exists, optionParts)
+    require(parts.nonEmpty,
+      s"dynamic partition overwrite of $tablePath needs a partitioned " +
+        "table (or option(\"partitionBy\", ...) on first write)")
+    if (!exists) { TxnLog.append(spark, tablePath, data, parts); return }
+    val tuples = data.select(parts.map(col): _*).distinct().collect()
+    // deterministic replacement order; each tuple is one commit
+    tuples.sortBy(_.toString).foreach { row =>
+      val conds = parts.zipWithIndex.map { case (p, i) =>
+        Option(row.get(i)) match {
+          case Some(v) => col(p) === lit(v)
+          case None    => col(p).isNull
+        }
       }
-    if (!overwrite || !exists) {
-      TxnLog.append(spark, tablePath, data, parts)
-    } else {
-      var attempt = 0
-      var done = false
-      while (!done) {
-        attempt += 1
-        require(attempt <= 10,
-          s"overwrite of $tablePath lost ${attempt - 1} append races; " +
-            "giving up")
-        done = TxnLog.overwrite(spark, tablePath, data, parts).isDefined
+      val cond = conds.reduce(_ && _)
+      // path-segment pruning trusts `toString` to equal Spark's
+      // partition-dir rendering — true for strings, integrals, and
+      // booleans; temporal/decimal renderings can differ, and a missed
+      // match there would EXCLUDE a partition's old files (silent
+      // duplication), so those fall back to the unpruned-but-correct
+      // row-predicate path
+      val safe = parts.indices.forall(i => row.get(i) match {
+        case _: String | _: java.lang.Integer | _: java.lang.Long |
+             _: java.lang.Short | _: java.lang.Byte |
+             _: java.lang.Boolean => true
+        case _ => false
+      })
+      val values =
+        if (safe) parts.zipWithIndex
+          .map { case (p, i) => p -> row.get(i).toString }.toMap
+        else Map.empty[String, String]
+      retry(tablePath, s"dynamic overwrite of partition " +
+          parts.zipWithIndex.map { case (p, i) => s"$p=${row.get(i)}" }
+            .mkString(",")) {
+        graft.lake.LakeDml.replaceWhere(spark, tablePath, cond,
+          data.filter(cond), partitionCols = parts,
+          partitionValues = values,
+          partitionValuesExact = safe).isDefined
       }
     }
   }

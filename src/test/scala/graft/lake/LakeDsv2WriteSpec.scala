@@ -109,4 +109,79 @@ class LakeDsv2WriteSpec extends SparkSpec {
     val files = TxnLog.snapshot(spark, table).inputFiles
     assert(files.length == 1, s"expected 1 rebalanced file, got ${files.length}")
   }
+
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    val table = Files.createTempDirectory("graft-v2w-dyn").toString + "/t"
+    Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 100L))
+      .toDF("p", "v")
+      .write.format("graftlake").mode("append")
+      .option("partitionBy", "p").save(table)
+    val before = TxnLog.snapshot(spark, table).inputFiles.toSet
+    val untouched = before.filterNot(_.contains("/p=a/"))
+    assert(untouched.nonEmpty && before.exists(_.contains("/p=a/")))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try Seq(("a", 7L), ("a", 8L)).toDF("p", "v")
+      .write.format("graftlake").mode("overwrite").save(table)
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    val after = TxnLog.snapshot(spark, table).inputFiles.toSet
+    // b/c partitions: exact same files, by identity, carried untouched
+    assert(untouched.subsetOf(after),
+      s"untouched partitions rewrote: ${untouched -- after}")
+    // a's old files are gone, its new rows are the replacement
+    assert(after.forall(f => !before.contains(f) || untouched.contains(f)))
+    val rows = TxnLog.snapshot(spark, table)
+      .select("p", "v").as[(String, Long)].collect().toSet
+    assert(rows == Set(("a", 7L), ("a", 8L), ("b", 10L), ("c", 100L)))
+    // the replaced partition's OLD files were dropped UNREAD (the
+    // path-segment coverage proof): the replace commit carries "<path"
+    // drop lines rather than rewriting survivors
+    val logDir = new java.io.File(s"$table/_graft_log")
+    val manifests = logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    val replaceBody = new String(
+      java.nio.file.Files.readAllBytes(manifests.last.toPath), "UTF-8")
+    assert(replaceBody.linesIterator.exists(_.startsWith("<")),
+      "replaced partition files must drop unread (no rewrite)")
+  }
+
+  test("static overwrite with dynamic mode off still supersedes the whole table") {
+    val table = Files.createTempDirectory("graft-v2w-stat").toString + "/t"
+    Seq(("a", 1L), ("b", 2L)).toDF("p", "v")
+      .write.format("graftlake").mode("append")
+      .option("partitionBy", "p").save(table)
+    Seq(("a", 9L)).toDF("p", "v")
+      .write.format("graftlake").mode("overwrite").save(table)
+    val rows = TxnLog.snapshot(spark, table)
+      .select("p", "v").as[(String, Long)].collect().toSet
+    assert(rows == Set(("a", 9L)))
+  }
+
+  test("filtered V2 overwrite routes to replaceWhere with file pruning") {
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+    val table = Files.createTempDirectory("graft-v2w-filt").toString + "/t"
+    // three disjoint key-range files
+    Seq(0L until 500L, 500L until 1000L, 1000L until 1500L).foreach { r =>
+      spark.createDataset(r).toDF("id")
+        .withColumn("v", col("id") * 10).coalesce(1)
+        .write.format("graftlake").mode("append").save(table)
+    }
+    val before = TxnLog.snapshot(spark, table).inputFiles.toSet
+    val repl = spark.createDataset(600L until 700L).toDF("id")
+      .withColumn("v", lit(-1L))
+    org.apache.spark.sql.graft.GraftLakeWriteBuilder.run(
+      spark, table, repl,
+      Some(Array(And(GreaterThanOrEqual("id", 600L),
+        LessThanOrEqual("id", 899L)))), Nil)
+    val after = TxnLog.snapshot(spark, table).inputFiles.toSet
+    // only the middle file's range intersects [600, 899]
+    assert((before & after).size == before.size - 1,
+      s"filtered overwrite rewrote ${(before -- after).size} of " +
+        s"${before.size} files; the range reaches exactly one")
+    val got = TxnLog.snapshot(spark, table)
+    assert(got.filter(col("id") >= 600 && col("id") <= 899).count() == 100)
+    assert(got.filter(col("v") === -1L).count() == 100)
+    assert(got.count() == 1500 - 300 + 100)
+  }
 }
