@@ -1,0 +1,120 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** CROSS-PROCESS writer race: two real child JVMs (plus this one)
+  * racing appends and MERGEs on one lake table. In-process races
+  * (`LakeConflictSpec`) share a JVM and a FileSystem instance; this
+  * spec proves the commit protocol — atomic manifest publication via
+  * create-exclusive claim, version-race retry, logical conflict
+  * detection — holds across PROCESS boundaries, where only the
+  * filesystem serializes writers.
+  */
+class LakeCrossProcessSpec extends SparkSpec {
+
+  private val Jdk17Opens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Launch a RaceWriterMain child; returns (exitCode, stdout lines).
+    * Tests fork (build.sbt), so java.class.path is the real classpath.
+    */
+  private def child(args: String*): (Int, Vector[String]) = {
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val cmd: Seq[String] = Seq(javaBin) ++ Jdk17Opens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-Xmx2g", "-cp", sys.props("java.class.path"),
+      "graft.lake.RaceWriterMain") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream)
+      .getLines().toVector
+    (p.waitFor(), out)
+  }
+
+  test("two JVMs racing appends serialize: every commit lands, versions dense") {
+    import graft.SparkSpec.spark.implicits._
+    val table = Files.createTempDirectory("graft-xproc-app").toString + "/t"
+    TxnLog.append(spark, table, Seq((0L, "seed")).toDF("id", "v"))
+
+    val perChild = 6
+    val threads = Seq(1, 2).map { id =>
+      new Thread {
+        var result: (Int, Vector[String]) = _
+        override def run(): Unit =
+          result = child(table, "appender", id.toString, perChild.toString)
+      }
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    threads.foreach { t =>
+      assert(t.result != null, "child did not finish in time")
+      assert(t.result._1 == 0,
+        s"child exited ${t.result._1}:\n${t.result._2.takeRight(15).mkString("\n")}")
+      assert(t.result._2.contains("RACE_EXIT_OK"))
+    }
+
+    // versions are DENSE (1..13): no clobbered or skipped commit
+    val vs = TxnLog.versions(spark, table)
+    assert(vs == (1L to (1 + 2 * perChild)).toSeq,
+      s"expected dense versions, got $vs")
+    // no lost rows: every append's row is present exactly once
+    val rows = TxnLog.snapshot(spark, table)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expected = (Seq(0L) ++
+      (0 until perChild).map(i => 100000L + i) ++
+      (0 until perChild).map(i => 200000L + i)).sorted
+    assert(rows == expected, s"lost or duplicated commits: $rows")
+  }
+
+  test("appends racing a MERGE across JVMs: no lost updates, loud retries allowed") {
+    import graft.SparkSpec.spark.implicits._
+    val table = Files.createTempDirectory("graft-xproc-mrg").toString + "/t"
+    TxnLog.append(spark, table,
+      Seq((1L, "base"), (2L, "other")).toDF("id", "v"))
+
+    val nAppends = 5
+    val nMerges = 4
+    val threads = Seq(
+      ("appender", 3, nAppends),
+      ("merger", 4, nMerges)
+    ).map { case (role, id, n) =>
+      new Thread {
+        var result: (Int, Vector[String]) = _
+        override def run(): Unit =
+          result = child(table, role, id.toString, n.toString)
+      }
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    threads.foreach { t =>
+      assert(t.result != null && t.result._1 == 0,
+        s"child failed:\n${Option(t.result).map(_._2.takeRight(15).mkString("\n")).getOrElse("timeout")}")
+    }
+    val mergerOut = threads(1).result._2
+    assert(mergerOut.count(_.startsWith("RACE_MERGE ")) == nMerges)
+
+    // the final row for key 1 is the LAST merge (merges are serial in
+    // one child): no append or earlier merge clobbered it
+    val got = TxnLog.snapshot(spark, table)
+      .filter(col("id") === 1L).select("v").as[String].collect().toSeq
+    assert(got == Seq(s"m4-${nMerges - 1}"),
+      s"lost update: key 1 reads $got")
+    // every append landed too
+    assert(TxnLog.snapshot(spark, table)
+      .filter(col("id") >= 300000L).count() == nAppends)
+    // commit log is a dense serial history
+    val vs = TxnLog.versions(spark, table)
+    assert(vs == (1L to vs.length).toSeq, s"non-dense versions: $vs")
+  }
+}

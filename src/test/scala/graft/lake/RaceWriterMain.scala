@@ -1,0 +1,54 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-JVM worker for [[LakeCrossProcessSpec]]: a real separate
+  * process racing commits against siblings on ONE lake table — the
+  * multi-writer scenario in-process specs cannot reproduce (distinct
+  * JVMs, distinct Hadoop FileSystem instances, real rename atomicity).
+  *
+  * args: <table> <role: appender|merger> <workerId> <count>
+  *
+  * Protocol on stdout (parsed by the spec):
+  *   RACE_APPEND <worker> <i> <version>   — one append landed
+  *   RACE_MERGE <worker> <i> <version>    — one merge landed
+  *   RACE_RETRY <worker>                  — merge aborted (conflict), re-run
+  *   RACE_EXIT_OK                         — clean exit, all work landed
+  */
+object RaceWriterMain {
+  def main(args: Array[String]): Unit = {
+    val Array(table, role, idS, nS) = args
+    val id = idS.toInt
+    val n = nS.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-race-$role-$id")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    role match {
+      case "appender" =>
+        (0 until n).foreach { i =>
+          val rows = Seq((id * 100000L + i, s"w$id-$i")).toDF("id", "v")
+          val v = TxnLog.append(spark, table, rows)
+          println(s"RACE_APPEND $id $i $v")
+        }
+      case "merger" =>
+        // each merge bumps the shared key's value; a conflict abort
+        // (None) re-runs on the new base — the caller-visible contract
+        var done = 0
+        while (done < n) {
+          val src = Seq((1L, s"m$id-$done")).toDF("id", "v")
+          TxnLog.merge(spark, table, src, keyCols = Seq("id")) match {
+            case Some(v) => done += 1; println(s"RACE_MERGE $id $done $v")
+            case None    => println(s"RACE_RETRY $id")
+          }
+        }
+    }
+    println("RACE_EXIT_OK")
+    spark.stop()
+  }
+}
