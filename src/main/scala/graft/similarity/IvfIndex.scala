@@ -25,21 +25,50 @@ object IvfIndex {
     def numCells: Int = centroids.length
   }
 
+  /** One Literal node (see PqIndex.cbLit: the per-element `array(lit)`
+    * spelling costs seconds of optimizer traversal per plan branch).
+    */
   private def centroidsLit(m: Model): Column =
-    array(m.centroids.map(c => array(c.map(lit(_)): _*)): _*)
+    typedlit(m.centroids.map(_.toSeq).toSeq)
 
   /** similarity of `v` to each centroid, as an array column. */
   private def simsCol(spark: SparkSession, m: Model, v: Column): Column =
     transform(centroidsLit(m), c => GraftFunctions.cosineSim(spark, v, c))
 
+  /** The primitive-loop [[graft.functions.IvfTopCells]] expression
+    * (registered per model, PqEncode's pattern) — the HOF forms below
+    * stay as its equivalence oracles. See IvfTopCells' scaladoc for why
+    * the HOF spelling was a one-task 7 s hazard.
+    */
+  private def topCells(spark: SparkSession, m: Model, v: Column,
+      nprobe: Int): Column = {
+    val name = s"graft_ivf_cells_${m.numCells}_${nprobe}_" +
+      java.lang.Integer.toHexString(java.util.Arrays.deepHashCode(
+        m.centroids.asInstanceOf[Array[AnyRef]]))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.functions.IvfTopCells(exprs(0), m.centroids, nprobe),
+      "scala_udf")
+    call_function(name, v)
+  }
+
   /** 1-based argmax cell id for a vector. */
-  def cellOf(spark: SparkSession, m: Model, v: Column): Column = {
+  def cellOf(spark: SparkSession, m: Model, v: Column): Column =
+    element_at(topCells(spark, m, v, 1), 1)
+
+  /** The query's `nprobe` best cells (array of 1-based cell ids). */
+  def probeCells(spark: SparkSession, m: Model, v: Column, nprobe: Int): Column =
+    topCells(spark, m, v, nprobe)
+
+  /** HOF reference form of [[cellOf]] — the expression's spec oracle. */
+  private[similarity] def cellOfHof(spark: SparkSession, m: Model,
+      v: Column): Column = {
     val sims = simsCol(spark, m, v)
     array_position(sims, array_max(sims))
   }
 
-  /** The query's `nprobe` best cells (array of 1-based cell ids). */
-  def probeCells(spark: SparkSession, m: Model, v: Column, nprobe: Int): Column = {
+  /** HOF reference form of [[probeCells]] — the expression's spec oracle. */
+  private[similarity] def probeCellsHof(spark: SparkSession, m: Model,
+      v: Column, nprobe: Int): Column = {
     val ranked = array_sort(
       zip_with(simsCol(spark, m, v),
         sequence(lit(1), lit(m.numCells)),

@@ -45,9 +45,15 @@ object PqIndex {
     * Janino compile at codebookSize 64 (the round-1 plane-matrix
     * lesson), the folded loop form compiles in milliseconds.
     */
+  /** The codebooks as ONE Literal node. The `array(array(lit...))`
+    * spelling built segments×codes×dims ≈ thousands of expression
+    * NODES, and every optimizer rule re-traversed them in every plan
+    * branch referencing the model — measured as ~7 s of pure
+    * driver-side planning per IVF+PQ search. `typedlit` folds the whole
+    * nested structure into a single Literal holding ArrayData.
+    */
   private def cbLit(m: Model): Column =
-    array(m.codebooks.map(seg =>
-      array(seg.map(c => array(c.map(lit(_)): _*)): _*)): _*)
+    typedlit(m.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** All segment codes for a (normalized) vector, as array<int> — the
     * primitive-loop [[graft.functions.PqEncode]] expression (HOF

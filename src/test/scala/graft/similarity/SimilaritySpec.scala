@@ -164,6 +164,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("IvfTopCells expression equals the HOF reference forms") {
+    val model = IvfIndex.train(spark, embs, numCells = 16)
+    val v = embs.limit(200).select(
+      GraftFunctions.normalize(col("embedding")).as("nv"))
+    // argmax cell
+    val cellMism = v.select(
+        IvfIndex.cellOf(spark, model, col("nv")).as("fast"),
+        IvfIndex.cellOfHof(spark, model, col("nv")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(cellMism == 0)
+    // nprobe ranking, including the full-ranking edge (nprobe = cells)
+    Seq(1, 10, 16).foreach { nprobe =>
+      val probeMism = v.select(
+          IvfIndex.probeCells(spark, model, col("nv"), nprobe).as("fast"),
+          IvfIndex.probeCellsHof(spark, model, col("nv"), nprobe)
+            .cast("array<bigint>").as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(probeMism == 0, s"nprobe=$nprobe ranking diverged")
+    }
+  }
+
   test("PQ codes are compact and well-formed") {
     val model = PqIndex.train(spark, embs, numSegments = 8, codebookSize = 16)
     val coded = PqIndex.encode(model, embs)
