@@ -81,7 +81,9 @@ object EmbeddingNearDup {
     // plane matrix — inlining numTables×numPlanes separate dot loops
     // (the naive formulation) makes Janino spend ~10 s compiling the
     // projection; this shape generates one loop + cheap sign tests
-    val planesLit = array(tables.flatten.map(p => array(p.map(lit(_)): _*)): _*)
+    // ONE Literal node (see PqIndex.cbLit: per-element `array(lit)`
+    // builds thousands of expression nodes the optimizer re-traverses)
+    val planesLit = typedlit(tables.flatten.map(_.toSeq))
     val dots = transform(planesLit, p =>
       graft.functions.GraftFunctions.dotProduct(spark, col("v"), p))
     val masks: Seq[Column] = (0 until numTables).map { t =>
