@@ -447,6 +447,79 @@ object TxnLog {
     n
   }
 
+  /** CONVERT an existing plain-parquet directory (flat or
+    * Hive-partitioned) into a lake table IN PLACE — Delta's
+    * `CONVERT TO DELTA`, the only migration shape that works at 100 TB
+    * (rewriting the data through `append` would copy every byte).
+    *
+    * One commit is published referencing every parquet file under the
+    * directory BY PATH, with the same distributed footer harvest a
+    * normal commit gets — so stats pruning, bloom-free point planning,
+    * and metadata-only `count(*)` work immediately and NO data file is
+    * read in full, moved, or copied. Partition columns are derived from
+    * `k=v` path segments (Spark's own layout), and the recorded schema
+    * is the full logical one (data + partition columns), exactly what a
+    * partitioned `append` records.
+    *
+    * After conversion the directory is a normal lake table: DML
+    * rewrites supersede the original files logically (bytes stay for
+    * time travel), `vacuum` never sweeps them (it only sweeps the
+    * table's own `data/` dir), and the change feed treats the convert
+    * commit like an initial append. Fails loudly if a log already
+    * exists or no parquet files are found. Returns the created version
+    * (always 1).
+    */
+  def convert(spark: SparkSession, dir: String): Long = {
+    require(versions(spark, dir).isEmpty,
+      s"$dir already has a lake log; CONVERT is for plain parquet dirs")
+    val root = new Path(dir)
+    val f = fs(spark, root)
+    require(f.exists(root) && f.getFileStatus(root).isDirectory,
+      s"$dir is not a directory")
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      // skip hidden/metadata files and anything under hidden dirs
+      val rel = st.getPath.toString.stripPrefix(
+        f.makeQualified(root).toString).split('/').filter(_.nonEmpty)
+      val hidden = rel.exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && name.endsWith(".parquet"))
+        files += ((st.getPath.toString, st.getLen))
+    }
+    require(files.nonEmpty, s"no parquet files under $dir to convert")
+    // partition columns from k=v path segments, outermost first (every
+    // data file of a consistent layout carries the same segment names)
+    val sample = files.head._1
+      .stripPrefix(f.makeQualified(root).toString)
+    val partCols = sample.split('/').filter(_.nonEmpty).dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName)
+    // full logical schema (Spark merges footers and infers partition
+    // column types from the paths — same as reading the dir directly)
+    val full = spark.read.option("mergeSchema", "true").parquet(dir).schema
+    val dataSchema = StructType(
+      full.fields.filterNot(fd => partCols.contains(fd.name)))
+    val entries = harvestStats(spark, files.toSeq, dataSchema)
+    // the commit dir doubles as the read-time `basePath` (partition
+    // values resolve from paths relative to it): for converted files,
+    // which live in k=v dirs directly under the table root, that base
+    // IS the root. It sits outside data/, so vacuum's orphan sweep can
+    // never confuse it with a commit dir, and its name carries no
+    // rewrite prefix, so the change feed treats the convert like an
+    // initial append.
+    val commitDir = f.makeQualified(root)
+    val body = (Seq("1",
+      dirLine(commitDir.toString, System.currentTimeMillis()),
+      full.json) ++
+      bodyLines(entries, Nil)).mkString("\n")
+    require(publishAtomic(spark, manifestPath(dir, 1), body),
+      s"convert lost a commit race on $dir (is something else writing it?)")
+    1L
+  }
+
   /** Replace the table's entire contents with `df` in ONE atomic
     * `overwrite-` commit (SQL `INSERT OVERWRITE`): every live file is
     * superseded in the new manifest — a logical remove, the bytes stay

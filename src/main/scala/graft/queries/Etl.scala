@@ -560,6 +560,50 @@ object Etl extends QueryPack {
       col("o_totalprice"), col("o_orderdate"))
   }
 
+  /** In-place CONVERT gate (q129): a plain Hive-partitioned parquet
+    * directory (written by the stock writer, no lake involved) becomes
+    * a lake table via `CONVERT TO GRAFTLAKE` — zero data files moved,
+    * copied, or written (required loudly: the snapshot must read
+    * EXACTLY the pre-existing files) — then a SQL DELETE proves the
+    * converted table takes normal DML. Final state oracled vs DuckDB.
+    */
+  def convertInPlace(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_conv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    o.write.partitionBy("o_orderstatus").parquet(table)
+    def dataFiles(): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath
+        if (st.getPath.getName.endsWith(".parquet") &&
+            !rel.contains("/_") && !rel.contains("/."))
+          out += rel
+      }
+      out.toSet
+    }
+    val before = dataFiles()
+    require(before.nonEmpty, "gate needs pre-existing parquet files")
+    s.sql(s"CONVERT TO GRAFTLAKE '$table' AS q129_conv").collect()
+    require(dataFiles() == before,
+      "CONVERT must not write, move, or copy any data file")
+    val snapFiles = graft.lake.TxnLog.snapshot(s, table).inputFiles
+      .map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath).toSet
+    require(snapFiles == before,
+      "the converted snapshot must read exactly the pre-existing files")
+    s.sql("DELETE FROM q129_conv WHERE o_orderkey < 100").collect()
+    val out = s.sql("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice, o_orderdate FROM q129_conv")
+    org.apache.spark.sql.graft.LakeMounts.unmount(s, "q129_conv")
+    out
+  }
+
   /** Deletion-vector gate (q121): orders as three single-file commits;
     * a 1-row SQL DELETE with deletion vectors on MUST commit without
     * writing or superseding any data file (required loudly — the
@@ -1110,6 +1154,7 @@ object Etl extends QueryPack {
     "q122_dv_optimize" -> dvOptimize _,
     "q123_dsv2_write" -> dsv2Write _,
     "q128_dynamic_overwrite" -> dynamicOverwrite _,
+    "q129_convert_in_place" -> convertInPlace _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
@@ -1281,6 +1326,10 @@ object Etl extends QueryPack {
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         |  o_totalprice * 2 AS o_totalprice, o_orderdate
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q129_convert_in_place" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE o_orderkey >= 100""".stripMargin,
     "q124_rename_column" ->
       """SELECT o_orderkey, o_custkey, o_totalprice AS price, o_orderdate
         |FROM orders

@@ -78,6 +78,9 @@ object LakeDmlSql {
 
   private val MountRe =
     """(?is)^\s*MOUNT\s+'([^']+)'\s+AS\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val ConvertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+GRAFTLAKE\s+'([^']+)'""" +
+      """(?:\s+AS\s+([A-Za-z_][\w]*))?\s*;?\s*$""").r
   private val UnmountRe =
     """(?is)^\s*UNMOUNT\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val VacuumRe =
@@ -131,6 +134,8 @@ object LakeDmlSql {
     sqlText match {
       case MountRe(path, name) =>
         Some(LakeMountCommand(name, path, unmount = false))
+      case ConvertRe(path, name) =>
+        Some(LakeConvertCommand(path, Option(name)))
       case UnmountRe(name) if LakeMounts.pathOf(spark, name).isDefined =>
         Some(LakeMountCommand(name, "", unmount = true))
       case VacuumRe(name, hours, dry) =>
@@ -558,6 +563,25 @@ object LakeDmlSql {
     }
     override def simpleString(maxFields: Int): String =
       s"${if (unmount) "Unmount" else "Mount"}Command $name"
+  }
+
+  /** `CONVERT TO GRAFTLAKE '<parquet dir>' [AS name]` — in-place
+    * conversion of an existing plain-parquet directory into a lake
+    * table ([[TxnLog.convert]]: one commit referencing the files by
+    * path, footer-harvested stats, zero bytes moved), optionally
+    * mounted under `name` in the same statement.
+    */
+  final case class LakeConvertCommand(path: String, name: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(AttributeReference(
+      "version", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = TxnLog.convert(spark, path)
+      name.foreach(n => LakeMounts.mount(spark, n, path))
+      Seq(Row(v))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeConvertCommand $path"
   }
 
   /** `VACUUM t [RETAIN n HOURS] [DRY RUN]` — DRY RUN returns the paths

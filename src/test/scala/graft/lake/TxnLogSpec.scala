@@ -679,6 +679,50 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("CONVERT references plain parquet in place: stats prune, DML works, no re-convert") {
+    val table = Files.createTempDirectory("graft-conv").toString + "/t"
+    // three disjoint key-range files via the STOCK writer (no lake)
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .withColumn("bucket", (col("id") / 1000).cast("int"))
+    df.repartitionByRange(3, col("id")).write.parquet(table)
+    val before = spark.read.parquet(table).inputFiles.toSet
+    assert(TxnLog.convert(spark, table) == 1L)
+    // zero data movement: the snapshot reads exactly the original files
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.inputFiles.toSet == before)
+    assert(snap.count() == 3000)
+    // footer stats were harvested: a ranged read prunes to one file
+    val pruned = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("id", Some(100L), Some(200L))))
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 stats-pruned file, got ${pruned.inputFiles.length}")
+    assert(pruned.count() == 101)
+    // row counts were harvested: metadata-only count sees them
+    assert(TxnLog.snapshot(spark, table).count() == 3000)
+    // normal DML supersedes the borrowed files logically
+    LakeDml.deleteWhere(spark, table, col("id") < 1000,
+      pruneRanges = Seq(TxnLog.ColRange("id", None, Some(999L))))
+    assert(TxnLog.snapshot(spark, table).count() == 2000)
+    // the pre-DML state stays travelable through the original bytes
+    assert(TxnLog.snapshot(spark, table, Some(1L)).count() == 3000)
+    // the DSv2 connector reads the converted table identically
+    val v2 = spark.read.format("graftlake").load(table)
+    assert(v2.count() == 2000)
+    assert(v2.agg(sum("v")).collect()(0).getLong(0) ==
+      (1000L until 3000L).map(_ * 2).sum)
+    // converting an already-converted table fails loudly
+    intercept[IllegalArgumentException] { TxnLog.convert(spark, table) }
+  }
+
+  test("CONVERT of an empty or missing directory fails loudly") {
+    val empty = Files.createTempDirectory("graft-conv-empty").toString
+    intercept[IllegalArgumentException] { TxnLog.convert(spark, empty) }
+    intercept[IllegalArgumentException] {
+      TxnLog.convert(spark, s"$empty/nope")
+    }
+  }
+
   test("manifest protocol: format=1 round-trips, a future format fails loudly") {
     val table = Files.createTempDirectory("graft-lake-fmt").toString
     TxnLog.append(spark, table, Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
