@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The events loader must adapt to WHATEVER ts flavor the generator
+  * last wrote — the r7 testdata drop silently switched from parquet
+  * TIMESTAMP(NANOS) to timestamp[us] and a hard-coded conversion took
+  * 16 gate queries down for a round. Both on-disk flavors are
+  * synthesized here and must normalize to the SAME TimestampType
+  * instants.
+  */
+class TablesSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("normalizeEventsTs: nanos-long, NTZ, and LTZ flavors all converge") {
+    val micros = Seq(1718000000000000L, 1718000123456789L, 0L)
+
+    // long nanos (what the legacy nanosAsLong conf yields for NANOS files)
+    val asLong = micros.map(_ * 1000L).toDF("ts")
+    val fromLong = Tables.normalizeEventsTs(asLong)
+      .select(unix_micros(col("ts"))).as[Long].collect().toSeq
+
+    // TIMESTAMP_NTZ (what Spark infers for timestamp[us] parquet)
+    val asNtz = micros.toDF("us")
+      .select(expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts"))
+    val fromNtz = Tables.normalizeEventsTs(asNtz)
+      .select(unix_micros(col("ts"))).as[Long].collect().toSeq
+
+    // already session-TZ TimestampType: pass-through
+    val asTz = micros.toDF("us")
+      .select(expr("timestamp_micros(us)").as("ts"))
+    val fromTz = Tables.normalizeEventsTs(asTz)
+      .select(unix_micros(col("ts"))).as[Long].collect().toSeq
+
+    assert(fromLong == micros)
+    assert(fromNtz == micros)
+    assert(fromTz == micros)
+    // and the normalized type is TimestampType in every case
+    Seq(asLong, asNtz, asTz).foreach { df =>
+      assert(Tables.normalizeEventsTs(df).schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+    }
+  }
+
+  test("events loader round-trips a synthesized timestamp[us] parquet file") {
+    val dir = Files.createTempDirectory("graft-events-us").toString
+    // write events-shaped parquet whose ts is NTZ micros on disk
+    Seq((1L, 100L, "view", 1718000000000000L),
+        (2L, 100L, "click", 1718000060000000L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val loaded = Tables.events(spark, dir)
+    assert(loaded.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(loaded.select(unix_micros(col("ts"))).as[Long].collect().sorted
+      .toSeq == Seq(1718000000000000L, 1718000060000000L))
+    // the raw schema (for readStream declarations) reflects the disk type
+    assert(Tables.eventsRawSchema(spark, dir)("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+  }
+}
