@@ -21,11 +21,29 @@ object StreamJoin {
     */
   def interval(left: DataFrame, leftTs: String, right: DataFrame,
       rightTs: String, keyLeft: String, keyRight: String,
-      within: String, delay: String = "1 hour"): DataFrame = {
+      within: String, delay: String = "1 hour"): DataFrame =
+    joined(left, leftTs, right, rightTs, keyLeft, keyRight, within,
+      delay, "inner")
+
+  /** LEFT OUTER interval join — the "views that got NO click within N
+    * minutes" shape (funnel drop-off). Same state bound as the inner
+    * form; unmatched left rows emit with nulled right columns once the
+    * right-side watermark passes their match window, so every left row
+    * is answered exactly once (match or null) with bounded lateness.
+    */
+  def intervalLeftOuter(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, keyLeft: String, keyRight: String,
+      within: String, delay: String = "1 hour"): DataFrame =
+    joined(left, leftTs, right, rightTs, keyLeft, keyRight, within,
+      delay, "left_outer")
+
+  private def joined(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, keyLeft: String, keyRight: String,
+      within: String, delay: String, how: String): DataFrame = {
     val l = left.withWatermark(leftTs, delay)
     val r = right.withWatermark(rightTs, delay)
     l.join(r, l(keyLeft) === r(keyRight) &&
       r(rightTs) >= l(leftTs) &&
-      r(rightTs) <= l(leftTs) + expr(s"interval $within"))
+      r(rightTs) <= l(leftTs) + expr(s"interval $within"), how)
   }
 }

@@ -47,6 +47,62 @@ class StreamJoinSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).isEmpty)
   }
 
+  test("left-outer streamed funnel equals batch left join on closed windows") {
+    val dir = sf
+    val schema = Tables.eventsRawSchema(spark, dir)
+    val src = Tables.normalizeEventsTs(spark.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val q = StreamJoin.intervalLeftOuter(views, "v_ts", clicks, "c_ts",
+        "user_id", "c_user", within = "30 minutes", delay = "0 seconds")
+      .select(col("view_id"), col("v_ts"), col("click_id"))
+      .writeStream.format("memory").queryName("sj_outer")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sj_outer")
+
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val batch = v.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("interval 30 minutes"),
+        "left_outer")
+      .select(col("view_id"), col("v_ts"), col("click_id"))
+
+    // matched rows are exact on the full set
+    assert(streamed.filter(col("click_id").isNotNull)
+      .exceptAll(batch.filter(col("click_id").isNotNull)).isEmpty)
+    assert(batch.filter(col("click_id").isNotNull)
+      .exceptAll(streamed.filter(col("click_id").isNotNull)).isEmpty)
+    // null rows: exact on views whose match window provably CLOSED
+    // under the FINAL GLOBAL watermark — the MIN across both inputs'
+    // (max event time - delay), not the global max ts: a view equal to
+    // the views-side max holds the watermark at itself and its null is
+    // legitimately withheld at stream end
+    val maxV = ev.filter(col("event_type") === "view")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val maxC = ev.filter(col("event_type") === "click")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val wm = if (maxV.before(maxC)) maxV else maxC
+    val closed = col("v_ts") + expr("interval 30 minutes") < lit(wm)
+    val sNull = streamed.filter(col("click_id").isNull && closed)
+    val bNull = batch.filter(col("click_id").isNull && closed)
+    assert(sNull.count() > 0, "no closed-window null rows; vacuous test")
+    assert(sNull.exceptAll(bNull).isEmpty)
+    assert(bNull.exceptAll(sNull).isEmpty)
+  }
+
   test("the plan is the stateful symmetric hash join") {
     val schema = Tables.eventsRawSchema(spark, sf)
     val src = Tables.normalizeEventsTs(spark.readStream.schema(schema)
