@@ -48,7 +48,8 @@ object Bench {
   private val Streaming: Set[String] = Set(
     "q25_event_windows", "q26_sessionize", "q82_streaming_dedup",
     "q88_streaming_dedup_keys", "q101_cdf_replicate", "q110_stream_join",
-    "q111_incremental_agg_mv", "q115_stream_rate_limit")
+    "q111_incremental_agg_mv", "q115_stream_rate_limit",
+    "q130_stream_outer_join")
 
   /** A shared-JVM steady time above this re-measures forked. */
   private val ForkThresholdSec = 3.0

@@ -128,6 +128,53 @@ object Streaming extends QueryPack {
     s.table(name)
   }
 
+  /** Left-outer stream-stream join gate (q130): the q110 funnel with
+    * drop-off — views with NO click within 30 minutes emit once with a
+    * null click_id when the right watermark closes their window
+    * ([[graft.streaming.StreamJoin.intervalLeftOuter]]). Output is
+    * restricted to rows decidable at stream end: matches, plus null
+    * rows whose window provably closed under the final GLOBAL
+    * watermark (the MIN of both inputs' max event times — the latest
+    * view holds the watermark at itself, so its own null is withheld).
+    * DuckDB's batch left join under the same restriction is the oracle.
+    */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.eventsRawSchema(s, dir)
+    val src = Tables.normalizeEventsTs(s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")) // glob: see streamingDedupGate
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val joined = graft.streaming.StreamJoin.intervalLeftOuter(
+      views, "v_ts", clicks, "c_ts", "user_id", "c_user",
+      within = "30 minutes", delay = "0 seconds")
+    val name = s"q130_stream_outer_${math.abs(dir.hashCode).toString}"
+    val q = joined.select(col("view_id"), col("v_ts"), col("click_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ev = Tables.events(s, dir)
+    val maxV = ev.filter(col("event_type") === "view")
+      .agg(org.apache.spark.sql.functions.max(col("ts")))
+      .collect()(0).getTimestamp(0)
+    val maxC = ev.filter(col("event_type") === "click")
+      .agg(org.apache.spark.sql.functions.max(col("ts")))
+      .collect()(0).getTimestamp(0)
+    val wm = if (maxV.before(maxC)) maxV else maxC
+    val out = s.table(name).filter(col("click_id").isNotNull ||
+      col("v_ts") + expr("interval 30 minutes") < lit(wm))
+    require(out.filter(col("click_id").isNull).count() > 0,
+      "no drop-off rows emitted; the outer join is vacuous here")
+    out.select(col("view_id"), col("click_id"))
+  }
+
   /** Rate-limited lake stream gate (q115): orders appended to a lake
     * table as three commits of two files each, streamed back under
     * `Trigger.AvailableNow` with `maxFilesPerTrigger = 2` — DSv2
@@ -175,6 +222,7 @@ object Streaming extends QueryPack {
     "q82_streaming_dedup" -> streamingDedupGate _,
     "q88_streaming_dedup_keys" -> streamingDedupKeysGate _,
     "q110_stream_join" -> streamStreamJoin _,
+    "q130_stream_outer_join" -> streamOuterJoin _,
     "q115_stream_rate_limit" -> streamRateLimit _,
   )
 
@@ -195,6 +243,25 @@ object Streaming extends QueryPack {
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts
         | AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "q130_stream_outer_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS v_ts, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT least((SELECT max(v_ts) FROM v),
+        |               (SELECT max(c_ts) FROM c)) AS w),
+        |j AS (
+        |  SELECT v.view_id, v.v_ts, c.click_id
+        |  FROM v LEFT JOIN c ON v.user_id = c.c_user
+        |    AND c.c_ts >= v.v_ts
+        |    AND c.c_ts <= v.v_ts + INTERVAL 30 MINUTE)
+        |SELECT view_id, click_id
+        |FROM j, wm
+        |WHERE click_id IS NOT NULL
+        |   OR v_ts + INTERVAL 30 MINUTE < wm.w""".stripMargin,
     "q25_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  event_type, count(*) AS n, sum(value) AS total_value
