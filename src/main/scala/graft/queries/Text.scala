@@ -170,6 +170,21 @@ object Text extends QueryPack {
       Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25))
   }
 
+  /** Temperature-mix gate (q131): weights derived from the corpus's own
+    * per-source counts at T=2 ([[graft.text.CorpusMix
+    * .temperatureWeights]] — shares ∝ sqrt(n_s), expected output 1000
+    * docs), then the same deterministic md5-draw mix as q108. DuckDB
+    * recomputes the weights from its own counts (sqrt + identical
+    * division order) and the exact mix.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusMix
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val w = CorpusMix.temperatureWeights(docs, temperature = 2.0,
+      targetDocs = 1000L)
+    CorpusMix.mix(docs, w)
+  }
+
   /** Per-source cap gate (q109): keep the 10 longest docs per source
     * (ties to the smaller id) via the map-side bounded top-k aggregate
     * — the shuffle carries ≤ k pairs per source per task, never the
@@ -254,6 +269,7 @@ object Text extends QueryPack {
     "q116_vocab" -> vocabBuild _,
     "q117_token_budget" -> tokenBudget _,
     "q108_corpus_mix" -> corpusMix _,
+    "q131_temperature_mix" -> temperatureMix _,
     "q109_source_cap" -> sourceCap _,
     "q112_corpus_split" -> corpusSplit _,
     "q103_seq_packing" -> seqPacking _,
@@ -358,6 +374,26 @@ object Text extends QueryPack {
       """WITH w AS (
         |  SELECT * FROM (VALUES ('src0', 2.5), ('src1', 1.0),
         |                        ('src2', 0.5), ('src3', 0.25)) w(source, wt)),
+        |d AS (
+        |  SELECT doc_id, d.source, wt,
+        |    CAST('0x' || substr(md5(doc_id || ':' || d.source), 1, 8)
+        |         AS UBIGINT) / 4294967296.0 AS u
+        |  FROM documents d JOIN w USING (source)),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(wt) AS BIGINT)
+        |      + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n
+        |  FROM d)
+        |SELECT doc_id, source, unnest(range(n)) AS copy
+        |FROM c WHERE n > 0""".stripMargin,
+    "q131_temperature_mix" ->
+      """WITH cnt AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(sqrt(n)) AS t FROM cnt),
+        |w AS (
+        |  SELECT source, 1000.0 * sqrt(n) / (SELECT t FROM tot) / n AS wt
+        |  FROM cnt),
         |d AS (
         |  SELECT doc_id, d.source, wt,
         |    CAST('0x' || substr(md5(doc_id || ':' || d.source), 1, 8)

@@ -59,6 +59,36 @@ object CorpusMix {
       .drop("__graft_copies")
   }
 
+  /** Temperature-scaled mixing weights — the multilingual-sampling
+    * recipe (T5/mT5, XLM-R): source s receives a share of the output
+    * proportional to n_s^(1/T), so T=1 reproduces natural proportions,
+    * larger T flattens toward uniform-across-sources (boosting small
+    * sources without drowning the mix in them). Returned as per-doc
+    * epoch weights for [[mix]]: w_s = target × share_s / n_s, so the
+    * EXPECTED mixed size is `targetDocs` with shares ∝ n_s^(1/T).
+    *
+    * Bit-stability: the powered counts sum in sorted-source order, and
+    * T=2 uses `sqrt` (correctly rounded by IEEE; `pow(x, 0.5)` is only
+    * 1-ulp-accurate and can disagree with an engine that spells the
+    * same math `sqrt`). One tiny driver aggregate (one row per source)
+    * computes the counts — never a corpus shuffle.
+    */
+  def temperatureWeights(docs: DataFrame, temperature: Double,
+      targetDocs: Long, sourceCol: String = "source"): Map[String, Double] = {
+    require(temperature > 0.0, s"temperature must be positive: $temperature")
+    require(targetDocs > 0L, s"targetDocs must be positive: $targetDocs")
+    val counts = docs.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureWeights on an empty corpus")
+    val inv = 1.0 / temperature
+    def powered(n: Long): Double =
+      if (inv == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, inv)
+    val total = counts.toSeq.sortBy(_._1).map(kv => powered(kv._2)).sum
+    counts.map { case (s, n) =>
+      s -> targetDocs.toDouble * powered(n) / total / n.toDouble
+    }
+  }
+
   /** Deterministic train/val/test split: each document lands in the
     * fraction bucket its md5 draw falls into (cumulative thresholds, in
     * the order given — fractions must sum to 1 within 1e-9). The draw

@@ -95,4 +95,29 @@ class CorpusMixSpec extends SparkSpec {
     // a: 30-ties broken toward smaller id (2 then 3); b: both fit
     assert(kept == Set(2L, 3L, 5L, 6L))
   }
+
+  test("temperatureWeights: T=1 is natural, larger T boosts small sources") {
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    // T=1: every doc gets the SAME weight (share ∝ n_s cancels n_s)
+    val w1 = CorpusMix.temperatureWeights(docs, 1.0, 500L)
+    assert(math.abs(w1("big") - w1("small")) < 1e-12)
+    assert(math.abs(w1("big") - 0.5) < 1e-12) // 500 of 1000 docs
+    // T=2: the small source's per-doc weight rises, the big one's falls
+    val w2 = CorpusMix.temperatureWeights(docs, 2.0, 500L)
+    assert(w2("small") > w1("small") && w2("big") < w1("big"))
+    // expected output size stays the target under any temperature
+    Seq(w1, w2).foreach { w =>
+      val expected = 900.0 * w("big") + 100.0 * w("small")
+      assert(math.abs(expected - 500.0) < 1e-9, s"expected=$expected")
+    }
+    // and the realized mix lands near the target with the T=2 shares
+    val mixed = CorpusMix.mix(docs, w2)
+    val n = mixed.count()
+    assert(n > 400 && n < 600, s"mixed size $n far from target 500")
+    val small = mixed.filter($"source" === "small").count().toDouble
+    // sqrt share: 10/(30+10) = 25% of output from the 10% source
+    assert(small / n > 0.15 && small / n < 0.35,
+      s"small-source share ${small / n} not boosted toward 0.25")
+  }
 }
