@@ -145,6 +145,44 @@ object TxnLog {
             readManifest(spark, table, vs.head).timestampMs)})"))
   }
 
+  /** Parse a user-facing `timestampAsOf` option string to epoch millis:
+    * ISO-8601 instants, `yyyy-MM-dd HH:mm:ss[.fff]` (zoneless forms
+    * read as UTC — the session timezone everywhere in this engine),
+    * and bare dates (start of day). Fails loudly on anything else.
+    */
+  def parseTsMillis(s: String): Long = {
+    import java.time._
+    val t = s.trim
+    try Instant.parse(t).toEpochMilli
+    catch { case _: Exception =>
+      try LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(ZoneOffset.UTC).toEpochMilli
+      catch { case _: Exception =>
+        try LocalDate.parse(t).atStartOfDay(ZoneOffset.UTC)
+          .toInstant.toEpochMilli
+        catch { case _: Exception =>
+          throw new IllegalArgumentException(
+            s"cannot parse timestampAsOf '$s' — use ISO-8601, " +
+              "'yyyy-MM-dd HH:mm:ss[.fff]' (UTC), or 'yyyy-MM-dd'")
+        }
+      }
+    }
+  }
+
+  /** Resolve the `versionAsOf` / `timestampAsOf` option pair (Delta's
+    * surface): at most one may be set; a timestamp resolves through
+    * [[versionAtTimestamp]].
+    */
+  def resolveAsOf(spark: SparkSession, table: String,
+      versionAsOf: Option[String],
+      timestampAsOf: Option[String]): Option[Long] = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "set either versionAsOf or timestampAsOf, not both")
+    versionAsOf.map(_.toLong).orElse(
+      timestampAsOf.map(ts =>
+        versionAtTimestamp(spark, table, parseTsMillis(ts))))
+  }
+
   /** All checkpoint versions, ascending (one dir listing, no file reads). */
   def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = logDir(table)

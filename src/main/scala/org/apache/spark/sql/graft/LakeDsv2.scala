@@ -43,8 +43,8 @@ class GraftLakeTable(spark: SparkSession, tablePath: String,
     options: CaseInsensitiveStringMap) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  private val versionAsOf =
-    Option(options.get("versionAsOf")).map(_.toLong)
+  private val versionAsOf = TxnLog.resolveAsOf(spark, tablePath,
+    Option(options.get("versionAsOf")), Option(options.get("timestampAsOf")))
 
   private[graft] lazy val index =
     new LakeFileIndex(spark, tablePath, versionAsOf)

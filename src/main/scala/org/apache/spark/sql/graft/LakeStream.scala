@@ -101,7 +101,8 @@ class LakeStreamProvider extends StreamSourceProvider with RelationProvider
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val df = LakeRead.relation(ctx.sparkSession, tableOf(parameters),
-      parameters.get("versionAsOf").map(_.toLong))
+      TxnLog.resolveAsOf(ctx.sparkSession, tableOf(parameters),
+        parameters.get("versionAsOf"), parameters.get("timestampAsOf")))
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation

@@ -54,6 +54,32 @@ class LakeDsv2Spec extends SparkSpec {
     assert(v1.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
+  test("timestampAsOf resolves to the newest commit at-or-before the instant") {
+    val table = Files.createTempDirectory("graft-dsv2-tsao").toString
+    TxnLog.append(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(20) // distinct commit wall-clocks
+    val mid = java.time.Instant.now()
+    Thread.sleep(20)
+    TxnLog.append(spark, table, Seq((2L, "b")).toDF("id", "v"))
+    val atV1 = spark.read.format("graftlake")
+      .option("timestampAsOf", mid.toString).load(table)
+    assert(atV1.count() == 1)
+    // a future timestamp reads the head; both options together refuse
+    val head = spark.read.format("graftlake")
+      .option("timestampAsOf", "2099-01-01").load(table)
+    assert(head.count() == 2)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftlake")
+        .option("versionAsOf", "1").option("timestampAsOf", "2099-01-01")
+        .load(table).count()
+    }
+    // pre-history timestamps fail loudly rather than returning v1
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftlake")
+        .option("timestampAsOf", "1999-01-01").load(table).count()
+    }
+  }
+
   test("micro-batch stream delivers commit ranges exactly once with pruned columns") {
     val root = Files.createTempDirectory("graft-dsv2-stream")
     val table = root.resolve("table").toString
