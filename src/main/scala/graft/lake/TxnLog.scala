@@ -822,6 +822,62 @@ object TxnLog {
 
   private val ColMapPrefix = "colmap."   // colmap.<logical> = <physical>
   private val ColDropPrefix = "coldrop." // coldrop.<physical> = 1
+  private val ClusterProp = "clustering" // clustering = c1,c2 (logical)
+
+  /** Declared clustering columns (Delta liquid clustering's surface):
+    * the layout `OPTIMIZE` maintains without being told each time.
+    */
+  def clusteringOf(spark: SparkSession, table: String): Seq[String] = {
+    val vs = versions(spark, table)
+    if (vs.isEmpty) Nil
+    else readManifest(spark, table, vs.last).props.get(ClusterProp)
+      .toSeq.flatMap(_.split(',').filter(_.nonEmpty))
+  }
+
+  /** `ALTER TABLE t CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` (empty
+    * cols): record the table's clustering columns as a manifest
+    * property in one metadata-only `alter-` commit. Plain `OPTIMIZE`
+    * then lays data out along them (z-order for >1 column) without
+    * re-stating them — Delta's liquid-clustering declaration shape.
+    * Columns must exist and must not be partition columns (their
+    * values are baked into directory layout, clustering inside a
+    * partition by its own constant is a no-op that hides intent).
+    */
+  def setClustering(spark: SparkSession, table: String,
+      cols: Seq[String]): Long = {
+    require(cols.distinct.length == cols.length,
+      s"duplicate clustering columns: $cols")
+    var attempt = 0
+    while (attempt < 10) {
+      val head = versions(spark, table).last
+      val schema = schemaOf(spark, table)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"CLUSTER BY column $c is not in $table's schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+      val manifests = activeManifests(manifestChain(spark, table, head)._1)
+      val partCols = liveEntries(manifests).flatMap(_._2.map(_.path))
+        .flatMap(_.split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')))
+        .distinct.toSet
+      cols.foreach(c => require(!partCols.contains(escapeDir(c)),
+        s"CLUSTER BY column $c is a partition column"))
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val head0 = readManifest(spark, table, head).props
+      val newProps =
+        if (cols.isEmpty) head0 - ClusterProp
+        else head0 + (ClusterProp -> cols.mkString(","))
+      appendCommit(spark, table, empty, Nil,
+        s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+        requireBase = Some(head), removePaths = Nil, strictBase = true,
+        skipColumnMapping = true,
+        propsOverride = Some(newProps)) match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit CLUSTER BY to $table: kept losing commit races")
+  }
 
   /** COLUMN MAPPING (Delta's name-mapping mode): a column's PHYSICAL
     * name — what parquet files and manifest schemas record — is fixed

@@ -103,6 +103,9 @@ object LakeDmlSql {
   private val DropColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+COLUMNS?\s+""" +
       """(?!CONSTRAINT)([A-Za-z_][\w]*)\s*;?\s*$""").r
+  private val ClusterByRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+CLUSTER\s+BY\s+""" +
+      """(?:\(([^)]+)\)|(NONE))\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+CONSTRAINT\s+""" +
       """([A-Za-z_][\w]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -160,6 +163,11 @@ object LakeDmlSql {
         LakeMounts.pathOf(spark, name).map(path =>
           LakeAddColumnsCommand(name, path,
             StructType.fromDDL(colsDdl).fields.toSeq))
+      case ClusterByRe(name, cols, none) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeClusterByCommand(name, path,
+            if (none != null) Nil
+            else cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case AddConstraintRe(name, cname, expr) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeConstraintCommand(name, path, cname, Some(expr.trim)))
@@ -584,6 +592,19 @@ object LakeDmlSql {
       s"LakeConvertCommand $path"
   }
 
+  /** `ALTER TABLE t CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` — declare
+    * (or clear) the clustering columns plain OPTIMIZE maintains
+    * ([[TxnLog.setClustering]], the liquid-clustering declaration).
+    */
+  final case class LakeClusterByCommand(name: String, path: String,
+      cols: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(versionAttr)
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(TxnLog.setClustering(spark, path, cols)))
+    override def simpleString(maxFields: Int): String =
+      s"LakeClusterByCommand $name (${cols.mkString(",")})"
+  }
+
   /** `VACUUM t [RETAIN n HOURS] [DRY RUN]` — DRY RUN returns the paths
     * the sweep WOULD delete (one row each, nothing touched); without it
     * the sweep runs and the row count is returned, as before.
@@ -617,11 +638,17 @@ object LakeDmlSql {
         .flatMap(_._2).map(e => math.max(0L, e.size)).sum
       val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
       val parts = layoutPartitionCols(spark, path)
+      // a declared CLUSTER BY (liquid-clustering shape) makes plain
+      // OPTIMIZE maintain that layout without re-stating it; an
+      // explicit ZORDER BY clause still wins
+      val cluster =
+        if (zorderBy.nonEmpty) zorderBy
+        else TxnLog.clusteringOf(spark, path)
       val v = retry(s"OPTIMIZE $name") {
-        if (zorderBy.nonEmpty)
-          // clustering must lay out EVERY row along the z-curve: full fold
+        if (cluster.nonEmpty)
+          // clustering must lay out EVERY row along the curve: full fold
           TxnLog.compact(spark, path, parts, numFiles = target,
-            clusterBy = zorderBy)
+            clusterBy = cluster)
         else
           // routine maintenance: bin-pack only the small files, carry
           // already-large ones by reference — O(small), not O(table)

@@ -170,4 +170,48 @@ class LakeAlterSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, table).filter(col("id") === 100)
       .count() == 1)
   }
+
+  test("CLUSTER BY declaration makes plain OPTIMIZE maintain the layout") {
+    val table = Files.createTempDirectory("graft-clusterby").toString
+    // ids interleaved across commits: pre-clustering stats are useless
+    (0 until 4).foreach { r =>
+      TxnLog.append(spark, table,
+        spark.range(0, 4000).filter(col("id") % 4 === r)
+          .withColumn("v", col("id") * 2).coalesce(1))
+    }
+    LakeMounts.mount(spark, "clu_t", table)
+    def prunedFiles(): Int = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("id", Some(100L), Some(200L))))
+      .inputFiles.length
+    assert(prunedFiles() == 4, "interleaved ids must defeat pruning")
+    val ver = spark.sql("ALTER TABLE clu_t CLUSTER BY (id)")
+      .collect()(0).getLong(0)
+    assert(TxnLog.clusteringOf(spark, table) == Seq("id"))
+    // PLAIN optimize — no ZORDER clause — must range-cluster on id
+    spark.sql("OPTIMIZE clu_t").collect()
+    assert(prunedFiles() == 1,
+      "plain OPTIMIZE must cluster by the declared columns")
+    assert(TxnLog.snapshot(spark, table).count() == 4000)
+    // NONE clears it; the declaration survives unrelated commits
+    TxnLog.append(spark, table,
+      Seq((99999L, 0L)).toDF("id", "v"))
+    assert(TxnLog.clusteringOf(spark, table) == Seq("id"))
+    spark.sql("ALTER TABLE clu_t CLUSTER BY NONE").collect()
+    assert(TxnLog.clusteringOf(spark, table).isEmpty)
+    assert(ver > 0)
+    LakeMounts.unmount(spark, "clu_t")
+  }
+
+  test("CLUSTER BY refuses unknown and partition columns") {
+    val table = Files.createTempDirectory("graft-clusterby-bad").toString
+    TxnLog.append(spark, table,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p"),
+      partitionCols = Seq("p"))
+    intercept[IllegalArgumentException] {
+      TxnLog.setClustering(spark, table, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      TxnLog.setClustering(spark, table, Seq("p"))
+    }
+  }
 }
