@@ -1344,6 +1344,61 @@ object TxnLog {
       skipColumnMapping = true)
   }
 
+  /** PARTITION-SCOPED maintenance (`OPTIMIZE t WHERE p = 'x'`): rewrite
+    * only the files whose Hive path carries EVERY requested `k=v`
+    * segment — bin-packed, or clustered along `clusterBy` when given —
+    * superseding exactly those files and carrying the rest of the
+    * table by reference. At 100 TB maintenance follows ingest: you
+    * optimize the partitions that changed today, not the table.
+    * Same concurrency posture as [[merge]] (rebases over disjoint
+    * work, None on a conflicting race). No-op when fewer than two
+    * files match and none is vector-bound.
+    */
+  def compactWhere(spark: SparkSession, table: String,
+      partitionValues: Map[String, String],
+      numFiles: Int = 0, partitionCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(partitionValues.nonEmpty,
+      "compactWhere needs partition values; use compact/compactSmall " +
+        "for whole-table maintenance")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    val base = vs.last
+    val manifests = activeManifests(manifestChain(spark, table, base)._1)
+    val merged = mergedSchema(manifests)
+    val dvs = liveDvs(manifests)
+    // strict segment match: a file OUTSIDE the named partition (or in a
+    // layout lacking the column) is never touched by a scoped rewrite
+    def partOk(e: FileEntry): Boolean = partitionValues.forall {
+      case (k, v) =>
+        e.path.contains(s"/${escapeDir(k)}=${escapeDir(v)}/")
+    }
+    val touched = liveEntries(manifests)
+      .map { case (m, es) => (m, es.filter(partOk)) }
+      .filter(_._2.nonEmpty)
+    val anyDv = touched.exists(_._2.exists(e => dvs.contains(e.path)))
+    if (touched.map(_._2.size).sum < 2 && !anyDv) return Some(base)
+    val rows = readAligned(spark, touched, merged, dvs).get
+    val n = if (numFiles > 0) numFiles
+      else math.max(1, (touched.flatMap(_._2)
+        .map(e => math.max(0L, e.size)).sum + (128L << 20) - 1)
+        / (128L << 20)).toInt
+    val folded =
+      if (clusterBy.size > 1) {
+        val zk = ZOrder.key(rows, clusterBy)
+        rows.repartitionByRange(n, zk).sortWithinPartitions(zk)
+      } else if (clusterBy.nonEmpty)
+        rows.repartitionByRange(n, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else rows.coalesce(n)
+    appendCommit(spark, table, folded, partitionCols,
+      s"optimize-${java.util.UUID.randomUUID().toString}", txnId = None,
+      skipColumnMapping = true,
+      requireBase = Some(base),
+      removePaths = touched.flatMap(_._2.map(_.path)))
+  }
+
   /** Bin-pack ONLY the table's small files (size below
     * `smallFileBytes`, or unknown) into `numFiles` larger ones,
     * carrying every already-large file forward BY REFERENCE — the

@@ -87,7 +87,8 @@ object LakeDmlSql {
     ("""(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+SHALLOW\s+CLONE\s+""" +
       """([A-Za-z_][\w]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
@@ -126,9 +127,26 @@ object LakeDmlSql {
       """(?:VERSION\s+AS\s+OF\s+(\d+)""" +
       """|TIMESTAMP\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)')\s*;?\s*$""").r
 
+  /** `OPTIMIZE ... WHERE` predicates are partition-equality
+    * conjunctions only (`p = 'x' AND q = 5`) — anything else fails
+    * loudly rather than silently widening the rewrite scope.
+    */
+  private def parsePartitionEqualities(where: String): Map[String, String] =
+    where.trim.split("(?i)\\s+AND\\s+").map { part =>
+      val m = """(?s)^\s*([A-Za-z_][\w]*)\s*=\s*(?:'([^']*)'|(\S+))\s*$""".r
+      part match {
+        case m(k, quoted, bare) =>
+          k -> Option(quoted).getOrElse(bare)
+        case other => throw new IllegalArgumentException(
+          s"OPTIMIZE ... WHERE supports only partition equality " +
+            s"conjunctions (col = 'value'); cannot parse: $other")
+      }
+    }.toMap
+
   /** Maintenance statements Spark's grammar does not know (Delta's
     * surface): `VACUUM t [RETAIN n HOURS]` and
-    * `OPTIMIZE t [ZORDER BY (c1, c2)]` over a MOUNTED lake table.
+    * `OPTIMIZE t [WHERE p = 'x'] [ZORDER BY (c1, c2)]` over a MOUNTED
+    * lake table.
     * Matched on the raw text BEFORE delegation — an unmounted name (or
     * any other statement) falls through to Spark's parser and its
     * normal error.
@@ -147,11 +165,13 @@ object LakeDmlSql {
             Option(hours).map(_.toLong * 3600 * 1000L)
               .getOrElse(graft.lake.TxnLog.DefaultVacuumRetentionMs),
             dryRun = dry != null))
-      case OptimizeRe(name, zorder) =>
+      case OptimizeRe(name, where, zorder) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeOptimizeCommand(name, path,
             Option(zorder).toSeq.flatMap(_.split(',').map(_.trim)
-              .filter(_.nonEmpty))))
+              .filter(_.nonEmpty)),
+            Option(where).map(parsePartitionEqualities)
+              .getOrElse(Map.empty)))
       case CloneRe(name, srcName, ver, loc) =>
         LakeMounts.pathOf(spark, srcName).map(srcPath =>
           LakeCloneCommand(name, loc, srcPath,
@@ -628,7 +648,9 @@ object LakeDmlSql {
   }
 
   final case class LakeOptimizeCommand(name: String, path: String,
-      zorderBy: Seq[String]) extends LeafRunnableCommand {
+      zorderBy: Seq[String],
+      partitionValues: Map[String, String] = Map.empty)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(versionAttr)
     override def run(spark: SparkSession): Seq[Row] = {
       // size-based file target (Delta's OPTIMIZE bins ~1 GB; 128 MB — one
@@ -644,8 +666,16 @@ object LakeDmlSql {
       val cluster =
         if (zorderBy.nonEmpty) zorderBy
         else TxnLog.clusteringOf(spark, path)
+      // `OPTIMIZE t WHERE p = 'x'`: scope the rewrite to one
+      // partition's files — maintenance follows ingest at 100 TB
+      partitionValues.keys.foreach(k => require(parts.contains(k),
+        s"OPTIMIZE ... WHERE supports partition columns only; $k is " +
+          s"not one of (${parts.mkString(", ")})"))
       val v = retry(s"OPTIMIZE $name") {
-        if (cluster.nonEmpty)
+        if (partitionValues.nonEmpty)
+          TxnLog.compactWhere(spark, path, partitionValues,
+            partitionCols = parts, clusterBy = cluster)
+        else if (cluster.nonEmpty)
           // clustering must lay out EVERY row along the curve: full fold
           TxnLog.compact(spark, path, parts, numFiles = target,
             clusterBy = cluster)

@@ -202,6 +202,51 @@ class LakeAlterSpec extends SparkSpec {
     LakeMounts.unmount(spark, "clu_t")
   }
 
+  test("OPTIMIZE WHERE rewrites exactly one partition's files") {
+    val table = Files.createTempDirectory("graft-optwhere").toString
+    // two partitions, two sliver files each
+    (1 to 2).foreach { i =>
+      TxnLog.append(spark, table,
+        Seq((i.toLong, "a"), (i + 10L, "b")).toDF("id", "p")
+          .repartition(2, col("id")), partitionCols = Seq("p"))
+    }
+    LakeMounts.mount(spark, "optw_t", table)
+    val before = TxnLog.snapshot(spark, table).inputFiles.toSet
+    val bFiles = before.filter(_.contains("/p=b/"))
+    assert(before.count(_.contains("/p=a/")) == 2 && bFiles.size == 2)
+    spark.sql("OPTIMIZE optw_t WHERE p = 'a'").collect()
+    val after = TxnLog.snapshot(spark, table).inputFiles.toSet
+    // b's files carried by identity; a's two slivers became one file
+    assert(bFiles.subsetOf(after), "untouched partition must carry")
+    assert(after.count(_.contains("/p=a/")) == 1,
+      s"partition a should fold to one file: ${after.filter(_.contains("/p=a/"))}")
+    assert(TxnLog.snapshot(spark, table).count() == 4)
+    // non-partition columns refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE optw_t WHERE id = 1").collect()
+    }
+    assert(e.getMessage.contains("partition columns only"))
+    // scoped ZORDER: cluster one partition's interleaved ids so a
+    // ranged read prunes WITHIN the partition (direct call pins the
+    // output file count; the SQL form sizes it from bytes)
+    TxnLog.append(spark, table,
+      spark.range(0, 2000).withColumn("p", lit("a"))
+        .select(col("id"), col("p")).repartition(4), Seq("p"))
+    val preA = TxnLog.snapshotWhere(spark, table, Map("p" -> "a"),
+      ranges = Seq(TxnLog.ColRange("id", Some(0L), Some(10L))))
+      .inputFiles.length
+    assert(preA > 1, "interleaved slivers should defeat pruning first")
+    TxnLog.compactWhere(spark, table, Map("p" -> "a"),
+      numFiles = 4, partitionCols = Seq("p"), clusterBy = Seq("id"))
+    val postA = TxnLog.snapshotWhere(spark, table, Map("p" -> "a"),
+      ranges = Seq(TxnLog.ColRange("id", Some(0L), Some(10L))))
+      .inputFiles.length
+    assert(postA == 1,
+      s"scoped clustering must prune the ranged read to one file, got $postA")
+    assert(TxnLog.snapshot(spark, table).count() == 2004)
+    LakeMounts.unmount(spark, "optw_t")
+  }
+
   test("CLUSTER BY refuses unknown and partition columns") {
     val table = Files.createTempDirectory("graft-clusterby-bad").toString
     TxnLog.append(spark, table,
