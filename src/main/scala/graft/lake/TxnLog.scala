@@ -584,6 +584,40 @@ object TxnLog {
       removePaths = live.flatMap(_._2.map(_.path)), strictBase = true)
   }
 
+  /** Dynamic partition overwrite as ONE atomic commit (Delta's
+    * `partitionOverwriteMode=dynamic` semantics, not Hive's
+    * partition-at-a-time swap): the incoming DataFrame is STAGED ONCE —
+    * its data files land in a single `dynover-` commit dir, partitioned
+    * by `partitionCols` — the affected partition set is derived from the
+    * WRITTEN file paths, and one manifest publishes the new files while
+    * superseding every live file in those partitions, dropped UNREAD
+    * (a Hive-laid-out file belongs to exactly one partition: no
+    * survivor rows, no rewrite). An expensive or non-deterministic
+    * source plan therefore executes exactly once no matter how many
+    * partitions it lands in, and a mid-failure publishes NOTHING —
+    * readers never observe a partial swap. The supersede set is
+    * re-derived from the current head on every publish attempt, so a
+    * lost version race retries at metadata cost only
+    * (overwrite-serialized-last, the same outcome Hive's loop gives).
+    *
+    * Change capture: the dropped files synthesize `delete` rows at
+    * feed-read time and the commit's own data files are exactly its
+    * `insert`s ([[changeFeed]]'s `dynover-` branch) — no `_cdc` copy of
+    * the input is written. Append-only [[changes]] consumers see the
+    * data files as genuinely new rows, like `overwrite-`.
+    *
+    * Returns None only after exhausting publish retries.
+    */
+  def dynamicOverwrite(spark: SparkSession, table: String, df: DataFrame,
+      partitionCols: Seq[String]): Option[Long] = {
+    require(partitionCols.nonEmpty,
+      s"dynamic partition overwrite of $table needs a partitioned layout")
+    appendCommit(spark, table, df, partitionCols,
+      s"dynover-${java.util.UUID.randomUUID().toString}", txnId = None,
+      requireBase = None, removePaths = Nil,
+      removeLivePartitions = Some(partitionCols))
+  }
+
   /** RESTORE the table to its state at `toVersion` (Delta's `RESTORE
     * TABLE ... TO VERSION AS OF`) in ONE atomic `restore-` commit —
     * readers see the pre-restore or the restored table, never a mix,
@@ -1133,8 +1167,9 @@ object TxnLog {
       val m = readManifest(spark, table, v)
       val name = new Path(m.commitDir).getName
       val op = Seq("delete", "update", "merge", "overwrite", "replace",
-          "compact", "optimize", "restore", "clone", "alter")
-        .find(p => name.startsWith(p + "-")).map(_.toUpperCase)
+          "compact", "optimize", "restore", "clone", "alter", "dynover")
+        .find(p => name.startsWith(p + "-"))
+        .map(p => if (p == "dynover") "DYNAMIC OVERWRITE" else p.toUpperCase)
         .getOrElse(if (name.startsWith("txn-")) "STREAMING APPEND"
           else "APPEND")
       Row(v,
@@ -1733,7 +1768,8 @@ object TxnLog {
       dv: Option[(DataFrame, Map[String, Long])] = None,
       strictBase: Boolean = false,
       skipColumnMapping: Boolean = false,
-      droppedData: Seq[String] = Nil): Option[Long] = {
+      droppedData: Seq[String] = Nil,
+      removeLivePartitions: Option[Seq[String]] = None): Option[Long] = {
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
@@ -1836,6 +1872,27 @@ object TxnLog {
     // whose sidecar is still being written (absence is safe either way)
     BloomIndex.build(spark, entries.map(e => (e.path, e.rows)), statsSchema)
 
+    // DYNAMIC PARTITION OVERWRITE (removeLivePartitions): the affected
+    // partition set comes from the WRITTEN files' own paths — the
+    // writer rendered both the new dirs and every old live file's dirs,
+    // so segment equality is exact for every partition type (including
+    // null's __HIVE_DEFAULT_PARTITION__), where re-rendering the values
+    // driver-side would have to reproduce temporal/decimal formatting.
+    // Each tuple is the full `/k=v/` conjunction in layout order.
+    val writtenPartitionTuples: Seq[Seq[String]] =
+      removeLivePartitions.map { pcols =>
+        entries.map { e =>
+          val segs = e.path.split('/').dropRight(1) // dirs only
+          pcols.map { c =>
+            val pre = escapeDir(c) + "="
+            val seg = segs.findLast(_.startsWith(pre)).getOrElse(
+              sys.error(s"dynamic overwrite: written file ${e.path} " +
+                s"carries no partition segment for column $c"))
+            s"/$seg/"
+          }
+        }.distinct.toSeq
+      }.getOrElse(Nil)
+
     // CHECK enforcement reads the JUST-WRITTEN files, not the input plan:
     // a non-deterministic `df` (rand(), a re-read of a changing source)
     // could pass a plan-side check yet materialize violating rows — the
@@ -1858,6 +1915,22 @@ object TxnLog {
       }
       val vs = versions(spark, table)
       val next = vs.lastOption.getOrElse(0L) + 1
+      // dynamic-overwrite supersede set, re-derived from the CURRENT
+      // head on every attempt (the staged data files never move): every
+      // live file carrying one of the written partition tuples' full
+      // segment conjunction drops UNREAD — in a Hive layout a file
+      // belongs to exactly one partition, so no survivor rows exist and
+      // a lost version race costs one metadata re-read, not a rewrite
+      val (removeNow, droppedNow) =
+        if (removeLivePartitions.isEmpty) (removePaths, droppedData)
+        else if (writtenPartitionTuples.isEmpty || vs.isEmpty) (Nil, Nil)
+        else {
+          val live = liveEntries(activeManifests(
+            manifestChain(spark, table, vs.last)._1)).flatMap(_._2.map(_.path))
+          val doomed = live.filter(p =>
+            writtenPartitionTuples.exists(_.forall(p.contains)))
+          (doomed, doomed)
+        }
       // LOGICAL CONFLICT DETECTION at the version claim (Delta's
       // WriteSerializable shape). A rewrite computed at base b whose
       // claim finds interleaved commits (b, next) may still commit —
@@ -1917,8 +1990,8 @@ object TxnLog {
       val body = (Seq(next.toString,
         dirLine(commitDir.toString, System.currentTimeMillis()),
         df.schema.json) ++
-        bodyLines(entries, removePaths, cdcFiles, props,
-          dvBindings, droppedData)).mkString("\n")
+        bodyLines(entries, removeNow, cdcFiles, props,
+          dvBindings, droppedNow)).mkString("\n")
       if (publishAtomic(spark, manifestPath(table, next), body)) {
         if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, next)
         return Some(next)
@@ -2147,10 +2220,11 @@ object TxnLog {
     * so an append-only consumer would double-count. With rewrites
     * skipped the stream is exactly-the-appends; consumers that need
     * upsert semantics read with `includeRewrites = true` and reconcile
-    * by key. `overwrite-` commits are NOT skipped: nothing carries
-    * through an overwrite, so its data files are all genuinely new rows
-    * (an add-only consumer sees them as appends, with no retraction of
-    * the replaced rows — read [[changeFeed]] for the deletes).
+    * by key. `overwrite-` and `dynover-` commits are NOT skipped:
+    * nothing carries through an overwrite, so their data files are all
+    * genuinely new rows (an add-only consumer sees them as appends,
+    * with no retraction of the replaced rows — read [[changeFeed]] for
+    * the deletes).
     *
     * Fails LOUDLY when `fromExclusive` predates history removed by
     * `vacuum(truncateHistory = true)`: silently returning only the
@@ -2212,6 +2286,27 @@ object TxnLog {
         .schema(m.schema).parquet(es.map(_.path): _*)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(m.version)))
+    // whole files a commit dropped WITHOUT reading (stats/partition
+    // coverage proved every row matched): their deletes synthesize
+    // here, at read time, from the dropped files' own bytes — a
+    // metadata-only drop still feeds downstream exactly
+    def synthDropped(m: Manifest): Option[DataFrame] =
+      if (m.droppedData.isEmpty) None
+      else {
+        val byOwner = m.droppedData.map { p =>
+          val owner = chainAll.filter(_.version < m.version)
+            .find(_.entries.exists(_.path == p))
+            .getOrElse(sys.error(s"dropped file $p of version " +
+              s"${m.version} has no owning manifest"))
+          (owner, p)
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+        Some(byOwner.map { case (o, ps) =>
+          spark.read.option("basePath", o.commitDir)
+            .schema(o.schema).parquet(ps: _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(m.version)))
+      }
     val parts = picked.flatMap { case (m, es) =>
       val name = new Path(m.commitDir).getName
       val isRewrite = Seq("merge-", "delete-", "update-", "restore-",
@@ -2232,6 +2327,13 @@ object TxnLog {
             .withColumn("_commit_version", lit(m.version)))
         Seq(deletes, inserts(m, es)).flatten
       }
+      else if (name.startsWith("dynover-")) {
+        // DYNAMIC PARTITION OVERWRITE: the affected partitions' old
+        // files were all dropped unread (droppedData) — deletes
+        // synthesize from their bytes — and the commit's own data files
+        // are exactly its inserts (no capture was written)
+        Seq(synthDropped(m), inserts(m, es)).flatten
+      }
       else if (isRewrite) {
         // dropped files synthesize below; REWRITTEN files' row changes
         // must have been captured — losing them silently would corrupt
@@ -2247,29 +2349,7 @@ object TxnLog {
           if (m.cdc.isEmpty) None
           else Some(spark.read.parquet(m.cdc: _*)
             .withColumn("_commit_version", lit(m.version)))
-        // whole files the DELETE dropped WITHOUT reading (stats proved
-        // every row matched): their deletes are synthesized here, at
-        // read time, from the dropped files' own bytes — the same
-        // add/remove synthesis the overwrite branch uses, so a
-        // metadata-only retention delete still feeds downstream exactly
-        val synthesized =
-          if (m.droppedData.isEmpty) None
-          else {
-            val byOwner = m.droppedData.map { p =>
-              val owner = chainAll.filter(_.version < m.version)
-                .find(_.entries.exists(_.path == p))
-                .getOrElse(sys.error(s"dropped file $p of version " +
-                  s"${m.version} has no owning manifest"))
-              (owner, p)
-            }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
-            Some(byOwner.map { case (o, ps) =>
-              spark.read.option("basePath", o.commitDir)
-                .schema(o.schema).parquet(ps: _*)
-            }.reduce(_.unionByName(_, allowMissingColumns = true))
-              .withColumn("_change_type", lit("delete"))
-              .withColumn("_commit_version", lit(m.version)))
-          }
-        Seq(captured, synthesized).flatten
+        Seq(captured, synthDropped(m)).flatten
       } else inserts(m, es)
     }
     // column mapping: the feed presents the names in force at the

@@ -517,10 +517,11 @@ object Etl extends QueryPack {
 
   /** Dynamic-partition-overwrite gate (q128): orders laid out by
     * o_orderstatus through the V2 writer; a dynamic-mode overwrite
-    * carrying ONLY status-'F' rows (prices doubled) must replace
-    * exactly that partition — the other partitions' files carried BY
-    * IDENTITY and the replaced partition's old files dropped UNREAD
-    * (both required loudly) — and the final V2 read is oracled vs
+    * carrying status-'F' and status-'O' rows (prices doubled) must
+    * replace exactly those TWO partitions in ONE atomic log version —
+    * the other partitions' files carried BY IDENTITY, the replaced
+    * partitions' old files dropped UNREAD, and exactly one manifest
+    * added (all required loudly) — and the final V2 read is oracled vs
     * DuckDB composing keep ∪ replacement.
     */
   def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
@@ -534,19 +535,24 @@ object Etl extends QueryPack {
     o.write.format("graftlake").mode("append")
       .option("partitionBy", "o_orderstatus").save(table)
     val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
-    val untouched = before.filterNot(_.contains("/o_orderstatus=F/"))
+    val untouched = before.filterNot(p =>
+      p.contains("/o_orderstatus=F/") || p.contains("/o_orderstatus=O/"))
     require(untouched.nonEmpty && untouched.size < before.size,
-      "gate needs both an F partition and others")
-    val repl = o.filter(col("o_orderstatus") === "F")
+      "gate needs F and O partitions plus others")
+    val baseVersion = graft.lake.TxnLog.versions(s, table).last
+    val repl = o.filter(col("o_orderstatus").isin("F", "O"))
       .withColumn("o_totalprice", col("o_totalprice") * 2)
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try repl.write.format("graftlake").mode("overwrite").save(table)
     finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    require(graft.lake.TxnLog.versions(s, table).last == baseVersion + 1,
+      "a two-partition dynamic overwrite must publish exactly ONE " +
+        "atomic log version, not one commit per partition")
     val after = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
     require(untouched.subsetOf(after),
       "dynamic overwrite must carry untouched partitions by identity")
     require((after & before) == untouched,
-      "dynamic overwrite must replace exactly the incoming partition")
+      "dynamic overwrite must replace exactly the incoming partitions")
     // the old F files must have dropped UNREAD (path-coverage proof):
     // the replace commit records "<path" drop lines, no survivor rewrite
     val logFiles = new java.io.File(s"$table/_graft_log").listFiles()
@@ -1321,11 +1327,11 @@ object Etl extends QueryPack {
     "q128_dynamic_overwrite" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate
-        |FROM orders WHERE o_orderstatus <> 'F'
+        |FROM orders WHERE o_orderstatus NOT IN ('F', 'O')
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         |  o_totalprice * 2 AS o_totalprice, o_orderdate
-        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
     "q129_convert_in_place" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate

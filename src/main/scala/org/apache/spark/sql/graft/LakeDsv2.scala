@@ -546,12 +546,12 @@ object GraftLakeWriteBuilder {
   }
 
   /** Dynamic partition overwrite: replace exactly the partitions the
-    * incoming data carries (Hive `partitionOverwriteMode=dynamic`
-    * semantics), each as one partition-pruned atomic replaceWhere
-    * commit — other partitions' files are never read, and a replaced
-    * partition's old files drop unread (path-segment coverage proof).
-    * Per-partition commits, like Hive: concurrent readers see
-    * partitions swap one at a time, each swap atomic.
+    * incoming data carries, as ONE atomic [[TxnLog.dynamicOverwrite]]
+    * commit (Delta's `partitionOverwriteMode=dynamic` semantics) — the
+    * source plan executes once, the staged files' own paths name the
+    * affected partitions (exact for every partition type), those
+    * partitions' old files drop unread, other partitions' files are
+    * never touched, and a mid-failure publishes nothing.
     */
   def runDynamic(spark: SparkSession, tablePath: String,
       data: DataFrame, optionParts: Seq[String]): Unit = {
@@ -561,41 +561,8 @@ object GraftLakeWriteBuilder {
       s"dynamic partition overwrite of $tablePath needs a partitioned " +
         "table (or option(\"partitionBy\", ...) on first write)")
     if (!exists) { TxnLog.append(spark, tablePath, data, parts); return }
-    val tuples = data.select(parts.map(col): _*).distinct().collect()
-    // deterministic replacement order; each tuple is one commit
-    tuples.sortBy(_.toString).foreach { row =>
-      val conds = parts.zipWithIndex.map { case (p, i) =>
-        Option(row.get(i)) match {
-          case Some(v) => col(p) === lit(v)
-          case None    => col(p).isNull
-        }
-      }
-      val cond = conds.reduce(_ && _)
-      // path-segment pruning trusts `toString` to equal Spark's
-      // partition-dir rendering — true for strings, integrals, and
-      // booleans; temporal/decimal renderings can differ, and a missed
-      // match there would EXCLUDE a partition's old files (silent
-      // duplication), so those fall back to the unpruned-but-correct
-      // row-predicate path
-      val safe = parts.indices.forall(i => row.get(i) match {
-        case _: String | _: java.lang.Integer | _: java.lang.Long |
-             _: java.lang.Short | _: java.lang.Byte |
-             _: java.lang.Boolean => true
-        case _ => false
-      })
-      val values =
-        if (safe) parts.zipWithIndex
-          .map { case (p, i) => p -> row.get(i).toString }.toMap
-        else Map.empty[String, String]
-      retry(tablePath, s"dynamic overwrite of partition " +
-          parts.zipWithIndex.map { case (p, i) => s"$p=${row.get(i)}" }
-            .mkString(",")) {
-        graft.lake.LakeDml.replaceWhere(spark, tablePath, cond,
-          data.filter(cond), partitionCols = parts,
-          partitionValues = values,
-          partitionValuesExact = safe).isDefined
-      }
-    }
+    require(TxnLog.dynamicOverwrite(spark, tablePath, data, parts).isDefined,
+      s"dynamic overwrite of $tablePath exhausted its publish retries")
   }
 }
 

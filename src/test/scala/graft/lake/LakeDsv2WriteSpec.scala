@@ -110,32 +110,38 @@ class LakeDsv2WriteSpec extends SparkSpec {
     assert(files.length == 1, s"expected 1 rebalanced file, got ${files.length}")
   }
 
-  test("dynamic partition overwrite replaces only the incoming partitions") {
+  test("dynamic partition overwrite replaces the incoming partitions in ONE atomic commit") {
     val table = Files.createTempDirectory("graft-v2w-dyn").toString + "/t"
     Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 100L))
       .toDF("p", "v")
       .write.format("graftlake").mode("append")
       .option("partitionBy", "p").save(table)
     val before = TxnLog.snapshot(spark, table).inputFiles.toSet
-    val untouched = before.filterNot(_.contains("/p=a/"))
+    val untouched = before.filterNot(f =>
+      f.contains("/p=a/") || f.contains("/p=b/"))
     assert(untouched.nonEmpty && before.exists(_.contains("/p=a/")))
+    val baseVersion = TxnLog.versions(spark, table).last
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try Seq(("a", 7L), ("a", 8L)).toDF("p", "v")
+    try Seq(("a", 7L), ("a", 8L), ("b", 77L)).toDF("p", "v")
       .write.format("graftlake").mode("overwrite").save(table)
     finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
+    // TWO partitions replaced in exactly ONE new log version (Delta
+    // semantics: atomic across partitions, not Hive's one-per-swap)
+    assert(TxnLog.versions(spark, table).last == baseVersion + 1,
+      "a multi-partition dynamic overwrite must be one atomic commit")
     val after = TxnLog.snapshot(spark, table).inputFiles.toSet
-    // b/c partitions: exact same files, by identity, carried untouched
+    // c partition: exact same files, by identity, carried untouched
     assert(untouched.subsetOf(after),
       s"untouched partitions rewrote: ${untouched -- after}")
-    // a's old files are gone, its new rows are the replacement
+    // a's/b's old files are gone, their new rows are the replacement
     assert(after.forall(f => !before.contains(f) || untouched.contains(f)))
     val rows = TxnLog.snapshot(spark, table)
       .select("p", "v").as[(String, Long)].collect().toSet
-    assert(rows == Set(("a", 7L), ("a", 8L), ("b", 10L), ("c", 100L)))
-    // the replaced partition's OLD files were dropped UNREAD (the
-    // path-segment coverage proof): the replace commit carries "<path"
+    assert(rows == Set(("a", 7L), ("a", 8L), ("b", 77L), ("c", 100L)))
+    // the replaced partitions' OLD files were dropped UNREAD (the
+    // path-segment coverage proof): the dynover commit carries "<path"
     // drop lines rather than rewriting survivors
     val logDir = new java.io.File(s"$table/_graft_log")
     val manifests = logDir.listFiles().filter(_.getName.endsWith(".json"))
@@ -144,6 +150,43 @@ class LakeDsv2WriteSpec extends SparkSpec {
       java.nio.file.Files.readAllBytes(manifests.last.toPath), "UTF-8")
     assert(replaceBody.linesIterator.exists(_.startsWith("<")),
       "replaced partition files must drop unread (no rewrite)")
+    // the change feed sees the swap: old a/b rows as deletes
+    // (synthesized from the dropped bytes), new rows as inserts
+    val feed = TxnLog.changeFeed(spark, table, baseVersion)
+      .select("p", "v", "_change_type").as[(String, Long, String)]
+      .collect().toSet
+    assert(feed == Set(("a", 1L, "delete"), ("a", 2L, "delete"),
+      ("b", 10L, "delete"), ("a", 7L, "insert"), ("a", 8L, "insert"),
+      ("b", 77L, "insert")))
+    // history classifies the commit
+    assert(TxnLog.history(spark, table)
+      .filter(col("operation") === "DYNAMIC OVERWRITE").count() == 1)
+  }
+
+  test("dynamic overwrite executes a non-deterministic source exactly once") {
+    val table = Files.createTempDirectory("graft-v2w-dynnd").toString + "/t"
+    Seq(("a", -1L), ("b", -2L), ("c", -3L)).toDF("p", "v")
+      .write.format("graftlake").mode("append")
+      .option("partitionBy", "p").save(table)
+    // UNSEEDED rand: a per-partition loop that re-filters the source
+    // once per partition value would re-draw the assignment each pass —
+    // rows lost from both partitions or landed in both. Staged-once
+    // semantics must land every source row exactly once.
+    val src = spark.range(0, 1000)
+      .select(when(rand() < 0.5, "a").otherwise("b").as("p"),
+        col("id").as("v"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try src.write.format("graftlake").mode("overwrite").save(table)
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.filter(col("p") === "c").count() == 1,
+      "the untouched partition must survive")
+    val replaced = snap.filter(col("p").isin("a", "b"))
+    assert(replaced.count() == 1000,
+      "every staged row must land exactly once, in whichever partition " +
+        "the single execution assigned it")
+    assert(replaced.select("v").distinct().count() == 1000,
+      "no staged row may duplicate across partitions")
   }
 
   test("static overwrite with dynamic mode off still supersedes the whole table") {
