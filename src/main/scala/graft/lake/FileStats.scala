@@ -38,9 +38,24 @@ object FileStats {
     * DELETE drops: a null predicate value keeps its row (SQL
     * three-valued WHERE), so a file may only be dropped unread when
     * provably no row evaluates to NULL.
+    *
+    * `inexact`: the bounds are WIDENED, not attained — a long string
+    * bound was truncated at record time ([[StringStatsMaxLen]], Delta's
+    * rule: min to a prefix, max to the prefix with its last code point
+    * incremented). Widened bounds keep range pruning ([[overlaps]])
+    * sound — they can only over-include — but whole-file drops
+    * ([[fullyMatches]]) and metadata-only MIN/MAX answers must abstain:
+    * neither bound is a value any row actually holds.
     */
   final case class ColStats(tag: Char, min: String, max: String,
-      nulls: Long = -1L)
+      nulls: Long = -1L, inexact: Boolean = false)
+
+  /** Longest string bound recorded verbatim, in code points (Delta's
+    * 32). A multi-KB document column would otherwise carry its full
+    * min/max text into EVERY manifest line — at 100 TB that bloats the
+    * log the planner must read before any query.
+    */
+  private[lake] val StringStatsMaxLen = 32
 
   private val B64E = Base64.getUrlEncoder.withoutPadding
   private val B64D = Base64.getUrlDecoder
@@ -163,11 +178,46 @@ object FileStats {
           }
         }
       }
-      (acc -- invalid).map { case (name, (lo, hi)) =>
+      (acc -- invalid).flatMap { case (name, (lo, hi)) =>
         val t = tags(name)
-        name -> ColStats(t, render(t, lo), render(t, hi),
-          nulls.getOrElse(name, -1L))
+        truncated(t, render(t, lo), render(t, hi),
+          nulls.getOrElse(name, -1L)).map(name -> _)
       }.toMap
+    }
+  }
+
+  /** Bound a string column's recorded min/max to [[StringStatsMaxLen]]
+    * code points: min truncates to its prefix (a prefix never exceeds
+    * the value in UTF-8 order), max to the prefix with its last
+    * incrementable code point bumped (strictly above every value
+    * sharing the prefix — surrogate-range results skip to U+E000).
+    * Truncation flags the entry `inexact`. Returns None when no sound
+    * upper bound exists (every prefix code point is already U+10FFFF) —
+    * absence means "never prune", which is always safe.
+    */
+  private[lake] def truncated(tag: Char, min: String, max: String,
+      nulls: Long): Option[ColStats] = {
+    def cpLen(s: String) = s.codePointCount(0, s.length)
+    if (tag != 's' ||
+        (cpLen(min) <= StringStatsMaxLen && cpLen(max) <= StringStatsMaxLen))
+      Some(ColStats(tag, min, max, nulls))
+    else {
+      def prefix(s: String) =
+        s.substring(0, s.offsetByCodePoints(0,
+          math.min(StringStatsMaxLen, cpLen(s))))
+      val lo = if (cpLen(min) <= StringStatsMaxLen) min else prefix(min)
+      val hiOpt =
+        if (cpLen(max) <= StringStatsMaxLen) Some(max)
+        else {
+          val cps = prefix(max).codePoints.toArray
+          (cps.length - 1 to 0 by -1).find(i => cps(i) < 0x10FFFF).map { i =>
+            val cp = cps(i)
+            val next =
+              if (cp >= 0xD7FF && cp <= 0xDFFF) 0xE000 else cp + 1
+            new String(cps, 0, i) + new String(Character.toChars(next))
+          }
+        }
+      hiOpt.map(hi => ColStats(tag, lo, hi, nulls, inexact = true))
     }
   }
 
@@ -219,9 +269,14 @@ object FileStats {
   /** `b64(col):tag:b64(min):b64(max)` joined by `,`. */
   def encode(stats: Map[String, ColStats]): String =
     stats.toSeq.sortBy(_._1).map { case (c, s) =>
-      // the null count rides as an OPTIONAL 5th field: manifests
-      // written before it decode with nulls = -1 (unknown)
-      val tail = if (s.nulls >= 0) s":${s.nulls}" else ""
+      // the null count rides as an OPTIONAL 5th field (manifests
+      // written before it decode with nulls = -1, unknown); the
+      // inexact flag as an optional 6th (`t`), with the null field
+      // materialized so positions stay unambiguous
+      val tail =
+        if (s.inexact) s":${math.max(s.nulls, -1L)}:t"
+        else if (s.nulls >= 0) s":${s.nulls}"
+        else ""
       s"${b64(c)}:${s.tag}:${b64(s.min)}:${b64(s.max)}$tail"
     }.mkString(",")
 
@@ -233,6 +288,9 @@ object FileStats {
           unb64(c) -> ColStats(t(0), unb64(lo), unb64(hi))
         case Array(c, t, lo, hi, n) =>
           unb64(c) -> ColStats(t(0), unb64(lo), unb64(hi), n.toLong)
+        case Array(c, t, lo, hi, n, flag) =>
+          unb64(c) -> ColStats(t(0), unb64(lo), unb64(hi), n.toLong,
+            inexact = flag == "t")
         case other => throw new IllegalArgumentException(
           s"bad stats record: $rec")
       }
@@ -251,14 +309,17 @@ object FileStats {
     * bounds are actual data values for every tag we record (parquet-mr
     * truncates column-index bounds, not footer statistics; values too
     * large to keep drop the stats entirely, which reads as absence =
-    * no shortcut), so the fold is exact.
+    * no shortcut), so the fold is exact — unless a side was truncated
+    * at record time ([[truncated]]), which the result's `inexact` flag
+    * carries so MIN/MAX consumers abstain.
     */
   def union(a: ColStats, b: ColStats): ColStats = {
     require(a.tag == b.tag, s"mismatched stats tags: ${a.tag} vs ${b.tag}")
     ColStats(a.tag,
       if (cmpStat(a.tag, a.min, b.min) <= 0) a.min else b.min,
       if (cmpStat(a.tag, a.max, b.max) >= 0) a.max else b.max,
-      if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls)
+      if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls,
+      inexact = a.inexact || b.inexact)
   }
 
   /** TRUE iff provably EVERY row of the file satisfies the inclusive
@@ -278,7 +339,11 @@ object FileStats {
       case 'm' => new java.math.BigDecimal(statVal)
         .compareTo(typed('m', v).asInstanceOf[java.math.BigDecimal])
     }
-    cs.nulls == 0L &&
+    // truncated (widened) bounds abstain: the conclusion below is
+    // technically still sound for widened bounds, but whole-file drops
+    // are irreversible — they rest only on bounds that are attained
+    // data values, Delta's tightBounds discipline
+    !cs.inexact && cs.nulls == 0L &&
       lower.forall(v => v != null && cmp(cs.min, v) >= 0) &&
       upper.forall(v => v != null && cmp(cs.max, v) <= 0)
   }

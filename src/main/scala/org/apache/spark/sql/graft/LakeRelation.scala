@@ -330,7 +330,9 @@ class LakeFileIndex(spark: SparkSession, table: String,
     * null handling). Files known to hold 0 rows contribute nothing and
     * don't block the fold; any other file without the column's stats
     * (stats dropped, all-null, pre-stats commit) returns None — absence
-    * never fabricates an answer.
+    * never fabricates an answer. Truncated string bounds (`inexact`)
+    * abstain too: a widened bound is not a value any row holds, so it
+    * must never answer `SELECT min/max(col)`.
     */
   def knownStats(column: String): Option[FileStats.ColStats] =
     // a deletion vector may have removed the very row holding a bound:
@@ -340,7 +342,7 @@ class LakeFileIndex(spark: SparkSession, table: String,
       val es = groups.flatMap(_._2).filter(_.rows != 0L)
       val ss = es.map(_.stats.get(column))
       if (es.isEmpty || ss.exists(_.isEmpty)) None
-      else Some(ss.flatten.reduce(FileStats.union))
+      else Some(ss.flatten.reduce(FileStats.union)).filterNot(_.inexact)
     }
 }
 

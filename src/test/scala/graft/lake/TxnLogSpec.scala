@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.etl.Flattener
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class TxnLogSpec extends SparkSpec {
 
@@ -744,5 +745,88 @@ class TxnLogSpec extends SparkSpec {
       TxnLog.snapshot(spark, table).count()
     }
     assert(e.getMessage.contains("format 2"))
+    // an UNPARSEABLE stamp routes through the same loud upgrade-hint
+    // path, not a bare NumberFormatException
+    Files.write(head, new String(Files.readAllBytes(head), "UTF-8")
+      .replace("!format=2", "!format=2.1").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.snapshot(spark, table).count()
+    }
+    assert(e2.getMessage.contains("2.1") &&
+      e2.getMessage.contains("upgrade"), e2.getMessage)
+  }
+
+  test("CONVERT refuses a source dir named like a reserved commit prefix") {
+    val parent = Files.createTempDirectory("graft-conv-resv")
+    val dir = parent.resolve("optimize-logs").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] { TxnLog.convert(spark, dir) }
+    assert(e.getMessage.contains("reserved commit prefix"), e.getMessage)
+    // a benign name right next to it converts fine
+    val ok = parent.resolve("metrics-logs").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(ok)
+    assert(TxnLog.convert(spark, ok) == 1L)
+    assert(TxnLog.snapshot(spark, ok).count() == 1)
+  }
+
+  test("CLUSTER BY on a table path with no commits fails with a clear message") {
+    val table = Files.createTempDirectory("graft-clus-empty").toString
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.setClustering(spark, table, Seq("x"))
+    }
+    assert(e.getMessage.contains("no commits"), e.getMessage)
+  }
+
+  test("mid-size string bounds truncate in the manifest; pruning sound, drops/aggs abstain") {
+    val table = Files.createTempDirectory("graft-lake-trunc").toString
+    // file A: two 500-char strings sharing a long prefix — SMALL enough
+    // that parquet-mr keeps them as footer stats (it drops multi-KB
+    // values itself, which reads as absence), so without truncation
+    // both land verbatim in the manifest line — the documents-table
+    // bloat this rule exists for
+    val bigLo = ("b" * 500) + "-high" // '-h' < '-l': this is the min
+    val bigHi = ("b" * 500) + "-low"
+    TxnLog.append(spark, table,
+      Seq((1L, bigLo), (2L, bigHi)).toDF("id", "doc").coalesce(1))
+    // file B: short strings in a disjoint ("zz") region
+    TxnLog.append(spark, table,
+      Seq((3L, "zz-1"), (4L, "zz-2")).toDF("id", "doc").coalesce(1))
+    val m1 = java.nio.file.Paths.get(table, "_graft_log", "00000001.json")
+    val body1 = new String(Files.readAllBytes(m1), "UTF-8")
+    assert(body1.length < 800,
+      s"500-char string bounds must truncate (Delta's 32-char rule); " +
+        s"manifest is ${body1.length} bytes")
+    // range pruning stays SOUND on the widened bounds: an equality
+    // probe on a value inside file A's true range finds its row and
+    // plans ONLY file A (file B's zz-range never overlaps)
+    val hit = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("doc", Some(bigLo), Some(bigLo))))
+    assert(hit.inputFiles.length == 1, "zz file must prune away")
+    assert(hit.count() == 1 && hit.select("id").head().getLong(0) == 1L,
+      "truncated bounds must never false-drop the owning file")
+    // a zz probe prunes file A via its incremented truncated max
+    val zz = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("doc", Some("zz"), None)))
+    assert(zz.inputFiles.length == 1 && zz.count() == 2)
+    // metadata-only MIN/MAX abstains: a truncated bound is not a value
+    // any row holds — while exact long stats still answer
+    val idx = new org.apache.spark.sql.graft.LakeFileIndex(spark, table)
+    assert(idx.knownStats("doc").isEmpty,
+      "truncated string bounds must not answer min/max(doc)")
+    assert(idx.knownStats("id").nonEmpty)
+    // whole-file DELETE drops abstain on truncated stats: this range
+    // provably covers every file-A row, but the bounds are widened, so
+    // the file must REWRITE (no "<" drop lines), never drop unread
+    TxnLog.delete(spark, table,
+      Seq(TxnLog.ColRange("doc", Some("a"), Some("c"))))
+    assert(TxnLog.snapshot(spark, table).count() == 2)
+    val head = java.nio.file.Files.list(
+        java.nio.file.Paths.get(table, "_graft_log"))
+      .iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json")).max
+    val lastBody = new String(Files.readAllBytes(head), "UTF-8")
+    assert(!lastBody.linesIterator.exists(_.startsWith("<")),
+      "a retention delete over truncated bounds must abstain from the " +
+        "unread whole-file drop")
   }
 }
