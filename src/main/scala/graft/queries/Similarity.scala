@@ -178,6 +178,59 @@ object Similarity extends QueryPack {
         (col("n_hit").cast("double") / col("n_exact") >= 0.75).as("recall_ok"))
   }
 
+  /** Incremental ANN index append gate (q132): the coded table of a
+    * trained-and-FROZEN IVF index takes a batch of new vectors via
+    * [[IvfIndex.append]] — assignment to frozen centroids, zero
+    * training jobs (required loudly via a train-run counter) — and the
+    * appended vectors are immediately searchable: each query's PLANTED
+    * near-duplicate (same direction, new id) must surface in its top-K
+    * (`planted_ok`), and recall@K vs brute force over the grown corpus
+    * must still clear 0.8 (`recall_ok`), both pinned TRUE by the
+    * oracle. This is the daily-corpus-append path — without it, making
+    * yesterday's vectors searchable costs a full retrain.
+    */
+  def annAppend(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    val embs = Tables.embeddings(s, dir)
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val trainRuns = new java.util.concurrent.atomic.AtomicInteger
+    // base index: train-once (fingerprint-cached, shared with q80's key)
+    val ivf = cachedModel[IvfIndex.Model](s, dir, "ivf_c16i1",
+      (m, p) => IvfIndex.save(s, m, p), p => IvfIndex.load(s, p)) {
+      trainRuns.incrementAndGet()
+      IvfIndex.train(s, embs.limit(2000), numCells = 16, iterations = 1)
+    }
+    val coded = IvfIndex.encode(s, ivf, embs)
+    val runsAfterBase = trainRuns.get
+    // planted near-duplicates: each query vector scaled by a positive
+    // constant — cosine-identical direction, fresh id — appended as
+    // "today's batch"
+    val planted = queries.select(
+      (col("query_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
+    val appended = IvfIndex.append(s, ivf, coded, planted)
+    val got = IvfIndex.searchTopKCoded(s, ivf, appended, queries, K,
+      nprobe = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    require(trainRuns.get == runsAfterBase,
+      "index append must assign to frozen centroids — it ran training")
+    val brute = TopKSearch.bruteForce(s,
+      embs.select(col("vec_id"), col("embedding")).unionByName(planted),
+      queries, K).select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+    val plantedHits = got.filter(
+      col("neighbor_id") === col("query_id") + 1000000L)
+    brute.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(plantedHits.agg(countDistinct(col("query_id")).as("n_pl")))
+      .select(
+        lit(K).cast("int").as("k"),
+        (col("n_exact") / lit(K)).cast("bigint").as("n_queries"),
+        (col("n_pl") === col("n_exact") / lit(K)).as("planted_ok"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> annBrute _,
     "q41_ann_ivf_topk" -> annIvf _,
@@ -185,6 +238,7 @@ object Similarity extends QueryPack {
     "q67_ivf_recall" -> ivfRecall _,
     "q76_pq_recall" -> pqRecall _,
     "q80_ivfpq_recall" -> ivfPqRecall _,
+    "q132_ann_append" -> annAppend _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -217,6 +271,12 @@ object Similarity extends QueryPack {
       s"""SELECT CAST($K AS INT) AS k,
          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
          |   WHERE vec_id < $NQUERIES) AS n_queries,
+         |  TRUE AS recall_ok""".stripMargin,
+    "q132_ann_append" ->
+      s"""SELECT CAST($K AS INT) AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |   WHERE vec_id < $NQUERIES) AS n_queries,
+         |  TRUE AS planted_ok,
          |  TRUE AS recall_ok""".stripMargin,
     "q42_cosine_expr_pairs" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

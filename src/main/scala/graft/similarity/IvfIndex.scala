@@ -123,6 +123,46 @@ object IvfIndex {
     model
   }
 
+  /** Code the corpus for this index: `(neighbor_id, cv, cell)` — the
+    * index's CODED TABLE. In production it is written once (parquet,
+    * ideally partitioned by `cell`) and re-read per query batch;
+    * [[append]] extends it without retraining.
+    */
+  def encode(spark: SparkSession, model: Model, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", cellOf(spark, model, col("cv")))
+
+  /** INCREMENTAL index maintenance — the daily-append path: new vectors
+    * are assigned to the FROZEN centroids and unioned onto the coded
+    * table. No retrain, no touch of existing coded rows (at scale: one
+    * narrow pass over the new slice, appended to the coded table's
+    * storage). Centroids drift from optimal as the corpus grows —
+    * the standard trade; retrain on a schedule, not per append.
+    */
+  def append(spark: SparkSession, model: Model, coded: DataFrame,
+      newVectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    coded.unionByName(encode(spark, model, newVectors, idCol, vecCol))
+
+  /** ANN top-k over a PRE-CODED corpus ([[encode]]/[[append]]): probe
+    * `nprobe` cells per query. Output schema fixed at
+    * `(query_id, neighbor_id, cosine, rank)`.
+    */
+  def searchTopKCoded(spark: SparkSession, model: Model,
+      coded: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("cell",
+        explode(probeCells(spark, model, col("qv"), nprobe)))
+    val scored = coded.join(broadcast(q), "cell")
+      .withColumn("cosine",
+        round(GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 9))
+    TopKSearch.explodeRanked(spark, scored, k)
+  }
+
   /** ANN top-k: probe `nprobe` cells per query. Same FIXED output schema
     * as [[TopKSearch.bruteForce]] — `(query_id, neighbor_id, cosine,
     * rank)` — whatever the input id columns are called.
@@ -130,18 +170,9 @@ object IvfIndex {
   def searchTopK(spark: SparkSession, model: Model,
       corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(corpusId).as("neighbor_id"),
-        col(corpusVec).cast("array<double>").as("cv"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("cell", cellOf(spark, model, col("cv")))
-    val q = queries.select(col(queryId).as("query_id"),
-        col(queryVec).cast("array<double>").as("qv"))
-      .withColumn("cell",
-        explode(probeCells(spark, model, col("qv"), nprobe)))
-    val scored = c.join(broadcast(q), "cell")
-      .withColumn("cosine",
-        round(GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 9))
-    TopKSearch.explodeRanked(spark, scored, k)
-  }
+      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame =
+    searchTopKCoded(spark, model,
+      encode(spark, model, corpus, corpusId, corpusVec)
+        .repartition(spark.sparkContext.defaultParallelism),
+      queries, k, nprobe, queryId, queryVec)
 }

@@ -154,6 +154,29 @@ object PqIndex {
         normalized(col(vecCol).cast("array<double>")).as("nv"))
       .withColumn("codes", codesOf(corpus.sparkSession, m, col("nv")))
 
+  /** INCREMENTAL maintenance of the codes table: new vectors encode
+    * against the FROZEN codebooks and union on — no retrain, no touch
+    * of existing codes (one narrow pass over the new slice). Codebooks
+    * drift from optimal as the corpus grows; retrain on a schedule.
+    */
+  def append(m: Model, coded: DataFrame, newVectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    coded.unionByName(encode(m, newVectors, idCol, vecCol))
+
+  /** [[searchTopK]] over a PRE-ENCODED codes table ([[encode]]/
+    * [[append]]) — production never re-encodes the corpus per query
+    * batch.
+    */
+  def searchTopKCoded(spark: SparkSession, m: Model, coded: DataFrame,
+      queries: DataFrame, k: Int, shortlist: Int,
+      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"),
+        normalized(col(queryVec).cast("array<double>")).as("qv"))
+      .withColumn("tab", adcTable(m, col("qv")))
+    adcRerank(spark, m, coded, q, coded.crossJoin(broadcast(q)),
+      k, shortlist)
+  }
+
   /** ADC lookup table for a (normalized) query: flat
     * numSegments*codebookSize array, entry s*codebookSize+c = exact dot
     * of query sub-vector s with centroid c.
@@ -177,15 +200,11 @@ object PqIndex {
   def searchTopK(spark: SparkSession, m: Model, corpus: DataFrame,
       queries: DataFrame, k: Int, shortlist: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
-    val coded = encode(m, corpus, corpusId, corpusVec)
-      .repartition(spark.sparkContext.defaultParallelism)
-    val q = queries.select(col(queryId).as("query_id"),
-        normalized(col(queryVec).cast("array<double>")).as("qv"))
-      .withColumn("tab", adcTable(m, col("qv")))
-    adcRerank(spark, m, coded, q, coded.crossJoin(broadcast(q)),
-      k, shortlist)
-  }
+      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame =
+    searchTopKCoded(spark, m,
+      encode(m, corpus, corpusId, corpusVec)
+        .repartition(spark.sparkContext.defaultParallelism),
+      queries, k, shortlist, queryId, queryVec)
 
   /** IVF+PQ composition — the production ANN shape: the corpus is
     * coarse-quantized into IVF cells AND PQ-encoded; a query probes its

@@ -127,6 +127,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == brute.size)
   }
 
+  test("append assigns new vectors to frozen centroids/codebooks; they become searchable") {
+    // base index + coded tables from the frozen models — no retrain
+    // happens anywhere past these two lines
+    val ivf = IvfIndex.train(spark, embs, numCells = 16)
+    val pq = PqIndex.train(spark, embs, numSegments = 8, codebookSize = 64)
+    val ivfCoded = IvfIndex.encode(spark, ivf, embs)
+    val pqCoded = PqIndex.encode(pq, embs)
+    // today's batch: scaled copies of the query vectors (cosine-
+    // identical direction) under fresh ids
+    val planted = queries.select(
+      (col("query_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(3.0)).as("embedding"))
+    val nq = queries.count()
+
+    val ivfGot = IvfIndex.searchTopKCoded(spark, ivf,
+      IvfIndex.append(spark, ivf, ivfCoded, planted), queries, 5,
+      nprobe = 10)
+    assert(ivfGot.filter(col("neighbor_id") === col("query_id") + 1000000L)
+      .select("query_id").distinct().count() == nq,
+      "every planted vector must surface in its query's IVF top-k")
+
+    val pqGot = PqIndex.searchTopKCoded(spark, pq,
+      PqIndex.append(pq, pqCoded, planted), queries, 5, shortlist = 100)
+    assert(pqGot.filter(col("neighbor_id") === col("query_id") + 1000000L)
+      .select("query_id").distinct().count() == nq,
+      "every planted vector must surface in its query's PQ top-k")
+
+    // appended rows carry valid codes/cells (frozen-model assignment)
+    val appended = PqIndex.append(pq, pqCoded, planted)
+      .filter(col("neighbor_id") >= 1000000L)
+    assert(appended.count() == nq)
+    assert(appended.filter(size(col("codes")) =!= 8).count() == 0)
+  }
+
   test("saved indexes reload byte-identically and search identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
     val ivf = IvfIndex.train(spark, embs, numCells = 16)
