@@ -31,6 +31,10 @@ object EtlMain {
     .config("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     .config("spark.sql.session.timeZone", "UTC")
+    // NANOS-timestamped parquet drops (events.ts) read as long; a no-op
+    // for everything else — set HERE, not by the Tables loader, so
+    // loaders never mutate session state
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .getOrCreate()
 

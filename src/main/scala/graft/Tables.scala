@@ -34,22 +34,27 @@ object Tables {
     * drops and `timestamp[us]` in others, so the loader adapts to what
     * is on disk instead of assuming either:
     *
-    *   - NANOS: Spark's vectorized reader rejects it outright, so the
-    *     legacy nanos-as-long conf is always set (it is a no-op for
-    *     non-NANOS files) and a `LongType` ts is converted to a µs
-    *     timestamp. The generator emits µs precision, so the narrowing
-    *     is lossless. Integer `div` (not `/`): 2024-epoch nanos
-    *     ≈ 1.7e18 exceeds the 2^53 exact-double range.
+    *   - NANOS: Spark's vectorized reader rejects it unless the session
+    *     was built with `spark.sql.legacy.parquet.nanosAsLong=true`
+    *     (set in EVERY graft entrypoint's session builder — a no-op for
+    *     non-NANOS files); the resulting `LongType` ts converts to a µs
+    *     timestamp here. The generator emits µs precision, so the
+    *     narrowing is lossless. Integer `div` (not `/`): 2024-epoch
+    *     nanos ≈ 1.7e18 exceeds the 2^53 exact-double range.
     *   - `timestamp[us]` (isAdjustedToUTC=false): Spark infers
     *     TIMESTAMP_NTZ; cast to session-TZ TimestampType (UTC in every
     *     entrypoint) — identity on the stored micros, and the type the
     *     rest of the engine (windows, watermarks, asof) was built on.
     *   - Already TimestampType: pass through.
+    *
+    * The loader is PURE — it never mutates session state (a loader that
+    * flips session confs as a side effect surprises any concurrent
+    * session sharing the conf). A session built outside the graft
+    * entrypoints reading a NANOS drop fails loudly with Spark's own
+    * PARQUET_TYPE_ILLEGAL, naming the conf to set.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     normalizeEventsTs(load(s, d, "events"))
-  }
 
   /** The ts normalization applied by [[events]], exposed for streaming
     * reads that must declare the raw on-disk schema ([[eventsRawSchema]])
@@ -68,10 +73,8 @@ object Tables {
   /** Raw (pre-normalization) schema of events as stored on disk — what a
     * `readStream.schema(...)` must declare before [[normalizeEventsTs]].
     */
-  def eventsRawSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsRawSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType =
     load(s, d, "events").schema
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
