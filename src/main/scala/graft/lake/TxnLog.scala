@@ -254,8 +254,14 @@ object TxnLog {
     // protocol gate: a manifest stamped with a NEWER format than this
     // reader understands must fail loudly here, before any body line is
     // interpreted under stale assumptions; absence (pre-format
-    // manifests) reads as format 1
-    val fmt = props.get("format").map(_.toInt).getOrElse(1)
+    // manifests) reads as format 1. An UNPARSEABLE stamp (corruption,
+    // or a future reader writing "2.1") routes through the same loud
+    // refuse-with-upgrade-hint path, not a bare NumberFormatException.
+    val fmt = props.get("format").map(s => s.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest format '$s' is not a format this reader supports " +
+          s"(max $ManifestFormat) — upgrade the library to read this " +
+          "table"))).getOrElse(1)
     require(fmt <= ManifestFormat,
       s"manifest format $fmt is newer than this reader supports " +
         s"(max $ManifestFormat) — upgrade the library to read this table")
@@ -511,6 +517,17 @@ object TxnLog {
     require(versions(spark, dir).isEmpty,
       s"$dir already has a lake log; CONVERT is for plain parquet dirs")
     val root = new Path(dir)
+    // the table root becomes the convert commit's recorded dir, and
+    // every reader classifies commits by the dir BASENAME's prefix —
+    // a root named e.g. `optimize-logs` would silently read as a
+    // compaction cut / be skipped by the change feed. Reject loudly.
+    val reserved = Seq("delete-", "update-", "merge-", "overwrite-",
+      "replace-", "compact-", "optimize-", "restore-", "clone-",
+      "alter-", "dynover-", "txn-")
+    require(!reserved.exists(root.getName.startsWith),
+      s"cannot CONVERT $dir: its directory name starts with the " +
+        s"reserved commit prefix '${reserved.find(root.getName.startsWith).get}'" +
+        " — rename the directory first")
     val f = fs(spark, root)
     require(f.exists(root) && f.getFileStatus(root).isDirectory,
       s"$dir is not a directory")
@@ -861,6 +878,17 @@ object TxnLog {
   /** Declared clustering columns (Delta liquid clustering's surface):
     * the layout `OPTIMIZE` maintains without being told each time.
     */
+  /** The table's full property set at the head version (constraints,
+    * clustering, column mapping, protocol format) — what `SHOW
+    * TBLPROPERTIES` lists. Every commit re-records the full set, so the
+    * head manifest alone answers.
+    */
+  def propertiesOf(spark: SparkSession, table: String): Map[String, String] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    readManifest(spark, table, vs.last).props
+  }
+
   def clusteringOf(spark: SparkSession, table: String): Seq[String] = {
     val vs = versions(spark, table)
     if (vs.isEmpty) Nil
@@ -883,12 +911,19 @@ object TxnLog {
       s"duplicate clustering columns: $cols")
     var attempt = 0
     while (attempt < 10) {
-      val head = versions(spark, table).last
+      val vs = versions(spark, table)
+      require(vs.nonEmpty,
+        s"$table has no commits; CLUSTER BY needs an existing table " +
+          "(create it first, or declare clustering at CREATE)")
+      val head = vs.last
       val schema = schemaOf(spark, table)
       cols.foreach(c => require(schema.fieldNames.contains(c),
         s"CLUSTER BY column $c is not in $table's schema " +
           s"(${schema.fieldNames.mkString(", ")})"))
       val manifests = activeManifests(manifestChain(spark, table, head)._1)
+      // best-effort guard: partition columns are derived from LIVE file
+      // paths — a table with no live files (or a layout declared for
+      // future writes) cannot be checked here and passes through
       val partCols = liveEntries(manifests).flatMap(_._2.map(_.path))
         .flatMap(_.split('/').filter(_.contains('=')).map(_.takeWhile(_ != '=')))
         .distinct.toSet

@@ -72,6 +72,18 @@ object CorpusMix {
     * 1-ulp-accurate and can disagree with an engine that spells the
     * same math `sqrt`). One tiny driver aggregate (one row per source)
     * computes the counts — never a corpus shuffle.
+    *
+    * TOLERANCE of the q131 bit-exact oracle parity: FP addition is
+    * non-associative, and an oracle engine's aggregation order over the
+    * powered counts is unspecified — its `total` may differ from ours
+    * by a few ulps. That shifts every weight's fractional part by
+    * ~1e-16 relative, which flips a document's copy count ONLY if its
+    * md5 draw `u` lies within that distance of `frac(w)` — u is a
+    * 53-bit uniform, so at corpus scale the expected number of boundary
+    * flips is ~0 (none observed across the gate's 1000 docs). The
+    * invariant is statistical, not algebraic: a future gate with
+    * billions of rows per source should compare with a per-weight
+    * relative tolerance (~1e-12) instead of hash equality.
     */
   def temperatureWeights(docs: DataFrame, temperature: Double,
       targetDocs: Long, sourceCol: String = "source"): Map[String, Double] = {

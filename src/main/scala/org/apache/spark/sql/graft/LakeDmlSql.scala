@@ -120,6 +120,8 @@ object LakeDmlSql {
       """(.+?)\s+((?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$""").r
   private val ShowMountsRe =
     """(?is)^\s*SHOW\s+(?:LAKE\s+)?MOUNTS\s*;?\s*$""".r
+  private val ShowPropsRe =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val DetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val RestoreRe =
@@ -204,6 +206,9 @@ object LakeDmlSql {
         LakeMounts.pathOf(spark, name).map(path =>
           LakeReplaceWhereCommand(name, path, cond.trim, query.trim))
       case ShowMountsRe() => Some(LakeShowMountsCommand())
+      case ShowPropsRe(name) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeShowPropsCommand(name, path))
       case DetailRe(name) =>
         LakeMounts.pathOf(spark, name).map(path =>
           LakeDetailCommand(name, path))
@@ -296,14 +301,18 @@ object LakeDmlSql {
       }.getOrElse(plan)
     case ct: CreateTableAsSelect =>
       lakeLocation(ct.tableSpec).flatMap(loc => identName(ct.name).map {
-        name => LakeCreateCommand(name, loc, CreatePayload(Some(ct.query),
-          Nil, identityCols(ct.partitioning), ct.ignoreIfExists)): LogicalPlan
+        name =>
+          val (parts, cluster) = layoutCols(ct.partitioning)
+          LakeCreateCommand(name, loc, CreatePayload(Some(ct.query),
+            Nil, parts, ct.ignoreIfExists, cluster)): LogicalPlan
       }).getOrElse(plan)
     case c: CreateTable =>
       lakeLocation(c.tableSpec).flatMap(loc => identName(c.name).map {
-        name => LakeCreateCommand(name, loc, CreatePayload(None,
-          c.columns.map(cd => StructField(cd.name, cd.dataType, cd.nullable)),
-          identityCols(c.partitioning), c.ignoreIfExists)): LogicalPlan
+        name =>
+          val (parts, cluster) = layoutCols(c.partitioning)
+          LakeCreateCommand(name, loc, CreatePayload(None,
+            c.columns.map(cd => StructField(cd.name, cd.dataType, cd.nullable)),
+            parts, c.ignoreIfExists, cluster)): LogicalPlan
       }).getOrElse(plan)
     case DropTable(child, ifExists, _) =>
       (child match {
@@ -344,6 +353,23 @@ object LakeDmlSql {
       s"graftlake tables partition by plain columns (PARTITIONED BY (c)); got $t")
   }
 
+  /** A CREATE's layout transforms split into (partition columns,
+    * clustering columns): Spark's parser carries `CLUSTER BY (a, b)` as
+    * a [[org.apache.spark.sql.connector.expressions.ClusterByTransform]]
+    * alongside the identity partitions.
+    */
+  private def layoutCols(
+      transforms: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : (Seq[String], Seq[String]) = {
+    val (cluster, rest) = transforms.partition(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+    val clusterCols = cluster.flatMap {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
+        refs.map(_.fieldNames.mkString("."))
+    }
+    (identityCols(rest), clusterCols)
+  }
+
   /** Opaque boxes around the statement's parsed-but-unresolved pieces:
     * were these direct `Expression` fields of the commands, TreeNode
     * would surface them via `expressions` and CheckAnalysis would
@@ -362,7 +388,7 @@ object LakeDmlSql {
       userCols: Seq[String], overwrite: Boolean, byName: Boolean)
   final case class CreatePayload(query: Option[LogicalPlan],
       columns: Seq[StructField], partitionCols: Seq[String],
-      ifNotExists: Boolean)
+      ifNotExists: Boolean, clusterBy: Seq[String] = Nil)
 
   /** (mountName, lakePath, sqlAlias) when the DML target is a mounted
     * lake table. The alias is what the statement's qualified column
@@ -884,9 +910,23 @@ object LakeDmlSql {
         require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
           s"PARTITIONED BY column $c is not in the table schema " +
             s"(${df.schema.fieldNames.mkString(", ")})"))
+      // CLUSTER BY at CREATE/CTAS: validated HERE (setClustering's
+      // partition guard is path-derived and best-effort on a table with
+      // no live files yet), then declared via the same manifest
+      // property ALTER TABLE ... CLUSTER BY writes
+      payload.clusterBy.foreach { c =>
+        require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"CLUSTER BY column $c is not in the table schema " +
+            s"(${df.schema.fieldNames.mkString(", ")})")
+        require(!payload.partitionCols.exists(_.equalsIgnoreCase(c)),
+          s"CLUSTER BY column $c is already a partition column")
+      }
       val v = TxnLog.append(spark, path, df, payload.partitionCols)
+      val v2 =
+        if (payload.clusterBy.isEmpty) v
+        else TxnLog.setClustering(spark, path, payload.clusterBy)
       LakeMounts.mount(spark, name, path)
-      Seq(Row(v))
+      Seq(Row(v2))
     }
 
     override def simpleString(maxFields: Int): String =
@@ -913,6 +953,25 @@ object LakeDmlSql {
       TxnLog.history(spark, path).collect().toSeq
     override def simpleString(maxFields: Int): String =
       s"LakeHistoryCommand $name"
+  }
+
+  /** `SHOW TBLPROPERTIES t` — the mounted lake table's properties from
+    * its head manifest (constraints, clustering declaration, column
+    * mapping, protocol format), as (key, value) rows sorted by key.
+    * Unmounted names fall through to Spark's own resolution.
+    */
+  final case class LakeShowPropsCommand(name: String, path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("key",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
+      AttributeReference("value",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      TxnLog.propertiesOf(spark, path).toSeq.sortBy(_._1)
+        .map { case (k, v) => Row(k, v) }
+    override def simpleString(maxFields: Int): String =
+      s"LakeShowPropsCommand $name"
   }
 
   /** `SHOW MOUNTS` — the session's mounted lake tables (name, path). */

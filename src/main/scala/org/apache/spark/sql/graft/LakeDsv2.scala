@@ -529,7 +529,20 @@ object GraftLakeWriteBuilder {
       case None =>
         TxnLog.append(spark, tablePath, data, parts)
       case Some(fs) if isAlwaysTrue(fs) || !exists =>
-        if (!exists) TxnLog.append(spark, tablePath, data, parts)
+        if (!exists) {
+          // a FILTERED overwrite creating the table still owes the
+          // existing-table path's containment guarantee: rows violating
+          // the overwrite predicate must fail loudly, not silently land
+          // outside the "replaced" region via the append degradation
+          if (!isAlwaysTrue(fs)) {
+            val cond = fs.map(filterCol).reduce(_ && _)
+            import org.apache.spark.sql.functions.not
+            require(data.filter(not(cond <=> lit(true))).limit(1).count() == 0L,
+              s"overwrite of not-yet-existing $tablePath: rows violate " +
+                s"the overwrite predicate ${fs.mkString(" AND ")}")
+          }
+          TxnLog.append(spark, tablePath, data, parts)
+        }
         else retry(tablePath, "overwrite") {
           TxnLog.overwrite(spark, tablePath, data, parts).isDefined
         }

@@ -247,6 +247,41 @@ class LakeAlterSpec extends SparkSpec {
     LakeMounts.unmount(spark, "optw_t")
   }
 
+  test("CTAS with CLUSTER BY declares clustering at creation; SHOW TBLPROPERTIES lists it") {
+    val table = Files.createTempDirectory("graft-ctas-clu").toString + "/t"
+    // interleaved ids via round-robin repartition: pre-clustering stats
+    // are useless, so the post-OPTIMIZE prune proves the declaration
+    spark.range(0, 4000).withColumn("v", col("id") * 2)
+      .repartition(4).createOrReplaceTempView("ctas_clu_src")
+    spark.sql(s"CREATE TABLE ctas_clu USING graftlake CLUSTER BY (id) " +
+      s"LOCATION '$table' AS SELECT * FROM ctas_clu_src").collect()
+    assert(TxnLog.clusteringOf(spark, table) == Seq("id"))
+    def prunedFiles(): Int = TxnLog.snapshotWhere(spark, table, Map.empty,
+      ranges = Seq(TxnLog.ColRange("id", Some(100L), Some(200L))))
+      .inputFiles.length
+    assert(prunedFiles() > 1, "interleaved ids must defeat pruning first")
+    // PLAIN optimize maintains the CREATE-declared layout
+    spark.sql("OPTIMIZE ctas_clu").collect()
+    assert(prunedFiles() == 1,
+      "plain OPTIMIZE must cluster by the CREATE-declared columns")
+    assert(TxnLog.snapshot(spark, table).count() == 4000)
+    // properties are listable from SQL, clustering among them
+    val props = spark.sql("SHOW TBLPROPERTIES ctas_clu").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("clustering").contains("id"),
+      s"clustering must be listed, got $props")
+    assert(props.contains("format"))
+    // CLUSTER BY on an unknown column refuses at CREATE (and commits
+    // nothing past the rejected declaration)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE ctas_clu_bad USING graftlake " +
+        s"CLUSTER BY (nope) LOCATION '${table}_bad' " +
+        "AS SELECT * FROM ctas_clu_src").collect()
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    LakeMounts.unmount(spark, "ctas_clu")
+  }
+
   test("CLUSTER BY refuses unknown and partition columns") {
     val table = Files.createTempDirectory("graft-clusterby-bad").toString
     TxnLog.append(spark, table,

@@ -201,6 +201,25 @@ class LakeDsv2WriteSpec extends SparkSpec {
     assert(rows == Set(("a", 9L)))
   }
 
+  test("filtered overwrite creating the table still enforces predicate containment") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val table = Files.createTempDirectory("graft-v2w-newrw").toString + "/t"
+    // rows violating the overwrite predicate must fail loudly even
+    // though the table does not exist yet (no silent append degradation)
+    val e = intercept[Exception] {
+      org.apache.spark.sql.graft.GraftLakeWriteBuilder.run(
+        spark, table, Seq((5L, 1L), (500L, 2L)).toDF("id", "v"),
+        Some(Array(GreaterThanOrEqual("id", 100L))), Nil)
+    }
+    assert(e.getMessage.contains("violate"), e.getMessage)
+    assert(TxnLog.versions(spark, table).isEmpty, "nothing may land")
+    // conforming rows create the table
+    org.apache.spark.sql.graft.GraftLakeWriteBuilder.run(
+      spark, table, Seq((500L, 2L)).toDF("id", "v"),
+      Some(Array(GreaterThanOrEqual("id", 100L))), Nil)
+    assert(TxnLog.snapshot(spark, table).count() == 1)
+  }
+
   test("filtered V2 overwrite routes to replaceWhere with file pruning") {
     import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
     val table = Files.createTempDirectory("graft-v2w-filt").toString + "/t"
