@@ -64,6 +64,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // the status store retains plan descriptions for up to 1000
       // executions by default; 114 queries x 2 runs of plans that
@@ -83,6 +84,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def exec(name: String): Double = {
+      // cold-cache every run: a query that persists an intermediate
+      // (q32's exploded shingle table) must rebuild it, so a repeat run
+      // measures a fresh execution with warm JIT — not a cache hit
+      // carried over from the previous run of the same query
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -203,7 +209,19 @@ object Bench {
     val forksFull = forkRuns.map { case (k, vs) =>
       "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$errsFull,"fork_runs":$forksFull,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$errsFull,"fork_runs":$forksFull,"sf":"$sfDir"}"""
+    println(fullLine)
+    // the SAME full-fidelity JSON as a FILE artifact: stdout passes
+    // through the build tool, whose trailing status line breaks any
+    // last-line parse and whose capture window (~2 KB) truncates the
+    // full-name line — a collector that wants the per-query map parsed
+    // (BENCH_r*.json `parsed`) reads this file instead of scraping
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH.json"), fullLine + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
+    }
     // ... then a compact line LAST, under ~1.4 KB (qNN keys, ms precision):
     // the harness that collects this output keeps only the final ~2000
     // characters, and the full-name line is ~3 KB — it has never fit, so

@@ -34,9 +34,18 @@ object NgramJaccard {
     // at a fraction of the shuffle bytes.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sh = TextShingles.shingleDf(docs.repartition(par), k)
+    // ONE shingle pass: the exploded+hashed table feeds the df-cap
+    // aggregate AND both self-join sides — uncached, Spark re-runs the
+    // whole shingle fan-out for each consumer (up to four corpus
+    // passes; profiled at ~2x the query's cost at sf0.1).
+    // MEMORY_AND_DISK: the exploded table can exceed executor memory at
+    // large SF and must spill, not OOM. At 100 TB, materialize it to a
+    // temp parquet table instead — the same single-pass shape with the
+    // cluster's disks as the cache.
     var ex = sh.select(col("doc_id"), col("n_shingles"),
         explode(col("shingles")).as("s0")) // generators can't nest in exprs
       .select(col("doc_id"), col("n_shingles"), xxhash64(col("s0")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     maxShingleDf.foreach { cap =>
       // scale guard: drop ubiquitous shingles before the pair join
       val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
