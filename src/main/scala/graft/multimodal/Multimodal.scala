@@ -196,6 +196,110 @@ object Multimodal {
       }
   }
 
+  /** 64-bit perceptual difference hash (dHash) from a full pixel decode
+    * via `javax.imageio` (PNG/JPEG/BMP/GIF readers ship in the JVM — no
+    * native codecs needed): the image box-averages to a 9×8 grayscale
+    * grid (BT.601 luma) and each bit records whether a cell is darker
+    * than its right neighbor. Resizes, recompressions, and small edits
+    * preserve most gradient signs, so near-identical images land within
+    * a small Hamming distance — the image-native analogue of SimHash
+    * for text. Box-averaging (not nearest-neighbor sampling) is what
+    * makes an integer upscale hash-identical to its source.
+    *
+    * Bytes that do not decode as an image return None — absent, never
+    * fabricated, like [[HeaderDecoder]]'s zeros.
+    */
+  private[graft] def dHash(bytes: Array[Byte]): Option[Long] = try {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val (gw, gh) = (9, 8)
+      val gray = Array.ofDim[Double](gh, gw)
+      var ty = 0
+      while (ty < gh) {
+        var tx = 0
+        while (tx < gw) {
+          val x0 = tx * img.getWidth / gw
+          val x1 = math.max(x0 + 1, (tx + 1) * img.getWidth / gw)
+          val y0 = ty * img.getHeight / gh
+          val y1 = math.max(y0 + 1, (ty + 1) * img.getHeight / gh)
+          var sum = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          gray(ty)(tx) = sum / ((x1 - x0) * (y1 - y0))
+          tx += 1
+        }
+        ty += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (gray(i / 8)(i % 8) < gray(i / 8)(i % 8 + 1)) bits |= 1L << i
+        i += 1
+      }
+      Some(bits)
+    }
+  } catch { case _: Exception => None }
+
+  /** Per-image dHash column over a media frame: `(media_id, dhash)` —
+    * dhash NULL for bytes that do not decode. A per-partition batch
+    * stage like [[extractFeatures]] (decode is the justified
+    * mapPartitions shape; everything downstream is relational).
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, dHash(bytes).map(java.lang.Long.valueOf).orNull)
+      })
+      .toDF("media_id", "dhash")
+      .select(col("media_id"), col("dhash").cast("long").as("dhash"))
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance ≤
+    * `maxHamming`, BAND-BUCKETED like SimHash: the 64-bit hash splits
+    * into `maxHamming + 1` contiguous bands, so any pair within the
+    * budget shares at least one identical band (pigeonhole) — the
+    * candidate set is an equi-join on (band, bits), never all-pairs —
+    * and candidates verify with the exact popcount. Null hashes
+    * (undecodable bytes) never pair. Output `(id_a, id_b, hamming)`,
+    * id_a < id_b.
+    */
+  def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"bad budget $maxHamming")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val h = hashes.filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bits", when(col("band") < bands - 1,
+          expr(s"shiftrightunsigned(dhash, band * $width)")
+            .bitwiseAND(lit((1L << width) - 1)))
+        .otherwise(expr(s"shiftrightunsigned(dhash, ${(bands - 1) * width})")))
+    val a = h.select(col("band").as("band_a"), col("bits").as("bits_a"),
+      col("media_id").as("id_a"), col("dhash").as("ha"))
+    val b = h.select(col("band").as("band_b"), col("bits").as("bits_b"),
+      col("media_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, col("band_a") === col("band_b") &&
+        col("bits_a") === col("bits_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Ingest a directory of media files through Spark's `binaryFile`
     * source; kind is derived from the extension.
     */

@@ -41,6 +41,76 @@ object Text extends QueryPack {
       .orderBy(col("media_id"))
   }
 
+  /** Perceptual image dedup gate (q133): synthesized image fixtures —
+    * a base PNG, its 2× upscale, its JPEG recompression (REAL pixel
+    * decode via javax.imageio, real lossy re-encode), an unrelated
+    * image, and an undecodable blob — hashed with
+    * [[Multimodal.imageHashes]] (dHash over decoded pixels) and paired
+    * with the band-bucketed [[Multimodal.nearDupImagePairs]]. The
+    * resized and recompressed copies MUST pair with the base within
+    * the Hamming budget, the unrelated image must pair with nothing,
+    * and the undecodable bytes must hash NULL — all pinned TRUE by the
+    * oracle.
+    */
+  def imageDhash(s: SparkSession, dir: String): DataFrame = {
+    import java.awt.image.BufferedImage
+    val root = new java.io.File(
+      s"/tmp/graft_dhash_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val rootP = new org.apache.hadoop.fs.Path(root.toString)
+    rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(rootP, true) // fresh fixture dir per run
+    root.mkdirs()
+    def img(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+      im
+    }
+    // base: a smooth two-axis gradient (structured, compresses cleanly)
+    def basePx(w: Int, h: Int)(x: Int, y: Int): Int =
+      ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | ((x + y) & 0xff)
+    val base = img(64, 48)(basePx(64, 48))
+    val upscaled = img(128, 96)((x, y) => basePx(64, 48)(x / 2, y / 2))
+    // unrelated: gradient reversed on both axes — most gradient signs flip
+    val other = img(64, 48)((x, y) => basePx(64, 48)(63 - x, 47 - y))
+    javax.imageio.ImageIO.write(base, "png",
+      new java.io.File(root, "a_base.png"))
+    javax.imageio.ImageIO.write(upscaled, "png",
+      new java.io.File(root, "a_resized.png"))
+    javax.imageio.ImageIO.write(base, "jpg",
+      new java.io.File(root, "a_recompressed.jpg"))
+    javax.imageio.ImageIO.write(other, "png",
+      new java.io.File(root, "b_other.png"))
+    java.nio.file.Files.write(new java.io.File(root, "junk.png").toPath,
+      Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte))
+    val media = Multimodal.readMediaDir(s, root.toString)
+    val named = media.select(col("media_id"),
+      regexp_extract(col("path"), "([^/]+)$", 1).as("fname"))
+    val hashes = Multimodal.imageHashes(media)
+    val pairs = Multimodal.nearDupImagePairs(hashes, maxHamming = 10)
+      .join(named.select(col("media_id").as("id_a"), col("fname").as("fa")), "id_a")
+      .join(named.select(col("media_id").as("id_b"), col("fname").as("fb")), "id_b")
+      .select(least(col("fa"), col("fb")).as("f1"),
+        greatest(col("fa"), col("fb")).as("f2"))
+    val withNames = hashes.join(named, "media_id")
+    pairs.agg(
+        sum(when(col("f1") === "a_base.png" &&
+          col("f2") === "a_resized.png", 1).otherwise(0)).as("n_resized"),
+        sum(when(col("f1") === "a_base.png" &&
+          col("f2") === "a_recompressed.jpg", 1).otherwise(0)).as("n_jpeg"),
+        sum(when(col("f1").startsWith("b_") ||
+          col("f2").startsWith("b_"), 1).otherwise(0)).as("n_false"))
+      .crossJoin(withNames.agg(
+        count(lit(1)).as("n_images"),
+        sum(when(col("fname") === "junk.png" &&
+          col("dhash").isNull, 1).otherwise(0)).as("n_junk_null")))
+      .select(
+        col("n_images").cast("bigint").as("n_images"),
+        (col("n_resized") === 1).as("resized_pair_ok"),
+        (col("n_jpeg") === 1).as("jpeg_pair_ok"),
+        (col("n_false") === 0).as("no_false_pairs_ok"),
+        (col("n_junk_null") === 1).as("junk_null_ok"))
+  }
+
   /** Driver-checkable winnowing property gate (companion to rows-only
     * q57): winnow fingerprints must be invariant to case and whitespace
     * layout for EVERY document — the defining robustness property of the
@@ -281,6 +351,7 @@ object Text extends QueryPack {
     "q53_fingerprint" -> fingerprint _,
     "q54_bpeish_count" -> bpeishCount _,
     "q55_media_features" -> mediaFeatures _,
+    "q133_image_dhash" -> imageDhash _,
     "q74_winnow_gate" -> winnowGate _,
     "q78_repetition" -> repetition _,
     "q125_bpe_train" -> bpeTrainGate _,
@@ -533,6 +604,10 @@ object Text extends QueryPack {
         |  CAST(len(regexp_extract_all(text,
         |    '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_count
         |FROM documents""".stripMargin,
+    "q133_image_dhash" ->
+      """SELECT CAST(5 AS BIGINT) AS n_images,
+        |  TRUE AS resized_pair_ok, TRUE AS jpeg_pair_ok,
+        |  TRUE AS no_false_pairs_ok, TRUE AS junk_null_ok""".stripMargin,
     // the checked-in media fixtures are constants: payload hashes, header
     // dimensions, and path-hash ids are all knowable ahead of time, so
     // the oracle is the literal expected table

@@ -257,6 +257,62 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("dHash: integer upscale is hash-identical, perturbation is near, reversal is far") {
+    import java.awt.image.BufferedImage
+    def img(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def px(x: Int, y: Int): Int =
+      ((x * 255 / 64) << 16) | ((y * 255 / 48) << 8) | ((x + y) & 0xff)
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.dHash(img(64, 48)(px)).get
+    // a 2x nearest-neighbor upscale box-averages back to the SAME grid
+    val up = Multimodal.dHash(img(128, 96)((x, y) => px(x / 2, y / 2))).get
+    assert(ham(base, up) == 0, s"upscale moved ${ham(base, up)} bits")
+    // a small local edit moves few gradient signs
+    val edited = Multimodal.dHash(img(64, 48)((x, y) =>
+      if (x < 4 && y < 4) 0xffffff else px(x, y))).get
+    assert(ham(base, edited) <= 10, s"edit moved ${ham(base, edited)} bits")
+    // axis reversal flips most gradient signs
+    val rev = Multimodal.dHash(img(64, 48)((x, y) => px(63 - x, 47 - y))).get
+    assert(ham(base, rev) > 20, s"reversal moved only ${ham(base, rev)} bits")
+    // undecodable bytes hash to None, never a fabricated value
+    assert(Multimodal.dHash(Array.tabulate[Byte](32)(_.toByte)).isEmpty)
+  }
+
+  test("band-bucketed image pairs equal the all-pairs reference under the budget") {
+    import java.awt.image.BufferedImage
+    // synthetic hashes exercising band completeness: pairs at hamming
+    // 0, t, t+1 around the budget t=6
+    val rows = Seq(
+      (1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdefL),                 // ham 0 vs 1
+      (3L, 0x0123456789abcdefL ^ 0x3fL),         // ham 6 vs 1 (inside)
+      (4L, 0x0123456789abcdefL ^ 0x7fL),         // ham 7 vs 1 (outside)
+      (5L, -1L),
+      (6L, 0L))
+    val hashes = rows.toDF("media_id", "dhash")
+    val got = Multimodal.nearDupImagePairs(hashes, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // all-pairs reference
+    val ref = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ia, ib)).toSet
+    assert(got == ref, s"got $got, want $ref")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+      !got.contains((1L, 4L)))
+    // null hashes never pair
+    val withNull = hashes.unionByName(
+      Seq((7L, Option.empty[Long])).toDF("media_id", "dhash"))
+    assert(Multimodal.nearDupImagePairs(withNull, maxHamming = 6)
+      .filter(col("id_a") === 7L || col("id_b") === 7L).count() == 0)
+  }
+
   test("PII scrubbing replaces urls, emails, and number runs in order") {
     val df = Seq((1L,
       "mail a.b@x.co or https://h.io/u?e=c@d.com call 555 123 4567 now"))
