@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify collector keeps only the tail of sbt's stdout and
+// parses the LAST line as JSON. Two sbt behaviors break that: the
+// forked program's output is logged with an "[info] " prefix, and a
+// "[success] Total time ..." trailer lands after the machine line.
+// Pipe forked run output straight through and drop the trailer so the
+// final line of `sbt "runMain graft.Bench"` IS the machine JSON line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

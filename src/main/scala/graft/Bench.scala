@@ -227,8 +227,12 @@ object Bench {
     // characters, and the full-name line is ~3 KB — it has never fit, so
     // no round's numbers machine-parsed. The short line always fits even
     // with the build tool's trailing status line after it.
+    // centisecond precision here: 125+ queries at 3 decimals brushed
+    // the ~2 KB capture window; 2 decimals buys ~15% headroom and the
+    // full-precision numbers remain on the full line and in BENCH.json
+    def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
     }.mkString("{", ",", "}")
     // short error list (qNN names only): erroring queries must be
     // explicit in the machine-parsed line, not inferable from -1s

@@ -1795,6 +1795,13 @@ object TxnLog {
     * manifest. Crash cleanup and vacuum treat data + changes + vectors
     * as one unit (same unique dir).
     */
+  /** Test seam: called once per [[appendCommit]] with the commit-dir id,
+    * between the data write and the version-claim loop. Race specs set
+    * it (per-JVM) to block on a filesystem marker, forcing a competing
+    * writer's commit into the claim window; production never touches it.
+    */
+  private[lake] var preClaimHook: String => Unit = _ => ()
+
   private[lake] def appendCommit(spark: SparkSession, table: String, df0: DataFrame,
       partitionCols: Seq[String], commitId: String, txnId: Option[String],
       requireBase: Option[Long], removePaths: Seq[String],
@@ -1938,6 +1945,12 @@ object TxnLog {
       else spark.read.option("basePath", commitDir.toString)
         .schema(df.schema).parquet(entries.map(_.path): _*)
     var enforcedProps: Option[Map[String, String]] = None
+
+    // test seam (cross-process race specs): park THIS commit between its
+    // data write and its version claim so a sibling JVM can land a
+    // competing commit deterministically inside the claim window — the
+    // window real racers only hit by timing. No-op outside tests.
+    preClaimHook(commitId)
 
     var attempt = 0
     while (attempt < maxRetries) {

@@ -117,4 +117,57 @@ class LakeCrossProcessSpec extends SparkSpec {
     val vs = TxnLog.versions(spark, table)
     assert(vs == (1L to vs.length).toSeq, s"non-dense versions: $vs")
   }
+
+  test("OPTIMIZE racing a MERGE across JVMs: strict abort fires, rerun folds the merge") {
+    import graft.SparkSpec.spark.implicits._
+    val table = Files.createTempDirectory("graft-xproc-opt").toString + "/t"
+    TxnLog.append(spark, table,
+      Seq((1L, "base"), (2L, "other")).toDF("id", "v"))
+    TxnLog.append(spark, table, Seq((3L, "third")).toDF("id", "v"))
+    val sync = Files.createTempDirectory("graft-xproc-opt-sync").toString
+
+    // compactor parks between its data write and its version claim
+    // (preClaimHook, its own JVM); merger lands a MERGE inside that
+    // window, deterministically — the race real writers only hit by
+    // timing, reproduced across real process boundaries
+    val threads = Seq("compactor-gated" -> 5, "merger-gated" -> 6).map {
+      case (role, id) =>
+        new Thread {
+          var result: (Int, Vector[String]) = _
+          override def run(): Unit =
+            result = child(table, role, id.toString, "1", sync)
+        }
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    threads.foreach { t =>
+      assert(t.result != null && t.result._1 == 0,
+        s"child failed:\n${Option(t.result).map(_._2.takeRight(15).mkString("\n")).getOrElse("timeout")}")
+    }
+    val (compOut, mergOut) = (threads(0).result._2, threads(1).result._2)
+
+    // the merge landed first (inside the compaction's claim window)...
+    assert(mergOut.exists(_.startsWith("RACE_MERGE 6 ")), mergOut.mkString("\n"))
+    // ...the compaction's first attempt hit the STRICT abort (committing
+    // its pre-merge fold would have resurrected the merged-away row)...
+    assert(compOut.contains("RACE_COMPACT_ABORT 5"), compOut.mkString("\n"))
+    assert(!compOut.exists(_.startsWith("RACE_COMPACT_UNEXPECTED")),
+      s"compaction committed a stale fold: ${compOut.mkString("\n")}")
+    // ...and the re-run on the new base landed clean
+    assert(compOut.exists(_.startsWith("RACE_COMPACT 5 ")), compOut.mkString("\n"))
+
+    // no lost update: the merged value survives the compaction fold
+    val snap = TxnLog.snapshot(spark, table)
+    assert(snap.filter(col("id") === 1L).select("v").as[String]
+      .collect().toSeq == Seq("gated-m6"), "merge lost under compaction")
+    assert(snap.count() == 3)
+    // dense history: 2 appends, the merge, ONE compaction (no version
+    // burned by the aborted attempt), head is the compact- commit
+    val vs = TxnLog.versions(spark, table)
+    assert(vs == Seq(1L, 2L, 3L, 4L), s"unexpected history: $vs")
+    val headOp = TxnLog.history(spark, table)
+      .filter(col("version") === 4L).select("operation")
+      .as[String].collect().toSeq
+    assert(headOp == Seq("COMPACT"), s"head operation is $headOp")
+  }
 }

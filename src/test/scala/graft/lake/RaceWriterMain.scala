@@ -7,17 +7,42 @@ import org.apache.spark.sql.SparkSession
   * multi-writer scenario in-process specs cannot reproduce (distinct
   * JVMs, distinct Hadoop FileSystem instances, real rename atomicity).
   *
-  * args: <table> <role: appender|merger> <workerId> <count>
+  * args: <table> <role> <workerId> <count> [syncDir]
+  * roles: appender | merger — free-running racers; plus the GATED pair
+  * (syncDir required), which use [[TxnLog.preClaimHook]] + filesystem
+  * markers to force a MERGE deterministically into an OPTIMIZE's
+  * claim window, proving the strict-serialization abort fires across
+  * process boundaries:
+  *   compactor-gated — runs one compaction that parks between its data
+  *     write and its version claim (marker `compact-inflight`), resumes
+  *     on `merge-done`, expects the strict abort, then re-runs clean
+  *   merger-gated    — waits for `compact-inflight`, lands one merge,
+  *     touches `merge-done`
   *
   * Protocol on stdout (parsed by the spec):
   *   RACE_APPEND <worker> <i> <version>   — one append landed
   *   RACE_MERGE <worker> <i> <version>    — one merge landed
   *   RACE_RETRY <worker>                  — merge aborted (conflict), re-run
+  *   RACE_COMPACT_ABORT <worker>          — compaction hit the strict abort
+  *   RACE_COMPACT <worker> <version>      — compaction landed
   *   RACE_EXIT_OK                         — clean exit, all work landed
   */
 object RaceWriterMain {
+
+  /** Bounded marker-file wait: coordination must never hang a child
+    * forever — a missing sibling fails loudly within the spec timeout.
+    */
+  private def await(f: java.io.File, maxMs: Long = 240000L): Unit = {
+    val deadline = System.nanoTime() + maxMs * 1000000L
+    while (!f.exists()) {
+      if (System.nanoTime() > deadline)
+        sys.error(s"timed out waiting for marker $f")
+      Thread.sleep(50)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(table, role, idS, nS) = args
+    val Array(table, role, idS, nS) = args.take(4)
     val id = idS.toInt
     val n = nS.toInt
     val spark = SparkSession.builder()
@@ -47,6 +72,39 @@ object RaceWriterMain {
             case None    => println(s"RACE_RETRY $id")
           }
         }
+      case "compactor-gated" =>
+        val sync = new java.io.File(args(4))
+        TxnLog.preClaimHook = { commitId =>
+          if (commitId.startsWith("compact-")) {
+            new java.io.File(sync, "compact-inflight").createNewFile()
+            await(new java.io.File(sync, "merge-done"))
+          }
+        }
+        // attempt 1: the sibling's merge lands inside our claim window —
+        // compaction folded a snapshot that no longer is the head, and
+        // committing it would resurrect the merged-away row. The strict
+        // abort MUST fire (None); anything else is a lost update.
+        TxnLog.compact(spark, table) match {
+          case None    => println(s"RACE_COMPACT_ABORT $id")
+          case Some(v) => println(s"RACE_COMPACT_UNEXPECTED $id $v")
+        }
+        // attempt 2: re-run on the new base (merge-done marker already
+        // present, the hook passes straight through) — lands clean
+        TxnLog.compact(spark, table) match {
+          case Some(v) => println(s"RACE_COMPACT $id $v")
+          case None    => println(s"RACE_COMPACT_ABORT $id")
+        }
+      case "merger-gated" =>
+        val sync = new java.io.File(args(4))
+        await(new java.io.File(sync, "compact-inflight"))
+        val src = Seq((1L, s"gated-m$id")).toDF("id", "v")
+        try TxnLog.merge(spark, table, src, keyCols = Seq("id")) match {
+          case Some(v) => println(s"RACE_MERGE $id 0 $v")
+          case None    => println(s"RACE_RETRY $id")
+        } finally
+          // unblock the parked compactor even on a failed merge — the
+          // spec then fails on the missing RACE_MERGE line, not a hang
+          new java.io.File(sync, "merge-done").createNewFile()
     }
     println("RACE_EXIT_OK")
     spark.stop()
