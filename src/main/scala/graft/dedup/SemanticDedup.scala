@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.similarity.IvfIndex
+
+/** Semantic deduplication — SemDeDup (Abbas et al. 2023, "SemDeDup:
+  * Data-efficient learning at web-scale through semantic
+  * deduplication"): embeddings are k-means-partitioned, cosine
+  * similarity is computed only WITHIN each cluster, and every group of
+  * mutually-similar vectors keeps one representative. Catches
+  * paraphrases and re-renderings that share no surface n-grams — the
+  * tier above [[EmbeddingNearDup]]'s lexical-agnostic but
+  * pair-threshold-only view, and the curation step shown to let
+  * web-scale training reach baseline quality with half the data.
+  *
+  * Scale shape: the clustering bounds the quadratic term. An
+  * equi-join on the cluster id compares ~(n/k)² pairs per cluster
+  * instead of n² overall — choose k so the expected cluster fits the
+  * pair budget (SemDeDup used k=50k for ~100M items). Everything else
+  * is [[IvfIndex.train]]'s bounded-round k-means (centroid-count
+  * driver state only) and [[NearDupClusters]]'s O(log d) label
+  * propagation. Nothing is collected; nothing is all-pairs.
+  */
+object SemanticDedup {
+
+  /** Within-cluster near-duplicate pairs: (doc_a, doc_b, cos) with
+    * doc_a < doc_b and cosine ≥ `tau`, compared only inside a shared
+    * k-means cell. A cross-cell near-dup pair is missed by design —
+    * SemDeDup's trade; raise k-means quality or τ-margin, not the pair
+    * scope, if that matters.
+    */
+  def pairs(spark: SparkSession, embs: DataFrame, numClusters: Int,
+      tau: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val model = IvfIndex.train(spark, embs, numClusters,
+      idCol = idCol, vecCol = vecCol)
+    val coded = IvfIndex.encode(spark, model, embs, idCol, vecCol)
+    // alias the sides apart: a self-join over one lineage otherwise
+    // degrades to a trivially-true key compare (NgramJaccard's lesson)
+    val a = coded.select(col("cell").as("cell_a"),
+      col("neighbor_id").as("doc_a"), col("cv").as("va"))
+    val b = coded.select(col("cell").as("cell_b"),
+      col("neighbor_id").as("doc_b"), col("cv").as("vb"))
+    a.join(b, col("cell_a") === col("cell_b") && col("doc_a") < col("doc_b"))
+      .withColumn("cos", GraftFunctions.cosineSim(spark, col("va"), col("vb")))
+      .filter(col("cos") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+
+  /** Full SemDeDup pass: (id, cluster_id, is_keeper) for EVERY input
+    * vector — semantic groups keep exactly their min-id member,
+    * everything else keeps itself. Filter `is_keeper` for the
+    * deduplicated corpus.
+    */
+  def keepers(spark: SparkSession, embs: DataFrame, numClusters: Int,
+      tau: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val p = pairs(spark, embs, numClusters, tau, idCol, vecCol)
+    NearDupClusters.clusters(
+      embs.select(col(idCol).as("doc_id")), p.select("doc_a", "doc_b"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+}

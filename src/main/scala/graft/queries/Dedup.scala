@@ -110,6 +110,41 @@ object Dedup extends QueryPack {
       embs.select(col("vec_id").as("doc_id")), pairs)
   }
 
+  /** SemDeDup gate (q136): semantic dedup via k-means-bucketed
+    * within-cluster cosine ([[SemanticDedup]]). Plant a scaled copy of
+    * every vector: a positive scaling preserves direction, so the copy
+    * has cosine EXACTLY 1 to its original AND identical similarities
+    * to every k-means centroid — original and copy land in the same
+    * cell by construction, making the gate deterministic regardless of
+    * where k-means put the cell boundaries. At τ=0.95 (the corpus has
+    * no natural cosine ≥ 0.95 — q71's invariant) the semantic groups
+    * are exactly the planted pairs: every copy must merge into its
+    * original's cluster and lose, every original must survive as its
+    * own keeper. All pinned TRUE by the oracle.
+    */
+  def semdedupGate(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val planted = embs.select(col("vec_id"), col("embedding"))
+      .unionAll(embs.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding")))
+    val out = SemanticDedup.keepers(s, planted, numClusters = 16,
+      tau = 0.95)
+    val copies = out.filter(col("vec_id") >= 10000)
+    val originals = out.filter(col("vec_id") < 10000)
+    embs.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(copies.agg(
+        sum(when(col("cluster_id") === col("vec_id") - 10000, 1L)
+          .otherwise(0L)).as("n_merged"),
+        sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_copy_kept")))
+      .crossJoin(originals.agg(
+        sum(when(col("is_keeper") && col("cluster_id") === col("vec_id"), 1L)
+          .otherwise(0L)).as("n_orig_kept")))
+      .select(col("n_vectors"),
+        (col("n_merged") === col("n_vectors")).as("copies_merged_ok"),
+        (col("n_copy_kept") === 0L).as("no_copy_kept_ok"),
+        (col("n_orig_kept") === col("n_vectors")).as("originals_kept_ok"))
+  }
+
   /** Exact-substring dedup gate: excise every ≥50-token passage that
     * repeats across the corpus, keeping the first occurrence
     * ([[ExactSubstring]], the Lee et al. 2021 rule). Output is one row
@@ -157,6 +192,7 @@ object Dedup extends QueryPack {
     "q71_embedding_lsh_gate" -> embeddingLshGate _,
     "q77_neardup_clusters" -> nearDupClusters _,
     "q127_exact_substring" -> exactSubstring _,
+    "q136_semdedup_gate" -> semdedupGate _,
   )
 
   private def jaccardSqlWhere(where: String) =
@@ -183,6 +219,11 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q136_semdedup_gate" ->
+      """SELECT count(*) AS n_vectors,
+        |  TRUE AS copies_merged_ok, TRUE AS no_copy_kept_ok,
+        |  TRUE AS originals_kept_ok
+        |FROM embeddings""".stripMargin,
     "q86_corpus_curation" ->
       """WITH RECURSIVE dedup AS (
         |  SELECT doc_id, text, lang, source, n_chars FROM (

@@ -175,6 +175,36 @@ object Streaming extends QueryPack {
     out.select(col("view_id"), col("click_id"))
   }
 
+  /** Streaming session-window gate (q137): the events table replayed as
+    * a file stream and sessionized with Spark's NATIVE `session_window`
+    * aggregation ([[EventSessions.sessionWindows]]) — watermarked,
+    * append mode, each session emitted exactly once when the watermark
+    * passes its window end. Output restricted to sessions provably
+    * closed under the final watermark (`window_end < max event time`),
+    * the same decidable-at-stream-end move as q130; DuckDB rebuilds the
+    * identical sessions with a lag/cumsum `> gap` split (session
+    * windows extend inclusively to their end — asserted in
+    * StreamingSpec) under the same restriction.
+    */
+  def streamSessionWindows(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.eventsRawSchema(s, dir)
+    val src = Tables.normalizeEventsTs(s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")) // glob: see streamingDedupGate
+    val sessions = EventSessions.sessionWindows(src, gap = "30 minutes")
+    val name = s"q137_stream_sessions_${math.abs(dir.hashCode).toString}"
+    val q = sessions
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val wm = Tables.events(s, dir).agg(max(col("ts")))
+      .collect()(0).getTimestamp(0)
+    s.table(name).filter(col("window_end") < lit(wm))
+  }
+
   /** Rate-limited lake stream gate (q115): orders appended to a lake
     * table as three commits of two files each, streamed back under
     * `Trigger.AvailableNow` with `maxFilesPerTrigger = 2` — DSv2
@@ -223,6 +253,7 @@ object Streaming extends QueryPack {
     "q88_streaming_dedup_keys" -> streamingDedupKeysGate _,
     "q110_stream_join" -> streamStreamJoin _,
     "q130_stream_outer_join" -> streamOuterJoin _,
+    "q137_stream_sessions" -> streamSessionWindows _,
     "q115_stream_rate_limit" -> streamRateLimit _,
   )
 
@@ -262,6 +293,29 @@ object Streaming extends QueryPack {
         |FROM j, wm
         |WHERE click_id IS NOT NULL
         |   OR v_ts + INTERVAL 30 MINUTE < wm.w""".stripMargin,
+    "q137_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, tus,
+        |    CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM y),
+        |s AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS window_end,
+        |    count(*) AS n_events
+        |  FROM z GROUP BY user_id, seq),
+        |wm AS (SELECT max(ts) AS w FROM events)
+        |SELECT user_id, session_start, window_end, n_events
+        |FROM s, wm WHERE window_end < wm.w""".stripMargin,
     "q25_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  event_type, count(*) AS n, sum(value) AS total_value

@@ -139,6 +139,25 @@ object Text extends QueryPack {
           .as("invariance_ok"))
   }
 
+  /** Corpus-trained unigram-LM perplexity (q134): the CCNet-style
+    * model-based quality score — see [[graft.text.Perplexity]]. Fully
+    * oracled: the LM is a closed-form aggregate, so DuckDB trains the
+    * identical model and scores with the identical formula (ln/exp
+    * agree to ulps; the driver's float compare absorbs sum-order
+    * drift).
+    */
+  def perplexity(s: SparkSession, dir: String): DataFrame =
+    graft.text.Perplexity.unigramScore(Tables.documents(s, dir))
+
+  /** Sliding-window chunking (q135): 64-token windows, stride 48 (25%
+    * overlap) — see [[graft.text.Chunker]]. Chunk ids, lengths, and the
+    * reassembled chunk text are all integer/string exact; DuckDB
+    * re-derives them with list slicing.
+    */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    graft.text.Chunker.tokenChunks(Tables.documents(s, dir),
+      window = 64, stride = 48)
+
   /** Repetition signals of the kind large-scale pretraining filters use
     * (type-token ratio, most-frequent unigram/bigram mass): highly
     * repetitive documents are low-quality training data even when their
@@ -354,6 +373,8 @@ object Text extends QueryPack {
     "q133_image_dhash" -> imageDhash _,
     "q74_winnow_gate" -> winnowGate _,
     "q78_repetition" -> repetition _,
+    "q134_perplexity" -> perplexity _,
+    "q135_doc_chunks" -> docChunks _,
     "q125_bpe_train" -> bpeTrainGate _,
   )
 
@@ -533,6 +554,37 @@ object Text extends QueryPack {
          |      '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
          |    '${TextAnalysis.PiiNumber}', '<NUM>', 'g') AS scrubbed
          |FROM documents""".stripMargin,
+    "q134_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, count(*)::DOUBLE AS f FROM tok GROUP BY doc_id, t),
+        |lm AS (SELECT t, sum(f) AS c FROM tf GROUP BY t),
+        |n AS (SELECT sum(c) AS n_corpus FROM lm)
+        |SELECT doc_id,
+        |  CAST(sum(f) AS BIGINT) AS n_tokens,
+        |  -sum(f * ln(c / n_corpus)) / sum(f) AS cross_entropy,
+        |  exp(-sum(f * ln(c / n_corpus)) / sum(f)) AS ppl
+        |FROM tf JOIN lm USING (t), n
+        |GROUP BY doc_id""".stripMargin,
+    "q135_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    [x for x in string_split_regex(text, '\s+') if x <> ''] AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |k AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, 1 + greatest(
+        |      CAST(ceil((n - 64) / 48.0) AS BIGINT), 0))) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(toks[chunk_id*48+1 : least(chunk_id*48+64, n)]) AS INT)
+        |    AS chunk_len,
+        |  array_to_string(toks[chunk_id*48+1 : least(chunk_id*48+64, n)], ' ')
+        |    AS chunk_text
+        |FROM k""".stripMargin,
     "q50_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

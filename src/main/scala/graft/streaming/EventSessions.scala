@@ -44,6 +44,29 @@ object EventSessions {
         max(col("ts")).as("session_end"))
   }
 
+  /** Declarative session windows — Spark's native `session_window`
+    * aggregation: events of one key within `gap` of each other merge
+    * into one window, and under a watermark in append mode each session
+    * emits EXACTLY ONCE, when the watermark passes its window end. The
+    * state store is Spark-managed and mergeable across micro-batches —
+    * no user state code, unlike [[sessionizeStreaming]] (kept as the
+    * custom-state demonstration of the same semantics).
+    *
+    * Boundary semantics match [[sessionizeBatch]]: a window extends
+    * inclusively to its end, so an event at EXACTLY gap distance merges
+    * and only a `> gap` silence splits (asserted in StreamingSpec).
+    * Works identically on batch and streaming inputs (the watermark is
+    * a no-op on batch).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("window_end"), col("n_events"))
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_seq: Long,

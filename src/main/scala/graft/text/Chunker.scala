@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sliding-window document chunking — the preprocessing step every
+  * embedding / retrieval / long-context training pipeline runs before
+  * encoding: cut each document's token stream into fixed-size windows
+  * with overlap, so no boundary-straddling passage is lost to a hard
+  * cut. One chunk per `stride` tokens, each `window` tokens long, the
+  * final chunk keeping whatever tail remains.
+  *
+  * Pure per-row generator work: tokenize (narrow) → explode one row per
+  * chunk index → slice the token array. No shuffle, no state — a
+  * 100 TB corpus chunks at full scan bandwidth, and the output stays
+  * partitioned exactly like its input (doc_id-colocated for the
+  * downstream embed-then-index join).
+  */
+object Chunker {
+
+  /** Chunk count for an `n`-token document: 1 + ⌈max(n−window,0) ∕
+    * stride⌉ — every token is covered, the last window is the only one
+    * allowed to run short, and an n ≤ window document is exactly one
+    * chunk.
+    */
+  def tokenChunks(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val t = docs
+      .select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0) // a token-less document has no chunks
+    val nChunks = (greatest(
+      ceil((col("n") - window).cast("double") / stride), lit(0L)) + 1L)
+      .cast("int")
+    t.select(col(idCol), col("toks"), col("n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        size(slice(col("toks"), col("chunk_id") * stride + 1, lit(window)))
+          .as("chunk_len"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(window)))
+          .as("chunk_text"))
+  }
+}

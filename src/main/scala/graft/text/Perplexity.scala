@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained unigram language-model scoring — the CCNet-style
+  * perplexity quality filter (Wenzek et al., "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data"): documents whose
+  * token stream is improbable under a language model are boilerplate,
+  * tables, or noise; documents that are TOO probable are templated
+  * repetition. Pretraining pipelines cut both tails.
+  *
+  * CCNet uses a pretrained KenLM; this operator trains its unigram LM
+  * on the corpus itself in one aggregate, which keeps the whole thing
+  * closed-form, cross-engine checkable, and dependency-free. The shape
+  * generalizes: swap `lm` for any (token, log-prob) table — a
+  * broadcast-joined external LM scores with the same plan minus the
+  * training aggregate.
+  *
+  * Plan shape (two corpus passes, both narrow until their aggregate):
+  *   docs → explode tokens → groupBy (doc, token) count   [tf, persisted]
+  *   tf → groupBy token sum                               [lm: vocab-sized]
+  *   tf ⋈ lm on token (vocab ≪ corpus: AQE broadcasts when it fits)
+  *      → groupBy doc: Σ f·ln(c/N) / Σ f                  [one row per doc]
+  * The tf table is persisted so training and scoring share one shingle
+  * of work; at 100 TB materialize it to a temp table instead — same
+  * single-pass shape with the cluster's disks as the cache. Per-doc
+  * state is one partial sum; nothing is collected to the driver.
+  */
+object Perplexity {
+
+  /** Word tokens for LM scoring: lowercase letter runs — the same
+    * cross-engine-stable class the BPE trainer uses.
+    */
+  private val TokenPattern = "[a-z]+"
+
+  /** Per-document cross-entropy and perplexity under the corpus-trained
+    * add-nothing unigram LM: every scored token was seen in training by
+    * construction (the LM is trained on the same corpus), so no
+    * smoothing mass is needed. Documents without a single word token
+    * carry no probability mass and are omitted (their perplexity is
+    * undefined, not zero).
+    *
+    * Returns (idCol, n_tokens, cross_entropy, ppl); cross_entropy is
+    * mean −ln p(token) in nats, ppl = exp(cross_entropy).
+    */
+  def unigramScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as(idCol),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit(TokenPattern), lit(0))).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = tf.groupBy(col("t")).agg(sum(col("f")).as("c"))
+    // corpus token total: ONE row, carried to every doc row by a
+    // broadcast cross join (never a shuffle)
+    val n = lm.agg(sum(col("c")).cast("double").as("n_corpus"))
+    tf.join(lm, "t")
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("f")).cast("bigint").as("n_tokens"),
+        (-sum(col("f").cast("double") *
+          log(col("c").cast("double") / col("n_corpus"))) /
+          sum(col("f")).cast("double")).as("cross_entropy"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SemanticDedupSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  /** Two well-separated directions with small within-group jitter:
+    * group A along e1, group B along e2. Jittered vectors of one group
+    * have cosine ~0.999 to each other and ~0 across groups.
+    */
+  private def corpus() = Seq(
+    (0L, Array(1.0f, 0.01f, 0f, 0f)),
+    (1L, Array(1.0f, 0.02f, 0f, 0f)),   // near-dup of 0
+    (2L, Array(0.99f, 0.015f, 0.01f, 0f)), // near-dup of 0 and 1
+    (10L, Array(0f, 0.01f, 1.0f, 0f)),
+    (11L, Array(0f, 0.02f, 1.0f, 0f)),  // near-dup of 10
+    (20L, Array(0.7f, 0f, 0.7f, 0.1f))  // near neither group's dup zone
+  ).toDF("vec_id", "embedding")
+
+  test("within-cluster pairs find planted semantic dups, no cross-group strays") {
+    val p = SemanticDedup.pairs(spark, corpus(), numClusters = 2, tau = 0.99)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // group A's three mutual near-dups; group B's pair — when k-means
+    // put each group in one cell (2 clusters over 2 clean directions)
+    assert(p.contains((0L, 1L)) && p.contains((10L, 11L)), s"missing planted pairs: $p")
+    // nothing pairs across groups or with the diagonal outlier
+    assert(p.forall { case (a, b) => (a < 10 && b < 10) || (a >= 10 && b < 20) },
+      s"stray pair: $p")
+  }
+
+  test("keepers: one representative per semantic group, min id wins") {
+    val out = SemanticDedup.keepers(spark, corpus(), numClusters = 2,
+      tau = 0.99)
+    val kept = out.filter(col("is_keeper")).select("vec_id")
+      .as[Long].collect().toSet
+    // 0 represents {0,1,2}; 10 represents {10,11}; 20 is a singleton
+    assert(kept == Set(0L, 10L, 20L), s"kept $kept")
+    // every vector got a verdict row
+    assert(out.count() == 6)
+    // dropped members point at their keeper
+    val cl = out.select("vec_id", "cluster_id").as[(Long, Long)]
+      .collect().toMap
+    assert(cl(1L) == 0L && cl(2L) == 0L && cl(11L) == 10L)
+  }
+
+  test("a scaled copy always lands in its original's cell (gate invariant)") {
+    // the q136 gate's determinism rests on this: positive scaling
+    // preserves cosine to every centroid, so copy and original assign
+    // to the same argmax cell no matter where k-means put the centroids
+    val base = corpus()
+    val planted = base.unionAll(base.select(
+      (col("vec_id") + 100).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.01f)).as("embedding")))
+    val out = SemanticDedup.keepers(spark, planted, numClusters = 3,
+      tau = 0.9999)
+    val cl = out.select("vec_id", "cluster_id").as[(Long, Long)]
+      .collect().toMap
+    base.select("vec_id").as[Long].collect().foreach { id =>
+      assert(cl(id + 100) == cl(id),
+        s"copy of $id landed in cluster ${cl(id + 100)}, original in ${cl(id)}")
+    }
+  }
+}

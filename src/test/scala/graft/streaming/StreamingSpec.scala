@@ -177,6 +177,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("native session windows: incremental merge, exactly-once emission, half-open boundary") {
+    implicit val sqlCtxSw: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = EventSessions.sessionWindows(
+      in.toDF().toDF("ts", "user_id"), gap = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    // user 1: 10:00 and 10:05 merge (gap 5 < 10), and the event at
+    // EXACTLY 10:15 = 10:05 + gap ALSO merges — session windows extend
+    // inclusively to window end, the same `> gap` split as
+    // sessionizeBatch. 10:30 (> gap after 10:15) starts a new session.
+    in.addData((ts(0), 1L), (ts(5), 1L))
+    q.processAllAvailable()
+    in.addData((ts(15), 1L), (ts(30), 1L), (ts(16), 2L))
+    q.processAllAvailable()
+    // sentinel far ahead closes everything
+    in.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sw_out").filter($"user_id" =!= 99L)
+      .select($"user_id", $"session_start", $"window_end", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).sortBy(t => (t._1, t._2.getTime))
+    assert(rows.toSeq == Seq(
+      (1L, ts(0), ts(25), 3L),   // boundary event merged; end = 10:15 + gap
+      (1L, ts(30), ts(40), 1L),  // > gap: a genuinely new session
+      (2L, ts(16), ts(26), 1L)),
+      s"got ${rows.toSeq}")
+  }
+
   test("streaming content dedup drops within-watermark duplicates") {
     implicit val sqlCtx3: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")

@@ -1,0 +1,75 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PerplexityChunkerSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("unigram perplexity: hand-computed two-doc corpus") {
+    // LM over the corpus: a appears 2x, b 2x -> p(a) = p(b) = 1/2.
+    // Both docs then score cross-entropy ln 2, perplexity exactly 2.
+    val docs = Seq((1L, "a a b"), (2L, "B!")).toDF("doc_id", "text")
+    val out = Perplexity.unigramScore(docs).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cross_entropy") - math.log(2.0)) < 1e-12)
+      assert(math.abs(r.getAs[Double]("ppl") - 2.0) < 1e-12)
+    }
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(3L, 1L))
+  }
+
+  test("unigram perplexity: uniform docs score lower than rare-token docs") {
+    // 'the' dominates the corpus; a doc of rare tokens must carry higher
+    // cross-entropy than a doc of common ones
+    val docs = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "zyx qwv")).toDF("doc_id", "text")
+    val m = Perplexity.unigramScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    assert(m(1L) < m(2L))
+  }
+
+  test("unigram perplexity: token-less documents are omitted, not zeroed") {
+    val docs = Seq((1L, "real words here"), (2L, "123 456 !!!"))
+      .toDF("doc_id", "text")
+    val ids = Perplexity.unigramScore(docs).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(ids == Seq(1L))
+  }
+
+  test("token chunks: counts, coverage, and overlap") {
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text10), (2L, "a b c"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Chunker.tokenChunks(docs, window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: n=10, chunks at 0/3/6 -> 1 + ceil(6/3) = 3, all full
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Int]("chunk_id")).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_.getAs[Int]("chunk_len")).toSeq == Seq(4, 4, 4))
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // every token appears in some chunk (coverage)
+    assert(d1.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet ==
+      (1 to 10).map(i => s"t$i").toSet)
+    // doc 2: n <= window -> exactly one (short) chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getAs[Int]("chunk_id"), r.getAs[Int]("chunk_len"),
+      r.getAs[String]("chunk_text"))).toSeq == Seq((0, 3, "a b c")))
+    // doc 3: whitespace-only -> no chunks at all
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
+
+  test("token chunks: stride == window tiles without overlap") {
+    val docs = Seq((1L, (1 to 7).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunker.tokenChunks(docs, window = 3, stride = 3)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getAs[Int]("chunk_len")).toSeq == Seq(3, 3, 1))
+    // tiling: concatenation reproduces the document exactly
+    assert(out.map(_.getAs[String]("chunk_text")).mkString(" ") ==
+      (1 to 7).map(i => s"w$i").mkString(" "))
+  }
+}
