@@ -178,7 +178,69 @@ object Multimodal {
           (b(4) == '7' || b(4) == '9') && b(5) == 'a')
         // GIF: logical screen descriptor right after the 6-byte header
         (le16(b, 6), le16(b, 8), 0L)
+      else if (b.length >= 12 && tag(b, 4) == "ftyp")
+        parseMp4(b)
       else (0, 0, 0L)
+    }
+
+    private def be64(b: Array[Byte], at: Int): Long =
+      ((be32(b, at).toLong & 0xffffffffL) << 32) |
+        (be32(b, at + 4).toLong & 0xffffffffL)
+
+    /** MP4/ISO-BMFF: walk the top-level box sequence to `moov`, then its
+      * children for `mvhd` (movie duration over its timescale) and the
+      * track headers (`trak`/`tkhd`, 16.16 fixed-point presentation
+      * width/height — the largest track wins, audio tracks carry 0×0).
+      * Version 0 and 1 header layouts both parse; 64-bit largesize
+      * boxes, absent `moov` (streaming-style tail metadata not in the
+      * prefix), and any size that fails to strictly advance the walk
+      * bail to honest zeros, same posture as the WAV/JPEG walks.
+      */
+    private def parseMp4(b: Array[Byte]): (Int, Int, Long) = {
+      var w = 0
+      var h = 0
+      var durMs = 0L
+      def boxes(from: Int, end: Int, f: (String, Int, Int) => Unit): Unit = {
+        var at = from
+        var ok = true
+        while (ok && at + 8 <= end) {
+          val size = be32(b, at).toLong & 0xffffffffL
+          val id = tag(b, at + 4)
+          val next = if (size == 0) end.toLong else at.toLong + size
+          if (size == 1 || next <= at || next > end) ok = false // largesize/corrupt
+          else {
+            f(id, at + 8, next.toInt)
+            at = next.toInt
+          }
+        }
+      }
+      boxes(0, b.length, { (id, from, end) =>
+        if (id == "moov") boxes(from, end, { (cid, cfrom, cend) =>
+          if (cid == "mvhd" && cfrom + 4 <= cend) {
+            val v = b(cfrom) & 0xff
+            if (v == 0 && cfrom + 20 <= cend) {
+              val ts = be32(b, cfrom + 12).toLong & 0xffffffffL
+              val du = be32(b, cfrom + 16).toLong & 0xffffffffL
+              if (ts > 0) durMs = du * 1000L / ts
+            } else if (v == 1 && cfrom + 32 <= cend) {
+              val ts = be32(b, cfrom + 20).toLong & 0xffffffffL
+              val du = be64(b, cfrom + 24)
+              if (ts > 0 && du >= 0) durMs = du * 1000L / ts
+            }
+          }
+          if (cid == "trak") boxes(cfrom, cend, { (tid, tfrom, tend) =>
+            if (tid == "tkhd" && tfrom + 4 <= tend) {
+              val at = tfrom + (if ((b(tfrom) & 0xff) == 0) 76 else 88)
+              if (at + 8 <= tend) {
+                val tw = be32(b, at) >>> 16 // 16.16 fixed -> integer part
+                val th = be32(b, at + 4) >>> 16
+                if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
+              }
+            }
+          })
+        })
+      })
+      (w, h, durMs)
     }
 
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =

@@ -111,6 +111,59 @@ object Text extends QueryPack {
         (col("n_junk_null") === 1).as("junk_null_ok"))
   }
 
+  /** Video metadata gate (q138): synthesized minimal-but-valid MP4
+    * fixtures — version-0 and version-1 `moov`/`mvhd`/`tkhd` headers,
+    * plus a moov-less decoy — decoded with [[Multimodal.HeaderDecoder]]'s
+    * ISO-BMFF box walk. Dimensions come from the largest video track's
+    * 16.16 fixed-point header (the 0×0 audio track must not win),
+    * duration from the movie header over its timescale; the moov-less
+    * file keeps honest zeros. All constants, pinned by the oracle.
+    */
+  def videoMeta(s: SparkSession, dir: String): DataFrame = {
+    def beInt(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v).array
+    def beLong(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array
+    def mbox(tp: String, body: Array[Byte]): Array[Byte] =
+      beInt(8 + body.length) ++ tp.getBytes("US-ASCII") ++ body
+    def tkhd0(w: Int, h: Int): Array[Byte] =
+      mbox("tkhd", Array.fill[Byte](76)(0) ++ beInt(w << 16) ++ beInt(h << 16))
+    def tkhd1(w: Int, h: Int): Array[Byte] = {
+      val p = Array.fill[Byte](88)(0); p(0) = 1
+      mbox("tkhd", p ++ beInt(w << 16) ++ beInt(h << 16))
+    }
+    val ftyp = mbox("ftyp", "mp42".getBytes ++ beInt(0) ++ "mp42".getBytes)
+    // v0: timescale 1000, duration 5400 ticks -> 5400 ms; the 0x0
+    // audio track must lose the dimension argmax to the 640x360 video
+    val v0 = ftyp ++ mbox("moov",
+      mbox("mvhd", Array[Byte](0, 0, 0, 0) ++ beInt(0) ++ beInt(0) ++
+        beInt(1000) ++ beInt(5400)) ++
+      mbox("trak", tkhd0(640, 360)) ++
+      mbox("trak", tkhd0(0, 0)))
+    // v1: 64-bit duration over a 90k timescale -> 630000/90000 = 7 s
+    val v1 = ftyp ++ mbox("moov",
+      mbox("mvhd", Array[Byte](1, 0, 0, 0) ++ beLong(0) ++ beLong(0) ++
+        beInt(90000) ++ beLong(630000L)) ++
+      mbox("trak", tkhd1(1280, 720)))
+    val junk = ftyp ++ Array.tabulate[Byte](64)(i => (i * 41 + 7).toByte)
+    val root = new java.io.File(
+      s"/tmp/graft_video_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val rootP = new org.apache.hadoop.fs.Path(root.toString)
+    rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(rootP, true) // fresh fixture dir per run
+    root.mkdirs()
+    Seq(("v0_sd.mp4", v0), ("v1_hd.mp4", v1), ("junk.mp4", junk)).foreach {
+      case (n, bytes) => java.nio.file.Files.write(
+        new java.io.File(root, n).toPath, bytes)
+    }
+    val media = Multimodal.readMediaDir(s, root.toString)
+    Multimodal.extractFeatures(media, Multimodal.HeaderDecoder).toDF()
+      .join(media.select(col("media_id"),
+        regexp_extract(col("path"), "([^/]+)$", 1).as("fname")), "media_id")
+      .select(col("fname"), col("kind"), col("width"), col("height"),
+        col("duration_ms"))
+  }
+
   /** Driver-checkable winnowing property gate (companion to rows-only
     * q57): winnow fingerprints must be invariant to case and whitespace
     * layout for EVERY document — the defining robustness property of the
@@ -375,6 +428,7 @@ object Text extends QueryPack {
     "q78_repetition" -> repetition _,
     "q134_perplexity" -> perplexity _,
     "q135_doc_chunks" -> docChunks _,
+    "q138_video_meta" -> videoMeta _,
     "q125_bpe_train" -> bpeTrainGate _,
   )
 
@@ -554,6 +608,15 @@ object Text extends QueryPack {
          |      '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
          |    '${TextAnalysis.PiiNumber}', '<NUM>', 'g') AS scrubbed
          |FROM documents""".stripMargin,
+    "q138_video_meta" ->
+      """SELECT * FROM (VALUES
+        |  ('junk.mp4', 'video', CAST(0 AS INT), CAST(0 AS INT),
+        |   CAST(0 AS BIGINT)),
+        |  ('v0_sd.mp4', 'video', CAST(640 AS INT), CAST(360 AS INT),
+        |   CAST(5400 AS BIGINT)),
+        |  ('v1_hd.mp4', 'video', CAST(1280 AS INT), CAST(720 AS INT),
+        |   CAST(7000 AS BIGINT)))
+        |  AS t(fname, kind, width, height, duration_ms)""".stripMargin,
     "q134_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t

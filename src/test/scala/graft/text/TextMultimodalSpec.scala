@@ -313,6 +313,48 @@ class TextMultimodalSpec extends SparkSpec {
       .filter(col("id_a") === 7L || col("id_b") === 7L).count() == 0)
   }
 
+  test("MP4 moov metadata parses; corrupt boxes keep honest zeros") {
+    def beInt(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array
+    def beLong(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array
+    def mbox(tp: String, body: Array[Byte]): Array[Byte] =
+      beInt(8 + body.length) ++ tp.getBytes("US-ASCII") ++ body
+    val ftyp = mbox("ftyp", "mp42".getBytes ++ beInt(0) ++ "mp42".getBytes)
+    def tkhd0(w: Int, h: Int) =
+      mbox("tkhd", Array.fill[Byte](76)(0) ++ beInt(w << 16) ++ beInt(h << 16))
+    def mvhd0(ts: Int, dur: Int) =
+      mbox("mvhd", Array[Byte](0, 0, 0, 0) ++ beInt(0) ++ beInt(0) ++
+        beInt(ts) ++ beInt(dur))
+    def decode(bytes: Array[Byte]) =
+      Multimodal.HeaderDecoder.decodeBatch(Seq(Multimodal.MediaRecord(
+        1L, "mem://v.mp4", "video", bytes, bytes.length.toLong))).head
+
+    // v0: duration over timescale; largest video track beats audio's 0x0
+    val v0 = decode(ftyp ++ mbox("moov",
+      mvhd0(600, 1500) ++ mbox("trak", tkhd0(320, 240)) ++
+        mbox("trak", tkhd0(0, 0))))
+    assert((v0.width, v0.height, v0.duration_ms) == ((320, 240, 2500L)))
+    // v1 layouts: 64-bit duration, offset-shifted tkhd
+    val tk1 = { val p = Array.fill[Byte](88)(0); p(0) = 1
+      mbox("tkhd", p ++ beInt(1920 << 16) ++ beInt(1080 << 16)) }
+    val v1 = decode(ftyp ++ mbox("moov",
+      mbox("mvhd", Array[Byte](1, 0, 0, 0) ++ beLong(0) ++ beLong(0) ++
+        beInt(90000) ++ beLong(45000L)) ++ mbox("trak", tk1)))
+    assert((v1.width, v1.height, v1.duration_ms) == ((1920, 1080, 500L)))
+    // no moov in the prefix -> zeros
+    val noMoov = decode(ftyp ++ Array.fill[Byte](32)(9))
+    assert((noMoov.width, noMoov.height, noMoov.duration_ms) == ((0, 0, 0L)))
+    // a box size overrunning the buffer stops the walk cold
+    val overrun = decode(ftyp ++ beInt(100000) ++ "moov".getBytes)
+    assert((overrun.width, overrun.height, overrun.duration_ms) == ((0, 0, 0L)))
+    // largesize (size == 1) is unsupported: bail, don't misparse
+    val largesize = decode(ftyp ++ beInt(1) ++ "moov".getBytes ++ beLong(32))
+    assert((largesize.width, largesize.height) == ((0, 0)))
+    // a truncated tkhd zeroes dimensions but mvhd duration still lands
+    val shortTk = decode(ftyp ++ mbox("moov",
+      mvhd0(1000, 250) ++ mbox("trak", mbox("tkhd", Array.fill[Byte](20)(0)))))
+    assert((shortTk.width, shortTk.height, shortTk.duration_ms) == ((0, 0, 250L)))
+  }
+
   test("PII scrubbing replaces urls, emails, and number runs in order") {
     val df = Seq((1L,
       "mail a.b@x.co or https://h.io/u?e=c@d.com call 555 123 4567 now"))
