@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deflate COMPRESSION RATIO of a string — compressed bytes over raw
+  * bytes, in (0, ~1.05]. The Gopher/RefinedWeb-style "too compressible"
+  * quality signal: boilerplate and templated spam deflate to a tiny
+  * fraction of their size while natural prose stays near ~0.4+, so a
+  * low ratio flags machine-generated repetition that token-level
+  * heuristics (type-token ratio, top-n-gram mass — q78) can miss when
+  * the repeated unit is long.
+  *
+  * Deterministic: a fixed deflate level with no preset dictionary —
+  * the same bytes compress to the same length on every JVM (zlib's
+  * BEST_COMPRESSION strategy is specified deterministically for a
+  * given input). No SQL engine has a portable deflate, so the q143
+  * gate pins separation properties, not float identity.
+  *
+  * Evaluation is one static call per row from generated code (the
+  * expression stays inside whole-stage codegen; there is no built-in
+  * Spark function for this, and a Scala UDF would box every row).
+  * Cost is O(bytes) per document — the same order as tokenizing it.
+  */
+object CompressRatio {
+  /** Static entry for generated code. Empty input → 1.0 (nothing to
+    * compress is not "suspiciously compressible").
+    */
+  def ratio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) 1.0
+    else {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_COMPRESSION, true)
+      try {
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var compressed = 0L
+        while (!d.finished()) compressed += d.deflate(buf)
+        compressed.toDouble / raw.length
+      } finally d.end()
+    }
+  }
+}
+
+/** `graft_compress_ratio(str)` — see [[CompressRatio.ratio]]. */
+case class CompressRatioExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_compress_ratio expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_compress_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    CompressRatio.ratio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CompressRatio.ratio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CompressRatioExpr =
+    copy(child = newChild)
+}

@@ -84,6 +84,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftFunctions.DOT_FN, "dot product of two array<double> vectors"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.COMPRESS_FN),
+      info(GraftFunctions.COMPRESS_FN,
+        "deflate compression ratio of a string (compressibility " +
+          "quality signal)"),
+      (exprs: Seq[Expression]) => CompressRatioExpr(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_top_k"),
       info("graft_top_k",
         "top-k (score,id) pairs per group: graft_top_k(score, id, k)"),

@@ -29,9 +29,14 @@ object GraftFunctions {
       SIMHASH_FN,
       exprs => SimHashFromHashes(exprs(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      COMPRESS_FN,
+      exprs => CompressRatioExpr(exprs(0)),
+      "built-in")
   }
 
   val SIMHASH_FN = "graft_simhash"
+  val COMPRESS_FN = "graft_compress_ratio"
   val MINHASH_PREFIX = "graft_minhash_" // one registered name per numHashes
   val WINNOW_PREFIX = "graft_winnow_"   // one registered name per window
 
@@ -64,6 +69,12 @@ object GraftFunctions {
   def simhashFromHashes(spark: SparkSession, hashes: Column): Column = {
     register(spark)
     call_function(SIMHASH_FN, hashes)
+  }
+
+  /** Deflate compression ratio of a string (see [[CompressRatioExpr]]). */
+  def compressRatio(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(COMPRESS_FN, text)
   }
 
   private def registerTopK(spark: SparkSession, k: Int): String = {

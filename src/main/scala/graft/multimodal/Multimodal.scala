@@ -180,6 +180,63 @@ object Multimodal {
         (le16(b, 6), le16(b, 8), 0L)
       else if (b.length >= 12 && tag(b, 4) == "ftyp")
         parseMp4(b)
+      else if (b.length >= 8 && tag(b, 0) == "fLaC") {
+        // FLAC: walk the metadata blocks (1-byte last-flag|type, 3-byte
+        // BE length) to STREAMINFO (type 0): sample rate is 20 bits,
+        // total samples 36 bits, packed at byte 10 of the block. Same
+        // strict-advance posture as the WAV/MP4 walks — a corrupt
+        // length or absent STREAMINFO bails to honest zeros.
+        var at = 4
+        var res = (0, 0, 0L)
+        var done = false
+        while (!done && at + 4 <= b.length) {
+          val last = (b(at) & 0x80) != 0
+          val tp = b(at) & 0x7f
+          val len = ((b(at + 1) & 0xff) << 16) | ((b(at + 2) & 0xff) << 8) |
+            (b(at + 3) & 0xff)
+          val body = at + 4
+          if (tp == 0 && len >= 18 && body + 18 <= b.length) {
+            val sr = ((b(body + 10) & 0xff) << 12) |
+              ((b(body + 11) & 0xff) << 4) | ((b(body + 12) & 0xff) >>> 4)
+            val total = ((b(body + 13) & 0x0f).toLong << 32) |
+              (be32(b, body + 14).toLong & 0xffffffffL)
+            if (sr > 0) res = (0, 0, total * 1000L / sr)
+            done = true
+          } else {
+            val next = body.toLong + len
+            if (last || next <= at || next > b.length) done = true
+            else at = next.toInt
+          }
+        }
+        res
+      }
+      else if (b.length >= 4 && {
+        // MP3 has no magic without an ID3v2 tag; sniff = literal "ID3"
+        // or a frame sync (11 set bits). JPEG's FF D8 SOI is consumed
+        // by an earlier branch (D8 fails the & E0 == E0 sync test).
+        (b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+          ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
+      }) {
+        // skip ID3v2: "ID3" ver(2) flags(1) then 4 SYNCSAFE size bytes
+        var at = 0
+        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+          at = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+            ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+        if (at >= 0 && at + 4 <= b.length && (b(at) & 0xff) == 0xff &&
+            (b(at + 1) & 0xe0) == 0xe0) {
+          val ver = (b(at + 1) >> 3) & 3
+          val layer = (b(at + 1) >> 1) & 3
+          val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+            192, 224, 256, 320, 0)((b(at + 2) >> 4) & 15)
+          val sr = Array(44100, 48000, 32000, 0)((b(at + 2) >> 2) & 3)
+          // MPEG1 Layer III CBR only — the overwhelmingly common .mp3
+          // shape; duration = audio bytes × 8 / kbps (exact for CBR,
+          // an estimate when VBR frames follow). Anything else: zeros.
+          if (ver == 3 && layer == 1 && kbps > 0 && sr > 0)
+            (0, 0, (b.length - at).toLong * 8L / kbps)
+          else (0, 0, 0L)
+        } else (0, 0, 0L)
+      }
       else (0, 0, 0L)
     }
 

@@ -112,6 +112,38 @@ object Analytics extends QueryPack {
           col("exact_orders") <= 0.05).as("orders_ok"))
   }
 
+  /** Count-min sketch heavy-hitter gate (q144): the mergeable
+    * frequency sketch that answers "how often does key X appear"
+    * without a per-key table — at 100 TB the sketch is a fixed ~100 KB
+    * regardless of corpus size and merges associatively across
+    * partitions (Spark's `count_min_sketch` aggregate does the partial
+    * merge map-side). The gate builds one sketch over lineitem
+    * suppliers, pulls the 10 hottest keys' EXACT counts (computed
+    * distributed), and checks the CMS contract: estimates never
+    * underestimate, and overshoot stays within eps x N at the sketch's
+    * confidence. Deterministic for a fixed seed; the driver-side
+    * collect is ONE sketch blob + 10 rows, both scale-free.
+    */
+  def countMinGate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val eps = 0.001
+    val sketchBytes = li.agg(count_min_sketch(col("l_suppkey").cast("long"),
+      lit(eps), lit(0.999), lit(42)).as("cms")).head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val n = cms.totalCount()
+    val exact = li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("l_suppkey")).limit(10)
+    import s.implicits._
+    exact.collect().map { r =>
+      val key = r.getAs[Number](0).longValue()
+      val est = cms.estimateCount(key)
+      val cnt = r.getLong(1)
+      (key, cnt, est >= cnt, est <= cnt + (eps * n).toLong)
+    }.toSeq.toDF("l_suppkey", "exact", "no_underestimate", "within_bound")
+  }
+
   /** ORC source/sink roundtrip (format breadth beyond parquet/CSV/JSON/
     * binary): a lineitem slice written as ORC with predicate-pushdown-
     * friendly stripes, read back through the ORC vectorized reader, and
@@ -191,6 +223,7 @@ object Analytics extends QueryPack {
     "q44_approx_distinct" -> approxDistinct _,
     "q45_csv_source" -> csvSource _,
     "q72_approx_distinct_gate" -> approxDistinctGate _,
+    "q144_count_min_gate" -> countMinGate _,
     "q79_bucketed_join" -> bucketedJoin _,
     "q84_salted_join" -> saltedJoinGate _,
     "q91_orc_roundtrip" -> orcRoundtrip _,
@@ -245,6 +278,11 @@ object Analytics extends QueryPack {
         |SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS qty
         |FROM f JOIN part ON k = p_partkey
         |GROUP BY p_brand""".stripMargin,
+    "q144_count_min_gate" ->
+      """SELECT l_suppkey, count(*)::BIGINT AS exact,
+        |  TRUE AS no_underestimate, TRUE AS within_bound
+        |FROM lineitem GROUP BY 1
+        |ORDER BY exact DESC, l_suppkey LIMIT 10""".stripMargin,
     "q72_approx_distinct_gate" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

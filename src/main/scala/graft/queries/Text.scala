@@ -164,6 +164,114 @@ object Text extends QueryPack {
         col("duration_ms"))
   }
 
+  /** Audio metadata gate (q141): synthesized FLAC and MP3 fixtures
+    * decoded with [[Multimodal.HeaderDecoder]]. FLAC duration comes
+    * from STREAMINFO's 36-bit total-sample count over its 20-bit
+    * sample rate (reached through a preceding padding block, so the
+    * metadata walk is exercised); MP3 duration from the CBR frame
+    * header's bitrate over the audio byte count, with and without a
+    * leading ID3v2 tag (syncsafe size skip). A magic-only FLAC with no
+    * STREAMINFO keeps honest zeros. All constants, pinned by the
+    * oracle.
+    */
+  def audioMeta(s: SparkSession, dir: String): DataFrame = {
+    def be32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v).array
+    // STREAMINFO: 8 kHz, mono, 16-bit, 4000 samples -> 500 ms
+    val streaminfo = {
+      val body = Array.fill[Byte](34)(0)
+      body(10) = 0x01; body(11) = 0xF4.toByte // sample rate 8000 (20 bits)
+      body(12) = 0x00 // rate low nibble, 1 channel, bps-1 high bit
+      body(13) = 0xF0.toByte // bps-1 low nibble (16-bit), total>>32 = 0
+      Array.copy(be32(4000), 0, body, 14, 4) // total samples
+      body
+    }
+    val flacOk = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x01, 0, 0, 4) ++ Array.fill[Byte](4)(0) ++ // padding blk
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ streaminfo // last blk: STREAMINFO
+    val flacJunk = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x81.toByte, 0, 0, 0) // last block, no STREAMINFO
+    // MPEG1 Layer III, 128 kbps, 44.1 kHz: FF FB 90 00
+    val frame = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00)
+    val rawMp3 = frame ++ Array.fill[Byte](8000 - 4)(0x55) // 8000 B -> 500 ms
+    val id3Mp3 = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 0, 0, 0) ++ // ver, flags, syncsafe size 0
+      frame ++ Array.fill[Byte](16000 - 4)(0x55) // 16000 B -> 1000 ms
+    val root = new java.io.File(
+      s"/tmp/graft_audio_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val rootP = new org.apache.hadoop.fs.Path(root.toString)
+    rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(rootP, true) // fresh fixture dir per run
+    root.mkdirs()
+    Seq(("flac_ok.flac", flacOk), ("flac_junk.flac", flacJunk),
+        ("raw.mp3", rawMp3), ("id3.mp3", id3Mp3)).foreach {
+      case (n, bytes) => java.nio.file.Files.write(
+        new java.io.File(root, n).toPath, bytes)
+    }
+    val media = Multimodal.readMediaDir(s, root.toString)
+    Multimodal.extractFeatures(media, Multimodal.HeaderDecoder).toDF()
+      .join(media.select(col("media_id"),
+        regexp_extract(col("path"), "([^/]+)$", 1).as("fname")), "media_id")
+      .select(col("fname"), col("kind"), col("duration_ms"))
+  }
+
+  /** Trained quality-classifier gate (q142): plant perfectly-labeled
+    * data — real documents (label 0) vs the same documents prefixed
+    * with a fixed spam phrase (label 1) — split train/test by the
+    * deterministic md5 draw, train
+    * [[graft.text.QualityClassifier]]'s hashed-feature logistic
+    * regression on the train side only, and require held-out accuracy
+    * ≥ 0.9. The training loop is not SQL-expressible, so like the ANN
+    * recall gates the oracle pins the booleans, not the floats.
+    * doc_id < 3000 bounds the rounds × corpus cost so the bench price
+    * stays flat across scale factors.
+    */
+  def qualityClassifierGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 3000)
+      .select(col("doc_id"), col("text"))
+    val spam = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+      concat(lit("win free cash now claim your prize instantly "),
+        substring(col("text"), 1, 60)).as("text"))
+    val labeled = docs.withColumn("label", lit(0.0))
+      .unionByName(spam.withColumn("label", lit(1.0)))
+      .withColumn("__u",
+        graft.text.CorpusMix.drawU(col("doc_id"), lit("qc")))
+    val dim = 1024
+    val fTrain = graft.text.QualityClassifier.hashedFeatures(
+      labeled.filter(col("__u") < 0.8), dim, "label").persist()
+    val w = graft.text.QualityClassifier.train(s, fTrain, dim,
+      rounds = 10, lr = 3.0)
+    fTrain.unpersist()
+    val scored = graft.text.QualityClassifier.score(s,
+      graft.text.QualityClassifier.hashedFeatures(
+        labeled.filter(col("__u") >= 0.8), dim, "label"), w)
+    scored.agg(
+      (count(lit(1)) > 0L).as("has_test"),
+      (avg(when((col("p") >= 0.5) === (col("label") === 1.0), 1.0)
+        .otherwise(0.0)) >= 0.9).as("accuracy_ok"))
+  }
+
+  /** Compressibility quality-signal gate (q143): the Gopher-style
+    * "too compressible" filter via [[graft.functions.CompressRatioExpr]]
+    * (deflate ratio as one codegen'd expression — no UDF boxing). No
+    * SQL engine deflates portably, so like the ANN gates the oracle
+    * pins properties: real documents must average at least twice the
+    * compression ratio of the same corpus rewritten as pure repetition
+    * (each doc's leading chars repeated 50x), and the repetitive
+    * rewrite must deflate below 0.2 — the separation that makes the
+    * signal usable as a filter threshold.
+    */
+  def compressibilityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val real = graft.functions.GraftFunctions.compressRatio(s, col("text"))
+    val spam = graft.functions.GraftFunctions.compressRatio(s,
+      concat_ws(" ", array_repeat(substring(col("text"), 1, 12), 50)))
+    docs.select(real.as("r"), spam.as("sp"))
+      .agg((count(lit(1)) > 0L).as("has_docs"),
+        (avg(col("r")) > avg(col("sp")) * 2.0).as("separation_ok"),
+        (avg(col("sp")) < 0.2).as("spam_compressible_ok"))
+  }
+
   /** Driver-checkable winnowing property gate (companion to rows-only
     * q57): winnow fingerprints must be invariant to case and whitespace
     * layout for EVERY document — the defining robustness property of the
@@ -406,7 +514,24 @@ object Text extends QueryPack {
       .select(col("doc_id"), col("quality"), col("n_chars"))
   }
 
+  /** Deterministic training-order shuffle (q139): two epochs of the
+    * corpus, each an independent md5-derived permutation, positions
+    * assigned by the distributed prefix-sum — oracled bit-exact
+    * against DuckDB's global row_number over the same keys.
+    */
+  def trainOrder(s: SparkSession, dir: String): DataFrame =
+    graft.text.TrainOrder.epochStream(
+      Tables.documents(s, dir), "doc_id", epochs = 2)
+
+  /** TF-IDF top-3 keywords per document (q140): rational idf keeps the
+    * scores bit-exact cross-engine — see [[graft.text.TfIdf]].
+    */
+  def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.topKeywords(Tables.documents(s, dir), k = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_train_order" -> trainOrder _,
+    "q140_tfidf_keywords" -> tfidfKeywords _,
     "q107_decontaminate" -> decontaminate _,
     "q116_vocab" -> vocabBuild _,
     "q117_token_budget" -> tokenBudget _,
@@ -429,6 +554,9 @@ object Text extends QueryPack {
     "q134_perplexity" -> perplexity _,
     "q135_doc_chunks" -> docChunks _,
     "q138_video_meta" -> videoMeta _,
+    "q141_audio_meta" -> audioMeta _,
+    "q142_quality_classifier" -> qualityClassifierGate _,
+    "q143_compressibility" -> compressibilityGate _,
     "q125_bpe_train" -> bpeTrainGate _,
   )
 
@@ -438,6 +566,33 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q139_train_order" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |    lpad(CAST(epoch AS VARCHAR), 4, '0') || ':' ||
+        |      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+        |      || ':' || CAST(doc_id AS VARCHAR) AS k
+        |  FROM documents, range(2) t(epoch))
+        |SELECT doc_id, epoch,
+        |  CAST(row_number() OVER (ORDER BY k) AS BIGINT) - 1 AS pos
+        |FROM s""".stripMargin,
+    "q140_tfidf_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest([x for x in string_split_regex(lower(text), '\s+')
+        |            if x <> '']) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+        |       FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, count(*)::BIGINT AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, token, tf, dfreq,
+        |    (tf * (n + 1.0)) / (dfreq + 1.0) AS score
+        |  FROM tf JOIN df USING (token), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, token) AS rk FROM s)
+        |SELECT doc_id, token, tf, dfreq, score FROM r WHERE rk <= 3""".stripMargin,
     "q125_bpe_train" ->
       """WITH RECURSIVE
         |words AS (
@@ -617,6 +772,18 @@ object Text extends QueryPack {
         |  ('v1_hd.mp4', 'video', CAST(1280 AS INT), CAST(720 AS INT),
         |   CAST(7000 AS BIGINT)))
         |  AS t(fname, kind, width, height, duration_ms)""".stripMargin,
+    "q141_audio_meta" ->
+      """SELECT * FROM (VALUES
+        |  ('flac_junk.flac', 'audio', CAST(0 AS BIGINT)),
+        |  ('flac_ok.flac', 'audio', CAST(500 AS BIGINT)),
+        |  ('id3.mp3', 'audio', CAST(1000 AS BIGINT)),
+        |  ('raw.mp3', 'audio', CAST(500 AS BIGINT)))
+        |  AS t(fname, kind, duration_ms)""".stripMargin,
+    "q142_quality_classifier" ->
+      "SELECT * FROM (VALUES (TRUE, TRUE)) AS t(has_test, accuracy_ok)",
+    "q143_compressibility" ->
+      ("SELECT * FROM (VALUES (TRUE, TRUE, TRUE)) " +
+        "AS t(has_docs, separation_ok, spam_compressible_ok)"),
     "q134_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t

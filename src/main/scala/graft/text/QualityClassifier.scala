@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trainable QUALITY CLASSIFIER — the fastText-shaped model-based
+  * filter (hashed bag-of-words features into a logistic regression)
+  * that large pipelines run after the heuristic filters: heuristics
+  * catch structural junk, a trained classifier catches fluent spam.
+  *
+  * Training is FULL-BATCH gradient descent, distributed the way a
+  * 100 TB corpus forces: the corpus never leaves the cluster — each
+  * round computes per-document scores with a broadcast join against
+  * the (dim+1)-row weight table, aggregates the gradient with one
+  * bounded shuffle (≤ dim+1 rows out of the map side), and the driver
+  * updates dim+1 doubles. Round cost is O(corpus)/round with O(dim)
+  * driver state — never a per-document collect, never an O(corpus)
+  * driver pass. The hashed feature space (feature index =
+  * `xxhash64(token) mod dim`) keeps the model size FIXED regardless of
+  * vocabulary growth — the fastText trick, and the reason this scales
+  * where a vocab-indexed model would not.
+  *
+  * Everything is deterministic: features hash with Spark's fixed-seed
+  * xxhash64, the train/test split draws from [[CorpusMix.drawU]]'s
+  * md5, and gradient sums are aggregated in Spark's usual
+  * order-insensitive float tolerance (the q142 gate checks a held-out
+  * ACCURACY bound, not float identity).
+  */
+object QualityClassifier {
+
+  /** One row per (doc, hashed feature): `doc_id`, `label`, `idx`
+    * (in [0, dim); dim = bias), `val` (count / doc token count;
+    * bias row has val 1.0).
+    */
+  def hashedFeatures(docs: DataFrame, dim: Int,
+      labelCol: String): DataFrame = {
+    val toks = docs.select(col("doc_id"), col(labelCol).as("label"),
+      explode(filter(split(lower(col("text")), "\\s+"),
+        t => t =!= "")).as("token"))
+    val counts = toks
+      .groupBy(col("doc_id"), col("label"),
+        pmod(xxhash64(col("token")), lit(dim.toLong)).cast("int").as("idx"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("__graft_tot"))
+    val tf = counts.join(totals, "doc_id")
+      .select(col("doc_id"), col("label"), col("idx"),
+        (col("cnt") / col("__graft_tot")).as("val"))
+    // bias feature: idx = dim, constant 1.0
+    tf.unionByName(docs.select(col("doc_id"),
+      col(labelCol).as("label"), lit(dim).as("idx"),
+      lit(1.0).as("val")))
+  }
+
+  /** Train `rounds` of full-batch GD; returns the weight vector
+    * (length dim+1, bias last). `features` must be [[hashedFeatures]]
+    * output (cache it — every round scans it twice).
+    */
+  def train(spark: SparkSession, features: DataFrame, dim: Int,
+      rounds: Int = 20, lr: Double = 2.0): Array[Double] = {
+    val w = Array.fill(dim + 1)(0.0)
+    val nDocs = features.select(col("doc_id")).distinct().count().toDouble
+    require(nDocs > 0, "classifier training needs a non-empty corpus")
+    for (_ <- 0 until rounds) {
+      val wDf = spark.createDataFrame(
+        w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
+        .toDF("idx", "w")
+      // residual per doc (sigmoid(w.x) - y), then one bounded gradient
+      // shuffle: ≤ dim+1 rows leave the map side
+      val resid = features.join(broadcast(wDf), "idx")
+        .groupBy(col("doc_id"), col("label"))
+        .agg(sum(col("val") * col("w")).as("z"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("label"))
+            .as("r"))
+      val grad = features.join(resid, "doc_id")
+        .groupBy(col("idx"))
+        .agg(sum(col("val") * col("r")).as("g"))
+        .collect()
+      grad.foreach { row =>
+        w(row.getInt(0)) -= lr * row.getDouble(1) / nDocs
+      }
+    }
+    w
+  }
+
+  /** Score a feature table with trained weights: `doc_id`, `label`,
+    * `p` (predicted probability of label 1).
+    */
+  def score(spark: SparkSession, features: DataFrame,
+      w: Array[Double]): DataFrame = {
+    val wDf = spark.createDataFrame(
+      w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq).toDF("idx", "w")
+    features.join(broadcast(wDf), "idx")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("val") * col("w")).as("z"))
+      .select(col("doc_id"), col("label"),
+        (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+  }
+}

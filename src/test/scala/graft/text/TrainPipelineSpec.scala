@@ -1,0 +1,129 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TrainOrder (q139), TfIdf (q140), QualityClassifier (q142). */
+class TrainPipelineSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark
+  import graft.SparkSpec.spark.implicits._
+
+  test("epoch stream: each epoch is a permutation, positions are a " +
+      "0..n*e-1 bijection, epoch-major") {
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = TrainOrder.epochStream(docs, "doc_id", epochs = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 300)
+    // positions are exactly 0..299, no dups
+    assert(out.map(_._3).sorted.toSeq == (0L until 300L))
+    // epoch-major: every epoch-0 position < every epoch-1 position < ...
+    val byEpoch = out.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byEpoch(0).max < byEpoch(1).min)
+    assert(byEpoch(1).max < byEpoch(2).min)
+    // each epoch contains every doc exactly once
+    (0 to 2).foreach { e =>
+      assert(out.filter(_._2 == e).map(_._1).sorted.toSeq == (1L to 100L))
+    }
+  }
+
+  test("epoch stream: deterministic across runs, epochs are distinct " +
+      "permutations, salt changes the order") {
+    val docs = (1L to 50L).map(i => (i, "x")).toDF("doc_id", "text")
+    def order(salt: String, epoch: Int): Seq[Long] =
+      TrainOrder.epochStream(docs, "doc_id", epochs = 2, salt = salt)
+        .filter(col("epoch") === epoch).orderBy("pos")
+        .select("doc_id").as[Long].collect().toSeq
+    assert(order("", 0) == order("", 0)) // re-run identical
+    assert(order("", 0) != order("", 1)) // epochs independent
+    assert(order("", 0) != order("v2", 0)) // salt re-deals
+    assert(order("", 0) != (1L to 50L)) // actually shuffled
+  }
+
+  test("tfidf: a term unique to one doc outranks corpus-wide terms") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat zebra zebra"),
+      (2L, "the dog sat on the log"),
+      (3L, "the cow sat on the hay")).toDF("doc_id", "text")
+    val top = TfIdf.topKeywords(docs, k = 2).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getAs[Double]("score")).reverse
+        .map(_.getString(1)).toSeq).toMap
+    // zebra: tf 2, df 1 -> the clear winner for doc 1; 'the' (tf 2,
+    // df 3) must not make top-2 anywhere over the doc-unique nouns
+    assert(top(1L).head == "zebra")
+    assert(!top.values.flatten.toSet.contains("the"))
+    // every doc got exactly k rows
+    assert(top.values.forall(_.length == 2))
+  }
+
+  test("tfidf: scores are the exact rational form") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val m = TfIdf.topKeywords(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("score"))).toMap
+    // N=2: score(a@1) = tf 2 * (2+1)/(1+1) = 3.0 exactly
+    assert(m((1L, "a")) == ((2L, 1L, 3.0)))
+    // score(b@2) = 1 * 3/3 = 1.0 exactly
+    assert(m((2L, "b")) == ((1L, 2L, 1.0)))
+  }
+
+  test("quality classifier: separates planted spam with held-out " +
+      "accuracy, and the weight vector stays bounded") {
+    val real = (1L to 120L).map(i =>
+      (i, s"ordinary prose number $i about weather and trains", 0.0))
+    val spam = (1L to 120L).map(i =>
+      (i + 1000L, s"win free cash now claim prize $i", 1.0))
+    val docs = (real ++ spam).toDF("doc_id", "text", "label")
+    val train = docs.filter(col("doc_id") % 5 =!= 0L)
+    val test = docs.filter(col("doc_id") % 5 === 0L)
+    val dim = 256
+    val f = QualityClassifier.hashedFeatures(train, dim, "label").cache()
+    val w = QualityClassifier.train(spark, f, dim, rounds = 10, lr = 3.0)
+    f.unpersist()
+    assert(w.length == dim + 1)
+    assert(w.forall(v => !v.isNaN && math.abs(v) < 100.0))
+    val scored = QualityClassifier.score(spark,
+      QualityClassifier.hashedFeatures(test, dim, "label"), w).collect()
+    assert(scored.nonEmpty)
+    val acc = scored.count(r => (r.getAs[Double]("p") >= 0.5) ==
+      (r.getAs[Double]("label") == 1.0)).toDouble / scored.length
+    assert(acc >= 0.9, s"held-out accuracy $acc")
+  }
+
+  test("compress ratio: repetition deflates far below prose, empty is " +
+      "1.0, null passes through") {
+    val df = Seq(
+      (1L, Some("the quick brown fox jumps over the lazy dog while " +
+        "seventeen jackdaws inspect quartz sphinxes at dawn")),
+      (2L, Some("spam " * 200)),
+      (3L, Some("")),
+      (4L, None))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      graft.functions.GraftFunctions.compressRatio(spark, col("text"))
+        .as("r")).collect().map(r =>
+        r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out(2L).get < 0.1) // pure repetition: tiny
+    assert(out(1L).get > out(2L).get * 3) // prose clearly above
+    assert(out(3L).get == 1.0) // empty: not "suspiciously compressible"
+    assert(out(4L).isEmpty) // null in, null out
+    // registered for SQL through the extensions
+    df.createOrReplaceTempView("cr_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_compress_ratio(text) FROM cr_docs WHERE doc_id = 2")
+      .head().getDouble(0)
+    assert(viaSql == out(2L).get)
+  }
+
+  test("quality classifier: feature rows are normalized tf + one bias " +
+      "per doc") {
+    val docs = Seq((7L, "a a b", 1.0)).toDF("doc_id", "text", "label")
+    val f = QualityClassifier.hashedFeatures(docs, 16, "label").collect()
+    val bias = f.filter(_.getInt(2) == 16)
+    assert(bias.length == 1 && bias.head.getAs[Double]("val") == 1.0)
+    val tfSum = f.filterNot(_.getInt(2) == 16)
+      .map(_.getAs[Double]("val")).sum
+    assert(math.abs(tfSum - 1.0) < 1e-12) // tf shares sum to 1
+  }
+}
