@@ -770,6 +770,7 @@ object TxnLog {
   }
 
   private val CheckPropPrefix = "check."
+  private val GenPropPrefix = "gen."
 
   /** CHECK constraints currently in force on `table`: name -> SQL
     * expression. Metadata-only (the head manifest records the full
@@ -869,6 +870,79 @@ object TxnLog {
     }
     throw new IllegalStateException(
       s"could not commit DROP CONSTRAINT to $table: kept losing commit races")
+  }
+
+  /** GENERATED columns in force on `table`: column name -> SQL
+    * expression (Delta's `GENERATED ALWAYS AS`). Metadata-only.
+    */
+  def generatedColumns(spark: SparkSession, table: String)
+      : Map[String, String] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no commits")
+    generatedOf(readManifest(spark, table, vs.last).props)
+  }
+
+  private def generatedOf(props: Map[String, String]): Map[String, String] =
+    props.collect {
+      case (k, v) if k.startsWith(GenPropPrefix) =>
+        (k.stripPrefix(GenPropPrefix), v)
+    }
+
+  /** Declare `name` as GENERATED ALWAYS AS (`exprSql`) — Delta's
+    * generated columns, the usual carrier of derived partition keys
+    * (e.g. a `month` partition computed from an event timestamp so
+    * writers can't desynchronize the layout from the data). After this
+    * commits, EVERY write computes the column when it is absent or
+    * null (an INSERT that omits it pads null — that counts as
+    * "compute it") and PROVES a provided non-null value equals the
+    * expression before anything publishes, via the same commit-time
+    * enforcement pass as CHECK constraints. Existing rows are
+    * validated first, so the declaration is a table-wide invariant.
+    * The expression is written in logical column names and must not
+    * reference the generated column itself.
+    */
+  def setGeneratedColumn(spark: SparkSession, table: String, name: String,
+      exprSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"generated column name must be an identifier, got: $name")
+    import org.apache.spark.sql.functions.{col, expr}
+    require(!constraintRefs(spark, exprSql).exists(_.equalsIgnoreCase(name)),
+      s"generated column $name cannot reference itself ($exprSql)")
+    var attempt = 0
+    while (attempt < 10) {
+      val existing = generatedColumns(spark, table)
+      require(!existing.contains(name),
+        s"column $name of $table is already generated " +
+          s"(${existing(name)})")
+      val head = versions(spark, table).last
+      val logical = columnMappingAt(spark, table)
+        .logicalSchema(schemaOf(spark, table))
+      require(logical.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"GENERATED column $name is not in $table's schema " +
+          s"(${logical.fieldNames.mkString(", ")})")
+      // current rows must already match (null matches null: a base
+      // column the expression needs may itself be null)
+      val bad = snapshot(spark, table, Some(head))
+        .filter(!(col(name) <=> expr(exprSql))).limit(1).count()
+      require(bad == 0L,
+        s"cannot declare $name GENERATED ALWAYS AS ($exprSql): existing " +
+          s"rows of $table disagree with the expression")
+      val schema = schemaOf(spark, table)
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      appendCommit(spark, table, empty, Nil,
+        s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+        requireBase = Some(head), removePaths = Nil, strictBase = true,
+        skipColumnMapping = true,
+        propsOverride = Some(readManifest(spark, table, head).props +
+          (GenPropPrefix + name -> exprSql))) match {
+        case Some(v) => return v
+        case None => attempt += 1 // a commit landed mid-DDL: re-validate
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit GENERATED column to $table: kept losing " +
+        "commit races")
   }
 
   private val ColMapPrefix = "colmap."   // colmap.<logical> = <physical>
@@ -1086,6 +1160,12 @@ object TxnLog {
           s"cannot rename $from: CHECK constraint $n ($sql) references " +
             "it; DROP the constraint, rename, then re-ADD it")
       }
+      generatedColumns(spark, table).foreach { case (n, sql) =>
+        require(!n.equalsIgnoreCase(from) &&
+            !constraintRefs(spark, sql).contains(from),
+          s"cannot rename $from: GENERATED column $n ($sql) depends on " +
+            "it")
+      }
       val physical = cm.physicalName(from)
       // renaming BACK to the physical name folds to identity (no entry)
       val newProps = props - (ColMapPrefix + from) ++
@@ -1133,6 +1213,11 @@ object TxnLog {
           s"cannot drop $name: CHECK constraint $n ($sql) references it; " +
             "DROP the constraint first")
       }
+      generatedColumns(spark, table).foreach { case (n, sql) =>
+        require(!n.equalsIgnoreCase(name) &&
+            !constraintRefs(spark, sql).contains(name),
+          s"cannot drop $name: GENERATED column $n ($sql) depends on it")
+      }
       val physical = cm.physicalName(name)
       val newProps = props - (ColMapPrefix + name) +
         (ColDropPrefix + physical -> "1")
@@ -1161,28 +1246,37 @@ object TxnLog {
     */
   private def enforceChecks(df: DataFrame,
       props: Map[String, String]): Unit = {
-    import org.apache.spark.sql.functions.{expr, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val checks = props.collect {
       case (k, v) if k.startsWith(CheckPropPrefix) =>
         (k.stripPrefix(CheckPropPrefix), v)
     }.toSeq.sortBy(_._1)
-    if (checks.isEmpty) return
-    val applicable = checks.flatMap { case (n, sql) =>
-      // violated ⇔ provably FALSE: a NULL check value passes, per SQL
-      // CHECK three-valued semantics
-      val violated = expr(sql) <=> lit(false)
+    // GENERATED columns enforce as equality invariants through the same
+    // pass: a provided value that disagrees with the expression must
+    // never publish (nulls were already filled at write entry, so <=>
+    // only trips on a genuinely conflicting non-null value)
+    val gens = generatedOf(props).toSeq.sortBy(_._1)
+    if (checks.isEmpty && gens.isEmpty) return
+    val rules =
+      checks.map { case (n, sql) =>
+        // violated ⇔ provably FALSE: a NULL check value passes, per SQL
+        // CHECK three-valued semantics
+        (s"CHECK constraint $n ($sql)", expr(sql) <=> lit(false))
+      } ++ gens.map { case (n, sql) =>
+        (s"GENERATED column $n ($sql)", !(col(n) <=> expr(sql)))
+      }
+    val applicable = rules.flatMap { case (label, violated) =>
       scala.util.Try(df.filter(violated).queryExecution.analyzed)
-        .toOption.map(_ => (n, sql, violated))
+        .toOption.map(_ => (label, violated))
     }
     if (applicable.isEmpty) return
-    val anyBad = df.filter(applicable.map(_._3).reduce(_ || _))
+    val anyBad = df.filter(applicable.map(_._2).reduce(_ || _))
       .limit(1).count() > 0
     if (anyBad) {
       val hit = applicable
-        .find(c => df.filter(c._3).limit(1).count() > 0).get
+        .find(c => df.filter(c._2).limit(1).count() > 0).get
       throw new IllegalStateException(
-        s"CHECK constraint ${hit._1} (${hit._2}) violated by the write; " +
-          "no data was committed")
+        s"${hit._1} violated by the write; no data was committed")
     }
   }
 
@@ -1821,22 +1915,49 @@ object TxnLog {
     // never change physical names, so translating with the entry-time
     // mapping stays correct even if a rename interleaves. Internal
     // physical rewrites (restore, compaction, mapping DDL itself) skip.
+    // GENERATED columns compute at write ENTRY (values must exist
+    // before the data files land): absent columns are added, null
+    // cells filled (an INSERT that omits the column pads null — that
+    // counts as "compute it"); provided non-null values are PROVEN
+    // equal to the expression at commit time by enforceChecks.
+    // Physical rewrites (skipColumnMapping: restore/compaction/DDL)
+    // carry data that was already generated-valid and skip.
+    val df0g = {
+      if (skipColumnMapping) df0
+      else {
+        val gens = generatedOf(versions(spark, table).lastOption
+          .map(v => readManifest(spark, table, v).props)
+          .getOrElse(Map.empty))
+        if (gens.isEmpty) df0
+        else {
+          import org.apache.spark.sql.functions.{coalesce, col, expr}
+          gens.toSeq.sortBy(_._1).foldLeft(df0) { case (d, (n, sql)) =>
+            d.schema.fields.find(_.name.equalsIgnoreCase(n)) match {
+              case Some(f) =>
+                d.withColumn(f.name,
+                  coalesce(col(f.name), expr(sql).cast(f.dataType)))
+              case None => d.withColumn(n, expr(sql))
+            }
+          }
+        }
+      }
+    }
     val entryCm =
       if (skipColumnMapping) ColumnMapping.empty
       else columnMappingAt(spark, table)
     val (df, cdc) = {
-      if (entryCm.isEmpty) (df0, cdc0)
+      if (entryCm.isEmpty) (df0g, cdc0)
       else {
         // a NEW logical column must not collide with a dropped physical
         // name (physical names are immutable — the hidden old bytes
         // would silently become its values)
         val logicalNow = entryCm.logicalSchema(schemaOf(spark, table))
-        df0.schema.fieldNames
+        df0g.schema.fieldNames
           .filterNot(logicalNow.fieldNames.contains)
           .foreach(n => require(!entryCm.dropped.contains(n),
             s"column name $n was dropped from $table and its physical " +
               "name is retired; pick a fresh name"))
-        (entryCm.toPhysical(df0), cdc0.map(entryCm.toPhysical))
+        (entryCm.toPhysical(df0g), cdc0.map(entryCm.toPhysical))
       }
     }
     val commitDir = new Path(new Path(table, "data"), commitId)

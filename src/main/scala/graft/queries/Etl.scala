@@ -730,6 +730,56 @@ object Etl extends QueryPack {
     graft.lake.TxnLog.snapshot(s, table)
   }
 
+  /** GENERATED columns gate (q145): a lake table declaring
+    * `month GENERATED ALWAYS AS (date_format(o_orderdate, 'yyyy-MM'))`
+    * as its PARTITION column — the canonical derived-partition-key
+    * shape. Writers that omit the column (Scala append AND a
+    * column-listed SQL INSERT) get it computed on the way in and land
+    * real Hive partitions; a writer providing a value that disagrees
+    * with the expression is refused atomically (no version advances).
+    * Output: per-month counts and totals, recomputed by the oracle
+    * from the base timestamp — equality proves the generated values
+    * are the declared function of the data, not whatever the writer
+    * happened to supply.
+    */
+  def generatedColumnsGate(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_gen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(root, true) // fresh table per run: deterministic output
+    s.sql(s"""CREATE TABLE q145_orders (
+             |  o_orderkey BIGINT, o_totalprice DOUBLE,
+             |  o_orderdate TIMESTAMP,
+             |  month STRING GENERATED ALWAYS AS
+             |    (date_format(o_orderdate, 'yyyy-MM')))
+             |USING graftlake LOCATION '$table'
+             |PARTITIONED BY (month)""".stripMargin)
+    graft.lake.TxnLog.append(s, table,
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate")),
+      Seq("month"))
+    val vBefore = graft.lake.TxnLog.versions(s, table).last
+    val rejected =
+      try {
+        import s.implicits._
+        graft.lake.TxnLog.append(s, table,
+          Seq((900002L, 1.0, java.sql.Timestamp.valueOf("2031-02-03 00:00:00"),
+            "1999-01")).toDF("o_orderkey", "o_totalprice", "o_orderdate",
+            "month"), Seq("month"))
+        false
+      } catch { case e: Exception => e.toString.contains("GENERATED") }
+    require(rejected,
+      "a write providing a conflicting generated value must fail loudly")
+    require(graft.lake.TxnLog.versions(s, table).last == vBefore,
+      "the rejected write must commit nothing")
+    s.sql("""INSERT INTO q145_orders (o_orderkey, o_totalprice, o_orderdate)
+            |VALUES (900001, 10.5, TIMESTAMP '2031-02-03 00:00:00')"""
+      .stripMargin)
+    graft.lake.TxnLog.snapshot(s, table)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+  }
+
   /** DataSource V2 gate: the same disjoint-chunk orders lake read
     * through `spark.read.format("graftlake")` — the V2 `Table` whose
     * scans delegate to Spark's ParquetScanBuilder over the log-backed
@@ -1155,6 +1205,7 @@ object Etl extends QueryPack {
     "q95_sql_update" -> sqlUpdate _,
     "q118_replace_where" -> replaceWhere _,
     "q119_check_constraint" -> checkConstraint _,
+    "q145_generated_columns" -> generatedColumnsGate _,
     "q120_replace_where_sql" -> replaceWhereSql _,
     "q121_dv_delete" -> dvDelete _,
     "q122_dv_optimize" -> dvOptimize _,
@@ -1344,6 +1395,14 @@ object Etl extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate
         |FROM orders WHERE o_orderkey > 4999""".stripMargin,
+    "q145_generated_columns" ->
+      """WITH rows_all AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS month
+        |  FROM orders
+        |  UNION ALL SELECT 900001, 10.5, '2031-02')
+        |SELECT month, count(*)::BIGINT AS n, sum(o_totalprice) AS total
+        |FROM rows_all GROUP BY month""".stripMargin,
     "q119_check_constraint" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate

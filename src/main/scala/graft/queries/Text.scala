@@ -529,9 +529,35 @@ object Text extends QueryPack {
   def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.topKeywords(Tables.documents(s, dir), k = 3)
 
+  /** Stratified source interleave (q146): the per-window mixing
+    * guarantee — see [[graft.text.TrainOrder.interleaveBySource]].
+    * Oracled bit-exact (two window functions recompute the key).
+    */
+  def interleaveBySource(s: SparkSession, dir: String): DataFrame =
+    graft.text.TrainOrder.interleaveBySource(Tables.documents(s, dir))
+
+  /** Boilerplate mining (q147): the corpus's most document-frequent
+    * 5-gram shingles — the audit that surfaces templated headers,
+    * cookie banners, and license blurbs BEFORE they pollute a training
+    * mix (the n-gram twin of the per-doc repetition signals in q78).
+    * One codegen'd shingling pass ([[graft.dedup.TextShingles]],
+    * distinct per doc so df counts documents, not occurrences), one
+    * shuffle on the shingle, and a TakeOrdered top-50 (partial top-k
+    * per partition merged on the driver — never a global sort of the
+    * shingle table). Oracled against DuckDB recomputing the same
+    * shingles and ranking.
+    */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.TextShingles.shingleDf(Tables.documents(s, dir), k = 5)
+      .select(explode(col("shingles")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle")).limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_train_order" -> trainOrder _,
     "q140_tfidf_keywords" -> tfidfKeywords _,
+    "q146_interleave_mix" -> interleaveBySource _,
+    "q147_boilerplate_ngrams" -> boilerplateNgrams _,
     "q107_decontaminate" -> decontaminate _,
     "q116_vocab" -> vocabBuild _,
     "q117_token_budget" -> tokenBudget _,
@@ -576,6 +602,26 @@ object Text extends QueryPack {
         |SELECT doc_id, epoch,
         |  CAST(row_number() OVER (ORDER BY k) AS BIGINT) - 1 AS pos
         |FROM s""".stripMargin,
+    "q147_boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    [x for x in string_split_regex(lower(text), '[^a-z0-9]+')
+        |     if x <> ''] AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ')
+        |    AS shingle
+        |  FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+        |  WHERE len(toks) >= 5)
+        |SELECT shingle, count(*)::BIGINT AS df FROM s
+        |GROUP BY 1 ORDER BY df DESC, shingle LIMIT 50""".stripMargin,
+    "q146_interleave_mix" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'), doc_id)
+        |    AS DOUBLE)
+        |  / CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS ikey
+        |FROM documents""".stripMargin,
     "q140_tfidf_keywords" ->
       """WITH t AS (
         |  SELECT doc_id,

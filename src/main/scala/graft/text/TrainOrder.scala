@@ -35,6 +35,41 @@ object TrainOrder {
     md5(key)
   }
 
+  /** STRATIFIED INTERLEAVE: an ordering key that spreads each source
+    * evenly through the whole stream — any contiguous window of the
+    * sorted corpus sees every source at roughly its corpus share,
+    * instead of the long single-source runs a plain shuffle leaves
+    * (which a plain [[epochStream]] already avoids in expectation;
+    * this makes the mixing a per-window GUARANTEE, the "don't train on
+    * 10 M contiguous code documents" knob).
+    *
+    * Construction: shuffle within each source by the md5 key, then
+    * stretch each source's 0-based positions uniformly onto [0, 1):
+    * `ikey = (pos_in_source + 1) / n_source`. Sorting by `ikey` (ties
+    * by source) interleaves sources proportionally — source with share
+    * p occupies every ~1/p-th slot. Deterministic and engine-portable
+    * (the q146 oracle recomputes it with two window functions).
+    *
+    * Scale shape: per-source positions come from ONE
+    * `row_number() OVER (PARTITION BY source ORDER BY key)` window —
+    * acceptable when sources number in the dozens (each source is a
+    * partition of the shuffle; a HOT source serializes into one task).
+    * For corpora where one source dominates, compose the same
+    * prefix-sum trick as [[epochStream]] per source; the key formula
+    * is unchanged.
+    */
+  def interleaveBySource(docs: DataFrame, idCol: String = "doc_id",
+      sourceCol: String = "source", salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = shuffleKey(col(idCol), lit(0), salt)
+    val w = Window.partitionBy(col(sourceCol)).orderBy(k, col(idCol))
+    val n = Window.partitionBy(col(sourceCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("ikey",
+        row_number().over(w).cast("double") /
+          count(lit(1)).over(n).cast("double"))
+  }
+
   /** The epoch-major training stream: each input row appears once per
     * epoch in [0, epochs), with `pos` its 0-based position in the
     * concatenated (epoch-ascending, then shuffled-within-epoch)

@@ -310,9 +310,14 @@ object LakeDmlSql {
       lakeLocation(c.tableSpec).flatMap(loc => identName(c.name).map {
         name =>
           val (parts, cluster) = layoutCols(c.partitioning)
+          // GENERATED ALWAYS AS (expr): the parser carries the SQL text
+          // on the column definition; declared post-create as the
+          // gen.<col> table property every writer then honors
+          val gen = c.columns.flatMap(cd =>
+            cd.generationExpression.map(cd.name -> _))
           LakeCreateCommand(name, loc, CreatePayload(None,
             c.columns.map(cd => StructField(cd.name, cd.dataType, cd.nullable)),
-            parts, c.ignoreIfExists, cluster)): LogicalPlan
+            parts, c.ignoreIfExists, cluster, gen)): LogicalPlan
       }).getOrElse(plan)
     case DropTable(child, ifExists, _) =>
       (child match {
@@ -388,7 +393,8 @@ object LakeDmlSql {
       userCols: Seq[String], overwrite: Boolean, byName: Boolean)
   final case class CreatePayload(query: Option[LogicalPlan],
       columns: Seq[StructField], partitionCols: Seq[String],
-      ifNotExists: Boolean, clusterBy: Seq[String] = Nil)
+      ifNotExists: Boolean, clusterBy: Seq[String] = Nil,
+      generated: Seq[(String, String)] = Nil)
 
   /** (mountName, lakePath, sqlAlias) when the DML target is a mounted
     * lake table. The alias is what the statement's qualified column
@@ -921,12 +927,22 @@ object LakeDmlSql {
         require(!payload.partitionCols.exists(_.equalsIgnoreCase(c)),
           s"CLUSTER BY column $c is already a partition column")
       }
+      payload.generated.foreach { case (c, sql) =>
+        require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"GENERATED column $c is not in the table schema")
+      }
       val v = TxnLog.append(spark, path, df, payload.partitionCols)
       val v2 =
         if (payload.clusterBy.isEmpty) v
         else TxnLog.setClustering(spark, path, payload.clusterBy)
+      // GENERATED ALWAYS AS declarations land as metadata commits right
+      // behind the (empty) schema-pinning commit, before the mount is
+      // visible — no writer can slip in between and miss the invariant
+      val v3 = payload.generated.foldLeft(v2) { case (_, (c, sql)) =>
+        TxnLog.setGeneratedColumn(spark, path, c, sql)
+      }
       LakeMounts.mount(spark, name, path)
-      Seq(Row(v2))
+      Seq(Row(v3))
     }
 
     override def simpleString(maxFields: Int): String =

@@ -1,0 +1,119 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** GENERATED ALWAYS AS columns: declared at CREATE (SQL) or via
+  * [[TxnLog.setGeneratedColumn]], computed by every writer when absent
+  * or null, enforced as an equality invariant when provided.
+  */
+class LakeGeneratedSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+  import org.apache.spark.sql.graft.LakeMounts
+
+  test("CREATE with GENERATED ALWAYS AS: writers omitting the column " +
+      "get it computed, and it partitions the layout") {
+    val table = Files.createTempDirectory("graft-gen").toString
+    spark.sql(s"""CREATE TABLE gen_t (
+        id BIGINT, ts TIMESTAMP,
+        month STRING GENERATED ALWAYS AS (date_format(ts, 'yyyy-MM')))
+      USING graftlake LOCATION '$table' PARTITIONED BY (month)""")
+    assert(TxnLog.generatedColumns(spark, table) ==
+      Map("month" -> "date_format(ts, 'yyyy-MM')"))
+    // Scala append WITHOUT the generated column: computed on the way in
+    TxnLog.append(spark, table,
+      Seq((1L, "2024-03-07 10:00:00"), (2L, "2024-04-01 09:30:00"))
+        .toDF("id", "s").select(col("id"),
+          col("s").cast("timestamp").as("ts")),
+      partitionCols = Seq("month"))
+    LakeMounts.refreshView(spark, "gen_t", table) // Scala-API write: views refresh on SQL DML only
+    val got = spark.table("gen_t").select("id", "month")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "2024-03", 2L -> "2024-04"))
+    // the generated value is a REAL Hive partition on disk
+    assert(new java.io.File(table, "data").listFiles().exists(d =>
+      d.isDirectory && d.listFiles().exists(_.getName == "month=2024-03")))
+    // SQL INSERT that omits it (null-padded positionally): computed too
+    spark.sql("INSERT INTO gen_t (id, ts) " +
+      "VALUES (3, TIMESTAMP '2024-05-20 00:00:00')")
+    assert(spark.table("gen_t").filter(col("id") === 3)
+      .head().getAs[String]("month") == "2024-05")
+    // SHOW TBLPROPERTIES lists the declaration
+    val props = spark.sql("SHOW TBLPROPERTIES gen_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("gen.month").contains("date_format(ts, 'yyyy-MM')"))
+  }
+
+  test("a provided value that disagrees with the expression is refused; " +
+      "an agreeing one passes") {
+    val table = Files.createTempDirectory("graft-gen-bad").toString
+    spark.sql(s"""CREATE TABLE gen_bad (
+        id BIGINT, v DOUBLE,
+        v2 DOUBLE GENERATED ALWAYS AS (v * 2))
+      USING graftlake LOCATION '$table'""")
+    val e = intercept[IllegalStateException] {
+      TxnLog.append(spark, table,
+        Seq((1L, 3.0, 99.0)).toDF("id", "v", "v2"))
+    }
+    assert(e.getMessage.contains("GENERATED column v2"))
+    assert(TxnLog.snapshot(spark, table).count() == 0) // nothing published
+    TxnLog.append(spark, table, Seq((1L, 3.0, 6.0)).toDF("id", "v", "v2"))
+    assert(TxnLog.snapshot(spark, table).count() == 1)
+    // null provided: computed, not left null
+    TxnLog.append(spark, table,
+      Seq((2L, 4.0, Option.empty[Double])).toDF("id", "v", "v2"))
+    assert(TxnLog.snapshot(spark, table).filter(col("id") === 2)
+      .head().getDouble(2) == 8.0)
+    LakeMounts.unmount(spark, "gen_bad")
+  }
+
+  test("declaring on an existing table validates current rows; " +
+      "rename/drop of a referenced column is refused") {
+    val table = Files.createTempDirectory("graft-gen-late").toString
+    TxnLog.append(spark, table,
+      Seq((1L, 2.0, 4.0), (2L, 3.0, 7.0)).toDF("id", "v", "dbl"))
+    // row 2 disagrees (7 != 6): the declaration must be rejected
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.setGeneratedColumn(spark, table, "dbl", "v * 2")
+    }
+    assert(e.getMessage.contains("disagree"))
+    // fix the data, declare, then the base column is load-bearing
+    LakeDml.updateWhere(spark, table, Some(col("id") === 2),
+      Map("dbl" -> expr("v * 2")))
+    TxnLog.setGeneratedColumn(spark, table, "dbl", "v * 2")
+    val r = intercept[IllegalArgumentException] {
+      TxnLog.renameColumn(spark, table, "v", "w")
+    }
+    assert(r.getMessage.contains("GENERATED"))
+    val d = intercept[IllegalArgumentException] {
+      TxnLog.dropColumn(spark, table, "v")
+    }
+    assert(d.getMessage.contains("GENERATED"))
+    // self-reference is rejected up front
+    val s = intercept[IllegalArgumentException] {
+      TxnLog.setGeneratedColumn(spark, table, "id", "id + 1")
+    }
+    assert(s.getMessage.contains("reference itself"))
+  }
+
+  test("DML rewrites keep the invariant: an UPDATE of the base column " +
+      "that nulls the generated one recomputes it") {
+    val table = Files.createTempDirectory("graft-gen-dml").toString
+    TxnLog.append(spark, table, Seq((1L, 2.0, 4.0)).toDF("id", "v", "dbl"))
+    TxnLog.setGeneratedColumn(spark, table, "dbl", "v * 2")
+    // the honest way to change v under the invariant: null the
+    // generated cell in the same statement so the writer recomputes
+    LakeDml.updateWhere(spark, table, Some(col("id") === 1),
+      Map("v" -> lit(5.0), "dbl" -> lit(null).cast("double")))
+    val row = TxnLog.snapshot(spark, table).head()
+    assert(row.getDouble(1) == 5.0 && row.getDouble(2) == 10.0)
+    // an UPDATE that leaves the stale generated value is refused
+    val e = intercept[IllegalStateException] {
+      LakeDml.updateWhere(spark, table, Some(col("id") === 1),
+        Map("v" -> lit(9.0)))
+    }
+    assert(e.getMessage.contains("GENERATED"))
+  }
+}

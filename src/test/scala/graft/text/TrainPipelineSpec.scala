@@ -40,6 +40,28 @@ class TrainPipelineSpec extends SparkSpec {
     assert(order("", 0) != (1L to 50L)) // actually shuffled
   }
 
+  test("interleave: every prefix of the sorted stream holds each " +
+      "source near its corpus share") {
+    val docs = ((1L to 120L).map(i => (i, "web")) ++
+      (201L to 260L).map(i => (i, "code"))).toDF("doc_id", "source")
+    val ordered = TrainOrder.interleaveBySource(docs)
+      .orderBy(col("ikey"), col("source"))
+      .select("source").as[String].collect()
+    assert(ordered.length == 180)
+    // shares: web 2/3, code 1/3 — any prefix must track them closely
+    // (the stretch construction bounds the drift by ~1 doc per source)
+    Seq(12, 30, 60, 90, 150).foreach { w =>
+      val webs = ordered.take(w).count(_ == "web")
+      assert(math.abs(webs - w * 2.0 / 3.0) <= 2.0,
+        s"prefix $w: $webs web docs vs expected ${w * 2.0 / 3.0}")
+    }
+    // deterministic across runs
+    val again = TrainOrder.interleaveBySource(docs)
+      .orderBy(col("ikey"), col("source"))
+      .select("source").as[String].collect()
+    assert(ordered.sameElements(again))
+  }
+
   test("tfidf: a term unique to one doc outranks corpus-wide terms") {
     val docs = Seq(
       (1L, "the cat sat on the mat zebra zebra"),
