@@ -1,0 +1,104 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (cross-snapshot) exact dedup: keep only the documents of a
+  * new batch whose content does not already appear in a prior corpus
+  * snapshot.
+  *
+  * The daily shape of a 100 TB training pipeline: yesterday's corpus is
+  * petabytes, today's crawl is a few TB, and the naive
+  * `batch ANTI JOIN prior ON content` shuffles the *prior* corpus's keys
+  * every day. The two-phase shape here bounds that:
+  *
+  *   1. one pass over `prior` builds a Bloom filter over the 64-bit
+  *      content hash (a sketch of a few hundred MB even at billions of
+  *      docs, built by Spark's own `BloomFilterAggregate` with map-side
+  *      partial merge) — broadcast to every task as a literal;
+  *   2. batch rows whose hash is definitely-absent (`might_contain` =
+  *      false) pass through with NO join at all — at a 1% fpp that is
+  *      ~99% of genuinely-new content;
+  *   3. only the candidates (true dups + fpp false positives) anti-join
+  *      `prior` on the full 256-bit content hash to recover the false
+  *      positives exactly.
+  *
+  * Bloom filters have no false negatives, so the result is exact: equal
+  * to the plain anti-join (and oracled as such — q148). The collision
+  * assumption on sha256 is the same one the rest of the dedup family
+  * (q31) documents.
+  *
+  * Reference context: the reference pipeline re-reads the full corpus
+  * per run to find new files (`emr_json_parquet_schema_drift_etl.py:
+  * 332-356`'s drift scan); this is the content-level analogue done with
+  * a sketch instead of a full-corpus join.
+  */
+object IncrementalDedup {
+
+  /** Register-or-reuse the catalyst bloom agg/probe (not exposed through
+    * `functions._`; these back Spark's own injected runtime filters).
+    */
+  private val BLOOM_AGG = "graft_bloom_agg"
+  private val BLOOM_MIGHT = "graft_bloom_might_contain"
+
+  private def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BLOOM_AGG,
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BLOOM_MIGHT,
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** Serialized Bloom filter (binary) over `keyCol` (must be LongType)
+    * of `df`. `expectedItems` sizes the filter for the target fpp;
+    * oversizing is cheap (bits, not entries).
+    */
+  def buildBloom(df: DataFrame, keyCol: Column, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    val spark = df.sparkSession
+    register(spark)
+    // numBits = -n ln(p) / (ln 2)^2 — the standard optimal sizing.
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val row = df.select(call_function(BLOOM_AGG, keyCol,
+      lit(expectedItems), lit(numBits)).as("bf")).head()
+    row.getAs[Array[Byte]]("bf")
+  }
+
+  /** `might_contain(bloom, key)` with the sketch inlined as a literal —
+    * evaluated per-row against the broadcast plan tree, no join.
+    */
+  def mightContain(spark: SparkSession, bloom: Array[Byte], keyCol: Column): Column = {
+    register(spark)
+    call_function(BLOOM_MIGHT, lit(bloom), keyCol)
+  }
+
+  /** Documents of `batch` whose `textCol` content does not appear in
+    * `prior`. Exact (see class doc); `expectedPriorItems` sizes the
+    * sketch — pass the prior snapshot's (approximate) doc count.
+    */
+  def newDocs(batch: DataFrame, prior: DataFrame, textCol: String = "text",
+      expectedPriorItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    val key = xxhash64(col(textCol))
+    val bloom = buildBloom(prior, key, expectedPriorItems, fpp)
+
+    val probed = batch.withColumn("__cand", mightContain(spark, bloom, key))
+    // Definitely-new rows skip the join entirely.
+    val definiteNew = probed.filter(!col("__cand")).drop("__cand")
+    // Candidates verify against the prior snapshot's 256-bit hash —
+    // right side is hash-only (32 B/doc), never the prior text.
+    val priorKeys = prior.select(sha2(col(textCol), 256).as("__sha"))
+    val verified = probed.filter(col("__cand")).drop("__cand")
+      .withColumn("__sha", sha2(col(textCol), 256))
+      .join(priorKeys, Seq("__sha"), "left_anti")
+      .drop("__sha")
+    definiteNew.unionByName(verified)
+  }
+}

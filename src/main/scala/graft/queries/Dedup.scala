@@ -179,8 +179,24 @@ object Dedup extends QueryPack {
         col("quality"))
   }
 
+  /** Bloom-gated incremental dedup (q148): treat the even-id docs as
+    * yesterday's snapshot and the odd-id docs as today's batch; keep
+    * only batch docs whose text is genuinely new. The sketch pass means
+    * definitely-new content never joins; the anti-join verify makes the
+    * result exact — oracled as the plain NOT EXISTS.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prior = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    IncrementalDedup.newDocs(batch, prior,
+        expectedPriorItems = 100000L, fpp = 0.01)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_corpus_curation" -> corpusCuration _,
+    "q148_incremental_dedup" -> incrementalDedup _,
     "q30_dedup_exact_keepfirst" -> exactKeepFirst _,
     "q31_dedup_exact_hash" -> exactByHash _,
     "q32_dedup_ngram_jaccard" -> ngramJaccard _,
@@ -219,6 +235,12 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q148_incremental_dedup" ->
+      """SELECT b.doc_id, b.source, b.n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM documents p
+        |  WHERE p.doc_id % 2 = 0 AND p.text = b.text)""".stripMargin,
     "q136_semdedup_gate" ->
       """SELECT count(*) AS n_vectors,
         |  TRUE AS copies_merged_ok, TRUE AS no_copy_kept_ok,

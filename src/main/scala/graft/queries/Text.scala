@@ -553,7 +553,40 @@ object Text extends QueryPack {
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle")).limit(50)
 
+  /** Deterministic messy URL per document — uppercase host, default
+    * port, tracking params out of order, fragment — so q149/q150 test
+    * the real parsing path while the oracle derives the expected
+    * canonical form directly from the generation formula.
+    */
+  private def syntheticUrl = concat(
+    lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/docs/"),
+    (col("doc_id") % 200).cast("string"),
+    lit("/?utm_source=feed&page="), (col("doc_id") % 5).cast("string"),
+    lit("&sessionid="), col("doc_id").cast("string"),
+    lit("&b=1&ref="), col("lang"), lit("#frag"))
+
+  /** URL canonicalization + URL-keyed dedup (q149): the canonical form
+    * must lowercase the host, drop www/port/fragment/tracking params,
+    * sort survivors, and strip the trailing slash —
+    * [[graft.text.UrlCuration.canonicalize]]. Oracled bit-exact against
+    * the generation formula.
+    */
+  def urlDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.UrlCuration.dedupByUrl(
+      Tables.documents(s, dir).withColumn("url", syntheticUrl), col("url"))
+
+  /** Per-host document cap (q150): ≤30 docs per host, lowest ids win —
+    * [[graft.text.UrlCuration.capPerHost]].
+    */
+  def hostCap(s: SparkSession, dir: String): DataFrame =
+    graft.text.UrlCuration.capPerHost(
+        Tables.documents(s, dir).withColumn("url", syntheticUrl),
+        col("url"), maxPerHost = 30)
+      .select(col("doc_id"), col("host"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_url_dedup" -> urlDedup _,
+    "q150_host_cap" -> hostCap _,
     "q139_train_order" -> trainOrder _,
     "q140_tfidf_keywords" -> tfidfKeywords _,
     "q146_interleave_mix" -> interleaveBySource _,
@@ -592,6 +625,20 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q149_url_dedup" ->
+      """SELECT 'https://' || source || '.example.com/docs/'
+        |    || CAST(doc_id % 200 AS VARCHAR)
+        |    || '?b=1&page=' || CAST(doc_id % 5 AS VARCHAR) AS canonical_url,
+        |  min(doc_id) AS keeper_id, count(*)::BIGINT AS n_dupes
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    "q150_host_cap" ->
+      """SELECT doc_id, source || '.example.com' AS host
+        |FROM (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |          AS rn
+        |      FROM documents)
+        |WHERE rn <= 30""".stripMargin,
     "q139_train_order" ->
       """WITH s AS (
         |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and URL-keyed curation.
+  *
+  * Web-scale training corpora (C4, RefinedWeb) dedup and cap by URL
+  * before any content pass: the same page is fetched many times with
+  * different tracking junk (`utm_*`, `fbclid`, session ids), varying
+  * host case, default ports, and fragments. Canonicalizing first makes
+  * URL equality a plain string group-by — one shuffle on a short key,
+  * no content reads.
+  *
+  * Everything here is built-in `functions._` (codegen'd): `parse_url`
+  * for the structural split, HOF `filter`/`array_sort` for the query
+  * params. No UDFs.
+  *
+  * Reference context: the reference keys its partition diff on raw S3
+  * key strings (`emr_json_parquet_schema_drift_etl.py:332-346`); the
+  * same set-difference idea applied to web corpora needs the key
+  * normalized first — that normalization is this operator.
+  */
+object UrlCuration {
+
+  /** Query params dropped during canonicalization (tracking/session
+    * noise — the list RefinedWeb-style pipelines strip).
+    */
+  private val TrackingParam =
+    "^(utm_[a-z]+|ref|fbclid|gclid|msclkid|mc_eid|sessionid|sid|phpsessid)="
+
+  /** Canonical form of a URL:
+    *   - scheme and host lowercased, leading `www.` dropped;
+    *   - default port dropped (`parse_url HOST` excludes the port);
+    *   - fragment dropped;
+    *   - tracking params dropped, surviving params sorted bytewise;
+    *   - trailing `/` stripped from the path.
+    * Null for strings `parse_url` cannot parse (honest-null policy, as
+    * with the multimodal decoders).
+    */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
+    val path = regexp_replace(coalesce(try_parse_url(url, lit("PATH")), lit("")), "/+$", "")
+    val rawQ = coalesce(try_parse_url(url, lit("QUERY")), lit(""))
+    val kept = array_sort(filter(split(rawQ, "&"),
+      p => p =!= "" && !p.rlike(TrackingParam)))
+    val q = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    when(host.isNotNull && scheme =!= "",
+      concat(scheme, lit("://"), host, path, q))
+  }
+
+  /** Bare host of a URL, lowercased, `www.`-stripped. */
+  def hostOf(url: Column): Column =
+    regexp_replace(lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
+
+  /** Registrable-domain heuristic: last two dot-labels of the host
+    * (`a.b.example.com` → `example.com`). A real deployment swaps in the
+    * Public Suffix List; the shape (per-domain key extraction, one
+    * shuffle) is identical.
+    */
+  def registrableDomain(url: Column): Column = {
+    val labels = split(hostOf(url), "\\.")
+    when(size(labels) >= 2,
+      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(element_at(labels, -1))
+  }
+
+  /** One row per canonical URL: the kept (minimum-id) document and the
+    * fetch multiplicity. The URL-level exact dedup pass.
+    */
+  def dedupByUrl(docs: DataFrame, urlCol: Column, idCol: String = "doc_id"): DataFrame =
+    docs.select(canonicalize(urlCol).as("canonical_url"), col(idCol))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dupes"))
+
+  /** Keep at most `maxPerHost` documents per host, deterministically
+    * (lowest ids win). Hosts are heavy-tailed at corpus scale — the cap
+    * bounds any single site's share of the training mix. One shuffle on
+    * the host key; the rank never materializes per-host state beyond
+    * the window frame.
+    */
+  def capPerHost(docs: DataFrame, urlCol: Column, maxPerHost: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("__host")).orderBy(col(idCol))
+    docs.withColumn("__host", hostOf(urlCol))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= maxPerHost)
+      .drop("__rank")
+      .withColumnRenamed("__host", "host")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class IncrementalDedupSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("newDocs equals the plain anti-join on text") {
+    val prior = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val got = IncrementalDedup.newDocs(batch, prior,
+        expectedPriorItems = 10000L)
+      .select("doc_id").as[Long].collect().toSet
+    val want = batch.join(prior.select($"text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("exact copies of prior content are always dropped") {
+    val prior = docs.limit(50)
+    // batch = exact copies of prior texts under new ids + fresh docs
+    val copies = prior.select(($"doc_id" + 100000).as("doc_id"), $"text",
+      $"lang", $"source", $"n_chars")
+    val fresh = docs.filter($"doc_id" >= 100 && $"doc_id" < 150)
+    val batch = copies.unionByName(fresh)
+    val out = IncrementalDedup.newDocs(batch, prior,
+      expectedPriorItems = 1000L)
+    assert(out.filter($"doc_id" >= 100000).count() == 0)
+    // fresh docs survive unless their text happens to also be in prior
+    val priorTexts = prior.select("text").as[String].collect().toSet
+    val expectFresh = fresh.filter(!$"text".isin(priorTexts.toSeq: _*))
+      .count()
+    assert(out.count() == expectFresh)
+  }
+
+  test("aggressive fpp still yields the exact result (verify path works)") {
+    val prior = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    // Tiny sketch → many false positives → everything routes through
+    // the anti-join verify; result must be unchanged.
+    val got = IncrementalDedup.newDocs(batch, prior,
+        expectedPriorItems = 8L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val want = batch.join(prior.select($"text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("bloom probe prunes definitely-new rows without a join") {
+    val prior = docs.filter($"doc_id" < 100)
+    val bloom = IncrementalDedup.buildBloom(prior, xxhash64($"text"), 1000L)
+    val probed = docs.withColumn("c",
+      IncrementalDedup.mightContain(spark, bloom, xxhash64($"text")))
+    // no false negatives: every prior doc probes true
+    assert(probed.filter($"doc_id" < 100 && !$"c").count() == 0)
+    // sketch actually prunes: most non-prior docs probe false
+    val nonPrior = probed.filter($"doc_id" >= 100)
+    val pruned = nonPrior.filter(!$"c").count().toDouble
+    assert(pruned / nonPrior.count() > 0.9)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlCurationSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def canon(url: String): String = {
+    val df = Seq(url).toDF("u")
+      .select(UrlCuration.canonicalize($"u").as("c"))
+    Option(df.head().getString(0)).orNull
+  }
+
+  test("lowercases scheme and host, drops www/default port/fragment") {
+    assert(canon("HTTPS://WWW.Example.COM:443/a/b#frag") ==
+      "https://example.com/a/b")
+    assert(canon("http://EXAMPLE.com/x") == "http://example.com/x")
+  }
+
+  test("non-default port survives in the host authority rule") {
+    // parse_url HOST excludes every port; canonical form is port-less by
+    // design — two mirrors on different ports intentionally collapse.
+    assert(canon("https://example.com:8080/a") == "https://example.com/a")
+  }
+
+  test("strips tracking params, sorts survivors, drops empty query") {
+    assert(canon("https://e.com/p?utm_source=x&b=2&a=1&fbclid=z") ==
+      "https://e.com/p?a=1&b=2")
+    assert(canon("https://e.com/p?utm_campaign=x&gclid=1&ref=top") ==
+      "https://e.com/p")
+  }
+
+  test("strips trailing slash; root path collapses to bare authority") {
+    assert(canon("https://e.com/a/b/") == "https://e.com/a/b")
+    assert(canon("https://e.com/") == "https://e.com")
+  }
+
+  test("unparseable url is null (honest-null policy)") {
+    assert(canon("not a url at all") == null)
+    assert(canon("%%%:::") == null)
+  }
+
+  test("registrable domain is the last two labels") {
+    val df = Seq("https://a.b.news.example.co/x", "https://localhost/x")
+      .toDF("u").select(UrlCuration.registrableDomain($"u").as("d"))
+    assert(df.as[String].collect().toSeq == Seq("example.co", "localhost"))
+  }
+
+  test("dedupByUrl collapses tracking variants of the same page") {
+    val urls = Seq(
+      (1L, "https://e.com/p?utm_source=a"),
+      (2L, "https://WWW.e.com/p/"),
+      (3L, "https://e.com/p#top"),
+      (4L, "https://e.com/other"))
+    val out = UrlCuration.dedupByUrl(urls.toDF("doc_id", "u"), $"u")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(("https://e.com/p", 1L, 3L),
+      ("https://e.com/other", 4L, 1L)))
+  }
+
+  test("capPerHost keeps the lowest ids per host") {
+    val rows = (1L to 10L).map(i => (i, s"https://h${i % 2}.com/p$i"))
+    val out = UrlCuration.capPerHost(rows.toDF("doc_id", "u"), $"u", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 4L))
+  }
+}
