@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.streaming.{EventSessions, StreamingDedup}
+import graft.streaming.{EventSessions, RunningMoments, StreamingDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -255,9 +255,52 @@ object Streaming extends QueryPack {
     "q130_stream_outer_join" -> streamOuterJoin _,
     "q137_stream_sessions" -> streamSessionWindows _,
     "q115_stream_rate_limit" -> streamRateLimit _,
+    "q151_stream_moments" -> streamMoments _,
   )
 
+  /** Streaming per-key running moments gate (q151): the events table
+    * replayed as a file stream, per-user count/mean/variance held as
+    * three doubles of `flatMapGroupsWithState` state
+    * ([[RunningMoments.perKey]] — Welford batch fold + Chan merge into
+    * carried state). Append mode emits the post-batch state each
+    * trigger; the max-n row per key is the final answer. Compared as
+    * (n, Σx, Σx²) reconstructed from the state — the raw sums of
+    * 2-decimal inputs are exact 2-/4-decimal numbers, so rounding
+    * there is boundary-safe where rounding mean/variance is not (a
+    * mean of 2-decimal values over n can land exactly on a rounding
+    * boundary and flip between engines). (n, Σx, Σx²) determines
+    * (mean, var) bijectively, so the moments are still fully pinned.
+    */
+  def streamMoments(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.eventsRawSchema(s, dir)
+    val src = Tables.normalizeEventsTs(s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")) // glob: see streamingDedupGate
+    val moments = RunningMoments.perKey(src, "user_id", "value")
+    val name = s"q151_moments_${math.abs(dir.hashCode).toString}"
+    val q = moments.toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n").desc)
+    s.table(name)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("key"), col("n"),
+        round(col("mean") * col("n"), 2).as("sum_r"),
+        round(col("m2") + col("mean") * col("mean") * col("n"), 4)
+          .as("sumsq_r"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q151_stream_moments" ->
+      """SELECT user_id AS key, count(*)::BIGINT AS n,
+        |  round(sum(value), 2) AS sum_r,
+        |  round(sum(value * value), 4) AS sumsq_r
+        |FROM events GROUP BY 1""".stripMargin,
     "q82_streaming_dedup" ->
       """SELECT sha256(text) AS content_sha, min(n_chars) AS n_chars
         |FROM documents GROUP BY 1""".stripMargin,

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-key online moments (count / mean / variance) over a stream —
+  * Welford's algorithm held in `flatMapGroupsWithState` state.
+  *
+  * The monitoring face of a continuous ingestion pipeline: per-source
+  * document-length moments, per-user event-value moments, per-feed
+  * quality-score moments — each key carries THREE doubles of state
+  * (n, mean, M2) regardless of how many events it has seen, so state is
+  * O(distinct keys), never O(events). Chan's parallel-merge form folds
+  * each micro-batch's partial moments into the carried state, which
+  * keeps the per-batch work a partial aggregation (map-side combine)
+  * rather than a per-row state round-trip.
+  *
+  * Output per key per batch: the updated running moments (append mode —
+  * each emission is the state AFTER that batch; the latest row per key,
+  * i.e. the max-n row, is the current answer). Downstream anomaly
+  * gating is a stateless comparison against these moments (see
+  * [[zscore]]).
+  */
+object RunningMoments {
+
+  /** Welford/Chan accumulator: `m2` is the sum of squared deviations —
+    * variance = m2 / n (population).
+    */
+  final case class Moments(n: Long, mean: Double, m2: Double) {
+    def variance: Double = if (n > 0) m2 / n else 0.0
+
+    /** Chan's pairwise merge — associative up to FP rounding. */
+    def merge(o: Moments): Moments =
+      if (n == 0) o
+      else if (o.n == 0) this
+      else {
+        val nn = n + o.n
+        val d = o.mean - mean
+        Moments(nn, mean + d * o.n / nn,
+          m2 + o.m2 + d * d * n.toDouble * o.n / nn)
+      }
+  }
+
+  final case class KeyMoments(key: Long, n: Long, mean: Double, m2: Double)
+
+  /** Running per-key moments of `valueCol` grouped by `keyCol` (cast to
+    * long). Works on a streaming OR batch DataFrame — batch runs it as
+    * one "micro-batch" and emits the final moments directly.
+    */
+  def perKey(events: DataFrame, keyCol: String, valueCol: String): Dataset[KeyMoments] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select(col(keyCol).cast("long").as("key"),
+      col(valueCol).cast("double").as("v")).as[(Long, Double)]
+
+    def fold(key: Long, it: Iterator[(Long, Double)],
+        state: GroupState[Moments]): Iterator[KeyMoments] = {
+      // partial moments of THIS batch's values, then one merge into the
+      // carried state — per-row work never touches the state store
+      var batch = Moments(0L, 0.0, 0.0)
+      it.foreach { case (_, v) =>
+        val n1 = batch.n + 1
+        val d = v - batch.mean
+        val mean1 = batch.mean + d / n1
+        batch = Moments(n1, mean1, batch.m2 + d * (v - mean1))
+      }
+      if (batch.n == 0) Iterator.empty
+      else {
+        val merged = state.getOption.getOrElse(Moments(0L, 0.0, 0.0))
+          .merge(batch)
+        state.update(merged)
+        Iterator.single(KeyMoments(key, merged.n, merged.mean, merged.m2))
+      }
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** Stateless anomaly score against previously-computed moments:
+    * (x - mean) / stddev, null when the key has fewer than `minN`
+    * observations (cold keys score nothing rather than wildly).
+    */
+  def zscore(df: DataFrame, momentsDf: DataFrame, keyCol: String,
+      valueCol: String, minN: Long = 30L): DataFrame = {
+    val m = momentsDf.select(col("key").as(keyCol),
+      col("n").as("__n"), col("mean").as("__mean"),
+      (col("m2") / col("n")).as("__var"))
+    df.join(broadcast(m), Seq(keyCol), "left")
+      .withColumn("zscore",
+        when(col("__n") >= minN && col("__var") > 0.0,
+          (col(valueCol) - col("__mean")) / sqrt(col("__var"))))
+      .drop("__n", "__mean", "__var")
+  }
+}

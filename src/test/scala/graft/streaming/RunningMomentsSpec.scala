@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class RunningMomentsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("batch perKey equals exact avg/var_pop") {
+    val events = Tables.events(spark, sf)
+    val got = RunningMoments.perKey(events, "user_id", "value").toDF()
+      .select($"key", $"n", $"mean", ($"m2" / $"n").as("v"))
+    val want = events.groupBy($"user_id".as("key"))
+      .agg(count(lit(1)).as("n2"), avg($"value").as("mean2"),
+        var_pop($"value").as("v2"))
+    val joined = got.join(want, "key")
+    assert(joined.count() > 0)
+    assert(joined.filter($"n" =!= $"n2").count() == 0)
+    assert(joined.filter(abs($"mean" - $"mean2") > 1e-8).count() == 0)
+    assert(joined.filter(abs($"v" - $"v2") > 1e-6).count() == 0)
+  }
+
+  test("state merges across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val df = in.toDF().toDF("user_id", "value")
+    val out = RunningMoments.perKey(df, "user_id", "value").toDF()
+    val q = out.writeStream.format("memory").queryName("moments_merge")
+      .outputMode("append").start()
+    in.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
+    q.processAllAvailable()
+    in.addData((1L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("moments_merge")
+      .groupBy($"key").agg(max($"n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == Map(1L -> 3L, 2L -> 1L))
+    // final moments for key 1 reflect ALL THREE values (mean 20, var 200/3)
+    val fin = spark.table("moments_merge")
+      .filter($"key" === 1 && $"n" === 3).select($"mean", $"m2").head()
+    assert(math.abs(fin.getDouble(0) - 20.0) < 1e-9)
+    assert(math.abs(fin.getDouble(1) / 3.0 - 200.0 / 3.0) < 1e-9)
+  }
+
+  test("zscore flags a planted outlier and nulls cold keys") {
+    val events = Tables.events(spark, sf)
+    val moments = RunningMoments.perKey(events, "user_id", "value").toDF()
+    val someUser = events.groupBy("user_id").count()
+      .filter($"count" >= 30).select("user_id").as[Long].head()
+    val probe = Seq((someUser, 1e6), (999999L, 5.0))
+      .toDF("user_id", "value")
+    val out = RunningMoments.zscore(probe, moments, "user_id", "value")
+      .select($"user_id", $"zscore").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(someUser).exists(_.asInstanceOf[Double] > 100.0))
+    assert(out(999999L).isEmpty) // unseen key → null, not a wild score
+  }
+}
