@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.functions.GraftFunctions
-import graft.similarity.{IvfIndex, PqIndex, TopKSearch}
+import graft.similarity.{ContrastiveSampling, IvfIndex, PqIndex, TopKSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -231,7 +231,31 @@ object Similarity extends QueryPack {
         (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
   }
 
+  /** In-batch contrastive pairs (q152): every (anchor, other) pair
+    * sharing an md5-derived batch, labeled positive/negative —
+    * [[ContrastiveSampling.inBatchPairs]]. Linear pair count; oracled
+    * bit-exact (DuckDB recomputes the batch key).
+    */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame =
+    ContrastiveSampling.inBatchPairs(Tables.embeddings(s, dir),
+      "vec_id", "label", numBatches = 16)
+
+  /** Hard-negative mining (q153): per anchor, the 4 most-similar
+    * different-label in-batch vectors — cosine once per in-batch pair,
+    * selection via the bounded [[graft.functions.TopKAgg]]. Oracled
+    * against DuckDB's list_cosine_similarity + rank (scores rounded to
+    * 6 decimals; both engines fold the dot product in index order over
+    * doubles).
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    ContrastiveSampling.hardNegatives(Tables.embeddings(s, dir),
+        "vec_id", "label", "embedding", numBatches = 16, k = 4)
+      .select(col("anchor_id"), col("neg_id"),
+        round(col("sim"), 6).as("sim_r"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_contrastive_pairs" -> contrastivePairs _,
+    "q153_hard_negatives" -> hardNegatives _,
     "q40_ann_brute_topk" -> annBrute _,
     "q41_ann_ivf_topk" -> annIvf _,
     "q42_cosine_expr_pairs" -> cosineExprPairs _,
@@ -242,6 +266,34 @@ object Similarity extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q152_contrastive_pairs" ->
+      """WITH k AS (
+        |  SELECT vec_id, label,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 16 AS batch_id
+        |  FROM embeddings)
+        |SELECT a.batch_id, a.vec_id AS anchor_id, b.vec_id AS other_id,
+        |  a.label = b.label AS is_positive
+        |FROM k a JOIN k b
+        |  ON a.batch_id = b.batch_id AND a.vec_id <> b.vec_id""".stripMargin,
+    "q153_hard_negatives" ->
+      """WITH k AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 16 AS batch_id
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM k a JOIN k b
+        |    ON a.batch_id = b.batch_id AND a.label <> b.label),
+        |r AS (
+        |  SELECT anchor_id, neg_id, sim, row_number() OVER (
+        |    PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS rk
+        |  FROM s)
+        |SELECT anchor_id, neg_id, round(sim, 6) AS sim_r
+        |FROM r WHERE rk <= 4""".stripMargin,
     "q40_ann_brute_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

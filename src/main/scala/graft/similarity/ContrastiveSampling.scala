@@ -1,0 +1,77 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-batch contrastive pair construction for embedding training.
+  *
+  * Contrastive objectives (SimCLR/InfoNCE-style) need, per anchor, one
+  * or more positives (same label) and many negatives (different label).
+  * At corpus scale the only tractable shape is the one trainers
+  * actually use — IN-BATCH pairing: assign every example to a
+  * deterministic batch, and pair each anchor only against its own
+  * batch. Pair count is then N × batchSize (linear in the corpus),
+  * never N², and the whole construction is one equi-join on the batch
+  * key — shuffle-bounded, skew-free (md5 spreads keys uniformly).
+  *
+  * The batch key is md5-derived (not a random split) so the pairing is
+  * reproducible across engines, runs, and retries — the same
+  * determinism contract as [[graft.text.CorpusMix]]'s draws.
+  */
+object ContrastiveSampling {
+
+  /** Deterministic batch id in [0, numBatches): first 8 hex digits of
+    * md5(id), mod batches — cross-engine reproducible.
+    */
+  def batchKey(id: Column, numBatches: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % numBatches
+
+  /** All in-batch pairs: one row per (anchor, other) sharing a batch,
+    * labeled positive (same class) or negative. Both orientations are
+    * emitted (anchor↔other), matching how a trainer consumes them.
+    */
+  def inBatchPairs(embs: DataFrame, idCol: String, labelCol: String,
+      numBatches: Int): DataFrame = {
+    val a = embs.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("__la"),
+      batchKey(col(idCol), numBatches).as("batch_id"))
+    val b = embs.select(col(idCol).as("other_id"),
+      col(labelCol).as("__lb"),
+      batchKey(col(idCol), numBatches).as("batch_id"))
+    a.join(b, Seq("batch_id"))
+      .filter(col("anchor_id") =!= col("other_id"))
+      .select(col("batch_id"), col("anchor_id"), col("other_id"),
+        (col("__la") === col("__lb")).as("is_positive"))
+  }
+
+  /** Hard-negative mining: per anchor, the `k` most-similar (hardest)
+    * different-label vectors within its batch. The cosine runs once
+    * per in-batch pair (linear, see class doc) and the per-anchor
+    * selection is the bounded [[TopKAgg]] — map-side state never
+    * exceeds k entries per anchor.
+    */
+  def hardNegatives(embs: DataFrame, idCol: String, labelCol: String,
+      embCol: String, numBatches: Int, k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    val a = embs.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("__la"), col(embCol).as("__ea"),
+      batchKey(col(idCol), numBatches).as("batch_id"))
+    val b = embs.select(col(idCol).as("other_id"),
+      col(labelCol).as("__lb"), col(embCol).as("__eb"),
+      batchKey(col(idCol), numBatches).as("batch_id"))
+    val scored = a.join(b, Seq("batch_id"))
+      .filter(col("__la") =!= col("__lb"))
+      .select(col("anchor_id"),
+        col("other_id"),
+        GraftFunctions.cosineSim(spark, col("__ea"), col("__eb"))
+          .as("sim"))
+    scored.groupBy(col("anchor_id"))
+      .agg(GraftFunctions.topK(spark, col("sim"), col("other_id"), k)
+        .as("top"))
+      .select(col("anchor_id"), explode(col("top")).as("t"))
+      .select(col("anchor_id"), col("t.id").as("neg_id"),
+        col("t.score").as("sim"))
+  }
+}

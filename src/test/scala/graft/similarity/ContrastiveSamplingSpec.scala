@@ -1,0 +1,62 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class ContrastiveSamplingSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val embs = Tables.embeddings(spark, sf)
+
+  test("in-batch pairs: symmetric, self-free, label-correct") {
+    val pairs = ContrastiveSampling.inBatchPairs(embs, "vec_id", "label", 8)
+      .cache()
+    assert(pairs.filter($"anchor_id" === $"other_id").count() == 0)
+    // symmetric: (a,b) present iff (b,a) present
+    val ab = pairs.select($"anchor_id", $"other_id")
+    val ba = pairs.select($"other_id".as("anchor_id"),
+      $"anchor_id".as("other_id"))
+    assert(ab.exceptAll(ba).count() == 0)
+    // is_positive agrees with the label table
+    val labels = embs.select($"vec_id", $"label")
+    val checked = pairs
+      .join(labels.withColumnRenamed("vec_id", "anchor_id")
+        .withColumnRenamed("label", "la"), "anchor_id")
+      .join(labels.withColumnRenamed("vec_id", "other_id")
+        .withColumnRenamed("label", "lb"), "other_id")
+    assert(checked.filter(($"la" === $"lb") =!= $"is_positive").count() == 0)
+    pairs.unpersist()
+  }
+
+  test("every vector lands in exactly one batch, spread across batches") {
+    val keys = embs.select($"vec_id",
+      ContrastiveSampling.batchKey($"vec_id", 8).as("b"))
+    assert(keys.count() == embs.count())
+    assert(keys.select("b").distinct().count() == 8)
+    // md5 spreads roughly uniformly: no batch more than 3x the mean
+    val mx = keys.groupBy("b").count().agg(max("count")).as[Long].head()
+    assert(mx < 3 * embs.count() / 8)
+  }
+
+  test("hardNegatives equals the window-computed in-batch top-k") {
+    val got = ContrastiveSampling.hardNegatives(
+        embs, "vec_id", "label", "embedding", 8, 3)
+      .select($"anchor_id", $"neg_id").as[(Long, Long)].collect().toSet
+    val scored = ContrastiveSampling.inBatchPairs(embs, "vec_id", "label", 8)
+      .filter(!$"is_positive")
+      .join(embs.select($"vec_id".as("anchor_id"), $"embedding".as("ea")),
+        "anchor_id")
+      .join(embs.select($"vec_id".as("other_id"), $"embedding".as("eb")),
+        "other_id")
+      .withColumn("sim", GraftFunctions.cosineSim(spark, $"ea", $"eb"))
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"sim".desc, $"other_id")
+    val want = scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"anchor_id", $"other_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+}
