@@ -584,7 +584,28 @@ object Text extends QueryPack {
         col("url"), maxPerHost = 30)
       .select(col("doc_id"), col("host"))
 
+  /** Corpus drift report (q154): alternating 20-doc id blocks as the
+    * two snapshots (the testdata's source column is a function of
+    * doc_id mod 20, so a parity split would put every source entirely
+    * on one side; block-alternation gives every source presence in
+    * both) — per-source volume, mean length, and language-mix L1
+    * distance from two tiny aggregates per side
+    * ([[graft.text.CorpusDrift.report]]; corpora never join
+    * row-to-row). Oracled against DuckDB recomputing the same report.
+    */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.text.CorpusDrift.report(
+        docs.filter(col("doc_id") % 40 < 20),
+        docs.filter(col("doc_id") % 40 >= 20))
+      .select(col("source"), col("n_a"), col("n_b"),
+        round(col("mean_len_a"), 4).as("mean_a_r"),
+        round(col("mean_len_b"), 4).as("mean_b_r"),
+        round(col("lang_l1"), 6).as("l1_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_corpus_drift" -> corpusDrift _,
     "q149_url_dedup" -> urlDedup _,
     "q150_host_cap" -> hostCap _,
     "q139_train_order" -> trainOrder _,
@@ -625,6 +646,32 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q154_corpus_drift" ->
+      """WITH a AS (SELECT * FROM documents WHERE doc_id % 40 < 20),
+        |b AS (SELECT * FROM documents WHERE doc_id % 40 >= 20),
+        |ta AS (SELECT source, count(*)::BIGINT AS n_a,
+        |         sum(n_chars) AS s_a FROM a GROUP BY 1),
+        |tb AS (SELECT source, count(*)::BIGINT AS n_b,
+        |         sum(n_chars) AS s_b FROM b GROUP BY 1),
+        |la AS (SELECT source, lang, count(*) AS ca FROM a GROUP BY 1, 2),
+        |lb AS (SELECT source, lang, count(*) AS cb FROM b GROUP BY 1, 2),
+        |l AS (
+        |  SELECT coalesce(la.source, lb.source) AS source,
+        |    coalesce(la.ca, 0) AS ca, coalesce(lb.cb, 0) AS cb
+        |  FROM la FULL JOIN lb
+        |    ON la.source = lb.source AND la.lang = lb.lang),
+        |l1 AS (
+        |  SELECT l.source,
+        |    sum(abs(ca::DOUBLE / ta.n_a - cb::DOUBLE / tb.n_b)) AS l1
+        |  FROM l JOIN ta ON l.source = ta.source
+        |         JOIN tb ON l.source = tb.source
+        |  GROUP BY 1)
+        |SELECT ta.source, ta.n_a, tb.n_b,
+        |  round(ta.s_a::DOUBLE / ta.n_a, 4) AS mean_a_r,
+        |  round(tb.s_b::DOUBLE / tb.n_b, 4) AS mean_b_r,
+        |  round(l1.l1, 6) AS l1_r
+        |FROM ta JOIN tb ON ta.source = tb.source
+        |        JOIN l1 ON ta.source = l1.source""".stripMargin,
     "q149_url_dedup" ->
       """SELECT 'https://' || source || '.example.com/docs/'
         |    || CAST(doc_id % 200 AS VARCHAR)

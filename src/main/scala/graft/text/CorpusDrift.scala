@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-to-snapshot corpus drift report — the data-quality monitor a
+  * continuously-ingested training corpus runs after every batch: did a
+  * source's volume, document length, or language mix shift?
+  *
+  * Everything reduces to two tiny aggregates (per source, and per
+  * source×language) on each snapshot — the full corpora are read once
+  * each and never joined row-to-row; the join happens on the aggregate
+  * tables, whose size is #sources × #languages. At 100 TB that is the
+  * difference between a monitoring query and a second ingestion job.
+  *
+  * Reported per source:
+  *   - document counts in both snapshots and their ratio;
+  *   - mean document length in both;
+  *   - L1 distance between the language distributions (0 = identical
+  *     mix, 2 = disjoint) — the standard drift alarm for categorical
+  *     composition.
+  * Sources present in only one snapshot appear with zeros on the other
+  * side (appearing/disappearing sources are exactly what the monitor
+  * must surface).
+  */
+object CorpusDrift {
+
+  def report(a: DataFrame, b: DataFrame, keyCol: String = "source",
+      langCol: String = "lang", lenCol: String = "n_chars"): DataFrame = {
+    def topline(df: DataFrame, nc: String, sc: String) =
+      df.groupBy(col(keyCol))
+        .agg(count(lit(1)).as(nc), sum(col(lenCol)).as(sc))
+    def langCounts(df: DataFrame, nc: String) =
+      df.groupBy(col(keyCol), col(langCol)).agg(count(lit(1)).as(nc))
+
+    val top = topline(a, "n_a", "sum_a")
+      .join(topline(b, "n_b", "sum_b"), Seq(keyCol), "full_outer")
+      .na.fill(0L, Seq("n_a", "sum_a", "n_b", "sum_b"))
+
+    // per-language shares need each side's total; L1 folds the
+    // source×lang table — bounded by the categorical cardinality
+    val l1 = langCounts(a, "ca").join(langCounts(b, "cb"),
+        Seq(keyCol, langCol), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      .join(top.select(col(keyCol), col("n_a"), col("n_b")), Seq(keyCol))
+      .withColumn("__term", abs(
+        when(col("n_a") > 0, col("ca") / col("n_a")).otherwise(lit(0.0)) -
+        when(col("n_b") > 0, col("cb") / col("n_b")).otherwise(lit(0.0))))
+      .groupBy(col(keyCol)).agg(sum(col("__term")).as("lang_l1"))
+
+    top.join(l1, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0, col("sum_a") / col("n_a")).as("mean_len_a"),
+        when(col("n_b") > 0, col("sum_b") / col("n_b")).as("mean_len_b"),
+        coalesce(col("lang_l1"), lit(0.0)).as("lang_l1"))
+  }
+}

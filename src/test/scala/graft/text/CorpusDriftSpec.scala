@@ -1,0 +1,44 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CorpusDriftSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("identical snapshots report zero drift") {
+    val r = CorpusDrift.report(docs, docs)
+    assert(r.filter($"n_a" =!= $"n_b").count() == 0)
+    assert(r.filter(abs($"mean_len_a" - $"mean_len_b") > 1e-12).count() == 0)
+    assert(r.filter($"lang_l1" > 1e-12).count() == 0)
+  }
+
+  test("disjoint language mixes report L1 = 2") {
+    val a = Seq((1L, "s", "en", 10L), (2L, "s", "en", 20L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val b = Seq((3L, "s", "fr", 30L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val r = CorpusDrift.report(a, b).head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 1)
+    assert(math.abs(r.getAs[Double]("lang_l1") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_len_a") - 15.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_len_b") - 30.0) < 1e-12)
+  }
+
+  test("source present on one side only survives with zeros, not a drop") {
+    val a = Seq((1L, "only_a", "en", 10L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val b = Seq((2L, "only_b", "fr", 20L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val rows = CorpusDrift.report(a, b).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map("only_a" -> ((1L, 0L)), "only_b" -> ((0L, 1L))))
+    // absent side's mean is null (no docs), not a fake zero
+    val onlyA = CorpusDrift.report(a, b)
+      .filter($"source" === "only_a").head()
+    assert(onlyA.isNullAt(onlyA.fieldIndex("mean_len_b")))
+  }
+}
