@@ -231,6 +231,15 @@ object Similarity extends QueryPack {
         (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
   }
 
+  /** Batch count for a ~32-vector training batch: holding BATCH SIZE
+    * (not batch count) fixed keeps the pair fan-out linear in the
+    * corpus (N×32, never N²/const) — the q152/q153 gates must scale
+    * from sf0.01 to the sf0.1 bench without going quadratic. One
+    * metadata-cheap count; the oracle recomputes the same formula.
+    */
+  private def batchesOf32(s: SparkSession, dir: String): Int =
+    math.max(1, (Tables.embeddings(s, dir).count() / 32L).toInt)
+
   /** In-batch contrastive pairs (q152): every (anchor, other) pair
     * sharing an md5-derived batch, labeled positive/negative —
     * [[ContrastiveSampling.inBatchPairs]]. Linear pair count; oracled
@@ -238,7 +247,7 @@ object Similarity extends QueryPack {
     */
   def contrastivePairs(s: SparkSession, dir: String): DataFrame =
     ContrastiveSampling.inBatchPairs(Tables.embeddings(s, dir),
-      "vec_id", "label", numBatches = 16)
+      "vec_id", "label", numBatches = batchesOf32(s, dir))
 
   /** Hard-negative mining (q153): per anchor, the 4 most-similar
     * different-label in-batch vectors — cosine once per in-batch pair,
@@ -249,7 +258,8 @@ object Similarity extends QueryPack {
     */
   def hardNegatives(s: SparkSession, dir: String): DataFrame =
     ContrastiveSampling.hardNegatives(Tables.embeddings(s, dir),
-        "vec_id", "label", "embedding", numBatches = 16, k = 4)
+        "vec_id", "label", "embedding",
+        numBatches = batchesOf32(s, dir), k = 4)
       .select(col("anchor_id"), col("neg_id"),
         round(col("sim"), 6).as("sim_r"))
 
@@ -267,20 +277,24 @@ object Similarity extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q152_contrastive_pairs" ->
-      """WITH k AS (
+      """WITH nb AS (
+        |  SELECT greatest(1, count(*) // 32) AS b FROM embeddings),
+        |k AS (
         |  SELECT vec_id, label,
         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 16 AS batch_id
+        |      AS BIGINT) % (SELECT b FROM nb) AS batch_id
         |  FROM embeddings)
         |SELECT a.batch_id, a.vec_id AS anchor_id, b.vec_id AS other_id,
         |  a.label = b.label AS is_positive
         |FROM k a JOIN k b
         |  ON a.batch_id = b.batch_id AND a.vec_id <> b.vec_id""".stripMargin,
     "q153_hard_negatives" ->
-      """WITH k AS (
+      """WITH nb AS (
+        |  SELECT greatest(1, count(*) // 32) AS b FROM embeddings),
+        |k AS (
         |  SELECT vec_id, label, embedding,
         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 16 AS batch_id
+        |      AS BIGINT) % (SELECT b FROM nb) AS batch_id
         |  FROM embeddings),
         |s AS (
         |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
