@@ -3,7 +3,7 @@ package graft.lake
 import graft.etl.SchemaRegistry
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField, StructType}
 import java.nio.charset.StandardCharsets
 
 /** Minimal transactional table log — the capability the reference gestures
@@ -1369,10 +1369,189 @@ object TxnLog {
     // winner, and the loser deletes its dir — the winner's committed
     // files can never be clobbered by a replay's overwrite.
     val commitId = txnId.map(id => s"txn-${uid.take(8)}-$id").getOrElse(uid)
+    val headProps = versions(spark, table).lastOption
+      .map(v => readManifest(spark, table, v).props).getOrElse(Map.empty)
+    if (identityOf(headProps).nonEmpty)
+      return appendWithIdentity(spark, table, df, partitionCols,
+        txnId, maxRetries)
     appendCommit(spark, table, df, partitionCols, commitId, txnId,
       requireBase = None, removePaths = Nil, maxRetries)
       .getOrElse(throw new IllegalStateException(
         s"could not commit to $table after $maxRetries attempts"))
+  }
+
+  private val IdPropPrefix = "identity." // identity.<col> = start,step
+  private val IdHwmPrefix = "idhwm."     // idhwm.<col> = last value handed out
+
+  /** Declared identity columns: name -> (start, step). */
+  def identityOf(props: Map[String, String]): Map[String, (Long, Long)] =
+    props.collect {
+      case (k, v) if k.startsWith(IdPropPrefix) =>
+        val Array(s, st) = v.split(",", 2)
+        (k.stripPrefix(IdPropPrefix), (s.trim.toLong, st.trim.toLong))
+    }
+
+  /** Declare `name` GENERATED ALWAYS AS IDENTITY (START WITH `start`
+    * STEP `step`) — Delta's identity columns. Every subsequent append
+    * ASSIGNS the column: globally unique, monotone values allocated
+    * against a transactional high-water mark carried in the table
+    * properties; writers may never supply their own values (ALWAYS
+    * semantics — a non-null input value fails the write loudly).
+    *
+    * Concurrency: identity appends claim their id range at the version
+    * claim (strict base), so two concurrent appends serialize — the
+    * loser re-reads the advanced watermark and reassigns before
+    * retrying. This is Delta's tradeoff too: identity narrows append
+    * concurrency in exchange for coordination-free unique ids at read
+    * time. Values are contiguous across serialized appends; an
+    * aborted-and-retried WRITER (not commit) never leaks values
+    * because the watermark only advances in published manifests.
+    *
+    * Declarable when the column exists in the schema and every
+    * existing row is null in it only if the table holds no live rows
+    * (no backfill — Delta's rule); on a table with non-null values the
+    * watermark resumes past their max.
+    */
+  def setIdentity(spark: SparkSession, table: String, name: String,
+      start: Long = 1L, step: Long = 1L): Long = {
+    require(step != 0L, "identity step must be non-zero")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"identity column name must be an identifier, got: $name")
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    var attempt = 0
+    while (attempt < 10) {
+      val head = versions(spark, table).last
+      val props = readManifest(spark, table, head).props
+      require(!identityOf(props).contains(name),
+        s"column $name of $table is already an identity column")
+      require(!generatedOf(props).keys.exists(_.equalsIgnoreCase(name)),
+        s"column $name of $table is GENERATED ALWAYS AS an expression; " +
+          "it cannot also be an identity column")
+      val logical = columnMappingAt(spark, table)
+        .logicalSchema(schemaOf(spark, table))
+      val field = logical.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"identity column $name is not in $table's schema " +
+            s"(${logical.fieldNames.mkString(", ")})"))
+      require(field.dataType == LongType || field.dataType == IntegerType,
+        s"identity column $name must be BIGINT or INT, " +
+          s"got ${field.dataType.simpleString}")
+      val snap = snapshot(spark, table, Some(head))
+      val agg = snap.agg(fmax(col(field.name)).cast("long").as("mx"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")).head()
+      val n = agg.getAs[Long]("n")
+      require(n == 0L ||
+          snap.filter(col(field.name).isNull).limit(1).isEmpty,
+        s"cannot declare identity on $name: existing rows carry null " +
+          "values (backfill is not supported — declare before data lands)")
+      val hwm =
+        if (n == 0L) start - step
+        else {
+          val mx = agg.getAs[Long]("mx")
+          // resume past existing values in the step's direction
+          if (step > 0) math.max(mx, start - step)
+          else math.min(mx, start - step)
+        }
+      val schema = schemaOf(spark, table)
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      appendCommit(spark, table, empty, Nil,
+        s"alter-${java.util.UUID.randomUUID().toString}", txnId = None,
+        requireBase = Some(head), removePaths = Nil, strictBase = true,
+        skipColumnMapping = true,
+        propsOverride = Some(props +
+          (IdPropPrefix + field.name -> s"$start,$step") +
+          (IdHwmPrefix + field.name -> hwm.toString))) match {
+        case Some(v) => return v
+        case None => attempt += 1 // a commit landed mid-DDL: re-validate
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit identity column to $table: kept losing races")
+  }
+
+  /** Identity-assigning append: allocate ids from the head watermark,
+    * bake them into the data files, and claim the commit against that
+    * exact head — an interleaved commit aborts the claim, and the
+    * retry reassigns from the NEW watermark (ids must never double-
+    * allocate). See [[setIdentity]] for semantics.
+    */
+  private def appendWithIdentity(spark: SparkSession, table: String,
+      df: DataFrame, partitionCols: Seq[String],
+      txnId: Option[String], maxRetries: Int): Long = {
+    import org.apache.spark.sql.functions._
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = versions(spark, table).last
+      val props = readManifest(spark, table, head).props
+      val ids = identityOf(props)
+      // ALWAYS semantics: a writer-supplied value can silently collide
+      // with the allocator — refuse it before anything lands
+      ids.keys.foreach { c =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(c)).foreach { f =>
+          require(df.filter(col(f.name).isNotNull).limit(1).isEmpty,
+            s"column ${f.name} of $table is GENERATED ALWAYS AS " +
+              "IDENTITY; explicit values are not accepted")
+        }
+      }
+      val stripped = ids.keys.foldLeft(df) { (d, c) =>
+        d.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(f => d.drop(f.name)).getOrElse(d)
+      }
+      // ONE tiny pass for per-partition counts; the assignment pass
+      // derives (partition, local index) from monotonically_increasing_
+      // id's layout (pid << 33 | counter) — no shuffle, no global sort.
+      // The input therefore evaluates twice and must be deterministic
+      // between the passes (true of every retry-capable writer here).
+      val counts = stripped.select(spark_partition_id().as("pid"))
+        .groupBy("pid").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val total = counts.map(_._2).sum
+      require(counts.forall(_._2 < (1L << 33)),
+        "identity assignment caps at 2^33 rows per task partition; " +
+          "repartition the input")
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        counts.map { case (p, c) => val o = acc; acc += c; (p, o) }.toMap
+      }
+      val offCol = typedlit(offsets)
+      val targetSchema = schemaOf(spark, table)
+      val mid = monotonically_increasing_id()
+      val localIdx = mid.bitwiseAND(lit((1L << 33) - 1))
+      val pidCol = shiftright(mid, 33).cast("int")
+      val withIds = ids.foldLeft(stripped) {
+        case (d, (c, (start, step))) =>
+          val hwm = props.get(IdHwmPrefix + c).map(_.toLong)
+            .getOrElse(start - step)
+          val dt = targetSchema.fields.find(_.name.equalsIgnoreCase(c))
+            .map(_.dataType).getOrElse(LongType)
+          d.withColumn(c,
+            (lit(hwm + step) + (element_at(offCol, pidCol) + localIdx) *
+              lit(step)).cast(dt))
+      }
+      val bumped = ids.map { case (c, (start, step)) =>
+        val hwm = props.get(IdHwmPrefix + c).map(_.toLong)
+          .getOrElse(start - step)
+        IdHwmPrefix + c -> (hwm + step * total).toString
+      }
+      // fresh uid per attempt, SAME txn-<8hex>-<txnId> shape — suffixing
+      // the attempt number would corrupt txnIdOfDir's idempotence parse
+      val attemptUid = java.util.UUID.randomUUID().toString
+      val attemptCommitId = txnId
+        .map(id => s"txn-${attemptUid.take(8)}-$id").getOrElse(attemptUid)
+      appendCommit(spark, table, withIds, partitionCols,
+        attemptCommitId, txnId,
+        requireBase = Some(head), removePaths = Nil, maxRetries = 1,
+        propsOverride = Some(props ++ bumped),
+        strictBase = true) match {
+        case Some(v) => return v
+        case None => attempt += 1 // watermark moved: reassign and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit identity append to $table after $maxRetries " +
+        "attempts (concurrent writers kept advancing the watermark)")
   }
 
   /** Rewrite the whole current snapshot as ONE commit (a `compact-`
@@ -1448,6 +1627,19 @@ object TxnLog {
     val cm = columnMapping(manifests.last.props)
     updates.schema.fieldNames.foreach(n => require(!cm.dropped.contains(n),
       s"column $n was dropped from $table; its physical name is retired"))
+    // identity columns: merge rows REPLACE whole rows, so the caller
+    // carries explicit ids (typically the matched rows' own) — but a
+    // null (or schema-padded-absent) id would corrupt the allocator's
+    // uniqueness invariant silently; refuse it loudly instead
+    identityOf(manifests.last.props).keys.foreach { c =>
+      val present = updates.schema.fieldNames.exists(_.equalsIgnoreCase(c))
+      require(present && updates.filter(
+          col(updates.schema.fieldNames
+            .find(_.equalsIgnoreCase(c)).get).isNull).limit(1).isEmpty,
+        s"merge into $table must supply non-null values for identity " +
+          s"column $c (merge replaces whole rows; use append for " +
+          "allocator-assigned ids)")
+    }
     val updatesP = cm.toPhysical(updates)
     val keyColsP = keyCols.map(cm.physicalName)
     val merged = SchemaRegistry.merge(tableSchema,

@@ -524,6 +524,34 @@ object Etl extends QueryPack {
     * added (all required loudly) — and the final V2 read is oracled vs
     * DuckDB composing keep ∪ replacement.
     */
+  /** Identity columns gate (q155): GENERATED ALWAYS AS IDENTITY on a
+    * lake table — three appends of the documents table (no id supplied)
+    * must land globally unique, contiguous ids 1..N allocated against
+    * the transactional watermark ([[graft.lake.TxnLog.setIdentity]]);
+    * the allocation itself is shuffle-free (per-partition counts +
+    * monotonic local indexes). Oracled as the pinned (N, N, 1, N).
+    */
+  def identityColumns(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_ident_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh table per run: deterministic output
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val schema = docs.schema.add("row_id",
+      org.apache.spark.sql.types.LongType)
+    graft.lake.TxnLog.append(s, table, s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    graft.lake.TxnLog.setIdentity(s, table, "row_id")
+    (0 to 2).foreach(m => graft.lake.TxnLog.append(s, table,
+      docs.filter(col("doc_id") % 3 === m)))
+    graft.lake.TxnLog.snapshot(s, table).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("row_id")).as("n_ids"),
+      min(col("row_id")).as("min_id"),
+      max(col("row_id")).as("max_id"))
+  }
+
   def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
     val table = s"/tmp/graft_lake_dynow_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val root = new org.apache.hadoop.fs.Path(table)
@@ -1212,6 +1240,7 @@ object Etl extends QueryPack {
     "q123_dsv2_write" -> dsv2Write _,
     "q128_dynamic_overwrite" -> dynamicOverwrite _,
     "q129_convert_in_place" -> convertInPlace _,
+    "q155_identity_columns" -> identityColumns _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
@@ -1375,6 +1404,10 @@ object Etl extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate
         |FROM orders""".stripMargin,
+    "q155_identity_columns" ->
+      """SELECT count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_ids,
+        |  1::BIGINT AS min_id, count(*)::BIGINT AS max_id
+        |FROM documents""".stripMargin,
     "q128_dynamic_overwrite" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate

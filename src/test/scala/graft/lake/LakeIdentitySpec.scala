@@ -1,0 +1,126 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class LakeIdentitySpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def freshTable(name: String): String = {
+    val t = s"/tmp/graft_idspec_$name"
+    val p = new org.apache.hadoop.fs.Path(t)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    t
+  }
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType),
+    StructField("row_id", LongType)))
+
+  private def emptyCommit(t: String): Unit =
+    TxnLog.append(spark, t,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+
+  test("appends assign contiguous unique ids across commits") {
+    val t = freshTable("basic")
+    emptyCommit(t)
+    TxnLog.setIdentity(spark, t, "row_id")
+    TxnLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    TxnLog.append(spark, t, Seq((3L, "c")).toDF("k", "v"))
+    TxnLog.append(spark, t, Seq((4L, "d"), (5L, "e")).toDF("k", "v"))
+    val ids = TxnLog.snapshot(spark, t).select("row_id").as[Long]
+      .collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // watermark recorded in table properties
+    assert(TxnLog.propertiesOf(spark, t)("idhwm.row_id") == "5")
+  }
+
+  test("custom start and step") {
+    val t = freshTable("startstep")
+    emptyCommit(t)
+    TxnLog.setIdentity(spark, t, "row_id", start = 100L, step = 5L)
+    TxnLog.append(spark, t, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val ids = TxnLog.snapshot(spark, t).select("row_id").as[Long]
+      .collect().sorted
+    assert(ids.toSeq == Seq(100L, 105L, 110L))
+  }
+
+  test("explicit non-null values are rejected (GENERATED ALWAYS)") {
+    val t = freshTable("explicit")
+    emptyCommit(t)
+    TxnLog.setIdentity(spark, t, "row_id")
+    val ex = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t,
+        Seq((1L, "a", 42L)).toDF("k", "v", "row_id"))
+    }
+    assert(ex.getMessage.contains("GENERATED ALWAYS"))
+  }
+
+  test("an all-null provided column counts as omitted") {
+    val t = freshTable("allnull")
+    emptyCommit(t)
+    TxnLog.setIdentity(spark, t, "row_id")
+    TxnLog.append(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .withColumn("row_id", lit(null).cast("long")))
+    val ids = TxnLog.snapshot(spark, t).select("row_id").as[Long]
+      .collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("declaring on existing non-null values resumes past their max") {
+    val t = freshTable("resume")
+    TxnLog.append(spark, t,
+      Seq((1L, "a", 7L), (2L, "b", 3L)).toDF("k", "v", "row_id"))
+    TxnLog.setIdentity(spark, t, "row_id")
+    TxnLog.append(spark, t, Seq((3L, "c")).toDF("k", "v"))
+    val ids = TxnLog.snapshot(spark, t).select("row_id").as[Long]
+      .collect().sorted
+    assert(ids.toSeq == Seq(3L, 7L, 8L))
+  }
+
+  test("declaring over existing nulls is rejected (no backfill)") {
+    val t = freshTable("nulls")
+    TxnLog.append(spark, t,
+      Seq((1L, "a")).toDF("k", "v")
+        .withColumn("row_id", lit(null).cast("long")))
+    val ex = intercept[IllegalArgumentException] {
+      TxnLog.setIdentity(spark, t, "row_id")
+    }
+    assert(ex.getMessage.contains("backfill"))
+  }
+
+  test("merge must carry non-null identity values") {
+    val t = freshTable("merge")
+    emptyCommit(t)
+    TxnLog.setIdentity(spark, t, "row_id")
+    TxnLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      TxnLog.merge(spark, t, Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+    }
+    assert(ex.getMessage.contains("identity"))
+    // carrying the matched row's own id is fine
+    val withId = TxnLog.snapshot(spark, t).filter($"k" === 1)
+      .select($"k", lit("a2").as("v"), $"row_id")
+    assert(TxnLog.merge(spark, t, withId, Seq("k")).nonEmpty)
+    val rows = TxnLog.snapshot(spark, t).orderBy("k")
+      .select("k", "v", "row_id").as[(Long, String, Long)].collect().toSeq
+    assert(rows.map(_._2) == Seq("a2", "b"))
+    assert(rows.map(_._3).distinct.size == 2)
+  }
+
+  test("identity appends stay idempotent under txn replay") {
+    val t = freshTable("txn")
+    emptyCommit(t)
+    TxnLog.setIdentity(spark, t, "row_id")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v1 = TxnLog.appendTxn(spark, t, batch, Nil, Some("job-1"))
+    val v2 = TxnLog.appendTxn(spark, t, batch, Nil, Some("job-1"))
+    assert(v1 == v2) // replay no-ops
+    assert(TxnLog.snapshot(spark, t).count() == 2)
+    assert(TxnLog.snapshot(spark, t).select("row_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}
