@@ -315,9 +315,15 @@ object LakeDmlSql {
           // gen.<col> table property every writer then honors
           val gen = c.columns.flatMap(cd =>
             cd.generationExpression.map(cd.name -> _))
+          // GENERATED ALWAYS AS IDENTITY [(START WITH s STEP t)]: the
+          // parser carries the spec; declared post-create through
+          // TxnLog.setIdentity (same watermark machinery as the API)
+          val idents = c.columns.flatMap(cd =>
+            cd.identityColumnSpec.map(sp => cd.name ->
+              ((sp.getStart, sp.getStep, sp.isAllowExplicitInsert))))
           LakeCreateCommand(name, loc, CreatePayload(None,
             c.columns.map(cd => StructField(cd.name, cd.dataType, cd.nullable)),
-            parts, c.ignoreIfExists, cluster, gen)): LogicalPlan
+            parts, c.ignoreIfExists, cluster, gen, idents)): LogicalPlan
       }).getOrElse(plan)
     case DropTable(child, ifExists, _) =>
       (child match {
@@ -394,7 +400,8 @@ object LakeDmlSql {
   final case class CreatePayload(query: Option[LogicalPlan],
       columns: Seq[StructField], partitionCols: Seq[String],
       ifNotExists: Boolean, clusterBy: Seq[String] = Nil,
-      generated: Seq[(String, String)] = Nil)
+      generated: Seq[(String, String)] = Nil,
+      identity: Seq[(String, (Long, Long, Boolean))] = Nil)
 
   /** (mountName, lakePath, sqlAlias) when the DML target is a mounted
     * lake table. The alias is what the statement's qualified column
@@ -931,6 +938,18 @@ object LakeDmlSql {
         require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
           s"GENERATED column $c is not in the table schema")
       }
+      payload.identity.foreach { case (c, (_, _, allowExplicit)) =>
+        require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"IDENTITY column $c is not in the table schema")
+        require(!allowExplicit,
+          s"identity column $c: GENERATED BY DEFAULT is not supported " +
+            "(writer-supplied ids would race the allocator); use " +
+            "GENERATED ALWAYS AS IDENTITY")
+        require(payload.query.isEmpty,
+          "CTAS cannot declare IDENTITY columns (the select's rows " +
+            "would need ids the allocator hasn't assigned); CREATE " +
+            "then INSERT")
+      }
       val v = TxnLog.append(spark, path, df, payload.partitionCols)
       val v2 =
         if (payload.clusterBy.isEmpty) v
@@ -941,8 +960,12 @@ object LakeDmlSql {
       val v3 = payload.generated.foldLeft(v2) { case (_, (c, sql)) =>
         TxnLog.setGeneratedColumn(spark, path, c, sql)
       }
+      val v4 = payload.identity.foldLeft(v3) {
+        case (_, (c, (start, step, _))) =>
+          TxnLog.setIdentity(spark, path, c, start, step)
+      }
       LakeMounts.mount(spark, name, path)
-      Seq(Row(v3))
+      Seq(Row(v4))
     }
 
     override def simpleString(maxFields: Int): String =
