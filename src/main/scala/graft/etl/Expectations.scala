@@ -1,0 +1,81 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative batch data-quality expectations — the pre-ingest
+  * validation gate a training pipeline runs on every incoming batch
+  * before it may land (the batch-side complement of the lake's CHECK
+  * constraints, which protect the TABLE; this validates and REPORTS on
+  * a candidate batch without touching any table).
+  *
+  * Scale shape: every declared rule folds into ONE conditional
+  * aggregate, so the whole report costs a single pass over the batch
+  * regardless of how many rules are declared — never one scan per rule.
+  * The report is one row per rule (violations, evaluated count, pass),
+  * small enough to alert on or commit next to the batch.
+  *
+  * Null semantics follow SQL CHECK: a rule evaluating to NULL on a row
+  * (e.g. a range test on a null value) neither passes nor fails that
+  * row — declare an explicit `notNull` rule when nulls are themselves
+  * violations.
+  *
+  * Reference context: the reference pipeline ingests whatever the JSON
+  * decode yields (`emr_json_parquet_schema_drift_etl.py:118-140`, no
+  * row-level validation); this is the missing quality gate in front of
+  * that ingest.
+  */
+object Expectations {
+
+  /** One named expectation: `holds` must be TRUE (or NULL, see class
+    * doc) for every row.
+    */
+  final case class Rule(name: String, holds: Column)
+
+  def notNull(c: String): Rule =
+    Rule(s"not_null($c)", col(c).isNotNull)
+
+  def between(c: String, lo: Double, hi: Double): Rule =
+    Rule(s"between($c,$lo,$hi)", col(c) >= lo && col(c) <= hi)
+
+  def inSet(c: String, allowed: Seq[String]): Rule =
+    Rule(s"in_set($c)", col(c).isin(allowed: _*))
+
+  def matches(c: String, regex: String): Rule =
+    Rule(s"matches($c)", col(c).rlike(regex))
+
+  def nonEmpty(c: String): Rule =
+    Rule(s"non_empty($c)", length(col(c)) > 0)
+
+  /** Validate `df` against `rules` in one pass. Output: one row per
+    * rule — `rule`, `n_rows` (batch size), `n_violations` (rows where
+    * the rule is provably FALSE), `n_unknown` (rows where it is NULL),
+    * `pass` (no violations).
+    */
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "declare at least one expectation")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "expectation names must be unique")
+    // internal aliases are index-based: rule names carry dots/parens
+    // that column resolution would read as paths
+    val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(
+        sum(when(r.holds <=> lit(false), 1L).otherwise(0L)).as(s"__v_$i"),
+        sum(when(r.holds.isNull, 1L).otherwise(0L)).as(s"__u_$i"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // melt the single wide row into one narrow row per rule — a stack
+    // over literals, no second data pass
+    val pairs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"),
+        col(s"__v_$i").as("n_violations"),
+        col(s"__u_$i").as("n_unknown"))
+    }
+    row.select(col("__n").as("n_rows"),
+        explode(array(pairs: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("n_rows"),
+        col("r.n_violations").as("n_violations"),
+        col("r.n_unknown").as("n_unknown"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
+}

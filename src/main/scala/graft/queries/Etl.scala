@@ -524,6 +524,23 @@ object Etl extends QueryPack {
     * added (all required loudly) — and the final V2 read is oracled vs
     * DuckDB composing keep ∪ replacement.
     */
+  /** Batch expectations gate (q156): the declarative pre-ingest
+    * validation report ([[graft.etl.Expectations]]) over the documents
+    * batch — five rules, ONE pass (every rule folds into the same
+    * conditional aggregate), SQL-CHECK null semantics (a NULL test
+    * neither passes nor fails). Oracled per-rule against DuckDB
+    * recomputing the same counts.
+    */
+  def expectationsGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Expectations._
+    validate(Tables.documents(s, dir), Seq(
+      notNull("text"),
+      between("n_chars", 1, 300),
+      inSet("lang", Seq("en", "es", "fr", "de")),
+      nonEmpty("text"),
+      matches("source", "^src[0-9]+$")))
+  }
+
   /** Identity columns gate (q155): GENERATED ALWAYS AS IDENTITY on a
     * lake table — three appends of the documents table (no id supplied)
     * must land globally unique, contiguous ids 1..N allocated against
@@ -1241,6 +1258,7 @@ object Etl extends QueryPack {
     "q128_dynamic_overwrite" -> dynamicOverwrite _,
     "q129_convert_in_place" -> convertInPlace _,
     "q155_identity_columns" -> identityColumns _,
+    "q156_expectations" -> expectationsGate _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
@@ -1404,6 +1422,45 @@ object Etl extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate
         |FROM orders""".stripMargin,
+    "q156_expectations" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents),
+        |r AS (
+        |  SELECT 'not_null(text)' AS rule,
+        |    sum(CASE WHEN (text IS NOT NULL) = false THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_violations,
+        |    0::BIGINT AS n_unknown
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'between(n_chars,1.0,300.0)',
+        |    sum(CASE WHEN (n_chars >= 1 AND n_chars <= 300) = false
+        |      THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN (n_chars >= 1 AND n_chars <= 300) IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'in_set(lang)',
+        |    sum(CASE WHEN (lang IN ('en','es','fr','de')) = false
+        |      THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN (lang IN ('en','es','fr','de')) IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'non_empty(text)',
+        |    sum(CASE WHEN (len(text) > 0) = false THEN 1 ELSE 0 END)
+        |      ::BIGINT,
+        |    sum(CASE WHEN (len(text) > 0) IS NULL THEN 1 ELSE 0 END)
+        |      ::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'matches(source)',
+        |    sum(CASE WHEN regexp_matches(source, '^src[0-9]+$') = false
+        |      THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN regexp_matches(source, '^src[0-9]+$') IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT
+        |  FROM documents)
+        |SELECT rule, n.n_rows, n_violations, n_unknown,
+        |  n_violations = 0 AS pass
+        |FROM r, n""".stripMargin,
     "q155_identity_columns" ->
       """SELECT count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_ids,
         |  1::BIGINT AS min_id, count(*)::BIGINT AS max_id

@@ -1,0 +1,45 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+  import Expectations._
+
+  private lazy val batch = Seq(
+    (1L, "hello", "en", 5L),
+    (2L, "", "fr", 0L),
+    (3L, null.asInstanceOf[String], "xx", -1L),
+    (4L, "ok then", null.asInstanceOf[String], 7L)
+  ).toDF("id", "text", "lang", "n_chars")
+
+  test("one pass, one row per rule, SQL CHECK null semantics") {
+    val out = validate(batch, Seq(
+      notNull("text"),
+      between("n_chars", 0, 10),
+      inSet("lang", Seq("en", "fr")),
+      nonEmpty("text")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // null text: violates not_null, UNKNOWN (not a violation) for non_empty
+    assert(out("not_null(text)") == ((4L, 1L, 0L, false)))
+    assert(out("non_empty(text)") == ((4L, 1L, 1L, false))) // "" fails, null unknown
+    assert(out("between(n_chars,0.0,10.0)") == ((4L, 1L, 0L, false))) // -1
+    assert(out("in_set(lang)") == ((4L, 1L, 1L, false))) // xx fails, null unknown
+  }
+
+  test("a clean batch passes every rule") {
+    val out = validate(batch.filter($"id" === 1), Seq(
+      notNull("text"), nonEmpty("text"), matches("lang", "^[a-z]{2}$")))
+    assert(out.filter(!$"pass").count() == 0)
+    assert(out.count() == 3)
+  }
+
+  test("duplicate rule names are rejected") {
+    intercept[IllegalArgumentException] {
+      validate(batch, Seq(notNull("text"), notNull("text")))
+    }
+  }
+}
