@@ -604,7 +604,19 @@ object Text extends QueryPack {
         round(col("lang_l1"), 6).as("l1_r"))
   }
 
+  /** Curriculum ordering gate (q157): three epochs annealing from the
+    * easiest 40% of the corpus (by n_chars) to the full corpus, each
+    * epoch md5-shuffled — [[graft.text.Curriculum.stream]]. Ranks and
+    * positions both come from the distributed range-partition rank (no
+    * single-partition global window). Oracled bit-exact against DuckDB
+    * recomputing ranks, admission, and positions.
+    */
+  def curriculum(s: SparkSession, dir: String): DataFrame =
+    graft.text.Curriculum.stream(Tables.documents(s, dir),
+      "doc_id", "n_chars", epochs = 3, startFrac = 0.4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_curriculum" -> curriculum _,
     "q154_corpus_drift" -> corpusDrift _,
     "q149_url_dedup" -> urlDedup _,
     "q150_host_cap" -> hostCap _,
@@ -646,6 +658,26 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q157_curriculum" ->
+      """WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, e.epoch
+        |  FROM r, n, (VALUES (0), (1), (2)) e(epoch)
+        |  WHERE rk < ceil((0.4 + 0.6 * e.epoch / 2) * n.n)),
+        |k AS (
+        |  SELECT doc_id, epoch,
+        |    lpad(CAST(epoch AS VARCHAR), 4, '0') || ':' ||
+        |      md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(epoch AS VARCHAR)) ||
+        |      ':' || CAST(doc_id AS VARCHAR) AS key
+        |  FROM a)
+        |SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |  CAST(row_number() OVER (ORDER BY key) AS BIGINT) - 1 AS pos
+        |FROM k""".stripMargin,
     "q154_corpus_drift" ->
       """WITH a AS (SELECT * FROM documents WHERE doc_id % 40 < 20),
         |b AS (SELECT * FROM documents WHERE doc_id % 40 >= 20),

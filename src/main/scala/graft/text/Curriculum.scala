@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curriculum ordering — easy-first training schedules: epoch e admits
+  * the easiest fraction f_e of the corpus by a difficulty score,
+  * annealing linearly from `startFrac` to the full corpus by the last
+  * epoch, and orders each epoch by the same deterministic md5
+  * permutation [[TrainOrder]] uses (curriculum decides WHAT an epoch
+  * sees; the shuffle still decides in what order).
+  *
+  * Scale shape: difficulty ranks and stream positions both come from
+  * the distributed rank below — one range shuffle plus a per-PARTITION
+  * window and a broadcast offsets row each; the single-partition global
+  * `row_number()` window (the naive spelling) never appears. Admission
+  * is then a plain filter on rank/N, and the per-epoch streams are one
+  * union ordered by an epoch-major key.
+  *
+  * Deterministic and engine-portable: the q157 oracle recomputes ranks,
+  * admission, and positions in DuckDB with windows.
+  */
+object Curriculum {
+
+  /** 0-based global rank of every row under `orderCols` (a total order
+    * — include a tiebreaker), without a global single-partition window:
+    * range-partition on the order, rank locally per partition, add
+    * broadcast per-partition offsets. Output = input plus `rankCol`.
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val pid = "__graft_pid"
+    val parted = df.repartitionByRange(nParts, orderCols: _*)
+      .withColumn(pid, spark_partition_id())
+    val w = Window.partitionBy(col(pid)).orderBy(orderCols: _*)
+    val local = parted.withColumn("__graft_local",
+      row_number().over(w).cast("long") - 1L)
+    val offsets = local.groupBy(col(pid))
+      .agg(count(lit(1)).as("__graft_n"))
+      .withColumn("__graft_off", coalesce(
+        sum(col("__graft_n")).over(Window.orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pid), col("__graft_off"))
+    local.join(broadcast(offsets), pid)
+      .withColumn(rankCol, col("__graft_local") + col("__graft_off"))
+      .drop(pid, "__graft_local")
+  }
+
+  /** The curriculum stream: (`idCol`, epoch, pos) with `pos` the
+    * 0-based epoch-major position. Epoch e ∈ [0, epochs) admits ranks
+    * `< ceil(f_e * N)` where `f_e = startFrac + (1-startFrac) * e /
+    * (epochs-1)` (every doc by the final epoch); difficulty ascends by
+    * (`difficultyCol`, `idCol`).
+    */
+  def stream(docs: DataFrame, idCol: String, difficultyCol: String,
+      epochs: Int, startFrac: Double, salt: String = ""): DataFrame = {
+    require(epochs >= 2, "a curriculum needs at least two epochs")
+    require(startFrac > 0.0 && startFrac <= 1.0,
+      s"startFrac must be in (0, 1], got $startFrac")
+    val n = docs.count()
+    val ranked = globalRank(
+      docs.select(col(idCol), col(difficultyCol)),
+      Seq(col(difficultyCol), col(idCol)), "__rank")
+    val perEpoch = (0 until epochs).map { e =>
+      val f = startFrac + (1.0 - startFrac) * e / (epochs - 1)
+      val admit = math.ceil(f * n).toLong
+      ranked.filter(col("__rank") < admit)
+        .select(col(idCol), lit(e).as("epoch"))
+    }
+    val admitted = perEpoch.reduce(_ unionAll _)
+    // epoch-major deterministic order: same key shape as TrainOrder
+    val key = concat(
+      lpad(col("epoch").cast("string"), 4, "0"), lit(":"),
+      TrainOrder.shuffleKey(col(idCol), col("epoch"), salt),
+      lit(":"), col(idCol).cast("string"))
+    // position = rank of the key, bucketed by a CONTENT-derived prefix
+    // (epoch + first md5 byte) instead of globalRank's sampled range
+    // bounds: the admitted union hangs off a join whose evaluation
+    // order can vary between the window and offsets branches, and
+    // sampling-dependent partition bounds would then disagree —
+    // content-derived buckets are identical on every evaluation. The
+    // bucket prefixes the key, so bucket order IS key order; ~256
+    // uniform buckets per epoch keep the per-bucket window distributed.
+    val withK = admitted.withColumn("__k", key)
+      .withColumn("__b", concat(
+        lpad(col("epoch").cast("string"), 4, "0"),
+        substring(TrainOrder.shuffleKey(col(idCol), col("epoch"), salt), 1, 2)))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__k"))
+    val local = withK.withColumn("__local",
+      row_number().over(w).cast("long") - 1L)
+    // offsets: one row per bucket (epochs × 256) — the prefix window is
+    // over that tiny table, never the corpus
+    val offsets = withK.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    local.join(broadcast(offsets), "__b")
+      .select(col(idCol), col("epoch"),
+        (col("__local") + col("__off")).as("pos"))
+  }
+}

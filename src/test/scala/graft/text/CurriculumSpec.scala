@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CurriculumSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("globalRank equals the single-window global rank") {
+    val got = Curriculum.globalRank(docs.select($"doc_id", $"n_chars"),
+      Seq($"n_chars", $"doc_id"), "rk")
+    val w = Window.orderBy($"n_chars", $"doc_id")
+    val want = docs.select($"doc_id", $"n_chars")
+      .withColumn("rk2", row_number().over(w).cast("long") - 1)
+    assert(got.join(want, "doc_id").filter($"rk" =!= $"rk2").count() == 0)
+  }
+
+  test("epochs anneal: each admits a superset, final admits everything") {
+    val n = docs.count()
+    val s = Curriculum.stream(docs, "doc_id", "n_chars",
+      epochs = 3, startFrac = 0.4).cache()
+    val sizes = s.groupBy("epoch").count().orderBy("epoch")
+      .select("count").as[Long].collect().toSeq
+    assert(sizes.size == 3 && sizes == sizes.sorted)
+    assert(sizes.last == n)
+    assert(sizes.head == math.ceil(0.4 * n).toLong)
+    // an epoch's admitted set contains the previous epoch's
+    val e0 = s.filter($"epoch" === 0).select("doc_id")
+    val e1 = s.filter($"epoch" === 1).select("doc_id")
+    assert(e0.exceptAll(e1).count() == 0)
+    // early epochs admit the EASIEST docs: e0's max difficulty <= the
+    // corpus's 40th-percentile neighborhood, not a random subset
+    val e0max = s.filter($"epoch" === 0)
+      .join(docs, "doc_id").agg(max($"n_chars")).as[Long].head()
+    val rest = docs.join(e0, Seq("doc_id"), "left_anti")
+      .agg(min($"n_chars")).as[Long].head()
+    assert(e0max <= rest)
+    // positions are dense 0..total-1 and epoch-major
+    val total = sizes.sum
+    assert(s.select("pos").distinct().count() == total)
+    assert(s.agg(min("pos"), max("pos")).as[(Long, Long)].head() ==
+      ((0L, total - 1)))
+    val maxE0 = s.filter($"epoch" === 0).agg(max("pos")).as[Long].head()
+    val minE1 = s.filter($"epoch" === 1).agg(min("pos")).as[Long].head()
+    assert(maxE0 < minE1)
+    s.unpersist()
+  }
+
+  test("deterministic across runs") {
+    def run() = Curriculum.stream(docs, "doc_id", "n_chars", 2, 0.5)
+      .orderBy("pos").select("doc_id").as[Long].collect().toSeq
+    assert(run() == run())
+  }
+}
