@@ -1,0 +1,100 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Idempotent batch file loading — Delta's `COPY INTO`: load a
+  * directory of files into a lake table such that every source file
+  * lands EXACTLY ONCE no matter how many times the statement re-runs,
+  * crashes included.
+  *
+  * Exactly-once comes from the txn machinery the streaming sink already
+  * uses: each source file commits under an idempotence key derived from
+  * its qualified path + mtime + size ([[TxnLog.appendTxn]] — a replay
+  * of a committed key is a no-op). A crash mid-run loses nothing: files
+  * committed before the crash are skipped by key on the next run, files
+  * after it load then. A source file REWRITTEN in place (new
+  * mtime/size) counts as new data and loads again — the same contract
+  * Delta's COPY INTO force-mode documents, here the default because a
+  * changed file genuinely is new content.
+  *
+  * One commit per source file keeps the idempotence ledger INSIDE the
+  * log (the commit-dir name is the marker — no side ledger to desync);
+  * checkpoints fold the read cost, and OPTIMIZE folds the files. The
+  * per-file loop runs on the driver — bounded by the NEW-file count per
+  * run, the usual incremental-load shape; bulk-convert an existing
+  * 100k-file directory with [[TxnLog.convert]] instead, which is what
+  * it is for.
+  *
+  * Reference context: the reference achieves run-to-run incrementality
+  * by physically MOVING processed files to an archive
+  * (`emr_json_parquet_schema_drift_etl.py:23-51`); COPY INTO gets the
+  * same exactly-once without touching the source directory.
+  */
+object CopyInto {
+
+  final case class Result(loaded: Long, skipped: Long, version: Option[Long])
+
+  /** The idempotence key doubles as a commit-DIR name segment, so the
+    * path+mtime+size descriptor is hashed to stay filesystem-safe.
+    */
+  private def fileKey(qualified: String, mtime: Long, len: Long): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h = md.digest(s"$qualified@$mtime:$len"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "copy_" + h.map("%02x".format(_)).mkString
+  }
+
+  /** Load every matching file under `sourceDir` not already copied.
+    * `pattern` is a substring/glob-lite filter on the file NAME;
+    * `format` is any Spark batch reader format (parquet/csv/json/orc —
+    * csv/json callers pass reader `options` such as header=true).
+    */
+  def run(spark: SparkSession, table: String, sourceDir: String,
+      format: String = "parquet", pattern: Option[String] = None,
+      options: Map[String, String] = Map.empty): Result = {
+    val root = new Path(sourceDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"COPY INTO source $sourceDir does not exist")
+    val it = fs.listFiles(root, true)
+    val candidates = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val ok = !name.startsWith("_") && !name.startsWith(".") &&
+        pattern.forall(p =>
+          name.contains(p) || name.matches(globToRegex(p)))
+      if (ok) candidates +=
+        ((fs.makeQualified(st.getPath).toString,
+          st.getModificationTime, st.getLen))
+    }
+    // ONE manifest-chain walk for the already-loaded key set (per-file
+    // committedTxn calls would re-walk the log per candidate)
+    val loadedKeys: Set[String] = {
+      val vs = TxnLog.versions(spark, table)
+      if (vs.isEmpty) Set.empty
+      else TxnLog.manifestChain(spark, table, vs.last)._1
+        .flatMap(m => TxnLog.txnIdOfDir(new Path(m.commitDir).getName))
+        .filter(_.startsWith("copy_")).toSet
+    }
+    val fresh = candidates.toSeq.sortBy(_._1)
+      .filterNot { case (p, m, l) => loadedKeys.contains(fileKey(p, m, l)) }
+    var last: Option[Long] = None
+    fresh.foreach { case (p, m, l) =>
+      val df = spark.read.format(format).options(options).load(p)
+      last = Some(TxnLog.appendTxn(spark, table, df, Nil,
+        Some(fileKey(p, m, l))))
+    }
+    Result(fresh.size.toLong, (candidates.size - fresh.size).toLong, last)
+  }
+
+  /** `*`/`?` glob to regex (anchored), everything else literal. */
+  private def globToRegex(glob: String): String =
+    glob.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }
+}

@@ -1326,7 +1326,7 @@ object TxnLog {
     * the same id can never overwrite each other's data files); `txn-<id>`
     * is accepted for logs written before the unique-dir scheme.
     */
-  private def txnIdOfDir(name: String): Option[String] =
+  private[lake] def txnIdOfDir(name: String): Option[String] =
     if (name.startsWith("txn-")) {
       val rest = name.stripPrefix("txn-")
       if (rest.length > 9 && rest(8) == '-' &&

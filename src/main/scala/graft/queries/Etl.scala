@@ -524,6 +524,33 @@ object Etl extends QueryPack {
     * added (all required loudly) — and the final V2 read is oracled vs
     * DuckDB composing keep ∪ replacement.
     */
+  /** COPY INTO gate (q158): idempotent batch file loading
+    * ([[graft.lake.CopyInto]]) — the documents table written as three
+    * parquet files, copied into a fresh lake table TWICE; the second
+    * run must load nothing (every file skipped by its path+mtime+size
+    * key) and the table must hold each row exactly once. Oracled
+    * against the documents table itself.
+    */
+  def copyIntoGate(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_lake_copy_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val (table, src) = (base, s"${base}_src")
+    Seq(table, src).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.repartition(3).write.parquet(src)
+    val r1 = graft.lake.CopyInto.run(s, table, src)
+    require(r1.loaded >= 3 && r1.skipped == 0,
+      s"first COPY INTO must load all source files, got $r1")
+    val r2 = graft.lake.CopyInto.run(s, table, src)
+    require(r2.loaded == 0 && r2.skipped == r1.loaded,
+      s"second COPY INTO must skip every file, got $r2")
+    graft.lake.TxnLog.snapshot(s, table)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** Batch expectations gate (q156): the declarative pre-ingest
     * validation report ([[graft.etl.Expectations]]) over the documents
     * batch — five rules, ONE pass (every rule folds into the same
@@ -1259,6 +1286,7 @@ object Etl extends QueryPack {
     "q129_convert_in_place" -> convertInPlace _,
     "q155_identity_columns" -> identityColumns _,
     "q156_expectations" -> expectationsGate _,
+    "q158_copy_into" -> copyIntoGate _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
@@ -1422,6 +1450,8 @@ object Etl extends QueryPack {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate
         |FROM orders""".stripMargin,
+    "q158_copy_into" ->
+      "SELECT doc_id, source, n_chars FROM documents",
     "q156_expectations" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents),
         |r AS (

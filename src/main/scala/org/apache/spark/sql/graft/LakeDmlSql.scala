@@ -128,6 +128,10 @@ object LakeDmlSql {
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w]*)\s+TO\s+""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)""" +
       """|TIMESTAMP\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)')\s*;?\s*$""").r
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+([A-Za-z_][\w]*)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
 
   /** `OPTIMIZE ... WHERE` predicates are partition-equality
     * conjunctions only (`p = 'x' AND q = 5`) — anything else fails
@@ -216,6 +220,11 @@ object LakeDmlSql {
         LakeMounts.pathOf(spark, name).map(path =>
           LakeRestoreCommand(name, path, Option(ver).map(_.toLong),
             Option(ts)))
+      case CopyIntoRe(name, src, fmt, pat) =>
+        LakeMounts.pathOf(spark, name).map(path =>
+          LakeCopyIntoCommand(name, path, src,
+            Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+            Option(pat)))
       case _ => None
     }
 
@@ -1053,6 +1062,29 @@ object LakeDmlSql {
     }
     override def simpleString(maxFields: Int): String =
       s"LakeDetailCommand $name"
+  }
+
+  /** `COPY INTO t FROM '<dir>' [FILEFORMAT = fmt] [PATTERN = '<glob>']`
+    * — idempotent batch file loading ([[graft.lake.CopyInto]]): every
+    * matching source file lands exactly once across any number of
+    * re-runs; already-copied files are skipped by their path+mtime+size
+    * key. Returns (num_loaded, num_skipped, version).
+    */
+  final case class LakeCopyIntoCommand(name: String, path: String,
+      sourceDir: String, format: String, pattern: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("num_loaded", LongType, nullable = false)(),
+      AttributeReference("num_skipped", LongType, nullable = false)(),
+      AttributeReference("version", LongType)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = graft.lake.CopyInto.run(spark, path, sourceDir, format,
+        pattern)
+      refreshIfMounted(spark, name, path)
+      Seq(Row(r.loaded, r.skipped, r.version.orNull))
+    }
+    override def simpleString(maxFields: Int): String =
+      s"LakeCopyIntoCommand $name from $sourceDir"
   }
 
   /** `ALTER TABLE t ADD COLUMNS (name type, ...)` — widen a mounted

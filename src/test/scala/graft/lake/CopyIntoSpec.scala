@@ -1,0 +1,76 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CopyIntoSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def fresh(name: String): (String, String) = {
+    val t = s"/tmp/graft_copyspec_$name"
+    Seq(t, s"${t}_src").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    (t, s"${t}_src")
+  }
+
+  private def writeFile(dir: String, sub: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("k", "v").coalesce(1).write.mode("append")
+      .parquet(s"$dir/$sub")
+
+  test("each file loads exactly once across re-runs") {
+    val (t, src) = fresh("once")
+    writeFile(src, "a", Seq((1L, "x"), (2L, "y")))
+    writeFile(src, "b", Seq((3L, "z")))
+    val r1 = CopyInto.run(spark, t, src)
+    assert(r1.loaded == 2 && r1.skipped == 0) // one parquet per subdir
+    val r2 = CopyInto.run(spark, t, src)
+    assert(r2.loaded == 0 && r2.skipped == 2)
+    assert(TxnLog.snapshot(spark, t).count() == 3)
+    // a NEW file picks up incrementally
+    writeFile(src, "c", Seq((4L, "w")))
+    val r3 = CopyInto.run(spark, t, src)
+    assert(r3.loaded == 1 && r3.skipped == 2)
+    assert(TxnLog.snapshot(spark, t).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("a rewritten file (new mtime/size) counts as new content") {
+    val (t, src) = fresh("rewrite")
+    writeFile(src, "a", Seq((1L, "x")))
+    assert(CopyInto.run(spark, t, src).loaded == 1)
+    // rewrite the file with different content → different size/mtime
+    val p = new org.apache.hadoop.fs.Path(s"$src/a")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    writeFile(src, "a", Seq((1L, "x"), (9L, "rewritten")))
+    val r = CopyInto.run(spark, t, src)
+    assert(r.loaded == 1)
+    assert(TxnLog.snapshot(spark, t).count() == 3) // old rows + rewrite
+  }
+
+  test("pattern filters by file name") {
+    val (t, src) = fresh("pattern")
+    writeFile(src, "a", Seq((1L, "x")))
+    val r = CopyInto.run(spark, t, src, pattern = Some("*.parquet"))
+    assert(r.loaded == 1)
+    val none = CopyInto.run(spark, t, src, pattern = Some("*.csv"))
+    assert(none.loaded == 0 && none.skipped == 0)
+  }
+
+  test("SQL surface: COPY INTO over a mounted table") {
+    val (t, src) = fresh("sql")
+    writeFile(src, "a", Seq((1L, "x"), (2L, "y")))
+    spark.sql("DROP TABLE IF EXISTS copy_sql_t")
+    spark.sql(s"CREATE TABLE copy_sql_t (k BIGINT, v STRING) " +
+      s"USING graftlake LOCATION '$t'")
+    val r1 = spark.sql(s"COPY INTO copy_sql_t FROM '$src' " +
+      "FILEFORMAT = PARQUET").head()
+    assert(r1.getLong(0) == 1 && r1.getLong(1) == 0)
+    val r2 = spark.sql(s"COPY INTO copy_sql_t FROM '$src'").head()
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 1)
+    assert(spark.sql("SELECT count(*) FROM copy_sql_t").as[Long].head() == 2)
+    spark.sql("DROP TABLE copy_sql_t")
+  }
+}
