@@ -34,4 +34,32 @@ object RangeJoin {
       .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: pairs of left/right rows sharing `key`
+    * whose [start, end] intervals intersect (inclusive). Same banding
+    * as [[pointInInterval]], but BOTH sides replicate to their spanned
+    * buckets, so an overlapping pair meets in every bucket the overlap
+    * touches — dedup is arithmetic, not a distinct: the pair is kept
+    * only in the FIRST shared bucket (`floor(max(starts) / width)`),
+    * which costs one comparison instead of a second shuffle. Alias
+    * colliding column names before joining.
+    */
+  def intervalOverlap(left: DataFrame, lStartCol: String, lEndCol: String,
+      right: DataFrame, rStartCol: String, rEndCol: String,
+      key: String, bucketWidthUs: Long): DataFrame = {
+    val w = lit(bucketWidthUs)
+    def banded(df: DataFrame, s: String, e: String) = df.withColumn(
+      "__bucket", explode(sequence(
+        (unix_micros(col(s)) / w).cast("long"),
+        (unix_micros(col(e)) / w).cast("long"))))
+    val l = banded(left, lStartCol, lEndCol)
+    val r = banded(right, rStartCol, rEndCol)
+    l.join(r, Seq(key, "__bucket"))
+      .filter(col(lStartCol) <= col(rEndCol) &&
+        col(rStartCol) <= col(lEndCol))
+      .filter(col("__bucket") ===
+        (greatest(unix_micros(col(lStartCol)), unix_micros(col(rStartCol)))
+          / w).cast("long"))
+      .drop("__bucket")
+  }
 }

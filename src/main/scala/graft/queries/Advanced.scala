@@ -91,6 +91,29 @@ object Advanced extends QueryPack {
       .select(col("event_id"), col("user_id"), col("session_seq"))
   }
 
+  /** Interval-overlap join gate (q159): view attention windows
+    * [ts, ts+10min] against click dwell windows [ts, ts+5min] per
+    * user — [[graft.operators.RangeJoin.intervalOverlap]]'s banded
+    * equi-join with arithmetic first-shared-bucket dedup, never the
+    * BroadcastNestedLoop a raw overlap theta-join plans. Oracled
+    * against DuckDB's plain theta join.
+    */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("v_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("v_end"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("c_start"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("c_end"))
+    graft.operators.RangeJoin.intervalOverlap(
+        views, "v_start", "v_end", clicks, "c_start", "c_end",
+        key = "user_id", bucketWidthUs = 600L * 1000000L)
+      .select(col("view_id"), col("click_id"), col("user_id"))
+  }
+
   /** Winnowing fingerprints, rows-only (xxhash64 is engine-specific);
     * overlap behavior is asserted in `TextMultimodalSpec`.
     */
@@ -311,12 +334,19 @@ object Advanced extends QueryPack {
     "q48_corr_exists" -> bigOpenOrderCustomers _,
     "q49_revenue_share" -> significantPartTypes _,
     "q56_range_join" -> rangeJoinSessions _,
+    "q159_interval_overlap" -> intervalOverlap _,
     "q57_winnow_fingerprints" -> winnow _,
     "q58_approx_quantiles" -> approxQuantiles _,
     "q73_approx_quantiles_gate" -> approxQuantilesGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q159_interval_overlap" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND v.ts <= c.ts + INTERVAL 5 MINUTE
+        | AND c.ts <= v.ts + INTERVAL 10 MINUTE""".stripMargin,
     "q94_asof_nearest_sql" ->
       """WITH purchases AS (
         |  SELECT event_id, user_id, ts, value FROM events
