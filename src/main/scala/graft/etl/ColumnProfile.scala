@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-column profiling report — the `ANALYZE`-style statistics pass a
+  * pipeline runs on an unfamiliar or freshly-landed dataset: row/null
+  * counts, distinct counts, and value bounds for every requested
+  * column, as one small result table (a row per column).
+  *
+  * One aggregate job computes every column's stats together. Two NDV
+  * modes with different scale posture:
+  *   - exact (`approxNdv = false`): Spark plans multiple `count
+  *     (distinct)`s via an Expand (the input multiplies by the column
+  *     count before the shuffle) — exact answers, right for profiling
+  *     samples and CI gates;
+  *   - sketch (`approxNdv = true`): HyperLogLog++ per column in a
+  *     single un-expanded pass — the 100 TB default, ~2% error.
+  *
+  * Bounds are rendered lexicographically over the string form (one
+  * presentation rule for every type); numeric-order bounds are a plain
+  * `min(col)` away if a caller needs them typed.
+  */
+object ColumnProfile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+      approxNdv: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"column $c is not in the schema (${df.columns.mkString(", ")})"))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(col(c)).as(s"__nn_$i"),
+        (if (approxNdv) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__ndv_$i"),
+        min(col(c).cast("string")).as(s"__min_$i"),
+        max(col(c).cast("string")).as(s"__max_$i"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"),
+        col(s"__nn_$i").as("n_non_null"),
+        col(s"__ndv_$i").as("ndv"),
+        col(s"__min_$i").as("min_str"),
+        col(s"__max_$i").as("max_str"))
+    }
+    row.select(col("__n").as("n_rows"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.column").as("column"), col("n_rows"),
+        (col("n_rows") - col("p.n_non_null")).as("n_null"),
+        col("p.ndv").as("ndv"),
+        col("p.min_str").as("min_str"), col("p.max_str").as("max_str"))
+  }
+}

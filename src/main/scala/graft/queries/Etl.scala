@@ -524,6 +524,15 @@ object Etl extends QueryPack {
     * added (all required loudly) — and the final V2 read is oracled vs
     * DuckDB composing keep ∪ replacement.
     */
+  /** Column profiling gate (q160): the ANALYZE-style per-column report
+    * ([[graft.etl.ColumnProfile]]) over the documents table — row/null/
+    * exact-distinct counts and lexicographic bounds for every column,
+    * one aggregate job. Oracled per column against DuckDB.
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ColumnProfile.profile(Tables.documents(s, dir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
   /** COPY INTO gate (q158): idempotent batch file loading
     * ([[graft.lake.CopyInto]]) — the documents table written as three
     * parquet files, copied into a fresh lake table TWICE; the second
@@ -1287,6 +1296,7 @@ object Etl extends QueryPack {
     "q155_identity_columns" -> identityColumns _,
     "q156_expectations" -> expectationsGate _,
     "q158_copy_into" -> copyIntoGate _,
+    "q160_column_profile" -> columnProfile _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
@@ -1452,6 +1462,27 @@ object Etl extends QueryPack {
         |FROM orders""".stripMargin,
     "q158_copy_into" ->
       "SELECT doc_id, source, n_chars FROM documents",
+    "q160_column_profile" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
+        |SELECT 'doc_id' AS column, n.n_rows,
+        |  (n.n_rows - count(doc_id))::BIGINT AS n_null,
+        |  count(DISTINCT doc_id)::BIGINT AS ndv,
+        |  min(CAST(doc_id AS VARCHAR)) AS min_str,
+        |  max(CAST(doc_id AS VARCHAR)) AS max_str
+        |FROM documents, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'lang', n.n_rows, (n.n_rows - count(lang))::BIGINT,
+        |  count(DISTINCT lang)::BIGINT, min(lang), max(lang)
+        |FROM documents, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'source', n.n_rows, (n.n_rows - count(source))::BIGINT,
+        |  count(DISTINCT source)::BIGINT, min(source), max(source)
+        |FROM documents, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'n_chars', n.n_rows, (n.n_rows - count(n_chars))::BIGINT,
+        |  count(DISTINCT n_chars)::BIGINT,
+        |  min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+        |FROM documents, n GROUP BY n.n_rows""".stripMargin,
     "q156_expectations" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents),
         |r AS (

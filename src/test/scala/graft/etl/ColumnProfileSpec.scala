@@ -1,0 +1,40 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ColumnProfileSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("exact profile matches direct aggregates, nulls counted") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a"))
+    ).toDF("id", "s")
+    val out = ColumnProfile.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(out("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(out("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("approx mode stays within HLL tolerance on real data") {
+    val docs = Tables.documents(spark, sf)
+    val exact = ColumnProfile.profile(docs, Seq("doc_id", "lang"))
+      .select($"column", $"ndv").as[(String, Long)].collect().toMap
+    val approx = ColumnProfile.profile(docs, Seq("doc_id", "lang"),
+        approxNdv = true)
+      .select($"column", $"ndv").as[(String, Long)].collect().toMap
+    exact.foreach { case (c, e) =>
+      assert(math.abs(approx(c) - e) <= math.max(1L, (e * 0.05).toLong),
+        s"$c: approx ${approx(c)} vs exact $e")
+    }
+  }
+
+  test("unknown column fails loudly") {
+    intercept[IllegalArgumentException] {
+      ColumnProfile.profile(Seq((1, 2)).toDF("a", "b"), Seq("nope"))
+    }
+  }
+}
