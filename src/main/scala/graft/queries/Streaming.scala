@@ -256,7 +256,35 @@ object Streaming extends QueryPack {
     "q137_stream_sessions" -> streamSessionWindows _,
     "q115_stream_rate_limit" -> streamRateLimit _,
     "q151_stream_moments" -> streamMoments _,
+    "q161_stream_incr_dedup" -> streamIncrementalDedup _,
   )
+
+  /** Streaming incremental dedup gate (q161): odd-id documents replayed
+    * as a stream, deduplicated against the static even-id snapshot —
+    * [[StreamingDedup.againstCorpus]]'s bloom prefilter + stream-static
+    * LEFT ANTI verify. Exact (bloom has no false negatives; the anti
+    * join removes false positives), so the oracle is the plain batch
+    * NOT EXISTS — the same truth q148 pins for the batch operator.
+    */
+  def streamIncrementalDedup(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.documents(s, dir).schema
+    val src = s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/documents.parque[t]") // glob: see streamingDedupGate
+      .filter(col("doc_id") % 2 === 1)
+    val prior = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+    val fresh = StreamingDedup.againstCorpus(src, prior,
+      expectedPriorItems = 100000L)
+    val name = s"q161_incr_${math.abs(dir.hashCode).toString}"
+    val q = fresh.select(col("doc_id"), col("source"), col("n_chars"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
 
   /** Streaming per-key running moments gate (q151): the events table
     * replayed as a file stream, per-user count/mean/variance held as
@@ -296,6 +324,12 @@ object Streaming extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q161_stream_incr_dedup" ->
+      """SELECT b.doc_id, b.source, b.n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM documents p
+        |  WHERE p.doc_id % 2 = 0 AND p.text = b.text)""".stripMargin,
     "q151_stream_moments" ->
       """SELECT user_id AS key, count(*)::BIGINT AS n,
         |  round(sum(value), 2) AS sum_r,

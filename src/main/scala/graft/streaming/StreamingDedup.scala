@@ -34,4 +34,38 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__content_sha")
       .drop("__content_sha")
+
+  /** Streaming incremental dedup AGAINST A STATIC CORPUS — the
+    * streaming face of [[graft.dedup.IncrementalDedup]]: drop stream
+    * documents whose exact content already exists in `prior` (e.g.
+    * yesterday's lake snapshot), exactly.
+    *
+    * Same two-phase shape, adapted to micro-batches: the prior
+    * corpus's Bloom sketch is built ONCE at query start and inlined as
+    * a literal, so definitely-new documents pass each batch with a
+    * per-row probe and NO join at all; only probe-positive candidates
+    * (true dups + fpp) take the stream-static LEFT ANTI join against
+    * the prior's 256-bit content hashes. Without the sketch every
+    * micro-batch would pay the full static-side join; with it the join
+    * input is ~fpp of the stream. State: none (the static side is the
+    * ledger; combine with [[byContent]] for intra-stream dups).
+    */
+  def againstCorpus(stream: DataFrame, prior: DataFrame,
+      textCol: String = "text", expectedPriorItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.dedup.IncrementalDedup
+    val spark = prior.sparkSession
+    val key = xxhash64(col(textCol))
+    val bloom = IncrementalDedup.buildBloom(prior, key,
+      expectedPriorItems, fpp)
+    val probed = stream.withColumn("__cand",
+      IncrementalDedup.mightContain(spark, bloom, key))
+    val definiteNew = probed.filter(!col("__cand")).drop("__cand")
+    val priorKeys = prior.select(sha2(col(textCol), 256).as("__sha"))
+    val verified = probed.filter(col("__cand")).drop("__cand")
+      .withColumn("__sha", sha2(col(textCol), 256))
+      .join(priorKeys, Seq("__sha"), "left_anti")
+      .drop("__sha")
+    definiteNew.unionByName(verified)
+  }
 }

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamIncrDedupSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("stream copies of prior content are dropped; new content passes") {
+    val docs = Tables.documents(spark, sf)
+    val prior = docs.limit(50).cache()
+    prior.count()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val out = StreamingDedup.againstCorpus(stream, prior,
+      expectedPriorItems = 1000L)
+    val q = out.writeStream.format("memory").queryName("incr_dedup_spec")
+      .outputMode("append").start()
+    val priorTexts = prior.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    // batch 1: two exact copies of prior docs + one new doc
+    in.addData((9001L, priorTexts(0)._2), (9002L, priorTexts(1)._2),
+      (9003L, "genuinely new content"))
+    q.processAllAvailable()
+    // batch 2: another copy + another new doc
+    in.addData((9004L, priorTexts(2)._2), (9005L, "more new text"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("incr_dedup_spec").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(9003L, 9005L))
+    prior.unpersist()
+  }
+}
