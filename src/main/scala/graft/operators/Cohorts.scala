@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort retention — the standard product-analytics matrix: group
+  * users by their FIRST-activity period (the cohort), then count how
+  * many of each cohort return in each subsequent period.
+  *
+  * Two hash aggregates and one broadcast-size join: (1) per-user first
+  * activity (one row per user), (2) join back to per-user-period
+  * activity to tag each active period with the user's cohort and
+  * offset, (3) count distinct users per (cohort, offset). Nothing here
+  * is a window over the event table — at 100 TB the per-user aggregate
+  * is the only full-data shuffle.
+  *
+  * Periods are fixed-width epoch buckets ([[Resample.bucketOf]]'s
+  * arithmetic): deterministic integers, no calendar surface to
+  * disagree with an oracle about.
+  */
+object Cohorts {
+
+  /** One row per (cohort_period, period_offset): `n_active` distinct
+    * users of that cohort active `period_offset` periods after their
+    * first activity (offset 0 = the cohort's size-defining period) and
+    * `cohort_size` for ratio computation downstream.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      periodSeconds: Long): DataFrame = {
+    val period = Resample.bucketOf(col(tsCol), periodSeconds)
+    val active = events
+      .select(col(userCol).as("u"), period.as("p")).distinct()
+    val first = active.groupBy(col("u")).agg(min(col("p")).as("p0"))
+    val tagged = active.join(first, "u")
+      .select(col("p0").as("cohort_period"),
+        ((col("p") - col("p0")) / periodSeconds).cast("long")
+          .as("period_offset"),
+        col("u"))
+    val sizes = tagged.filter(col("period_offset") === 0)
+      .groupBy(col("cohort_period"))
+      .agg(count(lit(1)).as("cohort_size"))
+    tagged.groupBy(col("cohort_period"), col("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_period")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization — the two primitives Spark SQL lacks as
+  * built-ins and every metrics/training-telemetry pipeline reimplements:
+  *
+  *   - [[resample]]: aggregate events into fixed time buckets per key;
+  *   - [[fillGaps]]: densify the bucketed series so every key carries a
+  *     row for EVERY bucket between its first and last activity, with
+  *     explicit fill values for silent periods (a downstream model or
+  *     chart must see "0 events", not a missing row).
+  *
+  * Scale shape: bucketing is a plain projection + hash aggregate. Gap
+  * filling generates each key's full bucket range with `sequence` +
+  * `explode` from that key's OWN bounds (one tiny per-key aggregate) —
+  * rows generated scale with Σ per-key spans, never (#keys × global
+  * span) — then left-joins the observed buckets back on (key, bucket).
+  */
+object Resample {
+
+  /** Floor a timestamp column to `bucketSeconds`-wide buckets (as epoch
+    * seconds — deterministic integer arithmetic, no timezone surface).
+    */
+  def bucketOf(ts: Column, bucketSeconds: Long): Column =
+    (floor(unix_micros(ts) / (bucketSeconds * 1000000L)) *
+      bucketSeconds).cast("long")
+
+  /** Per (key, bucket) aggregation: event count and value sum. */
+  def resample(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketSeconds: Long): DataFrame =
+    events.groupBy(col(keyCol),
+        bucketOf(col(tsCol), bucketSeconds).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("value_sum"))
+
+  /** Densify a resampled series: one row per key per bucket from that
+    * key's first to last observed bucket; silent buckets carry
+    * `n_events = 0` and `value_sum = 0.0`.
+    */
+  def fillGaps(resampled: DataFrame, keyCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val spine = resampled.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol), explode(
+        sequence(col("__lo"), col("__hi"), lit(bucketSeconds)))
+        .as("bucket"))
+    spine.join(resampled, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
+  }
+}

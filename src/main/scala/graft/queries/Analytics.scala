@@ -215,7 +215,33 @@ object Analytics extends QueryPack {
       .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n_items"))
   }
 
+  /** Gap-filled hourly resample (q162): per-user event counts and value
+    * sums in fixed hourly buckets, densified so every user carries a
+    * row for EVERY hour between their first and last activity
+    * ([[graft.operators.Resample]]) — the spine generates from each
+    * key's own bounds, never (#keys × global span). Oracled bit-exact
+    * (2-decimal inputs make the bucket sums boundary-safe at round 2).
+    */
+  def resampleFill(s: SparkSession, dir: String): DataFrame = {
+    val r = graft.operators.Resample.resample(
+      Tables.events(s, dir), "user_id", "ts", "value", 3600L)
+    graft.operators.Resample.fillGaps(r, "user_id", 3600L)
+      .select(col("user_id"), col("bucket"), col("n_events"),
+        round(col("value_sum"), 2).as("value_r"))
+  }
+
+  /** Cohort retention matrix (q163): users grouped by first-activity
+    * day, distinct-active counts per day offset
+    * ([[graft.operators.Cohorts.retention]]) — two hash aggregates,
+    * no event-table window. Oracled against DuckDB.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.retention(
+      Tables.events(s, dir), "user_id", "ts", 86400L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_resample_fill" -> resampleFill _,
+    "q163_cohort_retention" -> cohortRetention _,
     "q27_percentiles" -> percentiles _,
     "q28_grouping_sets" -> groupingSets _,
     "q29_pivot_status" -> pivotStatus _,
@@ -230,6 +256,37 @@ object Analytics extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q162_resample_fill" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+        |    count(*)::BIGINT AS n_events, sum(value) AS value_sum
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM r GROUP BY 1),
+        |s AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600))
+        |        AS bucket FROM b)
+        |SELECT s.user_id, s.bucket,
+        |  coalesce(r.n_events, 0)::BIGINT AS n_events,
+        |  round(coalesce(r.value_sum, 0.0), 2) AS value_r
+        |FROM s LEFT JOIN r ON s.user_id = r.user_id
+        |  AND s.bucket = r.bucket""".stripMargin,
+    "q163_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    (epoch_us(ts) // 86400000000) * 86400 AS p
+        |  FROM events),
+        |f AS (SELECT u, min(p) AS p0 FROM a GROUP BY 1),
+        |t AS (
+        |  SELECT f.p0 AS cohort_period, (a.p - f.p0) // 86400
+        |    AS period_offset, a.u
+        |  FROM a JOIN f ON a.u = f.u),
+        |sz AS (SELECT cohort_period, count(*)::BIGINT AS cohort_size
+        |       FROM t WHERE period_offset = 0 GROUP BY 1)
+        |SELECT t.cohort_period, t.period_offset,
+        |  count(*)::BIGINT AS n_active, sz.cohort_size
+        |FROM t JOIN sz ON t.cohort_period = sz.cohort_period
+        |GROUP BY 1, 2, sz.cohort_size""".stripMargin,
     "q27_percentiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS p50,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ResampleCohortSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val events = Tables.events(spark, sf)
+
+  test("fillGaps densifies every key's span with explicit zeros") {
+    val r = Resample.resample(events, "user_id", "ts", "value", 3600L)
+    val filled = Resample.fillGaps(r, "user_id", 3600L).cache()
+    // per key: rows == (hi - lo)/width + 1, buckets contiguous
+    val spans = filled.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("bucket").as("lo"),
+        max("bucket").as("hi"))
+      .filter($"n" =!= ($"hi" - $"lo") / 3600L + 1L)
+    assert(spans.count() == 0)
+    // observed buckets keep their aggregates; silent ones are zero
+    assert(filled.join(r, Seq("user_id", "bucket"), "left_anti")
+      .filter($"n_events" =!= 0L || $"value_sum" =!= 0.0).count() == 0)
+    assert(filled.count() > r.count(), "the data must actually have gaps")
+    filled.unpersist()
+  }
+
+  test("retention: offset-0 equals cohort size, actives never exceed it") {
+    val m = Cohorts.retention(events, "user_id", "ts", 86400L).cache()
+    assert(m.filter($"period_offset" === 0 &&
+      $"n_active" =!= $"cohort_size").count() == 0)
+    assert(m.filter($"n_active" > $"cohort_size").count() == 0)
+    // cohort sizes sum to the distinct-user count (everyone has a first day)
+    val users = events.select("user_id").distinct().count()
+    val sum = m.filter($"period_offset" === 0)
+      .agg(org.apache.spark.sql.functions.sum($"cohort_size"))
+      .as[Long].head()
+    assert(sum == users)
+    m.unpersist()
+  }
+}
