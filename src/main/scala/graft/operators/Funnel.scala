@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis: how many users complete step 1, then step 2
+  * strictly after it, then step 3 after that, ... for a declared step
+  * sequence (view → click → purchase).
+  *
+  * The naive SQL is k-1 self-joins of the event table (one per step) —
+  * k full shuffles. This operator is ONE shuffle: group events by user,
+  * sort each user's (ts, type) list, and fold it once with a HOF
+  * `aggregate`, advancing a (step, time) cursor when the next expected
+  * step appears strictly later than the cursor. Per-user state is that
+  * user's event list — the same bound sessionization carries.
+  *
+  * Greedy-earliest matching (each step takes its first qualifying
+  * occurrence) — for funnels of distinct forward-ordered steps this
+  * maximizes completion (matching earlier never hurts later steps), so
+  * it agrees with the k-join "first occurrence after previous" oracle.
+  *
+  * Output: one row per step (1-based) with the step name, users
+  * reaching AT LEAST that step, and the conversion ratio vs step 1.
+  */
+object Funnel {
+
+  def steps(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stepNames: Seq[String]): DataFrame = {
+    require(stepNames.nonEmpty, "declare at least one funnel step")
+    require(stepNames.distinct.size == stepNames.size,
+      "funnel steps must be distinct types")
+    val stepsArr = stepNames.map(s => s"'${s.replace("'", "''")}'")
+      .mkString("array(", ", ", ")")
+    val perUser = events
+      .select(col(userCol).as("u"),
+        unix_micros(col(tsCol)).as("t"), col(typeCol).as("et"))
+      .groupBy(col("u"))
+      .agg(array_sort(collect_list(struct(col("t"), col("et"))))
+        .as("seq"))
+      // cursor fold: state = (reached, tPrev); advance on the expected
+      // type strictly after tPrev. One generated loop per user.
+      .withColumn("reached", expr(
+        s"""aggregate(seq,
+           |  named_struct('step', 0, 'tp', CAST(-9223372036854775808 AS BIGINT)),
+           |  (acc, x) -> IF(acc.step < size($stepsArr)
+           |                 AND x.et = element_at($stepsArr, acc.step + 1)
+           |                 AND x.t > acc.tp,
+           |               named_struct('step', acc.step + 1, 'tp', x.t),
+           |               acc),
+           |  acc -> acc.step)""".stripMargin))
+    val byDepth = perUser.groupBy(col("reached"))
+      .agg(count(lit(1)).as("n"))
+    // users reaching AT LEAST step s = sum of n over reached >= s; the
+    // cumulative runs over <= #steps rows — never the user table
+    val depths = byDepth.select(col("reached"), col("n"))
+      .crossJoin(spark_steps(stepNames))
+      .filter(col("reached") >= col("step"))
+      .groupBy(col("step"), col("step_name"))
+      .agg(sum(col("n")).as("n_users"))
+    val base = depths.filter(col("step") === 1)
+      .select(col("n_users").as("__base"))
+    depths.crossJoin(base)
+      .select(col("step"), col("step_name"), col("n_users"),
+        round(col("n_users") / col("__base"), 6).as("conversion"))
+  }
+
+  private def spark_steps(names: Seq[String]) = {
+    import org.apache.spark.sql.SparkSession
+    val s = SparkSession.active
+    import s.implicits._
+    names.zipWithIndex.map { case (n, i) => (i + 1, n) }
+      .toDF("step", "step_name")
+  }
+}

@@ -50,4 +50,32 @@ object Resample {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
   }
+
+  /** Rolling distinct actives (DAU/WAU/MAU shape): for every period in
+    * the data's span, the distinct keys active in the trailing `window`
+    * periods (window = 1 → plain DAU; 7 → WAU over daily buckets).
+    *
+    * The naive spelling is a range self-join (every report day joins a
+    * week of activity) — here each distinct (key, period) SUPPORTS the
+    * `window` report periods it counts toward (`sequence` + `explode`),
+    * turning the range join into a bounded ×window fan-out of the
+    * deduplicated activity table followed by one count-distinct. The
+    * fan-out input is distinct (key, period) — already collapsed —
+    * never the raw event table.
+    */
+  def rollingActives(events: DataFrame, keyCol: String, tsCol: String,
+      periodSeconds: Long, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1 period")
+    val p = periodSeconds
+    val active = events.select(col(keyCol).as("__k"),
+      bucketOf(col(tsCol), p).as("__p")).distinct()
+    val hi = active.agg(max(col("__p")).as("__hi"))
+    active
+      .select(col("__k"), explode(sequence(col("__p"),
+        col("__p") + lit((window - 1) * p), lit(p))).as("bucket"))
+      .crossJoin(broadcast(hi))
+      .filter(col("bucket") <= col("__hi"))
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("__k")).as("n_active"))
+  }
 }

@@ -239,7 +239,27 @@ object Analytics extends QueryPack {
     graft.operators.Cohorts.retention(
       Tables.events(s, dir), "user_id", "ts", 86400L)
 
+  /** Ordered funnel gate (q164): view → click → purchase completion per
+    * user in ONE shuffle ([[graft.operators.Funnel.steps]] — sorted
+    * per-user fold with a HOF cursor), never the k-join the SQL
+    * spelling plans. Greedy-earliest matching agrees with the oracle's
+    * "first occurrence strictly after the previous step" chain.
+    */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.steps(Tables.events(s, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+
+  /** Rolling 7-day actives gate (q165): trailing-week distinct users
+    * per day ([[graft.operators.Resample.rollingActives]] — the range
+    * join becomes a ×7 fan-out of the deduplicated (user, day) table).
+    */
+  def rollingActives(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.rollingActives(Tables.events(s, dir),
+      "user_id", "ts", 86400L, window = 7)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_funnel" -> funnelSteps _,
+    "q165_rolling_actives" -> rollingActives _,
     "q162_resample_fill" -> resampleFill _,
     "q163_cohort_retention" -> cohortRetention _,
     "q27_percentiles" -> percentiles _,
@@ -256,6 +276,40 @@ object Analytics extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q164_funnel" ->
+      """WITH u1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN u1 ON e.user_id = u1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+        |u3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN u2 ON e.user_id = u2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1),
+        |d AS (
+        |  SELECT 1 AS step, 'view' AS step_name,
+        |    (SELECT count(*) FROM u1)::BIGINT AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM u2)::BIGINT
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM u3)::BIGINT)
+        |SELECT step, step_name, n_users,
+        |  round(n_users::DOUBLE /
+        |    (SELECT n_users FROM d WHERE step = 1), 6) AS conversion
+        |FROM d""".stripMargin,
+    "q165_rolling_actives" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    (epoch_us(ts) // 86400000000) * 86400 AS d
+        |  FROM events),
+        |b AS (SELECT min(d) AS mn, max(d) AS mx FROM a),
+        |r AS (SELECT unnest(range(mn, mx + 86400, 86400)) AS bucket
+        |      FROM b)
+        |SELECT r.bucket, count(DISTINCT a.u)::BIGINT AS n_active
+        |FROM r JOIN a ON a.d BETWEEN r.bucket - 6 * 86400 AND r.bucket
+        |GROUP BY 1""".stripMargin,
     "q162_resample_fill" ->
       """WITH r AS (
         |  SELECT user_id,

@@ -25,6 +25,34 @@ class ResampleCohortSpec extends SparkSpec {
     filled.unpersist()
   }
 
+  test("funnel fold equals the k-join chain") {
+    val got = Funnel.steps(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select($"step", $"n_users").as[(Int, Long)].collect().toMap
+    // k-join reference: first occurrence strictly after previous step
+    val u1 = events.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val u2 = events.filter($"event_type" === "click").as("e")
+      .join(u1, "user_id").filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val u3 = events.filter($"event_type" === "purchase").as("e")
+      .join(u2, "user_id").filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    assert(got(1) == u1.count() && got(2) == u2.count() &&
+      got(3) == u3.count())
+    assert(got(1) >= got(2) && got(2) >= got(3) && got(3) > 0)
+  }
+
+  test("rolling 7-day actives >= daily actives, bounded by total users") {
+    val dau = Resample.rollingActives(events, "user_id", "ts", 86400L, 1)
+      .withColumnRenamed("n_active", "dau")
+    val wau = Resample.rollingActives(events, "user_id", "ts", 86400L, 7)
+    val j = wau.join(dau, Seq("bucket"), "left")
+    assert(j.filter($"dau".isNotNull && $"n_active" < $"dau").count() == 0)
+    val users = events.select("user_id").distinct().count()
+    assert(wau.filter($"n_active" > users).count() == 0)
+  }
+
   test("retention: offset-0 equals cohort size, actives never exceed it") {
     val m = Cohorts.retention(events, "user_id", "ts", 86400L).cache()
     assert(m.filter($"period_offset" === 0 &&
