@@ -25,12 +25,18 @@ object TextShingles {
 
   /** docs(doc_id, text) → (doc_id, shingles, n_shingles); documents with
     * fewer than k tokens drop out (no shingle can be formed).
+    *
+    * Computed by the codegen'd [[graft.functions.ShingleArrayExpr]] —
+    * NOT the HOF chain above: HOFs evaluate interpreted, and the
+    * optimizer's inferred generate filters duplicate the whole chain
+    * per row (profiled 5-7 s where the native pass costs ~0.2 s at
+    * sf0.1). The HOF forms stay for equivalence testing.
     */
   def shingleDf(docs: DataFrame, k: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val t = docs.select(col(idCol), tokens(col(textCol)).as("tokens"))
-    t.filter(size(col("tokens")) >= k)
-      .select(col(idCol), shingles(col("tokens"), k).as("shingles"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.GraftFunctions.shingleArray(col(textCol), k)
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
       .withColumn("n_shingles", size(col("shingles")))
-  }
 }

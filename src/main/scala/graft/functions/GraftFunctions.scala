@@ -40,6 +40,21 @@ object GraftFunctions {
   val MINHASH_PREFIX = "graft_minhash_" // one registered name per numHashes
   val WINNOW_PREFIX = "graft_winnow_"   // one registered name per window
 
+  val SHINGLE_PREFIX = "graft_shingles_" // one registered name per k
+
+  /** Distinct k-word shingles in one generated pass (see
+    * [[ShingleArray.shingles]]). Registers on the active session.
+    */
+  def shingleArray(text: Column, k: Int): Column = {
+    val spark = SparkSession.active
+    val name = SHINGLE_PREFIX + k
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => ShingleArrayExpr(exprs(0), k),
+      "built-in")
+    call_function(name, text)
+  }
+
   /** Winnowing window-min selection in one generated loop (see
     * [[WinnowFingerprints]]). Registers on the active session.
     */

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct k-word shingles of a text column in ONE native pass.
+  *
+  * Semantics exactly match the HOF spelling the dedup family used
+  * (`array_distinct(transform(sequence(...), concat_ws(slice(filter(
+  * split(lower(text))...)))))` — lowercase via UTF8String (Spark's own
+  * `lower`), tokens are maximal `[a-z0-9]+` runs, shingles are
+  * space-joined k-grams deduplicated in first-occurrence order; fewer
+  * than k tokens yields an empty array. The HOF-equivalence is
+  * property-tested in TextShinglesSpec.
+  *
+  * Why an expression and not the HOFs: higher-order functions never
+  * enter whole-stage codegen (each lambda element is an interpreted
+  * eval), and `InferFiltersFromGenerate` + filter pushdown DUPLICATE
+  * the whole chain into inferred `size(...) > 0` / `isnotnull(...)`
+  * predicates — the shingling cost was being paid interpreted AND
+  * several times per row. Profiled at sf0.1: the q107 benchmark side
+  * spent ~7 s producing ~100k shingles; this expression is one static
+  * call per row from generated code, so even the duplicated inferred
+  * predicates cost microseconds.
+  */
+object ShingleArray {
+
+  /** Static entry for generated code. */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toLowerCase.toString // UTF8String.toLowerCase == SQL lower()
+    val n = s.length
+    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val alnum = i < n && {
+        val c = s.charAt(i)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) { tokens += s.substring(start, i); start = -1 }
+      i += 1
+    }
+    val t = tokens.length
+    if (t < k) return new GenericArrayData(Array.empty[Any])
+    // distinct in first-occurrence order — array_distinct's contract
+    val seen = new java.util.LinkedHashSet[String](t * 2)
+    var j = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (j <= t - k) {
+      sb.setLength(0)
+      var m = 0
+      while (m < k) {
+        if (m > 0) sb.append(' ')
+        sb.append(tokens(j + m))
+        m += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_shingles_<k>(text)` — see [[ShingleArray.shingles]]. */
+case class ShingleArrayExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_shingles expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = s"graft_shingles_$k"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleArray.shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleArray.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArrayExpr =
+    copy(child = newChild)
+}

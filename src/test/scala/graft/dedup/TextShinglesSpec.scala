@@ -1,0 +1,57 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The codegen'd [[graft.functions.ShingleArrayExpr]] must be
+  * indistinguishable from the HOF spelling it replaced — same tokens,
+  * same order, same dedup, same edge behavior.
+  */
+class TextShinglesSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def hofShingleDf(docs: org.apache.spark.sql.DataFrame, k: Int) = {
+    val t = docs.select(col("doc_id"),
+      TextShingles.tokens(col("text")).as("tokens"))
+    t.filter(size(col("tokens")) >= k)
+      .select(col("doc_id"),
+        TextShingles.shingles(col("tokens"), k).as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")))
+  }
+
+  test("expression equals the HOF form on the real corpus, k=3 and k=5") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    for (k <- Seq(3, 5)) {
+      val got = TextShingles.shingleDf(docs, k)
+        .select($"doc_id", $"shingles")
+        .as[(Long, Seq[String])].collect().toMap
+      val want = hofShingleDf(docs, k)
+        .select($"doc_id", $"shingles")
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got.keySet == want.keySet, s"k=$k row set")
+      got.foreach { case (id, sh) =>
+        assert(sh == want(id), s"k=$k doc $id") // order AND content
+      }
+    }
+  }
+
+  test("edge cases: punctuation runs, case folding, short docs, nulls") {
+    val rows = Seq(
+      (1L, "The  QUICK-brown fox,fox jumps!! over the the lazy dog"),
+      (2L, "a b"),                   // fewer than k tokens -> dropped
+      (3L, "x1 Y2 z3 x1 Y2 z3 x1"),  // repeated shingles dedup
+      (4L, "!!! ???"),               // no tokens at all
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextShingles.shingleDf(rows, 3)
+      .select($"doc_id", $"shingles")
+      .as[(Long, Seq[String])].collect().toMap
+    val want = hofShingleDf(rows, 3)
+      .select($"doc_id", $"shingles")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got == want)
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(3L) == Seq("x1 y2 z3", "y2 z3 x1", "z3 x1 y2"))
+  }
+}
