@@ -42,10 +42,13 @@ object SimHash {
 
   def fingerprints(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
+    // token hashing via the codegen'd TokenHashesExpr — the HOF
+    // transform(tokens, xxhash64) evaluated interpreted and dominated
+    // the fingerprint pass (same pathology as ShingleArrayExpr's doc)
     docs.repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhashFromHashes(spark,
-          transform(TextShingles.tokens(col("text")), t => xxhash64(t)))
+          graft.functions.GraftFunctions.tokenHashes(col("text")))
           .as("simhash"))
   }
 

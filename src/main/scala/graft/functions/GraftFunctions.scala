@@ -41,6 +41,19 @@ object GraftFunctions {
   val WINNOW_PREFIX = "graft_winnow_"   // one registered name per window
 
   val SHINGLE_PREFIX = "graft_shingles_" // one registered name per k
+  val TOKEN_HASHES_FN = "graft_token_hashes"
+
+  /** xxhash64 of every token in one generated pass (see
+    * [[TokenHashes.hashes]]). Registers on the active session.
+    */
+  def tokenHashes(text: Column): Column = {
+    val spark = SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TOKEN_HASHES_FN,
+      exprs => TokenHashesExpr(exprs(0)),
+      "built-in")
+    call_function(TOKEN_HASHES_FN, text)
+  }
 
   /** Distinct k-word shingles in one generated pass (see
     * [[ShingleArray.shingles]]). Registers on the active session.

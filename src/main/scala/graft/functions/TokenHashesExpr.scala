@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** xxhash64 of every word token of a text column, in token order, in
+  * ONE native pass — the codegen'd replacement for
+  * `transform(tokens(text), t => xxhash64(t))` on hot paths (the HOF
+  * chain evaluates interpreted and gets duplicated by inferred
+  * filters; see [[ShingleArray]] for the same story on shingles).
+  *
+  * Exact equivalence: tokens are maximal `[a-z0-9]+` runs of the
+  * lowercased text (UTF8String.toLowerCase — SQL `lower`), NOT
+  * deduplicated, each hashed with Spark's own `XxHash64Function` at
+  * the default seed 42 — bit-identical to the `xxhash64()` SQL
+  * function on the same token. Property-tested in TextShinglesSpec.
+  */
+object TokenHashes {
+
+  /** Static entry for generated code. */
+  def hashes(text: UTF8String): ArrayData = {
+    val s = text.toLowerCase.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](64)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val alnum = i < n && {
+        val c = s.charAt(i)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out += java.lang.Long.valueOf(XxHash64Function.hash(
+          UTF8String.fromString(s.substring(start, i)), StringType, 42L))
+        start = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_token_hashes(text)` — see [[TokenHashes.hashes]]. */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_token_hashes expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_token_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHashes.hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenHashes.hashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}

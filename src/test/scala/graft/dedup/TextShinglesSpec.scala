@@ -36,6 +36,20 @@ class TextShinglesSpec extends SparkSpec {
     }
   }
 
+  test("tokenHashes equals transform(tokens, xxhash64) bit-for-bit") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .unionAll(Seq((90001L, "The QUICK  fox!fox"), (90002L, "..."),
+        (90003L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = docs.select($"doc_id",
+        graft.functions.GraftFunctions.tokenHashes($"text").as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = docs.select($"doc_id",
+        transform(TextShingles.tokens($"text"), t => xxhash64(t)).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == want)
+    assert(got(90001L).length == 4) // non-distinct, order-preserving
+  }
+
   test("edge cases: punctuation runs, case folding, short docs, nulls") {
     val rows = Seq(
       (1L, "The  QUICK-brown fox,fox jumps!! over the the lazy dog"),
