@@ -54,33 +54,46 @@ object QualityClassifier {
 
   /** Train `rounds` of full-batch GD; returns the weight vector
     * (length dim+1, bias last). `features` must be [[hashedFeatures]]
-    * output (cache it — every round scans it twice).
+    * output.
+    *
+    * Per-round plan: the features PACK once into per-doc sparse
+    * vectors (one shuffle, total — the packed table persists), the
+    * current weights inline as a LITERAL array (dim+1 doubles — never
+    * a join), so each round is one narrow pass computing residuals
+    * in-row plus one bounded gradient shuffle (≤ dim+1 rows after
+    * map-side partial aggregation). The previous formulation joined
+    * the feature table twice per round (weights join + residual join)
+    * — three shuffles a round where one suffices.
     */
   def train(spark: SparkSession, features: DataFrame, dim: Int,
       rounds: Int = 20, lr: Double = 2.0): Array[Double] = {
     val w = Array.fill(dim + 1)(0.0)
-    val nDocs = features.select(col("doc_id")).distinct().count().toDouble
+    val packed = features.groupBy(col("doc_id"), col("label"))
+      .agg(collect_list(col("idx")).as("idxs"),
+        collect_list(col("val")).as("vals"))
+      .persist()
+    val nDocs = packed.count().toDouble
     require(nDocs > 0, "classifier training needs a non-empty corpus")
-    for (_ <- 0 until rounds) {
-      val wDf = spark.createDataFrame(
-        w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
-        .toDF("idx", "w")
-      // residual per doc (sigmoid(w.x) - y), then one bounded gradient
-      // shuffle: ≤ dim+1 rows leave the map side
-      val resid = features.join(broadcast(wDf), "idx")
-        .groupBy(col("doc_id"), col("label"))
-        .agg(sum(col("val") * col("w")).as("z"))
-        .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("label"))
-            .as("r"))
-      val grad = features.join(resid, "doc_id")
-        .groupBy(col("idx"))
-        .agg(sum(col("val") * col("r")).as("g"))
-        .collect()
-      grad.foreach { row =>
-        w(row.getInt(0)) -= lr * row.getDouble(1) / nDocs
+    try {
+      for (_ <- 0 until rounds) {
+        val wLit = typedlit(w.toSeq)
+        // z = w.x in-row (idx is 0-based; element_at is 1-based)
+        val z = aggregate(
+          zip_with(col("idxs"), col("vals"),
+            (i, v) => v * element_at(wLit, i + 1)),
+          lit(0.0), (acc, x) => acc + x)
+        val resid = (lit(1.0) / (lit(1.0) + exp(-z)) - col("label"))
+        val grad = packed
+          .select(explode(arrays_zip(col("idxs"), col("vals"))).as("f"),
+            resid.as("r"))
+          .groupBy(col("f.idxs").as("idx"))
+          .agg(sum(col("f.vals") * col("r")).as("g"))
+          .collect()
+        grad.foreach { row =>
+          w(row.getInt(0)) -= lr * row.getDouble(1) / nDocs
+        }
       }
-    }
+    } finally packed.unpersist()
     w
   }
 
