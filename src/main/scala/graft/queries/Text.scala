@@ -615,7 +615,25 @@ object Text extends QueryPack {
     graft.text.Curriculum.stream(Tables.documents(s, dir),
       "doc_id", "n_chars", epochs = 3, startFrac = 0.4)
 
+  /** Obfuscation-aware blocklist gate (q166): spam rows planted with
+    * leetspeak variants (fr33, c@sh, t0day) must flag against the
+    * plain-word blocklist after normalization
+    * ([[graft.text.BlocklistFilter]] — one translate + one anchored
+    * regex pass). Oracled bit-exact: DuckDB applies the same fold and
+    * word-boundary alternation.
+    */
+  def blocklistGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        concat(lit("win fr33 c@sh t0day "), substring(col("text"), 1, 40))
+          .as("text"))
+    graft.text.BlocklistFilter.flag(
+      docs.unionByName(planted), Seq("free", "cash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_blocklist" -> blocklistGate _,
     "q157_curriculum" -> curriculum _,
     "q154_corpus_drift" -> corpusDrift _,
     "q149_url_dedup" -> urlDedup _,
@@ -658,6 +676,18 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q166_blocklist" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    'win fr33 c@sh t0day ' || substr(text, 1, 40)
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        |  coalesce(regexp_matches(
+        |    translate(lower(text), '0134578@$!+', 'oleastbasit'),
+        |    '\b(free|cash)\b'), FALSE) AS blocked
+        |FROM all_docs""".stripMargin,
     "q157_curriculum" ->
       """WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
         |r AS (

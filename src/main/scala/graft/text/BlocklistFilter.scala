@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Obfuscation-aware blocklist filtering — the safety-filter pass of a
+  * corpus pipeline. A plain word blocklist misses `fr33`, `c@sh`,
+  * `pr1ze`: spam obfuscates with digit/symbol substitutions. The
+  * normalization folds the standard substitution alphabet back to
+  * letters BEFORE matching, so one blocklist catches the variants.
+  *
+  * Everything is `translate`/`rlike` built-ins (codegen'd, one pass);
+  * the blocklist compiles to a single alternation regex with word
+  * boundaries — term count affects only the compiled automaton, not
+  * the number of passes.
+  *
+  * The variant-generation direction (expanding each term to its
+  * obfuscations) explodes combinatorially; normalizing the TEXT is one
+  * linear scan and is the shape that holds at corpus scale.
+  */
+object BlocklistFilter {
+
+  /** The classic leetspeak substitution alphabet, folded to letters:
+    * 0→o 1→l 3→e 4→a 5→s 7→t 8→b @→a $→s !→i +→t.
+    */
+  private val FROM = "0134578@$!+"
+  private val TO = "oleastbasit"
+
+  /** Lowercased text with obfuscation characters folded to letters. */
+  def normalizeObfuscation(text: Column): Column =
+    translate(lower(text), FROM, TO)
+
+  /** The same fold applied to a blocklist TERM driver-side, so a term
+    * may itself be written obfuscated and still match.
+    */
+  private def normalizeTerm(t: String): String =
+    t.toLowerCase.map(c => FROM.indexOf(c) match {
+      case -1 => c
+      case i => TO.charAt(i)
+    })
+
+  private def blockRegex(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    terms.map(t => java.util.regex.Pattern.quote(normalizeTerm(t)))
+      .mkString("\\b(", "|", ")\\b")
+  }
+
+  /** Flag documents whose normalized text matches any blocklist term
+    * (whole-word). Output: idCol + `blocked` boolean.
+    */
+  def flag(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val re = blockRegex(terms)
+    docs.select(col(idCol),
+      coalesce(normalizeObfuscation(col(textCol)).rlike(re), lit(false))
+        .as("blocked"))
+  }
+
+  /** The corpus with blocked documents removed. */
+  def clean(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val re = blockRegex(terms)
+    docs.filter(!coalesce(normalizeObfuscation(col(textCol)).rlike(re),
+      lit(false)))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BlocklistFilterSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private val docs = Seq(
+    (1L, "totally innocent prose about spark joins"),
+    (2L, "win FR33 cash now"),          // fr33 -> free
+    (3L, "deposit your c@sh here"),     // c@sh -> cash
+    (4L, "pr!stine freedom fighter"),   // substring 'free' inside a word: no match
+    (5L, "ca$h pri5e"),                 // ca$h -> cash
+    (6L, null.asInstanceOf[String])
+  )
+
+  private def flags(terms: Seq[String]): Map[Long, Boolean] =
+    BlocklistFilter.flag(docs.toDF("doc_id", "text"), terms)
+      .as[(Long, Boolean)].collect().toMap
+
+  test("leetspeak variants match the plain-word blocklist") {
+    val f = flags(Seq("free", "cash"))
+    assert(f == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false))
+  }
+
+  test("word boundaries: no substring matches inside longer words") {
+    // 'freedom' must not match 'free'
+    assert(!flags(Seq("free")).apply(4L))
+  }
+
+  test("terms may themselves be written obfuscated") {
+    assert(flags(Seq("fr33")).apply(2L))
+  }
+
+  test("clean drops exactly the flagged docs") {
+    val kept = BlocklistFilter.clean(docs.toDF("doc_id", "text"),
+      Seq("free", "cash")).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
+}
