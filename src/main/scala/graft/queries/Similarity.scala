@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.functions.GraftFunctions
-import graft.similarity.{ContrastiveSampling, IvfIndex, PqIndex, TopKSearch}
+import graft.similarity.{ContrastiveSampling, IvfIndex, PqIndex, SqIndex, TopKSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -263,7 +263,33 @@ object Similarity extends QueryPack {
       .select(col("anchor_id"), col("neg_id"),
         round(col("sim"), 6).as("sim_r"))
 
+  /** SQ8 scalar-quantization gate (q167): ADC search over byte codes +
+    * exact shortlist re-rank must recall ≥0.9 of the exact brute-force
+    * top-K ([[graft.similarity.SqIndex]]) — the q76 gate shape at the
+    * 4×-compression point of the spectrum. Train-once cached like the
+    * other quantizers.
+    */
+  def sqRecall(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    val embs = Tables.embeddings(s, dir)
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val brute = TopKSearch.bruteForce(s, embs, queries, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val model = SqIndex.train(s, embs)
+    val sq = SqIndex.searchTopK(s, model, embs, queries, K, shortlist = 50)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(sq, Seq("query_id", "neighbor_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(
+        lit(K).cast("int").as("k"),
+        (col("n_exact") / lit(K)).cast("bigint").as("n_queries"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.9).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_sq_recall" -> sqRecall _,
     "q152_contrastive_pairs" -> contrastivePairs _,
     "q153_hard_negatives" -> hardNegatives _,
     "q40_ann_brute_topk" -> annBrute _,
@@ -329,6 +355,11 @@ object Similarity extends QueryPack {
          |   WHERE vec_id < $NQUERIES) AS n_queries,
          |  TRUE AS recall_ok""".stripMargin,
     "q76_pq_recall" ->
+      s"""SELECT CAST($K AS INT) AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |   WHERE vec_id < $NQUERIES) AS n_queries,
+         |  TRUE AS recall_ok""".stripMargin,
+    "q167_sq_recall" ->
       s"""SELECT CAST($K AS INT) AS k,
          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
          |   WHERE vec_id < $NQUERIES) AS n_queries,

@@ -1,0 +1,50 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SqIndexSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val embs = Tables.embeddings(spark, sf)
+
+  test("codes are in [0,255] and reconstruct within one quantum") {
+    val m = SqIndex.train(spark, embs)
+    val coded = embs.select($"vec_id",
+      SqIndex.encode(m, $"embedding").as("codes")).cache()
+    val bad = coded.select(explode($"codes").as("c"))
+      .filter($"c" < 0 || $"c" > 255)
+    assert(bad.count() == 0)
+    // reconstruction error per dim <= scale/2 (+ rounding at clamp):
+    // spot-check the max |x - (min + code*scale)| over the corpus
+    val minsL = typedlit(m.mins.toSeq)
+    val scalesL = typedlit(m.scales.toSeq)
+    val worst = coded.join(embs, "vec_id")
+      .select(graft.functions.GraftFunctions.normalize($"embedding").as("v"),
+        $"codes")
+      .select(posexplode($"v").as(Seq("pos", "x")), $"codes")
+      .select($"x", (element_at(minsL, $"pos" + 1) +
+        element_at($"codes", $"pos" + 1) *
+          element_at(scalesL, $"pos" + 1)).as("rx"),
+        element_at(scalesL, $"pos" + 1).as("s"))
+      .select(abs($"x" - $"rx").as("e"), $"s")
+      .filter($"e" > $"s" * 0.51 + 1e-12)
+    assert(worst.count() == 0)
+    coded.unpersist()
+  }
+
+  test("SQ8 search recovers most of the exact top-k") {
+    val queries = embs.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val brute = TopKSearch.bruteForce(spark, embs, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val m = SqIndex.train(spark, embs)
+    val sq = SqIndex.searchTopK(spark, m, embs, queries, 5, shortlist = 50)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & sq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+    // shortlist discipline: exactly k results per query
+    assert(sq.groupBy(_._1).forall(_._2.size == 5))
+  }
+}
