@@ -1,0 +1,63 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-partition statistics of a lake table, answered ENTIRELY from the
+  * transaction log — file counts, byte and row totals per Hive
+  * partition tuple, with zero data reads (the manifests already carry
+  * per-file sizes and row counts, and partition values live in the
+  * recorded paths). On a 100 TB table this is a metadata query over a
+  * few thousand manifest lines; the equivalent
+  * `GROUP BY partition-cols count(*)` scans the world.
+  *
+  * The operational uses: skew triage (which partition holds the bytes),
+  * small-file triage (files per partition → what OPTIMIZE should visit,
+  * the input [[TxnLog.compactWhere]] wants), and retention audits.
+  *
+  * Reference context: the reference's two-tier catalog sync exists to
+  * answer "which partitions exist" cheaply
+  * (`emr_json_parquet_schema_drift_etl.py:332-346`); this answers the
+  * richer per-partition question from the log instead of a catalog.
+  */
+object PartitionStats {
+
+  /** One row per partition tuple: `partition` (the `/k=v` conjunction
+    * in layout order, "" for unpartitioned files), `n_files`,
+    * `n_rows` (null if any contributing entry predates row-count
+    * recording), `n_bytes` (same rule).
+    */
+  def of(spark: SparkSession, table: String,
+      partitionCols: Seq[String]): DataFrame = {
+    val (_, groups) = TxnLog.liveSnapshot(spark, table)
+    val entries = groups.flatMap(_._2)
+    def tupleOf(path: String): String = {
+      val segs = path.split('/').dropRight(1)
+      partitionCols.flatMap { c =>
+        val pre = TxnLog.escapeDir(c) + "="
+        segs.findLast(_.startsWith(pre)).map(s => s"/$s/")
+      }.mkString
+    }
+    val rows = entries.groupBy(e => tupleOf(e.path)).toSeq.map {
+      case (part, es) =>
+        val rowsSum: Any =
+          if (es.forall(_.rows >= 0)) es.map(_.rows).sum else null
+        val bytesSum: Any =
+          if (es.forall(_.size >= 0)) es.map(_.size).sum else null
+        org.apache.spark.sql.Row(part, es.size.toLong, rowsSum, bytesSum)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_files",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_bytes",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+}

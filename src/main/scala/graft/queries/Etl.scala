@@ -524,6 +524,27 @@ object Etl extends QueryPack {
     * added (all required loudly) — and the final V2 read is oracled vs
     * DuckDB composing keep ∪ replacement.
     */
+  /** Partition-stats gate (q168): per-partition row totals of a lake
+    * table answered ENTIRELY from the manifests
+    * ([[graft.lake.PartitionStats]] — zero data reads; the oracle
+    * recomputes the same totals by scanning the source table). The
+    * `files_ok` flag pins that file counts are present without tying
+    * the hash to task-count-dependent file layout.
+    */
+  def partitionStatsGate(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_lake_pstats_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(table)
+    root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    graft.lake.TxnLog.append(s, table,
+      docs.repartition(col("source")), Seq("source"))
+    graft.lake.PartitionStats.of(s, table, Seq("source"))
+      .select(col("partition"), col("n_rows"),
+        (col("n_files") >= 1L).as("files_ok"))
+  }
+
   /** Column profiling gate (q160): the ANALYZE-style per-column report
     * ([[graft.etl.ColumnProfile]]) over the documents table — row/null/
     * exact-distinct counts and lexicographic bounds for every column,
@@ -1297,6 +1318,7 @@ object Etl extends QueryPack {
     "q156_expectations" -> expectationsGate _,
     "q158_copy_into" -> copyIntoGate _,
     "q160_column_profile" -> columnProfile _,
+    "q168_partition_stats" -> partitionStatsGate _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
     "q81_lake_stats_prune" -> lakeStatsPrune _,
@@ -1462,6 +1484,10 @@ object Etl extends QueryPack {
         |FROM orders""".stripMargin,
     "q158_copy_into" ->
       "SELECT doc_id, source, n_chars FROM documents",
+    "q168_partition_stats" ->
+      """SELECT '/source=' || source || '/' AS partition,
+        |  count(*)::BIGINT AS n_rows, TRUE AS files_ok
+        |FROM documents GROUP BY 1""".stripMargin,
     "q160_column_profile" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
         |SELECT 'doc_id' AS column, n.n_rows,

@@ -1,0 +1,34 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PartitionStatsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("per-partition stats from manifests match the data, zero reads") {
+    val t = "/tmp/graft_pstats_spec"
+    val p = new org.apache.hadoop.fs.Path(t)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "b", 40L), (5L, "b", 50L)).toDF("k", "part", "v")
+    TxnLog.append(spark, t, df.repartition($"part"), Seq("part"))
+    // a second append grows one partition's file count
+    TxnLog.append(spark, t, Seq((6L, "a", 60L)).toDF("k", "part", "v"),
+      Seq("part"))
+    val stats = PartitionStats.of(spark, t, Seq("part"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats("/part=a/") == ((2L, 3L))) // 2 files, 3 rows
+    assert(stats("/part=b/")._2 == 3L)
+    // a DELETE's supersession is reflected (manifests, not paths-on-disk):
+    // the range covers part=b's v values wholly, so its file drops
+    // UNREAD and part=a's files are untouched
+    TxnLog.delete(spark, t, Seq(TxnLog.ColRange("v", Some(30L), Some(50L))))
+    val after = PartitionStats.of(spark, t, Seq("part"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(!after.contains("/part=b/"))
+    assert(after("/part=a/") == 3L)
+  }
+}
