@@ -1929,7 +1929,19 @@ object TxnLog {
       // null-valued rows never satisfy the predicate: keep them
       .getOrElse(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), merged))
-    appendCommit(spark, table, survivors, partitionCols,
+    // layout preservation: a caller that omits partitionCols on a
+    // Hive-partitioned table must not silently flatten the survivor
+    // rewrite (losing path-level pruning for those files) — derive the
+    // layout from a live path when not told
+    val layoutCols =
+      if (partitionCols.nonEmpty) partitionCols
+      else rewriteGroups.flatMap(_._2).headOption.map { e =>
+        e.path.split('/').dropRight(1).filter(_.contains('='))
+          .map(s =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(s.takeWhile(_ != '='))).toSeq
+      }.getOrElse(Nil)
+    appendCommit(spark, table, survivors, layoutCols,
       s"delete-${java.util.UUID.randomUUID().toString}", txnId = None,
       requireBase = Some(base), removePaths = touched.flatMap(_._2.map(_.path)),
       skipColumnMapping = true, droppedData = droppedPaths)

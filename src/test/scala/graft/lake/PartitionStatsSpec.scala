@@ -31,4 +31,19 @@ class PartitionStatsSpec extends SparkSpec {
     assert(!after.contains("/part=b/"))
     assert(after("/part=a/") == 3L)
   }
+
+  test("predicate delete's survivor rewrite preserves the Hive layout") {
+    val t = "/tmp/graft_pstats_layout"
+    val p = new org.apache.hadoop.fs.Path(t)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TxnLog.append(spark, t,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("k", "part", "v").repartition($"part"), Seq("part"))
+    // range on a DATA column partially hits part=a -> survivor rewrite;
+    // the caller omits partitionCols, the layout must survive anyway
+    TxnLog.delete(spark, t, Seq(TxnLog.ColRange("v", Some(20L), Some(20L))))
+    val stats = PartitionStats.of(spark, t, Seq("part"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(stats == Map("/part=a/" -> 1L, "/part=b/" -> 1L), stats.toString)
+  }
 }
