@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) join with q-gram count blocking — the
+  * entity-resolution primitive: pair strings whose Levenshtein distance
+  * is ≤ `maxDist` without forming the cross product.
+  *
+  * Blocking is COUNT FILTERING (Gravano et al.): one edit operation
+  * destroys at most q q-grams, so strings within distance d share at
+  * least `max(|a|,|b|) − q + 1 − q·d` q-gram OCCURRENCES. Candidates
+  * come from an equi-join on distinct q-grams (one shuffle, the
+  * [[graft.dedup.NgramJaccard]] shape) with a per-pair shared-count
+  * threshold — the bag bound weakened by each side's repeated-gram
+  * count, still a NECESSARY condition (a qualifying pair shares ≥ 1
+  * occurrence whenever the bound is ≥ 1, hence ≥ 1 distinct gram, so
+  * it always meets in the join). Only candidates pay the exact
+  * `levenshtein`.
+  *
+  * Strings too short for the bound to bite (`len < q·(d+2)`) can't use
+  * gram support: they pair through small length-window joins instead —
+  * the short population is bounded by construction, and correctness
+  * must not depend on the filter having teeth.
+  */
+object FuzzyJoin {
+
+  private val Q = 2 // bigrams
+
+  /** All (left_id, right_id, dist) with `levenshtein ≤ maxDist`.
+    * Inputs are two-column frames (id, string value); each qualifying
+    * pair is emitted exactly once.
+    */
+  def byEditDistance(left: DataFrame, right: DataFrame,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    // shortest length where the count-filter bound (len−1−Q·d) ≥ 1
+    val minLong = Q * maxDist + Q
+    val l = left.toDF("left_id", "lval").withColumn("__ll", length(col("lval")))
+    val r = right.toDF("right_id", "rval").withColumn("__rl", length(col("rval")))
+
+    def bigrams(s: Column): Column =
+      transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(Q)))
+    def gramSide(df: DataFrame, valCol: String, dupName: String) = {
+      val g = bigrams(col(valCol))
+      df.withColumn("__gs", array_distinct(g))
+        // repeated-occurrence count: bag size (len−1) minus distinct
+        .withColumn(dupName, length(col(valCol)) - 1 - size(col("__gs")))
+        .withColumn("__g", explode(col("__gs"))).drop("__gs")
+    }
+    val lg = gramSide(l.filter(col("__ll") >= minLong), "lval", "__dl")
+    val rg = gramSide(r.filter(col("__rl") >= minLong), "rval", "__dr")
+    val longPairs = lg.join(rg, "__g")
+      .filter(abs(col("__ll") - col("__rl")) <= maxDist)
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("__shared"),
+        first(col("lval")).as("lval"), first(col("rval")).as("rval"),
+        first(col("__ll")).as("__ll"), first(col("__rl")).as("__rl"),
+        first(col("__dl")).as("__dl"), first(col("__dr")).as("__dr"))
+      .filter(col("__shared") >= greatest(lit(1),
+        greatest(col("__ll"), col("__rl")) - 1 - lit(Q * maxDist) -
+          col("__dl") - col("__dr")))
+      .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
+
+    // short-string paths: tiny populations, plain length-window joins
+    // (left-short × right-anything-in-window, left-long × right-short)
+    val ls = l.filter(col("__ll") < minLong)
+    val shortLeft = ls.join(r.filter(col("__rl") < minLong + maxDist),
+        abs(col("__ll") - col("__rl")) <= maxDist)
+      .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
+    val shortRight = l.filter(col("__ll") >= minLong)
+      .filter(col("__ll") < minLong + maxDist)
+      .join(r.filter(col("__rl") < minLong),
+        abs(col("__ll") - col("__rl")) <= maxDist)
+      .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
+
+    longPairs.unionByName(shortLeft).unionByName(shortRight)
+      .filter(levenshtein(col("lval"), col("rval")) <= maxDist)
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("lval"), col("rval")).as("dist"))
+  }
+}

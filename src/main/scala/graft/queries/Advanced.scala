@@ -114,6 +114,24 @@ object Advanced extends QueryPack {
       .select(col("view_id"), col("click_id"), col("user_id"))
   }
 
+  /** Fuzzy-join gate (q169): 12-char document prefixes matched within
+    * edit distance 2 against the same set plus planted two-char typos
+    * ([[graft.operators.FuzzyJoin.byEditDistance]] — q-gram count
+    * blocking + exact levenshtein on candidates only, never the cross
+    * product). Oracled against DuckDB's brute-force levenshtein theta
+    * join.
+    */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val l = docs.select(col("doc_id").as("id"),
+      substring(col("text"), 1, 12).as("v"))
+    val planted = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 30000L).as("id"),
+        concat(lit("zz"), substring(col("text"), 3, 10)).as("v"))
+    graft.operators.FuzzyJoin.byEditDistance(l, l.unionByName(planted),
+      maxDist = 2)
+  }
+
   /** Winnowing fingerprints, rows-only (xxhash64 is engine-specific);
     * overlap behavior is asserted in `TextMultimodalSpec`.
     */
@@ -335,12 +353,27 @@ object Advanced extends QueryPack {
     "q49_revenue_share" -> significantPartTypes _,
     "q56_range_join" -> rangeJoinSessions _,
     "q159_interval_overlap" -> intervalOverlap _,
+    "q169_fuzzy_join" -> fuzzyJoin _,
     "q57_winnow_fingerprints" -> winnow _,
     "q58_approx_quantiles" -> approxQuantiles _,
     "q73_approx_quantiles_gate" -> approxQuantilesGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q169_fuzzy_join" ->
+      """WITH l AS (
+        |  SELECT doc_id AS left_id, substr(text, 1, 12) AS lval
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id AS right_id, substr(text, 1, 12) AS rval
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000, 'zz' || substr(text, 3, 10)
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT l.left_id, r.right_id,
+        |  levenshtein(lval, rval)::INT AS dist
+        |FROM l, r
+        |WHERE levenshtein(lval, rval) <= 2""".stripMargin,
     "q159_interval_overlap" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
         |FROM events v JOIN events c ON v.user_id = c.user_id

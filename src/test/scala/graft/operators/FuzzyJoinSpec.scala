@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def brute(l: Seq[(Long, String)], r: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    (for ((li, lv) <- l; (ri, rv) <- r; dd = lev(lv, rv) if dd <= d)
+      yield (li, ri, dd)).toSet
+  }
+
+  private def run(l: Seq[(Long, String)], r: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Int)] =
+    FuzzyJoin.byEditDistance(l.toDF("id", "v"), r.toDF("id", "v"), d)
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("equals brute force on the real corpus prefixes, d=1 and d=2") {
+    val vals = Tables.documents(spark, sf)
+      .select($"doc_id", substring($"text", 1, 10).as("v"))
+      .as[(Long, String)].collect().toSeq
+    for (d <- Seq(1, 2))
+      assert(run(vals, vals, d) == brute(vals, vals, d), s"d=$d")
+  }
+
+  test("short strings, repetitive strings, and mixed lengths stay exact") {
+    val l = Seq((1L, "ab"), (2L, "aaaaaaaa"), (3L, "abcdefgh"),
+      (4L, ""), (5L, "xyzxyzxyz"))
+    val r = Seq((10L, "abc"), (11L, "aaaaaaab"), (12L, "abcdxfgh"),
+      (13L, "a"), (14L, "xyzxyzxy"), (15L, "completely different"))
+    for (d <- Seq(1, 2))
+      assert(run(l, r, d) == brute(l, r, d), s"d=$d")
+  }
+
+  test("no duplicate pairs") {
+    val vals = Tables.documents(spark, sf)
+      .select($"doc_id", substring($"text", 1, 8).as("v"))
+      .as[(Long, String)].collect().toSeq
+    val rows = FuzzyJoin.byEditDistance(vals.toDF("id", "v"),
+        vals.toDF("id", "v"), 2)
+      .select($"left_id", $"right_id").as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size)
+  }
+}
