@@ -3,25 +3,31 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Fuzzy (edit-distance) join with q-gram count blocking — the
+/** Fuzzy (edit-distance) join with Ed-Join-style prefix blocking — the
   * entity-resolution primitive: pair strings whose Levenshtein distance
   * is ≤ `maxDist` without forming the cross product.
   *
-  * Blocking is COUNT FILTERING (Gravano et al.): one edit operation
-  * destroys at most q q-grams, so strings within distance d share at
-  * least `max(|a|,|b|) − q + 1 − q·d` q-gram OCCURRENCES. Candidates
-  * come from an equi-join on distinct q-grams (one shuffle, the
-  * [[graft.dedup.NgramJaccard]] shape) with a per-pair shared-count
-  * threshold — the bag bound weakened by each side's repeated-gram
-  * count, still a NECESSARY condition (a qualifying pair shares ≥ 1
-  * occurrence whenever the bound is ≥ 1, hence ≥ 1 distinct gram, so
-  * it always meets in the join). Only candidates pay the exact
-  * `levenshtein`.
+  * A plain q-gram equi-join melts down on real text: common bigrams
+  * ("th", "e ") appear in most strings, and the candidate count grows
+  * with Σ df(gram)² — measured 52 s at sf0.1 on 12-char prefixes that
+  * mostly start with the same words. The fix is the published one
+  * (Xiao, Wang, Lin — Ed-Join): order all grams by GLOBAL rarity and
+  * join only on each string's `q·d + 1` canonically-first (rarest)
+  * grams — d edits destroy at most q·d gram occurrences, so at least
+  * one of any q·d+1 grams survives in both strings, and the rarest
+  * ones make the worst-case join key frequency tiny. The prefix
+  * extends by the string's repeated-gram count (duplicate occurrences
+  * can hide behind one set element), and candidates must also agree on
+  * gram POSITION within ±d (a surviving gram shifts by at most d) and
+  * length within ±d. Only candidates pay the exact `levenshtein`.
   *
-  * Strings too short for the bound to bite (`len < q·(d+2)`) can't use
-  * gram support: they pair through small length-window joins instead —
-  * the short population is bounded by construction, and correctness
-  * must not depend on the filter having teeth.
+  * Char-bigram frequencies live in a bounded alphabet² table — they
+  * broadcast as one literal map, never a join.
+  *
+  * Strings too short for gram support (`len < q·(d+2)`) pair through
+  * small length-window joins instead — the short population is bounded
+  * by construction, and correctness must not depend on the filter
+  * having teeth.
   */
 object FuzzyJoin {
 
@@ -34,33 +40,70 @@ object FuzzyJoin {
   def byEditDistance(left: DataFrame, right: DataFrame,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    // shortest length where the count-filter bound (len−1−Q·d) ≥ 1
     val minLong = Q * maxDist + Q
     val l = left.toDF("left_id", "lval").withColumn("__ll", length(col("lval")))
     val r = right.toDF("right_id", "rval").withColumn("__rl", length(col("rval")))
 
+    // positional bigrams: array<struct<g, p>>
     def bigrams(s: Column): Column =
-      transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(Q)))
-    def gramSide(df: DataFrame, valCol: String, dupName: String) = {
-      val g = bigrams(col(valCol))
-      df.withColumn("__gs", array_distinct(g))
-        // repeated-occurrence count: bag size (len−1) minus distinct
-        .withColumn(dupName, length(col(valCol)) - 1 - size(col("__gs")))
-        .withColumn("__g", explode(col("__gs"))).drop("__gs")
+      transform(sequence(lit(1), length(s) - 1),
+        i => struct(s.substr(i, lit(Q)).as("g"), i.as("p")))
+
+    // global gram document frequencies — alphabet-bounded, broadcast as
+    // a literal map (unseen grams rank rarest)
+    val lLong = l.filter(col("__ll") >= minLong)
+    val rLong = r.filter(col("__rl") >= minLong)
+    val dfMap: Map[String, Int] = lLong
+      .select(explode(array_distinct(transform(bigrams(col("lval")),
+        x => x.getField("g")))).as("g"))
+      .unionAll(rLong.select(explode(array_distinct(transform(
+        bigrams(col("rval")), x => x.getField("g")))).as("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(row => row.getString(0) -> row.getLong(1).toInt)
+      .toMap
+    // O(1) rank lookup: grams index a 64k int array by their two char
+    // codes (a literal MAP's element_at linearly scans its entries —
+    // measured as the dominant cost per gram). Code collisions (BMP
+    // fold) only merge ranks; the sort's gram tiebreak keeps the
+    // canonical order total and GLOBAL either way.
+    val codeRanks = Array.fill(65536)(0)
+    dfMap.foreach { case (g, n) =>
+      val idx = ((g.charAt(0).toInt * 256) +
+        (if (g.length > 1) g.charAt(1).toInt else 0)) & 0xffff
+      codeRanks(idx) = math.max(codeRanks(idx), n)
     }
-    val lg = gramSide(l.filter(col("__ll") >= minLong), "lval", "__dl")
-    val rg = gramSide(r.filter(col("__rl") >= minLong), "rval", "__dr")
-    val longPairs = lg.join(rg, "__g")
-      .filter(abs(col("__ll") - col("__rl")) <= maxDist)
-      .groupBy(col("left_id"), col("right_id"))
-      .agg(count(lit(1)).as("__shared"),
-        first(col("lval")).as("lval"), first(col("rval")).as("rval"),
-        first(col("__ll")).as("__ll"), first(col("__rl")).as("__rl"),
-        first(col("__dl")).as("__dl"), first(col("__dr")).as("__dr"))
-      .filter(col("__shared") >= greatest(lit(1),
-        greatest(col("__ll"), col("__rl")) - 1 - lit(Q * maxDist) -
-          col("__dl") - col("__dr")))
+    val rankArr = typedlit(codeRanks.toSeq)
+    def rankOf(g: Column): Column = element_at(rankArr,
+      pmod(ascii(g) * 256 + coalesce(ascii(substring(g, 2, 1)), lit(0)),
+        lit(65536)) + 1)
+
+    // per string: the (q·d + 1 + dups) globally-rarest grams, with
+    // positions — the join keys. The sort key is (rank, g, p): rank
+    // then GRAM gives the global total order Ed-Join's prefix theorem
+    // needs (position before gram would order rank-ties differently in
+    // different strings, and a survivor could then miss both prefixes);
+    // position only breaks ties among occurrences of the same gram,
+    // which are interchangeable.
+    def prefixSide(df: DataFrame, valCol: String, posName: String) = {
+      val gs = bigrams(col(valCol))
+      val dups = length(col(valCol)) - 1 -
+        size(array_distinct(transform(gs, x => x.getField("g"))))
+      val keyed = array_sort(transform(gs, x => struct(
+        rankOf(x.getField("g")).as("rank"),
+        x.getField("g").as("g"), x.getField("p").as("p"))))
+      df.withColumn("__pref",
+          slice(keyed, lit(1), lit(Q * maxDist + 1) + dups))
+        .withColumn("__k", explode(col("__pref"))).drop("__pref")
+        .withColumn("__g", col("__k.g"))
+        .withColumn(posName, col("__k.p"))
+        .drop("__k")
+    }
+    val longPairs = prefixSide(lLong, "lval", "__pl")
+      .join(prefixSide(rLong, "rval", "__pr"), "__g")
+      .filter(abs(col("__ll") - col("__rl")) <= maxDist &&
+        abs(col("__pl") - col("__pr")) <= maxDist)
       .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
+      .distinct()
 
     // short-string paths: tiny populations, plain length-window joins
     // (left-short × right-anything-in-window, left-long × right-short)
