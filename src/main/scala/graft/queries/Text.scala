@@ -632,7 +632,50 @@ object Text extends QueryPack {
       docs.unionByName(planted), Seq("free", "cash"))
   }
 
+  /** Web-curation composite gate (q170): the round's new curation
+    * operators chained end-to-end over a synthetic "crawl" — the
+    * odd-block half of documents plus planted obfuscated spam under a
+    * distinct source:
+    *   1. canonical-URL dedup (tracking junk stripped, min-id keeper —
+    *      [[graft.text.UrlCuration]]);
+    *   2. obfuscation-fold blocklist clean
+    *      ([[graft.text.BlocklistFilter]] removes the planted spam);
+    *   3. bloom-gated incremental dedup against the even-block "prior
+    *      snapshot" ([[graft.dedup.IncrementalDedup]] — exact);
+    *   4. quality floor ≥ 0.3 ([[graft.text.TextAnalysis]]).
+    * Every stage is deterministic, so DuckDB recomposes the whole
+    * pipeline and the result is oracled row-for-row.
+    */
+  def webCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prior = docs.filter(col("doc_id") % 40 < 20)
+    val crawl0 = docs.filter(col("doc_id") % 40 >= 20)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val spam = docs.filter(col("doc_id") % 40 >= 20 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        concat(lit("win fr33 c@sh now "), substring(col("text"), 1, 40))
+          .as("text"),
+        col("lang"), lit("spam").as("source"))
+    val crawl = crawl0.unionByName(spam).withColumn("url", syntheticUrl)
+    // 1. keep the min-id fetch per canonical URL
+    val keepers = graft.text.UrlCuration
+      .dedupByUrl(crawl, col("url"))
+      .select(col("keeper_id").as("doc_id"))
+    val kept = crawl.join(keepers, "doc_id")
+    // 2. drop blocklisted docs (catches the planted leetspeak spam)
+    val clean = graft.text.BlocklistFilter.clean(kept, Seq("free", "cash"))
+    // 3. drop docs whose exact text is already in the prior snapshot
+    val fresh = graft.dedup.IncrementalDedup.newDocs(clean, prior,
+      expectedPriorItems = 100000L)
+    // 4. quality floor
+    graft.text.TextAnalysis.qualityScore(fresh)
+      .filter(col("quality") >= 0.3)
+      .join(fresh.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_web_curation" -> webCuration _,
     "q166_blocklist" -> blocklistGate _,
     "q157_curriculum" -> curriculum _,
     "q154_corpus_drift" -> corpusDrift _,
@@ -676,6 +719,50 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q170_web_curation" ->
+      """WITH prior AS (
+        |  SELECT * FROM documents WHERE doc_id % 40 < 20),
+        |crawl AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  WHERE doc_id % 40 >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    'win fr33 c@sh now ' || substr(text, 1, 40), lang, 'spam'
+        |  FROM documents WHERE doc_id % 40 >= 20 AND doc_id % 7 = 0),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM crawl
+        |  GROUP BY source, doc_id % 200, doc_id % 5),
+        |kept AS (
+        |  SELECT c.* FROM crawl c JOIN keep k ON c.doc_id = k.doc_id),
+        |cleaned AS (
+        |  SELECT * FROM kept
+        |  WHERE NOT coalesce(regexp_matches(
+        |    translate(lower(text), '0134578@$!+', 'oleastbasit'),
+        |    '\b(free|cash)\b'), FALSE)),
+        |fresh AS (
+        |  SELECT * FROM cleaned b WHERE NOT EXISTS (
+        |    SELECT 1 FROM prior p WHERE p.text = b.text)),
+        |t AS (
+        |  SELECT doc_id, source, text,
+        |    [x for x in string_split_regex(lower(text), '\s+')
+        |     if x <> ''] AS tokens
+        |  FROM fresh),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    len(tokens) AS token_count,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |      AS DOUBLE) / nullif(length(text), 0) AS alpha_ratio,
+        |    CAST(len([x for x in tokens if list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'],
+        |      x)]) AS DOUBLE) / nullif(len(tokens), 0) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round(least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |          least(stopword_ratio * 5.0, 1.0) * 0.3 +
+        |          alpha_ratio * 0.3, 9) AS quality
+        |  FROM s)
+        |SELECT doc_id, source, quality FROM q WHERE quality >= 0.3""".stripMargin,
     "q166_blocklist" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
