@@ -222,23 +222,34 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH.json: ${e.getMessage}")
     }
-    // ... then a compact line LAST, under ~1.4 KB (qNN keys, ms precision):
-    // the harness that collects this output keeps only the final ~2000
-    // characters, and the full-name line is ~3 KB — it has never fit, so
-    // no round's numbers machine-parsed. The short line always fits even
-    // with the build tool's trailing status line after it.
-    // centisecond precision here: 125+ queries at 3 decimals brushed
-    // the ~2 KB capture window; 2 decimals buys ~15% headroom and the
-    // full-precision numbers remain on the full line and in BENCH.json
+    // ... then a compact line LAST, fitted to a HARD byte budget: the
+    // harness that collects this output keeps only the final 2000
+    // characters of stdout — r9's short line was 2007 bytes (167 queries
+    // × ~12 bytes each) and lost its opening 7 characters, so `parsed`
+    // stayed null. Per-query growth makes any fixed format overflow
+    // eventually; instead the line self-truncates: entries go in
+    // SLOWEST-FIRST (the heavy tail is what plan audits read) until the
+    // budget is spent, and `omitted` counts the fast queries that
+    // didn't fit. Full-fidelity numbers remain on the full-name line
+    // above and in the BENCH.json artifact.
     def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
-    }.mkString("{", ",", "}")
     // short error list (qNN names only): erroring queries must be
     // explicit in the machine-parsed line, not inferable from -1s
     val errsShort = errors.keys.map(k =>
       "\"" + k.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"errs":$errsShort,"sf":"$sfDir"}""")
+    def shortLine(qs: String, omitted: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"errs":$errsShort,"sf":"$sfDir"}"""
+    val LineBudget = 1700 // < 2000 with slack for a trailing status line
+    val bySlowest = results.sortBy { case (_, v) => -v }.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
+    }
+    val fixed = shortLine("{}", results.size).length
+    var spent = fixed
+    val kept = bySlowest.takeWhile { e =>
+      spent += e.length + 1; spent <= LineBudget
+    }
+    println(shortLine(kept.mkString("{", ",", "}"),
+      results.size - kept.size))
     spark.stop()
   }
 }

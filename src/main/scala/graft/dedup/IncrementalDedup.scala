@@ -55,19 +55,47 @@ object IncrementalDedup {
       "built-in")
   }
 
+  /** Hard cap on the sketch size. The sketch travels as a LITERAL in the
+    * expression tree — optimal sizing at billions of docs is GBs of plan
+    * bytes, which breaks the driver long before the job runs (Spark's own
+    * injected runtime filters cap at tens of MB for the same reason).
+    * Capping only raises the fpp — MORE candidates take the verifying
+    * anti-join — exactness is untouched. Conf-able per session via
+    * `spark.graft.incrementalDedup.maxBloomBits`.
+    */
+  private val MaxBloomBitsConf = "spark.graft.incrementalDedup.maxBloomBits"
+  private val DefaultMaxBloomBits = 1L << 31 // 2^31 bits = 256 MB
+
   /** Serialized Bloom filter (binary) over `keyCol` (must be LongType)
-    * of `df`. `expectedItems` sizes the filter for the target fpp;
-    * oversizing is cheap (bits, not entries).
+    * of `df`, or NULL when `df` is empty (BloomFilterAggregate has no
+    * zero-row identity — callers must treat null as "nothing prior").
+    * `expectedItems` sizes the filter for the target fpp, subject to
+    * the [[MaxBloomBitsConf]] cap.
     */
   def buildBloom(df: DataFrame, keyCol: Column, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
     val spark = df.sparkSession
     register(spark)
-    // numBits = -n ln(p) / (ln 2)^2 — the standard optimal sizing.
-    val numBits = math.max(64L,
-      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate validates its arguments against Spark's own
+    // runtime-filter ceilings — clamp to whichever of the three caps is
+    // tightest, so a caller quoting "billions of docs" gets a denser
+    // (higher-fpp) sketch instead of an AnalysisException. A 100 TB
+    // deployment raises the two Spark confs alongside ours.
+    val maxBits0 = spark.conf.getOption(MaxBloomBitsConf)
+      .map(_.toLong).getOrElse(DefaultMaxBloomBits)
+    require(maxBits0 >= 64L, s"$MaxBloomBitsConf must be >= 64: $maxBits0")
+    val maxBits = math.min(maxBits0, spark.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L))
+    val maxItems = spark.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    // numBits = -n ln(p) / (ln 2)^2 — the standard optimal sizing,
+    // capped (see MaxBloomBitsConf): a capped sketch just skips less.
+    val numBits = math.min(maxBits, math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
     val row = df.select(call_function(BLOOM_AGG, keyCol,
-      lit(expectedItems), lit(numBits)).as("bf")).head()
+      lit(math.min(expectedItems, maxItems)), lit(numBits)).as("bf")).head()
     row.getAs[Array[Byte]]("bf")
   }
 
@@ -88,6 +116,10 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     val key = xxhash64(col(textCol))
     val bloom = buildBloom(prior, key, expectedPriorItems, fpp)
+    // day zero: an EMPTY prior snapshot yields a NULL sketch, and
+    // might_contain(null, k) is NULL — which both filters drop,
+    // silently emptying the batch. Nothing prior means everything new.
+    if (bloom == null) return batch
 
     val probed = batch.withColumn("__cand", mightContain(spark, bloom, key))
     // Definitely-new rows skip the join entirely.

@@ -33,10 +33,13 @@ object PartitionStats {
     val entries = groups.flatMap(_._2)
     def tupleOf(path: String): String = {
       val segs = path.split('/').dropRight(1)
-      partitionCols.flatMap { c =>
+      val kvs = partitionCols.flatMap { c =>
         val pre = TxnLog.escapeDir(c) + "="
-        segs.findLast(_.startsWith(pre)).map(s => s"/$s/")
-      }.mkString
+        segs.findLast(_.startsWith(pre))
+      }
+      // one slash BETWEEN segments ("/a=1/b=2/"), not per-segment
+      // wrapping (which rendered multi-column tuples as "/a=1//b=2/")
+      if (kvs.isEmpty) "" else kvs.mkString("/", "/", "/")
     }
     val rows = entries.groupBy(e => tupleOf(e.path)).toSeq.map {
       case (part, es) =>

@@ -1374,10 +1374,24 @@ object TxnLog {
     if (identityOf(headProps).nonEmpty)
       return appendWithIdentity(spark, table, df, partitionCols,
         txnId, maxRetries)
+    // the head-props read above and the version claim are not atomic: a
+    // setIdentity can commit in between, and a plain append landing after
+    // it would carry NULL identity values past the allocator. The claim
+    // loop re-reads props every attempt, so abortOnIdentity makes it
+    // refuse to publish under identity props; the delegation decision is
+    // then re-taken against the head that actually won.
     appendCommit(spark, table, df, partitionCols, commitId, txnId,
-      requireBase = None, removePaths = Nil, maxRetries)
-      .getOrElse(throw new IllegalStateException(
-        s"could not commit to $table after $maxRetries attempts"))
+      requireBase = None, removePaths = Nil, maxRetries,
+      abortOnIdentity = true)
+      .getOrElse {
+        val nowProps = versions(spark, table).lastOption
+          .map(v => readManifest(spark, table, v).props).getOrElse(Map.empty)
+        if (identityOf(nowProps).nonEmpty)
+          appendWithIdentity(spark, table, df, partitionCols,
+            txnId, maxRetries)
+        else throw new IllegalStateException(
+          s"could not commit to $table after $maxRetries attempts")
+      }
   }
 
   private val IdPropPrefix = "identity." // identity.<col> = start,step
@@ -2109,7 +2123,8 @@ object TxnLog {
       strictBase: Boolean = false,
       skipColumnMapping: Boolean = false,
       droppedData: Seq[String] = Nil,
-      removeLivePartitions: Option[Seq[String]] = None): Option[Long] = {
+      removeLivePartitions: Option[Seq[String]] = None,
+      abortOnIdentity: Boolean = false): Option[Long] = {
     txnId.flatMap(committedTxn(spark, table, _)) match {
       case Some(v) => return Some(v) // replay of a committed batch: no-op
       case None => ()
@@ -2347,6 +2362,13 @@ object TxnLog {
       val props = propsOverride.getOrElse(
         vs.lastOption.map(v => readManifest(spark, table, v).props)
           .getOrElse(Map.empty))
+      // identity-unaware caller (plain appendTxn): if identity props
+      // appeared since the caller's delegation check, publishing would
+      // land NULL identity values — abort so the caller re-delegates to
+      // the allocating path against the head that actually won
+      if (abortOnIdentity && identityOf(props).nonEmpty) {
+        f.delete(commitDir, true); return None
+      }
       if (!enforcedProps.contains(props)) {
         // constraints are written in LOGICAL names: present the written
         // physical rows logically before evaluating them

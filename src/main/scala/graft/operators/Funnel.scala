@@ -50,18 +50,25 @@ object Funnel {
            |  acc -> acc.step)""".stripMargin))
     val byDepth = perUser.groupBy(col("reached"))
       .agg(count(lit(1)).as("n"))
-    // users reaching AT LEAST step s = sum of n over reached >= s; the
-    // cumulative runs over <= #steps rows — never the user table
-    val depths = byDepth.select(col("reached"), col("n"))
-      .crossJoin(spark_steps(stepNames))
-      .filter(col("reached") >= col("step"))
+    // users reaching AT LEAST step s = sum of n over reached >= s. The
+    // declared step SPINE drives (left join): a step no user reaches
+    // must still emit its row with n_users = 0, and an empty event set
+    // must yield the full spine of zeros — a filter-then-group over the
+    // counts would drop both. The cumulative runs over <= #steps×(#steps
+    // + 1) joined rows — never the user table.
+    val depths = spark_steps(stepNames)
+      .join(byDepth, col("reached") >= col("step"), "left")
       .groupBy(col("step"), col("step_name"))
-      .agg(sum(col("n")).as("n_users"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_users"))
+    // the spine guarantees the step-1 row exists, so base is exactly one
+    // row even when nobody converts; base 0 makes conversion null (the
+    // divide-by-zero convention the SQL spelling lands on)
     val base = depths.filter(col("step") === 1)
       .select(col("n_users").as("__base"))
     depths.crossJoin(base)
       .select(col("step"), col("step_name"), col("n_users"),
-        round(col("n_users") / col("__base"), 6).as("conversion"))
+        when(col("__base") > 0,
+          round(col("n_users") / col("__base"), 6)).as("conversion"))
   }
 
   private def spark_steps(names: Seq[String]) = {

@@ -49,29 +49,32 @@ object FuzzyJoin {
       transform(sequence(lit(1), length(s) - 1),
         i => struct(s.substr(i, lit(Q)).as("g"), i.as("p")))
 
-    // global gram document frequencies — alphabet-bounded, broadcast as
-    // a literal map (unseen grams rank rarest)
+    // global gram document frequencies, folded to the 16-bit code space
+    // DISTRIBUTIVELY (group by the char-code key, never the gram
+    // string): a CJK corpus has millions of distinct bigrams, but the
+    // folded table is ≤ 65536 rows however large the alphabet — the
+    // only driver-side collect is that bounded array. Code collisions
+    // (BMP fold) only merge ranks; the sort's gram tiebreak keeps the
+    // canonical order total and GLOBAL either way, and rank order only
+    // steers PERFORMANCE — candidates are verified exactly.
     val lLong = l.filter(col("__ll") >= minLong)
     val rLong = r.filter(col("__rl") >= minLong)
-    val dfMap: Map[String, Int] = lLong
+    def codeOf(g: Column): Column = pmod(
+      ascii(g) * 256 + coalesce(ascii(substring(g, 2, 1)), lit(0)),
+      lit(65536))
+    val codeRanks = Array.fill(65536)(0)
+    lLong
       .select(explode(array_distinct(transform(bigrams(col("lval")),
         x => x.getField("g")))).as("g"))
       .unionAll(rLong.select(explode(array_distinct(transform(
         bigrams(col("rval")), x => x.getField("g")))).as("g")))
-      .groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .collect().map(row => row.getString(0) -> row.getLong(1).toInt)
-      .toMap
-    // O(1) rank lookup: grams index a 64k int array by their two char
+      .groupBy(codeOf(col("g")).as("c")).agg(count(lit(1)).as("n"))
+      .collect().foreach { row =>
+        codeRanks(row.getInt(0)) = row.getLong(1).toInt
+      }
+    // O(1) rank lookup: grams index the 64k int array by their two char
     // codes (a literal MAP's element_at linearly scans its entries —
-    // measured as the dominant cost per gram). Code collisions (BMP
-    // fold) only merge ranks; the sort's gram tiebreak keeps the
-    // canonical order total and GLOBAL either way.
-    val codeRanks = Array.fill(65536)(0)
-    dfMap.foreach { case (g, n) =>
-      val idx = ((g.charAt(0).toInt * 256) +
-        (if (g.length > 1) g.charAt(1).toInt else 0)) & 0xffff
-      codeRanks(idx) = math.max(codeRanks(idx), n)
-    }
+    // measured as the dominant cost per gram).
     val rankArr = typedlit(codeRanks.toSeq)
     def rankOf(g: Column): Column = element_at(rankArr,
       pmod(ascii(g) * 256 + coalesce(ascii(substring(g, 2, 1)), lit(0)),
@@ -105,17 +108,67 @@ object FuzzyJoin {
       .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
       .distinct()
 
-    // short-string paths: tiny populations, plain length-window joins
-    // (left-short × right-anything-in-window, left-long × right-short)
-    val ls = l.filter(col("__ll") < minLong)
-    val shortLeft = ls.join(r.filter(col("__rl") < minLong + maxDist),
-        abs(col("__ll") - col("__rl")) <= maxDist)
-      .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
-    val shortRight = l.filter(col("__ll") >= minLong)
-      .filter(col("__ll") < minLong + maxDist)
-      .join(r.filter(col("__rl") < minLong),
-        abs(col("__ll") - col("__rl")) <= maxDist)
-      .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
+    // short-string paths — PassJoin segment pigeonhole (Li, Deng, Feng:
+    // "PassJoin: a partition-based method for similarity joins"), NOT a
+    // length-window theta join: names/titles/codes are MOSTLY under
+    // q·(d+2) chars on real data, and a join keyed only on
+    // |len(l)−len(r)| ≤ d plans as a nested-loop over what is then the
+    // bulk of the corpus. Pigeonhole instead: split the left string
+    // into d+1 contiguous segments — d edits can corrupt at most d of
+    // them, so some segment survives VERBATIM in any right string
+    // within distance d, shifted by at most d. The left side emits its
+    // d+1 (targetLen, segIdx, segment) keys; the right side enumerates,
+    // for each admissible left length L ∈ [len−d, len+d] and segment
+    // index, the substrings of the segment's length inside the ±d
+    // position window — O(d²·(2d+1)) keys per row, a constant — and the
+    // candidate join is a plain EQUI-join on the key triple. The exact
+    // `levenshtein` verify below keeps correctness independent of the
+    // filter's teeth.
+    val K = maxDist + 1 // segments
+    // segment geometry for target length L (0-based segment i):
+    // big segments first — len_i = ⌊L/K⌋ + (i < L%K), start0_i =
+    // i·⌊L/K⌋ + min(i, L%K)
+    def segLen(len: Column, i: Column): Column =
+      ((len - pmod(len, lit(K))) / lit(K)).cast("int") +
+        when(i < pmod(len, lit(K)), 1).otherwise(0)
+    def segStart0(len: Column, i: Column): Column =
+      i * ((len - pmod(len, lit(K))) / lit(K)).cast("int") +
+        least(i, pmod(len, lit(K)))
+    // indexed side: the string's own d+1 segments, keyed by its length
+    def segKeys(valC: Column, lenC: Column): Column =
+      transform(sequence(lit(0), lit(maxDist)), i => struct(
+        lenC.as("L"), i.as("i"),
+        valC.substr(segStart0(lenC, i) + 1, segLen(lenC, i)).as("seg")))
+    // enumerating side: every substring that could BE one of those
+    // segments after ≤ d edits — per admissible target length, per
+    // segment, per start position within ±d of the segment's home
+    def candKeys(valC: Column, lenC: Column): Column =
+      array_distinct(flatten(transform(
+        sequence(greatest(lenC - maxDist, lit(0)), lenC + maxDist),
+        L => flatten(transform(sequence(lit(0), lit(maxDist)), i => {
+          val sl = segLen(L, i)
+          val lo = greatest(segStart0(L, i) - maxDist, lit(0))
+          // enumerate a fixed 2d+1-wide window (sequence is then always
+          // ascending and non-empty) and filter to the admissible
+          // positions — a when/otherwise(empty) would fight array-of-
+          // struct type coercion
+          val admissible = filter(sequence(lo, lo + 2 * maxDist),
+            p => p <= lenC - sl && p <= segStart0(L, i) + maxDist)
+          transform(admissible, p =>
+            struct(L.as("L"), i.as("i"),
+              valC.substr(p + 1, sl).as("seg")))
+        })))))
+    def passJoin(ls: DataFrame, rs: DataFrame): DataFrame =
+      ls.withColumn("__k", explode(segKeys(col("lval"), col("__ll"))))
+        .join(rs.withColumn("__k",
+          explode(candKeys(col("rval"), col("__rl")))), "__k")
+        .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
+        .distinct()
+    val shortLeft = passJoin(l.filter(col("__ll") < minLong),
+      r.filter(col("__rl") < minLong + maxDist))
+    val shortRight = passJoin(
+      l.filter(col("__ll") >= minLong && col("__ll") < minLong + maxDist),
+      r.filter(col("__rl") < minLong))
 
     longPairs.unionByName(shortLeft).unionByName(shortRight)
       .filter(levenshtein(col("lval"), col("rval")) <= maxDist)

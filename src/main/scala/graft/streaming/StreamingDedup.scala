@@ -58,6 +58,9 @@ object StreamingDedup {
     val key = xxhash64(col(textCol))
     val bloom = IncrementalDedup.buildBloom(prior, key,
       expectedPriorItems, fpp)
+    // day zero: empty prior -> NULL sketch -> might_contain is NULL and
+    // both branches drop every row; nothing prior means pass-through
+    if (bloom == null) return stream
     val probed = stream.withColumn("__cand",
       IncrementalDedup.mightContain(spark, bloom, key))
     val definiteNew = probed.filter(!col("__cand")).drop("__cand")

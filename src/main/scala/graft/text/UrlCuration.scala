@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and URL-keyed curation.
@@ -77,18 +76,25 @@ object UrlCuration {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dupes"))
 
   /** Keep at most `maxPerHost` documents per host, deterministically
-    * (lowest ids win). Hosts are heavy-tailed at corpus scale — the cap
-    * bounds any single site's share of the training mix. One shuffle on
-    * the host key; the rank never materializes per-host state beyond
-    * the window frame.
+    * (lowest ids win). Hosts are THE heavy-tailed key at corpus scale —
+    * a `row_number` window would sort every doc of the hottest domain on
+    * one task. Instead the kept ids come from the map-side bounded
+    * [[graft.functions.TopKAgg]] (constant score, so ties — i.e.
+    * everything — resolve to the smallest ids): each task contributes at
+    * most `maxPerHost` ids per host to the shuffle, a billion-doc host
+    * costs O(k × tasks) shuffle bytes, and the full rows come back via a
+    * semi-join on the id. Same machinery as
+    * [[graft.text.CorpusMix.capPerSource]].
     */
   def capPerHost(docs: DataFrame, urlCol: Column, maxPerHost: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col("__host")).orderBy(col(idCol))
-    docs.withColumn("__host", hostOf(urlCol))
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= maxPerHost)
-      .drop("__rank")
+    val spark = docs.sparkSession
+    val hosted = docs.withColumn("__host", hostOf(urlCol))
+    val kept = hosted.groupBy(col("__host"))
+      .agg(graft.functions.GraftFunctions.topK(spark,
+        lit(0.0), col(idCol), maxPerHost).as("top"))
+      .select(explode(col("top").getField("id")).as(idCol))
+    hosted.join(kept, Seq(idCol), "left_semi")
       .withColumnRenamed("__host", "host")
   }
 }

@@ -62,4 +62,40 @@ class IncrementalDedupSpec extends SparkSpec {
     val pruned = nonPrior.filter(!$"c").count().toDouble
     assert(pruned / nonPrior.count() > 0.9)
   }
+
+  test("day zero: an EMPTY prior snapshot passes the whole batch through") {
+    // BloomFilterAggregate over zero rows yields a NULL sketch, and
+    // might_contain(null, k) is NULL — which both branch filters would
+    // drop, silently emptying the batch. Nothing prior = everything new.
+    val prior = docs.filter(lit(false))
+    val batch = docs.filter($"doc_id" < 40)
+    val n = batch.count()
+    assert(IncrementalDedup.newDocs(batch, prior).count() == n)
+    // the streaming face short-circuits identically (the batch frame
+    // stands in for the micro-batch here — the guard is query-build-time)
+    assert(graft.streaming.StreamingDedup.againstCorpus(batch, prior)
+      .count() == n)
+  }
+
+  test("oversized sizing is capped; exactness is unaffected") {
+    val prior = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    // a "billions of docs" claim would optimally size to ~GBs of literal
+    // plan bytes; the cap must bound the sketch (here to 4096 bits) and
+    // only the skip-rate may degrade — the anti-join verify keeps the
+    // result equal to the plain anti-join
+    spark.conf.set("spark.graft.incrementalDedup.maxBloomBits", "4096")
+    try {
+      val sketch = IncrementalDedup.buildBloom(prior,
+        xxhash64($"text"), expectedItems = 3000000000L)
+      assert(sketch.length.toLong * 8 <= 4096 + 512, // header slack
+        s"sketch is ${sketch.length} bytes — cap did not bind")
+      val got = IncrementalDedup.newDocs(batch, prior,
+          expectedPriorItems = 3000000000L)
+        .select("doc_id").as[Long].collect().toSet
+      val want = batch.join(prior.select($"text"), Seq("text"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.incrementalDedup.maxBloomBits")
+  }
 }

@@ -32,6 +32,21 @@ class PartitionStatsSpec extends SparkSpec {
     assert(after("/part=a/") == 3L)
   }
 
+  test("multi-column layouts render one slash between segments") {
+    val t = "/tmp/graft_pstats_multicol"
+    val p = new org.apache.hadoop.fs.Path(t)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TxnLog.append(spark, t,
+      Seq((1L, "a", 1L, 10L), (2L, "a", 2L, 20L), (3L, "b", 1L, 30L))
+        .toDF("k", "pa", "pb", "v").repartition($"pa", $"pb"),
+      Seq("pa", "pb"))
+    val stats = PartitionStats.of(spark, t, Seq("pa", "pb"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // "/pa=a/pb=1/", never the doubled "/pa=a//pb=1/"
+    assert(stats == Map("/pa=a/pb=1/" -> 1L, "/pa=a/pb=2/" -> 1L,
+      "/pa=b/pb=1/" -> 1L), stats.toString)
+  }
+
   test("predicate delete's survivor rewrite preserves the Hive layout") {
     val t = "/tmp/graft_pstats_layout"
     val p = new org.apache.hadoop.fs.Path(t)

@@ -48,6 +48,27 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(run(l, r, d) == brute(l, r, d), s"d=$d")
   }
 
+  test("a majority-short corpus never plans a nested-loop join") {
+    // names/titles/codes are MOSTLY under q·(d+2) chars on real data —
+    // the population the Ed-Join prefix can't cover. The PassJoin
+    // segment path must keep even that bulk on EQUI-joins: any
+    // BroadcastNestedLoopJoin/CartesianProduct here is the all-pairs
+    // join this operator exists to avoid.
+    val first = Seq("ann", "anne", "anna", "ben", "bennett", "carl",
+      "karla", "dee", "deedee", "ed", "edd", "eddie", "flo", "florence")
+    val names = first.zipWithIndex.flatMap { case (n, i) =>
+      Seq((i * 2L, n), (i * 2L + 1L, n + "e"))
+    }
+    val df = names.toDF("id", "v")
+    val joined = FuzzyJoin.byEditDistance(df, df, 2)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"nested-loop join in the fuzzy-join plan:\n$plan")
+    assert(joined.as[(Long, Long, Int)].collect().toSet ==
+      brute(names, names, 2))
+  }
+
   test("no duplicate pairs") {
     val vals = Tables.documents(spark, sf)
       .select($"doc_id", substring($"text", 1, 8).as("v"))

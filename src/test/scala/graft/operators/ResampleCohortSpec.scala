@@ -43,6 +43,28 @@ class ResampleCohortSpec extends SparkSpec {
     assert(got(1) >= got(2) && got(2) >= got(3) && got(3) > 0)
   }
 
+  test("funnel emits every declared step, zeros included") {
+    // a step nobody reaches must still produce its row with n_users=0
+    // (the declared spine drives the output, not the observed depths)
+    val ev = Seq((1L, 1000L, "view"), (2L, 2000L, "view"),
+        (1L, 3000L, "click"))
+      .toDF("user_id", "t", "event_type")
+      .withColumn("ts", timestamp_micros($"t" * 1000000L))
+    val out = Funnel.steps(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase", "refund"))
+      .orderBy("step")
+      .select($"step", $"step_name", $"n_users").as[(Int, String, Long)]
+      .collect().toSeq
+    assert(out == Seq((1, "view", 2L), (2, "click", 1L),
+      (3, "purchase", 0L), (4, "refund", 0L)))
+    // nobody reaches step 1 at all: full spine of zeros, conversion null
+    val none = Funnel.steps(ev, "user_id", "ts", "event_type",
+      Seq("purchase", "refund"))
+    assert(none.select("n_users").as[Long].collect().toSeq ==
+      Seq(0L, 0L))
+    assert(none.filter($"conversion".isNotNull).count() == 0)
+  }
+
   test("rolling 7-day actives >= daily actives, bounded by total users") {
     val dau = Resample.rollingActives(events, "user_id", "ts", 86400L, 1)
       .withColumnRenamed("n_active", "dau")

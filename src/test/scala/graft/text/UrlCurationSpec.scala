@@ -67,4 +67,26 @@ class UrlCurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(1L, 2L, 3L, 4L))
   }
+
+  test("capPerHost survives a hot host without a window sort") {
+    // hosts are THE heavy-tailed key: one domain owning 80% of the
+    // corpus must not funnel its full row set through one task. The
+    // bounded top-k aggregate carries ≤ k ids per host per map task —
+    // assert the plan never plans a Window (whose partitionBy(host)
+    // sort IS the single-task funnel), and the kept set is still the
+    // k lowest ids per host.
+    val rows = (1L to 1000L).map { i =>
+      val host = if (i % 5 != 0) "hot.example.com" else s"cold${i % 50}.org"
+      (i, s"https://$host/p$i")
+    }
+    val capped = UrlCuration.capPerHost(rows.toDF("doc_id", "u"), $"u", 3)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"row_number window is back:\n$plan")
+    val got = capped.select($"host", $"doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = rows.map { case (i, u) =>
+      (u.stripPrefix("https://").takeWhile(_ != '/'), i)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(3).toSeq).toMap
+    assert(got == want)
+  }
 }
