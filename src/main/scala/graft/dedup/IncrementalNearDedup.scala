@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental NEAR-duplicate dedup against a prior corpus snapshot —
+  * the daily-crawl operator: today's fetch of yesterday's page differs
+  * by a timestamp or an appended banner, so exact-content incremental
+  * dedup ([[IncrementalDedup]]) misses it. This is the MinHash/LSH
+  * analogue with the prior corpus cast as a PERSISTED INDEX:
+  *
+  *   - once per snapshot, [[index]] computes the prior corpus's banded
+  *     MinHash table and per-doc shingle sketches (write both to the
+  *     lake; petabytes of text reduce to ~bands×8 B of band keys plus
+  *     the shingle sets);
+  *   - per batch, [[newDocs]] computes the BATCH's bands and joins them
+  *     against the stored band table with the batch side BROADCAST —
+  *     the prior index streams past the join and never reshuffles; the
+  *     shuffle cost of a day's increment is bounded by the batch, not
+  *     the corpus;
+  *   - band-collision candidates verify EXACTLY (shingle-set jaccard,
+  *     same formula as [[MinHashLSH.pairs]]) against the stored
+  *     sketches — again broadcast-candidates vs streamed index — so the
+  *     result equals "batch docs with no prior doc at jaccard ≥
+  *     threshold" up to the astronomically unlikely banding miss
+  *     (p ≈ (1 − t^rows)^bands per pair), which is what makes the
+  *     operator oracle-checkable against exact SQL.
+  *
+  * Within-batch near-dups are out of scope here (that is
+  * [[MinHashLSH.pairs]] / [[NearDupClusters]] on the batch itself);
+  * compose both for the full daily pass.
+  *
+  * Signatures are deterministic functions of the text (xxhash64 with
+  * fixed per-row seeds), so an index built yesterday is compatible with
+  * a batch signed today — nothing is sampled, nothing retrains.
+  *
+  * Reference context: the reference re-lists the full corpus each run
+  * to diff partitions (`emr_json_parquet_schema_drift_etl.py:332-356`);
+  * this is that "what is genuinely new" question asked of near-dup
+  * CONTENT, answered with a persisted sketch index instead of a
+  * full-corpus rescan.
+  */
+object IncrementalNearDedup {
+
+  /** The persisted prior-snapshot index: `bands` = (doc_id, band,
+    * band_key) exploded band table; `sketches` = (doc_id, shingles,
+    * n_shingles) per-doc shingle sets for the exact verify.
+    */
+  final case class Index(bands: DataFrame, sketches: DataFrame)
+
+  /** Build the index frames for a prior snapshot. Callers persist them
+    * (parquet/lake) and reuse across batches — the build is the only
+    * pass over the prior corpus.
+    */
+  def index(prior: DataFrame, k: Int = 3, bands: Int = 24,
+      rowsPerBand: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): Index = {
+    val sigs = MinHashLSH.signatures(
+      prior.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      k, bands * rowsPerBand)
+    Index(
+      MinHashLSH.bandKeys(sigs, bands, rowsPerBand),
+      sigs.select(col("doc_id"), col("shingles"), col("n_shingles")))
+  }
+
+  /** Documents of `batch` with NO near-duplicate (shingle jaccard ≥
+    * `threshold`) in the indexed prior snapshot. `k`/`bands`/
+    * `rowsPerBand` must match the values the index was built with.
+    */
+  def newDocs(batch: DataFrame, idx: Index, k: Int = 3,
+      threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // batch signatures feed the band join AND the verify — persist so
+    // one action computes them once (same convention as MinHashLSH)
+    val sigs = MinHashLSH.signatures(
+      batch.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      k, bands * rowsPerBand).persist()
+    val bk = MinHashLSH.bandKeys(sigs, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "batch_id")
+    // candidates: the prior band table STREAMS past the broadcast batch
+    // bands — no exchange ever touches the prior side
+    val cand = idx.bands.join(broadcast(bk), Seq("band", "band_key"))
+      .select(col("doc_id").as("prior_id"), col("batch_id"))
+      .distinct()
+    // exact verify: stored prior sketches stream past the broadcast
+    // candidate list; only colliding docs' shingle sets are compared
+    val pr = idx.sketches.join(broadcast(cand),
+        col("doc_id") === col("prior_id"))
+      .select(col("batch_id"),
+        col("shingles").as("sh_p"), col("n_shingles").as("np"))
+    val dup = pr.join(
+        sigs.select(col("doc_id").as("batch_id"),
+          col("shingles").as("sh_b"), col("n_shingles").as("nb")),
+        "batch_id")
+      .withColumn("common", size(array_intersect(col("sh_b"), col("sh_p"))))
+      .filter(col("common").cast("double") /
+        (col("nb") + col("np") - col("common")) >= threshold)
+      .select(col("batch_id")).distinct()
+      .withColumnRenamed("batch_id", idCol)
+    batch.join(dup, Seq(idCol), "left_anti")
+  }
+}

@@ -194,9 +194,38 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** Incremental NEAR-dup dedup vs a prior snapshot (q171): two thirds
+    * of the corpus play yesterday's snapshot, the rest today's batch —
+    * salted with planted near-copies of prior docs (a few words
+    * appended, the daily-crawl mutation). The planted copies (and only
+    * near-dups) must drop: the prior snapshot is indexed ONCE
+    * ([[graft.dedup.IncrementalNearDedup.index]]) and the batch's bands
+    * broadcast against it — the prior side never reshuffles. 32×3
+    * banding puts the miss probability at the 0.6 threshold below 1e-3
+    * per borderline pair (planted pairs sit near 0.9: ~1e-17); the
+    * exact-jaccard verify makes the surviving set equal to the oracle's
+    * exact NOT EXISTS.
+    */
+  def incrementalNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prior = docs.filter(col("doc_id") % 3 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val planted = prior.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" crawl refetch banner")).as("text"),
+        col("source"), col("n_chars"))
+    val batch = fresh.unionByName(planted)
+    val idx = IncrementalNearDedup.index(prior, bands = 32, rowsPerBand = 3)
+    IncrementalNearDedup.newDocs(batch, idx,
+        threshold = 0.6, bands = 32, rowsPerBand = 3)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_corpus_curation" -> corpusCuration _,
     "q148_incremental_dedup" -> incrementalDedup _,
+    "q171_incremental_neardup" -> incrementalNearDedup _,
     "q30_dedup_exact_keepfirst" -> exactKeepFirst _,
     "q31_dedup_exact_hash" -> exactByHash _,
     "q32_dedup_ngram_jaccard" -> ngramJaccard _,
@@ -235,6 +264,45 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q171_incremental_neardup" ->
+      """WITH prior AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (
+        |  SELECT doc_id, source, n_chars, text FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, n_chars,
+        |    text || ' crawl refetch banner'
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+        |tp AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
+        |  FROM prior),
+        |sp AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |                   for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM tp WHERE len(tokens) >= 3),
+        |ep AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sp),
+        |tb AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
+        |  FROM batch),
+        |sb AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |                   for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM tb WHERE len(tokens) >= 3),
+        |eb AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sb),
+        |dups AS (
+        |  SELECT DISTINCT bid FROM (
+        |    SELECT b.doc_id AS bid, p.doc_id AS pid,
+        |      count(*) AS common, any_value(b.n) AS nb, any_value(p.n) AS np
+        |    FROM eb b JOIN ep p ON b.s = p.s
+        |    GROUP BY 1, 2) c
+        |  WHERE CAST(common AS DOUBLE) / (nb + np - common) >= 0.6)
+        |SELECT doc_id, source, n_chars FROM batch
+        |WHERE doc_id NOT IN (SELECT bid FROM dups)""".stripMargin,
     "q148_incremental_dedup" ->
       """SELECT b.doc_id, b.source, b.n_chars
         |FROM documents b

@@ -1,0 +1,81 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class IncrementalNearDedupSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("planted near-copies drop, exact survivors match, index never shuffles") {
+    val prior = docs.filter($"doc_id" % 3 =!= 0)
+      .select($"doc_id", $"text")
+    val fresh = docs.filter($"doc_id" % 3 === 0)
+      .select($"doc_id", $"text")
+    val planted = prior.filter($"doc_id" % 7 === 1)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat($"text", lit(" crawl refetch banner")).as("text"))
+    val batch = fresh.unionByName(planted)
+
+    // the index is a PERSISTED artifact: write + reload through parquet,
+    // the way a daily pipeline would carry it between runs
+    val dir = "/tmp/graft_neardup_index"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val built = IncrementalNearDedup.index(prior, bands = 32, rowsPerBand = 3)
+    built.bands.write.parquet(s"$dir/bands")
+    built.sketches.write.parquet(s"$dir/sketches")
+    val idx = IncrementalNearDedup.Index(
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/sketches"))
+
+    val out = IncrementalNearDedup.newDocs(batch, idx,
+      threshold = 0.6, bands = 32, rowsPerBand = 3)
+
+    // the index rows must never enter a shuffle: every join touching the
+    // stored band/sketch tables has to stream them past a BROADCAST of
+    // the (batch-bounded) other side — a sort-merge or shuffled-hash
+    // join over the index is the full-corpus reshuffle this operator
+    // exists to avoid. (Exchanges above the joins carry candidates.)
+    val plan = out.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val shuffledIndexJoins = plan.collect {
+      case j: SortMergeJoinExec
+        if j.toString.contains("graft_neardup_index") => j
+      case j: ShuffledHashJoinExec
+        if j.toString.contains("graft_neardup_index") => j
+    }
+    assert(shuffledIndexJoins.isEmpty,
+      s"index rows entered a shuffle join:\n$plan")
+
+    // every planted near-copy drops (jaccard vs its source ~0.9)
+    val got = out.select("doc_id").as[Long].collect().toSet
+    assert(!got.exists(_ >= 1000000L),
+      s"planted near-dups survived: ${got.filter(_ >= 1000000L)}")
+
+    // survivors equal the exact NOT EXISTS at the threshold
+    def ex(df: org.apache.spark.sql.DataFrame, id: String) =
+      TextShingles.shingleDf(df, 3)
+        .select(col("doc_id").as(id), explode($"shingles").as("s"),
+          $"n_shingles".as(s"n_$id"))
+    val dupExact = ex(batch, "bid")
+      .join(ex(prior, "pid"), "s")
+      .groupBy($"bid", $"pid")
+      .agg(count(lit(1)).as("common"),
+        first($"n_bid").as("nb"), first($"n_pid").as("np"))
+      .filter($"common".cast("double") / ($"nb" + $"np" - $"common") >= 0.6)
+      .select("bid").distinct().as[Long].collect().toSet
+    val want = batch.select("doc_id").as[Long].collect().toSet -- dupExact
+    assert(got == want)
+  }
+
+  test("an empty prior snapshot passes the whole batch through") {
+    val prior = docs.filter(lit(false)).select($"doc_id", $"text")
+    val batch = docs.filter($"doc_id" < 30).select($"doc_id", $"text")
+    val idx = IncrementalNearDedup.index(prior)
+    assert(IncrementalNearDedup.newDocs(batch, idx).count() ==
+      batch.count())
+  }
+}
