@@ -43,6 +43,23 @@ object GraftFunctions {
   val SHINGLE_PREFIX = "graft_shingles_" // one registered name per k
   val TOKEN_HASHES_FN = "graft_token_hashes"
 
+  val HTML_MAIN_PREFIX = "graft_html_main_text_" // one name per config
+
+  /** HTML main-content extraction in one generated pass (see
+    * [[HtmlMainText.extract]]). Registers on the active session.
+    */
+  def htmlMainText(html: Column, minChars: Int = 25,
+      maxLinkDensity: Double = 0.33): Column = {
+    val spark = SparkSession.active
+    val name = HTML_MAIN_PREFIX + minChars + "_" +
+      math.round(maxLinkDensity * 1000)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => HtmlMainTextExpr(exprs(0), minChars, maxLinkDensity),
+      "built-in")
+    call_function(name, html)
+  }
+
   /** xxhash64 of every token in one generated pass (see
     * [[TokenHashes.hashes]]). Registers on the active session.
     */

@@ -1,0 +1,129 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML main-content extraction (boilerplate removal) in ONE native
+  * pass — the trafilatura/jusText shape reduced to what a corpus
+  * pipeline actually keys on:
+  *
+  *   1. strip comments and `script`/`style`/`noscript` subtrees;
+  *   2. segment on block-level tags (`p`, `div`, `li`, `nav`,
+  *      `footer`, ...) — each segment is a candidate text block;
+  *   3. per block, compute the VISIBLE text (all tags stripped, the
+  *      six common entities decoded, whitespace normalized) and the
+  *      visible length of its `<a>` anchor contents;
+  *   4. keep blocks with at least `minChars` visible characters whose
+  *      link density (anchor chars / visible chars) stays at or below
+  *      `maxLinkDensity` — navs, footers, and button bars are short
+  *      and link-dense, article bodies are long and link-sparse;
+  *   5. join the surviving blocks with `\n`.
+  *
+  * Why a custom expression and not the HOF spelling: the per-block
+  * loop over `split(...)` with nested per-anchor aggregation is a
+  * higher-order-function chain, which never enters whole-stage codegen
+  * and which optimizer rules duplicate (the ShingleArray lesson);
+  * here the whole pipeline is one static call per row from generated
+  * code. Every regex is RE2-compatible (no backreferences, no
+  * lookaround) so the DuckDB oracle can replay the transformation
+  * byte-exactly (q172).
+  *
+  * Reference context: the reference ingests raw semi-structured
+  * payloads and flattens them before analysis
+  * (`emr_json_parquet_schema_drift_etl.py:318-321`); HTML is the text
+  * pipeline's raw boundary, and this is its flattener.
+  */
+object HtmlMainText {
+
+  private val Comments = Pattern.compile("(?s)<!--.*?-->")
+  private val ScriptLike: Array[Pattern] = Array(
+    Pattern.compile("(?is)<script\\b[^>]*>.*?</script>"),
+    Pattern.compile("(?is)<style\\b[^>]*>.*?</style>"),
+    Pattern.compile("(?is)<noscript\\b[^>]*>.*?</noscript>"))
+  private val BlockTag = Pattern.compile(
+    "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|" +
+      "section|article|header|footer|nav|aside|blockquote|pre|form|main)" +
+      "\\b[^>]*>")
+  private val AnyTag = Pattern.compile("<[^>]*>")
+  private val Anchor = Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a>")
+  private val Ws = Pattern.compile("\\s+")
+
+  /** Visible text of an HTML fragment: tags stripped, the six common
+    * entities decoded (`&lt; &gt; &quot; &#39; &nbsp;` first, `&amp;`
+    * LAST so `&amp;lt;` decodes to the literal `&lt;`), whitespace
+    * collapsed to single spaces, trimmed.
+    */
+  private def visible(s: String): String = {
+    val noTags = AnyTag.matcher(s).replaceAll("")
+    val decoded = noTags
+      .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+    Ws.matcher(decoded).replaceAll(" ").trim
+  }
+
+  /** Static entry for generated code. */
+  def extract(html: UTF8String, minChars: Int,
+      maxLinkDensity: Double): UTF8String = {
+    var h = Comments.matcher(html.toString).replaceAll("")
+    var i = 0
+    while (i < ScriptLike.length) {
+      h = ScriptLike(i).matcher(h).replaceAll(""); i += 1
+    }
+    val blocks = BlockTag.matcher(h).replaceAll("\n").split("\n", -1)
+    val sb = new java.lang.StringBuilder(h.length)
+    var b = 0
+    while (b < blocks.length) {
+      val vis = visible(blocks(b))
+      if (vis.length >= minChars) {
+        var anchorLen = 0
+        val m = Anchor.matcher(blocks(b))
+        while (m.find()) anchorLen += visible(m.group(1)).length
+        if (anchorLen <= vis.length * maxLinkDensity) {
+          if (sb.length > 0) sb.append('\n')
+          sb.append(vis)
+        }
+      }
+      b += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `graft_html_main_text_<minChars>_<permilleDensity>(html)` — see
+  * [[HtmlMainText.extract]]. Null html yields null (honest-null).
+  */
+case class HtmlMainTextExpr(child: Expression, minChars: Int,
+    maxLinkDensity: Double) extends UnaryExpression {
+
+  require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+  require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+    s"maxLinkDensity must be in [0,1], got $maxLinkDensity")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_html_main_text expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_html_main_text"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlMainText.extract(input.asInstanceOf[UTF8String], minChars,
+      maxLinkDensity)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HtmlMainText.extract($c, $minChars, ${maxLinkDensity}d)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMainTextExpr =
+    copy(child = newChild)
+}

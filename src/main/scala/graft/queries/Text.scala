@@ -674,7 +674,32 @@ object Text extends QueryPack {
       .select(col("doc_id"), col("source"), col("quality"))
   }
 
+  /** HTML main-content extraction gate (q172): each document is wrapped
+    * in a synthetic page — head with style+script, a link-dense nav, an
+    * HTML comment, the body text in a content div, a link-heavy footer
+    * with an `&amp;` entity — and
+    * [[graft.functions.GraftFunctions.htmlMainText]] must recover
+    * EXACTLY the whitespace-normalized body text: the nav falls to the
+    * min-length rule, the footer to the link-density rule, script/
+    * style/comment to the strip passes. Every regex is RE2-safe, so
+    * the DuckDB oracle replays the same pipeline byte-exactly.
+    */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{color:red}</style><script>var x=1;</script>" +
+        "</head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">" +
+        "About</a> <a href=\"/contact\">Contact</a></nav>" +
+        "<!-- boilerplate comment --><div class=\"content\"><p>"),
+      col("text"),
+      lit("</p></div><footer><a href=\"/tos\">Terms of Service</a> " +
+        "&amp; <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.GraftFunctions.htmlMainText(html).as("main_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_html_extract" -> htmlExtract _,
     "q170_web_curation" -> webCuration _,
     "q166_blocklist" -> blocklistGate _,
     "q157_curriculum" -> curriculum _,
@@ -719,6 +744,58 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q172_html_extract" ->
+      """WITH h0 AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p{color:red}</style><script>var x=1;</script>' ||
+        |    '</head><body><nav><a href="/">Home</a> <a href="/about">' ||
+        |    'About</a> <a href="/contact">Contact</a></nav>' ||
+        |    '<!-- boilerplate comment --><div class="content"><p>' ||
+        |    text ||
+        |    '</p></div><footer><a href="/tos">Terms of Service</a> ' ||
+        |    '&amp; <a href="/privacy">Privacy</a></footer></body></html>'
+        |    AS html
+        |  FROM documents),
+        |h1 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '(?s)<!--.*?-->', '', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+        |      '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS h
+        |  FROM h0),
+        |b AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(h,
+        |      '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|form|main)\b[^>]*>',
+        |      chr(10), 'g'), chr(10)) AS bs
+        |  FROM h1),
+        |s AS (
+        |  SELECT doc_id,
+        |    [{'v': trim(regexp_replace(
+        |            replace(replace(replace(replace(replace(replace(
+        |              regexp_replace(x, '<[^>]*>', '', 'g'),
+        |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |            '\s+', ' ', 'g')),
+        |      'a': coalesce(list_sum(
+        |        [length(trim(regexp_replace(
+        |            replace(replace(replace(replace(replace(replace(
+        |              regexp_replace(t, '<[^>]*>', '', 'g'),
+        |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |            '\s+', ' ', 'g')))
+        |         for t in regexp_extract_all(x, '(?is)<a\b[^>]*>(.*?)</a>', 1)]), 0)}
+        |     for x in bs] AS blocks
+        |  FROM b)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    [blk.v for blk in blocks
+        |     if length(blk.v) >= 25 AND blk.a <= length(blk.v) * 0.33],
+        |    chr(10)) AS main_text
+        |FROM s""".stripMargin,
     "q170_web_curation" ->
       """WITH prior AS (
         |  SELECT * FROM documents WHERE doc_id % 40 < 20),

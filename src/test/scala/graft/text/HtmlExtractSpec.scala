@@ -1,0 +1,72 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class HtmlExtractSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def extract(html: String, minChars: Int = 25,
+      density: Double = 0.33): String = {
+    val df = Seq(html).toDF("h")
+      .select(GraftFunctions.htmlMainText($"h", minChars, density).as("t"))
+    Option(df.head().getString(0)).orNull
+  }
+
+  test("keeps the article body, drops nav/footer/script/style/comments") {
+    val body = "The quick brown fox jumps over the lazy dog near the river bank."
+    val html =
+      s"""<html><head><title>T</title><style>p{color:red}</style>
+         |<script>var x = "</p>";</script></head><body>
+         |<nav><a href="/">Home</a> <a href="/a">About</a></nav>
+         |<!-- tracking pixel --><div><p>$body</p></div>
+         |<footer><a href="/tos">Terms of Service here</a> and <a href="/p">Privacy</a></footer>
+         |</body></html>""".stripMargin
+    assert(extract(html) == body)
+  }
+
+  test("link density: long link-sparse blocks survive, link-dense drop") {
+    val sparse = "<p>A genuinely long paragraph of running text with " +
+      "<a href='/x'>one link</a> buried in lots of prose around it.</p>"
+    val dense = "<p><a href='/a'>First long anchor text</a> " +
+      "<a href='/b'>Second long anchor text</a> tiny glue</p>"
+    assert(extract(sparse).startsWith("A genuinely long paragraph"))
+    assert(extract(dense) == "")
+  }
+
+  test("short blocks fall to the min-length rule") {
+    assert(extract("<p>Too short.</p><p>This block is comfortably longer " +
+      "than the twenty-five character floor.</p>") ==
+      "This block is comfortably longer than the twenty-five character floor.")
+  }
+
+  test("entities decode with &amp; last; whitespace normalizes") {
+    val got = extract("<p>Fish &amp; chips   cost &lt;5&nbsp;pounds, " +
+      "literally &amp;lt; that</p>", minChars = 10)
+    assert(got == "Fish & chips cost <5 pounds, literally &lt; that")
+  }
+
+  test("null html is null; tagless text passes through") {
+    val df = Seq[Option[String]](None).toDF("h")
+      .select(GraftFunctions.htmlMainText($"h").as("t"))
+    assert(df.head().isNullAt(0))
+    assert(extract("Just a plain sentence long enough to keep around.") ==
+      "Just a plain sentence long enough to keep around.")
+  }
+
+  test("the expression stays inside whole-stage codegen") {
+    // a local-relation input constant-folds away; a parquet-backed scan
+    // exercises the real generated path
+    val df = graft.Tables.documents(spark, sf)
+      .select(GraftFunctions.htmlMainText(
+        concat(lit("<p>"), $"text", lit("</p>"))).as("t"))
+    val codegenStages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty,
+      s"no codegen stage:\n${df.queryExecution.executedPlan}")
+    assert(df.filter($"t".isNotNull).count() > 0)
+  }
+}
