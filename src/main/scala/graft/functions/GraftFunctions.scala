@@ -44,6 +44,20 @@ object GraftFunctions {
   val TOKEN_HASHES_FN = "graft_token_hashes"
 
   val HTML_MAIN_PREFIX = "graft_html_main_text_" // one name per config
+  val REGISTRABLE_FN = "graft_registrable_domain"
+
+  /** Public-Suffix-List registrable domain (eTLD+1) of a host — O(labels)
+    * hash probes per row from generated code (see [[Psl.registrable]]).
+    * Null when the host is itself a public suffix.
+    */
+  def registrableDomain(host: Column): Column = {
+    val spark = SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      REGISTRABLE_FN,
+      exprs => RegistrableDomainExpr(exprs(0)),
+      "built-in")
+    call_function(REGISTRABLE_FN, host)
+  }
 
   /** HTML main-content extraction in one generated pass (see
     * [[HtmlMainText.extract]]). Registers on the active session.

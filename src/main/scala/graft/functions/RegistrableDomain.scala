@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Public-Suffix-List registrable domain (eTLD+1) of a host.
+  *
+  * The last-two-labels heuristic is wrong for exactly the hosts a
+  * per-domain cap groups by (`example.co.uk` would collapse the whole
+  * `.co.uk` registry into one "domain"). This implements the published
+  * PSL algorithm over a bundled snapshot
+  * (`graft/public_suffix_list.dat`, publicsuffix.org, MPL 2.0):
+  *
+  *   - the prevailing rule is the longest match; exception rules
+  *     (`!www.ck`) beat wildcard rules (`*.ck`); the implicit default
+  *     rule `*` makes any bare TLD a public suffix;
+  *   - registrable domain = the public suffix plus one more label;
+  *     a host that IS a public suffix has none (null — honest-null,
+  *     like the URL parser).
+  *
+  * Rule lookup is O(labels) hash-set probes per row from generated
+  * code — never a literal map scan, never a join. The snapshot loads
+  * once per JVM.
+  */
+object Psl {
+
+  private val (exact, wildcard, exceptions):
+      (java.util.HashSet[String], java.util.HashSet[String],
+        java.util.HashSet[String]) = {
+    val ex = new java.util.HashSet[String]()
+    val wc = new java.util.HashSet[String]()
+    val xc = new java.util.HashSet[String]()
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "bundled public_suffix_list.dat missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim).foreach { line =>
+      if (line.nonEmpty && !line.startsWith("//")) {
+        if (line.startsWith("!")) xc.add(line.substring(1))
+        else if (line.startsWith("*.")) wc.add(line.substring(2))
+        else ex.add(line)
+      }
+    } finally src.close()
+    (ex, wc, xc)
+  }
+
+  /** Static entry for generated code: eTLD+1 of `host0`, or null when
+    * the host is itself a public suffix (or empty).
+    */
+  def registrable(host0: UTF8String): UTF8String = {
+    if (host0 == null) return null
+    var host = host0.toLowerCase.toString
+    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    if (host.isEmpty) return null
+    val labels = host.split('.')
+    val n = labels.length
+    // suffixes[i] = labels[i..) joined — built right-to-left once
+    val suffixes = new Array[String](n)
+    suffixes(n - 1) = labels(n - 1)
+    var i = n - 2
+    while (i >= 0) {
+      suffixes(i) = labels(i) + "." + suffixes(i + 1); i -= 1
+    }
+    // scan longest-first: the first i whose suffix is ruled public wins;
+    // an exception rule at i means THAT suffix is the registrable domain
+    i = 0
+    while (i < n) {
+      if (exceptions.contains(suffixes(i)))
+        return UTF8String.fromString(suffixes(i))
+      val isPublic = exact.contains(suffixes(i)) ||
+        (i + 1 < n && wildcard.contains(suffixes(i + 1)))
+      if (isPublic) {
+        return if (i == 0) null
+        else UTF8String.fromString(suffixes(i - 1))
+      }
+      i += 1
+    }
+    // default rule "*": the bare TLD is public
+    if (n < 2) null else UTF8String.fromString(suffixes(n - 2))
+  }
+}
+
+/** `graft_registrable_domain(host)` — see [[Psl.registrable]]. */
+case class RegistrableDomainExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_registrable_domain expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // public-suffix hosts yield null
+  override def prettyName: String = "graft_registrable_domain"
+
+  override def nullSafeEval(input: Any): Any =
+    Psl.registrable(input.asInstanceOf[UTF8String])
+
+  // NOT defineCodeGen: a non-null host can yield a NULL domain (the
+  // host IS a public suffix), so the generated code must re-check
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.Psl.registrable($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): RegistrableDomainExpr =
+    copy(child = newChild)
+}

@@ -698,7 +698,25 @@ object Text extends QueryPack {
       graft.functions.GraftFunctions.htmlMainText(html).as("main_text"))
   }
 
+  /** Per-DOMAIN document cap (q173): URLs live on per-source `.co.uk`
+    * hosts with rotating subdomains; the cap keys on the PSL
+    * registrable domain ([[graft.text.UrlCuration.capPerHost]] with
+    * `byRegistrableDomain`), so the three subdomains of each source
+    * pool into one budget — a last-two-labels heuristic would collapse
+    * every source into the single "domain" co.uk and keep 30 docs
+    * total. Oracled against the generation formula.
+    */
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    graft.text.UrlCuration.capPerHost(
+        Tables.documents(s, dir).withColumn("url", concat(
+          lit("https://sub"), (col("doc_id") % 3).cast("string"), lit("."),
+          upper(col("source")), lit(".CO.UK/item/"),
+          col("doc_id").cast("string"))),
+        col("url"), maxPerHost = 30, byRegistrableDomain = true)
+      .select(col("doc_id"), col("host"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_domain_cap" -> domainCap _,
     "q172_html_extract" -> htmlExtract _,
     "q170_web_curation" -> webCuration _,
     "q166_blocklist" -> blocklistGate _,
@@ -744,6 +762,13 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q173_domain_cap" ->
+      """SELECT doc_id, source || '.co.uk' AS host
+        |FROM (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |          AS rn
+        |      FROM documents)
+        |WHERE rn <= 30""".stripMargin,
     "q172_html_extract" ->
       """WITH h0 AS (
         |  SELECT doc_id,

@@ -55,17 +55,15 @@ object UrlCuration {
   def hostOf(url: Column): Column =
     regexp_replace(lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
 
-  /** Registrable-domain heuristic: last two dot-labels of the host
-    * (`a.b.example.com` → `example.com`). A real deployment swaps in the
-    * Public Suffix List; the shape (per-domain key extraction, one
-    * shuffle) is identical.
+  /** Registrable domain (eTLD+1) of a URL's host, per the bundled
+    * Public Suffix List snapshot ([[graft.functions.Psl]]):
+    * `a.b.example.co.uk` → `example.co.uk` (a last-two-labels heuristic
+    * would collapse the whole `.co.uk` registry into one "domain" —
+    * exactly the key a per-domain cap groups by). Null when the host is
+    * itself a public suffix or unparseable (honest-null).
     */
-  def registrableDomain(url: Column): Column = {
-    val labels = split(hostOf(url), "\\.")
-    when(size(labels) >= 2,
-      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
-      .otherwise(element_at(labels, -1))
-  }
+  def registrableDomain(url: Column): Column =
+    graft.functions.GraftFunctions.registrableDomain(hostOf(url))
 
   /** One row per canonical URL: the kept (minimum-id) document and the
     * fetch multiplicity. The URL-level exact dedup pass.
@@ -87,9 +85,17 @@ object UrlCuration {
     * [[graft.text.CorpusMix.capPerSource]].
     */
   def capPerHost(docs: DataFrame, urlCol: Column, maxPerHost: Int,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      byRegistrableDomain: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val hosted = docs.withColumn("__host", hostOf(urlCol))
+    // domain keying groups every mirror/subdomain of a site together
+    // (news.example.co.uk + example.co.uk → example.co.uk); hosts that
+    // ARE public suffixes fall back to themselves rather than pooling
+    // into one shared null group
+    val key =
+      if (byRegistrableDomain) coalesce(registrableDomain(urlCol), hostOf(urlCol))
+      else hostOf(urlCol)
+    val hosted = docs.withColumn("__host", key)
     val kept = hosted.groupBy(col("__host"))
       .agg(graft.functions.GraftFunctions.topK(spark,
         lit(0.0), col(idCol), maxPerHost).as("top"))

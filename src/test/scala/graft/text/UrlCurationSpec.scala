@@ -42,10 +42,27 @@ class UrlCurationSpec extends SparkSpec {
     assert(canon("%%%:::") == null)
   }
 
-  test("registrable domain is the last two labels") {
-    val df = Seq("https://a.b.news.example.co/x", "https://localhost/x")
-      .toDF("u").select(UrlCuration.registrableDomain($"u").as("d"))
-    assert(df.as[String].collect().toSeq == Seq("example.co", "localhost"))
+  test("registrable domain follows the Public Suffix List") {
+    val urls = Seq(
+      "https://a.b.example.co.uk/x", // co.uk registry rule
+      "https://news.example.com/x",  // plain com
+      "https://example.co/x",        // bare ccTLD, default rule
+      "https://foo.bar.github.io/x", // private-section suffix
+      "https://shop.something.ck/x", // wildcard *.ck: something.ck is public
+      "https://co.uk/x",             // host IS a public suffix -> null
+      "https://localhost/x")         // single label -> null
+    val got = urls.toDF("u")
+      .select(UrlCuration.registrableDomain($"u").as("d"))
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+    assert(got == Seq("example.co.uk", "example.com", "example.co",
+      "bar.github.io", "shop.something.ck", null, null))
+    // exception rules beat wildcards (probed below hostOf, whose www.
+    // canonicalization would rewrite this particular host)
+    val ex = Seq("www.ck", "city.kawasaki.jp", "office.kawasaki.jp")
+      .toDF("h")
+      .select(graft.functions.GraftFunctions.registrableDomain($"h").as("d"))
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+    assert(ex == Seq("www.ck", "city.kawasaki.jp", null))
   }
 
   test("dedupByUrl collapses tracking variants of the same page") {
@@ -66,6 +83,19 @@ class UrlCurationSpec extends SparkSpec {
     val out = UrlCuration.capPerHost(rows.toDF("doc_id", "u"), $"u", 2)
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("capPerHost keyed by registrable domain pools subdomains") {
+    // three subdomains of one .co.uk site + one unrelated site: the
+    // domain cap must pool the subdomains (host keying would not)
+    val rows = Seq(
+      (1L, "https://a.example.co.uk/1"), (2L, "https://b.example.co.uk/2"),
+      (3L, "https://c.example.co.uk/3"), (4L, "https://other.org/4"))
+    val out = UrlCuration.capPerHost(rows.toDF("doc_id", "u"), $"u", 2,
+        byRegistrableDomain = true)
+      .select($"doc_id", $"host").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "example.co.uk", 2L -> "example.co.uk",
+      4L -> "other.org"))
   }
 
   test("capPerHost survives a hot host without a window sort") {
