@@ -288,7 +288,54 @@ object Similarity extends QueryPack {
         (col("n_hit").cast("double") / col("n_exact") >= 0.9).as("recall_ok"))
   }
 
+  /** Filtered ANN gate (q174): production vector search almost always
+    * carries a metadata predicate ("same lang", "date > X"). The
+    * predicate (50% selective: even vec_ids) restricts the coded
+    * corpus BEFORE the probed-cell/ADC scan — post-filtering the
+    * top-k would under-fill k whenever neighbors fail the filter.
+    * Recall@K of the filtered IVF (≥ 0.8) and filtered SQ8 (≥ 0.9)
+    * searches vs the exact filtered brute force, both pinned TRUE;
+    * `k_filled_ok` additionally pins that every query still returns
+    * K rows (the under-fill failure mode of post-filtering).
+    */
+  def filteredRecall(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    val embs = Tables.embeddings(s, dir)
+    val pred = col("vec_id") % 2 === 0
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val brute = TopKSearch.bruteForce(s, embs.filter(pred), queries, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfModel = IvfIndex.train(s, embs, numCells = 16)
+    val ivf = IvfIndex.searchTopK(s, ivfModel, embs, queries, K,
+        nprobe = 10, predicate = Some(pred))
+      .select(col("query_id"), col("neighbor_id"))
+    val sqModel = SqIndex.train(s, embs) // two bounded aggregates
+    val sq = SqIndex.searchTopK(s, sqModel, embs, queries, K,
+        shortlist = 100, predicate = Some(pred))
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfHits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+    val sqHits = brute.join(sq, Seq("query_id", "neighbor_id"), "left_semi")
+    val filled = ivf.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_ivf"))
+      .crossJoin(sq.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("min_sq")))
+    brute.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(ivfHits.agg(count(lit(1)).as("n_ivf")))
+      .crossJoin(sqHits.agg(count(lit(1)).as("n_sq")))
+      .crossJoin(filled)
+      .select(
+        lit(K).cast("int").as("k"),
+        (col("n_exact") / lit(K)).cast("bigint").as("n_queries"),
+        (col("n_ivf").cast("double") / col("n_exact") >= 0.8)
+          .as("ivf_recall_ok"),
+        (col("n_sq").cast("double") / col("n_exact") >= 0.9)
+          .as("sq_recall_ok"),
+        (col("min_ivf") === K && col("min_sq") === K).as("k_filled_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_filtered_ann" -> filteredRecall _,
     "q167_sq_recall" -> sqRecall _,
     "q152_contrastive_pairs" -> contrastivePairs _,
     "q153_hard_negatives" -> hardNegatives _,
@@ -302,6 +349,13 @@ object Similarity extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q174_filtered_ann" ->
+      s"""SELECT CAST($K AS INT) AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |   WHERE vec_id < $NQUERIES) AS n_queries,
+         |  TRUE AS ivf_recall_ok,
+         |  TRUE AS sq_recall_ok,
+         |  TRUE AS k_filled_ok""".stripMargin,
     "q152_contrastive_pairs" ->
       """WITH nb AS (
         |  SELECT greatest(1, count(*) // 32) AS b FROM embeddings),

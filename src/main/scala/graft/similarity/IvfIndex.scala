@@ -149,15 +149,23 @@ object IvfIndex {
   /** ANN top-k over a PRE-CODED corpus ([[encode]]/[[append]]): probe
     * `nprobe` cells per query. Output schema fixed at
     * `(query_id, neighbor_id, cosine, rank)`.
+    *
+    * `predicate` (FILTERED search — "same lang", "date > X") restricts
+    * the coded rows BEFORE the probed-cell join, so the top-k fills
+    * from eligible vectors only — post-filtering the top-k would
+    * under-fill k whenever neighbors fail the filter. The predicate
+    * names columns the caller stored ON the coded table.
     */
   def searchTopKCoded(spark: SparkSession, model: Model,
       coded: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame = {
+      queryId: String = "query_id", queryVec: String = "embedding",
+      predicate: Option[Column] = None): DataFrame = {
+    val base = predicate.map(coded.filter).getOrElse(coded)
     val q = queries.select(col(queryId).as("query_id"),
         col(queryVec).cast("array<double>").as("qv"))
       .withColumn("cell",
         explode(probeCells(spark, model, col("qv"), nprobe)))
-    val scored = coded.join(broadcast(q), "cell")
+    val scored = base.join(broadcast(q), "cell")
       .withColumn("cosine",
         round(GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 9))
     TopKSearch.explodeRanked(spark, scored, k)
@@ -165,14 +173,18 @@ object IvfIndex {
 
   /** ANN top-k: probe `nprobe` cells per query. Same FIXED output schema
     * as [[TopKSearch.bruteForce]] — `(query_id, neighbor_id, cosine,
-    * rank)` — whatever the input id columns are called.
+    * rank)` — whatever the input id columns are called. `predicate`
+    * filters the CORPUS before coding (metadata predicates reach the
+    * source scan and prune there — see [[searchTopKCoded]]).
     */
   def searchTopK(spark: SparkSession, model: Model,
       corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "query_id", queryVec: String = "embedding"): DataFrame =
+      queryId: String = "query_id", queryVec: String = "embedding",
+      predicate: Option[Column] = None): DataFrame =
     searchTopKCoded(spark, model,
-      encode(spark, model, corpus, corpusId, corpusVec)
+      encode(spark, model, predicate.map(corpus.filter).getOrElse(corpus),
+          corpusId, corpusVec)
         .repartition(spark.sparkContext.defaultParallelism),
       queries, k, nprobe, queryId, queryVec)
 }

@@ -75,7 +75,13 @@ object SqIndex {
     */
   def searchTopK(spark: SparkSession, m: Model, corpus: DataFrame,
       queries: DataFrame, k: Int, shortlist: Int = 100,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicate: Option[Column] = None): DataFrame = {
+    // FILTERED search: the metadata predicate restricts the corpus
+    // BEFORE coding/ADC, so the shortlist and top-k fill from eligible
+    // vectors only (post-filtering under-fills k) and the filter reaches
+    // the source scan
+    val base = predicate.map(corpus.filter).getOrElse(corpus)
     val minsL = typedlit(m.mins.toSeq)
     val scalesL = typedlit(m.scales.toSeq)
     // MATERIALIZE the codes before the query crossJoin: without the
@@ -84,7 +90,7 @@ object SqIndex {
     // — measured 38 s vs ~1 s at sf0.1. In production the coded table
     // is the persisted index (encode once, search many); the
     // checkpoint here is that same materialization per search session.
-    val coded = corpus.select(col(idCol).as("vec_id"),
+    val coded = base.select(col(idCol).as("vec_id"),
         encode(m, col(vecCol)).cast("array<double>").as("codes"))
       .localCheckpoint()
     val q = queries.select(col("query_id"),
@@ -106,7 +112,7 @@ object SqIndex {
       .select(col("query_id"), col("c.id").as("vec_id"))
     // exact re-rank of the shortlist only
     val rescored = short
-      .join(corpus.select(col(idCol).as("vec_id"),
+      .join(base.select(col(idCol).as("vec_id"),
         normalized(col(vecCol).cast("array<double>")).as("cv")), "vec_id")
       .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
       .withColumn("cosine",

@@ -262,6 +262,33 @@ class SimilaritySpec extends SparkSpec {
     assert(ids(pq) == ids(pqDefault))
   }
 
+  test("filtered search fills k from eligible vectors only") {
+    import graft.SparkSpec.spark.implicits._
+    val pred = col("vec_id") % 2 === 0
+    // IVF: every neighbor satisfies the predicate AND every query still
+    // gets k results — post-filtering the unfiltered top-k would return
+    // ~k/2 rows here (50% selectivity)
+    val ivfM = IvfIndex.train(spark, embs, numCells = 16)
+    val ivf = IvfIndex.searchTopK(spark, ivfM, embs, queries, 5,
+      nprobe = 16, predicate = Some(pred))
+    assert(ivf.filter(col("neighbor_id") % 2 =!= 0).count() == 0)
+    assert(ivf.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() == 0,
+      "a query under-filled k under the filter")
+    // at full probe the filtered IVF result IS the filtered brute force
+    val brute = TopKSearch.bruteForce(spark, embs.filter(pred), queries, 5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ids(ivf) == ids(brute))
+    // SQ8: same contract through the ADC + re-rank path
+    val sqM = SqIndex.train(spark, embs)
+    val sq = SqIndex.searchTopK(spark, sqM, embs, queries, 5,
+      shortlist = 100, predicate = Some(pred))
+    assert(sq.filter(col("neighbor_id") % 2 =!= 0).count() == 0)
+    assert(sq.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() == 0)
+  }
+
   test("corpus side of brute force does not shuffle (broadcast + partial agg)") {
     val plan = TopKSearch.bruteForce(spark, embs, queries, 5)
       .queryExecution.executedPlan.toString
