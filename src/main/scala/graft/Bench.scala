@@ -39,8 +39,8 @@ object Bench {
     */
   private val KnownHeavy: Set[String] = Set(
     "q32_dedup_ngram_jaccard", "q33_dedup_minhash_lsh",
-    "q70_simhash_gate", "q76_pq_recall", "q80_ivfpq_recall",
-    "q86_corpus_curation", "q125_bpe_train")
+    "q70_simhash_gate", "q71_embedding_lsh_gate", "q76_pq_recall",
+    "q80_ivfpq_recall", "q86_corpus_curation", "q125_bpe_train")
 
   /** Streaming/stateful gates: never forked (their cost is micro-batch
     * overhead, not JVM contention) and exempt from adaptive re-forking.
@@ -163,9 +163,15 @@ object Bench {
     // steady-state discipline: run each query RUNS times and report the
     // LAST pass — the first run of a query pays its whole-stage-codegen
     // (Janino) compile, which judge re-runs measured at 2-6x the steady
-    // number; reporting run 2 makes rounds comparable at a glance
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { n =>
+    // number; reporting run 2 makes rounds comparable at a glance.
+    // KnownHeavy forks go FIRST: forked children compete with this JVM
+    // for memory/CPU, and by late in a 170-query run the parent's
+    // accumulated heap inflated child numbers 2-3x (the r9 q86 13.05 s
+    // vs 3.8 s clean) — forking against a fresh parent removes that
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = names0.filter(KnownHeavy.contains) ++
+      names0.filterNot(KnownHeavy.contains)
+    val results0 = names.map { n =>
       val t =
         if (KnownHeavy.contains(n))
           forkMin(n).getOrElse { // child died: measure shared
@@ -195,6 +201,9 @@ object Bench {
         .foreach(spark.catalog.dropTempView)
       n -> t
     }
+    // artifact order stays name-sorted regardless of measurement order
+    val byName = results0.toMap
+    val results = names0.map(n => n -> byName(n))
     val total = results.map(_._2).filter(_ >= 0).sum
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def jstr(s: String): String = "\"" + s.flatMap {

@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val repeats = if (args.length > 1) args(1).toInt else 2
+    // never fewer than 2: run 1 pays whole-stage-codegen/JIT compile
+    // (measured 13.1 s vs 3.8 s steady on q86 at sf0.1), and the
+    // STEADY line reports the last run — a single-run invocation would
+    // report the cold number as steady (the r9 q86/q71 "regressions"
+    // were exactly this shape)
+    val repeats = (if (args.length > 1) args(1).toInt else 2).max(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
