@@ -396,21 +396,31 @@ object Multimodal {
     * (undecodable bytes) never pair. Output `(id_a, id_b, hamming)`,
     * id_a < id_b.
     */
-  def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
+    bandedHammingPairs(hashes, "dhash", maxHamming)
+
+  /** The shared band-bucketed Hamming self-join behind image dHash and
+    * audio fingerprint near-dup pairing: split the 64-bit hash into
+    * `maxHamming + 1` contiguous bands (pigeonhole: a pair within the
+    * budget shares SOME identical band), equi-join on (band, bits),
+    * verify candidates with the exact popcount. Never all-pairs.
+    */
+  private def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"bad budget $maxHamming")
     val bands = maxHamming + 1
     val width = 64 / bands
-    val h = hashes.filter(col("dhash").isNotNull)
-      .select(col("media_id"), col("dhash"),
+    val h = hashes.filter(col(hashCol).isNotNull)
+      .select(col("media_id"), col(hashCol).as("__h"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits", when(col("band") < bands - 1,
-          expr(s"shiftrightunsigned(dhash, band * $width)")
+          expr(s"shiftrightunsigned(__h, band * $width)")
             .bitwiseAND(lit((1L << width) - 1)))
-        .otherwise(expr(s"shiftrightunsigned(dhash, ${(bands - 1) * width})")))
+        .otherwise(expr(s"shiftrightunsigned(__h, ${(bands - 1) * width})")))
     val a = h.select(col("band").as("band_a"), col("bits").as("bits_a"),
-      col("media_id").as("id_a"), col("dhash").as("ha"))
+      col("media_id").as("id_a"), col("__h").as("ha"))
     val b = h.select(col("band").as("band_b"), col("bits").as("bits_b"),
-      col("media_id").as("id_b"), col("dhash").as("hb"))
+      col("media_id").as("id_b"), col("__h").as("hb"))
     a.join(b, col("band_a") === col("band_b") &&
         col("bits_a") === col("bits_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -418,6 +428,105 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** 64-bit audio CONTENT fingerprint (chromaprint-lite) of a PCM-16
+    * WAV clip — completing the modality: images dedup by pixels
+    * (dHash), audio until now only by metadata/exact bytes.
+    *
+    * The clip (channels mixed to mono) splits into 33 equal frames;
+    * per frame, total energy and zero-crossing count are computed, and
+    * the hash is the 32+32 bits of their frame-to-frame TRENDS
+    * (`E_{f+1} > E_f`, `Z_{f+1} > Z_f`) — the sign-of-derivative
+    * construction the published chromaprint family uses over chroma
+    * bands, applied to the two cheapest gain-invariant features: a
+    * re-mastered copy at a different volume scales every energy
+    * equally and leaves zero crossings untouched, so its fingerprint
+    * lands within a few bits of the original, while different program
+    * material flips ~half the trend bits. None for anything that is
+    * not a parseable PCM-16 WAV with ≥ 2 samples per frame
+    * (honest-null, like [[dHash]]).
+    */
+  private[graft] def audioFingerprint(bytes: Array[Byte]): Option[Long] = try {
+    def le16(at: Int): Int =
+      (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+    def le32(at: Int): Int = le16(at) | (le16(at + 2) << 16)
+    def tag4(at: Int): String =
+      new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 44 || tag4(0) != "RIFF" || tag4(8) != "WAVE")
+      return None
+    var at = 12
+    var channels = 0; var bits = 0; var fmt = -1
+    var dataAt = -1; var dataLen = 0
+    while (at + 8 <= bytes.length && (fmt < 0 || dataAt < 0)) {
+      val id = tag4(at); val len = le32(at + 4)
+      if (len < 0) return None // corrupt size: never walk backwards
+      if (id == "fmt " && len >= 16) {
+        fmt = le16(at + 8); channels = le16(at + 10); bits = le16(at + 22)
+      } else if (id == "data") {
+        dataAt = at + 8; dataLen = math.min(len, bytes.length - dataAt)
+      }
+      at += 8 + len + (len & 1)
+    }
+    if (fmt != 1 || bits != 16 || channels < 1 || dataAt < 0) return None
+    val nSamples = dataLen / (2 * channels)
+    val Frames = 33
+    if (nSamples < Frames * 2) return None
+    val energy = new Array[Double](Frames)
+    val zcr = new Array[Int](Frames)
+    var f = 0
+    while (f < Frames) {
+      val s0 = f.toLong * nSamples / Frames
+      val s1 = (f + 1).toLong * nSamples / Frames
+      var prev = 0; var first = true
+      var i = s0
+      while (i < s1) {
+        var c = 0; var acc = 0
+        while (c < channels) {
+          val a2 = dataAt + (i * channels + c).toInt * 2
+          acc += (le16(a2) << 16 >> 16) // sign-extend
+          c += 1
+        }
+        val mono = acc / channels
+        energy(f) += mono.toDouble * mono
+        if (!first && prev * mono < 0) zcr(f) += 1
+        prev = mono; first = false
+        i += 1
+      }
+      f += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 32) {
+      if (energy(i + 1) > energy(i)) h |= 1L << i
+      if (zcr(i + 1) > zcr(i)) h |= 1L << (32 + i)
+      i += 1
+    }
+    Some(h)
+  } catch { case _: Exception => None }
+
+  /** Per-clip fingerprint column: `(media_id, afp)` — afp NULL for
+    * bytes that do not parse as PCM-16 WAV. Same justified
+    * mapPartitions decode stage as [[imageHashes]].
+    */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, audioFingerprint(bytes).map(java.lang.Long.valueOf).orNull)
+      })
+      .toDF("media_id", "afp")
+      .select(col("media_id"), col("afp").cast("long").as("afp"))
+  }
+
+  /** Near-duplicate audio pairs by fingerprint Hamming distance —
+    * the band-bucketed equi-join of [[nearDupImagePairs]] over
+    * [[audioFingerprints]] output. Output `(id_a, id_b, hamming)`.
+    */
+  def nearDupAudioPairs(fingerprints: DataFrame,
+      maxHamming: Int = 8): DataFrame =
+    bandedHammingPairs(fingerprints, "afp", maxHamming)
 
   /** Ingest a directory of media files through Spark's `binaryFile`
     * source; kind is derived from the extension.

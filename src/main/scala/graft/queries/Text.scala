@@ -215,6 +215,83 @@ object Text extends QueryPack {
       .select(col("fname"), col("kind"), col("duration_ms"))
   }
 
+  /** Audio content-fingerprint gate (q175): synthesized PCM-16 WAV
+    * fixtures — a segmented tone program (33 envelope/frequency
+    * segments), the SAME program re-mastered at 0.37× gain, a
+    * different program, and undecodable bytes — fingerprinted with
+    * [[Multimodal.audioFingerprints]] (energy + zero-crossing trend
+    * bits, gain-invariant by construction) and paired with the
+    * band-bucketed [[Multimodal.nearDupAudioPairs]]. The re-mastered
+    * copy MUST pair with the base within the Hamming budget, the
+    * different program must pair with nothing, the junk must
+    * fingerprint NULL — all pinned TRUE by the oracle.
+    */
+  def audioFingerprintGate(s: SparkSession, dir: String): DataFrame = {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array
+    }
+    val n = 8000 // 1 s at 8 kHz
+    def synth(gain: Double, envF: Int => Double,
+        freqF: Int => Double): Array[Short] =
+      Array.tabulate[Short](n) { t =>
+        val seg = t * 33 / n
+        (gain * envF(seg) *
+          math.sin(2 * math.Pi * freqF(seg) * t / 8000.0)).toShort
+      }
+    val envA = (seg: Int) => 3000.0 + 2500.0 * math.sin(seg * 0.7)
+    val freqA = (seg: Int) => 300.0 + 60.0 * (seg % 7)
+    val envB = (seg: Int) => 3000.0 + 2500.0 * math.sin(seg * 1.3 + 1.0)
+    val freqB = (seg: Int) => 350.0 + 45.0 * (seg % 5)
+    val root = new java.io.File(
+      s"/tmp/graft_afp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val rootP = new org.apache.hadoop.fs.Path(root.toString)
+    rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(rootP, true) // fresh fixture dir per run
+    root.mkdirs()
+    Seq(
+      ("a_base.wav", wav(synth(1.0, envA, freqA))),
+      ("a_gain.wav", wav(synth(0.37, envA, freqA))),
+      ("b_other.wav", wav(synth(1.0, envB, freqB))),
+      ("junk.wav", Array.tabulate[Byte](96)(i => (i * 31 + 7).toByte))
+    ).foreach { case (name, bytes) =>
+      java.nio.file.Files.write(new java.io.File(root, name).toPath, bytes)
+    }
+    val media = Multimodal.readMediaDir(s, root.toString)
+    val named = media.select(col("media_id"),
+      regexp_extract(col("path"), "([^/]+)$", 1).as("fname"))
+    val fps = Multimodal.audioFingerprints(media)
+    val pairs = Multimodal.nearDupAudioPairs(fps, maxHamming = 8)
+      .join(named.select(col("media_id").as("id_a"), col("fname").as("fa")), "id_a")
+      .join(named.select(col("media_id").as("id_b"), col("fname").as("fb")), "id_b")
+      .select(least(col("fa"), col("fb")).as("f1"),
+        greatest(col("fa"), col("fb")).as("f2"))
+    val withNames = fps.join(named, "media_id")
+    pairs.agg(
+        sum(when(col("f1") === "a_base.wav" &&
+          col("f2") === "a_gain.wav", 1).otherwise(0)).as("n_gain"),
+        sum(when(col("f1").startsWith("b_") ||
+          col("f2").startsWith("b_"), 1).otherwise(0)).as("n_false"))
+      .crossJoin(withNames.agg(
+        count(lit(1)).as("n_clips"),
+        sum(when(col("fname") === "junk.wav" &&
+          col("afp").isNull, 1).otherwise(0)).as("n_junk_null")))
+      .select(
+        col("n_clips").cast("bigint").as("n_clips"),
+        (col("n_gain") === 1).as("gain_pair_ok"),
+        (col("n_false") === 0).as("no_false_pairs_ok"),
+        (col("n_junk_null") === 1).as("junk_null_ok"))
+  }
+
   /** Trained quality-classifier gate (q142): plant perfectly-labeled
     * data — real documents (label 0) vs the same documents prefixed
     * with a fixed spam phrase (label 1) — split train/test by the
@@ -716,6 +793,7 @@ object Text extends QueryPack {
       .select(col("doc_id"), col("host"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_audio_fingerprint" -> audioFingerprintGate _,
     "q173_domain_cap" -> domainCap _,
     "q172_html_extract" -> htmlExtract _,
     "q170_web_curation" -> webCuration _,
@@ -1281,6 +1359,10 @@ object Text extends QueryPack {
       """SELECT CAST(5 AS BIGINT) AS n_images,
         |  TRUE AS resized_pair_ok, TRUE AS jpeg_pair_ok,
         |  TRUE AS no_false_pairs_ok, TRUE AS junk_null_ok""".stripMargin,
+    "q175_audio_fingerprint" ->
+      """SELECT CAST(4 AS BIGINT) AS n_clips,
+        |  TRUE AS gain_pair_ok, TRUE AS no_false_pairs_ok,
+        |  TRUE AS junk_null_ok""".stripMargin,
     // the checked-in media fixtures are constants: payload hashes, header
     // dimensions, and path-hash ids are all knowable ahead of time, so
     // the oracle is the literal expected table

@@ -284,6 +284,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(Array.tabulate[Byte](32)(_.toByte)).isEmpty)
   }
 
+  test("audio fingerprint: gain-invariant, program-sensitive, honest null") {
+    def wav(samples: Array[Short], channels: Int = 1): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(8000)
+        .putInt(8000 * 2 * channels).putShort((2 * channels).toShort)
+        .putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array
+    }
+    val n = 8000
+    def synth(gain: Double, phase: Double): Array[Short] =
+      Array.tabulate[Short](n) { t =>
+        val seg = t * 33 / n
+        val env = 3000.0 + 2500.0 * math.sin(seg * 0.7 + phase)
+        val freq = 300.0 + 60.0 * ((seg + phase.toInt) % 7)
+        (gain * env * math.sin(2 * math.Pi * freq * t / 8000.0)).toShort
+      }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.audioFingerprint(wav(synth(1.0, 0))).get
+    // re-mastered gain: energies scale uniformly, crossings untouched
+    val gain = Multimodal.audioFingerprint(wav(synth(0.37, 0))).get
+    assert(ham(base, gain) <= 8, s"gain moved ${ham(base, gain)} bits")
+    // a different program flips many trend bits
+    val other = Multimodal.audioFingerprint(wav(synth(1.0, 2.1))).get
+    assert(ham(base, other) > 8, s"program moved only ${ham(base, other)}")
+    // stereo mixdown of the same program matches the mono fingerprint
+    val stereo = wav(synth(1.0, 0).flatMap(s => Array(s, s)), channels = 2)
+    assert(Multimodal.audioFingerprint(stereo).get == base)
+    // not-a-WAV and truncated bytes fingerprint None
+    assert(Multimodal.audioFingerprint(
+      Array.tabulate[Byte](96)(i => (i * 31 + 7).toByte)).isEmpty)
+    assert(Multimodal.audioFingerprint(
+      wav(synth(1.0, 0)).take(50)).isEmpty)
+  }
+
   test("band-bucketed image pairs equal the all-pairs reference under the budget") {
     import java.awt.image.BufferedImage
     // synthetic hashes exercising band completeness: pairs at hamming
