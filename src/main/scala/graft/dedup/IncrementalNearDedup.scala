@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   * fixed per-row seeds), so an index built yesterday is compatible with
   * a batch signed today — nothing is sampled, nothing retrains.
   *
+  * Sizing: the broadcast side is the BATCH's band table (bands ×
+  * ~16 B/doc — tens of MB for a million-doc day). For batches beyond
+  * broadcast range, run [[newDocs]] over id-range slices of the batch
+  * (each slice is an independent pass; the prior index still never
+  * reshuffles), or store the band table bucketed by `band_key` and
+  * swap the broadcast for a bucket-local join — the invariant to
+  * preserve is that per-batch cost is O(batch), never O(corpus).
+  *
   * Reference context: the reference re-lists the full corpus each run
   * to diff partitions (`emr_json_parquet_schema_drift_etl.py:332-356`);
   * this is that "what is genuinely new" question asked of near-dup

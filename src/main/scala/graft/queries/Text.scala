@@ -792,7 +792,56 @@ object Text extends QueryPack {
         col("url"), maxPerHost = 30, byRegistrableDomain = true)
       .select(col("doc_id"), col("host"))
 
+  /** HTML-crawl curation composite (q176) — the round-10 operators
+    * composed the way a crawl pipeline runs them:
+    *   1. raw pages (q172's synthetic wrap, boilerplate and all) →
+    *      [[graft.functions.HtmlMainText]] main-content extraction;
+    *   2. incremental NEAR-dup against the prior snapshot's persisted
+    *      MinHash index ([[graft.dedup.IncrementalNearDedup]]) — the
+    *      planted refetches of yesterday's pages drop here;
+    *   3. per-DOMAIN cap via the PSL registrable domain
+    *      ([[graft.text.UrlCuration.capPerHost]]).
+    * Every stage is deterministic, so DuckDB recomposes the entire
+    * pipeline (extraction regexes, exact jaccard NOT EXISTS, windowed
+    * cap) and the result is oracled row-for-row.
+    */
+  def htmlCrawlCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val planted = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" crawl refetch banner")).as("text"),
+        col("source"))
+    val crawl = fresh.unionByName(planted)
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{color:red}</style><script>var x=1;</script>" +
+        "</head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">" +
+        "About</a> <a href=\"/contact\">Contact</a></nav>" +
+        "<!-- boilerplate comment --><div class=\"content\"><p>"),
+      col("text"),
+      lit("</p></div><footer><a href=\"/tos\">Terms of Service</a> " +
+        "&amp; <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+    val extracted = crawl.select(col("doc_id"), col("source"),
+      graft.functions.GraftFunctions.htmlMainText(html).as("main_text"))
+    val idx = graft.dedup.IncrementalNearDedup.index(prior,
+      bands = 32, rowsPerBand = 3)
+    val newDocs = graft.dedup.IncrementalNearDedup.newDocs(extracted, idx,
+      threshold = 0.6, bands = 32, rowsPerBand = 3, textCol = "main_text")
+    val withUrl = newDocs.withColumn("url", concat(
+      lit("https://sub"), (col("doc_id") % 3).cast("string"), lit("."),
+      upper(col("source")), lit(".CO.UK/item/"),
+      col("doc_id").cast("string")))
+    graft.text.UrlCuration.capPerHost(withUrl, col("url"),
+        maxPerHost = 30, byRegistrableDomain = true)
+      .select(col("doc_id"), col("host"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_html_crawl_curation" -> htmlCrawlCuration _,
     "q175_audio_fingerprint" -> audioFingerprintGate _,
     "q173_domain_cap" -> domainCap _,
     "q172_html_extract" -> htmlExtract _,
@@ -840,6 +889,102 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q176_html_crawl_curation" ->
+      """WITH crawl AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text || ' crawl refetch banner'
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+        |prior AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |h0 AS (
+        |  SELECT doc_id, source,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p{color:red}</style><script>var x=1;</script>' ||
+        |    '</head><body><nav><a href="/">Home</a> <a href="/about">' ||
+        |    'About</a> <a href="/contact">Contact</a></nav>' ||
+        |    '<!-- boilerplate comment --><div class="content"><p>' ||
+        |    text ||
+        |    '</p></div><footer><a href="/tos">Terms of Service</a> ' ||
+        |    '&amp; <a href="/privacy">Privacy</a></footer></body></html>'
+        |    AS html
+        |  FROM crawl),
+        |h1 AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '(?s)<!--.*?-->', '', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+        |      '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS h
+        |  FROM h0),
+        |bl AS (
+        |  SELECT doc_id, source,
+        |    string_split(regexp_replace(h,
+        |      '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|form|main)\b[^>]*>',
+        |      chr(10), 'g'), chr(10)) AS bs
+        |  FROM h1),
+        |sx AS (
+        |  SELECT doc_id, source,
+        |    [{'v': trim(regexp_replace(
+        |            replace(replace(replace(replace(replace(replace(
+        |              regexp_replace(x, '<[^>]*>', '', 'g'),
+        |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |            '\s+', ' ', 'g')),
+        |      'a': coalesce(list_sum(
+        |        [length(trim(regexp_replace(
+        |            replace(replace(replace(replace(replace(replace(
+        |              regexp_replace(t, '<[^>]*>', '', 'g'),
+        |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |            '\s+', ' ', 'g')))
+        |         for t in regexp_extract_all(x, '(?is)<a\b[^>]*>(.*?)</a>', 1)]), 0)}
+        |     for x in bs] AS blocks
+        |  FROM bl),
+        |x AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(
+        |      [blk.v for blk in blocks
+        |       if length(blk.v) >= 25 AND blk.a <= length(blk.v) * 0.33],
+        |      chr(10)) AS main_text
+        |  FROM sx),
+        |tp AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
+        |  FROM prior),
+        |sp AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |                   for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM tp WHERE len(tokens) >= 3),
+        |ep AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sp),
+        |tb AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(main_text), '[^a-z0-9]+') if t <> ''] AS tokens
+        |  FROM x),
+        |sb AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |                   for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM tb WHERE len(tokens) >= 3),
+        |eb AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sb),
+        |dups AS (
+        |  SELECT DISTINCT bid FROM (
+        |    SELECT b.doc_id AS bid, p.doc_id AS pid,
+        |      count(*) AS common, any_value(b.n) AS nb, any_value(p.n) AS np
+        |    FROM eb b JOIN ep p ON b.s = p.s
+        |    GROUP BY 1, 2) c
+        |  WHERE CAST(common AS DOUBLE) / (nb + np - common) >= 0.6),
+        |surv AS (
+        |  SELECT doc_id, source FROM crawl
+        |  WHERE doc_id NOT IN (SELECT bid FROM dups))
+        |SELECT doc_id, source || '.co.uk' AS host
+        |FROM (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |          AS rn
+        |      FROM surv)
+        |WHERE rn <= 30""".stripMargin,
     "q173_domain_cap" ->
       """SELECT doc_id, source || '.co.uk' AS host
         |FROM (SELECT doc_id, source,
