@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document PARAGRAPH dedup — the MassiveText/CCNet boilerplate
+  * pass that works at line granularity instead of whole documents:
+  * cookie banners, nav crumbs, and share-bars repeat VERBATIM across
+  * thousands of pages while the surrounding article is unique, so
+  * whole-doc dedup never fires and n-gram stats only report them
+  * (q147); this operator actually REMOVES them.
+  *
+  * Shape at scale:
+  *   1. explode each doc into (doc, position, line) — narrow;
+  *   2. document frequency per EXACT line, keyed by xxhash64 (one
+  *      8-byte-key shuffle; the per-hash count table is the distinct
+  *      paragraph set, far smaller than the corpus);
+  *   3. lines with df < `minCopies` keep, the rest drop — an equi-join
+  *      of the exploded table against the hash-df table;
+  *   4. reassemble each doc's survivors in original position order
+  *      (one hash aggregate with a sort_array over positions — per-doc
+  *      state is that doc's own line list, the bound flattening
+  *      already carries).
+  *
+  * Exact-match semantics (no normalization) keep the operator
+  * oracle-checkable byte-for-byte; compose with
+  * [[graft.text.TextAnalysis]] normalization upstream when fuzzier
+  * matching is wanted. Documents whose every line is boilerplate
+  * come back as empty text, not dropped rows — the caller's length
+  * filter decides their fate (honest output, like the multimodal
+  * decoders' zeros).
+  *
+  * Reference context: the reference flattens semi-structured payloads
+  * wholesale (`emr_json_parquet_schema_drift_etl.py:318-321`); this is
+  * the text-corpus cleanup its analytics tables would need before any
+  * LM-training use.
+  */
+object ParagraphDedup {
+
+  /** `(idCol, clean_text)`: each document with every line whose exact
+    * text appears in at least `minCopies` DISTINCT documents removed.
+    * Lines split on `\n`; duplicate lines WITHIN one doc count once
+    * toward the document frequency.
+    */
+  def dedupParagraphs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minCopies: Int = 2): DataFrame = {
+    require(minCopies >= 2, s"minCopies must be >= 2, got $minCopies")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__h", xxhash64(col("line")))
+    // df counts DISTINCT docs per exact line (8-byte keys only)
+    val boiler = lines.groupBy(col("__h"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minCopies)
+      .select(col("__h"))
+    val kept = lines.join(boiler, Seq("__h"), "left_anti")
+    // reassemble in position order; docs that lost every line still
+    // emit a row (empty text) via the left join on the input ids
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("clean_text"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

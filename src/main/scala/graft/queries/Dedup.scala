@@ -222,10 +222,27 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** Cross-document paragraph dedup gate (q177): every document gets
+    * the same planted subscribe-header and copyright-footer lines (the
+    * boilerplate that repeats verbatim across a crawl while the body
+    * stays unique); [[graft.dedup.ParagraphDedup.dedupParagraphs]]
+    * must strip exactly the lines whose text appears in ≥ 2 distinct
+    * docs and reassemble the rest in order — oracled line-for-line
+    * against DuckDB recomputing the same frequencies.
+    */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("SUBSCRIBE to our newsletter today\n"), col("text"),
+        lit("\nCopyright 2024 Example Corp all rights reserved"))
+        .as("text"))
+    ParagraphDedup.dedupParagraphs(docs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_corpus_curation" -> corpusCuration _,
     "q148_incremental_dedup" -> incrementalDedup _,
     "q171_incremental_neardup" -> incrementalNearDedup _,
+    "q177_paragraph_dedup" -> paragraphDedup _,
     "q30_dedup_exact_keepfirst" -> exactKeepFirst _,
     "q31_dedup_exact_hash" -> exactByHash _,
     "q32_dedup_ngram_jaccard" -> ngramJaccard _,
@@ -264,6 +281,28 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q177_paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'SUBSCRIBE to our newsletter today' || chr(10) || text ||
+        |    chr(10) || 'Copyright 2024 Example Corp all rights reserved'
+        |    AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'line': ln[i]}
+        |            for i in range(1, len(ln) + 1)], recursive := true)
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM d)),
+        |boiler AS (
+        |  SELECT line FROM l GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT * FROM l WHERE line NOT IN (SELECT line FROM boiler))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+        |    AS clean_text
+        |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
     "q171_incremental_neardup" ->
       """WITH prior AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),

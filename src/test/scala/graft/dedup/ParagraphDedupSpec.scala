@@ -1,0 +1,40 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class ParagraphDedupSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("shared lines strip, unique lines keep order, within-doc repeats count once") {
+    val docs = Seq(
+      (1L, "shared header\nunique one\nrepeat\nrepeat\nshared footer"),
+      (2L, "shared header\nunique two\nshared footer"),
+      (3L, "all alone here")).toDF("doc_id", "text")
+    val out = ParagraphDedup.dedupParagraphs(docs)
+      .as[(Long, String)].collect().toMap
+    // "repeat" occurs twice but only within doc 1 — df counts DISTINCT
+    // docs, so it stays (both copies, in order)
+    assert(out == Map(
+      1L -> "unique one\nrepeat\nrepeat",
+      2L -> "unique two",
+      3L -> "all alone here"))
+  }
+
+  test("a fully-boilerplate doc comes back empty, never dropped") {
+    val docs = Seq((1L, "x\ny"), (2L, "x\ny"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = ParagraphDedup.dedupParagraphs(docs)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "", 2L -> "", 3L -> ""))
+  }
+
+  test("raising minCopies spares lines under the threshold") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc"), (3L, "a\nb"))
+      .toDF("doc_id", "text")
+    // df(a)=3, df(b)=2: at minCopies=3 only "a" strips
+    val out = ParagraphDedup.dedupParagraphs(docs, minCopies = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "b", 2L -> "c", 3L -> "b"))
+  }
+}
