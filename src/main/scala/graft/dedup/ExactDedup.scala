@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact deduplication over a content column.
@@ -17,13 +16,23 @@ object ExactDedup {
 
   /** Keep the lowest-id row per distinct content value: the canonical
     * "drop exact duplicates, keep first" operator.
+    *
+    * Keepers come from a MIN aggregate (map-side partial: each task
+    * contributes one candidate per distinct content it saw) + a
+    * semi-join on the id — never a `row_number` window, whose
+    * partition-by-content sort serializes a hot value ("404 not
+    * found" × 100 M fetches is a real crawl shape) onto one task.
+    * The aggregate keys on the 256-bit digest so the shuffle carries
+    * 32-byte keys, not document text — the same sha256
+    * collisions-not-practical assumption [[byHash]] (q31) documents.
     */
   def keepFirst(docs: DataFrame, contentCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(contentCol)).orderBy(col(idCol))
-    docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val keepers = docs
+      .groupBy(sha2(col(contentCol), 256).as("__sha"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
   }
 
   /** Duplicate-group summary keyed by content digest: one row per distinct

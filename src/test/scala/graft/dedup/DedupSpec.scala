@@ -20,6 +20,10 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == docs.select("text").distinct().count())
     // keeper is always the lowest id: none of the planted copies survive
     assert(out.filter($"doc_id" >= 100000).count() == 0)
+    // min-aggregate + semi-join, never a partition-by-content window
+    // (a hot value — "404 not found" × 100M fetches — would serialize
+    // its whole row set onto one task)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
   }
 
   test("byHash counts copies per content") {
