@@ -50,24 +50,51 @@ object TrainOrder {
     * p occupies every ~1/p-th slot. Deterministic and engine-portable
     * (the q146 oracle recomputes it with two window functions).
     *
-    * Scale shape: per-source positions come from ONE
-    * `row_number() OVER (PARTITION BY source ORDER BY key)` window —
-    * acceptable when sources number in the dozens (each source is a
-    * partition of the shuffle; a HOT source serializes into one task).
-    * For corpora where one source dominates, compose the same
-    * prefix-sum trick as [[epochStream]] per source; the key formula
-    * is unchanged.
+    * Scale shape: per-source positions come from the SAME distributed
+    * prefix-sum as [[epochStream]]/sequence packing, generalized to
+    * reset per source — range-partition on (source, key), local
+    * per-(partition, source) row numbers (bounded by the partition,
+    * never the source), then per-(partition, source) counts fold into
+    * exclusive offsets over a partitions×sources table. A corpus where
+    * one source is 80% of the rows spreads that source across the
+    * range partitions instead of serializing it onto one task (the
+    * `PARTITION BY source` window spelling q146's ORACLE uses —
+    * bit-identical results, different physics).
     */
   def interleaveBySource(docs: DataFrame, idCol: String = "doc_id",
       sourceCol: String = "source", salt: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = shuffleKey(col(idCol), lit(0), salt)
-    val w = Window.partitionBy(col(sourceCol)).orderBy(k, col(idCol))
-    val n = Window.partitionBy(col(sourceCol))
-    docs.select(col(idCol), col(sourceCol))
+    val spark = docs.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val pid = "__graft_pid"
+    val parted = docs.select(col(idCol), col(sourceCol))
+      .withColumn("__k", shuffleKey(col(idCol), lit(0), salt))
+      .repartitionByRange(nParts, col(sourceCol), col("__k"), col(idCol))
+      .withColumn(pid, spark_partition_id())
+    // local 1-based position of the row within its source's slice of
+    // this partition — the window key is (pid, source), so no group
+    // exceeds a partition
+    val local = parted.withColumn("__rn", row_number().over(
+      Window.partitionBy(col(pid), col(sourceCol))
+        .orderBy(col("__k"), col(idCol))))
+    // partitions×sources rows: per-slice counts -> exclusive per-source
+    // offsets (range partitioning makes pid order == key order) and
+    // per-source totals
+    val counts = local.groupBy(col(pid), col(sourceCol))
+      .agg(count(lit(1)).as("__c"))
+    val offsets = counts.withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col(sourceCol))
+          .orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(pid), col(sourceCol), col("__off"))
+    val totals = counts.groupBy(col(sourceCol))
+      .agg(sum(col("__c")).as("__n"))
+    local.join(broadcast(offsets), Seq(pid, sourceCol))
+      .join(broadcast(totals), Seq(sourceCol))
       .withColumn("ikey",
-        row_number().over(w).cast("double") /
-          count(lit(1)).over(n).cast("double"))
+        (col("__rn") + col("__off")).cast("double") /
+          col("__n").cast("double"))
+      .select(col(idCol), col(sourceCol), col("ikey"))
   }
 
   /** The epoch-major training stream: each input row appears once per

@@ -62,6 +62,24 @@ class TrainPipelineSpec extends SparkSpec {
     assert(ordered.sameElements(again))
   }
 
+  test("interleave: prefix-sum positions equal the window reference on a hot source") {
+    // one source owns 90% of the rows — the distributed per-source
+    // prefix sum must produce EXACTLY the positions the single-window
+    // PARTITION BY source spelling (the q146 oracle) defines
+    val docs = ((1L to 450L).map(i => (i, "hot")) ++
+      (1001L to 1050L).map(i => (i, "cold"))).toDF("doc_id", "source")
+    val got = TrainOrder.interleaveBySource(docs)
+      .select("doc_id", "ikey").as[(Long, Double)].collect().toMap
+    import org.apache.spark.sql.expressions.Window
+    val k = md5(concat(col("doc_id").cast("string"), lit(":0")))
+    val ref = docs.withColumn("ikey",
+        row_number().over(Window.partitionBy(col("source"))
+            .orderBy(k, col("doc_id"))).cast("double") /
+          count(lit(1)).over(Window.partitionBy(col("source"))).cast("double"))
+      .select("doc_id", "ikey").as[(Long, Double)].collect().toMap
+    assert(got == ref)
+  }
+
   test("tfidf: a term unique to one doc outranks corpus-wide terms") {
     val docs = Seq(
       (1L, "the cat sat on the mat zebra zebra"),
