@@ -71,9 +71,30 @@ object IncrementalNearDedup {
       sigs.select(col("doc_id"), col("shingles"), col("n_shingles")))
   }
 
+  /** Extend a prior-snapshot index with newly-ACCEPTED documents — the
+    * back edge of the daily loop: after [[newDocs]] admits a batch,
+    * tomorrow's prior = today's prior + today's survivors. One narrow
+    * pass over the new docs only; the existing index frames are
+    * untouched (in production, append the two deltas to the stored
+    * band/sketch tables). Same signature determinism as [[index]], so
+    * appended docs are immediately matchable.
+    */
+  def appendToIndex(idx: Index, accepted: DataFrame, k: Int = 3,
+      bands: Int = 24, rowsPerBand: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): Index = {
+    val delta = index(accepted, k, bands, rowsPerBand, idCol, textCol)
+    Index(idx.bands.unionByName(delta.bands),
+      idx.sketches.unionByName(delta.sketches))
+  }
+
   /** Documents of `batch` with NO near-duplicate (shingle jaccard ≥
     * `threshold`) in the indexed prior snapshot. `k`/`bands`/
     * `rowsPerBand` must match the values the index was built with.
+    *
+    * Streaming face: call this per micro-batch from `foreachBatch` —
+    * the batch side is what broadcasts, so a streaming frame cannot
+    * drive the join directly, but every micro-batch IS a batch. See
+    * `StreamIncrDedupSpec` for the wiring.
     */
   def newDocs(batch: DataFrame, idx: Index, k: Int = 3,
       threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 4,

@@ -34,4 +34,48 @@ class StreamIncrDedupSpec extends SparkSpec {
     assert(got == Set(9003L, 9005L))
     prior.unpersist()
   }
+
+  test("near-dup against the corpus per micro-batch, index growing via foreachBatch") {
+    import graft.dedup.IncrementalNearDedup
+    val docs = Tables.documents(spark, sf)
+    val prior = docs.filter($"doc_id" < 40).select($"doc_id", $"text")
+    // the index is state the driver owns; each micro-batch dedups
+    // against it and the survivors extend it — the daily loop at
+    // micro-batch cadence
+    var idx = IncrementalNearDedup.index(prior, bands = 32, rowsPerBand = 3)
+    idx.bands.cache().count(); idx.sketches.cache().count()
+    val passed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fresh = IncrementalNearDedup.newDocs(batch, idx,
+          threshold = 0.6, bands = 32, rowsPerBand = 3)
+        // MATERIALIZE the survivors before extending the index: a
+        // micro-batch frame is not re-evaluable after its batch ends
+        // (production appends the delta to the stored band/sketch
+        // tables — the same materialization)
+        val rows = fresh.select($"doc_id", $"text")
+          .as[(Long, String)].collect()
+        passed ++= rows.map(_._1)
+        idx = IncrementalNearDedup.appendToIndex(idx,
+          rows.toSeq.toDF("doc_id", "text"),
+          bands = 32, rowsPerBand = 3)
+      }
+      .start()
+    val priorText = prior.orderBy($"doc_id").select($"text")
+      .as[String].head()
+    // batch 1: a near-copy of a prior doc (drops) + a new doc (passes)
+    in.addData((9001L, priorText + " crawl refetch banner"),
+      (9002L, "completely novel content about distributed prefix sums"))
+    q.processAllAvailable()
+    // batch 2: a near-copy of BATCH 1's survivor must now drop too —
+    // proof the index actually grew between micro-batches
+    in.addData(
+      (9003L, "completely novel content about distributed prefix sums today"),
+      (9004L, "another genuinely new document entirely unlike the rest"))
+    q.processAllAvailable()
+    q.stop()
+    assert(passed.toSet == Set(9002L, 9004L), s"got $passed")
+  }
 }
