@@ -840,7 +840,18 @@ object Text extends QueryPack {
       .select(col("doc_id"), col("host"))
   }
 
+  /** Span-corruption pairs gate (q178): the T5 denoising prep over the
+    * documents table at the canonical 15% mask rate —
+    * [[graft.text.SpanCorruption.pairs]]. The md5 mask draws, span
+    * grouping, sentinel numbering, and both output strings are
+    * recomputed by DuckDB window functions and hash-compared
+    * byte-exactly.
+    */
+  def spanCorruption(s: SparkSession, dir: String): DataFrame =
+    graft.text.SpanCorruption.pairs(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_span_corruption" -> spanCorruption _,
     "q176_html_crawl_curation" -> htmlCrawlCuration _,
     "q175_audio_fingerprint" -> audioFingerprintGate _,
     "q173_domain_cap" -> domainCap _,
@@ -889,6 +900,44 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q178_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i - 1, 'tok': toks[i]}
+        |            for i in range(1, len(toks) + 1)], recursive := true)
+        |  FROM (SELECT doc_id,
+        |          [x for x in string_split_regex(text, '\s+') if x <> ''] AS toks
+        |        FROM documents)),
+        |f AS (
+        |  SELECT doc_id, pos, tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |       CAST(pos AS VARCHAR) || ':'), 1, 8))::BIGINT
+        |      / 4294967296.0 < 0.15 AS m
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, pos, tok, m,
+        |    m AND NOT coalesce(
+        |      lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS st
+        |  FROM f),
+        |g AS (
+        |  SELECT doc_id, pos, tok, m, st,
+        |    sum(CASE WHEN st THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS sid
+        |  FROM s)
+        |SELECT doc_id,
+        |  string_agg(
+        |    CASE WHEN NOT m THEN tok
+        |         WHEN st THEN '<extra_id_' || CAST(sid AS VARCHAR) || '>'
+        |    END, ' ' ORDER BY pos) AS input,
+        |  coalesce(string_agg(
+        |    CASE WHEN m AND st
+        |           THEN '<extra_id_' || CAST(sid AS VARCHAR) || '> ' || tok
+        |         WHEN m THEN tok
+        |    END, ' ' ORDER BY pos) || ' ', '') ||
+        |    '<extra_id_' ||
+        |    CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS VARCHAR) || '>'
+        |    AS target
+        |FROM g GROUP BY doc_id""".stripMargin,
     "q176_html_crawl_curation" ->
       """WITH crawl AS (
         |  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** T5/UL2-style SPAN CORRUPTION pairs — the denoising-objective prep
+  * step that turns clean documents into (input, target) training
+  * examples: ~`maskRate` of the tokens, grouped into contiguous spans,
+  * are replaced in the input by `<extra_id_k>` sentinels, and the
+  * target spells each span out after its sentinel, closing with a
+  * terminal sentinel.
+  *
+  * Everything is DETERMINISTIC and engine-portable: the per-token mask
+  * decision is an md5 draw on (doc, position, salt) — the
+  * [[CorpusMix]] convention — so the same document always corrupts
+  * identically, regenerating the dataset is reproducible, and the
+  * whole construction replays in the DuckDB oracle (q178).
+  *
+  * Scale shape: tokens explode narrowly, span ids come from ONE window
+  * keyed (doc, position) — per-doc state bounded by the document, the
+  * partition key is the doc id, never a global or hot key — and both
+  * output strings fold back in the SAME doc-keyed aggregation; one
+  * shuffle end to end.
+  *
+  * Reference context: the reference's pipeline ends at analytics
+  * tables (`emr_json_parquet_schema_drift_etl.py:318-361`); this is
+  * the step a pretraining consumer runs on those tables' text output.
+  */
+object SpanCorruption {
+
+  /** Uniform [0,1) draw for token `pos` of doc `id` — first 8 md5 hex
+    * digits over 2^32, the same engine-portable construction as
+    * [[CorpusMix.drawU]].
+    */
+  private def drawU(id: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column, salt: String) =
+    conv(substring(md5(concat(id.cast("string"), lit(":"),
+      pos.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** `(idCol, input, target)`: whitespace tokens of `textCol` masked at
+    * `maskRate` into sentinel spans. Documents with no masked token
+    * emit their token-normalized text and a bare terminal sentinel.
+    */
+  def pairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maskRate: Double = 0.15,
+      salt: String = ""): DataFrame = {
+    require(maskRate > 0.0 && maskRate < 1.0,
+      s"maskRate must be in (0,1), got $maskRate")
+    val toks = docs
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .withColumn("__m", drawU(col(idCol), col("pos"), salt) < maskRate)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = toks
+      // span START: masked token whose predecessor is not masked
+      .withColumn("__start",
+        col("__m") && !coalesce(lag(col("__m"), 1).over(w), lit(false)))
+      // 0-based span index (valid on masked rows)
+      .withColumn("__sid",
+        sum(when(col("__start"), 1L).otherwise(0L)).over(w) - 1L)
+    val sentinel = (sid: org.apache.spark.sql.Column) =>
+      concat(lit("<extra_id_"), sid.cast("string"), lit(">"))
+    val pieces = spans.select(col(idCol), col("pos"),
+      // input: unmasked tokens verbatim; one sentinel at each span
+      // start; continuation tokens vanish (null never aggregates)
+      when(!col("__m"), col("tok"))
+        .when(col("__start"), sentinel(col("__sid"))).as("__in"),
+      // target: each span's sentinel then its tokens, nothing else
+      when(col("__m") && col("__start"),
+          concat(sentinel(col("__sid")), lit(" "), col("tok")))
+        .when(col("__m"), col("tok")).as("__tg"),
+      when(col("__start"), 1L).otherwise(0L).as("__ns"))
+    pieces.groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("__in").isNotNull,
+              struct(col("pos"), col("__in").as("s"))))),
+          x => x.getField("s")), " ").as("input"),
+        concat(
+          array_join(transform(array_sort(collect_list(
+              when(col("__tg").isNotNull,
+                struct(col("pos"), col("__tg").as("s"))))),
+            x => x.getField("s")), " "),
+          when(sum(col("__ns")) > 0, lit(" ")).otherwise(lit("")),
+          sentinel(sum(col("__ns")))).as("target"))
+  }
+}

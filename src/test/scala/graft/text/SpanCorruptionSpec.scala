@@ -1,0 +1,61 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SpanCorruptionSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val out =
+    SpanCorruption.pairs(Tables.documents(spark, sf)).cache()
+
+  test("structural invariants over the real corpus") {
+    val docs = Tables.documents(spark, sf)
+    // one pair per tokenizable doc
+    assert(out.count() ==
+      docs.filter(trim($"text") =!= "").count())
+    val rows = out.as[(Long, String, String)].collect()
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    val Sentinel = "<extra_id_(\\d+)>".r
+    rows.foreach { case (id, input, target) =>
+      val inIds = Sentinel.findAllMatchIn(input).map(_.group(1).toInt).toList
+      val tgIds = Sentinel.findAllMatchIn(target).map(_.group(1).toInt).toList
+      // input sentinels are 0..n-1 in order; target repeats them and
+      // closes with the terminal n
+      assert(inIds == inIds.indices.toList, s"doc $id input ids $inIds")
+      assert(tgIds == inIds ++ List(inIds.length), s"doc $id target ids")
+      // reconstruction: splicing each span back in place of its
+      // sentinel recovers the token-normalized document
+      val spans = target.split("<extra_id_\\d+>").map(_.trim)
+      val spliced = Sentinel.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spans(m.group(1).toInt + 1)))
+        .replaceAll("\\s+", " ").trim
+      val normalized =
+        texts(id).split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(spliced == normalized, s"doc $id does not reconstruct")
+    }
+    // the global mask rate lands near 15%
+    val masked = rows.map { case (_, _, t) =>
+      t.split("\\s+").count(x => !x.startsWith("<extra_id_")) }.sum.toDouble
+    val total = Tables.documents(spark, sf)
+      .select(size(filter(split($"text", "\\s+"), x => x =!= "")))
+      .as[Int].collect().sum.toDouble
+    assert(masked / total > 0.10 && masked / total < 0.20,
+      s"mask rate ${masked / total}")
+  }
+
+  test("deterministic across runs; salt changes the corruption") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val a = SpanCorruption.pairs(docs).as[(Long, String, String)].head()
+    val b = SpanCorruption.pairs(docs).as[(Long, String, String)].head()
+    assert(a == b)
+    val salted = SpanCorruption.pairs(docs, salt = "v2")
+      .as[(Long, String, String)].head()
+    assert(a != salted)
+  }
+}
