@@ -850,7 +850,22 @@ object Text extends QueryPack {
   def spanCorruption(s: SparkSession, dir: String): DataFrame =
     graft.text.SpanCorruption.pairs(Tables.documents(s, dir))
 
+  /** DSIR importance-weight gate (q179): every document scored against
+    * the hashed-unigram LM ratio between a target slice (doc_id % 7 =
+    * 3 plays the domain) and the full corpus —
+    * [[graft.text.ImportanceSampling.logRatioWeights]]. Buckets are
+    * md5-hashed, both LMs are closed-form aggregates, so DuckDB trains
+    * the identical models and the weights compare within float
+    * tolerance (the q134 convention).
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.text.ImportanceSampling.logRatioWeights(
+      docs, docs.filter(col("doc_id") % 7 === 3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_dsir_weights" -> dsirWeights _,
     "q178_span_corruption" -> spanCorruption _,
     "q176_html_crawl_curation" -> htmlCrawlCuration _,
     "q175_audio_fingerprint" -> audioFingerprintGate _,
@@ -900,6 +915,39 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q179_dsir_weights" ->
+      """WITH tokr AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM documents),
+        |tokt AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |br AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096 AS b
+        |  FROM tokr),
+        |bt AS (
+        |  SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096 AS b
+        |  FROM tokt),
+        |ct AS (SELECT b, count(*)::DOUBLE AS c FROM bt GROUP BY b),
+        |cr AS (SELECT b, count(*)::DOUBLE AS c FROM br GROUP BY b),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM bt)::DOUBLE AS nt,
+        |    (SELECT count(*) FROM br)::DOUBLE AS nr),
+        |lm AS (
+        |  SELECT coalesce(ct.b, cr.b) AS b,
+        |    ln((coalesce(ct.c, 0) + 1.0) / (nt + 4096.0)) -
+        |    ln((coalesce(cr.c, 0) + 1.0) / (nr + 4096.0)) AS lr
+        |  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b, tot),
+        |f AS (
+        |  SELECT doc_id, b, count(*)::DOUBLE AS f
+        |  FROM br GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens,
+        |  sum(f * lr) AS log_ratio,
+        |  sum(f * lr) / sum(f) AS avg_log_ratio
+        |FROM f JOIN lm USING (b)
+        |GROUP BY doc_id""".stripMargin,
     "q178_span_corruption" ->
       """WITH t AS (
         |  SELECT doc_id,

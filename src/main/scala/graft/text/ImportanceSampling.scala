@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weights for data selection (Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * score every raw-corpus document by how much more likely a TARGET
+  * domain's hashed-n-gram language model finds it than the raw
+  * corpus's own model —
+  *
+  *   log w(doc) = Σ_b f_doc(b) · (ln p̂_T(b) − ln p̂_R(b))
+  *
+  * over `dim` hashed token buckets with add-α smoothing. Selecting the
+  * top-weighted (or Gumbel-resampled) documents tilts a web-scale
+  * corpus toward the domain (Wikipedia-like, code-like, ...) without a
+  * trained classifier — the published cheap alternative to
+  * quality-classifier filtering, complementing [[Perplexity]] (which
+  * scores against ONE corpus LM rather than a ratio).
+  *
+  * Scale shape: both LMs are dim-bounded count tables (one aggregate
+  * over each corpus, map-side combined), the per-bucket log-ratio
+  * table broadcasts, and scoring is one (doc, bucket) aggregate joined
+  * against it — the corpora never join row-to-row. Buckets are
+  * md5-hashed (the [[CorpusMix]] engine-portable convention), so the
+  * q179 oracle recomputes identical buckets in DuckDB.
+  */
+object ImportanceSampling {
+
+  /** Engine-portable token bucket: first 8 md5 hex digits mod `dim`. */
+  private def bucketOf(t: Column, dim: Int): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim
+
+  /** `(idCol, n_tokens, log_ratio, avg_log_ratio)` for every raw doc
+    * with at least one `[a-z]+` token. `avg_log_ratio` (per-token) is
+    * the length-invariant form to threshold on; `log_ratio` is the raw
+    * DSIR weight. Positive = more target-like than corpus-average.
+    */
+  def logRatioWeights(raw: DataFrame, target: DataFrame,
+      dim: Int = 4096, alpha: Double = 1.0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0 && alpha > 0.0, s"bad dim=$dim alpha=$alpha")
+    def tokens(df: DataFrame) =
+      df.select(col(idCol), explode(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z]+"), lit(0))).as("t"))
+    val rawB = tokens(raw)
+      .select(col(idCol), bucketOf(col("t"), dim).as("b"))
+    val tgtB = tokens(target).select(bucketOf(col("t"), dim).as("b"))
+    val ct = tgtB.groupBy(col("b")).agg(count(lit(1)).as("__ct"))
+    val cr = rawB.groupBy(col("b")).agg(count(lit(1)).as("__cr"))
+    val totals = ct.agg(sum(col("__ct")).as("__nt"))
+      .crossJoin(cr.agg(sum(col("__cr")).as("__nr")))
+    // per-bucket smoothed log-ratio — ≤ dim rows, broadcast
+    val lm = ct.join(cr, Seq("b"), "full_outer")
+      .crossJoin(totals)
+      .select(col("b"),
+        (log((coalesce(col("__ct"), lit(0L)) + alpha) /
+            (coalesce(col("__nt"), lit(0L)) + alpha * dim)) -
+          log((coalesce(col("__cr"), lit(0L)) + alpha) /
+            (coalesce(col("__nr"), lit(0L)) + alpha * dim))).as("__lr"))
+    rawB.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).cast("double").as("__f"))
+      .join(broadcast(lm), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__f")).cast("bigint").as("n_tokens"),
+        sum(col("__f") * col("__lr")).as("log_ratio"),
+        (sum(col("__f") * col("__lr")) / sum(col("__f")))
+          .as("avg_log_ratio"))
+  }
+}

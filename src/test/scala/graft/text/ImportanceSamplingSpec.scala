@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ImportanceSamplingSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("target-like documents rank above corpus-typical ones") {
+    // raw corpus: generic prose + a "medical" minority; target: a
+    // separate medical sample. DSIR must rank the medical raw docs
+    // above the generic ones by avg log-ratio.
+    val generic = (1L to 30L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog again"))
+    val medical = (101L to 110L).map(i =>
+      (i, s"patient diagnosis dosage $i clinical trial symptom therapy"))
+    val raw = (generic ++ medical).toDF("doc_id", "text")
+    val target = (201L to 220L).map(i =>
+      (i, "clinical patient dosage symptom diagnosis therapy trial"))
+      .toDF("doc_id", "text")
+    val w = ImportanceSampling.logRatioWeights(raw, target)
+      .select($"doc_id", $"avg_log_ratio").as[(Long, Double)]
+      .collect().toMap
+    val medScores = medical.map(m => w(m._1))
+    val genScores = generic.map(g => w(g._1))
+    assert(medScores.min > genScores.max,
+      s"medical ${medScores.min} vs generic ${genScores.max}")
+  }
+
+  test("weights are finite for every doc, including unseen-in-target tokens") {
+    val raw = Seq((1L, "wholly unseen vocabulary zxqj"),
+      (2L, "common words here")).toDF("doc_id", "text")
+    val target = Seq((9L, "common words here")).toDF("doc_id", "text")
+    val rows = ImportanceSampling.logRatioWeights(raw, target)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == 2)
+    rows.foreach { case (_, n, lr, alr) =>
+      assert(n > 0 && !lr.isNaN && !lr.isInfinite && !alr.isNaN)
+    }
+  }
+}
