@@ -864,7 +864,19 @@ object Text extends QueryPack {
       docs, docs.filter(col("doc_id") % 7 === 3))
   }
 
+  /** Exact stratified sample gate (q180): 25 docs per source by the
+    * smallest 52-bit md5 draws —
+    * [[graft.text.CorpusMix.sampleExactPerStratum]]. Integer draws
+    * make the selection boundary exact in both engines, so the oracle
+    * is a plain windowed row_number over the same BIGINT keys.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusMix.sampleExactPerStratum(
+        Tables.documents(s, dir), n = 25)
+      .select(col("doc_id"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_stratified_sample" -> stratifiedSample _,
     "q179_dsir_weights" -> dsirWeights _,
     "q178_span_corruption" -> spanCorruption _,
     "q176_html_crawl_curation" -> htmlCrawlCuration _,
@@ -915,6 +927,14 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q180_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'),
+        |                1, 13))::BIGINT, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 25""".stripMargin,
     "q179_dsir_weights" ->
       """WITH tokr AS (
         |  SELECT doc_id,

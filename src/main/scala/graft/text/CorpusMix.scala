@@ -128,6 +128,35 @@ object CorpusMix {
     docs.withColumn("split", label)
   }
 
+  /** EXACT-n deterministic sample per stratum — the eval-set carve:
+    * "10 k docs per language, reproducibly, without a global sort".
+    * Each doc draws a 52-bit integer from md5(id:salt) (exact in a
+    * double AND in the oracle's BIGINT — the selection boundary is
+    * integer comparison, never float tolerance); the n smallest draws
+    * per stratum win, ties to the smaller id. The selection is the
+    * map-side bounded [[graft.functions.TopKAgg]], so a billion-doc
+    * stratum shuffles O(n × tasks) ids, never its rows — the sampling
+    * analogue of [[capPerSource]]. Unlike [[split]] (fractions, sizes
+    * in expectation) the output size is EXACTLY min(n, |stratum|),
+    * and unlike a `rand()` sample it is stable across runs, engines,
+    * and partitionings. Docs keep membership when the corpus grows
+    * only within their stratum's draw-order prefix — carve the eval
+    * set ONCE and persist it for strict immutability.
+    */
+  def sampleExactPerStratum(docs: DataFrame, n: Int,
+      strataCol: String = "source", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    val spark = docs.sparkSession
+    val draw = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 1, 13), 16, 10).cast("double")
+    val kept = docs.groupBy(col(strataCol))
+      .agg(graft.functions.GraftFunctions.topK(spark,
+        -draw, col(idCol), n).as("top"))
+      .select(explode(col("top").getField("id")).as(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** Per-source cap: keep at most `k` documents per source, the best by
     * `scoreCol` (ties to the smaller id — fully deterministic). The
     * aggregation is map-side bounded: each task contributes at most k

@@ -120,4 +120,37 @@ class CorpusMixSpec extends SparkSpec {
     assert(small / n > 0.15 && small / n < 0.35,
       s"small-source share ${small / n} not boosted toward 0.25")
   }
+
+  test("sampleExactPerStratum: exact sizes, deterministic, prefix-stable, no window") {
+    val docs = ((1L to 500L).map(i => (i, "hot")) ++
+      (1001L to 1010L).map(i => (i, "tiny"))).toDF("doc_id", "source")
+    val out = CorpusMix.sampleExactPerStratum(docs, 20)
+    // exact n per stratum; an undersized stratum yields all its docs
+    val sizes = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes == Map("hot" -> 20L, "tiny" -> 10L))
+    // the selection is a bounded aggregate, never a stratum window sort
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    // deterministic across runs; a different salt picks differently
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = CorpusMix.sampleExactPerStratum(docs, 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    val salted = CorpusMix.sampleExactPerStratum(docs, 20, salt = "v2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != salted)
+    // growing a stratum only swaps members whose draws beat the old
+    // prefix: the sample from a SUBSET is a superset-consistent pick —
+    // every doc sampled from the grown corpus that existed before was
+    // either sampled before or displaced a larger draw
+    val grown = docs.unionByName(
+      (2001L to 2200L).map(i => (i, "hot")).toDF("doc_id", "source"))
+    val g = CorpusMix.sampleExactPerStratum(grown, 20)
+      .filter($"source" === "hot").select("doc_id").as[Long].collect().toSet
+    assert(g.size == 20)
+    // old members never reorder among themselves: survivors of the old
+    // sample that are still picked is a draw-order prefix of the old pick
+    val oldHot = a.filter(_ <= 500L)
+    assert((g -- (2001L to 2200L).toSet).subsetOf(oldHot))
+  }
 }
