@@ -67,4 +67,32 @@ object ImportanceSampling {
         (sum(col("__f") * col("__lr")) / sum(col("__f")))
           .as("avg_log_ratio"))
   }
+
+  /** DSIR's SELECTION step: Gumbel-top-n resampling — drawing n docs
+    * WITHOUT replacement with probability ∝ exp(weight / temperature)
+    * is exactly "top n by weight/T + Gumbel noise" (the Gumbel-max
+    * trick), and the noise here is a deterministic md5 draw per doc,
+    * so the sample is reproducible and salt-switchable like every
+    * other sampling op in the family. `temperature` → 0 approaches
+    * plain top-n by weight; large T approaches uniform. One bounded
+    * top-n aggregate — never a global sort.
+    */
+  def resample(weights: DataFrame, n: Int, temperature: Double = 1.0,
+      weightCol: String = "avg_log_ratio", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(n >= 1 && temperature > 0.0,
+      s"bad n=$n temperature=$temperature")
+    val spark = weights.sparkSession
+    val u = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":gumbel:" + salt))), 1, 13), 16, 10).cast("double") /
+      4503599627370496.0 // 2^52: u in [0, 1)
+    // gumbel = -ln(-ln u); u < 1 always, and the 2^-52-probability
+    // u = 0 degenerates to key = -inf (the doc sorts last, no crash)
+    val key = col(weightCol) / temperature - log(-log(u))
+    val kept = weights
+      .agg(graft.functions.GraftFunctions.topK(spark,
+        key, col(idCol), n).as("top"))
+      .select(explode(col("top").getField("id")).as(idCol))
+    weights.join(kept, Seq(idCol), "left_semi")
+  }
 }

@@ -28,6 +28,31 @@ class ImportanceSamplingSpec extends SparkSpec {
       s"medical ${medScores.min} vs generic ${genScores.max}")
   }
 
+  test("gumbel resample favors heavy weights, is deterministic, sizes exactly") {
+    val weights = ((1L to 80L).map(i => (i, 0.0)) ++
+      (101L to 120L).map(i => (i, 3.0))).toDF("doc_id", "avg_log_ratio")
+    val picked = ImportanceSampling.resample(weights, n = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked.size == 20)
+    // exp(3) ≈ 20x odds: the heavy fifth should dominate the sample
+    assert(picked.count(_ > 100L) >= 14, s"heavy picked ${picked.count(_ > 100L)}")
+    // deterministic; salt redraws
+    val again = ImportanceSampling.resample(weights, n = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == again)
+    val salted = ImportanceSampling.resample(weights, n = 20, salt = "v2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked != salted)
+    // temperature → 0 approaches plain top-n by weight
+    val greedy = ImportanceSampling.resample(weights, n = 20,
+        temperature = 1e-6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy == (101L to 120L).toSet)
+    // the selection is a bounded aggregate, not a global sort
+    assert(!ImportanceSampling.resample(weights, n = 20)
+      .queryExecution.executedPlan.toString.contains("Sort "))
+  }
+
   test("weights are finite for every doc, including unseen-in-target tokens") {
     val raw = Seq((1L, "wholly unseen vocabulary zxqj"),
       (2L, "common words here")).toDF("doc_id", "text")
