@@ -340,7 +340,23 @@ object Similarity extends QueryPack {
         (col("min_ivf") === K && col("min_sq") === K).as("k_filled_ok"))
   }
 
+  /** Semantic decontamination gate (q181): every corpus vector within
+    * cosine 0.4 of the planted eval slice (vec_id % 17 = 5) flags with
+    * its hit count and max similarity —
+    * [[graft.text.Decontaminate.semanticFlag]], the embedding-level
+    * leakage check n-gram matching misses. Eval members flag
+    * themselves at cosine 1 (verbatim leakage). The threshold sits in
+    * the q35-proven gap of the fixture's cosine distribution, so the
+    * boundary is oracle-stable.
+    */
+  def semanticDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    graft.text.Decontaminate.semanticFlag(embs,
+      embs.filter(col("vec_id") % 17 === 5), threshold = 0.4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_semantic_decontam" -> semanticDecontamination _,
     "q174_filtered_ann" -> filteredRecall _,
     "q167_sq_recall" -> sqRecall _,
     "q152_contrastive_pairs" -> contrastivePairs _,
@@ -355,6 +371,20 @@ object Similarity extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q181_semantic_decontam" ->
+      """WITH ev AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE vec_id % 17 = 5),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, list_cosine_similarity(v, e) AS cos
+        |  FROM c CROSS JOIN ev)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+        |  round(max(cos), 9) AS max_eval_cosine
+        |FROM s WHERE cos >= 0.4
+        |GROUP BY vec_id""".stripMargin,
     "q174_filtered_ann" ->
       s"""SELECT CAST($K AS INT) AS k,
          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings

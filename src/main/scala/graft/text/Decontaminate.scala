@@ -63,4 +63,47 @@ object Decontaminate {
       flag(docs, benchmark, n, minShared, idCol, textCol, benchTextCol)
         .select(idCol),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination: training vectors within cosine
+    * `threshold` of ANY eval-set embedding — the leakage n-gram
+    * matching misses (paraphrases, translations, reformatted problems;
+    * the practice current model reports describe alongside [[flag]]'s
+    * n-gram rule). Output `(idCol, n_eval_hits, max_eval_cosine)` per
+    * contaminated vector.
+    *
+    * Same scale posture as [[flag]]: eval sets are SMALL, so their
+    * normalized embeddings broadcast and the corpus streams once
+    * through a codegen'd fused dot per (vector, eval) pair — no
+    * corpus-side shuffle beyond the final per-doc aggregate. An eval
+    * set beyond broadcast routes through the ANN indexes
+    * ([[graft.similarity.IvfIndex]] filtered search) instead.
+    */
+  def semanticFlag(corpus: DataFrame, eval: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      evalVecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import graft.functions.GraftFunctions
+    val par = spark.sparkContext.defaultParallelism
+    val c = corpus
+      .select(col(idCol), GraftFunctions.normalize(col(vecCol)).as("__cv"))
+      .repartition(par)
+    val ev = eval
+      .select(GraftFunctions.normalize(col(evalVecCol)).as("__ev"))
+    c.crossJoin(broadcast(ev))
+      .withColumn("__cos",
+        GraftFunctions.dotProduct(spark, col("__cv"), col("__ev")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        round(max(col("__cos")), 9).as("max_eval_cosine"))
+  }
+
+  /** The corpus with semantically-contaminated vectors removed. */
+  def semanticClean(corpus: DataFrame, eval: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      evalVecCol: String = "embedding"): DataFrame =
+    corpus.join(
+      semanticFlag(corpus, eval, threshold, idCol, vecCol, evalVecCol)
+        .select(idCol),
+      Seq(idCol), "left_anti")
 }

@@ -58,4 +58,31 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast join, got:\n$plan")
   }
+
+  test("semantic decontamination flags paraphrase-level leaks n-grams miss") {
+    import graft.SparkSpec.spark.implicits._
+    // vectors: eval member e; corpus holds a SCALED copy of e (cosine
+    // 1 — the embedding of a paraphrase; zero shared n-grams), an
+    // orthogonal vector, and a mildly-correlated one
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // scaled leak of the eval vector
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal: clean
+      (3L, Array(1.0f, 1.0f, 0.0f)))   // cos ≈ 0.707: flags at 0.5
+      .toDF("vec_id", "embedding")
+    val eval = Seq((9L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val flagged = Decontaminate.semanticFlag(corpus, eval, threshold = 0.5)
+      .select($"vec_id", $"max_eval_cosine").as[(Long, Double)]
+      .collect().toMap
+    assert(flagged.keySet == Set(1L, 3L))
+    assert(flagged(1L) == 1.0)
+    val kept = Decontaminate.semanticClean(corpus, eval, threshold = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // eval side broadcasts; the corpus never shuffles for the scan
+    val plan = Decontaminate.semanticFlag(corpus, eval, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
