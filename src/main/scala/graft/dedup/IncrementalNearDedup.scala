@@ -98,19 +98,40 @@ object IncrementalNearDedup {
     */
   def newDocs(batch: DataFrame, idx: Index, k: Int = 3,
       threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxCandidatesPerDoc: Int = 4096,
+      eagerRelease: Boolean = true): DataFrame = {
+    require(maxCandidatesPerDoc >= 1,
+      s"maxCandidatesPerDoc must be >= 1: $maxCandidatesPerDoc")
+    val spark = batch.sparkSession
     // batch signatures feed the band join AND the verify — persist so
-    // one action computes them once (same convention as MinHashLSH)
+    // one action computes them once; unpersisted below once the dup-id
+    // set has materialized (callers loop this from foreachBatch: a
+    // leaked cache per micro-batch would grow without bound)
     val sigs = MinHashLSH.signatures(
       batch.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       k, bands * rowsPerBand).persist()
     val bk = MinHashLSH.bandKeys(sigs, bands, rowsPerBand)
       .withColumnRenamed("doc_id", "batch_id")
     // candidates: the prior band table STREAMS past the broadcast batch
-    // bands — no exchange ever touches the prior side
+    // bands — no exchange ever touches the prior side. The per-doc
+    // candidate CAP bounds the pathological prior ("404 not found" ×
+    // millions indexed verbatim): without it the pair set is
+    // O(batch × colliding-prior) and the verify broadcast blows up.
+    // Kept candidates are the lowest prior ids (deterministic); a
+    // capped doc can only be misjudged NEW if it collides with more
+    // than the cap's worth of prior docs of which NONE of the kept
+    // ones is a true near-dup — massive spurious collision, i.e.
+    // adversarial hashes. Dedup the prior before indexing to keep the
+    // cap slack.
     val cand = idx.bands.join(broadcast(bk), Seq("band", "band_key"))
       .select(col("doc_id").as("prior_id"), col("batch_id"))
       .distinct()
+      .groupBy(col("batch_id"))
+      .agg(graft.functions.GraftFunctions.topK(spark,
+        lit(0.0), col("prior_id"), maxCandidatesPerDoc).as("top"))
+      .select(col("batch_id"),
+        explode(col("top").getField("id")).as("prior_id"))
     // exact verify: stored prior sketches stream past the broadcast
     // candidate list; only colliding docs' shingle sets are compared
     val pr = idx.sketches.join(broadcast(cand),
@@ -126,6 +147,15 @@ object IncrementalNearDedup {
         (col("nb") + col("np") - col("common")) >= threshold)
       .select(col("batch_id")).distinct()
       .withColumnRenamed("batch_id", idCol)
-    batch.join(dup, Seq(idCol), "left_anti")
+    // EAGER materialization of the (batch-bounded) dup-id set lets the
+    // batch cache release NOW instead of leaking one persisted frame
+    // per call (foreachBatch loops this). eagerRelease=false keeps the
+    // whole plan lazy — for plan inspection and one-shot callers.
+    val dupIds = if (eagerRelease) {
+      val ck = dup.localCheckpoint()
+      sigs.unpersist()
+      ck
+    } else dup
+    batch.join(dupIds, Seq(idCol), "left_anti")
   }
 }

@@ -65,8 +65,13 @@ object GraftFunctions {
   def htmlMainText(html: Column, minChars: Int = 25,
       maxLinkDensity: Double = 0.33): Column = {
     val spark = SparkSession.active
+    // the density encodes LOSSLESSLY into the registered name (raw
+    // double bits): call_function resolves lazily at analysis time, so
+    // two configs colliding on a rounded name would both silently
+    // resolve through whichever registered last
     val name = HTML_MAIN_PREFIX + minChars + "_" +
-      math.round(maxLinkDensity * 1000)
+      java.lang.Long.toHexString(
+        java.lang.Double.doubleToLongBits(maxLinkDensity))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => HtmlMainTextExpr(exprs(0), minChars, maxLinkDensity),

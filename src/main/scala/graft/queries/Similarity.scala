@@ -322,10 +322,15 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("neighbor_id"))
     val ivfHits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
     val sqHits = brute.join(sq, Seq("query_id", "neighbor_id"), "left_semi")
+    // zero-row queries leave no group, so min(n) alone would miss a
+    // query that under-filled all the way to 0 — pin the distinct
+    // query count alongside the per-query minimum
     val filled = ivf.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
-      .agg(min(col("n")).as("min_ivf"))
+      .agg(min(col("n")).as("min_ivf"),
+        count(lit(1)).as("nq_ivf"))
       .crossJoin(sq.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
-        .agg(min(col("n")).as("min_sq")))
+        .agg(min(col("n")).as("min_sq"),
+          count(lit(1)).as("nq_sq")))
     brute.agg(count(lit(1)).as("n_exact"))
       .crossJoin(ivfHits.agg(count(lit(1)).as("n_ivf")))
       .crossJoin(sqHits.agg(count(lit(1)).as("n_sq")))
@@ -337,7 +342,9 @@ object Similarity extends QueryPack {
           .as("ivf_recall_ok"),
         (col("n_sq").cast("double") / col("n_exact") >= 0.9)
           .as("sq_recall_ok"),
-        (col("min_ivf") === K && col("min_sq") === K).as("k_filled_ok"))
+        (col("min_ivf") === K && col("min_sq") === K &&
+          col("nq_ivf") === NQUERIES && col("nq_sq") === NQUERIES)
+          .as("k_filled_ok"))
   }
 
   /** Semantic decontamination gate (q181): every corpus vector within

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryPack, Tables}
 import graft.multimodal.Multimodal
 import graft.text.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and multimodal gate queries (north-star extension).
@@ -761,19 +761,25 @@ object Text extends QueryPack {
     * style/comment to the strip passes. Every regex is RE2-safe, so
     * the DuckDB oracle replays the same pipeline byte-exactly.
     */
-  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
-    val html = concat(
-      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-      lit("</title><style>p{color:red}</style><script>var x=1;</script>" +
-        "</head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">" +
-        "About</a> <a href=\"/contact\">Contact</a></nav>" +
-        "<!-- boilerplate comment --><div class=\"content\"><p>"),
-      col("text"),
-      lit("</p></div><footer><a href=\"/tos\">Terms of Service</a> " +
-        "&amp; <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+  /** The synthetic page wrap shared by the q172 extraction gate and
+    * the q176 composite (and mirrored VERBATIM inside both oracles'
+    * SQL — edit all three together): boilerplate head/nav/comment/
+    * footer around the document text.
+    */
+  private def syntheticPage(text: Column): Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>p{color:red}</style><script>var x=1;</script>" +
+      "</head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">" +
+      "About</a> <a href=\"/contact\">Contact</a></nav>" +
+      "<!-- boilerplate comment --><div class=\"content\"><p>"),
+    text,
+    lit("</p></div><footer><a href=\"/tos\">Terms of Service</a> " +
+      "&amp; <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+
+  def htmlExtract(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
-      graft.functions.GraftFunctions.htmlMainText(html).as("main_text"))
-  }
+      graft.functions.GraftFunctions.htmlMainText(
+        syntheticPage(col("text"))).as("main_text"))
 
   /** Per-DOMAIN document cap (q173): URLs live on per-source `.co.uk`
     * hosts with rotating subdomains; the cap keys on the PSL
@@ -816,17 +822,9 @@ object Text extends QueryPack {
         concat(col("text"), lit(" crawl refetch banner")).as("text"),
         col("source"))
     val crawl = fresh.unionByName(planted)
-    val html = concat(
-      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-      lit("</title><style>p{color:red}</style><script>var x=1;</script>" +
-        "</head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">" +
-        "About</a> <a href=\"/contact\">Contact</a></nav>" +
-        "<!-- boilerplate comment --><div class=\"content\"><p>"),
-      col("text"),
-      lit("</p></div><footer><a href=\"/tos\">Terms of Service</a> " +
-        "&amp; <a href=\"/privacy\">Privacy</a></footer></body></html>"))
     val extracted = crawl.select(col("doc_id"), col("source"),
-      graft.functions.GraftFunctions.htmlMainText(html).as("main_text"))
+      graft.functions.GraftFunctions.htmlMainText(
+        syntheticPage(col("text"))).as("main_text"))
     val idx = graft.dedup.IncrementalNearDedup.index(prior,
       bands = 32, rowsPerBand = 3)
     val newDocs = graft.dedup.IncrementalNearDedup.newDocs(extracted, idx,

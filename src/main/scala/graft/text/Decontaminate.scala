@@ -84,9 +84,12 @@ object Decontaminate {
     val spark = corpus.sparkSession
     import graft.functions.GraftFunctions
     val par = spark.sparkContext.defaultParallelism
-    val c = corpus
+    val c0 = corpus
       .select(col(idCol), GraftFunctions.normalize(col(vecCol)).as("__cv"))
-      .repartition(par)
+    // spread the O(|corpus|·|eval|) scan ONLY when the input arrives
+    // under-partitioned (single-file vector tables → one task); a
+    // well-partitioned corpus must not pay a full extra exchange
+    val c = if (c0.rdd.getNumPartitions < par) c0.repartition(par) else c0
     val ev = eval
       .select(GraftFunctions.normalize(col(evalVecCol)).as("__ev"))
     c.crossJoin(broadcast(ev))

@@ -86,9 +86,13 @@ object ImportanceSampling {
     val u = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":gumbel:" + salt))), 1, 13), 16, 10).cast("double") /
       4503599627370496.0 // 2^52: u in [0, 1)
-    // gumbel = -ln(-ln u); u < 1 always, and the 2^-52-probability
-    // u = 0 degenerates to key = -inf (the doc sorts last, no crash)
-    val key = col(weightCol) / temperature - log(-log(u))
+    // gumbel = -ln(-ln u); u < 1 always. Spark's log(0) is NULL (not
+    // -inf), and TopKAgg skips null scores — which would silently
+    // exclude the 2^-52-probability u = 0 doc (and any null-weight
+    // row) and under-fill n. Coalesce pins both to "sorts last".
+    val key = coalesce(
+      col(weightCol) / temperature - log(-log(u)),
+      lit(-Double.MaxValue))
     val kept = weights
       .agg(graft.functions.GraftFunctions.topK(spark,
         key, col(idCol), n).as("top"))

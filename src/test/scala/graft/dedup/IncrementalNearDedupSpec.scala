@@ -31,8 +31,10 @@ class IncrementalNearDedupSpec extends SparkSpec {
       spark.read.parquet(s"$dir/bands"),
       spark.read.parquet(s"$dir/sketches"))
 
+    // eagerRelease off: the full verify plan stays inspectable below
     val out = IncrementalNearDedup.newDocs(batch, idx,
-      threshold = 0.6, bands = 32, rowsPerBand = 3)
+      threshold = 0.6, bands = 32, rowsPerBand = 3,
+      eagerRelease = false)
 
     // the index rows must never enter a shuffle: every join touching the
     // stored band/sketch tables has to stream them past a BROADCAST of
