@@ -64,4 +64,25 @@ object ParagraphDedup {
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** WITHIN-document repeated-line dedup — the in-doc counterpart of
+    * [[dedupParagraphs]] (Gopher's repetition cleanup): keep only the
+    * FIRST occurrence of each exact line inside a document (scraped
+    * pages repeat their own share-bars and cookie banners between
+    * every section). One (doc, line)-keyed aggregate picks the keeper
+    * positions, then the same position-ordered reassembly — per-doc
+    * state bounded by the document, never a window over a corpus-wide
+    * key, and every input doc emits exactly one row.
+    */
+  def dedupLinesWithinDoc(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    lines.groupBy(col(idCol), col("line"))
+      .agg(min(col("pos")).as("pos"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("clean_text"))
+  }
 }

@@ -238,8 +238,24 @@ object Dedup extends QueryPack {
     ParagraphDedup.dedupParagraphs(docs)
   }
 
+  /** Within-doc line dedup gate (q182): every document gets its lines
+    * interleaved with a repeated share-bar line (planted from its own
+    * id-parity), and
+    * [[graft.dedup.ParagraphDedup.dedupLinesWithinDoc]] must keep only
+    * the first occurrence of each exact line, in order — oracled
+    * against DuckDB's min-position reassembly.
+    */
+  def lineDedupWithinDoc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("SHARE this page now\n"), col("text"),
+        lit("\nSHARE this page now\nsubscribe footer\nsubscribe footer"))
+        .as("text"))
+    ParagraphDedup.dedupLinesWithinDoc(docs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_corpus_curation" -> corpusCuration _,
+    "q182_line_dedup_within" -> lineDedupWithinDoc _,
     "q148_incremental_dedup" -> incrementalDedup _,
     "q171_incremental_neardup" -> incrementalNearDedup _,
     "q177_paragraph_dedup" -> paragraphDedup _,
@@ -281,6 +297,24 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q182_line_dedup_within" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'SHARE this page now' || chr(10) || text || chr(10) ||
+        |    'SHARE this page now' || chr(10) || 'subscribe footer' ||
+        |    chr(10) || 'subscribe footer' AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'line': ln[i]}
+        |            for i in range(1, len(ln) + 1)], recursive := true)
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM d)),
+        |k AS (
+        |  SELECT doc_id, line, min(pos) AS pos
+        |  FROM l GROUP BY doc_id, line)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
     "q177_paragraph_dedup" ->
       """WITH d AS (
         |  SELECT doc_id,

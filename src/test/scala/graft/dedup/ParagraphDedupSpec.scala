@@ -29,6 +29,19 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(out == Map(1L -> "", 2L -> "", 3L -> ""))
   }
 
+  test("within-doc dedup keeps first occurrences in order, per doc only") {
+    val docs = Seq(
+      (1L, "share bar\nbody one\nshare bar\nbody two\nshare bar"),
+      (2L, "body one\nunique here")).toDF("doc_id", "text")
+    val out = ParagraphDedup.dedupLinesWithinDoc(docs)
+      .as[(Long, String)].collect().toMap
+    // doc 1's repeats collapse to the first occurrence; doc 2 keeps
+    // "body one" untouched — frequency is per document, not corpus
+    assert(out == Map(
+      1L -> "share bar\nbody one\nbody two",
+      2L -> "body one\nunique here"))
+  }
+
   test("raising minCopies spares lines under the threshold") {
     val docs = Seq((1L, "a\nb"), (2L, "a\nc"), (3L, "a\nb"))
       .toDF("doc_id", "text")
