@@ -118,24 +118,34 @@ object IncrementalNearDedup {
     // candidate CAP bounds the pathological prior ("404 not found" ×
     // millions indexed verbatim): without it the pair set is
     // O(batch × colliding-prior) and the verify broadcast blows up.
-    // Kept candidates are the lowest prior ids (deterministic); a
-    // capped doc can only be misjudged NEW if it collides with more
-    // than the cap's worth of prior docs of which NONE of the kept
-    // ones is a true near-dup — massive spurious collision, i.e.
-    // adversarial hashes. Dedup the prior before indexing to keep the
-    // cap slack.
+    // The cap is the map-side bounded TopKAgg applied DIRECTLY to the
+    // join output — each task contributes ≤ cap entries per batch doc
+    // to the one candidate shuffle (a distinct-then-cap would shuffle
+    // the full uncapped pair set first). Candidates are keyed by an
+    // id-HASH surrogate so any id type works (TopKAgg ids are longs;
+    // a string doc id must not silently cast to null) and kept slots
+    // count band occurrences, so the distinct-candidate floor is
+    // cap/bands — true near-dups occupy many bands and always make
+    // the cut, and a capped doc can only be misjudged NEW under
+    // adversarial mass collision. Dedup the prior before indexing to
+    // keep the cap slack.
+    val pidOf = (c: org.apache.spark.sql.Column) =>
+      xxhash64(c.cast("string"))
     val cand = idx.bands.join(broadcast(bk), Seq("band", "band_key"))
-      .select(col("doc_id").as("prior_id"), col("batch_id"))
-      .distinct()
+      .select(pidOf(col("doc_id")).as("__pid"), col("batch_id"))
       .groupBy(col("batch_id"))
       .agg(graft.functions.GraftFunctions.topK(spark,
-        lit(0.0), col("prior_id"), maxCandidatesPerDoc).as("top"))
+        lit(0.0), col("__pid"), maxCandidatesPerDoc).as("top"))
       .select(col("batch_id"),
-        explode(col("top").getField("id")).as("prior_id"))
+        explode(col("top").getField("id")).as("__pid"))
+      .distinct() // bounded: ≤ cap rows per batch doc enter
     // exact verify: stored prior sketches stream past the broadcast
-    // candidate list; only colliding docs' shingle sets are compared
-    val pr = idx.sketches.join(broadcast(cand),
-        col("doc_id") === col("prior_id"))
+    // candidate list, matched on the same surrogate (a hash collision
+    // only adds a spurious verify candidate — the exact jaccard
+    // decides); only colliding docs' shingle sets are compared
+    val pr = idx.sketches
+      .withColumn("__pid", pidOf(col("doc_id")))
+      .join(broadcast(cand), "__pid")
       .select(col("batch_id"),
         col("shingles").as("sh_p"), col("n_shingles").as("np"))
     val dup = pr.join(
@@ -149,8 +159,13 @@ object IncrementalNearDedup {
       .withColumnRenamed("batch_id", idCol)
     // EAGER materialization of the (batch-bounded) dup-id set lets the
     // batch cache release NOW instead of leaking one persisted frame
-    // per call (foreachBatch loops this). eagerRelease=false keeps the
-    // whole plan lazy — for plan inspection and one-shot callers.
+    // per call (foreachBatch loops this). Note the trade: the call
+    // runs jobs immediately, and localCheckpoint blocks are
+    // unreplicated — an executor lost between this call and the
+    // caller's action fails the downstream join rather than
+    // recomputing (consume the result promptly, as the foreachBatch
+    // wiring does). eagerRelease=false keeps the whole plan lazy —
+    // for plan inspection and one-shot callers that prefer lineage.
     val dupIds = if (eagerRelease) {
       val ck = dup.localCheckpoint()
       sigs.unpersist()

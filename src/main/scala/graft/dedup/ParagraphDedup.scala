@@ -78,11 +78,17 @@ object ParagraphDedup {
       idCol: String = "doc_id"): DataFrame = {
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    lines.groupBy(col(idCol), col("line"))
+    val rebuilt = lines.groupBy(col(idCol), col("line"))
       .agg(min(col("pos")).as("pos"))
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),
         x => x.getField("line")), "\n").as("clean_text"))
+    // null-text docs explode to zero rows — the left join keeps the
+    // one-row-per-input-doc contract (empty text, never a lost row)
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

@@ -93,7 +93,8 @@ object HtmlMainText {
   }
 }
 
-/** `graft_html_main_text_<minChars>_<permilleDensity>(html)` — see
+/** `graft_html_main_text_<minChars>_<densityBitsHex>(html)` (the
+  * density encodes losslessly as its raw double bits in hex) — see
   * [[HtmlMainText.extract]]. Null html yields null (honest-null).
   */
 case class HtmlMainTextExpr(child: Expression, minChars: Int,

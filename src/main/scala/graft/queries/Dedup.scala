@@ -238,12 +238,14 @@ object Dedup extends QueryPack {
     ParagraphDedup.dedupParagraphs(docs)
   }
 
-  /** Within-doc line dedup gate (q182): every document gets its lines
-    * interleaved with a repeated share-bar line (planted from its own
-    * id-parity), and
+  /** Within-doc line dedup gate (q182): every document gets the same
+    * share-bar line planted before AND after its body plus a doubled
+    * footer, and
     * [[graft.dedup.ParagraphDedup.dedupLinesWithinDoc]] must keep only
     * the first occurrence of each exact line, in order — oracled
-    * against DuckDB's min-position reassembly.
+    * against DuckDB's min-position reassembly. (Per-document scoping —
+    * a line repeated only ACROSS docs surviving — is pinned by the
+    * spec, which plants differing fixtures.)
     */
   def lineDedupWithinDoc(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"),

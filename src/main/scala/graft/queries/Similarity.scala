@@ -359,7 +359,8 @@ object Similarity extends QueryPack {
   def semanticDecontamination(s: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(s, dir)
     graft.text.Decontaminate.semanticFlag(embs,
-      embs.filter(col("vec_id") % 17 === 5), threshold = 0.4)
+      embs.filter(col("vec_id") % 17 === 5), threshold = 0.4,
+      repartitionTo = s.sparkContext.defaultParallelism)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -751,20 +751,11 @@ object Text extends QueryPack {
       .select(col("doc_id"), col("source"), col("quality"))
   }
 
-  /** HTML main-content extraction gate (q172): each document is wrapped
-    * in a synthetic page — head with style+script, a link-dense nav, an
-    * HTML comment, the body text in a content div, a link-heavy footer
-    * with an `&amp;` entity — and
-    * [[graft.functions.GraftFunctions.htmlMainText]] must recover
-    * EXACTLY the whitespace-normalized body text: the nav falls to the
-    * min-length rule, the footer to the link-density rule, script/
-    * style/comment to the strip passes. Every regex is RE2-safe, so
-    * the DuckDB oracle replays the same pipeline byte-exactly.
-    */
   /** The synthetic page wrap shared by the q172 extraction gate and
     * the q176 composite (and mirrored VERBATIM inside both oracles'
-    * SQL — edit all three together): boilerplate head/nav/comment/
-    * footer around the document text.
+    * SQL — edit all three together): boilerplate head with
+    * style+script, a link-dense nav, an HTML comment, the body text in
+    * a content div, a link-heavy footer with an `&amp;` entity.
     */
   private def syntheticPage(text: Column): Column = concat(
     lit("<html><head><title>Doc "), col("doc_id").cast("string"),
@@ -776,6 +767,14 @@ object Text extends QueryPack {
     lit("</p></div><footer><a href=\"/tos\">Terms of Service</a> " +
       "&amp; <a href=\"/privacy\">Privacy</a></footer></body></html>"))
 
+  /** HTML main-content extraction gate (q172):
+    * [[graft.functions.GraftFunctions.htmlMainText]] over
+    * [[syntheticPage]]-wrapped documents must recover EXACTLY the
+    * whitespace-normalized body text — the nav falls to the min-length
+    * rule, the footer to the link-density rule, script/style/comment
+    * to the strip passes. Every regex is RE2-safe, so the DuckDB
+    * oracle replays the same pipeline byte-exactly.
+    */
   def htmlExtract(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
       graft.functions.GraftFunctions.htmlMainText(

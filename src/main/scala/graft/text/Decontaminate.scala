@@ -80,16 +80,19 @@ object Decontaminate {
     */
   def semanticFlag(corpus: DataFrame, eval: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      evalVecCol: String = "embedding"): DataFrame = {
+      evalVecCol: String = "embedding",
+      repartitionTo: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import graft.functions.GraftFunctions
-    val par = spark.sparkContext.defaultParallelism
     val c0 = corpus
       .select(col(idCol), GraftFunctions.normalize(col(vecCol)).as("__cv"))
-    // spread the O(|corpus|·|eval|) scan ONLY when the input arrives
-    // under-partitioned (single-file vector tables → one task); a
-    // well-partitioned corpus must not pay a full extra exchange
-    val c = if (c0.rdd.getNumPartitions < par) c0.repartition(par) else c0
+    // `repartitionTo` spreads the O(|corpus|·|eval|) scan when the
+    // input arrives under-partitioned (single-file vector tables → one
+    // task). It is an EXPLICIT knob: probing the input's partition
+    // count here (df.rdd) would materialize upstream shuffle stages at
+    // plan-build time under AQE, and a well-partitioned corpus must
+    // not pay an unconditional extra exchange.
+    val c = if (repartitionTo > 0) c0.repartition(repartitionTo) else c0
     val ev = eval
       .select(GraftFunctions.normalize(col(evalVecCol)).as("__ev"))
     c.crossJoin(broadcast(ev))
@@ -104,9 +107,11 @@ object Decontaminate {
   /** The corpus with semantically-contaminated vectors removed. */
   def semanticClean(corpus: DataFrame, eval: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      evalVecCol: String = "embedding"): DataFrame =
+      evalVecCol: String = "embedding",
+      repartitionTo: Int = 0): DataFrame =
     corpus.join(
-      semanticFlag(corpus, eval, threshold, idCol, vecCol, evalVecCol)
+      semanticFlag(corpus, eval, threshold, idCol, vecCol, evalVecCol,
+        repartitionTo)
         .select(idCol),
       Seq(idCol), "left_anti")
 }
