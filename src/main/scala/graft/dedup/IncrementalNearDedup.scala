@@ -103,7 +103,6 @@ object IncrementalNearDedup {
       eagerRelease: Boolean = true): DataFrame = {
     require(maxCandidatesPerDoc >= 1,
       s"maxCandidatesPerDoc must be >= 1: $maxCandidatesPerDoc")
-    val spark = batch.sparkSession
     // batch signatures feed the band join AND the verify — persist so
     // one action computes them once; unpersisted below once the dup-id
     // set has materialized (callers loop this from foreachBatch: a
@@ -131,10 +130,14 @@ object IncrementalNearDedup {
     // keep the cap slack.
     val pidOf = (c: org.apache.spark.sql.Column) =>
       xxhash64(c.cast("string"))
+    // topK registers a temp function: it must land on the session that
+    // OWNS the joined plan — the index frames' session, which differs
+    // from batch.sparkSession inside foreachBatch (micro-batch frames
+    // live on a cloned session with an isolated function registry)
     val cand = idx.bands.join(broadcast(bk), Seq("band", "band_key"))
       .select(pidOf(col("doc_id")).as("__pid"), col("batch_id"))
       .groupBy(col("batch_id"))
-      .agg(graft.functions.GraftFunctions.topK(spark,
+      .agg(graft.functions.GraftFunctions.topK(idx.bands.sparkSession,
         lit(0.0), col("__pid"), maxCandidatesPerDoc).as("top"))
       .select(col("batch_id"),
         explode(col("top").getField("id")).as("__pid"))
