@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quality-ranked duplicate-group representative selection: keep the
+  * BEST member of each duplicate group, not an arbitrary first one.
+  *
+  * Real curation pipelines dedup this way — when the same page is
+  * fetched five times, the copy to keep is the one with the highest
+  * quality signal (longest extraction, best language-model score,
+  * newest fetch), not the one with the smallest id. CCNet keeps the
+  * lowest-perplexity member; the reference's own drift-merge keeps the
+  * widest schema (emr_json_parquet_schema_drift_etl.py:348-350) — the
+  * same "keep the most informative representative" policy, applied to
+  * rows.
+  *
+  * Scale notes: both forms are ONE hash-aggregate on the group key.
+  * The per-group argmax is a `min(struct(-score, id))` aggregate —
+  * map-side partial combine means each task contributes one candidate
+  * per group it saw, and the shuffle carries (key, score, id) triples,
+  * never document text and never a window sort. A `row_number` window
+  * partitioned by content would serialize a hot group ("404 not
+  * found" × 100 M fetches) onto one task; the aggregate form caps the
+  * per-group cost at one row per upstream task. [[byContent]] keys on
+  * the 256-bit digest so the shuffle key is 32 bytes regardless of
+  * document size (same collisions-not-practical assumption as
+  * [[ExactDedup.byHash]]).
+  */
+object KeepBest {
+
+  /** Per-group winner ids: highest `scoreCol`, ties broken by lowest
+    * `idCol` (deterministic across runs and engines). Implemented as a
+    * single min-aggregate over `struct(-score, id)` — struct ordering
+    * is field-by-field, so the minimum is (largest score, then
+    * smallest id).
+    */
+  private def winners(df: DataFrame, groupKey: Column, scoreCol: String,
+      idCol: String): DataFrame =
+    df.groupBy(groupKey.as("__grp"))
+      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+        .as("__w"))
+      .select(col("__w.id").as(idCol))
+
+  /** Keep the best-scoring row per distinct content value: exact-dup
+    * groups keyed by sha256 digest. `scoreCol` must be numeric
+    * (negation implements the descending order); NaN scores are the
+    * caller's bug — document scores here are ratios/lengths, never NaN.
+    */
+  def byContent(docs: DataFrame, scoreCol: String,
+      contentCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      winners(docs, sha2(col(contentCol), 256), scoreCol, idCol),
+      Seq(idCol), "left_semi")
+
+  /** Keep the best-scoring row per pre-computed cluster label —
+    * composes with [[NearDupClusters.clusters]] (near-dup families) or
+    * any other grouping column. Input rows must carry `clusterCol`;
+    * output is the full winner rows.
+    */
+  def byCluster(docs: DataFrame, scoreCol: String,
+      clusterCol: String = "cluster_id", idCol: String = "doc_id")
+      : DataFrame =
+    docs.join(
+      winners(docs, col(clusterCol), scoreCol, idCol),
+      Seq(idCol), "left_semi")
+}

@@ -96,7 +96,9 @@ object Dedup extends QueryPack {
     * DuckDB recursive CTE computing min-reachable-id. This is the step
     * that makes pair output actionable — drop every non-keeper.
     */
-  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q77/q185 clustering: brute cosine pairs over the bounded
+    * embedding slice, labeled by connected components. */
+  private def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
     // vec_id < 2000 bounds the exact O(n^2) pair scan this gate feeds on
     // (all rows at gate scale); production clustering consumes the LSH
     // pair set instead — the component step itself is shuffle-per-round
@@ -108,6 +110,27 @@ object Dedup extends QueryPack {
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     NearDupClusters.clusters(
       embs.select(col("vec_id").as("doc_id")), pairs)
+  }
+
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    embeddingClusters(s, dir)
+
+  /** Cluster-representative gate (q185): the q77 near-dup clusters
+    * with a QUALITY-RANKED keeper instead of the min-id keeper —
+    * [[graft.dedup.KeepBest.byCluster]] composed over
+    * [[graft.dedup.NearDupClusters.clusters]], the "keep the best
+    * member of each near-dup family" policy (CCNet keeps the
+    * lowest-perplexity copy). Quality is a deterministic per-doc
+    * pseudo-score (doc_id mod 17), so the winner differs from the
+    * min-id keeper on most multi-member clusters; the oracle extends
+    * the q77 recursive-CTE clustering with the same quality-then-id
+    * argmax.
+    */
+  def clusterRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val labeled = embeddingClusters(s, dir)
+      .withColumn("quality", (col("doc_id") % 17).cast("double"))
+    KeepBest.byCluster(labeled, "quality")
+      .select(col("doc_id"), col("cluster_id"), col("quality"))
   }
 
   /** SemDeDup gate (q136): semantic dedup via k-means-bucketed
@@ -255,7 +278,28 @@ object Dedup extends QueryPack {
     ParagraphDedup.dedupLinesWithinDoc(docs)
   }
 
+  /** Keep-best dedup gate (q184): the corpus is doubled — every
+    * document "re-fetched" under a higher id with identical content —
+    * and the refetch carries the higher quality score, so
+    * [[graft.dedup.KeepBest.byContent]] must keep exactly the
+    * refetched copies. This is the policy a keep-first rule gets
+    * wrong (it would keep the low-id originals); the oracle recomputes
+    * the per-content argmax with a quality-then-id ranking in DuckDB.
+    */
+  def keepBestGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val refetch = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    val scored = base.unionByName(refetch)
+      .withColumn("quality",
+        when(col("doc_id") >= 1000000L, lit(2.0)).otherwise(lit(1.0)))
+    KeepBest.byContent(scored, "quality")
+      .select(col("doc_id"), col("quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_keep_best" -> keepBestGate _,
+    "q185_cluster_reps" -> clusterRepresentatives _,
     "q86_corpus_curation" -> corpusCuration _,
     "q182_line_dedup_within" -> lineDedupWithinDoc _,
     "q148_incremental_dedup" -> incrementalDedup _,
@@ -299,6 +343,16 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q184_keep_best" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, 1.0 AS quality FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 2.0 FROM documents),
+        |w AS (
+        |  SELECT doc_id, quality, row_number() OVER (
+        |    PARTITION BY text ORDER BY quality DESC, doc_id) AS rn
+        |  FROM u)
+        |SELECT doc_id, quality FROM w WHERE rn = 1""".stripMargin,
     "q182_line_dedup_within" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -469,6 +523,33 @@ object Dedup extends QueryPack {
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
         |  TRUE AS recall_ok, TRUE AS no_false_pairs
         |FROM embeddings""".stripMargin,
+    "q185_cluster_reps" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+        |mins AS (SELECT n, min(m) AS mr FROM reach GROUP BY n),
+        |lab AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    least(e.vec_id, coalesce(m.mr, e.vec_id)) AS cluster_id
+        |  FROM u e LEFT JOIN mins m ON m.n = e.vec_id),
+        |r AS (
+        |  SELECT doc_id, cluster_id,
+        |    CAST(doc_id % 17 AS DOUBLE) AS quality,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY doc_id % 17 DESC, doc_id) AS rn
+        |  FROM lab)
+        |SELECT doc_id, cluster_id, quality FROM r WHERE rn = 1""".stripMargin,
     "q77_neardup_clusters" ->
       """WITH RECURSIVE u AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),

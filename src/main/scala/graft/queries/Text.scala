@@ -872,7 +872,32 @@ object Text extends QueryPack {
         Tables.documents(s, dir), n = 25)
       .select(col("doc_id"), col("source"))
 
+  /** Planted mojibake header for q183: UTF-8 punctuation and accents in
+    * their read-as-cp1252 corrupt forms, plus a zero-width space, an
+    * NBSP, CRLF/bare-CR line breaks, and a BEL control character. The
+    * invisible characters are written as escapes so the fixture is
+    * unambiguous in source. */
+  private val corruptHeader: String =
+    "Itâ€™s Ã©lÃ¨ve Ã\u00A0 la carte â€“ â€œcafÃ©â€¦ Â©2024 " +
+      "Â£10Â\u00A0offâ€¢\u200Bok\u0007\r\nend\r"
+
+  /** Encoding-repair gate (q183): every document gets [[corruptHeader]]
+    * planted ahead of its body and
+    * [[graft.text.TextNormalize.fixText]] must repair all of it —
+    * smart quotes/dashes/accents restored, CRLF→LF, zero-width and
+    * control chars stripped, NBSP folded to space — leaving the body
+    * byte-intact. The oracle SQL is GENERATED from the same constant
+    * tables ([[graft.text.TextNormalize.fixTextSql]]), so the Spark
+    * chain and the DuckDB chain cannot drift apart.
+    */
+  def fixEncoding(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.text.TextNormalize.fixText(
+        concat(lit(corruptHeader), lit("\n"), col("text")))
+        .as("clean_text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_fix_encoding" -> fixEncoding _,
     "q180_stratified_sample" -> stratifiedSample _,
     "q179_dsir_weights" -> dsirWeights _,
     "q178_span_corruption" -> spanCorruption _,
@@ -924,6 +949,11 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q183_fix_encoding" -> {
+      val hdr = graft.text.TextNormalize.sqlLit(corruptHeader + "\n")
+      val chain = graft.text.TextNormalize.fixTextSql(s"($hdr || text)")
+      s"SELECT doc_id, $chain AS clean_text FROM documents"
+    },
     "q180_stratified_sample" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Encoding repair + whitespace normalization — the ftfy/CCNet cleanup
+  * pass a web corpus needs before any text operator runs.
+  *
+  * The dominant real-world corruption is UTF-8 bytes decoded as
+  * Windows-1252 ("mojibake"): UTF-8 RIGHT SINGLE QUOTATION MARK is the
+  * bytes E2 80 99, which cp1252 renders as "â€™". The repair is a fixed
+  * table of (corrupt, repaired) literal pairs — each corrupt form is a
+  * 2-3 char sequence starting with â/Ã/Â that essentially never occurs
+  * in clean text, so blind replacement is safe in practice (ftfy's own
+  * heuristic). After repair: CR/CRLF → LF, zero-width characters
+  * stripped, exotic spaces (NBSP family) → ASCII space, and remaining
+  * C0/DEL control characters (except tab and newline) stripped.
+  *
+  * Reference context: the reference ingests raw semi-structured
+  * payloads with no content cleanup at all
+  * (emr_json_parquet_schema_drift_etl.py:318-321); this operator is the
+  * text-pipeline analogue of that raw ingestion boundary done right.
+  *
+  * Scale notes: the whole pass is a chain of `replace`/`regexp_replace`
+  * built-ins — codegen'd, zero shuffles, runs inside the scan's
+  * WholeStageCodegen span. The oracle SQL is GENERATED from the same
+  * constant tables ([[fixTextSql]]), so the Spark plan and the DuckDB
+  * check can never drift apart.
+  */
+object TextNormalize {
+
+  /** (corrupt, repaired) pairs, applied in order. Longer â€x sequences
+    * first so the 3-char quote/dash forms are consumed before any
+    * 2-char Ã/Â pair could touch their tail characters.
+    */
+  val mojibake: Seq[(String, String)] = Seq(
+    // E2 80 xx — punctuation (quotes, dashes, ellipsis, bullet)
+    "â€™" -> "’", // ’
+    "â€˜" -> "‘", // ‘
+    "â€œ" -> "“", // “
+    "â€“" -> "–", // –
+    "â€”" -> "—", // —
+    "â€¦" -> "…", // …
+    "â€¢" -> "•", // •
+    // C3 xx — Latin-1 letters
+    "Ã©" -> "é", // é
+    "Ã¨" -> "è", // è
+    "Ãª" -> "ê", // ê
+    "Ã¡" -> "á", // á
+    "Ã " -> "à", // à
+    "Ã¢" -> "â", // â
+    "Ã­" -> "í", // í
+    "Ã³" -> "ó", // ó
+    "Ã´" -> "ô", // ô
+    "Ãº" -> "ú", // ú
+    "Ã¼" -> "ü", // ü
+    "Ã¶" -> "ö", // ö
+    "Ã¤" -> "ä", // ä
+    "Ã±" -> "ñ", // ñ
+    "Ã§" -> "ç", // ç
+    // C2 xx — symbols and NBSP (A0 is NBSP in cp1252, so the corrupt
+    // form is Â followed by a literal NBSP; the space pass below then
+    // folds the repaired NBSP to ASCII space)
+    "Â°" -> "°", // °
+    "Â£" -> "£", // £
+    "Â©" -> "©", // ©
+    "Â®" -> "®", // ®
+    "Â " -> " ", // NBSP
+  )
+
+  /** Regex passes applied after the literal repairs, in order.
+    * Patterns use escape syntax valid in BOTH Java regex and RE2
+    * (DuckDB), so the generated oracle stays ASCII-clean. */
+  val regexPasses: Seq[(String, String)] = Seq(
+    "\\r\\n?" -> "\n", // CRLF / bare CR → LF
+    "[\\x{200B}-\\x{200D}\\x{FEFF}]" -> "", // zero-width + BOM
+    "[\\x{00A0}\\x{2007}\\x{202F}]" -> " ", // NBSP family → space
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]" -> "", // C0/DEL controls
+  )
+
+  /** The full repair chain as a codegen'd Column. */
+  def fixText(c: Column): Column = {
+    val repaired = mojibake.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+    regexPasses.foldLeft(repaired) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+  }
+
+  /** DuckDB string literal (quote-doubled) — public so gate code can
+    * embed the same planted fixtures in generated oracle SQL. */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB SQL applying the identical chain to the expression `expr` —
+    * generated from the same constants as [[fixText]]. */
+  def fixTextSql(expr: String): String = {
+    val repaired = mojibake.foldLeft(expr) { case (acc, (bad, good)) =>
+      s"replace($acc, ${sqlLit(bad)}, ${sqlLit(good)})"
+    }
+    regexPasses.foldLeft(repaired) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, ${sqlLit(pat)}, ${sqlLit(rep)}, 'g')"
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class KeepBestSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("byContent keeps the highest-scoring member of each content group") {
+    val docs = Seq(
+      (1L, "same page", 0.2),
+      (2L, "same page", 0.9), // winner: highest quality
+      (3L, "same page", 0.5),
+      (4L, "solo page", 0.1)) // singleton survives regardless of score
+      .toDF("doc_id", "text", "quality")
+    val kept = KeepBest.byContent(docs, "quality")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
+  test("score ties break to the lowest id, deterministically") {
+    val docs = Seq(
+      (9L, "dup", 1.0),
+      (3L, "dup", 1.0), // tie on score — smallest id wins
+      (7L, "dup", 1.0))
+      .toDF("doc_id", "text", "quality")
+    val kept = KeepBest.byContent(docs, "quality")
+      .select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(3L))
+  }
+
+  test("byCluster picks one winner per precomputed label") {
+    val labeled = Seq(
+      (1L, 1L, 0.1), (2L, 1L, 0.8), (5L, 1L, 0.3), // cluster 1 → 2
+      (3L, 3L, 0.4), (4L, 3L, 0.4), // cluster 3 tie → 3
+      (6L, 6L, 0.0)) // singleton
+      .toDF("doc_id", "cluster_id", "quality")
+    val kept = KeepBest.byCluster(labeled, "quality")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L, 6L))
+  }
+
+  test("full winner rows come back intact") {
+    val docs = Seq(
+      (1L, "pg", 0.2, "crawl-a"),
+      (2L, "pg", 0.9, "crawl-b"))
+      .toDF("doc_id", "text", "quality", "source")
+    val rows = KeepBest.byContent(docs, "quality")
+      .as[(Long, String, Double, String)].collect()
+    assert(rows.toSeq == Seq((2L, "pg", 0.9, "crawl-b")))
+  }
+
+  test("argmax is an aggregate, never a window (hot-group safety)") {
+    // a hot content value ("404 not found" × N fetches) must not be
+    // sorted on one task — the plan may contain no Window operator
+    val docs = (1L to 200L).map(i => (i, "404 not found", i * 1.0))
+      .toDF("doc_id", "text", "quality")
+    val out = KeepBest.byContent(docs, "quality")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept into keepBest:\n$plan")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(200L))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextNormalizeSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def fix(s: String): String =
+    Seq(s).toDF("text")
+      .select(TextNormalize.fixText(col("text")).as("t"))
+      .as[String].head()
+
+  /** The regex passes applied in plain Java — the reference result the
+    * Column chain must match (same patterns, same order). */
+  private def regexOnly(s: String): String =
+    TextNormalize.regexPasses.foldLeft(s) { case (acc, (pat, rep)) =>
+      acc.replaceAll(pat, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+
+  test("every mojibake pair repairs to its target (modulo space folding)") {
+    for ((bad, good) <- TextNormalize.mojibake) {
+      val in = s"x${bad}y"
+      // the NBSP pair's repaired form is then folded to ASCII space by
+      // the regex pass — expected is the value AFTER the full chain
+      val expected = regexOnly(s"x${good}y")
+      assert(fix(in) == expected, s"pair ${bad.codePoints().toArray.toSeq}")
+    }
+  }
+
+  test("smart-quote sentence repairs end to end") {
+    // It’s “fine” → corrupt forms â€™ / â€œ (9C→œ) planted literally
+    val corrupt = "Itâ€™s â€œfine now"
+    assert(fix(corrupt) == "It’s “fine now")
+  }
+
+  test("accents repair: cafÃ© → café") {
+    assert(fix("cafÃ© ole") == "café ole")
+  }
+
+  test("line endings normalize and controls strip") {
+    assert(fix("a\r\nb\rc\nd") == "a\nb\nc\nd")
+    assert(fix("be\u0007l\u0000l") == "bell")
+    assert(fix("tab\tkept\nnewline kept") == "tab\tkept\nnewline kept")
+  }
+
+  test("zero-width chars strip, NBSP family folds to space") {
+    assert(fix("a\u200Bb\u200C\u200Dc\uFEFFd") == "abcd")
+    assert(fix("a\u00A0b\u202Fc\u2007d") == "a b c d")
+  }
+
+  test("clean ASCII text is a fixpoint") {
+    val clean = "Plain text, nothing to fix.\nSecond line\tand a tab."
+    assert(fix(clean) == clean)
+    assert(fix(fix("cafÃ©")) == fix("cafÃ©"))
+  }
+
+  test("generated oracle SQL mirrors the chain one call per rule") {
+    val sql = TextNormalize.fixTextSql("text")
+    assert("replace\\(".r.findAllIn(sql).size ==
+      TextNormalize.mojibake.size + TextNormalize.regexPasses.size)
+    assert("regexp_replace\\(".r.findAllIn(sql).size ==
+      TextNormalize.regexPasses.size)
+    assert(sql.contains("'g'")) // DuckDB needs the global flag
+    assert(TextNormalize.sqlLit("a'b") == "'a''b'")
+  }
+}
