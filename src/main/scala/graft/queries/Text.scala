@@ -896,7 +896,35 @@ object Text extends QueryPack {
         concat(lit(corruptHeader), lit("\n"), col("text")))
         .as("clean_text"))
 
+  /** Bigram-LM perplexity gate (q186): every document scored under the
+    * corpus-trained interpolated bigram LM
+    * ([[graft.text.Perplexity.bigramScore]], λ=0.7) — the KenLM-shaped
+    * upgrade of the q134 unigram filter. DuckDB trains the identical
+    * counts and recomputes every transition probability; cross-entropy
+    * compares within float tolerance (the q134 convention).
+    */
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.text.Perplexity.bigramScore(Tables.documents(s, dir))
+
+  /** Domain-filter gate (q187): docs carry synthetic subdomain URLs
+    * over `<source>.co.uk` registrable domains (the q173 host
+    * pattern), quality = n_chars, and
+    * [[graft.text.UrlCuration.filterByDomainQuality]] drops every doc
+    * from domains whose mean length sits under 300 over ≥5 docs — the
+    * RefinedWeb per-domain policy. The sum-of-bigint/count division is
+    * bit-identical cross-engine, so the threshold compare is exact.
+    */
+  def domainFilter(s: SparkSession, dir: String): DataFrame =
+    graft.text.UrlCuration.filterByDomainQuality(
+        Tables.documents(s, dir).withColumn("url", concat(
+          lit("https://sub"), (col("doc_id") % 3).cast("string"), lit("."),
+          col("source"), lit(".co.uk/item/"), col("doc_id").cast("string"))),
+        col("url"), "n_chars", minMean = 300.0, minDocs = 5L)
+      .select(col("doc_id"), col("domain"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_bigram_lm" -> bigramLm _,
+    "q187_domain_filter" -> domainFilter _,
     "q183_fix_encoding" -> fixEncoding _,
     "q180_stratified_sample" -> stratifiedSample _,
     "q179_dsir_weights" -> dsirWeights _,
@@ -949,6 +977,48 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q186_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS cu
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |n AS (SELECT CAST(sum(cu) AS DOUBLE) AS n_corpus FROM uni),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': t[i], 'w2': t[i+1]}
+        |            for i in range(1, len(t))], recursive := true)
+        |  FROM toks),
+        |bitf AS (
+        |  SELECT doc_id, w1, w2, count(*) AS f
+        |  FROM bi GROUP BY doc_id, w1, w2),
+        |cb AS (SELECT w1, w2, sum(f) AS cb FROM bitf GROUP BY w1, w2)
+        |SELECT bitf.doc_id,
+        |  CAST(sum(f) AS BIGINT) AS n_bigrams,
+        |  -sum(CAST(f AS DOUBLE) * ln(
+        |     0.7 * CAST(cb.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE) +
+        |     (1.0 - 0.7) * CAST(u2.cu AS DOUBLE) / n.n_corpus))
+        |    / CAST(sum(f) AS DOUBLE) AS cross_entropy,
+        |  exp(-sum(CAST(f AS DOUBLE) * ln(
+        |     0.7 * CAST(cb.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE) +
+        |     (1.0 - 0.7) * CAST(u2.cu AS DOUBLE) / n.n_corpus))
+        |    / CAST(sum(f) AS DOUBLE)) AS ppl
+        |FROM bitf
+        |JOIN cb USING (w1, w2)
+        |JOIN uni u1 ON u1.w = bitf.w1
+        |JOIN uni u2 ON u2.w = bitf.w2
+        |CROSS JOIN n
+        |GROUP BY bitf.doc_id""".stripMargin,
+    "q187_domain_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source || '.co.uk' AS domain, n_chars
+        |  FROM documents),
+        |bad AS (
+        |  SELECT domain FROM d GROUP BY domain
+        |  HAVING count(*) >= 5 AND avg(n_chars) < 300.0)
+        |SELECT doc_id, domain FROM d
+        |WHERE domain NOT IN (SELECT domain FROM bad)""".stripMargin,
     "q183_fix_encoding" -> {
       val hdr = graft.text.TextNormalize.sqlLit(corruptHeader + "\n")
       val chain = graft.text.TextNormalize.fixTextSql(s"($hdr || text)")

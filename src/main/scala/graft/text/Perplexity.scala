@@ -66,4 +66,67 @@ object Perplexity {
           sum(col("f")).cast("double")).as("cross_entropy"))
       .withColumn("ppl", exp(col("cross_entropy")))
   }
+
+  /** Per-document cross-entropy under a corpus-trained BIGRAM LM with
+    * unigram-interpolated backoff — one step closer to the 5-gram
+    * KenLM CCNet actually filters with, still closed-form and
+    * cross-engine checkable:
+    *
+    *   P(w2 | w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/N
+    *
+    * where all counts are corpus totals (c(w1) is w1's full unigram
+    * count — including document-final occurrences, so the conditional
+    * leaks a little mass; fine for a filter and exactly mirrored by
+    * the oracle). Only bigram TRANSITIONS are scored; documents with
+    * fewer than two word tokens have no transitions and are omitted.
+    *
+    * Plan shape: the token-array projection is persisted and feeds
+    * both the unigram and bigram passes. Bigrams come from
+    * `arrays_zip(slice(t,1,n−1), slice(t,2,n−1))` — all codegen'd
+    * built-ins, no higher-order functions (which evaluate interpreted
+    * and get duplicated by optimizer rules) and no per-doc window.
+    * Counts aggregate map-side; the LM tables join back on token keys
+    * (vocab/bigram-vocab ≪ corpus, AQE broadcasts when they fit); the
+    * corpus total N rides a one-row broadcast cross join. Nothing is
+    * collected to the driver.
+    *
+    * Returns (idCol, n_bigrams, cross_entropy, ppl) — cross_entropy in
+    * nats over transitions, ppl = exp(cross_entropy).
+    */
+  def bigramScore(docs: DataFrame, lambda: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda in (0,1]: $lambda")
+    val toks = docs
+      .select(col(idCol),
+        regexp_extract_all(lower(col(textCol)), lit(TokenPattern), lit(0))
+          .as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val n = uni.agg(sum(col("cu")).cast("double").as("n_corpus"))
+    val len1 = greatest(size(col("t")) - 1, lit(0))
+    val bi = toks
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("t"), lit(1), len1).as("w1"),
+        slice(col("t"), lit(2), len1).as("w2"))).as("b"))
+      .select(col(idCol),
+        col("b").getField("w1").as("w1"), col("b").getField("w2").as("w2"))
+    val bitf = bi.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("f"))
+    val cb = bitf.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("f")).as("cb"))
+    val cu1 = uni.select(col("w").as("w1"), col("cu").as("cu1"))
+    val cu2 = uni.select(col("w").as("w2"), col("cu").as("cu2"))
+    val p = lit(lambda) * col("cb").cast("double") / col("cu1").cast("double") +
+      lit(1.0 - lambda) * col("cu2").cast("double") / col("n_corpus")
+    bitf.join(cb, Seq("w1", "w2"))
+      .join(cu1, Seq("w1")).join(cu2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("f")).cast("bigint").as("n_bigrams"),
+        (-sum(col("f").cast("double") * log(p)) /
+          sum(col("f")).cast("double")).as("cross_entropy"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+  }
 }

@@ -103,4 +103,36 @@ object UrlCuration {
     hosted.join(kept, Seq(idCol), "left_semi")
       .withColumnRenamed("__host", "host")
   }
+
+  /** RefinedWeb-style DOMAIN-LEVEL quality filtering: drop every
+    * document from a registrable domain whose aggregate quality is
+    * confidently bad — mean `scoreCol` below `minMean` over at least
+    * `minDocs` documents. Domains with fewer than `minDocs` docs carry
+    * too little evidence and are KEPT (the rule only drops on
+    * evidence, never on absence). The per-domain judgment is the
+    * whole point: junk farms publish millions of individually-
+    * plausible pages, and the domain aggregate catches what per-doc
+    * scoring misses.
+    *
+    * Plan shape: one domain aggregate (count + mean — map-side
+    * partial, output is domain-cardinality ≪ corpus), filtered to the
+    * bad-domain list (smaller still — AQE broadcasts it when it
+    * fits), then an anti-join back on the domain key. No windows, no
+    * driver collection; a billion-page domain costs one combiner row
+    * per task.
+    *
+    * Output: surviving rows with the grouping key as `domain`.
+    */
+  def filterByDomainQuality(docs: DataFrame, urlCol: Column,
+      scoreCol: String, minMean: Double, minDocs: Long = 1L,
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.withColumn("__dom",
+      coalesce(registrableDomain(urlCol), hostOf(urlCol)))
+    val bad = keyed.groupBy(col("__dom"))
+      .agg(count(lit(1)).as("__n"), avg(col(scoreCol)).as("__mean"))
+      .filter(col("__n") >= minDocs && col("__mean") < minMean)
+      .select(col("__dom"))
+    keyed.join(bad, Seq("__dom"), "left_anti")
+      .withColumnRenamed("__dom", "domain")
+  }
 }

@@ -72,4 +72,37 @@ class PerplexityChunkerSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("chunk_text")).mkString(" ") ==
       (1 to 7).map(i => s"w$i").mkString(" "))
   }
+
+  test("bigram LM: hand-computed chain corpus") {
+    // corpus "a b a b a": unigrams a=3 b=2 N=5; bigrams ab=2 ba=2.
+    // doc transitions: a->b (f=2), b->a (f=2).
+    // p(b|a) = .7*2/3 + .3*2/5 ; p(a|b) = .7*2/2 + .3*3/5
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r = Perplexity.bigramScore(docs).head()
+    val pba = 0.7 * 2.0 / 3.0 + (1.0 - 0.7) * 2.0 / 5.0
+    val pab = 0.7 * 2.0 / 2.0 + (1.0 - 0.7) * 3.0 / 5.0
+    val ce = -(2.0 * math.log(pba) + 2.0 * math.log(pab)) / 4.0
+    assert(r.getAs[Long]("n_bigrams") == 4L)
+    assert(math.abs(r.getAs[Double]("cross_entropy") - ce) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ppl") - math.exp(ce)) < 1e-12)
+  }
+
+  test("bigram LM: predictable sequences beat shuffled ones") {
+    // doc 1 repeats one transition; doc 2 mixes transitions between the
+    // same tokens plus rare ones -- its cross-entropy must be higher
+    val docs = Seq(
+      (1L, "x y x y x y x y x y"),
+      (2L, "x q y x zz y q x y zz")).toDF("doc_id", "text")
+    val m = Perplexity.bigramScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    assert(m(1L) < m(2L))
+  }
+
+  test("bigram LM: docs without a transition are omitted") {
+    val docs = Seq((1L, "two tokens"), (2L, "single"), (3L, "123 !!!"))
+      .toDF("doc_id", "text")
+    val ids = Perplexity.bigramScore(docs).select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L)) // doc 2 has one token, doc 3 none
+  }
 }

@@ -119,4 +119,36 @@ class UrlCurationSpec extends SparkSpec {
     }.groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(3).toSeq).toMap
     assert(got == want)
   }
+
+  test("domain filter drops confidently-bad domains, keeps thin evidence") {
+    // bad.co.uk: 4 docs, mean 10 -> dropped (>= 3 docs, mean < 50)
+    // good.co.uk: 3 docs, mean 90 -> kept
+    // thin.co.uk: 2 docs, mean 5 -> kept (below minDocs evidence bar)
+    val rows = Seq(
+      (1L, "https://a.bad.co.uk/x", 10L), (2L, "https://b.bad.co.uk/x", 10L),
+      (3L, "https://bad.co.uk/x", 10L), (4L, "https://www.bad.co.uk/x", 10L),
+      (5L, "https://good.co.uk/x", 90L), (6L, "https://good.co.uk/y", 90L),
+      (7L, "https://sub.good.co.uk/z", 90L),
+      (8L, "https://thin.co.uk/x", 5L), (9L, "https://thin.co.uk/y", 5L))
+      .toDF("doc_id", "u", "len")
+    val kept = UrlCuration.filterByDomainQuality(rows, $"u", "len",
+        minMean = 50.0, minDocs = 3L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("domain filter groups subdomains by registrable domain (PSL)") {
+    // every subdomain of pool.co.uk pools into ONE domain judgment:
+    // individually each host has 1 doc (under minDocs), together 4
+    val rows = Seq(
+      (1L, "https://a.pool.co.uk/x", 1L), (2L, "https://b.pool.co.uk/x", 1L),
+      (3L, "https://c.pool.co.uk/x", 1L), (4L, "https://pool.co.uk/x", 1L),
+      (5L, "https://solo.co.uk/x", 1L))
+      .toDF("doc_id", "u", "len")
+    val out = UrlCuration.filterByDomainQuality(rows, $"u", "len",
+        minMean = 50.0, minDocs = 4L)
+    val kept = out.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(5L)) // pool.co.uk judged as one 4-doc domain
+    assert(out.columns.contains("domain"))
+  }
 }
