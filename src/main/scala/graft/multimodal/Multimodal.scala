@@ -556,6 +556,27 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling SCHEDULE: one row per sampled frame at a fixed
+    * interval over each medium's duration — the distributable Spark
+    * half of a video frame-extract stage. The pixel decode itself
+    * needs codec libraries this container does not ship; downstream a
+    * decoder joins on (media_id, ts_ms) and fills frame bytes, while
+    * the schedule — which frames, from which media, at which
+    * timestamps — is what partitions, shuffles, and scales. `ts_ms`
+    * runs 0, interval, … strictly below `duration_ms`; zero/unknown
+    * durations contribute no frames (honest-empty, never a guess).
+    * Codegen'd `sequence`+`explode`, one narrow pass, no shuffle.
+    */
+  def frameSchedule(features: DataFrame, intervalMs: Long = 1000L)
+      : DataFrame = {
+    require(intervalMs > 0, s"intervalMs must be positive: $intervalMs")
+    features.filter(col("duration_ms") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(intervalMs)))
+          .as("ts_ms"))
+      .withColumn("frame_idx", (col("ts_ms") / intervalMs).cast("bigint"))
+  }
+
   /** Spread records so each partition carries ≈`targetBytes` of payload —
     * the knob that keeps a 100 TB media table from concentrating giant
     * videos in one task.

@@ -119,7 +119,9 @@ object Text extends QueryPack {
     * duration from the movie header over its timescale; the moov-less
     * file keeps honest zeros. All constants, pinned by the oracle.
     */
-  def videoMeta(s: SparkSession, dir: String): DataFrame = {
+  /** Writes the q138/q189 MP4 fixtures (two real moov walks + junk)
+    * and returns the fixture dir. */
+  private def videoFixtures(s: SparkSession, dir: String): String = {
     def beInt(v: Int): Array[Byte] =
       java.nio.ByteBuffer.allocate(4).putInt(v).array
     def beLong(v: Long): Array[Byte] =
@@ -156,7 +158,11 @@ object Text extends QueryPack {
       case (n, bytes) => java.nio.file.Files.write(
         new java.io.File(root, n).toPath, bytes)
     }
-    val media = Multimodal.readMediaDir(s, root.toString)
+    root.toString
+  }
+
+  def videoMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.readMediaDir(s, videoFixtures(s, dir))
     Multimodal.extractFeatures(media, Multimodal.HeaderDecoder).toDF()
       .join(media.select(col("media_id"),
         regexp_extract(col("path"), "([^/]+)$", 1).as("fname")), "media_id")
@@ -922,7 +928,44 @@ object Text extends QueryPack {
         col("url"), "n_chars", minMean = 300.0, minDocs = 5L)
       .select(col("doc_id"), col("domain"))
 
+  /** N-gram diversity gate (q188): the per-source trigram diversity
+    * report ([[graft.text.TextAnalysis.ngramDiversity]]) over a corpus
+    * where one planted source is TEMPLATED — every doc of the source
+    * with the lowest id's text repeated — so its type-token ratio and
+    * entropy collapse relative to the organic sources. DuckDB
+    * recomputes the full distribution; entropy compares within float
+    * tolerance (the q134 convention).
+    */
+  def ngramDiversityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // plant the synthetic flood: source "src0" becomes one template
+    // repeated (what a model-generated or mirror flood looks like)
+    val planted = docs.select(col("source"),
+      when(col("source") === "src0",
+        lit("the quick template text repeated verbatim every time"))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.ngramDiversity(planted, n = 3)
+  }
+
+  /** Frame-schedule gate (q189): the q138 MP4 fixtures (5400 ms and
+    * 7000 ms moov durations plus undecodable junk) run through
+    * [[Multimodal.frameSchedule]] at 1 s — one row per sampled frame
+    * strictly below each duration, junk contributing nothing. The
+    * oracle pins the arithmetic (durations are fixture constants).
+    */
+  def frameScheduleGate(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.readMediaDir(s, videoFixtures(s, dir))
+    val feats = Multimodal.extractFeatures(media, Multimodal.HeaderDecoder)
+      .toDF()
+    Multimodal.frameSchedule(feats, intervalMs = 1000L)
+      .join(media.select(col("media_id"),
+        regexp_extract(col("path"), "([^/]+)$", 1).as("fname")), "media_id")
+      .select(col("fname"), col("frame_idx"), col("ts_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_ngram_diversity" -> ngramDiversityGate _,
+    "q189_frame_schedule" -> frameScheduleGate _,
     "q186_bigram_lm" -> bigramLm _,
     "q187_domain_filter" -> domainFilter _,
     "q183_fix_encoding" -> fixEncoding _,
@@ -977,6 +1020,39 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q188_ngram_diversity" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN source = 'src0'
+        |      THEN 'the quick template text repeated verbatim every time'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM d),
+        |grams AS (
+        |  SELECT source,
+        |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |            for i in range(1, len(t) - 1)]) AS gram
+        |  FROM toks),
+        |counts AS (
+        |  SELECT source, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS type_token_ratio,
+        |  ln(CAST(sum(c) AS DOUBLE)) -
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+        |    CAST(sum(c) AS DOUBLE) AS entropy
+        |FROM counts GROUP BY source""".stripMargin,
+    "q189_frame_schedule" ->
+      """WITH v(fname, dur) AS (
+        |  VALUES ('v0_sd.mp4', 5400), ('v1_hd.mp4', 7000))
+        |SELECT fname,
+        |  CAST(ts // 1000 AS BIGINT) AS frame_idx,
+        |  CAST(ts AS BIGINT) AS ts_ms
+        |FROM (SELECT fname, unnest(range(0, dur, 1000)) AS ts FROM v)""".stripMargin,
     "q186_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t

@@ -192,6 +192,51 @@ object TextAnalysis {
     * other two shapes). A codegen'd `regexp_replace` chain; at 100 TB
     * this is a pure narrow map over the text column, no shuffle.
     */
+  /** Per-group n-gram DIVERSITY report — the templated/synthetic-text
+    * detector: a slice flooded with model-generated or boilerplate
+    * content shows a collapsed n-gram distribution (low type-token
+    * ratio, low entropy) long before any per-document rule fires.
+    * Used in practice to audit sources before mixing (self-BLEU's
+    * corpus-level cousin).
+    *
+    * Per group: total n-gram occurrences, distinct n-grams, type-token
+    * ratio D/T, and Shannon entropy −Σ (c/T)·ln(c/T) in nats.
+    *
+    * Plan shape: n-grams WITH multiplicity via codegen'd
+    * `arrays_zip`-of-slices (no HOFs — interpreted and duplicated by
+    * optimizer rules; no per-doc window), then TWO hash aggregates:
+    * (group, gram) counts — map-side combine carries each gram once
+    * per task — then the per-group fold. Entropy needs T inside the
+    * second aggregate: Σ c·ln c and Σ c reassociate it as
+    * ln T − (Σ c·ln c)/T, so one pass suffices. Nothing collects to
+    * the driver; docs shorter than n contribute nothing.
+    */
+  def ngramDiversity(docs: DataFrame, n: Int = 3,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && n <= 8, s"n in [1,8]: $n")
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+      lit(0))
+    val len1 = greatest(size(col("__t")) - (n - 1), lit(0))
+    val zipped = arrays_zip(
+      (0 until n).map(i => slice(col("__t"), lit(i + 1), len1).as(s"g$i")): _*)
+    val grams = docs
+      .select(col(groupCol).as("grp"), toks.as("__t"))
+      .select(col("grp"), explode(zipped).as("g"))
+      .select(col("grp"), concat_ws(" ",
+        (0 until n).map(i => col("g").getField(s"g$i")): _*).as("gram"))
+    val counts = grams.groupBy(col("grp"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("grp").as(groupCol))
+      .agg(
+        sum(col("c")).cast("bigint").as("total_ngrams"),
+        count(lit(1)).cast("bigint").as("distinct_ngrams"),
+        (count(lit(1)).cast("double") / sum(col("c")).cast("double"))
+          .as("type_token_ratio"),
+        (log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double")).as("entropy"))
+  }
+
   def scrubPii(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol),

@@ -449,4 +449,51 @@ class TextMultimodalSpec extends SparkSpec {
     assert(graft.text.TextAnalysis.scrubPii(clean).head().getString(1)
       == "plain words only")
   }
+
+  test("ngram diversity: templated slice collapses vs organic slice") {
+    val docs = Seq(
+      ("tpl", "alpha beta gamma alpha beta gamma"),
+      ("tpl", "alpha beta gamma alpha beta gamma"),
+      ("org", "one two three four five six"),
+      ("org", "seven eight nine ten eleven twelve"))
+      .toDF("source", "text")
+    val m = TextAnalysis.ngramDiversity(docs, n = 3).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // tpl: each doc has 4 trigram occurrences but only 3 distinct
+    // ACROSS both docs (the template repeats) -> low TTR, low entropy
+    val tpl = m("tpl"); val org = m("org")
+    assert(tpl.getAs[Long]("total_ngrams") == 8L)
+    assert(tpl.getAs[Long]("distinct_ngrams") == 3L)
+    assert(org.getAs[Long]("total_ngrams") == 8L)
+    assert(org.getAs[Long]("distinct_ngrams") == 8L)
+    assert(tpl.getAs[Double]("type_token_ratio") <
+      org.getAs[Double]("type_token_ratio"))
+    assert(tpl.getAs[Double]("entropy") < org.getAs[Double]("entropy"))
+    // organic: all grams unique -> entropy = ln(total)
+    assert(math.abs(org.getAs[Double]("entropy") - math.log(8.0)) < 1e-12)
+  }
+
+  test("ngram diversity: docs shorter than n contribute nothing") {
+    val docs = Seq(("a", "one two"), ("a", "single"), ("b", "x y z"))
+      .toDF("source", "text")
+    val m = TextAnalysis.ngramDiversity(docs, n = 3).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("total_ngrams")).toMap
+    assert(m == Map("b" -> 1L)) // source a never reaches 3 tokens
+  }
+
+  test("frame schedule: strict-below bound, junk-duration rows dropped") {
+    val feats = Seq(
+      (1L, 5400L), // 0..5000 -> 6 frames
+      (2L, 7000L), // 0..6999 -> 7 frames
+      (3L, 0L), // undecodable -> none
+      (4L, 1000L)) // exactly one interval -> frame 0 only
+      .toDF("media_id", "duration_ms")
+    val rows = Multimodal.frameSchedule(feats, intervalMs = 1000L)
+      .select($"media_id", $"frame_idx", $"ts_ms")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val want = ((0L to 5L).map(i => (1L, i, i * 1000L)) ++
+      (0L to 6L).map(i => (2L, i, i * 1000L)) ++
+      Seq((4L, 0L, 0L))).sorted
+    assert(rows == want)
+  }
 }
