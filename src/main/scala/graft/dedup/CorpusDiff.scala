@@ -1,0 +1,38 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-to-snapshot corpus DIFF: which documents were added,
+  * removed, or changed between two crawls — the audit a daily 100 TB
+  * pipeline runs before promoting a snapshot (a diff that is 40%
+  * "changed" means the extractor regressed, not that the web rewrote
+  * itself). Complements [[graft.text.CorpusDrift]] (aggregate
+  * distribution deltas) with per-document lineage.
+  *
+  * Scale notes: both sides reduce to (id, sha256) BEFORE the join, so
+  * the one full-outer shuffle carries 32-byte digests, never document
+  * text. The unchanged majority — virtually the whole corpus on a
+  * healthy day — is filtered out INSIDE the join's projection and is
+  * never materialized downstream. Output is the (small) change set
+  * only.
+  */
+object CorpusDiff {
+
+  /** (idCol, status, old_sha, new_sha) for every id whose presence or
+    * content differs between `old` and `cur`; status ∈
+    * added | removed | changed. Unchanged ids are omitted.
+    */
+  def diff(old: DataFrame, cur: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "text"): DataFrame = {
+    def keyed(df: DataFrame, sha: String) =
+      df.select(col(idCol), sha2(col(contentCol), 256).as(sha))
+    keyed(old, "old_sha").join(keyed(cur, "new_sha"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_sha").isNull, lit("added"))
+          .when(col("new_sha").isNull, lit("removed"))
+          .when(col("old_sha") =!= col("new_sha"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"), col("old_sha"), col("new_sha"))
+  }
+}

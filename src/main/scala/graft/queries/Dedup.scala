@@ -297,7 +297,27 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("quality"))
   }
 
+  /** Snapshot-diff gate (q190): yesterday's corpus vs a mutated today —
+    * every doc_id ≡ 0 (mod 11) removed, ≡ 3 (mod 7) edited, and the
+    * ≡ 1 (mod 13) slice re-added under fresh ids —
+    * [[graft.dedup.CorpusDiff.diff]] must emit exactly the
+    * added/removed/changed set with both digests, the unchanged
+    * majority never materializing. The oracle rebuilds the same
+    * mutation and diffs with a full outer join over sha256.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val cur = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    CorpusDiff.diff(docs, cur)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_snapshot_diff" -> snapshotDiff _,
     "q184_keep_best" -> keepBestGate _,
     "q185_cluster_reps" -> clusterRepresentatives _,
     "q86_corpus_curation" -> corpusCuration _,
@@ -343,6 +363,24 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q190_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, sha256(text) AS old_sha FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+        |                ELSE text END) AS new_sha
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, sha256(text)
+        |  FROM documents WHERE doc_id % 13 = 1)
+        |SELECT coalesce(old.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN old.doc_id IS NULL THEN 'added'
+        |       WHEN cur.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  old_sha, new_sha
+        |FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id
+        |WHERE old.doc_id IS NULL OR cur.doc_id IS NULL
+        |   OR old_sha <> new_sha""".stripMargin,
     "q184_keep_best" ->
       """WITH u AS (
         |  SELECT doc_id, text, 1.0 AS quality FROM documents

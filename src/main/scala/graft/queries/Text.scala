@@ -963,7 +963,17 @@ object Text extends QueryPack {
       .select(col("fname"), col("frame_idx"), col("ts_ms"))
   }
 
+  /** Postings-export gate (q191): the inverted index
+    * ([[graft.text.TfIdf.postings]]) over the documents table — one
+    * row per (token, doc) with term frequency and document frequency,
+    * the table BM25/tf-idf scorers consume. DuckDB rebuilds the index
+    * from the same tokenization and hash-compares row-for-row.
+    */
+  def postingsGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.postings(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_postings" -> postingsGate _,
     "q188_ngram_diversity" -> ngramDiversityGate _,
     "q189_frame_schedule" -> frameScheduleGate _,
     "q186_bigram_lm" -> bigramLm _,
@@ -1020,6 +1030,17 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q191_postings" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |            AS token
+        |        FROM documents)
+        |  GROUP BY token, doc_id)
+        |SELECT token, doc_id, tf,
+        |  count(*) OVER (PARTITION BY token) AS df
+        |FROM tf""".stripMargin,
     "q188_ngram_diversity" ->
       """WITH d AS (
         |  SELECT source,

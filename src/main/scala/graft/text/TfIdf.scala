@@ -26,6 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
+  /** Inverted-index POSTINGS export: (token, doc_id, tf, df) — the
+    * search-index build a retrieval pipeline materializes from a
+    * curated corpus (BM25 and tf-idf scorers both consume exactly this
+    * table). `df` rides along per token so a scorer needs no second
+    * pass.
+    *
+    * Plan shape: explode tokens → one (token, doc) hash aggregate
+    * (map-side combine) → token-level df aggregate (vocabulary-sized)
+    * joined back on the token key (AQE broadcasts it when it fits).
+    * No windows, nothing driver-side; the postings table partitions by
+    * token for the downstream index writer.
+    */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+          lit(0))).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      // shared by the df aggregate and the final join — persisted so
+      // the corpus is tokenized once (the unigramScore convention; at
+      // 100 TB materialize to a temp table instead)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("token"))
+      .select(col("token"), col(idCol), col("tf"), col("df"))
+  }
+
   /** Top-`k` terms per document by tf-idf. Output: `doc_id`, `token`,
     * `tf`, `dfreq`, `score` (ties broken by token ascending).
     */

@@ -1,0 +1,35 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class CorpusDiffSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("diff classifies added/removed/changed and omits the unchanged") {
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, "changed now"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = CorpusDiff.diff(old, cur)
+      .select($"doc_id", $"status").as[(Long, String)].collect().sorted.toSeq
+    assert(out == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("identical snapshots diff to empty") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(CorpusDiff.diff(docs, docs).isEmpty)
+  }
+
+  test("digests ride along: null on the absent side, both on changed") {
+    val old = Seq((1L, "x")).toDF("doc_id", "text")
+    val cur = Seq((1L, "y"), (2L, "z")).toDF("doc_id", "text")
+    val rows = CorpusDiff.diff(old, cur).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("old_sha")), Option(r.getAs[String]("new_sha"))))
+      .toMap
+    assert(rows(1L)._1.isDefined && rows(1L)._2.isDefined)
+    assert(rows(1L)._1 != rows(1L)._2)
+    assert(rows(2L)._1.isEmpty && rows(2L)._2.isDefined)
+  }
+}

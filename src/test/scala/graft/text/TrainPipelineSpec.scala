@@ -166,4 +166,17 @@ class TrainPipelineSpec extends SparkSpec {
       .map(_.getAs[Double]("val")).sum
     assert(math.abs(tfSum - 1.0) < 1e-12) // tf shares sum to 1
   }
+
+  test("postings: hand-checked inverted index with df") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry")).toDF("doc_id", "text")
+    val rows = TfIdf.postings(docs)
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(rows == Seq(
+      ("apple", 1L, 2L, 1L),
+      ("banana", 1L, 1L, 2L),
+      ("banana", 2L, 1L, 2L),
+      ("cherry", 2L, 1L, 1L)))
+  }
 }
