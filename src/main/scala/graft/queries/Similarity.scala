@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.functions.GraftFunctions
-import graft.similarity.{ContrastiveSampling, IvfIndex, PqIndex, SqIndex, TopKSearch}
+import graft.similarity.{ContrastiveSampling, IvfIndex, PqIndex, RankFusion, SqIndex, TopKSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -363,12 +363,40 @@ object Similarity extends QueryPack {
       repartitionTo = s.sparkContext.defaultParallelism)
   }
 
+  /** Hybrid-retrieval fusion gate (q193): the q192 BM25 top-20 (sparse)
+    * fused with the cosine top-20 against vec_id 0's embedding (dense)
+    * by reciprocal-rank fusion
+    * ([[graft.similarity.RankFusion.rrf]], k=60) — the standard
+    * sparse+dense hybrid a RAG stack runs. The fixture's doc_id and
+    * vec_id spaces align by construction. Both scores are rounded to 9
+    * decimals BEFORE ranking (the q40 convention) so ranks are
+    * deterministic cross-engine; ties break by id. The oracle rebuilds
+    * both lists (sharing the q192 BM25 CTE verbatim) and fuses with
+    * the same 1/(60+rank) sum.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val sparse = graft.text.Bm25
+      .score(Tables.documents(s, dir), "hash join merge vector")
+      .select(col("doc_id"), round(col("bm25"), 9).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+    val embs = Tables.embeddings(s, dir)
+    val qv = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val dense = embs.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(GraftFunctions.cosineSim(s, col("embedding"), col("qv")), 9)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+    RankFusion.rrf(Seq(sparse, dense), k = 60)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_semantic_decontam" -> semanticDecontamination _,
     "q174_filtered_ann" -> filteredRecall _,
     "q167_sq_recall" -> sqRecall _,
     "q152_contrastive_pairs" -> contrastivePairs _,
     "q153_hard_negatives" -> hardNegatives _,
+    "q193_hybrid_rrf" -> hybridRrf _,
     "q40_ann_brute_topk" -> annBrute _,
     "q41_ann_ivf_topk" -> annIvf _,
     "q42_cosine_expr_pairs" -> cosineExprPairs _,
@@ -379,6 +407,31 @@ object Similarity extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q193_hybrid_rrf" ->
+      s"""WITH ${Text.bm25OracleCte},
+         |sp AS (
+         |  SELECT doc_id, round(bm25, 9) AS score,
+         |    row_number() OVER (ORDER BY round(bm25, 9) DESC, doc_id)
+         |      AS r
+         |  FROM bm25 QUALIFY r <= 20),
+         |q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id = 0),
+         |dn AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |                                 qv), 9) AS score
+         |  FROM embeddings CROSS JOIN q0),
+         |dnr AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM dn QUALIFY r <= 20),
+         |u AS (
+         |  SELECT doc_id, 1.0 / (60 + r) AS contrib FROM sp
+         |  UNION ALL
+         |  SELECT doc_id, 1.0 / (60 + r) FROM dnr)
+         |SELECT doc_id, sum(contrib) AS rrf_score,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY doc_id""".stripMargin,
     "q181_semantic_decontam" ->
       """WITH ev AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -972,7 +972,50 @@ object Text extends QueryPack {
   def postingsGate(s: SparkSession, dir: String): DataFrame =
     graft.text.TfIdf.postings(Tables.documents(s, dir))
 
+  /** BM25 gate (q192): the sparse-retrieval scorer
+    * ([[graft.text.Bm25.score]]) for a fixed four-term query over the
+    * documents table — Okapi BM25 with Lucene's +1-smoothed idf,
+    * k1=1.2, b=0.75. DuckDB rebuilds the postings, doc lengths, and
+    * corpus stats from the same tokenization and recomputes every
+    * score (float tolerance, the q134 convention; the k1+1 and 1−b
+    * constants are written as the same IEEE expressions both sides).
+    */
+  def bm25Gate(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.score(Tables.documents(s, dir),
+      "hash join merge vector")
+
+  /** The q192 scoring as a DuckDB CTE fragment, shared by the q192 and
+    * q193 oracles so the two can never drift. Yields a relation
+    * `bm25(doc_id, bm25)`. */
+  private[queries] def bm25OracleCte: String =
+    """tf AS (
+      |  SELECT token, doc_id, count(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |            AS token
+      |        FROM documents)
+      |  GROUP BY token, doc_id),
+      |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+      |       FROM dl),
+      |bm25 AS (
+      |  SELECT tf.doc_id,
+      |    sum( ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) /
+      |                  (CAST(df AS DOUBLE) + 0.5)) *
+      |         (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+      |         (CAST(tf AS DOUBLE) +
+      |          1.2 * ((1.0 - 0.75) +
+      |                 0.75 * CAST(dl AS DOUBLE) / avgdl)) ) AS bm25
+      |  FROM tf
+      |  JOIN idf USING (token)
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN st
+      |  WHERE token IN ('hash', 'join', 'merge', 'vector')
+      |  GROUP BY tf.doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_bm25" -> bm25Gate _,
     "q191_postings" -> postingsGate _,
     "q188_ngram_diversity" -> ngramDiversityGate _,
     "q189_frame_schedule" -> frameScheduleGate _,
@@ -1030,6 +1073,9 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q192_bm25" ->
+      s"""WITH $bm25OracleCte
+         |SELECT doc_id, bm25 FROM bm25""".stripMargin,
     "q191_postings" ->
       """WITH tf AS (
         |  SELECT token, doc_id, count(*) AS tf

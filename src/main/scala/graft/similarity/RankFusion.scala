@@ -1,0 +1,45 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+  * way to combine a sparse (BM25) and a dense (ANN cosine) result
+  * list without score calibration: each list contributes
+  * 1/(k + rank) per document and the contributions add.
+  *
+  * INPUTS ARE TOP-K LISTS, not corpora: each DataFrame is a bounded
+  * retrieval result (tens to thousands of rows). The per-list rank
+  * comes from a global `row_number` — a single-task sort, which is
+  * exactly right at that size and is the documented contract (fusing
+  * corpus-scale "lists" is a caller bug; rank itself is meaningless
+  * there). Ties break by id so ranks are deterministic cross-engine.
+  * The fused aggregate is one hash aggregate over the concatenated
+  * lists.
+  */
+object RankFusion {
+
+  /** Fuse ranked lists by RRF. Each input must carry (idCol,
+    * scoreCol); ranking is (score desc, id asc). Returns
+    * (idCol, rrf_score, n_lists) — `n_lists` counts how many lists
+    * surfaced the id (a useful agreement signal on its own).
+    */
+  def rrf(lists: Seq[DataFrame], k: Int = 60, idCol: String = "doc_id",
+      scoreCol: String = "score"): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    require(k >= 1, s"rrf k must be positive: $k")
+    val contribs = lists.map { df =>
+      df.select(col(idCol),
+          row_number().over(
+            Window.orderBy(col(scoreCol).desc, col(idCol))).as("__r"))
+        .select(col(idCol),
+          (lit(1.0) / (lit(k.toDouble) + col("__r").cast("double")))
+            .as("__contrib"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("rrf_score"),
+        count(lit(1)).cast("bigint").as("n_lists"))
+  }
+}

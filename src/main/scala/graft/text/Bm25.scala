@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 ranking over the corpus — the sparse-retrieval scorer
+  * ([[TfIdf.postings]] is its index). With the dense ANN family
+  * (`graft.similarity`) and reciprocal-rank fusion
+  * ([[graft.similarity.RankFusion]]) this completes the standard
+  * hybrid retrieval stack a RAG pipeline runs over curated data.
+  *
+  * Scoring is Robertson/Okapi BM25 with the +1-smoothed idf (always
+  * positive, the Lucene convention):
+  *
+  *   idf(t)  = ln(1 + (N − df + ½)/(df + ½))
+  *   s(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Scale notes: the postings table is built once (one tokenize + two
+  * hash aggregates); doc lengths reuse it; N/avgdl ride a one-row
+  * broadcast cross join. The query's terms prune the postings scan
+  * with an `IN` literal list BEFORE any join, so per-query cost is
+  * proportional to the matched postings, not the corpus. No windows,
+  * nothing driver-side beyond the query string itself.
+  */
+object Bm25 {
+
+  /** Lowercased alphanumeric query terms, first-occurrence order,
+    * deduplicated (BM25 scores each term once). */
+  def tokenize(query: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq.distinct
+
+  /** (idCol, bm25) for every document matching ≥1 query term. */
+  def score(docs: DataFrame, query: String, k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = tokenize(query)
+    require(terms.nonEmpty, s"query has no word tokens: '$query'")
+    val post = TfIdf.postings(docs, idCol, textCol)
+    val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val tfPart = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+    post.filter(col("token").isin(terms: _*))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), (idf * tfPart).as("term_score"))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).as("bm25"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class RankFusionSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("rrf sums 1/(k+rank) across lists and counts agreements") {
+    val a = Seq((1L, 0.9), (2L, 0.8)).toDF("doc_id", "score")
+    val b = Seq((2L, 0.7), (3L, 0.5)).toDF("doc_id", "score")
+    val got = RankFusion.rrf(Seq(a, b), k = 60).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("rrf_score"), r.getAs[Long]("n_lists"))).toMap
+    assert(math.abs(got(1L)._1 - 1.0 / 61) < 1e-15 && got(1L)._2 == 1L)
+    assert(math.abs(got(2L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-15
+      && got(2L)._2 == 2L)
+    assert(math.abs(got(3L)._1 - 1.0 / 62) < 1e-15 && got(3L)._2 == 1L)
+  }
+
+  test("score ties rank by id, deterministically") {
+    val a = Seq((7L, 0.5), (3L, 0.5), (5L, 0.5)).toDF("doc_id", "score")
+    val got = RankFusion.rrf(Seq(a), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rrf_score")).toMap
+    // ranks: 3 -> 1, 5 -> 2, 7 -> 3
+    assert(math.abs(got(3L) - 1.0 / 11) < 1e-15)
+    assert(math.abs(got(5L) - 1.0 / 12) < 1e-15)
+    assert(math.abs(got(7L) - 1.0 / 13) < 1e-15)
+  }
+
+  test("a doc surfaced by both lists beats a slightly better single hit") {
+    // agreement wins: rank-2-in-both > rank-1-in-one (the point of RRF)
+    val a = Seq((1L, 1.0), (9L, 0.9)).toDF("doc_id", "score")
+    val b = Seq((2L, 1.0), (9L, 0.9)).toDF("doc_id", "score")
+    val got = RankFusion.rrf(Seq(a, b), k = 60).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rrf_score")).toMap
+    assert(got(9L) > got(1L) && got(9L) > got(2L))
+  }
+}

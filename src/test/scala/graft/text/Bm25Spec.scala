@@ -1,0 +1,49 @@
+package graft.text
+
+import graft.SparkSpec
+
+class Bm25Spec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("hand-computed two-doc corpus matches the closed form") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Bm25.score(docs, "a b").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
+    // N=2, avgdl=2.5; df(a)=2, df(b)=1
+    val (k1, b) = (1.2, 0.75)
+    def tfPart(tf: Double, dl: Double) =
+      tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / 2.5))
+    val idfA = math.log(1.0 + (2.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val idfB = math.log(1.0 + (2.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    val want1 = idfA * tfPart(2.0, 3.0) + idfB * tfPart(1.0, 3.0)
+    val want2 = idfA * tfPart(1.0, 2.0)
+    assert(math.abs(got(1L) - want1) < 1e-12)
+    assert(math.abs(got(2L) - want2) < 1e-12)
+  }
+
+  test("docs without any query term are absent, not zero") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val ids = Bm25.score(docs, "alpha").select("doc_id")
+      .as[Long].collect().toSeq
+    assert(ids == Seq(1L))
+  }
+
+  test("repeated query terms score once; tokenize lowercases") {
+    val docs = Seq((1L, "apple pie")).toDF("doc_id", "text")
+    val once = Bm25.score(docs, "Apple").collect().head.getDouble(1)
+    val twice = Bm25.score(docs, "APPLE apple").collect().head.getDouble(1)
+    assert(once == twice)
+    assert(Bm25.tokenize("The THE the quick") == Seq("the", "quick"))
+  }
+
+  test("common terms contribute less than rare ones (idf ordering)") {
+    // 'the' is in every doc, 'rare' in one; equal tf and dl
+    val docs = Seq((1L, "the rare"), (2L, "the word"), (3L, "the word"))
+      .toDF("doc_id", "text")
+    val m = Bm25.score(docs, "the rare").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
+    assert(m(1L) > m(2L)) // doc 1 adds the rare term's higher idf
+  }
+}
