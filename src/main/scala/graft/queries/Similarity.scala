@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.functions.GraftFunctions
-import graft.similarity.{ContrastiveSampling, IvfIndex, PqIndex, RankFusion, SqIndex, TopKSearch}
+import graft.similarity.{ContrastiveSampling, IvfIndex, PqIndex, RankFusion, RetrievalEval, SqIndex, TopKSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -390,7 +390,29 @@ object Similarity extends QueryPack {
     RankFusion.rrf(Seq(sparse, dense), k = 60)
   }
 
+  /** Retrieval-metrics gate (q194): a deliberately degraded retriever —
+    * brute cosine over only the EVEN half of the corpus — measured
+    * against the exact top-5 truth with
+    * [[graft.similarity.RetrievalEval.metrics]]. Both lists are
+    * SQL-recomputable (the q40 brute shape, full and halved), so
+    * recall/MRR/nDCG come out of DuckDB row-for-row rather than as a
+    * pinned threshold; odd-id truth neighbors are unreachable by
+    * construction, which exercises every partial-credit branch.
+    */
+  def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val truth = TopKSearch.bruteForce(s, embs, queries, K)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    val degraded = TopKSearch
+      .bruteForce(s, embs.filter(col("vec_id") % 2 === 0), queries, K)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    RetrievalEval.metrics(degraded, truth, K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_retrieval_metrics" -> retrievalMetrics _,
     "q181_semantic_decontam" -> semanticDecontamination _,
     "q174_filtered_ann" -> filteredRecall _,
     "q167_sq_recall" -> sqRecall _,
@@ -407,6 +429,52 @@ object Similarity extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q194_retrieval_metrics" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $NQUERIES),
+         |c AS (SELECT vec_id AS neighbor_id,
+         |        CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |tr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(list_cosine_similarity(qv, cv), 9) DESC,
+         |                 neighbor_id) AS r
+         |    FROM q CROSS JOIN c) WHERE r <= $K),
+         |res AS (
+         |  SELECT query_id, neighbor_id, r AS rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(list_cosine_similarity(qv, cv), 9) DESC,
+         |                 neighbor_id) AS r
+         |    FROM q CROSS JOIN (SELECT * FROM c WHERE neighbor_id % 2 = 0))
+         |  WHERE r <= $K),
+         |nrel AS (
+         |  SELECT query_id, count(*) AS n_rel FROM tr GROUP BY query_id),
+         |hit AS (
+         |  SELECT res.query_id, res.rank FROM res
+         |  JOIN tr ON tr.query_id = res.query_id
+         |         AND tr.neighbor_id = res.neighbor_id),
+         |perq AS (
+         |  SELECT query_id, count(*) AS hits, min(rank) AS first_hit,
+         |    sum(ln(2.0) / ln(rank + 1.0)) AS dcg
+         |  FROM hit GROUP BY query_id),
+         |idcg AS (
+         |  SELECT query_id, sum(ln(2.0) / ln(i + 1.0)) AS idcg FROM (
+         |    SELECT query_id,
+         |      unnest(range(1, least(n_rel, $K) + 1)) AS i FROM nrel)
+         |  GROUP BY query_id)
+         |SELECT nrel.query_id,
+         |  CAST(n_rel AS BIGINT) AS n_rel,
+         |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE)
+         |    AS recall,
+         |  coalesce(1.0 / first_hit, 0.0) AS mrr,
+         |  coalesce(dcg / idcg, 0.0) AS ndcg
+         |FROM nrel
+         |JOIN idcg USING (query_id)
+         |LEFT JOIN perq USING (query_id)""".stripMargin,
     "q193_hybrid_rrf" ->
       s"""WITH ${Text.bm25OracleCte},
          |sp AS (

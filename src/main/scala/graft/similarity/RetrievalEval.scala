@@ -1,0 +1,62 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality metrics — recall@k, MRR, and binary nDCG@k of a
+  * result list against a relevance set. This is how the ANN/BM25/RRF
+  * stack gets MEASURED: truth from the exact scorer (or human labels),
+  * results from the approximate/cheap path, metrics per query plus
+  * whatever aggregate the caller wants on top. The in-repo recall
+  * gates (q67/q76/q80/q167) pin single thresholds; this operator is
+  * the general report behind them.
+  *
+  * Scale notes: everything is joins + hash aggregates on
+  * (query, doc) keys — results and truth are top-k-sized per query,
+  * so every intermediate is bounded by queries×k rows. The ideal-DCG
+  * denominator needs Σ_{i=1..min(n_rel,k)} of the discount, computed
+  * by exploding a ≤k-element `sequence` per query — never a window,
+  * nothing driver-side.
+  */
+object RetrievalEval {
+
+  /** Per-query metrics. `results` carries (queryCol, docCol, rankCol)
+    * with rank 1-based (rows with rank > k are ignored); `truth`
+    * carries (queryCol, docCol) relevant pairs. Output one row per
+    * query PRESENT IN TRUTH: (queryCol, n_rel, hits, recall, mrr,
+    * ndcg) — queries with no retrieved hit score zeros, queries
+    * appearing only in `results` are dropped (no truth, no metric).
+    * recall = hits/n_rel; mrr = 1/first-hit rank; ndcg uses the
+    * binary ln(2)/ln(rank+1) discount.
+    */
+  def metrics(results: DataFrame, truth: DataFrame, k: Int,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val ln2 = lit(math.log(2.0))
+    val res = results.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol), col(rankCol))
+    val rel = truth.select(col(queryCol), col(docCol)).distinct()
+    val nRel = rel.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val hit = res.join(rel, Seq(queryCol, docCol), "left_semi")
+    val perQ = hit.groupBy(col(queryCol)).agg(
+      count(lit(1)).as("hits"),
+      min(col(rankCol)).as("first_hit"),
+      sum(ln2 / log(col(rankCol).cast("double") + lit(1.0))).as("dcg"))
+    val idcg = nRel
+      .select(col(queryCol),
+        explode(sequence(lit(1), least(col("n_rel"), lit(k)))).as("i"))
+      .groupBy(col(queryCol))
+      .agg(sum(ln2 / log(col("i").cast("double") + lit(1.0))).as("idcg"))
+    nRel.join(idcg, Seq(queryCol))
+      .join(perQ, Seq(queryCol), "left")
+      .select(col(queryCol),
+        col("n_rel").cast("bigint").as("n_rel"),
+        coalesce(col("hits"), lit(0L)).cast("bigint").as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall"),
+        coalesce(lit(1.0) / col("first_hit").cast("double"), lit(0.0))
+          .as("mrr"),
+        coalesce(col("dcg") / col("idcg"), lit(0.0)).as("ndcg"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class RetrievalEvalSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("hand-computed recall/MRR/nDCG, zero-hit row, truth-only scoping") {
+    val truth = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 5L))
+      .toDF("query_id", "doc_id")
+    val results = Seq(
+      (1L, 1L, 1), (1L, 4L, 2), (1L, 3L, 3), // hits at ranks 1 and 3
+      (2L, 6L, 1), // no hit
+      (3L, 1L, 1)) // query 3 has no truth -> dropped
+      .toDF("query_id", "doc_id", "rank")
+    val got = RetrievalEval.metrics(results, truth, k = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val q1 = got(1L)
+    assert(q1.getAs[Long]("n_rel") == 3L && q1.getAs[Long]("hits") == 2L)
+    assert(math.abs(q1.getAs[Double]("recall") - 2.0 / 3.0) < 1e-12)
+    assert(q1.getAs[Double]("mrr") == 1.0)
+    val ln2 = math.log(2.0)
+    val dcg = 1.0 + ln2 / math.log(4.0)
+    val idcg = 1.0 + ln2 / math.log(3.0) + ln2 / math.log(4.0)
+    assert(math.abs(q1.getAs[Double]("ndcg") - dcg / idcg) < 1e-12)
+    val q2 = got(2L)
+    assert(q2.getAs[Long]("hits") == 0L && q2.getAs[Double]("recall") == 0.0)
+    assert(q2.getAs[Double]("mrr") == 0.0 && q2.getAs[Double]("ndcg") == 0.0)
+  }
+
+  test("perfect retrieval scores 1.0 across the board") {
+    val truth = Seq((1L, 7L), (1L, 8L)).toDF("query_id", "doc_id")
+    val results = Seq((1L, 7L, 1), (1L, 8L, 2)).toDF("query_id", "doc_id", "rank")
+    val r = RetrievalEval.metrics(results, truth, k = 5).head()
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    assert(math.abs(r.getAs[Double]("ndcg") - 1.0) < 1e-12)
+  }
+
+  test("ranks beyond k are ignored") {
+    val truth = Seq((1L, 9L)).toDF("query_id", "doc_id")
+    val results = Seq((1L, 9L, 4)).toDF("query_id", "doc_id", "rank")
+    val r = RetrievalEval.metrics(results, truth, k = 3).head()
+    assert(r.getAs[Long]("hits") == 0L)
+  }
+}
