@@ -1014,7 +1014,35 @@ object Text extends QueryPack {
       |  WHERE token IN ('hash', 'join', 'merge', 'vector')
       |  GROUP BY tf.doc_id)""".stripMargin
 
+  /** Chat-render gate (q195): every document becomes a 4-turn
+    * user/assistant conversation (8-token slices as turn texts) and
+    * [[graft.text.ChatRender.render]] produces the training string
+    * plus assistant loss spans. The output carries sha256(rendered)
+    * instead of the string (a stronger-than-prefix equality check at
+    * a fraction of the bytes); DuckDB re-renders with an ordered
+    * string_agg and re-derives every offset with the same prefix sum.
+    */
+  def chatRenderGate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(
+      col("doc_id").as("conv_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("t"))
+    val turns = toks
+      .select(col("conv_id"),
+        explode(sequence(lit(0), lit(3))).as("turn_idx"), col("t"))
+      .select(col("conv_id"), col("turn_idx"),
+        when(col("turn_idx") % 2 === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        concat_ws(" ", slice(col("t"), col("turn_idx") * 8 + 1, lit(8)))
+          .as("text"))
+    graft.text.ChatRender.render(turns)
+      .select(col("conv_id"), col("turn_idx"),
+        col("span_start"), col("span_end"),
+        sha2(col("rendered"), 256).as("rendered_sha"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_chat_render" -> chatRenderGate _,
     "q192_bm25" -> bm25Gate _,
     "q191_postings" -> postingsGate _,
     "q188_ngram_diversity" -> ngramDiversityGate _,
@@ -1073,6 +1101,37 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q195_chat_render" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS conv_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |turns AS (
+        |  SELECT conv_id, i AS turn_idx,
+        |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    (CASE WHEN i % 2 = 0 THEN '<|user|>' ELSE '<|assistant|>' END)
+        |      -- coalesce: a fully out-of-range duckdb list slice is
+        |      -- NULL where Spark's slice() is an empty array
+        |      || coalesce(array_to_string(t[8*i+1 : 8*i+8], ' '), '')
+        |      || chr(10) AS ts
+        |  FROM toks CROSS JOIN range(0, 4) AS r(i)),
+        |off AS (
+        |  SELECT conv_id, turn_idx, role, length(ts) AS len,
+        |    coalesce(sum(length(ts)) OVER (PARTITION BY conv_id
+        |      ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS span_start
+        |  FROM turns),
+        |rend AS (
+        |  SELECT conv_id,
+        |    sha256(string_agg(ts, '' ORDER BY turn_idx)) AS rendered_sha
+        |  FROM turns GROUP BY conv_id)
+        |SELECT off.conv_id, turn_idx,
+        |  CAST(span_start AS BIGINT) AS span_start,
+        |  CAST(span_start + len AS BIGINT) AS span_end,
+        |  rendered_sha
+        |FROM off JOIN rend ON rend.conv_id = off.conv_id
+        |WHERE role = 'assistant'""".stripMargin,
     "q192_bm25" ->
       s"""WITH $bm25OracleCte
          |SELECT doc_id, bm25 FROM bm25""".stripMargin,

@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Chat-template rendering with loss-span offsets — the SFT/RLHF data
+  * prep step between curated conversations and the trainer: each
+  * conversation's turns render into ONE training string, and the
+  * assistant turns' [start, end) character offsets come out alongside
+  * so the trainer can mask loss to assistant tokens only. Offsets are
+  * CHARACTER positions into the rendered string (the tokenizer maps
+  * them forward; this keeps the operator tokenizer-agnostic).
+  *
+  * Scale notes: per-conversation work only — the prefix-sum window
+  * and the ordered string aggregate both partition by conversation
+  * id, whose partitions are bounded by turns-per-conversation (tens,
+  * not millions; conversations are bounded by construction, unlike
+  * hosts or content hashes — this is the benign window case). The
+  * rendered string is built by ONE groupBy with
+  * `sort_array(collect_list(struct(idx, str)))` and the codegen'd
+  * array-of-struct field extraction (`GetArrayStructFields`), never a
+  * higher-order function.
+  */
+object ChatRender {
+
+  /** Render turns into per-conversation training strings + assistant
+    * loss spans. Input: (convCol, idxCol, roleCol, textCol) with role
+    * ∈ {user, assistant}. Output: one row per ASSISTANT turn —
+    * (convCol, idxCol, span_start, span_end, rendered) — where
+    * rendered is the conversation's full training string (repeated
+    * across its rows) and [span_start, span_end) covers the turn's
+    * tag + text + separator.
+    */
+  def render(turns: DataFrame, convCol: String = "conv_id",
+      idxCol: String = "turn_idx", roleCol: String = "role",
+      textCol: String = "text", userTag: String = "<|user|>",
+      assistantTag: String = "<|assistant|>", sep: String = "\n")
+      : DataFrame = {
+    val turnStr = concat(
+      when(col(roleCol) === "assistant", lit(assistantTag))
+        .otherwise(lit(userTag)),
+      col(textCol), lit(sep))
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = turns
+      .select(col(convCol), col(idxCol), col(roleCol),
+        turnStr.as("__ts"))
+      .withColumn("__len", length(col("__ts")).cast("bigint"))
+      .withColumn("span_start",
+        coalesce(sum(col("__len")).over(w), lit(0L)))
+      .withColumn("span_end", col("span_start") + col("__len"))
+    val rendered = offsets
+      .groupBy(col(convCol))
+      .agg(sort_array(collect_list(struct(col(idxCol).as("i"),
+        col("__ts").as("s")))).as("__arr"))
+      .select(col(convCol),
+        array_join(col("__arr.s"), "").as("rendered"))
+    offsets.filter(col(roleCol) === "assistant")
+      .join(rendered, Seq(convCol))
+      .select(col(convCol), col(idxCol),
+        col("span_start"), col("span_end"), col("rendered"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.text
+
+import graft.SparkSpec
+
+class ChatRenderSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("hand-computed rendering, spans address the assistant turns") {
+    // rows deliberately out of order — render must sort by turn_idx
+    val turns = Seq(
+      (1L, 3, "assistant", "bye"),
+      (1L, 0, "user", "hi"),
+      (1L, 2, "user", "ok"),
+      (1L, 1, "assistant", "yo"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val rows = ChatRender.render(turns).collect()
+      .map(r => r.getAs[Int]("turn_idx") ->
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+          r.getAs[String]("rendered"))).toMap
+    val rendered =
+      "<|user|>hi\n<|assistant|>yo\n<|user|>ok\n<|assistant|>bye\n"
+    assert(rows.keySet == Set(1, 3)) // assistant turns only
+    assert(rows(1)._3 == rendered && rows(3)._3 == rendered)
+    // every span must cut exactly its turn out of the rendered string
+    assert(rendered.substring(rows(1)._1.toInt, rows(1)._2.toInt) ==
+      "<|assistant|>yo\n")
+    assert(rendered.substring(rows(3)._1.toInt, rows(3)._2.toInt) ==
+      "<|assistant|>bye\n")
+  }
+
+  test("multiple conversations stay independent") {
+    val turns = Seq(
+      (1L, 0, "user", "a"), (1L, 1, "assistant", "b"),
+      (2L, 0, "user", "xxxx"), (2L, 1, "assistant", "y"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val rows = ChatRender.render(turns).collect()
+      .map(r => r.getAs[Long]("conv_id") ->
+        (r.getAs[Long]("span_start"), r.getAs[String]("rendered"))).toMap
+    assert(rows(1L)._1 == "<|user|>a\n".length.toLong)
+    assert(rows(2L)._1 == "<|user|>xxxx\n".length.toLong)
+    assert(rows(1L)._2 != rows(2L)._2)
+  }
+
+  test("custom tags and separator flow through") {
+    val turns = Seq((1L, 0, "user", "q"), (1L, 1, "assistant", "a"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val r = ChatRender.render(turns, userTag = "U:", assistantTag = "A:",
+      sep = "|").head()
+    assert(r.getAs[String]("rendered") == "U:q|A:a|")
+    assert(r.getAs[Long]("span_start") == 4L)
+    assert(r.getAs[Long]("span_end") == 8L)
+  }
+}
