@@ -26,7 +26,20 @@ object NgramJaccard {
     * construction form on small corpora.
     */
   def pairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.6,
-      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame =
+    sharedShingleCounts(docs, k, maxShingleDf)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** The shared-shingle pair core behind [[pairs]] and
+    * [[Containment.pairs]]: (doc_a < doc_b, common, na, nb) — the
+    * distinct-shingle overlap count plus both docs' shingle totals,
+    * from which any set-similarity (jaccard, containment, dice) is a
+    * projection. */
+  private[dedup] def sharedShingleCounts(docs: DataFrame, k: Int,
+      maxShingleDf: Option[Int]): DataFrame = {
     // spread docs across cores before the explode: document tables often
     // arrive as a single file → a single task otherwise carries the
     // whole shingle fan-out. Join on the shingle's 64-bit hash, not the
@@ -63,9 +76,32 @@ object NgramJaccard {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"), first(col("na")).as("na"),
         first(col("nb")).as("nb"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}
+
+/** Directed near-CONTAINMENT pairs — the quote/wrapper/expansion shape
+  * symmetric Jaccard misses: a 50-token excerpt inside a 5000-token
+  * page has jaccard ≈ 0.01 but shares ~100% of ITS OWN shingles with
+  * the page. Broder's containment coefficient: c(A→B) =
+  * |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+  *
+  * Same plan as [[NgramJaccard]] (one exploded-shingle equi-join, the
+  * df-cap guarding the hot-shingle fan-out); the final projection
+  * emits BOTH directions of every shared-shingle pair and keeps those
+  * over the threshold, so the result reads (contained, container,
+  * containment).
+  */
+object Containment {
+
+  def pairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.9,
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
+    val c = NgramJaccard.sharedShingleCounts(docs, k, maxShingleDf)
+    val ab = c.select(col("doc_a").as("contained"),
+      col("doc_b").as("container"),
+      (col("common").cast("double") / col("na")).as("containment"))
+    val ba = c.select(col("doc_b").as("contained"),
+      col("doc_a").as("container"),
+      (col("common").cast("double") / col("nb")).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
   }
 }

@@ -316,7 +316,26 @@ object Dedup extends QueryPack {
     CorpusDiff.diff(docs, cur)
   }
 
+  /** Containment gate (q196): every tenth document gets a 12-token
+    * excerpt planted as its own doc, and
+    * [[graft.dedup.Containment.pairs]] must recover the
+    * (excerpt → original) direction at τ=0.9 — the quote/wrapper shape
+    * whose jaccard is far below any near-dup threshold (12 vs ~50
+    * tokens). The oracle recomputes Broder containment from the same
+    * shingle sets in DuckDB.
+    */
+  def containmentGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val excerpts = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+          1, 12)).as("text"))
+    Containment.pairs(base.unionByName(excerpts), k = 3, threshold = 0.9)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_containment" -> containmentGate _,
     "q190_snapshot_diff" -> snapshotDiff _,
     "q184_keep_best" -> keepBestGate _,
     "q185_cluster_reps" -> clusterRepresentatives _,
@@ -363,6 +382,38 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q196_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |exd AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+')[1:12], ' ')
+        |      AS text
+        |  FROM base WHERE doc_id % 10 = 0),
+        |d AS (SELECT * FROM base UNION ALL SELECT * FROM exd),
+        |toks AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |                   for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM toks WHERE len(tokens) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
+        |       FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT doc_a AS contained, doc_b AS container,
+        |    CAST(common AS DOUBLE) / na AS containment FROM p
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, CAST(common AS DOUBLE) / nb FROM p)
+        |SELECT contained, container, containment FROM u
+        |WHERE containment >= 0.9""".stripMargin,
     "q190_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, sha256(text) AS old_sha FROM documents),
         |cur AS (

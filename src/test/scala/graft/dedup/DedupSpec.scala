@@ -136,4 +136,18 @@ class DedupSpec extends SparkSpec {
     val p = EmbeddingNearDup.pairsBrute(one, 0.999).collect()
     assert(p.length == 1 && math.abs(p(0).getAs[Double]("cosine") - 1.0) < 1e-12)
   }
+
+  test("containment catches an excerpt jaccard misses, directionally") {
+    val page = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val excerpt = (5 to 16).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, page), (2L, excerpt), (3L, "wholly unrelated text here man"))
+      .toDF("doc_id", "text")
+    // jaccard: 10 shared shingles over ~58 union -> far below 0.6
+    assert(NgramJaccard.pairs(docs, k = 3, threshold = 0.6).isEmpty)
+    val got = Containment.pairs(docs, k = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // direction matters: the EXCERPT is contained in the page, not
+    // vice versa (page containment = 10/58 shingles)
+    assert(got == Seq((2L, 1L, 1.0)))
+  }
 }
