@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank power iteration — the crawl-prioritization / authority
+  * signal over a link graph (which frontier URLs to fetch first, which
+  * domains anchor the corpus). Alongside
+  * [[graft.dedup.NearDupClusters]] (min-label components) this is the
+  * repo's second iterative-graph operator, sharing its discipline:
+  * per-round shuffles bounded by the edge list, `localCheckpoint` to
+  * cut the growing lineage, nothing driver-side.
+  *
+  * Simplified-standard formulation (no dangling-mass redistribution —
+  * mass parked on sink nodes decays into the teleport term; fine for a
+  * RANKING signal, documented so the oracle matches exactly):
+  *
+  *   pr'(v) = (1−d)/N + d · Σ_{u→v} pr(u)/outdeg(u)
+  *
+  * Each round is two joins (edge⋈pr, edge⋈outdeg) and one dst-keyed
+  * aggregate — map-side partial, shuffle carries (dst, partial mass).
+  * N rides a one-row broadcast cross join, never a driver collect.
+  */
+object PageRank {
+
+  /** (idCol, pr) after `iterations` rounds from the uniform start.
+    * `edges` are directed (srcCol, dstCol); parallel edges count
+    * multiply (each contributes to outdeg and mass — de-dup upstream
+    * if that is not wanted). Nodes without in-links settle at the
+    * teleport floor (1−d)/N.
+    */
+  def scores(nodes: DataFrame, edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, idCol: String = "id",
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1): $damping")
+    val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val ids = nodes.select(col(idCol)).localCheckpoint(true)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true) // edge lists are often expensive plans
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var pr = ids.crossJoin(broadcast(n))
+      .select(col(idCol), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val mass = e.join(pr, e("src") === pr(idCol))
+        .join(outdeg, "src")
+        .select(col("dst"),
+          (col("pr") / col("outdeg").cast("double")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      pr = ids.join(mass, ids(idCol) === mass("dst"), "left")
+        .crossJoin(broadcast(n))
+        .select(ids(idCol),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

@@ -257,7 +257,57 @@ object Analytics extends QueryPack {
     graft.operators.Resample.rollingActives(Tables.events(s, dir),
       "user_id", "ts", 86400L, window = 7)
 
+  /** PageRank gate (q197): ten power-iteration rounds over a
+    * deterministic synthetic link graph (each doc links to three
+    * arithmetic neighbors mod N, self-loops dropped) —
+    * [[graft.operators.PageRank.scores]]. The oracle unrolls the same
+    * ten rounds as chained CTEs (generated from one template so the
+    * two cannot drift) and compares every score within float
+    * tolerance; the damping constants are written as the same IEEE
+    * expressions both sides.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = nodes.agg(count(lit(1)).as("cnt"))
+    val edges = nodes.crossJoin(broadcast(n))
+      .select(col("id"), col("cnt"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      .select(col("id").as("src"),
+        pmod(col("id") * 7 + col("j") * 11 + 3, col("cnt")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.PageRank.scores(nodes, edges, iterations = 10)
+  }
+
+  /** The q197 oracle: pr0..pr10 unrolled from one CTE template. */
+  private def pagerankSql: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""pr$k AS (
+         |  SELECT nodes.id,
+         |    (1.0 - 0.85) / nn.n + 0.85 * coalesce(m.mass, 0.0) AS pr
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(p.pr / od.outdeg) AS mass
+         |    FROM edges e
+         |    JOIN pr${k - 1} p ON p.id = e.src
+         |    JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) m ON m.dst = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              count(*) AS cnt FROM nodes),
+       |edges AS (
+       |  SELECT id AS src, (id * 7 + j * 11 + 3) % cnt AS dst
+       |  FROM nodes CROSS JOIN nn CROSS JOIN range(1, 4) AS r(j)
+       |  WHERE id <> (id * 7 + j * 11 + 3) % cnt),
+       |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+       |       FROM edges GROUP BY src),
+       |pr0 AS (SELECT nodes.id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT id, pr FROM pr10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_pagerank" -> pagerank _,
     "q164_funnel" -> funnelSteps _,
     "q165_rolling_actives" -> rollingActives _,
     "q162_resample_fill" -> resampleFill _,
@@ -276,6 +326,7 @@ object Analytics extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q197_pagerank" -> pagerankSql,
     "q164_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("hand-computed two-node exchange converges toward 1/2 each") {
+    // 1 <-> 2: symmetric graph, uniform start is the fixed point
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = PageRank.scores(nodes, edges, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.5) < 1e-12)
+    assert(math.abs(pr(2L) - 0.5) < 1e-12)
+  }
+
+  test("a sink node keeps the teleport floor; hubs accumulate") {
+    // star: 1,2,3 all link to 4; 4 links nowhere (sink), nobody links
+    // back, so 1-3 sit at the teleport floor and 4 collects their mass
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val pr = PageRank.scores(nodes, edges, iterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val floor = 0.15 / 4.0
+    assert(math.abs(pr(1L) - floor) < 1e-9)
+    assert(pr(4L) > 3 * pr(1L))
+  }
+
+  test("one power-iteration round matches the closed form") {
+    // chain 1 -> 2 -> 3; after one round from uniform 1/3:
+    // pr(1) = .15/3; pr(2) = .15/3 + .85*(1/3); pr(3) likewise
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = PageRank.scores(nodes, edges, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t = (1.0 - 0.85) / 3.0
+    assert(math.abs(pr(1L) - t) < 1e-15)
+    assert(math.abs(pr(2L) - (t + 0.85 / 3.0)) < 1e-15)
+    assert(math.abs(pr(3L) - (t + 0.85 / 3.0)) < 1e-15)
+  }
+
+  test("total mass stays bounded by 1 (dangling mass decays, never grows)") {
+    val nodes = (1L to 20L).toDF("id")
+    val edges = (1L to 19L).map(i => (i, i + 1)).toDF("src", "dst")
+    val total = PageRank.scores(nodes, edges, iterations = 10)
+      .agg(sum(col("pr"))).head().getDouble(0)
+    assert(total <= 1.0 + 1e-9 && total > 0.15)
+  }
+}
