@@ -30,7 +30,9 @@ object ChatRender {
     * (convCol, idxCol, span_start, span_end, rendered) — where
     * rendered is the conversation's full training string (repeated
     * across its rows) and [span_start, span_end) covers the turn's
-    * tag + text + separator.
+    * tag + text + separator. CONTRACT: idxCol is unique within a
+    * conversation — duplicate indices make both the sort and the
+    * prefix sum order-ambiguous.
     */
   def render(turns: DataFrame, convCol: String = "conv_id",
       idxCol: String = "turn_idx", roleCol: String = "role",

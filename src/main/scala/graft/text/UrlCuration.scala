@@ -128,8 +128,11 @@ object UrlCuration {
       idCol: String = "doc_id"): DataFrame = {
     val keyed = docs.withColumn("__dom",
       coalesce(registrableDomain(urlCol), hostOf(urlCol)))
+    // evidence = SCORED docs: count(scoreCol) skips nulls exactly like
+    // avg does, so a domain of unscored docs can never clear the
+    // evidence bar on rows its mean never saw
     val bad = keyed.groupBy(col("__dom"))
-      .agg(count(lit(1)).as("__n"), avg(col(scoreCol)).as("__mean"))
+      .agg(count(col(scoreCol)).as("__n"), avg(col(scoreCol)).as("__mean"))
       .filter(col("__n") >= minDocs && col("__mean") < minMean)
       .select(col("__dom"))
     keyed.join(bad, Seq("__dom"), "left_anti")
