@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution = fuzzy candidate generation + best-match
+  * selection: link each left record to its single closest right record
+  * under edit distance — the dedup-across-SOURCES problem (the same
+  * customer keyed differently in two systems, the same page title
+  * retyped with a typo) that exact keys and near-dup shingles both
+  * miss.
+  *
+  * Candidates come from [[FuzzyJoin.byEditDistance]] (Ed-Join prefix
+  * blocking — never all-pairs); resolution is one
+  * `min(struct(dist, right_id))` aggregate per left id (the
+  * [[graft.dedup.KeepBest]] shape: map-side partial, ties to the
+  * lowest right id, never a window sort on a hot entity).
+  */
+object EntityMatch {
+
+  /** One row per left id that has ≥1 candidate within `maxDist`:
+    * (left_id, right_id, dist) for the closest match, ties broken by
+    * lowest right id. Left records with no candidate are absent —
+    * unmatched is an explicit outcome for the caller's anti-join, not
+    * a null row.
+    */
+  def bestMatches(left: DataFrame, right: DataFrame, maxDist: Int)
+      : DataFrame =
+    FuzzyJoin.byEditDistance(left, right, maxDist)
+      .groupBy(col("left_id"))
+      .agg(min(struct(col("dist"), col("right_id"))).as("__m"))
+      .select(col("left_id"),
+        col("__m").getField("right_id").as("right_id"),
+        col("__m").getField("dist").as("dist"))
+}

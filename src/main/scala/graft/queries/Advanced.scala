@@ -132,6 +132,25 @@ object Advanced extends QueryPack {
       maxDist = 2)
   }
 
+  /** Entity-resolution gate (q198): every document re-entered with a
+    * one-character substitution in its 16-char prefix, and
+    * [[graft.operators.EntityMatch.bestMatches]] must link each
+    * corrupted re-entry back to its closest original (argmin edit
+    * distance, ties to the lowest id). doc_id < 2000 bounds the
+    * candidate scan at bench SF (the q70 gate-bounding pattern);
+    * DuckDB recomputes the full candidate set with `levenshtein` and
+    * the same dist-then-id ranking.
+    */
+  def entityMatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 2000)
+    val right = docs.select(col("doc_id").as("id"),
+      substring(col("text"), 1, 16).as("v"))
+    val left = docs.select((col("doc_id") + 50000L).as("id"),
+      concat(substring(col("text"), 1, 3), lit("z"),
+        substring(col("text"), 5, 12)).as("v"))
+    graft.operators.EntityMatch.bestMatches(left, right, maxDist = 2)
+  }
+
   /** Winnowing fingerprints, rows-only (xxhash64 is engine-specific);
     * overlap behavior is asserted in `TextMultimodalSpec`.
     */
@@ -354,12 +373,30 @@ object Advanced extends QueryPack {
     "q56_range_join" -> rangeJoinSessions _,
     "q159_interval_overlap" -> intervalOverlap _,
     "q169_fuzzy_join" -> fuzzyJoin _,
+    "q198_entity_match" -> entityMatch _,
     "q57_winnow_fingerprints" -> winnow _,
     "q58_approx_quantiles" -> approxQuantiles _,
     "q73_approx_quantiles_gate" -> approxQuantilesGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q198_entity_match" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id < 2000),
+        |r AS (SELECT doc_id AS id, substr(text, 1, 16) AS v FROM d),
+        |l AS (
+        |  SELECT doc_id + 50000 AS id,
+        |    substr(text, 1, 3) || 'z' || substr(text, 5, 12) AS v
+        |  FROM d),
+        |c AS (
+        |  SELECT l.id AS left_id, r.id AS right_id,
+        |    levenshtein(l.v, r.v)::INT AS dist
+        |  FROM l, r WHERE levenshtein(l.v, r.v) <= 2),
+        |m AS (
+        |  SELECT left_id, right_id, dist, row_number() OVER (
+        |    PARTITION BY left_id ORDER BY dist, right_id) AS rn
+        |  FROM c)
+        |SELECT left_id, right_id, dist FROM m WHERE rn = 1""".stripMargin,
     "q169_fuzzy_join" ->
       """WITH l AS (
         |  SELECT doc_id AS left_id, substr(text, 1, 12) AS lval

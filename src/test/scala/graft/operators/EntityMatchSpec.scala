@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class EntityMatchSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("each left record links to its closest right, ties to lowest id") {
+    val right = Seq(
+      (1L, "acme corporation"),
+      (2L, "acme corporatioX"), // dist 1 from left 10's value too
+      (3L, "zenith something"))
+      .toDF("id", "v")
+    val left = Seq(
+      (10L, "acme corporation"), // exact: dist 0 -> right 1
+      (11L, "zenith somethinq"), // dist 1 -> right 3
+      (12L, "wholly unrelated")) // no candidate within 2
+      .toDF("id", "v")
+    val got = EntityMatch.bestMatches(left, right, maxDist = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 1L, 0), (11L, 3L, 1)))
+  }
+
+  test("equidistant candidates resolve to the lowest right id") {
+    val right = Seq((5L, "abcd"), (9L, "abce"), (2L, "abcf")).toDF("id", "v")
+    val left = Seq((1L, "abcg")).toDF("id", "v")
+    val got = EntityMatch.bestMatches(left, right, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1))) // all dist 1 -> lowest id 2
+  }
+}
