@@ -1041,7 +1041,24 @@ object Text extends QueryPack {
         sha2(col("rendered"), 256).as("rendered_sha"))
   }
 
+  /** Markdown-section gate (q199): every document wrapped into a
+    * preamble + three headed sections (h1/h2/h1, bodies carved from
+    * the text) and [[graft.text.MarkdownSections.sections]] must
+    * recover each section with its level, stripped heading, and
+    * byte-exact body — DuckDB re-derives the same running section
+    * index and ordered reassembly.
+    */
+  def markdownSections(s: SparkSession, dir: String): DataFrame = {
+    val md = concat(lit("preamble line\n# Intro\n"),
+      substring(col("text"), 1, 80),
+      lit("\n## Details\n"), substring(col("text"), 81, 120),
+      lit("\n# Outro\n"), substring(col("text"), 201, 100))
+    graft.text.MarkdownSections.sections(
+      Tables.documents(s, dir).select(col("doc_id"), md.as("text")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_markdown_sections" -> markdownSections _,
     "q195_chat_render" -> chatRenderGate _,
     "q192_bm25" -> bm25Gate _,
     "q191_postings" -> postingsGate _,
@@ -1101,6 +1118,34 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q199_markdown_sections" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'preamble line' || chr(10) || '# Intro' || chr(10) ||
+        |    substr(text, 1, 80) || chr(10) || '## Details' || chr(10) ||
+        |    substr(text, 81, 120) || chr(10) || '# Outro' || chr(10) ||
+        |    substr(text, 201, 100) AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'line': ln[i]}
+        |            for i in range(1, len(ln) + 1)], recursive := true)
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM d)),
+        |s AS (
+        |  SELECT doc_id, pos, line,
+        |    regexp_matches(line, '^#{1,6} ') AS is_h,
+        |    length(regexp_extract(line, '^(#{1,6}) ', 1)) AS lvl,
+        |    sum(CASE WHEN regexp_matches(line, '^#{1,6} ')
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS section_idx
+        |  FROM l)
+        |SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx,
+        |  CAST(max(CASE WHEN is_h THEN lvl END) AS INT) AS level,
+        |  max(CASE WHEN is_h
+        |        THEN regexp_replace(line, '^#{1,6} ', '') END) AS heading,
+        |  coalesce(string_agg(CASE WHEN NOT is_h THEN line END,
+        |    chr(10) ORDER BY pos), '') AS section_text
+        |FROM s GROUP BY doc_id, section_idx""".stripMargin,
     "q195_chat_render" ->
       """WITH toks AS (
         |  SELECT doc_id AS conv_id,

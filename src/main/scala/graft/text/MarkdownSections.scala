@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Heading-aware document sectioning — the structure-preserving
+  * complement to [[Chunker]]'s token windows: RAG pipelines split on
+  * markdown/ATX headings first (so a chunk never straddles two
+  * topics) and window within sections second; the heading itself
+  * rides along as retrieval context.
+  *
+  * A section starts at every `#`–`######` heading line; text before
+  * the first heading is section 0 with a null heading (preamble, kept
+  * — dropping it silently loses abstracts). Scale notes: one
+  * line-explode (narrow), a per-document running count for the
+  * section index (window partitioned by doc id — bounded by
+  * lines-per-document, the benign window case), and one
+  * (doc, section) hash aggregate reassembling bodies via
+  * `sort_array(collect_list(struct))` + codegen'd array-field
+  * extraction — no higher-order functions, nothing driver-side.
+  */
+object MarkdownSections {
+
+  private val HeadingRe = "^#{1,6} "
+
+  /** (idCol, section_idx, level, heading, section_text): level/heading
+    * are null for the preamble section; heading is the title with its
+    * `#` marker stripped; section_text joins the section's non-heading
+    * lines with `\n` ("" for a heading with no body).
+    */
+  def sections(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val isH = col("line").rlike(HeadingRe)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val sec = lines
+      .withColumn("__h", isH)
+      .withColumn("section_idx",
+        sum(col("__h").cast("int")).over(w).cast("bigint"))
+    sec.groupBy(col(idCol), col("section_idx"))
+      .agg(
+        max(when(col("__h"),
+          length(regexp_extract(col("line"), "^(#{1,6}) ", 1))))
+          .cast("int").as("level"),
+        max(when(col("__h"),
+          regexp_replace(col("line"), HeadingRe, ""))).as("heading"),
+        sort_array(collect_list(when(!col("__h"),
+          struct(col("pos").as("p"), col("line").as("l"))))).as("__b"))
+      .select(col(idCol), col("section_idx"), col("level"),
+        col("heading"),
+        array_join(col("__b.l"), "\n").as("section_text"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.SparkSpec
+
+class MarkdownSectionsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("preamble, levels, stripped headings, and bodies reassemble") {
+    val md = "intro text\nmore intro\n# One\nbody a\nbody b\n" +
+      "## One point one\nnested\n# Two\n\nafter blank"
+    val docs = Seq((1L, md)).toDF("doc_id", "text")
+    val got = MarkdownSections.sections(docs).collect()
+      .map(r => r.getAs[Long]("section_idx") ->
+        (Option(r.getAs[Integer]("level")).map(_.toInt),
+          Option(r.getAs[String]("heading")),
+          r.getAs[String]("section_text"))).toMap
+    assert(got(0L) == (None, None, "intro text\nmore intro"))
+    assert(got(1L) == (Some(1), Some("One"), "body a\nbody b"))
+    assert(got(2L) == (Some(2), Some("One point one"), "nested"))
+    // blank lines are body; heading markers need the trailing space
+    assert(got(3L) == (Some(1), Some("Two"), "\nafter blank"))
+  }
+
+  test("no headings at all -> one preamble section") {
+    val docs = Seq((1L, "just\nplain\nlines")).toDF("doc_id", "text")
+    val got = MarkdownSections.sections(docs).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("section_text") == "just\nplain\nlines")
+    assert(got.head.isNullAt(got.head.fieldIndex("heading")))
+  }
+
+  test("heading with empty body; #hash without space is body text") {
+    val docs = Seq((1L, "# Empty\n# Next\n#notaheading\nreal"))
+      .toDF("doc_id", "text")
+    val got = MarkdownSections.sections(docs).collect()
+      .map(r => r.getAs[Long]("section_idx") ->
+        r.getAs[String]("section_text")).toMap
+    assert(got(1L) == "")
+    assert(got(2L) == "#notaheading\nreal")
+  }
+}
