@@ -476,7 +476,7 @@ object Similarity extends QueryPack {
          |JOIN idcg USING (query_id)
          |LEFT JOIN perq USING (query_id)""".stripMargin,
     "q193_hybrid_rrf" ->
-      s"""WITH ${Text.bm25OracleCte},
+      s"""WITH ${Text.bm25OracleCte()},
          |sp AS (
          |  SELECT doc_id, round(bm25, 9) AS score,
          |    row_number() OVER (ORDER BY round(bm25, 9) DESC, doc_id)

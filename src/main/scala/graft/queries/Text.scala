@@ -984,16 +984,17 @@ object Text extends QueryPack {
     graft.text.Bm25.score(Tables.documents(s, dir),
       "hash join merge vector")
 
-  /** The q192 scoring as a DuckDB CTE fragment, shared by the q192 and
-    * q193 oracles so the two can never drift. Yields a relation
-    * `bm25(doc_id, bm25)`. */
-  private[queries] def bm25OracleCte: String =
-    """tf AS (
+  /** The q192 scoring as a DuckDB CTE fragment, shared by the
+    * q192/q193/q200 oracles so they can never drift. Yields a
+    * relation `bm25(doc_id, bm25)` over the corpus relation `from`
+    * (which must expose doc_id and text). */
+  private[queries] def bm25OracleCte(from: String = "documents"): String =
+    s"""tf AS (
       |  SELECT token, doc_id, count(*) AS tf
       |  FROM (SELECT doc_id,
       |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
       |            AS token
-      |        FROM documents)
+      |        FROM $from)
       |  GROUP BY token, doc_id),
       |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
@@ -1048,16 +1049,84 @@ object Text extends QueryPack {
     * byte-exact body — DuckDB re-derives the same running section
     * index and ordered reassembly.
     */
-  def markdownSections(s: SparkSession, dir: String): DataFrame = {
-    val md = concat(lit("preamble line\n# Intro\n"),
+  /** The q199/q200 markdown fixture wrap: preamble + h1/h2/h1 with
+    * bodies carved from the text. */
+  private def mdWrap =
+    concat(lit("preamble line\n# Intro\n"),
       substring(col("text"), 1, 80),
       lit("\n## Details\n"), substring(col("text"), 81, 120),
       lit("\n# Outro\n"), substring(col("text"), 201, 100))
+
+  def markdownSections(s: SparkSession, dir: String): DataFrame =
     graft.text.MarkdownSections.sections(
-      Tables.documents(s, dir).select(col("doc_id"), md.as("text")))
+      Tables.documents(s, dir).select(col("doc_id"), mdWrap.as("text")))
+
+  /** RAG composite gate (q200): the session's retrieval surface
+    * composed end-to-end — [[markdownSections]]' sectioned corpus
+    * becomes the retrieval units ((heading + body) text under id
+    * doc_id·100+section_idx), [[graft.text.Bm25.score]] ranks them
+    * for the q192 query, and the per-document best section comes out
+    * of the KeepBest-shaped min(struct(−score, idx)) aggregate (ties
+    * to the lowest section, scores rounded to 9 before the argmax —
+    * the q40 convention). The oracle chains the q199 section CTE and
+    * the shared BM25 CTE over it, so all three stages reuse their
+    * gates' exact SQL.
+    */
+  def ragBestSection(s: SparkSession, dir: String): DataFrame = {
+    val secs = markdownSections(s, dir)
+      .select((col("doc_id") * 100 + col("section_idx")).as("sec_id"),
+        col("doc_id"), col("section_idx"),
+        concat(coalesce(col("heading"), lit("")), lit("\n"),
+          col("section_text")).as("sec_text"))
+    val scored = graft.text.Bm25.score(
+        secs.select(col("sec_id").as("doc_id"),
+          col("sec_text").as("text")),
+        "hash join merge vector")
+      .select(col("doc_id").as("sec_id"), round(col("bm25"), 9).as("score"))
+    secs.join(scored, "sec_id")
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"),
+        col("section_idx").as("si"))).as("__w"))
+      .select(col("doc_id"),
+        col("__w").getField("si").as("best_section"),
+        (-col("__w").getField("ns")).as("score"))
   }
 
+  /** The q199 sectioning as a DuckDB CTE chain ending in
+    * `secagg(doc_id, section_idx, level, heading, section_text)` —
+    * shared by the q199 and q200 oracles. */
+  private def sectionsOracleCte: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    'preamble line' || chr(10) || '# Intro' || chr(10) ||
+      |    substr(text, 1, 80) || chr(10) || '## Details' || chr(10) ||
+      |    substr(text, 81, 120) || chr(10) || '# Outro' || chr(10) ||
+      |    substr(text, 201, 100) AS t
+      |  FROM documents),
+      |lns AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'line': ln[i]}
+      |            for i in range(1, len(ln) + 1)], recursive := true)
+      |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM d)),
+      |marked AS (
+      |  SELECT doc_id, pos, line,
+      |    regexp_matches(line, '^#{1,6} ') AS is_h,
+      |    length(regexp_extract(line, '^(#{1,6}) ', 1)) AS lvl,
+      |    sum(CASE WHEN regexp_matches(line, '^#{1,6} ')
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS section_idx
+      |  FROM lns),
+      |secagg AS (
+      |  SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx,
+      |    CAST(max(CASE WHEN is_h THEN lvl END) AS INT) AS level,
+      |    max(CASE WHEN is_h
+      |          THEN regexp_replace(line, '^#{1,6} ', '') END) AS heading,
+      |    coalesce(string_agg(CASE WHEN NOT is_h THEN line END,
+      |      chr(10) ORDER BY pos), '') AS section_text
+      |  FROM marked GROUP BY doc_id, section_idx)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_rag_best_section" -> ragBestSection _,
     "q199_markdown_sections" -> markdownSections _,
     "q195_chat_render" -> chatRenderGate _,
     "q192_bm25" -> bm25Gate _,
@@ -1119,33 +1188,25 @@ object Text extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q199_markdown_sections" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    'preamble line' || chr(10) || '# Intro' || chr(10) ||
-        |    substr(text, 1, 80) || chr(10) || '## Details' || chr(10) ||
-        |    substr(text, 81, 120) || chr(10) || '# Outro' || chr(10) ||
-        |    substr(text, 201, 100) AS t
-        |  FROM documents),
-        |l AS (
-        |  SELECT doc_id,
-        |    unnest([{'pos': i, 'line': ln[i]}
-        |            for i in range(1, len(ln) + 1)], recursive := true)
-        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM d)),
-        |s AS (
-        |  SELECT doc_id, pos, line,
-        |    regexp_matches(line, '^#{1,6} ') AS is_h,
-        |    length(regexp_extract(line, '^(#{1,6}) ', 1)) AS lvl,
-        |    sum(CASE WHEN regexp_matches(line, '^#{1,6} ')
-        |             THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS section_idx
-        |  FROM l)
-        |SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx,
-        |  CAST(max(CASE WHEN is_h THEN lvl END) AS INT) AS level,
-        |  max(CASE WHEN is_h
-        |        THEN regexp_replace(line, '^#{1,6} ', '') END) AS heading,
-        |  coalesce(string_agg(CASE WHEN NOT is_h THEN line END,
-        |    chr(10) ORDER BY pos), '') AS section_text
-        |FROM s GROUP BY doc_id, section_idx""".stripMargin,
+      s"""WITH $sectionsOracleCte
+         |SELECT doc_id, section_idx, level, heading, section_text
+         |FROM secagg""".stripMargin,
+    "q200_rag_best_section" ->
+      s"""WITH $sectionsOracleCte,
+         |sec AS (
+         |  SELECT doc_id * 100 + section_idx AS doc_id,
+         |    doc_id AS orig_doc, section_idx,
+         |    coalesce(heading, '') || chr(10) || section_text AS text
+         |  FROM secagg),
+         |${bm25OracleCte("sec")},
+         |ranked AS (
+         |  SELECT sec.orig_doc AS doc_id, sec.section_idx,
+         |    round(b.bm25, 9) AS score,
+         |    row_number() OVER (PARTITION BY sec.orig_doc
+         |      ORDER BY round(b.bm25, 9) DESC, sec.section_idx) AS rn
+         |  FROM bm25 b JOIN sec ON sec.doc_id = b.doc_id)
+         |SELECT doc_id, section_idx AS best_section, score
+         |FROM ranked WHERE rn = 1""".stripMargin,
     "q195_chat_render" ->
       """WITH toks AS (
         |  SELECT doc_id AS conv_id,
@@ -1178,7 +1239,7 @@ object Text extends QueryPack {
         |FROM off JOIN rend ON rend.conv_id = off.conv_id
         |WHERE role = 'assistant'""".stripMargin,
     "q192_bm25" ->
-      s"""WITH $bm25OracleCte
+      s"""WITH ${bm25OracleCte()}
          |SELECT doc_id, bm25 FROM bm25""".stripMargin,
     "q191_postings" ->
       """WITH tf AS (
