@@ -981,8 +981,12 @@ object Text extends QueryPack {
     * constants are written as the same IEEE expressions both sides).
     */
   def bm25Gate(s: SparkSession, dir: String): DataFrame =
+    // round to 9 (the q40 convention) in the OUTPUT too: docs with
+    // identical term stats score equal up to summation order, and a
+    // 1-ulp difference must not flip the compare's row sort
     graft.text.Bm25.score(Tables.documents(s, dir),
-      "hash join merge vector")
+        "hash join merge vector")
+      .select(col("doc_id"), round(col("bm25"), 9).as("bm25"))
 
   /** The q192 scoring as a DuckDB CTE fragment, shared by the
     * q192/q193/q200 oracles so they can never drift. Yields a
@@ -1240,7 +1244,7 @@ object Text extends QueryPack {
         |WHERE role = 'assistant'""".stripMargin,
     "q192_bm25" ->
       s"""WITH ${bm25OracleCte()}
-         |SELECT doc_id, bm25 FROM bm25""".stripMargin,
+         |SELECT doc_id, round(bm25, 9) AS bm25 FROM bm25""".stripMargin,
     "q191_postings" ->
       """WITH tf AS (
         |  SELECT token, doc_id, count(*) AS tf
