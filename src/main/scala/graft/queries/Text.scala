@@ -1129,7 +1129,24 @@ object Text extends QueryPack {
       |      chr(10) ORDER BY pos), '') AS section_text
       |  FROM marked GROUP BY doc_id, section_idx)""".stripMargin
 
+  /** Content-drift gate (q201): the q188 planting (src0's texts
+    * replaced by one template) seen through
+    * [[graft.text.CorpusDrift.contentDrift]] — src0's vocabulary
+    * cosine collapses while every untouched source sits at exactly
+    * 1.0 after the 9-decimal rounding; DuckDB recomputes both tf
+    * vectors, the norms, and the shared-token dot.
+    */
+  def contentDriftGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("text"))
+    val cur = docs.select(col("source"),
+      when(col("source") === "src0",
+        lit("the quick template text repeated verbatim every time"))
+        .otherwise(col("text")).as("text"))
+    graft.text.CorpusDrift.contentDrift(docs, cur)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_content_drift" -> contentDriftGate _,
     "q200_rag_best_section" -> ragBestSection _,
     "q199_markdown_sections" -> markdownSections _,
     "q195_chat_render" -> chatRenderGate _,
@@ -1191,6 +1208,41 @@ object Text extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q201_content_drift" ->
+      """WITH cur AS (
+        |  SELECT source,
+        |    CASE WHEN source = 'src0'
+        |      THEN 'the quick template text repeated verbatim every time'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |ta AS (
+        |  SELECT source, tok, count(*) AS fa
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |            AS tok FROM documents)
+        |  GROUP BY source, tok),
+        |tb AS (
+        |  SELECT source, tok, count(*) AS fb
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |            AS tok FROM cur)
+        |  GROUP BY source, tok),
+        |na AS (SELECT source,
+        |         sqrt(sum(CAST(fa AS DOUBLE) * CAST(fa AS DOUBLE))) AS na
+        |       FROM ta GROUP BY source),
+        |nb AS (SELECT source,
+        |         sqrt(sum(CAST(fb AS DOUBLE) * CAST(fb AS DOUBLE))) AS nb
+        |       FROM tb GROUP BY source),
+        |dt AS (
+        |  SELECT ta.source,
+        |    sum(CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE)) AS dot
+        |  FROM ta JOIN tb ON ta.source = tb.source AND ta.tok = tb.tok
+        |  GROUP BY ta.source)
+        |SELECT na.source,
+        |  round(coalesce(dot, 0.0) / (na.na * nb.nb), 9) AS vocab_cosine
+        |FROM na
+        |FULL OUTER JOIN nb ON nb.source = na.source
+        |LEFT JOIN dt ON dt.source = na.source""".stripMargin,
     "q199_markdown_sections" ->
       s"""WITH $sectionsOracleCte
          |SELECT doc_id, section_idx, level, heading, section_text

@@ -54,4 +54,43 @@ object CorpusDrift {
         when(col("n_b") > 0, col("sum_b") / col("n_b")).as("mean_len_b"),
         coalesce(col("lang_l1"), lit(0.0)).as("lang_l1"))
   }
+
+  /** CONTENT drift — vocabulary cosine between two snapshots' unigram
+    * term-frequency vectors, per group: [[report]] sees volume and
+    * language-mix moves, but an extractor regression that swaps every
+    * page's body for its nav boilerplate keeps counts flat while the
+    * vocabulary rotates; this catches that. cosine = Σ fa·fb /
+    * (‖fa‖·‖fb‖), rounded to 9 decimals (the engine-comparison
+    * convention — a group with identical sides must not flutter in
+    * the last ulp).
+    *
+    * Plan: one tf aggregate per side ((group, token) keys, map-side
+    * combine), norms folded per group, the dot from the (group,
+    * token) equi-join — all vocabulary-sized intermediates; disjoint
+    * vocabularies yield cosine 0, an absent side yields null (honest:
+    * "no snapshot" is not "orthogonal snapshot").
+    */
+  def contentDrift(a: DataFrame, b: DataFrame, keyCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    def tf(df: DataFrame, f: String) = df
+      .select(col(keyCol),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .groupBy(col(keyCol), col("tok")).agg(count(lit(1)).as(f))
+    val ta = tf(a, "fa")
+    val tb = tf(b, "fb")
+    def norm(t: DataFrame, f: String, n: String) = t
+      .groupBy(col(keyCol))
+      .agg(sqrt(sum(col(f).cast("double") * col(f).cast("double"))).as(n))
+    val dot = ta.join(tb, Seq(keyCol, "tok"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("fa").cast("double") * col("fb").cast("double"))
+        .as("__dot"))
+    norm(ta, "fa", "__na")
+      .join(norm(tb, "fb", "__nb"), Seq(keyCol), "full_outer")
+      .join(dot, Seq(keyCol), "left")
+      .select(col(keyCol),
+        round(coalesce(col("__dot"), lit(0.0)) /
+          (col("__na") * col("__nb")), 9).as("vocab_cosine"))
+  }
 }

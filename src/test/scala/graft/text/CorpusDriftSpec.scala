@@ -41,4 +41,31 @@ class CorpusDriftSpec extends SparkSpec {
       .filter($"source" === "only_a").head()
     assert(onlyA.isNullAt(onlyA.fieldIndex("mean_len_b")))
   }
+
+  test("content drift: identical sides cosine 1, rotated vocab 0, mix in between") {
+    val a = Seq(
+      ("s1", "alpha beta gamma"), ("s1", "alpha delta"),
+      ("s2", "one two three"),
+      ("s3", "left right")).toDF("source", "text")
+    val b = Seq(
+      ("s1", "alpha beta gamma"), ("s1", "alpha delta"), // identical
+      ("s2", "four five six"), // fully rotated vocabulary
+      ("s3", "left wrong")) // partial overlap
+      .toDF("source", "text")
+    val m = CorpusDrift.contentDrift(a, b).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("vocab_cosine")).toMap
+    assert(m("s1") == 1.0) // rounding pins the identical case exactly
+    assert(m("s2") == 0.0)
+    // s3: fa = fb = (left:1, right/wrong:1); dot = 1 (left only),
+    // norms = sqrt(2) each -> cosine = 0.5
+    assert(math.abs(m("s3") - 0.5) < 1e-9)
+  }
+
+  test("content drift: a side with no snapshot is null, not zero") {
+    val a = Seq(("only_a", "words here")).toDF("source", "text")
+    val b = Seq(("only_b", "other words")).toDF("source", "text")
+    val rows = CorpusDrift.contentDrift(a, b).collect()
+      .map(r => r.getString(0) -> Option(r.getAs[java.lang.Double]("vocab_cosine"))).toMap
+    assert(rows("only_a").isEmpty && rows("only_b").isEmpty)
+  }
 }
