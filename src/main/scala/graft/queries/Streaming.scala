@@ -257,7 +257,31 @@ object Streaming extends QueryPack {
     "q115_stream_rate_limit" -> streamRateLimit _,
     "q151_stream_moments" -> streamMoments _,
     "q161_stream_incr_dedup" -> streamIncrementalDedup _,
+    "q202_stream_content_drift" -> streamContentDrift _,
   )
+
+  /** Streaming content-drift gate (q202): the q201 planting (src0
+    * replaced by a template flood) replayed as a file stream and
+    * monitored per micro-batch against the raw-corpus baseline —
+    * [[graft.streaming.StreamingDrift.driftPerBatch]], whose baseline
+    * tf is computed once before the stream starts. One parquet file
+    * drains as exactly one AvailableNow batch, so the oracle is the
+    * q201 truth wrapped with batch_id 0.
+    */
+  def streamContentDrift(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    val schema = Tables.documents(s, dir).schema
+    val src = s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/documents.parque[t]") // glob: see streamingDedupGate
+      .select(col("source"),
+        when(col("source") === "src0",
+          lit("the quick template text repeated verbatim every time"))
+          .otherwise(col("text")).as("text"))
+    val baseline = Tables.documents(s, dir)
+      .select(col("source"), col("text"))
+    graft.streaming.StreamingDrift.driftPerBatch(src, baseline)
+  }
 
   /** Streaming incremental dedup gate (q161): odd-id documents replayed
     * as a stream, deduplicated against the static even-id snapshot —
@@ -324,6 +348,9 @@ object Streaming extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q202_stream_content_drift" ->
+      s"""SELECT CAST(0 AS BIGINT) AS batch_id, source, vocab_cosine
+         |FROM (${Text.contentDriftOracleSql})""".stripMargin,
     "q161_stream_incr_dedup" ->
       """SELECT b.doc_id, b.source, b.n_chars
         |FROM documents b

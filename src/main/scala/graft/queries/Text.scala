@@ -1207,8 +1207,8 @@ object Text extends QueryPack {
     s"len([t for t in tokens if list_contains([$words], t)])"
   }
 
-  val oracleSql: Map[String, String] = Map(
-    "q201_content_drift" ->
+  /** The q201 oracle, shared verbatim with q202's per-batch wrap. */
+  private[queries] val contentDriftOracleSql: String =
       """WITH cur AS (
         |  SELECT source,
         |    CASE WHEN source = 'src0'
@@ -1242,7 +1242,10 @@ object Text extends QueryPack {
         |  round(coalesce(dot, 0.0) / (na.na * nb.nb), 9) AS vocab_cosine
         |FROM na
         |FULL OUTER JOIN nb ON nb.source = na.source
-        |LEFT JOIN dt ON dt.source = na.source""".stripMargin,
+        |LEFT JOIN dt ON dt.source = na.source""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q201_content_drift" -> contentDriftOracleSql,
     "q199_markdown_sections" ->
       s"""WITH $sectionsOracleCte
          |SELECT doc_id, section_idx, level, heading, section_text

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.text.CorpusDrift
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming content-drift monitoring: every micro-batch's per-source
+  * vocabulary cosine against a STATIC baseline snapshot — the
+  * continuous form of [[CorpusDrift.cosineAgainstBaseline]], alerting
+  * on extractor regressions and source floods while the crawl is
+  * still running rather than at the next snapshot diff.
+  *
+  * The baseline tf table is computed ONCE and persisted before the
+  * stream starts; each micro-batch pays only its own (batch-sized)
+  * tokenize + vocabulary-sized joins. Per-batch results are collected
+  * to the driver — bounded by sources-per-batch × batches, the
+  * metrics-output exception to the no-collect rule (this is the
+  * monitoring signal itself, not data).
+  */
+object StreamingDrift {
+
+  /** Drain `stream` with AvailableNow and return one row per
+    * (micro-batch, source present in that batch):
+    * (batch_id, keyCol, vocab_cosine) — cosine null for sources the
+    * baseline has never seen.
+    */
+  def driftPerBatch(stream: DataFrame, baseline: DataFrame,
+      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+    val spark = baseline.sparkSession
+    import spark.implicits._
+    val ta = CorpusDrift.tfVectors(baseline, keyCol, textCol, "fa")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Option[Double])]
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val res = CorpusDrift
+          .cosineAgainstBaseline(ta, batch, keyCol, textCol)
+          .collect()
+        rows.synchronized {
+          rows ++= res.map(r => (id, r.getString(0),
+            Option(r.getAs[java.lang.Double]("vocab_cosine"))
+              .map(_.doubleValue)))
+        }
+        () // foreachBatch overloads: pin the Unit-returning one
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ta.unpersist()
+    rows.toSeq.toDF("batch_id", keyCol, "vocab_cosine")
+  }
+}

@@ -72,23 +72,49 @@ object CorpusDrift {
     */
   def contentDrift(a: DataFrame, b: DataFrame, keyCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    def tf(df: DataFrame, f: String) = df
+    val ta = tfVectors(a, keyCol, textCol, "fa")
+    val tb = tfVectors(b, keyCol, textCol, "fb")
+    normOf(ta, keyCol, "fa", "__na")
+      .join(normOf(tb, keyCol, "fb", "__nb"), Seq(keyCol), "full_outer")
+      .join(dotOf(ta, tb, keyCol), Seq(keyCol), "left")
       .select(col(keyCol),
-        explode(regexp_extract_all(lower(col(textCol)),
-          lit("[a-z0-9]+"), lit(0))).as("tok"))
-      .groupBy(col(keyCol), col("tok")).agg(count(lit(1)).as(f))
-    val ta = tf(a, "fa")
-    val tb = tf(b, "fb")
-    def norm(t: DataFrame, f: String, n: String) = t
-      .groupBy(col(keyCol))
-      .agg(sqrt(sum(col(f).cast("double") * col(f).cast("double"))).as(n))
-    val dot = ta.join(tb, Seq(keyCol, "tok"))
+        round(coalesce(col("__dot"), lit(0.0)) /
+          (col("__na") * col("__nb")), 9).as("vocab_cosine"))
+  }
+
+  /** Per-group unigram term frequencies — the reusable half of
+    * [[contentDrift]]: a long-lived baseline computes (and persists)
+    * this ONCE, then each comparison pays only its own side. */
+  def tfVectors(df: DataFrame, keyCol: String, textCol: String,
+      f: String): DataFrame = df
+    .select(col(keyCol),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("tok"))
+    .groupBy(col(keyCol), col("tok")).agg(count(lit(1)).as(f))
+
+  private[text] def normOf(t: DataFrame, keyCol: String, f: String,
+      n: String): DataFrame = t
+    .groupBy(col(keyCol))
+    .agg(sqrt(sum(col(f).cast("double") * col(f).cast("double"))).as(n))
+
+  private[text] def dotOf(ta: DataFrame, tb: DataFrame,
+      keyCol: String): DataFrame =
+    ta.join(tb, Seq(keyCol, "tok"))
       .groupBy(col(keyCol))
       .agg(sum(col("fa").cast("double") * col("fb").cast("double"))
         .as("__dot"))
-    norm(ta, "fa", "__na")
-      .join(norm(tb, "fb", "__nb"), Seq(keyCol), "full_outer")
-      .join(dot, Seq(keyCol), "left")
+
+  /** [[contentDrift]] scoped to the b-side's groups — the monitoring
+    * shape: report every group PRESENT IN b (the incoming batch), with
+    * a null cosine for groups the baseline has never seen (a new
+    * source is "unknown", not "orthogonal"). Pass a pre-computed
+    * (ideally persisted) baseline tf as `ta`. */
+  def cosineAgainstBaseline(ta: DataFrame, b: DataFrame,
+      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+    val tb = tfVectors(b, keyCol, textCol, "fb")
+    normOf(tb, keyCol, "fb", "__nb")
+      .join(normOf(ta, keyCol, "fa", "__na"), Seq(keyCol), "left")
+      .join(dotOf(ta, tb, keyCol), Seq(keyCol), "left")
       .select(col(keyCol),
         round(coalesce(col("__dot"), lit(0.0)) /
           (col("__na") * col("__nb")), 9).as("vocab_cosine"))

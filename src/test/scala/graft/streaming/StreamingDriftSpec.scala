@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingDriftSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("batch sources score against the baseline; unknown source is null") {
+    implicit val sq = spark.sqlContext
+    val baseline = Seq(
+      ("s1", "alpha beta gamma"),
+      ("s2", "one two three")).toDF("source", "text")
+    val ms = MemoryStream[(String, String)]
+    ms.addData(
+      ("s1", "alpha beta gamma"), // identical -> cosine 1.0
+      ("s2", "four five six"), // rotated vocabulary -> 0.0
+      ("s9", "never seen before")) // not in baseline -> null
+    val out = StreamingDrift.driftPerBatch(
+      ms.toDF().toDF("source", "text"), baseline)
+    val rows = out.collect()
+      .map(r => r.getString(1) ->
+        Option(r.getAs[java.lang.Double]("vocab_cosine"))).toMap
+    assert(rows("s1").contains(1.0))
+    assert(rows("s2").contains(0.0))
+    assert(rows("s9").isEmpty)
+    // baseline-only sources do NOT appear (per-batch report scope)
+    assert(out.count() == 3)
+    assert(out.select("batch_id").as[Long].collect().forall(_ == 0L))
+  }
+}
