@@ -1145,7 +1145,35 @@ object Text extends QueryPack {
     graft.text.CorpusDrift.contentDrift(docs, cur)
   }
 
+  /** Batch-BM25 top-k gate (q203): every 50th document's first five
+    * tokens become a query, [[graft.text.Bm25.scoreAll]] scores all
+    * queries against the corpus in one postings join, and the
+    * per-query top-5 comes from the bounded
+    * [[graft.functions.GraftFunctions.topK]] aggregate (score DESC,
+    * id ASC — never a corpus-wide window; scores rounded to 9 before
+    * ranking, the q40 convention). DuckDB recomputes every (query,
+    * doc) score and the same dist-then-id ranking.
+    */
+  def bm25TopkGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") % 50 === 3)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0)), 1, 5)).as("query_text"))
+    val scored = graft.text.Bm25.scoreAll(queries, docs)
+      .select(col("query_id"), col("doc_id"),
+        round(col("bm25"), 9).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topK(s,
+        col("score"), col("doc_id"), 5).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").getField("id").as("doc_id"),
+        col("col").getField("score").as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_bm25_topk" -> bm25TopkGate _,
     "q201_content_drift" -> contentDriftGate _,
     "q200_rag_best_section" -> ragBestSection _,
     "q199_markdown_sections" -> markdownSections _,
@@ -1245,6 +1273,51 @@ object Text extends QueryPack {
         |LEFT JOIN dt ON dt.source = na.source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q203_bm25_topk" ->
+      """WITH q AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+')[1:5], ' ')
+        |      AS query_text
+        |  FROM documents WHERE doc_id % 50 = 3),
+        |qt AS (
+        |  SELECT query_id,
+        |    unnest(list_distinct(
+        |      regexp_extract_all(lower(query_text), '[a-z0-9]+')))
+        |      AS token
+        |  FROM q),
+        |tf AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |            AS token
+        |        FROM documents)
+        |  GROUP BY token, doc_id),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |       FROM dl),
+        |sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    round(sum( ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) /
+        |                  (CAST(df AS DOUBLE) + 0.5)) *
+        |         (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) +
+        |          1.2 * ((1.0 - 0.75) +
+        |                 0.75 * CAST(dl AS DOUBLE) / avgdl)) ), 9)
+        |      AS score
+        |  FROM qt
+        |  JOIN tf USING (token)
+        |  JOIN idf USING (token)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |  GROUP BY qt.query_id, tf.doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT)
+        |    AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5""".stripMargin,
     "q201_content_drift" -> contentDriftOracleSql,
     "q199_markdown_sections" ->
       s"""WITH $sectionsOracleCte

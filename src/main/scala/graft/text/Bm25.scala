@@ -29,6 +29,24 @@ object Bm25 {
   def tokenize(query: String): Seq[String] =
     "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq.distinct
 
+  private def idfExpr = log(lit(1.0) +
+    (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+    (col("df").cast("double") + lit(0.5)))
+
+  private def tfPartExpr(k1: Double, b: Double) =
+    (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+
+  private def corpusStats(post: DataFrame, idCol: String)
+      : (DataFrame, DataFrame) = {
+    val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    (dl, stats)
+  }
+
   /** (idCol, bm25) for every document matching ≥1 query term. */
   def score(docs: DataFrame, query: String, k1: Double = 1.2,
       b: Double = 0.75, idCol: String = "doc_id",
@@ -36,21 +54,42 @@ object Bm25 {
     val terms = tokenize(query)
     require(terms.nonEmpty, s"query has no word tokens: '$query'")
     val post = TfIdf.postings(docs, idCol, textCol)
-    val dl = post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5)))
-    val tfPart = (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) +
-          lit(b) * col("dl").cast("double") / col("avgdl")))
+    val (dl, stats) = corpusStats(post, idCol)
     post.filter(col("token").isin(terms: _*))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
-      .select(col(idCol), (idf * tfPart).as("term_score"))
+      .select(col(idCol), (idfExpr * tfPartExpr(k1, b)).as("term_score"))
       .groupBy(col(idCol))
+      .agg(sum(col("term_score")).as("bm25"))
+  }
+
+  /** BATCH retrieval: every query scored against the corpus in ONE
+    * postings equi-join — the shape behind retrieval-distillation
+    * prep and BM25 hard-negative mining. queries(queryIdCol,
+    * queryTextCol) explode into distinct (query, term) rows (BM25
+    * scores each term once, matching [[tokenize]]) that join the
+    * postings on the token key: queries × docs never materializes,
+    * the join is bounded by the matched postings, and the final
+    * (query, doc) aggregate is map-side partial. Top-k per query
+    * belongs DOWNSTREAM via the bounded
+    * [[graft.functions.GraftFunctions.topK]] aggregate, never a
+    * corpus-wide window.
+    */
+  def scoreAll(queries: DataFrame, docs: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75, queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val post = TfIdf.postings(docs, idCol, textCol)
+    val (dl, stats) = corpusStats(post, idCol)
+    val qt = queries.select(col(queryIdCol),
+      explode(array_distinct(regexp_extract_all(lower(col(queryTextCol)),
+        lit("[a-z0-9]+"), lit(0)))).as("token"))
+    qt.join(post, Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col(idCol),
+        (idfExpr * tfPartExpr(k1, b)).as("term_score"))
+      .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("term_score")).as("bm25"))
   }
 }

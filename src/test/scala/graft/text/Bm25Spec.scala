@@ -46,4 +46,33 @@ class Bm25Spec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
     assert(m(1L) > m(2L)) // doc 1 adds the rare term's higher idf
   }
+
+  test("scoreAll matches the single-query scorer, per query") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b c c"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "a b"), (200L, "c"))
+      .toDF("query_id", "query_text")
+    val all = Bm25.scoreAll(queries, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("bm25"))
+      .toMap
+    for ((qid, q) <- Seq((100L, "a b"), (200L, "c"))) {
+      val single = Bm25.score(docs, q).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
+      val batch = all.collect { case ((`qid`, d), v) => d -> v }.toMap
+      // compare within tolerance: the two plans may sum a doc's term
+      // scores in different orders (last-ulp difference is legal)
+      assert(batch.keySet == single.keySet, s"query $qid")
+      batch.foreach { case (d, v) =>
+        assert(math.abs(v - single(d)) < 1e-12, s"query $qid doc $d") }
+    }
+  }
+
+  test("scoreAll dedups repeated query terms like tokenize does") {
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val q1 = Seq((1L, "x")).toDF("query_id", "query_text")
+    val q2 = Seq((2L, "x X x")).toDF("query_id", "query_text")
+    val v1 = Bm25.scoreAll(q1, docs).collect().head.getAs[Double]("bm25")
+    val v2 = Bm25.scoreAll(q2, docs).collect().head.getAs[Double]("bm25")
+    assert(v1 == v2)
+  }
 }
