@@ -1096,6 +1096,39 @@ object Text extends QueryPack {
         (-col("__w").getField("ns")).as("score"))
   }
 
+  /** The q125 BPE training recursion (30 deterministic merges over the
+    * distinct-word table) as a CTE chain ending in
+    * `seg(iter, word, freq, s)` — shared by the q125 and q204 oracles
+    * so the trainer and the encoder can never disagree on the merges.
+    * Callers prepend `WITH RECURSIVE`. */
+  private def bpeTrainOracleCte: String =
+    """words AS (
+      |  SELECT word, count(*)::BIGINT AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+      |          AS word FROM documents)
+      |  GROUP BY word),
+      |seg(iter, word, freq, s) AS (
+      |  SELECT 0, word, freq,
+      |    regexp_replace(word, '(.)', chr(31) || '\1' || chr(31), 'g')
+      |  FROM words
+      |  UNION ALL
+      |  SELECT iter + 1, word, freq,
+      |    replace(s,
+      |      chr(31) || best.a || chr(31) || chr(31) || best.b || chr(31),
+      |      chr(31) || best.a || best.b || chr(31))
+      |  FROM seg, (
+      |    SELECT a, b FROM (
+      |      SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS c
+      |      FROM (SELECT freq,
+      |              str_split(trim(s, chr(31)), chr(31) || chr(31)) AS syms
+      |            FROM seg),
+      |           UNNEST(range(1, len(syms))) AS u(i)
+      |      GROUP BY 1, 2
+      |      ORDER BY c DESC, a, b
+      |      LIMIT 1)
+      |  ) best
+      |  WHERE iter < 30)""".stripMargin
+
   /** The q199 sectioning as a DuckDB CTE chain ending in
     * `secagg(doc_id, section_idx, level, heading, section_text)` —
     * shared by the q199 and q200 oracles. */
@@ -1172,7 +1205,36 @@ object Text extends QueryPack {
         col("col").getField("score").as("score"))
   }
 
+  /** One trained (merges, segmentation) per fixture dir: q204 reuses
+    * the training q125 benchmarks rather than paying it twice in the
+    * same JVM (forked runs train once themselves — the seg table is
+    * localCheckpointed, so it stays valid session-wide). */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, String)], DataFrame)]
+  private def trainedBpe(s: SparkSession, dir: String) =
+    bpeCache.getOrElseUpdate(dir,
+      graft.text.Vocabulary.bpeTrain(Tables.documents(s, dir),
+        numMerges = 30))
+
+  /** BPE ENCODE gate (q204): the corpus-trained 30-merge tokenizer
+    * applied as a lookup join ([[graft.text.Vocabulary.bpeEncode]]) to
+    * every 25th document, emitting the actual token STREAM
+    * (doc, word_pos, sym_pos, token) the packing stage consumes. The
+    * oracle replays the identical training recursion (the q125 CTE,
+    * shared verbatim) and joins the doc word streams to the final
+    * segmentations.
+    */
+  def bpeEncodeGate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
+    val (merges, seg) = trainedBpe(s, dir)
+    require(merges.length == 30,
+      s"corpus must support 30 BPE merges, got ${merges.length}")
+    graft.text.Vocabulary.bpeEncode(
+      Tables.documents(s, dir).filter(col("doc_id") % 25 === 7), seg)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_bpe_encode" -> bpeEncodeGate _,
     "q203_bm25_topk" -> bm25TopkGate _,
     "q201_content_drift" -> contentDriftGate _,
     "q200_rag_best_section" -> ragBestSection _,
@@ -1862,38 +1924,28 @@ object Text extends QueryPack {
         |        ORDER BY score DESC, token) AS rk FROM s)
         |SELECT doc_id, token, tf, dfreq, score FROM r WHERE rk <= 3""".stripMargin,
     "q125_bpe_train" ->
-      """WITH RECURSIVE
-        |words AS (
-        |  SELECT word, count(*)::BIGINT AS freq
-        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-        |          AS word FROM documents)
-        |  GROUP BY word),
-        |seg(iter, word, freq, s) AS (
-        |  SELECT 0, word, freq,
-        |    regexp_replace(word, '(.)', chr(31) || '\1' || chr(31), 'g')
-        |  FROM words
-        |  UNION ALL
-        |  SELECT iter + 1, word, freq,
-        |    replace(s,
-        |      chr(31) || best.a || chr(31) || chr(31) || best.b || chr(31),
-        |      chr(31) || best.a || best.b || chr(31))
-        |  FROM seg, (
-        |    SELECT a, b FROM (
-        |      SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS c
-        |      FROM (SELECT freq,
-        |              str_split(trim(s, chr(31)), chr(31) || chr(31)) AS syms
-        |            FROM seg),
-        |           UNNEST(range(1, len(syms))) AS u(i)
-        |      GROUP BY 1, 2
-        |      ORDER BY c DESC, a, b
-        |      LIMIT 1)
-        |  ) best
-        |  WHERE iter < 30)
+      s"""WITH RECURSIVE $bpeTrainOracleCte
         |SELECT sym, sum(freq)::BIGINT AS cnt
         |FROM (SELECT freq,
         |        unnest(str_split(trim(s, chr(31)), chr(31) || chr(31))) AS sym
         |      FROM seg WHERE iter = 30)
         |GROUP BY sym ORDER BY cnt DESC, sym""".stripMargin,
+    "q204_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeTrainOracleCte,
+        |final AS (SELECT word, s FROM seg WHERE iter = 30),
+        |ws AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS word_pos, w[i] AS word
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(lower(text), '[a-z]+') AS w
+        |        FROM documents WHERE doc_id % 25 = 7),
+        |       UNNEST(range(1, len(w) + 1)) AS u(i)),
+        |enc AS (
+        |  SELECT ws.doc_id, ws.word_pos,
+        |    str_split(trim(f.s, chr(31)), chr(31) || chr(31)) AS syms
+        |  FROM ws JOIN final f USING (word))
+        |SELECT doc_id, word_pos, CAST(j - 1 AS INT) AS sym_pos,
+        |  syms[j] AS token
+        |FROM enc, UNNEST(range(1, len(syms) + 1)) AS v(j)""".stripMargin,
     "q116_vocab" ->
       """WITH t AS (
         |  SELECT unnest([x for x in string_split_regex(lower(text), '\s+')

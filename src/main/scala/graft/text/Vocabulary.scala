@@ -97,6 +97,32 @@ object Vocabulary {
     (merges.toSeq, seg)
   }
 
+  /** ENCODE: the token sequence of each document under a trained
+    * segmentation table — what the packing/training stages actually
+    * consume ([[bpeTokens]] is the count-only form). Production
+    * shape: tokenizer application is a LOOKUP JOIN against the
+    * (word, segmentation) table [[bpeTrain]] returns — one narrow
+    * word-explode of the corpus, one vocabulary-sized equi-join,
+    * never a per-document merge replay. Out-of-vocabulary words fall
+    * back to character granularity, exactly like BPE inference.
+    *
+    * Output: (idCol, word_pos, sym_pos, token) — 0-based positions;
+    * the (word_pos, sym_pos) pair orders the stream totally.
+    */
+  def bpeEncode(docs: DataFrame, seg: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .as(Seq("word_pos", "word")))
+    words.join(seg.select(col("word"), col("s")), Seq("word"), "left")
+      .withColumn("__s", coalesce(col("s"),
+        regexp_replace(col("word"), "(.)", s"$Sep$$1$Sep")))
+      .select(col(idCol), col("word_pos"),
+        posexplode(split(trim(col("__s"), Sep), Sep + Sep))
+          .as(Seq("sym_pos", "token")))
+  }
+
   /** The trained vocabulary: distinct symbols of the final
     * segmentations with corpus-weighted occurrence counts,
     * deterministically ordered (count desc, symbol) — what a tokenizer

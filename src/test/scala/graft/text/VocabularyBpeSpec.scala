@@ -53,4 +53,33 @@ class VocabularyBpeSpec extends SparkSpec {
     val (merges, _) = Vocabulary.bpeTrain(tiny, numMerges = 10)
     assert(merges == Seq(("a", "b"))) // one pair, then nothing to merge
   }
+
+  test("bpeEncode: tokens concatenate back to their words, in order") {
+    val docs = Seq((1L, "low lower lowest"), (2L, "new newer")).toDF("doc_id", "text")
+    val (merges, seg) = Vocabulary.bpeTrain(docs, numMerges = 5)
+    val enc = Vocabulary.bpeEncode(docs, seg)
+      .as[(Long, Int, Int, String)].collect()
+    // reassemble each (doc, word) from its symbol stream
+    val rebuilt = enc.groupBy(t => (t._1, t._2)).map { case (k, syms) =>
+      k -> syms.sortBy(_._3).map(_._4).mkString
+    }
+    assert(rebuilt((1L, 0)) == "low" && rebuilt((1L, 1)) == "lower" &&
+      rebuilt((1L, 2)) == "lowest")
+    assert(rebuilt((2L, 0)) == "new" && rebuilt((2L, 1)) == "newer")
+    // token COUNT agrees with the count-only tokenizer
+    val viaCount = docs.select(
+      org.apache.spark.sql.functions.sum(
+        Vocabulary.bpeTokens(org.apache.spark.sql.functions.col("text"),
+          merges))).head().getLong(0)
+    assert(enc.length.toLong == viaCount)
+  }
+
+  test("bpeEncode: OOV words fall back to character granularity") {
+    val train = Seq((1L, "aaa aaa bbb")).toDF("doc_id", "text")
+    val (_, seg) = Vocabulary.bpeTrain(train, numMerges = 2)
+    val unseen = Seq((9L, "xyz")).toDF("doc_id", "text")
+    val toks = Vocabulary.bpeEncode(unseen, seg)
+      .orderBy("sym_pos").select("token").as[String].collect().toSeq
+    assert(toks == Seq("x", "y", "z"))
+  }
 }
