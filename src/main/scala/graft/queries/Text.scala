@@ -1129,6 +1129,62 @@ object Text extends QueryPack {
       |  ) best
       |  WHERE iter < 30)""".stripMargin
 
+  /** The q203/q205 query set: every 50th doc's first five tokens,
+    * exploded to distinct (query_id, token) rows as `qt`. */
+  private def bm25QueriesCte: String =
+    """q AS (
+      |  SELECT doc_id AS query_id,
+      |    array_to_string(
+      |      regexp_extract_all(lower(text), '[a-z0-9]+')[1:5], ' ')
+      |      AS query_text
+      |  FROM documents WHERE doc_id % 50 = 3),
+      |qt AS (
+      |  SELECT query_id,
+      |    unnest(list_distinct(
+      |      regexp_extract_all(lower(query_text), '[a-z0-9]+')))
+      |      AS token
+      |  FROM q)""".stripMargin
+
+  /** Batch-BM25 scoring CTE chain over `documents` restricted by
+    * `corpusWhere`, relation names suffixed by `sfx` so two corpora
+    * can coexist in one query (q205 scores the full and the halved
+    * index side by side). Ends in `r$sfx(query_id, doc_id, score,
+    * rank)`; expects `qt` from [[bm25QueriesCte]]. */
+  private def bm25AllCte(sfx: String, corpusWhere: String): String =
+    s"""tf$sfx AS (
+       |  SELECT token, doc_id, count(*) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |            AS token
+       |        FROM documents $corpusWhere)
+       |  GROUP BY token, doc_id),
+       |idf$sfx AS (SELECT token, count(*) AS df FROM tf$sfx
+       |            GROUP BY token),
+       |dl$sfx AS (SELECT doc_id, sum(tf) AS dl FROM tf$sfx
+       |           GROUP BY doc_id),
+       |st$sfx AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |             avg(dl) AS avgdl FROM dl$sfx),
+       |sc$sfx AS (
+       |  SELECT qt.query_id, tf$sfx.doc_id,
+       |    round(sum( ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) /
+       |                  (CAST(df AS DOUBLE) + 0.5)) *
+       |         (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       |         (CAST(tf AS DOUBLE) +
+       |          1.2 * ((1.0 - 0.75) +
+       |                 0.75 * CAST(dl AS DOUBLE) / avgdl)) ), 9)
+       |      AS score
+       |  FROM qt
+       |  JOIN tf$sfx USING (token)
+       |  JOIN idf$sfx USING (token)
+       |  JOIN dl$sfx ON dl$sfx.doc_id = tf$sfx.doc_id
+       |  CROSS JOIN st$sfx
+       |  GROUP BY qt.query_id, tf$sfx.doc_id),
+       |r$sfx AS (
+       |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT)
+       |    AS rank
+       |  FROM sc$sfx)""".stripMargin
+
   /** The q199 sectioning as a DuckDB CTE chain ending in
     * `secagg(doc_id, section_idx, level, heading, section_text)` —
     * shared by the q199 and q200 oracles. */
@@ -1187,22 +1243,51 @@ object Text extends QueryPack {
     * ranking, the q40 convention). DuckDB recomputes every (query,
     * doc) score and the same dist-then-id ranking.
     */
-  def bm25TopkGate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val queries = docs.filter(col("doc_id") % 50 === 3)
+  /** The q203/q205 query set in Spark form. */
+  private def bm25Queries(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 50 === 3)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(regexp_extract_all(lower(col("text")),
           lit("[a-z0-9]+"), lit(0)), 1, 5)).as("query_text"))
-    val scored = graft.text.Bm25.scoreAll(queries, docs)
+
+  /** Batch-BM25 per-query top-5 over `corpus` via the bounded TopKAgg
+    * (score DESC, id ASC; scores rounded to 9 before ranking). */
+  private def bm25Top5(s: SparkSession, queries: DataFrame,
+      corpus: DataFrame): DataFrame =
+    graft.text.Bm25.scoreAll(queries, corpus)
       .select(col("query_id"), col("doc_id"),
         round(col("bm25"), 9).as("score"))
-    scored.groupBy(col("query_id"))
+      .groupBy(col("query_id"))
       .agg(graft.functions.GraftFunctions.topK(s,
         col("score"), col("doc_id"), 5).as("t"))
       .select(col("query_id"), posexplode(col("t")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col").getField("id").as("doc_id"),
         col("col").getField("score").as("score"))
+
+  def bm25TopkGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    bm25Top5(s, bm25Queries(docs), docs)
+  }
+
+  /** Sparse-degradation metrics gate (q205): the retrieval-ablation
+    * measurement a pipeline team actually runs — the q203 retriever
+    * rebuilt over only HALF the corpus (even ids), measured against
+    * the full-index top-5 truth with
+    * [[graft.similarity.RetrievalEval.metrics]]. Composes the batch
+    * retriever with the metrics operator; DuckDB rebuilds BOTH
+    * indices (the q203 CTE chain twice, suffix-parametrized) and
+    * recomputes recall/MRR/nDCG row-for-row.
+    */
+  def sparseDegradationGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val queries = bm25Queries(docs)
+    val truth = bm25Top5(s, queries, docs)
+      .select(col("query_id"), col("doc_id"))
+    val degraded = bm25Top5(s, queries,
+        docs.filter(col("doc_id") % 2 === 0))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    graft.similarity.RetrievalEval.metrics(degraded, truth, k = 5)
   }
 
   /** One trained (merges, segmentation) per fixture dir: q204 reuses
@@ -1234,6 +1319,7 @@ object Text extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_sparse_degradation" -> sparseDegradationGate _,
     "q204_bpe_encode" -> bpeEncodeGate _,
     "q203_bm25_topk" -> bm25TopkGate _,
     "q201_content_drift" -> contentDriftGate _,
@@ -1336,50 +1422,42 @@ object Text extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q203_bm25_topk" ->
-      """WITH q AS (
-        |  SELECT doc_id AS query_id,
-        |    array_to_string(
-        |      regexp_extract_all(lower(text), '[a-z0-9]+')[1:5], ' ')
-        |      AS query_text
-        |  FROM documents WHERE doc_id % 50 = 3),
-        |qt AS (
-        |  SELECT query_id,
-        |    unnest(list_distinct(
-        |      regexp_extract_all(lower(query_text), '[a-z0-9]+')))
-        |      AS token
-        |  FROM q),
-        |tf AS (
-        |  SELECT token, doc_id, count(*) AS tf
-        |  FROM (SELECT doc_id,
-        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-        |            AS token
-        |        FROM documents)
-        |  GROUP BY token, doc_id),
-        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
-        |       FROM dl),
-        |sc AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    round(sum( ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) /
-        |                  (CAST(df AS DOUBLE) + 0.5)) *
-        |         (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
-        |         (CAST(tf AS DOUBLE) +
-        |          1.2 * ((1.0 - 0.75) +
-        |                 0.75 * CAST(dl AS DOUBLE) / avgdl)) ), 9)
-        |      AS score
-        |  FROM qt
-        |  JOIN tf USING (token)
-        |  JOIN idf USING (token)
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN st
-        |  GROUP BY qt.query_id, tf.doc_id),
-        |r AS (
-        |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT)
-        |    AS rank
-        |  FROM sc)
-        |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5""".stripMargin,
+      s"""WITH $bm25QueriesCte,
+         |${bm25AllCte("", "")}
+         |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5"""
+        .stripMargin,
+    "q205_sparse_degradation" ->
+      s"""WITH $bm25QueriesCte,
+         |${bm25AllCte("_f", "")},
+         |${bm25AllCte("_h", "WHERE doc_id % 2 = 0")},
+         |tr AS (SELECT query_id, doc_id FROM r_f WHERE rank <= 5),
+         |res AS (SELECT query_id, doc_id, rank FROM r_h
+         |        WHERE rank <= 5),
+         |nrel AS (
+         |  SELECT query_id, count(*) AS n_rel FROM tr GROUP BY query_id),
+         |hit AS (
+         |  SELECT res.query_id, res.rank FROM res
+         |  JOIN tr ON tr.query_id = res.query_id
+         |         AND tr.doc_id = res.doc_id),
+         |perq AS (
+         |  SELECT query_id, count(*) AS hits, min(rank) AS first_hit,
+         |    sum(ln(2.0) / ln(rank + 1.0)) AS dcg
+         |  FROM hit GROUP BY query_id),
+         |idcg AS (
+         |  SELECT query_id, sum(ln(2.0) / ln(i + 1.0)) AS idcg FROM (
+         |    SELECT query_id,
+         |      unnest(range(1, least(n_rel, 5) + 1)) AS i FROM nrel)
+         |  GROUP BY query_id)
+         |SELECT nrel.query_id,
+         |  CAST(n_rel AS BIGINT) AS n_rel,
+         |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE)
+         |    AS recall,
+         |  coalesce(1.0 / first_hit, 0.0) AS mrr,
+         |  coalesce(dcg / idcg, 0.0) AS ndcg
+         |FROM nrel
+         |JOIN idcg USING (query_id)
+         |LEFT JOIN perq USING (query_id)""".stripMargin,
     "q201_content_drift" -> contentDriftOracleSql,
     "q199_markdown_sections" ->
       s"""WITH $sectionsOracleCte
