@@ -74,19 +74,44 @@ object Bm25 {
     * belongs DOWNSTREAM via the bounded
     * [[graft.functions.GraftFunctions.topK]] aggregate, never a
     * corpus-wide window.
+    *
+    * DF CAP: tokens with df > max(maxDfFraction·N, 1) never enter the
+    * join. Without it, one stopword in ANY query ("the": df ≈ N)
+    * makes the token key carry a corpus-sized posting list, and with
+    * Q queries sharing hot terms the join output is Q × df — the
+    * classic skewed-key shuffle at 100 TB, spent on terms whose
+    * +1-smoothed idf contributes ≈ 0 anyway (the WAND/maxscore
+    * observation; same discipline as [[graft.dedup.NgramJaccard]]'s
+    * boilerplate-shingle df cap). The cap prunes the POSTINGS side
+    * before the join — a narrow filter on a column the postings table
+    * already carries, no extra pass — so the per-query cost is
+    * proportional to the matched NON-SATURATING postings. The
+    * `max(·, 1)` floor keeps tiny corpora sane (in a one-doc corpus
+    * every token has df fraction 1.0). Documents matching only capped
+    * terms are absent from the output, exactly like documents
+    * matching no term. Doc lengths and avgdl still count every token
+    * — the cap changes which terms SCORE, not the length
+    * normalization. `maxDfFraction = 1.0` disables the cap.
     */
   def scoreAll(queries: DataFrame, docs: DataFrame, k1: Double = 1.2,
       b: Double = 0.75, queryIdCol: String = "query_id",
       queryTextCol: String = "query_text", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxDfFraction: Double = 0.9): DataFrame = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction in (0,1]: $maxDfFraction")
     val post = TfIdf.postings(docs, idCol, textCol)
     val (dl, stats) = corpusStats(post, idCol)
+    // one-row broadcast first: the df filter lands on the postings
+    // scan, so saturating tokens are gone BEFORE the token equi-join
+    val capped = post.crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") <=
+        greatest(col("n_docs") * lit(maxDfFraction), lit(1.0)))
     val qt = queries.select(col(queryIdCol),
       explode(array_distinct(regexp_extract_all(lower(col(queryTextCol)),
         lit("[a-z0-9]+"), lit(0)))).as("token"))
-    qt.join(post, Seq("token"))
+    qt.join(capped, Seq("token"))
       .join(dl, Seq(idCol))
-      .crossJoin(broadcast(stats))
       .select(col(queryIdCol), col(idCol),
         (idfExpr * tfPartExpr(k1, b)).as("term_score"))
       .groupBy(col(queryIdCol), col(idCol))

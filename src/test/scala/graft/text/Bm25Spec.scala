@@ -67,6 +67,35 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("scoreAll df cap drops saturating stopwords from the join") {
+    // 'the' is in EVERY doc (df fraction 1.0) and in the query: under
+    // the default cap it must never reach the postings join, so the
+    // output is bounded by the rare term's postings (1 row), not the
+    // stopword's corpus-sized list (20 rows)
+    val docs = (1L to 20L).map(i => (i, s"the item$i"))
+      .toDF("doc_id", "text")
+    val qStop = Seq((1L, "the item5")).toDF("query_id", "query_text")
+    val qRare = Seq((1L, "item5")).toDF("query_id", "query_text")
+    val capped = Bm25.scoreAll(qStop, docs).collect()
+      .map(r => r.getLong(1) -> r.getAs[Double]("bm25")).toMap
+    val rareOnly = Bm25.scoreAll(qRare, docs).collect()
+      .map(r => r.getLong(1) -> r.getAs[Double]("bm25")).toMap
+    assert(capped.keySet == Set(5L),
+      s"capped join output must exclude the stopword's postings: $capped")
+    assert(capped == rareOnly) // the stopword contributes nothing
+    // cap disabled: the stopword's full posting list flows through
+    val uncapped = Bm25.scoreAll(qStop, docs, maxDfFraction = 1.0)
+    assert(uncapped.count() == 20L)
+  }
+
+  test("scoreAll df cap floor keeps tiny corpora scorable") {
+    // one-doc corpus: every token has df fraction 1.0; the max(.,1)
+    // floor must keep df=1 tokens joinable
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val q = Seq((1L, "x")).toDF("query_id", "query_text")
+    assert(Bm25.scoreAll(q, docs).count() == 1L)
+  }
+
   test("scoreAll dedups repeated query terms like tokenize does") {
     val docs = Seq((1L, "x y")).toDF("doc_id", "text")
     val q1 = Seq((1L, "x")).toDF("query_id", "query_text")
