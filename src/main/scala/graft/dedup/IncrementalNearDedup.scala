@@ -36,11 +36,15 @@ import org.apache.spark.sql.functions._
   *
   * Sizing: the broadcast side is the BATCH's band table (bands ×
   * ~16 B/doc — tens of MB for a million-doc day). For batches beyond
-  * broadcast range, run [[newDocs]] over id-range slices of the batch
-  * (each slice is an independent pass; the prior index still never
-  * reshuffles), or store the band table bucketed by `band_key` and
-  * swap the broadcast for a bucket-local join — the invariant to
-  * preserve is that per-batch cost is O(batch), never O(corpus).
+  * broadcast range, persist the index BUCKETED
+  * ([[saveBucketedIndex]] / [[loadBucketedIndex]]) and call
+  * [[newDocs]] with `broadcastBatch = false`: the band and sketch
+  * scans then carry their bucketed hash partitioning into the joins,
+  * so the only exchanges shuffle the BATCH side into the index's
+  * layout — the prior index still never reshuffles, and per-batch
+  * cost stays O(batch), never O(corpus). (Id-range slices of the
+  * batch remain a valid alternative when re-bucketing the index is
+  * not an option.)
   *
   * Reference context: the reference re-lists the full corpus each run
   * to diff partitions (`emr_json_parquet_schema_drift_etl.py:332-356`);
@@ -55,6 +59,41 @@ object IncrementalNearDedup {
     * n_shingles) per-doc shingle sets for the exact verify.
     */
   final case class Index(bands: DataFrame, sketches: DataFrame)
+
+  /** Id-hash surrogate keying the sketch-verify join: TopKAgg ids are
+    * longs, and a string doc id must not silently cast to null. */
+  private def pidOf(c: org.apache.spark.sql.Column) =
+    xxhash64(c.cast("string"))
+
+  /** Persist an index as BUCKETED tables — the beyond-broadcast path:
+    * `<name>_bands` bucketed+sorted by the band-join keys
+    * (band, band_key) and `<name>_sketches` bucketed+sorted by the
+    * precomputed `__pid` verify key. A [[newDocs]] call with
+    * `broadcastBatch = false` over [[loadBucketedIndex]] frames then
+    * plans both index joins WITHOUT an exchange on the index side:
+    * the bucketed scans already satisfy the joins' required
+    * distribution, so only the batch-bounded side shuffles (into the
+    * index's layout). Write cost is one corpus pass at snapshot-build
+    * time — exactly when [[index]] runs anyway.
+    */
+  def saveBucketedIndex(idx: Index, db: String, name: String,
+      buckets: Int = 32): Unit = {
+    idx.bands.write.bucketBy(buckets, "band", "band_key")
+      .sortBy("band", "band_key")
+      .mode("overwrite").saveAsTable(s"$db.${name}_bands")
+    idx.sketches.withColumn("__pid", pidOf(col("doc_id")))
+      .write.bucketBy(buckets, "__pid").sortBy("__pid")
+      .mode("overwrite").saveAsTable(s"$db.${name}_sketches")
+  }
+
+  /** Reload a [[saveBucketedIndex]] index; the sketches frame carries
+    * the stored `__pid` column, which [[newDocs]] reuses so the join
+    * key stays the BUCKET column (recomputing it would hide the
+    * bucketing from the planner and reintroduce the exchange). */
+  def loadBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+      db: String, name: String): Index =
+    Index(spark.table(s"$db.${name}_bands"),
+      spark.table(s"$db.${name}_sketches"))
 
   /** Build the index frames for a prior snapshot. Callers persist them
     * (parquet/lake) and reuse across batches — the build is the only
@@ -95,12 +134,20 @@ object IncrementalNearDedup {
     * the batch side is what broadcasts, so a streaming frame cannot
     * drive the join directly, but every micro-batch IS a batch. See
     * `StreamIncrDedupSpec` for the wiring.
+    *
+    * `broadcastBatch = false` is the beyond-broadcast mode for index
+    * frames from [[loadBucketedIndex]]: no broadcast hints, so the
+    * planner shuffles the batch side into the bucketed index layout
+    * and the index scans join exchange-free. With NON-bucketed index
+    * frames it still computes the right answer but reshuffles the
+    * index — keep the default unless the index is bucketed.
     */
   def newDocs(batch: DataFrame, idx: Index, k: Int = 3,
       threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 4,
       idCol: String = "doc_id", textCol: String = "text",
       maxCandidatesPerDoc: Int = 4096,
-      eagerRelease: Boolean = true): DataFrame = {
+      eagerRelease: Boolean = true,
+      broadcastBatch: Boolean = true): DataFrame = {
     require(maxCandidatesPerDoc >= 1,
       s"maxCandidatesPerDoc must be >= 1: $maxCandidatesPerDoc")
     // batch signatures feed the band join AND the verify — persist so
@@ -128,13 +175,12 @@ object IncrementalNearDedup {
     // the cut, and a capped doc can only be misjudged NEW under
     // adversarial mass collision. Dedup the prior before indexing to
     // keep the cap slack.
-    val pidOf = (c: org.apache.spark.sql.Column) =>
-      xxhash64(c.cast("string"))
+    val hint = (df: DataFrame) => if (broadcastBatch) broadcast(df) else df
     // topK registers a temp function: it must land on the session that
     // OWNS the joined plan — the index frames' session, which differs
     // from batch.sparkSession inside foreachBatch (micro-batch frames
     // live on a cloned session with an isolated function registry)
-    val cand = idx.bands.join(broadcast(bk), Seq("band", "band_key"))
+    val cand = idx.bands.join(hint(bk), Seq("band", "band_key"))
       .select(pidOf(col("doc_id")).as("__pid"), col("batch_id"))
       .groupBy(col("batch_id"))
       .agg(graft.functions.GraftFunctions.topK(idx.bands.sparkSession,
@@ -145,10 +191,13 @@ object IncrementalNearDedup {
     // exact verify: stored prior sketches stream past the broadcast
     // candidate list, matched on the same surrogate (a hash collision
     // only adds a spurious verify candidate — the exact jaccard
-    // decides); only colliding docs' shingle sets are compared
-    val pr = idx.sketches
-      .withColumn("__pid", pidOf(col("doc_id")))
-      .join(broadcast(cand), "__pid")
+    // decides); only colliding docs' shingle sets are compared. A
+    // bucketed index carries __pid as a STORED column — reuse it, a
+    // recomputed alias would hide the bucketing from the planner
+    val sk = if (idx.sketches.columns.contains("__pid")) idx.sketches
+      else idx.sketches.withColumn("__pid", pidOf(col("doc_id")))
+    val pr = sk
+      .join(hint(cand), "__pid")
       .select(col("batch_id"),
         col("shingles").as("sh_p"), col("n_shingles").as("np"))
     val dup = pr.join(

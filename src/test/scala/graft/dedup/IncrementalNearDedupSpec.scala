@@ -73,6 +73,73 @@ class IncrementalNearDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bucket-local mode joins a bucketed index without an index-side exchange") {
+    // beyond-broadcast posture: index persisted as band/pid-bucketed
+    // tables, broadcastBatch off, broadcast threshold forced off — the
+    // batch side must shuffle INTO the index layout while the index
+    // scans join exchange-free
+    val db = "graft_incr_bucket_db"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      val prior = docs.filter($"doc_id" % 3 =!= 0).select($"doc_id", $"text")
+      val fresh = docs.filter($"doc_id" % 3 === 0).select($"doc_id", $"text")
+      val planted = prior.filter($"doc_id" % 7 === 1)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" crawl refetch banner")).as("text"))
+      val batch = fresh.unionByName(planted)
+      val built = IncrementalNearDedup.index(prior, bands = 32, rowsPerBand = 3)
+      IncrementalNearDedup.saveBucketedIndex(built, db, "snap", buckets = 8)
+      val idx = IncrementalNearDedup.loadBucketedIndex(spark, db, "snap")
+      assert(idx.sketches.columns.contains("__pid"))
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE off so executedPlan is the concrete exchange-bearing tree
+      // the collect below can traverse (assertions must not pass
+      // vacuously on an AdaptiveSparkPlanExec wrapper)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = IncrementalNearDedup.newDocs(batch, idx,
+        threshold = 0.6, bands = 32, rowsPerBand = 3,
+        eagerRelease = false, broadcastBatch = false)
+      val plan = out.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def isIndexScan(p: SparkPlan): Boolean = p.children.isEmpty &&
+        (p.toString.contains("snap_bands") || p.toString.contains("snap_sketches"))
+      // root..scan ancestor chains for every index scan leaf
+      def paths(p: SparkPlan): Seq[Seq[SparkPlan]] =
+        if (isIndexScan(p)) Seq(Seq(p))
+        else p.children.flatMap(paths).map(p +: _)
+      val chains = paths(plan)
+      assert(chains.size >= 2, s"expected both bucketed index scans:\n$plan")
+      // index ROWS must reach their join unexchanged: nothing between a
+      // scan and its nearest ancestor join may shuffle (exchanges above
+      // the join carry batch-bounded candidates — those are fine)
+      chains.foreach { chain =>
+        val belowJoin = chain.reverse.takeWhile(!_.isInstanceOf[BaseJoinExec])
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"index rows entered an exchange before their join:\n$plan")
+      }
+
+      // same answer as the broadcast-mode q171 path over the raw index
+      val got = out.select("doc_id").as[Long].collect().toSet
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      val want = IncrementalNearDedup.newDocs(batch, built,
+          threshold = 0.6, bands = 32, rowsPerBand = 3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want)
+      assert(!got.exists(_ >= 1000000L),
+        s"planted near-dups survived: ${got.filter(_ >= 1000000L)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
   test("an empty prior snapshot passes the whole batch through") {
     val prior = docs.filter(lit(false)).select($"doc_id", $"text")
     val batch = docs.filter($"doc_id" < 30).select($"doc_id", $"text")
