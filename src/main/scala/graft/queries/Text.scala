@@ -1290,6 +1290,168 @@ object Text extends QueryPack {
     graft.similarity.RetrievalEval.metrics(degraded, truth, k = 5)
   }
 
+  // ---- unigram-LM tokenizer (q206/q207) -------------------------------
+
+  /** One trained (pieces, seg) per fixture dir — the bpeCache pattern:
+    * q207 reuses what q206 benchmarks. */
+  private val unigramCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+  private def trainedUnigram(s: SparkSession, dir: String) =
+    unigramCache.getOrElseUpdate(dir,
+      graft.text.UnigramLM.train(Tables.documents(s, dir),
+        rounds = unigramRounds))
+  private val unigramRounds = 2
+
+  /** Unigram-LM TRAINING gate (q206): seed → 2 × (Viterbi-EM →
+    * prune 20%) → final recount ([[graft.text.UnigramLM.train]]).
+    * Output is the surviving vocabulary with INTEGER final-pass usage
+    * counts, so any segmentation decision diverging anywhere in the
+    * replay flips a count loudly. The oracle replays every round:
+    * probabilities as Laplace-smoothed doubles, the Viterbi DP as a
+    * per-round recursive CTE over word positions multiplying the
+    * SAME doubles in the same order (no logs — see the operator
+    * scaladoc on why products make the argmax engine-exact), the
+    * backtrace, the recount, and the count-ordered prune.
+    */
+  def unigramTrainGate(s: SparkSession, dir: String): DataFrame =
+    trainedUnigram(s, dir)._1
+
+  /** Unigram-LM ENCODE gate (q207): the trained segmentation table
+    * applied as a lookup join ([[graft.text.UnigramLM.encode]]) to
+    * every 25th document — the q204 pattern for the second tokenizer
+    * family. The oracle extends the q206 replay with the doc word
+    * streams joined to the final segmentations (char fallback for
+    * out-of-table words, mirroring encode's coalesce).
+    */
+  def unigramEncodeGate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
+    val (_, seg) = trainedUnigram(s, dir)
+    graft.text.UnigramLM.encode(
+      Tables.documents(s, dir).filter(col("doc_id") % 25 === 7), seg)
+  }
+
+  /** The q206/q207 oracle: the full unigram-LM training replay as a
+    * DuckDB CTE chain. Every CTE is MATERIALIZED — the chain
+    * references earlier rounds repeatedly (each DP joins its probs
+    * table four times), and DuckDB's default inlining would re-run
+    * whole prior rounds per reference. Recursive CTE names are
+    * per-round unique (recd/recb + round): same-named sibling
+    * recursive CTEs mis-bind across subqueries.
+    */
+  private def unigramOracleCtes(rounds: Int): String = {
+    def probs(r: Int, vocab: String) =
+      s"""uprobs$r AS MATERIALIZED (
+         |  SELECT piece, (CAST(cnt AS DOUBLE) + 1.0) / (t.T + t.V) AS p
+         |  FROM $vocab, (SELECT CAST(sum(cnt) AS DOUBLE) AS T,
+         |                       CAST(count(*) AS DOUBLE) AS V
+         |                FROM $vocab) t)""".stripMargin
+    // best[j-l+2] * p(substr(word, j-l+2, l)) per candidate length l,
+    // folded l ascending with replace-on->= (longest piece wins ties)
+    // — the EXACT fold UnigramLM.viterbiSeg runs
+    def dp(r: Int) =
+      s"""udp$r AS MATERIALIZED (
+         |  SELECT word, freq, bl FROM (
+         |    WITH RECURSIVE recd$r AS (
+         |      SELECT word, freq, 0 AS j,
+         |             [CAST(1.0 AS DOUBLE)] AS best, [0] AS bl
+         |      FROM uwords
+         |      UNION ALL
+         |      SELECT word, freq, j + 1,
+         |             array_append(best, s4), array_append(bl, l4)
+         |      FROM (
+         |        SELECT word, freq, j, best, bl,
+         |          CASE WHEN c4 IS NOT NULL AND c4 >= s3
+         |               THEN c4 ELSE s3 END AS s4,
+         |          CASE WHEN c4 IS NOT NULL AND c4 >= s3
+         |               THEN 4 ELSE l3 END AS l4
+         |        FROM (
+         |          SELECT word, freq, j, best, bl, c4,
+         |            CASE WHEN c3 IS NOT NULL AND c3 >= s2
+         |                 THEN c3 ELSE s2 END AS s3,
+         |            CASE WHEN c3 IS NOT NULL AND c3 >= s2
+         |                 THEN 3 ELSE l2 END AS l3
+         |          FROM (
+         |            SELECT word, freq, j, best, bl, c3, c4,
+         |              CASE WHEN c2 IS NOT NULL AND c2 >= c1
+         |                   THEN c2 ELSE c1 END AS s2,
+         |              CASE WHEN c2 IS NOT NULL AND c2 >= c1
+         |                   THEN 2 ELSE 1 END AS l2
+         |            FROM (
+         |              SELECT recd$r.word, recd$r.freq, recd$r.j,
+         |                recd$r.best, recd$r.bl,
+         |                best[j + 1] * p1.p AS c1,
+         |                CASE WHEN j + 1 >= 2 THEN best[j] * p2.p END AS c2,
+         |                CASE WHEN j + 1 >= 3 THEN best[j - 1] * p3.p END AS c3,
+         |                CASE WHEN j + 1 >= 4 THEN best[j - 2] * p4.p END AS c4
+         |              FROM recd$r
+         |              LEFT JOIN uprobs$r p1 ON p1.piece = substr(word, j + 1, 1)
+         |              LEFT JOIN uprobs$r p2
+         |                ON j + 1 >= 2 AND p2.piece = substr(word, j, 2)
+         |              LEFT JOIN uprobs$r p3
+         |                ON j + 1 >= 3 AND p3.piece = substr(word, j - 1, 3)
+         |              LEFT JOIN uprobs$r p4
+         |                ON j + 1 >= 4 AND p4.piece = substr(word, j - 2, 4)
+         |              WHERE j < len(word))))))
+         |    SELECT word, freq, bl FROM recd$r WHERE j = len(word)))"""
+        .stripMargin
+    def bt(r: Int) =
+      s"""ubt$r AS MATERIALIZED (
+         |  SELECT word, freq, pieces FROM (
+         |    WITH RECURSIVE recb$r AS (
+         |      SELECT word, freq, len(word) AS pos,
+         |             CAST([] AS VARCHAR[]) AS pieces, bl
+         |      FROM udp$r
+         |      UNION ALL
+         |      SELECT word, freq, pos - bl[pos + 1],
+         |        list_prepend(
+         |          substr(word, pos - bl[pos + 1] + 1, bl[pos + 1]),
+         |          pieces), bl
+         |      FROM recb$r WHERE pos > 0)
+         |    SELECT word, freq, pieces FROM recb$r WHERE pos = 0))"""
+        .stripMargin
+    def cnt(r: Int) =
+      s"""ucnt$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(pieces) AS piece FROM ubt$r)
+         |  GROUP BY piece)""".stripMargin
+    def prune(r: Int) =
+      s"""ujoined$r AS MATERIALIZED (
+         |  SELECT v.piece, coalesce(c.cnt, 0) AS cnt
+         |  FROM uvocab${r - 1} v LEFT JOIN ucnt$r c USING (piece)),
+         |upr$r AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    row_number() OVER (ORDER BY cnt ASC, piece ASC) AS rn,
+         |    count(*) OVER () AS npr
+         |  FROM ujoined$r WHERE len(piece) > 1),
+         |uvocab$r AS MATERIALIZED (
+         |  SELECT piece, cnt FROM ujoined$r WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM upr$r
+         |  WHERE rn > (npr * 20) // 100)""".stripMargin
+    val head = Seq(
+      """uwords AS MATERIALIZED (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |      AS word
+        |    FROM documents)
+        |  WHERE len(word) <= 20 GROUP BY word)""".stripMargin,
+      """uvocab0 AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |           freq
+        |    FROM uwords,
+        |         unnest(range(1, len(word) + 1)) u(i),
+        |         unnest(range(1, 5)) v(l)
+        |    WHERE i + l - 1 <= len(word))
+        |  GROUP BY piece)""".stripMargin)
+    val perRound = (1 to rounds).flatMap(r =>
+      Seq(probs(r, s"uvocab${r - 1}"), dp(r), bt(r), cnt(r), prune(r)))
+    val fin = rounds + 1
+    val finals = Seq(probs(fin, s"uvocab$rounds"), dp(fin), bt(fin),
+      cnt(fin))
+    (head ++ perRound ++ finals).mkString(",\n")
+  }
+
   /** One trained (merges, segmentation) per fixture dir: q204 reuses
     * the training q125 benchmarks rather than paying it twice in the
     * same JVM (forked runs train once themselves — the seg table is
@@ -1319,6 +1481,8 @@ object Text extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_unigram_encode" -> unigramEncodeGate _,
+    "q206_unigram_train" -> unigramTrainGate _,
     "q205_sparse_degradation" -> sparseDegradationGate _,
     "q204_bpe_encode" -> bpeEncodeGate _,
     "q203_bm25_topk" -> bm25TopkGate _,
@@ -1421,6 +1585,28 @@ object Text extends QueryPack {
         |LEFT JOIN dt ON dt.source = na.source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q206_unigram_train" ->
+      s"""WITH ${unigramOracleCtes(unigramRounds)}
+         |SELECT v.piece, coalesce(c.cnt, 0) AS cnt
+         |FROM (SELECT piece FROM uvocab$unigramRounds) v
+         |LEFT JOIN ucnt${unigramRounds + 1} c USING (piece)"""
+        .stripMargin,
+    "q207_unigram_encode" ->
+      s"""WITH ${unigramOracleCtes(unigramRounds)},
+         |udocw AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS word_pos, w[i] AS word
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(lower(text), '[a-z]+') AS w
+         |        FROM documents WHERE doc_id % 25 = 7),
+         |       unnest(range(1, len(w) + 1)) u(i)),
+         |uenc AS (
+         |  SELECT doc_id, word_pos,
+         |    coalesce(b.pieces, regexp_extract_all(d.word, '.')) AS ps
+         |  FROM udocw d
+         |  LEFT JOIN ubt${unigramRounds + 1} b ON b.word = d.word)
+         |SELECT doc_id, word_pos, CAST(j - 1 AS INT) AS sym_pos,
+         |       ps[j] AS token
+         |FROM uenc, unnest(range(1, len(ps) + 1)) v(j)""".stripMargin,
     "q203_bm25_topk" ->
       s"""WITH $bm25QueriesCte,
          |${bm25AllCte("", "")}

@@ -1,0 +1,220 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer training — the OTHER
+  * tokenizer a training stack ships next to BPE ([[Vocabulary.bpeTrain]]):
+  * seed a large candidate-piece vocabulary, iterate EM over the corpus
+  * under a unigram piece model, and prune the least-useful pieces each
+  * round (Kudo 2018, "Subword Regularization"). This implementation is
+  * the deterministic variant that makes the training REPLAYABLE by an
+  * exact SQL oracle:
+  *
+  *   - hard (Viterbi) EM: each round segments every distinct word with
+  *     the single best segmentation under the current piece
+  *     probabilities and recounts pieces from those segmentations —
+  *     the standard Viterbi-EM approximation of full forward-backward;
+  *   - count-based pruning: each round drops the lowest-count
+  *     `shrinkPercent`% of multi-char pieces (ties by piece asc);
+  *     single characters are never pruned, so every word always has a
+  *     segmentation (the SentencePiece character-coverage invariant);
+  *   - Viterbi scores are PRODUCTS of Laplace-smoothed probabilities
+  *     `p = (cnt + 1) / (T + V)` kept as raw double multiplications —
+  *     no logarithms anywhere. A log-sum formulation would hang the
+  *     argmax on `ln` implementations agreeing across engines; a
+  *     product of identically-computed IEEE doubles is bit-identical
+  *     in any engine, so segmentation decisions (and therefore every
+  *     integer count this emits) replay exactly. Underflow is not a
+  *     concern at `maxWordLen` ≤ 20: 20 factors of ≥ 1/(T+V) stay far
+  *     above double's 1e-308 floor for any real vocabulary.
+  *
+  * Scale shape (the [[Vocabulary.bpeTrain]] discipline): ONE
+  * corpus-scale pass builds the distinct-word histogram; everything
+  * after — seeding, every EM round, pruning, the final segmentation —
+  * runs over vocabulary-sized tables (distinct words × ≤ maxPieceLen
+  * substrings). The per-word Viterbi DP is an `aggregate` fold over
+  * word positions: interpreted, not codegen'd, which is fine on a
+  * vocabulary-sized table, with a `localCheckpoint` barrier right
+  * after so optimizer rules cannot duplicate the fold into downstream
+  * projections. The prune window is unpartitioned but
+  * vocabulary-bounded (the [[Vocabulary.build]] convention). Words
+  * longer than `maxWordLen` are excluded from training and segment
+  * per-character at encode time — the bounded-sentence cap every real
+  * trainer applies.
+  *
+  * Reference context: the reference engine's surface ends at ad-hoc
+  * relational queries (`emr_json_parquet_schema_drift_etl.py:142-152`);
+  * tokenizer training is north-star LLM-pipeline scope, like
+  * [[Vocabulary]].
+  */
+object UnigramLM {
+
+  /** (word, freq) histogram of `[a-z]+` words no longer than
+    * maxWordLen — the only corpus-scale pass. */
+  def wordHistogram(docs: DataFrame, maxWordLen: Int,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Seed vocabulary: every substring of length 1..maxPieceLen of
+    * every word, weighted by word frequency (multiple occurrences in
+    * one word count multiply, matching the EM recount convention). */
+  def seedPieces(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words.select(col("freq"), explode(allSubstrings(maxPieceLen))
+        .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  /** All substrings of `word` with length 1..maxPieceLen, in
+    * (start, length) order. */
+  private def allSubstrings(maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(col("word"))), i =>
+      transform(
+        sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - i + 1)),
+        l => col("word").substr(i, l))))
+
+  /** Laplace-smoothed piece probabilities: (piece, cnt, p) with
+    * p = (cnt + 1) / (T + V). T and V ride a one-row broadcast. */
+  def withProbs(vocab: DataFrame): DataFrame = {
+    val tv = vocab.agg(sum(col("cnt")).cast("double").as("T"),
+      count(lit(1)).cast("double").as("V"))
+    vocab.crossJoin(broadcast(tv))
+      .select(col("piece"), col("cnt"),
+        ((col("cnt").cast("double") + lit(1.0)) / (col("T") + col("V")))
+          .as("p"))
+  }
+
+  /** Viterbi segmentation of every word under `probs`:
+    * (word, freq, pieces). The DP folds over word positions with an
+    * array state — best[j+1] is the best prefix-j score (a raw
+    * probability product), bl[j+1] the chosen final piece length;
+    * candidates fold in piece-length order with replace-on-≥, so the
+    * LONGEST piece wins exact-score ties. Backtrace replays bl from
+    * the end. Both folds are interpreted HOFs on a vocabulary-sized
+    * table, materialized behind a localCheckpoint barrier.
+    */
+  def viterbiSeg(words: DataFrame, probs: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    // per-word piece→p lookup map (only this word's substrings join)
+    val pm = words.select(col("word"),
+        explode(array_distinct(allSubstrings(maxPieceLen))).as("piece"))
+      .join(probs.select(col("piece"), col("p")), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("p"))))
+        .as("pm"))
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      struct(array(lit(1.0)).as("best"), array(lit(0)).as("bl")),
+      (acc, j) => {
+        val pick = (1 to maxPieceLen).foldLeft(
+          struct(lit(Double.NegativeInfinity).as("s"), lit(0).as("l"))) {
+          (cur, l) =>
+            val sc = try_element_at(acc.getField("best"), j - lit(l) + 1) *
+              try_element_at(col("pm"),
+                col("word").substr(j - lit(l) + 1, lit(l)))
+            when(j >= lit(l) && sc.isNotNull && sc >= cur.getField("s"),
+              struct(sc.as("s"), lit(l).as("l"))).otherwise(cur)
+        }
+        struct(
+          concat(acc.getField("best"), array(pick.getField("s")))
+            .as("best"),
+          concat(acc.getField("bl"), array(pick.getField("l"))).as("bl"))
+      })
+    val withDp = words.join(pm, Seq("word"))
+      .withColumn("dp", dp)
+      .localCheckpoint(true) // barrier: the fold must not inline N times
+    val bt = aggregate(
+      sequence(lit(1), length(col("word"))),
+      struct(length(col("word")).cast("int").as("pos"),
+        typedlit(Seq.empty[String]).as("pieces")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val l = element_at(col("dp").getField("bl"), pos + 1)
+        when(pos > 0,
+          struct((pos - l).as("pos"),
+            concat(array(col("word").substr(pos - l + 1, l)),
+              acc.getField("pieces")).as("pieces")))
+          .otherwise(acc)
+      }).getField("pieces")
+    withDp.select(col("word"), col("freq"), bt.as("pieces"))
+  }
+
+  /** EM recount: corpus-weighted piece occurrences under a
+    * segmentation table. */
+  def recount(seg: DataFrame): DataFrame =
+    seg.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  /** Prune the bottom shrinkPercent% of multi-char pieces by
+    * (EM count asc, piece asc); single chars always survive with their
+    * recount. Pieces the EM never used count 0 — first to go. */
+  def prune(vocab: DataFrame, counts: DataFrame,
+      shrinkPercent: Int): DataFrame = {
+    val joined = vocab.select(col("piece"))
+      .join(counts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val prunable = joined.filter(length(col("piece")) > 1)
+    val np = prunable.agg(count(lit(1)).as("npr"))
+    // vocabulary-bounded unpartitioned window (Vocabulary.build
+    // convention); integer div keeps the cutoff engine-exact
+    val kept = prunable
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("cnt").asc, col("piece").asc)))
+      .crossJoin(broadcast(np))
+      .filter(col("rn") > expr(s"(npr * $shrinkPercent) div 100"))
+      .select(col("piece"), col("cnt"))
+    joined.filter(length(col("piece")) === 1).unionByName(kept)
+  }
+
+  /** Full training run: seed → `rounds` × (Viterbi-EM recount →
+    * prune) → final Viterbi pass under the surviving vocabulary.
+    * Returns (pieces, seg): `pieces` = (piece, cnt) — the vocabulary
+    * with its final-segmentation usage counts (the artifact a
+    * tokenizer build persists) — and `seg` = (word, freq, pieces),
+    * the lookup table [[encode]] joins (the [[Vocabulary.bpeEncode]]
+    * pattern: never a per-document DP).
+    */
+  def train(docs: DataFrame, rounds: Int, maxPieceLen: Int = 4,
+      maxWordLen: Int = 20, shrinkPercent: Int = 20,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2: $maxPieceLen")
+    require(shrinkPercent >= 0 && shrinkPercent < 100,
+      s"shrinkPercent in [0,100): $shrinkPercent")
+    val words = wordHistogram(docs, maxWordLen, textCol)
+      .localCheckpoint(true)
+    var vocab = seedPieces(words, maxPieceLen).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val seg = viterbiSeg(words, withProbs(vocab), maxPieceLen)
+      vocab = prune(vocab, recount(seg), shrinkPercent)
+        .localCheckpoint(true)
+    }
+    val finalSeg = viterbiSeg(words, withProbs(vocab), maxPieceLen)
+    val pieces = vocab.select(col("piece"))
+      .join(recount(finalSeg), Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    (pieces, finalSeg)
+  }
+
+  /** ENCODE: token streams under a trained segmentation table — one
+    * narrow word-explode of the input plus one vocabulary-sized lookup
+    * join. Out-of-table words (unseen, or beyond the training
+    * maxWordLen) fall back to per-character pieces, which the
+    * never-pruned single-char vocabulary guarantees are encodable.
+    * Output (idCol, word_pos, sym_pos, token), 0-based positions.
+    */
+  def encode(docs: DataFrame, seg: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as(Seq("word_pos", "word")))
+      .join(seg.select(col("word"), col("pieces")), Seq("word"), "left")
+      .select(col(idCol), col("word_pos"),
+        posexplode(coalesce(col("pieces"),
+          regexp_extract_all(col("word"), lit("."), lit(0))))
+          .as(Seq("sym_pos", "token")))
+}

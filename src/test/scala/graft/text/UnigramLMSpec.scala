@@ -1,0 +1,88 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramLMSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("every trained segmentation reassembles its word") {
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox", "jumps jumps jumps over the dog")
+      .toDF("text")
+    val (_, seg) = UnigramLM.train(docs, rounds = 2)
+    val bad = seg.filter(concat_ws("", col("pieces")) =!= col("word"))
+      .count()
+    assert(bad == 0)
+    // and every word of the corpus is in the table
+    assert(seg.count() ==
+      UnigramLM.wordHistogram(docs, 20).count())
+  }
+
+  test("single characters are never pruned; aggressive pruning keeps coverage") {
+    val docs = Seq("abcabc abcabc xyz").toDF("text")
+    val (pieces, seg) = UnigramLM.train(docs, rounds = 3,
+      shrinkPercent = 60)
+    val kept = pieces.select("piece").as[String].collect().toSet
+    for (c <- "abcxyz") assert(kept.contains(c.toString), s"char $c pruned")
+    assert(seg.filter(concat_ws("", col("pieces")) =!= col("word"))
+      .count() == 0)
+  }
+
+  test("a dominant repeated piece survives pruning and wins segmentation") {
+    // 'ab' occurs constantly; after EM+prune the Viterbi for 'ababab'
+    // must use multi-char pieces, not per-char fallback
+    val docs = Seq(Seq.fill(20)("ababab").mkString(" ")).toDF("text")
+    val (pieces, seg) = UnigramLM.train(docs, rounds = 2)
+    val segAb = seg.filter(col("word") === "ababab")
+      .select("pieces").as[Seq[String]].head()
+    assert(segAb.mkString("") == "ababab")
+    assert(segAb.length < 6, s"expected multi-char pieces, got $segAb")
+    // its pieces carry positive final counts
+    val cnts = pieces.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    segAb.foreach(p => assert(cnts(p) > 0))
+  }
+
+  test("longer piece wins an exact score tie") {
+    // one word 'aaaa': all substrings of 'a's; by symmetry many exact
+    // product ties arise — the fold's replace-on->= must prefer the
+    // longest candidate at each step, so the segmentation starts with
+    // the longest available piece rather than single chars
+    val docs = Seq("aaaa").toDF("text")
+    val words = UnigramLM.wordHistogram(docs, 20)
+    val vocab = UnigramLM.seedPieces(words, 4)
+    val seg = UnigramLM.viterbiSeg(words, UnigramLM.withProbs(vocab), 4)
+    val ps = seg.select("pieces").as[Seq[String]].head()
+    // seed counts: a=4, aa=3, aaa=2, aaaa=1 -> p(aaaa) is the single
+    // highest-probability full cover (one factor beats any product of
+    // smaller ones since all p < 1)
+    assert(ps == Seq("aaaa"), s"got $ps")
+  }
+
+  test("encode joins the table and falls back to chars for OOV words") {
+    val docs = Seq((1L, "ab zz")).toDF("doc_id", "text")
+    val train = Seq("ab ab ab").toDF("text")
+    val (_, seg) = UnigramLM.train(train, rounds = 1)
+    val out = UnigramLM.encode(docs, seg).orderBy("word_pos", "sym_pos")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    // 'ab' from the table (single piece after EM), 'zz' per char
+    assert(out.head == ((0, 0, "ab")))
+    assert(out.drop(1).toSeq == Seq((1, 0, "z"), (1, 1, "z")))
+  }
+
+  test("pruning drops the configured fraction of multi-char pieces") {
+    val docs = Seq("abcdef abcdef ghijkl").toDF("text")
+    val words = UnigramLM.wordHistogram(docs, 20)
+    val vocab = UnigramLM.seedPieces(words, 4)
+    val seg = UnigramLM.viterbiSeg(words, UnigramLM.withProbs(vocab), 4)
+    val pruned = UnigramLM.prune(vocab, UnigramLM.recount(seg), 20)
+    val multiBefore = vocab.filter(length(col("piece")) > 1).count()
+    val multiAfter = pruned.filter(length(col("piece")) > 1).count()
+    assert(multiAfter == multiBefore - (multiBefore * 20 / 100))
+    val singleBefore = vocab.filter(length(col("piece")) === 1).count()
+    assert(pruned.filter(length(col("piece")) === 1).count()
+      == singleBefore)
+  }
+}
