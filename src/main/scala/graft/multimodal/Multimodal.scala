@@ -528,6 +528,52 @@ object Multimodal {
       maxHamming: Int = 8): DataFrame =
     bandedHammingPairs(fingerprints, "afp", maxHamming)
 
+  /** MEDIA NEAR-DUP DEDUP COMPOSITE — the full pipeline text dedup
+    * runs (pairs → connected components → one keeper per cluster),
+    * applied to the media modalities: image dHash pairs and audio
+    * fingerprint pairs union into one edge list,
+    * [[graft.dedup.NearDupClusters]] resolves families (an image can
+    * only pair with an image — the hash frames are disjoint — so
+    * clusters never mix modalities), and [[graft.dedup.KeepBest]]
+    * picks the LARGEST payload per cluster (highest-fidelity copy;
+    * ties by smallest id) rather than an arbitrary member.
+    *
+    * Output: (media_id, cluster_id, is_keeper, length) for every
+    * DECODABLE file; undecodable bytes (both hashes null) are not
+    * clusterable and are excluded — surface them from the hash frames
+    * directly when a quarantine listing is wanted.
+    *
+    * Scale shape: both pair joins are the band-bucketed Hamming
+    * equi-join (never all-pairs), components run min-label
+    * propagation over edge-touched nodes only, and the keeper is a
+    * min-struct aggregate — no hot-group window anywhere.
+    */
+  def mediaDedupKeepers(media: DataFrame, maxHammingImage: Int = 10,
+      maxHammingAudio: Int = 8): DataFrame = {
+    val ih = imageHashes(media)
+    val af = audioFingerprints(media)
+    val decodable = ih.filter(col("dhash").isNotNull)
+      .select(col("media_id"))
+      .unionByName(af.filter(col("afp").isNotNull)
+        .select(col("media_id")))
+      .distinct()
+    val pairs = nearDupImagePairs(ih, maxHammingImage)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .unionByName(nearDupAudioPairs(af, maxHammingAudio)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    val clusters = graft.dedup.NearDupClusters.clusters(
+      decodable.withColumnRenamed("media_id", "doc_id"), pairs)
+    val scored = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(media.select(col("media_id").as("doc_id"), col("length")),
+        Seq("doc_id"))
+    val winners = graft.dedup.KeepBest
+      .byCluster(scored, "length", "cluster_id", "doc_id")
+      .select(col("doc_id"), lit(true).as("__w"))
+    scored.join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id").as("media_id"), col("cluster_id"),
+        coalesce(col("__w"), lit(false)).as("is_keeper"), col("length"))
+  }
+
   /** Ingest a directory of media files through Spark's `binaryFile`
     * source; kind is derived from the extension.
     */

@@ -52,14 +52,23 @@ object Text extends QueryPack {
     * and the undecodable bytes must hash NULL — all pinned TRUE by the
     * oracle.
     */
-  def imageDhash(s: SparkSession, dir: String): DataFrame = {
-    import java.awt.image.BufferedImage
+  /** Fresh per-run fixture dir under /tmp. */
+  private def freshFixtureDir(s: SparkSession, prefix: String,
+      dir: String): java.io.File = {
     val root = new java.io.File(
-      s"/tmp/graft_dhash_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"/tmp/${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val rootP = new org.apache.hadoop.fs.Path(root.toString)
     rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .delete(rootP, true) // fresh fixture dir per run
+      .delete(rootP, true)
     root.mkdirs()
+    root
+  }
+
+  /** The q133 image fixtures: base gradient, its 2× upscale, its JPEG
+    * recompression, an unrelated reversed gradient, undecodable junk.
+    */
+  private def writeImageFixtures(root: java.io.File): Unit = {
+    import java.awt.image.BufferedImage
     def img(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
       val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
@@ -82,6 +91,11 @@ object Text extends QueryPack {
       new java.io.File(root, "b_other.png"))
     java.nio.file.Files.write(new java.io.File(root, "junk.png").toPath,
       Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte))
+  }
+
+  def imageDhash(s: SparkSession, dir: String): DataFrame = {
+    val root = freshFixtureDir(s, "graft_dhash", dir)
+    writeImageFixtures(root)
     val media = Multimodal.readMediaDir(s, root.toString)
     val named = media.select(col("media_id"),
       regexp_extract(col("path"), "([^/]+)$", 1).as("fname"))
@@ -232,7 +246,9 @@ object Text extends QueryPack {
     * different program must pair with nothing, the junk must
     * fingerprint NULL — all pinned TRUE by the oracle.
     */
-  def audioFingerprintGate(s: SparkSession, dir: String): DataFrame = {
+  /** The q175 audio fixtures: a 33-segment tone program, the same
+    * program at 0.37× gain, a different program, undecodable junk. */
+  private def writeAudioFixtures(root: java.io.File): Unit = {
     def wav(samples: Array[Short]): Array[Byte] = {
       val dataLen = samples.length * 2
       val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -258,12 +274,6 @@ object Text extends QueryPack {
     val freqA = (seg: Int) => 300.0 + 60.0 * (seg % 7)
     val envB = (seg: Int) => 3000.0 + 2500.0 * math.sin(seg * 1.3 + 1.0)
     val freqB = (seg: Int) => 350.0 + 45.0 * (seg % 5)
-    val root = new java.io.File(
-      s"/tmp/graft_afp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val rootP = new org.apache.hadoop.fs.Path(root.toString)
-    rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .delete(rootP, true) // fresh fixture dir per run
-    root.mkdirs()
     Seq(
       ("a_base.wav", wav(synth(1.0, envA, freqA))),
       ("a_gain.wav", wav(synth(0.37, envA, freqA))),
@@ -272,6 +282,11 @@ object Text extends QueryPack {
     ).foreach { case (name, bytes) =>
       java.nio.file.Files.write(new java.io.File(root, name).toPath, bytes)
     }
+  }
+
+  def audioFingerprintGate(s: SparkSession, dir: String): DataFrame = {
+    val root = freshFixtureDir(s, "graft_afp", dir)
+    writeAudioFixtures(root)
     val media = Multimodal.readMediaDir(s, root.toString)
     val named = media.select(col("media_id"),
       regexp_extract(col("path"), "([^/]+)$", 1).as("fname"))
@@ -296,6 +311,43 @@ object Text extends QueryPack {
         (col("n_gain") === 1).as("gain_pair_ok"),
         (col("n_false") === 0).as("no_false_pairs_ok"),
         (col("n_junk_null") === 1).as("junk_null_ok"))
+  }
+
+  /** Media dedup composite gate (q208): the q133 image fixtures AND
+    * the q175 audio fixtures in ONE directory, run through
+    * [[Multimodal.mediaDedupKeepers]] (dHash pairs ∪ audio
+    * fingerprint pairs → connected components → largest-payload
+    * keeper per cluster) — the media analogue of the q86/q185 text
+    * pipelines. Expected structure is fully determined by the
+    * fixtures: 7 decodable files form 4 clusters (image triplet,
+    * audio pair, two unrelated singletons), exactly one keeper each,
+    * every keeper carrying its cluster's max payload, and no cluster
+    * mixing modalities; the oracle pins the literal summary (media
+    * decode is not SQL-expressible — the q133/q175 convention).
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = freshFixtureDir(s, "graft_media_dedup", dir)
+    writeImageFixtures(root)
+    writeAudioFixtures(root)
+    val media = Multimodal.readMediaDir(s, root.toString)
+    val out = Multimodal.mediaDedupKeepers(media)
+    val named = media.select(col("media_id"), col("kind"))
+    val rows = out.join(named, "media_id")
+    val perCluster = rows.groupBy(col("cluster_id")).agg(
+      count(lit(1)).as("sz"),
+      sum(when(col("is_keeper"), 1).otherwise(0)).as("nk"),
+      max(col("length")).as("maxlen"),
+      max(when(col("is_keeper"), col("length"))).as("keeperlen"),
+      count_distinct(col("kind")).as("nmod"))
+    perCluster.agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz")).cast("bigint").as("n_decodable"),
+        max(col("sz")).cast("bigint").as("max_cluster_size"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_multi_clusters"),
+        (sum(col("nk")) === count(lit(1))).as("one_keeper_each_ok"),
+        (sum(when(col("keeperlen") === col("maxlen"), 1).otherwise(0))
+          === count(lit(1))).as("keeper_is_largest_ok"),
+        (max(col("nmod")) === 1).as("no_cross_modal_ok"))
   }
 
   /** Trained quality-classifier gate (q142): plant perfectly-labeled
@@ -1481,6 +1533,7 @@ object Text extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_media_dedup" -> mediaDedup _,
     "q207_unigram_encode" -> unigramEncodeGate _,
     "q206_unigram_train" -> unigramTrainGate _,
     "q205_sparse_degradation" -> sparseDegradationGate _,
@@ -2470,6 +2523,13 @@ object Text extends QueryPack {
         |  CAST(len(regexp_extract_all(text,
         |    '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_count
         |FROM documents""".stripMargin,
+    "q208_media_dedup" ->
+      """SELECT CAST(4 AS BIGINT) AS n_clusters,
+        |  CAST(7 AS BIGINT) AS n_decodable,
+        |  CAST(3 AS BIGINT) AS max_cluster_size,
+        |  CAST(2 AS BIGINT) AS n_multi_clusters,
+        |  TRUE AS one_keeper_each_ok, TRUE AS keeper_is_largest_ok,
+        |  TRUE AS no_cross_modal_ok""".stripMargin,
     "q133_image_dhash" ->
       """SELECT CAST(5 AS BIGINT) AS n_images,
         |  TRUE AS resized_pair_ok, TRUE AS jpeg_pair_ok,
