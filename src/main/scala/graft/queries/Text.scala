@@ -1286,6 +1286,34 @@ object Text extends QueryPack {
     graft.text.CorpusDrift.contentDrift(docs, cur)
   }
 
+  /** Embedding-centroid drift gate (q209): the SEMANTIC drift the
+    * vocabulary monitors can never see — src0's embeddings are
+    * reversed (a stand-in for a paraphrasing extractor regression or
+    * a partial embedding-model swap) while every TEXT stays
+    * byte-identical, then
+    * [[graft.similarity.EmbeddingDrift.centroidDrift]] runs next to
+    * [[graft.text.CorpusDrift.contentDrift]]: src0's centroid cosine
+    * moves off 1.0 and its dispersion shifts, while the vocabulary
+    * cosine sits at exactly 1.0 for EVERY source — the planted
+    * separation that justifies running both monitors. DuckDB
+    * recomputes centroids, the E‖x‖²−‖c‖² dispersions, and both
+    * cosines (float→double widening is exact, so both engines fold
+    * the same doubles; 9-decimal rounding absorbs sum-order drift).
+    */
+  def embeddingDriftGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val a = docs.join(emb, Seq("doc_id"))
+    val b = a.withColumn("embedding",
+      when(col("source") === "src0", reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    graft.similarity.EmbeddingDrift.centroidDrift(a, b)
+      .join(graft.text.CorpusDrift.contentDrift(docs, docs),
+        Seq("source"))
+  }
+
   /** Batch-BM25 top-k gate (q203): every 50th document's first five
     * tokens become a query, [[graft.text.Bm25.scoreAll]] scores all
     * queries against the corpus in one postings join, and the
@@ -1533,6 +1561,7 @@ object Text extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_embedding_drift" -> embeddingDriftGate _,
     "q208_media_dedup" -> mediaDedup _,
     "q207_unigram_encode" -> unigramEncodeGate _,
     "q206_unigram_train" -> unigramTrainGate _,
@@ -1638,6 +1667,56 @@ object Text extends QueryPack {
         |LEFT JOIN dt ON dt.source = na.source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q209_embedding_drift" ->
+      """WITH ea AS (
+        |  SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |eb AS (
+        |  SELECT source,
+        |    CASE WHEN source = 'src0' THEN list_reverse(v) ELSE v END AS v
+        |  FROM ea),
+        |sa AS (
+        |  SELECT source, count(*) AS n_a,
+        |    avg(list_sum(list_transform(v, x -> x * x))) AS msq_a
+        |  FROM ea GROUP BY source),
+        |sb AS (
+        |  SELECT source, count(*) AS n_b,
+        |    avg(list_sum(list_transform(v, x -> x * x))) AS msq_b
+        |  FROM eb GROUP BY source),
+        |ca AS (
+        |  SELECT source, i, avg(v[i]) AS c
+        |  FROM ea, unnest(range(1, len(v) + 1)) u(i) GROUP BY source, i),
+        |cb AS (
+        |  SELECT source, i, avg(v[i]) AS c
+        |  FROM eb, unnest(range(1, len(v) + 1)) u(i) GROUP BY source, i),
+        |n2a AS (SELECT source, sum(c * c) AS na2 FROM ca GROUP BY source),
+        |n2b AS (SELECT source, sum(c * c) AS nb2 FROM cb GROUP BY source),
+        |cd AS (
+        |  SELECT ca.source, sum(ca.c * cb.c) AS dot
+        |  FROM ca JOIN cb ON cb.source = ca.source AND cb.i = ca.i
+        |  GROUP BY ca.source),
+        |ta AS (
+        |  SELECT source, tok, count(*) AS fa
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |            AS tok FROM documents)
+        |  GROUP BY source, tok),
+        |vn AS (SELECT source,
+        |         sqrt(sum(CAST(fa AS DOUBLE) * CAST(fa AS DOUBLE))) AS nn,
+        |         sum(CAST(fa AS DOUBLE) * CAST(fa AS DOUBLE)) AS dd
+        |       FROM ta GROUP BY source)
+        |SELECT sa.source, sa.n_a, sb.n_b,
+        |  round(dot / (sqrt(na2) * sqrt(nb2)), 9) AS centroid_cosine,
+        |  round(msq_a - na2, 9) AS disp_a,
+        |  round(msq_b - nb2, 9) AS disp_b,
+        |  round((msq_b - nb2) - (msq_a - na2), 9) AS disp_delta,
+        |  round(dd / (nn * nn), 9) AS vocab_cosine
+        |FROM sa
+        |JOIN sb USING (source)
+        |LEFT JOIN n2a USING (source)
+        |LEFT JOIN n2b USING (source)
+        |LEFT JOIN cd USING (source)
+        |LEFT JOIN vn USING (source)""".stripMargin,
     "q206_unigram_train" ->
       s"""WITH ${unigramOracleCtes(unigramRounds)}
          |SELECT v.piece, coalesce(c.cnt, 0) AS cnt

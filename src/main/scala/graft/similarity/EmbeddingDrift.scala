@@ -1,0 +1,74 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-centroid drift monitor — the SEMANTIC companion to the
+  * vocabulary drift reports ([[graft.text.CorpusDrift]]): a
+  * paraphrasing extractor regression (or an embedding-model swap
+  * applied to part of the fleet) moves a source's embedding centroid
+  * while its token counts stay flat, so q201-style vocabulary cosine
+  * never fires. Comparing per-source centroids and dispersions between
+  * two embedding snapshots catches exactly that.
+  *
+  * Reported per group key:
+  *   - `n_a`, `n_b` — vector counts per side;
+  *   - `centroid_cosine` — cosine between the two sides' mean vectors
+  *     (1.0 = same direction, rounded to 9 decimals — the engine
+  *     comparison convention);
+  *   - `disp_a`, `disp_b`, `disp_delta` — mean squared distance from
+  *     the centroid per side and its change, via the one-pass identity
+  *     E‖x − c‖² = E‖x‖² − ‖c‖² (no second corpus pass with the
+  *     centroid joined back).
+  *
+  * Scale shape: each side is read ONCE — a scalar aggregate per group
+  * (count + mean squared norm through the codegen'd
+  * [[graft.functions.DotProduct]]) plus a (group, dim) component
+  * aggregate for the centroid (map-side partial; the shuffle carries
+  * groups × dims rows, never vectors). Everything downstream joins
+  * those bounded aggregate tables. Groups present on one side only
+  * report a null cosine — "no snapshot" is not "orthogonal snapshot"
+  * (the [[graft.text.CorpusDrift.contentDrift]] convention).
+  */
+object EmbeddingDrift {
+
+  private def stats(df: DataFrame, keyCol: String, vecCol: String,
+      sfx: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as(s"n_$sfx"),
+      avg(graft.functions.GraftFunctions.dotProduct(df.sparkSession,
+        col(vecCol), col(vecCol))).as(s"msq_$sfx"))
+  }
+
+  private def centroid(df: DataFrame, keyCol: String, vecCol: String,
+      c: String): DataFrame =
+    df.select(col(keyCol),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("idx", "x")))
+      .groupBy(col(keyCol), col("idx")).agg(avg(col("x")).as(c))
+
+  def centroidDrift(a: DataFrame, b: DataFrame, keyCol: String = "source",
+      vecCol: String = "embedding"): DataFrame = {
+    val ca = centroid(a, keyCol, vecCol, "ca")
+    val cb = centroid(b, keyCol, vecCol, "cb")
+    def norm2(c: DataFrame, f: String, n: String) =
+      c.groupBy(col(keyCol)).agg(sum(col(f) * col(f)).as(n))
+    val dot = ca.join(cb, Seq(keyCol, "idx"))
+      .groupBy(col(keyCol)).agg(sum(col("ca") * col("cb")).as("__dot"))
+    stats(a, keyCol, vecCol, "a")
+      .join(stats(b, keyCol, vecCol, "b"), Seq(keyCol), "full_outer")
+      .join(norm2(ca, "ca", "__na2"), Seq(keyCol), "left")
+      .join(norm2(cb, "cb", "__nb2"), Seq(keyCol), "left")
+      .join(dot, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        round(col("__dot") / (sqrt(col("__na2")) * sqrt(col("__nb2"))), 9)
+          .as("centroid_cosine"),
+        round(col("msq_a") - col("__na2"), 9).as("disp_a"),
+        round(col("msq_b") - col("__nb2"), 9).as("disp_b"),
+        round((col("msq_b") - col("__nb2")) -
+          (col("msq_a") - col("__na2")), 9).as("disp_delta"))
+  }
+}
