@@ -313,6 +313,62 @@ object Text extends QueryPack {
         (col("n_junk_null") === 1).as("junk_null_ok"))
   }
 
+  /** Trained lang-id gate (q210): plant four pseudo-languages — every
+    * source's docs get a language by source number mod 4, realized as
+    * an appended function-word phrase (distinct trigram signatures,
+    * the signal char-ngram lang-id actually keys on) — split 80/20 by
+    * the md5 draw, train [[graft.text.TrainedLangId]]'s one-vs-rest
+    * hashed-trigram classifier on the train side, and require
+    * held-out accuracy ≥ 0.9 (the q142 convention: the GD loop is
+    * not SQL-expressible, so the oracle pins the booleans). The
+    * predictions then drive the q187-shape domain filter: the five
+    * lang-0 sources — and only those — must survive the
+    * majority-language keep.
+    */
+  def trainedLangIdGate(s: SparkSession, dir: String): DataFrame = {
+    val phrases = Seq(
+      " the and of to in is was for with that",
+      " el la de que los una por con para este",
+      " der die und das ein nicht mit von auf ist",
+      " le et les des une dans pour qui sur pas")
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 3000)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("lang",
+        (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4)
+          .cast("double"))
+    val marked = docs.withColumn("text",
+      concat(col("text"), phrases.zipWithIndex.foldLeft(lit("")) {
+        case (acc, (p, i)) =>
+          when(col("lang") === i.toDouble, lit(p * 6)).otherwise(acc)
+      }))
+      .withColumn("__u",
+        graft.text.CorpusMix.drawU(col("doc_id"), lit("langid")))
+    val dim = 2048
+    val fTrain = graft.text.TrainedLangId.charTrigramFeatures(
+      marked.filter(col("__u") < 0.8), dim, "lang").persist()
+    val w = graft.text.TrainedLangId.trainOneVsRest(s, fTrain, dim,
+      classes = 0 to 3, rounds = 15, lr = 10.0)
+    fTrain.unpersist()
+    val heldOut = graft.text.TrainedLangId.classify(s,
+      graft.text.TrainedLangId.charTrigramFeatures(
+        marked.filter(col("__u") >= 0.8), dim, "lang"), w)
+    val allPred = graft.text.TrainedLangId.classify(s,
+        graft.text.TrainedLangId.charTrigramFeatures(marked, dim,
+          "lang"), w)
+      .join(marked.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val kept = graft.text.TrainedLangId.filterByMajorityLang(
+      marked.select(col("source"), col("lang")).distinct(), allPred,
+      wanted = 0)
+    heldOut.agg(
+        (count(lit(1)) > 0L).as("has_test"),
+        (avg(when(col("predicted") === col("label").cast("int"), 1.0)
+          .otherwise(0.0)) >= 0.9).as("accuracy_ok"))
+      .crossJoin(kept.agg(
+        count(lit(1)).as("n_kept_sources"),
+        (sum(when(col("lang") === 0.0, 1).otherwise(0))
+          === count(lit(1))).as("kept_correct_ok")))
+  }
+
   /** Media dedup composite gate (q208): the q133 image fixtures AND
     * the q175 audio fixtures in ONE directory, run through
     * [[Multimodal.mediaDedupKeepers]] (dHash pairs ∪ audio
@@ -1561,6 +1617,7 @@ object Text extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_trained_langid" -> trainedLangIdGate _,
     "q209_embedding_drift" -> embeddingDriftGate _,
     "q208_media_dedup" -> mediaDedup _,
     "q207_unigram_encode" -> unigramEncodeGate _,
@@ -1667,6 +1724,14 @@ object Text extends QueryPack {
         |LEFT JOIN dt ON dt.source = na.source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q210_trained_langid" ->
+      """SELECT TRUE AS has_test, TRUE AS accuracy_ok,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT DISTINCT source FROM documents
+        |     WHERE doc_id < 3000
+        |       AND CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+        |           % 4 = 0)) AS n_kept_sources,
+        |  TRUE AS kept_correct_ok""".stripMargin,
     "q209_embedding_drift" ->
       """WITH ea AS (
         |  SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS v

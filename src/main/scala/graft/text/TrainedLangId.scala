@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRAINED language identification — the fastText/CCNet-grade upgrade
+  * of the stopword-scoring heuristic ([[TextAnalysis]], q52):
+  * character-trigram bag features hashed into a fixed space, one
+  * logistic regression per language (one-vs-rest on the
+  * [[QualityClassifier]] trainer), argmax at prediction time. Char
+  * n-grams are what real lang-id ships — they see morphology and
+  * function-word shape without any language-specific lists.
+  *
+  * Scale shape: feature extraction is a per-character explode (the
+  * fastText cost — one row per trigram occurrence) into the SAME
+  * bounded-gradient training loop as the quality classifier: per
+  * round, one narrow corpus pass + one ≤ dim+1-row gradient shuffle,
+  * O(dim) driver state, times K classes. Prediction stacks the K
+  * weight vectors into one broadcast (idx, cls, w) table so scoring
+  * is ONE join + one (doc, cls) aggregate, and the per-doc argmax is
+  * a min-struct aggregate (smallest class wins exact ties) — never a
+  * window. Everything is deterministic: xxhash64 features, md5
+  * splits, and the gate checks a held-out accuracy BOUND, not float
+  * identity (the q142 convention).
+  */
+object TrainedLangId {
+
+  /** One row per (doc, hashed char-trigram): `doc_id`, `label` (the
+    * multi-class label, carried through), `idx` in [0, dim), `val`
+    * (trigram count / doc trigram count; plus a bias row at idx=dim).
+    * Texts shorter than 3 chars contribute only their bias row.
+    */
+  def charTrigramFeatures(docs: DataFrame, dim: Int,
+      labelCol: String): DataFrame = {
+    val t = lower(col("text"))
+    val grams = docs.select(col("doc_id"), col(labelCol).as("label"),
+      explode(transform(sequence(lit(1),
+          greatest(length(t) - 2, lit(0))),
+        i => t.substr(i, lit(3)))).as("gram"))
+    val counts = grams
+      .groupBy(col("doc_id"), col("label"),
+        pmod(xxhash64(col("gram")), lit(dim.toLong)).cast("int")
+          .as("idx"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("__graft_tot"))
+    counts.join(totals, "doc_id")
+      .select(col("doc_id"), col("label"), col("idx"),
+        (col("cnt") / col("__graft_tot")).as("val"))
+      .unionByName(docs.select(col("doc_id"),
+        col(labelCol).as("label"), lit(dim).as("idx"),
+        lit(1.0).as("val")))
+  }
+
+  /** One-vs-rest training: K binary [[QualityClassifier.train]] runs
+    * over the same feature table (relabeled per class). Returns
+    * class → weight vector. */
+  def trainOneVsRest(spark: SparkSession, features: DataFrame, dim: Int,
+      classes: Seq[Int], rounds: Int = 10,
+      lr: Double = 2.0): Map[Int, Array[Double]] =
+    classes.map { c =>
+      val bin = features.withColumn("label",
+        when(col("label") === c, 1.0).otherwise(0.0))
+      c -> QualityClassifier.train(spark, bin, dim, rounds, lr)
+    }.toMap
+
+  /** Predicted class per document: (doc_id, label, predicted).
+    * The K weight vectors broadcast as one (idx, cls, w) table; one
+    * join + one (doc, cls) sum + one min-struct argmax. */
+  def classify(spark: SparkSession, features: DataFrame,
+      weights: Map[Int, Array[Double]]): DataFrame = {
+    val stacked = spark.createDataFrame(
+      weights.toSeq.flatMap { case (c, w) =>
+        w.zipWithIndex.map { case (v, i) => (i, c, v) }
+      }).toDF("idx", "cls", "w")
+    features.join(broadcast(stacked), Seq("idx"))
+      .groupBy(col("doc_id"), col("label"), col("cls"))
+      .agg(sum(col("val") * col("w")).as("z"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(min(struct((-col("z")).as("nz"), col("cls").as("c")))
+        .as("__w"))
+      .select(col("doc_id"), col("label"),
+        col("__w.c").as("predicted"))
+  }
+
+  /** Domain-level language filter (the q187 shape for lang-id): keep
+    * groups whose MAJORITY predicted class equals `wanted` (majority
+    * by count desc, ties to the smallest class — a min-struct
+    * aggregate, never a hot-group window). `predictions` must carry
+    * (keyCol, predicted). */
+  def filterByMajorityLang(docs: DataFrame, predictions: DataFrame,
+      wanted: Int, keyCol: String = "source"): DataFrame = {
+    val majority = predictions
+      .groupBy(col(keyCol), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(keyCol))
+      .agg(min(struct((-col("n")).as("nn"),
+        col("predicted").as("p"))).as("__m"))
+      .filter(col("__m.p") === wanted)
+      .select(col(keyCol))
+    docs.join(majority, Seq(keyCol), "left_semi")
+  }
+}
