@@ -1,0 +1,94 @@
+package graft.dedup
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-overlap estimation between two document collections with NO
+  * shared ids, via KMV (k-minimum-values) distinct-value sketches over
+  * shingle hashes (Beyer et al., "On Synopses for Distinct-Value
+  * Estimation Under Multiset Operations", SIGMOD 2007).
+  *
+  * The question a 100 TB curation team actually asks — "how much of
+  * crawl B is already in crawl A?" before paying for a full cross-crawl
+  * dedup — needs only corpus-LEVEL numbers: distinct-shingle counts,
+  * Jaccard, containment. [[CorpusDiff]] answers it exactly when the two
+  * sides share ids; this operator answers it content-wise when they
+  * don't, at sketch cost:
+  *
+  *  - each side is ONE narrow scan (shingle → 32-bit md5 hash) into a
+  *    bounded [[graft.functions.KmvAgg]] — every task reduces to ≤ k
+  *    longs before the shuffle, so there is NO corpus-wide `distinct`
+  *    and no shingle-space join;
+  *  - the two k-long sketches meet in a 1×1 join; union / intersection
+  *    / Jaccard estimates are closed-form over ≤ 2k values.
+  *
+  * Estimators (hashes uniform on [0, M), M = 2^32): with h_k the k-th
+  * minimum, distinct ≈ (k−1)·M / h_k (exact when a side holds fewer
+  * than k distinct hashes — the sketch IS the value set); the union
+  * sketch is the bottom-k of the merged sketches; Jaccard ≈ the
+  * fraction of union-sketch members present in both sides' sketches;
+  * intersection ≈ Jaccard × union. Relative error ~1/√k.
+  *
+  * Unlike the HLL gate (q72) the whole pipeline is a deterministic
+  * function of the shingle sets — a DuckDB oracle replays the md5
+  * hashes, the bottom-k, and every estimate bit-for-bit.
+  */
+object CorpusOverlap {
+
+  /** M: hashes live on [0, 2^32) — first 8 md5 hex digits, the
+    * engine-portable convention ([[graft.text.CorpusMix]]).
+    */
+  private val M = 4294967296.0
+
+  private def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** One KMV sketch row (`sketch array<bigint>`, ascending) over the
+    * distinct `shingleK`-word shingles of `docs`.
+    */
+  def sketch(spark: SparkSession, docs: DataFrame, k: Int,
+      shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextShingles.shingleDf(docs, shingleK, idCol, textCol)
+      .select(explode(col("shingles")).as("s"))
+      .select(hash32(col("s")).as("h"))
+      .agg(GraftFunctions.kmv(spark, col("h"), k).as("sketch"))
+
+  /** Distinct-count estimate from a sketch column: exact below k,
+    * (k−1)·M / h_k at capacity.
+    */
+  private def est(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1) * M) / element_at(sk, k).cast("double"))
+
+  /** Corpus-overlap estimate row between collections `a` and `b`:
+    * sketch sizes, per-side / union distinct estimates, Jaccard, and
+    * the intersection estimate (all estimates rounded to 9).
+    */
+  def overlap(spark: SparkSession, a: DataFrame, b: DataFrame,
+      k: Int = 256, shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sa = sketch(spark, a, k, shingleK, idCol, textCol)
+      .select(col("sketch").as("sa"))
+    val sb = sketch(spark, b, k, shingleK, idCol, textCol)
+      .select(col("sketch").as("sb"))
+    // 1×1 join: both sides are single sketch rows
+    val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    val interK = size(filter(col("u"),
+      x => array_contains(col("sa"), x) && array_contains(col("sb"), x)))
+    val jac = interK.cast("double") / size(col("u")).cast("double")
+    sa.crossJoin(sb)
+      .withColumn("u", u)
+      .select(
+        lit(k).cast("int").as("k"),
+        size(col("sa")).cast("bigint").as("n_sketch_a"),
+        size(col("sb")).cast("bigint").as("n_sketch_b"),
+        size(col("u")).cast("bigint").as("n_sketch_union"),
+        round(est(col("sa"), k), 9).as("est_distinct_a"),
+        round(est(col("sb"), k), 9).as("est_distinct_b"),
+        round(est(col("u"), k), 9).as("est_distinct_union"),
+        round(jac, 9).as("jaccard_est"),
+        round(jac * est(col("u"), k), 9).as("est_distinct_intersection"))
+  }
+}

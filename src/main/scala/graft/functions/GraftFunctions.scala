@@ -183,4 +183,19 @@ object GraftFunctions {
     val name = registerTopK(spark, k)
     call_function(name, score, id.cast("bigint"))
   }
+
+  val KMV_PREFIX = "graft_kmv_" // one registered name per k
+
+  /** KMV distinct-value sketch aggregate → sorted `array<bigint>` of the
+    * k smallest distinct hashes (see [[KmvAgg]]): partial-aggregates to
+    * ≤ k per task pre-shuffle, and is deterministic given the hashes.
+    */
+  def kmv(spark: SparkSession, hash: Column, k: Int): Column = {
+    val name = KMV_PREFIX + k
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => KmvAgg(exprs(0), k).toAggregateExpression(),
+      "built-in")
+    call_function(name, hash.cast("bigint"))
+  }
 }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import java.nio.ByteBuffer
+
+/** Bounded k-minimum-values buffer: the k smallest DISTINCT long values
+  * seen so far (signed order — callers feed non-negative hash values).
+  * A red-black tree gives O(log k) insert with `last()` as the current
+  * k-th minimum; distinctness is what separates a KMV sketch from a
+  * plain bottom-k (duplicate hashes must not occupy two slots, or the
+  * estimator counts multiplicity instead of distinct values).
+  */
+final class KmvBuffer(val k: Int) {
+  val set = new java.util.TreeSet[java.lang.Long]()
+
+  def insert(v: Long): Unit = {
+    val boxed = java.lang.Long.valueOf(v)
+    if (set.size < k) { set.add(boxed); () }
+    else if (v < set.last() && !set.contains(boxed)) {
+      set.pollLast(); set.add(boxed); ()
+    }
+  }
+
+  def mergeFrom(other: KmvBuffer): Unit = {
+    val it = other.set.iterator()
+    while (it.hasNext) insert(it.next())
+  }
+}
+
+/** `kmv(hash)` aggregate: the KMV (k-minimum-values) distinct-value
+  * sketch of Bar-Yossef et al. / Beyer et al. (SIGMOD 2007) — the k
+  * smallest distinct hash values per group, as a sorted
+  * `array<bigint>`. With hashes uniform on [0, M), the k-th minimum
+  * h_k estimates the distinct count as (k−1)·M / h_k, and two
+  * sketches support union / intersection / Jaccard estimates without
+  * ever materializing the distinct sets.
+  *
+  * Being a [[TypedImperativeAggregate]] it partial-aggregates: every
+  * task reduces its slice of a 100 TB shingle stream to ≤ k longs
+  * before the shuffle, so a corpus-level sketch costs one narrow scan
+  * plus an O(k × partitions) merge — no corpus-wide `distinct`
+  * shuffle. Unlike HLL (q72) the sketch is a deterministic function
+  * of the input VALUE SET, so a DuckDB oracle replays it exactly.
+  */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k > 1, s"kmv needs k > 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv"
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: KmvBuffer): Any = {
+    val out = new Array[Long](buf.set.size)
+    val it = buf.set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.set.size * 8)
+    bb.putInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvAgg =
+    copy(child = newChildren(0))
+}

@@ -33,16 +33,33 @@ object FuzzyJoin {
 
   private val Q = 2 // bigrams
 
+  /** Spread an under-partitioned input across every core: a corpus read
+    * from one file is one task, and this operator's per-row work
+    * (prefix/segment explodes feeding the candidate join) is CPU-dense —
+    * measured at sf1, the whole candidate+verify pipeline ran as a
+    * SINGLE 10-minute task on a 32-core box with 31 cores idle (the
+    * [[graft.similarity.TopKSearch.bruteForce]] repartition exists for
+    * the same reason). Inputs already wider than the session's
+    * parallelism pass through untouched — no gratuitous shuffle of a
+    * well-partitioned 100 TB scan.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** All (left_id, right_id, dist) with `levenshtein ≤ maxDist`.
-    * Inputs are two-column frames (id, string value); each qualifying
-    * pair is emitted exactly once.
+    * Inputs are two-column frames (UNIQUE id, string value); each
+    * qualifying pair is emitted exactly once.
     */
   def byEditDistance(left: DataFrame, right: DataFrame,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     val minLong = Q * maxDist + Q
-    val l = left.toDF("left_id", "lval").withColumn("__ll", length(col("lval")))
-    val r = right.toDF("right_id", "rval").withColumn("__rl", length(col("rval")))
+    val l = spread(left.toDF("left_id", "lval")
+      .withColumn("__ll", length(col("lval"))))
+    val r = spread(right.toDF("right_id", "rval")
+      .withColumn("__rl", length(col("rval"))))
 
     // positional bigrams: array<struct<g, p>>
     def bigrams(s: Column): Column =
@@ -106,7 +123,6 @@ object FuzzyJoin {
       .filter(abs(col("__ll") - col("__rl")) <= maxDist &&
         abs(col("__pl") - col("__pr")) <= maxDist)
       .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
-      .distinct()
 
     // short-string paths — PassJoin segment pigeonhole (Li, Deng, Feng:
     // "PassJoin: a partition-based method for similarity joins"), NOT a
@@ -163,16 +179,30 @@ object FuzzyJoin {
         .join(rs.withColumn("__k",
           explode(candKeys(col("rval"), col("__rl")))), "__k")
         .select(col("left_id"), col("right_id"), col("lval"), col("rval"))
-        .distinct()
     val shortLeft = passJoin(l.filter(col("__ll") < minLong),
       r.filter(col("__rl") < minLong + maxDist))
     val shortRight = passJoin(
       l.filter(col("__ll") >= minLong && col("__ll") < minLong + maxDist),
       r.filter(col("__rl") < minLong))
 
+    // dedup BEFORE the exact verify, with the dedup acting as a
+    // pushdown BARRIER: a pair reached through several shared prefix
+    // grams / segment keys appears that many times in the raw candidate
+    // stream, and a plain `.distinct()` + filter lets Catalyst push the
+    // `levenshtein` predicate through the aggregate into the candidate-
+    // generation stage — the dominant cost then runs once per candidate
+    // OCCURRENCE (up to q·d+1 duplicates per pair), observed in the sf1
+    // task profile. Grouping by the id pair and carrying the values
+    // through `first(...)` keeps the same one-shuffle dedup (values are
+    // functionally dependent on the ids) while making the predicate
+    // reference AGGREGATE outputs, which cannot push below the
+    // exchange: each distinct pair pays levenshtein exactly once, on
+    // the reduce side, parallel across the pair table's partitions.
     longPairs.unionByName(shortLeft).unionByName(shortRight)
-      .filter(levenshtein(col("lval"), col("rval")) <= maxDist)
-      .select(col("left_id"), col("right_id"),
-        levenshtein(col("lval"), col("rval")).as("dist"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(first(col("lval")).as("lval"), first(col("rval")).as("rval"))
+      .withColumn("dist", levenshtein(col("lval"), col("rval")))
+      .filter(col("dist") <= maxDist)
+      .select(col("left_id"), col("right_id"), col("dist"))
   }
 }

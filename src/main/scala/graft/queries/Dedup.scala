@@ -334,7 +334,25 @@ object Dedup extends QueryPack {
     Containment.pairs(base.unionByName(excerpts), k = 3, threshold = 0.9)
   }
 
+  /** Corpus-overlap sketch gate (q212): the documents table split by id
+    * parity stands in for two crawl snapshots with no shared ids, and
+    * [[graft.dedup.CorpusOverlap.overlap]] estimates distinct-shingle
+    * counts, Jaccard, and intersection from two k = 256 KMV sketches —
+    * corpus-level numbers from one bounded aggregate per side, never a
+    * shingle-space distinct or join. The whole pipeline is
+    * deterministic given the md5 hashes, so DuckDB replays the
+    * shingling, the 32-bit hash, both bottom-256 sketches, the union
+    * sketch, and every closed-form estimate bit-for-bit.
+    */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    CorpusOverlap.overlap(s,
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_corpus_overlap" -> corpusOverlap _,
     "q196_containment" -> containmentGate _,
     "q190_snapshot_diff" -> snapshotDiff _,
     "q184_keep_best" -> keepBestGate _,
@@ -382,6 +400,51 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q212_corpus_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+        |     if t <> ''] AS tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id % 2 AS side,
+        |    unnest(list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |      for i in range(1, len(tokens) - 1)])) AS s
+        |  FROM tk WHERE len(tokens) >= 3),
+        |hs AS (
+        |  SELECT DISTINCT side,
+        |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+        |  FROM sh),
+        |ska AS (SELECT list(h ORDER BY h) AS sk FROM (
+        |  SELECT h FROM hs WHERE side = 0 ORDER BY h LIMIT 256)),
+        |skb AS (SELECT list(h ORDER BY h) AS sk FROM (
+        |  SELECT h FROM hs WHERE side = 1 ORDER BY h LIMIT 256)),
+        |sku AS (SELECT list(h ORDER BY h) AS sk FROM (
+        |  SELECT DISTINCT h FROM hs ORDER BY h LIMIT 256)),
+        |fin AS (
+        |  SELECT a.sk AS sa, b.sk AS sb, u.sk AS su
+        |  FROM ska a, skb b, sku u)
+        |SELECT CAST(256 AS INT) AS k,
+        |  CAST(len(sa) AS BIGINT) AS n_sketch_a,
+        |  CAST(len(sb) AS BIGINT) AS n_sketch_b,
+        |  CAST(len(su) AS BIGINT) AS n_sketch_union,
+        |  round(CASE WHEN len(sa) < 256 THEN CAST(len(sa) AS DOUBLE)
+        |    ELSE 255 * 4294967296.0 / sa[256] END, 9) AS est_distinct_a,
+        |  round(CASE WHEN len(sb) < 256 THEN CAST(len(sb) AS DOUBLE)
+        |    ELSE 255 * 4294967296.0 / sb[256] END, 9) AS est_distinct_b,
+        |  round(CASE WHEN len(su) < 256 THEN CAST(len(su) AS DOUBLE)
+        |    ELSE 255 * 4294967296.0 / su[256] END, 9)
+        |    AS est_distinct_union,
+        |  round(CAST(len([x for x in su
+        |      if list_contains(sa, x) AND list_contains(sb, x)])
+        |      AS DOUBLE) / len(su), 9) AS jaccard_est,
+        |  round((CAST(len([x for x in su
+        |      if list_contains(sa, x) AND list_contains(sb, x)])
+        |      AS DOUBLE) / len(su)) *
+        |    (CASE WHEN len(su) < 256 THEN CAST(len(su) AS DOUBLE)
+        |     ELSE 255 * 4294967296.0 / su[256] END), 9)
+        |    AS est_distinct_intersection
+        |FROM fin""".stripMargin,
     "q196_containment" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |exd AS (

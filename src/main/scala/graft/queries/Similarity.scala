@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.functions.GraftFunctions
-import graft.similarity.{ContrastiveSampling, IvfIndex, PqIndex, RankFusion, RetrievalEval, SqIndex, TopKSearch}
+import graft.similarity.{BitextMine, ContrastiveSampling, IvfIndex, PqIndex, RankFusion, RetrievalEval, SqIndex, TopKSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -399,6 +399,26 @@ object Similarity extends QueryPack {
     * pinned threshold; odd-id truth neighbors are unreachable by
     * construction, which exercises every partial-credit branch.
     */
+  /** Margin-based pair-mining gate (q211): the embeddings table split
+    * by id parity stands in for two corpora with no shared ids (the
+    * bitext / cross-collection paraphrase shape), and
+    * [[graft.similarity.BitextMine.minePairs]] mines mutual-best
+    * pairs under the Artetxe–Schwenk margin criterion with k = 4
+    * neighborhoods. DuckDB replays both k-NN directions as windowed
+    * cross joins, the neighborhood means, the margin, and both
+    * argmaxes (margin DESC, id ASC — margins rounded to 9 before
+    * ranking on both engines, so the mutual intersection is
+    * deterministic).
+    */
+  def bitextMining(s: SparkSession, dir: String): DataFrame =
+    withSmallShuffle(s) {
+      val embs = Tables.embeddings(s, dir)
+      BitextMine.minePairs(s,
+        embs.filter(col("vec_id") % 2 === 0),
+        embs.filter(col("vec_id") % 2 === 1),
+        k = 4, marginThreshold = 1.0)
+    }
+
   def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(s, dir)
     val queries = embs.filter(col("vec_id") < NQUERIES)
@@ -412,6 +432,7 @@ object Similarity extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_bitext_mining" -> bitextMining _,
     "q194_retrieval_metrics" -> retrievalMetrics _,
     "q181_semantic_decontam" -> semanticDecontamination _,
     "q174_filtered_ann" -> filteredRecall _,
@@ -429,6 +450,54 @@ object Similarity extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q211_bitext_mining" ->
+      """WITH srcv AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |tgtv AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |fr AS (
+        |  SELECT s.id AS src_id, t.id AS tgt_id,
+        |    round(list_cosine_similarity(s.v, t.v), 9) AS cosine
+        |  FROM srcv s CROSS JOIN tgtv t),
+        |fwd AS (
+        |  SELECT src_id, tgt_id, cosine,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY cosine DESC, tgt_id) AS rk
+        |  FROM fr),
+        |bwd AS (
+        |  SELECT src_id, tgt_id, cosine,
+        |    row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY cosine DESC, src_id) AS rk
+        |  FROM fr),
+        |ms AS (SELECT src_id, avg(cosine) AS mean_src
+        |       FROM fwd WHERE rk <= 4 GROUP BY src_id),
+        |mt AS (SELECT tgt_id, avg(cosine) AS mean_tgt
+        |       FROM bwd WHERE rk <= 4 GROUP BY tgt_id),
+        |cand AS (
+        |  SELECT DISTINCT src_id, tgt_id, cosine FROM (
+        |    SELECT src_id, tgt_id, cosine FROM fwd WHERE rk <= 4
+        |    UNION ALL
+        |    SELECT src_id, tgt_id, cosine FROM bwd WHERE rk <= 4)),
+        |sc AS (
+        |  SELECT c.src_id, c.tgt_id, c.cosine,
+        |    round(c.cosine / ((ms.mean_src + mt.mean_tgt) / 2), 9)
+        |      AS margin
+        |  FROM cand c JOIN ms USING (src_id) JOIN mt USING (tgt_id)),
+        |bs AS (
+        |  SELECT src_id, tgt_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY src_id
+        |    ORDER BY margin DESC, tgt_id) = 1),
+        |bt AS (
+        |  SELECT src_id, tgt_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY tgt_id
+        |    ORDER BY margin DESC, src_id) = 1)
+        |SELECT sc.src_id, sc.tgt_id, sc.cosine, sc.margin
+        |FROM sc
+        |JOIN bs USING (src_id, tgt_id)
+        |JOIN bt USING (src_id, tgt_id)
+        |WHERE sc.margin >= 1.0""".stripMargin,
     "q194_retrieval_metrics" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

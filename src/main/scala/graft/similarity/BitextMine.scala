@@ -1,0 +1,106 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Margin-based parallel-pair mining between two embedding corpora —
+  * the bitext-mining shape (Artetxe & Schwenk, "Margin-based Parallel
+  * Corpus Mining with Multilingual Sentence Embeddings", ACL 2019)
+  * that a multilingual training-data pipeline runs to harvest
+  * translation pairs, and that a monolingual pipeline reuses to mine
+  * paraphrase / duplicate-intent pairs across two collections with no
+  * shared ids (the reference's ad-hoc query surface,
+  * emr_json_parquet_schema_drift_etl.py:142-152, has no analogue —
+  * this is north-star depth).
+  *
+  * Raw cosine is a poor mining score: "hub" vectors sit near
+  * everything and flood a threshold rule with false pairs. The margin
+  * criterion rescales each candidate by the mean similarity of both
+  * endpoints' k-NN neighborhoods,
+  *
+  *   margin(x, y) = cos(x, y) / ((mean_k cos(x, NN(x)) +
+  *                                mean_k cos(y, NN(y))) / 2),
+  *
+  * so a hub's inflated neighborhood mean cancels its inflated pair
+  * scores. Mining keeps MUTUAL best matches (y is x's argmax AND x is
+  * y's argmax) above a margin threshold — the paper's "max" strategy
+  * intersected both directions.
+  *
+  * Plan shape, sized for a 100 TB corpus pair:
+  *  - both k-NN passes are [[TopKSearch.bruteForce]] scans (queries
+  *    broadcast, corpus never shuffles, bounded TopKAgg) — swap in
+  *    [[IvfIndex]] search for the same (query_id, neighbor_id, cosine)
+  *    contract when the corpora outgrow brute force;
+  *  - neighborhood means are k-bounded per-id aggregates;
+  *  - the candidate set is the union of both top-k lists — O(k·(|A|+|B|))
+  *    rows, never |A|×|B|;
+  *  - both argmaxes are min-struct aggregates (the [[graft.dedup.KeepBest]]
+  *    discipline — margin DESC, id ASC, never a window over candidates);
+  *    a hub appearing in millions of top-k lists is exactly the skewed
+  *    group that partial aggregation absorbs map-side.
+  *
+  * Determinism across engines: cosines are rounded to 9 before ranking
+  * (the q40 convention), margins are rounded to 9 before the argmax,
+  * and every tie breaks on the smaller id.
+  */
+object BitextMine {
+
+  /** Mine mutual-best pairs between `src` and `tgt` embedding tables.
+    *
+    * @param k      neighborhood size for the margin normalizer (and the
+    *               candidate lists)
+    * @param marginThreshold keep pairs with margin ≥ this; 1.0 keeps
+    *               pairs scoring above their neighborhoods' mean
+    * @return (src_id, tgt_id, cosine, margin), one row per mined pair
+    */
+  def minePairs(spark: SparkSession, src: DataFrame, tgt: DataFrame,
+      k: Int, marginThreshold: Double = 1.0,
+      srcId: String = "vec_id", srcVec: String = "embedding",
+      tgtId: String = "vec_id", tgtVec: String = "embedding"): DataFrame = {
+    // forward: each src against the tgt corpus; backward: each tgt
+    // against the src corpus. cos is symmetric, so the same mined pair
+    // carries the same rounded cosine from either direction.
+    val fwd = TopKSearch.bruteForce(spark, tgt, src, k,
+      corpusId = tgtId, corpusVec = tgtVec,
+      queryId = srcId, queryVec = srcVec)
+    val bwd = TopKSearch.bruteForce(spark, src, tgt, k,
+      corpusId = srcId, corpusVec = srcVec,
+      queryId = tgtId, queryVec = tgtVec)
+
+    val meanSrc = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(avg(col("cosine")).as("mean_src"))
+    val meanTgt = bwd.groupBy(col("query_id").as("tgt_id"))
+      .agg(avg(col("cosine")).as("mean_tgt"))
+
+    // candidate pairs: union of both directions' top-k lists. distinct
+    // is safe on the rounded cosine (identical from both directions).
+    val cands = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("cosine"))
+      .unionByName(bwd.select(col("neighbor_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("cosine")))
+      .distinct()
+
+    val scored = cands
+      .join(meanSrc, Seq("src_id"))
+      .join(meanTgt, Seq("tgt_id"))
+      .withColumn("margin", round(
+        col("cosine") / ((col("mean_src") + col("mean_tgt")) / 2.0), 9))
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+
+    // mutual best: argmax by (margin DESC, id ASC) on each side as a
+    // min-struct aggregate, then the intersection of both argmaxes.
+    val bestForSrc = scored.groupBy(col("src_id"))
+      .agg(min(struct((-col("margin")).as("nm"), col("tgt_id").as("t")))
+        .as("b"))
+      .select(col("src_id"), col("b.t").as("tgt_id"))
+    val bestForTgt = scored.groupBy(col("tgt_id"))
+      .agg(min(struct((-col("margin")).as("nm"), col("src_id").as("s")))
+        .as("b"))
+      .select(col("b.s").as("src_id"), col("tgt_id"))
+
+    scored
+      .join(bestForSrc, Seq("src_id", "tgt_id"))
+      .join(bestForTgt, Seq("src_id", "tgt_id"))
+      .filter(col("margin") >= marginThreshold)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class CorpusOverlapSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("kmv keeps the k smallest DISTINCT values, sorted") {
+    val got = Seq(5L, 5L, 1L, 9L, 1L, 3L).toDF("h")
+      .agg(GraftFunctions.kmv(spark, col("h"), 4).as("s"))
+      .as[Seq[Long]].collect().head
+    assert(got == Seq(1L, 3L, 5L, 9L))
+  }
+
+  test("kmv at capacity evicts the largest; partial merge agrees") {
+    val vals = (1L to 10L).toDF("h")
+    val one = vals.coalesce(1)
+      .agg(GraftFunctions.kmv(spark, col("h"), 4).as("s"))
+      .as[Seq[Long]].collect().head
+    val many = vals.repartition(3)
+      .agg(GraftFunctions.kmv(spark, col("h"), 4).as("s"))
+      .as[Seq[Long]].collect().head
+    assert(one == Seq(1L, 2L, 3L, 4L) && many == one)
+  }
+
+  private def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("identical corpora: jaccard 1, intersection == union") {
+    val d = docs(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs"))
+    val r: Row = CorpusOverlap.overlap(spark, d, d, k = 16).collect().head
+    assert(r.getAs[Double]("jaccard_est") == 1.0)
+    assert(r.getAs[Double]("est_distinct_intersection") ==
+      r.getAs[Double]("est_distinct_union"))
+    assert(r.getAs[Long]("n_sketch_a") == r.getAs[Long]("n_sketch_union"))
+  }
+
+  test("disjoint corpora: jaccard 0; sub-capacity estimates are exact") {
+    val a = docs(Seq(1L -> "alpha beta gamma delta epsilon"))
+    val b = docs(Seq(2L -> "one two three four five six"))
+    val r = CorpusOverlap.overlap(spark, a, b, k = 64).collect().head
+    assert(r.getAs[Double]("jaccard_est") == 0.0)
+    assert(r.getAs[Double]("est_distinct_intersection") == 0.0)
+    // 5 tokens -> 3 distinct 3-gram shingles; 6 -> 4; below k = 64 the
+    // sketch IS the distinct set
+    assert(r.getAs[Double]("est_distinct_a") == 3.0)
+    assert(r.getAs[Double]("est_distinct_b") == 4.0)
+    assert(r.getAs[Double]("est_distinct_union") == 7.0)
+  }
+
+  test("half-overlapping corpora land between the pure cases") {
+    val shared = (0 until 40).map(i => s"shared$i").mkString(" ")
+    val a = docs(Seq(1L -> (shared + " " +
+      (0 until 40).map(i => s"lefty$i").mkString(" "))))
+    val b = docs(Seq(2L -> (shared + " " +
+      (0 until 40).map(i => s"righty$i").mkString(" "))))
+    val r = CorpusOverlap.overlap(spark, a, b, k = 32).collect().head
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j > 0.05 && j < 0.8, s"jaccard_est $j out of range")
+    val inter = r.getAs[Double]("est_distinct_intersection")
+    val union = r.getAs[Double]("est_distinct_union")
+    assert(inter > 0.0 && inter < union)
+  }
+}

@@ -78,4 +78,34 @@ class FuzzyJoinSpec extends SparkSpec {
       .select($"left_id", $"right_id").as[(Long, Long)].collect()
     assert(rows.length == rows.toSet.size)
   }
+
+  test("verify runs once per DISTINCT pair, above the dedup exchange") {
+    // the sf1 profile: Catalyst pushed `levenshtein <= d` through the
+    // candidate `.distinct()` into the generation stage, so the
+    // dominant cost ran once per candidate occurrence (q·d+1 dups per
+    // pair) inside ONE map task. The first()-carried group-by is the
+    // barrier: levenshtein must sit ABOVE the pair aggregate in the
+    // optimized plan (printed top-down: filter line before agg line).
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghix")).toDF("id", "v")
+    val plan = FuzzyJoin.byEditDistance(df, df, 2)
+      .queryExecution.optimizedPlan.toString
+    val lev = plan.indexOf("levenshtein")
+    val agg = plan.indexOf("Aggregate [left_id")
+    assert(lev >= 0 && agg >= 0 && lev < agg,
+      s"levenshtein pushed below the pair dedup:\n$plan")
+  }
+
+  test("a single-partition input spreads across the session cores") {
+    // one parquet file -> one task otherwise carries the whole
+    // candidate+verify pipeline (the sf1 stall: 1 task, 31 idle cores)
+    val vals = (0 until 200).map(i => (i.toLong, s"name$i"))
+    val one = vals.toDF("id", "v").coalesce(1)
+    val joined = FuzzyJoin.byEditDistance(one, one, 1)
+    // AQE may coalesce DOWNSTREAM stages by size; the spread itself is
+    // a round-robin exchange AQE leaves alone (user-specified numPartitions)
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"))
+    assert(joined.as[(Long, Long, Int)].collect().toSet ==
+      brute(vals, vals, 1))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class BitextMineSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def df(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("mines mutual-best pairs and drops one-directional matches") {
+    // src 0 <-> tgt 1 and src 2 <-> tgt 3 are clear mutual pairs;
+    // src 4 sits between them, and tgt 5 points away from everything.
+    val src = df(Seq(
+      0L -> Seq(1f, 0f),
+      2L -> Seq(0f, 1f),
+      4L -> Seq(0.7f, 0.7f)))
+    val tgt = df(Seq(
+      1L -> Seq(0.99f, 0.1f),
+      3L -> Seq(0.1f, 0.99f),
+      5L -> Seq(-1f, 0.05f)))
+    val got = BitextMine.minePairs(spark, src, tgt, k = 2)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)) && got.contains((2L, 3L)))
+    // src 4's best tgt is 1 or 3, but both prefer their own partner:
+    // no mutual pair involves 4
+    assert(!got.exists(p => p._1 == 4L))
+  }
+
+  test("margin demotes a hub that raw cosine would mine") {
+    // tgt 9 is a hub: decently close to BOTH srcs (cos ~0.89), so its
+    // neighborhood mean is high; each src also has a dedicated partner
+    // at cos ~0.99. Raw-cosine mutual-best would still pair the hub
+    // with src 20 (the hub's argmax), but its margin stays ~1.0 while
+    // the dedicated pairs clear it — the ratio cancels hub inflation.
+    val src = df(Seq(
+      10L -> Seq(1f, 0f),
+      20L -> Seq(0f, 1f)))
+    val tgt = df(Seq(
+      11L -> Seq(0.995f, 0.1f), // partner of 10
+      21L -> Seq(0.1f, 0.995f), // partner of 20
+      9L -> Seq(0.72f, 0.7f))) // hub
+    val mined = BitextMine.minePairs(spark, src, tgt, k = 2,
+      marginThreshold = 1.0)
+    val pairs = mined.select("src_id", "tgt_id").as[(Long, Long)]
+      .collect().toSet
+    assert(pairs == Set((10L, 11L), (20L, 21L)))
+    // and the hub's margin, where it is a candidate at all, is below
+    // the dedicated partners' margins
+    val margins = BitextMine.minePairs(spark, src, tgt, k = 2,
+        marginThreshold = Double.NegativeInfinity)
+      .select("tgt_id", "margin").as[(Long, Double)].collect().toMap
+    assert(!margins.contains(9L) ||
+      margins(9L) < math.min(margins(11L), margins(21L)))
+  }
+
+  test("pairs carry the symmetric rounded cosine from either direction") {
+    val src = df(Seq(0L -> Seq(3f, 4f)))
+    val tgt = df(Seq(1L -> Seq(4f, 3f)))
+    val row = BitextMine.minePairs(spark, src, tgt, k = 1).collect().head
+    // cos = (12 + 12) / 25 = 0.96 exactly
+    assert(row.getAs[Double]("cosine") == 0.96)
+    // sole candidate: margin = cos / ((cos + cos) / 2) = 1.0
+    assert(row.getAs[Double]("margin") == 1.0)
+  }
+}
