@@ -1,0 +1,45 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Leakage-safe train/eval splitting: assign whole NEAR-DUP CLUSTERS to
+  * a split, never individual documents. A document-keyed split (the
+  * [[graft.text.CorpusMix.split]] shape) silently leaks when the corpus
+  * contains near-duplicates — one copy lands in train, its twin in the
+  * eval set, and the eval score measures memorization of the twin. The
+  * fix is the standard one (cf. the contamination analyses behind GPT-2
+  * /C4-era dedup work): split on the connected component of the
+  * near-dup graph, so every document either trains WITH its
+  * near-duplicates or evaluates with them — never across.
+  *
+  * Plan shape: [[NearDupClusters.clusters]] (edge-touched nodes only,
+  * pointer-jump label propagation, O(log diameter) bounded rounds)
+  * plus ONE narrow pass stamping each row with an md5 draw on its
+  * CLUSTER id — no per-split shuffle, no count, and membership is
+  * stable when the corpus grows except where growth merges clusters
+  * (which genuinely must be able to move a cluster, or the guarantee
+  * breaks). Fully deterministic given (pairs, salt).
+  */
+object LeakageSafeSplit {
+
+  /** @param docs  (idCol) universe — docs without near-dup edges split
+    *              as their own singleton cluster
+    * @param pairs (doc_a, doc_b) undirected near-dup edges over idCol
+    * @param testFraction cluster draw < testFraction → "test"
+    * @return (idCol, cluster_id, split)
+    */
+  def byCluster(docs: DataFrame, pairs: DataFrame, testFraction: Double,
+      idCol: String = "doc_id", salt: String = ""): DataFrame = {
+    require(testFraction >= 0.0 && testFraction <= 1.0,
+      s"testFraction must be in [0,1], got $testFraction")
+    val cl = NearDupClusters.clusters(
+      docs.select(col(idCol).as("doc_id")), pairs)
+    // the CorpusMix.drawU convention, keyed on the CLUSTER id: exact in
+    // double, engine-portable, and identical for every cluster member
+    val u = conv(substring(md5(concat(col("cluster_id").cast("string"),
+      lit(":" + salt))), 1, 8), 16, 10).cast("long") / lit(4294967296.0)
+    cl.select(col("doc_id").as(idCol), col("cluster_id"),
+      when(u < testFraction, "test").otherwise("train").as("split"))
+  }
+}

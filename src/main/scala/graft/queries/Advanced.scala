@@ -126,7 +126,10 @@ object Advanced extends QueryPack {
     val l = docs.select(col("doc_id").as("id"),
       substring(col("text"), 1, 12).as("v"))
     val planted = docs.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 30000L).as("id"),
+      // offset far above any doc_id at ANY bench SF: FuzzyJoin's
+      // contract needs UNIQUE ids, and +30000 collided with real ids
+      // once sf1 fixtures (50k docs) existed
+      .select((col("doc_id") + 10000000L).as("id"),
         concat(lit("zz"), substring(col("text"), 3, 10)).as("v"))
     graft.operators.FuzzyJoin.byEditDistance(l, l.unionByName(planted),
       maxDist = 2)
@@ -405,7 +408,7 @@ object Advanced extends QueryPack {
         |  SELECT doc_id AS right_id, substr(text, 1, 12) AS rval
         |  FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 30000, 'zz' || substr(text, 3, 10)
+        |  SELECT doc_id + 10000000, 'zz' || substr(text, 3, 10)
         |  FROM documents WHERE doc_id % 5 = 0)
         |SELECT l.left_id, r.right_id,
         |  levenshtein(lval, rval)::INT AS dist

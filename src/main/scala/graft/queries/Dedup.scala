@@ -351,7 +351,23 @@ object Dedup extends QueryPack {
       docs.filter(col("doc_id") % 2 === 1))
   }
 
+  /** Leakage-safe split gate (q214): the q77/q185 near-dup graph,
+    * [[graft.dedup.LeakageSafeSplit.byCluster]] assigning whole
+    * components to train/test on a cluster-keyed md5 draw — the split
+    * a benchmark-honest pipeline uses so an eval document never has a
+    * near-duplicate in train. DuckDB replays the components (the q185
+    * recursive CTE) and the cluster draw.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+    val pairs = EmbeddingNearDup.pairsBrute(embs, threshold = 0.45)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    LeakageSafeSplit.byCluster(embs.select(col("vec_id").as("doc_id")),
+      pairs, testFraction = 0.2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_leakage_safe_split" -> leakageSafeSplit _,
     "q212_corpus_overlap" -> corpusOverlap _,
     "q196_containment" -> containmentGate _,
     "q190_snapshot_diff" -> snapshotDiff _,
@@ -400,6 +416,31 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q214_leakage_safe_split" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+        |mins AS (SELECT n, min(m) AS mr FROM reach GROUP BY n),
+        |lab AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    least(e.vec_id, coalesce(m.mr, e.vec_id)) AS cluster_id
+        |  FROM u e LEFT JOIN mins m ON m.n = e.vec_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+        |      || ':'), 1, 8))::BIGINT / 4294967296.0 < 0.2
+        |    THEN 'test' ELSE 'train' END AS split
+        |FROM lab""".stripMargin,
     "q212_corpus_overlap" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.functions.GraftFunctions
-import graft.similarity.{BitextMine, ContrastiveSampling, IvfIndex, PqIndex, RankFusion, RetrievalEval, SqIndex, TopKSearch}
+import graft.similarity.{BitextMine, ClusterBalance, ContrastiveSampling, IvfIndex, PqIndex, RankFusion, RetrievalEval, SqIndex, TopKSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -419,6 +419,25 @@ object Similarity extends QueryPack {
         k = 4, marginThreshold = 1.0)
     }
 
+  /** Cluster-balanced sampling gate (q213): frozen centroids (the
+    * first 8 embeddings, in id order — DuckDB-replayable, unlike a
+    * trained model), [[graft.similarity.ClusterBalance.balancedSample]]
+    * keeps at most 5 docs per cell via the deterministic md5 draw into
+    * the bounded per-cell top-k. DuckDB recomputes the argmax
+    * assignment (cosine DESC, cell ASC — the first-max convention) and
+    * the per-cell draw-order prefix. `SimilaritySpec` covers the
+    * TRAINED-model path; this gate pins the sampling semantics.
+    */
+  def clusterBalancedSample(s: SparkSession, dir: String): DataFrame =
+    withSmallShuffle(s) {
+      val embs = Tables.embeddings(s, dir)
+      val model = IvfIndex.Model(
+        embs.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray))
+      ClusterBalance.balancedSample(s, embs, model, nPerCell = 5)
+    }
+
   def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(s, dir)
     val queries = embs.filter(col("vec_id") < NQUERIES)
@@ -432,6 +451,7 @@ object Similarity extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_cluster_balanced_sample" -> clusterBalancedSample _,
     "q211_bitext_mining" -> bitextMining _,
     "q194_retrieval_metrics" -> retrievalMetrics _,
     "q181_semantic_decontam" -> semanticDecontamination _,
@@ -450,6 +470,28 @@ object Similarity extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q213_cluster_balanced_sample" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cell0, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cell0 FROM (
+        |    SELECT v.vec_id, cent.cell0,
+        |      list_cosine_similarity(v.v, cent.c) AS s
+        |    FROM v CROSS JOIN cent)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cell0) = 1),
+        |drw AS (
+        |  SELECT CAST(cell0 + 1 AS BIGINT) AS cell, vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':'),
+        |      1, 13))::BIGINT AS DOUBLE) AS draw
+        |  FROM asg)
+        |SELECT cell, vec_id FROM drw
+        |QUALIFY row_number() OVER (PARTITION BY cell
+        |  ORDER BY draw, vec_id) <= 5""".stripMargin,
     "q211_bitext_mining" ->
       """WITH srcv AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v

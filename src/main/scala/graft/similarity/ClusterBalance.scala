@@ -1,0 +1,51 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-balanced corpus sampling: cap how much any one semantic
+  * region contributes to a training mix. Web-scale corpora are wildly
+  * imbalanced in EMBEDDING space, not just by source — boilerplate
+  * clusters (product pages, forum quotes) dwarf the long tail, and a
+  * uniform sample reproduces that imbalance. Sampling a bounded number
+  * of documents per k-means cell flattens it (the diversity half of
+  * cluster-based curation — SemDeDup's q136 clusters prune REDUNDANCY;
+  * this bounds DOMINANCE).
+  *
+  * Composition of two existing scale-shaped pieces:
+  *  - assignment is [[IvfIndex.encode]] — the frozen-centroid argmax
+  *    expression (centroid literals in the plan, one narrow pass, no
+  *    join);
+  *  - per-cell selection is the [[graft.text.CorpusMix]] exact-sample
+  *    discipline: a deterministic md5 draw per id into a bounded
+  *    per-cell top-k aggregate — each task contributes ≤ n ids per
+  *    cell to the shuffle, so a billion-document boilerplate cell
+  *    costs O(n × tasks), never a hot-cell window sort.
+  *
+  * Deterministic end-to-end: assignment ties take the first max cell,
+  * the draw is a pure function of (id, salt), and draw ties (impossible
+  * for distinct ids) would break on id — a DuckDB oracle replays both
+  * stages exactly.
+  */
+object ClusterBalance {
+
+  /** At most `nPerCell` documents per centroid cell, chosen by the
+    * deterministic md5 draw (stable across runs, engines, partitioning,
+    * and corpus growth outside a cell's draw-order prefix).
+    * Returns (cell, idCol).
+    */
+  def balancedSample(spark: SparkSession, corpus: DataFrame,
+      model: IvfIndex.Model, nPerCell: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salt: String = ""): DataFrame = {
+    require(nPerCell >= 1, s"nPerCell must be >= 1, got $nPerCell")
+    val coded = IvfIndex.encode(spark, model, corpus, idCol, vecCol)
+    val draw = conv(substring(md5(concat(col("neighbor_id").cast("string"),
+      lit(":" + salt))), 1, 13), 16, 10).cast("double")
+    coded.groupBy(col("cell"))
+      .agg(GraftFunctions.topK(spark, -draw, col("neighbor_id"), nPerCell)
+        .as("top"))
+      .select(col("cell"), explode(col("top").getField("id")).as(idCol))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class LeakageSafeSplitSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("near-duplicates always land in the same split") {
+    val docs = (1L to 12L).toDF("doc_id")
+    // chain 1-2-3, pair 5-6, singletons 4 and 7..12
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = LeakageSafeSplit.byCluster(docs, pairs, testFraction = 0.5)
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 12)
+    val bySplit = got.map(r => r._1 -> r._3).toMap
+    assert(bySplit(1L) == bySplit(2L) && bySplit(2L) == bySplit(3L))
+    assert(bySplit(5L) == bySplit(6L))
+    // cluster labels: component minimum
+    val byCluster = got.map(r => r._1 -> r._2).toMap
+    assert(byCluster(3L) == 1L && byCluster(6L) == 5L && byCluster(4L) == 4L)
+  }
+
+  test("deterministic across reruns; fraction responds to the knob") {
+    val docs = (1L to 400L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val a = LeakageSafeSplit.byCluster(docs, pairs, 0.25)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val b = LeakageSafeSplit.byCluster(docs, pairs, 0.25)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    val testFrac = a.count(_._3 == "test").toDouble / a.length
+    assert(testFrac > 0.1 && testFrac < 0.45, s"test fraction $testFrac")
+    // testFraction 0 puts everything in train
+    val none = LeakageSafeSplit.byCluster(docs, pairs, 0.0)
+      .filter(_.getString(2) == "test").count()
+    assert(none == 0L)
+  }
+
+  test("a merged cluster moves as a unit, members never straddle") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val before = LeakageSafeSplit.byCluster(docs,
+        Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b"), 0.5)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    // new edge merges {1,2} with {3,4}
+    val after = LeakageSafeSplit.byCluster(docs,
+        Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("doc_a", "doc_b"), 0.5)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(after).size == 1)
+    // untouched singletons keep their assignment
+    assert(before(5L) == after(5L) && before(6L) == after(6L))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ClusterBalanceSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val embs = Tables.embeddings(spark, sf)
+
+  test("trained model: at most n per cell, ids from the corpus, stable") {
+    val model = IvfIndex.train(spark, embs, numCells = 4)
+    val got = ClusterBalance.balancedSample(spark, embs, model, 3)
+      .as[(Long, Long)].collect()
+    val perCell = got.groupBy(_._1).map { case (_, v) => v.length }
+    assert(perCell.nonEmpty && perCell.max <= 3)
+    val corpusIds = embs.select("vec_id").as[Long].collect().toSet
+    assert(got.map(_._2).toSet.subsetOf(corpusIds))
+    // deterministic: a rerun returns the identical sample
+    val again = ClusterBalance.balancedSample(spark, embs, model, 3)
+      .as[(Long, Long)].collect()
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("growth in one cell leaves every other cell's sample unchanged") {
+    val model = IvfIndex.Model(
+      embs.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray))
+    val before = ClusterBalance.balancedSample(spark, embs, model, 2)
+      .as[(Long, Long)].collect().toSet
+    // clone one document's vector under fresh ids: the clones land in
+    // the donor's cell and can only displace THERE
+    val donor = embs.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].collect().head
+    val extra = Seq((100000L, donor), (100001L, donor))
+      .toDF("vec_id", "embedding")
+    val cellOf0 = IvfIndex.encode(spark, model,
+        embs.filter(col("vec_id") === 0))
+      .select("cell").as[Long].collect().head
+    val after = ClusterBalance.balancedSample(spark,
+        embs.select("vec_id", "embedding").unionByName(extra),
+        model, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(before.filter(_._1 != cellOf0) == after.filter(_._1 != cellOf0))
+  }
+}

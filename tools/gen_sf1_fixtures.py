@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Dev-only: generate sf1.0 fixtures (10x sf0.1) for the heavy-family
+scale measurement (BENCH_sf1.json). NOT part of the engine.
+
+Same generator family as the driver's testdata: documents are drawn
+from the sf0.1 vocabulary with the sf0.1 word-count distribution,
+embeddings are unit 64-d gaussians; seed 42. Writes /tmp/graft_sf1/
+(documents.parquet 50k rows, embeddings.parquet 20k rows).
+
+Usage: python3 tools/gen_sf1_fixtures.py
+"""
+import duckdb, random, math
+import pyarrow as pa, pyarrow.parquet as pq
+import os
+
+OUT = "/tmp/graft_sf1"
+os.makedirs(OUT, exist_ok=True)
+
+con = duckdb.connect()
+base = con.execute(
+    "SELECT text FROM '/root/testdata/sf0.1/documents.parquet'").fetchall()
+counts = [len(t[0].split()) for t in base]
+vocab = sorted({w for t in base for w in t[0].split()})
+
+random.seed(42)
+N = 50000
+langs = ['en', 'de', 'zh', 'fr', 'es']
+rows_id, rows_text, rows_lang, rows_src, rows_n = [], [], [], [], []
+for i in range(N):
+    n = random.choice(counts)
+    text = " ".join(random.choice(vocab) for _ in range(n))
+    lang = 'en' if random.random() < 0.4 else random.choice(langs[1:])
+    rows_id.append(i)
+    rows_text.append(text)
+    rows_lang.append(lang)
+    rows_src.append(f"src{i % 20}")
+    rows_n.append(len(text))
+pq.write_table(pa.table({
+    'doc_id': pa.array(rows_id, pa.int64()),
+    'text': rows_text, 'lang': rows_lang, 'source': rows_src,
+    'n_chars': pa.array(rows_n, pa.int64())}),
+    f"{OUT}/documents.parquet")
+
+M = 20000
+vid, emb, lab = [], [], []
+for i in range(M):
+    v = [random.gauss(0, 1) for _ in range(64)]
+    s = math.sqrt(sum(x * x for x in v))
+    emb.append([x / s for x in v])
+    vid.append(i)
+    lab.append(random.randrange(10))
+pq.write_table(pa.table({
+    'vec_id': pa.array(vid, pa.int64()),
+    'embedding': pa.array(emb, pa.list_(pa.float32())),
+    'label': pa.array(lab, pa.int32())}),
+    f"{OUT}/embeddings.parquet")
+print("wrote sf1 fixtures to", OUT)
