@@ -1209,11 +1209,18 @@ object Text extends QueryPack {
     * `seg(iter, word, freq, s)` — shared by the q125 and q204 oracles
     * so the trainer and the encoder can never disagree on the merges.
     * Callers prepend `WITH RECURSIVE`. */
-  private def bpeTrainOracleCte: String =
-    """words AS (
+  private def bpeTrainOracleCte: String = bpeTrainOracleCteWhere("")
+
+  /** The q125 training recursion over a restricted corpus — q215
+    * trains on a slice and evaluates held-out.
+    */
+  private def bpeTrainOracleCteWhere(where: String): String =
+    // plain concatenation, NOT an s-interpolator: the recursion body
+    // contains regex '\1', which the interpolator would eat as an escape
+    ("""words AS (
       |  SELECT word, count(*)::BIGINT AS freq
       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-      |          AS word FROM documents)
+      |          AS word FROM documents """ + where + """)
       |  GROUP BY word),
       |seg(iter, word, freq, s) AS (
       |  SELECT 0, word, freq,
@@ -1235,7 +1242,7 @@ object Text extends QueryPack {
       |      ORDER BY c DESC, a, b
       |      LIMIT 1)
       |  ) best
-      |  WHERE iter < 30)""".stripMargin
+      |  WHERE iter < 30)""").stripMargin
 
   /** The q203/q205 query set: every 50th doc's first five tokens,
     * exploded to distinct (query_id, token) rows as `qt`. */
@@ -1599,6 +1606,22 @@ object Text extends QueryPack {
       graft.text.Vocabulary.bpeTrain(Tables.documents(s, dir),
         numMerges = 30))
 
+  /** Tokenizer-evaluation gate (q215): a 30-merge BPE trained on the
+    * ¾ slice (doc_id % 4 ≠ 0), evaluated over the WHOLE corpus with
+    * [[graft.text.Vocabulary.tokenizerReport]] — per-source fertility
+    * (tokens/word), compression (chars/token), and the held-out OOV
+    * rate the training slice can't see. DuckDB replays the training
+    * recursion on the same slice (the q125 CTE, WHERE-parametrized)
+    * and recomputes every ratio.
+    */
+  def tokenizerEvalGate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
+    val docs = Tables.documents(s, dir)
+    val (_, seg) = graft.text.Vocabulary.bpeTrain(
+      docs.filter(col("doc_id") % 4 =!= 0), numMerges = 30)
+    graft.text.Vocabulary.tokenizerReport(docs, seg)
+  }
+
   /** BPE ENCODE gate (q204): the corpus-trained 30-merge tokenizer
     * applied as a lookup join ([[graft.text.Vocabulary.bpeEncode]]) to
     * every 25th document, emitting the actual token STREAM
@@ -1617,6 +1640,7 @@ object Text extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_tokenizer_eval" -> tokenizerEvalGate _,
     "q210_trained_langid" -> trainedLangIdGate _,
     "q209_embedding_drift" -> embeddingDriftGate _,
     "q208_media_dedup" -> mediaDedup _,
@@ -1724,6 +1748,29 @@ object Text extends QueryPack {
         |LEFT JOIN dt ON dt.source = na.source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q215_tokenizer_eval" ->
+      s"""WITH RECURSIVE ${bpeTrainOracleCteWhere("WHERE doc_id % 4 <> 0")},
+        |final AS (SELECT word, s FROM seg WHERE iter = 30),
+        |ws AS (
+        |  SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |enc AS (
+        |  SELECT ws.source, ws.word, f.s,
+        |    CASE WHEN f.s IS NULL THEN len(word)
+        |      ELSE len(str_split(trim(f.s, chr(31)),
+        |                         chr(31) || chr(31))) END AS n_tok
+        |  FROM ws LEFT JOIN final f USING (word))
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+        |    AS tokens_per_word,
+        |  round(CAST(sum(len(word)) AS DOUBLE) /
+        |        CAST(sum(n_tok) AS DOUBLE), 9) AS chars_per_token,
+        |  round(CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 9) AS oov_rate
+        |FROM enc GROUP BY source""".stripMargin,
     "q210_trained_langid" ->
       """SELECT TRUE AS has_test, TRUE AS accuracy_ok,
         |  (SELECT CAST(count(*) AS BIGINT) FROM (

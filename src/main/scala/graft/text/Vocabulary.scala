@@ -160,6 +160,43 @@ object Vocabulary {
     * BROADCAST vocab (k rows by construction) and aggregate; no second
     * corpus-wide shuffle.
     */
+  /** Per-group tokenizer evaluation under a trained segmentation table
+    * — the report a tokenizer build step ships: word/token volumes,
+    * tokens-per-word (fertility), chars-per-token (compression), and
+    * the OOV word-occurrence rate (char-fallback fraction). Evaluated
+    * against a seg table trained on a DIFFERENT corpus slice these are
+    * the held-out numbers that decide whether the vocabulary is big
+    * enough and whether a domain is badly served (high fertility on
+    * code or a new language is the classic finding).
+    *
+    * One narrow word explode, one vocabulary-sized equi-join (the
+    * [[bpeEncode]] lookup shape), one group aggregate — no per-doc
+    * merge replay, no second corpus pass.
+    */
+  def tokenizerReport(docs: DataFrame, seg: DataFrame,
+      textCol: String = "text", groupCol: String = "source"): DataFrame = {
+    val words = docs.select(col(groupCol),
+      explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+    words.join(seg.select(col("word"), col("s")), Seq("word"), "left")
+      .withColumn("n_tok",
+        when(col("s").isNotNull,
+          size(split(trim(col("s"), Sep), Sep + Sep)))
+          .otherwise(length(col("word"))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("bigint")).as("n_chars"),
+        sum(col("n_tok").cast("bigint")).as("n_tokens"),
+        sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_oov_words"))
+      .select(col(groupCol), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 9).as("tokens_per_word"),
+        round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 9).as("chars_per_token"),
+        round(col("n_oov_words").cast("double") /
+          col("n_words").cast("double"), 9).as("oov_rate"))
+  }
+
   def coverage(docs: DataFrame, vocab: DataFrame,
       textCol: String = "text"): DataFrame =
     docs

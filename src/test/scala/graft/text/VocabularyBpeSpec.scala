@@ -82,4 +82,27 @@ class VocabularyBpeSpec extends SparkSpec {
       .orderBy("sym_pos").select("token").as[String].collect().toSeq
     assert(toks == Seq("x", "y", "z"))
   }
+
+  test("tokenizerReport: fertility, compression, and held-out OOV rate") {
+    // one merge on 'aa' -> vocab {aa}; eval has an in-vocab word, an
+    // OOV word per source
+    val train = Seq((1L, "aa aa aa", "s1")).toDF("doc_id", "text", "source")
+    val (_, seg) = Vocabulary.bpeTrain(train, numMerges = 1)
+    val eval = Seq((1L, "aa aa b", "s1"), (2L, "ab", "s2"))
+      .toDF("doc_id", "text", "source")
+    val rep = Vocabulary.tokenizerReport(eval, seg).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = rep("s1")
+    // words [aa, aa, b]: aa = 1 token each (merged), b OOV = 1 char token
+    assert(s1.getAs[Long]("n_words") == 3L &&
+      s1.getAs[Long]("n_tokens") == 3L)
+    assert(s1.getAs[Double]("tokens_per_word") == 1.0)
+    assert(math.abs(s1.getAs[Double]("chars_per_token") - 5.0 / 3) < 1e-9)
+    assert(math.abs(s1.getAs[Double]("oov_rate") - 1.0 / 3) < 1e-9)
+    val s2 = rep("s2") // 'ab' is OOV: 2 char tokens, fertility 2
+    assert(s2.getAs[Long]("n_words") == 1L &&
+      s2.getAs[Long]("n_tokens") == 2L)
+    assert(s2.getAs[Double]("tokens_per_word") == 2.0)
+    assert(s2.getAs[Double]("oov_rate") == 1.0)
+  }
 }
