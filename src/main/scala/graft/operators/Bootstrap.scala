@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Poisson-bootstrap confidence intervals for a mean metric — the
+  * uncertainty number an eval report needs next to every point
+  * estimate ("is this 0.3-point quality gain noise?").
+  *
+  * The classical bootstrap resamples n examples WITH replacement B
+  * times — undistributable as stated, because each resample is a
+  * global multinomial over all n rows. The Poisson bootstrap
+  * (Chamandy et al., "Estimating uncertainty for massive data
+  * streams", Google 2012; the standard large-scale substitute)
+  * replaces each example's per-resample multiplicity with an
+  * independent Poisson(1) draw: row i contributes weight
+  * w_ij ~ Poisson(1) to resample j, computed from (id, j) alone — no
+  * coordination, no materialized resamples.
+  *
+  * Plan shape: one generate (row × B replicate indices) feeding ONE
+  * aggregate keyed by the B replicate ids — partial aggregation
+  * reduces each task to B (Σws, Σw) pairs, so the shuffle is
+  * O(B × tasks) however large the corpus; the B means then reduce to
+  * order statistics in a bounded final step. Work is O(n·B) map-side,
+  * which is the bootstrap's irreducible cost.
+  *
+  * Determinism: draws are md5(id ":" j [":" salt]) uniforms (the
+  * CorpusMix convention), the Poisson inverse-CDF is a fixed literal
+  * threshold ladder (capped at 8, P ≈ 1e-5 at λ=1), and every
+  * bootstrap mean is rounded to 9 before the order statistics — a
+  * DuckDB oracle replays the whole pipeline bit-for-bit.
+  */
+object Bootstrap {
+
+  /** Cumulative P(Poisson(1) ≤ k), k = 0..7; weights cap at 8. These
+    * exact doubles are shared with the SQL the oracle runs (shortest
+    * round-trip decimal repr on both engines).
+    */
+  val PoissonCdf: Array[Double] = {
+    val e = math.exp(-1.0)
+    val out = new Array[Double](8)
+    var term = e; var cum = 0.0
+    var k = 0
+    while (k < 8) {
+      cum += term
+      out(k) = cum
+      k += 1
+      term = term / k
+    }
+    out
+  }
+
+  /** Inverse CDF as a codegen'd threshold ladder. */
+  private def poissonW(u: Column): Column =
+    PoissonCdf.zipWithIndex.foldRight(lit(8): Column) {
+      case ((c, k), rest) => when(u < c, k).otherwise(rest)
+    }
+
+  /** The same ladder as a SQL CASE over column expression `u` — for
+    * oracle construction (kept HERE so both engines share literals).
+    */
+  def poissonCaseSql(u: String): String =
+    "CASE " + PoissonCdf.zipWithIndex.map { case (c, k) =>
+      s"WHEN $u < $c THEN $k"
+    }.mkString(" ") + " ELSE 8 END"
+
+  /** Mean of `scoreCol` with a (1−alpha) Poisson-bootstrap CI.
+    *
+    * CI bounds are the empirical order statistics of the B rounded
+    * bootstrap means: 0-based ranks floor(alpha/2·B) and
+    * B−1−floor(alpha/2·B) of the ascending sort.
+    *
+    * @return one row: (n, b, mean, ci_lo, ci_hi, alpha)
+    */
+  def meanCI(scores: DataFrame, b: Int = 200, alpha: Double = 0.05,
+      scoreCol: String = "score", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(b >= 2, s"need b >= 2 resamples, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val kLo = (alpha / 2 * b).toInt
+    val kHi = b - 1 - kLo
+    val key =
+      if (salt.isEmpty)
+        concat(col(idCol).cast("string"), lit(":"), col("j").cast("string"))
+      else concat(col(idCol).cast("string"), lit(":"),
+        col("j").cast("string"), lit(":" + salt))
+    val u = conv(substring(md5(key), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+    val weighted = scores
+      .select(col(idCol), col(scoreCol).cast("double").as("__s"))
+      .withColumn("j", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", poissonW(u).cast("double"))
+    val means = weighted.groupBy(col("j"))
+      .agg((sum(col("__w") * col("__s")) / sum(col("__w"))).as("m"))
+      .filter(col("m").isNotNull) // an all-zero-weight resample (tiny n)
+      .agg(sort_array(collect_list(round(col("m"), 9))).as("ms"))
+    val base = scores.agg(
+      count(lit(1)).as("n"),
+      round(avg(col(scoreCol).cast("double")), 9).as("mean"))
+    base.crossJoin(means).select(
+      col("n"), lit(b).cast("int").as("b"), col("mean"),
+      element_at(col("ms"), kLo + 1).as("ci_lo"),
+      element_at(col("ms"), kHi + 1).as("ci_hi"),
+      lit(alpha).as("alpha"))
+  }
+}

@@ -306,7 +306,24 @@ object Analytics extends QueryPack {
        |SELECT id, pr FROM pr10""".stripMargin
   }
 
+  /** Poisson-bootstrap CI gate (q216): mean words-per-document over
+    * the corpus with a 95% CI from 200 Poisson-weighted resamples
+    * ([[graft.operators.Bootstrap.meanCI]]) — one generate + one
+    * 200-group aggregate, no materialized resamples. DuckDB replays
+    * the md5 draws, the shared inverse-CDF threshold ladder
+    * ([[graft.operators.Bootstrap.poissonCaseSql]] — literally the
+    * same double constants), and the order statistics of the rounded
+    * bootstrap means.
+    */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val scores = Tables.documents(s, dir).select(col("doc_id"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("score"))
+    graft.operators.Bootstrap.meanCI(scores)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_bootstrap_ci" -> bootstrapCi _,
     "q197_pagerank" -> pagerank _,
     "q164_funnel" -> funnelSteps _,
     "q165_rolling_actives" -> rollingActives _,
@@ -326,6 +343,32 @@ object Analytics extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q216_bootstrap_ci" -> {
+      val wt = graft.operators.Bootstrap.poissonCaseSql(
+        "(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':' || " +
+          "CAST(jj.j AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)")
+      s"""WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS DOUBLE) AS score
+        |  FROM documents),
+        |jj AS (SELECT unnest(range(0, 200)) AS j),
+        |w AS (
+        |  SELECT s.score, jj.j, $wt AS wt
+        |  FROM s CROSS JOIN jj),
+        |bm AS (
+        |  SELECT j, round(sum(wt * score) / sum(wt), 9) AS m
+        |  FROM w GROUP BY j HAVING sum(wt) > 0),
+        |arr AS (SELECT list(m ORDER BY m) AS ms FROM bm)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n,
+        |  CAST(200 AS INT) AS b,
+        |  (SELECT round(avg(score), 9) FROM s) AS mean,
+        |  ms[6] AS ci_lo,
+        |  ms[195] AS ci_hi,
+        |  CAST(0.05 AS DOUBLE) AS alpha
+        |FROM arr""".stripMargin
+    },
     "q197_pagerank" -> pagerankSql,
     "q164_funnel" ->
       """WITH u1 AS (

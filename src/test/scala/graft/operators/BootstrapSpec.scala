@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BootstrapSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("constant scores collapse the CI onto the mean") {
+    val scores = (1L to 300L).map(i => (i, 7.5)).toDF("doc_id", "score")
+    val r = Bootstrap.meanCI(scores, b = 50).collect().head
+    assert(r.getAs[Long]("n") == 300L && r.getAs[Int]("b") == 50)
+    assert(r.getAs[Double]("mean") == 7.5)
+    assert(r.getAs[Double]("ci_lo") == 7.5 && r.getAs[Double]("ci_hi") == 7.5)
+  }
+
+  test("CI brackets the mean and is deterministic") {
+    val scores = (1L to 500L).map(i => (i, (i % 13).toDouble))
+      .toDF("doc_id", "score")
+    val a = Bootstrap.meanCI(scores, b = 100, alpha = 0.1).collect().head
+    assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("mean"))
+    assert(a.getAs[Double]("mean") <= a.getAs[Double]("ci_hi"))
+    assert(a.getAs[Double]("ci_lo") < a.getAs[Double]("ci_hi"))
+    // width sanity: sd ~ 3.74, se ~ 0.167; the 90% CI half-width
+    // should be within a loose factor of 1.645*se
+    val half = (a.getAs[Double]("ci_hi") - a.getAs[Double]("ci_lo")) / 2
+    assert(half > 0.08 && half < 0.8, s"CI half-width $half")
+    val b = Bootstrap.meanCI(scores, b = 100, alpha = 0.1).collect().head
+    assert(a == b)
+  }
+
+  test("poisson ladder: weights are near-mean-1 and capped") {
+    val scores = (1L to 2000L).map(i => (i, 1.0)).toDF("doc_id", "score")
+    // with all scores 1, every bootstrap mean is exactly 1 unless a
+    // resample draws zero total weight (prob ~ 0) — exercises the
+    // ladder without exposing weights directly
+    val r = Bootstrap.meanCI(scores, b = 20).collect().head
+    assert(r.getAs[Double]("ci_lo") == 1.0 && r.getAs[Double]("ci_hi") == 1.0)
+  }
+
+  test("salt changes the draws, not the contract") {
+    val scores = (1L to 200L).map(i => (i, (i % 7).toDouble))
+      .toDF("doc_id", "score")
+    val a = Bootstrap.meanCI(scores, b = 40)
+    val b = Bootstrap.meanCI(scores, b = 40, salt = "other")
+    val (ra, rb) = (a.collect().head, b.collect().head)
+    assert(ra.getAs[Double]("mean") == rb.getAs[Double]("mean"))
+    // same distribution, different draws: bounds may differ but both
+    // bracket the mean
+    assert(rb.getAs[Double]("ci_lo") <= rb.getAs[Double]("mean") &&
+      rb.getAs[Double]("mean") <= rb.getAs[Double]("ci_hi"))
+  }
+}
