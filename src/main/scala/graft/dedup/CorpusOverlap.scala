@@ -62,6 +62,51 @@ object CorpusOverlap {
     when(size(sk) < k, size(sk).cast("double"))
       .otherwise(lit((k - 1) * M) / element_at(sk, k).cast("double"))
 
+  /** One KMV sketch PER GROUP (`groupCol, sketch`): the same bounded
+    * aggregate keyed by source/domain — each task still contributes
+    * ≤ k longs per group to the shuffle.
+    */
+  def sketchByGroup(spark: SparkSession, docs: DataFrame, k: Int,
+      shingleK: Int = 3, groupCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol),
+        GraftFunctions.shingleArray(col(textCol), shingleK).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col(groupCol), explode(col("shingles")).as("s"))
+      .select(col(groupCol), hash32(col("s")).as("h"))
+      .groupBy(col(groupCol))
+      .agg(GraftFunctions.kmv(spark, col("h"), k).as("sketch"))
+
+  /** Pairwise content-similarity matrix between groups (sources,
+    * domains, snapshots): Jaccard estimates from the per-group KMV
+    * sketches — the corpus-cartography report that finds mirror
+    * domains and copy-paste source pairs WITHOUT any cross-source
+    * document join. Cost: one sketch pass over the corpus, then an
+    * S² pair join over k-long arrays — S-bounded work on sketches,
+    * never on documents (for very large S, pre-filter pairs on
+    * sketch-minimum overlap before calling this).
+    *
+    * Returns (group_a, group_b, jaccard_est, est_distinct_intersection)
+    * for group_a < group_b.
+    */
+  def similarityMatrix(spark: SparkSession, docs: DataFrame,
+      k: Int = 256, shingleK: Int = 3, groupCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sk = sketchByGroup(spark, docs, k, shingleK, groupCol, idCol,
+      textCol)
+    val a = sk.select(col(groupCol).as("group_a"), col("sketch").as("sa"))
+    val b = sk.select(col(groupCol).as("group_b"), col("sketch").as("sb"))
+    val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    val interK = size(filter(col("u"),
+      x => array_contains(col("sa"), x) && array_contains(col("sb"), x)))
+    val jac = interK.cast("double") / size(col("u")).cast("double")
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("u", u)
+      .select(col("group_a"), col("group_b"),
+        round(jac, 9).as("jaccard_est"),
+        round(jac * est(col("u"), k), 9).as("est_distinct_intersection"))
+  }
+
   /** Corpus-overlap estimate row between collections `a` and `b`:
     * sketch sizes, per-side / union distinct estimates, Jaccard, and
     * the intersection estimate (all estimates rounded to 9).

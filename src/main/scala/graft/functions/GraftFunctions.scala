@@ -184,6 +184,24 @@ object GraftFunctions {
     call_function(name, score, id.cast("bigint"))
   }
 
+  val OVR_PREFIX = "graft_ovr_residuals_" // one name per weight snapshot
+
+  /** All K one-vs-rest logistic residuals per row in one primitive
+    * loop (see [[OvrResiduals]]). Registers per weight snapshot on the
+    * active session — callers re-invoke each training round.
+    */
+  def ovrResiduals(spark: SparkSession, idxs: Column, vals: Column,
+      label: Column, weights: Array[Array[Double]],
+      classes: Array[Double]): Column = {
+    val name = OVR_PREFIX + java.lang.Integer.toHexString(
+      java.util.Arrays.deepHashCode(weights.asInstanceOf[Array[AnyRef]]))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => OvrResiduals(exprs(0), exprs(1), exprs(2), weights, classes),
+      "built-in")
+    call_function(name, idxs, vals, label)
+  }
+
   val KMV_PREFIX = "graft_kmv_" // one registered name per k
 
   /** KMV distinct-value sketch aggregate → sorted `array<bigint>` of the

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Per-row one-vs-rest logistic residuals for ALL K classes in one
+  * primitive loop: given a document's sparse features (parallel
+  * `idxs`/`vals` arrays) and its multi-class label, returns
+  * `array<double>` of `σ(w_k · x) − [label == classes(k)]` for each
+  * class k.
+  *
+  * Why an expression and not the HOF spelling (the
+  * [[graft.text.QualityClassifier]] trainer's original
+  * `aggregate(zip_with(idxs, vals, …element_at(wLit)…))`): HOF lambdas
+  * evaluate interpreted with per-element closure dispatch and boxing —
+  * measured at ~38 s steady on the q210 lang-id gate (4 classes × 15
+  * rounds × ~6 M feature occurrences), SF-independent because the
+  * training sample is bounded. This eval is one unboxed loop over the
+  * row's nonzeros per class: the margin accumulates in the same array
+  * order as the HOF form, so every residual — and therefore every
+  * trained weight — is bit-identical.
+  *
+  * Weights ride along as a constructor value (the [[IvfTopCells]] /
+  * PqEncode pattern): driver-built, K × (dim+1) doubles, serialized
+  * with the expression; the caller re-registers per round as the
+  * weights move.
+  */
+case class OvrResiduals(idxs: Expression, vals: Expression,
+    label: Expression, weights: Array[Array[Double]],
+    classes: Array[Double])
+    extends TernaryExpression with CodegenFallback {
+
+  require(weights.length == classes.length,
+    "one weight vector per class required")
+
+  override def first: Expression = idxs
+  override def second: Expression = vals
+  override def third: Expression = label
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (idxs.dataType, vals.dataType, label.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_ovr_residuals expects (array<int>, array<double>, double), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ovr_residuals"
+
+  override def nullSafeEval(i: Any, v: Any, l: Any): Any = {
+    val ia = i.asInstanceOf[ArrayData]
+    val va = v.asInstanceOf[ArrayData]
+    val lab = l.asInstanceOf[Double]
+    val n = math.min(ia.numElements(), va.numElements())
+    val out = new Array[Double](weights.length)
+    var k = 0
+    while (k < weights.length) {
+      val w = weights(k)
+      var z = 0.0
+      var j = 0
+      while (j < n) {
+        val idx = ia.getInt(j)
+        if (idx >= 0 && idx < w.length) z += va.getDouble(j) * w(idx)
+        j += 1
+      }
+      out(k) = 1.0 / (1.0 + math.exp(-z)) -
+        (if (lab == classes(k)) 1.0 else 0.0)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): OvrResiduals =
+    copy(idxs = newFirst, vals = newSecond, label = newThird)
+}

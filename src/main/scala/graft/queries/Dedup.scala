@@ -366,7 +366,18 @@ object Dedup extends QueryPack {
       pairs, testFraction = 0.2)
   }
 
+  /** Source-similarity matrix gate (q217): pairwise Jaccard estimates
+    * between the 20 sources' shingle sets, from per-source KMV
+    * sketches ([[graft.dedup.CorpusOverlap.similarityMatrix]]) — the
+    * corpus-cartography view that surfaces mirror domains without any
+    * cross-source document join. DuckDB replays the per-source
+    * bottom-256 sketches and every pair estimate.
+    */
+  def sourceSimilarityMatrix(s: SparkSession, dir: String): DataFrame =
+    CorpusOverlap.similarityMatrix(s, Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_source_similarity" -> sourceSimilarityMatrix _,
     "q214_leakage_safe_split" -> leakageSafeSplit _,
     "q212_corpus_overlap" -> corpusOverlap _,
     "q196_containment" -> containmentGate _,
@@ -416,6 +427,50 @@ object Dedup extends QueryPack {
   private val jaccardSql = jaccardSqlWhere("")
 
   val oracleSql: Map[String, String] = Map(
+    "q217_source_similarity" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+        |     if t <> ''] AS tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source,
+        |    unnest(list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |      for i in range(1, len(tokens) - 1)])) AS s
+        |  FROM tk WHERE len(tokens) >= 3),
+        |hs AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+        |  FROM sh),
+        |rk AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |  FROM hs),
+        |sk AS (
+        |  SELECT source, list(h ORDER BY h) AS l
+        |  FROM rk WHERE r <= 256 GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS group_a, b.source AS group_b,
+        |    a.l AS sa, b.l AS sb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |un AS (
+        |  SELECT group_a, group_b, sa, sb,
+        |    list_sort(list_distinct(list_concat(sa, sb)))
+        |      [1:least(256, len(list_distinct(list_concat(sa, sb))))]
+        |      AS u
+        |  FROM pr),
+        |sc AS (
+        |  SELECT group_a, group_b,
+        |    CAST(len([x for x in u
+        |      if list_contains(sa, x) AND list_contains(sb, x)])
+        |      AS DOUBLE) / len(u) AS jac,
+        |    CASE WHEN len(u) < 256 THEN CAST(len(u) AS DOUBLE)
+        |      ELSE 255 * 4294967296.0 / u[256] END AS estu
+        |  FROM un)
+        |SELECT group_a, group_b,
+        |  round(jac, 9) AS jaccard_est,
+        |  round(jac * estu, 9) AS est_distinct_intersection
+        |FROM sc""".stripMargin,
     "q214_leakage_safe_split" ->
       """WITH RECURSIVE u AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),

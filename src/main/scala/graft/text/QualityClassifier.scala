@@ -66,8 +66,29 @@ object QualityClassifier {
     * — three shuffles a round where one suffices.
     */
   def train(spark: SparkSession, features: DataFrame, dim: Int,
-      rounds: Int = 20, lr: Double = 2.0): Array[Double] = {
-    val w = Array.fill(dim + 1)(0.0)
+      rounds: Int = 20, lr: Double = 2.0): Array[Double] =
+    // binary = the K=1 case of the multi-class loop (labels are 0/1 by
+    // contract, so the class-1 indicator equals the label value the
+    // original residual subtracted — same arithmetic, same weights)
+    trainMulti(spark, features, dim, Seq(1), rounds, lr)(1)
+
+  /** K one-vs-rest logistic regressions trained in ONE loop: per
+    * round, a single corpus pass computes every class's in-row margin
+    * and residual side by side, and a single ≤ dim+1-row aggregate
+    * carries K gradient columns — K× fewer Spark jobs than K
+    * sequential [[train]] runs (measured on the q210 lang-id gate:
+    * the 4-class × 15-round loop was 60 overhead-dominated jobs,
+    * ~48 s steady, SF-independent). Per-class arithmetic is identical
+    * to [[train]] — gradients are independent sums — so results match
+    * up to float summation order.
+    *
+    * `features.label` holds the MULTI-class label; class c's targets
+    * are `label == c`.
+    */
+  def trainMulti(spark: SparkSession, features: DataFrame, dim: Int,
+      classes: Seq[Int], rounds: Int = 20,
+      lr: Double = 2.0): Map[Int, Array[Double]] = {
+    val ws = classes.map(c => c -> Array.fill(dim + 1)(0.0)).toMap
     val packed = features.groupBy(col("doc_id"), col("label"))
       .agg(collect_list(col("idx")).as("idxs"),
         collect_list(col("val")).as("vals"))
@@ -76,25 +97,33 @@ object QualityClassifier {
     require(nDocs > 0, "classifier training needs a non-empty corpus")
     try {
       for (_ <- 0 until rounds) {
-        val wLit = typedlit(w.toSeq)
-        // z = w.x in-row (idx is 0-based; element_at is 1-based)
-        val z = aggregate(
-          zip_with(col("idxs"), col("vals"),
-            (i, v) => v * element_at(wLit, i + 1)),
-          lit(0.0), (acc, x) => acc + x)
-        val resid = (lit(1.0) / (lit(1.0) + exp(-z)) - col("label"))
+        // all K margins + residuals in ONE primitive loop per row (see
+        // OvrResiduals — the HOF spelling ran interpreted, ~38 s
+        // steady on the 4-class lang-id gate); snapshot the weights so
+        // the in-place update below can't race the serialized plan
+        val resids = graft.functions.GraftFunctions.ovrResiduals(spark,
+          col("idxs"), col("vals"), col("label").cast("double"),
+          classes.map(c => ws(c).clone()).toArray,
+          classes.map(_.toDouble).toArray)
         val grad = packed
-          .select(explode(arrays_zip(col("idxs"), col("vals"))).as("f"),
-            resid.as("r"))
+          .select(explode(arrays_zip(col("idxs"), col("vals")))
+            .as("f"), resids.as("__r"))
           .groupBy(col("f.idxs").as("idx"))
-          .agg(sum(col("f.vals") * col("r")).as("g"))
+          .agg(sum(col("f.vals") * element_at(col("__r"), 1))
+            .as("__g0"),
+            classes.indices.tail.map(i =>
+              sum(col("f.vals") * element_at(col("__r"), i + 1))
+                .as(s"__g$i")): _*)
           .collect()
         grad.foreach { row =>
-          w(row.getInt(0)) -= lr * row.getDouble(1) / nDocs
+          val idx = row.getInt(0)
+          classes.indices.foreach { i =>
+            ws(classes(i))(idx) -= lr * row.getDouble(i + 1) / nDocs
+          }
         }
       }
     } finally packed.unpersist()
-    w
+    ws
   }
 
   /** Score a feature table with trained weights: `doc_id`, `label`,

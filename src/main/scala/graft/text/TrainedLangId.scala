@@ -52,17 +52,15 @@ object TrainedLangId {
         lit(1.0).as("val")))
   }
 
-  /** One-vs-rest training: K binary [[QualityClassifier.train]] runs
-    * over the same feature table (relabeled per class). Returns
+  /** One-vs-rest training: all K classes in ONE
+    * [[QualityClassifier.trainMulti]] loop — one corpus pass and one
+    * K-column gradient aggregate per round instead of K sequential
+    * binary runs (4× fewer jobs on the q210 gate). Returns
     * class → weight vector. */
   def trainOneVsRest(spark: SparkSession, features: DataFrame, dim: Int,
       classes: Seq[Int], rounds: Int = 10,
       lr: Double = 2.0): Map[Int, Array[Double]] =
-    classes.map { c =>
-      val bin = features.withColumn("label",
-        when(col("label") === c, 1.0).otherwise(0.0))
-      c -> QualityClassifier.train(spark, bin, dim, rounds, lr)
-    }.toMap
+    QualityClassifier.trainMulti(spark, features, dim, classes, rounds, lr)
 
   /** Predicted class per document: (doc_id, label, predicted).
     * The K weight vectors broadcast as one (idx, cls, w) table; one

@@ -53,6 +53,21 @@ class CorpusOverlapSpec extends SparkSpec {
     assert(r.getAs[Double]("est_distinct_union") == 7.0)
   }
 
+  test("similarityMatrix: mirror sources score high, disjoint zero") {
+    val shared = (0 until 30).map(i => s"common$i").mkString(" ")
+    val rows = Seq(
+      (1L, shared, "a"), (2L, shared, "b"), // a and b mirror each other
+      (3L, (0 until 30).map(i => s"other$i").mkString(" "), "c"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val got = CorpusOverlap.similarityMatrix(spark, docs, k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("jaccard_est")).toMap
+    assert(got.size == 3 && got.keys.forall(p => p._1 < p._2))
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == 0.0 && got(("b", "c")) == 0.0)
+  }
+
   test("half-overlapping corpora land between the pure cases") {
     val shared = (0 until 40).map(i => s"shared$i").mkString(" ")
     val a = docs(Seq(1L -> (shared + " " +
