@@ -1393,20 +1393,43 @@ object Text extends QueryPack {
         concat_ws(" ", slice(regexp_extract_all(lower(col("text")),
           lit("[a-z0-9]+"), lit(0)), 1, 5)).as("query_text"))
 
-  /** Batch-BM25 per-query top-5 over `corpus` via the bounded TopKAgg
+  /** Batch-BM25 per-query top-k over `corpus` via the bounded TopKAgg
     * (score DESC, id ASC; scores rounded to 9 before ranking). */
-  private def bm25Top5(s: SparkSession, queries: DataFrame,
-      corpus: DataFrame): DataFrame =
+  private def bm25TopK(s: SparkSession, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame =
     graft.text.Bm25.scoreAll(queries, corpus)
       .select(col("query_id"), col("doc_id"),
         round(col("bm25"), 9).as("score"))
       .groupBy(col("query_id"))
       .agg(graft.functions.GraftFunctions.topK(s,
-        col("score"), col("doc_id"), 5).as("t"))
+        col("score"), col("doc_id"), k).as("t"))
       .select(col("query_id"), posexplode(col("t")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col").getField("id").as("doc_id"),
         col("col").getField("score").as("score"))
+
+  private def bm25Top5(s: SparkSession, queries: DataFrame,
+      corpus: DataFrame): DataFrame = bm25TopK(s, queries, corpus, 5)
+
+  /** Two-stage retrieval gate (q218): BM25 recall (top-20 from the
+    * q203 batch retriever) re-scored by embedding cosine
+    * ([[graft.similarity.Rerank.byCosine]]) into a dense top-5 — the
+    * canonical sparse-recall / dense-precision stack, at
+    * per-candidate cost (the corpus is never rescanned in stage two).
+    * DuckDB replays the q203 CTE chain at rank ≤ 20 and the cosine
+    * re-ranking.
+    */
+  def twoStageRetrievalGate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
+    val docs = Tables.documents(s, dir)
+    val queries = bm25Queries(docs)
+    val cands = bm25TopK(s, queries, docs, 20)
+      .select(col("query_id"), col("doc_id"))
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.Rerank.byCosine(s, cands,
+      emb.select(col("vec_id").as("query_id"), col("embedding")),
+      emb.select(col("vec_id").as("doc_id"), col("embedding")), 5)
+  }
 
   def bm25TopkGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -1640,6 +1663,7 @@ object Text extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_two_stage_retrieval" -> twoStageRetrievalGate _,
     "q215_tokenizer_eval" -> tokenizerEvalGate _,
     "q210_trained_langid" -> trainedLangIdGate _,
     "q209_embedding_drift" -> embeddingDriftGate _,
@@ -1748,6 +1772,24 @@ object Text extends QueryPack {
         |LEFT JOIN dt ON dt.source = na.source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q218_two_stage_retrieval" ->
+      s"""WITH $bm25QueriesCte,
+         |${bm25AllCte("", "")},
+         |cands AS (SELECT query_id, doc_id FROM r WHERE rank <= 20),
+         |qe AS (SELECT vec_id AS query_id,
+         |         CAST(embedding AS DOUBLE[]) AS qv FROM embeddings),
+         |de AS (SELECT vec_id AS doc_id,
+         |         CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+         |scr AS (
+         |  SELECT c.query_id, c.doc_id,
+         |    round(list_cosine_similarity(qv, dv), 9) AS cosine
+         |  FROM cands c JOIN qe USING (query_id) JOIN de USING (doc_id))
+         |SELECT query_id, doc_id, cosine, CAST(rnk AS INT) AS rank
+         |FROM (
+         |  SELECT scr.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, doc_id) AS rnk
+         |  FROM scr)
+         |WHERE rnk <= 5""".stripMargin,
     "q215_tokenizer_eval" ->
       s"""WITH RECURSIVE ${bpeTrainOracleCteWhere("WHERE doc_id % 4 <> 0")},
         |final AS (SELECT word, s FROM seg WHERE iter = 30),

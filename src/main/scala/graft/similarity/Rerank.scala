@@ -1,0 +1,43 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second-stage reranking: re-score a candidate list (produced by a
+  * cheap first-stage retriever — BM25, ANN shortlist) with the
+  * embedding cosine, and keep a bounded top-k per query. The standard
+  * two-stage retrieval shape: recall from the sparse index, precision
+  * from the dense scores, at per-CANDIDATE cost — the corpus is never
+  * rescanned.
+  *
+  * Plan shape: candidates (Q × shortlist rows) equi-join the two
+  * embedding tables, one fused codegen'd dot product per pair, and the
+  * per-query top-k is the bounded TopKAgg (score DESC, id ASC — never
+  * a window). Candidates lacking an embedding drop out (they cannot be
+  * dense-scored), so output lists may run shorter than k.
+  */
+object Rerank {
+
+  /** @param candidates (query_id, doc_id) shortlist
+    * @param queryEmb   (query_id, embedding)
+    * @param docEmb     (doc_id, embedding)
+    * @return (query_id, doc_id, cosine, rank) with rank 1..k by
+    *         cosine desc, doc_id asc; cosine rounded to 9 pre-ranking
+    */
+  def byCosine(spark: SparkSession, candidates: DataFrame,
+      queryEmb: DataFrame, docEmb: DataFrame, k: Int): DataFrame = {
+    val q = queryEmb.select(col("query_id"),
+      GraftFunctions.normalize(col("embedding")).as("qv"))
+    val d = docEmb.select(col("doc_id").as("neighbor_id"),
+      GraftFunctions.normalize(col("embedding")).as("dv"))
+    val scored = candidates
+      .select(col("query_id"), col("doc_id").as("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .join(d, Seq("neighbor_id"))
+      .withColumn("cosine",
+        round(GraftFunctions.dotProduct(spark, col("qv"), col("dv")), 9))
+    TopKSearch.explodeRanked(spark, scored, k)
+      .withColumnRenamed("neighbor_id", "doc_id")
+  }
+}

@@ -1,0 +1,33 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class RerankSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("reranks a shortlist by cosine, bounded and deterministic") {
+    val cands = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("query_id", "doc_id")
+    val qEmb = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("query_id", "embedding")
+    val dEmb = Seq(
+      10L -> Seq(1f, 0f),   // cos 1.0 to q1, 0.0 to q2
+      11L -> Seq(3f, 4f),   // normalizes to (0.6, 0.8): cos 0.6 to q1
+      12L -> Seq(0f, 1f))   // cos 0.0 to q1
+      .toDF("doc_id", "embedding")
+    val got = Rerank.byCosine(spark, cands, qEmb, dEmb, 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1.0, 1), (1L, 11L, 0.6, 2),
+      (2L, 10L, 0.0, 1)))
+  }
+
+  test("candidates without an embedding drop out of the dense stage") {
+    val cands = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "doc_id")
+    val qEmb = Seq((1L, Seq(1f, 0f))).toDF("query_id", "embedding")
+    val dEmb = Seq(10L -> Seq(1f, 0f)).toDF("doc_id", "embedding")
+    val got = Rerank.byCosine(spark, cands, qEmb, dEmb, 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(10L))
+  }
+}
