@@ -1265,7 +1265,8 @@ object Text extends QueryPack {
     * can coexist in one query (q205 scores the full and the halved
     * index side by side). Ends in `r$sfx(query_id, doc_id, score,
     * rank)`; expects `qt` from [[bm25QueriesCte]]. */
-  private def bm25AllCte(sfx: String, corpusWhere: String): String =
+  private def bm25AllCte(sfx: String, corpusWhere: String,
+      qtName: String = "qt"): String =
     s"""tf$sfx AS (
        |  SELECT token, doc_id, count(*) AS tf
        |  FROM (SELECT doc_id,
@@ -1280,7 +1281,7 @@ object Text extends QueryPack {
        |st$sfx AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
        |             avg(dl) AS avgdl FROM dl$sfx),
        |sc$sfx AS (
-       |  SELECT qt.query_id, tf$sfx.doc_id,
+       |  SELECT $qtName.query_id, tf$sfx.doc_id,
        |    round(sum( ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) /
        |                  (CAST(df AS DOUBLE) + 0.5)) *
        |         (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
@@ -1288,12 +1289,12 @@ object Text extends QueryPack {
        |          1.2 * ((1.0 - 0.75) +
        |                 0.75 * CAST(dl AS DOUBLE) / avgdl)) ), 9)
        |      AS score
-       |  FROM qt
+       |  FROM $qtName
        |  JOIN tf$sfx USING (token)
        |  JOIN idf$sfx USING (token)
        |  JOIN dl$sfx ON dl$sfx.doc_id = tf$sfx.doc_id
        |  CROSS JOIN st$sfx
-       |  GROUP BY qt.query_id, tf$sfx.doc_id),
+       |  GROUP BY $qtName.query_id, tf$sfx.doc_id),
        |r$sfx AS (
        |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT)
@@ -1410,6 +1411,26 @@ object Text extends QueryPack {
 
   private def bm25Top5(s: SparkSession, queries: DataFrame,
       corpus: DataFrame): DataFrame = bm25TopK(s, queries, corpus, 5)
+
+  /** PRF query-expansion gate (q219): the q203 queries run once,
+    * their top-10 feedback docs select 3 expansion terms each
+    * (Σ tf·idf over the feedback set, original terms excluded —
+    * [[graft.text.Bm25.expandQueries]]), and the expanded queries run
+    * again for the final top-5 — the RM3-family recall move. DuckDB
+    * replays both retrieval passes (the q203 CTE chain, second pass
+    * parametrized on the expanded term set) and the expansion-term
+    * selection (weights rounded to 9, ties on the term).
+    */
+  def prfRetrievalGate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
+    val docs = Tables.documents(s, dir)
+    val queries = bm25Queries(docs)
+    val fb = bm25TopK(s, queries, docs, 10)
+      .select(col("query_id"), col("doc_id"))
+    val expanded = graft.text.Bm25.expandQueries(queries, docs, fb,
+      nTerms = 3)
+    bm25TopK(s, expanded, docs, 5)
+  }
 
   /** Two-stage retrieval gate (q218): BM25 recall (top-20 from the
     * q203 batch retriever) re-scored by embedding cosine
@@ -1663,6 +1684,7 @@ object Text extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_prf_retrieval" -> prfRetrievalGate _,
     "q218_two_stage_retrieval" -> twoStageRetrievalGate _,
     "q215_tokenizer_eval" -> tokenizerEvalGate _,
     "q210_trained_langid" -> trainedLangIdGate _,
@@ -1772,6 +1794,33 @@ object Text extends QueryPack {
         |LEFT JOIN dt ON dt.source = na.source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q219_prf_retrieval" ->
+      s"""WITH $bm25QueriesCte,
+         |${bm25AllCte("", "")},
+         |fb AS (SELECT query_id, doc_id FROM r WHERE rank <= 10),
+         |wt AS (
+         |  SELECT fb.query_id, tf.token,
+         |    round(sum(CAST(tf.tf AS DOUBLE)) *
+         |      ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) /
+         |                (CAST(df AS DOUBLE) + 0.5)), 9) AS w
+         |  FROM fb
+         |  JOIN tf USING (doc_id)
+         |  JOIN idf USING (token)
+         |  CROSS JOIN st
+         |  GROUP BY fb.query_id, tf.token, df, n_docs),
+         |cand AS (
+         |  SELECT wt.query_id, wt.token, wt.w
+         |  FROM wt ANTI JOIN qt USING (query_id, token)),
+         |ex AS (
+         |  SELECT query_id, token FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY w DESC, token) <= 3),
+         |qt2 AS (
+         |  SELECT query_id, token FROM qt
+         |  UNION SELECT query_id, token FROM ex),
+         |${bm25AllCte("_x", "", "qt2")}
+         |SELECT query_id, rank, doc_id, score FROM r_x WHERE rank <= 5"""
+        .stripMargin,
     "q218_two_stage_retrieval" ->
       s"""WITH $bm25QueriesCte,
          |${bm25AllCte("", "")},

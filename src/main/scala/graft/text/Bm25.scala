@@ -93,6 +93,58 @@ object Bm25 {
     * — the cap changes which terms SCORE, not the length
     * normalization. `maxDfFraction = 1.0` disables the cap.
     */
+  /** Pseudo-relevance-feedback query expansion (the RM3-family
+    * shape): append to each query the `nTerms` highest-weight terms
+    * of its FEEDBACK documents (a first-pass top-k), weighted
+    * Σ_feedback tf(t,d) · idf(t) — high-idf terms that the query's
+    * best matches share, excluding terms the query already has. The
+    * retrieval-quality move when recall matters more than latency:
+    * run [[scoreAll]], expand, run [[scoreAll]] again.
+    *
+    * Plan shape: feedback (Q × k rows) equi-joins the postings once;
+    * term weights are one (query, token) aggregate; the per-query
+    * top-terms window is BOUNDED by construction (the candidate set
+    * is the feedback docs' vocabulary — k docs' worth of tokens per
+    * query, never the corpus). Weights round to 9 before ranking,
+    * ties break on the term — deterministic across engines.
+    *
+    * @param feedback (queryIdCol, idCol) — each query's feedback docs
+    * @return queries with `queryTextCol` extended by the expansion
+    *         terms (scoring tokenization dedups, so append is safe)
+    */
+  def expandQueries(queries: DataFrame, docs: DataFrame,
+      feedback: DataFrame, nTerms: Int = 3,
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nTerms >= 1, s"nTerms must be >= 1, got $nTerms")
+    val post = TfIdf.postings(docs, idCol, textCol)
+    val (_, stats) = corpusStats(post, idCol)
+    val weights = feedback.join(post, Seq(idCol))
+      .groupBy(col(queryIdCol), col("token"), col("df"))
+      .agg(sum(col("tf").cast("double")).as("stf"))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col("token"),
+        round(col("stf") * idfExpr, 9).as("w"))
+    val qTokens = queries.select(col(queryIdCol),
+      explode(array_distinct(regexp_extract_all(lower(col(queryTextCol)),
+        lit("[a-z0-9]+"), lit(0)))).as("token"))
+    val picked = weights
+      .join(qTokens, Seq(queryIdCol, "token"), "left_anti")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(queryIdCol))
+          .orderBy(col("w").desc, col("token"))))
+      .filter(col("__rn") <= nTerms)
+      .groupBy(col(queryIdCol))
+      .agg(concat_ws(" ", sort_array(collect_list(col("token"))))
+        .as("__ext"))
+    // concat_ws skips NULL args (a query with no expansion keeps its
+    // text verbatim) but would keep an empty string's separator
+    queries.join(picked, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        concat_ws(" ", col(queryTextCol), col("__ext"))
+          .as(queryTextCol))
+  }
+
   def scoreAll(queries: DataFrame, docs: DataFrame, k1: Double = 1.2,
       b: Double = 0.75, queryIdCol: String = "query_id",
       queryTextCol: String = "query_text", idCol: String = "doc_id",

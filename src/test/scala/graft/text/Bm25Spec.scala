@@ -104,4 +104,34 @@ class Bm25Spec extends SparkSpec {
     val v2 = Bm25.scoreAll(q2, docs).collect().head.getAs[Double]("bm25")
     assert(v1 == v2)
   }
+
+  test("expandQueries appends top feedback terms, never original ones") {
+    // doc 1 matches the query and shares 'rare' with doc 2; 'common'
+    // appears everywhere (low idf) and must lose to 'rare'
+    val docs = Seq(
+      (1L, "apple rare common zz"),
+      (2L, "rare common qq"),
+      (3L, "common pp"),
+      (4L, "common ww")).toDF("doc_id", "text")
+    val q = Seq((7L, "apple")).toDF("query_id", "query_text")
+    val fb = Seq((7L, 1L)).toDF("query_id", "doc_id")
+    val exp = Bm25.expandQueries(q, docs, fb, nTerms = 2)
+      .collect().head.getString(1)
+    val added = exp.split(" ").toSeq.drop(1)
+    assert(exp.startsWith("apple "), exp)
+    assert(added.length == 2 && !added.contains("apple"), exp)
+    assert(added.contains("rare"), exp) // beats 'common' on idf
+    // deterministic rerun
+    val again = Bm25.expandQueries(q, docs, fb, nTerms = 2)
+      .collect().head.getString(1)
+    assert(again == exp)
+  }
+
+  test("expandQueries leaves queries with no feedback unchanged-ish") {
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val q = Seq((5L, "zebra")).toDF("query_id", "query_text")
+    val fb = Seq.empty[(Long, Long)].toDF("query_id", "doc_id")
+    val exp = Bm25.expandQueries(q, docs, fb).collect().head.getString(1)
+    assert(exp == "zebra") // concat_ws drops the empty extension
+  }
 }
