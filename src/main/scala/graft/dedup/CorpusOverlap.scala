@@ -77,6 +77,42 @@ object CorpusOverlap {
       .groupBy(col(groupCol))
       .agg(GraftFunctions.kmv(spark, col("h"), k).as("sketch"))
 
+  /** One-row overlap estimate of `docs` against a PRECOMPUTED
+    * reference sketch — the incremental/streaming form: the reference
+    * corpus is sketched once (k longs, driver-holdable), and each new
+    * slice pays only its own bounded sketch pass. Adds the novelty
+    * numbers a crawl monitor wants: containment of the slice in the
+    * reference, and novelty = 1 − containment.
+    */
+  def overlapAgainstSketch(spark: SparkSession, docs: DataFrame,
+      refSketch: Seq[Long], k: Int, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sa = typedlit(refSketch)
+    val estRef =
+      if (refSketch.size < k) refSketch.size.toDouble
+      else (k - 1) * M / refSketch.max
+    val u = slice(array_sort(array_union(sa, col("sb"))), 1, k)
+    val interK = size(filter(col("u"),
+      x => array_contains(sa, x) && array_contains(col("sb"), x)))
+    val jac = interK.cast("double") / size(col("u")).cast("double")
+    val inter = jac * est(col("u"), k)
+    sketch(spark, docs, k, shingleK, idCol, textCol)
+      .select(col("sketch").as("sb"))
+      .withColumn("u", u)
+      .select(
+        lit(k).cast("int").as("k"),
+        lit(refSketch.size.toLong).as("n_sketch_ref"),
+        size(col("sb")).cast("bigint").as("n_sketch_batch"),
+        size(col("u")).cast("bigint").as("n_sketch_union"),
+        round(lit(estRef), 9).as("est_distinct_ref"),
+        round(est(col("sb"), k), 9).as("est_distinct_batch"),
+        round(est(col("u"), k), 9).as("est_distinct_union"),
+        round(jac, 9).as("jaccard_est"),
+        round(inter, 9).as("est_distinct_intersection"),
+        round(inter / est(col("sb"), k), 9).as("containment_est"),
+        round(lit(1.0) - inter / est(col("sb"), k), 9).as("novelty_est"))
+  }
+
   /** Pairwise content-similarity matrix between groups (sources,
     * domains, snapshots): Jaccard estimates from the per-group KMV
     * sketches — the corpus-cartography report that finds mirror

@@ -257,6 +257,7 @@ object Streaming extends QueryPack {
     "q115_stream_rate_limit" -> streamRateLimit _,
     "q151_stream_moments" -> streamMoments _,
     "q161_stream_incr_dedup" -> streamIncrementalDedup _,
+    "q220_stream_novelty" -> streamNovelty _,
     "q202_stream_content_drift" -> streamContentDrift _,
   )
 
@@ -281,6 +282,27 @@ object Streaming extends QueryPack {
     val baseline = Tables.documents(s, dir)
       .select(col("source"), col("text"))
     graft.streaming.StreamingDrift.driftPerBatch(src, baseline)
+  }
+
+  /** Streaming novelty gate (q220): odd-id documents replayed as a
+    * stream and measured per micro-batch against the even-id
+    * reference's KMV sketch
+    * ([[graft.streaming.StreamingNovelty.noveltyPerBatch]]) — the
+    * reference is sketched ONCE pre-stream, each batch pays one
+    * bounded sketch pass, and the monitor reports containment /
+    * novelty (a recrawl flood collapses novelty while volume stays
+    * flat). One parquet file drains as one AvailableNow batch, so the
+    * oracle is the q212-family estimate chain with batch_id 0.
+    */
+  def streamNovelty(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    val schema = Tables.documents(s, dir).schema
+    val src = s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/documents.parque[t]") // glob: see streamingDedupGate
+      .filter(col("doc_id") % 2 === 1)
+    val ref = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+    graft.streaming.StreamingNovelty.noveltyPerBatch(src, ref)
   }
 
   /** Streaming incremental dedup gate (q161): odd-id documents replayed
@@ -351,6 +373,55 @@ object Streaming extends QueryPack {
     "q202_stream_content_drift" ->
       s"""SELECT CAST(0 AS BIGINT) AS batch_id, source, vocab_cosine
          |FROM (${Text.contentDriftOracleSql})""".stripMargin,
+    "q220_stream_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+        |     if t <> ''] AS tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id % 2 AS side,
+        |    unnest(list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |      for i in range(1, len(tokens) - 1)])) AS s
+        |  FROM tk WHERE len(tokens) >= 3),
+        |hs AS (
+        |  SELECT DISTINCT side,
+        |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+        |  FROM sh),
+        |ska AS (SELECT list(h ORDER BY h) AS sk FROM (
+        |  SELECT h FROM hs WHERE side = 0 ORDER BY h LIMIT 256)),
+        |skb AS (SELECT list(h ORDER BY h) AS sk FROM (
+        |  SELECT h FROM hs WHERE side = 1 ORDER BY h LIMIT 256)),
+        |sku AS (SELECT list(h ORDER BY h) AS sk FROM (
+        |  SELECT DISTINCT h FROM hs ORDER BY h LIMIT 256)),
+        |fin AS (
+        |  SELECT a.sk AS sa, b.sk AS sb, u.sk AS su
+        |  FROM ska a, skb b, sku u),
+        |ests AS (
+        |  SELECT sa, sb, su,
+        |    CAST(len([x for x in su
+        |      if list_contains(sa, x) AND list_contains(sb, x)])
+        |      AS DOUBLE) / len(su) AS jac,
+        |    CASE WHEN len(sa) < 256 THEN CAST(len(sa) AS DOUBLE)
+        |      ELSE 255 * 4294967296.0 / sa[256] END AS esta,
+        |    CASE WHEN len(sb) < 256 THEN CAST(len(sb) AS DOUBLE)
+        |      ELSE 255 * 4294967296.0 / sb[256] END AS estb,
+        |    CASE WHEN len(su) < 256 THEN CAST(len(su) AS DOUBLE)
+        |      ELSE 255 * 4294967296.0 / su[256] END AS estu
+        |  FROM fin)
+        |SELECT CAST(0 AS BIGINT) AS batch_id,
+        |  CAST(256 AS INT) AS k,
+        |  CAST(len(sa) AS BIGINT) AS n_sketch_ref,
+        |  CAST(len(sb) AS BIGINT) AS n_sketch_batch,
+        |  CAST(len(su) AS BIGINT) AS n_sketch_union,
+        |  round(esta, 9) AS est_distinct_ref,
+        |  round(estb, 9) AS est_distinct_batch,
+        |  round(estu, 9) AS est_distinct_union,
+        |  round(jac, 9) AS jaccard_est,
+        |  round(jac * estu, 9) AS est_distinct_intersection,
+        |  round((jac * estu) / estb, 9) AS containment_est,
+        |  round(1.0 - (jac * estu) / estb, 9) AS novelty_est
+        |FROM ests""".stripMargin,
     "q161_stream_incr_dedup" ->
       """SELECT b.doc_id, b.source, b.n_chars
         |FROM documents b

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.dedup.CorpusOverlap
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming novelty monitoring: per micro-batch, how much of the
+  * incoming slice's CONTENT is already in a reference corpus — the
+  * crawl-ops companion to [[StreamingDrift]] (drift watches the
+  * distribution move; novelty watches the marginal value of what's
+  * arriving: a recrawl loop or a mirror flood shows up as novelty
+  * collapsing toward zero while volume stays flat).
+  *
+  * The reference corpus is KMV-sketched ONCE before the stream starts
+  * (k longs, driver-held); each micro-batch pays only its own bounded
+  * sketch pass ([[CorpusOverlap.overlapAgainstSketch]]) — never a
+  * cross-corpus document join, never a second reference scan.
+  * Per-batch results collect to the driver — one row per batch, the
+  * metrics-output exception to the no-collect rule.
+  */
+object StreamingNovelty {
+
+  /** Drain `stream` with AvailableNow: one row per micro-batch with
+    * the [[CorpusOverlap.overlapAgainstSketch]] estimates prefixed by
+    * `batch_id`.
+    */
+  def noveltyPerBatch(stream: DataFrame, reference: DataFrame,
+      k: Int = 256, shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val ref = CorpusOverlap
+      .sketch(spark, reference, k, shingleK, idCol, textCol)
+      .collect().headOption
+      .map(_.getSeq[Long](0)).getOrElse(Seq.empty)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Long, Long, Double, Double, Double,
+        Double, Double, Double, Double)]
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val r = CorpusOverlap.overlapAgainstSketch(spark, batch, ref,
+          k, shingleK, idCol, textCol).collect().head
+        rows.synchronized {
+          rows += ((id, r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6), r.getDouble(7), r.getDouble(8),
+            r.getDouble(9), r.getDouble(10)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rows.toSeq.toDF("batch_id", "k", "n_sketch_ref", "n_sketch_batch",
+      "n_sketch_union", "est_distinct_ref", "est_distinct_batch",
+      "est_distinct_union", "jaccard_est", "est_distinct_intersection",
+      "containment_est", "novelty_est")
+  }
+}

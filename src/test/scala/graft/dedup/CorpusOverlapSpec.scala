@@ -68,6 +68,31 @@ class CorpusOverlapSpec extends SparkSpec {
     assert(got(("a", "c")) == 0.0 && got(("b", "c")) == 0.0)
   }
 
+  test("overlapAgainstSketch matches overlap(); novelty complements") {
+    val shared = (0 until 40).map(i => s"mid$i").mkString(" ")
+    val a = docs(Seq(1L -> (shared + " " +
+      (0 until 40).map(i => s"al$i").mkString(" "))))
+    val b = docs(Seq(2L -> (shared + " " +
+      (0 until 40).map(i => s"bl$i").mkString(" "))))
+    val full = CorpusOverlap.overlap(spark, a, b, k = 32).collect().head
+    val ref = CorpusOverlap.sketch(spark, a, 32)
+      .collect().head.getSeq[Long](0)
+    val inc = CorpusOverlap.overlapAgainstSketch(spark, b, ref, k = 32)
+      .collect().head
+    assert(inc.getAs[Double]("jaccard_est") ==
+      full.getAs[Double]("jaccard_est"))
+    assert(inc.getAs[Double]("est_distinct_intersection") ==
+      full.getAs[Double]("est_distinct_intersection"))
+    val cont = inc.getAs[Double]("containment_est")
+    val nov = inc.getAs[Double]("novelty_est")
+    assert(cont > 0.0 && cont < 1.0 && math.abs(cont + nov - 1.0) < 1e-9)
+    // an already-seen batch: containment 1, novelty 0
+    val same = CorpusOverlap.overlapAgainstSketch(spark, a, ref, k = 32)
+      .collect().head
+    assert(same.getAs[Double]("containment_est") == 1.0 &&
+      same.getAs[Double]("novelty_est") == 0.0)
+  }
+
   test("half-overlapping corpora land between the pure cases") {
     val shared = (0 until 40).map(i => s"shared$i").mkString(" ")
     val a = docs(Seq(1L -> (shared + " " +
