@@ -438,6 +438,32 @@ object Similarity extends QueryPack {
       ClusterBalance.balancedSample(s, embs, model, nPerCell = 5)
     }
 
+  /** IVF-path mining recall gate (q221): the q211 miner re-run with
+    * both k-NN directions through IVF probes
+    * ([[graft.similarity.BitextMine.minePairsIvf]]) — the beyond-brute
+    * scale path. The oracle pins the BRUTE pair count (the q211 replay
+    * counted) and the overlap flag: an IVF regression that loses the
+    * mined-pair overlap flips `overlap_ok` and fails the hash loudly
+    * (the q67 discipline).
+    */
+  def bitextIvfRecall(s: SparkSession, dir: String): DataFrame =
+    withSmallShuffle(s) {
+      val embs = Tables.embeddings(s, dir)
+      val src = embs.filter(col("vec_id") % 2 === 0)
+      val tgt = embs.filter(col("vec_id") % 2 === 1)
+      val brute = BitextMine.minePairs(s, src, tgt, k = 4)
+        .select(col("src_id"), col("tgt_id"))
+      val ivf = BitextMine.minePairsIvf(s, src, tgt, k = 4,
+        numCells = 16, nprobe = 10)
+        .select(col("src_id"), col("tgt_id"))
+      val hits = brute.join(ivf, Seq("src_id", "tgt_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_brute"),
+          (col("n_hit").cast("double") / col("n_brute") >= 0.5)
+            .as("overlap_ok"))
+    }
+
   def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(s, dir)
     val queries = embs.filter(col("vec_id") < NQUERIES)
@@ -451,6 +477,7 @@ object Similarity extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_bitext_ivf_recall" -> bitextIvfRecall _,
     "q213_cluster_balanced_sample" -> clusterBalancedSample _,
     "q211_bitext_mining" -> bitextMining _,
     "q194_retrieval_metrics" -> retrievalMetrics _,
@@ -469,7 +496,63 @@ object Similarity extends QueryPack {
     "q132_ann_append" -> annAppend _,
   )
 
+  /** The q211 mining replay — shared with q221, which pins the brute
+    * pair count while gating the IVF path's overlap.
+    */
+  private val bitextOracleSql: String =
+    """WITH srcv AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |tgtv AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id % 2 = 1),
+      |fr AS (
+      |  SELECT s.id AS src_id, t.id AS tgt_id,
+      |    round(list_cosine_similarity(s.v, t.v), 9) AS cosine
+      |  FROM srcv s CROSS JOIN tgtv t),
+      |fwd AS (
+      |  SELECT src_id, tgt_id, cosine,
+      |    row_number() OVER (PARTITION BY src_id
+      |      ORDER BY cosine DESC, tgt_id) AS rk
+      |  FROM fr),
+      |bwd AS (
+      |  SELECT src_id, tgt_id, cosine,
+      |    row_number() OVER (PARTITION BY tgt_id
+      |      ORDER BY cosine DESC, src_id) AS rk
+      |  FROM fr),
+      |ms AS (SELECT src_id, avg(cosine) AS mean_src
+      |       FROM fwd WHERE rk <= 4 GROUP BY src_id),
+      |mt AS (SELECT tgt_id, avg(cosine) AS mean_tgt
+      |       FROM bwd WHERE rk <= 4 GROUP BY tgt_id),
+      |cand AS (
+      |  SELECT DISTINCT src_id, tgt_id, cosine FROM (
+      |    SELECT src_id, tgt_id, cosine FROM fwd WHERE rk <= 4
+      |    UNION ALL
+      |    SELECT src_id, tgt_id, cosine FROM bwd WHERE rk <= 4)),
+      |sc AS (
+      |  SELECT c.src_id, c.tgt_id, c.cosine,
+      |    round(c.cosine / ((ms.mean_src + mt.mean_tgt) / 2), 9)
+      |      AS margin
+      |  FROM cand c JOIN ms USING (src_id) JOIN mt USING (tgt_id)),
+      |bs AS (
+      |  SELECT src_id, tgt_id FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY src_id
+      |    ORDER BY margin DESC, tgt_id) = 1),
+      |bt AS (
+      |  SELECT src_id, tgt_id FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY tgt_id
+      |    ORDER BY margin DESC, src_id) = 1)
+      |SELECT sc.src_id, sc.tgt_id, sc.cosine, sc.margin
+      |FROM sc
+      |JOIN bs USING (src_id, tgt_id)
+      |JOIN bt USING (src_id, tgt_id)
+      |WHERE sc.margin >= 1.0""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q221_bitext_ivf_recall" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT)
+         |        FROM ($bitextOracleSql) t) AS n_brute,
+         |  TRUE AS overlap_ok""".stripMargin,
     "q213_cluster_balanced_sample" ->
       """WITH cent AS (
         |  SELECT vec_id AS cell0, CAST(embedding AS DOUBLE[]) AS c
@@ -492,54 +575,7 @@ object Similarity extends QueryPack {
         |SELECT cell, vec_id FROM drw
         |QUALIFY row_number() OVER (PARTITION BY cell
         |  ORDER BY draw, vec_id) <= 5""".stripMargin,
-    "q211_bitext_mining" ->
-      """WITH srcv AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id % 2 = 0),
-        |tgtv AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id % 2 = 1),
-        |fr AS (
-        |  SELECT s.id AS src_id, t.id AS tgt_id,
-        |    round(list_cosine_similarity(s.v, t.v), 9) AS cosine
-        |  FROM srcv s CROSS JOIN tgtv t),
-        |fwd AS (
-        |  SELECT src_id, tgt_id, cosine,
-        |    row_number() OVER (PARTITION BY src_id
-        |      ORDER BY cosine DESC, tgt_id) AS rk
-        |  FROM fr),
-        |bwd AS (
-        |  SELECT src_id, tgt_id, cosine,
-        |    row_number() OVER (PARTITION BY tgt_id
-        |      ORDER BY cosine DESC, src_id) AS rk
-        |  FROM fr),
-        |ms AS (SELECT src_id, avg(cosine) AS mean_src
-        |       FROM fwd WHERE rk <= 4 GROUP BY src_id),
-        |mt AS (SELECT tgt_id, avg(cosine) AS mean_tgt
-        |       FROM bwd WHERE rk <= 4 GROUP BY tgt_id),
-        |cand AS (
-        |  SELECT DISTINCT src_id, tgt_id, cosine FROM (
-        |    SELECT src_id, tgt_id, cosine FROM fwd WHERE rk <= 4
-        |    UNION ALL
-        |    SELECT src_id, tgt_id, cosine FROM bwd WHERE rk <= 4)),
-        |sc AS (
-        |  SELECT c.src_id, c.tgt_id, c.cosine,
-        |    round(c.cosine / ((ms.mean_src + mt.mean_tgt) / 2), 9)
-        |      AS margin
-        |  FROM cand c JOIN ms USING (src_id) JOIN mt USING (tgt_id)),
-        |bs AS (
-        |  SELECT src_id, tgt_id FROM sc
-        |  QUALIFY row_number() OVER (PARTITION BY src_id
-        |    ORDER BY margin DESC, tgt_id) = 1),
-        |bt AS (
-        |  SELECT src_id, tgt_id FROM sc
-        |  QUALIFY row_number() OVER (PARTITION BY tgt_id
-        |    ORDER BY margin DESC, src_id) = 1)
-        |SELECT sc.src_id, sc.tgt_id, sc.cosine, sc.margin
-        |FROM sc
-        |JOIN bs USING (src_id, tgt_id)
-        |JOIN bt USING (src_id, tgt_id)
-        |WHERE sc.margin >= 1.0""".stripMargin,
+    "q211_bitext_mining" -> bitextOracleSql,
     "q194_retrieval_metrics" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

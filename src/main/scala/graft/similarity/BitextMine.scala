@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *  - both k-NN passes are [[TopKSearch.bruteForce]] scans (queries
   *    broadcast, corpus never shuffles, bounded TopKAgg) — swap in
   *    [[IvfIndex]] search for the same (query_id, neighbor_id, cosine)
-  *    contract when the corpora outgrow brute force;
+  *    contract when the corpora outgrow brute force. Both engines
+  *    BROADCAST the query side, and here the query side is itself a
+  *    corpus: beyond broadcast range, slice it and union the top-k
+  *    outputs (slices are independent — the per-query lists don't
+  *    interact until the argmax aggregates, which stream);
   *  - neighborhood means are k-bounded per-id aggregates;
   *  - the candidate set is the union of both top-k lists — O(k·(|A|+|B|))
   *    rows, never |A|×|B|;
@@ -66,7 +70,40 @@ object BitextMine {
     val bwd = TopKSearch.bruteForce(spark, src, tgt, k,
       corpusId = srcId, corpusVec = srcVec,
       queryId = tgtId, queryVec = tgtVec)
+    mineFromKnn(fwd, bwd, marginThreshold)
+  }
 
+  /** The IVF-path miner for corpora beyond brute range: both k-NN
+    * directions probe `nprobe` of `numCells` cells instead of
+    * scanning (the [[IvfIndex]] contract — same (query_id,
+    * neighbor_id, cosine) output, approximate recall). Margin
+    * normalization and mutual-best selection are identical; mined
+    * pairs are a subset-with-noise of the brute miner's (gated by
+    * overlap, the q67 recall pattern).
+    */
+  def minePairsIvf(spark: SparkSession, src: DataFrame, tgt: DataFrame,
+      k: Int, marginThreshold: Double = 1.0, numCells: Int = 16,
+      nprobe: Int = 4,
+      srcId: String = "vec_id", srcVec: String = "embedding",
+      tgtId: String = "vec_id", tgtVec: String = "embedding"): DataFrame = {
+    val mTgt = IvfIndex.train(spark, tgt, numCells, idCol = tgtId,
+      vecCol = tgtVec)
+    val mSrc = IvfIndex.train(spark, src, numCells, idCol = srcId,
+      vecCol = srcVec)
+    val fwd = IvfIndex.searchTopK(spark, mTgt, tgt,
+      src.select(col(srcId).as("query_id"), col(srcVec).as("embedding")),
+      k, nprobe, corpusId = tgtId, corpusVec = tgtVec)
+    val bwd = IvfIndex.searchTopK(spark, mSrc, src,
+      tgt.select(col(tgtId).as("query_id"), col(tgtVec).as("embedding")),
+      k, nprobe, corpusId = srcId, corpusVec = srcVec)
+    mineFromKnn(fwd, bwd, marginThreshold)
+  }
+
+  /** Margin + mutual-best over two ranked k-NN lists (the shared tail
+    * of the brute and IVF miners).
+    */
+  private def mineFromKnn(fwd: DataFrame, bwd: DataFrame,
+      marginThreshold: Double): DataFrame = {
     val meanSrc = fwd.groupBy(col("query_id").as("src_id"))
       .agg(avg(col("cosine")).as("mean_src"))
     val meanTgt = bwd.groupBy(col("query_id").as("tgt_id"))

@@ -55,6 +55,23 @@ class BitextMineSpec extends SparkSpec {
       margins(9L) < math.min(margins(11L), margins(21L)))
   }
 
+  test("IVF path probing every cell matches the brute miner exactly") {
+    val src = df(Seq(
+      0L -> Seq(1f, 0f),
+      2L -> Seq(0f, 1f),
+      4L -> Seq(0.7f, 0.7f)))
+    val tgt = df(Seq(
+      1L -> Seq(0.99f, 0.1f),
+      3L -> Seq(0.1f, 0.99f),
+      5L -> Seq(-1f, 0.05f)))
+    val brute = BitextMine.minePairs(spark, src, tgt, k = 2)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    val ivf = BitextMine.minePairsIvf(spark, src, tgt, k = 2,
+        numCells = 2, nprobe = 2)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(ivf == brute)
+  }
+
   test("pairs carry the symmetric rounded cosine from either direction") {
     val src = df(Seq(0L -> Seq(3f, 4f)))
     val tgt = df(Seq(1L -> Seq(4f, 3f)))
