@@ -40,7 +40,11 @@ object Bench {
   private val KnownHeavy: Set[String] = Set(
     "q32_dedup_ngram_jaccard", "q33_dedup_minhash_lsh",
     "q70_simhash_gate", "q71_embedding_lsh_gate", "q76_pq_recall",
-    "q80_ivfpq_recall", "q86_corpus_curation", "q125_bpe_train")
+    "q80_ivfpq_recall", "q86_corpus_curation", "q125_bpe_train",
+    // round-11 steadies > ~4.5 s: skip the wasted shared pass
+    "q145_generated_columns", "q205_sparse_degradation",
+    "q210_trained_langid", "q219_prf_retrieval",
+    "q221_bitext_ivf_recall")
 
   /** Streaming/stateful gates: never forked (their cost is micro-batch
     * overhead, not JVM contention) and exempt from adaptive re-forking.

@@ -1,0 +1,50 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-source attrition through the standard curation pipeline — the
+  * observability report a production run ships next to its output:
+  * how many documents each source brought in, and how many survived
+  * exact dedup, the quality filter, and near-dup clustering. The
+  * numbers that catch a mis-tuned threshold ("src7 lost 90% at the
+  * quality stage") before anyone trains on the result.
+  *
+  * Stages are the q86 composite's (ExactDedup.keepFirst →
+  * TextAnalysis.qualityScore ≥ min → MinHash-LSH pairs →
+  * NearDupClusters keepers); counts are per-source aggregates —
+  * metadata-scale output however large the corpus. Self-contained
+  * form recomputes upstream stages per count branch (Catalyst does
+  * not share subtrees across join branches); a production pipeline
+  * counts its already-materialized stage tables instead, at pure
+  * aggregate cost.
+  */
+object CurationReport {
+
+  /** @return one row per source: (source, n_raw, n_exact_deduped,
+    *         n_quality_kept, n_neardup_keepers)
+    */
+  def attrition(docs: DataFrame, qualityMin: Double = 0.5,
+      shingleK: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val deduped = ExactDedup.keepFirst(docs)
+    val quality = graft.text.TextAnalysis.qualityScore(deduped)
+    val keep = deduped.join(quality.filter(col("quality") >= qualityMin),
+      "doc_id")
+    val pairs = MinHashLSH.pairs(keep, k = shingleK, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = NearDupClusters.clusters(
+      keep.select(col("doc_id")), pairs)
+    val fin = keep.join(clusters.filter(col("is_keeper")), "doc_id")
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    cnt(docs, "n_raw")
+      .join(cnt(deduped, "n_exact_deduped"), Seq("source"), "left")
+      .join(cnt(keep, "n_quality_kept"), Seq("source"), "left")
+      .join(cnt(fin, "n_neardup_keepers"), Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_exact_deduped"), lit(0L)).as("n_exact_deduped"),
+        coalesce(col("n_quality_kept"), lit(0L)).as("n_quality_kept"),
+        coalesce(col("n_neardup_keepers"), lit(0L))
+          .as("n_neardup_keepers"))
+  }
+}

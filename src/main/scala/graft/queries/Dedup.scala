@@ -376,7 +376,17 @@ object Dedup extends QueryPack {
   def sourceSimilarityMatrix(s: SparkSession, dir: String): DataFrame =
     CorpusOverlap.similarityMatrix(s, Tables.documents(s, dir))
 
+  /** Curation attrition gate (q222): the q86 pipeline's per-source
+    * survival counts at every stage
+    * ([[graft.dedup.CurationReport.attrition]]) — the observability
+    * report that catches a mis-tuned stage threshold per source.
+    * DuckDB reuses the q86 CTE chain and counts each stage.
+    */
+  def curationAttrition(s: SparkSession, dir: String): DataFrame =
+    CurationReport.attrition(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_curation_attrition" -> curationAttrition _,
     "q217_source_similarity" -> sourceSimilarityMatrix _,
     "q214_leakage_safe_split" -> leakageSafeSplit _,
     "q212_corpus_overlap" -> corpusOverlap _,
@@ -426,7 +436,87 @@ object Dedup extends QueryPack {
 
   private val jaccardSql = jaccardSqlWhere("")
 
+  /** The q86 curation chain as a CTE body (dedup → qual → keep →
+    * exact-jaccard pairs → components' `mins`) — shared by the q86
+    * gate and the q222 attrition report.
+    */
+  private val curationCtes: String =
+    """dedup AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM (
+        |    SELECT doc_id, text, lang, source, n_chars,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) t
+        |  WHERE rn = 1),
+        |tq AS (
+        |  SELECT doc_id, text,
+        |    [x for x in string_split_regex(lower(text), '\s+') if x <> ''] AS tokens
+        |  FROM dedup),
+        |sq AS (
+        |  SELECT doc_id,
+        |    len(tokens) AS token_count,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS alpha_ratio,
+        |    CAST(len([x for x in tokens if list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)]) AS DOUBLE)
+        |      / nullif(len(tokens), 0) AS stopword_ratio
+        |  FROM tq),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |          least(stopword_ratio * 5.0, 1.0) * 0.3 +
+        |          alpha_ratio * 0.3, 9) AS quality
+        |  FROM sq),
+        |keep AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, q.quality
+        |  FROM dedup d JOIN qual q USING (doc_id)
+        |  WHERE q.quality >= 0.5),
+        |ktoks AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
+        |  FROM keep),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tokens[i:i+2], ' ')
+        |                   for i in range(1, len(tokens) - 1)]) AS shingles
+        |  FROM ktoks WHERE len(tokens) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sgl, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb
+        |    FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6),
+        |edges AS (
+        |  SELECT doc_a AS s2, doc_b AS d2 FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT s2, d2 FROM edges
+        |  UNION
+        |  SELECT r.n, e.d2 FROM reach r JOIN edges e ON r.m = e.s2),
+        |mins AS (SELECT n, min(m) AS mr FROM reach GROUP BY n)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q222_curation_attrition" ->
+      s"""WITH RECURSIVE ${curationCtes},
+        |fin AS (
+        |  SELECT k.source, k.doc_id
+        |  FROM keep k LEFT JOIN mins m ON m.n = k.doc_id
+        |  WHERE least(k.doc_id, coalesce(m.mr, k.doc_id)) = k.doc_id),
+        |r0 AS (SELECT source, count(*) AS n FROM documents
+        |       GROUP BY source),
+        |r1 AS (SELECT source, count(*) AS n FROM dedup GROUP BY source),
+        |r2 AS (SELECT source, count(*) AS n FROM keep GROUP BY source),
+        |r3 AS (SELECT source, count(*) AS n FROM fin GROUP BY source)
+        |SELECT r0.source,
+        |  CAST(r0.n AS BIGINT) AS n_raw,
+        |  CAST(coalesce(r1.n, 0) AS BIGINT) AS n_exact_deduped,
+        |  CAST(coalesce(r2.n, 0) AS BIGINT) AS n_quality_kept,
+        |  CAST(coalesce(r3.n, 0) AS BIGINT) AS n_neardup_keepers
+        |FROM r0
+        |LEFT JOIN r1 USING (source)
+        |LEFT JOIN r2 USING (source)
+        |LEFT JOIN r3 USING (source)""".stripMargin,
     "q217_source_similarity" ->
       """WITH tk AS (
         |  SELECT source,
@@ -692,60 +782,7 @@ object Dedup extends QueryPack {
         |  TRUE AS originals_kept_ok
         |FROM embeddings""".stripMargin,
     "q86_corpus_curation" ->
-      """WITH RECURSIVE dedup AS (
-        |  SELECT doc_id, text, lang, source, n_chars FROM (
-        |    SELECT doc_id, text, lang, source, n_chars,
-        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        |    FROM documents) t
-        |  WHERE rn = 1),
-        |tq AS (
-        |  SELECT doc_id, text,
-        |    [x for x in string_split_regex(lower(text), '\s+') if x <> ''] AS tokens
-        |  FROM dedup),
-        |sq AS (
-        |  SELECT doc_id,
-        |    len(tokens) AS token_count,
-        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-        |      / nullif(length(text), 0) AS alpha_ratio,
-        |    CAST(len([x for x in tokens if list_contains(
-        |      ['the','a','of','and','to','in','is','it','that','for'], x)]) AS DOUBLE)
-        |      / nullif(len(tokens), 0) AS stopword_ratio
-        |  FROM tq),
-        |qual AS (
-        |  SELECT doc_id,
-        |    round(least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4 +
-        |          least(stopword_ratio * 5.0, 1.0) * 0.3 +
-        |          alpha_ratio * 0.3, 9) AS quality
-        |  FROM sq),
-        |keep AS (
-        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, q.quality
-        |  FROM dedup d JOIN qual q USING (doc_id)
-        |  WHERE q.quality >= 0.5),
-        |ktoks AS (
-        |  SELECT doc_id,
-        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
-        |  FROM keep),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(tokens[i:i+2], ' ')
-        |                   for i in range(1, len(tokens) - 1)]) AS shingles
-        |  FROM ktoks WHERE len(tokens) >= 3),
-        |ex AS (SELECT doc_id, unnest(shingles) AS sgl, len(shingles) AS n FROM sh),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |      count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb
-        |    FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
-        |    GROUP BY 1, 2) p
-        |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6),
-        |edges AS (
-        |  SELECT doc_a AS s2, doc_b AS d2 FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(n, m) AS (
-        |  SELECT s2, d2 FROM edges
-        |  UNION
-        |  SELECT r.n, e.d2 FROM reach r JOIN edges e ON r.m = e.s2),
-        |mins AS (SELECT n, min(m) AS mr FROM reach GROUP BY n)
+      s"""WITH RECURSIVE ${curationCtes}
         |SELECT k.doc_id, k.lang, k.source, k.n_chars, k.quality
         |FROM keep k LEFT JOIN mins m ON m.n = k.doc_id
         |WHERE least(k.doc_id, coalesce(m.mr, k.doc_id)) = k.doc_id""".stripMargin,

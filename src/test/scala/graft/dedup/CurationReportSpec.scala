@@ -1,0 +1,31 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+
+class CurationReportSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("stage counts are monotonically non-increasing per source") {
+    val rep = CurationReport.attrition(Tables.documents(spark, sf))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rep.nonEmpty)
+    rep.foreach { case (src, raw, ex, q, keep) =>
+      assert(raw >= ex && ex >= q && q >= keep, s"$src: $raw $ex $q $keep")
+      assert(raw > 0)
+    }
+  }
+
+  test("a planted exact duplicate is charged to the exact-dedup stage") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and naps", "s1"),
+      (2L, "the quick brown fox jumps over the lazy dog and naps", "s1"),
+      (3L, "pack my box with five dozen liquor jugs for the trip", "s2"))
+      .toDF("doc_id", "text", "source")
+    val rep = CurationReport.attrition(base, qualityMin = 0.0)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep("s1")._2 == 2L && rep("s1")._3 == 1L) // dup dropped here
+    assert(rep("s2")._2 == 1L && rep("s2")._3 == 1L)
+  }
+}
