@@ -75,21 +75,8 @@ object Bootstrap {
   def meanCI(scores: DataFrame, b: Int = 200, alpha: Double = 0.05,
       scoreCol: String = "score", idCol: String = "doc_id",
       salt: String = ""): DataFrame = {
-    require(b >= 2, s"need b >= 2 resamples, got $b")
-    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
-    val kLo = (alpha / 2 * b).toInt
-    val kHi = b - 1 - kLo
-    val key =
-      if (salt.isEmpty)
-        concat(col(idCol).cast("string"), lit(":"), col("j").cast("string"))
-      else concat(col(idCol).cast("string"), lit(":"),
-        col("j").cast("string"), lit(":" + salt))
-    val u = conv(substring(md5(key), 1, 8), 16, 10).cast("long") /
-      lit(4294967296.0)
-    val weighted = scores
-      .select(col(idCol), col(scoreCol).cast("double").as("__s"))
-      .withColumn("j", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("__w", poissonW(u).cast("double"))
+    val (weighted, kLo, kHi) = weigh(scores, b, alpha, scoreCol, idCol,
+      salt)
     val means = weighted.groupBy(col("j"))
       .agg((sum(col("__w") * col("__s")) / sum(col("__w"))).as("m"))
       .filter(col("m").isNotNull) // an all-zero-weight resample (tiny n)
@@ -102,5 +89,60 @@ object Bootstrap {
       element_at(col("ms"), kLo + 1).as("ci_lo"),
       element_at(col("ms"), kHi + 1).as("ci_hi"),
       lit(alpha).as("alpha"))
+  }
+
+  /** Per-group CIs — the dashboard form ("is src7's quality drop
+    * noise?"): same draws and ladder, resample means keyed by
+    * (group, replicate), order statistics per group. The aggregate
+    * output is groups × B rows pre-reduction — still metadata-scale.
+    *
+    * @return one row per group: (groupCol, n, b, mean, ci_lo, ci_hi,
+    *         alpha)
+    */
+  def meanCIByGroup(scores: DataFrame, b: Int = 200,
+      alpha: Double = 0.05, scoreCol: String = "score",
+      idCol: String = "doc_id", groupCol: String = "source",
+      salt: String = ""): DataFrame = {
+    val (weighted, kLo, kHi) = weigh(scores, b, alpha, scoreCol, idCol,
+      salt, keep = Seq(groupCol))
+    val means = weighted.groupBy(col(groupCol), col("j"))
+      .agg((sum(col("__w") * col("__s")) / sum(col("__w"))).as("m"))
+      .filter(col("m").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(round(col("m"), 9))).as("ms"))
+    val base = scores.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      round(avg(col(scoreCol).cast("double")), 9).as("mean"))
+    base.join(means, Seq(groupCol)).select(
+      col(groupCol), col("n"), lit(b).cast("int").as("b"), col("mean"),
+      element_at(col("ms"), kLo + 1).as("ci_lo"),
+      element_at(col("ms"), kHi + 1).as("ci_hi"),
+      lit(alpha).as("alpha"))
+  }
+
+  /** Shared draw/weight stage: one generate (row × B) with the
+    * Poisson weight per (id, replicate); returns the CI order-statistic
+    * ranks alongside.
+    */
+  private def weigh(scores: DataFrame, b: Int, alpha: Double,
+      scoreCol: String, idCol: String, salt: String,
+      keep: Seq[String] = Nil): (DataFrame, Int, Int) = {
+    require(b >= 2, s"need b >= 2 resamples, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val kLo = (alpha / 2 * b).toInt
+    val kHi = b - 1 - kLo
+    val key =
+      if (salt.isEmpty)
+        concat(col(idCol).cast("string"), lit(":"), col("j").cast("string"))
+      else concat(col(idCol).cast("string"), lit(":"),
+        col("j").cast("string"), lit(":" + salt))
+    val u = conv(substring(md5(key), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+    val weighted = scores
+      .select(col(idCol) +: col(scoreCol).cast("double").as("__s") +:
+        keep.map(col): _*)
+      .withColumn("j", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", poissonW(u).cast("double"))
+    (weighted, kLo, kHi)
   }
 }

@@ -322,7 +322,23 @@ object Analytics extends QueryPack {
     graft.operators.Bootstrap.meanCI(scores)
   }
 
+  /** Per-source bootstrap-CI gate (q223): the q216 machinery grouped —
+    * mean words-per-document with a 95% CI PER SOURCE
+    * ([[graft.operators.Bootstrap.meanCIByGroup]]), the dashboard row
+    * that says whether a source's quality move is noise. Same
+    * engine-replayable draws/ladder/order-statistics, keyed by
+    * (source, replicate).
+    */
+  def bootstrapCiBySource(s: SparkSession, dir: String): DataFrame = {
+    val scores = Tables.documents(s, dir).select(col("doc_id"),
+      col("source"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("score"))
+    graft.operators.Bootstrap.meanCIByGroup(scores)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_bootstrap_ci_by_source" -> bootstrapCiBySource _,
     "q216_bootstrap_ci" -> bootstrapCi _,
     "q197_pagerank" -> pagerank _,
     "q164_funnel" -> funnelSteps _,
@@ -343,6 +359,36 @@ object Analytics extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q223_bootstrap_ci_by_source" -> {
+      val wt = graft.operators.Bootstrap.poissonCaseSql(
+        "(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':' || " +
+          "CAST(jj.j AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)")
+      s"""WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS DOUBLE) AS score
+        |  FROM documents),
+        |jj AS (SELECT unnest(range(0, 200)) AS j),
+        |w AS (
+        |  SELECT s.source, s.score, jj.j, $wt AS wt
+        |  FROM s CROSS JOIN jj),
+        |bm AS (
+        |  SELECT source, j, round(sum(wt * score) / sum(wt), 9) AS m
+        |  FROM w GROUP BY source, j HAVING sum(wt) > 0),
+        |arr AS (SELECT source, list(m ORDER BY m) AS ms FROM bm
+        |        GROUP BY source),
+        |base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(score), 9) AS mean
+        |  FROM s GROUP BY source)
+        |SELECT base.source, base.n,
+        |  CAST(200 AS INT) AS b,
+        |  base.mean,
+        |  ms[6] AS ci_lo,
+        |  ms[195] AS ci_hi,
+        |  CAST(0.05 AS DOUBLE) AS alpha
+        |FROM base JOIN arr USING (source)""".stripMargin
+    },
     "q216_bootstrap_ci" -> {
       val wt = graft.operators.Bootstrap.poissonCaseSql(
         "(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':' || " +

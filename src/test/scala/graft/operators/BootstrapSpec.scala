@@ -38,6 +38,21 @@ class BootstrapSpec extends SparkSpec {
     assert(r.getAs[Double]("ci_lo") == 1.0 && r.getAs[Double]("ci_hi") == 1.0)
   }
 
+  test("per-group CIs: each group brackets its own mean independently") {
+    val scores = ((1L to 200L).map(i => (i, "a", 5.0)) ++
+      (201L to 400L).map(i => (i, "b", (i % 11).toDouble)))
+      .toDF("doc_id", "source", "score")
+    val got = Bootstrap.meanCIByGroup(scores, b = 50).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a") // constant scores: CI collapses
+    assert(a.getAs[Long]("n") == 200L && a.getAs[Double]("mean") == 5.0)
+    assert(a.getAs[Double]("ci_lo") == 5.0 && a.getAs[Double]("ci_hi") == 5.0)
+    val bb = got("b")
+    assert(bb.getAs[Double]("ci_lo") <= bb.getAs[Double]("mean") &&
+      bb.getAs[Double]("mean") <= bb.getAs[Double]("ci_hi") &&
+      bb.getAs[Double]("ci_lo") < bb.getAs[Double]("ci_hi"))
+  }
+
   test("salt changes the draws, not the contract") {
     val scores = (1L to 200L).map(i => (i, (i % 7).toDouble))
       .toDF("doc_id", "score")
