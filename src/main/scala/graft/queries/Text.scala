@@ -1357,12 +1357,22 @@ object Text extends QueryPack {
     * byte-identical, then
     * [[graft.similarity.EmbeddingDrift.centroidDrift]] runs next to
     * [[graft.text.CorpusDrift.contentDrift]]: src0's centroid cosine
-    * moves off 1.0 and its dispersion shifts, while the vocabulary
-    * cosine sits at exactly 1.0 for EVERY source — the planted
-    * separation that justifies running both monitors. DuckDB
-    * recomputes centroids, the E‖x‖²−‖c‖² dispersions, and both
-    * cosines (float→double widening is exact, so both engines fold
-    * the same doubles; 9-decimal rounding absorbs sum-order drift).
+    * collapses (≈0.066 at every SF) while every untouched source sits
+    * at 1.0, the dispersion is reversal-invariant everywhere (‖c‖² =
+    * ‖reverse(c)‖²), and the vocabulary cosine stays 1.0 for EVERY
+    * source — the planted separation that justifies running both
+    * monitors.
+    *
+    * The gate compares PLANTED-THRESHOLD BOOLEANS, not raw doubles
+    * (the q67/q76 recall-gate convention): r11 shipped this gate
+    * hash-red because `round(x, 9)` over double sums whose
+    * accumulation order differs between Spark's map-side partials and
+    * DuckDB's sequential fold is a coin-flip whenever the true value
+    * sits within the ~1e-13 order drift of a .5e-9 boundary — and the
+    * E‖x‖²−‖c‖² dispersion identity amplifies that by cancellation.
+    * Every threshold below sits ≥0.03 from the nearest planted value,
+    * so both engines decide each boolean identically at any fold
+    * order.
     */
   def embeddingDriftGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -1376,6 +1386,13 @@ object Text extends QueryPack {
     graft.similarity.EmbeddingDrift.centroidDrift(a, b)
       .join(graft.text.CorpusDrift.contentDrift(docs, docs),
         Seq("source"))
+      .select(col("source"), col("n_a"), col("n_b"),
+        (col("centroid_cosine") < 0.9).as("drifted"),
+        (col("centroid_cosine") > 0.999999).as("centroid_intact"),
+        (abs(col("disp_delta")) < 1e-6).as("disp_stable"),
+        (col("disp_a") > 1e-3 && col("disp_b") > 1e-3)
+          .as("disp_positive"),
+        (col("vocab_cosine") > 0.999999).as("vocab_intact"))
   }
 
   /** Batch-BM25 top-k gate (q203): every 50th document's first five
@@ -1909,11 +1926,11 @@ object Text extends QueryPack {
         |         sum(CAST(fa AS DOUBLE) * CAST(fa AS DOUBLE)) AS dd
         |       FROM ta GROUP BY source)
         |SELECT sa.source, sa.n_a, sb.n_b,
-        |  round(dot / (sqrt(na2) * sqrt(nb2)), 9) AS centroid_cosine,
-        |  round(msq_a - na2, 9) AS disp_a,
-        |  round(msq_b - nb2, 9) AS disp_b,
-        |  round((msq_b - nb2) - (msq_a - na2), 9) AS disp_delta,
-        |  round(dd / (nn * nn), 9) AS vocab_cosine
+        |  dot / (sqrt(na2) * sqrt(nb2)) < 0.9 AS drifted,
+        |  dot / (sqrt(na2) * sqrt(nb2)) > 0.999999 AS centroid_intact,
+        |  abs((msq_b - nb2) - (msq_a - na2)) < 1e-6 AS disp_stable,
+        |  msq_a - na2 > 1e-3 AND msq_b - nb2 > 1e-3 AS disp_positive,
+        |  dd / (nn * nn) > 0.999999 AS vocab_intact
         |FROM sa
         |JOIN sb USING (source)
         |LEFT JOIN n2a USING (source)

@@ -34,7 +34,6 @@ object EmbeddingDrift {
 
   private def stats(df: DataFrame, keyCol: String, vecCol: String,
       sfx: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
     df.groupBy(col(keyCol)).agg(
       count(lit(1)).as(s"n_$sfx"),
       avg(graft.functions.GraftFunctions.dotProduct(df.sparkSession,

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import java.security.MessageDigest
+
+/** Fold-order stability harness for the float-producing gates.
+  *
+  * r11's q209 disproved the "round to 9 decimals absorbs sum-order
+  * drift" assumption: a double sum whose accumulation order differs
+  * between physical layouts (map-side partials vs a single fold) can
+  * land within its ~1e-13 order drift of a .5e-9 rounding boundary,
+  * flipping the 9th decimal — and therefore the oracle hash — as a
+  * coin-flip. Every gate that emits a rounded double sum is exposed.
+  *
+  * This harness re-runs a gate under three physical layouts that force
+  * different fold orders on BOTH sides of the shuffle:
+  *   - scan splits (`spark.sql.files.maxPartitionBytes` +
+  *     `openCostInBytes`) change the map-side partial grouping;
+  *   - `spark.sql.shuffle.partitions` (1 / 7 / 32) changes reduce-side
+  *     merge order;
+  *   - AQE coalescing is disabled for the duration so the requested
+  *     layouts actually materialize (it would re-merge everything to
+  *     one partition at spec scale and erase the perturbation).
+  * and asserts the canonical output hash (all columns sorted by name,
+  * rows sorted, exact cell `toString`) never moves. A gate that flaps
+  * here is a coin-flip against the DuckDB oracle and needs the q192 /
+  * q209 treatment (stabilized arithmetic or planted-threshold
+  * booleans) before it can ship.
+  */
+object FloatStability {
+
+  /** (shuffle partitions, max scan-split bytes). The 1-partition
+    * layout folds each aggregate sequentially (the DuckDB shape); the
+    * 7/32 layouts force multi-partial merges in two different group
+    * geometries. */
+  val Layouts: Seq[(Int, Long)] =
+    Seq((1, 134217728L), (7, 65536L), (32, 16384L))
+
+  private val PerturbedConfs = Seq(
+    "spark.sql.shuffle.partitions",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.files.openCostInBytes",
+    "spark.sql.adaptive.enabled")
+
+  /** Canonical content hash: columns sorted by name, every cell via
+    * `String.valueOf` (exact double text — NO extra rounding: the
+    * point is to catch the gate's own rounding flapping), rows sorted,
+    * md5 over the concatenation. Mirrors the driver's compare, which
+    * also sorts columns by name before hashing. */
+  def canonicalHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.toIndexedSeq
+    val lines = df.select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(i => String.valueOf(r.get(i)))
+        .mkString(""))
+      .sorted
+    val md = MessageDigest.getInstance("MD5")
+    lines.foreach(l => { md.update(l.getBytes("UTF-8")); md.update(10.toByte) })
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Runs `mk` once per layout and returns (layout, hash) pairs;
+    * restores every perturbed conf afterwards. */
+  def hashesUnderLayouts(spark: org.apache.spark.sql.SparkSession,
+      mk: () => DataFrame): Seq[((Int, Long), String)] = {
+    val saved = PerturbedConfs.map(k => k -> spark.conf.getOption(k))
+    try {
+      Layouts.map { case layout @ (parts, splitBytes) =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
+        spark.conf.set("spark.sql.files.openCostInBytes", splitBytes)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        layout -> canonicalHash(mk())
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
+
+class FloatStabilitySpec extends SparkSpec {
+
+  /** Every gate whose output includes a rounded double that is a sum
+    * (or a ratio of sums) over rows — the exposed class. Composites
+    * that only re-run one of these retrievers (q205/q218/q219 wrap
+    * q203; q222 wraps q86) inherit their base gate's verdict and are
+    * not re-run here. */
+  private val FloatGates = Seq(
+    "q40_ann_brute_topk",        // cosine distances, round 9
+    "q136_semdedup_gate",        // centroid cosines
+    "q192_bm25",                 // BM25 scores (stabilized in r9)
+    "q201_content_drift",        // vocabulary cosine per source
+    "q203_bm25_topk",            // batch BM25 + top-k ranking
+    "q209_embedding_drift",      // r11's red row, now threshold booleans
+    "q216_bootstrap_ci",         // Poisson-bootstrap CI bounds
+    "q217_source_similarity",    // KMV similarity matrix
+    "q223_bootstrap_ci_by_source")
+
+  for (name <- FloatGates)
+    test(s"$name hash-stable under 1/7/32-partition layouts") {
+      val q = SparkEntry.queries(name)
+      val hs = FloatStability.hashesUnderLayouts(spark, () => q(spark, sf))
+      assert(hs.map(_._2).distinct.size === 1,
+        s"fold-order-dependent output: $hs")
+    }
+}
