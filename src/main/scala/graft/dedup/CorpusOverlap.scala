@@ -94,8 +94,20 @@ object CorpusOverlap {
     val u = slice(array_sort(array_union(sa, col("sb"))), 1, k)
     val interK = size(filter(col("u"),
       x => array_contains(sa, x) && array_contains(col("sb"), x)))
-    val jac = interK.cast("double") / size(col("u")).cast("double")
+    // zero-guarded ratios: an empty (or all-short-text) batch
+    // sketches to [] and est(sb) = 0, so the unguarded ratios are
+    // 0/0 — a DIVIDE_BY_ZERO error under ANSI mode (Spark 4 default)
+    // that kills a streaming caller's foreachBatch on one idle
+    // trigger. Convention: an empty slice overlaps nothing and
+    // brings nothing new — jaccard/containment/novelty all 0.
+    val jac = when(size(col("u")) > 0,
+      interK.cast("double") / size(col("u")).cast("double"))
+      .otherwise(lit(0.0))
     val inter = jac * est(col("u"), k)
+    val cont = when(est(col("sb"), k) > 0, inter / est(col("sb"), k))
+      .otherwise(lit(0.0))
+    val nov = when(est(col("sb"), k) > 0, lit(1.0) - cont)
+      .otherwise(lit(0.0))
     sketch(spark, docs, k, shingleK, idCol, textCol)
       .select(col("sketch").as("sb"))
       .withColumn("u", u)
@@ -109,8 +121,8 @@ object CorpusOverlap {
         round(est(col("u"), k), 9).as("est_distinct_union"),
         round(jac, 9).as("jaccard_est"),
         round(inter, 9).as("est_distinct_intersection"),
-        round(inter / est(col("sb"), k), 9).as("containment_est"),
-        round(lit(1.0) - inter / est(col("sb"), k), 9).as("novelty_est"))
+        round(cont, 9).as("containment_est"),
+        round(nov, 9).as("novelty_est"))
   }
 
   /** Pairwise content-similarity matrix between groups (sources,

@@ -66,29 +66,30 @@ object Bootstrap {
 
   /** Mean of `scoreCol` with a (1−alpha) Poisson-bootstrap CI.
     *
-    * CI bounds are the empirical order statistics of the B rounded
-    * bootstrap means: 0-based ranks floor(alpha/2·B) and
-    * B−1−floor(alpha/2·B) of the ascending sort.
+    * CI bounds are the empirical order statistics of the rounded
+    * bootstrap means: 0-based ranks floor(alpha/2·S) and
+    * S−1−floor(alpha/2·S) of the ascending sort, where S is the
+    * NUMBER OF REALIZED resamples — S = B except when n is so small
+    * that an all-zero-weight resample occurs (P ≈ e^−n per resample);
+    * ranking by the realized size keeps the bounds in range instead
+    * of reading past the list (null ci_hi) with shifted quantiles.
     *
     * @return one row: (n, b, mean, ci_lo, ci_hi, alpha)
     */
   def meanCI(scores: DataFrame, b: Int = 200, alpha: Double = 0.05,
       scoreCol: String = "score", idCol: String = "doc_id",
       salt: String = ""): DataFrame = {
-    val (weighted, kLo, kHi) = weigh(scores, b, alpha, scoreCol, idCol,
-      salt)
+    val weighted = weigh(scores, b, alpha, scoreCol, idCol, salt)
     val means = weighted.groupBy(col("j"))
-      .agg((sum(col("__w") * col("__s")) / sum(col("__w"))).as("m"))
+      .agg(resampleMean.as("m"))
       .filter(col("m").isNotNull) // an all-zero-weight resample (tiny n)
       .agg(sort_array(collect_list(round(col("m"), 9))).as("ms"))
     val base = scores.agg(
       count(lit(1)).as("n"),
       round(avg(col(scoreCol).cast("double")), 9).as("mean"))
     base.crossJoin(means).select(
-      col("n"), lit(b).cast("int").as("b"), col("mean"),
-      element_at(col("ms"), kLo + 1).as("ci_lo"),
-      element_at(col("ms"), kHi + 1).as("ci_hi"),
-      lit(alpha).as("alpha"))
+      col("n") +: lit(b).cast("int").as("b") +: col("mean") +:
+        ciCols(alpha) :+ lit(alpha).as("alpha"): _*)
   }
 
   /** Per-group CIs — the dashboard form ("is src7's quality drop
@@ -103,10 +104,10 @@ object Bootstrap {
       alpha: Double = 0.05, scoreCol: String = "score",
       idCol: String = "doc_id", groupCol: String = "source",
       salt: String = ""): DataFrame = {
-    val (weighted, kLo, kHi) = weigh(scores, b, alpha, scoreCol, idCol,
-      salt, keep = Seq(groupCol))
+    val weighted = weigh(scores, b, alpha, scoreCol, idCol, salt,
+      keep = Seq(groupCol))
     val means = weighted.groupBy(col(groupCol), col("j"))
-      .agg((sum(col("__w") * col("__s")) / sum(col("__w"))).as("m"))
+      .agg(resampleMean.as("m"))
       .filter(col("m").isNotNull)
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(round(col("m"), 9))).as("ms"))
@@ -114,23 +115,37 @@ object Bootstrap {
       count(lit(1)).as("n"),
       round(avg(col(scoreCol).cast("double")), 9).as("mean"))
     base.join(means, Seq(groupCol)).select(
-      col(groupCol), col("n"), lit(b).cast("int").as("b"), col("mean"),
-      element_at(col("ms"), kLo + 1).as("ci_lo"),
-      element_at(col("ms"), kHi + 1).as("ci_hi"),
-      lit(alpha).as("alpha"))
+      col(groupCol) +: col("n") +: lit(b).cast("int").as("b") +:
+        col("mean") +: ciCols(alpha) :+ lit(alpha).as("alpha"): _*)
+  }
+
+  /** Weighted resample mean, zero-guarded: an all-zero-weight
+    * resample (P ≈ e^−n each — only tiny n) yields NULL here, not a
+    * DIVIDE_BY_ZERO error (ANSI mode, the Spark 4 default), and the
+    * NULL is filtered before the order statistics. */
+  private def resampleMean: Column =
+    when(sum(col("__w")) > 0,
+      sum(col("__w") * col("__s")) / sum(col("__w")))
+
+  /** CI bound columns over the sorted means list `ms`, ranked by the
+    * REALIZED list size (see [[meanCI]]). With S = size(ms) the
+    * 1-based picks are floor(alpha/2·S)+1 and S−floor(alpha/2·S) —
+    * identical to the fixed-B ranks whenever no resample was dropped.
+    */
+  private def ciCols(alpha: Double): Seq[Column] = {
+    val lo = floor(lit(alpha / 2) * size(col("ms"))).cast("int")
+    Seq(element_at(col("ms"), lo + 1).as("ci_lo"),
+      element_at(col("ms"), size(col("ms")) - lo).as("ci_hi"))
   }
 
   /** Shared draw/weight stage: one generate (row × B) with the
-    * Poisson weight per (id, replicate); returns the CI order-statistic
-    * ranks alongside.
+    * Poisson weight per (id, replicate).
     */
   private def weigh(scores: DataFrame, b: Int, alpha: Double,
       scoreCol: String, idCol: String, salt: String,
-      keep: Seq[String] = Nil): (DataFrame, Int, Int) = {
+      keep: Seq[String] = Nil): DataFrame = {
     require(b >= 2, s"need b >= 2 resamples, got $b")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
-    val kLo = (alpha / 2 * b).toInt
-    val kHi = b - 1 - kLo
     val key =
       if (salt.isEmpty)
         concat(col(idCol).cast("string"), lit(":"), col("j").cast("string"))
@@ -138,11 +153,10 @@ object Bootstrap {
         col("j").cast("string"), lit(":" + salt))
     val u = conv(substring(md5(key), 1, 8), 16, 10).cast("long") /
       lit(4294967296.0)
-    val weighted = scores
+    scores
       .select(col(idCol) +: col(scoreCol).cast("double").as("__s") +:
         keep.map(col): _*)
       .withColumn("j", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__w", poissonW(u).cast("double"))
-    (weighted, kLo, kHi)
   }
 }

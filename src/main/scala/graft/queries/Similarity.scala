@@ -605,10 +605,13 @@ object Similarity extends QueryPack {
          |         AND tr.neighbor_id = res.neighbor_id),
          |perq AS (
          |  SELECT query_id, count(*) AS hits, min(rank) AS first_hit,
-         |    sum(ln(2.0) / ln(rank + 1.0)) AS dcg
+         |    sum(CAST(round(1e9 * ln(2.0) / ln(rank + 1.0)) AS BIGINT))
+         |      AS dcg
          |  FROM hit GROUP BY query_id),
          |idcg AS (
-         |  SELECT query_id, sum(ln(2.0) / ln(i + 1.0)) AS idcg FROM (
+         |  SELECT query_id,
+         |    sum(CAST(round(1e9 * ln(2.0) / ln(i + 1.0)) AS BIGINT))
+         |      AS idcg FROM (
          |    SELECT query_id,
          |      unnest(range(1, least(n_rel, $K) + 1)) AS i FROM nrel)
          |  GROUP BY query_id)

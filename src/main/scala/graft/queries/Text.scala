@@ -1264,7 +1264,11 @@ object Text extends QueryPack {
     * `corpusWhere`, relation names suffixed by `sfx` so two corpora
     * can coexist in one query (q205 scores the full and the halved
     * index side by side). Ends in `r$sfx(query_id, doc_id, score,
-    * rank)`; expects `qt` from [[bm25QueriesCte]]. */
+    * rank)`; expects `qt` from [[bm25QueriesCte]]. Mirrors the
+    * engine's saturating-token cap (df ≤ max(0.9·n_docs, 1) —
+    * [[graft.text.Bm25.scoreAll]]'s `maxDfFraction` default): without
+    * it the engines agree only while no query token's df crosses the
+    * cap, a coincidence of the fixture scale. */
   private def bm25AllCte(sfx: String, corpusWhere: String,
       qtName: String = "qt"): String =
     s"""tf$sfx AS (
@@ -1294,6 +1298,7 @@ object Text extends QueryPack {
        |  JOIN idf$sfx USING (token)
        |  JOIN dl$sfx ON dl$sfx.doc_id = tf$sfx.doc_id
        |  CROSS JOIN st$sfx
+       |  WHERE CAST(df AS DOUBLE) <= greatest(n_docs * 0.9, 1.0)
        |  GROUP BY $qtName.query_id, tf$sfx.doc_id),
        |r$sfx AS (
        |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
@@ -1979,10 +1984,13 @@ object Text extends QueryPack {
          |         AND tr.doc_id = res.doc_id),
          |perq AS (
          |  SELECT query_id, count(*) AS hits, min(rank) AS first_hit,
-         |    sum(ln(2.0) / ln(rank + 1.0)) AS dcg
+         |    sum(CAST(round(1e9 * ln(2.0) / ln(rank + 1.0)) AS BIGINT))
+         |      AS dcg
          |  FROM hit GROUP BY query_id),
          |idcg AS (
-         |  SELECT query_id, sum(ln(2.0) / ln(i + 1.0)) AS idcg FROM (
+         |  SELECT query_id,
+         |    sum(CAST(round(1e9 * ln(2.0) / ln(i + 1.0)) AS BIGINT))
+         |      AS idcg FROM (
          |    SELECT query_id,
          |      unnest(range(1, least(n_rel, 5) + 1)) AS i FROM nrel)
          |  GROUP BY query_id)

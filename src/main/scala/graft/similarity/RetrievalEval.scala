@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Retrieval-quality metrics — recall@k, MRR, and binary nDCG@k of a
@@ -28,12 +28,25 @@ object RetrievalEval {
     * appearing only in `results` are dropped (no truth, no metric).
     * recall = hits/n_rel; mrr = 1/first-hit rank; ndcg uses the
     * binary ln(2)/ln(rank+1) discount.
+    *
+    * DCG sums are FIXED-POINT: each discount term is quantized to an
+    * integer round(1e9·ln2/ln(rank+1)) long BEFORE summation, so the
+    * per-query DCG is an order-independent integer sum — a double sum
+    * over ≤k terms is fold-order-dependent in its last ulp, which
+    * flips comparison hashes whenever a plan change reorders the fold
+    * (observed: a DuckDB-side CTE edit moved q205's ndcg by 1 ulp).
+    * The quantization is boundary-safe: for ranks ≤ 50 the scaled
+    * discount is ≥0.016 from every half-integer, 10⁵× the ~1e-7 drift
+    * a 1-ulp `ln` disagreement can cause. ndcg is then a ratio of two
+    * exact integers — bit-identical on any engine.
     */
   def metrics(results: DataFrame, truth: DataFrame, k: Int,
       queryCol: String = "query_id", docCol: String = "doc_id",
       rankCol: String = "rank"): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    val ln2 = lit(math.log(2.0))
+    def discFp(r: Column): Column =
+      round(lit(1e9) * lit(math.log(2.0)) / log(r.cast("double") +
+        lit(1.0)), 0).cast("long")
     val res = results.filter(col(rankCol) <= k)
       .select(col(queryCol), col(docCol), col(rankCol))
     val rel = truth.select(col(queryCol), col(docCol)).distinct()
@@ -42,12 +55,12 @@ object RetrievalEval {
     val perQ = hit.groupBy(col(queryCol)).agg(
       count(lit(1)).as("hits"),
       min(col(rankCol)).as("first_hit"),
-      sum(ln2 / log(col(rankCol).cast("double") + lit(1.0))).as("dcg"))
+      sum(discFp(col(rankCol))).as("dcg_fp"))
     val idcg = nRel
       .select(col(queryCol),
         explode(sequence(lit(1), least(col("n_rel"), lit(k)))).as("i"))
       .groupBy(col(queryCol))
-      .agg(sum(ln2 / log(col("i").cast("double") + lit(1.0))).as("idcg"))
+      .agg(sum(discFp(col("i"))).as("idcg_fp"))
     nRel.join(idcg, Seq(queryCol))
       .join(perQ, Seq(queryCol), "left")
       .select(col(queryCol),
@@ -57,6 +70,7 @@ object RetrievalEval {
           col("n_rel").cast("double")).as("recall"),
         coalesce(lit(1.0) / col("first_hit").cast("double"), lit(0.0))
           .as("mrr"),
-        coalesce(col("dcg") / col("idcg"), lit(0.0)).as("ndcg"))
+        coalesce(col("dcg_fp").cast("double") /
+          col("idcg_fp").cast("double"), lit(0.0)).as("ndcg"))
   }
 }

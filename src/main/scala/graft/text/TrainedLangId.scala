@@ -33,10 +33,14 @@ object TrainedLangId {
   def charTrigramFeatures(docs: DataFrame, dim: Int,
       labelCol: String): DataFrame = {
     val t = lower(col("text"))
+    // guarded: sequence(1, 0) is NOT empty in Spark (start > stop
+    // defaults the step to -1 → [1, 0]), so an unguarded length-2
+    // text would emit two truncated grams; when() without otherwise
+    // yields NULL and a non-outer explode drops the row entirely
     val grams = docs.select(col("doc_id"), col(labelCol).as("label"),
-      explode(transform(sequence(lit(1),
-          greatest(length(t) - 2, lit(0))),
-        i => t.substr(i, lit(3)))).as("gram"))
+      explode(when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2),
+          i => t.substr(i, lit(3))))).as("gram"))
     val counts = grams
       .groupBy(col("doc_id"), col("label"),
         pmod(xxhash64(col("gram")), lit(dim.toLong)).cast("int")

@@ -90,6 +90,8 @@ class FloatStabilitySpec extends SparkSpec {
     "q40_ann_brute_topk",        // cosine distances, round 9
     "q136_semdedup_gate",        // centroid cosines
     "q192_bm25",                 // BM25 scores (stabilized in r9)
+    "q193_hybrid_rrf",           // RRF fused scores
+    "q194_retrieval_metrics",    // recall/MRR/nDCG (fixed-point DCG)
     "q201_content_drift",        // vocabulary cosine per source
     "q203_bm25_topk",            // batch BM25 + top-k ranking
     "q209_embedding_drift",      // r11's red row, now threshold booleans

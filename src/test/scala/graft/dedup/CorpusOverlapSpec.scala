@@ -93,6 +93,29 @@ class CorpusOverlapSpec extends SparkSpec {
       same.getAs[Double]("novelty_est") == 0.0)
   }
 
+  test("empty batch against a sketch: estimates are 0, never null") {
+    // regression: an idle micro-batch sketches to [] and est(sb) = 0,
+    // so the ratio estimates were 0/0 = NULL — StreamingNovelty's
+    // foreachBatch reads them with getDouble and died on one idle
+    // trigger
+    val ref = CorpusOverlap.sketch(spark,
+        docs(Seq(1L -> (0 until 40).map(i => s"w$i").mkString(" "))), 32)
+      .collect().head.getSeq[Long](0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = CorpusOverlap.overlapAgainstSketch(spark, empty, ref, k = 32)
+      .collect().head
+    for (c <- Seq("jaccard_est", "containment_est", "novelty_est",
+        "est_distinct_intersection")) {
+      assert(!r.isNullAt(r.fieldIndex(c)), s"$c null on empty batch")
+      assert(r.getAs[Double](c) == 0.0, s"$c != 0 on empty batch")
+    }
+    // short texts (< shingleK words) sketch to [] the same way
+    val short = docs(Seq(2L -> "just two"))
+    val s = CorpusOverlap.overlapAgainstSketch(spark, short, ref, k = 32)
+      .collect().head
+    assert(!s.isNullAt(s.fieldIndex("novelty_est")))
+  }
+
   test("half-overlapping corpora land between the pure cases") {
     val shared = (0 until 40).map(i => s"shared$i").mkString(" ")
     val a = docs(Seq(1L -> (shared + " " +

@@ -53,6 +53,19 @@ class BootstrapSpec extends SparkSpec {
       bb.getAs[Double]("ci_lo") < bb.getAs[Double]("ci_hi"))
   }
 
+  test("tiny n: dropped all-zero resamples keep CI bounds in range") {
+    // n = 1 → P(resample weight 0) = e^-1 ≈ 0.37: with b = 200 about
+    // 70 resamples vanish. Ranks must come from the REALIZED list
+    // size, else ci_hi reads past the list (null) and ranks shift.
+    val scores = Seq((1L, 3.25)).toDF("doc_id", "score")
+    val r = Bootstrap.meanCI(scores, b = 200).collect().head
+    assert(!r.isNullAt(r.fieldIndex("ci_lo")), "ci_lo null")
+    assert(!r.isNullAt(r.fieldIndex("ci_hi")), "ci_hi null")
+    // a one-row corpus has only one possible non-empty mean
+    assert(r.getAs[Double]("ci_lo") == 3.25 &&
+      r.getAs[Double]("ci_hi") == 3.25)
+  }
+
   test("salt changes the draws, not the contract") {
     val scores = (1L to 200L).map(i => (i, (i % 7).toDouble))
       .toDF("doc_id", "score")

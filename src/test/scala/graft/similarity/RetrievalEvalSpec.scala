@@ -21,10 +21,14 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(q1.getAs[Long]("n_rel") == 3L && q1.getAs[Long]("hits") == 2L)
     assert(math.abs(q1.getAs[Double]("recall") - 2.0 / 3.0) < 1e-12)
     assert(q1.getAs[Double]("mrr") == 1.0)
-    val ln2 = math.log(2.0)
-    val dcg = 1.0 + ln2 / math.log(4.0)
-    val idcg = 1.0 + ln2 / math.log(3.0) + ln2 / math.log(4.0)
-    assert(math.abs(q1.getAs[Double]("ndcg") - dcg / idcg) < 1e-12)
+    // mirror the engine's fixed-point discount quantization (exact
+    // integer DCG sums — fold-order-independent); the unquantized
+    // ratio agrees to ~1e-9, but the assert pins the exact contract
+    def fp(r: Int) =
+      math.round(1e9 * math.log(2.0) / math.log(r + 1.0))
+    val dcg = (fp(1) + fp(3)).toDouble
+    val idcg = (fp(1) + fp(2) + fp(3)).toDouble
+    assert(q1.getAs[Double]("ndcg") == dcg / idcg)
     val q2 = got(2L)
     assert(q2.getAs[Long]("hits") == 0L && q2.getAs[Double]("recall") == 0.0)
     assert(q2.getAs[Double]("mrr") == 0.0 && q2.getAs[Double]("ndcg") == 0.0)

@@ -1,0 +1,30 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainedLangIdSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("texts shorter than 3 chars contribute only their bias row") {
+    // regression: sequence(1, 0) is [1, 0] in Spark (start > stop
+    // defaults step to -1), so unguarded short texts emitted two
+    // truncated grams each
+    val docs = Seq((1L, "ab", 0), (2L, "x", 1), (3L, "", 0),
+      (4L, "abcd", 1)).toDF("doc_id", "text", "cls")
+    val f = TrainedLangId.charTrigramFeatures(docs, 64, "cls")
+    val short = f.filter($"doc_id" =!= 4L).collect()
+    assert(short.length == 3, s"expected 3 bias-only rows: ${short.toSeq}")
+    assert(short.forall(_.getAs[Int]("idx") == 64))
+    // "abcd" → grams "abc","bcd" (2 hashed feature rows) + bias
+    assert(f.filter($"doc_id" === 4L).count() == 3)
+  }
+
+  test("trigram features normalize to 1 over non-bias rows") {
+    val docs = Seq((1L, "aaaa", 0)).toDF("doc_id", "text", "cls")
+    val f = TrainedLangId.charTrigramFeatures(docs, 64, "cls")
+    val s = f.filter($"idx" =!= 64).agg(sum($"val")).head().getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-12)
+  }
+}
