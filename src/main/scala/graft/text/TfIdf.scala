@@ -40,6 +40,19 @@ object TfIdf {
     */
   def postings(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val (tf, df) = postingsParts(docs, idCol, textCol)
+    tf.join(df, Seq("token"))
+      .select(col("token"), col(idCol), col("tf"), col("df"))
+  }
+
+  /** The component tables behind [[postings]]: (`tf(token, id, tf)`,
+    * `df(token, df)`) — exposed for scorers that want the
+    * VOCABULARY-level df table without paying the postings join
+    * (e.g. [[Bm25.scoreAll]]'s shuffle-sizing pass reads only `df`,
+    * which is vocabulary-sized, to count its join output exactly).
+    */
+  def postingsParts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     val tf = docs
       .select(col(idCol),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
@@ -51,8 +64,7 @@ object TfIdf {
       // 100 TB materialize to a temp table instead)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(df, Seq("token"))
-      .select(col("token"), col(idCol), col("tf"), col("df"))
+    (tf, df)
   }
 
   /** Top-`k` terms per document by tf-idf. Output: `doc_id`, `token`,
