@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Normalized hashed char-n-gram FEATURES of a text column in one
+  * native pass: `array<struct<idx int, val double>>` with one entry
+  * per DISTINCT feature index (ascending), `val` = window count /
+  * total windows — the whole per-document feature vector of a
+  * fastText-style hashed-ngram model, computed row-locally.
+  *
+  * This replaces the explode → groupBy(doc, idx) → totals-join
+  * spelling, which shuffles one row PER GRAM WINDOW (~len rows per
+  * doc) twice to rebuild exactly the per-row aggregation this
+  * expression does in an int[dim] scratch array. Feature extraction
+  * becomes embarrassingly parallel — zero shuffles at any corpus
+  * size — which is the difference between a narrow map and the
+  * dominant stage on a 100 TB featurization.
+  *
+  * Hashing is identical to [[CharGramIdx.idxs]] (lower → n-char
+  * windows → pmod(xxhash64, dim)), so values match the declarative
+  * spelling bit-for-bit: counts are exact integers and the single
+  * double division happens in the same order. Texts shorter than `n`
+  * chars yield an empty array.
+  */
+object CharGramFeats {
+
+  /** Static entry for generated code. */
+  def feats(text: UTF8String, n: Int, dim: Int): ArrayData = {
+    val lc = text.toLowerCase
+    val chars = lc.numChars()
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val total = (chars - n + 1).toDouble
+    val counts = new Array[Int](dim)
+    var distinct = 0
+    var i = 0
+    while (i <= chars - n) {
+      val h = XxHash64Function.hash(
+        lc.substringSQL(i + 1, n), StringType, 42L)
+      val m0 = (h % dim).toInt
+      val m = if (m0 < 0) m0 + dim else m0
+      if (counts(m) == 0) distinct += 1
+      counts(m) += 1
+      i += 1
+    }
+    val out = new Array[Any](distinct)
+    var idx = 0
+    var o = 0
+    while (idx < dim) {
+      if (counts(idx) > 0) {
+        out(o) = InternalRow(idx, counts(idx) / total)
+        o += 1
+      }
+      idx += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_chargram_feats_<n>_<dim>(text)` — see [[CharGramFeats.feats]]. */
+case class CharGramFeatsExpr(child: Expression, n: Int, dim: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"gram length must be positive: $n")
+  // the per-row scratch array is dim ints; cap it at 4 MiB
+  require(dim >= 1 && dim <= (1 << 20),
+    s"feature dim must be in [1, 2^20]: $dim")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_chargram_feats expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("val", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = s"graft_chargram_feats_${n}_$dim"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramFeats.feats(input.asInstanceOf[UTF8String], n, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharGramFeats.feats($c, $n, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramFeatsExpr =
+    copy(child = newChild)
+}

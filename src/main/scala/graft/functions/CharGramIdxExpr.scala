@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashed character-n-gram feature indices of a text column, in gram
+  * order, in ONE native pass: `pmod(xxhash64(gram), dim)` for every
+  * length-`n` character window of the LOWERCASED text — the codegen'd
+  * replacement for
+  * `explode(transform(sequence(1, len−n+1), i → substr(lc, i, n)))`
+  * followed by `pmod(xxhash64(gram), dim)` on hot paths.
+  *
+  * Why: the declarative spelling materializes one UTF8String row per
+  * window through a generator before hashing — on the q210 lang-id
+  * gate's bounded 3000-doc sample that is ~18 M short-string rows per
+  * feature pass, dominated by allocation and generator machinery.
+  * This pass allocates only the per-row int array (plus the
+  * transient per-window slice the hasher consumes).
+  *
+  * Exact equivalence, property-tested in TrainedLangIdSpec: grams are
+  * CHARACTER windows of `lower(text)` (UTF8String.toLowerCase — SQL
+  * `lower`; substringSQL — SQL `substr`, so multi-byte code points
+  * count as one char), hashed with Spark's own [[XxHash64Function]]
+  * at the default seed 42, reduced `((h % dim) + dim) % dim` — SQL
+  * `pmod` — and cast to int. Texts shorter than `n` chars yield an
+  * empty array.
+  */
+object CharGramIdx {
+
+  /** Static entry for generated code. */
+  def idxs(text: UTF8String, n: Int, dim: Int): ArrayData = {
+    val lc = text.toLowerCase
+    val chars = lc.numChars()
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](chars - n + 1)
+    var i = 0
+    while (i <= chars - n) {
+      val h = XxHash64Function.hash(
+        lc.substringSQL(i + 1, n), StringType, 42L)
+      val m = (h % dim).toInt
+      out(i) = Integer.valueOf(if (m < 0) m + dim else m)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_chargram_idx_<n>_<dim>(text)` — see [[CharGramIdx.idxs]]. */
+case class CharGramIdxExpr(child: Expression, n: Int, dim: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"gram length must be positive: $n")
+  require(dim >= 1, s"feature dim must be positive: $dim")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_chargram_idx expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = s"graft_chargram_idx_${n}_$dim"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramIdx.idxs(input.asInstanceOf[UTF8String], n, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharGramIdx.idxs($c, $n, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramIdxExpr =
+    copy(child = newChild)
+}

@@ -91,6 +91,32 @@ object GraftFunctions {
     call_function(TOKEN_HASHES_FN, text)
   }
 
+  /** Hashed char-n-gram feature indices in one generated pass (see
+    * [[CharGramIdx.idxs]]). Registers on the active session.
+    */
+  def charGramIdx(text: Column, n: Int, dim: Int): Column = {
+    val spark = SparkSession.active
+    val name = s"graft_chargram_idx_${n}_$dim"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => CharGramIdxExpr(exprs(0), n, dim),
+      "built-in")
+    call_function(name, text)
+  }
+
+  /** Normalized hashed char-n-gram features in one generated pass
+    * (see [[CharGramFeats.feats]]). Registers on the active session.
+    */
+  def charGramFeats(text: Column, n: Int, dim: Int): Column = {
+    val spark = SparkSession.active
+    val name = s"graft_chargram_feats_${n}_$dim"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => CharGramFeatsExpr(exprs(0), n, dim),
+      "built-in")
+    call_function(name, text)
+  }
+
   /** Distinct k-word shingles in one generated pass (see
     * [[ShingleArray.shingles]]). Registers on the active session.
     */
@@ -184,20 +210,19 @@ object GraftFunctions {
     call_function(name, score, id.cast("bigint"))
   }
 
-  val OVR_PREFIX = "graft_ovr_residuals_" // one name per weight snapshot
-
-  /** All K one-vs-rest logistic residuals per row in one primitive
-    * loop (see [[OvrResiduals]]). Registers per weight snapshot on the
-    * active session — callers re-invoke each training round.
+  /** One-round OvR logistic gradient aggregate (see [[OvrGradAgg]]):
+    * the flattened K×(dim+1) class-major gradient table in ONE pass.
+    * Registered per weight snapshot (the [[ovrResiduals]] naming).
     */
-  def ovrResiduals(spark: SparkSession, idxs: Column, vals: Column,
+  def ovrGradient(spark: SparkSession, idxs: Column, vals: Column,
       label: Column, weights: Array[Array[Double]],
       classes: Array[Double]): Column = {
-    val name = OVR_PREFIX + java.lang.Integer.toHexString(
+    val name = "graft_ovr_grad_" + java.lang.Integer.toHexString(
       java.util.Arrays.deepHashCode(weights.asInstanceOf[Array[AnyRef]]))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
-      exprs => OvrResiduals(exprs(0), exprs(1), exprs(2), weights, classes),
+      exprs => OvrGradAgg(exprs(0), exprs(1), exprs(2), weights,
+        classes).toAggregateExpression(),
       "built-in")
     call_function(name, idxs, vals, label)
   }

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import java.nio.ByteBuffer
+
+/** One-pass one-vs-rest logistic GRADIENT aggregate: for every class
+  * k and feature index i, accumulates
+  * Σ_docs x_i · (σ(w_k · x) − [label == classes(k)]) into a single
+  * K×(dim+1) buffer — the whole gradient table of one GD round in ONE
+  * aggregate with a 64 KB-per-task state.
+  *
+  * Why: the declarative round (explode features → per-row
+  * [[OvrResiduals]] → hash-aggregate by idx → collect) rebuilds a
+  * generator over every feature occurrence and shuffles a dim+1-row
+  * gradient table per round — on the q210 lang-id gate that was
+  * ~0.4 s of generator/aggregate machinery per round for ~10 ms of
+  * arithmetic. This aggregate does the margin AND the scatter-add in
+  * the same row loop: per round, one narrow pass over the packed
+  * feature rows, partials merged as dense vector adds, no generator,
+  * no shuffle beyond the K×(dim+1) buffers.
+  *
+  * Numerics: per-class margins accumulate in the row's feature order
+  * (identical to [[OvrResiduals]]); gradient sums accumulate in
+  * row-visit order within a partition and buffer-merge order across
+  * partitions — the same summation-order caveat as the hash-aggregate
+  * spelling it replaces, which is why the training gates pin
+  * threshold BOOLEANS (accuracy bounds), never weight hashes.
+  */
+final class OvrGradBuffer(val size: Int) {
+  val g = new Array[Double](size)
+  def mergeFrom(other: OvrGradBuffer): Unit = {
+    var i = 0
+    while (i < size) { g(i) += other.g(i); i += 1 }
+  }
+}
+
+/** `graft_ovr_gradient(idxs, vals, label)` — see [[OvrGradBuffer]].
+  * Weights and class list ride as constructor values (the
+  * [[OvrResiduals]] pattern); output is the flattened K×(dim+1)
+  * gradient `array<double>` (class-major).
+  */
+case class OvrGradAgg(
+    idxs: Expression, vals: Expression, label: Expression,
+    weights: Array[Array[Double]], classes: Array[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[OvrGradBuffer] {
+
+  require(weights.length == classes.length && weights.nonEmpty,
+    "one weight vector per class required")
+  private val width = weights(0).length
+  require(weights.forall(_.length == width),
+    "all class weight vectors must share a length")
+
+  override def children: Seq[Expression] = Seq(idxs, vals, label)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_ovr_gradient"
+
+  override def createAggregationBuffer(): OvrGradBuffer =
+    new OvrGradBuffer(weights.length * width)
+
+  override def update(buf: OvrGradBuffer, input: InternalRow): OvrGradBuffer = {
+    val iv = idxs.eval(input)
+    val vv = vals.eval(input)
+    val lv = label.eval(input)
+    if (iv != null && vv != null && lv != null) {
+      val ia = iv.asInstanceOf[ArrayData]
+      val va = vv.asInstanceOf[ArrayData]
+      val lab = lv.asInstanceOf[Double]
+      val n = math.min(ia.numElements(), va.numElements())
+      var k = 0
+      while (k < weights.length) {
+        val w = weights(k)
+        var z = 0.0
+        var j = 0
+        while (j < n) {
+          val idx = ia.getInt(j)
+          if (idx >= 0 && idx < w.length) z += va.getDouble(j) * w(idx)
+          j += 1
+        }
+        val r = 1.0 / (1.0 + math.exp(-z)) -
+          (if (lab == classes(k)) 1.0 else 0.0)
+        val base = k * width
+        j = 0
+        while (j < n) {
+          val idx = ia.getInt(j)
+          if (idx >= 0 && idx < width)
+            buf.g(base + idx) += va.getDouble(j) * r
+          j += 1
+        }
+        k += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: OvrGradBuffer, other: OvrGradBuffer): OvrGradBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: OvrGradBuffer): Any =
+    new GenericArrayData(buf.g.map(java.lang.Double.valueOf(_)
+      .asInstanceOf[Any]))
+
+  override def serialize(buf: OvrGradBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putDouble(buf.g(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): OvrGradBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new OvrGradBuffer(n)
+    var i = 0
+    while (i < n) { buf.g(i) = bb.getDouble; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): OvrGradAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): OvrGradAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): OvrGradAgg =
+    copy(idxs = newChildren(0), vals = newChildren(1),
+      label = newChildren(2))
+}

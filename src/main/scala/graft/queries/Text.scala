@@ -344,17 +344,24 @@ object Text extends QueryPack {
       .withColumn("__u",
         graft.text.CorpusMix.drawU(col("doc_id"), lit("langid")))
     val dim = 2048
-    val fTrain = graft.text.TrainedLangId.charTrigramFeatures(
-      marked.filter(col("__u") < 0.8), dim, "lang").persist()
-    val w = graft.text.TrainedLangId.trainOneVsRest(s, fTrain, dim,
-      classes = 0 to 3, rounds = 15, lr = 10.0)
-    fTrain.unpersist()
-    val heldOut = graft.text.TrainedLangId.classify(s,
-      graft.text.TrainedLangId.charTrigramFeatures(
-        marked.filter(col("__u") >= 0.8), dim, "lang"), w)
-    val allPred = graft.text.TrainedLangId.classify(s,
-        graft.text.TrainedLangId.charTrigramFeatures(marked, dim,
-          "lang"), w)
+    // ONE feature pass over all docs (was three: train slice, held-out
+    // slice, full corpus — the explode+hash is the gate's real cost,
+    // not the GD rounds); the 80/20 split re-derives the md5 draw from
+    // doc_id on the feature rows, and ONE classify pass serves both
+    // the held-out accuracy and the downstream majority filter
+    val fAll = graft.text.TrainedLangId.charTrigramFeatures(
+      marked, dim, "lang").persist()
+    val fu = graft.text.CorpusMix.drawU(col("doc_id"), lit("langid"))
+    val w = graft.text.TrainedLangId.trainOneVsRest(s,
+      fAll.filter(fu < 0.8), dim, classes = 0 to 3, rounds = 15,
+      lr = 10.0)
+    val predAll = graft.text.TrainedLangId.classify(s, fAll, w)
+      .persist()
+    predAll.count() // materialize BEFORE dropping the feature cache —
+    // a lazy unpersist here made classify re-extract every feature
+    fAll.unpersist()
+    val heldOut = predAll.filter(fu >= 0.8)
+    val allPred = predAll
       .join(marked.select(col("doc_id"), col("source")), Seq("doc_id"))
     val kept = graft.text.TrainedLangId.filterByMajorityLang(
       marked.select(col("source"), col("lang")).distinct(), allPred,

@@ -95,30 +95,30 @@ object QualityClassifier {
       .persist()
     val nDocs = packed.count().toDouble
     require(nDocs > 0, "classifier training needs a non-empty corpus")
+    val width = dim + 1
     try {
       for (_ <- 0 until rounds) {
-        // all K margins + residuals in ONE primitive loop per row (see
-        // OvrResiduals — the HOF spelling ran interpreted, ~38 s
-        // steady on the 4-class lang-id gate); snapshot the weights so
-        // the in-place update below can't race the serialized plan
-        val resids = graft.functions.GraftFunctions.ovrResiduals(spark,
-          col("idxs"), col("vals"), col("label").cast("double"),
-          classes.map(c => ws(c).clone()).toArray,
-          classes.map(_.toDouble).toArray)
-        val grad = packed
-          .select(explode(arrays_zip(col("idxs"), col("vals")))
-            .as("f"), resids.as("__r"))
-          .groupBy(col("f.idxs").as("idx"))
-          .agg(sum(col("f.vals") * element_at(col("__r"), 1))
-            .as("__g0"),
-            classes.indices.tail.map(i =>
-              sum(col("f.vals") * element_at(col("__r"), i + 1))
-                .as(s"__g$i")): _*)
-          .collect()
-        grad.foreach { row =>
-          val idx = row.getInt(0)
-          classes.indices.foreach { i =>
-            ws(classes(i))(idx) -= lr * row.getDouble(i + 1) / nDocs
+        // the whole round is ONE one-row aggregate: margins, residuals
+        // and the K×(dim+1) gradient scatter-add happen in the same
+        // primitive row loop (see OvrGradAgg — the previous spelling
+        // exploded every feature occurrence through a generator and
+        // shuffled a dim+1-row gradient table per round, ~0.4 s of
+        // machinery for ~10 ms of arithmetic on the q210 gate; the
+        // HOF spelling before THAT ran interpreted, ~38 s). Snapshot
+        // the weights so the in-place update below can't race the
+        // serialized plan.
+        val g = packed
+          .select(graft.functions.GraftFunctions.ovrGradient(spark,
+            col("idxs"), col("vals"), col("label").cast("double"),
+            classes.map(c => ws(c).clone()).toArray,
+            classes.map(_.toDouble).toArray).as("g"))
+          .head().getSeq[Double](0)
+        classes.indices.foreach { i =>
+          val w = ws(classes(i))
+          var idx = 0
+          while (idx < width) {
+            w(idx) -= lr * g(i * width + idx) / nDocs
+            idx += 1
           }
         }
       }

@@ -32,25 +32,23 @@ object TrainedLangId {
     */
   def charTrigramFeatures(docs: DataFrame, dim: Int,
       labelCol: String): DataFrame = {
-    val t = lower(col("text"))
-    // guarded: sequence(1, 0) is NOT empty in Spark (start > stop
-    // defaults the step to -1 → [1, 0]), so an unguarded length-2
-    // text would emit two truncated grams; when() without otherwise
-    // yields NULL and a non-outer explode drops the row entirely
-    val grams = docs.select(col("doc_id"), col(labelCol).as("label"),
-      explode(when(length(t) >= 3,
-        transform(sequence(lit(1), length(t) - 2),
-          i => t.substr(i, lit(3))))).as("gram"))
-    val counts = grams
-      .groupBy(col("doc_id"), col("label"),
-        pmod(xxhash64(col("gram")), lit(dim.toLong)).cast("int")
-          .as("idx"))
-      .agg(count(lit(1)).cast("double").as("cnt"))
-    val totals = counts.groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("__graft_tot"))
-    counts.join(totals, "doc_id")
-      .select(col("doc_id"), col("label"), col("idx"),
-        (col("cnt") / col("__graft_tot")).as("val"))
+    // one native ZERO-SHUFFLE pass: the whole per-document feature
+    // vector (distinct pmod(xxhash64(gram), dim) indices with
+    // window-count/total values) is built row-locally by
+    // [[graft.functions.CharGramFeats]] — the earlier declarative
+    // spelling exploded one string row per gram window and shuffled
+    // them twice (groupBy + totals join), and with lower(text)
+    // inlined in its lambda re-lowercased the text PER ELEMENT
+    // (O(len²) per doc) — together ~10 of the q210 gate's 21 s.
+    // Texts shorter than 3 chars yield an empty array — explode
+    // drops them, so they contribute only their bias row.
+    docs
+      .select(col("doc_id"), col(labelCol).as("label"),
+        explode(graft.functions.GraftFunctions.charGramFeats(
+          col("text"), 3, dim)).as("f"))
+      .select(col("doc_id"), col("label"),
+        col("f").getField("idx").as("idx"),
+        col("f").getField("val").as("val"))
       .unionByName(docs.select(col("doc_id"),
         col(labelCol).as("label"), lit(dim).as("idx"),
         lit(1.0).as("val")))

@@ -21,6 +21,51 @@ class TrainedLangIdSpec extends SparkSpec {
     assert(f.filter($"doc_id" === 4L).count() == 3)
   }
 
+  test("charGramIdx matches the declarative substr/xxhash spelling") {
+    val texts = Seq("Hello, World!", "aaa", "ünïcødé — strings ok",
+      "ab", "", "The Quick Brown Fox 123", "ññññ", "a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = df.select($"doc_id",
+      graft.functions.GraftFunctions.charGramIdx($"text", 3, 64).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val decl = df
+      .select($"doc_id", lower($"text").as("lc"))
+      .select($"doc_id",
+        coalesce(when(length($"lc") >= 3,
+          transform(sequence(lit(1), length($"lc") - 2),
+            i => pmod(xxhash64($"lc".substr(i, lit(3))), lit(64L))
+              .cast("int"))),
+          array().cast("array<int>")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == decl)
+  }
+
+  test("charGramFeats equals grouped charGramIdx counts") {
+    val texts = Seq("Hello, World!", "aaa", "ünïcødé — strings ok",
+      "the quick brown fox jumps over the lazy dog", "xy", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = df.select($"doc_id",
+        explode(graft.functions.GraftFunctions
+          .charGramFeats($"text", 3, 64)).as("f"))
+      .select($"doc_id", $"f.idx", $"f.val")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val grouped = df.select($"doc_id",
+        explode(graft.functions.GraftFunctions
+          .charGramIdx($"text", 3, 64)).as("idx"))
+      .groupBy($"doc_id", $"idx")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("tot",
+        sum($"cnt").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")))
+      .select($"doc_id", $"idx", ($"cnt" / $"tot").as("val"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(native == grouped)
+  }
+
   test("trigram features normalize to 1 over non-bias rows") {
     val docs = Seq((1L, "aaaa", 0)).toDF("doc_id", "text", "cls")
     val f = TrainedLangId.charTrigramFeatures(docs, 64, "cls")
