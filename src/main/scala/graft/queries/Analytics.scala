@@ -162,6 +162,30 @@ object Analytics extends QueryPack {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
   }
 
+  /** Avro roundtrip gate (q224): a lineitem slice (longs, doubles,
+    * strings AND a timestamp — the widest primitive coverage of the
+    * format gates) written through [[graft.sources.AvroProvider]]
+    * (`graftavro` — DSv2 over the avro core library, snappy container
+    * files), read back with a pruned projection (the read goes
+    * through an Avro READER-schema projection, asserted in AvroSpec),
+    * and aggregated. The oracle computes the same aggregate from the
+    * parquet table — equality proves the Avro write/read path
+    * preserves values, including timestamp micros, exactly.
+    */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_avro_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_shipdate"))
+      .filter(col("l_orderkey") <= 5000)
+      .write.format("graftavro").mode("overwrite").save(path)
+    s.read.format("graftavro").load(path)
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
+        max(col("l_shipdate")).as("last_ship"))
+  }
+
   /** Skew gate: a PLANTED hot key (80% of lineitem rows collapse onto
     * part key 1) joined to the part dimension through
     * [[graft.operators.SkewTools.saltedJoin]], which spreads the hot key
@@ -356,6 +380,7 @@ object Analytics extends QueryPack {
     "q79_bucketed_join" -> bucketedJoin _,
     "q84_salted_join" -> saltedJoinGate _,
     "q91_orc_roundtrip" -> orcRoundtrip _,
+    "q224_avro_roundtrip" -> avroRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -518,6 +543,12 @@ object Analytics extends QueryPack {
         |GROUP BY o_orderpriority""".stripMargin,
     "q91_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey <= 5000 AND l_quantity > 10
+        |GROUP BY l_returnflag""".stripMargin,
+    "q224_avro_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty,
+        |  max(l_shipdate) AS last_ship
         |FROM lineitem
         |WHERE l_orderkey <= 5000 AND l_quantity > 10
         |GROUP BY l_returnflag""".stripMargin,

@@ -1,0 +1,237 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.generic.{GenericData, GenericFixed, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Spark ↔ Avro schema and value conversion for [[AvroProvider]] —
+  * built on the avro core library only (no spark-avro connector in
+  * this environment; the mapping below follows the same public
+  * conventions so files interchange with any Avro reader).
+  *
+  * Type mapping (both directions):
+  *   boolean/int/long/float/double/string/bytes ↔ the Spark
+  *   primitives; `date` logical INT ↔ DateType (days);
+  *   `timestamp-micros` logical LONG ↔ TimestampType and
+  *   `local-timestamp-micros` ↔ TimestampNTZType (Spark's internal
+  *   micros — no conversion); ARRAY ↔ ArrayType;
+  *   MAP ↔ MapType(String, _); RECORD ↔ StructType (recursive);
+  *   ENUM/FIXED read as string/binary. Nullability is the Avro
+  *   idiom: UNION(NULL, T) with default null. Decimals, multi-branch
+  *   unions and `timestamp-millis` are rejected loudly rather than
+  *   guessed (a silent millis read would be 1000× off).
+  */
+object AvroSchemas {
+
+  // ---- schema: Spark → Avro ----
+
+  /** Record name must be a valid Avro identifier; field schemas are
+    * namespaced by position to keep nested record names unique. */
+  def toAvro(schema: StructType, name: String = "graft_row"): Schema = {
+    val fields = schema.fields.map { f =>
+      new Schema.Field(f.name, fieldSchema(f.dataType, f.nullable,
+        s"${name}_${f.name}"),
+        null,
+        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(name, null, "graft.avro", false,
+      fields.toSeq.asJava)
+  }
+
+  private def fieldSchema(dt: DataType, nullable: Boolean,
+      path: String): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType | ShortType | ByteType =>
+        Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType =>
+        LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType => LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType => LogicalTypes.localTimestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+      case ArrayType(e, containsNull) =>
+        Schema.createArray(fieldSchema(e, containsNull, s"${path}_item"))
+      case MapType(StringType, v, valueContainsNull) =>
+        Schema.createMap(fieldSchema(v, valueContainsNull,
+          s"${path}_value"))
+      case s: StructType => toAvro(s, path)
+      case other => throw new IllegalArgumentException(
+        s"graftavro cannot write Spark type ${other.simpleString}")
+    }
+    if (nullable)
+      Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+    else base
+  }
+
+  // ---- schema: Avro → Spark ----
+
+  def toSpark(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD,
+      s"graftavro expects a RECORD top level, got ${schema.getType}")
+    StructType(schema.getFields.asScala.map { f =>
+      val (dt, nullable) = sparkField(f.schema())
+      StructField(f.name(), dt, nullable)
+    }.toArray)
+  }
+
+  /** Unwraps a (NULL, T) union to (T, nullable = true). */
+  private def sparkField(s: Schema): (DataType, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.asScala
+        .filter(_.getType != Schema.Type.NULL)
+      require(branches.size == 1,
+        s"graftavro reads only (null, T) unions, got $s")
+      (sparkType(branches.head), branches.size < s.getTypes.size)
+    } else (sparkType(s), false)
+
+  private def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) DateType
+      else IntegerType
+    case Schema.Type.LONG => s.getLogicalType match {
+      case _: LogicalTypes.TimestampMicros => TimestampType
+      case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
+      case _: LogicalTypes.TimestampMillis =>
+        throw new IllegalArgumentException(
+          "graftavro reads timestamp-micros only; re-export " +
+            "timestamp-millis data (a silent read would be 1000x off)")
+      case _ => LongType
+    }
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING | Schema.Type.ENUM => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.ARRAY =>
+      val (e, n) = sparkField(s.getElementType)
+      ArrayType(e, containsNull = n)
+    case Schema.Type.MAP =>
+      val (v, n) = sparkField(s.getValueType)
+      MapType(StringType, v, valueContainsNull = n)
+    case Schema.Type.RECORD => toSpark(s)
+    case other => throw new IllegalArgumentException(
+      s"graftavro cannot read Avro type $other")
+  }
+
+  // ---- values: Avro → InternalRow ----
+
+  def recordToRow(rec: GenericRecord, schema: StructType): InternalRow = {
+    val out = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      out(i) = fromAvro(rec.get(schema(i).name), schema(i).dataType)
+      i += 1
+    }
+    InternalRow.fromSeq(out.toIndexedSeq)
+  }
+
+  private def fromAvro(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(v.toString)
+      case BinaryType => v match {
+        case bb: java.nio.ByteBuffer =>
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+        case fx: GenericFixed => fx.bytes().clone()
+        case a: Array[Byte] => a
+      }
+      case IntegerType | DateType => v.asInstanceOf[Number].intValue()
+      case LongType => v.asInstanceOf[Number].longValue()
+      case TimestampType | TimestampNTZType =>
+        v.asInstanceOf[Number].longValue()
+      case FloatType => v.asInstanceOf[Number].floatValue()
+      case DoubleType => v.asInstanceOf[Number].doubleValue()
+      case BooleanType => v.asInstanceOf[Boolean]
+      case ArrayType(e, _) =>
+        val l = v.asInstanceOf[java.util.Collection[Any]]
+        val out = new Array[Any](l.size)
+        val it = l.iterator(); var i = 0
+        while (it.hasNext) { out(i) = fromAvro(it.next(), e); i += 1 }
+        new GenericArrayData(out)
+      case MapType(StringType, vt, _) =>
+        val m = v.asInstanceOf[java.util.Map[Any, Any]]
+        val ks = new Array[Any](m.size)
+        val vs = new Array[Any](m.size)
+        val it = m.entrySet().iterator(); var i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          ks(i) = UTF8String.fromString(e.getKey.toString)
+          vs(i) = fromAvro(e.getValue, vt)
+          i += 1
+        }
+        ArrayBasedMapData(ks, vs)
+      case s: StructType => recordToRow(v.asInstanceOf[GenericRecord], s)
+      case other => throw new IllegalArgumentException(
+        s"graftavro cannot read into ${other.simpleString}")
+    }
+
+  // ---- values: InternalRow → Avro ----
+
+  def rowToRecord(row: InternalRow, schema: StructType,
+      avro: Schema): GenericRecord = {
+    val rec = new GenericData.Record(avro)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      val v = if (row.isNullAt(i)) null
+        else toAvroValue(row, i, f.dataType,
+          nonNull(avro.getField(f.name).schema()))
+      rec.put(f.name, v)
+      i += 1
+    }
+    rec
+  }
+
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def toAvroValue(row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, dt: DataType, avro: Schema): Any = dt match {
+    case BooleanType => row.getBoolean(i)
+    case IntegerType | DateType => row.getInt(i)
+    case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+    case FloatType => row.getFloat(i)
+    case DoubleType => row.getDouble(i)
+    case StringType => row.getUTF8String(i).toString
+    case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+    case ArrayType(e, _) =>
+      val a = row.getArray(i)
+      val es = nonNull(avro.getElementType)
+      val out = new java.util.ArrayList[Any](a.numElements())
+      var j = 0
+      while (j < a.numElements()) {
+        out.add(if (a.isNullAt(j)) null else toAvroValue(a, j, e, es))
+        j += 1
+      }
+      out
+    case MapType(StringType, vt, _) =>
+      val m = row.getMap(i)
+      val vs = nonNull(avro.getValueType)
+      val out = new java.util.HashMap[String, Any](m.numElements())
+      var j = 0
+      while (j < m.numElements()) {
+        out.put(m.keyArray().getUTF8String(j).toString,
+          if (m.valueArray().isNullAt(j)) null
+          else toAvroValue(m.valueArray(), j, vt, vs))
+        j += 1
+      }
+      out
+    case s: StructType =>
+      rowToRecord(row.getStruct(i, s.length), s, avro)
+    case other => throw new IllegalArgumentException(
+      s"graftavro cannot write ${other.simpleString}")
+  }
+}

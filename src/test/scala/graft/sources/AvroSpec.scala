@@ -1,0 +1,99 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class AvroSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def tmp(name: String) = s"/tmp/graft_avro_spec_$name"
+
+  test("lineitem slice roundtrips exactly (longs, doubles, strings, timestamps)") {
+    val src = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" <= 300)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag", $"l_shipdate")
+    src.write.format("graftavro").mode("overwrite").save(tmp("li"))
+    val back = spark.read.format("graftavro").load(tmp("li"))
+    assert(back.schema ==
+      StructType(src.schema.map(_.copy(nullable = true))))
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("arrays, maps, nested structs, binary, dates and nulls roundtrip") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("xs", ArrayType(FloatType, containsNull = false)),
+      StructField("tags", ArrayType(StringType, containsNull = true)),
+      StructField("props", MapType(StringType, LongType,
+        valueContainsNull = true)),
+      StructField("blob", BinaryType),
+      StructField("d", DateType),
+      StructField("inner", StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("b", StringType))))))
+    val rows = Seq(
+      Row(1L, Seq(1.5f, -2.25f), Seq("x", null, "y"),
+        Map("k1" -> 7L, "k2" -> null), Array[Byte](1, 2, 3),
+        java.sql.Date.valueOf("2024-02-29"), Row(5, "hi")),
+      Row(2L, Seq.empty[Float], null, null, null, null, null))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    src.write.format("graftavro").mode("overwrite").save(tmp("types"))
+    val back = spark.read.format("graftavro").load(tmp("types"))
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      schema.map(f => (f.name, f.dataType)))
+    val got = back.orderBy($"id").collect()
+    assert(got.length == 2)
+    assert(got(0).getSeq[Float](1) == Seq(1.5f, -2.25f))
+    assert(got(0).getSeq[String](2) == Seq("x", null, "y"))
+    assert(got(0).getMap[String, Any](3) == Map("k1" -> 7L, "k2" -> null))
+    assert(got(0).getAs[Array[Byte]](4).toSeq == Seq[Byte](1, 2, 3))
+    assert(got(0).getDate(5) == java.sql.Date.valueOf("2024-02-29"))
+    assert(got(0).getStruct(6) == Row(5, "hi"))
+    assert(got(1).isNullAt(2) && got(1).isNullAt(4) && got(1).isNullAt(6))
+  }
+
+  test("column pruning reads through an Avro reader-schema projection") {
+    val src = Tables.lineitem(spark, sf).filter($"l_orderkey" <= 300)
+    src.write.format("graftavro").mode("overwrite").save(tmp("prune"))
+    val pruned = spark.read.format("graftavro").load(tmp("prune"))
+      .select($"l_returnflag", $"l_quantity")
+    // the scan must report only the projected columns
+    val scanSchemas = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema()
+    }
+    assert(scanSchemas.nonEmpty &&
+      scanSchemas.head.fieldNames.toSet ==
+        Set("l_returnflag", "l_quantity"))
+    val agg = pruned.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("q")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = src.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("q")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(agg == exp)
+  }
+
+  test("overwrite replaces prior files; append errors are not silent") {
+    val a = Seq((1L, "a")).toDF("id", "s")
+    val b = Seq((2L, "b"), (3L, "c")).toDF("id", "s")
+    a.write.format("graftavro").mode("overwrite").save(tmp("ow"))
+    b.write.format("graftavro").mode("overwrite").save(tmp("ow"))
+    val back = spark.read.format("graftavro").load(tmp("ow"))
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("read parallelism is one partition per file") {
+    val src = (1L to 100L).toDF("id").repartition(4)
+    src.write.format("graftavro").mode("overwrite").save(tmp("par"))
+    val back = spark.read.format("graftavro").load(tmp("par"))
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 100)
+  }
+}
