@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Curation job entry point — the [[EtlMain]] discipline for the
+  * LLM-pipeline half of the engine: `CurationMain <config.json>` runs
+  * a declarative [[graft.etl.CurationPipeline]] stage list over a
+  * documents table and lands the survivors.
+  *
+  * Example config:
+  * {{{
+  * { "inputPath": "/data/corpus/documents.parquet",
+  *   "outputPath": "/data/curated",
+  *   "outputFormat": "parquet",              // parquet | graftavro | graftlake
+  *   "stages": [
+  *     {"op": "exact_dedup"},
+  *     {"op": "quality_filter", "minQuality": 0.5},
+  *     {"op": "neardup_dedup", "shingleK": 3, "threshold": 0.6},
+  *     {"op": "cap_per_source", "k": 1000},
+  *     {"op": "mix", "weights": {"src0": 2.0, "src1": 0.5}} ] }
+  * }}}
+  *
+  * Prints one JSON status line (rows in/out) — the same machine-
+  * parseable contract as the ETL entry.
+  */
+object CurationMain {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: CurationMain <config.json>")
+    val spark = EtlMain.session()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = etl.JsonSource.readConfigRow(spark, args(0))
+    def str(k: String): String = {
+      require(cfg.schema.fieldNames.contains(k),
+        s"curation config needs '$k'")
+      cfg.getAs[String](k)
+    }
+    val docs = spark.read.parquet(str("inputPath"))
+    val stages = cfg.getAs[scala.collection.Seq[Row]]("stages")
+    require(stages != null && stages.nonEmpty,
+      "curation config needs a non-empty 'stages' array")
+    val out = etl.CurationPipeline.run(docs, stages.toSeq)
+    val format =
+      if (cfg.schema.fieldNames.contains("outputFormat"))
+        cfg.getAs[String]("outputFormat")
+      else "parquet"
+    out.write.format(format).mode("overwrite").save(str("outputPath"))
+    val written = spark.read.format(format).load(str("outputPath")).count()
+    println(s"""{"action":"curate","stages":${stages.length},""" +
+      s""""rows_in":${docs.count()},"rows_out":$written}""")
+    spark.stop()
+  }
+}

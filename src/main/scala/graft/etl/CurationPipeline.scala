@@ -1,0 +1,104 @@
+package graft.etl
+
+import graft.dedup.{ExactDedup, MinHashLSH, NearDupClusters}
+import graft.text.{CorpusMix, Decontaminate, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Config-driven LLM-corpus curation — the declarative counterpart of
+  * the code-level q86 composite, and the curation twin of the ETL
+  * half's [[IncrementalJsonPipeline]]: the reference drives its whole
+  * data plane from a JSON config
+  * (`emr_json_parquet_schema_drift_etl.py:296-311`), and this gives
+  * the LLM-pipeline operators the same operability — a stage LIST in
+  * JSON, each stage one entry of the oracled operator family, applied
+  * in order to a documents table.
+  *
+  * Stage vocabulary (`op` + parameters, defaults in parentheses):
+  *   - `exact_dedup` — keep-first by content sha
+  *     ([[graft.dedup.ExactDedup.keepFirst]])
+  *   - `quality_filter` — heuristic quality ≥ `minQuality` (0.5);
+  *     adds the `quality` column
+  *     ([[graft.text.TextAnalysis.qualityScore]])
+  *   - `neardup_dedup` — MinHash+LSH candidates at `threshold` (0.6)
+  *     with `shingleK` (3)-word shingles, exact-jaccard verify,
+  *     connected components, one keeper per cluster
+  *     ([[graft.dedup.MinHashLSH.pairs]] +
+  *     [[graft.dedup.NearDupClusters.clusters]])
+  *   - `decontaminate` — drop docs sharing any `n` (13)-gram with the
+  *     benchmark parquet at `benchmarkPath` (its text column
+  *     `textCol`, default `text`)
+  *     ([[graft.text.Decontaminate.clean]])
+  *   - `cap_per_source` — keep the best `k` docs per source by
+  *     `scoreCol` (`quality`) ([[graft.text.CorpusMix.capPerSource]])
+  *   - `mix` — deterministic per-source epoch weights from the
+  *     `weights` object (source → double), adds the `copy` column
+  *     ([[graft.text.CorpusMix.mix]])
+  *
+  * Every stage is an already-gated distributed operator — the
+  * pipeline adds NO execution machinery of its own, only sequencing,
+  * so its scale posture is exactly its stages'. Unknown ops and
+  * missing required parameters fail loudly before any job runs.
+  */
+object CurationPipeline {
+
+  /** Applies `stages` (parsed config rows carrying `op` + parameter
+    * fields) to `docs` in order. `docs` must carry `doc_id`, `text`
+    * and — for the source-keyed stages — `source`.
+    */
+  def run(docs: DataFrame, stages: Seq[Row]): DataFrame =
+    stages.foldLeft(docs)(applyStage)
+
+  private def get[T](stage: Row, name: String): Option[T] =
+    if (stage.schema.fieldNames.contains(name) && !stage.isNullAt(
+        stage.fieldIndex(name))) Some(stage.getAs[T](name))
+    else None
+
+  private def applyStage(docs: DataFrame, stage: Row): DataFrame = {
+    val op = get[String](stage, "op").getOrElse(
+      throw new IllegalArgumentException(s"stage without op: $stage"))
+    op match {
+      case "exact_dedup" => ExactDedup.keepFirst(docs)
+      case "quality_filter" =>
+        val min = get[Double](stage, "minQuality").getOrElse(0.5)
+        docs.join(TextAnalysis.qualityScore(docs)
+          .filter(col("quality") >= min), "doc_id")
+      case "neardup_dedup" =>
+        val k = get[Long](stage, "shingleK").map(_.toInt).getOrElse(3)
+        val t = get[Double](stage, "threshold").getOrElse(0.6)
+        val pairs = MinHashLSH.pairs(docs, k = k, threshold = t)
+          .select(col("doc_a"), col("doc_b"))
+        val clusters = NearDupClusters.clusters(
+          docs.select(col("doc_id")), pairs)
+        docs.join(clusters.filter(col("is_keeper"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      case "decontaminate" =>
+        val path = get[String](stage, "benchmarkPath").getOrElse(
+          throw new IllegalArgumentException(
+            "decontaminate needs benchmarkPath"))
+        val n = get[Long](stage, "n").map(_.toInt).getOrElse(13)
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        Decontaminate.clean(docs,
+          docs.sparkSession.read.parquet(path)
+            .select(col(textCol).as("text")), n = n)
+      case "cap_per_source" =>
+        val k = get[Long](stage, "k").map(_.toInt).getOrElse(
+          throw new IllegalArgumentException("cap_per_source needs k"))
+        val score = get[String](stage, "scoreCol").getOrElse("quality")
+        CorpusMix.capPerSource(docs, k, score)
+      case "mix" =>
+        val wRow = get[Row](stage, "weights").getOrElse(
+          throw new IllegalArgumentException("mix needs weights"))
+        val weights = wRow.schema.fieldNames.zipWithIndex.collect {
+          case (src, i) if !wRow.isNullAt(i) =>
+            src -> wRow.get(i).asInstanceOf[Number].doubleValue()
+        }.toMap
+        CorpusMix.mix(docs, weights,
+          salt = get[String](stage, "salt").getOrElse(""))
+      case other => throw new IllegalArgumentException(
+        s"unknown curation stage op: $other (supported: exact_dedup, " +
+          "quality_filter, neardup_dedup, decontaminate, " +
+          "cap_per_source, mix)")
+    }
+  }
+}

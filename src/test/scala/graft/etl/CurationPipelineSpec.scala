@@ -1,0 +1,87 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class CurationPipelineSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def stagesFrom(json: String): Seq[Row] = {
+    val p = Files.createTempFile("graft_curation_cfg", ".json")
+    Files.writeString(p, json)
+    JsonSource.readConfigRow(spark, p.toString)
+      .getAs[scala.collection.Seq[Row]]("stages").toSeq
+  }
+
+  test("config-driven dedup→quality→neardup equals the q86 composite") {
+    // the exact q86 stage parameters, but arriving via JSON config
+    val stages = stagesFrom(
+      """{ "stages": [
+        |  {"op": "exact_dedup"},
+        |  {"op": "quality_filter", "minQuality": 0.5},
+        |  {"op": "neardup_dedup", "shingleK": 3, "threshold": 0.6} ] }
+        |""".stripMargin)
+    val docs = Tables.documents(spark, sf)
+    val piped = CurationPipeline.run(docs, stages)
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"quality")
+    val composite = graft.queries.Dedup.corpusCuration(spark, sf)
+    assert(piped.count() == composite.count())
+    assert(piped.exceptAll(composite).isEmpty &&
+      composite.exceptAll(piped).isEmpty)
+  }
+
+  test("cap and mix stages compose after the dedup family") {
+    val stages = stagesFrom(
+      """{ "stages": [
+        |  {"op": "exact_dedup"},
+        |  {"op": "quality_filter", "minQuality": 0.0},
+        |  {"op": "cap_per_source", "k": 3},
+        |  {"op": "mix", "weights": {"src0": 2.0, "src1": 1.0}} ] }
+        |""".stripMargin)
+    val out = CurationPipeline.run(Tables.documents(spark, sf), stages)
+    // only the weighted sources survive the mix
+    assert(out.select($"source").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("src0", "src1")))
+    // the cap bound holds per (source, copy)
+    val maxPerSource = out.groupBy($"source", $"copy")
+      .agg(count(lit(1)).as("n")).agg(max($"n")).head().getLong(0)
+    assert(maxPerSource <= 3)
+    // src0 at weight 2.0 duplicates every kept doc exactly twice
+    assert(out.filter($"source" === "src0")
+      .groupBy($"doc_id").agg(count(lit(1)).as("c"))
+      .filter($"c" =!= 2).isEmpty)
+  }
+
+  test("decontaminate stage drops benchmark-overlapping docs") {
+    val docs = Tables.documents(spark, sf)
+    val benchPath = "/tmp/graft_curation_bench"
+    // plant: the first doc's text IS a benchmark item
+    docs.orderBy($"doc_id").limit(1).select($"text")
+      .write.mode("overwrite").parquet(benchPath)
+    val stages = stagesFrom(
+      s"""{ "stages": [
+         |  {"op": "decontaminate", "benchmarkPath": "$benchPath",
+         |   "n": 13} ] }
+         |""".stripMargin)
+    val out = CurationPipeline.run(docs, stages)
+    val first = docs.orderBy($"doc_id").limit(1).head().getAs[Long]("doc_id")
+    assert(out.filter($"doc_id" === first).isEmpty)
+    assert(out.count() < docs.count())
+  }
+
+  test("unknown ops and missing parameters fail loudly") {
+    val bad = stagesFrom("""{ "stages": [ {"op": "frobnicate"} ] }""")
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.run(Tables.documents(spark, sf), bad)
+    }
+    assert(e.getMessage.contains("frobnicate"))
+    val noK = stagesFrom("""{ "stages": [ {"op": "cap_per_source"} ] }""")
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(Tables.documents(spark, sf), noK)
+    }
+    ()
+  }
+}
