@@ -1,0 +1,120 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.SparkSession
+
+/** Dev bench: the media-dedup KERNEL (decode → dHash/audio-fingerprint
+  * → band-bucketed Hamming pairs → components → keepers,
+  * [[Multimodal.mediaDedupKeepers]] — the q208 composite) measured at
+  * two synthetic corpus scales. The q133/q175/q208 GATES pin
+  * correctness on 5-file fixtures, so they carry no scale signal; this
+  * main generates N seeded images (every 10th with a resized near-dup
+  * copy) + N/4 WAV clips (every 10th with a gain-variant copy) + junk,
+  * and times the kernel warm-steady — the BENCH_sf1 measurement the
+  * media family was missing.
+  *
+  * Usage: `runMain graft.BenchMediaScale [n1,n2,...]` (default
+  * 200,2000 — a 10× step, the sf0.1→sf1 convention).
+  */
+object BenchMediaScale {
+
+  private def writeCorpus(root: java.io.File, n: Int): Unit = {
+    import java.awt.image.BufferedImage
+    root.mkdirs()
+    // per-image seeded NOISE, not gradients: smooth gradients share
+    // most dHash gradient signs, which collapses the whole corpus
+    // into one giant near-dup cluster (measured: 2000 images → 14
+    // keepers and an O(n²) pair join) — a pathological corpus, not a
+    // representative one. Block noise keeps unrelated images'
+    // hashes independent while the planted 2× upscales still match.
+    def px(seed: Int, w: Int, h: Int)(x: Int, y: Int): Int = {
+      var v = seed * 31L + (x / 8) * 2654435761L + (y / 8) * 40503L
+      v ^= v >>> 16; v *= 73244475L; v ^= v >>> 16
+      (v & 0xffffff).toInt
+    }
+    def img(seed: Int, w: Int, h: Int): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        im.setRGB(x, y, px(seed, w, h)(x, y))
+      im
+    }
+    for (i <- 0 until n) {
+      javax.imageio.ImageIO.write(img(i * 7919, 64, 48), "png",
+        new java.io.File(root, f"img_$i%05d.png"))
+      if (i % 10 == 0) {
+        // near-dup: the 2x upscale of the same seed
+        val im = new BufferedImage(128, 96, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 96; x <- 0 until 128)
+          im.setRGB(x, y, px(i * 7919, 64, 48)(x / 2, y / 2))
+        javax.imageio.ImageIO.write(im, "png",
+          new java.io.File(root, f"img_$i%05d_v.png"))
+      }
+    }
+    def wav(seed: Int, gain: Double): Array[Byte] = {
+      val ns = 8000
+      val samples = Array.tabulate[Short](ns) { t =>
+        val seg = t * 33 / ns
+        (gain * (3000.0 + 2500.0 * math.sin(seg * (0.5 + seed % 13 * 0.1))) *
+          math.sin(2 * math.Pi * (250.0 + (seed + seg) % 9 * 50.0) *
+            t / 8000.0)).toShort
+      }
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array
+    }
+    for (i <- 0 until n / 4) {
+      java.nio.file.Files.write(
+        new java.io.File(root, f"clip_$i%05d.wav").toPath, wav(i, 1.0))
+      if (i % 10 == 0)
+        java.nio.file.Files.write(
+          new java.io.File(root, f"clip_$i%05d_v.wav").toPath,
+          wav(i, 0.4))
+    }
+    java.nio.file.Files.write(new java.io.File(root, "junk.png").toPath,
+      Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(200, 2000))
+    val spark = SparkSession.builder()
+      .withExtensions(new functions.GraftExtensions)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = scales.map { n =>
+      val root = new java.io.File(s"/tmp/graft_media_scale_$n")
+      if (!new java.io.File(root, "junk.png").exists()) writeCorpus(root, n)
+      var last = -1.0
+      var keepers = -1L
+      for (i <- 1 to 2) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val media = Multimodal.readMediaDir(spark, root.toString)
+        keepers = Multimodal.mediaDedupKeepers(media)
+          .filter(org.apache.spark.sql.functions.col("is_keeper")).count()
+        last = (System.nanoTime() - t0) / 1e9
+        println(f"[media-scale] n=$n run$i: $last%.2f s (keepers=$keepers)")
+      }
+      (n, last, keepers)
+    }
+    val items = results.map { case (n, t, k) =>
+      s"""{"n_files":$n,"steady_sec":${f"$t%.3f"},"keepers":$k}"""
+    }.mkString("[", ",", "]")
+    println(s"""MEDIA_SCALE $items""")
+    spark.stop()
+  }
+}

@@ -396,27 +396,49 @@ object Multimodal {
     * (undecodable bytes) never pair. Output `(id_a, id_b, hamming)`,
     * id_a < id_b.
     */
-  def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame =
-    bandedHammingPairs(hashes, "dhash", maxHamming)
+  def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 6,
+      maxBucket: Int = DefaultMaxBandBucket): DataFrame =
+    bandedHammingPairs(hashes, "dhash", maxHamming, maxBucket)
+
+  /** Band buckets holding more members than this are dropped before
+    * the pair join — the media analogue of the text shingle df-cap:
+    * a boilerplate visual element (site banner, solid frame) or a
+    * silence-heavy audio profile saturates one band value across the
+    * corpus, and that single bucket's self-join is O(count²) however
+    * banded the scheme is (measured: a gradient-heavy synthetic
+    * corpus collapsed to one bucket and went quadratic —
+    * BENCH_sf1.json media note). A pair missed by the cap would have
+    * to share ONLY saturated bands — the boilerplate-match case the
+    * dedup shouldn't merge on anyway. 10k² /2 ≈ 5e7 comparisons per
+    * saturated bucket is the accepted worst case at the default.
+    */
+  val DefaultMaxBandBucket: Int = 10000
 
   /** The shared band-bucketed Hamming self-join behind image dHash and
     * audio fingerprint near-dup pairing: split the 64-bit hash into
     * `maxHamming + 1` contiguous bands (pigeonhole: a pair within the
     * budget shares SOME identical band), equi-join on (band, bits),
-    * verify candidates with the exact popcount. Never all-pairs.
+    * verify candidates with the exact popcount. Never all-pairs, and
+    * saturated buckets are df-capped (see [[DefaultMaxBandBucket]]).
     */
   private def bandedHammingPairs(hashes: DataFrame, hashCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"bad budget $maxHamming")
+    require(maxBucket >= 1, s"bad band-bucket cap $maxBucket")
     val bands = maxHamming + 1
     val width = 64 / bands
-    val h = hashes.filter(col(hashCol).isNotNull)
+    val banded = hashes.filter(col(hashCol).isNotNull)
       .select(col("media_id"), col(hashCol).as("__h"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits", when(col("band") < bands - 1,
           expr(s"shiftrightunsigned(__h, band * $width)")
             .bitwiseAND(lit((1L << width) - 1)))
         .otherwise(expr(s"shiftrightunsigned(__h, ${(bands - 1) * width})")))
+    val keptBuckets = banded.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("__bf"))
+      .filter(col("__bf") <= maxBucket)
+      .select(col("band"), col("bits"))
+    val h = banded.join(keptBuckets, Seq("band", "bits"), "left_semi")
     val a = h.select(col("band").as("band_a"), col("bits").as("bits_a"),
       col("media_id").as("id_a"), col("__h").as("ha"))
     val b = h.select(col("band").as("band_b"), col("bits").as("bits_b"),
@@ -525,8 +547,9 @@ object Multimodal {
     * [[audioFingerprints]] output. Output `(id_a, id_b, hamming)`.
     */
   def nearDupAudioPairs(fingerprints: DataFrame,
-      maxHamming: Int = 8): DataFrame =
-    bandedHammingPairs(fingerprints, "afp", maxHamming)
+      maxHamming: Int = 8,
+      maxBucket: Int = DefaultMaxBandBucket): DataFrame =
+    bandedHammingPairs(fingerprints, "afp", maxHamming, maxBucket)
 
   /** MEDIA NEAR-DUP DEDUP COMPOSITE — the full pipeline text dedup
     * runs (pairs → connected components → one keeper per cluster),

@@ -354,6 +354,24 @@ class TextMultimodalSpec extends SparkSpec {
       .filter(col("id_a") === 7L || col("id_b") === 7L).count() == 0)
   }
 
+  test("saturated band buckets are df-capped out of the pair join") {
+    // 50 identical hashes (boilerplate) + one genuine near-dup pair
+    // on an unrelated hash value
+    val boiler = (1L to 50L).map(i => (i, 0x5a5a5a5a5a5a5a5aL))
+    val pairA = Seq((100L, 0x0123456789abcdefL),
+      (101L, 0x0123456789abcdefL ^ 0x3L))
+    val hashes = (boiler ++ pairA).toDF("media_id", "dhash")
+    // cap below the boilerplate count: its O(50^2) bucket vanishes,
+    // the genuine pair (whose buckets hold 2) survives
+    val got = Multimodal.nearDupImagePairs(hashes, maxHamming = 6,
+        maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 101L)), s"got $got")
+    // at the default generous cap the boilerplate pairs are all there
+    val full = Multimodal.nearDupImagePairs(hashes, maxHamming = 6)
+    assert(full.count() == 50L * 49 / 2 + 1)
+  }
+
   test("MP4 moov metadata parses; corrupt boxes keep honest zeros") {
     def beInt(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array
     def beLong(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array
