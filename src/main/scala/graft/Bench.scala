@@ -58,6 +58,16 @@ object Bench {
   /** A shared-JVM steady time above this re-measures forked. */
   private val ForkThresholdSec = 3.0
 
+  /** Queries whose run-2 is still JIT warmup tail, not steady —
+    * measured (r12, fresh JVMs): q93 12.4/3.5/2.9/2.6 s and q203
+    * 11.0/3.4/2.2/1.8 s across 4 runs. A 2-run fork reports the
+    * tail (the r11 'q93 +56%' was exactly this, root-caused: no
+    * LakeDml merge-path change in r11's log, and run-4 steady
+    * matches r10's 2.51 s); these fork with 4 runs instead.
+    */
+  private val SlowWarmup: Map[String, Int] = Map(
+    "q93_sql_merge" -> 4, "q203_bm25_topk" -> 4)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -113,11 +123,12 @@ object Bench {
     def forkSteady(name: String): Option[Double] = try {
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+      val forkRuns = math.max(runs, Bench.SlowWarmup.getOrElse(name, runs))
       val cmd: Seq[String] = Seq(javaBin) ++ Jdk17Opens ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
         "-cp", sys.props("java.class.path"),
-        "graft.BenchOne", name, runs.toString)
+        "graft.BenchOne", name, forkRuns.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       val p = pb.start()

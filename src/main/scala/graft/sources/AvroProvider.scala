@@ -27,14 +27,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * real pipeline hits before parquet.
   *
   * READ (`spark.read.format("graftavro").load(path)`): schema inferred
-  * from the first file's embedded writer schema; one [[InputPartition]]
-  * per file. COLUMN PRUNING is real: the pruned schema becomes the
+  * from the first file's embedded writer schema; files SPLIT at
+  * `spark.sql.files.maxPartitionBytes` boundaries and each reader
+  * aligns to the container's 16-byte sync markers (seek to the first
+  * sync after the split start, read while not past the split end — the
+  * standard Avro split protocol), so one giant exported file still
+  * reads wide. COLUMN PRUNING is real: the pruned schema becomes the
   * Avro READER schema, and Avro's schema-resolution skips unprojected
   * trailing fields at decode time — a 2-column projection of a
-  * 40-column export does not decode 40 columns. Per-file parallelism
-  * matches the sink below (one file per task) and every distributed
-  * producer; the pathological single-giant-file import is the
-  * documented gap (sync-marker splitting is the extension point).
+  * 40-column export does not decode 40 columns.
   *
   * WRITE (`df.write.format("graftavro").mode(...).save(path)`): each
   * task streams one `part-<partition>-<task>.avro` container file
@@ -133,9 +134,15 @@ class AvroScan(tablePath: String, required: StructType)
   override def toBatch: Batch = this
   override def description(): String = s"graftavro $tablePath"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroTable.listFiles(tablePath)
-      .map(f => AvroInputPartition(f._1): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splitBytes = SparkSession.active.sessionState.conf
+      .filesMaxPartitionBytes
+    AvroTable.listFiles(tablePath).flatMap { case (file, len) =>
+      (0L until math.max(len, 1L) by splitBytes).map(start =>
+        AvroInputPartition(file, start,
+          math.min(splitBytes, len - start)): InputPartition)
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -144,37 +151,44 @@ class AvroScan(tablePath: String, required: StructType)
   }
 }
 
-case class AvroInputPartition(file: String) extends InputPartition
+case class AvroInputPartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 case class AvroReaderFactory(requiredJson: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[AvroInputPartition].file
+    val split = partition.asInstanceOf[AvroInputPartition]
     val required = org.apache.spark.sql.types.DataType
       .fromJson(requiredJson).asInstanceOf[StructType]
     new PartitionReader[InternalRow] {
-      private val in = new FsInput(new Path(file), conf.value)
+      private val in = new FsInput(new Path(split.file), conf.value)
       private val reader = {
         // writer schema from the container header; READER schema is
         // the projection — Avro schema resolution skips the rest
         val head = new DataFileReader[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
         val writer = head.getSchema
-        head.sync(0)
         val readerSchema = project(writer, required)
         head.close()
-        new DataFileReader[GenericRecord](new FsInput(new Path(file),
-          conf.value), new GenericDatumReader[GenericRecord](writer,
-          readerSchema))
+        val r = new DataFileReader[GenericRecord](new FsInput(
+          new Path(split.file), conf.value),
+          new GenericDatumReader[GenericRecord](writer, readerSchema))
+        // the Avro split protocol: align to the first 16-byte sync
+        // marker after the split start (start 0 lands on the header's
+        // trailing sync = the first block), stop once past the end —
+        // every record belongs to exactly one split
+        r.sync(split.start)
+        r
       }
       private var rec: GenericRecord = _
 
       private def project(writer: Schema, req: StructType): Schema = {
         val fields = req.fields.map { f =>
           val wf = writer.getField(f.name)
-          require(wf != null, s"graftavro: column ${f.name} absent in $file")
+          require(wf != null,
+            s"graftavro: column ${f.name} absent in ${split.file}")
           new Schema.Field(f.name, wf.schema(), null, wf.defaultVal())
         }
         Schema.createRecord(writer.getName, null, writer.getNamespace,
@@ -182,7 +196,9 @@ case class AvroReaderFactory(requiredJson: String,
       }
 
       override def next(): Boolean =
-        if (reader.hasNext) { rec = reader.next(rec); true } else false
+        if (reader.hasNext && !reader.pastSync(split.start + split.length)) {
+          rec = reader.next(rec); true
+        } else false
 
       override def get(): InternalRow =
         AvroSchemas.recordToRow(rec, required)

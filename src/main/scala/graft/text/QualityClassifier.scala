@@ -58,12 +58,13 @@ object QualityClassifier {
     *
     * Per-round plan: the features PACK once into per-doc sparse
     * vectors (one shuffle, total — the packed table persists), the
-    * current weights inline as a LITERAL array (dim+1 doubles — never
-    * a join), so each round is one narrow pass computing residuals
-    * in-row plus one bounded gradient shuffle (≤ dim+1 rows after
-    * map-side partial aggregation). The previous formulation joined
-    * the feature table twice per round (weights join + residual join)
-    * — three shuffles a round where one suffices.
+    * current weights ride the gradient aggregate as a constructor
+    * value (dim+1 doubles — never a join), so each round is one
+    * narrow pass folding margins, residuals and the gradient into a
+    * single one-row aggregate (see [[trainMulti]] — this is its
+    * K = 1 case). The original formulation joined the feature table
+    * twice per round (weights join + residual join) — three shuffles
+    * a round where zero suffice.
     */
   def train(spark: SparkSession, features: DataFrame, dim: Int,
       rounds: Int = 20, lr: Double = 2.0): Array[Double] =
@@ -73,14 +74,16 @@ object QualityClassifier {
     trainMulti(spark, features, dim, Seq(1), rounds, lr)(1)
 
   /** K one-vs-rest logistic regressions trained in ONE loop: per
-    * round, a single corpus pass computes every class's in-row margin
-    * and residual side by side, and a single ≤ dim+1-row aggregate
-    * carries K gradient columns — K× fewer Spark jobs than K
-    * sequential [[train]] runs (measured on the q210 lang-id gate:
-    * the 4-class × 15-round loop was 60 overhead-dominated jobs,
-    * ~48 s steady, SF-independent). Per-class arithmetic is identical
-    * to [[train]] — gradients are independent sums — so results match
-    * up to float summation order.
+    * round, ONE one-row aggregate ([[graft.functions.OvrGradAgg]])
+    * computes every class's margin, residual and the full K×(dim+1)
+    * gradient scatter-add in the same primitive row loop — no
+    * generator over feature occurrences, no gradient-table shuffle,
+    * 64 KB of per-task state (the q210 lang-id gate's history: K
+    * sequential [[train]] runs were 60 overhead-dominated jobs ~48 s;
+    * the K-column hash-aggregate spelling ~0.4 s of machinery per
+    * round for ~10 ms of arithmetic). Per-class arithmetic is
+    * identical to [[train]] — gradients are independent sums — so
+    * results match up to float summation order.
     *
     * `features.label` holds the MULTI-class label; class c's targets
     * are `label == c`.

@@ -96,4 +96,24 @@ class AvroSpec extends SparkSpec {
     assert(back.rdd.getNumPartitions == 4)
     assert(back.count() == 100)
   }
+
+  test("one giant file splits at sync markers — exact, no dup/loss") {
+    // one task writes a single multi-block container (~several MB)
+    val n = 200000L
+    val src = (1L to n).toDF("id")
+      .withColumn("pad", concat_ws("-", lit("x" * 40), $"id"))
+      .coalesce(1)
+    src.write.format("graftavro").mode("overwrite").save(tmp("split"))
+    val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", 256 * 1024)
+      val back = spark.read.format("graftavro").load(tmp("split"))
+      assert(back.rdd.getNumPartitions > 4,
+        s"expected >4 splits, got ${back.rdd.getNumPartitions}")
+      // exactly-once across split boundaries: count AND key-sum match
+      val agg = back.agg(count(lit(1)), sum($"id")).head()
+      assert(agg.getLong(0) == n)
+      assert(agg.getLong(1) == n * (n + 1) / 2)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+  }
 }
