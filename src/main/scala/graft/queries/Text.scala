@@ -1427,7 +1427,13 @@ object Text extends QueryPack {
     * (score DESC, id ASC; scores rounded to 9 before ranking). */
   private def bm25TopK(s: SparkSession, queries: DataFrame,
       corpus: DataFrame, k: Int): DataFrame =
-    graft.text.Bm25.scoreAll(queries, corpus)
+    bm25TopKWith(s, queries, graft.text.Bm25.index(corpus), k)
+
+  /** [[bm25TopK]] against a prebuilt index — multi-pass gates (q219's
+    * PRF loop) tokenize the corpus once. */
+  private def bm25TopKWith(s: SparkSession, queries: DataFrame,
+      idx: graft.text.Bm25.Index, k: Int): DataFrame =
+    graft.text.Bm25.scoreAllWith(idx, queries)
       .select(col("query_id"), col("doc_id"),
         round(col("bm25"), 9).as("score"))
       .groupBy(col("query_id"))
@@ -1450,15 +1456,27 @@ object Text extends QueryPack {
     * parametrized on the expanded term set) and the expansion-term
     * selection (weights rounded to 9, ties on the term).
     */
-  def prfRetrievalGate(s: SparkSession, dir: String): DataFrame =
-      Streaming.withSmallShuffle(s) {
+  def prfRetrievalGate(s: SparkSession, dir: String): DataFrame = {
+    // NO withSmallShuffle here: this gate EXECUTES eagerly inside its
+    // body (the pinned expansion below), and a batch retrieval pass
+    // over the corpus at 4 shuffle partitions is exactly the
+    // under-partitioned cliff the q169 fix hunted (measured at sf1:
+    // 314 s wrapped vs ~35 s at the session width)
     val docs = Tables.documents(s, dir)
     val queries = bm25Queries(docs)
-    val fb = bm25TopK(s, queries, docs, 10)
+    // one index for all three passes (first retrieval, expansion
+    // weights, final retrieval) — the corpus tokenizes once
+    val idx = graft.text.Bm25.index(docs)
+    // pin BOTH tiny intermediates (Q×10 feedback, Q expanded queries):
+    // without the pins, downstream plans embed the entire pass-1
+    // retrieval as a subtree and replay it per reference (the q205
+    // lesson; measured at sf1, unpinned fb: 305 s vs 33 s pinned)
+    val fb = bm25TopKWith(s, queries, idx, 10)
       .select(col("query_id"), col("doc_id"))
-    val expanded = graft.text.Bm25.expandQueries(queries, docs, fb,
-      nTerms = 3)
-    bm25TopK(s, expanded, docs, 5)
+      .localCheckpoint(true)
+    val expanded = graft.text.Bm25.expandQueriesWith(idx, queries, fb,
+      nTerms = 3).localCheckpoint(true)
+    bm25TopKWith(s, expanded, idx, 5)
   }
 
   /** Two-stage retrieval gate (q218): BM25 recall (top-20 from the
@@ -1469,12 +1487,14 @@ object Text extends QueryPack {
     * DuckDB replays the q203 CTE chain at rank ≤ 20 and the cosine
     * re-ranking.
     */
-  def twoStageRetrievalGate(s: SparkSession, dir: String): DataFrame =
-      Streaming.withSmallShuffle(s) {
+  def twoStageRetrievalGate(s: SparkSession, dir: String): DataFrame = {
+    // no withSmallShuffle — eager stage-1 execution inside (q219 note)
     val docs = Tables.documents(s, dir)
     val queries = bm25Queries(docs)
     val cands = bm25TopK(s, queries, docs, 20)
       .select(col("query_id"), col("doc_id"))
+      .localCheckpoint(true) // pin Q×20 rows: stage 2 must re-rank,
+      // not replay, the sparse retrieval (the q205 lesson)
     val emb = Tables.embeddings(s, dir)
     graft.similarity.Rerank.byCosine(s, cands,
       emb.select(col("vec_id").as("query_id"), col("embedding")),
@@ -1498,11 +1518,18 @@ object Text extends QueryPack {
   def sparseDegradationGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val queries = bm25Queries(docs)
+    // each retrieval pipeline runs EXACTLY ONCE: metrics references
+    // truth/degraded from several branches (n_rel, hits, idcg), and
+    // an un-pinned Q×5-row result would replay the whole corpus-sized
+    // retrieval per branch — localCheckpoint cuts the lineage and
+    // pins the tiny table (measured at sf1: 143 → ~90 s)
     val truth = bm25Top5(s, queries, docs)
       .select(col("query_id"), col("doc_id"))
+      .localCheckpoint(true)
     val degraded = bm25Top5(s, queries,
         docs.filter(col("doc_id") % 2 === 0))
       .select(col("query_id"), col("doc_id"), col("rank"))
+      .localCheckpoint(true)
     graft.similarity.RetrievalEval.metrics(degraded, truth, k = 5)
   }
 

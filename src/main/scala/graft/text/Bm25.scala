@@ -47,6 +47,26 @@ object Bm25 {
     (dl, stats)
   }
 
+  /** A reusable BM25 index over one corpus: the postings component
+    * tables plus doc lengths and the one-row corpus stats. Build ONCE
+    * ([[index]]) and score any number of query batches against it —
+    * the production retrieval shape (the corpus tokenizes once; `tf`
+    * is persisted by construction). [[scoreAllWith]] /
+    * [[expandQueriesWith]] consume it; the docs-taking overloads
+    * build a throwaway one for single-shot callers.
+    */
+  final case class Index(tf: DataFrame, df: DataFrame, dl: DataFrame,
+      stats: DataFrame, idCol: String)
+
+  def index(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Index = {
+    val (tf, dfT) = TfIdf.postingsParts(docs, idCol, textCol)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    Index(tf, dfT, dl, stats, idCol)
+  }
+
   /** (idCol, bm25) for every document matching ≥1 query term. */
   def score(docs: DataFrame, query: String, k1: Double = 1.2,
       b: Double = 0.75, idCol: String = "doc_id",
@@ -115,10 +135,20 @@ object Bm25 {
   def expandQueries(queries: DataFrame, docs: DataFrame,
       feedback: DataFrame, nTerms: Int = 3,
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    expandQueriesWith(index(docs, idCol, textCol), queries, feedback,
+      nTerms, queryIdCol, queryTextCol)
+
+  /** [[expandQueries]] against a prebuilt [[Index]] — the PRF loop's
+    * form: retrieval and expansion share one tokenize. */
+  def expandQueriesWith(idx: Index, queries: DataFrame,
+      feedback: DataFrame, nTerms: Int = 3,
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text"): DataFrame = {
     require(nTerms >= 1, s"nTerms must be >= 1, got $nTerms")
-    val post = TfIdf.postings(docs, idCol, textCol)
-    val (_, stats) = corpusStats(post, idCol)
+    val post = idx.tf.join(idx.df, Seq("token"))
+    val stats = idx.stats
+    val idCol = idx.idCol
     val weights = feedback.join(post, Seq(idCol))
       .groupBy(col(queryIdCol), col("token"), col("df"))
       .agg(sum(col("tf").cast("double")).as("stf"))
@@ -145,26 +175,24 @@ object Bm25 {
           .as(queryTextCol))
   }
 
-  /** Target (query, doc) rows per reduce task of [[scoreAll]]'s final
-    * aggregate — sized so one task's aggregation hash table stays in
-    * the tens of MB whatever the corpus density. */
-  private val ScorePairsPerTask = 2000000L
-
-  /** Hard ceiling on the derived partition count (scheduler sanity;
-    * at this width per-task state is bounded by density ÷ 32768). */
-  private val MaxScoreParts = 32768
-
   def scoreAll(queries: DataFrame, docs: DataFrame, k1: Double = 1.2,
       b: Double = 0.75, queryIdCol: String = "query_id",
       queryTextCol: String = "query_text", idCol: String = "doc_id",
       textCol: String = "text",
+      maxDfFraction: Double = 0.9): DataFrame =
+    scoreAllWith(index(docs, idCol, textCol), queries, k1, b,
+      queryIdCol, queryTextCol, maxDfFraction)
+
+  /** [[scoreAll]] against a prebuilt [[Index]] — repeated retrieval
+    * passes (PRF, ablations, batch eval) share one corpus tokenize. */
+  def scoreAllWith(idx: Index, queries: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75, queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text",
       maxDfFraction: Double = 0.9): DataFrame = {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction in (0,1]: $maxDfFraction")
-    val (tf, dfT) = TfIdf.postingsParts(docs, idCol, textCol)
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    val (tf, dfT, dl, stats) = (idx.tf, idx.df, idx.dl, idx.stats)
+    val idCol = idx.idCol
     // one-row broadcast first: the df filter lands on the
     // VOCABULARY-sized df table, so saturating tokens are gone BEFORE
     // the token equi-join ever sees a posting
@@ -174,46 +202,24 @@ object Bm25 {
     val qt = queries.select(col(queryIdCol),
       explode(array_distinct(regexp_extract_all(lower(col(queryTextCol)),
         lit("[a-z0-9]+"), lit(0)))).as("token"))
-    // SHUFFLE SIZING from input stats: the scored relation has
-    // Σ_{(q,t) ∈ qt} df(t) ≤ |qt| · N rows, so two cheap counts (a
-    // column-pruned count of `docs` and a tokenize of the QUERIES —
-    // never a corpus tokenize, which would serialize a full corpus
-    // pass ahead of the scoring job) bound the aggregate's input. The
-    // (query, doc) aggregate's per-task hash table grows with corpus
-    // DENSITY (each query matches more docs as the corpus grows), so
-    // a fixed partition count eventually OOMs however large the heap
-    // (observed: sf3 under the bench 8 GiB default). Deriving the
-    // partition count bounds per-task group space at any density —
-    // the scale fix is more partitions, not more memory. The bound is
-    // tight for dense corpora (where it matters) and over-partitions
-    // selective ones — extra near-empty reduce tasks, the cheap
-    // failure mode. The explicit repartition on the FULL group key
-    // also moves the exchange BELOW the aggregate: the map side of
-    // the big token join ships rows instead of building a
-    // corpus-density-sized partial-aggregation map (the partial+final
-    // pair run post-exchange on bounded partitions); the forfeited
-    // map-side combine was at most the per-query token count (≤ ~8×),
-    // bought back by bounded memory at every scale.
-    val nDocs = docs.select(col(idCol)).count()
-    val nQTok = qt.count()
-    val pairsUb =
-      if (nQTok > 0 && nDocs > Long.MaxValue / nQTok) Long.MaxValue
-      else nQTok * nDocs
-    val minParts = queries.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = math.max(minParts,
-      math.min(MaxScoreParts.toLong, pairsUb / ScorePairsPerTask + 1).toInt)
     // dl joins the POSTINGS side before the query fan-out: both are
     // postings-sized on the doc key. Joining dl after the fan-out (the
-    // r11 shape) sorted the pairs-sized relation for a second
-    // merge-join — at sf3 density that is a 1.6e9-row sort whose spill
-    // merge OOMs however the aggregate is partitioned. Post-fix, the
-    // only pairs-sized stages are the fan-out join's streamed output,
-    // the sizing-derived exchange, and the bounded per-task aggregate.
+    // r11 shape) sorted the PAIRS-sized relation for a second
+    // merge-join — at sf3 density a 1.6e9-row sort whose spill merge
+    // OOMed the 8 GiB default heap. That sort was the real OOM (r11
+    // misattributed it to the aggregate): with it gone, the only
+    // pairs-sized stages are the fan-out join's streamed output and
+    // the (query, doc) aggregate, whose map-side partial hash table
+    // SPILLS to sort-based aggregation under pressure rather than
+    // OOM — and its combine (one row per (q,d) from ≤ per-query-token
+    // occurrences) cuts the shuffle ~5× on dense corpora. Measured at
+    // sf3 density / 8 GiB: this shape 81 s; an explicit
+    // repartition-before-aggregate variant (no map-side combine,
+    // stat-derived width) 183 s; the r11 shape unbounded-OOM.
     val enriched = tf.join(cappedDf, Seq("token")).join(dl, Seq(idCol))
     qt.join(enriched, Seq("token"))
       .select(col(queryIdCol), col(idCol),
         (idfExpr * tfPartExpr(k1, b)).as("term_score"))
-      .repartition(parts, col(queryIdCol), col(idCol))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("term_score")).as("bm25"))
   }
