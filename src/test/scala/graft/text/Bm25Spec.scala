@@ -47,6 +47,25 @@ class Bm25Spec extends SparkSpec {
     assert(m(1L) > m(2L)) // doc 1 adds the rare term's higher idf
   }
 
+  test("a shared Index scores identically to per-call construction") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b c c"),
+      (4L, "b b a c")).toDF("doc_id", "text")
+    val queries = Seq((100L, "a b"), (200L, "c a"))
+      .toDF("query_id", "query_text")
+    val idx = Bm25.index(docs)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("bm25"))
+      .toMap
+    assert(m(Bm25.scoreAllWith(idx, queries)) ==
+      m(Bm25.scoreAll(queries, docs)))
+    val fb = Seq((100L, 1L), (200L, 3L)).toDF("query_id", "doc_id")
+    val viaIdx = Bm25.expandQueriesWith(idx, queries, fb, nTerms = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaDocs = Bm25.expandQueries(queries, docs, fb, nTerms = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaIdx == viaDocs)
+  }
+
   test("scoreAll matches the single-query scorer, per query") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b c c"))
       .toDF("doc_id", "text")
