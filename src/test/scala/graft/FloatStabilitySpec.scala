@@ -87,6 +87,8 @@ class FloatStabilitySpec extends SparkSpec {
     * q203; q222 wraps q86) inherit their base gate's verdict and are
     * not re-run here. */
   private val FloatGates = Seq(
+    "q27_percentiles",           // interpolated percentiles + stddev, round 6
+    "q43_stats_corr",            // corr/covar sums, round 6/4
     "q40_ann_brute_topk",        // cosine distances, round 9
     "q136_semdedup_gate",        // centroid cosines
     "q192_bm25",                 // BM25 scores (stabilized in r9)
@@ -95,6 +97,7 @@ class FloatStabilitySpec extends SparkSpec {
     "q201_content_drift",        // vocabulary cosine per source
     "q203_bm25_topk",            // batch BM25 + top-k ranking
     "q209_embedding_drift",      // r11's red row, now threshold booleans
+    "q212_corpus_overlap",       // KMV overlap estimates
     "q216_bootstrap_ci",         // Poisson-bootstrap CI bounds
     "q217_source_similarity",    // KMV similarity matrix
     "q223_bootstrap_ci_by_source")
