@@ -202,6 +202,29 @@ object Dedup extends QueryPack {
         col("quality"))
   }
 
+  /** Config-driven curation gate (q225): the q86 pipeline arriving as
+    * a JSON STAGE LIST through [[graft.etl.CurationPipeline]] — the
+    * declarative CLI surface ([[graft.CurationMain]]) proven against
+    * the SAME DuckDB oracle as the code-level composite. A config
+    * parser bug, a stage-dispatch typo, or a parameter-default drift
+    * between the two surfaces flips the hash.
+    */
+  def configCuration(s: SparkSession, dir: String): DataFrame = {
+    val cfg = java.nio.file.Files.createTempFile("graft_q225_cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      """{ "stages": [
+        |  {"op": "exact_dedup"},
+        |  {"op": "quality_filter", "minQuality": 0.5},
+        |  {"op": "neardup_dedup", "shingleK": 3, "threshold": 0.6} ] }
+        |""".stripMargin)
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    graft.etl.CurationPipeline
+      .run(Tables.documents(s, dir), stages.toSeq)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("quality"))
+  }
+
   /** Bloom-gated incremental dedup (q148): treat the even-id docs as
     * yesterday's snapshot and the odd-id docs as today's batch; keep
     * only batch docs whose text is genuinely new. The sketch pass means
@@ -395,6 +418,7 @@ object Dedup extends QueryPack {
     "q184_keep_best" -> keepBestGate _,
     "q185_cluster_reps" -> clusterRepresentatives _,
     "q86_corpus_curation" -> corpusCuration _,
+    "q225_config_curation" -> configCuration _,
     "q182_line_dedup_within" -> lineDedupWithinDoc _,
     "q148_incremental_dedup" -> incrementalDedup _,
     "q171_incremental_neardup" -> incrementalNearDedup _,
@@ -782,6 +806,12 @@ object Dedup extends QueryPack {
         |  TRUE AS originals_kept_ok
         |FROM embeddings""".stripMargin,
     "q86_corpus_curation" ->
+      s"""WITH RECURSIVE ${curationCtes}
+        |SELECT k.doc_id, k.lang, k.source, k.n_chars, k.quality
+        |FROM keep k LEFT JOIN mins m ON m.n = k.doc_id
+        |WHERE least(k.doc_id, coalesce(m.mr, k.doc_id)) = k.doc_id""".stripMargin,
+    // the config-driven surface must land on EXACTLY the q86 rows
+    "q225_config_curation" ->
       s"""WITH RECURSIVE ${curationCtes}
         |SELECT k.doc_id, k.lang, k.source, k.n_chars, k.quality
         |FROM keep k LEFT JOIN mins m ON m.n = k.doc_id
