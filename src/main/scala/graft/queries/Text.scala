@@ -125,6 +125,57 @@ object Text extends QueryPack {
         (col("n_junk_null") === 1).as("junk_null_ok"))
   }
 
+  /** Media band-saturation df-cap gate (q228): the ONE place the
+    * engine deliberately trades recall for join cost
+    * ([[Multimodal.DefaultMaxBandBucket]]) — previously evidenced only
+    * by a BENCH_sf1 note, now oracle-pinned the q70 way. A planted
+    * 64-bit hash corpus with three populations, each exercising one
+    * side of the trade at `maxHamming = 3` (4 × 16-bit bands):
+    *   - 100 DISTINCT hashes sharing band 0 (`0xABCD`) whose upper
+    *     bands repeat far-apart codes (pairwise hamming ≥ 6 > 3 —
+    *     verified by construction: i*257 differs in ≥ 2 bits × 3
+    *     copies): the band-0 bucket saturates at `maxBucket = 16` and
+    *     the gate REQUIRES the cap to fire, yet no true pair is lost;
+    *   - 40 IDENTICAL hashes (the exact-duplicate logo): under the
+    *     r12 member-counted cap every one of their buckets saturated
+    *     together and the corpus's most-duplicated asset was silently
+    *     lost (advisor finding); the group-collapsed join must keep
+    *     all 780 pairs under ANY cap — REQUIRED loudly;
+    *   - 50 md5-derived near-dup pairs at hamming 1 (partners share
+    *     three unsaturated bands): the cap must not touch them.
+    * The full pair set hash-matches a DuckDB brute-force exact-Hamming
+    * reimplementation over the same arithmetic — the capped bucket
+    * provably drops NOTHING real.
+    */
+  def mediaBandCapGate(s: SparkSession, dir: String): DataFrame = {
+    val v = col("id") * 257
+    val family = s.range(1, 101).select(col("id").as("media_id"),
+      (shiftleft(v, 48) + shiftleft(v, 32) + shiftleft(v, 16) +
+        lit(0xABCDL)).as("dhash"))
+    val exact = s.range(1, 41).select((col("id") + 200).as("media_id"),
+      lit(0x123456789ABL).as("dhash"))
+    val nearBase = conv(substring(md5(concat(lit("mediacap"),
+      col("id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val nearA = s.range(1, 51).select((col("id") + 300).as("media_id"),
+      nearBase.as("dhash"))
+    val nearB = s.range(1, 51).select((col("id") + 400).as("media_id"),
+      nearBase.bitwiseXOR(lit(8L)).as("dhash"))
+    val hashes = family.unionByName(exact).unionByName(nearA)
+      .unionByName(nearB)
+    val saturated = Multimodal.hammingBandStats(hashes, "dhash", 3)
+      .filter(col("n_hashes") > 16).count()
+    require(saturated >= 1L,
+      s"planted band saturation must fire the df-cap, saw $saturated " +
+        "saturated buckets")
+    val pairs = Multimodal.nearDupImagePairs(hashes, maxHamming = 3,
+      maxBucket = 16)
+    val nExact = pairs.filter(col("id_a") > 200L && col("id_a") <= 240L &&
+      col("id_b") > 200L && col("id_b") <= 240L).count()
+    require(nExact == 40L * 39 / 2,
+      s"exact-duplicate pairs must survive the cap: want 780, got $nExact")
+    pairs
+  }
+
   /** Video metadata gate (q138): synthesized minimal-but-valid MP4
     * fixtures — version-0 and version-1 `moov`/`mvhd`/`tkhd` headers,
     * plus a moov-less decoy — decoded with [[Multimodal.HeaderDecoder]]'s
@@ -1796,6 +1847,7 @@ object Text extends QueryPack {
     "q54_bpeish_count" -> bpeishCount _,
     "q55_media_features" -> mediaFeatures _,
     "q133_image_dhash" -> imageDhash _,
+    "q228_media_band_cap" -> mediaBandCapGate _,
     "q74_winnow_gate" -> winnowGate _,
     "q78_repetition" -> repetition _,
     "q134_perplexity" -> perplexity _,
@@ -2875,6 +2927,30 @@ object Text extends QueryPack {
       """SELECT CAST(5 AS BIGINT) AS n_images,
         |  TRUE AS resized_pair_ok, TRUE AS jpeg_pair_ok,
         |  TRUE AS no_false_pairs_ok, TRUE AS junk_null_ok""".stripMargin,
+    // brute-force exact-Hamming over the same planted hash arithmetic:
+    // the banded+capped engine pair set must equal the uncapped truth
+    "q228_media_band_cap" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |    (i*257)*281474976710656 + (i*257)*4294967296
+        |      + (i*257)*65536 + 43981 AS h
+        |  FROM range(1, 101) t(i)
+        |  UNION ALL
+        |  SELECT 200 + i, 1250999896491 FROM range(1, 41) t(i)
+        |  UNION ALL
+        |  SELECT 300 + i,
+        |    CAST(CAST('0x' || substr(md5('mediacap' || CAST(i AS VARCHAR)),
+        |      1, 13) AS UBIGINT) AS BIGINT)
+        |  FROM range(1, 51) t(i)
+        |  UNION ALL
+        |  SELECT 400 + i,
+        |    xor(CAST(CAST('0x' || substr(md5('mediacap' || CAST(i AS VARCHAR)),
+        |      1, 13) AS UBIGINT) AS BIGINT), 8)
+        |  FROM range(1, 51) t(i))
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM m a JOIN m b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
     "q175_audio_fingerprint" ->
       """SELECT CAST(4 AS BIGINT) AS n_clips,
         |  TRUE AS gain_pair_ok, TRUE AS no_false_pairs_ok,

@@ -110,7 +110,8 @@ class AvroTable(tablePath: String, userSchema: Option[StructType])
     new AvroScanBuilder(tablePath, schema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AvroWriteBuilder(tablePath, info.schema())
+    new AvroWriteBuilder(tablePath, info.schema(),
+      info.options().getBoolean("timestampMillis", false))
 }
 
 /** Column pruning becomes the Avro reader schema (decode-time skip). */
@@ -164,17 +165,18 @@ case class AvroReaderFactory(requiredJson: String,
       .fromJson(requiredJson).asInstanceOf[StructType]
     new PartitionReader[InternalRow] {
       private val in = new FsInput(new Path(split.file), conf.value)
-      private val reader = {
+      private val (writerSchema, readerSchema) = {
         // writer schema from the container header; READER schema is
         // the projection — Avro schema resolution skips the rest
         val head = new DataFileReader[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
-        val writer = head.getSchema
-        val readerSchema = project(writer, required)
-        head.close()
+        try (head.getSchema, project(head.getSchema, required))
+        finally head.close()
+      }
+      private val reader = {
         val r = new DataFileReader[GenericRecord](new FsInput(
           new Path(split.file), conf.value),
-          new GenericDatumReader[GenericRecord](writer, readerSchema))
+          new GenericDatumReader[GenericRecord](writerSchema, readerSchema))
         // the Avro split protocol: align to the first 16-byte sync
         // marker after the split start (start 0 lands on the header's
         // trailing sync = the first block), stop once past the end —
@@ -187,9 +189,22 @@ case class AvroReaderFactory(requiredJson: String,
       private def project(writer: Schema, req: StructType): Schema = {
         val fields = req.fields.map { f =>
           val wf = writer.getField(f.name)
-          require(wf != null,
-            s"graftavro: column ${f.name} absent in ${split.file}")
-          new Schema.Field(f.name, wf.schema(), null, wf.defaultVal())
+          if (wf != null)
+            new Schema.Field(f.name, wf.schema(), null, wf.defaultVal())
+          else {
+            // standard Avro reader-schema resolution: a reader field
+            // the writer lacks takes its default — null-fill, so a
+            // directory of schema-evolved files (column added later)
+            // still reads whole (advisor r12); only a NON-nullable
+            // missing column is an error
+            require(f.nullable,
+              s"graftavro: non-nullable column ${f.name} absent in " +
+                s"${split.file}")
+            new Schema.Field(f.name,
+              AvroSchemas.fieldSchema(f.dataType, nullable = true,
+                s"${writer.getName}_${f.name}"),
+              null, Schema.Field.NULL_DEFAULT_VALUE)
+          }
         }
         Schema.createRecord(writer.getName, null, writer.getNamespace,
           false, fields.toSeq.asJava)
@@ -201,14 +216,20 @@ case class AvroReaderFactory(requiredJson: String,
         } else false
 
       override def get(): InternalRow =
-        AvroSchemas.recordToRow(rec, required)
+        AvroSchemas.recordToRow(rec, required, readerSchema)
 
       override def close(): Unit = reader.close()
     }
   }
 }
 
-class AvroWriteBuilder(tablePath: String, schema: StructType)
+/** `timestampMillis=true` writes TimestampType as the Avro
+  * `timestamp-millis` logical type (micros ÷ 1000 — for consumers
+  * pinned to the millis convention; sub-milli precision truncates, so
+  * micros stays the default).
+  */
+class AvroWriteBuilder(tablePath: String, schema: StructType,
+    timestampMillis: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -223,23 +244,25 @@ class AvroWriteBuilder(tablePath: String, schema: StructType)
       val fs = p.getFileSystem(conf.value)
       if (overwrite && fs.exists(p)) { fs.delete(p, true); () }
       fs.mkdirs(p)
-      new AvroBatchWrite(tablePath, schema.json, conf)
+      new AvroBatchWrite(tablePath, schema.json, timestampMillis, conf)
     }
   }
 }
 
 class AvroBatchWrite(tablePath: String, schemaJson: String,
+    timestampMillis: Boolean,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    AvroWriterFactory(tablePath, schemaJson, conf)
+    AvroWriterFactory(tablePath, schemaJson, timestampMillis, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class AvroWriterFactory(tablePath: String, schemaJson: String,
+    timestampMillis: Boolean,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
 
@@ -247,7 +270,8 @@ case class AvroWriterFactory(tablePath: String, schemaJson: String,
     new DataWriter[InternalRow] {
       private val schema = org.apache.spark.sql.types.DataType
         .fromJson(schemaJson).asInstanceOf[StructType]
-      private val avro = AvroSchemas.toAvro(schema)
+      private val avro = AvroSchemas.toAvro(schema,
+        timestampMillis = timestampMillis)
       private val file =
         new Path(tablePath, f"part-$partitionId%05d-$taskId.avro")
       private val out = {

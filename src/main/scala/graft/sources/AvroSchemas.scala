@@ -21,10 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   `local-timestamp-micros` ↔ TimestampNTZType (Spark's internal
   *   micros — no conversion); ARRAY ↔ ArrayType;
   *   MAP ↔ MapType(String, _); RECORD ↔ StructType (recursive);
-  *   ENUM/FIXED read as string/binary. Nullability is the Avro
-  *   idiom: UNION(NULL, T) with default null. Decimals, multi-branch
-  *   unions and `timestamp-millis` are rejected loudly rather than
-  *   guessed (a silent millis read would be 1000× off).
+  *   ENUM/FIXED read as string/binary; `decimal` logical
+  *   BYTES/FIXED ↔ DecimalType (unscaled two's-complement bytes, the
+  *   standard Avro encoding — writes go out as BYTES);
+  *   `timestamp-millis` READS into TimestampType (×1000 into Spark's
+  *   micros — exact, millis always fit) and is written only on
+  *   request (`timestampMillis=true` write option, for consumers
+  *   pinned to the millis convention; sub-milli precision would
+  *   truncate, so micros stays the default). Nullability is the Avro
+  *   idiom: UNION(NULL, T) with default null. Multi-branch unions and
+  *   decimals over precision 38 are rejected loudly rather than
+  *   guessed.
   */
 object AvroSchemas {
 
@@ -32,10 +39,11 @@ object AvroSchemas {
 
   /** Record name must be a valid Avro identifier; field schemas are
     * namespaced by position to keep nested record names unique. */
-  def toAvro(schema: StructType, name: String = "graft_row"): Schema = {
+  def toAvro(schema: StructType, name: String = "graft_row",
+      timestampMillis: Boolean = false): Schema = {
     val fields = schema.fields.map { f =>
       new Schema.Field(f.name, fieldSchema(f.dataType, f.nullable,
-        s"${name}_${f.name}"),
+        s"${name}_${f.name}", timestampMillis),
         null,
         if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
@@ -43,8 +51,10 @@ object AvroSchemas {
       fields.toSeq.asJava)
   }
 
-  private def fieldSchema(dt: DataType, nullable: Boolean,
-      path: String): Schema = {
+  /** The Avro schema a single Spark field maps to — exposed for the
+    * reader's null-fill of fields absent in a file's writer schema. */
+  private[sources] def fieldSchema(dt: DataType, nullable: Boolean,
+      path: String, timestampMillis: Boolean = false): Schema = {
     val base = dt match {
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case IntegerType | ShortType | ByteType =>
@@ -56,16 +66,24 @@ object AvroSchemas {
       case BinaryType => Schema.create(Schema.Type.BYTES)
       case DateType =>
         LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType if timestampMillis => LogicalTypes
+        .timestampMillis().addToSchema(Schema.create(Schema.Type.LONG))
       case TimestampType => LogicalTypes.timestampMicros()
         .addToSchema(Schema.create(Schema.Type.LONG))
       case TimestampNTZType => LogicalTypes.localTimestampMicros()
         .addToSchema(Schema.create(Schema.Type.LONG))
+      case d: DecimalType =>
+        require(d.precision <= 38,
+          s"graftavro writes decimals up to precision 38, got $d")
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       case ArrayType(e, containsNull) =>
-        Schema.createArray(fieldSchema(e, containsNull, s"${path}_item"))
+        Schema.createArray(fieldSchema(e, containsNull, s"${path}_item",
+          timestampMillis))
       case MapType(StringType, v, valueContainsNull) =>
         Schema.createMap(fieldSchema(v, valueContainsNull,
-          s"${path}_value"))
-      case s: StructType => toAvro(s, path)
+          s"${path}_value", timestampMillis))
+      case s: StructType => toAvro(s, path, timestampMillis)
       case other => throw new IllegalArgumentException(
         s"graftavro cannot write Spark type ${other.simpleString}")
     }
@@ -103,16 +121,22 @@ object AvroSchemas {
     case Schema.Type.LONG => s.getLogicalType match {
       case _: LogicalTypes.TimestampMicros => TimestampType
       case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
-      case _: LogicalTypes.TimestampMillis =>
-        throw new IllegalArgumentException(
-          "graftavro reads timestamp-micros only; re-export " +
-            "timestamp-millis data (a silent read would be 1000x off)")
+      // millis scale exactly into Spark's internal micros; the value
+      // path multiplies by 1000 (schema-dispatched in fromAvro)
+      case _: LogicalTypes.TimestampMillis => TimestampType
       case _ => LongType
     }
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.STRING | Schema.Type.ENUM => StringType
-    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      s.getLogicalType match {
+        case d: LogicalTypes.Decimal =>
+          require(d.getPrecision <= 38,
+            s"graftavro reads decimals up to precision 38, got $s")
+          DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
     case Schema.Type.ARRAY =>
       val (e, n) = sparkField(s.getElementType)
       ArrayType(e, containsNull = n)
@@ -126,17 +150,28 @@ object AvroSchemas {
 
   // ---- values: Avro → InternalRow ----
 
-  def recordToRow(rec: GenericRecord, schema: StructType): InternalRow = {
+  /** `avro` is the (projected) READER schema the record was decoded
+    * with — value conversion dispatches on it where the Spark type
+    * alone is ambiguous (timestamp-millis vs -micros, decimal scale).
+    */
+  def recordToRow(rec: GenericRecord, schema: StructType,
+      avro: Schema): InternalRow = {
     val out = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      out(i) = fromAvro(rec.get(schema(i).name), schema(i).dataType)
+      val af = avro.getField(schema(i).name)
+      out(i) = fromAvro(rec.get(schema(i).name), schema(i).dataType,
+        if (af == null) null else nonNull(af.schema()))
       i += 1
     }
     InternalRow.fromSeq(out.toIndexedSeq)
   }
 
-  private def fromAvro(v: Any, dt: DataType): Any =
+  private def isMillis(avro: Schema): Boolean =
+    avro != null &&
+      avro.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis]
+
+  private def fromAvro(v: Any, dt: DataType, avro: Schema): Any =
     if (v == null) null
     else dt match {
       case StringType => UTF8String.fromString(v.toString)
@@ -147,31 +182,48 @@ object AvroSchemas {
         case a: Array[Byte] => a
       }
       case IntegerType | DateType => v.asInstanceOf[Number].intValue()
+      case ShortType => v.asInstanceOf[Number].shortValue()
+      case ByteType => v.asInstanceOf[Number].byteValue()
       case LongType => v.asInstanceOf[Number].longValue()
+      case TimestampType if isMillis(avro) =>
+        // millis scale exactly into Spark's internal micros
+        v.asInstanceOf[Number].longValue() * 1000L
       case TimestampType | TimestampNTZType =>
         v.asInstanceOf[Number].longValue()
       case FloatType => v.asInstanceOf[Number].floatValue()
       case DoubleType => v.asInstanceOf[Number].doubleValue()
       case BooleanType => v.asInstanceOf[Boolean]
+      case d: DecimalType =>
+        // standard Avro decimal: unscaled two's-complement big-endian
+        val bytes = v match {
+          case bb: java.nio.ByteBuffer =>
+            val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+          case fx: GenericFixed => fx.bytes()
+        }
+        Decimal(BigDecimal(new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), d.scale)), d.precision, d.scale)
       case ArrayType(e, _) =>
         val l = v.asInstanceOf[java.util.Collection[Any]]
+        val es = if (avro == null) null else nonNull(avro.getElementType)
         val out = new Array[Any](l.size)
         val it = l.iterator(); var i = 0
-        while (it.hasNext) { out(i) = fromAvro(it.next(), e); i += 1 }
+        while (it.hasNext) { out(i) = fromAvro(it.next(), e, es); i += 1 }
         new GenericArrayData(out)
       case MapType(StringType, vt, _) =>
         val m = v.asInstanceOf[java.util.Map[Any, Any]]
+        val vsch = if (avro == null) null else nonNull(avro.getValueType)
         val ks = new Array[Any](m.size)
         val vs = new Array[Any](m.size)
         val it = m.entrySet().iterator(); var i = 0
         while (it.hasNext) {
           val e = it.next()
           ks(i) = UTF8String.fromString(e.getKey.toString)
-          vs(i) = fromAvro(e.getValue, vt)
+          vs(i) = fromAvro(e.getValue, vt, vsch)
           i += 1
         }
         ArrayBasedMapData(ks, vs)
-      case s: StructType => recordToRow(v.asInstanceOf[GenericRecord], s)
+      case s: StructType =>
+        recordToRow(v.asInstanceOf[GenericRecord], s, avro)
       case other => throw new IllegalArgumentException(
         s"graftavro cannot read into ${other.simpleString}")
     }
@@ -202,7 +254,15 @@ object AvroSchemas {
       i: Int, dt: DataType, avro: Schema): Any = dt match {
     case BooleanType => row.getBoolean(i)
     case IntegerType | DateType => row.getInt(i)
+    // smallint/tinyint widen into the declared Avro INT (advisor r12:
+    // fieldSchema declared them but the value path threw)
+    case ShortType => row.getShort(i).toInt
+    case ByteType => row.getByte(i).toInt
+    case TimestampType if isMillis(avro) => row.getLong(i) / 1000L
     case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+    case d: DecimalType => java.nio.ByteBuffer.wrap(
+      row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+        .setScale(d.scale).unscaledValue().toByteArray)
     case FloatType => row.getFloat(i)
     case DoubleType => row.getDouble(i)
     case StringType => row.getUTF8String(i).toString

@@ -97,6 +97,76 @@ class AvroSpec extends SparkSpec {
     assert(back.count() == 100)
   }
 
+  test("decimals, smallint/tinyint and timestamp-millis roundtrip") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dec", DecimalType(12, 2)),
+      StructField("wide", DecimalType(38, 10)),
+      StructField("sm", ShortType),
+      StructField("tn", ByteType),
+      StructField("ts", TimestampType)))
+    val rows = Seq(
+      Row(1L, BigDecimal("12345.67").bigDecimal,
+        BigDecimal("-9876543210.0123456789").bigDecimal,
+        (-7).toShort, 5.toByte,
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789")),
+      Row(2L, BigDecimal("-0.01").bigDecimal, null, null, null, null))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    src.write.format("graftavro").mode("overwrite")
+      .option("timestampMillis", "true").save(tmp("dec"))
+    // the container really carries millis + decimal logical types
+    val f = new java.io.File(tmp("dec")).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val rdr = new org.apache.avro.file.DataFileReader[Any](f,
+      new org.apache.avro.generic.GenericDatumReader[Any]())
+    val ws = rdr.getSchema
+    rdr.close()
+    def branch(name: String) = ws.getField(name).schema().getTypes
+      .get(1) // (null, T) union
+    assert(branch("ts").getLogicalType.getName == "timestamp-millis")
+    assert(branch("dec").getLogicalType.getName == "decimal")
+    val back = spark.read.format("graftavro").load(tmp("dec"))
+    // shorts/bytes widen to Avro INT and read back as integers;
+    // decimals and the millis timestamp come back exact
+    assert(back.schema("dec").dataType == DecimalType(12, 2))
+    assert(back.schema("wide").dataType == DecimalType(38, 10))
+    assert(back.schema("ts").dataType == TimestampType)
+    val got = back.orderBy($"id").collect()
+    assert(got(0).getDecimal(1) == BigDecimal("12345.67").bigDecimal)
+    assert(got(0).getDecimal(2) ==
+      BigDecimal("-9876543210.0123456789").bigDecimal)
+    assert(got(0).getInt(3) == -7 && got(0).getInt(4) == 5)
+    assert(got(0).getTimestamp(5) ==
+      java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789"))
+    assert(got(1).getDecimal(1) == BigDecimal("-0.01").bigDecimal)
+    assert(got(1).isNullAt(2) && got(1).isNullAt(5))
+  }
+
+  test("schema-evolved reads null-fill missing nullable columns") {
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graftavro").mode("overwrite").save(tmp("evo"))
+    val evolved = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("added", DoubleType, nullable = true)))
+    val back = spark.read.format("graftavro").schema(evolved)
+      .load(tmp("evo"))
+    assert(back.count() == 2)
+    assert(back.filter($"added".isNull).count() == 2)
+    assert(back.select($"s").orderBy($"id").as[String].collect().toSeq ==
+      Seq("a", "b"))
+    // a NON-nullable missing column still fails loudly
+    val bad = StructType(Seq(
+      StructField("id", LongType),
+      StructField("required_new", LongType, nullable = false)))
+    val err = intercept[Exception] {
+      spark.read.format("graftavro").schema(bad).load(tmp("evo"))
+        .select($"required_new").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("one giant file splits at sync markers — exact, no dup/loss") {
     // one task writes a single multi-block container (~several MB)
     val n = 200000L

@@ -355,21 +355,41 @@ class TextMultimodalSpec extends SparkSpec {
   }
 
   test("saturated band buckets are df-capped out of the pair join") {
-    // 50 identical hashes (boilerplate) + one genuine near-dup pair
-    // on an unrelated hash value
+    // 50 IDENTICAL hashes (an exact-duplicate logo): collapse to one
+    // banding unit, so the cap can NEVER lose them (r12 advisor
+    // finding — the old member-counted cap dropped exactly these)
     val boiler = (1L to 50L).map(i => (i, 0x5a5a5a5a5a5a5a5aL))
     val pairA = Seq((100L, 0x0123456789abcdefL),
       (101L, 0x0123456789abcdefL ^ 0x3L))
-    val hashes = (boiler ++ pairA).toDF("media_id", "dhash")
-    // cap below the boilerplate count: its O(50^2) bucket vanishes,
-    // the genuine pair (whose buckets hold 2) survives
-    val got = Multimodal.nearDupImagePairs(hashes, maxHamming = 6,
+    val exactAndNear = (boiler ++ pairA).toDF("media_id", "dhash")
+    val got = Multimodal.nearDupImagePairs(exactAndNear, maxHamming = 6,
         maxBucket = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(got == Set((100L, 101L)), s"got $got")
-    // at the default generous cap the boilerplate pairs are all there
-    val full = Multimodal.nearDupImagePairs(hashes, maxHamming = 6)
-    assert(full.count() == 50L * 49 / 2 + 1)
+    val boilerPairs = (for {
+      a <- 1L to 50L; b <- 1L to 50L if a < b
+    } yield (a, b)).toSet
+    assert(got == boilerPairs + ((100L, 101L)), s"got ${got.size} pairs")
+    // DISTINCT hashes saturating one band value (boilerplate
+    // variants): bands = 7, width = 9 bits; members share band 0
+    // (low 9 bits) but sit pairwise FAR apart (9-bit codes at code
+    // distance >= 3 repeated across the six upper bands -> pairwise
+    // hamming >= 18 > 6), so the
+    // capped bucket loses no true pair — the genuine pair on
+    // unrelated hashes survives via its uncapped buckets
+    val farCodes = Seq(0x03L, 0x1cL, 0x65L, 0x7aL, 0x8fL, 0x90L,
+      0xe9L, 0xf6L, 0x155L, 0x1aaL, 0x133L, 0x1ccL)
+    val variants = farCodes.zipWithIndex.map { case (c, i) =>
+      val upper = (1 to 6).map(k => c << (9 * k)).reduce(_ | _)
+      (200L + i, upper | 0x1efL)
+    }
+    val hashes = (variants ++ pairA).toDF("media_id", "dhash")
+    val stats = Multimodal.hammingBandStats(hashes, "dhash", maxHamming = 6)
+    assert(stats.filter(col("n_hashes") > 8).count() >= 1L,
+      "planted saturation must show in the band stats")
+    val capped = Multimodal.nearDupImagePairs(hashes, maxHamming = 6,
+        maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
   }
 
   test("MP4 moov metadata parses; corrupt boxes keep honest zeros") {
