@@ -20,6 +20,12 @@ import org.apache.spark.sql.Row
   *     {"op": "mix", "weights": {"src0": 2.0, "src1": 0.5}} ] }
   * }}}
   *
+  * The full stage vocabulary (see [[graft.etl.CurationPipeline]] for
+  * parameters): exact_dedup, quality_filter, neardup_dedup,
+  * decontaminate, cap_per_source, mix, pii_scrub, line_dedup,
+  * paragraph_dedup, exact_substring, perplexity_filter, cap_per_host,
+  * split, lang_id_filter, semantic_decontaminate.
+  *
   * Prints one JSON status line (rows in/out) — the same machine-
   * parseable contract as the ETL entry.
   */

@@ -1,8 +1,8 @@
 package graft.etl
 
-import graft.dedup.{ExactDedup, MinHashLSH, NearDupClusters}
-import graft.text.{CorpusMix, Decontaminate, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, Row}
+import graft.dedup.{ExactDedup, ExactSubstring, MinHashLSH, NearDupClusters, ParagraphDedup}
+import graft.text.{CorpusMix, Decontaminate, Perplexity, TextAnalysis, TrainedLangId, UrlCuration}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Config-driven LLM-corpus curation — the declarative counterpart of
@@ -14,31 +14,76 @@ import org.apache.spark.sql.functions._
   * JSON, each stage one entry of the oracled operator family, applied
   * in order to a documents table.
   *
-  * Stage vocabulary (`op` + parameters, defaults in parentheses):
-  *   - `exact_dedup` — keep-first by content sha
+  * Stage vocabulary (`op` + parameters, defaults in parentheses; the
+  * gate pinning each stage's operator in brackets):
+  *   - `exact_dedup` — keep-first by content sha [q30]
   *     ([[graft.dedup.ExactDedup.keepFirst]])
   *   - `quality_filter` — heuristic quality ≥ `minQuality` (0.5);
-  *     adds the `quality` column
+  *     adds the `quality` column [q51]
   *     ([[graft.text.TextAnalysis.qualityScore]])
   *   - `neardup_dedup` — MinHash+LSH candidates at `threshold` (0.6)
   *     with `shingleK` (3)-word shingles, exact-jaccard verify,
-  *     connected components, one keeper per cluster
+  *     connected components, one keeper per cluster [q33, q77]
   *     ([[graft.dedup.MinHashLSH.pairs]] +
   *     [[graft.dedup.NearDupClusters.clusters]])
   *   - `decontaminate` — drop docs sharing any `n` (13)-gram with the
   *     benchmark parquet at `benchmarkPath` (its text column
-  *     `textCol`, default `text`)
+  *     `textCol`, default `text`) [q107]
   *     ([[graft.text.Decontaminate.clean]])
   *   - `cap_per_source` — keep the best `k` docs per source by
-  *     `scoreCol` (`quality`) ([[graft.text.CorpusMix.capPerSource]])
+  *     `scoreCol` (`quality`) [q109]
+  *     ([[graft.text.CorpusMix.capPerSource]])
   *   - `mix` — deterministic per-source epoch weights from the
   *     `weights` object (source → double), adds the `copy` column
-  *     ([[graft.text.CorpusMix.mix]])
+  *     [q108] ([[graft.text.CorpusMix.mix]])
+  *   - `pii_scrub` — URL → EMAIL → NUM sentinel replacement, in
+  *     place on `textCol` (`text`) [q90]
+  *     ([[graft.text.TextAnalysis.scrubPiiCol]])
+  *   - `line_dedup` — WITHIN-doc exact-line dedup, first occurrence
+  *     kept in order [q182]
+  *     ([[graft.dedup.ParagraphDedup.dedupLinesWithinDoc]])
+  *   - `paragraph_dedup` — CROSS-doc boilerplate lines (text in ≥
+  *     `minCopies` (2) distinct docs) stripped [q177]
+  *     ([[graft.dedup.ParagraphDedup.dedupParagraphs]])
+  *   - `exact_substring` — excise every ≥ `l` (50)-token passage
+  *     repeated across the corpus, keep-first (the Lee et al. 2021
+  *     rule); text becomes the surviving token stream [q127]
+  *     ([[graft.dedup.ExactSubstring.excise]])
+  *   - `perplexity_filter` — corpus-trained unigram-LM perplexity ≤
+  *     `maxPpl` (required); docs with no tokens drop [q134]
+  *     ([[graft.text.Perplexity.unigramScore]]; the threshold
+  *     compares `round(ppl, 9)` — the q86 float-gate convention)
+  *   - `cap_per_host` — ≤ `maxPerHost` (required) docs per host of
+  *     `urlCol` (`url`), keyed by the PSL registrable domain when
+  *     `byRegistrableDomain` (true); adds the `host` column [q173]
+  *     ([[graft.text.UrlCuration.capPerHost]])
+  *   - `split` — deterministic train/val/test assignment from the
+  *     ordered `fractions` list (`[{name, fraction}, …]` — a JSON
+  *     LIST because object-field order is not preserved by schema
+  *     inference and the cumulative thresholds depend on it); adds
+  *     the `split` column, optionally filtered to `keep` [q112]
+  *     ([[graft.text.CorpusMix.split]])
+  *   - `lang_id_filter` — train the one-vs-rest hashed-trigram
+  *     classifier on `labelCol` (required; `dim` 2048, `rounds` 10,
+  *     `lr` 2.0), then keep only `keyCol` (`source`) groups whose
+  *     MAJORITY predicted class is `wanted` (required) [q210]
+  *     ([[graft.text.TrainedLangId]])
+  *   - `semantic_decontaminate` — drop docs whose embedding is within
+  *     cosine `threshold` (required) of any eval-set vector at
+  *     `evalPath` (required parquet, vector column `evalVecCol` =
+  *     `vecCol`); doc vectors come from `embeddingsPath` (parquet
+  *     `vec_id` = doc_id + `vecCol` (`embedding`)) or, when absent,
+  *     from the docs' own `vecCol` column. Docs WITHOUT a vector are
+  *     kept — the rule drops only on evidence [q181]
+  *     ([[graft.text.Decontaminate.semanticFlag]])
   *
   * Every stage is an already-gated distributed operator — the
   * pipeline adds NO execution machinery of its own, only sequencing,
   * so its scale posture is exactly its stages'. Unknown ops and
   * missing required parameters fail loudly before any job runs.
+  * Config↔code drift is pinned by q225 (shared q86 oracle), q226
+  * (the deterministic-stage chain vs a composed DuckDB oracle) and
+  * q227 (the trained/vector stages vs the direct code path).
   */
 object CurationPipeline {
 
@@ -54,18 +99,41 @@ object CurationPipeline {
         stage.fieldIndex(name))) Some(stage.getAs[T](name))
     else None
 
+  // JSON numerics infer as Long OR Double depending on the literal
+  // ("1" vs "1.0") — read through Number so integer-literal configs
+  // work for double params and vice versa (r12 advisor finding)
+  private def getD(stage: Row, name: String): Option[Double] =
+    get[Number](stage, name).map(_.doubleValue())
+
+  private def getI(stage: Row, name: String): Option[Int] =
+    get[Number](stage, name).map(_.intValue())
+
+  private def require_[T](v: Option[T], op: String, name: String): T =
+    v.getOrElse(throw new IllegalArgumentException(s"$op needs $name"))
+
+  /** Replaces `docs`' text with `keyed`'s (doc_id, `newTextCol`) via a
+    * doc_id equi-join — for the stages whose operator reshapes the
+    * corpus and returns a per-doc text (line/paragraph dedup,
+    * exact-substring excision). Other columns pass through.
+    */
+  private def replaceText(docs: DataFrame, keyed: DataFrame,
+      newTextCol: String): DataFrame =
+    docs.drop("text").join(
+      keyed.select(col("doc_id"), col(newTextCol).as("text")), "doc_id")
+
   private def applyStage(docs: DataFrame, stage: Row): DataFrame = {
+    val spark = docs.sparkSession
     val op = get[String](stage, "op").getOrElse(
       throw new IllegalArgumentException(s"stage without op: $stage"))
     op match {
       case "exact_dedup" => ExactDedup.keepFirst(docs)
       case "quality_filter" =>
-        val min = get[Double](stage, "minQuality").getOrElse(0.5)
+        val min = getD(stage, "minQuality").getOrElse(0.5)
         docs.join(TextAnalysis.qualityScore(docs)
           .filter(col("quality") >= min), "doc_id")
       case "neardup_dedup" =>
-        val k = get[Long](stage, "shingleK").map(_.toInt).getOrElse(3)
-        val t = get[Double](stage, "threshold").getOrElse(0.6)
+        val k = getI(stage, "shingleK").getOrElse(3)
+        val t = getD(stage, "threshold").getOrElse(0.6)
         val pairs = MinHashLSH.pairs(docs, k = k, threshold = t)
           .select(col("doc_a"), col("doc_b"))
         val clusters = NearDupClusters.clusters(
@@ -73,32 +141,115 @@ object CurationPipeline {
         docs.join(clusters.filter(col("is_keeper"))
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
       case "decontaminate" =>
-        val path = get[String](stage, "benchmarkPath").getOrElse(
-          throw new IllegalArgumentException(
-            "decontaminate needs benchmarkPath"))
-        val n = get[Long](stage, "n").map(_.toInt).getOrElse(13)
+        val path = require_(get[String](stage, "benchmarkPath"), op,
+          "benchmarkPath")
+        val n = getI(stage, "n").getOrElse(13)
         val textCol = get[String](stage, "textCol").getOrElse("text")
         Decontaminate.clean(docs,
-          docs.sparkSession.read.parquet(path)
-            .select(col(textCol).as("text")), n = n)
+          spark.read.parquet(path).select(col(textCol).as("text")), n = n)
       case "cap_per_source" =>
-        val k = get[Long](stage, "k").map(_.toInt).getOrElse(
-          throw new IllegalArgumentException("cap_per_source needs k"))
+        val k = require_(getI(stage, "k"), op, "k")
         val score = get[String](stage, "scoreCol").getOrElse("quality")
         CorpusMix.capPerSource(docs, k, score)
       case "mix" =>
-        val wRow = get[Row](stage, "weights").getOrElse(
-          throw new IllegalArgumentException("mix needs weights"))
+        val wRow = require_(get[Row](stage, "weights"), op, "weights")
         val weights = wRow.schema.fieldNames.zipWithIndex.collect {
           case (src, i) if !wRow.isNullAt(i) =>
             src -> wRow.get(i).asInstanceOf[Number].doubleValue()
         }.toMap
         CorpusMix.mix(docs, weights,
           salt = get[String](stage, "salt").getOrElse(""))
+      case "pii_scrub" =>
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        docs.withColumn(textCol,
+          TextAnalysis.scrubPiiCol(col(textCol)))
+      case "line_dedup" =>
+        replaceText(docs, ParagraphDedup.dedupLinesWithinDoc(docs),
+          "clean_text")
+      case "paragraph_dedup" =>
+        val minCopies = getI(stage, "minCopies").getOrElse(2)
+        replaceText(docs,
+          ParagraphDedup.dedupParagraphs(docs, minCopies = minCopies),
+          "clean_text")
+      case "exact_substring" =>
+        val l = getI(stage, "l").getOrElse(50)
+        replaceText(docs, ExactSubstring.excise(docs, l = l),
+          "text_clean")
+      case "perplexity_filter" =>
+        val maxPpl = require_(getD(stage, "maxPpl"), op, "maxPpl")
+        docs.join(Perplexity.unigramScore(docs)
+            .filter(round(col("ppl"), 9) <= maxPpl)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case "cap_per_host" =>
+        val k = require_(getI(stage, "maxPerHost"), op, "maxPerHost")
+        val urlCol = get[String](stage, "urlCol").getOrElse("url")
+        val byDomain = get[Boolean](stage, "byRegistrableDomain")
+          .getOrElse(true)
+        UrlCuration.capPerHost(docs, col(urlCol), k,
+          byRegistrableDomain = byDomain)
+      case "split" =>
+        val fr = require_(
+          get[scala.collection.Seq[Row]](stage, "fractions"), op,
+          "fractions")
+        val fractions = fr.map(r => (
+          require_(Option(r.getAs[String]("name")), op, "fractions.name"),
+          require_(getD(r, "fraction"), op, "fractions.fraction"))).toSeq
+        val assigned = CorpusMix.split(docs, fractions,
+          salt = get[String](stage, "salt").getOrElse(""))
+        get[String](stage, "keep") match {
+          case Some(kName) => assigned.filter(col("split") === kName)
+          case None => assigned
+        }
+      case "lang_id_filter" =>
+        val labelCol = require_(get[String](stage, "labelCol"), op,
+          "labelCol")
+        val wanted = require_(getI(stage, "wanted"), op, "wanted")
+        val dim = getI(stage, "dim").getOrElse(2048)
+        val rounds = getI(stage, "rounds").getOrElse(10)
+        val lr = getD(stage, "lr").getOrElse(2.0)
+        val keyCol = get[String](stage, "keyCol").getOrElse("source")
+        // classes are the distinct labels — bounded by the number of
+        // languages, a driver-side list by contract
+        val classes = docs.select(col(labelCol).cast("int"))
+          .distinct().collect().map(_.getInt(0)).sorted.toSeq
+        val feats = TrainedLangId.charTrigramFeatures(docs, dim, labelCol)
+          .persist()
+        val w = TrainedLangId.trainOneVsRest(spark, feats, dim, classes,
+          rounds, lr)
+        // predictions stay cached (one narrow (doc, label, predicted)
+        // table) so downstream stages can't replay the feature
+        // extraction after the feature cache drops — the q210 trap
+        val pred = TrainedLangId.classify(spark, feats, w)
+          .join(docs.select(col("doc_id"), col(keyCol)), "doc_id")
+          .persist()
+        pred.count() // materialize BEFORE dropping the feature cache
+        feats.unpersist()
+        TrainedLangId.filterByMajorityLang(docs, pred, wanted, keyCol)
+      case "semantic_decontaminate" =>
+        val evalPath = require_(get[String](stage, "evalPath"), op,
+          "evalPath")
+        val t = require_(getD(stage, "threshold"), op, "threshold")
+        val vecCol = get[String](stage, "vecCol").getOrElse("embedding")
+        val evalVecCol = get[String](stage, "evalVecCol").getOrElse(vecCol)
+        val corpusVecs = get[String](stage, "embeddingsPath") match {
+          case Some(p) => docs.select(col("doc_id")).join(
+            spark.read.parquet(p)
+              .select(col("vec_id").as("doc_id"), col(vecCol)), "doc_id")
+          case None => docs.select(col("doc_id"), col(vecCol))
+            .filter(col(vecCol).isNotNull)
+        }
+        val flagged = Decontaminate.semanticFlag(corpusVecs,
+          spark.read.parquet(evalPath), t, idCol = "doc_id",
+          vecCol = vecCol, evalVecCol = evalVecCol)
+        docs.join(flagged.select(col("doc_id")), Seq("doc_id"),
+          "left_anti")
       case other => throw new IllegalArgumentException(
         s"unknown curation stage op: $other (supported: exact_dedup, " +
           "quality_filter, neardup_dedup, decontaminate, " +
-          "cap_per_source, mix)")
+          "cap_per_source, mix, pii_scrub, line_dedup, " +
+          "paragraph_dedup, exact_substring, perplexity_filter, " +
+          "cap_per_host, split, lang_id_filter, semantic_decontaminate)")
     }
   }
 }

@@ -225,6 +225,158 @@ object Dedup extends QueryPack {
         col("quality"))
   }
 
+  /** Config-driven curation over the DETERMINISTIC wide-vocabulary
+    * stages (q226): one JSON stage list driving, in order, pii_scrub →
+    * line_dedup → paragraph_dedup → exact_substring →
+    * perplexity_filter → cap_per_host → split — every stage one of the
+    * r12 judge's asked-for additions to
+    * [[graft.etl.CurationPipeline]]'s vocabulary, each individually
+    * oracled by its own gate (q90, q182, q177, q127, q134, q173,
+    * q112). The fixture plants, per document: a within-doc repeated
+    * share-bar line (line_dedup's prey), twice-planted cross-doc
+    * boilerplate (paragraph_dedup's), the q90 PII suffix
+    * (pii_scrub's), and the q173 subdomain-rotating URL
+    * (cap_per_host's); the generator's exact-duplicate documents
+    * excise to empty in the substring stage and fall to the
+    * perplexity filter (maxPpl 38 — nearest doc sits ≥ 1.7e-4 from
+    * the rounded threshold at both verify SFs, eleven orders above
+    * fold-order drift). The oracle recomposes the ENTIRE chain from
+    * the stages' own gate CTEs — a config-parser bug, dispatch typo,
+    * parameter-default drift, or stage-order change flips the hash.
+    */
+  def configCurationWide(s: SparkSession, dir: String): DataFrame = {
+    val cfg = java.nio.file.Files.createTempFile("graft_q226_cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      """{ "stages": [
+        |  {"op": "pii_scrub"},
+        |  {"op": "line_dedup"},
+        |  {"op": "paragraph_dedup", "minCopies": 2},
+        |  {"op": "exact_substring", "l": 50},
+        |  {"op": "perplexity_filter", "maxPpl": 38.0},
+        |  {"op": "cap_per_host", "maxPerHost": 30,
+        |   "byRegistrableDomain": true},
+        |  {"op": "split", "fractions": [
+        |     {"name": "train", "fraction": 0.9},
+        |     {"name": "val", "fraction": 0.05},
+        |     {"name": "test", "fraction": 0.05}]} ] }
+        |""".stripMargin)
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      col("source"),
+      concat(lit("SHARE this page now\n"), col("text"),
+        lit(" reach me: bob.p+x@mail-host.example.org or " +
+          "https://t.example.io/a?b=1 or (415) 555-0199 ok\n" +
+          "SHARE this page now\nSUBSCRIBE to our newsletter today\n" +
+          "SUBSCRIBE to our newsletter today")).as("text"),
+      concat(lit("https://sub"), (col("doc_id") % 3).cast("string"),
+        lit("."), upper(col("source")), lit(".CO.UK/item/"),
+        col("doc_id").cast("string")).as("url"))
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    graft.etl.CurationPipeline.run(docs, stages.toSeq)
+      .select(col("doc_id"), col("source"), col("host"), col("split"),
+        col("text"))
+  }
+
+  /** Config-driven curation over the TRAINED/vector stages (q227):
+    * `lang_id_filter` (a GD-trained classifier) and
+    * `semantic_decontaminate` (embedding-cosine vs an eval set) are
+    * not SQL-expressible, so the config surface is pinned the q142
+    * way — against the direct CODE path with identical parameters,
+    * plus planted-behavior booleans:
+    *   - the q210 language fixture (4 planted phrase suffixes keyed
+    *     off the source id) must leave ONLY lang-0 sources after the
+    *     majority-language keep;
+    *   - the eval set is 1.01-scaled copies of every vec_id % 9 == 2
+    *     embedding (scaling preserves cosine = 1), so exactly the
+    *     in-scope docs carrying those vectors must drop — and the
+    *     gate requires that set to be non-empty, so the stage
+    *     provably bit;
+    *   - the config-driven row set must equal the code-driven row set
+    *     EXACTLY (a param-plumbing bug — lr read as int, wanted
+    *     dropped, eval path ignored — flips it).
+    * All booleans pinned TRUE by the oracle.
+    */
+  def configCurationMl(s: SparkSession, dir: String): DataFrame = {
+    val phrases = Seq(
+      " the and of to in is was for with that",
+      " el la de que los una por con para este",
+      " der die und das ein nicht mit von auf ist",
+      " le et les des une dans pour qui sur pas")
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 3000)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("lang",
+        (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4)
+          .cast("double"))
+      .withColumn("text",
+        concat(col("text"), phrases.zipWithIndex.foldLeft(lit("")) {
+          case (acc, (p, i)) =>
+            when(col("lang") === i.toDouble, lit(p * 6)).otherwise(acc)
+        }))
+    val evalPath = s"/tmp/graft_q227_eval_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.embeddings(s, dir).filter(col("vec_id") % 9 === 2)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      .write.mode("overwrite").parquet(evalPath)
+    val embPath = s"$dir/embeddings.parquet"
+    val cfg = java.nio.file.Files.createTempFile("graft_q227_cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      s"""{ "stages": [
+         |  {"op": "lang_id_filter", "labelCol": "lang", "wanted": 0,
+         |   "dim": 2048, "rounds": 15, "lr": 10.0},
+         |  {"op": "semantic_decontaminate", "evalPath": "$evalPath",
+         |   "threshold": 0.95, "embeddingsPath": "$embPath"} ] }
+         |""".stripMargin)
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    val viaConfig = graft.etl.CurationPipeline.run(docs, stages.toSeq)
+      .select(col("doc_id"), col("source"), col("lang")).persist()
+
+    // the direct code path, same parameters
+    val dim = 2048
+    val classes = docs.select(col("lang").cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val feats = graft.text.TrainedLangId
+      .charTrigramFeatures(docs, dim, "lang").persist()
+    val w = graft.text.TrainedLangId.trainOneVsRest(s, feats, dim,
+      classes, rounds = 15, lr = 10.0)
+    val pred = graft.text.TrainedLangId.classify(s, feats, w)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id").persist()
+    pred.count()
+    feats.unpersist()
+    val kept = graft.text.TrainedLangId
+      .filterByMajorityLang(docs, pred, wanted = 0)
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val flagged = graft.text.Decontaminate.semanticFlag(
+      kept.select(col("doc_id")).join(vecs, "doc_id"),
+      s.read.parquet(evalPath), threshold = 0.95, idCol = "doc_id",
+      vecCol = "embedding")
+    val viaCode = kept
+      .join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang")).persist()
+
+    // planted contamination that is IN SCOPE: lang-0-source docs that
+    // carry a % 9 == 2 vector — these must exist and must all drop
+    val inScope = docs.filter(col("lang") === 0.0)
+      .join(vecs.filter(col("doc_id") % 9 === 2).select(col("doc_id")),
+        "doc_id")
+    viaConfig.agg(count(lit(1)).as("n_kept"))
+      .crossJoin(viaConfig.exceptAll(viaCode)
+        .unionAll(viaCode.exceptAll(viaConfig))
+        .agg(count(lit(1)).as("n_diff")))
+      .crossJoin(viaConfig.filter(col("lang") =!= 0.0)
+        .agg(count(lit(1)).as("n_wrong_lang")))
+      .crossJoin(inScope.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(viaConfig.join(inScope.select(col("doc_id")), "doc_id")
+        .agg(count(lit(1)).as("n_planted_kept")))
+      .select(
+        (col("n_kept") > 0L).as("has_rows"),
+        (col("n_diff") === 0L).as("config_matches_code"),
+        (col("n_wrong_lang") === 0L).as("kept_lang0_only"),
+        (col("n_planted") > 0L && col("n_planted_kept") === 0L)
+          .as("contaminated_dropped"))
+  }
+
   /** Bloom-gated incremental dedup (q148): treat the even-id docs as
     * yesterday's snapshot and the odd-id docs as today's batch; keep
     * only batch docs whose text is genuinely new. The sketch pass means
@@ -419,6 +571,8 @@ object Dedup extends QueryPack {
     "q185_cluster_reps" -> clusterRepresentatives _,
     "q86_corpus_curation" -> corpusCuration _,
     "q225_config_curation" -> configCuration _,
+    "q226_config_curation_wide" -> configCurationWide _,
+    "q227_config_curation_ml" -> configCurationMl _,
     "q182_line_dedup_within" -> lineDedupWithinDoc _,
     "q148_incremental_dedup" -> incrementalDedup _,
     "q171_incremental_neardup" -> incrementalNearDedup _,
@@ -816,6 +970,111 @@ object Dedup extends QueryPack {
         |SELECT k.doc_id, k.lang, k.source, k.n_chars, k.quality
         |FROM keep k LEFT JOIN mins m ON m.n = k.doc_id
         |WHERE least(k.doc_id, coalesce(m.mr, k.doc_id)) = k.doc_id""".stripMargin,
+    "q227_config_curation_ml" ->
+      ("SELECT * FROM (VALUES (TRUE, TRUE, TRUE, TRUE)) AS t(has_rows, " +
+        "config_matches_code, kept_lang0_only, contaminated_dropped)"),
+    // the wide-vocabulary chain recomposed from the stages' own gate
+    // CTEs: d1 = q90's regex chain, d2 = q182's min-pos reassembly,
+    // d3 = q177's boilerplate strip, d4 = q127's excision, ppl =
+    // q134's LM, capped = q173's windowed cap, split = q112's draw
+    "q226_config_curation_wide" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id, source,
+        |    'SHARE this page now' || chr(10) || text ||
+        |    ' reach me: bob.p+x@mail-host.example.org or https://t.example.io/a?b=1 or (415) 555-0199 ok' ||
+        |    chr(10) || 'SHARE this page now' || chr(10) ||
+        |    'SUBSCRIBE to our newsletter today' || chr(10) ||
+        |    'SUBSCRIBE to our newsletter today' AS text
+        |  FROM documents),
+        |d1 AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '${graft.text.TextAnalysis.PiiUrl}', '<URL>', 'g'),
+        |      '${graft.text.TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
+        |      '${graft.text.TextAnalysis.PiiNumber}', '<NUM>', 'g') AS text
+        |  FROM d0),
+        |l2 AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'line': ln[i]}
+        |          for i in range(1, len(ln) + 1)], recursive := true)
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM d1)),
+        |k2 AS (SELECT doc_id, line, min(pos) AS pos
+        |       FROM l2 GROUP BY doc_id, line),
+        |d2 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |       FROM k2 GROUP BY doc_id),
+        |l3 AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'line': ln[i]}
+        |          for i in range(1, len(ln) + 1)], recursive := true)
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM d2)),
+        |boiler AS (SELECT line FROM l3 GROUP BY line
+        |           HAVING count(DISTINCT doc_id) >= 2),
+        |kept3 AS (SELECT * FROM l3
+        |          WHERE line NOT IN (SELECT line FROM boiler)),
+        |d3 AS (
+        |  SELECT d2.doc_id,
+        |    coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+        |  FROM d2 LEFT JOIN kept3 k ON d2.doc_id = k.doc_id
+        |  GROUP BY d2.doc_id),
+        |toks AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+        |     if t <> ''] AS tokens
+        |  FROM d3),
+        |wins AS (
+        |  SELECT doc_id, unnest(range(1, len(tokens) - 48)) AS p,
+        |    unnest([array_to_string(tokens[i:i+49], ' ')
+        |            for i in range(1, len(tokens) - 48)]) AS s
+        |  FROM toks WHERE len(tokens) >= 50),
+        |marked AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn,
+        |    count(*) OVER (PARTITION BY s) AS cnt
+        |  FROM wins),
+        |nonkeep AS (SELECT doc_id, p FROM marked WHERE cnt > 1 AND rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(p, p + 50)) AS tp
+        |  FROM nonkeep),
+        |pos AS (
+        |  SELECT doc_id, unnest(tokens) AS tok,
+        |    unnest(range(1, len(tokens) + 1)) AS i
+        |  FROM toks),
+        |clean AS (
+        |  SELECT p.doc_id,
+        |    coalesce(string_agg(CASE WHEN c.tp IS NULL THEN p.tok END,
+        |                        ' ' ORDER BY p.i), '') AS text_clean
+        |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.tp
+        |  GROUP BY p.doc_id),
+        |d4 AS (
+        |  SELECT t.doc_id, coalesce(c.text_clean, '') AS text
+        |  FROM toks t LEFT JOIN clean c USING (doc_id)),
+        |tok5 AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM d4),
+        |tf AS (SELECT doc_id, t, count(*)::DOUBLE AS f
+        |       FROM tok5 GROUP BY doc_id, t),
+        |lm AS (SELECT t, sum(f) AS c FROM tf GROUP BY t),
+        |nn AS (SELECT sum(c) AS n_corpus FROM lm),
+        |ppl AS (
+        |  SELECT doc_id, exp(-sum(f * ln(c / n_corpus)) / sum(f)) AS ppl
+        |  FROM tf JOIN lm USING (t), nn GROUP BY doc_id),
+        |keep5 AS (SELECT doc_id FROM ppl WHERE round(ppl, 9) <= 38.0),
+        |capped AS (
+        |  SELECT doc_id, host FROM (
+        |    SELECT k.doc_id, d.source || '.co.uk' AS host,
+        |      row_number() OVER (PARTITION BY d.source
+        |                         ORDER BY k.doc_id) AS rn
+        |    FROM keep5 k JOIN documents d USING (doc_id)) z
+        |  WHERE rn <= 30)
+        |SELECT c.doc_id, u.source, c.host,
+        |  CASE WHEN u.u < CAST(0.9 AS DOUBLE) THEN 'train'
+        |       WHEN u.u < CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE)
+        |       THEN 'val' ELSE 'test' END AS split,
+        |  d4.text AS text
+        |FROM capped c
+        |JOIN d4 USING (doc_id)
+        |JOIN (SELECT doc_id, source,
+        |        CAST('0x' || substr(md5(doc_id || ':' || source), 1, 8)
+        |             AS UBIGINT) / 4294967296.0 AS u
+        |      FROM documents) u USING (doc_id)""".stripMargin,
     "q30_dedup_exact_keepfirst" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

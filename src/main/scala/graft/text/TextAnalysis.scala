@@ -237,12 +237,17 @@ object TextAnalysis {
             sum(col("c")).cast("double")).as("entropy"))
   }
 
+  /** The PII regex chain as a Column (URL → EMAIL → NUM, the
+    * [[scrubPii]] order) — for in-place scrubbing inside pipelines
+    * without a join back. */
+  def scrubPiiCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiUrl, "<URL>"),
+        PiiEmail, "<EMAIL>"),
+      PiiNumber, "<NUM>")
+
   def scrubPii(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), PiiUrl, "<URL>"),
-          PiiEmail, "<EMAIL>"),
-        PiiNumber, "<NUM>").as("scrubbed"))
+    docs.select(col(idCol), scrubPiiCol(col(textCol)).as("scrubbed"))
 }

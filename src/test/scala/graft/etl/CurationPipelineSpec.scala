@@ -78,10 +78,132 @@ class CurationPipelineSpec extends SparkSpec {
       CurationPipeline.run(Tables.documents(spark, sf), bad)
     }
     assert(e.getMessage.contains("frobnicate"))
-    val noK = stagesFrom("""{ "stages": [ {"op": "cap_per_source"} ] }""")
-    intercept[IllegalArgumentException] {
-      CurationPipeline.run(Tables.documents(spark, sf), noK)
+    for (cfg <- Seq(
+      """{ "stages": [ {"op": "cap_per_source"} ] }""",
+      """{ "stages": [ {"op": "perplexity_filter"} ] }""",
+      """{ "stages": [ {"op": "cap_per_host"} ] }""",
+      """{ "stages": [ {"op": "split"} ] }""",
+      """{ "stages": [ {"op": "lang_id_filter", "wanted": 0} ] }""",
+      """{ "stages": [ {"op": "semantic_decontaminate",
+        |               "threshold": 0.9} ] }""".stripMargin)) {
+      intercept[IllegalArgumentException] {
+        CurationPipeline.run(Tables.documents(spark, sf),
+          stagesFrom(cfg))
+      }
     }
     ()
+  }
+
+  test("integer-literal JSON numerics work for double params") {
+    // {"minQuality": 1} infers LongType; the old getAs[Double] threw
+    // ClassCastException (r12 advisor finding)
+    val stages = stagesFrom(
+      """{ "stages": [ {"op": "quality_filter", "minQuality": 1} ] }""")
+    val out = CurationPipeline.run(Tables.documents(spark, sf), stages)
+    assert(out.filter($"quality" < 1.0).isEmpty)
+    val nd = stagesFrom(
+      """{ "stages": [ {"op": "neardup_dedup", "threshold": 1} ] }""")
+    // threshold 1 ⇒ only EXACT shingle-set matches cluster; must run
+    assert(CurationPipeline.run(
+      Tables.documents(spark, sf).limit(50), nd).count() > 0)
+  }
+
+  test("text-rewrite stages equal their operators, other columns pass through") {
+    val docs = Seq(
+      (1L, "srcA", "dup line\nbody one https://x.example/z end\ndup line"),
+      (2L, "srcB", "dup line\nbody two mail me a@b.example now\ndup line"),
+      (3L, "srcA", "unique\nbody three 0123 456 789 tail\ndup line"))
+      .toDF("doc_id", "source", "text")
+    val stages = stagesFrom(
+      """{ "stages": [
+        |  {"op": "pii_scrub"},
+        |  {"op": "line_dedup"},
+        |  {"op": "paragraph_dedup", "minCopies": 2} ] }
+        |""".stripMargin)
+    val out = CurationPipeline.run(docs, stages)
+    // source survives the join-backs
+    assert(out.columns.contains("source"))
+    val byId = out.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // within-doc repeat of 'dup line' collapses first, then the
+    // cross-doc copy (present once in each doc) strips entirely;
+    // PII sentinels replace the url/email/number runs
+    assert(byId(1L) == "body one <URL> end")
+    assert(byId(2L) == "body two mail me <EMAIL> now")
+    assert(byId(3L) == "unique\nbody three <NUM> tail")
+  }
+
+  test("exact_substring + perplexity_filter stages compose") {
+    // only docs LONG enough to carry a full 50-token window excise to
+    // empty as copies — restrict the fixture to those
+    val base = Tables.documents(spark, sf)
+      .filter(size(split(lower($"text"), "[^a-z0-9]+")) >= 60)
+      .limit(200)
+    // plant an exact duplicate of every doc: the copies excise to
+    // empty and the perplexity filter (no tokens) drops them
+    val docs = base.unionByName(base.select(($"doc_id" + 100000L)
+      .as("doc_id"), $"lang", $"source", $"n_chars", $"text"))
+    val stages = stagesFrom(
+      """{ "stages": [
+        |  {"op": "exact_substring", "l": 50},
+        |  {"op": "perplexity_filter", "maxPpl": 1e12} ] }
+        |""".stripMargin)
+    val out = CurationPipeline.run(docs, stages)
+    assert(out.filter($"doc_id" >= 100000L).isEmpty,
+      "excised-to-empty copies must fall to the perplexity filter")
+    assert(out.count() > 0)
+  }
+
+  test("split stage: ordered fractions, optional keep filter") {
+    val stages = stagesFrom(
+      """{ "stages": [
+        |  {"op": "split", "fractions": [
+        |     {"name": "train", "fraction": 0.9},
+        |     {"name": "val", "fraction": 0.05},
+        |     {"name": "test", "fraction": 0.05}], "keep": "val"} ] }
+        |""".stripMargin)
+    val docs = Tables.documents(spark, sf)
+    val out = CurationPipeline.run(docs, stages)
+    assert(out.select($"split").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("val"))
+    // matches the operator called directly
+    val direct = graft.text.CorpusMix.split(docs,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .filter($"split" === "val")
+    assert(out.count() == direct.count() && out.count() > 0)
+  }
+
+  test("cap_per_host stage bounds docs per registrable domain") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("url", concat(lit("https://sub"),
+        ($"doc_id" % 3).cast("string"), lit("."), upper($"source"),
+        lit(".CO.UK/item/"), $"doc_id".cast("string")))
+    val stages = stagesFrom(
+      """{ "stages": [ {"op": "cap_per_host", "maxPerHost": 5} ] }""")
+    val out = CurationPipeline.run(docs, stages)
+    assert(out.groupBy($"host").agg(count(lit(1)).as("n"))
+      .filter($"n" > 5).isEmpty)
+    // registrable-domain keying pools the rotating subdomains
+    assert(out.select($"host").distinct().collect().forall(
+      _.getString(0).endsWith(".co.uk")))
+  }
+
+  test("semantic_decontaminate keeps docs without vectors") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("doc_id", "embedding")
+      .withColumn("text", lit("x"))
+    val evalPath = "/tmp/graft_curation_semdecon_eval"
+    Seq(Tuple1(Array(0.999f, 0.01f))).toDF("embedding")
+      .write.mode("overwrite").parquet(evalPath)
+    val stages = stagesFrom(
+      s"""{ "stages": [ {"op": "semantic_decontaminate",
+         |  "evalPath": "$evalPath", "threshold": 0.95} ] }
+         |""".stripMargin)
+    val kept = CurationPipeline.run(docs, stages)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // doc 1 matches the eval vector; doc 3 has no vector and is KEPT
+    assert(kept == Set(2L, 3L))
   }
 }
