@@ -257,10 +257,17 @@ object Etl extends QueryPack {
       .foreach(p => graft.lake.TxnLog.append(s, table, c.filter(p).coalesce(1)))
     val before = graft.lake.TxnLog.snapshot(s, table).inputFiles.toSet
     org.apache.spark.sql.graft.LakeMounts.mount(s, "q93_cust", table)
+    // insert-branch keys sit ABOVE the table's own key domain: a fixed
+    // literal (900000, pre-r13) fell INSIDE the third chunk's min/max
+    // range at sf1's wider custkey domain, so stats-pruning correctly
+    // pulled that file into the rewrite and the exactly-one assertion
+    // fired — the assertion was right, the fixture was scale-dependent
+    val insertBase = c.agg(max(col("c_custkey"))).head()
+      .getAs[Number](0).longValue() + 1L
     Tables.orders(s, dir).filter(col("o_custkey") < 50)
       .groupBy(col("o_custkey")).agg(sum("o_totalprice").as("spend"))
       .select(col("o_custkey").as("k"), col("spend"))
-      .unionByName(s.range(3).select((col("id") + 900000L).as("k"),
+      .unionByName(s.range(3).select((col("id") + insertBase).as("k"),
         (lit(111.25) + col("id")).as("spend")))
       .createOrReplaceTempView("q93_src")
     s.sql("""MERGE INTO q93_cust t USING q93_src s ON t.c_custkey = s.k
@@ -1607,7 +1614,8 @@ object Etl extends QueryPack {
         |  SELECT o_custkey AS k, sum(o_totalprice) AS spend
         |  FROM orders WHERE o_custkey < 50 GROUP BY 1
         |  UNION ALL
-        |  SELECT 900000 + n, 111.25 + n FROM range(3) t(n))
+        |  SELECT (SELECT max(c_custkey) FROM customer) + 1 + n,
+        |    111.25 + n FROM range(3) t(n))
         |SELECT c.c_custkey, c.c_name, c.c_nationkey,
         |  CASE WHEN s.k IS NOT NULL THEN c.c_acctbal + s.spend
         |       ELSE c.c_acctbal END AS c_acctbal,

@@ -182,6 +182,38 @@ object Similarity extends QueryPack {
         (col("n_hit").cast("double") / col("n_exact") >= 0.75).as("recall_ok"))
   }
 
+  /** IVF+SQ8 composition gate (q229): SQ8's documented scale posture
+    * — "composes under IVF routing, never alone" (its solo scan is
+    * linear by design; BENCH_sf1 ann_family note) — finally gated the
+    * q80 way. Probe cells → SQ-ADC over probed codes only → exact
+    * re-rank; combined recall@K vs brute force must clear 0.75 (IVF's
+    * probe truncation dominates; SQ8 loses almost nothing, but the
+    * bound stays at the composition floor q80 uses).
+    */
+  def ivfSqRecall(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    val embs = Tables.embeddings(s, dir)
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val brute = TopKSearch.bruteForce(s, embs, queries, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = cachedModel[IvfIndex.Model](s, dir, "ivf_c16i1",
+      (m, p) => IvfIndex.save(s, m, p), p => IvfIndex.load(s, p))(
+      IvfIndex.train(s, embs.limit(2000), numCells = 16, iterations = 1))
+    // SQ training is ONE min/max aggregate — no model cache needed
+    val sq = SqIndex.train(s, embs)
+    val got = SqIndex.searchTopKIvf(s, sq, ivf, embs, queries, K,
+      shortlist = 100, nprobe = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(
+        lit(K).cast("int").as("k"),
+        (col("n_exact") / lit(K)).cast("bigint").as("n_queries"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.75).as("recall_ok"))
+  }
+
   /** Incremental ANN index append gate (q132): the coded table of a
     * trained-and-FROZEN IVF index takes a batch of new vectors via
     * [[IvfIndex.append]] — assignment to frozen centroids, zero
@@ -493,6 +525,7 @@ object Similarity extends QueryPack {
     "q67_ivf_recall" -> ivfRecall _,
     "q76_pq_recall" -> pqRecall _,
     "q80_ivfpq_recall" -> ivfPqRecall _,
+    "q229_ivfsq_recall" -> ivfSqRecall _,
     "q132_ann_append" -> annAppend _,
   )
 
@@ -734,6 +767,11 @@ object Similarity extends QueryPack {
          |   WHERE vec_id < $NQUERIES) AS n_queries,
          |  TRUE AS recall_ok""".stripMargin,
     "q80_ivfpq_recall" ->
+      s"""SELECT CAST($K AS INT) AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |   WHERE vec_id < $NQUERIES) AS n_queries,
+         |  TRUE AS recall_ok""".stripMargin,
+    "q229_ivfsq_recall" ->
       s"""SELECT CAST($K AS INT) AS k,
          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
          |   WHERE vec_id < $NQUERIES) AS n_queries,

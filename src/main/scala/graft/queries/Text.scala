@@ -1538,14 +1538,35 @@ object Text extends QueryPack {
     * DuckDB replays the q203 CTE chain at rank ≤ 20 and the cosine
     * re-ranking.
     */
+  /** Pin a tiny inter-pass table (localCheckpoint) only when the
+    * corpus is big enough for plan-replay to matter: the pin's eager
+    * materialization is a fixed job-latency cost, and at toy scale it
+    * EXCEEDS the replay it insures against (r12: q218 +0.67 s at
+    * sf0.1 paying for sf1's 9 s saving). The threshold is the
+    * documents file size — cheap driver-side metadata, no job — set
+    * between the sf0.1 fixture (~0.6 MB) and the sf1 one (~6 MB); any
+    * production corpus clears it by orders of magnitude. The PRF and
+    * ablation composites (q219/q205) keep unconditional pins: their
+    * pinned tables are referenced from MULTIPLE downstream branches,
+    * so replay bites at every scale.
+    */
+  private val PinBytesThreshold = 2L * 1024 * 1024
+  private def pinAboveToyScale(df: DataFrame, s: SparkSession,
+      dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    if (bytes >= PinBytesThreshold) df.localCheckpoint(true) else df
+  }
+
   def twoStageRetrievalGate(s: SparkSession, dir: String): DataFrame = {
     // no withSmallShuffle — eager stage-1 execution inside (q219 note)
     val docs = Tables.documents(s, dir)
     val queries = bm25Queries(docs)
-    val cands = bm25TopK(s, queries, docs, 20)
-      .select(col("query_id"), col("doc_id"))
-      .localCheckpoint(true) // pin Q×20 rows: stage 2 must re-rank,
-      // not replay, the sparse retrieval (the q205 lesson)
+    val cands = pinAboveToyScale(bm25TopK(s, queries, docs, 20)
+      .select(col("query_id"), col("doc_id")), s, dir)
+    // pin Q×20 rows above toy scale: stage 2 must re-rank, not
+    // replay, the sparse retrieval (the q205 lesson)
     val emb = Tables.embeddings(s, dir)
     graft.similarity.Rerank.byCosine(s, cands,
       emb.select(col("vec_id").as("query_id"), col("embedding")),

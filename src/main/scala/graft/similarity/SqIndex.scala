@@ -59,10 +59,15 @@ object SqIndex {
     * HOF mode (dim² work — measured ~40 s at sf0.1); each zip_with
     * evaluates its input arrays once per row.
     */
-  def encode(m: Model, vecCol: Column): Column = {
+  def encode(m: Model, vecCol: Column): Column =
+    codesFromNormalized(m, normalized(vecCol.cast("array<double>")))
+
+  /** Codes of an ALREADY-normalized double array (shared by [[encode]]
+    * and the IVF-routed search, which needs the normalized vector once
+    * for cell assignment AND coding). */
+  private def codesFromNormalized(m: Model, v: Column): Column = {
     val minsL = typedlit(m.mins.toSeq)
     val scalesL = typedlit(m.scales.toSeq)
-    val v = normalized(vecCol.cast("array<double>"))
     zip_with(zip_with(v, minsL, (x, mn) => x - mn), scalesL,
       (x, s) => when(s > 0.0,
         least(greatest(round(x / s), lit(0.0)), lit(255.0)))
@@ -117,6 +122,62 @@ object SqIndex {
       .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
       .withColumn("cosine",
         GraftFunctions.dotProduct(spark, col("cv"), col("qv")))
+    rescored.groupBy(col("query_id"))
+      .agg(GraftFunctions.topK(spark, col("cosine"), col("vec_id"), k)
+        .as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cosine"))
+  }
+
+  /** IVF-routed SQ8 search — the documented scale posture of this
+    * index made real ("SQ8 composes under IVF routing, never alone",
+    * BENCH_sf1 ann_family): probe `nprobe` cells, ADC-scan ONLY the
+    * probed cells' codes, exact re-rank of the shortlist. The coded
+    * table (codes + cell + normalized vector) is the persisted index
+    * at scale; the localCheckpoint here is that materialization per
+    * search session AND the HOF barrier (the [[searchTopK]] lesson:
+    * without it CollapseProject re-evaluates the interpreted encode
+    * once per candidate pair). Candidates come from an equi-join on
+    * the probed cell — never a cross join — so the scan cost is
+    * `nprobe / numCells` of the corpus per query, the IVF shape.
+    */
+  def searchTopKIvf(spark: SparkSession, m: Model, ivf: IvfIndex.Model,
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+      nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val minsL = typedlit(m.mins.toSeq)
+    val scalesL = typedlit(m.scales.toSeq)
+    val coded = corpus
+      .select(col(idCol).as("vec_id"),
+        normalized(col(vecCol).cast("array<double>")).as("nv"))
+      .withColumn("codes",
+        codesFromNormalized(m, col("nv")).cast("array<double>"))
+      .withColumn("cell", IvfIndex.cellOf(spark, ivf, col("nv")))
+      .localCheckpoint()
+    val q = queries.select(col("query_id"),
+        normalized(col("embedding").cast("array<double>")).as("qv"))
+      .withColumn("qmul", zip_with(col("qv"), scalesL, (a, b) => a * b))
+      .withColumn("qoff", aggregate(
+        zip_with(col("qv"), minsL, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cell",
+        explode(IvfIndex.probeCells(spark, ivf, col("qv"), nprobe)))
+    val scored = coded.join(broadcast(q), "cell")
+      .withColumn("adc",
+        GraftFunctions.dotProduct(spark, col("codes"), col("qmul")) +
+          col("qoff"))
+    val short = scored.groupBy(col("query_id"))
+      .agg(GraftFunctions.topK(spark, col("adc"), col("vec_id"), shortlist)
+        .as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("c.id").as("vec_id"))
+    val rescored = short
+      .join(coded.select(col("vec_id"), col("nv")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qv")).distinct()),
+        "query_id")
+      .withColumn("cosine",
+        GraftFunctions.dotProduct(spark, col("nv"), col("qv")))
     rescored.groupBy(col("query_id"))
       .agg(GraftFunctions.topK(spark, col("cosine"), col("vec_id"), k)
         .as("top"))
