@@ -28,6 +28,16 @@ object Dedup extends QueryPack {
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.pairs(Tables.documents(s, dir), k = 3, threshold = 0.6)
 
+  /** Prefix-filtered EXACT set-similarity join (q230): same result set
+    * as q32 — the shared brute-force DuckDB oracle proves it — through
+    * the AllPairs prefix-bounded plan instead of the every-shingle
+    * join. See [[graft.dedup.PrefixFilterJoin]]: this is the exact AND
+    * bounded member of the near-dup triad (q32 exact/unbounded, q33
+    * bounded/probabilistic).
+    */
+  def prefixFilterJoin(s: SparkSession, dir: String): DataFrame =
+    PrefixFilterJoin.pairs(Tables.documents(s, dir), k = 3, threshold = 0.6)
+
   def simhash(s: SparkSession, dir: String): DataFrame =
     SimHash.pairs(Tables.documents(s, dir), maxHamming = 3)
 
@@ -581,6 +591,7 @@ object Dedup extends QueryPack {
     "q31_dedup_exact_hash" -> exactByHash _,
     "q32_dedup_ngram_jaccard" -> ngramJaccard _,
     "q33_dedup_minhash_lsh" -> minhashLsh _,
+    "q230_prefix_filter_join" -> prefixFilterJoin _,
     "q34_dedup_simhash" -> simhash _,
     "q35_dedup_embedding_brute" -> embeddingBrute _,
     "q36_dedup_embedding_lsh" -> embeddingLsh _,
@@ -1088,6 +1099,7 @@ object Dedup extends QueryPack {
         |GROUP BY 1""".stripMargin,
     "q32_dedup_ngram_jaccard" -> jaccardSql,
     "q33_dedup_minhash_lsh" -> jaccardSql,
+    "q230_prefix_filter_join" -> jaccardSql,
     "q70_simhash_gate" ->
       s"""SELECT CAST(n AS BIGINT) AS n_exact, TRUE AS coverage_ok
          |FROM (SELECT count(*) AS n FROM (

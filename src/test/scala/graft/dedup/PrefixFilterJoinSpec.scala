@@ -1,0 +1,74 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class PrefixFilterJoinSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col(df.columns(0)), col(df.columns(1))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("prefix-filter join equals the uncapped exact ngram-jaccard join") {
+    val pf = pairSet(PrefixFilterJoin.pairs(docs, 3, 0.6))
+    val exact = pairSet(NgramJaccard.pairs(docs, 3, 0.6, maxShingleDf = None))
+    assert(pf == exact, s"missed=${exact -- pf} extra=${pf -- exact}")
+  }
+
+  test("exact under hot boilerplate WITHOUT any df cap") {
+    // the corpus that forces NgramJaccard's df-cap trade: 30 docs share
+    // one boilerplate phrase. The boilerplate shingles have maximal df,
+    // sort to the array END, and never enter the prefix join — yet the
+    // true pair (100, 101) survives because exactness is pigeonholed,
+    // not sampled.
+    val boiler = "subscribe to our newsletter today"
+    val dup = s"$boiler the quick brown fox jumps over the lazy dog " +
+      "while seventeen astronauts practice parallel parquet partition pruning"
+    val corpus = ((1 to 30).map(i =>
+        (i.toLong, s"$boiler unique document number $i speaks about topic $i only")) ++
+      Seq((100L, dup), (101L, dup))).toDF("doc_id", "text")
+    assert(pairSet(PrefixFilterJoin.pairs(corpus, 3, 0.6)) == Set((100L, 101L)))
+    assert(pairSet(NgramJaccard.pairs(corpus, 3, 0.6, maxShingleDf = None)) ==
+      Set((100L, 101L)))
+  }
+
+  test("boundary jaccard exactly at the threshold is kept") {
+    // doc a: tokens 1..10 -> 8 distinct 3-shingles; doc b: same with the
+    // last token changed -> shares 7 of its 8. jaccard = 7/9 >= 0.7
+    val a = (1 to 10).map(i => s"w$i").mkString(" ")
+    val b = (1 to 9).map(i => s"w$i").mkString(" ") + " zz"
+    val corpus = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = PrefixFilterJoin.pairs(corpus, 3, threshold = 7.0 / 9.0)
+    assert(pairSet(out) == Set((1L, 2L)))
+    // one epsilon above the achieved jaccard, the pair must drop
+    assert(PrefixFilterJoin.pairs(corpus, 3, threshold = 7.0 / 9.0 + 1e-6)
+      .count() == 0)
+  }
+
+  test("high threshold on single-shingle docs: identical pairs only") {
+    // n=1 docs: prefix length 1 - ceil(t) + 1 = 1, so the whole set IS
+    // the prefix and exactness degenerates gracefully
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    assert(pairSet(PrefixFilterJoin.pairs(corpus, 3, 0.99)) == Set((1L, 2L)))
+  }
+
+  test("prefix join moves fewer rows into the pair join than the full join") {
+    // the scale claim made countable: prefix tokens per doc are
+    // n - ceil(t*n) + 1, so at t=0.8 the join input is ~1/5 of the
+    // exploded shingle table the q32 plan joins
+    val sh = TextShingles.shingleDf(docs, 3)
+      .select(col("n_shingles").cast("long").as("n"))
+      .withColumn("plen",
+        (col("n") - ceil(lit(0.8) * col("n") - 1e-9) + 1).cast("long"))
+      .agg(sum("n").as("full"), sum("plen").as("prefix"))
+      .head()
+    val (full, prefix) = (sh.getLong(0), sh.getLong(1))
+    assert(prefix * 3 < full,
+      s"prefix rows $prefix not meaningfully below full $full")
+  }
+}
