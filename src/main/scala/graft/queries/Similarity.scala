@@ -41,7 +41,7 @@ object Similarity extends QueryPack {
     * alone. Returns the cached-or-trained model via save/load so the
     * cache round-trip itself stays exercised.
     */
-  private def cachedModel[M](s: SparkSession, dir: String, tag: String,
+  private[queries] def cachedModel[M](s: SparkSession, dir: String, tag: String,
       save: (M, String) => Unit, load: String => M)(train: => M): M = {
     val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)

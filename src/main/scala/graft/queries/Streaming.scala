@@ -246,6 +246,52 @@ object Streaming extends QueryPack {
         round(sum("o_totalprice"), 2).as("total"))
   }
 
+  /** Streaming ANN-ingest gate (q231): the embeddings table split into
+    * three arrival slices, drained AvailableNow (maxFilesPerTrigger=1 →
+    * one micro-batch per slice) through
+    * [[graft.streaming.StreamingAnnIngest]] into a CELL-PARTITIONED
+    * coded lake table via idempotent (checkpoint, batchId) commits.
+    * Gate: the streamed coded table EQUALS the batch
+    * [[graft.similarity.IvfIndex.encode]] of the whole table (same
+    * frozen centroids, so identical cell assignments), and a re-drain
+    * of the consumed source commits NOTHING (the exactly-once claim).
+    * n_vectors hash-anchors to count(*) so a dropped slice cannot pass.
+    */
+  def streamAnnIngest(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import graft.similarity.IvfIndex
+    val embs = Tables.embeddings(s, dir)
+    val model = Similarity.cachedModel[IvfIndex.Model](s, dir, "ivf_c16i1",
+      (m, p) => IvfIndex.save(s, m, p), p => IvfIndex.load(s, p))(
+      IvfIndex.train(s, embs.limit(2000), numCells = 16, iterations = 1))
+    val base = s"/tmp/graft_stream_ann_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh source/table/checkpoint: deterministic
+    (0 until 3).foreach { i =>
+      embs.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
+    def drain(): Unit =
+      graft.streaming.StreamingAnnIngest.runAvailableNow(s, model,
+        s"$base/src", embs.schema, s"$base/table", s"$base/ckpt")
+        .awaitTermination()
+    drain()
+    val afterFirst = graft.lake.TxnLog.snapshot(s, s"$base/table").count()
+    drain() // fully-consumed source: the checkpoint must add nothing
+    val streamed = graft.lake.TxnLog.snapshot(s, s"$base/table")
+      .select(col("neighbor_id"), col("cell").cast("long").as("cell"))
+    val batch = IvfIndex.encode(s, model, embs)
+      .select(col("neighbor_id"), col("cell").cast("long").as("cell"))
+    val nStreamed = streamed.count()
+    val equal = nStreamed == batch.count() &&
+      streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty
+    s.range(1).select(
+      lit(nStreamed).as("n_vectors"),
+      lit(equal).as("streamed_equals_batch"),
+      lit(afterFirst == nStreamed).as("redrain_no_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_event_windows" -> eventWindows _,
     "q26_sessionize" -> sessionize _,
@@ -259,6 +305,7 @@ object Streaming extends QueryPack {
     "q161_stream_incr_dedup" -> streamIncrementalDedup _,
     "q220_stream_novelty" -> streamNovelty _,
     "q202_stream_content_drift" -> streamContentDrift _,
+    "q231_stream_ann_ingest" -> streamAnnIngest _,
   )
 
   /** Streaming content-drift gate (q202): the q201 planting (src0
@@ -438,6 +485,11 @@ object Streaming extends QueryPack {
         |FROM documents GROUP BY 1""".stripMargin,
     "q88_streaming_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q231_stream_ann_ingest" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |    AS n_vectors,
+        |  TRUE AS streamed_equals_batch,
+        |  TRUE AS redrain_no_dup""".stripMargin,
     "q115_stream_rate_limit" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total

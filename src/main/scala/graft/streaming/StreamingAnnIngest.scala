@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.similarity.IvfIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming maintenance of an IVF-coded vector index — the continuous
+  * form of [[graft.similarity.IvfIndex.append]]: embedding files arrive
+  * (an upstream encoder drops a parquet slice per run), each micro-batch
+  * is assigned to the FROZEN centroids (one narrow codegen'd pass — no
+  * retrain, no touch of existing coded rows) and lands as ONE idempotent
+  * transactional commit in the coded lake table.
+  *
+  * Exactly-once by composition, not hope: the file source's checkpoint
+  * ledger guarantees each file enters exactly one batch, and
+  * `TxnLog.appendTxn` keyed by (checkpoint, batchId) de-duplicates the
+  * at-least-once replay window `foreachBatch` leaves open (a batch that
+  * re-fires after a crash between sink write and offset commit is a
+  * no-op at the log). A re-drain of an already-consumed source commits
+  * nothing.
+  *
+  * The coded table is PARTITIONED BY CELL: a probed-cell search
+  * (`IvfIndex.searchTopKCoded`) over the mounted table prunes to
+  * `nprobe / numCells` of the files at the partition level — at 100 TB
+  * of vectors the query never lists, let alone reads, the unprobed
+  * cells. Centroids drift from optimal as the corpus grows (the
+  * standard IVF-append trade); retrain on a schedule, not per batch.
+  */
+object StreamingAnnIngest {
+
+  /** Start an AvailableNow drain of `sourceDir` into the coded lake
+    * table at `tablePath`; returns the query (AvailableNow
+    * self-terminates once drained — call `awaitTermination()`).
+    */
+  def runAvailableNow(spark: SparkSession, model: IvfIndex.Model,
+      sourceDir: String, schema: StructType, tablePath: String,
+      checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    // stable per-stream tag (FileStreamIngest convention): replays of
+    // the same checkpointed stream map to the same txn ids
+    val streamTag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint).toLong & 0xffffffffL)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          // register the cell expression on the BATCH's session: each
+          // micro-batch analyzes against an isolated session clone, so a
+          // function registered on the outer session pre-start is absent
+          graft.lake.TxnLog.appendTxn(spark, tablePath,
+            IvfIndex.encode(batch.sparkSession, model, batch.toDF(),
+              idCol, vecCol),
+            Seq("cell"), Some(s"$streamTag-$batchId"))
+          ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.similarity.IvfIndex
+import org.apache.spark.sql.functions._
+
+class StreamingAnnIngestSpec extends SparkSpec {
+
+  private def freshBase(tag: String): String = {
+    val base = s"/tmp/graft_stream_ann_spec_$tag"
+    val root = new org.apache.hadoop.fs.Path(base)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    base
+  }
+
+  test("streamed coded table equals batch encode; re-drain adds nothing") {
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+    val model = IvfIndex.train(spark, embs, numCells = 4, iterations = 1)
+    val base = freshBase("eq")
+    (0 until 2).foreach { i =>
+      embs.filter(pmod(col("vec_id"), lit(2)) === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
+    def drain(): Unit = StreamingAnnIngest.runAvailableNow(spark, model,
+      s"$base/src", embs.schema, s"$base/table", s"$base/ckpt")
+      .awaitTermination()
+    drain()
+    val n1 = graft.lake.TxnLog.snapshot(spark, s"$base/table").count()
+    drain() // consumed source: checkpoint prevents any re-commit
+    val streamed = graft.lake.TxnLog.snapshot(spark, s"$base/table")
+      .select(col("neighbor_id"), col("cell").cast("long").as("cell"))
+    val batch = IvfIndex.encode(spark, model, embs)
+      .select(col("neighbor_id"), col("cell").cast("long").as("cell"))
+    assert(streamed.count() == embs.count() && n1 == streamed.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("coded table is cell-partitioned: a one-cell read prunes files") {
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+    val model = IvfIndex.train(spark, embs, numCells = 4, iterations = 1)
+    val base = freshBase("prune")
+    embs.coalesce(1).write.parquet(s"$base/src")
+    StreamingAnnIngest.runAvailableNow(spark, model, s"$base/src",
+      embs.schema, s"$base/table", s"$base/ckpt").awaitTermination()
+    val all = graft.lake.TxnLog.snapshot(spark, s"$base/table")
+    val cell = all.select(col("cell").cast("string")).head().getString(0)
+    val one = graft.lake.TxnLog.snapshotWhere(spark, s"$base/table",
+      Map("cell" -> cell))
+    // the probed-cell read plans over strictly fewer files — partition
+    // pruning at the manifest level, the searchTopKCoded scale path
+    assert(one.inputFiles.length < all.inputFiles.length,
+      s"one-cell read lists ${one.inputFiles.length} of " +
+        s"${all.inputFiles.length} files")
+    assert(one.select(countDistinct(col("cell"))).head().getLong(0) == 1L)
+  }
+}
