@@ -53,10 +53,15 @@ object PrefixFilterJoin {
     val sh = TextShingles.shingleDf(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .repartition(par), k)
+    // persist the exploded+hashed shingles: they feed BOTH the df
+    // aggregate and the join back — uncached, the whole shingle
+    // fan-out re-runs per consumer (the NgramJaccard lesson).
+    // MEMORY_AND_DISK: spill, never OOM, at large SF.
     val ex = sh
       .select(col("doc_id"), col("n_shingles").as("n"),
         explode(col("shingles")).as("s0"))
       .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // document frequency via an explicit aggregate + join (keeps the
     // map-side combine; a count-over-window would sort every partition)
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
