@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bradley–Terry strength ratings from pairwise preference data — the
+  * post-training side of the LLM pipeline: RLHF/DPO preference sets and
+  * model-arena battles arrive as (winner, loser) rows, and the ranking
+  * everyone reports (arena leaderboards, reward-model calibration,
+  * annotator agreement) is the BT maximum-likelihood strength
+  * p(i beats j) = p_i / (p_i + p_j), fit by Hunter's MM iteration
+  * (Hunter, Annals of Statistics 2004):
+  *
+  *   p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j)
+  *
+  * Scale shape: the ONLY corpus-sized pass is the first aggregation —
+  * billions of comparisons reduce map-side to the K×K match matrix
+  * (K = players: models, annotators, sources), and every MM round runs
+  * on that K²-bounded table. The update is scale-EQUIVARIANT (scaling
+  * all p by c scales the next iterate by c), so no per-round
+  * normalization is needed for engine-identical sequences — iterates
+  * from p=1 are deterministic, and one final normalization
+  * (Σ p = 1) fixes the gauge.
+  */
+object BradleyTerry {
+
+  /** (player, rating) after `iterations` MM rounds over
+    * pairs(winnerCol, loserCol); ratings normalized to sum 1. Players
+    * with zero wins converge to rating 0 (the MLE boundary case).
+    */
+  def ratings(pairs: DataFrame, iterations: Int = 10,
+      winnerCol: String = "winner", loserCol: String = "loser"): DataFrame = {
+    require(iterations > 0, s"need iterations > 0, got $iterations")
+    val battles = pairs.select(col(winnerCol).as("winner"),
+      col(loserCol).as("loser"))
+    // the one corpus-sized pass: symmetric match counts, map-side
+    // combined down to ≤ K² rows — then pinned (localCheckpoint) so no
+    // MM round can replay the corpus scan
+    val games = battles.select(col("winner").as("i"), col("loser").as("j"))
+      .unionAll(battles.select(col("loser").as("i"), col("winner").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val players = games.select(col("i")).distinct()
+    val wins = players
+      .join(battles.groupBy(col("winner").as("i"))
+        .agg(count(lit(1)).as("w")), Seq("i"), "left")
+      .select(col("i"), coalesce(col("w"), lit(0L)).cast("double").as("w"))
+      .localCheckpoint(true)
+    var p = players.select(col("i"), lit(1.0).as("p"))
+    for (_ <- 1 to iterations) {
+      val denom = games
+        .join(p.select(col("i"), col("p").as("pi")), "i")
+        .join(p.select(col("i").as("j"), col("p").as("pj")), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("n") / (col("pi") + col("pj"))).as("denom"))
+      // pin each K-row iterate: an unpinned chain embeds every prior
+      // round as a replayed subtree (the retrieval-composite lesson)
+      p = wins.join(denom, "i")
+        .select(col("i"), (col("w") / col("denom")).as("p"))
+        .localCheckpoint(true)
+    }
+    val total = p.agg(sum(col("p"))).head().getDouble(0)
+    p.select(col("i").as("player"), (col("p") / total).as("rating"))
+  }
+}

@@ -340,6 +340,68 @@ object Analytics extends QueryPack {
        |SELECT id, pr FROM pr10""".stripMargin
   }
 
+  /** Bradley–Terry preference-rating gate (q232): synthetic pairwise
+    * battles derived deterministically from the documents table — for
+    * doc d, players a = d mod 8 and b = ⌊d/8⌋ mod 8 fight, and the
+    * integer draw (7d + n_chars) mod (a+b+2) hands the win to b iff
+    * draw ≤ b, i.e. b wins with probability (b+1)/(a+b+2): the data IS
+    * Bradley–Terry-distributed with true strengths k+1, so the fitted
+    * ratings must recover the player order. Ten MM rounds
+    * ([[graft.operators.BradleyTerry.ratings]]); the oracle unrolls
+    * the same ten rounds as chained CTEs from one template (the q197
+    * discipline) over the identical integer battle derivation.
+    */
+  def bradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        pmod(col("doc_id"), lit(8)).as("a"),
+        pmod((col("doc_id") / 8).cast("long"), lit(8)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("draw",
+        pmod(col("doc_id") * 7 + col("n_chars"), col("a") + col("b") + 2))
+    val battles = t.select(
+      when(col("draw") <= col("b"), col("b")).otherwise(col("a"))
+        .as("winner"),
+      when(col("draw") <= col("b"), col("a")).otherwise(col("b"))
+        .as("loser"))
+    graft.operators.BradleyTerry.ratings(battles, iterations = 10)
+  }
+
+  /** The q232 oracle: p1..p10 unrolled from one MM-update template. */
+  private def bradleyTerrySql: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""p$k AS (
+         |  SELECT g.i, any_value(w.w) / sum(g.n / (pa.p + pb.p)) AS p
+         |  FROM games g
+         |  JOIN p${k - 1} pa ON pa.i = g.i
+         |  JOIN p${k - 1} pb ON pb.i = g.j
+         |  JOIN wins w ON w.i = g.i
+         |  GROUP BY g.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id % 8 AS a, (doc_id // 8) % 8 AS b,
+       |    (doc_id * 7 + n_chars) % ((doc_id % 8) + ((doc_id // 8) % 8) + 2)
+       |      AS draw
+       |  FROM documents
+       |  WHERE doc_id % 8 <> (doc_id // 8) % 8),
+       |battles AS (
+       |  SELECT CASE WHEN draw <= b THEN b ELSE a END AS winner,
+       |         CASE WHEN draw <= b THEN a ELSE b END AS loser FROM t),
+       |games AS (
+       |  SELECT i, j, CAST(count(*) AS DOUBLE) AS n FROM (
+       |    SELECT winner AS i, loser AS j FROM battles
+       |    UNION ALL SELECT loser AS i, winner AS j FROM battles)
+       |  GROUP BY 1, 2),
+       |players AS (SELECT DISTINCT i FROM games),
+       |wins AS (
+       |  SELECT p.i, CAST(count(b.winner) AS DOUBLE) AS w
+       |  FROM players p LEFT JOIN battles b ON b.winner = p.i GROUP BY 1),
+       |p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM players),
+       |$rounds
+       |SELECT i AS player, p / (SELECT sum(p) FROM p10) AS rating
+       |FROM p10""".stripMargin
+  }
+
   /** Poisson-bootstrap CI gate (q216): mean words-per-document over
     * the corpus with a 95% CI from 200 Poisson-weighted resamples
     * ([[graft.operators.Bootstrap.meanCI]]) — one generate + one
@@ -375,6 +437,7 @@ object Analytics extends QueryPack {
     "q223_bootstrap_ci_by_source" -> bootstrapCiBySource _,
     "q216_bootstrap_ci" -> bootstrapCi _,
     "q197_pagerank" -> pagerank _,
+    "q232_bradley_terry" -> bradleyTerry _,
     "q164_funnel" -> funnelSteps _,
     "q165_rolling_actives" -> rollingActives _,
     "q162_resample_fill" -> resampleFill _,
@@ -451,6 +514,7 @@ object Analytics extends QueryPack {
         |FROM arr""".stripMargin
     },
     "q197_pagerank" -> pagerankSql,
+    "q232_bradley_terry" -> bradleyTerrySql,
     "q164_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

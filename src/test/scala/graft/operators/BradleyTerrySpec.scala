@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BradleyTerrySpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def ratingsMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("two players: MM converges to the analytic win fraction") {
+    // A beats B 3 times, B beats A once -> p_A/(p_A+p_B) = 3/4 exactly
+    val battles = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L))
+      .toDF("winner", "loser")
+    val r = ratingsMap(BradleyTerry.ratings(battles, iterations = 10))
+    assert(math.abs(r(1L) - 0.75) < 1e-12, s"got ${r(1L)}")
+    assert(math.abs(r(2L) - 0.25) < 1e-12, s"got ${r(2L)}")
+  }
+
+  test("ratings sum to one and order matches strength in a round-robin") {
+    // planted BT data: in each (i, j) matchup over 840 deterministic
+    // draws, j wins iff draw % (i+j+2) <= j — win odds EXACTLY
+    // (j+1):(i+1), the Bradley-Terry model with true strengths k+1.
+    // 840 = lcm(3..8) makes every modulus cycle evenly, and the
+    // multiplier 11 is coprime to all of them (7 would freeze the
+    // m=7 matchups at one residue)
+    val battles = (for {
+      i <- 0L until 4L; j <- 0L until 4L if i != j
+      d <- 0L until 840L
+    } yield {
+      val draw = (d * 11 + i * 13 + j * 29) % (i + j + 2)
+      if (draw <= j) (j, i) else (i, j)
+    }).toDF("winner", "loser")
+    val out = BradleyTerry.ratings(battles, iterations = 20)
+    val r = ratingsMap(out)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(0L) < r(1L) && r(1L) < r(2L) && r(2L) < r(3L),
+      s"order not recovered: $r")
+  }
+
+  test("a player with zero wins rates zero; others unaffected by gauge") {
+    val battles = Seq((1L, 3L), (2L, 3L), (1L, 3L), (2L, 1L))
+      .toDF("winner", "loser")
+    val r = ratingsMap(BradleyTerry.ratings(battles, iterations = 15))
+    assert(r(3L) == 0.0)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+}
