@@ -1811,6 +1811,23 @@ object Text extends QueryPack {
       Tables.documents(s, dir).filter(col("doc_id") % 25 === 7), seg)
   }
 
+  /** DPO preference-pair gate (q233): documents grouped 50 ways play
+    * scored responses — score derived from n_chars by exact integer
+    * arithmetic, so both engines agree bit-for-bit — and
+    * [[graft.text.PreferencePairs.fromScores]] must emit the
+    * (chosen, rejected, margin) row per prompt that DuckDB's
+    * two-aggregate argmax/argmin reconstruction produces, margin floor
+    * 5.0 applied identically. Ties to the lowest id on both sides.
+    */
+  def preferencePairsGate(s: SparkSession, dir: String): DataFrame = {
+    val responses = Tables.documents(s, dir).select(
+      pmod(col("doc_id"), lit(50)).as("prompt_id"),
+      col("doc_id").as("response_id"),
+      (pmod(col("n_chars") * 7919, lit(997)).cast("double") / 10)
+        .as("score"))
+    graft.text.PreferencePairs.fromScores(responses, minMargin = 5.0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_prf_retrieval" -> prfRetrievalGate _,
     "q218_two_stage_retrieval" -> twoStageRetrievalGate _,
@@ -1827,6 +1844,7 @@ object Text extends QueryPack {
     "q200_rag_best_section" -> ragBestSection _,
     "q199_markdown_sections" -> markdownSections _,
     "q195_chat_render" -> chatRenderGate _,
+    "q233_preference_pairs" -> preferencePairsGate _,
     "q192_bm25" -> bm25Gate _,
     "q191_postings" -> postingsGate _,
     "q188_ngram_diversity" -> ngramDiversityGate _,
@@ -2132,6 +2150,21 @@ object Text extends QueryPack {
          |  FROM bm25 b JOIN sec ON sec.doc_id = b.doc_id)
          |SELECT doc_id, section_idx AS best_section, score
          |FROM ranked WHERE rn = 1""".stripMargin,
+    "q233_preference_pairs" ->
+      """WITH r AS (
+        |  SELECT doc_id % 50 AS prompt, doc_id AS id,
+        |    CAST((n_chars * 7919) % 997 AS DOUBLE) / 10 AS s
+        |  FROM documents),
+        |mx AS (SELECT prompt, max(s) AS smax, min(s) AS smin
+        |       FROM r GROUP BY 1),
+        |best AS (SELECT r.prompt, min(r.id) AS chosen FROM r
+        |  JOIN mx ON r.prompt = mx.prompt AND r.s = mx.smax GROUP BY 1),
+        |worst AS (SELECT r.prompt, min(r.id) AS rejected FROM r
+        |  JOIN mx ON r.prompt = mx.prompt AND r.s = mx.smin GROUP BY 1)
+        |SELECT b.prompt, b.chosen, w.rejected, mx.smax - mx.smin AS margin
+        |FROM best b JOIN worst w USING (prompt) JOIN mx USING (prompt)
+        |WHERE b.chosen <> w.rejected
+        |  AND mx.smax - mx.smin >= 5.0""".stripMargin,
     "q195_chat_render" ->
       """WITH toks AS (
         |  SELECT doc_id AS conv_id,

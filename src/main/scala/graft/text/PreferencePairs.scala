@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-pair construction for DPO/RLHF training: scored
+  * candidate responses grouped per prompt become (chosen, rejected)
+  * pairs — the highest-scoring response against the lowest-scoring
+  * one, kept only when the score margin clears a floor (near-tie
+  * pairs teach a preference model nothing and dilute the gradient).
+  *
+  * The companion of [[graft.operators.BradleyTerry]]: BT consumes
+  * pairwise outcomes to RATE players; this PRODUCES the training
+  * pairs a reward/DPO model consumes, from pointwise scores (an LLM
+  * judge, a reward model pass, a heuristic quality score).
+  *
+  * Scale shape: ONE hash-aggregate on prompt_id (the [[
+  * graft.dedup.KeepBest]] discipline) — argmax and argmin are
+  * min-of-struct aggregates with map-side combine, so the shuffle
+  * carries (prompt, score, id) triples, never response text, and a
+  * hot prompt with millions of candidates costs one candidate per
+  * upstream task instead of a window sort. Ties break to the LOWEST
+  * id on both sides (deterministic across runs and engines).
+  */
+object PreferencePairs {
+
+  /** (prompt, chosen, rejected, margin) per prompt with ≥ 2 distinct
+    * responses and margin ≥ `minMargin`. `chosen` is the max-score
+    * response (ties → lowest id), `rejected` the min-score one (ties →
+    * lowest id); a prompt whose responses all tie yields chosen ==
+    * rejected and is dropped (margin 0 < any positive floor — and the
+    * explicit guard keeps it out even at minMargin 0).
+    */
+  def fromScores(responses: DataFrame, minMargin: Double = 0.0,
+      promptCol: String = "prompt_id", idCol: String = "response_id",
+      scoreCol: String = "score"): DataFrame =
+    responses
+      .groupBy(col(promptCol).as("prompt"))
+      .agg(
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+          .as("__best"),
+        min(struct(col(scoreCol).as("s"), col(idCol).as("id")))
+          .as("__worst"))
+      .select(col("prompt"),
+        col("__best.id").as("chosen"),
+        col("__worst.id").as("rejected"),
+        (-col("__best.ns") - col("__worst.s")).as("margin"))
+      .filter(col("chosen") =!= col("rejected") &&
+        col("margin") >= minMargin)
+}

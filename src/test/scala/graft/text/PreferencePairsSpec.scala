@@ -1,0 +1,46 @@
+package graft.text
+
+import graft.SparkSpec
+
+class PreferencePairsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private val responses = Seq(
+    // prompt 1: clear winner/loser, margin 4
+    (1L, 10L, 5.0), (1L, 11L, 3.0), (1L, 12L, 1.0),
+    // prompt 2: tied best (13 vs 14) and tied worst (15 vs 16) — ties
+    // to the LOWEST id on both sides
+    (2L, 14L, 9.0), (2L, 13L, 9.0), (2L, 16L, 2.0), (2L, 15L, 2.0),
+    // prompt 3: all responses tie — no pair to learn from
+    (3L, 17L, 4.0), (3L, 18L, 4.0),
+    // prompt 4: margin 1 only
+    (4L, 19L, 2.0), (4L, 20L, 1.0)
+  ).toDF("prompt_id", "response_id", "score")
+
+  test("chosen is argmax, rejected argmin, ties to lowest id") {
+    val out = PreferencePairs.fromScores(responses)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out == Set((1L, 10L, 12L, 4.0), (2L, 13L, 15L, 7.0),
+      (4L, 19L, 20L, 1.0)))
+  }
+
+  test("all-tied prompts drop even at margin floor zero") {
+    val prompts = PreferencePairs.fromScores(responses, minMargin = 0.0)
+      .select("prompt").collect().map(_.getLong(0)).toSet
+    assert(!prompts.contains(3L))
+  }
+
+  test("margin floor filters near-tie pairs") {
+    val prompts = PreferencePairs.fromScores(responses, minMargin = 2.0)
+      .select("prompt").collect().map(_.getLong(0)).toSet
+    assert(prompts == Set(1L, 2L))
+  }
+
+  test("one hash aggregate, never a window sort") {
+    val plan = PreferencePairs.fromScores(responses)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+}
