@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   *   - `quality_filter` — heuristic quality ≥ `minQuality` (0.5);
   *     adds the `quality` column [q51]
   *     ([[graft.text.TextAnalysis.qualityScore]])
-  *   - `neardup_dedup` — MinHash+LSH candidates at `threshold` (0.6)
-  *     with `shingleK` (3)-word shingles, exact-jaccard verify,
-  *     connected components, one keeper per cluster [q33, q77]
-  *     ([[graft.dedup.MinHashLSH.pairs]] +
-  *     [[graft.dedup.NearDupClusters.clusters]])
+  *   - `neardup_dedup` — near-dup pairs at `threshold` (0.6) with
+  *     `shingleK` (3)-word shingles, connected components, one keeper
+  *     per cluster. `method` picks the pair join: `lsh` (default;
+  *     MinHash+LSH candidates, exact-jaccard verify [q33]) or
+  *     `prefix` (the EXACT prefix-filtered set-similarity join —
+  *     no banding loss, boilerplate-safe with no df-cap [q230])
+  *     ([[graft.dedup.MinHashLSH.pairs]] /
+  *     [[graft.dedup.PrefixFilterJoin.pairs]] +
+  *     [[graft.dedup.NearDupClusters.clusters]], q77)
   *   - `decontaminate` — drop docs sharing any `n` (13)-gram with the
   *     benchmark parquet at `benchmarkPath` (its text column
   *     `textCol`, default `text`) [q107]
@@ -134,8 +138,13 @@ object CurationPipeline {
       case "neardup_dedup" =>
         val k = getI(stage, "shingleK").getOrElse(3)
         val t = getD(stage, "threshold").getOrElse(0.6)
-        val pairs = MinHashLSH.pairs(docs, k = k, threshold = t)
-          .select(col("doc_a"), col("doc_b"))
+        val pairs = (get[String](stage, "method").getOrElse("lsh") match {
+          case "lsh" => MinHashLSH.pairs(docs, k = k, threshold = t)
+          case "prefix" =>
+            graft.dedup.PrefixFilterJoin.pairs(docs, k = k, threshold = t)
+          case m => throw new IllegalArgumentException(
+            s"neardup_dedup method must be lsh or prefix, got $m")
+        }).select(col("doc_a"), col("doc_b"))
         val clusters = NearDupClusters.clusters(
           docs.select(col("doc_id")), pairs)
         docs.join(clusters.filter(col("is_keeper"))

@@ -33,6 +33,23 @@ class CurationPipelineSpec extends SparkSpec {
       composite.exceptAll(piped).isEmpty)
   }
 
+  test("neardup_dedup method=prefix keeps the same corpus as lsh") {
+    // on a corpus where LSH banding loses nothing (the q33==q32
+    // fixture property), the exact prefix join and the LSH path must
+    // agree keeper-for-keeper; an unknown method fails loudly
+    val docs = Tables.documents(spark, sf)
+    def run(method: String) = CurationPipeline.run(docs, stagesFrom(
+      s"""{ "stages": [
+         |  {"op": "neardup_dedup", "threshold": 0.6,
+         |   "method": "$method"} ] }""".stripMargin))
+      .select($"doc_id")
+    val lsh = run("lsh")
+    val prefix = run("prefix")
+    assert(lsh.exceptAll(prefix).isEmpty && prefix.exceptAll(lsh).isEmpty)
+    val e = intercept[IllegalArgumentException] { run("simhashish") }
+    assert(e.getMessage.contains("lsh or prefix"))
+  }
+
   test("cap and mix stages compose after the dedup family") {
     val stages = stagesFrom(
       """{ "stages": [
