@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement for preference/label QA — before fitting
+  * anything to human labels ([[BradleyTerry]], reward models), a
+  * pipeline measures whether the annotators agree above chance.
+  * Cohen's kappa per annotator pair over their SHARED items:
+  *
+  *   κ = (p_o − p_e) / (1 − p_e)
+  *
+  * with p_o the observed agreement rate and p_e the chance rate from
+  * each rater's label marginals on the shared set.
+  *
+  * Plan shape: one item-keyed self-join (fan-out bounded by
+  * annotators-per-item², small by contract — crowdsourcing plans cap
+  * raters per item), then two bounded aggregates (pair-level counts,
+  * pair × label marginals). Every division is a single IEEE op on
+  * exact integer counts, so the result is bit-identical across
+  * engines and layouts — no fold-order exposure at all.
+  */
+object Agreement {
+
+  /** (annotator_a, annotator_b, n_items, po, pe, kappa) per annotator
+    * pair (a < b) sharing ≥ 1 item; κ is NULL when p_e = 1 (both
+    * raters constant and identical on the shared set — undefined by
+    * convention).
+    */
+  def cohenKappa(labels: DataFrame, itemCol: String = "item_id",
+      annotatorCol: String = "annotator_id",
+      labelCol: String = "label"): DataFrame = {
+    val a = labels.select(col(itemCol).as("item"),
+      col(annotatorCol).as("annotator_a"), col(labelCol).as("la"))
+    val b = labels.select(col(itemCol).as("item"),
+      col(annotatorCol).as("annotator_b"), col(labelCol).as("lb"))
+    val j = a.join(b, Seq("item"))
+      .filter(col("annotator_a") < col("annotator_b"))
+    val base = j.groupBy(col("annotator_a"), col("annotator_b"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("agree"))
+    // chance agreement from the marginals over the SHARED items: the
+    // Σ_c count_a(c)·count_b(c) numerator stays in exact integer
+    // arithmetic until one final division
+    val ma = j.groupBy(col("annotator_a"), col("annotator_b"),
+        col("la").as("c")).agg(count(lit(1)).as("na"))
+    val mb = j.groupBy(col("annotator_a"), col("annotator_b"),
+        col("lb").as("c")).agg(count(lit(1)).as("nb"))
+    val chance = ma.join(mb, Seq("annotator_a", "annotator_b", "c"))
+      .groupBy(col("annotator_a"), col("annotator_b"))
+      .agg(sum(col("na") * col("nb")).as("pe_num"))
+    base.join(chance, Seq("annotator_a", "annotator_b"))
+      .select(col("annotator_a"), col("annotator_b"), col("n_items"),
+        (col("agree").cast("double") / col("n_items")).as("po"),
+        (col("pe_num").cast("double") /
+          (col("n_items") * col("n_items"))).as("pe"))
+      .withColumn("kappa",
+        when(col("pe") === 1.0, lit(null).cast("double"))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pairwise win-rate matrix with Wilson score intervals — the
+  * leaderboard detail behind [[BradleyTerry]]'s single-number ratings:
+  * for every matchup (i, j), how often did i win and is the edge
+  * statistically real given the sample size? The Wilson interval is
+  * the arena-standard choice (well-behaved at small n and extreme
+  * rates, unlike the normal approximation).
+  *
+  * One hash-aggregate over the battles (map-side combine to one row
+  * per matchup per task), then closed-form per-row arithmetic — no
+  * second pass, no resampling. Deterministic: every term is a fixed
+  * IEEE expression of the two integer counts.
+  */
+object WinRates {
+
+  /** (i, j, n, wins_i, win_rate, ci_lo, ci_hi) for every unordered
+    * matchup, i < j; `win_rate` is i's share, the CI a `z`-score
+    * Wilson interval around it.
+    */
+  def matrix(battles: DataFrame, z: Double = 1.96,
+      winnerCol: String = "winner", loserCol: String = "loser"): DataFrame = {
+    val counts = battles
+      .select(least(col(winnerCol), col(loserCol)).as("i"),
+        greatest(col(winnerCol), col(loserCol)).as("j"),
+        when(col(winnerCol) < col(loserCol), 1L).otherwise(0L).as("wi"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("wi")).as("wins_i"))
+    val nd = col("n").cast("double")
+    val p = col("wins_i").cast("double") / nd
+    val zz = lit(z * z)
+    // Wilson: (p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n) —
+    // the term structure below is mirrored CHARACTER-FOR-CHARACTER by
+    // the q234 oracle SQL so both engines execute the same IEEE tree
+    val half: Column = lit(z) *
+      sqrt(p * (lit(1.0) - p) / nd + zz / (lit(4.0) * nd * nd))
+    val denom = lit(1.0) + zz / nd
+    counts.select(col("i"), col("j"), col("n"), col("wins_i"),
+      p.as("win_rate"),
+      ((p + zz / (lit(2.0) * nd) - half) / denom).as("ci_lo"),
+      ((p + zz / (lit(2.0) * nd) + half) / denom).as("ci_hi"))
+  }
+}

@@ -351,20 +351,65 @@ object Analytics extends QueryPack {
     * the same ten rounds as chained CTEs from one template (the q197
     * discipline) over the identical integer battle derivation.
     */
-  def bradleyTerry(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
+  /** The shared q232/q234 battle fixture: deterministic, exactly
+    * BT-distributed (see [[bradleyTerry]]); its oracle CTE twin is
+    * [[battlesCte]].
+    */
+  private def syntheticBattles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"),
         pmod(col("doc_id"), lit(8)).as("a"),
         pmod((col("doc_id") / 8).cast("long"), lit(8)).as("b"))
       .filter(col("a") =!= col("b"))
       .withColumn("draw",
         pmod(col("doc_id") * 7 + col("n_chars"), col("a") + col("b") + 2))
-    val battles = t.select(
-      when(col("draw") <= col("b"), col("b")).otherwise(col("a"))
-        .as("winner"),
-      when(col("draw") <= col("b"), col("a")).otherwise(col("b"))
-        .as("loser"))
-    graft.operators.BradleyTerry.ratings(battles, iterations = 10)
+      .select(
+        when(col("draw") <= col("b"), col("b")).otherwise(col("a"))
+          .as("winner"),
+        when(col("draw") <= col("b"), col("a")).otherwise(col("b"))
+          .as("loser"))
+
+  private val battlesCte: String =
+    """t AS (
+      |  SELECT doc_id % 8 AS a, (doc_id // 8) % 8 AS b,
+      |    (doc_id * 7 + n_chars) % ((doc_id % 8) + ((doc_id // 8) % 8) + 2)
+      |      AS draw
+      |  FROM documents
+      |  WHERE doc_id % 8 <> (doc_id // 8) % 8),
+      |battles AS (
+      |  SELECT CASE WHEN draw <= b THEN b ELSE a END AS winner,
+      |         CASE WHEN draw <= b THEN a ELSE b END AS loser FROM t)""".stripMargin
+
+  def bradleyTerry(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BradleyTerry.ratings(syntheticBattles(s, dir),
+      iterations = 10)
+
+  /** Pairwise win-rate matrix gate (q234): the q232 battles through
+    * [[graft.operators.WinRates.matrix]] — per matchup counts plus a
+    * Wilson 95% interval whose IEEE expression tree the oracle mirrors
+    * character-for-character (z² written as 1.96*1.96 on BOTH sides so
+    * the constant is the same runtime product, never a re-parsed
+    * decimal).
+    */
+  def winRates(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WinRates.matrix(syntheticBattles(s, dir))
+
+  /** Cohen's-kappa agreement gate (q235): three synthetic annotators
+    * label every document by exact integer arithmetic
+    * (⌊n_chars/(a+1)⌋ mod 3), and
+    * [[graft.operators.Agreement.cohenKappa]] must reproduce DuckDB's
+    * textbook reconstruction (observed agreement, marginal chance
+    * agreement from integer count products, κ). Every division is one
+    * IEEE op on exact integers — zero fold-order exposure.
+    */
+  def annotatorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.documents(s, dir)
+      .select(col("doc_id").as("item_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(2))).as("annotator_id"))
+      .select(col("item_id"), col("annotator_id"),
+        pmod(floor(col("n_chars") / (col("annotator_id") + 1)).cast("long"),
+          lit(3)).as("label"))
+    graft.operators.Agreement.cohenKappa(labels)
   }
 
   /** The q232 oracle: p1..p10 unrolled from one MM-update template. */
@@ -378,15 +423,7 @@ object Analytics extends QueryPack {
          |  JOIN wins w ON w.i = g.i
          |  GROUP BY g.i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH t AS (
-       |  SELECT doc_id % 8 AS a, (doc_id // 8) % 8 AS b,
-       |    (doc_id * 7 + n_chars) % ((doc_id % 8) + ((doc_id // 8) % 8) + 2)
-       |      AS draw
-       |  FROM documents
-       |  WHERE doc_id % 8 <> (doc_id // 8) % 8),
-       |battles AS (
-       |  SELECT CASE WHEN draw <= b THEN b ELSE a END AS winner,
-       |         CASE WHEN draw <= b THEN a ELSE b END AS loser FROM t),
+    s"""WITH $battlesCte,
        |games AS (
        |  SELECT i, j, CAST(count(*) AS DOUBLE) AS n FROM (
        |    SELECT winner AS i, loser AS j FROM battles
@@ -438,6 +475,8 @@ object Analytics extends QueryPack {
     "q216_bootstrap_ci" -> bootstrapCi _,
     "q197_pagerank" -> pagerank _,
     "q232_bradley_terry" -> bradleyTerry _,
+    "q234_win_rates" -> winRates _,
+    "q235_annotator_agreement" -> annotatorAgreement _,
     "q164_funnel" -> funnelSteps _,
     "q165_rolling_actives" -> rollingActives _,
     "q162_resample_fill" -> resampleFill _,
@@ -515,6 +554,57 @@ object Analytics extends QueryPack {
     },
     "q197_pagerank" -> pagerankSql,
     "q232_bradley_terry" -> bradleyTerrySql,
+    "q234_win_rates" ->
+      s"""WITH $battlesCte,
+         |m AS (
+         |  SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+         |    count(*) AS n,
+         |    sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS wins_i
+         |  FROM battles GROUP BY 1, 2),
+         |w AS (
+         |  SELECT i, j, n, wins_i,
+         |    CAST(wins_i AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    CAST(n AS DOUBLE) AS nd FROM m),
+         |h AS (
+         |  SELECT *,
+         |    1.96 * sqrt(p * (1.0 - p) / nd +
+         |      (1.96 * 1.96) / (4.0 * nd * nd)) AS half,
+         |    1.0 + (1.96 * 1.96) / nd AS denom FROM w)
+         |SELECT i, j, n, wins_i, p AS win_rate,
+         |  (p + (1.96 * 1.96) / (2.0 * nd) - half) / denom AS ci_lo,
+         |  (p + (1.96 * 1.96) / (2.0 * nd) + half) / denom AS ci_hi
+         |FROM h""".stripMargin,
+    "q235_annotator_agreement" ->
+      """WITH l AS (
+        |  SELECT doc_id AS item, ann.a AS ann,
+        |    (n_chars // (ann.a + 1)) % 3 AS lab
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS a) ann),
+        |j AS (
+        |  SELECT x.ann AS annotator_a, y.ann AS annotator_b,
+        |    x.lab AS la, y.lab AS lb
+        |  FROM l x JOIN l y ON x.item = y.item AND x.ann < y.ann),
+        |base AS (
+        |  SELECT annotator_a, annotator_b, count(*) AS n_items,
+        |    sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agree
+        |  FROM j GROUP BY 1, 2),
+        |ma AS (SELECT annotator_a, annotator_b, la AS c, count(*) AS na
+        |       FROM j GROUP BY 1, 2, 3),
+        |mb AS (SELECT annotator_a, annotator_b, lb AS c, count(*) AS nb
+        |       FROM j GROUP BY 1, 2, 3),
+        |ch AS (
+        |  SELECT annotator_a, annotator_b, sum(na * nb) AS pe_num
+        |  FROM ma JOIN mb USING (annotator_a, annotator_b, c)
+        |  GROUP BY 1, 2)
+        |SELECT annotator_a, annotator_b, n_items,
+        |  CAST(agree AS DOUBLE) / n_items AS po,
+        |  CAST(pe_num AS DOUBLE) / (n_items * n_items) AS pe,
+        |  CASE WHEN CAST(pe_num AS DOUBLE) / (n_items * n_items) = 1.0
+        |    THEN NULL
+        |    ELSE (CAST(agree AS DOUBLE) / n_items -
+        |          CAST(pe_num AS DOUBLE) / (n_items * n_items)) /
+        |         (1.0 - CAST(pe_num AS DOUBLE) / (n_items * n_items))
+        |  END AS kappa
+        |FROM base JOIN ch USING (annotator_a, annotator_b)""".stripMargin,
     "q164_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

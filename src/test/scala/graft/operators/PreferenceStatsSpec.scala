@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PreferenceStatsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("win-rate matrix: counts, orientation, and the Wilson interval") {
+    // 1 beats 2 three times, 2 beats 1 once -> matchup (1,2): n=4,
+    // wins_i=3, p=0.75; Wilson 95% ~ [0.3006, 0.9544]
+    val battles = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L))
+      .toDF("winner", "loser")
+    val r = WinRates.matrix(battles).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+    assert(row.getLong(2) == 4L && row.getLong(3) == 3L)
+    assert(row.getDouble(4) == 0.75)
+    assert(math.abs(row.getDouble(5) - 0.30064) < 1e-4, s"lo=${row.getDouble(5)}")
+    assert(math.abs(row.getDouble(6) - 0.95442) < 1e-4, s"hi=${row.getDouble(6)}")
+  }
+
+  test("more games tighten the Wilson interval at the same rate") {
+    def width(n: Int): Double = {
+      val battles = ((1 to 3 * n).map(_ => (1L, 2L)) ++
+        (1 to n).map(_ => (2L, 1L))).toDF("winner", "loser")
+      val row = WinRates.matrix(battles).collect()(0)
+      row.getDouble(6) - row.getDouble(5)
+    }
+    assert(width(25) < width(5) && width(5) < width(1))
+  }
+
+  test("cohen's kappa: hand-computed partial agreement") {
+    // A: [0,0,1,1], B: [0,0,1,0] -> po=3/4, pe=(2*3+2*1)/16=0.5, k=0.5
+    val labels = Seq(
+      (1L, 0, 0L), (2L, 0, 0L), (3L, 0, 1L), (4L, 0, 1L),
+      (1L, 1, 0L), (2L, 1, 0L), (3L, 1, 1L), (4L, 1, 0L)
+    ).toDF("item_id", "annotator_id", "label")
+    val row = Agreement.cohenKappa(labels).collect()(0)
+    assert(row.getDouble(3) == 0.75 && row.getDouble(4) == 0.5)
+    assert(row.getDouble(5) == 0.5)
+  }
+
+  test("kappa is 1 on perfect non-constant agreement, NULL on constant") {
+    val perfect = Seq((1L, 0, 0L), (2L, 0, 1L), (1L, 1, 0L), (2L, 1, 1L))
+      .toDF("item_id", "annotator_id", "label")
+    assert(Agreement.cohenKappa(perfect).collect()(0).getDouble(5) == 1.0)
+    val constant = Seq((1L, 0, 7L), (2L, 0, 7L), (1L, 1, 7L), (2L, 1, 7L))
+      .toDF("item_id", "annotator_id", "label")
+    assert(Agreement.cohenKappa(constant).collect()(0).isNullAt(5))
+  }
+}
