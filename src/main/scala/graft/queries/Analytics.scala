@@ -414,8 +414,13 @@ object Analytics extends QueryPack {
 
   /** The q232 oracle: p1..p10 unrolled from one MM-update template. */
   private def bradleyTerrySql: String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+    // and each round references the previous iterate TWICE (pa, pb) —
+    // inlined, the plan doubles per round (2^10 copies of the whole
+    // chain; measured minutes instead of milliseconds). q197 gets away
+    // without it because PageRank's mass term reads pr_{k-1} once.
     val rounds = (1 to 10).map { k =>
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
          |  SELECT g.i, any_value(w.w) / sum(g.n / (pa.p + pb.p)) AS p
          |  FROM games g
          |  JOIN p${k - 1} pa ON pa.i = g.i
