@@ -58,4 +58,49 @@ object Agreement {
         when(col("pe") === 1.0, lit(null).cast("double"))
           .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
+
+  /** Fleiss' κ — the multi-rater generalization: every item rated by
+    * the SAME number of raters r (required loudly; subset items
+    * upstream if not). One row per run:
+    * (n_items, n_raters, p_bar, pe_bar, kappa).
+    *
+    * Determinism note: both Σ_i P_i and the per-category marginals
+    * stay in EXACT INTEGER arithmetic until one final division —
+    * P̄ = (Σ_i Σ_c n_ic² − N·r) / (N·r·(r−1)) and
+    * p̄_c = (Σ_i n_ic) / (N·r) — so the only float fold is the
+    * C-term Σ_c p̄_c², bounded by the label-vocabulary size.
+    */
+  def fleissKappa(labels: DataFrame, itemCol: String = "item_id",
+      annotatorCol: String = "annotator_id",
+      labelCol: String = "label"): DataFrame = {
+    val cat = labels.groupBy(col(itemCol).as("item"),
+        col(labelCol).as("c"))
+      .agg(count(lit(1)).as("nic"))
+    // per-item rater count must be constant for Fleiss' formula
+    val perItem = cat.groupBy(col("item"))
+      .agg(sum(col("nic")).as("r"), sum(col("nic") * col("nic")).as("sq"))
+    val rDistinct = perItem.select(col("r")).distinct().collect()
+    require(rDistinct.length == 1,
+      s"fleiss kappa needs a constant rater count per item, got " +
+        s"${rDistinct.map(_.getLong(0)).sorted.mkString(",")}")
+    val r = rDistinct(0).getLong(0)
+    require(r >= 2, s"fleiss kappa needs >= 2 raters per item, got $r")
+    // integer cores: Σ_i Σ_c n_ic², N, and Σ_i n_ic per category
+    val totals = perItem.agg(sum(col("sq")).as("sqsum"),
+      count(lit(1)).as("n_items"))
+    totals.crossJoin(broadcast(
+        cat.groupBy(col("c")).agg(sum(col("nic")).as("nc"))
+          .crossJoin(broadcast(totals.select(col("n_items").as("ni"))))
+          .select(((col("nc").cast("double") / (col("ni") * r)) *
+            (col("nc").cast("double") / (col("ni") * r))).as("pc2"))
+          .agg(sum(col("pc2")).as("pe_bar"))))
+      .select(col("n_items"), lit(r).as("n_raters"),
+        ((col("sqsum") - col("n_items") * r).cast("double") /
+          (col("n_items") * r * (r - 1))).as("p_bar"),
+        col("pe_bar"))
+      .withColumn("kappa",
+        when(col("pe_bar") === 1.0, lit(null).cast("double"))
+          .otherwise((col("p_bar") - col("pe_bar")) /
+            (lit(1.0) - col("pe_bar"))))
+  }
 }

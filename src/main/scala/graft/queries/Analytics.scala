@@ -402,15 +402,29 @@ object Analytics extends QueryPack {
     * agreement from integer count products, κ). Every division is one
     * IEEE op on exact integers — zero fold-order exposure.
     */
-  def annotatorAgreement(s: SparkSession, dir: String): DataFrame = {
-    val labels = Tables.documents(s, dir)
+  /** The shared q235/q236 fixture: three annotators label every doc by
+    * exact integer arithmetic, ⌊n_chars/(a+1)⌋ mod 3.
+    */
+  private def syntheticLabels(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id").as("item_id"), col("n_chars"),
         explode(sequence(lit(0), lit(2))).as("annotator_id"))
       .select(col("item_id"), col("annotator_id"),
         pmod(floor(col("n_chars") / (col("annotator_id") + 1)).cast("long"),
           lit(3)).as("label"))
-    graft.operators.Agreement.cohenKappa(labels)
-  }
+
+  def annotatorAgreement(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Agreement.cohenKappa(syntheticLabels(s, dir))
+
+  /** Fleiss'-κ gate (q236): the q235 labels through
+    * [[graft.operators.Agreement.fleissKappa]] — P̄ and the category
+    * marginals stay in exact integer arithmetic until one final
+    * division each (see the operator), so the only float fold is the
+    * three-term Σ p̄_c². Oracle recomputes the textbook formula over
+    * the same integer cores.
+    */
+  def fleissAgreement(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Agreement.fleissKappa(syntheticLabels(s, dir))
 
   /** The q232 oracle: p1..p10 unrolled from one MM-update template. */
   private def bradleyTerrySql: String = {
@@ -482,6 +496,7 @@ object Analytics extends QueryPack {
     "q232_bradley_terry" -> bradleyTerry _,
     "q234_win_rates" -> winRates _,
     "q235_annotator_agreement" -> annotatorAgreement _,
+    "q236_fleiss_kappa" -> fleissAgreement _,
     "q164_funnel" -> funnelSteps _,
     "q165_rolling_actives" -> rollingActives _,
     "q162_resample_fill" -> resampleFill _,
@@ -610,6 +625,30 @@ object Analytics extends QueryPack {
         |         (1.0 - CAST(pe_num AS DOUBLE) / (n_items * n_items))
         |  END AS kappa
         |FROM base JOIN ch USING (annotator_a, annotator_b)""".stripMargin,
+    "q236_fleiss_kappa" ->
+      """WITH l AS (
+        |  SELECT doc_id AS item, ann.a AS ann,
+        |    (n_chars // (ann.a + 1)) % 3 AS lab
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS a) ann),
+        |cat AS (SELECT item, lab AS c, count(*) AS nic
+        |        FROM l GROUP BY 1, 2),
+        |per AS (SELECT item, sum(nic) AS r, sum(nic * nic) AS sq
+        |        FROM cat GROUP BY 1),
+        |tot AS (SELECT sum(sq) AS sqsum, count(*) AS n_items FROM per),
+        |pc AS (SELECT c, sum(nic) AS nc FROM cat GROUP BY 1),
+        |pe AS (
+        |  SELECT sum((CAST(nc AS DOUBLE) / (n_items * 3)) *
+        |             (CAST(nc AS DOUBLE) / (n_items * 3))) AS pe_bar
+        |  FROM pc CROSS JOIN tot)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+        |  CAST(sqsum - n_items * 3 AS DOUBLE) / (n_items * 3 * 2)
+        |    AS p_bar,
+        |  pe_bar,
+        |  CASE WHEN pe_bar = 1.0 THEN NULL
+        |    ELSE (CAST(sqsum - n_items * 3 AS DOUBLE) /
+        |          (n_items * 3 * 2) - pe_bar) / (1.0 - pe_bar)
+        |  END AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin,
     "q164_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -42,6 +42,24 @@ class PreferenceStatsSpec extends SparkSpec {
     assert(row.getDouble(5) == 0.5)
   }
 
+  test("fleiss kappa: hand-computed two-item case and the loud r-check") {
+    // item1: both raters say 0; item2: split -> P=0.5, pe=0.625,
+    // kappa = (0.5-0.625)/0.375 = -1/3
+    val labels = Seq((1L, 0, 0L), (1L, 1, 0L), (2L, 0, 0L), (2L, 1, 1L))
+      .toDF("item_id", "annotator_id", "label")
+    val row = Agreement.fleissKappa(labels).collect()(0)
+    assert(row.getLong(0) == 2L && row.getLong(1) == 2L)
+    assert(row.getDouble(2) == 0.5 && row.getDouble(3) == 0.625)
+    assert(math.abs(row.getDouble(4) - (-1.0 / 3.0)) < 1e-12)
+    // ragged rater counts must fail loudly, not silently mis-weight
+    val ragged = labels.unionAll(Seq((2L, 2, 1L))
+      .toDF("item_id", "annotator_id", "label"))
+    val e = intercept[IllegalArgumentException] {
+      Agreement.fleissKappa(ragged)
+    }
+    assert(e.getMessage.contains("constant rater count"))
+  }
+
   test("kappa is 1 on perfect non-constant agreement, NULL on constant") {
     val perfect = Seq((1L, 0, 0L), (2L, 0, 1L), (1L, 1, 0L), (2L, 1, 1L))
       .toDF("item_id", "annotator_id", "label")
