@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import java.nio.ByteBuffer
+
+/** Vector second-moment buffer: count, per-dimension sums, and the
+  * UPPER TRIANGLE of the Σ x xᵀ matrix (the symmetric half is never
+  * stored — dim 64 costs 64 + 2080 doubles ≈ 17 KB per task).
+  */
+final class MomentsBuffer(val dim: Int) {
+  var n: Long = 0L
+  val s = new Array[Double](dim)
+  val ss = new Array[Double](dim * (dim + 1) / 2)
+  def mergeFrom(other: MomentsBuffer): Unit = {
+    n += other.n
+    var i = 0
+    while (i < s.length) { s(i) += other.s(i); i += 1 }
+    i = 0
+    while (i < ss.length) { ss(i) += other.ss(i); i += 1 }
+  }
+}
+
+/** `graft_vec_moments_<dim>(vec)` — one-pass mean/covariance moments
+  * for PCA/whitening ([[graft.similarity.EmbeddingPca]]): each task
+  * folds its vectors into one (n, Σx, upper-tri Σxxᵀ) buffer, partials
+  * merge as dense adds, and the shuffle carries ONE ~17 KB buffer per
+  * task — never a dim² row fan-out (the posexplode²-then-aggregate
+  * spelling ships dim² rows per input vector: 4096× the bytes at
+  * dim 64). Output: `array<double>` [n, s₀..s_{d−1}, upper-tri ss].
+  *
+  * Numerics: sums accumulate in row-visit order per partition and
+  * buffer-merge order across partitions — the standard fold-order
+  * caveat, which is why the PCA gates pin threshold BOOLEANS
+  * (orthonormality, planted-direction recovery), never moment hashes.
+  */
+case class CovarianceAgg(
+    vec: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MomentsBuffer] {
+
+  require(dim > 0, s"need dim > 0, got $dim")
+
+  override def children: Seq[Expression] = Seq(vec)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vec_moments"
+
+  override def createAggregationBuffer(): MomentsBuffer =
+    new MomentsBuffer(dim)
+
+  override def update(buf: MomentsBuffer, input: InternalRow): MomentsBuffer = {
+    val v = vec.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() == dim) {
+        buf.n += 1
+        var i = 0
+        var t = 0
+        while (i < dim) {
+          val xi = a.getDouble(i)
+          buf.s(i) += xi
+          var j = i
+          while (j < dim) {
+            buf.ss(t) += xi * a.getDouble(j)
+            j += 1; t += 1
+          }
+          i += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: MomentsBuffer, other: MomentsBuffer): MomentsBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: MomentsBuffer): Any = {
+    val out = new Array[Any](1 + buf.s.length + buf.ss.length)
+    out(0) = buf.n.toDouble
+    var i = 0
+    while (i < buf.s.length) { out(1 + i) = buf.s(i); i += 1 }
+    i = 0
+    while (i < buf.ss.length) { out(1 + buf.s.length + i) = buf.ss(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: MomentsBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.s.length * 8 + buf.ss.length * 8)
+    bb.putLong(buf.n)
+    var i = 0
+    while (i < buf.s.length) { bb.putDouble(buf.s(i)); i += 1 }
+    i = 0
+    while (i < buf.ss.length) { bb.putDouble(buf.ss(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MomentsBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new MomentsBuffer(dim)
+    buf.n = bb.getLong
+    var i = 0
+    while (i < buf.s.length) { buf.s(i) = bb.getDouble; i += 1 }
+    i = 0
+    while (i < buf.ss.length) { buf.ss(i) = bb.getDouble; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CovarianceAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CovarianceAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CovarianceAgg =
+    copy(vec = newChildren(0))
+}

@@ -229,6 +229,19 @@ object GraftFunctions {
     call_function(name, idxs, vals, label)
   }
 
+  /** One-pass vector moments aggregate (see [[CovarianceAgg]]):
+    * [n, Σx, upper-tri Σxxᵀ] flattened — ~17 KB of state per task at
+    * dim 64, merged as dense adds; the PCA/whitening input.
+    */
+  def vecMoments(spark: SparkSession, vec: Column, dim: Int): Column = {
+    val name = s"graft_vec_moments_$dim"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => CovarianceAgg(exprs(0), dim).toAggregateExpression(),
+      "built-in")
+    call_function(name, vec.cast("array<double>"))
+  }
+
   val KMV_PREFIX = "graft_kmv_" // one registered name per k
 
   /** KMV distinct-value sketch aggregate → sorted `array<bigint>` of the

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.functions.GraftFunctions
-import graft.similarity.{BitextMine, ClusterBalance, ContrastiveSampling, IvfIndex, PqIndex, RankFusion, RetrievalEval, SqIndex, TopKSearch}
+import graft.similarity.{BitextMine, ClusterBalance, ContrastiveSampling, EmbeddingPca, IvfIndex, PqIndex, RankFusion, RetrievalEval, SqIndex, TopKSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -212,6 +212,52 @@ object Similarity extends QueryPack {
         lit(K).cast("int").as("k"),
         (col("n_exact") / lit(K)).cast("bigint").as("n_queries"),
         (col("n_hit").cast("double") / col("n_exact") >= 0.75).as("recall_ok"))
+  }
+
+  /** PCA/whitening gate (q237): the embeddings get a planted dominant
+    * direction — x′ = x + s·u with u a fixed unit vector and
+    * s = 5·((vec_id mod 7) − 3), variance ~100 against the unit-norm
+    * corpus's per-axis ~1/64 — and [[EmbeddingPca.fit]] (ONE
+    * moments-aggregate pass + driver Jacobi) must recover it:
+    * |cos(v₁, u)| ≥ 0.99, components orthonormal to 1e-8, eigenvalues
+    * descending with λ₁ ≥ 50, and the WHITENED projection's
+    * per-component population variance equal to 1 within 1e-6 —
+    * computed distributed over the corpus, so the gate exercises the
+    * codegen'd projection path too. Booleans (the q209 convention —
+    * moment sums are fold-order floats, never hashed).
+    */
+  def pcaWhiten(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val u = Array.tabulate(dim)(i => (if (i % 2 == 0) 1.0 else -1.0) / 8.0)
+    val planted = Tables.embeddings(s, dir)
+      .withColumn("sc",
+        (pmod(col("vec_id"), lit(7)) - 3).cast("double") * 5.0)
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          typedlit(u.toSeq), (a, b) => a + col("sc") * b).as("v"))
+      .localCheckpoint(true) // pin: the HOF planting evaluates once
+    val m = EmbeddingPca.fit(planted, dim, k = 8, vecCol = "v")
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val dominantOk = math.abs(dot(m.components(0), u)) >= 0.99
+    val orthoOk = (0 until 8).forall(i => (i until 8).forall { j =>
+      val d = dot(m.components(i), m.components(j))
+      if (i == j) math.abs(d - 1.0) <= 1e-8 else math.abs(d) <= 1e-8
+    })
+    val orderOk = m.variances.zip(m.variances.tail)
+      .forall { case (a, b) => a >= b } && m.variances(0) >= 50.0
+    val n = planted.count()
+    planted
+      .select(posexplode(
+        EmbeddingPca.projection(s, m, col("v"), whiten = true))
+        .as(Seq("pos", "y")))
+      .groupBy(col("pos")).agg(var_pop(col("y")).as("vp"))
+      .agg(max(abs(col("vp") - 1.0)).as("dev"), count(lit(1)).as("k"))
+      .select(lit(n).as("n_vectors"),
+        lit(dominantOk).as("dominant_ok"),
+        lit(orthoOk).as("ortho_ok"),
+        lit(orderOk).as("order_ok"),
+        (col("dev") <= 1e-6 && col("k") === 8).as("whiten_ok"))
   }
 
   /** Incremental ANN index append gate (q132): the coded table of a
@@ -526,6 +572,7 @@ object Similarity extends QueryPack {
     "q76_pq_recall" -> pqRecall _,
     "q80_ivfpq_recall" -> ivfPqRecall _,
     "q229_ivfsq_recall" -> ivfSqRecall _,
+    "q237_pca_whiten" -> pcaWhiten _,
     "q132_ann_append" -> annAppend _,
   )
 
@@ -776,6 +823,11 @@ object Similarity extends QueryPack {
          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
          |   WHERE vec_id < $NQUERIES) AS n_queries,
          |  TRUE AS recall_ok""".stripMargin,
+    "q237_pca_whiten" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |    AS n_vectors,
+        |  TRUE AS dominant_ok, TRUE AS ortho_ok,
+        |  TRUE AS order_ok, TRUE AS whiten_ok""".stripMargin,
     "q132_ann_append" ->
       s"""SELECT CAST($K AS INT) AS k,
          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings

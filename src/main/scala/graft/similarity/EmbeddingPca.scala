@@ -1,0 +1,168 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PCA / whitening for embedding columns — the preprocessing step the
+  * semantic family leans on (SemDeDup-style pipelines whiten before
+  * cosine thresholds; ANN quantizers train better on decorrelated
+  * axes; drift monitors compare top components):
+  *
+  *  1. ONE narrow pass over the corpus folds every vector into a
+  *     (n, Σx, upper-tri Σxxᵀ) moments buffer
+  *     ([[graft.functions.CovarianceAgg]]) — the shuffle carries one
+  *     ~17 KB state per task, never a dim² row fan-out;
+  *  2. the dim×dim covariance eigensolves DRIVER-SIDE (cyclic Jacobi —
+  *     dim ≤ a few hundred by contract; a 64×64 solve is microseconds
+  *     next to the corpus scan);
+  *  3. projection/whitening run distributed as k codegen'd dot
+  *     products per row: y_k = (x·v_k − μ·v_k) / √λ_k, with μ·v_k and
+  *     √λ_k DRIVER CONSTANTS — no per-row centering array op, no HOF.
+  *
+  * Model components are unit-norm, mutually orthogonal, eigenvalue-
+  * descending; signs are fixed deterministically (largest-|coordinate|
+  * entry positive) so repeated fits agree.
+  */
+object EmbeddingPca {
+
+  final case class Model(mean: Array[Double],
+      components: Array[Array[Double]], variances: Array[Double])
+
+  /** Mean + covariance from one aggregate pass. */
+  def moments(df: DataFrame, dim: Int, vecCol: String = "embedding")
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val flat = df
+      .agg(GraftFunctions.vecMoments(df.sparkSession, col(vecCol), dim)
+        .as("m"))
+      .head().getSeq[Double](0).toArray
+    val n = flat(0).toLong
+    require(n >= 2, s"PCA needs >= 2 vectors, got $n")
+    val mean = Array.tabulate(dim)(i => flat(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = flat(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    (n, mean, cov)
+  }
+
+  /** Fit the top-`k` components of `df`'s vector column. */
+  def fit(df: DataFrame, dim: Int, k: Int,
+      vecCol: String = "embedding"): Model = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val (_, mean, cov) = moments(df, dim, vecCol)
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(i => -values(i)).take(k)
+    val comps = order.map { oi =>
+      val v = Array.tabulate(dim)(r => vectors(r)(oi))
+      // deterministic sign: the largest-|x| coordinate points positive
+      var best = 0
+      var j = 1
+      while (j < dim) {
+        if (math.abs(v(j)) > math.abs(v(best))) best = j
+        j += 1
+      }
+      if (v(best) < 0) v.map(-_) else v
+    }.toArray
+    Model(mean, comps, order.map(values).toArray)
+  }
+
+  /** Projection column: `array<double>` of length k, component c being
+    * (x·v_c − μ·v_c), divided by √λ_c when `whiten` (variance-one
+    * outputs). Every term is a codegen'd [[GraftFunctions.dotProduct]]
+    * against a literal component minus a driver constant.
+    */
+  def projection(spark: SparkSession, m: Model, vecCol: Column,
+      whiten: Boolean = false): Column = {
+    val terms = m.components.indices.map { c =>
+      val v = m.components(c)
+      val centerDot = dot(m.mean, v)
+      val raw = GraftFunctions.dotProduct(spark, vecCol,
+        typedlit(v.toSeq)) - lit(centerDot)
+      if (whiten) raw / lit(math.sqrt(math.max(m.variances(c), 1e-300)))
+      else raw
+    }
+    array(terms: _*)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector MATRIX with vectors in COLUMNS).
+    * Deterministic sweep order; converges quadratically — 64×64
+    * reaches 1e-12 off-diagonal norm in a handful of sweeps.
+    */
+  private[similarity] def jacobiEigen(mIn: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = mIn.length
+    val a = mIn.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offNorm(a)
+    while (off > 1e-12 && sweep < 100) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            // the rotation that zeroes a(p)(q)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 → 45° rotation
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offNorm(a)
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  private def offNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EmbeddingPcaSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("jacobi solves the 2x2 textbook case exactly") {
+    val (values, vectors) = EmbeddingPca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = values.sorted
+    assert(math.abs(sorted(0) - 1.0) < 1e-12 &&
+      math.abs(sorted(1) - 3.0) < 1e-12)
+    // eigenvector of lambda=3 is (1,1)/sqrt(2) up to sign
+    val i3 = values.indexWhere(v => math.abs(v - 3.0) < 1e-12)
+    val v3 = Array(vectors(0)(i3), vectors(1)(i3))
+    assert(math.abs(math.abs(v3(0)) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(v3(0) - v3(1)) < 1e-12)
+  }
+
+  test("moments: mean and covariance match the hand computation") {
+    // vectors (0,0), (2,0), (0,2), (2,2): mean (1,1), cov diag(1,1),
+    // off-diagonal 0 (population divisor n)
+    val df = Seq(Seq(0.0, 0.0), Seq(2.0, 0.0), Seq(0.0, 2.0),
+      Seq(2.0, 2.0)).toDF("embedding")
+    val (n, mean, cov) = EmbeddingPca.moments(df, 2)
+    assert(n == 4L)
+    assert(mean.toSeq == Seq(1.0, 1.0))
+    assert(cov(0)(0) == 1.0 && cov(1)(1) == 1.0 &&
+      cov(0)(1) == 0.0 && cov(1)(0) == 0.0)
+  }
+
+  test("fit recovers a planted direction; whitening normalizes it") {
+    // rank-1 data along (3,4)/5 with values -2,-1,0,1,2 (+ a tiny
+    // orthogonal wiggle so the covariance is full-rank)
+    val u = Array(0.6, 0.8)
+    val w = Array(-0.8, 0.6)
+    val rows = for (s <- -2 to 2; t <- Seq(-0.01, 0.01))
+      yield Seq(s * u(0) + t * w(0), s * u(1) + t * w(1))
+    val df = rows.toDF("embedding")
+    val m = EmbeddingPca.fit(df, 2, 2)
+    assert(math.abs(math.abs(
+      m.components(0)(0) * u(0) + m.components(0)(1) * u(1)) - 1.0) < 1e-9)
+    assert(m.variances(0) > m.variances(1) && m.variances(1) > 0)
+    // population variance of the whitened first component is 1
+    val vp = df.select(
+        EmbeddingPca.projection(spark, m, col("embedding"), whiten = true)
+          .getItem(0).as("y"))
+      .agg(var_pop(col("y"))).head().getDouble(0)
+    assert(math.abs(vp - 1.0) < 1e-9, s"var=$vp")
+  }
+
+  test("projection without whitening has variance = eigenvalue") {
+    val rows = for (s <- 1 to 20)
+      yield Seq(s.toDouble, 2.0 * s, -s.toDouble)
+    val df = rows.toDF("embedding")
+    val m = EmbeddingPca.fit(df, 3, 1)
+    val vp = df.select(
+        EmbeddingPca.projection(spark, m, col("embedding"))
+          .getItem(0).as("y"))
+      .agg(var_pop(col("y"))).head().getDouble(0)
+    assert(math.abs(vp - m.variances(0)) < 1e-6 * m.variances(0),
+      s"var=$vp lambda=${m.variances(0)}")
+  }
+}
