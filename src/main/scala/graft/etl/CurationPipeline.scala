@@ -72,6 +72,16 @@ import org.apache.spark.sql.functions._
   *     `lr` 2.0), then keep only `keyCol` (`source`) groups whose
   *     MAJORITY predicted class is `wanted` (required) [q210]
   *     ([[graft.text.TrainedLangId]])
+  *   - `fix_encoding` — ftfy-style mojibake/control-char repair, in
+  *     place on `textCol` (`text`) [q183]
+  *     ([[graft.text.TextNormalize.fixText]])
+  *   - `blocklist_filter` — drop docs whose obfuscation-folded text
+  *     matches any of `terms` (required list), whole-word [q166]
+  *     ([[graft.text.BlocklistFilter.clean]])
+  *   - `keep_best` — per exact-content group keep the best row by
+  *     `scoreCol` (required; ties → lowest doc_id), content keyed on
+  *     `contentCol` (`text`) [q184]
+  *     ([[graft.dedup.KeepBest.byContent]])
   *   - `semantic_decontaminate` — drop docs whose embedding is within
   *     cosine `threshold` (required) of any eval-set vector at
   *     `evalPath` (required parquet, vector column `evalVecCol` =
@@ -172,6 +182,22 @@ object CurationPipeline {
         val textCol = get[String](stage, "textCol").getOrElse("text")
         docs.withColumn(textCol,
           TextAnalysis.scrubPiiCol(col(textCol)))
+      case "fix_encoding" =>
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        docs.withColumn(textCol,
+          graft.text.TextNormalize.fixText(col(textCol)))
+      case "blocklist_filter" =>
+        val terms = require_(
+          get[scala.collection.Seq[String]](stage, "terms"), op,
+          "terms").toSeq
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        graft.text.BlocklistFilter.clean(docs, terms, textCol = textCol)
+      case "keep_best" =>
+        val score = require_(get[String](stage, "scoreCol"), op,
+          "scoreCol")
+        val contentCol = get[String](stage, "contentCol").getOrElse("text")
+        graft.dedup.KeepBest.byContent(docs, score,
+          contentCol = contentCol)
       case "line_dedup" =>
         replaceText(docs, ParagraphDedup.dedupLinesWithinDoc(docs),
           "clean_text")
@@ -258,7 +284,9 @@ object CurationPipeline {
           "quality_filter, neardup_dedup, decontaminate, " +
           "cap_per_source, mix, pii_scrub, line_dedup, " +
           "paragraph_dedup, exact_substring, perplexity_filter, " +
-          "cap_per_host, split, lang_id_filter, semantic_decontaminate)")
+          "cap_per_host, split, lang_id_filter, " +
+          "semantic_decontaminate, fix_encoding, blocklist_filter, " +
+          "keep_best)")
     }
   }
 }

@@ -287,6 +287,41 @@ object Dedup extends QueryPack {
         col("text"))
   }
 
+  /** Config-driven curation over the r13 stage additions (q238):
+    * fix_encoding → keep_best → blocklist_filter as one JSON stage
+    * list. The fixture unions a higher-n_chars refetch of every doc
+    * (keep_best's prey — the refetch must win its content group) and
+    * a leetspeak spam slice (`win fr33 c@sh t0day …`, blocklist's —
+    * unique content, so it SURVIVES keep_best and must then fold-match
+    * and drop). The oracle recomposes the whole chain from the stages'
+    * own gate CTEs (q183's generated fixText chain, q184's
+    * row_number keep-best, q166's translate+regexp), so a dispatch
+    * typo or parameter drift in any of the three flips the hash.
+    */
+  def configCurationR13(s: SparkSession, dir: String): DataFrame = {
+    val cfg = java.nio.file.Files.createTempFile("graft_q238_cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      """{ "stages": [
+        |  {"op": "fix_encoding"},
+        |  {"op": "keep_best", "scoreCol": "n_chars"},
+        |  {"op": "blocklist_filter", "terms": ["free", "cash"]} ] }
+        |""".stripMargin)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val input = base
+      .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"), (col("n_chars") + 100).as("n_chars")))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("win fr33 c@sh t0day "), substring(col("text"), 1, 40))
+            .as("text"),
+          lit(1).as("n_chars")))
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    graft.etl.CurationPipeline.run(input, stages.toSeq)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+  }
+
   /** Config-driven curation over the TRAINED/vector stages (q227):
     * `lang_id_filter` (a GD-trained classifier) and
     * `semantic_decontaminate` (embedding-cosine vs an eval set) are
@@ -582,6 +617,7 @@ object Dedup extends QueryPack {
     "q86_corpus_curation" -> corpusCuration _,
     "q225_config_curation" -> configCuration _,
     "q226_config_curation_wide" -> configCurationWide _,
+    "q238_config_curation_r13" -> configCurationR13 _,
     "q227_config_curation_ml" -> configCurationMl _,
     "q182_line_dedup_within" -> lineDedupWithinDoc _,
     "q148_incremental_dedup" -> incrementalDedup _,
@@ -988,6 +1024,26 @@ object Dedup extends QueryPack {
     // CTEs: d1 = q90's regex chain, d2 = q182's min-pos reassembly,
     // d3 = q177's boilerplate strip, d4 = q127's excision, ppl =
     // q134's LM, capped = q173's windowed cap, split = q112's draw
+    "q238_config_curation_r13" -> {
+      val chain = graft.text.TextNormalize.fixTextSql("text")
+      s"""WITH inp AS (
+         |  SELECT doc_id, text, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, n_chars + 100 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    'win fr33 c@sh t0day ' || substr(text, 1, 40), 1
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |fixed AS (SELECT doc_id, $chain AS text, n_chars FROM inp),
+         |best AS (
+         |  SELECT doc_id, text, n_chars, row_number() OVER (
+         |    PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM fixed)
+         |SELECT doc_id, text, n_chars FROM best
+         |WHERE rn = 1 AND NOT coalesce(regexp_matches(
+         |  translate(lower(text), '0134578@$$!+', 'oleastbasit'),
+         |  '\\b(free|cash)\\b'), FALSE)""".stripMargin
+    },
     "q226_config_curation_wide" ->
       s"""WITH d0 AS (
         |  SELECT doc_id, source,
