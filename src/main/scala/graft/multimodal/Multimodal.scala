@@ -468,8 +468,15 @@ object Multimodal {
       maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"bad budget $maxHamming")
     require(maxBucket >= 1, s"bad band-bucket cap $maxBucket")
+    // persist the (id, hash) projection: this plan consumes it SIX
+    // times (both exact-dup join sides, the distinct-hash banding and
+    // its bucket counts, both member-expansion sides) and the input is
+    // usually the DECODE output — unpersisted, every consumer re-runs
+    // the per-byte image/audio decode (q208 2.1 → 3.2 s when the r13
+    // hash-collapse added consumers). Rows are (long, long): tiny.
     val members = hashes.filter(col(hashCol).isNotNull)
       .select(col("media_id"), col(hashCol).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-dup pairs: equi-join on the hash value — linear shuffle
     // cost, output-bounded, cap-immune
     val within = members.as("x").join(members.as("y"),
@@ -477,7 +484,7 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
         lit(0).as("hamming"))
-    val banded = bandedDistinct(hashes, hashCol, maxHamming)
+    val banded = bandedDistinct(members, "__h", maxHamming)
     val keptBuckets = banded.groupBy(col("band"), col("bits"))
       .agg(count(lit(1)).as("__bf"))
       .filter(col("__bf") <= maxBucket)
