@@ -634,8 +634,13 @@ object Multimodal {
     */
   def mediaDedupKeepers(media: DataFrame, maxHammingImage: Int = 10,
       maxHammingAudio: Int = 8): DataFrame = {
+    // persist both hash tables: each is consumed by the decodable
+    // union AND its pair join, and each evaluation is a full per-byte
+    // decode of the corpus — the tables themselves are (long, long)
     val ih = imageHashes(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val af = audioFingerprints(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val decodable = ih.filter(col("dhash").isNotNull)
       .select(col("media_id"))
       .unionByName(af.filter(col("afp").isNotNull)
