@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.Streaming,
     graft.queries.Analytics,
     graft.queries.Advanced,
+    graft.queries.Eval,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

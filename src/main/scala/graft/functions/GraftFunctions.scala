@@ -130,6 +130,48 @@ object GraftFunctions {
     call_function(name, text)
   }
 
+  /** Clipped token-n-gram matches — the BLEU/ROUGE-n numerator in one
+    * generated pass (see [[GenEvalKernels.ngramClipped]]). Registers
+    * on the active session.
+    */
+  def ngramClipped(cand: Column, ref: Column, n: Int): Column = {
+    val spark = SparkSession.active
+    val name = s"graft_ngram_clipped_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => NgramClipped(exprs(0), exprs(1), n),
+      "built-in")
+    call_function(name, cand, ref)
+  }
+
+  /** Clipped char-n-gram matches — the chrF numerator in one generated
+    * pass (see [[GenEvalKernels.charGramClipped]]). Registers on the
+    * active session.
+    */
+  def charGramClipped(cand: Column, ref: Column, n: Int): Column = {
+    val spark = SparkSession.active
+    val name = s"graft_chargram_clipped_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => CharGramClipped(exprs(0), exprs(1), n),
+      "built-in")
+    call_function(name, cand, ref)
+  }
+
+  /** Longest-common-subsequence length — the ROUGE-L core in one
+    * generated pass (see [[GenEvalKernels.lcsLength]]). Registers on
+    * the active session.
+    */
+  def lcsLength(a: Column, b: Column): Column = {
+    val spark = SparkSession.active
+    val name = "graft_lcs_length"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => LcsLength(exprs(0), exprs(1)),
+      "built-in")
+    call_function(name, a, b)
+  }
+
   /** Winnowing window-min selection in one generated loop (see
     * [[WinnowFingerprints]]). Registers on the active session.
     */

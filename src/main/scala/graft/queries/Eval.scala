@@ -1,0 +1,389 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.text.GenEval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generation-eval metric gates (q239–q244): BLEU, ROUGE-1/2, ROUGE-L,
+  * chrF, pass@k, and calibration/ECE over a synthetic
+  * (candidate, reference) corpus derived deterministically from the
+  * documents table — the eval-side counterpart of the arena/preference
+  * family (q232–q236).
+  *
+  * Fixture: the reference is each document's first 24 tokens; the
+  * candidate simulates a model output with two deterministic error
+  * modes — a REPETITION error (token p repeats its predecessor when
+  * (p + doc_id) % 5 = 0) and an INSERTION error (token p doubled when
+  * (p·3 + doc_id) % 11 = 0). Insertions, never deletions: candidates
+  * are at least reference-length by construction, so BLEU's brevity
+  * penalty is exactly 1.0 and no transcendental (exp) enters the
+  * compared values — every emitted float is a fixed-order expression
+  * over exact integer counts (divisions, sqrt), which DuckDB
+  * reproduces bit-for-bit. The insertion mode also plants the case
+  * clipping exists for: a doubled token must not count twice against
+  * a reference that holds it once.
+  *
+  * The pairs CTE is built ONCE ([[pairsCte]]) and shared by all four
+  * text-metric oracles so they cannot drift from each other; the
+  * Spark fixture mirrors it expression-for-expression.
+  */
+object Eval extends QueryPack {
+
+  /** Spark side of the shared fixture — the [[pairsCte]] twin. */
+  private def pairs(s: SparkSession, dir: String): DataFrame = {
+    val tok =
+      """CASE WHEN (q + doc_id) % 5 = 0 AND q > 1
+        |     THEN element_at(ref, q - 1) ELSE element_at(ref, q) END"""
+        .stripMargin
+    Tables.documents(s, dir)
+      .withColumn("toks",
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .filter(size(col("toks")) >= 8)
+      .withColumn("ref", expr("slice(toks, 1, 24)"))
+      .withColumn("cand", expr(
+        s"""flatten(transform(sequence(1, size(ref)), q ->
+           |  CASE WHEN (q * 3 + doc_id) % 11 = 0
+           |       THEN array($tok, $tok)
+           |       ELSE array($tok) END))""".stripMargin))
+      .select(col("doc_id"), col("source"), col("ref"), col("cand"))
+  }
+
+  /** The DuckDB twin of [[pairs]], shared by every oracle below. */
+  private val pairsCte: String = {
+    val tok =
+      """CASE WHEN (q + doc_id) % 5 = 0 AND q > 1
+        |           THEN ref[q - 1] ELSE ref[q] END""".stripMargin
+    s"""base AS (
+       |  SELECT doc_id, source,
+       |    (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:24] AS ref
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 8),
+       |pairs AS (
+       |  SELECT doc_id, source, ref,
+       |    flatten(list_transform(range(1, len(ref) + 1), q ->
+       |      CASE WHEN (q * 3 + doc_id) % 11 = 0
+       |           THEN [$tok, $tok]
+       |           ELSE [$tok] END)) AS cand
+       |  FROM base)""".stripMargin
+  }
+
+  /** Token n-grams of list column `c` for order `n` as a DuckDB
+    * expression (space-joined — injective over `[a-z0-9]+` tokens).
+    */
+  private def gramsSql(c: String, n: String): String =
+    s"list_transform(range(1, len($c) - $n + 2), " +
+      s"i -> array_to_string($c[i:i + $n - 1], ' '))"
+
+  /** Corpus BLEU-4 gate (q239). Every value exact: integer clipped
+    * matches and totals, single-division precisions, iterated-sqrt
+    * geometric mean, brevity penalty pinned to the exact-1.0 branch
+    * by the insertion-only fixture.
+    */
+  def bleuGate(s: SparkSession, dir: String): DataFrame =
+    GenEval.bleu(pairs(s, dir))
+
+  private val bleuSql: String =
+    s"""WITH $pairsCte,
+       |nn AS (SELECT unnest([1, 2, 3, 4]) AS n),
+       |grams AS (
+       |  SELECT pr.doc_id, nn.n, 'c' AS side,
+       |    unnest(${gramsSql("cand", "nn.n")}) AS g
+       |  FROM pairs pr CROSS JOIN nn
+       |  UNION ALL
+       |  SELECT pr.doc_id, nn.n, 'r',
+       |    unnest(${gramsSql("ref", "nn.n")})
+       |  FROM pairs pr CROSS JOIN nn),
+       |cnt AS (
+       |  SELECT doc_id, n, g,
+       |    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+       |    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+       |  FROM grams GROUP BY 1, 2, 3),
+       |m AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN n = 1 THEN least(cc, rc) END) AS BIGINT) AS m1,
+       |    CAST(sum(CASE WHEN n = 2 THEN least(cc, rc) END) AS BIGINT) AS m2,
+       |    CAST(sum(CASE WHEN n = 3 THEN least(cc, rc) END) AS BIGINT) AS m3,
+       |    CAST(sum(CASE WHEN n = 4 THEN least(cc, rc) END) AS BIGINT) AS m4
+       |  FROM cnt),
+       |t AS (
+       |  SELECT
+       |    CAST(sum(len(cand)) AS BIGINT) AS t1,
+       |    CAST(sum(greatest(len(cand) - 1, 0)) AS BIGINT) AS t2,
+       |    CAST(sum(greatest(len(cand) - 2, 0)) AS BIGINT) AS t3,
+       |    CAST(sum(greatest(len(cand) - 3, 0)) AS BIGINT) AS t4,
+       |    CAST(sum(len(cand)) AS BIGINT) AS cand_len,
+       |    CAST(sum(len(ref)) AS BIGINT) AS ref_len
+       |  FROM pairs),
+       |w AS (
+       |  SELECT *,
+       |    CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS p1,
+       |    CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS p2,
+       |    CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE) AS p3,
+       |    CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE) AS p4,
+       |    CASE WHEN cand_len >= ref_len THEN CAST(1.0 AS DOUBLE)
+       |         ELSE exp(1.0 - CAST(ref_len AS DOUBLE) /
+       |                        CAST(cand_len AS DOUBLE)) END AS bp
+       |  FROM m CROSS JOIN t)
+       |SELECT cand_len, ref_len, m1, m2, m3, m4, t1, t2, t3, t4,
+       |  p1, p2, p3, p4, bp,
+       |  bp * sqrt(sqrt(p1 * p2 * p3 * p4)) AS bleu
+       |FROM w""".stripMargin
+
+  /** Micro-averaged ROUGE-1/2 per source (q240). */
+  def rougeNGate(s: SparkSession, dir: String): DataFrame =
+    GenEval.rougeN(pairs(s, dir), groupCols = Seq("source"))
+
+  private val rougeNSql: String =
+    s"""WITH $pairsCte,
+       |nn AS (SELECT unnest([1, 2]) AS n),
+       |grams AS (
+       |  SELECT pr.source, pr.doc_id, nn.n, 'c' AS side,
+       |    unnest(${gramsSql("cand", "nn.n")}) AS g
+       |  FROM pairs pr CROSS JOIN nn
+       |  UNION ALL
+       |  SELECT pr.source, pr.doc_id, nn.n, 'r',
+       |    unnest(${gramsSql("ref", "nn.n")})
+       |  FROM pairs pr CROSS JOIN nn),
+       |cnt AS (
+       |  SELECT source, doc_id, n, g,
+       |    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+       |    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+       |  FROM grams GROUP BY 1, 2, 3, 4),
+       |m AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN n = 1 THEN least(cc, rc) END) AS BIGINT) AS m1,
+       |    CAST(sum(CASE WHEN n = 2 THEN least(cc, rc) END) AS BIGINT) AS m2
+       |  FROM cnt GROUP BY 1),
+       |t AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(cand)) AS BIGINT) AS tc1,
+       |    CAST(sum(greatest(len(cand) - 1, 0)) AS BIGINT) AS tc2,
+       |    CAST(sum(len(ref)) AS BIGINT) AS tr1,
+       |    CAST(sum(greatest(len(ref) - 1, 0)) AS BIGINT) AS tr2
+       |  FROM pairs GROUP BY 1),
+       |w AS (
+       |  SELECT m.source, n_docs, m1, tc1, tr1, m2, tc2, tr2,
+       |    CAST(m1 AS DOUBLE) / CAST(tc1 AS DOUBLE) AS p1,
+       |    CAST(m1 AS DOUBLE) / CAST(tr1 AS DOUBLE) AS r1,
+       |    CAST(m2 AS DOUBLE) / CAST(tc2 AS DOUBLE) AS p2,
+       |    CAST(m2 AS DOUBLE) / CAST(tr2 AS DOUBLE) AS r2
+       |  FROM m JOIN t USING (source))
+       |SELECT source, n_docs, m1, tc1, tr1, p1, r1,
+       |  CASE WHEN p1 + r1 > 0.0 THEN 2.0 * p1 * r1 / (p1 + r1)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS f1,
+       |  m2, tc2, tr2, p2, r2,
+       |  CASE WHEN p2 + r2 > 0.0 THEN 2.0 * p2 * r2 / (p2 + r2)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS f2
+       |FROM w""".stripMargin
+
+  /** Micro-averaged ROUGE-L per source (q241): LCS replayed by the
+    * oracle as a nested list_reduce DP over the same token lists.
+    */
+  def rougeLGate(s: SparkSession, dir: String): DataFrame =
+    GenEval.rougeL(pairs(s, dir), groupCols = Seq("source"))
+
+  private val rougeLSql: String =
+    s"""WITH $pairsCte,
+       |lcs AS (
+       |  SELECT source,
+       |    list_reduce(
+       |      list_prepend(list_transform(range(0, len(ref) + 1), j -> 0),
+       |        list_transform(range(1, len(cand) + 1), i -> [i])),
+       |      (acc, xi) -> list_reduce(
+       |        list_prepend([0],
+       |          list_transform(range(1, len(ref) + 1), j -> [j])),
+       |        (acc2, yj) -> list_append(acc2,
+       |          CASE WHEN cand[xi[1]] = ref[yj[1]] THEN acc[yj[1]] + 1
+       |               ELSE greatest(acc[yj[1] + 1], acc2[len(acc2)])
+       |          END)))[len(ref) + 1] AS l,
+       |    len(cand) AS cl, len(ref) AS rl
+       |  FROM pairs),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(l) AS BIGINT) AS lcs_sum,
+       |    CAST(sum(cl) AS BIGINT) AS cand_len,
+       |    CAST(sum(rl) AS BIGINT) AS ref_len
+       |  FROM lcs GROUP BY 1),
+       |w AS (
+       |  SELECT *,
+       |    CAST(lcs_sum AS DOUBLE) / CAST(cand_len AS DOUBLE) AS p,
+       |    CAST(lcs_sum AS DOUBLE) / CAST(ref_len AS DOUBLE) AS r
+       |  FROM g)
+       |SELECT source, n_docs, lcs_sum, cand_len, ref_len, p, r,
+       |  CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS f1
+       |FROM w""".stripMargin
+
+  /** Corpus chrF gate (q242): char-1..6-gram F-β (β = 2) over the
+    * whitespace-stripped pair strings (the sacrebleu convention).
+    */
+  def chrfGate(s: SparkSession, dir: String): DataFrame =
+    GenEval.chrF(pairs(s, dir).select(
+      col("doc_id"),
+      array_join(col("cand"), "").as("cand_str"),
+      array_join(col("ref"), "").as("ref_str")))
+
+  private val chrfSql: String = {
+    val ns = 1 to 6
+    def grams(c: String, n: Int) =
+      s"list_transform(range(1, length($c) - ${n - 1} + 1), " +
+        s"i -> $c[i:i + ${n - 1}])"
+    val gramUnion = ns.map { n =>
+      s"""  SELECT doc_id, $n AS n, 'c' AS side,
+         |    unnest(${grams("cs", n)}) AS g FROM strs
+         |  UNION ALL
+         |  SELECT doc_id, $n, 'r', unnest(${grams("rs", n)}) FROM strs"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val mCols = ns.map(n =>
+      s"CAST(sum(CASE WHEN n = $n THEN least(cc, rc) END) AS BIGINT) AS m$n")
+      .mkString(",\n    ")
+    val tCols = ns.flatMap(n => Seq(
+      s"CAST(sum(greatest(length(cs) - ${n - 1}, 0)) AS BIGINT) AS tc$n",
+      s"CAST(sum(greatest(length(rs) - ${n - 1}, 0)) AS BIGINT) AS tr$n"))
+      .mkString(",\n    ")
+    val pCols = ns.map(n =>
+      s"CAST(m$n AS DOUBLE) / CAST(tc$n AS DOUBLE) AS p$n").mkString(",\n    ")
+    val rCols = ns.map(n =>
+      s"CAST(m$n AS DOUBLE) / CAST(tr$n AS DOUBLE) AS r$n").mkString(",\n    ")
+    val outCols = ns.map(n => s"m$n, tc$n, tr$n").mkString(", ")
+    val pSum = ns.map(n => s"p$n").mkString(" + ")
+    val rSum = ns.map(n => s"r$n").mkString(" + ")
+    s"""WITH $pairsCte,
+       |strs AS (
+       |  SELECT doc_id, array_to_string(cand, '') AS cs,
+       |    array_to_string(ref, '') AS rs
+       |  FROM pairs),
+       |grams AS (
+       |$gramUnion),
+       |cnt AS (
+       |  SELECT doc_id, n, g,
+       |    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+       |    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+       |  FROM grams GROUP BY 1, 2, 3),
+       |m AS (SELECT
+       |    $mCols
+       |  FROM cnt),
+       |t AS (SELECT
+       |    $tCols
+       |  FROM strs),
+       |w AS (
+       |  SELECT *,
+       |    $pCols,
+       |    $rCols
+       |  FROM m CROSS JOIN t),
+       |f AS (
+       |  SELECT *, ($pSum) / 6.0 AS p_avg, ($rSum) / 6.0 AS r_avg
+       |  FROM w)
+       |SELECT $outCols, p_avg, r_avg,
+       |  CASE WHEN 4.0 * p_avg + r_avg > 0.0
+       |       THEN (5.0 * p_avg * r_avg) / (4.0 * p_avg + r_avg)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS chrf
+       |FROM f""".stripMargin
+  }
+
+  /** pass@k gate (q243): each document is one sample of problem
+    * doc_id % 40; correctness is exact integer arithmetic with a
+    * per-problem rate that rises with the problem id, so the fixture
+    * spans near-0 to near-1 pass rates. pass@1 and pass@5 from the
+    * unbiased falling-factorial estimator — one exact division each.
+    */
+  def passAtKGate(s: SparkSession, dir: String): DataFrame =
+    GenEval.passAtK(
+      Tables.documents(s, dir).select(
+        expr("doc_id % 40").as("problem_id"),
+        expr("""CASE WHEN (doc_id * 37 + n_chars * 17) % 100 <
+               |          10 + (doc_id % 40) * 2
+               |     THEN 1 ELSE 0 END""".stripMargin).as("correct")),
+      ks = Seq(1, 5))
+
+  private val passAtKSql: String =
+    """WITH s AS (
+      |  SELECT doc_id % 40 AS problem_id,
+      |    CASE WHEN (doc_id * 37 + n_chars * 17) % 100 <
+      |              10 + (doc_id % 40) * 2
+      |         THEN 1 ELSE 0 END AS correct
+      |  FROM documents),
+      |g AS (
+      |  SELECT problem_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(correct) AS BIGINT) AS c
+      |  FROM s GROUP BY 1)
+      |SELECT problem_id, n, c,
+      |  CASE WHEN n < 1 THEN NULL
+      |       WHEN n - c < 1 THEN CAST(1.0 AS DOUBLE)
+      |       ELSE 1.0 - CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE)
+      |  END AS pass_at_1,
+      |  CASE WHEN n < 5 THEN NULL
+      |       WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE)
+      |       ELSE 1.0 -
+      |         CAST((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4) AS DOUBLE) /
+      |         CAST(n * (n-1) * (n-2) * (n-3) * (n-4) AS DOUBLE)
+      |  END AS pass_at_5
+      |FROM g""".stripMargin
+
+  /** Calibration gate (q244): confidence in exact integer mills with
+    * correctness planted AT the confidence rate (P(correct) ≈ conf),
+    * so the reliability diagram reads near-diagonal and ECE is small
+    * but nonzero. Integer bin sums; ECE folds bins in ascending order.
+    */
+  def calibrationGate(s: SparkSession, dir: String): DataFrame =
+    GenEval.calibrationEce(
+      Tables.documents(s, dir).select(
+        expr("(doc_id * 73 + n_chars * 37) % 1000").as("conf_mill"),
+        expr("""CASE WHEN (doc_id * 31 + n_chars) % 1000 <
+               |          (doc_id * 73 + n_chars * 37) % 1000
+               |     THEN 1 ELSE 0 END""".stripMargin).as("correct")))
+
+  private val calibrationSql: String =
+    """WITH s AS (
+      |  SELECT (doc_id * 73 + n_chars * 37) % 1000 AS conf_mill,
+      |    CASE WHEN (doc_id * 31 + n_chars) % 1000 <
+      |              (doc_id * 73 + n_chars * 37) % 1000
+      |         THEN 1 ELSE 0 END AS correct
+      |  FROM documents),
+      |b AS (
+      |  SELECT least((conf_mill * 10) // 1000, 9) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n_bin,
+      |    CAST(sum(conf_mill) AS BIGINT) AS mill_sum,
+      |    CAST(sum(correct) AS BIGINT) AS n_correct
+      |  FROM s GROUP BY 1),
+      |g AS (
+      |  SELECT bin, n_bin,
+      |    CAST(mill_sum AS DOUBLE) /
+      |      (1000.0 * CAST(n_bin AS DOUBLE)) AS avg_conf,
+      |    CAST(n_correct AS DOUBLE) / CAST(n_bin AS DOUBLE) AS accuracy
+      |  FROM b),
+      |d AS (
+      |  SELECT bin, n_bin, avg_conf, accuracy,
+      |    abs(accuracy - avg_conf) AS abs_gap
+      |  FROM g),
+      |e AS (
+      |  SELECT CAST(sum(n_bin) AS BIGINT) AS n_total,
+      |    list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list(CAST(n_bin AS DOUBLE) * abs_gap ORDER BY bin)),
+      |      (a, x) -> a + x) AS gap_sum
+      |  FROM d)
+      |SELECT d.bin, d.n_bin, d.avg_conf, d.accuracy, d.abs_gap,
+      |  e.gap_sum / CAST(e.n_total AS DOUBLE) AS ece
+      |FROM d CROSS JOIN e""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_bleu" -> bleuGate _,
+    "q240_rouge_n" -> rougeNGate _,
+    "q241_rouge_l" -> rougeLGate _,
+    "q242_chrf" -> chrfGate _,
+    "q243_pass_at_k" -> passAtKGate _,
+    "q244_calibration" -> calibrationGate _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q239_bleu" -> bleuSql,
+    "q240_rouge_n" -> rougeNSql,
+    "q241_rouge_l" -> rougeLSql,
+    "q242_chrf" -> chrfSql,
+    "q243_pass_at_k" -> passAtKSql,
+    "q244_calibration" -> calibrationSql,
+  )
+}

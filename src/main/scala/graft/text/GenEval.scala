@@ -1,0 +1,241 @@
+package graft.text
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generation-eval metrics — the scores an eval sweep attaches to every
+  * model checkpoint: corpus BLEU, ROUGE-N, ROUGE-L, chrF, pass@k, and
+  * calibration (ECE). The reference repo has no eval surface at all
+  * (its 4 scripts stop at ingestion); these are the operators the
+  * north-star LLM pipeline runs nightly over millions of
+  * (candidate, reference) pairs.
+  *
+  * Plan shape, shared by every metric here: each pair's counts are
+  * computed ROW-LOCALLY by a generated kernel
+  * ([[graft.functions.GenEvalKernels]] — clipped n-gram overlap, LCS),
+  * then ONE constant-width aggregate reduces the corpus. No shuffle
+  * carries gram text; the only data movement is the map-side partial
+  * aggregation of a fixed handful of longs — the same plan at 500 docs
+  * and 500 billion.
+  *
+  * Numeric discipline (the q209/q232 convention): every corpus-level
+  * statistic is an exact integer sum, and every emitted float is a
+  * FIXED-ORDER expression over those integers (single divisions,
+  * explicit parenthesization, sqrt — all correctly-rounded IEEE ops),
+  * so a DuckDB oracle reproduces each value bit-for-bit. The one
+  * transcendental (BLEU's brevity-penalty `exp`) sits behind a
+  * `when(candLen >= refLen, 1.0)` guard — exact whenever candidates
+  * are not corpus-shorter than references.
+  */
+object GenEval {
+
+  /** Corpus BLEU-`maxN` over (candidate tokens, reference tokens)
+    * pairs: per-order clipped-match and total counts summed over the
+    * corpus, precision geometric mean via iterated sqrt (exact for
+    * maxN ∈ {2, 4}), multiplied by the brevity penalty.
+    *
+    * @return one row: cand_len, ref_len, m1..m`maxN`, t1..t`maxN`,
+    *         p1..p`maxN`, bp, bleu
+    */
+  def bleu(pairs: DataFrame, maxN: Int = 4,
+      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    require(maxN == 2 || maxN == 4,
+      s"bleu: maxN must be 2 or 4 (iterated-sqrt geometric mean), got $maxN")
+    val ns = 1 to maxN
+    val counts = pairs.agg(
+      sum(size(col(candCol))).cast("long").as("cand_len"),
+      sum(size(col(refCol))).cast("long").as("ref_len") +:
+        ns.flatMap { n =>
+          Seq(
+            sum(GraftFunctions.ngramClipped(col(candCol), col(refCol), n))
+              .cast("long").as(s"m$n"),
+            sum(greatest(size(col(candCol)) - (n - 1), lit(0)))
+              .cast("long").as(s"t$n"))
+        }: _*)
+    val precs = ns.map(n =>
+      col(s"m$n").cast("double") / col(s"t$n").cast("double"))
+    // ((p1*p2)*p3)*p4 then sqrt(sqrt(.)): fixed order, every op
+    // correctly rounded — bit-identical to the oracle's same spelling
+    val prod = precs.reduceLeft(_ * _)
+    val geo = if (maxN == 2) sqrt(prod) else sqrt(sqrt(prod))
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("cand_len").cast("double")))
+    counts.select(
+      col("cand_len") +: col("ref_len") +:
+        (ns.map(n => col(s"m$n")) ++ ns.map(n => col(s"t$n")) ++
+          ns.zip(precs).map { case (n, p) => p.as(s"p$n") }) :+
+        bp.as("bp") :+ (bp * geo).as("bleu"): _*)
+  }
+
+  /** Micro-averaged ROUGE-N per group: corpus-summed clipped matches
+    * over candidate-gram totals (precision) and reference-gram totals
+    * (recall), F1 from the two. Micro-averaging keeps every emitted
+    * float a single division of exact integer sums — no per-doc float
+    * averaging, no fold-order exposure.
+    *
+    * @return one row per group: groupCols, n_docs, then per n:
+    *         m`n`, tc`n`, tr`n`, p`n`, r`n`, f`n`
+    */
+  def rougeN(pairs: DataFrame, ns: Seq[Int] = Seq(1, 2),
+      groupCols: Seq[String] = Nil,
+      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    val aggs = count(lit(1)).as("n_docs") +: ns.flatMap { n =>
+      Seq(
+        sum(GraftFunctions.ngramClipped(col(candCol), col(refCol), n))
+          .cast("long").as(s"m$n"),
+        sum(greatest(size(col(candCol)) - (n - 1), lit(0)))
+          .cast("long").as(s"tc$n"),
+        sum(greatest(size(col(refCol)) - (n - 1), lit(0)))
+          .cast("long").as(s"tr$n"))
+    }
+    val counts = pairs.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val metrics = ns.flatMap { n =>
+      val p = ratio(col(s"m$n"), col(s"tc$n"))
+      val r = ratio(col(s"m$n"), col(s"tr$n"))
+      Seq(p.as(s"p$n"), r.as(s"r$n"), f1(p, r).as(s"f$n"))
+    }
+    counts.select(groupCols.map(col) ++ Seq(col("n_docs")) ++
+      ns.flatMap(n => Seq(col(s"m$n"), col(s"tc$n"), col(s"tr$n"))) ++
+      metrics: _*)
+  }
+
+  /** Micro-averaged ROUGE-L per group: corpus-summed LCS length over
+    * candidate/reference token totals. LCS runs row-locally in the
+    * generated [[graft.functions.LcsLength]] kernel — O(|c|·|r|) per
+    * pair, zero shuffle.
+    *
+    * @return one row per group: groupCols, n_docs, lcs_sum, cand_len,
+    *         ref_len, p, r, f1
+    */
+  def rougeL(pairs: DataFrame, groupCols: Seq[String] = Nil,
+      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    val counts = pairs.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(GraftFunctions.lcsLength(col(candCol), col(refCol)))
+        .cast("long").as("lcs_sum"),
+      sum(size(col(candCol))).cast("long").as("cand_len"),
+      sum(size(col(refCol))).cast("long").as("ref_len"))
+    val p = ratio(col("lcs_sum"), col("cand_len"))
+    val r = ratio(col("lcs_sum"), col("ref_len"))
+    counts.select(groupCols.map(col) ++ Seq(col("n_docs"), col("lcs_sum"),
+      col("cand_len"), col("ref_len"), p.as("p"), r.as("r"),
+      f1(p, r).as("f1")): _*)
+  }
+
+  /** Corpus chrF over (candidate string, reference string) pairs:
+    * char-1..`maxN`-gram clipped matches micro-aggregated, P and R
+    * averaged over orders with an explicit left-to-right sum (fixed
+    * fold order), combined with the chrF β-weighted F-score
+    * (β = 2 standard: recall weighted 4×).
+    *
+    * @return one row: m1..m`maxN`, tc1..tc`maxN`, tr1..tr`maxN`,
+    *         p_avg, r_avg, chrf
+    */
+  def chrF(pairs: DataFrame, maxN: Int = 6, beta: Double = 2.0,
+      candCol: String = "cand_str", refCol: String = "ref_str"): DataFrame = {
+    val ns = 1 to maxN
+    val aggs = ns.flatMap { n =>
+      Seq(
+        sum(GraftFunctions.charGramClipped(col(candCol), col(refCol), n))
+          .cast("long").as(s"m$n"),
+        sum(greatest(length(col(candCol)) - (n - 1), lit(0)))
+          .cast("long").as(s"tc$n"),
+        sum(greatest(length(col(refCol)) - (n - 1), lit(0)))
+          .cast("long").as(s"tr$n"))
+    }
+    val counts = pairs.agg(aggs.head, aggs.tail: _*)
+    // (p1 + p2 + ... + pN) / N: left-assoc addition, same order as the
+    // oracle's literal spelling
+    val pAvg = ns.map(n => ratio(col(s"m$n"), col(s"tc$n")))
+      .reduceLeft(_ + _) / lit(maxN.toDouble)
+    val rAvg = ns.map(n => ratio(col(s"m$n"), col(s"tr$n")))
+      .reduceLeft(_ + _) / lit(maxN.toDouble)
+    val b2 = beta * beta
+    val chrf = when(lit(b2) * pAvg + rAvg > 0.0,
+      (lit(1.0 + b2) * pAvg * rAvg) / (lit(b2) * pAvg + rAvg))
+      .otherwise(lit(0.0))
+    counts.select(ns.flatMap(n =>
+      Seq(col(s"m$n"), col(s"tc$n"), col(s"tr$n"))) ++
+      Seq(pAvg.as("p_avg"), rAvg.as("r_avg"), chrf.as("chrf")): _*)
+  }
+
+  /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
+    * Trained on Code", 2021) per problem: with n samples and c
+    * correct, pass@k = 1 − C(n−c,k)/C(n,k), computed as ONE division
+    * of two exact BIGINT falling-factorial products
+    * Π_{j=0..k−1}(n−c−j) / Π_{j=0..k−1}(n−j) — no floating-point
+    * combinatorics, no libm. n−c < k ⇒ 1.0 exactly.
+    *
+    * @param samples one row per (problem, sample) with boolean/0-1
+    *                `correctCol`
+    * @return one row per problem: problemCol, n, c, pass_at_`k`...
+    */
+  def passAtK(samples: DataFrame, ks: Seq[Int] = Seq(1, 5),
+      problemCol: String = "problem_id",
+      correctCol: String = "correct"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad ks: $ks")
+    val counts = samples.groupBy(col(problemCol)).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col(correctCol).cast("long")).cast("long").as("c"))
+    val cols = ks.map { k =>
+      val num = (0 until k).map(j => col("n") - col("c") - lit(j))
+        .reduceLeft(_ * _)
+      val den = (0 until k).map(j => col("n") - lit(j))
+        .reduceLeft(_ * _)
+      when(col("n") < k, lit(null).cast("double")) // estimator undefined
+        .when(col("n") - col("c") < k, lit(1.0))
+        .otherwise(lit(1.0) - num.cast("double") / den.cast("double"))
+        .as(s"pass_at_$k")
+    }
+    counts.select(col(problemCol) +: col("n") +: col("c") +: cols: _*)
+  }
+
+  /** Reliability diagram + expected calibration error over
+    * (confidence, correctness) predictions. Confidence arrives as an
+    * exact INTEGER in mills (0..999 = 0.000..0.999) so binning and
+    * per-bin mean confidence stay in integer arithmetic until one
+    * final division each; ECE folds the per-bin contributions in
+    * ascending-bin order (sorted-array aggregate — the fold-order
+    * stability discipline), so the whole output is bit-reproducible.
+    *
+    * @return one row per non-empty bin: bin, n_bin, avg_conf,
+    *         accuracy, abs_gap, ece (corpus constant on every row)
+    */
+  def calibrationEce(preds: DataFrame, bins: Int = 10,
+      confMillCol: String = "conf_mill",
+      correctCol: String = "correct"): DataFrame = {
+    require(bins >= 2 && 1000 % bins == 0,
+      s"bins must divide the mill scale, got $bins")
+    val perBin = preds
+      .groupBy(least(expr(s"($confMillCol * $bins) div 1000"),
+        lit(bins - 1L)).as("bin"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bin"),
+        sum(col(confMillCol).cast("long")).cast("long").as("mill_sum"),
+        sum(col(correctCol).cast("long")).cast("long").as("n_correct"))
+      .select(col("bin"), col("n_bin"),
+        (col("mill_sum").cast("double") /
+          (lit(1000.0) * col("n_bin").cast("double"))).as("avg_conf"),
+        ratio(col("n_correct"), col("n_bin")).as("accuracy"))
+      .withColumn("abs_gap", abs(col("accuracy") - col("avg_conf")))
+    val ece = perBin.agg(
+      sum(col("n_bin")).cast("long").as("n_total"),
+      aggregate(
+        sort_array(collect_list(struct(col("bin"),
+          (col("n_bin").cast("double") * col("abs_gap")).as("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("gap_sum"))
+      .select((col("gap_sum") / col("n_total").cast("double")).as("ece"))
+    perBin.crossJoin(broadcast(ece))
+  }
+
+  /** Exact-integer ratio with a zero-denominator guard (NULL, loud in
+    * any downstream require — never a silent 0). */
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double"))
+
+  private def f1(p: Column, r: Column): Column =
+    when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))
+}

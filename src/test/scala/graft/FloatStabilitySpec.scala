@@ -100,7 +100,13 @@ class FloatStabilitySpec extends SparkSpec {
     "q212_corpus_overlap",       // KMV overlap estimates
     "q216_bootstrap_ci",         // Poisson-bootstrap CI bounds
     "q217_source_similarity",    // KMV similarity matrix
-    "q223_bootstrap_ci_by_source")
+    "q223_bootstrap_ci_by_source",
+    "q239_bleu",                 // geneval family: every float is a
+    "q240_rouge_n",              // fixed-order expression over exact
+    "q241_rouge_l",              // integer sums (integer addition is
+    "q242_chrf",                 // order-free), so these must be
+    "q243_pass_at_k",            // bit-stable under any layout
+    "q244_calibration")
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

@@ -1,0 +1,182 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.{GenEvalKernels, GraftFunctions}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class GenEvalSpec extends SparkSpec {
+
+  private def arr(ts: String*): GenericArrayData =
+    new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+
+  /** Brute-force clipped-match reference: count per distinct gram,
+    * Σ min(candCount, refCount). */
+  private def bruteClipped(cand: Seq[String], ref: Seq[String], n: Int): Long = {
+    def grams(ts: Seq[String]) =
+      ts.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    val rc = grams(ref).groupBy(identity).view.mapValues(_.size)
+    grams(cand).groupBy(identity)
+      .map { case (g, occ) => math.min(occ.size, rc.getOrElse(g, 0)) }
+      .sum
+  }
+
+  /** Brute-force LCS via full DP table. */
+  private def bruteLcs(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+    for (i <- 1 to a.size; j <- 1 to b.size)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.size)(b.size)
+  }
+
+  test("ngramClipped clips repeated candidate grams at the reference count") {
+    // the classic BLEU degenerate case: "the the the ..." against a
+    // reference holding "the" twice → clipped unigram matches = 2
+    val cand = Seq("the", "the", "the", "the", "the")
+    val ref = Seq("the", "cat", "sat", "on", "the", "mat")
+    assert(GenEvalKernels.ngramClipped(arr(cand: _*), arr(ref: _*), 1) === 2L)
+    assert(GenEvalKernels.ngramClipped(arr(cand: _*), arr(ref: _*), 2) === 0L)
+  }
+
+  test("ngramClipped matches the brute-force reference on random corpora") {
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (_ <- 1 to 200; n <- 1 to 4) {
+      val cand = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      val ref = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      assert(
+        GenEvalKernels.ngramClipped(arr(cand: _*), arr(ref: _*), n) ===
+          bruteClipped(cand, ref, n),
+        s"cand=$cand ref=$ref n=$n")
+    }
+  }
+
+  test("charGramClipped matches the brute-force reference over substrings") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 200; n <- 1 to 6) {
+      val cand = Seq.fill(rng.nextInt(15))(('a' + rng.nextInt(3)).toChar).mkString
+      val ref = Seq.fill(rng.nextInt(15))(('a' + rng.nextInt(3)).toChar).mkString
+      assert(
+        GenEvalKernels.charGramClipped(
+          UTF8String.fromString(cand), UTF8String.fromString(ref), n) ===
+          bruteClipped(cand.map(_.toString), ref.map(_.toString), n),
+        s"cand=$cand ref=$ref n=$n")
+    }
+  }
+
+  test("lcsLength matches the full-table DP on random sequences") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("x", "y", "z", "w")
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rng.nextInt(15))(vocab(rng.nextInt(vocab.size)))
+      val b = Seq.fill(rng.nextInt(15))(vocab(rng.nextInt(vocab.size)))
+      assert(GenEvalKernels.lcsLength(arr(a: _*), arr(b: _*)) ===
+        bruteLcs(a, b), s"a=$a b=$b")
+    }
+    assert(GenEvalKernels.lcsLength(
+      arr("a", "b", "c", "b", "d", "a", "b"),
+      arr("b", "d", "c", "a", "b", "a")) === 4) // the textbook example
+  }
+
+  test("expressions run identically from generated code (DataFrame path)") {
+    import graft.SparkSpec.spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "a", "c"), Seq("a", "a", "b")),
+      (Seq("x"), Seq("y")),
+      (Seq.empty[String], Seq("a"))).toDF("cand", "ref")
+    val got = df.select(
+      GraftFunctions.ngramClipped(col("cand"), col("ref"), 1).as("m1"),
+      GraftFunctions.ngramClipped(col("cand"), col("ref"), 2).as("m2"),
+      GraftFunctions.lcsLength(col("cand"), col("ref")).as("lcs"),
+      GraftFunctions.charGramClipped(
+        concat_ws("", col("cand")), concat_ws("", col("ref")), 2).as("cg2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // row 1: unigrams a,b,a,c vs a,a,b → a:min(2,2)+b:min(1,1)=3;
+    //        bigrams "a b","b a","a c" vs "a a","a b" → 1; lcs(abac,aab)=2
+    //        chars "abac" vs "aab": bigrams ab,ba,ac vs aa,ab → 1
+    assert(got(0) === ((3L, 1L, 2, 1L)))
+    assert(got(1) === ((0L, 0L, 0, 0L)))
+    assert(got(2) === ((0L, 0L, 0, 0L)))
+  }
+
+  test("bleu: hand-checked corpus with exact brevity penalty 1") {
+    import graft.SparkSpec.spark.implicits._
+    // one pair: cand = ref with one token doubled → longer than ref
+    val pairs = Seq(
+      (Seq("the", "cat", "cat", "sat"), Seq("the", "cat", "sat")))
+      .toDF("cand", "ref")
+    val r = GenEval.bleu(pairs).collect().head
+    assert(r.getAs[Long]("cand_len") === 4L)
+    assert(r.getAs[Long]("ref_len") === 3L)
+    // unigrams: the,cat,cat,sat vs the,cat,sat → clipped 3 of 4
+    assert(r.getAs[Long]("m1") === 3L && r.getAs[Long]("t1") === 4L)
+    // bigrams: "the cat","cat cat","cat sat" vs "the cat","cat sat" → 2 of 3
+    assert(r.getAs[Long]("m2") === 2L && r.getAs[Long]("t2") === 3L)
+    assert(r.getAs[Double]("bp") === 1.0)
+    val expected = math.sqrt(math.sqrt(
+      (3.0 / 4.0) * (2.0 / 3.0) * (1.0 / 2.0) * (0.0 / 1.0)))
+    assert(r.getAs[Double]("bleu") === expected) // = 0: no 4-gram match
+  }
+
+  test("rougeL micro-averages exactly") {
+    import graft.SparkSpec.spark.implicits._
+    val pairs = Seq(
+      ("s1", Seq("a", "b", "c"), Seq("a", "c")),
+      ("s1", Seq("x", "y"), Seq("x", "y"))).toDF("source", "cand", "ref")
+    val r = GenEval.rougeL(pairs, groupCols = Seq("source")).collect().head
+    assert(r.getAs[Long]("lcs_sum") === 4L) // 2 + 2
+    assert(r.getAs[Long]("cand_len") === 5L)
+    assert(r.getAs[Long]("ref_len") === 4L)
+    assert(r.getAs[Double]("p") === 4.0 / 5.0)
+    assert(r.getAs[Double]("r") === 1.0)
+  }
+
+  test("passAtK reproduces the closed-form unbiased estimator") {
+    import graft.SparkSpec.spark.implicits._
+    // problem 0: n=5, c=2 → pass@1 = 2/5; pass@5 = 1 (n-c < 5)
+    // problem 1: n=6, c=1 → pass@5 = 1 - C(5,5)/C(6,5) = 1 - 1/6 = 5/6
+    val samples = (Seq.fill(2)((0, 1)) ++ Seq.fill(3)((0, 0)) ++
+      Seq.fill(1)((1, 1)) ++ Seq.fill(5)((1, 0)))
+      .toDF("problem_id", "correct")
+    val rows = GenEval.passAtK(samples, ks = Seq(1, 5))
+      .orderBy("problem_id").collect()
+    assert(rows(0).getAs[Double]("pass_at_1") === 1.0 - 3.0 / 5.0)
+    assert(rows(0).getAs[Double]("pass_at_5") === 1.0)
+    assert(rows(1).getAs[Double]("pass_at_1") === 1.0 - 5.0 / 6.0)
+    assert(rows(1).getAs[Double]("pass_at_5") ===
+      1.0 - (5.0 * 4 * 3 * 2 * 1) / (6.0 * 5 * 4 * 3 * 2))
+    // n < k: estimator undefined → NULL, never a fabricated score
+    val tiny = Seq((9, 1), (9, 0)).toDF("problem_id", "correct")
+    val t = GenEval.passAtK(tiny, ks = Seq(5)).collect().head
+    assert(t.isNullAt(t.fieldIndex("pass_at_5")))
+  }
+
+  test("calibrationEce: exact bins, gaps, and sorted-fold ECE") {
+    import graft.SparkSpec.spark.implicits._
+    // two bins: mills 100,150 (bin 1, both wrong) and 900 ×2 (bin 9, one right)
+    val preds = Seq((100, 0), (150, 0), (900, 1), (900, 0))
+      .toDF("conf_mill", "correct")
+    val rows = GenEval.calibrationEce(preds).orderBy("bin").collect()
+    assert(rows.length === 2)
+    val b1 = rows(0); val b9 = rows(1)
+    assert(b1.getAs[Long]("bin") === 1L && b1.getAs[Long]("n_bin") === 2L)
+    assert(b1.getAs[Double]("avg_conf") === 250.0 / 2000.0)
+    assert(b1.getAs[Double]("accuracy") === 0.0)
+    assert(b9.getAs[Double]("avg_conf") === 0.9)
+    assert(b9.getAs[Double]("accuracy") === 0.5)
+    val ece = (2.0 * 0.125 + 2.0 * math.abs(0.5 - 0.9)) / 4.0
+    assert(b1.getAs[Double]("ece") === ece)
+    assert(b9.getAs[Double]("ece") === ece)
+  }
+
+  test("gate fixture: candidates are never corpus-shorter (bp stays exact)") {
+    val r = graft.queries.Eval.bleuGate(spark, sf).collect().head
+    assert(r.getAs[Long]("cand_len") >= r.getAs[Long]("ref_len"))
+    assert(r.getAs[Double]("bp") === 1.0)
+    assert(r.getAs[Double]("bleu") > 0.0 && r.getAs[Double]("bleu") < 1.0,
+      "fixture must plant real errors, not an identity copy")
+  }
+}
