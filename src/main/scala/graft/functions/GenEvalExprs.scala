@@ -77,32 +77,83 @@ object GenEvalKernels {
   }
 
   /** Clipped char-n-gram matches between two strings — the chrF
-    * numerator. Grams are code-point-boundary-safe substrings
-    * (UTF8String.substring), counted per distinct gram then clipped.
+    * numerator. Gram identity is over Unicode CODE POINTS (what
+    * UTF8String.substring and DuckDB's `s[i:j]` both slice by), but
+    * the counting allocates nothing per gram: both strings decode to
+    * code-point arrays once, and reference grams live in an
+    * open-addressed (hash → first-occurrence index, count) table with
+    * probe-time verification against the array — exact multiset
+    * counting, zero per-gram Strings. The naive substring-per-gram
+    * HashMap spelling measured 8× this on the 50k-doc corpus (the
+    * chrF gate runs SIX orders per row; ~90M short-lived gram strings
+    * at sf1).
     */
   def charGramClipped(cand: UTF8String, ref: UTF8String, n: Int): Long = {
-    val rLen = ref.numChars() - n + 1
-    if (rLen <= 0) return 0L
-    val cLen = cand.numChars() - n + 1
-    if (cLen <= 0) return 0L
-    val refCounts = new java.util.HashMap[String, Int](rLen * 2)
+    val r = codePoints(ref)
+    val rn = r.length - n + 1
+    if (rn <= 0) return 0L
+    val c = codePoints(cand)
+    val cn = c.length - n + 1
+    if (cn <= 0) return 0L
+    // capacity: next power of two ≥ 2·rn (load factor ≤ 0.5)
+    var cap = 4
+    while (cap < rn * 2) cap <<= 1
+    val mask = cap - 1
+    val start = new Array[Int](cap) // ref gram start + 1; 0 = empty slot
+    val count = new Array[Int](cap)
+    def hashAt(a: Array[Int], s: Int): Int = {
+      var h = 1; var k = 0
+      while (k < n) { h = h * 31 + a(s + k); k += 1 }
+      // finalize so consecutive grams don't cluster one probe chain
+      h ^= (h >>> 16); h
+    }
+    def gramEq(as: Array[Int], ai: Int, bi: Int): Boolean = {
+      var k = 0
+      while (k < n) { if (as(ai + k) != r(bi + k)) return false; k += 1 }
+      true
+    }
     var i = 0
-    while (i < rLen) {
-      refCounts.merge(ref.substring(i, i + n).toString, 1, Integer.sum(_, _))
+    while (i < rn) {
+      var slot = hashAt(r, i) & mask
+      var done = false
+      while (!done) {
+        if (start(slot) == 0) {
+          start(slot) = i + 1; count(slot) = 1; done = true
+        } else if (gramEq(r, i, start(slot) - 1)) {
+          count(slot) += 1; done = true
+        } else slot = (slot + 1) & mask
+      }
       i += 1
     }
     var matches = 0L
     i = 0
-    while (i < cLen) {
-      val g = cand.substring(i, i + n).toString
-      val left = refCounts.get(g)
-      if (left != null && left > 0) {
-        matches += 1
-        refCounts.put(g, left - 1)
+    while (i < cn) {
+      var slot = hashAt(c, i) & mask
+      var done = false
+      while (!done) {
+        if (start(slot) == 0) done = true // gram absent from ref
+        else if (gramEq(c, i, start(slot) - 1)) {
+          if (count(slot) > 0) { count(slot) -= 1; matches += 1 }
+          done = true
+        } else slot = (slot + 1) & mask
       }
       i += 1
     }
     matches
+  }
+
+  /** Code points of a UTF8String as an int array (ONE allocation —
+    * the per-call cost the gram loop must not pay). */
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var ci = 0; var oi = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      out(oi) = cp; oi += 1
+      ci += Character.charCount(cp)
+    }
+    out
   }
 
   /** Longest common subsequence length of two token arrays — the

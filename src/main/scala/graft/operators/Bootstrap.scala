@@ -56,6 +56,24 @@ object Bootstrap {
       case ((c, k), rest) => when(u < c, k).otherwise(rest)
     }
 
+  /** The deterministic Poisson(1) weight for (id, replicate) — the
+    * md5-draw + threshold-ladder core of [[meanCI]], exposed for
+    * operators that reuse the SAME per-(id, j) draws (e.g. the PAIRED
+    * bootstrap, where two systems must share each document's weight
+    * so their per-resample difference is over identical resamples).
+    * Integer-typed: callers multiplying exact counts stay exact.
+    */
+  def poissonWeight(id: Column, j: Column, salt: String = ""): Column = {
+    val key =
+      if (salt.isEmpty)
+        concat(id.cast("string"), lit(":"), j.cast("string"))
+      else concat(id.cast("string"), lit(":"), j.cast("string"),
+        lit(":" + salt))
+    val u = conv(substring(md5(key), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+    poissonW(u).cast("long")
+  }
+
   /** The same ladder as a SQL CASE over column expression `u` — for
     * oracle construction (kept HERE so both engines share literals).
     */

@@ -30,11 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object Eval extends QueryPack {
 
-  /** Spark side of the shared fixture — the [[pairsCte]] twin. */
-  private def pairs(s: SparkSession, dir: String): DataFrame = {
+  /** Spark side of the shared fixture — the [[pairsCte]] twin.
+    * `repMod`/`insMod` set the error rates (smaller = worse system);
+    * the q245 paired test compares two settings of them.
+    */
+  private def pairs(s: SparkSession, dir: String,
+      repMod: Int = 5, insMod: Int = 11): DataFrame = {
     val tok =
-      """CASE WHEN (q + doc_id) % 5 = 0 AND q > 1
-        |     THEN element_at(ref, q - 1) ELSE element_at(ref, q) END"""
+      s"""CASE WHEN (q + doc_id) % $repMod = 0 AND q > 1
+         |     THEN element_at(ref, q - 1) ELSE element_at(ref, q) END"""
         .stripMargin
     Tables.documents(s, dir)
       .withColumn("toks",
@@ -43,30 +47,36 @@ object Eval extends QueryPack {
       .withColumn("ref", expr("slice(toks, 1, 24)"))
       .withColumn("cand", expr(
         s"""flatten(transform(sequence(1, size(ref)), q ->
-           |  CASE WHEN (q * 3 + doc_id) % 11 = 0
+           |  CASE WHEN (q * 3 + doc_id) % $insMod = 0
            |       THEN array($tok, $tok)
            |       ELSE array($tok) END))""".stripMargin))
       .select(col("doc_id"), col("source"), col("ref"), col("cand"))
   }
 
-  /** The DuckDB twin of [[pairs]], shared by every oracle below. */
-  private val pairsCte: String = {
+  /** The DuckDB twin of [[pairs]], shared by every oracle below; the
+    * CTE alias pair (`base`/`pairs`) is parameterized so q245 can
+    * instantiate two systems side by side.
+    */
+  private def pairsCteWith(repMod: Int, insMod: Int,
+      baseName: String = "base", name: String = "pairs"): String = {
     val tok =
-      """CASE WHEN (q + doc_id) % 5 = 0 AND q > 1
-        |           THEN ref[q - 1] ELSE ref[q] END""".stripMargin
-    s"""base AS (
+      s"""CASE WHEN (q + doc_id) % $repMod = 0 AND q > 1
+         |           THEN ref[q - 1] ELSE ref[q] END""".stripMargin
+    s"""$baseName AS (
        |  SELECT doc_id, source,
        |    (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:24] AS ref
        |  FROM documents
        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 8),
-       |pairs AS (
+       |$name AS (
        |  SELECT doc_id, source, ref,
        |    flatten(list_transform(range(1, len(ref) + 1), q ->
-       |      CASE WHEN (q * 3 + doc_id) % 11 = 0
+       |      CASE WHEN (q * 3 + doc_id) % $insMod = 0
        |           THEN [$tok, $tok]
        |           ELSE [$tok] END)) AS cand
-       |  FROM base)""".stripMargin
+       |  FROM $baseName)""".stripMargin
   }
+
+  private val pairsCte: String = pairsCteWith(5, 11)
 
   /** Token n-grams of list column `c` for order `n` as a DuckDB
     * expression (space-joined — injective over `[a-z0-9]+` tokens).
@@ -283,6 +293,122 @@ object Eval extends QueryPack {
        |FROM f""".stripMargin
   }
 
+  /** Paired-bootstrap BLEU-delta gate (q245): system A (the q239
+    * fixture, errors every 5th/11th position) against a WORSE system
+    * B (every 3rd/7th) over the same references — the significance
+    * test an eval report runs before claiming a checkpoint win. 200
+    * paired Poisson resamples; every per-replicate statistic is an
+    * integer weight·count sum, so each replicate BLEU is bit-exact
+    * and the only rounding is the conventional round-9 on deltas.
+    * A must win (p_a_wins ≈ 1, CI above 0) — planted, not asserted
+    * here: the hash compare pins the full distribution summary.
+    */
+  def pairedBleuGate(s: SparkSession, dir: String): DataFrame =
+    GenEval.pairedBootstrapBleu(
+      pairs(s, dir, repMod = 5, insMod = 11),
+      pairs(s, dir, repMod = 3, insMod = 7))
+
+  /** Per-doc BLEU count vector (m1..m4, t1..t4, clen, rlen) for one
+    * system's pairs CTE — the oracle twin of GenEval.bleuCounts.
+    */
+  private def perDocCountsSql(pairsName: String, tag: String): String =
+    s"""grams_$tag AS (
+       |  SELECT pr.doc_id, nn.n, 'c' AS side,
+       |    unnest(${gramsSql("cand", "nn.n")}) AS g
+       |  FROM $pairsName pr CROSS JOIN nn
+       |  UNION ALL
+       |  SELECT pr.doc_id, nn.n, 'r',
+       |    unnest(${gramsSql("ref", "nn.n")})
+       |  FROM $pairsName pr CROSS JOIN nn),
+       |cnt_$tag AS (
+       |  SELECT doc_id, n, g,
+       |    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+       |    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+       |  FROM grams_$tag GROUP BY 1, 2, 3),
+       |m_$tag AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN n = 1 THEN least(cc, rc) END) AS BIGINT) AS m1,
+       |    CAST(sum(CASE WHEN n = 2 THEN least(cc, rc) END) AS BIGINT) AS m2,
+       |    CAST(sum(CASE WHEN n = 3 THEN least(cc, rc) END) AS BIGINT) AS m3,
+       |    CAST(sum(CASE WHEN n = 4 THEN least(cc, rc) END) AS BIGINT) AS m4
+       |  FROM cnt_$tag GROUP BY 1),
+       |d_$tag AS (
+       |  SELECT p.doc_id, m1, m2, m3, m4,
+       |    CAST(len(cand) AS BIGINT) AS t1,
+       |    CAST(greatest(len(cand) - 1, 0) AS BIGINT) AS t2,
+       |    CAST(greatest(len(cand) - 2, 0) AS BIGINT) AS t3,
+       |    CAST(greatest(len(cand) - 3, 0) AS BIGINT) AS t4,
+       |    CAST(len(cand) AS BIGINT) AS clen,
+       |    CAST(len(ref) AS BIGINT) AS rlen
+       |  FROM $pairsName p JOIN m_$tag USING (doc_id))""".stripMargin
+
+  /** Corpus-BLEU SQL over prefixed sum columns — the bleuFromSums
+    * twin (same parenthesization, same CASE-guarded bp). */
+  private def bleuSumSql(p: String): String =
+    s"""(CASE WHEN ${p}clen >= ${p}rlen THEN CAST(1.0 AS DOUBLE)
+       |      ELSE exp(1.0 - CAST(${p}rlen AS DOUBLE) /
+       |                     CAST(${p}clen AS DOUBLE)) END *
+       | sqrt(sqrt(CAST(${p}m1 AS DOUBLE) / CAST(${p}t1 AS DOUBLE) *
+       |           (CAST(${p}m2 AS DOUBLE) / CAST(${p}t2 AS DOUBLE)) *
+       |           (CAST(${p}m3 AS DOUBLE) / CAST(${p}t3 AS DOUBLE)) *
+       |           (CAST(${p}m4 AS DOUBLE) / CAST(${p}t4 AS DOUBLE)))))"""
+      .stripMargin.replace("\n", " ")
+
+  private val pairedBleuSql: String = {
+    val fields = Seq("clen", "rlen", "m1", "t1", "m2", "t2", "m3", "t3",
+      "m4", "t4")
+    val pairedCols = fields.map(f => s"a.$f AS a_$f").mkString(", ") +
+      ", " + fields.map(f => s"bb.$f AS b_$f").mkString(", ")
+    val jSums = (fields.map(f => s"CAST(sum(wt * a_$f) AS BIGINT) AS a_$f")
+      ++ fields.map(f => s"CAST(sum(wt * b_$f) AS BIGINT) AS b_$f"))
+      .mkString(",\n    ")
+    val ptSums = (fields.map(f => s"CAST(sum(a_$f) AS BIGINT) AS a_$f")
+      ++ fields.map(f => s"CAST(sum(b_$f) AS BIGINT) AS b_$f"))
+      .mkString(",\n    ")
+    val wt = graft.operators.Bootstrap.poissonCaseSql(
+      "(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':' || " +
+        "CAST(jj.j AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)")
+    s"""WITH ${pairsCteWith(5, 11, "base_a", "pairs_a")},
+       |${pairsCteWith(3, 7, "base_b", "pairs_b")},
+       |nn AS (SELECT unnest([1, 2, 3, 4]) AS n),
+       |${perDocCountsSql("pairs_a", "a")},
+       |${perDocCountsSql("pairs_b", "b")},
+       |p AS (
+       |  SELECT a.doc_id, $pairedCols
+       |  FROM d_a a JOIN d_b bb USING (doc_id)),
+       |jj AS (SELECT unnest(range(0, 200)) AS j),
+       |w AS (SELECT p.*, jj.j, CAST($wt AS BIGINT) AS wt
+       |      FROM p CROSS JOIN jj),
+       |r AS (
+       |  SELECT j,
+       |    $jSums
+       |  FROM w GROUP BY j
+       |  HAVING sum(wt * a_t4) > 0 AND sum(wt * b_t4) > 0),
+       |ds AS (
+       |  SELECT round(${bleuSumSql("a_")} - ${bleuSumSql("b_")}, 9) AS d
+       |  FROM r),
+       |arr AS (
+       |  SELECT list(d ORDER BY d) AS ds,
+       |    CAST(count(*) AS BIGINT) AS s_realized,
+       |    CAST(sum(CASE WHEN d > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_win
+       |  FROM ds),
+       |pt AS (
+       |  SELECT
+       |    $ptSums
+       |  FROM p),
+       |ptb AS (
+       |  SELECT ${bleuSumSql("a_")} AS bleu_a, ${bleuSumSql("b_")} AS bleu_b
+       |  FROM pt)
+       |SELECT CAST(200 AS INT) AS b, s_realized, bleu_a, bleu_b,
+       |  bleu_a - bleu_b AS delta,
+       |  ds[CAST(floor(0.025 * len(ds)) AS INT) + 1] AS ci_lo,
+       |  ds[len(ds) - CAST(floor(0.025 * len(ds)) AS INT)] AS ci_hi,
+       |  CAST(n_win AS DOUBLE) / CAST(s_realized AS DOUBLE) AS p_a_wins,
+       |  CAST(0.05 AS DOUBLE) AS alpha
+       |FROM arr CROSS JOIN ptb""".stripMargin
+  }
+
   /** pass@k gate (q243): each document is one sample of problem
     * doc_id % 40; correctness is exact integer arithmetic with a
     * per-problem rate that rises with the problem id, so the fixture
@@ -376,6 +502,7 @@ object Eval extends QueryPack {
     "q242_chrf" -> chrfGate _,
     "q243_pass_at_k" -> passAtKGate _,
     "q244_calibration" -> calibrationGate _,
+    "q245_paired_bleu" -> pairedBleuGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -385,5 +512,6 @@ object Eval extends QueryPack {
     "q242_chrf" -> chrfSql,
     "q243_pass_at_k" -> passAtKSql,
     "q244_calibration" -> calibrationSql,
+    "q245_paired_bleu" -> pairedBleuSql,
   )
 }

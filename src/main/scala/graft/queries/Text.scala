@@ -1078,6 +1078,23 @@ object Text extends QueryPack {
   def bigramLm(s: SparkSession, dir: String): DataFrame =
     graft.text.Perplexity.bigramScore(Tables.documents(s, dir))
 
+  /** Kneser–Ney bigram-LM perplexity gate (q246): the q186 upgrade to
+    * the smoothing KenLM actually ships
+    * ([[graft.text.Perplexity.knScore]], D = 0.75) — discounted
+    * bigram mass backing off to CONTINUATION probability (novel-
+    * context counts), not raw unigram frequency. DuckDB re-derives
+    * the same four count tables and recomputes every transition
+    * probability with the identically-parenthesized formula;
+    * cross-entropy compares within float tolerance (the q134
+    * convention).
+    */
+  def knLm(s: SparkSession, dir: String): DataFrame =
+    // fan-out persist only above toy scale — the q218 pin threshold
+    // (see pinAboveToyScale): at 5k docs the cache costs more than
+    // the recompute it saves; at 50k it buys 1.5×
+    graft.text.Perplexity.knScore(Tables.documents(s, dir),
+      persistFanout = corpusBytes(s, dir) >= PinBytesThreshold)
+
   /** Domain-filter gate (q187): docs carry synthetic subdomain URLs
     * over `<source>.co.uk` registrable domains (the q173 host
     * pattern), quality = n_chars, and
@@ -1551,13 +1568,15 @@ object Text extends QueryPack {
     * so replay bites at every scale.
     */
   private val PinBytesThreshold = 2L * 1024 * 1024
-  private def pinAboveToyScale(df: DataFrame, s: SparkSession,
-      dir: String): DataFrame = {
+  private def corpusBytes(s: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(p).getLength
-    if (bytes >= PinBytesThreshold) df.localCheckpoint(true) else df
   }
+  private def pinAboveToyScale(df: DataFrame, s: SparkSession,
+      dir: String): DataFrame =
+    if (corpusBytes(s, dir) >= PinBytesThreshold) df.localCheckpoint(true)
+    else df
 
   def twoStageRetrievalGate(s: SparkSession, dir: String): DataFrame = {
     // no withSmallShuffle — eager stage-1 execution inside (q219 note)
@@ -1850,6 +1869,7 @@ object Text extends QueryPack {
     "q188_ngram_diversity" -> ngramDiversityGate _,
     "q189_frame_schedule" -> frameScheduleGate _,
     "q186_bigram_lm" -> bigramLm _,
+    "q246_kneser_ney" -> knLm _,
     "q187_domain_filter" -> domainFilter _,
     "q183_fix_encoding" -> fixEncoding _,
     "q180_stratified_sample" -> stratifiedSample _,
@@ -2243,6 +2263,41 @@ object Text extends QueryPack {
         |  CAST(ts // 1000 AS BIGINT) AS frame_idx,
         |  CAST(ts AS BIGINT) AS ts_ms
         |FROM (SELECT fname, unnest(range(0, dur, 1000)) AS ts FROM v)""".stripMargin,
+    "q246_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': t[i], 'w2': t[i+1]}
+        |            for i in range(1, len(t))], recursive := true)
+        |  FROM toks),
+        |bitf AS (
+        |  SELECT doc_id, w1, w2, count(*) AS f
+        |  FROM bi GROUP BY doc_id, w1, w2),
+        |cb AS (SELECT w1, w2, sum(f) AS cb FROM bitf GROUP BY w1, w2),
+        |lft AS (SELECT w1, sum(cb) AS cleft, count(*) AS n1l
+        |        FROM cb GROUP BY w1),
+        |ctx AS (SELECT w2, count(*) AS nctx FROM cb GROUP BY w2),
+        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cb)
+        |SELECT bitf.doc_id,
+        |  CAST(sum(f) AS BIGINT) AS n_bigrams,
+        |  -sum(CAST(f AS DOUBLE) * ln(
+        |     (CAST(cb.cb AS DOUBLE) - 0.75) / CAST(lft.cleft AS DOUBLE) +
+        |     (0.75 * CAST(lft.n1l AS DOUBLE) / CAST(lft.cleft AS DOUBLE)) *
+        |     (CAST(ctx.nctx AS DOUBLE) / ty.n_types)))
+        |    / CAST(sum(f) AS DOUBLE) AS cross_entropy,
+        |  exp(-sum(CAST(f AS DOUBLE) * ln(
+        |     (CAST(cb.cb AS DOUBLE) - 0.75) / CAST(lft.cleft AS DOUBLE) +
+        |     (0.75 * CAST(lft.n1l AS DOUBLE) / CAST(lft.cleft AS DOUBLE)) *
+        |     (CAST(ctx.nctx AS DOUBLE) / ty.n_types)))
+        |    / CAST(sum(f) AS DOUBLE)) AS ppl
+        |FROM bitf
+        |JOIN cb USING (w1, w2)
+        |JOIN lft ON lft.w1 = bitf.w1
+        |JOIN ctx ON ctx.w2 = bitf.w2
+        |CROSS JOIN ty
+        |GROUP BY bitf.doc_id""".stripMargin,
     "q186_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t

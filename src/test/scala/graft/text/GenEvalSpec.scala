@@ -67,6 +67,17 @@ class GenEvalSpec extends SparkSpec {
     }
   }
 
+  test("charGramClipped counts by CODE POINT (supplementary plane safe)") {
+    // "a😀b" vs "😀ab": code points [a,😀,b] vs [😀,a,b] — all three
+    // unigrams shared; NO bigram shared ((a,😀),(😀,b) vs (😀,a),(a,b)).
+    // A UTF-16-unit kernel would see the surrogate pair as two grams
+    // and get both counts wrong.
+    val c = UTF8String.fromString("a😀b")
+    val r = UTF8String.fromString("😀ab")
+    assert(GenEvalKernels.charGramClipped(c, r, 1) === 3L)
+    assert(GenEvalKernels.charGramClipped(c, r, 2) === 0L)
+  }
+
   test("lcsLength matches the full-table DP on random sequences") {
     val rng = new scala.util.Random(11)
     val vocab = Vector("x", "y", "z", "w")
@@ -170,6 +181,34 @@ class GenEvalSpec extends SparkSpec {
     val ece = (2.0 * 0.125 + 2.0 * math.abs(0.5 - 0.9)) / 4.0
     assert(b1.getAs[Double]("ece") === ece)
     assert(b9.getAs[Double]("ece") === ece)
+  }
+
+  test("pairedBootstrapBleu: identical systems → delta 0, A-vs-worse-B wins") {
+    import graft.SparkSpec.spark.implicits._
+    // refs ≥ 4 tokens (BLEU-4 needs a matching 4-gram to be nonzero);
+    // candidates append one duplicate so bp stays exactly 1
+    val pairs = Seq(
+      (0L, Seq("the", "cat", "sat", "on", "mats", "mats"),
+        Seq("the", "cat", "sat", "on", "mats")),
+      (1L, Seq("a", "b", "c", "d", "e", "e"), Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("x", "y", "z", "w", "v", "v"), Seq("x", "y", "z", "w", "v")))
+      .toDF("doc_id", "cand", "ref")
+    val same = GenEval.pairedBootstrapBleu(pairs, pairs, b = 50)
+      .collect().head
+    // identical systems: every paired resample cancels exactly
+    assert(same.getAs[Double]("delta") === 0.0)
+    assert(same.getAs[Double]("ci_lo") === 0.0)
+    assert(same.getAs[Double]("ci_hi") === 0.0)
+    assert(same.getAs[Double]("p_a_wins") === 0.0) // strict >, all ties
+    // against a strictly worse B (an extra wrong token per doc), A wins
+    val worse = pairs.select(col("doc_id"),
+      concat(col("cand"), array(lit("zzz"), lit("zzz"))).as("cand"),
+      col("ref"))
+    val r = GenEval.pairedBootstrapBleu(pairs, worse, b = 50)
+      .collect().head
+    assert(r.getAs[Double]("delta") > 0.0)
+    assert(r.getAs[Double]("p_a_wins") > 0.9)
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
   }
 
   test("gate fixture: candidates are never corpus-shorter (bp stays exact)") {
