@@ -53,10 +53,14 @@ import org.apache.spark.sql.functions._
   *     repeated across the corpus, keep-first (the Lee et al. 2021
   *     rule); text becomes the surviving token stream [q127]
   *     ([[graft.dedup.ExactSubstring.excise]])
-  *   - `perplexity_filter` — corpus-trained unigram-LM perplexity ≤
-  *     `maxPpl` (required); docs with no tokens drop [q134]
-  *     ([[graft.text.Perplexity.unigramScore]]; the threshold
-  *     compares `round(ppl, 9)` — the q86 float-gate convention)
+  *   - `perplexity_filter` — corpus-trained LM perplexity ≤
+  *     `maxPpl` (required); `model` picks the scorer: `unigram`
+  *     (default, [q134]), `bigram` (interpolated backoff, `lambda`
+  *     0.7, [q186]), or `kneser_ney` (continuation-probability
+  *     backoff, `discount` 0.75, [q246 + config gate q247]); docs
+  *     with no scored units drop ([[graft.text.Perplexity]]; the
+  *     threshold compares `round(ppl, 9)` — the q86 float-gate
+  *     convention)
   *   - `cap_per_host` — ≤ `maxPerHost` (required) docs per host of
   *     `urlCol` (`url`), keyed by the PSL registrable domain when
   *     `byRegistrableDomain` (true); adds the `host` column [q173]
@@ -212,7 +216,17 @@ object CurationPipeline {
           "text_clean")
       case "perplexity_filter" =>
         val maxPpl = require_(getD(stage, "maxPpl"), op, "maxPpl")
-        docs.join(Perplexity.unigramScore(docs)
+        val scored = get[String](stage, "model").getOrElse("unigram") match {
+          case "unigram" => Perplexity.unigramScore(docs)
+          case "bigram" => Perplexity.bigramScore(docs,
+            lambda = getD(stage, "lambda").getOrElse(0.7))
+          case "kneser_ney" => Perplexity.knScore(docs,
+            discount = getD(stage, "discount").getOrElse(0.75))
+          case m => throw new IllegalArgumentException(
+            s"perplexity_filter model must be unigram, bigram, or " +
+              s"kneser_ney, got $m")
+        }
+        docs.join(scored
             .filter(round(col("ppl"), 9) <= maxPpl)
             .select(col("doc_id")),
           Seq("doc_id"), "left_semi")

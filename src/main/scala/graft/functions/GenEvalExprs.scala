@@ -156,6 +156,42 @@ object GenEvalKernels {
     out
   }
 
+  /** Word-level Levenshtein distance of two token arrays — the WER
+    * numerator (substitutions + deletions + insertions of the optimal
+    * alignment). Same two-row DP shape as [[lcsLength]].
+    */
+  def editDistance(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0) return m
+    if (m == 0) return n
+    val as = new Array[String](n)
+    var i = 0
+    while (i < n) { as(i) = str(a, i); i += 1 }
+    val bs = new Array[String](m)
+    var j = 0
+    while (j < m) { bs(j) = str(b, j); j += 1 }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    i = 0
+    while (i < n) {
+      cur(0) = i + 1
+      j = 0
+      while (j < m) {
+        val sub = prev(j) + (if (as(i) == bs(j)) 0 else 1)
+        val del = prev(j + 1) + 1
+        val ins = cur(j) + 1
+        cur(j + 1) = math.min(sub, math.min(del, ins))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
   /** Longest common subsequence length of two token arrays — the
     * ROUGE-L core. Classic O(|a|·|b|) two-row DP; eval fixtures cap
     * sequences to a few dozen tokens, so the quadratic term is
@@ -251,6 +287,39 @@ case class CharGramClipped(left: Expression, right: Expression, n: Int)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CharGramClipped =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Word-level Levenshtein distance of two token arrays (see
+  * [[GenEvalKernels.editDistance]]). Null inputs → null.
+  */
+case class TokenEditDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_edit_distance expects (array<string>, array<string>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_edit_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GenEvalKernels.editDistance(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GenEvalKernels.editDistance($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenEditDistance =
     copy(left = newLeft, right = newRight)
 }
 

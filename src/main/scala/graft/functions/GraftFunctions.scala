@@ -172,6 +172,20 @@ object GraftFunctions {
     call_function(name, a, b)
   }
 
+  /** Word-level Levenshtein distance — the WER numerator in one
+    * generated pass (see [[GenEvalKernels.editDistance]]). Registers
+    * on the active session.
+    */
+  def tokenEditDistance(a: Column, b: Column): Column = {
+    val spark = SparkSession.active
+    val name = "graft_token_edit_distance"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => TokenEditDistance(exprs(0), exprs(1)),
+      "built-in")
+    call_function(name, a, b)
+  }
+
   /** Winnowing window-min selection in one generated loop (see
     * [[WinnowFingerprints]]). Registers on the active session.
     */

@@ -322,6 +322,28 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("text"), col("n_chars"))
   }
 
+  /** Config-surface gate for the perplexity_filter model dispatch
+    * (q247): a one-stage config selecting `model: "kneser_ney"` with
+    * maxPpl between the corpus quantiles (sf0.01 KN ppl spans
+    * ~26–39), hash-matched against the q246 oracle CTE with the SAME
+    * round-9 threshold — a dispatch typo (wrong scorer) or a default
+    * drift (discount ≠ 0.75) moves the kept set and flips the hash.
+    */
+  def configKnFilter(s: SparkSession, dir: String): DataFrame = {
+    val cfg = java.nio.file.Files.createTempFile("graft_q247_cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      """{ "stages": [
+        |  {"op": "perplexity_filter", "model": "kneser_ney",
+        |   "maxPpl": 29.5} ] }
+        |""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    graft.etl.CurationPipeline.run(docs, stages.toSeq)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Config-driven curation over the TRAINED/vector stages (q227):
     * `lang_id_filter` (a GD-trained classifier) and
     * `semantic_decontaminate` (embedding-cosine vs an eval set) are
@@ -618,6 +640,7 @@ object Dedup extends QueryPack {
     "q225_config_curation" -> configCuration _,
     "q226_config_curation_wide" -> configCurationWide _,
     "q238_config_curation_r13" -> configCurationR13 _,
+    "q247_config_kn_filter" -> configKnFilter _,
     "q227_config_curation_ml" -> configCurationMl _,
     "q182_line_dedup_within" -> lineDedupWithinDoc _,
     "q148_incremental_dedup" -> incrementalDedup _,
@@ -1020,6 +1043,15 @@ object Dedup extends QueryPack {
     "q227_config_curation_ml" ->
       ("SELECT * FROM (VALUES (TRUE, TRUE, TRUE, TRUE)) AS t(has_rows, " +
         "config_matches_code, kept_lang0_only, contaminated_dropped)"),
+    // the config dispatch must land on EXACTLY the q246-scored rows
+    "q247_config_kn_filter" ->
+      s"""WITH scored AS (
+         |${graft.queries.Text.kneserNeySql}
+         |)
+         |SELECT d.doc_id, d.source
+         |FROM documents d
+         |JOIN scored ON scored.doc_id = d.doc_id
+         |WHERE round(scored.ppl, 9) <= 29.5""".stripMargin,
     // the wide-vocabulary chain recomposed from the stages' own gate
     // CTEs: d1 = q90's regex chain, d2 = q182's min-pos reassembly,
     // d3 = q177's boilerplate strip, d4 = q127's excision, ppl =

@@ -225,6 +225,42 @@ object Eval extends QueryPack {
        |       ELSE CAST(0.0 AS DOUBLE) END AS f1
        |FROM w""".stripMargin
 
+  /** Micro-averaged WER per source (q248): word-level Levenshtein
+    * replayed by the oracle as the same nested list_reduce DP as
+    * ROUGE-L's LCS, with the three-way min recurrence.
+    */
+  def werGate(s: SparkSession, dir: String): DataFrame =
+    GenEval.wer(pairs(s, dir), groupCols = Seq("source"))
+
+  private val werSql: String =
+    s"""WITH $pairsCte,
+       |ed AS (
+       |  SELECT source,
+       |    list_reduce(
+       |      list_prepend(list_transform(range(0, len(ref) + 1), j -> j),
+       |        list_transform(range(1, len(cand) + 1), i -> [i])),
+       |      (acc, xi) -> list_reduce(
+       |        list_prepend([xi[1]],
+       |          list_transform(range(1, len(ref) + 1), j -> [j])),
+       |        (acc2, yj) -> list_append(acc2, least(
+       |          acc[yj[1]] + CASE WHEN cand[xi[1]] = ref[yj[1]]
+       |                            THEN 0 ELSE 1 END,
+       |          acc[yj[1] + 1] + 1,
+       |          acc2[len(acc2)] + 1))))[len(ref) + 1] AS d,
+       |    len(cand) AS cl, len(ref) AS rl
+       |  FROM pairs),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(d) AS BIGINT) AS edit_sum,
+       |    CAST(sum(cl) AS BIGINT) AS cand_len,
+       |    CAST(sum(rl) AS BIGINT) AS ref_len
+       |  FROM ed GROUP BY 1)
+       |SELECT source, n_docs, edit_sum, cand_len, ref_len,
+       |  CASE WHEN ref_len > 0
+       |       THEN CAST(edit_sum AS DOUBLE) / CAST(ref_len AS DOUBLE)
+       |  END AS wer
+       |FROM g""".stripMargin
+
   /** Corpus chrF gate (q242): char-1..6-gram F-β (β = 2) over the
     * whitespace-stripped pair strings (the sacrebleu convention).
     */
@@ -503,6 +539,7 @@ object Eval extends QueryPack {
     "q243_pass_at_k" -> passAtKGate _,
     "q244_calibration" -> calibrationGate _,
     "q245_paired_bleu" -> pairedBleuGate _,
+    "q248_wer" -> werGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -513,5 +550,6 @@ object Eval extends QueryPack {
     "q243_pass_at_k" -> passAtKSql,
     "q244_calibration" -> calibrationSql,
     "q245_paired_bleu" -> pairedBleuSql,
+    "q248_wer" -> werSql,
   )
 }

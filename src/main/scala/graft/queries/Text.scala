@@ -1960,6 +1960,44 @@ object Text extends QueryPack {
         |FULL OUTER JOIN nb ON nb.source = na.source
         |LEFT JOIN dt ON dt.source = na.source""".stripMargin
 
+  /** The q246 Kneser-Ney oracle, shared verbatim by the q247
+    * config-surface gate (the q225/q86 discipline). */
+  private[queries] val kneserNeySql: String =
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': t[i], 'w2': t[i+1]}
+        |            for i in range(1, len(t))], recursive := true)
+        |  FROM toks),
+        |bitf AS (
+        |  SELECT doc_id, w1, w2, count(*) AS f
+        |  FROM bi GROUP BY doc_id, w1, w2),
+        |cb AS (SELECT w1, w2, sum(f) AS cb FROM bitf GROUP BY w1, w2),
+        |lft AS (SELECT w1, sum(cb) AS cleft, count(*) AS n1l
+        |        FROM cb GROUP BY w1),
+        |ctx AS (SELECT w2, count(*) AS nctx FROM cb GROUP BY w2),
+        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cb)
+        |SELECT bitf.doc_id,
+        |  CAST(sum(f) AS BIGINT) AS n_bigrams,
+        |  -sum(CAST(f AS DOUBLE) * ln(
+        |     (CAST(cb.cb AS DOUBLE) - 0.75) / CAST(lft.cleft AS DOUBLE) +
+        |     (0.75 * CAST(lft.n1l AS DOUBLE) / CAST(lft.cleft AS DOUBLE)) *
+        |     (CAST(ctx.nctx AS DOUBLE) / ty.n_types)))
+        |    / CAST(sum(f) AS DOUBLE) AS cross_entropy,
+        |  exp(-sum(CAST(f AS DOUBLE) * ln(
+        |     (CAST(cb.cb AS DOUBLE) - 0.75) / CAST(lft.cleft AS DOUBLE) +
+        |     (0.75 * CAST(lft.n1l AS DOUBLE) / CAST(lft.cleft AS DOUBLE)) *
+        |     (CAST(ctx.nctx AS DOUBLE) / ty.n_types)))
+        |    / CAST(sum(f) AS DOUBLE)) AS ppl
+        |FROM bitf
+        |JOIN cb USING (w1, w2)
+        |JOIN lft ON lft.w1 = bitf.w1
+        |JOIN ctx ON ctx.w2 = bitf.w2
+        |CROSS JOIN ty
+        |GROUP BY bitf.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q219_prf_retrieval" ->
       s"""WITH $bm25QueriesCte,
@@ -2263,41 +2301,7 @@ object Text extends QueryPack {
         |  CAST(ts // 1000 AS BIGINT) AS frame_idx,
         |  CAST(ts AS BIGINT) AS ts_ms
         |FROM (SELECT fname, unnest(range(0, dur, 1000)) AS ts FROM v)""".stripMargin,
-    "q246_kneser_ney" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
-        |  FROM documents),
-        |bi AS (
-        |  SELECT doc_id,
-        |    unnest([{'w1': t[i], 'w2': t[i+1]}
-        |            for i in range(1, len(t))], recursive := true)
-        |  FROM toks),
-        |bitf AS (
-        |  SELECT doc_id, w1, w2, count(*) AS f
-        |  FROM bi GROUP BY doc_id, w1, w2),
-        |cb AS (SELECT w1, w2, sum(f) AS cb FROM bitf GROUP BY w1, w2),
-        |lft AS (SELECT w1, sum(cb) AS cleft, count(*) AS n1l
-        |        FROM cb GROUP BY w1),
-        |ctx AS (SELECT w2, count(*) AS nctx FROM cb GROUP BY w2),
-        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cb)
-        |SELECT bitf.doc_id,
-        |  CAST(sum(f) AS BIGINT) AS n_bigrams,
-        |  -sum(CAST(f AS DOUBLE) * ln(
-        |     (CAST(cb.cb AS DOUBLE) - 0.75) / CAST(lft.cleft AS DOUBLE) +
-        |     (0.75 * CAST(lft.n1l AS DOUBLE) / CAST(lft.cleft AS DOUBLE)) *
-        |     (CAST(ctx.nctx AS DOUBLE) / ty.n_types)))
-        |    / CAST(sum(f) AS DOUBLE) AS cross_entropy,
-        |  exp(-sum(CAST(f AS DOUBLE) * ln(
-        |     (CAST(cb.cb AS DOUBLE) - 0.75) / CAST(lft.cleft AS DOUBLE) +
-        |     (0.75 * CAST(lft.n1l AS DOUBLE) / CAST(lft.cleft AS DOUBLE)) *
-        |     (CAST(ctx.nctx AS DOUBLE) / ty.n_types)))
-        |    / CAST(sum(f) AS DOUBLE)) AS ppl
-        |FROM bitf
-        |JOIN cb USING (w1, w2)
-        |JOIN lft ON lft.w1 = bitf.w1
-        |JOIN ctx ON ctx.w2 = bitf.w2
-        |CROSS JOIN ty
-        |GROUP BY bitf.doc_id""".stripMargin,
+    "q246_kneser_ney" -> kneserNeySql,
     "q186_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t

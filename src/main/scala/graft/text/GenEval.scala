@@ -124,6 +124,29 @@ object GenEval {
       f1(p, r).as("f1")): _*)
   }
 
+  /** Micro-averaged word error rate per group: corpus-summed
+    * word-level Levenshtein distance (optimal substitutions +
+    * deletions + insertions, the ASR-standard alignment) over
+    * reference token totals. Same row-local-kernel + constant-width-
+    * aggregate shape as [[rougeL]]; WER can exceed 1 when candidates
+    * run long — that is the metric, not a bug.
+    *
+    * @return one row per group: groupCols, n_docs, edit_sum,
+    *         cand_len, ref_len, wer
+    */
+  def wer(pairs: DataFrame, groupCols: Seq[String] = Nil,
+      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    val counts = pairs.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(GraftFunctions.tokenEditDistance(col(candCol), col(refCol)))
+        .cast("long").as("edit_sum"),
+      sum(size(col(candCol))).cast("long").as("cand_len"),
+      sum(size(col(refCol))).cast("long").as("ref_len"))
+    counts.select(groupCols.map(col) ++ Seq(col("n_docs"),
+      col("edit_sum"), col("cand_len"), col("ref_len"),
+      ratio(col("edit_sum"), col("ref_len")).as("wer")): _*)
+  }
+
   /** Corpus chrF over (candidate string, reference string) pairs:
     * char-1..`maxN`-gram clipped matches micro-aggregated, P and R
     * averaged over orders with an explicit left-to-right sum (fixed
@@ -222,8 +245,13 @@ object GenEval {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     val fields = Seq("clen", "rlen") ++
       (1 to maxN).flatMap(n => Seq(s"m$n", s"t$n"))
+    // two consumers (point estimate + resamples); the count vector is
+    // ~20 longs/doc — orders of magnitude smaller than the text it
+    // summarizes — so pinning it beats re-running tokenize + clipped
+    // counting per consumer at any scale
     val paired = bleuCounts(pairsA, maxN, idCol, candCol, refCol, "a_")
       .join(bleuCounts(pairsB, maxN, idCol, candCol, refCol, "b_"), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // point estimates: plain corpus sums, no weights
     val point = paired.agg(
       sum(col("a_clen")).as("a_clen"),
@@ -326,6 +354,11 @@ object GenEval {
           (lit(1000.0) * col("n_bin").cast("double"))).as("avg_conf"),
         ratio(col("n_correct"), col("n_bin")).as("accuracy"))
       .withColumn("abs_gap", abs(col("accuracy") - col("avg_conf")))
+      // ≤ bins rows feeding TWO consumers (the output and the ECE
+      // aggregate) — unpersisted, the second consumer re-ran the whole
+      // corpus scan+aggregate (plan-audited); pinning ≤ bins rows is
+      // free at every scale
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val ece = perBin.agg(
       sum(col("n_bin")).cast("long").as("n_total"),
       aggregate(

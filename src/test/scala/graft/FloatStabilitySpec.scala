@@ -107,7 +107,8 @@ class FloatStabilitySpec extends SparkSpec {
     "q242_chrf",                 // order-free), so these must be
     "q243_pass_at_k",            // bit-stable under any layout
     "q244_calibration",
-    "q245_paired_bleu")          // integer weight·count resample sums
+    "q245_paired_bleu",          // integer weight·count resample sums
+    "q248_wer")                  // integer edit-distance sums
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

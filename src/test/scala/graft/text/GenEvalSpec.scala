@@ -92,6 +92,45 @@ class GenEvalSpec extends SparkSpec {
       arr("b", "d", "c", "a", "b", "a")) === 4) // the textbook example
   }
 
+  test("editDistance matches the full-table DP on random sequences") {
+    def bruteEdit(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+      for (i <- 0 to a.size) dp(i)(0) = i
+      for (j <- 0 to b.size) dp(0)(j) = j
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        dp(i)(j) = math.min(
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1),
+          math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1))
+      dp(a.size)(b.size)
+    }
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("p", "q", "r", "s")
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rng.nextInt(14))(vocab(rng.nextInt(vocab.size)))
+      val b = Seq.fill(rng.nextInt(14))(vocab(rng.nextInt(vocab.size)))
+      assert(GenEvalKernels.editDistance(arr(a: _*), arr(b: _*)) ===
+        bruteEdit(a, b), s"a=$a b=$b")
+    }
+    // the textbook example at word granularity
+    assert(GenEvalKernels.editDistance(
+      arr("k", "i", "t", "t", "e", "n"),
+      arr("s", "i", "t", "t", "i", "n", "g")) === 3)
+    assert(GenEvalKernels.editDistance(arr(), arr("a", "b")) === 2)
+    assert(GenEvalKernels.editDistance(arr("a", "b"), arr()) === 2)
+  }
+
+  test("wer micro-averages exactly (can exceed 1 on long candidates)") {
+    import graft.SparkSpec.spark.implicits._
+    val pairs = Seq(
+      ("s1", Seq("the", "cat", "sat"), Seq("the", "cat", "sat")), // 0 edits
+      ("s1", Seq("a", "x", "y", "z"), Seq("a"))) // 3 insertions
+      .toDF("source", "cand", "ref")
+    val r = GenEval.wer(pairs, groupCols = Seq("source")).collect().head
+    assert(r.getAs[Long]("edit_sum") === 3L)
+    assert(r.getAs[Long]("ref_len") === 4L)
+    assert(r.getAs[Double]("wer") === 3.0 / 4.0)
+  }
+
   test("expressions run identically from generated code (DataFrame path)") {
     import graft.SparkSpec.spark.implicits._
     val df = Seq(
