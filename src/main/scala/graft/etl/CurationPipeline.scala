@@ -86,6 +86,9 @@ import org.apache.spark.sql.functions._
   *     `scoreCol` (required; ties → lowest doc_id), content keyed on
   *     `contentCol` (`text`) [q184]
   *     ([[graft.dedup.KeepBest.byContent]])
+  *   - `priority_sample` — deterministic weighted WOR sample of `k`
+  *     docs by `weightCol` (required), Horvitz–Thompson `est_weight`
+  *     attached [q249] ([[graft.text.CorpusMix.prioritySample]])
   *   - `semantic_decontaminate` — drop docs whose embedding is within
   *     cosine `threshold` (required) of any eval-set vector at
   *     `evalPath` (required parquet, vector column `evalVecCol` =
@@ -250,6 +253,11 @@ object CurationPipeline {
           case Some(kName) => assigned.filter(col("split") === kName)
           case None => assigned
         }
+      case "priority_sample" =>
+        val k = require_(getI(stage, "k"), op, "k")
+        val w = require_(get[String](stage, "weightCol"), op, "weightCol")
+        CorpusMix.prioritySample(docs, k, w,
+          salt = get[String](stage, "salt").getOrElse(""))
       case "lang_id_filter" =>
         val labelCol = require_(get[String](stage, "labelCol"), op,
           "labelCol")
@@ -300,7 +308,7 @@ object CurationPipeline {
           "paragraph_dedup, exact_substring, perplexity_filter, " +
           "cap_per_host, split, lang_id_filter, " +
           "semantic_decontaminate, fix_encoding, blocklist_filter, " +
-          "keep_best)")
+          "keep_best, priority_sample)")
     }
   }
 }

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Misra–Gries frequency summary over the words of a text column — the
+  * heavy-hitters sketch ("which tokens/domains dominate this corpus?")
+  * with the mergeable-summaries guarantee (Agarwal et al., PODS 2012):
+  * after any sequence of updates and merges over a stream of N words,
+  * every key's estimate satisfies `true − N/(capacity+1) ≤ est ≤ true`,
+  * and every key with true count > N/(capacity+1) is PRESENT in the
+  * summary. A groupBy would shuffle the whole vocabulary; this carries
+  * at most `capacity` (word, count) entries per task, then the exact
+  * recount pass ([[graft.text.HeavyHitters]]) touches candidates only.
+  *
+  * Tokenization happens INSIDE update (lowercased `[a-z]+` runs — the
+  * corpus word convention of the q179/q116 oracles), so the plan needs
+  * no generator and no token materialization: one narrow pass.
+  *
+  * Update: add the word's count; when the map exceeds capacity,
+  * subtract the (capacity+1)-th largest count from everything and drop
+  * non-positives (for a single add that value is the min — the classic
+  * decrement step). Merge: pointwise add, then the same compress. Each
+  * compress that subtracts m removes ≥ m·capacity total mass and adds
+  * ≤ m to every key's error; total mass is N, so the error bound
+  * follows — and the compress WORK amortizes to O(1) per word.
+  */
+final class FreqSketch(val capacity: Int) {
+  val counts = new java.util.HashMap[String, Long](capacity * 2)
+
+  /** Running upper bound on any key's undercount: the sum of every
+    * compress subtraction this summary (and everything merged into it)
+    * has performed. A key ABSENT from the summary has true count ≤
+    * `err`; a present key's true count is in [est, est + err]. Zero
+    * means the summary is EXACT (nothing was ever compressed away).
+    */
+  var err: Long = 0L
+
+  def add(key: String, c: Long): Unit = {
+    val cur = counts.getOrDefault(key, 0L)
+    counts.put(key, cur + c)
+    if (counts.size > capacity) compress()
+  }
+
+  def mergeFrom(other: FreqSketch): Unit = {
+    err += other.err
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      counts.put(e.getKey, counts.getOrDefault(e.getKey, 0L) + e.getValue)
+    }
+    if (counts.size > capacity) compress()
+  }
+
+  /** Subtract the (capacity+1)-th largest count from all keys and drop
+    * non-positives — guarantees ≤ capacity survivors (at least
+    * size − capacity keys sit at or below that value).
+    */
+  private def compress(): Unit = {
+    val vals = new Array[Long](counts.size)
+    var i = 0
+    val vit = counts.values().iterator()
+    while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+    java.util.Arrays.sort(vals)
+    val m = vals(vals.length - capacity - 1) // (capacity+1)-th largest
+    err += m
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - m
+      if (nv <= 0) it.remove() else e.setValue(nv)
+    }
+  }
+
+  /** Entries ordered count DESC then key ASC — deterministic output. */
+  def sorted: Array[(String, Long)] = {
+    val arr = new Array[(String, Long)](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); arr(i) = (e.getKey, e.getValue); i += 1 }
+    scala.util.Sorting.stableSort(arr,
+      (a: (String, Long), b: (String, Long)) =>
+        a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    arr
+  }
+}
+
+/** The aggregate: `heavy_hitters(text)` →
+  * struct<err, terms: array<struct<term, est>>> — the full ≤ capacity
+  * summary (count DESC / term ASC) plus the accumulated error bound,
+  * which lets a caller PROVE its top-k is exact (see
+  * [[graft.text.HeavyHitters]]).
+  */
+case class FreqSketchAgg(
+    textChild: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FreqSketch] {
+
+  require(capacity >= 1, s"heavy_hitters needs capacity >= 1, got $capacity")
+
+  override def children: Seq[Expression] = Seq(textChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("err", LongType, nullable = false),
+    StructField("terms", ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def prettyName: String = "heavy_hitters"
+
+  override def createAggregationBuffer(): FreqSketch = new FreqSketch(capacity)
+
+  override def update(buf: FreqSketch, input: InternalRow): FreqSketch = {
+    val t = textChild.eval(input)
+    if (t != null) {
+      val s = t.asInstanceOf[UTF8String].toString
+      // lowercased [a-z]+ runs, scanned in place — no regex allocation
+      var i = 0
+      val n = s.length
+      val sb = new java.lang.StringBuilder(16)
+      while (i <= n) {
+        val ch = if (i < n) s.charAt(i) else ' '
+        val lower =
+          if (ch >= 'a' && ch <= 'z') ch
+          else if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar
+          else 0.toChar
+        if (lower != 0) sb.append(lower)
+        else if (sb.length > 0) { buf.add(sb.toString, 1L); sb.setLength(0) }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: FreqSketch, other: FreqSketch): FreqSketch = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: FreqSketch): Any = {
+    val rows: Array[Any] = buf.sorted.map { case (term, est) =>
+      InternalRow(UTF8String.fromString(term), est): Any
+    }
+    InternalRow(buf.err, new GenericArrayData(rows))
+  }
+
+  override def serialize(buf: FreqSketch): Array[Byte] = {
+    val entries = buf.sorted.map { case (k, v) =>
+      (k.getBytes(StandardCharsets.UTF_8), v)
+    }
+    val bytes = 12 + entries.map(e => 4 + e._1.length + 8).sum
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putLong(buf.err)
+    bb.putInt(entries.length)
+    entries.foreach { case (kb, v) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(v)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FreqSketch = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new FreqSketch(capacity)
+    buf.err = bb.getLong
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      buf.counts.put(new String(kb, StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FreqSketchAgg =
+    copy(textChild = newChildren(0))
+}

@@ -223,6 +223,21 @@ object GraftFunctions {
     call_function(COMPRESS_FN, text)
   }
 
+  val HH_PREFIX = "graft_heavy_hitters_" // one registered name per capacity
+
+  /** Misra–Gries heavy-hitters summary of a text column's words (see
+    * [[FreqSketchAgg]]): struct<err, terms: array<struct<term, est>>>.
+    */
+  def heavyHitters(spark: SparkSession, text: Column,
+      capacity: Int): Column = {
+    val name = HH_PREFIX + capacity
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => FreqSketchAgg(exprs(0), capacity).toAggregateExpression(),
+      "built-in")
+    call_function(name, text)
+  }
+
   private def registerTopK(spark: SparkSession, k: Int): String = {
     val name = TOPK_PREFIX + k
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

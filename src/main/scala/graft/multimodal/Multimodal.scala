@@ -466,6 +466,36 @@ object Multimodal {
     */
   private def bandedHammingPairs(hashes: DataFrame, hashCol: String,
       maxHamming: Int, maxBucket: Int): DataFrame = {
+    val hl = hashLevelPairs(hashes, hashCol, maxHamming, maxBucket)
+    // exact-dup pairs: equi-join on the hash value — linear shuffle
+    // cost, output-bounded, cap-immune
+    val within = hl.members.as("x").join(hl.members.as("y"),
+        col("x.__h") === col("y.__h") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        lit(0).as("hamming"))
+    // expand to member pairs: each unordered member pair arises from
+    // exactly one (ha, hb) — no distinct needed
+    val cross = hl.hashPairs
+      .join(hl.members.as("ma"), col("ha") === col("ma.__h"))
+      .join(hl.members.as("mb"), col("hb") === col("mb.__h"))
+      .select(least(col("ma.media_id"), col("mb.media_id")).as("id_a"),
+        greatest(col("ma.media_id"), col("mb.media_id")).as("id_b"),
+        col("hamming"))
+    within.unionByName(cross)
+  }
+
+  /** Hash-level view of the banded Hamming join: the persisted
+    * (media_id, __h) member projection plus the verified DISTINCT-hash
+    * candidate pairs (ha < hb, hamming ≤ budget). Everything above —
+    * member pair expansion ([[bandedHammingPairs]]) and the contracted
+    * connected components ([[mediaDedupKeepers]]) — derives from these
+    * two tables without touching the per-byte decode again.
+    */
+  private case class HashLevel(members: DataFrame, hashPairs: DataFrame)
+
+  private def hashLevelPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int, maxBucket: Int): HashLevel = {
     require(maxHamming >= 0 && maxHamming < 64, s"bad budget $maxHamming")
     require(maxBucket >= 1, s"bad band-bucket cap $maxBucket")
     // persist the (id, hash) projection: this plan consumes it SIX
@@ -477,13 +507,6 @@ object Multimodal {
     val members = hashes.filter(col(hashCol).isNotNull)
       .select(col("media_id"), col(hashCol).as("__h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact-dup pairs: equi-join on the hash value — linear shuffle
-    // cost, output-bounded, cap-immune
-    val within = members.as("x").join(members.as("y"),
-        col("x.__h") === col("y.__h") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        lit(0).as("hamming"))
     val banded = bandedDistinct(members, "__h", maxHamming)
     val keptBuckets = banded.groupBy(col("band"), col("bits"))
       .agg(count(lit(1)).as("__bf"))
@@ -501,15 +524,7 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    // expand to member pairs: each unordered member pair arises from
-    // exactly one (ha, hb) — no distinct needed
-    val cross = hashPairs
-      .join(members.as("ma"), col("ha") === col("ma.__h"))
-      .join(members.as("mb"), col("hb") === col("mb.__h"))
-      .select(least(col("ma.media_id"), col("mb.media_id")).as("id_a"),
-        greatest(col("ma.media_id"), col("mb.media_id")).as("id_b"),
-        col("hamming"))
-    within.unionByName(cross)
+    HashLevel(members, hashPairs)
   }
 
   /** 64-bit audio CONTENT fingerprint (chromaprint-lite) of a PCM-16
@@ -628,31 +643,71 @@ object Multimodal {
     * directly when a quarantine listing is wanted.
     *
     * Scale shape: both pair joins are the band-bucketed Hamming
-    * equi-join (never all-pairs), components run min-label
-    * propagation over edge-touched nodes only, and the keeper is a
-    * min-struct aggregate — no hot-group window anywhere.
+    * equi-join (never all-pairs), and components run over the
+    * CONTRACTED graph — one node per DISTINCT hash (its min member id
+    * as the representative), edges from the verified hash-level pairs
+    * only. Contracting each identical-hash clique to its min member
+    * preserves components and min labels exactly (members of one hash
+    * are mutually connected at hamming 0, and every component's global
+    * min member id is itself a representative), so the member-level
+    * result is reconstructed by one hash→rep→cluster join — while the
+    * label-propagation rounds run over distinct hashes instead of
+    * files. On the BenchMediaScale corpus (2751 files, ~117 distinct
+    * audio fingerprints) the member-level CC's per-round shuffles over
+    * 3779 quadratic within-group edges were ~7 s of the 11.4 s kernel;
+    * the contracted graph has no within-group edges at all. The keeper
+    * is a min-struct aggregate — no hot-group window anywhere.
     */
   def mediaDedupKeepers(media: DataFrame, maxHammingImage: Int = 10,
       maxHammingAudio: Int = 8): DataFrame = {
-    // persist both hash tables: each is consumed by the decodable
-    // union AND its pair join, and each evaluation is a full per-byte
-    // decode of the corpus — the tables themselves are (long, long)
+    // persist both hash tables: each is consumed by the member
+    // projection AND its pair join, and each evaluation is a full
+    // per-byte decode of the corpus — the tables themselves are
+    // (long, long)
     val ih = imageHashes(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val af = audioFingerprints(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val decodable = ih.filter(col("dhash").isNotNull)
-      .select(col("media_id"))
-      .unionByName(af.filter(col("afp").isNotNull)
-        .select(col("media_id")))
-      .distinct()
-    val pairs = nearDupImagePairs(ih, maxHammingImage)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      .unionByName(nearDupAudioPairs(af, maxHammingAudio)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
-    val clusters = graft.dedup.NearDupClusters.clusters(
-      decodable.withColumnRenamed("media_id", "doc_id"), pairs)
-    val scored = clusters.select(col("doc_id"), col("cluster_id"))
+    val img = hashLevelPairs(ih, "dhash", maxHammingImage,
+      DefaultMaxBandBucket)
+    val aud = hashLevelPairs(af, "afp", maxHammingAudio,
+      DefaultMaxBandBucket)
+    // contraction node per distinct hash: its min member id
+    def reps(hl: HashLevel): DataFrame = hl.members
+      .groupBy(col("__h")).agg(min(col("media_id")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val irep = reps(img)
+    val arep = reps(aud)
+    def repEdges(hl: HashLevel, r: DataFrame): DataFrame = hl.hashPairs
+      .join(r.select(col("__h").as("ha"), col("rep").as("doc_a")), "ha")
+      .join(r.select(col("__h").as("hb"), col("rep").as("doc_b")), "hb")
+      .select(col("doc_a"), col("doc_b"))
+    // a file carrying BOTH hashes would bridge its two components in
+    // the member graph (it IS a shared node); mirror that as an edge
+    // between its reps so the contraction stays exactly equivalent.
+    // Disjoint decoders make this empty in practice (a RIFF/WAVE is
+    // never a parseable image), but equivalence shouldn't rest on it.
+    val bridge = img.members.select(col("media_id"), col("__h"))
+      .join(irep, "__h").select(col("media_id"), col("rep").as("doc_a"))
+      .join(aud.members.select(col("media_id"), col("__h"))
+        .join(arep, "__h").select(col("media_id"), col("rep").as("doc_b")),
+        "media_id")
+      .select(col("doc_a"), col("doc_b"))
+    val edges = repEdges(img, irep).unionByName(repEdges(aud, arep))
+      .unionByName(bridge)
+    val nodes = irep.select(col("rep").as("doc_id"))
+      .unionByName(arep.select(col("rep").as("doc_id"))).distinct()
+    val repClusters = graft.dedup.NearDupClusters.clusters(nodes, edges)
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    // expand back: member → its hash's rep → the rep's cluster. A
+    // dual-hash file maps through two reps (same cluster via the
+    // bridge) — min() collapses the duplicate row.
+    val clusters = img.members.join(irep, "__h")
+      .unionByName(aud.members.join(arep, "__h"))
+      .select(col("media_id").as("doc_id"), col("rep"))
+      .join(repClusters, "rep")
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+    val scored = clusters
       .join(media.select(col("media_id").as("doc_id"), col("length")),
         Seq("doc_id"))
     val winners = graft.dedup.KeepBest

@@ -103,4 +103,65 @@ object Agreement {
           .otherwise((col("p_bar") - col("pe_bar")) /
             (lit(1.0) - col("pe_bar"))))
   }
+
+  /** KRIPPENDORFF'S α (nominal data) — the agreement coefficient that
+    * handles MISSING ratings: items may carry any number of raters ≥ 2
+    * (items with fewer drop out; [[fleissKappa]] requires a constant
+    * rater count). α = 1 − D_o/D_e over the coincidence matrix, which
+    * for nominal data closes to
+    *
+    *   α = 1 − (n−1)·(n − o_diag) / (n² − Σ_c n_c²)
+    *
+    * with n = total ratings on qualifying items, n_c the category
+    * totals, and o_diag = Σ_i Σ_c n_ic(n_ic−1)/(m_i−1) the matched
+    * coincidences — so the WHOLE computation needs only the
+    * per-(item, category) count table, no rater self-join.
+    *
+    * Determinism: the per-item 1/(m_i−1) fractions are cleared by
+    * scaling with L = lcm over the distinct (m_i−1) — every sum is
+    * then EXACT INTEGER arithmetic, fold-order-free, with one final
+    * IEEE division each for d_o, d_e and alpha. The distinct rater
+    * counts are a driver-side list by contract (an annotation plan has
+    * a handful of rater cardinalities, never millions).
+    *
+    * One row: (n_items, n_ratings, d_o, d_e, alpha); alpha is NULL
+    * when D_e = 0 (every rating in one category — undefined).
+    */
+  def krippendorffAlpha(labels: DataFrame, itemCol: String = "item_id",
+      annotatorCol: String = "annotator_id",
+      labelCol: String = "label"): DataFrame = {
+    val cat = labels.groupBy(col(itemCol).as("item"),
+        col(labelCol).as("c"))
+      .agg(count(lit(1)).as("nic"))
+    val perItem = cat.groupBy(col("item")).agg(sum(col("nic")).as("m"))
+      .filter(col("m") >= 2)
+    val ms = perItem.select(col("m")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    require(ms.nonEmpty,
+      "krippendorff alpha needs >= 1 item with >= 2 ratings")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = ms.map(_ - 1).reduce((a, b) => a / gcd(a, b) * b)
+    // O_diag scaled by L: Σ n_ic(n_ic−1) · L/(m−1), exact integer
+    val scaled = cat.join(perItem, "item")
+      .agg(coalesce(sum(col("nic") * (col("nic") - 1) *
+        expr(s"$L DIV (m - 1)")), lit(0L)).as("odiag_s"))
+    val nTot = perItem.agg(sum(col("m")).as("n"),
+      count(lit(1)).as("n_items"))
+    val s2 = cat.join(perItem.select(col("item")), "item")
+      .groupBy(col("c")).agg(sum(col("nic")).as("nc"))
+      .agg(sum(col("nc") * col("nc")).as("s2"))
+    nTot.crossJoin(broadcast(scaled)).crossJoin(broadcast(s2))
+      .select(col("n_items"), col("n").as("n_ratings"),
+        ((lit(L) * col("n") - col("odiag_s")).cast("double") /
+          (lit(L) * col("n"))).as("d_o"),
+        ((col("n") * col("n") - col("s2")).cast("double") /
+          (col("n") * (col("n") - 1))).as("d_e"),
+        when(col("n") * col("n") === col("s2"),
+          lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            ((col("n") - 1) * (lit(L) * col("n") - col("odiag_s")))
+              .cast("double") /
+            (lit(L) * (col("n") * col("n") - col("s2"))))
+          .as("alpha"))
+  }
 }

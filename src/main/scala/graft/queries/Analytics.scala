@@ -426,6 +426,19 @@ object Analytics extends QueryPack {
   def fleissAgreement(s: SparkSession, dir: String): DataFrame =
     graft.operators.Agreement.fleissKappa(syntheticLabels(s, dir))
 
+  /** Krippendorff's-α gate (q251): the q235 labels with a
+    * deterministic rating DROPPED from every fifth (item, annotator)
+    * pair — the missing-data regime Fleiss can't handle (rater counts
+    * mix 2 and 3) and Krippendorff's coincidence formulation exists
+    * for. The lcm scaling (L = 2 here) keeps every sum integer-exact;
+    * the oracle replays the SAME scaled integer cores, so d_o, d_e and
+    * α must match bit-for-bit.
+    */
+  def krippendorffAgreement(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Agreement.krippendorffAlpha(
+      syntheticLabels(s, dir)
+        .filter(pmod(col("item_id") + col("annotator_id"), lit(5)) =!= 0))
+
   /** The q232 oracle: p1..p10 unrolled from one MM-update template. */
   private def bradleyTerrySql: String = {
     // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
@@ -497,6 +510,7 @@ object Analytics extends QueryPack {
     "q234_win_rates" -> winRates _,
     "q235_annotator_agreement" -> annotatorAgreement _,
     "q236_fleiss_kappa" -> fleissAgreement _,
+    "q251_krippendorff_alpha" -> krippendorffAgreement _,
     "q164_funnel" -> funnelSteps _,
     "q165_rolling_actives" -> rollingActives _,
     "q162_resample_fill" -> resampleFill _,
@@ -649,6 +663,34 @@ object Analytics extends QueryPack {
         |          (n_items * 3 * 2) - pe_bar) / (1.0 - pe_bar)
         |  END AS kappa
         |FROM tot CROSS JOIN pe""".stripMargin,
+    // the operator's scaled integer cores replayed verbatim (L = 2 =
+    // lcm of the fixture's m−1 ∈ {1,2}): one IEEE division each for
+    // d_o / d_e / alpha, so the doubles are bit-identical
+    "q251_krippendorff_alpha" ->
+      """WITH l AS (
+        |  SELECT doc_id AS item, ann.a AS ann,
+        |    (n_chars // (ann.a + 1)) % 3 AS lab
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS a) ann
+        |  WHERE (doc_id + ann.a) % 5 <> 0),
+        |cat AS (SELECT item, lab AS c, count(*) AS nic
+        |        FROM l GROUP BY 1, 2),
+        |per AS (SELECT item, sum(nic) AS m FROM cat GROUP BY 1
+        |        HAVING sum(nic) >= 2),
+        |od AS (SELECT coalesce(sum(nic * (nic - 1) * (2 // (m - 1))), 0)
+        |         AS odiag_s
+        |       FROM cat JOIN per USING (item)),
+        |tot AS (SELECT sum(m) AS n, count(*) AS n_items FROM per),
+        |s2 AS (SELECT sum(nc * nc) AS s2 FROM (
+        |         SELECT c, sum(nic) AS nc FROM cat
+        |         JOIN per USING (item) GROUP BY c))
+        |SELECT n_items, n AS n_ratings,
+        |  CAST(2 * n - odiag_s AS DOUBLE) / (2 * n) AS d_o,
+        |  CAST(n * n - s2 AS DOUBLE) / (n * (n - 1)) AS d_e,
+        |  CASE WHEN n * n = s2 THEN NULL
+        |    ELSE 1.0 - CAST((n - 1) * (2 * n - odiag_s) AS DOUBLE)
+        |      / (2 * (n * n - s2))
+        |  END AS alpha
+        |FROM tot CROSS JOIN od CROSS JOIN s2""".stripMargin,
     "q164_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -746,6 +746,40 @@ object Text extends QueryPack {
     Vocabulary.bpeVocab(seg)
   }
 
+  /** WordPiece training gate (q252): 20 likelihood-scored merges over
+    * the corpus ([[graft.text.WordPiece.wordpieceTrain]]), final
+    * vocabulary hash-matched against the DuckDB recursive CTE
+    * replaying the same score-argmax recursion from scratch — the
+    * q125 discipline applied to the WordPiece criterion.
+    */
+  def wordpieceTrainGate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
+    val docs = Tables.documents(s, dir)
+    val (merges, seg) =
+      graft.text.WordPiece.wordpieceTrain(docs, numMerges = 20)
+    require(merges.length == 20,
+      s"corpus must support 20 WordPiece merges, got ${merges.length}")
+    // every merge output after round 1 can only pair a word-initial
+    // token with a ##-continuation — a structural WordPiece invariant
+    require(merges.forall(_._2.startsWith("##")),
+      s"right merge partners must be continuations: $merges")
+    graft.text.WordPiece.wordpieceVocab(seg)
+  }
+
+  /** WordPiece encode gate (q253): every 25th document encoded under
+    * the q252 segmentation table (trained on the FULL corpus, so the
+    * lookup-join path covers every word and the greedy OOV path is
+    * spec-covered instead) — the q204 convention, WordPiece edition.
+    */
+  def wordpieceEncodeGate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withSmallShuffle(s) {
+    val docs = Tables.documents(s, dir)
+    val (_, seg) =
+      graft.text.WordPiece.wordpieceTrain(docs, numMerges = 20)
+    graft.text.WordPiece.wordpieceEncode(
+      docs.filter(col("doc_id") % 25 === 7), seg)
+  }
+
   /** Token-budget selection gate (q117): the highest-quality documents
     * whose cumulative char count fits a 60k budget, greedily by
     * (quality DESC, doc_id) — [[graft.text.TokenBudget.select]]'s
@@ -1044,6 +1078,33 @@ object Text extends QueryPack {
         Tables.documents(s, dir), n = 25)
       .select(col("doc_id"), col("source"))
 
+  /** Priority-sampling gate (q249): a weighted WOR sample of 100 docs
+    * with weight = char length, via
+    * [[graft.text.CorpusMix.prioritySample]]. Every number is a pure
+    * per-row function of the md5 draw (one correctly-rounded IEEE
+    * division for the priority — no sums, so no fold-order exposure),
+    * and the threshold/estimator arithmetic is replayed step-for-step
+    * by the oracle: the sampled id set, the priorities, tau, and the
+    * max(w, tau) estimator must all match bit-for-bit.
+    */
+  def prioritySampleGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusMix.prioritySample(
+        Tables.documents(s, dir)
+          .withColumn("w", length(col("text")).cast("double")),
+        k = 100, weightCol = "w")
+      .select(col("doc_id"), col("w"), col("priority"), col("est_weight"))
+
+  /** Heavy-hitters gate (q250): the PROVABLY-exact sketch-candidates +
+    * recount top-20 ([[graft.text.HeavyHitters]]) must equal DuckDB's
+    * brute-force vocabulary count — and the operator itself raises
+    * rather than return an unprovable list, so a green row here means
+    * the proof machinery (the sketch's tracked error bound) held, not
+    * just that the corpus was easy.
+    */
+  def heavyHittersGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.HeavyHitters.topTerms(
+      Tables.documents(s, dir), k = 20, capacity = 2048)
+
   /** Planted mojibake header for q183: UTF-8 punctuation and accents in
     * their read-as-cp1252 corrupt forms, plus a zero-width space, an
     * NBSP, CRLF/bare-CR line breaks, and a BEL control character. The
@@ -1318,6 +1379,59 @@ object Text extends QueryPack {
       |      LIMIT 1)
       |  ) best
       |  WHERE iter < 30)""").stripMargin
+
+  /** The q252/q253 WordPiece training recursion — the q125 replay
+    * discipline with the WordPiece differences: continuation symbols
+    * carry `##`, and the argmax is the LIKELIHOOD score
+    * cab/(ca·cb) (one IEEE division of exact integer counts, so both
+    * engines order candidates identically; ties score desc, a, b).
+    */
+  private def wordpieceTrainOracleCte: String =
+    // plain concatenation, NOT an s-interpolator: the regex '\1'
+    ("""words AS (
+      |  SELECT word, count(*)::BIGINT AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+      |          AS word FROM documents)
+      |  GROUP BY word),
+      |seg(iter, word, freq, s) AS (
+      |  SELECT 0, word, freq,
+      |    regexp_replace(
+      |      regexp_replace(word, '(.)', chr(31) || '##\1' || chr(31), 'g'),
+      |      '^' || chr(31) || '##', chr(31))
+      |  FROM words
+      |  UNION ALL
+      |  SELECT iter + 1, word, freq,
+      |    replace(s,
+      |      chr(31) || best.a || chr(31) || chr(31) || best.b || chr(31),
+      |      chr(31) || best.a ||
+      |        CASE WHEN best.b LIKE '##%' THEN best.b[3:] ELSE best.b
+      |          END || chr(31))
+      |  FROM seg, (
+      |    SELECT a, b FROM (
+      |      SELECT p.a, p.b,
+      |        CAST(p.cab AS DOUBLE) / (ca.cs * cb.cs) AS score
+      |      FROM (
+      |        SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cab
+      |        FROM (SELECT freq,
+      |                str_split(trim(s, chr(31)), chr(31) || chr(31))
+      |                  AS syms
+      |              FROM seg),
+      |             UNNEST(range(1, len(syms))) AS u(i)
+      |        GROUP BY 1, 2) p
+      |      JOIN (
+      |        SELECT sym, sum(freq) AS cs FROM (
+      |          SELECT freq, unnest(str_split(trim(s, chr(31)),
+      |            chr(31) || chr(31))) AS sym FROM seg) GROUP BY sym) ca
+      |        ON ca.sym = p.a
+      |      JOIN (
+      |        SELECT sym, sum(freq) AS cs FROM (
+      |          SELECT freq, unnest(str_split(trim(s, chr(31)),
+      |            chr(31) || chr(31))) AS sym FROM seg) GROUP BY sym) cb
+      |        ON cb.sym = p.b
+      |      ORDER BY score DESC, a, b
+      |      LIMIT 1)
+      |  ) best
+      |  WHERE iter < 20)""").stripMargin
 
   /** The q203/q205 query set: every 50th doc's first five tokens,
     * exploded to distinct (query_id, token) rows as `qt`. */
@@ -1873,6 +1987,8 @@ object Text extends QueryPack {
     "q187_domain_filter" -> domainFilter _,
     "q183_fix_encoding" -> fixEncoding _,
     "q180_stratified_sample" -> stratifiedSample _,
+    "q249_priority_sample" -> prioritySampleGate _,
+    "q250_heavy_hitters" -> heavyHittersGate _,
     "q179_dsir_weights" -> dsirWeights _,
     "q178_span_corruption" -> spanCorruption _,
     "q176_html_crawl_curation" -> htmlCrawlCuration _,
@@ -1916,6 +2032,8 @@ object Text extends QueryPack {
     "q142_quality_classifier" -> qualityClassifierGate _,
     "q143_compressibility" -> compressibilityGate _,
     "q125_bpe_train" -> bpeTrainGate _,
+    "q252_wordpiece_train" -> wordpieceTrainGate _,
+    "q253_wordpiece_encode" -> wordpieceEncodeGate _,
   )
 
   private def hitsSql(lang: String): String = {
@@ -2357,6 +2475,36 @@ object Text extends QueryPack {
         |                1, 13))::BIGINT, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 25""".stripMargin,
+    // replays prioritySample step-for-step: the 52-bit md5 draw, the
+    // (raw+1)/2^52 uniform, ONE division for the priority (correctly
+    // rounded in both engines, so the ordering and the emitted doubles
+    // are bit-identical), tau = the 101st priority, est = max(w, tau)
+    "q249_priority_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'),
+        |        1, 13))::BIGINT AS DOUBLE) + 1.0)
+        |      / 4503599627370496.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, w / u AS priority,
+        |    row_number() OVER (ORDER BY w / u DESC, doc_id) AS rn
+        |  FROM d),
+        |tau AS (
+        |  SELECT coalesce(max(CASE WHEN rn = 101 THEN priority END), 0.0)
+        |    AS tau FROM r)
+        |SELECT doc_id, w, priority,
+        |  greatest(w, (SELECT tau FROM tau)) AS est_weight
+        |FROM r WHERE rn <= 100""".stripMargin,
+    // brute-force vocabulary count — the sketch path must reproduce it
+    // exactly (same [a-z]+ word convention, same count-desc/term-asc
+    // tie-break)
+    "q250_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS cnt FROM t
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
     "q179_dsir_weights" ->
       """WITH tokr AS (
         |  SELECT doc_id,
@@ -2753,6 +2901,30 @@ object Text extends QueryPack {
         |        unnest(str_split(trim(s, chr(31)), chr(31) || chr(31))) AS sym
         |      FROM seg WHERE iter = 30)
         |GROUP BY sym ORDER BY cnt DESC, sym""".stripMargin,
+    "q252_wordpiece_train" ->
+      s"""WITH RECURSIVE $wordpieceTrainOracleCte
+        |SELECT sym, sum(freq)::BIGINT AS cnt
+        |FROM (SELECT freq,
+        |        unnest(str_split(trim(s, chr(31)), chr(31) || chr(31)))
+        |          AS sym
+        |      FROM seg WHERE iter = 20)
+        |GROUP BY sym ORDER BY cnt DESC, sym""".stripMargin,
+    "q253_wordpiece_encode" ->
+      s"""WITH RECURSIVE $wordpieceTrainOracleCte,
+        |final AS (SELECT word, s FROM seg WHERE iter = 20),
+        |ws AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS word_pos, w[i] AS word
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(lower(text), '[a-z]+') AS w
+        |        FROM documents WHERE doc_id % 25 = 7),
+        |       UNNEST(range(1, len(w) + 1)) AS u(i)),
+        |enc AS (
+        |  SELECT ws.doc_id, ws.word_pos,
+        |    str_split(trim(f.s, chr(31)), chr(31) || chr(31)) AS syms
+        |  FROM ws JOIN final f USING (word))
+        |SELECT doc_id, word_pos, CAST(j - 1 AS INT) AS sym_pos,
+        |  syms[j] AS token
+        |FROM enc, UNNEST(range(1, len(syms) + 1)) AS v(j)""".stripMargin,
     "q204_bpe_encode" ->
       s"""WITH RECURSIVE $bpeTrainOracleCte,
         |final AS (SELECT word, s FROM seg WHERE iter = 30),

@@ -157,6 +157,61 @@ object CorpusMix {
     docs.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup 2007): a deterministic
+    * WEIGHTED sample of exactly `min(k, n)` documents WITHOUT
+    * replacement, with the unbiased subset-sum estimator — the
+    * weighted complement of [[sampleExactPerStratum]] ("sample 10k
+    * docs proportional to token count, reproducibly, and still be
+    * able to estimate any subpopulation's total from the sample").
+    *
+    * Each doc draws a uniform `u` in (0,1] (52-bit md5 integer + 1
+    * over 2^52 — exact in a double, never zero) and gets priority
+    * `w / u`; the k highest priorities win and the threshold `tau` is
+    * the (k+1)-th priority (0 when the corpus fits entirely). The
+    * estimator `est_weight = max(w, tau)` is unbiased for every
+    * subset sum: E[Σ_{i∈S∩A} max(w_i, tau)] = Σ_{i∈A} w_i.
+    *
+    * Determinism is the [[mix]] discipline: md5 draws, a single
+    * IEEE division for the priority (correctly rounded, so DuckDB
+    * recomputes the exact ordering bit-for-bit), ties to the smaller
+    * id. Scale shape: the selection is ONE map-side bounded
+    * [[graft.functions.TopKAgg]] over the whole corpus — each task
+    * contributes ≤ k+1 (priority, id) pairs to a one-group reduce —
+    * so a billion-doc corpus shuffles O(k × tasks) longs and is never
+    * globally sorted. Weights must be strictly positive (loud
+    * otherwise, evaluated in the same pass).
+    *
+    * Output: the sampled docs' input columns plus `priority` and
+    * `est_weight`.
+    */
+  def prioritySample(docs: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id", salt: String = ""): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val spark = docs.sparkSession
+    val raw = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 1, 13), 16, 10).cast("double")
+    val u = (raw + lit(1.0)) / lit(4503599627370496.0) // 2^52, u ∈ (0,1]
+    val w = col(weightCol).cast("double")
+    // a non-positive weight corrupts the estimator silently — fail in
+    // the same expression that computes the priority, not a second pass
+    val priority = when(w <= 0.0, raise_error(concat(
+        lit(s"prioritySample: non-positive $weightCol for $idCol="),
+        col(idCol).cast("string"))))
+      .otherwise(w / u)
+    val top = docs.agg(graft.functions.GraftFunctions.topK(spark,
+        priority, col(idCol), k + 1).as("top"))
+      .select(
+        when(size(col("top")) === k + 1,
+          element_at(col("top"), k + 1).getField("score"))
+          .otherwise(lit(0.0)).as("tau"),
+        explode(slice(col("top"), 1, k)).as("e"))
+      .select(col("e").getField("id").as(idCol),
+        col("e").getField("score").as("priority"), col("tau"))
+    docs.join(top, Seq(idCol))
+      .withColumn("est_weight", greatest(w, col("tau")))
+      .drop("tau")
+  }
+
   /** Per-source cap: keep at most `k` documents per source, the best by
     * `scoreCol` (ties to the smaller id — fully deterministic). The
     * aggregation is map-side bounded: each task contributes at most k

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PROVABLY-EXACT top-k heavy hitters without shuffling the
+  * vocabulary — "what are the 20 most frequent words/domains in this
+  * 100 TB corpus?" answered in two narrow passes:
+  *
+  *   1. ONE Misra–Gries sketch pass
+  *      ([[graft.functions.FreqSketchAgg]]): each task carries a
+  *      ≤ `capacity` (word, count) summary, merged map-side — the
+  *      shuffle is O(capacity × tasks) entries, never the vocabulary.
+  *      A plain `groupBy(word).count().orderBy(...)` shuffles every
+  *      distinct word and sorts them all for a k-row answer.
+  *   2. An exact RECOUNT of the ≤ capacity candidate terms only: the
+  *      token generator's output broadcast-semi-joins against the
+  *      candidate set before the aggregation, so the recount's shuffle
+  *      also carries only candidate terms.
+  *
+  * The answer is then exact-or-loud: the sketch's accumulated error
+  * bound `err` (the sum of all compress subtractions; 0 when the
+  * vocabulary fits in `capacity`) upper-bounds any compressed-away
+  * term's true count, so `k-th exact candidate count > err` PROVES no
+  * non-candidate can belong to the true top-k. When the proof fails
+  * the query raises instead of silently returning a plausible list —
+  * the fix is a larger capacity.
+  *
+  * Words are lowercased `[a-z]+` runs (the corpus-word convention the
+  * q116/q179 oracles use), tokenized identically in the sketch's
+  * update loop and in the recount's `regexp_extract_all`.
+  */
+object HeavyHitters {
+
+  /** @param capacity sketch size; exactness is guaranteed (or loud)
+    *                  for any capacity, larger just fails less often */
+  def topTerms(docs: DataFrame, k: Int, capacity: Int = 4096,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && k <= capacity, s"need 1 <= k <= capacity, got $k")
+    val spark = docs.sparkSession
+    val hh = docs.agg(graft.functions.GraftFunctions
+        .heavyHitters(spark, col(textCol), capacity).as("hh"))
+      .select(col("hh.err").as("err"), col("hh.terms").as("terms"))
+      .localCheckpoint(true) // one tiny row; both consumers below
+    val cand = hh.select(explode(col("terms")).as("e"))
+      .select(col("e.term").as("term"))
+    val toks = docs.select(explode(regexp_extract_all(
+      lower(col(textCol)), lit("[a-z]+"), lit(0))).as("term"))
+    val exact = toks.join(broadcast(cand), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+    // the proof check runs EAGERLY on the ≤ k result rows (a lazy
+    // in-plan guard can be skipped entirely when the candidate set
+    // collapses to nothing — exactly the case that must be loud).
+    // Valid iff the sketch never compressed (err = 0 ⇒ candidates ARE
+    // the vocabulary) or the k-th exact count provably outranks every
+    // compressed-away term (k full rows AND kth > err).
+    val rows = exact.collect()
+    val errVal = hh.select(col("err")).head().getLong(0)
+    val kthCnt = if (rows.isEmpty) 0L else rows.map(_.getLong(1)).min
+    require(errVal == 0L || (rows.length == k && kthCnt > errVal),
+      s"heavy_hitters: top-$k not provable at capacity $capacity " +
+        s"(k-th count $kthCnt <= error bound $errVal) — raise capacity")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), exact.schema)
+  }
+}

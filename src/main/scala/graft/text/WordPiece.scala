@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WORDPIECE training and encoding — the third industry tokenizer
+  * family next to [[Vocabulary.bpeTrain]] (BPE) and [[UnigramLM]]
+  * (Unigram): BERT-style continuation-marked subwords where training
+  * merges the pair maximizing the LIKELIHOOD score
+  * `count(ab) / (count(a) · count(b))` instead of BPE's raw pair
+  * count — the published WordPiece criterion (Schuster & Nakajima
+  * 2012; the HuggingFace trainer's `continuing_subword_prefix`
+  * convention with `##`).
+  *
+  * Structure mirrors the BPE trainer deliberately: pre-tokenize +
+  * word-count is the ONLY corpus-scale pass, then bounded rounds over
+  * the DISTINCT-WORD table with guarded-string merges (see
+  * [[Vocabulary]] for why a literal left-to-right `replace` over
+  * guard-wrapped symbols IS the leftmost non-overlapping merge in any
+  * engine). Each round adds two vocabulary-sized aggregates (pair
+  * counts AND symbol counts — the score needs both) and two
+  * vocabulary-sized joins; the argmax is ONE driver row. The score is
+  * a single IEEE division of exact integer counts (`cab / (ca·cb)`),
+  * so the DuckDB oracle replaying the same recursion picks the same
+  * argmax bit-for-bit; ties break (score desc, a, b).
+  *
+  * Symbols: a word's first character is bare, every continuation
+  * carries the `##` prefix; merging (a, b) yields `a + b` with b's
+  * `##` stripped — so "hello" starts `h ##e ##l ##l ##o` and can end
+  * `hello`, with intermediate tokens like `##ll` usable by ANY word.
+  */
+object WordPiece {
+
+  private val Sep = "\u001f"
+  private val SepSep = Sep + Sep
+
+  /** Initial WordPiece segmentation of `wordCol`: each char guarded,
+    * continuations ##-prefixed. */
+  private def initialSeg(word: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(word, "(.)", s"$Sep##$$1$Sep"),
+      s"^$Sep##", Sep)
+
+  /** Train `numMerges` WordPiece merges. Returns (merge sequence in
+    * order — (a, b, merged) — and the final (word, freq, s)
+    * segmentation table in the guarded encoding).
+    */
+  def wordpieceTrain(docs: DataFrame, numMerges: Int,
+      textCol: String = "text",
+      checkpointEvery: Int = 5): (Seq[(String, String, String)], DataFrame) = {
+    val words = docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("s", initialSeg(col("word")))
+    var seg = words.localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      i += 1
+      val arr = split(trim(col("s"), Sep), SepSep)
+      val pairCnt = seg.select(col("freq"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("freq"), col("p.a"), col("p.b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cab"))
+      val symCnt = seg.select(col("freq"),
+          explode(split(trim(col("s"), Sep), SepSep)).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("cs"))
+      // ONE driver row per round: the score-argmax pair
+      val best = pairCnt
+        .join(symCnt.select(col("sym").as("a"), col("cs").as("ca")), "a")
+        .join(symCnt.select(col("sym").as("b"), col("cs").as("cb")), "b")
+        .select(col("a"), col("b"),
+          (col("cab").cast("double") / (col("ca") * col("cb")))
+            .as("score"))
+        .orderBy(col("score").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) done = true // every word is one symbol already
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        val merged = a + b.stripPrefix("##")
+        merges += ((a, b, merged))
+        seg = seg.withColumn("s", call_function("replace", col("s"),
+          lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep$merged$Sep")))
+        if (i % checkpointEvery == 0) seg = seg.localCheckpoint(true)
+      }
+    }
+    (merges.toSeq, seg)
+  }
+
+  /** The trained vocabulary: distinct symbols of the final
+    * segmentations with corpus-weighted counts (count desc, symbol) —
+    * identical contract to [[Vocabulary.bpeVocab]].
+    */
+  def wordpieceVocab(seg: DataFrame): DataFrame =
+    seg.select(col("freq"),
+        explode(split(trim(col("s"), Sep), SepSep)).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym"))
+
+  /** ENCODE under a trained segmentation table — the
+    * [[Vocabulary.bpeEncode]] production shape: one word explode, one
+    * vocabulary-sized lookup join. Words ABSENT from the table (a
+    * tokenizer applied to a new corpus) go through REAL WordPiece
+    * inference: greedy longest-match-first against the trained
+    * vocabulary over the DISTINCT OOV words only (never per
+    * occurrence), emitting `[UNK]` for unmatchable words — the BERT
+    * runtime algorithm. Output: (idCol, word_pos, sym_pos, token).
+    */
+  def wordpieceEncode(docs: DataFrame, seg: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(col(idCol),
+      posexplode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .as(Seq("word_pos", "word")))
+    val looked = words
+      .join(seg.select(col("word"), col("s")), Seq("word"), "left")
+    val inVocab = looked.filter(col("s").isNotNull)
+      .select(col(idCol), col("word_pos"),
+        posexplode(split(trim(col("s"), Sep), SepSep))
+          .as(Seq("sym_pos", "token")))
+    // OOV path: greedy longest-match on distinct oov words with the
+    // broadcast vocabulary (bounded: |alphabet| + numMerges symbols)
+    val vocabSet = wordpieceVocab(seg).select(col("sym"))
+      .collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(vocabSet)
+    val oovSegs = looked.filter(col("s").isNull)
+      .select(col("word")).distinct().as[String]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map(w => (w, greedy(w, v).getOrElse(Seq("[UNK]"))))
+      }.toDF("word", "toks")
+    val oov = looked.filter(col("s").isNull)
+      .select(col(idCol), col("word_pos"), col("word"))
+      .join(oovSegs, Seq("word"))
+      .select(col(idCol), col("word_pos"),
+        posexplode(col("toks")).as(Seq("sym_pos", "token")))
+    inVocab.unionByName(oov)
+  }
+
+  /** Greedy longest-match-first WordPiece inference for one word:
+    * at each position take the LONGEST vocabulary token (##-prefixed
+    * after position 0); None when stuck (callers emit [UNK]).
+    */
+  private[text] def greedy(word: String,
+      vocab: Set[String]): Option[Seq[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      var e = word.length
+      var found: String = null
+      while (e > pos && found == null) {
+        val cand = (if (pos == 0) "" else "##") + word.substring(pos, e)
+        if (vocab.contains(cand)) found = cand else e -= 1
+      }
+      if (found == null) return None
+      out += found
+      pos = e
+    }
+    Some(out.toSeq)
+  }
+}

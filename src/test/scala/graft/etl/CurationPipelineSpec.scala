@@ -72,6 +72,25 @@ class CurationPipelineSpec extends SparkSpec {
       .filter($"c" =!= 2).isEmpty)
   }
 
+  test("priority_sample stage equals the direct code path") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("w", length($"text").cast("double"))
+    val staged = CurationPipeline.run(docs, stagesFrom(
+      """{ "stages": [
+        |  {"op": "priority_sample", "k": 40, "weightCol": "w"} ] }
+        |""".stripMargin)).select($"doc_id", $"est_weight")
+    val direct = graft.text.CorpusMix.prioritySample(docs, 40, "w")
+      .select($"doc_id", $"est_weight")
+    assert(staged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(staged).isEmpty)
+    // missing weightCol fails loudly before any job
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, stagesFrom(
+        """{ "stages": [ {"op": "priority_sample", "k": 40} ] }"""))
+    }
+    assert(e.getMessage.contains("weightCol"))
+  }
+
   test("decontaminate stage drops benchmark-overlapping docs") {
     val docs = Tables.documents(spark, sf)
     val benchPath = "/tmp/graft_curation_bench"

@@ -60,6 +60,39 @@ class PreferenceStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("constant rater count"))
   }
 
+  test("krippendorff alpha: hand-computed ragged case, edges") {
+    // item1 (3 raters): [0,0,1]; item2 (2 raters): [1,1]; item3 has
+    // ONE rating and must drop. n=5, o_diag=1+2=3, S2=2²+3²=13 →
+    // d_o = 2/5, d_e = 12/20, alpha = 1 − 4·2/12 = 1/3
+    val labels = Seq(
+      (1L, 0, 0L), (1L, 1, 0L), (1L, 2, 1L),
+      (2L, 0, 1L), (2L, 1, 1L),
+      (3L, 0, 0L)
+    ).toDF("item_id", "annotator_id", "label")
+    val row = Agreement.krippendorffAlpha(labels).collect()(0)
+    assert(row.getLong(0) == 2L && row.getLong(1) == 5L)
+    assert(row.getDouble(2) == 0.4 && row.getDouble(3) == 0.6)
+    assert(math.abs(row.getDouble(4) - 1.0 / 3.0) < 1e-15)
+    // perfect within-item agreement, ragged raters -> alpha = 1
+    val perfect = Seq(
+      (1L, 0, 0L), (1L, 1, 0L),
+      (2L, 0, 1L), (2L, 1, 1L), (2L, 2, 1L)
+    ).toDF("item_id", "annotator_id", "label")
+    val p = Agreement.krippendorffAlpha(perfect).collect()(0)
+    assert(p.getDouble(2) == 0.0 && p.getDouble(4) == 1.0)
+    // one category everywhere -> D_e = 0, alpha undefined (NULL)
+    val constant = Seq((1L, 0, 7L), (1L, 1, 7L), (2L, 0, 7L), (2L, 1, 7L))
+      .toDF("item_id", "annotator_id", "label")
+    assert(Agreement.krippendorffAlpha(constant).collect()(0).isNullAt(4))
+    // nothing rated twice -> loud
+    val sparse = Seq((1L, 0, 0L), (2L, 0, 1L))
+      .toDF("item_id", "annotator_id", "label")
+    val e = intercept[IllegalArgumentException] {
+      Agreement.krippendorffAlpha(sparse)
+    }
+    assert(e.getMessage.contains(">= 2 ratings"))
+  }
+
   test("kappa is 1 on perfect non-constant agreement, NULL on constant") {
     val perfect = Seq((1L, 0, 0L), (2L, 0, 1L), (1L, 1, 0L), (2L, 1, 1L))
       .toDF("item_id", "annotator_id", "label")

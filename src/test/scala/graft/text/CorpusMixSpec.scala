@@ -153,4 +153,45 @@ class CorpusMixSpec extends SparkSpec {
     val oldHot = a.filter(_ <= 500L)
     assert((g -- (2001L to 2200L).toSet).subsetOf(oldHot))
   }
+
+  test("prioritySample: exact k, deterministic, estimator and tau semantics") {
+    val docs = spark.range(1, 1001).select(
+      col("id").as("doc_id"),
+      (col("id") % 10 + 1).cast("double").as("w"))
+    val out = CorpusMix.prioritySample(docs, 50, "w")
+      .persist()
+    assert(out.count() == 50)
+    // deterministic across runs and partitionings
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = CorpusMix.prioritySample(docs.repartition(7), 50, "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // est_weight = max(w, tau) with ONE tau: at most one distinct
+    // est value above the max sampled weight, and est >= w everywhere
+    assert(out.filter($"est_weight" < $"w").isEmpty)
+    val taus = out.filter($"est_weight" > $"w")
+      .select($"est_weight").distinct().as[Double].collect()
+    assert(taus.length <= 1)
+    // high-weight docs dominate the sample: mean sampled weight must
+    // exceed the population mean (5.5) — the draw is deterministic, so
+    // this is a fixed-value check, not a flaky statistical one
+    val meanW = out.agg(avg($"w")).head().getDouble(0)
+    assert(meanW > 6.0, s"weighted sample looks uniform: mean w $meanW")
+    // the selection is a bounded aggregate, never a global sort
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    out.unpersist()
+    // corpus smaller than k: everything sampled, tau = 0 so est = w
+    val tiny = spark.range(1, 8).select(
+      col("id").as("doc_id"), lit(3.0).as("w"))
+    val all = CorpusMix.prioritySample(tiny, 50, "w")
+    assert(all.count() == 7)
+    assert(all.filter($"est_weight" =!= $"w").isEmpty)
+    // non-positive weights fail loudly inside the sampling pass
+    val bad = spark.range(1, 4).select(
+      col("id").as("doc_id"), lit(0.0).as("w"))
+    val e = intercept[Exception] {
+      CorpusMix.prioritySample(bad, 2, "w").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -1,0 +1,79 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries heavy hitters: exactness on small vocabularies, the
+  * tracked error bound, the loud unprovable path, partitioning
+  * invariance, and equality with the brute-force count on the corpus.
+  */
+class HeavyHittersSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def brute(docs: org.apache.spark.sql.DataFrame, k: Int) =
+    docs.select(explode(regexp_extract_all(
+        lower($"text"), lit("[a-z]+"), lit(0))).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"term".asc).limit(k)
+
+  test("matches brute force on the documents corpus") {
+    val docs = Tables.documents(spark, sf)
+    val fast = HeavyHitters.topTerms(docs, k = 15, capacity = 2048)
+    val slow = brute(docs, 15)
+    assert(fast.collect().toSeq == slow.collect().toSeq)
+  }
+
+  // [a-z]+ tokenization strips digits, so fixture words encode their
+  // index in letters
+  private def alphaWord(prefix: String, i: Int): String = {
+    var n = i; val sb = new StringBuilder(prefix)
+    do { sb.append(('a' + n % 26).toChar); n /= 26 } while (n > 0)
+    sb.toString
+  }
+
+  test("exact under compression when the top is separated; partitioning-invariant") {
+    // zipf-ish plant: hot word i appears 1000/i times, plus 5000
+    // singleton words to force compression at capacity 64
+    val hot = (1 to 10).flatMap(i =>
+      Seq.fill(1000 / i)(alphaWord("hot", i)))
+    val noise = (1 to 5000).map(i => alphaWord("noise", i))
+    val docs = (hot ++ noise).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val out = HeavyHitters.topTerms(docs, k = 5, capacity = 64)
+      .collect().toSeq
+    val expect = (1 to 5)
+      .map(i => (alphaWord("hot", i), (1000 / i).toLong))
+    assert(out.map(r => (r.getString(0), r.getLong(1))) == expect)
+    val re = HeavyHitters.topTerms(docs.repartition(13), k = 5,
+      capacity = 64).collect().toSeq
+    assert(re == out)
+  }
+
+  test("raises loudly when the top-k is not provable") {
+    // uniform vocabulary far over capacity: every count ties at 2, the
+    // error bound dwarfs the k-th count, and a silent answer would be
+    // an arbitrary subset — the operator must refuse
+    val docs = (1 to 4000)
+      .map(i => (i.toLong, alphaWord("w", i) + " " + alphaWord("w", i)))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      HeavyHitters.topTerms(docs, k = 3, capacity = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("raise capacity")), msgs(e).mkString("; "))
+  }
+
+  test("sketch error bound is zero when the vocabulary fits") {
+    val docs = Seq((1L, "a a b c"), (2L, "a b b d")).toDF("doc_id", "text")
+    val hh = docs.agg(graft.functions.GraftFunctions
+        .heavyHitters(spark, $"text", 16).as("hh"))
+      .select($"hh.err", $"hh.terms").head()
+    assert(hh.getLong(0) == 0L)
+    val terms = hh.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(terms == Seq(("a", 3L), ("b", 3L), ("c", 1L), ("d", 1L)))
+  }
+}

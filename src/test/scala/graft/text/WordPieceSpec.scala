@@ -1,0 +1,86 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WordPiece trainer/encoder: hand-computed likelihood-scored merges,
+  * the criterion difference vs BPE, greedy longest-match inference
+  * (OOV path), and round-trip structure.
+  */
+class WordPieceSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("hand-computed merge sequence with the likelihood tie-break") {
+    // words: aa×2, ab×1. counts a:3 ##a:2 ##b:1; scores
+    // (a,##a)=2/6, (a,##b)=1/3 — an exact TIE, broken lexicographic
+    // → merge (a,##a)→aa first, then (a,##b)→ab
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val (merges, seg) = WordPiece.wordpieceTrain(docs, numMerges = 5)
+    assert(merges == Seq(("a", "##a", "aa"), ("a", "##b", "ab")))
+    val vocab = WordPiece.wordpieceVocab(seg).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab == Seq(("aa", 2L), ("ab", 1L)))
+  }
+
+  test("likelihood score picks the rare cohesive pair BPE would skip") {
+    // (x,##y) count 10 but score 10/(10·10); (z,##q) count 3, score
+    // 3/(3·3) — WordPiece merges zq FIRST, raw-count BPE merges xy
+    val docs = Seq((1L, ("xy " * 10 + "zq " * 3).trim))
+      .toDF("doc_id", "text")
+    val (wpMerges, _) = WordPiece.wordpieceTrain(docs, numMerges = 1)
+    assert(wpMerges.head == (("z", "##q", "zq")))
+    val (bpeMerges, _) = Vocabulary.bpeTrain(docs, numMerges = 1)
+    assert(bpeMerges.head._1 == "x" && bpeMerges.head._2 == "y")
+  }
+
+  test("greedy longest-match-first inference and the [UNK] fallback") {
+    val vocab = Set("un", "##able", "##a", "##b", "##l", "##e", "u", "q")
+    assert(WordPiece.greedy("unable", vocab)
+      == Some(Seq("un", "##able")))
+    // longest FIRST match even when a shorter one would also complete
+    assert(WordPiece.greedy("ua", vocab) == Some(Seq("u", "##a")))
+    // unmatchable (no ##z continuation): None → encoder emits [UNK]
+    assert(WordPiece.greedy("uz", vocab).isEmpty)
+  }
+
+  test("encode: lookup path for trained words, greedy path for OOV") {
+    val train = Seq((1L, "hello hello help")).toDF("doc_id", "text")
+    val (_, seg) = WordPiece.wordpieceTrain(train, numMerges = 3)
+    // encode a corpus with a trained word, a decomposable OOV word,
+    // and an undecomposable one
+    val apply = Seq((9L, "hello helq zz")).toDF("doc_id", "text")
+    val out = WordPiece.wordpieceEncode(apply, seg)
+      .orderBy($"word_pos", $"sym_pos")
+      .select($"word_pos", $"sym_pos", $"token")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    // word 0 "hello": the trained segmentation (lookup join)
+    val w0 = out.filter(_._1 == 0).map(_._3)
+    assert(w0.mkString("") .replace("##", "") == "hello")
+    // word 1 "helq": OOV — greedy over trained symbols; rejoins to the
+    // word with ## stripped
+    val w1 = out.filter(_._1 == 1).map(_._3)
+    assert(w1.nonEmpty && w1.mkString("").replace("##", "") == "helq" ||
+      w1.toSeq == Seq("[UNK]"))
+    // word 2 "zz": no z in the trained alphabet → [UNK]
+    assert(out.filter(_._1 == 2).map(_._3).toSeq == Seq("[UNK]"))
+    // every emitted token except [UNK] is in the trained vocabulary
+    val vocab = WordPiece.wordpieceVocab(seg).collect()
+      .map(_.getString(0)).toSet + "[UNK]"
+    assert(out.map(_._3).forall(vocab.contains))
+  }
+
+  test("train scales by the distinct-word table, merges apply leftmost") {
+    // 'aaaa': after (##a,##a) exists? merges walk leftmost
+    // non-overlapping: a ##a ##a ##a → merge (a,##a): aa ##a ##a,
+    // then depends on scores; just assert segmentation CONCATENATES
+    // back to the word at every stage
+    val docs = Seq((1L, "aaaa aaa banana band")).toDF("doc_id", "text")
+    val (_, seg) = WordPiece.wordpieceTrain(docs, numMerges = 6)
+    val bad = seg.select($"word", $"s").collect().filter { r =>
+      r.getString(1).replace("\u001f", "").replace("##", "") !=
+        r.getString(0)
+    }
+    assert(bad.isEmpty, bad.mkString(","))
+  }
+}
