@@ -306,7 +306,44 @@ object Streaming extends QueryPack {
     "q220_stream_novelty" -> streamNovelty _,
     "q202_stream_content_drift" -> streamContentDrift _,
     "q231_stream_ann_ingest" -> streamAnnIngest _,
+    "q254_stream_heavy_hitters" -> streamHeavyHitters _,
   )
+
+  /** Streaming heavy-hitters gate (q254): the Misra–Gries summary
+    * ([[graft.functions.FreqSketchAgg]]) accumulated as STREAMING
+    * STATE — a complete-mode global aggregate over the documents file
+    * stream, so each micro-batch's partial sketches merge into the
+    * state-store buffer exactly as tasks merge in batch. The drained
+    * summary then goes through the SAME recount-and-prove tail as the
+    * batch operator ([[graft.text.HeavyHitters.exactTopFromSummary]]),
+    * so the output must equal q250's — oracle shared verbatim (the
+    * q225/q86 convention). Multi-batch merge order is spec-covered
+    * (maxFilesPerTrigger=1 over a split corpus).
+    */
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, dir)
+    val schema = docs.schema
+    val src = s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/documents.parque[t]")
+    val name =
+      s"q254_stream_hh_${math.abs(dir.hashCode).toString}"
+    val q = src
+      .agg(graft.functions.GraftFunctions
+        .heavyHitters(s, col("text"), 2048).as("hh"))
+      .select(col("hh.err").as("err"), col("hh.terms").as("terms"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val row = s.table(name).head()
+    graft.text.HeavyHitters.exactTopFromSummary(docs, k = 20,
+      capacity = 2048, errVal = row.getLong(0),
+      candidates = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getString(0)))
+  }
 
   /** Streaming content-drift gate (q202): the q201 planting (src0
     * replaced by a template flood) replayed as a file stream and
@@ -417,6 +454,8 @@ object Streaming extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the streamed sketch + batch recount must land on the q250 truth
+    "q254_stream_heavy_hitters" -> Text.heavyHittersOracleSql,
     "q202_stream_content_drift" ->
       s"""SELECT CAST(0 AS BIGINT) AS batch_id, source, vocab_cosine
          |FROM (${Text.contentDriftOracleSql})""".stripMargin,

@@ -1094,6 +1094,18 @@ object Text extends QueryPack {
         k = 100, weightCol = "w")
       .select(col("doc_id"), col("w"), col("priority"), col("est_weight"))
 
+  /** Dictionary-tagging gate (q255): a fixed six-term dictionary —
+    * including a phrase with a space, mutually-overlapping terms
+    * ("an"/"ana"/"and"), and stopwords — counted per document by the
+    * one-pass Aho–Corasick scan ([[graft.text.DictionaryTag]]).
+    * Match semantics are leftmost-non-overlapping per term, which is
+    * exactly `replace` arithmetic, so the oracle recomputes every
+    * count as (len − len(replace))/len(term) with no automaton at all.
+    */
+  def dictionaryTagGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.DictionaryTag.tag(Tables.documents(s, dir),
+      Seq("the", "of the", "data", "and", "an", "ana"))
+
   /** Heavy-hitters gate (q250): the PROVABLY-exact sketch-candidates +
     * recount top-20 ([[graft.text.HeavyHitters]]) must equal DuckDB's
     * brute-force vocabulary count — and the operator itself raises
@@ -1989,6 +2001,7 @@ object Text extends QueryPack {
     "q180_stratified_sample" -> stratifiedSample _,
     "q249_priority_sample" -> prioritySampleGate _,
     "q250_heavy_hitters" -> heavyHittersGate _,
+    "q255_dictionary_tag" -> dictionaryTagGate _,
     "q179_dsir_weights" -> dsirWeights _,
     "q178_span_corruption" -> spanCorruption _,
     "q176_html_crawl_curation" -> htmlCrawlCuration _,
@@ -2042,6 +2055,15 @@ object Text extends QueryPack {
   }
 
   /** The q201 oracle, shared verbatim with q202's per-batch wrap. */
+  /** The q250 truth: brute-force vocabulary top-20 — shared verbatim
+    * by the streaming face (q254) so the two paths cannot drift. */
+  private[queries] val heavyHittersOracleSql: String =
+    """WITH t AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents)
+      |SELECT term, count(*) AS cnt FROM t
+      |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+
   private[queries] val contentDriftOracleSql: String =
       """WITH cur AS (
         |  SELECT source,
@@ -2498,13 +2520,20 @@ object Text extends QueryPack {
         |FROM r WHERE rn <= 100""".stripMargin,
     // brute-force vocabulary count — the sketch path must reproduce it
     // exactly (same [a-z]+ word convention, same count-desc/term-asc
-    // tie-break)
-    "q250_heavy_hitters" ->
-      """WITH t AS (
-        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
-        |  FROM documents)
-        |SELECT term, count(*) AS cnt FROM t
-        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    // tie-break); shared verbatim with the streaming face (q254)
+    "q250_heavy_hitters" -> heavyHittersOracleSql,
+    // replace arithmetic IS the match semantics: leftmost
+    // non-overlapping occurrences of each term independently
+    "q255_dictionary_tag" ->
+      """WITH t(term) AS (
+        |  SELECT unnest(['the', 'of the', 'data', 'and', 'an', 'ana'])),
+        |c AS (
+        |  SELECT doc_id, term,
+        |    CAST((length(lower(text)) -
+        |          length(replace(lower(text), term, '')))
+        |      // length(term) AS BIGINT) AS n
+        |  FROM documents CROSS JOIN t)
+        |SELECT doc_id, term, n FROM c WHERE n > 0""".stripMargin,
     "q179_dsir_weights" ->
       """WITH tokr AS (
         |  SELECT doc_id,

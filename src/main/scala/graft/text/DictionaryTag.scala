@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DICTIONARY TAGGING at corpus scale — count occurrences of every
+  * term of a (possibly large) dictionary in every document in ONE text
+  * scan, via an Aho–Corasick automaton. The operation behind keyword
+  * blocklists, taxonomy tagging, and gazetteer features: a regex
+  * alternation compiles and backtracks quadratically past a few
+  * thousand terms, and per-term `contains` scans the corpus once PER
+  * TERM; Aho–Corasick scans each document once TOTAL, whatever the
+  * dictionary size.
+  *
+  * Match semantics are chosen for exact cross-engine accountability:
+  * case-insensitive SUBSTRING matches (no word-boundary magic), and
+  * per term the count is the LEFTMOST NON-OVERLAPPING occurrence count
+  * — for every term t independently, exactly
+  * `(len(text) − len(replace(text, t, ''))) / len(t)`, so the DuckDB
+  * oracle recomputes every count with replace arithmetic. Terms
+  * overlapping EACH OTHER all count (suffix/output links); a term
+  * overlapping ITSELF counts greedily left-to-right, which is what
+  * `replace` does.
+  *
+  * Scale shape: the automaton builds ONCE PER TASK from the broadcast
+  * dictionary (nodes bounded by total dictionary characters — a
+  * driver-side structure by contract, like the trained quantizers);
+  * the corpus pass is mapPartitions (the justified row-local kind: a
+  * state machine over chars, no Spark expression can express it) and
+  * the only shuffle is the (doc, term, n) OUTPUT, bounded by actual
+  * hits.
+  */
+object DictionaryTag {
+
+  /** Aho–Corasick automaton over lowercase terms. Array-of-HashMap
+    * transitions (the alphabet is whatever the terms use), BFS-built
+    * fail links, output = term ids ending at the node plus the
+    * dict-suffix chain.
+    */
+  final class Automaton(terms: Seq[String]) extends Serializable {
+    require(terms.nonEmpty, "dictionary must not be empty")
+    require(terms.forall(_.nonEmpty), "dictionary terms must be non-empty")
+    require(terms.distinct.length == terms.length,
+      "dictionary terms must be distinct")
+    val termArr: Array[String] = terms.toArray
+    private val lens: Array[Int] = termArr.map(_.length)
+
+    private val next =
+      scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[Char, Int]())
+    private val fail = scala.collection.mutable.ArrayBuffer(0)
+    private val out = scala.collection.mutable.ArrayBuffer(
+      List.empty[Int])
+
+    // goto trie
+    for (tid <- termArr.indices) {
+      var node = 0
+      for (ch <- termArr(tid)) {
+        val m = next(node)
+        node = if (m.containsKey(ch)) m.get(ch) else {
+          next += new java.util.HashMap[Char, Int]()
+          fail += 0
+          out += Nil
+          val n = next.length - 1
+          m.put(ch, n)
+          n
+        }
+      }
+      out(node) = tid :: out(node)
+    }
+    // BFS fail links; output sets absorb the fail target's outputs
+    private val queue = scala.collection.mutable.Queue.empty[Int]
+    next(0).forEach((_, v) => { fail(v) = 0; queue.enqueue(v) })
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      next(u).forEach { (ch, v) =>
+        var f = fail(u)
+        while (f != 0 && !next(f).containsKey(ch)) f = fail(f)
+        fail(v) =
+          if (next(f).containsKey(ch) && next(f).get(ch) != v)
+            next(f).get(ch)
+          else 0
+        out(v) = out(v) ++ out(fail(v))
+        queue.enqueue(v)
+      }
+    }
+    private val nextArr: Array[java.util.HashMap[Char, Int]] = next.toArray
+    private val failArr: Array[Int] = fail.toArray
+    private val outArr: Array[Array[Int]] = out.map(_.toArray).toArray
+
+    /** (term id → leftmost-non-overlapping count) for one PRE-LOWERED
+      * text (string-level lowering outside, matching SQL `lower()`).
+      */
+    def countAll(text: String): Array[Int] = {
+      val counts = new Array[Int](termArr.length)
+      val lastEnd = new Array[Int](termArr.length)
+      java.util.Arrays.fill(lastEnd, -1)
+      var node = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        val ch = text.charAt(i)
+        while (node != 0 && !nextArr(node).containsKey(ch))
+          node = failArr(node)
+        if (nextArr(node).containsKey(ch)) node = nextArr(node).get(ch)
+        val hits = outArr(node)
+        var h = 0
+        while (h < hits.length) {
+          val tid = hits(h)
+          val start = i - lens(tid) + 1
+          if (start > lastEnd(tid)) {
+            counts(tid) += 1
+            lastEnd(tid) = i
+          }
+          h += 1
+        }
+        i += 1
+      }
+      counts
+    }
+  }
+
+  /** Tag `docs`: one output row per (idCol, term) with n > 0
+    * occurrences. Terms are lowercased; matching is case-insensitive
+    * substring, leftmost non-overlapping per term.
+    */
+  def tag(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lowered = terms.map(_.toLowerCase)
+    val bc = spark.sparkContext.broadcast(lowered)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = new Automaton(bc.value)
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val c = ac.countAll(
+              text.toLowerCase(java.util.Locale.ROOT))
+            Iterator.range(0, c.length).filter(c(_) > 0)
+              .map(t => (id, ac.termArr(t), c(t).toLong))
+          }
+        }
+      }
+      .toDF(idCol, "term", "n")
+  }
+}

@@ -38,12 +38,29 @@ object HeavyHitters {
       textCol: String = "text"): DataFrame = {
     require(k >= 1 && k <= capacity, s"need 1 <= k <= capacity, got $k")
     val spark = docs.sparkSession
-    val hh = docs.agg(graft.functions.GraftFunctions
+    val row = docs.agg(graft.functions.GraftFunctions
         .heavyHitters(spark, col(textCol), capacity).as("hh"))
       .select(col("hh.err").as("err"), col("hh.terms").as("terms"))
-      .localCheckpoint(true) // one tiny row; both consumers below
-    val cand = hh.select(explode(col("terms")).as("e"))
-      .select(col("e.term").as("term"))
+      .head() // one tiny row: the summary
+
+    exactTopFromSummary(docs, k, capacity,
+      row.getLong(0),
+      row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)),
+      textCol)
+  }
+
+  /** The recount + proof tail, reusable by the streaming face: given a
+    * Misra–Gries summary (its error bound and candidate terms, however
+    * it was accumulated — one batch job or merged micro-batch state),
+    * recount candidates exactly and return the PROVEN top-k, loud
+    * otherwise.
+    */
+  def exactTopFromSummary(docs: DataFrame, k: Int, capacity: Int,
+      errVal: Long, candidates: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cand = candidates.toDF("term")
     val toks = docs.select(explode(regexp_extract_all(
       lower(col(textCol)), lit("[a-z]+"), lit(0))).as("term"))
     val exact = toks.join(broadcast(cand), Seq("term"), "left_semi")
@@ -57,7 +74,6 @@ object HeavyHitters {
     // the vocabulary) or the k-th exact count provably outranks every
     // compressed-away term (k full rows AND kth > err).
     val rows = exact.collect()
-    val errVal = hh.select(col("err")).head().getLong(0)
     val kthCnt = if (rows.isEmpty) 0L else rows.map(_.getLong(1)).min
     require(errVal == 0L || (rows.length == k && kthCnt > errVal),
       s"heavy_hitters: top-$k not provable at capacity $capacity " +

@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Aho–Corasick dictionary tagging: hand-computed overlap cases,
+  * replace-arithmetic parity on the corpus, case folding, and edges.
+  */
+class DictionaryTagSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def tagMap(text: String, terms: Seq[String]) =
+    DictionaryTag.tag(Seq((1L, text)).toDF("doc_id", "text"), terms)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+  test("overlapping terms count independently; self-overlap is greedy") {
+    val m = tagMap("banana bandana",
+      Seq("an", "ana", "banana", "nan", "zzz"))
+    assert(m == Map("an" -> 4L, "ana" -> 2L, "banana" -> 1L,
+      "nan" -> 1L))
+    // self-overlapping term: greedy leftmost non-overlap = replace
+    assert(tagMap("aaaa", Seq("aa")) == Map("aa" -> 2L))
+    assert(tagMap("aaaaa", Seq("aa")) == Map("aa" -> 2L))
+  }
+
+  test("phrases with spaces, case folding, null/empty text") {
+    assert(tagMap("Of The people, of the people",
+      Seq("of the", "people")) ==
+      Map("of the" -> 2L, "people" -> 2L))
+    assert(tagMap("", Seq("x")).isEmpty)
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val out = DictionaryTag.tag(withNull, Seq("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, "x", 1L)))
+  }
+
+  test("replace-arithmetic parity on the documents corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    val terms = Seq("the", "of the", "data", "an", "ana", "and")
+    val fast = DictionaryTag.tag(docs, terms)
+    val slow = docs.select(col("doc_id"), lower(col("text")).as("lt"))
+      .crossJoin(terms.toDF("term"))
+      .select(col("doc_id"), col("term"),
+        ((length(col("lt")) -
+          length(call_function("replace", col("lt"), col("term"),
+            lit("")))) / length(col("term"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("dictionary validation is loud") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[Exception] {
+      DictionaryTag.tag(docs, Seq.empty).collect()
+    }
+    intercept[Exception] {
+      DictionaryTag.tag(docs, Seq("a", "")).collect()
+    }
+    intercept[Exception] {
+      DictionaryTag.tag(docs, Seq("a", "A")).collect() // folds to dup
+    }
+  }
+}

@@ -66,6 +66,41 @@ class HeavyHittersSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("raise capacity")), msgs(e).mkString("; "))
   }
 
+  test("streamed sketch state merges across micro-batches to the batch answer") {
+    import org.apache.spark.sql.streaming.Trigger
+    // zipf plant split over 6 files, drained ONE FILE PER BATCH so the
+    // complete-mode aggregate must merge sketches through the state
+    // store, not inside one batch
+    val hot = (1 to 10).flatMap(i => Seq.fill(600 / i)(alphaWord("hot", i)))
+    val noise = (1 to 1500).map(i => alphaWord("noise", i))
+    val docs = (hot ++ noise).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hh_stream").toString
+    docs.repartition(6).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = src.agg(graft.functions.GraftFunctions
+        .heavyHitters(spark, $"text", 64).as("hh"))
+      .select($"hh.err".as("err"), $"hh.terms".as("terms"))
+      .writeStream.format("memory").queryName("hh_stream_spec")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length > 1, "expected multiple micro-batches")
+    val row = spark.table("hh_stream_spec").head()
+    val streamed = HeavyHitters.exactTopFromSummary(docs, k = 5,
+      capacity = 64, errVal = row.getLong(0),
+      candidates = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getString(0)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = HeavyHitters.topTerms(docs, k = 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed == (1 to 5)
+      .map(i => (alphaWord("hot", i), (600 / i).toLong)))
+  }
+
   test("sketch error bound is zero when the vocabulary fits") {
     val docs = Seq((1L, "a a b c"), (2L, "a b b d")).toDF("doc_id", "text")
     val hh = docs.agg(graft.functions.GraftFunctions
