@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev bench: dictionary tagging at LARGE dictionary sizes — the
+  * claim behind [[graft.text.DictionaryTag]] is that one Aho–Corasick
+  * pass beats per-term scans and regex alternations as the dictionary
+  * grows. This measures the tagger against the honest counterfactual
+  * (the per-term `replace`-arithmetic loop the oracle uses, which
+  * scans the corpus once per term as one wide projection) at 100 /
+  * 1k / 10k terms drawn from the corpus's own vocabulary.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.BenchDictScale
+  * [sizes]` (default 100,1000,10000).
+  */
+object BenchDictScale {
+  def main(args: Array[String]): Unit = {
+    val sizes = (if (args.nonEmpty) args(0) else "100,1000,10000")
+      .split(",").map(_.trim.toInt).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-dict-scale")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    try {
+      val docs = Tables.documents(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      // dictionary = the corpus's own most frequent words (so matches
+      // actually occur), padded with synthetic misses
+      val vocab = docs.select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(sizes.max)
+        .collect().map(_.getString(0)).toSeq
+      val results = sizes.map { n =>
+        val terms = (vocab.take(n) ++
+          (vocab.size until n).map(i => s"zqxjkw$i")).distinct.take(n)
+        def time(f: => Long): (Double, Long) = {
+          val t0 = System.nanoTime(); val r = f
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        // warm once at the smallest size only through the AC path
+        val (acSec, acRows) = time(
+          graft.text.DictionaryTag.tag(docs, terms).count())
+        // counterfactual: one projection with n replace-count columns
+        // (the oracle's arithmetic), unpivoted — still ONE corpus scan
+        // but O(n) replaces per row
+        val (cfSec, cfRows) = time {
+          val lt = lower(col("text"))
+          val cols = terms.map(t =>
+            ((length(lt) - length(call_function("replace", lt, lit(t),
+              lit("")))) / lit(t.length)).cast("long")
+              .as(s"n_${terms.indexOf(t)}"))
+          // stack() unpivot would blow the codegen at 10k columns;
+          // sum of positives is enough for a fair full-work compare
+          docs.select(cols: _*)
+            .select(cols.indices.map(i =>
+              sum(when(col(s"n_$i") > 0, 1L).otherwise(0L))
+                .as(s"s_$i")): _*)
+            .head().toSeq.map(_.asInstanceOf[Long]).sum
+        }
+        System.err.println(
+          f"[dict-scale] n=$n%d ac=$acSec%.2f s ($acRows rows) " +
+            f"replace-loop=$cfSec%.2f s ($cfRows hit-terms)")
+        (n, acSec, cfSec)
+      }
+      println("DICT_SCALE " + results.map { case (n, a, c) =>
+        f"""{"n_terms":$n,"ac_sec":$a%.3f,"replace_loop_sec":$c%.3f}"""
+      }.mkString("[", ",", "]"))
+    } finally spark.stop()
+  }
+}
