@@ -1094,6 +1094,18 @@ object Text extends QueryPack {
         k = 100, weightCol = "w")
       .select(col("doc_id"), col("w"), col("priority"), col("est_weight"))
 
+  /** Training-shard gate (q256): the 2-epoch deterministic stream cut
+    * into 256-doc shards ([[graft.text.TrainShards.byDocCount]]) —
+    * shard and in-shard position are plain arithmetic on the q139
+    * stream position, so the oracle extends the q139 window replay
+    * with the same integer division. The one-file-per-shard write and
+    * in-file order are spec-pinned (file-system facts DuckDB can't
+    * see).
+    */
+  def trainShardsGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.TrainShards.byDocCount(Tables.documents(s, dir),
+      shardDocs = 256, epochs = 2)
+
   /** Dictionary-tagging gate (q255): a fixed six-term dictionary —
     * including a phrase with a space, mutually-overlapping terms
     * ("an"/"ana"/"and"), and stopwords — counted per document by the
@@ -2002,6 +2014,7 @@ object Text extends QueryPack {
     "q249_priority_sample" -> prioritySampleGate _,
     "q250_heavy_hitters" -> heavyHittersGate _,
     "q255_dictionary_tag" -> dictionaryTagGate _,
+    "q256_train_shards" -> trainShardsGate _,
     "q179_dsir_weights" -> dsirWeights _,
     "q178_span_corruption" -> spanCorruption _,
     "q176_html_crawl_curation" -> htmlCrawlCuration _,
@@ -2876,6 +2889,22 @@ object Text extends QueryPack {
         |          AS rn
         |      FROM documents)
         |WHERE rn <= 30""".stripMargin,
+    // the q139 stream replay + integer shard arithmetic
+    "q256_train_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |    lpad(CAST(epoch AS VARCHAR), 4, '0') || ':' ||
+        |      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+        |      || ':' || CAST(doc_id AS VARCHAR) AS k
+        |  FROM documents, range(2) t(epoch)),
+        |p AS (
+        |  SELECT doc_id, epoch,
+        |    CAST(row_number() OVER (ORDER BY k) AS BIGINT) - 1 AS pos
+        |  FROM s)
+        |SELECT doc_id, epoch,
+        |  CAST(pos // 256 AS INT) AS shard,
+        |  CAST(pos % 256 AS INT) AS pos_in_shard
+        |FROM p""".stripMargin,
     "q139_train_order" ->
       """WITH s AS (
         |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,

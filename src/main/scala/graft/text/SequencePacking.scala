@@ -44,9 +44,22 @@ object SequencePacking {
     val nParts = if (partitions > 0) partitions
       else docs.sparkSession.sessionState.conf.numShufflePartitions
     val pid = "__graft_pid"
+    // the pid column is consumed by TWO plan branches (the local
+    // cumsum and the per-partition offsets). Range partitioning
+    // SAMPLES its bounds at exchange materialization, so the branches
+    // only agree if Spark reuses one physical exchange — an
+    // OPTIMIZATION, not a contract. A persisted downstream plan was
+    // observed to materialize the exchange twice with different
+    // sampled bounds, silently corrupting positions (TrainShardsSpec
+    // caught 69/37-sized "64-doc" shards). localCheckpoint is the
+    // hard barrier: lineage truncates at the materialized partitions,
+    // so every consumer reads the SAME physical partitioning — and
+    // the checkpointed table is the narrow (id, key, token)
+    // projection, never document payloads.
     val parted = docs
       .repartitionByRange(nParts, col(orderCol))
       .withColumn(pid, spark_partition_id())
+      .localCheckpoint(true)
     // within-partition exclusive cumsum: partitions are range-disjoint
     // on orderCol, so no global ordering shuffle happens here
     val w = Window.partitionBy(col(pid)).orderBy(col(orderCol))
@@ -55,9 +68,7 @@ object SequencePacking {
       coalesce(sum(col(tokenCol)).over(w), lit(0L)))
     // per-partition totals -> exclusive prefix offsets, all inside ONE
     // query: the offsets table has one row per PARTITION (its window
-    // runs single-partition over `partitions` rows, not the corpus),
-    // and both branches hang off the same range exchange, so the
-    // partition ids provably agree
+    // runs single-partition over `partitions` rows, not the corpus)
     val offsets = local.groupBy(col(pid))
       .agg(sum(col(tokenCol)).as("__graft_total"))
       .withColumn("__graft_off", coalesce(

@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TRAINING-SHARD MATERIALIZATION — the last step between a curated
+  * corpus and a trainer's data loader: cut the deterministic training
+  * stream ([[TrainOrder.epochStream]]) into fixed-size shards and
+  * write ONE FILE PER SHARD, rows in stream order — the
+  * webdataset/tfrecord-style layout where loader worker w reads every
+  * k-th shard with no coordination.
+  *
+  * Two cut rules, both deterministic and engine-portable:
+  * doc-count shards here (shard = pos / shardDocs — plain arithmetic
+  * on the stream position), and token-budget shards via
+  * [[SequencePacking.contiguousPacks]] (its pack id IS a
+  * token-bounded shard id — the q103 operator).
+  *
+  * Scale shape: the assignment inherits epochStream's — one range
+  * shuffle of (id, key) pairs, a distributed prefix sum, never a
+  * global window. The write repartitions by shard id (each shard's
+  * rows land in exactly one task, so `partitionBy` emits exactly one
+  * file per shard) and sorts within partitions by position. The
+  * persisted `pos_in_shard` column is the order CONTRACT — file row
+  * order matches it as written, but a reader of a multi-split file
+  * should sort by it (cheap: one shard's worth of rows).
+  */
+object TrainShards {
+
+  /** Shard assignments: (idCol, epoch, shard, pos_in_shard) for
+    * `epochs` passes over the corpus, `shardDocs` docs per shard
+    * (the final shard of the stream may be short).
+    */
+  def byDocCount(docs: DataFrame, shardDocs: Int, epochs: Int = 1,
+      idCol: String = "doc_id", salt: String = ""): DataFrame = {
+    require(shardDocs >= 1, s"shardDocs must be >= 1, got $shardDocs")
+    TrainOrder.epochStream(docs, idCol, epochs, salt)
+      .select(col(idCol), col("epoch"),
+        expr(s"pos DIV $shardDocs").cast("int").as("shard"),
+        (col("pos") % shardDocs).cast("int").as("pos_in_shard"))
+  }
+
+  /** Materialize `docs` under `assignments` to `path`: parquet,
+    * `shard=N/` directories with exactly one file each, rows written
+    * in stream order with `epoch` and `pos_in_shard` persisted.
+    */
+  def write(docs: DataFrame, assignments: DataFrame, path: String,
+      idCol: String = "doc_id"): Unit =
+    docs.join(assignments, Seq(idCol))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("epoch"),
+        col("pos_in_shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+}

@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Shard materialization: assignment arithmetic, one file per shard,
+  * in-file stream order, and read-back fidelity.
+  */
+class TrainShardsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("assignments: full cover, exact shard sizes, determinism") {
+    val docs = spark.range(0, 1000).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id")).as("text"))
+    val a = TrainShards.byDocCount(docs, shardDocs = 64, epochs = 2)
+      .persist()
+    // 2000 stream rows → shards 0..31 of 64, final shard 16
+    assert(a.count() == 2000)
+    val sizes = a.groupBy($"shard").count().orderBy($"shard")
+      .as[(Int, Long)].collect()
+    assert(sizes.length == 32)
+    assert(sizes.init.forall(_._2 == 64L) && sizes.last._2 == 16L,
+      sizes.mkString(","))
+    // in-shard positions are exactly 0..size-1
+    val badPos = a.groupBy($"shard")
+      .agg(min($"pos_in_shard").as("lo"), max($"pos_in_shard").as("hi"),
+        count(lit(1)).as("n"))
+      .filter($"lo" =!= 0 || $"hi" =!= $"n" - 1)
+    assert(badPos.isEmpty)
+    // every (doc, epoch) appears exactly once
+    assert(a.groupBy($"doc_id", $"epoch").count()
+      .filter($"count" =!= 1).isEmpty)
+    // deterministic across partitionings
+    val b = TrainShards.byDocCount(docs.repartition(7), 64, epochs = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    a.unpersist()
+  }
+
+  test("write: one file per shard, rows in stream order, roundtrip") {
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    val a = TrainShards.byDocCount(docs, shardDocs = 100, epochs = 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    TrainShards.write(docs, a, path)
+    // exactly one parquet file per shard directory
+    val shardDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 5)
+    for (d <- shardDirs) {
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+    // read back: full corpus, and within each file rows are already
+    // in pos order (single small file = single split preserves order)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 500)
+    assert(back.select($"doc_id").exceptAll(docs.select($"doc_id")).isEmpty)
+    val inOrder = back
+      .select($"shard", $"pos_in_shard",
+        monotonically_increasing_id().as("file_order"))
+    val violations = inOrder
+      .groupBy($"shard")
+      .agg(corr($"pos_in_shard", $"file_order").as("c"))
+      .filter($"c" < 1.0)
+    assert(violations.isEmpty,
+      "in-file order must equal stream order per shard")
+  }
+}
