@@ -89,6 +89,13 @@ import org.apache.spark.sql.functions._
   *   - `priority_sample` — deterministic weighted WOR sample of `k`
   *     docs by `weightCol` (required), Horvitz–Thompson `est_weight`
   *     attached [q249] ([[graft.text.CorpusMix.prioritySample]])
+  *   - `gopher_filter` — keep only docs passing ALL published Gopher
+  *     quality rules [q257] ([[graft.text.RuleFilters.gopherFlags]])
+  *   - `c4_clean` — C4 line filtering (terminal punctuation +
+  *     `minLineWords` (5) words per line), page drops on lorem-ipsum/
+  *     curly-brace or < `minLines` (3) surviving lines; text becomes
+  *     the surviving lines [q258]
+  *     ([[graft.text.RuleFilters.c4Clean]])
   *   - `semantic_decontaminate` — drop docs whose embedding is within
   *     cosine `threshold` (required) of any eval-set vector at
   *     `evalPath` (required parquet, vector column `evalVecCol` =
@@ -253,6 +260,15 @@ object CurationPipeline {
           case Some(kName) => assigned.filter(col("split") === kName)
           case None => assigned
         }
+      case "gopher_filter" =>
+        docs.join(graft.text.RuleFilters.gopherFlags(docs)
+            .filter(col("gopher_keep")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case "c4_clean" =>
+        val cleaned = graft.text.RuleFilters.c4Clean(docs,
+          minLineWords = getI(stage, "minLineWords").getOrElse(5),
+          minLines = getI(stage, "minLines").getOrElse(3))
+        replaceText(docs, cleaned.filter(col("c4_keep")), "clean_text")
       case "priority_sample" =>
         val k = require_(getI(stage, "k"), op, "k")
         val w = require_(get[String](stage, "weightCol"), op, "weightCol")
@@ -308,7 +324,7 @@ object CurationPipeline {
           "paragraph_dedup, exact_substring, perplexity_filter, " +
           "cap_per_host, split, lang_id_filter, " +
           "semantic_decontaminate, fix_encoding, blocklist_filter, " +
-          "keep_best, priority_sample)")
+          "keep_best, priority_sample, gopher_filter, c4_clean)")
     }
   }
 }

@@ -1094,6 +1094,23 @@ object Text extends QueryPack {
         k = 100, weightCol = "w")
       .select(col("doc_id"), col("w"), col("priority"), col("est_weight"))
 
+  /** Gopher-rules gate (q257): the published per-document quality
+    * thresholds ([[graft.text.RuleFilters.gopherFlags]]) — every rule
+    * emitted as its own boolean (attrition reporting needs the WHY,
+    * not just the verdict), each a single IEEE division of exact
+    * integer counts, recomputed flag-for-flag by the oracle.
+    */
+  def gopherRulesGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.RuleFilters.gopherFlags(Tables.documents(s, dir))
+
+  /** C4 line-rules gate (q258): terminal-punctuation + min-word line
+    * filtering with the lorem-ipsum/curly-brace page drops
+    * ([[graft.text.RuleFilters.c4Clean]]); the oracle rebuilds the
+    * surviving line list and the joined clean text verbatim.
+    */
+  def c4RulesGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.RuleFilters.c4Clean(Tables.documents(s, dir))
+
   /** Training-shard gate (q256): the 2-epoch deterministic stream cut
     * into 256-doc shards ([[graft.text.TrainShards.byDocCount]]) —
     * shard and in-shard position are plain arithmetic on the q139
@@ -2015,6 +2032,8 @@ object Text extends QueryPack {
     "q250_heavy_hitters" -> heavyHittersGate _,
     "q255_dictionary_tag" -> dictionaryTagGate _,
     "q256_train_shards" -> trainShardsGate _,
+    "q257_gopher_rules" -> gopherRulesGate _,
+    "q258_c4_rules" -> c4RulesGate _,
     "q179_dsir_weights" -> dsirWeights _,
     "q178_span_corruption" -> spanCorruption _,
     "q176_html_crawl_curation" -> htmlCrawlCuration _,
@@ -2889,6 +2908,69 @@ object Text extends QueryPack {
         |          AS rn
         |      FROM documents)
         |WHERE rn <= 30""".stripMargin,
+    // every flag recomputed from the same integer cores (one IEEE
+    // division per ratio, so the threshold compares see identical
+    // doubles)
+    "q257_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    [x for x in string_split_regex(text, '\s+') if x <> ''] AS w,
+        |    [l for l in string_split(text, chr(10)) if l <> ''] AS ls,
+        |    [x for x in string_split_regex(lower(text), '\s+')
+        |     if x <> ''] AS lw
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w)::BIGINT AS n_words,
+        |    coalesce(list_sum([length(x) for x in w]), 0) AS n_chars,
+        |    len([x for x in w
+        |         if regexp_matches(x, '[a-zA-Z]')]) AS alpha_words,
+        |    len([x for x in w
+        |         if contains(x, '#') OR contains(x, '...')]) AS symbolish,
+        |    len(ls) AS n_lines,
+        |    len([l for l in ls if starts_with(l, '-')
+        |         OR starts_with(l, '*') OR starts_with(l, '•')])
+        |      AS bullet_lines,
+        |    len([l for l in ls if ends_with(l, '...')]) AS ellipsis_lines,
+        |    len([s for s in ['the','be','to','of','and','that',
+        |                     'have','with'] if list_contains(lw, s)])
+        |      AS stop_hits
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, n_words,
+        |    n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+        |    n_words > 0 AND CAST(n_chars AS DOUBLE)/n_words >= 3.0
+        |      AND CAST(n_chars AS DOUBLE)/n_words <= 10.0
+        |      AS mean_word_len_ok,
+        |    n_words = 0 OR CAST(symbolish AS DOUBLE)/n_words <= 0.1
+        |      AS symbol_ratio_ok,
+        |    n_lines = 0 OR CAST(bullet_lines AS DOUBLE)/n_lines <= 0.9
+        |      AS bullet_lines_ok,
+        |    n_lines = 0 OR CAST(ellipsis_lines AS DOUBLE)/n_lines <= 0.3
+        |      AS ellipsis_lines_ok,
+        |    n_words > 0 AND CAST(alpha_words AS DOUBLE)/n_words >= 0.8
+        |      AS alpha_words_ok,
+        |    stop_hits >= 2 AS stop_words_ok
+        |  FROM m)
+        |SELECT *, word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+        |    AND bullet_lines_ok AND ellipsis_lines_ok AND alpha_words_ok
+        |    AND stop_words_ok AS gopher_keep
+        |FROM f""".stripMargin,
+    "q258_c4_rules" ->
+      """SELECT doc_id,
+        |  -- empty survivor list: Spark array_join gives '', DuckDB NULL
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  len(kept)::BIGINT AS n_lines_kept,
+        |  len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(lower(text), '{') AS c4_keep
+        |FROM (
+        |  SELECT doc_id, text,
+        |    [l for l in string_split(text, chr(10))
+        |     if (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |         OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |        AND len([x for x in string_split_regex(trim(l), '\s+')
+        |                 if x <> '']) >= 5] AS kept
+        |  FROM documents)""".stripMargin,
     // the q139 stream replay + integer shard arithmetic
     "q256_train_shards" ->
       """WITH s AS (

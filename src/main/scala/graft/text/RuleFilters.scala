@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The two canonical PUBLISHED web-text filter rule sets, as exact
+  * declarative operators:
+  *
+  *  - GOPHER quality rules (Rae et al. 2021, appendix A): per-document
+  *    thresholds on word count, mean word length, symbol ratios,
+  *    bullet/ellipsis line shares, alphabetic-word share, and a
+  *    stop-word presence floor. [[gopherFlags]] emits one boolean per
+  *    rule plus the conjunction — a pipeline keeps the flags for
+  *    attrition reporting (WHY a doc dropped), not just the verdict.
+  *
+  *  - C4 line rules (Raffel et al. 2020): keep only lines that end in
+  *    terminal punctuation and have ≥ `minLineWords` words; drop the
+  *    whole page on a "lorem ipsum" or curly-brace occurrence or when
+  *    fewer than `minLines` lines survive. [[c4Clean]] emits the
+  *    cleaned text and the keep verdict.
+  *
+  * Everything is a per-row expression over whitespace tokens and line
+  * splits — zero shuffle at any corpus size — and every ratio is ONE
+  * IEEE division of exact integer counts, so the DuckDB oracle
+  * reproduces each flag bit-for-bit (the threshold compare sees
+  * identical doubles in both engines).
+  */
+object RuleFilters {
+
+  private def words(text: Column): Column = TextAnalysis.wsTokens(text)
+
+  /** Gopher stop words — the published 8-word presence list. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher rule flags. Output: idCol, n_words,
+    * one boolean per rule, and `gopher_keep` (all rules pass).
+    */
+  def gopherFlags(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = words(col(textCol))
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    val nWords = size(w)
+    val nChars = aggregate(transform(w, t => length(t)), lit(0L),
+      (a, x) => a + x.cast("long"))
+    val alphaWords = size(filter(w, t => t.rlike("[a-zA-Z]")))
+    val symbolish = size(filter(w,
+      t => t.contains("#") || t.contains("...")))
+    val bulletLines = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("*") ||
+        l.startsWith("•")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val lowToks = TextAnalysis.wsTokens(lower(col(textCol)))
+    val stopHits = size(filter(typedlit(GopherStopWords),
+      s => array_contains(lowToks, s)))
+    docs.select(
+      col(idCol),
+      nWords.cast("long").as("n_words"),
+      (nWords >= 50 && nWords <= 100000).as("word_count_ok"),
+      (nWords > 0 &&
+        nChars.cast("double") / nWords >= 3.0 &&
+        nChars.cast("double") / nWords <= 10.0)
+        .as("mean_word_len_ok"),
+      (nWords === 0 ||
+        symbolish.cast("double") / nWords <= 0.1)
+        .as("symbol_ratio_ok"),
+      (size(lines) === 0 ||
+        bulletLines.cast("double") / size(lines) <= 0.9)
+        .as("bullet_lines_ok"),
+      (size(lines) === 0 ||
+        ellipsisLines.cast("double") / size(lines) <= 0.3)
+        .as("ellipsis_lines_ok"),
+      (nWords > 0 &&
+        alphaWords.cast("double") / nWords >= 0.8)
+        .as("alpha_words_ok"),
+      (stopHits >= 2).as("stop_words_ok"))
+      .withColumn("gopher_keep",
+        col("word_count_ok") && col("mean_word_len_ok") &&
+          col("symbol_ratio_ok") && col("bullet_lines_ok") &&
+          col("ellipsis_lines_ok") && col("alpha_words_ok") &&
+          col("stop_words_ok"))
+  }
+
+  /** C4 line cleaning. Output: idCol, `clean_text` (surviving lines
+    * joined with \n), `n_lines_kept`, and `c4_keep`.
+    */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLineWords: Int = 5,
+      minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+        t.endsWith("\"")) &&
+        size(TextAnalysis.wsTokens(t)) >= minLineWords
+    })
+    val lowered = lower(col(textCol))
+    docs.select(
+      col(idCol),
+      array_join(kept, "\n").as("clean_text"),
+      size(kept).cast("long").as("n_lines_kept"),
+      (size(kept) >= minLines &&
+        !lowered.contains("lorem ipsum") &&
+        !lowered.contains("{")).as("c4_keep"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gopher and C4 published rule sets: hand-planted pass/fail per rule,
+  * line-filter fidelity, and page-drop triggers.
+  */
+class RuleFiltersSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private val goodText = (
+    "The results of the experiment have been consistent with " +
+      "expectations and that gives confidence. ") * 5
+
+  private def gopherRow(text: String) =
+    RuleFilters.gopherFlags(Seq((1L, text)).toDF("doc_id", "text"))
+      .head()
+
+  test("gopher: a healthy paragraph passes every rule") {
+    val r = gopherRow(goodText)
+    for (i <- 2 until r.length)
+      assert(r.getBoolean(i), s"flag $i false for healthy text")
+  }
+
+  test("gopher: each rule fails on its planted violation") {
+    def keep(text: String) =
+      gopherRow(text).getAs[Boolean]("gopher_keep")
+    // too short
+    assert(!keep("the of and that have with be to nine words."))
+    // mean word length too long (50+ words, all 12+ chars, with stops)
+    assert(!gopherRow(("extraordinarily " * 60) + "the of")
+      .getAs[Boolean]("mean_word_len_ok"))
+    // symbol ratio: half the words carry #
+    assert(!gopherRow((("#tag word " * 30) + "the of"))
+      .getAs[Boolean]("symbol_ratio_ok"))
+    // bullets: every line a bullet
+    assert(!gopherRow(Seq.fill(10)("- " + goodText).mkString("\n"))
+      .getAs[Boolean]("bullet_lines_ok"))
+    // ellipsis: every line trails off
+    assert(!gopherRow(Seq.fill(10)(goodText + "...").mkString("\n"))
+      .getAs[Boolean]("ellipsis_lines_ok"))
+    // alphabetic share: mostly numbers
+    assert(!gopherRow(("123 456 789 " * 20) + "the of and words here")
+      .getAs[Boolean]("alpha_words_ok"))
+    // no stop words at all
+    assert(!gopherRow("alpha beta gamma delta " * 20)
+      .getAs[Boolean]("stop_words_ok"))
+  }
+
+  test("c4: line filtering, page drops, clean-text fidelity") {
+    val text = Seq(
+      "This first sentence is long enough to keep.",
+      "short line.",              // < 5 words
+      "No terminal punctuation here at all",
+      "Another proper sentence stays right here!",
+      "\"A quoted sentence also counts as terminal.\"",
+      "And one more full sentence makes four?").mkString("\n")
+    val r = RuleFilters.c4Clean(Seq((1L, text)).toDF("doc_id", "text"))
+      .head()
+    val clean = r.getAs[String]("clean_text").split("\n")
+    assert(clean.length == 4 && r.getAs[Long]("n_lines_kept") == 4L)
+    assert(!clean.exists(_.contains("short line")))
+    assert(!clean.exists(_.contains("No terminal")))
+    assert(r.getAs[Boolean]("c4_keep"))
+    // lorem ipsum and curly braces drop the page
+    assert(!RuleFilters.c4Clean(Seq((1L, text + "\nLorem Ipsum dolor."))
+      .toDF("doc_id", "text")).head().getAs[Boolean]("c4_keep"))
+    assert(!RuleFilters.c4Clean(Seq((1L, text + "\nvar x = {a: 1};"))
+      .toDF("doc_id", "text")).head().getAs[Boolean]("c4_keep"))
+    // fewer than minLines survivors drop the page
+    assert(!RuleFilters.c4Clean(
+      Seq((1L, "Just one good sentence survives here."))
+        .toDF("doc_id", "text")).head().getAs[Boolean]("c4_keep"))
+  }
+
+  test("curation stages equal the direct operators") {
+    val docs = graft.Tables.documents(spark, sf)
+    val stages = Seq(
+      ("gopher_filter",
+        CurationPipelineHelper.run(docs, """{"op": "gopher_filter"}""")),
+      ("c4_clean",
+        CurationPipelineHelper.run(docs, """{"op": "c4_clean"}""")))
+    val gDirect = docs.join(RuleFilters.gopherFlags(docs)
+        .filter($"gopher_keep").select($"doc_id"), Seq("doc_id"),
+      "left_semi")
+    assert(stages(0)._2.select($"doc_id")
+      .exceptAll(gDirect.select($"doc_id")).isEmpty)
+    val cDirect = RuleFilters.c4Clean(docs).filter($"c4_keep")
+    assert(stages(1)._2.count() == cDirect.count())
+    assert(stages(1)._2.select($"doc_id", $"text")
+      .exceptAll(cDirect.select($"doc_id",
+        $"clean_text".as("text"))).isEmpty)
+  }
+}
+
+/** Tiny shim so text-package specs can drive one-stage configs without
+  * duplicating the etl spec's JSON plumbing.
+  */
+private[text] object CurationPipelineHelper {
+  def run(docs: org.apache.spark.sql.DataFrame, stageJson: String) = {
+    val spark = docs.sparkSession
+    val p = java.nio.file.Files.createTempFile("graft_stage_cfg", ".json")
+    java.nio.file.Files.writeString(p, s"""{ "stages": [ $stageJson ] }""")
+    val stages = graft.etl.JsonSource.readConfigRow(spark, p.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+      .toSeq
+    graft.etl.CurationPipeline.run(docs, stages)
+  }
+}
