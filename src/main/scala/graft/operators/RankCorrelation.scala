@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank correlation for eval-score agreement — "does the cheap model's
+  * score ORDER candidates like the expensive judge?" is a rank
+  * question, not a Pearson one: Spearman's ρ (with the standard
+  * tie-averaged ranks) and Kendall's τ-b (the tie-corrected pair
+  * statistic).
+  *
+  * Determinism discipline: tie-averaged ranks are half-integers, so
+  * DOUBLED ranks are exact integers and every sum in the closed forms
+  *
+  *   ρ  = (nΣXY − ΣXΣY) / (√(nΣX²−(ΣX)²) · √(nΣY²−(ΣY)²))
+  *   τb = (C − D) / (√(n₀ − Tx) · √(n₀ − Ty))
+  *
+  * is an exact INTEGER aggregate — zero fold-order exposure; the only
+  * float ops are two correctly-rounded square roots, one multiply and
+  * one divide, identical in any IEEE engine evaluating the same
+  * expression shape.
+  *
+  * Scale contract: these are EVAL-TABLE operators (score pairs for a
+  * benchmark run — thousands of rows by contract, like
+  * [[Agreement]]/[[BradleyTerry]]). Spearman ranks use global windows
+  * over that table; Kendall counts pairs through a self-join —
+  * O(n²)/2 pairs, the honest spelling at eval scale (an inversion-count
+  * formulation saves nothing until n is far beyond any eval set).
+  */
+object RankCorrelation {
+
+  /** One row: (n, spearman_rho, kendall_tau_b) for the `xCol`/`yCol`
+    * score pairs. NULL correlation when a side is constant (zero
+    * variance — undefined by convention).
+    */
+  def rankCorr(scores: DataFrame, xCol: String, yCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val df = scores.select(col(idCol).as("id"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    // doubled tie-averaged rank: 2·avg position of the tie group
+    // = 2·rank() + (groupSize − 1) — an exact integer
+    def drank(c: String) = {
+      val r = rank().over(Window.orderBy(col(c)))
+      val sz = count(lit(1)).over(Window.partitionBy(col(c)))
+      (r * 2 + (sz - 1)).cast("long")
+    }
+    val ranked = df
+      .withColumn("rx", drank("x"))
+      .withColumn("ry", drank("y"))
+    val sums = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    val rho = sums.select(col("n"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
+      (col("n") * col("syy") - col("sy") * col("sy")).as("vy"))
+      .select(col("n"),
+        when(col("vx") === 0 || col("vy") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            (sqrt(col("vx").cast("double")) *
+              sqrt(col("vy").cast("double")))).as("spearman_rho"))
+    // Kendall: ordered pairs (a.id < b.id), exact integer pair counts
+    val a = df.select(col("id").as("ia"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = df.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val k = pairs.agg(
+      count(lit(1)).as("n0"),
+      sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+        (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+        .otherwise(0L)).as("c"),
+      sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+        (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+        .otherwise(0L)).as("d"),
+      sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+      sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+    val tau = k.select(
+      when(col("n0") === col("tx") || col("n0") === col("ty"),
+        lit(null).cast("double"))
+        .otherwise((col("c") - col("d")).cast("double") /
+          (sqrt((col("n0") - col("tx")).cast("double")) *
+            sqrt((col("n0") - col("ty")).cast("double"))))
+        .as("kendall_tau_b"))
+    rho.crossJoin(broadcast(tau))
+  }
+}

@@ -439,6 +439,23 @@ object Analytics extends QueryPack {
       syntheticLabels(s, dir)
         .filter(pmod(col("item_id") + col("annotator_id"), lit(5)) =!= 0))
 
+  /** Rank-correlation gate (q259): Spearman ρ (tie-averaged ranks) and
+    * Kendall τ-b between two deterministic per-doc scores (char count
+    * vs whitespace-token count — correlated, tie-rich) over every 10th
+    * document. Doubled ranks and pair counts keep every sum integer-
+    * exact; the oracle replays both closed forms
+    * ([[graft.operators.RankCorrelation]]).
+    */
+  def rankCorrGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"),
+        col("n_chars").cast("double").as("x"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .cast("double").as("y"))
+    graft.operators.RankCorrelation.rankCorr(scored, "x", "y")
+  }
+
   /** The q232 oracle: p1..p10 unrolled from one MM-update template. */
   private def bradleyTerrySql: String = {
     // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
@@ -511,6 +528,7 @@ object Analytics extends QueryPack {
     "q235_annotator_agreement" -> annotatorAgreement _,
     "q236_fleiss_kappa" -> fleissAgreement _,
     "q251_krippendorff_alpha" -> krippendorffAgreement _,
+    "q259_rank_correlation" -> rankCorrGate _,
     "q164_funnel" -> funnelSteps _,
     "q165_rolling_actives" -> rollingActives _,
     "q162_resample_fill" -> resampleFill _,
@@ -691,6 +709,51 @@ object Analytics extends QueryPack {
         |      / (2 * (n * n - s2))
         |  END AS alpha
         |FROM tot CROSS JOIN od CROSS JOIN s2""".stripMargin,
+    // both closed forms over integer cores; the only float ops are two
+    // sqrts, one multiply, one divide — identical IEEE results
+    "q259_rank_correlation" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(len([t for t in string_split_regex(text, '\s+')
+        |              if t <> '']) AS DOUBLE) AS y
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |r AS (
+        |  SELECT x, y,
+        |    2 * rank() OVER (ORDER BY x)
+        |      + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2 * rank() OVER (ORDER BY y)
+        |      + count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM d),
+        |s AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |        sum(rx*rx) AS sxx, sum(ry*ry) AS syy,
+        |        sum(rx*ry) AS sxy FROM r),
+        |rho AS (
+        |  SELECT n,
+        |    CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+        |      ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+        |        (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |         sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |    END AS spearman_rho
+        |  FROM s),
+        |p AS (
+        |  SELECT count(*) AS n0,
+        |    sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |              OR (a.x > b.x AND a.y > b.y)
+        |        THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |              OR (a.x > b.x AND a.y < b.y)
+        |        THEN 1 ELSE 0 END) AS dd,
+        |    sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS tx,
+        |    sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS ty
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+        |tau AS (
+        |  SELECT CASE WHEN n0 = tx OR n0 = ty THEN NULL
+        |    ELSE CAST(c - dd AS DOUBLE) /
+        |      (sqrt(CAST(n0 - tx AS DOUBLE)) *
+        |       sqrt(CAST(n0 - ty AS DOUBLE)))
+        |  END AS kendall_tau_b FROM p)
+        |SELECT CAST(n AS BIGINT) AS n, spearman_rho, kendall_tau_b
+        |FROM rho CROSS JOIN tau""".stripMargin,
     "q164_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -108,7 +108,11 @@ class FloatStabilitySpec extends SparkSpec {
     "q243_pass_at_k",            // bit-stable under any layout
     "q244_calibration",
     "q245_paired_bleu",          // integer weight·count resample sums
-    "q248_wer")                  // integer edit-distance sums
+    "q248_wer",                  // integer edit-distance sums
+    "q249_priority_sample",      // per-row md5 divisions + max(w, tau)
+    "q251_krippendorff_alpha",   // lcm-scaled integer cores, one div
+    "q257_gopher_rules",         // per-row ratio thresholds (booleans)
+    "q259_rank_correlation")     // integer rank/pair cores + sqrt pair
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Spearman/Kendall: perfect orders, a hand-computed tie case, and the
+  * constant-side NULL convention.
+  */
+class RankCorrelationSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def run(rows: Seq[(Long, Double, Double)]) =
+    RankCorrelation.rankCorr(
+      rows.toDF("doc_id", "x", "y"), "x", "y").head()
+
+  test("perfect agreement and perfect reversal") {
+    val up = run(Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, 30.0)))
+    assert(up.getLong(0) == 3L)
+    assert(math.abs(up.getDouble(1) - 1.0) < 1e-12 &&
+      math.abs(up.getDouble(2) - 1.0) < 1e-12)
+    val down = run(Seq((1L, 1.0, 30.0), (2L, 2.0, 20.0), (3L, 3.0, 10.0)))
+    assert(math.abs(down.getDouble(1) + 1.0) < 1e-12 &&
+      math.abs(down.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("hand-computed tie case: rho = tau-b = 0.5") {
+    // x=[1,1,2], y=[1,2,2]: doubled avg ranks rx=[3,3,6], ry=[2,5,5]
+    // → rho = 9/18 = 0.5; pairs: 1 concordant, 1 x-tie, 1 y-tie
+    // → tau-b = 1/(√2·√2) = 0.5
+    val r = run(Seq((1L, 1.0, 1.0), (2L, 1.0, 2.0), (3L, 2.0, 2.0)))
+    // the sqrt pair makes the denominator inexact by an ulp — the
+    // VALUE is deterministic (the q259 oracle pins it bit-for-bit);
+    // the hand math checks to 1e-12
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12, s"rho=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12, s"tau=${r.getDouble(2)}")
+  }
+
+  test("constant side is NULL, not a division blow-up") {
+    val r = run(Seq((1L, 5.0, 1.0), (2L, 5.0, 2.0), (3L, 5.0, 3.0)))
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+}
