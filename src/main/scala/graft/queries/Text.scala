@@ -1331,6 +1331,42 @@ object Text extends QueryPack {
         sha2(col("rendered"), 256).as("rendered_sha"))
   }
 
+  /** Chat-lint gate (q260): the q195 conversation fixture with FOUR
+    * deterministic corruption plants — role inversion (conv % 7),
+    * an all-user conversation (% 17), an empty turn (% 11), a
+    * duplicated assistant text (% 13), and a turn-index gap (% 19) —
+    * through [[graft.text.ChatLint.lint]]; every flag, both character
+    * volumes, and the verdict are recomputed by the oracle from the
+    * same planted derivation. Docs hitting several plants compose
+    * deterministically (the when-chains are mirrored clause for
+    * clause).
+    */
+  def chatLintGate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(
+      col("doc_id").as("conv_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("t"))
+    val turns = toks
+      .select(col("conv_id"),
+        explode(sequence(lit(0), lit(3))).as("i"), col("t"))
+      .select(col("conv_id"),
+        when(col("conv_id") % 19 === 0 && col("i") === 3, 4)
+          .otherwise(col("i")).as("turn_idx"),
+        when(col("conv_id") % 17 === 0, "user")
+          .when(col("conv_id") % 7 === 0,
+            when(col("i") % 2 === 0, "assistant").otherwise("user"))
+          .otherwise(
+            when(col("i") % 2 === 0, "user").otherwise("assistant"))
+          .as("role"),
+        when(col("conv_id") % 11 === 0 && col("i") === 1, "")
+          .when(col("conv_id") % 13 === 0 && col("i") === 3,
+            concat_ws(" ", slice(col("t"), 9, 8)))
+          .otherwise(concat_ws(" ",
+            slice(col("t"), col("i") * 8 + 1, lit(8))))
+          .as("text"))
+    graft.text.ChatLint.lint(turns)
+  }
+
   /** Markdown-section gate (q199): every document wrapped into a
     * preamble + three headed sections (h1/h2/h1, bodies carved from
     * the text) and [[graft.text.MarkdownSections.sections]] must
@@ -2018,6 +2054,7 @@ object Text extends QueryPack {
     "q200_rag_best_section" -> ragBestSection _,
     "q199_markdown_sections" -> markdownSections _,
     "q195_chat_render" -> chatRenderGate _,
+    "q260_chat_lint" -> chatLintGate _,
     "q233_preference_pairs" -> preferencePairsGate _,
     "q192_bm25" -> bm25Gate _,
     "q191_postings" -> postingsGate _,
@@ -2395,6 +2432,58 @@ object Text extends QueryPack {
         |FROM best b JOIN worst w USING (prompt) JOIN mx USING (prompt)
         |WHERE b.chosen <> w.rejected
         |  AND mx.smax - mx.smin >= 5.0""".stripMargin,
+    // the same planted derivation, checks recomputed from the sorted
+    // per-conversation turn list via list comprehensions
+    "q260_chat_lint" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS conv_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |turns AS (
+        |  SELECT conv_id,
+        |    CASE WHEN conv_id % 19 = 0 AND i = 3 THEN 4 ELSE i END
+        |      AS turn_idx,
+        |    CASE WHEN conv_id % 17 = 0 THEN 'user'
+        |         WHEN conv_id % 7 = 0 THEN
+        |           (CASE WHEN i % 2 = 0 THEN 'assistant' ELSE 'user' END)
+        |         ELSE
+        |           (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+        |    END AS role,
+        |    CASE WHEN conv_id % 11 = 0 AND i = 1 THEN ''
+        |         WHEN conv_id % 13 = 0 AND i = 3 THEN
+        |           coalesce(array_to_string(t[9:16], ' '), '')
+        |         ELSE coalesce(array_to_string(t[8*i+1 : 8*i+8], ' '), '')
+        |    END AS txt
+        |  FROM toks CROSS JOIN range(0, 4) r(i)),
+        |g AS (
+        |  SELECT conv_id,
+        |    list(struct_pack(i := turn_idx, r := role, t := txt)
+        |         ORDER BY turn_idx) AS a
+        |  FROM turns GROUP BY conv_id),
+        |f AS (
+        |  SELECT conv_id,
+        |    len(a)::BIGINT AS n_turns,
+        |    a[1].r = 'user' AS starts_with_user,
+        |    len([k for k in range(1, len(a))
+        |         if a[k].r = a[k+1].r]) = 0 AS alternates_ok,
+        |    a[-1].r = 'assistant' AS ends_with_assistant,
+        |    len([x for x in a if length(trim(x.t)) = 0]) = 0
+        |      AS no_empty_turns,
+        |    [CAST(x.i AS BIGINT) for x in a] = range(0, len(a))
+        |      AS contiguous_idx,
+        |    len([x.t for x in a if x.r = 'assistant']) <>
+        |      len(list_distinct([x.t for x in a if x.r = 'assistant']))
+        |      AS repeated_assistant,
+        |    coalesce(list_sum([length(x.t) for x in a
+        |                       if x.r = 'user']), 0)::BIGINT AS user_chars,
+        |    coalesce(list_sum([length(x.t) for x in a
+        |                       if x.r = 'assistant']), 0)::BIGINT
+        |      AS assistant_chars
+        |  FROM g)
+        |SELECT *, starts_with_user AND alternates_ok
+        |    AND ends_with_assistant AND no_empty_turns AND contiguous_idx
+        |    AS lint_ok
+        |FROM f""".stripMargin,
     "q195_chat_render" ->
       """WITH toks AS (
         |  SELECT doc_id AS conv_id,

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Conversation LINT — the structural QA pass SFT/RLHF data runs
+  * before [[ChatRender]] ever sees it: per conversation, does the
+  * turn structure actually satisfy the chat-template contract
+  * (templates hard-fail or silently mis-render on violations)?
+  *
+  * Checks per conversation: starts with a user turn, roles strictly
+  * alternate, ends with an assistant turn, no empty (whitespace-only)
+  * turn texts, turn indices contiguous from 0 — plus the degeneration
+  * signal `repeated_assistant` (verbatim-duplicated assistant texts,
+  * the classic self-repeat failure; reported, not folded into
+  * `lint_ok`) and per-role character volumes.
+  *
+  * Scale shape: ONE groupBy per conversation with a sorted
+  * collect_list (bounded by turns-per-conversation — tens by
+  * construction, the benign aggregate case, same contract as
+  * [[ChatRender]]); every check is then a per-row array expression.
+  */
+object ChatLint {
+
+  def lint(turns: DataFrame, convCol: String = "conv_id",
+      idxCol: String = "turn_idx", roleCol: String = "role",
+      textCol: String = "text"): DataFrame = {
+    val packed = turns.groupBy(col(convCol))
+      .agg(sort_array(collect_list(struct(
+        col(idxCol).cast("int").as("i"),
+        col(roleCol).as("r"),
+        col(textCol).as("t")))).as("a"))
+    val a = col("a")
+    val asst = filter(a, e => e.getField("r") === "assistant")
+    def chars(role: String) = coalesce(aggregate(
+      filter(a, e => e.getField("r") === role),
+      lit(0L), (acc, e) => acc + length(e.getField("t")).cast("long")),
+      lit(0L))
+    packed.select(col(convCol),
+      size(a).cast("long").as("n_turns"),
+      (element_at(a, 1).getField("r") === "user").as("starts_with_user"),
+      (size(filter(zip_with(
+        slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+        (x, y) => x.getField("r") === y.getField("r")),
+        b => b)) === 0).as("alternates_ok"),
+      (element_at(a, -1).getField("r") === "assistant")
+        .as("ends_with_assistant"),
+      (size(filter(a, e => length(trim(e.getField("t"))) === 0)) === 0)
+        .as("no_empty_turns"),
+      (transform(a, e => e.getField("i").cast("long")) ===
+        sequence(lit(0L), size(a).cast("long") - 1))
+        .as("contiguous_idx"),
+      (size(asst) =!= size(array_distinct(
+        transform(asst, e => e.getField("t")))))
+        .as("repeated_assistant"),
+      chars("user").as("user_chars"),
+      chars("assistant").as("assistant_chars"))
+      .withColumn("lint_ok",
+        col("starts_with_user") && col("alternates_ok") &&
+          col("ends_with_assistant") && col("no_empty_turns") &&
+          col("contiguous_idx"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Conversation lint: each structural rule trips on its planted
+  * violation and passes on a clean conversation.
+  */
+class ChatLintSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def lintRow(turns: Seq[(Long, Int, String, String)]) =
+    ChatLint.lint(turns.toDF("conv_id", "turn_idx", "role", "text"))
+      .head()
+
+  private val clean = Seq(
+    (1L, 0, "user", "hi there"),
+    (1L, 1, "assistant", "hello!"),
+    (1L, 2, "user", "thanks"),
+    (1L, 3, "assistant", "welcome"))
+
+  test("a clean conversation passes everything") {
+    val r = lintRow(clean)
+    assert(r.getAs[Long]("n_turns") == 4L)
+    assert(r.getAs[Boolean]("lint_ok"))
+    assert(!r.getAs[Boolean]("repeated_assistant"))
+    assert(r.getAs[Long]("user_chars") == 14L)
+    assert(r.getAs[Long]("assistant_chars") == 13L)
+  }
+
+  test("each rule trips on its violation") {
+    def flag(turns: Seq[(Long, Int, String, String)], name: String) =
+      lintRow(turns).getAs[Boolean](name)
+    // starts with assistant
+    assert(!flag(clean.map { case (c, i, r, t) =>
+      (c, i, if (i % 2 == 0) "assistant" else "user", t) },
+      "starts_with_user"))
+    // two user turns in a row
+    assert(!flag(clean.updated(1, (1L, 1, "user", "hello!")),
+      "alternates_ok"))
+    // ends on a user turn
+    assert(!flag(clean.updated(3, (1L, 3, "user", "welcome")),
+      "ends_with_assistant"))
+    // whitespace-only text
+    assert(!flag(clean.updated(2, (1L, 2, "user", "  ")),
+      "no_empty_turns"))
+    // index gap
+    assert(!flag(clean.updated(3, (1L, 4, "assistant", "welcome")),
+      "contiguous_idx"))
+    // verbatim assistant repeat flags but does NOT fail lint_ok
+    val rep = lintRow(clean.updated(3, (1L, 3, "assistant", "hello!")))
+    assert(rep.getAs[Boolean]("repeated_assistant"))
+    assert(rep.getAs[Boolean]("lint_ok"))
+  }
+
+  test("single-turn conversation: vacuous alternation, honest verdict") {
+    val r = lintRow(Seq((1L, 0, "user", "hi")))
+    assert(r.getAs[Boolean]("alternates_ok"))
+    assert(!r.getAs[Boolean]("ends_with_assistant"))
+    assert(!r.getAs[Boolean]("lint_ok"))
+  }
+}
