@@ -40,17 +40,22 @@ object ExactSubstring {
     * (doc_id, p) with p the 0-based token index where a duplicated
     * window starts. Every token in [p, p+l) is duplicated material.
     */
-  def duplicateSpans(docs: DataFrame, l: Int = 50,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextShingles.tokens(col(textCol)).as("tokens"))
-    // all L-window hashes with start positions; docs shorter than L have
-    // no window and drop out (they cannot contain an L-token repeat)
-    val wins = toks.filter(size(col("tokens")) >= l)
+  /** All L-window hashes with start positions; docs shorter than L have
+    * no window and drop out (they cannot contain an L-token repeat).
+    */
+  private def windows(docs: DataFrame, l: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextShingles.tokens(col(textCol)).as("tokens"))
+      .filter(size(col("tokens")) >= l)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("tokens")) - l),
         i => xxhash64(concat_ws(" ", slice(col("tokens"), i + 1, lit(l)))))))
       .toDF("doc_id", "p", "h")
+
+  def duplicateSpans(docs: DataFrame, l: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wins = windows(docs, l, idCol, textCol)
     // per-hash keeper + occurrence count, partial-aggregated map-side;
     // only hashes with >1 occurrence survive to the rehydration join
     val dups = wins.groupBy(col("h"))
@@ -89,5 +94,33 @@ object ExactSubstring {
         size(col("tokens")).cast("long").as("n_tokens"),
         (size(col("tokens")) - size(kept)).cast("long").as("n_removed"),
         concat_ws(" ", kept).as("text_clean"))
+  }
+
+  /** Corpus duplication profile: for each repeat multiplicity m ≥ 2,
+    * how many DISTINCT L-token windows occur exactly m times across the
+    * corpus and how many occurrences (token-stream positions) they
+    * account for — the decision input for exact-substring dedup (is
+    * there enough ≥ L repetition to pay for [[excise]], and is it a
+    * few mega-duplicated passages or a long tail?). Multiplicities ≥
+    * `capBucket` collapse into one tail bucket so the histogram stays
+    * k rows no matter how hot the hottest boilerplate is — the same
+    * saturation discipline as the banded media join.
+    *
+    * Scale shape: one windows pass (codegen'd, hashes not text), ONE
+    * map-side-combined aggregate to (h → cnt), then a k-row aggregate;
+    * nothing downstream of the first groupBy is corpus-sized. Output:
+    * (multiplicity, n_windows, occurrences), exact integers;
+    * multiplicity is the capped bucket (capBucket means ≥ capBucket).
+    */
+  def duplicationProfile(docs: DataFrame, l: Int = 50, capBucket: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(capBucket >= 2, s"capBucket must be >= 2, got $capBucket")
+    windows(docs, l, idCol, textCol)
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .groupBy(least(col("cnt"), lit(capBucket.toLong))
+        .as("multiplicity"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("cnt")).as("occurrences"))
   }
 }

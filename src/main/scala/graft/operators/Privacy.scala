@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy / data-governance operators for a training-data pipeline:
+  * k-anonymity auditing + suppression over quasi-identifier columns,
+  * and differentially-private released counts.
+  *
+  * Why this family belongs in the engine: curated corpora ship with
+  * per-group statistics (docs per source / host / language) and joined
+  * user-adjacent metadata; releasing those untreated is the classic
+  * re-identification channel. The reference's data plane
+  * (`emr_json_parquet_schema_drift_etl.py:336` partitions BY
+  * customerid) publishes exact per-customer row counts in the
+  * partition layout itself — the audit below is the check that layout
+  * decision skips.
+  *
+  * Scale shape: every operator is one hash aggregation over the
+  * grouping key (map-side combined) plus, for [[suppress]], one
+  * broadcast-or-shuffle semi-join back — no windows, no driver-side
+  * group loops. DP noise derives from md5 of the GROUP KEY, so it is
+  * deterministic per released row, shuffle-free, and identical under
+  * any physical layout (the engine-wide fold-order discipline).
+  */
+object Privacy {
+
+  private def keyExpr(cols: Seq[String]): Column =
+    concat_ws("", cols.map(c => col(c).cast("string")): _*)
+
+  /** k-anonymity + l-diversity audit: one row per quasi-identifier
+    * group with its size, the number of distinct sensitive values it
+    * holds, and the risk flags — `at_risk` (fewer than k rows: the
+    * group re-identifies its members) and `homogeneous` (one sensitive
+    * value: even a k-sized group leaks the attribute). Exact integer
+    * outputs only.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("at_risk", col("group_size") < k)
+      .withColumn("homogeneous", col("distinct_sensitive") === 1)
+
+  /** Enforcement twin of the audit: keep only rows whose
+    * quasi-identifier group has ≥ k members. One aggregate + one
+    * semi-join (AQE broadcasts the qualifying-group side when small).
+    */
+  def suppress(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame =
+    df.join(
+      df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= k).drop("__n"),
+      quasiCols, "left_semi")
+
+  /** Leading-ones count of a lowercase-hex md5 string as an integer
+    * Column — the exact-arithmetic geometric sampler underneath
+    * [[dpCountsGeometric]]. A hex digit contributes 4 ones while 'f',
+    * then the first non-'f' digit adds its own leading-one count
+    * (e: 1110 → 3; c,d: 110x → 2; 8–b: 10xx → 1; 0–7: 0xxx → 0).
+    * String ops only, so Spark and any SQL oracle agree bit-for-bit.
+    */
+  def leadingOnes(md5Hex: Column): Column = {
+    val run = length(regexp_extract(md5Hex, "^(f*)", 1))
+    val next = md5Hex.substr(run + 1, lit(1))
+    run * 4 + when(next === "e", 3)
+      .when(next.isin("c", "d"), 2)
+      .when(next.isin("8", "9", "a", "b"), 1)
+      .otherwise(0)
+  }
+
+  /** ε-differentially-private group counts via the GEOMETRIC (discrete
+    * Laplace) mechanism at α = 1/2, i.e. ε = ln 2 per unit of count
+    * sensitivity: noise Z = G₁ − G₂ with G ~ Geometric(1/2) drawn as
+    * the leading-ones count of the group key's md5 — P(Z = z) ∝ 2^−|z|,
+    * the two-sided geometric of Ghosh–Roughgarden–Sundararajan (2009),
+    * which is the universally-optimal discrete analogue of Laplace
+    * noise for count queries.
+    *
+    * Everything is INTEGER-exact — no ln/exp enters the released
+    * value — so the mechanism is reproducible in any engine from the
+    * md5 string alone (the gate hash-matches it against DuckDB).
+    * Determinism caveat, stated loudly: seeding noise from the group
+    * key makes repeated releases of the same group reuse the same
+    * draw (re-release does NOT spend more budget, but a changed count
+    * for the same key is released with the SAME noise — vary `salt`
+    * per release epoch to re-randomize).
+    */
+  def dpCountsGeometric(df: DataFrame, groupCols: Seq[String],
+      salt: String = ""): DataFrame = {
+    val key = keyExpr(groupCols)
+    val g1 = leadingOnes(md5(concat(lit(s"dpA:$salt:"), key)))
+    val g2 = leadingOnes(md5(concat(lit(s"dpB:$salt:"), key)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", (g1 - g2).cast("long"))
+      .withColumn("noisy_n", col("n") + col("noise"))
+  }
+
+  /** Arbitrary-ε Laplace mechanism for group counts — the production
+    * knob when ln 2 per count is the wrong budget. A 52-bit md5
+    * uniform u ∈ (−½, ½] maps through the Laplace inverse CDF
+    * (−sign(u)·ln(1 − 2|u|)/ε). Transcendental, so the released double
+    * is engine-rounded (the gate family pins the exact-arithmetic
+    * [[dpCountsGeometric]] instead; this path is spec-tested for
+    * determinism and calibration).
+    */
+  def dpCountsLaplace(df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, salt: String = ""): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val key = keyExpr(groupCols)
+    // 52-bit draw, half-shifted: u in (-0.5, 0.5) OPEN on both ends and
+    // never 0 (raw + 0.5 is exact in a double and never 2^51 or 2^52),
+    // so ln's argument stays in (0, 1) and noise is always finite
+    val raw = conv(substring(md5(concat(lit(s"dpL:$salt:"), key)), 1, 13),
+      16, 10).cast("long")
+    val u = (raw.cast("double") + lit(0.5)) / lit(4503599627370496.0) -
+      lit(0.5)
+    val noise = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)) / lit(epsilon)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", noise)
+      .withColumn("noisy_n", col("n") + col("noise"))
+  }
+}

@@ -519,7 +519,30 @@ object Analytics extends QueryPack {
     graft.operators.Bootstrap.meanCIByGroup(scores)
   }
 
+  /** k-anonymity / l-diversity audit gate (q261): treat customer's
+    * (mktsegment, nationkey) as quasi-identifiers and acctbal as the
+    * sensitive attribute — one row per group with size, sensitive
+    * diversity, and the risk flags, exact integers/booleans only
+    * ([[graft.operators.Privacy.kAnonymityAudit]]).
+    */
+  def kanonAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonymityAudit(Tables.customer(s, dir),
+      Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 10)
+
+  /** DP noisy-counts gate (q262): documents-per-source released through
+    * the geometric (discrete-Laplace) mechanism at ε = ln 2
+    * ([[graft.operators.Privacy.dpCountsGeometric]]). The noise is the
+    * difference of two leading-ones draws off the group key's md5 —
+    * integer-exact end to end, so the oracle replays the mechanism
+    * from the hex strings alone.
+    */
+  def dpCountsGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.dpCountsGeometric(Tables.documents(s, dir),
+      Seq("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_kanon_audit" -> kanonAudit _,
+    "q262_dp_counts" -> dpCountsGate _,
     "q223_bootstrap_ci_by_source" -> bootstrapCiBySource _,
     "q216_bootstrap_ci" -> bootstrapCi _,
     "q197_pagerank" -> pagerank _,
@@ -547,7 +570,32 @@ object Analytics extends QueryPack {
     "q224_avro_roundtrip" -> avroRoundtrip _,
   )
 
+  /** Leading-ones count of md5 hex expression `h` as DuckDB SQL — the
+    * oracle twin of [[graft.operators.Privacy.leadingOnes]].
+    */
+  private def leadingOnesSql(h: String): String =
+    s"""(4 * len(regexp_extract($h, '^(f*)', 1)) +
+       |  CASE substr($h, len(regexp_extract($h, '^(f*)', 1)) + 1, 1)
+       |    WHEN 'e' THEN 3 WHEN 'c' THEN 2 WHEN 'd' THEN 2
+       |    WHEN '8' THEN 1 WHEN '9' THEN 1 WHEN 'a' THEN 1
+       |    WHEN 'b' THEN 1 ELSE 0 END)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q261_kanon_audit" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  count(*) AS group_size,
+        |  count(DISTINCT c_acctbal) AS distinct_sensitive,
+        |  count(*) < 10 AS at_risk,
+        |  count(DISTINCT c_acctbal) = 1 AS homogeneous
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q262_dp_counts" -> {
+      val z = s"(${leadingOnesSql("md5('dpA::' || source)")} - " +
+        s"${leadingOnesSql("md5('dpB::' || source)")})"
+      s"""SELECT source, count(*) AS n,
+         |  CAST($z AS BIGINT) AS noise,
+         |  count(*) + CAST($z AS BIGINT) AS noisy_n
+         |FROM documents GROUP BY source""".stripMargin
+    },
     "q223_bootstrap_ci_by_source" -> {
       val wt = graft.operators.Bootstrap.poissonCaseSql(
         "(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':' || " +

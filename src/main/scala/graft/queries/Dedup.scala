@@ -189,6 +189,17 @@ object Dedup extends QueryPack {
   def exactSubstring(s: SparkSession, dir: String): DataFrame =
     ExactSubstring.excise(Tables.documents(s, dir), l = 50)
 
+  /** Duplication-profile gate (q265): the repeat-multiplicity histogram
+    * of 20-token windows ([[ExactSubstring.duplicationProfile]]) — the
+    * decision input for whether q127's excision pays at a given L. The
+    * tail bucket (≥ 3 here) pins the saturation cap; the oracle
+    * replays windows by TEXT where the engine groups 8-byte hashes
+    * (identical modulo xxhash64 collisions, the q127 trade).
+    */
+  def dupProfile(s: SparkSession, dir: String): DataFrame =
+    ExactSubstring.duplicationProfile(Tables.documents(s, dir),
+      l = 20, capBucket = 3)
+
   /** The END-TO-END corpus curation pipeline a pretraining-data run
     * would execute, composed from the oracled operator family: exact
     * dedup (keep-first by content) → quality filter (q51's score
@@ -628,6 +639,7 @@ object Dedup extends QueryPack {
     CurationReport.attrition(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_dup_profile" -> dupProfile _,
     "q222_curation_attrition" -> curationAttrition _,
     "q217_source_similarity" -> sourceSimilarityMatrix _,
     "q214_leakage_safe_split" -> leakageSafeSplit _,
@@ -745,6 +757,21 @@ object Dedup extends QueryPack {
         |mins AS (SELECT n, min(m) AS mr FROM reach GROUP BY n)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q265_dup_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+')
+        |     if t <> ''] AS tokens
+        |  FROM documents),
+        |wins AS (
+        |  SELECT unnest([array_to_string(tokens[i:i+19], ' ')
+        |                 for i in range(1, len(tokens) - 18)]) AS s
+        |  FROM toks WHERE len(tokens) >= 20),
+        |cnt AS (SELECT s, count(*) AS cnt FROM wins GROUP BY 1)
+        |SELECT least(cnt, 3) AS multiplicity,
+        |  count(*) AS n_windows,
+        |  CAST(sum(cnt) AS BIGINT) AS occurrences
+        |FROM cnt WHERE cnt > 1 GROUP BY 1""".stripMargin,
     "q222_curation_attrition" ->
       s"""WITH RECURSIVE ${curationCtes},
         |fin AS (

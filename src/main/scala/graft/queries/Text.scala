@@ -2038,7 +2038,28 @@ object Text extends QueryPack {
     graft.text.PreferencePairs.fromScores(responses, minMargin = 5.0)
   }
 
+  /** Flesch–Kincaid readability gate (q263): grade level per document
+    * from exact word/sentence/syllable counts
+    * ([[graft.text.TextAnalysis.readability]]); the grade is one
+    * fixed-order float expression over the integer counts, rounded 9.
+    */
+  def readabilityGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.readability(Tables.documents(s, dir))
+
+  /** UniMax allocation gate (q264): water-fill an 800-document budget
+    * over the lang groups at a 2-epoch cap
+    * ([[graft.text.CorpusMix.unimaxAlloc]]). With the sf fixtures this
+    * exercises the MIXED case — every minority lang saturates at its
+    * capacity and `en` takes the remainder θ; capacities are
+    * integer-valued doubles so every sum is exact.
+    */
+  def unimaxGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusMix.unimaxAlloc(Tables.documents(s, dir),
+      total = 800L, epochCap = 2.0, sourceCol = "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_readability" -> readabilityGate _,
+    "q264_unimax_alloc" -> unimaxGate _,
     "q219_prf_retrieval" -> prfRetrievalGate _,
     "q218_two_stage_retrieval" -> twoStageRetrievalGate _,
     "q215_tokenizer_eval" -> tokenizerEvalGate _,
@@ -2208,6 +2229,51 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q263_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+        |      AS BIGINT) AS words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS sentences,
+        |    CAST(list_sum(list_transform(
+        |        regexp_extract_all(lower(text), '[a-z]+'),
+        |        w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+        |      AS BIGINT) AS syllables
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 1)
+        |SELECT doc_id, words, sentences, syllables,
+        |  round(0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |    + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+        |    - 15.59, 9) AS fk_grade
+        |FROM c""".stripMargin,
+    "q264_unimax_alloc" ->
+      """WITH sizes AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT lang, n_docs, n_docs * 2.0 AS capacity,
+        |    row_number() OVER w AS i,
+        |    coalesce(sum(n_docs * 2.0) OVER (
+        |      w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS prefix,
+        |    count(*) OVER () AS k
+        |  FROM sizes
+        |  WINDOW w AS (ORDER BY n_docs * 2.0, lang)),
+        |s AS (
+        |  SELECT *, capacity <= (800.0 - prefix) / (k - i + 1) AS sat
+        |  FROM r),
+        |th AS (
+        |  SELECT CASE
+        |    WHEN sum(CASE WHEN sat THEN 1 ELSE 0 END) = max(k) THEN 0.0
+        |    ELSE (800.0 - sum(CASE WHEN sat THEN capacity ELSE 0.0 END))
+        |      / (max(k) - sum(CASE WHEN sat THEN 1 ELSE 0 END)) END
+        |    AS theta
+        |  FROM s)
+        |SELECT lang, n_docs, capacity,
+        |  round(CASE WHEN sat THEN capacity ELSE theta END, 9) AS alloc,
+        |  round((CASE WHEN sat THEN capacity ELSE theta END)
+        |    / CAST(n_docs AS DOUBLE), 9) AS epochs
+        |FROM s CROSS JOIN th""".stripMargin,
     "q219_prf_retrieval" ->
       s"""WITH $bm25QueriesCte,
          |${bm25AllCte("", "")},

@@ -227,4 +227,70 @@ object CorpusMix {
       .select(explode(col("top").getField("id")).as(idCol))
     docs.join(kept, Seq(idCol), "left_semi")
   }
+
+  /** UniMax sampling allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total training budget of `total` documents
+    * across sources as UNIFORMLY as possible, subject to no source
+    * repeating more than `epochCap` epochs — the anti-starvation
+    * alternative to temperature sampling ([[temperatureWeights]]) that
+    * never over-boosts a tiny source past its cap.
+    *
+    * The budget is water-filled over capacities cᵢ = epochCap·nᵢ:
+    * sources whose whole capacity fits under an equal share are
+    * saturated (alloc = cᵢ); the rest split the remainder evenly
+    * (alloc = θ with Σ min(cᵢ, θ) = total). θ falls out closed-form
+    * from the capacity-ascending order: saturation is prefix-closed
+    * under that sort (proof in the spec), so one cumulative-sum window
+    * finds the saturated prefix and θ = (total − Σ_sat cᵢ)/(k − m). If
+    * total exceeds Σ cᵢ every source saturates and the leftover budget
+    * is reported, not silently spent.
+    *
+    * Output: one row per source — `n_docs`, `capacity`, `alloc`
+    * (fractional docs), `epochs` (= alloc/nᵢ, rounded 9). Scale shape:
+    * one map-side-combined count aggregate over the corpus; the
+    * water-fill itself runs on the per-source table, which is tiny BY
+    * CONTRACT (sources are languages/domains, not documents) — the
+    * single-partition window is over that table only, never the corpus.
+    * Determinism: with integer-valued `epochCap`·nᵢ every sum below is
+    * exact integer arithmetic in doubles; otherwise the cumulative sum
+    * is a fixed-order (capacity, source)-sorted left fold, identical in
+    * any engine.
+    */
+  def unimaxAlloc(docs: DataFrame, total: Long, epochCap: Double,
+      sourceCol: String = "source"): DataFrame = {
+    require(total >= 0, s"total budget must be >= 0, got $total")
+    require(epochCap > 0, s"epochCap must be positive, got $epochCap")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("capacity", col("n_docs").cast("double") * lit(epochCap))
+    val asc = Window.orderBy(col("capacity"), col(sourceCol))
+    val ranked = sizes
+      .withColumn("__i", row_number().over(asc))
+      .withColumn("__prefix", coalesce(
+        sum(col("capacity")).over(asc.rowsBetween(Window.unboundedPreceding,
+          -1)), lit(0.0)))
+      .withColumn("__k", count(lit(1)).over(
+        asc.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      // equal share of what's left when it's this source's turn; the
+      // source saturates iff its whole capacity fits under that share
+      .withColumn("__sat", col("capacity") <=
+        (lit(total.toDouble) - col("__prefix")) /
+          (col("__k") - col("__i") + 1).cast("double"))
+    val theta = ranked.agg(
+        sum(when(col("__sat"), col("capacity")).otherwise(0.0)).as("__satcap"),
+        sum(when(col("__sat"), 1L).otherwise(0L)).as("__m"),
+        first(col("__k")).as("__k"))
+      .select(when(col("__m") === col("__k"), lit(0.0))
+        .otherwise((lit(total.toDouble) - col("__satcap")) /
+          (col("__k") - col("__m")).cast("double")).as("__theta"))
+    ranked.crossJoin(broadcast(theta))
+      .withColumn("alloc", when(col("__sat"), col("capacity"))
+        .otherwise(col("__theta")))
+      .select(col(sourceCol), col("n_docs"), col("capacity"),
+        round(col("alloc"), 9).as("alloc"),
+        round(col("alloc") / col("n_docs").cast("double"), 9).as("epochs"))
+  }
 }

@@ -72,4 +72,29 @@ class ExactSubstringSpec extends SparkSpec {
     // keeper is the lexicographically smallest (doc_id, p) = doc 2
     assert(spans == Set((5L, 0), (9L, 0)))
   }
+
+  test("duplicationProfile histograms multiplicities with a tail bucket") {
+    val p2 = words("two", 20)   // repeated 2x
+    val p3 = words("three", 20) // repeated 3x
+    val p5 = words("five", 20)  // repeated 5x -> tail bucket (>=4)
+    val corpus = (
+      (1 to 2).map(i => (i.toLong, p2)) ++
+      (11 to 13).map(i => (i.toLong, p3)) ++
+      (21 to 25).map(i => (i.toLong, p5)) ++
+      Seq((99L, words("solo", 40)))
+    ).toDF("doc_id", "text")
+    val got = ExactSubstring.duplicationProfile(corpus, l = 20,
+        capBucket = 4)
+      .orderBy("multiplicity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each planted passage is exactly one 20-token window value; the
+    // 40-token solo doc contributes 21 unique windows (none repeated)
+    assert(got === Array((2L, 1L, 2L), (3L, 1L, 3L), (4L, 1L, 5L)))
+  }
+
+  test("duplicationProfile of a no-repeat corpus is empty") {
+    val corpus = (1 to 5).map(i => (i.toLong, words(s"u$i", 30)))
+      .toDF("doc_id", "text")
+    assert(ExactSubstring.duplicationProfile(corpus, l = 20).count() == 0)
+  }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private def people = Seq(
+    // (id, segment, nation, balance) — segment A/n1 has 3 members with
+    // 3 distinct balances; A/n2 has 2 members sharing ONE balance
+    // (homogeneous); B/n1 is a singleton
+    (1L, "A", 1, 10.0), (2L, "A", 1, 20.0), (3L, "A", 1, 30.0),
+    (4L, "A", 2, 50.0), (5L, "A", 2, 50.0),
+    (6L, "B", 1, 70.0)
+  ).toDF("id", "seg", "nat", "bal")
+
+  test("kAnonymityAudit sizes, diversity, and flags") {
+    val got = Privacy.kAnonymityAudit(people, Seq("seg", "nat"), "bal", k = 3)
+      .orderBy("seg", "nat")
+      .select("seg", "nat", "group_size", "distinct_sensitive",
+        "at_risk", "homogeneous")
+      .as[(String, Int, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("A", 1, 3L, 3L, false, false),
+      ("A", 2, 2L, 1L, true, true),
+      ("B", 1, 1L, 1L, true, true)))
+  }
+
+  test("suppress keeps exactly the rows of >=k groups") {
+    val kept = Privacy.suppress(people, Seq("seg", "nat"), k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("leadingOnes counts hex leading one-bits exactly") {
+    val rows = Seq("ff2", "e00", "7ff", "c1a", "9ab", "fff")
+      .toDF("h").select(Privacy.leadingOnes(col("h")).as("lo"))
+      .as[Int].collect().toSeq
+    // ff2: 8 ones then 0010 -> 8; e: 1110 -> 3; 7: 0111 -> 0;
+    // c: 1100 -> 2; 9: 1001 -> 1; fff: 12 ones, no next char -> 12
+    assert(rows === Seq(8, 3, 0, 2, 1, 12))
+  }
+
+  test("dpCountsGeometric: integer noise, deterministic per key+salt") {
+    val df = people.select(col("seg"))
+    val a = Privacy.dpCountsGeometric(df, Seq("seg")).orderBy("seg")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val b = Privacy.dpCountsGeometric(df, Seq("seg")).orderBy("seg")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.map(_._1) === Seq("A", "B"))
+    assert(a.forall { case (_, n, z, nn) => nn == n + z })
+    assert(a.map(_._2) === Seq(5L, 1L))
+  }
+
+  test("dpCountsGeometric salt re-randomizes draws") {
+    // across 256 keys the two salts' noise vectors cannot coincide
+    // unless the salt is ignored (P < 0.8^256 even under maximal
+    // per-key collision odds)
+    val keys = spark.range(256).select(col("id").cast("string").as("k"))
+    val a = Privacy.dpCountsGeometric(keys, Seq("k")).orderBy("k")
+      .select("noise").as[Long].collect().toSeq
+    val b = Privacy.dpCountsGeometric(keys, Seq("k"), salt = "epoch2")
+      .orderBy("k").select("noise").as[Long].collect().toSeq
+    assert(a !== b)
+  }
+
+  test("dpCountsGeometric noise is centered and small in aggregate") {
+    // 4096 distinct keys: the mean of Z = G1 - G2 (each Geometric(1/2),
+    // mean 1) is 0 with sd ~ sqrt(8)/64 over 4096 draws — assert a
+    // generous band; this would catch a sign error or a one-sided draw
+    val keys = spark.range(4096).select(col("id").cast("string").as("k"))
+    val stats = Privacy.dpCountsGeometric(keys, Seq("k"))
+      .agg(avg(col("noise").cast("double")).as("m"),
+        max(abs(col("noise"))).as("mx"))
+      .as[(Double, Long)].head()
+    assert(math.abs(stats._1) < 0.2, s"noise mean ${stats._1} off-center")
+    assert(stats._2 < 40, "geometric tail absurdly long")
+  }
+
+  test("dpCountsLaplace: deterministic, finite, calibrated scale") {
+    val keys = spark.range(4096).select(col("id").cast("string").as("k"))
+    val eps = 0.5
+    val out = Privacy.dpCountsLaplace(keys, Seq("k"), epsilon = eps)
+    val again = Privacy.dpCountsLaplace(keys, Seq("k"), epsilon = eps)
+    assert(out.orderBy("k").collect() === again.orderBy("k").collect())
+    val st = out.agg(
+        avg(col("noise")).as("m"),
+        avg(abs(col("noise"))).as("mad"),
+        sum(when(col("noise").isNull ||
+          isnan(col("noise")), 1L).otherwise(0L)).as("bad"))
+      .as[(Double, Double, Long)].head()
+    assert(st._3 == 0L, "non-finite Laplace noise")
+    // Laplace(1/eps): E|Z| = 1/eps = 2.0; 4096 draws -> tight-ish band
+    assert(math.abs(st._1) < 0.3, s"laplace mean ${st._1} off-center")
+    assert(st._2 > 1.6 && st._2 < 2.4, s"E|Z| ${st._2} != ~1/eps")
+  }
+
+  test("dpCountsLaplace rejects non-positive epsilon") {
+    intercept[IllegalArgumentException] {
+      Privacy.dpCountsLaplace(people, Seq("seg"), epsilon = 0.0)
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Flesch–Kincaid readability and UniMax water-filling allocation. */
+class ReadabilityUnimaxSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("readability counts words, sentences, syllables exactly") {
+    val docs = Seq(
+      // 6 words, 2 sentences, syllables: the(1) cat(1) sat(1) here(2:
+      // e-e) it(1) slept(1) = 7
+      (1L, "The cat sat here. It slept!"),
+      // fragment: 2 words, no terminator -> 1 sentence; rhythm has y
+      // nuclei: rhythm -> 'y' (1); tsk -> floor 1
+      (2L, "rhythm tsk"),
+      (3L, "12345 ...") // no words -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L))
+    val (_, w1, s1, y1, g1) = got(0)
+    assert((w1, s1, y1) === ((6L, 2L, 7L)))
+    assert(g1 === BigDecimal(0.39 * (6.0 / 2.0) + 11.8 * (7.0 / 6.0)
+      - 15.59).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val (_, w2, s2, y2, _) = got(1)
+    assert((w2, s2, y2) === ((2L, 1L, 2L)))
+  }
+
+  test("unimaxAlloc water-fills: minority sources saturate, majority splits the rest") {
+    // capacities at cap 2.0: a->8, b->12, c->100; budget 60:
+    // a: 60/3=20 >= 8 sat; b: (60-8)/2=26 >= 12 sat; c: 40 < 100 ->
+    // theta = 40
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "a")) ++
+      (11 to 16).map(i => (i.toLong, "b")) ++
+      (21 to 70).map(i => (i.toLong, "c"))
+    ).toDF("doc_id", "source")
+    val got = CorpusMix.unimaxAlloc(docs, total = 60L, epochCap = 2.0)
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", 4L, 8.0, 8.0, 2.0),
+      ("b", 6L, 12.0, 12.0, 2.0),
+      ("c", 50L, 100.0, 40.0, 0.8)))
+    // allocations exhaust the budget when capacity allows
+    assert(got.map(_._4).sum === 60.0)
+  }
+
+  test("unimaxAlloc with surplus budget saturates everything and spends only capacity") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("doc_id", "source")
+    val got = CorpusMix.unimaxAlloc(docs, total = 1000L, epochCap = 3.0)
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(("a", 2L, 6.0, 6.0, 3.0), ("b", 1L, 3.0, 3.0, 3.0)))
+  }
+
+  test("unimaxAlloc uniform when nothing saturates") {
+    val docs = (
+      (1 to 30).map(i => (i.toLong, "x")) ++
+      (31 to 70).map(i => (i.toLong, "y"))
+    ).toDF("doc_id", "source")
+    val got = CorpusMix.unimaxAlloc(docs, total = 20L, epochCap = 5.0)
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._4) === Seq(10.0, 10.0))
+  }
+
+  test("unimaxAlloc rejects bad parameters") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      CorpusMix.unimaxAlloc(docs, total = -1L, epochCap = 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusMix.unimaxAlloc(docs, total = 10L, epochCap = 0.0)
+    }
+  }
+}
