@@ -96,6 +96,18 @@ import org.apache.spark.sql.functions._
   *     curly-brace or < `minLines` (3) surviving lines; text becomes
   *     the surviving lines [q258]
   *     ([[graft.text.RuleFilters.c4Clean]])
+  *   - `readability_filter` — keep docs whose Flesch–Kincaid grade on
+  *     `textCol` (`text`) lies in [`minGrade` (−∞), `maxGrade`
+  *     (required)]; wordless docs drop [q263 + config gate q267]
+  *     ([[graft.text.TextAnalysis.readability]])
+  *   - `kanon_suppress` — drop rows whose `quasiCols` (required list)
+  *     group has fewer than `k` (required) members [q261 + config
+  *     gate q267] ([[graft.operators.Privacy.suppress]])
+  *   - `unimax_mix` — materialized UniMax: water-fill a `total`
+  *     (required) budget over `keyCol` (`source`) groups at
+  *     `epochCap` (required) epochs and emit the realized copies
+  *     (adds `copy`) [q264, q266]
+  *     ([[graft.text.CorpusMix.unimaxMix]])
   *   - `semantic_decontaminate` — drop docs whose embedding is within
   *     cosine `threshold` (required) of any eval-set vector at
   *     `evalPath` (required parquet, vector column `evalVecCol` =
@@ -274,6 +286,27 @@ object CurationPipeline {
         val w = require_(get[String](stage, "weightCol"), op, "weightCol")
         CorpusMix.prioritySample(docs, k, w,
           salt = get[String](stage, "salt").getOrElse(""))
+      case "readability_filter" =>
+        val maxG = require_(getD(stage, "maxGrade"), op, "maxGrade")
+        val minG = getD(stage, "minGrade").getOrElse(Double.NegativeInfinity)
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        docs.join(graft.text.TextAnalysis.readability(docs,
+            textCol = textCol)
+          .filter(col("fk_grade") >= minG && col("fk_grade") <= maxG)
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      case "kanon_suppress" =>
+        val quasi = require_(
+          get[scala.collection.Seq[String]](stage, "quasiCols"), op,
+          "quasiCols").toSeq
+        val k = require_(getI(stage, "k"), op, "k")
+        graft.operators.Privacy.suppress(docs, quasi, k)
+      case "unimax_mix" =>
+        val total = require_(get[Number](stage, "total"), op, "total")
+          .longValue()
+        val cap = require_(getD(stage, "epochCap"), op, "epochCap")
+        val keyCol = get[String](stage, "keyCol").getOrElse("source")
+        CorpusMix.unimaxMix(docs, total, cap, sourceCol = keyCol,
+          salt = get[String](stage, "salt").getOrElse(""))
       case "lang_id_filter" =>
         val labelCol = require_(get[String](stage, "labelCol"), op,
           "labelCol")
@@ -324,7 +357,8 @@ object CurationPipeline {
           "paragraph_dedup, exact_substring, perplexity_filter, " +
           "cap_per_host, split, lang_id_filter, " +
           "semantic_decontaminate, fix_encoding, blocklist_filter, " +
-          "keep_best, priority_sample, gopher_filter, c4_clean)")
+          "keep_best, priority_sample, gopher_filter, c4_clean, " +
+          "readability_filter, kanon_suppress, unimax_mix)")
     }
   }
 }

@@ -333,6 +333,31 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("text"), col("n_chars"))
   }
 
+  /** Config-surface gate for the privacy/readability stages (q267):
+    * `readability_filter` (FK grade ≤ 25, q263's operator) then
+    * `kanon_suppress` ((lang, source) cells with < 8 surviving docs
+    * drop, q261's operator) as one JSON stage list. The oracle
+    * recomposes both from q263's readability CTE and a HAVING-count
+    * group join — a dispatch typo, a threshold drift, or suppressing
+    * on PRE-filter group sizes (the natural bug: k-anonymity must
+    * hold on the RELEASED table) flips the hash.
+    */
+  def configPrivacy(s: SparkSession, dir: String): DataFrame = {
+    val cfg = java.nio.file.Files.createTempFile("graft_q267_cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      """{ "stages": [
+        |  {"op": "readability_filter", "maxGrade": 25},
+        |  {"op": "kanon_suppress", "quasiCols": ["lang", "source"],
+        |   "k": 8} ] }
+        |""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    graft.etl.CurationPipeline.run(docs, stages.toSeq)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Config-surface gate for the perplexity_filter model dispatch
     * (q247): a one-stage config selecting `model: "kneser_ney"` with
     * maxPpl between the corpus quantiles (sf0.01 KN ppl spans
@@ -640,6 +665,7 @@ object Dedup extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q265_dup_profile" -> dupProfile _,
+    "q267_config_privacy" -> configPrivacy _,
     "q222_curation_attrition" -> curationAttrition _,
     "q217_source_similarity" -> sourceSimilarityMatrix _,
     "q214_leakage_safe_split" -> leakageSafeSplit _,
@@ -757,6 +783,31 @@ object Dedup extends QueryPack {
         |mins AS (SELECT n, min(m) AS mr FROM reach GROUP BY n)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q267_config_privacy" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+        |      AS BIGINT) AS words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS sentences,
+        |    CAST(list_sum(list_transform(
+        |        regexp_extract_all(lower(text), '[a-z]+'),
+        |        w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+        |      AS BIGINT) AS syllables
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 1),
+        |keep1 AS (
+        |  SELECT d.doc_id, d.lang, d.source
+        |  FROM documents d JOIN c USING (doc_id)
+        |  WHERE round(0.39 * (CAST(words AS DOUBLE)
+        |        / CAST(sentences AS DOUBLE))
+        |      + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+        |      - 15.59, 9) <= 25.0),
+        |g AS (
+        |  SELECT lang, source FROM keep1
+        |  GROUP BY 1, 2 HAVING count(*) >= 8)
+        |SELECT k.doc_id, k.lang, k.source
+        |FROM keep1 k JOIN g USING (lang, source)""".stripMargin,
     "q265_dup_profile" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -2057,9 +2057,22 @@ object Text extends QueryPack {
     graft.text.CorpusMix.unimaxAlloc(Tables.documents(s, dir),
       total = 800L, epochCap = 2.0, sourceCol = "lang")
 
+  /** Materialized-UniMax gate (q266): the q264 allocation fed through
+    * the q108 mix machinery ([[graft.text.CorpusMix.unimaxMix]]) — the
+    * oracle recomposes BOTH stages (water-fill CTE → per-lang epochs →
+    * md5-draw copies), so a drift in either half or in the
+    * composition (e.g. feeding alloc instead of epochs) flips the
+    * hash.
+    */
+  def unimaxMixGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusMix.unimaxMix(Tables.documents(s, dir),
+        total = 800L, epochCap = 2.0, sourceCol = "lang")
+      .select(col("doc_id"), col("lang"), col("copy"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_readability" -> readabilityGate _,
     "q264_unimax_alloc" -> unimaxGate _,
+    "q266_unimax_mix" -> unimaxMixGate _,
     "q219_prf_retrieval" -> prfRetrievalGate _,
     "q218_two_stage_retrieval" -> twoStageRetrievalGate _,
     "q215_tokenizer_eval" -> tokenizerEvalGate _,
@@ -2274,6 +2287,45 @@ object Text extends QueryPack {
         |  round((CASE WHEN sat THEN capacity ELSE theta END)
         |    / CAST(n_docs AS DOUBLE), 9) AS epochs
         |FROM s CROSS JOIN th""".stripMargin,
+    "q266_unimax_mix" ->
+      """WITH sizes AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT lang, n_docs, n_docs * 2.0 AS capacity,
+        |    row_number() OVER w AS i,
+        |    coalesce(sum(n_docs * 2.0) OVER (
+        |      w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS prefix,
+        |    count(*) OVER () AS k
+        |  FROM sizes
+        |  WINDOW w AS (ORDER BY n_docs * 2.0, lang)),
+        |s AS (
+        |  SELECT *, capacity <= (800.0 - prefix) / (k - i + 1) AS sat
+        |  FROM r),
+        |th AS (
+        |  SELECT CASE
+        |    WHEN sum(CASE WHEN sat THEN 1 ELSE 0 END) = max(k) THEN 0.0
+        |    ELSE (800.0 - sum(CASE WHEN sat THEN capacity ELSE 0.0 END))
+        |      / (max(k) - sum(CASE WHEN sat THEN 1 ELSE 0 END)) END
+        |    AS theta
+        |  FROM s),
+        |ep AS (
+        |  SELECT lang,
+        |    round((CASE WHEN sat THEN capacity ELSE theta END)
+        |      / CAST(n_docs AS DOUBLE), 9) AS wt
+        |  FROM s CROSS JOIN th),
+        |d AS (
+        |  SELECT doc_id, d.lang, wt,
+        |    CAST('0x' || substr(md5(doc_id || ':' || d.lang), 1, 8)
+        |         AS UBIGINT) / 4294967296.0 AS u
+        |  FROM documents d JOIN ep USING (lang)),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(wt) AS BIGINT)
+        |      + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n
+        |  FROM d)
+        |SELECT doc_id, lang, unnest(range(n)) AS copy
+        |FROM c WHERE n > 0""".stripMargin,
     "q219_prf_retrieval" ->
       s"""WITH $bm25QueriesCte,
          |${bm25AllCte("", "")},

@@ -293,4 +293,23 @@ object CorpusMix {
         round(col("alloc"), 9).as("alloc"),
         round(col("alloc") / col("n_docs").cast("double"), 9).as("epochs"))
   }
+
+  /** Materialized UniMax: [[unimaxAlloc]]'s per-source epochs fed
+    * straight into [[mix]], so the emitted corpus realizes the
+    * water-filled budget (each doc of source s appears ⌊epochs_s⌋ or
+    * ⌈epochs_s⌉ times via its md5 draw). The epochs table is one row
+    * per source — tiny by contract, the [[temperatureWeights]]
+    * discipline — so the collect is bounded and the mix itself is the
+    * usual zero-shuffle per-row expression.
+    */
+  def unimaxMix(docs: DataFrame, total: Long, epochCap: Double,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    val weights = unimaxAlloc(docs, total, epochCap, sourceCol)
+      .select(col(sourceCol).cast("string"), col("epochs"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    if (weights.isEmpty) // empty corpus: nothing to allocate
+      docs.withColumn("copy", lit(0L)).limit(0)
+    else mix(docs, weights, idCol, sourceCol, salt)
+  }
 }

@@ -242,4 +242,45 @@ class CurationPipelineSpec extends SparkSpec {
     // doc 1 matches the eval vector; doc 3 has no vector and is KEPT
     assert(kept == Set(2L, 3L))
   }
+
+  test("readability_filter, kanon_suppress, unimax_mix stages") {
+    val docs = Seq(
+      // simple monosyllabic text -> low FK grade; doc 3's long
+      // unpunctuated polysyllabic run -> high grade
+      (1L, "The cat sat. It ran. We saw it go by the red box.", "en", "a"),
+      (2L, "A dog dug. The sun is up. He did not stop at all.", "en", "a"),
+      (3L, "extraordinarily incomprehensible organizational " +
+        "internationalization responsibilities accumulating " +
+        "continuously throughout overwhelming bureaucracies", "en", "b"),
+      (4L, "The kid hid. A fox ran off. It was not a big deal.", "en", "a")
+    ).toDF("doc_id", "text", "lang", "source")
+    val readable = CurationPipeline.run(docs, stagesFrom(
+      """{ "stages": [ {"op": "readability_filter", "maxGrade": 10} ] }"""))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(readable == Set(1L, 2L, 4L))
+    val kanon = CurationPipeline.run(docs, stagesFrom(
+      """{ "stages": [ {"op": "kanon_suppress",
+        |  "quasiCols": ["lang", "source"], "k": 2} ] }""".stripMargin))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kanon == Set(1L, 2L, 4L)) // the (en, b) singleton drops
+    val mixed = CurationPipeline.run(docs, stagesFrom(
+      """{ "stages": [ {"op": "unimax_mix", "total": 8,
+        |  "epochCap": 2} ] }""".stripMargin))
+    // capacities: a->6, b->2; budget 8 exceeds b's capacity ->
+    // b saturates at 2 epochs, a takes theta=6 = 2 epochs exactly:
+    // every doc appears exactly twice
+    assert(mixed.groupBy($"doc_id").count()
+      .filter($"count" =!= 2).isEmpty)
+    assert(mixed.count() == 8)
+    // required params stay loud
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, stagesFrom(
+        """{ "stages": [ {"op": "readability_filter"} ] }"""))
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, stagesFrom(
+        """{ "stages": [ {"op": "kanon_suppress", "k": 2} ] }"""))
+    }
+    ()
+  }
 }
