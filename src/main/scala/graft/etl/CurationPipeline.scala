@@ -108,6 +108,10 @@ import org.apache.spark.sql.functions._
   *     `epochCap` (required) epochs and emit the realized copies
   *     (adds `copy`) [q264, q266]
   *     ([[graft.text.CorpusMix.unimaxMix]])
+  *   - `mad_filter` — keep docs within `t` (3.5) robust z-scores
+  *     (MAD standardization) of their `keyCol` (`source`) group's
+  *     median `scoreCol` (required); zero-MAD groups keep everything
+  *     [q269] ([[graft.text.ScoreCalibrate.madFilter]])
   *   - `semantic_decontaminate` — drop docs whose embedding is within
   *     cosine `threshold` (required) of any eval-set vector at
   *     `evalPath` (required parquet, vector column `evalVecCol` =
@@ -307,6 +311,12 @@ object CurationPipeline {
         val keyCol = get[String](stage, "keyCol").getOrElse("source")
         CorpusMix.unimaxMix(docs, total, cap, sourceCol = keyCol,
           salt = get[String](stage, "salt").getOrElse(""))
+      case "mad_filter" =>
+        val score = require_(get[String](stage, "scoreCol"), op,
+          "scoreCol")
+        val t = getD(stage, "t").getOrElse(3.5)
+        val keyCol = get[String](stage, "keyCol").getOrElse("source")
+        graft.text.ScoreCalibrate.madFilter(docs, score, t, keyCol)
       case "lang_id_filter" =>
         val labelCol = require_(get[String](stage, "labelCol"), op,
           "labelCol")
@@ -358,7 +368,7 @@ object CurationPipeline {
           "cap_per_host, split, lang_id_filter, " +
           "semantic_decontaminate, fix_encoding, blocklist_filter, " +
           "keep_best, priority_sample, gopher_filter, c4_clean, " +
-          "readability_filter, kanon_suppress, unimax_mix)")
+          "readability_filter, kanon_suppress, unimax_mix, mad_filter)")
     }
   }
 }

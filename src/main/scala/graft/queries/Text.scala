@@ -2069,10 +2069,41 @@ object Text extends QueryPack {
         total = 800L, epochCap = 2.0, sourceCol = "lang")
       .select(col("doc_id"), col("lang"), col("copy"))
 
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long").as("words"))
+
+  /** Quantile-normalization gate (q268): mid-rank ECDF percentile of
+    * words-per-doc WITHIN each source
+    * ([[graft.text.ScoreCalibrate.quantileNormalize]]) — the
+    * cross-source score calibration step. pct is a fixed-order float
+    * over exact rank counts; ties share the average rank, so the
+    * oracle's window replay matches bit-for-bit.
+    */
+  def quantileNormalizeGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.ScoreCalibrate.quantileNormalize(
+        wordCounts(s, dir), "words", byCol = "source")
+      .select(col("doc_id"), col("source"), col("words"),
+        round(col("pct"), 9).as("pct"))
+
+  /** Robust-z gate (q269): per-source MAD standardization of
+    * words-per-doc ([[graft.text.ScoreCalibrate.robustZ]]) — exact
+    * interpolated medians (the q27 percentile parity) at both levels,
+    * null z where MAD = 0 (no spread, no evidence).
+    */
+  def robustZGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.ScoreCalibrate.robustZ(wordCounts(s, dir), "words",
+        byCol = "source")
+      .select(col("doc_id"), col("source"), col("words"),
+        round(col("robust_z"), 9).as("robust_z"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_readability" -> readabilityGate _,
     "q264_unimax_alloc" -> unimaxGate _,
     "q266_unimax_mix" -> unimaxMixGate _,
+    "q268_quantile_normalize" -> quantileNormalizeGate _,
+    "q269_robust_z" -> robustZGate _,
     "q219_prf_retrieval" -> prfRetrievalGate _,
     "q218_two_stage_retrieval" -> twoStageRetrievalGate _,
     "q215_tokenizer_eval" -> tokenizerEvalGate _,
@@ -2326,6 +2357,46 @@ object Text extends QueryPack {
         |  FROM d)
         |SELECT doc_id, lang, unnest(range(n)) AS copy
         |FROM c WHERE n > 0""".stripMargin,
+    "q268_quantile_normalize" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, words, count(*) AS ceq FROM s GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, words, ceq,
+        |    coalesce(sum(ceq) OVER (PARTITION BY source ORDER BY words
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS clt,
+        |    sum(ceq) OVER (PARTITION BY source) AS n
+        |  FROM g)
+        |SELECT s.doc_id, s.source, s.words,
+        |  round(CASE WHEN n = 1 THEN 0.5
+        |    ELSE (CAST(clt AS DOUBLE) + CAST(ceq + 1 AS DOUBLE) / 2.0
+        |      - 1.0) / CAST(n - 1 AS DOUBLE) END, 9) AS pct
+        |FROM s JOIN r USING (source, words)""".stripMargin,
+    "q269_robust_z" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS words
+        |  FROM documents),
+        |med AS (
+        |  SELECT source, quantile_cont(words, 0.5) AS med
+        |  FROM s GROUP BY 1),
+        |dev AS (
+        |  SELECT s.doc_id, s.source, s.words, med.med,
+        |    abs(CAST(s.words AS DOUBLE) - med.med) AS absdev
+        |  FROM s JOIN med USING (source)),
+        |mad AS (
+        |  SELECT source, quantile_cont(absdev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.words,
+        |  round((CAST(d.words AS DOUBLE) - d.med)
+        |    / (1.4826 * nullif(mad.mad, 0.0)), 9) AS robust_z
+        |FROM dev d JOIN mad USING (source)""".stripMargin,
     "q219_prf_retrieval" ->
       s"""WITH $bm25QueriesCte,
          |${bm25AllCte("", "")},

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-source score calibration: quality scores (heuristic, model,
+  * perplexity) are not comparable across domains — a "good" score on
+  * arxiv is a different number than on webtext — so corpus-wide
+  * thresholds silently over-prune some sources. These operators put
+  * per-group scores on a common scale before thresholding.
+  */
+object ScoreCalibrate {
+
+  /** Per-group quantile (mid-rank ECDF) normalization: each row gets
+    * `pct` ∈ [0, 1], the average-rank percentile of its score WITHIN
+    * its group — pct = (c_lt + (c_eq+1)/2 − 1)/(n − 1), with c_lt/c_eq
+    * the counts below/at its score and n the group size (singleton
+    * groups pin 0.5, there is no order information in one row). Ties
+    * share the average rank (the Spearman convention), so the mapping
+    * is a pure function of (group, score) — deterministic under any
+    * physical layout.
+    *
+    * Scale shape: ONE map-side-combined aggregate to the (group,
+    * score) table, a cumulative window over THAT table (bounded by
+    * distinct scores per group — intended for integer/discretized
+    * scores; bucketize a continuous score first, or the distinct
+    * table degenerates to the corpus and the hot-group window with
+    * it), then an equi-join back. No corpus-wide sort.
+    */
+  def quantileNormalize(df: DataFrame, scoreCol: String,
+      byCol: String = "source", outCol: String = "pct"): DataFrame = {
+    val w = Window.partitionBy(col(byCol)).orderBy(col(scoreCol))
+    val ranks = df.groupBy(col(byCol), col(scoreCol))
+      .agg(count(lit(1)).as("__ceq"))
+      .withColumn("__clt", coalesce(
+        sum(col("__ceq")).over(w.rowsBetween(Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .withColumn("__n", sum(col("__ceq")).over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn(outCol, when(col("__n") === 1L, lit(0.5))
+        .otherwise(
+          (col("__clt").cast("double") +
+            (col("__ceq") + 1L).cast("double") / lit(2.0) - lit(1.0)) /
+          (col("__n") - 1L).cast("double")))
+      .select(col(byCol), col(scoreCol), col(outCol))
+    df.join(ranks, Seq(byCol, scoreCol))
+  }
+
+  /** Per-group robust z-scores: z = (s − median)/(1.4826·MAD), the
+    * median-absolute-deviation standardization (1.4826 = the normal
+    * consistency constant). `robust_z` is null when the group's MAD is
+    * 0 (over half the group shares one score — no spread to
+    * standardize against; a filter keeps such rows, the rule drops
+    * only on evidence). Medians are exact interpolated percentiles
+    * (Spark `percentile` == DuckDB `quantile_cont`, the q27 parity).
+    *
+    * Two aggregation passes (group median, then median of |dev|) and
+    * two joins — no windows, no corpus sort. The exact percentile
+    * buffers a group's values; for a 100 TB run swap in
+    * `approx_percentile` and loosen the gate — the exact form is the
+    * oracle-able reference semantics.
+    */
+  def robustZ(df: DataFrame, scoreCol: String,
+      byCol: String = "source"): DataFrame = {
+    val med = df.groupBy(col(byCol))
+      .agg(expr(s"percentile($scoreCol, 0.5)").as("__med"))
+    val dev = df.join(med, byCol)
+      .withColumn("__absdev",
+        abs(col(scoreCol).cast("double") - col("__med")))
+    val mad = dev.groupBy(col(byCol))
+      .agg(expr("percentile(__absdev, 0.5)").as("__mad"))
+    dev.join(mad, byCol)
+      .withColumn("robust_z",
+        (col(scoreCol).cast("double") - col("__med")) /
+          (lit(1.4826) * nullif(col("__mad"), lit(0.0))))
+      .drop("__med", "__absdev", "__mad")
+  }
+
+  /** Keep rows within `t` robust z-scores of their group median
+    * (|z| ≤ t); rows whose group has MAD 0 are kept (null z = no
+    * evidence of outlierness). The MAD-filter analog of the 3σ rule
+    * that a single corpus-wide stddev gets wrong on skewed sources.
+    */
+  def madFilter(df: DataFrame, scoreCol: String, t: Double,
+      byCol: String = "source"): DataFrame = {
+    require(t > 0, s"t must be positive, got $t")
+    robustZ(df, scoreCol, byCol)
+      .filter(col("robust_z").isNull || abs(col("robust_z")) <= t)
+      .drop("robust_z")
+  }
+}

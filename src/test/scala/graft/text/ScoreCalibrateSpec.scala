@@ -1,0 +1,86 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quantile normalization and MAD robust z-scores / filtering. */
+class ScoreCalibrateSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def scored = Seq(
+    // group a: scores 1,2,2,4 — ties at 2 share the average rank
+    (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 2L), (4L, "a", 4L),
+    // group b: singleton
+    (5L, "b", 7L)
+  ).toDF("doc_id", "source", "score")
+
+  test("quantileNormalize: mid-rank percentiles, ties averaged, singleton 0.5") {
+    val got = quantNorm(scored).sortBy(_._1)
+    // n=4: score 1 -> rank 1 -> pct 0; scores 2,2 -> avg rank 2.5 ->
+    // pct 1.5/3 = 0.5; score 4 -> rank 4 -> pct 1
+    assert(got === Seq((1L, 0.0), (2L, 0.5), (3L, 0.5), (4L, 1.0),
+      (5L, 0.5)))
+  }
+
+  private def quantNorm(df: org.apache.spark.sql.DataFrame) =
+    ScoreCalibrate.quantileNormalize(df, "score")
+      .select($"doc_id", $"pct").as[(Long, Double)].collect().toSeq
+
+  test("quantileNormalize is a pure function of (group, score)") {
+    val a = quantNorm(scored.repartition(7)).sortBy(_._1)
+    val b = quantNorm(scored.repartition(1)).sortBy(_._1)
+    assert(a === b)
+  }
+
+  test("robustZ: exact medians, null z on zero MAD") {
+    // group a: median of (10,20,20,30,100) = 20; absdevs
+    // (10,0,0,10,80) -> MAD 10 -> z = (s-20)/14.826
+    // group c: all equal -> MAD 0 -> null z
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "a", 100L),
+      (6L, "c", 5L), (7L, "c", 5L), (8L, "c", 5L)
+    ).toDF("doc_id", "source", "score")
+    val got = ScoreCalibrate.robustZ(df, "score")
+      .select($"doc_id", $"robust_z")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // the comparisons repeat the operator's exact op order
+    // ((s - med) / (1.4826 * mad)) — 1.4826 * 10.0 is NOT the same
+    // double as the literal 14.826
+    assert(got(1L).get === (10.0 - 20.0) / (1.4826 * 10.0))
+    assert(got(5L).get === (100.0 - 20.0) / (1.4826 * 10.0))
+    assert(got(6L).isEmpty && got(7L).isEmpty && got(8L).isEmpty)
+  }
+
+  test("madFilter drops far outliers, keeps zero-MAD groups whole") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "a", 100L), // z = 80/14.826 = 5.4 > 3.5 -> dropped
+      (6L, "c", 5L), (7L, "c", 5L), (8L, "c", 5L)
+    ).toDF("doc_id", "source", "score")
+    val kept = ScoreCalibrate.madFilter(df, "score", t = 3.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 6L, 7L, 8L))
+    intercept[IllegalArgumentException] {
+      ScoreCalibrate.madFilter(df, "score", t = 0.0)
+    }
+  }
+
+  test("mad_filter curation stage equals the direct path") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "a", 100L)
+    ).toDF("doc_id", "source", "score")
+      .withColumn("text", lit("x"))
+    val p = java.nio.file.Files.createTempFile("graft_mad_cfg", ".json")
+    java.nio.file.Files.writeString(p,
+      """{ "stages": [ {"op": "mad_filter", "scoreCol": "score"} ] }""")
+    val stages = graft.etl.JsonSource.readConfigRow(spark, p.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    val viaConfig = graft.etl.CurationPipeline.run(df, stages.toSeq)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaConfig === Set(1L, 2L, 3L, 4L))
+  }
+}
