@@ -108,6 +108,9 @@ import org.apache.spark.sql.functions._
   *     `epochCap` (required) epochs and emit the realized copies
   *     (adds `copy`) [q264, q266]
   *     ([[graft.text.CorpusMix.unimaxMix]])
+  *   - `unicode_normalize` — UAX #15 normalization of `textCol`
+  *     (`text`) in place; `form` picks NFC (default) or NFKC [q270]
+  *     ([[graft.functions.UnicodeNormalize]], codegen'd)
   *   - `mad_filter` — keep docs within `t` (3.5) robust z-scores
   *     (MAD standardization) of their `keyCol` (`source`) group's
   *     median `scoreCol` (required); zero-MAD groups keep everything
@@ -216,6 +219,18 @@ object CurationPipeline {
         val textCol = get[String](stage, "textCol").getOrElse("text")
         docs.withColumn(textCol,
           graft.text.TextNormalize.fixText(col(textCol)))
+      case "unicode_normalize" =>
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        val form = get[String](stage, "form").getOrElse("NFC")
+        val normed = form match {
+          case "NFC" => graft.functions.GraftFunctions
+            .unicodeNfc(spark, col(textCol))
+          case "NFKC" => graft.functions.GraftFunctions
+            .unicodeNfkc(spark, col(textCol))
+          case f => throw new IllegalArgumentException(
+            s"unicode_normalize form must be NFC or NFKC, got $f")
+        }
+        docs.withColumn(textCol, normed)
       case "blocklist_filter" =>
         val terms = require_(
           get[scala.collection.Seq[String]](stage, "terms"), op,
@@ -368,7 +383,8 @@ object CurationPipeline {
           "cap_per_host, split, lang_id_filter, " +
           "semantic_decontaminate, fix_encoding, blocklist_filter, " +
           "keep_best, priority_sample, gopher_filter, c4_clean, " +
-          "readability_filter, kanon_suppress, unimax_mix, mad_filter)")
+          "readability_filter, kanon_suppress, unimax_mix, mad_filter, " +
+          "unicode_normalize)")
     }
   }
 }

@@ -90,6 +90,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "quality signal)"),
       (exprs: Seq[Expression]) => CompressRatioExpr(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.NFC_FN),
+      info(GraftFunctions.NFC_FN, "Unicode NFC normalization"),
+      (exprs: Seq[Expression]) => UnicodeNormalizeExpr(exprs(0),
+        compat = false)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.NFKC_FN),
+      info(GraftFunctions.NFKC_FN,
+        "Unicode NFKC normalization (compatibility folding)"),
+      (exprs: Seq[Expression]) => UnicodeNormalizeExpr(exprs(0),
+        compat = true)))
+    ext.injectFunction((
       FunctionIdentifier("graft_top_k"),
       info("graft_top_k",
         "top-k (score,id) pairs per group: graft_top_k(score, id, k)"),

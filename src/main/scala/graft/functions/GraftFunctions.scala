@@ -33,10 +33,20 @@ object GraftFunctions {
       COMPRESS_FN,
       exprs => CompressRatioExpr(exprs(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NFC_FN,
+      exprs => UnicodeNormalizeExpr(exprs(0), compat = false),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NFKC_FN,
+      exprs => UnicodeNormalizeExpr(exprs(0), compat = true),
+      "built-in")
   }
 
   val SIMHASH_FN = "graft_simhash"
   val COMPRESS_FN = "graft_compress_ratio"
+  val NFC_FN = "graft_unicode_nfc"
+  val NFKC_FN = "graft_unicode_nfkc"
   val MINHASH_PREFIX = "graft_minhash_" // one registered name per numHashes
   val WINNOW_PREFIX = "graft_winnow_"   // one registered name per window
 
@@ -221,6 +231,20 @@ object GraftFunctions {
   def compressRatio(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function(COMPRESS_FN, text)
+  }
+
+  /** Unicode NFC normalization (see [[UnicodeNormalizeExpr]]). */
+  def unicodeNfc(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(NFC_FN, text)
+  }
+
+  /** Unicode NFKC normalization — NFC plus compatibility folding
+    * (ligatures, full-width forms; see [[UnicodeNormalizeExpr]]).
+    */
+  def unicodeNfkc(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(NFKC_FN, text)
   }
 
   val HH_PREFIX = "graft_heavy_hitters_" // one registered name per capacity

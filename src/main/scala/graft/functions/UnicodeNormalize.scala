@@ -1,0 +1,78 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode normalization (NFC / NFKC) as a native codegen'd expression.
+  *
+  * Web text arrives with the same grapheme spelled many ways — "é" as
+  * one code point or as e + combining acute, ligatures (ﬁ), full-width
+  * compatibility forms (Ｈｅｌｌｏ) — and every downstream exact
+  * operator (sha dedup, n-gram shingles, tokenizer merges, blocklist
+  * terms) treats the spellings as DIFFERENT strings. Normalizing first
+  * is the standard pretraining-pipeline step (NFC for canonical
+  * equivalence; NFKC additionally folds compatibility forms, the
+  * aggressive variant most tokenizers train on).
+  *
+  * Spark has no built-in for this, and a Scala UDF would box every
+  * row; this stays inside whole-stage codegen with one static call per
+  * row (the [[CompressRatio]] pattern). The fast path skips the
+  * rewrite when the string is already normalized —
+  * `Normalizer.isNormalized` is a scan without allocation, and real
+  * corpora are mostly ASCII, which is always normalized — so the
+  * common case costs one pass and zero copies.
+  *
+  * Determinism: `java.text.Normalizer` implements UAX #15 exactly, as
+  * does DuckDB's utf8proc — the q270 gate hash-matches NFC output
+  * across the two engines on planted combining sequences.
+  */
+object UnicodeNormalize {
+  /** Static entry for generated code: NFC. */
+  def nfc(s: UTF8String): UTF8String = norm(s, Normalizer.Form.NFC)
+
+  /** Static entry for generated code: NFKC (compatibility folding). */
+  def nfkc(s: UTF8String): UTF8String = norm(s, Normalizer.Form.NFKC)
+
+  private def norm(s: UTF8String, form: Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(Normalizer.normalize(str, form))
+  }
+}
+
+/** `graft_unicode_nfc(str)` / `graft_unicode_nfkc(str)` — see
+  * [[UnicodeNormalize]].
+  */
+case class UnicodeNormalizeExpr(child: Expression, compat: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String =
+    if (compat) "graft_unicode_nfkc" else "graft_unicode_nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (compat) UnicodeNormalize.nfkc(s) else UnicodeNormalize.nfc(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (compat) "nfkc" else "nfc"
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeNormalize.$fn($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnicodeNormalizeExpr = copy(child = newChild)
+}

@@ -2098,12 +2098,34 @@ object Text extends QueryPack {
       .select(col("doc_id"), col("source"), col("words"),
         round(col("robust_z"), 9).as("robust_z"))
 
+  /** Unicode-NFC gate (q270): every doc gets a planted DECOMPOSED
+    * combining sequence (e+́, o+̈, n+̃, c+̧ by doc_id % 4) appended to
+    * its text head; the codegen'd [[graft.functions.UnicodeNormalize]]
+    * must compose it to the single precomposed code point, checked by
+    * the normalized string AND the char counts (raw has one more code
+    * point than NFC). The oracle builds the identical string via
+    * chr() and runs DuckDB's utf8proc `nfc_normalize` — two
+    * independent UAX #15 implementations hash-matched.
+    */
+  def nfcGate(s: SparkSession, dir: String): DataFrame = {
+    val suffix = element_at(array(
+      lit("e\u0301"), lit("o\u0308"), lit("n\u0303"), lit("c\u0327")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val raw = concat(substring(col("text"), 1, 40), suffix)
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.GraftFunctions.unicodeNfc(s, raw).as("nfc_text"),
+      length(raw).as("raw_chars"),
+      length(graft.functions.GraftFunctions.unicodeNfc(s, raw))
+        .as("nfc_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_readability" -> readabilityGate _,
     "q264_unimax_alloc" -> unimaxGate _,
     "q266_unimax_mix" -> unimaxMixGate _,
     "q268_quantile_normalize" -> quantileNormalizeGate _,
     "q269_robust_z" -> robustZGate _,
+    "q270_unicode_nfc" -> nfcGate _,
     "q219_prf_retrieval" -> prfRetrievalGate _,
     "q218_two_stage_retrieval" -> twoStageRetrievalGate _,
     "q215_tokenizer_eval" -> tokenizerEvalGate _,
@@ -2397,6 +2419,19 @@ object Text extends QueryPack {
         |  round((CAST(d.words AS DOUBLE) - d.med)
         |    / (1.4826 * nullif(mad.mad, 0.0)), 9) AS robust_z
         |FROM dev d JOIN mad USING (source)""".stripMargin,
+    "q270_unicode_nfc" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || CASE doc_id % 4
+        |      WHEN 0 THEN chr(101) || chr(769)
+        |      WHEN 1 THEN chr(111) || chr(776)
+        |      WHEN 2 THEN chr(110) || chr(771)
+        |      ELSE chr(99) || chr(807) END AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS nfc_text,
+        |  length(t) AS raw_chars,
+        |  length(nfc_normalize(t)) AS nfc_chars
+        |FROM raw""".stripMargin,
     "q219_prf_retrieval" ->
       s"""WITH $bm25QueriesCte,
          |${bm25AllCte("", "")},

@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** NFC/NFKC normalization semantics. Every non-ASCII literal is an
+  * explicit escape -- precomposed vs decomposed glyphs are
+  * indistinguishable to a reader of raw source text.
+  */
+class UnicodeNormalizeSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private val eAcuteDecomp = "\u0065\u0301" // e + combining acute
+  private val eAcute = "\u00e9"       // precomposed
+
+  private def nfc1(s: String): String =
+    Seq(s).toDF("t")
+      .select(GraftFunctions.unicodeNfc(spark, $"t")).as[String].head()
+
+  private def nfkc1(s: String): String =
+    Seq(s).toDF("t")
+      .select(GraftFunctions.unicodeNfkc(spark, $"t")).as[String].head()
+
+  test("NFC composes combining sequences, leaves ASCII alone") {
+    assert(nfc1(eAcuteDecomp) === eAcute)
+    assert(nfc1("\u006f\u0308") === "\u00f6")
+    assert(nfc1("plain ascii!") === "plain ascii!")
+    assert(nfc1("") === "")
+  }
+
+  test("NFC does NOT fold compatibility forms; NFKC does") {
+    val ligature = "\ufb01"   // fi ligature
+    val fullwidth = "\uff28\uff49"   // fullwidth H, i
+    assert(nfc1(ligature) === ligature)
+    assert(nfkc1(ligature) === "fi")
+    assert(nfc1(fullwidth) === fullwidth)
+    assert(nfkc1(fullwidth) === "Hi")
+    // vulgar 1/2 -> digit 1 + fraction slash + digit 2
+    assert(nfkc1("\u00bd") === "1\u20442")
+  }
+
+  test("normalization is idempotent and null-safe") {
+    // a+acute composes; b+diaeresis has NO precomposed form and stays
+    val once = nfc1("\u0061\u0301\u0062\u0308\u0063")
+    assert(once === "\u00e1\u0062\u0308\u0063")
+    assert(nfc1(once) === once)
+    val withNull = Seq(Some(eAcuteDecomp), None).toDF("t")
+      .select(GraftFunctions.unicodeNfc(spark, $"t").as("n"))
+      .collect()
+    assert(withNull.count(_.isNullAt(0)) === 1)
+  }
+
+  test("registered as SQL functions via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT graft_unicode_nfc('\u0065\u0301') AS a, " +
+        "graft_unicode_nfkc('\ufb01') AS b").head()
+    assert(got.getString(0) === eAcute)
+    assert(got.getString(1) === "fi")
+  }
+
+  test("unicode_normalize curation stage, NFC default and NFKC form") {
+    val docs = Seq((1L, "caf\u0065\u0301 \ufb01n")).toDF("doc_id", "text")
+    def run(cfgJson: String) = {
+      val p = java.nio.file.Files.createTempFile("graft_nfc_cfg", ".json")
+      java.nio.file.Files.writeString(p, cfgJson)
+      val stages = graft.etl.JsonSource.readConfigRow(spark, p.toString)
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+      graft.etl.CurationPipeline.run(docs, stages.toSeq)
+        .select($"text").as[String].head()
+    }
+    assert(run("""{ "stages": [ {"op": "unicode_normalize"} ] }""")
+      === "caf\u00e9 \ufb01n")
+    assert(run(
+      """{ "stages": [ {"op": "unicode_normalize", "form": "NFKC"} ] }""")
+      === "caf\u00e9 fin")
+    intercept[IllegalArgumentException] {
+      run("""{ "stages": [ {"op": "unicode_normalize",
+        |  "form": "NFD"} ] }""".stripMargin)
+    }
+  }
+}
