@@ -2119,8 +2119,43 @@ object Text extends QueryPack {
         .as("nfc_chars"))
   }
 
+  /** Builds a String from code points — ASCII-only source for
+    * non-ASCII fixtures (a precomposed vs decomposed glyph is
+    * invisible in source text).
+    */
+  private def cp(cps: Int*): String =
+    new String(cps.toArray.flatMap(Character.toChars))
+
+  /** Script-profile gate (q271): per-doc Unicode script counts +
+    * dominant script ([[graft.text.TextAnalysis.scriptProfile]]) over
+    * a fixture that plants a CJK/Cyrillic/Greek/Arabic snippet
+    * (doc_id % 4) repeated 1/9/17 times (doc_id % 3) after each doc's
+    * Latin head — so every class appears, and dominance actually
+    * flips to the planted script for the repeated variants. The
+    * oracle rebuilds the identical text via chr()/repeat and runs the
+    * IDENTICAL `\x{...}` regex classes (Java regex and RE2 share the
+    * spelling).
+    */
+  def scriptProfileGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = Seq(
+      cp(0x4f60, 0x597d, 0x4e16, 0x754c),                  // CJK
+      cp(0x043f, 0x0440, 0x0438, 0x0432, 0x0435, 0x0442),  // Cyrillic
+      cp(0x03b3, 0x03b5, 0x03b9, 0x03b1),                  // Greek
+      cp(0x0645, 0x0631, 0x062d, 0x0628, 0x0627))          // Arabic
+    val suffix = element_at(
+      array(planted.map(lit): _*), (col("doc_id") % 4 + 1).cast("int"))
+    val marked = Tables.documents(s, dir)
+      .withColumn("__sfx", suffix)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 30), lit(" "),
+          expr("repeat(__sfx, CAST(doc_id % 3 AS INT) * 8 + 1)"))
+          .as("text"))
+    graft.text.TextAnalysis.scriptProfile(marked)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_readability" -> readabilityGate _,
+    "q271_script_profile" -> scriptProfileGate _,
     "q264_unimax_alloc" -> unimaxGate _,
     "q266_unimax_mix" -> unimaxMixGate _,
     "q268_quantile_normalize" -> quantileNormalizeGate _,
@@ -2432,6 +2467,45 @@ object Text extends QueryPack {
         |  length(t) AS raw_chars,
         |  length(nfc_normalize(t)) AS nfc_chars
         |FROM raw""".stripMargin,
+    "q271_script_profile" -> {
+      // the same \x{...} classes the engine uses (Java regex and RE2
+      // share the spelling); counts are length drops after deletion
+      val classes = graft.text.TextAnalysis.scriptClasses.map {
+        case (name, cls) =>
+          s"length(t) - length(regexp_replace(t, '$cls', '', 'g')) AS n_$name"
+      }.mkString(",\n    ")
+      s"""WITH raw AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 30) || ' ' || repeat(CASE doc_id % 4
+        |      WHEN 0 THEN chr(20320) || chr(22909) || chr(19990)
+        |                  || chr(30028)
+        |      WHEN 1 THEN chr(1087) || chr(1088) || chr(1080)
+        |                  || chr(1074) || chr(1077) || chr(1090)
+        |      WHEN 2 THEN chr(947) || chr(949) || chr(953) || chr(945)
+        |      ELSE chr(1605) || chr(1585) || chr(1581) || chr(1576)
+        |           || chr(1575) END,
+        |      CAST(doc_id % 3 AS INT) * 8 + 1) AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    $classes
+        |  FROM raw)
+        |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_greek, n_arabic,
+        |  n_digit,
+        |  CASE
+        |    WHEN n_latin = 0 AND n_cjk = 0 AND n_cyrillic = 0
+        |      AND n_greek = 0 AND n_arabic = 0 THEN 'none'
+        |    WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+        |      AND n_latin >= n_greek AND n_latin >= n_arabic
+        |      THEN 'latin'
+        |    WHEN n_cjk >= n_cyrillic AND n_cjk >= n_greek
+        |      AND n_cjk >= n_arabic THEN 'cjk'
+        |    WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+        |      THEN 'cyrillic'
+        |    WHEN n_greek >= n_arabic THEN 'greek'
+        |    ELSE 'arabic' END AS script
+        |FROM c""".stripMargin
+    },
     "q219_prf_retrieval" ->
       s"""WITH $bm25QueriesCte,
          |${bm25AllCte("", "")},

@@ -126,6 +126,54 @@ object TextAnalysis {
         .otherwise(lit("fr")))
   }
 
+  /** Unicode script classes as regex character classes — the `\x{...}`
+    * spelling is shared by Java regex and RE2, so an oracle engine
+    * runs the IDENTICAL patterns. BMP block ranges (not full Unicode
+    * script properties — `\p{Script=}` spellings differ across
+    * engines): Latin incl. the supplement/extended-A/B accents, CJK =
+    * Han + kana + hangul, plus Cyrillic, Greek, Arabic, ASCII digits.
+    */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "digit" -> "[0-9]")
+
+  /** Per-document Unicode script profile: code-point counts per
+    * [[scriptClasses]] class (`n_latin` … `n_digit`) plus the dominant
+    * script (`script`) with a deterministic tie-break in class-list
+    * order and `none` when no script chars appear (digits don't
+    * compete for dominance). The cheap pre-lang-id routing signal —
+    * script mixes also flag mojibake and spam padding that
+    * Latin-only heuristics miss entirely.
+    *
+    * One narrow all-codegen pass; each count is the length drop after
+    * deleting the class (exact integers, code-point semantics in both
+    * Spark's UTF8String and any code-point-length oracle engine).
+    */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val counted = docs.select(
+      col(idCol) +: scriptClasses.map { case (name, cls) =>
+        (length(t) - length(regexp_replace(t, cls, "")))
+          .cast("long").as(s"n_$name")
+      }: _*)
+    val Seq(la, cj, cy, gr, ar) =
+      Seq("latin", "cjk", "cyrillic", "greek", "arabic").map(n =>
+        col(s"n_$n"))
+    counted.withColumn("script",
+      when(la === 0 && cj === 0 && cy === 0 && gr === 0 && ar === 0,
+        lit("none"))
+        .when(la >= cj && la >= cy && la >= gr && la >= ar, lit("latin"))
+        .when(cj >= cy && cj >= gr && cj >= ar, lit("cjk"))
+        .when(cy >= gr && cy >= ar, lit("cyrillic"))
+        .when(gr >= ar, lit("greek"))
+        .otherwise(lit("arabic")))
+  }
+
   /** Canonical content fingerprint: md5 of the normalized token stream
     * (case-folded, whitespace-collapsed). Equal fingerprints = equal
     * normalized content — the cheap cross-engine-stable dedup key.

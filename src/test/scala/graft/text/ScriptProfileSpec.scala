@@ -1,0 +1,51 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unicode script profiling (counts + dominant script). Non-ASCII
+  * fixture chars are explicit escapes.
+  */
+class ScriptProfileSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def profile(rows: Seq[(Long, String)]) =
+    TextAnalysis.scriptProfile(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("counts each script class exactly, accents are latin") {
+    val got = profile(Seq(
+      (1L, "ab1 \u4f60\u597d\u043f\u0440\u0438\u03b3\u03b5\u0645\u0631\u00e9")))
+    val r = got(1L)
+    assert(r.getAs[Long]("n_latin") === 3)    // a, b, e-acute
+    assert(r.getAs[Long]("n_cjk") === 2)
+    assert(r.getAs[Long]("n_cyrillic") === 3)
+    assert(r.getAs[Long]("n_greek") === 2)
+    assert(r.getAs[Long]("n_arabic") === 2)
+    assert(r.getAs[Long]("n_digit") === 1)
+  }
+
+  test("dominant script with deterministic tie-break, none on empty") {
+    val got = profile(Seq(
+      (1L, "abc \u4f60\u597d"),          // latin 3 > cjk 2
+      (2L, "a \u4f60\u597d\u4f60\u597d\u4f60\u597d"),  // cjk 6 > latin 1
+      (3L, "ab \u043f\u0440\u0438\u043f\u0440\u0438"),      // tie latin 2 = ... wait cyr 6
+      (4L, "12345 .,!"),           // digits/punct only -> none
+      (5L, "\u4f60\u597d\u043f\u0440\u0438x")          // cjk 2 vs cyr 3 -> cyrillic
+    ))
+    assert(got(1L).getAs[String]("script") === "latin")
+    assert(got(2L).getAs[String]("script") === "cjk")
+    assert(got(4L).getAs[String]("script") === "none")
+    assert(got(5L).getAs[String]("script") === "cyrillic")
+  }
+
+  test("equal counts break ties in class-list order") {
+    // latin 2, cjk 2 -> latin (earlier in the preference order)
+    val got = profile(Seq((1L, "ab\u4f60\u597d")))
+    assert(got(1L).getAs[String]("script") === "latin")
+    // cjk 2, cyrillic 2 with no latin -> cjk
+    val got2 = profile(Seq((2L, "\u4f60\u597d\u043f\u0440")))
+    assert(got2(2L).getAs[String]("script") === "cjk")
+  }
+}
