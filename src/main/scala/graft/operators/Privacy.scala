@@ -87,12 +87,24 @@ object Privacy {
     * per release epoch to re-randomize).
     */
   def dpCountsGeometric(df: DataFrame, groupCols: Seq[String],
+      salt: String = ""): DataFrame =
+    withGeometricNoise(
+      df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n")),
+      groupCols, salt)
+
+  /** Applies the geometric-mechanism noise to an ALREADY-aggregated
+    * frame carrying `groupCols` + `n` — the release step alone, for
+    * callers that accumulated the counts elsewhere (e.g. streaming
+    * state drained in complete mode). Noise is a pure function of the
+    * group key + salt, so a streaming release equals the batch
+    * release over the same data by construction.
+    */
+  def withGeometricNoise(counts: DataFrame, groupCols: Seq[String],
       salt: String = ""): DataFrame = {
     val key = keyExpr(groupCols)
     val g1 = leadingOnes(md5(concat(lit(s"dpA:$salt:"), key)))
     val g2 = leadingOnes(md5(concat(lit(s"dpB:$salt:"), key)))
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"))
+    counts
       .withColumn("noise", (g1 - g2).cast("long"))
       .withColumn("noisy_n", col("n") + col("noise"))
   }

@@ -580,6 +580,19 @@ object Analytics extends QueryPack {
        |    WHEN '8' THEN 1 WHEN '9' THEN 1 WHEN 'a' THEN 1
        |    WHEN 'b' THEN 1 ELSE 0 END)""".stripMargin
 
+  /** q262's full oracle — shared verbatim by the streaming release
+    * gate q272 (noise is key-seeded, so batch and streaming releases
+    * coincide by construction).
+    */
+  val dpCountsOracleSql: String = {
+    val z = s"(${leadingOnesSql("md5('dpA::' || source)")} - " +
+      s"${leadingOnesSql("md5('dpB::' || source)")})"
+    s"""SELECT source, count(*) AS n,
+       |  CAST($z AS BIGINT) AS noise,
+       |  count(*) + CAST($z AS BIGINT) AS noisy_n
+       |FROM documents GROUP BY source""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q261_kanon_audit" ->
       """SELECT c_mktsegment, c_nationkey,
@@ -588,14 +601,7 @@ object Analytics extends QueryPack {
         |  count(*) < 10 AS at_risk,
         |  count(DISTINCT c_acctbal) = 1 AS homogeneous
         |FROM customer GROUP BY 1, 2""".stripMargin,
-    "q262_dp_counts" -> {
-      val z = s"(${leadingOnesSql("md5('dpA::' || source)")} - " +
-        s"${leadingOnesSql("md5('dpB::' || source)")})"
-      s"""SELECT source, count(*) AS n,
-         |  CAST($z AS BIGINT) AS noise,
-         |  count(*) + CAST($z AS BIGINT) AS noisy_n
-         |FROM documents GROUP BY source""".stripMargin
-    },
+    "q262_dp_counts" -> dpCountsOracleSql,
     "q223_bootstrap_ci_by_source" -> {
       val wt = graft.operators.Bootstrap.poissonCaseSql(
         "(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':' || " +

@@ -307,7 +307,36 @@ object Streaming extends QueryPack {
     "q202_stream_content_drift" -> streamContentDrift _,
     "q231_stream_ann_ingest" -> streamAnnIngest _,
     "q254_stream_heavy_hitters" -> streamHeavyHitters _,
+    "q272_stream_dp_release" -> streamDpRelease _,
   )
+
+  /** Streaming DP-release gate (q272): per-source counts accumulated
+    * as complete-mode streaming state over the documents file stream,
+    * then released through the geometric mechanism
+    * ([[graft.operators.Privacy.withGeometricNoise]]) at drain time.
+    * Noise is a pure function of (group key, salt) — NOT of the data
+    * path — so the streaming release must equal q262's batch release
+    * row-for-row; the oracle is shared verbatim (the q254/q225
+    * convention). The privacy caveat is the operator's documented
+    * one: a fixed salt re-releases the same draw per key — per-epoch
+    * salts re-randomize (and re-spend budget).
+    */
+  def streamDpRelease(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.documents(s, dir).schema
+    val src = s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/documents.parque[t]")
+    val name = s"q272_stream_dp_${math.abs(dir.hashCode).toString}"
+    val q = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Privacy.withGeometricNoise(
+      s.table(name), Seq("source"))
+  }
 
   /** Streaming heavy-hitters gate (q254): the Misra–Gries summary
     * ([[graft.functions.FreqSketchAgg]]) accumulated as STREAMING
@@ -456,6 +485,9 @@ object Streaming extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     // the streamed sketch + batch recount must land on the q250 truth
     "q254_stream_heavy_hitters" -> Text.heavyHittersOracleSql,
+    // key-seeded noise: the streamed release must equal q262's batch
+    // release, oracle shared verbatim
+    "q272_stream_dp_release" -> Analytics.dpCountsOracleSql,
     "q202_stream_content_drift" ->
       s"""SELECT CAST(0 AS BIGINT) AS batch_id, source, vocab_cosine
          |FROM (${Text.contentDriftOracleSql})""".stripMargin,
