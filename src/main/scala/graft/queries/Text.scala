@@ -2153,9 +2153,45 @@ object Text extends QueryPack {
     graft.text.TextAnalysis.scriptProfile(marked)
   }
 
+  private val canned1 =
+    "i am sorry but i cannot help with that request"
+  private val canned2 =
+    "thank you for reaching out let me know if you need anything else"
+
+  /** Canned-response gate (q273): the q195 conversation fixture with
+    * two planted template replies (conv % 5 → turn 1, conv % 7 →
+    * turn 3) pushed through
+    * [[graft.text.ChatDedup.cannedFlags]] at minConvs = 5 — the
+    * plants must flag (100 and ~71 conversations each at sf0.01) and
+    * the naturally-repeated 8-token slices count identically in both
+    * engines (the oracle groups by normalized TEXT where the engine
+    * groups 8-byte hashes, the q127 collision trade).
+    */
+  def cannedResponsesGate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(
+      col("doc_id").as("conv_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("t"))
+    val turns = toks
+      .select(col("conv_id"),
+        explode(sequence(lit(0), lit(3))).as("turn_idx"), col("t"))
+      .select(col("conv_id"), col("turn_idx"),
+        when(col("turn_idx") % 2 === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        when(col("conv_id") % 5 === 0 && col("turn_idx") === 1,
+          lit(canned1))
+          .when(col("conv_id") % 7 === 0 && col("turn_idx") === 3,
+            lit(canned2))
+          .otherwise(concat_ws(" ",
+            slice(col("t"), col("turn_idx") * 8 + 1, lit(8))))
+          .as("text"))
+    graft.text.ChatDedup.cannedFlags(turns, minConvs = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_readability" -> readabilityGate _,
     "q271_script_profile" -> scriptProfileGate _,
+    "q273_canned_responses" -> cannedResponsesGate _,
     "q264_unimax_alloc" -> unimaxGate _,
     "q266_unimax_mix" -> unimaxMixGate _,
     "q268_quantile_normalize" -> quantileNormalizeGate _,
@@ -2506,6 +2542,29 @@ object Text extends QueryPack {
         |    ELSE 'arabic' END AS script
         |FROM c""".stripMargin
     },
+    "q273_canned_responses" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id AS conv_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |turns AS (
+        |  SELECT conv_id, i AS turn_idx,
+        |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CASE WHEN conv_id % 5 = 0 AND i = 1 THEN '$canned1'
+        |         WHEN conv_id % 7 = 0 AND i = 3 THEN '$canned2'
+        |         ELSE coalesce(array_to_string(t[8*i+1 : 8*i+8], ' '), '')
+        |         END AS text
+        |  FROM toks CROSS JOIN range(0, 4) AS r(i)),
+        |a AS (
+        |  SELECT conv_id, turn_idx,
+        |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS n
+        |  FROM turns WHERE role = 'assistant'),
+        |c AS (
+        |  SELECT n, count(DISTINCT conv_id) AS n_convs
+        |  FROM a GROUP BY 1)
+        |SELECT a.conv_id, a.turn_idx, c.n_convs,
+        |  c.n_convs >= 5 AS is_canned
+        |FROM a JOIN c USING (n)""".stripMargin,
     "q219_prf_retrieval" ->
       s"""WITH $bm25QueriesCte,
          |${bm25AllCte("", "")},

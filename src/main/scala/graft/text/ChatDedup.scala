@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-conversation canned-response detection for SFT corpora.
+  *
+  * [[ChatLint]] flags an assistant repeating itself WITHIN one
+  * conversation; the complementary degeneration lives ACROSS
+  * conversations — the same apology, refusal, or template reply pasted
+  * into thousands of dialogs. Training on it teaches the template.
+  * This operator counts, per normalized assistant turn text, how many
+  * DISTINCT conversations contain it, and flags turns whose text
+  * clears a threshold.
+  *
+  * Scale shape: turns are normalized and hashed in one codegen pass;
+  * the counting shuffle carries (8-byte xxhash64, conv_id) — never the
+  * turn text — with map-side partial aggregation, and the flag
+  * rehydrates through an AQE-sized equi-join on the hash (the same
+  * collision-odds trade [[graft.dedup.NgramJaccard]] documents).
+  */
+object ChatDedup {
+
+  /** Normalized turn text: trimmed, lowercased, whitespace collapsed —
+    * template replies differ by spacing and case, not content.
+    */
+  def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** One row per `role` turn: (conv_id, turn_idx, n_convs, is_canned)
+    * where n_convs = distinct conversations sharing this turn's
+    * normalized text and is_canned = n_convs ≥ minConvs. Empty turns
+    * count like any other text (ChatLint already flags them).
+    */
+  def cannedFlags(turns: DataFrame, minConvs: Int,
+      role: String = "assistant"): DataFrame = {
+    require(minConvs >= 2, s"minConvs must be >= 2, got $minConvs")
+    val a = turns.filter(col("role") === role)
+      .select(col("conv_id"), col("turn_idx"),
+        xxhash64(normText(col("text"))).as("__h"))
+    val counts = a.groupBy(col("__h"))
+      .agg(countDistinct(col("conv_id")).as("n_convs"))
+    a.join(counts, "__h")
+      .select(col("conv_id"), col("turn_idx"), col("n_convs"),
+        (col("n_convs") >= minConvs).as("is_canned"))
+  }
+
+  /** The corpus-level report: each canned normalized text (by hash)
+    * with its conversation reach — what a data curator reads before
+    * deciding which templates to cap. Text is carried OUT of the
+    * aggregate via min (one representative), not through the shuffle
+    * key.
+    */
+  def cannedReport(turns: DataFrame, minConvs: Int,
+      role: String = "assistant"): DataFrame = {
+    require(minConvs >= 2, s"minConvs must be >= 2, got $minConvs")
+    turns.filter(col("role") === role)
+      .select(col("conv_id"), normText(col("text")).as("text_norm"))
+      .withColumn("__h", xxhash64(col("text_norm")))
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("conv_id")).as("n_convs"),
+        min(col("text_norm")).as("text_norm"))
+      .filter(col("n_convs") >= minConvs)
+      .select(col("text_norm"), col("n_convs"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChatDedupSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def turns = Seq(
+    // three conversations; "sorry!" pasted as assistant turn into all
+    // three (with case/spacing noise), a benign unique reply in conv 1,
+    // and the same text as a USER turn (must not count for assistant)
+    (1L, 0, "user", "hi"),
+    (1L, 1, "assistant", "I am  sorry!"),
+    (1L, 2, "user", "why"),
+    (1L, 3, "assistant", "here is a real answer"),
+    (2L, 0, "user", "i am sorry!"),
+    (2L, 1, "assistant", " i am sorry! "),
+    (3L, 1, "assistant", "i am SORRY!")
+  ).toDF("conv_id", "turn_idx", "role", "text")
+
+  test("cannedFlags counts distinct conversations per normalized text") {
+    val got = ChatDedup.cannedFlags(turns, minConvs = 3)
+      .orderBy("conv_id", "turn_idx")
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1, 3L, true),   // normalized "i am sorry!" in convs 1,2,3
+      (1L, 3, 1L, false),
+      (2L, 1, 3L, true),
+      (3L, 1, 3L, true)))
+  }
+
+  test("repeats within ONE conversation do not inflate the reach") {
+    val t = Seq(
+      (1L, 1, "assistant", "same"), (1L, 3, "assistant", "same"),
+      (2L, 1, "assistant", "same")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val got = ChatDedup.cannedFlags(t, minConvs = 2)
+      .select($"n_convs").distinct().as[Long].collect().toSeq
+    assert(got === Seq(2L)) // distinct convs, not turn occurrences
+  }
+
+  test("cannedReport lists flagged templates with reach") {
+    val got = ChatDedup.cannedReport(turns, minConvs = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("i am sorry!", 3L)))
+    intercept[IllegalArgumentException] {
+      ChatDedup.cannedReport(turns, minConvs = 1)
+    }
+  }
+}
