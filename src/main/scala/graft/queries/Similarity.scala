@@ -554,7 +554,19 @@ object Similarity extends QueryPack {
     RetrievalEval.metrics(degraded, truth, K)
   }
 
+  /** Matryoshka-truncation gate (q274): per-vector retained-energy
+    * report for a 64 → 16 prefix cut
+    * ([[graft.similarity.EmbeddingOps.truncationReport]]). `retained`
+    * is computed AS a cosine against the zero-padded prefix, so both
+    * engines run the cosine kernels every other embedding gate already
+    * proves compatible — no fresh float fold enters the hash.
+    */
+  def truncationGate(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.EmbeddingOps.truncationReport(
+      Tables.embeddings(s, dir), dim = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_matryoshka_truncate" -> truncationGate _,
     "q221_bitext_ivf_recall" -> bitextIvfRecall _,
     "q213_cluster_balanced_sample" -> clusterBalancedSample _,
     "q211_bitext_mining" -> bitextMining _,
@@ -629,6 +641,19 @@ object Similarity extends QueryPack {
       |WHERE sc.margin >= 1.0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q274_matryoshka_truncate" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(least(len(x), 16) AS BIGINT) AS n_dims,
+        |  CASE WHEN len(list_filter(x[1:16], e -> e <> 0.0)) = 0
+        |    THEN 0.0
+        |    ELSE round(list_cosine_similarity(x,
+        |      list_concat(x[1:16],
+        |        list_transform(range(17, len(x) + 1), i -> 0.0))), 9)
+        |    END AS retained
+        |FROM v""".stripMargin,
     "q221_bitext_ivf_recall" ->
       s"""SELECT (SELECT CAST(count(*) AS BIGINT)
          |        FROM ($bitextOracleSql) t) AS n_brute,

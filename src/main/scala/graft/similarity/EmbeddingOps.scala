@@ -1,0 +1,60 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dimension-truncation utilities for embedding columns — the
+  * Matryoshka-representation recipe (Kusupati et al. 2022): models
+  * trained with nested objectives keep most retrieval quality in a
+  * prefix of the vector, so pipelines cut 64 → 16 dims for a 4×
+  * smaller index and re-normalize the prefix for cosine search.
+  *
+  * Everything is per-row codegen'd array arithmetic (slice / HOF
+  * fold / existing cosine kernel) — zero shuffle at any scale. The
+  * `retained` diagnostic says how much of each vector's energy the
+  * prefix keeps (‖x₁..ₖ‖/‖x‖, computed AS a cosine against the
+  * zero-padded prefix so both engines run their proven-compatible
+  * cosine kernels rather than a fresh fold).
+  */
+object EmbeddingOps {
+
+  /** The truncated, optionally re-normalized prefix as a new column
+    * expression. `vec` must be array<float|double>; output is
+    * array<double>. Zero vectors renormalize to zeros (not NaN) — the
+    * same drop-only-on-evidence guard as the cosine kernel.
+    */
+  def truncated(vec: Column, dim: Int, renorm: Boolean = true): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val prefix = slice(transform(vec, _.cast("double")), 1, dim)
+    if (!renorm) prefix
+    else {
+      val norm = sqrt(aggregate(prefix, lit(0.0), (a, x) => a + x * x))
+      transform(prefix, x =>
+        when(norm === 0.0, lit(0.0)).otherwise(x / norm))
+    }
+  }
+
+  /** Per-vector truncation report: `vec_id`, `n_dims` (the truncated
+    * size — a loud schema check), and `retained` = the fraction of the
+    * vector's norm the prefix keeps, in [0, 1]. An all-zero prefix
+    * retains 0.0 by EXPLICIT guard — engines disagree on a zero-norm
+    * cosine (this kernel nulls, DuckDB's list_cosine_similarity
+    * returns −1), so the degenerate case must never reach either.
+    */
+  def truncationReport(df: DataFrame, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val full = transform(col(vecCol), _.cast("double"))
+    // sequence(a, b) is DESCENDING when a > b — guard the no-pad case
+    val padded = when(size(full) <= dim, full)
+      .otherwise(concat(slice(full, 1, dim),
+        transform(sequence(lit(dim + 1), size(full)), _ => lit(0.0))))
+    val hasEnergy = exists(slice(full, 1, dim), x => x =!= 0.0)
+    df.select(col(idCol),
+      size(truncated(col(vecCol), dim)).cast("long").as("n_dims"),
+      when(!hasEnergy, lit(0.0))
+        .otherwise(round(GraftFunctions.cosineSim(spark, full, padded), 9))
+        .as("retained"))
+  }
+}

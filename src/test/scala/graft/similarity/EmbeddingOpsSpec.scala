@@ -1,0 +1,53 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EmbeddingOpsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("truncated cuts the prefix and renormalizes to unit length") {
+    val df = Seq((1L, Array(3.0f, 4.0f, 100.0f, -100.0f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select(
+        EmbeddingOps.truncated($"embedding", 2).as("t"),
+        EmbeddingOps.truncated($"embedding", 2, renorm = false).as("raw"))
+      .head()
+    assert(out.getSeq[Double](0) === Seq(3.0 / 5.0, 4.0 / 5.0))
+    assert(out.getSeq[Double](1) === Seq(3.0, 4.0))
+  }
+
+  test("zero vectors renormalize to zeros, not NaN") {
+    val df = Seq((1L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val t = df.select(EmbeddingOps.truncated($"embedding", 2).as("t"))
+      .head().getSeq[Double](0)
+    assert(t === Seq(0.0, 0.0))
+  }
+
+  test("truncationReport: retained energy fraction, schema-checked dims") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f, 0.0f)), // all energy in prefix
+      (2L, Array(0.0f, 0.0f, 3.0f, 4.0f)), // none in prefix
+      (3L, Array(1.0f, 0.0f, 1.0f, 0.0f))  // half: 1/sqrt(2)
+    ).toDF("vec_id", "embedding")
+    val got = EmbeddingOps.truncationReport(df, dim = 2)
+      .orderBy("vec_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) === Seq(2L, 2L, 2L))
+    assert(got(0)._3 === 1.0)
+    assert(got(1)._3 === 0.0)
+    assert(math.abs(got(2)._3 - 1.0 / math.sqrt(2.0)) < 1e-9)
+  }
+
+  test("dim >= vector length passes the whole vector through") {
+    val df = Seq((1L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val got = EmbeddingOps.truncationReport(df, dim = 16).head()
+    assert(got.getLong(1) === 2L)
+    assert(got.getDouble(2) === 1.0)
+    intercept[IllegalArgumentException] {
+      EmbeddingOps.truncated($"embedding", 0)
+    }
+  }
+}
