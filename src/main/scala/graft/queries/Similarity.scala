@@ -565,8 +565,37 @@ object Similarity extends QueryPack {
     graft.similarity.EmbeddingOps.truncationReport(
       Tables.embeddings(s, dir), dim = 16)
 
+  /** Matryoshka-funnel recall gate (q275): shortlist in the 16-dim
+    * truncated space, exact re-rank on full vectors
+    * ([[graft.similarity.EmbeddingOps.searchTruncatedRerank]]), pinned
+    * ≥ 0.7 recall@K against brute-force truth (the q67/q229
+    * discipline; unit gaussians keep only ~1/4 of their energy in a
+    * 16-dim prefix — the hostile case for MRL — so 0.7 through a
+    * 100-wide funnel is the honest bar, not a softball).
+    */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    val embs = Tables.embeddings(s, dir)
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val brute = TopKSearch.bruteForce(s, embs, queries, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = graft.similarity.EmbeddingOps.searchTruncatedRerank(
+        s, embs, queries, K, dim = 16, shortlist = 100)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+    brute.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(
+        lit(K).cast("int").as("k"),
+        (col("n_exact") / lit(K)).cast("bigint").as("n_queries"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.7)
+          .as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q274_matryoshka_truncate" -> truncationGate _,
+    "q275_matryoshka_recall" -> matryoshkaRecall _,
     "q221_bitext_ivf_recall" -> bitextIvfRecall _,
     "q213_cluster_balanced_sample" -> clusterBalancedSample _,
     "q211_bitext_mining" -> bitextMining _,
@@ -844,6 +873,11 @@ object Similarity extends QueryPack {
          |   WHERE vec_id < $NQUERIES) AS n_queries,
          |  TRUE AS recall_ok""".stripMargin,
     "q229_ivfsq_recall" ->
+      s"""SELECT CAST($K AS INT) AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |   WHERE vec_id < $NQUERIES) AS n_queries,
+         |  TRUE AS recall_ok""".stripMargin,
+    "q275_matryoshka_recall" ->
       s"""SELECT CAST($K AS INT) AS k,
          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
          |   WHERE vec_id < $NQUERIES) AS n_queries,

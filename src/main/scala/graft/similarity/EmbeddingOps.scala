@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dimension-truncation utilities for embedding columns — the
@@ -56,5 +56,37 @@ object EmbeddingOps {
       when(!hasEnergy, lit(0.0))
         .otherwise(round(GraftFunctions.cosineSim(spark, full, padded), 9))
         .as("retained"))
+  }
+
+  /** The production Matryoshka search: shortlist in the cheap
+    * truncated space (dim′ ≪ dim → dim/dim′ × less scan bandwidth per
+    * candidate pair), then EXACT cosine re-rank of the shortlist on
+    * the full vectors — the funnel every MRL deployment runs. Same
+    * output schema as [[TopKSearch.bruteForce]]; recall is a corpus
+    * property (how much energy the prefix keeps), which is exactly
+    * what the q275 gate pins against brute-force truth.
+    */
+  def searchTruncatedRerank(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int, dim: Int, shortlist: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "embedding")
+      : DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cT = corpus.select(col(corpusId),
+      truncated(col(corpusVec), dim).as(corpusVec))
+    val qT = queries.select(col(queryId),
+      truncated(col(queryVec), dim).as(queryVec))
+    val cand = TopKSearch.bruteForce(spark, cT, qT, shortlist,
+        corpusId, corpusVec, queryId, queryVec)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: rehydrate FULL vectors for shortlist pairs only
+    val scored = cand
+      .join(corpus.select(col(corpusId).as("neighbor_id"),
+        GraftFunctions.normalize(col(corpusVec)).as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        GraftFunctions.normalize(col(queryVec)).as("qv"))), "query_id")
+      .withColumn("cosine",
+        round(GraftFunctions.dotProduct(spark, col("qv"), col("cv")), 9))
+    TopKSearch.explodeRanked(spark, scored, k)
   }
 }

@@ -41,6 +41,28 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(math.abs(got(2)._3 - 1.0 / math.sqrt(2.0)) < 1e-9)
   }
 
+  test("searchTruncatedRerank: exact re-rank orders by FULL cosine") {
+    // corpus built so the truncated (2-dim) space ranks c2 over c1 for
+    // the query, but the full space ranks c1 first — the funnel must
+    // shortlist both and let the exact re-rank fix the order
+    val corpus = Seq(
+      (1L, Array(0.5f, 0.0f, 1.0f, 0.0f)), // full cos to q highest
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // truncated cos = 1.0 (best)
+      (3L, Array(0.0f, 1.0f, 0.0f, 1.0f))  // orthogonal-ish filler
+    ).toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(0.6f, 0.0f, 1.0f, 0.0f)))
+      .toDF("query_id", "embedding")
+    val got = EmbeddingOps.searchTruncatedRerank(spark, corpus, q,
+        k = 2, dim = 2, shortlist = 3)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      EmbeddingOps.searchTruncatedRerank(spark, corpus, q,
+        k = 5, dim = 2, shortlist = 3)
+    }
+  }
+
   test("dim >= vector length passes the whole vector through") {
     val df = Seq((1L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
     val got = EmbeddingOps.truncationReport(df, dim = 16).head()
