@@ -46,12 +46,19 @@ object Privacy {
   /** Enforcement twin of the audit: keep only rows whose
     * quasi-identifier group has ≥ k members. One aggregate + one
     * semi-join (AQE broadcasts the qualifying-group side when small).
+    * The join is NULL-SAFE on every quasi column — groupBy treats null
+    * as a group value, and a plain equi-join would silently drop every
+    * null-quasi row regardless of its group's size.
     */
-  def suppress(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame =
-    df.join(
-      df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= k).drop("__n"),
-      quasiCols, "left_semi")
+  def suppress(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    val big = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k).drop("__n")
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c"))
+      .reduce(_ && _)
+    df.join(big, cond, "left_semi")
+  }
 
   /** Leading-ones count of a lowercase-hex md5 string as an integer
     * Column — the exact-arithmetic geometric sampler underneath

@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
 object ChatDedup {
 
   /** Normalized turn text: trimmed, lowercased, whitespace collapsed —
-    * template replies differ by spacing and case, not content.
+    * template replies differ by spacing and case, not content. Null
+    * text folds to the empty string so null turns group WITH empty
+    * turns instead of disappearing into join-null semantics (ChatLint
+    * already flags both as whitespace-only).
     */
   def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(trim(lower(c)), "\\s+", " ")
+    coalesce(regexp_replace(trim(lower(c)), "\\s+", " "), lit(""))
 
   /** One row per `role` turn: (conv_id, turn_idx, n_convs, is_canned)
     * where n_convs = distinct conversations sharing this turn's

@@ -33,6 +33,17 @@ class PrivacySpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("suppress treats null quasi values as a group, not a drop") {
+    val withNulls = Seq(
+      (1L, Some("A")), (2L, Some("A")),
+      (3L, None), (4L, None), // the null group has 2 members
+      (5L, Some("B"))         // singleton -> suppressed
+    ).toDF("id", "seg")
+    val kept = Privacy.suppress(withNulls, Seq("seg"), k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L))
+  }
+
   test("leadingOnes counts hex leading one-bits exactly") {
     val rows = Seq("ff2", "e00", "7ff", "c1a", "9ab", "fff")
       .toDF("h").select(Privacy.leadingOnes(col("h")).as("lo"))

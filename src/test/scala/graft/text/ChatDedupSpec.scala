@@ -41,6 +41,20 @@ class ChatDedupSpec extends SparkSpec {
     assert(got === Seq(2L)) // distinct convs, not turn occurrences
   }
 
+  test("null turn text groups with empty, never vanishes") {
+    val t = Seq(
+      (1L, 1, "assistant", null.asInstanceOf[String]),
+      (2L, 1, "assistant", "   "),
+      (3L, 1, "assistant", "real content here")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val got = ChatDedup.cannedFlags(t, minConvs = 2)
+      .orderBy("conv_id")
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    // null and whitespace-only normalize to "" -> one 2-conv template
+    assert(got === Seq((1L, 1, 2L, true), (2L, 1, 2L, true),
+      (3L, 1, 1L, false)))
+  }
+
   test("cannedReport lists flagged templates with reach") {
     val got = ChatDedup.cannedReport(turns, minConvs = 3)
       .as[(String, Long)].collect().toSeq
