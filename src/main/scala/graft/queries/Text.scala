@@ -2038,6 +2038,20 @@ object Text extends QueryPack {
     graft.text.PreferencePairs.fromScores(responses, minMargin = 5.0)
   }
 
+  /** Best-of-n gate (q276): the q233 (prompt, response, score) fixture
+    * through [[graft.text.PreferencePairs.bestOfN]] at n = 3 — the
+    * bounded top-k aggregate against the oracle's row_number replay
+    * (score desc, id asc ties — the q109 convention).
+    */
+  def bestOfNGate(s: SparkSession, dir: String): DataFrame = {
+    val responses = Tables.documents(s, dir).select(
+      pmod(col("doc_id"), lit(50)).as("prompt_id"),
+      col("doc_id").as("response_id"),
+      (pmod(col("n_chars") * 7919, lit(997)).cast("double") / 10)
+        .as("score"))
+    graft.text.PreferencePairs.bestOfN(responses, n = 3)
+  }
+
   /** Flesch–Kincaid readability gate (q263): grade level per document
     * from exact word/sentence/syllable counts
     * ([[graft.text.TextAnalysis.readability]]); the grade is one
@@ -2214,6 +2228,7 @@ object Text extends QueryPack {
     "q195_chat_render" -> chatRenderGate _,
     "q260_chat_lint" -> chatLintGate _,
     "q233_preference_pairs" -> preferencePairsGate _,
+    "q276_best_of_n" -> bestOfNGate _,
     "q192_bm25" -> bm25Gate _,
     "q191_postings" -> postingsGate _,
     "q188_ngram_diversity" -> ngramDiversityGate _,
@@ -2774,6 +2789,18 @@ object Text extends QueryPack {
          |  FROM bm25 b JOIN sec ON sec.doc_id = b.doc_id)
          |SELECT doc_id, section_idx AS best_section, score
          |FROM ranked WHERE rn = 1""".stripMargin,
+    "q276_best_of_n" ->
+      """WITH r AS (
+        |  SELECT doc_id % 50 AS prompt_id, doc_id AS response_id,
+        |    CAST((n_chars * 7919) % 997 AS DOUBLE) / 10 AS score
+        |  FROM documents)
+        |SELECT prompt_id, response_id, score, CAST(rn AS INT) AS rank
+        |FROM (
+        |  SELECT prompt_id, response_id, score,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |                       ORDER BY score DESC, response_id) AS rn
+        |  FROM r)
+        |WHERE rn <= 3""".stripMargin,
     "q233_preference_pairs" ->
       """WITH r AS (
         |  SELECT doc_id % 50 AS prompt, doc_id AS id,

@@ -47,4 +47,30 @@ object PreferencePairs {
         (-col("__best.ns") - col("__worst.s")).as("margin"))
       .filter(col("chosen") =!= col("rejected") &&
         col("margin") >= minMargin)
+
+  /** Best-of-n rejection sampling: per prompt keep the top `n`
+    * responses by score (ties to the smaller id), with a 1-based
+    * `rank` — the selection step between "sample k candidates" and
+    * "train on the winners" in an RLHF/RFT data pipeline.
+    *
+    * The top-n is the bounded [[graft.functions.GraftFunctions.topK]]
+    * aggregate (≤ n pairs per prompt per task reach the shuffle) —
+    * never a window, so a viral prompt with millions of sampled
+    * responses cannot pull its whole group into one task (the
+    * capPerSource discipline).
+    */
+  def bestOfN(responses: DataFrame, n: Int,
+      promptCol: String = "prompt_id", idCol: String = "response_id",
+      scoreCol: String = "score"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spark = responses.sparkSession
+    responses
+      .groupBy(col(promptCol))
+      .agg(graft.functions.GraftFunctions.topK(spark,
+        col(scoreCol).cast("double"), col(idCol), n).as("top"))
+      .select(col(promptCol),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col(promptCol), col("e.id").as(idCol),
+        col("e.score").as(scoreCol), (col("pos") + 1).as("rank"))
+  }
 }

@@ -43,4 +43,25 @@ class PreferencePairsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("bestOfN keeps the top n per prompt, score desc then id asc") {
+    val got = PreferencePairs.bestOfN(responses, n = 2)
+      .orderBy("prompt_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 10L, 1), (1L, 11L, 2),
+      (2L, 13L, 1), (2L, 14L, 2),    // 9.0 tie -> lower id first
+      (3L, 17L, 1), (3L, 18L, 2),
+      (4L, 19L, 1), (4L, 20L, 2)))
+    // fewer candidates than n: all kept, ranks stay dense
+    val small = PreferencePairs.bestOfN(
+        Seq((7L, 1L, 1.0)).toDF("prompt_id", "response_id", "score"), 5)
+      .collect()
+    assert(small.length === 1 && small.head.getInt(3) === 1)
+    // no window in the plan (hot-prompt safety)
+    val plan = PreferencePairs.bestOfN(responses, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }
