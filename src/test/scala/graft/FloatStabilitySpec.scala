@@ -112,7 +112,14 @@ class FloatStabilitySpec extends SparkSpec {
     "q249_priority_sample",      // per-row md5 divisions + max(w, tau)
     "q251_krippendorff_alpha",   // lcm-scaled integer cores, one div
     "q257_gopher_rules",         // per-row ratio thresholds (booleans)
-    "q259_rank_correlation")     // integer rank/pair cores + sqrt pair
+    "q259_rank_correlation",     // integer rank/pair cores + sqrt pair
+    "q263_readability",          // fk grade: ratio of per-row ints
+    "q264_unimax_alloc",         // sorted-order cumsum + theta division
+    "q266_unimax_mix",           // epochs feed md5-draw copy decisions
+    "q268_quantile_normalize",   // rank-count ratios per (group, score)
+    "q269_robust_z",             // interpolated medians at two levels
+    "q274_matryoshka_truncate",  // retained = cosine of 64-dim fold
+    "q276_best_of_n")            // top-n ranking on integer-derived scores
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {
