@@ -60,6 +60,54 @@ object Privacy {
     df.join(big, cond, "left_semi")
   }
 
+  /** Full-domain generalization (global recoding) of ONE numeric
+    * quasi-identifier: coarsen `numCol` to the FINEST bucket width in
+    * `ladder` (ascending widths; the last resort after them is full
+    * suppression-only at the finest width) such that, after grouping
+    * by `otherQuasi` + the binned value, the rows still stuck in
+    * < k groups — which [[suppress]] must then drop — are at most
+    * `maxSuppressFrac` of the table. Returns the generalized table
+    * (numCol replaced by its bin floor, `__bin_width` attached) with
+    * the violating rows suppressed.
+    *
+    * This is the textbook k-anonymity trade (Samarati/Sweeney): widen
+    * buckets until suppression is affordable, never silently. If even
+    * the coarsest ladder level cannot meet the budget the call FAILS
+    * loudly — releasing an over-suppressed table silently is the bug.
+    *
+    * Scale shape: one count-aggregate per ladder level (levels are a
+    * handful by contract — the driver loop runs ≤ |ladder| tiny jobs),
+    * then one [[suppress]] pass at the chosen width. Bin floors are
+    * exact integer-ish doubles (floor(x / w) · w), identical in any
+    * engine.
+    */
+  def generalize(df: DataFrame, numCol: String, otherQuasi: Seq[String],
+      ladder: Seq[Double], k: Int, maxSuppressFrac: Double): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(_ > 0),
+      s"ladder must be non-empty positive widths, got $ladder")
+    require(ladder == ladder.sorted, s"ladder must ascend, got $ladder")
+    require(maxSuppressFrac >= 0 && maxSuppressFrac < 1,
+      s"maxSuppressFrac must be in [0, 1), got $maxSuppressFrac")
+    def binned(w: Double) =
+      floor(col(numCol).cast("double") / lit(w)) * lit(w)
+    val total = df.count()
+    require(total > 0, "generalize on an empty table")
+    val chosen = ladder.find { w =>
+      val viol = df.withColumn("__b", binned(w))
+        .groupBy((otherQuasi.map(col) :+ col("__b")): _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") < k)
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("v"))
+        .head().getLong(0)
+      viol.toDouble / total <= maxSuppressFrac
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no ladder width in $ladder meets suppression budget " +
+        s"$maxSuppressFrac at k=$k — widen the ladder or the budget"))
+    val gen = df.withColumn(numCol, binned(chosen))
+      .withColumn("__bin_width", lit(chosen))
+    suppress(gen, otherQuasi :+ numCol, k)
+  }
+
   /** Leading-ones count of a lowercase-hex md5 string as an integer
     * Column — the exact-arithmetic geometric sampler underneath
     * [[dpCountsGeometric]]. A hex digit contributes 4 ones while 'f',

@@ -540,9 +540,27 @@ object Analytics extends QueryPack {
     graft.operators.Privacy.dpCountsGeometric(Tables.documents(s, dir),
       Seq("source"))
 
+  /** Full-domain generalization gate (q277): acctbal coarsened up a
+    * 100/1000/10000 bucket ladder until ≤ 5% of customers would need
+    * suppression at k = 10 within (mktsegment, bin) cells, then the
+    * leftover violators suppressed
+    * ([[graft.operators.Privacy.generalize]]). At sf0.01 the 100-wide
+    * rung violates on 100% of rows and the 1000-wide rung on none, so
+    * the gate exercises a real ladder walk; the oracle replays level
+    * selection (min qualifying width) and the null-safe suppression.
+    */
+  def kanonGeneralize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.generalize(Tables.customer(s, dir),
+        "c_acctbal", Seq("c_mktsegment"),
+        ladder = Seq(100.0, 1000.0, 10000.0), k = 10,
+        maxSuppressFrac = 0.05)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("__bin_width"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q261_kanon_audit" -> kanonAudit _,
     "q262_dp_counts" -> dpCountsGate _,
+    "q277_kanon_generalize" -> kanonGeneralize _,
     "q223_bootstrap_ci_by_source" -> bootstrapCiBySource _,
     "q216_bootstrap_ci" -> bootstrapCi _,
     "q197_pagerank" -> pagerank _,
@@ -602,6 +620,30 @@ object Analytics extends QueryPack {
         |  count(DISTINCT c_acctbal) = 1 AS homogeneous
         |FROM customer GROUP BY 1, 2""".stripMargin,
     "q262_dp_counts" -> dpCountsOracleSql,
+    "q277_kanon_generalize" ->
+      """WITH lv AS (SELECT unnest([100.0, 1000.0, 10000.0]) AS w),
+        |g AS (
+        |  SELECT lv.w, c_mktsegment,
+        |    floor(c_acctbal / lv.w) * lv.w AS b, count(*) AS n
+        |  FROM customer CROSS JOIN lv GROUP BY 1, 2, 3),
+        |viol AS (
+        |  SELECT w,
+        |    coalesce(sum(CASE WHEN n < 10 THEN n ELSE 0 END), 0) AS v
+        |  FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM customer),
+        |chosen AS (
+        |  SELECT min(w) AS w FROM viol CROSS JOIN tot
+        |  WHERE v / t <= 0.05),
+        |binned AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    floor(c_acctbal / chosen.w) * chosen.w AS c_acctbal,
+        |    chosen.w AS __bin_width
+        |  FROM customer CROSS JOIN chosen),
+        |big AS (
+        |  SELECT c_mktsegment, c_acctbal FROM binned
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, b.__bin_width
+        |FROM binned b JOIN big USING (c_mktsegment, c_acctbal)""".stripMargin,
     "q223_bootstrap_ci_by_source" -> {
       val wt = graft.operators.Bootstrap.poissonCaseSql(
         "(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':' || " +

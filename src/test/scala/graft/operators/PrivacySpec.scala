@@ -53,6 +53,40 @@ class PrivacySpec extends SparkSpec {
     assert(rows === Seq(8, 3, 0, 2, 1, 12))
   }
 
+  test("generalize walks the ladder and suppresses the leftovers") {
+    // 20 rows in one segment, values 0..19: width 1 -> every group a
+    // singleton (100% suppression); width 10 -> two groups of 10 (ok)
+    val df = (0 until 20).map(i => (i.toLong, "A", i.toDouble))
+      .toDF("id", "seg", "v")
+    val out = Privacy.generalize(df, "v", Seq("seg"),
+      ladder = Seq(1.0, 10.0), k = 5, maxSuppressFrac = 0.0)
+    val got = out.select($"id", $"v", $"__bin_width")
+      .as[(Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.forall(_._3 === 10.0))
+    assert(got.map(_._2).distinct.sorted === Seq(0.0, 10.0))
+    assert(got.size === 20) // nothing suppressed at the chosen width
+  }
+
+  test("generalize suppresses within budget, fails loudly past it") {
+    // 12 rows: 10 at value 0, 2 at value 100 — width 10 leaves the
+    // 2-row group violating (2/12 = 0.167)
+    val df = ((1 to 10).map(i => (i.toLong, 0.0)) ++
+      Seq((11L, 100.0), (12L, 100.0))).toDF("id", "v")
+      .withColumn("seg", lit("A"))
+    val kept = Privacy.generalize(df, "v", Seq("seg"),
+        ladder = Seq(10.0), k = 5, maxSuppressFrac = 0.2)
+      .select($"id").as[Long].collect().toSet
+    assert(kept === (1 to 10).map(_.toLong).toSet)
+    intercept[IllegalArgumentException] {
+      Privacy.generalize(df, "v", Seq("seg"),
+        ladder = Seq(10.0), k = 5, maxSuppressFrac = 0.1)
+    }
+    intercept[IllegalArgumentException] { // ladder must ascend
+      Privacy.generalize(df, "v", Seq("seg"),
+        ladder = Seq(10.0, 1.0), k = 5, maxSuppressFrac = 0.5)
+    }
+  }
+
   test("dpCountsGeometric: integer noise, deterministic per key+salt") {
     val df = people.select(col("seg"))
     val a = Privacy.dpCountsGeometric(df, Seq("seg")).orderBy("seg")
