@@ -43,6 +43,20 @@ import org.apache.spark.sql.functions._
   *   - `pii_scrub` — URL → EMAIL → NUM sentinel replacement, in
   *     place on `textCol` (`text`) [q90]
   *     ([[graft.text.TextAnalysis.scrubPiiCol]])
+  *   - `secrets_scrub` — credential redaction (AWS keys, PEM blocks,
+  *     JWTs, entropy-gated named values ≥ `minEntropy` (3.0)
+  *     bits/byte), in place on `textCol` (`text`) [q280]
+  *     ([[graft.text.SecretsScrub.scrub]])
+  *   - `fim` — fill-in-the-middle rearrangement of `textCol`
+  *     (`text`) at `rate` (0.5), SPM ordering for `spmFraction`
+  *     (0.5) of transformed docs, md5 draws from `salt` (`fim`);
+  *     adds the `fim_mode` column [q281]
+  *     ([[graft.text.Fim.transform]])
+  *   - `rouge_dedup` — Self-Instruct admission: drop docs whose
+  *     ROUGE-L F1 vs ANY instruction in the `poolPath` parquet
+  *     (same `textCol`) reaches `thresholdNum`/`thresholdDen`
+  *     (7/10); prefix-filtered exact join over the first `maxTokens`
+  *     (64) tokens [q282] ([[graft.text.InstructionDedup.keepNew]])
   *   - `line_dedup` — WITHIN-doc exact-line dedup, first occurrence
   *     kept in order [q182]
   *     ([[graft.dedup.ParagraphDedup.dedupLinesWithinDoc]])
@@ -215,6 +229,29 @@ object CurationPipeline {
         val textCol = get[String](stage, "textCol").getOrElse("text")
         docs.withColumn(textCol,
           TextAnalysis.scrubPiiCol(col(textCol)))
+      case "secrets_scrub" =>
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        val minEntropy = getD(stage, "minEntropy").getOrElse(3.0)
+        graft.text.SecretsScrub.scrub(docs, textCol, minEntropy)
+      case "fim" =>
+        val rate = getD(stage, "rate").getOrElse(0.5)
+        val spmFraction = getD(stage, "spmFraction").getOrElse(0.5)
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        graft.text.Fim.transform(docs, rate, spmFraction, textCol,
+          salt = get[String](stage, "salt").getOrElse("fim"))
+      case "rouge_dedup" =>
+        val path = require_(get[String](stage, "poolPath"), op,
+          "poolPath")
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        val num = getI(stage, "thresholdNum").getOrElse(7)
+        val den = getI(stage, "thresholdDen").getOrElse(10)
+        val maxTokens = getI(stage, "maxTokens").getOrElse(64)
+        val pool = spark.read.parquet(path)
+          .select(monotonically_increasing_id().as("doc_id"),
+            col(textCol))
+        graft.text.InstructionDedup.keepNew(docs, pool,
+          thresholdNum = num, thresholdDen = den,
+          idCol = "doc_id", textCol = textCol, maxTokens = maxTokens)
       case "fix_encoding" =>
         val textCol = get[String](stage, "textCol").getOrElse("text")
         docs.withColumn(textCol,

@@ -41,10 +41,15 @@ object GraftFunctions {
       NFKC_FN,
       exprs => UnicodeNormalizeExpr(exprs(0), compat = true),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ENTROPY_FN,
+      exprs => ShannonEntropyExpr(exprs(0)),
+      "built-in")
   }
 
   val SIMHASH_FN = "graft_simhash"
   val COMPRESS_FN = "graft_compress_ratio"
+  val ENTROPY_FN = "graft_shannon_entropy"
   val NFC_FN = "graft_unicode_nfc"
   val NFKC_FN = "graft_unicode_nfkc"
   val MINHASH_PREFIX = "graft_minhash_" // one registered name per numHashes
@@ -231,6 +236,14 @@ object GraftFunctions {
   def compressRatio(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function(COMPRESS_FN, text)
+  }
+
+  /** Shannon entropy of a string, bits/byte (see [[ShannonEntropyExpr]]).
+    * Threshold-compare only — never hash the raw double (libm ulp).
+    */
+  def shannonEntropy(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(ENTROPY_FN, text)
   }
 
   /** Unicode NFC normalization (see [[UnicodeNormalizeExpr]]). */

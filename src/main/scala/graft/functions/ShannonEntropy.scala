@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shannon entropy of a string in bits per byte — the classic
+  * high-entropy-literal signal behind secrets detection (detect-secrets
+  * / TruffleHog style): random credentials (hex, base64) sit near
+  * log2(|alphabet|) (4.0 for hex, ~6 for base64) while natural-language
+  * words and padded placeholders sit far lower. Used by
+  * [[graft.text.SecretsScrub]] to separate real keys from
+  * low-entropy lookalikes (`"aaaa…"`), so string-matching detectors
+  * alone don't over-redact.
+  *
+  * Deterministic and oracle-replayable: entropy is −Σ p·log2(p) over
+  * the BYTE histogram, summed in ascending byte order — for the ASCII
+  * candidate charsets the detectors extract, DuckDB reproduces the
+  * same value by summing over `list_sort(list_distinct(chars))`
+  * (ascending char = ascending byte). Consumers must still compare
+  * against thresholds with a margin, never hash the raw double:
+  * log2 may differ in the last ulp across libm implementations.
+  *
+  * One static call per row from generated code — O(bytes) with a
+  * 256-slot histogram, no boxing, stays inside whole-stage codegen.
+  */
+object ShannonEntropy {
+
+  private val Log2 = math.log(2.0)
+
+  /** Static entry for generated code. Empty input → 0.0 bits. */
+  def bitsPerByte(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0.0
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < n) {
+      hist(bytes(i) & 0xff) += 1
+      i += 1
+    }
+    var h = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = hist(b)
+      if (c > 0) {
+        val p = c.toDouble / n
+        h -= p * (math.log(p) / Log2)
+      }
+      b += 1
+    }
+    h
+  }
+}
+
+/** `graft_shannon_entropy(str)` — see [[ShannonEntropy.bitsPerByte]]. */
+case class ShannonEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_shannon_entropy expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_shannon_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    ShannonEntropy.bitsPerByte(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShannonEntropy.bitsPerByte($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShannonEntropyExpr =
+    copy(child = newChild)
+}

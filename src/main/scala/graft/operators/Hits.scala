@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (Kleinberg 1999) — the companion ranking
+  * signal to [[PageRank]] over the same crawl link graph: PageRank
+  * scores global importance, HITS separates PORTALS (hubs: pages that
+  * link to many good answers — index/directory pages a crawler mines
+  * for frontier URLs) from ANSWERS (authorities: pages good hubs agree
+  * on — the docs a corpus curator up-weights). A web-corpus pipeline
+  * uses both: authority as a per-document quality prior, hub-ness to
+  * decide which pages are navigation boilerplate.
+  *
+  * Mutual recursion, power-iterated for a fixed round count from the
+  * uniform start, L1-NORMALIZED each half-step (the sum-normalized
+  * variant — an exact-arithmetic-friendly choice: no sqrt enters the
+  * values, so a SQL oracle replays every round closed-form):
+  *
+  *   a'(v) = Σ_{u→v} h(u)          a = a' / Σ_v a'(v)
+  *   h'(u) = Σ_{u→v} a(v)          h = h' / Σ_u h'(u)
+  *
+  * Each half-round is one edge⋈score join and one key aggregate
+  * (map-side partial; shuffle carries (node, partial)); the norm is a
+  * one-row aggregate broadcast back — nothing driver-side. The
+  * [[PageRank]] disciplines carry over verbatim: per-round
+  * `localCheckpoint` lineage cuts (cheap, unreplicated — a ranking
+  * job reruns on loss), parallel edges count multiply, nodes with no
+  * in/out links settle at 0 for the respective score. Dangling
+  * normalization keeps totals at exactly 1 per side, so rounds cannot
+  * drift toward under/overflow however many iterations run.
+  */
+object Hits {
+
+  /** (idCol, hub, authority) after `iterations` full rounds from the
+    * uniform start. `edges` are directed (srcCol, dstCol).
+    */
+  def scores(nodes: DataFrame, edges: DataFrame, iterations: Int = 10,
+      idCol: String = "id", srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val ids = nodes.select(col(idCol)).localCheckpoint(true)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    var cur = ids.crossJoin(broadcast(n))
+      .select(col(idCol), (lit(1.0) / col("n")).as("hub"),
+        (lit(1.0) / col("n")).as("auth"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < iterations) {
+      round += 1
+      // authority half-step: mass flows src -> dst along hub scores
+      val aRaw = e.join(
+          cur.select(col(idCol).as("__hid"), col("hub")),
+          e("src") === col("__hid"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
+      val aNorm = aRaw.agg(sum(col("a_raw")).as("a_tot"))
+      val auth = ids
+        .join(aRaw, ids(idCol) === aRaw("dst"), "left")
+        .crossJoin(broadcast(aNorm))
+        .select(ids(idCol),
+          when(col("a_tot") > 0.0,
+            coalesce(col("a_raw"), lit(0.0)) / col("a_tot"))
+            .otherwise(lit(0.0)).as("auth"))
+      // hub half-step: mass flows dst -> src along the NEW authorities
+      val hRaw = e.join(
+          auth.select(col(idCol).as("__aid"), col("auth")),
+          e("dst") === col("__aid"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
+      val hNorm = hRaw.agg(sum(col("h_raw")).as("h_tot"))
+      val hub = ids
+        .join(hRaw, ids(idCol) === hRaw("src"), "left")
+        .crossJoin(broadcast(hNorm))
+        .select(ids(idCol),
+          when(col("h_tot") > 0.0,
+            coalesce(col("h_raw"), lit(0.0)) / col("h_tot"))
+            .otherwise(lit(0.0)).as("hub"))
+      cur = hub.join(auth, Seq(idCol)).localCheckpoint(true)
+    }
+    cur.select(col(idCol), col("hub"), col("auth"))
+  }
+}

@@ -340,6 +340,72 @@ object Analytics extends QueryPack {
        |SELECT id, pr FROM pr10""".stripMargin
   }
 
+  /** HITS gate (q283): ten hub/authority rounds over the SAME
+    * synthetic link graph as q197 — [[graft.operators.Hits.scores]],
+    * L1-normalized each half-step so no sqrt enters the values. The
+    * oracle unrolls the identical rounds as chained CTEs generated
+    * from one template (the q197 discipline); scores compare within
+    * the driver's float tolerance (normalization keeps accumulated
+    * fold-order error ~1e-13 over 10 rounds, far inside 1e-9).
+    */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val n = nodes.agg(count(lit(1)).as("cnt"))
+    val edges = nodes.crossJoin(broadcast(n))
+      .select(col("id"), col("cnt"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      .select(col("id").as("src"),
+        pmod(col("id") * 7 + col("j") * 11 + 3, col("cnt")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.Hits.scores(nodes, edges, iterations = 10)
+      // round(9): the near-regular graph ties scores to ~1e-18, so
+      // canonical row order must not depend on raw-ulp float order
+      .select(col("id"), round(col("hub"), 9).as("hub"),
+        round(col("auth"), 9).as("auth"))
+  }
+
+  /** The q283 oracle: h0..h10/a1..a10 unrolled from one CTE template.
+    * MATERIALIZED is load-bearing (the q232 lesson): ar/at and hr/ht
+    * each reference their round twice, so default CTE inlining turns
+    * the 10-round DAG into a 2^10-scan tree.
+    */
+  private def hitsSql: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT e.dst, sum(h.hub) AS v
+         |  FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY e.dst),
+         |at$k AS MATERIALIZED (SELECT sum(v) AS s FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT nodes.id,
+         |    CASE WHEN at$k.s > 0 THEN coalesce(ar$k.v, 0.0) / at$k.s
+         |         ELSE 0.0 END AS auth
+         |  FROM nodes CROSS JOIN at$k
+         |  LEFT JOIN ar$k ON ar$k.dst = nodes.id),
+         |hr$k AS MATERIALIZED (
+         |  SELECT e.src, sum(a.auth) AS v
+         |  FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY e.src),
+         |ht$k AS MATERIALIZED (SELECT sum(v) AS s FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT nodes.id,
+         |    CASE WHEN ht$k.s > 0 THEN coalesce(hr$k.v, 0.0) / ht$k.s
+         |         ELSE 0.0 END AS hub
+         |  FROM nodes CROSS JOIN ht$k
+         |  LEFT JOIN hr$k ON hr$k.src = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              count(*) AS cnt FROM nodes),
+       |edges AS MATERIALIZED (
+       |  SELECT id AS src, (id * 7 + j * 11 + 3) % cnt AS dst
+       |  FROM nodes CROSS JOIN nn CROSS JOIN range(1, 4) AS r(j)
+       |  WHERE id <> (id * 7 + j * 11 + 3) % cnt),
+       |h0 AS MATERIALIZED (
+       |  SELECT nodes.id, 1.0 / nn.n AS hub FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT h10.id, round(h10.hub, 9) AS hub, round(a10.auth, 9) AS auth
+       |FROM h10 JOIN a10 ON a10.id = h10.id""".stripMargin
+  }
+
   /** Bradley–Terry preference-rating gate (q232): synthetic pairwise
     * battles derived deterministically from the documents table — for
     * doc d, players a = d mod 8 and b = ⌊d/8⌋ mod 8 fight, and the
@@ -564,6 +630,7 @@ object Analytics extends QueryPack {
     "q223_bootstrap_ci_by_source" -> bootstrapCiBySource _,
     "q216_bootstrap_ci" -> bootstrapCi _,
     "q197_pagerank" -> pagerank _,
+    "q283_hits" -> hits _,
     "q232_bradley_terry" -> bradleyTerry _,
     "q234_win_rates" -> winRates _,
     "q235_annotator_agreement" -> annotatorAgreement _,
@@ -701,6 +768,7 @@ object Analytics extends QueryPack {
         |FROM arr""".stripMargin
     },
     "q197_pagerank" -> pagerankSql,
+    "q283_hits" -> hitsSql,
     "q232_bradley_terry" -> bradleyTerrySql,
     "q234_win_rates" ->
       s"""WITH $battlesCte,

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fill-in-the-middle (FIM) training transform — the document
+  * rearrangement behind infilling-capable code/text models (Bavarian
+  * et al. 2022, "Efficient Training of Language Models to Fill in the
+  * Middle"; the StarCoder/santacoder data pipeline applies it between
+  * dedup and shard materialization). A fraction of documents is split
+  * at two random character positions into (prefix, middle, suffix)
+  * and re-serialized with sentinel tokens so the model learns to
+  * generate the middle from both sides:
+  *
+  *  - PSM: `<fim_prefix>` prefix `<fim_suffix>` suffix `<fim_middle>` middle
+  *  - SPM: `<fim_suffix>` suffix `<fim_prefix>` prefix `<fim_middle>` middle
+  *    (the paper's joint PSM+SPM recipe — SPM gets better
+  *    single-prompt cache behavior, PSM better attention patterns)
+  *
+  * All randomness is md5-derived from `(idCol, salt)` — one md5, four
+  * independent 32-bit draws from disjoint hex ranges — so the
+  * transform is deterministic, rerun-stable, and DuckDB replays every
+  * draw and split exactly (`('0x' || substr(md5(k),i,8))::BIGINT`
+  * mirrors Spark's `conv(substring(md5(k),i,8),16,10)`; the
+  * apply/mode compares divide by 2^32, exact in binary FP). Uniform
+  * split positions over [0, len] include empty prefix/middle/suffix
+  * pieces — the paper keeps them (the model must learn degenerate
+  * infills too).
+  *
+  * Pure per-row column expressions: no shuffle, no UDF — at 100 TB
+  * this rides the same narrow scan as tokenization. Character-level
+  * splits (the paper's context-level FIM): apply BEFORE tokenization,
+  * sentinels map to reserved vocab ids downstream.
+  */
+object Fim {
+
+  val PrefixTok = "<fim_prefix>"
+  val MiddleTok = "<fim_middle>"
+  val SuffixTok = "<fim_suffix>"
+
+  /** One 32-bit draw from hex chars [i, i+8) of the doc's md5. */
+  private def draw(m: Column, i: Int): Column =
+    conv(substring(m, i, 8), 16, 10).cast("long")
+
+  /** Rewrite `textCol` in place for an md5-chosen `rate` fraction of
+    * docs; of those, `spmFraction` use SPM ordering, the rest PSM.
+    * Adds `fim_mode` ('psm' | 'spm' | 'plain'). Docs shorter than 2
+    * chars stay plain (no non-trivial split exists).
+    */
+  def transform(docs: DataFrame, rate: Double = 0.5,
+      spmFraction: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id", salt: String = "fim"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate in [0,1]: $rate")
+    require(spmFraction >= 0.0 && spmFraction <= 1.0,
+      s"spmFraction in [0,1]: $spmFraction")
+    val two32 = 4294967296.0
+    val t = col(textCol)
+    val staged = docs
+      .withColumn("__m",
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+      .withColumn("__apply",
+        draw(col("__m"), 1) / two32 < rate && length(t) >= 2)
+      .withColumn("__spm", draw(col("__m"), 9) / two32 < spmFraction)
+      // two independent uniform cuts over [0, len]; lo/hi by order
+      .withColumn("__c1", draw(col("__m"), 17) % (length(t) + 1))
+      .withColumn("__c2", draw(col("__m"), 25) % (length(t) + 1))
+      .withColumn("__lo", least(col("__c1"), col("__c2")).cast("int"))
+      .withColumn("__hi", greatest(col("__c1"), col("__c2")).cast("int"))
+    val prefix = substring(t, lit(1), col("__lo"))
+    val middle = substring(t, col("__lo") + 1, col("__hi") - col("__lo"))
+    val suffix = substring(t, col("__hi") + 1, length(t) - col("__hi"))
+    staged
+      .withColumn("fim_mode",
+        when(!col("__apply"), lit("plain"))
+          .when(col("__spm"), lit("spm")).otherwise(lit("psm")))
+      .withColumn(textCol,
+        when(!col("__apply"), t)
+          .when(col("__spm"),
+            concat(lit(SuffixTok), suffix, lit(PrefixTok), prefix,
+              lit(MiddleTok), middle))
+          .otherwise(
+            concat(lit(PrefixTok), prefix, lit(SuffixTok), suffix,
+              lit(MiddleTok), middle)))
+      .drop("__m", "__apply", "__spm", "__c1", "__c2", "__lo", "__hi")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.text
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** ROUGE-L instruction dedup — the Self-Instruct admission rule (Wang
+  * et al. 2022; the Alpaca/seed-task pipelines use it verbatim): a NEW
+  * instruction joins the pool only if its ROUGE-L F1 against EVERY
+  * existing pool instruction stays below a threshold (0.7 in the
+  * paper). Near-dup machinery (shingle jaccard, MinHash) is the wrong
+  * tool here: instructions are short and ORDER matters ("translate X
+  * to Y" vs "translate Y to X"), which is exactly what the LCS core
+  * measures.
+  *
+  * Exact and bounded at scale — no brute-force new × pool product:
+  *
+  *  1. Both sides tokenize to their first `maxTokens` word tokens and
+  *     lift to OCCURRENCE-INDEXED elements (token, k-th occurrence):
+  *     an LCS of length L is a common sub-multiset of size ≥ L, and a
+  *     common sub-multiset is a plain set overlap of the
+  *     occurrence-indexed universe — so set prefix filtering applies
+  *     to the ORDER-SENSITIVE metric.
+  *  2. F1 = 2L/(c+r) ≥ num/den forces, with L ≤ min(c,r):
+  *     r ∈ [c·num/M, c·M/num] (M = 2·den − num) and element overlap
+  *     O ≥ ceil(c·num/M) — all INTEGER bounds, no float thresholds
+  *     anywhere (0.7 rides as 7/10).
+  *  3. Prefix filter (Chaudhuri et al. SSJoin pigeonhole): each doc's
+  *     elements sort by global (document-frequency ASC, hash ASC);
+  *     only the first n − ceil(n·num/M) + 1 enter the equi-join, so
+  *     ubiquitous words never fan out candidates, yet no qualifying
+  *     pair can be missed. Candidates dedupe BEFORE verification.
+  *  4. Each candidate pair verifies ONCE with the generated
+  *     O(c·r) LCS kernel ([[graft.functions.GenEvalExprs]] LcsLength)
+  *     and the integer rule 2·den·L ≥ num·(c+r); qualifying new ids
+  *     drop via one anti-join.
+  *
+  * Shuffles carry 8-byte element hashes and ≤`maxTokens`-element
+  * arrays, never text; the pool never replicates. Hash collisions on
+  * elements only ADD candidates (verification is on true token
+  * arrays) — losslessness is unconditional. Empty instructions are
+  * kept: c + r > 0 is required to qualify, so there is no 0/0 "dup".
+  */
+object InstructionDedup {
+
+  /** Rows of `newDocs` whose ROUGE-L F1 vs every `pool` row is below
+    * thresholdNum/thresholdDen. Schema of `newDocs` passes through.
+    */
+  def keepNew(newDocs: DataFrame, pool: DataFrame,
+      thresholdNum: Int = 7, thresholdDen: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxTokens: Int = 64): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
+      s"need 0 < num <= den, got $thresholdNum/$thresholdDen")
+    require(maxTokens >= 1, s"maxTokens must be positive: $maxTokens")
+    val num = thresholdNum
+    val den = thresholdDen
+    val m = 2 * den - num
+    val spark = newDocs.sparkSession
+
+    def tokens(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      slice(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0)), 1, maxTokens).as("toks"))
+      .withColumn("n", size(col("toks")))
+
+    // occurrence-indexed element hashes: k-th occurrence of a token is
+    // its own element, so multiset overlap = set overlap (O(n^2) HOF
+    // per row over <= maxTokens entries - cheaper than a window)
+    def elems(df: DataFrame): DataFrame = df.withColumn("elems",
+      when(col("n") === 0, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), col("n")), i =>
+          xxhash64(element_at(col("toks"), i),
+            size(filter(slice(col("toks"), lit(1), i),
+              x => x === element_at(col("toks"), i)))))))
+
+    val nt = elems(tokens(newDocs)).persist(StorageLevel.MEMORY_AND_DISK)
+    val pt = elems(tokens(pool)).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val ex = nt.select(lit(true).as("is_new"), col("id"), col("n"),
+        explode(col("elems")).as("e"))
+      .unionByName(pt.select(lit(false).as("is_new"), col("id"),
+        col("n"), explode(col("elems")).as("e")))
+    // global document frequency over BOTH sides: any single total
+    // order works for the pigeonhole; df-ascending makes prefixes
+    // rare-element-first so stopword-ish tokens never join
+    val dfreq = ex.groupBy(col("e")).agg(count(lit(1)).as("df"))
+    val byDoc = ex.join(dfreq, "e")
+      .groupBy(col("is_new"), col("id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("e"))))
+        .as("ord"))
+      .select(col("is_new"), col("id"), col("n"),
+        transform(col("ord"), x => x.getField("e")).as("sarr"))
+      // minimal overlap ceil(n*num/m) as exact integer arithmetic
+      // (floor of an integer-valued double is exact far beyond any
+      // plausible maxTokens*num)
+      .withColumn("min_o",
+        floor((col("n") * num + (m - 1)) / m).cast("int"))
+      .withColumn("plen", (col("n") - col("min_o") + 1).cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def pref(isNew: Boolean, idAs: String, nAs: String): DataFrame =
+      byDoc.filter(col("is_new") === isNew)
+        .select(col("id").as(idAs), col("n").as(nAs),
+          explode(slice(col("sarr"), lit(1), col("plen"))).as("e"))
+
+    val cand = pref(isNew = true, "new_id", "c")
+      .join(pref(isNew = false, "pool_id", "r"), "e")
+      // integer length-ratio window implied by F1 >= num/den
+      .filter(col("r") * m >= col("c") * num &&
+        col("r") * num <= col("c") * m)
+      .select(col("new_id"), col("pool_id")).distinct()
+
+    val qualifying = cand
+      .join(nt.select(col("id").as("new_id"), col("toks").as("ctoks"),
+        col("n").as("c")), "new_id")
+      .join(pt.select(col("id").as("pool_id"), col("toks").as("rtoks"),
+        col("n").as("r")), "pool_id")
+      .withColumn("l",
+        GraftFunctions.lcsLength(col("ctoks"), col("rtoks"))
+          .cast("long"))
+      // 2L/(c+r) >= num/den as integers; c+r > 0 so empties never dup
+      .filter(col("c") + col("r") > 0 &&
+        col("l") * (2L * den) >= (col("c") + col("r")) * num.toLong)
+      .select(col("new_id")).distinct()
+
+    newDocs.join(qualifying,
+      newDocs(idCol) === qualifying("new_id"), "left_anti")
+  }
+}

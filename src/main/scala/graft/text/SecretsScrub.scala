@@ -1,0 +1,118 @@
+package graft.text
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Secrets detection and redaction — the code/web-corpus curation stage
+  * that strips leaked credentials before training (the BigCode/The-Stack
+  * pipeline runs exactly this between license filtering and dedup; ref
+  * `etl.py` has no notion of it — north-star extension). Complements
+  * [[TextAnalysis.scrubPiiCol]] (PII: urls/emails/numbers): PII is about
+  * the people in the data, secrets are about the systems it leaks.
+  *
+  * Four detectors, applied in a FIXED order (aws → pem → jwt → named
+  * value) so the composition is deterministic and oracle-replayable:
+  *
+  *  - `aws_key`: `AKIA`-prefixed 20-char access-key ids (the canonical
+  *    fixed-format credential; structure alone identifies it).
+  *  - `pem_block`: whole `-----BEGIN … PRIVATE KEY-----` blocks
+  *    (base64 bodies contain no `-`, so `[^-]*` spans them exactly).
+  *  - `jwt`: three dot-joined base64url sections starting `eyJ`
+  *    (= `{"` — every JSON-header JWT).
+  *  - `named_secret`: `key/token/secret/password = "value"` assignments
+  *    whose quoted value is a 16–64 char credential-charset literal —
+  *    gated on Shannon ENTROPY ≥ `minEntropy` bits/byte
+  *    ([[graft.functions.ShannonEntropyExpr]], codegen'd): random keys
+  *    (hex ≈ 3.7+, base64 ≈ 5+) pass, placeholder `"aaaa…"` and
+  *    natural words stay — string shape alone over-redacts config
+  *    defaults, the detect-secrets lesson.
+  *
+  * A qualifying named value is replaced at EVERY occurrence in the
+  * document (a leaked literal is a leak wherever it repeats), via a
+  * left fold over the extracted values in match order — DuckDB replays
+  * the same fold with `list_reduce`. All work is per-row column
+  * expressions (regex + HOFs + one codegen'd entropy call): no shuffle,
+  * no UDF, scales embarrassingly at 100 TB.
+  *
+  * Float discipline: entropy enters ONLY threshold compares, never
+  * output. For length-32 candidates every histogram whose entropy can
+  * exactly hit a k/32-grid threshold has power-of-two counts, making
+  * the FP sum exact on both engines — the compare cannot be flipped by
+  * libm ulp differences (q280 plants only length-32 values and a wide
+  * ≥0.7-bit margin anyway).
+  */
+object SecretsScrub {
+
+  /** AKIA-prefixed AWS-style access key id. */
+  val AwsKeyRe = "AKIA[0-9A-Z]{16}"
+
+  /** Whole PEM private-key block (base64 body has no '-'). */
+  val PemRe: String =
+    "-----BEGIN [A-Z ]*PRIVATE KEY-----[^-]*-----END [A-Z ]*PRIVATE KEY-----"
+
+  /** JSON-header JWT: three dot-joined base64url sections. */
+  val JwtRe: String =
+    "eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}"
+
+  /** Named credential assignment; group 3 is the quoted value. */
+  val NamedRe: String =
+    "(?i)(api_key|apikey|access_key|secret|token|password|passwd|auth)" +
+      "(\\s*[=:]\\s*)[\"']([A-Za-z0-9+/_-]{16,64})[\"']"
+
+  val AwsSentinel = "<SECRET_AWS_KEY>"
+  val PemSentinel = "<SECRET_PEM>"
+  val JwtSentinel = "<SECRET_JWT>"
+  val KeySentinel = "<SECRET_KEY>"
+
+  /** Fixed-format detectors replaced, in order. */
+  private def structural(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, AwsKeyRe, AwsSentinel),
+        PemRe, PemSentinel),
+      JwtRe, JwtSentinel)
+
+  /** Redact `textCol` in place: all four detectors, entropy-gated
+    * named values. Schema unchanged — the curation-stage shape.
+    */
+  def scrub(docs: DataFrame, textCol: String = "text",
+      minEntropy: Double = 3.0): DataFrame =
+    report(docs, textCol, minEntropy)
+      .drop("n_aws_keys", "n_pem_blocks", "n_jwts",
+        "n_named_secrets", "n_low_entropy_kept")
+
+  /** [[scrub]] plus per-document detector counts:
+    * `n_aws_keys`, `n_pem_blocks`, `n_jwts` (pre-replacement match
+    * counts), `n_named_secrets` (entropy-qualified, redacted) and
+    * `n_low_entropy_kept` (named-shape values left alone).
+    */
+  def report(docs: DataFrame, textCol: String = "text",
+      minEntropy: Double = 3.0): DataFrame = {
+    require(minEntropy >= 0.0, s"minEntropy must be >= 0: $minEntropy")
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    val t = col(textCol)
+    val stage = docs
+      .withColumn("n_aws_keys",
+        size(regexp_extract_all(t, lit(AwsKeyRe), lit(0))))
+      .withColumn("n_pem_blocks",
+        size(regexp_extract_all(t, lit(PemRe), lit(0))))
+      .withColumn("n_jwts",
+        size(regexp_extract_all(t, lit(JwtRe), lit(0))))
+      .withColumn("__t3", structural(t))
+      .withColumn("__vals",
+        regexp_extract_all(col("__t3"), lit(NamedRe), lit(3)))
+      .withColumn("__hi",
+        filter(col("__vals"),
+          v => GraftFunctions.shannonEntropy(spark, v) >= lit(minEntropy)))
+    stage
+      .withColumn("n_named_secrets", size(col("__hi")))
+      .withColumn("n_low_entropy_kept",
+        size(col("__vals")) - size(col("__hi")))
+      .withColumn(textCol,
+        aggregate(col("__hi"), col("__t3"),
+          (acc, v) => replace(acc, v, lit(KeySentinel))))
+      .drop("__t3", "__vals", "__hi")
+  }
+}

@@ -283,4 +283,46 @@ class CurationPipelineSpec extends SparkSpec {
     }
     ()
   }
+
+  test("secrets_scrub and fim stages equal the direct code paths") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        concat($"text", lit("\napi_key = \""),
+          md5($"doc_id".cast("string")), lit("\"")).as("text"))
+    val scrubStaged = CurationPipeline.run(docs, stagesFrom(
+      """{ "stages": [ {"op": "secrets_scrub"} ] }"""))
+    val scrubDirect = graft.text.SecretsScrub.scrub(docs)
+    assert(scrubStaged.exceptAll(scrubDirect).isEmpty &&
+      scrubDirect.exceptAll(scrubStaged).isEmpty)
+    val fimStaged = CurationPipeline.run(docs, stagesFrom(
+      """{ "stages": [ {"op": "fim", "rate": 0.25} ] }"""))
+    val fimDirect = graft.text.Fim.transform(docs, rate = 0.25)
+    assert(fimStaged.exceptAll(fimDirect).isEmpty &&
+      fimDirect.exceptAll(fimStaged).isEmpty)
+  }
+
+  test("rouge_dedup stage equals the direct path; poolPath stays loud") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val poolDir = Files.createTempDirectory("graft_rouge_pool").toString
+    val poolPath = s"$poolDir/pool.parquet"
+    docs.filter($"doc_id" % 3 === 0).select($"text")
+      .write.mode("overwrite").parquet(poolPath)
+    val staged = CurationPipeline.run(docs, stagesFrom(
+      s"""{ "stages": [ {"op": "rouge_dedup",
+         |  "poolPath": "$poolPath", "maxTokens": 16} ] }""".stripMargin))
+    val pool = spark.read.parquet(poolPath)
+      .select(monotonically_increasing_id().as("doc_id"), $"text")
+    val direct = graft.text.InstructionDedup.keepNew(docs, pool,
+      maxTokens = 16)
+    assert(staged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(staged).isEmpty)
+    // every doc whose own head is in the pool must be gone
+    assert(staged.filter($"doc_id" % 3 === 0).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, stagesFrom(
+        """{ "stages": [ {"op": "rouge_dedup"} ] }"""))
+    }
+    assert(e.getMessage.contains("poolPath"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** HITS hubs & authorities (q283's operator). */
+class HitsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def nodes(ids: Long*) = ids.toSeq.toDF("id")
+
+  test("star graph: one hub, authorities split evenly") {
+    val n = nodes(0L, 1L, 2L, 3L)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Hits.scores(n, e, iterations = 3)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // node 0 is the only hub (all authority mass flows from it) and
+    // no authority; 1..3 split authority 1/3 each, no hub-ness
+    assert(got(0L) === ((1.0, 0.0)))
+    Seq(1L, 2L, 3L).foreach { v =>
+      assert(got(v)._1 === 0.0)
+      assert(math.abs(got(v)._2 - 1.0 / 3) < 1e-12)
+    }
+  }
+
+  test("L1 norms stay exactly at 1 per side") {
+    val n = nodes(0L to 19L: _*)
+    val e = (0L until 19L).map(i => (i, i + 1))
+      .toDF("src", "dst")
+    val s = Hits.scores(n, e, iterations = 5)
+      .agg(org.apache.spark.sql.functions.sum("hub"),
+        org.apache.spark.sql.functions.sum("auth"))
+      .as[(Double, Double)].head()
+    assert(math.abs(s._1 - 1.0) < 1e-12)
+    assert(math.abs(s._2 - 1.0) < 1e-12)
+  }
+
+  test("edgeless graph degenerates to all zeros") {
+    val n = nodes(1L, 2L)
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = Hits.scores(n, e, iterations = 2)
+      .as[(Long, Double, Double)].collect()
+    assert(got.forall(t => t._2 == 0.0 && t._3 == 0.0))
+  }
+
+  test("authority follows in-link consensus, hub follows out-links") {
+    // two hubs both endorse node 4; node 5 endorsed by one hub only
+    val n = nodes(0L, 1L, 4L, 5L)
+    val e = Seq((0L, 4L), (1L, 4L), (0L, 5L)).toDF("src", "dst")
+    val got = Hits.scores(n, e, iterations = 10)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(4L)._2 > got(5L)._2) // consensus authority wins
+    assert(got(0L)._1 > got(1L)._1) // the two-link hub outranks
+  }
+}

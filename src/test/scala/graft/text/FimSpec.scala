@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Fill-in-the-middle transform (q281's operator). */
+class FimSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def docs = (0L until 200L).map(i =>
+    (i, s"doc $i body " + ("x" * (i % 37).toInt)))
+    .toDF("doc_id", "text")
+
+  test("rate 0 leaves everything plain and untouched") {
+    val out = Fim.transform(docs, rate = 0.0)
+      .as[(Long, String, String)].collect()
+    assert(out.forall(_._3 == "plain"))
+    val orig = docs.as[(Long, String)].collect().toMap
+    assert(out.forall(r => r._2 == orig(r._1)))
+  }
+
+  test("rate 1 transforms every doc of length >= 2") {
+    val out = Fim.transform(docs, rate = 1.0)
+      .as[(Long, String, String)].collect()
+    assert(out.forall(_._3 != "plain"))
+    assert(out.forall(r => r._2.contains(Fim.MiddleTok)))
+  }
+
+  test("the three pieces reassemble the original document") {
+    val orig = docs.as[(Long, String)].collect().toMap
+    Fim.transform(docs, rate = 1.0).as[(Long, String, String)]
+      .collect().foreach { case (id, t, mode) =>
+        val rebuilt = mode match {
+          case "psm" =>
+            // <pre>P<suf>S<mid>M -> P + M + S
+            val p = t.stripPrefix(Fim.PrefixTok)
+            val Array(pre, rest) = p.split(java.util.regex.Pattern
+              .quote(Fim.SuffixTok), 2)
+            val Array(suf, mid) = rest.split(java.util.regex.Pattern
+              .quote(Fim.MiddleTok), 2)
+            pre + mid + suf
+          case "spm" =>
+            val p = t.stripPrefix(Fim.SuffixTok)
+            val Array(suf, rest) = p.split(java.util.regex.Pattern
+              .quote(Fim.PrefixTok), 2)
+            val Array(pre, mid) = rest.split(java.util.regex.Pattern
+              .quote(Fim.MiddleTok), 2)
+            pre + mid + suf
+          case _ => t
+        }
+        assert(rebuilt === orig(id), s"doc $id mode $mode")
+      }
+  }
+
+  test("deterministic across reruns and partitionings") {
+    val a = Fim.transform(docs.repartition(7))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val b = Fim.transform(docs.repartition(1))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("both modes and plain all occur at the defaults") {
+    val modes = Fim.transform(docs)
+      .select("fim_mode").as[String].collect().toSet
+    assert(modes === Set("psm", "spm", "plain"))
+  }
+}

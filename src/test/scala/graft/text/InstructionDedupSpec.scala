@@ -1,0 +1,84 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** ROUGE-L instruction dedup (q282's operator). */
+class InstructionDedupSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def pool = Seq(
+    (100L, "write a short poem about the sea"),
+    (101L, "translate the following sentence into french"),
+    (102L, "sort this list of numbers ascending"),
+    (103L, "")
+  ).toDF("doc_id", "text")
+
+  private def newDocs = Seq(
+    // exact dup of 100 - F1 = 1.0, drops
+    (1L, "write a short poem about the sea"),
+    // one word changed vs 101: LCS 5 of 6+6, F1 = 10/12 = 0.833, drops
+    (2L, "translate the following sentence into german"),
+    // unrelated - keeps
+    (3L, "summarize the plot of the novel"),
+    // shares 2 of 2+6 tokens with 102: F1 = 0.5, keeps
+    (4L, "sort numbers"),
+    // empty instruction: c+r > 0 rule means no 0/0 dup - keeps
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact and near dups drop, unrelated and empty keep") {
+    val kept = InstructionDedup.keepNew(newDocs, pool)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L))
+    assert(!kept.contains(2L))
+    assert(kept.contains(3L))
+    assert(kept.contains(5L))
+  }
+
+  test("threshold is inclusive via exact integer arithmetic") {
+    // c = 10, r = 10, L = 7: 20*7 = 140 >= 7*20 = 140 -> qualifies
+    val p = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val boundary = Seq(
+      (2L, "a b c d e f g q r s"),  // LCS 7 -> F1 exactly 0.7, drops
+      (3L, "a b c d e f q r s t")   // LCS 6 -> F1 0.6, keeps
+    ).toDF("doc_id", "text")
+    val kept = InstructionDedup.keepNew(boundary, p)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+  }
+
+  test("prefix blocking is lossless vs the brute-force product") {
+    // word-salad docs over a tiny vocabulary: lots of shared tokens,
+    // a handful of genuine near-dups
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps")
+    def salad(seed: Long, n: Int): String =
+      (0 until n).map(i =>
+        vocab((((seed * 2654435761L + i * 40503L + i * i * 7L) % 101)
+          % 5).toInt)).mkString(" ")
+    val p = (0L until 40L).map(i => (1000 + i, salad(i, 12)))
+      .toDF("doc_id", "text")
+    val nw = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) salad(i / 2, 12) else salad(i + 77, 12)))
+      .toDF("doc_id", "text")
+    val got = InstructionDedup.keepNew(nw, p)
+      .select("doc_id").as[Long].collect().toSet
+    // brute force: every pair through the same LCS kernel + rule
+    val toks = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("toks"))
+    val brute = toks(nw).as("n").crossJoin(toks(p).as("p"))
+      .select(col("n.doc_id").as("nid"),
+        GraftFunctions.lcsLength(col("n.toks"), col("p.toks"))
+          .cast("long").as("l"),
+        size(col("n.toks")).as("c"), size(col("p.toks")).as("r"))
+      .filter(col("c") + col("r") > 0 &&
+        col("l") * 20 >= (col("c") + col("r")) * 7)
+      .select("nid").as[Long].collect().toSet
+    val expect = (0L until 40L).toSet -- brute
+    assert(got === expect)
+  }
+}
