@@ -44,7 +44,10 @@ object Bench {
     // round-11 steadies > ~4.5 s: skip the wasted shared pass
     "q145_generated_columns", "q205_sparse_degradation",
     "q210_trained_langid", "q219_prf_retrieval",
-    "q221_bitext_ivf_recall")
+    "q221_bitext_ivf_recall",
+    // round-13 steadies > ~4.5 s (q283 10 graph rounds of job latency;
+    // q284 = three chained stages incl. the rouge pair verify)
+    "q283_hits", "q284_config_secrets_fim_rouge")
 
   /** Streaming/stateful gates: never forked (their cost is micro-batch
     * overhead, not JVM contention) and exempt from adaptive re-forking.

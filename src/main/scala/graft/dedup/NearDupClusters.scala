@@ -83,4 +83,33 @@ object NearDupClusters {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
+
+  /** SOFT dedup — keep every document, DOWN-WEIGHT duplicate families
+    * instead of dropping them (the "deduplicate by reweighting"
+    * alternative to hard keep-one: loss-weight w = 1/|cluster| makes
+    * each near-dup family contribute one document's worth of gradient
+    * while preserving within-family variation a hard keeper discards).
+    * Composes [[clusters]] with one cluster-keyed count aggregate and
+    * a join back — weight is the single exact division 1/size, so a
+    * SQL oracle replays it bitwise.
+    *
+    * @return (doc_id, cluster_id, cluster_size, weight) for EVERY doc
+    *         in `docs` — singletons carry weight 1.0.
+    */
+  def softWeights(docs: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 20): DataFrame =
+    weightsFromLabels(clusters(docs, pairs, maxIterations))
+
+  /** The size/weight step of [[softWeights]] over an existing
+    * (doc_id, cluster_id) labeling — for pipelines that already ran
+    * the component rounds.
+    */
+  def weightsFromLabels(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("weight"))
+  }
 }

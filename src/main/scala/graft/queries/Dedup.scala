@@ -125,6 +125,16 @@ object Dedup extends QueryPack {
   def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     embeddingClusters(s, dir)
 
+  /** Soft-dedup gate (q285): the q77 clusters DOWN-WEIGHTED instead
+    * of hard-deduped — [[graft.dedup.NearDupClusters.weightsFromLabels]]
+    * keeps every doc with loss weight 1/|cluster| (singletons 1.0).
+    * The oracle extends the q77 recursive-CTE clustering with one
+    * size aggregate; weight is the single exact division, replayed
+    * bitwise.
+    */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame =
+    NearDupClusters.weightsFromLabels(embeddingClusters(s, dir))
+
   /** Cluster-representative gate (q185): the q77 near-dup clusters
     * with a QUALITY-RANKED keeper instead of the min-id keeper —
     * [[graft.dedup.KeepBest.byCluster]] composed over
@@ -763,6 +773,7 @@ object Dedup extends QueryPack {
     "q70_simhash_gate" -> simhashGate _,
     "q71_embedding_lsh_gate" -> embeddingLshGate _,
     "q77_neardup_clusters" -> nearDupClusters _,
+    "q285_soft_dedup" -> softDedupWeights _,
     "q127_exact_substring" -> exactSubstring _,
     "q136_semdedup_gate" -> semdedupGate _,
   )
@@ -1478,6 +1489,33 @@ object Dedup extends QueryPack {
         |      ORDER BY doc_id % 17 DESC, doc_id) AS rn
         |  FROM lab)
         |SELECT doc_id, cluster_id, quality FROM r WHERE rn = 1""".stripMargin,
+    "q285_soft_dedup" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+        |mins AS (SELECT n, min(m) AS mr FROM reach GROUP BY n),
+        |lab AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    least(e.vec_id, coalesce(m.mr, e.vec_id)) AS cluster_id
+        |  FROM u e LEFT JOIN mins m ON m.n = e.vec_id),
+        |sz AS (
+        |  SELECT cluster_id, count(*) AS cluster_size
+        |  FROM lab GROUP BY cluster_id)
+        |SELECT lab.doc_id, lab.cluster_id,
+        |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+        |  1.0 / sz.cluster_size AS weight
+        |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
     "q77_neardup_clusters" ->
       """WITH RECURSIVE u AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),

@@ -2313,7 +2313,31 @@ object Text extends QueryPack {
       .select(col("doc_id"), col("source"))
   }
 
+  /** PMI-collocations gate (q286):
+    * [[graft.text.TextAnalysis.collocations]] over the documents
+    * corpus at minCount 5 — exact pair/unigram counts (integers), PMI
+    * one fixed-order float over them, round(9)-pinned. The oracle
+    * recomputes the same adjacent-pair and unigram tables and the
+    * same log2 expression.
+    */
+  def collocationsGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.collocations(Tables.documents(s, dir))
+
+  /** CCNet head/middle/tail gate (q287):
+    * [[graft.text.Perplexity.ccnetBuckets]] per language — unigram
+    * perplexity round(9)-grouped into exact mid-rank ECDF ranks, cut
+    * at the published terciles. The oracle chains the q134 perplexity
+    * CTE into the q268 rank CTE and the same 1/3 / 2/3 compares, so
+    * bucket assignment is pinned per document.
+    */
+  def ccnetBucketsGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.Perplexity.ccnetBuckets(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        round(col("pct"), 9).as("pct"), col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_collocations" -> collocationsGate _,
+    "q287_ccnet_buckets" -> ccnetBucketsGate _,
     "q282_instruction_dedup" -> instructionDedupGate _,
     "q281_fim_transform" -> fimGate _,
     "q280_secrets_scrub" -> secretsScrubGate _,
@@ -2495,6 +2519,68 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q286_collocations" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM uni),
+        |pr AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)),
+        |pairs AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2
+        |  HAVING count(*) >= 5),
+        |n2 AS (
+        |  SELECT CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS n2 FROM toks)
+        |SELECT p.w1, p.w2,
+        |  CAST(p.c12 AS BIGINT) AS c12,
+        |  CAST(u1.c AS BIGINT) AS c1,
+        |  CAST(u2.c AS BIGINT) AS c2,
+        |  round(log2((CAST(p.c12 AS DOUBLE) / n2.n2) /
+        |    ((CAST(u1.c AS DOUBLE) / n1.n1) * (CAST(u2.c AS DOUBLE) / n1.n1))), 9)
+        |    AS pmi
+        |FROM pairs p
+        |JOIN uni u1 ON u1.w = p.w1
+        |JOIN uni u2 ON u2.w = p.w2
+        |CROSS JOIN n1 CROSS JOIN n2""".stripMargin,
+    "q287_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, count(*)::DOUBLE AS f FROM tok GROUP BY doc_id, t),
+        |lm AS (SELECT t, sum(f) AS c FROM tf GROUP BY t),
+        |n AS (SELECT sum(c) AS n_corpus FROM lm),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(exp(-sum(f * ln(c / n_corpus)) / sum(f)), 9) AS ppl
+        |  FROM tf JOIN lm USING (t), n
+        |  GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT s.doc_id, d.lang, s.ppl
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |g AS (
+        |  SELECT lang, ppl, count(*) AS ceq FROM keyed GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, ppl, ceq,
+        |    coalesce(sum(ceq) OVER (PARTITION BY lang ORDER BY ppl
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt,
+        |    sum(ceq) OVER (PARTITION BY lang) AS n
+        |  FROM g),
+        |p AS (
+        |  SELECT k.doc_id, k.lang, k.ppl,
+        |    CASE WHEN n = 1 THEN 0.5
+        |      ELSE (CAST(clt AS DOUBLE) + CAST(ceq + 1 AS DOUBLE) / 2.0
+        |        - 1.0) / CAST(n - 1 AS DOUBLE) END AS pct
+        |  FROM keyed k JOIN r USING (lang, ppl))
+        |SELECT doc_id, lang, ppl, round(pct, 9) AS pct,
+        |  CASE WHEN pct < 1.0 / 3 THEN 'head'
+        |       WHEN pct < 2.0 / 3 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM p""".stripMargin,
     "q282_instruction_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, source,

@@ -67,6 +67,36 @@ object Perplexity {
       .withColumn("ppl", exp(col("cross_entropy")))
   }
 
+  /** CCNet HEAD/MIDDLE/TAIL partitioning (Wenzek et al. 2020): split
+    * the corpus into per-language perplexity TERCILES — the published
+    * recipe trains on "head" (lowest-perplexity third), audits
+    * "middle", drops "tail", which beats a single global threshold
+    * because what counts as fluent differs per language. Buckets come
+    * from the exact mid-rank ECDF ([[ScoreCalibrate.quantileNormalize]]
+    * — the window runs over the (language, DISTINCT score) table,
+    * never the corpus), cut at 1/3 and 2/3.
+    *
+    * Float discipline: ranks group on round(ppl, 9) — raw perplexities
+    * carry fold-order ulps that could split a tie one engine sees and
+    * the other does not; after rounding, pct is a fixed expression
+    * over exact integers and the tercile compares are engine-identical.
+    *
+    * @return (idCol, byCol, ppl, pct, bucket) — ppl round(9),
+    *         bucket in {head, middle, tail}; wordless docs drop (their
+    *         perplexity is undefined, the [[unigramScore]] contract).
+    */
+  def ccnetBuckets(docs: DataFrame, byCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = unigramScore(docs, idCol, textCol)
+      .select(col(idCol), round(col("ppl"), 9).as("ppl"))
+    val keyed = docs.select(col(idCol), col(byCol)).join(scored, idCol)
+    ScoreCalibrate.quantileNormalize(keyed, "ppl", byCol, outCol = "pct")
+      .select(col(idCol), col(byCol), col("ppl"), col("pct"),
+        when(col("pct") < 1.0 / 3, lit("head"))
+          .when(col("pct") < 2.0 / 3, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Per-document cross-entropy under a corpus-trained BIGRAM LM with
     * unigram-interpolated backoff — one step closer to the 5-gram
     * KenLM CCNet actually filters with, still closed-form and

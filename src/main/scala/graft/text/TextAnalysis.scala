@@ -318,6 +318,65 @@ object TextAnalysis {
             sum(col("c")).cast("double")).as("entropy"))
   }
 
+  /** PMI COLLOCATIONS — corpus-level pointwise mutual information of
+    * adjacent token pairs, the phrase-mining signal (Church & Hanks
+    * 1990): multiword expressions ("new york", "machine learning")
+    * score high because their joint count dwarfs the unigram-product
+    * expectation; tokenizer vocab seeding and stopword-phrase audits
+    * both start here.
+    *
+    *   pmi(w1,w2) = log2( (c12/N2) / ((c1/N1)·(c2/N1)) )
+    *
+    * with c12 the adjacent-pair count (N2 pairs total) and c1/c2
+    * unigram counts (N1 tokens total). Counts are exact integers; the
+    * emitted pmi is one fixed-order float expression over them,
+    * round(9)-pinned per the float-gate convention. `minCount` drops
+    * the unstable singleton tail (PMI's known bias toward rare pairs).
+    *
+    * Two explode+aggregate shuffles (map-side combined), then joins on
+    * the VOCABULARY-sized count tables — corpus size only enters the
+    * narrow token scans, so the plan is the same at 100 TB.
+    *
+    * @return (w1, w2, c12, c1, c2, pmi), c12 >= minCount.
+    */
+  def collocations(docs: DataFrame, minCount: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+      lit(0))
+    val base = docs.select(toks.as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = base.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = uni.agg(sum(col("c")).cast("double").as("n1"))
+    val pairs = base
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0)))
+          .as("a"),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0)))
+          .as("b"))).as("p"))
+      .select(col("p").getField("a").as("w1"),
+        col("p").getField("b").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val n2 = base
+      .select(greatest(size(col("__t")) - 1, lit(0)).as("np"))
+      .agg(sum(col("np")).cast("double").as("n2"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"),
+        col("c12").cast("bigint").as("c12"),
+        col("c1").cast("bigint").as("c1"),
+        col("c2").cast("bigint").as("c2"),
+        round(log(2.0,
+          (col("c12").cast("double") / col("n2")) /
+            ((col("c1").cast("double") / col("n1")) *
+              (col("c2").cast("double") / col("n1")))), 9).as("pmi"))
+  }
+
   /** The PII regex chain as a Column (URL → EMAIL → NUM, the
     * [[scrubPii]] order) — for in-place scrubbing inside pipelines
     * without a join back. */

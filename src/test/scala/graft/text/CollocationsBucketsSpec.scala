@@ -1,0 +1,80 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PMI collocations (q286) and CCNet perplexity terciles (q287). */
+class CollocationsBucketsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("collocations: exact counts and hand-computed PMI") {
+    // corpus: "x y" twice, "x z" once -> tokens x,y,x,z,x,y = no...
+    // use two docs so pair structure is unambiguous:
+    //   doc1: "a b a b"  -> pairs (a,b)x2, (b,a)x1
+    //   doc2: "a b c"    -> pairs (a,b), (b,c)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, minCount = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5, t._6)).toMap
+    // only (a,b) reaches minCount 2 (c12=3): N1=7 tokens (a:3,b:3,c:1),
+    // N2=5 pairs; pmi = log2((3/5)/((3/7)*(3/7)))
+    assert(got.keySet === Set(("a", "b")))
+    val (c12, c1, c2, pmi) = got(("a", "b"))
+    assert((c12, c1, c2) === ((3L, 3L, 3L)))
+    val expect = math.log((3.0 / 5) / ((3.0 / 7) * (3.0 / 7))) /
+      math.log(2.0)
+    assert(math.abs(pmi - BigDecimal(expect)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("collocations minCount drops the singleton tail") {
+    val docs = Seq((1L, "p q r s")).toDF("doc_id", "text")
+    assert(TextAnalysis.collocations(docs, minCount = 2).isEmpty)
+    assert(TextAnalysis.collocations(docs, minCount = 1).count() === 3)
+  }
+
+  test("ccnetBuckets: terciles per language, head = lowest perplexity") {
+    val docs = graft.Tables.documents(spark, sf)
+    val b = Perplexity.ccnetBuckets(docs)
+    val counts = b.groupBy($"lang", $"bucket").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        l -> rows.map(r => r._2 -> r._3).toMap }
+    // tercile sizes differ by at most ~1 tie-group per language
+    counts.foreach { case (lang, m) =>
+      val n = m.values.sum
+      Seq("head", "middle", "tail").foreach { bk =>
+        val c = m.getOrElse(bk, 0L)
+        assert(math.abs(c - n / 3.0) <= math.max(2.0, 0.2 * n),
+          s"$lang/$bk: $c of $n")
+      }
+    }
+    // ordering: every head ppl <= every tail ppl within a language
+    val byLang = b.select($"lang", $"bucket", $"ppl")
+      .as[(String, String, Double)].collect().groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val heads = rows.filter(_._2 == "head").map(_._3)
+      val tails = rows.filter(_._2 == "tail").map(_._3)
+      if (heads.nonEmpty && tails.nonEmpty)
+        assert(heads.max <= tails.min, s"$lang head/tail overlap")
+    }
+  }
+
+  test("softWeights: each cluster contributes total weight 1") {
+    import graft.dedup.NearDupClusters
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val w = NearDupClusters.softWeights(docs, pairs)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(w.length === 5)
+    val byCluster = w.groupBy(_._2)
+    assert(byCluster.size === 3) // {1,2,3}, {4}, {5}
+    byCluster.values.foreach { rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+      assert(rows.forall(_._3 == rows.length))
+    }
+    assert(w.filter(r => r._1 == 4L || r._1 == 5L)
+      .forall(r => r._4 == 1.0))
+  }
+}
