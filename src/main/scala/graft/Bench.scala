@@ -46,8 +46,10 @@ object Bench {
     "q210_trained_langid", "q219_prf_retrieval",
     "q221_bitext_ivf_recall",
     // round-13 steadies > ~4.5 s (q283 10 graph rounds of job latency;
-    // q284 = three chained stages incl. the rouge pair verify)
-    "q283_hits", "q284_config_secrets_fim_rouge")
+    // q284 = three chained stages incl. the rouge pair verify; q289
+    // tf table + 129-slot ICWS + banded join)
+    "q283_hits", "q284_config_secrets_fim_rouge",
+    "q289_weighted_minhash")
 
   /** Streaming/stateful gates: never forked (their cost is micro-batch
     * overhead, not JVM contention) and exempt from adaptive re-forking.
@@ -56,7 +58,7 @@ object Bench {
     "q25_event_windows", "q26_sessionize", "q82_streaming_dedup",
     "q88_streaming_dedup_keys", "q101_cdf_replicate", "q110_stream_join",
     "q111_incremental_agg_mv", "q115_stream_rate_limit",
-    "q130_stream_outer_join")
+    "q130_stream_outer_join", "q288_stream_full_outer_join")
 
   /** A shared-JVM steady time above this re-measures forked. */
   private val ForkThresholdSec = 3.0

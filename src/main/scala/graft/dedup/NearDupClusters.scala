@@ -105,10 +105,13 @@ object NearDupClusters {
     * the component rounds.
     */
   def weightsFromLabels(labels: DataFrame): DataFrame = {
-    val sizes = labels.groupBy(col("cluster_id"))
+    // the labeling plan feeds BOTH the size aggregate and the join
+    // back — persist so upstream pair generation runs once, not twice
+    val l = labels.select(col("doc_id"), col("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = l.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("doc_id"), col("cluster_id"))
-      .join(sizes, "cluster_id")
+    l.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (lit(1.0) / col("cluster_size")).as("weight"))
   }

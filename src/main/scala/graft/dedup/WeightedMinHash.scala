@@ -1,0 +1,121 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** WEIGHTED near-duplicate detection: banded LSH over ICWS signatures
+  * ([[graft.functions.IcwsSignature]], Ioffe 2010) with EXACT
+  * integer-ratio weighted-jaccard verification —
+  *
+  *   J_w(A,B) = Σ min(tf_A, tf_B) / Σ max(tf_A, tf_B)
+  *
+  * over shingle TERM FREQUENCIES. The set-jaccard family
+  * ([[MinHashLSH]], [[PrefixFilterJoin]]) treats a document pasted
+  * twice as jaccard ≈ 1 against its original; under J_w it is ≈ 0.5 —
+  * the metric that matches dedup intent for repetition-inflated pages
+  * (a near-dup must match CONTENT AND PROPORTIONS).
+  *
+  * Pipeline (the [[MinHashLSH]] shape, tf-aware):
+  *  1. shingle + hash, per-doc tf via one hash aggregate (map-side
+  *     combined) — shuffles carry 8-byte hashes and counts, not text;
+  *  2. per-doc (hashes[], tfs[]) arrays (h-sorted, deterministic) and
+  *     the ICWS signature in ONE generated loop;
+  *  3. band → candidate equi-join on (band, key): two docs agree on a
+  *     slot with probability exactly J_w, a whole band with J_w^rows;
+  *  4. candidates verify EXACTLY: common mass Σ min(tf) via a map
+  *     lookup fold, and the threshold as the INTEGER rule
+  *     m·den ≥ num·(sa + sb − m) — no float thresholds, so the output
+  *     equals the exact-J_w pair set up to astronomically unlikely
+  *     banding misses (the q33 oracle-checkability argument; at
+  *     J_w = 0.85 with 32×4 banding a miss is ~1e-15).
+  *
+  * 64-bit shingle-hash collisions merge tf entries (the documented
+  * q127-style trade); empty docs are dropped before banding and the
+  * verify requires a positive union mass, so there is no 0/0 "pair".
+  */
+object WeightedMinHash {
+
+  /** Per-doc tf table: (doc_id, hs, fs, sumw) with hs the h-sorted
+    * distinct shingle hashes, fs the matching counts, sumw = Σ tf.
+    * Shingles keep MULTIPLICITY (unlike [[TextShingles.shingleDf]]'s
+    * distinct arrays): token hashes in one native pass
+    * ([[graft.functions.TokenHashesExpr]]), k-gram windows zipped and
+    * hashed post-explode (codegen'd, no interpreted HOF on the fan-out
+    * path).
+    */
+  def tfTable(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val th = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.tokenHashes(col(textCol))
+          .as("th"))
+      .repartition(par)
+      .withColumn("n", size(col("th")))
+      .filter(col("n") >= k)
+    val len1 = col("n") - (k - 1)
+    val zipped = arrays_zip(
+      (0 until k).map(i => slice(col("th"), lit(i + 1), len1)
+        .as(s"g$i")): _*)
+    th.select(col("doc_id"), explode(zipped).as("g"))
+      .select(col("doc_id"),
+        xxhash64((0 until k).map(i => col("g").getField(s"g$i")): _*)
+          .as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("f"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("h"), col("f"))))
+        .as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), x => x.getField("h")).as("hs"),
+        transform(col("ord"), x => x.getField("f")).as("fs"))
+      .withColumn("sumw", aggregate(col("fs"), lit(0L), _ + _))
+  }
+
+  /** All pairs (doc_a < doc_b) with weighted jaccard ≥ num/den. */
+  def pairs(docs: DataFrame, k: Int = 3,
+      thresholdNum: Int = 7, thresholdDen: Int = 10,
+      bands: Int = 32, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
+      s"need 0 < num <= den, got $thresholdNum/$thresholdDen")
+    val spark = docs.sparkSession
+    val tf = tfTable(docs, k, idCol, textCol)
+      .withColumn("sig", graft.functions.GraftFunctions
+        .icwsSignature(spark, col("hs"), col("fs"), bands * rowsPerBand))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keys: Seq[Column] = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+    }
+    val bk = tf.select(col("doc_id"),
+      posexplode(array(keys: _*)).as(Seq("band", "band_key")))
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = tf.select(col("doc_id").as("doc_a"),
+      map_from_arrays(col("hs"), col("fs")).as("m_a"),
+      col("sumw").as("sa"))
+    val b = tf.select(col("doc_id").as("doc_b"),
+      map_from_arrays(col("hs"), col("fs")).as("m_b"),
+      col("sumw").as("sb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      // common mass Σ min(tf_a, tf_b): fold the smaller-keyed map's
+      // keys through lookups in the other — integer accumulator
+      .withColumn("m", aggregate(map_keys(col("m_a")), lit(0L),
+        (acc, key) => acc + least(element_at(col("m_a"), key),
+          coalesce(element_at(col("m_b"), key), lit(0L)))))
+      .filter(col("sa") + col("sb") - col("m") > 0 &&
+        col("m") * thresholdDen >=
+          (col("sa") + col("sb") - col("m")) * thresholdNum)
+      .select(col("doc_a"), col("doc_b"), col("m").as("common_mass"),
+        col("sa"), col("sb"),
+        (col("m").cast("double") /
+          (col("sa") + col("sb") - col("m")).cast("double"))
+          .as("weighted_jaccard"))
+  }
+}

@@ -24,11 +24,14 @@ import org.apache.spark.sql.functions._
   *   - `neardup_dedup` — near-dup pairs at `threshold` (0.6) with
   *     `shingleK` (3)-word shingles, connected components, one keeper
   *     per cluster. `method` picks the pair join: `lsh` (default;
-  *     MinHash+LSH candidates, exact-jaccard verify [q33]) or
+  *     MinHash+LSH candidates, exact-jaccard verify [q33]),
   *     `prefix` (the EXACT prefix-filtered set-similarity join —
-  *     no banding loss, boilerplate-safe with no df-cap [q230])
+  *     no banding loss, boilerplate-safe with no df-cap [q230]) or
+  *     `weighted` (tf-WEIGHTED jaccard via ICWS banding — catches
+  *     repetition-inflated pages set jaccard mis-ranks [q289])
   *     ([[graft.dedup.MinHashLSH.pairs]] /
-  *     [[graft.dedup.PrefixFilterJoin.pairs]] +
+  *     [[graft.dedup.PrefixFilterJoin.pairs]] /
+  *     [[graft.dedup.WeightedMinHash.pairs]] +
   *     [[graft.dedup.NearDupClusters.clusters]], q77)
   *   - `decontaminate` — drop docs sharing any `n` (13)-gram with the
   *     benchmark parquet at `benchmarkPath` (its text column
@@ -199,8 +202,14 @@ object CurationPipeline {
           case "lsh" => MinHashLSH.pairs(docs, k = k, threshold = t)
           case "prefix" =>
             graft.dedup.PrefixFilterJoin.pairs(docs, k = k, threshold = t)
+          case "weighted" =>
+            // tf-WEIGHTED jaccard (q289's ICWS join): threshold rides
+            // as an exact rational num/1000
+            graft.dedup.WeightedMinHash.pairs(docs, k = k,
+              thresholdNum = math.round(t * 1000).toInt,
+              thresholdDen = 1000)
           case m => throw new IllegalArgumentException(
-            s"neardup_dedup method must be lsh or prefix, got $m")
+            s"neardup_dedup method must be lsh, prefix or weighted, got $m")
         }).select(col("doc_a"), col("doc_b"))
         val clusters = NearDupClusters.clusters(
           docs.select(col("doc_id")), pairs)

@@ -226,6 +226,23 @@ object GraftFunctions {
     call_function(name, hashes)
   }
 
+  val ICWS_PREFIX = "graft_icws_" // one registered name per numHashes
+
+  /** ICWS weighted-MinHash signature in one generated loop (see
+    * [[IcwsSignature]]): (shingle hashes, positive integer weights) →
+    * numHashes sample keys; slot-equality probability = weighted
+    * jaccard.
+    */
+  def icwsSignature(spark: SparkSession, hashes: Column, weights: Column,
+      numHashes: Int): Column = {
+    val name = ICWS_PREFIX + numHashes
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => IcwsSignature(exprs(0), exprs(1), numHashes),
+      "built-in")
+    call_function(name, hashes, weights)
+  }
+
   /** One-loop simhash over token hashes (see [[SimHashFromHashes]]). */
   def simhashFromHashes(spark: SparkSession, hashes: Column): Column = {
     register(spark)

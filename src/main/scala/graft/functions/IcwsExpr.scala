@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Improved Consistent Weighted Sampling signature (Ioffe, ICDM 2010)
+  * — the WEIGHTED-Jaccard counterpart of [[MinHashSignature]]:
+  *
+  *   J_w(A,B) = Σ_x min(w_A(x), w_B(x)) / Σ_x max(w_A(x), w_B(x))
+  *
+  * Two signatures agree on a slot with probability EXACTLY J_w, so
+  * banded LSH over ICWS slots finds tf-weighted near-dups that plain
+  * (set) MinHash mis-ranks: a document pasted twice has set-jaccard
+  * ≈ 1 against its original but J_w ≈ 0.5 — the weighted metric is
+  * the one that matches dedup intent for repetition-inflated pages.
+  *
+  * Per slot j and element (x, w > 0), with five uniforms derived
+  * deterministically from mix64(x, j, counter):
+  *
+  *   r = −ln(u1·u2)   c = −ln(u3·u4)   β = u5          (r,c ~ Gamma(2,1))
+  *   t = ⌊ln(w)/r + β⌋
+  *   ln a = ln c − r·(t − β) − r
+  *
+  * and the slot's sample is mix64(x, t) of the argmin-a element — a
+  * 64-bit key identifying (element, discretized weight level), which
+  * is exactly what two docs must share for the Ioffe equality
+  * theorem to hold. Determinism: same (x, w, j) → same draws on every
+  * JVM (pure Long mixing + libm on exact doubles); signatures are a
+  * BANDING device only — candidates verify with exact integer-ratio
+  * weighted jaccard afterwards, so argmin float ties (measure-zero)
+  * cannot change the final pair set beyond the LSH recall already
+  * accounted for.
+  *
+  * One generated loop of elements × numHashes with O(numHashes) state
+  * — no boxing, no per-slot array materialization.
+  */
+case class IcwsSignature(hashes: Expression, weights: Expression,
+    numHashes: Int) extends BinaryExpression {
+
+  require(numHashes > 0 && numHashes <= 1024)
+
+  override def left: Expression = hashes
+  override def right: Expression = weights
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (hashes.dataType, weights.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_icws expects (array<bigint>, array<bigint>), got " +
+            s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_icws"
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IcwsSignature =
+    copy(hashes = newLeft, weights = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IcwsSignature.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.IcwsSignature.compute(
+         |  $a, $b, $numHashes);""".stripMargin)
+}
+
+object IcwsSignature {
+
+  private final val Golden = 0x9e3779b97f4a7c15L
+
+  /** SplitMix64 finalizer — the same mixer [[MinHashSignature]] uses. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + Golden
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform in (0,1): 53 mantissa bits, offset half-ulp from 0. */
+  private def unit(h: Long): Double =
+    ((h >>> 11) + 0.5) * 1.1102230246251565e-16 // 2^-53
+
+  /** Static entry for generated code. Empty input → all-zero slots
+    * (callers must drop empty docs before banding — two empties would
+    * otherwise band-match vacuously; [[graft.dedup.WeightedMinHash]]
+    * filters n_shingles >= 1 and its verify requires a positive
+    * union weight).
+    */
+  def compute(hs: ArrayData, ws: ArrayData, numHashes: Int): GenericArrayData = {
+    val n = hs.numElements()
+    require(ws.numElements() == n,
+      s"graft_icws: ${n} hashes vs ${ws.numElements()} weights")
+    val bestA = Array.fill(numHashes)(Double.PositiveInfinity)
+    val bestKey = new Array[Long](numHashes)
+    var i = 0
+    while (i < n) {
+      val x = hs.getLong(i)
+      val w = ws.getLong(i)
+      if (w > 0L) {
+        val lnW = math.log(w.toDouble)
+        var j = 0
+        while (j < numHashes) {
+          // five independent uniforms from (x, j, m)
+          val base = mix64(x ^ (j.toLong * Golden))
+          val u1 = unit(mix64(base + 1L))
+          val u2 = unit(mix64(base + 2L))
+          val u3 = unit(mix64(base + 3L))
+          val u4 = unit(mix64(base + 4L))
+          val u5 = unit(mix64(base + 5L))
+          val r = -math.log(u1 * u2)
+          val c = -math.log(u3 * u4)
+          val t = math.floor(lnW / r + u5)
+          val lnA = math.log(c) - r * (t - u5) - r
+          if (lnA < bestA(j)) {
+            bestA(j) = lnA
+            bestKey(j) = mix64(x ^ (java.lang.Double.doubleToLongBits(t) *
+              Golden))
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(bestKey)
+  }
+}

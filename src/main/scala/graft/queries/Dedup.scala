@@ -343,6 +343,36 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("text"), col("n_chars"))
   }
 
+  /** Weighted-MinHash gate (q289): ICWS-banded tf-weighted near-dup
+    * pairs ([[graft.dedup.WeightedMinHash.pairs]]) at J_w ≥ 7/10 over
+    * a fixture that separates the WEIGHTED metric from the set one:
+    * every doc ≡0 (mod 10) gets an APPENDED-TAIL copy (id+1e6 — tf
+    * nearly identical, J_w ≈ 0.9, MUST pair) and a DOUBLED copy
+    * (id+2e6 — same shingle SET but every tf doubled, J_w ≈ 0.5,
+    * must NOT pair even though set-jaccard is ≈ 1). Candidates verify
+    * with the integer rule m·10 ≥ 7·(sa+sb−m), so the output equals
+    * DuckDB's brute-force exact-J_w pair set up to astronomically
+    * unlikely banding misses (planted pairs sit at J_w ≈ 0.9: miss
+    * ~1e-15 under 32×4 banding — the q33 argument) and 64-bit
+    * shingle-hash collisions (the q127 trade).
+    */
+  def weightedMinHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" "), substring(col("text"), 1, 40))
+            .as("text")))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+    // 43 bands x 3 rows: the fixture has NATURAL pairs just above the
+    // 0.7 threshold (J_w 0.72 at sf0.01), where 32x4 banding would
+    // miss with p ~ 5e-5; at 43x3 the miss is ~1e-8 at J = 0.70 and
+    // the candidate inflation is verified away exactly.
+    WeightedMinHash.pairs(planted, bands = 43, rowsPerBand = 3)
+  }
+
   /** Config-surface gate for the secrets/FIM/rouge stages (q284):
     * `secrets_scrub` → `rouge_dedup` (maxTokens 16 against a pool
     * parquet of the q282 instruction heads) → `fim` as one JSON stage
@@ -774,6 +804,7 @@ object Dedup extends QueryPack {
     "q71_embedding_lsh_gate" -> embeddingLshGate _,
     "q77_neardup_clusters" -> nearDupClusters _,
     "q285_soft_dedup" -> softDedupWeights _,
+    "q289_weighted_minhash" -> weightedMinHashPairs _,
     "q127_exact_substring" -> exactSubstring _,
     "q136_semdedup_gate" -> semdedupGate _,
   )
@@ -1489,6 +1520,44 @@ object Dedup extends QueryPack {
         |      ORDER BY doc_id % 17 DESC, doc_id) AS rn
         |  FROM lab)
         |SELECT doc_id, cluster_id, quality FROM r WHERE rn = 1""".stripMargin,
+    "q289_weighted_minhash" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' ' || substr(text, 1, 40)
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' ' || text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    [t for t in string_split_regex(lower(text), '[^a-z0-9]+') if t <> ''] AS tokens
+        |  FROM raw),
+        |sh AS (
+        |  SELECT doc_id,
+        |    [array_to_string(tokens[i:i+2], ' ')
+        |     for i in range(1, len(tokens) - 1)] AS shingles
+        |  FROM toks WHERE len(tokens) >= 3),
+        |tf AS (
+        |  SELECT doc_id, s, count(*) AS f
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |  GROUP BY doc_id, s),
+        |tot AS (SELECT doc_id, sum(f) AS sw FROM tf GROUP BY doc_id),
+        |com AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(least(a.f, b.f)) AS m
+        |  FROM tf a JOIN tf b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(c.m AS BIGINT) AS common_mass,
+        |  CAST(ta.sw AS BIGINT) AS sa,
+        |  CAST(tb.sw AS BIGINT) AS sb,
+        |  CAST(c.m AS DOUBLE) / (ta.sw + tb.sw - c.m) AS weighted_jaccard
+        |FROM com c
+        |JOIN tot ta ON ta.doc_id = c.doc_a
+        |JOIN tot tb ON tb.doc_id = c.doc_b
+        |WHERE ta.sw + tb.sw - c.m > 0
+        |  AND c.m * 10 >= 7 * (ta.sw + tb.sw - c.m)""".stripMargin,
     "q285_soft_dedup" ->
       """WITH RECURSIVE u AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),

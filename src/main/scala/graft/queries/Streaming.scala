@@ -175,6 +175,63 @@ object Streaming extends QueryPack {
     out.select(col("view_id"), col("click_id"))
   }
 
+  /** Full-outer stream-stream join gate (q288): the q130 funnel with
+    * BOTH drop-off directions — views with no click in 30 minutes
+    * (null click_id) AND clicks with no view in the preceding 30
+    * minutes (null view_id, the orphan-attribution audit) —
+    * [[graft.streaming.StreamJoin.intervalFullOuter]]. Output is
+    * restricted to rows decidable at stream end under the
+    * conservative global watermark (min of both sides' max event
+    * times, the q130 move): matches always; a view's null once
+    * `v_ts + 30min < wm`; a click's null once `c_ts < wm` (no view
+    * arriving after the watermark can reach back into its window).
+    * Spark's stream-end watermark is ≥ this wm, so the filter selects
+    * a provably-emitted subset; DuckDB's batch FULL OUTER join under
+    * the identical restriction is the oracle.
+    */
+  def streamFullOuterJoin(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.eventsRawSchema(s, dir)
+    val src = Tables.normalizeEventsTs(s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")) // glob: see streamingDedupGate
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val joined = graft.streaming.StreamJoin.intervalFullOuter(
+      views, "v_ts", clicks, "c_ts", "user_id", "c_user",
+      within = "30 minutes", delay = "0 seconds")
+    val name = s"q288_stream_full_outer_${math.abs(dir.hashCode).toString}"
+    val q = joined.select(col("view_id"), col("v_ts"), col("c_ts"),
+        col("click_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ev = Tables.events(s, dir)
+    val maxV = ev.filter(col("event_type") === "view")
+      .agg(org.apache.spark.sql.functions.max(col("ts")))
+      .collect()(0).getTimestamp(0)
+    val maxC = ev.filter(col("event_type") === "click")
+      .agg(org.apache.spark.sql.functions.max(col("ts")))
+      .collect()(0).getTimestamp(0)
+    val wm = if (maxV.before(maxC)) maxV else maxC
+    val out = s.table(name).filter(
+      (col("view_id").isNotNull && col("click_id").isNotNull) ||
+      (col("click_id").isNull &&
+        col("v_ts") + expr("interval 30 minutes") < lit(wm)) ||
+      (col("view_id").isNull && col("c_ts") < lit(wm)))
+    require(out.filter(col("click_id").isNull).count() > 0,
+      "no view-side drop-off rows; the full-outer join is vacuous here")
+    require(out.filter(col("view_id").isNull).count() > 0,
+      "no orphan-click rows; the full-outer join is vacuous here")
+    out.select(col("view_id"), col("click_id"))
+  }
+
   /** Streaming session-window gate (q137): the events table replayed as
     * a file stream and sessionized with Spark's NATIVE `session_window`
     * aggregation ([[EventSessions.sessionWindows]]) — watermarked,
@@ -299,6 +356,7 @@ object Streaming extends QueryPack {
     "q88_streaming_dedup_keys" -> streamingDedupKeysGate _,
     "q110_stream_join" -> streamStreamJoin _,
     "q130_stream_outer_join" -> streamOuterJoin _,
+    "q288_stream_full_outer_join" -> streamFullOuterJoin _,
     "q137_stream_sessions" -> streamSessionWindows _,
     "q115_stream_rate_limit" -> streamRateLimit _,
     "q151_stream_moments" -> streamMoments _,
@@ -572,6 +630,26 @@ object Streaming extends QueryPack {
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts
         | AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "q288_stream_full_outer_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS v_ts, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT least((SELECT max(v_ts) FROM v),
+        |               (SELECT max(c_ts) FROM c)) AS w),
+        |j AS (
+        |  SELECT v.view_id, v.v_ts, c.c_ts, c.click_id
+        |  FROM v FULL OUTER JOIN c ON v.user_id = c.c_user
+        |    AND c.c_ts >= v.v_ts
+        |    AND c.c_ts <= v.v_ts + INTERVAL 30 MINUTE)
+        |SELECT view_id, click_id
+        |FROM j, wm
+        |WHERE (view_id IS NOT NULL AND click_id IS NOT NULL)
+        |   OR (click_id IS NULL AND v_ts + INTERVAL 30 MINUTE < wm.w)
+        |   OR (view_id IS NULL AND c_ts < wm.w)""".stripMargin,
     "q130_stream_outer_join" ->
       """WITH v AS (
         |  SELECT user_id, ts AS v_ts, event_id AS view_id

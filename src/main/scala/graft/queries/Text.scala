@@ -2335,7 +2335,36 @@ object Text extends QueryPack {
       .select(col("doc_id"), col("lang"), col("ppl"),
         round(col("pct"), 9).as("pct"), col("bucket"))
 
+  /** Memorization-rate gate (q290):
+    * [[graft.text.Decontaminate.memorizationRate]] at n = 5 over
+    * three planted generation modes — verbatim document spans (rate
+    * must be exactly 1.0), half-copied/half-novel (seam grams novel,
+    * interior grams memorized — exact mixed ratios), and fully novel
+    * salted tokens (rate exactly 0.0). Counts are distinct-gram
+    * integers, rate one exact division; the oracle replays the gram
+    * tables on shingle STRINGS, no hashing anywhere.
+    */
+  def memorizationGate(s: SparkSession, dir: String): DataFrame = {
+    val toksrc = Tables.documents(s, dir).select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("t"))
+    def novel(count: Int) = concat_ws(" ",
+      transform(sequence(lit(1), lit(count)),
+        j => concat(lit("nv"), col("doc_id").cast("string"), lit("x"),
+          j.cast("string"))))
+    val gens = toksrc.select(col("doc_id").as("gen_id"),
+      when(col("doc_id") % 3 === 0,
+        concat_ws(" ", slice(col("t"), 5, 20)))
+        .when(col("doc_id") % 3 === 1,
+          concat_ws(" ", concat_ws(" ", slice(col("t"), 5, 10)),
+            novel(10)))
+        .otherwise(novel(20)).as("text"))
+    graft.text.Decontaminate.memorizationRate(gens,
+      Tables.documents(s, dir), n = 5, idCol = "gen_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_memorization_rate" -> memorizationGate _,
     "q286_collocations" -> collocationsGate _,
     "q287_ccnet_buckets" -> ccnetBucketsGate _,
     "q282_instruction_dedup" -> instructionDedupGate _,
@@ -2519,6 +2548,40 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q290_memorization_rate" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |gens AS (
+        |  SELECT doc_id AS gen_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN array_to_string(t[5:24], ' ')
+        |      WHEN 1 THEN array_to_string(t[5:14], ' ') || ' ' ||
+        |        array_to_string([('nv' || CAST(doc_id AS VARCHAR) || 'x' ||
+        |          CAST(j AS VARCHAR)) for j in range(1, 11)], ' ')
+        |      ELSE array_to_string([('nv' || CAST(doc_id AS VARCHAR) || 'x' ||
+        |        CAST(j AS VARCHAR)) for j in range(1, 21)], ' ')
+        |    END AS text
+        |  FROM toksrc),
+        |gentoks AS (
+        |  SELECT gen_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS gt
+        |  FROM gens),
+        |cg AS (
+        |  SELECT DISTINCT unnest([array_to_string(t[i:i+4], ' ')
+        |    for i in range(1, len(t) - 3)]) AS gram
+        |  FROM toksrc WHERE len(t) >= 5),
+        |gg AS (
+        |  SELECT gen_id, unnest(list_distinct([array_to_string(gt[i:i+4], ' ')
+        |    for i in range(1, len(gt) - 3)])) AS gram
+        |  FROM gentoks WHERE len(gt) >= 5)
+        |SELECT gg.gen_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_memorized,
+        |  CAST(sum(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS memorization_rate
+        |FROM gg LEFT JOIN cg ON cg.gram = gg.gram
+        |GROUP BY gg.gen_id""".stripMargin,
     "q286_collocations" ->
       """WITH toks AS (
         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t

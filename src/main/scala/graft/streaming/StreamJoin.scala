@@ -37,6 +37,21 @@ object StreamJoin {
     joined(left, leftTs, right, rightTs, keyLeft, keyRight, within,
       delay, "left_outer")
 
+  /** FULL OUTER interval join — both drop-off directions at once:
+    * views that got no click AND clicks with no preceding view (the
+    * orphan-event audit: attribution rows whose impression was lost
+    * upstream). Unmatched LEFT rows emit null-right once the watermark
+    * passes `leftTs + within`; unmatched RIGHT rows emit null-left
+    * once it passes `rightTs` (no future left row can reach back —
+    * future `leftTs` > watermark ≥ `rightTs` is outside the window).
+    * Same O(rate × window) state bound as the inner form.
+    */
+  def intervalFullOuter(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, keyLeft: String, keyRight: String,
+      within: String, delay: String = "1 hour"): DataFrame =
+    joined(left, leftTs, right, rightTs, keyLeft, keyRight, within,
+      delay, "full_outer")
+
   private def joined(left: DataFrame, leftTs: String, right: DataFrame,
       rightTs: String, keyLeft: String, keyRight: String,
       within: String, delay: String, how: String): DataFrame = {

@@ -51,6 +51,50 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** MEMORIZATION RATE — the reverse-direction audit (Carlini et al.:
+    * "how much of what the model emits is copied from training
+    * data?"): for each GENERATION, the fraction of its distinct word
+    * `n`-grams that occur anywhere in the training corpus. [[flag]]
+    * protects benchmarks from the corpus; this scores model OUTPUT
+    * against the corpus — the eval a data pipeline runs after
+    * training to check that dedup/decontamination actually reduced
+    * verbatim regurgitation.
+    *
+    * Scale shape is the [[flag]] mirror: generations are eval-sized,
+    * so their DISTINCT grams broadcast and the corpus streams through
+    * ONE narrow shingle scan + hash semi-join — the 100 TB corpus is
+    * never shuffled, never collected. Gram matching is on exact
+    * shingle STRINGS (no hash-collision caveat).
+    *
+    * @return (idCol, n_grams, n_memorized, memorization_rate) per
+    *         generation with ≥ 1 n-gram (shorter generations have no
+    *         n-gram evidence and are omitted, the [[flag]] contract);
+    *         rate = n_memorized / n_grams over DISTINCT grams.
+    */
+  def memorizationRate(gens: DataFrame, corpus: DataFrame, n: Int = 13,
+      idCol: String = "gen_id", textCol: String = "text",
+      corpusTextCol: String = "text"): DataFrame = {
+    val genGrams = TextShingles
+      .shingleDf(gens.select(col(idCol), col(textCol).as("text")),
+        n, idCol, "text")
+      .select(col(idCol), explode(col("shingles")).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wanted = genGrams.select(col("gram")).distinct()
+    val hits = TextShingles
+      .shingleDf(corpus.select(lit(0L).as("doc_id"),
+        col(corpusTextCol).as("text")), n, "doc_id", "text")
+      .select(explode(col("shingles")).as("gram"))
+      .join(broadcast(wanted), "gram")
+      .select(col("gram")).distinct()
+    genGrams
+      .join(hits.withColumn("__hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_memorized"))
+      .withColumn("memorization_rate",
+        col("n_memorized").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** The corpus with contaminated documents REMOVED (anti-join against
     * [[flag]]'s ids — AQE broadcasts the flagged side when it is small,
     * which it normally is) — the shape a curation pipeline composes

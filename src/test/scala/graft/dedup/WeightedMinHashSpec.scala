@@ -1,0 +1,78 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ICWS weighted MinHash (q289's operator). */
+class WeightedMinHashSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("tfTable keeps shingle multiplicity, sorted and summed") {
+    val docs = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    // 3-grams: abc bca cab abc bca cab abc -> abc x3, bca x2, cab x2
+    val r = WeightedMinHash.tfTable(docs)
+      .select($"doc_id", $"fs", $"sumw")
+      .as[(Long, Seq[Long], Long)].head()
+    assert(r._3 === 7L)
+    assert(r._2.sorted.reverse === Seq(3L, 2L, 2L))
+  }
+
+  test("icws slot-agreement rate approximates weighted jaccard") {
+    import graft.functions.GraftFunctions
+    val k = 512
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(2L, 2L, 2L, 2L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(4L, 4L, 4L, 4L)) // doubled weights
+    ).toDF("hs", "fs")
+      .withColumn("sig",
+        GraftFunctions.icwsSignature(graft.SparkSpec.spark,
+          $"hs", $"fs", k))
+    val sigs = df.select($"sig").as[Seq[Long]].collect()
+    val agree = sigs(0).zip(sigs(1)).count(p => p._1 == p._2).toDouble / k
+    // true J_w = sum min / sum max = 8/16 = 0.5; binomial sd ~ 0.022
+    assert(math.abs(agree - 0.5) < 0.08, s"agreement $agree")
+    // identical inputs agree on every slot
+    val same = df.limit(1).select($"sig").as[Seq[Long]].collect()(0)
+    assert(same === sigs(0))
+  }
+
+  test("pairs: appended tail pairs, doubled text does not") {
+    val body = (1 to 40).map(i => s"w${i % 13} t${i % 7}").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, body + " extra tail words here"), // J_w ~ 0.9 -> pair
+      (3L, body + " " + body),               // doubled -> J_w ~ 0.5
+      (4L, "completely different content x y z q r s t u v w")
+    ).toDF("doc_id", "text")
+    val got = WeightedMinHash.pairs(docs)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("verification equals brute-force exact weighted jaccard") {
+    val docs = (0L until 30L).map { i =>
+      (i, (0 until 30).map(j => s"tok${(i * 7 + j * j) % 11}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = WeightedMinHash.pairs(docs, bands = 43, rowsPerBand = 3)
+      .select($"doc_a", $"doc_b", $"common_mass", $"sa", $"sb")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // brute force over the tf tables
+    val tf = WeightedMinHash.tfTable(docs)
+      .select($"doc_id", $"hs", $"fs", $"sumw")
+      .as[(Long, Seq[Long], Seq[Long], Long)].collect()
+    val brute = (for {
+      a <- tf; b <- tf if a._1 < b._1
+      am = a._2.zip(a._3).toMap
+      bm = b._2.zip(b._3).toMap
+      // iterator, not .keys.map: a Set.map would collapse equal minima
+      m = am.iterator
+        .map { case (kk, fa) => math.min(fa, bm.getOrElse(kk, 0L)) }.sum
+      if a._4 + b._4 - m > 0 && m * 10 >= 7 * (a._4 + b._4 - m)
+    } yield (a._1, b._1, m, a._4, b._4)).toSet
+    assert(got === brute)
+  }
+}

@@ -46,8 +46,20 @@ class CurationPipelineSpec extends SparkSpec {
     val lsh = run("lsh")
     val prefix = run("prefix")
     assert(lsh.exceptAll(prefix).isEmpty && prefix.exceptAll(lsh).isEmpty)
+    // weighted = the q289 ICWS join at num/den 600/1000, keepers via
+    // the same component step — pinned to the direct code path
+    val weighted = run("weighted")
+    val wPairs = graft.dedup.WeightedMinHash
+      .pairs(docs, thresholdNum = 600, thresholdDen = 1000)
+      .select($"doc_a", $"doc_b")
+    val wKeep = docs.join(
+      graft.dedup.NearDupClusters.clusters(docs.select($"doc_id"), wPairs)
+        .filter($"is_keeper").select($"doc_id"),
+      Seq("doc_id"), "left_semi").select($"doc_id")
+    assert(weighted.exceptAll(wKeep).isEmpty &&
+      wKeep.exceptAll(weighted).isEmpty)
     val e = intercept[IllegalArgumentException] { run("simhashish") }
-    assert(e.getMessage.contains("lsh or prefix"))
+    assert(e.getMessage.contains("lsh, prefix or weighted"))
   }
 
   test("cap and mix stages compose after the dedup family") {

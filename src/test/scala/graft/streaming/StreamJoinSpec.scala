@@ -103,6 +103,63 @@ class StreamJoinSpec extends SparkSpec {
     assert(bNull.exceptAll(sNull).isEmpty)
   }
 
+  test("full-outer streamed funnel equals batch full join on closed windows") {
+    val dir = sf
+    val schema = Tables.eventsRawSchema(spark, dir)
+    val src = Tables.normalizeEventsTs(spark.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val q = StreamJoin.intervalFullOuter(views, "v_ts", clicks, "c_ts",
+        "user_id", "c_user", within = "30 minutes", delay = "0 seconds")
+      .select(col("view_id"), col("v_ts"), col("c_ts"), col("click_id"))
+      .writeStream.format("memory").queryName("sj_full")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sj_full")
+
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val batch = v.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("interval 30 minutes"),
+        "full_outer")
+      .select(col("view_id"), col("v_ts"), col("c_ts"), col("click_id"))
+
+    // matched rows exact on the full set
+    def matched(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("view_id").isNotNull && col("click_id").isNotNull)
+    assert(matched(streamed).exceptAll(matched(batch)).isEmpty)
+    assert(matched(batch).exceptAll(matched(streamed)).isEmpty)
+    // decidable nulls on BOTH sides, under the q130 conservative
+    // global watermark (min of per-side max event times, delay 0)
+    val maxV = ev.filter(col("event_type") === "view")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val maxC = ev.filter(col("event_type") === "click")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val wm = if (maxV.before(maxC)) maxV else maxC
+    val vClosed = col("click_id").isNull &&
+      col("v_ts") + expr("interval 30 minutes") < lit(wm)
+    val cClosed = col("view_id").isNull && col("c_ts") < lit(wm)
+    Seq(vClosed, cClosed).foreach { pred =>
+      val sN = streamed.filter(pred)
+      val bN = batch.filter(pred)
+      assert(sN.count() > 0, "no closed-window null rows; vacuous test")
+      assert(sN.exceptAll(bN).isEmpty)
+      assert(bN.exceptAll(sN).isEmpty)
+    }
+  }
+
   test("the plan is the stateful symmetric hash join") {
     val schema = Tables.eventsRawSchema(spark, sf)
     val src = Tables.normalizeEventsTs(spark.readStream.schema(schema)

@@ -1,0 +1,47 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Memorization-rate audit (q290's operator). */
+class MemorizationSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "pack my box with five dozen liquor jugs today friend")
+  ).toDF("doc_id", "text")
+
+  test("verbatim spans rate 1, novel text rate 0, mixed exact") {
+    val gens = Seq(
+      (10L, "quick brown fox jumps over the lazy"), // verbatim span
+      (11L, "completely unrelated words appear here now"), // novel
+      // 3-token seam: grams crossing copied->novel are unmemorized
+      (12L, "the quick brown fox jumps nope never seen")
+    ).toDF("gen_id", "text")
+    val r = Decontaminate.memorizationRate(gens, corpus, n = 3,
+        idCol = "gen_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(10L) === ((5L, 5L, 1.0)))
+    assert(r(11L) === ((4L, 0L, 0.0)))
+    // gen 12: 6 grams, memorized = the 3 fully inside the copied
+    // 5-token prefix
+    assert(r(12L) === ((6L, 3L, 0.5)))
+  }
+
+  test("generations shorter than n are omitted; dup grams count once") {
+    val gens = Seq(
+      (20L, "too short"),
+      (21L, "lazy dog tonight and lazy dog tonight") // dup gram
+    ).toDF("gen_id", "text")
+    val r = Decontaminate.memorizationRate(gens, corpus, n = 3,
+        idCol = "gen_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(!r.contains(20L))
+    // distinct grams of 21: "lazy dog tonight", "dog tonight and",
+    // "tonight and lazy", "and lazy dog" -> 4, memorized 1
+    assert(r(21L) === ((4L, 1L)))
+  }
+}
