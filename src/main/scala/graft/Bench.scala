@@ -49,7 +49,10 @@ object Bench {
     // q284 = three chained stages incl. the rouge pair verify; q289
     // tf table + 129-slot ICWS + banded join)
     "q283_hits", "q284_config_secrets_fim_rouge",
-    "q289_weighted_minhash")
+    "q289_weighted_minhash",
+    // r13b steadies past the 3 s adaptive-refork line: skip the
+    // wasted shared pass
+    "q282_instruction_dedup", "q286_collocations", "q287_ccnet_buckets")
 
   /** Streaming/stateful gates: never forked (their cost is micro-batch
     * overhead, not JVM contention) and exempt from adaptive re-forking.

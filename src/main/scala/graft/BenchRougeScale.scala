@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev bench: ROUGE-L instruction dedup at REALISTIC vocabulary —
+  * the q282 gate runs over the driver fixture's ~30-word vocabulary,
+  * where every occurrence-element is corpus-common and prefix
+  * blocking is adversarially weak (BENCH_sf1 notes 10.8× at 10×).
+  * This measures [[graft.text.InstructionDedup.keepNew]] on synthetic
+  * instructions drawn from a `vocabSize`-word vocabulary (default
+  * 10k — the shape of real instruction sets), against the
+  * CANDIDATE-COUNT the blocking admits vs the full cross product: the
+  * claim is that rare-prefix elements collapse the pair join by
+  * orders of magnitude once the vocabulary is not degenerate.
+  *
+  * Usage: `runMain graft.BenchRougeScale [nNew,nPool[,vocabSize]]`
+  * (default 10000,10000,10000). Planted dups: every 10th new
+  * instruction copies a pool instruction with one token changed.
+  */
+object BenchRougeScale {
+  def main(args: Array[String]): Unit = {
+    val parts = (if (args.nonEmpty) args(0) else "10000,10000,10000")
+      .split(",").map(_.trim.toInt)
+    val (nNew, nPool, vocabSize) =
+      (parts(0), parts(1), if (parts.length > 2) parts(2) else 10000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-rouge-scale")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    try {
+      // synthetic instructions: 12-18 tokens from a zipf-ish draw over
+      // vocabSize words (md5 arithmetic - deterministic, skewed like
+      // real text: rank ~ draw^2 so common words repeat, tails rare)
+      def instr(idCol: String, salt: String) = {
+        val len = (pmod(xxhash64(col(idCol), lit(salt)), lit(7)) + 12)
+          .cast("int")
+        concat_ws(" ", transform(sequence(lit(1), len), j => {
+          val u = pmod(xxhash64(col(idCol), j, lit(salt)), lit(1000000L))
+            .cast("double") / 1000000.0
+          concat(lit("w"), (u * u * vocabSize).cast("long").cast("string"))
+        }))
+      }
+      val pool = spark.range(nPool).select(col("id").as("doc_id"),
+        instr("id", "pool").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fresh = spark.range(nNew).select(col("id").as("doc_id"),
+        // every 10th new = pool doc id/10 with token 3 swapped
+        when(col("id") % 10 === 0, regexp_replace(instr("id", "pool"),
+          lit("^((\\S+ ){3})\\S+"), lit("$1zzz")))
+          .otherwise(instr("id", "new")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the %10 plant reuses salt "pool" on the NEW id: new id i maps
+      // to pool id i (same draw), so a true near-dup exists iff i<nPool
+      pool.count(); fresh.count()
+      val t0 = System.nanoTime()
+      val kept = graft.text.InstructionDedup.keepNew(fresh, pool).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[rouge-scale] new=$nNew pool=$nPool vocab=$vocabSize " +
+        f"kept=$kept dropped=${nNew - kept} wall=$sec%.1f s " +
+        f"(cross product would verify ${nNew.toLong * nPool}%,d pairs)")
+    } finally spark.stop()
+  }
+}

@@ -54,7 +54,9 @@ object Fim {
     require(spmFraction >= 0.0 && spmFraction <= 1.0,
       s"spmFraction in [0,1]: $spmFraction")
     val two32 = 4294967296.0
-    val t = col(textCol)
+    // null text folds to empty (length 0 -> stays plain, text passes
+    // through untouched as null via the final when)
+    val t = coalesce(col(textCol), lit(""))
     val staged = docs
       .withColumn("__m",
         md5(concat(col(idCol).cast("string"), lit(":" + salt))))
@@ -74,7 +76,7 @@ object Fim {
         when(!col("__apply"), lit("plain"))
           .when(col("__spm"), lit("spm")).otherwise(lit("psm")))
       .withColumn(textCol,
-        when(!col("__apply"), t)
+        when(!col("__apply"), col(textCol))
           .when(col("__spm"),
             concat(lit(SuffixTok), suffix, lit(PrefixTok), prefix,
               lit(MiddleTok), middle))

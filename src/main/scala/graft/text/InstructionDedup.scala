@@ -59,9 +59,10 @@ object InstructionDedup {
     val m = 2 * den - num
     val spark = newDocs.sparkSession
 
+    // null text folds to empty (zero tokens -> kept, can never dup)
     def tokens(df: DataFrame): DataFrame = df.select(
       col(idCol).as("id"),
-      slice(regexp_extract_all(lower(col(textCol)),
+      slice(regexp_extract_all(lower(coalesce(col(textCol), lit(""))),
         lit("[a-z0-9]+"), lit(0)), 1, maxTokens).as("toks"))
       .withColumn("n", size(col("toks")))
 

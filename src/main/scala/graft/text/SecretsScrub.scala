@@ -92,7 +92,10 @@ object SecretsScrub {
     require(minEntropy >= 0.0, s"minEntropy must be >= 0: $minEntropy")
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
-    val t = col(textCol)
+    // null text folds to empty for detection (the pipeline null
+    // convention): zero counts, text passes through as null
+    val t = coalesce(col(textCol), lit(""))
+    val wasNull = col(textCol).isNull
     val stage = docs
       .withColumn("n_aws_keys",
         size(regexp_extract_all(t, lit(AwsKeyRe), lit(0))))
@@ -111,8 +114,9 @@ object SecretsScrub {
       .withColumn("n_low_entropy_kept",
         size(col("__vals")) - size(col("__hi")))
       .withColumn(textCol,
-        aggregate(col("__hi"), col("__t3"),
-          (acc, v) => replace(acc, v, lit(KeySentinel))))
+        when(wasNull, lit(null).cast("string"))
+          .otherwise(aggregate(col("__hi"), col("__t3"),
+            (acc, v) => replace(acc, v, lit(KeySentinel)))))
       .drop("__t3", "__vals", "__hi")
   }
 }

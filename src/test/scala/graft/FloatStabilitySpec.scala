@@ -119,7 +119,15 @@ class FloatStabilitySpec extends SparkSpec {
     "q268_quantile_normalize",   // rank-count ratios per (group, score)
     "q269_robust_z",             // interpolated medians at two levels
     "q274_matryoshka_truncate",  // retained = cosine of 64-dim fold
-    "q276_best_of_n")            // top-n ranking on integer-derived scores
+    "q276_best_of_n",            // top-n ranking on integer-derived scores
+    "q283_hits",                 // 10 normalized rounds of double sums,
+                                 // round 9 - the q209 risk shape
+    "q285_soft_dedup",           // weight = one exact 1/size division
+    "q286_collocations",         // pmi: fixed-order expr over exact ints
+    "q287_ccnet_buckets",        // ppl sums round(9) feed rank grouping
+                                 // AND tercile booleans
+    "q289_weighted_minhash",     // jaccard = one exact integer division
+    "q290_memorization_rate")    // rate = one exact integer division
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

@@ -60,6 +60,15 @@ class FimSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("null text stays plain and null") {
+    val withNull = Seq((1L, Option("some body here")), (2L, None))
+      .toDF("doc_id", "text")
+    val r = Fim.transform(withNull, rate = 1.0)
+      .as[(Long, Option[String], String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(2L) === ((None, "plain")))
+  }
+
   test("both modes and plain all occur at the defaults") {
     val modes = Fim.transform(docs)
       .select("fim_mode").as[String].collect().toSet

@@ -38,6 +38,15 @@ class InstructionDedupSpec extends SparkSpec {
     assert(kept.contains(5L))
   }
 
+  test("null text folds to empty: kept, never a dup") {
+    val p = Seq((100L, Option("write a short poem"))).toDF("doc_id", "text")
+    val nw = Seq((1L, None: Option[String]),
+      (2L, Option("write a short poem"))).toDF("doc_id", "text")
+    val kept = InstructionDedup.keepNew(nw, p)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
   test("threshold is inclusive via exact integer arithmetic") {
     // c = 10, r = 10, L = 7: 20*7 = 140 >= 7*20 = 140 -> qualifies
     val p = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")

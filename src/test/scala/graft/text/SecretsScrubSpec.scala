@@ -60,6 +60,17 @@ class SecretsScrubSpec extends SparkSpec {
     assert(r(7L) === ((0, 0, 0, 1, 0)))
   }
 
+  test("null text passes through null with zero counts") {
+    val withNull = Seq((1L, Option("plain")), (2L, None))
+      .toDF("doc_id", "text")
+    val r = SecretsScrub.report(withNull)
+      .select($"doc_id", $"text", $"n_named_secrets")
+      .as[(Long, Option[String], Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(2L) === ((None, 0)))
+    assert(r(1L) === ((Some("plain"), 0)))
+  }
+
   test("entropy expression: exact values on uniform histograms") {
     import graft.functions.ShannonEntropy
     import org.apache.spark.unsafe.types.UTF8String
