@@ -593,7 +593,54 @@ object Similarity extends QueryPack {
           .as("recall_ok"))
   }
 
+  /** ICP semantic-order gate (q291):
+    * [[graft.similarity.SemanticOrder.mortonKeys]] over the embeddings
+    * table (8 dims × 7 bits = 56-bit keys) — per-dimension bounds are
+    * min/max (no
+    * float summation), quantization a fixed-order expression over
+    * identical doubles, the interleave pure integer shifts, so every
+    * KEY hash-matches a DuckDB replay exactly. The ordering QUALITY
+    * (adjacent-by-z cosine beats a random shuffle) is spec-pinned in
+    * SemanticOrderSpec — approximate by design, exact by arithmetic.
+    */
+  def semanticOrderGate(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.SemanticOrder.mortonKeys(Tables.embeddings(s, dir))
+
+  /** The q291 oracle: same bounds/quantize/interleave, generated from
+    * one template so the 64 shift terms cannot drift from the Spark
+    * side. */
+  private def semanticOrderSql: String = {
+    val dims = 8
+    val bits = 7
+    val maxQ = (1 << bits) - 1
+    val boundCols = (1 to dims).map(i =>
+      s"min(embedding[$i]) AS mn$i, max(embedding[$i]) AS mx$i")
+      .mkString(",\n  ")
+    val qCols = (1 to dims).map(i =>
+      s"""CASE WHEN mx$i = mn$i THEN 0
+         |      ELSE least($maxQ, greatest(0, CAST(floor(
+         |        (CAST(embedding[$i] AS DOUBLE) - CAST(mn$i AS DOUBLE)) /
+         |        (CAST(mx$i AS DOUBLE) - CAST(mn$i AS DOUBLE)) * $maxQ)
+         |        AS BIGINT))) END AS q$i""".stripMargin)
+      .mkString(",\n  ")
+    val terms = (0 until dims * bits).map { k =>
+      val i = k % dims + 1
+      val b = k / dims
+      s"(((q$i >> $b) & 1) << $k)"
+    }.mkString(" +\n  ")
+    s"""WITH b AS (SELECT
+       |  $boundCols
+       |  FROM embeddings),
+       |q AS (SELECT vec_id,
+       |  $qCols
+       |  FROM embeddings CROSS JOIN b)
+       |SELECT vec_id,
+       |  CAST($terms AS BIGINT) AS z
+       |FROM q""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_semantic_order" -> semanticOrderGate _,
     "q274_matryoshka_truncate" -> truncationGate _,
     "q275_matryoshka_recall" -> matryoshkaRecall _,
     "q221_bitext_ivf_recall" -> bitextIvfRecall _,
@@ -670,6 +717,7 @@ object Similarity extends QueryPack {
       |WHERE sc.margin >= 1.0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q291_semantic_order" -> semanticOrderSql,
     "q274_matryoshka_truncate" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x

@@ -1,0 +1,70 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-context-pretraining document ordering (Shi et al. 2023, "In-
+  * Context Pretraining") — order the training stream so consecutive
+  * documents in a context window are semantically RELATED: the model
+  * learns cross-document reasoning instead of hard attention resets
+  * at every boundary. The paper's greedy nearest-neighbor path is
+  * inherently sequential; the scalable declarative equivalent is a
+  * SPACE-FILLING-CURVE sort in embedding space — quantize the leading
+  * dimensions and interleave their bits into one Morton key (the
+  * [[graft.lake.ZOrder]] idea applied to rows instead of file stats):
+  * near keys ⇒ near in every quantized dimension ⇒ high cosine for
+  * unit embeddings. At 100 TB the whole ordering is ONE
+  * `repartitionByRange(z)` + `sortWithinPartitions(z)` — no iterative
+  * chaining, no driver state.
+  *
+  * Exactness: per-dimension min/max come from one aggregate pass
+  * (no summation — layout-independent); quantization and the 64-bit
+  * interleave are fixed-order integer/FP expressions a SQL oracle
+  * replays bit-for-bit, so the KEY is gate-checkable even though the
+  * ordering it induces is approximate by design (curve locality, not
+  * an exact TSP).
+  */
+object SemanticOrder {
+
+  /** (idCol, z) — the Morton key over the first `dims` embedding
+    * dimensions at `bits` bits each (dims·bits ≤ 63). Sort ascending
+    * by (z, idCol) to materialize the ICP stream; ties (identical
+    * quantized cells) break deterministically on the id.
+    */
+  def mortonKeys(embs: DataFrame, dims: Int = 8, bits: Int = 7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1 && bits >= 1 && dims * bits <= 63,
+      s"need dims*bits <= 63, got $dims*$bits")
+    val maxQ = (1 << bits) - 1
+    // per-dimension bounds: one pass, min/max only (no float sums)
+    val boundCols = (1 to dims).flatMap { i =>
+      Seq(min(element_at(col(vecCol), i)).as(s"mn$i"),
+        max(element_at(col(vecCol), i)).as(s"mx$i"))
+    }
+    val bounds = embs.agg(boundCols.head, boundCols.tail: _*)
+    val withQ = embs.crossJoin(broadcast(bounds))
+    // q_i = clamp(floor((x-mn)/(mx-mn) * maxQ)): degenerate dims
+    // (mx = mn) quantize to 0
+    def q(i: Int): Column = {
+      val x = element_at(col(vecCol), i).cast("double")
+      val mn = col(s"mn$i").cast("double")
+      val mx = col(s"mx$i").cast("double")
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(maxQ.toLong), greatest(lit(0L),
+          floor((x - mn) / (mx - mn) * maxQ).cast("long"))))
+    }
+    val qArr = array((1 to dims).map(q): _*)
+    // interleave: bit b of dim i lands at position b*dims + (i-1);
+    // unrolled at plan time into dims*bits shift-and-mask terms (all
+    // integer ops, codegen'd as one expression tree)
+    val z = (0 until dims * bits).map { k =>
+      val dim = k % dims // 0-based
+      val b = k / dims
+      shiftleft(
+        shiftright(element_at(col("__q"), dim + 1), b) % 2, k)
+    }.reduce(_ + _)
+    withQ.withColumn("__q", qArr)
+      .withColumn("z", z)
+      .select(col(idCol), col("z"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ICP semantic ordering via embedding-space Morton keys (q291). */
+class SemanticOrderSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  // 5 tight clusters of 40 vectors each, ids interleaved so id order
+  // is adversarial (consecutive ids are in DIFFERENT clusters)
+  private def clustered = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(5)(Array.fill(8)(rnd.nextGaussian()))
+      .map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        c.map(x => x / n)
+      }
+    (0 until 200).map { i =>
+      val c = centers(i % 5)
+      val v = c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map(p => p._1.toDouble * p._2).sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    dot / (na * nb)
+  }
+
+  test("z-order adjacency beats the interleaved id order on cosine") {
+    val vecs = clustered.as[(Long, Seq[Float])].collect().toMap
+    val byZ = SemanticOrder.mortonKeys(clustered)
+      .orderBy($"z", $"vec_id").select($"vec_id").as[Long].collect()
+    def adjCos(order: Seq[Long]): Double =
+      order.sliding(2).map(p => cos(vecs(p(0)), vecs(p(1)))).sum /
+        (order.length - 1)
+    val zScore = adjCos(byZ.toSeq)
+    val idScore = adjCos((0L until 200L).toSeq)
+    assert(zScore > idScore + 0.3,
+      s"z-order $zScore vs id-order $idScore - no semantic locality")
+    // tight clusters: z-order adjacency should be near within-cluster
+    assert(zScore > 0.8, s"adjacent cosine $zScore")
+  }
+
+  test("keys are deterministic and identical vectors collide") {
+    val dup = Seq(
+      (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),
+      (3L, Seq.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val ks = SemanticOrder.mortonKeys(dup)
+      .as[(Long, Long)].collect().toMap
+    assert(ks(1L) === ks(2L))
+    assert(ks(1L) !== ks(3L))
+    // the all-minimum corner quantizes to zero in every dim -> z = 0
+    assert(ks(3L) === 0L)
+    val again = SemanticOrder.mortonKeys(dup)
+      .as[(Long, Long)].collect().toMap
+    assert(again === ks)
+  }
+
+  test("parameter guard stays loud") {
+    intercept[IllegalArgumentException] {
+      SemanticOrder.mortonKeys(clustered, dims = 8, bits = 8)
+    }
+    ()
+  }
+}
