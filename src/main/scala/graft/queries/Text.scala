@@ -2363,7 +2363,20 @@ object Text extends QueryPack {
       Tables.documents(s, dir), n = 5, idCol = "gen_id")
   }
 
+  /** Dirichlet query-likelihood gate (q292):
+    * [[graft.text.QueryLikelihood.score]] with a REPEATED query term
+    * ("hash … hash") so the c(t,q) multiplicity weighting — the spot
+    * where QL differs from BM25's dedup — is exercised, μ = 2000.
+    * The oracle replays the sparse decomposition term-for-term over
+    * the q192 tf CTE; scores round(9) per the float-gate convention.
+    */
+  def queryLikelihoodGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.QueryLikelihood.score(Tables.documents(s, dir),
+        "hash join merge vector hash")
+      .select(col("doc_id"), round(col("ql"), 9).as("ql"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_query_likelihood" -> queryLikelihoodGate _,
     "q290_memorization_rate" -> memorizationGate _,
     "q286_collocations" -> collocationsGate _,
     "q287_ccnet_buckets" -> ccnetBucketsGate _,
@@ -2548,6 +2561,30 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q292_query_likelihood" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |            AS token
+        |        FROM documents)
+        |  GROUP BY token, doc_id),
+        |cf AS (SELECT token, sum(tf) AS cf FROM tf GROUP BY token),
+        |c AS (SELECT CAST(sum(cf) AS DOUBLE) AS c_total FROM cf),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |q(token, cq) AS (VALUES
+        |  ('hash', 2), ('join', 1), ('merge', 1), ('vector', 1)),
+        |sp AS (
+        |  SELECT tf.doc_id,
+        |    sum(q.cq * ln(1.0 + CAST(tf.tf AS DOUBLE) /
+        |      (2000.0 * (CAST(cf.cf AS DOUBLE) / c.c_total))))
+        |      AS sparse_part
+        |  FROM tf JOIN q USING (token) JOIN cf USING (token), c
+        |  GROUP BY tf.doc_id)
+        |SELECT sp.doc_id,
+        |  round(sp.sparse_part +
+        |    5.0 * ln(2000.0 / (dl.dl + 2000.0)), 9) AS ql
+        |FROM sp JOIN dl USING (doc_id)""".stripMargin,
     "q290_memorization_rate" ->
       """WITH toksrc AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t

@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+  * 2001) — the language-modeling counterpart of [[Bm25]], and the
+  * second of the two classic sparse scorers a retrieval stack ships:
+  *
+  *   score(q,d) = Σ_{t∈q} c(t,q) · ln( (tf(t,d) + μ·p(t|C)) / (|d| + μ) )
+  *
+  * evaluated in the SPARSE rank-equivalent decomposition (Zhai's
+  * eq. 6) so only matched postings enter the join:
+  *
+  *   score = Σ_{t∈q, tf>0} c(t,q) · ln(1 + tf(t,d)/(μ·p(t|C)))
+  *         + m·ln(μ/(|d| + μ))                    (m = query length)
+  *
+  * with p(t|C) = cf(t)/|C| the collection LM. Unlike [[Bm25]], QL
+  * weights query-term MULTIPLICITY (c(t,q)) and normalizes through
+  * the collection frequency rather than document frequency — the two
+  * scorers disagree exactly where smoothing matters, which is why
+  * rank fusion ([[graft.similarity.RankFusion]]) wants both.
+  *
+  * Plan shape = the [[Bm25.score]] shape: postings filtered to query
+  * terms (an IN-list on the token key), one doc-keyed aggregate for
+  * the sparse part, a doc-length join for the closed part; collection
+  * stats ride a one-row broadcast. Docs matching no query term are
+  * omitted (they all share the constant-per-length floor, the BM25
+  * convention).
+  */
+object QueryLikelihood {
+
+  /** (idCol, ql) for every document matching ≥ 1 query term. */
+  def score(docs: DataFrame, query: String, mu: Double = 2000.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(mu > 0.0, s"mu must be positive: $mu")
+    // NOT Bm25.tokenize: QL keeps multiplicity (c(t,q) weights)
+    val terms = "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq
+    require(terms.nonEmpty, s"query has no word tokens: '$query'")
+    val m = terms.size
+    val cq = terms.groupBy(identity).map { case (t, g) => t -> g.size }
+    val (tf, _) = TfIdf.postingsParts(docs, idCol, textCol)
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val coll = cf.agg(sum(col("cf")).cast("double").as("c_total"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val cqDf = docs.sparkSession.createDataFrame(
+      cq.toSeq.map(p => (p._1, p._2))).toDF("token", "cq")
+    val sparse = tf.filter(col("token").isin(cq.keySet.toSeq: _*))
+      .join(broadcast(cqDf), "token")
+      .join(cf, "token")
+      .crossJoin(broadcast(coll))
+      .select(col(idCol),
+        (col("cq") * log(lit(1.0) +
+          col("tf").cast("double") /
+            (lit(mu) * (col("cf").cast("double") / col("c_total")))))
+          .as("term_score"))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).as("sparse_part"))
+    sparse.join(dl, Seq(idCol))
+      .select(col(idCol),
+        (col("sparse_part") +
+          lit(m.toDouble) * log(lit(mu) / (col("dl") + lit(mu))))
+          .as("ql"))
+  }
+}

@@ -127,7 +127,8 @@ class FloatStabilitySpec extends SparkSpec {
     "q287_ccnet_buckets",        // ppl sums round(9) feed rank grouping
                                  // AND tercile booleans
     "q289_weighted_minhash",     // jaccard = one exact integer division
-    "q290_memorization_rate")    // rate = one exact integer division
+    "q290_memorization_rate",    // rate = one exact integer division
+    "q292_query_likelihood")     // per-doc ln sums over <=4 terms, round 9
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

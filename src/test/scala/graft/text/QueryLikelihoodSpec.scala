@@ -1,0 +1,46 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Dirichlet query likelihood (q292's operator). */
+class QueryLikelihoodSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "a a b"), (2L, "b c"), (3L, "d d d")
+  ).toDF("doc_id", "text")
+
+  test("hand-computed Dirichlet scores, multiplicity weighted") {
+    val mu = 10.0
+    val got = QueryLikelihood.score(corpus, "a a c", mu = mu)
+      .as[(Long, Double)].collect().toMap
+    // cf: a=2 b=2 c=1 d=3, C=8; dl: d1=3 d2=2 d3=3; m=3, cq: a->2 c->1
+    val d1 = 2 * math.log(1 + 2 / (mu * 2.0 / 8)) +
+      3 * math.log(mu / (3 + mu))
+    val d2 = 1 * math.log(1 + 1 / (mu * 1.0 / 8)) +
+      3 * math.log(mu / (2 + mu))
+    assert(got.keySet === Set(1L, 2L)) // d3 matches nothing
+    assert(math.abs(got(1L) - d1) < 1e-12)
+    assert(math.abs(got(2L) - d2) < 1e-12)
+  }
+
+  test("repeated query terms weigh double vs the dedup scorer") {
+    val once = QueryLikelihood.score(corpus, "a c")
+      .as[(Long, Double)].collect().toMap
+    val twice = QueryLikelihood.score(corpus, "a a c")
+      .as[(Long, Double)].collect().toMap
+    // doubling 'a' must widen d1's lead over d2
+    assert(twice(1L) - twice(2L) > once(1L) - once(2L))
+  }
+
+  test("mu and empty-query guards stay loud") {
+    intercept[IllegalArgumentException] {
+      QueryLikelihood.score(corpus, "a", mu = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      QueryLikelihood.score(corpus, "!!! ...")
+    }
+    ()
+  }
+}
