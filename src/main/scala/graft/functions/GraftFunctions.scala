@@ -243,6 +243,22 @@ object GraftFunctions {
     call_function(name, hashes, weights)
   }
 
+  val MMR_PREFIX = "graft_mmr_" // one registered name per (k, lambda)
+
+  /** MMR greedy diversification over per-query shortlist arrays (see
+    * [[MmrSelectExpr]]): (ids, rels, vecs) → selection-order id array.
+    */
+  def mmrSelect(spark: SparkSession, ids: Column, rels: Column,
+      vecs: Column, k: Int, lambda: Double): Column = {
+    val name = MMR_PREFIX + k + "_" +
+      java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(lambda))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => MmrSelectExpr(exprs(0), exprs(1), exprs(2), k, lambda),
+      "built-in")
+    call_function(name, ids, rels, vecs)
+  }
+
   /** One-loop simhash over token hashes (see [[SimHashFromHashes]]). */
   def simhashFromHashes(spark: SparkSession, hashes: Column): Column = {
     register(spark)

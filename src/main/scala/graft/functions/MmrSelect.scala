@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
+  * — the diversification step between "retrieve top-N" and "put k
+  * passages in the context window": greedily pick the candidate that
+  * maximizes λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so near-
+  * duplicate passages don't crowd out coverage (the RAG-context and
+  * search-results dedup move).
+  *
+  * Runs ROW-LOCALLY over one query's shortlist arrays (ids, relevance
+  * scores, embeddings) — the shortlist is bounded by the first-stage
+  * top-N, so the greedy O(k·N·dim) loop is a per-row kernel, not a
+  * join: at 100 TB of queries this is one generated pass after the
+  * bounded per-query top-N aggregate, no shuffle beyond it.
+  *
+  * Determinism (oracle-replayable): similarity is cosine with the
+  * EXACT formula dot/(√na·√nb) accumulated in ascending element
+  * order — a SQL oracle replays it term-for-term (IEEE sqrt/division
+  * are exactly rounded, so identical inputs give identical doubles,
+  * identical compares, identical selections); score ties break on
+  * the SMALLEST id. Degenerate inputs: zero-norm vectors contribute
+  * similarity 0 (no evidence of redundancy).
+  */
+object MmrSelect {
+
+  /** Static entry for generated code: selection order of ≤ k ids. */
+  def select(ids: ArrayData, rels: ArrayData, vecs: ArrayData,
+      k: Int, lambda: Double): GenericArrayData = {
+    val n = ids.numElements()
+    require(rels.numElements() == n && vecs.numElements() == n,
+      s"graft_mmr: misaligned arrays ($n ids, ${rels.numElements()} " +
+        s"rels, ${vecs.numElements()} vecs)")
+    val id = Array.tabulate(n)(ids.getLong)
+    val rel = Array.tabulate(n)(rels.getDouble)
+    val vec = Array.tabulate(n) { i =>
+      val a = vecs.getArray(i)
+      Array.tabulate(a.numElements())(a.getFloat)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val taken = new Array[Boolean](n)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](k)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    var round = 0
+    while (round < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          val score =
+            if (round == 0) rel(c)
+            else lambda * rel(c) + (1.0 - lambda) * -maxSim(c)
+          if (score > bestScore ||
+              (score == bestScore && (best < 0 || id(c) < id(best)))) {
+            best = c
+            bestScore = score
+          }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out += java.lang.Long.valueOf(id(best))
+      // fold the new selection into every remaining candidate's
+      // max-similarity-to-selected
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val s = cos(vec(j), vec(best))
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      round += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_mmr_<k>_<lambdaBits>(ids, rels, vecs)` — see
+  * [[MmrSelect.select]]. */
+case class MmrSelectExpr(ids: Expression, rels: Expression,
+    vecs: Expression, k: Int, lambda: Double) extends TernaryExpression {
+
+  require(k >= 1, s"k must be positive: $k")
+  require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+
+  override def first: Expression = ids
+  override def second: Expression = rels
+  override def third: Expression = vecs
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (ids.dataType, rels.dataType, vecs.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _),
+          ArrayType(ArrayType(FloatType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_mmr expects (array<bigint>, array<double>, " +
+            s"array<array<float>>), got (${a.simpleString}, " +
+            s"${b.simpleString}, ${c.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_mmr"
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): MmrSelectExpr =
+    copy(ids = newFirst, rels = newSecond, vecs = newThird)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    MmrSelect.select(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], k, lambda)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""${ev.value} = graft.functions.MmrSelect.select(
+         |  $a, $b, $c, $k, $lambda);""".stripMargin)
+}

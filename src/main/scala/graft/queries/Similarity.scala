@@ -639,7 +639,86 @@ object Similarity extends QueryPack {
        |FROM q""".stripMargin
   }
 
+  /** MMR diversification gate (q293): brute top-20 per query (the q40
+    * shape, rel = round(cosine, 9) — identical doubles both engines)
+    * diversified to k = 5 at λ = 0.7 by the generated
+    * [[graft.functions.MmrSelect]] kernel. The oracle unrolls the
+    * SAME greedy five steps as template-generated CTEs — candidate
+    * similarity replayed with the kernel's exact formula
+    * (list_reduce ascending folds, dot/(√·√)), (1−λ) computed from
+    * the λ literal (1.0−0.7 ≠ 0.3 in binary), ties on the smaller
+    * id — so the SELECTED ID SEQUENCE matches integer-exactly.
+    */
+  def mmrGate(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val queries = embs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val shortlist = TopKSearch.bruteForce(s, embs, queries, 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cosine").as("rel"))
+    graft.similarity.Rerank.mmrDiversify(shortlist, embs,
+      k = 5, lambda = 0.7)
+  }
+
+  /** The q293 oracle: five greedy steps from one template. */
+  private def mmrSql: String = {
+    // the kernel's exact cosine: ascending folds, dot/(sqrt*sqrt)
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    def sim(a: String, b: String): String =
+      s"""CASE WHEN ${fold(a, a)} = 0.0 OR ${fold(b, b)} = 0.0 THEN 0.0
+         |  ELSE ${fold(a, b)} /
+         |    (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) END""".stripMargin
+    val steps = (2 to 5).map { n =>
+      val prev = (1 until n).map(j => s"sel$j")
+      val joins = prev.map(p =>
+        s"JOIN $p ON $p.query_id = c.query_id").mkString("\n  ")
+      val excl = prev.map(p => s"c.doc_id <> $p.doc_id").mkString(" AND ")
+      val sims = prev.map(p => sim("c.v", s"$p.v"))
+      val maxSim =
+        if (sims.size == 1) sims.head
+        else s"greatest(${sims.mkString(",\n    ")})"
+      s"""sel$n AS MATERIALIZED (
+         |  SELECT c.query_id, c.doc_id, c.v FROM cand c
+         |  $joins
+         |  WHERE $excl
+         |  QUALIFY row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |    0.7 * c.rel + (1.0 - 0.7) * -($maxSim) DESC, c.doc_id) = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to 5).map(n =>
+      s"SELECT query_id, CAST($n AS INT) AS rank, doc_id FROM sel$n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $NQUERIES),
+       |c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+       |       FROM embeddings),
+       |s AS (
+       |  SELECT query_id, vec_id AS doc_id,
+       |    round(list_cosine_similarity(qv, cv), 9) AS rel
+       |  FROM q CROSS JOIN c0),
+       |topn AS (
+       |  SELECT query_id, doc_id, rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, doc_id) AS rk
+       |  FROM s),
+       |cand AS MATERIALIZED (
+       |  SELECT t.query_id, t.doc_id, t.rel, e.embedding AS v
+       |  FROM topn t JOIN embeddings e ON e.vec_id = t.doc_id
+       |  WHERE t.rk <= 20),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, doc_id, v FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, doc_id) = 1),
+       |$steps
+       |$ranks""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_mmr_diversify" -> mmrGate _,
     "q291_semantic_order" -> semanticOrderGate _,
     "q274_matryoshka_truncate" -> truncationGate _,
     "q275_matryoshka_recall" -> matryoshkaRecall _,
@@ -717,6 +796,7 @@ object Similarity extends QueryPack {
       |WHERE sc.margin >= 1.0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q293_mmr_diversify" -> mmrSql,
     "q291_semantic_order" -> semanticOrderSql,
     "q274_matryoshka_truncate" ->
       """WITH v AS (

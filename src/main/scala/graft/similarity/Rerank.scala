@@ -40,4 +40,42 @@ object Rerank {
     TopKSearch.explodeRanked(spark, scored, k)
       .withColumnRenamed("neighbor_id", "doc_id")
   }
+
+  /** MMR DIVERSIFICATION (Carbonell & Goldstein 1998) of a per-query
+    * shortlist: greedily keep the candidate maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-selected — near-duplicate
+    * passages stop crowding the context window (the RAG third stage:
+    * retrieve → rerank → DIVERSIFY). The greedy loop runs row-locally
+    * in the generated [[graft.functions.MmrSelect]] kernel over the
+    * BOUNDED shortlist arrays (one groupBy the retrieval already
+    * pays), so diversification adds no shuffle at any corpus size.
+    *
+    * @param shortlist (queryIdCol, idCol, relCol) — first-stage
+    *                  candidates (bounded per query)
+    * @param vecs      (vecIdCol, vecCol) — candidate embeddings
+    * @return (queryIdCol, rank, idCol): selection order, rank 1..k;
+    *         queries keep min(k, candidates) rows
+    */
+  def mmrDiversify(shortlist: DataFrame, vecs: DataFrame, k: Int = 5,
+      lambda: Double = 0.7, queryIdCol: String = "query_id",
+      idCol: String = "doc_id", relCol: String = "rel",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = shortlist.sparkSession
+    val joined = shortlist
+      .join(vecs.select(col(vecIdCol).as(idCol), col(vecCol).as("__v")),
+        idCol)
+      .groupBy(col(queryIdCol))
+      .agg(collect_list(struct(col(idCol).cast("long").as("i"),
+        col(relCol).cast("double").as("r"),
+        col("__v").as("v"))).as("c"))
+    joined
+      .withColumn("__sel", GraftFunctions.mmrSelect(spark,
+        transform(col("c"), x => x.getField("i")),
+        transform(col("c"), x => x.getField("r")),
+        transform(col("c"), x => x.getField("v")), k, lambda))
+      .select(col(queryIdCol),
+        posexplode(col("__sel")).as(Seq("__pos", idCol)))
+      .select(col(queryIdCol), (col("__pos") + 1).cast("int").as("rank"),
+        col(idCol))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+/** MMR diversification (q293's operator). */
+class MmrSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  // candidates: 1 and 2 are near-identical high-relevance vectors,
+  // 3 is orthogonal with slightly lower relevance
+  private def shortlist = Seq(
+    (7L, 1L, 0.99), (7L, 2L, 0.98), (7L, 3L, 0.90)
+  ).toDF("query_id", "doc_id", "rel")
+
+  private def vecs = Seq(
+    (1L, Seq(1f, 0f, 0f, 0f)),
+    (2L, Seq(0.999f, 0.04f, 0f, 0f)),
+    (3L, Seq(0f, 1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("redundant runner-up loses to the diverse candidate") {
+    val got = Rerank.mmrDiversify(shortlist, vecs, k = 3, lambda = 0.7)
+      .orderBy($"rank").as[(Long, Int, Long)].collect().map(_._3).toSeq
+    // rank 1: best rel (doc 1); rank 2: doc 2 scores
+    // 0.7*0.98 - 0.3*~1.0 < 0.7*0.90 - 0.3*0 -> doc 3 wins
+    assert(got === Seq(1L, 3L, 2L))
+  }
+
+  test("lambda 1 reduces to pure relevance order") {
+    val got = Rerank.mmrDiversify(shortlist, vecs, k = 3, lambda = 1.0)
+      .orderBy($"rank").as[(Long, Int, Long)].collect().map(_._3).toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("k beyond the shortlist selects everything once") {
+    val got = Rerank.mmrDiversify(shortlist, vecs, k = 10, lambda = 0.7)
+      .as[(Long, Int, Long)].collect()
+    assert(got.length === 3)
+    assert(got.map(_._3).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("score ties break on the smaller id") {
+    val tied = Seq((1L, 10L, 0.5), (1L, 4L, 0.5)).toDF(
+      "query_id", "doc_id", "rel")
+    val tv = Seq((10L, Seq(1f, 0f)), (4L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val first = Rerank.mmrDiversify(tied, tv, k = 1, lambda = 0.7)
+      .as[(Long, Int, Long)].head()
+    assert(first._3 === 4L)
+  }
+}
