@@ -50,4 +50,67 @@ object ColumnProfile {
         col("p.ndv").as("ndv"),
         col("p.min_str").as("min_str"), col("p.max_str").as("max_str"))
   }
+
+  /** POPULATION STABILITY INDEX of a numeric column between a baseline
+    * snapshot and the current one — the industry-standard
+    * distribution-drift monitor (PSI < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 alarm):
+    *
+    *   PSI = Σ_i (q_i − p_i) · ln(q_i / p_i)
+    *
+    * over `buckets` bins cut at the BASELINE's exact quantiles (Spark
+    * `percentile` == DuckDB `quantile_cont`, the q27 parity), so the
+    * baseline lands ~uniform by construction and the statistic
+    * measures where the CURRENT snapshot left it. Fractions are
+    * additively smoothed ((c + 0.5)/(n + buckets/2)) so an empty
+    * bucket contributes a finite, loud term instead of ∞/NaN.
+    *
+    * Two exact-percentile aggregates + two bucket-count aggregates —
+    * edges ride a one-row broadcast; no windows, no corpus sort. For
+    * a 100 TB run swap the edge pass to `approx_percentile` and
+    * loosen the gate (the [[graft.text.ScoreCalibrate]] caveat).
+    *
+    * @return one row per bucket (bucket 1..buckets, base_count,
+    *         cur_count, psi_term) plus the `psi` total on every row —
+    *         the per-bucket terms say WHERE the drift is.
+    */
+  def psi(baseline: DataFrame, current: DataFrame, column: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets: $buckets")
+    val x = col(column).cast("double")
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val edges = baseline.agg(
+      percentile(x, typedLit(fracs)).as("edges"))
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(x.as("__x")).where(col("__x").isNotNull)
+        .crossJoin(broadcast(edges))
+        // bucket = 1 + #edges strictly below x (left-closed bins)
+        .select((size(filter(col("edges"), e => col("__x") > e)) + 1)
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val all = baseline.sparkSession.range(1, buckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = all
+      .join(counts(baseline, "base_count"), Seq("bucket"), "left")
+      .join(counts(current, "cur_count"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("base_count"), lit(0L)).as("base_count"),
+        coalesce(col("cur_count"), lit(0L)).as("cur_count"))
+      // buckets-sized table consumed by the terms AND the total -
+      // persist so the two count aggregates run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = joined.agg(sum(col("base_count")).cast("double").as("nb"),
+      sum(col("cur_count")).cast("double").as("nc"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("base_count"), col("cur_count"),
+        locally {
+          val p = (col("base_count").cast("double") + 0.5) /
+            (col("nb") + lit(buckets.toDouble / 2))
+          val q = (col("cur_count").cast("double") + 0.5) /
+            (col("nc") + lit(buckets.toDouble / 2))
+          round((q - p) * log(q / p), 9)
+        }.as("psi_term"))
+    terms.crossJoin(broadcast(
+      terms.agg(round(sum(col("psi_term")), 9).as("psi"))))
+  }
 }

@@ -561,6 +561,28 @@ object Etl extends QueryPack {
     graft.etl.ColumnProfile.profile(Tables.documents(s, dir),
       Seq("doc_id", "lang", "source", "n_chars"))
 
+  /** PSI drift gate (q294): [[graft.etl.ColumnProfile.psi]] of
+    * o_totalprice between pre-1998 orders (the baseline) and a
+    * PLANTED-drift current slice (post-1998 prices inflated by an
+    * o_orderkey-keyed 0–30% ramp, so the top decile gains mass and
+    * the statistic must land in the "drifting" band). Edges are exact
+    * baseline deciles (the q27 percentile parity), bucket assignment
+    * an integer edge count, smoothing and terms fixed-order
+    * expressions round(9) — the per-bucket terms localize WHERE the
+    * drift sits (bucket 10 here).
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cut = lit("1998-01-01").cast("timestamp")
+    val base = o.filter(col("o_orderdate") < cut)
+      .select(col("o_totalprice"))
+    val cur = o.filter(col("o_orderdate") >= cut)
+      .select((col("o_totalprice") *
+        (lit(1.0) + lit(0.3) * (col("o_orderkey") % 5).cast("double")
+          / lit(4.0))).as("o_totalprice"))
+    graft.etl.ColumnProfile.psi(base, cur, "o_totalprice")
+  }
+
   /** COPY INTO gate (q158): idempotent batch file loading
     * ([[graft.lake.CopyInto]]) — the documents table written as three
     * parquet files, copied into a fresh lake table TWICE; the second
@@ -1325,6 +1347,7 @@ object Etl extends QueryPack {
     "q156_expectations" -> expectationsGate _,
     "q158_copy_into" -> copyIntoGate _,
     "q160_column_profile" -> columnProfile _,
+    "q294_psi_drift" -> psiDrift _,
     "q168_partition_stats" -> partitionStatsGate _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
@@ -1495,6 +1518,49 @@ object Etl extends QueryPack {
       """SELECT '/source=' || source || '/' AS partition,
         |  count(*)::BIGINT AS n_rows, TRUE AS files_ok
         |FROM documents GROUP BY 1""".stripMargin,
+    "q294_psi_drift" ->
+      """WITH base AS (
+        |  SELECT o_totalprice AS x FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |cur AS (
+        |  SELECT o_totalprice * (1.0 + 0.3 * (o_orderkey % 5) / 4.0) AS x
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |e AS (
+        |  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |    AS edges
+        |  FROM base),
+        |bc AS (
+        |  SELECT len(list_filter(e.edges, ed -> b.x > ed)) + 1 AS bucket,
+        |    count(*) AS base_count
+        |  FROM base b, e WHERE b.x IS NOT NULL GROUP BY 1),
+        |cc AS (
+        |  SELECT len(list_filter(e.edges, ed -> c.x > ed)) + 1 AS bucket,
+        |    count(*) AS cur_count
+        |  FROM cur c, e WHERE c.x IS NOT NULL GROUP BY 1),
+        |allb AS (SELECT unnest(range(1, 11)) AS bucket),
+        |j AS (
+        |  SELECT a.bucket,
+        |    coalesce(bc.base_count, 0) AS base_count,
+        |    coalesce(cc.cur_count, 0) AS cur_count
+        |  FROM allb a
+        |  LEFT JOIN bc ON bc.bucket = a.bucket
+        |  LEFT JOIN cc ON cc.bucket = a.bucket),
+        |tot AS (
+        |  SELECT CAST(sum(base_count) AS DOUBLE) AS nb,
+        |         CAST(sum(cur_count) AS DOUBLE) AS nc
+        |  FROM j),
+        |terms AS (
+        |  SELECT bucket, base_count, cur_count,
+        |    round(((CAST(cur_count AS DOUBLE) + 0.5) / (nc + 5.0) -
+        |           (CAST(base_count AS DOUBLE) + 0.5) / (nb + 5.0)) *
+        |      ln(((CAST(cur_count AS DOUBLE) + 0.5) / (nc + 5.0)) /
+        |         ((CAST(base_count AS DOUBLE) + 0.5) / (nb + 5.0))), 9)
+        |      AS psi_term
+        |  FROM j, tot)
+        |SELECT t.bucket, CAST(t.base_count AS BIGINT) AS base_count,
+        |  CAST(t.cur_count AS BIGINT) AS cur_count, t.psi_term, s.psi
+        |FROM terms t CROSS JOIN
+        |  (SELECT round(sum(psi_term), 9) AS psi FROM terms) s""".stripMargin,
     "q160_column_profile" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
         |SELECT 'doc_id' AS column, n.n_rows,

@@ -128,7 +128,9 @@ class FloatStabilitySpec extends SparkSpec {
                                  // AND tercile booleans
     "q289_weighted_minhash",     // jaccard = one exact integer division
     "q290_memorization_rate",    // rate = one exact integer division
-    "q292_query_likelihood")     // per-doc ln sums over <=4 terms, round 9
+    "q292_query_likelihood",     // per-doc ln sums over <=4 terms, round 9
+    "q293_mmr_diversify",        // greedy over identical doubles, int ids
+    "q294_psi_drift")            // decile edges + smoothed terms, round 9
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

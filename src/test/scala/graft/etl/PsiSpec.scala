@@ -1,0 +1,43 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Population Stability Index drift monitor (q294's operator). */
+class PsiSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def uniform(n: Int, shift: Double = 0.0) =
+    (0 until n).map(i => (i % 100) + shift).toDF("x")
+
+  test("identical distributions score exactly zero") {
+    val b = uniform(1000)
+    val r = ColumnProfile.psi(b, uniform(1000), "x")
+      .select($"psi").as[Double].head()
+    assert(r === 0.0)
+  }
+
+  test("a large mean shift lands in the alarm band") {
+    val r = ColumnProfile.psi(uniform(1000), uniform(1000, shift = 60),
+        "x")
+      .select($"psi").as[Double].head()
+    assert(r > 0.25, s"psi $r")
+  }
+
+  test("an emptied bucket stays finite and is the largest term") {
+    // current avoids the baseline's lowest decile entirely
+    val cur = (0 until 1000).map(i => (i % 90) + 10.0).toDF("x")
+    val terms = ColumnProfile.psi(uniform(1000), cur, "x")
+      .select($"bucket", $"psi_term").as[(Int, Double)].collect().toMap
+    assert(terms.values.forall(v => !v.isNaN && !v.isInfinite))
+    assert(terms(1) === terms.values.max)
+  }
+
+  test("per-bucket counts partition both sides") {
+    val r = ColumnProfile.psi(uniform(500), uniform(700), "x")
+      .agg(sum($"base_count"), sum($"cur_count"))
+      .as[(Long, Long)].head()
+    assert(r === ((500L, 700L)))
+  }
+}
