@@ -113,4 +113,41 @@ object ColumnProfile {
     terms.crossJoin(broadcast(
       terms.agg(round(sum(col("psi_term")), 9).as("psi"))))
   }
+
+  /** [[psi]] for CATEGORICAL columns: one bin per category over the
+    * UNION of both snapshots' values (a category present on only one
+    * side is exactly the drift signal — the smoothing keeps its term
+    * finite), same statistic and output shape with `category` in
+    * place of `bucket`. Categories are grouped values, not quantile
+    * bins, so there is no edge pass at all — two count aggregates on
+    * category-sized tables. NULL is its own category (a null-rate
+    * shift is drift too).
+    */
+  def psiCategorical(baseline: DataFrame, current: DataFrame,
+      column: String): DataFrame = {
+    val x = coalesce(col(column).cast("string"), lit("<null>"))
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(x.as("category")).groupBy(col("category"))
+        .agg(count(lit(1)).as(as))
+    val joined = counts(baseline, "base_count")
+      .join(counts(current, "cur_count"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("base_count"), lit(0L)).as("base_count"),
+        coalesce(col("cur_count"), lit(0L)).as("cur_count"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = joined.count().toDouble // categories, for the smoothing mass
+    val tot = joined.agg(sum(col("base_count")).cast("double").as("nb"),
+      sum(col("cur_count")).cast("double").as("nc"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .select(col("category"), col("base_count"), col("cur_count"),
+        locally {
+          val p = (col("base_count").cast("double") + 0.5) /
+            (col("nb") + lit(k / 2))
+          val q = (col("cur_count").cast("double") + 0.5) /
+            (col("nc") + lit(k / 2))
+          round((q - p) * log(q / p), 9)
+        }.as("psi_term"))
+    terms.crossJoin(broadcast(
+      terms.agg(round(sum(col("psi_term")), 9).as("psi"))))
+  }
 }

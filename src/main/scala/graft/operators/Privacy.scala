@@ -43,6 +43,49 @@ object Privacy {
       .withColumn("at_risk", col("group_size") < k)
       .withColumn("homogeneous", col("distinct_sensitive") === 1)
 
+  /** T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung after k-anonymity and l-diversity: a group can be large AND
+    * diverse yet still leak if its SENSITIVE-VALUE DISTRIBUTION skews
+    * from the table's (the classic example: one zip code's salary
+    * distribution all-high). Per quasi-identifier group, the distance
+    * between the group's categorical sensitive distribution and the
+    * global one, as TOTAL VARIATION (the equal-ground-distance EMD):
+    *
+    *   d(P, Q) = ½ · Σ_v |P(v) − Q(v)|
+    *
+    * `t_violated` flags groups with d > t. Exact arithmetic: counts
+    * are integers, each |p − q| one fixed-order expression, the
+    * per-group sum over the small sensitive domain — SQL-replayable.
+    * Plan: one (group × value) aggregate, one value-level global
+    * aggregate broadcast back, one group-level sum — no windows.
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"t in (0,1]: $t")
+    val gv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("gv_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = gv.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("gv_cnt")).as("g_cnt"))
+    val v = gv.groupBy(col(sensitiveCol))
+      .agg(sum(col("gv_cnt")).as("v_cnt"))
+    val n = v.agg(sum(col("v_cnt")).cast("double").as("n_total"))
+    // every (group, domain value) pair: absent values contribute
+    // |0 − Q(v)| — a one-sided skew is exactly the leak
+    val dom = g.crossJoin(broadcast(v)).crossJoin(broadcast(n))
+    dom
+      .join(gv, quasiCols :+ sensitiveCol, "left")
+      .select((quasiCols.map(col) :+
+        (abs(coalesce(col("gv_cnt"), lit(0L)).cast("double") /
+          col("g_cnt").cast("double") -
+          col("v_cnt").cast("double") / col("n_total")) / 2.0)
+          .as("half_dev") :+ col("g_cnt")): _*)
+      .groupBy(quasiCols.map(col) :+ col("g_cnt"): _*)
+      .agg(round(sum(col("half_dev")), 9).as("tv_distance"))
+      .withColumnRenamed("g_cnt", "group_size")
+      .withColumn("t_violated", col("tv_distance") > t)
+  }
+
   /** Enforcement twin of the audit: keep only rows whose
     * quasi-identifier group has ≥ k members. One aggregate + one
     * semi-join (AQE broadcasts the qualifying-group side when small).

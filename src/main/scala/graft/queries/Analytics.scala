@@ -340,6 +340,21 @@ object Analytics extends QueryPack {
        |SELECT id, pr FROM pr10""".stripMargin
   }
 
+  /** T-closeness gate (q296):
+    * [[graft.operators.Privacy.tClosenessAudit]] of customers —
+    * quasi-identifier c_mktsegment, sensitive c_nationkey, t = 0.1:
+    * per segment, the total-variation distance between the segment's
+    * nation distribution and the global one (absent nations
+    * contribute their full global share — the one-sided-skew leak).
+    * Counts exact, each term a fixed-order expression, per-group sums
+    * over the 25-nation domain round(9); oracle replays the
+    * group×domain expansion with the same left-join zero fill.
+    */
+  def tCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.tClosenessAudit(
+      Tables.customer(s, dir), Seq("c_mktsegment"), "c_nationkey",
+      t = 0.1)
+
   /** HITS gate (q283): ten hub/authority rounds over the SAME
     * synthetic link graph as q197 — [[graft.operators.Hits.scores]],
     * L1-normalized each half-step so no sqrt enters the values. The
@@ -631,6 +646,7 @@ object Analytics extends QueryPack {
     "q216_bootstrap_ci" -> bootstrapCi _,
     "q197_pagerank" -> pagerank _,
     "q283_hits" -> hits _,
+    "q296_t_closeness" -> tCloseness _,
     "q232_bradley_terry" -> bradleyTerry _,
     "q234_win_rates" -> winRates _,
     "q235_annotator_agreement" -> annotatorAgreement _,
@@ -769,6 +785,29 @@ object Analytics extends QueryPack {
     },
     "q197_pagerank" -> pagerankSql,
     "q283_hits" -> hitsSql,
+    "q296_t_closeness" ->
+      """WITH gv AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS gv_cnt
+        |  FROM customer GROUP BY 1, 2),
+        |g AS (
+        |  SELECT c_mktsegment, sum(gv_cnt) AS g_cnt FROM gv GROUP BY 1),
+        |v AS (
+        |  SELECT c_nationkey, sum(gv_cnt) AS v_cnt FROM gv GROUP BY 1),
+        |n AS (SELECT CAST(sum(v_cnt) AS DOUBLE) AS n_total FROM v),
+        |dom AS (
+        |  SELECT g.c_mktsegment, g.g_cnt, v.c_nationkey, v.v_cnt, n.n_total
+        |  FROM g CROSS JOIN v CROSS JOIN n),
+        |dev AS (
+        |  SELECT d.c_mktsegment, d.g_cnt,
+        |    abs(CAST(coalesce(gv.gv_cnt, 0) AS DOUBLE) / CAST(d.g_cnt AS DOUBLE)
+        |      - CAST(d.v_cnt AS DOUBLE) / d.n_total) / 2.0 AS half_dev
+        |  FROM dom d
+        |  LEFT JOIN gv ON gv.c_mktsegment = d.c_mktsegment
+        |    AND gv.c_nationkey = d.c_nationkey)
+        |SELECT c_mktsegment, CAST(g_cnt AS BIGINT) AS group_size,
+        |  round(sum(half_dev), 9) AS tv_distance,
+        |  round(sum(half_dev), 9) > 0.1 AS t_violated
+        |FROM dev GROUP BY c_mktsegment, g_cnt""".stripMargin,
     "q232_bradley_terry" -> bradleyTerrySql,
     "q234_win_rates" ->
       s"""WITH $battlesCte,

@@ -583,6 +583,23 @@ object Etl extends QueryPack {
     graft.etl.ColumnProfile.psi(base, cur, "o_totalprice")
   }
 
+  /** Categorical-PSI gate (q295):
+    * [[graft.etl.ColumnProfile.psiCategorical]] of the documents
+    * `lang` column between the even- and odd-id halves, with a
+    * PLANTED new category in the current side (every 7th doc flips
+    * to 'xx') — one-side-only categories are exactly the union +
+    * smoothing case, and the oracle replays the full-outer counts
+    * and every smoothed term.
+    */
+  def psiCategoricalDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val base = d.filter(col("doc_id") % 2 === 0).select(col("lang"))
+    val cur = d.filter(col("doc_id") % 2 === 1)
+      .select(when(col("doc_id") % 7 === 0, lit("xx"))
+        .otherwise(col("lang")).as("lang"))
+    graft.etl.ColumnProfile.psiCategorical(base, cur, "lang")
+  }
+
   /** COPY INTO gate (q158): idempotent batch file loading
     * ([[graft.lake.CopyInto]]) — the documents table written as three
     * parquet files, copied into a fresh lake table TWICE; the second
@@ -1348,6 +1365,7 @@ object Etl extends QueryPack {
     "q158_copy_into" -> copyIntoGate _,
     "q160_column_profile" -> columnProfile _,
     "q294_psi_drift" -> psiDrift _,
+    "q295_psi_categorical" -> psiCategoricalDrift _,
     "q168_partition_stats" -> partitionStatsGate _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
@@ -1518,6 +1536,38 @@ object Etl extends QueryPack {
       """SELECT '/source=' || source || '/' AS partition,
         |  count(*)::BIGINT AS n_rows, TRUE AS files_ok
         |FROM documents GROUP BY 1""".stripMargin,
+    "q295_psi_categorical" ->
+      """WITH base AS (
+        |  SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS category
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cur AS (
+        |  SELECT coalesce(CAST(CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END
+        |    AS VARCHAR), '<null>') AS category
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |bc AS (SELECT category, count(*) AS base_count FROM base GROUP BY 1),
+        |cc AS (SELECT category, count(*) AS cur_count FROM cur GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(bc.category, cc.category) AS category,
+        |    coalesce(bc.base_count, 0) AS base_count,
+        |    coalesce(cc.cur_count, 0) AS cur_count
+        |  FROM bc FULL OUTER JOIN cc ON cc.category = bc.category),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM j),
+        |tot AS (
+        |  SELECT CAST(sum(base_count) AS DOUBLE) AS nb,
+        |         CAST(sum(cur_count) AS DOUBLE) AS nc
+        |  FROM j),
+        |terms AS (
+        |  SELECT category, base_count, cur_count,
+        |    round(((CAST(cur_count AS DOUBLE) + 0.5) / (nc + k.k / 2) -
+        |           (CAST(base_count AS DOUBLE) + 0.5) / (nb + k.k / 2)) *
+        |      ln(((CAST(cur_count AS DOUBLE) + 0.5) / (nc + k.k / 2)) /
+        |         ((CAST(base_count AS DOUBLE) + 0.5) / (nb + k.k / 2))), 9)
+        |      AS psi_term
+        |  FROM j, tot, k)
+        |SELECT t.category, CAST(t.base_count AS BIGINT) AS base_count,
+        |  CAST(t.cur_count AS BIGINT) AS cur_count, t.psi_term, s.psi
+        |FROM terms t CROSS JOIN
+        |  (SELECT round(sum(psi_term), 9) AS psi FROM terms) s""".stripMargin,
     "q294_psi_drift" ->
       """WITH base AS (
         |  SELECT o_totalprice AS x FROM orders

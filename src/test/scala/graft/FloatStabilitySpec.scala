@@ -130,7 +130,9 @@ class FloatStabilitySpec extends SparkSpec {
     "q290_memorization_rate",    // rate = one exact integer division
     "q292_query_likelihood",     // per-doc ln sums over <=4 terms, round 9
     "q293_mmr_diversify",        // greedy over identical doubles, int ids
-    "q294_psi_drift")            // decile edges + smoothed terms, round 9
+    "q294_psi_drift",            // decile edges + smoothed terms, round 9
+    "q295_psi_categorical",      // category counts + smoothed terms
+    "q296_t_closeness")          // TV over the sensitive domain, round 9
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

@@ -34,6 +34,25 @@ class PsiSpec extends SparkSpec {
     assert(terms(1) === terms.values.max)
   }
 
+  test("categorical psi: new category dominates, identical is zero") {
+    val b = Seq("en", "en", "de", "fr").toDF("lang")
+    val same = ColumnProfile.psiCategorical(b, b, "lang")
+      .select($"psi").as[Double].head()
+    assert(same === 0.0)
+    val cur = Seq("en", "en", "xx", "xx").toDF("lang")
+    val terms = ColumnProfile.psiCategorical(b, cur, "lang")
+      .select($"category", $"psi_term").as[(String, Double)]
+      .collect().toMap
+    assert(terms("xx") === terms.values.max)
+    assert(terms.values.forall(v => !v.isNaN && !v.isInfinite))
+    // null is its own category
+    val withNull = Seq(Option("en"), None, None, Option("de"))
+      .toDF("lang")
+    val cats = ColumnProfile.psiCategorical(withNull, withNull, "lang")
+      .select($"category").as[String].collect().toSet
+    assert(cats.contains("<null>"))
+  }
+
   test("per-bucket counts partition both sides") {
     val r = ColumnProfile.psi(uniform(500), uniform(700), "x")
       .agg(sum($"base_count"), sum($"cur_count"))

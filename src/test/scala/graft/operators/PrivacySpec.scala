@@ -147,4 +147,33 @@ class PrivacySpec extends SparkSpec {
       Privacy.dpCountsLaplace(people, Seq("seg"), epsilon = 0.0)
     }
   }
+
+  test("tCloseness: hand-computed TV, skewed group flags, matching group passes") {
+    import graft.SparkSpec.spark.implicits._
+    // global salary-band distribution: low 4/8, high 4/8.
+    // zip A: 3 low, 1 high (skew 0.25); zip B: 1 low, 3 high (0.25)
+    val rows = Seq(
+      ("A", "low"), ("A", "low"), ("A", "low"), ("A", "high"),
+      ("B", "low"), ("B", "high"), ("B", "high"), ("B", "high")
+    ).toDF("zip", "band")
+    val got = Privacy.tClosenessAudit(rows, Seq("zip"), "band", t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // TV = 0.5*(|3/4-1/2| + |1/4-1/2|) = 0.25 for both groups
+    assert(got("A") === ((4L, 0.25, true)))
+    assert(got("B") === ((4L, 0.25, true)))
+    // a group matching the global distribution has distance 0
+    val uniform = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("zip", "band")
+    val g2 = Privacy.tClosenessAudit(uniform, Seq("zip"), "band", t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(g2.forall(r => r._3 == 0.0 && !r._4))
+    // a value ABSENT from a group contributes its full global share
+    val oneSided = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("zip", "band")
+    val g3 = Privacy.tClosenessAudit(oneSided, Seq("zip"), "band",
+        t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(g3.forall(r => r._3 == 0.5 && r._4))
+  }
 }
