@@ -279,6 +279,15 @@ object GraftFunctions {
     call_function(ENTROPY_FN, text)
   }
 
+  val LUHN_FN = "graft_luhn_valid"
+
+  /** Luhn checksum validity of a digit string (see [[LuhnCheckExpr]]). */
+  def luhnValid(spark: SparkSession, text: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      LUHN_FN, exprs => LuhnCheckExpr(exprs(0)), "built-in")
+    call_function(LUHN_FN, text)
+  }
+
   /** Unicode NFC normalization (see [[UnicodeNormalizeExpr]]). */
   def unicodeNfc(spark: SparkSession, text: Column): Column = {
     register(spark)

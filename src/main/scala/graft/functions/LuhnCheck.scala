@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Luhn checksum validation (ISO/IEC 7812) — the payment-card check
+  * digit: doubling every second digit from the right, a valid number
+  * sums to 0 mod 10. The [[graft.text.SecretsScrub]] card detector
+  * gates on it so card-SHAPED digit runs (ids, timestamps) survive —
+  * a random run passes Luhn only 10% of the time, and the q297 gate
+  * plants both outcomes. Pure integer arithmetic over the digit
+  * characters (separators ignored), so a SQL oracle replays it
+  * exactly; one static call per candidate from generated code.
+  */
+object LuhnCheck {
+
+  /** Static entry for generated code. No digits → false. */
+  def valid(s: UTF8String): Boolean = {
+    val str = s.toString
+    var sum = 0
+    var pos = 0 // 0-based position from the RIGHT, digits only
+    var i = str.length - 1
+    var sawDigit = false
+    while (i >= 0) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        sawDigit = true
+        val d = c - '0'
+        val v = if (pos % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x }
+          else d
+        sum += v
+        pos += 1
+      }
+      i -= 1
+    }
+    sawDigit && sum % 10 == 0
+  }
+}
+
+/** `graft_luhn_valid(str)` — see [[LuhnCheck.valid]]. */
+case class LuhnCheckExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_luhn_valid expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_luhn_valid"
+
+  override def nullSafeEval(input: Any): Any =
+    LuhnCheck.valid(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LuhnCheck.valid($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnCheckExpr =
+    copy(child = newChild)
+}

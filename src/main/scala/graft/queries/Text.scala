@@ -2375,7 +2375,40 @@ object Text extends QueryPack {
         "hash join merge vector hash")
       .select(col("doc_id"), round(col("ql"), 9).as("ql"))
 
+  /** Card-redaction gate (q297): the [[graft.text.SecretsScrub]] card
+    * detector over three plants — a Luhn-VALID spaced Visa test
+    * number (must redact), the same number with a flipped check digit
+    * (must SURVIVE: shape alone never redacts), and a dashed valid
+    * MasterCard test number. The oracle replays the lookaround-free
+    * candidate regex verbatim (Java regex ≡ RE2 on it) and the Luhn
+    * checksum as pure integer list arithmetic; counts exact, the
+    * redacted corpus pinned by the summed md5 checksum.
+    */
+  def cardScrubGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit("\ncard: 4111 1111 1111 1111 ok")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nnot a card: 4111 1111 1111 1112 really"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\npay 5500-0000-0000-0004 now")).otherwise(lit("")))
+        .as("text"))
+    graft.text.SecretsScrub.report(planted)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_cards_redacted").cast("long")).as("cards_redacted"),
+        sum(col("n_luhn_kept").cast("long")).as("luhn_kept"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long")).as("redacted_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_card_scrub" -> cardScrubGate _,
     "q292_query_likelihood" -> queryLikelihoodGate _,
     "q290_memorization_rate" -> memorizationGate _,
     "q286_collocations" -> collocationsGate _,
@@ -2561,6 +2594,54 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q297_card_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || 'card: 4111 1111 1111 1111 ok' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN chr(10) || 'not a card: 4111 1111 1111 1112 really'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN chr(10) || 'pay 5500-0000-0000-0004 now' ELSE '' END AS text
+        |  FROM documents),
+        |cands AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(text,
+        |      '[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,7}') AS cs
+        |  FROM planted),
+        |luhn AS (
+        |  SELECT *, list_filter(cs, v ->
+        |    len(regexp_replace(v, '[^0-9]', '', 'g')) > 0 AND
+        |    list_sum(list_transform(
+        |      range(1, len(string_split(regexp_replace(v, '[^0-9]', '', 'g'),
+        |        '')) + 1),
+        |      i -> CASE WHEN i % 2 = 0 THEN
+        |          CASE WHEN 2 * CAST(string_split(regexp_replace(v, '[^0-9]',
+        |              '', 'g'), '')[len(string_split(regexp_replace(v,
+        |              '[^0-9]', '', 'g'), '')) + 1 - i] AS INT) > 9
+        |            THEN 2 * CAST(string_split(regexp_replace(v, '[^0-9]', '',
+        |              'g'), '')[len(string_split(regexp_replace(v, '[^0-9]',
+        |              '', 'g'), '')) + 1 - i] AS INT) - 9
+        |            ELSE 2 * CAST(string_split(regexp_replace(v, '[^0-9]', '',
+        |              'g'), '')[len(string_split(regexp_replace(v, '[^0-9]',
+        |              '', 'g'), '')) + 1 - i] AS INT) END
+        |        ELSE CAST(string_split(regexp_replace(v, '[^0-9]', '', 'g'),
+        |          '')[len(string_split(regexp_replace(v, '[^0-9]', '', 'g'),
+        |          '')) + 1 - i] AS INT) END)) % 10 = 0) AS valid
+        |  FROM cands),
+        |red AS (
+        |  SELECT doc_id, source, len(cs) AS n_cands, len(valid) AS n_valid,
+        |    list_reduce(list_prepend(text, valid),
+        |      (acc, v) -> replace(acc, v, '<CARD_NUMBER>')) AS redacted
+        |  FROM luhn)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_valid) AS BIGINT) AS cards_redacted,
+        |  CAST(sum(n_cands - n_valid) AS BIGINT) AS luhn_kept,
+        |  CAST(sum(('0x' || substr(md5(redacted), 1, 8))::BIGINT) AS BIGINT)
+        |    AS redacted_checksum
+        |FROM red GROUP BY source""".stripMargin,
     "q292_query_likelihood" ->
       """WITH tf AS (
         |  SELECT token, doc_id, count(*) AS tf

@@ -64,6 +64,22 @@ object SecretsScrub {
   val PemSentinel = "<SECRET_PEM>"
   val JwtSentinel = "<SECRET_JWT>"
   val KeySentinel = "<SECRET_KEY>"
+  val CardSentinel = "<CARD_NUMBER>"
+
+  /** Candidate payment-card number: 13–19 digits with optional
+    * space/dash separators. Deliberately lookaround/backref-FREE so
+    * Java regex and RE2 extract identical candidates (the oracle
+    * replays this pattern verbatim); the Luhn gate — not the shape —
+    * decides redaction, so id-like digit runs survive 90% of the
+    * time by checksum.
+    */
+  val CardRe: String =
+    "[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,7}"
+
+  // card validity itself lives in the codegen'd
+  // [[graft.functions.LuhnCheck]] (pure integer arithmetic, SQL-
+  // replayable): card-SHAPED digit runs that fail the checksum
+  // survive - shape alone must not redact
 
   /** Fixed-format detectors replaced, in order. */
   private def structural(text: Column): Column =
@@ -80,7 +96,8 @@ object SecretsScrub {
       minEntropy: Double = 3.0): DataFrame =
     report(docs, textCol, minEntropy)
       .drop("n_aws_keys", "n_pem_blocks", "n_jwts",
-        "n_named_secrets", "n_low_entropy_kept")
+        "n_named_secrets", "n_low_entropy_kept",
+        "n_cards_redacted", "n_luhn_kept")
 
   /** [[scrub]] plus per-document detector counts:
     * `n_aws_keys`, `n_pem_blocks`, `n_jwts` (pre-replacement match
@@ -113,10 +130,22 @@ object SecretsScrub {
       .withColumn("n_named_secrets", size(col("__hi")))
       .withColumn("n_low_entropy_kept",
         size(col("__vals")) - size(col("__hi")))
+      .withColumn("__t4",
+        aggregate(col("__hi"), col("__t3"),
+          (acc, v) => replace(acc, v, lit(KeySentinel))))
+      // payment cards LAST (digits are a subset of the named charset,
+      // so a quoted card after a key name is already a named secret)
+      .withColumn("__cards",
+        regexp_extract_all(col("__t4"), lit(CardRe), lit(0)))
+      .withColumn("__luhn",
+        filter(col("__cards"), v => GraftFunctions.luhnValid(spark, v)))
+      .withColumn("n_cards_redacted", size(col("__luhn")))
+      .withColumn("n_luhn_kept",
+        size(col("__cards")) - size(col("__luhn")))
       .withColumn(textCol,
         when(wasNull, lit(null).cast("string"))
-          .otherwise(aggregate(col("__hi"), col("__t3"),
-            (acc, v) => replace(acc, v, lit(KeySentinel)))))
-      .drop("__t3", "__vals", "__hi")
+          .otherwise(aggregate(col("__luhn"), col("__t4"),
+            (acc, v) => replace(acc, v, lit(CardSentinel)))))
+      .drop("__t3", "__vals", "__hi", "__t4", "__cards", "__luhn")
   }
 }

@@ -60,6 +60,39 @@ class SecretsScrubSpec extends SparkSpec {
     assert(r(7L) === ((0, 0, 0, 1, 0)))
   }
 
+  test("Luhn-valid cards redact, checksum-failing lookalikes survive") {
+    val cards = Seq(
+      (1L, "pay 4111 1111 1111 1111 today"),           // valid Visa
+      (2L, "order 4111 1111 1111 1112 reference"),     // bad check digit
+      (3L, "amex 3782 8224 6310 005 ok"),              // valid (15 digits)
+      (4L, "dash 5500-0000-0000-0004 style")           // valid MC
+    ).toDF("doc_id", "text")
+    val out = SecretsScrub.scrub(cards).as[(Long, String)]
+      .collect().toMap
+    assert(out(1L) === "pay <CARD_NUMBER> today")
+    assert(out(2L) === "order 4111 1111 1111 1112 reference")
+    assert(out(3L) === "amex <CARD_NUMBER> ok")
+    assert(out(4L) === "dash <CARD_NUMBER> style")
+    val counts = SecretsScrub.report(cards)
+      .select($"doc_id", $"n_cards_redacted", $"n_luhn_kept")
+      .as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(counts(1L) === ((1, 0)))
+    assert(counts(2L) === ((0, 1)))
+  }
+
+  test("Luhn kernel: textbook vectors") {
+    import graft.functions.LuhnCheck
+    import org.apache.spark.unsafe.types.UTF8String
+    def v(s: String) = LuhnCheck.valid(UTF8String.fromString(s))
+    assert(v("4111111111111111"))
+    assert(v("4111 1111 1111 1111"))
+    assert(!v("4111111111111112"))
+    assert(v("79927398713")) // the canonical Luhn example
+    assert(!v("79927398714"))
+    assert(!v("no digits at all"))
+  }
+
   test("null text passes through null with zero counts") {
     val withNull = Seq((1L, Option("plain")), (2L, None))
       .toDF("doc_id", "text")
