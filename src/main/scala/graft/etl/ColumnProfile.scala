@@ -114,6 +114,48 @@ object ColumnProfile {
       terms.agg(round(sum(col("psi_term")), 9).as("psi"))))
   }
 
+  /** BENFORD first-digit audit — the forensic data-quality check for
+    * "naturally grown" numeric columns (amounts, populations, sizes):
+    * organically produced magnitudes follow P(d) = log10(1 + 1/d) for
+    * leading digit d, while fabricated, clipped, or unit-mangled data
+    * does not. Output per digit: observed count, observed/expected
+    * fractions, and the total-variation distance ½·Σ|obs − exp| on
+    * every row (round(9)) — the one-number alarm.
+    *
+    * Leading-digit extraction is STRING-based — the first [1-9] of
+    * the absolute value rendered through DECIMAL(38,6), whose string
+    * form is plain-decimal (never scientific) in BOTH engines, so the
+    * oracle replays the extraction verbatim; zeros, nulls and
+    * |x| < 1e-6 (no leading digit at that scale) are excluded. One
+    * count aggregate onto a 9-row table.
+    */
+  def benford(df: DataFrame, column: String): DataFrame = {
+    val digit = regexp_extract(
+      abs(col(column).cast("double")).cast("decimal(38,6)")
+        .cast("string"),
+      "[1-9]", 0)
+    val counts = df.select(digit.as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val all = df.sparkSession.range(1, 10)
+      .select(col("id").cast("string").as("digit"),
+        log(10.0, lit(1.0) + lit(1.0) / col("id").cast("double"))
+          .as("expected_frac"))
+    val joined = all.join(counts, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        col("expected_frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = joined.agg(sum(col("observed")).cast("double").as("n"))
+    val terms = joined.crossJoin(broadcast(n))
+      .select(col("digit"), col("observed"),
+        round(col("expected_frac"), 9).as("expected_frac"),
+        round(abs(col("observed").cast("double") / col("n") -
+          col("expected_frac")) / 2.0, 9).as("half_dev"))
+    terms.crossJoin(broadcast(
+      terms.agg(round(sum(col("half_dev")), 9).as("tv_distance"))))
+  }
+
   /** [[psi]] for CATEGORICAL columns: one bin per category over the
     * UNION of both snapshots' values (a category present on only one
     * side is exactly the drift signal — the smoothing keeps its term

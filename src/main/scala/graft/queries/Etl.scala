@@ -600,6 +600,17 @@ object Etl extends QueryPack {
     graft.etl.ColumnProfile.psiCategorical(base, cur, "lang")
   }
 
+  /** Benford gate (q298): [[graft.etl.ColumnProfile.benford]] of
+    * l_extendedprice — per leading digit the observed count, the
+    * log10(1+1/d) expectation, and the total-variation alarm, every
+    * value either an exact integer or a round(9) fixed-order
+    * expression the oracle replays (digit extraction through the
+    * DECIMAL(38,6) string form both engines print plain).
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame =
+    graft.etl.ColumnProfile.benford(Tables.lineitem(s, dir),
+      "l_extendedprice")
+
   /** COPY INTO gate (q158): idempotent batch file loading
     * ([[graft.lake.CopyInto]]) — the documents table written as three
     * parquet files, copied into a fresh lake table TWICE; the second
@@ -1366,6 +1377,7 @@ object Etl extends QueryPack {
     "q160_column_profile" -> columnProfile _,
     "q294_psi_drift" -> psiDrift _,
     "q295_psi_categorical" -> psiCategoricalDrift _,
+    "q298_benford" -> benfordAudit _,
     "q168_partition_stats" -> partitionStatsGate _,
     "q124_rename_column" -> renameColumnGate _,
     "q126_retention_delete" -> retentionDelete _,
@@ -1536,6 +1548,31 @@ object Etl extends QueryPack {
       """SELECT '/source=' || source || '/' AS partition,
         |  count(*)::BIGINT AS n_rows, TRUE AS files_ok
         |FROM documents GROUP BY 1""".stripMargin,
+    "q298_benford" ->
+      """WITH d AS (
+        |  SELECT regexp_extract(CAST(CAST(abs(CAST(l_extendedprice AS DOUBLE))
+        |    AS DECIMAL(38,6)) AS VARCHAR), '[1-9]') AS digit
+        |  FROM lineitem),
+        |counts AS (
+        |  SELECT digit, count(*) AS observed FROM d
+        |  WHERE digit IS NOT NULL AND digit <> '' GROUP BY digit),
+        |alld AS (
+        |  SELECT CAST(i AS VARCHAR) AS digit,
+        |    log10(1.0 + 1.0 / CAST(i AS DOUBLE)) AS expected_raw
+        |  FROM range(1, 10) r(i)),
+        |j AS (
+        |  SELECT a.digit, coalesce(c.observed, 0) AS observed, a.expected_raw
+        |  FROM alld a LEFT JOIN counts c ON c.digit = a.digit),
+        |n AS (SELECT CAST(sum(observed) AS DOUBLE) AS n FROM j),
+        |terms AS (
+        |  SELECT digit, CAST(observed AS BIGINT) AS observed,
+        |    round(expected_raw, 9) AS expected_frac,
+        |    round(abs(CAST(observed AS DOUBLE) / n.n - expected_raw) / 2.0, 9)
+        |      AS half_dev
+        |  FROM j, n)
+        |SELECT t.digit, t.observed, t.expected_frac, t.half_dev, s.tv_distance
+        |FROM terms t CROSS JOIN
+        |  (SELECT round(sum(half_dev), 9) AS tv_distance FROM terms) s""".stripMargin,
     "q295_psi_categorical" ->
       """WITH base AS (
         |  SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS category

@@ -132,7 +132,8 @@ class FloatStabilitySpec extends SparkSpec {
     "q293_mmr_diversify",        // greedy over identical doubles, int ids
     "q294_psi_drift",            // decile edges + smoothed terms, round 9
     "q295_psi_categorical",      // category counts + smoothed terms
-    "q296_t_closeness")          // TV over the sensitive domain, round 9
+    "q296_t_closeness",          // TV over the sensitive domain, round 9
+    "q298_benford")              // digit counts + log10 literals, round 9
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

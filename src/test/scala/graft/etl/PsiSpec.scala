@@ -53,6 +53,29 @@ class PsiSpec extends SparkSpec {
     assert(cats.contains("<null>"))
   }
 
+  test("benford: synthetic log-uniform data conforms, uniform does not") {
+    // log-uniform magnitudes over 4 decades follow Benford closely
+    val logu = (0 until 4000).map { i =>
+      math.pow(10.0, (i % 400) / 100.0) * (1 + (i % 7) * 0.1)
+    }.toDF("x")
+    val conforming = ColumnProfile.benford(logu, "x")
+      .select($"tv_distance").as[Double].head()
+    assert(conforming < 0.06, s"log-uniform tv $conforming")
+    // uniform [1000, 2000): every leading digit is 1
+    val uni = (0 until 1000).map(i => 1000.0 + i).toDF("x")
+    val skewed = ColumnProfile.benford(uni, "x")
+    assert(skewed.select($"tv_distance").as[Double].head() > 0.5)
+    val d1 = skewed.filter($"digit" === "1")
+      .select($"observed").as[Long].head()
+    assert(d1 === 1000L)
+    // zeros and nulls are excluded, digits partition the rest
+    val withZero = Seq(Option(0.0), None, Option(25.0), Option(3.0))
+      .toDF("x")
+    val total = ColumnProfile.benford(withZero, "x")
+      .agg(sum($"observed")).as[Long].head()
+    assert(total === 2L)
+  }
+
   test("per-bucket counts partition both sides") {
     val r = ColumnProfile.psi(uniform(500), uniform(700), "x")
       .agg(sum($"base_count"), sum($"cur_count"))
