@@ -56,6 +56,33 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // env.json: environment + build fingerprint (r13 judge ask #3) —
+    // the record that distinguishes "driver env divergence" from
+    // "mid-session build skew" when a red row doesn't reproduce. The
+    // oracle engine's own version is stamped by whoever RUNS the
+    // compare (check_oracle.py / the driver), not here.
+    val sha =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0) out else s"unavailable: $out".take(80)
+      } catch { case e: Exception => s"unavailable: ${e.getMessage}" }
+    val env = Seq(
+      "git_sha" -> sha,
+      "spark_version" -> spark.version,
+      "scala_version" -> scala.util.Properties.versionNumberString,
+      "java_version" -> System.getProperty("java.version"),
+      "os" -> (System.getProperty("os.name") + " " +
+        System.getProperty("os.version")),
+      "cpus" -> cpus,
+      "jvm_timezone" -> java.util.TimeZone.getDefault.getID,
+      "sf_dir" -> sfDir,
+      "n_queries" -> SparkEntry.queries.size.toString,
+      "timestamp_utc" -> java.time.Instant.now().toString)
+    Files.writeString(Paths.get(s"$outDir/env.json"),
+      env.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

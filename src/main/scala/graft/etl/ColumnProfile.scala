@@ -125,16 +125,21 @@ object ColumnProfile {
     * Leading-digit extraction is STRING-based — the first [1-9] of
     * the absolute value rendered through DECIMAL(38,6), whose string
     * form is plain-decimal (never scientific) in BOTH engines, so the
-    * oracle replays the extraction verbatim; zeros, nulls and
-    * |x| < 1e-6 (no leading digit at that scale) are excluded. One
-    * count aggregate onto a 9-row table.
+    * oracle replays the extraction verbatim; zeros, nulls,
+    * |x| < 1e-6 (no leading digit at that scale) AND |x| >= 1e32
+    * (beyond DECIMAL(38,6) — Spark would null the cast silently while
+    * DuckDB raises, so the exclusion is an explicit pre-filter on
+    * both sides) are excluded. One count aggregate onto a 9-row
+    * table.
     */
   def benford(df: DataFrame, column: String): DataFrame = {
     val digit = regexp_extract(
       abs(col(column).cast("double")).cast("decimal(38,6)")
         .cast("string"),
       "[1-9]", 0)
-    val counts = df.select(digit.as("digit"))
+    val counts = df
+      .filter(abs(col(column).cast("double")) < 1e32)
+      .select(digit.as("digit"))
       .filter(col("digit") =!= "")
       .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
     val all = df.sparkSession.range(1, 10)

@@ -64,9 +64,15 @@ object MmrSelect {
       var c = 0
       while (c < n) {
         if (!taken(c)) {
-          val score =
+          val raw =
             if (round == 0) rel(c)
             else lambda * rel(c) + (1.0 - lambda) * -maxSim(c)
+          // NaN relevance (user data — e.g. a zero-norm query vector's
+          // cosine upstream) ranks WORST, not unselectable: NaN fails
+          // every comparison, so without this the round could end with
+          // best = -1 and crash
+          val score = if (java.lang.Double.isNaN(raw))
+            Double.NegativeInfinity else raw
           if (score > bestScore ||
               (score == bestScore && (best < 0 || id(c) < id(best)))) {
             best = c
@@ -75,6 +81,7 @@ object MmrSelect {
         }
         c += 1
       }
+      if (best < 0) return new GenericArrayData(out.toArray)
       taken(best) = true
       out += java.lang.Long.valueOf(id(best))
       // fold the new selection into every remaining candidate's

@@ -1245,7 +1245,7 @@ object Dedup extends QueryPack {
     // d3 = q177's boilerplate strip, d4 = q127's excision, ppl =
     // q134's LM, capped = q173's windowed cap, split = q112's draw
     "q284_config_secrets_fim_rouge" ->
-      """WITH planted AS (
+      s"""WITH planted AS (
         |  SELECT doc_id, source, text ||
         |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'api_key = "' ||
         |      md5(CAST(doc_id AS VARCHAR)) || '"' ELSE '' END ||
@@ -1262,30 +1262,9 @@ object Dedup extends QueryPack {
         |      md5('pem' || CAST(doc_id AS VARCHAR)) || chr(10) ||
         |      '-----END PRIVATE KEY-----' ELSE '' END AS text
         |  FROM documents),
-        |det AS (
-        |  SELECT doc_id, source,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      'AKIA[0-9A-Z]{16}', '<SECRET_AWS_KEY>', 'g'),
-        |      '-----BEGIN [A-Z ]*PRIVATE KEY-----[^-]*-----END [A-Z ]*PRIVATE KEY-----',
-        |      '<SECRET_PEM>', 'g'),
-        |      'eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}',
-        |      '<SECRET_JWT>', 'g') AS t3
-        |  FROM planted),
+        |${graft.text.SecretsScrub.oracleChainCtes("planted")},
         |red AS (
-        |  SELECT doc_id, source,
-        |    list_reduce(list_prepend(t3,
-        |      list_filter(
-        |        regexp_extract_all(t3,
-        |          '(?i)(api_key|apikey|access_key|secret|token|password|passwd|auth)(\s*[=:]\s*)["'']([A-Za-z0-9+/_-]{16,64})["'']',
-        |          3),
-        |        v -> -list_sum(list_transform(
-        |            list_sort(list_distinct(string_split(v, ''))),
-        |            c -> (CAST(len(list_filter(string_split(v, ''), x -> x = c))
-        |                    AS DOUBLE) / len(v)) *
-        |                 log2(CAST(len(list_filter(string_split(v, ''), x -> x = c))
-        |                    AS DOUBLE) / len(v)))) >= 3.0)),
-        |      (acc, v) -> replace(acc, v, '<SECRET_KEY>')) AS text
-        |  FROM det),
+        |  SELECT doc_id, source, scrubbed_text AS text FROM scrubbed),
         |pool AS (
         |  SELECT (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:16] AS toks
         |  FROM documents WHERE doc_id % 5 = 1),

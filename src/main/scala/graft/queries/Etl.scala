@@ -1552,7 +1552,8 @@ object Etl extends QueryPack {
       """WITH d AS (
         |  SELECT regexp_extract(CAST(CAST(abs(CAST(l_extendedprice AS DOUBLE))
         |    AS DECIMAL(38,6)) AS VARCHAR), '[1-9]') AS digit
-        |  FROM lineitem),
+        |  FROM lineitem
+        |  WHERE abs(CAST(l_extendedprice AS DOUBLE)) < 1e32),
         |counts AS (
         |  SELECT digit, count(*) AS observed FROM d
         |  WHERE digit IS NOT NULL AND digit <> '' GROUP BY digit),
@@ -1610,7 +1611,11 @@ object Etl extends QueryPack {
         |  SELECT o_totalprice AS x FROM orders
         |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
         |cur AS (
-        |  SELECT o_totalprice * (1.0 + 0.3 * (o_orderkey % 5) / 4.0) AS x
+        |  -- 0.3 cast to DOUBLE: bare 0.3 * BIGINT is exact DECIMAL in
+        |  -- DuckDB (0.9 for k=3) while Spark's lit(0.3)*k is the IEEE
+        |  -- product (0.8999999999999999) — the q234 ULP hazard class
+        |  SELECT o_totalprice * (1.0 + CAST(0.3 AS DOUBLE)
+        |    * (o_orderkey % 5) / CAST(4.0 AS DOUBLE)) AS x
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
         |e AS (
         |  SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])

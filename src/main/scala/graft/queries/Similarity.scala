@@ -685,7 +685,9 @@ object Similarity extends QueryPack {
          |  $joins
          |  WHERE $excl
          |  QUALIFY row_number() OVER (PARTITION BY c.query_id ORDER BY
-         |    0.7 * c.rel + (1.0 - 0.7) * -($maxSim) DESC, c.doc_id) = 1)"""
+         |    CAST(0.7 AS DOUBLE) * c.rel +
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+         |      * -($maxSim) DESC, c.doc_id) = 1)"""
         .stripMargin
     }.mkString(",\n")
     val ranks = (1 to 5).map(n =>

@@ -2594,8 +2594,11 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the FULL SecretsScrub chain replayed (not just the card stage):
+    // the engine extracts card candidates from the POST-credential
+    // text, and a fixture-independent oracle must do the same
     "q297_card_scrub" ->
-      """WITH planted AS (
+      s"""WITH planted AS (
         |  SELECT doc_id, source, text ||
         |    CASE WHEN doc_id % 7 = 0
         |      THEN chr(10) || 'card: 4111 1111 1111 1111 ok' ELSE '' END ||
@@ -2605,43 +2608,14 @@ object Text extends QueryPack {
         |    CASE WHEN doc_id % 13 = 0
         |      THEN chr(10) || 'pay 5500-0000-0000-0004 now' ELSE '' END AS text
         |  FROM documents),
-        |cands AS (
-        |  SELECT doc_id, source, text,
-        |    regexp_extract_all(text,
-        |      '[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,7}') AS cs
-        |  FROM planted),
-        |luhn AS (
-        |  SELECT *, list_filter(cs, v ->
-        |    len(regexp_replace(v, '[^0-9]', '', 'g')) > 0 AND
-        |    list_sum(list_transform(
-        |      range(1, len(string_split(regexp_replace(v, '[^0-9]', '', 'g'),
-        |        '')) + 1),
-        |      i -> CASE WHEN i % 2 = 0 THEN
-        |          CASE WHEN 2 * CAST(string_split(regexp_replace(v, '[^0-9]',
-        |              '', 'g'), '')[len(string_split(regexp_replace(v,
-        |              '[^0-9]', '', 'g'), '')) + 1 - i] AS INT) > 9
-        |            THEN 2 * CAST(string_split(regexp_replace(v, '[^0-9]', '',
-        |              'g'), '')[len(string_split(regexp_replace(v, '[^0-9]',
-        |              '', 'g'), '')) + 1 - i] AS INT) - 9
-        |            ELSE 2 * CAST(string_split(regexp_replace(v, '[^0-9]', '',
-        |              'g'), '')[len(string_split(regexp_replace(v, '[^0-9]',
-        |              '', 'g'), '')) + 1 - i] AS INT) END
-        |        ELSE CAST(string_split(regexp_replace(v, '[^0-9]', '', 'g'),
-        |          '')[len(string_split(regexp_replace(v, '[^0-9]', '', 'g'),
-        |          '')) + 1 - i] AS INT) END)) % 10 = 0) AS valid
-        |  FROM cands),
-        |red AS (
-        |  SELECT doc_id, source, len(cs) AS n_cands, len(valid) AS n_valid,
-        |    list_reduce(list_prepend(text, valid),
-        |      (acc, v) -> replace(acc, v, '<CARD_NUMBER>')) AS redacted
-        |  FROM luhn)
+        |${graft.text.SecretsScrub.oracleChainCtes("planted")}
         |SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_valid) AS BIGINT) AS cards_redacted,
-        |  CAST(sum(n_cands - n_valid) AS BIGINT) AS luhn_kept,
-        |  CAST(sum(('0x' || substr(md5(redacted), 1, 8))::BIGINT) AS BIGINT)
-        |    AS redacted_checksum
-        |FROM red GROUP BY source""".stripMargin,
+        |  CAST(sum(len(__valid)) AS BIGINT) AS cards_redacted,
+        |  CAST(sum(len(__cs) - len(__valid)) AS BIGINT) AS luhn_kept,
+        |  CAST(sum(('0x' || substr(md5(scrubbed_text), 1, 8))::BIGINT)
+        |    AS BIGINT) AS redacted_checksum
+        |FROM scrubbed GROUP BY source""".stripMargin,
     "q292_query_likelihood" ->
       """WITH tf AS (
         |  SELECT token, doc_id, count(*) AS tf
@@ -2833,7 +2807,7 @@ object Text extends QueryPack {
         |  CAST(sum(('0x' || substr(md5(fim_mode || text), 1, 8))::BIGINT) AS BIGINT) AS fim_checksum
         |FROM tr GROUP BY source""".stripMargin,
     "q280_secrets_scrub" ->
-      """WITH planted AS (
+      s"""WITH planted AS (
         |  SELECT doc_id, source, text ||
         |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'api_key = "' ||
         |      md5(CAST(doc_id AS VARCHAR)) || '"' ELSE '' END ||
@@ -2852,50 +2826,17 @@ object Text extends QueryPack {
         |      md5('pem' || CAST(doc_id AS VARCHAR)) || chr(10) ||
         |      '-----END PRIVATE KEY-----' ELSE '' END AS text
         |  FROM documents),
-        |det AS (
-        |  SELECT doc_id, source,
-        |    len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}')) AS n_aws,
-        |    len(regexp_extract_all(text,
-        |      '-----BEGIN [A-Z ]*PRIVATE KEY-----[^-]*-----END [A-Z ]*PRIVATE KEY-----'))
-        |      AS n_pem,
-        |    len(regexp_extract_all(text,
-        |      'eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}'))
-        |      AS n_jwt,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      'AKIA[0-9A-Z]{16}', '<SECRET_AWS_KEY>', 'g'),
-        |      '-----BEGIN [A-Z ]*PRIVATE KEY-----[^-]*-----END [A-Z ]*PRIVATE KEY-----',
-        |      '<SECRET_PEM>', 'g'),
-        |      'eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}',
-        |      '<SECRET_JWT>', 'g') AS t3
-        |  FROM planted),
-        |vals AS (
-        |  SELECT *, regexp_extract_all(t3,
-        |    '(?i)(api_key|apikey|access_key|secret|token|password|passwd|auth)(\s*[=:]\s*)["'']([A-Za-z0-9+/_-]{16,64})["'']',
-        |    3) AS vs
-        |  FROM det),
-        |ent AS (
-        |  SELECT *, list_filter(vs, v ->
-        |    -list_sum(list_transform(
-        |      list_sort(list_distinct(string_split(v, ''))),
-        |      c -> (CAST(len(list_filter(string_split(v, ''), x -> x = c))
-        |              AS DOUBLE) / len(v)) *
-        |           log2(CAST(len(list_filter(string_split(v, ''), x -> x = c))
-        |              AS DOUBLE) / len(v)))) >= 3.0) AS hi
-        |  FROM vals),
-        |red AS (
-        |  SELECT *, list_reduce(list_prepend(t3, hi),
-        |    (acc, v) -> replace(acc, v, '<SECRET_KEY>')) AS redacted
-        |  FROM ent)
+        |${graft.text.SecretsScrub.oracleChainCtes("planted")}
         |SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_aws) AS BIGINT) AS aws_keys,
         |  CAST(sum(n_pem) AS BIGINT) AS pem_blocks,
         |  CAST(sum(n_jwt) AS BIGINT) AS jwts,
-        |  CAST(sum(len(hi)) AS BIGINT) AS named_secrets,
-        |  CAST(sum(len(vs) - len(hi)) AS BIGINT) AS low_entropy_kept,
-        |  CAST(sum(('0x' || substr(md5(redacted), 1, 8))::BIGINT) AS BIGINT)
-        |    AS redacted_checksum
-        |FROM red GROUP BY source""".stripMargin,
+        |  CAST(sum(len(__hi)) AS BIGINT) AS named_secrets,
+        |  CAST(sum(len(__vs) - len(__hi)) AS BIGINT) AS low_entropy_kept,
+        |  CAST(sum(('0x' || substr(md5(scrubbed_text), 1, 8))::BIGINT)
+        |    AS BIGINT) AS redacted_checksum
+        |FROM scrubbed GROUP BY source""".stripMargin,
     "q263_readability" ->
       """WITH c AS (
         |  SELECT doc_id,

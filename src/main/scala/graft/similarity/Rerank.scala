@@ -61,9 +61,15 @@ object Rerank {
       idCol: String = "doc_id", relCol: String = "rel",
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = shortlist.sparkSession
+    // LEFT join: a shortlist id missing from vecs must not silently
+    // shrink the selection pool — it keeps its relevance and competes
+    // with an empty vector, which the kernel's zero-norm convention
+    // scores as similarity 0 to everything (no redundancy evidence)
     val joined = shortlist
       .join(vecs.select(col(vecIdCol).as(idCol), col(vecCol).as("__v")),
-        idCol)
+        Seq(idCol), "left")
+      .withColumn("__v", coalesce(col("__v"),
+        array().cast("array<float>")))
       .groupBy(col(queryIdCol))
       .agg(collect_list(struct(col(idCol).cast("long").as("i"),
         col(relCol).cast("double").as("r"),

@@ -148,4 +148,84 @@ object SecretsScrub {
             (acc, v) => replace(acc, v, lit(CardSentinel)))))
       .drop("__t3", "__vals", "__hi", "__t4", "__cards", "__luhn")
   }
+
+  /** DuckDB `list_filter` predicate over a candidate string `v`:
+    * Shannon entropy of the character histogram ≥ `minEntropy` —
+    * replays [[graft.functions.ShannonEntropyExpr]] exactly.
+    */
+  def entropyPredicateSql(minEntropy: Double = 3.0): String =
+    s"""-list_sum(list_transform(
+       |      list_sort(list_distinct(string_split(v, ''))),
+       |      c -> (CAST(len(list_filter(string_split(v, ''), x -> x = c))
+       |              AS DOUBLE) / len(v)) *
+       |           log2(CAST(len(list_filter(string_split(v, ''), x -> x = c))
+       |              AS DOUBLE) / len(v)))) >= $minEntropy""".stripMargin
+
+  /** DuckDB `list_filter` predicate over a candidate string `v`:
+    * Luhn checksum passes — replays
+    * [[graft.functions.LuhnCheck]] digit-for-digit (strip
+    * non-digits, double every second digit from the right, −9 above
+    * 9, sum ≡ 0 mod 10).
+    */
+  val luhnPredicateSql: String = {
+    val ds = "string_split(regexp_replace(v, '[^0-9]', '', 'g'), '')"
+    s"""len(regexp_replace(v, '[^0-9]', '', 'g')) > 0 AND
+       |    list_sum(list_transform(range(1, len($ds) + 1),
+       |      i -> CASE WHEN i % 2 = 0 THEN
+       |          CASE WHEN 2 * CAST($ds[len($ds) + 1 - i] AS INT) > 9
+       |            THEN 2 * CAST($ds[len($ds) + 1 - i] AS INT) - 9
+       |            ELSE 2 * CAST($ds[len($ds) + 1 - i] AS INT) END
+       |        ELSE CAST($ds[len($ds) + 1 - i] AS INT) END)) % 10 = 0"""
+      .stripMargin
+  }
+
+  /** DuckDB CTE chain replaying the FULL [[report]] detector order —
+    * aws → pem → jwt → entropy-gated named values → Luhn-gated cards
+    * — over a source CTE exposing a `text` column. Emits, via
+    * `SELECT *` chaining: `n_aws`, `n_pem`, `n_jwt` (pre-replacement
+    * counts), `__vs`/`__hi` (named candidates / entropy-qualified),
+    * `__cs`/`__valid` (card candidates in the post-credential text /
+    * Luhn-valid), and `scrubbed_text` (the final redaction). Every
+    * gate oracle that replays ANY stage must replay the WHOLE chain
+    * through this builder, so no gate is coupled to its fixture never
+    * containing the other detectors' matches (r13 advisor finding).
+    */
+  def oracleChainCtes(srcCte: String): String =
+    s"""det AS (
+       |  SELECT *,
+       |    len(regexp_extract_all(text, '$AwsKeyRe')) AS n_aws,
+       |    len(regexp_extract_all(text, '$PemRe')) AS n_pem,
+       |    len(regexp_extract_all(text,
+       |      'eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}'))
+       |      AS n_jwt,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$AwsKeyRe', '$AwsSentinel', 'g'),
+       |      '$PemRe', '$PemSentinel', 'g'),
+       |      'eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}',
+       |      '$JwtSentinel', 'g') AS __t3
+       |  FROM $srcCte),
+       |vals AS (
+       |  SELECT *, regexp_extract_all(__t3,
+       |    '(?i)(api_key|apikey|access_key|secret|token|password|passwd|auth)(\\s*[=:]\\s*)["'']([A-Za-z0-9+/_-]{16,64})["'']',
+       |    3) AS __vs
+       |  FROM det),
+       |ent AS (
+       |  SELECT *, list_filter(__vs, v ->
+       |    ${entropyPredicateSql()}) AS __hi
+       |  FROM vals),
+       |red4 AS (
+       |  SELECT *, list_reduce(list_prepend(__t3, __hi),
+       |    (acc, v) -> replace(acc, v, '$KeySentinel')) AS __t4
+       |  FROM ent),
+       |cards AS (
+       |  SELECT *, regexp_extract_all(__t4, '$CardRe') AS __cs
+       |  FROM red4),
+       |luhn AS (
+       |  SELECT *, list_filter(__cs, v ->
+       |    $luhnPredicateSql) AS __valid
+       |  FROM cards),
+       |scrubbed AS (
+       |  SELECT *, list_reduce(list_prepend(__t4, __valid),
+       |    (acc, v) -> replace(acc, v, '$CardSentinel')) AS scrubbed_text
+       |  FROM luhn)""".stripMargin
 }

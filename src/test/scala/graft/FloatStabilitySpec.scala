@@ -109,6 +109,7 @@ class FloatStabilitySpec extends SparkSpec {
     "q244_calibration",
     "q245_paired_bleu",          // integer weight·count resample sums
     "q248_wer",                  // integer edit-distance sums
+    "q234_win_rates",            // Wilson CI round 9 over integer counts
     "q249_priority_sample",      // per-row md5 divisions + max(w, tau)
     "q251_krippendorff_alpha",   // lcm-scaled integer cores, one div
     "q257_gopher_rules",         // per-row ratio thresholds (booleans)

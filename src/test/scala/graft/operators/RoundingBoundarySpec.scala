@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.DoubleType
+
+/** Executable "boundary-safe" contract for the round-9 restatements of
+  * the r13 driver-red gates (q234 win rates, q251 Krippendorff α).
+  *
+  * round(x, 9) only absorbs engine-level ULP divergence when x is FAR
+  * from a .5e-9 rounding boundary — the q209 lesson. This spec makes
+  * that precondition a test: for every float the two gates would
+  * round, the UNROUNDED operator value must sit at least `MinMargin`
+  * (in units of 1e-9, i.e. 1e-6 ≈ hundreds of ULPs at these
+  * magnitudes) away from the nearest boundary, at BOTH the spec SF and
+  * the driver's sf0.01. If a future fixture change parks a value on a
+  * boundary, this fails loudly instead of the driver hash flapping.
+  */
+class RoundingBoundarySpec extends SparkSpec {
+
+  /** Margin of v from the nearest .5e-9 rounding boundary, in units
+    * of the 1e-9 grid (0 = exactly on a boundary, 0.5 = grid point).
+    */
+  private def boundaryMargin(v: Double): Double = {
+    val scaled = math.abs(v) * 1e9
+    val frac = scaled - math.floor(scaled)
+    math.abs(frac - 0.5)
+  }
+
+  private val MinMargin = 1e-6
+
+  private def assertSafe(df: DataFrame, gate: String): Unit = {
+    val floatCols = df.schema.fields
+      .filter(_.dataType == DoubleType).map(_.name)
+    assert(floatCols.nonEmpty, s"$gate: no double columns to check")
+    val rows = df.select(floatCols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+    for (r <- rows; i <- floatCols.indices if !r.isNullAt(i)) {
+      val v = r.getDouble(i)
+      val m = boundaryMargin(v)
+      assert(m > MinMargin,
+        s"$gate: ${floatCols(i)} = $v sits $m grid-units from a .5e-9 " +
+          "rounding boundary — round(9) cannot absorb ULP divergence " +
+          "here; restate the gate (planted threshold / integer core)")
+    }
+  }
+
+  private val dirs = Seq(sf, "/root/testdata/sf0.01")
+
+  for (dir <- dirs) {
+    val tag = dir.split('/').last
+
+    test(s"q234 unrounded Wilson terms are boundary-safe at $tag") {
+      assertSafe(WinRates.matrix(
+        graft.queries.Analytics.syntheticBattlesForSpec(spark, dir)), "q234")
+    }
+
+    test(s"q251 unrounded d_o/d_e/alpha are boundary-safe at $tag") {
+      assertSafe(graft.queries.Analytics
+        .krippendorffUnroundedForSpec(spark, dir), "q251")
+    }
+  }
+}

@@ -49,4 +49,39 @@ class MmrSpec extends SparkSpec {
       .as[(Long, Int, Long)].head()
     assert(first._3 === 4L)
   }
+
+  test("NaN relevance ranks worst instead of crashing the kernel") {
+    // r13 advisor finding: all-NaN rounds left best = -1 and threw
+    // ArrayIndexOutOfBounds; NaN rel is reachable (zero-norm query
+    // vector -> NaN cosine upstream). NaN docs select LAST, k holds.
+    val nan = Seq((1L, 10L, Double.NaN), (1L, 4L, 0.5),
+      (1L, 6L, Double.NaN)).toDF("query_id", "doc_id", "rel")
+    val tv = Seq((10L, Seq(1f, 0f)), (4L, Seq(0f, 1f)),
+      (6L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val got = Rerank.mmrDiversify(nan, tv, k = 3, lambda = 0.7)
+      .orderBy($"rank").as[(Long, Int, Long)].collect().map(_._3).toSeq
+    assert(got.head === 4L, "the finite-rel doc selects first")
+    assert(got.toSet === Set(4L, 6L, 10L), "NaN docs still selected")
+    // all-NaN shortlist: deterministic id order, no crash
+    val allNan = Seq((1L, 10L, Double.NaN), (1L, 4L, Double.NaN))
+      .toDF("query_id", "doc_id", "rel")
+    val got2 = Rerank.mmrDiversify(allNan, tv, k = 2, lambda = 0.7)
+      .orderBy($"rank").as[(Long, Int, Long)].collect().map(_._3).toSeq
+    assert(got2 === Seq(4L, 10L))
+  }
+
+  test("shortlist ids missing from vecs still compete (empty-vector " +
+      "fallback, similarity 0)") {
+    // r13 advisor finding: the inner join silently dropped them
+    val sl = Seq((1L, 10L, 0.9), (1L, 4L, 0.8), (1L, 6L, 0.7))
+      .toDF("query_id", "doc_id", "rel")
+    val tv = Seq((10L, Seq(1f, 0f)), (6L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding") // no row for doc 4
+    val got = Rerank.mmrDiversify(sl, tv, k = 3, lambda = 0.7)
+      .orderBy($"rank").as[(Long, Int, Long)].collect().map(_._3).toSeq
+    assert(got.length === 3, "missing-vector doc must not vanish")
+    assert(got.head === 10L)
+    // doc 4 (sim 0 to everything, rel 0.8) beats the near-dup doc 6
+    assert(got(1) === 4L)
+  }
 }

@@ -143,6 +143,53 @@ class AvroSpec extends SparkSpec {
     assert(got(1).isNullAt(2) && got(1).isNullAt(5))
   }
 
+  test("decimal and timestamp-millis roundtrip BYTES: container carries " +
+      "the exact unscaled big-endian bytes and the exact epoch-millis long") {
+    // the r14 q224 discipline: rows/schema equality can hide a
+    // canonicalization divergence, so assert the on-disk ENCODING —
+    // the decimal's two's-complement unscaled bytes and the raw
+    // epoch-millis long — byte for byte
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dec", DecimalType(12, 2)),
+      StructField("ts", TimestampType)))
+    val ts = java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789")
+    val rows = Seq(Row(1L, BigDecimal("12345.67").bigDecimal, ts),
+      Row(2L, BigDecimal("-0.01").bigDecimal, ts))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.format("graftavro").mode("overwrite")
+      .option("timestampMillis", "true").save(tmp("bytes"))
+    val f = new java.io.File(tmp("bytes")).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val rdr = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](f,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val recs = Iterator.continually(rdr)
+      .takeWhile(_.hasNext).map(_.next()).toVector
+    rdr.close()
+    val byId = recs.sortBy(_.get("id").asInstanceOf[Long])
+    def decBytes(r: org.apache.avro.generic.GenericRecord): Seq[Byte] = {
+      val bb = r.get("dec").asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a.toSeq
+    }
+    // 12345.67 at scale 2 -> unscaled 1234567 -> big-endian minimal
+    // two's complement 0x12 0xD6 0x87; -0.01 -> unscaled -1 -> 0xFF
+    assert(decBytes(byId(0)) ==
+      BigInt(1234567).toByteArray.toSeq, "unscaled bytes of 12345.67")
+    assert(decBytes(byId(0)) == Seq[Byte](0x12, 0xD6.toByte, 0x87.toByte))
+    assert(decBytes(byId(1)) == Seq[Byte](-1), "unscaled bytes of -0.01")
+    // the raw long IS the instant's epoch millis (micros / 1000),
+    // timezone-free by construction
+    assert(byId(0).get("ts").asInstanceOf[Long] == ts.getTime,
+      s"epoch-millis long, expected ${ts.getTime}")
+    // pinned against an independent clock path (UTC wall time →
+    // instant via java.time, no java.sql involved)
+    assert(java.time.Instant.ofEpochMilli(ts.getTime) ==
+      java.time.LocalDateTime.parse("2024-02-29T12:34:56.789")
+        .atZone(java.util.TimeZone.getDefault.toZoneId).toInstant)
+  }
+
   test("schema-evolved reads null-fill missing nullable columns") {
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
       .write.format("graftavro").mode("overwrite").save(tmp("evo"))

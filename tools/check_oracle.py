@@ -4,15 +4,22 @@
 NOT part of the engine (the engine is the Scala library under src/).
 Usage:
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
-  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out \
+      [--tol 1e-9] [--only q234_win_rates,q251_krippendorff_alpha]
 
 For every query dumped by graft.Verify, runs the declared oracle SQL in
 DuckDB over the same parquet tables, canonicalizes both results (columns
-sorted by name, rows sorted by all columns), and reports row-count /
-schema / value match plus the worst float deviation (to judge whether a
-hash-style compare would pass).
+sorted by name, rows sorted by all columns), and compares values.
+
+DEFAULT MODE IS EXACT (r13 judge ask #2): floats must match
+BIT-FOR-BIT, like the driver's canonicalize+hash — a 1-ULP divergence
+fails loudly with both IEEE values and their ULP distance printed. The
+r13 round proved the old 1e-9-relative default could hide a driver red
+from the builder (q224/q234/q251 passed the tolerant sweep, failed the
+driver hash). Pass --tol to reproduce the old tolerant behavior when
+diagnosing HOW FAR apart two engines are.
 """
-import json, math, sys, glob, os
+import json, math, struct, sys, glob, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -25,7 +32,32 @@ def canon(df):
     return df.sort_values(by=cols, ignore_index=True, kind="mergesort")
 
 
-def main(sf_dir, out_dir):
+def ulp_distance(a, b):
+    """Distance in representable doubles between a and b (inf if sign
+    differs or either is non-finite and unequal)."""
+    if not (math.isfinite(a) and math.isfinite(b)):
+        return 0 if (a == b or (math.isnan(a) and math.isnan(b))) else math.inf
+    ia = struct.unpack("<q", struct.pack("<d", a))[0]
+    ib = struct.unpack("<q", struct.pack("<d", b))[0]
+    if ia < 0:
+        ia = -(ia ^ 0x7FFFFFFFFFFFFFFF) - 1
+    if ib < 0:
+        ib = -(ib ^ 0x7FFFFFFFFFFFFFFF) - 1
+    return abs(ia - ib)
+
+
+def main(argv):
+    sf_dir, out_dir = argv[0], argv[1]
+    tol = None
+    only = None
+    i = 2
+    while i < len(argv):
+        if argv[i] == "--tol":
+            tol = float(argv[i + 1]); i += 2
+        elif argv[i] == "--only":
+            only = set(argv[i + 1].split(",")); i += 2
+        else:
+            raise SystemExit(f"unknown arg {argv[i]}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -33,6 +65,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             results[name] = "MISSING-SPARK-OUTPUT"
@@ -51,7 +85,7 @@ def main(sf_dir, out_dir):
             results[name] = f"COLS {sorted(got.columns)} != {sorted(exp.columns)}"
             continue
         g, e = canon(got), canon(exp)
-        worst = 0.0
+        worst_ulp = 0
         bad = None
         import pandas as pd
 
@@ -66,28 +100,42 @@ def main(sf_dir, out_dir):
             for i, (a, b) in enumerate(zip(gv, ev)):
                 if isnull(a) or isnull(b):
                     if isnull(a) != isnull(b):
-                        bad = (c, i, a, b); break
+                        bad = (c, i, a, b, "null-mismatch"); break
                     continue
                 if isinstance(a, float) or isinstance(b, float):
-                    d = abs(a - b) / max(abs(a), abs(b), 1.0)
-                    worst = max(worst, d)
-                    if d > 1e-9:
-                        bad = (c, i, a, b); break
+                    if tol is not None:
+                        d = abs(a - b) / max(abs(a), abs(b), 1.0)
+                        if d > tol:
+                            bad = (c, i, a, b, f"rel_dev={d:.2e}"); break
+                    else:
+                        u = ulp_distance(float(a), float(b))
+                        worst_ulp = max(worst_ulp, u) if u != math.inf \
+                            else worst_ulp
+                        if u != 0:
+                            bad = (c, i, a, b,
+                                   f"ulp={u} got={float(a)!r} exp={float(b)!r}")
+                            break
                 elif a != b:
-                    bad = (c, i, a, b); break
+                    bad = (c, i, a, b, "value"); break
             if bad:
                 break
         if bad:
-            results[name] = f"VALUE-MISMATCH col={bad[0]} row={bad[1]} got={bad[2]!r} exp={bad[3]!r}"
+            results[name] = (f"VALUE-MISMATCH col={bad[0]} row={bad[1]} "
+                             f"got={bad[2]!r} exp={bad[3]!r} [{bad[4]}]")
         else:
-            results[name] = f"OK (worst_float_rel_dev={worst:.2e}, rows={len(g)})"
+            mode = "exact" if tol is None else f"tol={tol:g}"
+            results[name] = f"OK ({mode}, rows={len(g)})"
+    # oracle-engine fingerprint, the compare-side half of Verify's
+    # env.json (the r13 reds hinged on an unrecorded DuckDB version)
+    print(f"oracle engine: duckdb {duckdb.__version__}\n")
     width = max(len(k) for k in results)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in results.items():
         print(f"{k:<{width}}  {v}")
-    print(f"\n{n_ok}/{len(results)} queries match the oracle")
+    print(f"\n{n_ok}/{len(results)} queries match the oracle"
+          + ("" if tol is not None else " (EXACT bit-compare mode)"))
     return 0 if n_ok == len(results) else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1:]))
