@@ -1123,6 +1123,57 @@ object Text extends QueryPack {
     graft.text.TrainShards.byDocCount(Tables.documents(s, dir),
       shardDocs = 256, epochs = 2)
 
+  /** Config-surface gate for the materialization tail (q299):
+    * `exact_dedup` → `train_order` (2 epochs) → `pack` (budget 4096
+    * chars along the stream position) as one JSON stage list — the
+    * chain that turns a curated corpus into packed training input
+    * with no driver code (r13 judge ask #6). The oracle recomposes
+    * keep-first dedup (q30), the md5 epoch stream (q139) and the
+    * contiguous-packing cumsum (q103) as windows; pack totals and
+    * span counts are exact integers.
+    */
+  def configMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val cfg = java.nio.file.Files.createTempFile("graft_q299_cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      """{ "stages": [
+        |  {"op": "exact_dedup"},
+        |  {"op": "train_order", "epochs": 2},
+        |  {"op": "pack", "budget": 4096, "tokenCol": "n_chars",
+        |   "orderCol": "pos"} ] }
+        |""".stripMargin)
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    graft.etl.CurationPipeline.run(Tables.documents(s, dir), stages.toSeq)
+      .groupBy(col("pack_id")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("pack_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("packs_spanned")).as("max_spanned"))
+  }
+
+  /** Config-surface gate for the shard-export tail (q300):
+    * `exact_dedup` → `shard` (128 docs/shard, 2 epochs, WITH the
+    * parquet export path) — the chain ends in actual shard
+    * directories on disk; the driver-visible result is the
+    * assignment table (dedup replay + the q256 integer arithmetic),
+    * and the directory layout is asserted in CurationPipelineSpec.
+    */
+  def configShards(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_q300_shards_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val cfg = java.nio.file.Files.createTempFile("graft_q300_cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      s"""{ "stages": [
+         |  {"op": "exact_dedup"},
+         |  {"op": "shard", "shardDocs": 128, "epochs": 2,
+         |   "path": "$out"} ] }
+         |""".stripMargin)
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    graft.etl.CurationPipeline.run(Tables.documents(s, dir), stages.toSeq)
+      .select(col("doc_id"), col("epoch"), col("shard"),
+        col("pos_in_shard"))
+  }
+
   /** Dictionary-tagging gate (q255): a fixed six-term dictionary —
     * including a phrase with a space, mutually-overlapping terms
     * ("an"/"ana"/"and"), and stopwords — counted per document by the
@@ -2455,6 +2506,8 @@ object Text extends QueryPack {
     "q250_heavy_hitters" -> heavyHittersGate _,
     "q255_dictionary_tag" -> dictionaryTagGate _,
     "q256_train_shards" -> trainShardsGate _,
+    "q299_config_materialize" -> configMaterialize _,
+    "q300_config_shards" -> configShards _,
     "q257_gopher_rules" -> gopherRulesGate _,
     "q258_c4_rules" -> c4RulesGate _,
     "q179_dsir_weights" -> dsirWeights _,
@@ -3900,6 +3953,56 @@ object Text extends QueryPack {
         |        AND len([x for x in string_split_regex(trim(l), '\s+')
         |                 if x <> '']) >= 5] AS kept
         |  FROM documents)""".stripMargin,
+    // keep-first dedup + epoch stream + packing cumsum, all windows
+    "q299_config_materialize" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars FROM (
+        |    SELECT doc_id, n_chars,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) t WHERE rn = 1),
+        |s AS (
+        |  SELECT doc_id, n_chars, CAST(epoch AS INTEGER) AS epoch,
+        |    lpad(CAST(epoch AS VARCHAR), 4, '0') || ':' ||
+        |      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+        |      || ':' || CAST(doc_id AS VARCHAR) AS k
+        |  FROM d, range(2) t(epoch)),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY k) AS BIGINT) - 1 AS pos
+        |  FROM s),
+        |c AS (
+        |  SELECT *, COALESCE(sum(n_chars) OVER (ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS tok_start
+        |  FROM p)
+        |SELECT CAST(tok_start // 4096 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS pack_chars,
+        |  min(doc_id) AS first_doc,
+        |  CAST(max((tok_start % 4096 + n_chars + 4095) // 4096) AS BIGINT)
+        |    AS max_spanned
+        |FROM c GROUP BY 1""".stripMargin,
+    // keep-first dedup + the q256 stream/shard arithmetic
+    "q300_config_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) t WHERE rn = 1),
+        |s AS (
+        |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |    lpad(CAST(epoch AS VARCHAR), 4, '0') || ':' ||
+        |      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+        |      || ':' || CAST(doc_id AS VARCHAR) AS k
+        |  FROM d, range(2) t(epoch)),
+        |p AS (
+        |  SELECT doc_id, epoch,
+        |    CAST(row_number() OVER (ORDER BY k) AS BIGINT) - 1 AS pos
+        |  FROM s)
+        |SELECT doc_id, epoch,
+        |  CAST(pos // 128 AS INT) AS shard,
+        |  CAST(pos % 128 AS INT) AS pos_in_shard
+        |FROM p""".stripMargin,
     // the q139 stream replay + integer shard arithmetic
     "q256_train_shards" ->
       """WITH s AS (

@@ -120,6 +120,67 @@ class CurationPipelineSpec extends SparkSpec {
     assert(out.count() < docs.count())
   }
 
+  test("materialization tail: train_order → pack equals the operators") {
+    val docs = Tables.documents(spark, sf)
+    val piped = CurationPipeline.run(docs, stagesFrom(
+      """{ "stages": [
+        |  {"op": "train_order", "epochs": 2},
+        |  {"op": "pack", "budget": 4096, "tokenCol": "n_chars",
+        |   "orderCol": "pos"} ] }
+        |""".stripMargin))
+      .select($"doc_id", $"epoch", $"pos", $"tok_start", $"pack_id")
+    val direct = graft.text.SequencePacking.contiguousPacks(
+      docs.join(graft.text.TrainOrder.epochStream(docs, "doc_id", 2),
+        "doc_id"),
+      "n_chars", "pos", 4096L)
+      .select($"doc_id", $"epoch", $"pos", $"tok_start", $"pack_id")
+    assert(piped.exceptAll(direct).isEmpty &&
+      direct.exceptAll(piped).isEmpty)
+    // 2 epochs: every doc carries exactly two stream rows
+    assert(piped.count() === 2 * docs.count())
+  }
+
+  test("shard stage writes one directory per shard with the full epoch " +
+      "stream inside") {
+    val out = "/tmp/graft_curation_spec_shards"
+    val docs = Tables.documents(spark, sf)
+    val res = CurationPipeline.run(docs, stagesFrom(
+      s"""{ "stages": [
+         |  {"op": "exact_dedup"},
+         |  {"op": "shard", "shardDocs": 64, "epochs": 2,
+         |   "path": "$out"} ] }
+         |""".stripMargin))
+    val nStream = res.count()
+    val shards = res.select($"shard").distinct().as[Int].collect().sorted
+    // file-system facts: one shard=N directory per assignment shard
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map(_.getName.stripPrefix("shard=").toInt).sorted
+    assert(dirs.toSeq === shards.toSeq)
+    // the export holds the whole stream and every shard except the
+    // stream tail is exactly full
+    val back = spark.read.parquet(out)
+    assert(back.count() === nStream)
+    val sizes = back.groupBy($"shard").count()
+      .orderBy($"shard").as[(Int, Long)].collect()
+    assert(sizes.dropRight(1).forall(_._2 == 64L))
+    assert(sizes.last._2 <= 64L && sizes.last._2 > 0L)
+  }
+
+  test("chat_render stage equals the operator on turn-shaped input") {
+    val turns = Seq(
+      (1L, 0, "user", "hello"), (1L, 1, "assistant", "hi there"),
+      (1L, 2, "user", "bye"), (1L, 3, "assistant", "goodbye"),
+      (2L, 0, "user", "only user")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val piped = CurationPipeline.run(turns,
+      stagesFrom("""{ "stages": [ {"op": "chat_render"} ] }"""))
+    val direct = graft.text.ChatRender.render(turns)
+    assert(piped.exceptAll(direct).isEmpty &&
+      direct.exceptAll(piped).isEmpty)
+    assert(piped.count() === 2) // one row per assistant turn
+  }
+
   test("unknown ops and missing parameters fail loudly") {
     val bad = stagesFrom("""{ "stages": [ {"op": "frobnicate"} ] }""")
     val e = intercept[IllegalArgumentException] {

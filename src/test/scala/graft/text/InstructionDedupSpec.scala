@@ -59,6 +59,30 @@ class InstructionDedupSpec extends SparkSpec {
     assert(kept === Set(3L))
   }
 
+  test("maxDocs contract refuses pretraining-scale inputs loudly") {
+    val err = intercept[IllegalArgumentException] {
+      InstructionDedup.keepNew(newDocs, pool, maxDocs = 3)
+        .count()
+    }
+    assert(err.getMessage.contains("instruction-pool contract"))
+    assert(err.getMessage.contains("maxDocs=3"))
+    // raising the cap explicitly lets the same input through
+    assert(InstructionDedup.keepNew(newDocs, pool, maxDocs = 5)
+      .count() === 3)
+  }
+
+  test("config stage forwards maxDocs and fails loudly") {
+    val poolPath = "/tmp/graft_idedup_spec_pool"
+    pool.write.mode("overwrite").parquet(poolPath)
+    val stage = spark.read.json(spark.createDataset(Seq(
+      s"""{"op":"rouge_dedup","poolPath":"$poolPath","maxDocs":2}""")))
+      .collect()(0)
+    val err = intercept[IllegalArgumentException] {
+      graft.etl.CurationPipeline.run(newDocs, Seq(stage)).count()
+    }
+    assert(err.getMessage.contains("instruction-pool contract"))
+  }
+
   test("prefix blocking is lossless vs the brute-force product") {
     // word-salad docs over a tiny vocabulary: lots of shared tokens,
     // a handful of genuine near-dups
