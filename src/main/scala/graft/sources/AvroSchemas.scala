@@ -21,7 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   `local-timestamp-micros` ↔ TimestampNTZType (Spark's internal
   *   micros — no conversion); ARRAY ↔ ArrayType;
   *   MAP ↔ MapType(String, _); RECORD ↔ StructType (recursive);
-  *   ENUM/FIXED read as string/binary; `decimal` logical
+  *   ENUM/FIXED read as string/binary, and WRITE on request through
+  *   field METADATA (Spark has no enum/fixed types, so the intent
+  *   must ride the schema): a StringType field with metadata
+  *   `avro.enum.symbols` (string array) writes as ENUM (symbols
+  *   validated per value, loud on a non-member), a BinaryType field
+  *   with `avro.fixed.size` writes as FIXED (length validated per
+  *   value). Reading back yields plain string/binary — the
+  *   symbols/size live in the FILE schema; `decimal` logical
   *   BYTES/FIXED ↔ DecimalType (unscaled two's-complement bytes, the
   *   standard Avro encoding — writes go out as BYTES);
   *   `timestamp-millis` READS into TimestampType (×1000 into Spark's
@@ -39,11 +46,16 @@ object AvroSchemas {
 
   /** Record name must be a valid Avro identifier; field schemas are
     * namespaced by position to keep nested record names unique. */
+  /** Field-metadata keys requesting the Avro types Spark cannot
+    * express natively (write-side only; see the class doc). */
+  val EnumSymbolsKey = "avro.enum.symbols"
+  val FixedSizeKey = "avro.fixed.size"
+
   def toAvro(schema: StructType, name: String = "graft_row",
       timestampMillis: Boolean = false): Schema = {
     val fields = schema.fields.map { f =>
       new Schema.Field(f.name, fieldSchema(f.dataType, f.nullable,
-        s"${name}_${f.name}", timestampMillis),
+        s"${name}_${f.name}", timestampMillis, f.metadata),
         null,
         if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
@@ -54,8 +66,21 @@ object AvroSchemas {
   /** The Avro schema a single Spark field maps to — exposed for the
     * reader's null-fill of fields absent in a file's writer schema. */
   private[sources] def fieldSchema(dt: DataType, nullable: Boolean,
-      path: String, timestampMillis: Boolean = false): Schema = {
+      path: String, timestampMillis: Boolean = false,
+      metadata: Metadata = Metadata.empty): Schema = {
     val base = dt match {
+      case StringType if metadata.contains(EnumSymbolsKey) =>
+        val symbols = metadata.getStringArray(EnumSymbolsKey)
+        require(symbols.nonEmpty && symbols.distinct.length == symbols.length,
+          s"$EnumSymbolsKey needs distinct, non-empty symbols at $path")
+        Schema.createEnum(s"${path}_enum", null, "graft.avro",
+          symbols.toSeq.asJava)
+      case BinaryType if metadata.contains(FixedSizeKey) =>
+        val size = metadata.getLong(FixedSizeKey)
+        require(size > 0 && size <= Int.MaxValue,
+          s"$FixedSizeKey must be a positive int at $path, got $size")
+        Schema.createFixed(s"${path}_fixed", null, "graft.avro",
+          size.toInt)
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case IntegerType | ShortType | ByteType =>
         Schema.create(Schema.Type.INT)
@@ -265,7 +290,19 @@ object AvroSchemas {
         .setScale(d.scale).unscaledValue().toByteArray)
     case FloatType => row.getFloat(i)
     case DoubleType => row.getDouble(i)
+    case StringType if avro.getType == Schema.Type.ENUM =>
+      val sym = row.getUTF8String(i).toString
+      require(avro.hasEnumSymbol(sym),
+        s"'$sym' is not a symbol of enum ${avro.getFullName} " +
+          s"(${avro.getEnumSymbols.asScala.mkString(",")})")
+      new GenericData.EnumSymbol(avro, sym)
     case StringType => row.getUTF8String(i).toString
+    case BinaryType if avro.getType == Schema.Type.FIXED =>
+      val b = row.getBinary(i)
+      require(b.length == avro.getFixedSize,
+        s"fixed ${avro.getFullName} needs ${avro.getFixedSize} bytes, " +
+          s"got ${b.length}")
+      new GenericData.Fixed(avro, b)
     case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
     case ArrayType(e, _) =>
       val a = row.getArray(i)

@@ -190,6 +190,62 @@ class AvroSpec extends SparkSpec {
         .atZone(java.util.TimeZone.getDefault.toZoneId).toInstant)
   }
 
+  test("enum/fixed WRITE path via field metadata; loud on bad values") {
+    // Spark has no enum/fixed types, so the intent rides field
+    // metadata (r13 'what's missing #4' — read-as-string/binary was
+    // already in; this closes the write side)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("color", StringType, nullable = true,
+        new MetadataBuilder()
+          .putStringArray(AvroSchemas.EnumSymbolsKey,
+            Array("RED", "GREEN", "BLUE")).build()),
+      StructField("digest", BinaryType, nullable = true,
+        new MetadataBuilder()
+          .putLong(AvroSchemas.FixedSizeKey, 4L).build())))
+    val rows = Seq(
+      Row(1L, "GREEN", Array[Byte](1, 2, 3, 4)),
+      Row(2L, null, null))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.format("graftavro").mode("overwrite").save(tmp("enum"))
+    // the container really carries ENUM + FIXED
+    val f = new java.io.File(tmp("enum")).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val rdr = new org.apache.avro.file.DataFileReader[Any](f,
+      new org.apache.avro.generic.GenericDatumReader[Any]())
+    val ws = rdr.getSchema
+    rdr.close()
+    def branch(name: String) = ws.getField(name).schema().getTypes.get(1)
+    assert(branch("color").getType == org.apache.avro.Schema.Type.ENUM)
+    assert(branch("color").getEnumSymbols.toString ==
+      "[RED, GREEN, BLUE]")
+    assert(branch("digest").getType == org.apache.avro.Schema.Type.FIXED)
+    assert(branch("digest").getFixedSize == 4)
+    // reads back as plain string/binary (symbols live in the file)
+    val back = spark.read.format("graftavro").load(tmp("enum"))
+      .orderBy($"id").collect()
+    assert(back(0).getString(1) == "GREEN")
+    assert(back(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
+    // non-member symbol and wrong fixed length fail LOUDLY
+    val badEnum = Seq(Row(3L, "MAUVE", Array[Byte](1, 2, 3, 4)))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      spark.createDataFrame(spark.sparkContext.parallelize(badEnum, 1),
+        schema).write.format("graftavro").mode("overwrite")
+        .save(tmp("enum_bad"))
+    }
+    assert(e1.getMessage.contains("MAUVE") ||
+      Option(e1.getCause).exists(_.getMessage.contains("MAUVE")))
+    val badFixed = Seq(Row(4L, "RED", Array[Byte](1, 2, 3)))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      spark.createDataFrame(spark.sparkContext.parallelize(badFixed, 1),
+        schema).write.format("graftavro").mode("overwrite")
+        .save(tmp("fixed_bad"))
+    }
+    assert(e2.getMessage.contains("4 bytes") ||
+      Option(e2.getCause).exists(_.getMessage.contains("4 bytes")))
+  }
+
   test("schema-evolved reads null-fill missing nullable columns") {
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
       .write.format("graftavro").mode("overwrite").save(tmp("evo"))
