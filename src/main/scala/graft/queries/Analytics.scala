@@ -479,6 +479,31 @@ object Analytics extends QueryPack {
     graft.operators.BradleyTerry.ratings(syntheticBattles(s, dir),
       iterations = 10)
 
+  /** Group-relative advantage gate (q301): eight synthetic responses
+    * per prompt (prompt = ⌊doc_id/8⌋) with exact-integer rewards
+    * ((7·doc_id + n_chars) mod 10) through
+    * [[graft.operators.GroupAdvantage.normalize]] — the GRPO data-prep
+    * step. Power sums over ≤8 integer rewards are exact in any fold
+    * order; mean/σ/advantage chain one sqrt, so the three float
+    * outputs ride round-9 (the boundary-margin convention) over the
+    * exact integer cores (group_n, reward). The oracle replays the
+    * identical power-sum tree, σ = √max(s2/n − mean², 0), and the
+    * σ = 0 ⇒ advantage 0 convention.
+    */
+  def groupAdvantageGate(s: SparkSession, dir: String): DataFrame = {
+    val responses = Tables.documents(s, dir).select(
+      col("doc_id"),
+      (col("doc_id") / 8).cast("long").as("prompt_id"),
+      pmod(col("doc_id") * 7 + col("n_chars"), lit(10))
+        .cast("double").as("reward"))
+    graft.operators.GroupAdvantage.normalize(responses)
+      .select(col("doc_id"), col("prompt_id"),
+        col("reward").cast("long").as("reward"), col("group_n"),
+        round(col("group_mean"), 9).as("group_mean"),
+        round(col("group_std"), 9).as("group_std"),
+        round(col("advantage"), 9).as("advantage"))
+  }
+
   /** Spec access to the q234 fixture (RoundingBoundarySpec asserts the
     * UNROUNDED Wilson terms sit far from .5e-9 rounding boundaries).
     */
@@ -697,6 +722,7 @@ object Analytics extends QueryPack {
     "q296_t_closeness" -> tCloseness _,
     "q232_bradley_terry" -> bradleyTerry _,
     "q234_win_rates" -> winRates _,
+    "q301_group_advantage" -> groupAdvantageGate _,
     "q235_annotator_agreement" -> annotatorAgreement _,
     "q236_fleiss_kappa" -> fleissAgreement _,
     "q251_krippendorff_alpha" -> krippendorffAgreement _,
@@ -881,6 +907,31 @@ object Analytics extends QueryPack {
          |  round((p + zz / (2.0 * nd) - half) / denom, 9) AS ci_lo,
          |  round((p + zz / (2.0 * nd) + half) / denom, 9) AS ci_hi
          |FROM h""".stripMargin,
+    // power sums over exact <=8-element integer groups; one sqrt,
+    // outputs round-9
+    "q301_group_advantage" ->
+      """WITH r AS (
+        |  SELECT doc_id, doc_id // 8 AS prompt_id,
+        |    CAST((doc_id * 7 + n_chars) % 10 AS DOUBLE) AS rw
+        |  FROM documents),
+        |g AS (
+        |  SELECT prompt_id, count(*) AS group_n,
+        |    sum(rw) AS s1, sum(rw * rw) AS s2
+        |  FROM r GROUP BY 1),
+        |h AS (
+        |  SELECT prompt_id, group_n,
+        |    s1 / group_n AS mean,
+        |    sqrt(greatest(s2 / group_n -
+        |      (s1 / group_n) * (s1 / group_n), CAST(0.0 AS DOUBLE)))
+        |      AS sd
+        |  FROM g)
+        |SELECT r.doc_id, r.prompt_id, CAST(r.rw AS BIGINT) AS reward,
+        |  h.group_n,
+        |  round(h.mean, 9) AS group_mean,
+        |  round(h.sd, 9) AS group_std,
+        |  round(CASE WHEN h.sd = 0.0 THEN 0.0
+        |    ELSE (r.rw - h.mean) / h.sd END, 9) AS advantage
+        |FROM r JOIN h USING (prompt_id)""".stripMargin,
     "q235_annotator_agreement" ->
       """WITH l AS (
         |  SELECT doc_id AS item, ann.a AS ann,

@@ -1123,6 +1123,54 @@ object Text extends QueryPack {
     graft.text.TrainShards.byDocCount(Tables.documents(s, dir),
       shardDocs = 256, epochs = 2)
 
+  /** Loop-detection gate (q302): two planted degenerations — a
+    * period-1 token stutter (docs ≡0 mod 9) and a period-2 A-B cycle
+    * (docs ≡1 mod 9, which also contains period-1 matches NOWHERE, so
+    * the smallest-period rule is exercised) — through
+    * [[graft.text.LoopDetect.flag]] over a 64-token tail window.
+    * Organic corpus loops are detected identically on both sides (the
+    * oracle replays the run/period rule, not the plant list). Integer
+    * cores everywhere; loop_fraction is one IEEE division, round-9.
+    */
+  def loopDetectGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 9 === 0,
+          lit(" loop loop loop loop loop loop")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 1,
+          lit(" ping pong ping pong ping pong ping pong"))
+          .otherwise(lit(""))).as("text"))
+    graft.text.LoopDetect.flag(planted, window = 64, maxPeriod = 8)
+      .select(col("doc_id"), col("source"), col("loop_period"),
+        col("loop_run"), round(col("loop_fraction"), 9)
+          .as("loop_fraction"), col("has_loop"))
+  }
+
+  /** Length-bucketed batching gate (q303):
+    * [[graft.text.LengthBatch.assign]] over documents (edges
+    * 200/500/1000 chars, 16-row batches) summarized by
+    * [[graft.text.LengthBatch.paddingWaste]] — bucket, within-bucket
+    * batch, per-batch padded/actual/wasted token counts, ALL exact
+    * integers. The oracle replays bucket edges, the md5 within-bucket
+    * order and the batch arithmetic with one window — while the
+    * engine computes positions with the distributed per-bucket
+    * prefix-sum (same integers, no one-task-per-bucket window; the
+    * padding-efficiency claim vs unbucketed batching is asserted in
+    * LengthBatchSpec).
+    */
+  def lengthBatchGate(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.text.LengthBatch.assign(
+      Tables.documents(s, dir), lenCol = "n_chars",
+      edges = Seq(200L, 500L, 1000L), batchSize = 16)
+    graft.text.LengthBatch.paddingWaste(assigned, "n_chars")
+      .select(col("bucket"), col("batch"), col("n_rows"),
+        col("max_len").cast("long").as("max_len"),
+        col("actual_tokens").cast("long").as("actual_tokens"),
+        col("padded_tokens").cast("long").as("padded_tokens"),
+        col("wasted_tokens").cast("long").as("wasted_tokens"))
+  }
+
   /** Config-surface gate for the materialization tail (q299):
     * `exact_dedup` → `train_order` (2 epochs) → `pack` (budget 4096
     * chars along the stream position) as one JSON stage list — the
@@ -2508,6 +2556,8 @@ object Text extends QueryPack {
     "q256_train_shards" -> trainShardsGate _,
     "q299_config_materialize" -> configMaterialize _,
     "q300_config_shards" -> configShards _,
+    "q302_loop_detect" -> loopDetectGate _,
+    "q303_length_batch" -> lengthBatchGate _,
     "q257_gopher_rules" -> gopherRulesGate _,
     "q258_c4_rules" -> c4RulesGate _,
     "q179_dsir_weights" -> dsirWeights _,
@@ -3953,6 +4003,71 @@ object Text extends QueryPack {
         |        AND len([x for x in string_split_regex(trim(l), '\s+')
         |                 if x <> '']) >= 5] AS kept
         |  FROM documents)""".stripMargin,
+    // the trailing-run periodicity rule replayed with one list
+    // comprehension per (doc, period); integer cores, fraction round-9
+    "q302_loop_detect" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN ' loop loop loop loop loop loop' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 1
+        |      THEN ' ping pong ping pong ping pong ping pong'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+        |      AS t0
+        |  FROM planted),
+        |w AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(t0) <= 64 THEN t0
+        |      ELSE t0[len(t0)-63:len(t0)] END AS t
+        |  FROM tk),
+        |runs AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN len(t) >= p + 1 THEN
+        |      len(t) - coalesce(list_max(
+        |        [i for i in range(p + 1, len(t) + 1) if t[i] <> t[i-p]]),
+        |        p)
+        |    ELSE 0 END AS run
+        |  FROM w, unnest(range(1, 9)) AS u(p)),
+        |hit AS (
+        |  SELECT doc_id, p, run,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rk
+        |  FROM runs WHERE run >= 2 * p)
+        |SELECT w.doc_id, w.source,
+        |  CAST(coalesce(h.p, 0) AS INT) AS loop_period,
+        |  CAST(coalesce(h.run, 0) AS BIGINT) AS loop_run,
+        |  round(CASE WHEN len(w.t) > 0
+        |    THEN CAST(coalesce(h.run, 0) AS DOUBLE) / len(w.t)
+        |    ELSE 0.0 END, 9) AS loop_fraction,
+        |  coalesce(h.p, 0) > 0 AS has_loop
+        |FROM w LEFT JOIN (SELECT * FROM hit WHERE rk = 1) h
+        |  USING (doc_id)""".stripMargin,
+    // bucket edges + md5 within-bucket order + batch arithmetic as
+    // one window; every output an exact integer
+    "q303_length_batch" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN n_chars > 200 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars > 500 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END) AS bucket,
+        |    md5(CAST(doc_id AS VARCHAR) || ':0') AS k
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY bucket ORDER BY k, doc_id) AS BIGINT) - 1
+        |    AS pos
+        |  FROM b)
+        |SELECT bucket, CAST(pos // 16 AS BIGINT) AS batch,
+        |  count(*) AS n_rows,
+        |  CAST(max(n_chars) AS BIGINT) AS max_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS actual_tokens,
+        |  CAST(max(n_chars) * count(*) AS BIGINT) AS padded_tokens,
+        |  CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT)
+        |    AS wasted_tokens
+        |FROM p GROUP BY 1, 2""".stripMargin,
     // keep-first dedup + epoch stream + packing cumsum, all windows
     "q299_config_materialize" ->
       """WITH d AS (

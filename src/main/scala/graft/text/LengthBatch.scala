@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Length-bucketed batch construction — the padding-efficiency move
+  * for NON-packed training (SFT, reward models, encoders): a batch
+  * pads every sequence to its longest member, so batching a 20-token
+  * row with a 2000-token row wastes ~99% of the short row's compute.
+  * Bucketing by length first, then batching within the bucket, bounds
+  * the padding to the bucket's spread while the md5 shuffle keeps the
+  * order deterministic and epoch-varying. ([[SequencePacking]] is the
+  * other answer — concatenate and split; bucketing is the one used
+  * when example boundaries must survive, e.g. per-example loss
+  * masking or contrastive batches.)
+  *
+  * Determinism: bucket = count of `edges` below the length (exact
+  * integer compares), within-bucket order = md5(id:salt) (the
+  * [[TrainOrder]] key discipline), batch = pos / batchSize. A SQL
+  * oracle replays all of it with a window — while THIS implementation
+  * computes per-bucket positions with the distributed prefix-sum
+  * (range-partition on (bucket, key), local row numbers, broadcast
+  * per-(partition, bucket) offsets), so no bucket ever serializes
+  * onto one task the way a `PARTITION BY bucket` window would: same
+  * integers, 100 TB physics.
+  *
+  * [[paddingWaste]] quantifies the win: per-batch padded-token count
+  * vs actual tokens — the number a pipeline reads before picking
+  * edges.
+  */
+object LengthBatch {
+
+  /** Adds `bucket`, `batch` (within bucket), `pos_in_batch` to
+    * (idCol, lenCol) rows. `edges` must be strictly increasing.
+    */
+  def assign(docs: DataFrame, lenCol: String = "n_chars",
+      edges: Seq[Long] = Seq(128L, 256L, 512L, 1024L),
+      batchSize: Int = 32, idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted &&
+      edges.distinct == edges,
+      s"edges must be strictly increasing, got $edges")
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val pid = "__graft_pid"
+    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(lenCol) > e, 1).otherwise(0)
+    }
+    val parted = docs
+      .withColumn("bucket", bucket)
+      .withColumn("__k", TrainOrder.shuffleKey(col(idCol), lit(0), salt))
+      .repartitionByRange(nParts, col("bucket"), col("__k"), col(idCol))
+      .withColumn(pid, spark_partition_id())
+    // local 1-based position within this partition's slice of the
+    // bucket; the window key is (pid, bucket) so no group exceeds a
+    // partition
+    val local = parted.withColumn("__rn", row_number().over(
+      Window.partitionBy(col(pid), col("bucket"))
+        .orderBy(col("__k"), col(idCol))))
+    val counts = local.groupBy(col(pid), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val offsets = counts.withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col("bucket"))
+          .orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(pid), col("bucket"), col("__off"))
+    local.join(broadcast(offsets), Seq(pid, "bucket"))
+      .withColumn("__pos", col("__rn") - 1 + col("__off"))
+      .withColumn("batch", (col("__pos") / batchSize).cast("long"))
+      .withColumn("pos_in_batch", (col("__pos") % batchSize).cast("int"))
+      .drop(pid, "__k", "__rn", "__off", "__pos")
+  }
+
+  /** Per-batch padding accounting over an [[assign]] result:
+    * (bucket, batch, n_rows, max_len, actual_tokens, padded_tokens,
+    * wasted_tokens) — padded = max_len · n_rows, the cost a trainer
+    * actually pays.
+    */
+  def paddingWaste(assigned: DataFrame,
+      lenCol: String = "n_chars"): DataFrame =
+    assigned.groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col(lenCol)).as("max_len"),
+        sum(col(lenCol)).as("actual_tokens"))
+      .withColumn("padded_tokens", col("max_len") * col("n_rows"))
+      .withColumn("wasted_tokens",
+        col("padded_tokens") - col("actual_tokens"))
+}

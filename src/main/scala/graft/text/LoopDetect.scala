@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-repetition ("loop") detection in generated text — the
+  * generation-QA signal that catches a model stuck emitting
+  * `... the the the` or `... A B A B A B`: a trailing token window
+  * whose suffix repeats with a short period. Complements
+  * [[TextAnalysis]]'s document repetition ratios (corpus-side) and
+  * [[ChatDedup]]'s canned-response detection (corpus-frequency-side):
+  * a loop is PER-ROW structure, detectable on a single generation with
+  * no reference corpus at all.
+  *
+  * Rule (integer-exact, oracle-replayable): over the last `window`
+  * tokens, for each candidate period p ∈ [1, maxPeriod], the trailing
+  * RUN of p-periodicity is the longest suffix in which every token
+  * equals the token p positions earlier. The text "loops with period
+  * p" when run(p) ≥ 2p — the suffix contains at least two whole
+  * copies of the period beyond its base. `loop_period` is the
+  * SMALLEST qualifying p (0 when none), `loop_run` its run length,
+  * `loop_fraction` = run/window_len (one IEEE division of exact
+  * integers), `has_loop` the verdict.
+  *
+  * All work is per-row higher-order-function arithmetic over a
+  * bounded window — O(maxPeriod · window) integer compares inside
+  * codegen, no shuffle, embarrassingly parallel at any corpus size.
+  */
+object LoopDetect {
+
+  /** Adds `loop_period`, `loop_run`, `loop_fraction`, `has_loop`. */
+  def flag(docs: DataFrame, textCol: String = "text",
+      window: Int = 64, maxPeriod: Int = 8): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(maxPeriod >= 1 && maxPeriod * 2 <= window,
+      s"need 1 <= maxPeriod <= window/2, got $maxPeriod vs $window")
+    // last `window` word tokens (null text -> no tokens -> no loop);
+    // negative-start slice is out-of-bounds on shorter arrays, so the
+    // short case passes through whole
+    val toks = expr(
+      s"""CASE WHEN size(regexp_extract_all(lower(coalesce($textCol,
+         |  '')), '[a-z0-9]+', 0)) <= $window
+         |THEN regexp_extract_all(lower(coalesce($textCol, '')),
+         |  '[a-z0-9]+', 0)
+         |ELSE slice(regexp_extract_all(lower(coalesce($textCol, '')),
+         |  '[a-z0-9]+', 0), -$window, $window) END""".stripMargin)
+    val n = size(col("__toks"))
+    // run(p): n minus the last 1-based position i (i > p) where
+    // toks[i] != toks[i-p]; the whole array matching means run = n - p
+    // (the first p tokens have no p-back partner). Guarded: under
+    // ANSI mode element_at past the array throws, and
+    // sequence(p+1, n) DESCENDS when n < p+1 — so shorter arrays
+    // take the run = 0 branch without building the sequence at all
+    // (CaseWhen evaluates only the matching branch)
+    def run(p: Int): Column =
+      when(n >= p + 1,
+        n - aggregate(
+          filter(sequence(lit(p + 1), n),
+            i => element_at(col("__toks"), i)
+              =!= element_at(col("__toks"), i - p)),
+          lit(p), (acc, i) => greatest(acc, i)))
+        .otherwise(lit(0))
+    // smallest qualifying period wins; the fold keeps the FIRST hit
+    // because candidates arrive ascending
+    val folded = (1 to maxPeriod).foldLeft(
+      struct(lit(0).as("p"), lit(0L).as("r")).as("__acc")) {
+      case (acc, p) =>
+        when(acc.getField("p") > 0, acc)
+          .otherwise(when(run(p) >= 2L * p,
+            struct(lit(p).as("p"), run(p).cast("long").as("r")))
+            .otherwise(acc))
+    }
+    docs.withColumn("__toks", toks)
+      .withColumn("__hit", folded)
+      .withColumn("loop_period", col("__hit.p"))
+      .withColumn("loop_run", col("__hit.r"))
+      .withColumn("loop_fraction",
+        when(n > 0, col("__hit.r").cast("double") / n.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("has_loop", col("__hit.p") > 0)
+      .drop("__toks", "__hit")
+  }
+}

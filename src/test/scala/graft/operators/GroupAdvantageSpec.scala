@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** GRPO group-relative advantage normalization (q301's operator). */
+class GroupAdvantageSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("advantages standardize within the prompt group") {
+    val r = Seq(
+      (1L, 10L, 1.0), (2L, 10L, 3.0), (3L, 10L, 5.0),
+      (4L, 20L, 7.0), (5L, 20L, 7.0)
+    ).toDF("resp_id", "prompt_id", "reward")
+    val got = GroupAdvantage.normalize(r)
+      .select($"resp_id", $"group_n", $"group_mean", $"group_std",
+        $"advantage")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // group 10: mean 3, population sd = sqrt(8/3)
+    val sd = math.sqrt(8.0 / 3.0)
+    assert(got(1L)._3 === 3.0 && got(1L)._2 === 3L)
+    assert(math.abs(got(1L)._4 - sd) < 1e-12)
+    assert(math.abs(got(1L)._5 - (1.0 - 3.0) / sd) < 1e-12)
+    assert(math.abs(got(3L)._5 - (5.0 - 3.0) / sd) < 1e-12)
+    // constant group: sd 0, advantage 0 (no signal, no blow-up)
+    assert(got(4L)._4 === 0.0 && got(4L)._5 === 0.0)
+    assert(got(5L)._5 === 0.0)
+  }
+
+  test("singleton groups get advantage 0") {
+    val r = Seq((1L, 1L, 42.0)).toDF("resp_id", "prompt_id", "reward")
+    val row = GroupAdvantage.normalize(r)
+      .select($"group_n", $"group_std", $"advantage")
+      .as[(Long, Double, Double)].head()
+    assert(row === ((1L, 0.0, 0.0)))
+  }
+
+  test("advantages sum to ~0 within every non-degenerate group") {
+    val r = (0L until 64L).map(i =>
+      (i, i / 8, ((i * 37 + 11) % 23).toDouble))
+      .toDF("resp_id", "prompt_id", "reward")
+    val sums = GroupAdvantage.normalize(r)
+      .groupBy($"prompt_id")
+      .agg(org.apache.spark.sql.functions.sum($"advantage").as("s"))
+      .as[(Long, Double)].collect()
+    assert(sums.forall { case (_, s) => math.abs(s) < 1e-9 })
+  }
+}

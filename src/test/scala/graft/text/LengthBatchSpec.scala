@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Length-bucketed batching (q303's operator). */
+class LengthBatchSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("every batch is full except each bucket's tail; positions are " +
+      "a permutation") {
+    val docs = Tables.documents(spark, sf)
+    val a = LengthBatch.assign(docs, "n_chars",
+      edges = Seq(200L, 500L, 1000L), batchSize = 16)
+    assert(a.count() === docs.count())
+    // within a bucket: batch sizes are 16 except the last
+    val sizes = a.groupBy($"bucket", $"batch").count()
+      .withColumn("last_batch",
+        $"batch" === max($"batch").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
+      .select($"count", $"last_batch").as[(Long, Boolean)].collect()
+    assert(sizes.forall { case (n, last) => n == 16L || last })
+    // bucket respects the edges
+    val viol = a.filter(
+      ($"bucket" === 0 && $"n_chars" > 200) ||
+      ($"bucket" === 1 && ($"n_chars" <= 200 || $"n_chars" > 500)) ||
+      ($"bucket" === 3 && $"n_chars" <= 1000)).count()
+    assert(viol === 0L)
+  }
+
+  test("bucketed batching wastes less padding than unbucketed (the " +
+      "efficiency claim, same shuffle key)") {
+    val docs = Tables.documents(spark, sf)
+    def waste(edges: Seq[Long]): Long =
+      LengthBatch.paddingWaste(
+        LengthBatch.assign(docs, "n_chars", edges, batchSize = 16),
+        "n_chars")
+        .agg(sum($"wasted_tokens")).as[Long].head()
+    // a single unbounded bucket = plain shuffled batching
+    val unbucketed = waste(Seq(Long.MaxValue))
+    val bucketed = waste(Seq(200L, 500L, 1000L))
+    assert(bucketed < unbucketed,
+      s"bucketed $bucketed !< unbucketed $unbucketed")
+  }
+
+  test("deterministic across runs and partitionings") {
+    val docs = Tables.documents(spark, sf)
+    def runOnce(parts: Int) = LengthBatch.assign(
+      docs.repartition(parts), "n_chars", Seq(200L, 500L, 1000L), 16)
+      .select($"doc_id", $"bucket", $"batch", $"pos_in_batch")
+    val a = runOnce(1)
+    val b = runOnce(7)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Trailing-period loop detection (q302's operator). */
+class LoopDetectSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def flag(texts: (Long, String)*): Map[Long, (Int, Long, Boolean)] =
+    LoopDetect.flag(texts.toDF("doc_id", "text"))
+      .select($"doc_id", $"loop_period", $"loop_run", $"has_loop")
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+
+  test("period-1 stutter, period-2 cycle, and clean text") {
+    val got = flag(
+      (1L, "the model said the the the the the"),
+      (2L, "alpha beta alpha beta alpha beta alpha beta"),
+      (3L, "a perfectly ordinary sentence with no repeats at all"))
+    assert(got(1L)._1 === 1 && got(1L)._3)
+    assert(got(1L)._2 >= 4L) // 5 trailing 'the's -> run 4
+    assert(got(2L)._1 === 2 && got(2L)._3) // no period-1 anywhere
+    assert(got(2L)._2 >= 6L)
+    assert(got(3L) === ((0, 0L, false)))
+  }
+
+  test("smallest qualifying period wins") {
+    // 'x x x x x x' loops at period 1 AND 2; report 1
+    val got = flag((1L, "start x x x x x x"))
+    assert(got(1L)._1 === 1)
+  }
+
+  test("short, empty and null texts never crash, never loop") {
+    val df = Seq((1L, Option("ok")), (2L, Option("")),
+      (3L, None: Option[String]), (4L, Option("ha ha")))
+      .toDF("doc_id", "text")
+    val got = LoopDetect.flag(df)
+      .select($"doc_id", $"has_loop").as[(Long, Boolean)]
+      .collect().toMap
+    assert(!got(1L) && !got(2L) && !got(3L))
+    // 'ha ha': run(1) for [ha, ha] = 1 < 2 -> below the 2p bar
+    assert(!got(4L))
+  }
+
+  test("loop must be TRAILING: a mid-text stutter does not flag") {
+    val got = flag(
+      (1L, "the the the the the but then it recovered and went on " +
+        "to produce a long and varied passage without repetition"))
+    assert(!got(1L)._3)
+  }
+
+  test("window bounds the scan: loops beyond the tail are ignored") {
+    val loopy = ("spin " * 20) + (1 to 70).map(i => s"w$i").mkString(" ")
+    val got = flag((1L, loopy))
+    assert(!got(1L)._3)
+  }
+}
