@@ -1171,6 +1171,33 @@ object Text extends QueryPack {
         col("wasted_tokens").cast("long").as("wasted_tokens"))
   }
 
+  /** Conversation-tree gate (q304): a deterministic message FOREST
+    * over documents — roots at doc ≡0 (mod 7), every other message's
+    * parent `doc_id − 1 − (doc_id mod 4)` (strictly smaller, so
+    * provably acyclic; ids are contiguous so every parent exists;
+    * branching arises wherever several children pick one parent) —
+    * flattened to root→leaf paths by
+    * [[graft.text.ChatTree.flattenPaths]]'s pointer doubling. The
+    * oracle walks the same forest leaf→root with a recursive CTE:
+    * identical (path, depth, message) integers prove the O(log d)
+    * construction equals the sequential one, and the joined text
+    * checksum binds message CONTENT, not just ids.
+    */
+  def chatTreeGate(s: SparkSession, dir: String): DataFrame = {
+    val parent = col("doc_id") - 1 - pmod(col("doc_id"), lit(4))
+    val msgs = Tables.documents(s, dir).select(
+      col("doc_id").as("msg_id"),
+      when(col("doc_id") % 7 === 0 || parent < 0,
+        lit(null).cast("long"))
+        .otherwise(parent.cast("long")).as("parent_id"))
+    graft.text.ChatTree.flattenPaths(msgs, maxDepth = 64)
+      .join(Tables.documents(s, dir).select(col("doc_id").as("msg_id"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+          .as("text_sum")), "msg_id")
+      .select(col("path_id"), col("turn_idx"), col("msg_id"),
+        col("text_sum"))
+  }
+
   /** Config-surface gate for the materialization tail (q299):
     * `exact_dedup` → `train_order` (2 epochs) → `pack` (budget 4096
     * chars along the stream position) as one JSON stage list — the
@@ -2558,6 +2585,7 @@ object Text extends QueryPack {
     "q300_config_shards" -> configShards _,
     "q302_loop_detect" -> loopDetectGate _,
     "q303_length_batch" -> lengthBatchGate _,
+    "q304_chat_tree" -> chatTreeGate _,
     "q257_gopher_rules" -> gopherRulesGate _,
     "q258_c4_rules" -> c4RulesGate _,
     "q179_dsir_weights" -> dsirWeights _,
@@ -4003,6 +4031,38 @@ object Text extends QueryPack {
         |        AND len([x for x in string_split_regex(trim(l), '\s+')
         |                 if x <> '']) >= 5] AS kept
         |  FROM documents)""".stripMargin,
+    // the same forest walked leaf->root by a recursive CTE; pure
+    // integers + an md5-prefix content checksum
+    "q304_chat_tree" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id AS msg_id,
+        |    CASE WHEN doc_id % 7 = 0 OR doc_id - 1 - (doc_id % 4) < 0
+        |      THEN NULL ELSE doc_id - 1 - (doc_id % 4) END AS parent_id
+        |  FROM documents),
+        |leaves AS (
+        |  SELECT msg_id FROM m
+        |  WHERE msg_id NOT IN (
+        |    SELECT parent_id FROM m WHERE parent_id IS NOT NULL)),
+        |walk AS (
+        |  SELECT l.msg_id AS path_id, l.msg_id AS cur, [l.msg_id] AS path
+        |  FROM leaves l
+        |  UNION ALL
+        |  SELECT w.path_id, m.parent_id AS cur,
+        |    list_prepend(m.parent_id, w.path)
+        |  FROM walk w JOIN m ON m.msg_id = w.cur
+        |  WHERE m.parent_id IS NOT NULL),
+        |fp AS (
+        |  SELECT w.path_id, w.path FROM walk w
+        |  JOIN m ON m.msg_id = w.cur
+        |  WHERE m.parent_id IS NULL),
+        |sums AS (
+        |  SELECT doc_id AS msg_id,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS text_sum
+        |  FROM documents)
+        |SELECT fp.path_id, CAST(r.i - 1 AS INT) AS turn_idx,
+        |  fp.path[r.i] AS msg_id, s.text_sum
+        |FROM fp, unnest(range(1, len(fp.path) + 1)) AS r(i)
+        |JOIN sums s ON s.msg_id = fp.path[r.i]""".stripMargin,
     // the trailing-run periodicity rule replayed with one list
     // comprehension per (doc, period); integer cores, fraction round-9
     "q302_loop_detect" ->

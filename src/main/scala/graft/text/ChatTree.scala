@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Conversation-TREE flattening — chat UIs with regeneration and
+  * editing store messages as a forest (every message points at its
+  * parent; a retry forks a branch), while training wants LINEAR
+  * conversations. This extracts every root→leaf path as an ordered
+  * turn sequence: one path per leaf, `turn_idx` the depth along it —
+  * the step before [[ChatRender]] renders each path into a training
+  * string.
+  *
+  * Distributed shape: POINTER DOUBLING, not a per-level loop — each
+  * round joins the state to itself, so after k rounds every node
+  * holds its 2^k-ancestor and the id-path of the segment below it;
+  * depth-d forests finish in ⌈log₂ d⌉ shuffles instead of d (a
+  * 10,000-turn pathological thread costs 14 rounds, not 10,000).
+  * Every round's state is localCheckpoint-ed: the self-join would
+  * otherwise double the LOGICAL PLAN per round (2^rounds analysis
+  * cost), and the loop's early exit needs the per-round cardinality
+  * anyway. Shuffles carry (node, anc, id-array) — never message
+  * payloads; texts join back once at the end, by id.
+  *
+  * Contracts enforced loudly: a parent id absent from the message set
+  * fails (dangling pointer), and any node still unresolved after
+  * ⌈log₂ maxDepth⌉ rounds fails (cycle, or depth above `maxDepth`) —
+  * both name the offending count rather than silently dropping
+  * paths.
+  */
+object ChatTree {
+
+  /** (path_id = leaf id, turn_idx = 0-based depth, msg_id) for every
+    * root→leaf path of the forest in `msgs` (idCol, parentCol; a null
+    * parent marks a root).
+    */
+  def flattenPaths(msgs: DataFrame, idCol: String = "msg_id",
+      parentCol: String = "parent_id", maxDepth: Int = 4096): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val nodes = msgs.select(col(idCol).cast("long").as("node"),
+      col(parentCol).cast("long").as("anc"))
+    // referential integrity: every non-null parent must be a node
+    val dangling = nodes.filter(col("anc").isNotNull)
+      .join(nodes.select(col("node").as("anc")), Seq("anc"), "left_anti")
+      .count()
+    require(dangling == 0L,
+      s"$dangling messages point at a parent id that is not in the " +
+        "message set — refusing to drop paths silently")
+    var state = nodes
+      .withColumn("path", array(col("node")))
+      .localCheckpoint(true)
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, maxDepth - 1).toLong)
+    var round = 0
+    var remaining = state.filter(col("anc").isNotNull).count()
+    while (round < rounds && remaining > 0) {
+      val jump = state.select(col("node").as("__jn"),
+        col("anc").as("__ja"), col("path").as("__jp"))
+      state = state.join(jump, state("anc") === jump("__jn"), "left")
+        .select(col("node"),
+          when(col("anc").isNull, lit(null).cast("long"))
+            .otherwise(col("__ja")).as("anc"),
+          when(col("anc").isNull, col("path"))
+            .otherwise(concat(col("__jp"), col("path"))).as("path"))
+        .localCheckpoint(true)
+      remaining = state.filter(col("anc").isNotNull).count()
+      round += 1
+    }
+    require(remaining == 0L,
+      s"$remaining messages did not reach a root within maxDepth=" +
+        s"$maxDepth — cycle in the parent pointers, or a deeper " +
+        "forest than declared")
+    val leaves = nodes.select(col("node"))
+      .join(nodes.filter(col("anc").isNotNull)
+        .select(col("anc").as("node")).distinct(), Seq("node"),
+        "left_anti")
+    state.join(leaves, "node")
+      .select(col("node").as("path_id"),
+        posexplode(col("path")).as(Seq("turn_idx", "msg_id")))
+      .select(col("path_id"), col("turn_idx").cast("int").as("turn_idx"),
+        col("msg_id"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Conversation-tree flattening (q304's operator). */
+class ChatTreeSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def paths(rows: (Long, Option[Long])*): Map[Long, Seq[Long]] =
+    ChatTree.flattenPaths(rows.toDF("msg_id", "parent_id"))
+      .orderBy($"path_id", $"turn_idx")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+      .toMap
+
+  test("branching forest flattens to one ordered path per leaf") {
+    // 1 -> 2 -> {3, 4}; 4 -> 5; second root 10 alone
+    val got = paths(
+      (1L, None), (2L, Some(1L)), (3L, Some(2L)),
+      (4L, Some(2L)), (5L, Some(4L)), (10L, None))
+    assert(got === Map(
+      3L -> Seq(1L, 2L, 3L),
+      5L -> Seq(1L, 2L, 4L, 5L),
+      10L -> Seq(10L)))
+  }
+
+  test("pointer doubling handles depth near maxDepth") {
+    // one chain 0 <- 1 <- ... <- 40
+    val chain = (0L to 40L).map(i =>
+      (i, if (i == 0) None else Some(i - 1)))
+    val got = ChatTree.flattenPaths(chain.toDF("msg_id", "parent_id"),
+      maxDepth = 64)
+      .orderBy($"turn_idx").as[(Long, Int, Long)].collect()
+    assert(got.length === 41)
+    assert(got.map(_._3).toSeq === (0L to 40L))
+    assert(got.forall(_._1 == 40L))
+  }
+
+  test("dangling parent and cycles fail loudly, never drop paths") {
+    val dangling = Seq((1L, None: Option[Long]), (2L, Some(99L)))
+    val e1 = intercept[IllegalArgumentException] {
+      ChatTree.flattenPaths(dangling.toDF("msg_id", "parent_id"))
+    }
+    assert(e1.getMessage.contains("parent id that is not in"))
+    val cycle = Seq((1L, Some(2L)), (2L, Some(1L)), (3L, Some(1L)))
+    val e2 = intercept[IllegalArgumentException] {
+      ChatTree.flattenPaths(cycle.toDF("msg_id", "parent_id"),
+        maxDepth = 16)
+    }
+    assert(e2.getMessage.contains("did not reach a root"))
+  }
+
+  test("round count is logarithmic: depth 40 resolves within " +
+      "ceil(log2(64)) = 6 self-joins (maxDepth 64 terminates at all)") {
+    // the pointer-doubling claim is behavioral here: a per-level loop
+    // capped at 6 iterations could not resolve depth 40
+    val chain = (0L to 40L).map(i =>
+      (i, if (i == 0) None else Some(i - 1)))
+    val n = ChatTree.flattenPaths(chain.toDF("msg_id", "parent_id"),
+      maxDepth = 64).count()
+    assert(n === 41L)
+  }
+}
