@@ -135,6 +135,10 @@ import org.apache.spark.sql.functions._
   *     (MAD standardization) of their `keyCol` (`source`) group's
   *     median `scoreCol` (required); zero-MAD groups keep everything
   *     [q269] ([[graft.text.ScoreCalibrate.madFilter]])
+  *   - `loop_filter` — drop rows whose `textCol` (`text`) tail loops
+  *     with period ≤ `maxPeriod` (8) inside the last `window` (64)
+  *     tokens — generated-data QA [q302]
+  *     ([[graft.text.LoopDetect.flag]])
   *   - `train_order` — MATERIALIZATION TAIL: deterministic training
   *     order. `strategy` `epoch` (default: `epochs` (2) independent
   *     md5 permutations, adds `epoch` + global `pos` [q139]) or
@@ -431,6 +435,14 @@ object CurationPipeline {
         pred.count() // materialize BEFORE dropping the feature cache
         feats.unpersist()
         TrainedLangId.filterByMajorityLang(docs, pred, wanted, keyCol)
+      case "loop_filter" =>
+        // drop degenerate-repetition rows (generated-data QA) [q302]
+        val window = getI(stage, "window").getOrElse(64)
+        val maxPeriod = getI(stage, "maxPeriod").getOrElse(8)
+        val textCol = get[String](stage, "textCol").getOrElse("text")
+        graft.text.LoopDetect.flag(docs, textCol, window, maxPeriod)
+          .filter(!col("has_loop"))
+          .drop("loop_period", "loop_run", "loop_fraction", "has_loop")
       // ——— materialization tail (r13 judge ask #6): the stages that
       // turn a CURATED corpus into TRAINING INPUT — ordering, packing,
       // chat rendering, shard export — so a config can run end-to-end
@@ -515,7 +527,7 @@ object CurationPipeline {
           "keep_best, priority_sample, gopher_filter, c4_clean, " +
           "readability_filter, kanon_suppress, unimax_mix, mad_filter, " +
           "unicode_normalize, secrets_scrub, fim, rouge_dedup, " +
-          "train_order, pack, chat_render, shard)")
+          "loop_filter, train_order, pack, chat_render, shard)")
     }
   }
 }

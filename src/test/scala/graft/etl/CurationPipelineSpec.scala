@@ -167,6 +167,17 @@ class CurationPipelineSpec extends SparkSpec {
     assert(sizes.last._2 <= 64L && sizes.last._2 > 0L)
   }
 
+  test("loop_filter stage drops looping rows, passes schema through") {
+    val docs = Seq(
+      (1L, "a normal document with plenty of varied words in it"),
+      (2L, "stuck output loop loop loop loop loop loop")
+    ).toDF("doc_id", "text")
+    val got = CurationPipeline.run(docs,
+      stagesFrom("""{ "stages": [ {"op": "loop_filter"} ] }"""))
+    assert(got.columns.toSeq === Seq("doc_id", "text"))
+    assert(got.select($"doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("chat_render stage equals the operator on turn-shaped input") {
     val turns = Seq(
       (1L, 0, "user", "hello"), (1L, 1, "assistant", "hi there"),
