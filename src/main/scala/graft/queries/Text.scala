@@ -1171,6 +1171,18 @@ object Text extends QueryPack {
         col("wasted_tokens").cast("long").as("wasted_tokens"))
   }
 
+  /** Zipf rank-frequency audit gate (q305):
+    * [[graft.text.CorpusLaws.zipfFit]] over the documents corpus,
+    * top-50 terms — the corpus-shape alarm (templated/generated text
+    * bends the rank-frequency slope). Counts and ranks are exact
+    * integers with deterministic ties (freq DESC, term ASC); the
+    * least-squares power sums fold over ONE rank-ordered array, so
+    * the oracle replays every IEEE addition in sequence
+    * (list_reduce), and slope/intercept ride round-9.
+    */
+  def zipfGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusLaws.zipfFit(Tables.documents(s, dir), k = 50)
+
   /** Conversation-tree gate (q304): a deterministic message FOREST
     * over documents — roots at doc ≡0 (mod 7), every other message's
     * parent `doc_id − 1 − (doc_id mod 4)` (strictly smaller, so
@@ -2586,6 +2598,7 @@ object Text extends QueryPack {
     "q302_loop_detect" -> loopDetectGate _,
     "q303_length_batch" -> lengthBatchGate _,
     "q304_chat_tree" -> chatTreeGate _,
+    "q305_zipf_audit" -> zipfGate _,
     "q257_gopher_rules" -> gopherRulesGate _,
     "q258_c4_rules" -> c4RulesGate _,
     "q179_dsir_weights" -> dsirWeights _,
@@ -4031,6 +4044,46 @@ object Text extends QueryPack {
         |        AND len([x for x in string_split_regex(trim(l), '\s+')
         |                 if x <> '']) >= 5] AS kept
         |  FROM documents)""".stripMargin,
+    // rank-ordered list_reduce folds mirror the engine's ascending
+    // aggregate() — every IEEE addition in the same sequence
+    "q305_zipf_audit" ->
+      """WITH tc AS (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+        |      '[a-z0-9]+')) AS term
+        |    FROM documents)
+        |  GROUP BY term),
+        |top AS (
+        |  SELECT term, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+        |      AS rank
+        |  FROM tc ORDER BY freq DESC, term LIMIT 50),
+        |agg AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS kn,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ln(CAST(rank AS DOUBLE)) ORDER BY rank)),
+        |      (a, v) -> a + v) AS sx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ln(CAST(freq AS DOUBLE)) ORDER BY rank)),
+        |      (a, v) -> a + v) AS sy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+        |        ORDER BY rank)),
+        |      (a, v) -> a + v) AS sxy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+        |        ORDER BY rank)),
+        |      (a, v) -> a + v) AS sxx
+        |  FROM top),
+        |fit AS (
+        |  SELECT
+        |    round((kn * sxy - sx * sy) / (kn * sxx - sx * sx)
+        |      * CAST(-1.0 AS DOUBLE), 9) AS slope,
+        |    round((sy - (kn * sxy - sx * sy) / (kn * sxx - sx * sx)
+        |      * sx) / kn, 9) AS intercept
+        |  FROM agg)
+        |SELECT t.rank, t.term, t.freq, f.slope, f.intercept
+        |FROM top t CROSS JOIN fit f""".stripMargin,
     // the same forest walked leaf->root by a recursive CTE; pure
     // integers + an md5-prefix content checksum
     "q304_chat_tree" ->

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-law audits — does a corpus LOOK like natural language?
+  * Natural text follows Zipf's law (term frequency ∝ rank^−s with
+  * s ≈ 1); heavily templated, machine-generated, or boilerplate-
+  * polluted corpora bend the rank-frequency curve visibly (flat head
+  * = stuffed keywords, steep tail = tiny effective vocabulary). The
+  * fitted slope is the one-number alarm the duplication profile and
+  * n-gram diversity audits don't give: it measures the SHAPE of the
+  * frequency distribution, not its mass.
+  *
+  * [[zipfFit]] fits ln f = a − s·ln r by least squares over the top-k
+  * terms. Plan shape: one token-count aggregate (vocabulary-bounded),
+  * a TakeOrdered top-k (partial per-partition top-k merged on the
+  * driver plan — never a global sort of the vocabulary), then the
+  * regression folds over ONE ordered array in rank order — fixed fold
+  * order, so a SQL oracle replays every IEEE addition in the same
+  * sequence (the q293 ascending-fold discipline; a plain SUM() would
+  * be fold-order-nondeterministic in both engines).
+  */
+object CorpusLaws {
+
+  /** Top-k rank/frequency table with the fitted Zipf slope repeated
+    * on every row: (rank, term, freq, slope, intercept) — slope and
+    * intercept round-9. Ties rank by (freq DESC, term ASC).
+    */
+  def zipfFit(docs: DataFrame, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"zipf fit needs k >= 2 ranks: $k")
+    val counts = docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower(coalesce($textCol, '')), " +
+          "'[a-z0-9]+', 0)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = counts
+      .orderBy(col("freq").desc, col("term")).limit(k)
+      .select(col("term"), col("freq"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("term"))).cast("long")
+          .as("rank"))
+    // ≤ k rows reduce to ONE ordered array; the four power sums fold
+    // ascending in rank order (deterministic IEEE sequence)
+    val fit = top
+      .agg(sort_array(collect_list(struct(col("rank"),
+        col("freq")))).as("pts"))
+      .select(
+        size(col("pts")).cast("double").as("kn"),
+        aggregate(col("pts"), lit(0.0),
+          (acc, p) => acc + log(p.getField("rank").cast("double")))
+          .as("sx"),
+        aggregate(col("pts"), lit(0.0),
+          (acc, p) => acc + log(p.getField("freq").cast("double")))
+          .as("sy"),
+        aggregate(col("pts"), lit(0.0), (acc, p) =>
+          acc + log(p.getField("rank").cast("double"))
+            * log(p.getField("freq").cast("double"))).as("sxy"),
+        aggregate(col("pts"), lit(0.0), (acc, p) =>
+          acc + log(p.getField("rank").cast("double"))
+            * log(p.getField("rank").cast("double"))).as("sxx"))
+      .select(
+        round((col("kn") * col("sxy") - col("sx") * col("sy")) /
+          (col("kn") * col("sxx") - col("sx") * col("sx")) * -1.0, 9)
+          .as("slope"),
+        round((col("sy") - (col("kn") * col("sxy") - col("sx") *
+          col("sy")) / (col("kn") * col("sxx") - col("sx") * col("sx"))
+          * col("sx")) / col("kn"), 9).as("intercept"))
+    top.crossJoin(broadcast(fit))
+      .select(col("rank"), col("term"), col("freq"),
+        col("slope"), col("intercept"))
+  }
+}

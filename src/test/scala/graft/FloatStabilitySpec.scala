@@ -132,6 +132,8 @@ class FloatStabilitySpec extends SparkSpec {
     "q292_query_likelihood",     // per-doc ln sums over <=4 terms, round 9
     "q293_mmr_diversify",        // greedy over identical doubles, int ids
     "q294_psi_drift",            // decile edges + smoothed terms, round 9
+    "q301_group_advantage",      // power sums over <=8 exact ints, round 9
+    "q302_loop_detect",          // integer runs + one exact division
     "q295_psi_categorical",      // category counts + smoothed terms
     "q296_t_closeness",          // TV over the sensitive domain, round 9
     "q298_benford")              // digit counts + log10 literals, round 9

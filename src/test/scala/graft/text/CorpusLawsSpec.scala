@@ -1,0 +1,40 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Zipf rank-frequency audit (q305's operator). */
+class CorpusLawsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("an exactly zipfian corpus recovers slope ~1") {
+    // term w_r appears round(1200 / r) times, r = 1..12
+    val words = (1 to 12).flatMap(r =>
+      Seq.fill(math.round(1200.0 / r).toInt)(f"w$r%02d"))
+    val docs = words.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = CorpusLaws.zipfFit(docs, k = 12)
+      .select($"rank", $"term", $"freq", $"slope")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(got.length === 12)
+    assert(got.head._2 === "w01" && got.head._3 === 1200L)
+    // slope within 2% of the planted exponent 1 (rounding of counts)
+    assert(math.abs(got.head._4 - 1.0) < 0.02, s"slope ${got.head._4}")
+  }
+
+  test("a flat (templated) corpus fits slope ~0") {
+    val docs = Seq((1L, ("alpha beta gamma delta " * 25).trim))
+      .toDF("doc_id", "text")
+    val slope = CorpusLaws.zipfFit(docs, k = 4)
+      .select($"slope").as[Double].head()
+    assert(math.abs(slope) < 1e-9, s"slope $slope")
+  }
+
+  test("ties rank deterministically and k beyond vocabulary works") {
+    val docs = Seq((1L, "b a b a c")).toDF("doc_id", "text")
+    val got = CorpusLaws.zipfFit(docs, k = 50)
+      .select($"rank", $"term").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq("a", "b", "c"))
+  }
+}
