@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Classical two-sample / independence tests as distributed aggregates —
+  * the inferential layer a data pipeline needs ABOVE its drift monitors:
+  * PSI (q294/q295) and embedding drift (q209) report a magnitude with a
+  * rule-of-thumb threshold; these report a test statistic whose null
+  * distribution is known, so "did the corpus change" becomes a p-value
+  * instead of a folklore cutoff. Typical uses at training-data scale:
+  * did a scraper change shift document lengths (KS), does eval metric A
+  * beat B without assuming normality (Mann-Whitney — the unpaired
+  * counterpart of q245's paired bootstrap), are source and quality label
+  * independent (chi-square).
+  *
+  * Scale shape shared by all three: ONE map-side-combined aggregate to
+  * per-distinct-value (or per-cell) counts, then order statistics over
+  * that bounded table. Cumulative distributions use the distributed
+  * prefix-sum (range-partition by value, per-partition window, broadcast
+  * offsets — the [[graft.text.LengthBatch]] physics), never a global
+  * single-task window. Statistic cores are exact integers (count
+  * products, doubled midranks); only the final z / p / χ² are floats,
+  * emitted round-9 with any transcendental series folded in a FIXED
+  * ascending order (the q305 list_reduce discipline) so a SQL oracle
+  * replays every IEEE addition in sequence.
+  */
+object StatTests {
+
+  /** Per-distinct-value group counts of `valueCol` with exact
+    * cumulative sums in value order, computed with the distributed
+    * prefix-sum. Output: (v, ca, cb, cum_a, cum_b) — cums INCLUSIVE.
+    */
+  private def cumCounts(df: DataFrame, valueCol: String,
+      groupCol: String, a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val counts = df
+      .filter(col(groupCol).isin(a, b))
+      .select(col(valueCol).cast("long").as("v"), col(groupCol).as("g"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === b, 1L).otherwise(0L)).as("cb"))
+    val parted = counts
+      .repartitionByRange(nParts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+    val local = parted
+      .withColumn("cum_a", sum(col("ca")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_b", sum(col("cb")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+      .withColumn("__offa", coalesce(sum(col("__ta")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offb", coalesce(sum(col("__tb")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offa"), col("__offb"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col("v"), col("ca"), col("cb"),
+        (col("cum_a") + col("__offa")).as("cum_a"),
+        (col("cum_b") + col("__offb")).as("cum_b"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test of `groupCol == a` vs `== b`
+    * over integer-valued `valueCol`. One row:
+    * (n_a, n_b, d_num, d, p_value) where d_num is the EXACT integer
+    * max |cumA·nB − cumB·nA| (D = d_num / (nA·nB)) and p is the
+    * asymptotic Kolmogorov tail 2·Σ₁¹⁰⁰ (−1)^{k−1} e^{−2k²λ²} at
+    * λ = D·√(nA·nB/(nA+nB)), folded ascending in k.
+    *
+    * Fails loudly when nA·nB would overflow the long integer core —
+    * at that scale (≳3·10⁹ rows per side) downsample or accept the
+    * double path; silent overflow is the bug.
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val cum = cumCounts(df, valueCol, groupCol, a, b)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tot = cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        .head()
+      val nA = tot.getLong(0); val nB = tot.getLong(1)
+      require(nA > 0 && nB > 0,
+        s"ksTest needs rows in both groups: n($a)=$nA, n($b)=$nB")
+      require(BigInt(nA) * BigInt(nB) <= Long.MaxValue,
+        s"ksTest integer core overflows at nA=$nA × nB=$nB — " +
+          "downsample below ~3e9 rows per side")
+      val dNum = cum
+        .agg(max(abs(col("cum_a") * lit(nB) - col("cum_b") * lit(nA)))
+          .as("d_num"))
+      val nProd = (nA.toDouble * nB.toDouble)
+      val nE = nProd / (nA.toDouble + nB.toDouble)
+      dNum.select(
+          lit(nA).as("n_a"), lit(nB).as("n_b"), col("d_num"),
+          (col("d_num").cast("double") / lit(nProd)).as("__d"))
+        .withColumn("__lam", col("__d") * lit(math.sqrt(nE)))
+        // below λ = 0.05 the 100-term truncation error (e^{−2·10⁴λ²})
+        // is no longer negligible — and the tail is 1 to far more than
+        // 9 decimals there anyway, so both engines pin it exactly
+        .withColumn("p_value",
+          when(col("__lam") < 0.05, lit(1.0)).otherwise(round(
+            least(lit(1.0), greatest(lit(0.0),
+              aggregate(sequence(lit(1), lit(100)), lit(0.0), (acc, k) =>
+                acc + when(pmod(k, lit(2)) === 1, lit(2.0))
+                  .otherwise(lit(-2.0)) *
+                  exp(lit(-2.0) * k.cast("double") * k.cast("double") *
+                    col("__lam") * col("__lam"))))), 9)))
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          round(col("__d"), 9).as("d"), col("p_value"))
+    } finally cum.unpersist()
+  }
+
+  /** Mann–Whitney U test (Wilcoxon rank-sum) with midranks and the
+    * tie-corrected normal approximation. One row:
+    * (n_a, n_b, u2_a, u_a, z) where u2_a = 2·U_A is the exact integer
+    * core (midranks are half-integers, so DOUBLED rank sums are
+    * integers) and z = (U_A − nA·nB/2) / σ_ties, round-9.
+    *
+    * Integer-core bounds checked loudly: doubled rank sums ≤ 2N², and
+    * the tie term Σ(t³−t) ≤ N·maxT².
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val cum = cumCounts(df, valueCol, groupCol, a, b)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pre = cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        max(col("ca") + col("cb")).as("maxt")).head()
+      val nA = pre.getLong(0); val nB = pre.getLong(1)
+      val maxT = pre.getLong(2)
+      val n = nA + nB
+      require(nA > 0 && nB > 0,
+        s"mannWhitney needs rows in both groups: n($a)=$nA, n($b)=$nB")
+      require(BigInt(2) * BigInt(n) * BigInt(n) <= Long.MaxValue &&
+        BigInt(n) * BigInt(maxT) * BigInt(maxT) <= Long.MaxValue,
+        s"mannWhitney integer core overflows at N=$n, maxTie=$maxT — " +
+          "downsample; silent overflow is the bug")
+      // inclusive cum → strictly-below count; doubled midrank of a tie
+      // block of size t starting after c rows below is 2c + t + 1
+      val t = col("ca") + col("cb")
+      val below = col("cum_a") + col("cum_b") - t
+      val agg = cum.agg(
+        sum(col("ca") * (below * 2 + t + 1)).as("r2a"),
+        sum(t * t * t - t).as("tie_sum"))
+      val u2 = agg.select(col("r2a"), col("tie_sum"),
+        (col("r2a") - lit(nA) * lit(nA + 1)).as("u2_a"))
+      val nD = n.toDouble
+      u2.select(
+          lit(nA).as("n_a"), lit(nB).as("n_b"), col("u2_a"),
+          (col("u2_a").cast("double") / 2.0).as("u_a"),
+          col("tie_sum"))
+        .withColumn("__var",
+          lit(nA.toDouble * nB.toDouble / 12.0) *
+            (lit(nD + 1.0) - col("tie_sum").cast("double") /
+              lit(nD * (nD - 1.0))))
+        .withColumn("z", round(
+          (col("u_a") - lit(nA.toDouble * nB.toDouble / 2.0)) /
+            sqrt(col("__var")), 9))
+        .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"),
+          col("tie_sum"), col("z"))
+    } finally cum.unpersist()
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns. One row: (n_rows_dim, n_cols_dim, dof, n_total, chi2,
+    * significant) with χ² = Σ_cells (O·N − rT·cT)² / (N·rT·cT) summed
+    * over the FULL domain product (absent cells contribute their
+    * expected mass), folded over one (row, col)-sorted array so the
+    * IEEE sequence is fixed. `significant` compares the ROUNDED χ² to
+    * `critical`, so both engines compare identical round-9 values.
+    *
+    * Domain-bounded by contract: the cell table (distinct rows ×
+    * distinct cols) must be broadcast-small — categorical audits, not
+    * high-cardinality keys.
+    */
+  def chiSquareIndependence(df: DataFrame, rowCol: String,
+      colCol: String, critical: Double): DataFrame = {
+    require(critical > 0, s"critical must be positive: $critical")
+    val cells = df
+      .select(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rt = cells.groupBy(col("r")).agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy(col("c")).agg(sum(col("o")).as("ct"))
+      val nt = cells.agg(sum(col("o")).as("n_total"))
+      val nTot = nt.head().getLong(0)
+      require(nTot > 0, "chiSquareIndependence on an empty table")
+      require(BigInt(nTot) * BigInt(nTot) <= Long.MaxValue,
+        s"chi-square integer core overflows at N=$nTot — downsample " +
+          "below ~3e9 rows; silent overflow is the bug")
+      val dom = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(nt))
+        .join(cells, Seq("r", "c"), "left")
+        .select(col("r"), col("c"), col("rt"), col("ct"), col("n_total"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      // (O·N − rT·cT)² / (N·rT·cT): integer numerator core, one
+      // division per cell, folded in (r, c) order
+      dom.agg(
+          sort_array(collect_list(struct(col("r"), col("c"), col("rt"),
+            col("ct"), col("n_total"), col("o")))).as("pts"),
+          countDistinct(col("r")).as("n_rows_dim"),
+          countDistinct(col("c")).as("n_cols_dim"),
+          max(col("n_total")).as("n_total"))
+        .select(col("n_rows_dim"), col("n_cols_dim"),
+          ((col("n_rows_dim") - 1) * (col("n_cols_dim") - 1))
+            .as("dof"),
+          col("n_total"),
+          round(aggregate(col("pts"), lit(0.0), (acc, x) =>
+            acc + (x.getField("o") * x.getField("n_total") -
+              x.getField("rt") * x.getField("ct")).cast("double") *
+              (x.getField("o") * x.getField("n_total") -
+                x.getField("rt") * x.getField("ct")).cast("double") /
+              (x.getField("n_total").cast("double") *
+                x.getField("rt").cast("double") *
+                x.getField("ct").cast("double"))), 9).as("chi2"))
+        .withColumn("significant", col("chi2") > lit(critical))
+    } finally cells.unpersist()
+  }
+}

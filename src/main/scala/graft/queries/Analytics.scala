@@ -711,7 +711,45 @@ object Analytics extends QueryPack {
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         col("__bin_width"))
 
+  /** Kolmogorov–Smirnov gate (q306): did returned lineitems draw their
+    * quantities from the same distribution as accepted ones — the
+    * two-sample distribution test PSI's rule-of-thumb buckets don't
+    * give ([[graft.operators.StatTests.ksTest]]). D's core is the
+    * exact integer max |cumA·nB − cumB·nA| over the 50-value quantity
+    * domain; only λ → p crosses libm (exp), folded ascending in k and
+    * round-9 (sqrt and all divisions are correctly-rounded IEEE, so
+    * they match bit-for-bit from identical integer inputs).
+    */
+  def ksTestGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StatTests.ksTest(Tables.lineitem(s, dir),
+      "l_quantity", "l_returnflag", "A", "R")
+
+  /** Mann–Whitney U gate (q307): the unpaired nonparametric "is A's
+    * metric higher than B's" test (q245's paired bootstrap is the
+    * paired counterpart). Midranks over the heavily-tied quantity
+    * domain make the DOUBLED rank sum an exact integer (u2_a), as is
+    * the tie term Σ(t³−t); z alone is float, round-9
+    * ([[graft.operators.StatTests.mannWhitney]]).
+    */
+  def mannWhitneyGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StatTests.mannWhitney(Tables.lineitem(s, dir),
+      "l_quantity", "l_returnflag", "A", "R")
+
+  /** Chi-square independence gate (q308): order status × priority —
+    * the categorical-association test beside q295's categorical PSI.
+    * χ² folds (O·N − rT·cT)²/(N·rT·cT) over the full 3×5 domain in
+    * (row, col)-sorted order; `significant` compares the ROUNDED χ² to
+    * the dof=8, α=.05 critical value so both engines compare identical
+    * round-9 values ([[graft.operators.StatTests.chiSquareIndependence]]).
+    */
+  def chiSquareGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StatTests.chiSquareIndependence(Tables.orders(s, dir),
+      "o_orderstatus", "o_orderpriority", critical = 15.507)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_ks_test" -> ksTestGate _,
+    "q307_mann_whitney" -> mannWhitneyGate _,
+    "q308_chi_square" -> chiSquareGate _,
     "q261_kanon_audit" -> kanonAudit _,
     "q262_dp_counts" -> dpCountsGate _,
     "q277_kanon_generalize" -> kanonGeneralize _,
@@ -768,7 +806,112 @@ object Analytics extends QueryPack {
        |FROM documents GROUP BY source""".stripMargin
   }
 
+  /** Shared by q306/q307: per-distinct-quantity counts of the A and R
+    * return flags with inclusive cumulative sums in value order —
+    * DuckDB's window replays the engine's distributed prefix-sum
+    * exactly (same integers).
+    */
+  private val ksCumCtes: String =
+    """c AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS v,
+      |    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cb
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT v, ca, cb,
+      |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+      |  FROM c
+      |  WINDOW w AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q306_ks_test" ->
+      s"""WITH $ksCumCtes,
+        |d AS (
+        |  SELECT max(abs(cum_a * tot.nb - cum_b * tot.na)) AS d_num
+        |  FROM cum CROSS JOIN tot),
+        |st AS (
+        |  SELECT tot.na AS n_a, tot.nb AS n_b, d.d_num,
+        |    CAST(d.d_num AS DOUBLE) /
+        |      (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE)) AS dd,
+        |    CAST(d.d_num AS DOUBLE) /
+        |      (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE)) *
+        |      sqrt(CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE) /
+        |        (CAST(tot.na AS DOUBLE) + CAST(tot.nb AS DOUBLE)))
+        |      AS lam
+        |  FROM d CROSS JOIN tot)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(d_num AS BIGINT) AS d_num, round(dd, 9) AS d,
+        |  CASE WHEN lam < 0.05 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE round(least(CAST(1.0 AS DOUBLE),
+        |      greatest(CAST(0.0 AS DOUBLE),
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          [CASE WHEN k % 2 = 1 THEN CAST(2.0 AS DOUBLE)
+        |            ELSE CAST(-2.0 AS DOUBLE) END *
+        |            exp(CAST(-2.0 AS DOUBLE) * CAST(k AS DOUBLE) *
+        |              CAST(k AS DOUBLE) * lam * lam)
+        |           for k in range(1, 101)]),
+        |          (acc, x) -> acc + x))), 9)
+        |  END AS p_value
+        |FROM st""".stripMargin,
+    "q307_mann_whitney" ->
+      s"""WITH $ksCumCtes,
+        |agg AS (
+        |  SELECT
+        |    sum(ca * ((cum_a + cum_b - (ca + cb)) * 2 + (ca + cb) + 1))
+        |      AS r2a,
+        |    sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+        |      AS tie_sum
+        |  FROM cum),
+        |st AS (
+        |  SELECT tot.na AS n_a, tot.nb AS n_b,
+        |    agg.r2a - tot.na * (tot.na + 1) AS u2_a,
+        |    CAST(agg.r2a - tot.na * (tot.na + 1) AS DOUBLE) / 2.0 AS u_a,
+        |    agg.tie_sum,
+        |    (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE) / 12.0) *
+        |      ((CAST(tot.na + tot.nb AS DOUBLE) + 1.0) -
+        |        CAST(agg.tie_sum AS DOUBLE) /
+        |        (CAST(tot.na + tot.nb AS DOUBLE) *
+        |          (CAST(tot.na + tot.nb AS DOUBLE) - 1.0))) AS var_t
+        |  FROM agg CROSS JOIN tot)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(u2_a AS BIGINT) AS u2_a, u_a,
+        |  CAST(tie_sum AS BIGINT) AS tie_sum,
+        |  round((u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |    / sqrt(var_t), 9) AS z
+        |FROM st""".stripMargin,
+    "q308_chi_square" ->
+      """WITH cells AS (
+        |  SELECT CAST(o_orderstatus AS VARCHAR) AS r,
+        |    CAST(o_orderpriority AS VARCHAR) AS c, count(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o) AS rt FROM cells GROUP BY r),
+        |ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c),
+        |nt AS (SELECT sum(o) AS n FROM cells),
+        |dom AS (
+        |  SELECT rt.r, ct.c, rt.rt, ct.ct, nt.n,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct CROSS JOIN nt
+        |  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+        |agg AS (
+        |  SELECT count(DISTINCT r) AS n_rows_dim,
+        |    count(DISTINCT c) AS n_cols_dim,
+        |    CAST(max(n) AS BIGINT) AS n_total,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(o * n - rt * ct AS DOUBLE) *
+        |        CAST(o * n - rt * ct AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) *
+        |          CAST(ct AS DOUBLE))
+        |        ORDER BY r, c)),
+        |      (acc, x) -> acc + x), 9) AS chi2
+        |  FROM dom)
+        |SELECT n_rows_dim, n_cols_dim,
+        |  (n_rows_dim - 1) * (n_cols_dim - 1) AS dof,
+        |  n_total, chi2,
+        |  chi2 > CAST(15.507 AS DOUBLE) AS significant
+        |FROM agg""".stripMargin,
     "q261_kanon_audit" ->
       """SELECT c_mktsegment, c_nationkey,
         |  count(*) AS group_size,

@@ -136,7 +136,11 @@ class FloatStabilitySpec extends SparkSpec {
     "q302_loop_detect",          // integer runs + one exact division
     "q295_psi_categorical",      // category counts + smoothed terms
     "q296_t_closeness",          // TV over the sensitive domain, round 9
-    "q298_benford")              // digit counts + log10 literals, round 9
+    "q298_benford",              // digit counts + log10 literals, round 9
+    "q305_zipf_audit",           // ln power sums over one rank-ordered array
+    "q306_ks_test",              // exp series over exact integer D core
+    "q307_mann_whitney",         // z from exact rank-sum/tie integer cores
+    "q308_chi_square")           // cell fold over one (row,col)-sorted array
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

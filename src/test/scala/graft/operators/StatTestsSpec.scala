@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatTestsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def two(a: Seq[Long], b: Seq[Long]) =
+    (a.map(v => (v, "a")) ++ b.map(v => (v, "b")))
+      .toDF("v", "g")
+
+  test("ks: hand-checked D on a planted shift") {
+    // F_a jumps to 1 at 4; F_b is 0 until 3 — max gap at v=2: |2·4−0·4|
+    val out = StatTests.ksTest(two(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)),
+      "v", "g", "a", "b").head()
+    assert(out.getAs[Long]("n_a") === 4L)
+    assert(out.getAs[Long]("n_b") === 4L)
+    assert(out.getAs[Long]("d_num") === 8L)
+    assert(out.getAs[Double]("d") === 0.5)
+  }
+
+  test("ks: identical samples give D = 0 and the pinned p = 1") {
+    val s = Seq(1L, 2L, 3L, 4L, 5L)
+    val out = StatTests.ksTest(two(s, s), "v", "g", "a", "b").head()
+    assert(out.getAs[Long]("d_num") === 0L)
+    assert(out.getAs[Double]("d") === 0.0)
+    assert(out.getAs[Double]("p_value") === 1.0)
+  }
+
+  test("ks: D symmetric under group swap") {
+    val a = Seq(1L, 1L, 2L, 7L, 9L); val b = Seq(2L, 3L, 3L, 8L)
+    val ab = StatTests.ksTest(two(a, b), "v", "g", "a", "b").head()
+    val ba = StatTests.ksTest(two(a, b), "v", "g", "b", "a").head()
+    assert(ab.getAs[Long]("d_num") === ba.getAs[Long]("d_num"))
+    assert(ab.getAs[Double]("p_value") === ba.getAs[Double]("p_value"))
+  }
+
+  test("ks: empty group fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      StatTests.ksTest(two(Seq(1L), Seq.empty), "v", "g", "a", "b")
+    }
+    assert(e.getMessage.contains("both groups"))
+  }
+
+  test("mwu: no-tie textbook case") {
+    // a = {1,2}, b = {3,4}: R_a = 3 → U_a = 0; z = −2/√(5/3)
+    val out = StatTests.mannWhitney(two(Seq(1, 2), Seq(3, 4)),
+      "v", "g", "a", "b").head()
+    assert(out.getAs[Long]("u2_a") === 0L)
+    assert(out.getAs[Double]("u_a") === 0.0)
+    assert(out.getAs[Long]("tie_sum") === 0L)
+    assert(math.abs(out.getAs[Double]("z") -
+      (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-9)
+  }
+
+  test("mwu: midranks on ties") {
+    // a = {1,1}, b = {1,2}: the three 1s midrank 2 → R_a = 4,
+    // u2_a = 2·4 − 2·3 = 2; tie block of 3 → Σ(t³−t) = 24
+    val out = StatTests.mannWhitney(two(Seq(1, 1), Seq(1, 2)),
+      "v", "g", "a", "b").head()
+    assert(out.getAs[Long]("u2_a") === 2L)
+    assert(out.getAs[Double]("u_a") === 1.0)
+    assert(out.getAs[Long]("tie_sum") === 24L)
+  }
+
+  test("mwu: U_a + U_b = nA·nB (doubled) on asymmetric tied data") {
+    val a = Seq(1L, 2L, 2L, 5L, 9L, 9L); val b = Seq(2L, 3L, 9L)
+    val ua = StatTests.mannWhitney(two(a, b), "v", "g", "a", "b")
+      .head().getAs[Long]("u2_a")
+    val ub = StatTests.mannWhitney(two(a, b), "v", "g", "b", "a")
+      .head().getAs[Long]("u2_a")
+    assert(ua + ub === 2L * a.size * b.size)
+  }
+
+  test("chi2: independent table scores zero, dependent scores N") {
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .flatMap(Seq.fill(10)(_)).toDF("r", "c")
+    val oi = StatTests.chiSquareIndependence(indep, "r", "c", 3.841).head()
+    assert(oi.getAs[Double]("chi2") === 0.0)
+    assert(!oi.getAs[Boolean]("significant"))
+    assert(oi.getAs[Long]("dof") === 1L)
+    // perfectly dependent 2×2: χ² = N
+    val dep = Seq(("a", "x"), ("b", "y")).flatMap(Seq.fill(10)(_))
+      .toDF("r", "c")
+    val od = StatTests.chiSquareIndependence(dep, "r", "c", 3.841).head()
+    assert(od.getAs[Double]("chi2") === 20.0)
+    assert(od.getAs[Boolean]("significant"))
+  }
+
+  test("statistics are partitioning-independent (prefix-sum physics)") {
+    val a = (1L to 400L).map(v => (v % 37, "a"))
+    val b = (1L to 300L).map(v => (v % 23 + 5, "b"))
+    val df1 = (a ++ b).toDF("v", "g")
+    val df7 = df1.repartition(7)
+    val k1 = StatTests.ksTest(df1, "v", "g", "a", "b").head()
+    val k7 = StatTests.ksTest(df7, "v", "g", "a", "b").head()
+    assert(k1.getAs[Long]("d_num") === k7.getAs[Long]("d_num"))
+    assert(k1.getAs[Double]("p_value") === k7.getAs[Double]("p_value"))
+    val m1 = StatTests.mannWhitney(df1, "v", "g", "a", "b").head()
+    val m7 = StatTests.mannWhitney(df7, "v", "g", "a", "b").head()
+    assert(m1.getAs[Long]("u2_a") === m7.getAs[Long]("u2_a"))
+    assert(m1.getAs[Double]("z") === m7.getAs[Double]("z"))
+  }
+}
