@@ -378,6 +378,20 @@ object CurationPipeline {
           minLineWords = getI(stage, "minLineWords").getOrElse(5),
           minLines = getI(stage, "minLines").getOrElse(3))
         replaceText(docs, cleaned.filter(col("c4_keep")), "clean_text")
+      case "code_filter" =>
+        graft.text.CodeFilters.keep(docs,
+          maxLineLen = getI(stage, "maxLineLen").getOrElse(1000),
+          maxAvgLineLen = getI(stage, "maxAvgLineLen").getOrElse(100),
+          minAlphaFrac = getD(stage, "minAlphaFrac").getOrElse(0.25),
+          maxEncodedFrac = getD(stage, "maxEncodedFrac").getOrElse(0.5))
+      case "license_filter" =>
+        val allowed = require_(
+          get[scala.collection.Seq[String]](stage, "allow"), op,
+          "allow").toSeq
+        docs.join(graft.text.LicenseDetect.label(docs)
+            .filter(col("license").isin(allowed: _*))
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
       case "priority_sample" =>
         val k = require_(getI(stage, "k"), op, "k")
         val w = require_(get[String](stage, "weightCol"), op, "weightCol")

@@ -2545,7 +2545,60 @@ object Text extends QueryPack {
           .cast("long")).as("redacted_checksum"))
   }
 
+  /** Code-quality filter gate (q309): [[graft.text.CodeFilters.flags]]
+    * over documents with three plants — a 1200-char single line (max
+    * line cap), an 800-char base64 run (encoded-blob mass), and an
+    * auto-generation marker — the published Stack/StarCoder per-file
+    * rules. Counts are exact integers; each ratio is one IEEE division
+    * and each threshold compares against an exactly-representable
+    * multiple (·0.25, ·0.5, integer ·100), so every flag bit-matches
+    * the oracle with no rounding at all.
+    */
+  def codeFiltersGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\n"), repeat(lit("x"), 1200))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("\n"), repeat(lit("QUJDRA=="), 100)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\n// auto-generated by tool; do not edit"))
+          .otherwise(lit(""))).as("text"))
+    graft.text.CodeFilters.flags(planted)
+  }
+
+  /** License-detection gate (q310):
+    * [[graft.text.LicenseDetect.label]] over documents with planted
+    * license headers — MIT on ≡0 (mod 9), Apache on ≡0 (mod 10) (so
+    * every 90th doc carries BOTH at score 1 and exercises the
+    * lexicographic tiebreak), and a 3-phrase GPL header on ≡0
+    * (mod 21). Scores are substring-presence integers and the argmax
+    * is a fixed when-chain — no floats anywhere.
+    */
+  def licenseDetectGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 9 === 0,
+          lit("\nPermission is hereby granted, free of charge, " +
+            "to any person")).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          lit("\nLicensed under the Apache License, Version 2.0"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 21 === 0,
+          lit("\nGNU General Public License as published by the " +
+            "Free Software Foundation, either version 3 of the " +
+            "License")).otherwise(lit(""))).as("text"))
+    graft.text.LicenseDetect.label(planted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_code_filters" -> codeFiltersGate _,
+    "q310_license_detect" -> licenseDetectGate _,
     "q297_card_scrub" -> cardScrubGate _,
     "q292_query_likelihood" -> queryLikelihoodGate _,
     "q290_memorization_rate" -> memorizationGate _,
@@ -2738,6 +2791,130 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q309_code_filters" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || repeat('x', 1200) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN chr(10) || repeat('QUJDRA==', 100) ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN chr(10) || '// auto-generated by tool; do not edit'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS nc,
+        |    CAST(len(ls) AS BIGINT) AS nl,
+        |    CAST(coalesce(list_max([len(x) for x in ls]), 0) AS BIGINT)
+        |      AS maxl,
+        |    CAST(len(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS alpha,
+        |    CAST(coalesce(list_sum([len(x) for x in
+        |        regexp_extract_all(t, '[A-Za-z0-9+/=]{64,}')]), 0) +
+        |      coalesce(list_sum([len(x) for x in
+        |        regexp_extract_all(t, '[0-9a-fA-F]{32,}')]), 0)
+        |      AS BIGINT) AS enc,
+        |    (contains(lower(t), 'auto-generated') OR
+        |     contains(lower(t), 'autogenerated') OR
+        |     contains(lower(t), 'do not edit') OR
+        |     contains(lower(t), 'generated by') OR
+        |     contains(lower(t), '@generated')) AS autogen
+        |  FROM (SELECT doc_id, coalesce(text, '') AS t,
+        |          string_split(coalesce(text, ''), chr(10)) AS ls
+        |        FROM planted))
+        |SELECT doc_id, nl AS n_lines, maxl AS max_line_len,
+        |  CAST(nc AS DOUBLE) / CAST(nl AS DOUBLE) AS avg_line_len,
+        |  CASE WHEN nc = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE CAST(alpha AS DOUBLE) / CAST(nc AS DOUBLE) END
+        |    AS alpha_frac,
+        |  CASE WHEN nc = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE CAST(enc AS DOUBLE) / CAST(nc AS DOUBLE) END
+        |    AS encoded_frac,
+        |  autogen,
+        |  maxl <= 1000 AS max_line_ok,
+        |  nc <= nl * 100 AS avg_line_ok,
+        |  (nc > 0 AND CAST(alpha AS DOUBLE) >=
+        |    CAST(nc AS DOUBLE) * CAST(0.25 AS DOUBLE)) AS alpha_ok,
+        |  CAST(enc AS DOUBLE) <=
+        |    CAST(nc AS DOUBLE) * CAST(0.5 AS DOUBLE) AS encoded_ok,
+        |  (maxl <= 1000 AND nc <= nl * 100 AND
+        |   (nc > 0 AND CAST(alpha AS DOUBLE) >=
+        |     CAST(nc AS DOUBLE) * CAST(0.25 AS DOUBLE)) AND
+        |   CAST(enc AS DOUBLE) <=
+        |     CAST(nc AS DOUBLE) * CAST(0.5 AS DOUBLE) AND
+        |   NOT autogen) AS code_keep
+        |FROM m""".stripMargin,
+    "q310_license_detect" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 9 = 0 THEN chr(10) ||
+        |      'Permission is hereby granted, free of charge, to any person'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 0 THEN chr(10) ||
+        |      'Licensed under the Apache License, Version 2.0'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 21 = 0 THEN chr(10) ||
+        |      'GNU General Public License as published by the Free ' ||
+        |      'Software Foundation, either version 3 of the License'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN contains(t, 'licensed under the apache license')
+        |       THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(t, 'www.apache.org/licenses/license-2.0')
+        |       THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(t, 'unless required by applicable law')
+        |       THEN 1 ELSE 0 END) AS s_apache,
+        |    (CASE WHEN contains(t,
+        |         'redistribution and use in source and binary forms')
+        |       THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(t, 'neither the name of')
+        |       THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(t,
+        |         'this software is provided by the copyright holders')
+        |       THEN 1 ELSE 0 END) AS s_bsd,
+        |    (CASE WHEN contains(t, 'gnu general public license')
+        |       THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(t, 'free software foundation')
+        |       THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(t, 'either version 3 of the license')
+        |       THEN 1 ELSE 0 END) AS s_gpl,
+        |    (CASE WHEN contains(t,
+        |         'permission is hereby granted, free of charge')
+        |       THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(t,
+        |         'the software is provided "as is", without warranty')
+        |       THEN 1 ELSE 0 END) AS s_mit,
+        |    (CASE WHEN contains(t, 'mozilla public license')
+        |       THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(t, 'http://mozilla.org/mpl/2.0/')
+        |       THEN 1 ELSE 0 END) AS s_mpl
+        |  FROM (SELECT doc_id, lower(coalesce(text, '')) AS t
+        |        FROM planted)),
+        |lab AS (
+        |  SELECT doc_id,
+        |    greatest(s_apache, s_bsd, s_gpl, s_mit, s_mpl) AS best,
+        |    CASE
+        |      WHEN greatest(s_apache, s_bsd, s_gpl, s_mit, s_mpl) = 0
+        |        THEN 'unknown'
+        |      WHEN s_apache = greatest(s_apache, s_bsd, s_gpl, s_mit,
+        |        s_mpl) THEN 'apache-2.0'
+        |      WHEN s_bsd = greatest(s_apache, s_bsd, s_gpl, s_mit,
+        |        s_mpl) THEN 'bsd-3-clause'
+        |      WHEN s_gpl = greatest(s_apache, s_bsd, s_gpl, s_mit,
+        |        s_mpl) THEN 'gpl-3.0'
+        |      WHEN s_mit = greatest(s_apache, s_bsd, s_gpl, s_mit,
+        |        s_mpl) THEN 'mit'
+        |      ELSE 'mpl-2.0' END AS license,
+        |    s_apache + s_bsd + s_gpl + s_mit + s_mpl AS th
+        |  FROM sc)
+        |SELECT doc_id, license, CAST(best AS BIGINT) AS n_hits,
+        |  CAST(th AS BIGINT) AS total_hits,
+        |  license IN ('apache-2.0', 'bsd-3-clause', 'mit', 'mpl-2.0')
+        |    AS permissive
+        |FROM lab""".stripMargin,
     // the FULL SecretsScrub chain replayed (not just the card stage):
     // the engine extracts card candidates from the POST-credential
     // text, and a fixture-independent oracle must do the same

@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** License detection for code corpora — the compliance gate a code
+  * pretraining pipeline runs before anything else (The Stack keeps
+  * only permissively-licensed files; Kocetkov et al. 2022 §3). Full
+  * SPDX matching needs the reference texts; the operationally useful
+  * core is a PHRASE DICTIONARY: each license family is identified by
+  * a handful of distinctive normalized phrases, a file's score per
+  * license is how many of that license's phrases it contains, and the
+  * label is the argmax with a deterministic lexicographic tiebreak
+  * (ties are real: BSD and MIT share boilerplate fragments).
+  *
+  * Exactness: scores are small integers (substring presence over
+  * lowercased text), the argmax is a fixed when-chain in license-name
+  * order — no floats anywhere, so the oracle replays label decisions
+  * bit-for-bit. Scale shape: per-row expressions only, zero shuffle;
+  * the dictionary is a compile-time constant (for large custom
+  * dictionaries, [[DictionaryTag]]'s broadcast Aho–Corasick is the
+  * scale path — this operator is the labeling rule on top).
+  */
+object LicenseDetect {
+
+  /** license id (sorted) → distinctive lowercase phrases. */
+  val Phrases: Seq[(String, Seq[String])] = Seq(
+    "apache-2.0" -> Seq(
+      "licensed under the apache license",
+      "www.apache.org/licenses/license-2.0",
+      "unless required by applicable law"),
+    "bsd-3-clause" -> Seq(
+      "redistribution and use in source and binary forms",
+      "neither the name of",
+      "this software is provided by the copyright holders"),
+    "gpl-3.0" -> Seq(
+      "gnu general public license",
+      "free software foundation",
+      "either version 3 of the license"),
+    "mit" -> Seq(
+      "permission is hereby granted, free of charge",
+      "the software is provided \"as is\", without warranty"),
+    "mpl-2.0" -> Seq(
+      "mozilla public license",
+      "http://mozilla.org/mpl/2.0/"))
+
+  /** Per-file license label. Output: idCol, `license` ("unknown" when
+    * no phrase hits; ties break to the lexicographically first id —
+    * the Phrases order), `n_hits` (the winning score), `total_hits`
+    * (across all licenses — >0 with label disagreement is the
+    * multi-license-header signal).
+    */
+  def label(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lowered = lower(coalesce(col(textCol), lit("")))
+    def score(ps: Seq[String]): Column =
+      ps.map(p => when(lowered.contains(p), 1).otherwise(0))
+        .reduce(_ + _)
+    val scores = Phrases.map { case (id, ps) => id -> score(ps) }
+    val best = greatest(scores.map(_._2): _*)
+    // reverse-fold so the when-chain tests licenses in Phrases order:
+    // the FIRST (lexicographically smallest) id matching the max wins
+    val lbl = scores.reverse.foldLeft(lit("unknown"): Column) {
+      case (acc, (id, s)) =>
+        when(best > 0 && s === best, lit(id)).otherwise(acc)
+    }
+    docs.select(
+      col(idCol),
+      lbl.as("license"),
+      best.cast("long").as("n_hits"),
+      scores.map(_._2).reduce(_ + _).cast("long").as("total_hits"))
+      .withColumn("permissive",
+        col("license").isin("apache-2.0", "bsd-3-clause", "mit",
+          "mpl-2.0"))
+  }
+}

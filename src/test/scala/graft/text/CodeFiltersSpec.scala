@@ -1,0 +1,111 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CodeFiltersSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private val clean =
+    "def add(a, b):\n    return a + b\n\nprint(add(1, 2))\n"
+
+  test("clean source passes every rule") {
+    val out = CodeFilters.flags(Seq((1L, clean)).toDF("doc_id", "text"))
+      .head()
+    assert(out.getAs[Boolean]("max_line_ok"))
+    assert(out.getAs[Boolean]("avg_line_ok"))
+    assert(out.getAs[Boolean]("alpha_ok"))
+    assert(out.getAs[Boolean]("encoded_ok"))
+    assert(!out.getAs[Boolean]("autogen"))
+    assert(out.getAs[Boolean]("code_keep"))
+  }
+
+  test("minified one-liner trips the line-length caps") {
+    val minified = "var a=1;" * 200 // one 1600-char line
+    val out = CodeFilters.flags(Seq((1L, minified))
+      .toDF("doc_id", "text")).head()
+    assert(out.getAs[Long]("max_line_len") === 1600L)
+    assert(!out.getAs[Boolean]("max_line_ok"))
+    assert(!out.getAs[Boolean]("avg_line_ok"))
+    assert(!out.getAs[Boolean]("code_keep"))
+  }
+
+  test("embedded base64 blob trips encoded mass; alpha floor trips on digits") {
+    val blob = clean + ("QUJDRA==" * 100) // 800-char run vs ~50 code chars
+    val o1 = CodeFilters.flags(Seq((1L, blob)).toDF("doc_id", "text"))
+      .head()
+    assert(!o1.getAs[Boolean]("encoded_ok"))
+    val digits = "1234567890 " * 30
+    val o2 = CodeFilters.flags(Seq((1L, digits)).toDF("doc_id", "text"))
+      .head()
+    assert(!o2.getAs[Boolean]("alpha_ok"))
+  }
+
+  test("autogen markers drop the file; empty and null text are safe") {
+    val gen = "// @generated — compiled output\n" + clean
+    val og = CodeFilters.flags(Seq((1L, gen)).toDF("doc_id", "text"))
+      .head()
+    assert(og.getAs[Boolean]("autogen") && !og.getAs[Boolean]("code_keep"))
+    val edge = CodeFilters.flags(
+      Seq((1L, ""), (2L, null: String)).toDF("doc_id", "text"))
+    assert(edge.count() === 2)
+    assert(edge.filter(col("alpha_ok")).count() === 0) // nc = 0 fails floor
+  }
+
+  test("keep drops exactly the flagged rows") {
+    val docs = Seq(
+      (1L, clean),
+      (2L, "var a=1;" * 200),
+      (3L, "// do not edit\n" + clean)).toDF("doc_id", "text")
+    val kept = CodeFilters.keep(docs).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L))
+  }
+
+  test("license: gpl full header outscores a stray mit fragment") {
+    val text = "Permission is hereby granted, free of charge\n" +
+      "GNU General Public License\nFree Software Foundation\n" +
+      "either version 3 of the License"
+    val out = LicenseDetect.label(Seq((1L, text)).toDF("doc_id", "text"))
+      .head()
+    assert(out.getAs[String]("license") === "gpl-3.0")
+    assert(out.getAs[Long]("n_hits") === 3L)
+    assert(out.getAs[Long]("total_hits") === 4L)
+    assert(!out.getAs[Boolean]("permissive"))
+  }
+
+  test("license: tie breaks lexicographically; no hits is unknown") {
+    val tied = "Licensed under the Apache License\n" +
+      "Permission is hereby granted, free of charge"
+    val ot = LicenseDetect.label(Seq((1L, tied)).toDF("doc_id", "text"))
+      .head()
+    assert(ot.getAs[String]("license") === "apache-2.0")
+    val ou = LicenseDetect.label(Seq((1L, "plain prose"), (2L, null))
+      .toDF("doc_id", "text"))
+    assert(ou.filter(col("license") === "unknown").count() === 2)
+  }
+
+  test("code_filter and license_filter compose as curation stages") {
+    import graft.etl.{CurationPipeline, JsonSource}
+    val p = java.nio.file.Files.createTempFile("graft_code_cfg", ".json")
+    java.nio.file.Files.writeString(p,
+      """{ "stages": [
+        |  {"op": "code_filter", "maxLineLen": 500},
+        |  {"op": "license_filter",
+        |   "allow": ["mit", "apache-2.0", "unknown"]} ] }
+        |""".stripMargin)
+    val stages = JsonSource.readConfigRow(spark, p.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+      .toSeq
+    val docs = Seq(
+      (1L, clean + "\nLicensed under the Apache License"),
+      (2L, clean + "\nGNU General Public License\n" +
+        "Free Software Foundation"),
+      (3L, "x" * 600),
+      (4L, clean)).toDF("doc_id", "text")
+    val kept = CurationPipeline.run(docs, stages)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L)) // 2 gpl-dropped, 3 line-capped
+  }
+}
