@@ -1183,6 +1183,17 @@ object Text extends QueryPack {
   def zipfGate(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusLaws.zipfFit(Tables.documents(s, dir), k = 50)
 
+  /** Heaps'-law gate (q311): vocabulary growth V(n) at power-of-two
+    * reading-order checkpoints with the fitted β
+    * ([[graft.text.CorpusLaws.heapsFit]]) — the saturation alarm
+    * beside q305's frequency-shape slope. First-occurrence positions
+    * and checkpoint vocab counts are exact integers (reading order =
+    * ascending doc id via the distributed prefix-sum); the regression
+    * folds over one cp-ordered array, β/intercept round-9.
+    */
+  def heapsGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusLaws.heapsFit(Tables.documents(s, dir))
+
   /** Conversation-tree gate (q304): a deterministic message FOREST
     * over documents — roots at doc ≡0 (mod 7), every other message's
     * parent `doc_id − 1 − (doc_id mod 4)` (strictly smaller, so
@@ -2599,6 +2610,7 @@ object Text extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q309_code_filters" -> codeFiltersGate _,
     "q310_license_detect" -> licenseDetectGate _,
+    "q311_heaps_law" -> heapsGate _,
     "q297_card_scrub" -> cardScrubGate _,
     "q292_query_likelihood" -> queryLikelihoodGate _,
     "q290_memorization_rate" -> memorizationGate _,
@@ -2791,6 +2803,68 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q311_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+        |      AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS c FROM toks),
+        |off AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS o
+        |  FROM cnt),
+        |pos AS (
+        |  SELECT doc_id,
+        |    unnest([{'term': t[i], 'i': i}
+        |            for i in range(1, len(t) + 1)], recursive := true)
+        |  FROM toks),
+        |fp AS (
+        |  SELECT term, min(off.o + pos.i - 1) AS fp
+        |  FROM pos JOIN off USING (doc_id) GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+        |grid AS (
+        |  SELECT DISTINCT n FROM (
+        |    SELECT (CAST(64 AS BIGINT) << CAST(j AS INT)) AS n
+        |    FROM range(0, 40) r(j), tot WHERE (64::BIGINT << CAST(j AS INT)) < tot.t
+        |    UNION ALL SELECT t AS n FROM tot)),
+        |cps AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n) - 1 AS BIGINT)
+        |    AS cp_idx, n AS n_tokens
+        |  FROM grid),
+        |v AS (
+        |  SELECT cps.cp_idx, cps.n_tokens,
+        |    CAST(count(fp.term) AS BIGINT) AS vocab
+        |  FROM cps LEFT JOIN fp ON fp.fp < cps.n_tokens
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS kn,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ln(CAST(n_tokens AS DOUBLE)) ORDER BY cp_idx)),
+        |      (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ln(CAST(vocab AS DOUBLE)) ORDER BY cp_idx)),
+        |      (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ln(CAST(n_tokens AS DOUBLE)) *
+        |        ln(CAST(vocab AS DOUBLE)) ORDER BY cp_idx)),
+        |      (a, x) -> a + x) AS sxy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ln(CAST(n_tokens AS DOUBLE)) *
+        |        ln(CAST(n_tokens AS DOUBLE)) ORDER BY cp_idx)),
+        |      (a, x) -> a + x) AS sxx
+        |  FROM v),
+        |fit AS (
+        |  SELECT
+        |    round((kn * sxy - sx * sy) / (kn * sxx - sx * sx), 9)
+        |      AS beta,
+        |    round((sy - (kn * sxy - sx * sy) / (kn * sxx - sx * sx)
+        |      * sx) / kn, 9) AS intercept
+        |  FROM agg)
+        |SELECT v.cp_idx, v.n_tokens, v.vocab, f.beta, f.intercept
+        |FROM v CROSS JOIN fit f""".stripMargin,
     "q309_code_filters" ->
       """WITH planted AS (
         |  SELECT doc_id, text ||

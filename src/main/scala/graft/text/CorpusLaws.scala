@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-law audits — does a corpus LOOK like natural language?
@@ -70,5 +71,108 @@ object CorpusLaws {
     top.crossJoin(broadcast(fit))
       .select(col("rank"), col("term"), col("freq"),
         col("slope"), col("intercept"))
+  }
+
+  /** Heaps'-law vocabulary-growth audit — [[zipfFit]]'s companion:
+    * Zipf measures the SHAPE of the frequency distribution, Heaps
+    * measures how fast NEW vocabulary arrives as the corpus grows
+    * (V(n) ≈ K·n^β, β ≈ 0.4–0.6 for natural text). A templated or
+    * looping corpus flattens β (vocabulary saturates); concatenated
+    * random-ish identifiers push it toward 1. The checkpoints are a
+    * fixed power-of-two grid in READING ORDER (ascending doc id), so
+    * the curve is deterministic and a SQL oracle replays it.
+    *
+    * Output: one row per checkpoint (cp_idx, n_tokens, vocab) with the
+    * fitted (beta, intercept) repeated — ln V = intercept + β·ln n by
+    * least squares over the checkpoint rows, power sums folded over
+    * ONE cp-ordered array (the [[zipfFit]] IEEE discipline).
+    *
+    * Scale shape: token positions come from ONE posexplode joined to
+    * per-doc offsets built with the distributed prefix-sum over the
+    * doc-bounded count table (range-partition + broadcast offsets —
+    * never a global single-task window); first occurrences are a
+    * vocabulary-bounded min-aggregate; checkpoint counts are ≤ ~40
+    * conditional sums in one map-side-combined pass. The corpus is
+    * tokenized twice (once for counts, once for positions) — at real
+    * scale persist the (doc, count) projection, which is what the
+    * implementation aggregates from.
+    */
+  def heapsFit(docs: DataFrame, minCheckpoint: Long = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minCheckpoint >= 2 && (minCheckpoint & (minCheckpoint - 1)) == 0,
+      s"minCheckpoint must be a power of two >= 2: $minCheckpoint")
+    val spark = docs.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val tokExpr = s"regexp_extract_all(lower(coalesce($textCol, '')), " +
+      "'[a-z0-9]+', 0)"
+    val cnt = docs
+      .select(col(idCol).cast("long").as("__id"),
+        size(expr(tokExpr)).cast("long").as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = cnt.agg(coalesce(sum(col("__c")), lit(0L)).as("t"))
+        .head().getLong(0)
+      require(total >= minCheckpoint,
+        s"heaps fit needs >= $minCheckpoint tokens, corpus has $total")
+      // distributed prefix-sum over ascending doc id: per-partition
+      // local cumsum + broadcast partition offsets
+      val parted = cnt.repartitionByRange(nParts, col("__id"))
+        .withColumn("__pid", spark_partition_id())
+      val local = parted.withColumn("__cum",
+        sum(col("__c")).over(Window.partitionBy(col("__pid"))
+          .orderBy(col("__id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val offs = parted.groupBy(col("__pid"))
+        .agg(sum(col("__c")).as("__pt"))
+        .withColumn("__poff", coalesce(sum(col("__pt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__pid"), col("__poff"))
+      val docOff = local.join(broadcast(offs), Seq("__pid"))
+        .select(col("__id"),
+          (col("__cum") + col("__poff") - col("__c")).as("__off"))
+      // first global occurrence per term (0-based reading position)
+      val firstPos = docs
+        .select(col(idCol).cast("long").as("__id"),
+          posexplode(expr(tokExpr)).as(Seq("__i", "__term")))
+        .join(docOff, Seq("__id"))
+        .groupBy(col("__term"))
+        .agg(min(col("__off") + col("__i")).as("__fp"))
+      val cps = (Iterator.iterate(minCheckpoint)(_ * 2)
+        .takeWhile(_ < total).toSeq :+ total).distinct
+      val vCols = cps.zipWithIndex.map { case (n, j) =>
+        sum(when(col("__fp") < n, 1L).otherwise(0L)).as(s"__v$j")
+      }
+      val wide = firstPos.agg(vCols.head, vCols.tail: _*)
+      val rows = wide.select(explode(array(cps.zipWithIndex.map {
+        case (n, j) => struct(lit(j.toLong).as("cp_idx"),
+          lit(n).as("n_tokens"), col(s"__v$j").as("vocab"))
+      }: _*)).as("r")).select(col("r.*"))
+      val fit = rows
+        .agg(sort_array(collect_list(struct(col("cp_idx"),
+          col("n_tokens"), col("vocab")))).as("pts"))
+        .select(
+          size(col("pts")).cast("double").as("kn"),
+          aggregate(col("pts"), lit(0.0), (acc, p) =>
+            acc + log(p.getField("n_tokens").cast("double"))).as("sx"),
+          aggregate(col("pts"), lit(0.0), (acc, p) =>
+            acc + log(p.getField("vocab").cast("double"))).as("sy"),
+          aggregate(col("pts"), lit(0.0), (acc, p) =>
+            acc + log(p.getField("n_tokens").cast("double"))
+              * log(p.getField("vocab").cast("double"))).as("sxy"),
+          aggregate(col("pts"), lit(0.0), (acc, p) =>
+            acc + log(p.getField("n_tokens").cast("double"))
+              * log(p.getField("n_tokens").cast("double"))).as("sxx"))
+        .select(
+          round((col("kn") * col("sxy") - col("sx") * col("sy")) /
+            (col("kn") * col("sxx") - col("sx") * col("sx")), 9)
+            .as("beta"),
+          round((col("sy") - (col("kn") * col("sxy") - col("sx") *
+            col("sy")) / (col("kn") * col("sxx") - col("sx") *
+            col("sx")) * col("sx")) / col("kn"), 9).as("intercept"))
+      rows.crossJoin(broadcast(fit))
+        .select(col("cp_idx"), col("n_tokens"), col("vocab"),
+          col("beta"), col("intercept"))
+    } finally cnt.unpersist()
   }
 }

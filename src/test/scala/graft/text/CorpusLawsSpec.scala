@@ -37,4 +37,52 @@ class CorpusLawsSpec extends SparkSpec {
       .select($"rank", $"term").as[(Long, String)].collect().sortBy(_._1)
     assert(got.map(_._2).toSeq === Seq("a", "b", "c"))
   }
+
+  test("heaps: hand-checked vocabulary growth in reading order") {
+    // tokens in doc-id order: a b a b | c a d b → fp a:0 b:1 c:4 d:6
+    val docs = Seq((1L, "a b a b"), (2L, "c a d b"))
+      .toDF("doc_id", "text")
+    val got = CorpusLaws.heapsFit(docs, minCheckpoint = 2)
+      .select($"cp_idx", $"n_tokens", $"vocab")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((0L, 2L, 2L), (1L, 4L, 2L), (2L, 8L, 4L)))
+  }
+
+  test("heaps: partitioning-independent and monotone on real docs") {
+    val docs = graft.Tables.documents(spark, sf)
+    val a = CorpusLaws.heapsFit(docs).collect().map(_.toString).sorted
+    val b = CorpusLaws.heapsFit(docs.repartition(7)).collect()
+      .map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+    val rows = CorpusLaws.heapsFit(docs)
+      .select($"cp_idx", $"vocab", $"beta")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      "vocab must be nondecreasing in n")
+    val beta = rows.head._3
+    assert(beta > 0.0 && beta < 1.0, s"beta $beta")
+  }
+
+  test("heaps: saturating corpus flattens beta vs diverse corpus") {
+    val template = (1 to 64).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val diverse = (1 to 64).map(i =>
+      (i.toLong, (1 to 9).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bt = CorpusLaws.heapsFit(template, minCheckpoint = 16)
+      .select($"beta").as[Double].head()
+    val bd = CorpusLaws.heapsFit(diverse, minCheckpoint = 16)
+      .select($"beta").as[Double].head()
+    assert(bt < 0.2, s"templated beta $bt")
+    assert(bd > 0.9, s"diverse beta $bd")
+  }
+
+  test("heaps: fails loudly on a corpus below the first checkpoint") {
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusLaws.heapsFit(tiny, minCheckpoint = 64)
+    }
+    assert(e.getMessage.contains("tokens"))
+  }
 }
