@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rank-biased overlap (Webber, Moffat & Zobel 2010) — the top-weighted
+  * similarity between two RANKINGS of the same item pool, per query.
+  * The eval-comparison tool beside q259's rank correlation: Kendall/
+  * Spearman need both lists to rank the SAME items and weigh rank 1
+  * like rank 1000; RBO handles disjoint tails and weights the head,
+  * which is what "did the reranker change what users actually see"
+  * means. Truncated form at depth k:
+  *
+  *   RBO@k = (1 − p) · Σ_{d=1..k} p^{d−1} · X_d / d
+  *
+  * with X_d = |A_{1..d} ∩ B_{1..d}| and persistence p fixed at 1/2, so
+  * every weight p^{d−1}/d = 1 / (d · 2^{d−1}) is an EXACT division of
+  * exact integers — no pow(), no libm anywhere; the only inexact step
+  * is the final ≤ k-term sum, folded in ascending d order, round-9.
+  *
+  * Scale shape: one max(rank) projection per item, one explode to the
+  * ≤ k depths the item contributes to (bounded fan-out), one
+  * (query, depth) count aggregate, and one per-query fold over a
+  * depth-sorted array — no windows, no driver loops.
+  */
+object Rbo {
+
+  /** Per-query RBO@k at p = 1/2 over a frame carrying both ranks
+    * (null rank = item absent from that ranking). Output:
+    * (queryCol, overlap_at_k, rbo).
+    */
+  def rboAtK(ranked: DataFrame, queryCol: String, rankACol: String,
+      rankBCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 50,
+      s"k in [1, 50] keeps 2^(d-1) exact and the fan-out bounded: $k")
+    // an item enters every prefix-overlap X_d from d = max(ra, rb) on
+    val m = greatest(
+      coalesce(col(rankACol).cast("long"), lit(k + 1L)),
+      coalesce(col(rankBCol).cast("long"), lit(k + 1L)))
+    val contrib = ranked
+      .select(col(queryCol), m.as("__m"))
+      .filter(col("__m") <= k)
+      .select(col(queryCol),
+        explode(sequence(col("__m"), lit(k.toLong))).as("__d"))
+    val xd = contrib.groupBy(col(queryCol), col("__d"))
+      .agg(count(lit(1)).as("__x"))
+    // term_d = X_d / (d · 2^(d−1)) — exact integer division; the sum
+    // folds in ascending d (X_d is unique per (query, d), so the
+    // sorted-array order is total)
+    val scored = xd.groupBy(col(queryCol))
+      .agg(
+        max(when(col("__d") === k, col("__x"))).as("overlap_at_k"),
+        sort_array(collect_list(struct(col("__d"), col("__x"))))
+          .as("__pts"))
+      .select(col(queryCol),
+        coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+        round(lit(0.5) * aggregate(col("__pts"), lit(0.0), (acc, t) =>
+          acc + t.getField("__x").cast("double") /
+            (t.getField("__d") *
+              call_function("shiftleft", lit(1L),
+                (t.getField("__d") - 1).cast("int"))).cast("double")),
+          9).as("rbo"))
+    // a query whose top-k prefixes share nothing must still report 0,
+    // not vanish
+    ranked.select(col(queryCol)).distinct()
+      .join(scored, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+}

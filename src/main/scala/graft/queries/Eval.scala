@@ -531,7 +531,72 @@ object Eval extends QueryPack {
       |  e.gap_sum / CAST(e.n_total AS DOUBLE) AS ece
       |FROM d CROSS JOIN e""".stripMargin
 
+  /** Rank-biased-overlap gate (q312): per-mktsegment customer
+    * rankings under two independent md5 orderings (near-disjoint
+    * heads → low RBO) plus a pinned `identical` ranking over nation
+    * (RBO@25 = 1 − 2⁻²⁵ exactly) —
+    * [[graft.operators.Rbo.rboAtK]] at p = ½, where every depth
+    * weight 1/(d·2^{d−1}) is an exact integer division; only the
+    * ≤ 25-term ascending-d fold is float, round-9.
+    */
+  def rboGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, dir)
+    def rk(salt: String) = row_number().over(
+      Window.partitionBy(col("c_mktsegment"))
+        .orderBy(md5(concat(lit(salt), col("c_custkey"))),
+          col("c_custkey"))).cast("long")
+    val seg = cust.select(col("c_mktsegment").as("q"),
+      rk("a:").as("rank_a"), rk("b:").as("rank_b"))
+    val idn = Tables.nation(s, dir).select(lit("identical").as("q"),
+      row_number().over(Window.orderBy(col("n_nationkey")))
+        .cast("long").as("rank_a"))
+      .withColumn("rank_b", col("rank_a"))
+    graft.operators.Rbo.rboAtK(seg.unionByName(idn), "q",
+      "rank_a", "rank_b", k = 25)
+  }
+
+  private val rboSql: String =
+    """WITH seg AS (
+      |  SELECT c_mktsegment AS q,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY md5('a:' || CAST(c_custkey AS VARCHAR)), c_custkey) AS rank_a,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY md5('b:' || CAST(c_custkey AS VARCHAR)), c_custkey) AS rank_b
+      |  FROM customer),
+      |idn AS (
+      |  SELECT 'identical' AS q,
+      |    row_number() OVER (ORDER BY n_nationkey) AS rank_a,
+      |    row_number() OVER (ORDER BY n_nationkey) AS rank_b
+      |  FROM nation),
+      |ranked AS (
+      |  SELECT * FROM seg UNION ALL SELECT * FROM idn),
+      |item AS (
+      |  SELECT q, greatest(rank_a, rank_b) AS m FROM ranked
+      |  WHERE greatest(rank_a, rank_b) <= 25),
+      |xd AS (
+      |  SELECT q, d, CAST(count(*) AS BIGINT) AS x
+      |  FROM (SELECT q, unnest(range(m, 26)) AS d FROM item)
+      |  GROUP BY q, d),
+      |res AS (
+      |  SELECT q,
+      |    CAST(max(CASE WHEN d = 25 THEN x END) AS BIGINT)
+      |      AS overlap_at_k,
+      |    round(CAST(0.5 AS DOUBLE) * list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list(CAST(x AS DOUBLE) /
+      |          CAST(d * (1::BIGINT << CAST(d - 1 AS INT)) AS DOUBLE)
+      |          ORDER BY d)),
+      |      (a, v) -> a + v), 9) AS rbo
+      |  FROM xd GROUP BY q)
+      |SELECT qs.q,
+      |  CAST(coalesce(res.overlap_at_k, 0) AS BIGINT) AS overlap_at_k,
+      |  coalesce(res.rbo, CAST(0.0 AS DOUBLE)) AS rbo
+      |FROM (SELECT DISTINCT q FROM ranked) qs
+      |LEFT JOIN res USING (q)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_rbo" -> rboGate _,
     "q239_bleu" -> bleuGate _,
     "q240_rouge_n" -> rougeNGate _,
     "q241_rouge_l" -> rougeLGate _,
@@ -543,6 +608,7 @@ object Eval extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q312_rbo" -> rboSql,
     "q239_bleu" -> bleuSql,
     "q240_rouge_n" -> rougeNSql,
     "q241_rouge_l" -> rougeLSql,

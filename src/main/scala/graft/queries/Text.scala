@@ -1194,6 +1194,16 @@ object Text extends QueryPack {
   def heapsGate(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusLaws.heapsFit(Tables.documents(s, dir))
 
+  /** Source-diversity gate (q313):
+    * [[graft.text.CorpusLaws.sourceDiversity]] over documents.source —
+    * Shannon entropy (the only libm column, folded over one
+    * count-ordered array, round-9), Simpson collision probability and
+    * Gini concentration (both pure integer cores + one exact IEEE
+    * division each).
+    */
+  def sourceDiversityGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusLaws.sourceDiversity(Tables.documents(s, dir))
+
   /** Conversation-tree gate (q304): a deterministic message FOREST
     * over documents — roots at doc ≡0 (mod 7), every other message's
     * parent `doc_id − 1 − (doc_id mod 4)` (strictly smaller, so
@@ -2611,6 +2621,7 @@ object Text extends QueryPack {
     "q309_code_filters" -> codeFiltersGate _,
     "q310_license_detect" -> licenseDetectGate _,
     "q311_heaps_law" -> heapsGate _,
+    "q313_source_diversity" -> sourceDiversityGate _,
     "q297_card_scrub" -> cardScrubGate _,
     "q292_query_likelihood" -> queryLikelihoodGate _,
     "q290_memorization_rate" -> memorizationGate _,
@@ -2803,6 +2814,35 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q313_source_diversity" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS g, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(c * c) AS BIGINT) AS c2
+        |  FROM c),
+        |gn AS (
+        |  SELECT CAST(sum((2 * i - t.n_groups - 1) * c) AS BIGINT)
+        |    AS gnum
+        |  FROM (SELECT c,
+        |          row_number() OVER (ORDER BY c, g) AS i
+        |        FROM c) CROSS JOIN tot t),
+        |h AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(-(CAST(c.c AS DOUBLE) / CAST(t.n_docs AS DOUBLE)) *
+        |      ln(CAST(c.c AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+        |      ORDER BY c.c, c.g)),
+        |    (a, x) -> a + x) AS entropy
+        |  FROM c CROSS JOIN tot t)
+        |SELECT t.n_groups, t.n_docs,
+        |  round(h.entropy, 9) AS entropy,
+        |  CAST(t.c2 AS DOUBLE) / CAST(t.n_docs * t.n_docs AS DOUBLE)
+        |    AS simpson,
+        |  CAST(gn.gnum AS DOUBLE) /
+        |    CAST(t.n_groups * t.n_docs AS DOUBLE) AS gini
+        |FROM tot t CROSS JOIN gn CROSS JOIN h""".stripMargin,
     "q311_heaps_law" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -175,4 +175,49 @@ object CorpusLaws {
           col("beta"), col("intercept"))
     } finally cnt.unpersist()
   }
+
+  /** Concentration/diversity indices of a corpus over one categorical
+    * axis (source, host, language): is the mix one giant source with a
+    * long tail, or genuinely spread? One row:
+    *   - `entropy` — Shannon entropy in nats, the mixing number UniMax
+    *     /temperature mixing move; folded over one count-ordered array
+    *     (round-9, the only libm column);
+    *   - `simpson` — Σp² collision probability: EXACT integer cores
+    *     (Σc², N²) and one IEEE division;
+    *   - `gini` — mean-difference concentration over count-sorted
+    *     groups: the numerator Σ(2i−n−1)·cᵢ is an exact integer
+    *     (tie blocks contribute symmetric weights, so tie order cannot
+    *     move it), one division.
+    *
+    * Scale shape: one map-side-combined count aggregate over the
+    * group-bounded axis, then array folds on a single row.
+    */
+  def sourceDiversity(docs: DataFrame,
+      groupCol: String = "source"): DataFrame = {
+    val counts = docs
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .agg(
+        sort_array(collect_list(struct(col("c"), col("g")))).as("pts"),
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(col("c") * col("c")).as("__c2"))
+      .select(
+        col("n_groups"), col("n_docs"),
+        round(aggregate(col("pts"), lit(0.0), (acc, p) =>
+          acc - p.getField("c").cast("double") /
+            col("n_docs").cast("double") *
+            log(p.getField("c").cast("double") /
+              col("n_docs").cast("double"))), 9).as("entropy"),
+        (col("__c2").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("simpson"),
+        (aggregate(
+          zip_with(col("pts"),
+            sequence(lit(1L), col("n_groups")),
+            (p, i) => (lit(2L) * i - col("n_groups") - 1L) *
+              p.getField("c")),
+          lit(0L), (acc, t) => acc + t).cast("double") /
+          (col("n_groups") * col("n_docs")).cast("double")).as("gini"))
+  }
 }

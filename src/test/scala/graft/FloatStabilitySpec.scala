@@ -140,7 +140,9 @@ class FloatStabilitySpec extends SparkSpec {
     "q305_zipf_audit",           // ln power sums over one rank-ordered array
     "q306_ks_test",              // exp series over exact integer D core
     "q307_mann_whitney",         // z from exact rank-sum/tie integer cores
-    "q308_chi_square")           // cell fold over one (row,col)-sorted array
+    "q308_chi_square",           // cell fold over one (row,col)-sorted array
+    "q312_rbo",                  // exact 1/(d·2^(d−1)) terms, d-ordered fold
+    "q313_source_diversity")     // entropy fold over one count-sorted array
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

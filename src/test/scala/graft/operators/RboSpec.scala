@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RboSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def ranked(rows: Seq[(String, Long, Long)]) =
+    rows.toDF("q", "rank_a", "rank_b")
+
+  test("identical rankings score 1 − 2^−k (truncated mass)") {
+    val rows = (1L to 25L).map(r => ("idn", r, r))
+    val out = Rbo.rboAtK(ranked(rows), "q", "rank_a", "rank_b", 25)
+      .head()
+    assert(out.getAs[Long]("overlap_at_k") === 25L)
+    assert(out.getAs[Double]("rbo") === 0.99999997) // 1 − 2⁻²⁵, round-9
+  }
+
+  test("disjoint top-k scores 0 and the query still reports") {
+    // item ranked in A's top-3 sits beyond k in B and vice versa
+    val rows = Seq(("d", 1L, 9L), ("d", 2L, 8L), ("d", 3L, 7L),
+      ("d", 9L, 1L), ("d", 8L, 2L), ("d", 7L, 3L))
+    val out = Rbo.rboAtK(ranked(rows), "q", "rank_a", "rank_b", 3)
+      .head()
+    assert(out.getAs[Long]("overlap_at_k") === 0L)
+    assert(out.getAs[Double]("rbo") === 0.0)
+  }
+
+  test("reversed 5-list matches the hand fold at k=5") {
+    // X = [0, 0, 1, 3, 5] → 0.5·(1/12 + 3/32 + 5/80) = 23/192
+    val rows = (1L to 5L).map(r => ("rev", r, 6L - r))
+    val out = Rbo.rboAtK(ranked(rows), "q", "rank_a", "rank_b", 5)
+      .head()
+    assert(out.getAs[Long]("overlap_at_k") === 5L)
+    assert(math.abs(out.getAs[Double]("rbo") - 23.0 / 192.0) < 1e-9)
+  }
+
+  test("null ranks mean absent-from-that-list and never match") {
+    val rows = Seq(("n", Some(1L), None), ("n", Some(2L), Some(1L)),
+      ("n", None, Some(2L)))
+      .toDF("q", "rank_a", "rank_b")
+    val out = Rbo.rboAtK(rows, "q", "rank_a", "rank_b", 2).head()
+    // only the (2, 1) item is in both prefixes, from depth 2 on:
+    // 0.5 · (1 / (2·2)) = 0.125
+    assert(out.getAs[Long]("overlap_at_k") === 1L)
+    assert(out.getAs[Double]("rbo") === 0.125)
+  }
+
+  test("k out of the exactness envelope fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Rbo.rboAtK(ranked(Seq(("x", 1L, 1L))), "q", "rank_a", "rank_b",
+        64)
+    }
+    assert(e.getMessage.contains("exact"))
+  }
+}

@@ -78,6 +78,37 @@ class CorpusLawsSpec extends SparkSpec {
     assert(bd > 0.9, s"diverse beta $bd")
   }
 
+  test("diversity: uniform mix is maximal entropy, zero gini") {
+    val docs = (1 to 100).map(i => (i.toLong, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val r = CorpusLaws.sourceDiversity(docs).head()
+    assert(r.getAs[Long]("n_groups") === 4L)
+    assert(math.abs(r.getAs[Double]("entropy") - math.log(4.0)) < 1e-9)
+    assert(r.getAs[Double]("simpson") === 0.25)
+    assert(r.getAs[Double]("gini") === 0.0)
+  }
+
+  test("diversity: one source is zero entropy, simpson 1, gini 0") {
+    val docs = (1 to 50).map(i => (i.toLong, "only"))
+      .toDF("doc_id", "source")
+    val r = CorpusLaws.sourceDiversity(docs).head()
+    assert(r.getAs[Double]("entropy") === 0.0)
+    assert(r.getAs[Double]("simpson") === 1.0)
+    assert(r.getAs[Double]("gini") === 0.0)
+  }
+
+  test("diversity: concentration raises gini and simpson together") {
+    val even = ((1 to 50).map(i => (i.toLong, s"s${i % 5}")))
+      .toDF("doc_id", "source")
+    val skew = ((1 to 46).map(i => (i.toLong, "dom")) ++
+      (47 to 50).map(i => (i.toLong, s"s$i"))).toDF("doc_id", "source")
+    val re = CorpusLaws.sourceDiversity(even).head()
+    val rs = CorpusLaws.sourceDiversity(skew).head()
+    assert(rs.getAs[Double]("gini") > re.getAs[Double]("gini"))
+    assert(rs.getAs[Double]("simpson") > re.getAs[Double]("simpson"))
+    assert(rs.getAs[Double]("entropy") < re.getAs[Double]("entropy"))
+  }
+
   test("heaps: fails loudly on a corpus below the first checkpoint") {
     val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
