@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates 2023
+  * survey) — the distribution-free way to turn ANY scoring model into
+  * a set predictor with a finite-sample coverage guarantee: given n
+  * calibration nonconformity scores, the threshold is the
+  * ⌈(n+1)(1−α)⌉-th SMALLEST score, and fresh exchangeable points fall
+  * at or under it with probability ≥ 1 − α. In a data pipeline this
+  * is how a quality/toxicity/novelty scorer's raw numbers become a
+  * defensible "keep/flag" cutoff with a stated error rate, instead of
+  * a folklore threshold.
+  *
+  * Everything is an EXACT ORDER STATISTIC — no interpolation, no
+  * floats beyond the scores themselves: k = ⌈(n+1)(1−α)⌉ computed in
+  * integer arithmetic (α rational: alphaNum/alphaDen), and the k-th
+  * smallest found via per-distinct-value counts + the distributed
+  * prefix-sum (range-partition + broadcast offsets — never a global
+  * sort), then min value with cumulative count ≥ k. Works unchanged
+  * when every score is distinct: the "distinct-value table" is then
+  * row-sized but still range-partitioned, never single-task.
+  */
+object Conformal {
+
+  /** Calibration threshold. One row: (n_cal, k, qhat) with qhat the
+    * k-th smallest `scoreCol` (exact; LongType in, LongType out —
+    * callers with float scores quantize or cast, keeping the gate
+    * surface integer-exact). α = alphaNum/alphaDen, e.g. 1/10.
+    * k clamps to n (the guarantee degenerates when (n+1)(1−α) > n —
+    * stated by `k_clamped`).
+    */
+  def threshold(cal: DataFrame, scoreCol: String,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    val spark = cal.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val counts = cal
+      .select(col(scoreCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val parted = counts.repartitionByRange(nParts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__cum",
+      sum(col("c")).over(Window.partitionBy(col("__pid"))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offs = parted.groupBy(col("__pid"))
+      .agg(sum(col("c")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val cum = local.join(broadcast(offs), Seq("__pid"))
+      .select(col("v"), (col("__cum") + col("__off")).as("cum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cum.agg(coalesce(max(col("cum")), lit(0L))).head()
+        .getLong(0)
+      require(n > 0, "conformal threshold on an empty calibration set")
+      // k = ceil((n+1)(1−α)) = ceil((n+1)(den−num)/den), integer-exact
+      val kRaw = ((n + 1) * (alphaDen - alphaNum).toLong +
+        alphaDen - 1) / alphaDen
+      val k = math.min(kRaw, n)
+      cum.filter(col("cum") >= k)
+        .agg(min(col("v")).as("qhat"))
+        .select(lit(n).as("n_cal"), lit(k).as("k"),
+          lit(kRaw > n).as("k_clamped"), col("qhat"))
+    } finally cum.unpersist()
+  }
+
+  /** Empirical coverage of a threshold frame (as returned by
+    * [[threshold]]) on a test set: one row
+    * (n_cal, k, qhat, n_test, n_covered, coverage). The conformal
+    * guarantee says E[coverage] ≥ 1 − α over exchangeable draws;
+    * coverage is the one float — a single exact IEEE division.
+    */
+  def coverage(thresholdRow: DataFrame, test: DataFrame,
+      scoreCol: String): DataFrame =
+    test.select(col(scoreCol).cast("long").as("__s"))
+      .crossJoin(broadcast(thresholdRow))
+      .groupBy(col("n_cal"), col("k"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__s") <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_test").cast("double"))
+}

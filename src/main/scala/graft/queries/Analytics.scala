@@ -746,7 +746,24 @@ object Analytics extends QueryPack {
     graft.operators.StatTests.chiSquareIndependence(Tables.orders(s, dir),
       "o_orderstatus", "o_orderpriority", critical = 15.507)
 
+  /** Split-conformal gate (q314): the ⌈(n+1)(1−α)⌉-th smallest
+    * calibration score as a distribution-free keep/flag threshold,
+    * then its empirical coverage on the held split
+    * ([[graft.operators.Conformal]]). Calibration = even doc ids'
+    * n_chars, test = odd, α = 1/10. Every output is an exact integer
+    * order statistic or count; coverage is one exact IEEE division —
+    * no rounding anywhere in the gate.
+    */
+  def conformalGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val th = graft.operators.Conformal.threshold(
+      docs.filter(col("doc_id") % 2 === 0), "n_chars", 1, 10)
+    graft.operators.Conformal.coverage(th,
+      docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_conformal" -> conformalGate _,
     "q306_ks_test" -> ksTestGate _,
     "q307_mann_whitney" -> mannWhitneyGate _,
     "q308_chi_square" -> chiSquareGate _,
@@ -827,6 +844,33 @@ object Analytics extends QueryPack {
       |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q314_conformal" ->
+      """WITH cal AS (
+        |  SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+        |        FROM cal GROUP BY v),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM cnt),
+        |kk AS (
+        |  SELECT n_cal,
+        |    CAST(least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS BIGINT)
+        |      AS k
+        |  FROM n),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cnt),
+        |q AS (
+        |  SELECT CAST(min(v) AS BIGINT) AS qhat
+        |  FROM cum CROSS JOIN kk WHERE cum.cum >= kk.k),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN n_chars <= q.qhat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered
+        |  FROM documents CROSS JOIN q WHERE doc_id % 2 <> 0)
+        |SELECT kk.n_cal, kk.k, q.qhat, t.n_test, t.n_covered,
+        |  CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+        |    AS coverage
+        |FROM kk CROSS JOIN q CROSS JOIN t""".stripMargin,
     "q306_ks_test" ->
       s"""WITH $ksCumCtes,
         |d AS (

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ConformalSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("threshold is the exact ceil((n+1)(1-alpha))-th order statistic") {
+    val cal = (1L to 9L).toDF("s")
+    // n = 9, α = 1/10: k = ⌈10·9/10⌉ = 9 → qhat = 9
+    val t1 = Conformal.threshold(cal, "s", 1, 10).head()
+    assert(t1.getAs[Long]("n_cal") === 9L)
+    assert(t1.getAs[Long]("k") === 9L)
+    assert(!t1.getAs[Boolean]("k_clamped"))
+    assert(t1.getAs[Long]("qhat") === 9L)
+    // α = 1/2: k = ⌈10·5/10⌉ = 5 → qhat = 5
+    val t2 = Conformal.threshold(cal, "s", 1, 2).head()
+    assert(t2.getAs[Long]("k") === 5L && t2.getAs[Long]("qhat") === 5L)
+  }
+
+  test("k clamps to n on tiny calibration sets, loudly flagged") {
+    val t = Conformal.threshold(Seq(7L, 8L, 9L).toDF("s"), "s", 1, 10)
+      .head()
+    assert(t.getAs[Long]("k") === 3L)
+    assert(t.getAs[Boolean]("k_clamped"))
+    assert(t.getAs[Long]("qhat") === 9L)
+  }
+
+  test("ties resolve through cumulative counts, not positions") {
+    val cal = Seq(2L, 2L, 2L, 5L).toDF("s")
+    // α = 1/4: k = ⌈5·3/4⌉ = 4 → qhat = 5
+    assert(Conformal.threshold(cal, "s", 1, 4).head()
+      .getAs[Long]("qhat") === 5L)
+    // α = 1/2: k = ⌈5/2⌉ = 3 → the tie block at 2 covers it
+    assert(Conformal.threshold(cal, "s", 1, 2).head()
+      .getAs[Long]("qhat") === 2L)
+  }
+
+  test("coverage meets the conformal guarantee on an md5 split") {
+    val all = (1L to 2000L).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"conf:$i".getBytes("UTF-8"))
+      val score = ((h(0) & 0xff) * 256 + (h(1) & 0xff)).toLong
+      (i, score)
+    }.toDF("id", "s")
+    val cal = all.filter($"id" % 2 === 0)
+    val test = all.filter($"id" % 2 =!= 0)
+    val out = Conformal.coverage(
+      Conformal.threshold(cal, "s", 1, 10), test, "s").head()
+    val cov = out.getAs[Double]("coverage")
+    assert(cov >= 0.87 && cov <= 0.95, s"coverage $cov")
+  }
+
+  test("threshold is partitioning-independent (prefix-sum physics)") {
+    val cal = (1L to 500L).map(i => i % 97).toDF("s")
+    val a = Conformal.threshold(cal, "s", 1, 10).head()
+    val b = Conformal.threshold(cal.repartition(7), "s", 1, 10).head()
+    assert(a.getAs[Long]("qhat") === b.getAs[Long]("qhat"))
+    assert(a.getAs[Long]("k") === b.getAs[Long]("k"))
+  }
+
+  test("empty calibration and bad alpha fail loudly") {
+    intercept[IllegalArgumentException] {
+      Conformal.threshold(Seq.empty[Long].toDF("s"), "s", 1, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Conformal.threshold(Seq(1L).toDF("s"), "s", 3, 2)
+    }
+  }
+}
