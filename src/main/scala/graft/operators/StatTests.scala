@@ -39,7 +39,7 @@ object StatTests {
     val nParts = spark.sessionState.conf.numShufflePartitions
     val counts = df
       .filter(col(groupCol).isin(a, b))
-      .select(col(valueCol).cast("long").as("v"), col(groupCol).as("g"))
+      .select(col(valueCol).as("v"), col(groupCol).as("g"))
       .groupBy(col("v"))
       .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") === b, 1L).otherwise(0L)).as("cb"))
@@ -160,12 +160,68 @@ object StatTests {
           lit(nA.toDouble * nB.toDouble / 12.0) *
             (lit(nD + 1.0) - col("tie_sum").cast("double") /
               lit(nD * (nD - 1.0))))
-        .withColumn("z", round(
-          (col("u_a") - lit(nA.toDouble * nB.toDouble / 2.0)) /
-            sqrt(col("__var")), 9))
+        // an all-tied sample has zero variance AND U exactly at its
+        // mean — the test is vacuous; pin z to 0 instead of 0/0
+        .withColumn("z", when(col("__var") <= 0.0, lit(0.0))
+          .otherwise(round(
+            (col("u_a") - lit(nA.toDouble * nB.toDouble / 2.0)) /
+              sqrt(col("__var")), 9)))
         .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"),
           col("tie_sum"), col("z"))
     } finally cum.unpersist()
+  }
+
+  /** ROC AUC of a score column against a boolean label — exactly the
+    * Mann–Whitney statistic rescaled: AUC = U⁺/(n⁺·n⁻) with midrank
+    * tie handling, so the integer core u2_pos makes the area an EXACT
+    * division (ties count half, the probabilistic AUC definition).
+    * One row: (n_pos, n_neg, u2_pos, auc, z) — z tests AUC ≠ ½ via
+    * the tie-corrected normal approximation. The classifier-eval
+    * number for quality/toxicity scorers, with the same distributed
+    * prefix-sum shape as [[mannWhitney]].
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val tagged = df.select(col(scoreCol).as("__sc"),
+      when(col(labelCol).cast("boolean"), "p").otherwise("n").as("__g"))
+    mannWhitney(tagged, "__sc", "__g", "p", "n")
+      .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        col("u2_a").as("u2_pos"),
+        (col("u2_a").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") *
+            col("n_b").cast("double"))).as("auc"),
+        col("z"))
+  }
+
+  /** McNemar's test for PAIRED binary outcomes — "are systems A and B
+    * equally accurate on the same items" (the paired counterpart of
+    * [[mannWhitney]]'s unpaired comparison; q243's pass@k feeds it).
+    * Only the discordant counts matter: b = A-only-correct,
+    * c = B-only-correct; χ² = (b−c)²/(b+c) and the continuity-
+    * corrected form (|b−c|−1)²/(b+c). One row of exact integers +
+    * two exact single divisions; `significant` compares the ROUNDED
+    * corrected statistic to `critical` (dof = 1: 3.841 at α = .05).
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String,
+      critical: Double = 3.841): DataFrame = {
+    require(critical > 0, s"critical must be positive: $critical")
+    df.select(col(aCol).cast("boolean").as("__a"),
+        col(bCol).cast("boolean").as("__b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("c"))
+      .select(col("n_pairs"), col("b"), col("c"),
+        when(col("b") + col("c") === 0, lit(0.0))
+          .otherwise(round(((col("b") - col("c")) *
+            (col("b") - col("c"))).cast("double") /
+            (col("b") + col("c")).cast("double"), 9)).as("chi2"),
+        when(col("b") + col("c") === 0, lit(0.0))
+          .otherwise(round(
+            (greatest(abs(col("b") - col("c")) - 1, lit(0L)) *
+              greatest(abs(col("b") - col("c")) - 1, lit(0L)))
+              .cast("double") /
+            (col("b") + col("c")).cast("double"), 9)).as("chi2_cc"))
+      .withColumn("significant", col("chi2_cc") > lit(critical))
   }
 
   /** Pearson chi-square test of independence between two categorical

@@ -762,7 +762,43 @@ object Analytics extends QueryPack {
       docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
   }
 
+  /** ROC-AUC gate (q315): documents' length as a scorer against an
+    * md5-Bernoulli(n/(n+500)) planted label — a scorer that genuinely
+    * ranks its own labels, AUC meaningfully in (0.5, 1), with real
+    * ties ([[graft.operators.StatTests.auc]]). The integer core
+    * u2_pos (doubled midrank sum) makes the area one exact division;
+    * z rides the q307 machinery.
+    */
+  def aucGate(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("auc:"), col("doc_id"))),
+      1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val p = col("n_chars").cast("double") /
+      (col("n_chars").cast("double") + lit(500.0))
+    graft.operators.StatTests.auc(
+      Tables.documents(s, dir)
+        .select(col("n_chars"), (u < p).as("label")),
+      "n_chars", "label")
+  }
+
+  /** McNemar gate (q316): two md5-coin "systems" scored per document
+    * with different accuracies (60% vs 50%), so the discordant counts
+    * split asymmetrically ([[graft.operators.StatTests.mcnemar]]).
+    * All integers + two exact divisions round-9; `significant`
+    * compares the rounded corrected statistic.
+    */
+  def mcnemarGate(s: SparkSession, dir: String): DataFrame = {
+    def coin(salt: String, thresh: Int) =
+      pmod(conv(substring(md5(concat(lit(salt), col("doc_id"))),
+        1, 8), 16, 10).cast("long"), lit(10L)) < thresh
+    graft.operators.StatTests.mcnemar(
+      Tables.documents(s, dir).select(
+        coin("mcA:", 6).as("a_ok"), coin("mcB:", 5).as("b_ok")),
+      "a_ok", "b_ok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_auc" -> aucGate _,
+    "q316_mcnemar" -> mcnemarGate _,
     "q314_conformal" -> conformalGate _,
     "q306_ks_test" -> ksTestGate _,
     "q307_mann_whitney" -> mannWhitneyGate _,
@@ -844,6 +880,82 @@ object Analytics extends QueryPack {
       |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q315_auc" ->
+      """WITH lab AS (
+        |  SELECT n_chars AS v,
+        |    CASE WHEN CAST(('0x' ||
+        |        substr(md5('auc:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        ::BIGINT AS DOUBLE) / 4294967296.0 <
+        |      CAST(n_chars AS DOUBLE) /
+        |        (CAST(n_chars AS DOUBLE) + 500.0)
+        |      THEN 'p' ELSE 'n' END AS g
+        |  FROM documents),
+        |c AS (
+        |  SELECT v,
+        |    sum(CASE WHEN g = 'p' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'n' THEN 1 ELSE 0 END) AS cb
+        |  FROM lab GROUP BY 1),
+        |cum AS (
+        |  SELECT v, ca, cb,
+        |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+        |  FROM c
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |agg AS (
+        |  SELECT
+        |    sum(ca * ((cum_a + cum_b - (ca + cb)) * 2 + (ca + cb) + 1))
+        |      AS r2a,
+        |    sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+        |      AS tie_sum
+        |  FROM cum),
+        |st AS (
+        |  SELECT tot.na, tot.nb,
+        |    agg.r2a - tot.na * (tot.na + 1) AS u2_a,
+        |    CAST(agg.r2a - tot.na * (tot.na + 1) AS DOUBLE) / 2.0 AS u_a,
+        |    agg.tie_sum,
+        |    (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE) / 12.0) *
+        |      ((CAST(tot.na + tot.nb AS DOUBLE) + 1.0) -
+        |        CAST(agg.tie_sum AS DOUBLE) /
+        |        (CAST(tot.na + tot.nb AS DOUBLE) *
+        |          (CAST(tot.na + tot.nb AS DOUBLE) - 1.0))) AS var_t
+        |  FROM agg CROSS JOIN tot)
+        |SELECT CAST(na AS BIGINT) AS n_pos, CAST(nb AS BIGINT) AS n_neg,
+        |  CAST(u2_a AS BIGINT) AS u2_pos,
+        |  CAST(u2_a AS DOUBLE) /
+        |    (CAST(2.0 AS DOUBLE) * CAST(na AS DOUBLE) *
+        |      CAST(nb AS DOUBLE)) AS auc,
+        |  CASE WHEN var_t <= 0.0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE round((u_a - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |      / 2.0) / sqrt(var_t), 9) END AS z
+        |FROM st""".stripMargin,
+    "q316_mcnemar" ->
+      """WITH f AS (
+        |  SELECT
+        |    (('0x' || substr(md5('mcA:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 10) < 6 AS a_ok,
+        |    (('0x' || substr(md5('mcB:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 10) < 5 AS b_ok
+        |  FROM documents),
+        |m AS (
+        |  SELECT count(*) AS n_pairs,
+        |    sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS b,
+        |    sum(CASE WHEN b_ok AND NOT a_ok THEN 1 ELSE 0 END) AS c
+        |  FROM f),
+        |st AS (
+        |  SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+        |    CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+        |    CASE WHEN b + c = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE round(CAST((b - c) * (b - c) AS DOUBLE) /
+        |        CAST(b + c AS DOUBLE), 9) END AS chi2,
+        |    CASE WHEN b + c = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE round(CAST(greatest(abs(b - c) - 1, 0) *
+        |          greatest(abs(b - c) - 1, 0) AS DOUBLE) /
+        |        CAST(b + c AS DOUBLE), 9) END AS chi2_cc
+        |  FROM m)
+        |SELECT n_pairs, b, c, chi2, chi2_cc,
+        |  chi2_cc > CAST(3.841 AS DOUBLE) AS significant
+        |FROM st""".stripMargin,
     "q314_conformal" ->
       """WITH cal AS (
         |  SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
@@ -923,8 +1035,9 @@ object Analytics extends QueryPack {
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(u2_a AS BIGINT) AS u2_a, u_a,
         |  CAST(tie_sum AS BIGINT) AS tie_sum,
-        |  round((u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
-        |    / sqrt(var_t), 9) AS z
+        |  CASE WHEN var_t <= 0.0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE round((u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      / 2.0) / sqrt(var_t), 9) END AS z
         |FROM st""".stripMargin,
     "q308_chi_square" ->
       """WITH cells AS (

@@ -142,7 +142,9 @@ class FloatStabilitySpec extends SparkSpec {
     "q307_mann_whitney",         // z from exact rank-sum/tie integer cores
     "q308_chi_square",           // cell fold over one (row,col)-sorted array
     "q312_rbo",                  // exact 1/(d·2^(d−1)) terms, d-ordered fold
-    "q313_source_diversity")     // entropy fold over one count-sorted array
+    "q313_source_diversity",     // entropy fold over one count-sorted array
+    "q315_auc",                  // exact u2 core + one division, q307's z
+    "q316_mcnemar")              // integer discordants + two divisions
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

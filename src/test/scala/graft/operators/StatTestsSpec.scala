@@ -89,6 +89,45 @@ class StatTestsSpec extends SparkSpec {
     assert(od.getAs[Boolean]("significant"))
   }
 
+  test("auc: separation 1.0, reversal 0.0, all-tied 0.5 — exactly") {
+    def df(rows: Seq[(Long, Boolean)]) = rows.toDF("s", "y")
+    val sep = StatTests.auc(
+      df(Seq((10L, true), (9L, true), (2L, false), (1L, false))),
+      "s", "y").head()
+    assert(sep.getAs[Double]("auc") === 1.0)
+    assert(sep.getAs[Long]("u2_pos") === 8L) // 2·nP·nN
+    val rev = StatTests.auc(
+      df(Seq((1L, true), (2L, true), (9L, false), (10L, false))),
+      "s", "y").head()
+    assert(rev.getAs[Double]("auc") === 0.0)
+    val tied = StatTests.auc(
+      df(Seq((5L, true), (5L, true), (5L, false))), "s", "y").head()
+    assert(tied.getAs[Double]("auc") === 0.5)
+  }
+
+  test("mcnemar: hand-checked discordants and edge cases") {
+    def df(rows: Seq[(Boolean, Boolean)]) = rows.toDF("a", "b")
+    // b = 6 (A-only), c = 1 → χ² = 25/7, CC = 16/7
+    val rows = Seq.fill(6)((true, false)) ++ Seq((false, true)) ++
+      Seq.fill(3)((true, true)) ++ Seq.fill(2)((false, false))
+    val out = StatTests.mcnemar(df(rows), "a", "b").head()
+    assert(out.getAs[Long]("n_pairs") === 12L)
+    assert(out.getAs[Long]("b") === 6L && out.getAs[Long]("c") === 1L)
+    assert(out.getAs[Double]("chi2") === math.rint(25.0 / 7 * 1e9) / 1e9)
+    assert(out.getAs[Double]("chi2_cc") ===
+      math.rint(16.0 / 7 * 1e9) / 1e9)
+    assert(!out.getAs[Boolean]("significant"))
+    // all concordant: everything zero, not NaN
+    val conc = StatTests.mcnemar(
+      df(Seq((true, true), (false, false))), "a", "b").head()
+    assert(conc.getAs[Double]("chi2") === 0.0)
+    assert(conc.getAs[Double]("chi2_cc") === 0.0)
+    // b = c: CC form pins to 0 via the max(|b−c|−1, 0) guard
+    val even = StatTests.mcnemar(
+      df(Seq((true, false), (false, true))), "a", "b").head()
+    assert(even.getAs[Double]("chi2_cc") === 0.0)
+  }
+
   test("statistics are partitioning-independent (prefix-sum physics)") {
     val a = (1L to 400L).map(v => (v % 37, "a"))
     val b = (1L to 300L).map(v => (v % 23 + 5, "b"))
