@@ -378,6 +378,11 @@ object CurationPipeline {
           minLineWords = getI(stage, "minLineWords").getOrElse(5),
           minLines = getI(stage, "minLines").getOrElse(3))
         replaceText(docs, cleaned.filter(col("c4_keep")), "clean_text")
+      case "winsorize" =>
+        val c = require_(get[String](stage, "col"), op, "col")
+        graft.operators.Conformal.winsorize(docs, c,
+          getI(stage, "alphaNum").getOrElse(1),
+          getI(stage, "alphaDen").getOrElse(20))
       case "code_filter" =>
         graft.text.CodeFilters.keep(docs,
           maxLineLen = getI(stage, "maxLineLen").getOrElse(1000),

@@ -71,6 +71,59 @@ object Conformal {
     } finally cum.unpersist()
   }
 
+  /** Winsorization at exact order statistics: clip `scoreCol` to
+    * [v(kLo), v(kHi)] with kLo = max(1, ⌈n·α⌉) and kHi = n + 1 − kLo
+    * (α = alphaNum/alphaDen) — the outlier treatment that keeps every
+    * row (robust-z / MAD filters DROP; winsorizing preserves corpus
+    * composition while bounding the tails a mean-based downstream
+    * stage would chase). Bounds are exact LongType order statistics
+    * from the same distributed prefix-sum as [[threshold]]; the
+    * clipped column is one broadcast join + two comparisons. Output:
+    * the input plus `<scoreCol>_winsorized`, `__lo`, `__hi` dropped.
+    */
+  def winsorize(df: DataFrame, scoreCol: String,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && 2 * alphaNum < alphaDen,
+      s"alpha must satisfy 0 < alpha < 1/2: $alphaNum/$alphaDen")
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val counts = df
+      .select(col(scoreCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val parted = counts.repartitionByRange(nParts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__cum",
+      sum(col("c")).over(Window.partitionBy(col("__pid"))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offs = parted.groupBy(col("__pid"))
+      .agg(sum(col("c")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val cum = local.join(broadcast(offs), Seq("__pid"))
+      .select(col("v"), (col("__cum") + col("__off")).as("cum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cum.agg(coalesce(max(col("cum")), lit(0L))).head()
+        .getLong(0)
+      require(n > 0, "winsorize on an empty table")
+      val kLo = math.max(1L,
+        (n * alphaNum + alphaDen - 1) / alphaDen)
+      val kHi = n + 1 - kLo
+      val bounds = cum.filter(col("cum") >= kLo)
+        .agg(min(col("v")).as("__lo"))
+        .crossJoin(cum.filter(col("cum") >= kHi)
+          .agg(min(col("v")).as("__hi")))
+      df.crossJoin(broadcast(bounds))
+        .withColumn(s"${scoreCol}_winsorized",
+          least(greatest(col(scoreCol).cast("long"), col("__lo")),
+            col("__hi")))
+        .drop("__lo", "__hi")
+    } finally cum.unpersist()
+  }
+
   /** Empirical coverage of a threshold frame (as returned by
     * [[threshold]]) on a test set: one row
     * (n_cal, k, qhat, n_test, n_covered, coverage). The conformal

@@ -171,6 +171,36 @@ object StatTests {
     } finally cum.unpersist()
   }
 
+  /** Benjamini–Hochberg FDR adjustment over a battery of test
+    * p-values — what makes "run the drift test per source" sound: 20
+    * sources at α = .05 expect one false alarm per sweep uncorrected.
+    * q_i = min_{j ≥ i} p_j·n/j over the p-ascending order (ties broken
+    * by id, deterministic); reject ⇔ ROUNDED q ≤ α, so both engines
+    * compare identical round-9 values. The suffix min is a window over
+    * the battery — bounded by contract (a battery is tens-to-thousands
+    * of tests, never row-scale data), like the chi-square domain.
+    * Output: (idCol, p, rank, q, reject).
+    */
+  def bhAdjust(tests: DataFrame, idCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    val n = count(lit(1)).over(Window.partitionBy())
+    val rk = row_number().over(
+      Window.orderBy(col("p"), col(idCol))).cast("long")
+    val ranked = tests.select(col(idCol), col(pCol).as("p"))
+      .withColumn("rank", rk)
+      .withColumn("__n", n)
+      .withColumn("__qraw",
+        col("p") * col("__n").cast("double") / col("rank").cast("double"))
+    ranked
+      .withColumn("q", round(least(lit(1.0),
+        min(col("__qraw")).over(Window.orderBy(col("rank"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))),
+        9))
+      .withColumn("reject", col("q") <= lit(alpha))
+      .drop("__n", "__qraw")
+  }
+
   /** ROC AUC of a score column against a boolean label — exactly the
     * Mann–Whitney statistic rescaled: AUC = U⁺/(n⁺·n⁻) with midrank
     * tie handling, so the integer core u2_pos makes the area an EXACT

@@ -796,7 +796,38 @@ object Analytics extends QueryPack {
       "a_ok", "b_ok")
   }
 
+  /** Benjamini–Hochberg gate (q317): a 40-test battery of md5-uniform
+    * p-values with every 5th shrunk ×0.001 (planted true effects) —
+    * [[graft.operators.StatTests.bhAdjust]] at FDR α = .05. Ranks are
+    * deterministic (p, id); q = suffix-min of p·n/rank, round-9;
+    * reject compares the rounded q. The planted tests must all
+    * reject; the uniform ones survive except the handful BH's step-up
+    * drags along — all pinned by the oracle's identical arithmetic.
+    */
+  def bhGate(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("bh:"), col("doc_id"))),
+      1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val p = when(col("doc_id") % 5 === 0, u * lit(0.001)).otherwise(u)
+    graft.operators.StatTests.bhAdjust(
+      Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"), p.as("pv")),
+      "doc_id", "pv", alpha = 0.05)
+  }
+
+  /** Winsorization gate (q318): documents' n_chars clipped at the
+    * exact 5%/95% order statistics
+    * ([[graft.operators.Conformal.winsorize]]) — every output an
+    * exact integer (bounds from the distributed prefix-sum, clip =
+    * two comparisons).
+    */
+  def winsorizeGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Conformal.winsorize(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      "n_chars", 1, 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_bh_fdr" -> bhGate _,
+    "q318_winsorize" -> winsorizeGate _,
     "q315_auc" -> aucGate _,
     "q316_mcnemar" -> mcnemarGate _,
     "q314_conformal" -> conformalGate _,
@@ -880,6 +911,59 @@ object Analytics extends QueryPack {
       |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q317_bh_fdr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN CAST(('0x' ||
+        |          substr(md5('bh:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT AS DOUBLE) / 4294967296.0 *
+        |        CAST(0.001 AS DOUBLE)
+        |      ELSE CAST(('0x' ||
+        |          substr(md5('bh:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT AS DOUBLE) / 4294967296.0
+        |    END AS pv
+        |  FROM documents WHERE doc_id < 40),
+        |r AS (
+        |  SELECT doc_id, pv AS p,
+        |    CAST(row_number() OVER (ORDER BY pv, doc_id) AS BIGINT)
+        |      AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, p, rank,
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |      min(p * CAST(n AS DOUBLE) / CAST(rank AS DOUBLE))
+        |        OVER (ORDER BY rank
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |      9) AS q
+        |  FROM r)
+        |SELECT doc_id, p, rank, q, q <= CAST(0.05 AS DOUBLE) AS reject
+        |FROM q""".stripMargin,
+    "q318_winsorize" ->
+      """WITH c AS (
+        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |k AS (
+        |  SELECT greatest(CAST(1 AS BIGINT),
+        |      CAST((n.n * 1 + 19) // 20 AS BIGINT)) AS klo,
+        |    n.n + 1 - greatest(CAST(1 AS BIGINT),
+        |      CAST((n.n * 1 + 19) // 20 AS BIGINT)) AS khi
+        |  FROM n),
+        |b AS (
+        |  SELECT
+        |    (SELECT CAST(min(v) AS BIGINT) FROM cum, k
+        |     WHERE cum.cum >= k.klo) AS lo,
+        |    (SELECT CAST(min(v) AS BIGINT) FROM cum, k
+        |     WHERE cum.cum >= k.khi) AS hi)
+        |SELECT doc_id, n_chars,
+        |  least(greatest(n_chars, b.lo), b.hi) AS n_chars_winsorized
+        |FROM documents CROSS JOIN b""".stripMargin,
     "q315_auc" ->
       """WITH lab AS (
         |  SELECT n_chars AS v,

@@ -61,6 +61,37 @@ class ConformalSpec extends SparkSpec {
     assert(a.getAs[Long]("k") === b.getAs[Long]("k"))
   }
 
+  test("winsorize clips at the exact order statistics, keeps rows") {
+    // 1..100 at α = 1/10: kLo = 10, kHi = 91 → clip to [10, 91]
+    val df = (1L to 100L).toDF("s")
+    val out = Conformal.winsorize(df, "s", 1, 10)
+    assert(out.count() === 100)
+    val clipped = out.select("s_winsorized").as[Long].collect()
+    assert(clipped.min === 10L && clipped.max === 91L)
+    assert(clipped.count(_ == 10L) === 10) // 1..10 all clip up
+    assert(clipped.count(_ == 91L) === 10) // 91..100 all clip down
+    // interior values untouched
+    assert(out.filter($"s" === 50L).head().getAs[Long]("s_winsorized")
+      === 50L)
+  }
+
+  test("winsorize composes as a curation config stage") {
+    import graft.etl.{CurationPipeline, JsonSource}
+    val p = java.nio.file.Files.createTempFile("graft_win_cfg", ".json")
+    java.nio.file.Files.writeString(p,
+      """{ "stages": [
+        |  {"op": "winsorize", "col": "n_chars",
+        |   "alphaNum": 1, "alphaDen": 10} ] }""".stripMargin)
+    val stages = JsonSource.readConfigRow(spark, p.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+      .toSeq
+    val docs = (1L to 50L).map(i => (i, "t" * i.toInt, i))
+      .toDF("doc_id", "text", "n_chars")
+    val out = CurationPipeline.run(docs, stages)
+    assert(out.count() === 50)
+    assert(out.columns.contains("n_chars_winsorized"))
+  }
+
   test("empty calibration and bad alpha fail loudly") {
     intercept[IllegalArgumentException] {
       Conformal.threshold(Seq.empty[Long].toDF("s"), "s", 1, 10)

@@ -128,6 +128,31 @@ class StatTestsSpec extends SparkSpec {
     assert(even.getAs[Double]("chi2_cc") === 0.0)
   }
 
+  test("bh: textbook battery adjusts and rejects correctly") {
+    // p = .001, .008, .039, .041, .042, .06, .074, .205 at α=.05:
+    // BH rejects the first five (p5 = .042 ≤ 5/8·.05 = .03125? no —
+    // .042 > .03125; k = max{i: p_i ≤ i·α/n} → p2 = .008 ≤ .0125 ✓,
+    // p3 = .039 > .01875 ✗, p4 = .041 > .025 ✗ → reject exactly 2
+    val ps = Seq(0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205)
+    val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "pv")
+    val out = StatTests.bhAdjust(df, "id", "pv", 0.05)
+      .orderBy("rank").collect()
+    assert(out.count(_.getAs[Boolean]("reject")) === 2)
+    // monotone: q never decreases with rank
+    val qs = out.map(_.getAs[Double]("q"))
+    assert(qs.sliding(2).forall(a => a(0) <= a(1)))
+    // q1 = min over suffix of p·n/rank = .001·8/1 = .008? suffix min
+    // includes .008·8/2 = .032 > .008 → q1 = .008
+    assert(qs.head === 0.008)
+  }
+
+  test("bh: all-null battery of uniform p rejects nothing at tiny alpha") {
+    val df = (1L to 50L).map(i => (i, i.toDouble / 51.0)).toDF("id", "pv")
+    val out = StatTests.bhAdjust(df, "id", "pv", 0.01).collect()
+    assert(out.count(_.getAs[Boolean]("reject")) === 0)
+  }
+
   test("statistics are partitioning-independent (prefix-sum physics)") {
     val a = (1L to 400L).map(v => (v % 37, "a"))
     val b = (1L to 300L).map(v => (v % 23 + 5, "b"))
