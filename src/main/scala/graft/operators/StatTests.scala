@@ -171,6 +171,86 @@ object StatTests {
     } finally cum.unpersist()
   }
 
+  /** Per-group KS drift battery with FDR control — the operational
+    * "did ANY source drift" sweep: for every group, the two-sample KS
+    * of that group's values against the REST of the corpus, all
+    * groups in one pass, then [[bhAdjust]] across the battery (20
+    * sources at α = .05 expect a false alarm per sweep uncorrected).
+    *
+    * Same exactness as [[ksTest]]: D's core is the integer
+    * max |cumS·(N−nS) − (cumRest)·nS| over the (group × distinct
+    * value) grid, p the ascending-fold Kolmogorov tail, q/reject from
+    * BH on round-9 values. Contract: the VALUE DOMAIN is bounded
+    * (quantize/bucket a continuous metric first) — the grid and its
+    * per-group windows are domain×groups-sized, never row-scale.
+    * Output per group: (groupCol, n_s, d_num, d, p_value, rank, q,
+    * reject).
+    */
+  def ksBattery(df: DataFrame, valueCol: String, groupCol: String,
+      alpha: Double): DataFrame = {
+    val counts = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nTot = counts.agg(coalesce(sum(col("c")), lit(0L))).head()
+        .getLong(0)
+      require(nTot > 0, "ksBattery on an empty table")
+      require(BigInt(nTot) * BigInt(nTot) <= Long.MaxValue,
+        s"ksBattery integer core overflows at N=$nTot — downsample")
+      val vals = counts.select(col("v")).distinct()
+      val gtot = counts.groupBy(col("g")).agg(sum(col("c")).as("n_s"))
+      require(counts.select(col("g")).distinct().count() >= 2,
+        "ksBattery needs >= 2 groups (a lone group has no rest to " +
+          "drift from)")
+      val gv = counts.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      val grid = gtot.crossJoin(vals)
+        .join(counts, Seq("g", "v"), "left")
+        .join(gv, Seq("v"))
+        .select(col("g"), col("v"), col("n_s"),
+          coalesce(col("c"), lit(0L)).as("c"), col("cv"))
+      val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = grid
+        .withColumn("cum_s", sum(col("c")).over(wg))
+        .withColumn("cum_all", sum(col("cv")).over(wg))
+      val per = cum
+        .groupBy(col("g"), col("n_s"))
+        .agg(max(abs(col("cum_s") * lit(nTot) -
+          col("cum_all") * col("n_s"))).as("d_num"))
+      // |F_S − F_rest| over common denominator nS·(N−nS) reduces to
+      // |cumS·N − cumAll·nS| — so D = d_num / (nS·(N−nS)) and
+      // λ = D·√(nS·(N−nS)/N); exact integer inputs, correctly-rounded
+      // IEEE steps
+      val stats = per
+        .withColumn("__d", col("d_num").cast("double") /
+          (col("n_s").cast("double") *
+            (lit(nTot.toDouble) - col("n_s").cast("double"))))
+        .withColumn("__lam", col("__d") *
+          sqrt(col("n_s").cast("double") *
+            (lit(nTot.toDouble) - col("n_s").cast("double")) /
+            lit(nTot.toDouble)))
+        .withColumn("p_value",
+          when(col("__lam") < 0.05, lit(1.0)).otherwise(round(
+            least(lit(1.0), greatest(lit(0.0),
+              aggregate(sequence(lit(1), lit(100)), lit(0.0), (acc, k) =>
+                acc + when(pmod(k, lit(2)) === 1, lit(2.0))
+                  .otherwise(lit(-2.0)) *
+                  exp(lit(-2.0) * k.cast("double") * k.cast("double") *
+                    col("__lam") * col("__lam"))))), 9)))
+        .select(col("g"), col("n_s"), col("d_num"),
+          round(col("__d"), 9).as("d"), col("p_value"))
+      bhAdjust(stats.select(col("g"), col("p_value")), "g", "p_value",
+          alpha)
+        .withColumnRenamed("p", "p_value")
+        .join(stats.drop("p_value"), Seq("g"))
+        .select(col("g").as(groupCol), col("n_s"), col("d_num"),
+          col("d"), col("p_value"), col("rank"), col("q"),
+          col("reject"))
+    } finally counts.unpersist()
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a battery of test
     * p-values — what makes "run the drift test per source" sound: 20
     * sources at α = .05 expect one false alarm per sweep uncorrected.

@@ -825,7 +825,19 @@ object Analytics extends QueryPack {
       Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
       "n_chars", 1, 20)
 
+  /** KS drift-battery gate (q319): per-source KS of document lengths
+    * against the rest of the corpus — every source tested in ONE pass
+    * over the (source × length) grid — with Benjamini–Hochberg FDR
+    * across the 20-test battery
+    * ([[graft.operators.StatTests.ksBattery]]). Integer D cores per
+    * source, round-9 p/q, reject on rounded values.
+    */
+  def ksBatteryGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StatTests.ksBattery(Tables.documents(s, dir),
+      "n_chars", "source", alpha = 0.05)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_ks_battery" -> ksBatteryGate _,
     "q317_bh_fdr" -> bhGate _,
     "q318_winsorize" -> winsorizeGate _,
     "q315_auc" -> aucGate _,
@@ -911,6 +923,74 @@ object Analytics extends QueryPack {
       |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q319_ks_battery" ->
+      """WITH cnt AS (
+        |  SELECT CAST(source AS VARCHAR) AS g, n_chars AS v,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |gtot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_s
+        |         FROM cnt GROUP BY g),
+        |vals AS (SELECT DISTINCT v FROM cnt),
+        |gv AS (SELECT v, sum(c) AS cv FROM cnt GROUP BY v),
+        |grid AS (
+        |  SELECT gtot.g, gtot.n_s, vals.v, coalesce(cnt.c, 0) AS c,
+        |    gv.cv
+        |  FROM gtot CROSS JOIN vals
+        |  LEFT JOIN cnt ON cnt.g = gtot.g AND cnt.v = vals.v
+        |  JOIN gv ON gv.v = vals.v),
+        |cum AS (
+        |  SELECT g, n_s, v,
+        |    sum(c) OVER w AS cum_s, sum(cv) OVER w AS cum_all
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |per AS (
+        |  SELECT g, n_s,
+        |    CAST(max(abs(cum_s * tot.n - cum_all * n_s)) AS BIGINT)
+        |      AS d_num
+        |  FROM cum CROSS JOIN tot GROUP BY g, n_s),
+        |st AS (
+        |  SELECT g, n_s, d_num,
+        |    CAST(d_num AS DOUBLE) / (CAST(n_s AS DOUBLE) *
+        |      (CAST(tot.n AS DOUBLE) - CAST(n_s AS DOUBLE))) AS dd,
+        |    CAST(d_num AS DOUBLE) / (CAST(n_s AS DOUBLE) *
+        |      (CAST(tot.n AS DOUBLE) - CAST(n_s AS DOUBLE))) *
+        |      sqrt(CAST(n_s AS DOUBLE) *
+        |        (CAST(tot.n AS DOUBLE) - CAST(n_s AS DOUBLE)) /
+        |        CAST(tot.n AS DOUBLE)) AS lam
+        |  FROM per CROSS JOIN tot),
+        |pv AS (
+        |  SELECT g, n_s, d_num, round(dd, 9) AS d,
+        |    CASE WHEN lam < 0.05 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE round(least(CAST(1.0 AS DOUBLE),
+        |        greatest(CAST(0.0 AS DOUBLE),
+        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            [CASE WHEN k % 2 = 1 THEN CAST(2.0 AS DOUBLE)
+        |              ELSE CAST(-2.0 AS DOUBLE) END *
+        |              exp(CAST(-2.0 AS DOUBLE) * CAST(k AS DOUBLE) *
+        |                CAST(k AS DOUBLE) * lam * lam)
+        |             for k in range(1, 101)]),
+        |            (acc, x) -> acc + x))), 9)
+        |    END AS p_value
+        |  FROM st),
+        |r AS (
+        |  SELECT g, n_s, d_num, d, p_value,
+        |    CAST(row_number() OVER (ORDER BY p_value, g) AS BIGINT)
+        |      AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS nn
+        |  FROM pv),
+        |qq AS (
+        |  SELECT g, n_s, d_num, d, p_value, rank,
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |      min(p_value * CAST(nn AS DOUBLE) / CAST(rank AS DOUBLE))
+        |        OVER (ORDER BY rank
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |      9) AS q
+        |  FROM r)
+        |SELECT g AS source, n_s, d_num, d, p_value, rank, q,
+        |  q <= CAST(0.05 AS DOUBLE) AS reject
+        |FROM qq""".stripMargin,
     "q317_bh_fdr" ->
       """WITH t AS (
         |  SELECT doc_id,

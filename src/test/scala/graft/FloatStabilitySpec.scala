@@ -145,7 +145,8 @@ class FloatStabilitySpec extends SparkSpec {
     "q313_source_diversity",     // entropy fold over one count-sorted array
     "q315_auc",                  // exact u2 core + one division, q307's z
     "q316_mcnemar",              // integer discordants + two divisions
-    "q317_bh_fdr")               // suffix-min of exact p·n/rank, round 9
+    "q317_bh_fdr",               // suffix-min of exact p·n/rank, round 9
+    "q319_ks_battery")           // per-source integer D cores + exp tails
 
   for (name <- FloatGates)
     test(s"$name hash-stable under 1/7/32-partition layouts") {

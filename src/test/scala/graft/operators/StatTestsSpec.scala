@@ -153,6 +153,39 @@ class StatTestsSpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("reject")) === 0)
   }
 
+  test("ks battery: planted drifted source rejects, uniform ones don't") {
+    // 19 clean sources × 100 rows off one 1..40 cycle; s0 is a SMALL
+    // fully-shifted source (30 rows at +300) — only its own test sees
+    // a real difference; the others' "rest" is ~1.5% contaminated,
+    // far under detectability at n = 100
+    val rows = (1L to 1900L).map(i => (s"s${i % 19 + 1}", i % 40)) ++
+      (1L to 30L).map(i => ("s0", i % 40 + 300))
+    val out = StatTests.ksBattery(rows.toDF("source", "v"), "v",
+      "source", 0.05).collect()
+    val rejected = out.filter(_.getAs[Boolean]("reject"))
+      .map(_.getAs[String]("source")).toSet
+    assert(rejected === Set("s0"), s"rejected $rejected")
+  }
+
+  test("ks battery with two groups equals the pairwise ksTest core") {
+    val df = two((1L to 100L).map(_ % 13), (1L to 80L).map(_ % 7 + 3))
+    val pair = StatTests.ksTest(df, "v", "g", "a", "b").head()
+      .getAs[Long]("d_num")
+    val bat = StatTests.ksBattery(df, "v", "g", 0.05).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("d_num")).toMap
+    // |cumS·N − cumAll·nS| with rest = the other group reduces to
+    // |cumA·nB − cumB·nA| — both directions
+    assert(bat("a") === pair && bat("b") === pair)
+  }
+
+  test("ks battery: a lone group fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      StatTests.ksBattery(
+        Seq(("only", 1L), ("only", 2L)).toDF("g", "v"), "v", "g", 0.05)
+    }
+    assert(e.getMessage.contains("2 groups"))
+  }
+
   test("statistics are partitioning-independent (prefix-sum physics)") {
     val a = (1L to 400L).map(v => (v % 37, "a"))
     val b = (1L to 300L).map(v => (v % 23 + 5, "b"))
