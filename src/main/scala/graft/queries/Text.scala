@@ -1204,6 +1204,16 @@ object Text extends QueryPack {
   def sourceDiversityGate(s: SparkSession, dir: String): DataFrame =
     graft.text.CorpusLaws.sourceDiversity(Tables.documents(s, dir))
 
+  /** Neyman-allocation gate (q320): a 200-row eval budget split
+    * across sources ∝ N_h·σ_h of document length, largest-remainder
+    * integer seats ([[graft.text.CorpusMix.neymanAlloc]]) — exact
+    * integer (N, Σx, Σx²) cores, correctly-rounded IEEE σ/share
+    * chains, pure-integer apportionment; Σalloc = 200 exactly.
+    */
+  def neymanGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusMix.neymanAlloc(Tables.documents(s, dir),
+      budget = 200)
+
   /** Conversation-tree gate (q304): a deterministic message FOREST
     * over documents — roots at doc ≡0 (mod 7), every other message's
     * parent `doc_id − 1 − (doc_id mod 4)` (strictly smaller, so
@@ -2622,6 +2632,7 @@ object Text extends QueryPack {
     "q310_license_detect" -> licenseDetectGate _,
     "q311_heaps_law" -> heapsGate _,
     "q313_source_diversity" -> sourceDiversityGate _,
+    "q320_neyman_alloc" -> neymanGate _,
     "q297_card_scrub" -> cardScrubGate _,
     "q292_query_likelihood" -> queryLikelihoodGate _,
     "q290_memorization_rate" -> memorizationGate _,
@@ -2814,6 +2825,54 @@ object Text extends QueryPack {
         |GROUP BY bitf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q320_neyman_alloc" ->
+      """WITH a AS (
+        |  SELECT CAST(source AS VARCHAR) AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |s AS (
+        |  SELECT g, n,
+        |    CASE WHEN n < 2 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE sqrt(greatest(
+        |        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) - 1.0),
+        |        CAST(0.0 AS DOUBLE))) END AS sigma
+        |  FROM a),
+        |fb AS (
+        |  SELECT max(CAST(n AS DOUBLE) * sigma) = CAST(0.0 AS DOUBLE)
+        |    AS fallback
+        |  FROM s),
+        |w AS (
+        |  SELECT g, n, sigma,
+        |    CASE WHEN fb.fallback THEN CAST(n AS DOUBLE)
+        |      ELSE CAST(n AS DOUBLE) * sigma END AS w
+        |  FROM s CROSS JOIN fb),
+        |ws AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(w ORDER BY g)), (acc, x) -> acc + x) AS wsum
+        |  FROM w),
+        |b AS (
+        |  SELECT g, n, sigma,
+        |    CAST(floor(CAST(200.0 AS DOUBLE) * w / ws.wsum) AS BIGINT)
+        |      AS base,
+        |    CAST(200.0 AS DOUBLE) * w / ws.wsum -
+        |      floor(CAST(200.0 AS DOUBLE) * w / ws.wsum) AS rem
+        |  FROM w CROSS JOIN ws),
+        |lo AS (SELECT 200 - sum(base) AS leftover FROM b),
+        |r AS (
+        |  SELECT g, n, sigma, base,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, g) AS BIGINT)
+        |      AS rk
+        |  FROM b)
+        |SELECT r.g AS source, r.n AS n_rows,
+        |  round(r.sigma, 9) AS sigma,
+        |  CAST(r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0
+        |    END AS BIGINT) AS alloc,
+        |  fb.fallback AS proportional_fallback
+        |FROM r CROSS JOIN lo CROSS JOIN fb""".stripMargin,
     "q313_source_diversity" ->
       """WITH c AS (
         |  SELECT CAST(source AS VARCHAR) AS g, count(*) AS c

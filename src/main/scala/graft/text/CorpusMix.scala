@@ -157,6 +157,90 @@ object CorpusMix {
     docs.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** NEYMAN ALLOCATION (optimal stratified sampling): split a sample
+    * budget across strata proportional to N_h·σ_h — the allocation
+    * that minimizes the variance of the stratified mean estimator,
+    * vs the proportional split [[sampleExactPerStratum]] gives ("the
+    * noisy source earns more eval rows"). Integer seats come from
+    * LARGEST-REMAINDER apportionment (Hamilton): floor every share,
+    * then hand the leftover seats to the largest fractional
+    * remainders (ties by stratum name) — so Σalloc = budget exactly.
+    *
+    * Exactness: per-stratum (N, Σx, Σx²) are exact integer sums
+    * (overflow checked loudly from (N, max|x|) which cannot wrap);
+    * σ, shares, and remainders are correctly-rounded IEEE chains over
+    * those integers, identical in any engine; seat counts are pure
+    * integers. σ_h = 0 strata (constant metric, singletons)
+    * contribute weight 0; an ALL-zero-σ corpus falls back to
+    * proportional weights (w = N_h), stated by `proportional_fallback`
+    * in every row. The strata table is bounded by contract — the
+    * driver-side apportionment loop is over tens of rows.
+    *
+    * Output per stratum: (strataCol, n_rows, sigma round-9, alloc).
+    * Allocation may exceed a TINY stratum's n_rows (Neyman's
+    * textbook caveat) — a sampler takes min(alloc, n_rows).
+    */
+  def neymanAlloc(docs: DataFrame, budget: Int,
+      strataCol: String = "source",
+      valueCol: String = "n_chars"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = docs.sparkSession
+    val agg = docs
+      .select(col(strataCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(col("v") * col("v")).as("sxx"),
+        max(abs(col("v"))).as("mx"))
+      .orderBy(col("g"))
+      .collect()
+    require(agg.nonEmpty, "neymanAlloc on an empty table")
+    agg.foreach { r =>
+      val n = r.getAs[Long]("n"); val mx = r.getAs[Long]("mx")
+      require(BigInt(n) * BigInt(mx) * BigInt(mx) <= Long.MaxValue,
+        s"neymanAlloc integer sums overflow for stratum " +
+          s"${r.getAs[String]("g")} (N=$n, max|x|=$mx) — rescale the " +
+          "metric")
+    }
+    case class St(g: String, n: Long, sigma: Double)
+    val sts = agg.map { r =>
+      val n = r.getAs[Long]("n")
+      val sigma = if (n < 2) 0.0 else {
+        val nD = n.toDouble
+        val varU = (r.getAs[Long]("sxx").toDouble -
+          r.getAs[Long]("sx").toDouble * r.getAs[Long]("sx").toDouble /
+            nD) / (nD - 1.0)
+        math.sqrt(math.max(varU, 0.0))
+      }
+      St(r.getAs[String]("g"), n, sigma)
+    }
+    val neymanW = sts.map(s => s.n.toDouble * s.sigma)
+    val fallback = neymanW.forall(_ == 0.0)
+    val w = if (fallback) sts.map(_.n.toDouble) else neymanW
+    val wSum = w.foldLeft(0.0)(_ + _) // stratum-name fold order
+    val shares = w.map(budget.toDouble * _ / wSum)
+    val base = shares.map(s => math.floor(s).toLong)
+    val leftover = (budget - base.sum).toInt
+    // largest remainders win the leftover seats; ties by name (the
+    // array is already name-sorted, sortBy is stable)
+    val order = shares.zipWithIndex
+      .map { case (s, i) => (s - math.floor(s), i) }
+      .sortBy { case (rem, _) => -rem }
+      .map(_._2)
+    val extra = order.take(leftover).toSet
+    val rows = sts.zipWithIndex.map { case (s, i) =>
+      // HALF_UP to match Spark's round() and DuckDB's round() exactly
+      val sigma9 = BigDecimal(s.sigma)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (s.g, s.n, sigma9,
+        base(i) + (if (extra.contains(i)) 1L else 0L), fallback)
+    }
+    import spark.implicits._
+    rows.toSeq
+      .toDF(strataCol, "n_rows", "sigma", "alloc",
+        "proportional_fallback")
+  }
+
   /** PRIORITY SAMPLING (Duffield–Lund–Thorup 2007): a deterministic
     * WEIGHTED sample of exactly `min(k, n)` documents WITHOUT
     * replacement, with the unbiased subset-sum estimator — the

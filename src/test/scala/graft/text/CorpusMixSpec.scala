@@ -194,4 +194,39 @@ class CorpusMixSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("neyman: seats sum to budget, noise earns allocation") {
+    // two equal-size strata, one 10x noisier -> it gets ~10/11 seats
+    val calm = (1 to 100).map(i => ("calm", (i % 2) + 100L))
+    val loud = (1 to 100).map(i => ("loud", (i % 21) * 10L))
+    val out = CorpusMix.neymanAlloc(
+      (calm ++ loud).toDF("source", "n_chars"), budget = 110)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("alloc")).toMap
+    assert(out.values.sum === 110L)
+    assert(out("loud") > 90L && out("calm") < 20L,
+      s"allocation $out")
+  }
+
+  test("neyman: constant metric falls back to proportional, loudly") {
+    val docs = ((1 to 30).map(_ => ("a", 5L)) ++
+      (1 to 10).map(_ => ("b", 5L))).toDF("source", "n_chars")
+    val rows = CorpusMix.neymanAlloc(docs, budget = 4).collect()
+    assert(rows.forall(_.getAs[Boolean]("proportional_fallback")))
+    val m = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("alloc")).toMap
+    assert(m("a") === 3L && m("b") === 1L)
+  }
+
+  test("neyman: overflow-unsafe metric fails loudly") {
+    val docs = Seq(("a", 4000000000L), ("a", 1L), ("b", 2L), ("b", 3L))
+      .toDF("source", "n_chars")
+    // the loud failure arrives either as the operator's own require
+    // or, under ANSI mode, as Spark's arithmetic-overflow error while
+    // the Σx² aggregate computes — silent wrap is impossible
+    val e = intercept[Exception] {
+      CorpusMix.neymanAlloc(docs, budget = 2)
+    }
+    assert(e.getMessage.toLowerCase.contains("overflow"))
+  }
 }
