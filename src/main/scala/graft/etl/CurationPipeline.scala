@@ -378,6 +378,23 @@ object CurationPipeline {
           minLineWords = getI(stage, "minLineWords").getOrElse(5),
           minLines = getI(stage, "minLines").getOrElse(3))
         replaceText(docs, cleaned.filter(col("c4_keep")), "clean_text")
+      case "conformal_keep" =>
+        // keep rows at/under the split-conformal threshold learned on
+        // an md5-designated calibration slice — a keep/flag cutoff
+        // with a stated error rate instead of a folklore threshold
+        val c = require_(get[String](stage, "col"), op, "col")
+        val an = getI(stage, "alphaNum").getOrElse(1)
+        val ad = getI(stage, "alphaDen").getOrElse(10)
+        val calMod = getI(stage, "calMod").getOrElse(5)
+        require(calMod >= 2, s"calMod must be >= 2, got $calMod")
+        val calDraw = pmod(conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":conformal_cal"))),
+          1, 8), 16, 10).cast("long"), lit(calMod.toLong))
+        val th = graft.operators.Conformal.threshold(
+          docs.filter(calDraw === 0), c, an, ad)
+        docs.crossJoin(broadcast(th.select(col("qhat"))))
+          .filter(col(c).cast("long") <= col("qhat"))
+          .drop("qhat")
       case "winsorize" =>
         val c = require_(get[String](stage, "col"), op, "col")
         graft.operators.Conformal.winsorize(docs, c,

@@ -33,15 +33,28 @@ object Conformal {
     * stated by `k_clamped`).
     */
   def threshold(cal: DataFrame, scoreCol: String,
+      alphaNum: Int, alphaDen: Int): DataFrame =
+    thresholdFromCounts(
+      cal.select(col(scoreCol).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c")),
+      alphaNum, alphaDen)
+
+  /** [[threshold]] from an ALREADY-aggregated (v, c) count table —
+    * the entry point for callers whose counts accumulated elsewhere,
+    * e.g. streaming state drained in complete mode (the
+    * [[graft.operators.Privacy.withGeometricNoise]] convention): a
+    * streaming calibration equals the batch one by construction
+    * because both reduce to the same count table.
+    */
+  def thresholdFromCounts(counts: DataFrame,
       alphaNum: Int, alphaDen: Int): DataFrame = {
     require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
       s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
-    val spark = cal.sparkSession
+    val spark = counts.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val counts = cal
-      .select(col(scoreCol).cast("long").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val parted = counts.repartitionByRange(nParts, col("v"))
+    val parted = counts.select(col("v").cast("long").as("v"),
+        col("c").cast("long").as("c"))
+      .repartitionByRange(nParts, col("v"))
       .withColumn("__pid", spark_partition_id())
     val local = parted.withColumn("__cum",
       sum(col("c")).over(Window.partitionBy(col("__pid"))

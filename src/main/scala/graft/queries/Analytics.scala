@@ -922,6 +922,38 @@ object Analytics extends QueryPack {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)""".stripMargin
 
+  /** q314's oracle — shared verbatim by q321's streaming form (the
+    * q254/q225 convention: a streaming calibration must equal the
+    * batch one because both reduce to the same count table).
+    */
+  private[queries] val conformalSql: String =
+    """WITH cal AS (
+      |  SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+      |cnt AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+      |        FROM cal GROUP BY v),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM cnt),
+      |kk AS (
+      |  SELECT n_cal,
+      |    CAST(least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS BIGINT)
+      |      AS k
+      |  FROM n),
+      |cum AS (
+      |  SELECT v, sum(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM cnt),
+      |q AS (
+      |  SELECT CAST(min(v) AS BIGINT) AS qhat
+      |  FROM cum CROSS JOIN kk WHERE cum.cum >= kk.k),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN n_chars <= q.qhat THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_covered
+      |  FROM documents CROSS JOIN q WHERE doc_id % 2 <> 0)
+      |SELECT kk.n_cal, kk.k, q.qhat, t.n_test, t.n_covered,
+      |  CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+      |    AS coverage
+      |FROM kk CROSS JOIN q CROSS JOIN t""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q319_ks_battery" ->
       """WITH cnt AS (
@@ -1120,33 +1152,7 @@ object Analytics extends QueryPack {
         |SELECT n_pairs, b, c, chi2, chi2_cc,
         |  chi2_cc > CAST(3.841 AS DOUBLE) AS significant
         |FROM st""".stripMargin,
-    "q314_conformal" ->
-      """WITH cal AS (
-        |  SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
-        |cnt AS (SELECT v, CAST(count(*) AS BIGINT) AS c
-        |        FROM cal GROUP BY v),
-        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM cnt),
-        |kk AS (
-        |  SELECT n_cal,
-        |    CAST(least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS BIGINT)
-        |      AS k
-        |  FROM n),
-        |cum AS (
-        |  SELECT v, sum(c) OVER (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM cnt),
-        |q AS (
-        |  SELECT CAST(min(v) AS BIGINT) AS qhat
-        |  FROM cum CROSS JOIN kk WHERE cum.cum >= kk.k),
-        |t AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
-        |    CAST(sum(CASE WHEN n_chars <= q.qhat THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_covered
-        |  FROM documents CROSS JOIN q WHERE doc_id % 2 <> 0)
-        |SELECT kk.n_cal, kk.k, q.qhat, t.n_test, t.n_covered,
-        |  CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
-        |    AS coverage
-        |FROM kk CROSS JOIN q CROSS JOIN t""".stripMargin,
+    "q314_conformal" -> conformalSql,
     "q306_ks_test" ->
       s"""WITH $ksCumCtes,
         |d AS (

@@ -365,6 +365,7 @@ object Streaming extends QueryPack {
     "q202_stream_content_drift" -> streamContentDrift _,
     "q231_stream_ann_ingest" -> streamAnnIngest _,
     "q254_stream_heavy_hitters" -> streamHeavyHitters _,
+    "q321_stream_conformal" -> streamConformal _,
     "q272_stream_dp_release" -> streamDpRelease _,
   )
 
@@ -407,6 +408,37 @@ object Streaming extends QueryPack {
     * q225/q86 convention). Multi-batch merge order is spec-covered
     * (maxFilesPerTrigger=1 over a split corpus).
     */
+  /** Streaming conformal-threshold gate (q321): the q314 calibration
+    * accumulated as STREAMING STATE — a complete-mode
+    * (value, count) aggregate over the even-doc file stream (state is
+    * VALUE-DOMAIN-bounded, never row-bounded), drained and fed to
+    * [[graft.operators.Conformal.thresholdFromCounts]], then the same
+    * batch coverage tail. Equal to q314 by construction (both reduce
+    * to the same count table) — oracle shared verbatim (the
+    * q254/q225 convention).
+    */
+  def streamConformal(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, dir)
+    val src = s.readStream.schema(docs.schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/documents.parque[t]")
+    val name =
+      s"q321_stream_conf_${math.abs(dir.hashCode).toString}"
+    val q = src.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Conformal.coverage(
+      graft.operators.Conformal.thresholdFromCounts(s.table(name),
+        1, 10),
+      docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
+  }
+
   def streamHeavyHitters(s: SparkSession, dir: String): DataFrame =
       withSmallShuffle(s) {
     import org.apache.spark.sql.streaming.Trigger
@@ -543,6 +575,7 @@ object Streaming extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     // the streamed sketch + batch recount must land on the q250 truth
     "q254_stream_heavy_hitters" -> Text.heavyHittersOracleSql,
+    "q321_stream_conformal" -> Analytics.conformalSql,
     // key-seeded noise: the streamed release must equal q262's batch
     // release, oracle shared verbatim
     "q272_stream_dp_release" -> Analytics.dpCountsOracleSql,

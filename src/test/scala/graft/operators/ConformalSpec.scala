@@ -92,6 +92,29 @@ class ConformalSpec extends SparkSpec {
     assert(out.columns.contains("n_chars_winsorized"))
   }
 
+  test("conformal_keep stage drops roughly the alpha tail") {
+    import graft.etl.{CurationPipeline, JsonSource}
+    val p = java.nio.file.Files.createTempFile("graft_conf_cfg", ".json")
+    java.nio.file.Files.writeString(p,
+      """{ "stages": [
+        |  {"op": "conformal_keep", "col": "n_chars",
+        |   "alphaNum": 1, "alphaDen": 10, "calMod": 2} ] }
+        |""".stripMargin)
+    val stages = JsonSource.readConfigRow(spark, p.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+      .toSeq
+    val docs = (1L to 1000L).map(i => (i, "x", i % 400))
+      .toDF("doc_id", "text", "n_chars")
+    val kept = CurationPipeline.run(docs, stages)
+    val frac = kept.count().toDouble / 1000.0
+    assert(frac >= 0.85 && frac <= 0.95, s"kept $frac")
+    // deterministic: same config, same corpus, same survivors
+    val again = CurationPipeline.run(docs, stages)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq ===
+      kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("empty calibration and bad alpha fail loudly") {
     intercept[IllegalArgumentException] {
       Conformal.threshold(Seq.empty[Long].toDF("s"), "s", 1, 10)
