@@ -84,6 +84,66 @@ object Conformal {
     } finally cum.unpersist()
   }
 
+  /** MONDRIAN (group-conditional) conformal thresholds — one
+    * [[threshold]] per group, all groups in one pass: the marginal
+    * guarantee of a single global threshold can hide one source with
+    * 60% coverage behind another with 99%; per-group calibration
+    * guarantees each group its own 1 − α (Vovk's Mondrian taxonomy).
+    * Same integer-exact machinery: per-(group, value) counts,
+    * per-group cumulative sums over the (group × distinct value)
+    * grid (bounded by contract, the q319 shape), per-group
+    * k = ⌈(n_g+1)(1−α)⌉ in integer arithmetic. Output per group:
+    * (groupCol, n_cal, k, k_clamped, qhat).
+    */
+  def thresholdPerGroup(cal: DataFrame, scoreCol: String,
+      groupCol: String, alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    val counts = cal
+      .select(col(groupCol).cast("string").as("g"),
+        col(scoreCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val nG = counts.groupBy(col("g")).agg(sum(col("c")).as("n_cal"))
+    // k = ceil((n+1)(den−num)/den), clamped to n — `div` keeps the
+    // arithmetic in integers (Column./ would cast to double)
+    val kRaw = expr(s"((n_cal + 1) * ${alphaDen - alphaNum}L + " +
+      s"${alphaDen - 1}L) div ${alphaDen}L")
+    val withK = nG
+      .withColumn("k", least(kRaw, col("n_cal")))
+      .withColumn("k_clamped", kRaw > col("n_cal"))
+    cum.join(withK, Seq("g"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("g"), col("n_cal"), col("k"), col("k_clamped"))
+      .agg(min(col("v")).as("qhat"))
+      .select(col("g").as(groupCol), col("n_cal"), col("k"),
+        col("k_clamped"), col("qhat"))
+  }
+
+  /** Per-group empirical coverage of [[thresholdPerGroup]]'s output
+    * on a test set: each test row compares against ITS group's
+    * threshold (inner join — test groups unseen in calibration have
+    * no guarantee and are excluded, loudly visible in n_test).
+    */
+  def coveragePerGroup(thresholds: DataFrame, test: DataFrame,
+      scoreCol: String, groupCol: String): DataFrame =
+    test.select(col(groupCol).cast("string").as("__g"),
+        col(scoreCol).cast("long").as("__s"))
+      .join(broadcast(thresholds
+        .withColumn("__g", col(groupCol).cast("string"))
+        .select(col("__g"), col("n_cal"), col("k"), col("qhat"))),
+        Seq("__g"))
+      .groupBy(col("__g"), col("n_cal"), col("k"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__s") <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_test").cast("double"))
+      .withColumnRenamed("__g", groupCol)
+
   /** Winsorization at exact order statistics: clip `scoreCol` to
     * [v(kLo), v(kHi)] with kLo = max(1, ⌈n·α⌉) and kHi = n + 1 − kLo
     * (α = alphaNum/alphaDen) — the outlier treatment that keeps every

@@ -836,7 +836,30 @@ object Analytics extends QueryPack {
     graft.operators.StatTests.ksBattery(Tables.documents(s, dir),
       "n_chars", "source", alpha = 0.05)
 
+  /** Mondrian-conformal gate (q322): q314's calibration made
+    * GROUP-CONDITIONAL — one threshold per source, so every source
+    * gets its own 1 − α guarantee instead of a marginal average that
+    * can hide a 60%-coverage source behind a 99% one
+    * ([[graft.operators.Conformal.thresholdPerGroup]]). Per-group
+    * integer order statistics over the (source × length) grid;
+    * coverage one exact division per source.
+    */
+  def mondrianGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // split on an md5 coin, NOT doc_id parity: source = doc_id mod 20
+    // in the fixture, so a parity split would give calibration and
+    // test DISJOINT source sets (and the Mondrian join is rightly
+    // empty for groups with no calibration guarantee)
+    val coin = pmod(conv(substring(md5(concat(col("doc_id"),
+      lit(":mc"))), 1, 8), 16, 10).cast("long"), lit(2L))
+    graft.operators.Conformal.coveragePerGroup(
+      graft.operators.Conformal.thresholdPerGroup(
+        docs.filter(coin === 0), "n_chars", "source", 1, 10),
+      docs.filter(coin =!= 0), "n_chars", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_mondrian_conformal" -> mondrianGate _,
     "q319_ks_battery" -> ksBatteryGate _,
     "q317_bh_fdr" -> bhGate _,
     "q318_winsorize" -> winsorizeGate _,
@@ -955,6 +978,42 @@ object Analytics extends QueryPack {
       |FROM kk CROSS JOIN q CROSS JOIN t""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q322_mondrian_conformal" ->
+      """WITH cal AS (
+        |  SELECT CAST(source AS VARCHAR) AS g, n_chars AS v
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mc'),
+        |    1, 8))::BIGINT % 2 = 0),
+        |cnt AS (
+        |  SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM cal GROUP BY 1, 2),
+        |ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_cal
+        |       FROM cnt GROUP BY g),
+        |kk AS (
+        |  SELECT g, n_cal,
+        |    CAST(least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS BIGINT)
+        |      AS k
+        |  FROM ng),
+        |cum AS (
+        |  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cnt),
+        |q AS (
+        |  SELECT cum.g, kk.n_cal, kk.k,
+        |    CAST(min(cum.v) AS BIGINT) AS qhat
+        |  FROM cum JOIN kk ON kk.g = cum.g
+        |  WHERE cum.cum >= kk.k
+        |  GROUP BY cum.g, kk.n_cal, kk.k)
+        |SELECT q.g AS source, q.n_cal, q.k, q.qhat,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN d.n_chars <= q.qhat THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN d.n_chars <= q.qhat THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+        |FROM documents d JOIN q ON q.g = CAST(d.source AS VARCHAR)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mc'),
+        |  1, 8))::BIGINT % 2 <> 0
+        |GROUP BY q.g, q.n_cal, q.k, q.qhat""".stripMargin,
     "q319_ks_battery" ->
       """WITH cnt AS (
         |  SELECT CAST(source AS VARCHAR) AS g, n_chars AS v,

@@ -92,6 +92,30 @@ class ConformalSpec extends SparkSpec {
     assert(out.columns.contains("n_chars_winsorized"))
   }
 
+  test("mondrian: per-group thresholds equal each group's own threshold") {
+    val cal = ((1L to 100L).map(v => ("low", v)) ++
+      (1L to 100L).map(v => ("high", v * 100))).toDF("g", "s")
+    val per = Conformal.thresholdPerGroup(cal, "s", "g", 1, 10)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("k"), r.getAs[Long]("qhat"))).toMap
+    val solo = Conformal.threshold(
+      cal.filter($"g" === "low"), "s", 1, 10).head()
+    assert(per("low") === (solo.getAs[Long]("k"),
+      solo.getAs[Long]("qhat")))
+    assert(per("high")._2 === per("low")._2 * 100)
+  }
+
+  test("mondrian: test groups unseen in calibration are excluded") {
+    val cal = (1L to 50L).map(v => ("a", v)).toDF("g", "s")
+    val test = ((1L to 20L).map(v => ("a", v)) ++
+      (1L to 20L).map(v => ("b", v))).toDF("g", "s")
+    val cov = Conformal.coveragePerGroup(
+      Conformal.thresholdPerGroup(cal, "s", "g", 1, 10),
+      test, "s", "g").collect()
+    assert(cov.map(_.getAs[String]("g")).toSeq === Seq("a"))
+    assert(cov.head.getAs[Long]("n_test") === 20L)
+  }
+
   test("conformal_keep stage drops roughly the alpha tail") {
     import graft.etl.{CurationPipeline, JsonSource}
     val p = java.nio.file.Files.createTempFile("graft_conf_cfg", ".json")
