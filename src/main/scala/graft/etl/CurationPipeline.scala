@@ -93,8 +93,10 @@ import org.apache.spark.sql.functions._
   *     ([[graft.text.CorpusMix.split]])
   *   - `lang_id_filter` — train the one-vs-rest hashed-trigram
   *     classifier on `labelCol` (required; `dim` 2048, `rounds` 10,
-  *     `lr` 2.0), then keep only `keyCol` (`source`) groups whose
-  *     MAJORITY predicted class is `wanted` (required) [q210]
+  *     `lr` 2.0) — or, with `weightsPath`, classify with that PINNED
+  *     (cls, idx, w) parquet instead of training (train-once /
+  *     apply-everywhere) — then keep only `keyCol` (`source`) groups
+  *     whose MAJORITY predicted class is `wanted` (required) [q210]
   *     ([[graft.text.TrainedLangId]])
   *   - `fix_encoding` — ftfy-style mojibake/control-char repair, in
   *     place on `textCol` (`text`) [q183]
@@ -451,17 +453,25 @@ object CurationPipeline {
           "labelCol")
         val wanted = require_(getI(stage, "wanted"), op, "wanted")
         val dim = getI(stage, "dim").getOrElse(2048)
-        val rounds = getI(stage, "rounds").getOrElse(10)
-        val lr = getD(stage, "lr").getOrElse(2.0)
         val keyCol = get[String](stage, "keyCol").getOrElse("source")
-        // classes are the distinct labels — bounded by the number of
-        // languages, a driver-side list by contract
-        val classes = docs.select(col(labelCol).cast("int"))
-          .distinct().collect().map(_.getInt(0)).sorted.toSeq
         val feats = TrainedLangId.charTrigramFeatures(docs, dim, labelCol)
           .persist()
-        val w = TrainedLangId.trainOneVsRest(spark, feats, dim, classes,
-          rounds, lr)
+        // `weightsPath`: classify with a PINNED weight table instead
+        // of training — the production shape at scale (train on a
+        // bounded sample once, apply to every batch) and the q227
+        // shared-weights gate surface
+        val w = get[String](stage, "weightsPath") match {
+          case Some(p) => TrainedLangId.loadWeights(spark, p)
+          case None =>
+            val rounds = getI(stage, "rounds").getOrElse(10)
+            val lr = getD(stage, "lr").getOrElse(2.0)
+            // classes are the distinct labels — bounded by the number
+            // of languages, a driver-side list by contract
+            val classes = docs.select(col(labelCol).cast("int"))
+              .distinct().collect().map(_.getInt(0)).sorted.toSeq
+            TrainedLangId.trainOneVsRest(spark, feats, dim, classes,
+              rounds, lr)
+        }
         // predictions stay cached (one narrow (doc, label, predicted)
         // table) so downstream stages can't replay the feature
         // extraction after the feature cache drops — the q210 trap

@@ -394,6 +394,9 @@ object Text extends QueryPack {
       }))
       .withColumn("__u",
         graft.text.CorpusMix.drawU(col("doc_id"), lit("langid")))
+      // one small parquet file → one input partition; spread the
+      // CPU-heavy trigram kernel over the cores (the q227 lesson)
+      .repartition(s.sparkContext.defaultParallelism)
     val dim = 2048
     // ONE feature pass over all docs (was three: train slice, held-out
     // slice, full corpus — the explode+hash is the gate's real cost,

@@ -192,6 +192,37 @@ class CurationPipelineSpec extends SparkSpec {
     assert(piped.count() === 2) // one row per assistant turn
   }
 
+  test("lang_id_filter weightsPath equals the trained stage") {
+    // the q227 train-once contract: a lang_id_filter classifying with
+    // PINNED weights must keep exactly the rows the trained stage
+    // keeps when the pinned table came from the same training run
+    val docs = Tables.documents(spark, sf).limit(400)
+      .withColumn("lang",
+        (regexp_extract($"source", "([0-9]+)", 1).cast("int") % 2)
+          .cast("double"))
+      .withColumn("text", concat($"text",
+        when($"lang" === 1.0, lit(" le et les des une dans" * 4))
+          .otherwise(lit(" the and of to in is" * 4))))
+    val dim = 256
+    val feats = graft.text.TrainedLangId
+      .charTrigramFeatures(docs, dim, "lang")
+    val w = graft.text.TrainedLangId.trainOneVsRest(spark, feats, dim,
+      Seq(0, 1), rounds = 5, lr = 2.0)
+    val wPath = "/tmp/graft_curation_spec_weights"
+    graft.text.TrainedLangId.saveWeights(spark, w, wPath)
+    assert(graft.text.TrainedLangId.loadWeights(spark, wPath)
+      .view.mapValues(_.toSeq).toMap == w.view.mapValues(_.toSeq).toMap)
+    def run(extra: String) = CurationPipeline.run(docs, stagesFrom(
+      s"""{ "stages": [ {"op": "lang_id_filter", "labelCol": "lang",
+         |  "wanted": 0, "dim": $dim$extra} ] }""".stripMargin))
+      .select($"doc_id")
+    val trained = run(""", "rounds": 5, "lr": 2.0""")
+    val pinned = run(s""", "weightsPath": "$wPath"""")
+    assert(trained.exceptAll(pinned).isEmpty &&
+      pinned.exceptAll(trained).isEmpty)
+    assert(pinned.count() > 0)
+  }
+
   test("unknown ops and missing parameters fail loudly") {
     val bad = stagesFrom("""{ "stages": [ {"op": "frobnicate"} ] }""")
     val e = intercept[IllegalArgumentException] {
