@@ -349,6 +349,52 @@ object Streaming extends QueryPack {
       lit(afterFirst == nStreamed).as("redrain_no_dup"))
   }
 
+  /** Streamed-index recall audit gate (q323, r14 judge ask #4): the
+    * q231 ingest — three embedding slices (vec_id mod 3) landing as
+    * AvailableNow drains into the cell-partitioned coded lake table —
+    * but after EVERY drain,
+    * [[graft.streaming.StreamingAnnIngest.recallAudit]] measures
+    * probed-cell recall@5 against the exact brute truth over the SAME
+    * snapshot on a 10-query sample. The index is LIVE: appends code
+    * against centroids FROZEN at stream start (trained on a bounded
+    * sample — exactly the drift regime the audit exists for), and the
+    * gate pins recall ≥ 0.8 at every growth step (q67's bound at its
+    * nprobe=10/16 on these near-uniform synthetic vectors — the
+    * adversarial IVF regime). Deterministic end to end, so the oracle
+    * pins the booleans and the exact per-drain snapshot sizes
+    * (cumulative mod-3 slice counts).
+    */
+  def streamAnnRecall(s: SparkSession, dir: String): DataFrame =
+      withSmallShuffle(s) {
+    import graft.similarity.IvfIndex
+    val embs = Tables.embeddings(s, dir)
+    val model = Similarity.cachedModel[IvfIndex.Model](s, dir, "ivf_c16i1",
+      (m, p) => IvfIndex.save(s, m, p), p => IvfIndex.load(s, p))(
+      IvfIndex.train(s, embs.limit(2000), numCells = 16, iterations = 1))
+    val base = s"/tmp/graft_stream_annrec_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh source/table/checkpoint: deterministic
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val audits = (0 until 3).map { i =>
+      // slice i arrives, drains, and the live table is audited —
+      // per-drain recall tracking, not one end-state check
+      embs.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      graft.streaming.StreamingAnnIngest.runAvailableNow(s, model,
+        s"$base/src", embs.schema, s"$base/table", s"$base/ckpt")
+        .awaitTermination()
+      graft.streaming.StreamingAnnIngest.recallAudit(s, model,
+        s"$base/table", queries, k = 5, nprobe = 10)
+        .select(lit(i.toLong).as("drain"), col("n_vectors"),
+          col("n_queries"), col("k"),
+          (col("n_exact") === col("n_queries") * lit(5L)).as("truth_full"),
+          (col("recall") >= 0.8).as("recall_ok"))
+    }
+    audits.reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_event_windows" -> eventWindows _,
     "q26_sessionize" -> sessionize _,
@@ -364,6 +410,7 @@ object Streaming extends QueryPack {
     "q220_stream_novelty" -> streamNovelty _,
     "q202_stream_content_drift" -> streamContentDrift _,
     "q231_stream_ann_ingest" -> streamAnnIngest _,
+    "q323_stream_ann_recall" -> streamAnnRecall _,
     "q254_stream_heavy_hitters" -> streamHeavyHitters _,
     "q321_stream_conformal" -> streamConformal _,
     "q272_stream_dp_release" -> streamDpRelease _,
@@ -652,6 +699,16 @@ object Streaming extends QueryPack {
         |    AS n_vectors,
         |  TRUE AS streamed_equals_batch,
         |  TRUE AS redrain_no_dup""".stripMargin,
+    // cumulative mod-3 slice counts per drain; search quality pinned
+    // (everything is deterministic: frozen centroids, fixed sample)
+    "q323_stream_ann_recall" ->
+      """SELECT CAST(t.d AS BIGINT) AS drain,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 3 <= t.d) AS n_vectors,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id < 10) AS n_queries,
+        |  CAST(5 AS INT) AS k, TRUE AS truth_full, TRUE AS recall_ok
+        |FROM range(0, 3) t(d)""".stripMargin,
     "q115_stream_rate_limit" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total

@@ -37,6 +37,34 @@ class StreamingAnnIngestSpec extends SparkSpec {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("recallAudit: exhaustive probing recovers brute truth exactly") {
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+    val model = IvfIndex.train(spark, embs, numCells = 4, iterations = 1)
+    val base = freshBase("audit")
+    embs.coalesce(1).write.parquet(s"$base/src")
+    StreamingAnnIngest.runAvailableNow(spark, model, s"$base/src",
+      embs.schema, s"$base/table", s"$base/ckpt").awaitTermination()
+    val queries = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // nprobe == numCells: the probed search degenerates to brute force,
+    // so the audit MUST report recall exactly 1.0 — a miss is an audit
+    // bug, not index drift
+    val full = StreamingAnnIngest.recallAudit(spark, model,
+      s"$base/table", queries, k = 5, nprobe = 4).head()
+    assert(full.getAs[Long]("n_vectors") == embs.count())
+    assert(full.getAs[Long]("n_queries") == 8L)
+    assert(full.getAs[Long]("n_exact") == 40L)
+    assert(full.getAs[Long]("n_hit") == 40L)
+    assert(full.getAs[Double]("recall") == 1.0)
+    // nprobe 1: recall can only fall (the drift direction the audit
+    // watches); the ratio must stay a valid fraction of the truth
+    val one = StreamingAnnIngest.recallAudit(spark, model,
+      s"$base/table", queries, k = 5, nprobe = 1).head()
+    assert(one.getAs[Long]("n_hit") <= one.getAs[Long]("n_exact"))
+    assert(one.getAs[Double]("recall") <= 1.0 &&
+      one.getAs[Double]("recall") >= 0.0)
+  }
+
   test("coded table is cell-partitioned: a one-cell read prunes files") {
     val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
     val model = IvfIndex.train(spark, embs, numCells = 4, iterations = 1)
