@@ -402,6 +402,42 @@ object CurationPipeline {
         graft.operators.Conformal.winsorize(docs, c,
           getI(stage, "alphaNum").getOrElse(1),
           getI(stage, "alphaDen").getOrElse(20))
+      case "drift_alarm" =>
+        // FDR-controlled drift sweep as a pipeline stage: per-`keyCol`
+        // group KS of `col` against the rest of the corpus, BH across
+        // the battery at `alpha` (q319's operator verbatim). `policy`
+        // decides what a rejection does: `tag` (default) annotates
+        // every row with its group's `drift` boolean and lets
+        // downstream stages or the sink decide; `fail` aborts the
+        // pipeline loudly, NAMING the drifted groups — the posture for
+        // a scheduled ingest that must not silently train on a source
+        // whose distribution moved. ksBattery's value-domain contract
+        // applies: `col` must be bounded/quantized (cast to long).
+        val c = require_(get[String](stage, "col"), op, "col")
+        val key = get[String](stage, "keyCol").getOrElse("source")
+        val alpha = getD(stage, "alpha").getOrElse(0.05)
+        val policy = get[String](stage, "policy").getOrElse("tag")
+        val battery = graft.operators.StatTests
+          .ksBattery(docs, c, key, alpha)
+          .select(col(key).as("__drift_g"), col("reject").as("drift"))
+        policy match {
+          case "tag" =>
+            // battery is groups-sized by ksBattery's domain contract —
+            // broadcast, no shuffle of the corpus
+            docs.join(broadcast(battery),
+              docs(key).cast("string") === col("__drift_g"))
+              .drop("__drift_g")
+          case "fail" =>
+            val bad = battery.filter(col("drift"))
+              .select(col("__drift_g").cast("string"))
+              .collect().map(_.getString(0)).sorted
+            if (bad.nonEmpty) throw new IllegalStateException(
+              s"drift_alarm: ${bad.length} $key group(s) rejected at " +
+                s"FDR alpha=$alpha: ${bad.mkString(", ")}")
+            docs
+          case other => throw new IllegalArgumentException(
+            s"drift_alarm policy must be tag or fail: $other")
+        }
       case "code_filter" =>
         graft.text.CodeFilters.keep(docs,
           maxLineLen = getI(stage, "maxLineLen").getOrElse(1000),

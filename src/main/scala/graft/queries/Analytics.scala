@@ -849,6 +849,40 @@ object Analytics extends QueryPack {
     graft.operators.StatTests.ksBattery(Tables.documents(s, dir),
       "n_chars", "source", alpha = 0.05)
 
+  /** drift_alarm config-stage gate (q324, r14 judge ask #5): the q319
+    * battery wired into the curation CLI where it is load-bearing — a
+    * JSON stage list can now declare "alarm on drift with FDR
+    * control" the way `conformal_keep`/`winsorize` joined the
+    * vocabulary. The fixture unions a PLANTED drifted source (every
+    * ≡0 (mod 7) doc refetched with n_chars + 5000 under source
+    * `drifted`), so the `tag` policy must mark it rejected while the
+    * natural sources keep their battery verdicts; output is one row
+    * per source (n, drift). The oracle recomposes the stage from
+    * q319's own CTE chain over the same union — a dispatch typo,
+    * alpha drift, or a broken tag join flips the hash.
+    */
+  def driftAlarmGate(s: SparkSession, dir: String): DataFrame = {
+    val cfg = java.nio.file.Files.createTempFile("graft_q324_cfg",
+      ".json")
+    java.nio.file.Files.writeString(cfg,
+      """{ "stages": [
+        |  {"op": "drift_alarm", "col": "n_chars", "keyCol": "source",
+        |   "alpha": 0.05, "policy": "tag"} ] }
+        |""".stripMargin)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val input = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+        lit("drifted").as("source"),
+        (col("n_chars") + 5000L).as("n_chars")))
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    graft.etl.CurationPipeline.run(input, stages.toSeq)
+      .groupBy(col("source"), col("drift"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"), col("drift"))
+  }
+
   /** Mondrian-conformal gate (q322): q314's calibration made
     * GROUP-CONDITIONAL — one threshold per source, so every source
     * gets its own 1 − α guarantee instead of a marginal average that
@@ -873,6 +907,7 @@ object Analytics extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q322_mondrian_conformal" -> mondrianGate _,
+    "q324_drift_alarm" -> driftAlarmGate _,
     "q319_ks_battery" -> ksBatteryGate _,
     "q317_bh_fdr" -> bhGate _,
     "q318_winsorize" -> winsorizeGate _,
@@ -1027,6 +1062,77 @@ object Analytics extends QueryPack {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mc'),
         |  1, 8))::BIGINT % 2 <> 0
         |GROUP BY q.g, q.n_cal, q.k, q.qhat""".stripMargin,
+    // q319's CTE chain verbatim, over the planted-drift union, folded
+    // to the stage's tag output (source, n, drift)
+    "q324_drift_alarm" ->
+      """WITH docs2 AS (
+        |  SELECT CAST(source AS VARCHAR) AS g, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT 'drifted' AS g, n_chars + 5000 AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |cnt AS (
+        |  SELECT g, n_chars AS v, count(*) AS c
+        |  FROM docs2 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |gtot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_s
+        |         FROM cnt GROUP BY g),
+        |vals AS (SELECT DISTINCT v FROM cnt),
+        |gv AS (SELECT v, sum(c) AS cv FROM cnt GROUP BY v),
+        |grid AS (
+        |  SELECT gtot.g, gtot.n_s, vals.v, coalesce(cnt.c, 0) AS c,
+        |    gv.cv
+        |  FROM gtot CROSS JOIN vals
+        |  LEFT JOIN cnt ON cnt.g = gtot.g AND cnt.v = vals.v
+        |  JOIN gv ON gv.v = vals.v),
+        |cum AS (
+        |  SELECT g, n_s, v,
+        |    sum(c) OVER w AS cum_s, sum(cv) OVER w AS cum_all
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |per AS (
+        |  SELECT g, n_s,
+        |    CAST(max(abs(cum_s * tot.n - cum_all * n_s)) AS BIGINT)
+        |      AS d_num
+        |  FROM cum CROSS JOIN tot GROUP BY g, n_s),
+        |st AS (
+        |  SELECT g, n_s, d_num,
+        |    CAST(d_num AS DOUBLE) / (CAST(n_s AS DOUBLE) *
+        |      (CAST(tot.n AS DOUBLE) - CAST(n_s AS DOUBLE))) *
+        |      sqrt(CAST(n_s AS DOUBLE) *
+        |        (CAST(tot.n AS DOUBLE) - CAST(n_s AS DOUBLE)) /
+        |        CAST(tot.n AS DOUBLE)) AS lam
+        |  FROM per CROSS JOIN tot),
+        |pv AS (
+        |  SELECT g, n_s,
+        |    CASE WHEN lam < 0.05 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE round(least(CAST(1.0 AS DOUBLE),
+        |        greatest(CAST(0.0 AS DOUBLE),
+        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            [CASE WHEN k % 2 = 1 THEN CAST(2.0 AS DOUBLE)
+        |              ELSE CAST(-2.0 AS DOUBLE) END *
+        |              exp(CAST(-2.0 AS DOUBLE) * CAST(k AS DOUBLE) *
+        |                CAST(k AS DOUBLE) * lam * lam)
+        |             for k in range(1, 101)]),
+        |            (acc, x) -> acc + x))), 9)
+        |    END AS p_value
+        |  FROM st),
+        |r AS (
+        |  SELECT g, n_s, p_value,
+        |    CAST(row_number() OVER (ORDER BY p_value, g) AS BIGINT)
+        |      AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS nn
+        |  FROM pv),
+        |qq AS (
+        |  SELECT g, n_s, rank,
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |      min(p_value * CAST(nn AS DOUBLE) / CAST(rank AS DOUBLE))
+        |        OVER (ORDER BY rank
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |      9) AS q
+        |  FROM r)
+        |SELECT g AS source, n_s AS n, q <= CAST(0.05 AS DOUBLE) AS drift
+        |FROM qq""".stripMargin,
     "q319_ks_battery" ->
       """WITH cnt AS (
         |  SELECT CAST(source AS VARCHAR) AS g, n_chars AS v,

@@ -440,4 +440,55 @@ class CurationPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("poolPath"))
   }
+
+  test("drift_alarm: tag matches the battery, fail names the source") {
+    val base = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source", $"n_chars")
+    // the q324 fixture: one planted source whose lengths are shifted
+    // far outside the corpus — KS D ≈ 1, must reject at any alpha
+    val planted = base.unionByName(base.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 3000000L).as("doc_id"), $"text",
+        lit("drifted").as("source"),
+        ($"n_chars" + 5000L).as("n_chars")))
+    val tagged = CurationPipeline.run(planted, stagesFrom(
+      """{ "stages": [
+        |  {"op": "drift_alarm", "col": "n_chars",
+        |   "keyCol": "source", "alpha": 0.05} ] }""".stripMargin))
+    // tag drops nothing and annotates every row with its group verdict
+    assert(tagged.count() == planted.count())
+    assert(tagged.filter($"source" === "drifted" && !$"drift").isEmpty)
+    val battery = graft.operators.StatTests
+      .ksBattery(planted, "n_chars", "source", 0.05)
+      .select($"source".cast("string"), $"reject")
+    val perGroup = tagged.select($"source", $"drift").distinct()
+    assert(perGroup.count() == battery.count())
+    assert(perGroup.exceptAll(battery).isEmpty)
+    // fail policy aborts loudly, NAMING the drifted group
+    val e = intercept[IllegalStateException] {
+      CurationPipeline.run(planted, stagesFrom(
+        """{ "stages": [
+          |  {"op": "drift_alarm", "col": "n_chars",
+          |   "policy": "fail"} ] }""".stripMargin))
+    }
+    assert(e.getMessage.contains("drifted"))
+    // no drift (two groups with IDENTICAL value multisets -> D = 0,
+    // p = 1): fail passes the corpus through untouched
+    val twin = base.select($"doc_id", $"text", lit("a").as("source"),
+        $"n_chars")
+      .unionByName(base.select(($"doc_id" + 5000000L).as("doc_id"),
+        $"text", lit("b").as("source"), $"n_chars"))
+    val ok = CurationPipeline.run(twin, stagesFrom(
+      """{ "stages": [
+        |  {"op": "drift_alarm", "col": "n_chars",
+        |   "policy": "fail"} ] }""".stripMargin))
+    assert(ok.count() == twin.count())
+    // an unknown policy fails loudly
+    val e2 = intercept[IllegalArgumentException] {
+      CurationPipeline.run(planted, stagesFrom(
+        """{ "stages": [
+          |  {"op": "drift_alarm", "col": "n_chars",
+          |   "policy": "quarantine"} ] }""".stripMargin))
+    }
+    assert(e2.getMessage.contains("tag or fail"))
+  }
 }
