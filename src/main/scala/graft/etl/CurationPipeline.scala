@@ -201,6 +201,25 @@ object CurationPipeline {
   private def require_[T](v: Option[T], op: String, name: String): T =
     v.getOrElse(throw new IllegalArgumentException(s"$op needs $name"))
 
+  // The integer-exact stages (conformal_keep, winsorize, drift_alarm)
+  // cast their score column to long — on a float column that is a
+  // SILENT truncation toward zero, and the stated coverage guarantee
+  // would apply to the quantized values, not the raw scores (r14
+  // advisor). Quantizing a continuous score is a legitimate move, but
+  // it must be an explicit config decision (a cast/round stage or a
+  // pre-scaled column), never an implicit one.
+  private def requireIntegral(docs: DataFrame, c: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = docs.schema(c).dataType
+    val integral = dt == ByteType || dt == ShortType ||
+      dt == IntegerType || dt == LongType
+    require(integral,
+      s"$op col '$c' is ${dt.simpleString} — the stage is integer-" +
+        "exact and would silently truncate; quantize explicitly " +
+        "(e.g. a pre-scaled integer column) and pass that instead")
+  }
+
   /** Replaces `docs`' text with `keyed`'s (doc_id, `newTextCol`) via a
     * doc_id equi-join — for the stages whose operator reshapes the
     * corpus and returns a per-doc text (line/paragraph dedup,
@@ -385,6 +404,7 @@ object CurationPipeline {
         // an md5-designated calibration slice — a keep/flag cutoff
         // with a stated error rate instead of a folklore threshold
         val c = require_(get[String](stage, "col"), op, "col")
+        requireIntegral(docs, c, op)
         val an = getI(stage, "alphaNum").getOrElse(1)
         val ad = getI(stage, "alphaDen").getOrElse(10)
         val calMod = getI(stage, "calMod").getOrElse(5)
@@ -399,6 +419,7 @@ object CurationPipeline {
           .drop("qhat")
       case "winsorize" =>
         val c = require_(get[String](stage, "col"), op, "col")
+        requireIntegral(docs, c, op)
         graft.operators.Conformal.winsorize(docs, c,
           getI(stage, "alphaNum").getOrElse(1),
           getI(stage, "alphaDen").getOrElse(20))
@@ -414,6 +435,7 @@ object CurationPipeline {
         // whose distribution moved. ksBattery's value-domain contract
         // applies: `col` must be bounded/quantized (cast to long).
         val c = require_(get[String](stage, "col"), op, "col")
+        requireIntegral(docs, c, op)
         val key = get[String](stage, "keyCol").getOrElse("source")
         val alpha = getD(stage, "alpha").getOrElse(0.05)
         val policy = get[String](stage, "policy").getOrElse("tag")

@@ -28,6 +28,13 @@ object Rbo {
   /** Per-query RBO@k at p = 1/2 over a frame carrying both ranks
     * (null rank = item absent from that ranking). Output:
     * (queryCol, overlap_at_k, rbo).
+    *
+    * Contract: within a query each non-null rank column must be a
+    * PERMUTATION (one item per rank). Duplicate ranks would inflate
+    * X_d past d and push rbo silently past 1 — the cheap necessary
+    * check X_d ≤ d is enforced in-plan and fails loudly on the first
+    * violating (query, depth) (r14 advisor); duplicates that happen to
+    * keep every prefix count ≤ d are the caller's contract to avoid.
     */
   def rboAtK(ranked: DataFrame, queryCol: String, rankACol: String,
       rankBCol: String, k: Int): DataFrame = {
@@ -44,6 +51,16 @@ object Rbo {
         explode(sequence(col("__m"), lit(k.toLong))).as("__d"))
     val xd = contrib.groupBy(col(queryCol), col("__d"))
       .agg(count(lit(1)).as("__x"))
+      // a d-prefix of two permutations can share at most d items —
+      // X_d > d proves duplicate ranks; refuse rather than emit
+      // rbo > 1
+      .withColumn("__x",
+        when(col("__x") > col("__d"), raise_error(concat(
+          lit("rboAtK: X_d exceeds d (duplicate ranks) in query "),
+          col(queryCol).cast("string"), lit(" at depth "),
+          col("__d").cast("string"),
+          lit("; each rank column must be a per-query permutation"))))
+        .otherwise(col("__x")))
     // term_d = X_d / (d · 2^(d−1)) — exact integer division; the sum
     // folds in ascending d (X_d is unique per (query, d), so the
     // sorted-array order is total)

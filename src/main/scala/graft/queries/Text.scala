@@ -3035,10 +3035,16 @@ object Text extends QueryPack {
         |      AS maxl,
         |    CAST(len(regexp_replace(t, '[^A-Za-z]', '', 'g'))
         |      AS BIGINT) AS alpha,
+        |    -- hex runs counted over base64-masked text (one '#' per
+        |    -- run): the classes overlap and raw double-counting would
+        |    -- tally a >=64-char hex blob twice (mirrors
+        |    -- CodeFilters.flags)
         |    CAST(coalesce(list_sum([len(x) for x in
         |        regexp_extract_all(t, '[A-Za-z0-9+/=]{64,}')]), 0) +
         |      coalesce(list_sum([len(x) for x in
-        |        regexp_extract_all(t, '[0-9a-fA-F]{32,}')]), 0)
+        |        regexp_extract_all(regexp_replace(t,
+        |          '[A-Za-z0-9+/=]{64,}', '#', 'g'),
+        |          '[0-9a-fA-F]{32,}')]), 0)
         |      AS BIGINT) AS enc,
         |    (contains(lower(t), 'auto-generated') OR
         |     contains(lower(t), 'autogenerated') OR

@@ -112,8 +112,12 @@ object CorpusLaws {
     try {
       val total = cnt.agg(coalesce(sum(col("__c")), lit(0L)).as("t"))
         .head().getLong(0)
-      require(total >= minCheckpoint,
-        s"heaps fit needs >= $minCheckpoint tokens, corpus has $total")
+      // strict: total == minCheckpoint would yield a SINGLE checkpoint
+      // and a 0 least-squares denominator — NaN beta instead of a loud
+      // failure (r14 advisor)
+      require(total > minCheckpoint,
+        s"heaps fit needs > $minCheckpoint tokens (two checkpoints " +
+          s"to regress over), corpus has $total")
       // distributed prefix-sum over ascending doc id: per-partition
       // local cumsum + broadcast partition offsets
       val parted = cnt.repartitionByRange(nParts, col("__id"))

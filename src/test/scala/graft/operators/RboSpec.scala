@@ -54,4 +54,14 @@ class RboSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("exact"))
   }
+
+  test("duplicate ranks fail loudly instead of scoring rbo > 1") {
+    // rank 1 used twice in both lists: X_1 = 2 > 1 — malformed input
+    val rows = ranked(Seq(("dup", 1L, 1L), ("dup", 1L, 1L)))
+    val e = intercept[Exception] {
+      Rbo.rboAtK(rows, "q", "rank_a", "rank_b", 3).collect()
+    }
+    assert(e.getMessage.contains("duplicate ranks") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate ranks")))
+  }
 }

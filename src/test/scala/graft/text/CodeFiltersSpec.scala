@@ -42,6 +42,30 @@ class CodeFiltersSpec extends SparkSpec {
     assert(!o2.getAs[Boolean]("alpha_ok"))
   }
 
+  test("a long hex run counts once, not once per overlapping class") {
+    // hex ⊂ base64: a 64-char hex blob matches BOTH run regexes, and
+    // counting both over the raw text would give encoded_frac 2.0 —
+    // hex runs must be counted over the base64-masked residual
+    val hex64 = "deadbeef" * 8
+    val o = CodeFilters.flags(Seq((1L, hex64)).toDF("doc_id", "text"))
+      .head()
+    assert(o.getAs[Double]("encoded_frac") === 1.0)
+    // a 32–63-char hex run (below the base64 floor) still counts
+    val hex32 = "def f():\n    pass\n" * 8 + ("deadbeef" * 4)
+    val o2 = CodeFilters.flags(Seq((1L, hex32)).toDF("doc_id", "text"))
+      .head()
+    val nc = ("def f():\n    pass\n" * 8 + "deadbeef" * 4).length
+    assert(o2.getAs[Double]("encoded_frac") === 32.0 / nc)
+    // hex flanking a base64 run is absorbed by the GREEDY superset
+    // match (hex ⊂ base64), counted exactly once — and the residual
+    // '#' cannot splice the flanks into a spurious hex run
+    val spliced = "abcdef0123456789abcd" + ("+/+/" * 16) +
+      "abcdef0123456789abcd"
+    val o3 = CodeFilters.flags(Seq((1L, spliced))
+      .toDF("doc_id", "text")).head()
+    assert(o3.getAs[Double]("encoded_frac") === 1.0)
+  }
+
   test("autogen markers drop the file; empty and null text are safe") {
     val gen = "// @generated — compiled output\n" + clean
     val og = CodeFilters.flags(Seq((1L, gen)).toDF("doc_id", "text"))

@@ -116,4 +116,21 @@ class CorpusLawsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("tokens"))
   }
+
+  test("heaps: exactly one checkpoint fails loudly, not NaN") {
+    // total == minCheckpoint collapses the grid to a single point and
+    // the least-squares denominator to 0 — must refuse, not emit NaN
+    val exact = Seq((1L, Seq.tabulate(4)(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text") // exactly 4 tokens
+    val e = intercept[IllegalArgumentException] {
+      CorpusLaws.heapsFit(exact, minCheckpoint = 4)
+    }
+    assert(e.getMessage.contains("two checkpoints"))
+    // one token past the boundary regresses over [min, total] fine
+    val five = Seq((1L, Seq.tabulate(5)(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = CorpusLaws.heapsFit(five, minCheckpoint = 4).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => !r.getAs[Double]("beta").isNaN))
+  }
 }
