@@ -343,6 +343,36 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("text"), col("n_chars"))
   }
 
+  /** Config-pipeline yield-funnel gate (q326): every curation run's
+    * first question — "which stage ate the corpus?" — as a gated
+    * artifact. Fixture: documents ∪ an exact-duplicate refetch of
+    * every ≡0 (mod 3) doc (id + 1e6, text unchanged) through
+    * exact_dedup → cap_per_source(k = 3, by n_chars) via
+    * [[graft.etl.CurationPipeline.runWithReport]]; the gate emits the
+    * funnel (stage_idx, op, rows_in, rows_out, dropped) and the
+    * oracle recomputes each boundary from the stages' own semantics
+    * (keep-first = min-id per distinct text; cap = Σ_source
+    * min(3, survivors)) — a miscounted boundary or a stage reorder
+    * flips the hash.
+    */
+  def configYieldReport(s: SparkSession, dir: String): DataFrame = {
+    val cfg = java.nio.file.Files.createTempFile("graft_q326_cfg",
+      ".json")
+    java.nio.file.Files.writeString(cfg,
+      """{ "stages": [
+        |  {"op": "exact_dedup"},
+        |  {"op": "cap_per_source", "k": 3, "scoreCol": "n_chars"} ] }
+        |""".stripMargin)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val input = base.unionByName(base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("source"), col("n_chars")))
+    val stages = graft.etl.JsonSource.readConfigRow(s, cfg.toString)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("stages")
+    graft.etl.CurationPipeline.runWithReport(input, stages.toSeq)._2
+  }
+
   /** Weighted-MinHash gate (q289): ICWS-banded tf-weighted near-dup
     * pairs ([[graft.dedup.WeightedMinHash.pairs]]) at J_w ≥ 7/10 over
     * a fixture that separates the WEIGHTED metric from the set one:
@@ -804,6 +834,7 @@ object Dedup extends QueryPack {
     "q225_config_curation" -> configCuration _,
     "q226_config_curation_wide" -> configCurationWide _,
     "q238_config_curation_r13" -> configCurationR13 _,
+    "q326_config_yield_report" -> configYieldReport _,
     "q284_config_secrets_fim_rouge" -> configSecretsFimRouge _,
     "q247_config_kn_filter" -> configKnFilter _,
     "q227_config_curation_ml" -> configCurationMl _,
@@ -1354,6 +1385,27 @@ object Dedup extends QueryPack {
          |  translate(lower(text), '0134578@$$!+', 'oleastbasit'),
          |  '\\b(free|cash)\\b'), FALSE)""".stripMargin
     },
+    // each funnel boundary recomputed from the stage's own semantics
+    "q326_config_yield_report" ->
+      """WITH input AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source, n_chars
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM input),
+        |w AS (SELECT min(doc_id) AS doc_id FROM input GROUP BY text),
+        |d1 AS (SELECT i.* FROM input i JOIN w USING (doc_id)),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d1),
+        |n2 AS (
+        |  SELECT CAST(sum(least(3, c)) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS c FROM d1 GROUP BY source))
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'exact_dedup' AS op,
+        |  n0.n AS rows_in, n1.n AS rows_out, n0.n - n1.n AS dropped
+        |FROM n0 CROSS JOIN n1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'cap_per_source', n1.n, n2.n,
+        |  n1.n - n2.n
+        |FROM n1 CROSS JOIN n2""".stripMargin,
     "q226_config_curation_wide" ->
       s"""WITH d0 AS (
         |  SELECT doc_id, source,

@@ -1217,6 +1217,30 @@ object Text extends QueryPack {
     graft.text.CorpusMix.neymanAlloc(Tables.documents(s, dir),
       budget = 200)
 
+  /** DoReMi domain-reweighting gate (q325): per-source excess losses
+    * (exact integers — Σn_chars mod 7 per source, the proxy−reference
+    * clip a trainer would supply) through five rounds of
+    * [[graft.text.DomainReweight.doremi]] exponentiated-gradient
+    * updates (η = 0.1, smoothing 1/8, uniform start). The oracle
+    * unrolls the five rounds as CTE layers, folding each
+    * normalization sum in ascending-source order — the operator's
+    * documented fold order — and the weights ship on the all-integer
+    * convention, CAST(round(w·1e9, 0) AS BIGINT) on both sides
+    * (RoundingBoundarySpec pins the boundary margin).
+    */
+  def doremiGate(s: SparkSession, dir: String): DataFrame =
+    graft.text.DomainReweight.doremi(doremiDomains(s, dir))
+      .select(col("domain").as("source"),
+        col("excess").cast("long").as("excess"),
+        round(col("weight") * 1e9, 0).cast("long").as("weight_e9"))
+
+  /** The q325 domain table; exposed for RoundingBoundarySpec. */
+  def doremiDomains(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source").cast("string").as("domain"))
+      .agg(pmod(sum(col("n_chars")), lit(7L)).cast("double")
+        .as("excess"))
+
   /** Conversation-tree gate (q304): a deterministic message FOREST
     * over documents — roots at doc ≡0 (mod 7), every other message's
     * parent `doc_id − 1 − (doc_id mod 4)` (strictly smaller, so
@@ -2685,6 +2709,7 @@ object Text extends QueryPack {
     "q311_heaps_law" -> heapsGate _,
     "q313_source_diversity" -> sourceDiversityGate _,
     "q320_neyman_alloc" -> neymanGate _,
+    "q325_doremi_weights" -> doremiGate _,
     "q297_card_scrub" -> cardScrubGate _,
     "q292_query_likelihood" -> queryLikelihoodGate _,
     "q290_memorization_rate" -> memorizationGate _,
@@ -2925,6 +2950,38 @@ object Text extends QueryPack {
         |    END AS BIGINT) AS alloc,
         |  fb.fallback AS proportional_fallback
         |FROM r CROSS JOIN lo CROSS JOIN fb""".stripMargin,
+    // five EG rounds unrolled as CTE layers; each normalization sum
+    // folds in ascending-domain order (the operator's fold order)
+    "q325_doremi_weights" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""g$r AS (
+           |  SELECT g, x, w * exp(CAST(0.1 AS DOUBLE) *
+           |    greatest(CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE))) AS gg
+           |  FROM r${r - 1}),
+           |s$r AS (
+           |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(gg ORDER BY g)), (acc, v) -> acc + v) AS s
+           |  FROM g$r),
+           |r$r AS (
+           |  SELECT g, x,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.125 AS DOUBLE)) * gg /
+           |      s$r.s + CAST(0.125 AS DOUBLE) / CAST(k.k AS DOUBLE)
+           |      AS w
+           |  FROM g$r CROSS JOIN s$r CROSS JOIN k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT CAST(source AS VARCHAR) AS g,
+         |    CAST(sum(n_chars) % 7 AS BIGINT) AS x
+         |  FROM documents GROUP BY 1),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM d),
+         |r0 AS (
+         |  SELECT g, x, CAST(1.0 AS DOUBLE) / CAST(k.k AS DOUBLE) AS w
+         |  FROM d CROSS JOIN k),
+         |$rounds
+         |SELECT g AS source, x AS excess,
+         |  CAST(round(w * 1e9, 0) AS BIGINT) AS weight_e9
+         |FROM r5""".stripMargin
+    },
     "q313_source_diversity" ->
       """WITH c AS (
         |  SELECT CAST(source AS VARCHAR) AS g, count(*) AS c

@@ -27,8 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   `avro.enum.symbols` (string array) writes as ENUM (symbols
   *   validated per value, loud on a non-member), a BinaryType field
   *   with `avro.fixed.size` writes as FIXED (length validated per
-  *   value). Reading back yields plain string/binary — the
-  *   symbols/size live in the FILE schema; `decimal` logical
+  *   value). Reading back yields string/binary VALUES with the
+  *   symbols/size surfaced into the same metadata keys (struct
+  *   fields only — array/map elements have no metadata to ride), so
+  *   a read → write round trip re-emits ENUM/FIXED; `decimal` logical
   *   BYTES/FIXED ↔ DecimalType (unscaled two's-complement bytes, the
   *   standard Avro encoding — writes go out as BYTES);
   *   `timestamp-millis` READS into TimestampType (×1000 into Spark's
@@ -124,8 +126,32 @@ object AvroSchemas {
       s"graftavro expects a RECORD top level, got ${schema.getType}")
     StructType(schema.getFields.asScala.map { f =>
       val (dt, nullable) = sparkField(f.schema())
-      StructField(f.name(), dt, nullable)
+      StructField(f.name(), dt, nullable, readMetadata(f.schema()))
     }.toArray)
+  }
+
+  /** ENUM symbols / FIXED size surfaced into the SAME field-metadata
+    * keys the write side consumes, so read → write round-trips re-emit
+    * ENUM/FIXED instead of decaying to string/bytes. Struct fields
+    * only (top level and nested records): Spark metadata lives on
+    * StructField, so an enum INSIDE an array/map element has nowhere
+    * to ride and still decays — by construction, not oversight.
+    */
+  private def readMetadata(s: Schema): Metadata = {
+    val branches =
+      if (s.getType == Schema.Type.UNION)
+        s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+      else Seq(s)
+    branches match {
+      case Seq(u) if u.getType == Schema.Type.ENUM =>
+        new MetadataBuilder().putStringArray(EnumSymbolsKey,
+          u.getEnumSymbols.asScala.toArray).build()
+      case Seq(u) if u.getType == Schema.Type.FIXED &&
+          !u.getLogicalType.isInstanceOf[LogicalTypes.Decimal] =>
+        new MetadataBuilder()
+          .putLong(FixedSizeKey, u.getFixedSize.toLong).build()
+      case _ => Metadata.empty
+    }
   }
 
   /** Unwraps a (NULL, T) union to (T, nullable = true). */

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+
+/** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+  * Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+  * the principled answer to "how much of each source goes in the
+  * mix": given each domain's EXCESS LOSS (proxy-model loss minus
+  * reference-model loss, clipped at 0 — how much headroom the domain
+  * still has), run exponentiated-gradient ascent on the domain
+  * weights,
+  *
+  *   g_i = α_i · exp(η · max(ℓ_i, 0))
+  *   α'_i = (1 − c) · g_i / Σ_j g_j  +  c / k
+  *
+  * for a fixed number of rounds, starting from uniform α = 1/k. The
+  * multiplicative update concentrates weight on high-excess-loss
+  * domains while the uniform smoothing c keeps every domain sampled —
+  * the minimax-regret structure of the paper, reduced to its
+  * data-plane step (the proxy-training loop that produces the excess
+  * losses is the trainer's side of the contract; this operator turns
+  * its output into the weights [[CorpusMix.mix]] /
+  * [[CorpusMix.unimaxMix]] consume).
+  *
+  * Bounded-domain contract (the [[CorpusMix.neymanAlloc]]
+  * discipline): the input is one row per DOMAIN — tens to thousands,
+  * never row-scale — so the loop runs on a collected, sorted table
+  * and refuses loudly above `maxDomains`. Determinism/exactness: the
+  * normalization sum folds in ascending-domain order, every step is
+  * a fixed IEEE expression, and gates emit the final weights on the
+  * all-integer convention (`round(w · 1e9, 0)` → BIGINT).
+  */
+object DomainReweight {
+
+  /** Final mixture weights after `rounds` EG updates. Output:
+    * (domainCol, excessCol, weight), one row per domain, weights
+    * summing to 1 up to float rounding.
+    */
+  def doremi(domains: DataFrame, domainCol: String = "domain",
+      excessCol: String = "excess", rounds: Int = 5, eta: Double = 0.1,
+      smoothing: Double = 0.125, maxDomains: Int = 10000): DataFrame = {
+    require(rounds >= 1 && rounds <= 1000,
+      s"rounds in [1, 1000]: $rounds")
+    require(eta > 0.0 && eta.isFinite, s"eta must be positive: $eta")
+    require(smoothing >= 0.0 && smoothing < 1.0,
+      s"smoothing in [0, 1): $smoothing")
+    val spark = domains.sparkSession
+    import org.apache.spark.sql.functions.col
+    val collected = domains
+      .select(col(domainCol).cast("string"), col(excessCol).cast("double"))
+      .collect()
+    require(collected.nonEmpty, "doremi on an empty domain table")
+    require(collected.length <= maxDomains,
+      s"doremi is a bounded-DOMAIN operator (one row per domain): " +
+        s"${collected.length} rows > $maxDomains — aggregate per-row " +
+        "losses to domains first, or raise maxDomains explicitly")
+    require(collected.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "doremi: null domain or null excess loss — fill or drop the " +
+        "domain explicitly")
+    val sorted = collected.map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1)
+    require(sorted.map(_._1).distinct.length == sorted.length,
+      "doremi: duplicate domain rows — the input is one row per domain")
+    val k = sorted.length
+    var w = Array.fill(k)(1.0 / k)
+    var r = 0
+    while (r < rounds) {
+      val g = Array.tabulate(k)(i =>
+        w(i) * math.exp(eta * math.max(sorted(i)._2, 0.0)))
+      // ascending-domain fold — the order the oracle's list(… ORDER BY
+      // domain) fold replays
+      var s = 0.0
+      var i = 0
+      while (i < k) { s += g(i); i += 1 }
+      w = Array.tabulate(k)(i => (1.0 - smoothing) * g(i) / s +
+        smoothing / k)
+      r += 1
+    }
+    import spark.implicits._
+    sorted.zip(w).toSeq
+      .map { case ((d, x), wi) => (d, x, wi) }
+      .toDF(domainCol, excessCol, "weight")
+  }
+}

@@ -441,6 +441,30 @@ class CurationPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("poolPath"))
   }
 
+  test("runWithReport: funnel counts match the staged corpora") {
+    val docs = Tables.documents(spark, sf)
+    val stages = stagesFrom(
+      """{ "stages": [
+        |  {"op": "exact_dedup"},
+        |  {"op": "cap_per_source", "k": 2, "scoreCol": "n_chars"} ] }
+        |""".stripMargin)
+    val (result, report) = CurationPipeline.runWithReport(docs, stages)
+    val rows = report.orderBy($"stage_idx").collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("exact_dedup", "cap_per_source"))
+    assert(rows(0).getAs[Long]("rows_in") == docs.count())
+    // boundary chaining: rows_out of stage i IS rows_in of stage i+1
+    assert(rows(0).getAs[Long]("rows_out") ==
+      rows(1).getAs[Long]("rows_in"))
+    assert(rows(1).getAs[Long]("rows_out") == result.count())
+    assert(rows.forall(r => r.getAs[Long]("dropped") ==
+      r.getAs[Long]("rows_in") - r.getAs[Long]("rows_out")))
+    // the audited result equals the unaudited one
+    val plain = CurationPipeline.run(docs, stages)
+    assert(result.exceptAll(plain).isEmpty &&
+      plain.exceptAll(result).isEmpty)
+  }
+
   test("drift_alarm: tag matches the battery, fail names the source") {
     val base = Tables.documents(spark, sf)
       .select($"doc_id", $"text", $"source", $"n_chars")

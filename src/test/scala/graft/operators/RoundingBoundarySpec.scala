@@ -59,5 +59,10 @@ class RoundingBoundarySpec extends SparkSpec {
       assertSafe(graft.queries.Analytics
         .krippendorffUnroundedForSpec(spark, dir), "q251")
     }
+
+    test(s"q325 unrounded DoReMi weights are boundary-safe at $tag") {
+      assertSafe(graft.text.DomainReweight.doremi(
+        graft.queries.Text.doremiDomains(spark, dir)), "q325")
+    }
   }
 }

@@ -246,6 +246,52 @@ class AvroSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("4 bytes")))
   }
 
+  test("enum/fixed survive a read → write round trip via metadata") {
+    // read-back surfaces symbols/size into the SAME metadata keys the
+    // write side consumes (closes r14 'what's missing #3': reads no
+    // longer decay enum/fixed to bare string/binary)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("color", StringType, nullable = true,
+        new MetadataBuilder()
+          .putStringArray(AvroSchemas.EnumSymbolsKey,
+            Array("RED", "GREEN", "BLUE")).build()),
+      StructField("digest", BinaryType, nullable = true,
+        new MetadataBuilder()
+          .putLong(AvroSchemas.FixedSizeKey, 4L).build())))
+    val rows = Seq(Row(1L, "GREEN", Array[Byte](1, 2, 3, 4)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      schema).write.format("graftavro").mode("overwrite")
+      .save(tmp("enum_rt"))
+    val first = spark.read.format("graftavro").load(tmp("enum_rt"))
+    assert(first.schema("color").metadata
+      .getStringArray(AvroSchemas.EnumSymbolsKey).toSeq ==
+      Seq("RED", "GREEN", "BLUE"))
+    assert(first.schema("digest").metadata
+      .getLong(AvroSchemas.FixedSizeKey) == 4L)
+    first.write.format("graftavro").mode("overwrite").save(tmp("enum2"))
+    val f2 = new java.io.File(tmp("enum2")).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val rdr2 = new org.apache.avro.file.DataFileReader[Any](f2,
+      new org.apache.avro.generic.GenericDatumReader[Any]())
+    val ws2 = rdr2.getSchema
+    rdr2.close()
+    def branch2(name: String) =
+      ws2.getField(name).schema().getTypes.get(1)
+    assert(branch2("color").getType ==
+      org.apache.avro.Schema.Type.ENUM)
+    assert(branch2("color").getEnumSymbols.toString ==
+      "[RED, GREEN, BLUE]")
+    assert(branch2("digest").getType ==
+      org.apache.avro.Schema.Type.FIXED)
+    assert(branch2("digest").getFixedSize == 4)
+    // and the values still round-trip
+    val again = spark.read.format("graftavro").load(tmp("enum2"))
+      .orderBy($"id").collect()
+    assert(again(0).getString(1) == "GREEN")
+    assert(again(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
   test("schema-evolved reads null-fill missing nullable columns") {
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
       .write.format("graftavro").mode("overwrite").save(tmp("evo"))

@@ -1,0 +1,89 @@
+package graft.text
+
+import graft.SparkSpec
+
+class DomainReweightSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def domains(rows: (String, Double)*) =
+    rows.toDF("domain", "excess")
+
+  test("equal excess losses keep the mixture uniform") {
+    val out = DomainReweight.doremi(
+        domains(("a", 2.0), ("b", 2.0), ("c", 2.0), ("d", 2.0)))
+      .collect().map(_.getAs[Double]("weight"))
+    assert(out.length == 4)
+    assert(math.abs(out.sum - 1.0) < 1e-12)
+    assert(out.max - out.min < 1e-12)
+  }
+
+  test("weight order follows excess order; smoothing floors the tail") {
+    val out = DomainReweight.doremi(
+        domains(("hi", 5.0), ("mid", 2.0), ("lo", 0.0)),
+        rounds = 5, eta = 0.5, smoothing = 0.125)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight"))
+      .toMap
+    assert(out("hi") > out("mid") && out("mid") > out("lo"))
+    // the uniform-smoothing term keeps every domain sampled
+    assert(out.values.forall(_ >= 0.125 / 3))
+    assert(math.abs(out.values.sum - 1.0) < 1e-12)
+  }
+
+  test("one round, two domains matches the closed form") {
+    val out = DomainReweight.doremi(domains(("a", 0.0), ("b", 10.0)),
+        rounds = 1, eta = 0.1, smoothing = 0.125)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight"))
+      .toMap
+    val g = Array(0.5 * math.exp(0.1 * 0.0), 0.5 * math.exp(0.1 * 10.0))
+    val s = g(0) + g(1)
+    assert(out("a") == (1.0 - 0.125) * g(0) / s + 0.125 / 2)
+    assert(out("b") == (1.0 - 0.125) * g(1) / s + 0.125 / 2)
+  }
+
+  test("negative excess clips to zero (the DoReMi max(λ, 0))") {
+    val out = DomainReweight.doremi(
+        domains(("neg", -50.0), ("zero", 0.0)), rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight"))
+      .toMap
+    // clipped at 0, both domains are identical to the update
+    assert(math.abs(out("neg") - out("zero")) < 1e-15)
+  }
+
+  test("more rounds concentrate more on the high-excess domain") {
+    def hi(rounds: Int) = DomainReweight.doremi(
+        domains(("hi", 4.0), ("lo", 0.0)), rounds = rounds)
+      .filter($"domain" === "hi").head().getAs[Double]("weight")
+    assert(hi(1) < hi(3) && hi(3) < (hi(10) + 1e-15))
+  }
+
+  test("contract violations fail loudly") {
+    val dup = intercept[IllegalArgumentException] {
+      DomainReweight.doremi(domains(("a", 1.0), ("a", 2.0)))
+    }
+    assert(dup.getMessage.contains("duplicate domain"))
+    val empty = intercept[IllegalArgumentException] {
+      DomainReweight.doremi(domains())
+    }
+    assert(empty.getMessage.contains("empty"))
+    val big = intercept[IllegalArgumentException] {
+      DomainReweight.doremi(domains(("a", 1.0), ("b", 2.0), ("c", 3.0)),
+        maxDomains = 2)
+    }
+    assert(big.getMessage.contains("bounded-DOMAIN"))
+    val nul = intercept[IllegalArgumentException] {
+      DomainReweight.doremi(
+        Seq(("a", Some(1.0)), ("b", None)).toDF("domain", "excess"))
+    }
+    assert(nul.getMessage.contains("null excess"))
+    assert(intercept[IllegalArgumentException] {
+      DomainReweight.doremi(domains(("a", 1.0)), eta = 0.0)
+    }.getMessage.contains("eta"))
+    assert(intercept[IllegalArgumentException] {
+      DomainReweight.doremi(domains(("a", 1.0)), smoothing = 1.0)
+    }.getMessage.contains("smoothing"))
+    assert(intercept[IllegalArgumentException] {
+      DomainReweight.doremi(domains(("a", 1.0)), rounds = 0)
+    }.getMessage.contains("rounds"))
+  }
+}
