@@ -188,7 +188,9 @@ object CurationPipeline {
     * corpus, a report frame (stage_idx, op, rows_in, rows_out,
     * dropped) — the number every curation run is interrogated with
     * ("which stage ate 40% of the corpus?") made a first-class
-    * output instead of a log-scrape. Auditing is not free: each stage
+    * output instead of a log-scrape (`dropped` goes NEGATIVE when a
+    * stage ADDS rows — mix/unimax copies). Auditing is not free: each
+    * stage
     * boundary is localCheckpointed and counted, so stages materialize
     * once instead of fusing into one lazy plan — use [[run]] when no
     * funnel is needed. Counts are exact and the checkpoint guarantees
@@ -475,9 +477,11 @@ object CurationPipeline {
         policy match {
           case "tag" =>
             // battery is groups-sized by ksBattery's domain contract —
-            // broadcast, no shuffle of the corpus
+            // broadcast, no shuffle of the corpus; null-safe equality
+            // because a null key forms its own battery group and plain
+            // === would silently DROP those rows from the tag output
             docs.join(broadcast(battery),
-              docs(key).cast("string") === col("__drift_g"))
+              docs(key).cast("string") <=> col("__drift_g"))
               .drop("__drift_g")
           case "fail" =>
             val bad = battery.filter(col("drift"))

@@ -241,10 +241,15 @@ object StatTests {
                     col("__lam") * col("__lam"))))), 9)))
         .select(col("g"), col("n_s"), col("d_num"),
           round(col("__d"), 9).as("d"), col("p_value"))
+      // null-safe join back: a null-keyed group is a legitimate
+      // battery member (its rows DID get tested against the rest) and
+      // a plain equi-join would silently drop it from the output
       bhAdjust(stats.select(col("g"), col("p_value")), "g", "p_value",
           alpha)
         .withColumnRenamed("p", "p_value")
-        .join(stats.drop("p_value"), Seq("g"))
+        .join(stats.drop("p_value").withColumnRenamed("g", "__g2"),
+          col("g") <=> col("__g2"))
+        .drop("__g2")
         .select(col("g").as(groupCol), col("n_s"), col("d_num"),
           col("d"), col("p_value"), col("rank"), col("q"),
           col("reject"))

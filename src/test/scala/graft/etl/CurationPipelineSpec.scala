@@ -514,5 +514,15 @@ class CurationPipelineSpec extends SparkSpec {
           |   "policy": "quarantine"} ] }""".stripMargin))
     }
     assert(e2.getMessage.contains("tag or fail"))
+    // a null key forms its own battery group — tag must keep those
+    // rows (null-safe join), not silently drop them
+    val withNull = planted.unionByName(base.limit(5)
+      .select(($"doc_id" + 9000000L).as("doc_id"), $"text",
+        lit(null).cast("string").as("source"), $"n_chars"))
+    val taggedN = CurationPipeline.run(withNull, stagesFrom(
+      """{ "stages": [
+        |  {"op": "drift_alarm", "col": "n_chars"} ] }""".stripMargin))
+    assert(taggedN.count() == withNull.count())
+    assert(taggedN.filter($"source".isNull).count() == 5)
   }
 }

@@ -178,6 +178,18 @@ class StatTestsSpec extends SparkSpec {
     assert(bat("a") === pair && bat("b") === pair)
   }
 
+  test("ks battery: a null-keyed group stays in the battery output") {
+    // null is a legitimate group key (unknown source); the join back
+    // from the BH adjustment is null-safe, so the group's verdict must
+    // appear instead of silently vanishing
+    val rows = (1L to 60L).map(i => (Some(s"s${i % 3}"), i % 10)) ++
+      (1L to 20L).map(i => (None: Option[String], i % 10))
+    val out = StatTests.ksBattery(rows.toDF("g", "v"), "v", "g", 0.05)
+      .collect()
+    assert(out.length == 4)
+    assert(out.count(_.isNullAt(0)) == 1)
+  }
+
   test("ks battery: a lone group fails loudly") {
     val e = intercept[IllegalArgumentException] {
       StatTests.ksBattery(
