@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the exact-order-statistic layer: the distributed
+  * prefix-sum implementations (Conformal thresholds/winsorize, the KS
+  * battery's integer D core, RBO's depth fold) must agree with brute
+  * in-memory references on randomized inputs. Raw ScalaCheck
+  * generators with fixed seeds — the FlattenerPropertySpec convention
+  * (the scalatest-scalacheck bridge isn't in the offline cache).
+  */
+class OrderStatPropertySpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(1234L + i)))
+
+  private val scoresGen: Gen[List[Long]] =
+    Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50L, 50L)))
+
+  test("conformal threshold equals the brute k-th smallest") {
+    val alphas = Seq((1, 10), (1, 4), (3, 7), (9, 10))
+    for (scores <- samples(scoresGen, 8); (an, ad) <- alphas) {
+      val df = scores.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+      val row = Conformal.threshold(df, "s", an, ad).head()
+      val n = scores.length
+      val kRaw = ((n + 1).toLong * (ad - an) + ad - 1) / ad
+      val k = math.min(kRaw, n.toLong)
+      val expect = scores.sorted.apply(k.toInt - 1)
+      assert(row.getAs[Long]("qhat") == expect,
+        s"scores=$scores alpha=$an/$ad")
+      assert(row.getAs[Long]("n_cal") == n.toLong)
+      assert(row.getAs[Long]("k") == k)
+      assert(row.getAs[Boolean]("k_clamped") == (kRaw > n))
+    }
+  }
+
+  test("winsorize clips at the brute alpha / 1-alpha order statistics") {
+    for (scores <- samples(scoresGen, 8)) {
+      val df = scores.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+      val out = Conformal.winsorize(df, "s", 1, 20)
+        .select($"id", $"s_winsorized").as[(Long, Long)].collect().toMap
+      val n = scores.length
+      val sorted = scores.sorted
+      val kLo = math.max(1L, (n.toLong + 19L) / 20L)
+      val kHi = n + 1 - kLo
+      val lo = sorted(kLo.toInt - 1)
+      val hi = sorted(kHi.toInt - 1)
+      scores.zipWithIndex.foreach { case (v, i) =>
+        assert(out(i.toLong) == math.min(math.max(v, lo), hi),
+          s"scores=$scores v=$v lo=$lo hi=$hi")
+      }
+    }
+  }
+
+  // universe of m items; each ranking ranks a random subset 1..|subset|
+  private val rankedGen: Gen[Seq[(Long, Option[Long], Option[Long])]] =
+    for {
+      m <- Gen.choose(1, 15)
+      na <- Gen.choose(0, m)
+      nb <- Gen.choose(0, m)
+      pa <- Gen.pick(na, 0 until m)
+      pb <- Gen.pick(nb, 0 until m)
+    } yield {
+      val ra = pa.zipWithIndex.map { case (it, r) => it -> (r + 1L) }.toMap
+      val rb = pb.zipWithIndex.map { case (it, r) => it -> (r + 1L) }.toMap
+      (0 until m).map(it => (it.toLong, ra.get(it), rb.get(it)))
+    }
+
+  test("rboAtK matches the brute prefix-overlap fold") {
+    val k = 7
+    for (items <- samples(rankedGen, 15)) {
+      val df = items.map { case (id, a, b) => ("q", id, a, b) }
+        .toDF("q", "item", "rank_a", "rank_b")
+      val row = Rbo.rboAtK(df, "q", "rank_a", "rank_b", k).head()
+      def x(d: Int): Long = items.count { case (_, a, b) =>
+        a.exists(_ <= d) && b.exists(_ <= d)
+      }.toLong
+      var acc = 0.0
+      for (d <- 1 to k)
+        acc += x(d).toDouble / (d.toLong * (1L << (d - 1))).toDouble
+      val brute = BigDecimal(0.5 * acc)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getAs[Long]("overlap_at_k") == x(k), s"items=$items")
+      assert(row.getAs[Double]("rbo") == brute, s"items=$items")
+    }
+  }
+
+  private val twoGroupGen: Gen[(List[Long], List[Long])] = for {
+    a <- Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 20L)))
+    b <- Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 20L)))
+  } yield (a, b)
+
+  test("two-group KS battery D core equals the brute ECDF distance") {
+    for ((a, b) <- samples(twoGroupGen, 10)) {
+      val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+      val bat = StatTests.ksBattery(df, "v", "g", 0.05).collect()
+        .map(r => r.getAs[String]("g") -> r.getAs[Long]("d_num")).toMap
+      val na = a.length.toLong
+      val nb = b.length.toLong
+      // D over the common denominator na·nb: max over distinct values
+      // of |cumA·nb − cumB·na| — the battery's rest-of-corpus core
+      // reduces to exactly this when the rest IS the other group
+      val brute = (a ++ b).distinct.map { v =>
+        math.abs(a.count(_ <= v) * nb - b.count(_ <= v) * na)
+      }.max
+      assert(bat("a") == brute && bat("b") == brute,
+        s"a=$a b=$b bat=$bat brute=$brute")
+    }
+  }
+}
