@@ -719,7 +719,35 @@ object Similarity extends QueryPack {
        |$ranks""".stripMargin
   }
 
+  /** Late-interaction (ColBERT MaxSim) gate (q327): token bags of
+    * four 8-d vectors per doc/query, synthesized by EXACT INTEGER
+    * arithmetic ((id·7 + t·3 + i) mod 5 − 2; queries salted ·11/·5/·3)
+    * so every dot product, max, and sum is an exactly-representable
+    * integer in any fold order — the score ships as BIGINT with no
+    * float surface at all ([[graft.similarity.LateInteraction
+    * .maxSimTopK]]). Top-5 per query, ties to the smaller doc id (the
+    * TopKAgg order mirrored by the oracle's row_number).
+    */
+  def lateInteractionGate(s: SparkSession, dir: String): DataFrame = {
+    def bags(idCol: org.apache.spark.sql.Column, s1: Int, s2: Int,
+        s3: Int) =
+      transform(sequence(lit(0), lit(3)), t =>
+        transform(sequence(lit(0), lit(7)), i =>
+          (pmod(idCol * s1 + t * s2 + i * s3, lit(5)) - 2)
+            .cast("float")))
+    val embs = Tables.embeddings(s, dir)
+    val docs = embs.select(col("vec_id").as("doc_id"),
+      bags(col("vec_id"), 7, 3, 1).as("tok_vecs"))
+    val qs = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        bags(col("vec_id"), 11, 5, 3).as("tok_vecs"))
+    graft.similarity.LateInteraction.maxSimTopK(docs, qs, k = 5)
+      .select(col("query_id"), col("doc_id"),
+        col("score").cast("long").as("score"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_late_interaction" -> lateInteractionGate _,
     "q293_mmr_diversify" -> mmrGate _,
     "q291_semantic_order" -> semanticOrderGate _,
     "q274_matryoshka_truncate" -> truncationGate _,
@@ -967,6 +995,35 @@ object Similarity extends QueryPack {
         |  FROM s)
         |SELECT anchor_id, neg_id, round(sim, 6) AS sim_r
         |FROM r WHERE rk <= 4""".stripMargin,
+    // MaxSim over integer token bags: nested comprehensions replay the
+    // dot / max / sum chain; all values exact integers, no floats on
+    // the hashed surface
+    "q327_late_interaction" ->
+      """WITH d AS (
+        |  SELECT vec_id AS doc_id,
+        |    [[CAST((vec_id*7 + t*3 + i) % 5 - 2 AS DOUBLE)
+        |      for i in range(0, 8)] for t in range(0, 4)] AS tv
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id,
+        |    [[CAST((vec_id*11 + t*5 + i*3) % 5 - 2 AS DOUBLE)
+        |      for i in range(0, 8)] for t in range(0, 4)] AS tv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [list_max([list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [qt[i]*dt[i] for i in range(1, 9)]), (a,b) -> a + b)
+        |        for dt in d.tv])
+        |       for qt in q.tv]), (a,b) -> a + b) AS score
+        |  FROM q CROSS JOIN d),
+        |r AS (
+        |  SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, doc_id, score, rank FROM r
+        |WHERE rank <= 5""".stripMargin,
     "q40_ann_brute_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

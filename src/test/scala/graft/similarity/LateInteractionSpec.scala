@@ -1,0 +1,60 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class LateInteractionSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  private def frame(rows: Seq[(Long, Seq[Seq[Float]])], id: String) =
+    rows.toDF(id, "tok_vecs")
+
+  test("MaxSim matches the hand fold and ranks score-desc") {
+    // q has two tokens; doc 1's best matches: [1,0]·[1,0]=1 (tok A),
+    // [0,2]·[0,3]=6 (tok B) → 7; doc 2: max dots 2 and 2 → 4
+    val docs = frame(Seq(
+      1L -> Seq(Seq(1f, 0f), Seq(0f, 3f)),
+      2L -> Seq(Seq(2f, 0f), Seq(0f, 1f))), "doc_id")
+    val qs = frame(Seq(
+      10L -> Seq(Seq(1f, 0f), Seq(0f, 2f))), "query_id")
+    val out = LateInteraction.maxSimTopK(docs, qs, k = 2)
+      .orderBy($"rank").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSeq ==
+      Seq((1L, 7.0, 1), (2L, 4.0, 2)))
+  }
+
+  test("every query token picks its OWN best document token") {
+    // one doc token is best for q-token A, another for q-token B —
+    // MaxSim sums both (7), single-vector pooling could not
+    val docs = frame(Seq(
+      1L -> Seq(Seq(3f, 0f), Seq(0f, 4f))), "doc_id")
+    val qs = frame(Seq(
+      10L -> Seq(Seq(1f, 0f), Seq(0f, 1f))), "query_id")
+    val score = LateInteraction.maxSimTopK(docs, qs, k = 1)
+      .head().getAs[Double]("score")
+    assert(score == 7.0)
+  }
+
+  test("ties rank the smaller doc id first; k caps the output") {
+    val docs = frame(Seq(
+      5L -> Seq(Seq(1f)), 3L -> Seq(Seq(1f)), 9L -> Seq(Seq(0f))),
+      "doc_id")
+    val qs = frame(Seq(10L -> Seq(Seq(2f))), "query_id")
+    val out = LateInteraction.maxSimTopK(docs, qs, k = 2)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 5L))
+  }
+
+  test("empty token bags drop instead of poisoning the sum") {
+    val docs = frame(Seq(
+      1L -> Seq(Seq(1f, 1f)),
+      2L -> Seq.empty[Seq[Float]]), "doc_id")
+    val qs = frame(Seq(
+      10L -> Seq(Seq(1f, 0f)),
+      11L -> Seq.empty[Seq[Float]]), "query_id")
+    val out = LateInteraction.maxSimTopK(docs, qs, k = 5).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(out.map(_.getAs[Long]("query_id")).toSeq == Seq(10L))
+  }
+}
