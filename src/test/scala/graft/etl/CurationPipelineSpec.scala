@@ -514,6 +514,11 @@ class CurationPipelineSpec extends SparkSpec {
           |   "policy": "quarantine"} ] }""".stripMargin))
     }
     assert(e2.getMessage.contains("tag or fail"))
+    // the tag join broadcasts the groups-sized battery — the corpus
+    // must not shuffle for it
+    val tagPlan = tagged.queryExecution.executedPlan.toString
+    assert(tagPlan.contains("BroadcastHashJoin") ||
+      tagPlan.contains("BroadcastNestedLoopJoin"), tagPlan)
     // a null key forms its own battery group — tag must keep those
     // rows (null-safe join), not silently drop them
     val withNull = planted.unionByName(base.limit(5)

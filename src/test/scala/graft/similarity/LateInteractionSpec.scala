@@ -46,6 +46,20 @@ class LateInteractionSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 5L))
   }
 
+  test("plan: query side broadcasts, top-k never windows the pairs") {
+    val docs = frame((1L to 50L).map(i =>
+      i -> Seq(Seq(i.toFloat, 1f))), "doc_id")
+    val qs = frame(Seq(10L -> Seq(Seq(1f, 0f))), "query_id")
+    val plan = LateInteraction.maxSimTopK(docs, qs, k = 3)
+      .queryExecution.executedPlan.toString
+    // bounded query batch rides a broadcast nested-loop; the corpus is
+    // never shuffled for the join, and top-k is the bounded aggregate,
+    // not a row_number window over all pairs
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("empty token bags drop instead of poisoning the sum") {
     val docs = frame(Seq(
       1L -> Seq(Seq(1f, 1f)),
