@@ -746,7 +746,63 @@ object Similarity extends QueryPack {
         col("score").cast("long").as("score"), col("rank"))
   }
 
+  /** Pruned late-interaction gate (q328): q327's documented
+    * corpus×corpus scale path EXECUTED — ANN-prune on POOLED vectors
+    * (exact quarter-integer token means through [[graft.similarity
+    * .IvfIndex]], 8 cells, nprobe 4, C = 50 candidates), then
+    * MaxSim-rescore only the candidate pairs
+    * ([[graft.similarity.LateInteraction.rescorePairs]]), recall
+    * pinned against the brute MaxSim truth (the q67 discipline: the
+    * brute pass IS the oracle; the production path is the pruned
+    * one). Token bags here are exact integers with period-101
+    * structure, so bags are document-distinct (q327's mod-5 fixture
+    * would collapse to five bag classes and make pruning trivial).
+    */
+  def prunedMaxSimGate(s: SparkSession, dir: String): DataFrame = {
+    def bags(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(3)), t =>
+        transform(sequence(lit(0), lit(7)), i =>
+          (pmod(pmod(id * (i * 2 + 3) + t * 7, lit(101)), lit(9)) - 4)
+            .cast("float")))
+    val embs = Tables.embeddings(s, dir)
+    val docs = embs.select(col("vec_id").as("doc_id"),
+      bags(col("vec_id")).as("tok_vecs"))
+    val qs = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        bags(col("vec_id")).as("tok_vecs"))
+    def pooled(df: DataFrame, idCol: String) = df.select(col(idCol),
+      transform(sequence(lit(0), lit(7)), i =>
+        (aggregate(col("tok_vecs"), lit(0.0), (acc, tv) =>
+          acc + element_at(tv, i + 1).cast("double")) / 4.0)
+          .cast("float")).as("embedding"))
+    val docPool = pooled(docs, "doc_id")
+      .withColumnRenamed("doc_id", "vec_id")
+    val qPool = pooled(qs, "query_id")
+    val model = graft.similarity.IvfIndex.train(s, docPool,
+      numCells = 8, iterations = 1)
+    val cands = graft.similarity.IvfIndex.searchTopK(s, model, docPool,
+        qPool, k = 50, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    val pruned = graft.similarity.LateInteraction
+      .rescorePairs(cands, docs, qs, k = 5)
+    val brute = graft.similarity.LateInteraction
+      .maxSimTopK(docs, qs, k = 5)
+    val nc = cands.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val hits = brute.select(col("query_id"), col("doc_id"))
+      .join(pruned.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    // measured: n_hit = 5/5 for every query at sf0.01 AND sf0.1; the
+    // pin keeps the q67 margin (>= 4) so the gate asserts pruning
+    // quality, not kmeans bit-trivia
+    nc.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_cand"),
+        (coalesce(col("n_hit"), lit(0L)) >= 4).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_pruned_maxsim" -> prunedMaxSimGate _,
     "q327_late_interaction" -> lateInteractionGate _,
     "q293_mmr_diversify" -> mmrGate _,
     "q291_semantic_order" -> semanticOrderGate _,
@@ -995,6 +1051,12 @@ object Similarity extends QueryPack {
         |  FROM s)
         |SELECT anchor_id, neg_id, round(sim, 6) AS sim_r
         |FROM r WHERE rk <= 4""".stripMargin,
+    // the candidate count is structural (top-50 fills from 4 probed
+    // cells); recall_ok is the engine-side bound, the q67 convention
+    "q328_pruned_maxsim" ->
+      """SELECT vec_id AS query_id, CAST(50 AS BIGINT) AS n_cand,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // MaxSim over integer token bags: nested comprehensions replay the
     // dot / max / sum chain; all values exact integers, no floats on
     // the hashed surface

@@ -44,20 +44,51 @@ object LateInteraction {
       docIdCol: String = "doc_id", queryIdCol: String = "query_id",
       vecsCol: String = "tok_vecs"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val spark = docTokens.sparkSession
     val docs = docTokens.filter(size(col(vecsCol)) > 0)
       .select(col(docIdCol), col(vecsCol).as("__dvs"))
     val qs = queryTokens.filter(size(col(vecsCol)) > 0)
       .select(col(queryIdCol), col(vecsCol).as("__qvs"))
+    topKScored(docs.crossJoin(broadcast(qs)), k, docIdCol, queryIdCol)
+  }
+
+  /** MaxSim RESCORING of a candidate pair list — the corpus×corpus
+    * scale path: prune with an ANN pass over POOLED vectors
+    * ([[IvfIndex.searchTopK]]), then late-interaction-score only the
+    * (query, candidate) pairs it returned. Candidates equi-join their
+    * token bags (shuffle keyed on ids, bounded by queries × C — never
+    * the corpus square); the query side broadcasts as in
+    * [[maxSimTopK]]. Pairs naming a dropped (empty-bag) or unknown id
+    * vanish from the output rather than scoring null.
+    */
+  def rescorePairs(pairs: DataFrame, docTokens: DataFrame,
+      queryTokens: DataFrame, k: Int, docIdCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      vecsCol: String = "tok_vecs"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docs = docTokens.filter(size(col(vecsCol)) > 0)
+      .select(col(docIdCol), col(vecsCol).as("__dvs"))
+    val qs = queryTokens.filter(size(col(vecsCol)) > 0)
+      .select(col(queryIdCol), col(vecsCol).as("__qvs"))
+    val joined = pairs.select(col(queryIdCol), col(docIdCol))
+      .join(docs, Seq(docIdCol))
+      .join(broadcast(qs), Seq(queryIdCol))
+    topKScored(joined, k, docIdCol, queryIdCol)
+  }
+
+  /** Shared scoring tail: MaxSim over (__qvs, __dvs) pair rows, then
+    * the bounded per-query top-k. */
+  private def topKScored(pairRows: DataFrame, k: Int, docIdCol: String,
+      queryIdCol: String): DataFrame = {
+    val spark = pairRows.sparkSession
     def dot(a: Column, b: Column): Column =
       aggregate(
         zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
     val score = aggregate(col("__qvs"), lit(0.0), (acc, qv) =>
       acc + array_max(transform(col("__dvs"), dv => dot(qv, dv))))
-    val scored = docs.crossJoin(broadcast(qs))
+    pairRows
       .select(col(queryIdCol), col(docIdCol), score.as("score"))
-    scored.groupBy(col(queryIdCol))
+      .groupBy(col(queryIdCol))
       .agg(graft.functions.GraftFunctions.topK(spark, col("score"),
         col(docIdCol), k).as("top"))
       .select(col(queryIdCol), posexplode(col("top")).as(Seq("pos", "e")))

@@ -46,6 +46,29 @@ class LateInteractionSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 5L))
   }
 
+  test("rescorePairs scores only candidates; full pair set equals brute") {
+    val docs = frame(Seq(
+      1L -> Seq(Seq(1f, 0f)), 2L -> Seq(Seq(0f, 2f)),
+      3L -> Seq(Seq(3f, 3f))), "doc_id")
+    val qs = frame(Seq(10L -> Seq(Seq(1f, 1f))), "query_id")
+    val pairs = Seq((10L, 1L), (10L, 2L), (10L, 99L))
+      .toDF("query_id", "doc_id")
+    val out = LateInteraction.rescorePairs(pairs, docs, qs, k = 5)
+      .orderBy($"rank").collect()
+    // doc 3 (best score, 6) is NOT a candidate and must not appear;
+    // the unknown id 99 vanishes instead of scoring null
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Double]("score"))).toSeq == Seq((2L, 2.0), (1L, 1.0)))
+    // the exhaustive pair set reproduces the brute ranking exactly
+    val all = Seq((10L, 1L), (10L, 2L), (10L, 3L))
+      .toDF("query_id", "doc_id")
+    val full = LateInteraction.rescorePairs(all, docs, qs, k = 3)
+      .orderBy($"rank").collect().toSeq
+    val brute = LateInteraction.maxSimTopK(docs, qs, k = 3)
+      .orderBy($"rank").collect().toSeq
+    assert(full == brute)
+  }
+
   test("plan: query side broadcasts, top-k never windows the pairs") {
     val docs = frame((1L to 50L).map(i =>
       i -> Seq(Seq(i.toFloat, 1f))), "doc_id")
