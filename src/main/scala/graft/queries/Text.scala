@@ -1126,6 +1126,22 @@ object Text extends QueryPack {
     graft.text.TrainShards.byDocCount(Tables.documents(s, dir),
       shardDocs = 256, epochs = 2)
 
+  /** Shard-manifest gate (q329): the q256 shard cut's INTEGRITY
+    * record — per (epoch, shard) doc count + sha256 over the per-doc
+    * content sha256s in stream order
+    * ([[graft.text.TrainShards.manifest]]). The verification contract
+    * a loader or mirror checks against; the oracle rebuilds the q256
+    * assignment replay and the digest-of-digests with an ordered
+    * string_agg, so a dropped/reordered/mutated row on either side
+    * flips the hash.
+    */
+  def shardManifestGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.text.TrainShards.manifest(docs,
+      graft.text.TrainShards.byDocCount(docs, shardDocs = 256,
+        epochs = 2))
+  }
+
   /** Loop-detection gate (q302): two planted degenerations — a
     * period-1 token stutter (docs ≡0 mod 9) and a period-2 A-B cycle
     * (docs ≡1 mod 9, which also contains period-1 matches NOWHERE, so
@@ -2757,6 +2773,7 @@ object Text extends QueryPack {
     "q250_heavy_hitters" -> heavyHittersGate _,
     "q255_dictionary_tag" -> dictionaryTagGate _,
     "q256_train_shards" -> trainShardsGate _,
+    "q329_shard_manifest" -> shardManifestGate _,
     "q299_config_materialize" -> configMaterialize _,
     "q300_config_shards" -> configShards _,
     "q302_loop_detect" -> loopDetectGate _,
@@ -4698,6 +4715,28 @@ object Text extends QueryPack {
         |  CAST(pos // 256 AS INT) AS shard,
         |  CAST(pos % 256 AS INT) AS pos_in_shard
         |FROM p""".stripMargin,
+    // q256's assignment replay + an ordered digest-of-digests
+    "q329_shard_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |    lpad(CAST(epoch AS VARCHAR), 4, '0') || ':' ||
+        |      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+        |      || ':' || CAST(doc_id AS VARCHAR) AS k
+        |  FROM documents, range(2) t(epoch)),
+        |p AS (
+        |  SELECT doc_id, epoch,
+        |    CAST(row_number() OVER (ORDER BY k) AS BIGINT) - 1 AS pos
+        |  FROM s),
+        |a AS (
+        |  SELECT doc_id, epoch,
+        |    CAST(pos // 256 AS INT) AS shard,
+        |    CAST(pos % 256 AS INT) AS pis
+        |  FROM p)
+        |SELECT a.epoch, a.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  sha256(string_agg(sha256(coalesce(d.text, '')), ''
+        |    ORDER BY a.pis)) AS content_sha
+        |FROM a JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q139_train_order" ->
       """WITH s AS (
         |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,

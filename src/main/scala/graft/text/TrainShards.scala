@@ -51,4 +51,34 @@ object TrainShards {
       .sortWithinPartitions(col("shard"), col("epoch"),
         col("pos_in_shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** Shard INTEGRITY MANIFEST: one row per (epoch, shard) with its
+    * doc count and a content digest — sha256 over the per-doc content
+    * sha256s concatenated in stream order. The verification contract
+    * a loader (or a re-export, or a mirror) checks against: any
+    * dropped, duplicated, reordered, or mutated row flips the digest;
+    * a manifest diff names exactly the shards that need re-pull. Null
+    * content digests as the empty string (deterministic, not
+    * null-poisoning).
+    *
+    * Scale shape: one hash-aggregate keyed on (epoch, shard); the
+    * in-group collect is bounded by `shardDocs` BY CONSTRUCTION
+    * (shards are fixed-size cuts), so the sorted digest array is
+    * shard-sized, never corpus-sized.
+    */
+  def manifest(docs: DataFrame, assignments: DataFrame,
+      idCol: String = "doc_id",
+      contentCol: String = "text"): DataFrame = {
+    val h = sha2(coalesce(col(contentCol).cast("string"), lit("")), 256)
+    docs.join(assignments, Seq(idCol))
+      .select(col("epoch"), col("shard"), col("pos_in_shard"),
+        h.as("__h"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sha2(concat_ws("",
+          transform(
+            sort_array(collect_list(struct(col("pos_in_shard"),
+              col("__h")))),
+            s => s.getField("__h"))), 256).as("content_sha"))
+  }
 }

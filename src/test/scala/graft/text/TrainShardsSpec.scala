@@ -67,4 +67,37 @@ class TrainShardsSpec extends SparkSpec {
     assert(violations.isEmpty,
       "in-file order must equal stream order per shard")
   }
+
+  test("manifest: digest flips on mutation, reorder, and drop") {
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id")).as("text"))
+    val a = TrainShards.byDocCount(docs, shardDocs = 32, epochs = 1)
+    def digests(m: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      m.orderBy($"epoch", $"shard").collect().toSeq
+        .map(r => (r.getAs[Long]("n_docs"),
+          r.getAs[String]("content_sha")))
+    val m1 = digests(TrainShards.manifest(docs, a))
+    assert(m1.length == 7 && m1.init.forall(_._1 == 32L) &&
+      m1.last._1 == 8L)
+    // deterministic across partitionings
+    assert(m1 == digests(TrainShards.manifest(docs.repartition(5), a)))
+    // one mutated row flips exactly that shard's digest
+    val mutated = docs.withColumn("text",
+      when($"doc_id" === 7L, lit("TAMPERED")).otherwise($"text"))
+    val m2 = digests(TrainShards.manifest(mutated, a))
+    assert(m1.zip(m2).count { case (x, y) => x._2 != y._2 } == 1)
+    // a swap of two in-shard positions flips the digest even though
+    // the row SET is unchanged (order is part of the contract)
+    val swapped = a.withColumn("pos_in_shard",
+      when($"pos_in_shard" === 0, 1)
+        .when($"pos_in_shard" === 1, 0)
+        .otherwise($"pos_in_shard"))
+    val m3 = digests(TrainShards.manifest(docs, swapped))
+    assert(m1.zip(m3).forall { case (x, y) => x._2 != y._2 })
+    // null content digests as empty string, not null-poisoning
+    val withNull = docs.withColumn("text",
+      when($"doc_id" === 3L, lit(null: String)).otherwise($"text"))
+    val m4 = TrainShards.manifest(withNull, a).collect()
+    assert(m4.forall(!_.isNullAt(3)))
+  }
 }
