@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: write `.explain("formatted")` for one or more SparkEntry
+  * queries to files — `runMain graft.PlanDump <outDir> <query...>`
+  * against SPARK_GRAFT_SF_DIR. Used to commit the plan evidence the
+  * optimization rounds require (plans/rNN/<query>_{before,after}.txt).
+  *
+  * Same session shape as [[Bench]] so the dumped plan is the plan the
+  * bench actually executes (AQE on, shuffle partitions = cpus).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val names = args.drop(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, s"$name.txt"), plan)
+        println(s"[plan-dump] wrote $outDir/$name.txt")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plan-dump] $name failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
