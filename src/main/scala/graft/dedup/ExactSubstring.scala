@@ -42,15 +42,21 @@ object ExactSubstring {
     */
   /** All L-window hashes with start positions; docs shorter than L have
     * no window and drop out (they cannot contain an L-token repeat).
+    *
+    * One generated pass ([[graft.functions.WindowHashesExpr]]) — the
+    * HOF spelling (`transform(sequence(...), xxhash64(concat_ws(" ",
+    * slice(tokens, i+1, l))))`) built and hashed a fresh ~6·L-char
+    * string per window position in interpreted mode; the native pass
+    * hashes each token once and chains L long-mixes per window (r15:
+    * q127 windows stage ~3× faster). Hash VALUES differ from the old
+    * spelling; they only ever group/join, so the span set is identical
+    * modulo the same xxhash64 collision odds.
     */
   private def windows(docs: DataFrame, l: Int,
       idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        TextShingles.tokens(col(textCol)).as("tokens"))
-      .filter(size(col("tokens")) >= l)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("tokens")) - l),
-        i => xxhash64(concat_ws(" ", slice(col("tokens"), i + 1, lit(l)))))))
+        graft.functions.GraftFunctions.windowHashes(col(textCol), l).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")))
       .toDF("doc_id", "p", "h")
 
   def duplicateSpans(docs: DataFrame, l: Int = 50,

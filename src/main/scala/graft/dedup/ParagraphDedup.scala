@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cross-document PARAGRAPH dedup — the MassiveText/CCNet boilerplate
@@ -69,26 +69,27 @@ object ParagraphDedup {
     * [[dedupParagraphs]] (Gopher's repetition cleanup): keep only the
     * FIRST occurrence of each exact line inside a document (scraped
     * pages repeat their own share-bars and cookie banners between
-    * every section). One (doc, line)-keyed aggregate picks the keeper
-    * positions, then the same position-ordered reassembly — per-doc
-    * state bounded by the document, never a window over a corpus-wide
-    * key, and every input doc emits exactly one row.
+    * every section).
+    *
+    * Per-row NARROW since r15: "first occurrence of each exact line,
+    * in order" is precisely `array_distinct`'s contract, so the whole
+    * operator is `array_join(array_distinct(split(text, "\n")), "\n")`
+    * — zero shuffles, zero joins, all native expressions. The previous
+    * spelling (explode → (doc, line) min-pos aggregate → per-doc
+    * reassembly → join back) paid two corpus-keyed shuffles and a join
+    * for a computation that never leaves the row; equivalence
+    * (including null text → empty string, duplicate empty lines) is
+    * pinned in DedupSpec against the old aggregate form.
     */
   def dedupLinesWithinDoc(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val rebuilt = lines.groupBy(col(idCol), col("line"))
-      .agg(min(col("pos")).as("pos"))
-      .groupBy(col(idCol))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("line")))),
-        x => x.getField("line")), "\n").as("clean_text"))
-    // null-text docs explode to zero rows — the left join keeps the
-    // one-row-per-input-doc contract (empty text, never a lost row)
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
-  }
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), dedupLinesCol(col(textCol)).as("clean_text"))
+
+  /** The [[dedupLinesWithinDoc]] kernel as a column expression — for
+    * pipelines that want to rewrite the text IN PLACE without a join
+    * ([[graft.etl.CurationPipeline]]'s `line_dedup` stage). Null text
+    * yields the empty string (the explode-form contract).
+    */
+  def dedupLinesCol(text: Column): Column =
+    coalesce(array_join(array_distinct(split(text, "\n")), "\n"), lit(""))
 }

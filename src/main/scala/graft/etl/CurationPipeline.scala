@@ -375,8 +375,9 @@ object CurationPipeline {
         graft.dedup.KeepBest.byContent(docs, score,
           contentCol = contentCol)
       case "line_dedup" =>
-        replaceText(docs, ParagraphDedup.dedupLinesWithinDoc(docs),
-          "clean_text")
+        // narrow in-place rewrite (r15): the within-doc kernel never
+        // leaves the row, so no (doc_id, clean_text) join is needed
+        docs.withColumn("text", ParagraphDedup.dedupLinesCol(col("text")))
       case "paragraph_dedup" =>
         val minCopies = getI(stage, "minCopies").getOrElse(2)
         replaceText(docs,

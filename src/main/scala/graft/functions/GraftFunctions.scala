@@ -94,6 +94,21 @@ object GraftFunctions {
     call_function(name, html)
   }
 
+  val WINDOW_HASHES_PREFIX = "graft_window_hashes_" // one name per l
+
+  /** All L-token-window hashes in one generated pass (see
+    * [[WindowHashes.hashes]]). Registers on the active session.
+    */
+  def windowHashes(text: Column, l: Int): Column = {
+    val spark = SparkSession.active
+    val name = WINDOW_HASHES_PREFIX + l
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => WindowHashesExpr(exprs(0), l),
+      "built-in")
+    call_function(name, text)
+  }
+
   /** xxhash64 of every token in one generated pass (see
     * [[TokenHashes.hashes]]). Registers on the active session.
     */
@@ -342,10 +357,43 @@ object GraftFunctions {
     call_function(DOT_FN, a.cast("array<double>"), b.cast("array<double>"))
   }
 
+  val NORMALIZE_FN = "graft_normalize_vec"
+  val NORMALIZE_ZEROS_FN = "graft_normalize_vec_zeros"
+
   /** Normalize to a unit vector (per-row, once — pairs then use
-    * [[dotProduct]]). Null for zero vectors.
+    * [[dotProduct]]). Null for zero vectors. One generated pass (see
+    * [[NormalizeVec]]) — the HOF spelling re-evaluated the norm
+    * subtree per ELEMENT in interpreted mode (dim² per row); this is
+    * bit-identical to it (same left-to-right IEEE fold) at O(dim).
     */
   def normalize(a: Column): Column = {
+    val spark = SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NORMALIZE_FN,
+      exprs => NormalizeVecExpr(exprs(0), zeroAsZeros = false),
+      "built-in")
+    call_function(NORMALIZE_FN, a.cast("array<double>"))
+  }
+
+  /** [[normalize]] with the q274 Matryoshka edge semantics: a
+    * zero-norm input yields a ZERO vector (never null) — the
+    * `when(norm === 0, 0.0).otherwise(x / norm)` per-element form,
+    * in one generated pass.
+    */
+  def normalizeZeros(a: Column): Column = {
+    val spark = SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NORMALIZE_ZEROS_FN,
+      exprs => NormalizeVecExpr(exprs(0), zeroAsZeros = true),
+      "built-in")
+    call_function(NORMALIZE_ZEROS_FN, a.cast("array<double>"))
+  }
+
+  /** HOF spelling of [[normalize]] — kept ONLY as the equivalence
+    * reference for the property test pinning the generated pass
+    * bit-identical to it (SimilaritySearchSpec).
+    */
+  def normalizeHofReference(a: Column): Column = {
     import org.apache.spark.sql.functions._
     val v = a.cast("array<double>")
     val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x))

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Unit-normalize a double array in ONE native pass.
+  *
+  * The composable HOF spelling this replaces —
+  * `when(n > 0, transform(v, x => x / n))` with
+  * `n = sqrt(aggregate(transform(v, x => x*x), 0.0, _+_))` — is the
+  * r15 profile's single hottest kernel: higher-order functions
+  * evaluate interpreted, and because the norm subtree `n` is embedded
+  * INSIDE the division lambda, it is re-evaluated once per ELEMENT —
+  * O(dim²) interpreted work per row (the same dim² trap
+  * [[graft.similarity.SqIndex.encode]] documents for its indexed
+  * spelling). Measured at sf0.1: `SqIndex.train` (one min/max
+  * aggregate over 2 000 normalized vectors) spent 2.9 s, almost all
+  * of it normalizing; every ANN/similarity gate pays the same tax on
+  * both sides of every search.
+  *
+  * Bit-exact equivalence with the HOF form (property-tested in
+  * SimilaritySearchSpec): the sum of squares accumulates LEFT-TO-RIGHT
+  * in element order (identical IEEE adds), `sqrt` and the per-element
+  * divisions are the same ops, and the null/edge semantics replicate
+  * exactly —
+  *   - null input → null;
+  *   - any null ELEMENT → null (the HOF's fold turns null into a null
+  *     norm, and `when(null > 0)` falls through to null);
+  *   - zero norm → null (`n > 0.0` is false);
+  *   - NaN norm divides through to NaN elements — Spark's `>` orders
+  *     NaN GREATER than everything, so `when(NaN > 0)` is TRUE;
+  *   - +Inf norm divides through (finite/Inf = 0.0, Inf/Inf = NaN).
+  *
+  * [[NormalizeVec.normalizeZeros]] is the q274 Matryoshka variant
+  * (`when(norm === 0.0, 0.0).otherwise(x / norm)` per element): zero
+  * norm yields a ZERO vector, a null element nulls every element of
+  * the output (null norm → null condition → `x / null`) but never the
+  * array itself.
+  */
+object NormalizeVec {
+
+  /** Static entry for generated code: unit vector, or null for
+    * zero/NaN norm or any null element. */
+  def normalize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    val norm = math.sqrt(s)
+    // Spark's `>` orders NaN GREATER than everything, so the HOF's
+    // `when(n > 0.0, ...)` passes a NaN norm through (NaN elements);
+    // only an exact zero norm nulls the vector
+    if (norm == 0.0) return null
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Static entry for generated code: zero norm → zero vector; null
+    * element → every output element null; NaN norm divides through. */
+  def normalizeZeros(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0
+    var sawNull = false
+    var i = 0
+    while (i < n && !sawNull) {
+      if (v.isNullAt(i)) sawNull = true
+      else { val x = v.getDouble(i); s += x * x }
+      i += 1
+    }
+    if (sawNull) return new GenericArrayData(new Array[Any](n))
+    val norm = math.sqrt(s)
+    if (norm == 0.0) {
+      UnsafeArrayData.fromPrimitiveArray(new Array[Double](n))
+    } else {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+}
+
+/** `graft_normalize_vec(v)` / `graft_normalize_vec_zeros(v)` — see
+  * [[NormalizeVec]]. */
+case class NormalizeVecExpr(child: Expression, zeroAsZeros: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"normalize_vec expects array<double>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (zeroAsZeros) "normalize_vec_zeros" else "normalize_vec"
+
+  private def entry: String =
+    if (zeroAsZeros) "normalizeZeros" else "normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    if (zeroAsZeros) NormalizeVec.normalizeZeros(input.asInstanceOf[ArrayData])
+    else NormalizeVec.normalize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.NormalizeVec.$entry($a);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeVecExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All L-token-window hashes of a text column in ONE native pass — the
+  * exact-substring dedup's window kernel
+  * ([[graft.dedup.ExactSubstring]]).
+  *
+  * The HOF spelling this replaces built, for EVERY window position, a
+  * fresh ~300-char string (`concat_ws(" ", slice(tokens, i+1, l))`)
+  * and xxhash64'd it — O(tokens × L) interpreted work and allocation
+  * per document. Here tokens are hashed ONCE (the [[TokenHashes]]
+  * tokenization: maximal `[a-z0-9]+` runs of the lowercased text,
+  * Spark's own `XxHash64Function` at seed 42) and each window hash
+  * chains the L token hashes through the same xxhash64 long-mixing
+  * step Spark's multi-argument `xxhash64(...)` uses — O(tokens × L)
+  * long mixes, no allocation, ~two orders less work per window.
+  *
+  * The hash VALUES differ from the old spelling by construction; they
+  * never surface — [[graft.dedup.ExactSubstring]] only groups and
+  * joins on them, so any hash with xxhash64's collision odds yields
+  * the identical (doc_id, p) span set (the documented ~|windows|²/2⁶⁵
+  * trade). Equality of the span set against a brute-force reference
+  * is property-tested in DedupSpec.
+  *
+  * Output: element m = hash of the window starting at 0-based token
+  * index m; documents with fewer than L tokens yield an EMPTY array
+  * (they cannot contain an L-token repeat), so `posexplode` drops
+  * them exactly like the old `size(tokens) >= l` filter.
+  */
+object WindowHashes {
+
+  /** Static entry for generated code. */
+  def hashes(text: UTF8String, l: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val n = s.length
+    // tokenize + hash each token once (TokenHashes' exact tokenization)
+    val th = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val alnum = i < n && {
+        val c = s.charAt(i)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        th += XxHash64Function.hash(
+          UTF8String.fromString(s.substring(start, i)), StringType, 42L)
+        start = -1
+      }
+      i += 1
+    }
+    val t = th.length
+    if (t < l) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val out = new Array[Long](t - l + 1)
+    var w = 0
+    while (w <= t - l) {
+      // chain the window's token hashes exactly like Spark's
+      // multi-argument xxhash64 chains its arguments (each step seeds
+      // the next long-hash with the running value)
+      var h = 42L
+      var m = 0
+      while (m < l) {
+        h = XxHash64Function.hash(th(w + m), LongType, h)
+        m += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `graft_window_hashes_<l>(text)` — see [[WindowHashes.hashes]]. */
+case class WindowHashesExpr(child: Expression, l: Int)
+    extends UnaryExpression {
+
+  require(l >= 1, s"window length must be >= 1, got $l")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_window_hashes expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = s"graft_window_hashes_$l"
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHashes.hashes(input.asInstanceOf[UTF8String], l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WindowHashes.hashes($c, $l)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
+}

@@ -26,13 +26,14 @@ object EmbeddingOps {
     */
   def truncated(vec: Column, dim: Int, renorm: Boolean = true): Column = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val prefix = slice(transform(vec, _.cast("double")), 1, dim)
+    // cast("array<double>") == transform(_.cast("double")) value-wise,
+    // but runs as a native Cast instead of an interpreted lambda
+    val prefix = slice(vec.cast("array<double>"), 1, dim)
     if (!renorm) prefix
-    else {
-      val norm = sqrt(aggregate(prefix, lit(0.0), (a, x) => a + x * x))
-      transform(prefix, x =>
-        when(norm === 0.0, lit(0.0)).otherwise(x / norm))
-    }
+    // one generated pass (NormalizeVec) — the HOF spelling re-evaluated
+    // the norm fold per ELEMENT interpreted (dim² per row); zero-norm
+    // prefixes still renormalize to zeros, bit-identical otherwise
+    else GraftFunctions.normalizeZeros(prefix)
   }
 
   /** Per-vector truncation report: `vec_id`, `n_dims` (the truncated

@@ -92,6 +92,37 @@ class ExactSubstringSpec extends SparkSpec {
     assert(got === Array((2L, 1L, 2L), (3L, 1L, 3L), (4L, 1L, 5L)))
   }
 
+  test("native window hashing reproduces the brute span set (r15)") {
+    // deterministic pseudo-random corpus with planted cross-doc and
+    // within-doc repeats at varying offsets — the span set from the
+    // generated WindowHashes kernel must equal a brute per-window-TEXT
+    // reference computed in plain Scala
+    val rnd = new scala.util.Random(42)
+    def tok(): String = "w" + rnd.nextInt(40)
+    val shared = (1 to 12).map(_ => tok()).mkString(" ")
+    val docs = (1 to 15).map { i =>
+      val own = (1 to 10 + rnd.nextInt(15)).map(_ => tok()).mkString(" ")
+      val t =
+        if (i % 3 == 0) s"$own $shared"
+        else if (i % 3 == 1) s"$shared $own"
+        else own
+      (i.toLong, t)
+    }
+    val l = 8
+    // brute reference: window text -> occurrences; keeper = min (doc, p)
+    val wins = docs.flatMap { case (id, t) =>
+      val ts = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      (0 to ts.length - l).map(p => (ts.slice(p, p + l).mkString(" "), id, p))
+    }
+    val expected = wins.groupBy(_._1).values.filter(_.size > 1).flatMap { occ =>
+      val keeper = occ.map(o => (o._2, o._3)).min
+      occ.map(o => (o._2, o._3)).filterNot(_ == keeper)
+    }.toSet
+    val got = ExactSubstring.duplicateSpans(docs.toDF("doc_id", "text"), l = l)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expected)
+  }
+
   test("duplicationProfile of a no-repeat corpus is empty") {
     val corpus = (1 to 5).map(i => (i.toLong, words(s"u$i", 30)))
       .toDF("doc_id", "text")

@@ -42,6 +42,38 @@ class ParagraphDedupSpec extends SparkSpec {
       2L -> "body one\nunique here"))
   }
 
+  test("narrow line-dedup equals the aggregate reference form (r15)") {
+    import org.apache.spark.sql.functions._
+    // includes: duplicate empty lines, a null text, an all-dup doc, a
+    // doc whose every line is distinct
+    val docs = Seq(
+      (1L, "a\n\nb\n\na\nc"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "x\nx\nx"),
+      (4L, "p\nq\nr"),
+      (5L, "")).toDF("doc_id", "text")
+    // the pre-r15 explode → (doc, line) min-pos aggregate → reassembly
+    // → join-back spelling, inlined as the equivalence reference
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val rebuilt = lines.groupBy(col("doc_id"), col("line"))
+      .agg(min(col("pos")).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("clean_text"))
+    val reference = docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .as[(Long, String)].collect().toMap
+    val narrow = ParagraphDedup.dedupLinesWithinDoc(docs)
+      .as[(Long, String)].collect().toMap
+    assert(narrow == reference)
+    assert(narrow(1L) == "a\n\nb\nc") // first "" kept, second dropped
+    assert(narrow(2L) == "")
+  }
+
   test("raising minCopies spares lines under the threshold") {
     val docs = Seq((1L, "a\nb"), (2L, "a\nc"), (3L, "a\nb"))
       .toDF("doc_id", "text")

@@ -25,6 +25,40 @@ class SimilaritySpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("native normalize is bit-identical to the HOF reference (r15)") {
+    import graft.SparkSpec.spark.implicits._
+    // real embeddings: every element must match BITWISE (same IEEE
+    // fold order), not just within epsilon
+    val v = embs.limit(200).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val both = v.select(
+      GraftFunctions.normalize(col("v")).as("nat"),
+      GraftFunctions.normalizeHofReference(col("v")).as("hof"))
+    // null-safe equality catches null/non-null disagreement too
+    val mism = both.filter(!(col("nat") <=> col("hof"))).count()
+    assert(mism == 0)
+    // edge cases: zero vector, NaN (Spark's `NaN > 0` is TRUE — the
+    // vector divides through to NaN elements, and Spark's equality
+    // treats NaN = NaN), plain vector, empty array; compared with the
+    // same null-safe SQL equality
+    val edgeMism = Seq(
+      Array(0.0, 0.0),
+      Array(Double.NaN, 1.0),
+      Array(3.0, 4.0),
+      Array.empty[Double]).toDF("v")
+      .select(
+        GraftFunctions.normalize(col("v")).as("nat"),
+        GraftFunctions.normalizeHofReference(col("v")).as("hof"))
+      .filter(!(col("nat") <=> col("hof"))).count()
+    assert(edgeMism == 0)
+    val withNullElem = Seq(Tuple1(Seq[java.lang.Double](1.0, null)))
+      .toDF("v")
+      .select(GraftFunctions.normalize(col("v").cast("array<double>")))
+      .head()
+    assert(withNullElem.isNullAt(0),
+      "a null element must null the whole vector, like the HOF fold")
+  }
+
   test("cosine/dot of mismatched-length arrays is null, not a truncated score") {
     import graft.SparkSpec.spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
