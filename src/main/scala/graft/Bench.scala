@@ -52,7 +52,15 @@ object Bench {
     "q289_weighted_minhash",
     // r13b steadies past the 3 s adaptive-refork line: skip the
     // wasted shared pass
-    "q282_instruction_dedup", "q286_collocations", "q287_ccnet_buckets")
+    "q282_instruction_dedup", "q286_collocations", "q287_ccnet_buckets",
+    // r15: rows whose shared-pass steady ran 2-4x their fresh-JVM
+    // steady mid-sweep (parent-heap contention; q169 shared 10.1 s vs
+    // 2.8 s clean) — fork them against the fresh parent instead of
+    // paying two inflated shared runs first
+    "q169_fuzzy_join", "q226_config_curation_wide",
+    "q227_config_curation_ml", "q222_curation_attrition",
+    "q245_paired_bleu", "q215_tokenizer_eval", "q253_wordpiece_encode",
+    "q208_media_dedup", "q216_bootstrap_ci")
 
   /** Streaming/stateful gates: never forked (their cost is micro-batch
     * overhead, not JVM contention) and exempt from adaptive re-forking.
@@ -71,15 +79,16 @@ object Bench {
   /** A shared-JVM steady time above this re-measures forked. */
   private val ForkThresholdSec = 3.0
 
-  /** Queries whose run-2 is still JIT warmup tail, not steady —
-    * measured (r12, fresh JVMs): q93 12.4/3.5/2.9/2.6 s and q203
-    * 11.0/3.4/2.2/1.8 s across 4 runs. A 2-run fork reports the
-    * tail (the r11 'q93 +56%' was exactly this, root-caused: no
-    * LakeDml merge-path change in r11's log, and run-4 steady
-    * matches r10's 2.51 s); these fork with 4 runs instead.
+  /** Minimum fork-child run count. r12 measured run-2 still being JIT
+    * warmup tail for q93/q203 (12.4/3.5/2.9/2.6 s across 4 runs) and
+    * special-cased them; r15 fresh-JVM probes showed the same shape on
+    * EVERY plan-heavy query (q169: 19.3/20.5/3.5/2.8 s — run 2 was 7x
+    * the true steady; q86: 26.2/11.8/11.9/4.4; q226: 22.2/12.8/5.8/
+    * 5.6; q227: 18.2/8.2/9.6/5.9), so the 4-run discipline is now the
+    * fork default and BenchOne reports min over runs >= 2 (every run
+    * cold-cache — a steady estimate, never a cache artifact).
     */
-  private val SlowWarmup: Map[String, Int] = Map(
-    "q93_sql_merge" -> 4, "q203_bm25_topk" -> 4)
+  private val MinForkRuns = 4
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,7 +145,7 @@ object Bench {
     def forkSteady(name: String): Option[Double] = try {
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java").getPath
-      val forkRuns = math.max(runs, Bench.SlowWarmup.getOrElse(name, runs))
+      val forkRuns = math.max(runs, Bench.MinForkRuns)
       val cmd: Seq[String] = Seq(javaBin) ++ Jdk17Opens ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
