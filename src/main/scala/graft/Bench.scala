@@ -79,16 +79,17 @@ object Bench {
   /** A shared-JVM steady time above this re-measures forked. */
   private val ForkThresholdSec = 3.0
 
-  /** Minimum fork-child run count. r12 measured run-2 still being JIT
-    * warmup tail for q93/q203 (12.4/3.5/2.9/2.6 s across 4 runs) and
-    * special-cased them; r15 fresh-JVM probes showed the same shape on
-    * EVERY plan-heavy query (q169: 19.3/20.5/3.5/2.8 s — run 2 was 7x
-    * the true steady; q86: 26.2/11.8/11.9/4.4; q226: 22.2/12.8/5.8/
-    * 5.6; q227: 18.2/8.2/9.6/5.9), so the 4-run discipline is now the
-    * fork default and BenchOne reports min over runs >= 2 (every run
-    * cold-cache — a steady estimate, never a cache artifact).
+  /** Maximum fork-child run count. r12/r15 measured run 2 (and
+    * sometimes run 3) still being JIT warmup tail on plan-heavy
+    * queries (q169: 19.3/20.5/3.5/2.8 s; q86: 26.2/11.8/11.9/4.4), so
+    * BenchOne always takes >= 2 post-cold runs and reports min over
+    * runs >= 2 (every run cold-cache — a steady estimate, never a
+    * cache artifact). r15's FLAT 4-run minimum roughly doubled fork
+    * wall time and blew the driver's 32-core budget (BENCH_r15 rc
+    * 124), so the child is now ADAPTIVE (r15 verdict ask #1): 3 runs,
+    * plus a 4th only when runs 2 and 3 disagree > 20%.
     */
-  private val MinForkRuns = 4
+  private val MaxForkRuns = 4
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,7 +146,7 @@ object Bench {
     def forkSteady(name: String): Option[Double] = try {
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java").getPath
-      val forkRuns = math.max(runs, Bench.MinForkRuns)
+      val forkRuns = math.max(runs, Bench.MaxForkRuns)
       val cmd: Seq[String] = Seq(javaBin) ++ Jdk17Opens ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
@@ -182,6 +183,24 @@ object Bench {
     // per-query fork measurements (all child runs), surfaced in the
     // full JSON line so fork-vs-shared discrepancies are auditable
     val forkRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-query shared-pass run times (r15 advisor ask): the shared
+    // pass has a documented multi-second noise floor on this box, so
+    // every run lands in the artifact and noise vs. real movement is
+    // auditable for shared rows exactly as forkRuns makes it for forks
+    val sharedRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+
+    /** Shared-pass steady: run `runs` times, record every run, report
+      * the last (the shared-pass metric unchanged since r1; the fork
+      * metric is BenchOne's min-over-runs >= 2).
+      */
+    def sharedSteady(n: String): Double = {
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var t0 = -1.0
+      var i = 0
+      while (i < runs && { t0 = exec(n); ts += t0; t0 >= 0 }) i += 1
+      sharedRuns(n) = ts.toSeq
+      t0
+    }
 
     /** Fork once; re-fork and take the min if the first child exceeds
       * the sanity bound. Records every child measurement in [[forkRuns]].
@@ -211,15 +230,9 @@ object Bench {
     val results0 = names.map { n =>
       val t =
         if (KnownHeavy.contains(n))
-          forkMin(n).getOrElse { // child died: measure shared
-            var t0 = -1.0; var i = 0
-            while (i < runs && { t0 = exec(n); t0 >= 0 }) i += 1
-            t0
-          }
+          forkMin(n).getOrElse(sharedSteady(n)) // child died: shared
         else {
-          var t0 = -1.0
-          var i = 0
-          while (i < runs && { t0 = exec(n); t0 >= 0 }) i += 1
+          val t0 = sharedSteady(n)
           if (t0 > ForkThresholdSec && !Streaming.contains(n))
             // adaptive: a fork can only ADD contention, so a forked
             // number larger than the shared steady time is noise —
@@ -255,8 +268,17 @@ object Bench {
     val forksFull = forkRuns.map { case (k, vs) =>
       "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val sharedFull = sharedRuns.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // steady-metric tag (r15 verdict ask): forked rows report
+    // BenchOne's min over runs >= 2 of an adaptive 3-4 cold-cache
+    // runs; shared rows report the last of SPARK_GRAFT_BENCH_RUNS
+    // runs. Cross-round tooling must not mix differently-tagged runs.
+    val steadyTag =
+      "\"steady\":\"fork=min_ge2_adaptive3to4;shared=last_of_" + runs + "\""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"errors":$errsFull,"fork_runs":$forksFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$steadyTag,"queries":$qsFull,"errors":$errsFull,"fork_runs":$forksFull,"shared_runs":$sharedFull,"sf":"$sfDir"}"""
     println(fullLine)
     // the SAME full-fidelity JSON as a FILE artifact: stdout passes
     // through the build tool, whose trailing status line breaks any
@@ -284,7 +306,7 @@ object Bench {
     val errsShort = errors.keys.map(k =>
       "\"" + k.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     def shortLine(qs: String, omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"errs":$errsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$steadyTag,"queries":$qs,"omitted":$omitted,"errs":$errsShort,"sf":"$sfDir"}"""
     val LineBudget = 1700 // < 2000 with slack for a trailing status line
     val bySlowest = results.sortBy { case (_, v) => -v }.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)

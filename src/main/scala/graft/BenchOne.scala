@@ -3,17 +3,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Time a single SparkEntry query (dev tool): `runMain graft.BenchOne
-  * <queryName> [repeats]` against SPARK_GRAFT_SF_DIR.
+  * <queryName> [maxRepeats]` against SPARK_GRAFT_SF_DIR.
   */
 object BenchOne {
+
+  /** Relative disagreement between the two best post-cold runs above
+    * which another run is added (JIT tail still draining).
+    */
+  private val AgreeTol = 0.20
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    // never fewer than 2: run 1 pays whole-stage-codegen/JIT compile
-    // (measured 13.1 s vs 3.8 s steady on q86 at sf0.1), and the
-    // STEADY line reports the last run — a single-run invocation would
-    // report the cold number as steady (the r9 q86/q71 "regressions"
-    // were exactly this shape)
-    val repeats = (if (args.length > 1) args(1).toInt else 2).max(2)
+    // ADAPTIVE run count (r15 verdict ask #1 — the flat 4-run minimum
+    // roughly doubled heavy-query fork wall and blew the driver's
+    // 32-core budget): always 3 runs — run 1 pays whole-stage-codegen/
+    // JIT compile (measured 13.1 s vs 3.8 s steady on q86 at sf0.1)
+    // and r15 probes showed run 2 is OFTEN still JIT tail (q169:
+    // 19.3/20.5/3.5/2.8; q86: 26.2/11.8/11.9/4.4), so ≥ 2 post-cold
+    // runs are needed to see whether the tail has drained — then a
+    // 4th run ONLY when runs 2 and 3 disagree by more than AgreeTol
+    // (tail still draining), capped at maxRepeats.
+    val maxRepeats = (if (args.length > 1) args(1).toInt else 4).max(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -27,7 +37,7 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (i <- 1 to repeats) {
+    def runOnce(i: Int): Unit = {
       // cold-cache every run (see Bench.exec): persisted intermediates
       // rebuild, so the steady line is warm-JIT / fresh-execution
       spark.catalog.clearCache()
@@ -37,14 +47,19 @@ object BenchOne {
       times += (System.nanoTime() - t0) / 1e9
       println(f"[bench-one] $name run$i: ${times.last}%.2f s")
     }
-    // machine-parseable steady-state line: the MINIMUM over runs >= 2.
-    // "Last run" systematically reported the JIT-warmup TAIL, not
-    // steady state — r12 measured it for q93/q203 (runs 12.4/3.5/2.9/
-    // 2.6) and r15 fresh-JVM probes show it generalizes to every
-    // plan-heavy query (q169: 19.3/20.5/3.5/2.8; q86: 26.2/11.8/11.9/
-    // 4.4 — run 2 was 2.7-7x the true steady). Every run is cold-cache
-    // (results rebuilt from parquet), so the minimum is a legitimate
-    // steady estimate, never a cache artifact.
+    (1 to 3).foreach(runOnce)
+    // extend only while the two best post-cold runs disagree > 20%
+    while (times.size < maxRepeats && {
+        val best = times.drop(1).sorted.take(2)
+        (best(1) - best(0)) / best(0) > AgreeTol
+      }) runOnce(times.size + 1)
+    // machine-parseable steady-state line: the MINIMUM over runs >= 2
+    // (metric tag: min_ge2_adaptive3to4). "Last run" systematically
+    // reported the JIT-warmup TAIL, not steady state — r12 measured it
+    // for q93/q203 (runs 12.4/3.5/2.9/2.6) and r15 fresh-JVM probes
+    // show it generalizes to every plan-heavy query. Every run is
+    // cold-cache (results rebuilt from parquet), so the minimum is a
+    // legitimate steady estimate, never a cache artifact.
     println(f"BENCHONE_STEADY $name ${times.drop(1).min}%.3f")
     spark.stop()
   }

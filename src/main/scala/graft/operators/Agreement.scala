@@ -129,6 +129,36 @@ object Agreement {
     */
   def krippendorffAlpha(labels: DataFrame, itemCol: String = "item_id",
       annotatorCol: String = "annotator_id",
+      labelCol: String = "label"): DataFrame =
+    krippendorffCores(labels, itemCol, annotatorCol, labelCol)
+      .select(col("n_items"), col("n_ratings"),
+        ((col("lcm_scale") * col("n_ratings") -
+          col("odiag_scaled")).cast("double") /
+          (col("lcm_scale") * col("n_ratings"))).as("d_o"),
+        ((col("n_ratings") * col("n_ratings") - col("cat_sq_sum"))
+          .cast("double") /
+          (col("n_ratings") * (col("n_ratings") - 1))).as("d_e"),
+        when(col("n_ratings") * col("n_ratings") === col("cat_sq_sum"),
+          lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            ((col("n_ratings") - 1) *
+              (col("lcm_scale") * col("n_ratings") - col("odiag_scaled")))
+              .cast("double") /
+            (col("lcm_scale") *
+              (col("n_ratings") * col("n_ratings") - col("cat_sq_sum"))))
+          .as("alpha"))
+
+  /** The EXACT INTEGER cores of Krippendorff's α, before any division:
+    * one row (n_items, n_ratings, lcm_scale, odiag_scaled,
+    * cat_sq_sum) with L = lcm_scale the lcm over distinct (m_i − 1),
+    * odiag_scaled = L·o_diag = Σ n_ic(n_ic−1)·L/(m_i−1) (integer by
+    * construction of L) and cat_sq_sum = Σ_c n_c². Every column is a
+    * BIGINT produced by integer arithmetic only — fold-order-free and
+    * bit-identical across engines; [[krippendorffAlpha]] derives the
+    * float coefficients from these with one IEEE division each.
+    */
+  def krippendorffCores(labels: DataFrame, itemCol: String = "item_id",
+      annotatorCol: String = "annotator_id",
       labelCol: String = "label"): DataFrame = {
     val cat = labels.groupBy(col(itemCol).as("item"),
         col(labelCol).as("c"))
@@ -144,24 +174,14 @@ object Agreement {
     // O_diag scaled by L: Σ n_ic(n_ic−1) · L/(m−1), exact integer
     val scaled = cat.join(perItem, "item")
       .agg(coalesce(sum(col("nic") * (col("nic") - 1) *
-        expr(s"$L DIV (m - 1)")), lit(0L)).as("odiag_s"))
+        expr(s"$L DIV (m - 1)")), lit(0L)).as("odiag_scaled"))
     val nTot = perItem.agg(sum(col("m")).as("n"),
       count(lit(1)).as("n_items"))
     val s2 = cat.join(perItem.select(col("item")), "item")
       .groupBy(col("c")).agg(sum(col("nic")).as("nc"))
-      .agg(sum(col("nc") * col("nc")).as("s2"))
+      .agg(sum(col("nc") * col("nc")).as("cat_sq_sum"))
     nTot.crossJoin(broadcast(scaled)).crossJoin(broadcast(s2))
       .select(col("n_items"), col("n").as("n_ratings"),
-        ((lit(L) * col("n") - col("odiag_s")).cast("double") /
-          (lit(L) * col("n"))).as("d_o"),
-        ((col("n") * col("n") - col("s2")).cast("double") /
-          (col("n") * (col("n") - 1))).as("d_e"),
-        when(col("n") * col("n") === col("s2"),
-          lit(null).cast("double"))
-          .otherwise(lit(1.0) -
-            ((col("n") - 1) * (lit(L) * col("n") - col("odiag_s")))
-              .cast("double") /
-            (lit(L) * (col("n") * col("n") - col("s2"))))
-          .as("alpha"))
+        lit(L).as("lcm_scale"), col("odiag_scaled"), col("cat_sq_sum"))
   }
 }

@@ -526,29 +526,41 @@ object Analytics extends QueryPack {
 
   /** Pairwise win-rate matrix gate (q234): the q232 battles through
     * [[graft.operators.WinRates.matrix]] — per matchup counts plus a
-    * Wilson 95% interval. Driver-red in r13 AND r14 with rows/schema
-    * green while two judge head re-runs were BIT-IDENTICAL (0 ULPs) —
-    * so per the r14 verdict the gate's hashed surface is now
-    * ALL-INTEGER: the three float outputs ship as round-to-nearest
-    * scaled BIGINTs, `CAST(round(x * 1e9, 0) AS BIGINT)` on BOTH
-    * sides. RoundingBoundarySpec proves every unrounded x sits ≥ 1e-6
-    * grid-units from a .5e-9 boundary at both SFs, so x·1e9 lands
-    * ≥ hundreds of ULP-widths from the nearest half-integer and the
-    * BIGINT is identical in any IEEE environment — a red row on this
-    * gate is now a driver-harness bug by construction. (Scaling uses
-    * round(x·1e9, 0), NOT round(x, 9)·1e9: the latter re-introduces a
-    * double product that can sit 1 ULP below the integer and truncate
-    * on cast.) The oracle additionally writes every z constant as
-    * CAST(1.96 AS DOUBLE) — bare `1.96 * 1.96` is DECIMAL(6,4) in
-    * DuckDB (exactly 3.8416, one ULP off the IEEE product) — so both
-    * engines execute the same IEEE tree even before the scaling.
+    * Wilson 95% interval. Driver-red in r13, r14 AND r15 with
+    * rows/schema green: the previous surfaces (round-9 doubles, then
+    * round(x·1e9) BIGINTs) still derived from doubles computed by two
+    * different engines, and a ≥ 1e-9 fold divergence flips the BIGINT
+    * — three consecutive adjudications say the guard-band argument
+    * does not hold on the driver's box. Per the r15 verdict the hashed
+    * surface is now EXACT INTEGER ARITHMETIC END-TO-END: the Wilson
+    * interval for z = 1.96 = 49/25 cross-multiplies to
+    *
+    *   ci_lo,hi = (ci_center_num ∓ 49·√ci_disc) / ci_den  with
+    *   ci_center_num = (1250·w + 2401)·n
+    *   ci_disc       = (2500·w·(n−w) + 2401·n)·n
+    *   ci_den        = 2·n·(625·n + 2401)
+    *
+    * (w = wins_i; zz = z² = 2401/625; derivation: multiply the
+    * textbook form (p + zz/2n ± z·√(p(1−p)/n + zz/4n²)) / (1 + zz/n)
+    * through by 1250·n², rationalising the radical by one factor of
+    * n). Every shipped column is a BIGINT produced by integer
+    * +/·/− only — no engine computes a float anywhere on the hashed
+    * surface, so the row is bit-identical by construction, not by a
+    * ULP-margin argument. win_rate is wins_i/n, recoverable from the
+    * integer columns already on the row. The float interval itself
+    * remains available from [[graft.operators.WinRates.matrix]].
+    * Magnitudes: ci_disc ≈ 2500·(n/2)²·n — safe in BIGINT through
+    * sf1000 (n per matchup ≈ docs/56).
     */
-  def winRates(s: SparkSession, dir: String): DataFrame =
+  def winRates(s: SparkSession, dir: String): DataFrame = {
+    val w = col("wins_i")
+    val n = col("n")
     graft.operators.WinRates.matrix(syntheticBattles(s, dir))
-      .select(col("i"), col("j"), col("n"), col("wins_i"),
-        round(col("win_rate") * 1e9, 0).cast("long").as("win_rate_e9"),
-        round(col("ci_lo") * 1e9, 0).cast("long").as("ci_lo_e9"),
-        round(col("ci_hi") * 1e9, 0).cast("long").as("ci_hi_e9"))
+      .select(col("i"), col("j"), n, w,
+        ((lit(1250L) * w + lit(2401L)) * n).as("ci_center_num"),
+        ((lit(2500L) * w * (n - w) + lit(2401L) * n) * n).as("ci_disc"),
+        (lit(2L) * n * (lit(625L) * n + lit(2401L))).as("ci_den"))
+  }
 
   /** Cohen's-kappa agreement gate (q235): three synthetic annotators
     * label every document by exact integer arithmetic
@@ -586,25 +598,44 @@ object Analytics extends QueryPack {
     * deterministic rating DROPPED from every fifth (item, annotator)
     * pair — the missing-data regime Fleiss can't handle (rater counts
     * mix 2 and 3) and Krippendorff's coincidence formulation exists
-    * for. The lcm scaling (L = 2 here) keeps every sum integer-exact;
-    * the oracle replays the SAME scaled integer cores. Driver-red in
-    * r13 AND r14 while two judge head re-runs were bit-identical
-    * (0 ULPs), so per the r14 verdict the hashed surface is now
-    * ALL-INTEGER: the three divisions ship as
-    * `CAST(round(x * 1e9, 0) AS BIGINT)` on both sides (see
-    * [[winRates]] for why the scaling is round(x·1e9, 0) and why the
-    * RoundingBoundarySpec guard band makes the BIGINT
-    * environment-stable). A red row on a string+BIGINT-only gate is a
-    * driver-harness bug by construction.
+    * for. Driver-red in r13, r14 AND r15 with rows/schema green: the
+    * previous surfaces (round-9 doubles, then round(x·1e9) BIGINTs)
+    * still derived from doubles computed by two different engines, and
+    * three consecutive adjudications say the ULP-guard-band argument
+    * does not hold on the driver's box. Per the r15 verdict the gate
+    * now ships the operator's EXACT INTEGER CORES as num/den pairs —
+    * [[graft.operators.Agreement.krippendorffCores]]'s lcm scaling
+    * (L = 2 here) keeps every sum integer, so with n = n_ratings,
+    * odiag_s = L·o_diag and s2 = Σ_c n_c²:
+    *
+    *   d_o   = d_o_num / d_o_den     = (L·n − odiag_s) / (L·n)
+    *   d_e   = d_e_num / d_e_den     = (n² − s2) / (n·(n−1))
+    *   alpha = alpha_num / alpha_den
+    *         = (L·(n²−s2) − (n−1)·(L·n−odiag_s)) / (L·(n²−s2))
+    *
+    * (alpha undefined ⇔ alpha_den = 0, shipped as the raw zero — no
+    * NULL casing on the hashed surface). Every column is a BIGINT
+    * produced by integer +/·/− only; no engine computes a float
+    * anywhere on the hashed surface, so the row is bit-identical by
+    * construction. The float coefficients remain available from
+    * [[graft.operators.Agreement.krippendorffAlpha]].
     */
-  def krippendorffAgreement(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Agreement.krippendorffAlpha(
+  def krippendorffAgreement(s: SparkSession, dir: String): DataFrame = {
+    val n = col("n_ratings")
+    val L = col("lcm_scale")
+    val od = col("odiag_scaled")
+    val s2 = col("cat_sq_sum")
+    graft.operators.Agreement.krippendorffCores(
       syntheticLabels(s, dir)
         .filter(pmod(col("item_id") + col("annotator_id"), lit(5)) =!= 0))
-      .select(col("n_items"), col("n_ratings"),
-        round(col("d_o") * 1e9, 0).cast("long").as("d_o_e9"),
-        round(col("d_e") * 1e9, 0).cast("long").as("d_e_e9"),
-        round(col("alpha") * 1e9, 0).cast("long").as("alpha_e9"))
+      .select(col("n_items"), n,
+        (L * n - od).as("d_o_num"),
+        (L * n).as("d_o_den"),
+        (n * n - s2).as("d_e_num"),
+        (n * (n - lit(1L))).as("d_e_den"),
+        (L * (n * n - s2) - (n - lit(1L)) * (L * n - od)).as("alpha_num"),
+        (L * (n * n - s2)).as("alpha_den"))
+  }
 
   /** Rank-correlation gate (q259): Spearman ρ (tie-averaged ranks) and
     * Kendall τ-b between two deterministic per-doc scores (char count
@@ -1531,36 +1562,24 @@ object Analytics extends QueryPack {
         |  round(sum(half_dev), 9) > 0.1 AS t_violated
         |FROM dev GROUP BY c_mktsegment, g_cnt""".stripMargin,
     "q232_bradley_terry" -> bradleyTerrySql,
-    // z written CAST(1.96 AS DOUBLE) throughout: bare 1.96*1.96 is
-    // DECIMAL(6,4) in DuckDB — exactly 3.8416, one ULP off Spark's
-    // IEEE product 3.8415999999999997 (the r13 driver-red hazard).
-    // Hashed surface all-integer (r14 verdict ask #1): floats ship as
-    // CAST(round(x * 1e9, 0) AS BIGINT), boundary-safe per
-    // RoundingBoundarySpec.
+    // Exact-integer hashed surface (r15 verdict ask #2): the Wilson
+    // interval for z = 49/25 cross-multiplied to BIGINT num/disc/den
+    // cores (see winRates) — no float is computed by either engine
+    // anywhere on the surface. Every column CAST AS BIGINT so DuckDB's
+    // HUGEINT sum/product promotion cannot leak into the schema.
     "q234_win_rates" ->
       s"""WITH $battlesCte,
          |m AS (
          |  SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
          |    count(*) AS n,
          |    sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS wins_i
-         |  FROM battles GROUP BY 1, 2),
-         |w AS (
-         |  SELECT i, j, n, wins_i,
-         |    CAST(wins_i AS DOUBLE) / CAST(n AS DOUBLE) AS p,
-         |    CAST(n AS DOUBLE) AS nd,
-         |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS zz FROM m),
-         |h AS (
-         |  SELECT *,
-         |    CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / nd +
-         |      zz / (4.0 * nd * nd)) AS half,
-         |    1.0 + zz / nd AS denom FROM w)
+         |  FROM battles GROUP BY 1, 2)
          |SELECT i, j, n, wins_i,
-         |  CAST(round(p * 1e9, 0) AS BIGINT) AS win_rate_e9,
-         |  CAST(round((p + zz / (2.0 * nd) - half) / denom * 1e9, 0)
-         |    AS BIGINT) AS ci_lo_e9,
-         |  CAST(round((p + zz / (2.0 * nd) + half) / denom * 1e9, 0)
-         |    AS BIGINT) AS ci_hi_e9
-         |FROM h""".stripMargin,
+         |  CAST((1250 * wins_i + 2401) * n AS BIGINT) AS ci_center_num,
+         |  CAST((2500 * wins_i * (n - wins_i) + 2401 * n) * n AS BIGINT)
+         |    AS ci_disc,
+         |  CAST(2 * n * (625 * n + 2401) AS BIGINT) AS ci_den
+         |FROM m""".stripMargin,
     // power sums over exact <=8-element integer groups; one sqrt,
     // outputs round-9
     "q301_group_advantage" ->
@@ -1641,9 +1660,11 @@ object Analytics extends QueryPack {
         |          (n_items * 3 * 2) - pe_bar) / (1.0 - pe_bar)
         |  END AS kappa
         |FROM tot CROSS JOIN pe""".stripMargin,
-    // the operator's scaled integer cores replayed verbatim (L = 2 =
-    // lcm of the fixture's m−1 ∈ {1,2}): one IEEE division each for
-    // d_o / d_e / alpha, so the doubles are bit-identical
+    // Exact-integer hashed surface (r15 verdict ask #2): the
+    // operator's scaled integer cores shipped as num/den BIGINT pairs
+    // (L = 2 = lcm of the fixture's m−1 ∈ {1,2}) — neither engine
+    // computes a float anywhere on the surface. CAST AS BIGINT guards
+    // against DuckDB's HUGEINT sum/product promotion.
     "q251_krippendorff_alpha" ->
       """WITH l AS (
         |  SELECT doc_id AS item, ann.a AS ann,
@@ -1661,16 +1682,14 @@ object Analytics extends QueryPack {
         |s2 AS (SELECT sum(nc * nc) AS s2 FROM (
         |         SELECT c, sum(nic) AS nc FROM cat
         |         JOIN per USING (item) GROUP BY c))
-        |SELECT n_items, n AS n_ratings,
-        |  CAST(round(CAST(2 * n - odiag_s AS DOUBLE) / (2 * n) * 1e9, 0)
-        |    AS BIGINT) AS d_o_e9,
-        |  CAST(round(CAST(n * n - s2 AS DOUBLE) / (n * (n - 1)) * 1e9, 0)
-        |    AS BIGINT) AS d_e_e9,
-        |  CASE WHEN n * n = s2 THEN NULL
-        |    ELSE CAST(round((1.0 -
-        |      CAST((n - 1) * (2 * n - odiag_s) AS DOUBLE)
-        |      / (2 * (n * n - s2))) * 1e9, 0) AS BIGINT)
-        |  END AS alpha_e9
+        |SELECT n_items, CAST(n AS BIGINT) AS n_ratings,
+        |  CAST(2 * n - odiag_s AS BIGINT) AS d_o_num,
+        |  CAST(2 * n AS BIGINT) AS d_o_den,
+        |  CAST(n * n - s2 AS BIGINT) AS d_e_num,
+        |  CAST(n * (n - 1) AS BIGINT) AS d_e_den,
+        |  CAST(2 * (n * n - s2) - (n - 1) * (2 * n - odiag_s) AS BIGINT)
+        |    AS alpha_num,
+        |  CAST(2 * (n * n - s2) AS BIGINT) AS alpha_den
         |FROM tot CROSS JOIN od CROSS JOIN s2""".stripMargin,
     // both closed forms over integer cores; the only float ops are two
     // sqrts, one multiply, one divide — identical IEEE results
