@@ -102,6 +102,35 @@ object ExactSubstring {
         concat_ws(" ", kept).as("text_clean"))
   }
 
+  /** [[excise]] IN PLACE: returns `docs` with `textCol` replaced by
+    * the excised token stream and every other column carried through —
+    * the pipeline form (r16, guide §3: eliminate the join, don't cache
+    * it). The (doc_id, …, text_clean) contract forces its caller to
+    * join the clean text back onto the upstream chain, so a pipeline
+    * stage paid FOUR replays of everything upstream (two under the
+    * windows pass, the token re-tokenize, and the caller's join-back);
+    * this form drops the caller join and the separate tokenize
+    * reference — the span table (only docs that LOST a window) left-
+    * joins straight onto `docs`. Semantics are identical for non-null
+    * unique ids (the join-back form additionally DROPPED null-id docs;
+    * this form keeps them untouched — a null id cannot carry spans).
+    */
+  def exciseInPlace(docs: DataFrame, l: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, l, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("p"))).as("__graft_starts"))
+      .withColumnRenamed("doc_id", idCol)
+    val toksCol = TextShingles.tokens(col(textCol))
+    val keptCol = filter(toksCol, (_, i) =>
+      !exists(col("__graft_starts"), s => i >= s && i < s + l))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__graft_starts",
+        coalesce(col("__graft_starts"), array().cast("array<int>")))
+      .withColumn(textCol, concat_ws(" ", keptCol))
+      .drop("__graft_starts")
+  }
+
   /** Corpus duplication profile: for each repeat multiplicity m ≥ 2,
     * how many DISTINCT L-token windows occur exactly m times across the
     * corpus and how many occurrences (token-stream positions) they

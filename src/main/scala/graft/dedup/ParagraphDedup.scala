@@ -65,6 +65,39 @@ object ParagraphDedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** [[dedupParagraphs]] IN PLACE: returns `docs` with `textCol`
+    * replaced and every other column carried through — the pipeline
+    * form (r16, guide §3: eliminate the join, don't cache it). The
+    * (idCol, clean_text) contract forces its caller to join the clean
+    * text back onto the upstream chain, so a pipeline stage paid THREE
+    * replays of everything upstream (the exploded lines pass, the
+    * operator's own id spine, and the caller's join-back); this form
+    * references `docs` twice (lines + the final attach) and needs no
+    * caller join at all. Semantics are identical for non-null unique
+    * ids (the join-back form additionally DROPPED null-id docs —
+    * inner-join semantics — where this form keeps them with their
+    * lines intact; a null id cannot match the rebuilt side).
+    */
+  def dedupParagraphsInPlace(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minCopies: Int = 2): DataFrame = {
+    require(minCopies >= 2, s"minCopies must be >= 2, got $minCopies")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__h", xxhash64(col("line")))
+    val boiler = lines.groupBy(col("__h"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minCopies)
+      .select(col("__h"))
+    val kept = lines.join(boiler, Seq("__h"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("__graft_clean"))
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__graft_clean"), lit("")))
+      .drop("__graft_clean")
+  }
+
   /** WITHIN-document repeated-line dedup — the in-doc counterpart of
     * [[dedupParagraphs]] (Gopher's repetition cleanup): keep only the
     * FIRST occurrence of each exact line inside a document (scraped

@@ -181,8 +181,32 @@ object CurationPipeline {
     * fields) to `docs` in order. `docs` must carry `doc_id`, `text`
     * and — for the source-keyed stages — `source`.
     */
+  /** Stages whose OUTPUT PLAN embeds ≥ 2 copies of their input plan
+    * (corpus-keyed decision aggregates re-attached to the corpus:
+    * paragraph_dedup's boilerplate table, exact_substring's span
+    * table, perplexity_filter's trained-LM semi-join). Chained, the
+    * replay count is MULTIPLICATIVE — the r16 q226 plan carried 729
+    * Exchange/Scan nodes, 2×3×3 = 18 replays of the early stages —
+    * so [[run]] cuts the lineage after each of them (guide §3.3:
+    * materialise intermediates to truncate enormous plans), making
+    * replay depth additive. Measured at sf0.1 (q226 chain): warm
+    * 5.4-6.2 s → 3.8-4.6 s, and first-run (codegen+planning) 15 s →
+    * 4.7 s. localCheckpoint is executor-local — at 100 TB swap for a
+    * reliable checkpoint / temp table per the deployment's fault
+    * budget; the multiplicative-vs-additive argument only strengthens
+    * with scale. Values are unchanged: a pin replays nothing and
+    * recomputes nothing, it only stops downstream plan duplication.
+    */
+  private val MultiRefOps: Set[String] =
+    Set("paragraph_dedup", "exact_substring", "perplexity_filter")
+
   def run(docs: DataFrame, stages: Seq[Row]): DataFrame =
-    stages.foldLeft(docs)(applyStage)
+    stages.foldLeft(docs) { (d, stage) =>
+      val out = applyStage(d, stage)
+      if (get[String](stage, "op").exists(MultiRefOps.contains))
+        out.localCheckpoint(true)
+      else out
+    }
 
   /** [[run]] with a per-stage YIELD FUNNEL: alongside the final
     * corpus, a report frame (stage_idx, op, rows_in, rows_out,
@@ -251,16 +275,6 @@ object CurationPipeline {
         "exact and would silently truncate; quantize explicitly " +
         "(e.g. a pre-scaled integer column) and pass that instead")
   }
-
-  /** Replaces `docs`' text with `keyed`'s (doc_id, `newTextCol`) via a
-    * doc_id equi-join — for the stages whose operator reshapes the
-    * corpus and returns a per-doc text (line/paragraph dedup,
-    * exact-substring excision). Other columns pass through.
-    */
-  private def replaceText(docs: DataFrame, keyed: DataFrame,
-      newTextCol: String): DataFrame =
-    docs.drop("text").join(
-      keyed.select(col("doc_id"), col(newTextCol).as("text")), "doc_id")
 
   private def applyStage(docs: DataFrame, stage: Row): DataFrame = {
     val spark = docs.sparkSession
@@ -380,13 +394,13 @@ object CurationPipeline {
         docs.withColumn("text", ParagraphDedup.dedupLinesCol(col("text")))
       case "paragraph_dedup" =>
         val minCopies = getI(stage, "minCopies").getOrElse(2)
-        replaceText(docs,
-          ParagraphDedup.dedupParagraphs(docs, minCopies = minCopies),
-          "clean_text")
+        // in-place carry-through (r16): the (doc_id, clean_text) +
+        // replaceText join-back spelling replayed the whole upstream
+        // chain a third time per stage — see the operator's scaladoc
+        ParagraphDedup.dedupParagraphsInPlace(docs, minCopies = minCopies)
       case "exact_substring" =>
         val l = getI(stage, "l").getOrElse(50)
-        replaceText(docs, ExactSubstring.excise(docs, l = l),
-          "text_clean")
+        ExactSubstring.exciseInPlace(docs, l = l)
       case "perplexity_filter" =>
         val maxPpl = require_(getD(stage, "maxPpl"), op, "maxPpl")
         val scored = get[String](stage, "model").getOrElse("unigram") match {
@@ -428,10 +442,9 @@ object CurationPipeline {
             .filter(col("gopher_keep")).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
       case "c4_clean" =>
-        val cleaned = graft.text.RuleFilters.c4Clean(docs,
+        graft.text.RuleFilters.c4CleanInPlace(docs,
           minLineWords = getI(stage, "minLineWords").getOrElse(5),
           minLines = getI(stage, "minLines").getOrElse(3))
-        replaceText(docs, cleaned.filter(col("c4_keep")), "clean_text")
       case "conformal_keep" =>
         // keep rows at/under the split-conformal threshold learned on
         // an md5-designated calibration slice — a keep/flag cutoff

@@ -529,8 +529,13 @@ object Similarity extends QueryPack {
       val embs = Tables.embeddings(s, dir)
       val src = embs.filter(col("vec_id") % 2 === 0)
       val tgt = embs.filter(col("vec_id") % 2 === 1)
+      // pinned (r16): `brute` feeds BOTH the n_brute count and the
+      // overlap semi-join — unpinned, the whole brute mining tree
+      // replays for each (the r15 plan's duplicated subtrees); the
+      // mined pair list is metadata-sized at any scale
       val brute = BitextMine.minePairs(s, src, tgt, k = 4)
         .select(col("src_id"), col("tgt_id"))
+        .localCheckpoint(true)
       val ivf = BitextMine.minePairsIvf(s, src, tgt, k = 4,
         numCells = 16, nprobe = 10)
         .select(col("src_id"), col("tgt_id"))

@@ -102,8 +102,20 @@ object BitextMine {
   /** Margin + mutual-best over two ranked k-NN lists (the shared tail
     * of the brute and IVF miners).
     */
-  private def mineFromKnn(fwd: DataFrame, bwd: DataFrame,
+  private def mineFromKnn(fwd0: DataFrame, bwd0: DataFrame,
       marginThreshold: Double): DataFrame = {
+    // PIN both k-NN lists (r16, guide §2.4/§5): each is O(k·|corpus|)
+    // rows but is referenced TWICE below (neighborhood mean + candidate
+    // union), and `scored` is referenced three more times (margin
+    // source + both argmaxes) — without the pin the ENTIRE k-NN search
+    // subtree (brute corpus scan, or IVF train+probe) replays once per
+    // reference: the r15 q221 plan carried 20+ copies of the
+    // embeddings scan (446 Exchange/Scan nodes, zero ReusedExchange).
+    // localCheckpoint materializes each direction exactly once; the
+    // pinned lists are k rows per query — metadata-sized at any corpus
+    // scale.
+    val fwd = fwd0.localCheckpoint(true)
+    val bwd = bwd0.localCheckpoint(true)
     val meanSrc = fwd.groupBy(col("query_id").as("src_id"))
       .agg(avg(col("cosine")).as("mean_src"))
     val meanTgt = bwd.groupBy(col("query_id").as("tgt_id"))
@@ -117,12 +129,15 @@ object BitextMine {
         col("query_id").as("tgt_id"), col("cosine")))
       .distinct()
 
+    // pinned for the same reason: three consumers below (both argmax
+    // aggregates + the mutual-best join); ≤ 2·k rows per id
     val scored = cands
       .join(meanSrc, Seq("src_id"))
       .join(meanTgt, Seq("tgt_id"))
       .withColumn("margin", round(
         col("cosine") / ((col("mean_src") + col("mean_tgt")) / 2.0), 9))
       .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+      .localCheckpoint(true)
 
     // mutual best: argmax by (margin DESC, id ASC) on each side as a
     // min-struct aggregate, then the intersection of both argmaxes.

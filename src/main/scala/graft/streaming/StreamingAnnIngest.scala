@@ -92,10 +92,14 @@ object StreamingAnnIngest {
       .repartition(spark.sparkContext.defaultParallelism)
       .persist()
     val nVectors = snap.count()
+    // pinned (r16): `brute` feeds BOTH the n_exact count and the hit
+    // semi-join — unpinned, the brute scan over the snapshot replays
+    // for each; the truth list is n_queries × k rows at any scale
     val brute = TopKSearch.bruteForce(spark,
       snap.select(col("neighbor_id").as("vec_id"),
         col("cv").as("embedding")), queries, k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val ivf = IvfIndex.searchTopKCoded(spark, model, snap, queries, k,
       nprobe).select(col("query_id"), col("neighbor_id"))
     val hits = brute.join(ivf, Seq("query_id", "neighbor_id"),

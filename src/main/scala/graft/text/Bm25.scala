@@ -56,7 +56,37 @@ object Bm25 {
     * build a throwaway one for single-shot callers.
     */
   final case class Index(tf: DataFrame, df: DataFrame, dl: DataFrame,
-      stats: DataFrame, idCol: String)
+      stats: DataFrame, idCol: String) {
+
+    /** The QUERY-INDEPENDENT per-posting score table
+      * (token, idCol, term_score): BM25's idf·tf-part depends only on
+      * (tf, df, dl, N, avgdl), never on the query, so the whole
+      * tf ⋈ df ⋈ dl ⋈ stats scoring subtree is computed ONCE per
+      * (k1, b, maxDfFraction) and persisted — a multi-pass retrieval
+      * gate (q219's three PRF passes) re-joins only its query tokens
+      * against this table instead of replaying three independent
+      * postings builds (guide §2.4: two operations keyed the same way
+      * share one exchange). Sized like `tf` plus one double; at 100 TB
+      * materialize to a temp table instead (the postingsParts note).
+      * term_score is the same per-row IEEE expression the inline form
+      * computed after the query join — per-(token, doc) values are
+      * bit-identical.
+      */
+    private[Bm25] val scoringCache =
+      scala.collection.mutable.Map.empty[(Double, Double, Double), DataFrame]
+    def scoringTable(k1: Double, b: Double,
+        maxDfFraction: Double): DataFrame = synchronized {
+      scoringCache.getOrElseUpdate((k1, b, maxDfFraction), {
+        val cappedDf = df.crossJoin(broadcast(stats))
+          .filter(col("df").cast("double") <=
+            greatest(col("n_docs") * lit(maxDfFraction), lit(1.0)))
+        tf.join(cappedDf, Seq("token")).join(dl, Seq(idCol))
+          .select(col("token"), col(idCol),
+            (idfExpr * tfPartExpr(k1, b)).as("term_score"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+  }
 
   def index(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Index = {
@@ -191,35 +221,20 @@ object Bm25 {
       maxDfFraction: Double = 0.9): DataFrame = {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction in (0,1]: $maxDfFraction")
-    val (tf, dfT, dl, stats) = (idx.tf, idx.df, idx.dl, idx.stats)
     val idCol = idx.idCol
-    // one-row broadcast first: the df filter lands on the
-    // VOCABULARY-sized df table, so saturating tokens are gone BEFORE
-    // the token equi-join ever sees a posting
-    val cappedDf = dfT.crossJoin(broadcast(stats))
-      .filter(col("df").cast("double") <=
-        greatest(col("n_docs") * lit(maxDfFraction), lit(1.0)))
     val qt = queries.select(col(queryIdCol),
       explode(array_distinct(regexp_extract_all(lower(col(queryTextCol)),
         lit("[a-z0-9]+"), lit(0)))).as("token"))
-    // dl joins the POSTINGS side before the query fan-out: both are
-    // postings-sized on the doc key. Joining dl after the fan-out (the
-    // r11 shape) sorted the PAIRS-sized relation for a second
-    // merge-join — at sf3 density a 1.6e9-row sort whose spill merge
-    // OOMed the 8 GiB default heap. That sort was the real OOM (r11
-    // misattributed it to the aggregate): with it gone, the only
-    // pairs-sized stages are the fan-out join's streamed output and
-    // the (query, doc) aggregate, whose map-side partial hash table
-    // SPILLS to sort-based aggregation under pressure rather than
-    // OOM — and its combine (one row per (q,d) from ≤ per-query-token
-    // occurrences) cuts the shuffle ~5× on dense corpora. Measured at
-    // sf3 density / 8 GiB: this shape 81 s; an explicit
-    // repartition-before-aggregate variant (no map-side combine,
-    // stat-derived width) 183 s; the r11 shape unbounded-OOM.
-    val enriched = tf.join(cappedDf, Seq("token")).join(dl, Seq(idCol))
-    qt.join(enriched, Seq("token"))
-      .select(col(queryIdCol), col(idCol),
-        (idfExpr * tfPartExpr(k1, b)).as("term_score"))
+    // The query-independent scoring table is built once per index (see
+    // [[Index.scoringTable]] — df capped on the VOCABULARY-sized table
+    // before any posting is touched, dl joined on the POSTINGS side
+    // before the query fan-out; the r11 OOM analysis of the pre-fan-out
+    // join order lives there in spirit: the only pairs-sized stages
+    // are the fan-out join's streamed output and the (query, doc)
+    // aggregate, whose map-side partial combine cuts the shuffle ~5×
+    // on dense corpora).
+    qt.join(idx.scoringTable(k1, b, maxDfFraction), Seq("token"))
+      .select(col(queryIdCol), col(idCol), col("term_score"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("term_score")).as("bm25"))
   }

@@ -103,4 +103,27 @@ object RuleFilters {
         !lowered.contains("lorem ipsum") &&
         !lowered.contains("{")).as("c4_keep"))
   }
+
+  /** [[c4Clean]] IN PLACE: every rule is per-row, so the pipeline form
+    * needs no (doc_id, clean_text) join-back at all (r16, guide §3) —
+    * keep-filter on the original text's rules, then replace `textCol`
+    * with the kept lines, all narrow expressions.
+    */
+  def c4CleanInPlace(docs: DataFrame, textCol: String = "text",
+      minLineWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+        t.endsWith("\"")) &&
+        size(TextAnalysis.wsTokens(t)) >= minLineWords
+    })
+    val lowered = lower(col(textCol))
+    docs
+      .withColumn("__graft_c4_clean", array_join(kept, "\n"))
+      .filter(size(kept) >= minLines &&
+        !lowered.contains("lorem ipsum") && !lowered.contains("{"))
+      .withColumn(textCol, col("__graft_c4_clean"))
+      .drop("__graft_c4_clean")
+  }
 }

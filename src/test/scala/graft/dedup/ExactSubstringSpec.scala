@@ -26,6 +26,25 @@ class ExactSubstringSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("in-place form equals the join-back spelling, extra columns carried (r16)") {
+    val passage = words("rep", 60)
+    val corpus = Seq(
+      (1L, words("a", 30) + " " + passage + " " + words("b", 30), "s0"),
+      (2L, words("c", 25) + " " + passage + " " + words("d", 25), "s1"),
+      (3L, words("u", 80), "s0"),
+      (4L, words("short", 10), "s2")).toDF("doc_id", "text", "source")
+    val inPlace = ExactSubstring.exciseInPlace(corpus, l = 50)
+    // the old pipeline spelling: operator output joined back on doc_id
+    val joinBack = corpus.drop("text").join(
+      ExactSubstring.excise(corpus, l = 50)
+        .select($"doc_id", $"text_clean".as("text")), "doc_id")
+    assert(inPlace.columns.toSet == Set("doc_id", "text", "source"))
+    assert(inPlace.select("doc_id", "text", "source")
+      .exceptAll(joinBack.select("doc_id", "text", "source")).isEmpty)
+    assert(joinBack.select("doc_id", "text", "source")
+      .exceptAll(inPlace.select("doc_id", "text", "source")).isEmpty)
+  }
+
   test("a planted 60-token passage is excised from the copy, kept in the original") {
     val passage = words("rep", 60)
     val corpus = Seq(

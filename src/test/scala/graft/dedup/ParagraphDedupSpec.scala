@@ -21,6 +21,25 @@ class ParagraphDedupSpec extends SparkSpec {
       3L -> "all alone here"))
   }
 
+  test("in-place form equals the join-back spelling, extra columns carried (r16)") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "shared header\nunique one\nrepeat\nrepeat\nshared footer", "s0"),
+      (2L, "shared header\nunique two\nshared footer", "s1"),
+      (3L, "x\ny", "s0"), (4L, "x\ny", "s2"),
+      (5L, "all alone here", "s1")).toDF("doc_id", "text", "source")
+    val inPlace = ParagraphDedup.dedupParagraphsInPlace(docs)
+    // the old pipeline spelling: operator output joined back on doc_id
+    val joinBack = docs.drop("text").join(
+      ParagraphDedup.dedupParagraphs(docs)
+        .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+    assert(inPlace.columns.toSet == Set("doc_id", "text", "source"))
+    assert(inPlace.select("doc_id", "text", "source")
+      .exceptAll(joinBack.select("doc_id", "text", "source")).isEmpty)
+    assert(joinBack.select("doc_id", "text", "source")
+      .exceptAll(inPlace.select("doc_id", "text", "source")).isEmpty)
+  }
+
   test("a fully-boilerplate doc comes back empty, never dropped") {
     val docs = Seq((1L, "x\ny"), (2L, "x\ny"), (3L, "x"))
       .toDF("doc_id", "text")
