@@ -122,6 +122,13 @@ object ParagraphDedup {
     * pipelines that want to rewrite the text IN PLACE without a join
     * ([[graft.etl.CurationPipeline]]'s `line_dedup` stage). Null text
     * yields the empty string (the explode-form contract).
+    *
+    * Duplicate-id caveat (r15 advisor): unlike the pre-r15
+    * explode→aggregate spelling — which MERGED lines across rows
+    * sharing a doc_id (both output rows got the merged text) — the
+    * narrow form dedups each row independently. Unique ids are the
+    * documents-table contract everywhere this is used; under
+    * duplicate ids the two spellings genuinely differ.
     */
   def dedupLinesCol(text: Column): Column =
     coalesce(array_join(array_distinct(split(text, "\n")), "\n"), lit(""))

@@ -17,8 +17,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokenization: maximal `[a-z0-9]+` runs of the lowercased text,
   * Spark's own `XxHash64Function` at seed 42) and each window hash
   * chains the L token hashes through the same xxhash64 long-mixing
-  * step Spark's multi-argument `xxhash64(...)` uses — O(tokens × L)
-  * long mixes, no allocation, ~two orders less work per window.
+  * step Spark's multi-argument `xxhash64(...)` uses. Honest
+  * accounting (r15 advisor): the ASYMPTOTIC cost is unchanged —
+  * still O(tokens × L) long mixes per document, and `hashes()` does
+  * allocate (one lowered String, plus a substring + UTF8String per
+  * token) — the win is the CONSTANT factor: codegen'd long mixes
+  * replace per-window string building + byte hashing (measured ~3×
+  * on the q127 windows stage). A rolling/polynomial window hash
+  * would be O(tokens) and is the documented next step if this stage
+  * ever dominates again; it was not taken because the chained-mix
+  * form reuses Spark's own hash step, keeping the collision-odds
+  * argument unchanged.
   *
   * The hash VALUES differ from the old spelling by construction; they
   * never surface — [[graft.dedup.ExactSubstring]] only groups and
