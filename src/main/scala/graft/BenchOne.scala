@@ -2,8 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Time a single SparkEntry query (dev tool): `runMain graft.BenchOne
-  * <queryName> [maxRepeats]` against SPARK_GRAFT_SF_DIR.
+/** Time one or more SparkEntry queries in a fresh JVM (dev tool +
+  * [[Bench]]'s fork child): `runMain graft.BenchOne <name[,name...]>
+  * [maxRepeats]` against SPARK_GRAFT_SF_DIR.
+  *
+  * MULTI-QUERY CHILDREN (r16): a fork child pays ~8 s of JVM + Spark
+  * session startup plus the Spark-internal first-touch JIT before any
+  * query's own codegen — with one child per heavy query that overhead
+  * dominated the fork phase's wall time (~21 of ~24 s per child) and
+  * contributed to blowing the driver's 32-core budget in r15. A child
+  * now measures a small BATCH of queries back to back with the same
+  * per-query discipline (cold run + adaptive repeats, cold-cache
+  * every run) and the same between-query hygiene as the shared pass
+  * (clearCache + temp-view drop). The r5/r9 contamination evidence
+  * was ~120-170 queries accumulating heap in ONE JVM; a 4-query child
+  * with hygiene is a different regime — validated in r16 by
+  * comparing batched-child steadies against single-query children
+  * (no systematic inflation; see OPTIMIZATION_r16.md).
   */
 object BenchOne {
 
@@ -13,7 +28,7 @@ object BenchOne {
   private val AgreeTol = 0.20
 
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val qnames = args(0).split(',').toSeq.filter(_.nonEmpty)
     // ADAPTIVE run count (r15 verdict ask #1 — the flat 4-run minimum
     // roughly doubled heavy-query fork wall and blew the driver's
     // 32-core budget): always 3 runs — run 1 pays whole-stage-codegen/
@@ -34,33 +49,52 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same status-store caps as the Bench parent: a multi-query
+      // child must not let one query's retained plan descriptions
+      // (literal matrices) GC-tax the next query's number
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def runOnce(i: Int): Unit = {
-      // cold-cache every run (see Bench.exec): persisted intermediates
-      // rebuild, so the steady line is warm-JIT / fresh-execution
+    for (name <- qnames) {
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def runOnce(i: Int): Unit = {
+        // cold-cache every run (see Bench.exec): persisted intermediates
+        // rebuild, so the steady line is warm-JIT / fresh-execution
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        times += (System.nanoTime() - t0) / 1e9
+        println(f"[bench-one] $name run$i: ${times.last}%.2f s")
+      }
+      (1 to 3).foreach(runOnce)
+      // extend only while the two best post-cold runs disagree > 20%
+      while (times.size < maxRepeats && {
+          val best = times.drop(1).sorted.take(2)
+          (best(1) - best(0)) / best(0) > AgreeTol
+        }) runOnce(times.size + 1)
+      // machine-parseable per-run + steady lines: steady is the
+      // MINIMUM over runs >= 2 (metric tag: min_ge2_adaptive3to4).
+      // "Last run" systematically reported the JIT-warmup TAIL, not
+      // steady state — r12 measured it for q93/q203 (runs 12.4/3.5/
+      // 2.9/2.6) and r15 fresh-JVM probes show it generalizes to
+      // every plan-heavy query. Every run is cold-cache (results
+      // rebuilt from parquet), so the minimum is a legitimate steady
+      // estimate, never a cache artifact.
+      println(s"BENCHONE_RUNS $name " +
+        times.map(t => f"$t%.3f").mkString(","))
+      println(f"BENCHONE_STEADY $name ${times.drop(1).min}%.3f")
+      // between-query hygiene, outside any timed region (the shared
+      // pass's discipline): caches and temp views must not leak from
+      // one batched query into the next
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      times += (System.nanoTime() - t0) / 1e9
-      println(f"[bench-one] $name run$i: ${times.last}%.2f s")
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).map(_.name)
+        .foreach(spark.catalog.dropTempView)
     }
-    (1 to 3).foreach(runOnce)
-    // extend only while the two best post-cold runs disagree > 20%
-    while (times.size < maxRepeats && {
-        val best = times.drop(1).sorted.take(2)
-        (best(1) - best(0)) / best(0) > AgreeTol
-      }) runOnce(times.size + 1)
-    // machine-parseable steady-state line: the MINIMUM over runs >= 2
-    // (metric tag: min_ge2_adaptive3to4). "Last run" systematically
-    // reported the JIT-warmup TAIL, not steady state — r12 measured it
-    // for q93/q203 (runs 12.4/3.5/2.9/2.6) and r15 fresh-JVM probes
-    // show it generalizes to every plan-heavy query. Every run is
-    // cold-cache (results rebuilt from parquet), so the minimum is a
-    // legitimate steady estimate, never a cache artifact.
-    println(f"BENCHONE_STEADY $name ${times.drop(1).min}%.3f")
     spark.stop()
   }
 }
